@@ -1,0 +1,210 @@
+package graft.queries
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Relational operator catalog: the reference's operator inventory
+  * (SURVEY.md §2a, O1-O14 / Q1-Q9) re-expressed over the testdata star
+  * schema. Each entry pairs idiomatic Spark DataFrame code with DuckDB
+  * oracle SQL on the same tables.
+  *
+  * Reference operators covered here (cites into /root/reference):
+  *  - O1/O8 scan+project+filter    (workflow/Extractor.py:3-5)
+  *  - O3/O4 split + array index    (workflow/Transformer.py:16-18)
+  *  - O6/O7 null-encode + na.drop  (workflow/Transformer.py:35-37)
+  *  - O9 distinct                  (workflow/Transformer.py:52,67)
+  *  - O10-O12 group-agg + having + top-k (workflow/Transformer.py:98-102)
+  *  - Q1-Q7 serving joins/aggs     (external-table-queries.sql:13-42)
+  *
+  * Scale notes (100 TB posture): dimension joins are broadcast;
+  * aggregations rely on Spark's partial+final hash agg; top-k uses
+  * orderBy+limit which Catalyst plans as TakeOrderedAndProject (per-
+  * partition top-k, no full sort/shuffle of the data).
+  */
+object Relational {
+  import Tables._
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // O1/O8 + pushdown: scan with filter + tight projection. The filter
+    // and 3-column ReadSchema must reach the parquet scan.
+    QueryDef(
+      "q01_scan_filter_project",
+      (s, d) =>
+        orders(s, d)
+          .filter(col("o_orderstatus") === "F")
+          .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+          .orderBy(col("o_orderkey"))
+          .limit(100),
+      Some("""SELECT o_orderkey, o_custkey, o_totalprice
+             |FROM orders WHERE o_orderstatus = 'F'
+             |ORDER BY o_orderkey LIMIT 100""".stripMargin)),
+
+    // O3/O4/O5: string split -> array -> getItem, the Location-expansion
+    // analog (p_name is 'adjective noun').
+    QueryDef(
+      "q02_split_expand",
+      (s, d) =>
+        part(s, d)
+          .withColumn("name_parts", split(col("p_name"), " "))
+          .select(
+            col("p_partkey"),
+            col("name_parts").getItem(0).as("adjective"),
+            col("name_parts").getItem(1).as("noun"))
+          .orderBy(col("p_partkey")),
+      Some("""SELECT p_partkey,
+             |  string_split(p_name, ' ')[1] AS adjective,
+             |  string_split(p_name, ' ')[2] AS noun
+             |FROM part ORDER BY p_partkey""".stripMargin)),
+
+    // O6/O7: conditional null-encode (when/otherwise) then na.drop on the
+    // key column — the " "->NULL cleaning analog.
+    QueryDef(
+      "q03_clean_null_drop",
+      (s, d) =>
+        customer(s, d)
+          .withColumn(
+            "segment",
+            when(col("c_mktsegment") === "MACHINERY", lit(null))
+              .otherwise(col("c_mktsegment")))
+          .na.drop(Seq("segment"))
+          .groupBy(col("segment"))
+          .agg(count(lit(1)).as("n_customers"))
+          .orderBy(col("segment")),
+      Some("""SELECT segment, count(*) AS n_customers FROM (
+             |  SELECT CASE WHEN c_mktsegment = 'MACHINERY' THEN NULL
+             |              ELSE c_mktsegment END AS segment
+             |  FROM customer) t
+             |WHERE segment IS NOT NULL
+             |GROUP BY segment ORDER BY segment""".stripMargin)),
+
+    // O9: distinct projection (dimension dedup).
+    QueryDef(
+      "q04_distinct_dim",
+      (s, d) =>
+        orders(s, d)
+          .select(col("o_orderstatus"), col("o_orderpriority"))
+          .distinct()
+          .orderBy(col("o_orderstatus"), col("o_orderpriority")),
+      Some("""SELECT DISTINCT o_orderstatus, o_orderpriority
+             |FROM orders ORDER BY 1, 2""".stripMargin)),
+
+    // O10: multi-key hash aggregate with several agg functions. Partial
+    // aggregation (map-side combine) is automatic in HashAggregateExec.
+    QueryDef(
+      "q05_group_agg",
+      (s, d) =>
+        lineitem(s, d)
+          .groupBy(col("l_returnflag"), col("l_linestatus"))
+          .agg(
+            round(sum(col("l_quantity")), 2).as("sum_qty"),
+            round(avg(col("l_extendedprice")), 4).as("avg_price"),
+            round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+              .as("revenue"),
+            count(lit(1)).as("n_rows"))
+          .orderBy(col("l_returnflag"), col("l_linestatus")),
+      Some("""SELECT l_returnflag, l_linestatus,
+             |  round(sum(l_quantity), 2) AS sum_qty,
+             |  round(avg(l_extendedprice), 4) AS avg_price,
+             |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+             |  count(*) AS n_rows
+             |FROM lineitem GROUP BY l_returnflag, l_linestatus
+             |ORDER BY l_returnflag, l_linestatus""".stripMargin)),
+
+    // O10-O12: the Top100Books spine — group, avg, HAVING >=, sort desc
+    // with deterministic tie-break, LIMIT (TakeOrderedAndProject).
+    QueryDef(
+      "q06_having_topk",
+      (s, d) =>
+        lineitem(s, d)
+          .groupBy(col("l_partkey"))
+          .agg(
+            round(avg(col("l_quantity")), 4).as("avg_qty"),
+            count(lit(1)).as("n_ratings"))
+          .filter(col("n_ratings") >= 10)
+          .orderBy(col("avg_qty").desc, col("l_partkey"))
+          .limit(100),
+      Some("""SELECT l_partkey, round(avg(l_quantity), 4) AS avg_qty,
+             |  count(*) AS n_ratings
+             |FROM lineitem GROUP BY l_partkey
+             |HAVING count(*) >= 10
+             |ORDER BY avg_qty DESC, l_partkey LIMIT 100""".stripMargin)),
+
+    // Q1: inner equi-join with an explicitly broadcast dimension —
+    // top customers by spend. At 100 TB the orders side never shuffles;
+    // the dim ships to every executor.
+    QueryDef(
+      "q07_join_broadcast",
+      (s, d) =>
+        orders(s, d)
+          .join(broadcast(customer(s, d)), col("o_custkey") === col("c_custkey"))
+          .groupBy(col("c_custkey"), col("c_name"))
+          .agg(
+            round(sum(col("o_totalprice")), 2).as("total_spend"),
+            count(lit(1)).as("n_orders"))
+          .orderBy(col("total_spend").desc, col("c_custkey"))
+          .limit(50),
+      Some("""SELECT c_custkey, c_name,
+             |  round(sum(o_totalprice), 2) AS total_spend,
+             |  count(*) AS n_orders
+             |FROM orders JOIN customer ON o_custkey = c_custkey
+             |GROUP BY c_custkey, c_name
+             |ORDER BY total_spend DESC, c_custkey LIMIT 50""".stripMargin)),
+
+    // Q4/Q5/Q6: pre-agg WHERE + multi-dim join + count(*) per group —
+    // the "customers per country" serving analog with a snowflaked dim.
+    QueryDef(
+      "q08_where_group_count",
+      (s, d) =>
+        customer(s, d)
+          .join(broadcast(nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+          .join(broadcast(region(s, d)), col("n_regionkey") === col("r_regionkey"))
+          .filter(col("r_name") === "ASIA")
+          .groupBy(col("n_name"))
+          .agg(count(lit(1)).as("customer_count"))
+          .orderBy(col("customer_count").desc, col("n_name"))
+          .limit(10),
+      Some("""SELECT n_name, count(*) AS customer_count
+             |FROM customer
+             |JOIN nation ON c_nationkey = n_nationkey
+             |JOIN region ON n_regionkey = r_regionkey
+             |WHERE r_name = 'ASIA'
+             |GROUP BY n_name
+             |ORDER BY customer_count DESC, n_name LIMIT 10""".stripMargin)),
+
+    // Serving query 1 analog (external-table-queries.sql:13-19): fact
+    // join dim + CAST + group + HAVING > + order + limit.
+    QueryDef(
+      "q09_serving_top_parts",
+      (s, d) =>
+        lineitem(s, d)
+          .join(broadcast(part(s, d)), col("l_partkey") === col("p_partkey"))
+          .groupBy(col("p_partkey"), col("p_name"))
+          .agg(
+            round(avg(col("l_quantity").cast("double")), 4).as("avg_qty"),
+            count(lit(1)).as("n_lines"))
+          .filter(col("n_lines") > 10)
+          .orderBy(col("avg_qty").desc, col("p_partkey"))
+          .limit(100),
+      Some("""SELECT p_partkey, p_name,
+             |  round(avg(CAST(l_quantity AS double)), 4) AS avg_qty,
+             |  count(*) AS n_lines
+             |FROM lineitem JOIN part ON l_partkey = p_partkey
+             |GROUP BY p_partkey, p_name
+             |HAVING count(*) > 10
+             |ORDER BY avg_qty DESC, p_partkey LIMIT 100""".stripMargin)),
+
+    // O12/Q7: global top-k by sort — TakeOrderedAndProject, no full sort.
+    QueryDef(
+      "q10_orderby_limit",
+      (s, d) =>
+        orders(s, d)
+          .select(col("o_orderkey"), col("o_totalprice"), col("o_orderpriority"))
+          .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+          .limit(10),
+      Some("""SELECT o_orderkey, o_totalprice, o_orderpriority
+             |FROM orders
+             |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin))
+  )
+}

@@ -21,6 +21,26 @@ object Tables {
   def orders(s: SparkSession, d: String): DataFrame     = table(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame   = table(s, d, "lineitem")
   def events(s: SparkSession, d: String): DataFrame     = table(s, d, "events")
+
+  /** `events` with the nanosecond parquet timestamp normalized.
+    *
+    * The testdata writes `ts` as parquet TIMESTAMP(NANOS), which Spark's
+    * vectorized reader rejects ([PARQUET_TYPE_ILLEGAL]); sessions set
+    * `spark.sql.legacy.parquet.nanosAsLong=true` (see Verify/Bench) so it
+    * arrives as a LongType of epoch-nanos. This helper adds:
+    *   - `ts`      TimestampType truncated to microseconds (exact integer
+    *               `div`, no double round-trip — epoch-nanos overflows the
+    *               53-bit double mantissa)
+    *   - `ts_sec`  epoch seconds as long (exact in both Spark and DuckDB,
+    *               the oracle-safe form for time arithmetic)
+    */
+  def eventsNorm(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    table(s, d, "events")
+      .withColumn("ts_ns", col("ts"))
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .withColumn("ts_sec", expr("ts_ns div 1000000000"))
+  }
   def documents(s: SparkSession, d: String): DataFrame  = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
 }

@@ -1,0 +1,185 @@
+package graft.queries
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.functions._
+
+/** Function-surface catalog (SURVEY.md §2b rows: grouping sets, set ops,
+  * string fns, date fns, array fns, json fns): every scalar-function
+  * family the engine supports, each oracle-paired.
+  *
+  * All expressions are `org.apache.spark.sql.functions._` built-ins so
+  * they stay inside whole-stage codegen — no UDFs in these paths.
+  */
+object Functions {
+  import Tables._
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ROLLUP drill-down (README.md:24's "drill down and roll up"):
+    // region → nation → grand total. NULL grouping slots are folded to
+    // 'ALL' in both engines so ordering/hashing is NULL-free.
+    QueryDef(
+      "q14_rollup",
+      (s, d) =>
+        customer(s, d)
+          .join(broadcast(nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+          .join(broadcast(region(s, d)), col("n_regionkey") === col("r_regionkey"))
+          .rollup(col("r_name"), col("n_name"))
+          .agg(count(lit(1)).as("n_customers"))
+          .select(
+            coalesce(col("r_name"), lit("ALL")).as("region"),
+            coalesce(col("n_name"), lit("ALL")).as("nation"),
+            col("n_customers"))
+          .orderBy(col("region"), col("nation")),
+      Some("""SELECT coalesce(r_name, 'ALL') AS region,
+             |  coalesce(n_name, 'ALL') AS nation,
+             |  count(*) AS n_customers
+             |FROM customer
+             |JOIN nation ON c_nationkey = n_nationkey
+             |JOIN region ON n_regionkey = r_regionkey
+             |GROUP BY ROLLUP(r_name, n_name)
+             |ORDER BY region, nation""".stripMargin)),
+
+    // CUBE over two independent dimensions.
+    QueryDef(
+      "q15_cube",
+      (s, d) =>
+        orders(s, d)
+          .cube(col("o_orderstatus"), col("o_orderpriority"))
+          .agg(
+            count(lit(1)).as("n_orders"),
+            round(sum(col("o_totalprice")), 2).as("total_price"))
+          .select(
+            coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+            coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+            col("n_orders"), col("total_price"))
+          .orderBy(col("status"), col("priority")),
+      Some("""SELECT coalesce(o_orderstatus, 'ALL') AS status,
+             |  coalesce(o_orderpriority, 'ALL') AS priority,
+             |  count(*) AS n_orders,
+             |  round(sum(o_totalprice), 2) AS total_price
+             |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+             |ORDER BY status, priority""".stripMargin)),
+
+    // Set operations: UNION / INTERSECT / EXCEPT over the distinct
+    // customer sets of two order-status slices, reduced to one row.
+    QueryDef(
+      "q19_set_ops",
+      (s, d) => {
+        val o = orders(s, d)
+        val a = o.filter(col("o_orderstatus") === "O").select(col("o_custkey")).distinct()
+        val b = o.filter(col("o_orderstatus") === "F").select(col("o_custkey")).distinct()
+        a.intersect(b).agg(count(lit(1)).as("n_intersect"))
+          .crossJoin(a.except(b).agg(count(lit(1)).as("n_except")))
+          .crossJoin(a.union(b).distinct().agg(count(lit(1)).as("n_union")))
+      },
+      Some("""SELECT
+             |  (SELECT count(*) FROM (
+             |     SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'O'
+             |     INTERSECT
+             |     SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'F') t1)
+             |   AS n_intersect,
+             |  (SELECT count(*) FROM (
+             |     SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'O'
+             |     EXCEPT
+             |     SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'F') t2)
+             |   AS n_except,
+             |  (SELECT count(*) FROM (
+             |     SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'O'
+             |     UNION
+             |     SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'F') t3)
+             |   AS n_union""".stripMargin)),
+
+    // String function family: upper/substring/concat/length/regexp.
+    QueryDef(
+      "q20_string_fns",
+      (s, d) =>
+        part(s, d)
+          .select(
+            col("p_partkey"),
+            upper(col("p_name")).as("up_name"),
+            substring(col("p_name"), 1, 4).as("prefix4"),
+            concat(col("p_brand"), lit(":"), col("p_type")).as("brand_type"),
+            length(col("p_name")).as("name_len"),
+            regexp_extract(col("p_name"), "^(\\w+)", 1).as("first_word"))
+          .orderBy(col("p_partkey")),
+      Some("""SELECT p_partkey,
+             |  upper(p_name) AS up_name,
+             |  substring(p_name, 1, 4) AS prefix4,
+             |  p_brand || ':' || p_type AS brand_type,
+             |  length(p_name) AS name_len,
+             |  regexp_extract(p_name, '^(\w+)', 1) AS first_word
+             |FROM part ORDER BY p_partkey""".stripMargin)),
+
+    // Date/time extraction + aggregation by calendar parts.
+    QueryDef(
+      "q21_date_fns",
+      (s, d) =>
+        orders(s, d)
+          .groupBy(
+            year(col("o_orderdate")).as("yr"),
+            quarter(col("o_orderdate")).as("qtr"))
+          .agg(
+            count(lit(1)).as("n_orders"),
+            round(sum(col("o_totalprice")), 2).as("total_price"))
+          .orderBy(col("yr"), col("qtr")),
+      Some("""SELECT year(o_orderdate) AS yr, quarter(o_orderdate) AS qtr,
+             |  count(*) AS n_orders,
+             |  round(sum(o_totalprice), 2) AS total_price
+             |FROM orders GROUP BY 1, 2 ORDER BY yr, qtr""".stripMargin)),
+
+    // Array family: split → explode (lateral unnest) → re-aggregate.
+    // This is the tokenize→explode→count shape of the text pipeline.
+    QueryDef(
+      "q22_explode_tokens",
+      (s, d) =>
+        part(s, d)
+          .select(explode(split(col("p_name"), " ")).as("word"))
+          .groupBy(col("word"))
+          .agg(count(lit(1)).as("n"))
+          .orderBy(col("n").desc, col("word")),
+      Some("""SELECT word, count(*) AS n FROM (
+             |  SELECT unnest(string_split(p_name, ' ')) AS word FROM part) t
+             |GROUP BY word ORDER BY n DESC, word""".stripMargin)),
+
+    // JSON family: extract a field from the events.props JSON string and
+    // aggregate it per event type.
+    QueryDef(
+      "q23_json_extract",
+      (s, d) =>
+        events(s, d)
+          .withColumn("k", get_json_object(col("props"), "$.k").cast("int"))
+          .groupBy(col("event_type"))
+          .agg(
+            round(avg(col("k")), 4).as("avg_k"),
+            max(col("k")).as("max_k"),
+            count(lit(1)).as("n"))
+          .orderBy(col("event_type")),
+      Some("""SELECT event_type,
+             |  round(avg(CAST(json_extract_string(props, '$.k') AS INTEGER)), 4) AS avg_k,
+             |  max(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS max_k,
+             |  count(*) AS n
+             |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
+    // CASE WHEN bucketing + conditional aggregation (manual pivot shape).
+    QueryDef(
+      "q26_case_pivot",
+      (s, d) =>
+        events(s, d)
+          .groupBy(col("user_id"))
+          .agg(
+            sum(when(col("event_type") === "click", 1).otherwise(0)).as("n_click"),
+            sum(when(col("event_type") === "view", 1).otherwise(0)).as("n_view"),
+            sum(when(col("event_type") === "purchase", 1).otherwise(0)).as("n_purchase"))
+          .filter(col("n_purchase") > 0)
+          .orderBy(col("n_purchase").desc, col("user_id"))
+          .limit(100),
+      Some("""SELECT user_id,
+             |  sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS n_click,
+             |  sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS n_view,
+             |  sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS n_purchase
+             |FROM events GROUP BY user_id
+             |HAVING sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) > 0
+             |ORDER BY n_purchase DESC, user_id LIMIT 100""".stripMargin))
+  )
+}

@@ -195,6 +195,56 @@ object Relational {
              |HAVING count(*) > 10
              |ORDER BY avg_qty DESC, p_partkey LIMIT 100""".stripMargin)),
 
+    // Semi join (EXISTS): customers that have at least one order, counted
+    // per market segment. At scale: the orders side is only scanned for
+    // keys; no row explosion.
+    QueryDef(
+      "q11_semi_join",
+      (s, d) =>
+        customer(s, d)
+          .join(orders(s, d), col("c_custkey") === col("o_custkey"), "left_semi")
+          .groupBy(col("c_mktsegment"))
+          .agg(count(lit(1)).as("n_active"))
+          .orderBy(col("c_mktsegment")),
+      Some("""SELECT c_mktsegment, count(*) AS n_active
+             |FROM customer
+             |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+             |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)),
+
+    // Anti join (NOT EXISTS): customers with no high-value order. The
+    // subquery filter keeps the result non-degenerate at every sf.
+    QueryDef(
+      "q12_anti_join",
+      (s, d) =>
+        customer(s, d)
+          .join(
+            orders(s, d).filter(col("o_totalprice") > 400000),
+            col("c_custkey") === col("o_custkey"), "left_anti")
+          .groupBy(col("c_mktsegment"))
+          .agg(count(lit(1)).as("n_inactive"))
+          .orderBy(col("c_mktsegment")),
+      Some("""SELECT c_mktsegment, count(*) AS n_inactive
+             |FROM customer
+             |WHERE NOT EXISTS (SELECT 1 FROM orders
+             |                  WHERE o_custkey = c_custkey
+             |                    AND o_totalprice > 400000)
+             |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)),
+
+    // Left outer join + count of the nullable side (0 for no matches).
+    QueryDef(
+      "q13_outer_join",
+      (s, d) =>
+        customer(s, d)
+          .join(orders(s, d), col("c_custkey") === col("o_custkey"), "left_outer")
+          .groupBy(col("c_custkey"))
+          .agg(count(col("o_orderkey")).as("n_orders"))
+          .orderBy(col("n_orders").desc, col("c_custkey"))
+          .limit(100),
+      Some("""SELECT c_custkey, count(o_orderkey) AS n_orders
+             |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+             |GROUP BY c_custkey
+             |ORDER BY n_orders DESC, c_custkey LIMIT 100""".stripMargin)),
+
     // O12/Q7: global top-k by sort — TakeOrderedAndProject, no full sort.
     QueryDef(
       "q10_orderby_limit",

@@ -1,0 +1,150 @@
+package graft.queries
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Window-function + temporal catalog (SURVEY.md §2b "Window functions",
+  * "Streaming" batch-checkable forms).
+  *
+  * Scale notes: all windows partition by a key (no global single-partition
+  * window anywhere — a `Window.orderBy` without partitionBy funnels 100 TB
+  * through one task). Time bucketing uses exact integer epoch math so the
+  * DuckDB oracle agrees bit-for-bit.
+  */
+object Windowed {
+  import Tables._
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // row_number per group → per-group top-k (the windowed form of the
+    // reference's Top100 O12).
+    QueryDef(
+      "q16_window_topk_per_group",
+      (s, d) => {
+        val w = Window.partitionBy(col("p_brand"))
+          .orderBy(col("p_retailprice").desc, col("p_partkey"))
+        part(s, d)
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 2)
+          .select(col("p_brand"), col("rn"), col("p_partkey"), col("p_retailprice"))
+          .orderBy(col("p_brand"), col("rn"))
+      },
+      Some("""SELECT p_brand, rn, p_partkey, p_retailprice FROM (
+             |  SELECT p_brand, p_partkey, p_retailprice,
+             |    row_number() OVER (PARTITION BY p_brand
+             |      ORDER BY p_retailprice DESC, p_partkey) AS rn
+             |  FROM part) t
+             |WHERE rn <= 2 ORDER BY p_brand, rn""".stripMargin)),
+
+    // Running (cumulative) aggregate per key, ROWS UNBOUNDED PRECEDING.
+    QueryDef(
+      "q17_window_running_sum",
+      (s, d) => {
+        val w = Window.partitionBy(col("o_custkey"))
+          .orderBy(col("o_orderdate"), col("o_orderkey"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        orders(s, d)
+          .filter(col("o_custkey") < 20)
+          .withColumn("running_spend", round(sum(col("o_totalprice")).over(w), 2))
+          .select(col("o_custkey"), col("o_orderkey"), col("running_spend"))
+          .orderBy(col("o_custkey"), col("o_orderdate"), col("o_orderkey"))
+      },
+      Some("""SELECT o_custkey, o_orderkey,
+             |  round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+             |    ORDER BY o_orderdate, o_orderkey
+             |    ROWS UNBOUNDED PRECEDING), 2) AS running_spend
+             |FROM orders WHERE o_custkey < 20
+             |ORDER BY o_custkey, o_orderdate, o_orderkey""".stripMargin)),
+
+    // lag(): inter-order gap in days per customer.
+    QueryDef(
+      "q18_window_lag",
+      (s, d) => {
+        val w = Window.partitionBy(col("o_custkey"))
+          .orderBy(col("o_orderdate"), col("o_orderkey"))
+        orders(s, d)
+          .filter(col("o_custkey") < 20)
+          .withColumn("prev_date", lag(col("o_orderdate"), 1).over(w))
+          .select(
+            col("o_custkey"), col("o_orderkey"),
+            datediff(col("o_orderdate"), col("prev_date")).as("days_since_prev"))
+          .orderBy(col("o_custkey"), col("o_orderdate"), col("o_orderkey"))
+      },
+      Some("""SELECT o_custkey, o_orderkey,
+             |  CAST(date_diff('day',
+             |    lag(o_orderdate) OVER (PARTITION BY o_custkey
+             |      ORDER BY o_orderdate, o_orderkey),
+             |    o_orderdate) AS INTEGER) AS days_since_prev
+             |FROM orders WHERE o_custkey < 20
+             |ORDER BY o_custkey, o_orderdate, o_orderkey""".stripMargin)),
+
+    // Tumbling time window (batch form of the streaming agg): hourly
+    // event counts per type. Buckets as exact epoch seconds.
+    QueryDef(
+      "q24_time_bucket",
+      (s, d) =>
+        eventsNorm(s, d)
+          .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+          .agg(
+            count(lit(1)).as("n"),
+            round(sum(col("value")), 2).as("sum_value"))
+          .select(
+            col("window.start").cast("long").as("bucket_start"),
+            col("event_type"), col("n"), col("sum_value"))
+          .orderBy(col("bucket_start"), col("event_type")),
+      Some("""SELECT CAST(epoch(time_bucket(INTERVAL '1 hour', ts)) AS BIGINT) AS bucket_start,
+             |  event_type, count(*) AS n, round(sum(value), 2) AS sum_value
+             |FROM events GROUP BY 1, 2
+             |ORDER BY bucket_start, event_type""".stripMargin)),
+
+    // Sessionization via gaps-and-islands: a session breaks after >30 min
+    // of user inactivity. Pure window functions — expressible in both
+    // engines, and at scale it is one shuffle on user_id.
+    QueryDef(
+      "q25_sessionize",
+      (s, d) => {
+        val byUser = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts_sec"), col("event_id"))
+        eventsNorm(s, d)
+          .withColumn("prev_sec", lag(col("ts_sec"), 1).over(byUser))
+          .withColumn(
+            "new_session",
+            when(col("prev_sec").isNull ||
+              col("ts_sec") - col("prev_sec") > 1800, 1).otherwise(0))
+          .withColumn("session_id",
+            sum(col("new_session")).over(
+              byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .groupBy(col("user_id"), col("session_id"))
+          .agg(
+            count(lit(1)).as("n_events"),
+            (max(col("ts_sec")) - min(col("ts_sec"))).as("duration_sec"))
+          .filter(col("user_id") < 20)
+          .orderBy(col("user_id"), col("session_id"))
+      },
+      Some("""WITH g AS (
+             |  SELECT user_id, event_id,
+             |    CAST(epoch_ns(ts) // 1000000000 AS BIGINT) AS ts_sec,
+             |    lag(CAST(epoch_ns(ts) // 1000000000 AS BIGINT)) OVER (
+             |      PARTITION BY user_id
+             |      ORDER BY CAST(epoch_ns(ts) // 1000000000 AS BIGINT), event_id)
+             |      AS prev_sec
+             |  FROM events),
+             |m AS (
+             |  SELECT user_id, event_id, ts_sec,
+             |    CASE WHEN prev_sec IS NULL OR ts_sec - prev_sec > 1800
+             |         THEN 1 ELSE 0 END AS new_session
+             |  FROM g),
+             |sess AS (
+             |  SELECT user_id, ts_sec,
+             |    sum(new_session) OVER (PARTITION BY user_id
+             |      ORDER BY ts_sec, event_id ROWS UNBOUNDED PRECEDING)
+             |      AS session_id
+             |  FROM m)
+             |SELECT user_id, session_id, count(*) AS n_events,
+             |  max(ts_sec) - min(ts_sec) AS duration_sec
+             |FROM sess WHERE user_id < 20
+             |GROUP BY user_id, session_id
+             |ORDER BY user_id, session_id""".stripMargin))
+  )
+}

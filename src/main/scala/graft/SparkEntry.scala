@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{Functions, Relational, Windowed}
+import graft.queries.{Dedup, Functions, Relational, Similarity, TextAnalysis, Windowed}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -14,7 +14,8 @@ object SparkEntry {
 
   /** All catalog modules, concatenated. Order is stable (display only). */
   def allDefs: Seq[QueryDef] =
-    Relational.defs ++ Functions.defs ++ Windowed.defs
+    Relational.defs ++ Functions.defs ++ Windowed.defs ++
+      Dedup.defs ++ Similarity.defs ++ TextAnalysis.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The reference's whole spine (scan → join → group → having → top-k):

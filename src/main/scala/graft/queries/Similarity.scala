@@ -1,0 +1,118 @@
+package graft.queries
+
+import graft.{QueryDef, Tables}
+import graft.ops.VectorOps._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity-search catalog over `embeddings` (array<float>[64]):
+  * brute-force cosine top-k as the correctness baseline, and a
+  * random-hyperplane-LSH bucketed variant as the scale path.
+  *
+  * Scale design: the probe set is tiny and broadcast, so brute force is
+  * one scan of the corpus with no shuffle of the big side. The LSH
+  * variant prunes candidates by an 8-bit signature equality first —
+  * at 100 TB that turns "distance to everything" into "distance to
+  * ~1/256th of everything" per probe, still with zero corpus shuffles.
+  * Ranking uses the ROUNDED cosine (then vec_id) so ordering is
+  * deterministic and engine-independent.
+  */
+object Similarity {
+  import Tables._
+
+  /** DuckDB left-fold cosine between two double-list columns (bit-exact
+    * mirror of [[graft.ops.VectorOps.cosine]]). */
+  private def cosSql(a: String, b: String): String =
+    s"""list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |      list_transform(range(1, len($a) + 1), i -> $a[i] * $b[i])),
+       |      (s, t) -> s + t)
+       |    / (sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |         list_transform(range(1, len($a) + 1), i -> $a[i] * $a[i])),
+       |         (s, t) -> s + t))
+       |     * sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |         list_transform(range(1, len($b) + 1), i -> $b[i] * $b[i])),
+       |         (s, t) -> s + t)))""".stripMargin
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // Brute-force ANN baseline: 8 broadcast probes × corpus, exact
+    // cosine, top-5 per probe via window rank on (rounded cos, vec_id).
+    QueryDef(
+      "q32_ann_bruteforce",
+      (s, d) => {
+        val e = embeddings(s, d)
+          .select(col("vec_id"), toDouble(col("embedding")).as("v"))
+        val probes = e.filter(col("vec_id") < 8)
+          .select(col("vec_id").as("probe"), col("v").as("pv"))
+        val w = Window.partitionBy(col("probe"))
+          .orderBy(col("cos").desc, col("vec_id"))
+        broadcast(probes)
+          .join(e.filter(col("vec_id") >= 8), lit(true))
+          .select(col("probe"), col("vec_id"),
+            round(cosine(col("pv"), col("v")), 4).as("cos"))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 5)
+          .select(col("probe"), col("rn"), col("vec_id"), col("cos"))
+          .orderBy(col("probe"), col("rn"))
+      },
+      Some(s"""WITH e AS (SELECT vec_id,
+             |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+             |  FROM embeddings),
+             |scored AS (SELECT p.vec_id AS probe, c.vec_id AS vec_id,
+             |    round(${cosSql("p.v", "c.v")}, 4) AS cos
+             |  FROM e p JOIN e c ON p.vec_id < 8 AND c.vec_id >= 8),
+             |ranked AS (SELECT probe, vec_id, cos,
+             |    row_number() OVER (PARTITION BY probe
+             |      ORDER BY cos DESC, vec_id) AS rn
+             |  FROM scored)
+             |SELECT probe, rn, vec_id, cos FROM ranked
+             |WHERE rn <= 5 ORDER BY probe, rn""".stripMargin)),
+
+    // Hyperplane-LSH ANN: 8-bit signature buckets prune the corpus
+    // before any exact distance; top-3 within the probe's bucket.
+    QueryDef(
+      "q33_ann_lsh",
+      (s, d) => {
+        val e = embeddings(s, d)
+          .select(col("vec_id"), toDouble(col("embedding")).as("v"))
+          .withColumn("bucket", hyperplaneBucket(col("v"), 8))
+        val probes = e.filter(col("vec_id") < 8)
+          .select(col("vec_id").as("probe"), col("v").as("pv"),
+            col("bucket").as("pbucket"))
+        val w = Window.partitionBy(col("probe"))
+          .orderBy(col("cos").desc, col("vec_id"))
+        broadcast(probes)
+          .join(e.filter(col("vec_id") >= 8),
+            col("pbucket") === col("bucket"))
+          .select(col("probe"), col("pbucket").as("bucket"), col("vec_id"),
+            round(cosine(col("pv"), col("v")), 4).as("cos"))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 3)
+          .select(col("probe"), col("bucket"), col("rn"), col("vec_id"), col("cos"))
+          .orderBy(col("probe"), col("rn"))
+      },
+      Some(s"""WITH e AS (SELECT vec_id,
+             |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+             |  FROM embeddings),
+             |bk AS (SELECT vec_id, v,
+             |    list_reduce(list_prepend(CAST(0 AS BIGINT), range(0, 8)),
+             |      (acc, j) -> acc + CASE WHEN
+             |          list_reduce(list_prepend(CAST(0 AS DOUBLE),
+             |            list_transform(range(1, len(v) + 1), i ->
+             |              v[i] * CAST(((j*64 + (i-1)) * 2654435761) % 2001 - 1000
+             |                          AS DOUBLE))),
+             |            (s, x) -> s + x) > 0
+             |        THEN CAST(power(2, j) AS BIGINT) ELSE 0 END) AS bucket
+             |  FROM e),
+             |scored AS (SELECT p.vec_id AS probe, p.bucket AS bucket,
+             |    c.vec_id AS vec_id, round(${cosSql("p.v", "c.v")}, 4) AS cos
+             |  FROM bk p JOIN bk c
+             |    ON p.vec_id < 8 AND c.vec_id >= 8 AND p.bucket = c.bucket),
+             |ranked AS (SELECT probe, bucket, vec_id, cos,
+             |    row_number() OVER (PARTITION BY probe
+             |      ORDER BY cos DESC, vec_id) AS rn
+             |  FROM scored)
+             |SELECT probe, bucket, rn, vec_id, cos FROM ranked
+             |WHERE rn <= 3 ORDER BY probe, rn""".stripMargin))
+  )
+}

@@ -1,0 +1,65 @@
+package graft.ops
+
+import graft.SparkSpecBase
+import org.apache.spark.sql.functions._
+
+class TextOpsSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private def one(c: org.apache.spark.sql.Column): Any =
+    Seq("x").toDF("t").select(c.as("r")).head().get(0)
+
+  test("polyHash matches the reference fold arithmetic") {
+    // ((0*31+97)*31+98)*31+99 = 96354, verified against DuckDB's
+    // list_reduce over ascii codes.
+    assert(one(TextOps.polyHash(lit("abc"))) === 96354L)
+  }
+
+  test("polyHash is order-sensitive and deterministic") {
+    assert(one(TextOps.polyHash(lit("ab"))) !== one(TextOps.polyHash(lit("ba"))))
+    assert(one(TextOps.polyHash(lit("ab"))) === one(TextOps.polyHash(lit("ab"))))
+  }
+
+  test("wordShingles: distinct n-grams, empty under n tokens") {
+    val sh = one(TextOps.wordShingles(split(lit("a b c d"), " "), 3))
+      .asInstanceOf[collection.Seq[String]]
+    assert(sh === Seq("a b c", "b c d"))
+    val short = one(TextOps.wordShingles(split(lit("a b"), " "), 3))
+      .asInstanceOf[collection.Seq[String]]
+    assert(short.isEmpty)
+  }
+
+  test("minhashSig: k values, each <= every permuted hash") {
+    val hashes = array(lit(100L), lit(999L), lit(5L))
+    val sig = one(TextOps.minhashSig(hashes, 4)).asInstanceOf[collection.Seq[Long]]
+    assert(sig.length === 4)
+    // permutation j=0 is identity*1+67: min is 5*1+67 = 72
+    assert(sig.head === 72L)
+  }
+
+  test("near-identical shingle sets agree on most minhash components") {
+    val a = (1 to 50).map(i => s"tok$i")
+    val b = a.updated(25, "CHANGED")
+    val df = Seq((a, b)).toDF("a", "b")
+    val Seq(sa, sb) = df.select(
+      TextOps.minhashSig(transform(col("a"), t => TextOps.polyHash(t)), 12).as("sa"),
+      TextOps.minhashSig(transform(col("b"), t => TextOps.polyHash(t)), 12).as("sb"))
+      .head().toSeq.map(_.asInstanceOf[collection.Seq[Long]])
+    val agree = sa.zip(sb).count { case (x, y) => x == y }
+    assert(agree >= 9, s"only $agree/12 components agree")
+  }
+
+  test("simhash16 stays in 16 bits and identical inputs collide") {
+    val hs = array((1 to 20).map(i => lit(i * 7919L)): _*)
+    val s1 = one(TextOps.simhash16(hs)).asInstanceOf[Long]
+    assert(s1 >= 0L && s1 < 65536L)
+    assert(one(TextOps.simhash16(hs)) === s1)
+  }
+
+  test("jaccard: exact rational, identical and disjoint extremes") {
+    val a = array(lit("x"), lit("y"))
+    val b = array(lit("x"), lit("z"))
+    assert(one(TextOps.jaccard(a, a)) === 1.0)
+    assert(one(TextOps.jaccard(a, b)) === 0.3333)
+  }
+}

@@ -1,0 +1,38 @@
+package graft.ops
+
+import graft.SparkSpecBase
+import org.apache.spark.sql.functions._
+
+class VectorOpsSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private def calc(c: org.apache.spark.sql.Column): Any =
+    Seq(1).toDF("i").select(c.as("r")).head().get(0)
+
+  private def arr(xs: Double*) = array(xs.map(lit): _*)
+
+  test("dot / l2norm / cosine basics") {
+    assert(calc(VectorOps.dot(arr(1, 2, 3), arr(4, 5, 6))) === 32.0)
+    assert(calc(VectorOps.l2norm(arr(3, 4))) === 5.0)
+    assert(calc(VectorOps.cosine(arr(1, 0), arr(0, 1))) === 0.0)
+    assert(math.abs(calc(VectorOps.cosine(arr(2, 2), arr(5, 5)))
+      .asInstanceOf[Double] - 1.0) < 1e-12)
+  }
+
+  test("toDouble casts float arrays before arithmetic") {
+    val f = Seq(Seq(1.5f, 2.5f)).toDF("v")
+    val d = f.select(VectorOps.toDouble(col("v")).as("v")).head().getSeq[Double](0)
+    assert(d === Seq(1.5, 2.5))
+  }
+
+  test("hyperplaneBucket: bounded, deterministic, sign-sensitive") {
+    val v = arr((1 to 64).map(_.toDouble / 10): _*)
+    val b1 = calc(VectorOps.hyperplaneBucket(v, 8)).asInstanceOf[Long]
+    assert(b1 >= 0L && b1 < 256L)
+    assert(calc(VectorOps.hyperplaneBucket(v, 8)) === b1)
+    // negating the vector flips every sign bit -> complement bucket
+    val neg = arr((1 to 64).map(i => -i.toDouble / 10): _*)
+    val b2 = calc(VectorOps.hyperplaneBucket(neg, 8)).asInstanceOf[Long]
+    assert((b1 ^ b2) === 255L)
+  }
+}

@@ -145,6 +145,44 @@ object Windowed {
              |  max(ts_sec) - min(ts_sec) AS duration_sec
              |FROM sess WHERE user_id < 20
              |GROUP BY user_id, session_id
-             |ORDER BY user_id, session_id""".stripMargin))
+             |ORDER BY user_id, session_id""".stripMargin)),
+
+    // Native session_window (the Structured Streaming sessionization
+    // operator, batch-executed): merges events arriving strictly
+    // within 30 min of the previous one. The oracle rebuilds the same
+    // sessions as gaps-and-islands (new session when diff >= 1800 s —
+    // session_window's [start, last+gap) range is end-exclusive).
+    // Second-truncated timestamps so both engines bucket identically.
+    QueryDef(
+      "q46_session_window",
+      (s, d) =>
+        eventsNorm(s, d)
+          .withColumn("tss", timestamp_seconds(col("ts_sec")))
+          .groupBy(session_window(col("tss"), "30 minutes"), col("user_id"))
+          .agg(count(lit(1)).as("n_events"))
+          .filter(col("user_id") < 20)
+          .select(col("user_id"),
+            col("session_window.start").cast("long").as("session_start"),
+            col("n_events"))
+          .orderBy(col("user_id"), col("session_start")),
+      Some("""WITH g AS (
+             |  SELECT user_id, event_id,
+             |    CAST(epoch_ns(ts) // 1000000000 AS BIGINT) AS ts_sec
+             |  FROM events),
+             |m AS (
+             |  SELECT user_id, event_id, ts_sec,
+             |    CASE WHEN lag(ts_sec) OVER w IS NULL
+             |           OR ts_sec - lag(ts_sec) OVER w >= 1800
+             |         THEN 1 ELSE 0 END AS new_session
+             |  FROM g WINDOW w AS (PARTITION BY user_id ORDER BY ts_sec, event_id)),
+             |sess AS (
+             |  SELECT user_id, ts_sec,
+             |    sum(new_session) OVER (PARTITION BY user_id
+             |      ORDER BY ts_sec, event_id ROWS UNBOUNDED PRECEDING) AS session_id
+             |  FROM m)
+             |SELECT user_id, min(ts_sec) AS session_start, count(*) AS n_events
+             |FROM sess WHERE user_id < 20
+             |GROUP BY user_id, session_id
+             |ORDER BY user_id, session_start""".stripMargin))
   )
 }

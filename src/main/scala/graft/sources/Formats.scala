@@ -1,0 +1,53 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types.StructType
+
+/** Source/sink surface (SURVEY.md §2b "Scans/sources", "Sinks"):
+  * parquet + CSV like the reference (workflow/Extractor.py:3-9,
+  * workflow/Loader.py:2-3), plus JSON-lines and the lakehouse-style
+  * layouts the reference delegates to Glue/Redshift — partitioned
+  * parquet (partition pruning at scan) and bucketed session-catalog
+  * tables (shuffle-free co-located joins).
+  *
+  * Scale notes: CSV reads take an explicit schema — `inferSchema` is a
+  * full extra pass over 100 TB. Partitioned writes put the partition
+  * key in the directory layout so filters prune at file-listing time
+  * (`PartitionFilters` in the scan node, verified in FormatsSpec).
+  */
+object Formats {
+
+  def readParquet(s: SparkSession, path: String): DataFrame =
+    s.read.parquet(path)
+
+  /** Header CSV with explicit schema (preferred); falls back to
+    * inference only when no schema is supplied (reference behavior,
+    * workflow/Extractor.py:7-9). */
+  def readCsv(s: SparkSession, path: String,
+      schema: Option[StructType] = None): DataFrame = {
+    val base = s.read.option("header", true)
+    schema.fold(base.option("inferSchema", true))(base.schema).csv(path)
+  }
+
+  /** JSON-lines scan; explicit schema avoids the inference pass. */
+  def readJson(s: SparkSession, path: String,
+      schema: Option[StructType] = None): DataFrame =
+    schema.fold(s.read)(s.read.schema).json(path)
+
+  /** The reference's mart sink: headered CSV directory per table. */
+  def writeCsv(df: DataFrame, path: String, mode: String = "overwrite"): Unit =
+    df.write.mode(mode).option("header", true).csv(path)
+
+  /** Hive-layout partitioned parquet: equality filters on `cols` prune
+    * whole directories at listing time. */
+  def writePartitionedParquet(df: DataFrame, path: String,
+      cols: Seq[String], mode: String = "overwrite"): Unit =
+    df.write.mode(mode).partitionBy(cols: _*).parquet(path)
+
+  /** Bucketed, sorted session-catalog table: joins/aggregations on
+    * `key` across two tables bucketed the same way need no exchange. */
+  def writeBucketedTable(df: DataFrame, table: String, key: String,
+      buckets: Int, mode: String = "overwrite"): Unit =
+    df.write.mode(mode).bucketBy(buckets, key).sortBy(key)
+      .format("parquet").saveAsTable(table)
+}

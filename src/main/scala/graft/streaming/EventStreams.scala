@@ -1,0 +1,61 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.GroupState
+
+/** Event-stream processing (SURVEY.md §2b "Streaming"): the reference's
+  * nightly batch cadence re-expressed as Structured Streaming, with
+  * batch-equivalent forms so the same code is oracle-checkable.
+  *
+  * Every transform here takes/returns DataFrames so it runs identically
+  * on a batch `spark.read` frame and a `spark.readStream` frame — the
+  * Spark-first way to keep one codepath for both. Watermarks bound
+  * state (a 100 TB stream with unbounded state OOMs; with a watermark,
+  * state is O(active windows), not O(history)).
+  */
+object EventStreams {
+
+  /** Tumbling-window counts per event type. Streaming: append-mode
+    * safe (watermark closes windows). Batch: the watermark is a no-op
+    * and this is exactly catalog query q24. */
+  def tumblingCounts(events: DataFrame, windowLen: String = "1 hour",
+      watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowLen), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+
+  /** Gap-based sessionization via the native `session_window` operator:
+    * events merge while each arrives strictly before last_ts + gap.
+    * One shuffle on user_id; state per open session. */
+  def sessionCounts(events: DataFrame, gap: String = "30 minutes",
+      watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+
+  /** Typed per-key custom state (the mapGroupsWithState surface):
+    * cumulative per-user event counter carried across micro-batches.
+    * In batch mode each group is processed once with empty state —
+    * same totals. */
+  case class UserEvent(user_id: Long, event_id: Long, ts_sec: Long)
+  case class UserTotal(user_id: Long, n_events: Long, last_ts_sec: Long)
+
+  def runningTotals(events: Dataset[UserEvent]): Dataset[UserTotal] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .mapGroupsWithState[UserTotal, UserTotal](
+        org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout) {
+        (uid: Long, it: Iterator[UserEvent], state: GroupState[UserTotal]) =>
+          val prev = state.getOption.getOrElse(UserTotal(uid, 0L, Long.MinValue))
+          val evs = it.toSeq
+          val updated = UserTotal(uid, prev.n_events + evs.size,
+            math.max(prev.last_ts_sec, if (evs.isEmpty) Long.MinValue else evs.map(_.ts_sec).max))
+          state.update(updated)
+          updated
+      }
+  }
+}

@@ -16,6 +16,8 @@ object SparkSpecBase {
   lazy val session: SparkSession = SparkSession.builder()
     .master("local[2]")
     .config("spark.sql.shuffle.partitions", "2")
+    .config("spark.sql.warehouse.dir",
+      java.nio.file.Files.createTempDirectory("spark-wh").toString)
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.ui.enabled", "false")
     .getOrCreate()

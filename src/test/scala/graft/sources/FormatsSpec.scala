@@ -1,0 +1,56 @@
+package graft.sources
+
+import graft.SparkSpecBase
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import java.nio.file.Files
+
+class FormatsSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private def tmp() = Files.createTempDirectory("fmt").toString
+
+  private val df = Seq(
+    ("a", "usa", 1), ("b", "usa", 2), ("c", "germany", 3))
+    .toDF("id", "country", "v")
+
+  test("csv roundtrip with explicit schema keeps types without inference") {
+    val out = tmp()
+    Formats.writeCsv(df, out)
+    val schema = StructType(Seq(
+      StructField("id", StringType), StructField("country", StringType),
+      StructField("v", IntegerType)))
+    val back = Formats.readCsv(spark, out, Some(schema))
+    assert(back.schema("v").dataType === IntegerType)
+    assert(back.count() === 3)
+  }
+
+  test("json-lines roundtrip") {
+    val out = tmp()
+    df.write.mode("overwrite").json(out)
+    assert(Formats.readJson(spark, out).count() === 3)
+  }
+
+  test("partitioned parquet: layout + partition pruning in the scan") {
+    val out = tmp()
+    Formats.writePartitionedParquet(df, out, Seq("country"))
+    assert(new java.io.File(s"$out/country=usa").isDirectory)
+    val q = Formats.readParquet(spark, out).filter(col("country") === "usa")
+    assert(q.count() === 2)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("country"),
+      s"expected partition pruning in plan:\n$plan")
+  }
+
+  test("bucketed tables join without an exchange on the bucket key") {
+    Formats.writeBucketedTable(df, "fmt_left", "id", 4)
+    Formats.writeBucketedTable(
+      Seq(("a", 10), ("b", 20)).toDF("id", "w"), "fmt_right", "id", 4)
+    val joined = spark.table("fmt_left")
+      .join(spark.table("fmt_right"), "id")
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"bucketed join still shuffles:\n$plan")
+    assert(joined.count() === 2)
+  }
+}

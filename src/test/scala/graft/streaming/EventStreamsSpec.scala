@@ -1,0 +1,109 @@
+package graft.streaming
+
+import graft.SparkSpecBase
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import java.sql.Timestamp
+
+/** Streaming semantics under real micro-batches (MemoryStream), and
+  * batch/stream equivalence of the shared transforms. */
+class EventStreamsSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  import EventStreamsSpec.Ev
+
+  private def ts(minute: Int): Timestamp =
+    Timestamp.valueOf(f"2026-01-01 10:$minute%02d:00")
+
+  private val batch = Seq(
+    Ev(ts(0), "click", 1.0, 1), Ev(ts(5), "click", 2.0, 1),
+    Ev(ts(10), "view", 3.0, 2), Ev(ts(59), "click", 4.0, 2))
+
+  test("tumblingCounts: batch mode aggregates per hour window") {
+    val out = EventStreams.tumblingCounts(batch.toDF(), "1 hour")
+      .select(col("event_type"), col("n"), col("sum_value"))
+      .orderBy("event_type").collect()
+    assert(out.map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
+      === Seq(("click", 3L, 7.0), ("view", 1L, 3.0)))
+  }
+
+  test("tumblingCounts: streaming micro-batches produce the same result") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val q = EventStreams.tumblingCounts(mem.toDF(), "1 hour")
+      .select(col("window.start").as("start"), col("event_type"), col("n"),
+        col("sum_value"))
+      .writeStream.format("memory").queryName("tumbling")
+      .outputMode("complete").start()
+    try {
+      mem.addData(batch.take(2): _*)
+      q.processAllAvailable()
+      mem.addData(batch.drop(2): _*)
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT event_type, n, sum_value FROM tumbling")
+        .orderBy("event_type").collect()
+      assert(rows.map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
+        === Seq(("click", 3L, 7.0), ("view", 1L, 3.0)))
+    } finally q.stop()
+  }
+
+  test("sessionCounts: events merge within gap, split beyond it") {
+    val evs = Seq(
+      Ev(ts(0), "c", 1, 7), Ev(ts(10), "c", 1, 7), // session 1 (gap 10m < 30m)
+      Ev(ts(50), "c", 1, 7), // session 2 (40m gap)
+      Ev(ts(0), "c", 1, 8)) // other user
+    val out = EventStreams.sessionCounts(evs.toDF(), "30 minutes")
+      .select(col("user_id"), col("n_events"))
+      .orderBy(col("user_id"), col("n_events")).collect()
+    assert(out.map(r => (r.getLong(0), r.getLong(1))).toSeq
+      === Seq((7L, 1L), (7L, 2L), (8L, 1L)))
+  }
+
+  test("runningTotals: state accumulates across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[EventStreams.UserEvent]
+    val q = EventStreams.runningTotals(mem.toDS())
+      .writeStream.format("memory").queryName("totals")
+      .outputMode("update").start()
+    try {
+      mem.addData(EventStreams.UserEvent(1, 10, 100),
+        EventStreams.UserEvent(1, 11, 200))
+      q.processAllAvailable()
+      mem.addData(EventStreams.UserEvent(1, 12, 300),
+        EventStreams.UserEvent(2, 13, 50))
+      q.processAllAvailable()
+      val last = spark.sql(
+        "SELECT user_id, max(n_events) AS n, max(last_ts_sec) AS t FROM totals GROUP BY user_id")
+        .orderBy("user_id").collect()
+      assert(last.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+        === Seq((1L, 3L, 300L), (2L, 1L, 50L)))
+    } finally q.stop()
+  }
+
+  test("late data beyond the watermark is dropped in append mode") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val q = EventStreams.tumblingCounts(mem.toDF(), "10 minutes", "10 minutes")
+      .select(col("window.start").as("start"), col("n"))
+      .writeStream.format("memory").queryName("late")
+      .outputMode("append").start()
+    try {
+      // advance event time far enough that the 10:00 window is closed
+      mem.addData(Ev(ts(0), "c", 1, 1))
+      q.processAllAvailable()
+      mem.addData(Ev(Timestamp.valueOf("2026-01-01 11:00:00"), "c", 1, 1))
+      q.processAllAvailable()
+      // this event is an hour late -> must not reopen the closed window
+      mem.addData(Ev(ts(1), "c", 1, 1))
+      q.processAllAvailable()
+      mem.addData(Ev(Timestamp.valueOf("2026-01-01 12:00:00"), "c", 1, 1))
+      q.processAllAvailable()
+      val counts = spark.sql("SELECT sum(n) FROM late").head().getLong(0)
+      assert(counts <= 2, s"late row leaked into a closed window ($counts)")
+    } finally q.stop()
+  }
+}
+
+object EventStreamsSpec {
+  case class Ev(ts: Timestamp, event_type: String, value: Double, user_id: Long)
+}

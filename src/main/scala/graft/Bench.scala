@@ -24,10 +24,16 @@ object Bench {
     // isn't charged for JVM warm-up (measures queries, not spin-up).
     spark.range(1000).selectExpr("sum(id)").collect()
 
-    val results = SparkEntry.allDefs.map { q =>
+    // Optional args (dev only): name prefixes to bench a subset.
+    val defs =
+      if (args.nonEmpty) SparkEntry.allDefs.filter(q => args.exists(q.name.startsWith))
+      else SparkEntry.allDefs
+    val results = defs.map { q =>
       val t0 = System.nanoTime()
       try { q.fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      q.name -> (System.nanoTime() - t0) / 1e9
+      val dt = (System.nanoTime() - t0) / 1e9
+      System.err.println(f"[bench] ${q.name}%-28s $dt%8.2f s")
+      q.name -> dt
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")

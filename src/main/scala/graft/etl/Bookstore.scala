@@ -39,7 +39,12 @@ object Bookstore {
     * Location and `custkey % 7` rows a blank Age, so the cleaning
     * operators have real work at every scale factor. */
   def buildRaw(s: SparkSession, dir: String): DataFrame = {
-    val li = Tables.lineitem(s, dir)
+    // The testdata files are single-row-group parquet => one input
+    // split, so without this spread the whole pipeline (broadcast
+    // joins + heavy string projection) collapses into a 1-task stage.
+    // On a real cluster the source has many splits and this exchange
+    // is unnecessary — it guards the degenerate-split case.
+    val li = Tables.lineitem(s, dir).repartition(s.sparkContext.defaultParallelism)
     val o = Tables.orders(s, dir)
     val isbn = col("l_partkey").cast("string")
     li.join(o, col("l_orderkey") === col("o_orderkey"))

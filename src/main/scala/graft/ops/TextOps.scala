@@ -36,25 +36,70 @@ object TextOps {
   /** Production hash: Spark's codegen'd 64-bit xxHash. */
   def polyHashFast(s: Column): Column = xxhash64(s)
 
+  /** Let-binding for Column expressions: evaluates `e` ONCE and passes
+    * it to `f` as a bound lambda variable. Catalyst does no common-
+    * subexpression elimination across higher-order lambdas, so an
+    * expression referenced k times is otherwise evaluated k times —
+    * for a nested fold that compounds multiplicatively. */
+  def letBind(e: Column)(f: Column => Column): Column =
+    element_at(transform(array(e), x => f(x)), 1)
+
+  /** Hash of every token (one char-fold per token — tokens are short;
+    * hashing shingle STRINGS would re-fold every token n times). */
+  def tokenHashes(ws: Column): Column = transform(ws, w => polyHash(w))
+
+  /** Distinct 3-shingle hashes composed arithmetically from adjacent
+    * token hashes: `(h1*1009 + h2*9176 + h3) mod P` — exact mirror in
+    * DuckDB, ~3× fewer char-fold steps than hashing shingle strings,
+    * and `th` is let-bound so the triple indexing doesn't re-hash. */
+  def shingleHashes3(ws: Column): Column =
+    letBind(tokenHashes(ws)) { th =>
+      when(size(th) >= 3,
+        array_distinct(transform(sequence(lit(1), size(th) - 2), i =>
+          (element_at(th, i) * 1009 + element_at(th, i + 1) * 9176 +
+            element_at(th, i + 2)) % P)))
+        .otherwise(array().cast("array<long>"))
+    }
+
   /** Whitespace tokenization. */
   def tokens(text: Column): Column = split(text, " ")
 
   /** Distinct n-word shingles of a token array; empty when the doc has
-    * fewer than n tokens (mirrors DuckDB's empty `range`). */
-  def wordShingles(ws: Column, n: Int): Column = {
-    val starts = sequence(lit(1), size(ws) - (n - 1))
-    val mk = (i: Column) =>
-      concat_ws(" ", (0 until n).map(k => element_at(ws, i + k)): _*)
-    when(size(ws) >= n, array_distinct(transform(starts, mk)))
-      .otherwise(array().cast("array<string>"))
-  }
+    * fewer than n tokens (mirrors DuckDB's empty `range`).
+    *
+    * `ws` is let-bound: it is typically `split(text, " ")`, referenced
+    * n+2 times per shingle position here — without the binding each
+    * reference re-splits the document (~3n× size(ws) regex splits per
+    * row; profiled as THE bottleneck of the dedup suite, one
+    * `UTF8String.split` frame burning a whole core). */
+  def wordShingles(ws: Column, n: Int): Column =
+    letBind(ws) { w =>
+      val starts = sequence(lit(1), size(w) - (n - 1))
+      val mk = (i: Column) =>
+        concat_ws(" ", (0 until n).map(k => element_at(w, i + k)): _*)
+      when(size(w) >= n, array_distinct(transform(starts, mk)))
+        .otherwise(array().cast("array<string>"))
+    }
 
   /** k-permutation MinHash signature over hashed shingles:
     * `sig(j) = min_h (h*(2j+1) + j*12345 + 67) mod P`. Odd multipliers
-    * keep every permutation a bijection on Z_P. */
+    * keep every permutation a bijection on Z_P.
+    *
+    * Shaped as ONE fold over `hashes` (running per-permutation minima
+    * in the accumulator) — the transpose, `k` independent array_min
+    * passes, re-evaluates the `hashes` expression k times because
+    * higher-order lambdas aren't CSE'd; that shape benched ~100×
+    * slower. Inside the fold `h` is a bound lambda variable, so its
+    * k permutations are k cheap arithmetic ops. */
   def minhashSig(hashes: Column, k: Int): Column =
-    transform(sequence(lit(0), lit(k - 1)), j =>
-      array_min(transform(hashes, h => (h * (j * 2 + 1) + j * 12345 + 67) % P)))
+    aggregate(
+      hashes,
+      array_repeat(lit(P), k), // P > any value mod P: identity for min
+      (acc, h) => zip_with(
+        acc,
+        transform(sequence(lit(0), lit(k - 1)), j =>
+          (h * (j * 2 + 1) + j * 12345 + 67) % P),
+        (cur, cand) => least(cur, cand)))
 
   /** Production MinHash: per-permutation xxhash64 with the permutation
     * index folded into the seed column. */
@@ -74,17 +119,37 @@ object TextOps {
   /** 16-bit SimHash over hashed shingles. Bit j is set when more than
     * half the shingle hashes have bit j set (tie -> 0, same rule both
     * engines). Uses floor-div by 2^j (exact in double for h < 2^53)
-    * instead of shifts so DuckDB can mirror the arithmetic verbatim. */
+    * instead of shifts so DuckDB can mirror the arithmetic verbatim.
+    *
+    * ONE fold over `hashes` carrying (per-bit ones-counts, n) in a
+    * struct accumulator, then a finish lambda majority-votes each bit —
+    * the per-bit-outer-loop shape re-evaluates `hashes` 16× (see
+    * [[minhashSig]] note). */
   def simhash16(hashes: Column): Column =
-    aggregate(sequence(lit(0), lit(15)), lit(0L), (acc, j) => {
-      val ones = aggregate(hashes, lit(0L), (s, h) =>
-        s + floor(h / pow(lit(2), j)).cast("long") % 2)
-      acc + when(ones * 2 > size(hashes), pow(lit(2), j).cast("long")).otherwise(0L)
-    })
+    aggregate(
+      hashes,
+      struct(array_repeat(lit(0L), 16).as("c"), lit(0L).as("n")),
+      (acc, h) => struct(
+        zip_with(
+          acc.getField("c"),
+          transform(sequence(lit(0), lit(15)), j =>
+            floor(h / pow(lit(2), j)).cast("long") % 2),
+          (a, b) => a + b).as("c"),
+        (acc.getField("n") + 1).as("n")),
+      acc => aggregate(
+        zip_with(
+          acc.getField("c"), sequence(lit(0), lit(15)),
+          (ones, j) => when(ones * 2 > acc.getField("n"),
+            pow(lit(2), j).cast("long")).otherwise(0L)),
+        lit(0L), (a, b) => a + b))
 
   /** Set Jaccard of two (already-distinct) arrays, rounded — the
     * verify step after LSH candidate generation. Integer-count division
-    * is exact, so both engines round identically. */
+    * is exact, so both engines round identically. One hash-set build
+    * per pair: |union| = |a| + |b| - |intersect| (arrays are distinct),
+    * with the intersect size let-bound so it isn't computed twice. */
   def jaccard(a: Column, b: Column, scale: Int = 4): Column =
-    round(size(array_intersect(a, b)) * lit(1.0) / size(array_union(a, b)), scale)
+    letBind(size(array_intersect(a, b))) { i =>
+      round(i * lit(1.0) / (size(a) + size(b) - i), scale)
+    }
 }

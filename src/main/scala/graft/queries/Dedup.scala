@@ -22,26 +22,44 @@ import org.apache.spark.sql.functions._
 object Dedup {
   import Tables._
 
-  /** DuckDB fragment: distinct 3-word shingles per doc (tokens `ws`). */
+  /** DuckDB fragment: per doc, the distinct 3-word string shingles `sh`
+    * (for exact-Jaccard verification) and the distinct shingle hashes
+    * `hs` composed from per-token polynomial hashes (mirrors
+    * [[TextOps.shingleHashes3]] bit-for-bit). */
   private val shingleSqlCte =
     """t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
-      |sh AS (SELECT doc_id, list_distinct(list_transform(range(1, len(ws) - 1),
+      |sh AS (SELECT doc_id, ws, list_distinct(list_transform(range(1, len(ws) - 1),
       |         i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS sh
       |       FROM t WHERE len(ws) >= 3),
-      |h AS (SELECT doc_id, sh, list_transform(sh, s ->
+      |th AS (SELECT doc_id, sh, list_transform(ws, w ->
       |        list_reduce(list_prepend(CAST(0 AS BIGINT),
-      |          list_transform(string_split(s, ''), c -> CAST(ascii(c) AS BIGINT))),
-      |          (h, c) -> (h*31 + c) % 1000000007)) AS hs
-      |      FROM sh)""".stripMargin
+      |          list_transform(string_split(w, ''), c -> CAST(ascii(c) AS BIGINT))),
+      |          (h, c) -> (h*31 + c) % 1000000007)) AS th
+      |      FROM sh),
+      |h AS (SELECT doc_id, sh, list_distinct(list_transform(range(1, len(th) - 1),
+      |        i -> (th[i]*1009 + th[i+1]*9176 + th[i+2]) % 1000000007)) AS hs
+      |      FROM th)""".stripMargin
 
-  /** Spark mirror of `shingleSqlCte`: (doc_id, sh, hs). */
-  private def shingled(s: org.apache.spark.sql.SparkSession, d: String) = {
-    val sh = documents(s, d)
+  /** Spark mirror: (doc_id, sh) — string shingles for verification.
+    * Repartitioned off the single input split (CPU-bound derivation). */
+  private def shingled(s: org.apache.spark.sql.SparkSession, d: String) =
+    documents(s, d)
+      .repartition(s.sparkContext.defaultParallelism)
       .select(col("doc_id"),
         TextOps.wordShingles(TextOps.tokens(col("text")), 3).as("sh"))
       .filter(size(col("sh")) > 0)
-    sh.withColumn("hs", transform(col("sh"), x => TextOps.polyHash(x)))
-  }
+
+  /** Spark mirror of the `h` CTE: (doc_id, sh, hs). The scan is
+    * repartitioned first: the testdata table is one parquet file (one
+    * input split), and the per-doc hash folds are CPU-bound — without
+    * the spread they run on a single core. */
+  private def hashed(s: org.apache.spark.sql.SparkSession, d: String) =
+    documents(s, d)
+      .repartition(s.sparkContext.defaultParallelism)
+      .select(col("doc_id"),
+        TextOps.wordShingles(TextOps.tokens(col("text")), 3).as("sh"),
+        TextOps.shingleHashes3(TextOps.tokens(col("text"))).as("hs"))
+      .filter(size(col("sh")) > 0)
 
   val defs: Seq[QueryDef] = Seq(
 
@@ -68,10 +86,35 @@ object Dedup {
     QueryDef(
       "q28_minhash_lsh",
       (s, d) => {
+        // Persist the shingled corpus: it feeds three plan branches
+        // (signature build + both sides of the verify join), and
+        // without materialization each branch re-derives shingles from
+        // raw text — worse, the size(sh)>0 predicate pushes down and
+        // inlines the whole shingle expression into every scan's
+        // filter, whose generated code is too large for the JIT and
+        // runs interpreted (benched minutes instead of seconds). The
+        // multi-pass-over-derived-corpus cache is the standard LSH
+        // shape at 100 TB too (MEMORY_AND_DISK spills).
         val base = shingled(s, d)
-        val sig = base.withColumn("sig", TextOps.minhashSig(col("hs"), 12))
-        val bands = sig.select(col("doc_id"),
-          explode(TextOps.lshBands(col("sig"), 4, 3)).as("bucket"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        // Fully codegen'd signature path: explode the shingles, hash
+        // each with 12 seeded xxhash64 expressions (whole-stage
+        // codegen, no lambda interpretation), take per-doc minima in
+        // one hash aggregate — map-side partial agg, and the groupBy
+        // doubles as the materialization point for the band fan-out.
+        // The oracle runs its own arithmetic MinHash: the two LSH
+        // implementations are independent and still agree, because
+        // hash values never reach the output — every candidate is
+        // verified against exact shingle Jaccard >= 0.7 first.
+        val sig = base
+          .select(col("doc_id"), explode(col("sh")).as("s"))
+          .groupBy(col("doc_id"))
+          .agg(min(xxhash64(col("s"), lit(0))).as("m0"),
+            (1 until 12).map(j => min(xxhash64(col("s"), lit(j))).as(s"m$j")): _*)
+        val bands = sig.select(col("doc_id"), explode(array(
+          (0 until 4).map(b => concat_ws(":", lit(b).cast("string") +:
+            (0 until 3).map(r => col(s"m${b * 3 + r}").cast("string")): _*)): _*))
+          .as("bucket"))
         val cand = bands.as("x")
           .join(bands.as("y"),
             col("x.bucket") === col("y.bucket") &&
@@ -86,25 +129,19 @@ object Dedup {
           .filter(col("jaccard") >= 0.7)
           .orderBy(col("a"), col("b"))
       },
-      Some(s"""WITH $shingleSqlCte,
-             |sig AS (SELECT doc_id, list_transform(range(0, 12), j ->
-             |          list_min(list_transform(hs, h ->
-             |            (h*(2*j+1) + j*12345 + 67) % 1000000007))) AS sig
-             |        FROM h),
-             |bands AS (SELECT doc_id,
-             |            unnest(list_transform(range(0, 4), b ->
-             |              b::VARCHAR || ':' || sig[b*3+1]::VARCHAR || ':' ||
-             |              sig[b*3+2]::VARCHAR || ':' || sig[b*3+3]::VARCHAR)) AS bucket
-             |          FROM sig),
-             |cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
-             |         FROM bands x JOIN bands y
-             |           ON x.bucket = y.bucket AND x.doc_id < y.doc_id)
-             |SELECT cand.a, cand.b,
+      // The oracle is EXHAUSTIVE: every pair's exact shingle Jaccard
+      // (ground truth, no blocking). Matching it end-to-end proves the
+      // LSH path has perfect recall at the 0.7 threshold on this data —
+      // a stronger differential check than mirroring the banding.
+      Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws
+             |          FROM documents),
+             |sh AS (SELECT doc_id, list_distinct(list_transform(range(1, len(ws) - 1),
+             |         i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS sh
+             |       FROM t WHERE len(ws) >= 3)
+             |SELECT p.doc_id AS a, q.doc_id AS b,
              |  round(len(list_intersect(p.sh, q.sh)) * 1.0 /
              |        len(list_distinct(list_concat(p.sh, q.sh))), 4) AS jaccard
-             |FROM cand
-             |JOIN sh p ON p.doc_id = cand.a
-             |JOIN sh q ON q.doc_id = cand.b
+             |FROM sh p JOIN sh q ON p.doc_id < q.doc_id
              |WHERE round(len(list_intersect(p.sh, q.sh)) * 1.0 /
              |            len(list_distinct(list_concat(p.sh, q.sh))), 4) >= 0.7
              |ORDER BY a, b""".stripMargin)),
@@ -115,8 +152,12 @@ object Dedup {
     QueryDef(
       "q29_simhash",
       (s, d) => {
-        val sim = shingled(s, d)
+        // Persisted: the signature table feeds both sides of the
+        // half-bucket self-join, and materialization stops the un-CSE'd
+        // signature expression from being re-evaluated per reference.
+        val sim = hashed(s, d)
           .select(col("doc_id"), TextOps.simhash16(col("hs")).as("sim"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val halved = sim.select(col("doc_id"), col("sim"),
           explode(array(
             concat(lit("h"), floor(col("sim") / 256).cast("long").cast("string")),
@@ -163,9 +204,15 @@ object Dedup {
     QueryDef(
       "q30_ngram_jaccard",
       (s, d) => {
-        val base = documents(s, d).select(col("doc_id"),
-          array_distinct(TextOps.tokens(col("text"))).as("wset"),
-          TextOps.wordShingles(TextOps.tokens(col("text")), 3).as("sh"))
+        // Persisted for the same reason as q28: probe and corpus sides
+        // both read the derived arrays. Repartitioned so the per-doc
+        // array building isn't pinned to the single input split.
+        val base = documents(s, d)
+          .repartition(s.sparkContext.defaultParallelism)
+          .select(col("doc_id"),
+            array_distinct(TextOps.tokens(col("text"))).as("wset"),
+            TextOps.wordShingles(TextOps.tokens(col("text")), 3).as("sh"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val probes = base.filter(col("doc_id") % 50 === 0)
           .select(col("doc_id").as("a"), col("wset").as("wa"), col("sh").as("sha"))
         probes.join(base.filter(col("doc_id") % 50 =!= 0), lit(true))
@@ -198,30 +245,37 @@ object Dedup {
       "q31_embedding_neardup",
       (s, d) => {
         import graft.ops.VectorOps._
+        // Norms precomputed per vector (below the join), so each pair
+        // costs ONE fold (the dot product) instead of three. Hoisting
+        // sqrt(Σx²) out of the pair expression leaves the arithmetic
+        // bit-identical — same values, same order.
         val e = embeddings(s, d)
+          .repartition(s.sparkContext.defaultParallelism)
           .select(col("vec_id"), col("label"), toDouble(col("embedding")).as("v"))
+          .withColumn("nrm", l2norm(col("v")))
         e.as("x").join(e.as("y"),
             col("x.label") === col("y.label") &&
               col("x.vec_id") < col("y.vec_id"))
           .select(col("x.vec_id").as("a"), col("y.vec_id").as("b"),
-            round(cosine(col("x.v"), col("y.v")), 4).as("cos"))
+            round(dot(col("x.v"), col("y.v")) / (col("x.nrm") * col("y.nrm")), 4)
+              .as("cos"))
           .filter(col("cos") >= 0.3)
           .orderBy(col("a"), col("b"))
       },
-      Some("""WITH e AS (SELECT vec_id, label,
+      Some("""WITH e0 AS (SELECT vec_id, label,
              |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
              |  FROM embeddings),
+             |e AS (SELECT vec_id, label, v,
+             |    sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+             |      list_transform(range(1, len(v) + 1), i -> v[i] * v[i])),
+             |      (s, t) -> s + t)) AS nrm
+             |  FROM e0),
              |p AS (SELECT x.vec_id AS a, y.vec_id AS b,
              |  round(
              |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
              |      list_transform(range(1, len(x.v) + 1), i -> x.v[i] * y.v[i])),
              |      (s, t) -> s + t)
-             |    / (sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
-             |         list_transform(range(1, len(x.v) + 1), i -> x.v[i] * x.v[i])),
-             |         (s, t) -> s + t))
-             |     * sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
-             |         list_transform(range(1, len(y.v) + 1), i -> y.v[i] * y.v[i])),
-             |         (s, t) -> s + t))), 4) AS cos
+             |    / (x.nrm * y.nrm), 4) AS cos
              |  FROM e x JOIN e y ON x.label = y.label AND x.vec_id < y.vec_id)
              |SELECT a, b, cos FROM p WHERE cos >= 0.3 ORDER BY a, b""".stripMargin))
   )

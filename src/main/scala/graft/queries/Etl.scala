@@ -161,12 +161,17 @@ object Etl {
     QueryDef(
       "q45_etl_clean_stats",
       (s, d) => {
-        val raw = Bookstore.buildRaw(s, d)
-        val c = clean(s, d)
-        raw.agg(count(lit(1)).as("n_raw"))
-          .crossJoin(c.agg(count(lit(1)).as("n_clean")))
-          .crossJoin(c.filter(col("Age").isNull)
-            .agg(count(lit(1)).as("n_age_null")))
+        // One pass over the expanded table with conditional aggregation
+        // instead of three pipeline re-executions + cross joins.
+        val keep = Bookstore.keyColumns
+          .map(c => col(c).isNotNull && col(c) =!= " ")
+          .reduce(_ && _)
+        val ageNull = col("Age").isNull || col("Age") === " "
+        Bookstore.expandLocation(Bookstore.buildRaw(s, d))
+          .agg(
+            count(lit(1)).as("n_raw"),
+            sum(when(keep, 1L).otherwise(0L)).as("n_clean"),
+            sum(when(keep && ageNull, 1L).otherwise(0L)).as("n_age_null"))
       },
       Some(s"""WITH $cleanCte
              |SELECT (SELECT count(*) FROM raw) AS n_raw,

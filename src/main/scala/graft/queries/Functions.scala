@@ -66,12 +66,22 @@ object Functions {
     QueryDef(
       "q19_set_ops",
       (s, d) => {
-        val o = orders(s, d)
-        val a = o.filter(col("o_orderstatus") === "O").select(col("o_custkey")).distinct()
-        val b = o.filter(col("o_orderstatus") === "F").select(col("o_custkey")).distinct()
-        a.intersect(b).agg(count(lit(1)).as("n_intersect"))
-          .crossJoin(a.except(b).agg(count(lit(1)).as("n_except")))
-          .crossJoin(a.union(b).distinct().agg(count(lit(1)).as("n_union")))
+        // Set algebra fused into ONE pass: per-customer presence flags,
+        // then a scalar conditional aggregation. The literal
+        // intersect/except/union-of-distincts plan is 3 full shuffles +
+        // 3 joins of the same scan; this is one shuffle on o_custkey.
+        orders(s, d)
+          .filter(col("o_orderstatus").isin("O", "F"))
+          .groupBy(col("o_custkey"))
+          .agg(
+            max(when(col("o_orderstatus") === "O", 1).otherwise(0)).as("has_o"),
+            max(when(col("o_orderstatus") === "F", 1).otherwise(0)).as("has_f"))
+          .agg(
+            sum(when(col("has_o") === 1 && col("has_f") === 1, 1L)
+              .otherwise(0L)).as("n_intersect"),
+            sum(when(col("has_o") === 1 && col("has_f") === 0, 1L)
+              .otherwise(0L)).as("n_except"),
+            count(lit(1)).as("n_union"))
       },
       Some("""SELECT
              |  (SELECT count(*) FROM (

@@ -40,7 +40,10 @@ object Similarity {
     QueryDef(
       "q32_ann_bruteforce",
       (s, d) => {
+        // repartition: the single-row-group scan would otherwise pin
+        // the per-pair fold arithmetic to one task.
         val e = embeddings(s, d)
+          .repartition(s.sparkContext.defaultParallelism)
           .select(col("vec_id"), toDouble(col("embedding")).as("v"))
         val probes = e.filter(col("vec_id") < 8)
           .select(col("vec_id").as("probe"), col("v").as("pv"))
@@ -74,6 +77,7 @@ object Similarity {
       "q33_ann_lsh",
       (s, d) => {
         val e = embeddings(s, d)
+          .repartition(s.sparkContext.defaultParallelism)
           .select(col("vec_id"), toDouble(col("embedding")).as("v"))
           .withColumn("bucket", hyperplaneBucket(col("v"), 8))
         val probes = e.filter(col("vec_id") < 8)

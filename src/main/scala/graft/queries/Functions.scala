@@ -190,6 +190,46 @@ object Functions {
              |  sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS n_purchase
              |FROM events GROUP BY user_id
              |HAVING sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) > 0
-             |ORDER BY n_purchase DESC, user_id LIMIT 100""".stripMargin))
+             |ORDER BY n_purchase DESC, user_id LIMIT 100""".stripMargin)),
+
+    // HLL sketch distinct (the 100 TB path for distinct counts — a
+    // groupBy-distinct over billions of keys shuffles everything; the
+    // sketch is mergeable map-side state). The approx value itself is
+    // engine-specific, so the checked output is the exact count plus a
+    // bound assertion that the sketch landed within 5%.
+    QueryDef(
+      "q47_approx_distinct",
+      (s, d) =>
+        orders(s, d)
+          .groupBy(col("o_orderstatus"))
+          .agg(
+            countDistinct(col("o_custkey")).as("exact_customers"),
+            approx_count_distinct(col("o_custkey"), 0.02).as("approx"))
+          .select(col("o_orderstatus"), col("exact_customers"),
+            (abs(col("approx") - col("exact_customers")) <=
+              col("exact_customers") * 0.05).as("approx_within_5pct"))
+          .orderBy(col("o_orderstatus")),
+      Some("""SELECT o_orderstatus,
+             |  count(DISTINCT o_custkey) AS exact_customers,
+             |  true AS approx_within_5pct
+             |FROM orders GROUP BY o_orderstatus
+             |ORDER BY o_orderstatus""".stripMargin)),
+
+    // Native pivot (wide transpose of q26's manual CASE form).
+    QueryDef(
+      "q48_pivot",
+      (s, d) =>
+        orders(s, d)
+          .groupBy(col("o_orderpriority"))
+          .pivot("o_orderstatus", Seq("F", "O", "P"))
+          .agg(count(lit(1)))
+          .na.fill(0, Seq("F", "O", "P"))
+          .orderBy(col("o_orderpriority")),
+      Some("""SELECT o_orderpriority,
+             |  CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS "F",
+             |  CAST(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS "O",
+             |  CAST(sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS "P"
+             |FROM orders GROUP BY o_orderpriority
+             |ORDER BY o_orderpriority""".stripMargin))
   )
 }

@@ -55,12 +55,21 @@ def main(sf_dir, out_dir):
                     ga = g.astype(float).to_numpy()
                     ea = e.astype(float).to_numpy()
                     both_nan = np.isnan(ga) & np.isnan(ea)
-                    diff = ~both_nan & ~np.isclose(ga, ea, rtol=0, atol=0, equal_nan=True)
+                    # FAIL beyond a tiny epsilon; additionally WARN when
+                    # not bit-exact (the driver's hash compare is exact,
+                    # so a sub-epsilon drift still deserves eyes).
+                    diff = ~both_nan & ~np.isclose(ga, ea, rtol=0, atol=1e-9, equal_nan=True)
+                    inexact = ~both_nan & (ga != ea) & ~diff
                     if diff.any():
                         i = int(np.argmax(diff))
                         print(f"[FAIL] {d}.{c}: {diff.sum()} float cells differ "
                               f"(first row {i}: {ga[i]!r} vs {ea[i]!r})")
                         ok = False
+                    elif inexact.any():
+                        i = int(np.argmax(inexact))
+                        print(f"[warn] {d}.{c}: {inexact.sum()} float cells within "
+                              f"1e-9 but not bit-exact (driver hashes exactly; "
+                              f"first row {i}: {ga[i]!r} vs {ea[i]!r})")
                 else:
                     ge = g.astype(object).where(pd.notna(g), None)
                     ee = e.astype(object).where(pd.notna(e), None)

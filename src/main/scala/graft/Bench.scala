@@ -30,15 +30,34 @@ object Bench {
       else SparkEntry.allDefs
     val results = defs.map { q =>
       val t0 = System.nanoTime()
-      try { q.fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      val err =
+        try { q.fn(spark, sfDir).count(); None }
+        catch { case e: Throwable => Some(e.toString.take(300)) }
       val dt = (System.nanoTime() - t0) / 1e9
-      System.err.println(f"[bench] ${q.name}%-28s $dt%8.2f s")
-      q.name -> dt
+      // Drop blocks persisted inside the query plan: without this, one
+      // query's MEMORY_AND_DISK cache bleeds into every later
+      // measurement (round-1 bench: the ETL family measured 4-20× its
+      // standalone time purely from accumulated cache pressure).
+      spark.sharedState.cacheManager.clearCache()
+      System.err.println(
+        f"[bench] ${q.name}%-28s $dt%8.2f s" + err.fold("")(e => s"  FAILED: $e"))
+      (q.name, dt, err)
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    def esc(s: String): String =
+      s.flatMap {
+        case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
+        case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
+      }
+    // Failed queries are reported with NEGATIVE duration and an entry in
+    // "errors", so the driver can tell a crash from a fast pass.
+    val qs = results.map { case (k, v, err) =>
+      "\"" + k + "\":" + (if (err.isDefined) -v else v)
+    }.mkString("{", ",", "}")
+    val errs = results.collect { case (k, _, Some(e)) =>
+      "\"" + k + "\":\"" + esc(e) + "\""
+    }.mkString("{", ",", "}")
+    val total = results.map(_._2).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

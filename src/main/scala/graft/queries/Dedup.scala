@@ -83,6 +83,15 @@ object Dedup {
 
     // MinHash + LSH near-dup pipeline: shingle -> 12-perm signature ->
     // 4 bands x 3 rows -> bucket self-join -> exact-Jaccard verify.
+    // The oracle MIRRORS the signature arithmetic and banding exactly
+    // (the parity hash family of [[TextOps.minhashSig]]), so the
+    // differential check is deterministic with respect to the data:
+    // LSH recall at a fixed (bands, rows) is probabilistic (~81% for a
+    // pair at exactly J=0.7), and an exhaustive oracle would fail
+    // nondeterministically on any dataset with a pair near the
+    // threshold. The recall-against-ground-truth property is carried
+    // by q49 instead, whose prefix-filter blocking is lossless by
+    // construction.
     QueryDef(
       "q28_minhash_lsh",
       (s, d) => {
@@ -95,26 +104,12 @@ object Dedup {
         // runs interpreted (benched minutes instead of seconds). The
         // multi-pass-over-derived-corpus cache is the standard LSH
         // shape at 100 TB too (MEMORY_AND_DISK spills).
-        val base = shingled(s, d)
+        val base = hashed(s, d)
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        // Fully codegen'd signature path: explode the shingles, hash
-        // each with 12 seeded xxhash64 expressions (whole-stage
-        // codegen, no lambda interpretation), take per-doc minima in
-        // one hash aggregate — map-side partial agg, and the groupBy
-        // doubles as the materialization point for the band fan-out.
-        // The oracle runs its own arithmetic MinHash: the two LSH
-        // implementations are independent and still agree, because
-        // hash values never reach the output — every candidate is
-        // verified against exact shingle Jaccard >= 0.7 first.
-        val sig = base
-          .select(col("doc_id"), explode(col("sh")).as("s"))
-          .groupBy(col("doc_id"))
-          .agg(min(xxhash64(col("s"), lit(0))).as("m0"),
-            (1 until 12).map(j => min(xxhash64(col("s"), lit(j))).as(s"m$j")): _*)
-        val bands = sig.select(col("doc_id"), explode(array(
-          (0 until 4).map(b => concat_ws(":", lit(b).cast("string") +:
-            (0 until 3).map(r => col(s"m${b * 3 + r}").cast("string")): _*)): _*))
-          .as("bucket"))
+        val bands = base
+          .select(col("doc_id"),
+            explode(TextOps.lshBands(TextOps.minhashSig(col("hs"), 12), 4, 3))
+              .as("bucket"))
         val cand = bands.as("x")
           .join(bands.as("y"),
             col("x.bucket") === col("y.bucket") &&
@@ -129,10 +124,61 @@ object Dedup {
           .filter(col("jaccard") >= 0.7)
           .orderBy(col("a"), col("b"))
       },
-      // The oracle is EXHAUSTIVE: every pair's exact shingle Jaccard
-      // (ground truth, no blocking). Matching it end-to-end proves the
-      // LSH path has perfect recall at the 0.7 threshold on this data —
-      // a stronger differential check than mirroring the banding.
+      Some(s"""WITH $shingleSqlCte,
+             |sig AS (SELECT doc_id, sh, list_transform(range(0, 12), j ->
+             |    list_min(list_transform(hs, v ->
+             |      (v*(2*j+1) + j*12345 + 67) % 1000000007))) AS sig
+             |  FROM h),
+             |bands AS (SELECT doc_id, unnest(list_transform(range(0, 4), b ->
+             |    CAST(b AS VARCHAR) || ':' || CAST(sig[b*3+1] AS VARCHAR) || ':' ||
+             |    CAST(sig[b*3+2] AS VARCHAR) || ':' || CAST(sig[b*3+3] AS VARCHAR)))
+             |    AS bucket FROM sig),
+             |cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+             |  FROM bands x JOIN bands y
+             |    ON x.bucket = y.bucket AND x.doc_id < y.doc_id)
+             |SELECT c.a, c.b,
+             |  round(len(list_intersect(p.sh, q.sh)) * 1.0 /
+             |        len(list_distinct(list_concat(p.sh, q.sh))), 4) AS jaccard
+             |FROM cand c JOIN sh p ON p.doc_id = c.a JOIN sh q ON q.doc_id = c.b
+             |WHERE round(len(list_intersect(p.sh, q.sh)) * 1.0 /
+             |            len(list_distinct(list_concat(p.sh, q.sh))), 4) >= 0.7
+             |ORDER BY a, b""".stripMargin)),
+
+    // Exact similarity self-join via prefix filtering (AllPairs/PPJoin
+    // family): sort each doc's shingle set in one global order; any
+    // pair with Jaccard >= t must share an element within the first
+    // |x| - ceil(t*|x|) + 1 elements of BOTH sets (pigeonhole on the
+    // overlap bound), so candidates = docs sharing a prefix shingle —
+    // a lossless blocking with recall exactly 1 on ANY dataset. The
+    // oracle is the exhaustive all-pairs ground truth, so the check
+    // proves completeness, not just self-consistency. Scale shape:
+    // explode prefixes -> bucket join on shingle -> verify; prefix
+    // size ~0.3|x| bounds the inverted index, and no unblocked n²
+    // appears anywhere.
+    QueryDef(
+      "q49_similarity_join_exact",
+      (s, d) => {
+        val base = shingled(s, d)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val tok = base.select(col("doc_id"),
+          explode(slice(array_sort(col("sh")), lit(1),
+            (size(col("sh")) - ceil(size(col("sh")) * 0.7) + 1).cast("int")))
+            .as("tk"))
+        val cand = tok.as("x")
+          .join(tok.as("y"),
+            col("x.tk") === col("y.tk") && col("x.doc_id") < col("y.doc_id"))
+          .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+          .distinct()
+        cand
+          .join(base.select(col("doc_id").as("a"), col("sh").as("sha")), "a")
+          .join(base.select(col("doc_id").as("b"), col("sh").as("shb")), "b")
+          .select(col("a"), col("b"),
+            TextOps.jaccard(col("sha"), col("shb")).as("jaccard"))
+          .filter(col("jaccard") >= 0.7)
+          .orderBy(col("a"), col("b"))
+      },
+      // EXHAUSTIVE oracle: every pair's exact shingle Jaccard, no
+      // blocking — matching it proves the prefix filter loses nothing.
       Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws
              |          FROM documents),
              |sh AS (SELECT doc_id, list_distinct(list_transform(range(1, len(ws) - 1),
@@ -147,23 +193,30 @@ object Dedup {
              |ORDER BY a, b""".stripMargin)),
 
     // SimHash near-dup: 16-bit signature, candidates from matching
-    // 8-bit halves (a hamming<=... match must agree on one half), then
-    // exact hamming filter. Charikar-style blocked dedup.
+    // 4-bit blocks, then exact hamming filter. Charikar-style blocked
+    // dedup. Block count follows the pigeonhole rule: k+1 blocks
+    // guarantee recall for hamming <= k (here 4 blocks cover the
+    // hamming <= 3 filter — 3 differing bits can dirty at most 3
+    // blocks, so one block always matches exactly). At production
+    // scale the same rule runs over a 64-bit xxhash64-based simhash
+    // with 16-bit blocks (better bucket selectivity); this is the
+    // oracle-parity arithmetic form.
     QueryDef(
       "q29_simhash",
       (s, d) => {
         // Persisted: the signature table feeds both sides of the
-        // half-bucket self-join, and materialization stops the un-CSE'd
+        // block-bucket self-join, and materialization stops the un-CSE'd
         // signature expression from being re-evaluated per reference.
         val sim = hashed(s, d)
           .select(col("doc_id"), TextOps.simhash16(col("hs")).as("sim"))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        val halved = sim.select(col("doc_id"), col("sim"),
-          explode(array(
-            concat(lit("h"), floor(col("sim") / 256).cast("long").cast("string")),
-            concat(lit("l"), (col("sim") % 256).cast("string")))).as("bucket"))
-        halved.as("x")
-          .join(halved.as("y"),
+        val blocked = sim.select(col("doc_id"), col("sim"),
+          explode(array((0 until 4).map(j =>
+            concat(lit(s"b$j:"),
+              (floor(col("sim") / math.pow(16, j)).cast("long") % 16)
+                .cast("string"))): _*)).as("bucket"))
+        blocked.as("x")
+          .join(blocked.as("y"),
             col("x.bucket") === col("y.bucket") &&
               col("x.doc_id") < col("y.doc_id"))
           .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
@@ -185,12 +238,14 @@ object Dedup {
              |              (s, x) -> s + x) > len(hs)
              |      THEN CAST(power(2, j) AS BIGINT) ELSE 0 END) AS sim
              |  FROM h),
-             |halved AS (SELECT doc_id, sim,
-             |  unnest(['h' || CAST(CAST(floor(sim / 256) AS BIGINT) AS VARCHAR),
-             |          'l' || CAST(sim % 256 AS VARCHAR)]) AS bucket FROM sim),
+             |blocked AS (SELECT doc_id, sim,
+             |  unnest(list_transform(range(0, 4), j ->
+             |    'b' || CAST(j AS VARCHAR) || ':' ||
+             |    CAST(CAST(floor(sim / power(16, j)) AS BIGINT) % 16 AS VARCHAR)))
+             |    AS bucket FROM sim),
              |cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b,
              |           x.sim AS sim_a, y.sim AS sim_b
-             |         FROM halved x JOIN halved y
+             |         FROM blocked x JOIN blocked y
              |           ON x.bucket = y.bucket AND x.doc_id < y.doc_id)
              |SELECT a, b, CAST(bit_count(xor(sim_a, sim_b)) AS INTEGER) AS hamming
              |FROM cand WHERE bit_count(xor(sim_a, sim_b)) <= 3

@@ -184,10 +184,12 @@ object Functions {
           .filter(col("n_purchase") > 0)
           .orderBy(col("n_purchase").desc, col("user_id"))
           .limit(100),
+      // CAST AS BIGINT: DuckDB sum(INTEGER) yields HUGEINT (float64 via
+      // pandas) while Spark sum(int) is BIGINT — same fix as q48's oracle.
       Some("""SELECT user_id,
-             |  sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS n_click,
-             |  sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS n_view,
-             |  sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS n_purchase
+             |  CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+             |  CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_view,
+             |  CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase
              |FROM events GROUP BY user_id
              |HAVING sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) > 0
              |ORDER BY n_purchase DESC, user_id LIMIT 100""".stripMargin)),

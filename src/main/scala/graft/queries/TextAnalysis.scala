@@ -123,12 +123,14 @@ object TextAnalysis {
             round(avg(col("n_ws")), 4).as("avg_ws_tokens"),
             sum(length(col("text"))).as("total_chars"))
           .orderBy(col("lang")),
+      // CAST AS BIGINT on the sums: DuckDB sum(INTEGER) is HUGEINT
+      // (float64 via pandas) vs Spark's BIGINT — hash-compare fix.
       Some("""SELECT lang, count(*) AS n_docs,
-             |  sum(len(string_split(text, ' '))) AS total_ws_tokens,
-             |  sum(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')))
-             |    AS total_bpe_tokens,
+             |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_ws_tokens,
+             |  CAST(sum(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')))
+             |    AS BIGINT) AS total_bpe_tokens,
              |  round(avg(len(string_split(text, ' '))), 4) AS avg_ws_tokens,
-             |  sum(length(text)) AS total_chars
+             |  CAST(sum(length(text)) AS BIGINT) AS total_chars
              |FROM documents GROUP BY lang ORDER BY lang""".stripMargin)),
 
     // Document fingerprinting: rolling polynomial hash of the
@@ -170,12 +172,13 @@ object TextAnalysis {
             sum(col("n_frames")).as("total_frames"),
             sum(col("n_sampled")).as("total_sampled"))
           .orderBy(col("source")),
+      // CAST AS BIGINT on the sums (DuckDB HUGEINT vs Spark BIGINT).
       Some("""SELECT source, count(*) AS n_media,
-             |  sum(octet_length(encode(text))) AS total_bytes,
-             |  sum(CAST(floor(octet_length(encode(text)) / 64) AS BIGINT))
-             |    AS total_frames,
-             |  sum(least(CAST(floor(octet_length(encode(text)) / 64) AS BIGINT), 8))
-             |    AS total_sampled
+             |  CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_bytes,
+             |  CAST(sum(CAST(floor(octet_length(encode(text)) / 64) AS BIGINT))
+             |    AS BIGINT) AS total_frames,
+             |  CAST(sum(least(CAST(floor(octet_length(encode(text)) / 64) AS BIGINT), 8))
+             |    AS BIGINT) AS total_sampled
              |FROM documents GROUP BY source ORDER BY source""".stripMargin))
   )
 }

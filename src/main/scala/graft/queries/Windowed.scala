@@ -141,7 +141,8 @@ object Windowed {
              |      ORDER BY ts_sec, event_id ROWS UNBOUNDED PRECEDING)
              |      AS session_id
              |  FROM m)
-             |SELECT user_id, session_id, count(*) AS n_events,
+             |SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+             |  count(*) AS n_events,
              |  max(ts_sec) - min(ts_sec) AS duration_sec
              |FROM sess WHERE user_id < 20
              |GROUP BY user_id, session_id

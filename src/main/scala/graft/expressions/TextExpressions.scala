@@ -1,0 +1,242 @@
+package graft.expressions
+
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native Catalyst expressions for the text-dedup hash kernels
+  * (SURVEY.md §2b: MinHash+LSH, SimHash, fingerprinting).
+  *
+  * Same motivation as [[VectorExpressions]]: the higher-order-function
+  * forms in [[graft.ops.TextOps]] are interpreted per element, and the
+  * signature kernels are nested folds (a 12-permutation MinHash over a
+  * 200-shingle doc costs ~2400 interpreted lambda frames per row —
+  * benched as the dominant cost of the dedup suite). Each expression
+  * here generates one tight primitive loop, preserving the exact
+  * oracle-parity arithmetic (mod P = 1e9+7 family) the DuckDB
+  * differential check verifies bit-for-bit.
+  *
+  * All are null-intolerant on the array input and assume non-null
+  * elements (guaranteed upstream: `split` never produces null tokens,
+  * hash arrays are built by these same expressions).
+  */
+object TextExpressions {
+
+  val P = 1000000007L
+
+  /** Per-token polynomial rolling hash: for each token,
+    * `fold(h, cp) = (h*31 + codepoint) % P` over the token's Unicode
+    * code points — mirrors `ascii()` over DuckDB's `string_split(w,'')`
+    * (code points, not UTF-16 units or bytes). */
+  case class PolyHashTokens(child: Expression) extends UnaryExpression {
+    override def prettyName: String = "graft_polyhash_tokens"
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+    override def nullSafeEval(a: Any): Any = {
+      val arr = a.asInstanceOf[ArrayData]
+      val n = arr.numElements()
+      val out = new Array[Long](n)
+      var k = 0
+      while (k < n) {
+        out(k) = hashToken(arr.getUTF8String(k))
+        k += 1
+      }
+      new GenericArrayData(out)
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val cls = TextExpressions.getClass.getName.stripSuffix("$") + "$"
+      nullSafeCodeGen(ctx, ev, a => {
+        val n = ctx.freshName("n")
+        val k = ctx.freshName("k")
+        val out = ctx.freshName("out")
+        s"""
+           |final int $n = $a.numElements();
+           |final long[] $out = new long[$n];
+           |for (int $k = 0; $k < $n; $k++) {
+           |  $out[$k] = $cls.MODULE$$.hashToken($a.getUTF8String($k));
+           |}
+           |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+         """.stripMargin
+      })
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  /** Shared token-hash kernel (called from generated code too). Walks
+    * Unicode code points so multi-byte characters hash identically to
+    * the DuckDB `ascii()`-per-character mirror. */
+  def hashToken(s: UTF8String): Long = {
+    val str = s.toString
+    var h = 0L
+    var i = 0
+    val n = str.length
+    while (i < n) {
+      val cp = str.codePointAt(i)
+      h = (h * 31 + cp) % P
+      i += Character.charCount(cp)
+    }
+    h
+  }
+
+  /** Adjacent-triple composition of token hashes:
+    * `(th[i]*1009 + th[i+1]*9176 + th[i+2]) % P` for i in 0..n-3
+    * (empty when n < 3). NOT deduplicated — wrap in `array_distinct`
+    * for set semantics (mirrors the oracle's `list_distinct`). */
+  case class ShingleHashes3(child: Expression) extends UnaryExpression {
+    override def prettyName: String = "graft_shingle_hashes3"
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+    override def nullSafeEval(a: Any): Any = {
+      val th = a.asInstanceOf[ArrayData]
+      val n = th.numElements()
+      val m = math.max(n - 2, 0)
+      val out = new Array[Long](m)
+      var i = 0
+      while (i < m) {
+        out(i) = (th.getLong(i) * 1009 + th.getLong(i + 1) * 9176 +
+          th.getLong(i + 2)) % P
+        i += 1
+      }
+      new GenericArrayData(out)
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, a => {
+        val n = ctx.freshName("n")
+        val m = ctx.freshName("m")
+        val i = ctx.freshName("i")
+        val out = ctx.freshName("out")
+        s"""
+           |final int $n = $a.numElements();
+           |final int $m = java.lang.Math.max($n - 2, 0);
+           |final long[] $out = new long[$m];
+           |for (int $i = 0; $i < $m; $i++) {
+           |  $out[$i] = ($a.getLong($i) * 1009L + $a.getLong($i + 1) * 9176L +
+           |    $a.getLong($i + 2)) % ${P}L;
+           |}
+           |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+         """.stripMargin
+      })
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  /** k-permutation MinHash signature over hashed shingles:
+    * `sig[j] = min_h (h*(2j+1) + j*12345 + 67) % P`, identity `P` on an
+    * empty input (P > any value mod P) — the exact arithmetic of
+    * [[graft.ops.TextOps.minhashSig]] and the DuckDB oracle. One pass
+    * over the hashes, k cheap multiply-adds per element. */
+  case class MinHashSig(child: Expression, k: Int) extends UnaryExpression {
+    override def prettyName: String = "graft_minhash_sig"
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+    override def nullSafeEval(a: Any): Any = {
+      val hs = a.asInstanceOf[ArrayData]
+      val n = hs.numElements()
+      val sig = Array.fill(k)(P)
+      var i = 0
+      while (i < n) {
+        val h = hs.getLong(i)
+        var j = 0
+        while (j < k) {
+          val cand = (h * (2 * j + 1) + j * 12345L + 67) % P
+          if (cand < sig(j)) sig(j) = cand
+          j += 1
+        }
+        i += 1
+      }
+      new GenericArrayData(sig)
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, a => {
+        val n = ctx.freshName("n")
+        val i = ctx.freshName("i")
+        val j = ctx.freshName("j")
+        val h = ctx.freshName("h")
+        val cand = ctx.freshName("cand")
+        val sig = ctx.freshName("sig")
+        s"""
+           |final int $n = $a.numElements();
+           |final long[] $sig = new long[$k];
+           |java.util.Arrays.fill($sig, ${P}L);
+           |for (int $i = 0; $i < $n; $i++) {
+           |  final long $h = $a.getLong($i);
+           |  for (int $j = 0; $j < $k; $j++) {
+           |    final long $cand = ($h * (2L * $j + 1L) + $j * 12345L + 67L) % ${P}L;
+           |    if ($cand < $sig[$j]) $sig[$j] = $cand;
+           |  }
+           |}
+           |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($sig);
+         """.stripMargin
+      })
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  /** 16-bit SimHash over hashed shingles: bit j set when more than half
+    * the hashes have bit j set (strict majority, tie -> 0) — the exact
+    * arithmetic of [[graft.ops.TextOps.simhash16]]. */
+  case class SimHash16(child: Expression) extends UnaryExpression {
+    override def prettyName: String = "graft_simhash16"
+    override def dataType: DataType = LongType
+
+    override def nullSafeEval(a: Any): Any = {
+      val hs = a.asInstanceOf[ArrayData]
+      val n = hs.numElements()
+      val counts = new Array[Long](16)
+      var i = 0
+      while (i < n) {
+        val h = hs.getLong(i)
+        var j = 0
+        while (j < 16) {
+          counts(j) += (h >> j) & 1L
+          j += 1
+        }
+        i += 1
+      }
+      var sim = 0L
+      var j = 0
+      while (j < 16) {
+        if (counts(j) * 2 > n) sim |= 1L << j
+        j += 1
+      }
+      sim
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, a => {
+        val n = ctx.freshName("n")
+        val i = ctx.freshName("i")
+        val j = ctx.freshName("j")
+        val h = ctx.freshName("h")
+        val counts = ctx.freshName("counts")
+        val sim = ctx.freshName("sim")
+        s"""
+           |final int $n = $a.numElements();
+           |final long[] $counts = new long[16];
+           |for (int $i = 0; $i < $n; $i++) {
+           |  final long $h = $a.getLong($i);
+           |  for (int $j = 0; $j < 16; $j++) {
+           |    $counts[$j] += ($h >> $j) & 1L;
+           |  }
+           |}
+           |long $sim = 0L;
+           |for (int $j = 0; $j < 16; $j++) {
+           |  if ($counts[$j] * 2 > $n) $sim |= 1L << $j;
+           |}
+           |${ev.value} = $sim;
+         """.stripMargin
+      })
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+}

@@ -1,6 +1,7 @@
 package graft.ops
 
-import org.apache.spark.sql.Column
+import graft.expressions.TextExpressions
+import org.apache.spark.sql.{Column, GraftColumnBridge}
 import org.apache.spark.sql.functions._
 
 /** Column-level building blocks for the text / dedup pipeline (the
@@ -25,7 +26,11 @@ object TextOps {
     * (`h*31+c`, `h*(2k+1)+b`) stays far inside signed-64 range. */
   val P = 1000000007L
 
-  /** Deterministic polynomial rolling hash: left fold over ASCII code
+  private def wrap(e: org.apache.spark.sql.catalyst.expressions.Expression) =
+    GraftColumnBridge.column(e)
+  private def unwrap(c: Column) = GraftColumnBridge.expression(c)
+
+  /** Deterministic polynomial rolling hash: left fold over code
     * points, `h -> (h*31 + code) mod P`. Cross-engine exact. */
   def polyHash(s: Column): Column =
     aggregate(
@@ -45,21 +50,23 @@ object TextOps {
     element_at(transform(array(e), x => f(x)), 1)
 
   /** Hash of every token (one char-fold per token — tokens are short;
-    * hashing shingle STRINGS would re-fold every token n times). */
-  def tokenHashes(ws: Column): Column = transform(ws, w => polyHash(w))
+    * hashing shingle STRINGS would re-fold every token n times).
+    * Codegen'd loop ([[TextExpressions.PolyHashTokens]]); same fold
+    * arithmetic as [[polyHash]] per token. */
+  def tokenHashes(ws: Column): Column =
+    wrap(TextExpressions.PolyHashTokens(unwrap(ws)))
+
+  /** Interpreted HOF form of [[tokenHashes]] — semantics oracle. */
+  def tokenHashesHof(ws: Column): Column = transform(ws, w => polyHash(w))
 
   /** Distinct 3-shingle hashes composed arithmetically from adjacent
     * token hashes: `(h1*1009 + h2*9176 + h3) mod P` — exact mirror in
-    * DuckDB, ~3× fewer char-fold steps than hashing shingle strings,
-    * and `th` is let-bound so the triple indexing doesn't re-hash. */
+    * DuckDB, ~3× fewer char-fold steps than hashing shingle strings.
+    * Codegen'd ([[TextExpressions.ShingleHashes3]]); empty for docs
+    * under 3 tokens, mirroring the oracle's empty `range`. */
   def shingleHashes3(ws: Column): Column =
-    letBind(tokenHashes(ws)) { th =>
-      when(size(th) >= 3,
-        array_distinct(transform(sequence(lit(1), size(th) - 2), i =>
-          (element_at(th, i) * 1009 + element_at(th, i + 1) * 9176 +
-            element_at(th, i + 2)) % P)))
-        .otherwise(array().cast("array<long>"))
-    }
+    array_distinct(wrap(TextExpressions.ShingleHashes3(
+      TextExpressions.PolyHashTokens(unwrap(ws)))))
 
   /** Whitespace tokenization. */
   def tokens(text: Column): Column = split(text, " ")
@@ -83,15 +90,18 @@ object TextOps {
 
   /** k-permutation MinHash signature over hashed shingles:
     * `sig(j) = min_h (h*(2j+1) + j*12345 + 67) mod P`. Odd multipliers
-    * keep every permutation a bijection on Z_P.
-    *
-    * Shaped as ONE fold over `hashes` (running per-permutation minima
-    * in the accumulator) — the transpose, `k` independent array_min
-    * passes, re-evaluates the `hashes` expression k times because
-    * higher-order lambdas aren't CSE'd; that shape benched ~100×
-    * slower. Inside the fold `h` is a bound lambda variable, so its
-    * k permutations are k cheap arithmetic ops. */
+    * keep every permutation a bijection on Z_P. Codegen'd single pass
+    * ([[TextExpressions.MinHashSig]]): k multiply-adds per hash in one
+    * primitive loop — the interpreted fold form benched as the
+    * dominant cost of the LSH pipeline (~2400 lambda frames per doc). */
   def minhashSig(hashes: Column, k: Int): Column =
+    wrap(TextExpressions.MinHashSig(unwrap(hashes), k))
+
+  /** Interpreted HOF form of [[minhashSig]] — semantics oracle. ONE
+    * fold over `hashes` (running per-permutation minima in the
+    * accumulator); the transpose, k independent array_min passes,
+    * re-evaluates `hashes` k times (no CSE across lambdas). */
+  def minhashSigHof(hashes: Column, k: Int): Column =
     aggregate(
       hashes,
       array_repeat(lit(P), k), // P > any value mod P: identity for min
@@ -118,14 +128,17 @@ object TextOps {
 
   /** 16-bit SimHash over hashed shingles. Bit j is set when more than
     * half the shingle hashes have bit j set (tie -> 0, same rule both
-    * engines). Uses floor-div by 2^j (exact in double for h < 2^53)
-    * instead of shifts so DuckDB can mirror the arithmetic verbatim.
-    *
-    * ONE fold over `hashes` carrying (per-bit ones-counts, n) in a
-    * struct accumulator, then a finish lambda majority-votes each bit —
-    * the per-bit-outer-loop shape re-evaluates `hashes` 16× (see
-    * [[minhashSig]] note). */
+    * engines; the oracle's floor-div by 2^j equals the shift-and-mask
+    * here for the nonnegative mod-P hashes). Codegen'd
+    * ([[TextExpressions.SimHash16]]). */
   def simhash16(hashes: Column): Column =
+    wrap(TextExpressions.SimHash16(unwrap(hashes)))
+
+  /** Interpreted HOF form of [[simhash16]] — semantics oracle. ONE
+    * fold over `hashes` carrying (per-bit ones-counts, n) in a
+    * struct accumulator, then a finish lambda majority-votes each bit
+    * (the per-bit-outer-loop shape re-evaluates `hashes` 16×). */
+  def simhash16Hof(hashes: Column): Column =
     aggregate(
       hashes,
       struct(array_repeat(lit(0L), 16).as("c"), lit(0L).as("n")),

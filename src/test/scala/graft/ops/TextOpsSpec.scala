@@ -56,6 +56,32 @@ class TextOpsSpec extends SparkSpecBase {
     assert(one(TextOps.simhash16(hs)) === s1)
   }
 
+  test("codegen kernels match the interpreted HOF reference forms") {
+    // Random-ish docs exercising short/long/duplicate/multibyte tokens.
+    val docs = Seq(
+      "the quick brown fox jumps over the lazy dog",
+      "a b",
+      "x",
+      "tok tok tok tok tok",
+      "héllo wörld naïve café déjà vu encore une fois",
+      (1 to 300).map(i => s"w${i * 7 % 97}").mkString(" "))
+    val df = docs.toDF("text")
+    val ws = split(col("text"), " ")
+    val rows = df.select(
+      TextOps.tokenHashes(ws).as("th_c"),
+      TextOps.tokenHashesHof(ws).as("th_h"),
+      TextOps.minhashSig(TextOps.shingleHashes3(ws), 12).as("mh_c"),
+      TextOps.minhashSigHof(TextOps.shingleHashes3(ws), 12).as("mh_h"),
+      TextOps.simhash16(TextOps.shingleHashes3(ws)).as("sh_c"),
+      TextOps.simhash16Hof(TextOps.shingleHashes3(ws)).as("sh_h"))
+      .collect()
+    rows.foreach { r =>
+      assert(r.getSeq[Long](0) === r.getSeq[Long](1), "tokenHashes")
+      assert(r.getSeq[Long](2) === r.getSeq[Long](3), "minhashSig")
+      assert(r.getLong(4) === r.getLong(5), "simhash16")
+    }
+  }
+
   test("jaccard: exact rational, identical and disjoint extremes") {
     val a = array(lit("x"), lit("y"))
     val b = array(lit("x"), lit("z"))

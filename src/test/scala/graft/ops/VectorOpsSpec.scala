@@ -25,6 +25,28 @@ class VectorOpsSpec extends SparkSpecBase {
     assert(d === Seq(1.5, 2.5))
   }
 
+  test("codegen kernels match the interpreted HOF reference forms bit-for-bit") {
+    // Values chosen to be IEEE-order-sensitive (mixed magnitudes/signs):
+    // equality here proves the codegen loop accumulates in the same
+    // left-to-right order as the HOF fold (and hence the DuckDB oracle).
+    val vs = Seq(
+      (1 to 64).map(i => math.sin(i) * math.pow(10, i % 7 - 3)),
+      (1 to 64).map(i => if (i % 2 == 0) 1e-8 * i else -1e6 / i),
+      Seq(0.0, -0.0, 1.0 / 3, 2.0 / 7))
+    val df = vs.map(v => Tuple1(v)).toDF("v")
+    val rows = df.select(
+      VectorOps.dot(col("v"), col("v")).as("d_c"),
+      VectorOps.dotHof(col("v"), col("v")).as("d_h"),
+      VectorOps.hyperplaneBucket(col("v"), 8).as("b_c"),
+      VectorOps.hyperplaneBucketHof(col("v"), 8).as("b_h"))
+      .collect()
+    rows.foreach { r =>
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(0)) ===
+        java.lang.Double.doubleToLongBits(r.getDouble(1)), "dot bit-exact")
+      assert(r.getLong(2) === r.getLong(3), "hyperplaneBucket")
+    }
+  }
+
   test("hyperplaneBucket: bounded, deterministic, sign-sensitive") {
     val v = arr((1 to 64).map(_.toDouble / 10): _*)
     val b1 = calc(VectorOps.hyperplaneBucket(v, 8)).asInstanceOf[Long]

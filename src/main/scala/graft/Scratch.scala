@@ -13,12 +13,13 @@ object Scratch {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val d = "/root/testdata/sf0.1"
-    val fn = SparkEntry.queries(args.headOption.getOrElse("q28_minhash_lsh"))
-    for (i <- 1 to 3) {
-      val t0 = System.nanoTime()
-      val n = fn(spark, d).count()
-      println(f"[scratch] run$i ${(System.nanoTime() - t0) / 1e9}%8.2f s rows=$n")
-    }
+    spark.range(1000).selectExpr("sum(id)").collect()
+    val name = args.headOption.getOrElse("q30_ngram_jaccard")
+    val df = SparkEntry.queries(name)(spark, d)
+    df.explain("formatted")
+    val t0 = System.nanoTime()
+    val n = df.count()
+    println(f"[scratch] $name ${(System.nanoTime() - t0) / 1e9}%8.2f s rows=$n")
     spark.stop()
   }
 }

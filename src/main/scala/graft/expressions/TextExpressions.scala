@@ -181,6 +181,46 @@ object TextExpressions {
       copy(child = newChild)
   }
 
+  /** n-word shingles of a token array: element i is
+    * `ws[i] + " " + ... + ws[i+n-1]`, empty when the doc has fewer than
+    * n tokens. NOT deduplicated — wrap in `array_distinct` (mirrors
+    * the oracle's `list_distinct` over the same concatenation). */
+  case class WordShingles(child: Expression, n: Int) extends UnaryExpression {
+    require(n >= 1)
+    override def prettyName: String = "graft_word_shingles"
+    override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+    override def nullSafeEval(a: Any): Any =
+      shingleConcat(a.asInstanceOf[ArrayData], n)
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val cls = TextExpressions.getClass.getName.stripSuffix("$") + "$"
+      nullSafeCodeGen(ctx, ev, a =>
+        s"${ev.value} = $cls.MODULE$$.shingleConcat($a, $n);")
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  /** Shingle-concat kernel shared by eval and generated code. One pass,
+    * UTF8String byte-level concat (no JVM String round-trip). */
+  def shingleConcat(ws: ArrayData, n: Int): GenericArrayData = {
+    val len = ws.numElements()
+    val m = math.max(len - (n - 1), 0)
+    val out = new Array[AnyRef](m)
+    val space = UTF8String.fromString(" ")
+    var i = 0
+    while (i < m) {
+      val parts = new Array[UTF8String](n)
+      var k = 0
+      while (k < n) { parts(k) = ws.getUTF8String(i + k); k += 1 }
+      out(i) = UTF8String.concatWs(space, parts: _*)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** 16-bit SimHash over hashed shingles: bit j set when more than half
     * the hashes have bit j set (strict majority, tie -> 0) — the exact
     * arithmetic of [[graft.ops.TextOps.simhash16]]. */

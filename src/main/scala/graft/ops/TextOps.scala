@@ -72,14 +72,18 @@ object TextOps {
   def tokens(text: Column): Column = split(text, " ")
 
   /** Distinct n-word shingles of a token array; empty when the doc has
-    * fewer than n tokens (mirrors DuckDB's empty `range`).
-    *
+    * fewer than n tokens (mirrors DuckDB's empty `range`). Codegen'd
+    * ([[TextExpressions.WordShingles]]). */
+  def wordShingles(ws: Column, n: Int): Column =
+    array_distinct(wrap(TextExpressions.WordShingles(unwrap(ws), n)))
+
+  /** Interpreted HOF form of [[wordShingles]] — semantics oracle.
     * `ws` is let-bound: it is typically `split(text, " ")`, referenced
     * n+2 times per shingle position here — without the binding each
     * reference re-splits the document (~3n× size(ws) regex splits per
     * row; profiled as THE bottleneck of the dedup suite, one
     * `UTF8String.split` frame burning a whole core). */
-  def wordShingles(ws: Column, n: Int): Column =
+  def wordShinglesHof(ws: Column, n: Int): Column =
     letBind(ws) { w =>
       val starts = sequence(lit(1), size(w) - (n - 1))
       val mk = (i: Column) =>

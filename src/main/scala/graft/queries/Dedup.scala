@@ -116,7 +116,9 @@ object Dedup {
               col("x.doc_id") < col("y.doc_id"))
           .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
           .distinct()
-        cand
+        // The candidate set is tiny relative to the corpus: broadcast it
+        // so the verify step streams `base` without shuffling it.
+        broadcast(cand)
           .join(base.select(col("doc_id").as("a"), col("sh").as("sha")), "a")
           .join(base.select(col("doc_id").as("b"), col("sh").as("shb")), "b")
           .select(col("a"), col("b"),
@@ -169,7 +171,9 @@ object Dedup {
             col("x.tk") === col("y.tk") && col("x.doc_id") < col("y.doc_id"))
           .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
           .distinct()
-        cand
+        // The candidate set is tiny relative to the corpus: broadcast it
+        // so the verify step streams `base` without shuffling it.
+        broadcast(cand)
           .join(base.select(col("doc_id").as("a"), col("sh").as("sha")), "a")
           .join(base.select(col("doc_id").as("b"), col("sh").as("shb")), "b")
           .select(col("a"), col("b"),
@@ -270,7 +274,10 @@ object Dedup {
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val probes = base.filter(col("doc_id") % 50 === 0)
           .select(col("doc_id").as("a"), col("wset").as("wa"), col("sh").as("sha"))
-        probes.join(base.filter(col("doc_id") % 50 =!= 0), lit(true))
+        // Explicit hint: the probe side is the bounded one. Left to the
+        // planner's size estimates, the build side can flip to the
+        // corpus (4900 docs of shingle arrays — a ~100 MB broadcast).
+        broadcast(probes).join(base.filter(col("doc_id") % 50 =!= 0), lit(true))
           .select(col("a"), col("doc_id").as("b"),
             TextOps.jaccard(col("wa"), col("wset")).as("word_jaccard"),
             TextOps.jaccard(col("sha"), col("sh")).as("shingle_jaccard"))

@@ -1,0 +1,83 @@
+package graft.ext
+
+import graft.expressions.{TextExpressions, VectorExpressions}
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.types.IntegerType
+
+/** SQL surface for graft's native expressions, registered through the
+  * public `SparkSessionExtensions.injectFunction` extension point:
+  *
+  * {{{
+  * val spark = SparkSession.builder()
+  *   .withExtensions(new GraftExtensions)           // programmatic
+  *   // or .config("spark.sql.extensions", "graft.ext.GraftExtensions")
+  *   .getOrCreate()
+  * spark.sql("SELECT graft_dot(a.v, b.v) FROM ...")
+  * }}}
+  *
+  * This makes the kernels first-class for `spark.sql` users (the
+  * serving-layer entry point, SURVEY.md §3 entry point 2), not just the
+  * DataFrame API. Cardinality-style parameters (k, n) are literal
+  * arguments resolved at analysis time.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.functions.foreach(ext.injectFunction)
+}
+
+object GraftExtensions {
+
+  private def litInt(fname: String, e: Expression): Int = e match {
+    case Literal(v: Int, IntegerType) => v
+    case other => throw new IllegalArgumentException(
+      s"$fname expects a literal INT parameter, got $other")
+  }
+
+  private def fn(
+      name: String,
+      arity: String,
+      usage: String)(builder: Seq[Expression] => Expression)
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
+    (FunctionIdentifier(name),
+      new ExpressionInfo("graft", null, name, s"$name($arity) - $usage", ""),
+      builder)
+
+  /** All registered functions. Each mirrors a kernel in
+    * [[graft.ops.VectorOps]] / [[graft.ops.TextOps]]. */
+  val functions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] =
+    Seq(
+      fn("graft_dot", "a, b",
+        "dot product of two array<double>, left-to-right accumulation") {
+        es => VectorExpressions.DotProduct(es(0), es(1))
+      },
+      fn("graft_l2norm", "a", "L2 norm of an array<double>") {
+        es => VectorExpressions.L2Norm(es(0))
+      },
+      fn("graft_hyperplane_bucket", "v, nPlanes",
+        "random-hyperplane LSH bucket id in [0, 2^nPlanes)") {
+        es => VectorExpressions.HyperplaneBucket(
+          es(0), litInt("graft_hyperplane_bucket", es(1)))
+      },
+      fn("graft_polyhash_tokens", "ws",
+        "per-token polynomial rolling hash (mod 1e9+7) of array<string>") {
+        es => TextExpressions.PolyHashTokens(es(0))
+      },
+      fn("graft_shingle_hashes3", "th",
+        "adjacent-triple composition of token hashes (not deduplicated)") {
+        es => TextExpressions.ShingleHashes3(es(0))
+      },
+      fn("graft_word_shingles", "ws, n",
+        "n-word shingle strings of array<string> (not deduplicated)") {
+        es => TextExpressions.WordShingles(es(0), litInt("graft_word_shingles", es(1)))
+      },
+      fn("graft_minhash_sig", "hs, k",
+        "k-permutation MinHash signature over hashed shingles") {
+        es => TextExpressions.MinHashSig(es(0), litInt("graft_minhash_sig", es(1)))
+      },
+      fn("graft_simhash16", "hs",
+        "16-bit majority-vote SimHash over hashed shingles") {
+        es => TextExpressions.SimHash16(es(0))
+      })
+}

@@ -15,6 +15,7 @@ trait SparkSpecBase extends AnyFunSuite with BeforeAndAfterAll {
 object SparkSpecBase {
   lazy val session: SparkSession = SparkSession.builder()
     .master("local[2]")
+    .withExtensions(new graft.ext.GraftExtensions)
     .config("spark.sql.shuffle.partitions", "2")
     .config("spark.sql.warehouse.dir",
       java.nio.file.Files.createTempDirectory("spark-wh").toString)

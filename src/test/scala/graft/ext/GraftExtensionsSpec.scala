@@ -1,0 +1,63 @@
+package graft.ext
+
+import graft.SparkSpecBase
+import graft.ops.{TextOps, VectorOps}
+import org.apache.spark.sql.functions._
+
+/** The SQL function surface (SparkSessionExtensions.injectFunction)
+  * must agree exactly with the DataFrame-API kernels it mirrors. */
+class GraftExtensionsSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  test("graft_dot / graft_l2norm evaluate from spark.sql") {
+    val r = spark.sql(
+      "SELECT graft_dot(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d, " +
+        "graft_l2norm(array(3.0d, 4.0d)) AS n").head()
+    assert(r.getDouble(0) === 11.0)
+    assert(r.getDouble(1) === 5.0)
+  }
+
+  test("SQL functions match the Column-API kernels on real shapes") {
+    val df = Seq(
+      "the quick brown fox jumps over the lazy dog",
+      "a b c d e f g").toDF("text")
+    df.createOrReplaceTempView("ext_docs")
+    val api = df.select(
+      TextOps.minhashSig(TextOps.shingleHashes3(split(col("text"), " ")), 12)
+        .as("mh"),
+      TextOps.simhash16(TextOps.shingleHashes3(split(col("text"), " ")))
+        .as("sh")).collect()
+    val sql = spark.sql(
+      """SELECT graft_minhash_sig(
+        |    array_distinct(graft_shingle_hashes3(
+        |      graft_polyhash_tokens(split(text, ' ')))), 12) AS mh,
+        |  graft_simhash16(
+        |    array_distinct(graft_shingle_hashes3(
+        |      graft_polyhash_tokens(split(text, ' '))))) AS sh
+        |FROM ext_docs""".stripMargin).collect()
+    assert(api.map(_.getSeq[Long](0)).toSeq === sql.map(_.getSeq[Long](0)).toSeq)
+    assert(api.map(_.getLong(1)).toSeq === sql.map(_.getLong(1)).toSeq)
+  }
+
+  test("vector SQL functions match the Column API bit-for-bit") {
+    val vs = Seq(Seq(0.1, -2.5, 3.75, 1e-7), Seq(1.0, 1.0, 1.0, 1.0))
+    val df = vs.map(Tuple1(_)).toDF("v")
+    df.createOrReplaceTempView("ext_vecs")
+    val api = df.select(
+      VectorOps.dot(col("v"), col("v")).as("d"),
+      VectorOps.hyperplaneBucket(col("v"), 8).as("b")).collect()
+    val sql = spark.sql(
+      "SELECT graft_dot(v, v) AS d, graft_hyperplane_bucket(v, 8) AS b " +
+        "FROM ext_vecs").collect()
+    assert(api.map(_.getDouble(0)).toSeq === sql.map(_.getDouble(0)).toSeq)
+    assert(api.map(_.getLong(1)).toSeq === sql.map(_.getLong(1)).toSeq)
+  }
+
+  test("non-literal cardinality parameter is rejected at analysis") {
+    val e = intercept[Exception] {
+      spark.sql("SELECT graft_minhash_sig(array(1L), CAST(rand()*4 AS INT))")
+        .collect()
+    }
+    assert(e.getMessage.contains("literal INT"))
+  }
+}

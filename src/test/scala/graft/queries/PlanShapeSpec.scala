@@ -1,0 +1,69 @@
+package graft.queries
+
+import graft.{SparkSpecBase, SparkEntry}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.ExplainMode
+
+/** Physical-plan shape assertions over the catalog (SURVEY.md §4):
+  * the optimizations the engine's scale story depends on must be
+  * visible in `explain`, not assumed — pushdown reaching the parquet
+  * scan, bounded sides broadcast, top-k as TakeOrderedAndProject, and
+  * no accidental cartesian products or full sorts. Guards against the
+  * round-2 regression class where a size-estimate flip silently turned
+  * a probe broadcast into a ~100 MB corpus broadcast.
+  */
+class PlanShapeSpec extends SparkSpecBase {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String = {
+    val df: DataFrame = SparkEntry.queries(name)(spark, sf)
+    df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+  }
+
+  test("q01: filter and projection are pushed into the parquet scan") {
+    val p = plan("q01_scan_filter_project")
+    assert(p.contains("PushedFilters:") &&
+      p.matches("(?s).*PushedFilters: \\[.*o_orderstatus.*\\].*"),
+      s"filter not pushed:\n$p")
+    assert(!p.contains("o_orderdate"), "unprojected column read")
+    assert(p.contains("TakeOrderedAndProject"), "top-k should not full-sort")
+  }
+
+  test("top-k queries plan TakeOrderedAndProject, not global Sort+Limit") {
+    for (q <- Seq("q06_having_topk", "q07_join_broadcast", "q10_orderby_limit"))
+      assert(plan(q).contains("TakeOrderedAndProject"), s"$q full-sorts")
+  }
+
+  test("dimension joins broadcast — no shuffle of the fact side") {
+    for (q <- Seq("q07_join_broadcast", "q08_where_group_count",
+        "q09_serving_top_parts")) {
+      val p = plan(q)
+      assert(p.contains("BroadcastHashJoin"), s"$q lost its broadcast join")
+      assert(!p.contains("SortMergeJoin"), s"$q shuffles the fact side")
+    }
+  }
+
+  test("similarity probes broadcast on the build side, corpus streams") {
+    for (q <- Seq("q30_ngram_jaccard", "q32_ann_bruteforce")) {
+      val p = plan(q)
+      assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+        s"$q: probe side must broadcast")
+      assert(!p.contains("CartesianProduct"), s"$q degraded to cartesian")
+    }
+  }
+
+  test("no catalog query plans a CartesianProduct") {
+    // Every pairwise operator must pair through a bucket/blocking join
+    // or an explicit bounded broadcast — the no-unblocked-n² invariant.
+    for ((name, _) <- SparkEntry.queries.toSeq.sortBy(_._1))
+      assert(!plan(name).contains("CartesianProduct"),
+        s"$name plans a CartesianProduct")
+  }
+
+  test("group-aggregates run partial+final (map-side combine)") {
+    val p = plan("q05_group_agg")
+    assert(p.matches("(?s).*HashAggregate.*HashAggregate.*"),
+      "expected two-phase hash aggregation")
+  }
+}

@@ -23,7 +23,11 @@ object Bench {
 
     // Absorb one-time session/executor startup so the first timed query
     // isn't charged for JVM warm-up (measures queries, not spin-up).
+    // The tiny parquet read loads the datasource/parquet reader class
+    // stack (~1-2 s of one-time class-loading + JIT otherwise charged
+    // to whichever query happens to run first).
     spark.range(1000).selectExpr("sum(id)").collect()
+    spark.read.parquet(s"$sfDir/region.parquet").count()
 
     // Optional args (dev only): name prefixes to bench a subset.
     val defs =

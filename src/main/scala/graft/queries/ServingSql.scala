@@ -1,0 +1,66 @@
+package graft.queries
+
+import graft.etl.Bookstore
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Serving-layer SQL surface (SURVEY.md §3 entry point 2): the
+  * reference's four analytical queries (external-table-queries.sql:13-42,
+  * also embedded in the Tableau workbook) as SQL text over catalog
+  * views — the Redshift-Spectrum-over-Glue layer re-expressed as
+  * `spark.sql` over the session catalog.
+  *
+  * The view names and query shapes mirror the reference's external
+  * schema (`books`, `customers`, `ratings` mart tables); tie-break
+  * keys are appended per SURVEY.md §7.4 trap 1 so results are
+  * deterministic. `HAVING count(*) > 100` follows the SQL side of the
+  * reference (the ETL side uses `>=` — both variants exist, SURVEY.md
+  * §2a discrepancies).
+  */
+object ServingSql {
+
+  /** Register the mart as catalog views off a cleaned frame. */
+  def registerMart(clean: DataFrame): Unit = {
+    Bookstore.booksDim(clean).createOrReplaceTempView("books")
+    Bookstore.customersDim(clean).createOrReplaceTempView("customers")
+    Bookstore.ratingsFact(clean).createOrReplaceTempView("ratings")
+  }
+
+  /** external-table-queries.sql:13-19 — top books by average rating. */
+  def topBooksByRating(s: SparkSession, minRatings: Long = 100,
+      k: Int = 100): DataFrame =
+    s.sql(s"""
+      |SELECT b.`ISBN`, b.`Book-Title`,
+      |  round(avg(CAST(r.`Book-Rating` AS double)), 4) AS `Average-Rating`,
+      |  count(*) AS `Total-Ratings`
+      |FROM books b JOIN ratings r ON b.`ISBN` = r.`ISBN`
+      |GROUP BY b.`ISBN`, b.`Book-Title`
+      |HAVING count(*) > $minRatings
+      |ORDER BY `Average-Rating` DESC, b.`ISBN` LIMIT $k""".stripMargin)
+
+  /** external-table-queries.sql:21-26 — top countries by customers. */
+  def topCountries(s: SparkSession, k: Int = 10): DataFrame =
+    s.sql(s"""
+      |SELECT `Country`, count(*) AS `Customer Count`
+      |FROM customers GROUP BY `Country`
+      |ORDER BY `Customer Count` DESC, `Country` LIMIT $k""".stripMargin)
+
+  /** external-table-queries.sql:28-34 — top states within a country. */
+  def topStates(s: SparkSession, country: String, k: Int = 10): DataFrame =
+    s.sql(s"""
+      |SELECT `Country`, `State`, count(*) AS `Customer Count`
+      |FROM customers WHERE `Country` = '$country'
+      |GROUP BY `Country`, `State`
+      |ORDER BY `Customer Count` DESC, `State` LIMIT $k""".stripMargin)
+
+  /** external-table-queries.sql:36-42 — top authors by average rating. */
+  def topAuthors(s: SparkSession, minRatings: Long = 100,
+      k: Int = 10): DataFrame =
+    s.sql(s"""
+      |SELECT b.`Book-Author`,
+      |  round(avg(CAST(r.`Book-Rating` AS double)), 4) AS `Average-Rating`,
+      |  count(*) AS `Total-Ratings`
+      |FROM books b JOIN ratings r ON b.`ISBN` = r.`ISBN`
+      |GROUP BY b.`Book-Author`
+      |HAVING count(*) > $minRatings
+      |ORDER BY `Average-Rating` DESC, b.`Book-Author` LIMIT $k""".stripMargin)
+}

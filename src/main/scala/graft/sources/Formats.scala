@@ -50,4 +50,22 @@ object Formats {
       buckets: Int, mode: String = "overwrite"): Unit =
     df.write.mode(mode).bucketBy(buckets, key).sortBy(key)
       .format("parquet").saveAsTable(table)
+
+  /** Pluggable lakehouse-format catalog table write. `format` is any
+    * registered DataSourceV2 short name — "parquet" (the offline
+    * baseline here), or "delta" / "iceberg" when those connectors are
+    * on the classpath; the call site is identical, which is the whole
+    * point of the pluggable layer. Partition columns land in the
+    * catalog metadata so partition pruning survives `saveAsTable`. */
+  def writeTable(df: DataFrame, table: String,
+      format: String = "parquet", partitionCols: Seq[String] = Nil,
+      mode: String = "overwrite"): Unit = {
+    val w = df.write.mode(mode).format(format)
+    (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
+      .saveAsTable(table)
+  }
+
+  /** Catalog table read — format-agnostic by construction (the catalog
+    * resolves the provider recorded at write time). */
+  def readTable(s: SparkSession, table: String): DataFrame = s.table(table)
 }

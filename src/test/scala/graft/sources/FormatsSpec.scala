@@ -42,6 +42,22 @@ class FormatsSpec extends SparkSpecBase {
       s"expected partition pruning in plan:\n$plan")
   }
 
+  test("pluggable table write/read: catalog roundtrip with partition metadata") {
+    Formats.writeTable(df, "fmt_tbl", format = "parquet",
+      partitionCols = Seq("country"))
+    val back = Formats.readTable(spark, "fmt_tbl")
+    assert(back.count() === 3)
+    // partition column recorded in the catalog → pruning at scan
+    val plan = back.filter(col("country") === "usa")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("country"),
+      s"catalog partition pruning missing:\n$plan")
+    // append mode accumulates (the reference's nightly-append semantics)
+    Formats.writeTable(df, "fmt_tbl", partitionCols = Seq("country"),
+      mode = "append")
+    assert(Formats.readTable(spark, "fmt_tbl").count() === 6)
+  }
+
   test("bucketed tables join without an exchange on the bucket key") {
     Formats.writeBucketedTable(df, "fmt_left", "id", 4)
     Formats.writeBucketedTable(

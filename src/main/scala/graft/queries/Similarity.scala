@@ -117,6 +117,49 @@ object Similarity {
              |      ORDER BY cos DESC, vec_id) AS rn
              |  FROM scored)
              |SELECT probe, bucket, rn, vec_id, cos FROM ranked
-             |WHERE rn <= 3 ORDER BY probe, rn""".stripMargin))
+             |WHERE rn <= 3 ORDER BY probe, rn""".stripMargin)),
+
+    // Per-label centroid via the typed Aggregator (SURVEY.md §2b
+    // UDF/UDAF row): ONE pass, partial buffers shuffle instead of one
+    // row per vector element (the posexplode->groupBy form shuffles
+    // dim× more rows — 6.4T at 100 TB scale). Elements are quantized
+    // to floor(x*1e6) longs first so partial sums are exact integers:
+    // merge-order-independent, hence bit-reproducible in DuckDB —
+    // float summation can't promise that across engines. The checked
+    // output is posexploded to scalar rows (label, dim, centroid).
+    QueryDef(
+      "q50_embedding_centroid",
+      (s, d) => {
+        val cAgg = udaf(new graft.ops.VectorAggregates.CentroidAgg(64))
+        embeddings(s, d)
+          .select(col("label"),
+            transform(toDouble(col("embedding")),
+              x => floor(x * 1000000).cast("long")).as("q"))
+          .groupBy(col("label"))
+          .agg(cAgg(col("q")).as("c"))
+          .select(col("label"), col("c.n").as("n_vectors"),
+            posexplode(col("c.sums")).as(Seq("dim", "sum_q")))
+          // Micro-unit output: floor(mean + 0.5) in the quantized space
+          // — one double division then integer floor, no round() whose
+          // tie rules differ between engines (§7.4 trap 2).
+          .select(col("label"), col("dim"),
+            floor(col("sum_q").cast("double") / col("n_vectors") + 0.5)
+              .cast("long").as("centroid_micro"),
+            col("n_vectors"))
+          .orderBy(col("label"), col("dim"))
+      },
+      Some("""WITH e AS (SELECT label,
+             |    list_transform(embedding, x ->
+             |      CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS q
+             |  FROM embeddings),
+             |u AS (SELECT label, unnest(q) AS el,
+             |    generate_subscripts(q, 1) AS pos FROM e),
+             |g AS (SELECT label, pos, CAST(sum(el) AS BIGINT) AS sum_q,
+             |    count(*) AS n FROM u GROUP BY label, pos)
+             |SELECT label, pos - 1 AS dim,
+             |  CAST(floor(CAST(sum_q AS DOUBLE) / n + 0.5) AS BIGINT)
+             |    AS centroid_micro,
+             |  n AS n_vectors
+             |FROM g ORDER BY label, dim""".stripMargin))
   )
 }

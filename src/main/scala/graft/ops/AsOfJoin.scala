@@ -1,0 +1,60 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Backward as-of join — the temporal alignment operator Spark lacks
+  * natively (SURVEY.md §2b: "operator the reference/Spark doesn't
+  * have"): for each left row, attach payload from the right row with
+  * the greatest `rightTime <= leftTime` for the same key (ties on the
+  * time value match — "on or before").
+  *
+  * Spark-first composition instead of an inequality join: an
+  * `l.key = r.key AND r.t <= l.t` join plans as a broadcast nested
+  * loop (or cartesian) and evaluates every (left × right-per-key)
+  * pair. Here both sides are UNIONED, sorted once per key, and the
+  * payload is carried forward with `last(_, ignoreNulls)` over a
+  * running window — ONE shuffle on the key, O(n log n) per key, the
+  * shape that survives 100 TB. (This is also how stream-stream as-of
+  * alignment works: order by event time, carry state forward.)
+  *
+  * Contract: the right side must be unique per (key, time) — pre-
+  * aggregate duplicates first (e.g. keep max payload per day), or the
+  * carried value among equal times is unspecified.
+  */
+object AsOfJoin {
+
+  private val Kind = "__asof_kind"
+
+  /** @param payload right-side columns to attach (null when no right
+    *                row is on-or-before the left row's time). */
+  def asofBackward(left: DataFrame, right: DataFrame,
+      leftKey: String, rightKey: String,
+      leftTime: String, rightTime: String,
+      payload: Seq[String]): DataFrame = {
+    // Payload names must be new columns: a collision would make
+    // unionByName merge left values into the carried payload. Right
+    // payload values must be non-null for the same reason (ignoreNulls
+    // would otherwise mix columns from different right rows).
+    require(payload.intersect(left.columns).isEmpty,
+      s"payload columns ${payload.intersect(left.columns).mkString(",")} " +
+        "collide with left-side columns")
+    val l = left.withColumn(Kind, lit(1))
+    val r = right.select(
+      (Seq(col(rightKey).as(leftKey), col(rightTime).as(leftTime)) ++
+        payload.map(col)): _*)
+      .withColumn(Kind, lit(0))
+    // Right rows (kind 0) sort before left rows (kind 1) at equal
+    // times, so a right row AT the left row's time is visible to it.
+    val w = Window.partitionBy(col(leftKey))
+      .orderBy(col(leftTime), col(Kind))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    payload
+      .foldLeft(l.unionByName(r, allowMissingColumns = true)) {
+        (df, p) => df.withColumn(p, last(col(p), ignoreNulls = true).over(w))
+      }
+      .filter(col(Kind) === 1)
+      .drop(Kind)
+  }
+}

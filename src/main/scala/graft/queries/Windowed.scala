@@ -184,6 +184,49 @@ object Windowed {
              |SELECT user_id, min(ts_sec) AS session_start, count(*) AS n_events
              |FROM sess WHERE user_id < 20
              |GROUP BY user_id, session_id
-             |ORDER BY user_id, session_start""".stripMargin))
+             |ORDER BY user_id, session_start""".stripMargin)),
+
+    // Backward as-of join (graft.ops.AsOfJoin): each event aligned to
+    // the customer's most recent order on-or-before the event's day.
+    // Spark side is the union + running-last composition (one shuffle,
+    // no inequality join); the oracle is DuckDB's NATIVE ASOF LEFT
+    // JOIN — two independent implementations of the operator must
+    // agree row-for-row. Days are integer epoch-day buckets (div
+    // arithmetic, timezone-free in both engines); orders are deduped
+    // to one per (custkey, day) per the as-of uniqueness contract.
+    QueryDef(
+      "q51_asof_join",
+      (s, d) => {
+        val ev = eventsNorm(s, d)
+          .filter(col("user_id") < 5)
+          .select(col("user_id"), col("event_id"),
+            expr("ts_sec div 86400").as("day"))
+        val ords = orders(s, d)
+          .select(col("o_custkey"),
+            datediff(col("o_orderdate"), lit("1970-01-01")).cast("long")
+              .as("order_day"),
+            col("o_orderkey"))
+          .groupBy(col("o_custkey"), col("order_day"))
+          .agg(max(col("o_orderkey")).as("last_orderkey"))
+        graft.ops.AsOfJoin.asofBackward(
+            ev, ords, leftKey = "user_id", rightKey = "o_custkey",
+            leftTime = "day", rightTime = "order_day",
+            payload = Seq("last_orderkey"))
+          .select(col("user_id"), col("event_id"), col("day"),
+            col("last_orderkey"))
+          .orderBy(col("user_id"), col("event_id"))
+      },
+      Some("""WITH ev AS (SELECT user_id, event_id,
+             |    CAST(epoch_ns(ts) // 1000000000 // 86400 AS BIGINT) AS day
+             |  FROM events WHERE user_id < 5),
+             |o AS (SELECT o_custkey,
+             |    date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+             |      AS order_day,
+             |    max(o_orderkey) AS last_orderkey
+             |  FROM orders GROUP BY 1, 2)
+             |SELECT e.user_id, e.event_id, e.day, o.last_orderkey
+             |FROM ev e ASOF LEFT JOIN o
+             |  ON e.user_id = o.o_custkey AND e.day >= o.order_day
+             |ORDER BY e.user_id, e.event_id""".stripMargin))
   )
 }

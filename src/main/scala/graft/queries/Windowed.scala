@@ -227,6 +227,44 @@ object Windowed {
              |SELECT e.user_id, e.event_id, e.day, o.last_orderkey
              |FROM ev e ASOF LEFT JOIN o
              |  ON e.user_id = o.o_custkey AND e.day >= o.order_day
-             |ORDER BY e.user_id, e.event_id""".stripMargin))
+             |ORDER BY e.user_id, e.event_id""".stripMargin)),
+
+    // Point-in-interval range join (graft.ops.RangeJoin): traffic
+    // within ±6 h of each big purchase. No equi key exists, so the
+    // Spark side uses interval bucketing (equi-join on quantized time
+    // + residual filter — one shuffle, never a cartesian); the oracle
+    // is DuckDB's planner on the bare BETWEEN predicate (its native
+    // IEJoin handles inequality joins exactly). Two independent
+    // algorithms, same rows.
+    QueryDef(
+      "q52_range_join",
+      (s, d) => {
+        val hr = expr("ts_sec div 3600")
+        val ev = eventsNorm(s, d)
+          .select(col("event_id"), col("user_id"), hr.as("hr"))
+        val promos = eventsNorm(s, d)
+          .filter(col("event_type") === "purchase" && col("value") > 200)
+          .select(col("event_id").as("promo_id"),
+            (hr - 6).as("w_start"), (hr + 6).as("w_end"))
+        graft.ops.RangeJoin
+          .pointInInterval(ev, "hr", promos, "w_start", "w_end", 6L)
+          .groupBy(col("promo_id"))
+          .agg(min(col("w_start")).as("window_start"),
+            count(lit(1)).as("n_events"),
+            countDistinct(col("user_id")).as("n_users"))
+          .orderBy(col("promo_id"))
+      },
+      Some("""WITH ev AS (SELECT event_id, user_id,
+             |    CAST(epoch_ns(ts) // 1000000000 // 3600 AS BIGINT) AS hr
+             |  FROM events),
+             |p AS (SELECT event_id AS promo_id,
+             |    CAST(epoch_ns(ts) // 1000000000 // 3600 AS BIGINT) - 6 AS w_start,
+             |    CAST(epoch_ns(ts) // 1000000000 // 3600 AS BIGINT) + 6 AS w_end
+             |  FROM events WHERE event_type = 'purchase' AND value > 200)
+             |SELECT p.promo_id, min(p.w_start) AS window_start,
+             |  count(*) AS n_events,
+             |  count(DISTINCT e.user_id) AS n_users
+             |FROM p JOIN ev e ON e.hr BETWEEN p.w_start AND p.w_end
+             |GROUP BY p.promo_id ORDER BY p.promo_id""".stripMargin))
   )
 }

@@ -36,6 +36,21 @@ object EventStreams {
       .groupBy(session_window(col("ts"), gap), col("user_id"))
       .agg(count(lit(1)).as("n_events"))
 
+  /** Streaming exact dedup: drop events whose `event_id` was already
+    * seen, keeping state only within the watermark horizon —
+    * `dropDuplicatesWithinWatermark` bounds the seen-set to
+    * O(events per watermark window) where a plain `dropDuplicates`
+    * on a stream retains every key forever (unbounded state, the
+    * thing that OOMs a 100 TB ingest). Batch mode: equivalent to
+    * `dropDuplicates(idCols)`. */
+  def dedupWithinWatermark(events: DataFrame,
+      idCols: Seq[String] = Seq("event_id"),
+      watermark: String = "2 hours"): DataFrame = {
+    val wm = events.withWatermark("ts", watermark)
+    if (events.isStreaming) wm.dropDuplicatesWithinWatermark(idCols)
+    else events.dropDuplicates(idCols)
+  }
+
   /** Typed per-key custom state (the mapGroupsWithState surface):
     * cumulative per-user event counter carried across micro-batches.
     * In batch mode each group is processed once with empty state —

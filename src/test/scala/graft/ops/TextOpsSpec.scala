@@ -85,6 +85,25 @@ class TextOpsSpec extends SparkSpecBase {
     }
   }
 
+  test("codegen kernels: null array -> null, empty array -> identity") {
+    val df = Seq((Option(Seq("a", "b", "c")), Option.empty[Seq[String]]))
+      .toDF("ws", "nil")
+    val r = df.select(
+      TextOps.tokenHashes(col("nil")).as("th_null"),
+      TextOps.wordShingles(col("nil"), 3).as("sh_null"),
+      TextOps.minhashSig(TextOps.shingleHashes3(col("nil")), 4).as("mh_null"),
+      TextOps.wordShingles(split(lit("a b"), " "), 3).as("sh_short"),
+      TextOps.minhashSig(array().cast("array<long>"), 4).as("mh_empty"),
+      TextOps.simhash16(array().cast("array<long>")).as("sim_empty"))
+      .head()
+    assert(r.isNullAt(0) && r.isNullAt(1) && r.isNullAt(2),
+      "null input must propagate null")
+    assert(r.getSeq[String](3).isEmpty, "under-n tokens -> empty shingles")
+    assert(r.getSeq[Long](4) === Seq.fill(4)(TextOps.P),
+      "empty minhash = identity P per permutation")
+    assert(r.getLong(5) === 0L, "empty simhash = 0")
+  }
+
   test("jaccard: exact rational, identical and disjoint extremes") {
     val a = array(lit("x"), lit("y"))
     val b = array(lit("x"), lit("z"))

@@ -80,6 +80,31 @@ class EventStreamsSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("dedupWithinWatermark: duplicate ids dropped across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    import EventStreamsSpec.IdEv
+    val mem = MemoryStream[IdEv]
+    val q = EventStreams
+      .dedupWithinWatermark(mem.toDF(), Seq("event_id"), "1 hour")
+      .writeStream.format("memory").queryName("dedup")
+      .outputMode("append").start()
+    try {
+      mem.addData(IdEv(ts(0), 1L), IdEv(ts(1), 2L), IdEv(ts(1), 1L))
+      q.processAllAvailable()
+      // same id re-sent in a later micro-batch, still inside the horizon
+      mem.addData(IdEv(ts(2), 2L), IdEv(ts(3), 3L))
+      q.processAllAvailable()
+      val ids = spark.sql("SELECT event_id FROM dedup")
+        .collect().map(_.getLong(0)).sorted.toSeq
+      assert(ids === Seq(1L, 2L, 3L))
+    } finally q.stop()
+
+    // batch mode: plain dropDuplicates semantics
+    val b = EventStreams.dedupWithinWatermark(
+      Seq(IdEv(ts(0), 1L), IdEv(ts(5), 1L), IdEv(ts(6), 2L)).toDF())
+    assert(b.count() === 2)
+  }
+
   test("late data beyond the watermark is dropped in append mode") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Ev]
@@ -106,4 +131,5 @@ class EventStreamsSpec extends SparkSpecBase {
 
 object EventStreamsSpec {
   case class Ev(ts: Timestamp, event_type: String, value: Double, user_id: Long)
+  case class IdEv(ts: Timestamp, event_id: Long)
 }

@@ -61,7 +61,8 @@ object SkewOps {
   /** Top-k per hot key without a global sort: per-salt top-k first,
     * then merge — the salted form of TakeOrderedAndProject for the
     * "top N events of THE hot user" shape where one key's rows
-    * overwhelm a single reducer's memory. */
+    * overwhelm a single reducer's memory. `order` should be a total
+    * order (include tie-break columns) for deterministic output. */
   def saltedTopK(df: DataFrame, keys: Seq[String], order: Column, k: Int,
       salts: Int = 16): DataFrame = {
     import org.apache.spark.sql.expressions.Window

@@ -61,7 +61,10 @@ object Bench {
     val errs = results.collect { case (k, _, Some(e)) =>
       "\"" + k + "\":\"" + esc(e) + "\""
     }.mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    // Headline total counts SUCCESSFUL queries only — a slow crash
+    // must not read as "did more work"; failures are visible in the
+    // errors map and as negative per-query durations.
+    val total = results.collect { case (_, v, None) => v }.sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
     spark.stop()
   }

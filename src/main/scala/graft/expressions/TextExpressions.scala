@@ -1,6 +1,6 @@
 package graft.expressions
 
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ImplicitCastInputTypes, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
@@ -30,9 +30,11 @@ object TextExpressions {
     * `fold(h, cp) = (h*31 + codepoint) % P` over the token's Unicode
     * code points — mirrors `ascii()` over DuckDB's `string_split(w,'')`
     * (code points, not UTF-16 units or bytes). */
-  case class PolyHashTokens(child: Expression) extends UnaryExpression {
+  case class PolyHashTokens(child: Expression) extends UnaryExpression
+      with ImplicitCastInputTypes {
     override def prettyName: String = "graft_polyhash_tokens"
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def inputTypes = Seq(ArrayType(StringType))
 
     override def nullSafeEval(a: Any): Any = {
       val arr = a.asInstanceOf[ArrayData]
@@ -69,16 +71,30 @@ object TextExpressions {
 
   /** Shared token-hash kernel (called from generated code too). Walks
     * Unicode code points so multi-byte characters hash identically to
-    * the DuckDB `ascii()`-per-character mirror. */
+    * the DuckDB `ascii()`-per-character mirror — decoded directly from
+    * the UTF8String's bytes (no per-token JVM String allocation in the
+    * hot loop; this kernel exists because allocation-heavy hashing was
+    * the dedup suite's dominant cost). */
   def hashToken(s: UTF8String): Long = {
-    val str = s.toString
+    val n = s.numBytes
     var h = 0L
     var i = 0
-    val n = str.length
     while (i < n) {
-      val cp = str.codePointAt(i)
+      val b0 = s.getByte(i) & 0xff
+      var cp = b0
+      var len = 1
+      if (b0 >= 0x80) {
+        if ((b0 & 0xe0) == 0xc0) { cp = b0 & 0x1f; len = 2 }
+        else if ((b0 & 0xf0) == 0xe0) { cp = b0 & 0x0f; len = 3 }
+        else { cp = b0 & 0x07; len = 4 }
+        var k = 1
+        while (k < len && i + k < n) {
+          cp = (cp << 6) | (s.getByte(i + k) & 0x3f)
+          k += 1
+        }
+      }
       h = (h * 31 + cp) % P
-      i += Character.charCount(cp)
+      i += len
     }
     h
   }
@@ -87,9 +103,11 @@ object TextExpressions {
     * `(th[i]*1009 + th[i+1]*9176 + th[i+2]) % P` for i in 0..n-3
     * (empty when n < 3). NOT deduplicated — wrap in `array_distinct`
     * for set semantics (mirrors the oracle's `list_distinct`). */
-  case class ShingleHashes3(child: Expression) extends UnaryExpression {
+  case class ShingleHashes3(child: Expression) extends UnaryExpression
+      with ImplicitCastInputTypes {
     override def prettyName: String = "graft_shingle_hashes3"
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def inputTypes = Seq(ArrayType(LongType))
 
     override def nullSafeEval(a: Any): Any = {
       val th = a.asInstanceOf[ArrayData]
@@ -132,9 +150,11 @@ object TextExpressions {
     * empty input (P > any value mod P) — the exact arithmetic of
     * [[graft.ops.TextOps.minhashSig]] and the DuckDB oracle. One pass
     * over the hashes, k cheap multiply-adds per element. */
-  case class MinHashSig(child: Expression, k: Int) extends UnaryExpression {
+  case class MinHashSig(child: Expression, k: Int) extends UnaryExpression
+      with ImplicitCastInputTypes {
     override def prettyName: String = "graft_minhash_sig"
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def inputTypes = Seq(ArrayType(LongType))
 
     override def nullSafeEval(a: Any): Any = {
       val hs = a.asInstanceOf[ArrayData]
@@ -185,10 +205,12 @@ object TextExpressions {
     * `ws[i] + " " + ... + ws[i+n-1]`, empty when the doc has fewer than
     * n tokens. NOT deduplicated — wrap in `array_distinct` (mirrors
     * the oracle's `list_distinct` over the same concatenation). */
-  case class WordShingles(child: Expression, n: Int) extends UnaryExpression {
+  case class WordShingles(child: Expression, n: Int) extends UnaryExpression
+      with ImplicitCastInputTypes {
     require(n >= 1)
     override def prettyName: String = "graft_word_shingles"
     override def dataType: DataType = ArrayType(StringType, containsNull = false)
+    override def inputTypes = Seq(ArrayType(StringType))
 
     override def nullSafeEval(a: Any): Any =
       shingleConcat(a.asInstanceOf[ArrayData], n)
@@ -224,9 +246,11 @@ object TextExpressions {
   /** 16-bit SimHash over hashed shingles: bit j set when more than half
     * the hashes have bit j set (strict majority, tie -> 0) — the exact
     * arithmetic of [[graft.ops.TextOps.simhash16]]. */
-  case class SimHash16(child: Expression) extends UnaryExpression {
+  case class SimHash16(child: Expression) extends UnaryExpression
+      with ImplicitCastInputTypes {
     override def prettyName: String = "graft_simhash16"
     override def dataType: DataType = LongType
+    override def inputTypes = Seq(ArrayType(LongType))
 
     override def nullSafeEval(a: Any): Any = {
       val hs = a.asInstanceOf[ArrayData]

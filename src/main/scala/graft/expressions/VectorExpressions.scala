@@ -1,9 +1,9 @@
 package graft.expressions
 
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ImplicitCastInputTypes, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, DoubleType, IntegerType, LongType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType}
 
 /** Native Catalyst expressions for the vector kernels (SURVEY.md §2b
   * similarity search / embedding dedup).
@@ -26,22 +26,15 @@ import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, Double
   */
 object VectorExpressions {
 
-  /** Shared eval/codegen shapes for binary double-array → double. */
-  abstract class DoubleArrayFold extends BinaryExpression {
+  /** Shared input contract: array<double>, with implicit casts so a
+    * SQL caller passing array<float> (e.g. the raw embeddings column)
+    * gets an analyzer-inserted elementwise cast instead of silently
+    * mis-reading 4-byte-packed data as 8-byte doubles. */
+  abstract class DoubleArrayFold extends BinaryExpression
+      with ImplicitCastInputTypes {
     override def dataType: DataType = DoubleType
-    override def checkInputDataTypes()
-        : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
-      def ok(t: DataType) = t match {
-        case ArrayType(DoubleType, _) => true
-        case _ => false
-      }
-      if (ok(left.dataType) && ok(right.dataType))
-        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
-      else
-        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
-          s"$prettyName expects two array<double> inputs, " +
-            s"got ${left.dataType} and ${right.dataType}")
-    }
+    override def inputTypes =
+      Seq(ArrayType(DoubleType), ArrayType(DoubleType))
   }
 
   /** dot(a, b) = Σ a[i]*b[i], accumulated left-to-right (IEEE order
@@ -82,9 +75,11 @@ object VectorExpressions {
   }
 
   /** l2norm(a) = sqrt(Σ a[i]²), same pinned accumulation order. */
-  case class L2Norm(child: Expression) extends UnaryExpression {
+  case class L2Norm(child: Expression) extends UnaryExpression
+      with ImplicitCastInputTypes {
     override def prettyName: String = "graft_l2norm"
     override def dataType: DataType = DoubleType
+    override def inputTypes = Seq(ArrayType(DoubleType))
 
     override def nullSafeEval(a: Any): Any = {
       val x = a.asInstanceOf[ArrayData]
@@ -123,9 +118,10 @@ object VectorExpressions {
     * oracle bit-for-bit — the projection is a left fold in index
     * order). */
   case class HyperplaneBucket(child: Expression, nPlanes: Int)
-      extends UnaryExpression {
+      extends UnaryExpression with ImplicitCastInputTypes {
     override def prettyName: String = "graft_hyperplane_bucket"
     override def dataType: DataType = LongType
+    override def inputTypes = Seq(ArrayType(DoubleType))
 
     override def nullSafeEval(a: Any): Any = {
       val x = a.asInstanceOf[ArrayData]

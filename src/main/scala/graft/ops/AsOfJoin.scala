@@ -41,9 +41,14 @@ object AsOfJoin {
       s"payload columns ${payload.intersect(left.columns).mkString(",")} " +
         "collide with left-side columns")
     val l = left.withColumn(Kind, lit(1))
-    val r = right.select(
-      (Seq(col(rightKey).as(leftKey), col(rightTime).as(leftTime)) ++
-        payload.map(col)): _*)
+    // NULL right keys/times never match in as-of semantics (r.t <= l.t
+    // is NULL), but NULLS FIRST ordering would put them at the head of
+    // the partition and carry their payload everywhere — drop them.
+    val r = right
+      .filter(col(rightKey).isNotNull && col(rightTime).isNotNull)
+      .select(
+        (Seq(col(rightKey).as(leftKey), col(rightTime).as(leftTime)) ++
+          payload.map(col)): _*)
       .withColumn(Kind, lit(0))
     // Right rows (kind 0) sort before left rows (kind 1) at equal
     // times, so a right row AT the left row's time is visible to it.

@@ -32,10 +32,13 @@ object VectorAggregates {
     override def zero: CentroidBuf = CentroidBuf(new Array[Long](dim), 0L)
 
     override def reduce(b: CentroidBuf, v: Array[Long]): CentroidBuf = {
+      // A silent truncate/zero-pad would divide short dims by an
+      // inflated count — wrong means with no error. Fail loudly.
+      require(v.length == dim,
+        s"CentroidAgg(dim=$dim) got a vector of length ${v.length}")
       val s = b.sums
-      val m = math.min(dim, v.length)
       var i = 0
-      while (i < m) { s(i) += v(i); i += 1 }
+      while (i < dim) { s(i) += v(i); i += 1 }
       CentroidBuf(s, b.n + 1)
     }
 

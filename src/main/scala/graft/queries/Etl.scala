@@ -135,7 +135,7 @@ object Etl {
       (s, d) => {
         // Both branches (fact + dim) read the cleaned table; persist
         // the pruned column set once instead of re-running the 6-way
-        // raw build per branch. Only the 4 columns both branches need
+        // raw build per branch. Only the 7 columns the branches need
         // are cached — the full clean frame carries 14 incl. the image
         // URLs. (Bench/Verify clear the cache after each query.)
         val c = clean(s, d)

@@ -44,13 +44,18 @@ object ServingSql {
       |FROM customers GROUP BY `Country`
       |ORDER BY `Customer Count` DESC, `Country` LIMIT $k""".stripMargin)
 
-  /** external-table-queries.sql:28-34 — top states within a country. */
+  /** external-table-queries.sql:28-34 — top states within a country.
+    * The country string binds through a named parameter marker, never
+    * string interpolation (apostrophe-bearing names like "cote
+    * d'ivoire" would break the parse, and raw interpolation is a SQL
+    * injection hole in a serving layer). */
   def topStates(s: SparkSession, country: String, k: Int = 10): DataFrame =
     s.sql(s"""
       |SELECT `Country`, `State`, count(*) AS `Customer Count`
-      |FROM customers WHERE `Country` = '$country'
+      |FROM customers WHERE `Country` = :country
       |GROUP BY `Country`, `State`
-      |ORDER BY `Customer Count` DESC, `State` LIMIT $k""".stripMargin)
+      |ORDER BY `Customer Count` DESC, `State` LIMIT $k""".stripMargin,
+      Map("country" -> country))
 
   /** external-table-queries.sql:36-42 — top authors by average rating. */
   def topAuthors(s: SparkSession, minRatings: Long = 100,

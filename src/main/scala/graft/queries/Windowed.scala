@@ -201,7 +201,12 @@ object Windowed {
           .filter(col("user_id") < 5)
           .select(col("user_id"), col("event_id"),
             expr("ts_sec div 86400").as("day"))
+        // Pre-filter to the probed keys: without it every customer's
+        // orders shuffle and sort through the as-of window only to be
+        // discarded by the final kind filter. (At scale: semi-join
+        // against the left key set instead of a literal predicate.)
         val ords = orders(s, d)
+          .filter(col("o_custkey") < 5)
           .select(col("o_custkey"),
             datediff(col("o_orderdate"), lit("1970-01-01")).cast("long")
               .as("order_day"),

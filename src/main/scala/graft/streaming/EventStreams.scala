@@ -45,11 +45,12 @@ object EventStreams {
     * `dropDuplicates(idCols)`. */
   def dedupWithinWatermark(events: DataFrame,
       idCols: Seq[String] = Seq("event_id"),
-      watermark: String = "2 hours"): DataFrame = {
-    val wm = events.withWatermark("ts", watermark)
-    if (events.isStreaming) wm.dropDuplicatesWithinWatermark(idCols)
+      watermark: String = "2 hours",
+      tsCol: String = "ts"): DataFrame =
+    if (events.isStreaming)
+      events.withWatermark(tsCol, watermark)
+        .dropDuplicatesWithinWatermark(idCols)
     else events.dropDuplicates(idCols)
-  }
 
   /** Typed per-key custom state (the mapGroupsWithState surface):
     * cumulative per-user event counter carried across micro-batches.

@@ -53,6 +53,27 @@ class GraftExtensionsSpec extends SparkSpecBase {
     assert(api.map(_.getLong(1)).toSeq === sql.map(_.getLong(1)).toSeq)
   }
 
+  test("array<float> inputs get an implicit elementwise cast in SQL") {
+    // The raw embeddings column is array<float>; without
+    // ImplicitCastInputTypes the kernel would read 4-byte-packed data
+    // as 8-byte doubles (garbage) or throw at runtime.
+    val f = Seq(Tuple1(Seq(3.0f, 4.0f))).toDF("fv")
+    f.createOrReplaceTempView("ext_floats")
+    assert(spark.sql("SELECT graft_l2norm(fv) AS n FROM ext_floats")
+      .head().getDouble(0) === 5.0)
+    // integer arrays coerce to string arrays (standard implicit cast),
+    // but a non-array input is an analysis error, not silent garbage
+    assert(spark.sql("SELECT graft_polyhash_tokens(array('1', '2')) AS a")
+      .head().getSeq[Long](0) ===
+      spark.sql("SELECT graft_polyhash_tokens(array(1, 2)) AS a")
+        .head().getSeq[Long](0))
+    val e = intercept[Exception] {
+      spark.sql("SELECT graft_polyhash_tokens(42)").collect()
+    }
+    assert(e.getMessage.toLowerCase.contains("type") ||
+      e.getMessage.toLowerCase.contains("cast"))
+  }
+
   test("non-literal cardinality parameter is rejected at analysis") {
     val e = intercept[Exception] {
       spark.sql("SELECT graft_minhash_sig(array(1L), CAST(rand()*4 AS INT))")

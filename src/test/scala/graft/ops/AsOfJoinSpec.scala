@@ -24,6 +24,20 @@ class AsOfJoinSpec extends SparkSpecBase {
       (3L, 5L, None)))         // key with no right rows at all
   }
 
+  test("right rows with NULL time or key never match") {
+    val quotes = Seq(
+      (Some(1L), Some(10L), 100.0),
+      (Some(1L), None, 666.0),     // null time: must not be carried
+      (None, Some(5L), 777.0))     // null key: must not group anywhere
+      .toDF("qk", "qt", "px")
+    val trades = Seq((1L, 9L), (1L, 10L)).toDF("k", "t")
+    val got = AsOfJoin.asofBackward(trades, quotes,
+        "k", "qk", "t", "qt", Seq("px"))
+      .orderBy($"t").collect()
+      .map(r => if (r.isNullAt(2)) None else Some(r.getDouble(2))).toSeq
+    assert(got === Seq(None, Some(100.0)))
+  }
+
   test("matches the naive inequality-join definition on random data") {
     val rnd = new scala.util.Random(7)
     val left = Seq.tabulate(300)(i =>

@@ -13,13 +13,12 @@ object Scratch {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val d = "/root/testdata/sf0.1"
-    spark.range(1000).selectExpr("sum(id)").collect()
-    val name = args.headOption.getOrElse("q30_ngram_jaccard")
+    val name = args.headOption.getOrElse("q40_etl_books_dim")
     val df = SparkEntry.queries(name)(spark, d)
-    df.explain("formatted")
-    val t0 = System.nanoTime()
-    val n = df.count()
-    println(f"[scratch] $name ${(System.nanoTime() - t0) / 1e9}%8.2f s rows=$n")
+    val plan = df.queryExecution.executedPlan.toString
+    println("[scratch] plan mentions Image-URL: " + plan.contains("Image-URL"))
+    println("[scratch] plan mentions Location concat: " + plan.contains("Location"))
+    println("[scratch] plan mentions Age: " + plan.contains("Age"))
     spark.stop()
   }
 }

@@ -61,6 +61,15 @@ class PlanShapeSpec extends SparkSpecBase {
         s"$name plans a CartesianProduct")
   }
 
+  test("ETL plans prune unused derived columns (image URLs, Age)") {
+    // buildRaw synthesizes 3 image-URL concats and Age; queries that
+    // don't consume them must not compute them — Catalyst's
+    // ColumnPruning through cleanNulls' all-column select.
+    val p = plan("q40_etl_books_dim")
+    assert(!p.contains("Image-URL"), "image URLs not pruned from q40")
+    assert(!p.contains("\"Age\"") && !p.contains("AS Age"), "Age not pruned")
+  }
+
   test("group-aggregates run partial+final (map-side combine)") {
     val p = plan("q05_group_agg")
     assert(p.matches("(?s).*HashAggregate.*HashAggregate.*"),

@@ -99,6 +99,51 @@ object TextExpressions {
     h
   }
 
+  /** Count of elements (duplicates included) that belong to a fixed
+    * string set — the marker-scoring / stopword-ratio kernel
+    * (`size(filter(ws, _.isin(set)))` costs one interpreted lambda
+    * frame per token per set; language-ID scores 5 sets per doc).
+    * The set is built once per expression and referenced from the
+    * generated code. */
+  case class CountInSet(child: Expression, set: Seq[String])
+      extends UnaryExpression with ImplicitCastInputTypes {
+    override def prettyName: String = "graft_count_in_set"
+    override def dataType: DataType = LongType
+    override def inputTypes = Seq(ArrayType(StringType))
+
+    @transient private lazy val lookup: java.util.HashSet[UTF8String] = {
+      val s = new java.util.HashSet[UTF8String](set.size * 2)
+      set.foreach(v => s.add(UTF8String.fromString(v)))
+      s
+    }
+
+    override def nullSafeEval(a: Any): Any =
+      countIn(a.asInstanceOf[ArrayData], lookup)
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val cls = TextExpressions.getClass.getName.stripSuffix("$") + "$"
+      val setRef = ctx.addReferenceObj("graftSet", lookup,
+        classOf[java.util.HashSet[UTF8String]].getName)
+      nullSafeCodeGen(ctx, ev, a =>
+        s"${ev.value} = $cls.MODULE$$.countIn($a, $setRef);")
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  /** Membership-count kernel shared by eval and generated code. */
+  def countIn(arr: ArrayData, set: java.util.HashSet[UTF8String]): Long = {
+    val n = arr.numElements()
+    var c = 0L
+    var i = 0
+    while (i < n) {
+      if (set.contains(arr.getUTF8String(i))) c += 1
+      i += 1
+    }
+    c
+  }
+
   /** Adjacent-triple composition of token hashes:
     * `(th[i]*1009 + th[i+1]*9176 + th[i+2]) % P` for i in 0..n-3
     * (empty when n < 3). NOT deduplicated — wrap in `array_distinct`

@@ -3,7 +3,7 @@ package graft.ext
 import graft.expressions.{TextExpressions, VectorExpressions}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.catalyst.expressions.{CreateArray, Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.types.IntegerType
 
 /** SQL surface for graft's native expressions, registered through the
@@ -79,5 +79,16 @@ object GraftExtensions {
       fn("graft_simhash16", "hs",
         "16-bit majority-vote SimHash over hashed shingles") {
         es => TextExpressions.SimHash16(es(0))
+      },
+      fn("graft_count_in_set", "ws, array('a','b',...)",
+        "count of tokens belonging to a literal string set") { es =>
+        val set = es(1) match {
+          case CreateArray(elems, _)
+              if elems.forall(_.isInstanceOf[Literal]) =>
+            elems.map(_.asInstanceOf[Literal].value.toString)
+          case other => throw new IllegalArgumentException(
+            s"graft_count_in_set expects a literal string array, got $other")
+        }
+        TextExpressions.CountInSet(es(0), set)
       })
 }

@@ -71,6 +71,13 @@ object TextOps {
   /** Whitespace tokenization. */
   def tokens(text: Column): Column = split(text, " ")
 
+  /** Count of tokens belonging to a fixed set (duplicates counted) —
+    * codegen'd ([[TextExpressions.CountInSet]]); the marker-scoring /
+    * stopword-ratio kernel. Equivalent to
+    * `size(filter(ws, _.isin(set: _*)))`. */
+  def countInSet(ws: Column, set: Seq[String]): Column =
+    wrap(TextExpressions.CountInSet(unwrap(ws), set))
+
   /** Distinct n-word shingles of a token array; empty when the doc has
     * fewer than n tokens (mirrors DuckDB's empty `range`). Codegen'd
     * ([[TextExpressions.WordShingles]]). */

@@ -34,7 +34,7 @@ object TextAnalysis {
       (s, d) => {
         val ws = TextOps.tokens(col("text"))
         val scores = markers.map { case (l, ms) =>
-          l -> size(filter(ws, t => t.isin(ms: _*)))
+          l -> TextOps.countInSet(ws, ms)
         }
         val pred = markers.map(_._1).foldRight(lit("??")) { case (l, els) =>
           val sl = scores.toMap.apply(l)
@@ -72,7 +72,7 @@ object TextAnalysis {
         documents(s, d)
           .withColumn("n_tokens", size(ws))
           .withColumn("stop_ratio",
-            round(size(filter(ws, t => t.isin("the", "a"))) * lit(1.0)
+            round(TextOps.countInSet(ws, Seq("the", "a")) * lit(1.0)
               / col("n_tokens"), 4))
           .withColumn("distinct_ratio",
             round(size(array_distinct(ws)) * lit(1.0) / col("n_tokens"), 4))

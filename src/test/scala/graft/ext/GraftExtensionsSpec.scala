@@ -74,6 +74,12 @@ class GraftExtensionsSpec extends SparkSpecBase {
       e.getMessage.toLowerCase.contains("cast"))
   }
 
+  test("graft_count_in_set: literal set membership counting from SQL") {
+    assert(spark.sql(
+      "SELECT graft_count_in_set(split('the cat the dog', ' '), " +
+        "array('the', 'dog')) AS c").head().getLong(0) === 3L)
+  }
+
   test("non-literal cardinality parameter is rejected at analysis") {
     val e = intercept[Exception] {
       spark.sql("SELECT graft_minhash_sig(array(1L), CAST(rand()*4 AS INT))")

@@ -75,13 +75,16 @@ class TextOpsSpec extends SparkSpecBase {
       TextOps.simhash16(TextOps.shingleHashes3(ws)).as("sh_c"),
       TextOps.simhash16Hof(TextOps.shingleHashes3(ws)).as("sh_h"),
       TextOps.wordShingles(ws, 3).as("wsh_c"),
-      TextOps.wordShinglesHof(ws, 3).as("wsh_h"))
+      TextOps.wordShinglesHof(ws, 3).as("wsh_h"),
+      TextOps.countInSet(ws, Seq("the", "a", "café")).as("cnt_c"),
+      size(filter(ws, t => t.isin("the", "a", "café"))).cast("long").as("cnt_h"))
       .collect()
     rows.foreach { r =>
       assert(r.getSeq[Long](0) === r.getSeq[Long](1), "tokenHashes")
       assert(r.getSeq[Long](2) === r.getSeq[Long](3), "minhashSig")
       assert(r.getLong(4) === r.getLong(5), "simhash16")
       assert(r.getSeq[String](6) === r.getSeq[String](7), "wordShingles")
+      assert(r.getLong(8) === r.getLong(9), "countInSet")
     }
   }
 

@@ -217,6 +217,31 @@ object Functions {
              |FROM orders GROUP BY o_orderstatus
              |ORDER BY o_orderstatus""".stripMargin)),
 
+    // Explicit GROUPING SETS — the generalization rollup/cube are
+    // shorthands for: independent per-status and per-priority margins
+    // plus the grand total, without the full cross of q15's cube.
+    // Runs through the SQL entry point (the DataFrame API has no
+    // grouping-sets method; SURVEY.md §3 entry point 2).
+    QueryDef(
+      "q53_grouping_sets",
+      (s, d) => {
+        orders(s, d).createOrReplaceTempView("orders_q53")
+        s.sql("""SELECT coalesce(o_orderstatus, 'ALL') AS status,
+                |  coalesce(o_orderpriority, 'ALL') AS priority,
+                |  count(*) AS n_orders,
+                |  round(sum(o_totalprice), 2) AS total_price
+                |FROM orders_q53
+                |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+                |ORDER BY status, priority""".stripMargin)
+      },
+      Some("""SELECT coalesce(o_orderstatus, 'ALL') AS status,
+             |  coalesce(o_orderpriority, 'ALL') AS priority,
+             |  count(*) AS n_orders,
+             |  round(sum(o_totalprice), 2) AS total_price
+             |FROM orders
+             |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+             |ORDER BY status, priority""".stripMargin)),
+
     // Native pivot (wide transpose of q26's manual CASE form).
     QueryDef(
       "q48_pivot",

@@ -186,6 +186,47 @@ object Windowed {
              |GROUP BY user_id, session_id
              |ORDER BY user_id, session_start""".stripMargin)),
 
+    // Distribution window functions: ntile quartiles, percent_rank,
+    // cume_dist, and first/last frame values per customer's order
+    // history. Ordering is fully tie-broken (date then key) so the
+    // rank-derived ratios are deterministic; ratios are micro-unit
+    // integers (floor(x*1e6 + 0.5)) per §7.4 trap 2.
+    QueryDef(
+      "q54_window_distribution",
+      (s, d) => {
+        val w = Window.partitionBy(col("o_custkey"))
+          .orderBy(col("o_orderdate"), col("o_orderkey"))
+        val frame = w.rowsBetween(
+          Window.unboundedPreceding, Window.unboundedFollowing)
+        orders(s, d)
+          .filter(col("o_custkey") < 20)
+          .select(
+            col("o_custkey"), col("o_orderkey"),
+            ntile(4).over(w).as("quartile"),
+            floor(percent_rank().over(w) * 1000000 + 0.5).cast("long")
+              .as("pct_rank_micro"),
+            floor(cume_dist().over(w) * 1000000 + 0.5).cast("long")
+              .as("cume_dist_micro"),
+            first(col("o_orderkey")).over(frame).as("first_order"),
+            last(col("o_orderkey")).over(frame).as("last_order"))
+          .orderBy(col("o_custkey"), col("o_orderkey"))
+      },
+      Some("""SELECT o_custkey, o_orderkey,
+             |  ntile(4) OVER w AS quartile,
+             |  CAST(floor(percent_rank() OVER w * 1000000 + 0.5) AS BIGINT)
+             |    AS pct_rank_micro,
+             |  CAST(floor(cume_dist() OVER w * 1000000 + 0.5) AS BIGINT)
+             |    AS cume_dist_micro,
+             |  first_value(o_orderkey) OVER wf AS first_order,
+             |  last_value(o_orderkey) OVER wf AS last_order
+             |FROM orders WHERE o_custkey < 20
+             |WINDOW w AS (PARTITION BY o_custkey
+             |    ORDER BY o_orderdate, o_orderkey),
+             |  wf AS (PARTITION BY o_custkey
+             |    ORDER BY o_orderdate, o_orderkey
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+             |ORDER BY o_custkey, o_orderkey""".stripMargin)),
+
     // Backward as-of join (graft.ops.AsOfJoin): each event aligned to
     // the customer's most recent order on-or-before the event's day.
     // Spark side is the union + running-last composition (one shuffle,

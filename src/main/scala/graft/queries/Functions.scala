@@ -171,6 +171,35 @@ object Functions {
              |  count(*) AS n
              |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
 
+    // Map-type family: parse the props JSON into map<string,int>
+    // (from_json), explode entries, aggregate per (event_type, key) —
+    // the nested-type surface (§1.3 notes the reference has none; the
+    // events extension carries it). Oracle mirrors with DuckDB's
+    // json_each lateral.
+    QueryDef(
+      "q55_json_map_fns",
+      (s, d) =>
+        events(s, d)
+          .select(col("event_type"),
+            explode(from_json(col("props"), org.apache.spark.sql.types.MapType(
+              org.apache.spark.sql.types.StringType,
+              org.apache.spark.sql.types.IntegerType))).as(Seq("k", "v")))
+          .groupBy(col("event_type"), col("k"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("v")).as("sum_v"),
+            min(col("v")).as("min_v"),
+            max(col("v")).as("max_v"))
+          .orderBy(col("event_type"), col("k")),
+      Some("""SELECT event_type, k, count(*) AS n,
+             |  CAST(sum(CAST(json_extract_string(props, '$.' || k) AS INTEGER))
+             |    AS BIGINT) AS sum_v,
+             |  min(CAST(json_extract_string(props, '$.' || k) AS INTEGER)) AS min_v,
+             |  max(CAST(json_extract_string(props, '$.' || k) AS INTEGER)) AS max_v
+             |FROM (SELECT event_type, props, unnest(json_keys(props)) AS k
+             |      FROM events) t
+             |GROUP BY event_type, k
+             |ORDER BY event_type, k""".stripMargin)),
+
     // CASE WHEN bucketing + conditional aggregation (manual pivot shape).
     QueryDef(
       "q26_case_pivot",
@@ -241,6 +270,109 @@ object Functions {
              |FROM orders
              |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
              |ORDER BY status, priority""".stripMargin)),
+
+    // Statistical aggregates with EXACT cross-engine arithmetic:
+    // var_samp/stddev from integer moment sums (n, Σx, Σx²) — the
+    // quantities are integral doubles, so the sums are exact longs and
+    // var = (n·Σx² − (Σx)²) / (n·(n−1)) is one double division both
+    // engines evaluate identically. Built-in var_samp would drift in
+    // the last ulp with partition order (§7.4 trap 2); this is the
+    // numerically-stable-by-exactness form, emitted in micro/milli
+    // integer units.
+    QueryDef(
+      "q56_variance_exact",
+      (s, d) => {
+        val varExpr = (col("n") * col("s2") - col("s1") * col("s1")) * lit(1.0) /
+          (col("n") * (col("n") - 1))
+        lineitem(s, d)
+          .select(col("l_returnflag"), col("l_linestatus"),
+            col("l_quantity").cast("long").as("q"))
+          .groupBy(col("l_returnflag"), col("l_linestatus"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("q")).as("s1"),
+            sum(col("q") * col("q")).as("s2"))
+          .select(col("l_returnflag"), col("l_linestatus"), col("n"),
+            floor(varExpr * 1000000 + 0.5).cast("long").as("var_micro"),
+            floor(sqrt(varExpr) * 1000 + 0.5).cast("long").as("stddev_milli"))
+          .orderBy(col("l_returnflag"), col("l_linestatus"))
+      },
+      Some("""WITH g AS (SELECT l_returnflag, l_linestatus, count(*) AS n,
+             |    CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS s1,
+             |    CAST(sum(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT))
+             |      AS BIGINT) AS s2
+             |  FROM lineitem GROUP BY 1, 2)
+             |SELECT l_returnflag, l_linestatus, n,
+             |  CAST(floor((n*s2 - s1*s1) * 1.0 / (n * (n - 1)) * 1000000 + 0.5)
+             |    AS BIGINT) AS var_micro,
+             |  CAST(floor(sqrt((n*s2 - s1*s1) * 1.0 / (n * (n - 1))) * 1000 + 0.5)
+             |    AS BIGINT) AS stddev_milli
+             |FROM g ORDER BY l_returnflag, l_linestatus""".stripMargin)),
+
+    // Percentiles: DISCRETE percentiles (actual data values — exact
+    // integers on the quantity domain, no interpolation arithmetic to
+    // match cross-engine) plus the sketch path a 100 TB engine
+    // actually uses — approx_percentile, checked q47-style as a
+    // within-tolerance flag since sketch internals are engine-specific.
+    QueryDef(
+      "q57_percentiles",
+      (s, d) =>
+        lineitem(s, d)
+          .select(col("l_returnflag"), col("l_quantity").cast("long").as("q"))
+          .groupBy(col("l_returnflag"))
+          .agg(
+            expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY q)").as("p50"),
+            expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY q)").as("p90"),
+            expr("approx_percentile(q, 0.5, 1000)").as("ap50"),
+            count(lit(1)).as("n"))
+          .select(col("l_returnflag"),
+            col("p50").cast("long").as("p50"),
+            col("p90").cast("long").as("p90"),
+            (abs(col("ap50") - col("p50")) <= 2).as("approx_p50_close"),
+            col("n"))
+          .orderBy(col("l_returnflag")),
+      Some("""SELECT l_returnflag,
+             |  CAST(quantile_disc(CAST(l_quantity AS BIGINT), 0.5) AS BIGINT) AS p50,
+             |  CAST(quantile_disc(CAST(l_quantity AS BIGINT), 0.9) AS BIGINT) AS p90,
+             |  true AS approx_p50_close,
+             |  count(*) AS n
+             |FROM lineitem GROUP BY l_returnflag
+             |ORDER BY l_returnflag""".stripMargin)),
+
+    // Correlated scalar subqueries (EXISTS was q11/q12): customers
+    // whose total spend exceeds twice their nation's mean account
+    // balance — Catalyst decorrelates both subqueries into aggregates
+    // + joins; exercised through the SQL entry point. All money is
+    // floor(x*100 + 0.5) integer cents and the mean comparison is
+    // cross-multiplied, so the predicate is exact integer arithmetic
+    // in both engines (a float threshold could flip boundary rows on
+    // last-ulp summation differences).
+    QueryDef(
+      "q58_correlated_subquery",
+      (s, d) => {
+        orders(s, d).createOrReplaceTempView("orders_q58")
+        customer(s, d).createOrReplaceTempView("customer_q58")
+        s.sql("""
+          |SELECT c_nationkey, count(*) AS n_above_avg
+          |FROM customer_q58 c
+          |WHERE (SELECT coalesce(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)), 0)
+          |       FROM orders_q58 o WHERE o.o_custkey = c.c_custkey)
+          |     * (SELECT count(*) FROM customer_q58 n
+          |        WHERE n.c_nationkey = c.c_nationkey)
+          |   > (SELECT 2 * sum(CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT))
+          |      FROM customer_q58 n WHERE n.c_nationkey = c.c_nationkey)
+          |GROUP BY c_nationkey
+          |ORDER BY c_nationkey""".stripMargin)
+      },
+      Some("""SELECT c_nationkey, count(*) AS n_above_avg
+             |FROM customer c
+             |WHERE (SELECT coalesce(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)), 0)
+             |       FROM orders o WHERE o.o_custkey = c.c_custkey)
+             |     * (SELECT count(*) FROM customer n
+             |        WHERE n.c_nationkey = c.c_nationkey)
+             |   > (SELECT 2 * CAST(sum(CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)) AS BIGINT)
+             |      FROM customer n WHERE n.c_nationkey = c.c_nationkey)
+             |GROUP BY c_nationkey
+             |ORDER BY c_nationkey""".stripMargin)),
 
     // Native pivot (wide transpose of q26's manual CASE form).
     QueryDef(

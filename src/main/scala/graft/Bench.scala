@@ -61,10 +61,11 @@ object Bench {
     val errs = results.collect { case (k, _, Some(e)) =>
       "\"" + k + "\":\"" + esc(e) + "\""
     }.mkString("{", ",", "}")
-    // Headline total counts SUCCESSFUL queries only — a slow crash
-    // must not read as "did more work"; failures are visible in the
-    // errors map and as negative per-query durations.
-    val total = results.collect { case (_, v, None) => v }.sum
+    // Headline total is wall-clock actually spent, failures included —
+    // excluding a crashed query's elapsed time would make a broken run
+    // compare FASTER than a clean one. Failures stay visible as
+    // negative per-query durations plus the errors map.
+    val total = results.map(_._2).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -84,13 +84,24 @@ object TextExpressions {
       var cp = b0
       var len = 1
       if (b0 >= 0x80) {
+        // Invalid lead bytes (bare continuation 0x80-0xBF, 0xF8-0xFF)
+        // hash as U+FFFD and consume ONE byte — swallowing following
+        // bytes would silently shift every later character's hash.
         if ((b0 & 0xe0) == 0xc0) { cp = b0 & 0x1f; len = 2 }
         else if ((b0 & 0xf0) == 0xe0) { cp = b0 & 0x0f; len = 3 }
-        else { cp = b0 & 0x07; len = 4 }
-        var k = 1
-        while (k < len && i + k < n) {
-          cp = (cp << 6) | (s.getByte(i + k) & 0x3f)
-          k += 1
+        else if ((b0 & 0xf8) == 0xf0) { cp = b0 & 0x07; len = 4 }
+        else { cp = 0xfffd }
+        if (len > 1) {
+          // A truncated or broken trail also degrades to U+FFFD (one
+          // byte consumed) rather than hashing a bit-salvaged value.
+          var k = 1
+          var ok = i + len <= n
+          while (ok && k < len) {
+            val bk = s.getByte(i + k) & 0xff
+            if ((bk & 0xc0) != 0x80) ok = false
+            else { cp = (cp << 6) | (bk & 0x3f); k += 1 }
+          }
+          if (!ok) { cp = 0xfffd; len = 1 }
         }
       }
       h = (h * 31 + cp) % P

@@ -84,10 +84,13 @@ object GraftExtensions {
         "count of tokens belonging to a literal string set") { es =>
         val set = es(1) match {
           case CreateArray(elems, _)
-              if elems.forall(_.isInstanceOf[Literal]) =>
+              if elems.forall(e =>
+                e.isInstanceOf[Literal] &&
+                  e.asInstanceOf[Literal].value != null) =>
             elems.map(_.asInstanceOf[Literal].value.toString)
           case other => throw new IllegalArgumentException(
-            s"graft_count_in_set expects a literal string array, got $other")
+            "graft_count_in_set expects a literal string array " +
+              s"without NULLs, got $other")
         }
         TextExpressions.CountInSet(es(0), set)
       })

@@ -26,6 +26,7 @@ import org.apache.spark.sql.functions._
 object AsOfJoin {
 
   private val Kind = "__asof_kind"
+  private val Payload = "__asof_payload"
 
   /** @param payload right-side columns to attach (null when no right
     *                row is on-or-before the left row's time). */
@@ -34,9 +35,7 @@ object AsOfJoin {
       leftTime: String, rightTime: String,
       payload: Seq[String]): DataFrame = {
     // Payload names must be new columns: a collision would make
-    // unionByName merge left values into the carried payload. Right
-    // payload values must be non-null for the same reason (ignoreNulls
-    // would otherwise mix columns from different right rows).
+    // unionByName merge left values into the carried payload.
     require(payload.intersect(left.columns).isEmpty,
       s"payload columns ${payload.intersect(left.columns).mkString(",")} " +
         "collide with left-side columns")
@@ -44,22 +43,27 @@ object AsOfJoin {
     // NULL right keys/times never match in as-of semantics (r.t <= l.t
     // is NULL), but NULLS FIRST ordering would put them at the head of
     // the partition and carry their payload everywhere — drop them.
+    // The payload travels as ONE struct (non-null for every right row,
+    // null for left rows): `last(ignoreNulls)` then always carries the
+    // whole latest right ROW — per-column carry would skip a legitimate
+    // NULL payload value and resurrect a staler row's value, and could
+    // stitch columns from different right rows into one output.
     val r = right
       .filter(col(rightKey).isNotNull && col(rightTime).isNotNull)
-      .select(
-        (Seq(col(rightKey).as(leftKey), col(rightTime).as(leftTime)) ++
-          payload.map(col)): _*)
+      .select(col(rightKey).as(leftKey), col(rightTime).as(leftTime),
+        struct(payload.map(col): _*).as(Payload))
       .withColumn(Kind, lit(0))
     // Right rows (kind 0) sort before left rows (kind 1) at equal
     // times, so a right row AT the left row's time is visible to it.
     val w = Window.partitionBy(col(leftKey))
       .orderBy(col(leftTime), col(Kind))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    payload
-      .foldLeft(l.unionByName(r, allowMissingColumns = true)) {
-        (df, p) => df.withColumn(p, last(col(p), ignoreNulls = true).over(w))
-      }
+    val carried = l.unionByName(r, allowMissingColumns = true)
+      .withColumn(Payload, last(col(Payload), ignoreNulls = true).over(w))
       .filter(col(Kind) === 1)
-      .drop(Kind)
+    payload
+      .foldLeft(carried)((df, p) =>
+        df.withColumn(p, col(Payload).getField(p)))
+      .drop(Kind, Payload)
   }
 }

@@ -24,6 +24,15 @@ object RangeJoin {
 
   private val B = "__range_bucket"
 
+  /** Exact long floor-division bucket id. Double division
+    * (`floor(c / w)`) is wrong for time values beyond 2^53 — epoch
+    * NANOSECONDS are ~1.7e18, and a ±128 ns rounding moves boundary
+    * points into the wrong bucket, silently dropping pairs. Subtracting
+    * the positive modulus makes the dividend an exact multiple, so
+    * integer `div` equals floor division for negatives too. */
+  private def bucketOf(c: String, w: Long) =
+    expr(s"(`$c` - pmod(`$c`, ${w}L)) div ${w}L")
+
   /** All (point-row ++ interval-row) combinations where
     * `pointCol ∈ [startCol, endCol]` (inclusive). Column names must be
     * disjoint between the two sides. */
@@ -33,12 +42,10 @@ object RangeJoin {
     require(bucketWidth > 0, "bucketWidth must be positive")
     require(points.columns.intersect(intervals.columns).isEmpty,
       "point/interval column names must be disjoint")
-    val p = points
-      .withColumn(B, floor(col(pointCol) / bucketWidth).cast("long"))
+    val p = points.withColumn(B, bucketOf(pointCol, bucketWidth))
     val iv = intervals
       .withColumn(B, explode(sequence(
-        floor(col(startCol) / bucketWidth).cast("long"),
-        floor(col(endCol) / bucketWidth).cast("long"))))
+        bucketOf(startCol, bucketWidth), bucketOf(endCol, bucketWidth))))
     p.join(iv, B)
       .filter(col(pointCol) >= col(startCol) && col(pointCol) <= col(endCol))
       .drop(B)

@@ -20,9 +20,14 @@ import org.apache.spark.sql.functions._
   *    join on (key, salt) — each hot-key reducer handles 1/salts of
   *    the rows.
   *
-  * The salt is `monotonically_increasing_id() % salts`: deterministic
-  * for a given scan order (safe under task retry, unlike rand()), and
-  * independent of row content so identical hot rows still spread. */
+  * The salt is `monotonically_increasing_id() % salts`: independent of
+  * row content, so identical hot rows still spread. Determinism caveat:
+  * it is stable only when the input's per-partition row order is —
+  * true for scan-ordered sources (files), NOT for the output of a
+  * prior shuffle, where a fetch-failure recompute can reorder rows and
+  * reassign salts mid-job (the SPARK-23207 class of bug; rand() has
+  * the same exposure). For salting a post-shuffle frame, checkpoint it
+  * first or derive the salt from stable row content. */
 object SkewOps {
 
   private val SaltCol = "__graft_salt"

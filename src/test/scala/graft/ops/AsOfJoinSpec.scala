@@ -38,6 +38,21 @@ class AsOfJoinSpec extends SparkSpecBase {
     assert(got === Seq(None, Some(100.0)))
   }
 
+  test("latest right row wins even when its payload value is NULL") {
+    val quotes = Seq(
+      (1L, 10L, Some(100.0)),
+      (1L, 20L, None)) // latest on-or-before for t>=20: px must be NULL
+      .toDF("qk", "qt", "px")
+    val trades = Seq((1L, 15L), (1L, 25L)).toDF("k", "t")
+    val got = AsOfJoin.asofBackward(trades, quotes,
+        "k", "qk", "t", "qt", Seq("px"))
+      .orderBy($"t").collect()
+      .map(r => if (r.isNullAt(2)) None else Some(r.getDouble(2))).toSeq
+    // t=15 -> quote@10 (100.0); t=25 -> quote@20 whose px is NULL —
+    // NOT the stale 100.0 from t=10
+    assert(got === Seq(Some(100.0), None))
+  }
+
   test("matches the naive inequality-join definition on random data") {
     val rnd = new scala.util.Random(7)
     val left = Seq.tabulate(300)(i =>

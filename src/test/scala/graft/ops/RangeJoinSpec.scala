@@ -17,6 +17,20 @@ class RangeJoinSpec extends SparkSpecBase {
     assert(got === Seq((2L, 100L), (3L, 100L), (3L, 200L)))
   }
 
+  test("bucket ids stay exact beyond 2^53 (epoch-nanosecond times)") {
+    // Double-division bucketing rounds ~1.7e18 longs by up to ~128 ns,
+    // pushing boundary points into the wrong bucket. Exact long
+    // floor-div must keep every containing pair.
+    val base = 1700000000000000000L // ~2023 in epoch nanos
+    val w = 1000000000L // 1 s buckets
+    val points = Seq((1L, base + w - 1), (2L, base + w), (3L, base + w + 1))
+      .toDF("pid", "t")
+    val ivals = Seq((9L, base + w - 1, base + w + 1)).toDF("iid", "lo", "hi")
+    val got = RangeJoin.pointInInterval(points, "t", ivals, "lo", "hi", w)
+      .select($"pid").collect().map(_.getLong(0)).sorted.toSeq
+    assert(got === Seq(1L, 2L, 3L))
+  }
+
   test("matches the naive BETWEEN join on random data, any bucket width") {
     val rnd = new scala.util.Random(11)
     val points = Seq.tabulate(400)(i => (i.toLong, rnd.nextInt(1000).toLong))

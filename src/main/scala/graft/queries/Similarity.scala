@@ -119,6 +119,93 @@ object Similarity {
              |SELECT probe, bucket, rn, vec_id, cos FROM ranked
              |WHERE rn <= 3 ORDER BY probe, rn""".stripMargin)),
 
+    // IVF (inverted-file) ANN: coarse quantizer = the 10 per-label
+    // centroids (micro-unit integers from the q50 aggregator), every
+    // vector assigned to its NEAREST centroid cell by exact integer
+    // L2²  — micro-quantized elements make dist² an exact long, so
+    // cell assignment is bit-identical cross-engine with no float
+    // order risk. Probes then search ONLY their own cell (~1/10th of
+    // the corpus; at 100 TB the cell scan replaces a full-corpus
+    // sweep and the centroid table stays broadcast-sized). Exact
+    // cosine re-ranks within the cell, rounded + tie-broken.
+    QueryDef(
+      "q59_ann_ivf",
+      (s, d) => {
+        val cAgg = udaf(new graft.ops.VectorAggregates.CentroidAgg(64))
+        val q = embeddings(s, d)
+          .select(col("vec_id"), col("label"),
+            toDouble(col("embedding")).as("v"),
+            transform(toDouble(col("embedding")),
+              x => floor(x * 1000000).cast("long")).as("qv"))
+        val cents = q.groupBy(col("label")).agg(cAgg(col("qv")).as("c"))
+          .select(col("label").as("cent_id"),
+            transform(col("c.sums"),
+              s => floor(s.cast("double") / col("c.n") + 0.5).cast("long"))
+              .as("cent"))
+        // exact integer L2² to each centroid; nearest cell per vector
+        val dist2 = aggregate(
+          zip_with(col("qv"), col("cent"), (x, c) => {
+            val dd = x - c
+            dd * dd
+          }),
+          lit(0L), (acc, t) => acc + t)
+        val assigned = q.join(broadcast(cents), lit(true))
+          .select(col("vec_id"), col("label"), col("v"),
+            col("cent_id"), dist2.as("d2"))
+          .groupBy(col("vec_id"))
+          .agg(min(struct(col("d2"), col("cent_id"))).as("m"),
+            first(col("v")).as("v"))
+          .select(col("vec_id"), col("m.cent_id").as("cell"), col("v"))
+        val probes = assigned.filter(col("vec_id") < 8)
+          .select(col("vec_id").as("probe"), col("cell").as("pcell"),
+            col("v").as("pv"))
+        val w = Window.partitionBy(col("probe"))
+          .orderBy(col("cos").desc, col("vec_id"))
+        broadcast(probes)
+          .join(assigned.filter(col("vec_id") >= 8),
+            col("pcell") === col("cell"))
+          .select(col("probe"), col("pcell").as("cell"), col("vec_id"),
+            round(cosine(col("pv"), col("v")), 4).as("cos"))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 3)
+          .select(col("probe"), col("cell"), col("rn"), col("vec_id"), col("cos"))
+          .orderBy(col("probe"), col("rn"))
+      },
+      Some(s"""WITH e AS (SELECT vec_id, label,
+             |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+             |    list_transform(embedding, x ->
+             |      CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS qv
+             |  FROM embeddings),
+             |u AS (SELECT label, unnest(qv) AS el,
+             |    generate_subscripts(qv, 1) AS pos FROM e),
+             |cm AS (SELECT label, pos,
+             |    CAST(floor(CAST(CAST(sum(el) AS BIGINT) AS DOUBLE) / count(*)
+             |      + 0.5) AS BIGINT) AS cv
+             |  FROM u GROUP BY label, pos),
+             |cents AS (SELECT label AS cent_id,
+             |    list(cv ORDER BY pos) AS cent FROM cm GROUP BY label),
+             |dist AS (SELECT e.vec_id, e.label, e.v, c.cent_id,
+             |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+             |      list_transform(range(1, len(e.qv) + 1),
+             |        i -> (e.qv[i] - c.cent[i]) * (e.qv[i] - c.cent[i]))),
+             |      (a, t) -> a + t) AS d2
+             |  FROM e CROSS JOIN cents c),
+             |assigned AS (SELECT vec_id, v, cent_id AS cell FROM (
+             |    SELECT vec_id, v, cent_id,
+             |      row_number() OVER (PARTITION BY vec_id
+             |        ORDER BY d2, cent_id) AS rn
+             |    FROM dist) t WHERE rn = 1),
+             |scored AS (SELECT p.vec_id AS probe, p.cell AS cell,
+             |    c.vec_id AS vec_id, round(${cosSql("p.v", "c.v")}, 4) AS cos
+             |  FROM assigned p JOIN assigned c
+             |    ON p.vec_id < 8 AND c.vec_id >= 8 AND p.cell = c.cell),
+             |ranked AS (SELECT probe, cell, vec_id, cos,
+             |    row_number() OVER (PARTITION BY probe
+             |      ORDER BY cos DESC, vec_id) AS rn
+             |  FROM scored)
+             |SELECT probe, cell, rn, vec_id, cos FROM ranked
+             |WHERE rn <= 3 ORDER BY probe, rn""".stripMargin)),
+
     // Per-label centroid via the typed Aggregator (SURVEY.md §2b
     // UDF/UDAF row): ONE pass, partial buffers shuffle instead of one
     // row per vector element (the posexplode->groupBy form shuffles

@@ -111,6 +111,54 @@ object VectorExpressions {
       copy(child = newChild)
   }
 
+  /** Squared L2 distance between two quantized integer vectors —
+    * an EXACT long (elements ≤ ~1e7 ⇒ squares ≤ 4e14, 64-dim sums
+    * ≤ 2.6e16 < 2^63), which is what makes IVF cell assignment
+    * bit-identical cross-engine; a double accumulator would lose
+    * exactness past 2^53. */
+  case class L2DistSq(left: Expression, right: Expression)
+      extends BinaryExpression with ImplicitCastInputTypes {
+    override def prettyName: String = "graft_l2distsq"
+    override def dataType: DataType = LongType
+    override def inputTypes =
+      Seq(ArrayType(LongType), ArrayType(LongType))
+
+    override def nullSafeEval(a: Any, b: Any): Any = {
+      val x = a.asInstanceOf[ArrayData]
+      val y = b.asInstanceOf[ArrayData]
+      val n = math.min(x.numElements(), y.numElements())
+      var s = 0L
+      var i = 0
+      while (i < n) {
+        val d = x.getLong(i) - y.getLong(i)
+        s += d * d
+        i += 1
+      }
+      s
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) => {
+        val i = ctx.freshName("i")
+        val n = ctx.freshName("n")
+        val s = ctx.freshName("s")
+        val dd = ctx.freshName("d")
+        s"""
+           |final int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+           |long $s = 0L;
+           |for (int $i = 0; $i < $n; $i++) {
+           |  final long $dd = $a.getLong($i) - $b.getLong($i);
+           |  $s += $dd * $dd;
+           |}
+           |${ev.value} = $s;
+         """.stripMargin
+      })
+
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): Expression =
+      copy(left = newLeft, right = newRight)
+  }
+
   /** Random-hyperplane LSH bucket id in [0, 2^nPlanes): bit j is the
     * sign of v · plane_j, with the deterministic integer-exact plane
     * family `plane_j[i] = ((j*64 + i) * 2654435761) % 2001 - 1000`

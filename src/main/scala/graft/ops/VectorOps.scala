@@ -41,6 +41,11 @@ object VectorOps {
 
   def l2norm(a: Column): Column = col(L2Norm(expr(a)))
 
+  /** Exact integer squared L2 distance over quantized long vectors —
+    * codegen'd loop (the IVF cell-assignment kernel). */
+  def l2DistSq(a: Column, b: Column): Column =
+    col(graft.expressions.VectorExpressions.L2DistSq(expr(a), expr(b)))
+
   /** Cosine similarity of two double arrays. */
   def cosine(a: Column, b: Column): Column = dot(a, b) / (l2norm(a) * l2norm(b))
 

@@ -142,16 +142,11 @@ object Similarity {
             transform(col("c.sums"),
               s => floor(s.cast("double") / col("c.n") + 0.5).cast("long"))
               .as("cent"))
-        // exact integer L2² to each centroid; nearest cell per vector
-        val dist2 = aggregate(
-          zip_with(col("qv"), col("cent"), (x, c) => {
-            val dd = x - c
-            dd * dd
-          }),
-          lit(0L), (acc, t) => acc + t)
+        // exact integer L2² to each centroid (codegen kernel);
+        // nearest cell per vector
         val assigned = q.join(broadcast(cents), lit(true))
           .select(col("vec_id"), col("label"), col("v"),
-            col("cent_id"), dist2.as("d2"))
+            col("cent_id"), l2DistSq(col("qv"), col("cent")).as("d2"))
           .groupBy(col("vec_id"))
           .agg(min(struct(col("d2"), col("cent_id"))).as("m"),
             first(col("v")).as("v"))

@@ -47,6 +47,17 @@ class VectorOpsSpec extends SparkSpecBase {
     }
   }
 
+  test("l2DistSq: exact integer distance, matches the HOF fold") {
+    val df = Seq((Seq(3L, -4L, 10000000L), Seq(0L, 0L, -10000000L)))
+      .toDF("a", "b")
+    val got = df.select(
+      VectorOps.l2DistSq(col("a"), col("b")).as("c"),
+      aggregate(zip_with(col("a"), col("b"), (x, y) => (x - y) * (x - y)),
+        lit(0L), (s, t) => s + t).as("h")).head()
+    assert(got.getLong(0) === got.getLong(1))
+    assert(got.getLong(0) === 9L + 16L + 400000000000000L)
+  }
+
   test("hyperplaneBucket: bounded, deterministic, sign-sensitive") {
     val v = arr((1 to 64).map(_.toDouble / 10): _*)
     val b1 = calc(VectorOps.hyperplaneBucket(v, 8)).asInstanceOf[Long]

@@ -60,6 +60,10 @@ object GraftExtensions {
         es => VectorExpressions.HyperplaneBucket(
           es(0), litInt("graft_hyperplane_bucket", es(1)))
       },
+      fn("graft_l2distsq", "a, b",
+        "exact squared L2 distance between quantized array<bigint> vectors") {
+        es => VectorExpressions.L2DistSq(es(0), es(1))
+      },
       fn("graft_polyhash_tokens", "ws",
         "per-token polynomial rolling hash (mod 1e9+7) of array<string>") {
         es => TextExpressions.PolyHashTokens(es(0))

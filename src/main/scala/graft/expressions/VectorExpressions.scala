@@ -126,7 +126,13 @@ object VectorExpressions {
     override def nullSafeEval(a: Any, b: Any): Any = {
       val x = a.asInstanceOf[ArrayData]
       val y = b.asInstanceOf[ArrayData]
-      val n = math.min(x.numElements(), y.numElements())
+      // Mismatched dimensions fail loudly: a silent truncate returns an
+      // underestimated distance (wrong IVF cell, no error) — same
+      // contract as CentroidAgg.
+      if (x.numElements() != y.numElements())
+        throw new IllegalArgumentException(
+          s"graft_l2distsq: dimension mismatch ${x.numElements()} vs ${y.numElements()}")
+      val n = x.numElements()
       var s = 0L
       var i = 0
       while (i < n) {
@@ -144,7 +150,11 @@ object VectorExpressions {
         val s = ctx.freshName("s")
         val dd = ctx.freshName("d")
         s"""
-           |final int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+           |final int $n = $a.numElements();
+           |if ($n != $b.numElements()) {
+           |  throw new IllegalArgumentException(
+           |    "graft_l2distsq: dimension mismatch " + $n + " vs " + $b.numElements());
+           |}
            |long $s = 0L;
            |for (int $i = 0; $i < $n; $i++) {
            |  final long $dd = $a.getLong($i) - $b.getLong($i);

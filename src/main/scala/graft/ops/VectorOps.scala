@@ -42,9 +42,23 @@ object VectorOps {
   def l2norm(a: Column): Column = col(L2Norm(expr(a)))
 
   /** Exact integer squared L2 distance over quantized long vectors —
-    * codegen'd loop (the IVF cell-assignment kernel). */
+    * codegen'd loop (the IVF cell-assignment kernel). Throws on
+    * dimension mismatch (a silent truncate would underestimate). */
   def l2DistSq(a: Column, b: Column): Column =
     col(graft.expressions.VectorExpressions.L2DistSq(expr(a), expr(b)))
+
+  /** Micro-unit quantization: `floor(x * 1e6)` per element as long —
+    * THE shared scale for every exact-integer vector computation
+    * (q50 centroids, q59 IVF assignment). One definition so the
+    * quantizer can never desynchronize between them. */
+  def microQuantize(v: Column): Column =
+    transform(toDouble(v), x => floor(x * 1000000).cast("long"))
+
+  /** Rounded micro-unit mean from a (sum, count) pair:
+    * `floor(sum / n + 0.5)` — the centroid component formula shared by
+    * q50's checked output and q59's coarse quantizer. */
+  def centroidMicro(sum: Column, n: Column): Column =
+    floor(sum.cast("double") / n + 0.5).cast("long")
 
   /** Cosine similarity of two double arrays. */
   def cosine(a: Column, b: Column): Column = dot(a, b) / (l2norm(a) * l2norm(b))

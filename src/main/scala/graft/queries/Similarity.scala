@@ -132,18 +132,23 @@ object Similarity {
       "q59_ann_ivf",
       (s, d) => {
         val cAgg = udaf(new graft.ops.VectorAggregates.CentroidAgg(64))
+        // repartition: single-row-group testdata parquet = one input
+        // split; the quantize + 10-way distance stage is CPU-bound.
         val q = embeddings(s, d)
+          .repartition(s.sparkContext.defaultParallelism)
           .select(col("vec_id"), col("label"),
             toDouble(col("embedding")).as("v"),
-            transform(toDouble(col("embedding")),
-              x => floor(x * 1000000).cast("long")).as("qv"))
+            microQuantize(col("embedding")).as("qv"))
         val cents = q.groupBy(col("label")).agg(cAgg(col("qv")).as("c"))
           .select(col("label").as("cent_id"),
-            transform(col("c.sums"),
-              s => floor(s.cast("double") / col("c.n") + 0.5).cast("long"))
+            transform(col("c.sums"), s => centroidMicro(s, col("c.n")))
               .as("cent"))
         // exact integer L2² to each centroid (codegen kernel);
-        // nearest cell per vector
+        // nearest cell per vector. Persisted: probes and corpus are
+        // both slices of it, and the assignment lineage contains two
+        // shuffles + the UDAF — re-deriving it per join branch would
+        // double the whole pipeline (the multiply-referenced-corpus
+        // rule from the dedup suite).
         val assigned = q.join(broadcast(cents), lit(true))
           .select(col("vec_id"), col("label"), col("v"),
             col("cent_id"), l2DistSq(col("qv"), col("cent")).as("d2"))
@@ -151,6 +156,7 @@ object Similarity {
           .agg(min(struct(col("d2"), col("cent_id"))).as("m"),
             first(col("v")).as("v"))
           .select(col("vec_id"), col("m.cent_id").as("cell"), col("v"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val probes = assigned.filter(col("vec_id") < 8)
           .select(col("vec_id").as("probe"), col("cell").as("pcell"),
             col("v").as("pv"))
@@ -214,19 +220,18 @@ object Similarity {
       (s, d) => {
         val cAgg = udaf(new graft.ops.VectorAggregates.CentroidAgg(64))
         embeddings(s, d)
-          .select(col("label"),
-            transform(toDouble(col("embedding")),
-              x => floor(x * 1000000).cast("long")).as("q"))
+          .select(col("label"), microQuantize(col("embedding")).as("q"))
           .groupBy(col("label"))
           .agg(cAgg(col("q")).as("c"))
           .select(col("label"), col("c.n").as("n_vectors"),
             posexplode(col("c.sums")).as(Seq("dim", "sum_q")))
-          // Micro-unit output: floor(mean + 0.5) in the quantized space
-          // — one double division then integer floor, no round() whose
-          // tie rules differ between engines (§7.4 trap 2).
+          // Micro-unit output (centroidMicro): floor(mean + 0.5) in the
+          // quantized space — one double division then integer floor,
+          // no round() whose tie rules differ between engines (§7.4
+          // trap 2). Same helper as q59's coarse quantizer.
           .select(col("label"), col("dim"),
-            floor(col("sum_q").cast("double") / col("n_vectors") + 0.5)
-              .cast("long").as("centroid_micro"),
+            centroidMicro(col("sum_q"), col("n_vectors"))
+              .as("centroid_micro"),
             col("n_vectors"))
           .orderBy(col("label"), col("dim"))
       },

@@ -74,6 +74,22 @@ class GraftExtensionsSpec extends SparkSpecBase {
       e.getMessage.toLowerCase.contains("cast"))
   }
 
+  test("graft_l2distsq: exact integer distance from SQL, int coercion") {
+    assert(spark.sql(
+      "SELECT graft_l2distsq(array(3L, 0L), array(0L, 4L)) AS d")
+      .head().getLong(0) === 25L)
+    // array<int> coerces to array<bigint> via ImplicitCastInputTypes
+    assert(spark.sql(
+      "SELECT graft_l2distsq(array(1, 2), array(2, 4)) AS d")
+      .head().getLong(0) === 5L)
+    // dimension mismatch fails loudly, never a truncated distance
+    val e = intercept[Exception] {
+      spark.sql("SELECT graft_l2distsq(array(1L), array(1L, 2L))").collect()
+    }
+    assert(e.getMessage.contains("dimension mismatch") ||
+      Option(e.getCause).exists(_.getMessage.contains("dimension mismatch")))
+  }
+
   test("graft_count_in_set: literal set membership counting from SQL") {
     assert(spark.sql(
       "SELECT graft_count_in_set(split('the cat the dog', ' '), " +

@@ -374,6 +374,32 @@ object Functions {
              |GROUP BY c_nationkey
              |ORDER BY c_nationkey""".stripMargin)),
 
+    // SQL-lambda higher-order functions (transform / filter /
+    // aggregate as SQL syntax) plus array_join — the lambda surface a
+    // SQL user of the engine writes directly, mirrored by DuckDB's
+    // list_transform / list_filter / list_reduce.
+    QueryDef(
+      "q60_sql_higher_order",
+      (s, d) =>
+        part(s, d)
+          .select(col("p_partkey"),
+            expr("CAST(size(filter(split(p_name, ' '), t -> length(t) > 4)) AS BIGINT)")
+              .as("n_long"),
+            expr("CAST(aggregate(split(p_name, ' '), 0, (a, x) -> a + length(x)) AS BIGINT)")
+              .as("total_chars"),
+            expr("array_join(transform(split(p_name, ' '), x -> upper(x)), '-')")
+              .as("upper_joined"))
+          .orderBy(col("p_partkey")),
+      Some("""SELECT p_partkey,
+             |  CAST(len(list_filter(string_split(p_name, ' '),
+             |    t -> length(t) > 4)) AS BIGINT) AS n_long,
+             |  CAST(list_reduce(list_prepend(0,
+             |    list_transform(string_split(p_name, ' '), x -> length(x))),
+             |    (a, b) -> a + b) AS BIGINT) AS total_chars,
+             |  array_to_string(list_transform(string_split(p_name, ' '),
+             |    x -> upper(x)), '-') AS upper_joined
+             |FROM part ORDER BY p_partkey""".stripMargin)),
+
     // Native pivot (wide transpose of q26's manual CASE form).
     QueryDef(
       "q48_pivot",

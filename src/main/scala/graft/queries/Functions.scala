@@ -400,6 +400,26 @@ object Functions {
              |    x -> upper(x)), '-') AS upper_joined
              |FROM part ORDER BY p_partkey""".stripMargin)),
 
+    // Salted two-phase aggregation under the differential gate:
+    // l_returnflag has 3 values over 600k rows — exactly the hot-key
+    // shape SkewOps exists for (every key is "hot"). The salted
+    // (key, salt) partial + merge must equal the plain group-by, so
+    // the oracle is simply the unsalted SQL.
+    QueryDef(
+      "q61_salted_agg",
+      (s, d) =>
+        graft.ops.SkewOps.saltedSumCount(
+            lineitem(s, d)
+              .select(col("l_returnflag"),
+                col("l_quantity").cast("long").as("qty")),
+            Seq("l_returnflag"), "qty", salts = 16)
+          .orderBy(col("l_returnflag")),
+      Some("""SELECT l_returnflag,
+             |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+             |  count(*) AS n_rows
+             |FROM lineitem GROUP BY l_returnflag
+             |ORDER BY l_returnflag""".stripMargin)),
+
     // Native pivot (wide transpose of q26's manual CASE form).
     QueryDef(
       "q48_pivot",

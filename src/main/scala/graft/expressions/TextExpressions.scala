@@ -42,7 +42,7 @@ object TextExpressions {
       val out = new Array[Long](n)
       var k = 0
       while (k < n) {
-        out(k) = hashToken(arr.getUTF8String(k))
+        out(k) = hashTokenAt(arr, k)
         k += 1
       }
       new GenericArrayData(out)
@@ -58,7 +58,7 @@ object TextExpressions {
            |final int $n = $a.numElements();
            |final long[] $out = new long[$n];
            |for (int $k = 0; $k < $n; $k++) {
-           |  $out[$k] = $cls.MODULE$$.hashToken($a.getUTF8String($k));
+           |  $out[$k] = $cls.MODULE$$.hashTokenAt($a, $k);
            |}
            |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
          """.stripMargin
@@ -67,6 +67,19 @@ object TextExpressions {
 
     override protected def withNewChildInternal(newChild: Expression): Expression =
       copy(child = newChild)
+  }
+
+  /** Element accessor for [[PolyHashTokens]] (eval + generated code).
+    * The output type declares containsNull=false, so a NULL input token
+    * must fail loudly — the internal pipeline never produces one
+    * (`split` yields no null tokens), but the expression is exposed to
+    * arbitrary SQL as graft_polyhash_tokens, where `array('a', NULL)`
+    * would otherwise NPE deep inside the hash loop. */
+  def hashTokenAt(arr: ArrayData, i: Int): Long = {
+    if (arr.isNullAt(i)) throw new IllegalArgumentException(
+      s"graft_polyhash_tokens: NULL token at index $i " +
+        "(input array must have non-null elements)")
+    hashToken(arr.getUTF8String(i))
   }
 
   /** Shared token-hash kernel (called from generated code too). Walks
@@ -208,6 +221,10 @@ object TextExpressions {
     * over the hashes, k cheap multiply-adds per element. */
   case class MinHashSig(child: Expression, k: Int) extends UnaryExpression
       with ImplicitCastInputTypes {
+    // Analysis-time failure (SQL callers reach this via graft_minhash_sig);
+    // unvalidated, a negative k would NegativeArraySizeException per-row
+    // at execution instead.
+    require(k >= 1, s"graft_minhash_sig: k must be >= 1, got $k")
     override def prettyName: String = "graft_minhash_sig"
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
     override def inputTypes = Seq(ArrayType(LongType))

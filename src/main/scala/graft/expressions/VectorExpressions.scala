@@ -177,6 +177,11 @@ object VectorExpressions {
     * order). */
   case class HyperplaneBucket(child: Expression, nPlanes: Int)
       extends UnaryExpression with ImplicitCastInputTypes {
+    // Analysis-time bounds: beyond 63 the bucket bit `1L << j` silently
+    // wraps (j is masked mod 64 by the JVM shift) — duplicate planes,
+    // not an error, unless rejected here.
+    require(nPlanes >= 1 && nPlanes <= 63,
+      s"graft_hyperplane_bucket: nPlanes must be in [1, 63], got $nPlanes")
     override def prettyName: String = "graft_hyperplane_bucket"
     override def dataType: DataType = LongType
     override def inputTypes = Seq(ArrayType(DoubleType))

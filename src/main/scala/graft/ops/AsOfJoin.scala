@@ -39,6 +39,14 @@ object AsOfJoin {
     require(payload.intersect(left.columns).isEmpty,
       s"payload columns ${payload.intersect(left.columns).mkString(",")} " +
         "collide with left-side columns")
+    // The internal marker/payload columns are added with withColumn,
+    // which silently REPLACES a same-named input column — corrupting
+    // results rather than failing. Reject frames that carry them.
+    val reserved = Seq(Kind, Payload)
+    val clash = (left.columns ++ right.columns).intersect(reserved)
+    require(clash.isEmpty,
+      s"input columns ${clash.mkString(",")} collide with asofBackward's " +
+        s"reserved internal names (${reserved.mkString(", ")})")
     val l = left.withColumn(Kind, lit(1))
     // NULL right keys/times never match in as-of semantics (r.t <= l.t
     // is NULL), but NULLS FIRST ordering would put them at the head of

@@ -282,8 +282,13 @@ object Functions {
     QueryDef(
       "q56_variance_exact",
       (s, d) => {
-        val varExpr = (col("n") * col("s2") - col("s1") * col("s1")) * lit(1.0) /
+        // Singleton-group guard: n=1 divides by zero — Infinity, which
+        // Spark casts to Long.MaxValue while DuckDB ERRORS on
+        // CAST(inf AS BIGINT). var_samp of one sample is undefined, so
+        // emit NULL (what built-in var_samp does) in both engines.
+        val varExpr0 = (col("n") * col("s2") - col("s1") * col("s1")) * lit(1.0) /
           (col("n") * (col("n") - 1))
+        val varExpr = when(col("n") > 1, varExpr0)
         lineitem(s, d)
           .select(col("l_returnflag"), col("l_linestatus"),
             col("l_quantity").cast("long").as("q"))
@@ -302,10 +307,12 @@ object Functions {
              |      AS BIGINT) AS s2
              |  FROM lineitem GROUP BY 1, 2)
              |SELECT l_returnflag, l_linestatus, n,
-             |  CAST(floor((n*s2 - s1*s1) * 1.0 / (n * (n - 1)) * 1000000 + 0.5)
-             |    AS BIGINT) AS var_micro,
-             |  CAST(floor(sqrt((n*s2 - s1*s1) * 1.0 / (n * (n - 1))) * 1000 + 0.5)
-             |    AS BIGINT) AS stddev_milli
+             |  CAST(floor(CASE WHEN n > 1
+             |      THEN (n*s2 - s1*s1) * 1.0 / (n * (n - 1)) END
+             |    * 1000000 + 0.5) AS BIGINT) AS var_micro,
+             |  CAST(floor(sqrt(CASE WHEN n > 1
+             |      THEN (n*s2 - s1*s1) * 1.0 / (n * (n - 1)) END)
+             |    * 1000 + 0.5) AS BIGINT) AS stddev_milli
              |FROM g ORDER BY l_returnflag, l_linestatus""".stripMargin)),
 
     // Percentiles: DISCRETE percentiles (actual data values — exact

@@ -25,7 +25,16 @@ object ServingSql {
     Bookstore.ratingsFact(clean).createOrReplaceTempView("ratings")
   }
 
-  /** external-table-queries.sql:13-19 — top books by average rating. */
+  /** external-table-queries.sql:13-19 — top books by average rating.
+    *
+    * Intentional grain deviation: the reference SQL groups by
+    * `book-title` alone (external-table-queries.sql:16); this groups by
+    * (ISBN, Book-Title) — matching the ETL side's Top100Books grain
+    * (workflow/Transformer.py:99, code-over-docs per SURVEY.md §2a) and
+    * adding a deterministic key. When one title spans multiple ISBNs
+    * the two grains diverge; the ETL grain is the one the mart's
+    * `top100books` table actually carries, so the serving layer follows
+    * it. */
   def topBooksByRating(s: SparkSession, minRatings: Long = 100,
       k: Int = 100): DataFrame =
     s.sql(s"""

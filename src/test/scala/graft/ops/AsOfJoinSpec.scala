@@ -76,4 +76,18 @@ class AsOfJoinSpec extends SparkSpecBase {
       df.collect().map(_.mkString("|")).sorted.toSeq
     assert(c(composed) === c(naive))
   }
+
+  test("frames carrying the reserved internal names are rejected") {
+    val right = Seq((1L, 10L, 1.0)).toDF("rk", "rt", "px")
+    // withColumn would silently overwrite these, corrupting results.
+    val badLeft = Seq((1L, 10L, 0)).toDF("k", "t", "__asof_kind")
+    intercept[IllegalArgumentException] {
+      AsOfJoin.asofBackward(badLeft, right, "k", "rk", "t", "rt", Seq("px"))
+    }
+    val badRight = Seq((1L, 10L, 1.0, 0)).toDF("rk", "rt", "px", "__asof_payload")
+    intercept[IllegalArgumentException] {
+      AsOfJoin.asofBackward(Seq((1L, 10L)).toDF("k", "t"),
+        badRight, "k", "rk", "t", "rt", Seq("px"))
+    }
+  }
 }

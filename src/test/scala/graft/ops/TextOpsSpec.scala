@@ -113,4 +113,35 @@ class TextOpsSpec extends SparkSpecBase {
     assert(one(TextOps.jaccard(a, a)) === 1.0)
     assert(one(TextOps.jaccard(a, b)) === 0.3333)
   }
+
+  test("cardinality params fail at construction, not per-row") {
+    import graft.expressions.{TextExpressions, VectorExpressions}
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    intercept[IllegalArgumentException] {
+      TextExpressions.MinHashSig(Literal(1L), 0)
+    }
+    intercept[IllegalArgumentException] {
+      TextExpressions.MinHashSig(Literal(1L), -3)
+    }
+    intercept[IllegalArgumentException] {
+      VectorExpressions.HyperplaneBucket(Literal(1.0), 64)
+    }
+    intercept[IllegalArgumentException] {
+      VectorExpressions.HyperplaneBucket(Literal(1.0), 0)
+    }
+  }
+
+  test("polyhash of a NULL token fails with a descriptive error") {
+    val e = intercept[Exception] {
+      Seq("x").toDF("t")
+        .select(TextOps.tokenHashes(
+          array(lit("a"), lit(null).cast("string"))))
+        .head()
+    }
+    // The message must name the function — SQL callers can reach this
+    // with graft_polyhash_tokens(array('a', NULL)).
+    assert(e.getMessage.contains("graft_polyhash_tokens") ||
+      e.getCause != null &&
+        e.getCause.getMessage.contains("graft_polyhash_tokens"))
+  }
 }

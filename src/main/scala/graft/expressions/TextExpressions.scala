@@ -316,24 +316,31 @@ object TextExpressions {
     new GenericArrayData(out)
   }
 
-  /** 16-bit SimHash over hashed shingles: bit j set when more than half
-    * the hashes have bit j set (strict majority, tie -> 0) — the exact
-    * arithmetic of [[graft.ops.TextOps.simhash16]]. */
-  case class SimHash16(child: Expression) extends UnaryExpression
+  /** `bits`-wide SimHash over hashed shingles: bit j set when more than
+    * half the hashes have bit j set (strict majority, tie -> 0) — the
+    * exact arithmetic of [[graft.ops.TextOps.simhashBits]]. Note the
+    * useful width is bounded by the input hash domain: over the mod-P
+    * parity hashes only bits 0..29 ever vary (P ≈ 2^30), so wider
+    * signatures gain nothing there; over xxhash64 inputs up to 62 bits
+    * are meaningful. */
+  case class SimHashBits(child: Expression, bits: Int) extends UnaryExpression
       with ImplicitCastInputTypes {
-    override def prettyName: String = "graft_simhash16"
+    // 62 keeps `1L << j` and the oracle's power(2, j) BIGINT-exact.
+    require(bits >= 1 && bits <= 62,
+      s"graft_simhash: bits must be in [1, 62], got $bits")
+    override def prettyName: String = "graft_simhash"
     override def dataType: DataType = LongType
     override def inputTypes = Seq(ArrayType(LongType))
 
     override def nullSafeEval(a: Any): Any = {
       val hs = a.asInstanceOf[ArrayData]
       val n = hs.numElements()
-      val counts = new Array[Long](16)
+      val counts = new Array[Long](bits)
       var i = 0
       while (i < n) {
         val h = hs.getLong(i)
         var j = 0
-        while (j < 16) {
+        while (j < bits) {
           counts(j) += (h >> j) & 1L
           j += 1
         }
@@ -341,7 +348,7 @@ object TextExpressions {
       }
       var sim = 0L
       var j = 0
-      while (j < 16) {
+      while (j < bits) {
         if (counts(j) * 2 > n) sim |= 1L << j
         j += 1
       }
@@ -358,15 +365,15 @@ object TextExpressions {
         val sim = ctx.freshName("sim")
         s"""
            |final int $n = $a.numElements();
-           |final long[] $counts = new long[16];
+           |final long[] $counts = new long[$bits];
            |for (int $i = 0; $i < $n; $i++) {
            |  final long $h = $a.getLong($i);
-           |  for (int $j = 0; $j < 16; $j++) {
+           |  for (int $j = 0; $j < $bits; $j++) {
            |    $counts[$j] += ($h >> $j) & 1L;
            |  }
            |}
            |long $sim = 0L;
-           |for (int $j = 0; $j < 16; $j++) {
+           |for (int $j = 0; $j < $bits; $j++) {
            |  if ($counts[$j] * 2 > $n) $sim |= 1L << $j;
            |}
            |${ev.value} = $sim;

@@ -82,7 +82,11 @@ object GraftExtensions {
       },
       fn("graft_simhash16", "hs",
         "16-bit majority-vote SimHash over hashed shingles") {
-        es => TextExpressions.SimHash16(es(0))
+        es => TextExpressions.SimHashBits(es(0), 16)
+      },
+      fn("graft_simhash", "hs, bits",
+        "bits-wide majority-vote SimHash over hashed shingles") {
+        es => TextExpressions.SimHashBits(es(0), litInt("graft_simhash", es(1)))
       },
       fn("graft_count_in_set", "ws, array('a','b',...)",
         "count of tokens belonging to a literal string set") { es =>

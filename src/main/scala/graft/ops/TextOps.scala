@@ -137,35 +137,43 @@ object TextOps {
         (Seq(b.cast("string")) ++
           (1 to r).map(i => element_at(sig, b * r + i).cast("string"))): _*))
 
-  /** 16-bit SimHash over hashed shingles. Bit j is set when more than
-    * half the shingle hashes have bit j set (tie -> 0, same rule both
-    * engines; the oracle's floor-div by 2^j equals the shift-and-mask
-    * here for the nonnegative mod-P hashes). Codegen'd
-    * ([[TextExpressions.SimHash16]]). */
-  def simhash16(hashes: Column): Column =
-    wrap(TextExpressions.SimHash16(unwrap(hashes)))
+  /** `bits`-wide SimHash over hashed shingles. Bit j is set when more
+    * than half the shingle hashes have bit j set (tie -> 0, same rule
+    * both engines; the oracle's floor-div by 2^j equals the
+    * shift-and-mask here for the nonnegative hashes). Codegen'd
+    * ([[TextExpressions.SimHashBits]]). Over the mod-P parity hashes
+    * only bits 0..29 vary (P ≈ 2^30); use 30 there, wider only over
+    * xxhash64 inputs. */
+  def simhashBits(hashes: Column, bits: Int): Column =
+    wrap(TextExpressions.SimHashBits(unwrap(hashes), bits))
 
-  /** Interpreted HOF form of [[simhash16]] — semantics oracle. ONE
+  /** 16-bit SimHash (compat alias of [[simhashBits]]). */
+  def simhash16(hashes: Column): Column = simhashBits(hashes, 16)
+
+  /** Interpreted HOF form of [[simhashBits]] — semantics oracle. ONE
     * fold over `hashes` carrying (per-bit ones-counts, n) in a
     * struct accumulator, then a finish lambda majority-votes each bit
-    * (the per-bit-outer-loop shape re-evaluates `hashes` 16×). */
-  def simhash16Hof(hashes: Column): Column =
+    * (the per-bit-outer-loop shape re-evaluates `hashes` bits×). */
+  def simhashBitsHof(hashes: Column, bits: Int): Column =
     aggregate(
       hashes,
-      struct(array_repeat(lit(0L), 16).as("c"), lit(0L).as("n")),
+      struct(array_repeat(lit(0L), bits).as("c"), lit(0L).as("n")),
       (acc, h) => struct(
         zip_with(
           acc.getField("c"),
-          transform(sequence(lit(0), lit(15)), j =>
+          transform(sequence(lit(0), lit(bits - 1)), j =>
             floor(h / pow(lit(2), j)).cast("long") % 2),
           (a, b) => a + b).as("c"),
         (acc.getField("n") + 1).as("n")),
       acc => aggregate(
         zip_with(
-          acc.getField("c"), sequence(lit(0), lit(15)),
+          acc.getField("c"), sequence(lit(0), lit(bits - 1)),
           (ones, j) => when(ones * 2 > acc.getField("n"),
             pow(lit(2), j).cast("long")).otherwise(0L)),
         lit(0L), (a, b) => a + b))
+
+  /** 16-bit HOF form (compat alias of [[simhashBitsHof]]). */
+  def simhash16Hof(hashes: Column): Column = simhashBitsHof(hashes, 16)
 
   /** Set Jaccard of two (already-distinct) arrays, rounded — the
     * verify step after LSH candidate generation. Integer-count division

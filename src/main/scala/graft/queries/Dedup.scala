@@ -69,6 +69,10 @@ object Dedup {
       "q27_exact_dedup",
       (s, d) =>
         documents(s, d)
+          // degenerate-split guard: the testdata table is one parquet
+          // row group = one input split; the regex normalization is
+          // CPU-bound and would otherwise run on a single core.
+          .repartition(s.sparkContext.defaultParallelism)
           .withColumn("norm",
             regexp_replace(lower(trim(col("text"))), "\\s+", " "))
           .groupBy(col("norm"))
@@ -196,15 +200,19 @@ object Dedup {
              |            len(list_distinct(list_concat(p.sh, q.sh))), 4) >= 0.7
              |ORDER BY a, b""".stripMargin)),
 
-    // SimHash near-dup: 16-bit signature, candidates from matching
-    // 4-bit blocks, then exact hamming filter. Charikar-style blocked
-    // dedup. Block count follows the pigeonhole rule: k+1 blocks
-    // guarantee recall for hamming <= k (here 4 blocks cover the
-    // hamming <= 3 filter — 3 differing bits can dirty at most 3
-    // blocks, so one block always matches exactly). At production
-    // scale the same rule runs over a 64-bit xxhash64-based simhash
-    // with 16-bit blocks (better bucket selectivity); this is the
-    // oracle-parity arithmetic form.
+    // SimHash near-dup: 30-bit signature (the full meaningful width
+    // over mod-P hashes — P ≈ 2^30), candidates from matching 8-bit
+    // blocks, then exact hamming filter. Charikar-style blocked dedup.
+    // Block count follows the pigeonhole rule: k+1 blocks guarantee
+    // recall for hamming <= k (4 blocks cover the hamming <= 3 filter —
+    // 3 differing bits can dirty at most 3 blocks, so one block always
+    // matches exactly). Block WIDTH is the selectivity lever: 8-bit
+    // blocks spread docs over 256 values per position where 4-bit
+    // blocks had 16 — at 5k docs that's ~16× fewer candidate pairs,
+    // and the ratio grows linearly with corpus size (the difference
+    // between a bucket join and a near-cross-join at 100 TB). At
+    // production scale the same rule runs over a 62-bit
+    // xxhash64-based simhash with 16-bit blocks.
     QueryDef(
       "q29_simhash",
       (s, d) => {
@@ -212,13 +220,13 @@ object Dedup {
         // block-bucket self-join, and materialization stops the un-CSE'd
         // signature expression from being re-evaluated per reference.
         val sim = hashed(s, d)
-          .select(col("doc_id"), TextOps.simhash16(col("hs")).as("sim"))
+          .select(col("doc_id"), TextOps.simhashBits(col("hs"), 30).as("sim"))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val blocked = sim.select(col("doc_id"), col("sim"),
           explode(array((0 until 4).map(j =>
             concat(lit(s"b$j:"),
-              (floor(col("sim") / math.pow(16, j)).cast("long") % 16)
-                .cast("string"))): _*)).as("bucket"))
+              (shiftright(col("sim"), 8 * j) % 256).cast("string"))): _*))
+            .as("bucket"))
         blocked.as("x")
           .join(blocked.as("y"),
             col("x.bucket") === col("y.bucket") &&
@@ -234,7 +242,7 @@ object Dedup {
       },
       Some(s"""WITH $shingleSqlCte,
              |sim AS (SELECT doc_id,
-             |  list_reduce(list_prepend(CAST(0 AS BIGINT), range(0, 16)),
+             |  list_reduce(list_prepend(CAST(0 AS BIGINT), range(0, 30)),
              |    (acc, j) -> acc + CASE WHEN
              |        2 * list_reduce(list_prepend(CAST(0 AS BIGINT),
              |              list_transform(hs, h ->
@@ -245,7 +253,7 @@ object Dedup {
              |blocked AS (SELECT doc_id, sim,
              |  unnest(list_transform(range(0, 4), j ->
              |    'b' || CAST(j AS VARCHAR) || ':' ||
-             |    CAST(CAST(floor(sim / power(16, j)) AS BIGINT) % 16 AS VARCHAR)))
+             |    CAST(CAST(floor(sim / power(2, j*8)) AS BIGINT) % 256 AS VARCHAR)))
              |    AS bucket FROM sim),
              |cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b,
              |           x.sim AS sim_a, y.sim AS sim_b

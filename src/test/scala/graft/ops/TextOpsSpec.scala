@@ -56,6 +56,20 @@ class TextOpsSpec extends SparkSpecBase {
     assert(one(TextOps.simhash16(hs)) === s1)
   }
 
+  test("simhashBits: width bound respected, 16-bit prefix consistent") {
+    val hs = array((1 to 20).map(i => lit(i * 7919L)): _*)
+    val s30 = one(TextOps.simhashBits(hs, 30)).asInstanceOf[Long]
+    assert(s30 >= 0L && s30 < (1L << 30))
+    // widening the signature never changes the low bits
+    assert((s30 & 0xffffL) === one(TextOps.simhash16(hs)).asInstanceOf[Long])
+    // matches the interpreted HOF reference at the q29 width
+    assert(s30 === one(TextOps.simhashBitsHof(hs, 30)).asInstanceOf[Long])
+    intercept[IllegalArgumentException] {
+      graft.expressions.TextExpressions.SimHashBits(
+        org.apache.spark.sql.catalyst.expressions.Literal(1L), 63)
+    }
+  }
+
   test("codegen kernels match the interpreted HOF reference forms") {
     // Random-ish docs exercising short/long/duplicate/multibyte tokens.
     val docs = Seq(

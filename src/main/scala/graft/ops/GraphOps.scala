@@ -1,0 +1,94 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Connected components over an edge list — the clustering step of a
+  * dedup pipeline (SURVEY.md §2b north star): pairwise near-duplicate
+  * VERDICTS (q28/q29/q49) become dedup GROUPS ("keep one doc per
+  * component") only after a transitive closure. Spark has no native
+  * graph operator, so this is iterative min-label propagation in plain
+  * DataFrame algebra:
+  *
+  *   label(v) := min(label(v), min over neighbors u of label(u))
+  *
+  * repeated until a fixpoint. Each round is one shuffle (join on the
+  * edge endpoint + groupBy); rounds needed = graph diameter, which for
+  * dedup graphs is tiny (near-dup clusters are cliques-ish: a few
+  * hops). The driver-side loop checks convergence via `sum(label)` —
+  * labels only ever decrease, so an unchanged sum IS the fixpoint (no
+  * row-wise compare join needed).
+  *
+  * Scale notes: at 100 TB the same loop runs with the edge list
+  * persisted (it is re-scanned every round) and converges in
+  * O(diameter) rounds; for adversarially long path graphs the
+  * large-star/small-star variant (Kiveris et al., "Connected
+  * Components in MapReduce") bounds rounds at O(log n) — dedup graphs
+  * never need it, so the simple propagation is the right default.
+  * Labels stay distributed end-to-end; nothing collects to the driver
+  * but the one-number convergence check.
+  */
+object GraphOps {
+
+  /** Per-vertex component labels for the graph given by `edges`
+    * (columns `srcCol`, `dstCol`, treated as undirected; isolated
+    * vertices don't appear). Output: (`id`, `component`) where
+    * `component` is the smallest vertex id reachable from `id`.
+    *
+    * @param maxIter safety bound on propagation rounds; the loop exits
+    *                early at the fixpoint. An unconverged exit (graph
+    *                diameter > maxIter) throws rather than returning
+    *                silently-partial components.
+    */
+  def connectedComponents(edges: DataFrame, srcCol: String, dstCol: String,
+      maxIter: Int = 25): DataFrame = {
+    require(maxIter >= 1, s"maxIter must be >= 1, got $maxIter")
+    // Undirected: keep both directions so one join per round sees every
+    // neighbor. Persisted — re-scanned every round.
+    val sym = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .union(edges.select(col(dstCol).as("src"), col(srcCol).as("dst")))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      // localCheckpoint (not just persist): each round's frame is
+      // DERIVED from the previous round's, so the logical plan deepens
+      // per iteration and analysis/optimization time grows with it —
+      // by round 20 planning dwarfs execution. Checkpointing cuts the
+      // lineage so every round plans against a materialized leaf. (On
+      // a real cluster with executor loss concerns, `checkpoint` to a
+      // reliable store instead; same shape.)
+      var labels = sym.select(col("src").as("id")).distinct()
+        .withColumn("component", col("id"))
+        .localCheckpoint(true)
+      // Labels are monotonically non-increasing, so the label sum is a
+      // strictly decreasing convergence measure until the fixpoint.
+      var prevSum = labels.agg(sum("component")).head().getLong(0)
+      var iter = 0
+      var converged = false
+      while (!converged && iter < maxIter) {
+        val neighborMin = sym
+          .join(labels, sym("dst") === labels("id"))
+          .groupBy(col("src"))
+          .agg(min(col("component")).as("nmin"))
+        val next = labels
+          .join(neighborMin, labels("id") === neighborMin("src"), "left")
+          .select(col("id"),
+            least(col("component"), coalesce(col("nmin"), col("component")))
+              .as("component"))
+          .localCheckpoint(true)
+        val s = next.agg(sum("component")).head().getLong(0)
+        labels.unpersist()
+        labels = next
+        converged = s == prevSum
+        prevSum = s
+        iter += 1
+      }
+      if (!converged)
+        throw new IllegalStateException(
+          s"connectedComponents did not converge in $maxIter rounds " +
+            "(graph diameter exceeds the bound) — raise maxIter")
+      labels
+    } finally sym.unpersist()
+  }
+}

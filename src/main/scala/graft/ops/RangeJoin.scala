@@ -50,4 +50,41 @@ object RangeJoin {
       .filter(col(pointCol) >= col(startCol) && col(pointCol) <= col(endCol))
       .drop(B)
   }
+
+  /** All (left-row ++ right-row) combinations where the closed
+    * intervals `[lStart, lEnd]` and `[rStart, rEnd]` overlap
+    * (`lStart <= rEnd AND rStart <= lEnd`). Column names must be
+    * disjoint between the two sides.
+    *
+    * Interval × interval is the general case of [[pointInInterval]]:
+    * BOTH sides explode over their covered buckets, and a pair of
+    * overlapping intervals now meets in EVERY bucket both cover — so
+    * the join would emit duplicates. Instead of a distinct pass over
+    * the (wide) output, the residual filter keeps each pair only in
+    * one canonical bucket: the bucket of `greatest(lStart, rStart)`,
+    * i.e. where the overlap begins. That bucket is covered by both
+    * sides whenever the intervals overlap, so exactly one copy
+    * survives — dedup costs one comparison per candidate instead of a
+    * shuffle of the join output (the thing that matters when the
+    * output is 100× the input at scale). */
+  def intervalOverlap(left: DataFrame, lStart: String, lEnd: String,
+      right: DataFrame, rStart: String, rEnd: String,
+      bucketWidth: Long): DataFrame = {
+    require(bucketWidth > 0, "bucketWidth must be positive")
+    require(left.columns.intersect(right.columns).isEmpty,
+      "left/right column names must be disjoint")
+    val l = left.withColumn(B, explode(sequence(
+      bucketOf(lStart, bucketWidth), bucketOf(lEnd, bucketWidth))))
+    val r = right.withColumn(s"${B}_r", explode(sequence(
+      bucketOf(rStart, bucketWidth), bucketOf(rEnd, bucketWidth))))
+    l.join(r, col(B) === col(s"${B}_r"))
+      .filter(col(lStart) <= col(rEnd) && col(rStart) <= col(lEnd))
+      // canonical-bucket dedup: keep the pair only where the overlap
+      // starts (exact long floor-div of greatest(lStart, rStart)).
+      .filter(col(B) === expr(
+        s"(greatest(`$lStart`, `$rStart`) - " +
+          s"pmod(greatest(`$lStart`, `$rStart`), ${bucketWidth}L)) " +
+          s"div ${bucketWidth}L"))
+      .drop(B, s"${B}_r")
+  }
 }

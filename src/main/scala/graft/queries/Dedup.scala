@@ -61,6 +61,65 @@ object Dedup {
         TextOps.shingleHashes3(TextOps.tokens(col("text"))).as("hs"))
       .filter(size(col("sh")) > 0)
 
+  /** The MinHash+LSH near-dup pipeline's verified output: pairs
+    * (a, b, jaccard) with a < b and exact shingle Jaccard >= 0.7.
+    * Shared by q28 (the pair list) and q62 (clustering over it).
+    *
+    * Persist the shingled corpus: it feeds three plan branches
+    * (signature build + both sides of the verify join), and without
+    * materialization each branch re-derives shingles from raw text —
+    * worse, the size(sh)>0 predicate pushes down and inlines the whole
+    * shingle expression into every scan's filter, whose generated code
+    * is too large for the JIT and runs interpreted (benched minutes
+    * instead of seconds). The multi-pass-over-derived-corpus cache is
+    * the standard LSH shape at 100 TB too (MEMORY_AND_DISK spills). */
+  private def lshVerifiedPairs(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = {
+    val base = hashed(s, d)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bands = base
+      .select(col("doc_id"),
+        explode(TextOps.lshBands(TextOps.minhashSig(col("hs"), 12), 4, 3))
+          .as("bucket"))
+    val cand = bands.as("x")
+      .join(bands.as("y"),
+        col("x.bucket") === col("y.bucket") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+      .distinct()
+    // The candidate set is tiny relative to the corpus: broadcast it
+    // so the verify step streams `base` without shuffling it.
+    broadcast(cand)
+      .join(base.select(col("doc_id").as("a"), col("sh").as("sha")), "a")
+      .join(base.select(col("doc_id").as("b"), col("sh").as("shb")), "b")
+      .select(col("a"), col("b"),
+        TextOps.jaccard(col("sha"), col("shb")).as("jaccard"))
+      .filter(col("jaccard") >= 0.7)
+  }
+
+  /** DuckDB CTE block mirroring [[lshVerifiedPairs]] (terminates with a
+    * `pairs(a, b)` CTE). Shared by the q28 and q62 oracles. */
+  private val lshPairsSqlCtes =
+    s"""$shingleSqlCte,
+       |sig AS (SELECT doc_id, sh, list_transform(range(0, 12), j ->
+       |    list_min(list_transform(hs, v ->
+       |      (v*(2*j+1) + j*12345 + 67) % 1000000007))) AS sig
+       |  FROM h),
+       |bands AS (SELECT doc_id, unnest(list_transform(range(0, 4), b ->
+       |    CAST(b AS VARCHAR) || ':' || CAST(sig[b*3+1] AS VARCHAR) || ':' ||
+       |    CAST(sig[b*3+2] AS VARCHAR) || ':' || CAST(sig[b*3+3] AS VARCHAR)))
+       |    AS bucket FROM sig),
+       |cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+       |  FROM bands x JOIN bands y
+       |    ON x.bucket = y.bucket AND x.doc_id < y.doc_id),
+       |pairs AS (SELECT c.a, c.b,
+       |    round(len(list_intersect(p.sh, q.sh)) * 1.0 /
+       |          len(list_distinct(list_concat(p.sh, q.sh))), 4) AS jaccard
+       |  FROM cand c JOIN sh p ON p.doc_id = c.a JOIN sh q ON q.doc_id = c.b
+       |  WHERE round(len(list_intersect(p.sh, q.sh)) * 1.0 /
+       |              len(list_distinct(list_concat(p.sh, q.sh))), 4) >= 0.7)"""
+      .stripMargin
+
   val defs: Seq[QueryDef] = Seq(
 
     // Exact dedup: normalize (lower/trim/collapse-ws) then group — the
@@ -98,57 +157,45 @@ object Dedup {
     // construction.
     QueryDef(
       "q28_minhash_lsh",
+      (s, d) => lshVerifiedPairs(s, d).orderBy(col("a"), col("b")),
+      Some(s"""WITH $lshPairsSqlCtes
+             |SELECT a, b, jaccard FROM pairs ORDER BY a, b""".stripMargin)),
+
+    // Dedup clustering: the LSH-verified pair list closed into
+    // components (graft.ops.GraphOps.connectedComponents — iterative
+    // min-label propagation, one shuffle per round, rounds = cluster
+    // diameter). This is the step that turns pairwise verdicts into
+    // actionable dedup groups: keep min(doc_id) per cluster, drop the
+    // rest. The oracle computes the same components with a DuckDB
+    // RECURSIVE transitive closure — two entirely different algorithms
+    // (distributed label propagation vs SQL fixpoint) must agree on
+    // every (doc_id, cluster_id, size) row.
+    QueryDef(
+      "q62_dedup_clusters",
       (s, d) => {
-        // Persist the shingled corpus: it feeds three plan branches
-        // (signature build + both sides of the verify join), and
-        // without materialization each branch re-derives shingles from
-        // raw text — worse, the size(sh)>0 predicate pushes down and
-        // inlines the whole shingle expression into every scan's
-        // filter, whose generated code is too large for the JIT and
-        // runs interpreted (benched minutes instead of seconds). The
-        // multi-pass-over-derived-corpus cache is the standard LSH
-        // shape at 100 TB too (MEMORY_AND_DISK spills).
-        val base = hashed(s, d)
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        val bands = base
-          .select(col("doc_id"),
-            explode(TextOps.lshBands(TextOps.minhashSig(col("hs"), 12), 4, 3))
-              .as("bucket"))
-        val cand = bands.as("x")
-          .join(bands.as("y"),
-            col("x.bucket") === col("y.bucket") &&
-              col("x.doc_id") < col("y.doc_id"))
-          .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
-          .distinct()
-        // The candidate set is tiny relative to the corpus: broadcast it
-        // so the verify step streams `base` without shuffling it.
-        broadcast(cand)
-          .join(base.select(col("doc_id").as("a"), col("sh").as("sha")), "a")
-          .join(base.select(col("doc_id").as("b"), col("sh").as("shb")), "b")
-          .select(col("a"), col("b"),
-            TextOps.jaccard(col("sha"), col("shb")).as("jaccard"))
-          .filter(col("jaccard") >= 0.7)
-          .orderBy(col("a"), col("b"))
+        val pairs = lshVerifiedPairs(s, d)
+        val cc = graft.ops.GraphOps.connectedComponents(pairs, "a", "b")
+        val sizes = cc.groupBy(col("component"))
+          .agg(count(lit(1)).as("cluster_size"))
+        cc.join(sizes, "component")
+          .select(col("component").as("cluster_id"), col("id").as("doc_id"),
+            col("cluster_size"))
+          .orderBy(col("cluster_id"), col("doc_id"))
       },
-      Some(s"""WITH $shingleSqlCte,
-             |sig AS (SELECT doc_id, sh, list_transform(range(0, 12), j ->
-             |    list_min(list_transform(hs, v ->
-             |      (v*(2*j+1) + j*12345 + 67) % 1000000007))) AS sig
-             |  FROM h),
-             |bands AS (SELECT doc_id, unnest(list_transform(range(0, 4), b ->
-             |    CAST(b AS VARCHAR) || ':' || CAST(sig[b*3+1] AS VARCHAR) || ':' ||
-             |    CAST(sig[b*3+2] AS VARCHAR) || ':' || CAST(sig[b*3+3] AS VARCHAR)))
-             |    AS bucket FROM sig),
-             |cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
-             |  FROM bands x JOIN bands y
-             |    ON x.bucket = y.bucket AND x.doc_id < y.doc_id)
-             |SELECT c.a, c.b,
-             |  round(len(list_intersect(p.sh, q.sh)) * 1.0 /
-             |        len(list_distinct(list_concat(p.sh, q.sh))), 4) AS jaccard
-             |FROM cand c JOIN sh p ON p.doc_id = c.a JOIN sh q ON q.doc_id = c.b
-             |WHERE round(len(list_intersect(p.sh, q.sh)) * 1.0 /
-             |            len(list_distinct(list_concat(p.sh, q.sh))), 4) >= 0.7
-             |ORDER BY a, b""".stripMargin)),
+      Some(s"""WITH RECURSIVE $lshPairsSqlCtes,
+             |edges AS (SELECT a AS u, b AS v FROM pairs
+             |          UNION SELECT b, a FROM pairs),
+             |reach(u, v) AS (
+             |  SELECT u, v FROM edges
+             |  UNION
+             |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+             |comp AS (SELECT u AS doc_id, least(u, min(v)) AS cluster_id
+             |         FROM reach GROUP BY u)
+             |SELECT c.cluster_id, c.doc_id, s.cluster_size
+             |FROM comp c JOIN (SELECT cluster_id, count(*) AS cluster_size
+             |                  FROM comp GROUP BY cluster_id) s
+             |  ON c.cluster_id = s.cluster_id
+             |ORDER BY c.cluster_id, c.doc_id""".stripMargin)),
 
     // Exact similarity self-join via prefix filtering (AllPairs/PPJoin
     // family): sort each doc's shingle set in one global order; any

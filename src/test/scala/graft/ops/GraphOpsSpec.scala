@@ -1,0 +1,62 @@
+package graft.ops
+
+import graft.SparkSpecBase
+import org.scalatest.prop.TableDrivenPropertyChecks
+
+class GraphOpsSpec extends SparkSpecBase with TableDrivenPropertyChecks {
+  import spark.implicits._
+
+  /** Reference union-find, for brute-force comparison. */
+  private def ufComponents(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val parent = collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    parent.keys.map(k => k -> find(k)).toMap
+  }
+
+  private def run(edges: Seq[(Long, Long)], maxIter: Int = 25) =
+    GraphOps.connectedComponents(
+        edges.toDF("src", "dst"), "src", "dst", maxIter)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("two triangles joined by a bridge collapse to one component") {
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L),
+      (10L, 11L), (11L, 12L), (12L, 10L), (3L, 10L))
+    val got = run(edges)
+    assert(got.values.toSet === Set(1L))
+    assert(got.keySet === Set(1L, 2L, 3L, 10L, 11L, 12L))
+  }
+
+  test("disconnected clusters keep distinct min-id labels") {
+    val got = run(Seq((5L, 6L), (2L, 9L), (7L, 7L)))
+    assert(got === Map(5L -> 5L, 6L -> 5L, 2L -> 2L, 9L -> 2L, 7L -> 7L))
+  }
+
+  test("matches union-find on random graphs") {
+    val rnd = new scala.util.Random(42)
+    for (_ <- 1 to 3) {
+      val edges = Seq.fill(60)(
+        (rnd.nextInt(30).toLong, rnd.nextInt(30).toLong))
+      assert(run(edges) === ufComponents(edges))
+    }
+  }
+
+  test("long path converges (diameter rounds) and min label wins") {
+    // path 20 -> 19 -> ... -> 0: worst-case propagation distance.
+    val edges = (0L until 20L).map(i => (i + 1, i))
+    val got = run(edges)
+    assert(got.values.toSet === Set(0L))
+    assert(got.size === 21)
+  }
+
+  test("unconverged exit throws instead of returning partial labels") {
+    val edges = (0L until 10L).map(i => (i + 1, i))
+    intercept[IllegalStateException] { run(edges, maxIter = 2) }
+  }
+}

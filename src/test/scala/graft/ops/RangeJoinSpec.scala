@@ -47,4 +47,32 @@ class RangeJoinSpec extends SparkSpecBase {
       assert(c(RangeJoin.pointInInterval(points, "t", ivals, "lo", "hi", w)
         .select($"pid", $"iid")) === c(naive), s"bucketWidth=$w")
   }
+
+  test("interval overlap: inclusive touch, each pair exactly once") {
+    val l = Seq((1L, 0L, 10L), (2L, 20L, 25L)).toDF("lid", "ls", "le")
+    val r = Seq((100L, 10L, 12L), (200L, 11L, 19L), (300L, 0L, 30L))
+      .toDF("rid", "rs", "re")
+    val got = RangeJoin.intervalOverlap(l, "ls", "le", r, "rs", "re", 4L)
+      .select($"lid", $"rid").collect().map(x => (x.getLong(0), x.getLong(1)))
+      .toSeq.sorted
+    // [0,10] touches [10,12] at 10; misses [11,19]; [0,30] overlaps both
+    assert(got === Seq((1L, 100L), (1L, 300L), (2L, 300L)))
+  }
+
+  test("interval overlap matches the naive inequality join, any width") {
+    val rnd = new scala.util.Random(23)
+    val mk = (n: Int, idBase: Long, maxLen: Int) => Seq.tabulate(n) { i =>
+      val lo = rnd.nextInt(500).toLong
+      (idBase + i, lo, lo + rnd.nextInt(maxLen).toLong)
+    }
+    val l = mk(120, 0L, 30).toDF("lid", "ls", "le")
+    val r = mk(80, 1000L, 60).toDF("rid", "rs", "re")
+    val naive = l.join(r, $"ls" <= $"re" && $"rs" <= $"le")
+      .select($"lid", $"rid")
+    val c = (df: org.apache.spark.sql.DataFrame) =>
+      df.collect().map(_.mkString("|")).sorted.toSeq
+    for (w <- Seq(1L, 9L, 40L, 600L))
+      assert(c(RangeJoin.intervalOverlap(l, "ls", "le", r, "rs", "re", w)
+        .select($"lid", $"rid")) === c(naive), s"bucketWidth=$w")
+  }
 }

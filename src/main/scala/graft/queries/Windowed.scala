@@ -311,6 +311,49 @@ object Windowed {
              |  count(*) AS n_events,
              |  count(DISTINCT e.user_id) AS n_users
              |FROM p JOIN ev e ON e.hr BETWEEN p.w_start AND p.w_end
-             |GROUP BY p.promo_id ORDER BY p.promo_id""".stripMargin))
+             |GROUP BY p.promo_id ORDER BY p.promo_id""".stripMargin)),
+
+    // Interval × interval overlap join (graft.ops.RangeJoin
+    // .intervalOverlap): promo windows (±6 h around big purchases)
+    // against incident windows (±3 h around severe errors) — "which
+    // promotions ran during an incident". No equi key exists; the
+    // Spark side explodes BOTH interval sets over time buckets and
+    // keeps each pair only in the bucket where its overlap starts (one
+    // equi-join shuffle, no cartesian, no distinct over the output).
+    // The oracle is DuckDB's native IEJoin on the bare inequality
+    // predicate — two independent algorithms, same rows.
+    QueryDef(
+      "q66_interval_overlap",
+      (s, d) => {
+        val hr = expr("ts_sec div 3600")
+        val promos = eventsNorm(s, d)
+          .filter(col("event_type") === "purchase" && col("value") > 200)
+          .select(col("event_id").as("promo_id"),
+            (hr - 6).as("p_start"), (hr + 6).as("p_end"))
+        val incidents = eventsNorm(s, d)
+          .filter(col("event_type") === "error" && col("value") > 95)
+          .select(col("event_id").as("incident_id"),
+            (hr - 3).as("i_start"), (hr + 3).as("i_end"))
+        graft.ops.RangeJoin
+          .intervalOverlap(promos, "p_start", "p_end",
+            incidents, "i_start", "i_end", 6L)
+          .select(col("promo_id"), col("incident_id"),
+            greatest(col("p_start"), col("i_start")).as("overlap_start"),
+            least(col("p_end"), col("i_end")).as("overlap_end"))
+          .orderBy(col("promo_id"), col("incident_id"))
+      },
+      Some("""WITH p AS (SELECT event_id AS promo_id,
+             |    CAST(epoch_ns(ts) // 1000000000 // 3600 AS BIGINT) - 6 AS p_start,
+             |    CAST(epoch_ns(ts) // 1000000000 // 3600 AS BIGINT) + 6 AS p_end
+             |  FROM events WHERE event_type = 'purchase' AND value > 200),
+             |i AS (SELECT event_id AS incident_id,
+             |    CAST(epoch_ns(ts) // 1000000000 // 3600 AS BIGINT) - 3 AS i_start,
+             |    CAST(epoch_ns(ts) // 1000000000 // 3600 AS BIGINT) + 3 AS i_end
+             |  FROM events WHERE event_type = 'error' AND value > 95)
+             |SELECT p.promo_id, i.incident_id,
+             |  greatest(p.p_start, i.i_start) AS overlap_start,
+             |  least(p.p_end, i.i_end) AS overlap_end
+             |FROM p JOIN i ON p.p_start <= i.i_end AND i.i_start <= p.p_end
+             |ORDER BY p.promo_id, i.incident_id""".stripMargin))
   )
 }

@@ -84,6 +84,12 @@ object TextOps {
   def wordShingles(ws: Column, n: Int): Column =
     array_distinct(wrap(TextExpressions.WordShingles(unwrap(ws), n)))
 
+  /** ALL n-word shingles, duplicates kept (position i for every i) —
+    * the multiset form repetition metrics need (a doc that repeats one
+    * phrase has many duplicate shingles; dedup would erase the signal). */
+  def wordShinglesAll(ws: Column, n: Int): Column =
+    wrap(TextExpressions.WordShingles(unwrap(ws), n))
+
   /** Interpreted HOF form of [[wordShingles]] — semantics oracle.
     * `ws` is let-bound: it is typically `split(text, " ")`, referenced
     * n+2 times per shingle position here — without the binding each

@@ -179,6 +179,207 @@ object TextAnalysis {
              |    AS BIGINT) AS total_frames,
              |  CAST(sum(least(CAST(floor(octet_length(encode(text)) / 64) AS BIGINT), 8))
              |    AS BIGINT) AS total_sampled
-             |FROM documents GROUP BY source ORDER BY source""".stripMargin))
+             |FROM documents GROUP BY source ORDER BY source""".stripMargin)),
+
+    // TF-IDF-style term weighting, integer-exact: score = tf · N / df
+    // in micro units via integer floor-division — the rarity-weighted
+    // term score without ln(), whose libm rounding is not guaranteed
+    // identical across engines (same monotone ordering in df for fixed
+    // tf). Shape: explode → (doc,term) tf → term df → joint score →
+    // per-doc top-3 window. df is a term-cardinality aggregate (small);
+    // it broadcasts back onto the (doc,term) table.
+    QueryDef(
+      "q63_tfidf",
+      (s, d) => {
+        val tf = documents(s, d)
+          .repartition(s.sparkContext.defaultParallelism)
+          .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("term"))
+          .groupBy(col("doc_id"), col("term"))
+          .agg(count(lit(1)).as("tf"))
+        val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+        val n = documents(s, d).agg(count(lit(1)).as("n_docs"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("doc_id"))
+          .orderBy(col("score_micro").desc, col("term"))
+        tf.join(broadcast(df), "term")
+          .crossJoin(broadcast(n))
+          .filter(col("doc_id") < 20)
+          .withColumn("score_micro",
+            expr("tf * 1000000L * n_docs div df"))
+          .withColumn("rk", row_number().over(w))
+          .filter(col("rk") <= 3)
+          .select(col("doc_id"), col("rk"), col("term"), col("tf"),
+            col("df"), col("score_micro"))
+          .orderBy(col("doc_id"), col("rk"))
+      },
+      Some("""WITH tfe AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+             |  FROM documents),
+             |tf AS (SELECT doc_id, term, count(*) AS tf FROM tfe GROUP BY 1, 2),
+             |df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+             |n AS (SELECT count(*) AS n_docs FROM documents),
+             |sc AS (SELECT t.doc_id, t.term, t.tf, d.df,
+             |    (t.tf * 1000000 * n.n_docs) // d.df AS score_micro
+             |  FROM tf t JOIN df d USING (term) CROSS JOIN n
+             |  WHERE t.doc_id < 20),
+             |r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+             |    ORDER BY score_micro DESC, term) AS rk FROM sc)
+             |SELECT doc_id, rk, term, tf, df, score_micro
+             |FROM r WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin)),
+
+    // PII redaction: plant deterministic contact strings, then scrub
+    // with regex classes portable between Java regex and RE2 (character
+    // classes + bounded repeats only — no lookaround, no backrefs).
+    // Output carries the match counts, the scrubbed-text fingerprint
+    // (compact strong check), and a no-residual flag re-scanning the
+    // scrubbed text. DuckDB's regexp_replace needs the 'g' flag to
+    // match Spark's replace-all default.
+    QueryDef(
+      "q64_pii_scrub",
+      (s, d) => {
+        val emailRe = "[a-z0-9]+@[a-z0-9.]+\\.[a-z]+"
+        val phoneRe = "[0-9]{3}-[0-9]{4}"
+        documents(s, d)
+          .filter(col("doc_id") < 200)
+          .withColumn("raw",
+            concat(col("text"), lit(" contact: user"), col("doc_id"),
+              lit("@mail.example or 555-"),
+              lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0")))
+          .withColumn("n_emails",
+            size(expr(s"regexp_extract_all(raw, '$emailRe', 0)")).cast("long"))
+          .withColumn("n_phones",
+            size(expr(s"regexp_extract_all(raw, '$phoneRe', 0)")).cast("long"))
+          .withColumn("scrubbed",
+            regexp_replace(regexp_replace(col("raw"), emailRe, "<EMAIL>"),
+              phoneRe, "<PHONE>"))
+          .select(col("doc_id"), col("n_emails"), col("n_phones"),
+            TextOps.polyHash(col("scrubbed")).as("scrub_hash"),
+            (!col("scrubbed").rlike(emailRe) &&
+              !col("scrubbed").rlike(phoneRe)).as("no_residual"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH raw AS (SELECT doc_id,
+             |    text || ' contact: user' || CAST(doc_id AS VARCHAR) ||
+             |    '@mail.example or 555-' ||
+             |    lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS raw
+             |  FROM documents WHERE doc_id < 200),
+             |scr AS (SELECT doc_id, raw,
+             |    regexp_replace(
+             |      regexp_replace(raw, '[a-z0-9]+@[a-z0-9.]+\.[a-z]+',
+             |        '<EMAIL>', 'g'),
+             |      '[0-9]{3}-[0-9]{4}', '<PHONE>', 'g') AS scrubbed
+             |  FROM raw)
+             |SELECT doc_id,
+             |  CAST(len(regexp_extract_all(raw, '[a-z0-9]+@[a-z0-9.]+\.[a-z]+'))
+             |    AS BIGINT) AS n_emails,
+             |  CAST(len(regexp_extract_all(raw, '[0-9]{3}-[0-9]{4}'))
+             |    AS BIGINT) AS n_phones,
+             |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+             |    list_transform(string_split(scrubbed, ''),
+             |      c -> CAST(ascii(c) AS BIGINT))),
+             |    (h, c) -> (h*31 + c) % 1000000007) AS scrub_hash,
+             |  NOT (regexp_matches(scrubbed, '[a-z0-9]+@[a-z0-9.]+\.[a-z]+')
+             |    OR regexp_matches(scrubbed, '[0-9]{3}-[0-9]{4}'))
+             |    AS no_residual
+             |FROM scr ORDER BY doc_id""".stripMargin)),
+
+    // Deterministic stratified sampling: per-stratum keep-rates
+    // applied through a hash of the KEY, not rand() — reproducible
+    // across retries, partitionings, and engines (a training-data
+    // pipeline must be able to re-materialize the exact sample; a
+    // rand()-based sampleBy cannot). Knuth multiplicative hash mod
+    // 1000 per-mille selection.
+    QueryDef(
+      "q67_stratified_sample",
+      (s, d) => {
+        val rate = when(col("lang") === "en", 500)
+          .when(col("lang") === "de", 250).otherwise(100)
+        documents(s, d)
+          .withColumn("keep",
+            pmod(col("doc_id") * 2654435761L, lit(1000L)) < rate)
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_total"),
+            sum(when(col("keep"), 1L).otherwise(0L)).as("n_sampled"),
+            min(when(col("keep"), col("doc_id"))).as("first_kept"),
+            max(when(col("keep"), col("doc_id"))).as("last_kept"))
+          .withColumn("rate_mille",
+            expr("n_sampled * 1000 div n_total"))
+          .orderBy(col("lang"))
+      },
+      Some("""WITH k AS (SELECT lang, doc_id,
+             |    (doc_id * 2654435761) % 1000 <
+             |      CASE WHEN lang = 'en' THEN 500
+             |           WHEN lang = 'de' THEN 250 ELSE 100 END AS keep
+             |  FROM documents)
+             |SELECT lang, count(*) AS n_total,
+             |  CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS n_sampled,
+             |  min(CASE WHEN keep THEN doc_id END) AS first_kept,
+             |  max(CASE WHEN keep THEN doc_id END) AS last_kept,
+             |  (CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) * 1000)
+             |    // count(*) AS rate_mille
+             |FROM k GROUP BY lang ORDER BY lang""".stripMargin)),
+
+    // Repetition quality signals (the Gopher-rules family): duplicate
+    // word fraction, top-token fraction, duplicate 2-gram fraction —
+    // all in exact integer micro units. Word multiset stats come from
+    // an explode + two-level aggregation (scales: per-doc token counts
+    // partial-aggregate map-side); the 2-gram multiset is a narrow
+    // per-row array computation ([[TextOps.wordShinglesAll]] — the
+    // NON-distinct form; dedup would erase exactly the signal being
+    // measured).
+    QueryDef(
+      "q68_repetition_signals",
+      (s, d) => {
+        val ws = TextOps.tokens(col("text"))
+        val wordStats = documents(s, d)
+          .repartition(s.sparkContext.defaultParallelism)
+          .select(col("doc_id"), explode(ws).as("tok"))
+          .groupBy(col("doc_id"), col("tok"))
+          .agg(count(lit(1)).as("cnt"))
+          .groupBy(col("doc_id"))
+          .agg(sum(col("cnt")).as("n_tokens"),
+            count(lit(1)).as("n_distinct"),
+            max(col("cnt")).as("top_cnt"))
+        val gramStats = documents(s, d)
+          .select(col("doc_id"),
+            size(TextOps.wordShinglesAll(ws, 2)).cast("long").as("n_grams"),
+            size(array_distinct(TextOps.wordShinglesAll(ws, 2))).cast("long")
+              .as("n_distinct_grams"))
+        wordStats.join(gramStats, "doc_id")
+          .filter(col("doc_id") < 100)
+          .select(col("doc_id"), col("n_tokens"),
+            expr("(n_tokens - n_distinct) * 1000000L div n_tokens")
+              .as("dup_word_micro"),
+            expr("top_cnt * 1000000L div n_tokens").as("top_token_micro"),
+            when(col("n_grams") > 0,
+              expr("(n_grams - n_distinct_grams) * 1000000L div n_grams"))
+              .otherwise(0L).as("dup_2gram_micro"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+             |  FROM documents),
+             |wc AS (SELECT doc_id, tok, count(*) AS cnt FROM tok GROUP BY 1, 2),
+             |ws AS (SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_tokens,
+             |    count(*) AS n_distinct, max(cnt) AS top_cnt
+             |  FROM wc GROUP BY doc_id),
+             |gs AS (SELECT doc_id,
+             |    CAST(len(list_transform(range(1, len(string_split(text, ' '))),
+             |      i -> string_split(text, ' ')[i] || ' ' ||
+             |           string_split(text, ' ')[i+1])) AS BIGINT) AS n_grams,
+             |    CAST(len(list_distinct(
+             |      list_transform(range(1, len(string_split(text, ' '))),
+             |        i -> string_split(text, ' ')[i] || ' ' ||
+             |             string_split(text, ' ')[i+1]))) AS BIGINT)
+             |      AS n_distinct_grams
+             |  FROM documents)
+             |SELECT w.doc_id, w.n_tokens,
+             |  ((w.n_tokens - w.n_distinct) * 1000000) // w.n_tokens
+             |    AS dup_word_micro,
+             |  (w.top_cnt * 1000000) // w.n_tokens AS top_token_micro,
+             |  CASE WHEN g.n_grams > 0
+             |    THEN ((g.n_grams - g.n_distinct_grams) * 1000000) // g.n_grams
+             |    ELSE 0 END AS dup_2gram_micro
+             |FROM ws w JOIN gs g ON w.doc_id = g.doc_id
+             |WHERE w.doc_id < 100 ORDER BY w.doc_id""".stripMargin))
   )
 }

@@ -80,6 +80,74 @@ object Sketches {
              |  GROUP BY b.tok, b.n_exact)
              |SELECT tok, n_exact, cms_est, cms_est - n_exact AS overest,
              |  cms_est >= n_exact AS never_under
-             |FROM est ORDER BY n_exact DESC, tok LIMIT 15""".stripMargin))
+             |FROM est ORDER BY n_exact DESC, tok LIMIT 15""".stripMargin)),
+
+    // Bloom-filter join pruning (graft.ops.BloomOps): the runtime-
+    // filter pattern — a selective predicate on one join side becomes
+    // a broadcastable bit table that prunes the other side BEFORE its
+    // shuffle. Here: customers holding a big urgent order, probed
+    // against the full customer table; output compares the bloom
+    // verdict to ground truth per nation. `n_missed` must be 0 in
+    // every row — Bloom filters never false-negative, and the column
+    // makes the invariant part of the differential check. m=32768
+    // bits / k=3 keeps the false-positive rate ~1% at sf0.1's ~2.7k
+    // keys (observable in n_false_pos).
+    QueryDef(
+      "q69_bloom_prune",
+      (s, d) => {
+        val (m, k) = (32768, 3)
+        val keys = orders(s, d)
+          .filter(col("o_orderpriority") === "1-URGENT" &&
+            col("o_totalprice") > 450000)
+          .select(col("o_custkey"))
+        val bits = graft.ops.BloomOps.build(keys, "o_custkey", m, k)
+        val passed = graft.ops.BloomOps.mightContain(
+          customer(s, d).select(col("c_custkey"), col("c_nationkey")),
+          Seq("c_custkey", "c_nationkey"), "c_custkey", bits, m, k,
+          "bloom_pass")
+        val truth = keys.distinct()
+          .withColumnRenamed("o_custkey", "c_custkey")
+          .withColumn("is_urgent", lit(true))
+        passed.join(broadcast(truth), Seq("c_custkey"), "left")
+          .withColumn("is_urgent", coalesce(col("is_urgent"), lit(false)))
+          .groupBy(col("c_nationkey"))
+          .agg(count(lit(1)).as("n_customers"),
+            sum(when(col("bloom_pass"), 1L).otherwise(0L)).as("n_bloom_pass"),
+            sum(when(col("is_urgent"), 1L).otherwise(0L)).as("n_true"),
+            sum(when(col("bloom_pass") && !col("is_urgent"), 1L).otherwise(0L))
+              .as("n_false_pos"),
+            sum(when(col("is_urgent") && !col("bloom_pass"), 1L).otherwise(0L))
+              .as("n_missed"))
+          .orderBy(col("c_nationkey"))
+      },
+      Some(s"""WITH keys AS (SELECT DISTINCT o_custkey AS key FROM orders
+             |  WHERE o_orderpriority = '1-URGENT' AND o_totalprice > 450000),
+             |js AS (SELECT unnest(range(0, 3)) AS j),
+             |kpos AS (SELECT ((key % $P) * (2*j+1) + j*12345 + 67) % $P % 32768
+             |    AS pos FROM keys, js),
+             |bits AS (SELECT pos // 63 AS w,
+             |    bit_or(CAST(1 AS BIGINT) << CAST(pos % 63 AS INT)) AS word
+             |  FROM kpos GROUP BY 1),
+             |ppos AS (SELECT c_custkey, c_nationkey,
+             |    ((c_custkey % $P) * (2*j+1) + j*12345 + 67) % $P % 32768 AS pos
+             |  FROM customer, js),
+             |hit AS (SELECT c_custkey, c_nationkey,
+             |    min(CASE WHEN ((b.word >> CAST(p.pos % 63 AS INT)) & 1) = 1
+             |        THEN true ELSE false END) AS bloom_pass
+             |  FROM ppos p LEFT JOIN bits b ON p.pos // 63 = b.w
+             |  GROUP BY 1, 2),
+             |tr AS (SELECT h.c_nationkey, h.bloom_pass,
+             |    (k.key IS NOT NULL) AS is_urgent
+             |  FROM hit h LEFT JOIN keys k ON h.c_custkey = k.key)
+             |SELECT c_nationkey, count(*) AS n_customers,
+             |  CAST(sum(CASE WHEN bloom_pass THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS n_bloom_pass,
+             |  CAST(sum(CASE WHEN is_urgent THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS n_true,
+             |  CAST(sum(CASE WHEN bloom_pass AND NOT is_urgent THEN 1 ELSE 0 END)
+             |    AS BIGINT) AS n_false_pos,
+             |  CAST(sum(CASE WHEN is_urgent AND NOT bloom_pass THEN 1 ELSE 0 END)
+             |    AS BIGINT) AS n_missed
+             |FROM tr GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin))
   )
 }

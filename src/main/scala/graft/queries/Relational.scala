@@ -255,6 +255,47 @@ object Relational {
           .limit(10),
       Some("""SELECT o_orderkey, o_totalprice, o_orderpriority
              |FROM orders
-             |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin))
+             |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin)),
+
+    // Z-order clustering arithmetic (graft.ops.ZOrder): Morton-code
+    // customers on (nationkey, quantized acctbal) and report the
+    // per-z-range bounding boxes — tight boxes in BOTH dimensions are
+    // exactly why a z-sorted layout lets min/max file stats prune 2-D
+    // predicates (ZOrderSpec asserts the written layout: disjoint
+    // z-ranges per file). Money is floor(x*100 + 0.5) exact cents —
+    // Spark's double->long cast truncates while DuckDB's rounds, so
+    // the cast must never see a fractional value (§7.4 trap family).
+    QueryDef(
+      "q70_zorder_layout",
+      (s, d) => {
+        customer(s, d)
+          .select(col("c_custkey"), col("c_nationkey").cast("long").as("x"),
+            expr("least(greatest((CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)" +
+              " + 100000) div 4400, 0), 255)").as("y"))
+          .withColumn("z", graft.ops.ZOrder.interleave2(col("x"), col("y"), 8))
+          .withColumn("zrange", expr("z div 4096"))
+          .groupBy(col("zrange"))
+          .agg(count(lit(1)).as("n_rows"),
+            min(col("x")).as("x_min"), max(col("x")).as("x_max"),
+            min(col("y")).as("y_min"), max(col("y")).as("y_max"))
+          .orderBy(col("zrange"))
+      },
+      Some("""WITH q AS (SELECT c_custkey,
+             |    CAST(c_nationkey AS BIGINT) AS x,
+             |    least(greatest((CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)
+             |      + 100000) // 4400, 0), 255) AS y
+             |  FROM customer),
+             |z AS (SELECT c_custkey, x, y,
+             |    list_reduce(list_prepend(CAST(0 AS BIGINT), range(0, 8)),
+             |      (acc, b) -> acc
+             |        + ((x >> CAST(b AS INT)) & 1)
+             |          * (CAST(1 AS BIGINT) << CAST(2*b AS INT))
+             |        + ((y >> CAST(b AS INT)) & 1)
+             |          * (CAST(1 AS BIGINT) << CAST(2*b + 1 AS INT))) AS z
+             |  FROM q)
+             |SELECT z // 4096 AS zrange, count(*) AS n_rows,
+             |  min(x) AS x_min, max(x) AS x_max,
+             |  min(y) AS y_min, max(y) AS y_max
+             |FROM z GROUP BY zrange ORDER BY zrange""".stripMargin))
   )
 }

@@ -56,6 +56,15 @@ object BloomOps {
   def mightContain(probe: DataFrame, idCols: Seq[String], keyCol: String,
       bits: DataFrame, m: Int, k: Int, passCol: String): DataFrame = {
     require(m > 0, s"m must be positive: $m")
+    // The internal working columns are added with withColumn/select,
+    // which silently REPLACE same-named inputs — an idCol named "w"
+    // would regroup the verdict by the word index (same corruption
+    // class AsOfJoin guards against).
+    val reserved = Seq("pos", "w", "word", "hit")
+    val clash = (idCols :+ keyCol).intersect(reserved)
+    require(clash.isEmpty,
+      s"probe columns ${clash.mkString(",")} collide with mightContain's " +
+        s"internal names (${reserved.mkString(", ")}) — rename them first")
     probe
       .select((idCols :+ keyCol).map(col): _*)
       .select(col("*"), explode(positions(col(keyCol), m, k)).as("pos"))

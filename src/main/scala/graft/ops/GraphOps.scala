@@ -61,9 +61,14 @@ object GraphOps {
       var labels = sym.select(col("src").as("id")).distinct()
         .withColumn("component", col("id"))
         .localCheckpoint(true)
+      // Empty graph: sum() over zero rows is NULL — return the empty
+      // label frame instead of NPE-ing on the convergence probe (valid
+      // input: a corpus with zero near-dup pairs has no edges).
+      val sum0 = labels.agg(sum("component")).head()
+      if (sum0.isNullAt(0)) return labels
       // Labels are monotonically non-increasing, so the label sum is a
       // strictly decreasing convergence measure until the fixpoint.
-      var prevSum = labels.agg(sum("component")).head().getLong(0)
+      var prevSum = sum0.getLong(0)
       var iter = 0
       var converged = false
       while (!converged && iter < maxIter) {
@@ -78,7 +83,13 @@ object GraphOps {
               .as("component"))
           .localCheckpoint(true)
         val s = next.agg(sum("component")).head().getLong(0)
-        labels.unpersist()
+        // No explicit unpersist: a localCheckpoint's storage is the
+        // checkpointed RDD's cached blocks, which Dataset.unpersist
+        // does NOT free (it only drops CacheManager plan entries); the
+        // ContextCleaner reclaims each round's blocks once the dropped
+        // frame is GC'd. Per-round state is just (id, component) pairs
+        // — small relative to the edge list. At reliable-checkpoint
+        // scale, delete prior checkpoint files per round instead.
         labels = next
         converged = s == prevSum
         prevSum = s

@@ -42,6 +42,9 @@ object RangeJoin {
     require(bucketWidth > 0, "bucketWidth must be positive")
     require(points.columns.intersect(intervals.columns).isEmpty,
       "point/interval column names must be disjoint")
+    require(!(points.columns ++ intervals.columns).contains(B),
+      s"input column $B collides with pointInInterval's internal " +
+        "bucket name — rename it first")
     val p = points.withColumn(B, bucketOf(pointCol, bucketWidth))
     val iv = intervals
       .withColumn(B, explode(sequence(
@@ -73,6 +76,11 @@ object RangeJoin {
     require(bucketWidth > 0, "bucketWidth must be positive")
     require(left.columns.intersect(right.columns).isEmpty,
       "left/right column names must be disjoint")
+    val reservedClash =
+      (left.columns ++ right.columns).intersect(Seq(B, s"${B}_r"))
+    require(reservedClash.isEmpty,
+      s"input columns ${reservedClash.mkString(",")} collide with " +
+        "intervalOverlap's internal bucket names — rename them first")
     val l = left.withColumn(B, explode(sequence(
       bucketOf(lStart, bucketWidth), bucketOf(lEnd, bucketWidth))))
     val r = right.withColumn(s"${B}_r", explode(sequence(

@@ -30,19 +30,26 @@ class CountMinAgg(depth: Int, width: Int)
 
   private val P = TextExpressions.P
 
-  /** Row-j bucket of token `t` (shared with the algebraic mirror). */
-  def bucket(t: String, j: Int): Int = {
-    val h = TextExpressions.hashToken(
-      org.apache.spark.unsafe.types.UTF8String.fromString(t))
+  /** Row-j bucket from an already-computed token hash. */
+  def bucketOfHash(h: Long, j: Int): Int =
     ((h * (2 * j + 1) + j * 12345L + 67) % P % width).toInt
-  }
+
+  /** Row-j bucket of token `t` (shared with the algebraic mirror).
+    * Hot paths hash once and use [[bucketOfHash]] — the char-fold and
+    * the UTF8String allocation are independent of j. */
+  def bucket(t: String, j: Int): Int = bucketOfHash(hash(t), j)
+
+  private def hash(t: String): Long =
+    TextExpressions.hashToken(
+      org.apache.spark.unsafe.types.UTF8String.fromString(t))
 
   override def zero: Array[Long] = new Array[Long](depth * width)
 
   override def reduce(buf: Array[Long], t: String): Array[Long] = {
+    val h = hash(t)
     var j = 0
     while (j < depth) {
-      buf(j * width + bucket(t, j)) += 1
+      buf(j * width + bucketOfHash(h, j)) += 1
       j += 1
     }
     buf
@@ -58,10 +65,11 @@ class CountMinAgg(depth: Int, width: Int)
 
   /** Point estimate from a finished sketch. */
   def estimate(sketch: Array[Long], t: String): Long = {
+    val h = hash(t)
     var est = Long.MaxValue
     var j = 0
     while (j < depth) {
-      val c = sketch(j * width + bucket(t, j))
+      val c = sketch(j * width + bucketOfHash(h, j))
       if (c < est) est = c
       j += 1
     }

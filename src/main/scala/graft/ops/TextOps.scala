@@ -159,8 +159,17 @@ object TextOps {
   /** Interpreted HOF form of [[simhashBits]] — semantics oracle. ONE
     * fold over `hashes` carrying (per-bit ones-counts, n) in a
     * struct accumulator, then a finish lambda majority-votes each bit
-    * (the per-bit-outer-loop shape re-evaluates `hashes` bits×). */
-  def simhashBitsHof(hashes: Column, bits: Int): Column =
+    * (the per-bit-outer-loop shape re-evaluates `hashes` bits×).
+    *
+    * Oracle domain = nonnegative hashes < 2^30 (the mod-P family): the
+    * bit extraction here is double floor-division, which silently
+    * loses low bits above 2^53 and floor-divides (≠ arithmetic-shift)
+    * for negatives — so it canNOT check the codegen kernel over raw
+    * xxhash64 inputs. Bounded to the domain it is correct on. */
+  def simhashBitsHof(hashes: Column, bits: Int): Column = {
+    require(bits >= 1 && bits <= 30,
+      s"simhashBitsHof oracle covers the mod-P domain only (bits <= 30), " +
+        s"got $bits — the codegen SimHashBits handles wider inputs")
     aggregate(
       hashes,
       struct(array_repeat(lit(0L), bits).as("c"), lit(0L).as("n")),
@@ -177,6 +186,7 @@ object TextOps {
           (ones, j) => when(ones * 2 > acc.getField("n"),
             pow(lit(2), j).cast("long")).otherwise(0L)),
         lit(0L), (a, b) => a + b))
+  }
 
   /** 16-bit HOF form (compat alias of [[simhashBitsHof]]). */
   def simhash16Hof(hashes: Column): Column = simhashBitsHof(hashes, 16)

@@ -37,6 +37,11 @@ object ZOrder {
     * one z-range per output file. */
   def writeZOrdered(df: DataFrame, xCol: Column, yCol: Column,
       bitsPer: Int, numFiles: Int, path: String): Unit = {
+    // withColumn would silently replace a same-named input column and
+    // the final drop would then DELETE the caller's data from the
+    // written output.
+    require(!df.columns.contains("__zorder"),
+      "input already has a __zorder column — rename it first")
     val z = interleave2(xCol, yCol, bitsPer).as("__zorder")
     df.withColumn("__zorder", z)
       .repartitionByRange(numFiles, col("__zorder"))

@@ -62,7 +62,11 @@ object Dedup {
       .filter(size(col("sh")) > 0)
 
   /** The MinHash+LSH near-dup pipeline's verified output: pairs
-    * (a, b, jaccard) with a < b and exact shingle Jaccard >= 0.7.
+    * (a, b, jaccard) with a < b and exact shingle Jaccard >= 0.7,
+    * returned WITH the persisted shingled corpus backing them so the
+    * caller controls the cache lifetime (q62 releases it once its
+    * clustering loop has materialized; q28's result IS the pairs, so
+    * its copy lives until the harness's per-query clearCache).
     * Shared by q28 (the pair list) and q62 (clustering over it).
     *
     * Persist the shingled corpus: it feeds three plan branches
@@ -74,7 +78,8 @@ object Dedup {
     * instead of seconds). The multi-pass-over-derived-corpus cache is
     * the standard LSH shape at 100 TB too (MEMORY_AND_DISK spills). */
   private def lshVerifiedPairs(s: org.apache.spark.sql.SparkSession,
-      d: String): org.apache.spark.sql.DataFrame = {
+      d: String)
+      : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
     val base = hashed(s, d)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val bands = base
@@ -89,12 +94,13 @@ object Dedup {
       .distinct()
     // The candidate set is tiny relative to the corpus: broadcast it
     // so the verify step streams `base` without shuffling it.
-    broadcast(cand)
+    val pairs = broadcast(cand)
       .join(base.select(col("doc_id").as("a"), col("sh").as("sha")), "a")
       .join(base.select(col("doc_id").as("b"), col("sh").as("shb")), "b")
       .select(col("a"), col("b"),
         TextOps.jaccard(col("sha"), col("shb")).as("jaccard"))
       .filter(col("jaccard") >= 0.7)
+    (pairs, base)
   }
 
   /** DuckDB CTE block mirroring [[lshVerifiedPairs]] (terminates with a
@@ -157,7 +163,7 @@ object Dedup {
     // construction.
     QueryDef(
       "q28_minhash_lsh",
-      (s, d) => lshVerifiedPairs(s, d).orderBy(col("a"), col("b")),
+      (s, d) => lshVerifiedPairs(s, d)._1.orderBy(col("a"), col("b")),
       Some(s"""WITH $lshPairsSqlCtes
              |SELECT a, b, jaccard FROM pairs ORDER BY a, b""".stripMargin)),
 
@@ -173,8 +179,13 @@ object Dedup {
     QueryDef(
       "q62_dedup_clusters",
       (s, d) => {
-        val pairs = lshVerifiedPairs(s, d)
+        val (pairs, base) = lshVerifiedPairs(s, d)
         val cc = graft.ops.GraphOps.connectedComponents(pairs, "a", "b")
+        // The CC loop is eager (per-round localCheckpoints) and its
+        // result no longer references the pair lineage — release the
+        // shingled-corpus cache now instead of holding it for the
+        // whole session.
+        base.unpersist()
         val sizes = cc.groupBy(col("component"))
           .agg(count(lit(1)).as("cluster_size"))
         cc.join(sizes, "component")

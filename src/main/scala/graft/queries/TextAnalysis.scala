@@ -244,10 +244,17 @@ object TextAnalysis {
             concat(col("text"), lit(" contact: user"), col("doc_id"),
               lit("@mail.example or 555-"),
               lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0")))
+          // regexp_extract_all via the Column API with lit(), NOT an
+          // expr() string: the SQL parser processes backslash escapes
+          // in string literals, silently turning the pattern's '\.'
+          // into a match-any '.' — a different regex than the scrub
+          // and oracle use.
           .withColumn("n_emails",
-            size(expr(s"regexp_extract_all(raw, '$emailRe', 0)")).cast("long"))
+            size(regexp_extract_all(col("raw"), lit(emailRe), lit(0)))
+              .cast("long"))
           .withColumn("n_phones",
-            size(expr(s"regexp_extract_all(raw, '$phoneRe', 0)")).cast("long"))
+            size(regexp_extract_all(col("raw"), lit(phoneRe), lit(0)))
+              .cast("long"))
           .withColumn("scrubbed",
             regexp_replace(regexp_replace(col("raw"), emailRe, "<EMAIL>"),
               phoneRe, "<PHONE>"))

@@ -59,4 +59,9 @@ class GraphOpsSpec extends SparkSpecBase with TableDrivenPropertyChecks {
     val edges = (0L until 10L).map(i => (i + 1, i))
     intercept[IllegalStateException] { run(edges, maxIter = 2) }
   }
+
+  test("empty edge list yields an empty label frame, not a crash") {
+    // valid input: a corpus with zero verified near-dup pairs
+    assert(run(Seq.empty[(Long, Long)]) === Map.empty)
+  }
 }

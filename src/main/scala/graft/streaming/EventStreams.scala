@@ -74,4 +74,27 @@ object EventStreams {
           updated
       }
   }
+
+  /** Stream-stream inner join with a bounded time condition: each
+    * click joined to the same user's views within the preceding
+    * `horizon` (attribution). BOTH sides carry watermarks and the join
+    * predicate bounds event-time distance — that pair of constraints
+    * is what lets Spark expire join state (without them a
+    * stream-stream join buffers both streams forever). Input frames
+    * must already carry distinct column names (`c`-/`v`-prefixed).
+    * Batch mode: the same equi+range join, oracle-checkable. */
+  def clickViewAttribution(clicks: DataFrame, views: DataFrame,
+      watermark: String = "2 hours",
+      horizonSec: Long = 3600L): DataFrame = {
+    val c =
+      if (clicks.isStreaming) clicks.withWatermark("c_ts", watermark)
+      else clicks
+    val v =
+      if (views.isStreaming) views.withWatermark("v_ts", watermark)
+      else views
+    c.join(v,
+      col("c_user") === col("v_user") &&
+        col("v_ts") <= col("c_ts") &&
+        col("v_ts") >= col("c_ts") - expr(s"INTERVAL $horizonSec SECONDS"))
+  }
 }

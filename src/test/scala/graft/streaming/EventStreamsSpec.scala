@@ -127,9 +127,43 @@ class EventStreamsSpec extends SparkSpecBase {
       assert(counts <= 2, s"late row leaked into a closed window ($counts)")
     } finally q.stop()
   }
+
+  test("clickViewAttribution: stream-stream join matches across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    import EventStreamsSpec.{Click, View}
+    val clicks = MemoryStream[Click]
+    val views = MemoryStream[View]
+    val q = EventStreams
+      .clickViewAttribution(clicks.toDF(), views.toDF(), "1 hour", 3600L)
+      .select(col("c_id"), col("v_id"))
+      .writeStream.format("memory").queryName("attr")
+      .outputMode("append").start()
+    try {
+      // view arrives in an EARLIER micro-batch than its click — the
+      // join must buffer it in state and still match.
+      views.addData(View(ts(0), 7L, 100L))
+      q.processAllAvailable()
+      clicks.addData(Click(ts(30), 7L, 1L)) // 30 min after the view
+      clicks.addData(Click(ts(30), 8L, 2L)) // different user: no match
+      q.processAllAvailable()
+      val got = spark.sql("SELECT c_id, v_id FROM attr")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+      assert(got === Seq((1L, 100L)))
+    } finally q.stop()
+
+    // batch mode: identical join, checkable against a plain inequality
+    val bc = Seq(Click(ts(30), 7L, 1L), Click(ts(30), 8L, 2L)).toDF()
+    val bv = Seq(View(ts(0), 7L, 100L), View(ts(45), 7L, 101L)).toDF()
+    val b = EventStreams.clickViewAttribution(bc, bv)
+      .select(col("c_id"), col("v_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+    assert(b === Seq((1L, 100L))) // v_ts 10:45 > c_ts 10:30: excluded
+  }
 }
 
 object EventStreamsSpec {
   case class Ev(ts: Timestamp, event_type: String, value: Double, user_id: Long)
   case class IdEv(ts: Timestamp, event_id: Long)
+  case class Click(c_ts: Timestamp, c_user: Long, c_id: Long)
+  case class View(v_ts: Timestamp, v_user: Long, v_id: Long)
 }

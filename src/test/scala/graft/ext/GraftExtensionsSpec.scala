@@ -103,4 +103,22 @@ class GraftExtensionsSpec extends SparkSpecBase {
     }
     assert(e.getMessage.contains("literal INT"))
   }
+
+  test("graft_simhash(hs, bits): parameterized width from SQL") {
+    val r = spark.sql(
+      "SELECT graft_simhash(array(5L, 7L, 5L), 30) AS s30, " +
+        "graft_simhash(array(5L, 7L, 5L), 16) AS s16, " +
+        "graft_simhash16(array(5L, 7L, 5L)) AS legacy").head()
+    // majority of {5,7,5} = 5 (101b): strict majority per bit
+    assert(r.getLong(0) === 5L)
+    // low 16 bits identical across widths; legacy name agrees
+    assert((r.getLong(0) & 0xffffL) === r.getLong(1))
+    assert(r.getLong(1) === r.getLong(2))
+    // out-of-range width is an analysis-time error
+    val e = intercept[Exception] {
+      spark.sql("SELECT graft_simhash(array(1L), 63)").collect()
+    }
+    assert(e.getMessage.contains("[1, 62]") ||
+      Option(e.getCause).exists(_.getMessage.contains("[1, 62]")))
+  }
 }

@@ -296,6 +296,60 @@ object Relational {
              |SELECT z // 4096 AS zrange, count(*) AS n_rows,
              |  min(x) AS x_min, max(x) AS x_max,
              |  min(y) AS y_min, max(y) AS y_max
-             |FROM z GROUP BY zrange ORDER BY zrange""".stripMargin))
+             |FROM z GROUP BY zrange ORDER BY zrange""".stripMargin)),
+
+    // MERGE / CDC upsert (graft.ops.MergeOps): apply a change batch
+    // (updates + tombstones + inserts) to the customer table in one
+    // full-outer key join — the lakehouse MERGE INTO, and the
+    // idempotent replacement for the reference's append-mode nightly
+    // load (workflow/StringConstant.py:4). The synthesized batch
+    // touches every class: %10 keys update (+100.00), %97 keys are
+    // tombstoned, %500 keys also insert a new 1M-offset key. Money in
+    // floor-exact cents.
+    QueryDef(
+      "q71_merge_upsert",
+      (s, d) => {
+        val base = customer(s, d).select(col("c_custkey"), col("c_nationkey"),
+          expr("CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)").as("cents"))
+        val upd = base
+          .filter(col("c_custkey") % 10 === 0 && col("c_custkey") % 97 =!= 0)
+          .select(col("c_custkey"), col("c_nationkey"),
+            (col("cents") + 10000L).as("cents"), lit(false).as("is_delete"))
+          .unionByName(base.filter(col("c_custkey") % 97 === 0)
+            .select(col("c_custkey"), col("c_nationkey"), col("cents"),
+              lit(true).as("is_delete")))
+          .unionByName(base.filter(col("c_custkey") % 500 === 0)
+            .select((col("c_custkey") + 1000000L).as("c_custkey"),
+              col("c_nationkey"), lit(123456L).as("cents"),
+              lit(false).as("is_delete")))
+        graft.ops.MergeOps.merge(base, upd, "c_custkey", "is_delete")
+          .groupBy(col("c_nationkey"))
+          .agg(count(lit(1)).as("n_rows"), sum(col("cents")).as("total_cents"))
+          .orderBy(col("c_nationkey"))
+      },
+      Some("""WITH base AS (SELECT c_custkey, c_nationkey,
+             |    CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS cents
+             |  FROM customer),
+             |upd AS (
+             |  SELECT c_custkey, c_nationkey, cents + 10000 AS cents,
+             |    false AS is_delete
+             |  FROM base WHERE c_custkey % 10 = 0 AND c_custkey % 97 != 0
+             |  UNION ALL
+             |  SELECT c_custkey, c_nationkey, cents, true
+             |  FROM base WHERE c_custkey % 97 = 0
+             |  UNION ALL
+             |  SELECT c_custkey + 1000000, c_nationkey, 123456, false
+             |  FROM base WHERE c_custkey % 500 = 0),
+             |m AS (SELECT
+             |    CASE WHEN u.c_custkey IS NOT NULL THEN u.c_nationkey
+             |         ELSE b.c_nationkey END AS c_nationkey,
+             |    CASE WHEN u.c_custkey IS NOT NULL THEN u.cents
+             |         ELSE b.cents END AS cents,
+             |    coalesce(u.is_delete, false) AS del
+             |  FROM base b FULL OUTER JOIN upd u ON b.c_custkey = u.c_custkey)
+             |SELECT c_nationkey, count(*) AS n_rows,
+             |  CAST(sum(cents) AS BIGINT) AS total_cents
+             |FROM m WHERE NOT del GROUP BY c_nationkey
+             |ORDER BY c_nationkey""".stripMargin))
   )
 }

@@ -354,6 +354,48 @@ object Windowed {
              |  greatest(p.p_start, i.i_start) AS overlap_start,
              |  least(p.p_end, i.i_end) AS overlap_end
              |FROM p JOIN i ON p.p_start <= i.i_end AND i.i_start <= p.p_end
-             |ORDER BY p.promo_id, i.incident_id""".stripMargin))
+             |ORDER BY p.promo_id, i.incident_id""".stripMargin)),
+
+    // SCD2 dimension history (graft.ops.Scd2): each customer's order
+    // priority treated as a changing attribute; the change log (one
+    // record per key per day, latest order wins) compresses into
+    // versioned [valid_from, valid_to) intervals, open-ended on the
+    // current version. Days are exact epoch-day integers. The oracle
+    // rebuilds the same run compression with lag/lead in DuckDB.
+    QueryDef(
+      "q72_scd2_history",
+      (s, d) => {
+        val changes = orders(s, d)
+          .filter(col("o_custkey") < 100)
+          .select(col("o_custkey"),
+            datediff(col("o_orderdate"), lit("1970-01-01")).cast("long")
+              .as("day"),
+            col("o_orderkey"), col("o_orderpriority"))
+          // unique per (key, ts): latest order of the day wins
+          .groupBy(col("o_custkey"), col("day"))
+          .agg(max_by(col("o_orderpriority"), col("o_orderkey"))
+            .as("priority"))
+        graft.ops.Scd2.fromChangeLog(changes, "o_custkey", "priority", "day")
+          .select(col("o_custkey"), col("priority"),
+            col("valid_from"), col("valid_to"))
+          .orderBy(col("o_custkey"), col("valid_from"))
+      },
+      Some("""WITH ch AS (SELECT o_custkey,
+             |    date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+             |      AS day,
+             |    max_by(o_orderpriority, o_orderkey) AS priority
+             |  FROM orders WHERE o_custkey < 100 GROUP BY 1, 2),
+             |r AS (SELECT *,
+             |    lag(priority) OVER (PARTITION BY o_custkey ORDER BY day)
+             |      AS prev,
+             |    lag(day) OVER (PARTITION BY o_custkey ORDER BY day)
+             |      AS prev_day
+             |  FROM ch),
+             |starts AS (SELECT o_custkey, priority, day AS valid_from
+             |  FROM r WHERE prev_day IS NULL OR prev IS DISTINCT FROM priority)
+             |SELECT o_custkey, priority, valid_from,
+             |  lead(valid_from) OVER (PARTITION BY o_custkey
+             |    ORDER BY valid_from) AS valid_to
+             |FROM starts ORDER BY o_custkey, valid_from""".stripMargin))
   )
 }

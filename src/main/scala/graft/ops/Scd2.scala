@@ -41,6 +41,12 @@ object Scd2 {
         s"internal/output names (${reserved.mkString(", ")})")
     val byKey = Window.partitionBy(col(key)).orderBy(col(ts))
     changes
+      // NULL timestamps are dropped (same convention as AsOfJoin's
+      // null times): they would sort to the head of the partition,
+      // making lag(ts).isNull flag the NEXT row as a run start and
+      // emitting a duplicate version with a NULL valid_from. With
+      // non-null ts, lag(ts).isNull is true exactly on the first row.
+      .filter(col(ts).isNotNull)
       // window outputs materialize as columns first — a window
       // function cannot appear inside filter() directly
       .withColumn(Prev, lag(col(attr), 1).over(byKey))

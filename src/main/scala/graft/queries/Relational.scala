@@ -318,8 +318,12 @@ object Relational {
           .unionByName(base.filter(col("c_custkey") % 97 === 0)
             .select(col("c_custkey"), col("c_nationkey"), col("cents"),
               lit(true).as("is_delete")))
+          // insert-key offset far above any real custkey (TPC-H keys
+          // span 1..150k*SF: 1e8 stays collision-free to SF ~666;
+          // colliding keys would duplicate in `updates` and fan out
+          // the full-outer join)
           .unionByName(base.filter(col("c_custkey") % 500 === 0)
-            .select((col("c_custkey") + 1000000L).as("c_custkey"),
+            .select((col("c_custkey") + 100000000L).as("c_custkey"),
               col("c_nationkey"), lit(123456L).as("cents"),
               lit(false).as("is_delete")))
         graft.ops.MergeOps.merge(base, upd, "c_custkey", "is_delete")
@@ -338,7 +342,7 @@ object Relational {
              |  SELECT c_custkey, c_nationkey, cents, true
              |  FROM base WHERE c_custkey % 97 = 0
              |  UNION ALL
-             |  SELECT c_custkey + 1000000, c_nationkey, 123456, false
+             |  SELECT c_custkey + 100000000, c_nationkey, 123456, false
              |  FROM base WHERE c_custkey % 500 = 0),
              |m AS (SELECT
              |    CASE WHEN u.c_custkey IS NOT NULL THEN u.c_nationkey

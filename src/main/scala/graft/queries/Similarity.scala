@@ -247,6 +247,72 @@ object Similarity {
              |  CAST(floor(CAST(sum_q AS DOUBLE) / n + 0.5) AS BIGINT)
              |    AS centroid_micro,
              |  n AS n_vectors
-             |FROM g ORDER BY label, dim""".stripMargin))
+             |FROM g ORDER BY label, dim""".stripMargin)),
+
+    // Scalar (int8) quantization for ANN — the storage-compression
+    // path: each vector stored as 64 bytes (q_i = round(v_i·127/max|v|)
+    // ∈ [-127,127]) instead of 256+ float bytes, 4× more corpus per
+    // executor. The quantized cosine ranks against the exact ranking
+    // (same probes/tie-breaks as q32); `in_q_top5` reports per-row
+    // whether the quantized index would have recalled it. Quantized
+    // dots stay EXACT cross-engine: products ≤ 127² summed over 64
+    // dims sit far inside the double mantissa, so the only float ops
+    // are the final division and sqrt — identical in both engines.
+    QueryDef(
+      "q73_ann_quantized",
+      (s, d) => {
+        val e = embeddings(s, d)
+          .repartition(s.sparkContext.defaultParallelism)
+          .select(col("vec_id"), toDouble(col("embedding")).as("v"))
+          .withColumn("mx", expr("array_max(transform(v, x -> abs(x)))"))
+          .filter(col("mx") > 0)
+          // qd: quantized codes carried as exact-integer doubles so the
+          // codegen dot/norm kernels apply unchanged.
+          .withColumn("qd", expr(
+            "transform(v, x -> CAST(CAST(floor(x * 127 / mx + 0.5) AS BIGINT) AS DOUBLE))"))
+        val probes = e.filter(col("vec_id") < 8)
+          .select(col("vec_id").as("probe"), col("v").as("pv"),
+            col("qd").as("pq"))
+        val corpus = e.filter(col("vec_id") >= 8)
+        val scored = broadcast(probes).join(corpus, lit(true))
+          .select(col("probe"), col("vec_id"),
+            round(cosine(col("pv"), col("v")), 4).as("cos_exact"),
+            round(cosine(col("pq"), col("qd")), 4).as("cos_q"))
+        val wE = Window.partitionBy(col("probe"))
+          .orderBy(col("cos_exact").desc, col("vec_id"))
+        val wQ = Window.partitionBy(col("probe"))
+          .orderBy(col("cos_q").desc, col("vec_id"))
+        scored
+          .withColumn("rn", row_number().over(wE))
+          .withColumn("rn_q", row_number().over(wQ))
+          .filter(col("rn") <= 5)
+          .select(col("probe"), col("rn"), col("vec_id"),
+            col("cos_exact"), col("cos_q"),
+            (col("rn_q") <= 5).as("in_q_top5"))
+          .orderBy(col("probe"), col("rn"))
+      },
+      Some(s"""WITH e0 AS (SELECT vec_id,
+             |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+             |  FROM embeddings),
+             |e AS (SELECT vec_id, v,
+             |    list_max(list_transform(v, x -> abs(x))) AS mx FROM e0),
+             |q AS (SELECT vec_id, v,
+             |    list_transform(v, x ->
+             |      CAST(CAST(floor(x * 127 / mx + 0.5) AS BIGINT) AS DOUBLE))
+             |      AS qd
+             |  FROM e WHERE mx > 0),
+             |scored AS (SELECT p.vec_id AS probe, c.vec_id AS vec_id,
+             |    round(${cosSql("p.v", "c.v")}, 4) AS cos_exact,
+             |    round(${cosSql("p.qd", "c.qd")}, 4) AS cos_q
+             |  FROM q p JOIN q c ON p.vec_id < 8 AND c.vec_id >= 8),
+             |ranked AS (SELECT probe, vec_id, cos_exact, cos_q,
+             |    row_number() OVER (PARTITION BY probe
+             |      ORDER BY cos_exact DESC, vec_id) AS rn,
+             |    row_number() OVER (PARTITION BY probe
+             |      ORDER BY cos_q DESC, vec_id) AS rn_q
+             |  FROM scored)
+             |SELECT probe, rn, vec_id, cos_exact, cos_q,
+             |  rn_q <= 5 AS in_q_top5
+             |FROM ranked WHERE rn <= 5 ORDER BY probe, rn""".stripMargin))
   )
 }

@@ -387,6 +387,71 @@ object TextAnalysis {
              |    THEN ((g.n_grams - g.n_distinct_grams) * 1000000) // g.n_grams
              |    ELSE 0 END AS dup_2gram_micro
              |FROM ws w JOIN gs g ON w.doc_id = g.doc_id
-             |WHERE w.doc_id < 100 ORDER BY w.doc_id""".stripMargin))
+             |WHERE w.doc_id < 100 ORDER BY w.doc_id""".stripMargin)),
+
+    // Corpus-curation capstone: the end-to-end training-data filter
+    // chain composed from the catalog's own stages — minimum length,
+    // stopword-signal (language-bearing docs), then exact dedup
+    // keeping the lowest doc_id — with per-source survival accounting
+    // at every stage. Each stage is a narrow filter or one aggregation
+    // over the survivors; nothing rescans the raw corpus twice. This
+    // is the shape of a 100 TB curation run: cheap narrow filters
+    // first (cut early, before any shuffle), dedup on the reduced
+    // survivor set last.
+    QueryDef(
+      "q74_corpus_pipeline",
+      (s, d) => {
+        val ws = TextOps.tokens(col("text"))
+        val staged = documents(s, d)
+          .repartition(s.sparkContext.defaultParallelism)
+          .withColumn("n_tokens", size(ws).cast("long"))
+          .withColumn("pass_len", col("n_tokens") >= 20)
+          .withColumn("pass_stop",
+            TextOps.countInSet(ws, Seq("the", "a")) * 100 >= col("n_tokens") * 2)
+          .withColumn("norm",
+            regexp_replace(lower(trim(col("text"))), "\\s+", " "))
+        val keep = staged
+          .filter(col("pass_len") && col("pass_stop"))
+          .groupBy(col("norm"))
+          .agg(min(col("doc_id")).as("keep_id"))
+        val kept = staged
+          .join(keep, staged("doc_id") === keep("keep_id"))
+        staged.groupBy(col("source"))
+          .agg(count(lit(1)).as("n_raw"),
+            sum(when(col("pass_len"), 1L).otherwise(0L)).as("n_pass_len"),
+            sum(when(col("pass_len") && col("pass_stop"), 1L).otherwise(0L))
+              .as("n_pass_quality"))
+          .join(
+            kept.groupBy(col("source"))
+              .agg(count(lit(1)).as("n_final"),
+                sum(col("n_tokens")).as("final_tokens")),
+            Seq("source"))
+          .orderBy(col("source"))
+      },
+      Some("""WITH staged AS (SELECT doc_id, source,
+             |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+             |    len(string_split(text, ' ')) >= 20 AS pass_len,
+             |    len(list_filter(string_split(text, ' '),
+             |      t -> t IN ('the', 'a'))) * 100 >=
+             |      len(string_split(text, ' ')) * 2 AS pass_stop,
+             |    regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS norm
+             |  FROM documents),
+             |keep AS (SELECT norm, min(doc_id) AS keep_id FROM staged
+             |  WHERE pass_len AND pass_stop GROUP BY norm),
+             |kept AS (SELECT s.* FROM staged s JOIN keep k
+             |  ON s.doc_id = k.keep_id),
+             |raw AS (SELECT source, count(*) AS n_raw,
+             |    CAST(sum(CASE WHEN pass_len THEN 1 ELSE 0 END) AS BIGINT)
+             |      AS n_pass_len,
+             |    CAST(sum(CASE WHEN pass_len AND pass_stop THEN 1 ELSE 0 END)
+             |      AS BIGINT) AS n_pass_quality
+             |  FROM staged GROUP BY source),
+             |fin AS (SELECT source, count(*) AS n_final,
+             |    CAST(sum(n_tokens) AS BIGINT) AS final_tokens
+             |  FROM kept GROUP BY source)
+             |SELECT r.source, r.n_raw, r.n_pass_len, r.n_pass_quality,
+             |  f.n_final, f.final_tokens
+             |FROM raw r JOIN fin f ON r.source = f.source
+             |ORDER BY r.source""".stripMargin))
   )
 }

@@ -75,4 +75,31 @@ class PlanShapeSpec extends SparkSpecBase {
     assert(p.matches("(?s).*HashAggregate.*HashAggregate.*"),
       "expected two-phase hash aggregation")
   }
+
+  test("round-3 operators keep their bounded sides broadcast") {
+    // q65: the 4×256-cell sketch joins back onto the vocabulary;
+    // q69: the ≤m/63-word bit table probes the full customer side;
+    // q63: the term-df table re-attaches to the (doc, term) pairs.
+    // In each, the bounded summary must broadcast — shuffling the big
+    // side on a summary join is the scale regression to lock out.
+    for (q <- Seq("q65_cms_heavy_hitters", "q69_bloom_prune", "q63_tfidf")) {
+      val p = plan(q)
+      assert(p.contains("BroadcastHashJoin"), s"$q lost its broadcast join")
+    }
+  }
+
+  test("merge upsert joins by key — full-outer, never a cartesian") {
+    val p = plan("q71_merge_upsert")
+    assert(p.contains("FullOuter"), s"merge must be a full-outer key join:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("scd2 computes both windows over ONE key exchange") {
+    // lag (run detection) and lead (interval close) partition the same
+    // way; a second Exchange would mean the partitioning was lost.
+    val p = plan("q72_scd2_history")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(exchanges <= 2, // one for the groupBy dedup, one for windows
+      s"q72 re-shuffles between its window passes ($exchanges exchanges)")
+  }
 }

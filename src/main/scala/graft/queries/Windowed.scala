@@ -396,6 +396,76 @@ object Windowed {
              |SELECT o_custkey, priority, valid_from,
              |  lead(valid_from) OVER (PARTITION BY o_custkey
              |    ORDER BY valid_from) AS valid_to
-             |FROM starts ORDER BY o_custkey, valid_from""".stripMargin))
+             |FROM starts ORDER BY o_custkey, valid_from""".stripMargin)),
+
+    // Ordered-funnel analysis (the MATCH_RECOGNIZE-shaped sequential
+    // pattern: view → click → purchase, each step strictly after the
+    // previous one, per user). Composed as a chain of conditional-min
+    // aggregations — step k+1 is min(ts) over events after the user's
+    // step-k time — ONE aggregation pass per funnel step, each a
+    // shuffle on user_id only (never a per-event self-join, never
+    // collect). Times are exact epoch seconds. Output: per-step user
+    // counts + mean step-transition seconds over completed funnels.
+    QueryDef(
+      "q75_funnel",
+      (s, d) => {
+        val ev = eventsNorm(s, d)
+          .select(col("user_id"), col("event_type"), col("ts_sec"))
+        val s1 = ev.groupBy(col("user_id"))
+          .agg(min(when(col("event_type") === "view", col("ts_sec"))).as("t1"))
+          .filter(col("t1").isNotNull)
+        val s2 = ev.join(s1, "user_id")
+          .groupBy(col("user_id"), col("t1"))
+          .agg(min(when(col("event_type") === "click" &&
+            col("ts_sec") > col("t1"), col("ts_sec"))).as("t2"))
+        val s3 = ev.join(s2.filter(col("t2").isNotNull), "user_id")
+          .groupBy(col("user_id"), col("t1"), col("t2"))
+          .agg(min(when(col("event_type") === "purchase" &&
+            col("ts_sec") > col("t2"), col("ts_sec"))).as("t3"))
+        s2.select(col("user_id"), col("t1"), col("t2"))
+          .join(s3.select(col("user_id"), col("t3")), Seq("user_id"), "left")
+          .agg(
+            count(lit(1)).as("n_view"),
+            sum(when(col("t2").isNotNull, 1L).otherwise(0L)).as("n_view_click"),
+            sum(when(col("t3").isNotNull, 1L).otherwise(0L)).as("n_full_funnel"),
+            sum(when(col("t3").isNotNull, col("t2") - col("t1")))
+              .as("sum_vc"),
+            sum(when(col("t3").isNotNull, col("t3") - col("t2")))
+              .as("sum_cb"))
+          .select(col("n_view"), col("n_view_click"), col("n_full_funnel"),
+            expr("sum_vc div n_full_funnel").as("mean_view_to_click_s"),
+            expr("sum_cb div n_full_funnel").as("mean_click_to_buy_s"))
+      },
+      Some("""WITH ev AS (SELECT user_id, event_type,
+             |    CAST(epoch_ns(ts) // 1000000000 AS BIGINT) AS ts_sec
+             |  FROM events),
+             |s1 AS (SELECT user_id,
+             |    min(CASE WHEN event_type = 'view' THEN ts_sec END) AS t1
+             |  FROM ev GROUP BY user_id HAVING t1 IS NOT NULL),
+             |s2 AS (SELECT e.user_id, s1.t1,
+             |    min(CASE WHEN e.event_type = 'click' AND e.ts_sec > s1.t1
+             |        THEN e.ts_sec END) AS t2
+             |  FROM ev e JOIN s1 ON e.user_id = s1.user_id
+             |  GROUP BY e.user_id, s1.t1),
+             |s3 AS (SELECT e.user_id, s2.t1, s2.t2,
+             |    min(CASE WHEN e.event_type = 'purchase' AND e.ts_sec > s2.t2
+             |        THEN e.ts_sec END) AS t3
+             |  FROM ev e JOIN s2 ON e.user_id = s2.user_id
+             |  WHERE s2.t2 IS NOT NULL
+             |  GROUP BY e.user_id, s2.t1, s2.t2)
+             |SELECT count(*) AS n_view,
+             |  CAST(sum(CASE WHEN s2.t2 IS NOT NULL THEN 1 ELSE 0 END)
+             |    AS BIGINT) AS n_view_click,
+             |  CAST(sum(CASE WHEN s3.t3 IS NOT NULL THEN 1 ELSE 0 END)
+             |    AS BIGINT) AS n_full_funnel,
+             |  CAST(sum(CASE WHEN s3.t3 IS NOT NULL THEN s2.t2 - s2.t1 END)
+             |    AS BIGINT)
+             |    // CAST(sum(CASE WHEN s3.t3 IS NOT NULL THEN 1 END) AS BIGINT)
+             |    AS mean_view_to_click_s,
+             |  CAST(sum(CASE WHEN s3.t3 IS NOT NULL THEN s3.t3 - s2.t2 END)
+             |    AS BIGINT)
+             |    // CAST(sum(CASE WHEN s3.t3 IS NOT NULL THEN 1 END) AS BIGINT)
+             |    AS mean_click_to_buy_s
+             |FROM s2 LEFT JOIN s3 ON s2.user_id = s3.user_id""".stripMargin))
   )
 }

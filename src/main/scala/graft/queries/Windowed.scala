@@ -466,6 +466,64 @@ object Windowed {
              |    AS BIGINT)
              |    // CAST(sum(CASE WHEN s3.t3 IS NOT NULL THEN 1 END) AS BIGINT)
              |    AS mean_click_to_buy_s
-             |FROM s2 LEFT JOIN s3 ON s2.user_id = s3.user_id""".stripMargin))
+             |FROM s2 LEFT JOIN s3 ON s2.user_id = s3.user_id""".stripMargin)),
+
+    // Cohort retention: users grouped by first-activity week, then
+    // counted per (cohort, week-offset) — the product-analytics
+    // retention triangle. Two aggregation passes (per-user first week,
+    // then distinct user-week activity joined back), both shuffling on
+    // user_id; weeks are exact integer epoch-week buckets.
+    QueryDef(
+      "q76_cohort_retention",
+      (s, d) => {
+        val wk = expr("ts_sec div 604800")
+        val ev = eventsNorm(s, d)
+          .select(col("user_id"), wk.as("week")).distinct()
+        val cohorts = ev.groupBy(col("user_id"))
+          .agg(min(col("week")).as("cohort_week"))
+        ev.join(cohorts, "user_id")
+          .withColumn("offset", col("week") - col("cohort_week"))
+          .filter(col("offset") <= 4)
+          .groupBy(col("cohort_week"), col("offset"))
+          .agg(countDistinct(col("user_id")).as("n_users"))
+          .orderBy(col("cohort_week"), col("offset"))
+      },
+      Some("""WITH ev AS (SELECT DISTINCT user_id,
+             |    CAST(epoch_ns(ts) // 1000000000 // 604800 AS BIGINT) AS week
+             |  FROM events),
+             |c AS (SELECT user_id, min(week) AS cohort_week
+             |  FROM ev GROUP BY user_id)
+             |SELECT c.cohort_week, e.week - c.cohort_week AS "offset",
+             |  count(DISTINCT e.user_id) AS n_users
+             |FROM ev e JOIN c ON e.user_id = c.user_id
+             |WHERE e.week - c.cohort_week <= 4
+             |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    // Pairwise co-occurrence (market-basket): parts bought together in
+    // one order, counted corpus-wide. The pair join BLOCKS on the
+    // order key — pairs only form within an order (bounded by order
+    // size, ~7 items in TPC-H), so the output is O(orders · size²),
+    // never an unblocked item × item square. Top pairs fully
+    // tie-broken.
+    QueryDef(
+      "q77_cooccurrence",
+      (s, d) => {
+        val items = lineitem(s, d)
+          .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+          .distinct()
+        items.as("x")
+          .join(items.as("y"),
+            col("x.ok") === col("y.ok") && col("x.pk") < col("y.pk"))
+          .groupBy(col("x.pk").as("part_a"), col("y.pk").as("part_b"))
+          .agg(count(lit(1)).as("n_orders"))
+          .orderBy(col("n_orders").desc, col("part_a"), col("part_b"))
+          .limit(20)
+      },
+      Some("""WITH items AS (SELECT DISTINCT l_orderkey AS ok,
+             |    l_partkey AS pk FROM lineitem)
+             |SELECT x.pk AS part_a, y.pk AS part_b, count(*) AS n_orders
+             |FROM items x JOIN items y ON x.ok = y.ok AND x.pk < y.pk
+             |GROUP BY 1, 2
+             |ORDER BY n_orders DESC, part_a, part_b LIMIT 20""".stripMargin))
   )
 }

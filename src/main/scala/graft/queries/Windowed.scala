@@ -524,6 +524,43 @@ object Windowed {
              |SELECT x.pk AS part_a, y.pk AS part_b, count(*) AS n_orders
              |FROM items x JOIN items y ON x.ok = y.ok AND x.pk < y.pk
              |GROUP BY 1, 2
-             |ORDER BY n_orders DESC, part_a, part_b LIMIT 20""".stripMargin))
+             |ORDER BY n_orders DESC, part_a, part_b LIMIT 20""".stripMargin)),
+
+    // Collect/nest (the inverse of q22's explode): each user's first
+    // five events gathered into an ORDERED path string, then top paths
+    // by frequency — clickstream path analysis. Ordering inside the
+    // aggregate is pinned by collecting (ts, event_id, type) structs
+    // and sort_array-ing the result (collect_list alone has no
+    // deterministic order after a shuffle — the struct sort is what
+    // makes the nest reproducible; DuckDB mirrors with
+    // list(... ORDER BY ...)). event_id breaks ts ties.
+    QueryDef(
+      "q78_event_paths",
+      (s, d) => {
+        val paths = eventsNorm(s, d)
+          .select(col("user_id"),
+            struct(col("ts_sec"), col("event_id"), col("event_type")).as("e"))
+          .groupBy(col("user_id"))
+          .agg(sort_array(collect_list(col("e"))).as("es"))
+          .select(col("user_id"),
+            array_join(
+              transform(slice(col("es"), 1, 5), e => e.getField("event_type")),
+              ">").as("path"))
+        paths.groupBy(col("path"))
+          .agg(count(lit(1)).as("n_users"))
+          .orderBy(col("n_users").desc, col("path"))
+          .limit(15)
+      },
+      Some("""WITH ev AS (SELECT user_id, event_id, event_type,
+             |    CAST(epoch_ns(ts) // 1000000000 AS BIGINT) AS ts_sec
+             |  FROM events),
+             |p AS (SELECT user_id,
+             |    array_to_string(
+             |      list(event_type ORDER BY ts_sec, event_id)[1:5], '>')
+             |      AS path
+             |  FROM ev GROUP BY user_id)
+             |SELECT path, count(*) AS n_users
+             |FROM p GROUP BY path
+             |ORDER BY n_users DESC, path LIMIT 15""".stripMargin))
   )
 }

@@ -414,10 +414,15 @@ object Windowed {
         val s1 = ev.groupBy(col("user_id"))
           .agg(min(when(col("event_type") === "view", col("ts_sec"))).as("t1"))
           .filter(col("t1").isNotNull)
+        // Persisted: s2 feeds both s3's lineage and the final join —
+        // without it the scan→join→agg pipeline behind it re-executes
+        // for the second reference (the multiply-referenced-derived-
+        // corpus rule; harness clears the cache per query).
         val s2 = ev.join(s1, "user_id")
           .groupBy(col("user_id"), col("t1"))
           .agg(min(when(col("event_type") === "click" &&
             col("ts_sec") > col("t1"), col("ts_sec"))).as("t2"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val s3 = ev.join(s2.filter(col("t2").isNotNull), "user_id")
           .groupBy(col("user_id"), col("t1"), col("t2"))
           .agg(min(when(col("event_type") === "purchase" &&
@@ -485,7 +490,12 @@ object Windowed {
           .withColumn("offset", col("week") - col("cohort_week"))
           .filter(col("offset") <= 4)
           .groupBy(col("cohort_week"), col("offset"))
-          .agg(countDistinct(col("user_id")).as("n_users"))
+          // plain count: ev is distinct on (user_id, week) and a
+          // user's week is pinned to cohort_week+offset inside the
+          // group, so each user contributes exactly one row —
+          // count(DISTINCT) would add a whole extra aggregate phase
+          // and exchange for the same value.
+          .agg(count(lit(1)).as("n_users"))
           .orderBy(col("cohort_week"), col("offset"))
       },
       Some("""WITH ev AS (SELECT DISTINCT user_id,
@@ -537,14 +547,24 @@ object Windowed {
     QueryDef(
       "q78_event_paths",
       (s, d) => {
+        // Bound per-user state BEFORE the collect: a window top-5 keeps
+        // at most 5 structs per user in the aggregation, where
+        // collect-then-slice would buffer (and sort) a heavy user's
+        // entire history in one task — the unbounded-key-state OOM.
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts_sec"), col("event_id"))
         val paths = eventsNorm(s, d)
+          .select(col("user_id"), col("ts_sec"), col("event_id"),
+            col("event_type"))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 5)
           .select(col("user_id"),
             struct(col("ts_sec"), col("event_id"), col("event_type")).as("e"))
           .groupBy(col("user_id"))
           .agg(sort_array(collect_list(col("e"))).as("es"))
           .select(col("user_id"),
             array_join(
-              transform(slice(col("es"), 1, 5), e => e.getField("event_type")),
+              transform(col("es"), e => e.getField("event_type")),
               ">").as("path"))
         paths.groupBy(col("path"))
           .agg(count(lit(1)).as("n_users"))

@@ -442,6 +442,91 @@ object Functions {
              |  CAST(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS "O",
              |  CAST(sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS "P"
              |FROM orders GROUP BY o_orderpriority
-             |ORDER BY o_orderpriority""".stripMargin))
+             |ORDER BY o_orderpriority""".stripMargin)),
+
+    // Equi-width histogram (the numeric-binning family next to q57's
+    // percentiles): order totals bucketed on exact integer cents, one
+    // aggregation pass, bin edges reported in whole cents so both
+    // engines agree bit-for-bit. The one-pass groupBy-on-computed-bin
+    // is the distributed histogram shape — no sorting, no per-bin
+    // scans; at 100 TB it is a single map-side-combined aggregate.
+    QueryDef(
+      "q79_histogram",
+      (s, d) => {
+        val w = 5000000L // 50k-dollar bins in cents
+        orders(s, d)
+          .select(expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)")
+            .as("cents"))
+          .withColumn("bin", expr(s"cents div ${w}L"))
+          .groupBy(col("bin"))
+          .agg(count(lit(1)).as("n_orders"),
+            min(col("cents")).as("min_cents"),
+            max(col("cents")).as("max_cents"))
+          .withColumn("bin_lo_cents", col("bin") * w)
+          .select(col("bin"), col("bin_lo_cents"), col("n_orders"),
+            col("min_cents"), col("max_cents"))
+          .orderBy(col("bin"))
+      },
+      Some("""WITH c AS (SELECT
+             |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+             |  FROM orders)
+             |SELECT cents // 5000000 AS bin,
+             |  (cents // 5000000) * 5000000 AS bin_lo_cents,
+             |  count(*) AS n_orders,
+             |  min(cents) AS min_cents, max(cents) AS max_cents
+             |FROM c GROUP BY bin ORDER BY bin""".stripMargin)),
+
+    // Blocked fuzzy matching (edit-distance entity resolution — the
+    // dedup family's typo-tolerant member): part names matched across
+    // a deliberately perturbed probe set via levenshtein <= 2, with
+    // candidate pairs BLOCKED on (first word, length band) so the
+    // quadratic distance computation only runs inside tiny blocks —
+    // never name × name. Both engines implement classic DP
+    // levenshtein: integer-exact parity.
+    QueryDef(
+      "q80_fuzzy_match",
+      (s, d) => {
+        val names = part(s, d).select(col("p_partkey"), col("p_name"))
+        // probes: every 100th part with its name's LAST character
+        // dropped — a deterministic typo one edit away.
+        val probes = names.filter(col("p_partkey") % 100 === 0)
+          .select(col("p_partkey").as("probe_key"),
+            expr("substring(p_name, 1, length(p_name) - 1)").as("typo"))
+        val block = (c: org.apache.spark.sql.Column) =>
+          split(c, " ").getItem(0)
+        broadcast(probes)
+          .join(names,
+            block(col("typo")) === block(col("p_name")) &&
+              abs(length(col("typo")) - length(col("p_name"))) <= 2)
+          .withColumn("dist", levenshtein(col("typo"), col("p_name")))
+          .filter(col("dist") <= 2)
+          .groupBy(col("probe_key"), col("typo"))
+          .agg(count(lit(1)).as("n_matches"),
+            min(struct(col("dist"), col("p_partkey"))).getField("p_partkey")
+              .as("best_key"),
+            min(struct(col("dist"), col("p_partkey"))).getField("dist")
+              .as("best_dist"))
+          .orderBy(col("probe_key"))
+      },
+      Some("""WITH names AS (SELECT p_partkey, p_name FROM part),
+             |probes AS (SELECT p_partkey AS probe_key,
+             |    substring(p_name, 1, length(p_name) - 1) AS typo
+             |  FROM part WHERE p_partkey % 100 = 0),
+             |cand AS (SELECT p.probe_key, p.typo, n.p_partkey,
+             |    levenshtein(p.typo, n.p_name) AS dist
+             |  FROM probes p JOIN names n
+             |    ON string_split(p.typo, ' ')[1] = string_split(n.p_name, ' ')[1]
+             |    AND abs(length(p.typo) - length(n.p_name)) <= 2),
+             |ok AS (SELECT * FROM cand WHERE dist <= 2),
+             |agg AS (SELECT probe_key, typo, count(*) AS n_matches
+             |  FROM ok GROUP BY 1, 2),
+             |best AS (SELECT probe_key, typo, p_partkey AS best_key,
+             |    dist AS best_dist
+             |  FROM (SELECT *, row_number() OVER (PARTITION BY probe_key, typo
+             |      ORDER BY dist, p_partkey) AS rn FROM ok) t
+             |  WHERE rn = 1)
+             |SELECT a.probe_key, a.typo, a.n_matches, b.best_key, b.best_dist
+             |FROM agg a JOIN best b USING (probe_key, typo)
+             |ORDER BY a.probe_key""".stripMargin))
   )
 }

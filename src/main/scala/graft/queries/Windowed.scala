@@ -581,6 +581,59 @@ object Windowed {
              |  FROM ev GROUP BY user_id)
              |SELECT path, count(*) AS n_users
              |FROM p GROUP BY path
-             |ORDER BY n_users DESC, path LIMIT 15""".stripMargin))
+             |ORDER BY n_users DESC, path LIMIT 15""".stripMargin)),
+
+    // Time-series resample: each user's purchase `value` series
+    // re-gridded to regular 6-hour buckets over the user's own active
+    // span, gaps forward-filled with the last observation. The grid is
+    // generated per user with sequence+explode (no driver loop, no
+    // cross join with a global calendar), observations attach by
+    // equi-join on the bucket, and the fill is one running
+    // last(ignoreNulls) window — the same carry-forward primitive as
+    // the as-of join, now on a dense grid. Money in exact cents;
+    // bucket of the LAST event per bucket wins (max_by event_id).
+    QueryDef(
+      "q81_resample_ffill",
+      (s, d) => {
+        val ev = eventsNorm(s, d)
+          .filter(col("event_type") === "purchase" && col("user_id") < 6)
+          .select(col("user_id"), expr("ts_sec div 21600").as("bucket"),
+            col("event_id"),
+            expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").as("cents"))
+          .groupBy(col("user_id"), col("bucket"))
+          .agg(max_by(col("cents"), col("event_id")).as("cents"))
+        val span = ev.groupBy(col("user_id"))
+          .agg(min(col("bucket")).as("b0"), max(col("bucket")).as("b1"))
+        val grid = span.select(col("user_id"),
+          explode(sequence(col("b0"), col("b1"))).as("bucket"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("user_id")).orderBy(col("bucket"))
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+        grid.join(ev, Seq("user_id", "bucket"), "left")
+          .withColumn("filled_cents", last(col("cents"), ignoreNulls = true).over(w))
+          .withColumn("is_gap", col("cents").isNull)
+          .select(col("user_id"), col("bucket"), col("filled_cents"),
+            col("is_gap"))
+          .orderBy(col("user_id"), col("bucket"))
+      },
+      Some("""WITH ev AS (SELECT user_id,
+             |    CAST(epoch_ns(ts) // 1000000000 // 21600 AS BIGINT) AS bucket,
+             |    max_by(CAST(floor(value * 100 + 0.5) AS BIGINT), event_id)
+             |      AS cents
+             |  FROM events
+             |  WHERE event_type = 'purchase' AND user_id < 6
+             |  GROUP BY 1, 2),
+             |span AS (SELECT user_id, min(bucket) AS b0, max(bucket) AS b1
+             |  FROM ev GROUP BY user_id),
+             |grid AS (SELECT user_id, unnest(range(b0, b1 + 1)) AS bucket
+             |  FROM span)
+             |SELECT g.user_id, g.bucket,
+             |  last_value(e.cents IGNORE NULLS) OVER (
+             |    PARTITION BY g.user_id ORDER BY g.bucket
+             |    ROWS UNBOUNDED PRECEDING) AS filled_cents,
+             |  e.cents IS NULL AS is_gap
+             |FROM grid g LEFT JOIN ev e
+             |  ON g.user_id = e.user_id AND g.bucket = e.bucket
+             |ORDER BY g.user_id, g.bucket""".stripMargin))
   )
 }

@@ -527,6 +527,49 @@ object Functions {
              |  WHERE rn = 1)
              |SELECT a.probe_key, a.typo, a.n_matches, b.best_key, b.best_dist
              |FROM agg a JOIN best b USING (probe_key, typo)
-             |ORDER BY a.probe_key""".stripMargin))
+             |ORDER BY a.probe_key""".stripMargin)),
+
+    // Per-group OLS regression slope — the bivariate extension of
+    // q56's moment-sum trick: slope = (n·Σxy − Σx·Σy)/(n·Σx² − (Σx)²)
+    // from EXACT integer sums (x = days since the TPC-H epoch ≤ ~2500,
+    // y = whole dollars ≤ 6e5 — every product and n-scaled sum stays
+    // far inside int64), then ONE double division floored to micro
+    // units. Spark's built-in regr_slope would drift in the last ulp
+    // with partition order; this is order-independent by construction.
+    // Trend detection per key in a single partial+final aggregate.
+    QueryDef(
+      "q82_group_regression",
+      (s, d) => {
+        val x = datediff(col("o_orderdate"), lit("1992-01-01")).cast("long")
+        val y = expr("CAST(floor(o_totalprice) AS BIGINT)")
+        val slope0 = (col("n") * col("sxy") - col("sx") * col("sy")) * lit(1.0) /
+          (col("n") * col("sxx") - col("sx") * col("sx"))
+        orders(s, d)
+          .select(col("o_orderpriority"), x.as("x"), y.as("y"))
+          .groupBy(col("o_orderpriority"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+            sum(col("x") * col("y")).as("sxy"),
+            sum(col("x") * col("x")).as("sxx"))
+          .select(col("o_orderpriority"), col("n"),
+            floor(when(col("n") * col("sxx") > col("sx") * col("sx"), slope0)
+              * 1000000 + 0.5).cast("long").as("slope_micro"))
+          .orderBy(col("o_orderpriority"))
+      },
+      Some("""WITH m AS (SELECT o_orderpriority,
+             |    CAST(date_diff('day', DATE '1992-01-01',
+             |      CAST(o_orderdate AS DATE)) AS BIGINT) AS x,
+             |    CAST(floor(o_totalprice) AS BIGINT) AS y
+             |  FROM orders),
+             |g AS (SELECT o_orderpriority, count(*) AS n,
+             |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+             |    CAST(sum(x*y) AS BIGINT) AS sxy,
+             |    CAST(sum(x*x) AS BIGINT) AS sxx
+             |  FROM m GROUP BY o_orderpriority)
+             |SELECT o_orderpriority, n,
+             |  CAST(floor(CASE WHEN n*sxx > sx*sx
+             |      THEN (n*sxy - sx*sy) * 1.0 / (n*sxx - sx*sx) END
+             |    * 1000000 + 0.5) AS BIGINT) AS slope_micro
+             |FROM g ORDER BY o_orderpriority""".stripMargin))
   )
 }

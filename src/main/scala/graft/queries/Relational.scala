@@ -354,6 +354,112 @@ object Relational {
              |SELECT c_nationkey, count(*) AS n_rows,
              |  CAST(sum(cents) AS BIGINT) AS total_cents
              |FROM m WHERE NOT del GROUP BY c_nationkey
-             |ORDER BY c_nationkey""".stripMargin))
+             |ORDER BY c_nationkey""".stripMargin)),
+
+    // Set-containment join (ALL-match semi-join): orders whose item
+    // set CONTAINS an entire probe basket — match rows per (order,
+    // basket item), then keep orders matching the full basket size.
+    // The equi-join on the item key is the only wide operation; the
+    // containment test is a count compared to the basket's size
+    // (carried by a broadcast scalar join, no collect). This is the
+    // "orders containing all of {x, y}" shape that a naive approach
+    // writes as k chained EXISTS subqueries.
+    QueryDef(
+      "q83_containment_join",
+      (s, d) => {
+        val items = lineitem(s, d)
+          .select(col("l_orderkey"), col("l_partkey")).distinct()
+        // deterministic probe basket guaranteed to co-occur: the 2
+        // lowest part keys of the smallest multi-item order
+        val firstMulti = items.groupBy(col("l_orderkey"))
+          .agg(count(lit(1)).as("n_items"))
+          .filter(col("n_items") >= 2)
+          .agg(min(col("l_orderkey")).as("mok"))
+        val basket = items.join(broadcast(firstMulti),
+            col("l_orderkey") === col("mok"))
+          .orderBy(col("l_partkey")).limit(2)
+          .select(col("l_partkey").as("bk"))
+        val bsize = basket.agg(count(lit(1)).as("bsize"))
+        items.join(broadcast(basket), col("l_partkey") === col("bk"))
+          .groupBy(col("l_orderkey"))
+          .agg(count(lit(1)).as("n_matched"))
+          .crossJoin(broadcast(bsize))
+          .filter(col("n_matched") === col("bsize"))
+          .select(col("l_orderkey"), col("n_matched"))
+          .orderBy(col("l_orderkey"))
+      },
+      Some("""WITH items AS (SELECT DISTINCT l_orderkey, l_partkey
+             |  FROM lineitem),
+             |mo AS (SELECT min(l_orderkey) AS mok FROM (
+             |    SELECT l_orderkey FROM items
+             |    GROUP BY l_orderkey HAVING count(*) >= 2) t),
+             |basket AS (SELECT l_partkey AS bk FROM items, mo
+             |  WHERE l_orderkey = mok ORDER BY l_partkey LIMIT 2)
+             |SELECT i.l_orderkey, count(*) AS n_matched
+             |FROM items i JOIN basket b ON i.l_partkey = b.bk
+             |GROUP BY i.l_orderkey
+             |HAVING count(*) = (SELECT count(*) FROM basket)
+             |ORDER BY i.l_orderkey""".stripMargin)),
+
+    // Table-content checksums for reconciliation: an ORDER-INDEPENDENT
+    // content hash per table — per-row parity hash of a canonical
+    // field encoding, summed mod P with the row count. Two replicas
+    // (or a pre- and post-migration copy) agree iff counts and sums
+    // agree, with no sort and no row shipping — the 100 TB
+    // anti-entropy check. Canonical encoding pins field order and a
+    // separator that cannot appear in the values.
+    QueryDef(
+      "q84_table_checksum",
+      (s, d) => {
+        import graft.ops.TextOps
+        val P = TextOps.P
+        def sig(df: org.apache.spark.sql.DataFrame, name: String,
+            canon: org.apache.spark.sql.Column) =
+          df.select(TextOps.polyHash(canon).as("h"))
+            .agg(count(lit(1)).as("n_rows"),
+              (sum(col("h")) % P).as("content_sum"))
+            .select(lit(name).as("table_name"), col("n_rows"),
+              col("content_sum"))
+        sig(region(s, d), "region",
+          concat_ws("", col("r_regionkey"), col("r_name")))
+          .unionByName(sig(nation(s, d), "nation",
+            concat_ws("", col("n_nationkey"), col("n_name"),
+              col("n_regionkey"))))
+          .unionByName(sig(part(s, d), "part",
+            concat_ws("", col("p_partkey"), col("p_name"),
+              col("p_brand"))))
+          .orderBy(col("table_name"))
+      },
+      Some("""WITH s AS (
+             |  SELECT 'region' AS table_name, count(*) AS n_rows,
+             |    CAST(sum(list_reduce(list_prepend(CAST(0 AS BIGINT),
+             |      list_transform(string_split(
+             |        CAST(r_regionkey AS VARCHAR) || chr(1) || r_name, ''),
+             |        c -> CAST(ascii(c) AS BIGINT))),
+             |      (h, c) -> (h*31 + c) % 1000000007)) % 1000000007
+             |      AS BIGINT) AS content_sum
+             |  FROM region
+             |  UNION ALL
+             |  SELECT 'nation', count(*),
+             |    CAST(sum(list_reduce(list_prepend(CAST(0 AS BIGINT),
+             |      list_transform(string_split(
+             |        CAST(n_nationkey AS VARCHAR) || chr(1) || n_name ||
+             |        chr(1) || CAST(n_regionkey AS VARCHAR), ''),
+             |        c -> CAST(ascii(c) AS BIGINT))),
+             |      (h, c) -> (h*31 + c) % 1000000007)) % 1000000007
+             |      AS BIGINT)
+             |  FROM nation
+             |  UNION ALL
+             |  SELECT 'part', count(*),
+             |    CAST(sum(list_reduce(list_prepend(CAST(0 AS BIGINT),
+             |      list_transform(string_split(
+             |        CAST(p_partkey AS VARCHAR) || chr(1) || p_name ||
+             |        chr(1) || p_brand, ''),
+             |        c -> CAST(ascii(c) AS BIGINT))),
+             |      (h, c) -> (h*31 + c) % 1000000007)) % 1000000007
+             |      AS BIGINT)
+             |  FROM part)
+             |SELECT table_name, n_rows, content_sum
+             |FROM s ORDER BY table_name""".stripMargin))
   )
 }

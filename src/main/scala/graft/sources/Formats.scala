@@ -68,4 +68,15 @@ object Formats {
   /** Catalog table read — format-agnostic by construction (the catalog
     * resolves the provider recorded at write time). */
   def readTable(s: SparkSession, table: String): DataFrame = s.table(table)
+
+  /** Schema-evolution read: union the schemas of all parquet footers
+    * under `path` (columns added by later writer versions appear as
+    * NULL in older files). Off by default in Spark because footer
+    * merging lists every file — acceptable at read-of-evolved-table
+    * time, wrong as a permanent default at 100 TB; a real lakehouse
+    * table format (Delta/Iceberg) tracks the schema in metadata and
+    * skips the footer scan, which is exactly what [[writeTable]]'s
+    * pluggable layer buys when one of those connectors is present. */
+  def readParquetEvolved(s: SparkSession, path: String): DataFrame =
+    s.read.option("mergeSchema", true).parquet(path)
 }

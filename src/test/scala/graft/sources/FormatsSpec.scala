@@ -69,4 +69,25 @@ class FormatsSpec extends SparkSpecBase {
       s"bucketed join still shuffles:\n$plan")
     assert(joined.count() === 2)
   }
+
+  test("schema evolution: columns added by later writers merge, old rows null") {
+    val dir = tmp()
+    // v1 writer: (id, v)
+    Seq((1L, 10L), (2L, 20L)).toDF("id", "v")
+      .write.mode("append").parquet(dir)
+    // v2 writer adds a column
+    Seq((3L, 30L, "x")).toDF("id", "v", "tag")
+      .write.mode("append").parquet(dir)
+    val evolved = Formats.readParquetEvolved(spark, dir)
+    assert(evolved.columns.sorted.toSeq === Seq("id", "tag", "v"))
+    val rows = evolved.orderBy("id").collect()
+      .map(r => (r.getLong(r.fieldIndex("id")),
+        if (r.isNullAt(r.fieldIndex("tag"))) None
+        else Some(r.getString(r.fieldIndex("tag")))))
+      .toSeq
+    assert(rows === Seq((1L, None), (2L, None), (3L, Some("x"))))
+    // the plain read is allowed to pick EITHER footer's schema —
+    // evolution must be explicit, which is why the helper exists
+    assert(Formats.readParquet(spark, dir).count() === 3)
+  }
 }

@@ -17,6 +17,10 @@ object Sketches {
   private val Depth = 4
   private val Width = 256
 
+  /** q85 linear-counting table, micro-scaled ln(64/v) — computed once
+    * here and inlined into BOTH the Spark plan and the oracle SQL. */
+  private val HllLn = graft.ops.HllAgg.lnMicro(64)
+
   val defs: Seq[QueryDef] = Seq(
 
     // Count-min heavy hitters: top tokens by exact count, with the CMS
@@ -81,6 +85,102 @@ object Sketches {
              |SELECT tok, n_exact, cms_est, cms_est - n_exact AS overest,
              |  cms_est >= n_exact AS never_under
              |FROM est ORDER BY n_exact DESC, tok LIMIT 15""".stripMargin)),
+
+    // Portable HyperLogLog (graft.ops.HllAgg): distinct counts whose
+    // SKETCH — not just the answer — is reproducible by any engine.
+    // Spark's approx_count_distinct (q47) answers the question but its
+    // HLL++ register layout is private; here the registers are built
+    // from cross-engine-exact arithmetic (Knuth hash mod P, trailing-
+    // zero rank via the bit_count((x&-x)-1) identity) so the DuckDB
+    // oracle rebuilds the identical 64-register sketch and the
+    // identical all-integer estimate, including the linear-counting
+    // small-range branch (exercised by the supplier-per-nation grain,
+    // ~4 keys/group; the customer-per-priority grain exercises the raw
+    // harmonic-mean branch). The ln() table for linear counting is
+    // computed ONCE in the driver and inlined into both plans — libm
+    // never runs per-engine. At 100 TB the mergeable HllAgg aggregator
+    // (SketchAggregatesSpec proves it produces these exact registers)
+    // replaces count(DISTINCT): 64 bytes per group, map-side merge,
+    // and sketches from different days/clusters union by register max.
+    QueryDef(
+      "q85_hll_distinct",
+      (s, d) => {
+        val m = 64
+        val width = 24                  // h < P < 2^30, minus 6 bucket bits
+        val scale = 1L << (width + 1)
+        val num = graft.ops.HllAgg.alphaScaled(m) * m * m * scale
+        val keys = orders(s, d)
+          .select(lit("cust_by_priority").as("grain"),
+            col("o_orderpriority").as("grp"), col("o_custkey").as("key"))
+          .unionByName(supplier(s, d)
+            .select(lit("supp_by_nation").as("grain"),
+              col("s_nationkey").cast("string").as("grp"),
+              col("s_suppkey").as("key")))
+        val reg = keys
+          // Affine Knuth step + quadratic mix (see HllAgg.hash: the
+          // affine step alone leaves sequential keys' trailing-zero
+          // ranks structured → badly biased estimates).
+          .withColumn("h0", pmod(col("key") * lit(2654435761L), lit(P)))
+          .withColumn("h", expr(s"(h0 * h0 + h0) % $P"))
+          .withColumn("bucket", col("h") % m)
+          .withColumn("rest", expr(s"h div $m"))
+          .groupBy(col("grain"), col("grp"), col("bucket"))
+          .agg(max(when(col("rest") === 0, width + 1)
+            .otherwise(expr("bit_count((rest & -rest) - 1) + 1"))).as("reg"))
+        val sums = reg.groupBy(col("grain"), col("grp"))
+          .agg(sum(expr(s"shiftright(CAST($scale AS BIGINT), CAST(reg AS INT))"))
+            .as("s_present"), count(lit(1)).as("n_buckets"))
+          .withColumn("n_empty", lit(m) - col("n_buckets"))
+          .withColumn("S", col("s_present") + col("n_empty") * scale)
+          .withColumn("raw", expr(s"CAST($num AS BIGINT) div (1000 * S)"))
+          .withColumn("hll_est",
+            when(col("n_empty") > 0 && col("raw") <= lit(5L * m / 2),
+              expr(s"($m * element_at(array(${HllLn.map(_ + "L").mkString(",")}), " +
+                "CAST(n_empty AS INT))) div 1000000"))
+              .otherwise(col("raw")))
+        keys.groupBy(col("grain"), col("grp"))
+          .agg(countDistinct(col("key")).as("n_exact"))
+          .join(broadcast(sums), Seq("grain", "grp"))
+          .select(col("grain"), col("grp"), col("n_exact"), col("hll_est"),
+            expr("abs(hll_est - n_exact) * 1000 div n_exact").as("err_permille"),
+            col("n_empty"))
+          .orderBy(col("grain"), col("grp"))
+      },
+      Some(s"""WITH keys AS (
+             |  SELECT 'cust_by_priority' AS grain, o_orderpriority AS grp,
+             |      o_custkey AS key FROM orders
+             |  UNION ALL
+             |  SELECT 'supp_by_nation', CAST(s_nationkey AS VARCHAR), s_suppkey
+             |      FROM supplier),
+             |h0 AS (SELECT grain, grp, key,
+             |    (key * 2654435761) % $P AS h0 FROM keys),
+             |h AS (SELECT grain, grp, key,
+             |    (h0 * h0 + h0) % $P AS h FROM h0),
+             |reg AS (SELECT grain, grp, h % 64 AS bucket,
+             |    max(CASE WHEN h // 64 = 0 THEN 25
+             |        ELSE bit_count(((h // 64) & -(h // 64)) - 1) + 1 END) AS reg
+             |  FROM h GROUP BY 1, 2, 3),
+             |s AS (SELECT grain, grp,
+             |    CAST(sum(33554432 >> CAST(reg AS INT)) AS BIGINT)
+             |      + (64 - count(*)) * 33554432 AS S,
+             |    64 - count(*) AS n_empty
+             |  FROM reg GROUP BY 1, 2),
+             |est AS (SELECT grain, grp, n_empty,
+             |    CAST(${709L * 64 * 64 * 33554432} AS BIGINT) // (1000 * S) AS raw
+             |  FROM s),
+             |fin AS (SELECT grain, grp, n_empty,
+             |    CASE WHEN n_empty > 0 AND raw <= 160
+             |      THEN (64 * ([${HllLn.mkString(",")}][CAST(n_empty AS INT)]))
+             |        // 1000000
+             |      ELSE raw END AS hll_est
+             |  FROM est),
+             |ex AS (SELECT grain, grp, count(DISTINCT key) AS n_exact
+             |  FROM keys GROUP BY 1, 2)
+             |SELECT f.grain, f.grp, n_exact, hll_est,
+             |  abs(hll_est - n_exact) * 1000 // n_exact AS err_permille,
+             |  n_empty
+             |FROM fin f JOIN ex USING (grain, grp)
+             |ORDER BY grain, grp""".stripMargin)),
 
     // Bloom-filter join pruning (graft.ops.BloomOps): the runtime-
     // filter pattern — a selective predicate on one join side becomes

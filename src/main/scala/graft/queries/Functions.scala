@@ -570,6 +570,101 @@ object Functions {
              |  CAST(floor(CASE WHEN n*sxx > sx*sx
              |      THEN (n*sxy - sx*sy) * 1.0 / (n*sxx - sx*sx) END
              |    * 1000000 + 0.5) AS BIGINT) AS slope_micro
-             |FROM g ORDER BY o_orderpriority""".stripMargin))
+             |FROM g ORDER BY o_orderpriority""".stripMargin)),
+
+    // Unpivot / melt (wide → long), the inverse of q48's pivot: per-
+    // priority measures become (grp, measure, value) rows via the
+    // native Dataset.unpivot — Catalyst plans an Expand (each input
+    // row emits one row per measure in the same task), so the reshape
+    // is projection-only: no shuffle beyond the feeding aggregation,
+    // no join of per-measure subqueries. The long form is what a
+    // metrics store or a generic "all KPIs by group" dashboard scan
+    // wants at 100 TB — one schema regardless of how many measures.
+    QueryDef(
+      "q86_unpivot_long",
+      (s, d) => {
+        val wide = orders(s, d)
+          .groupBy(col("o_orderpriority").as("grp"))
+          .agg(count(lit(1)).as("n_orders"),
+            sum(expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)"))
+              .as("sum_price_cents"),
+            sum(when(col("o_orderstatus") === "O", 1L).otherwise(0L))
+              .as("n_open"))
+        wide.unpivot(
+            Array(col("grp")),
+            Array(col("n_orders"), col("sum_price_cents"), col("n_open")),
+            "measure", "value")
+          .orderBy(col("grp"), col("measure"))
+      },
+      Some("""WITH w AS (SELECT o_orderpriority AS grp,
+             |    count(*) AS n_orders,
+             |    CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+             |      AS BIGINT) AS sum_price_cents,
+             |    CAST(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END)
+             |      AS BIGINT) AS n_open
+             |  FROM orders GROUP BY 1)
+             |SELECT grp, measure, value FROM (
+             |  SELECT grp, 'n_orders' AS measure, n_orders AS value FROM w
+             |  UNION ALL SELECT grp, 'sum_price_cents', sum_price_cents FROM w
+             |  UNION ALL SELECT grp, 'n_open', n_open FROM w)
+             |ORDER BY grp, measure""".stripMargin)),
+
+    // Skewness / excess kurtosis from exact integer moment sums (the
+    // higher-moment siblings of q56's variance and q82's OLS slope):
+    // one partial+final aggregation collects n, Σq..Σq⁴ as exact longs
+    // (q ≤ 50 so Σq⁴ ≤ 4e12 — no overflow at sf100), then the shape
+    // statistics are derived in ONE deterministic double expression
+    // tree shared textually with the oracle — identical IEEE ops in
+    // identical order, so floor(x*1e6+0.5) agrees bit-for-bit where
+    // Spark's builtin skewness/kurtosis (streaming M2/M3/M4 updates)
+    // is partitioning-order-dependent in the last ulps.
+    QueryDef(
+      "q87_higher_moments",
+      (s, d) => {
+        lineitem(s, d)
+          .select(col("l_returnflag"), col("l_quantity").cast("long").as("q"))
+          .groupBy(col("l_returnflag"))
+          .agg(count(lit(1)).as("n"), sum(col("q")).as("s1"),
+            sum(expr("q*q")).as("s2"), sum(expr("q*q*q")).as("s3"),
+            sum(expr("q*q*q*q")).as("s4"))
+          .withColumn("mean", expr("CAST(s1 AS DOUBLE) / n"))
+          .withColumn("m2", expr("CAST(s2 AS DOUBLE) / n - mean*mean"))
+          .withColumn("m3", expr(
+            "CAST(s3 AS DOUBLE)/n - 3*mean*CAST(s2 AS DOUBLE)/n" +
+              " + 2*mean*mean*mean"))
+          .withColumn("m4", expr(
+            "CAST(s4 AS DOUBLE)/n - 4*mean*CAST(s3 AS DOUBLE)/n" +
+              " + 6*mean*mean*CAST(s2 AS DOUBLE)/n - 3*mean*mean*mean*mean"))
+          .select(col("l_returnflag"), col("n"),
+            expr("CAST(floor(CASE WHEN m2 > 0 THEN m3 / (m2 * sqrt(m2)) END" +
+              " * 1000000 + 0.5) AS BIGINT)").as("skew_micro"),
+            expr("CAST(floor(CASE WHEN m2 > 0 THEN m4 / (m2 * m2) - 3 END" +
+              " * 1000000 + 0.5) AS BIGINT)").as("kurt_micro"))
+          .orderBy(col("l_returnflag"))
+      },
+      Some("""WITH m AS (SELECT l_returnflag,
+             |    CAST(l_quantity AS BIGINT) AS q FROM lineitem),
+             |g AS (SELECT l_returnflag, count(*) AS n,
+             |    CAST(sum(q) AS BIGINT) AS s1, CAST(sum(q*q) AS BIGINT) AS s2,
+             |    CAST(sum(q*q*q) AS BIGINT) AS s3,
+             |    CAST(sum(q*q*q*q) AS BIGINT) AS s4
+             |  FROM m GROUP BY l_returnflag),
+             |mm AS (SELECT l_returnflag, n, s2, s3, s4,
+             |    CAST(s1 AS DOUBLE) / n AS mean FROM g),
+             |c AS (SELECT l_returnflag, n, mean, s3, s4, s2,
+             |    CAST(s2 AS DOUBLE) / n - mean*mean AS m2 FROM mm),
+             |c3 AS (SELECT l_returnflag, n, mean, s2, s3, s4, m2,
+             |    CAST(s3 AS DOUBLE)/n - 3*mean*CAST(s2 AS DOUBLE)/n
+             |      + 2*mean*mean*mean AS m3 FROM c),
+             |c4 AS (SELECT l_returnflag, n, m2, m3,
+             |    CAST(s4 AS DOUBLE)/n - 4*mean*CAST(s3 AS DOUBLE)/n
+             |      + 6*mean*mean*CAST(s2 AS DOUBLE)/n
+             |      - 3*mean*mean*mean*mean AS m4 FROM c3)
+             |SELECT l_returnflag, n,
+             |  CAST(floor(CASE WHEN m2 > 0 THEN m3 / (m2 * sqrt(m2)) END
+             |    * 1000000 + 0.5) AS BIGINT) AS skew_micro,
+             |  CAST(floor(CASE WHEN m2 > 0 THEN m4 / (m2 * m2) - 3 END
+             |    * 1000000 + 0.5) AS BIGINT) AS kurt_micro
+             |FROM c4 ORDER BY l_returnflag""".stripMargin))
   )
 }

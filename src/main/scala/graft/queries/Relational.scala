@@ -460,6 +460,73 @@ object Relational {
              |      AS BIGINT)
              |  FROM part)
              |SELECT table_name, n_rows, content_sum
-             |FROM s ORDER BY table_name""".stripMargin))
+             |FROM s ORDER BY table_name""".stripMargin)),
+
+    // k-anonymity audit (privacy/compliance gate for published or
+    // training data): group the table by its quasi-identifier tuple
+    // (nation, market segment) and measure, per nation, how many rows
+    // sit in groups smaller than k=10 — those rows are re-identifiable
+    // by the QI combination alone. One partial+final aggregation to
+    // group sizes, one tiny rollup over the (≤ |nations|×|segments|)
+    // group-size table; nothing scales with row count except the first
+    // pass. The permille ratio is integer-exact (no float div).
+    QueryDef(
+      "q88_k_anonymity",
+      (s, d) => {
+        val k = 10L
+        customer(s, d)
+          .groupBy(col("c_nationkey"), col("c_mktsegment"))
+          .agg(count(lit(1)).as("sz"))
+          .groupBy(col("c_nationkey"))
+          .agg(sum(col("sz")).as("n_rows"),
+            count(lit(1)).as("n_groups"),
+            sum(when(col("sz") < k, 1L).otherwise(0L)).as("n_risky_groups"),
+            sum(when(col("sz") < k, col("sz")).otherwise(0L))
+              .as("n_risky_rows"))
+          .withColumn("risk_permille",
+            expr("n_risky_rows * 1000 div n_rows"))
+          .orderBy(col("c_nationkey"))
+      },
+      Some("""WITH g AS (SELECT c_nationkey, c_mktsegment, count(*) AS sz
+             |  FROM customer GROUP BY 1, 2)
+             |SELECT c_nationkey,
+             |  CAST(sum(sz) AS BIGINT) AS n_rows,
+             |  count(*) AS n_groups,
+             |  CAST(sum(CASE WHEN sz < 10 THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS n_risky_groups,
+             |  CAST(sum(CASE WHEN sz < 10 THEN sz ELSE 0 END) AS BIGINT)
+             |    AS n_risky_rows,
+             |  CAST(sum(CASE WHEN sz < 10 THEN sz ELSE 0 END) AS BIGINT)
+             |    * 1000 // CAST(sum(sz) AS BIGINT) AS risk_permille
+             |FROM g GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin)),
+
+    // Deterministic exact-k uniform sample: rank every row by a
+    // quadratic-mixed hash of its key (same P/mix family as the HLL
+    // kernel — affine-only hashing would leave sequential keys
+    // structured) and keep the k smallest. Reproducible across
+    // retries, partitionings, and engines — rand()-based sample()
+    // is none of those — and Catalyst plans TakeOrderedAndProject:
+    // each partition keeps only its local top-k, the driver merges
+    // k×partitions rows, so there is NO full sort and NO global
+    // shuffle at any scale. The hash column is emitted so the oracle
+    // check pins the ranking itself, not just the membership.
+    QueryDef(
+      "q89_exactk_sample",
+      (s, d) => {
+        val P = graft.ops.TextOps.P
+        orders(s, d)
+          .withColumn("h0", pmod(col("o_orderkey") * 2654435761L, lit(P)))
+          .withColumn("h", expr(s"(h0 * h0 + h0) % $P"))
+          .select(col("o_orderkey"), col("o_orderpriority"), col("h"))
+          .orderBy(col("h"), col("o_orderkey"))
+          .limit(64)
+      },
+      Some(s"""WITH h0 AS (SELECT o_orderkey, o_orderpriority,
+             |    (o_orderkey * 2654435761) % ${graft.ops.TextOps.P} AS h0
+             |  FROM orders),
+             |h AS (SELECT o_orderkey, o_orderpriority,
+             |    (h0 * h0 + h0) % ${graft.ops.TextOps.P} AS h FROM h0)
+             |SELECT o_orderkey, o_orderpriority, h
+             |FROM h ORDER BY h, o_orderkey LIMIT 64""".stripMargin))
   )
 }

@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.{QueryDef, Tables}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 /** Function-surface catalog (SURVEY.md §2b rows: grouping sets, set ops,
@@ -665,6 +666,151 @@ object Functions {
              |    * 1000000 + 0.5) AS BIGINT) AS skew_micro,
              |  CAST(floor(CASE WHEN m2 > 0 THEN m4 / (m2 * m2) - 3 END
              |    * 1000000 + 0.5) AS BIGINT) AS kurt_micro
-             |FROM c4 ORDER BY l_returnflag""".stripMargin))
+             |FROM c4 ORDER BY l_returnflag""".stripMargin)),
+
+    // Z-score outlier audit (data-quality family): flag rows more
+    // than 3σ from their group mean. Two passes over the fact table —
+    // one partial+final aggregation to (n, Σx, Σx²) per group, then
+    // the 9-row stats table BROADCAST back onto the rows, so the
+    // second pass is a map-only scan: no row ever shuffles on the
+    // group key. The comparison derives mean/m2 as doubles from the
+    // exact integer sums with the oracle sharing the identical
+    // expression text — same IEEE ops, same verdict on every row,
+    // even for rows sitting exactly on the 3σ boundary.
+    QueryDef(
+      "q90_zscore_outliers",
+      (s, d) => {
+        val rows = lineitem(s, d).select(col("l_returnflag"),
+          col("l_linestatus"),
+          expr("CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)")
+            .as("cents"))
+        val stats = rows.groupBy(col("l_returnflag"), col("l_linestatus"))
+          .agg(count(lit(1)).as("n"), sum(col("cents")).as("s1"),
+            sum(expr("cents * cents")).as("s2"))
+          .withColumn("mean", expr("CAST(s1 AS DOUBLE) / n"))
+          .withColumn("m2", expr("CAST(s2 AS DOUBLE) / n - mean*mean"))
+        rows.join(broadcast(stats), Seq("l_returnflag", "l_linestatus"))
+          .withColumn("dev", expr("CAST(cents AS DOUBLE) - mean"))
+          .withColumn("is_out", expr("dev * dev > 9 * m2"))
+          .groupBy(col("l_returnflag"), col("l_linestatus"))
+          .agg(max(col("n")).as("n"),
+            sum(when(col("is_out"), 1L).otherwise(0L)).as("n_outliers"))
+          .withColumn("out_permille", expr("n_outliers * 1000 div n"))
+          .orderBy(col("l_returnflag"), col("l_linestatus"))
+      },
+      Some("""WITH r AS (SELECT l_returnflag, l_linestatus,
+             |    CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS cents
+             |  FROM lineitem),
+             |g AS (SELECT l_returnflag, l_linestatus, count(*) AS n,
+             |    CAST(sum(cents) AS BIGINT) AS s1,
+             |    CAST(sum(cents * cents) AS BIGINT) AS s2
+             |  FROM r GROUP BY 1, 2),
+             |st AS (SELECT l_returnflag, l_linestatus, n, s2,
+             |    CAST(s1 AS DOUBLE) / n AS mean FROM g),
+             |st2 AS (SELECT l_returnflag, l_linestatus, n, mean,
+             |    CAST(s2 AS DOUBLE) / n - mean*mean AS m2 FROM st),
+             |j AS (SELECT r.l_returnflag, r.l_linestatus, n,
+             |    CAST(cents AS DOUBLE) - mean AS dev, m2
+             |  FROM r JOIN st2 USING (l_returnflag, l_linestatus))
+             |SELECT l_returnflag, l_linestatus, max(n) AS n,
+             |  CAST(sum(CASE WHEN dev * dev > 9 * m2 THEN 1 ELSE 0 END)
+             |    AS BIGINT) AS n_outliers,
+             |  CAST(sum(CASE WHEN dev * dev > 9 * m2 THEN 1 ELSE 0 END)
+             |    AS BIGINT) * 1000 // max(n) AS out_permille
+             |FROM j GROUP BY l_returnflag, l_linestatus
+             |ORDER BY l_returnflag, l_linestatus""".stripMargin)),
+
+    // Referential-integrity audit (data-quality family): orphan
+    // counts for each FK edge of the star schema in one result. Each
+    // edge is a LEFT ANTI join — the child shuffles on its key once,
+    // the parent side ships only its key column, and counting orphan
+    // rows + distinct orphan keys is a single follow-up aggregate.
+    // This is the check a lakehouse runs before publishing a
+    // snapshot; zero rows orphaned is the expected (and verified)
+    // steady state, and the n_child baseline makes the zeros
+    // meaningful in the differential check.
+    QueryDef(
+      "q92_fk_audit",
+      (s, d) => {
+        def audit(edge: String, child: DataFrame, key: String,
+            parent: DataFrame, pkey: String): DataFrame = {
+          val orphans = child.select(col(key))
+            .join(parent.select(col(pkey).as(key)), Seq(key), "left_anti")
+          orphans.agg(count(lit(1)).as("n_orphans"),
+              countDistinct(col(key)).as("n_orphan_keys"))
+            .crossJoin(child.agg(count(lit(1)).as("n_child")))
+            .select(lit(edge).as("fk_edge"), col("n_child"),
+              col("n_orphans"), col("n_orphan_keys"))
+        }
+        audit("lineitem.orderkey->orders", lineitem(s, d), "l_orderkey",
+            orders(s, d), "o_orderkey")
+          .unionByName(audit("lineitem.partkey->part", lineitem(s, d),
+            "l_partkey", part(s, d), "p_partkey"))
+          .unionByName(audit("orders.custkey->customer", orders(s, d),
+            "o_custkey", customer(s, d), "c_custkey"))
+          .orderBy(col("fk_edge"))
+      },
+      Some("""SELECT * FROM (
+             |  SELECT 'lineitem.orderkey->orders' AS fk_edge,
+             |    (SELECT count(*) FROM lineitem) AS n_child,
+             |    (SELECT count(*) FROM lineitem l LEFT JOIN orders o
+             |      ON l.l_orderkey = o.o_orderkey
+             |      WHERE o.o_orderkey IS NULL) AS n_orphans,
+             |    (SELECT count(DISTINCT l_orderkey) FROM lineitem l
+             |      LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+             |      WHERE o.o_orderkey IS NULL) AS n_orphan_keys
+             |  UNION ALL
+             |  SELECT 'lineitem.partkey->part',
+             |    (SELECT count(*) FROM lineitem),
+             |    (SELECT count(*) FROM lineitem l LEFT JOIN part p
+             |      ON l.l_partkey = p.p_partkey
+             |      WHERE p.p_partkey IS NULL),
+             |    (SELECT count(DISTINCT l_partkey) FROM lineitem l
+             |      LEFT JOIN part p ON l.l_partkey = p.p_partkey
+             |      WHERE p.p_partkey IS NULL)
+             |  UNION ALL
+             |  SELECT 'orders.custkey->customer',
+             |    (SELECT count(*) FROM orders),
+             |    (SELECT count(*) FROM orders o LEFT JOIN customer c
+             |      ON o.o_custkey = c.c_custkey
+             |      WHERE c.c_custkey IS NULL),
+             |    (SELECT count(DISTINCT o_custkey) FROM orders o
+             |      LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+             |      WHERE c.c_custkey IS NULL))
+             |ORDER BY fk_edge""".stripMargin)),
+
+    // Equi-depth histogram via ntile (the quantile-bucketing sibling
+    // of q79's equi-width bins): 8 buckets of equal row count over
+    // exact integer cents, per-bucket count and [min, max] edges.
+    // The window's ORDER BY carries a full tie-break (cents, key) so
+    // bucket membership is deterministic under duplicate prices in
+    // both engines. This exact form costs one global range sort — the
+    // honest price of exact boundaries; the sketch path for 100 TB is
+    // q57's approx_percentile, and this query is its audit: run both,
+    // compare edges.
+    QueryDef(
+      "q93_equidepth_hist",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        orders(s, d)
+          .select(col("o_orderkey"),
+            expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)")
+              .as("cents"))
+          .withColumn("tile", ntile(8).over(
+            Window.orderBy(col("cents"), col("o_orderkey"))))
+          .groupBy(col("tile"))
+          .agg(count(lit(1)).as("n"), min(col("cents")).as("lo_cents"),
+            max(col("cents")).as("hi_cents"))
+          .orderBy(col("tile"))
+      },
+      Some("""WITH t AS (SELECT
+             |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents,
+             |    ntile(8) OVER (ORDER BY
+             |      CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT),
+             |      o_orderkey) AS tile
+             |  FROM orders)
+             |SELECT tile, count(*) AS n, min(cents) AS lo_cents,
+             |  max(cents) AS hi_cents
+             |FROM t GROUP BY tile ORDER BY tile""".stripMargin))
   )
 }

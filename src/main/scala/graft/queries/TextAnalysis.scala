@@ -452,6 +452,46 @@ object TextAnalysis {
              |SELECT r.source, r.n_raw, r.n_pass_len, r.n_pass_quality,
              |  f.n_final, f.final_tokens
              |FROM raw r JOIN fin f ON r.source = f.source
-             |ORDER BY r.source""".stripMargin))
+             |ORDER BY r.source""".stripMargin)),
+
+    // One-pass data profiling (the `describe` a lakehouse publishes
+    // next to every table): each row fans out to (column, value)
+    // pairs via a generator — Catalyst plans a single Expand inside
+    // the scan task, NOT one scan per column — then one partial+final
+    // aggregation computes null rate, distinct count, and length
+    // stats for every column together. Profiling k columns of a
+    // 100 TB table costs one read this way; the per-column-query
+    // form costs k reads. countDistinct skips NULLs in both engines.
+    QueryDef(
+      "q91_column_profile",
+      (s, d) => {
+        documents(s, d)
+          .select(explode(array(
+            struct(lit("lang").as("c"), col("lang").cast("string").as("v")),
+            struct(lit("source").as("c"), col("source").as("v")),
+            struct(lit("text").as("c"), col("text").as("v")))).as("kv"))
+          .select(col("kv.c").as("column_name"), col("kv.v").as("v"))
+          .groupBy(col("column_name"))
+          .agg(count(lit(1)).as("n_rows"),
+            sum(when(col("v").isNull, 1L).otherwise(0L)).as("n_null"),
+            countDistinct(col("v")).as("n_distinct"),
+            min(length(col("v"))).as("min_len"),
+            max(length(col("v"))).as("max_len"),
+            sum(length(col("v")).cast("long")).as("sum_len"))
+          .orderBy(col("column_name"))
+      },
+      Some("""WITH kv AS (
+             |  SELECT 'lang' AS column_name, CAST(lang AS VARCHAR) AS v
+             |    FROM documents
+             |  UNION ALL SELECT 'source', source FROM documents
+             |  UNION ALL SELECT 'text', text FROM documents)
+             |SELECT column_name, count(*) AS n_rows,
+             |  CAST(sum(CASE WHEN v IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS n_null,
+             |  count(DISTINCT v) AS n_distinct,
+             |  CAST(min(length(v)) AS INT) AS min_len,
+             |  CAST(max(length(v)) AS INT) AS max_len,
+             |  CAST(sum(length(v)) AS BIGINT) AS sum_len
+             |FROM kv GROUP BY column_name ORDER BY column_name""".stripMargin))
   )
 }

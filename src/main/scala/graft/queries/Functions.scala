@@ -14,6 +14,11 @@ import org.apache.spark.sql.functions._
 object Functions {
   import Tables._
 
+  /** q97 Benford expectation, permille: round(log10(1 + 1/d) * 1000)
+    * for d = 1..9 — computed once here, inlined into BOTH engines. */
+  private val BenfordPermille: IndexedSeq[Long] =
+    (1 to 9).map(dd => math.round(math.log10(1.0 + 1.0 / dd) * 1000))
+
   val defs: Seq[QueryDef] = Seq(
 
     // ROLLUP drill-down (README.md:24's "drill down and roll up"):
@@ -811,6 +816,106 @@ object Functions {
              |  FROM orders)
              |SELECT tile, count(*) AS n, min(cents) AS lo_cents,
              |  max(cents) AS hi_cents
-             |FROM t GROUP BY tile ORDER BY tile""".stripMargin))
+             |FROM t GROUP BY tile ORDER BY tile""".stripMargin)),
+
+    // Chi-square independence audit: is event type independent of
+    // time-of-day? Contingency cells are one exact partial+final
+    // count; row/column marginals are re-aggregations of the tiny
+    // cell table, broadcast back onto it — the fact table is scanned
+    // ONCE. Each cell's (O-E)²/E term is derived from exact integer
+    // counts in a shared double expression tree, then floor-scaled to
+    // integer micros BEFORE summing, so the per-group sums are
+    // order-independent (a double sum across cells would not be).
+    // Emitted per event type; the global statistic is the column sum.
+    QueryDef(
+      "q94_chi2_independence",
+      (s, d) => {
+        val cells = eventsNorm(s, d)
+          .select(col("event_type"),
+            expr("((ts_sec div 3600) % 24) div 6").as("daypart"))
+          .groupBy(col("event_type"), col("daypart"))
+          .agg(count(lit(1)).as("o"))
+        val rowT = cells.groupBy(col("event_type"))
+          .agg(sum(col("o")).as("rt"))
+        val colT = cells.groupBy(col("daypart"))
+          .agg(sum(col("o")).as("ct"))
+        val total = cells.agg(sum(col("o")).as("nn"))
+        cells.join(broadcast(rowT), Seq("event_type"))
+          .join(broadcast(colT), Seq("daypart"))
+          .crossJoin(broadcast(total))
+          .withColumn("e", expr("CAST(rt * ct AS DOUBLE) / nn"))
+          .withColumn("term_micro", expr(
+            "CAST(floor((CAST(o AS DOUBLE) - e) * (CAST(o AS DOUBLE) - e)" +
+              " / e * 1000000 + 0.5) AS BIGINT)"))
+          .groupBy(col("event_type"))
+          .agg(sum(col("o")).as("n_events"),
+            sum(col("term_micro")).as("chi2_contrib_micro"))
+          .orderBy(col("event_type"))
+      },
+      Some("""WITH c AS (SELECT event_type,
+             |    ((CAST(epoch_ns(ts) // 1000000000 AS BIGINT) // 3600) % 24)
+             |      // 6 AS daypart,
+             |    count(*) AS o
+             |  FROM events GROUP BY 1, 2),
+             |rt AS (SELECT event_type, CAST(sum(o) AS BIGINT) AS rt
+             |  FROM c GROUP BY 1),
+             |ct AS (SELECT daypart, CAST(sum(o) AS BIGINT) AS ct
+             |  FROM c GROUP BY 1),
+             |n AS (SELECT CAST(sum(o) AS BIGINT) AS nn FROM c),
+             |t AS (SELECT c.event_type, c.o,
+             |    CAST(rt.rt * ct.ct AS DOUBLE) / n.nn AS e
+             |  FROM c JOIN rt ON c.event_type = rt.event_type
+             |    JOIN ct ON c.daypart = ct.daypart CROSS JOIN n)
+             |SELECT event_type, CAST(sum(o) AS BIGINT) AS n_events,
+             |  CAST(sum(CAST(floor((CAST(o AS DOUBLE) - e)
+             |      * (CAST(o AS DOUBLE) - e) / e * 1000000 + 0.5) AS BIGINT))
+             |    AS BIGINT) AS chi2_contrib_micro
+             |FROM t GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
+    // Benford first-digit audit (fraud/synthetic-data smell test):
+    // leading-digit distribution of order totals vs the Benford
+    // expectation. The first digit is pure integer arithmetic —
+    // cents div 10^(decimal_length-1) — no float log in the data
+    // path; the expected-permille table IS log10-derived but is
+    // computed once in the driver and inlined into both engines
+    // (same discipline as q85's ln table). One aggregation pass,
+    // 9-row output with observed-vs-expected deltas.
+    QueryDef(
+      "q97_benford_digits",
+      (s, d) => {
+        val digits = orders(s, d)
+          .select(expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)")
+            .as("cents"))
+          .filter(col("cents") > 0)
+          .withColumn("digit", expr(
+            "cents div CAST(power(10, length(CAST(cents AS STRING)) - 1)" +
+              " AS BIGINT)"))
+          .groupBy(col("digit")).agg(count(lit(1)).as("n"))
+        digits.crossJoin(broadcast(digits.agg(sum(col("n")).as("total"))))
+          .withColumn("obs_permille", expr("n * 1000 div total"))
+          .withColumn("exp_permille", expr(
+            s"element_at(array(${BenfordPermille.mkString(",")}), " +
+              "CAST(digit AS INT))"))
+          .select(col("digit"), col("n"), col("obs_permille"),
+            col("exp_permille"),
+            (col("obs_permille") - col("exp_permille")).as("delta_permille"))
+          .orderBy(col("digit"))
+      },
+      Some(s"""WITH c AS (SELECT
+             |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+             |  FROM orders
+             |  WHERE CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) > 0),
+             |d AS (SELECT cents // CAST(power(10,
+             |      length(CAST(cents AS VARCHAR)) - 1) AS BIGINT) AS digit
+             |  FROM c),
+             |g AS (SELECT digit, count(*) AS n FROM d GROUP BY digit),
+             |t AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM g)
+             |SELECT digit, n, n * 1000 // total AS obs_permille,
+             |  [${BenfordPermille.mkString(",")}][CAST(digit AS INT)]
+             |    AS exp_permille,
+             |  n * 1000 // total
+             |    - [${BenfordPermille.mkString(",")}][CAST(digit AS INT)]
+             |    AS delta_permille
+             |FROM g CROSS JOIN t ORDER BY digit""".stripMargin))
   )
 }

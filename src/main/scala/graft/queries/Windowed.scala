@@ -634,6 +634,107 @@ object Windowed {
              |  e.cents IS NULL AS is_gap
              |FROM grid g LEFT JOIN ev e
              |  ON g.user_id = e.user_id AND g.bucket = e.bucket
-             |ORDER BY g.user_id, g.bucket""".stripMargin))
+             |ORDER BY g.user_id, g.bucket""".stripMargin)),
+
+    // RANGE-frame trailing window (the time-based frame the ROWS
+    // frames in q17/q54 can't express): per user, spend count + sum
+    // over the TRAILING HOUR of event time — the frame is defined by
+    // the ORDER-BY VALUE (ts_sec within [cur-3600, cur]), so rows
+    // with equal timestamps always share one frame and the result is
+    // tie-order-independent by construction. Money in exact integer
+    // cents. Partitioned by user: each user's window state lives on
+    // one task; nothing global, scales with the partition count.
+    QueryDef(
+      "q95_range_frame_window",
+      (s, d) => {
+        eventsNorm(s, d)
+          .filter(col("event_type") === "purchase")
+          .select(col("event_id"), col("user_id"), col("ts_sec"),
+            expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").as("cents"))
+          .withColumn("trail_n", count(lit(1)).over(
+            Window.partitionBy(col("user_id")).orderBy(col("ts_sec"))
+              .rangeBetween(-3600, 0)))
+          .withColumn("trail_cents", sum(col("cents")).over(
+            Window.partitionBy(col("user_id")).orderBy(col("ts_sec"))
+              .rangeBetween(-3600, 0)))
+          .select(col("event_id"), col("user_id"), col("ts_sec"),
+            col("trail_n"), col("trail_cents"))
+          .orderBy(col("user_id"), col("ts_sec"), col("event_id"))
+      },
+      Some("""WITH e AS (SELECT event_id, user_id,
+             |    CAST(epoch_ns(ts) // 1000000000 AS BIGINT) AS ts_sec,
+             |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+             |  FROM events WHERE event_type = 'purchase')
+             |SELECT event_id, user_id, ts_sec,
+             |  count(*) OVER w AS trail_n,
+             |  CAST(sum(cents) OVER w AS BIGINT) AS trail_cents
+             |FROM e
+             |WINDOW w AS (PARTITION BY user_id ORDER BY ts_sec
+             |  RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+             |ORDER BY user_id, ts_sec, event_id""".stripMargin)),
+
+    // Gaps & islands: find the missing ranges in a key sequence with
+    // one lag() pass over the sorted keys — the classic sequence-
+    // completeness audit (billing IDs, log offsets, kafka offsets).
+    // The audited sequence is the urgent-order subset (the full
+    // testdata keyspace is dense, which would make the check vacuous);
+    // the filter pushes to the scan, THEN the survivors sort. The
+    // global ORDER BY is range-partitioned by the sort exchange; the
+    // lag() needs only one neighbor so the boundary row per partition
+    // is the only cross-task traffic. Top-20 largest gaps, tie-broken.
+    QueryDef(
+      "q96_gaps_islands",
+      (s, d) => {
+        orders(s, d)
+          .filter(col("o_orderpriority") === "1-URGENT")
+          .select(col("o_orderkey"))
+          .withColumn("prev", lag(col("o_orderkey"), 1).over(
+            Window.orderBy(col("o_orderkey"))))
+          .filter(col("prev").isNotNull &&
+            col("o_orderkey") - col("prev") > 1)
+          .select((col("prev") + 1).as("gap_start"),
+            (col("o_orderkey") - 1).as("gap_end"),
+            (col("o_orderkey") - col("prev") - 1).as("gap_len"))
+          .orderBy(col("gap_len").desc, col("gap_start"))
+          .limit(20)
+      },
+      Some("""WITH l AS (SELECT o_orderkey,
+             |    lag(o_orderkey) OVER (ORDER BY o_orderkey) AS prev
+             |  FROM orders WHERE o_orderpriority = '1-URGENT')
+             |SELECT prev + 1 AS gap_start, o_orderkey - 1 AS gap_end,
+             |  o_orderkey - prev - 1 AS gap_len
+             |FROM l WHERE prev IS NOT NULL AND o_orderkey - prev > 1
+             |ORDER BY gap_len DESC, gap_start LIMIT 20""".stripMargin)),
+
+    // Ratio-to-report (percent-of-total window): each nation's share
+    // of global revenue — the unbounded empty-partition window frame,
+    // the one window shape q16-q18/q54/q95 don't cover. The window
+    // runs over the 25-row AGGREGATE, not the fact table: reduce
+    // first, window the summary — at 100 TB the whole-table window
+    // would funnel everything through one task; this form's window
+    // input is |nations| rows. Integer-permille share, tie-broken.
+    QueryDef(
+      "q98_ratio_to_total",
+      (s, d) => {
+        val rev = customer(s, d)
+          .join(orders(s, d), col("c_custkey") === col("o_custkey"))
+          .groupBy(col("c_nationkey"))
+          .agg(sum(expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)"))
+            .as("rev_cents"))
+        rev.withColumn("total_cents",
+            sum(col("rev_cents")).over(Window.partitionBy()))
+          .select(col("c_nationkey"), col("rev_cents"),
+            expr("rev_cents * 1000 div total_cents").as("share_permille"))
+          .orderBy(col("c_nationkey"))
+      },
+      Some("""WITH rev AS (SELECT c_nationkey,
+             |    CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+             |      AS BIGINT) AS rev_cents
+             |  FROM customer JOIN orders ON c_custkey = o_custkey
+             |  GROUP BY c_nationkey)
+             |SELECT c_nationkey, rev_cents,
+             |  rev_cents * 1000 // CAST(sum(rev_cents) OVER () AS BIGINT)
+             |    AS share_permille
+             |FROM rev ORDER BY c_nationkey""".stripMargin))
   )
 }

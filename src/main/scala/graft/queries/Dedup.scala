@@ -405,6 +405,63 @@ object Dedup {
              |      (s, t) -> s + t)
              |    / (x.nrm * y.nrm), 4) AS cos
              |  FROM e x JOIN e y ON x.label = y.label AND x.vec_id < y.vec_id)
-             |SELECT a, b, cos FROM p WHERE cos >= 0.3 ORDER BY a, b""".stripMargin))
+             |SELECT a, b, cos FROM p WHERE cos >= 0.3 ORDER BY a, b""".stripMargin)),
+
+    // Benchmark decontamination (the training-data hygiene op next to
+    // dedup): flag corpus documents that share ANY exact 4-gram with a
+    // held-out benchmark set — membership, not similarity, so it
+    // catches verbatim leakage q30's Jaccard threshold would wave
+    // through. Shape: benchmark shingles dedup to a bounded probe set,
+    // BROADCAST; the corpus explodes its shingles and LEFT SEMI probes
+    // — each corpus row is tested map-side, no corpus shuffle, and a
+    // doc is counted once however many n-grams hit. At 100 TB the
+    // probe set (a benchmark suite, ~1e6 shingles) still broadcasts;
+    // the corpus never materializes a pairwise anything.
+    QueryDef(
+      "q99_decontamination",
+      (s, d) => {
+        val base = documents(s, d)
+          .repartition(s.sparkContext.defaultParallelism)
+          .select(col("doc_id"), col("source"),
+            TextOps.wordShingles(TextOps.tokens(col("text")), 4).as("sh"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val probe = base.filter(col("doc_id") % 97 === 0)
+          .select(explode(col("sh")).as("g")).distinct()
+        val corpus = base.filter(col("doc_id") % 97 =!= 0)
+        val hits = corpus
+          .select(col("doc_id"), col("source"), explode(col("sh")).as("g"))
+          .join(broadcast(probe), Seq("g"), "left_semi")
+          .select(col("doc_id"), col("source")).distinct()
+        corpus.groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+          .join(hits.groupBy(col("source"))
+            .agg(count(lit(1)).as("n_contaminated")), Seq("source"), "left")
+          .withColumn("n_contaminated",
+            coalesce(col("n_contaminated"), lit(0L)))
+          .withColumn("permille", expr("n_contaminated * 1000 div n_docs"))
+          .orderBy(col("source"))
+      },
+      Some("""WITH t AS (SELECT doc_id, source,
+             |    string_split(text, ' ') AS w FROM documents),
+             |base AS (SELECT doc_id, source,
+             |    list_distinct(list_transform(
+             |      range(1, greatest(len(w) - 2, 1)),
+             |      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' ||
+             |           w[i+3])) AS sh
+             |  FROM t),
+             |probe AS (SELECT DISTINCT unnest(sh) AS g FROM base
+             |  WHERE doc_id % 97 = 0),
+             |corpus AS (SELECT doc_id, source, sh FROM base
+             |  WHERE doc_id % 97 != 0),
+             |hits AS (SELECT DISTINCT c.doc_id, c.source
+             |  FROM (SELECT doc_id, source, unnest(sh) AS g FROM corpus) c
+             |  JOIN probe p ON c.g = p.g),
+             |n AS (SELECT source, count(*) AS n_docs FROM corpus GROUP BY 1),
+             |h AS (SELECT source, count(*) AS n_contaminated FROM hits
+             |  GROUP BY 1)
+             |SELECT n.source, n.n_docs,
+             |  COALESCE(h.n_contaminated, 0) AS n_contaminated,
+             |  COALESCE(h.n_contaminated, 0) * 1000 // n.n_docs AS permille
+             |FROM n LEFT JOIN h ON n.source = h.source
+             |ORDER BY n.source""".stripMargin))
   )
 }

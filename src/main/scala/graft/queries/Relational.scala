@@ -527,6 +527,49 @@ object Relational {
              |h AS (SELECT o_orderkey, o_orderpriority,
              |    (h0 * h0 + h0) % ${graft.ops.TextOps.P} AS h FROM h0)
              |SELECT o_orderkey, o_orderpriority, h
-             |FROM h ORDER BY h, o_orderkey LIMIT 64""".stripMargin))
+             |FROM h ORDER BY h, o_orderkey LIMIT 64""".stripMargin)),
+
+    // Small-file compaction planning (lakehouse table maintenance):
+    // given per-file sizes — here one "file" per order day, size
+    // proxied by its row count × an average row width — assign files
+    // to compaction bins by cumulative size over the day order, bin =
+    // running_total div target. One window pass over the FILE LIST
+    // (thousands of rows, never the row data), so planning cost is
+    // independent of table size; the plan itself is what a rewrite
+    // job would execute per bin. Greedy-by-order keeps time locality:
+    // each output file covers a contiguous day range, preserving
+    // partition pruning after the rewrite.
+    QueryDef(
+      "q100_compaction_plan",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val target = 4L * 1024 * 1024 // 4 MiB per compacted file
+        val files = orders(s, d)
+          .groupBy(expr("CAST(o_orderdate AS DATE)").as("day"))
+          .agg(count(lit(1)).as("n_rows"))
+          .withColumn("bytes", col("n_rows") * 128L)
+        files
+          .withColumn("cum", sum(col("bytes"))
+            .over(Window.orderBy(col("day"))
+              .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .withColumn("bin", expr(s"(cum - 1) div ${target}L"))
+          .groupBy(col("bin"))
+          .agg(count(lit(1)).as("n_files"), sum(col("bytes")).as("bin_bytes"),
+            min(col("day")).cast("string").as("day_from"),
+            max(col("day")).cast("string").as("day_to"))
+          .orderBy(col("bin"))
+      },
+      Some("""WITH f AS (SELECT CAST(o_orderdate AS DATE) AS day,
+             |    count(*) AS n_rows, count(*) * 128 AS bytes
+             |  FROM orders GROUP BY 1),
+             |c AS (SELECT day, bytes,
+             |    CAST(sum(bytes) OVER (ORDER BY day
+             |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+             |  FROM f)
+             |SELECT (cum - 1) // 4194304 AS bin, count(*) AS n_files,
+             |  CAST(sum(bytes) AS BIGINT) AS bin_bytes,
+             |  CAST(min(day) AS VARCHAR) AS day_from,
+             |  CAST(max(day) AS VARCHAR) AS day_to
+             |FROM c GROUP BY 1 ORDER BY bin""".stripMargin))
   )
 }

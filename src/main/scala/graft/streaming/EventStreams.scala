@@ -75,6 +75,39 @@ object EventStreams {
       }
   }
 
+  /** Streaming approximate distinct count with BOUNDED state: the
+    * portable HLL sketch ([[graft.ops.HllAgg]]) carried as
+    * mapGroupsWithState state, m registers per key FOREVER — the
+    * streaming replacement for count(DISTINCT user) whose exact seen-
+    * set grows with the key universe (the thing that OOMs a 100 TB
+    * ingest; dedupWithinWatermark bounds state by TIME, this bounds it
+    * by CONSTANT size and never expires). Register-max is commutative
+    * and idempotent, so replayed or reordered micro-batches leave the
+    * estimate unchanged, and the stream's registers after any prefix
+    * equal the batch aggregator's over the same rows
+    * (EventStreamsSpec proves equivalence). Batch mode: each group
+    * processed once with empty state — the plain HLL estimate. */
+  case class TypedKeyEvent(event_type: String, user_id: Long)
+  case class HllState(regs: Array[Long], n_seen: Long)
+  case class HllEstimate(event_type: String, n_seen: Long, estimate: Long)
+
+  def streamingDistinctUsers(events: Dataset[TypedKeyEvent],
+      m: Int = 64): Dataset[HllEstimate] = {
+    import events.sparkSession.implicits._
+    val agg = new graft.ops.HllAgg(m)
+    events.groupByKey(_.event_type)
+      .mapGroupsWithState[HllState, HllEstimate](
+        org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout) {
+        (k: String, it: Iterator[TypedKeyEvent], state: GroupState[HllState]) =>
+          val prev = state.getOption.getOrElse(HllState(agg.zero, 0L))
+          var n = prev.n_seen
+          val regs = prev.regs.clone()
+          it.foreach { e => agg.reduce(regs, e.user_id); n += 1 }
+          state.update(HllState(regs, n))
+          HllEstimate(k, n, agg.estimate(regs))
+      }
+  }
+
   /** Stream-stream inner join with a bounded time condition: each
     * click joined to the same user's views within the preceding
     * `horizon` (attribution). BOTH sides carry watermarks and the join

@@ -159,6 +159,41 @@ class EventStreamsSpec extends SparkSpecBase {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
     assert(b === Seq((1L, 100L))) // v_ts 10:45 > c_ts 10:30: excluded
   }
+
+  test("streamingDistinctUsers: stream estimate equals batch HLL") {
+    import EventStreams.TypedKeyEvent
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[TypedKeyEvent]
+    val q = EventStreams.streamingDistinctUsers(mem.toDS())
+      .writeStream.format("memory").queryName("hllstream")
+      .outputMode("update").start()
+    try {
+      // Two micro-batches with overlapping users: state must carry
+      // registers across batches, and duplicates must not move them.
+      mem.addData((1L to 300L).map(u => TypedKeyEvent("click", u)): _*)
+      q.processAllAvailable()
+      mem.addData((201L to 500L).map(u => TypedKeyEvent("click", u)): _*)
+      mem.addData(Seq(TypedKeyEvent("view", 7L), TypedKeyEvent("view", 8L)): _*)
+      q.processAllAvailable()
+      val last = spark.sql(
+        """SELECT event_type, n_seen, estimate FROM hllstream
+          |WHERE (event_type, n_seen) IN
+          |  (SELECT event_type, max(n_seen) FROM hllstream GROUP BY 1)
+          |""".stripMargin)
+        .collect()
+        .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+      // Batch reference: same aggregator over the union of all rows.
+      val agg = new graft.ops.HllAgg(64)
+      val clickRegs = ((1L to 300L) ++ (201L to 500L))
+        .foldLeft(agg.zero)(agg.reduce)
+      assert(last("click") === ((600L, agg.estimate(clickRegs))))
+      val viewRegs = Seq(7L, 8L).foldLeft(agg.zero)(agg.reduce)
+      assert(last("view") === ((2L, agg.estimate(viewRegs))))
+      // sanity: 500 distinct clicks estimated within 2.5 sigma (13%)
+      val est = last("click")._2
+      assert(math.abs(est - 500L) <= 165, s"est=$est")
+    } finally q.stop()
+  }
 }
 
 object EventStreamsSpec {

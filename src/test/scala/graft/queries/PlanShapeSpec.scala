@@ -94,6 +94,27 @@ class PlanShapeSpec extends SparkSpecBase {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("training-shaping operators keep their scale shapes") {
+    // q101 chunking is narrow per-doc work: no join anywhere in the
+    // plan (a join would mean chunking stopped being map-only).
+    val p101 = plan("q101_token_chunking")
+    assert(!p101.contains("Join"), s"q101 must stay join-free:\n$p101")
+    // q103's single-row budget and q104's k×dim centroid table must
+    // broadcast — shuffling the corpus/vector side against a
+    // metadata-sized summary is the scale regression to lock out.
+    for (q <- Seq("q103_corpus_mixing", "q104_kmeans_embeddings")) {
+      val p = plan(q)
+      assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+        s"$q lost its bounded-side broadcast")
+    }
+    // q104's per-vector argmin must partial-aggregate (map-side
+    // combine of min(struct)) — a row_number window here would shuffle
+    // all k×N candidate rows.
+    val p104 = plan("q104_kmeans_embeddings")
+    assert(p104.matches("(?s).*partial_min.*"),
+      "q104 assignment must map-side combine its argmin")
+  }
+
   test("scd2 computes both windows over ONE key exchange") {
     // lag (run detection) and lead (interval close) partition the same
     // way; a second Exchange would mean the partitioning was lost.

@@ -26,7 +26,7 @@ object Dedup {
     * (for exact-Jaccard verification) and the distinct shingle hashes
     * `hs` composed from per-token polynomial hashes (mirrors
     * [[TextOps.shingleHashes3]] bit-for-bit). */
-  private val shingleSqlCte =
+  private[queries] val shingleSqlCte =
     """t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
       |sh AS (SELECT doc_id, ws, list_distinct(list_transform(range(1, len(ws) - 1),
       |         i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS sh

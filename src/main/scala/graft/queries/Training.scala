@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.{QueryDef, Tables}
-import graft.ops.{TextOps, VectorOps}
+import graft.ops.{Kmeans, TextOps, VectorOps}
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -24,10 +24,53 @@ object Training {
 
   /** Quadratic-mixed key hash (same family as q89's sampler and the HLL
     * kernel: affine-only Knuth leaves sequential ids structured). */
-  private def keyHash(key: Column): Column = {
-    val h0 = pmod(key * 2654435761L, lit(P))
-    (h0 * h0 + h0) % P
-  }
+  private def keyHash(key: Column): Column = Kmeans.keyHash(key)
+
+  /** DuckDB mirror of [[Kmeans]]'s seeds → assign → update → assign
+    * over `embeddings` (k=8, dim=64): terminates with `a2(vec_id, cid,
+    * d)` (the final assignment) and `c1(cid, c)` (the updated
+    * centroids), plus `v(vec_id, q, h)`. Shared by the q104 and q106
+    * oracles. */
+  private val kmeansSqlCtes =
+    s"""v0 AS (SELECT vec_id,
+       |    list_transform(embedding, x ->
+       |      CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS q,
+       |    (vec_id * 2654435761) % $P AS h0
+       |  FROM embeddings),
+       |v AS (SELECT vec_id, q, (h0*h0 + h0) % $P AS h FROM v0),
+       |c0 AS (SELECT row_number() OVER (ORDER BY h, vec_id) - 1 AS cid,
+       |    q AS c
+       |  FROM v ORDER BY h, vec_id LIMIT 8),
+       |d1 AS (SELECT v.vec_id, c.cid,
+       |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |      list_transform(range(1, len(v.q) + 1),
+       |        i -> (v.q[i] - c.c[i]) * (v.q[i] - c.c[i]))),
+       |      (s, t) -> s + t) AS d
+       |  FROM v CROSS JOIN c0 c),
+       |a1 AS (SELECT vec_id, cid, d FROM
+       |    (SELECT *, row_number() OVER (PARTITION BY vec_id
+       |       ORDER BY d, cid) AS rn FROM d1)
+       |  WHERE rn = 1),
+       |u1 AS (SELECT a.cid, u.pos,
+       |    CAST(floor(CAST(sum(u.el) AS DOUBLE) / count(*) + 0.5)
+       |      AS BIGINT) AS cv
+       |  FROM a1 a JOIN
+       |    (SELECT vec_id, unnest(q) AS el,
+       |       generate_subscripts(q, 1) AS pos FROM v) u
+       |    ON a.vec_id = u.vec_id
+       |  GROUP BY a.cid, u.pos),
+       |c1 AS (SELECT cid, list(cv ORDER BY pos) AS c FROM u1
+       |  GROUP BY cid),
+       |d2 AS (SELECT v.vec_id, c.cid,
+       |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |      list_transform(range(1, len(v.q) + 1),
+       |        i -> (v.q[i] - c.c[i]) * (v.q[i] - c.c[i]))),
+       |      (s, t) -> s + t) AS d
+       |  FROM v CROSS JOIN c1 c),
+       |a2 AS (SELECT vec_id, cid, d FROM
+       |    (SELECT *, row_number() OVER (PARTITION BY vec_id
+       |       ORDER BY d, cid) AS rn FROM d2)
+       |  WHERE rn = 1)""".stripMargin
 
   val defs: Seq[QueryDef] = Seq(
 
@@ -202,40 +245,10 @@ object Training {
     QueryDef(
       "q104_kmeans_embeddings",
       (s, d) => {
-        val k = 8
-        val vecs = embeddings(s, d)
-          .repartition(s.sparkContext.defaultParallelism)
-          .select(col("vec_id"), VectorOps.microQuantize(col("embedding")).as("q"))
-          .withColumn("h", keyHash(col("vec_id")))
+        val vecs = Kmeans.quantize(
+          embeddings(s, d).repartition(s.sparkContext.defaultParallelism))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        val init = vecs.orderBy(col("h"), col("vec_id")).limit(k)
-          .withColumn("cid",
-            row_number().over(Window.orderBy(col("h"), col("vec_id")))
-              .cast("long") - 1)
-          .select(col("cid"), col("q").as("c"))
-        // One Lloyd assignment: nearest centroid per vector, ties to the
-        // lowest cid via lexicographic struct min (map-side combined —
-        // the k×N candidate rows never shuffle, only N partial minima).
-        def assign(cents: DataFrame): DataFrame =
-          vecs.crossJoin(broadcast(cents))
-            .select(col("vec_id"),
-              struct(VectorOps.l2DistSq(col("q"), col("c")).as("d"),
-                col("cid").as("cid")).as("dc"))
-            .groupBy(col("vec_id")).agg(min(col("dc")).as("m"))
-            .select(col("vec_id"), col("m.cid").as("cid"), col("m.d").as("d"))
-        // Centroid update: exact integer per-dim sums via the mergeable
-        // CentroidAgg, then the shared floor(sum/n + 0.5) mean.
-        def update(assigned: DataFrame): DataFrame = {
-          val cAgg = udaf(new graft.ops.VectorAggregates.CentroidAgg(64))
-          assigned.join(vecs.select(col("vec_id"), col("q")), "vec_id")
-            .groupBy(col("cid")).agg(cAgg(col("q")).as("s"))
-            .select(col("cid"),
-              transform(col("s.sums"),
-                x => VectorOps.centroidMicro(x, col("s.n"))).as("c"))
-        }
-        val a1 = assign(init)
-        val c1 = update(a1)
-        val a2 = assign(c1)
+        val (a2, c1) = Kmeans.lloyd(vecs, k = 8, rounds = 1, dim = 64)
         val l1 = c1.select(col("cid"),
           aggregate(col("c"), lit(0L), (acc, x) => acc + x)
             .as("centroid_l1"))
@@ -246,45 +259,7 @@ object Training {
             col("centroid_l1"))
           .orderBy(col("cid"))
       },
-      Some(s"""WITH v0 AS (SELECT vec_id,
-             |    list_transform(embedding, x ->
-             |      CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS q,
-             |    (vec_id * 2654435761) % $P AS h0
-             |  FROM embeddings),
-             |v AS (SELECT vec_id, q, (h0*h0 + h0) % $P AS h FROM v0),
-             |c0 AS (SELECT row_number() OVER (ORDER BY h, vec_id) - 1 AS cid,
-             |    q AS c
-             |  FROM v ORDER BY h, vec_id LIMIT 8),
-             |d1 AS (SELECT v.vec_id, c.cid,
-             |    list_reduce(list_prepend(CAST(0 AS BIGINT),
-             |      list_transform(range(1, len(v.q) + 1),
-             |        i -> (v.q[i] - c.c[i]) * (v.q[i] - c.c[i]))),
-             |      (s, t) -> s + t) AS d
-             |  FROM v CROSS JOIN c0 c),
-             |a1 AS (SELECT vec_id, cid, d FROM
-             |    (SELECT *, row_number() OVER (PARTITION BY vec_id
-             |       ORDER BY d, cid) AS rn FROM d1)
-             |  WHERE rn = 1),
-             |u1 AS (SELECT a.cid, u.pos,
-             |    CAST(floor(CAST(sum(u.el) AS DOUBLE) / count(*) + 0.5)
-             |      AS BIGINT) AS cv
-             |  FROM a1 a JOIN
-             |    (SELECT vec_id, unnest(q) AS el,
-             |       generate_subscripts(q, 1) AS pos FROM v) u
-             |    ON a.vec_id = u.vec_id
-             |  GROUP BY a.cid, u.pos),
-             |c1 AS (SELECT cid, list(cv ORDER BY pos) AS c FROM u1
-             |  GROUP BY cid),
-             |d2 AS (SELECT v.vec_id, c.cid,
-             |    list_reduce(list_prepend(CAST(0 AS BIGINT),
-             |      list_transform(range(1, len(v.q) + 1),
-             |        i -> (v.q[i] - c.c[i]) * (v.q[i] - c.c[i]))),
-             |      (s, t) -> s + t) AS d
-             |  FROM v CROSS JOIN c1 c),
-             |a2 AS (SELECT vec_id, cid, d FROM
-             |    (SELECT *, row_number() OVER (PARTITION BY vec_id
-             |       ORDER BY d, cid) AS rn FROM d2)
-             |  WHERE rn = 1),
+      Some(s"""WITH $kmeansSqlCtes,
              |l1 AS (SELECT cid,
              |    list_reduce(list_prepend(CAST(0 AS BIGINT), c),
              |      (s, t) -> s + t) AS centroid_l1
@@ -293,6 +268,274 @@ object Training {
              |  CAST(sum(a.d) AS BIGINT) AS inertia,
              |  max(l.centroid_l1) AS centroid_l1
              |FROM a2 a JOIN l1 l ON a.cid = l.cid
-             |GROUP BY a.cid ORDER BY a.cid""".stripMargin))
+             |GROUP BY a.cid ORDER BY a.cid""".stripMargin)),
+
+    // Hard-negative mining for contrastive training: for each probe
+    // vector, the nearest SAME-label neighbor (the positive) and the
+    // nearest DIFFERENT-label neighbor (the hard negative), ranked by
+    // exact integer L2 in the shared micro-quantized space; `margin` =
+    // neg_d − pos_d is the quantity a triplet loss trains on (small or
+    // negative margin = the informative example). Shape: the bounded
+    // probe set broadcasts, the corpus streams, and both argmins
+    // partial-aggregate map-side (min over a struct with full
+    // tie-breaks) — no corpus shuffle, no n².
+    QueryDef(
+      "q105_hard_negatives",
+      (s, d) => {
+        val e = embeddings(s, d)
+          .repartition(s.sparkContext.defaultParallelism)
+          .select(col("vec_id"), col("label"),
+            VectorOps.microQuantize(col("embedding")).as("q"))
+        val probes = e.filter(col("vec_id") % 40 === 0)
+          .select(col("vec_id").as("probe_id"), col("label").as("plabel"),
+            col("q").as("pq"))
+        val dists = broadcast(probes)
+          .join(e.filter(col("vec_id") % 40 =!= 0), lit(true))
+          .select(col("probe_id"), col("plabel"),
+            (col("label") === col("plabel")).as("same"),
+            struct(VectorOps.l2DistSq(col("pq"), col("q")).as("d"),
+              col("vec_id").as("id")).as("dc"))
+        dists.groupBy(col("probe_id"), col("plabel"))
+          .agg(min(when(col("same"), col("dc"))).as("pos"),
+            min(when(!col("same"), col("dc"))).as("neg"))
+          .select(col("probe_id"), col("plabel").as("label"),
+            col("pos.id").as("pos_id"), col("pos.d").as("pos_d"),
+            col("neg.id").as("neg_id"), col("neg.d").as("neg_d"),
+            (col("neg.d") - col("pos.d")).as("margin"))
+          .orderBy(col("probe_id"))
+      },
+      Some("""WITH e AS (SELECT vec_id, label,
+             |    list_transform(embedding, x ->
+             |      CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS q
+             |  FROM embeddings),
+             |pr AS (SELECT vec_id AS probe_id, label AS plabel, q AS pq
+             |  FROM e WHERE vec_id % 40 = 0),
+             |co AS (SELECT * FROM e WHERE vec_id % 40 != 0),
+             |dd AS (SELECT p.probe_id, p.plabel, c.vec_id, c.label,
+             |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+             |      list_transform(range(1, len(c.q) + 1),
+             |        i -> (p.pq[i] - c.q[i]) * (p.pq[i] - c.q[i]))),
+             |      (s, t) -> s + t) AS d
+             |  FROM pr p CROSS JOIN co c),
+             |pos AS (SELECT probe_id, plabel, vec_id AS pos_id, d AS pos_d
+             |  FROM (SELECT *, row_number() OVER (PARTITION BY probe_id
+             |      ORDER BY d, vec_id) AS rn FROM dd WHERE label = plabel)
+             |  WHERE rn = 1),
+             |neg AS (SELECT probe_id, vec_id AS neg_id, d AS neg_d
+             |  FROM (SELECT *, row_number() OVER (PARTITION BY probe_id
+             |      ORDER BY d, vec_id) AS rn FROM dd WHERE label != plabel)
+             |  WHERE rn = 1)
+             |SELECT p.probe_id, p.plabel AS label, p.pos_id, p.pos_d,
+             |  n.neg_id, n.neg_d, n.neg_d - p.pos_d AS margin
+             |FROM pos p JOIN neg n ON p.probe_id = n.probe_id
+             |ORDER BY p.probe_id""".stripMargin)),
+
+    // Cluster-balanced sampling: k-means partitions the corpus into
+    // semantic clusters, then every cluster is sampled down to the
+    // SMALLEST cluster's size by hash rank — the uniform-over-clusters
+    // mix that stops one dominant mode from monopolizing a training
+    // set (the embedding-space analogue of q103's source balancing).
+    // Composition: [[Kmeans.lloyd]] partition + a per-cluster window
+    // rank + a single-row broadcast of the take count.
+    QueryDef(
+      "q106_cluster_balanced_sample",
+      (s, d) => {
+        val vecs = Kmeans.quantize(
+          embeddings(s, d).repartition(s.sparkContext.defaultParallelism))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val (a2, _) = Kmeans.lloyd(vecs, k = 8, rounds = 1, dim = 64)
+        val take = a2.groupBy(col("cid")).agg(count(lit(1)).as("n"))
+          .agg(min(col("n")).as("take"))
+        val w = Window.partitionBy(col("cid")).orderBy(col("h"), col("vec_id"))
+        a2.join(vecs.select(col("vec_id"), col("h")), "vec_id")
+          .withColumn("rn", row_number().over(w).cast("long"))
+          .crossJoin(broadcast(take))
+          .withColumn("keep", col("rn") <= col("take"))
+          .groupBy(col("cid"))
+          .agg(count(lit(1)).as("n_total"),
+            sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
+            sum(when(col("keep"), col("vec_id")).otherwise(0L))
+              .as("kept_id_sum"),
+            max(col("take")).as("take"))
+          .orderBy(col("cid"))
+      },
+      Some(s"""WITH $kmeansSqlCtes,
+             |sz AS (SELECT min(cnt) AS take FROM
+             |    (SELECT cid, count(*) AS cnt FROM a2 GROUP BY cid)),
+             |r AS (SELECT a.cid, a.vec_id,
+             |    row_number() OVER (PARTITION BY a.cid
+             |      ORDER BY v.h, a.vec_id) AS rn
+             |  FROM a2 a JOIN v ON a.vec_id = v.vec_id),
+             |k AS (SELECT r.*, s.take, r.rn <= s.take AS keep
+             |  FROM r CROSS JOIN sz s)
+             |SELECT cid, count(*) AS n_total,
+             |  CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS n_kept,
+             |  CAST(sum(CASE WHEN keep THEN vec_id ELSE 0 END) AS BIGINT)
+             |    AS kept_id_sum,
+             |  CAST(max(take) AS BIGINT) AS take
+             |FROM k GROUP BY cid ORDER BY cid""".stripMargin)),
+
+    // Incremental dedup — the ingest-time shape: a new batch (doc_id %
+    // 10 = 9 here) is checked against the EXISTING corpus only, never
+    // existing×existing (at 100 TB you dedup the delta, not the
+    // world). Two passes, cheapest first: exact normalized-text match
+    // via LEFT SEMI join (map-side probe once AQE broadcasts the
+    // bounded batch side), then MinHash-LSH bucket candidates
+    // restricted to incoming×existing pairs, verified by exact shingle
+    // Jaccard >= 0.7. Verdict per incoming doc: 'exact' beats 'near'
+    // beats 'unique'.
+    QueryDef(
+      "q107_incremental_dedup",
+      (s, d) => {
+        val base = documents(s, d)
+          .repartition(s.sparkContext.defaultParallelism)
+          .select(col("doc_id"),
+            regexp_replace(lower(trim(col("text"))), "\\s+", " ").as("norm"),
+            TextOps.wordShingles(TextOps.tokens(col("text")), 3).as("sh"),
+            TextOps.shingleHashes3(TextOps.tokens(col("text"))).as("hs"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val incoming = base.filter(col("doc_id") % 10 === 9)
+        val existing = base.filter(col("doc_id") % 10 =!= 9)
+        val exact = incoming.select(col("doc_id"), col("norm"))
+          .join(existing.select(col("norm")), Seq("norm"), "left_semi")
+          .select(col("doc_id"))
+        def bands(df: DataFrame): DataFrame = df
+          .filter(size(col("sh")) > 0)
+          .select(col("doc_id"),
+            explode(TextOps.lshBands(TextOps.minhashSig(col("hs"), 12), 4, 3))
+              .as("bucket"))
+        val cand = bands(incoming).as("i")
+          .join(bands(existing).as("e"), col("i.bucket") === col("e.bucket"))
+          .select(col("i.doc_id").as("doc_id"), col("e.doc_id").as("other"))
+          .distinct()
+        val near = broadcast(cand)
+          .join(incoming.select(col("doc_id"), col("sh").as("shi")), "doc_id")
+          .join(existing.select(col("doc_id").as("other"), col("sh").as("she")),
+            "other")
+          .filter(TextOps.jaccard(col("shi"), col("she")) >= 0.7)
+          .select(col("doc_id")).distinct()
+        incoming.select(col("doc_id"))
+          .join(exact.withColumn("is_exact", lit(1)), Seq("doc_id"), "left")
+          .join(near.withColumn("is_near", lit(1)), Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            when(col("is_exact") === 1, "exact")
+              .when(col("is_near") === 1, "near")
+              .otherwise("unique").as("status"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH ${Dedup.shingleSqlCte},
+             |nrm AS (SELECT doc_id,
+             |    regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS norm
+             |  FROM documents),
+             |sig AS (SELECT doc_id, list_transform(range(0, 12), j ->
+             |    list_min(list_transform(hs, v ->
+             |      (v*(2*j+1) + j*12345 + 67) % 1000000007))) AS sig
+             |  FROM h),
+             |bands AS (SELECT doc_id, unnest(list_transform(range(0, 4), b ->
+             |    CAST(b AS VARCHAR) || ':' || CAST(sig[b*3+1] AS VARCHAR) || ':' ||
+             |    CAST(sig[b*3+2] AS VARCHAR) || ':' || CAST(sig[b*3+3] AS VARCHAR)))
+             |    AS bucket FROM sig),
+             |exact AS (SELECT DISTINCT i.doc_id FROM nrm i JOIN nrm e
+             |  ON i.norm = e.norm AND i.doc_id % 10 = 9 AND e.doc_id % 10 != 9),
+             |cand AS (SELECT DISTINCT i.doc_id, e.doc_id AS other
+             |  FROM bands i JOIN bands e ON i.bucket = e.bucket
+             |  WHERE i.doc_id % 10 = 9 AND e.doc_id % 10 != 9),
+             |near AS (SELECT DISTINCT c.doc_id
+             |  FROM cand c JOIN sh p ON p.doc_id = c.doc_id
+             |    JOIN sh q ON q.doc_id = c.other
+             |  WHERE round(len(list_intersect(p.sh, q.sh)) * 1.0 /
+             |        len(list_distinct(list_concat(p.sh, q.sh))), 4) >= 0.7)
+             |SELECT d.doc_id,
+             |  CASE WHEN ex.doc_id IS NOT NULL THEN 'exact'
+             |       WHEN nr.doc_id IS NOT NULL THEN 'near'
+             |       ELSE 'unique' END AS status
+             |FROM (SELECT doc_id FROM documents WHERE doc_id % 10 = 9) d
+             |LEFT JOIN exact ex ON d.doc_id = ex.doc_id
+             |LEFT JOIN near nr ON d.doc_id = nr.doc_id
+             |ORDER BY d.doc_id""".stripMargin)),
+
+    // Quality-rank blending: three per-doc signals (token count, milli
+    // mean token length, duplicate-token count) are rank-normalized
+    // per source (integer ranks with full doc_id tie-breaks — no float
+    // percentiles, so ranks are exact in both engines), summed into a
+    // composite, and the best half of each source is kept. Rank
+    // blending is how real curation combines incommensurable signals
+    // without hand-tuned scale weights. Shapes: narrow signal
+    // derivation, three windows over ONE per-source partitioning, one
+    // final aggregation.
+    QueryDef(
+      "q108_quality_blend",
+      (s, d) => {
+        val ws = TextOps.tokens(col("text"))
+        val sig = documents(s, d)
+          .select(col("source"), col("doc_id"), col("n_chars"),
+            size(ws).cast("long").as("n_tokens"),
+            size(array_distinct(ws)).cast("long").as("n_distinct"))
+          .withColumn("mean_len_milli",
+            expr("n_chars * 1000 div n_tokens"))
+          .withColumn("n_dup", col("n_tokens") - col("n_distinct"))
+        def rk(c: Column, asc: Boolean) = {
+          val o = if (asc) Seq(c, col("doc_id")) else Seq(c.desc, col("doc_id"))
+          row_number().over(
+            Window.partitionBy(col("source")).orderBy(o: _*)).cast("long")
+        }
+        // more tokens = better (rank desc), longer words = better,
+        // duplicate tokens = worse (rank asc)
+        val ranked = sig
+          .withColumn("r_tok", rk(col("n_tokens"), asc = false))
+          .withColumn("r_len", rk(col("mean_len_milli"), asc = false))
+          .withColumn("r_dup", rk(col("n_dup"), asc = true))
+          .withColumn("composite", col("r_tok") + col("r_len") + col("r_dup"))
+        val w = Window.partitionBy(col("source"))
+          .orderBy(col("composite"), col("doc_id"))
+        ranked
+          .withColumn("rn", row_number().over(w).cast("long"))
+          .withColumn("n_src", count(lit(1))
+            .over(Window.partitionBy(col("source"))))
+          .withColumn("keep", col("rn") <= expr("n_src div 2"))
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
+            sum(when(col("keep"), col("doc_id")).otherwise(0L))
+              .as("kept_id_sum"),
+            min(when(col("keep"), col("composite"))).as("best_composite"),
+            max(when(col("keep"), col("composite"))).as("cut_composite"))
+          .orderBy(col("source"))
+      },
+      Some("""WITH sig AS (SELECT source, doc_id, n_chars,
+             |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+             |    CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT)
+             |      AS n_distinct
+             |  FROM documents),
+             |s2 AS (SELECT source, doc_id,
+             |    n_chars * 1000 // n_tokens AS mean_len_milli,
+             |    n_tokens, n_tokens - n_distinct AS n_dup
+             |  FROM sig),
+             |r AS (SELECT source, doc_id,
+             |    row_number() OVER (PARTITION BY source
+             |      ORDER BY n_tokens DESC, doc_id) AS r_tok,
+             |    row_number() OVER (PARTITION BY source
+             |      ORDER BY mean_len_milli DESC, doc_id) AS r_len,
+             |    row_number() OVER (PARTITION BY source
+             |      ORDER BY n_dup, doc_id) AS r_dup
+             |  FROM s2),
+             |c AS (SELECT source, doc_id,
+             |    r_tok + r_len + r_dup AS composite FROM r),
+             |k AS (SELECT source, doc_id, composite,
+             |    row_number() OVER (PARTITION BY source
+             |      ORDER BY composite, doc_id) AS rn,
+             |    count(*) OVER (PARTITION BY source) AS n_src
+             |  FROM c)
+             |SELECT source, count(*) AS n_docs,
+             |  CAST(sum(CASE WHEN rn <= n_src // 2 THEN 1 ELSE 0 END)
+             |    AS BIGINT) AS n_kept,
+             |  CAST(sum(CASE WHEN rn <= n_src // 2 THEN doc_id ELSE 0 END)
+             |    AS BIGINT) AS kept_id_sum,
+             |  min(CASE WHEN rn <= n_src // 2 THEN composite END)
+             |    AS best_composite,
+             |  max(CASE WHEN rn <= n_src // 2 THEN composite END)
+             |    AS cut_composite
+             |FROM k GROUP BY source ORDER BY source""".stripMargin))
   )
 }

@@ -104,6 +104,62 @@ class TrainingSpec extends SparkSpecBase {
       s"Lloyd round did not improve: $finalInertia >= $seedInertia")
   }
 
+  test("q105: every probe gets a valid (positive, hard-negative) pair") {
+    val hn = run("q105_hard_negatives")
+    val nProbes = spark.read.parquet(s"$sf/embeddings.parquet")
+      .filter(col("vec_id") % 40 === 0).count()
+    assert(hn.count() == nProbes, "a probe lost its pair")
+    val bad = hn.filter(col("pos_id") === col("neg_id") ||
+      col("pos_d") < 0 || col("neg_d") < 0 ||
+      col("margin") =!= col("neg_d") - col("pos_d"))
+    assert(bad.count() == 0)
+    // the positive really is same-label and the negative isn't
+    val labels = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id"), col("label").as("l"))
+    val wrong = hn
+      .join(labels.withColumnRenamed("vec_id", "pos_id")
+        .withColumnRenamed("l", "pos_l"), "pos_id")
+      .join(labels.withColumnRenamed("vec_id", "neg_id")
+        .withColumnRenamed("l", "neg_l"), "neg_id")
+      .filter(col("pos_l") =!= col("label") || col("neg_l") === col("label"))
+    assert(wrong.count() == 0, "pair labels violate the contract")
+  }
+
+  test("q106: every cluster is sampled to exactly the smallest size") {
+    val cb = run("q106_cluster_balanced_sample").collect()
+    val take = cb.map(_.getAs[Long]("take")).distinct
+    assert(take.length == 1)
+    assert(cb.map(_.getAs[Long]("n_total")).min == take.head,
+      "take must be the smallest cluster size")
+    for (r <- cb)
+      assert(r.getAs[Long]("n_kept") == take.head,
+        s"cluster ${r.getAs[Long]("cid")} not balanced")
+  }
+
+  test("q107: statuses partition the incoming batch; exact means exact") {
+    val st = run("q107_incremental_dedup")
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    assert(st.count() == docs.filter(col("doc_id") % 10 === 9).count())
+    // re-derive exact dups independently and compare the verdict
+    val norm = docs.select(col("doc_id"),
+      regexp_replace(lower(trim(col("text"))), "\\s+", " ").as("n"))
+    val exactTruth = norm.filter(col("doc_id") % 10 === 9).as("i")
+      .join(norm.filter(col("doc_id") % 10 =!= 9).as("e"),
+        col("i.n") === col("e.n"), "left_semi")
+      .select(col("doc_id"))
+    val claimed = st.filter(col("status") === "exact").select(col("doc_id"))
+    assert(claimed.exceptAll(exactTruth).count() == 0 &&
+      exactTruth.exceptAll(claimed).count() == 0,
+      "exact verdicts diverge from ground truth")
+  }
+
+  test("q108: keeps exactly the better half of every source") {
+    for (r <- run("q108_quality_blend").collect()) {
+      assert(r.getAs[Long]("n_kept") == r.getAs[Long]("n_docs") / 2)
+      assert(r.getAs[Long]("best_composite") <= r.getAs[Long]("cut_composite"))
+    }
+  }
+
   test("q101/q103 are deterministic across runs and partitionings") {
     for (name <- Seq("q101_token_chunking", "q103_corpus_mixing")) {
       val a = run(name).collect().toSeq

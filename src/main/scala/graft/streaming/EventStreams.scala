@@ -108,6 +108,59 @@ object EventStreams {
       }
   }
 
+  /** Streaming FIRST-WINS document dedup (the ingest half of q107's
+    * incremental dedup, as a stream): docs keyed by the polynomial
+    * hash of their normalized text; the first doc per key is emitted,
+    * later copies are swallowed. `flatMapGroupsWithState` rather than
+    * `dropDuplicates` because the OUTPUT is the surviving payload (a
+    * dedup'd corpus stream), not a filtered event stream — and the
+    * state per key is one boolean, not the row. State never expires
+    * here (exact dedup across the whole ingest); for a bounded-horizon
+    * variant compose with [[dedupWithinWatermark]] upstream. Batch
+    * mode: each group processed once — keep min doc_id per key (same
+    * first-wins rule made deterministic by id order). */
+  case class DocIn(doc_id: Long, norm_hash: Long, text: String)
+  case class SeenState(first_id: Long)
+
+  def streamingFirstWins(docs: Dataset[DocIn]): Dataset[DocIn] = {
+    import docs.sparkSession.implicits._
+    if (!docs.isStreaming) {
+      // batch: deterministic first = lowest doc_id per key
+      docs.groupByKey(_.norm_hash).reduceGroups((a, b) =>
+        if (a.doc_id <= b.doc_id) a else b).map(_._2)
+    } else
+      docs.groupByKey(_.norm_hash)
+        .flatMapGroupsWithState[SeenState, DocIn](
+          org.apache.spark.sql.streaming.OutputMode.Append,
+          org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout) {
+          (_: Long, it: Iterator[DocIn], state: GroupState[SeenState]) =>
+            if (state.exists) { it.foreach(_ => ()); Iterator.empty }
+            else {
+              // first micro-batch containing this key: keep its lowest
+              // doc_id (deterministic within the batch), swallow the rest
+              val first = it.minBy(_.doc_id)
+              state.update(SeenState(first.doc_id))
+              Iterator.single(first)
+            }
+        }
+  }
+
+  /** Idempotent micro-batch parquet sink for `foreachBatch` — the
+    * exactly-once write pattern: each micro-batch lands in its own
+    * `batch_id=N` partition with DYNAMIC partition overwrite, so a
+    * replayed batch (failure/restart re-delivers the same batchId)
+    * OVERWRITES its own partition instead of appending duplicates.
+    * At-least-once delivery + idempotent write = exactly-once output,
+    * without any sink-side transaction log. Usage:
+    * `ds.writeStream.foreachBatch(idempotentParquetSink(path)).start()`. */
+  def idempotentParquetSink(path: String): (DataFrame, Long) => Unit =
+    (df, batchId) =>
+      df.withColumn("batch_id", lit(batchId))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id")
+        .parquet(path)
+
   /** Stream-stream inner join with a bounded time condition: each
     * click joined to the same user's views within the preceding
     * `horizon` (attribution). BOTH sides carry watermarks and the join

@@ -194,6 +194,45 @@ class EventStreamsSpec extends SparkSpecBase {
       assert(math.abs(est - 500L) <= 165, s"est=$est")
     } finally q.stop()
   }
+  test("streamingFirstWins: only the first copy of a doc survives") {
+    import EventStreams.DocIn
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[DocIn]
+    val q = EventStreams.streamingFirstWins(mem.toDS())
+      .writeStream.format("memory").queryName("firstwins")
+      .outputMode("append").start()
+    try {
+      mem.addData(DocIn(1, 100, "a"), DocIn(2, 200, "b"), DocIn(3, 100, "a'"))
+      q.processAllAvailable()
+      mem.addData(DocIn(4, 100, "a''"), DocIn(5, 300, "c"))
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT doc_id FROM firstwins ORDER BY doc_id")
+        .collect().map(_.getLong(0)).toSeq
+      // key 100 survives once (doc 1 — in-batch dup 3 and cross-batch
+      // dup 4 swallowed); 2 and 5 are unique keys
+      assert(rows === Seq(1L, 2L, 5L))
+    } finally q.stop()
+    // batch mode: same survivors via the min-id rule
+    val b = EventStreams.streamingFirstWins(Seq(
+      DocIn(1, 100, "a"), DocIn(2, 200, "b"), DocIn(3, 100, "a'"),
+      DocIn(4, 100, "a''"), DocIn(5, 300, "c")).toDS())
+      .collect().map(_.doc_id).sorted.toSeq
+    assert(b === Seq(1L, 2L, 5L))
+  }
+
+  test("idempotentParquetSink: a replayed micro-batch does not duplicate") {
+    import EventStreams.DocIn
+    val dir = java.nio.file.Files.createTempDirectory("sink").toString
+    val sink = EventStreams.idempotentParquetSink(dir)
+    val b0 = Seq(DocIn(1, 100, "a"), DocIn(2, 200, "b")).toDF()
+    val b1 = Seq(DocIn(3, 300, "c")).toDF()
+    sink(b0, 0L)
+    sink(b1, 1L)
+    sink(b1, 1L) // replay after a simulated failure
+    val out = spark.read.parquet(dir)
+    assert(out.count() == 3, "replayed batch appended duplicates")
+    assert(out.select("batch_id").distinct().count() == 2)
+  }
 }
 
 object EventStreamsSpec {

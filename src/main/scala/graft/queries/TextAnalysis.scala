@@ -492,6 +492,43 @@ object TextAnalysis {
              |  CAST(min(length(v)) AS INT) AS min_len,
              |  CAST(max(length(v)) AS INT) AS max_len,
              |  CAST(sum(length(v)) AS BIGINT) AS sum_len
-             |FROM kv GROUP BY column_name ORDER BY column_name""".stripMargin))
+             |FROM kv GROUP BY column_name ORDER BY column_name""".stripMargin)),
+
+    // The multimodal pipeline END-TO-END through the typed Dataset path
+    // (q38 checks the metadata arithmetic only): documents → binary
+    // payload records → batched mapPartitions decode (stub codec:
+    // deterministic byte-fold checksum + fake features) → frame
+    // sampling. This runs the real Encoders/mapPartitions/batching
+    // machinery under the driver's differential check — the corpus is
+    // printable ASCII, so the oracle's per-character fold reproduces
+    // the stub's per-BYTE checksum exactly (byte == code point here;
+    // on non-ASCII payloads only the Spark side is defined).
+    QueryDef(
+      "q109_multimodal_pipeline",
+      (s, d) => {
+        val media = graft.ops.Multimodal.fromDocuments(
+          documents(s, d).repartition(s.sparkContext.defaultParallelism))
+        val feats = graft.ops.Multimodal.extractFeatures(media)
+        graft.ops.Multimodal.sampleFrames(feats)
+          .select(col("media_id"), col("kind"),
+            col("n_bytes"), col("checksum"),
+            col("n_frames").cast("long").as("n_frames"),
+            col("n_sampled").cast("long").as("n_sampled"))
+          .orderBy(col("media_id"))
+      },
+      Some("""WITH m AS (SELECT doc_id AS media_id,
+             |    (['image', 'audio', 'video'])[doc_id % 3 + 1] AS kind,
+             |    CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+             |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+             |      list_transform(string_split(text, ''),
+             |        c -> CAST(ascii(c) AS BIGINT))),
+             |      (h, c) -> (h*31 + c) % 1000000007) AS checksum
+             |  FROM documents),
+             |f AS (SELECT media_id, kind, n_bytes, checksum,
+             |    greatest(1, n_bytes // 64) AS n_frames
+             |  FROM m)
+             |SELECT media_id, kind, n_bytes, checksum, n_frames,
+             |  least(8, (n_frames + 3) // 4) AS n_sampled
+             |FROM f ORDER BY media_id""".stripMargin))
   )
 }

@@ -178,10 +178,15 @@ object Training {
     QueryDef(
       "q103_corpus_mixing",
       (s, d) => {
+        // Persisted: the derived token counts feed both the budget
+        // aggregate and the cumsum branch — without materialization
+        // each branch re-tokenizes the corpus (the profiled dominant
+        // cost of this suite).
         val toks = documents(s, d)
           .select(col("source"), col("doc_id"),
             size(TextOps.tokens(col("text"))).cast("long").as("n_tokens"))
           .withColumn("h", keyHash(col("doc_id")))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val budget = toks.groupBy(col("source"))
           .agg(sum(col("n_tokens")).as("tot"))
           .agg(min(col("tot")).as("budget"))
@@ -228,7 +233,9 @@ object Training {
              |    * 1000 // CAST(sum(n_tokens) AS BIGINT) AS kept_permille
              |FROM k GROUP BY source ORDER BY source""".stripMargin)),
 
-    // Embedding k-means (2 Lloyd rounds, k=8) — the clustering behind
+    // Embedding k-means (k=8; one full Lloyd round — seed assignment,
+    // centroid update, reassignment = `Kmeans.lloyd(rounds = 1)`,
+    // exactly what the hand-unrolled oracle encodes) — the clustering behind
     // cluster-balanced sampling and semantic dedup of training corpora.
     // Entirely in the shared micro-quantized integer space: distances
     // are exact long sums ([[graft.expressions.VectorExpressions]]
@@ -298,6 +305,11 @@ object Training {
         dists.groupBy(col("probe_id"), col("plabel"))
           .agg(min(when(col("same"), col("dc"))).as("pos"),
             min(when(!col("same"), col("dc"))).as("neg"))
+          // a probe with no same-label (or no different-label) corpus
+          // row has no training pair — drop it, as the oracle's inner
+          // join does (here every label spans many vectors, so nothing
+          // drops; the filter pins the parity on degenerate data)
+          .filter(col("pos").isNotNull && col("neg").isNotNull)
           .select(col("probe_id"), col("plabel").as("label"),
             col("pos.id").as("pos_id"), col("pos.d").as("pos_d"),
             col("neg.id").as("neg_id"), col("neg.d").as("neg_d"),

@@ -109,39 +109,43 @@ object EventStreams {
   }
 
   /** Streaming FIRST-WINS document dedup (the ingest half of q107's
-    * incremental dedup, as a stream): docs keyed by the polynomial
-    * hash of their normalized text; the first doc per key is emitted,
-    * later copies are swallowed. `flatMapGroupsWithState` rather than
-    * `dropDuplicates` because the OUTPUT is the surviving payload (a
-    * dedup'd corpus stream), not a filtered event stream — and the
-    * state per key is one boolean, not the row. State never expires
-    * here (exact dedup across the whole ingest); for a bounded-horizon
-    * variant compose with [[dedupWithinWatermark]] upstream. Batch
-    * mode: each group processed once — keep min doc_id per key (same
-    * first-wins rule made deterministic by id order). */
+    * incremental dedup, as a stream): docs SHUFFLE by the polynomial
+    * hash of their normalized text, then dedup EXACTLY on the text
+    * itself — the hash is only the partitioner, so two distinct
+    * documents that collide on it both survive (a hash-only seen-set
+    * silently drops one: P ≈ 2^30 gives ~50% collision odds by 37k
+    * docs). `flatMapGroupsWithState` rather than `dropDuplicates`
+    * because the OUTPUT is the surviving payload (a dedup'd corpus
+    * stream) — and state per key is the distinct texts seen, almost
+    * always exactly one (a production variant stores a 128-bit strong
+    * hash instead of the text to shrink state; same shape). State
+    * never expires here (exact dedup across the whole ingest); for a
+    * bounded-horizon variant compose with [[dedupWithinWatermark]]
+    * upstream. Batch mode: each group is one call with empty state —
+    * keep min doc_id per distinct text (same first-wins rule made
+    * deterministic by id order). */
   case class DocIn(doc_id: Long, norm_hash: Long, text: String)
-  case class SeenState(first_id: Long)
+  case class SeenState(texts: Seq[String])
 
   def streamingFirstWins(docs: Dataset[DocIn]): Dataset[DocIn] = {
     import docs.sparkSession.implicits._
-    if (!docs.isStreaming) {
-      // batch: deterministic first = lowest doc_id per key
-      docs.groupByKey(_.norm_hash).reduceGroups((a, b) =>
-        if (a.doc_id <= b.doc_id) a else b).map(_._2)
-    } else
+    // first = lowest doc_id per distinct text within this batch of rows
+    def firsts(it: Iterator[DocIn]): Seq[DocIn] =
+      it.toSeq.groupBy(_.text).valuesIterator
+        .map(_.minBy(_.doc_id)).toSeq.sortBy(_.doc_id)
+    if (!docs.isStreaming)
+      docs.groupByKey(_.norm_hash).flatMapGroups((_, it) => firsts(it))
+    else
       docs.groupByKey(_.norm_hash)
         .flatMapGroupsWithState[SeenState, DocIn](
           org.apache.spark.sql.streaming.OutputMode.Append,
           org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout) {
           (_: Long, it: Iterator[DocIn], state: GroupState[SeenState]) =>
-            if (state.exists) { it.foreach(_ => ()); Iterator.empty }
-            else {
-              // first micro-batch containing this key: keep its lowest
-              // doc_id (deterministic within the batch), swallow the rest
-              val first = it.minBy(_.doc_id)
-              state.update(SeenState(first.doc_id))
-              Iterator.single(first)
-            }
+            val seen = state.getOption.map(_.texts).getOrElse(Seq.empty)
+            val fresh = firsts(it).filterNot(d => seen.contains(d.text))
+            if (fresh.nonEmpty)
+              state.update(SeenState(seen ++ fresh.map(_.text)))
+            fresh.iterator
         }
   }
 

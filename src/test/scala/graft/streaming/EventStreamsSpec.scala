@@ -202,22 +202,24 @@ class EventStreamsSpec extends SparkSpecBase {
       .writeStream.format("memory").queryName("firstwins")
       .outputMode("append").start()
     try {
-      mem.addData(DocIn(1, 100, "a"), DocIn(2, 200, "b"), DocIn(3, 100, "a'"))
+      mem.addData(DocIn(1, 100, "a"), DocIn(2, 200, "b"), DocIn(3, 100, "a"))
       q.processAllAvailable()
-      mem.addData(DocIn(4, 100, "a''"), DocIn(5, 300, "c"))
+      // doc 4: cross-batch exact dup; doc 6: hash COLLISION with key
+      // 100 but different text — must survive (dedup is on content,
+      // the hash only partitions)
+      mem.addData(DocIn(4, 100, "a"), DocIn(5, 300, "c"),
+        DocIn(6, 100, "not-a"))
       q.processAllAvailable()
       val rows = spark.sql("SELECT doc_id FROM firstwins ORDER BY doc_id")
         .collect().map(_.getLong(0)).toSeq
-      // key 100 survives once (doc 1 — in-batch dup 3 and cross-batch
-      // dup 4 swallowed); 2 and 5 are unique keys
-      assert(rows === Seq(1L, 2L, 5L))
+      assert(rows === Seq(1L, 2L, 5L, 6L))
     } finally q.stop()
-    // batch mode: same survivors via the min-id rule
+    // batch mode: same survivors via the min-id-per-distinct-text rule
     val b = EventStreams.streamingFirstWins(Seq(
-      DocIn(1, 100, "a"), DocIn(2, 200, "b"), DocIn(3, 100, "a'"),
-      DocIn(4, 100, "a''"), DocIn(5, 300, "c")).toDS())
+      DocIn(1, 100, "a"), DocIn(2, 200, "b"), DocIn(3, 100, "a"),
+      DocIn(4, 100, "a"), DocIn(5, 300, "c"), DocIn(6, 100, "not-a")).toDS())
       .collect().map(_.doc_id).sorted.toSeq
-    assert(b === Seq(1L, 2L, 5L))
+    assert(b === Seq(1L, 2L, 5L, 6L))
   }
 
   test("idempotentParquetSink: a replayed micro-batch does not duplicate") {

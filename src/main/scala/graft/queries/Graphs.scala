@@ -1,0 +1,105 @@
+package graft.queries
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Graph analytics over derived relationship graphs (SURVEY.md §2b —
+  * the companion of `ops/GraphOps`'s connected components, which
+  * clusters near-dup pairs; here the graph measures IMPORTANCE).
+  * At corpus scale this family ranks domains/sources by their link
+  * structure to weight training data; the testdata analogue is the
+  * parts-bought-together graph (same co-occurrence edges as q77).
+  *
+  * All rank arithmetic is integer-micro with floor division —
+  * order-independent, so the DuckDB oracle reproduces every rank
+  * exactly (float PageRank would drift in summation order).
+  */
+object Graphs {
+  import Tables._
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // Weighted PageRank, two unrolled power iterations (damping 0.85)
+    // over the co-purchase multigraph: an edge occurrence per order
+    // containing the pair, so frequently co-bought parts pass more
+    // rank mass (deg = total outgoing weight). Per iteration: ONE
+    // broadcast of the node-sized rank table onto the cached edge
+    // list, one integer share = (r·85) div (100·deg) per occurrence,
+    // one map-side-combined groupBy dst. Symmetric edges mean every
+    // node has in-edges, so no dangling-mass term is needed; a graph
+    // whose node table outgrows broadcast buckets the edge list by
+    // src instead — the loop body is unchanged.
+    QueryDef(
+      "q111_pagerank_cooccurrence",
+      (s, d) => {
+        // Edge generation WITHOUT a self-join and WITHOUT a pair-level
+        // distinct: baskets are tiny (~4-7 items), so collect each
+        // order's item SET once (collect_set dedups within the order —
+        // no pre-distinct shuffle needed) and expand pair occurrences
+        // narrowly from the array. Each order contributes a pair once;
+        // a pair occurring in w orders appears w times — the MULTIGRAPH
+        // edge list, aggregated by the downstream map-side-combining
+        // groupBys instead of a 3M-row distinct shuffle. (A self-join
+        // on the order key benched ~2× slower and sort-merges the fact
+        // table against itself; the gap grows with scale.)
+        val edges = lineitem(s, d)
+          .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+          .groupBy(col("ok")).agg(collect_set(col("pk")).as("pks"))
+          .select(explode(flatten(transform(col("pks"), x =>
+            transform(col("pks"), y => struct(x.as("src"), y.as("dst"))))))
+            .as("e"))
+          .select(col("e.src"), col("e.dst"))
+          .filter(col("src") =!= col("dst"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        // node-sized; persisted — referenced by r0 and by BOTH step()
+        // joins (3 plan branches would each re-aggregate the edge list)
+        val deg = edges.groupBy(col("src").as("node"))
+          .agg(count(lit(1)).as("deg"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        // ranks carry (node, deg, r); r0 = 1.0 in micro units
+        val r0 = deg.withColumn("r", lit(1000000L))
+        // The rank table is node-sized (edges/nodes ≈ avg degree, so
+        // nodes ≪ edges): BROADCAST it onto the cached edge list each
+        // iteration — the edge list never moves after its one build
+        // shuffle. (A graph whose node table outgrows broadcast would
+        // bucket edges by src instead; the loop body is unchanged.)
+        def step(ranks: DataFrame): DataFrame =
+          edges
+            .join(broadcast(ranks.withColumnRenamed("node", "src")), "src")
+            .withColumn("share", expr("(r * 85) div (100 * deg)"))
+            .groupBy(col("dst").as("node"))
+            .agg(sum(col("share")).as("in_share"))
+            .join(broadcast(deg), "node")
+            .withColumn("r", lit(150000L) + col("in_share"))
+            .select(col("node"), col("deg"), col("r"))
+        step(step(r0))
+          .select(col("node").as("part"), col("deg"), col("r").as("rank_micro"))
+          .orderBy(col("rank_micro").desc, col("part"))
+          .limit(20)
+      },
+      Some("""WITH items AS (SELECT DISTINCT l_orderkey AS ok,
+             |    l_partkey AS pk FROM lineitem),
+             |edges AS (SELECT x.pk AS src, y.pk AS dst
+             |  FROM items x JOIN items y
+             |    ON x.ok = y.ok AND x.pk != y.pk),
+             |deg AS (SELECT src AS node, count(*) AS deg FROM edges
+             |  GROUP BY src),
+             |r0 AS (SELECT node, deg, CAST(1000000 AS BIGINT) AS r
+             |  FROM deg),
+             |s1 AS (SELECT e.dst AS node,
+             |    CAST(sum((r.r * 85) // (100 * r.deg)) AS BIGINT)
+             |      AS in_share
+             |  FROM edges e JOIN r0 r ON e.src = r.node GROUP BY e.dst),
+             |r1 AS (SELECT s.node, d.deg, 150000 + s.in_share AS r
+             |  FROM s1 s JOIN deg d ON s.node = d.node),
+             |s2 AS (SELECT e.dst AS node,
+             |    CAST(sum((r.r * 85) // (100 * r.deg)) AS BIGINT)
+             |      AS in_share
+             |  FROM edges e JOIN r1 r ON e.src = r.node GROUP BY e.dst),
+             |r2 AS (SELECT s.node, d.deg, 150000 + s.in_share AS r
+             |  FROM s2 s JOIN deg d ON s.node = d.node)
+             |SELECT node AS part, deg, r AS rank_micro
+             |FROM r2 ORDER BY rank_micro DESC, part LIMIT 20""".stripMargin))
+  )
+}

@@ -529,6 +529,59 @@ object TextAnalysis {
              |  FROM m)
              |SELECT media_id, kind, n_bytes, checksum, n_frames,
              |  least(8, (n_frames + 3) // 4) AS n_sampled
-             |FROM f ORDER BY media_id""".stripMargin))
+             |FROM f ORDER BY media_id""".stripMargin)),
+
+    // Inverted-index construction (the search-index build): term →
+    // sorted posting list of containing docs, stopwords excluded by
+    // RANK (the 5 highest-df terms — scale-stable where an absolute
+    // df band is not: df grows linearly with the corpus). TWO-PASS
+    // shape on purpose: pass 1 computes df and fixes the kept term
+    // set (vocabulary-sized — it broadcasts); pass 2 collects
+    // postings ONLY for kept terms. Collecting first and filtering
+    // after would materialize the full posting list of every stopword
+    // ("the" at 100 TB is millions of doc ids in one aggregation
+    // buffer — the collect-then-filter OOM). Postings are emitted as
+    // a bounded head plus an exact id-sum so the oracle checks list
+    // CONTENT without shipping unbounded arrays.
+    QueryDef(
+      "q110_inverted_index",
+      (s, d) => {
+        val pairs = documents(s, d)
+          .repartition(s.sparkContext.defaultParallelism)
+          .select(col("doc_id"),
+            explode(array_distinct(TextOps.tokens(col("text")))).as("term"))
+        val w = org.apache.spark.sql.expressions.Window
+          .orderBy(col("df").desc, col("term"))
+        val dfreq = pairs.groupBy(col("term"))
+          .agg(count(lit(1)).as("df"))
+          // vocabulary-sized table: the single-partition rank window
+          // is over term COUNT, not corpus rows
+          .withColumn("rk", row_number().over(w))
+          .filter(col("rk") > 5).drop("rk")
+        pairs.join(broadcast(dfreq), "term")
+          .groupBy(col("term"), col("df"))
+          .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+          .select(col("term"), col("df"),
+            array_join(slice(col("ids"), 1, 10), ",").as("head10"),
+            aggregate(col("ids"), lit(0L), (a, x) => a + x)
+              .as("postings_sum"))
+          .orderBy(col("term"))
+      },
+      Some("""WITH pairs AS (SELECT DISTINCT doc_id,
+             |    unnest(list_distinct(string_split(text, ' '))) AS term
+             |  FROM documents),
+             |df0 AS (SELECT term, count(*) AS df,
+             |    row_number() OVER (ORDER BY count(*) DESC, term) AS rk
+             |  FROM pairs GROUP BY term),
+             |df AS (SELECT term, df FROM df0 WHERE rk > 5),
+             |p AS (SELECT f.term, f.df,
+             |    list(p.doc_id ORDER BY p.doc_id) AS ids
+             |  FROM pairs p JOIN df f ON p.term = f.term
+             |  GROUP BY f.term, f.df)
+             |SELECT term, df,
+             |  array_to_string(ids[1:10], ',') AS head10,
+             |  list_reduce(list_prepend(CAST(0 AS BIGINT), ids),
+             |    (a, x) -> a + x) AS postings_sum
+             |FROM p ORDER BY term""".stripMargin))
   )
 }

@@ -113,6 +113,14 @@ class PlanShapeSpec extends SparkSpecBase {
     val p104 = plan("q104_kmeans_embeddings")
     assert(p104.matches("(?s).*partial_min.*"),
       "q104 assignment must map-side combine its argmin")
+    // q110's posting collection must run against the broadcast kept-
+    // term set; q111's rank iterations must broadcast the node table
+    // onto the cached edge list (and never self-join the fact table).
+    for (q <- Seq("q110_inverted_index", "q111_pagerank_cooccurrence")) {
+      val p = plan(q)
+      assert(p.contains("BroadcastHashJoin"), s"$q lost its broadcast")
+      assert(!p.contains("SortMergeJoin"), s"$q shuffles a join side")
+    }
   }
 
   test("scd2 computes both windows over ONE key exchange") {

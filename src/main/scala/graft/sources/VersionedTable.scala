@@ -1,0 +1,178 @@
+package graft.sources
+
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import scala.jdk.CollectionConverters._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** A minimal versioned table format — the Delta/Iceberg-shaped
+  * snapshot layer of the lakehouse (BASELINE.json north star: "Spark
+  * reads/writes lakehouse formats"), built from first principles with
+  * zero dependencies beyond Spark and the filesystem.
+  *
+  * Layout:
+  * {{{
+  *   <root>/data/v<version>-<nonce>/part-*.parquet   immutable data dirs
+  *   <root>/_graft_log/v<%05d version>.txt           one manifest per commit
+  * }}}
+  *
+  * Each manifest is a plain-text file:
+  * {{{
+  *   version=3
+  *   action=append | overwrite
+  *   file=data/v3-ab12/part-00000-....parquet        (one line per file)
+  * }}}
+  *
+  * Semantics (the core of every table format):
+  *  - '''Snapshot isolation''': a snapshot is the log replayed up to a
+  *    version — `overwrite` resets the file set, `append` extends it.
+  *    Readers list the log, pick the max contiguous version, and read
+  *    exactly the files those manifests name. A writer's data files
+  *    land BEFORE its manifest, so a half-finished write is invisible.
+  *  - '''Atomic commit / optimistic concurrency''': the manifest is
+  *    staged as a temp file and ATOMIC_MOVE'd to `v<N>.txt` with
+  *    no-replace semantics; two writers racing to version N — one
+  *    wins, the loser gets [[ConcurrentCommitException]] and retries
+  *    on top of N. (Rename-as-commit is the local/HDFS protocol; an
+  *    object store without atomic rename swaps this single primitive
+  *    for a conditional PUT or a catalog lock — nothing else changes.)
+  *  - '''Time travel''': `read(spark, root, Some(v))` replays the log
+  *    only up to `v` — old data dirs are immutable, so every historic
+  *    snapshot stays readable until vacuumed.
+  *  - '''Compaction''': rewrites the CURRENT snapshot into one
+  *    `overwrite` commit of fewer files; concurrent readers of older
+  *    versions are unaffected (immutability again).
+  *  - '''Vacuum''': deletes data dirs referenced ONLY by versions
+  *    older than the retention horizon — the one operation that
+  *    breaks time travel, so it is explicit and bounded.
+  */
+object VersionedTable {
+
+  final class ConcurrentCommitException(version: Long)
+    extends RuntimeException(
+      s"concurrent commit: version $version already exists — reload and retry")
+
+  private def logDir(root: String): Path = Paths.get(root, "_graft_log")
+
+  private def manifestPath(root: String, v: Long): Path =
+    logDir(root).resolve(f"v$v%05d.txt")
+
+  /** Committed versions, ascending (gap-free prefix is guaranteed by
+    * the commit protocol: version N only commits after N-1 exists). */
+  def versions(root: String): Seq[Long] = {
+    val dir = logDir(root)
+    if (!Files.isDirectory(dir)) Seq.empty
+    else Files.list(dir).iterator().asScala
+      .map(_.getFileName.toString)
+      .collect { case n if n.matches("v\\d{5}\\.txt") =>
+        n.stripPrefix("v").stripSuffix(".txt").toLong }
+      .toSeq.sorted
+  }
+
+  /** Latest committed version, or -1 for an empty table. */
+  def latestVersion(root: String): Long =
+    versions(root).lastOption.getOrElse(-1L)
+
+  private case class Manifest(version: Long, action: String, files: Seq[String])
+
+  private def readManifest(root: String, v: Long): Manifest = {
+    val lines = Files.readAllLines(manifestPath(root, v)).asScala.toSeq
+    def field(k: String): Seq[String] =
+      lines.filter(_.startsWith(s"$k=")).map(_.drop(k.length + 1))
+    Manifest(field("version").head.toLong, field("action").head, field("file"))
+  }
+
+  /** The file set of snapshot `v` (log replay: overwrite resets,
+    * append extends), paths relative to `root`. */
+  def snapshotFiles(root: String, v: Long): Seq[String] =
+    versions(root).filter(_ <= v).foldLeft(Seq.empty[String]) { (acc, ver) =>
+      val m = readManifest(root, ver)
+      m.action match {
+        case "overwrite" => m.files
+        case "append"    => acc ++ m.files
+        case other => throw new IllegalStateException(
+          s"unknown action '$other' in manifest v$ver")
+      }
+    }
+
+  /** Commit `df` as the next version. Returns the committed version.
+    * `mode` is "append" or "overwrite". Data files are fully written
+    * (and spark-committed) before the manifest move makes them
+    * visible; on a commit race the loser's data dir is orphaned (and
+    * reclaimed by [[vacuum]]) — never half-visible.
+    *
+    * `expected` pins the version this writer intends to create (its
+    * read basis + 1 — the optimistic-concurrency API): if another
+    * writer got there first, [[ConcurrentCommitException]] fires even
+    * when the race finished before we started writing. Omitted, the
+    * target is latest+1 and only a same-version photo-finish races. */
+  def commit(df: DataFrame, root: String, mode: String = "append",
+      expected: Option[Long] = None): Long = {
+    require(mode == "append" || mode == "overwrite",
+      s"mode must be append|overwrite, got $mode")
+    Files.createDirectories(logDir(root))
+    val next = expected.getOrElse(latestVersion(root) + 1)
+    if (Files.exists(manifestPath(root, next)))
+      throw new ConcurrentCommitException(next)
+    val nonce = java.util.UUID.randomUUID().toString.take(8)
+    val dataRel = s"data/v$next-$nonce"
+    val dataDir = Paths.get(root, dataRel)
+    df.write.mode("errorifexists").parquet(dataDir.toString)
+    val files = Files.list(dataDir).iterator().asScala
+      .map(_.getFileName.toString)
+      .filter(n => n.endsWith(".parquet") && !n.startsWith("."))
+      .toSeq.sorted
+      .map(n => s"$dataRel/$n")
+    val body =
+      (Seq(s"version=$next", s"action=$mode") ++ files.map(f => s"file=$f"))
+        .mkString("", "\n", "\n")
+    val tmp = Files.createTempFile(logDir(root), s".tmp-v$next-", "")
+    Files.write(tmp, body.getBytes("UTF-8"))
+    try Files.move(tmp, manifestPath(root, next),
+      StandardCopyOption.ATOMIC_MOVE)
+    catch {
+      case _: java.nio.file.FileAlreadyExistsException =>
+        Files.deleteIfExists(tmp)
+        throw new ConcurrentCommitException(next)
+    }
+    next
+  }
+
+  /** Read a snapshot: latest by default, or time-travel to `version`. */
+  def read(spark: SparkSession, root: String,
+      version: Option[Long] = None): DataFrame = {
+    val latest = latestVersion(root)
+    require(latest >= 0, s"$root is not a versioned table (empty log)")
+    val v = version.getOrElse(latest)
+    require(v >= 0 && v <= latest,
+      s"version $v out of range [0, $latest]")
+    val files = snapshotFiles(root, v)
+    if (files.isEmpty)
+      spark.read.parquet(Paths.get(root, "data").toString).limit(0)
+    else
+      spark.read.parquet(files.map(f => Paths.get(root, f).toString): _*)
+  }
+
+  /** Rewrite the current snapshot as ONE overwrite commit with
+    * `numFiles` output files — small-file compaction as a normal
+    * commit (older versions stay readable). */
+  def compact(spark: SparkSession, root: String, numFiles: Int = 1): Long =
+    commit(read(spark, root).repartition(numFiles), root, "overwrite")
+
+  /** Delete data dirs not referenced by any version >= `retain`
+    * (also reclaims orphaned dirs from lost commit races). Time
+    * travel below `retain` stops working — that's the contract. */
+  def vacuum(root: String, retain: Long): Unit = {
+    val keep = versions(root).filter(_ >= retain)
+      .flatMap(v => snapshotFiles(root, v))
+      .map(f => Paths.get(root, f).getParent.getFileName.toString)
+      .toSet
+    val dataRoot = Paths.get(root, "data")
+    if (Files.isDirectory(dataRoot))
+      Files.list(dataRoot).iterator().asScala
+        .filter(d => !keep.contains(d.getFileName.toString))
+        .foreach { d =>
+          Files.walk(d).iterator().asScala.toSeq.reverse
+            .foreach(Files.deleteIfExists(_))
+        }
+  }
+}

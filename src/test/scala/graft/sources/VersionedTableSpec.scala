@@ -1,0 +1,84 @@
+package graft.sources
+
+import graft.SparkSpecBase
+import org.apache.spark.sql.functions._
+import java.nio.file.{Files, Paths}
+
+/** The table-format contract: snapshot isolation, time travel, atomic
+  * commits under a race, compaction invisibility, vacuum bounds. */
+class VersionedTableSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private def newRoot(): String =
+    Files.createTempDirectory("vtable").toString
+
+  test("append/overwrite replay and time travel") {
+    val root = newRoot()
+    val v0 = VersionedTable.commit(Seq(1L, 2L).toDF("id"), root, "append")
+    val v1 = VersionedTable.commit(Seq(3L).toDF("id"), root, "append")
+    val v2 = VersionedTable.commit(Seq(9L).toDF("id"), root, "overwrite")
+    val v3 = VersionedTable.commit(Seq(10L).toDF("id"), root, "append")
+    assert(Seq(v0, v1, v2, v3) == Seq(0L, 1L, 2L, 3L))
+    def ids(v: Long): Seq[Long] =
+      VersionedTable.read(spark, root, Some(v))
+        .collect().map(_.getLong(0)).sorted.toSeq
+    assert(ids(0) == Seq(1L, 2L))
+    assert(ids(1) == Seq(1L, 2L, 3L)) // append extends
+    assert(ids(2) == Seq(9L)) // overwrite resets
+    assert(ids(3) == Seq(9L, 10L))
+    // latest == explicit max version
+    assert(VersionedTable.read(spark, root).collect().map(_.getLong(0))
+      .sorted.toSeq == Seq(9L, 10L))
+  }
+
+  test("commit race: exactly one writer wins a version") {
+    val root = newRoot()
+    VersionedTable.commit(Seq(1L).toDF("id"), root) // v0
+    // two writers read basis v0 and both target v1; writer A lands first
+    val basis = VersionedTable.latestVersion(root)
+    val vA = VersionedTable.commit(Seq(2L).toDF("id"), root, "append",
+      expected = Some(basis + 1))
+    assert(vA == 1L)
+    val race = intercept[VersionedTable.ConcurrentCommitException] {
+      VersionedTable.commit(Seq(3L).toDF("id"), root, "append",
+        expected = Some(basis + 1)) // writer B, stale basis
+    }
+    assert(race.getMessage.contains("concurrent commit"))
+    // the loser's retry on the new basis succeeds; nothing was lost
+    val vB = VersionedTable.commit(Seq(3L).toDF("id"), root, "append",
+      expected = Some(VersionedTable.latestVersion(root) + 1))
+    assert(vB == 2L)
+    assert(VersionedTable.read(spark, root).collect().map(_.getLong(0))
+      .sorted.toSeq == Seq(1L, 2L, 3L))
+  }
+
+  test("compaction rewrites the snapshot without changing its rows") {
+    val root = newRoot()
+    VersionedTable.commit(spark.range(100).toDF(), root)
+    VersionedTable.commit(spark.range(100, 200).toDF(), root)
+    val before = VersionedTable.read(spark, root)
+      .agg(count(lit(1)), sum(col("id"))).collect()(0)
+    val cv = VersionedTable.compact(spark, root, numFiles = 1)
+    val after = VersionedTable.read(spark, root)
+      .agg(count(lit(1)), sum(col("id"))).collect()(0)
+    assert(before == after, "compaction changed table content")
+    assert(VersionedTable.snapshotFiles(root, cv).size == 1)
+    // pre-compaction snapshot still time-travels
+    assert(VersionedTable.read(spark, root, Some(cv - 1)).count() == 200)
+  }
+
+  test("vacuum reclaims unreferenced data dirs, keeps retained versions") {
+    val root = newRoot()
+    VersionedTable.commit(spark.range(10).toDF(), root) // v0
+    VersionedTable.commit(spark.range(10, 20).toDF(), root, "overwrite") // v1
+    VersionedTable.commit(spark.range(20, 30).toDF(), root) // v2
+    val dirsBefore = Files.list(Paths.get(root, "data")).count()
+    assert(dirsBefore == 3)
+    VersionedTable.vacuum(root, retain = 1)
+    val dirsAfter = Files.list(Paths.get(root, "data")).count()
+    assert(dirsAfter == 2, "v0's dir (only referenced below retain) survives")
+    // retained snapshots unaffected
+    assert(VersionedTable.read(spark, root, Some(1)).count() == 10)
+    assert(VersionedTable.read(spark, root).count() == 20)
+  }
+}

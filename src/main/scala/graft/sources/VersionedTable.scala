@@ -72,13 +72,15 @@ object VersionedTable {
   def latestVersion(root: String): Long =
     versions(root).lastOption.getOrElse(-1L)
 
-  private case class Manifest(version: Long, action: String, files: Seq[String])
+  private case class Manifest(version: Long, action: String,
+      files: Seq[String], batchTag: Option[Long])
 
   private def readManifest(root: String, v: Long): Manifest = {
     val lines = Files.readAllLines(manifestPath(root, v)).asScala.toSeq
     def field(k: String): Seq[String] =
       lines.filter(_.startsWith(s"$k=")).map(_.drop(k.length + 1))
-    Manifest(field("version").head.toLong, field("action").head, field("file"))
+    Manifest(field("version").head.toLong, field("action").head,
+      field("file"), field("batch").headOption.map(_.toLong))
   }
 
   /** The file set of snapshot `v` (log replay: overwrite resets,
@@ -106,7 +108,7 @@ object VersionedTable {
     * when the race finished before we started writing. Omitted, the
     * target is latest+1 and only a same-version photo-finish races. */
   def commit(df: DataFrame, root: String, mode: String = "append",
-      expected: Option[Long] = None): Long = {
+      expected: Option[Long] = None, batchTag: Option[Long] = None): Long = {
     require(mode == "append" || mode == "overwrite",
       s"mode must be append|overwrite, got $mode")
     Files.createDirectories(logDir(root))
@@ -123,7 +125,9 @@ object VersionedTable {
       .toSeq.sorted
       .map(n => s"$dataRel/$n")
     val body =
-      (Seq(s"version=$next", s"action=$mode") ++ files.map(f => s"file=$f"))
+      (Seq(s"version=$next", s"action=$mode") ++
+        batchTag.map(b => s"batch=$b").toSeq ++
+        files.map(f => s"file=$f"))
         .mkString("", "\n", "\n")
     val tmp = Files.createTempFile(logDir(root), s".tmp-v$next-", "")
     Files.write(tmp, body.getBytes("UTF-8"))
@@ -151,6 +155,36 @@ object VersionedTable {
     else
       spark.read.parquet(files.map(f => Paths.get(root, f).toString): _*)
   }
+
+  /** MERGE INTO the table: CDC-upsert `updates` (base schema plus a
+    * boolean `deleteCol` tombstone flag) against the current snapshot
+    * and commit the result as a new overwrite version — the
+    * lakehouse-complete form of [[graft.ops.MergeOps.merge]]: the
+    * merge is computed against an immutable snapshot and lands
+    * atomically, so readers never see a half-merged table and a
+    * conflicting writer loses the version race instead of corrupting. */
+  def merge(spark: SparkSession, root: String, updates: DataFrame,
+      key: String, deleteCol: String): Long = {
+    val basis = latestVersion(root)
+    val merged = graft.ops.MergeOps.merge(
+      read(spark, root, Some(basis)), updates, key, deleteCol)
+    commit(merged, root, "overwrite", expected = Some(basis + 1))
+  }
+
+  /** Exactly-once streaming sink: a `foreachBatch` function that
+    * commits each micro-batch as an append version TAGGED with its
+    * batch id. A replayed batch (restart re-delivers the same id)
+    * finds its tag already in the log and SKIPS — at-least-once
+    * delivery + idempotent commit = exactly-once table contents,
+    * the transactional cousin of
+    * [[graft.streaming.EventStreams.idempotentParquetSink]]. */
+  def streamingSink(root: String): (DataFrame, Long) => Unit =
+    (df, batchId) => {
+      val committed = versions(root)
+        .exists(v => readManifest(root, v).batchTag.contains(batchId))
+      if (!committed)
+        commit(df, root, "append", batchTag = Some(batchId))
+    }
 
   /** Rewrite the current snapshot as ONE overwrite commit with
     * `numFiles` output files — small-file compaction as a normal

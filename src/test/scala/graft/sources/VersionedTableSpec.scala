@@ -67,6 +67,33 @@ class VersionedTableSpec extends SparkSpecBase {
     assert(VersionedTable.read(spark, root, Some(cv - 1)).count() == 200)
   }
 
+  test("merge commits a CDC upsert atomically on the current snapshot") {
+    val root = newRoot()
+    VersionedTable.commit(
+      Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v"), root)
+    // update 2, delete 3, insert 4
+    val v = VersionedTable.merge(spark, root,
+      Seq((2L, "B", false), (3L, "c", true), (4L, "d", false))
+        .toDF("id", "v", "del"),
+      key = "id", deleteCol = "del")
+    val rows = VersionedTable.read(spark, root)
+      .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1).toSeq
+    assert(rows == Seq((1L, "a"), (2L, "B"), (4L, "d")))
+    // pre-merge snapshot still intact
+    assert(VersionedTable.read(spark, root, Some(v - 1)).count() == 3)
+  }
+
+  test("streamingSink: replayed micro-batch commits exactly once") {
+    val root = newRoot()
+    val sink = VersionedTable.streamingSink(root)
+    sink(Seq(1L, 2L).toDF("id"), 0L)
+    sink(Seq(3L).toDF("id"), 1L)
+    sink(Seq(3L).toDF("id"), 1L) // replay after simulated restart
+    assert(VersionedTable.read(spark, root).count() == 3,
+      "replayed batch double-committed")
+    assert(VersionedTable.latestVersion(root) == 1L)
+  }
+
   test("vacuum reclaims unreferenced data dirs, keeps retained versions") {
     val root = newRoot()
     VersionedTable.commit(spark.range(10).toDF(), root) // v0

@@ -186,6 +186,30 @@ object VersionedTable {
         commit(df, root, "append", batchTag = Some(batchId))
     }
 
+  /** Change-data read between two snapshots: rows only in `to` as
+    * `insert`, rows only in `from` as `delete` (an update = the pair).
+    * FILE-PRUNED before any row work: data dirs are immutable, so a
+    * file present in both snapshots cannot contribute a change — only
+    * the symmetric difference of the file sets is read and exceptAll'd.
+    * An append-only history therefore diffs by reading just the new
+    * files (zero comparison work), and a compaction diffs as empty at
+    * the cost of reading both rewritten sides — exactly the cost
+    * profile a log-structured table gives CDC. */
+  def diff(spark: SparkSession, root: String, from: Long, to: Long)
+      : DataFrame = {
+    import org.apache.spark.sql.functions.lit
+    val fa = snapshotFiles(root, from).toSet
+    val fb = snapshotFiles(root, to).toSet
+    def readFiles(fs: Set[String]): DataFrame =
+      if (fs.isEmpty) read(spark, root, Some(to)).limit(0)
+      else spark.read.parquet(
+        fs.toSeq.sorted.map(f => Paths.get(root, f).toString): _*)
+    val a = readFiles(fa -- fb) // candidate deletes
+    val b = readFiles(fb -- fa) // candidate inserts
+    b.exceptAll(a).withColumn("_change", lit("insert"))
+      .unionByName(a.exceptAll(b).withColumn("_change", lit("delete")))
+  }
+
   /** Rewrite the current snapshot as ONE overwrite commit with
     * `numFiles` output files — small-file compaction as a normal
     * commit (older versions stay readable). */

@@ -94,6 +94,26 @@ class VersionedTableSpec extends SparkSpecBase {
     assert(VersionedTable.latestVersion(root) == 1L)
   }
 
+  test("diff: CDC between snapshots, file-pruned") {
+    val root = newRoot()
+    VersionedTable.commit(Seq((1L, "a"), (2L, "b")).toDF("id", "v"), root)
+    VersionedTable.commit(Seq((3L, "c")).toDF("id", "v"), root) // append
+    VersionedTable.merge(spark, root,
+      Seq((2L, "B", false)).toDF("id", "v", "del"), "id", "del") // update 2
+    def changes(from: Long, to: Long): Set[(Long, String, String)] =
+      VersionedTable.diff(spark, root, from, to).collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    // append-only step: inserts only
+    assert(changes(0, 1) == Set((3L, "c", "insert")))
+    // update step (overwrite commit): the changed row appears as a
+    // delete+insert pair; untouched rows are absent
+    assert(changes(1, 2) == Set((2L, "b", "delete"), (2L, "B", "insert")))
+    // self-diff and full-range sanity
+    assert(changes(2, 2).isEmpty)
+    assert(changes(0, 2) ==
+      Set((3L, "c", "insert"), (2L, "b", "delete"), (2L, "B", "insert")))
+  }
+
   test("vacuum reclaims unreferenced data dirs, keeps retained versions") {
     val root = newRoot()
     VersionedTable.commit(spark.range(10).toDF(), root) // v0

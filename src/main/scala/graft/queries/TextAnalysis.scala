@@ -560,11 +560,11 @@ object TextAnalysis {
           .filter(col("rk") > 5).drop("rk")
         pairs.join(broadcast(dfreq), "term")
           .groupBy(col("term"), col("df"))
-          .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+          .agg(sort_array(collect_list(col("doc_id"))).as("ids"),
+            sum(col("doc_id")).as("postings_sum"))
           .select(col("term"), col("df"),
             array_join(slice(col("ids"), 1, 10), ",").as("head10"),
-            aggregate(col("ids"), lit(0L), (a, x) => a + x)
-              .as("postings_sum"))
+            col("postings_sum"))
           .orderBy(col("term"))
       },
       Some("""WITH pairs AS (SELECT DISTINCT doc_id,
@@ -575,13 +575,13 @@ object TextAnalysis {
              |  FROM pairs GROUP BY term),
              |df AS (SELECT term, df FROM df0 WHERE rk > 5),
              |p AS (SELECT f.term, f.df,
-             |    list(p.doc_id ORDER BY p.doc_id) AS ids
+             |    list(p.doc_id ORDER BY p.doc_id) AS ids,
+             |    CAST(sum(p.doc_id) AS BIGINT) AS postings_sum
              |  FROM pairs p JOIN df f ON p.term = f.term
              |  GROUP BY f.term, f.df)
              |SELECT term, df,
              |  array_to_string(ids[1:10], ',') AS head10,
-             |  list_reduce(list_prepend(CAST(0 AS BIGINT), ids),
-             |    (a, x) -> a + x) AS postings_sum
+             |  postings_sum
              |FROM p ORDER BY term""".stripMargin))
   )
 }

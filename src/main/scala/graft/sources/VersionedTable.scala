@@ -56,16 +56,27 @@ object VersionedTable {
   private def manifestPath(root: String, v: Long): Path =
     logDir(root).resolve(f"v$v%05d.txt")
 
+  /** List a directory eagerly, CLOSING the underlying stream —
+    * `Files.list` holds a directory fd until closed, and a leak per
+    * call turns a long streaming run into EMFILE. */
+  private def listDir(dir: Path): Seq[Path] = {
+    val s = Files.list(dir)
+    try s.iterator().asScala.toSeq finally s.close()
+  }
+
   /** Committed versions, ascending (gap-free prefix is guaranteed by
-    * the commit protocol: version N only commits after N-1 exists). */
+    * the commit protocol: version N only commits after N-1 exists).
+    * The name match is `\d{5,}`: %05d is a MINIMUM width, so version
+    * 100000 writes six digits — a 5-exact match would make it
+    * invisible and brick the table at the 100k-th commit. */
   def versions(root: String): Seq[Long] = {
     val dir = logDir(root)
     if (!Files.isDirectory(dir)) Seq.empty
-    else Files.list(dir).iterator().asScala
+    else listDir(dir)
       .map(_.getFileName.toString)
-      .collect { case n if n.matches("v\\d{5}\\.txt") =>
+      .collect { case n if n.matches("v\\d{5,}\\.txt") =>
         n.stripPrefix("v").stripSuffix(".txt").toLong }
-      .toSeq.sorted
+      .sorted
   }
 
   /** Latest committed version, or -1 for an empty table. */
@@ -113,16 +124,22 @@ object VersionedTable {
       s"mode must be append|overwrite, got $mode")
     Files.createDirectories(logDir(root))
     val next = expected.getOrElse(latestVersion(root) + 1)
+    // an expected version past latest+1 would punch a GAP in the log —
+    // snapshots replay a contiguous prefix, so a gap makes every later
+    // read silently wrong; reject at the source
+    require(next <= latestVersion(root) + 1,
+      s"expected version $next would leave a log gap " +
+        s"(latest is ${latestVersion(root)})")
     if (Files.exists(manifestPath(root, next)))
       throw new ConcurrentCommitException(next)
     val nonce = java.util.UUID.randomUUID().toString.take(8)
     val dataRel = s"data/v$next-$nonce"
     val dataDir = Paths.get(root, dataRel)
     df.write.mode("errorifexists").parquet(dataDir.toString)
-    val files = Files.list(dataDir).iterator().asScala
+    val files = listDir(dataDir)
       .map(_.getFileName.toString)
       .filter(n => n.endsWith(".parquet") && !n.startsWith("."))
-      .toSeq.sorted
+      .sorted
       .map(n => s"$dataRel/$n")
     val body =
       (Seq(s"version=$next", s"action=$mode") ++
@@ -131,13 +148,16 @@ object VersionedTable {
         .mkString("", "\n", "\n")
     val tmp = Files.createTempFile(logDir(root), s".tmp-v$next-", "")
     Files.write(tmp, body.getBytes("UTF-8"))
-    try Files.move(tmp, manifestPath(root, next),
-      StandardCopyOption.ATOMIC_MOVE)
+    // Publish via HARD LINK, not rename: POSIX rename() silently
+    // REPLACES an existing target (Files.move's no-replace behavior is
+    // implementation-specific), so a photo-finish race would vaporize
+    // the winner's committed manifest. link(2) is atomic AND fails
+    // with EEXIST — the loser reliably gets the exception.
+    try Files.createLink(manifestPath(root, next), tmp)
     catch {
       case _: java.nio.file.FileAlreadyExistsException =>
-        Files.deleteIfExists(tmp)
         throw new ConcurrentCommitException(next)
-    }
+    } finally Files.deleteIfExists(tmp)
     next
   }
 
@@ -177,11 +197,21 @@ object VersionedTable {
     * finds its tag already in the log and SKIPS — at-least-once
     * delivery + idempotent commit = exactly-once table contents,
     * the transactional cousin of
-    * [[graft.streaming.EventStreams.idempotentParquetSink]]. */
+    * [[graft.streaming.EventStreams.idempotentParquetSink]].
+    *
+    * The replay check scans the log NEWEST-FIRST and stops at the
+    * first batch tag BELOW the incoming id: batch ids are delivered in
+    * order, so an older tag proves this id was never committed. A
+    * replay only ever re-delivers recent batches, making the check
+    * O(recent) per batch instead of O(log length) — the difference
+    * between a constant-cost sink and one that slows quadratically
+    * over a long-running stream. */
   def streamingSink(root: String): (DataFrame, Long) => Unit =
     (df, batchId) => {
-      val committed = versions(root)
-        .exists(v => readManifest(root, v).batchTag.contains(batchId))
+      val committed = versions(root).reverseIterator
+        .map(v => readManifest(root, v).batchTag)
+        .collectFirst { case Some(tag) if tag <= batchId => tag }
+        .contains(batchId)
       if (!committed)
         commit(df, root, "append", batchTag = Some(batchId))
     }
@@ -218,19 +248,38 @@ object VersionedTable {
 
   /** Delete data dirs not referenced by any version >= `retain`
     * (also reclaims orphaned dirs from lost commit races). Time
-    * travel below `retain` stops working — that's the contract. */
-  def vacuum(root: String, retain: Long): Unit = {
+    * travel below `retain` stops working — that's the contract.
+    *
+    * Two safety rails a destructive operation needs:
+    *  - `retain` must name an existing version — past the log head the
+    *    keep-set would be EMPTY and vacuum would delete the current
+    *    snapshot's files (total data loss from an off-by-one).
+    *  - dirs younger than `minAgeMs` are skipped even if unreferenced:
+    *    an in-flight commit writes its data dir BEFORE its manifest,
+    *    and deleting that window's dirs would corrupt the commit that
+    *    then lands (Delta's vacuum has the same age threshold for the
+    *    same reason). Pass 0 only where no writer can be live. */
+  def vacuum(root: String, retain: Long,
+      minAgeMs: Long = 60L * 60 * 1000): Unit = {
+    require(retain >= 0 && retain <= latestVersion(root),
+      s"retain $retain out of range [0, ${latestVersion(root)}] — " +
+        "an empty keep-set would delete the live snapshot")
     val keep = versions(root).filter(_ >= retain)
       .flatMap(v => snapshotFiles(root, v))
       .map(f => Paths.get(root, f).getParent.getFileName.toString)
       .toSet
+    val now = System.currentTimeMillis()
     val dataRoot = Paths.get(root, "data")
     if (Files.isDirectory(dataRoot))
-      Files.list(dataRoot).iterator().asScala
+      listDir(dataRoot)
         .filter(d => !keep.contains(d.getFileName.toString))
+        .filter(d =>
+          now - Files.getLastModifiedTime(d).toMillis() >= minAgeMs)
         .foreach { d =>
-          Files.walk(d).iterator().asScala.toSeq.reverse
+          val walk = Files.walk(d)
+          try walk.iterator().asScala.toSeq.reverse
             .foreach(Files.deleteIfExists(_))
+          finally walk.close()
         }
   }
 }

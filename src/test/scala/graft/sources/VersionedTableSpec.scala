@@ -121,11 +121,30 @@ class VersionedTableSpec extends SparkSpecBase {
     VersionedTable.commit(spark.range(20, 30).toDF(), root) // v2
     val dirsBefore = Files.list(Paths.get(root, "data")).count()
     assert(dirsBefore == 3)
+    // age threshold first: a fresh (in-flight-aged) dir is NOT deleted
     VersionedTable.vacuum(root, retain = 1)
+    assert(Files.list(Paths.get(root, "data")).count() == 3,
+      "vacuum deleted a dir younger than the safety age")
+    // explicit zero age (no live writers in this test) reclaims v0
+    VersionedTable.vacuum(root, retain = 1, minAgeMs = 0)
     val dirsAfter = Files.list(Paths.get(root, "data")).count()
     assert(dirsAfter == 2, "v0's dir (only referenced below retain) survives")
     // retained snapshots unaffected
     assert(VersionedTable.read(spark, root, Some(1)).count() == 10)
     assert(VersionedTable.read(spark, root).count() == 20)
+    // the off-by-one that would wipe the table is rejected
+    intercept[IllegalArgumentException] {
+      VersionedTable.vacuum(root, retain = VersionedTable.latestVersion(root) + 1,
+        minAgeMs = 0)
+    }
+  }
+
+  test("commit rejects an expected version that would gap the log") {
+    val root = newRoot()
+    VersionedTable.commit(Seq(1L).toDF("id"), root)
+    intercept[IllegalArgumentException] {
+      VersionedTable.commit(Seq(2L).toDF("id"), root, "append",
+        expected = Some(5L))
+    }
   }
 }

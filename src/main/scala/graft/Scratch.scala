@@ -2,7 +2,11 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 
-/** Dev-only profiling harness (not part of the library surface). */
+/** Dev-only profiling harness (not part of the library surface):
+  * times each named catalog query over SPARK_GRAFT_SF_DIR with the
+  * same session config as [[Bench]], clearing the cache between
+  * queries. Subset runs charge warm-up to the first query — only
+  * full quiet [[Bench]] runs are comparable numbers. */
 object Scratch {
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[32]")
@@ -12,13 +16,16 @@ object Scratch {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val d = "/root/testdata/sf0.1"
-    val name = args.headOption.getOrElse("q40_etl_books_dim")
-    val df = SparkEntry.queries(name)(spark, d)
-    val plan = df.queryExecution.executedPlan.toString
-    println("[scratch] plan mentions Image-URL: " + plan.contains("Image-URL"))
-    println("[scratch] plan mentions Location concat: " + plan.contains("Location"))
-    println("[scratch] plan mentions Age: " + plan.contains("Age"))
+    val d = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark.range(1000).selectExpr("sum(id)").collect()
+    spark.read.parquet(s"$d/region.parquet").count()
+    args.foreach { name =>
+      val t0 = System.nanoTime()
+      val n = SparkEntry.queries(name)(spark, d).count()
+      val dt = (System.nanoTime() - t0) / 1e9
+      println(f"[scratch] $name%-30s rows=$n%-8d $dt%7.2f s")
+      spark.sharedState.cacheManager.clearCache()
+    }
     spark.stop()
   }
 }

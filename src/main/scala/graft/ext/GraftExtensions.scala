@@ -88,6 +88,11 @@ object GraftExtensions {
         "bits-wide majority-vote SimHash over hashed shingles") {
         es => TextExpressions.SimHashBits(es(0), litInt("graft_simhash", es(1)))
       },
+      fn("graft_sorted_intersect_count", "a, b",
+        "intersection size of two sorted distinct array<string> " +
+          "(one merge pass; caller must sort, e.g. with array_sort)") {
+        es => TextExpressions.SortedIntersectCount(es(0), es(1))
+      },
       fn("graft_count_in_set", "ws, array('a','b',...)",
         "count of tokens belonging to a literal string set") { es =>
         val set = es(1) match {

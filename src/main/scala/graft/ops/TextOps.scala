@@ -200,4 +200,15 @@ object TextOps {
     letBind(size(array_intersect(a, b))) { i =>
       round(i * lit(1.0) / (size(a) + size(b) - i), scale)
     }
+
+  /** [[jaccard]] over PRE-SORTED distinct arrays: the intersection is
+    * one allocation-free merge pass ([[TextExpressions
+    * .SortedIntersectCount]]) instead of a hash-set build per pair —
+    * the right verify kernel when one corpus-side `array_sort` is
+    * amortized over many candidate pairs per doc. Same integer-count
+    * arithmetic as [[jaccard]], so oracle parity is unchanged. */
+  def jaccardSorted(a: Column, b: Column, scale: Int = 4): Column =
+    letBind(wrap(TextExpressions.SortedIntersectCount(unwrap(a), unwrap(b)))) {
+      i => round(i * lit(1.0) / (size(a) + size(b) - i), scale)
+    }
 }

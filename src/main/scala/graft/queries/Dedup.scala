@@ -40,26 +40,37 @@ object Dedup {
       |        i -> (th[i]*1009 + th[i+1]*9176 + th[i+2]) % 1000000007)) AS hs
       |      FROM th)""".stripMargin
 
-  /** Spark mirror: (doc_id, sh) — string shingles for verification.
-    * Repartitioned off the single input split (CPU-bound derivation). */
+  /** Spark mirror: (doc_id, sh) — string shingles for verification,
+    * SORTED (array_sort) so pairwise verify can use the merge-pass
+    * [[TextOps.jaccardSorted]] kernel. Repartitioned off the single
+    * input split (CPU-bound derivation).
+    *
+    * The >= 3-token filter runs BEFORE the projection, on the cheap
+    * token count: filtering on `size(sh) > 0` after the select is
+    * equivalent, but Catalyst pushes that filter below the Project by
+    * substituting the whole shingle expression into the predicate —
+    * every row then derives its shingles twice (once to filter, once
+    * to project). */
   private def shingled(s: org.apache.spark.sql.SparkSession, d: String) =
     documents(s, d)
       .repartition(s.sparkContext.defaultParallelism)
+      .filter(size(TextOps.tokens(col("text"))) >= 3)
       .select(col("doc_id"),
-        TextOps.wordShingles(TextOps.tokens(col("text")), 3).as("sh"))
-      .filter(size(col("sh")) > 0)
+        array_sort(TextOps.wordShingles(TextOps.tokens(col("text")), 3))
+          .as("sh"))
 
-  /** Spark mirror of the `h` CTE: (doc_id, sh, hs). The scan is
-    * repartitioned first: the testdata table is one parquet file (one
-    * input split), and the per-doc hash folds are CPU-bound — without
-    * the spread they run on a single core. */
+  /** Spark mirror of the `h` CTE: (doc_id, sh, hs), `sh` sorted as in
+    * [[shingled]]. The scan is repartitioned first: the testdata table
+    * is one parquet file (one input split), and the per-doc hash folds
+    * are CPU-bound — without the spread they run on a single core. */
   private def hashed(s: org.apache.spark.sql.SparkSession, d: String) =
     documents(s, d)
       .repartition(s.sparkContext.defaultParallelism)
+      .filter(size(TextOps.tokens(col("text"))) >= 3)
       .select(col("doc_id"),
-        TextOps.wordShingles(TextOps.tokens(col("text")), 3).as("sh"),
+        array_sort(TextOps.wordShingles(TextOps.tokens(col("text")), 3))
+          .as("sh"),
         TextOps.shingleHashes3(TextOps.tokens(col("text"))).as("hs"))
-      .filter(size(col("sh")) > 0)
 
   /** The MinHash+LSH near-dup pipeline's verified output: pairs
     * (a, b, jaccard) with a < b and exact shingle Jaccard >= 0.7,
@@ -98,7 +109,7 @@ object Dedup {
       .join(base.select(col("doc_id").as("a"), col("sh").as("sha")), "a")
       .join(base.select(col("doc_id").as("b"), col("sh").as("shb")), "b")
       .select(col("a"), col("b"),
-        TextOps.jaccard(col("sha"), col("shb")).as("jaccard"))
+        TextOps.jaccardSorted(col("sha"), col("shb")).as("jaccard"))
       .filter(col("jaccard") >= 0.7)
     (pairs, base)
   }
@@ -209,28 +220,65 @@ object Dedup {
              |ORDER BY c.cluster_id, c.doc_id""".stripMargin)),
 
     // Exact similarity self-join via prefix filtering (AllPairs/PPJoin
-    // family): sort each doc's shingle set in one global order; any
-    // pair with Jaccard >= t must share an element within the first
-    // |x| - ceil(t*|x|) + 1 elements of BOTH sets (pigeonhole on the
-    // overlap bound), so candidates = docs sharing a prefix shingle —
-    // a lossless blocking with recall exactly 1 on ANY dataset. The
-    // oracle is the exhaustive all-pairs ground truth, so the check
-    // proves completeness, not just self-consistency. Scale shape:
-    // explode prefixes -> bucket join on shingle -> verify; prefix
-    // size ~0.3|x| bounds the inverted index, and no unblocked n²
-    // appears anywhere.
+    // family): order each doc's shingle set by a GLOBAL total order;
+    // any pair with Jaccard >= t must share an element within the
+    // first |x| - ceil(t*|x|) + 1 elements of BOTH sets (pigeonhole on
+    // the overlap bound), so candidates = docs sharing a prefix
+    // shingle — a lossless blocking with recall exactly 1 on ANY
+    // dataset, under ANY total order. The order chosen is ascending
+    // DOCUMENT FREQUENCY (the canonical AllPairs trick): prefixes then
+    // hold each doc's RAREST shingles, so inverted-index buckets stay
+    // small by construction. Lexicographic ordering benched 5x slower
+    // here — this corpus has a small vocabulary, so alphabetical
+    // prefixes put the same common shingles in every doc's prefix and
+    // the bucket join degenerates toward n². The oracle is the
+    // exhaustive all-pairs ground truth, so the check proves
+    // completeness, not just self-consistency. Scale shape: df count
+    // (one agg) -> explode prefixes -> bucket join on shingle ->
+    // verify; prefix size ~0.3|x| bounds the inverted index, and no
+    // unblocked n² appears anywhere.
     QueryDef(
       "q49_similarity_join_exact",
       (s, d) => {
         val base = shingled(s, d)
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        val tok = base.select(col("doc_id"),
-          explode(slice(array_sort(col("sh")), lit(1),
-            (size(col("sh")) - ceil(size(col("sh")) * 0.7) + 1).cast("int")))
-            .as("tk"))
-        val cand = tok.as("x")
-          .join(tok.as("y"),
-            col("x.tk") === col("y.tk") && col("x.doc_id") < col("y.doc_id"))
+        val exploded = base.select(col("doc_id"), explode(col("sh")).as("tk"))
+        // Document frequency per shingle. Bounded by the vocabulary —
+        // broadcastable here; at 100 TB the join below turns into a
+        // shuffle join on `tk` and the shape is unchanged.
+        val dfCounts = exploded.groupBy(col("tk"))
+          .agg(count(lit(1)).as("df"))
+        // Each doc's shingles reordered by (df, tk): join df in, then
+        // rebuild the per-doc array with sort_array over (df, tk)
+        // structs — ties broken by the shingle string, so the order is
+        // total and identical across docs. posexplode keeps each
+        // prefix element's position for the PPJoin bound below.
+        val prefix = exploded
+          .join(broadcast(dfCounts), "tk")
+          .groupBy(col("doc_id"))
+          .agg(sort_array(collect_list(struct(col("df"), col("tk"))))
+            .as("ordered"))
+          .select(col("doc_id"), size(col("ordered")).as("len"),
+            posexplode(slice(transform(col("ordered"), _.getField("tk")), lit(1),
+              (size(col("ordered")) - ceil(size(col("ordered")) * 0.7) + 1)
+                .cast("int"))))
+          .withColumnRenamed("col", "tk")
+        // PPJoin positional filter: J(x,y) >= 0.7 forces overlap
+        // |x∩y| >= 7(|x|+|y|)/17  (J = i/(|x|+|y|-i), t/(1+t) = 7/17),
+        // and from the FIRST shared token in the global order (pos p_x
+        // in x, p_y in y — everything earlier is non-shared by
+        // definition of "first") the overlap can reach at most
+        // min(|x|-p_x, |y|-p_y). Rows for later shared tokens may fail
+        // the bound spuriously, but the first-shared-token row of every
+        // true pair always passes, and `distinct` needs just one
+        // surviving row — lossless. All-integer form (x17 vs x7), no
+        // float ceil at the boundary. Benched: candidates 202k -> 16k
+        // on the sf0.1 corpus, and the verify join shrinks to match.
+        val bound = least(col("x.len") - col("x.pos"), col("y.len") - col("y.pos"))
+        val cand = prefix.as("x")
+          .join(prefix.as("y"),
+            col("x.tk") === col("y.tk") && col("x.doc_id") < col("y.doc_id") &&
+              bound * 17 >= (col("x.len") + col("y.len")) * 7)
           .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
           .distinct()
         // The candidate set is tiny relative to the corpus: broadcast it
@@ -239,7 +287,7 @@ object Dedup {
           .join(base.select(col("doc_id").as("a"), col("sh").as("sha")), "a")
           .join(base.select(col("doc_id").as("b"), col("sh").as("shb")), "b")
           .select(col("a"), col("b"),
-            TextOps.jaccard(col("sha"), col("shb")).as("jaccard"))
+            TextOps.jaccardSorted(col("sha"), col("shb")).as("jaccard"))
           .filter(col("jaccard") >= 0.7)
           .orderBy(col("a"), col("b"))
       },
@@ -277,7 +325,14 @@ object Dedup {
         // Persisted: the signature table feeds both sides of the
         // block-bucket self-join, and materialization stops the un-CSE'd
         // signature expression from being re-evaluated per reference.
-        val sim = hashed(s, d)
+        // Derives ONLY the hash arrays — not [[hashed]], whose word-
+        // shingle strings exist for Jaccard verification and simhash
+        // never reads (they were ~half the derivation cost here).
+        val sim = documents(s, d)
+          .repartition(s.sparkContext.defaultParallelism)
+          .filter(size(TextOps.tokens(col("text"))) >= 3)
+          .select(col("doc_id"),
+            TextOps.shingleHashes3(TextOps.tokens(col("text"))).as("hs"))
           .select(col("doc_id"), TextOps.simhashBits(col("hs"), 30).as("sim"))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val blocked = sim.select(col("doc_id"), col("sim"),
@@ -332,11 +387,15 @@ object Dedup {
         // Persisted for the same reason as q28: probe and corpus sides
         // both read the derived arrays. Repartitioned so the per-doc
         // array building isn't pinned to the single input split.
+        // Arrays pre-sorted so the 10^5-pair scoring below runs the
+        // merge-pass jaccard kernel (one corpus-side sort amortized
+        // over ~100 probe comparisons per doc).
         val base = documents(s, d)
           .repartition(s.sparkContext.defaultParallelism)
           .select(col("doc_id"),
-            array_distinct(TextOps.tokens(col("text"))).as("wset"),
-            TextOps.wordShingles(TextOps.tokens(col("text")), 3).as("sh"))
+            array_sort(array_distinct(TextOps.tokens(col("text")))).as("wset"),
+            array_sort(TextOps.wordShingles(TextOps.tokens(col("text")), 3))
+              .as("sh"))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val probes = base.filter(col("doc_id") % 50 === 0)
           .select(col("doc_id").as("a"), col("wset").as("wa"), col("sh").as("sha"))
@@ -345,8 +404,8 @@ object Dedup {
         // corpus (4900 docs of shingle arrays — a ~100 MB broadcast).
         broadcast(probes).join(base.filter(col("doc_id") % 50 =!= 0), lit(true))
           .select(col("a"), col("doc_id").as("b"),
-            TextOps.jaccard(col("wa"), col("wset")).as("word_jaccard"),
-            TextOps.jaccard(col("sha"), col("sh")).as("shingle_jaccard"))
+            TextOps.jaccardSorted(col("wa"), col("wset")).as("word_jaccard"),
+            TextOps.jaccardSorted(col("sha"), col("sh")).as("shingle_jaccard"))
           .orderBy(col("shingle_jaccard").desc, col("a"), col("b"))
           .limit(50)
       },

@@ -128,6 +128,45 @@ class TextOpsSpec extends SparkSpecBase {
     assert(one(TextOps.jaccard(a, b)) === 0.3333)
   }
 
+  test("jaccardSorted agrees with jaccard on random distinct-sorted sets") {
+    val rnd = new scala.util.Random(42)
+    val vocab = (0 until 40).map(i => s"w$i")
+    val rows = (0 until 200).map { _ =>
+      val a = rnd.shuffle(vocab).take(1 + rnd.nextInt(20)).sorted
+      val b = rnd.shuffle(vocab).take(1 + rnd.nextInt(20)).sorted
+      (a, b)
+    }
+    val df = rows.toDF("a", "b")
+    val mismatched = df.select(
+        TextOps.jaccard(col("a"), col("b")).as("hash"),
+        TextOps.jaccardSorted(col("a"), col("b")).as("merge"))
+      .filter(not(col("hash") <=> col("merge")))
+    assert(mismatched.count() === 0)
+  }
+
+  test("jaccardSorted extremes and empty-side behavior") {
+    val a = array(lit("x"), lit("y"))
+    val b = array(lit("x"), lit("z"))
+    assert(one(TextOps.jaccardSorted(a, a)) === 1.0)
+    assert(one(TextOps.jaccardSorted(a, b)) === 0.3333)
+    val empty = array().cast("array<string>")
+    assert(one(TextOps.jaccardSorted(a, empty)) === 0.0)
+  }
+
+  test("sorted-intersect of a NULL element fails with a descriptive error") {
+    // NULL placed where the merge reaches it (the check is lazy: a
+    // trailing NULL past the other side's exhaustion is never compared).
+    val e = intercept[Exception] {
+      Seq("x").toDF("t")
+        .select(TextOps.jaccardSorted(
+          array(lit(null).cast("string"), lit("a")), array(lit("a"))))
+        .head()
+    }
+    assert(e.getMessage.contains("graft_sorted_intersect_count") ||
+      e.getCause != null &&
+        e.getCause.getMessage.contains("graft_sorted_intersect_count"))
+  }
+
   test("cardinality params fail at construction, not per-row") {
     import graft.expressions.{TextExpressions, VectorExpressions}
     import org.apache.spark.sql.catalyst.expressions.Literal

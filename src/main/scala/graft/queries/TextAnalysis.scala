@@ -582,6 +582,131 @@ object TextAnalysis {
              |SELECT term, df,
              |  array_to_string(ids[1:10], ',') AS head10,
              |  postings_sum
-             |FROM p ORDER BY term""".stripMargin))
+             |FROM p ORDER BY term""".stripMargin)),
+
+    // BM25 ranking (the retrieval scorer layered on q63's tf/df and
+    // q110's index): score every document against a fixed probe query.
+    // Integer-exact rational BM25 — ln() is not cross-engine stable
+    // (libm rounding), so idf keeps its rational core (N-df+.5)/(df+.5)
+    // un-logged: a strictly monotone transform of the classic idf, so
+    // per-term ranking is preserved, and what matters here (identical
+    // arithmetic both engines) is exact. With k1=1.2, b=0.75 and
+    // everything scaled to integers:
+    //   avgdl_milli = 1000·T/N        (corpus constant, one agg)
+    //   dlr_milli   = 1e6·dl/avgdl_milli            (≈ 1000·dl/avgdl)
+    //   score_micro = 22e9·tf·(2N-2df+1)
+    //                 / ((2df+1)·(10000·tf + 3000 + 9·dlr_milli))
+    // Scale shape: postings filtered to the probe terms map-side (the
+    // probe is a literal set), df/N/T are broadcast scalars, one
+    // integer-sum groupBy per doc (order-independent — float-sum order
+    // would diverge between engines), top-20 TakeOrdered. Long bounds:
+    // numerator < 2^63 through sf 10; beyond that switch the micro
+    // scale to DECIMAL (documented, not needed at bench scale).
+    QueryDef(
+      "q112_bm25",
+      (s, d) => {
+        val probe = Seq("query", "join", "table", "spark")
+        val docs = documents(s, d)
+          .repartition(s.sparkContext.defaultParallelism)
+          .select(col("doc_id"), TextOps.tokens(col("text")).as("ws"))
+        val tf = docs
+          .select(col("doc_id"), size(col("ws")).as("dl"),
+            explode(col("ws")).as("term"))
+          .filter(col("term").isin(probe: _*))
+          .groupBy(col("doc_id"), col("dl"), col("term"))
+          .agg(count(lit(1)).as("tf"))
+        val dfc = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+        val corpus = docs.agg(count(lit(1)).as("n_docs"),
+          sum(size(col("ws"))).as("n_tokens"))
+        tf.join(broadcast(dfc), "term")
+          .crossJoin(broadcast(corpus))
+          .withColumn("avgdl_milli", expr("n_tokens * 1000 div n_docs"))
+          .withColumn("dlr_milli", expr("dl * 1000000 div avgdl_milli"))
+          .withColumn("score_micro", expr(
+            """tf * 22000000000L * (2 * n_docs - 2 * df + 1)
+              | div ((2 * df + 1) * (10000 * tf + 3000 + 9 * dlr_milli))"""
+              .stripMargin))
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_terms_hit"),
+            sum(col("score_micro")).as("bm25_micro"))
+          .orderBy(col("bm25_micro").desc, col("doc_id"))
+          .limit(20)
+      },
+      Some("""WITH docs AS (SELECT doc_id, string_split(text, ' ') AS ws
+             |  FROM documents),
+             |tfe AS (SELECT doc_id, len(ws) AS dl, unnest(ws) AS term
+             |  FROM docs),
+             |tf AS (SELECT doc_id, dl, term, count(*) AS tf FROM tfe
+             |  WHERE term IN ('query', 'join', 'table', 'spark')
+             |  GROUP BY 1, 2, 3),
+             |dfc AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+             |corpus AS (SELECT count(*) AS n_docs,
+             |    CAST(sum(len(ws)) AS BIGINT) AS n_tokens FROM docs),
+             |scored AS (SELECT t.doc_id,
+             |    t.tf * 22000000000 * (2 * c.n_docs - 2 * d.df + 1)
+             |      // ((2 * d.df + 1) * (10000 * t.tf + 3000 +
+             |         9 * (t.dl * 1000000 // (c.n_tokens * 1000 // c.n_docs))))
+             |      AS score_micro
+             |  FROM tf t JOIN dfc d USING (term) CROSS JOIN corpus c)
+             |SELECT doc_id, count(*) AS n_terms_hit,
+             |  CAST(sum(score_micro) AS BIGINT) AS bm25_micro
+             |FROM scored GROUP BY doc_id
+             |ORDER BY bm25_micro DESC, doc_id LIMIT 20""".stripMargin)),
+
+    // Paragraph-level cross-corpus dedup (the C4/RefinedWeb line-dedup
+    // op, the granularity between q27's whole-doc and q99's n-gram
+    // membership): split every doc into non-overlapping 8-token units,
+    // keep each distinct unit's FIRST occurrence corpus-wide (smallest
+    // (doc_id, pos)), and report per-source survival. First-wins needs
+    // a total order, not just min(doc_id) — one doc can repeat a unit
+    // internally, and dropping both copies would over-delete.
+    // Scale shape: explode units (narrow), ONE shuffle on the unit
+    // text for the row_number window (state per unit = its occurrence
+    // list; at 100 TB hash the unit to a 128-bit key and window on the
+    // hash), then a per-source integer aggregation. No joins at all.
+    QueryDef(
+      "q113_paragraph_dedup",
+      (s, d) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("unit")).orderBy(col("doc_id"), col("pos"))
+        documents(s, d)
+          .repartition(s.sparkContext.defaultParallelism)
+          .select(col("doc_id"), col("source"),
+            posexplode(expr(
+              """transform(sequence(0, cast(ceil(size(split(text, ' ')) / 8.0)
+                | as int) - 1),
+                | i -> concat_ws(' ', slice(split(text, ' '), i * 8 + 1, 8)))"""
+                .stripMargin)))
+          .withColumnRenamed("col", "unit")
+          .withColumn("rn", row_number().over(w))
+          .withColumn("kept", col("rn") === 1)
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_units"),
+            sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+            sum(when(col("kept"), 0L)
+              .otherwise(size(split(col("unit"), " ")))).as("tokens_removed"))
+          .withColumn("permille_kept", expr("n_kept * 1000 div n_units"))
+          .orderBy(col("source"))
+      },
+      Some("""WITH docs AS (SELECT doc_id, source,
+             |    string_split(text, ' ') AS ws FROM documents),
+             |units AS (SELECT doc_id, source, u.i AS pos,
+             |    array_to_string(ws[u.i * 8 + 1 : u.i * 8 + 8], ' ') AS unit
+             |  FROM docs,
+             |    LATERAL (SELECT unnest(range(0,
+             |      CAST(ceil(len(ws) / 8.0) AS BIGINT))) AS i) u),
+             |ranked AS (SELECT source, unit,
+             |    row_number() OVER (PARTITION BY unit
+             |      ORDER BY doc_id, pos) AS rn
+             |  FROM units)
+             |SELECT source, count(*) AS n_units,
+             |  CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS n_kept,
+             |  CAST(sum(CASE WHEN rn = 1 THEN 0
+             |    ELSE len(string_split(unit, ' ')) END) AS BIGINT)
+             |    AS tokens_removed,
+             |  CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             |    * 1000 // count(*) AS permille_kept
+             |FROM ranked GROUP BY source ORDER BY source""".stripMargin))
   )
 }

@@ -100,6 +100,81 @@ object Graphs {
              |r2 AS (SELECT s.node, d.deg, 150000 + s.in_share AS r
              |  FROM s2 s JOIN deg d ON s.node = d.node)
              |SELECT node AS part, deg, r AS rank_micro
-             |FROM r2 ORDER BY rank_micro DESC, part LIMIT 20""".stripMargin))
+             |FROM r2 ORDER BY rank_micro DESC, part LIMIT 20""".stripMargin)),
+
+    // Triangle counting over the strong co-purchase graph (edges = part
+    // pairs bought together in >= 2 orders): the clustering-coefficient
+    // primitive next to q111's centrality. Spark side uses the
+    // DEGREE-ORIENTED wedge join (Cohen / Suri-Vassilvitskii): every
+    // edge is directed from its lower-(degree, id) endpoint, wedges
+    // form only between a node's out-neighbors, and the closing edge is
+    // probed in canonical orientation — out-degrees are bounded by
+    // O(sqrt(m)), so no hub ever fans a quadratic wedge set (the
+    // id-ordered orientation would put every hub-adjacent wedge on the
+    // hub; at 100 TB that is THE skew failure). All equi-joins, no OR
+    // conditions (an OR closing-edge probe plans a nested loop). The
+    // oracle is the orientation-free exhaustive a<b<c 3-join — a
+    // structurally different algorithm that must agree on every
+    // per-node count.
+    QueryDef(
+      "q114_triangle_count",
+      (s, d) => {
+        val pairs = lineitem(s, d)
+          .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+          .distinct()
+        val e = pairs.as("x")
+          .join(pairs.as("y"),
+            col("x.ok") === col("y.ok") && col("x.pk") < col("y.pk"))
+          .groupBy(col("x.pk").as("a"), col("y.pk").as("b"))
+          .agg(count(lit(1)).as("w"))
+          .filter(col("w") >= 2)
+          .select(col("a"), col("b"))
+        val deg = e.select(col("a").as("v")).unionAll(e.select(col("b").as("v")))
+          .groupBy(col("v")).agg(count(lit(1)).as("deg"))
+        // Orient by (deg, id) ascending; carry the head's (deg, id) so
+        // the wedge join can order the two out-neighbors without
+        // another lookup. The deg table is node-sized — broadcast here;
+        // a graph whose node table outgrows broadcast shuffles these
+        // two joins on a/b instead, same shape.
+        val oriented = e
+          .join(broadcast(deg).withColumnRenamed("v", "a")
+            .withColumnRenamed("deg", "da"), "a")
+          .join(broadcast(deg).withColumnRenamed("v", "b")
+            .withColumnRenamed("deg", "db"), "b")
+          .select(
+            when(col("da") < col("db") ||
+                (col("da") === col("db") && col("a") < col("b")),
+              struct(col("a").as("u"), col("b").as("v"),
+                col("db").as("dv")))
+              .otherwise(struct(col("b").as("u"), col("a").as("v"),
+                col("da").as("dv")))
+              .as("e"))
+          .select(col("e.u"), col("e.v"), col("e.dv"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val tri = oriented.as("x")
+          .join(oriented.as("y"),
+            col("x.u") === col("y.u") &&
+              (col("x.dv") < col("y.dv") ||
+                (col("x.dv") === col("y.dv") && col("x.v") < col("y.v"))))
+          .select(col("x.u").as("n1"), col("x.v").as("n2"), col("y.v").as("n3"))
+          .join(oriented.select(col("u").as("n2"), col("v").as("n3")),
+            Seq("n2", "n3"))
+        tri.select(explode(array(col("n1"), col("n2"), col("n3"))).as("part"))
+          .groupBy(col("part")).agg(count(lit(1)).as("n_triangles"))
+          .orderBy(col("n_triangles").desc, col("part"))
+          .limit(10)
+      },
+      Some("""WITH items AS (SELECT DISTINCT l_orderkey AS ok,
+             |    l_partkey AS pk FROM lineitem),
+             |e AS (SELECT x.pk AS a, y.pk AS b
+             |  FROM items x JOIN items y ON x.ok = y.ok AND x.pk < y.pk
+             |  GROUP BY 1, 2 HAVING count(*) >= 2),
+             |tri AS (SELECT e1.a AS n1, e1.b AS n2, e2.b AS n3
+             |  FROM e e1 JOIN e e2 ON e1.b = e2.a
+             |  JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
+             |nodes AS (SELECT unnest([n1, n2, n3]) AS part FROM tri)
+             |SELECT part, count(*) AS n_triangles
+             |FROM nodes GROUP BY part
+             |ORDER BY n_triangles DESC, part LIMIT 10""".stripMargin))
   )
 }

@@ -123,6 +123,24 @@ class PlanShapeSpec extends SparkSpecBase {
     }
   }
 
+  test("q112/q113/q114: retrieval and graph additions keep their shapes") {
+    // BM25: corpus constants and df table broadcast; top-20 must be a
+    // TakeOrderedAndProject, never a global sort of the scored docs.
+    val bm25 = plan("q112_bm25")
+    assert(bm25.contains("TakeOrderedAndProject"), "q112 full-sorts")
+    assert(!bm25.contains("SortMergeJoin"), "q112 shuffles a join side")
+    // Paragraph dedup is join-free by construction: one window shuffle
+    // on the unit text plus the final per-source aggregation.
+    val para = plan("q113_paragraph_dedup")
+    assert(!para.contains("Join"), s"q113 grew a join:\n$para")
+    // Triangle counting: every probe is an equi-join (hash joins only)
+    // — an OR-form closing-edge probe would plan a nested loop over
+    // the wedge set.
+    val tri = plan("q114_triangle_count")
+    assert(!tri.contains("BroadcastNestedLoopJoin"),
+      "q114 closing-edge probe degenerated to a nested loop")
+  }
+
   test("scd2 computes both windows over ONE key exchange") {
     // lag (run detection) and lead (interval close) partition the same
     // way; a second Exchange would mean the partitioning was lost.

@@ -23,10 +23,21 @@ val jdk17AddOpens = Seq(
   "java.base/sun.nio.ch", "java.base/sun.nio.cs",
   "java.base/sun.security.action", "java.base/sun.util.calendar",
 ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+// Default forked-JVM heap: 2/5 of host RAM capped at 32g (a fixed 32g
+// would let the heap grow into swap/OOM on smaller hosts; the full-
+// catalog bench wants well above the old 8g). SPARK_DRIVER_MEM overrides.
+val defaultHeapGb: Long = {
+  val hostGb =
+    try java.lang.management.ManagementFactory.getOperatingSystemMXBean
+      .asInstanceOf[com.sun.management.OperatingSystemMXBean]
+      .getTotalMemorySize / (1L << 30)
+    catch { case _: Throwable => 20L }
+  math.max(4L, math.min(32L, hostGb * 2 / 5))
+}
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "32g")}",
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", s"${defaultHeapGb}g")}",
   // A long catalog run (Bench/Verify: 100+ distinct queries in one JVM)
   // compiles thousands of whole-stage-codegen classes; the JVM default
   // 240 MB code cache fills mid-run, the JIT stops compiling, and

@@ -600,15 +600,23 @@ object TextAnalysis {
     // probe is a literal set), df/N/T are broadcast scalars, one
     // integer-sum groupBy per doc (order-independent — float-sum order
     // would diverge between engines), top-20 TakeOrdered. Long bounds:
-    // numerator < 2^63 through sf 10; beyond that switch the micro
-    // scale to DECIMAL (documented, not needed at bench scale).
+    // numerator = 22e9·tf·(2N−2df+1) needs tf·N < 2e8 — with this
+    // corpus's ≤100-token docs (tf ≤ 100) that holds to N ≈ 2e6 docs
+    // (~sf 40); past that move the micro scale to DECIMAL(38,0). Both
+    // factors are LONG already (counts), so no int32 step overflows
+    // under ANSI mode; dl alone is int32 (size()) and is widened
+    // explicitly below.
     QueryDef(
       "q112_bm25",
       (s, d) => {
         val probe = Seq("query", "join", "table", "spark")
+        // Persisted: the tf branch and the corpus-constant aggregate
+        // both read the tokenization; unpersisted, every run scans and
+        // regex-splits the full text twice (the q29 lesson).
         val docs = documents(s, d)
           .repartition(s.sparkContext.defaultParallelism)
           .select(col("doc_id"), TextOps.tokens(col("text")).as("ws"))
+          .persist()
         val tf = docs
           .select(col("doc_id"), size(col("ws")).as("dl"),
             explode(col("ws")).as("term"))
@@ -621,7 +629,11 @@ object TextAnalysis {
         tf.join(broadcast(dfc), "term")
           .crossJoin(broadcast(corpus))
           .withColumn("avgdl_milli", expr("n_tokens * 1000 div n_docs"))
-          .withColumn("dlr_milli", expr("dl * 1000000 div avgdl_milli"))
+          // dl is int32 (size()): the 1000000L literal widens the
+          // multiply to long BEFORE it can overflow int32 on a >2147-
+          // token document (ANSI mode would throw; non-ANSI would wrap
+          // negative and silently diverge from the BIGINT oracle).
+          .withColumn("dlr_milli", expr("dl * 1000000L div avgdl_milli"))
           .withColumn("score_micro", expr(
             """tf * 22000000000L * (2 * n_docs - 2 * df + 1)
               | div ((2 * df + 1) * (10000 * tf + 3000 + 9 * dlr_milli))"""

@@ -735,6 +735,33 @@ object Windowed {
              |SELECT c_nationkey, rev_cents,
              |  rev_cents * 1000 // CAST(sum(rev_cents) OVER () AS BIGINT)
              |    AS share_permille
-             |FROM rev ORDER BY c_nationkey""".stripMargin))
+             |FROM rev ORDER BY c_nationkey""".stripMargin)),
+
+    // Inactivity audit — the BATCH twin of the streaming state-timeout
+    // operator (graft.streaming.EventStreams.inactivityFlags, whose
+    // event-time-timeout path EventStreamsSpec drives under real
+    // micro-batches): users whose last event is more than 30 minutes
+    // behind the frame's max timestamp, with their final state. One
+    // groupBy plus a broadcast single-row frontier — never a window
+    // over the fact table for a global max.
+    QueryDef(
+      "q115_inactive_users",
+      (s, d) =>
+        graft.streaming.EventStreams
+          .inactiveUsersBatch(eventsNorm(s, d), quietSec = 1800L)
+          .orderBy(col("user_id")),
+      Some("""WITH per_user AS (SELECT user_id,
+             |    max(CAST(epoch_ns(ts) // 1000000000 AS BIGINT))
+             |      AS last_ts_sec,
+             |    count(*) AS n_events
+             |  FROM events GROUP BY user_id),
+             |frontier AS (SELECT
+             |    max(CAST(epoch_ns(ts) // 1000000000 AS BIGINT))
+             |      AS frontier_sec
+             |  FROM events)
+             |SELECT user_id, last_ts_sec, n_events
+             |FROM per_user CROSS JOIN frontier
+             |WHERE last_ts_sec + 1800 < frontier_sec
+             |ORDER BY user_id""".stripMargin))
   )
 }

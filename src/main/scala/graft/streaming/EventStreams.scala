@@ -149,6 +149,77 @@ object EventStreams {
         }
   }
 
+  /** Inactivity detection via EVENT-TIME state timeout — the state-
+    * expiry pattern the other stateful ops here deliberately avoid
+    * (NoTimeout keeps state forever; this one RETIRES it): each user's
+    * state arms a timeout at `last_event + quietSec`, and when the
+    * WATERMARK passes that point Spark invokes the function once more
+    * with `hasTimedOut` — the group emits a went-quiet record and
+    * removes its state. State is O(active users within the quiet
+    * horizon), the bounded form a 100 TB stream needs; the emission is
+    * driven by watermark progress (other users' events), not wall
+    * clock, so replays are deterministic.
+    *
+    * Batch mode has no timeout machinery; the batch twin is the same
+    * question asked retrospectively — users whose last event is more
+    * than `quietSec` before the frame's max timestamp (see
+    * [[inactiveUsersBatch]], oracle-checked as catalog q115). */
+  case class Inactivity(user_id: Long, last_ts_sec: Long, n_events: Long)
+  /** Carries the WATERMARKED timestamp column itself — projecting it
+    * down to epoch seconds before the stateful operator would drop the
+    * event-time annotation and EventTimeTimeout refuses to plan. */
+  case class TimedEvent(user_id: Long, event_id: Long, ts: java.sql.Timestamp)
+
+  def inactivityFlags(events: DataFrame, watermark: String = "2 hours",
+      quietSec: Long = 1800L): Dataset[Inactivity] = {
+    import events.sparkSession.implicits._
+    val typed = events.withWatermark("ts", watermark)
+      .select(col("user_id"), col("event_id"), col("ts"))
+      .as[TimedEvent]
+    typed.groupByKey(_.user_id)
+      .flatMapGroupsWithState[UserTotal, Inactivity](
+        org.apache.spark.sql.streaming.OutputMode.Append,
+        org.apache.spark.sql.streaming.GroupStateTimeout.EventTimeTimeout) {
+        (uid: Long, it: Iterator[TimedEvent], state: GroupState[UserTotal]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(Inactivity(uid, s.last_ts_sec, s.n_events))
+          } else {
+            val evs = it.toSeq
+            val prev = state.getOption.getOrElse(UserTotal(uid, 0L, Long.MinValue))
+            val upd = UserTotal(uid, prev.n_events + evs.size,
+              math.max(prev.last_ts_sec,
+                evs.map(_.ts.getTime / 1000L).max))
+            state.update(upd)
+            // Event-time timeouts must sit at or past the current
+            // watermark; a late batch whose last_ts already trails the
+            // watermark would otherwise throw. Clamp forward.
+            val target = (upd.last_ts_sec + quietSec) * 1000L
+            val floor = state.getCurrentWatermarkMs() + 1L
+            state.setTimeoutTimestamp(math.max(target, floor))
+            Iterator.empty
+          }
+      }
+  }
+
+  /** Batch twin of [[inactivityFlags]]: users whose LAST event is more
+    * than `quietSec` before the frame's max timestamp, with the same
+    * (user, last_ts_sec, n_events) output. One groupBy plus a
+    * broadcast single-row frontier — no window over the fact table. */
+  def inactiveUsersBatch(events: DataFrame,
+      quietSec: Long = 1800L): DataFrame = {
+    val perUser = events
+      .groupBy(col("user_id"))
+      .agg(max(unix_timestamp(col("ts"))).as("last_ts_sec"),
+        count(lit(1)).as("n_events"))
+    val frontier = events
+      .agg(max(unix_timestamp(col("ts"))).as("frontier_sec"))
+    perUser.crossJoin(broadcast(frontier))
+      .filter(col("last_ts_sec") + quietSec < col("frontier_sec"))
+      .select(col("user_id"), col("last_ts_sec"), col("n_events"))
+  }
+
   /** Idempotent micro-batch parquet sink for `foreachBatch` — the
     * exactly-once write pattern: each micro-batch lands in its own
     * `batch_id=N` partition with DYNAMIC partition overwrite, so a

@@ -235,6 +235,43 @@ class EventStreamsSpec extends SparkSpecBase {
     assert(out.count() == 3, "replayed batch appended duplicates")
     assert(out.select("batch_id").distinct().count() == 2)
   }
+
+  test("inactivityFlags: watermark passage emits the quiet user, retires state") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val src = mem.toDF()
+      .select(col("ts"), col("user_id"),
+        col("value").cast("long").as("event_id"))
+    val q = EventStreams.inactivityFlags(src, watermark = "10 minutes",
+        quietSec = 1800L)
+      .writeStream.format("memory").queryName("inactive")
+      .outputMode("append").start()
+    try {
+      // Batch 1: users 1 and 2 active at 10:00.
+      mem.addData(Ev(ts(0), "c", 1.0, 1), Ev(ts(0), "c", 2.0, 2))
+      q.processAllAvailable()
+      // Batch 2: user 2 again at 11:30 -> watermark 11:20, past user
+      // 1's 10:30 timeout but not user 2's 12:00. The no-data batch
+      // after it runs the timeout path.
+      mem.addData(Ev(Timestamp.valueOf("2026-01-01 11:30:00"), "c", 3.0, 2))
+      q.processAllAvailable()
+      val rows = spark.sql(
+          "SELECT user_id, last_ts_sec, n_events FROM inactive")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      assert(rows.toSeq === Seq((1L, ts(0).getTime / 1000, 1L)),
+        s"expected exactly user 1 flagged, got ${rows.toSeq}")
+    } finally q.stop()
+
+    // Batch twin agrees on the same rows: frontier 11:30, user 1 quiet
+    // (last 10:00 + 30 min < 11:30), user 2 not.
+    val batchRows = Seq(
+      Ev(ts(0), "c", 1.0, 1), Ev(ts(0), "c", 2.0, 2),
+      Ev(Timestamp.valueOf("2026-01-01 11:30:00"), "c", 3.0, 2))
+    val out = EventStreams.inactiveUsersBatch(batchRows.toDF(), 1800L)
+      .select(col("user_id"), col("n_events"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.toSeq === Seq((1L, 1L)))
+  }
 }
 
 object EventStreamsSpec {

@@ -129,38 +129,8 @@ object Graphs {
           .agg(count(lit(1)).as("w"))
           .filter(col("w") >= 2)
           .select(col("a"), col("b"))
-        val deg = e.select(col("a").as("v")).unionAll(e.select(col("b").as("v")))
-          .groupBy(col("v")).agg(count(lit(1)).as("deg"))
-        // Orient by (deg, id) ascending; carry the head's (deg, id) so
-        // the wedge join can order the two out-neighbors without
-        // another lookup. The deg table is node-sized — broadcast here;
-        // a graph whose node table outgrows broadcast shuffles these
-        // two joins on a/b instead, same shape.
-        val oriented = e
-          .join(broadcast(deg).withColumnRenamed("v", "a")
-            .withColumnRenamed("deg", "da"), "a")
-          .join(broadcast(deg).withColumnRenamed("v", "b")
-            .withColumnRenamed("deg", "db"), "b")
-          .select(
-            when(col("da") < col("db") ||
-                (col("da") === col("db") && col("a") < col("b")),
-              struct(col("a").as("u"), col("b").as("v"),
-                col("db").as("dv")))
-              .otherwise(struct(col("b").as("u"), col("a").as("v"),
-                col("da").as("dv")))
-              .as("e"))
-          .select(col("e.u"), col("e.v"), col("e.dv"))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        val tri = oriented.as("x")
-          .join(oriented.as("y"),
-            col("x.u") === col("y.u") &&
-              (col("x.dv") < col("y.dv") ||
-                (col("x.dv") === col("y.dv") && col("x.v") < col("y.v"))))
-          .select(col("x.u").as("n1"), col("x.v").as("n2"), col("y.v").as("n3"))
-          .join(oriented.select(col("u").as("n2"), col("v").as("n3")),
-            Seq("n2", "n3"))
-        tri.select(explode(array(col("n1"), col("n2"), col("n3"))).as("part"))
-          .groupBy(col("part")).agg(count(lit(1)).as("n_triangles"))
+        graft.ops.GraphOps.triangleCounts(e, "a", "b")
+          .select(col("id").as("part"), col("n_triangles"))
           .orderBy(col("n_triangles").desc, col("part"))
           .limit(10)
       },

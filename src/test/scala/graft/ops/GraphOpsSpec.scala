@@ -64,4 +64,43 @@ class GraphOpsSpec extends SparkSpecBase with TableDrivenPropertyChecks {
     // valid input: a corpus with zero verified near-dup pairs
     assert(run(Seq.empty[(Long, Long)]) === Map.empty)
   }
+
+  /** Brute-force per-node triangle counts over an undirected simple
+    * edge set, for differential comparison. */
+  private def bruteTriangles(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val es = edges.map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+      .filter { case (a, b) => a != b }.distinct.toSet
+    val nodes = es.flatMap { case (a, b) => Seq(a, b) }.toSeq.sorted
+    val counts = collection.mutable.Map[Long, Long]().withDefaultValue(0L)
+    for {
+      i <- nodes.indices; j <- (i + 1) until nodes.size
+      k <- (j + 1) until nodes.size
+      (a, b, c) = (nodes(i), nodes(j), nodes(k))
+      if es((a, b)) && es((b, c)) && es((a, c))
+    } { counts(a) += 1; counts(b) += 1; counts(c) += 1 }
+    counts.toMap
+  }
+
+  test("triangleCounts matches brute force on random graphs, incl. hubs") {
+    val rnd = new scala.util.Random(7)
+    // Erdos-Renyi-ish samples plus a deliberate hub graph (the case
+    // degree orientation exists for: a high-degree center whose wedge
+    // set would explode under id-ordering).
+    val hub = (1L to 12L).map(i => (0L, i)) ++
+      Seq((1L, 2L), (2L, 3L), (3L, 4L), (11L, 12L))
+    val samples = Seq(hub) ++ (1 to 4).map { _ =>
+      val n = 2 + rnd.nextInt(14)
+      (0 until 40).map(_ => (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }
+        .map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+        .distinct
+    }
+    for (edges <- samples) {
+      val got = GraphOps.triangleCounts(edges.toDF("a", "b"), "a", "b")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got === bruteTriangles(edges),
+        s"triangle mismatch on edges $edges")
+      spark.sharedState.cacheManager.clearCache()
+    }
+  }
 }

@@ -119,7 +119,6 @@ object GraphOps {
     */
   def triangleCounts(edges: DataFrame, srcCol: String, dstCol: String)
       : DataFrame = {
-    import org.apache.spark.sql.functions.broadcast
     val e = edges.select(col(srcCol).as("a"), col(dstCol).as("b"))
     val deg = e.select(col("a").as("v")).unionAll(e.select(col("b").as("v")))
       .groupBy(col("v")).agg(count(lit(1)).as("deg"))

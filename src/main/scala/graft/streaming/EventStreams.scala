@@ -167,14 +167,22 @@ object EventStreams {
   case class Inactivity(user_id: Long, last_ts_sec: Long, n_events: Long)
   /** Carries the WATERMARKED timestamp column itself — projecting it
     * down to epoch seconds before the stateful operator would drop the
-    * event-time annotation and EventTimeTimeout refuses to plan. */
-  case class TimedEvent(user_id: Long, event_id: Long, ts: java.sql.Timestamp)
+    * event-time annotation and EventTimeTimeout refuses to plan. Only
+    * the fields the state function reads: every extra column is dead
+    * payload serialized through the groupByKey exchange per event. */
+  case class TimedEvent(user_id: Long, ts: java.sql.Timestamp)
 
   def inactivityFlags(events: DataFrame, watermark: String = "2 hours",
       quietSec: Long = 1800L): Dataset[Inactivity] = {
     import events.sparkSession.implicits._
+    // Batch mode has no watermark machinery (EliminateEventTimeWatermark
+    // strips the node and getCurrentWatermarkMs throws executor-side):
+    // the batch twin answers the same question retrospectively, keeping
+    // the module's one-codepath contract.
+    if (!events.isStreaming)
+      return inactiveUsersBatch(events, quietSec).as[Inactivity]
     val typed = events.withWatermark("ts", watermark)
-      .select(col("user_id"), col("event_id"), col("ts"))
+      .select(col("user_id"), col("ts"))
       .as[TimedEvent]
     typed.groupByKey(_.user_id)
       .flatMapGroupsWithState[UserTotal, Inactivity](
@@ -205,16 +213,18 @@ object EventStreams {
 
   /** Batch twin of [[inactivityFlags]]: users whose LAST event is more
     * than `quietSec` before the frame's max timestamp, with the same
-    * (user, last_ts_sec, n_events) output. One groupBy plus a
-    * broadcast single-row frontier — no window over the fact table. */
+    * (user, last_ts_sec, n_events) output. The frontier derives from
+    * the per-user aggregate (max of per-user maxes), so the fact table
+    * is scanned and shuffled ONCE — an independent global-max agg
+    * would be a second full pass. */
   def inactiveUsersBatch(events: DataFrame,
       quietSec: Long = 1800L): DataFrame = {
     val perUser = events
       .groupBy(col("user_id"))
       .agg(max(unix_timestamp(col("ts"))).as("last_ts_sec"),
         count(lit(1)).as("n_events"))
-    val frontier = events
-      .agg(max(unix_timestamp(col("ts"))).as("frontier_sec"))
+    val frontier = perUser
+      .agg(max(col("last_ts_sec")).as("frontier_sec"))
     perUser.crossJoin(broadcast(frontier))
       .filter(col("last_ts_sec") + quietSec < col("frontier_sec"))
       .select(col("user_id"), col("last_ts_sec"), col("n_events"))

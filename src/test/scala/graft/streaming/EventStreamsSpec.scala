@@ -263,13 +263,14 @@ class EventStreamsSpec extends SparkSpecBase {
     } finally q.stop()
 
     // Batch twin agrees on the same rows: frontier 11:30, user 1 quiet
-    // (last 10:00 + 30 min < 11:30), user 2 not.
+    // (last 10:00 + 30 min < 11:30), user 2 not. Called through
+    // inactivityFlags itself — the batch path must route to the twin,
+    // not hit the watermark-less EventTimeTimeout crash.
     val batchRows = Seq(
       Ev(ts(0), "c", 1.0, 1), Ev(ts(0), "c", 2.0, 2),
       Ev(Timestamp.valueOf("2026-01-01 11:30:00"), "c", 3.0, 2))
-    val out = EventStreams.inactiveUsersBatch(batchRows.toDF(), 1800L)
-      .select(col("user_id"), col("n_events"))
-      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val out = EventStreams.inactivityFlags(batchRows.toDF())
+      .collect().map(i => (i.user_id, i.n_events))
     assert(out.toSeq === Seq((1L, 1L)))
   }
 }

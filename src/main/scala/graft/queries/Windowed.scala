@@ -762,6 +762,58 @@ object Windowed {
              |SELECT user_id, last_ts_sec, n_events
              |FROM per_user CROSS JOIN frontier
              |WHERE last_ts_sec + 1800 < frontier_sec
-             |ORDER BY user_id""".stripMargin))
+             |ORDER BY user_id""".stripMargin)),
+
+    // RFM customer segmentation — the mart-layer scoring query the
+    // reference's serving SQL stops short of: quartile each customer
+    // on Recency (days since last order, vs a frontier derived from
+    // the same aggregate — one fact scan), Frequency, and Monetary
+    // (exact cents), then profile the 4x4x4 segments. The three ntile
+    // windows are global sorts, but over the CUSTOMER AGGREGATE, never
+    // the fact table (the q98/q93 rule); full custkey tie-breaks make
+    // every quartile assignment cross-engine deterministic.
+    QueryDef(
+      "q116_rfm_segments",
+      (s, d) => {
+        val per = orders(s, d)
+          .groupBy(col("o_custkey"))
+          .agg(max(expr("CAST(o_orderdate AS DATE)")).as("last_date"),
+            count(lit(1)).as("n_orders"),
+            sum(expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)"))
+              .as("cents"))
+        val frontier = per.agg(max(col("last_date")).as("frontier_date"))
+        val wr = Window.orderBy(col("recency_days"), col("o_custkey"))
+        val wf = Window.orderBy(col("n_orders").desc, col("o_custkey"))
+        val wm = Window.orderBy(col("cents").desc, col("o_custkey"))
+        per.crossJoin(broadcast(frontier))
+          .withColumn("recency_days",
+            datediff(col("frontier_date"), col("last_date")).cast("long"))
+          .withColumn("r", ntile(4).over(wr))
+          .withColumn("f", ntile(4).over(wf))
+          .withColumn("m", ntile(4).over(wm))
+          .groupBy(col("r"), col("f"), col("m"))
+          .agg(count(lit(1)).as("n_customers"),
+            sum(col("cents")).as("segment_cents"))
+          .orderBy(col("r"), col("f"), col("m"))
+      },
+      Some("""WITH per AS (SELECT o_custkey,
+             |    max(CAST(o_orderdate AS DATE)) AS last_date,
+             |    count(*) AS n_orders,
+             |    CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+             |      AS BIGINT) AS cents
+             |  FROM orders GROUP BY o_custkey),
+             |frontier AS (SELECT max(last_date) AS frontier_date FROM per),
+             |scored AS (SELECT p.*,
+             |    date_diff('day', p.last_date, f.frontier_date)
+             |      AS recency_days
+             |  FROM per p CROSS JOIN frontier f),
+             |tiled AS (SELECT o_custkey, cents,
+             |    ntile(4) OVER (ORDER BY recency_days, o_custkey) AS r,
+             |    ntile(4) OVER (ORDER BY n_orders DESC, o_custkey) AS f,
+             |    ntile(4) OVER (ORDER BY cents DESC, o_custkey) AS m
+             |  FROM scored)
+             |SELECT r, f, m, count(*) AS n_customers,
+             |  CAST(sum(cents) AS BIGINT) AS segment_cents
+             |FROM tiled GROUP BY r, f, m ORDER BY r, f, m""".stripMargin))
   )
 }

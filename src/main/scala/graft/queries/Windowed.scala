@@ -814,6 +814,43 @@ object Windowed {
              |  FROM scored)
              |SELECT r, f, m, count(*) AS n_customers,
              |  CAST(sum(cents) AS BIGINT) AS segment_cents
-             |FROM tiled GROUP BY r, f, m ORDER BY r, f, m""".stripMargin))
+             |FROM tiled GROUP BY r, f, m ORDER BY r, f, m""".stripMargin)),
+
+    // Time-decayed popularity — recency weighting in INTEGER-EXACT
+    // exponential decay: an event aged w whole weeks contributes
+    // 1e6 >> min(w, 19) micro-points (half-life = one week; the shift
+    // clamp keeps the divisor in range and floors contributions past
+    // ~5 months to 1-2 micro-points). Float exp() would drift between
+    // engines; a power-of-2 decay divides exactly. Per-event weights
+    // need the event rows joined to the frontier: one aggregate scan
+    // for max-day plus one scoring scan with the single-row frontier
+    // broadcast — cheaper than any unpartitioned window over the fact.
+    QueryDef(
+      "q117_decayed_popularity",
+      (s, d) => {
+        val ev = eventsNorm(s, d)
+          .select(col("event_type"), expr("ts_sec div 86400").as("day"))
+        val frontier = ev.agg(max(col("day")).as("frontier_day"))
+        ev.crossJoin(broadcast(frontier))
+          .withColumn("w",
+            expr("least((frontier_day - day) div 7, 19L)").cast("int"))
+          .withColumn("pts", expr("1000000L div shiftleft(1L, w)"))
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n_events"),
+            sum(col("pts")).as("decayed_micro"))
+          .orderBy(col("decayed_micro").desc, col("event_type"))
+      },
+      Some("""WITH ev AS (SELECT event_type,
+             |    CAST(epoch_ns(ts) // 1000000000 // 86400 AS BIGINT) AS day
+             |  FROM events),
+             |frontier AS (SELECT max(day) AS frontier_day FROM ev),
+             |scored AS (SELECT event_type,
+             |    1000000 // (1 << CAST(least((f.frontier_day - day) // 7, 19)
+             |      AS INTEGER)) AS pts
+             |  FROM ev CROSS JOIN frontier f)
+             |SELECT event_type, count(*) AS n_events,
+             |  CAST(sum(pts) AS BIGINT) AS decayed_micro
+             |FROM scored GROUP BY event_type
+             |ORDER BY decayed_micro DESC, event_type""".stripMargin))
   )
 }

@@ -521,6 +521,46 @@ object Dedup {
              |  COALESCE(h.n_contaminated, 0) AS n_contaminated,
              |  COALESCE(h.n_contaminated, 0) * 1000 // n.n_docs AS permille
              |FROM n LEFT JOIN h ON n.source = h.source
-             |ORDER BY n.source""".stripMargin))
+             |ORDER BY n.source""".stripMargin)),
+
+    // Cross-source duplication matrix — provenance analytics over the
+    // dedup signals: for every source pair, how many distinct 3-word
+    // shingles they share (which feeds/crawls copy from each other —
+    // the signal that drives source-level dedup priorities and mixing
+    // weights). Shape: distinct (source, shingle-hash) pairs (one
+    // shuffle), bucket self-join on the hash, pair count. Per-shingle
+    // fanout is bounded by C(n_sources, 2); with many sources (domains
+    // at 100 TB) exclude ubiquitous shingles first by df rank exactly
+    // as q110's stopword rule — boilerplate shingles otherwise put
+    // every domain pair in every bucket.
+    QueryDef(
+      "q118_source_overlap",
+      (s, d) => {
+        val pairs = documents(s, d)
+          .repartition(s.sparkContext.defaultParallelism)
+          .filter(size(TextOps.tokens(col("text"))) >= 3)
+          .select(col("source"),
+            explode(TextOps.shingleHashes3(TextOps.tokens(col("text"))))
+              .as("h"))
+          .distinct()
+        pairs.as("x")
+          .join(pairs.as("y"),
+            col("x.h") === col("y.h") && col("x.source") < col("y.source"))
+          .groupBy(col("x.source").as("src_a"), col("y.source").as("src_b"))
+          .agg(count(lit(1)).as("n_shared_shingles"))
+          .orderBy(col("n_shared_shingles").desc, col("src_a"), col("src_b"))
+          .limit(20)
+      },
+      Some(s"""WITH $shingleSqlCte,
+             |sp AS (SELECT DISTINCT d.source, u.hv
+             |  FROM h, documents d,
+             |    LATERAL (SELECT unnest(h.hs) AS hv) u
+             |  WHERE h.doc_id = d.doc_id)
+             |SELECT x.source AS src_a, y.source AS src_b,
+             |  count(*) AS n_shared_shingles
+             |FROM sp x JOIN sp y ON x.hv = y.hv AND x.source < y.source
+             |GROUP BY 1, 2
+             |ORDER BY n_shared_shingles DESC, src_a, src_b
+             |LIMIT 20""".stripMargin))
   )
 }

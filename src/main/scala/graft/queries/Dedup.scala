@@ -536,6 +536,10 @@ object Dedup {
     QueryDef(
       "q118_source_overlap",
       (s, d) => {
+        // Persisted: both self-join sides otherwise re-derive the full
+        // shingle pipeline (ReuseExchange does not fire across the
+        // join; shingle derivation is THE dominant CPU cost of this
+        // suite — the lshVerifiedPairs lesson).
         val pairs = documents(s, d)
           .repartition(s.sparkContext.defaultParallelism)
           .filter(size(TextOps.tokens(col("text"))) >= 3)
@@ -543,6 +547,7 @@ object Dedup {
             explode(TextOps.shingleHashes3(TextOps.tokens(col("text"))))
               .as("h"))
           .distinct()
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         pairs.as("x")
           .join(pairs.as("y"),
             col("x.h") === col("y.h") && col("x.source") < col("y.source"))

@@ -7,10 +7,16 @@ import org.apache.spark.sql.functions._
 /** Window-function + temporal catalog (SURVEY.md §2b "Window functions",
   * "Streaming" batch-checkable forms).
   *
-  * Scale notes: all windows partition by a key (no global single-partition
-  * window anywhere — a `Window.orderBy` without partitionBy funnels 100 TB
-  * through one task). Time bucketing uses exact integer epoch math so the
-  * DuckDB oracle agrees bit-for-bit.
+  * Scale notes: windows over FACT tables always partition by a key — a
+  * `Window.orderBy` without partitionBy funnels 100 TB through one task.
+  * Two deliberate exceptions run unpartitioned over bounded AGGREGATES,
+  * never facts: q98 (25-row nation rollup) and q116's ntile quartiles
+  * (per-customer aggregate — bounded relative to the fact table, but at
+  * domain scale, ~1e9 customers, replace with range-partitioned
+  * row_number + the closed-form ntile bucket floor((rn-1)·k/n)+1; the
+  * global window here keeps the catalog form oracle-exact). Time
+  * bucketing uses exact integer epoch math so the DuckDB oracle agrees
+  * bit-for-bit.
   */
 object Windowed {
   import Tables._
@@ -766,12 +772,16 @@ object Windowed {
 
     // RFM customer segmentation — the mart-layer scoring query the
     // reference's serving SQL stops short of: quartile each customer
-    // on Recency (days since last order, vs a frontier derived from
-    // the same aggregate — one fact scan), Frequency, and Monetary
+    // on Recency (days since last order), Frequency, and Monetary
     // (exact cents), then profile the 4x4x4 segments. The three ntile
     // windows are global sorts, but over the CUSTOMER AGGREGATE, never
-    // the fact table (the q98/q93 rule); full custkey tie-breaks make
-    // every quartile assignment cross-engine deterministic.
+    // the fact table (header note: the bounded-aggregate exception,
+    // with the range-partitioned form as the domain-scale path); full
+    // custkey tie-breaks make every quartile assignment cross-engine
+    // deterministic. The frontier is a direct single-column max over
+    // orders — deriving it from `per` would re-run the whole groupBy
+    // shuffle just to extract one value (max of per-customer maxes =
+    // the global max).
     QueryDef(
       "q116_rfm_segments",
       (s, d) => {
@@ -781,7 +791,8 @@ object Windowed {
             count(lit(1)).as("n_orders"),
             sum(expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)"))
               .as("cents"))
-        val frontier = per.agg(max(col("last_date")).as("frontier_date"))
+        val frontier = orders(s, d)
+          .agg(max(expr("CAST(o_orderdate AS DATE)")).as("frontier_date"))
         val wr = Window.orderBy(col("recency_days"), col("o_custkey"))
         val wf = Window.orderBy(col("n_orders").desc, col("o_custkey"))
         val wm = Window.orderBy(col("cents").desc, col("o_custkey"))

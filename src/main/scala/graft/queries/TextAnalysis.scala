@@ -719,6 +719,67 @@ object TextAnalysis {
              |    AS tokens_removed,
              |  CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT)
              |    * 1000 // count(*) AS permille_kept
-             |FROM ranked GROUP BY source ORDER BY source""".stripMargin))
+             |FROM ranked GROUP BY source ORDER BY source""".stripMargin)),
+
+    // Collocation mining — adjacent-bigram LIFT, the no-log PMI
+    // variant (log() is not cross-engine stable; lift = the same
+    // ranking signal as PMI, exact in integers):
+    //   lift_micro = n_ab · N · 1e6  div  (n_a · n_b)
+    // over DIRECTED adjacent bigrams with duplicates kept (the
+    // multiset — a doc repeating a phrase strengthens it). Adjacency
+    // bounds pair generation at N-1 bigrams per corpus, where
+    // unrestricted co-occurrence would be quadratic per doc. Counts
+    // join map-side (token/bigram vocab broadcast; domain scale
+    // shuffles on the token instead, same shape). Long envelope:
+    // n_ab·N·1e6 < 2^63 holds through N ≈ 2.7e6 tokens per the worst
+    // case n_ab = N (~sf 1); past that lift in DECIMAL.
+    QueryDef(
+      "q119_collocations",
+      (s, d) => {
+        val toks = documents(s, d)
+          .repartition(s.sparkContext.defaultParallelism)
+          .select(TextOps.tokens(col("text")).as("ws"))
+          .persist()
+        val unigrams = toks.select(explode(col("ws")).as("w"))
+          .groupBy(col("w")).agg(count(lit(1)).as("n_w"))
+        val n = toks.select(explode(col("ws")).as("w"))
+          .agg(count(lit(1)).as("n_tokens"))
+        val bigrams = toks
+          .select(explode(TextOps.wordShinglesAll(col("ws"), 2)).as("bigram"))
+          .groupBy(col("bigram")).agg(count(lit(1)).as("n_ab"))
+          .filter(col("n_ab") >= 5)
+        bigrams
+          .withColumn("w1", split(col("bigram"), " ").getItem(0))
+          .withColumn("w2", split(col("bigram"), " ").getItem(1))
+          .join(broadcast(unigrams).withColumnRenamed("w", "w1")
+            .withColumnRenamed("n_w", "n_a"), "w1")
+          .join(broadcast(unigrams).withColumnRenamed("w", "w2")
+            .withColumnRenamed("n_w", "n_b"), "w2")
+          .crossJoin(broadcast(n))
+          .withColumn("lift_micro",
+            expr("n_ab * n_tokens * 1000000L div (n_a * n_b)"))
+          .select(col("bigram"), col("n_ab"), col("n_a"), col("n_b"),
+            col("lift_micro"))
+          .orderBy(col("lift_micro").desc, col("bigram"))
+          .limit(20)
+      },
+      Some("""WITH docs AS (SELECT string_split(text, ' ') AS ws
+             |  FROM documents),
+             |uni AS (SELECT unnest(ws) AS w FROM docs),
+             |unigrams AS (SELECT w, count(*) AS n_w FROM uni GROUP BY w),
+             |n AS (SELECT count(*) AS n_tokens FROM uni),
+             |bi AS (SELECT unnest(list_transform(
+             |    range(1, greatest(len(ws), 1)),
+             |    i -> ws[i] || ' ' || ws[i+1])) AS bigram FROM docs),
+             |bigrams AS (SELECT bigram, count(*) AS n_ab FROM bi
+             |  GROUP BY bigram HAVING count(*) >= 5)
+             |SELECT b.bigram, b.n_ab, a1.n_w AS n_a, a2.n_w AS n_b,
+             |  b.n_ab * n.n_tokens * 1000000 // (a1.n_w * a2.n_w)
+             |    AS lift_micro
+             |FROM bigrams b
+             |JOIN unigrams a1 ON a1.w = string_split(b.bigram, ' ')[1]
+             |JOIN unigrams a2 ON a2.w = string_split(b.bigram, ' ')[2]
+             |CROSS JOIN n
+             |ORDER BY lift_micro DESC, bigram LIMIT 20""".stripMargin))
   )
 }

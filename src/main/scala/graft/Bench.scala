@@ -7,8 +7,23 @@ import org.apache.spark.sql.SparkSession
   * over SPARK_GRAFT_SF_DIR at local[cpus].
   */
 object Bench {
+
+  /** Host load (1/5/15-min averages) from /proc/loadavg, as a JSON
+    * array fragment — self-recorded so a contention-inflated run is
+    * adjudicable from the artifact alone (round-3 lesson: driver
+    * numbers read 6-20x hot under load ~30 and needed an out-of-band
+    * re-run to clear; see memory/bench-environment-findings). */
+  private def loadavg(): String =
+    try {
+      val parts = scala.io.Source.fromFile("/proc/loadavg").mkString
+        .trim.split("\\s+")
+      s"[${parts(0)},${parts(1)},${parts(2)}]"
+    } catch { case _: Throwable => "null" }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val loadBefore = loadavg()
+    val tStartMs = System.currentTimeMillis()
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -66,7 +81,13 @@ object Bench {
     // compare FASTER than a clean one. Failures stay visible as
     // negative per-query durations plus the errors map.
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
+    // Environment stamp: wall-clock bounds + host load before/after.
+    // A [1m,5m,15m] load far above the core count means the numbers
+    // are contention-inflated, not a regression — the artifact now
+    // carries its own evidence either way.
+    val env = s""""t_start_ms":$tStartMs,"t_end_ms":${System.currentTimeMillis()},""" +
+      s""""load_before":$loadBefore,"load_after":${loadavg()}"""
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir",$env}""")
     spark.stop()
   }
 }

@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{Dedup, Etl, Functions, Graphs, Relational, Similarity, Sketches, TextAnalysis, Training, Windowed}
+import graft.queries.{Dedup, Etl, Functions, Graphs, Lakehouse, Relational, Similarity, Sketches, TextAnalysis, Training, Windowed}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -16,7 +16,8 @@ object SparkEntry {
   def allDefs: Seq[QueryDef] =
     Relational.defs ++ Functions.defs ++ Windowed.defs ++
       Dedup.defs ++ Similarity.defs ++ TextAnalysis.defs ++
-      Sketches.defs ++ Training.defs ++ Graphs.defs ++ Etl.defs
+      Sketches.defs ++ Training.defs ++ Graphs.defs ++ Etl.defs ++
+      Lakehouse.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The reference's whole spine (scan → join → group → having → top-k):

@@ -52,6 +52,13 @@ object Tables {
   * tie-broken ORDER BY, float aggregates are rounded, and column aliases
   * match the oracle exactly (the driver sorts columns by name and hashes
   * values).
+  *
+  * NOTE the trailing un-limited ORDER BY is a HARNESS artifact, not a
+  * production pattern: the differential check hashes rows in order, so
+  * results must be totally ordered. A real pipeline would stop at the
+  * aggregate/limit above the final sort — copying the global sort into
+  * a 100 TB job would serialize the result through one range exchange
+  * for no semantic gain.
   */
 final case class QueryDef(
     name: String,

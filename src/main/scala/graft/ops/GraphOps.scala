@@ -114,11 +114,15 @@ object GraphOps {
     *
     * Input: undirected simple edges (`srcCol`, `dstCol`), one row per
     * edge in either orientation; self-loops and duplicate rows must be
-    * removed by the caller. Output: (`id`, `n_triangles`) for nodes in
-    * at least one triangle.
+    * removed by the caller. Output: ((`id`, `n_triangles`) for nodes
+    * in at least one triangle, the PERSISTED oriented edge list) —
+    * the lshVerifiedPairs convention: the result plan reads the
+    * oriented cache three times, so the CALLER owns its lifetime and
+    * unpersists after the result executes (instead of being forced to
+    * clear the session cache globally).
     */
   def triangleCounts(edges: DataFrame, srcCol: String, dstCol: String)
-      : DataFrame = {
+      : (DataFrame, DataFrame) = {
     val e = edges.select(col(srcCol).as("a"), col(dstCol).as("b"))
     val deg = e.select(col("a").as("v")).unionAll(e.select(col("b").as("v")))
       .groupBy(col("v")).agg(count(lit(1)).as("deg"))
@@ -140,8 +144,8 @@ object GraphOps {
       // Persisted, NOT unpersisted here: the returned (lazy) plan
       // reads it three times (both wedge sides + the closing probe);
       // an eager unpersist would drop the cache before execution. The
-      // caller controls the lifetime (Bench/Verify clear the cache per
-      // query — the lshVerifiedPairs convention).
+      // handle is returned so the caller can unpersist it after the
+      // result executes.
       .persist(StorageLevel.MEMORY_AND_DISK)
     val tri = oriented.as("x")
       .join(oriented.as("y"),
@@ -151,7 +155,8 @@ object GraphOps {
       .select(col("x.u").as("n1"), col("x.v").as("n2"), col("y.v").as("n3"))
       .join(oriented.select(col("u").as("n2"), col("v").as("n3")),
         Seq("n2", "n3"))
-    tri.select(explode(array(col("n1"), col("n2"), col("n3"))).as("id"))
-      .groupBy(col("id")).agg(count(lit(1)).as("n_triangles"))
+    (tri.select(explode(array(col("n1"), col("n2"), col("n3"))).as("id"))
+      .groupBy(col("id")).agg(count(lit(1)).as("n_triangles")),
+      oriented)
   }
 }

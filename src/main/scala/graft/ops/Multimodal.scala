@@ -10,10 +10,13 @@ import org.apache.spark.sql.functions._
   *
   * The Spark-side shape is real and tested — schema, encoders,
   * partition-local batching (the JVM analog of `mapInPandas` batch
-  * semantics), deterministic output. The codec call itself is a STUB
-  * (`decodeStub`): this container has no image/audio libraries, so it
-  * computes a deterministic fake feature vector from the bytes. A real
-  * deployment swaps `decodeStub` for a JNI/codec call without touching
+  * semantics), deterministic output. The IMAGE codec is real:
+  * [[decodeImages]] decodes PNG payloads with the JDK's
+  * `javax.imageio` (zero added dependencies). Audio/video and
+  * unreadable payloads fall back to `decodeStub` — a deterministic
+  * byte-fold tagged `decoder = "stub"` — so the pipeline shape stays
+  * fully testable where a codec genuinely isn't available; a real
+  * deployment swaps the stub for a JNI/codec call without touching
   * any of the surrounding plumbing.
   *
   * Scale notes: payloads never pass through a shuffle here — all stages
@@ -89,4 +92,94 @@ object Multimodal {
       .withColumn("sampled_frames",
         slice(sequence(lit(0), col("n_frames") - 1, lit(stride)), 1, maxN))
       .withColumn("n_sampled", size(col("sampled_frames")))
+
+  // ---------------------------------------------------------------------
+  // REAL image codec — JDK javax.imageio (PNG/JPEG/BMP/GIF with zero
+  // added dependencies; offline-safe). This replaces the stub for
+  // image payloads the JVM can actually decode; anything else falls
+  // back to [[decodeStub]] and is tagged `decoder = "stub"` so a
+  // pipeline can SEE which rows went through a real codec.
+  // ---------------------------------------------------------------------
+
+  /** One decoded image: real dimensions read from the pixels plus a
+    * band-0 sample sum as a deterministic content checksum.
+    * `decoder` is "imageio" (real decode) or "stub" (fallback). */
+  case class DecodedImage(
+      media_id: Long, kind: String, width: Int, height: Int,
+      n_pixels: Long, pixel_sum: Long, decoder: String)
+
+  /** PNG signature sniff (the 8-byte magic) — dispatch without
+    * throwing a decoder at arbitrary bytes. */
+  private[ops] def isPng(p: Array[Byte]): Boolean =
+    p.length > 8 && (p(0) & 0xff) == 0x89 &&
+      p(1) == 'P' && p(2) == 'N' && p(3) == 'G'
+
+  /** Deterministic grayscale PNG fixture:
+    * `pixel(y, x) = (seed·31 + (y·width + x)·7) mod 256`, encoded with
+    * the JDK PNG writer. Gray8 PNG is lossless, so a decode reads the
+    * exact formula back — the property MultimodalSpec and catalog
+    * q124 assert. (The reference carries image URL columns,
+    * data/sample-data.csv:1 `Image-URL-{S,M,L}`; this synthesizes the
+    * bytes those URLs would fetch, deterministically.) */
+  def syntheticPng(seed: Long, width: Int, height: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      width, height, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    val raster = img.getRaster
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) {
+        raster.setSample(x, y, 0,
+          ((seed * 31 + (y.toLong * width + x) * 7) % 256).toInt)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Decode a batch of media records: PNG payloads go through the REAL
+    * ImageIO codec (dimensions and pixel sum read from the decoded
+    * raster); everything else — non-image kinds, truncated files,
+    * formats this JVM lacks a reader for — degrades to the stub with
+    * an explicit tag, never an exception (one corrupt blob in 100 TB
+    * must not kill the stage). Same batched-`mapPartitions` shape as
+    * [[extractFeatures]]: a vectorized codec drops in unchanged. */
+  def decodeImages(ds: Dataset[MediaRecord],
+      batchSize: Int = 64): Dataset[DecodedImage] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        batch.map { r =>
+          val real: Option[DecodedImage] =
+            if (!isPng(r.payload)) None
+            else
+              try {
+                val img = javax.imageio.ImageIO.read(
+                  new java.io.ByteArrayInputStream(r.payload))
+                if (img == null) None
+                else {
+                  val (w, h) = (img.getWidth, img.getHeight)
+                  val raster = img.getRaster
+                  var sum = 0L
+                  var y = 0
+                  while (y < h) {
+                    var x = 0
+                    while (x < w) { sum += raster.getSample(x, y, 0); x += 1 }
+                    y += 1
+                  }
+                  Some(DecodedImage(r.media_id, r.kind, w, h,
+                    w.toLong * h, sum, "imageio"))
+                }
+              } catch { case scala.util.control.NonFatal(_) => None }
+          real.getOrElse {
+            val (cs, _) = decodeStub(r.payload)
+            DecodedImage(r.media_id, r.kind, r.width, r.height, 0L, cs, "stub")
+          }
+        }
+      }
+    }
+  }
 }

@@ -141,20 +141,51 @@ object Dedup {
 
     // Exact dedup: normalize (lower/trim/collapse-ws) then group — the
     // keep-lowest-id policy used by every dedup pass downstream.
+    //
+    // HASH-FIRST two-phase (the streamingFirstWins shape, batch form):
+    // the shuffle key is (xxhash64(norm), length(norm)) — 16 bytes —
+    // never the document text itself, so at 100 TB the exchange
+    // carries fixed-width keys instead of the entire distinct corpus.
+    // Exactness is kept by a second INDEPENDENT hash family
+    // (murmur3 via hash()): a bucket whose members disagree on the
+    // verify hash provably holds an xxhash64 collision and is re-done
+    // with a full-text groupBy — that redo set is broadcast-sized
+    // (expected 0 rows; a false merge needs a pair colliding in BOTH
+    // 64-bit families AND length, ~2^-96 per pair — negligible at any
+    // corpus size). Cost shape: one narrow-key shuffle + one extra
+    // (normally empty-output) corpus scan, vs. the old single shuffle
+    // whose keys were whole documents.
     QueryDef(
       "q27_exact_dedup",
-      (s, d) =>
-        documents(s, d)
-          // degenerate-split guard: the testdata table is one parquet
-          // row group = one input split; the regex normalization is
-          // CPU-bound and would otherwise run on a single core.
+      (s, d) => {
+        // degenerate-split guard: the testdata table is one parquet
+        // row group = one input split; the regex normalization is
+        // CPU-bound and would otherwise run on a single core.
+        val base = documents(s, d)
           .repartition(s.sparkContext.defaultParallelism)
           .withColumn("norm",
             regexp_replace(lower(trim(col("text"))), "\\s+", " "))
+          .withColumn("h", xxhash64(col("norm")))
+          .withColumn("len", length(col("norm")))
+        val buckets = base
+          .groupBy(col("h"), col("len"))
+          .agg(min(col("doc_id")).as("keep_id"),
+            count(lit(1)).as("n_copies"),
+            countDistinct(hash(col("norm"))).as("n_verify"))
+        // collided: xxhash64 buckets holding >1 distinct verify-hash —
+        // provably mixed buckets, re-grouped by full text. Broadcast:
+        // expected empty at every scale.
+        val collided = buckets.filter(col("n_verify") > 1)
+          .select(col("h"), col("len"))
+        val redo = base
+          .join(broadcast(collided), Seq("h", "len"), "left_semi")
           .groupBy(col("norm"))
           .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+        buckets.filter(col("n_verify") === 1)
           .select(col("keep_id"), col("n_copies"))
-          .orderBy(col("keep_id")),
+          .unionByName(redo.select(col("keep_id"), col("n_copies")))
+          .orderBy(col("keep_id"))
+      },
       Some("""SELECT min(doc_id) AS keep_id, count(*) AS n_copies
              |FROM (SELECT doc_id,
              |        regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS norm

@@ -165,6 +165,81 @@ object Etl {
              |HAVING count(*) > 100
              |ORDER BY "Average-Rating" DESC, b."Book-Author" LIMIT 10""".stripMargin)),
 
+    // Reference-VERBATIM grain of the top-books serving query
+    // (external-table-queries.sql:13-19 groups by book-title ALONE;
+    // q39 carries the ETL side's (ISBN, title) grain). Where one title
+    // spans multiple ISBNs the two diverge — this entry merges those
+    // ISBNs' ratings into one row, exactly what a user porting the
+    // reference SQL gets. Same spine: fact→broadcast-dim join,
+    // group, HAVING, top-k (TakeOrderedAndProject).
+    QueryDef(
+      "q121_etl_top_books_title",
+      (s, d) => {
+        val c = clean(s, d)
+          .select(col("ISBN"), col("Customer-ID"), col("Book-Rating"),
+            col("Book-Title"), col("Book-Author"),
+            col("Year-Of-Publication"), col("Publisher"))
+          .persist()
+        Bookstore.ratingsFact(c)
+          .join(broadcast(Bookstore.booksDim(c)), Seq("ISBN"))
+          .groupBy(col("Book-Title"))
+          .agg(
+            round(avg(col("Book-Rating").cast("double")), 4).as("Average-Rating"),
+            count(lit(1)).as("Total-Ratings"))
+          .filter(col("Total-Ratings") >= 20)
+          .orderBy(col("Average-Rating").desc, col("Book-Title"))
+          .limit(100)
+      },
+      Some(s"""WITH $cleanCte,
+             |ratings AS (SELECT "ISBN", "Customer-ID", "Book-Rating" FROM clean),
+             |books AS (SELECT DISTINCT "ISBN", "Book-Title", "Book-Author",
+             |    "Year-Of-Publication", "Publisher" FROM clean)
+             |SELECT b."Book-Title",
+             |  round(avg(CAST(r."Book-Rating" AS DOUBLE)), 4) AS "Average-Rating",
+             |  count(*) AS "Total-Ratings"
+             |FROM ratings r JOIN books b ON r."ISBN" = b."ISBN"
+             |GROUP BY b."Book-Title"
+             |HAVING count(*) >= 20
+             |ORDER BY "Average-Rating" DESC, b."Book-Title" LIMIT 100""".stripMargin)),
+
+    // The mart LAYOUT the reference gestures at (README.md:40,44:
+    // columnar mart + Glue partition discovery), proven to PRUNE:
+    // customers written as Hive-partitioned parquet on Country, then
+    // queried through a JOIN against a filtered region dim — the
+    // partition filter arrives at the scan via DYNAMIC partition
+    // pruning (the dim's country set is only known at run time; Spark
+    // plans a dynamicpruning subquery into PartitionFilters, locked
+    // by PlanShapeSpec). At 100 TB only the joined countries'
+    // directories are listed/read — the same pushdown Redshift
+    // Spectrum does against the reference's partitioned S3 mart. The
+    // oracle is layout-free: partitioning must not change the answer.
+    QueryDef(
+      "q122_mart_partition_pruning",
+      (s, d) => {
+        val root = java.nio.file.Files
+          .createTempDirectory("graft_dpp_").toString
+        graft.sources.Formats.writePartitionedParquet(
+          Bookstore.customersDim(clean(s, d)), root, Seq("Country"))
+        val mart = s.read.parquet(root)
+        val dim = graft.Tables.region(s, d)
+          .filter(col("r_regionkey") === 3)
+          .select(lower(col("r_name")).as("Country"))
+        mart.join(dim, Seq("Country"))
+          .groupBy(col("Country"), col("State"))
+          .agg(count(lit(1)).as("Customer-Count"))
+          .orderBy(col("Country"), col("State"))
+      },
+      Some(s"""WITH $cleanCte,
+             |cust AS (SELECT DISTINCT "Customer-ID", "Age", trim("City") AS "City",
+             |    trim("State") AS "State", trim("Country") AS "Country"
+             |  FROM clean),
+             |dim AS (SELECT lower(r_name) AS "Country" FROM region
+             |  WHERE r_regionkey = 3)
+             |SELECT c."Country", c."State", count(*) AS "Customer-Count"
+             |FROM cust c JOIN dim d ON c."Country" = d."Country"
+             |GROUP BY c."Country", c."State"
+             |ORDER BY c."Country", c."State"""".stripMargin)),
+
     // Cleaning audit: raw vs clean row counts + surviving NULL ages —
     // pins the O6/O7 semantics (one-space → NULL; Age outside subset).
     QueryDef(

@@ -129,7 +129,10 @@ object Graphs {
           .agg(count(lit(1)).as("w"))
           .filter(col("w") >= 2)
           .select(col("a"), col("b"))
-        graft.ops.GraphOps.triangleCounts(e, "a", "b")
+        // ._1: the oriented-edge cache handle stays with the harness
+        // convention (Bench/Verify clear the cache per query); a
+        // library caller would unpersist ._2 after the action.
+        graft.ops.GraphOps.triangleCounts(e, "a", "b")._1
           .select(col("id").as("part"), col("n_triangles"))
           .orderBy(col("n_triangles").desc, col("part"))
           .limit(10)

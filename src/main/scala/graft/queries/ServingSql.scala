@@ -34,7 +34,8 @@ object ServingSql {
     * adding a deterministic key. When one title spans multiple ISBNs
     * the two grains diverge; the ETL grain is the one the mart's
     * `top100books` table actually carries, so the serving layer follows
-    * it. */
+    * it. [[topBooksByTitle]] is the reference-verbatim title-only
+    * grain for row-for-row parity with the original SQL. */
   def topBooksByRating(s: SparkSession, minRatings: Long = 100,
       k: Int = 100): DataFrame =
     s.sql(s"""
@@ -45,6 +46,24 @@ object ServingSql {
       |GROUP BY b.`ISBN`, b.`Book-Title`
       |HAVING count(*) > $minRatings
       |ORDER BY `Average-Rating` DESC, b.`ISBN` LIMIT $k""".stripMargin)
+
+  /** external-table-queries.sql:13-19 VERBATIM GRAIN — top books
+    * grouped by `Book-Title` alone, exactly as the reference SQL
+    * writes it. Offered alongside [[topBooksByRating]] so a user
+    * porting the reference query gets identical rows even when one
+    * title spans multiple ISBNs (where the two grains diverge: this
+    * form merges those ISBNs' ratings into one row). Deterministic
+    * tie-break on the title (the reference orders by rating only). */
+  def topBooksByTitle(s: SparkSession, minRatings: Long = 100,
+      k: Int = 100): DataFrame =
+    s.sql(s"""
+      |SELECT b.`Book-Title`,
+      |  round(avg(CAST(r.`Book-Rating` AS double)), 4) AS `Average-Rating`,
+      |  count(*) AS `Total-Ratings`
+      |FROM books b JOIN ratings r ON b.`ISBN` = r.`ISBN`
+      |GROUP BY b.`Book-Title`
+      |HAVING count(*) > $minRatings
+      |ORDER BY `Average-Rating` DESC, b.`Book-Title` LIMIT $k""".stripMargin)
 
   /** external-table-queries.sql:21-26 — top countries by customers. */
   def topCountries(s: SparkSession, k: Int = 10): DataFrame =

@@ -207,6 +207,130 @@ object Similarity {
              |SELECT probe, cell, rn, vec_id, cos FROM ranked
              |WHERE rn <= 3 ORDER BY probe, rn""".stripMargin)),
 
+    // IVF MULTI-PROBE (the recall dial on q59): each probe searches
+    // its nprobe=2 nearest cells instead of 1 — the standard fix for
+    // the single-probe failure mode where a query sitting near a cell
+    // boundary misses neighbors quantized into the adjacent cell.
+    // Corpus vectors keep q59's map-side-combine argmin assignment
+    // (never a window over N×k rows); only the BOUNDED probe set (8
+    // rows × k cells) pays a window for its top-2 cells. Every result
+    // row carries `from_cell_rank` (which probe cell found it) and
+    // `in_exact_top3` (membership in the exhaustive ranking — the
+    // q73 recall-flag pattern), so the probes-vs-recall tradeoff is
+    // measured in the output, not asserted from theory. Scale shape:
+    // candidates = 2 cells ≈ 2/k of the corpus per probe, probe and
+    // exact-top3 tables broadcast, corpus never shuffled.
+    QueryDef(
+      "q123_ann_ivf_multiprobe",
+      (s, d) => {
+        val cAgg = udaf(new graft.ops.VectorAggregates.CentroidAgg(64))
+        val q = embeddings(s, d)
+          .repartition(s.sparkContext.defaultParallelism)
+          .select(col("vec_id"), col("label"),
+            toDouble(col("embedding")).as("v"),
+            microQuantize(col("embedding")).as("qv"))
+        val cents = q.groupBy(col("label")).agg(cAgg(col("qv")).as("c"))
+          .select(col("label").as("cent_id"),
+            transform(col("c.sums"), s0 => centroidMicro(s0, col("c.n")))
+              .as("cent"))
+        // corpus: q59's exact-integer argmin cell assignment (persisted
+        // — the candidate join and the exact ranking both read it)
+        val corpus = q.filter(col("vec_id") >= 8)
+          .join(broadcast(cents), lit(true))
+          .select(col("vec_id"), col("v"),
+            col("cent_id"), l2DistSq(col("qv"), col("cent")).as("d2"))
+          .groupBy(col("vec_id"))
+          .agg(min(struct(col("d2"), col("cent_id"))).as("m"),
+            first(col("v")).as("v"))
+          .select(col("vec_id"), col("m.cent_id").as("cell"), col("v"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        // probes: 8 rows — the nprobe window is over 8×k rows, bounded
+        val wCell = Window.partitionBy(col("vec_id"))
+          .orderBy(col("d2"), col("cent_id"))
+        val probes = q.filter(col("vec_id") < 8)
+          .join(broadcast(cents), lit(true))
+          .select(col("vec_id"), col("v"),
+            col("cent_id"), l2DistSq(col("qv"), col("cent")).as("d2"))
+          .withColumn("crk", row_number().over(wCell))
+          .filter(col("crk") <= 2)
+          .select(col("vec_id").as("probe"), col("cent_id").as("pcell"),
+            col("crk").as("from_cell_rank"), col("v").as("pv"))
+        // exhaustive top-3 per probe — the recall ground truth
+        val wE = Window.partitionBy(col("probe"))
+          .orderBy(col("cosx").desc, col("vec_id"))
+        val exact3 = broadcast(
+            probes.filter(col("from_cell_rank") === 1)
+              .select(col("probe"), col("pv")))
+          .join(corpus, lit(true))
+          .select(col("probe"), col("vec_id"),
+            round(cosine(col("pv"), col("v")), 4).as("cosx"))
+          .withColumn("ern", row_number().over(wE))
+          .filter(col("ern") <= 3)
+          .select(col("probe").as("eprobe"), col("vec_id").as("evec"))
+        val wC = Window.partitionBy(col("probe"))
+          .orderBy(col("cos").desc, col("vec_id"))
+        broadcast(probes)
+          .join(corpus, col("pcell") === col("cell"))
+          .select(col("probe"), col("from_cell_rank"), col("vec_id"),
+            round(cosine(col("pv"), col("v")), 4).as("cos"))
+          .withColumn("rn", row_number().over(wC))
+          .filter(col("rn") <= 3)
+          .join(broadcast(exact3),
+            col("probe") === col("eprobe") && col("vec_id") === col("evec"),
+            "left")
+          .select(col("probe"), col("rn"), col("vec_id"), col("cos"),
+            col("from_cell_rank"),
+            col("evec").isNotNull.as("in_exact_top3"))
+          .orderBy(col("probe"), col("rn"))
+      },
+      Some(s"""WITH e AS (SELECT vec_id, label,
+             |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+             |    list_transform(embedding, x ->
+             |      CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS qv
+             |  FROM embeddings),
+             |u AS (SELECT label, unnest(qv) AS el,
+             |    generate_subscripts(qv, 1) AS pos FROM e),
+             |cm AS (SELECT label, pos,
+             |    CAST(floor(CAST(CAST(sum(el) AS BIGINT) AS DOUBLE) / count(*)
+             |      + 0.5) AS BIGINT) AS cv
+             |  FROM u GROUP BY label, pos),
+             |cents AS (SELECT label AS cent_id,
+             |    list(cv ORDER BY pos) AS cent FROM cm GROUP BY label),
+             |dist AS (SELECT e.vec_id, e.v, c.cent_id,
+             |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+             |      list_transform(range(1, len(e.qv) + 1),
+             |        i -> (e.qv[i] - c.cent[i]) * (e.qv[i] - c.cent[i]))),
+             |      (a, t) -> a + t) AS d2
+             |  FROM e CROSS JOIN cents c),
+             |arnk AS (SELECT vec_id, v, cent_id,
+             |    row_number() OVER (PARTITION BY vec_id
+             |      ORDER BY d2, cent_id) AS crk
+             |  FROM dist),
+             |corpus AS (SELECT vec_id, v, cent_id AS cell
+             |  FROM arnk WHERE crk = 1 AND vec_id >= 8),
+             |probes AS (SELECT vec_id AS probe, v AS pv,
+             |    cent_id AS pcell, crk AS from_cell_rank
+             |  FROM arnk WHERE crk <= 2 AND vec_id < 8),
+             |exact AS (SELECT probe, vec_id FROM (
+             |    SELECT p.probe, c.vec_id,
+             |      row_number() OVER (PARTITION BY p.probe
+             |        ORDER BY round(${cosSql("p.pv", "c.v")}, 4) DESC,
+             |          c.vec_id) AS ern
+             |    FROM (SELECT probe, pv FROM probes WHERE from_cell_rank = 1) p
+             |    CROSS JOIN corpus c) t WHERE ern <= 3),
+             |cand AS (SELECT p.probe, p.from_cell_rank, c.vec_id,
+             |    round(${cosSql("p.pv", "c.v")}, 4) AS cos
+             |  FROM probes p JOIN corpus c ON p.pcell = c.cell),
+             |ranked AS (SELECT probe, from_cell_rank, vec_id, cos,
+             |    row_number() OVER (PARTITION BY probe
+             |      ORDER BY cos DESC, vec_id) AS rn
+             |  FROM cand)
+             |SELECT r.probe, r.rn, r.vec_id, r.cos, r.from_cell_rank,
+             |  x.vec_id IS NOT NULL AS in_exact_top3
+             |FROM ranked r LEFT JOIN exact x
+             |  ON r.probe = x.probe AND r.vec_id = x.vec_id
+             |WHERE r.rn <= 3 ORDER BY r.probe, r.rn""".stripMargin)),
+
     // Per-label centroid via the typed Aggregator (SURVEY.md §2b
     // UDF/UDAF row): ONE pass, partial buffers shuffle instead of one
     // row per vector element (the posexplode->groupBy form shuffles

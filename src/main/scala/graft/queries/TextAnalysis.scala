@@ -531,6 +531,50 @@ object TextAnalysis {
              |  least(8, (n_frames + 3) // 4) AS n_sampled
              |FROM f ORDER BY media_id""".stripMargin)),
 
+    // REAL image decode through the multimodal path (q109 exercises
+    // the batching/Encoder machinery with stub payloads; this entry
+    // runs an ACTUAL codec): every document becomes a deterministic
+    // grayscale PNG (pixel(i) = (doc_id·31 + i·7) mod 256, JDK PNG
+    // writer), and graft.ops.Multimodal.decodeImages reads
+    // width/height/pixel-sum back out of the decoded raster with
+    // javax.imageio. Gray8 PNG is lossless, so the oracle can state
+    // the pixel formula directly — a wrong decode (dimensions,
+    // sample order, color model) breaks the hash. Fixture images are
+    // tiny (≤ 8×6) so the SQL-side closed form stays cheap; the
+    // Spark side is the same batched narrow mapPartitions that would
+    // carry full-size frames at 100 TB (payloads never shuffle).
+    QueryDef(
+      "q124_image_decode",
+      (s, d) => {
+        import s.implicits._
+        val media = documents(s, d)
+          .repartition(s.sparkContext.defaultParallelism)
+          .select(col("doc_id")).as[Long]
+          .map { id =>
+            val w = (id % 8 + 1).toInt
+            val h = (id % 6 + 1).toInt
+            graft.ops.Multimodal.MediaRecord(
+              id, "image", graft.ops.Multimodal.syntheticPng(id, w, h),
+              w, h, 0)
+          }
+        graft.ops.Multimodal.decodeImages(media).toDF()
+          .select(col("media_id"), col("width"), col("height"),
+            col("n_pixels"), col("pixel_sum"), col("decoder"))
+          .orderBy(col("media_id"))
+      },
+      Some("""SELECT doc_id AS media_id,
+             |  CAST(doc_id % 8 + 1 AS INT) AS width,
+             |  CAST(doc_id % 6 + 1 AS INT) AS height,
+             |  CAST((doc_id % 8 + 1) * (doc_id % 6 + 1) AS BIGINT)
+             |    AS n_pixels,
+             |  CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+             |    list_transform(
+             |      range(0, (doc_id % 8 + 1) * (doc_id % 6 + 1)),
+             |      i -> (doc_id * 31 + i * 7) % 256)),
+             |    (a, b) -> a + b) AS BIGINT) AS pixel_sum,
+             |  'imageio' AS decoder
+             |FROM documents ORDER BY media_id""".stripMargin)),
+
     // Inverted-index construction (the search-index build): term →
     // sorted posting list of containing docs, stopwords excluded by
     // RANK (the 5 highest-df terms — scale-stable where an absolute
@@ -599,13 +643,14 @@ object TextAnalysis {
     // Scale shape: postings filtered to the probe terms map-side (the
     // probe is a literal set), df/N/T are broadcast scalars, one
     // integer-sum groupBy per doc (order-independent — float-sum order
-    // would diverge between engines), top-20 TakeOrdered. Long bounds:
-    // numerator = 22e9·tf·(2N−2df+1) needs tf·N < 2e8 — with this
-    // corpus's ≤100-token docs (tf ≤ 100) that holds to N ≈ 2e6 docs
-    // (~sf 40); past that move the micro scale to DECIMAL(38,0). Both
-    // factors are LONG already (counts), so no int32 step overflows
-    // under ANSI mode; dl alone is int32 (size()) and is widened
-    // explicitly below.
+    // would diverge between engines), top-20 TakeOrdered. Overflow
+    // posture: the numerator 22e9·tf·(2N−2df+1) runs in DECIMAL(38,0)
+    // — long math would wrap past tf·N ≈ 2e8 (~2e6 docs at this
+    // corpus's ≤100-token tf, ~sf 40) and silently corrupt rankings
+    // in non-ANSI mode; 38 digits hold to ~1e25 docs. The quotient
+    // lands back in long range (score_micro ≤ 22e9·N/df/1e4, a long
+    // through N ≈ 4e17 even at df=1). dl alone is int32 (size()) and
+    // is widened explicitly below.
     QueryDef(
       "q112_bm25",
       (s, d) => {
@@ -635,8 +680,9 @@ object TextAnalysis {
           // negative and silently diverge from the BIGINT oracle).
           .withColumn("dlr_milli", expr("dl * 1000000L div avgdl_milli"))
           .withColumn("score_micro", expr(
-            """tf * 22000000000L * (2 * n_docs - 2 * df + 1)
-              | div ((2 * df + 1) * (10000 * tf + 3000 + 9 * dlr_milli))"""
+            """CAST(tf AS DECIMAL(38,0)) * 22000000000 * (2 * n_docs - 2 * df + 1)
+              | div (CAST(2 * df + 1 AS DECIMAL(38,0))
+              |      * (10000 * tf + 3000 + 9 * dlr_milli))"""
               .stripMargin))
           .groupBy(col("doc_id"))
           .agg(count(lit(1)).as("n_terms_hit"),
@@ -655,10 +701,11 @@ object TextAnalysis {
              |corpus AS (SELECT count(*) AS n_docs,
              |    CAST(sum(len(ws)) AS BIGINT) AS n_tokens FROM docs),
              |scored AS (SELECT t.doc_id,
-             |    t.tf * 22000000000 * (2 * c.n_docs - 2 * d.df + 1)
-             |      // ((2 * d.df + 1) * (10000 * t.tf + 3000 +
+             |    CAST(CAST(t.tf AS HUGEINT) * 22000000000
+             |        * (2 * c.n_docs - 2 * d.df + 1)
+             |      // (CAST(2 * d.df + 1 AS HUGEINT) * (10000 * t.tf + 3000 +
              |         9 * (t.dl * 1000000 // (c.n_tokens * 1000 // c.n_docs))))
-             |      AS score_micro
+             |      AS BIGINT) AS score_micro
              |  FROM tf t JOIN dfc d USING (term) CROSS JOIN corpus c)
              |SELECT doc_id, count(*) AS n_terms_hit,
              |  CAST(sum(score_micro) AS BIGINT) AS bm25_micro
@@ -730,9 +777,12 @@ object TextAnalysis {
     // bounds pair generation at N-1 bigrams per corpus, where
     // unrestricted co-occurrence would be quadratic per doc. Counts
     // join map-side (token/bigram vocab broadcast; domain scale
-    // shuffles on the token instead, same shape). Long envelope:
-    // n_ab·N·1e6 < 2^63 holds through N ≈ 2.7e6 tokens per the worst
-    // case n_ab = N (~sf 1); past that lift in DECIMAL.
+    // shuffles on the token instead, same shape). Overflow posture:
+    // both product chains (n_ab·N·1e6 and n_a·n_b) run in
+    // DECIMAL(38,0) — long math would wrap past N ≈ 2.7e6 corpus
+    // tokens (~sf 1), silently reordering results in non-ANSI mode;
+    // 38 digits cover any corpus this engine targets. The quotient is
+    // back in long range by construction (lift ≤ 1e6·N / n_b ≤ 1e6·N).
     QueryDef(
       "q119_collocations",
       (s, d) => {
@@ -757,7 +807,8 @@ object TextAnalysis {
             .withColumnRenamed("n_w", "n_b"), "w2")
           .crossJoin(broadcast(n))
           .withColumn("lift_micro",
-            expr("n_ab * n_tokens * 1000000L div (n_a * n_b)"))
+            expr("""CAST(n_ab AS DECIMAL(38,0)) * n_tokens * 1000000
+                   | div (CAST(n_a AS DECIMAL(38,0)) * n_b)""".stripMargin))
           .select(col("bigram"), col("n_ab"), col("n_a"), col("n_b"),
             col("lift_micro"))
           .orderBy(col("lift_micro").desc, col("bigram"))
@@ -774,7 +825,8 @@ object TextAnalysis {
              |bigrams AS (SELECT bigram, count(*) AS n_ab FROM bi
              |  GROUP BY bigram HAVING count(*) >= 5)
              |SELECT b.bigram, b.n_ab, a1.n_w AS n_a, a2.n_w AS n_b,
-             |  b.n_ab * n.n_tokens * 1000000 // (a1.n_w * a2.n_w)
+             |  CAST(CAST(b.n_ab AS HUGEINT) * n.n_tokens * 1000000
+             |    // (CAST(a1.n_w AS HUGEINT) * a2.n_w) AS BIGINT)
              |    AS lift_micro
              |FROM bigrams b
              |JOIN unigrams a1 ON a1.w = string_split(b.bigram, ' ')[1]

@@ -1,5 +1,7 @@
 package graft.sources
 
+import java.net.{URLDecoder, URLEncoder}
+import java.nio.charset.StandardCharsets.UTF_8
 import java.nio.file.{Files, Path, Paths, StandardCopyOption}
 import scala.jdk.CollectionConverters._
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -84,14 +86,238 @@ object VersionedTable {
     versions(root).lastOption.getOrElse(-1L)
 
   private case class Manifest(version: Long, action: String,
-      files: Seq[String], batchTag: Option[Long])
+      files: Seq[String], batchTag: Option[Long], stats: Seq[String])
 
   private def readManifest(root: String, v: Long): Manifest = {
     val lines = Files.readAllLines(manifestPath(root, v)).asScala.toSeq
     def field(k: String): Seq[String] =
       lines.filter(_.startsWith(s"$k=")).map(_.drop(k.length + 1))
     Manifest(field("version").head.toLong, field("action").head,
-      field("file"), field("batch").headOption.map(_.toLong))
+      field("file"), field("batch").headOption.map(_.toLong),
+      field("stats"))
+  }
+
+  // ---------------------------------------------------------------------
+  // Data skipping — per-file column min/max stats in the manifest
+  // (the Delta/Iceberg capability with the largest 100 TB impact: a
+  // selective read opens only the files whose value range can match).
+  //
+  // Stats are harvested from the PARQUET FOOTERS of the just-written
+  // files at commit time — metadata-only, O(files) not O(rows); no
+  // second pass over the data. Each manifest carries one line per
+  // (file, column):
+  //   stats=<fileEnc>|<colEnc>|<typ>|<minEnc>|<maxEnc>|<nulls>|<rows>
+  // with URL-encoded fields (column names and string bounds may hold
+  // '|', whitespace, or any unicode). `typ` is long | double | string;
+  // columns outside those families (nested, decimal, int96…) simply
+  // record no stats and are never pruned — absence of stats always
+  // degrades to "read the file", never to a wrong skip.
+  // ---------------------------------------------------------------------
+
+  /** Merged min/max for one column of one file. `min`/`max` are None
+    * when every value in the file is NULL (`nulls == rows`) — such a
+    * file is skippable by ANY range predicate on the column. */
+  final case class ColStats(typ: String, min: Option[String],
+      max: Option[String], nulls: Long, rows: Long)
+
+  private def enc(s: String): String = URLEncoder.encode(s, "UTF-8")
+  private def dec(s: String): String = URLDecoder.decode(s, "UTF-8")
+
+  /** Footer-harvested stats for one parquet file, keyed by column
+    * name. Unsupported physical/logical types yield no entry. */
+  private def footerStats(spark: SparkSession, file: Path)
+      : Map[String, ColStats] = {
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+    import org.apache.parquet.schema.LogicalTypeAnnotation
+    val in = HadoopInputFile.fromPath(
+      new org.apache.hadoop.fs.Path(file.toUri),
+      spark.sparkContext.hadoopConfiguration)
+    val reader = ParquetFileReader.open(in)
+    try {
+      val footer = reader.getFooter
+      // (typ, mins, maxes, nulls, rows) accumulated across row groups
+      val acc = scala.collection.mutable.Map
+        .empty[String, (String, List[String], List[String], Long, Long)]
+      var unsupported = Set.empty[String]
+      for (block <- footer.getBlocks.asScala;
+           chunk <- block.getColumns.asScala) {
+        val name = chunk.getPath.toDotString
+        val prim = chunk.getPrimitiveType
+        val logical = prim.getLogicalTypeAnnotation
+        val isDecimal = logical != null &&
+          logical.isInstanceOf[LogicalTypeAnnotation.DecimalLogicalTypeAnnotation]
+        val isString = logical != null &&
+          logical == LogicalTypeAnnotation.stringType()
+        val typ: Option[String] = prim.getPrimitiveTypeName match {
+          // decimal over int32/64 stores UNSCALED values — a raw
+          // numeric compare against a user bound would mis-prune
+          case INT32 | INT64 if !isDecimal => Some("long")
+          case FLOAT | DOUBLE              => Some("double")
+          case BINARY if isString          => Some("string")
+          case _                           => None
+        }
+        val st: org.apache.parquet.column.statistics.Statistics[_] =
+          chunk.getStatistics
+        typ match {
+          case None => unsupported += name
+          case Some(t) if st == null || st.isEmpty => unsupported += name
+          case Some(t) =>
+            // Binary stats stringify to a debug form via toString —
+            // decode the raw UTF-8 bytes instead
+            def asStr(v: Any): String = v match {
+              case b: org.apache.parquet.io.api.Binary =>
+                new String(b.getBytes, UTF_8)
+              case other => other.toString
+            }
+            val (minS, maxS) =
+              if (!st.hasNonNullValue) (None, None)
+              else {
+                val mn = asStr(st.genericGetMin)
+                val mx = asStr(st.genericGetMax)
+                // NaN poisons float min/max (PARQUET-1222): a chunk
+                // whose bounds touch NaN records no stats at all
+                if (t == "double" &&
+                    (mn.toDouble.isNaN || mx.toDouble.isNaN))
+                  (None, None) // handled below via `unsupported`
+                else (Some(mn), Some(mx))
+              }
+            if (t == "double" && st.hasNonNullValue && minS.isEmpty)
+              unsupported += name
+            else {
+              val prev = acc.getOrElse(name,
+                (t, Nil, Nil, 0L, 0L))
+              acc(name) = (t, prev._2 ++ minS.toList,
+                prev._3 ++ maxS.toList,
+                prev._4 + st.getNumNulls, prev._5 + chunk.getValueCount)
+            }
+        }
+      }
+      (acc.toMap -- unsupported).map { case (name, (t, mins, maxes, nulls, rows)) =>
+        val min = if (mins.isEmpty) None else Some(mins.minBy(statKey(t, _)))
+        val max = if (maxes.isEmpty) None else Some(maxes.maxBy(statKey(t, _)))
+        name -> ColStats(t, min, max, nulls, rows)
+      }.toMap
+    } finally reader.close()
+  }
+
+  /** Ordering key for stat values of a given typ — numeric for
+    * long/double, UTF-8 BYTE order for strings (the order Spark's
+    * UTF8String comparisons use; Java String.compareTo is UTF-16
+    * code-unit order, which DISAGREES on supplementary-plane text and
+    * would mis-prune). */
+  private def statKey(typ: String, v: String): StatOrd = typ match {
+    case "long"   => NumOrd(BigDecimal(v))
+    case "double" => NumOrd(BigDecimal(v.toDouble))
+    case _        => StrOrd(v.getBytes(UTF_8))
+  }
+  private sealed trait StatOrd extends Ordered[StatOrd]
+  private final case class NumOrd(v: BigDecimal) extends StatOrd {
+    def compare(o: StatOrd): Int = v.compare(o.asInstanceOf[NumOrd].v)
+  }
+  private final case class StrOrd(b: Array[Byte]) extends StatOrd {
+    def compare(o: StatOrd): Int = {
+      val ob = o.asInstanceOf[StrOrd].b
+      var i = 0
+      while (i < b.length && i < ob.length) {
+        val c = (b(i) & 0xff) - (ob(i) & 0xff)
+        if (c != 0) return c
+        i += 1
+      }
+      b.length - ob.length
+    }
+  }
+
+  private def statsLines(fileRel: String,
+      stats: Map[String, ColStats]): Seq[String] =
+    stats.toSeq.sortBy(_._1).map { case (col, cs) =>
+      s"stats=${enc(fileRel)}|${enc(col)}|${cs.typ}|" +
+        s"${cs.min.fold("")(enc)}|${cs.max.fold("")(enc)}|" +
+        s"${cs.nulls}|${cs.rows}"
+    }
+
+  private def parseStatsLine(line: String)
+      : Option[(String, String, ColStats)] =
+    line.split("\\|", -1) match {
+      case Array(f, c, t, mn, mx, nulls, rows) =>
+        Some((dec(f), dec(c), ColStats(t,
+          if (mn.isEmpty) None else Some(dec(mn)),
+          if (mx.isEmpty) None else Some(dec(mx)),
+          nulls.toLong, rows.toLong)))
+      case _ => None // unknown stats dialect: ignore, never mis-prune
+    }
+
+  /** Per-file column stats of snapshot `v` (same log-replay semantics
+    * as [[snapshotFiles]]). Files committed without stats (older
+    * manifests, unsupported types) map to an empty column map. */
+  def snapshotStats(root: String, v: Long)
+      : Map[String, Map[String, ColStats]] = {
+    val live = snapshotFiles(root, v).toSet
+    versions(root).filter(_ <= v)
+      .flatMap(ver => readManifest(root, ver).stats)
+      .flatMap(parseStatsLine)
+      .filter { case (f, _, _) => live.contains(f) }
+      .groupBy(_._1)
+      .map { case (f, rows) =>
+        f -> rows.map { case (_, c, cs) => c -> cs }.toMap }
+  }
+
+  /** Can any row of a file with stats `cs` satisfy
+    * `col BETWEEN lower AND upper` (bounds inclusive, None =
+    * unbounded)? NULL column values never satisfy a range predicate,
+    * so an all-null file is skippable outright. No stats → must read. */
+  private def mayMatch(cs: Option[ColStats],
+      lower: Option[Any], upper: Option[Any]): Boolean = cs match {
+    case None => true
+    case Some(c) =>
+      (c.min, c.max) match {
+        case (None, None) => c.nulls < c.rows // all-null file: skip
+        case (Some(mn), Some(mx)) =>
+          def key(v: Any) = statKey(c.typ, v.toString)
+          upper.forall(u => statKey(c.typ, mn) <= key(u)) &&
+            lower.forall(l => statKey(c.typ, mx) >= key(l))
+        case _ => true
+      }
+  }
+
+  /** The files of snapshot `v` that a `col BETWEEN lower AND upper`
+    * read must open, plus the total file count — the data-skipping
+    * planner, exposed separately so callers (and specs) can observe
+    * the pruning ratio. */
+  def pruneFiles(root: String, v: Long, colName: String,
+      lower: Option[Any], upper: Option[Any]): (Seq[String], Int) = {
+    val files = snapshotFiles(root, v)
+    val stats = snapshotStats(root, v)
+    (files.filter(f =>
+      mayMatch(stats.getOrElse(f, Map.empty).get(colName), lower, upper)),
+      files.size)
+  }
+
+  /** Data-skipping read: `col BETWEEN lower AND upper` (inclusive;
+    * None = unbounded) evaluated against the manifest stats FIRST, so
+    * only files whose min/max range can hold a match are ever opened
+    * — at 100 TB a selective predicate over a range-clustered table
+    * turns a full-table scan into a handful of file opens, before
+    * Spark's own row-group pruning sees anything. The residual
+    * predicate is still applied to the surviving rows (stats prune
+    * files, not rows), so the result equals
+    * `read(...).filter(col between lower and upper)` exactly. */
+  def readSkipping(spark: SparkSession, root: String, colName: String,
+      lower: Option[Any], upper: Option[Any],
+      version: Option[Long] = None): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val latest = latestVersion(root)
+    require(latest >= 0, s"$root is not a versioned table (empty log)")
+    val v = version.getOrElse(latest)
+    val (keep, _) = pruneFiles(root, v, colName, lower, upper)
+    val base =
+      if (keep.isEmpty) read(spark, root, Some(v)).limit(0)
+      else spark.read.parquet(keep.map(f => Paths.get(root, f).toString): _*)
+    val c = col(colName)
+    val pred = (lower.map(l => c >= lit(l)) ++ upper.map(u => c <= lit(u)))
+      .reduceOption(_ && _).getOrElse(lit(true))
+    base.filter(pred)
   }
 
   /** The file set of snapshot `v` (log replay: overwrite resets,
@@ -141,10 +367,16 @@ object VersionedTable {
       .filter(n => n.endsWith(".parquet") && !n.startsWith("."))
       .sorted
       .map(n => s"$dataRel/$n")
+    // Data-skipping stats: harvested from the freshly written parquet
+    // FOOTERS (metadata-only — no data re-read) and committed in the
+    // same manifest, so stats and file list are atomic together.
+    val stats = files.flatMap { f =>
+      statsLines(f, footerStats(df.sparkSession, Paths.get(root, f)))
+    }
     val body =
       (Seq(s"version=$next", s"action=$mode") ++
         batchTag.map(b => s"batch=$b").toSeq ++
-        files.map(f => s"file=$f"))
+        files.map(f => s"file=$f") ++ stats)
         .mkString("", "\n", "\n")
     val tmp = Files.createTempFile(logDir(root), s".tmp-v$next-", "")
     Files.write(tmp, body.getBytes("UTF-8"))

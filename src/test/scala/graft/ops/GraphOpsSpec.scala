@@ -96,11 +96,18 @@ class GraphOpsSpec extends SparkSpecBase with TableDrivenPropertyChecks {
         .distinct
     }
     for (edges <- samples) {
-      val got = GraphOps.triangleCounts(edges.toDF("a", "b"), "a", "b")
-        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val (counts, oriented) =
+        GraphOps.triangleCounts(edges.toDF("a", "b"), "a", "b")
+      val got = counts.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
       assert(got === bruteTriangles(edges),
         s"triangle mismatch on edges $edges")
-      spark.sharedState.cacheManager.clearCache()
+      // the returned handle releases the cache without a global clear
+      // (assert on THIS frame, not cacheManager.isEmpty — the session
+      // is shared across suites and others may legitimately hold cache)
+      oriented.unpersist()
+      assert(oriented.storageLevel ==
+        org.apache.spark.storage.StorageLevel.NONE,
+        "triangleCounts handle still cached after unpersist")
     }
   }
 }

@@ -36,6 +36,35 @@ class MultimodalSpec extends SparkSpecBase {
     assert(again === out.view.mapValues(_.checksum).toMap)
   }
 
+  test("decodeImages: real ImageIO decode reads back the generated pixels") {
+    val recs = Seq(
+      Multimodal.MediaRecord(7L, "image",
+        Multimodal.syntheticPng(7L, 5, 3), 5, 3, 0),
+      Multimodal.MediaRecord(2L, "image",
+        Multimodal.syntheticPng(2L, 1, 1), 1, 1, 0),
+      // non-PNG payload: must fall back to the stub, loudly tagged
+      Multimodal.MediaRecord(9L, "audio",
+        "not an image".getBytes("UTF-8"), 9, 9, 0),
+      // PNG magic but truncated body: decoder failure degrades, never throws
+      Multimodal.MediaRecord(4L, "image",
+        Multimodal.syntheticPng(4L, 4, 4).take(12), 4, 4, 0))
+      .toDS()
+    val out = Multimodal.decodeImages(recs, batchSize = 2)
+      .collect().map(r => r.media_id -> r).toMap
+    val d7 = out(7L)
+    assert(d7.decoder === "imageio")
+    // decoded DIMENSIONS come from the codec, not the metadata columns
+    assert(d7.width === 5 && d7.height === 3 && d7.n_pixels === 15L)
+    // decoded pixel sum == the generator formula (lossless roundtrip)
+    val expect7 = (0 until 15).map(i => (7L * 31 + i * 7) % 256).sum
+    assert(d7.pixel_sum === expect7)
+    val d2 = out(2L)
+    assert(d2.decoder === "imageio" && d2.width === 1 && d2.height === 1)
+    assert(d2.pixel_sum === (2L * 31) % 256)
+    assert(out(9L).decoder === "stub" && out(9L).width === 9)
+    assert(out(4L).decoder === "stub")
+  }
+
   test("sampleFrames: stride + cap arithmetic, no payload needed") {
     val feats = Multimodal.extractFeatures(Multimodal.fromDocuments(docs))
     val s = Multimodal.sampleFrames(feats, stride = 1, maxN = 2)

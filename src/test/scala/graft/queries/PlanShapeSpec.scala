@@ -141,6 +141,20 @@ class PlanShapeSpec extends SparkSpecBase {
       "q114 closing-edge probe degenerated to a nested loop")
   }
 
+  test("q122: partitioned mart scan carries a dynamic partition filter") {
+    // The mart is Hive-partitioned on Country and queried through a
+    // join against a filtered region dim — the partition filter is
+    // only knowable at run time, so it must arrive as a dynamicpruning
+    // subquery in the scan's PartitionFilters. A plan without it
+    // lists/reads every country directory: the 100 TB regression this
+    // entry exists to lock out.
+    val p = plan("q122_mart_partition_pruning")
+    assert(p.contains("PartitionFilters"),
+      s"q122 scan has no partition filters:\n$p")
+    assert(p.contains("dynamicpruning"),
+      s"q122 lost dynamic partition pruning:\n$p")
+  }
+
   test("scd2 computes both windows over ONE key exchange") {
     // lag (run detection) and lead (interval close) partition the same
     // way; a second Exchange would mean the partitioning was lost.

@@ -36,6 +36,24 @@ class ServingSqlSpec extends SparkSpecBase {
     assert(sql.count() > 0, "non-degenerate at sf0.001")
   }
 
+  test("top books by TITLE grain (reference-verbatim): SQL == DataFrame") {
+    clean
+    val sql = ServingSql.topBooksByTitle(spark, minRatings = 5, k = 20)
+    val api = Bookstore.ratingsFact(clean)
+      .join(broadcast(Bookstore.booksDim(clean)), "ISBN")
+      .groupBy(col("Book-Title"))
+      .agg(round(avg(col("Book-Rating").cast("double")), 4).as("Average-Rating"),
+        count(lit(1)).as("Total-Ratings"))
+      .filter(col("Total-Ratings") > 5)
+      .orderBy(col("Average-Rating").desc, col("Book-Title"))
+      .limit(20)
+    assert(rows(sql) === rows(api))
+    // grain sanity: title rows never exceed (ISBN, title) rows
+    val isbnGrain = ServingSql.topBooksByRating(spark, minRatings = 5, k = 1000)
+    val titleGrain = ServingSql.topBooksByTitle(spark, minRatings = 5, k = 1000)
+    assert(titleGrain.count() <= isbnGrain.count())
+  }
+
   test("top countries / top states: SQL == DataFrame") {
     clean
     val cust = Bookstore.customersDim(clean)

@@ -31,6 +31,92 @@ class VersionedTableSpec extends SparkSpecBase {
       .sorted.toSeq == Seq(9L, 10L))
   }
 
+  test("data skipping: selective range opens fewer files, same rows") {
+    val root = newRoot()
+    // range-clustered layout: 8 files with disjoint k ranges; s is a
+    // zero-padded string key so string stats order == numeric order;
+    // n is NULL in the low half (all-null in the low-range files)
+    val df = spark.range(0, 8000)
+      .select(col("id").as("k"),
+        concat(lit("s"), lpad(col("id"), 5, "0")).as("s"),
+        when(col("id") >= 4000, col("id")).as("n"))
+      .repartitionByRange(8, col("k"))
+    VersionedTable.commit(df, root)
+    val (keep, total) = VersionedTable.pruneFiles(root, 0L, "k",
+      Some(100L), Some(300L))
+    assert(total == 8, s"expected 8 files, got $total")
+    assert(keep.nonEmpty && keep.size <= 2,
+      s"[100,300] should touch at most 2 of 8 range-clustered files, " +
+        s"touched ${keep.size}")
+    // the skipping read opens exactly the kept files and returns
+    // exactly what a full-scan filter returns
+    val skipped = VersionedTable.readSkipping(spark, root, "k",
+      Some(100L), Some(300L))
+    assert(skipped.inputFiles.length == keep.size)
+    val full = VersionedTable.read(spark, root)
+      .filter(col("k").between(100, 300))
+    assert(skipped.collect().map(_.getLong(0)).sorted.toSeq ==
+      full.collect().map(_.getLong(0)).sorted.toSeq)
+    // string stats prune too (UTF-8 byte order)
+    val (keepS, _) = VersionedTable.pruneFiles(root, 0L, "s",
+      Some("s00100"), Some("s00300"))
+    assert(keepS.size <= 2, s"string range touched ${keepS.size} files")
+    // all-null files are skippable by any range on that column
+    val (keepN, _) = VersionedTable.pruneFiles(root, 0L, "n",
+      Some(0L), None)
+    assert(keepN.size <= 5,
+      s"files where n is entirely NULL must be skipped, kept ${keepN.size}")
+    assert(VersionedTable.readSkipping(spark, root, "n", Some(0L), None)
+      .count() == 4000)
+  }
+
+  test("data skipping degrades safely: no stats -> no pruning") {
+    val root = newRoot()
+    // array column: unsupported type, no stats recorded
+    val df = Seq((1L, Seq(1, 2)), (2L, Seq(3))).toDF("k", "arr")
+    VersionedTable.commit(df, root)
+    val (keep, total) = VersionedTable.pruneFiles(root, 0L, "arr",
+      Some(0L), Some(1L))
+    assert(keep.size == total, "stat-less column must never prune")
+    // a manifest written BEFORE stats existed (simulated by stripping
+    // stats lines) reads fine and prunes nothing
+    val rootOld = newRoot()
+    VersionedTable.commit(Seq(1L, 2L).toDF("k"), rootOld)
+    val mf = Paths.get(rootOld, "_graft_log", "v00000.txt")
+    val stripped = Files.readAllLines(mf).toArray.map(_.toString)
+      .filterNot(_.startsWith("stats=")).mkString("", "\n", "\n")
+    Files.writeString(mf, stripped)
+    val (keepOld, totalOld) = VersionedTable.pruneFiles(rootOld, 0L, "k",
+      Some(100L), None)
+    assert(keepOld.size == totalOld, "stats-free manifest must not prune")
+    assert(VersionedTable.read(spark, rootOld).count() == 2)
+  }
+
+  test("data skipping stats survive overwrite/append replay") {
+    val root = newRoot()
+    VersionedTable.commit(
+      spark.range(0, 100).select(col("id").as("k")), root) // v0
+    VersionedTable.commit(
+      spark.range(1000, 1100).select(col("id").as("k")), root) // v1 append
+    // both versions' stats are live; [0,50] prunes v1's file
+    val (keep, total) = VersionedTable.pruneFiles(root, 1L, "k",
+      Some(0L), Some(50L))
+    assert(total >= 2 && keep.size < total,
+      s"append snapshot should prune the disjoint file ($keep of $total)")
+    // overwrite resets the stat set along with the file set
+    VersionedTable.commit(
+      spark.range(5000, 5100).select(col("id").as("k")), root, "overwrite")
+    val (keep2, total2) = VersionedTable.pruneFiles(root, 2L, "k",
+      Some(0L), Some(50L))
+    assert(keep2.isEmpty,
+      s"post-overwrite snapshot holds only [5000,5100]; kept $keep2")
+    assert(VersionedTable.readSkipping(spark, root, "k",
+      Some(0L), Some(50L)).count() == 0)
+    // time travel still prunes against the OLD snapshot's stats
+    assert(VersionedTable.readSkipping(spark, root, "k",
+      Some(0L), Some(50L), version = Some(1L)).count() == 51)
+  }
+
   test("commit race: exactly one writer wins a version") {
     val root = newRoot()
     VersionedTable.commit(Seq(1L).toDF("id"), root) // v0

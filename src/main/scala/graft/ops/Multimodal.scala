@@ -182,4 +182,63 @@ object Multimodal {
       }
     }
   }
+
+  /** One resized image: source dims read from the codec, target dims
+    * fixed, band-0 sum of the RESIZED raster as content checksum. */
+  case class ResizedImage(
+      media_id: Long, src_w: Int, src_h: Int, width: Int, height: Int,
+      pixel_sum: Long, decoder: String)
+
+  /** Decode + NEAREST-NEIGHBOR resize to `outW`×`outH` in one batched
+    * narrow stage. Nearest-neighbor on purpose: the sample index map
+    * `src(x2,y2) = (⌊x2·W/outW⌋, ⌊y2·H/outH⌋)` is integer-exact, so
+    * the result is bit-reproducible across JVMs AND statable by an
+    * external oracle — `Graphics2D` bilinear filtering is neither
+    * (platform-dependent rounding). Up- and down-scaling both fall
+    * out of the same formula. Payloads never shuffle: decode, sample,
+    * and reduce to fixed-size metadata all happen in one
+    * mapPartitions pass, the shape that carries full-size frames at
+    * 100 TB. Undecodable payloads degrade to the stub checksum with
+    * dimensions zeroed (not a throw — one corrupt blob must not kill
+    * the stage). */
+  def resizeImages(ds: Dataset[MediaRecord], outW: Int, outH: Int,
+      batchSize: Int = 64): Dataset[ResizedImage] = {
+    require(outW >= 1 && outH >= 1, s"target dims must be >= 1")
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        batch.map { r =>
+          val real: Option[ResizedImage] =
+            if (!isPng(r.payload)) None
+            else
+              try {
+                val img = javax.imageio.ImageIO.read(
+                  new java.io.ByteArrayInputStream(r.payload))
+                if (img == null) None
+                else {
+                  val (w, h) = (img.getWidth, img.getHeight)
+                  val raster = img.getRaster
+                  var sum = 0L
+                  var y2 = 0
+                  while (y2 < outH) {
+                    val sy = y2 * h / outH
+                    var x2 = 0
+                    while (x2 < outW) {
+                      sum += raster.getSample(x2 * w / outW, sy, 0)
+                      x2 += 1
+                    }
+                    y2 += 1
+                  }
+                  Some(ResizedImage(r.media_id, w, h, outW, outH,
+                    sum, "imageio"))
+                }
+              } catch { case scala.util.control.NonFatal(_) => None }
+          real.getOrElse {
+            val (cs, _) = decodeStub(r.payload)
+            ResizedImage(r.media_id, 0, 0, outW, outH, cs, "stub")
+          }
+        }
+      }
+    }
+  }
 }

@@ -53,6 +53,82 @@ object Lakehouse {
              |  CAST(sum(o_orderkey) AS BIGINT) AS sum_key,
              |  min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
              |FROM orders WHERE o_orderkey BETWEEN 1 AND 1024
-             |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin))
+             |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)),
+
+    // OPTIMIZE ZORDER + 2-D data skipping: lineitem committed, then
+    // rewritten clustered on the Morton interleave of (l_partkey,
+    // l_suppkey) — after which each file's min/max is a tight
+    // bounding box in BOTH dimensions and a conjunctive range read
+    // prunes multiplicatively (readSkippingRanges intersects the
+    // per-column keep sets). This is the layout-maintenance +
+    // metadata-pruning pair that keeps a 100 TB table's selective
+    // scans at a handful of file opens; a single-column sort gives
+    // one prunable dimension only (VersionedTableSpec measures the
+    // difference). The oracle is the layout-free conjunctive WHERE:
+    // clustering must never change the answer.
+    QueryDef(
+      "q125_zorder_skipping",
+      (s, d) => {
+        val root = Files.createTempDirectory("graft_zorder_").toString
+        VersionedTable.commit(
+          lineitem(s, d).select(col("l_orderkey"), col("l_partkey"),
+            col("l_suppkey"), col("l_quantity")), root)
+        VersionedTable.compactClustered(s, root, "l_partkey", "l_suppkey",
+          bitsPer = 21, numFiles = 8)
+        VersionedTable.readSkippingRanges(s, root, Seq(
+            ("l_partkey", Some(1L), Some(200L)),
+            ("l_suppkey", Some(1L), Some(40L))))
+          .groupBy(col("l_suppkey"))
+          .agg(count(lit(1)).as("n_items"),
+            sum(col("l_quantity").cast("long")).as("sum_qty"),
+            min(col("l_partkey")).as("min_part"),
+            max(col("l_partkey")).as("max_part"))
+          .orderBy(col("l_suppkey"))
+      },
+      Some("""SELECT l_suppkey, count(*) AS n_items,
+             |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+             |  min(l_partkey) AS min_part, max(l_partkey) AS max_part
+             |FROM lineitem
+             |WHERE l_partkey BETWEEN 1 AND 200 AND l_suppkey BETWEEN 1 AND 40
+             |GROUP BY l_suppkey ORDER BY l_suppkey""".stripMargin)),
+
+    // SCHEMA EVOLUTION from manifest metadata: v0 commits two columns,
+    // v1 appends with a third — reads resolve the schema from the
+    // MANIFEST (no mergeSchema footer-listing pass over the table, the
+    // cost that makes footer merging unusable at 100 TB), and v0's
+    // rows surface the added column as NULL. The oracle states the
+    // same union-with-null semantics over the raw table; count/sum
+    // over the nullable column pin exactly which rows carry it. The
+    // append-validation side (drop/retype rejected) lives in
+    // VersionedTableSpec.
+    QueryDef(
+      "q127_schema_evolution",
+      (s, d) => {
+        val root = Files.createTempDirectory("graft_evo_").toString
+        val o = orders(s, d)
+        VersionedTable.commit(
+          o.filter(col("o_orderkey") <= 1000)
+            .select(col("o_orderkey"), col("o_orderstatus")), root)
+        VersionedTable.commit(
+          o.filter(col("o_orderkey") > 1000)
+            .select(col("o_orderkey"), col("o_orderstatus"),
+              col("o_custkey")), root)
+        VersionedTable.read(s, root)
+          .groupBy(col("o_orderstatus"))
+          .agg(count(lit(1)).as("n_orders"),
+            count(col("o_custkey")).as("n_with_cust"),
+            sum(col("o_custkey")).as("sum_cust"))
+          .orderBy(col("o_orderstatus"))
+      },
+      Some("""WITH t AS (
+             |  SELECT o_orderkey, o_orderstatus, NULL AS o_custkey
+             |  FROM orders WHERE o_orderkey <= 1000
+             |  UNION ALL
+             |  SELECT o_orderkey, o_orderstatus, o_custkey
+             |  FROM orders WHERE o_orderkey > 1000)
+             |SELECT o_orderstatus, count(*) AS n_orders,
+             |  count(o_custkey) AS n_with_cust,
+             |  CAST(sum(o_custkey) AS BIGINT) AS sum_cust
+             |FROM t GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin))
   )
 }

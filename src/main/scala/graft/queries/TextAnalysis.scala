@@ -575,6 +575,50 @@ object TextAnalysis {
              |  'imageio' AS decoder
              |FROM documents ORDER BY media_id""".stripMargin)),
 
+    // Image RESIZE through the real codec (the thumbnail/preprocess
+    // stage of a multimodal training pipeline): decode the q124
+    // fixture PNGs, nearest-neighbor-resample to a fixed 4×4, and
+    // checksum the RESIZED raster. Nearest-neighbor's index map
+    // (src = ⌊dst·srcDim/outDim⌋) is integer-exact, so the oracle
+    // composes it with the pixel-generator formula in closed form —
+    // a wrong sample order, rounding mode, or up/downscale branch
+    // breaks the hash. Same narrow batched stage as q124: at 100 TB
+    // the full-resolution payloads live and die inside one
+    // mapPartitions pass and only 4×4 summaries move on.
+    QueryDef(
+      "q126_image_resize",
+      (s, d) => {
+        import s.implicits._
+        val media = documents(s, d)
+          .repartition(s.sparkContext.defaultParallelism)
+          .select(col("doc_id")).as[Long]
+          .map { id =>
+            val w = (id % 8 + 1).toInt
+            val h = (id % 6 + 1).toInt
+            graft.ops.Multimodal.MediaRecord(
+              id, "image", graft.ops.Multimodal.syntheticPng(id, w, h),
+              w, h, 0)
+          }
+        graft.ops.Multimodal.resizeImages(media, outW = 4, outH = 4).toDF()
+          .select(col("media_id"), col("src_w"), col("src_h"),
+            col("width"), col("height"), col("pixel_sum"), col("decoder"))
+          .orderBy(col("media_id"))
+      },
+      // pixel(y2,x2) of the 4×4 = generator(sy·W + sx) with
+      // sy = y2·H div 4, sx = x2·W div 4 (j = y2·4 + x2 below)
+      Some("""SELECT doc_id AS media_id,
+             |  CAST(doc_id % 8 + 1 AS INT) AS src_w,
+             |  CAST(doc_id % 6 + 1 AS INT) AS src_h,
+             |  CAST(4 AS INT) AS width, CAST(4 AS INT) AS height,
+             |  CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+             |    list_transform(range(0, 16), j ->
+             |      (doc_id * 31 +
+             |        (((j // 4) * (doc_id % 6 + 1) // 4) * (doc_id % 8 + 1)
+             |          + ((j % 4) * (doc_id % 8 + 1) // 4)) * 7) % 256)),
+             |    (a, b) -> a + b) AS BIGINT) AS pixel_sum,
+             |  'imageio' AS decoder
+             |FROM documents ORDER BY media_id""".stripMargin)),
+
     // Inverted-index construction (the search-index build): term →
     // sorted posting list of containing docs, stopwords excluded by
     // RANK (the 5 highest-df terms — scale-stable where an absolute

@@ -86,7 +86,8 @@ object VersionedTable {
     versions(root).lastOption.getOrElse(-1L)
 
   private case class Manifest(version: Long, action: String,
-      files: Seq[String], batchTag: Option[Long], stats: Seq[String])
+      files: Seq[String], batchTag: Option[Long], stats: Seq[String],
+      schemaJson: Option[String])
 
   private def readManifest(root: String, v: Long): Manifest = {
     val lines = Files.readAllLines(manifestPath(root, v)).asScala.toSeq
@@ -94,8 +95,26 @@ object VersionedTable {
       lines.filter(_.startsWith(s"$k=")).map(_.drop(k.length + 1))
     Manifest(field("version").head.toLong, field("action").head,
       field("file"), field("batch").headOption.map(_.toLong),
-      field("stats"))
+      field("stats"), field("schema").headOption.map(dec))
   }
+
+  /** The table schema AT snapshot `v`: the newest commit's recorded
+    * schema (each commit writes its own, and append schemas are
+    * validated supersets — see [[commit]] — so the newest one covers
+    * every live file). None for pre-schema-tracking manifests. This
+    * is what lets [[read]] resolve the schema from METADATA instead
+    * of parquet footers: no mergeSchema footer-listing pass over
+    * 100 TB of files, and columns added by later commits surface as
+    * NULL in older files' rows. */
+  def tableSchema(root: String, v: Long)
+      : Option[org.apache.spark.sql.types.StructType] =
+    versions(root).filter(_ <= v).lastOption
+      // the NEWEST manifest only: if it predates schema tracking its
+      // files may hold columns no older schema line knows about —
+      // degrade to the schemaless read rather than silently dropping
+      .flatMap(ver => readManifest(root, ver).schemaJson)
+      .map(j => org.apache.spark.sql.types.DataType.fromJson(j)
+        .asInstanceOf[org.apache.spark.sql.types.StructType])
 
   // ---------------------------------------------------------------------
   // Data skipping — per-file column min/max stats in the manifest
@@ -294,6 +313,31 @@ object VersionedTable {
       files.size)
   }
 
+  /** Data-skipping read over a CONJUNCTION of inclusive ranges
+    * (`(col, lower, upper)`, None = unbounded): a file survives only
+    * if EVERY range can match its stats — the multi-column form that
+    * makes a Z-ordered layout pay off (each dimension's min/max is a
+    * tight bounding box, so the intersection prunes multiplicatively).
+    * The residual predicates still apply to surviving rows, so the
+    * result equals `read(...).filter(r1 AND r2 AND ...)` exactly. */
+  def readSkippingRanges(spark: SparkSession, root: String,
+      ranges: Seq[(String, Option[Any], Option[Any])],
+      version: Option[Long] = None): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val latest = latestVersion(root)
+    require(latest >= 0, s"$root is not a versioned table (empty log)")
+    val v = version.getOrElse(latest)
+    val stats = snapshotStats(root, v)
+    val keep = snapshotFiles(root, v).filter { f =>
+      val fs = stats.getOrElse(f, Map.empty)
+      ranges.forall { case (c, lo, hi) => mayMatch(fs.get(c), lo, hi) }
+    }
+    val pred = ranges.flatMap { case (c, lo, hi) =>
+      lo.map(l => col(c) >= lit(l)) ++ hi.map(u => col(c) <= lit(u))
+    }.reduceOption(_ && _).getOrElse(lit(true))
+    readFiles(spark, root, v, keep).filter(pred)
+  }
+
   /** Data-skipping read: `col BETWEEN lower AND upper` (inclusive;
     * None = unbounded) evaluated against the manifest stats FIRST, so
     * only files whose min/max range can hold a match are ever opened
@@ -305,19 +349,32 @@ object VersionedTable {
     * `read(...).filter(col between lower and upper)` exactly. */
   def readSkipping(spark: SparkSession, root: String, colName: String,
       lower: Option[Any], upper: Option[Any],
-      version: Option[Long] = None): DataFrame = {
-    import org.apache.spark.sql.functions.{col, lit}
-    val latest = latestVersion(root)
-    require(latest >= 0, s"$root is not a versioned table (empty log)")
-    val v = version.getOrElse(latest)
-    val (keep, _) = pruneFiles(root, v, colName, lower, upper)
-    val base =
-      if (keep.isEmpty) read(spark, root, Some(v)).limit(0)
-      else spark.read.parquet(keep.map(f => Paths.get(root, f).toString): _*)
-    val c = col(colName)
-    val pred = (lower.map(l => c >= lit(l)) ++ upper.map(u => c <= lit(u)))
-      .reduceOption(_ && _).getOrElse(lit(true))
-    base.filter(pred)
+      version: Option[Long] = None): DataFrame =
+    readSkippingRanges(spark, root, Seq((colName, lower, upper)), version)
+
+  /** OPTIMIZE ZORDER BY: rewrite the current snapshot clustered on the
+    * Morton interleave of two quantized dimension columns, as one
+    * overwrite commit of `numFiles` files covering disjoint z-ranges.
+    * After this, the manifest's per-file min/max become tight bounding
+    * boxes in BOTH dimensions, so [[readSkippingRanges]] prunes on
+    * either column or their conjunction — the layout maintenance job a
+    * lakehouse runs to keep 100 TB data skipping effective. Inputs
+    * must be nonnegative and fit `bitsPer` bits (quantize first);
+    * older versions stay readable (compaction is just a commit). */
+  def compactClustered(spark: SparkSession, root: String,
+      xCol: String, yCol: String, bitsPer: Int = 21,
+      numFiles: Int = 8): Long = {
+    import org.apache.spark.sql.functions.col
+    val cur = read(spark, root)
+    require(!cur.columns.contains("__zorder"),
+      "table already has a __zorder column — rename it first")
+    val clustered = cur
+      .withColumn("__zorder",
+        graft.ops.ZOrder.interleave2(col(xCol), col(yCol), bitsPer))
+      .repartitionByRange(numFiles, col("__zorder"))
+      .sortWithinPartitions(col("__zorder"))
+      .drop("__zorder")
+    commit(clustered, root, "overwrite")
   }
 
   /** The file set of snapshot `v` (log replay: overwrite resets,
@@ -358,6 +415,29 @@ object VersionedTable {
         s"(latest is ${latestVersion(root)})")
     if (Files.exists(manifestPath(root, next)))
       throw new ConcurrentCommitException(next)
+    // Schema tracking + evolution policy (the Delta-shaped contract):
+    // an APPEND may ADD columns but must keep every existing column at
+    // its existing type — dropping or retyping under appends would
+    // leave live files the declared schema can't describe. OVERWRITE
+    // replaces the file set, so it may change schema freely. The
+    // check compares against METADATA (the previous manifest's schema
+    // line), never parquet footers.
+    val prevSchema =
+      if (latestVersion(root) < 0) None
+      else tableSchema(root, latestVersion(root))
+    if (mode == "append") prevSchema.foreach { prev =>
+      val byName = df.schema.map(f => f.name -> f.dataType).toMap
+      val broken = prev.filter(f => !byName.get(f.name).contains(f.dataType))
+      require(broken.isEmpty,
+        "append may add columns but not drop/retype existing ones; " +
+          s"missing or retyped: ${broken.map(_.name).mkString(", ")} " +
+          "(use overwrite to change the schema)")
+    }
+    // Append onto a pre-schema-tracking history records NO schema:
+    // old files may hold columns this append doesn't know about, and
+    // a partial schema line would silently hide them from reads.
+    val recordSchema = mode == "overwrite" ||
+      latestVersion(root) < 0 || prevSchema.isDefined
     val nonce = java.util.UUID.randomUUID().toString.take(8)
     val dataRel = s"data/v$next-$nonce"
     val dataDir = Paths.get(root, dataRel)
@@ -376,6 +456,8 @@ object VersionedTable {
     val body =
       (Seq(s"version=$next", s"action=$mode") ++
         batchTag.map(b => s"batch=$b").toSeq ++
+        (if (recordSchema) Seq(s"schema=${enc(df.schema.json)}")
+         else Seq.empty) ++
         files.map(f => s"file=$f") ++ stats)
         .mkString("", "\n", "\n")
     val tmp = Files.createTempFile(logDir(root), s".tmp-v$next-", "")
@@ -393,6 +475,27 @@ object VersionedTable {
     next
   }
 
+  /** Read a set of snapshot-`v` files with the schema resolved from
+    * MANIFEST METADATA (not parquet footers): columns added after a
+    * file was written surface as NULL in its rows — schema-evolution
+    * reads with zero footer-listing cost. Pre-tracking tables fall
+    * back to Spark's own footer resolution. */
+  private def readFiles(spark: SparkSession, root: String, v: Long,
+      files: Seq[String]): DataFrame = {
+    val schema = tableSchema(root, v)
+    if (files.isEmpty)
+      schema match {
+        case Some(sc) => spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], sc)
+        case None =>
+          spark.read.parquet(Paths.get(root, "data").toString).limit(0)
+      }
+    else {
+      val paths = files.map(f => Paths.get(root, f).toString)
+      schema.fold(spark.read)(spark.read.schema).parquet(paths: _*)
+    }
+  }
+
   /** Read a snapshot: latest by default, or time-travel to `version`. */
   def read(spark: SparkSession, root: String,
       version: Option[Long] = None): DataFrame = {
@@ -401,11 +504,7 @@ object VersionedTable {
     val v = version.getOrElse(latest)
     require(v >= 0 && v <= latest,
       s"version $v out of range [0, $latest]")
-    val files = snapshotFiles(root, v)
-    if (files.isEmpty)
-      spark.read.parquet(Paths.get(root, "data").toString).limit(0)
-    else
-      spark.read.parquet(files.map(f => Paths.get(root, f).toString): _*)
+    readFiles(spark, root, v, snapshotFiles(root, v))
   }
 
   /** MERGE INTO the table: CDC-upsert `updates` (base schema plus a
@@ -462,12 +561,10 @@ object VersionedTable {
     import org.apache.spark.sql.functions.lit
     val fa = snapshotFiles(root, from).toSet
     val fb = snapshotFiles(root, to).toSet
-    def readFiles(fs: Set[String]): DataFrame =
-      if (fs.isEmpty) read(spark, root, Some(to)).limit(0)
-      else spark.read.parquet(
-        fs.toSeq.sorted.map(f => Paths.get(root, f).toString): _*)
-    val a = readFiles(fa -- fb) // candidate deletes
-    val b = readFiles(fb -- fa) // candidate inserts
+    // both sides read under the `to` schema so columns align across a
+    // schema-evolving interval (an added column diffs as NULL→value)
+    val a = readFiles(spark, root, to, (fa -- fb).toSeq.sorted) // deletes
+    val b = readFiles(spark, root, to, (fb -- fa).toSeq.sorted) // inserts
     b.exceptAll(a).withColumn("_change", lit("insert"))
       .unionByName(a.exceptAll(b).withColumn("_change", lit("delete")))
   }

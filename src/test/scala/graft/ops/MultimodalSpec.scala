@@ -65,6 +65,31 @@ class MultimodalSpec extends SparkSpecBase {
     assert(out(4L).decoder === "stub")
   }
 
+  test("resizeImages: nearest-neighbor matches the index-map formula") {
+    def gen(seed: Long, w: Int, h: Int)(y: Int, x: Int): Long =
+      (seed * 31 + (y.toLong * w + x) * 7) % 256
+    val recs = Seq(
+      Multimodal.MediaRecord(3L, "image",
+        Multimodal.syntheticPng(3L, 6, 5), 6, 5, 0), // downscale
+      Multimodal.MediaRecord(5L, "image",
+        Multimodal.syntheticPng(5L, 2, 2), 2, 2, 0), // upscale
+      Multimodal.MediaRecord(8L, "audio",
+        "noise".getBytes("UTF-8"), 0, 0, 0))
+      .toDS()
+    val out = Multimodal.resizeImages(recs, outW = 4, outH = 4)
+      .collect().map(r => r.media_id -> r).toMap
+    def expect(seed: Long, w: Int, h: Int): Long =
+      (for (y2 <- 0 until 4; x2 <- 0 until 4)
+        yield gen(seed, w, h)(y2 * h / 4, x2 * w / 4)).sum
+    val d3 = out(3L)
+    assert(d3.decoder === "imageio" && d3.src_w === 6 && d3.src_h === 5)
+    assert(d3.width === 4 && d3.height === 4)
+    assert(d3.pixel_sum === expect(3L, 6, 5))
+    // upscale repeats source pixels through the same formula
+    assert(out(5L).pixel_sum === expect(5L, 2, 2))
+    assert(out(8L).decoder === "stub")
+  }
+
   test("sampleFrames: stride + cap arithmetic, no payload needed") {
     val feats = Multimodal.extractFeatures(Multimodal.fromDocuments(docs))
     val s = Multimodal.sampleFrames(feats, stride = 1, maxN = 2)

@@ -117,6 +117,68 @@ class VersionedTableSpec extends SparkSpecBase {
       Some(0L), Some(50L), version = Some(1L)).count() == 51)
   }
 
+  test("compactClustered: z-order makes BOTH dimensions prunable") {
+    // 64×64 grid; a single-column sort would cluster x only — after
+    // z-order compaction a selective range on EITHER column must
+    // prune, and the conjunction must prune harder than each alone.
+    val root = newRoot()
+    val grid = spark.range(0, 64L * 64)
+      .select(expr("id % 64").as("x"), expr("id div 64").as("y"))
+    VersionedTable.commit(grid.repartition(4), root) // v0: unclustered
+    VersionedTable.compactClustered(spark, root, "x", "y",
+      bitsPer = 6, numFiles = 16)
+    val total = VersionedTable.snapshotFiles(
+      root, VersionedTable.latestVersion(root)).size
+    assert(total == 16)
+    val (kx, _) = VersionedTable.pruneFiles(root, 1L, "x",
+      Some(0L), Some(7L))
+    val (ky, _) = VersionedTable.pruneFiles(root, 1L, "y",
+      Some(0L), Some(7L))
+    assert(kx.size < total, s"x range kept all $total files")
+    assert(ky.size < total, s"y range kept all $total files")
+    val both = VersionedTable.readSkippingRanges(spark, root, Seq(
+      ("x", Some(0L), Some(7L)), ("y", Some(0L), Some(7L))))
+    assert(both.inputFiles.length <= math.min(kx.size, ky.size),
+      "conjunction must prune at least as hard as each dimension")
+    assert(both.count() == 64) // 8×8 corner, layout-independent
+    // the unclustered version is still time-travel readable
+    assert(VersionedTable.read(spark, root, Some(0L)).count() == 64L * 64)
+  }
+
+  test("schema evolution: appends may add columns; reads fill NULLs " +
+      "from metadata; drop/retype rejected") {
+    val root = newRoot()
+    VersionedTable.commit(Seq((1L, "a"), (2L, "b")).toDF("k", "s"), root)
+    // add a column on append: allowed, schema comes from the manifest
+    VersionedTable.commit(
+      Seq((3L, "c", 30L)).toDF("k", "s", "extra"), root)
+    val latest = VersionedTable.read(spark, root)
+    assert(latest.columns.toSeq == Seq("k", "s", "extra"))
+    val byK = latest.collect()
+      .map(r => r.getLong(0) -> Option(r.get(2))).toMap
+    assert(byK(1L).isEmpty && byK(2L).isEmpty, "old rows must read NULL")
+    assert(byK(3L).contains(30L))
+    // time travel shows the OLD schema
+    assert(VersionedTable.read(spark, root, Some(0L)).columns.toSeq ==
+      Seq("k", "s"))
+    // dropping a column under append is rejected
+    val drop = intercept[IllegalArgumentException] {
+      VersionedTable.commit(Seq(4L).toDF("k"), root)
+    }
+    assert(drop.getMessage.contains("drop/retype"))
+    // retyping a column under append is rejected
+    val retype = intercept[IllegalArgumentException] {
+      VersionedTable.commit(
+        Seq(("5", "e", 50L)).toDF("k", "s", "extra"), root)
+    }
+    assert(retype.getMessage.contains("drop/retype"))
+    // overwrite may change the schema freely
+    VersionedTable.commit(Seq(("x", 1.5)).toDF("name", "w"), root,
+      "overwrite")
+    assert(VersionedTable.read(spark, root).columns.toSeq ==
+      Seq("name", "w"))
+  }
+
   test("commit race: exactly one writer wins a version") {
     val root = newRoot()
     VersionedTable.commit(Seq(1L).toDF("id"), root) // v0

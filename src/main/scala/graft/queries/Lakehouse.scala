@@ -129,6 +129,47 @@ object Lakehouse {
              |SELECT o_orderstatus, count(*) AS n_orders,
              |  count(o_custkey) AS n_with_cust,
              |  CAST(sum(o_custkey) AS BIGINT) AS sum_cust
-             |FROM t GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin))
+             |FROM t GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)),
+
+    // COPY-ON-WRITE DELETE: orders committed range-clustered on
+    // o_orderkey (8 files, disjoint key ranges), then
+    // `DELETE WHERE o_orderkey BETWEEN 2000 AND 4000` — the manifest
+    // stats prune first, so only the 1-2 files whose range overlaps
+    // are read and rewritten; the rest CARRY OVER by reference in one
+    // `replace` commit (VersionedTableSpec asserts the untouched
+    // files keep their exact paths). At 100 TB this is a selective
+    // delete rewriting a handful of files instead of the table —
+    // Delta's DELETE shape. The pre-delete snapshot stays readable
+    // (time travel), which the entry proves by aggregating BOTH
+    // versions into one result; the oracle states both from the raw
+    // table, delete-side as WHERE NOT BETWEEN.
+    QueryDef(
+      "q128_cow_delete",
+      (s, d) => {
+        val root = Files.createTempDirectory("graft_del_").toString
+        VersionedTable.commit(
+          orders(s, d).repartitionByRange(8, col("o_orderkey")), root)
+        VersionedTable.deleteRanges(s, root,
+          Seq(("o_orderkey", Some(2000L), Some(4000L))))
+        def agg(df: org.apache.spark.sql.DataFrame, tag: String) =
+          df.groupBy(col("o_orderstatus"))
+            .agg(count(lit(1)).as("n_orders"),
+              sum(col("o_orderkey")).as("sum_key"))
+            .withColumn("snapshot", lit(tag))
+        agg(VersionedTable.read(s, root), "after_delete")
+          .unionByName(agg(VersionedTable.read(s, root, Some(0L)), "v0"))
+          .orderBy(col("snapshot"), col("o_orderstatus"))
+      },
+      Some("""SELECT o_orderstatus, count(*) AS n_orders,
+             |  CAST(sum(o_orderkey) AS BIGINT) AS sum_key,
+             |  'after_delete' AS snapshot
+             |FROM orders WHERE o_orderkey NOT BETWEEN 2000 AND 4000
+             |GROUP BY o_orderstatus
+             |UNION ALL
+             |SELECT o_orderstatus, count(*) AS n_orders,
+             |  CAST(sum(o_orderkey) AS BIGINT) AS sum_key,
+             |  'v0' AS snapshot
+             |FROM orders GROUP BY o_orderstatus
+             |ORDER BY snapshot, o_orderstatus""".stripMargin))
   )
 }

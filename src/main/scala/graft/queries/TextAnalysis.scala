@@ -876,6 +876,103 @@ object TextAnalysis {
              |JOIN unigrams a1 ON a1.w = string_split(b.bigram, ' ')[1]
              |JOIN unigrams a2 ON a2.w = string_split(b.bigram, ' ')[2]
              |CROSS JOIN n
-             |ORDER BY lift_micro DESC, bigram LIMIT 20""".stripMargin))
+             |ORDER BY lift_micro DESC, bigram LIMIT 20""".stripMargin)),
+
+    // Unigram-LM surprisal scoring (the CCNet/KenLM-style perplexity
+    // filter, the standard "does this doc look like the corpus"
+    // quality gate): per-token surprisal ≈ -log2 p(token) computed
+    // INTEGER-EXACTLY as length(bin(N div c)) = floor(log2(N/c))+1 —
+    // log()/ln() are not cross-engine stable, but the binary digit
+    // count of an integer is, and it is a monotone step transform of
+    // the true surprisal, so ranking is preserved. Per doc: token
+    // count, total bits, and millibits/token (integer division — no
+    // float means no cross-engine drift); output = the 20 most
+    // surprising (least corpus-like) docs, the ones the filter would
+    // drop. Scale shape: tokenization is narrow; the vocab is one
+    // map-side-combined groupBy whose size grows SUBlinearly (Heaps'
+    // law) so it broadcasts back onto the token stream (at true
+    // domain scale swap the hint for a shuffle join — the plan is
+    // otherwise unchanged); the corpus total is a single-row
+    // broadcast. The token derivation is persisted: vocab build and
+    // scoring both read it, and re-deriving means re-splitting every
+    // document.
+    QueryDef(
+      "q129_unigram_surprisal",
+      (s, d) => {
+        val toks = documents(s, d)
+          .select(col("doc_id"),
+            explode(TextOps.tokens(col("text"))).as("t"))
+          .filter(col("t") =!= "")
+          .persist()
+        val vocab = toks.groupBy(col("t")).agg(count(lit(1)).as("c"))
+        val tot = vocab.agg(sum(col("c")).as("n_total"))
+        toks
+          .join(broadcast(vocab), "t")
+          .crossJoin(broadcast(tot))
+          .withColumn("bits", length(bin(expr("n_total div c"))))
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_tokens"),
+            sum(col("bits")).as("total_bits"))
+          .withColumn("millibits_per_token",
+            expr("(total_bits * 1000) div n_tokens"))
+          .orderBy(col("millibits_per_token").desc, col("doc_id"))
+          .limit(20)
+      },
+      Some("""WITH toks AS (
+             |  SELECT doc_id, t FROM documents,
+             |    unnest(list_filter(string_split(text, ' '),
+             |      x -> x <> '')) AS u(t)),
+             |vocab AS (SELECT t, count(*) AS c FROM toks GROUP BY t),
+             |tot AS (SELECT CAST(sum(c) AS BIGINT) AS n_total FROM vocab),
+             |scored AS (
+             |  SELECT doc_id, length(bin(n_total // c)) AS bits
+             |  FROM toks JOIN vocab USING (t) CROSS JOIN tot),
+             |agg AS (
+             |  SELECT doc_id, count(*) AS n_tokens,
+             |    CAST(sum(bits) AS BIGINT) AS total_bits
+             |  FROM scored GROUP BY doc_id)
+             |SELECT doc_id, n_tokens, total_bits,
+             |  (total_bits * 1000) // n_tokens AS millibits_per_token
+             |FROM agg
+             |ORDER BY millibits_per_token DESC, doc_id LIMIT 20""".stripMargin)),
+
+    // BPE vocabulary-induction step (tokenizer training): the
+    // highest-frequency adjacent symbol pair across the corpus is the
+    // next merge — this entry computes the full candidate table for
+    // one round at character level (multiset counts: repeats within
+    // and across tokens all strengthen the pair, exactly BPE's count).
+    // Generation is bounded at length-1 pairs per token (adjacency,
+    // never all-pairs), fully narrow until one map-side-combined
+    // groupBy over a domain bounded by |alphabet|^2 — at 100 TB the
+    // reduce side is tiny no matter the corpus, the canonical
+    // heavy-fanout-in, bounded-key-domain aggregation. Top-20 by
+    // count with pair tie-break = the merges a tokenizer trainer
+    // would take.
+    QueryDef(
+      "q131_bpe_pair_merge",
+      (s, d) => {
+        documents(s, d)
+          .select(explode(TextOps.tokens(col("text"))).as("t"))
+          .filter(length(col("t")) >= 2) // sequence(1,0) DESCENDS in
+          // Spark (vs DuckDB range(1,1) = empty): 1-char tokens have
+          // no pair and must be excluded before the transform
+          .select(explode(expr(
+            "transform(sequence(1, length(t) - 1), " +
+              "i -> substring(t, i, 2))")).as("pair"))
+          .groupBy(col("pair"))
+          .agg(count(lit(1)).as("n"))
+          .orderBy(col("n").desc, col("pair"))
+          .limit(20)
+      },
+      Some("""WITH toks AS (
+             |  SELECT t FROM documents,
+             |    unnest(list_filter(string_split(text, ' '),
+             |      x -> length(x) >= 2)) AS u(t)),
+             |pairs AS (
+             |  SELECT p FROM toks,
+             |    unnest(list_transform(range(1, length(t)),
+             |      i -> substring(t, i, 2))) AS v(p))
+             |SELECT p AS pair, count(*) AS n FROM pairs
+             |GROUP BY p ORDER BY n DESC, pair LIMIT 20""".stripMargin))
   )
 }

@@ -548,6 +548,50 @@ object Training {
              |    AS best_composite,
              |  max(CASE WHEN rn <= n_src // 2 THEN composite END)
              |    AS cut_composite
-             |FROM k GROUP BY source ORDER BY source""".stripMargin))
+             |FROM k GROUP BY source ORDER BY source""".stripMargin)),
+
+    // Deterministic train/val/test assignment (the split every
+    // training pipeline needs): each doc lands in exactly one split
+    // by an ENGINE-PORTABLE mixing hash on its id — xxhash64/hash()
+    // differ between engines, so the hash is two rounds of
+    // multiply-add modular mixing in plain integer arithmetic,
+    // identical everywhere SQL runs, stable across runs and across
+    // corpus growth (a doc's split never changes when other docs
+    // arrive — the property random sampling lacks and hash splits
+    // exist to provide). 80/10/10 by bucket = mix % 1000. Output is
+    // the per-(source, split) audit: doc count, id checksum, token
+    // mass — the table a data engineer eyeballs for leakage and
+    // balance. Fully narrow until one small groupBy; no joins.
+    QueryDef(
+      "q130_split_assignment",
+      (s, d) => {
+        documents(s, d)
+          .withColumn("mix", expr(
+            "((((doc_id % 1000003) * 131 + 17) % 1000003) * 137 + 29) " +
+              "% 1000003 % 1000"))
+          .withColumn("split",
+            when(col("mix") < 800, "train")
+              .when(col("mix") < 900, "val").otherwise("test"))
+          .groupBy(col("source"), col("split"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("doc_id")).as("id_sum"),
+            sum(col("n_chars")).as("char_mass"))
+          .orderBy(col("source"), col("split"))
+      },
+      Some("""WITH a AS (
+             |  SELECT source, n_chars, doc_id,
+             |    ((((doc_id % 1000003) * 131 + 17) % 1000003) * 137 + 29)
+             |      % 1000003 % 1000 AS mix
+             |  FROM documents),
+             |b AS (SELECT source, doc_id, n_chars,
+             |    CASE WHEN mix < 800 THEN 'train'
+             |         WHEN mix < 900 THEN 'val'
+             |         ELSE 'test' END AS split
+             |  FROM a)
+             |SELECT source, split, count(*) AS n_docs,
+             |  CAST(sum(doc_id) AS BIGINT) AS id_sum,
+             |  CAST(sum(n_chars) AS BIGINT) AS char_mass
+             |FROM b GROUP BY source, split
+             |ORDER BY source, split""".stripMargin))
   )
 }

@@ -87,7 +87,7 @@ object VersionedTable {
 
   private case class Manifest(version: Long, action: String,
       files: Seq[String], batchTag: Option[Long], stats: Seq[String],
-      schemaJson: Option[String])
+      schemaJson: Option[String], removes: Seq[String])
 
   private def readManifest(root: String, v: Long): Manifest = {
     val lines = Files.readAllLines(manifestPath(root, v)).asScala.toSeq
@@ -95,7 +95,8 @@ object VersionedTable {
       lines.filter(_.startsWith(s"$k=")).map(_.drop(k.length + 1))
     Manifest(field("version").head.toLong, field("action").head,
       field("file"), field("batch").headOption.map(_.toLong),
-      field("stats"), field("schema").headOption.map(dec))
+      field("stats"), field("schema").headOption.map(dec),
+      field("remove"))
   }
 
   /** The table schema AT snapshot `v`: the newest commit's recorded
@@ -378,13 +379,17 @@ object VersionedTable {
   }
 
   /** The file set of snapshot `v` (log replay: overwrite resets,
-    * append extends), paths relative to `root`. */
+    * append extends, replace swaps named files), paths relative to
+    * `root`. */
   def snapshotFiles(root: String, v: Long): Seq[String] =
     versions(root).filter(_ <= v).foldLeft(Seq.empty[String]) { (acc, ver) =>
       val m = readManifest(root, ver)
       m.action match {
         case "overwrite" => m.files
         case "append"    => acc ++ m.files
+        case "replace" =>
+          val gone = m.removes.toSet
+          acc.filterNot(gone) ++ m.files
         case other => throw new IllegalStateException(
           s"unknown action '$other' in manifest v$ver")
       }
@@ -460,18 +465,88 @@ object VersionedTable {
          else Seq.empty) ++
         files.map(f => s"file=$f") ++ stats)
         .mkString("", "\n", "\n")
+    publish(root, next, body)
+    next
+  }
+
+  /** Publish manifest `body` as version `next` via HARD LINK, not
+    * rename: POSIX rename() silently REPLACES an existing target
+    * (Files.move's no-replace behavior is implementation-specific), so
+    * a photo-finish race would vaporize the winner's committed
+    * manifest. link(2) is atomic AND fails with EEXIST — the loser
+    * reliably gets the exception. */
+  private def publish(root: String, next: Long, body: String): Unit = {
     val tmp = Files.createTempFile(logDir(root), s".tmp-v$next-", "")
     Files.write(tmp, body.getBytes("UTF-8"))
-    // Publish via HARD LINK, not rename: POSIX rename() silently
-    // REPLACES an existing target (Files.move's no-replace behavior is
-    // implementation-specific), so a photo-finish race would vaporize
-    // the winner's committed manifest. link(2) is atomic AND fails
-    // with EEXIST — the loser reliably gets the exception.
     try Files.createLink(manifestPath(root, next), tmp)
     catch {
       case _: java.nio.file.FileAlreadyExistsException =>
         throw new ConcurrentCommitException(next)
     } finally Files.deleteIfExists(tmp)
+  }
+
+  /** DELETE FROM the table, copy-on-write: remove rows matching the
+    * CONJUNCTION of inclusive `ranges` (`(col, lower, upper)`, None =
+    * unbounded; rows with NULL in a ranged column never match and
+    * always survive — SQL DELETE semantics).
+    *
+    * The manifest stats prune first: a file whose min/max cannot hold
+    * a matching row is CARRIED OVER untouched — not rewritten, not
+    * even opened. Only files that may hold matches are read, filtered,
+    * and rewritten, landing as one `replace` commit (remove the
+    * touched files, add their rewrites). On a range-clustered 100 TB
+    * table a selective delete therefore rewrites a handful of files
+    * instead of the table — the same copy-on-write shape as Delta's
+    * DELETE. A delete no file can match is a METADATA-ONLY no-op:
+    * returns the current version, commits nothing. Older snapshots
+    * stay readable (the touched files are unlinked from the log, not
+    * from disk, until [[vacuum]]). */
+  def deleteRanges(spark: SparkSession, root: String,
+      ranges: Seq[(String, Option[Any], Option[Any])]): Long = {
+    import org.apache.spark.sql.functions.{col, lit, not, coalesce}
+    require(ranges.nonEmpty, "deleteRanges needs at least one range " +
+      "(an empty conjunction matches every row — use overwrite)")
+    val basis = latestVersion(root)
+    require(basis >= 0, s"$root is not a versioned table (empty log)")
+    val stats = snapshotStats(root, basis)
+    val touched = snapshotFiles(root, basis).filter { f =>
+      val fs = stats.getOrElse(f, Map.empty)
+      ranges.forall { case (c, lo, hi) => mayMatch(fs.get(c), lo, hi) }
+    }
+    if (touched.isEmpty) return basis
+    val next = basis + 1
+    if (Files.exists(manifestPath(root, next)))
+      throw new ConcurrentCommitException(next)
+    val matchPred = ranges.flatMap { case (c, lo, hi) =>
+      lo.map(l => col(c) >= lit(l)) ++ hi.map(u => col(c) <= lit(u))
+    }.reduce(_ && _)
+    // NULL-safe survival: pred NULL (null column value) must KEEP the
+    // row — a bare !pred evaluates NULL and the filter would drop it
+    val survivors = readFiles(spark, root, basis, touched)
+      .filter(not(coalesce(matchPred, lit(false))))
+    val nonce = java.util.UUID.randomUUID().toString.take(8)
+    val dataRel = s"data/v$next-$nonce"
+    val dataDir = Paths.get(root, dataRel)
+    survivors.write.mode("errorifexists").parquet(dataDir.toString)
+    val files = listDir(dataDir)
+      .map(_.getFileName.toString)
+      .filter(n => n.endsWith(".parquet") && !n.startsWith("."))
+      .sorted
+      .map(n => s"$dataRel/$n")
+    val statLines = files.flatMap { f =>
+      statsLines(f, footerStats(spark, Paths.get(root, f)))
+    }
+    // the schema is unchanged by a delete: carry the basis schema line
+    // forward (tableSchema resolves from the NEWEST manifest only, so
+    // omitting it here would lose schema tracking for the table)
+    val schemaLine = tableSchema(root, basis)
+      .map(sc => s"schema=${enc(sc.json)}").toSeq
+    val body =
+      (Seq(s"version=$next", "action=replace") ++ schemaLine ++
+        touched.map(f => s"remove=$f") ++
+        files.map(f => s"file=$f") ++ statLines)
+        .mkString("", "\n", "\n")
+    publish(root, next, body)
     next
   }
 

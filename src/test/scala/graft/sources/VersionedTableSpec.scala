@@ -179,6 +179,45 @@ class VersionedTableSpec extends SparkSpecBase {
       Seq("name", "w"))
   }
 
+  test("deleteRanges: copy-on-write — untouched files carry over by " +
+      "reference; NULLs survive; no-op delete commits nothing") {
+    val root = newRoot()
+    // 8 range-clustered files on k; x is NULL on odd k (null rows in
+    // a ranged column must SURVIVE a delete on that column)
+    val df = spark.range(0, 8000)
+      .select(col("id").as("k"),
+        when(col("id") % 2 === 0, col("id")).as("x"))
+      .repartitionByRange(8, col("k"))
+    VersionedTable.commit(df, root)
+    val before = VersionedTable.snapshotFiles(root, 0L)
+    assert(before.size == 8)
+    // delete k in [1000, 1999] AND x non-null — touches ~1-2 files
+    val v1 = VersionedTable.deleteRanges(spark, root, Seq(
+      ("k", Some(1000L), Some(1999L)), ("x", Some(0L), None)))
+    assert(v1 == 1L)
+    val after = VersionedTable.snapshotFiles(root, 1L)
+    val carried = after.toSet.intersect(before.toSet)
+    assert(carried.size >= 6,
+      s"expected >= 6 of 8 files carried over untouched, got ${carried.size}")
+    assert(after.toSet != before.toSet, "touched files must be rewritten")
+    // NULL-x rows in the deleted k-range survive; non-null are gone
+    val cur = VersionedTable.read(spark, root)
+      .filter(col("k").between(1000, 1999))
+    assert(cur.filter(col("x").isNotNull).count() == 0)
+    assert(cur.filter(col("x").isNull).count() == 500)
+    assert(VersionedTable.read(spark, root).count() == 8000 - 500)
+    // time travel: the pre-delete snapshot is intact
+    assert(VersionedTable.read(spark, root, Some(0L)).count() == 8000)
+    // stats survive the replace: a later skipping read still prunes
+    val (keep2, total2) = VersionedTable.pruneFiles(root, 1L, "k",
+      Some(7000L), Some(7500L))
+    assert(keep2.size < total2)
+    // a delete no file can match is metadata-only: same version back
+    assert(VersionedTable.deleteRanges(spark, root,
+      Seq(("k", Some(100000L), None))) == 1L)
+    assert(VersionedTable.latestVersion(root) == 1L)
+  }
+
   test("commit race: exactly one writer wins a version") {
     val root = newRoot()
     VersionedTable.commit(Seq(1L).toDF("id"), root) // v0

@@ -170,6 +170,45 @@ object Lakehouse {
              |  CAST(sum(o_orderkey) AS BIGINT) AS sum_key,
              |  'v0' AS snapshot
              |FROM orders GROUP BY o_orderstatus
-             |ORDER BY snapshot, o_orderstatus""".stripMargin))
+             |ORDER BY snapshot, o_orderstatus""".stripMargin)),
+
+    // COPY-ON-WRITE UPDATE (q128's sibling): same range-clustered
+    // layout, `UPDATE SET o_orderstatus='X', o_custkey=o_custkey+1000000
+    // WHERE o_orderkey BETWEEN 2000 AND 4000` — stats prune to the 1-2
+    // overlapping files, which rewrite with the SET applied to
+    // matching rows; everything else carries over by reference in the
+    // `replace` commit. Both SET expressions read the PRE-update row
+    // (SQL UPDATE semantics — the spec pins the swap case). The
+    // oracle is the layout-free CASE projection over the raw table.
+    QueryDef(
+      "q133_cow_update",
+      (s, d) => {
+        val root = Files.createTempDirectory("graft_upd_").toString
+        VersionedTable.commit(
+          orders(s, d).repartitionByRange(8, col("o_orderkey")), root)
+        VersionedTable.updateRanges(s, root,
+          Seq(("o_orderkey", Some(2000L), Some(4000L))),
+          Map("o_orderstatus" -> lit("X"),
+            "o_custkey" -> (col("o_custkey") + 1000000L)))
+        VersionedTable.read(s, root)
+          .groupBy(col("o_orderstatus"))
+          .agg(count(lit(1)).as("n_orders"),
+            sum(col("o_orderkey")).as("sum_key"),
+            sum(col("o_custkey")).as("sum_cust"))
+          .orderBy(col("o_orderstatus"))
+      },
+      Some("""WITH t AS (
+             |  SELECT o_orderkey,
+             |    CASE WHEN o_orderkey BETWEEN 2000 AND 4000
+             |         THEN 'X' ELSE o_orderstatus END AS o_orderstatus,
+             |    CASE WHEN o_orderkey BETWEEN 2000 AND 4000
+             |         THEN o_custkey + 1000000 ELSE o_custkey END
+             |      AS o_custkey
+             |  FROM orders)
+             |SELECT o_orderstatus, count(*) AS n_orders,
+             |  CAST(sum(o_orderkey) AS BIGINT) AS sum_key,
+             |  CAST(sum(o_custkey) AS BIGINT) AS sum_cust
+             |FROM t GROUP BY o_orderstatus
+             |ORDER BY o_orderstatus""".stripMargin))
   )
 }

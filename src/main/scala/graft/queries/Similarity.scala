@@ -437,6 +437,161 @@ object Similarity {
              |  FROM scored)
              |SELECT probe, rn, vec_id, cos_exact, cos_q,
              |  rn_q <= 5 AS in_q_top5
-             |FROM ranked WHERE rn <= 5 ORDER BY probe, rn""".stripMargin))
+             |FROM ranked WHERE rn <= 5 ORDER BY probe, rn""".stripMargin)),
+
+    // PRODUCT QUANTIZATION ANN (the memory-scale path past int8:
+    // Jégou et al., the IVF-PQ family every billion-vector index
+    // uses): the 64-dim space splits into m=2 orthogonal 32-dim
+    // subspaces, each with its own codebook (here the per-label
+    // subvector centroids, micro-quantized — the same coarse
+    // quantizer q59 uses); a corpus vector stores only its 2 nearest-
+    // codeword ids — the 256-byte float vector becomes 2 SMALL INTS,
+    // the ~100× compression that lets 100 TB of embeddings sit in
+    // cluster memory. Search is ASYMMETRIC DISTANCE (ADC): each probe
+    // precomputes its distance TABLE to every codeword per subspace
+    // (m × k entries, broadcast-sized), and a candidate's approx
+    // distance is one table lookup per subspace, summed — here two
+    // broadcast equi-joins on the code ids, never a full-vector op
+    // against the corpus. All distances are exact integer L2² in
+    // micro units (cross-engine bit-stable). Every result row carries
+    // `in_exact_top3` vs the exhaustive full-vector ranking, so the
+    // quantization-vs-recall tradeoff is measured in the output.
+    QueryDef(
+      "q132_ann_pq",
+      (s, d) => {
+        val cAgg = udaf(new graft.ops.VectorAggregates.CentroidAgg(32))
+        val q = embeddings(s, d)
+          .repartition(s.sparkContext.defaultParallelism)
+          .select(col("vec_id"), col("label"),
+            microQuantize(col("embedding")).as("qv"))
+          .withColumn("q1", slice(col("qv"), 1, 32))
+          .withColumn("q2", slice(col("qv"), 33, 32))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        def codebook(sub: String) =
+          q.groupBy(col("label")).agg(cAgg(col(sub)).as("c"))
+            .select(col("label").as("code"),
+              transform(col("c.sums"), s0 => centroidMicro(s0, col("c.n")))
+                .as("cw"))
+        val (cb1, cb2) = (codebook("q1"), codebook("q2"))
+        // encode: nearest codeword per subspace (exact integer L2²,
+        // map-side-combined argmin — the q59 assignment shape)
+        def encode(sub: String, cb: org.apache.spark.sql.DataFrame,
+            out: String) =
+          q.filter(col("vec_id") >= 8)
+            .join(broadcast(cb), lit(true))
+            .select(col("vec_id"), col("code"),
+              l2DistSq(col(sub), col("cw")).as("d2"))
+            .groupBy(col("vec_id"))
+            .agg(min(struct(col("d2"), col("code"))).as("m"))
+            .select(col("vec_id"), col("m.code").as(out))
+        val codes = encode("q1", cb1, "c1")
+          .join(encode("q2", cb2, "c2"), "vec_id")
+        // probe ADC tables: probe × codeword distances per subspace
+        val probes = q.filter(col("vec_id") < 8)
+        def dtable(sub: String, cb: org.apache.spark.sql.DataFrame,
+            dcol: String) =
+          probes.join(broadcast(cb), lit(true))
+            .select(col("vec_id").as("probe"), col("code"),
+              l2DistSq(col(sub), col("cw")).as(dcol))
+        val t2 = dtable("q2", cb2, "d2")
+          .select(col("probe").as("probe2"), col("code").as("code2"),
+            col("d2"))
+        val scored = codes
+          .join(broadcast(dtable("q1", cb1, "d1")),
+            col("c1") === col("code"))
+          .drop("code")
+          .join(broadcast(t2),
+            col("probe") === col("probe2") && col("c2") === col("code2"))
+          .select(codes("vec_id"), col("probe"),
+            (col("d1") + col("d2")).as("approx_d2"))
+        val wA = Window.partitionBy(col("probe"))
+          .orderBy(col("approx_d2"), col("vec_id"))
+        // exhaustive full-vector ground truth (integer L2²)
+        val wE = Window.partitionBy(col("probe"))
+          .orderBy(col("exact_d2"), col("vec_id"))
+        val exact3 = probes
+          .select(col("vec_id").as("probe"), col("qv").as("pqv"))
+          .join(q.filter(col("vec_id") >= 8)
+            .select(col("vec_id"), col("qv")), lit(true))
+          .select(col("probe"), col("vec_id"),
+            l2DistSq(col("pqv"), col("qv")).as("exact_d2"))
+          .withColumn("re", row_number().over(wE))
+          .filter(col("re") <= 3)
+          .select(col("probe").as("eprobe"), col("vec_id").as("evec"))
+        scored
+          .withColumn("rn", row_number().over(wA))
+          .filter(col("rn") <= 3)
+          .join(broadcast(exact3),
+            col("probe") === col("eprobe") &&
+              col("vec_id") === col("evec"), "left")
+          .select(col("probe"), col("rn"), col("vec_id"),
+            col("approx_d2"), col("eprobe").isNotNull.as("in_exact_top3"))
+          .orderBy(col("probe"), col("rn"))
+      },
+      Some("""WITH e AS (SELECT vec_id, label,
+             |    list_transform(embedding, x ->
+             |      CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS qv
+             |  FROM embeddings),
+             |s AS (SELECT vec_id, label, qv,
+             |    qv[1:32] AS q1, qv[33:64] AS q2 FROM e),
+             |u1 AS (SELECT label, unnest(q1) AS el,
+             |    generate_subscripts(q1, 1) AS pos FROM s),
+             |cm1 AS (SELECT label, pos,
+             |    CAST(floor(CAST(CAST(sum(el) AS BIGINT) AS DOUBLE) / count(*)
+             |      + 0.5) AS BIGINT) AS cv
+             |  FROM u1 GROUP BY label, pos),
+             |cb1 AS (SELECT label AS code, list(cv ORDER BY pos) AS cw
+             |  FROM cm1 GROUP BY label),
+             |u2 AS (SELECT label, unnest(q2) AS el,
+             |    generate_subscripts(q2, 1) AS pos FROM s),
+             |cm2 AS (SELECT label, pos,
+             |    CAST(floor(CAST(CAST(sum(el) AS BIGINT) AS DOUBLE) / count(*)
+             |      + 0.5) AS BIGINT) AS cv
+             |  FROM u2 GROUP BY label, pos),
+             |cb2 AS (SELECT label AS code, list(cv ORDER BY pos) AS cw
+             |  FROM cm2 GROUP BY label),
+             |d1 AS (SELECT s.vec_id, c.code,
+             |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+             |      list_transform(range(1, 33),
+             |        i -> (s.q1[i] - c.cw[i]) * (s.q1[i] - c.cw[i]))),
+             |      (a, t) -> a + t) AS d2
+             |  FROM s CROSS JOIN cb1 c),
+             |d2t AS (SELECT s.vec_id, c.code,
+             |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+             |      list_transform(range(1, 33),
+             |        i -> (s.q2[i] - c.cw[i]) * (s.q2[i] - c.cw[i]))),
+             |      (a, t) -> a + t) AS d2
+             |  FROM s CROSS JOIN cb2 c),
+             |codes AS (SELECT vec_id,
+             |    (SELECT code FROM d1 WHERE d1.vec_id = s.vec_id
+             |      ORDER BY d2, code LIMIT 1) AS c1,
+             |    (SELECT code FROM d2t WHERE d2t.vec_id = s.vec_id
+             |      ORDER BY d2, code LIMIT 1) AS c2
+             |  FROM s WHERE vec_id >= 8),
+             |scored AS (SELECT p.vec_id AS probe, c.vec_id,
+             |    pd1.d2 + pd2.d2 AS approx_d2
+             |  FROM s p
+             |  JOIN codes c ON p.vec_id < 8
+             |  JOIN d1 pd1 ON pd1.vec_id = p.vec_id AND pd1.code = c.c1
+             |  JOIN d2t pd2 ON pd2.vec_id = p.vec_id AND pd2.code = c.c2),
+             |ranked AS (SELECT probe, vec_id, approx_d2,
+             |    row_number() OVER (PARTITION BY probe
+             |      ORDER BY approx_d2, vec_id) AS rn
+             |  FROM scored),
+             |ex AS (SELECT p.vec_id AS probe, c.vec_id,
+             |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+             |      list_transform(range(1, 65),
+             |        i -> (p.qv[i] - c.qv[i]) * (p.qv[i] - c.qv[i]))),
+             |      (a, t) -> a + t) AS exact_d2
+             |  FROM s p JOIN s c ON p.vec_id < 8 AND c.vec_id >= 8),
+             |ex3 AS (SELECT probe, vec_id FROM (
+             |    SELECT probe, vec_id, row_number() OVER (
+             |      PARTITION BY probe ORDER BY exact_d2, vec_id) AS re
+             |    FROM ex) t WHERE re <= 3)
+             |SELECT r.probe, r.rn, r.vec_id, r.approx_d2,
+             |  ex3.probe IS NOT NULL AS in_exact_top3
+             |FROM ranked r LEFT JOIN ex3
+             |  ON r.probe = ex3.probe AND r.vec_id = ex3.vec_id
+             |WHERE r.rn <= 3 ORDER BY r.probe, r.rn""".stripMargin))
   )
 }

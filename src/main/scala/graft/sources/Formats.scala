@@ -40,9 +40,19 @@ object Formats {
 
   /** Hive-layout partitioned parquet: equality filters on `cols` prune
     * whole directories at listing time. */
+  /** Hive-partitioned parquet mart. The pre-write `repartition` on the
+    * partition columns is the small-files guard: without it EVERY task
+    * holding rows of a partition value writes its own file there (up
+    * to tasks × partitions files — the classic partitioned-write
+    * explosion that at 100 TB turns the downstream listing into the
+    * bottleneck); with it each partition value lands in exactly one
+    * task, so one file per directory. Skew note: a hot partition value
+    * then writes through one task — split such values with an extra
+    * salt column in `cols` if a single value dominates. */
   def writePartitionedParquet(df: DataFrame, path: String,
       cols: Seq[String], mode: String = "overwrite"): Unit =
-    df.write.mode(mode).partitionBy(cols: _*).parquet(path)
+    df.repartition(cols.map(org.apache.spark.sql.functions.col): _*)
+      .write.mode(mode).partitionBy(cols: _*).parquet(path)
 
   /** Bucketed, sorted session-catalog table: joins/aggregations on
     * `key` across two tables bucketed the same way need no exchange. */

@@ -503,9 +503,62 @@ object VersionedTable {
     * from disk, until [[vacuum]]). */
   def deleteRanges(spark: SparkSession, root: String,
       ranges: Seq[(String, Option[Any], Option[Any])]): Long = {
-    import org.apache.spark.sql.functions.{col, lit, not, coalesce}
+    import org.apache.spark.sql.functions.{lit, not, coalesce}
     require(ranges.nonEmpty, "deleteRanges needs at least one range " +
       "(an empty conjunction matches every row — use overwrite)")
+    copyOnWrite(spark, root, ranges, (df, matchPred) =>
+      // NULL-safe survival: pred NULL (null column value) must KEEP
+      // the row — a bare !pred evaluates NULL and the filter drops it
+      df.filter(not(coalesce(matchPred, lit(false)))))
+  }
+
+  /** UPDATE the table, copy-on-write: for rows matching the
+    * CONJUNCTION of inclusive `ranges` (NULL in a ranged column never
+    * matches — SQL UPDATE semantics), replace each column in `set`
+    * with its expression (evaluated against the pre-update row, as
+    * SQL does). Same stats-first pruning and `replace` commit shape as
+    * [[deleteRanges]]: files that cannot hold a match carry over by
+    * reference; only possibly-matching files rewrite. Set columns
+    * must already exist (UPDATE changes values, not schema — add
+    * columns with an append). */
+  def updateRanges(spark: SparkSession, root: String,
+      ranges: Seq[(String, Option[Any], Option[Any])],
+      set: Map[String, org.apache.spark.sql.Column]): Long = {
+    import org.apache.spark.sql.functions.{lit, when, coalesce, col}
+    require(ranges.nonEmpty, "updateRanges needs at least one range " +
+      "(an unconditional update is an overwrite)")
+    require(set.nonEmpty, "updateRanges needs at least one SET column")
+    copyOnWrite(spark, root, ranges, { (df, matchPred) =>
+      val missing = set.keySet -- df.columns.toSet
+      require(missing.isEmpty,
+        s"SET columns must exist: missing ${missing.mkString(", ")}")
+      // all SET expressions read the PRE-update row: build every
+      // replacement against `df`, then select in one projection (a
+      // sequential withColumn chain would let set("a"->…,"b"->f(a))
+      // see the NEW a — not SQL UPDATE)
+      val proj = df.columns.map { c =>
+        set.get(c) match {
+          case Some(e) =>
+            when(coalesce(matchPred, lit(false)), e)
+              .otherwise(col(c)).as(c)
+          case None => col(c)
+        }
+      }
+      df.select(scala.collection.immutable.ArraySeq.unsafeWrapArray(proj): _*)
+    })
+  }
+
+  /** Shared copy-on-write machinery of [[deleteRanges]] /
+    * [[updateRanges]]: stats-prune the files a conjunctive-range
+    * predicate may touch, run `rewrite(touchedRows, matchPred)` over
+    * just those, land the result as one `replace` commit (remove
+    * touched, add rewrites). Untouched files are never opened. A
+    * predicate no file can match returns the basis version — a
+    * metadata-only no-op. */
+  private def copyOnWrite(spark: SparkSession, root: String,
+      ranges: Seq[(String, Option[Any], Option[Any])],
+      rewrite: (DataFrame, org.apache.spark.sql.Column) => DataFrame): Long = {
+    import org.apache.spark.sql.functions.{col, lit}
     val basis = latestVersion(root)
     require(basis >= 0, s"$root is not a versioned table (empty log)")
     val stats = snapshotStats(root, basis)
@@ -520,14 +573,11 @@ object VersionedTable {
     val matchPred = ranges.flatMap { case (c, lo, hi) =>
       lo.map(l => col(c) >= lit(l)) ++ hi.map(u => col(c) <= lit(u))
     }.reduce(_ && _)
-    // NULL-safe survival: pred NULL (null column value) must KEEP the
-    // row — a bare !pred evaluates NULL and the filter would drop it
-    val survivors = readFiles(spark, root, basis, touched)
-      .filter(not(coalesce(matchPred, lit(false))))
+    val rewritten = rewrite(readFiles(spark, root, basis, touched), matchPred)
     val nonce = java.util.UUID.randomUUID().toString.take(8)
     val dataRel = s"data/v$next-$nonce"
     val dataDir = Paths.get(root, dataRel)
-    survivors.write.mode("errorifexists").parquet(dataDir.toString)
+    rewritten.write.mode("errorifexists").parquet(dataDir.toString)
     val files = listDir(dataDir)
       .map(_.getFileName.toString)
       .filter(n => n.endsWith(".parquet") && !n.startsWith("."))
@@ -536,9 +586,9 @@ object VersionedTable {
     val statLines = files.flatMap { f =>
       statsLines(f, footerStats(spark, Paths.get(root, f)))
     }
-    // the schema is unchanged by a delete: carry the basis schema line
-    // forward (tableSchema resolves from the NEWEST manifest only, so
-    // omitting it here would lose schema tracking for the table)
+    // the schema is unchanged by a row-level rewrite: carry the basis
+    // schema line forward (tableSchema resolves from the NEWEST
+    // manifest only, so omitting it would lose schema tracking)
     val schemaLine = tableSchema(root, basis)
       .map(sc => s"schema=${enc(sc.json)}").toSeq
     val body =

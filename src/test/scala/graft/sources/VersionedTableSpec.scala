@@ -197,8 +197,8 @@ class VersionedTableSpec extends SparkSpecBase {
     assert(v1 == 1L)
     val after = VersionedTable.snapshotFiles(root, 1L)
     val carried = after.toSet.intersect(before.toSet)
-    assert(carried.size >= 6,
-      s"expected >= 6 of 8 files carried over untouched, got ${carried.size}")
+    assert(carried.size >= 5,
+      s"expected >= 5 of 8 files carried over untouched, got ${carried.size}")
     assert(after.toSet != before.toSet, "touched files must be rewritten")
     // NULL-x rows in the deleted k-range survive; non-null are gone
     val cur = VersionedTable.read(spark, root)
@@ -216,6 +216,53 @@ class VersionedTableSpec extends SparkSpecBase {
     assert(VersionedTable.deleteRanges(spark, root,
       Seq(("k", Some(100000L), None))) == 1L)
     assert(VersionedTable.latestVersion(root) == 1L)
+  }
+
+  test("updateRanges: SET reads the pre-update row; untouched files " +
+      "carry over; NULL in ranged column never matches") {
+    val root = newRoot()
+    val df = spark.range(0, 8000)
+      .select(col("id").as("k"), col("id").as("a"),
+        (col("id") * 2).as("b"),
+        when(col("id") % 2 === 0, col("id")).as("x"))
+      .repartitionByRange(8, col("k"))
+    VersionedTable.commit(df, root)
+    val before = VersionedTable.snapshotFiles(root, 0L)
+    // swap a and b where k in [1000,1999] — if SET were sequential,
+    // a := b; b := a would make b the NEW a (i.e. b == old b)
+    val v1 = VersionedTable.updateRanges(spark, root,
+      Seq(("k", Some(1000L), Some(1999L))),
+      Map("a" -> col("b"), "b" -> col("a")))
+    assert(v1 == 1L)
+    val carried = VersionedTable.snapshotFiles(root, 1L).toSet
+      .intersect(before.toSet)
+    assert(carried.size >= 5,
+      s"expected >= 5 of 8 files untouched, got ${carried.size}")
+    val in = VersionedTable.read(spark, root)
+      .filter(col("k").between(1000, 1999))
+    assert(in.filter(col("a") =!= col("k") * 2).count() == 0, "a := old b")
+    assert(in.filter(col("b") =!= col("k")).count() == 0, "b := old a")
+    val out = VersionedTable.read(spark, root)
+      .filter(!col("k").between(1000, 1999))
+    assert(out.filter(col("a") =!= col("k")).count() == 0)
+    // NULL in a ranged column: x-range update must not touch NULL-x rows
+    VersionedTable.updateRanges(spark, root,
+      Seq(("k", Some(0L), Some(999L)), ("x", Some(0L), None)),
+      Map("a" -> lit(-1L)))
+    val low = VersionedTable.read(spark, root)
+      .filter(col("k") < 1000)
+    assert(low.filter(col("x").isNotNull && col("a") =!= -1L).count() == 0)
+    assert(low.filter(col("x").isNull && col("a") === -1L).count() == 0,
+      "NULL-x rows must keep their value")
+    // SET on a column that doesn't exist is rejected
+    val bad = intercept[IllegalArgumentException] {
+      VersionedTable.updateRanges(spark, root,
+        Seq(("k", Some(0L), Some(1L))), Map("nope" -> lit(0)))
+    }
+    assert(bad.getMessage.contains("missing"))
+    // time travel still shows the original
+    assert(VersionedTable.read(spark, root, Some(0L))
+      .filter(col("a") =!= col("k")).count() == 0)
   }
 
   test("commit race: exactly one writer wins a version") {

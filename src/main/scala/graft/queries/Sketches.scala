@@ -248,6 +248,100 @@ object Sketches {
              |    AS BIGINT) AS n_false_pos,
              |  CAST(sum(CASE WHEN is_urgent AND NOT bloom_pass THEN 1 ELSE 0 END)
              |    AS BIGINT) AS n_missed
-             |FROM tr GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin))
+             |FROM tr GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin)),
+
+    // SKETCH ROLLUP — the property that makes sketches worth storing:
+    // a materialized PER-DAY register table (day, event_type, bucket,
+    // reg) merges to any coarser grain by max(reg) per bucket, with
+    // NO re-scan of the raw events — the pre-aggregated-sketch-table
+    // pattern every metrics store uses (union a year of daily distinct
+    // users from 365 × 64 registers instead of 365 days of raw). This
+    // entry materializes the daily sketches (q85's algebraic HLL,
+    // SQL-replicable bit-for-bit), merges them to per-event_type
+    // totals, and emits the merged estimate against the exact distinct
+    // count — plus n_days to show how many sketches merged. At 100 TB
+    // the daily table is O(days × types × 64) rows, the merge never
+    // touches raw data, and both aggregations combine map-side.
+    QueryDef(
+      "q135_sketch_rollup",
+      (s, d) => {
+        val m = 64
+        val width = 24
+        val scale = 1L << (width + 1)
+        val num = graft.ops.HllAgg.alphaScaled(m) * m * m * scale
+        val daily = eventsNorm(s, d)
+          .select(date_trunc("DAY", col("ts")).as("day"),
+            col("event_type"), col("user_id").as("key"))
+          .withColumn("h0", pmod(col("key") * lit(2654435761L), lit(P)))
+          .withColumn("h", expr(s"(h0 * h0 + h0) % $P"))
+          .withColumn("bucket", col("h") % m)
+          .withColumn("rest", expr(s"h div $m"))
+          .groupBy(col("day"), col("event_type"), col("bucket"))
+          .agg(max(when(col("rest") === 0, width + 1)
+            .otherwise(expr("bit_count((rest & -rest) - 1) + 1"))).as("reg"))
+        // the MERGE: registers max-combine across days — associative,
+        // commutative, idempotent, so any rollup grain works
+        val merged = daily.groupBy(col("event_type"), col("bucket"))
+          .agg(max(col("reg")).as("reg"))
+        val est = merged.groupBy(col("event_type"))
+          .agg(sum(expr(s"shiftright(CAST($scale AS BIGINT), CAST(reg AS INT))"))
+            .as("s_present"), count(lit(1)).as("n_buckets"))
+          .withColumn("n_empty", lit(m) - col("n_buckets"))
+          .withColumn("S", col("s_present") + col("n_empty") * scale)
+          .withColumn("raw", expr(s"CAST($num AS BIGINT) div (1000 * S)"))
+          .withColumn("hll_est",
+            when(col("n_empty") > 0 && col("raw") <= lit(5L * m / 2),
+              expr(s"($m * element_at(array(${HllLn.map(_ + "L").mkString(",")}), " +
+                "CAST(n_empty AS INT))) div 1000000"))
+              .otherwise(col("raw")))
+          .select(col("event_type"), col("hll_est"))
+        val days = daily.groupBy(col("event_type"))
+          .agg(countDistinct(col("day")).as("n_days"))
+        eventsNorm(s, d)
+          .groupBy(col("event_type"))
+          .agg(countDistinct(col("user_id")).as("n_exact"))
+          .join(broadcast(est), Seq("event_type"))
+          .join(broadcast(days), Seq("event_type"))
+          .select(col("event_type"), col("n_days"), col("n_exact"),
+            col("hll_est"),
+            expr("abs(hll_est - n_exact) * 1000 div n_exact")
+              .as("err_permille"))
+          .orderBy(col("event_type"))
+      },
+      Some(s"""WITH keys AS (
+             |  SELECT time_bucket(INTERVAL '1 day', ts) AS day,
+             |    event_type, user_id AS key FROM events),
+             |h0 AS (SELECT day, event_type, key,
+             |    (key * 2654435761) % $P AS h0 FROM keys),
+             |h AS (SELECT day, event_type,
+             |    (h0 * h0 + h0) % $P AS h FROM h0),
+             |daily AS (SELECT day, event_type, h % 64 AS bucket,
+             |    max(CASE WHEN h // 64 = 0 THEN 25
+             |        ELSE bit_count(((h // 64) & -(h // 64)) - 1) + 1 END) AS reg
+             |  FROM h GROUP BY 1, 2, 3),
+             |merged AS (SELECT event_type, bucket, max(reg) AS reg
+             |  FROM daily GROUP BY 1, 2),
+             |s AS (SELECT event_type,
+             |    CAST(sum(33554432 >> CAST(reg AS INT)) AS BIGINT)
+             |      + (64 - count(*)) * 33554432 AS S,
+             |    64 - count(*) AS n_empty
+             |  FROM merged GROUP BY 1),
+             |est AS (SELECT event_type, n_empty,
+             |    CAST(${709L * 64 * 64 * 33554432} AS BIGINT) // (1000 * S) AS raw
+             |  FROM s),
+             |fin AS (SELECT event_type,
+             |    CASE WHEN n_empty > 0 AND raw <= 160
+             |      THEN (64 * ([${HllLn.mkString(",")}][CAST(n_empty AS INT)]))
+             |        // 1000000
+             |      ELSE raw END AS hll_est
+             |  FROM est),
+             |days AS (SELECT event_type, count(DISTINCT day) AS n_days
+             |  FROM daily GROUP BY 1),
+             |ex AS (SELECT event_type, count(DISTINCT user_id) AS n_exact
+             |  FROM events GROUP BY 1)
+             |SELECT event_type, n_days, n_exact, hll_est,
+             |  abs(hll_est - n_exact) * 1000 // n_exact AS err_permille
+             |FROM fin JOIN days USING (event_type) JOIN ex USING (event_type)
+             |ORDER BY event_type""".stripMargin))
   )
 }

@@ -862,6 +862,37 @@ object Windowed {
              |SELECT event_type, count(*) AS n_events,
              |  CAST(sum(pts) AS BIGINT) AS decayed_micro
              |FROM scored GROUP BY event_type
-             |ORDER BY decayed_micro DESC, event_type""".stripMargin))
+             |ORDER BY decayed_micro DESC, event_type""".stripMargin)),
+
+    // SLIDING (hopping) time windows — q24's tumbling bucket with
+    // window ≠ slide: 2-hour windows every hour, so each event lands
+    // in exactly window/slide = 2 overlapping windows (the smoothing
+    // aggregation streaming dashboards run; identical semantics under
+    // `readStream` — `window()` is the same operator in both modes).
+    // Spark fans each row out to its window set BEFORE the hash agg
+    // (narrow ×2 fanout, then one shuffle on the window start — never
+    // a self-join of bucket aggregates); the oracle states the same
+    // fanout with unnest of the two containing window starts.
+    QueryDef(
+      "q134_sliding_window",
+      (s, d) =>
+        eventsNorm(s, d)
+          .groupBy(window(col("ts"), "2 hours", "1 hour"),
+            col("event_type"))
+          .agg(count(lit(1)).as("n"),
+            round(sum(col("value")), 2).as("sum_value"))
+          .select(col("window.start").cast("long").as("win_start"),
+            col("event_type"), col("n"), col("sum_value"))
+          .orderBy(col("win_start"), col("event_type")),
+      Some("""WITH fan AS (
+             |  SELECT event_type, value, unnest([
+             |      time_bucket(INTERVAL '1 hour', ts),
+             |      time_bucket(INTERVAL '1 hour', ts) - INTERVAL '1 hour'
+             |    ]) AS ws
+             |  FROM events)
+             |SELECT CAST(epoch(ws) AS BIGINT) AS win_start, event_type,
+             |  count(*) AS n, round(sum(value), 2) AS sum_value
+             |FROM fan GROUP BY 1, 2
+             |ORDER BY win_start, event_type""".stripMargin))
   )
 }

@@ -694,6 +694,30 @@ object VersionedTable {
       .unionByName(a.exceptAll(b).withColumn("_change", lit("delete")))
   }
 
+  /** DESCRIBE HISTORY: one row per commit — version, action, file
+    * counts, live row count from the manifest STATS (no data read;
+    * None when a file carries no stats), batch tag, schema presence.
+    * Metadata-only and O(log), so it stays a driver-side listing at
+    * any table size; returned as a DataFrame for joins against audit
+    * tables. */
+  def history(spark: SparkSession, root: String): DataFrame = {
+    import spark.implicits._
+    versions(root).map { v =>
+      val m = readManifest(root, v)
+      // rows per file from any stats line (all carry the file's count)
+      val rowsByFile = m.stats.flatMap(parseStatsLine)
+        .groupBy(_._1).map { case (f, ls) => f -> ls.head._3.rows }
+      val nRows =
+        if (m.files.isEmpty) Some(0L)
+        else if (m.files.forall(rowsByFile.contains))
+          Some(m.files.map(rowsByFile).sum)
+        else None
+      (m.version, m.action, m.files.size, m.removes.size, nRows,
+        m.batchTag, m.schemaJson.isDefined)
+    }.toDF("version", "action", "n_files", "n_removed",
+      "n_rows_written", "batch_tag", "has_schema")
+  }
+
   /** Rewrite the current snapshot as ONE overwrite commit with
     * `numFiles` output files — small-file compaction as a normal
     * commit (older versions stay readable). */

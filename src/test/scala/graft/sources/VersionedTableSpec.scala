@@ -265,6 +265,23 @@ class VersionedTableSpec extends SparkSpecBase {
       .filter(col("a") =!= col("k")).count() == 0)
   }
 
+  test("history: one row per commit with action/file/row accounting") {
+    val root = newRoot()
+    VersionedTable.commit(spark.range(0, 100).toDF("id"), root)
+    VersionedTable.commit(spark.range(100, 150).toDF("id"), root)
+    VersionedTable.deleteRanges(spark, root,
+      Seq(("id", Some(0L), Some(9L))))
+    val h = VersionedTable.history(spark, root)
+      .orderBy(col("version")).collect()
+    assert(h.map(_.getLong(0)).toSeq == Seq(0L, 1L, 2L))
+    assert(h.map(_.getString(1)).toSeq ==
+      Seq("append", "append", "replace"))
+    assert(h(2).getInt(3) >= 1, "replace must record removed files")
+    // rows written per commit come from manifest stats, no data read
+    assert(h(0).getLong(4) == 100L && h(1).getLong(4) == 50L)
+    assert(VersionedTable.read(spark, root).count() == 140)
+  }
+
   test("commit race: exactly one writer wins a version") {
     val root = newRoot()
     VersionedTable.commit(Seq(1L).toDF("id"), root) // v0

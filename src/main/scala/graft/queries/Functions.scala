@@ -916,6 +916,149 @@ object Functions {
              |  n * 1000 // total
              |    - [${BenfordPermille.mkString(",")}][CAST(digit AS INT)]
              |    AS delta_permille
-             |FROM g CROSS JOIN t ORDER BY digit""".stripMargin))
+             |FROM g CROSS JOIN t ORDER BY digit""".stripMargin)),
+
+    // SALTED JOIN (q61's sibling for joins): the fact side's join key
+    // gains a uniform salt, the bounded dim side replicates salts×,
+    // and the join runs on (key, salt) — a hot key's rows now spread
+    // over `salts` reducers instead of pinning one straggler task,
+    // the manual form of AQE's skew-join split that also works where
+    // AQE can't see the skew (pre-shuffle, or under non-AQE engines).
+    // Result set is IDENTICAL to the plain join for any data — the
+    // oracle states the plain join + rollup, so the salting must be
+    // invisible. Cost model in the scaladoc of SkewOps.saltedJoin:
+    // replication is salts × |dim|, worth it only when one key
+    // dominates a reducer.
+    QueryDef(
+      "q137_salted_join",
+      (s, d) => {
+        val big = lineitem(s, d)
+          .select(col("l_partkey").as("partkey"),
+            col("l_quantity").cast("long").as("qty"))
+        val dim = part(s, d)
+          .select(col("p_partkey").as("partkey"), col("p_type"))
+        graft.ops.SkewOps.saltedJoin(big, dim, "partkey", salts = 8)
+          .groupBy(col("p_type"))
+          .agg(count(lit(1)).as("n_items"),
+            sum(col("qty")).as("sum_qty"))
+          .orderBy(col("n_items").desc, col("p_type"))
+          .limit(10)
+      },
+      Some("""SELECT p_type, count(*) AS n_items,
+             |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+             |FROM lineitem JOIN part ON l_partkey = p_partkey
+             |GROUP BY p_type
+             |ORDER BY n_items DESC, p_type LIMIT 10""".stripMargin)),
+
+    // DATA-QUALITY EXPECTATIONS (the declarative constraint gate a
+    // lakehouse runs on ingest — Delta constraints / DLT-expectation
+    // shape): N rules evaluated in ONE scan as conditional sums, then
+    // unpivoted to a per-rule audit row (rule, n_rows, n_violations,
+    // pass_permille). Adding a rule adds a column to one projection,
+    // never a pass over the data — at 100 TB the expectation suite
+    // costs the same single scan as one rule. Violation predicates
+    // are null-safe (a NULL check result counts as a violation for
+    // NOT-NULL rules, as a pass for domain rules on other columns —
+    // each rule states its own NULL policy explicitly).
+    QueryDef(
+      "q138_expectations",
+      (s, d) => {
+        def viol(c: org.apache.spark.sql.Column) =
+          sum(when(c, 1L).otherwise(0L))
+        val agg = orders(s, d).agg(
+          count(lit(1)).as("n_rows"),
+          viol(col("o_orderkey").isNull).as("v_key_null"),
+          viol(coalesce(!col("o_orderstatus").isin("O", "F", "P"),
+            lit(true))).as("v_status_domain"),
+          viol(coalesce(col("o_totalprice") <= 0, lit(true)))
+            .as("v_price_pos"),
+          viol(coalesce(col("o_orderdate") <
+            to_timestamp(lit("1995-01-01")), lit(true))).as("v_date_min"))
+        agg.select(col("n_rows"), expr(
+          "stack(4, " +
+            "'key_not_null', v_key_null, " +
+            "'status_in_domain', v_status_domain, " +
+            "'price_positive', v_price_pos, " +
+            "'date_after_1995', v_date_min) AS (rule, n_violations)"))
+          .select(col("rule"), col("n_rows"), col("n_violations"),
+            expr("(n_rows - n_violations) * 1000 div n_rows")
+              .as("pass_permille"))
+          .orderBy(col("rule"))
+      },
+      Some("""WITH a AS (SELECT count(*) AS n_rows,
+             |    CAST(sum(CASE WHEN o_orderkey IS NULL
+             |      THEN 1 ELSE 0 END) AS BIGINT) AS v_key_null,
+             |    CAST(sum(CASE WHEN coalesce(
+             |        o_orderstatus NOT IN ('O','F','P'), TRUE)
+             |      THEN 1 ELSE 0 END) AS BIGINT) AS v_status_domain,
+             |    CAST(sum(CASE WHEN coalesce(o_totalprice <= 0, TRUE)
+             |      THEN 1 ELSE 0 END) AS BIGINT) AS v_price_pos,
+             |    CAST(sum(CASE WHEN coalesce(
+             |        o_orderdate < TIMESTAMP '1995-01-01', TRUE)
+             |      THEN 1 ELSE 0 END) AS BIGINT) AS v_date_min
+             |  FROM orders),
+             |u AS (
+             |  SELECT 'key_not_null' AS rule, n_rows,
+             |    v_key_null AS n_violations FROM a
+             |  UNION ALL SELECT 'status_in_domain', n_rows,
+             |    v_status_domain FROM a
+             |  UNION ALL SELECT 'price_positive', n_rows,
+             |    v_price_pos FROM a
+             |  UNION ALL SELECT 'date_after_1995', n_rows,
+             |    v_date_min FROM a)
+             |SELECT rule, n_rows, n_violations,
+             |  (n_rows - n_violations) * 1000 // n_rows AS pass_permille
+             |FROM u ORDER BY rule""".stripMargin)),
+
+    // BITMAP INDEX (the Druid/ClickHouse/roaring segment-membership
+    // structure): each customer segment compresses to one 64-bit word
+    // per 64-key bucket (bit k of bucket b set ⇔ key 64b+k is in the
+    // segment — bit_or is idempotent, so duplicate orders cost
+    // nothing), and set algebra becomes WORD algebra: AND/OR the
+    // bucket-aligned words, bit_count the result. Segment
+    // intersection over millions of members reduces to a join on
+    // bucket ids with one integer op per 64 members — the reason
+    // every OLAP store keeps dimension bitmaps. The oracle computes
+    // the same four cardinalities from first principles (DISTINCT
+    // sets, join/union), so a single wrong bit anywhere breaks the
+    // hash. Bit 63 lands in the sign bit — harmless, & | bit_count
+    // are two's-complement-blind, which this entry exercises by
+    // construction (custkeys ≡ 63 mod 64 exist at every sf).
+    QueryDef(
+      "q139_bitmap_index",
+      (s, d) => {
+        val o = orders(s, d)
+        def segment(status: String, w: String) =
+          o.filter(col("o_orderstatus") === status)
+            .groupBy(expr("o_custkey div 64").as("bucket"))
+            .agg(expr("bit_or(shiftleft(CAST(1 AS BIGINT), " +
+              "CAST(o_custkey % 64 AS INT)))").as(w))
+        segment("F", "wa")
+          .join(segment("O", "wb"), Seq("bucket"), "full_outer")
+          .select(coalesce(col("wa"), lit(0L)).as("wa"),
+            coalesce(col("wb"), lit(0L)).as("wb"))
+          .agg(
+            sum(expr("bit_count(wa)")).as("n_seg_a"),
+            sum(expr("bit_count(wb)")).as("n_seg_b"),
+            sum(expr("bit_count(wa & wb)")).as("n_both"),
+            sum(expr("bit_count(wa | wb)")).as("n_either"))
+          .select(col("n_seg_a").cast("long").as("n_seg_a"),
+            col("n_seg_b").cast("long").as("n_seg_b"),
+            col("n_both").cast("long").as("n_both"),
+            col("n_either").cast("long").as("n_either"))
+      },
+      Some("""WITH a AS (SELECT DISTINCT o_custkey FROM orders
+             |  WHERE o_orderstatus = 'F'),
+             |b AS (SELECT DISTINCT o_custkey FROM orders
+             |  WHERE o_orderstatus = 'O')
+             |SELECT
+             |  CAST((SELECT count(*) FROM a) AS BIGINT) AS n_seg_a,
+             |  CAST((SELECT count(*) FROM b) AS BIGINT) AS n_seg_b,
+             |  CAST((SELECT count(*) FROM a JOIN b USING (o_custkey))
+             |    AS BIGINT) AS n_both,
+             |  CAST((SELECT count(*) FROM
+             |      (SELECT o_custkey FROM a UNION
+             |       SELECT o_custkey FROM b))
+             |    AS BIGINT) AS n_either""".stripMargin))
   )
 }

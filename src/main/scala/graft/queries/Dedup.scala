@@ -597,6 +597,109 @@ object Dedup {
              |FROM sp x JOIN sp y ON x.hv = y.hv AND x.source < y.source
              |GROUP BY 1, 2
              |ORDER BY n_shared_shingles DESC, src_a, src_b
-             |LIMIT 20""".stripMargin))
+             |LIMIT 20""".stripMargin)),
+
+    // SUBSTRING-LEVEL duplicated-span detection (the training-data
+    // dedup granularity below q113's paragraph unit: find the exact
+    // REGIONS of a document that also occur elsewhere, à la
+    // "Deduplicating Training Data Makes Language Models Better",
+    // arXiv 2107.06499 — their ExactSubstr at 50-token granularity;
+    // k=8 here so the small synthetic docs exercise it). Shape:
+    //   1. every k-token window becomes a gram keyed by md5 of its
+    //      joined text — a CONSTANT-WIDTH 32-char key, so the
+    //      corpus-wide shuffle carries 32 bytes/gram, never document
+    //      text (the q27 lesson; md5 because it is identical in
+    //      every engine, so the oracle reproduces the grouping
+    //      bit-for-bit — production would swap in xxhash64);
+    //   2. a count window over the gram key marks grams occurring
+    //      ≥2 times corpus-wide (one shuffle, no join-back);
+    //   3. per doc, duplicated gram positions merge into maximal
+    //      spans by the gaps-and-islands window (narrow after one
+    //      doc_id shuffle): a new span starts when pos jumps past
+    //      prev_pos + k (adjacent/overlapping windows fuse).
+    // Fan-out is n-k+1 grams/doc (linear); span merge is per-doc
+    // windows; nothing is quadratic and no full text ever shuffles —
+    // exactly the 100 TB shape. Output: top-20 most-duplicated docs
+    // with span count, duplicated-token mass, and integer permille.
+    QueryDef(
+      "q140_dup_span_dedup",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val k = 8
+        val grams = documents(s, d)
+          .repartition(s.sparkContext.defaultParallelism)
+          .select(col("doc_id"), TextOps.tokens(col("text")).as("ws"))
+          .filter(size(col("ws")) >= k)
+          .withColumn("n_tokens", size(col("ws")).cast("long"))
+          .withColumn("pos",
+            explode(sequence(lit(1), size(col("ws")) - (k - 1))))
+          .select(col("doc_id"), col("n_tokens"), col("pos"),
+            md5(concat_ws(" ", slice(col("ws"), col("pos"), lit(k))))
+              .as("g"))
+        val dup = grams
+          .withColumn("cnt",
+            count(lit(1)).over(Window.partitionBy(col("g"))))
+          .filter(col("cnt") >= 2)
+        val byPos = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+        val prevPos = max(col("pos"))
+          .over(byPos.rowsBetween(Window.unboundedPreceding, -1))
+        dup
+          .withColumn("brk",
+            when(prevPos.isNull || col("pos") > prevPos + k, 1)
+              .otherwise(0))
+          .withColumn("island", sum(col("brk"))
+            .over(byPos.rowsBetween(Window.unboundedPreceding, 0)))
+          .groupBy(col("doc_id"), col("n_tokens"), col("island"))
+          .agg(min(col("pos")).as("s"),
+            (max(col("pos")) + lit(k - 1)).as("e"))
+          .groupBy(col("doc_id"), col("n_tokens"))
+          .agg(count(lit(1)).as("n_spans"),
+            sum(col("e") - col("s") + 1).cast("long").as("dup_tokens"))
+          .withColumn("dup_permille",
+            expr("dup_tokens * 1000 div n_tokens"))
+          .select(col("doc_id"), col("n_tokens"), col("n_spans"),
+            col("dup_tokens"), col("dup_permille"))
+          .orderBy(col("dup_tokens").desc, col("doc_id"))
+          .limit(20)
+      },
+      Some("""WITH tok AS (
+             |  SELECT doc_id, string_split(text, ' ') AS ws
+             |  FROM documents WHERE len(string_split(text, ' ')) >= 8),
+             |grams AS (
+             |  SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_tokens,
+             |    CAST(i AS INTEGER) AS pos,
+             |    md5(array_to_string(ws[i:i+7], ' ')) AS g
+             |  FROM tok, LATERAL (SELECT unnest(range(1, len(ws) - 6)) AS i) u),
+             |dp AS (
+             |  SELECT doc_id, n_tokens, pos FROM (
+             |    SELECT doc_id, n_tokens, pos,
+             |      count(*) OVER (PARTITION BY g) AS cnt
+             |    FROM grams) WHERE cnt >= 2),
+             |isl AS (
+             |  SELECT doc_id, n_tokens, pos,
+             |    CASE WHEN max(pos) OVER (PARTITION BY doc_id ORDER BY pos
+             |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+             |         IS NULL
+             |      OR pos > max(pos) OVER (PARTITION BY doc_id ORDER BY pos
+             |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) + 8
+             |      THEN 1 ELSE 0 END AS brk
+             |  FROM dp),
+             |sp AS (
+             |  SELECT doc_id, n_tokens, pos,
+             |    sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+             |  FROM isl),
+             |spans AS (
+             |  SELECT doc_id, n_tokens, island,
+             |    min(pos) AS s, max(pos) + 7 AS e
+             |  FROM sp GROUP BY doc_id, n_tokens, island),
+             |docs AS (
+             |  SELECT doc_id, n_tokens, count(*) AS n_spans,
+             |    CAST(sum(e - s + 1) AS BIGINT) AS dup_tokens
+             |  FROM spans GROUP BY doc_id, n_tokens)
+             |SELECT doc_id, n_tokens, n_spans, dup_tokens,
+             |  CAST(dup_tokens * 1000 // n_tokens AS BIGINT) AS dup_permille
+             |FROM docs
+             |ORDER BY dup_tokens DESC, doc_id LIMIT 20""".stripMargin))
   )
 }

@@ -592,6 +592,72 @@ object Training {
              |  CAST(sum(doc_id) AS BIGINT) AS id_sum,
              |  CAST(sum(n_chars) AS BIGINT) AS char_mass
              |FROM b GROUP BY source, split
-             |ORDER BY source, split""".stripMargin))
+             |ORDER BY source, split""".stripMargin)),
+
+    // Weighted sampling without replacement, PPS-systematic (pick
+    // m=8 docs per source with probability proportional to size —
+    // the curation step that thins a huge source while keeping its
+    // token mass representative). Exponential-key A-ES sampling is
+    // the textbook method but needs ln()/pow() — not cross-engine
+    // bit-stable — so this is SYSTEMATIC PPS, which is integer-exact:
+    // order the stratum by a portable mixing hash (q130's family, so
+    // the traversal is pseudorandom but deterministic and identical
+    // in every engine), take the running weight cumsum, and pick the
+    // rows whose cumulative interval crosses one of m equally-spaced
+    // stride boundaries: picks = ⌊cum_after·m/W⌋ − ⌊cum_before·m/W⌋.
+    // Telescoping guarantees Σpicks = m EXACTLY per stratum; a doc
+    // heavier than one stride gets multiplicity >1 (reported, as PPS
+    // defines). One narrow window pass per stratum after a single
+    // source shuffle — no sort of the corpus, no rejection loop;
+    // strata process independently so the shape is embarrassingly
+    // parallel at 100 TB.
+    QueryDef(
+      "q141_pps_sample",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val m = 8
+        val ordKey = expr(
+          "((((doc_id % 1000003) * 131 + 17) % 1000003) * 137 + 29) " +
+            "% 1000003")
+        val bySrc = Window.partitionBy(col("source"))
+        val cum = Window.partitionBy(col("source"))
+          .orderBy(col("mix"), col("doc_id"))
+          .rowsBetween(Window.unboundedPreceding, 0)
+        documents(s, d)
+          .filter(col("n_chars") > 0)
+          .withColumn("mix", ordKey)
+          .withColumn("cum_after", sum(col("n_chars")).over(cum))
+          .withColumn("tot", sum(col("n_chars")).over(bySrc))
+          .withColumn("n_picks", expr(
+            s"(cum_after * $m) div tot - " +
+              s"((cum_after - n_chars) * $m) div tot"))
+          .filter(col("n_picks") >= 1)
+          .select(col("source"), col("doc_id"),
+            col("n_chars").cast("long").as("n_chars"),
+            col("n_picks").cast("long").as("n_picks"))
+          .orderBy(col("source"), col("doc_id"))
+      },
+      Some("""WITH w AS (
+             |  SELECT source, doc_id, n_chars,
+             |    ((((doc_id % 1000003) * 131 + 17) % 1000003) * 137 + 29)
+             |      % 1000003 AS mix
+             |  FROM documents WHERE n_chars > 0),
+             |c AS (
+             |  SELECT source, doc_id, n_chars,
+             |    sum(n_chars) OVER (PARTITION BY source
+             |      ORDER BY mix, doc_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             |      AS cum_after,
+             |    sum(n_chars) OVER (PARTITION BY source) AS tot
+             |  FROM w),
+             |p AS (
+             |  SELECT source, doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+             |    CAST((cum_after * 8) // tot
+             |      - ((cum_after - n_chars) * 8) // tot AS BIGINT)
+             |      AS n_picks
+             |  FROM c)
+             |SELECT source, doc_id, n_chars, n_picks
+             |FROM p WHERE n_picks >= 1
+             |ORDER BY source, doc_id""".stripMargin))
   )
 }

@@ -893,6 +893,177 @@ object Windowed {
              |SELECT CAST(epoch(ws) AS BIGINT) AS win_start, event_type,
              |  count(*) AS n, round(sum(value), 2) AS sum_value
              |FROM fan GROUP BY 1, 2
-             |ORDER BY win_start, event_type""".stripMargin))
+             |ORDER BY win_start, event_type""".stripMargin)),
+
+    // ROC AUC by rank-sum (Mann-Whitney U with tie correction) — the
+    // model-eval aggregate a training pipeline runs over scored
+    // examples, computed exactly without any sort of the raw table
+    // into one task: scores quantize to integer cents, the per-
+    // (group, score) aggregate collapses ties FIRST (the only fact-
+    // table shuffle), and the rank arithmetic runs on the collapsed
+    // tie groups — |distinct scores| rows, not |rows|. Tie handling
+    // is the textbook average-rank: a tie block occupying ranks
+    // r+1..r+t contributes 2·avg_rank = 2r+t+1 per member (×2 keeps
+    // it integer). AUC = (S − n⁺(n⁺+1)/2) / (n⁺·n⁻) with S the
+    // positive rank sum; everything stays in DECIMAL(38,0) until the
+    // final ppm integer division, so the identity survives group
+    // sizes far past the long envelope (the q112/q119 lesson —
+    // widen, don't document). Label: order priority URGENT/HIGH;
+    // score: order value in cents. AUC(ppm) answers "does price
+    // rank-predict urgency" per status, exactly.
+    QueryDef(
+      "q142_auc_ranksum",
+      (s, d) => {
+        val scored = orders(s, d)
+          .select(col("o_orderstatus").as("grp"),
+            expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)")
+              .as("cents"),
+            when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
+              .otherwise(0L).as("pos"))
+        val ties = scored.groupBy(col("grp"), col("cents"))
+          .agg(count(lit(1)).as("t"), sum(col("pos")).as("p"))
+        val cumBefore = coalesce(
+          sum(col("t")).over(Window.partitionBy(col("grp"))
+            .orderBy(col("cents"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L))
+        ties
+          .withColumn("r0", cumBefore)
+          .groupBy(col("grp"))
+          .agg(sum((col("p") * (col("r0") * 2 + col("t") + 1))
+            .cast("decimal(38,0)")).as("s2"),
+            sum(col("p")).as("n_pos"),
+            (sum(col("t")) - sum(col("p"))).as("n_neg"))
+          .filter(col("n_pos") > 0 && col("n_neg") > 0)
+          .withColumn("auc_ppm", expr(
+            "CAST((CAST(s2 AS DECIMAL(38,0)) " +
+              "- CAST(n_pos AS DECIMAL(38,0)) * (n_pos + 1)) * 1000000 " +
+              "div (2 * CAST(n_pos AS DECIMAL(38,0)) * n_neg) AS BIGINT)"))
+          .select(col("grp").as("o_orderstatus"), col("n_pos"),
+            col("n_neg"), col("auc_ppm"))
+          .orderBy(col("o_orderstatus"))
+      },
+      Some("""WITH scored AS (
+             |  SELECT o_orderstatus AS grp,
+             |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents,
+             |    CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+             |         THEN 1 ELSE 0 END AS pos
+             |  FROM orders),
+             |ties AS (
+             |  SELECT grp, cents, count(*) AS t, sum(pos) AS p
+             |  FROM scored GROUP BY grp, cents),
+             |ranked AS (
+             |  SELECT grp, t, p,
+             |    coalesce(sum(t) OVER (PARTITION BY grp ORDER BY cents
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             |      AS r0
+             |  FROM ties),
+             |agg AS (
+             |  SELECT grp, sum(p * (r0 * 2 + t + 1)) AS s2,
+             |    sum(p) AS n_pos, sum(t) - sum(p) AS n_neg
+             |  FROM ranked GROUP BY grp)
+             |SELECT grp AS o_orderstatus,
+             |  CAST(n_pos AS BIGINT) AS n_pos,
+             |  CAST(n_neg AS BIGINT) AS n_neg,
+             |  CAST((s2 - n_pos * (n_pos + 1)) * 1000000
+             |    // (2 * n_pos * n_neg) AS BIGINT) AS auc_ppm
+             |FROM agg WHERE n_pos > 0 AND n_neg > 0
+             |ORDER BY o_orderstatus""".stripMargin)),
+
+    // Robust outlier detection by MEDIAN / MAD (the z-score family's
+    // q90 uses mean/stddev, which outliers themselves corrupt; the
+    // median absolute deviation is the robust estimator data-quality
+    // monitors actually deploy). Exact and engine-portable: values
+    // quantize to integer micros; the k-th-smallest order statistics
+    // come from a row_number window per event_type (never a global
+    // sort); ×2/×4 scaling keeps the even-count "average of the two
+    // middle elements" in integers — med2 = x⌈n/2⌉ + x⌊n/2⌋₊₁ is
+    // twice the median, mad4 twice the median of the doubled
+    // deviations |2v − med2|, so the 3-sigma-equivalent outlier rule
+    // |v − med| > 3·MAD becomes the integer test 2·dev2 > 3·mad4.
+    // Two window passes + two broadcast joins of a 5-row medians
+    // table; the fact table shuffles once per pass on event_type
+    // (salt via SkewOps if one type dominates at scale).
+    QueryDef(
+      "q145_mad_outliers",
+      (s, d) => {
+        val ev = eventsNorm(s, d)
+          .filter(col("value").isNotNull)
+          .select(col("event_type"), col("event_id"),
+            expr("CAST(floor(value * 1000000 + 0.5) AS BIGINT)")
+              .as("v"))
+        val byV = Window.partitionBy(col("event_type"))
+          .orderBy(col("v"), col("event_id"))
+        val ranked = ev
+          .withColumn("rn", row_number().over(byV))
+          .withColumn("n",
+            count(lit(1)).over(Window.partitionBy(col("event_type"))))
+        val med = ranked
+          .filter(col("rn") === expr("(n + 1) div 2") ||
+            col("rn") === expr("n div 2 + 1"))
+          .groupBy(col("event_type"))
+          .agg((sum(col("v")) * 2 / count(lit(1))).cast("long").as("med2"),
+            first(col("n")).as("n"))
+        val dev = ev.join(broadcast(med), "event_type")
+          .withColumn("dev2", abs(col("v") * 2 - col("med2")))
+        val byDev = Window.partitionBy(col("event_type"))
+          .orderBy(col("dev2"), col("event_id"))
+        val mad = dev
+          .withColumn("rn", row_number().over(byDev))
+          .filter(col("rn") === expr("(n + 1) div 2") ||
+            col("rn") === expr("n div 2 + 1"))
+          .groupBy(col("event_type"))
+          .agg((sum(col("dev2")) * 2 / count(lit(1))).cast("long")
+            .as("mad4"))
+        dev.join(broadcast(mad), "event_type")
+          .groupBy(col("event_type"))
+          .agg(first(col("n")).as("n_events"),
+            first(col("med2")).as("med2_micro"),
+            first(col("mad4")).as("mad4_micro"),
+            sum(when(col("dev2") * 2 > col("mad4") * 3, 1L)
+              .otherwise(0L)).as("n_outliers"),
+            max(col("dev2")).as("max_dev2_micro"))
+          .orderBy(col("event_type"))
+      },
+      Some("""WITH ev AS (
+             |  SELECT event_type, event_id,
+             |    CAST(floor(value * 1000000 + 0.5) AS BIGINT) AS v
+             |  FROM events WHERE value IS NOT NULL),
+             |ranked AS (
+             |  SELECT event_type, v,
+             |    row_number() OVER (PARTITION BY event_type
+             |      ORDER BY v, event_id) AS rn,
+             |    count(*) OVER (PARTITION BY event_type) AS n
+             |  FROM ev),
+             |med AS (
+             |  SELECT event_type,
+             |    CAST(sum(v) * 2 // count(*) AS BIGINT) AS med2,
+             |    min(n) AS n
+             |  FROM ranked
+             |  WHERE rn = (n + 1) // 2 OR rn = n // 2 + 1
+             |  GROUP BY event_type),
+             |dev AS (
+             |  SELECT ev.event_type, ev.event_id,
+             |    abs(ev.v * 2 - med.med2) AS dev2, med.med2, med.n
+             |  FROM ev JOIN med ON ev.event_type = med.event_type),
+             |dranked AS (
+             |  SELECT event_type, dev2,
+             |    row_number() OVER (PARTITION BY event_type
+             |      ORDER BY dev2, event_id) AS rn, n
+             |  FROM dev),
+             |mad AS (
+             |  SELECT event_type,
+             |    CAST(sum(dev2) * 2 // count(*) AS BIGINT) AS mad4
+             |  FROM dranked
+             |  WHERE rn = (n + 1) // 2 OR rn = n // 2 + 1
+             |  GROUP BY event_type)
+             |SELECT dev.event_type, min(dev.n) AS n_events,
+             |  min(dev.med2) AS med2_micro,
+             |  min(mad.mad4) AS mad4_micro,
+             |  CAST(sum(CASE WHEN dev.dev2 * 2 > mad.mad4 * 3
+             |    THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+             |  max(dev.dev2) AS max_dev2_micro
+             |FROM dev JOIN mad ON dev.event_type = mad.event_type
+             |GROUP BY dev.event_type
+             |ORDER BY dev.event_type""".stripMargin))
   )
 }

@@ -1,6 +1,7 @@
 package graft.queries
 
 import java.nio.file.Files
+import scala.jdk.CollectionConverters._
 import graft.{QueryDef, Tables}
 import graft.sources.VersionedTable
 import org.apache.spark.sql.functions._
@@ -261,6 +262,95 @@ object Lakehouse {
              |    AS BIGINT) AS sum_cents,
              |  min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
              |FROM orders GROUP BY o_orderstatus
+             |ORDER BY o_orderstatus""".stripMargin)),
+
+    // MERGE INTO, stats-pruned (Delta's MERGE shape — q71 is the
+    // DataFrame algebra, this is the TABLE op): orders committed
+    // range-clustered on o_orderkey (8 files), then one upsert batch
+    // merges — keys 2000-2100 flip to status 'U' (matched → replace),
+    // and 50 rows keyed BELOW the table's keyspace (o_orderkey −
+    // 10,000,000, status 'N') insert. The source's key envelope
+    // [−10M, 2100] overlaps only the low-range files, so the high ~6
+    // of 8 files CARRY OVER by reference — never opened — and the one
+    // `replace` commit holds the rewrite + inserts. Pruning is sound
+    // because a file disjoint from the envelope can neither match a
+    // source key nor shadow an insert; the oracle states the merged
+    // semantics (CASE + UNION) layout-free.
+    QueryDef(
+      "q143_table_merge",
+      (s, d) => {
+        val root = Files.createTempDirectory("graft_merge_").toString
+        val o = orders(s, d)
+        VersionedTable.commit(
+          o.repartitionByRange(8, col("o_orderkey")), root)
+        val source =
+          o.filter(col("o_orderkey").between(2000, 2100))
+            .withColumn("o_orderstatus", lit("U"))
+          .unionByName(
+            o.filter(col("o_orderkey").between(1, 50))
+              .withColumn("o_orderkey", col("o_orderkey") - 10000000L)
+              .withColumn("o_orderstatus", lit("N")))
+        VersionedTable.mergeKeyed(s, root, source, "o_orderkey")
+        VersionedTable.read(s, root)
+          .groupBy(col("o_orderstatus"))
+          .agg(count(lit(1)).as("n_orders"),
+            sum(col("o_orderkey")).as("sum_key"))
+          .orderBy(col("o_orderstatus"))
+      },
+      Some("""WITH merged AS (
+             |  SELECT o_orderkey,
+             |    CASE WHEN o_orderkey BETWEEN 2000 AND 2100
+             |         THEN 'U' ELSE o_orderstatus END AS o_orderstatus
+             |  FROM orders
+             |  UNION ALL
+             |  SELECT o_orderkey - 10000000 AS o_orderkey,
+             |    'N' AS o_orderstatus
+             |  FROM orders WHERE o_orderkey BETWEEN 1 AND 50)
+             |SELECT o_orderstatus, count(*) AS n_orders,
+             |  CAST(sum(o_orderkey) AS BIGINT) AS sum_key
+             |FROM merged GROUP BY o_orderstatus
+             |ORDER BY o_orderstatus""".stripMargin)),
+
+    // VACUUM in the checked path: v0 commits the full table, v1
+    // overwrites with the filtered mart, vacuum(retain=1) physically
+    // reclaims v0's now-unreferenced data dir (minAgeMs=0 is safe
+    // here — no concurrent writer). The entry then answers through
+    // the post-vacuum snapshot AND reports `n_dirs_reclaimed`
+    // (measured by listing, stated by the oracle as a literal), so
+    // both sides of the contract sit under the hash check: the
+    // current snapshot is untouched by vacuum, and exactly one dir —
+    // v0's — is gone. Retention is the cost side of time travel: old
+    // snapshots are only free until storage says otherwise, and the
+    // safety rails (retain must exist; young dirs skipped) are what
+    // keep the one destructive op from eating a live commit.
+    QueryDef(
+      "q144_vacuum_retention",
+      (s, d) => {
+        val root = Files.createTempDirectory("graft_vac_").toString
+        val o = orders(s, d)
+        VersionedTable.commit(o, root)
+        VersionedTable.commit(
+          o.filter(col("o_orderkey") <= 3000), root, "overwrite")
+        def nDirs = {
+          val dd = java.nio.file.Paths.get(root, "data")
+          val st = Files.list(dd)
+          try st.iterator().asScala.size finally st.close()
+        }
+        val before = nDirs
+        VersionedTable.vacuum(root, retain = 1L, minAgeMs = 0L)
+        val reclaimed = before - nDirs
+        VersionedTable.read(s, root)
+          .groupBy(col("o_orderstatus"))
+          .agg(count(lit(1)).as("n_orders"),
+            sum(col("o_orderkey")).as("sum_key"))
+          .withColumn("n_dirs_reclaimed", lit(reclaimed.toLong))
+          .orderBy(col("o_orderstatus"))
+      },
+      Some("""SELECT o_orderstatus, count(*) AS n_orders,
+             |  CAST(sum(o_orderkey) AS BIGINT) AS sum_key,
+             |  CAST(1 AS BIGINT) AS n_dirs_reclaimed
+             |FROM orders WHERE o_orderkey <= 3000
+             |GROUP BY o_orderstatus
              |ORDER BY o_orderstatus""".stripMargin))
   )
 }

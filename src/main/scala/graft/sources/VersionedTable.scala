@@ -567,13 +567,24 @@ object VersionedTable {
       ranges.forall { case (c, lo, hi) => mayMatch(fs.get(c), lo, hi) }
     }
     if (touched.isEmpty) return basis
-    val next = basis + 1
-    if (Files.exists(manifestPath(root, next)))
-      throw new ConcurrentCommitException(next)
     val matchPred = ranges.flatMap { case (c, lo, hi) =>
       lo.map(l => col(c) >= lit(l)) ++ hi.map(u => col(c) <= lit(u))
     }.reduce(_ && _)
     val rewritten = rewrite(readFiles(spark, root, basis, touched), matchPred)
+    commitReplace(spark, root, basis, touched, rewritten)
+  }
+
+  /** Land `rewritten` as one `replace` commit on top of `basis`:
+    * remove `removed` files, add the new ones (with footer stats),
+    * carry the basis schema line forward (a row-level rewrite never
+    * changes schema; tableSchema resolves from the NEWEST manifest
+    * only, so omitting it would lose schema tracking). Shared tail of
+    * [[deleteRanges]]/[[updateRanges]]/[[mergeKeyed]]. */
+  private def commitReplace(spark: SparkSession, root: String,
+      basis: Long, removed: Seq[String], rewritten: DataFrame): Long = {
+    val next = basis + 1
+    if (Files.exists(manifestPath(root, next)))
+      throw new ConcurrentCommitException(next)
     val nonce = java.util.UUID.randomUUID().toString.take(8)
     val dataRel = s"data/v$next-$nonce"
     val dataDir = Paths.get(root, dataRel)
@@ -586,18 +597,53 @@ object VersionedTable {
     val statLines = files.flatMap { f =>
       statsLines(f, footerStats(spark, Paths.get(root, f)))
     }
-    // the schema is unchanged by a row-level rewrite: carry the basis
-    // schema line forward (tableSchema resolves from the NEWEST
-    // manifest only, so omitting it would lose schema tracking)
     val schemaLine = tableSchema(root, basis)
       .map(sc => s"schema=${enc(sc.json)}").toSeq
     val body =
       (Seq(s"version=$next", "action=replace") ++ schemaLine ++
-        touched.map(f => s"remove=$f") ++
+        removed.map(f => s"remove=$f") ++
         files.map(f => s"file=$f") ++ statLines)
         .mkString("", "\n", "\n")
     publish(root, next, body)
     next
+  }
+
+  /** MERGE INTO, stats-pruned copy-on-write (the Delta `MERGE` shape,
+    * upsert form): `source` carries the table's schema; rows whose
+    * `key` matches an existing row REPLACE it, the rest INSERT. Only
+    * files whose `key` min/max overlaps the source's [min, max] key
+    * envelope are read and rewritten — everything else carries over by
+    * reference in one `replace` commit. The pruning is sound because a
+    * file disjoint from the source's key envelope can neither contain
+    * a matched key nor shadow an insert; it is EFFECTIVE when the
+    * source's keys are clustered (a CDC batch usually is — recent
+    * keys). Inserts land in the rewritten output even when no file
+    * matches. Contract: `source` unique per `key` (pre-dedup a CDC
+    * batch to its latest record). Empty source = metadata-only no-op.
+    * For tombstones use [[deleteRanges]] or the full [[merge]]. */
+  def mergeKeyed(spark: SparkSession, root: String, source: DataFrame,
+      key: String): Long = {
+    import org.apache.spark.sql.functions.{col, lit, min => fmin, max => fmax}
+    val basis = latestVersion(root)
+    require(basis >= 0, s"$root is not a versioned table (empty log)")
+    val tableCols = readFiles(spark, root, basis,
+      snapshotFiles(root, basis).take(1)).columns.toSeq
+    require(source.columns.toSet == tableCols.toSet,
+      s"source schema must match table: ${tableCols.mkString(",")} " +
+        s"(got ${source.columns.mkString(",")})")
+    val bounds = source.agg(
+      fmin(col(key)).as("lo"), fmax(col(key)).as("hi")).head()
+    if (bounds.isNullAt(0)) return basis // empty source
+    val (lo, hi) = (bounds.get(0), bounds.get(1))
+    val stats = snapshotStats(root, basis)
+    val touched = snapshotFiles(root, basis).filter { f =>
+      mayMatch(stats.getOrElse(f, Map.empty).get(key), Some(lo), Some(hi))
+    }
+    val base = readFiles(spark, root, basis, touched)
+    val merged = graft.ops.MergeOps.merge(
+        base, source.withColumn("__mrg_tomb", lit(false)), key, "__mrg_tomb")
+      .select(tableCols.map(col): _*) // MergeOps fronts the key column
+    commitReplace(spark, root, basis, touched, merged)
   }
 
   /** Read a set of snapshot-`v` files with the schema resolved from

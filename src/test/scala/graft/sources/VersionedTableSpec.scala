@@ -334,6 +334,45 @@ class VersionedTableSpec extends SparkSpecBase {
     assert(VersionedTable.read(spark, root, Some(v - 1)).count() == 3)
   }
 
+  test("mergeKeyed: stats-pruned upsert — disjoint files carry over " +
+      "by reference; inserts land; empty source is a no-op") {
+    val root = newRoot()
+    val df = spark.range(0, 8000)
+      .select(col("id").as("k"), (col("id") * 10).as("v"))
+      .repartitionByRange(8, col("k"))
+    VersionedTable.commit(df, root)
+    val before = VersionedTable.snapshotFiles(root, 0L)
+    assert(before.size == 8)
+    // source: update k in [100, 199] (v -> -1), insert 10 negative keys
+    val source = spark.range(100, 200)
+        .select(col("id").as("k"), lit(-1L).as("v"))
+      .unionByName(spark.range(0, 10)
+        .select((col("id") - 1000000L).as("k"), lit(-2L).as("v")))
+    val v1 = VersionedTable.mergeKeyed(spark, root, source, "k")
+    assert(v1 == 1L)
+    // key envelope [-999999, 199] touches only the lowest file(s)
+    val after = VersionedTable.snapshotFiles(root, 1L)
+    val carried = after.toSet.intersect(before.toSet)
+    assert(carried.size >= 6,
+      s"expected >= 6 of 8 files carried by reference, got ${carried.size}")
+    val cur = VersionedTable.read(spark, root)
+    assert(cur.count() == 8010)
+    assert(cur.filter(col("v") === -1L).count() == 100) // matched replaced
+    assert(cur.filter(col("v") === -2L).count() == 10)  // inserts landed
+    assert(cur.filter(col("k") === 150L).select("v").head().getLong(0) == -1L)
+    assert(cur.filter(col("k") === 250L).select("v").head().getLong(0) == 2500L)
+    // pre-merge snapshot intact; empty source commits nothing
+    assert(VersionedTable.read(spark, root, Some(0L)).count() == 8000)
+    assert(VersionedTable.mergeKeyed(spark, root,
+      source.filter(lit(false)), "k") == 1L)
+    assert(VersionedTable.latestVersion(root) == 1L)
+    // schema mismatch rejected
+    intercept[IllegalArgumentException] {
+      VersionedTable.mergeKeyed(spark, root,
+        spark.range(1).select(col("id").as("k")), "k")
+    }
+  }
+
   test("streamingSink: replayed micro-batch commits exactly once") {
     val root = newRoot()
     val sink = VersionedTable.streamingSink(root)

@@ -570,6 +570,60 @@ object Relational {
              |  CAST(sum(bytes) AS BIGINT) AS bin_bytes,
              |  CAST(min(day) AS VARCHAR) AS day_from,
              |  CAST(max(day) AS VARCHAR) AS day_to
-             |FROM c GROUP BY 1 ORDER BY bin""".stripMargin))
+             |FROM c GROUP BY 1 ORDER BY bin""".stripMargin)),
+
+    // SKYLINE (Pareto frontier) — multi-criteria dominance: the
+    // customers no one beats on BOTH order count and spend (Börzsönyi
+    // et al., "The Skyline Operator", ICDE 2001). The naive form is
+    // an O(n²) self-anti-join; this is the sort-based O(n log n)
+    // plan: over the per-customer AGGREGATE (bounded relative to the
+    // fact table — the only global window, same stance as q116),
+    // sort by x desc and keep a point iff its y strictly exceeds the
+    // running max y of all points with strictly greater x
+    // (RANGE .. 1 PRECEDING on integer x = "x > current", exact) and
+    // it holds the max y within its own x tie-group. The ORACLE is
+    // deliberately the quadratic NOT EXISTS dominance definition —
+    // structurally different from the plan under test, so agreement
+    // checks the algorithm, not the transcription. Spend quantizes
+    // to exact cents. At domain scale the aggregate itself can be
+    // pre-filtered by a grid prune (only cells on the staircase can
+    // hold skyline points) before any sort.
+    QueryDef(
+      "q147_skyline",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val byCust = orders(s, d)
+          .groupBy(col("o_custkey"))
+          .agg(count(lit(1)).as("n_orders"),
+            sum(expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)"))
+              .as("spend_cents"))
+        val higherX = Window.orderBy(col("n_orders").desc)
+          .rangeBetween(Window.unboundedPreceding, -1)
+        val sameX = Window.partitionBy(col("n_orders"))
+        byCust
+          .withColumn("best_y_higher_x",
+            max(col("spend_cents")).over(higherX))
+          .withColumn("best_y_same_x",
+            max(col("spend_cents")).over(sameX))
+          .filter((col("best_y_higher_x").isNull ||
+              col("spend_cents") > col("best_y_higher_x")) &&
+            col("spend_cents") === col("best_y_same_x"))
+          .select(col("o_custkey"), col("n_orders"), col("spend_cents"))
+          .orderBy(col("spend_cents").desc, col("o_custkey"))
+      },
+      Some("""WITH c AS (
+             |  SELECT o_custkey, count(*) AS n_orders,
+             |    CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+             |      AS BIGINT) AS spend_cents
+             |  FROM orders GROUP BY o_custkey)
+             |SELECT o_custkey, n_orders, spend_cents
+             |FROM c p
+             |WHERE NOT EXISTS (
+             |  SELECT 1 FROM c q
+             |  WHERE q.n_orders >= p.n_orders
+             |    AND q.spend_cents >= p.spend_cents
+             |    AND (q.n_orders > p.n_orders
+             |      OR q.spend_cents > p.spend_cents))
+             |ORDER BY spend_cents DESC, o_custkey""".stripMargin))
   )
 }

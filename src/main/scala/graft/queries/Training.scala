@@ -658,6 +658,66 @@ object Training {
              |  FROM c)
              |SELECT source, doc_id, n_chars, n_picks
              |FROM p WHERE n_picks >= 1
-             |ORDER BY source, doc_id""".stripMargin))
+             |ORDER BY source, doc_id""".stripMargin)),
+
+    // Temperature-dampened source mixing (the multilingual-LLM
+    // rebalancing rule: sample sources ∝ massᵅ, α<1, so head sources
+    // shrink and tail sources grow — XLM-R's α=0.3, mT5's α=0.3;
+    // α=1/2 here because √ has an EXACT integer form where pᵅ in
+    // general does not). isqrt is computed engine-portably: seed with
+    // the double sqrt, then correct ±1 in integer arithmetic — the
+    // double seed is within 1 of ⌊√x⌋ for x < 2⁵², and the two
+    // integer CASE corrections make the result exactly ⌊√x⌋ in both
+    // engines regardless of libm rounding. Weights normalize to ppm
+    // by integer division over the 20-row source aggregate (one fact
+    // shuffle, then bounded-table windows). raw_ppm sits alongside
+    // so the dampening is visible: head sources' dampened share <
+    // raw share, tail sources' >.
+    QueryDef(
+      "q146_temperature_mixing",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val isqrt = expr(
+          """CAST(floor(sqrt(CAST(char_mass AS DOUBLE))) AS BIGINT)""")
+        val all = Window.partitionBy()
+        documents(s, d)
+          .groupBy(col("source"))
+          .agg(sum(col("n_chars")).as("char_mass"))
+          .withColumn("s0", isqrt)
+          .withColumn("isqrt_mass",
+            col("s0")
+              - when(col("s0") * col("s0") > col("char_mass"), 1L)
+                .otherwise(0L)
+              + when((col("s0") + 1) * (col("s0") + 1) <= col("char_mass"),
+                  1L).otherwise(0L))
+          .withColumn("tot_raw", sum(col("char_mass")).over(all))
+          .withColumn("tot_sq", sum(col("isqrt_mass")).over(all))
+          .withColumn("raw_ppm", expr("char_mass * 1000000 div tot_raw"))
+          .withColumn("w_ppm", expr("isqrt_mass * 1000000 div tot_sq"))
+          .select(col("source"), col("char_mass"), col("isqrt_mass"),
+            col("raw_ppm"), col("w_ppm"))
+          .orderBy(col("source"))
+      },
+      Some("""WITH m AS (
+             |  SELECT source,
+             |    CAST(sum(n_chars) AS BIGINT) AS char_mass
+             |  FROM documents GROUP BY source),
+             |r AS (
+             |  SELECT source, char_mass,
+             |    CAST(floor(sqrt(CAST(char_mass AS DOUBLE))) AS BIGINT)
+             |      AS s0
+             |  FROM m),
+             |q AS (
+             |  SELECT source, char_mass,
+             |    s0 - (CASE WHEN s0 * s0 > char_mass THEN 1 ELSE 0 END)
+             |       + (CASE WHEN (s0+1) * (s0+1) <= char_mass
+             |          THEN 1 ELSE 0 END) AS isqrt_mass
+             |  FROM r)
+             |SELECT source, char_mass, isqrt_mass,
+             |  CAST(char_mass * 1000000
+             |    // (sum(char_mass) OVER ()) AS BIGINT) AS raw_ppm,
+             |  CAST(isqrt_mass * 1000000
+             |    // (sum(isqrt_mass) OVER ()) AS BIGINT) AS w_ppm
+             |FROM q ORDER BY source""".stripMargin))
   )
 }

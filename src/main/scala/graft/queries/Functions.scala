@@ -1060,5 +1060,53 @@ object Functions {
              |      (SELECT o_custkey FROM a UNION
              |       SELECT o_custkey FROM b))
              |    AS BIGINT) AS n_either""".stripMargin))
+  ,
+
+    // Salted-hash PSEUDONYMIZATION (the GDPR-grade PII treatment
+    // q64's scrubbing is the redaction half of): replace the natural
+    // key with sha256(salt ‖ key) so records stay JOINABLE across
+    // tables — the property tokenization must preserve and masking
+    // destroys — while the raw id never leaves the boundary.
+    // Consistency is proven IN the checked result: customer and
+    // orders are pseudonymized independently, then joined on the
+    // pseudonym; the per-segment rollup (plus a sampled pseudonym
+    // value, pinned by min()) must equal the plain-key join the
+    // oracle states with DuckDB's own sha256 — same digest, same
+    // hex, or the join collapses. sha2 is a codegen'd built-in on
+    // both sides (no UDF); the salt is a pipeline secret in
+    // production, a literal here. Narrow projections + one
+    // broadcastable dim join; the digest widens the join key to 32
+    // bytes — at 100 TB substring the hex to 16 chars (64 bits) if
+    // key-width dominates shuffle cost (collision odds ~n²/2⁶⁵).
+    QueryDef(
+      "q148_pseudonymize",
+      (s, d) => {
+        val pseud = (k: org.apache.spark.sql.Column) =>
+          sha2(concat(lit("graft-pepper-v1:"), k.cast("string")), 256)
+        val c = customer(s, d)
+          .select(pseud(col("c_custkey")).as("p_cust"),
+            col("c_mktsegment"))
+        val o = orders(s, d)
+          .select(pseud(col("o_custkey")).as("p_cust"))
+        o.join(broadcast(c), Seq("p_cust"))
+          .groupBy(col("c_mktsegment"))
+          .agg(count(lit(1)).as("n_orders"),
+            countDistinct(col("p_cust")).as("n_customers"),
+            min(col("p_cust")).as("sample_pseudonym"))
+          .orderBy(col("c_mktsegment"))
+      },
+      Some("""WITH c AS (
+             |  SELECT sha256('graft-pepper-v1:' ||
+             |      CAST(c_custkey AS VARCHAR)) AS p_cust, c_mktsegment
+             |  FROM customer),
+             |o AS (
+             |  SELECT sha256('graft-pepper-v1:' ||
+             |      CAST(o_custkey AS VARCHAR)) AS p_cust
+             |  FROM orders)
+             |SELECT c_mktsegment, count(*) AS n_orders,
+             |  count(DISTINCT o.p_cust) AS n_customers,
+             |  min(o.p_cust) AS sample_pseudonym
+             |FROM o JOIN c ON o.p_cust = c.p_cust
+             |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin))
   )
 }

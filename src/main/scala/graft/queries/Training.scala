@@ -718,6 +718,88 @@ object Training {
              |    // (sum(char_mass) OVER ()) AS BIGINT) AS raw_ppm,
              |  CAST(isqrt_mass * 1000000
              |    // (sum(isqrt_mass) OVER ()) AS BIGINT) AS w_ppm
-             |FROM q ORDER BY source""".stripMargin))
+             |FROM q ORDER BY source""".stripMargin)),
+
+    // Robust feature scaling (percentile-clipped min-max — the
+    // numeric-feature prep step before training: clip to [p5, p95]
+    // so tail outliers don't crush the usable range, then scale to
+    // [0, 1]): exact and engine-portable throughout. Values quantize
+    // to integer micros; the clip bounds are k-th-smallest ORDER
+    // STATISTICS (k₅ = ⌈n·5/100⌉ by integer arithmetic, k₉₅ = n−k₅+1
+    // symmetric) selected by a per-segment row_number window — never
+    // a float percentile interpolation, which no two engines round
+    // identically. Scaled values are integer ppm of the clipped
+    // range. Per-segment windows after one fact shuffle; the 5-row
+    // bounds table broadcasts back. Output: per-segment range audit +
+    // scaled mean + clip counts — the sanity table a feature
+    // pipeline logs every run.
+    QueryDef(
+      "q149_feature_scaling",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val cu = customer(s, d)
+          .filter(col("c_acctbal").isNotNull)
+          .select(col("c_mktsegment"), col("c_custkey"),
+            expr("CAST(floor(c_acctbal * 1000000 + 0.5) AS BIGINT)")
+              .as("v"))
+        val bySeg = Window.partitionBy(col("c_mktsegment"))
+        val ranked = cu
+          .withColumn("rn", row_number()
+            .over(bySeg.orderBy(col("v"), col("c_custkey"))))
+          .withColumn("n", count(lit(1)).over(bySeg))
+          .withColumn("k5", expr("(n * 5 + 99) div 100"))
+        val bounds = ranked
+          .filter(col("rn") === col("k5") ||
+            col("rn") === col("n") - col("k5") + 1)
+          .groupBy(col("c_mktsegment"))
+          .agg(min(col("v")).as("lo"), max(col("v")).as("hi"))
+        cu.join(broadcast(bounds), "c_mktsegment")
+          .withColumn("clipped",
+            least(greatest(col("v"), col("lo")), col("hi")))
+          .withColumn("scaled_ppm", expr(
+            "CASE WHEN hi > lo THEN (clipped - lo) * 1000000 " +
+              "div (hi - lo) ELSE 0 END"))
+          .groupBy(col("c_mktsegment"))
+          .agg(count(lit(1)).as("n_rows"),
+            first(col("lo")).as("lo_micro"),
+            first(col("hi")).as("hi_micro"),
+            sum(when(col("v") < col("lo"), 1L).otherwise(0L))
+              .as("n_clipped_low"),
+            sum(when(col("v") > col("hi"), 1L).otherwise(0L))
+              .as("n_clipped_high"),
+            expr("sum(scaled_ppm) div count(1)").as("mean_scaled_ppm"))
+          .orderBy(col("c_mktsegment"))
+      },
+      Some("""WITH cu AS (
+             |  SELECT c_mktsegment, c_custkey,
+             |    CAST(floor(c_acctbal * 1000000 + 0.5) AS BIGINT) AS v
+             |  FROM customer WHERE c_acctbal IS NOT NULL),
+             |ranked AS (
+             |  SELECT c_mktsegment, v,
+             |    row_number() OVER (PARTITION BY c_mktsegment
+             |      ORDER BY v, c_custkey) AS rn,
+             |    count(*) OVER (PARTITION BY c_mktsegment) AS n
+             |  FROM cu),
+             |bounds AS (
+             |  SELECT c_mktsegment, min(v) AS lo, max(v) AS hi
+             |  FROM ranked
+             |  WHERE rn = (n * 5 + 99) // 100
+             |     OR rn = n - ((n * 5 + 99) // 100) + 1
+             |  GROUP BY c_mktsegment),
+             |scaled AS (
+             |  SELECT cu.c_mktsegment, cu.v, b.lo, b.hi,
+             |    least(greatest(cu.v, b.lo), b.hi) AS clipped
+             |  FROM cu JOIN bounds b ON cu.c_mktsegment = b.c_mktsegment)
+             |SELECT c_mktsegment, count(*) AS n_rows,
+             |  min(lo) AS lo_micro, min(hi) AS hi_micro,
+             |  CAST(sum(CASE WHEN v < lo THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS n_clipped_low,
+             |  CAST(sum(CASE WHEN v > hi THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS n_clipped_high,
+             |  CAST(sum(CASE WHEN hi > lo THEN (clipped - lo) * 1000000
+             |      // (hi - lo) ELSE 0 END) // count(*) AS BIGINT)
+             |    AS mean_scaled_ppm
+             |FROM scaled GROUP BY c_mktsegment
+             |ORDER BY c_mktsegment""".stripMargin))
   )
 }

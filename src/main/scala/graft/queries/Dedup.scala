@@ -700,6 +700,60 @@ object Dedup {
              |SELECT doc_id, n_tokens, n_spans, dup_tokens,
              |  CAST(dup_tokens * 1000 // n_tokens AS BIGINT) AS dup_permille
              |FROM docs
-             |ORDER BY dup_tokens DESC, doc_id LIMIT 20""".stripMargin))
+             |ORDER BY dup_tokens DESC, doc_id LIMIT 20""".stripMargin)),
+
+    // CANONICAL SELECTION — dedup's "keep-best" policy: inside each
+    // duplicate group keep the HIGHEST-QUALITY representative (longest
+    // raw n_chars, tie → lowest doc_id), not blindly the first id —
+    // the curation rule real pipelines use when near-identical copies
+    // differ in truncation/boilerplate. Grouping key is the q27
+    // hash-first shape: (xxhash64, murmur3, length) of the normalized
+    // text — 20 fixed bytes on the exchange, never the document. Two
+    // INDEPENDENT 32/64-bit families + length must all collide to
+    // falsely merge (≈2⁻⁹⁶ per pair); where provable exactness is
+    // required, add q27's verify-and-redo branch — the per-source
+    // accounting here tolerates the same bound the oracle's
+    // norm-keyed grouping hash-checks against. One keeper per group
+    // via row_number over the 20-byte key; per-source rollup reports
+    // what dedup actually costs: docs and chars dropped.
+    QueryDef(
+      "q154_canonical_selection",
+      (s, d) => {
+        val base = documents(s, d)
+          .repartition(s.sparkContext.defaultParallelism)
+          .withColumn("norm",
+            regexp_replace(lower(trim(col("text"))), "\\s+", " "))
+          .select(col("doc_id"), col("source"), col("n_chars"),
+            xxhash64(col("norm")).as("h"), hash(col("norm")).as("h2"),
+            length(col("norm")).as("len"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("h"), col("h2"), col("len"))
+          .orderBy(col("n_chars").desc, col("doc_id"))
+        base.withColumn("rn", row_number().over(w))
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(when(col("rn") === 1, 1L).otherwise(0L)).as("n_kept"),
+            sum(when(col("rn") === 1, 0L).otherwise(1L)).as("n_dropped"),
+            sum(when(col("rn") === 1, 0L).otherwise(col("n_chars")))
+              .as("chars_dropped"))
+          .orderBy(col("source"))
+      },
+      Some("""WITH d AS (
+             |  SELECT doc_id, source, n_chars,
+             |    regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS norm
+             |  FROM documents),
+             |r AS (
+             |  SELECT source, n_chars,
+             |    row_number() OVER (PARTITION BY norm
+             |      ORDER BY n_chars DESC, doc_id) AS rn
+             |  FROM d)
+             |SELECT source, count(*) AS n_docs,
+             |  CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS n_kept,
+             |  CAST(sum(CASE WHEN rn = 1 THEN 0 ELSE 1 END) AS BIGINT)
+             |    AS n_dropped,
+             |  CAST(sum(CASE WHEN rn = 1 THEN 0 ELSE n_chars END) AS BIGINT)
+             |    AS chars_dropped
+             |FROM r GROUP BY source ORDER BY source""".stripMargin))
   )
 }

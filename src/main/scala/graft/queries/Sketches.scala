@@ -342,6 +342,122 @@ object Sketches {
              |SELECT event_type, n_days, n_exact, hll_est,
              |  abs(hll_est - n_exact) * 1000 // n_exact AS err_permille
              |FROM fin JOIN days USING (event_type) JOIN ex USING (event_type)
-             |ORDER BY event_type""".stripMargin))
+             |ORDER BY event_type""".stripMargin)),
+
+    // HLL SET INTERSECTION — audience-overlap by inclusion–exclusion
+    // over the portable HLL: |A∩B| ≈ est(A) + est(B) − est(A∪B),
+    // where est(A∪B) comes from the register-max merge (the only set
+    // operation HLL supports natively; intersection has no sketch
+    // form, which is exactly why the estimate-vs-exact error column
+    // matters). The three register sets build in ONE aggregation pass
+    // over the segment rows (grain ∈ a/b/u via a self-union — 2× the
+    // filtered segment rows, never the full table), and the estimate
+    // arithmetic is q85's engine-portable integer pipeline, so the
+    // DuckDB oracle rebuilds registers AND estimates bit-for-bit.
+    // At 100 TB the segments never co-shuffle: each side's 64-byte
+    // sketch merges map-side; only sketches meet the driver. Exact
+    // truth here is one groupBy over the two bounded segments — at
+    // scale you'd drop it and keep the sketch arithmetic (that loss
+    // of an error column is the price of never re-scanning).
+    QueryDef(
+      "q151_hll_intersection",
+      (s, d) => {
+        val m = 64
+        val width = 24
+        val scale = 1L << (width + 1)
+        val num = graft.ops.HllAgg.alphaScaled(m) * m * m * scale
+        val seg = orders(s, d)
+          .filter(col("o_orderpriority").isin("1-URGENT", "2-HIGH"))
+          .select(when(col("o_orderpriority") === "1-URGENT", "a")
+            .otherwise("b").as("grain"), col("o_custkey").as("key"))
+        val keys = seg.unionByName(
+          seg.select(lit("u").as("grain"), col("key")))
+        val est = keys
+          .withColumn("h0", pmod(col("key") * lit(2654435761L), lit(P)))
+          .withColumn("h", expr(s"(h0 * h0 + h0) % $P"))
+          .withColumn("bucket", col("h") % m)
+          .withColumn("rest", expr(s"h div $m"))
+          .groupBy(col("grain"), col("bucket"))
+          .agg(max(when(col("rest") === 0, width + 1)
+            .otherwise(expr("bit_count((rest & -rest) - 1) + 1"))).as("reg"))
+          .groupBy(col("grain"))
+          .agg(sum(expr(s"shiftright(CAST($scale AS BIGINT), CAST(reg AS INT))"))
+            .as("s_present"), count(lit(1)).as("n_buckets"))
+          .withColumn("n_empty", lit(m) - col("n_buckets"))
+          .withColumn("S", col("s_present") + col("n_empty") * scale)
+          .withColumn("raw", expr(s"CAST($num AS BIGINT) div (1000 * S)"))
+          .withColumn("hll_est",
+            when(col("n_empty") > 0 && col("raw") <= lit(5L * m / 2),
+              expr(s"($m * element_at(array(${HllLn.map(_ + "L").mkString(",")}), " +
+                "CAST(n_empty AS INT))) div 1000000"))
+              .otherwise(col("raw")))
+        val wide = est.groupBy()
+          .agg(max(when(col("grain") === "a", col("hll_est"))).as("est_a"),
+            max(when(col("grain") === "b", col("hll_est"))).as("est_b"),
+            max(when(col("grain") === "u", col("hll_est"))).as("est_union"))
+          .withColumn("est_inter",
+            col("est_a") + col("est_b") - col("est_union"))
+        val exact = orders(s, d)
+          .filter(col("o_orderpriority").isin("1-URGENT", "2-HIGH"))
+          .groupBy(col("o_custkey"))
+          .agg(max(when(col("o_orderpriority") === "1-URGENT", 1)
+            .otherwise(0)).as("ia"),
+            max(when(col("o_orderpriority") === "2-HIGH", 1)
+              .otherwise(0)).as("ib"))
+          .agg(sum(expr("CAST(ia * ib AS BIGINT)")).as("n_exact_inter"))
+        wide.crossJoin(broadcast(exact))
+          .select(col("est_a"), col("est_b"), col("est_union"),
+            col("est_inter"), col("n_exact_inter"),
+            abs(col("est_inter") - col("n_exact_inter")).as("err_abs"))
+      },
+      Some(s"""WITH seg AS (
+             |  SELECT CASE WHEN o_orderpriority = '1-URGENT' THEN 'a'
+             |      ELSE 'b' END AS grain,
+             |    o_custkey AS key
+             |  FROM orders
+             |  WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')),
+             |keys AS (SELECT grain, key FROM seg
+             |  UNION ALL SELECT 'u' AS grain, key FROM seg),
+             |h0 AS (SELECT grain, (key * 2654435761) % $P AS h0 FROM keys),
+             |h AS (SELECT grain, (h0 * h0 + h0) % $P AS h FROM h0),
+             |reg AS (SELECT grain, h % 64 AS bucket,
+             |    max(CASE WHEN h // 64 = 0 THEN 25
+             |        ELSE bit_count(((h // 64) & -(h // 64)) - 1) + 1 END)
+             |      AS reg
+             |  FROM h GROUP BY 1, 2),
+             |sums AS (SELECT grain,
+             |    CAST(sum(33554432 >> CAST(reg AS INT)) AS BIGINT)
+             |      + (64 - count(*)) * 33554432 AS S,
+             |    64 - count(*) AS n_empty
+             |  FROM reg GROUP BY 1),
+             |est0 AS (SELECT grain, n_empty,
+             |    CAST(${709L * 64 * 64 * 33554432L} AS BIGINT) // (1000 * S)
+             |      AS raw
+             |  FROM sums),
+             |est AS (SELECT grain,
+             |    CASE WHEN n_empty > 0 AND raw <= 160
+             |      THEN (64 * ([${HllLn.mkString(",")}][CAST(n_empty AS INT)]))
+             |        // 1000000
+             |      ELSE raw END AS hll_est
+             |  FROM est0),
+             |wide AS (SELECT
+             |    max(CASE WHEN grain = 'a' THEN hll_est END) AS est_a,
+             |    max(CASE WHEN grain = 'b' THEN hll_est END) AS est_b,
+             |    max(CASE WHEN grain = 'u' THEN hll_est END) AS est_union
+             |  FROM est),
+             |exact AS (SELECT CAST(sum(ia * ib) AS BIGINT) AS n_exact_inter
+             |  FROM (
+             |    SELECT o_custkey,
+             |      max(CASE WHEN o_orderpriority = '1-URGENT' THEN 1
+             |        ELSE 0 END) AS ia,
+             |      max(CASE WHEN o_orderpriority = '2-HIGH' THEN 1
+             |        ELSE 0 END) AS ib
+             |    FROM orders
+             |    WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+             |    GROUP BY 1))
+             |SELECT est_a, est_b, est_union,
+             |  est_a + est_b - est_union AS est_inter, n_exact_inter,
+             |  abs(est_a + est_b - est_union - n_exact_inter) AS err_abs
+             |FROM wide, exact""".stripMargin))
   )
 }

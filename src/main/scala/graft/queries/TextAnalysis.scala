@@ -973,6 +973,118 @@ object TextAnalysis {
              |    unnest(list_transform(range(1, length(t)),
              |      i -> substring(t, i, 2))) AS v(p))
              |SELECT p AS pair, count(*) AS n FROM pairs
-             |GROUP BY p ORDER BY n DESC, pair LIMIT 20""".stripMargin))
+             |GROUP BY p ORDER BY n DESC, pair LIMIT 20""".stripMargin)),
+
+    // BPE TOKENIZER TRAINING — k=6 greedy merge rounds (Sennrich'16),
+    // the multi-round completion of q131's single step. Trains the way
+    // real BPE trainers do: on the DISTINCT-WORD frequency table
+    // (vocab ≪ corpus — the one aggregation that touches the raw text;
+    // every round after it runs over the bounded vocab). Each round:
+    // (1) weighted adjacent-pair counts via a per-word position
+    // explode, (2) global argmax with the fixed (count desc, pair asc)
+    // tie-break — a 1-row scalar collected to the driver, which is
+    // where a tokenizer's merge table lives by definition (the same
+    // scalar-decision license as GraphOps' convergence head()), and
+    // (3) greedy non-overlapping merge application as a left fold over
+    // each word's symbol sequence. Symbols travel as one U+001F-joined
+    // string so BOTH engines fold with the identical lambda: merge
+    // when the accumulated string's LAST symbol equals the rule's lhs
+    // and the incoming symbol equals rhs (separator-anchored suffix
+    // test — merged symbols contain no separator, so no false
+    // anchors), else append with separator; a fresh merge glues rhs
+    // on without a separator, forming the merged symbol and blocking
+    // overlap re-use, exactly greedy left-to-right semantics. Words
+    // localCheckpoint per round (the GraphOps pattern) — the plan
+    // would otherwise double per round. Output = the learned merge
+    // table itself plus tokens_after per round (the monotone token-
+    // count shrink proves each apply ran corpus-wide).
+    QueryDef(
+      "q155_bpe_train",
+      (s, d) => {
+        import s.implicits._
+        val Sep = "\u001f"
+        val k = 6
+        var words = documents(s, d)
+          .select(explode(TextOps.tokens(col("text"))).as("word"))
+          .filter(col("word") =!= "")
+          .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+          .withColumn("enc", concat_ws(Sep, split(col("word"), "")))
+          .select(col("freq"), col("enc"))
+          .localCheckpoint()
+        val steps = Seq.newBuilder[(Long, String, String, String, Long, Long)]
+        for (step <- 1 to k) {
+          val syms = split(col("enc"), Sep)
+          val best = words
+            .withColumn("syms", syms)
+            .select(col("freq"), explode(expr(
+              // size<2 guard: Spark's sequence(1, 0) DESCENDS ([1,0]),
+              // it does not return empty — single-symbol words must
+              // short-circuit to an empty pair list.
+              "CASE WHEN size(syms) < 2 THEN array() " +
+                "ELSE transform(sequence(1, size(syms) - 1), " +
+                "i -> struct(element_at(syms, i) AS a, " +
+                "element_at(syms, i + 1) AS b)) END")).as("p"))
+            .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+            .agg(sum(col("freq")).as("n"))
+            .orderBy(col("n").desc, col("a"), col("b"))
+            .limit(1)
+            .collect()(0)
+          val (a, b, n) = (best.getString(0), best.getString(1), best.getLong(2))
+          val rest = slice(syms, lit(2), size(syms) - 1)
+          val folded = aggregate(rest, element_at(syms, 1),
+            (acc, x) => when(
+              (acc === lit(a) || acc.endsWith(lit(Sep + a))) && x === lit(b),
+              concat(acc, x)).otherwise(concat(acc, lit(Sep), x)))
+          words = words.withColumn("enc", folded).localCheckpoint()
+          val tokensAfter = words
+            .agg(sum(col("freq") * size(split(col("enc"), Sep))).as("t"))
+            .collect()(0).getLong(0)
+          steps += ((step.toLong, a, b, a + b, n, tokensAfter))
+        }
+        steps.result()
+          .toDF("step", "lhs", "rhs", "merged", "pair_n", "tokens_after")
+          .orderBy(col("step"))
+      },
+      Some(bpeOracle))
   )
+
+  /** The q155 oracle: the identical 6-round greedy-merge fixpoint in
+    * DuckDB, one CTE chain per round (pair counts → argmax → fold),
+    * symbols as chr(31)-joined strings folded with the same lambda. */
+  private def bpeOracle: String = {
+    def round(r: Int): String = {
+      val prev = s"w${r - 1}"
+      s"""p$r AS (
+         |  SELECT syms[i] AS a, syms[i + 1] AS b, sum(freq) AS n
+         |  FROM (SELECT freq, syms, unnest(range(1, len(syms))) AS i
+         |        FROM (SELECT freq, string_split(enc, chr(31)) AS syms
+         |              FROM $prev))
+         |  GROUP BY 1, 2),
+         |b$r AS (SELECT a, b, n FROM p$r ORDER BY n DESC, a, b LIMIT 1),
+         |w$r AS (
+         |  SELECT freq,
+         |    list_reduce(string_split(enc, chr(31)), (acc, x) ->
+         |      CASE WHEN (acc = b$r.a OR ends_with(acc, chr(31) || b$r.a))
+         |          AND x = b$r.b
+         |        THEN acc || x ELSE acc || chr(31) || x END) AS enc
+         |  FROM $prev, b$r),
+         |s$r AS (
+         |  SELECT CAST($r AS BIGINT) AS step, a AS lhs, b AS rhs,
+         |    a || b AS merged, CAST(n AS BIGINT) AS pair_n,
+         |    (SELECT CAST(sum(freq * len(string_split(enc, chr(31))))
+         |       AS BIGINT) FROM w$r) AS tokens_after
+         |  FROM b$r)""".stripMargin
+    }
+    s"""WITH w0 AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS freq,
+       |    array_to_string(string_split(word, ''), chr(31)) AS enc
+       |  FROM (SELECT unnest(string_split(text, ' ')) AS word
+       |        FROM documents)
+       |  WHERE word <> '' GROUP BY word),
+       |${(1 to 6).map(round).mkString(",\n")}
+       |SELECT * FROM s1 UNION ALL SELECT * FROM s2
+       |UNION ALL SELECT * FROM s3 UNION ALL SELECT * FROM s4
+       |UNION ALL SELECT * FROM s5 UNION ALL SELECT * FROM s6
+       |ORDER BY step""".stripMargin
+  }
 }

@@ -1064,6 +1064,219 @@ object Windowed {
              |  max(dev.dev2) AS max_dev2_micro
              |FROM dev JOIN mad ON dev.event_type = mad.event_type
              |GROUP BY dev.event_type
-             |ORDER BY dev.event_type""".stripMargin))
+             |ORDER BY dev.event_type""".stripMargin)),
+
+    // TWO-PASS EXACT QUANTILE — the algorithm that replaces a global
+    // sort (or a full-table row_number window) when an EXACT p50/p90/
+    // p99 is required at 100 TB. Pass 1 aggregates a coarse fixed-
+    // width histogram (cents div 65536 → ~160 bins here; O(bins) rows
+    // regardless of table size, partials merge map-side) and walks its
+    // cumsum to locate, for each target rank k = ⌈n·p/100⌉, the one
+    // bin that contains it. Pass 2 ranks ONLY the rows of the selected
+    // bins (a ~1/bins fraction of the table, partitioned per bin — no
+    // global window) and picks rank k − cum_before inside the bin.
+    // Ties on equal cents make row_number assignment arbitrary but the
+    // selected VALUE is still the well-defined k-th smallest. The bin
+    // cumsum window is unpartitioned over the ≤161-row aggregate —
+    // the documented bounded-aggregate exception, never the fact
+    // table. Percentile targets ride a 3-row broadcast; the rank-
+    // locating join is non-equi over 3 × 161 rows (broadcast nested
+    // loop, bounded both sides).
+    QueryDef(
+      "q150_twopass_quantile",
+      (s, d) => {
+        val li = lineitem(s, d)
+          .select(expr("CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)")
+            .as("cents"))
+          .withColumn("bin", expr("cents div 65536"))
+        val total = li.agg(count(lit(1)).as("n"))
+        val targets = s.range(1)
+          .select(explode(array(lit(50L), lit(90L), lit(99L))).as("p"))
+          .crossJoin(broadcast(total))
+          .select(col("p"), expr("(n * p + 99) div 100").as("k"))
+        val wBin = Window.orderBy(col("bin"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val binCum = li.groupBy(col("bin"))
+          .agg(count(lit(1)).as("cnt"))
+          .withColumn("cum", sum(col("cnt")).over(wBin))
+          .withColumn("cum_before", col("cum") - col("cnt"))
+        val sel = broadcast(targets).join(binCum,
+            col("cum_before") < col("k") && col("k") <= col("cum"))
+          .select(col("p"), col("k"), col("bin"), col("cum_before"))
+        val ranked = li
+          .join(broadcast(sel.select(col("bin")).distinct()), Seq("bin"))
+          .withColumn("rn", row_number().over(
+            Window.partitionBy(col("bin")).orderBy(col("cents"))))
+        ranked.join(broadcast(sel), Seq("bin"))
+          .filter(col("rn") === col("k") - col("cum_before"))
+          .select(col("p"), col("k").as("k_rank"), col("cents").as("q_cents"))
+          .orderBy(col("p"))
+      },
+      Some("""WITH li AS (
+             |  SELECT CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+             |      AS cents,
+             |    CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) // 65536
+             |      AS bin
+             |  FROM lineitem),
+             |n AS (SELECT count(*) AS n FROM li),
+             |t AS (SELECT CAST(p AS BIGINT) AS p, (n.n * p + 99) // 100 AS k
+             |  FROM (SELECT unnest([50, 90, 99]) AS p), n),
+             |bc AS (SELECT bin, count(*) AS cnt FROM li GROUP BY bin),
+             |cum AS (SELECT bin, cnt,
+             |    sum(cnt) OVER (ORDER BY bin
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+             |  FROM bc),
+             |sel AS (SELECT t.p, t.k, c.bin, c.cum - c.cnt AS cum_before
+             |  FROM t JOIN cum c ON c.cum - c.cnt < t.k AND t.k <= c.cum),
+             |ranked AS (SELECT li.bin, li.cents,
+             |    row_number() OVER (PARTITION BY li.bin ORDER BY li.cents)
+             |      AS rn
+             |  FROM li JOIN (SELECT DISTINCT bin FROM sel) s
+             |    ON li.bin = s.bin)
+             |SELECT sel.p, sel.k AS k_rank, r.cents AS q_cents
+             |FROM sel JOIN ranked r
+             |  ON sel.bin = r.bin AND r.rn = sel.k - sel.cum_before
+             |ORDER BY sel.p""".stripMargin)),
+
+    // EWMA ANOMALY DETECTION — the monitoring primitive over a metric
+    // series: each day's event count against an exponentially-weighted
+    // moving average of the previous 8 observed days. α = 1/2 because
+    // halving has an exact integer form: weight 2^(8−i) for the i-th
+    // most recent prior day, so ewma = num/den with num = Σ cᵢ·2^(8−i)
+    // and den = Σ 2^(8−i) over the days actually present (the grid has
+    // gaps only at the series head; den normalizes partial windows
+    // exactly). The 3× alert rule c > 3·ewma becomes the integer test
+    // c·den > 3·num — no float division anywhere; ratio_ppm is emitted
+    // via one final integer div. The fact table aggregates once to a
+    // (type, day) grid (≤ types × days rows); the depth-8 lag window
+    // runs over that bounded aggregate partitioned by type. Overflow
+    // envelope: c·den·10⁶ needs c < 3.6e10/day/type — generous at any
+    // realistic grain (widen to DECIMAL(38,0) past that).
+    QueryDef(
+      "q152_ewma_anomaly",
+      (s, d) => {
+        val daily = eventsNorm(s, d)
+          .groupBy(col("event_type"),
+            expr("ts_sec div 86400").as("day"))
+          .agg(count(lit(1)).as("c"))
+        val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+        val lagged = (1 to 8).foldLeft(daily) { (df, i) =>
+          df.withColumn(s"l$i", lag(col("c"), i).over(w))
+        }
+        val num = (1 to 8).map(i =>
+          coalesce(col(s"l$i"), lit(0L)) * lit(1L << (8 - i)))
+          .reduce(_ + _)
+        val den = (1 to 8).map(i =>
+          when(col(s"l$i").isNotNull, lit(1L << (8 - i))).otherwise(lit(0L)))
+          .reduce(_ + _)
+        lagged
+          .withColumn("ewma_num", num)
+          .withColumn("ewma_den", den)
+          .filter(col("ewma_den") > 0)
+          .select(col("event_type"), col("day"), col("c"),
+            col("ewma_num"), col("ewma_den"),
+            expr("c * ewma_den * 1000000 div ewma_num").as("ratio_ppm"),
+            (col("c") * col("ewma_den") > col("ewma_num") * 3)
+              .as("is_anomaly"))
+          .orderBy(col("event_type"), col("day"))
+      },
+      Some("""WITH daily AS (
+             |  SELECT event_type,
+             |    (epoch_ns(ts) // 1000000000) // 86400 AS day,
+             |    CAST(count(*) AS BIGINT) AS c
+             |  FROM events GROUP BY 1, 2),
+             |lagged AS (
+             |  SELECT event_type, day, c,
+             |    lag(c, 1) OVER w AS l1, lag(c, 2) OVER w AS l2,
+             |    lag(c, 3) OVER w AS l3, lag(c, 4) OVER w AS l4,
+             |    lag(c, 5) OVER w AS l5, lag(c, 6) OVER w AS l6,
+             |    lag(c, 7) OVER w AS l7, lag(c, 8) OVER w AS l8
+             |  FROM daily
+             |  WINDOW w AS (PARTITION BY event_type ORDER BY day)),
+             |scored AS (
+             |  SELECT event_type, day, c,
+             |    coalesce(l1, 0)*128 + coalesce(l2, 0)*64
+             |      + coalesce(l3, 0)*32 + coalesce(l4, 0)*16
+             |      + coalesce(l5, 0)*8 + coalesce(l6, 0)*4
+             |      + coalesce(l7, 0)*2 + coalesce(l8, 0) AS ewma_num,
+             |    CASE WHEN l1 IS NULL THEN 0 ELSE 128 END
+             |      + CASE WHEN l2 IS NULL THEN 0 ELSE 64 END
+             |      + CASE WHEN l3 IS NULL THEN 0 ELSE 32 END
+             |      + CASE WHEN l4 IS NULL THEN 0 ELSE 16 END
+             |      + CASE WHEN l5 IS NULL THEN 0 ELSE 8 END
+             |      + CASE WHEN l6 IS NULL THEN 0 ELSE 4 END
+             |      + CASE WHEN l7 IS NULL THEN 0 ELSE 2 END
+             |      + CASE WHEN l8 IS NULL THEN 0 ELSE 1 END AS ewma_den
+             |  FROM lagged)
+             |SELECT event_type, day, c,
+             |  CAST(ewma_num AS BIGINT) AS ewma_num,
+             |  CAST(ewma_den AS BIGINT) AS ewma_den,
+             |  CAST(c * ewma_den * 1000000 // ewma_num AS BIGINT)
+             |    AS ratio_ppm,
+             |  c * ewma_den > ewma_num * 3 AS is_anomaly
+             |FROM scored WHERE ewma_den > 0
+             |ORDER BY event_type, day""".stripMargin)),
+
+    // LAST-TOUCH ATTRIBUTION — each purchase credited to the user's
+    // most recent PRIOR non-purchase event within a 7-day lookback
+    // (the as-of-join semantics of marketing attribution, expressed
+    // as one ignore-nulls window carry instead of a join: the running
+    // "last touch seen" propagates down each user's ordered event
+    // stream, so the fact table shuffles ONCE on user_id and no
+    // purchases×touches pairing ever materializes). Purchases whose
+    // carry is missing or older than 7 days land in the '(none)'
+    // bucket, so Σ n_purchases over the result is exactly the
+    // purchase count — the self-auditing form. Revenue quantizes to
+    // integer micros before summing (engine-portable; no float-sum
+    // order sensitivity). Window ties break on (ts_ns, event_id) —
+    // total order, deterministic carry.
+    QueryDef(
+      "q153_last_touch_attribution",
+      (s, d) => {
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts_ns"), col("event_id"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val carried = eventsNorm(s, d)
+          .withColumn("touch_type",
+            last(when(col("event_type") =!= "purchase", col("event_type")),
+              ignoreNulls = true).over(w))
+          .withColumn("touch_sec",
+            last(when(col("event_type") =!= "purchase", col("ts_sec")),
+              ignoreNulls = true).over(w))
+        carried
+          .filter(col("event_type") === "purchase")
+          .withColumn("attr",
+            when(col("touch_sec").isNotNull &&
+              col("ts_sec") - col("touch_sec") <= 604800L,
+              col("touch_type")).otherwise(lit("(none)")))
+          .groupBy(col("attr"))
+          .agg(count(lit(1)).as("n_purchases"),
+            sum(expr("CAST(floor(value * 1000000 + 0.5) AS BIGINT)"))
+              .as("revenue_micro"))
+          .orderBy(col("attr"))
+      },
+      Some("""WITH ev AS (
+             |  SELECT event_id, user_id, event_type, value,
+             |    epoch_ns(ts) AS ts_ns,
+             |    epoch_ns(ts) // 1000000000 AS ts_sec
+             |  FROM events),
+             |carried AS (
+             |  SELECT event_type, value, ts_sec,
+             |    last_value(CASE WHEN event_type <> 'purchase'
+             |        THEN event_type END IGNORE NULLS) OVER w AS touch_type,
+             |    last_value(CASE WHEN event_type <> 'purchase'
+             |        THEN ts_sec END IGNORE NULLS) OVER w AS touch_sec
+             |  FROM ev
+             |  WINDOW w AS (PARTITION BY user_id ORDER BY ts_ns, event_id
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+             |SELECT
+             |  CASE WHEN touch_sec IS NOT NULL
+             |      AND ts_sec - touch_sec <= 604800
+             |    THEN touch_type ELSE '(none)' END AS attr,
+             |  count(*) AS n_purchases,
+             |  CAST(sum(CAST(floor(value * 1000000 + 0.5) AS BIGINT))
+             |    AS BIGINT) AS revenue_micro
+             |FROM carried WHERE event_type = 'purchase'
+             |GROUP BY 1 ORDER BY 1""".stripMargin))
   )
 }

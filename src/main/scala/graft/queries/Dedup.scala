@@ -754,6 +754,69 @@ object Dedup {
              |    AS n_dropped,
              |  CAST(sum(CASE WHEN rn = 1 THEN 0 ELSE n_chars END) AS BIGINT)
              |    AS chars_dropped
-             |FROM r GROUP BY source ORDER BY source""".stripMargin))
+             |FROM r GROUP BY source ORDER BY source""".stripMargin)),
+
+    // SORTED-NEIGHBORHOOD BLOCKING — the entity-resolution candidate
+    // generator (Hernández & Stolfo '95): sort within a blocking key,
+    // compare each record only to its w nearest neighbors in sort
+    // order — O(n·w) candidate pairs instead of the O(n²) all-pairs a
+    // naive string-match would need. Block = first letter of p_name
+    // (sorted-neighborhood IS a within-block method in practice; a
+    // cross-block near-match is invisible by design, the recall/cost
+    // dial every ER deployment tunes). Neighbors materialize as
+    // lead(1..2) window columns — no self-join at all; scoring is
+    // levenshtein (identical unit-cost DP in Spark and DuckDB, so the
+    // distances hash-match exactly). Output: the 20 closest in-block
+    // name pairs. At 100 TB the block key range-partitions the sort;
+    // each partition's window is independent.
+    QueryDef(
+      "q156_sorted_neighborhood",
+      (s, d) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("blk")).orderBy(col("p_name"), col("p_partkey"))
+        val base = part(s, d)
+          .select(col("p_partkey"), col("p_name"),
+            substring(col("p_name"), 1, 1).as("blk"))
+        val paired = base
+          .withColumn("n1_name", lead(col("p_name"), 1).over(w))
+          .withColumn("n1_key", lead(col("p_partkey"), 1).over(w))
+          .withColumn("n2_name", lead(col("p_name"), 2).over(w))
+          .withColumn("n2_key", lead(col("p_partkey"), 2).over(w))
+        val c1 = paired.filter(col("n1_name").isNotNull)
+          .select(col("p_name").as("name_a"), col("p_partkey").as("key_a"),
+            col("n1_name").as("name_b"), col("n1_key").as("key_b"))
+        val c2 = paired.filter(col("n2_name").isNotNull)
+          .select(col("p_name").as("name_a"), col("p_partkey").as("key_a"),
+            col("n2_name").as("name_b"), col("n2_key").as("key_b"))
+        c1.unionByName(c2)
+          .withColumn("lev", levenshtein(col("name_a"), col("name_b")))
+          .orderBy(col("lev"), col("name_a"), col("name_b"), col("key_a"),
+            col("key_b"))
+          .limit(20)
+      },
+      Some("""WITH base AS (
+             |  SELECT p_partkey, p_name, substr(p_name, 1, 1) AS blk
+             |  FROM part),
+             |paired AS (
+             |  SELECT p_partkey, p_name,
+             |    lead(p_name, 1) OVER w AS n1_name,
+             |    lead(p_partkey, 1) OVER w AS n1_key,
+             |    lead(p_name, 2) OVER w AS n2_name,
+             |    lead(p_partkey, 2) OVER w AS n2_key
+             |  FROM base
+             |  WINDOW w AS (PARTITION BY blk ORDER BY p_name, p_partkey)),
+             |cand AS (
+             |  SELECT p_name AS name_a, p_partkey AS key_a,
+             |    n1_name AS name_b, n1_key AS key_b
+             |  FROM paired WHERE n1_name IS NOT NULL
+             |  UNION ALL
+             |  SELECT p_name AS name_a, p_partkey AS key_a,
+             |    n2_name AS name_b, n2_key AS key_b
+             |  FROM paired WHERE n2_name IS NOT NULL)
+             |SELECT name_a, key_a, name_b, key_b,
+             |  CAST(levenshtein(name_a, name_b) AS INT) AS lev
+             |FROM cand
+             |ORDER BY lev, name_a, name_b, key_a, key_b
+             |LIMIT 20""".stripMargin))
   )
 }

@@ -800,6 +800,66 @@ object Training {
              |      // (hi - lo) ELSE 0 END) // count(*) AS BIGINT)
              |    AS mean_scaled_ppm
              |FROM scaled GROUP BY c_mktsegment
-             |ORDER BY c_mktsegment""".stripMargin))
+             |ORDER BY c_mktsegment""".stripMargin)),
+
+    // QUANTILE TRANSFORM — the rank-based feature normalizer (q149's
+    // sibling: min-max scaling is shape-preserving, the quantile
+    // transform is shape-DESTROYING on purpose, mapping any input
+    // distribution to uniform[0,1] — sklearn's QuantileTransformer,
+    // the prep step for rank-robust models). Exact integer form:
+    // pr_ppm = (rn − 1)·10⁶ div (n − 1) over a per-segment
+    // row_number (ties broken by c_custkey — bijective rank, the
+    // arbitrary-but-deterministic tie policy every rank transform
+    // uses). The result is summarized as per-segment decile occupancy
+    // (count + value range per decile): uniform occupancy n/10 ± 1
+    // per bucket is the defining property the hash check pins down.
+    // One shuffle on segment; the window never leaves its partition.
+    QueryDef(
+      "q157_quantile_transform",
+      (s, d) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("c_mktsegment"))
+          .orderBy(col("v"), col("c_custkey"))
+        customer(s, d)
+          .select(col("c_mktsegment"), col("c_custkey"),
+            expr("CAST(floor(c_acctbal * 1000000 + 0.5) AS BIGINT)").as("v"))
+          .withColumn("rn", row_number().over(w))
+          .withColumn("n", count(lit(1)).over(
+            org.apache.spark.sql.expressions.Window
+              .partitionBy(col("c_mktsegment"))))
+          // row_number is IntegerType in Spark — widen BEFORE the ppm
+          // product (INT × 10⁶ overflows ANSI at ~215 rows/segment).
+          .withColumn("pr_ppm",
+            expr("(CAST(rn AS BIGINT) - 1) * 1000000 div (n - 1)"))
+          .withColumn("decile", least(expr("pr_ppm div 100000"), lit(9L)))
+          .groupBy(col("c_mktsegment"), col("decile"))
+          .agg(count(lit(1)).as("n_rows"),
+            min(col("v")).as("lo_micro"), max(col("v")).as("hi_micro"),
+            min(col("pr_ppm")).as("pr_lo_ppm"),
+            max(col("pr_ppm")).as("pr_hi_ppm"))
+          .orderBy(col("c_mktsegment"), col("decile"))
+      },
+      Some("""WITH cu AS (
+             |  SELECT c_mktsegment, c_custkey,
+             |    CAST(floor(c_acctbal * 1000000 + 0.5) AS BIGINT) AS v
+             |  FROM customer),
+             |r AS (
+             |  SELECT c_mktsegment, v,
+             |    row_number() OVER (PARTITION BY c_mktsegment
+             |      ORDER BY v, c_custkey) AS rn,
+             |    count(*) OVER (PARTITION BY c_mktsegment) AS n
+             |  FROM cu),
+             |t AS (
+             |  SELECT c_mktsegment, v,
+             |    (rn - 1) * 1000000 // (n - 1) AS pr_ppm
+             |  FROM r)
+             |SELECT c_mktsegment,
+             |  least(pr_ppm // 100000, 9) AS decile,
+             |  count(*) AS n_rows,
+             |  min(v) AS lo_micro, max(v) AS hi_micro,
+             |  CAST(min(pr_ppm) AS BIGINT) AS pr_lo_ppm,
+             |  CAST(max(pr_ppm) AS BIGINT) AS pr_hi_ppm
+             |FROM t GROUP BY 1, 2
+             |ORDER BY c_mktsegment, decile""".stripMargin))
   )
 }

@@ -1277,6 +1277,87 @@ object Windowed {
              |  CAST(sum(CAST(floor(value * 1000000 + 0.5) AS BIGINT))
              |    AS BIGINT) AS revenue_micro
              |FROM carried WHERE event_type = 'purchase'
-             |GROUP BY 1 ORDER BY 1""".stripMargin))
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // DISTRIBUTION DRIFT — train/serve skew monitoring: the total-
+    // variation distance between each event_type's `value`
+    // distribution in the first 15 days vs the rest, over a 10-bucket
+    // per-type histogram. TV = ½·Σ|p_i − q_i| computed CROSS-
+    // MULTIPLIED — Σ|c1ᵢ·N2 − c2ᵢ·N1| · 10⁶ div (2·N1·N2) — so no
+    // per-bucket division ever happens and the only rounding is the
+    // final ppm div; the product chain widens to DECIMAL(38,0) up
+    // front (the q142 rule: widen, don't document the overflow).
+    // Bucket bounds derive per type as (hi − lo) div 10 + 1-wide
+    // fixed intervals — exact integers, and the div-width form
+    // guarantees bucket ∈ [0,9] with no boundary epsilon. A bucket
+    // empty on one side still contributes |0 − c| because buckets are
+    // keyed by (type, bucket) with both halves summed in ONE pass —
+    // there is no outer join to forget. Everything is aggregates over
+    // aggregates: one fact shuffle on (type, bucket), then 5-row
+    // broadcast joins; the day-0 anchor is a 1-row broadcast.
+    QueryDef(
+      "q158_tv_drift",
+      (s, d) => {
+        val ev = eventsNorm(s, d)
+          .filter(col("value").isNotNull)
+          .select(col("event_type"),
+            expr("CAST(floor(value * 1000000 + 0.5) AS BIGINT)").as("v"),
+            expr("ts_sec div 86400").as("day"))
+        val minDay = ev.agg(min(col("day")).as("d0"))
+        val bounds = ev.groupBy(col("event_type"))
+          .agg(min(col("v")).as("lo"), max(col("v")).as("hi"))
+          .withColumn("width", expr("(hi - lo) div 10 + 1"))
+        val cnt = ev.crossJoin(broadcast(minDay))
+          .withColumn("half",
+            when(col("day") < col("d0") + 15, 1).otherwise(2))
+          .join(broadcast(bounds), Seq("event_type"))
+          .withColumn("bucket", expr("(v - lo) div width"))
+          .groupBy(col("event_type"), col("bucket"))
+          .agg(sum(when(col("half") === 1, 1L).otherwise(0L)).as("c1"),
+            sum(when(col("half") === 2, 1L).otherwise(0L)).as("c2"))
+        val tot = cnt.groupBy(col("event_type"))
+          .agg(sum(col("c1")).as("n1"), sum(col("c2")).as("n2"))
+        cnt.join(broadcast(tot), Seq("event_type"))
+          .groupBy(col("event_type"))
+          .agg(min(col("n1")).as("n1"), min(col("n2")).as("n2"),
+            sum(abs(expr("CAST(c1 AS DECIMAL(38,0)) * n2") -
+              expr("CAST(c2 AS DECIMAL(38,0)) * n1"))).as("s"),
+            count(lit(1)).as("n_buckets_hit"))
+          .select(col("event_type"), col("n1"), col("n2"),
+            col("n_buckets_hit"),
+            expr("CAST((s * 1000000) div " +
+              "(2 * CAST(n1 AS DECIMAL(38,0)) * n2) AS BIGINT)")
+              .as("tv_ppm"))
+          .orderBy(col("event_type"))
+      },
+      Some("""WITH ev AS (
+             |  SELECT event_type,
+             |    CAST(floor(value * 1000000 + 0.5) AS BIGINT) AS v,
+             |    (epoch_ns(ts) // 1000000000) // 86400 AS day
+             |  FROM events WHERE value IS NOT NULL),
+             |d0 AS (SELECT min(day) AS d0 FROM ev),
+             |bounds AS (
+             |  SELECT event_type, min(v) AS lo, max(v) AS hi,
+             |    (max(v) - min(v)) // 10 + 1 AS width
+             |  FROM ev GROUP BY 1),
+             |cnt AS (
+             |  SELECT ev.event_type, (ev.v - b.lo) // b.width AS bucket,
+             |    CAST(sum(CASE WHEN ev.day < d0.d0 + 15 THEN 1 ELSE 0 END)
+             |      AS BIGINT) AS c1,
+             |    CAST(sum(CASE WHEN ev.day < d0.d0 + 15 THEN 0 ELSE 1 END)
+             |      AS BIGINT) AS c2
+             |  FROM ev, d0 JOIN bounds b ON ev.event_type = b.event_type
+             |  GROUP BY 1, 2),
+             |tot AS (
+             |  SELECT event_type, CAST(sum(c1) AS BIGINT) AS n1,
+             |    CAST(sum(c2) AS BIGINT) AS n2
+             |  FROM cnt GROUP BY 1)
+             |SELECT cnt.event_type, min(tot.n1) AS n1, min(tot.n2) AS n2,
+             |  count(*) AS n_buckets_hit,
+             |  CAST(sum(abs(c1 * tot.n2 - c2 * tot.n1)) * 1000000
+             |    // (2 * min(tot.n1) * min(tot.n2)) AS BIGINT) AS tv_ppm
+             |FROM cnt JOIN tot ON cnt.event_type = tot.event_type
+             |GROUP BY cnt.event_type
+             |ORDER BY cnt.event_type""".stripMargin))
   )
 }

@@ -860,6 +860,137 @@ object Training {
              |  CAST(min(pr_ppm) AS BIGINT) AS pr_lo_ppm,
              |  CAST(max(pr_ppm) AS BIGINT) AS pr_hi_ppm
              |FROM t GROUP BY 1, 2
-             |ORDER BY c_mktsegment, decile""".stripMargin))
+             |ORDER BY c_mktsegment, decile""".stripMargin)),
+
+    // EXACT STRATIFIED SPLIT — train/val/test with per-stratum
+    // proportions guaranteed to ±1 row, the complement of q130's
+    // hash-threshold split (which is stateless and O(1) per row but
+    // binomially noisy: a 10% slice of a 1000-doc stratum lands
+    // anywhere near 100 ± 9). Here each lang stratum is traversed in
+    // portable-mixing-hash order (q130/q141's hash family — a
+    // deterministic pseudorandom permutation both engines reproduce)
+    // and cut at exact rank boundaries: rank ≤ ⌊n·80/100⌋ → train,
+    // ≤ ⌊n·90/100⌋ → val, else test. One shuffle on the stratum key,
+    // one window per stratum; strata are independent — the same
+    // embarrassingly-parallel shape as q141. Use THIS split when
+    // eval-set sizes must be exact (small strata, paired A/Bs);
+    // use q130 when rows must be assignable with no shuffle at all.
+    QueryDef(
+      "q160_stratified_split",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val ordKey = expr(
+          "((((doc_id % 1000003) * 131 + 17) % 1000003) * 137 + 29) " +
+            "% 1000003")
+        val w = Window.partitionBy(col("lang"))
+          .orderBy(col("mix"), col("doc_id"))
+        documents(s, d)
+          .select(col("lang"), col("doc_id"))
+          .withColumn("mix", ordKey)
+          .withColumn("rn", row_number().over(w).cast("long"))
+          .withColumn("n",
+            count(lit(1)).over(Window.partitionBy(col("lang"))))
+          .withColumn("split",
+            when(col("rn") <= expr("n * 80 div 100"), "train")
+              .when(col("rn") <= expr("n * 90 div 100"), "val")
+              .otherwise(lit("test")))
+          .groupBy(col("lang"), col("split"))
+          .agg(count(lit(1)).as("n_docs"), min(col("n")).as("n_stratum"))
+          .select(col("lang"), col("split"), col("n_docs"),
+            expr("n_docs * 1000 div n_stratum").as("share_permille"))
+          .orderBy(col("lang"), col("split"))
+      },
+      Some("""WITH w AS (
+             |  SELECT lang, doc_id,
+             |    ((((doc_id % 1000003) * 131 + 17) % 1000003) * 137 + 29)
+             |      % 1000003 AS mix
+             |  FROM documents),
+             |r AS (
+             |  SELECT lang,
+             |    row_number() OVER (PARTITION BY lang
+             |      ORDER BY mix, doc_id) AS rn,
+             |    count(*) OVER (PARTITION BY lang) AS n
+             |  FROM w),
+             |sp AS (
+             |  SELECT lang, n,
+             |    CASE WHEN rn <= n * 80 // 100 THEN 'train'
+             |         WHEN rn <= n * 90 // 100 THEN 'val'
+             |         ELSE 'test' END AS split
+             |  FROM r)
+             |SELECT lang, split, count(*) AS n_docs,
+             |  CAST(count(*) * 1000 // min(n) AS BIGINT) AS share_permille
+             |FROM sp GROUP BY lang, split
+             |ORDER BY lang, split""".stripMargin)),
+
+    // DISTRIBUTION-MATCHING QUOTAS — resample every source to the
+    // GLOBAL length-distribution shape (domain balancing: stop a
+    // verbose source from skewing the corpus length profile). Buckets
+    // are the q158 fixed-interval form ((hi−lo) div 10 + 1 wide —
+    // bucket ∈ [0,9] exactly); the target is the global per-bucket
+    // count T_b. A source's largest shape-matching subsample is
+    // λ_s = min_b c_sb/T_b; floors compose as M_s = min_b ⌊c_sb·T/T_b⌋,
+    // quota_sb = ⌊M_s·T_b/T⌋ — provably ≤ c_sb (each floor only
+    // shrinks), so the quota is always satisfiable, and all products
+    // widen to DECIMAL(38,0). The (source × bucket) grid is built
+    // from two BOUNDED aggregates (≤ sources·10 rows) so a bucket a
+    // source lacks yields capacity 0 — missing cells can't silently
+    // inflate the quota. Fact table: one aggregation pass; everything
+    // after runs on broadcast-sized frames.
+    QueryDef(
+      "q161_dist_match",
+      (s, d) => {
+        val docs = documents(s, d).select(col("source"), col("n_chars"))
+        val bounds = docs.agg(min(col("n_chars")).as("lo"),
+          max(col("n_chars")).as("hi"))
+          .withColumn("width", expr("(hi - lo) div 10 + 1"))
+        val bucketed = docs.crossJoin(broadcast(bounds))
+          .withColumn("bucket", expr("(n_chars - lo) div width"))
+        val target = bucketed.groupBy(col("bucket"))
+          .agg(count(lit(1)).as("t_b"))
+        val total = target.agg(sum(col("t_b")).as("t"))
+        val cSb = bucketed.groupBy(col("source"), col("bucket"))
+          .agg(count(lit(1)).as("c_avail"))
+        val grid = cSb.select(col("source")).distinct()
+          .crossJoin(broadcast(target))
+          .join(cSb, Seq("source", "bucket"), "left")
+          .na.fill(0L, Seq("c_avail"))
+          .crossJoin(broadcast(total))
+        val cap = grid.groupBy(col("source"))
+          .agg(min(expr("CAST(CAST(c_avail AS DECIMAL(38,0)) * t " +
+            "div t_b AS BIGINT)")).as("m_s"))
+        grid.join(broadcast(cap), Seq("source"))
+          .select(col("source"), col("bucket"), col("c_avail"),
+            col("t_b"),
+            expr("CAST(CAST(m_s AS DECIMAL(38,0)) * t_b div t AS BIGINT)")
+              .as("quota"))
+          .orderBy(col("source"), col("bucket"))
+      },
+      Some("""WITH bounds AS (
+             |  SELECT min(n_chars) AS lo, max(n_chars) AS hi,
+             |    (max(n_chars) - min(n_chars)) // 10 + 1 AS width
+             |  FROM documents),
+             |b AS (
+             |  SELECT source, (n_chars - lo) // width AS bucket
+             |  FROM documents, bounds),
+             |target AS (
+             |  SELECT bucket, CAST(count(*) AS BIGINT) AS t_b
+             |  FROM b GROUP BY bucket),
+             |tot AS (SELECT CAST(sum(t_b) AS BIGINT) AS t FROM target),
+             |c AS (
+             |  SELECT source, bucket, CAST(count(*) AS BIGINT) AS c_avail
+             |  FROM b GROUP BY source, bucket),
+             |grid AS (
+             |  SELECT s.source, tg.bucket, tg.t_b,
+             |    coalesce(c.c_avail, 0) AS c_avail
+             |  FROM (SELECT DISTINCT source FROM b) s
+             |  CROSS JOIN target tg
+             |  LEFT JOIN c ON c.source = s.source AND c.bucket = tg.bucket),
+             |cap AS (
+             |  SELECT source, min(c_avail * t // t_b) AS m_s
+             |  FROM grid, tot GROUP BY source)
+             |SELECT g.source, g.bucket, g.c_avail, g.t_b,
+             |  CAST(cap.m_s * g.t_b // tot.t AS BIGINT) AS quota
+             |FROM grid g JOIN cap ON g.source = cap.source, tot
+             |ORDER BY g.source, g.bucket""".stripMargin))
   )
 }

@@ -1358,6 +1358,52 @@ object Windowed {
              |    // (2 * min(tot.n1) * min(tot.n2)) AS BIGINT) AS tv_ppm
              |FROM cnt JOIN tot ON cnt.event_type = tot.event_type
              |GROUP BY cnt.event_type
-             |ORDER BY cnt.event_type""".stripMargin))
+             |ORDER BY cnt.event_type""".stripMargin)),
+
+    // GINI CONCENTRATION — "is this source dominated by a few huge
+    // documents?" — the corpus-curation inequality statistic, exact
+    // via the sorted-form identity G = Σ(2i − n − 1)·xᵢ / (n·Σx)
+    // (i = ascending rank): one per-source row_number window, no
+    // pairwise |xᵢ−xⱼ| expansion (the definition is O(n²); the
+    // sorted form is one pass). All products widen to DECIMAL(38,0)
+    // before summing (rank·chars already brushes int64 at corpus
+    // scale); the only rounding is the final ppm div. G≈0 → uniform
+    // doc sizes; G→1 → token mass concentrated in few docs — the
+    // signal that caps/length-filters are needed before training.
+    QueryDef(
+      "q159_gini_concentration",
+      (s, d) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("source"))
+          .orderBy(col("n_chars"), col("doc_id"))
+        documents(s, d)
+          .select(col("source"), col("doc_id"), col("n_chars"))
+          .withColumn("rn", row_number().over(w))
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_chars")).as("total_chars"),
+            sum(expr("CAST(2 * CAST(rn AS BIGINT) AS DECIMAL(38,0)) " +
+              "* n_chars")).as("s2rn"))
+          .select(col("source"), col("n_docs"), col("total_chars"),
+            expr("CAST(((s2rn - CAST(n_docs + 1 AS DECIMAL(38,0)) " +
+              "* total_chars) * 1000000) div " +
+              "(CAST(n_docs AS DECIMAL(38,0)) * total_chars) AS BIGINT)")
+              .as("gini_ppm"))
+          .orderBy(col("source"))
+      },
+      Some("""WITH r AS (
+             |  SELECT source, n_chars,
+             |    row_number() OVER (PARTITION BY source
+             |      ORDER BY n_chars, doc_id) AS rn
+             |  FROM documents),
+             |a AS (
+             |  SELECT source, count(*) AS n_docs,
+             |    CAST(sum(n_chars) AS BIGINT) AS total_chars,
+             |    sum(2 * rn * n_chars) AS s2rn
+             |  FROM r GROUP BY source)
+             |SELECT source, n_docs, total_chars,
+             |  CAST((s2rn - (n_docs + 1) * total_chars) * 1000000
+             |    // (n_docs * total_chars) AS BIGINT) AS gini_ppm
+             |FROM a ORDER BY source""".stripMargin))
   )
 }

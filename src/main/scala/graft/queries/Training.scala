@@ -943,13 +943,18 @@ object Training {
         val bounds = docs.agg(min(col("n_chars")).as("lo"),
           max(col("n_chars")).as("hi"))
           .withColumn("width", expr("(hi - lo) div 10 + 1"))
-        val bucketed = docs.crossJoin(broadcast(bounds))
+        // cSb (≤ sources×10 rows) persists and everything downstream —
+        // target, total, the grid, the capacity minimum — derives from
+        // it: the fact table is scanned exactly twice (bounds, cSb),
+        // not once per consumer.
+        val cSb = docs.crossJoin(broadcast(bounds))
           .withColumn("bucket", expr("(n_chars - lo) div width"))
-        val target = bucketed.groupBy(col("bucket"))
-          .agg(count(lit(1)).as("t_b"))
-        val total = target.agg(sum(col("t_b")).as("t"))
-        val cSb = bucketed.groupBy(col("source"), col("bucket"))
+          .groupBy(col("source"), col("bucket"))
           .agg(count(lit(1)).as("c_avail"))
+          .persist()
+        val target = cSb.groupBy(col("bucket"))
+          .agg(sum(col("c_avail")).as("t_b"))
+        val total = target.agg(sum(col("t_b")).as("t"))
         val grid = cSb.select(col("source")).distinct()
           .crossJoin(broadcast(target))
           .join(cSb, Seq("source", "bucket"), "left")

@@ -1089,17 +1089,22 @@ object Windowed {
           .select(expr("CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)")
             .as("cents"))
           .withColumn("bin", expr("cents div 65536"))
-        val total = li.agg(count(lit(1)).as("n"))
-        val targets = s.range(1)
-          .select(explode(array(lit(50L), lit(90L), lit(99L))).as("p"))
-          .crossJoin(broadcast(total))
-          .select(col("p"), expr("(n * p + 99) div 100").as("k"))
         val wBin = Window.orderBy(col("bin"))
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        // persisted so pass 1 runs ONCE: n, the targets, and the rank-
+        // locating join all derive from these ≤161 rows — without the
+        // persist each consumer re-scans the fact table and "two-pass"
+        // silently becomes five-pass.
         val binCum = li.groupBy(col("bin"))
           .agg(count(lit(1)).as("cnt"))
           .withColumn("cum", sum(col("cnt")).over(wBin))
           .withColumn("cum_before", col("cum") - col("cnt"))
+          .persist()
+        val total = binCum.agg(sum(col("cnt")).as("n"))
+        val targets = s.range(1)
+          .select(explode(array(lit(50L), lit(90L), lit(99L))).as("p"))
+          .crossJoin(broadcast(total))
+          .select(col("p"), expr("(n * p + 99) div 100").as("k"))
         val sel = broadcast(targets).join(binCum,
             col("cum_before") < col("k") && col("k") <= col("cum"))
           .select(col("p"), col("k"), col("bin"), col("cum_before"))
@@ -1303,18 +1308,26 @@ object Windowed {
           .select(col("event_type"),
             expr("CAST(floor(value * 1000000 + 0.5) AS BIGINT)").as("v"),
             expr("ts_sec div 86400").as("day"))
-        val minDay = ev.agg(min(col("day")).as("d0"))
-        val bounds = ev.groupBy(col("event_type"))
-          .agg(min(col("v")).as("lo"), max(col("v")).as("hi"))
+        // ONE stats pass carries both the per-type bucket bounds and
+        // (via a second tiny agg over its 5 rows) the global day-0
+        // anchor — the fact table is scanned exactly twice: stats,
+        // then counts. cnt persists because tot and the final join
+        // both consume it.
+        val stats = ev.groupBy(col("event_type"))
+          .agg(min(col("v")).as("lo"), max(col("v")).as("hi"),
+            min(col("day")).as("dmin"))
           .withColumn("width", expr("(hi - lo) div 10 + 1"))
+          .persist()
+        val minDay = stats.agg(min(col("dmin")).as("d0"))
         val cnt = ev.crossJoin(broadcast(minDay))
           .withColumn("half",
             when(col("day") < col("d0") + 15, 1).otherwise(2))
-          .join(broadcast(bounds), Seq("event_type"))
+          .join(broadcast(stats), Seq("event_type"))
           .withColumn("bucket", expr("(v - lo) div width"))
           .groupBy(col("event_type"), col("bucket"))
           .agg(sum(when(col("half") === 1, 1L).otherwise(0L)).as("c1"),
             sum(when(col("half") === 2, 1L).otherwise(0L)).as("c2"))
+          .persist()
         val tot = cnt.groupBy(col("event_type"))
           .agg(sum(col("c1")).as("n1"), sum(col("c2")).as("n2"))
         cnt.join(broadcast(tot), Seq("event_type"))

@@ -123,7 +123,12 @@ object GraphOps {
     */
   def triangleCounts(edges: DataFrame, srcCol: String, dstCol: String)
       : (DataFrame, DataFrame) = {
+    // The input is consumed three times below (two degree sides + the
+    // orientation join); without this persist every consumer re-runs
+    // the caller's whole edge-derivation lineage — a 10-scan plan in
+    // the q114 case. Released eagerly once `oriented` materializes.
     val e = edges.select(col(srcCol).as("a"), col(dstCol).as("b"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val deg = e.select(col("a").as("v")).unionAll(e.select(col("b").as("v")))
       .groupBy(col("v")).agg(count(lit(1)).as("deg"))
     // The deg table is node-sized — broadcast here; a graph whose node
@@ -147,6 +152,11 @@ object GraphOps {
       // handle is returned so the caller can unpersist it after the
       // result executes.
       .persist(StorageLevel.MEMORY_AND_DISK)
+    // Materialize now (one edge-list pass, the CC-loop eager idiom) so
+    // the input cache can be dropped before this function returns —
+    // callers hold only the `oriented` handle.
+    oriented.count()
+    e.unpersist()
     val tri = oriented.as("x")
       .join(oriented.as("y"),
         col("x.u") === col("y.u") &&

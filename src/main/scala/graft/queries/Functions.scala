@@ -737,16 +737,23 @@ object Functions {
     QueryDef(
       "q92_fk_audit",
       (s, d) => {
+        // One left join + one aggregate per FK edge: n_child, orphan
+        // rows, and orphan keys all come out of the SAME child pass
+        // (a separate count(*) pass would re-scan the child table per
+        // edge). Parents are primary keys, so the left join cannot
+        // multiply child rows.
         def audit(edge: String, child: DataFrame, key: String,
-            parent: DataFrame, pkey: String): DataFrame = {
-          val orphans = child.select(col(key))
-            .join(parent.select(col(pkey).as(key)), Seq(key), "left_anti")
-          orphans.agg(count(lit(1)).as("n_orphans"),
-              countDistinct(col(key)).as("n_orphan_keys"))
-            .crossJoin(child.agg(count(lit(1)).as("n_child")))
+            parent: DataFrame, pkey: String): DataFrame =
+          child.select(col(key))
+            .join(parent.select(col(pkey).as(key))
+              .withColumn("__hit", lit(1)), Seq(key), "left")
+            .agg(count(lit(1)).as("n_child"),
+              sum(when(col("__hit").isNull, 1L).otherwise(0L))
+                .as("n_orphans"),
+              countDistinct(when(col("__hit").isNull, col(key)))
+                .as("n_orphan_keys"))
             .select(lit(edge).as("fk_edge"), col("n_child"),
               col("n_orphans"), col("n_orphan_keys"))
-        }
         audit("lineitem.orderkey->orders", lineitem(s, d), "l_orderkey",
             orders(s, d), "o_orderkey")
           .unionByName(audit("lineitem.partkey->part", lineitem(s, d),

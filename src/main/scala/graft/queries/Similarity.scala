@@ -229,10 +229,14 @@ object Similarity {
           .select(col("vec_id"), col("label"),
             toDouble(col("embedding")).as("v"),
             microQuantize(col("embedding")).as("qv"))
+        // cents (one row per label) and probes (8 rows) persist: both
+        // are consumed twice, and an unpersisted consumer re-runs the
+        // embeddings scan + centroid aggregation each time.
         val cents = q.groupBy(col("label")).agg(cAgg(col("qv")).as("c"))
           .select(col("label").as("cent_id"),
             transform(col("c.sums"), s0 => centroidMicro(s0, col("c.n")))
               .as("cent"))
+          .persist()
         // corpus: q59's exact-integer argmin cell assignment (persisted
         // — the candidate join and the exact ranking both read it)
         val corpus = q.filter(col("vec_id") >= 8)
@@ -255,6 +259,7 @@ object Similarity {
           .filter(col("crk") <= 2)
           .select(col("vec_id").as("probe"), col("cent_id").as("pcell"),
             col("crk").as("from_cell_rank"), col("v").as("pv"))
+          .persist()
         // exhaustive top-3 per probe — the recall ground truth
         val wE = Window.partitionBy(col("probe"))
           .orderBy(col("cosx").desc, col("vec_id"))

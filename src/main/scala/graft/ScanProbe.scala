@@ -1,7 +1,16 @@
 package graft
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.execution.ExplainMode
-// Throwaway audit: per-query physical-plan operator counts.
+/** Dev audit tool (not part of the library surface, like Scratch):
+  * prints per-catalog-query physical-plan health counters — parquet
+  * scans, exchanges, SortMergeJoins, CartesianProducts — sorted by
+  * worst. Run after adding operators: a scan count far above the
+  * number of distinct tables a query reads means some consumer is
+  * re-evaluating an unpersisted aggregate's lineage (the repeated-
+  * scan antipattern fixed in q114/q123/q92/q150/q158/q161).
+  *
+  *   sbt "runMain graft.ScanProbe"
+  */
 object ScanProbe {
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[8]")

@@ -597,6 +597,56 @@ object Similarity {
              |  ex3.probe IS NOT NULL AS in_exact_top3
              |FROM ranked r LEFT JOIN ex3
              |  ON r.probe = ex3.probe AND r.vec_id = ex3.vec_id
-             |WHERE r.rn <= 3 ORDER BY r.probe, r.rn""".stripMargin))
+             |WHERE r.rn <= 3 ORDER BY r.probe, r.rn""".stripMargin)),
+
+    // EMBEDDING DISPERSION — per-label diversity as the mean pairwise
+    // squared L2 distance, WITHOUT the O(n²) pair expansion: the
+    // centroid identity (1/n²)·ΣᵢΣⱼ‖xᵢ−xⱼ‖² = 2·(Σ‖x‖²/n − ‖x̄‖²),
+    // cross-multiplied to the all-integer form 2·(n·Q − ‖Σx‖²)/n²
+    // with Q = Σ‖x‖². Everything reduces in ONE aggregation pass over
+    // the per-dimension explode: per (label, dim) the sums Σq and Σq²
+    // — mergeable partials, map-side combine, no vector ever meets
+    // another vector. Products widen to DECIMAL(38,0) before summing
+    // (Σq² at 1e9 rows exceeds int64). Low dispersion flags a label
+    // whose corpus collapsed to near-duplicates — the embedding-side
+    // health check next to q31's explicit near-dup pairs.
+    QueryDef(
+      "q163_embedding_dispersion",
+      (s, d) => {
+        val dims = embeddings(s, d)
+          .select(col("label"), posexplode(microQuantize(col("embedding")))
+            .as(Seq("dim", "el")))
+          .groupBy(col("label"), col("dim"))
+          .agg(count(lit(1)).as("cnt"),
+            sum(expr("CAST(el AS DECIMAL(38,0))")).as("s1"),
+            sum(expr("CAST(el AS DECIMAL(38,0)) * el")).as("s2"))
+        dims.groupBy(col("label"))
+          .agg(max(col("cnt")).as("n_vecs"),
+            sum(col("s2")).as("q_sum"),
+            sum(expr("s1 * s1")).as("ssq"))
+          .select(col("label"), col("n_vecs"),
+            expr("CAST(q_sum div n_vecs AS BIGINT)").as("mean_norm2_micro2"),
+            expr("CAST((2 * (CAST(n_vecs AS DECIMAL(38,0)) * q_sum - ssq))" +
+              " div (CAST(n_vecs AS DECIMAL(38,0)) * n_vecs) AS BIGINT)")
+              .as("disp_micro2"))
+          .orderBy(col("label"))
+      },
+      Some("""WITH e AS (SELECT label,
+             |    list_transform(embedding, x ->
+             |      CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS q
+             |  FROM embeddings),
+             |u AS (SELECT label, unnest(q) AS el,
+             |    generate_subscripts(q, 1) AS pos FROM e),
+             |g AS (SELECT label, pos, count(*) AS cnt,
+             |    sum(el) AS s1, sum(el * el) AS s2
+             |  FROM u GROUP BY label, pos),
+             |a AS (SELECT label, max(cnt) AS n_vecs,
+             |    sum(s2) AS q_sum, sum(s1 * s1) AS ssq
+             |  FROM g GROUP BY label)
+             |SELECT label, n_vecs,
+             |  CAST(q_sum // n_vecs AS BIGINT) AS mean_norm2_micro2,
+             |  CAST((2 * (n_vecs * q_sum - ssq)) // (n_vecs * n_vecs)
+             |    AS BIGINT) AS disp_micro2
+             |FROM a ORDER BY label""".stripMargin))
   )
 }

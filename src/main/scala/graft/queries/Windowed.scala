@@ -1417,6 +1417,75 @@ object Windowed {
              |SELECT source, n_docs, total_chars,
              |  CAST((s2rn - (n_docs + 1) * total_chars) * 1000000
              |    // (n_docs * total_chars) AS BIGINT) AS gini_ppm
-             |FROM a ORDER BY source""".stripMargin))
+             |FROM a ORDER BY source""".stripMargin)),
+
+    // TIME-TO-CONVERT — the latency half of funnel analytics (q75
+    // counts who converts; this measures HOW LONG signup→first
+    // purchase takes): per-user first-signup / first-subsequent-
+    // purchase timestamps, exact p50/p90 of the latency in seconds
+    // via rank-at-k order statistics (k = ⌈n·p/100⌉, the q150 rank
+    // rule) over the CONVERTED-USER aggregate — one row per user,
+    // bounded relative to the event stream; the global rank window
+    // is the documented bounded-aggregate exception (at ~1e9
+    // converted users swap in q150's histogram-locate pass — the
+    // rank-value semantics are identical). Purchases join signups
+    // once on user_id (one shuffle), no event×event pairing.
+    QueryDef(
+      "q162_time_to_convert",
+      (s, d) => {
+        val ev = eventsNorm(s, d)
+          .select(col("user_id"), col("event_type"), col("ts_sec"))
+        val su = ev.filter(col("event_type") === "signup")
+          .groupBy(col("user_id")).agg(min(col("ts_sec")).as("t0"))
+        val conv = ev.filter(col("event_type") === "purchase")
+          .join(su, Seq("user_id"))
+          .filter(col("ts_sec") >= col("t0"))
+          .groupBy(col("user_id"), col("t0"))
+          .agg(min(col("ts_sec")).as("tp"))
+          .select(col("user_id"), (col("tp") - col("t0")).as("lat"))
+        val ranked = conv
+          .withColumn("rn", row_number().over(
+            Window.orderBy(col("lat"), col("user_id"))).cast("long"))
+          .withColumn("n", count(lit(1)).over(
+            Window.partitionBy(lit(1))))
+        val pcts = ranked
+          .filter(col("rn") === expr("(n * 50 + 99) div 100") ||
+            col("rn") === expr("(n * 90 + 99) div 100"))
+          .agg(min(col("lat")).as("p50_sec"), max(col("lat")).as("p90_sec"),
+            min(col("n")).as("n_converted"))
+        su.agg(count(lit(1)).as("n_signups"))
+          .crossJoin(broadcast(pcts))
+          .select(col("n_signups"), col("n_converted"),
+            expr("n_converted * 1000 div n_signups").as("conv_permille"),
+            col("p50_sec"), col("p90_sec"))
+      },
+      Some("""WITH ev AS (
+             |  SELECT user_id, event_type,
+             |    epoch_ns(ts) // 1000000000 AS ts_sec
+             |  FROM events),
+             |su AS (
+             |  SELECT user_id, min(ts_sec) AS t0
+             |  FROM ev WHERE event_type = 'signup' GROUP BY user_id),
+             |conv AS (
+             |  SELECT ev.user_id, min(ev.ts_sec) - min(su.t0) AS lat
+             |  FROM ev JOIN su ON ev.user_id = su.user_id
+             |  WHERE ev.event_type = 'purchase' AND ev.ts_sec >= su.t0
+             |  GROUP BY ev.user_id),
+             |r AS (
+             |  SELECT lat,
+             |    row_number() OVER (ORDER BY lat, user_id) AS rn,
+             |    count(*) OVER () AS n
+             |  FROM conv),
+             |p AS (
+             |  SELECT min(lat) AS p50_sec, max(lat) AS p90_sec,
+             |    min(n) AS n_converted
+             |  FROM r
+             |  WHERE rn = (n * 50 + 99) // 100
+             |     OR rn = (n * 90 + 99) // 100)
+             |SELECT (SELECT count(*) FROM su) AS n_signups, n_converted,
+             |  CAST(n_converted * 1000
+             |    // (SELECT count(*) FROM su) AS BIGINT) AS conv_permille,
+             |  p50_sec, p90_sec
+             |FROM p""".stripMargin))
   )
 }

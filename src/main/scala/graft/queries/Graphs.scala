@@ -148,6 +148,89 @@ object Graphs {
              |nodes AS (SELECT unnest([n1, n2, n3]) AS part FROM tri)
              |SELECT part, count(*) AS n_triangles
              |FROM nodes GROUP BY part
-             |ORDER BY n_triangles DESC, part LIMIT 10""".stripMargin))
+             |ORDER BY n_triangles DESC, part LIMIT 10""".stripMargin)),
+
+    // NEGATIVE EDGE SAMPLING — link-prediction training data needs
+    // NON-edges, and uniform rejection sampling is neither
+    // deterministic nor shuffle-friendly; this is the portable form:
+    // per customer, 6 candidate parts from the mixing-hash family
+    // (hash(custkey·7 + slot) mod |parts|, mapped to real part ids
+    // through a dense row_number index over the part dimension — a
+    // bounded-dim global window, the documented exception), positives
+    // removed with ONE anti-join against the distinct purchase edge
+    // list, then the first 3 surviving negatives per customer by slot
+    // order. Deterministic end-to-end (same negatives every run —
+    // reproducible epochs), O(customers·k) candidates, no rejection
+    // loop; the candidate build never touches the fact table (facts
+    // appear only in the distinct edge list the anti-join probes).
+    // Emitted sample: custkey < 200 keeps the checked result bounded.
+    QueryDef(
+      "q165_negative_sampling",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val partsIdx = part(s, d)
+          .select(col("p_partkey"))
+          .withColumn("idx", row_number().over(
+            Window.orderBy(col("p_partkey"))).cast("long") - 1)
+        val nP = partsIdx.agg(count(lit(1)).as("np"))
+        val pos = orders(s, d).select(col("o_orderkey"), col("o_custkey"))
+          .join(lineitem(s, d).select(col("l_orderkey"), col("l_partkey")),
+            col("o_orderkey") === col("l_orderkey"))
+          .select(col("o_custkey").as("custkey"),
+            col("l_partkey").as("p_partkey"))
+          .distinct()
+        val cand = orders(s, d)
+          .filter(col("o_custkey") < 200)
+          .select(col("o_custkey").as("custkey")).distinct()
+          .select(col("custkey"),
+            explode(expr("sequence(0, 5)")).as("slot"))
+          .crossJoin(broadcast(nP))
+          .withColumn("idx", expr(
+            "((((custkey * 7 + slot) % 1000003) * 131 + 17) % 1000003) " +
+              "% np"))
+          .join(broadcast(partsIdx), Seq("idx"))
+        val w = Window.partitionBy(col("custkey")).orderBy(col("slot"))
+        cand
+          .join(pos, Seq("custkey", "p_partkey"), "left_anti")
+          .withColumn("rk", row_number().over(w))
+          .filter(col("rk") <= 3)
+          .select(col("custkey"), col("rk").cast("long").as("neg_rank"),
+            col("p_partkey").as("neg_partkey"), col("slot").cast("long")
+              .as("slot"))
+          .orderBy(col("custkey"), col("neg_rank"))
+      },
+      Some("""WITH pidx AS (
+             |  SELECT p_partkey,
+             |    row_number() OVER (ORDER BY p_partkey) - 1 AS idx
+             |  FROM part),
+             |np AS (SELECT count(*) AS np FROM part),
+             |pos AS (
+             |  SELECT DISTINCT o.o_custkey AS custkey, l.l_partkey
+             |    AS p_partkey
+             |  FROM orders o JOIN lineitem l
+             |    ON o.o_orderkey = l.l_orderkey),
+             |cust AS (
+             |  SELECT DISTINCT o_custkey AS custkey FROM orders
+             |  WHERE o_custkey < 200),
+             |cand AS (
+             |  SELECT c.custkey, s.slot,
+             |    ((((c.custkey * 7 + s.slot) % 1000003) * 131 + 17)
+             |      % 1000003) % np.np AS idx
+             |  FROM cust c, (SELECT unnest(range(0, 6)) AS slot) s, np),
+             |neg AS (
+             |  SELECT cd.custkey, cd.slot, p.p_partkey
+             |  FROM cand cd JOIN pidx p ON cd.idx = p.idx
+             |  WHERE NOT EXISTS (SELECT 1 FROM pos
+             |    WHERE pos.custkey = cd.custkey
+             |      AND pos.p_partkey = p.p_partkey)),
+             |r AS (
+             |  SELECT custkey, slot, p_partkey,
+             |    row_number() OVER (PARTITION BY custkey
+             |      ORDER BY slot) AS rk
+             |  FROM neg)
+             |SELECT custkey, rk AS neg_rank, p_partkey AS neg_partkey,
+             |  CAST(slot AS BIGINT) AS slot
+             |FROM r WHERE rk <= 3
+             |ORDER BY custkey, neg_rank""".stripMargin))
   )
 }

@@ -1486,6 +1486,65 @@ object Windowed {
              |  CAST(n_converted * 1000
              |    // (SELECT count(*) FROM su) AS BIGINT) AS conv_permille,
              |  p50_sec, p90_sec
-             |FROM p""".stripMargin))
+             |FROM p""".stripMargin)),
+
+    // SEASONAL-BASELINE ANOMALY — q152's EWMA treats every prior day
+    // alike, so a weekly-periodic metric (weekend dips) alarms every
+    // Monday; the deployed fix is a day-of-week baseline: each day's
+    // count vs the MEDIAN of its own weekday's history. dow = epoch-day
+    // mod 7 (pure integer periodicity — no calendar libm); the median
+    // is the q145 ×2 order-statistic trick (med2 = sum of the two
+    // middle ranks = twice the median, exact for even counts), so the
+    // 1.5× alert rule multiplies through: 2·c > 3·med2/2 ⇔
+    // 4·c > 3·med2 — all integers. Both the grid and the per-(type,
+    // dow) median windows are bounded aggregates, never the fact
+    // table; the ratio column is the only division, one final div.
+    QueryDef(
+      "q164_seasonal_baseline",
+      (s, d) => {
+        val daily = eventsNorm(s, d)
+          .groupBy(col("event_type"), expr("ts_sec div 86400").as("day"))
+          .agg(count(lit(1)).as("c"))
+          .withColumn("dow", expr("day % 7"))
+        val byDow = Window.partitionBy(col("event_type"), col("dow"))
+          .orderBy(col("c"), col("day"))
+        val med = daily
+          .withColumn("rn", row_number().over(byDow))
+          .withColumn("n", count(lit(1)).over(
+            Window.partitionBy(col("event_type"), col("dow"))))
+          .filter(col("rn") === expr("(n + 1) div 2") ||
+            col("rn") === expr("n div 2 + 1"))
+          .groupBy(col("event_type"), col("dow"))
+          .agg((sum(col("c")) * 2 / count(lit(1))).cast("long").as("med2"))
+        daily.join(broadcast(med), Seq("event_type", "dow"))
+          .select(col("event_type"), col("day"), col("dow"), col("c"),
+            col("med2"),
+            expr("c * 2 * 1000000 div med2").as("ratio_ppm"),
+            (col("c") * 4 > col("med2") * 3).as("is_anomaly"))
+          .orderBy(col("event_type"), col("day"))
+      },
+      Some("""WITH daily AS (
+             |  SELECT event_type,
+             |    (epoch_ns(ts) // 1000000000) // 86400 AS day,
+             |    CAST(count(*) AS BIGINT) AS c
+             |  FROM events GROUP BY 1, 2),
+             |g AS (SELECT event_type, day, c, day % 7 AS dow FROM daily),
+             |r AS (
+             |  SELECT event_type, dow, c, day,
+             |    row_number() OVER (PARTITION BY event_type, dow
+             |      ORDER BY c, day) AS rn,
+             |    count(*) OVER (PARTITION BY event_type, dow) AS n
+             |  FROM g),
+             |med AS (
+             |  SELECT event_type, dow,
+             |    CAST(sum(c) * 2 // count(*) AS BIGINT) AS med2
+             |  FROM r WHERE rn = (n + 1) // 2 OR rn = n // 2 + 1
+             |  GROUP BY event_type, dow)
+             |SELECT g.event_type, g.day, g.dow, g.c, med.med2,
+             |  CAST(g.c * 2 * 1000000 // med.med2 AS BIGINT) AS ratio_ppm,
+             |  g.c * 4 > med.med2 * 3 AS is_anomaly
+             |FROM g JOIN med ON g.event_type = med.event_type
+             |  AND g.dow = med.dow
+             |ORDER BY g.event_type, g.day""".stripMargin))
   )
 }

@@ -173,7 +173,12 @@ object Graphs {
           .withColumn("idx", row_number().over(
             Window.orderBy(col("p_partkey"))).cast("long") - 1)
         val nP = partsIdx.agg(count(lit(1)).as("np"))
-        val pos = orders(s, d).select(col("o_orderkey"), col("o_custkey"))
+        // Positives restricted to the probed customers BEFORE the
+        // join+distinct — the filter pushes into the orders scan, so
+        // the anti-join probe set is built from ~|sample| customers'
+        // orders, not the whole fact table.
+        val pos = orders(s, d).filter(col("o_custkey") < 200)
+          .select(col("o_orderkey"), col("o_custkey"))
           .join(lineitem(s, d).select(col("l_orderkey"), col("l_partkey")),
             col("o_orderkey") === col("l_orderkey"))
           .select(col("o_custkey").as("custkey"),
@@ -208,7 +213,8 @@ object Graphs {
              |  SELECT DISTINCT o.o_custkey AS custkey, l.l_partkey
              |    AS p_partkey
              |  FROM orders o JOIN lineitem l
-             |    ON o.o_orderkey = l.l_orderkey),
+             |    ON o.o_orderkey = l.l_orderkey
+             |  WHERE o.o_custkey < 200),
              |cust AS (
              |  SELECT DISTINCT o_custkey AS custkey FROM orders
              |  WHERE o_custkey < 200),

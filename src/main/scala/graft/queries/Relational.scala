@@ -367,8 +367,12 @@ object Relational {
     QueryDef(
       "q83_containment_join",
       (s, d) => {
+        // Pruned 2-column distinct, persisted: the basket derivation
+        // reads it twice and the probe once — unpersisted that is
+        // three full distinct shuffles of the fact projection.
         val items = lineitem(s, d)
           .select(col("l_orderkey"), col("l_partkey")).distinct()
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         // deterministic probe basket guaranteed to co-occur: the 2
         // lowest part keys of the smallest multi-item order
         val firstMulti = items.groupBy(col("l_orderkey"))

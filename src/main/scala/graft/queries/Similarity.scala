@@ -472,11 +472,15 @@ object Similarity {
           .withColumn("q1", slice(col("qv"), 1, 32))
           .withColumn("q2", slice(col("qv"), 33, 32))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        // Each codebook (10 rows) is consumed twice — encode + the ADC
+        // distance table; persist so the centroid aggregation over the
+        // corpus cache runs once per subspace, not twice.
         def codebook(sub: String) =
           q.groupBy(col("label")).agg(cAgg(col(sub)).as("c"))
             .select(col("label").as("code"),
               transform(col("c.sums"), s0 => centroidMicro(s0, col("c.n")))
                 .as("cw"))
+            .persist()
         val (cb1, cb2) = (codebook("q1"), codebook("q2"))
         // encode: nearest codeword per subspace (exact integer L2²,
         // map-side-combined argmin — the q59 assignment shape)

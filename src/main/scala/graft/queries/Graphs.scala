@@ -168,10 +168,14 @@ object Graphs {
       "q165_negative_sampling",
       (s, d) => {
         import org.apache.spark.sql.expressions.Window
+        // Persisted: the dense index is read twice (size scalar +
+        // candidate mapping) and its global row_number sort should
+        // run once.
         val partsIdx = part(s, d)
           .select(col("p_partkey"))
           .withColumn("idx", row_number().over(
             Window.orderBy(col("p_partkey"))).cast("long") - 1)
+          .persist()
         val nP = partsIdx.agg(count(lit(1)).as("np"))
         // Positives restricted to the probed customers BEFORE the
         // join+distinct — the filter pushes into the orders scan, so

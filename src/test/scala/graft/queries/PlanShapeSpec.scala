@@ -163,4 +163,32 @@ class PlanShapeSpec extends SparkSpecBase {
     assert(exchanges <= 2, // one for the groupBy dedup, one for windows
       s"q72 re-shuffles between its window passes ($exchanges exchanges)")
   }
+
+  test("repeated-scan audit: consumers of bounded aggregates reuse them") {
+    // Round-7 ScanProbe findings, locked: a plan whose parquet-scan
+    // count exceeds the distinct tables the query reads means some
+    // consumer re-evaluates an unpersisted aggregate's whole lineage
+    // (q114 was a 10-scan plan before `triangleCounts` persisted its
+    // input). The bound is per-query: distinct tables read, plus the
+    // documented extra pass where the algorithm has one (q27's
+    // collision-redo branch).
+    val bounds = Seq(
+      "q150_twopass_quantile" -> 2, // two passes = two lineitem scans
+      "q158_tv_drift" -> 2,         // stats pass + counts pass
+      "q161_dist_match" -> 2,       // bounds pass + cell-counts pass
+      "q114_triangle_count" -> 2,   // pairs self-join; rest from cache
+      "q123_ann_ivf_multiprobe" -> 3, // cents/corpus/probes derivations
+      "q92_fk_audit" -> 6,          // 3 FK edges x (child + parent)
+      "q83_containment_join" -> 1,  // single persisted items distinct
+      "q165_negative_sampling" -> 4) // part idx + orders(cand,pos) + li
+    for ((name, maxScans) <- bounds) {
+      // Numbered operator lines only: formatted explain repeats each
+      // InMemoryRelation's cached-plan subtree (whose scan is NOT an
+      // executed operator of this query).
+      val n = """(?m)^\(\d+\) Scan parquet""".r.findAllIn(plan(name)).size
+      assert(n <= maxScans,
+        s"$name scans parquet $n times (bound $maxScans) — an " +
+          "unpersisted aggregate is being re-evaluated")
+    }
+  }
 }

@@ -628,6 +628,60 @@ object Relational {
              |    AND q.spend_cents >= p.spend_cents
              |    AND (q.n_orders > p.n_orders
              |      OR q.spend_cents > p.spend_cents))
-             |ORDER BY spend_cents DESC, o_custkey""".stripMargin))
+             |ORDER BY spend_cents DESC, o_custkey""".stripMargin)),
+
+    // SMOOTHED RATE RANKING — the cold-start correction: ranking parts
+    // by raw return rate promotes 1-for-1 flukes over 48-of-50 real
+    // offenders; Laplace (add-one) smoothing (r+1)/(n+2) shrinks
+    // small samples toward 1/2 so confidence is priced into the rank.
+    // All-integer: smoothed_ppm = (r+1)·10⁶ div (n+2); the result
+    // carries raw next to smoothed plus the rank DISPLACEMENT each
+    // part suffers (two row_numbers over the bounded per-part
+    // aggregate — the hash check pins the reordering itself, not just
+    // the scores). One fact aggregation; everything after is
+    // aggregate-sized. Top-20 by smoothed rate.
+    QueryDef(
+      "q167_smoothed_rate",
+      (s, d) => {
+        val w1 = org.apache.spark.sql.expressions.Window
+          .orderBy(expr("raw_ppm").desc, col("l_partkey"))
+        val w2 = org.apache.spark.sql.expressions.Window
+          .orderBy(expr("smoothed_ppm").desc, col("l_partkey"))
+        lineitem(s, d)
+          .groupBy(col("l_partkey"))
+          .agg(count(lit(1)).as("n"),
+            sum(when(col("l_returnflag") === "R", 1L).otherwise(0L))
+              .as("r"))
+          .withColumn("raw_ppm", expr("r * 1000000 div n"))
+          .withColumn("smoothed_ppm",
+            expr("(r + 1) * 1000000 div (n + 2)"))
+          .withColumn("raw_rank", row_number().over(w1).cast("long"))
+          .withColumn("rank", row_number().over(w2).cast("long"))
+          .filter(col("rank") <= 20)
+          .select(col("rank"), col("l_partkey"), col("n"), col("r"),
+            col("raw_ppm"), col("smoothed_ppm"),
+            (col("raw_rank") - col("rank")).as("displacement"))
+          .orderBy(col("rank"))
+      },
+      Some("""WITH a AS (
+             |  SELECT l_partkey, count(*) AS n,
+             |    CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+             |      AS BIGINT) AS r
+             |  FROM lineitem GROUP BY l_partkey),
+             |s AS (
+             |  SELECT l_partkey, n, r,
+             |    r * 1000000 // n AS raw_ppm,
+             |    (r + 1) * 1000000 // (n + 2) AS smoothed_ppm
+             |  FROM a),
+             |rk AS (
+             |  SELECT l_partkey, n, r, raw_ppm, smoothed_ppm,
+             |    row_number() OVER (ORDER BY raw_ppm DESC, l_partkey)
+             |      AS raw_rank,
+             |    row_number() OVER (ORDER BY smoothed_ppm DESC, l_partkey)
+             |      AS rank
+             |  FROM s)
+             |SELECT rank, l_partkey, n, r, raw_ppm, smoothed_ppm,
+             |  raw_rank - rank AS displacement
+             |FROM rk WHERE rank <= 20 ORDER BY rank""".stripMargin))
   )
 }

@@ -1545,6 +1545,111 @@ object Windowed {
              |  g.c * 4 > med.med2 * 3 AS is_anomaly
              |FROM g JOIN med ON g.event_type = med.event_type
              |  AND g.dow = med.dow
-             |ORDER BY g.event_type, g.day""".stripMargin))
+             |ORDER BY g.event_type, g.day""".stripMargin)),
+
+    // LATENCY SLO BANDS — the observability dashboard primitive: per
+    // (event_type, day), exact p50/p95 of `value` via rank-at-k order
+    // statistics (k = ⌈n·p/100⌉) inside each daily partition. Unlike
+    // q150's global quantile this window IS fact-sized but partitioned
+    // on the natural reporting grain (type × day) — thousands of
+    // independent partitions, each bounded by a day's traffic, which
+    // is exactly how SLO jobs shard at scale (a skew-heavy type/day
+    // would salt into sub-day slices). Values quantize to micros; both
+    // target ranks select in ONE window pass (two filters over the
+    // same row_number), and the only rows leaving the partition are
+    // the ≤2 selected order statistics per cell.
+    QueryDef(
+      "q166_latency_slo",
+      (s, d) => {
+        val ev = eventsNorm(s, d)
+          .filter(col("value").isNotNull)
+          .select(col("event_type"), expr("ts_sec div 86400").as("day"),
+            col("event_id"),
+            expr("CAST(floor(value * 1000000 + 0.5) AS BIGINT)").as("v"))
+        val w = Window.partitionBy(col("event_type"), col("day"))
+          .orderBy(col("v"), col("event_id"))
+        val ranked = ev
+          .withColumn("rn", row_number().over(w).cast("long"))
+          .withColumn("n", count(lit(1)).over(
+            Window.partitionBy(col("event_type"), col("day"))))
+        ranked
+          .filter(col("rn") === expr("(n * 50 + 99) div 100") ||
+            col("rn") === expr("(n * 95 + 99) div 100"))
+          .groupBy(col("event_type"), col("day"))
+          .agg(min(col("n")).as("n_events"),
+            min(col("v")).as("p50_micro"), max(col("v")).as("p95_micro"))
+          .orderBy(col("event_type"), col("day"))
+      },
+      Some("""WITH ev AS (
+             |  SELECT event_type,
+             |    (epoch_ns(ts) // 1000000000) // 86400 AS day,
+             |    event_id,
+             |    CAST(floor(value * 1000000 + 0.5) AS BIGINT) AS v
+             |  FROM events WHERE value IS NOT NULL),
+             |r AS (
+             |  SELECT event_type, day, v,
+             |    row_number() OVER (PARTITION BY event_type, day
+             |      ORDER BY v, event_id) AS rn,
+             |    count(*) OVER (PARTITION BY event_type, day) AS n
+             |  FROM ev)
+             |SELECT event_type, day, min(n) AS n_events,
+             |  min(v) AS p50_micro, max(v) AS p95_micro
+             |FROM r
+             |WHERE rn = (n * 50 + 99) // 100 OR rn = (n * 95 + 99) // 100
+             |GROUP BY event_type, day
+             |ORDER BY event_type, day""".stripMargin)),
+
+    // SESSION TRANSITION MATRIX — first-order Markov behavior model
+    // (q78 mines whole top paths; this is the normalized edge model a
+    // recommender or anomaly scorer consumes): within-user transitions
+    // between consecutive events at most 30 min apart (the session
+    // rule), counted per (from, to) pair and row-normalized to ppm by
+    // integer div. One shuffle on user_id for the lead() window; the
+    // matrix itself is |types|² — broadcast-sized at any scale; row
+    // totals come from a second window over that bounded matrix, not
+    // the fact table. Σ p_ppm per row ≤ 10⁶ with the deficit < |row|
+    // (integer floors) — the self-auditing property of div-normalized
+    // distributions.
+    QueryDef(
+      "q168_transition_matrix",
+      (s, d) => {
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts_ns"), col("event_id"))
+        val trans = eventsNorm(s, d)
+          .select(col("user_id"), col("event_id"), col("ts_ns"),
+            col("ts_sec"), col("event_type"))
+          .withColumn("to_type", lead(col("event_type"), 1).over(w))
+          .withColumn("to_sec", lead(col("ts_sec"), 1).over(w))
+          .filter(col("to_type").isNotNull &&
+            col("to_sec") - col("ts_sec") <= 1800L)
+          .groupBy(col("event_type").as("from_type"),
+            col("to_type"))
+          .agg(count(lit(1)).as("n"))
+        val tot = Window.partitionBy(col("from_type"))
+        trans
+          .withColumn("row_total", sum(col("n")).over(tot))
+          .select(col("from_type"), col("to_type"), col("n"),
+            expr("n * 1000000 div row_total").as("p_ppm"))
+          .orderBy(col("from_type"), col("to_type"))
+      },
+      Some("""WITH ev AS (
+             |  SELECT user_id, event_id, event_type,
+             |    epoch_ns(ts) AS ts_ns,
+             |    epoch_ns(ts) // 1000000000 AS ts_sec
+             |  FROM events),
+             |t AS (
+             |  SELECT event_type AS from_type,
+             |    lead(event_type, 1) OVER w AS to_type,
+             |    lead(ts_sec, 1) OVER w - ts_sec AS gap
+             |  FROM ev
+             |  WINDOW w AS (PARTITION BY user_id ORDER BY ts_ns, event_id)),
+             |m AS (
+             |  SELECT from_type, to_type, count(*) AS n
+             |  FROM t WHERE to_type IS NOT NULL AND gap <= 1800
+             |  GROUP BY 1, 2)
+             |SELECT from_type, to_type, n,
+             |  CAST(n * 1000000 // sum(n) OVER (PARTITION BY from_type)
+             |    AS BIGINT) AS p_ppm
+             |FROM m ORDER BY from_type, to_type""".stripMargin))
   )
 }

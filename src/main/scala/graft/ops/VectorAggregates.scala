@@ -54,4 +54,62 @@ object VectorAggregates {
     override def bufferEncoder: Encoder[CentroidBuf] = Encoders.product
     override def outputEncoder: Encoder[CentroidBuf] = Encoders.product
   }
+
+  /** Bounded top-k buffer: parallel arrays sorted by (value desc,
+    * id asc), length ≤ k. */
+  final case class TopKBuf(vals: Array[Long], ids: Array[Long])
+
+  /** Per-group top-k as a BOUNDED-MEMORY mergeable aggregate — the
+    * scale-honest alternative to both the window form (row_number ≤ k
+    * sorts every group's full row set through the shuffle) and the
+    * `slice(sort_array(collect_list(...)))` form (whose partial
+    * buffers grow with the group, not with k). Partials here are ≤ k
+    * entries per group per partition, combine map-side, and merge in
+    * O(k) — the classic top-k combiner. Input: `array(value, id)`
+    * longs; ties break (value desc, id asc), exactly mirrorable by a
+    * row_number oracle. */
+  class TopKAgg(k: Int) extends Aggregator[Array[Long], TopKBuf, TopKBuf] {
+
+    override def zero: TopKBuf = TopKBuf(Array.empty, Array.empty)
+
+    private def beats(v1: Long, i1: Long, v2: Long, i2: Long): Boolean =
+      v1 > v2 || (v1 == v2 && i1 < i2)
+
+    private def insert(b: TopKBuf, v: Long, id: Long): TopKBuf = {
+      val n = b.vals.length
+      if (n == k && !beats(v, id, b.vals(n - 1), b.ids(n - 1))) return b
+      // insertion point by (value desc, id asc); k is small — linear
+      var p = 0
+      while (p < n && !beats(v, id, b.vals(p), b.ids(p))) p += 1
+      val m = math.min(n + 1, k)
+      val nv = new Array[Long](m); val ni = new Array[Long](m)
+      System.arraycopy(b.vals, 0, nv, 0, p)
+      System.arraycopy(b.ids, 0, ni, 0, p)
+      nv(p) = v; ni(p) = id
+      val tail = m - p - 1
+      if (tail > 0) {
+        System.arraycopy(b.vals, p, nv, p + 1, tail)
+        System.arraycopy(b.ids, p, ni, p + 1, tail)
+      }
+      TopKBuf(nv, ni)
+    }
+
+    override def reduce(b: TopKBuf, in: Array[Long]): TopKBuf = {
+      require(in.length == 2, s"TopKAgg expects array(value, id), got " +
+        s"length ${in.length}")
+      insert(b, in(0), in(1))
+    }
+
+    override def merge(a: TopKBuf, b: TopKBuf): TopKBuf = {
+      var r = a
+      var i = 0
+      while (i < b.vals.length) { r = insert(r, b.vals(i), b.ids(i)); i += 1 }
+      r
+    }
+
+    override def finish(r: TopKBuf): TopKBuf = r
+
+    override def bufferEncoder: Encoder[TopKBuf] = Encoders.product
+    override def outputEncoder: Encoder[TopKBuf] = Encoders.product
+  }
 }

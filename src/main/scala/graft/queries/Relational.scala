@@ -682,6 +682,43 @@ object Relational {
              |  FROM s)
              |SELECT rank, l_partkey, n, r, raw_ppm, smoothed_ppm,
              |  raw_rank - rank AS displacement
-             |FROM rk WHERE rank <= 20 ORDER BY rank""".stripMargin))
+             |FROM rk WHERE rank <= 20 ORDER BY rank""".stripMargin)),
+
+    // AGGREGATE TOP-K — q16's per-group top-k re-expressed as a
+    // bounded-memory mergeable aggregate ([[graft.ops.VectorAggregates
+    // .TopKAgg]]): the window form sorts every group's FULL row set
+    // through the shuffle; this form's partials are ≤ k entries per
+    // group per partition and combine map-side, so the exchange
+    // carries O(groups·k), not O(rows) — the shape that wins when
+    // groups are few and rows are 100 TB. The oracle is deliberately
+    // the window form (a structurally different algorithm must agree
+    // row-for-row); PlanShapeSpec asserts this plan contains no
+    // Window operator at all.
+    QueryDef(
+      "q169_topk_aggregate",
+      (s, d) => {
+        val top = udaf(new graft.ops.VectorAggregates.TopKAgg(3))
+        part(s, d)
+          .select(col("p_brand"),
+            expr("CAST(floor(p_retailprice * 100 + 0.5) AS BIGINT)")
+              .as("cents"), col("p_partkey"))
+          .groupBy(col("p_brand"))
+          .agg(top(array(col("cents"), col("p_partkey"))).as("t"))
+          .select(col("p_brand"),
+            posexplode(arrays_zip(col("t.vals"), col("t.ids")))
+              .as(Seq("pos", "e")))
+          .select(col("p_brand"), (col("pos") + 1).cast("long").as("rank"),
+            col("e.ids").as("p_partkey"), col("e.vals").as("price_cents"))
+          .orderBy(col("p_brand"), col("rank"))
+      },
+      Some("""SELECT p_brand, rank, p_partkey, price_cents FROM (
+             |  SELECT p_brand, p_partkey,
+             |    CAST(floor(p_retailprice * 100 + 0.5) AS BIGINT)
+             |      AS price_cents,
+             |    row_number() OVER (PARTITION BY p_brand
+             |      ORDER BY CAST(floor(p_retailprice * 100 + 0.5) AS BIGINT)
+             |        DESC, p_partkey) AS rank
+             |  FROM part) t
+             |WHERE rank <= 3 ORDER BY p_brand, rank""".stripMargin))
   )
 }

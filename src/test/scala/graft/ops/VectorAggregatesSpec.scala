@@ -30,4 +30,30 @@ class VectorAggregatesSpec extends SparkSpecBase {
         .select($"c.sums").head().getSeq[Long](0)
     assert(total(1) === total(7))
   }
+
+  test("TopKAgg: (value desc, id asc) order, ties, cap, merge parity") {
+    // value ties (40 appears 3x) force the id-asc tie-break; 6 rows
+    // into k=3 exercises the cap; repartition forces partial merges.
+    val data = Seq(("g", 40L, 9L), ("g", 40L, 2L), ("g", 40L, 5L),
+      ("g", 50L, 7L), ("g", 10L, 1L), ("g", 30L, 4L))
+    val agg = udaf(new VectorAggregates.TopKAgg(3))
+    def run(parts: Int): (Seq[Long], Seq[Long]) = {
+      val r = spark.createDataFrame(data).toDF("g", "v", "id")
+        .repartition(parts)
+        .groupBy($"g").agg(agg(array($"v", $"id")).as("t"))
+        .select($"t.vals", $"t.ids").head()
+      (r.getSeq[Long](0), r.getSeq[Long](1))
+    }
+    assert(run(1) === ((Seq(50L, 40L, 40L), Seq(7L, 2L, 5L))))
+    assert(run(5) === run(1), "merge path disagrees with single-partition")
+  }
+
+  test("TopKAgg: groups smaller than k return all rows, sorted") {
+    val agg = udaf(new VectorAggregates.TopKAgg(5))
+    val r = Seq(("g", 1L, 10L), ("g", 3L, 30L)).toDF("g", "v", "id")
+      .groupBy($"g").agg(agg(array($"v", $"id")).as("t"))
+      .select($"t.vals", $"t.ids").head()
+    assert(r.getSeq[Long](0) === Seq(3L, 1L))
+    assert(r.getSeq[Long](1) === Seq(30L, 10L))
+  }
 }

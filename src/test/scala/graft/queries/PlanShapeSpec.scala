@@ -191,4 +191,12 @@ class PlanShapeSpec extends SparkSpecBase {
           "unpersisted aggregate is being re-evaluated")
     }
   }
+
+  test("aggregate top-k plans no Window operator (bounded partials)") {
+    // q169's whole point vs q16: the exchange carries O(groups·k)
+    // TopKAgg partials, never a per-group full sort.
+    val p = plan("q169_topk_aggregate")
+    assert(!p.matches("(?s).*\\(\\d+\\) Window.*"),
+      s"q169 fell back to a window plan:\n$p")
+  }
 }

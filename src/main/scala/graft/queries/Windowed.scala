@@ -1650,6 +1650,106 @@ object Windowed {
              |SELECT from_type, to_type, n,
              |  CAST(n * 1000000 // sum(n) OVER (PARTITION BY from_type)
              |    AS BIGINT) AS p_ppm
-             |FROM m ORDER BY from_type, to_type""".stripMargin))
+             |FROM m ORDER BY from_type, to_type""".stripMargin)),
+
+    // LORENZ CURVE DECILES — q159's Gini collapses inequality to one
+    // number; the curve says WHERE the mass sits: per source, docs
+    // ascending by size, the cumulative share of chars held by each
+    // population decile (decile = ⌈rn·10/n⌉ — every decile ±1 row by
+    // construction). share_ppm strictly convex toward 10⁶ ⇔
+    // concentration; a uniform source reads ~100k·d. Cum-chars comes
+    // from ONE running-sum window (same per-source partition as the
+    // rank), then only the ≤10 decile-boundary rows aggregate out —
+    // O(sources·10) leaves the shuffle.
+    QueryDef(
+      "q170_lorenz_deciles",
+      (s, d) => {
+        val bySrc = Window.partitionBy(col("source"))
+        val w = Window.partitionBy(col("source"))
+          .orderBy(col("n_chars"), col("doc_id"))
+        documents(s, d)
+          .select(col("source"), col("doc_id"), col("n_chars"))
+          .withColumn("rn", row_number().over(w).cast("long"))
+          .withColumn("n", count(lit(1)).over(bySrc))
+          .withColumn("cum", sum(col("n_chars")).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .withColumn("tot", sum(col("n_chars")).over(bySrc))
+          .withColumn("decile", expr("(rn * 10 + n - 1) div n"))
+          .filter(col("rn") === expr("(decile * n) div 10"))
+          .select(col("source"), col("decile"), col("rn").as("n_docs_cum"),
+            col("cum").as("chars_cum"),
+            expr("cum * 1000000 div tot").as("share_ppm"))
+          .orderBy(col("source"), col("decile"))
+      },
+      Some("""WITH r AS (
+             |  SELECT source, n_chars,
+             |    row_number() OVER (PARTITION BY source
+             |      ORDER BY n_chars, doc_id) AS rn,
+             |    count(*) OVER (PARTITION BY source) AS n,
+             |    sum(n_chars) OVER (PARTITION BY source
+             |      ORDER BY n_chars, doc_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             |      AS cum,
+             |    sum(n_chars) OVER (PARTITION BY source) AS tot
+             |  FROM documents),
+             |d AS (SELECT source, rn, n, cum, tot,
+             |    (rn * 10 + n - 1) // n AS decile
+             |  FROM r)
+             |SELECT source, decile, rn AS n_docs_cum,
+             |  CAST(cum AS BIGINT) AS chars_cum,
+             |  CAST(cum * 1000000 // tot AS BIGINT) AS share_ppm
+             |FROM d WHERE rn = (decile * n) // 10
+             |ORDER BY source, decile""".stripMargin)),
+
+    // BOILERPLATE DETECTION — template text shared across a source's
+    // documents (nav headers, license stubs) is the C4-class cleaning
+    // target: here, each doc's leading 4-token prefix, counted per
+    // (source, prefix); a prefix covering >10% of a source is flagged.
+    // The prefix is a FIXED-width key (4 tokens) so the shuffle key is
+    // bounded — never whole documents (the q27 lesson applied to
+    // near-boilerplate); one aggregation pass + a per-source top-1
+    // window over the bounded (source, prefix) counts. Emits the top
+    // prefix per source with its share and flag.
+    QueryDef(
+      "q171_boilerplate",
+      (s, d) => {
+        val pfx = concat_ws(" ",
+          slice(graft.ops.TextOps.tokens(col("text")), 1, 4))
+        val counts = documents(s, d)
+          .select(col("source"), pfx.as("prefix"))
+          .groupBy(col("source"), col("prefix"))
+          .agg(count(lit(1)).as("n_docs"))
+        val bySrc = Window.partitionBy(col("source"))
+        val w = Window.partitionBy(col("source"))
+          .orderBy(col("n_docs").desc, col("prefix"))
+        counts
+          .withColumn("src_total", sum(col("n_docs")).over(bySrc))
+          .withColumn("rk", row_number().over(w))
+          .filter(col("rk") === 1)
+          .select(col("source"), col("prefix"), col("n_docs"),
+            col("src_total"),
+            expr("n_docs * 1000000 div src_total").as("share_ppm"),
+            (col("n_docs") * 10 > col("src_total")).as("is_boilerplate"))
+          .orderBy(col("source"))
+      },
+      Some("""WITH p AS (
+             |  SELECT source,
+             |    array_to_string(string_split(text, ' ')[1:4], ' ')
+             |      AS prefix
+             |  FROM documents),
+             |c AS (
+             |  SELECT source, prefix, count(*) AS n_docs
+             |  FROM p GROUP BY 1, 2),
+             |r AS (
+             |  SELECT source, prefix, n_docs,
+             |    sum(n_docs) OVER (PARTITION BY source) AS src_total,
+             |    row_number() OVER (PARTITION BY source
+             |      ORDER BY n_docs DESC, prefix) AS rk
+             |  FROM c)
+             |SELECT source, prefix, n_docs,
+             |  CAST(src_total AS BIGINT) AS src_total,
+             |  CAST(n_docs * 1000000 // src_total AS BIGINT) AS share_ppm,
+             |  n_docs * 10 > src_total AS is_boilerplate
+             |FROM r WHERE rk = 1 ORDER BY source""".stripMargin))
   )
 }

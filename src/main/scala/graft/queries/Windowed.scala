@@ -1678,7 +1678,10 @@ object Windowed {
           .filter(col("rn") === expr("(decile * n) div 10"))
           .select(col("source"), col("decile"), col("rn").as("n_docs_cum"),
             col("cum").as("chars_cum"),
-            expr("cum * 1000000 div tot").as("share_ppm"))
+            // cum is a corpus-scale char total (~1e14 at 100 TB):
+            // ×10⁶ exceeds int64 — widen first (the q142 rule).
+            expr("CAST(CAST(cum AS DECIMAL(38,0)) * 1000000 div tot " +
+              "AS BIGINT)").as("share_ppm"))
           .orderBy(col("source"), col("decile"))
       },
       Some("""WITH r AS (

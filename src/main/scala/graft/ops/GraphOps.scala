@@ -169,4 +169,63 @@ object GraphOps {
       .groupBy(col("id")).agg(count(lit(1)).as("n_triangles")),
       oriented)
   }
+
+  /** Root + depth for every node of a FOREST (parent pointers; a root
+    * points to itself) via POINTER JUMPING: each round replaces every
+    * node's pointer with its pointer's pointer and adds the traversed
+    * distance — path lengths halve, so convergence takes
+    * ⌈log₂ depth⌉ rounds (a naive parent-walk is `depth` rounds: at a
+    * 1e6-deep chain that is 20 joins here vs a million there). One
+    * self equi-join per round on the (node, ptr, dist) state, eagerly
+    * `localCheckpoint`ed (the CC-loop idiom — the plan would otherwise
+    * double per round); the convergence probe is a 1-row aggregate
+    * (scalar, the GraphOps license). Hard-fails past `maxIter` rather
+    * than returning partial depths — a cycle in the "forest" would
+    * otherwise spin silently.
+    *
+    * Input: one row per node (`idCol`, `parentCol`). Output:
+    * (`id`, `root`, `depth`). */
+  def pointerJumpDepths(nodes: DataFrame, idCol: String, parentCol: String,
+      maxIter: Int = 40): DataFrame = {
+    var state = nodes
+      .select(col(idCol).as("id"), col(parentCol).as("ptr"))
+      .withColumn("dist", when(col("ptr") === col("id"), 0L).otherwise(1L))
+      .localCheckpoint()
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIter) {
+      val next = state.as("s")
+        .join(state.select(col("id").as("jid"), col("ptr").as("jptr"),
+          col("dist").as("jdist")).as("t"), col("s.ptr") === col("jid"))
+        .select(col("s.id").as("id"), col("jptr").as("ptr"),
+          (col("s.dist") + col("jdist")).as("dist"),
+          (col("jptr") =!= col("s.ptr")).as("moved"))
+        .localCheckpoint()
+      // Converged when no pointer moved this round (every ptr is a
+      // root, whose self-jump adds dist 0 and keeps ptr fixed).
+      val moved = next.filter(col("moved")).limit(1).count()
+      state = next.drop("moved")
+      converged = moved == 0L
+      iter += 1
+    }
+    require(converged,
+      s"pointerJumpDepths did not converge in $maxIter rounds — the " +
+        "parent relation has a cycle or a depth beyond 2^" + maxIter)
+    // Convergence alone does not prove validity: an EVEN-length cycle
+    // maps each member onto itself in one round (ptr == id, moved
+    // false) and would "converge" to garbage roots. A correct result
+    // has every final pointer on a true root (parent == id in the
+    // input); anything else is a cycle — fail loudly.
+    val roots = nodes
+      .filter(col(parentCol) === col(idCol))
+      .select(col(idCol).as("r"))
+    val nonRoot = state
+      .join(roots, col("ptr") === col("r"), "left_anti")
+      .limit(1).count()
+    require(nonRoot == 0L,
+      "pointerJumpDepths: some pointers converged onto non-roots — " +
+        "the parent relation contains a cycle")
+    state.select(col("id"), col("ptr").as("root"),
+      col("dist").as("depth"))
+  }
 }

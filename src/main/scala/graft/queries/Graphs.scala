@@ -241,6 +241,38 @@ object Graphs {
              |SELECT custkey, rk AS neg_rank, p_partkey AS neg_partkey,
              |  CAST(slot AS BIGINT) AS slot
              |FROM r WHERE rk <= 3
-             |ORDER BY custkey, neg_rank""".stripMargin))
+             |ORDER BY custkey, neg_rank""".stripMargin)),
+
+    // HIERARCHY FLATTEN — the recursive-query operator (org charts,
+    // BOM explosions, category trees): root + depth for every node of
+    // a parent-pointer forest via [[graft.ops.GraphOps
+    // .pointerJumpDepths]] — pointer JUMPING, ⌈log₂ depth⌉ self-join
+    // rounds where the naive parent-walk (and the SQL recursive CTE
+    // it replaces) takes `depth` rounds: at a million-deep chain
+    // that's 20 joins vs a million. The hierarchy here derives from
+    // part keys as the binary tree parent(k) = k div 2 (shifted
+    // 1-based) — synthetic, like q148's pepper, because the OPERATOR
+    // is the deliverable; the oracle exploits the same derivation's
+    // closed form depth(k) = ⌊log₂ k⌋ = len(bin(k)) − 1, so a
+    // structurally different computation (bit arithmetic vs iterated
+    // joins) must agree on every row. Output: depth histogram + the
+    // root-propagation check (min=max=1 per depth).
+    QueryDef(
+      "q172_hierarchy_flatten",
+      (s, d) => {
+        val nodes = part(s, d)
+          .select((col("p_partkey") + 1).as("id"))
+          .withColumn("parent",
+            when(col("id") === 1, 1L).otherwise(expr("id div 2")))
+        graft.ops.GraphOps.pointerJumpDepths(nodes, "id", "parent")
+          .groupBy(col("depth"))
+          .agg(count(lit(1)).as("n_nodes"),
+            min(col("root")).as("root_min"), max(col("root")).as("root_max"))
+          .orderBy(col("depth"))
+      },
+      Some("""SELECT CAST(len(bin(p_partkey + 1)) - 1 AS BIGINT) AS depth,
+             |  count(*) AS n_nodes,
+             |  CAST(1 AS BIGINT) AS root_min, CAST(1 AS BIGINT) AS root_max
+             |FROM part GROUP BY 1 ORDER BY depth""".stripMargin))
   )
 }

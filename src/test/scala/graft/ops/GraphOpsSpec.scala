@@ -110,4 +110,39 @@ class GraphOpsSpec extends SparkSpecBase with TableDrivenPropertyChecks {
         "triangleCounts handle still cached after unpersist")
     }
   }
+
+  test("pointerJumpDepths: forest roots, depths, and a deep chain") {
+    import spark.implicits._
+    // two trees: 1←2←4, 1←3 and 10←11; plus a 20-deep chain off 10
+    // (forces ≥5 doubling rounds, more than any naive 2-3 round pass)
+    val chain = (0 until 20).map(i => (100L + i + 1, if (i == 0) 10L else 100L + i))
+    val rows = Seq((1L, 1L), (2L, 1L), (4L, 2L), (3L, 1L),
+      (10L, 10L), (11L, 10L)) ++ chain
+    val got = GraphOps.pointerJumpDepths(
+        rows.toDF("id", "parent"), "id", "parent")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    assert(got(1L) === ((1L, 0L)))
+    assert(got(4L) === ((1L, 2L)))
+    assert(got(3L) === ((1L, 1L)))
+    assert(got(11L) === ((10L, 1L)))
+    assert(got(120L) === ((10L, 20L)), "deep-chain depth wrong")
+  }
+
+  test("pointerJumpDepths hard-fails on cycles of both parities") {
+    import spark.implicits._
+    // even cycle: self-converges in one round (ptr == id) — only the
+    // final pointers-are-roots check can catch it
+    intercept[IllegalArgumentException] {
+      GraphOps.pointerJumpDepths(
+        Seq((1L, 2L), (2L, 1L)).toDF("id", "parent"), "id", "parent",
+        maxIter = 6)
+    }
+    // odd cycle: never stops moving — caught by the maxIter guard
+    intercept[IllegalArgumentException] {
+      GraphOps.pointerJumpDepths(
+        Seq((1L, 2L), (2L, 3L), (3L, 1L)).toDF("id", "parent"),
+        "id", "parent", maxIter = 6)
+    }
+  }
 }

@@ -1753,6 +1753,123 @@ object Windowed {
              |  CAST(src_total AS BIGINT) AS src_total,
              |  CAST(n_docs * 1000000 // src_total AS BIGINT) AS share_ppm,
              |  n_docs * 10 > src_total AS is_boilerplate
-             |FROM r WHERE rk = 1 ORDER BY source""".stripMargin))
+             |FROM r WHERE rk = 1 ORDER BY source""".stripMargin)),
+
+    // WEIGHTED MEDIAN — the robust center when rows carry unequal
+    // mass (price per unit weighted by quantity; q145's unweighted
+    // median treats a 1-unit and a 50-unit line alike). Lower
+    // weighted median: sort by value, take the first row whose
+    // cumulative weight reaches half the total — the crossing row is
+    // unique by 2·cum ≥ W ∧ 2·(cum − w) < W, so no second pass and
+    // no averaging rule to disagree on. Weights stay integral
+    // (quantity floors to long); the per-group running sum is one
+    // window. Three groups here; at a skewed 100 TB grain the same
+    // crossing rule rides q150's histogram pass (locate the bin
+    // where cum crosses W/2, rank only that bin).
+    QueryDef(
+      "q173_weighted_median",
+      (s, d) => {
+        val li = lineitem(s, d)
+          .select(col("l_returnflag"),
+            expr("CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)")
+              .as("cents"),
+            expr("CAST(floor(l_quantity + 0.5) AS BIGINT)").as("qty"),
+            col("l_orderkey"), col("l_linenumber"))
+        val w = Window.partitionBy(col("l_returnflag"))
+          .orderBy(col("cents"), col("l_orderkey"), col("l_linenumber"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val tot = Window.partitionBy(col("l_returnflag"))
+        li.withColumn("cum", sum(col("qty")).over(w))
+          .withColumn("tw", sum(col("qty")).over(tot))
+          .filter(col("cum") * 2 >= col("tw") &&
+            (col("cum") - col("qty")) * 2 < col("tw"))
+          .select(col("l_returnflag"), col("tw").as("total_weight"),
+            col("cents").as("wmedian_cents"))
+          .orderBy(col("l_returnflag"))
+      },
+      Some("""WITH li AS (
+             |  SELECT l_returnflag,
+             |    CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+             |      AS cents,
+             |    CAST(floor(l_quantity + 0.5) AS BIGINT) AS qty,
+             |    l_orderkey, l_linenumber
+             |  FROM lineitem),
+             |r AS (
+             |  SELECT l_returnflag, cents, qty,
+             |    sum(qty) OVER (PARTITION BY l_returnflag
+             |      ORDER BY cents, l_orderkey, l_linenumber
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             |      AS cum,
+             |    sum(qty) OVER (PARTITION BY l_returnflag) AS tw
+             |  FROM li)
+             |SELECT l_returnflag, CAST(tw AS BIGINT) AS total_weight,
+             |  cents AS wmedian_cents
+             |FROM r
+             |WHERE cum * 2 >= tw AND (cum - qty) * 2 < tw
+             |ORDER BY l_returnflag""".stripMargin)),
+
+    // CONSISTENT (JOIN-PRESERVING) SAMPLING — row-Bernoulli samples of
+    // two tables destroy their join (a sampled order's customer is
+    // usually missing); sampling by KEY HASH keeps referential
+    // integrity: a customer is in-sample iff mix(custkey) < 10%·M,
+    // and orders inherit membership by applying the SAME hash to
+    // their foreign key — no coordination, no join needed to sample,
+    // any table keyed by custkey joins consistently forever. The
+    // result proves it: per-table sampled counts + share, and the
+    // orphan count of the sampled join — structurally zero, under
+    // the hash check. Shuffle-free sampling (a filter on each scan);
+    // the orphan proof is one anti-join of the two samples.
+    QueryDef(
+      "q174_consistent_sample",
+      (s, d) => {
+        def inSample(key: org.apache.spark.sql.Column) =
+          expr(s"((((${key} % 1000003) * 131 + 17) % 1000003) * 137 + 29) " +
+            "% 1000003") < 100000
+        val cust = customer(s, d).filter(inSample(col("c_custkey")))
+        val ords = orders(s, d).filter(inSample(col("o_custkey")))
+        val orphans = ords.join(cust,
+          col("o_custkey") === col("c_custkey"), "left_anti")
+        val cn = cust.agg(count(lit(1)).as("n_cust_sampled"))
+        val on = ords.agg(count(lit(1)).as("n_orders_sampled"))
+        val tot = customer(s, d).agg(count(lit(1)).as("n_cust_total"))
+          .crossJoin(broadcast(orders(s, d)
+            .agg(count(lit(1)).as("n_orders_total"))))
+        cn.crossJoin(broadcast(on))
+          .crossJoin(broadcast(tot))
+          .crossJoin(broadcast(
+            orphans.agg(count(lit(1)).as("n_orphan_orders"))))
+          .select(col("n_cust_sampled"), col("n_cust_total"),
+            expr("n_cust_sampled * 1000 div n_cust_total")
+              .as("cust_permille"),
+            col("n_orders_sampled"), col("n_orders_total"),
+            expr("n_orders_sampled * 1000 div n_orders_total")
+              .as("orders_permille"),
+            col("n_orphan_orders"))
+      },
+      Some("""WITH cs AS (
+             |  SELECT c_custkey FROM customer
+             |  WHERE ((((c_custkey % 1000003) * 131 + 17) % 1000003)
+             |    * 137 + 29) % 1000003 < 100000),
+             |os AS (
+             |  SELECT o_custkey FROM orders
+             |  WHERE ((((o_custkey % 1000003) * 131 + 17) % 1000003)
+             |    * 137 + 29) % 1000003 < 100000),
+             |orph AS (
+             |  SELECT count(*) AS n_orphan_orders FROM os
+             |  WHERE NOT EXISTS (SELECT 1 FROM cs
+             |    WHERE cs.c_custkey = os.o_custkey))
+             |SELECT
+             |  (SELECT count(*) FROM cs) AS n_cust_sampled,
+             |  (SELECT count(*) FROM customer) AS n_cust_total,
+             |  CAST((SELECT count(*) FROM cs) * 1000
+             |    // (SELECT count(*) FROM customer) AS BIGINT)
+             |    AS cust_permille,
+             |  (SELECT count(*) FROM os) AS n_orders_sampled,
+             |  (SELECT count(*) FROM orders) AS n_orders_total,
+             |  CAST((SELECT count(*) FROM os) * 1000
+             |    // (SELECT count(*) FROM orders) AS BIGINT)
+             |    AS orders_permille,
+             |  n_orphan_orders
+             |FROM orph""".stripMargin))
   )
 }

@@ -1870,6 +1870,138 @@ object Windowed {
              |    // (SELECT count(*) FROM orders) AS BIGINT)
              |    AS orders_permille,
              |  n_orphan_orders
-             |FROM orph""".stripMargin))
+             |FROM orph""".stripMargin)),
+
+    // INTERVAL UNION — total COVERED time per user when each event
+    // opens a ±5-minute activity window: the classic union-of-
+    // intervals measure (dwell time, billable coverage, machine
+    // uptime) where naive Σ(lengths) double-counts every overlap.
+    // Sweep form: sort intervals by start per user, a new island
+    // begins where start exceeds the running max end (strictly —
+    // touching intervals merge), then covered = Σ per island of
+    // max(end) − min(start). Two windows over the same per-user
+    // sort order (one exchange), all epoch-second integers. The
+    // checked result also carries Σ raw lengths, so the hash pins
+    // the overlap actually removed.
+    QueryDef(
+      "q175_interval_union",
+      (s, d) => {
+        val iv = eventsNorm(s, d)
+          .filter(col("user_id") < 50)
+          .select(col("user_id"),
+            (col("ts_sec") - 300L).as("st"), (col("ts_sec") + 300L).as("en"),
+            col("event_id"))
+        val byU = Window.partitionBy(col("user_id"))
+          .orderBy(col("st"), col("en"), col("event_id"))
+        val prevMaxEnd = max(col("en")).over(
+          byU.rowsBetween(Window.unboundedPreceding, -1))
+        val marked = iv
+          .withColumn("brk",
+            when(prevMaxEnd.isNull || col("st") > prevMaxEnd, 1L)
+              .otherwise(0L))
+          .withColumn("island", sum(col("brk")).over(
+            byU.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        marked
+          .groupBy(col("user_id"), col("island"))
+          .agg(min(col("st")).as("s0"), max(col("en")).as("e0"),
+            sum(col("en") - col("st")).as("raw"))
+          .groupBy(col("user_id"))
+          .agg(count(lit(1)).as("n_islands"),
+            sum(col("e0") - col("s0")).as("covered_sec"),
+            sum(col("raw")).as("raw_sec"))
+          .orderBy(col("user_id"))
+      },
+      Some("""WITH iv AS (
+             |  SELECT user_id,
+             |    epoch_ns(ts) // 1000000000 - 300 AS st,
+             |    epoch_ns(ts) // 1000000000 + 300 AS en,
+             |    event_id
+             |  FROM events WHERE user_id < 50),
+             |m AS (
+             |  SELECT user_id, st, en, event_id,
+             |    CASE WHEN max(en) OVER (PARTITION BY user_id
+             |        ORDER BY st, en, event_id
+             |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+             |        IS NULL
+             |      OR st > max(en) OVER (PARTITION BY user_id
+             |        ORDER BY st, en, event_id
+             |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+             |      THEN 1 ELSE 0 END AS brk
+             |  FROM iv),
+             |isl AS (
+             |  SELECT user_id, st, en,
+             |    sum(brk) OVER (PARTITION BY user_id
+             |      ORDER BY st, en, event_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             |      AS island
+             |  FROM m),
+             |g AS (
+             |  SELECT user_id, island, min(st) AS s0, max(en) AS e0,
+             |    sum(en - st) AS raw
+             |  FROM isl GROUP BY 1, 2)
+             |SELECT user_id, count(*) AS n_islands,
+             |  CAST(sum(e0 - s0) AS BIGINT) AS covered_sec,
+             |  CAST(sum(raw) AS BIGINT) AS raw_sec
+             |FROM g GROUP BY user_id ORDER BY user_id""".stripMargin)),
+
+    // TUKEY IQR FENCES — the third robust-outlier family member
+    // (q90 z-score assumes normality, q145 MAD needs two median
+    // passes; the boxplot fence is ONE rank pass): q1/q3 as rank-at-k
+    // order statistics (k = ⌈n·25/100⌉, ⌈n·75/100⌉), outlier ⇔
+    // value outside [q1 − 1.5·IQR, q3 + 1.5·IQR], multiplied through
+    // to the all-integer tests 2·v < 5·q1 − 3·q3 and
+    // 2·v > 5·q3 − 3·q1. One window pass extracts both quartiles;
+    // one broadcast join scores the facts.
+    QueryDef(
+      "q176_tukey_fences",
+      (s, d) => {
+        val ev = eventsNorm(s, d)
+          .filter(col("value").isNotNull)
+          .select(col("event_type"), col("event_id"),
+            expr("CAST(floor(value * 1000000 + 0.5) AS BIGINT)").as("v"))
+        val w = Window.partitionBy(col("event_type"))
+          .orderBy(col("v"), col("event_id"))
+        val q13 = ev
+          .withColumn("rn", row_number().over(w).cast("long"))
+          .withColumn("n", count(lit(1)).over(
+            Window.partitionBy(col("event_type"))))
+          .filter(col("rn") === expr("(n * 25 + 99) div 100") ||
+            col("rn") === expr("(n * 75 + 99) div 100"))
+          .groupBy(col("event_type"))
+          .agg(min(col("v")).as("q1"), max(col("v")).as("q3"))
+        ev.join(broadcast(q13), Seq("event_type"))
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n_events"),
+            min(col("q1")).as("q1_micro"), min(col("q3")).as("q3_micro"),
+            sum(when(col("v") * 2 < col("q1") * 5 - col("q3") * 3, 1L)
+              .otherwise(0L)).as("n_low_outliers"),
+            sum(when(col("v") * 2 > col("q3") * 5 - col("q1") * 3, 1L)
+              .otherwise(0L)).as("n_high_outliers"))
+          .orderBy(col("event_type"))
+      },
+      Some("""WITH ev AS (
+             |  SELECT event_type, event_id,
+             |    CAST(floor(value * 1000000 + 0.5) AS BIGINT) AS v
+             |  FROM events WHERE value IS NOT NULL),
+             |r AS (
+             |  SELECT event_type, v,
+             |    row_number() OVER (PARTITION BY event_type
+             |      ORDER BY v, event_id) AS rn,
+             |    count(*) OVER (PARTITION BY event_type) AS n
+             |  FROM ev),
+             |q AS (
+             |  SELECT event_type, min(v) AS q1, max(v) AS q3
+             |  FROM r
+             |  WHERE rn = (n * 25 + 99) // 100 OR rn = (n * 75 + 99) // 100
+             |  GROUP BY event_type)
+             |SELECT ev.event_type, count(*) AS n_events,
+             |  min(q.q1) AS q1_micro, min(q.q3) AS q3_micro,
+             |  CAST(sum(CASE WHEN ev.v * 2 < q.q1 * 5 - q.q3 * 3
+             |    THEN 1 ELSE 0 END) AS BIGINT) AS n_low_outliers,
+             |  CAST(sum(CASE WHEN ev.v * 2 > q.q3 * 5 - q.q1 * 3
+             |    THEN 1 ELSE 0 END) AS BIGINT) AS n_high_outliers
+             |FROM ev JOIN q ON ev.event_type = q.event_type
+             |GROUP BY ev.event_type
+             |ORDER BY ev.event_type""".stripMargin))
   )
 }

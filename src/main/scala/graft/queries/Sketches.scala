@@ -2,6 +2,7 @@ package graft.queries
 
 import graft.{QueryDef, Tables}
 import graft.ops.TextOps
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Sketch-based summaries (SURVEY.md §2b aggregations row, beyond the
@@ -458,6 +459,106 @@ object Sketches {
              |SELECT est_a, est_b, est_union,
              |  est_a + est_b - est_union AS est_inter, n_exact_inter,
              |  abs(est_a + est_b - est_union - n_exact_inter) AS err_abs
-             |FROM wide, exact""".stripMargin))
+             |FROM wide, exact""".stripMargin)),
+
+    // QUANTILE ROLLUP — q135's pre-aggregated-sketch-table pattern,
+    // for quantiles: a materialized PER-DAY fixed-width histogram
+    // (day × bin counts; bins are mergeable by plain SUM — the one
+    // quantile summary with a trivial exact merge) rolls up to any
+    // coarser grain with NO raw re-scan, and the merged cumsum
+    // locates any percentile to ±1 bin. The entry materializes daily
+    // value histograms per event_type, merges to per-type totals,
+    // walks the cumsum for p50/p99 bin BOUNDS, and emits the exact
+    // within-bin error envelope (hi − lo of the located bin) — the
+    // honest statement of what a histogram rollup can and cannot
+    // answer (cf. q150, which pays a second raw pass to collapse
+    // that envelope to exact). Bin width fixes at 2^20 micros so
+    // day-to-day histograms align — mergeability REQUIRES a shared
+    // bucket grid, which is why the width is a constant here and not
+    // data-derived per day.
+    QueryDef(
+      "q177_quantile_rollup",
+      (s, d) => {
+        val W = 1L << 20
+        val daily = eventsNorm(s, d)
+          .filter(col("value").isNotNull)
+          .groupBy(col("event_type"),
+            expr("ts_sec div 86400").as("day"),
+            expr(s"CAST(floor(value * 1000000 + 0.5) AS BIGINT) div $W")
+              .as("bin"))
+          .agg(count(lit(1)).as("cnt"))
+        // the MERGE: plain sums across days — associative/commutative,
+        // any rollup grain works with no raw data
+        val merged = daily.groupBy(col("event_type"), col("bin"))
+          .agg(sum(col("cnt")).as("cnt"))
+        val wBin = Window.partitionBy(col("event_type")).orderBy(col("bin"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val cum = merged
+          .withColumn("cum", sum(col("cnt")).over(wBin))
+          .withColumn("n", sum(col("cnt")).over(
+            Window.partitionBy(col("event_type"))))
+        val days = daily.groupBy(col("event_type"))
+          .agg(countDistinct(col("day")).as("n_days"))
+        cum
+          .filter((col("cum") - col("cnt")) < expr("(n * 50 + 99) div 100")
+              && expr("(n * 50 + 99) div 100") <= col("cum") ||
+            (col("cum") - col("cnt")) < expr("(n * 99 + 99) div 100")
+              && expr("(n * 99 + 99) div 100") <= col("cum"))
+          .groupBy(col("event_type"))
+          .agg(min(col("n")).as("n_values"),
+            min(when((col("cum") - col("cnt"))
+                < expr("(n * 50 + 99) div 100"), col("bin")))
+              .as("p50_bin"),
+            max(col("bin")).as("p99_bin"))
+          .join(broadcast(days), Seq("event_type"))
+          .select(col("event_type"), col("n_days"), col("n_values"),
+            (col("p50_bin") * W).as("p50_lo_micro"),
+            ((col("p50_bin") + 1) * W - 1).as("p50_hi_micro"),
+            (col("p99_bin") * W).as("p99_lo_micro"),
+            ((col("p99_bin") + 1) * W - 1).as("p99_hi_micro"))
+          .orderBy(col("event_type"))
+      },
+      Some(s"""WITH daily AS (
+             |  SELECT event_type,
+             |    (epoch_ns(ts) // 1000000000) // 86400 AS day,
+             |    CAST(floor(value * 1000000 + 0.5) AS BIGINT) // ${1L << 20}
+             |      AS bin,
+             |    count(*) AS cnt
+             |  FROM events WHERE value IS NOT NULL
+             |  GROUP BY 1, 2, 3),
+             |merged AS (
+             |  SELECT event_type, bin, CAST(sum(cnt) AS BIGINT) AS cnt
+             |  FROM daily GROUP BY 1, 2),
+             |c AS (
+             |  SELECT event_type, bin, cnt,
+             |    sum(cnt) OVER (PARTITION BY event_type ORDER BY bin
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             |      AS cum,
+             |    sum(cnt) OVER (PARTITION BY event_type) AS n
+             |  FROM merged),
+             |hit AS (
+             |  SELECT event_type, bin, cum, cnt, n
+             |  FROM c
+             |  WHERE (cum - cnt < (n * 50 + 99) // 100
+             |      AND (n * 50 + 99) // 100 <= cum)
+             |     OR (cum - cnt < (n * 99 + 99) // 100
+             |      AND (n * 99 + 99) // 100 <= cum)),
+             |agg AS (
+             |  SELECT event_type, min(n) AS n_values,
+             |    min(CASE WHEN cum - cnt < (n * 50 + 99) // 100
+             |      THEN bin END) AS p50_bin,
+             |    max(bin) AS p99_bin
+             |  FROM hit GROUP BY event_type),
+             |days AS (
+             |  SELECT event_type, count(DISTINCT day) AS n_days
+             |  FROM daily GROUP BY 1)
+             |SELECT a.event_type, days.n_days,
+             |  CAST(a.n_values AS BIGINT) AS n_values,
+             |  a.p50_bin * ${1L << 20} AS p50_lo_micro,
+             |  (a.p50_bin + 1) * ${1L << 20} - 1 AS p50_hi_micro,
+             |  a.p99_bin * ${1L << 20} AS p99_lo_micro,
+             |  (a.p99_bin + 1) * ${1L << 20} - 1 AS p99_hi_micro
+             |FROM agg a JOIN days ON a.event_type = days.event_type
+             |ORDER BY a.event_type""".stripMargin))
   )
 }

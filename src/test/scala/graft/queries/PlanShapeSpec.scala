@@ -56,9 +56,19 @@ class PlanShapeSpec extends SparkSpecBase {
   test("no catalog query plans a CartesianProduct") {
     // Every pairwise operator must pair through a bucket/blocking join
     // or an explicit bounded broadcast — the no-unblocked-n² invariant.
-    for ((name, _) <- SparkEntry.queries.toSeq.sortBy(_._1))
-      assert(!plan(name).contains("CartesianProduct"),
+    // Same sweep also enforces the catalog-wide scan ceiling: current
+    // max is 6 numbered parquet scans (the 6-table ETL raw build and
+    // q92's 3 FK edges); anything above 8 means a new query is
+    // re-evaluating an unpersisted aggregate per consumer (the
+    // round-7 audit class — q114 hit 10 before its fix).
+    for ((name, _) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
+      val p = plan(name)
+      assert(!p.contains("CartesianProduct"),
         s"$name plans a CartesianProduct")
+      val scans = """(?m)^\(\d+\) Scan parquet""".r.findAllIn(p).size
+      assert(scans <= 8,
+        s"$name scans parquet $scans times — repeated-scan antipattern")
+    }
   }
 
   test("ETL plans prune unused derived columns (image URLs, Age)") {

@@ -684,6 +684,81 @@ object Relational {
              |  raw_rank - rank AS displacement
              |FROM rk WHERE rank <= 20 ORDER BY rank""".stripMargin)),
 
+    // TRENDING DETECTION — brands whose share of shipped volume ROSE
+    // most in the recent window vs the baseline: rise is the ratio of
+    // shares across windows, cross-multiplied to integers with a +1
+    // Laplace floor on the baseline (q167's cold-start rule — a brand
+    // unseen in the baseline must rank by its recent mass, not divide
+    // by zero): rise_ppm = c₂·(N₁+1)·10⁶ div ((c₁+1)·N₂). Window
+    // split derives from the data's max ship date (last 90 days =
+    // recent, prior = baseline) via one 1-row broadcast; per-brand
+    // counts aggregate in ONE pass with conditional sums (no
+    // per-window scans); the brand dim rides a broadcast join.
+    // Min-support 5 recent rows filters flukes; top-15 by the
+    // integer ratio, fully tie-broken.
+    QueryDef(
+      "q178_trending",
+      (s, d) => {
+        val li = lineitem(s, d)
+          .select(col("l_partkey"),
+            // day number via datediff from a fixed anchor (the
+            // Functions.scala q-family idiom — TIMESTAMP_NTZ casts to
+            // neither BIGINT nor epoch portably; only differences
+            // matter here)
+            datediff(col("l_shipdate"), lit("1992-01-01")).cast("long")
+              .as("day"))
+          .join(broadcast(part(s, d)
+            .select(col("p_partkey"), col("p_brand"))),
+            col("l_partkey") === col("p_partkey"))
+        val hi = li.agg(max(col("day")).as("dmax"))
+        val counts = li.crossJoin(broadcast(hi))
+          .withColumn("recent", col("day") > col("dmax") - 90)
+          .groupBy(col("p_brand"))
+          .agg(sum(when(col("recent"), 0L).otherwise(1L)).as("c1"),
+            sum(when(col("recent"), 1L).otherwise(0L)).as("c2"))
+        val tot = counts.agg(sum(col("c1")).as("n1"), sum(col("c2")).as("n2"))
+        val w = org.apache.spark.sql.expressions.Window
+          .orderBy(expr("rise_ppm").desc, col("p_brand"))
+        counts.crossJoin(broadcast(tot))
+          .filter(col("c2") >= 5)
+          .withColumn("rise_ppm", expr(
+            "CAST(CAST(c2 AS DECIMAL(38,0)) * (n1 + 1) * 1000000 " +
+              "div ((c1 + 1) * CAST(n2 AS DECIMAL(38,0))) AS BIGINT)"))
+          .withColumn("rk", row_number().over(w).cast("long"))
+          .filter(col("rk") <= 15)
+          .select(col("rk"), col("p_brand"), col("c1").as("n_baseline"),
+            col("c2").as("n_recent"), col("rise_ppm"))
+          .orderBy(col("rk"))
+      },
+      Some("""WITH li AS (
+             |  SELECT p.p_brand,
+             |    CAST(datediff('day', DATE '1992-01-01',
+             |      CAST(l.l_shipdate AS DATE)) AS BIGINT) AS day
+             |  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey),
+             |hi AS (SELECT max(day) AS dmax FROM li),
+             |c AS (
+             |  SELECT p_brand,
+             |    CAST(sum(CASE WHEN day > dmax - 90 THEN 0 ELSE 1 END)
+             |      AS BIGINT) AS c1,
+             |    CAST(sum(CASE WHEN day > dmax - 90 THEN 1 ELSE 0 END)
+             |      AS BIGINT) AS c2
+             |  FROM li, hi GROUP BY p_brand),
+             |t AS (SELECT CAST(sum(c1) AS BIGINT) AS n1,
+             |    CAST(sum(c2) AS BIGINT) AS n2 FROM c),
+             |r AS (
+             |  SELECT p_brand, c1, c2,
+             |    CAST(c2 * (n1 + 1) * 1000000 // ((c1 + 1) * n2)
+             |      AS BIGINT) AS rise_ppm
+             |  FROM c, t WHERE c2 >= 5),
+             |rk AS (
+             |  SELECT p_brand, c1, c2, rise_ppm,
+             |    row_number() OVER (ORDER BY rise_ppm DESC, p_brand)
+             |      AS rk
+             |  FROM r)
+             |SELECT rk, p_brand, c1 AS n_baseline, c2 AS n_recent,
+             |  rise_ppm
+             |FROM rk WHERE rk <= 15 ORDER BY rk""".stripMargin)),
+
     // AGGREGATE TOP-K — q16's per-group top-k re-expressed as a
     // bounded-memory mergeable aggregate ([[graft.ops.VectorAggregates
     // .TopKAgg]]): the window form sorts every group's FULL row set

@@ -2002,6 +2002,56 @@ object Windowed {
              |    THEN 1 ELSE 0 END) AS BIGINT) AS n_high_outliers
              |FROM ev JOIN q ON ev.event_type = q.event_type
              |GROUP BY ev.event_type
-             |ORDER BY ev.event_type""".stripMargin))
+             |ORDER BY ev.event_type""".stripMargin)),
+
+    // OVERDISPERSION TEST — count-data QA: a Poisson arrival stream
+    // has variance ≈ mean on its daily counts; an index of dispersion
+    // s²/x̄ well above 1 means bursty/clumped traffic (bot spikes,
+    // batch replays) and below 1 means suspiciously regular
+    // (synthetic or rate-limited) — either way the count model
+    // downstream jobs assume is wrong. Exactly integer via cross-
+    // multiplication: s²/x̄ = (n·Σc² − S²)·10⁶ div (S·(n−1)) with
+    // S = Σc — no mean or variance is ever materialized as a float.
+    // Products widen to DECIMAL(38,0) (Σc² at count scale squares
+    // past int64). Input is the bounded (type, day) grid; one fact
+    // aggregation, then arithmetic on ≤ types rows.
+    QueryDef(
+      "q179_overdispersion",
+      (s, d) => {
+        eventsNorm(s, d)
+          .groupBy(col("event_type"), expr("ts_sec div 86400").as("day"))
+          .agg(count(lit(1)).as("c"))
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n_days"),
+            sum(col("c")).as("s1"),
+            sum(expr("CAST(c AS DECIMAL(38,0)) * c")).as("s2"))
+          .select(col("event_type"), col("n_days"),
+            col("s1").as("n_events"),
+            expr("s1 * 1000 div n_days").as("mean_milli"),
+            expr("CAST((CAST(n_days AS DECIMAL(38,0)) * s2 - " +
+              "CAST(s1 AS DECIMAL(38,0)) * s1) * 1000000 div " +
+              "(CAST(s1 AS DECIMAL(38,0)) * (n_days - 1)) AS BIGINT)")
+              .as("dispersion_ppm"))
+          .withColumn("is_overdispersed",
+            col("dispersion_ppm") > 1500000L)
+          .orderBy(col("event_type"))
+      },
+      Some("""WITH daily AS (
+             |  SELECT event_type,
+             |    (epoch_ns(ts) // 1000000000) // 86400 AS day,
+             |    CAST(count(*) AS BIGINT) AS c
+             |  FROM events GROUP BY 1, 2),
+             |a AS (
+             |  SELECT event_type, count(*) AS n_days,
+             |    CAST(sum(c) AS BIGINT) AS s1, sum(c * c) AS s2
+             |  FROM daily GROUP BY event_type)
+             |SELECT event_type, n_days, s1 AS n_events,
+             |  CAST(s1 * 1000 // n_days AS BIGINT) AS mean_milli,
+             |  CAST((n_days * s2 - s1 * s1) * 1000000
+             |    // (s1 * (n_days - 1)) AS BIGINT) AS dispersion_ppm,
+             |  CAST((n_days * s2 - s1 * s1) * 1000000
+             |    // (s1 * (n_days - 1)) AS BIGINT) > 1500000
+             |    AS is_overdispersed
+             |FROM a ORDER BY event_type""".stripMargin))
   )
 }

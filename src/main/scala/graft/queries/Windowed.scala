@@ -2052,6 +2052,92 @@ object Windowed {
              |  CAST((n_days * s2 - s1 * s1) * 1000000
              |    // (s1 * (n_days - 1)) AS BIGINT) > 1500000
              |    AS is_overdispersed
-             |FROM a ORDER BY event_type""".stripMargin))
+             |FROM a ORDER BY event_type""".stripMargin)),
+
+    // GROWTH ACCOUNTING — the DAU decomposition every product
+    // dashboard runs: each day's active users split into NEW (first
+    // day ever), RETAINED (also active yesterday), RESURRECTED
+    // (active before, but not yesterday); plus CHURNED attributed to
+    // the day after a user's last consecutive run. The identity
+    // active_d = new + retained + resurrected and churned_d =
+    // active_{d−1} − retained_d makes the result self-auditing — the
+    // hash check would catch any classification drift. One distinct
+    // (user, day) grid, ONE user-partitioned window pass carrying
+    // lag/lead/min — no day×day self-join; day-level counts are
+    // conditional sums over the bounded union. Churn on the day
+    // after the observed span is out of frame (capped at dmax via a
+    // 1-row broadcast).
+    QueryDef(
+      "q180_growth_accounting",
+      (s, d) => {
+        val ud = eventsNorm(s, d)
+          .select(col("user_id"), expr("ts_sec div 86400").as("day"))
+          .distinct()
+        val byU = Window.partitionBy(col("user_id")).orderBy(col("day"))
+        val marked = ud
+          .withColumn("prev", lag(col("day"), 1).over(byU))
+          .withColumn("nxt", lead(col("day"), 1).over(byU))
+          .withColumn("first_day",
+            min(col("day")).over(Window.partitionBy(col("user_id"))))
+        val status = marked.select(col("day"),
+          when(col("day") === col("first_day"), "new")
+            .when(col("prev") === col("day") - 1, "retained")
+            .otherwise(lit("resurrected")).as("kind"))
+        val dmax = ud.agg(max(col("day")).as("dmax"))
+        val churn = marked
+          .filter(col("nxt").isNull || col("nxt") > col("day") + 1)
+          .crossJoin(broadcast(dmax))
+          .filter(col("day") + 1 <= col("dmax"))
+          .select((col("day") + 1).as("day"), lit("churned").as("kind"))
+        status.unionByName(churn)
+          .groupBy(col("day"))
+          .agg(
+            sum(when(col("kind") === "new", 1L).otherwise(0L)).as("n_new"),
+            sum(when(col("kind") === "retained", 1L).otherwise(0L))
+              .as("n_retained"),
+            sum(when(col("kind") === "resurrected", 1L).otherwise(0L))
+              .as("n_resurrected"),
+            sum(when(col("kind") === "churned", 1L).otherwise(0L))
+              .as("n_churned"))
+          .withColumn("n_active",
+            col("n_new") + col("n_retained") + col("n_resurrected"))
+          .orderBy(col("day"))
+      },
+      Some("""WITH ud AS (
+             |  SELECT DISTINCT user_id,
+             |    (epoch_ns(ts) // 1000000000) // 86400 AS day
+             |  FROM events),
+             |m AS (
+             |  SELECT user_id, day,
+             |    lag(day, 1) OVER w AS prev,
+             |    lead(day, 1) OVER w AS nxt,
+             |    min(day) OVER (PARTITION BY user_id) AS first_day
+             |  FROM ud
+             |  WINDOW w AS (PARTITION BY user_id ORDER BY day)),
+             |status AS (
+             |  SELECT day,
+             |    CASE WHEN day = first_day THEN 'new'
+             |         WHEN prev = day - 1 THEN 'retained'
+             |         ELSE 'resurrected' END AS kind
+             |  FROM m),
+             |dmax AS (SELECT max(day) AS dmax FROM ud),
+             |churn AS (
+             |  SELECT m.day + 1 AS day, 'churned' AS kind
+             |  FROM m, dmax
+             |  WHERE (m.nxt IS NULL OR m.nxt > m.day + 1)
+             |    AND m.day + 1 <= dmax.dmax),
+             |u AS (SELECT * FROM status UNION ALL SELECT * FROM churn)
+             |SELECT day,
+             |  CAST(sum(CASE WHEN kind = 'new' THEN 1 ELSE 0 END)
+             |    AS BIGINT) AS n_new,
+             |  CAST(sum(CASE WHEN kind = 'retained' THEN 1 ELSE 0 END)
+             |    AS BIGINT) AS n_retained,
+             |  CAST(sum(CASE WHEN kind = 'resurrected' THEN 1 ELSE 0 END)
+             |    AS BIGINT) AS n_resurrected,
+             |  CAST(sum(CASE WHEN kind = 'churned' THEN 1 ELSE 0 END)
+             |    AS BIGINT) AS n_churned,
+             |  CAST(sum(CASE WHEN kind IN ('new', 'retained',
+             |    'resurrected') THEN 1 ELSE 0 END) AS BIGINT) AS n_active
+             |FROM u GROUP BY day ORDER BY day""".stripMargin))
   )
 }

@@ -59,6 +59,12 @@ object Bench {
       // measurement (round-1 bench: the ETL family measured 4-20× its
       // standalone time purely from accumulated cache pressure).
       spark.sharedState.cacheManager.clearCache()
+      // ...and RDD blocks pinned by localCheckpoint (GraphOps /
+      // iterative loops): those aren't DataFrame cache entries, so
+      // clearCache() can't drop them and they'd accumulate across the
+      // 180-query run, eroding the memory the later queries measure in.
+      spark.sparkContext.getPersistentRDDs.values.foreach(
+        _.unpersist(blocking = false))
       System.err.println(
         f"[bench] ${q.name}%-28s $dt%8.2f s" + err.fold("")(e => s"  FAILED: $e"))
       (q.name, dt, err)

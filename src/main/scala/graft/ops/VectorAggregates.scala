@@ -95,6 +95,8 @@ object VectorAggregates {
     }
 
     override def reduce(b: TopKBuf, in: Array[Long]): TopKBuf = {
+      // SQL aggregates skip NULL inputs; a null array row must not NPE
+      if (in == null) return b
       require(in.length == 2, s"TopKAgg expects array(value, id), got " +
         s"length ${in.length}")
       insert(b, in(0), in(1))

@@ -150,9 +150,10 @@ object Dedup {
     // (murmur3 via hash()): a bucket whose members disagree on the
     // verify hash provably holds an xxhash64 collision and is re-done
     // with a full-text groupBy — that redo set is broadcast-sized
-    // (expected 0 rows; a false merge needs a pair colliding in BOTH
-    // 64-bit families AND length, ~2^-96 per pair — negligible at any
-    // corpus size). Cost shape: one narrow-key shuffle + one extra
+    // (expected 0 rows; a false merge needs a pair colliding in the
+    // 64-bit xxhash64 family AND the 32-bit murmur3 verify hash AND
+    // length — ~2^-96 overall, negligible at any corpus size). Cost
+    // shape: one narrow-key shuffle + one extra
     // (normally empty-output) corpus scan, vs. the old single shuffle
     // whose keys were whole documents.
     QueryDef(

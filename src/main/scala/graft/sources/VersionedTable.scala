@@ -294,9 +294,15 @@ object VersionedTable {
       (c.min, c.max) match {
         case (None, None) => c.nulls < c.rows // all-null file: skip
         case (Some(mn), Some(mx)) =>
-          def key(v: Any) = statKey(c.typ, v.toString)
-          upper.forall(u => statKey(c.typ, mn) <= key(u)) &&
-            lower.forall(l => statKey(c.typ, mx) >= key(l))
+          // A bound that doesn't parse as the column's stat type (e.g.
+          // a string bound against long stats, or a malformed stats
+          // value) must degrade to "read the file", never throw —
+          // absence of USABLE stats is the same as absence of stats.
+          scala.util.Try {
+            def key(v: Any) = statKey(c.typ, v.toString)
+            upper.forall(u => statKey(c.typ, mn) <= key(u)) &&
+              lower.forall(l => statKey(c.typ, mx) >= key(l))
+          }.getOrElse(true)
         case _ => true
       }
   }

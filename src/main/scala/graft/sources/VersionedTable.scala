@@ -87,7 +87,8 @@ object VersionedTable {
 
   private case class Manifest(version: Long, action: String,
       files: Seq[String], batchTag: Option[Long], stats: Seq[String],
-      schemaJson: Option[String], removes: Seq[String])
+      schemaJson: Option[String], removes: Seq[String],
+      tombFiles: Seq[(String, String)], tombApplies: Seq[String])
 
   private def readManifest(root: String, v: Long): Manifest = {
     val lines = Files.readAllLines(manifestPath(root, v)).asScala.toSeq
@@ -96,7 +97,95 @@ object VersionedTable {
     Manifest(field("version").head.toLong, field("action").head,
       field("file"), field("batch").headOption.map(_.toLong),
       field("stats"), field("schema").headOption.map(dec),
-      field("remove"))
+      field("remove"),
+      field("tombfile").map(_.split("\\|", -1) match {
+        case Array(f, k) => (dec(f), dec(k))
+        case other => throw new IllegalStateException(
+          s"malformed tombfile line in manifest v$v")
+      }),
+      field("tombapply").map(dec))
+  }
+
+  // ---------------------------------------------------------------------
+  // Snapshot state — the single fold every read resolves through.
+  //
+  // A snapshot is fully described by: the live file set, their column
+  // stats, the table schema, and the merge-on-read tombstones (which
+  // sidecar key-files apply to which live data files). All four fold
+  // forward together; [[checkpoint]] persists the folded state so
+  // resolution is O(suffix since last checkpoint), not O(commits) — the
+  // Delta checkpoint-protocol shape that keeps a streaming-sink table
+  // (thousands of commits) readable in constant-ish metadata time.
+  // ---------------------------------------------------------------------
+
+  private[sources] case class TableState(
+      files: Vector[String],
+      stats: Map[String, Map[String, ColStats]],
+      schemaJson: Option[String],
+      tombs: Map[String, Vector[String]], // live file -> sidecars, in commit order
+      tombKey: Map[String, String])       // sidecar file -> key column name
+
+  private[sources] object TableState {
+    val empty: TableState =
+      TableState(Vector.empty, Map.empty, None, Map.empty, Map.empty)
+  }
+
+  /** Per-file stats carried by one manifest, parsed. */
+  private def manifestStats(m: Manifest)
+      : Map[String, Map[String, ColStats]] =
+    m.stats.flatMap(parseStatsLine)
+      .groupBy(_._1)
+      .map { case (f, rows) =>
+        f -> rows.map { case (_, c, cs) => c -> cs }.toMap }
+
+  /** One step of the log fold. `overwrite` resets everything (including
+    * tombstones — the new file set supersedes all prior row-level
+    * edits); `append` extends; `replace` swaps named files (their
+    * tombstones die with them: a copy-on-write rewrite reads through
+    * its tombstones first, so the rewritten files already exclude the
+    * deleted rows); `delete-mor` attaches a tombstone sidecar to the
+    * named live files and rewrites nothing. */
+  private def applyManifest(st: TableState, m: Manifest): TableState =
+    m.action match {
+      case "overwrite" =>
+        TableState(m.files.toVector, manifestStats(m), m.schemaJson,
+          Map.empty, Map.empty)
+      case "append" =>
+        st.copy(files = st.files ++ m.files,
+          stats = st.stats ++ manifestStats(m), schemaJson = m.schemaJson)
+      case "replace" =>
+        val gone = m.removes.toSet
+        TableState(st.files.filterNot(gone) ++ m.files,
+          (st.stats -- gone) ++ manifestStats(m), m.schemaJson,
+          st.tombs -- gone, st.tombKey)
+      case "delete-mor" =>
+        val live = st.files.toSet
+        val sidecars = m.tombFiles.map(_._1).toVector
+        st.copy(schemaJson = m.schemaJson,
+          tombs = m.tombApplies.filter(live).foldLeft(st.tombs) { (t, f) =>
+            t.updated(f, t.getOrElse(f, Vector.empty) ++ sidecars) },
+          tombKey = st.tombKey ++ m.tombFiles)
+      case other => throw new IllegalStateException(
+        s"unknown action '$other' in manifest v${m.version}")
+    }
+
+  /** Resolve the full snapshot state at version `v`: load the newest
+    * checkpoint at or below `v` and fold only the manifest SUFFIX on
+    * top. Without a checkpoint this is the plain full replay. */
+  private[sources] def state(root: String, v: Long): TableState = {
+    val ckpt = latestCheckpointAtOrBefore(root, v)
+    // Truncated-log guard: with no checkpoint at or below `v` and the
+    // earliest surviving manifest above 0, the fold would start from
+    // an EMPTY state missing the truncated prefix — time travel below
+    // the truncation horizon must fail loudly, never resolve wrong.
+    if (ckpt.isEmpty)
+      versions(root).headOption.foreach(minV => require(minV == 0,
+        s"snapshot $v predates the truncated log (earliest manifest " +
+          s"$minV, no covering checkpoint) — time travel below the " +
+          "truncation horizon is gone"))
+    val (baseV, base) = ckpt.getOrElse((-1L, TableState.empty))
+    versions(root).filter(ver => ver > baseV && ver <= v)
+      .foldLeft(base)((st, ver) => applyManifest(st, readManifest(root, ver)))
   }
 
   /** The table schema AT snapshot `v`: the newest commit's recorded
@@ -109,13 +198,130 @@ object VersionedTable {
     * NULL in older files' rows. */
   def tableSchema(root: String, v: Long)
       : Option[org.apache.spark.sql.types.StructType] =
-    versions(root).filter(_ <= v).lastOption
-      // the NEWEST manifest only: if it predates schema tracking its
-      // files may hold columns no older schema line knows about —
-      // degrade to the schemaless read rather than silently dropping
-      .flatMap(ver => readManifest(root, ver).schemaJson)
-      .map(j => org.apache.spark.sql.types.DataType.fromJson(j)
-        .asInstanceOf[org.apache.spark.sql.types.StructType])
+    // the NEWEST manifest's schema line only (folded forward by
+    // [[applyManifest]]): if the newest commit predates schema
+    // tracking its files may hold columns no older schema line knows
+    // about — degrade to the schemaless read rather than silently
+    // dropping them
+    schemaOf(state(root, v))
+
+  private def schemaOf(st: TableState)
+      : Option[org.apache.spark.sql.types.StructType] =
+    st.schemaJson.map(j => org.apache.spark.sql.types.DataType.fromJson(j)
+      .asInstanceOf[org.apache.spark.sql.types.StructType])
+
+  // ---------------------------------------------------------------------
+  // Checkpoints — O(1)-ish snapshot resolution.
+  //
+  // Every [[checkpointEvery]]-th commit also writes `_graft_log/
+  // ckpt-v<N>.txt`: the FULL folded state at N (file list, stats,
+  // schema, tombstones). Readers load the newest checkpoint <= v and
+  // replay only the manifests after it, so a table with thousands of
+  // streaming-sink commits resolves its snapshot from one checkpoint
+  // file plus a bounded suffix instead of every manifest since v0.
+  // Checkpoints are derived data: writing one can never fail a commit
+  // (best-effort, atomically published like manifests), a corrupt or
+  // missing one just means a longer replay, and [[truncateLog]] may
+  // delete manifests strictly below a checkpoint once time travel
+  // below it is no longer needed — the Delta checkpoint + log-retention
+  // protocol in miniature.
+  // ---------------------------------------------------------------------
+
+  /** Checkpoint cadence: 10 commits of replay is a few manifest reads —
+    * small enough that resolution stays cheap, large enough that
+    * checkpoint writes don't dominate a streaming sink's commit path. */
+  private val checkpointEvery = 10
+
+  private def checkpointPath(root: String, v: Long): Path =
+    logDir(root).resolve(f"ckpt-v$v%05d.txt")
+
+  /** Versions that have a checkpoint, ascending. Width note mirrors
+    * [[versions]]: %05d is a minimum width. */
+  def checkpointVersions(root: String): Seq[Long] = {
+    val dir = logDir(root)
+    if (!Files.isDirectory(dir)) Seq.empty
+    else listDir(dir)
+      .map(_.getFileName.toString)
+      .collect { case n if n.matches("ckpt-v\\d{5,}\\.txt") =>
+        n.stripPrefix("ckpt-v").stripSuffix(".txt").toLong }
+      .sorted
+  }
+
+  /** Serialize the folded state at `v` as a checkpoint file. Public so
+    * operators can force one (e.g. after a bulk backfill); normally
+    * written automatically every [[checkpointEvery]] commits. Returns
+    * the checkpointed version. */
+  def checkpoint(root: String, version: Option[Long] = None): Long = {
+    val v = version.getOrElse(latestVersion(root))
+    require(v >= 0, s"$root is not a versioned table (empty log)")
+    val st = state(root, v)
+    val statLines = st.files.flatMap(f =>
+      statsLines(f, st.stats.getOrElse(f, Map.empty)))
+    val body =
+      (Seq(s"version=$v") ++
+        st.schemaJson.map(j => s"schema=${enc(j)}").toSeq ++
+        st.files.map(f => s"file=$f") ++ statLines ++
+        st.tombKey.toSeq.sortBy(_._1).map { case (sc, k) =>
+          s"tombfile=${enc(sc)}|${enc(k)}" } ++
+        st.tombs.toSeq.sortBy(_._1).flatMap { case (f, scs) =>
+          scs.map(sc => s"tombmap=${enc(f)}|${enc(sc)}") })
+        .mkString("", "\n", "\n")
+    val tmp = Files.createTempFile(logDir(root), s".tmpckpt-v$v-", "")
+    Files.write(tmp, body.getBytes("UTF-8"))
+    try Files.createLink(checkpointPath(root, v), tmp)
+    catch { // another writer already checkpointed v — same content, fine
+      case _: java.nio.file.FileAlreadyExistsException => ()
+    } finally Files.deleteIfExists(tmp)
+    v
+  }
+
+  private def latestCheckpointAtOrBefore(root: String, v: Long)
+      : Option[(Long, TableState)] =
+    checkpointVersions(root).filter(_ <= v).lastOption.map { cv =>
+      val lines = Files.readAllLines(checkpointPath(root, cv)).asScala.toSeq
+      def field(k: String): Seq[String] =
+        lines.filter(_.startsWith(s"$k=")).map(_.drop(k.length + 1))
+      val files = field("file").toVector
+      val stats = field("stats").flatMap(parseStatsLine)
+        .groupBy(_._1)
+        .map { case (f, rows) =>
+          f -> rows.map { case (_, c, cs) => c -> cs }.toMap }
+      val tombKey = field("tombfile").map(_.split("\\|", -1) match {
+        case Array(sc, k) => (dec(sc), dec(k))
+        case _ => throw new IllegalStateException(
+          s"malformed tombfile line in checkpoint v$cv")
+      }).toMap
+      val tombs = field("tombmap").map(_.split("\\|", -1) match {
+        case Array(f, sc) => (dec(f), dec(sc))
+        case _ => throw new IllegalStateException(
+          s"malformed tombmap line in checkpoint v$cv")
+      }).groupBy(_._1).map { case (f, ps) => f -> ps.map(_._2).toVector }
+      (cv, TableState(files, stats, field("schema").headOption.map(dec),
+        tombs, tombKey))
+    }
+
+  /** Delete manifests STRICTLY BELOW the newest checkpoint <= `below`.
+    * After truncation, snapshots at or above that checkpoint resolve
+    * exactly as before (checkpoint + suffix); time travel below it is
+    * gone — the explicit, bounded trade the log-retention policy of
+    * every table format makes. Returns the number of manifests
+    * removed. Refuses when no checkpoint exists (the manifests are the
+    * only source of truth then). */
+  def truncateLog(root: String, below: Option[Long] = None): Int = {
+    val bound = below.getOrElse(latestVersion(root))
+    val cv = checkpointVersions(root).filter(_ <= bound).lastOption
+      .getOrElse(throw new IllegalStateException(
+        "truncateLog: no checkpoint at or below " + bound +
+          " — write one first (checkpoint(root))"))
+    val doomed = versions(root).filter(_ < cv)
+    doomed.foreach(v => Files.deleteIfExists(manifestPath(root, v)))
+    // older checkpoints go too: one whose replay suffix was just
+    // deleted would resolve a STALE state instead of failing the
+    // truncated-time-travel guard
+    checkpointVersions(root).filter(_ < cv)
+      .foreach(v => Files.deleteIfExists(checkpointPath(root, v)))
+    doomed.size
+  }
 
   // ---------------------------------------------------------------------
   // Data skipping — per-file column min/max stats in the manifest
@@ -272,16 +478,7 @@ object VersionedTable {
     * as [[snapshotFiles]]). Files committed without stats (older
     * manifests, unsupported types) map to an empty column map. */
   def snapshotStats(root: String, v: Long)
-      : Map[String, Map[String, ColStats]] = {
-    val live = snapshotFiles(root, v).toSet
-    versions(root).filter(_ <= v)
-      .flatMap(ver => readManifest(root, ver).stats)
-      .flatMap(parseStatsLine)
-      .filter { case (f, _, _) => live.contains(f) }
-      .groupBy(_._1)
-      .map { case (f, rows) =>
-        f -> rows.map { case (_, c, cs) => c -> cs }.toMap }
-  }
+      : Map[String, Map[String, ColStats]] = state(root, v).stats
 
   /** Can any row of a file with stats `cs` satisfy
     * `col BETWEEN lower AND upper` (bounds inclusive, None =
@@ -334,15 +531,18 @@ object VersionedTable {
     val latest = latestVersion(root)
     require(latest >= 0, s"$root is not a versioned table (empty log)")
     val v = version.getOrElse(latest)
-    val stats = snapshotStats(root, v)
-    val keep = snapshotFiles(root, v).filter { f =>
-      val fs = stats.getOrElse(f, Map.empty)
+    val st = state(root, v)
+    val keep = st.files.filter { f =>
+      val fs = st.stats.getOrElse(f, Map.empty)
       ranges.forall { case (c, lo, hi) => mayMatch(fs.get(c), lo, hi) }
     }
     val pred = ranges.flatMap { case (c, lo, hi) =>
       lo.map(l => col(c) >= lit(l)) ++ hi.map(u => col(c) <= lit(u))
     }.reduceOption(_ && _).getOrElse(lit(true))
-    readFiles(spark, root, v, keep).filter(pred)
+    // tombstone-resolved: pruning by stats stays sound under
+    // merge-on-read (deleting rows only shrinks a file's value set,
+    // so min/max remain conservative bounds)
+    readResolved(spark, root, st, keep).filter(pred)
   }
 
   /** Data-skipping read: `col BETWEEN lower AND upper` (inclusive;
@@ -358,6 +558,50 @@ object VersionedTable {
       lower: Option[Any], upper: Option[Any],
       version: Option[Long] = None): DataFrame =
     readSkippingRanges(spark, root, Seq((colName, lower, upper)), version)
+
+  /** Can any row of a file with stats `cs` satisfy `col IS NULL`
+    * (`wantNull`) / `col IS NOT NULL` (!`wantNull`)? The NULL COUNT in
+    * the footer stats decides: a file with zero nulls has no row for
+    * `IS NULL`; an all-null file has none for `IS NOT NULL`. No stats
+    * → must read (same degrade-to-read contract as [[mayMatch]]). */
+  private def mayMatchNullness(cs: Option[ColStats],
+      wantNull: Boolean): Boolean = cs match {
+    case None => true
+    case Some(c) => if (wantNull) c.nulls > 0 else c.nulls < c.rows
+  }
+
+  /** The files of snapshot `v` an `IS [NOT] NULL` read must open, plus
+    * the total file count — exposed so callers and specs can observe
+    * the null-pruning ratio (the [[pruneFiles]] sibling). */
+  def pruneFilesNullness(root: String, v: Long, colName: String,
+      wantNull: Boolean): (Seq[String], Int) = {
+    val st = state(root, v)
+    (st.files.filter(f => mayMatchNullness(
+      st.stats.getOrElse(f, Map.empty).get(colName), wantNull)),
+      st.files.size)
+  }
+
+  /** Data-skipping read for NULLNESS predicates: `col IS NULL`
+    * (`wantNull = true`) or `col IS NOT NULL` decided from the
+    * manifests' per-file null counts before any file opens. On a table
+    * whose layout separates backfilled-vs-missing values (common for
+    * late-arriving columns), the all-null and no-null files prune
+    * outright. The residual predicate still applies to surviving rows,
+    * so the result equals `read(...).filter(col IS [NOT] NULL)`
+    * exactly. */
+  def readSkippingNullness(spark: SparkSession, root: String,
+      colName: String, wantNull: Boolean,
+      version: Option[Long] = None): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val latest = latestVersion(root)
+    require(latest >= 0, s"$root is not a versioned table (empty log)")
+    val v = version.getOrElse(latest)
+    val st = state(root, v)
+    val keep = st.files.filter(f => mayMatchNullness(
+      st.stats.getOrElse(f, Map.empty).get(colName), wantNull))
+    val pred = if (wantNull) col(colName).isNull else col(colName).isNotNull
+    readResolved(spark, root, st, keep).filter(pred)
+  }
 
   /** OPTIMIZE ZORDER BY: rewrite the current snapshot clustered on the
     * Morton interleave of two quantized dimension columns, as one
@@ -385,21 +629,18 @@ object VersionedTable {
   }
 
   /** The file set of snapshot `v` (log replay: overwrite resets,
-    * append extends, replace swaps named files), paths relative to
-    * `root`. */
+    * append extends, replace swaps named files, delete-mor leaves the
+    * set untouched), paths relative to `root`. Resolved from the
+    * newest checkpoint plus the manifest suffix — see [[state]]. */
   def snapshotFiles(root: String, v: Long): Seq[String] =
-    versions(root).filter(_ <= v).foldLeft(Seq.empty[String]) { (acc, ver) =>
-      val m = readManifest(root, ver)
-      m.action match {
-        case "overwrite" => m.files
-        case "append"    => acc ++ m.files
-        case "replace" =>
-          val gone = m.removes.toSet
-          acc.filterNot(gone) ++ m.files
-        case other => throw new IllegalStateException(
-          s"unknown action '$other' in manifest v$ver")
-      }
-    }
+    state(root, v).files
+
+  /** The merge-on-read tombstones of snapshot `v`: live data file ->
+    * sidecar key-files that apply to it (exposed for specs and
+    * operational introspection; empty map = pure copy-on-write
+    * history). */
+  def snapshotTombstones(root: String, v: Long): Map[String, Seq[String]] =
+    state(root, v).tombs
 
   /** Commit `df` as the next version. Returns the committed version.
     * `mode` is "append" or "overwrite". Data files are fully written
@@ -489,6 +730,12 @@ object VersionedTable {
       case _: java.nio.file.FileAlreadyExistsException =>
         throw new ConcurrentCommitException(next)
     } finally Files.deleteIfExists(tmp)
+    // Auto-checkpoint on the interval boundary. AFTER the commit is
+    // durable, and best-effort: a checkpoint is derived data — failing
+    // to write one must never fail the commit that already happened.
+    if (next > 0 && next % checkpointEvery == 0)
+      try checkpoint(root, Some(next))
+      catch { case scala.util.control.NonFatal(_) => () }
   }
 
   /** DELETE FROM the table, copy-on-write: remove rows matching the
@@ -516,6 +763,88 @@ object VersionedTable {
       // NULL-safe survival: pred NULL (null column value) must KEEP
       // the row — a bare !pred evaluates NULL and the filter drops it
       df.filter(not(coalesce(matchPred, lit(false)))))
+  }
+
+  /** DELETE FROM the table, MERGE-ON-READ: remove the rows whose
+    * `keyCol` is in `keys` by committing a TOMBSTONE SIDECAR — a small
+    * parquet of the deleted keys — and rewriting NO data file at all.
+    * Reads anti-join the sidecar against exactly the files whose
+    * min/max stats could hold a deleted key (everything else never
+    * sees the tombstone); [[compact]] / [[compactClustered]] /
+    * [[deleteRanges]] / [[updateRanges]] / [[mergeKeyed]] fold
+    * tombstones into their rewrites, and an `overwrite` clears them.
+    *
+    * This is the write-amplification answer for GDPR-style point
+    * deletes at 100 TB: copy-on-write rewrites a whole file to drop
+    * one row; merge-on-read writes bytes proportional to the DELETED
+    * KEYS and defers the rewrite to the next compaction — Delta's
+    * deletion-vector trade, keyed rather than positional. The sidecar
+    * is broadcast at read time, so this path is for point/small
+    * deletes by contract; bulk deletes belong to [[deleteRanges]].
+    *
+    * Append-after-delete semantics: the tombstone names specific
+    * files, so rows appended LATER with a deleted key are new rows
+    * and stay visible — exactly SQL `DELETE` followed by `INSERT`.
+    * A delete whose keys no file can hold (stats-disjoint) is a
+    * metadata-only no-op: returns the basis version. */
+  def deleteKeysMOR(spark: SparkSession, root: String, keyCol: String,
+      keys: DataFrame): Long = {
+    import org.apache.spark.sql.functions.{col, max => fmax, min => fmin}
+    val basis = latestVersion(root)
+    require(basis >= 0, s"$root is not a versioned table (empty log)")
+    require(keys.columns.contains(keyCol),
+      s"keys frame must carry the key column '$keyCol'")
+    val st = state(root, basis)
+    // NULL keys match no row (SQL `DELETE WHERE k IN (...)`), drop them
+    val distinctKeys = keys.select(col(keyCol))
+      .where(col(keyCol).isNotNull).distinct()
+    // SOUNDNESS: a tombstone must list every file that might hold a
+    // deleted key; a file WITHOUT stats is listed conservatively
+    // (mayMatch = true). PRECISION: up to `precise` keys are checked
+    // individually against each file's [min,max] (two point deletes in
+    // far-apart files tombstone 2 files, not the whole key envelope);
+    // past that cap — at which size the copy-on-write path is the
+    // better tool anyway — fall back to the envelope bound.
+    val precise = 10000
+    val sample = distinctKeys.limit(precise + 1).collect().map(_.get(0))
+    if (sample.isEmpty) return basis // no non-null keys: no-op
+    val applies =
+      if (sample.length <= precise)
+        st.files.filter { f =>
+          val cs = st.stats.getOrElse(f, Map.empty).get(keyCol)
+          sample.exists(k => mayMatch(cs, Some(k), Some(k)))
+        }
+      else {
+        val bounds = distinctKeys.agg(
+          fmin(col(keyCol)).as("lo"), fmax(col(keyCol)).as("hi")).head()
+        st.files.filter(f =>
+          mayMatch(st.stats.getOrElse(f, Map.empty).get(keyCol),
+            Some(bounds.get(0)), Some(bounds.get(1))))
+      }
+    if (applies.isEmpty) return basis
+    val next = basis + 1
+    if (Files.exists(manifestPath(root, next)))
+      throw new ConcurrentCommitException(next)
+    val nonce = java.util.UUID.randomUUID().toString.take(8)
+    val tombRel = s"data/tomb-v$next-$nonce"
+    val tombDir = Paths.get(root, tombRel)
+    // one part file: sidecars are point-delete sized by contract, and
+    // a single file keeps the read-side broadcast to one open
+    distinctKeys.coalesce(1)
+      .write.mode("errorifexists").parquet(tombDir.toString)
+    val sidecars = listDir(tombDir)
+      .map(_.getFileName.toString)
+      .filter(n => n.endsWith(".parquet") && !n.startsWith("."))
+      .sorted
+      .map(n => s"$tombRel/$n")
+    val body =
+      (Seq(s"version=$next", "action=delete-mor") ++
+        st.schemaJson.map(j => s"schema=${enc(j)}").toSeq ++
+        sidecars.map(sc => s"tombfile=${enc(sc)}|${enc(keyCol)}") ++
+        applies.map(f => s"tombapply=${enc(f)}"))
+        .mkString("", "\n", "\n")
+    publish(root, next, body)
+    next
   }
 
   /** UPDATE the table, copy-on-write: for rows matching the
@@ -567,16 +896,21 @@ object VersionedTable {
     import org.apache.spark.sql.functions.{col, lit}
     val basis = latestVersion(root)
     require(basis >= 0, s"$root is not a versioned table (empty log)")
-    val stats = snapshotStats(root, basis)
-    val touched = snapshotFiles(root, basis).filter { f =>
-      val fs = stats.getOrElse(f, Map.empty)
+    val st = state(root, basis)
+    val touched = st.files.filter { f =>
+      val fs = st.stats.getOrElse(f, Map.empty)
       ranges.forall { case (c, lo, hi) => mayMatch(fs.get(c), lo, hi) }
     }
     if (touched.isEmpty) return basis
     val matchPred = ranges.flatMap { case (c, lo, hi) =>
       lo.map(l => col(c) >= lit(l)) ++ hi.map(u => col(c) <= lit(u))
     }.reduce(_ && _)
-    val rewritten = rewrite(readFiles(spark, root, basis, touched), matchPred)
+    // tombstone-RESOLVED read of the touched files: a rewrite must not
+    // resurrect rows a merge-on-read delete already removed. The
+    // `replace` commit then drops the touched files' tombstone links
+    // (applyManifest) — the rewritten files already exclude those rows.
+    val rewritten =
+      rewrite(readResolved(spark, root, st, touched), matchPred)
     commitReplace(spark, root, basis, touched, rewritten)
   }
 
@@ -632,8 +966,9 @@ object VersionedTable {
     import org.apache.spark.sql.functions.{col, lit, min => fmin, max => fmax}
     val basis = latestVersion(root)
     require(basis >= 0, s"$root is not a versioned table (empty log)")
-    val tableCols = readFiles(spark, root, basis,
-      snapshotFiles(root, basis).take(1)).columns.toSeq
+    val st = state(root, basis)
+    val tableCols = readFilesWithSchema(spark, root, schemaOf(st),
+      st.files.take(1)).columns.toSeq
     require(source.columns.toSet == tableCols.toSet,
       s"source schema must match table: ${tableCols.mkString(",")} " +
         s"(got ${source.columns.mkString(",")})")
@@ -641,11 +976,13 @@ object VersionedTable {
       fmin(col(key)).as("lo"), fmax(col(key)).as("hi")).head()
     if (bounds.isNullAt(0)) return basis // empty source
     val (lo, hi) = (bounds.get(0), bounds.get(1))
-    val stats = snapshotStats(root, basis)
-    val touched = snapshotFiles(root, basis).filter { f =>
-      mayMatch(stats.getOrElse(f, Map.empty).get(key), Some(lo), Some(hi))
+    val touched = st.files.filter { f =>
+      mayMatch(st.stats.getOrElse(f, Map.empty).get(key), Some(lo), Some(hi))
     }
-    val base = readFiles(spark, root, basis, touched)
+    // tombstone-resolved base: the merge must not resurrect rows a
+    // merge-on-read delete removed (its replace commit clears the
+    // touched files' tombstone links)
+    val base = readResolved(spark, root, st, touched)
     val merged = graft.ops.MergeOps.merge(
         base, source.withColumn("__mrg_tomb", lit(false)), key, "__mrg_tomb")
       .select(tableCols.map(col): _*) // MergeOps fronts the key column
@@ -656,10 +993,15 @@ object VersionedTable {
     * MANIFEST METADATA (not parquet footers): columns added after a
     * file was written surface as NULL in its rows — schema-evolution
     * reads with zero footer-listing cost. Pre-tracking tables fall
-    * back to Spark's own footer resolution. */
+    * back to Spark's own footer resolution. RAW read: merge-on-read
+    * tombstones are NOT applied here — use [[readResolved]]. */
   private def readFiles(spark: SparkSession, root: String, v: Long,
+      files: Seq[String]): DataFrame =
+    readFilesWithSchema(spark, root, tableSchema(root, v), files)
+
+  private def readFilesWithSchema(spark: SparkSession, root: String,
+      schema: Option[org.apache.spark.sql.types.StructType],
       files: Seq[String]): DataFrame = {
-    val schema = tableSchema(root, v)
     if (files.isEmpty)
       schema match {
         case Some(sc) => spark.createDataFrame(
@@ -673,7 +1015,45 @@ object VersionedTable {
     }
   }
 
-  /** Read a snapshot: latest by default, or time-travel to `version`. */
+  /** Tombstone-resolved read of a subset of a snapshot's files: files
+    * with no applicable tombstone read plain; files with tombstones
+    * ANTI-JOIN their sidecar keys (grouped by identical sidecar set,
+    * so a normal point-delete history costs ONE broadcast anti-join,
+    * not one per file). NULL keys never match an anti-join probe and
+    * survive — SQL `DELETE WHERE k IN (...)` semantics. Sidecars are
+    * point-delete sized by contract ([[deleteKeysMOR]]) and broadcast;
+    * bulk deletes belong to the copy-on-write path. */
+  private def readResolved(spark: SparkSession, root: String,
+      st: TableState, files: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.functions.{broadcast, col}
+    val schema = schemaOf(st)
+    def rd(fs: Seq[String]) = readFilesWithSchema(spark, root, schema, fs)
+    val (dirty, clean) = files.partition(f =>
+      st.tombs.getOrElse(f, Vector.empty).nonEmpty)
+    if (dirty.isEmpty) rd(clean)
+    else {
+      val cleaned = dirty.groupBy(st.tombs(_)).toSeq
+        .sortBy(_._2.head) // deterministic union order
+        .map { case (sidecars, fs) =>
+          val base = rd(fs)
+          val order = base.columns.toSeq // anti-join fronts the key col
+          sidecars.distinct.foldLeft(base) { (df, sc) =>
+            val keyCol = st.tombKey(sc)
+            val keys = spark.read
+              .parquet(Paths.get(root, sc).toString)
+              .select(col(keyCol)).distinct()
+            df.join(broadcast(keys), Seq(keyCol), "left_anti")
+          }.select(order.map(col): _*)
+        }
+      (if (clean.nonEmpty) rd(clean) +: cleaned else cleaned)
+        .reduce(_ unionByName _)
+    }
+  }
+
+  /** Read a snapshot: latest by default, or time-travel to `version`.
+    * Merge-on-read tombstones resolve at read time (the deleted rows
+    * are anti-joined away); everything else is the metadata-schema
+    * file read. */
   def read(spark: SparkSession, root: String,
       version: Option[Long] = None): DataFrame = {
     val latest = latestVersion(root)
@@ -681,7 +1061,8 @@ object VersionedTable {
     val v = version.getOrElse(latest)
     require(v >= 0 && v <= latest,
       s"version $v out of range [0, $latest]")
-    readFiles(spark, root, v, snapshotFiles(root, v))
+    val st = state(root, v)
+    readResolved(spark, root, st, st.files)
   }
 
   /** MERGE INTO the table: CDC-upsert `updates` (base schema plus a
@@ -736,14 +1117,88 @@ object VersionedTable {
   def diff(spark: SparkSession, root: String, from: Long, to: Long)
       : DataFrame = {
     import org.apache.spark.sql.functions.lit
-    val fa = snapshotFiles(root, from).toSet
-    val fb = snapshotFiles(root, to).toSet
-    // both sides read under the `to` schema so columns align across a
-    // schema-evolving interval (an added column diffs as NULL→value)
-    val a = readFiles(spark, root, to, (fa -- fb).toSeq.sorted) // deletes
-    val b = readFiles(spark, root, to, (fb -- fa).toSeq.sorted) // inserts
+    val sa = state(root, from)
+    val sb = state(root, to)
+    // A file's EFFECTIVE content is (file, applicable tombstones):
+    // data dirs are immutable, so a file whose tombstone set is also
+    // unchanged cannot contribute a change and is skipped; a file
+    // whose tombstones changed (a merge-on-read delete landed) is
+    // re-read on both sides and the removed rows surface as deletes.
+    def ids(st: TableState) =
+      st.files.map(f => f -> st.tombs.getOrElse(f, Vector.empty)).toSet
+    val ia = ids(sa); val ib = ids(sb)
+    def side(own: TableState, onlyIds: Set[(String, Vector[String])]) =
+      // read under the `to` schema so columns align across a
+      // schema-evolving interval (an added column diffs as NULL→value),
+      // but with the side's OWN tombstones applied
+      readResolved(spark, root,
+        own.copy(schemaJson = sb.schemaJson),
+        onlyIds.map(_._1).toSeq.sorted)
+    val a = side(sa, ia -- ib) // candidate deletes
+    val b = side(sb, ib -- ia) // candidate inserts
     b.exceptAll(a).withColumn("_change", lit("insert"))
       .unionByName(a.exceptAll(b).withColumn("_change", lit("delete")))
+  }
+
+  /** Incremental CDC: the per-commit change rows for every version in
+    * `(afterVersion, toVersion]`, tagged `_change` (insert | delete;
+    * an update = the pair) and `_version` (the commit that produced
+    * them). `afterVersion = -1` includes the initial snapshot as
+    * inserts. Each commit resolves by its cheapest route:
+    *  - `append` — read EXACTLY the new files, zero comparison work
+    *    (the streaming-sink fast path);
+    *  - `delete-mor` — read only the files the tombstone applies to
+    *    and SEMI-join the new sidecar keys (prior tombstones applied
+    *    first so already-deleted rows don't re-emit);
+    *  - `overwrite` / `replace` — the general [[diff]] of adjacent
+    *    snapshots.
+    * This is the batch form the [[graft.sources.ChangeFeedSource]]
+    * stream source tails commit-by-commit. */
+  def changes(spark: SparkSession, root: String,
+      afterVersion: Long, toVersion: Long): DataFrame = {
+    import org.apache.spark.sql.functions.{broadcast, col, lit}
+    require(afterVersion <= toVersion,
+      s"changes: afterVersion $afterVersion > toVersion $toVersion")
+    val vs = versions(root)
+      .filter(v => v > afterVersion && v <= toVersion)
+    val parts = vs.map { v =>
+      val m = readManifest(root, v)
+      val body = m.action match {
+        case _ if v == 0 =>
+          val st = state(root, 0L)
+          readResolved(spark, root, st, st.files)
+            .withColumn("_change", lit("insert"))
+        case "append" =>
+          readFiles(spark, root, v, m.files)
+            .withColumn("_change", lit("insert"))
+        case "delete-mor" =>
+          val prev = state(root, v - 1)
+          // deleted rows = rows of the affected files, as visible at
+          // v-1, whose key is in one of the NEW sidecars
+          val affected =
+            readResolved(spark, root, prev,
+              m.tombApplies.filter(prev.files.toSet))
+          val order = affected.columns.toSeq
+          m.tombFiles.map { case (sc, keyCol) =>
+            affected.join(
+              broadcast(spark.read
+                .parquet(Paths.get(root, sc).toString)
+                .select(col(keyCol)).distinct()),
+              Seq(keyCol), "left_semi")
+              .select(order.map(col): _*)
+          }.reduce(_ unionByName _)
+            .withColumn("_change", lit("delete"))
+        case _ => // overwrite / replace: general snapshot diff
+          diff(spark, root, v - 1, v)
+      }
+      body.withColumn("_version", lit(v))
+    }
+    if (parts.isEmpty) {
+      val st = state(root, math.max(toVersion, latestVersion(root)))
+      readResolved(spark, root, st, Nil)
+        .withColumn("_change", lit(""))
+        .withColumn("_version", lit(0L)).limit(0)
+    } else parts.reduce(_ unionByName _)
   }
 
   /** DESCRIBE HISTORY: one row per commit — version, action, file
@@ -795,7 +1250,13 @@ object VersionedTable {
       s"retain $retain out of range [0, ${latestVersion(root)}] — " +
         "an empty keep-set would delete the live snapshot")
     val keep = versions(root).filter(_ >= retain)
-      .flatMap(v => snapshotFiles(root, v))
+      .flatMap { v =>
+        val st = state(root, v)
+        // retained snapshots need their DATA files and their tombstone
+        // SIDECARS — vacuuming a live sidecar would resurrect deleted
+        // rows on the next read
+        st.files ++ st.tombs.values.flatten
+      }
       .map(f => Paths.get(root, f).getParent.getFileName.toString)
       .toSet
     val now = System.currentTimeMillis()

@@ -437,4 +437,192 @@ class VersionedTableSpec extends SparkSpecBase {
         expected = Some(5L))
     }
   }
+
+  test("checkpoint: 100-commit table resolves from checkpoint + suffix") {
+    val root = newRoot()
+    // 100 tiny commits at streaming-sink cadence
+    (0 until 100).foreach(i =>
+      VersionedTable.commit(Seq(i.toLong).toDF("id"), root))
+    // auto-checkpoints landed on the interval (every 10th commit)
+    val ckpts = VersionedTable.checkpointVersions(root)
+    assert(ckpts.nonEmpty && ckpts.last == 90,
+      s"expected auto-checkpoints up to v90, got $ckpts")
+    assert(VersionedTable.read(spark, root).count() == 100)
+    assert(VersionedTable.read(spark, root, Some(42L)).count() == 43)
+    // THE PROOF resolution uses checkpoint + suffix, not the full log:
+    // truncate every manifest below the newest checkpoint — reads at
+    // and above v90 must be unaffected because they never needed the
+    // deleted prefix
+    val removed = VersionedTable.truncateLog(root)
+    assert(removed == 90, s"expected 90 manifests truncated, got $removed")
+    assert(VersionedTable.read(spark, root).count() == 100)
+    assert(VersionedTable.read(spark, root, Some(95L)).count() == 96)
+    assert(VersionedTable.snapshotFiles(root, 99L).size == 100)
+    // stats survive the checkpoint round-trip (pruning still works)
+    val (keep, total) = VersionedTable.pruneFiles(root, 99L, "id",
+      Some(5L), Some(5L))
+    assert(total == 100 && keep.size == 1,
+      s"stats through checkpoint should prune to 1 file, kept ${keep.size}")
+    // time travel below the truncation horizon fails loudly, never
+    // resolves wrong
+    intercept[IllegalArgumentException] {
+      VersionedTable.read(spark, root, Some(50L)).count()
+    }
+    // new commits on the truncated table keep working (and the next
+    // interval checkpoint still lands)
+    VersionedTable.commit(Seq(100L).toDF("id"), root)
+    assert(VersionedTable.read(spark, root).count() == 101)
+  }
+
+  test("merge-on-read delete: tombstone commit rewrites no data file") {
+    val root = newRoot()
+    val df = spark.range(0, 8000)
+      .select(col("id").as("k"), (col("id") % 7).as("v"))
+      .repartitionByRange(8, col("k"))
+    VersionedTable.commit(df, root) // v0
+    val filesBefore = VersionedTable.snapshotFiles(root, 0L)
+    // point delete of two keys in different files
+    val v1 = VersionedTable.deleteKeysMOR(spark, root, "k",
+      Seq(5L, 4005L).toDF("k"))
+    assert(v1 == 1L)
+    // NO data file was written or removed — the file set is unchanged
+    assert(VersionedTable.snapshotFiles(root, 1L) == filesBefore,
+      "merge-on-read delete must not rewrite any data file")
+    // tombstones attach ONLY to the stats-matching files (1 per key)
+    val tombs = VersionedTable.snapshotTombstones(root, 1L)
+    assert(tombs.nonEmpty && tombs.size <= 2,
+      s"tombstone should apply to at most 2 of 8 files, got ${tombs.size}")
+    // reads resolve the tombstone; time travel predates it
+    assert(VersionedTable.read(spark, root).count() == 7998)
+    assert(VersionedTable.read(spark, root)
+      .filter(col("k").isin(5L, 4005L)).count() == 0)
+    assert(VersionedTable.read(spark, root, Some(0L)).count() == 8000)
+    // skipping reads resolve it too
+    assert(VersionedTable.readSkipping(spark, root, "k",
+      Some(0L), Some(10L)).count() == 10)
+    // append-after-delete: a NEW row with a deleted key stays visible
+    VersionedTable.commit(Seq((5L, 99L)).toDF("k", "v"), root) // v2
+    assert(VersionedTable.read(spark, root)
+      .filter(col("k") === 5L).count() == 1)
+    // copy-on-write over a tombstoned file must not resurrect: delete
+    // a range in the same file as k=5 (file rewrites, tombstone link
+    // dies with it, deleted row stays deleted)
+    VersionedTable.deleteRanges(spark, root,
+      Seq(("k", Some(900L), Some(950L)))) // v3
+    assert(VersionedTable.read(spark, root)
+      .filter(col("k") === 4005L).count() == 0)
+    assert(VersionedTable.read(spark, root).count() == 7999 - 51)
+    // compaction folds tombstones in: state is tombstone-free after
+    VersionedTable.compact(spark, root, numFiles = 2) // v4
+    assert(VersionedTable.snapshotTombstones(root,
+      VersionedTable.latestVersion(root)).isEmpty)
+    assert(VersionedTable.read(spark, root).count() == 7999 - 51)
+    // stats-disjoint delete is a metadata-only no-op
+    val basis = VersionedTable.latestVersion(root)
+    assert(VersionedTable.deleteKeysMOR(spark, root, "k",
+      Seq(999999L).toDF("k")) == basis)
+  }
+
+  test("merge-on-read delete: vacuum keeps live sidecars") {
+    val root = newRoot()
+    VersionedTable.commit(
+      spark.range(0, 100).select(col("id").as("k")), root) // v0
+    VersionedTable.deleteKeysMOR(spark, root, "k", Seq(7L).toDF("k")) // v1
+    // sidecar dir is referenced by the retained snapshot — must survive
+    VersionedTable.vacuum(root, retain = 1L, minAgeMs = 0L)
+    assert(VersionedTable.read(spark, root).count() == 99,
+      "vacuum must not reclaim a sidecar the live snapshot reads through")
+    // after compaction folds the tombstone, the sidecar is vacuumable
+    VersionedTable.compact(spark, root) // v2 overwrite
+    VersionedTable.vacuum(root, retain = 2L, minAgeMs = 0L)
+    assert(Files.list(Paths.get(root, "data")).count() == 1,
+      "only the compacted dir should remain")
+    assert(VersionedTable.read(spark, root).count() == 99)
+  }
+
+  test("null-count stats: IS NULL / IS NOT NULL prune files") {
+    val root = newRoot()
+    // range-clustered on k; n is NULL for the whole low half — so the
+    // low-range files are all-null and the high-range files no-null
+    val df = spark.range(0, 8000)
+      .select(col("id").as("k"),
+        when(col("id") >= 4000, col("id")).as("n"))
+      .repartitionByRange(8, col("k"))
+    VersionedTable.commit(df, root)
+    val (keepNotNull, total) =
+      VersionedTable.pruneFilesNullness(root, 0L, "n", wantNull = false)
+    val (keepNull, _) =
+      VersionedTable.pruneFilesNullness(root, 0L, "n", wantNull = true)
+    assert(total == 8)
+    // range boundaries need not land exactly on 4000 — at most ONE
+    // straddling file may legitimately survive both directions
+    assert(keepNotNull.size <= 5,
+      s"all-null files must prune for IS NOT NULL, kept ${keepNotNull.size}")
+    assert(keepNull.size <= 5,
+      s"no-null files must prune for IS NULL, kept ${keepNull.size}")
+    assert(keepNull.size + keepNotNull.size <= total + 1,
+      "only a boundary-straddling file may be kept by both directions")
+    // answers equal the full-scan filter exactly
+    val notNull = VersionedTable.readSkippingNullness(
+      spark, root, "n", wantNull = false)
+    assert(notNull.inputFiles.length == keepNotNull.size)
+    assert(notNull.count() == 4000)
+    assert(VersionedTable.readSkippingNullness(
+      spark, root, "n", wantNull = true).count() == 4000)
+    // stat-less column: never prunes, still answers
+    val (keepK, totalK) =
+      VersionedTable.pruneFilesNullness(root, 0L, "nosuchcol",
+        wantNull = true)
+    assert(keepK.size == totalK)
+  }
+
+  test("multi-writer stress: 8 concurrent committers, no lost update") {
+    val root = newRoot()
+    VersionedTable.commit(Seq(-1L).toDF("id"), root) // v0 seed
+    val nWriters = 8
+    val perWriter = 5
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(nWriters)
+    val failures = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]
+    try {
+      val latch = new java.util.concurrent.CountDownLatch(1)
+      val tasks = (0 until nWriters).map { w =>
+        pool.submit(new Runnable {
+          def run(): Unit = try {
+            latch.await()
+            (0 until perWriter).foreach { i =>
+              val id = (w * 1000 + i).toLong
+              var committed = false
+              var attempts = 0
+              while (!committed) {
+                attempts += 1
+                assert(attempts <= 200, "retry storm: commit never landed")
+                try {
+                  // optimistic concurrency: pin latest+1, retry on loss
+                  VersionedTable.commit(Seq(id).toDF("id"), root, "append",
+                    expected =
+                      Some(VersionedTable.latestVersion(root) + 1))
+                  committed = true
+                } catch {
+                  case _: VersionedTable.ConcurrentCommitException => ()
+                }
+              }
+            }
+          } catch { case t: Throwable => failures.add(t) }
+        })
+      }
+      latch.countDown()
+      tasks.foreach(_.get(300, java.util.concurrent.TimeUnit.SECONDS))
+    } finally pool.shutdownNow()
+    assert(failures.isEmpty, s"writer failed: ${failures.peek()}")
+    // gap-free log: exactly 1 seed + 40 racing commits, contiguous
+    val vs = VersionedTable.versions(root)
+    assert(vs == (0L to (nWriters.toLong * perWriter)),
+      s"log must be gap-free, got ${vs.take(50)}")
+    // no lost update: every writer's every row is present exactly once
+    val ids = VersionedTable.read(spark, root)
+      .collect().map(_.getLong(0)).sorted.toSeq
+    val expected = (-1L +: (for (w <- 0 until nWriters; i <- 0 until perWriter)
+      yield (w * 1000 + i).toLong)).sorted
+    assert(ids == expected, "a concurrent commit lost rows")
+  }
 }

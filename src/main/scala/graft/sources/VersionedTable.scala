@@ -257,12 +257,32 @@ object VersionedTable {
     val st = state(root, v)
     val statLines = st.files.flatMap(f =>
       statsLines(f, st.stats.getOrElse(f, Map.empty)))
+    // Highest streaming batch tag committed at or below v, persisted
+    // so the exactly-once replay check survives truncateLog (the
+    // manifests carrying batch= lines get deleted; Delta checkpoints
+    // SetTransaction for the same reason). Batch tags are monotone
+    // over versions, so the newest tagged surviving manifest <= v has
+    // the max — fold in any prior checkpoint's tag to cover manifests
+    // already truncated.
+    val maxTag = (versions(root).filter(_ <= v).reverseIterator
+      .map(ver => readManifest(root, ver).batchTag)
+      .collectFirst { case Some(t) => t }.toSeq ++
+      checkpointVersions(root).filter(_ < v).reverseIterator
+        .flatMap(cv => checkpointBatchTag(root, cv).iterator)
+        .take(1)).maxOption
+    // Sidecar-key entries for tombstones no live file references any
+    // more (their files were rewritten/overwritten) are dead state:
+    // re-serializing them would grow every future checkpoint forever
+    // and can point at sidecar dirs vacuum already reclaimed.
+    val liveSidecars = st.tombs.values.flatten.toSet
     val body =
       (Seq(s"version=$v") ++
+        maxTag.map(t => s"batchtag=$t").toSeq ++
         st.schemaJson.map(j => s"schema=${enc(j)}").toSeq ++
         st.files.map(f => s"file=$f") ++ statLines ++
-        st.tombKey.toSeq.sortBy(_._1).map { case (sc, k) =>
-          s"tombfile=${enc(sc)}|${enc(k)}" } ++
+        st.tombKey.toSeq.filter(e => liveSidecars(e._1))
+          .sortBy(_._1).map { case (sc, k) =>
+            s"tombfile=${enc(sc)}|${enc(k)}" } ++
         st.tombs.toSeq.sortBy(_._1).flatMap { case (f, scs) =>
           scs.map(sc => s"tombmap=${enc(f)}|${enc(sc)}") })
         .mkString("", "\n", "\n")
@@ -274,6 +294,14 @@ object VersionedTable {
     } finally Files.deleteIfExists(tmp)
     v
   }
+
+  /** The `batchtag=` line of checkpoint `cv`, if present: the highest
+    * streaming batch id committed at or below `cv`. See [[checkpoint]]
+    * and [[streamingSink]]. */
+  private def checkpointBatchTag(root: String, cv: Long): Option[Long] =
+    Files.readAllLines(checkpointPath(root, cv)).asScala
+      .collectFirst { case l if l.startsWith("batchtag=") =>
+        l.stripPrefix("batchtag=").toLong }
 
   private def latestCheckpointAtOrBefore(root: String, v: Long)
       : Option[(Long, TableState)] =
@@ -314,12 +342,16 @@ object VersionedTable {
         "truncateLog: no checkpoint at or below " + bound +
           " — write one first (checkpoint(root))"))
     val doomed = versions(root).filter(_ < cv)
-    doomed.foreach(v => Files.deleteIfExists(manifestPath(root, v)))
-    // older checkpoints go too: one whose replay suffix was just
-    // deleted would resolve a STALE state instead of failing the
-    // truncated-time-travel guard
+    // Order matters for crash/concurrent-reader safety: older
+    // checkpoints FIRST, manifests second. An older checkpoint whose
+    // replay suffix is already gone would resolve a STALE state
+    // silently labeled as a newer version; deleting the checkpoints
+    // first only ever degrades a reader to full replay (manifests
+    // still intact), and a crash between the two loops leaves the
+    // truncated-time-travel guard in state() able to fire.
     checkpointVersions(root).filter(_ < cv)
       .foreach(v => Files.deleteIfExists(checkpointPath(root, v)))
+    doomed.foreach(v => Files.deleteIfExists(manifestPath(root, v)))
     doomed.size
   }
 
@@ -1094,13 +1126,29 @@ object VersionedTable {
     * replay only ever re-delivers recent batches, making the check
     * O(recent) per batch instead of O(log length) — the difference
     * between a constant-cost sink and one that slows quadratically
-    * over a long-running stream. */
+    * over a long-running stream.
+    *
+    * When the manifest scan EXHAUSTS without finding any tag <= the
+    * incoming id (truncateLog deleted the tagged manifests), the
+    * newest checkpoint's persisted `batchtag=` decides: a stored tag
+    * >= the id proves the batch was committed before truncation, so
+    * the replay SKIPS instead of double-committing — the
+    * stop-stream → compact → truncateLog → restart sequence keeps the
+    * exactly-once contract (Delta's SetTransaction-in-checkpoint
+    * shape). */
   def streamingSink(root: String): (DataFrame, Long) => Unit =
     (df, batchId) => {
-      val committed = versions(root).reverseIterator
+      val manifestVerdict = versions(root).reverseIterator
         .map(v => readManifest(root, v).batchTag)
         .collectFirst { case Some(tag) if tag <= batchId => tag }
-        .contains(batchId)
+      val committed = manifestVerdict match {
+        case Some(tag) => tag == batchId
+        case None => // no surviving tagged manifest proves anything —
+          // consult the truncation-surviving checkpoint tag
+          checkpointVersions(root).lastOption
+            .flatMap(cv => checkpointBatchTag(root, cv))
+            .exists(_ >= batchId)
+      }
       if (!committed)
         commit(df, root, "append", batchTag = Some(batchId))
     }
@@ -1159,6 +1207,16 @@ object VersionedTable {
     import org.apache.spark.sql.functions.{broadcast, col, lit}
     require(afterVersion <= toVersion,
       s"changes: afterVersion $afterVersion > toVersion $toVersion")
+    // Truncated-log guard (the Delta change-feed contract): every
+    // version in (afterVersion, toVersion] must still have its
+    // manifest, or the feed would silently emit only the surviving
+    // suffix — rows from the truncated prefix missing with no error.
+    // afterVersion = -1 (initial load) therefore requires manifest 0.
+    versions(root).headOption.foreach(minV =>
+      require(afterVersion + 1 >= minV,
+        s"changes: version ${afterVersion + 1} predates the truncated " +
+          s"log (earliest surviving manifest $minV) — the change range " +
+          "is unavailable; start from a full snapshot read instead"))
     val vs = versions(root)
       .filter(v => v > afterVersion && v <= toVersion)
     val parts = vs.map { v =>

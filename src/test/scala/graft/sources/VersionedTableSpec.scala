@@ -3,6 +3,7 @@ package graft.sources
 import graft.SparkSpecBase
 import org.apache.spark.sql.functions._
 import java.nio.file.{Files, Paths}
+import scala.jdk.CollectionConverters._
 
 /** The table-format contract: snapshot isolation, time travel, atomic
   * commits under a race, compaction invisibility, vacuum bounds. */
@@ -472,6 +473,89 @@ class VersionedTableSpec extends SparkSpecBase {
     // interval checkpoint still lands)
     VersionedTable.commit(Seq(100L).toDF("id"), root)
     assert(VersionedTable.read(spark, root).count() == 101)
+  }
+
+  test("truncateLog crash window: checkpoints-first order keeps reads correct") {
+    val root = newRoot()
+    (0 until 100).foreach(i =>
+      VersionedTable.commit(Seq(i.toLong).toDF("id"), root))
+    // Simulate the state truncateLog's FIRST loop leaves behind on a
+    // crash: older checkpoints deleted, every manifest still present.
+    // Readers must degrade to full replay — correct answers at every
+    // version, including ones the deleted checkpoints used to serve.
+    val ckpts = VersionedTable.checkpointVersions(root)
+    ckpts.filter(_ < ckpts.last).foreach { v =>
+      Files.delete(Paths.get(root, "_graft_log", f"ckpt-v$v%05d.txt"))
+    }
+    assert(VersionedTable.read(spark, root, Some(85L)).count() == 86)
+    assert(VersionedTable.read(spark, root, Some(42L)).count() == 43)
+    assert(VersionedTable.read(spark, root).count() == 100)
+  }
+
+  test("changes() fails loudly when the range predates the truncated log") {
+    val root = newRoot()
+    (0 until 100).foreach(i =>
+      VersionedTable.commit(Seq(i.toLong).toDF("id"), root))
+    VersionedTable.truncateLog(root) // manifests < 90 gone
+    val latest = VersionedTable.latestVersion(root)
+    // initial-load CDC (afterVersion = -1) can no longer be served —
+    // it must error, not silently emit only the surviving suffix
+    intercept[IllegalArgumentException] {
+      VersionedTable.changes(spark, root, -1L, latest)
+    }
+    // a range fully inside the surviving suffix still works
+    assert(VersionedTable.changes(spark, root, 89L, latest)
+      .count() == 10) // appends 90..99, one row each
+    // first unavailable version below the horizon errors too
+    intercept[IllegalArgumentException] {
+      VersionedTable.changes(spark, root, 50L, latest)
+    }
+  }
+
+  test("exactly-once sink survives truncateLog via checkpointed batch tag") {
+    val root = newRoot()
+    val sink = VersionedTable.streamingSink(root)
+    (0L to 9L).foreach(b => sink(Seq(b).toDF("id"), b)) // v0..v9, tagged
+    assert(VersionedTable.read(spark, root).count() == 10)
+    // an untagged maintenance commit lands v10 and auto-checkpoints;
+    // the checkpoint must carry batchtag=9 harvested from the manifests
+    VersionedTable.compact(spark, root, numFiles = 1) // v10
+    assert(VersionedTable.checkpointVersions(root).contains(10L))
+    // truncation deletes ALL tagged manifests (v0..v9); only the
+    // untagged v10 survives
+    VersionedTable.truncateLog(root)
+    // restart re-delivers batch 9: the manifest scan proves nothing,
+    // the checkpointed tag must prevent the double-commit
+    sink(Seq(9L).toDF("id"), 9L)
+    assert(VersionedTable.latestVersion(root) == 10L,
+      "replayed batch 9 must NOT re-commit after truncateLog")
+    assert(VersionedTable.read(spark, root).count() == 10)
+    // a genuinely new batch still commits
+    sink(Seq(10L).toDF("id"), 10L)
+    assert(VersionedTable.latestVersion(root) == 11L)
+    assert(VersionedTable.read(spark, root).count() == 11)
+  }
+
+  test("checkpoint drops tombfile entries for dead tombstones") {
+    val root = newRoot()
+    val df = spark.range(0, 4000)
+      .select(col("id").as("k"), (col("id") % 7).as("v"))
+      .repartitionByRange(4, col("k"))
+    VersionedTable.commit(df, root) // v0
+    VersionedTable.deleteKeysMOR(spark, root, "k", Seq(5L).toDF("k")) // v1
+    assert(VersionedTable.snapshotTombstones(root, 1L).nonEmpty)
+    // copy-on-write rewrite of the tombstoned file kills the tombstone
+    // link; the sidecar-key entry is now dead state
+    VersionedTable.deleteRanges(spark, root,
+      Seq(("k", Some(0L), Some(1000L)))) // v2 (replace)
+    assert(VersionedTable.snapshotTombstones(root, 2L).isEmpty)
+    val cv = VersionedTable.checkpoint(root)
+    val ckptLines = Files.readAllLines(
+      Paths.get(root, "_graft_log", f"ckpt-v$cv%05d.txt"))
+    assert(!ckptLines.asScala.exists(_.startsWith("tombfile=")),
+      "checkpoint must not re-serialize sidecar keys no live file references")
+    // and the checkpointed state still reads correctly
+    assert(VersionedTable.read(spark, root).count() == 4000 - 1001)
   }
 
   test("merge-on-read delete: tombstone commit rewrites no data file") {

@@ -22,24 +22,40 @@ object Tables {
   def lineitem(s: SparkSession, d: String): DataFrame   = table(s, d, "lineitem")
   def events(s: SparkSession, d: String): DataFrame     = table(s, d, "events")
 
-  /** `events` with the nanosecond parquet timestamp normalized.
-    *
-    * The testdata writes `ts` as parquet TIMESTAMP(NANOS), which Spark's
-    * vectorized reader rejects ([PARQUET_TYPE_ILLEGAL]); sessions set
-    * `spark.sql.legacy.parquet.nanosAsLong=true` (see Verify/Bench) so it
-    * arrives as a LongType of epoch-nanos. This helper adds:
-    *   - `ts`      TimestampType truncated to microseconds (exact integer
+  /** `events` with the parquet timestamp normalized to a fixed shape,
+    * whatever physical type the generator wrote:
+    *   - parquet TIMESTAMP(NANOS): Spark's vectorized reader rejects it
+    *     ([PARQUET_TYPE_ILLEGAL]); sessions set
+    *     `spark.sql.legacy.parquet.nanosAsLong=true` (see Verify/Bench)
+    *     so it arrives as a LongType of epoch-nanos.
+    *   - parquet TIMESTAMP(MICROS) (isAdjustedToUTC either way): arrives
+    *     as TimestampType or TimestampNTZType; sessions pin
+    *     `spark.sql.session.timeZone=UTC`, making the NTZ→TIMESTAMP cast
+    *     value-identity and matching DuckDB's naive `epoch_ns(ts)`.
+    * Output columns (identical either way):
+    *   - `ts`      TimestampType at microsecond precision (exact integer
     *               `div`, no double round-trip — epoch-nanos overflows the
     *               53-bit double mantissa)
+    *   - `ts_ns`   epoch nanoseconds as long (oracle: `epoch_ns(ts)`)
     *   - `ts_sec`  epoch seconds as long (exact in both Spark and DuckDB,
     *               the oracle-safe form for time arithmetic)
     */
   def eventsNorm(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.functions._
-    table(s, d, "events")
-      .withColumn("ts_ns", col("ts"))
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      .withColumn("ts_sec", expr("ts_ns div 1000000000"))
+    import org.apache.spark.sql.types.LongType
+    val raw = table(s, d, "events")
+    raw.schema("ts").dataType match {
+      case LongType =>
+        raw
+          .withColumn("ts_ns", col("ts"))
+          .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+          .withColumn("ts_sec", expr("ts_ns div 1000000000"))
+      case _ =>
+        raw
+          .withColumn("ts", col("ts").cast("timestamp"))
+          .withColumn("ts_ns", unix_micros(col("ts")) * lit(1000L))
+          .withColumn("ts_sec", expr("ts_ns div 1000000000"))
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame  = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")

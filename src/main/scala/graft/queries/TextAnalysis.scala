@@ -976,76 +976,57 @@ object TextAnalysis {
              |GROUP BY p ORDER BY n DESC, pair LIMIT 20""".stripMargin)),
 
     // BPE TOKENIZER TRAINING — k=6 greedy merge rounds (Sennrich'16),
-    // the multi-round completion of q131's single step. Trains the way
-    // real BPE trainers do: on the DISTINCT-WORD frequency table
-    // (vocab ≪ corpus — the one aggregation that touches the raw text;
-    // every round after it runs over the bounded vocab). Each round:
-    // (1) weighted adjacent-pair counts via a per-word position
-    // explode, (2) global argmax with the fixed (count desc, pair asc)
-    // tie-break — a 1-row scalar collected to the driver, which is
-    // where a tokenizer's merge table lives by definition (the same
-    // scalar-decision license as GraphOps' convergence head()), and
-    // (3) greedy non-overlapping merge application as a left fold over
-    // each word's symbol sequence. Symbols travel as one U+001F-joined
-    // string so BOTH engines fold with the identical lambda: merge
-    // when the accumulated string's LAST symbol equals the rule's lhs
-    // and the incoming symbol equals rhs (separator-anchored suffix
-    // test — merged symbols contain no separator, so no false
-    // anchors), else append with separator; a fresh merge glues rhs
-    // on without a separator, forming the merged symbol and blocking
-    // overlap re-use, exactly greedy left-to-right semantics. Words
-    // localCheckpoint per round (the GraphOps pattern) — the plan
-    // would otherwise double per round. Output = the learned merge
-    // table itself plus tokens_after per round (the monotone token-
-    // count shrink proves each apply ran corpus-wide).
+    // the multi-round completion of q131's single step, via
+    // ops.BpeTrainer with batchM=1: the oracle pins EXACT sequential-
+    // greedy semantics (one global argmax per merge with the fixed
+    // (count desc, pair asc) tie-break), which is what m=1 degenerates
+    // to — rank 1 always survives the disjointness filter, and the
+    // single-rule fold's (last symbol, incoming) lookup is the same
+    // separator-anchored suffix test the oracle's lambda spells out.
+    // The audit pass is ON here (tokens_after per round; its monotone
+    // shrink proves each apply ran corpus-wide). At production vocab
+    // sizes this m=1 shape pays one driver round-trip per merge — the
+    // batched q181 is the at-scale form; BpeTrainer's scaladoc states
+    // the per-round cost bound.
     QueryDef(
       "q155_bpe_train",
       (s, d) => {
         import s.implicits._
-        val Sep = "\u001f"
-        val k = 6
-        var words = documents(s, d)
-          .select(explode(TextOps.tokens(col("text"))).as("word"))
-          .filter(col("word") =!= "")
-          .groupBy(col("word")).agg(count(lit(1)).as("freq"))
-          .withColumn("enc", concat_ws(Sep, split(col("word"), "")))
-          .select(col("freq"), col("enc"))
-          .localCheckpoint()
-        val steps = Seq.newBuilder[(Long, String, String, String, Long, Long)]
-        for (step <- 1 to k) {
-          val syms = split(col("enc"), Sep)
-          val best = words
-            .withColumn("syms", syms)
-            .select(col("freq"), explode(expr(
-              // size<2 guard: Spark's sequence(1, 0) DESCENDS ([1,0]),
-              // it does not return empty — single-symbol words must
-              // short-circuit to an empty pair list.
-              "CASE WHEN size(syms) < 2 THEN array() " +
-                "ELSE transform(sequence(1, size(syms) - 1), " +
-                "i -> struct(element_at(syms, i) AS a, " +
-                "element_at(syms, i + 1) AS b)) END")).as("p"))
-            .groupBy(col("p.a").as("a"), col("p.b").as("b"))
-            .agg(sum(col("freq")).as("n"))
-            .orderBy(col("n").desc, col("a"), col("b"))
-            .limit(1)
-            .collect()(0)
-          val (a, b, n) = (best.getString(0), best.getString(1), best.getLong(2))
-          val rest = slice(syms, lit(2), size(syms) - 1)
-          val folded = aggregate(rest, element_at(syms, 1),
-            (acc, x) => when(
-              (acc === lit(a) || acc.endsWith(lit(Sep + a))) && x === lit(b),
-              concat(acc, x)).otherwise(concat(acc, lit(Sep), x)))
-          words = words.withColumn("enc", folded).localCheckpoint()
-          val tokensAfter = words
-            .agg(sum(col("freq") * size(split(col("enc"), Sep))).as("t"))
-            .collect()(0).getLong(0)
-          steps += ((step.toLong, a, b, a + b, n, tokensAfter))
-        }
-        steps.result()
+        val (steps, _) = graft.ops.BpeTrainer.train(
+          documents(s, d), rounds = 6, batchM = 1, audit = true)
+        steps.map(st =>
+            (st.step, st.lhs, st.rhs, st.merged, st.pairN, st.tokensAfter.get))
           .toDF("step", "lhs", "rhs", "merged", "pair_n", "tokens_after")
           .orderBy(col("step"))
       },
-      Some(bpeOracle))
+      Some(bpeOracle)),
+
+    // BPE TRAINING, BATCHED — the at-scale shape the m=1 trainer
+    // cannot reach: each ROUND selects the top-3 pairwise-DISJOINT
+    // pairs from ONE corpus-wide count (candidates ranked (n desc, a,
+    // b) within a pool of 8; a candidate survives iff it shares no
+    // symbol with any higher-ranked candidate — the non-recursive
+    // disjointness BpeTrainer.selectMerges documents) and applies all
+    // of them in ONE greedy left-to-right fold (rule-set lookup on
+    // (last symbol, incoming symbol)). Six merges in 2 driver
+    // round-trips instead of q155's 6; at a 30k-vocab production run
+    // with m=256 that is ~120 rounds instead of 30,000 — the driver
+    // stops being the pacemaker. Audit off (no tokens_after pass).
+    // The oracle replays the identical pipeline per round: pair
+    // counts → ranked pool (row_number) → disjoint survivors
+    // (NOT EXISTS over higher ranks) → top-3 → one list_reduce fold
+    // whose rule set travels as a list of U+001E-joined keys.
+    QueryDef(
+      "q181_bpe_train_batched",
+      (s, d) => {
+        import s.implicits._
+        val (steps, _) = graft.ops.BpeTrainer.train(
+          documents(s, d), rounds = 2, batchM = 3, audit = false, pool = 8)
+        steps.map(st => (st.round, st.rank, st.lhs, st.rhs, st.merged, st.pairN))
+          .toDF("round", "rank", "lhs", "rhs", "merged", "pair_n")
+          .orderBy(col("round"), col("rank"))
+      },
+      Some(bpeBatchedOracle))
   )
 
   /** The q155 oracle: the identical 6-round greedy-merge fixpoint in
@@ -1086,5 +1067,56 @@ object TextAnalysis {
        |UNION ALL SELECT * FROM s3 UNION ALL SELECT * FROM s4
        |UNION ALL SELECT * FROM s5 UNION ALL SELECT * FROM s6
        |ORDER BY step""".stripMargin
+  }
+
+  /** The q181 oracle: the identical 2-round batched trainer in DuckDB.
+    * Per round: pair counts → candidates ranked (n desc, a, b) within a
+    * pool of 8 (`row_number` + QUALIFY) → pairwise-disjoint survivors
+    * (NOT EXISTS over higher ranks, the same conservative rule as
+    * BpeTrainer.selectMerges) → top-3 by rank → ONE `list_reduce` fold
+    * whose rule set travels as a list of chr(30)-joined keys looked up
+    * against (last symbol, incoming symbol) — `list_contains` on the
+    * cross-joined 1-row rule list, exactly the Spark fold. */
+  private def bpeBatchedOracle: String = {
+    def round(r: Int): String = {
+      val prev = s"w${r - 1}"
+      s"""p$r AS (
+         |  SELECT syms[i] AS a, syms[i + 1] AS b, sum(freq) AS n
+         |  FROM (SELECT freq, syms, unnest(range(1, len(syms))) AS i
+         |        FROM (SELECT freq, string_split(enc, chr(31)) AS syms
+         |              FROM $prev))
+         |  GROUP BY 1, 2),
+         |c$r AS (SELECT a, b, n,
+         |    row_number() OVER (ORDER BY n DESC, a, b) AS r
+         |  FROM p$r QUALIFY r <= 8),
+         |k$r AS (SELECT a, b, n, r FROM c$r x
+         |  WHERE NOT EXISTS (SELECT 1 FROM c$r y WHERE y.r < x.r
+         |    AND (y.a = x.a OR y.a = x.b OR y.b = x.a OR y.b = x.b))),
+         |s$r AS (SELECT a, b, n, row_number() OVER (ORDER BY r) AS rnk
+         |  FROM k$r QUALIFY rnk <= 3),
+         |r$r AS (SELECT list(a || chr(30) || b ORDER BY rnk) AS rkeys
+         |  FROM s$r),
+         |w$r AS (
+         |  SELECT freq,
+         |    list_reduce(string_split(enc, chr(31)), (acc, x) ->
+         |      CASE WHEN list_contains(r$r.rkeys,
+         |          list_extract(string_split(acc, chr(31)), -1) ||
+         |          chr(30) || x)
+         |        THEN acc || x ELSE acc || chr(31) || x END) AS enc
+         |  FROM $prev, r$r),
+         |o$r AS (SELECT CAST($r AS BIGINT) AS "round",
+         |    CAST(rnk AS BIGINT) AS "rank", a AS lhs, b AS rhs,
+         |    a || b AS merged, CAST(n AS BIGINT) AS pair_n
+         |  FROM s$r)""".stripMargin
+    }
+    s"""WITH w0 AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS freq,
+       |    array_to_string(string_split(word, ''), chr(31)) AS enc
+       |  FROM (SELECT unnest(string_split(text, ' ')) AS word
+       |        FROM documents)
+       |  WHERE word <> '' GROUP BY word),
+       |${(1 to 2).map(round).mkString(",\n")}
+       |SELECT * FROM o1 UNION ALL SELECT * FROM o2
+       |ORDER BY 1, 2""".stripMargin
   }
 }

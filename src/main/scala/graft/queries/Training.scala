@@ -996,6 +996,75 @@ object Training {
              |SELECT g.source, g.bucket, g.c_avail, g.t_b,
              |  CAST(cap.m_s * g.t_b // tot.t AS BIGINT) AS quota
              |FROM grid g JOIN cap ON g.source = cap.source, tot
-             |ORDER BY g.source, g.bucket""".stripMargin))
+             |ORDER BY g.source, g.bucket""".stripMargin)),
+
+    // PERSISTED-MODEL REUSE — the feature-store shape q104/q106 cannot
+    // show (harness entries are self-contained, so each re-trains):
+    // train ONCE, materialize the model as a versioned table, then
+    // serve MULTIPLE consumers from the stored model with no second
+    // Lloyd run. Here: Kmeans.lloyd trains the k=8 model; the k×dim
+    // centroid table commits to a VersionedTable (atomic, versioned —
+    // a downstream pipeline can time-travel to the exact model a
+    // training set was built with); consumer A partitions the full
+    // corpus against the STORED centroids (cluster sizes + inertia),
+    // consumer B scores the 1-in-40 probe set against a SECOND
+    // independent read of the store. Training cost is paid once
+    // however many consumers attach — at 100 TB the model table is k
+    // rows against a corpus-sized training job, the canonical
+    // train/serve asymmetry. The oracle recomputes the same model
+    // inline (it has no store) — parity proves the store round-trip
+    // is lossless, including the exact integer centroid values
+    // (centroid_l1 comes from the STORED model, not the trainer).
+    QueryDef(
+      "q182_model_store_reuse",
+      (s, d) => {
+        val vecs = Kmeans.quantize(
+          embeddings(s, d).repartition(s.sparkContext.defaultParallelism))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val (_, trained) = Kmeans.lloyd(vecs, k = 8, rounds = 1, dim = 64)
+        val root = java.nio.file.Files
+          .createTempDirectory("graft_model_store_").toString
+        graft.sources.VersionedTable.commit(trained, root)
+        // consumer A: full-corpus partition stats off the stored model
+        val model = graft.sources.VersionedTable.read(s, root)
+        val corpus = Kmeans.assign(vecs, model)
+          .groupBy(col("cid"))
+          .agg(count(lit(1)).as("n_vectors"), sum(col("d")).as("inertia"))
+        // consumer B: probe scoring off a second store read — no retrain
+        val model2 = graft.sources.VersionedTable.read(s, root)
+        val probes = Kmeans.assign(vecs.filter(col("vec_id") % 40 === 0),
+            model2)
+          .groupBy(col("cid"))
+          .agg(count(lit(1)).as("probe_n"),
+            sum(col("d")).as("probe_inertia"))
+        val l1 = model.select(col("cid"),
+          aggregate(col("c"), lit(0L), (acc, x) => acc + x)
+            .as("centroid_l1"))
+        corpus
+          .join(probes, Seq("cid"), "left")
+          .na.fill(0L, Seq("probe_n", "probe_inertia"))
+          .join(l1, "cid")
+          .select(col("cid"), col("n_vectors"), col("inertia"),
+            col("probe_n"), col("probe_inertia"), col("centroid_l1"))
+          .orderBy(col("cid"))
+      },
+      Some(s"""WITH $kmeansSqlCtes,
+             |l1 AS (SELECT cid,
+             |    list_reduce(list_prepend(CAST(0 AS BIGINT), c),
+             |      (s, t) -> s + t) AS centroid_l1
+             |  FROM c1),
+             |f AS (SELECT cid, count(*) AS n_vectors,
+             |    CAST(sum(d) AS BIGINT) AS inertia
+             |  FROM a2 GROUP BY cid),
+             |p AS (SELECT cid, count(*) AS probe_n,
+             |    CAST(sum(d) AS BIGINT) AS probe_inertia
+             |  FROM a2 WHERE vec_id % 40 = 0 GROUP BY cid)
+             |SELECT f.cid, f.n_vectors, f.inertia,
+             |  coalesce(p.probe_n, 0) AS probe_n,
+             |  coalesce(p.probe_inertia, 0) AS probe_inertia,
+             |  l.centroid_l1
+             |FROM f LEFT JOIN p ON f.cid = p.cid
+             |JOIN l1 l ON f.cid = l.cid
+             |ORDER BY f.cid""".stripMargin))
   )
 }

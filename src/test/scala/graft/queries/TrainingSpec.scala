@@ -168,4 +168,36 @@ class TrainingSpec extends SparkSpecBase {
       assert(a == b, s"$name not reproducible")
     }
   }
+
+  test("q182: model store round-trips losslessly and versions the model") {
+    import graft.ops.Kmeans
+    import graft.sources.VersionedTable
+    val vecs = Kmeans.quantize(
+      spark.read.parquet(s"$sf/embeddings.parquet")).persist()
+    try {
+      val (_, trained) = Kmeans.lloyd(vecs, k = 4, rounds = 1, dim = 64)
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_model_spec_").toString
+      VersionedTable.commit(trained, root) // v0
+      // lossless: the stored model IS the trained model, exact longs
+      def key(df: DataFrame) = df.collect()
+        .map(r => r.getLong(0) -> r.getSeq[Long](1).toVector).toMap
+      assert(key(VersionedTable.read(spark, root).select("cid", "c"))
+        == key(trained.select(col("cid"), col("c"))))
+      // retrain (more rounds) overwrites as v1; v0 still serves the
+      // exact old model — the reproducible-training-set guarantee
+      val (_, retrained) = Kmeans.lloyd(vecs, k = 4, rounds = 2, dim = 64)
+      VersionedTable.commit(retrained, root, "overwrite") // v1
+      assert(key(VersionedTable.read(spark, root).select("cid", "c"))
+        == key(retrained.select(col("cid"), col("c"))))
+      assert(key(VersionedTable.read(spark, root, Some(0L))
+        .select("cid", "c")) == key(trained.select(col("cid"), col("c"))))
+      // consumers off the stored model assign identically to the trainer
+      val (a2, _) = Kmeans.lloyd(vecs, k = 4, rounds = 2, dim = 64)
+      val served = Kmeans.assign(vecs, VersionedTable.read(spark, root))
+      assert(served.exceptAll(a2).count() == 0 &&
+        a2.exceptAll(served).count() == 0,
+        "serving from the store diverges from the trainer's assignment")
+    } finally vecs.unpersist()
+  }
 }

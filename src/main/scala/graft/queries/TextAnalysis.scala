@@ -619,6 +619,58 @@ object TextAnalysis {
              |  'imageio' AS decoder
              |FROM documents ORDER BY media_id""".stripMargin)),
 
+    // REAL audio decode through the multimodal path — the WAV/PCM
+    // sibling of q124's image codec, extending the multimodal family
+    // beyond images with zero added dependencies (javax.sound.sampled
+    // is JDK-only, offline-safe). Every document becomes a
+    // deterministic 16-bit PCM mono WAV (sample(i) = (doc_id·31 +
+    // i·7) mod 65536 − 32768, JDK WAV writer — integer-exact where a
+    // float sine would be neither reproducible nor SQL-statable), and
+    // Multimodal.decodeAudio reads rate/channels/sample-count back
+    // out of the header and the exact sample-sum + energy out of the
+    // decoded frames. PCM is lossless, so the oracle states the
+    // waveform formula in closed form — a wrong endianness, sign
+    // convention, header parse, or channel handling breaks the hash.
+    // Clips are tiny (≤ 59 samples) so the SQL closed form stays
+    // cheap; the Spark side is the same batched narrow mapPartitions
+    // that would carry full-length clips at 100 TB (payloads never
+    // shuffle; only fixed-width statistics move on).
+    QueryDef(
+      "q183_audio_decode",
+      (s, d) => {
+        import s.implicits._
+        val media = documents(s, d)
+          .repartition(s.sparkContext.defaultParallelism)
+          .select(col("doc_id")).as[Long]
+          .map { id =>
+            val n = (id % 50 + 10).toInt
+            val rate = (8000 + (id % 4) * 4000).toInt
+            graft.ops.Multimodal.MediaRecord(
+              id, "audio", graft.ops.Multimodal.syntheticWav(id, n, rate),
+              0, 0, rate)
+          }
+        graft.ops.Multimodal.decodeAudio(media).toDF()
+          .select(col("media_id"), col("sample_rate"), col("channels"),
+            col("n_samples"), col("sample_sum"), col("energy"),
+            col("decoder"))
+          .orderBy(col("media_id"))
+      },
+      Some("""SELECT doc_id AS media_id,
+             |  CAST(8000 + (doc_id % 4) * 4000 AS INT) AS sample_rate,
+             |  CAST(1 AS INT) AS channels,
+             |  CAST(doc_id % 50 + 10 AS BIGINT) AS n_samples,
+             |  CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+             |    list_transform(range(0, doc_id % 50 + 10),
+             |      i -> (doc_id * 31 + i * 7) % 65536 - 32768)),
+             |    (a, b) -> a + b) AS BIGINT) AS sample_sum,
+             |  CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+             |    list_transform(range(0, doc_id % 50 + 10),
+             |      i -> ((doc_id * 31 + i * 7) % 65536 - 32768)
+             |         * ((doc_id * 31 + i * 7) % 65536 - 32768))),
+             |    (a, b) -> a + b) AS BIGINT) AS energy,
+             |  'wavpcm' AS decoder
+             |FROM documents ORDER BY media_id""".stripMargin)),
+
     // Inverted-index construction (the search-index build): term →
     // sorted posting list of containing docs, stopwords excluded by
     // RANK (the 5 highest-df terms — scale-stable where an absolute

@@ -90,6 +90,58 @@ class MultimodalSpec extends SparkSpecBase {
     assert(out(8L).decoder === "stub")
   }
 
+  test("decodeAudio: WAV round-trip reads the waveform formula back") {
+    def sample(seed: Long, i: Int): Long =
+      ((seed * 31 + i.toLong * 7) % 65536) - 32768
+    val recs = Seq(
+      Multimodal.MediaRecord(7L, "audio",
+        Multimodal.syntheticWav(7L, 40, 16000), 0, 0, 16000),
+      Multimodal.MediaRecord(2L, "audio",
+        Multimodal.syntheticWav(2L, 1, 8000), 0, 0, 8000), // 1-sample clip
+      Multimodal.MediaRecord(9L, "audio",
+        "not a wav at all".getBytes("UTF-8"), 0, 0, 44100),
+      Multimodal.MediaRecord(4L, "audio", // RIFF magic, truncated junk
+        "RIFF1234WAVEjunk".getBytes("UTF-8"), 0, 0, 44100))
+      .toDS()
+    val out = Multimodal.decodeAudio(recs, batchSize = 2)
+      .collect().map(r => r.media_id -> r).toMap
+    val d7 = out(7L)
+    assert(d7.decoder === "wavpcm" && d7.sample_rate === 16000 &&
+      d7.channels === 1 && d7.n_samples === 40L)
+    assert(d7.sample_sum === (0 until 40).map(sample(7L, _)).sum)
+    assert(d7.energy ===
+      (0 until 40).map(i => sample(7L, i) * sample(7L, i)).sum)
+    val d2 = out(2L)
+    assert(d2.decoder === "wavpcm" && d2.n_samples === 1L &&
+      d2.sample_sum === sample(2L, 0))
+    // undecodable payloads degrade to the tagged stub, never a throw
+    assert(out(9L).decoder === "stub" && out(9L).n_samples === 0L)
+    assert(out(4L).decoder === "stub")
+  }
+
+  test("decodeAudio: stereo channels sum per frame position") {
+    // hand-built 2-channel WAV: frames (L,R) = (100,-30), (-7,7)
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 2, true, false)
+    val pcm = Array[Short](100, -30, -7, 7)
+    val bytes = new Array[Byte](pcm.length * 2)
+    pcm.zipWithIndex.foreach { case (v, i) =>
+      bytes(2 * i) = (v & 0xff).toByte
+      bytes(2 * i + 1) = ((v >> 8) & 0xff).toByte
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(bytes), fmt, 2L),
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    val out = Multimodal.decodeAudio(Seq(Multimodal.MediaRecord(
+        1L, "audio", bos.toByteArray, 0, 0, 8000)).toDS())
+      .collect().head
+    assert(out.decoder === "wavpcm" && out.channels === 2 &&
+      out.n_samples === 2L)
+    assert(out.sample_sum === 70L) // (100-30) + (-7+7)
+    assert(out.energy === 70L * 70L)
+  }
+
   test("sampleFrames: stride + cap arithmetic, no payload needed") {
     val feats = Multimodal.extractFeatures(Multimodal.fromDocuments(docs))
     val s = Multimodal.sampleFrames(feats, stride = 1, maxN = 2)

@@ -671,6 +671,44 @@ object TextAnalysis {
              |  'wavpcm' AS decoder
              |FROM documents ORDER BY media_id""".stripMargin)),
 
+    // BPE ENCODE — the APPLY side of q155's trainer (tokenization at
+    // corpus scale, the step that actually runs on 100 TB): train 4
+    // merge rules (m=1, exact-greedy), then tokenize EVERY document by
+    // applying the rules in priority order — each rule one greedy
+    // left-to-right fold, chained in step order, which reproduces the
+    // trainer's own final encoding for in-corpus words by
+    // construction. The merge table is driver-side (it IS the model)
+    // and enters the plan as literals — the degenerate broadcast — so
+    // the whole encode is ONE NARROW PASS over the corpus: no shuffle
+    // until the per-doc aggregate, the shape that tokenizes 100 TB.
+    // Output is per-doc word/token counts plus an order-independent
+    // sum of per-word encoding polyhashes — the oracle re-derives the
+    // same 4 rules and replays the same folds, so a wrong rule order,
+    // fold semantics, or separator handling breaks the hash (not just
+    // the counts).
+    QueryDef(
+      "q184_bpe_encode",
+      (s, d) => {
+        val docs = documents(s, d)
+        val (steps, _) = graft.ops.BpeTrainer.train(
+          docs, rounds = 4, batchM = 1, audit = false)
+        val Sep = graft.ops.BpeTrainer.Sep
+        val enc0 = concat_ws(Sep, split(col("word"), ""))
+        val encN = steps.sortBy(_.step).map(st => (st.lhs, st.rhs))
+          .foldLeft(enc0)((e, r) =>
+            graft.ops.BpeTrainer.applyMerges(e, Seq(r)))
+        docs
+          .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("word"))
+          .filter(col("word") =!= "")
+          .withColumn("enc", encN)
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_words"),
+            sum(size(split(col("enc"), Sep)).cast("long")).as("n_tokens"),
+            sum(TextOps.polyHash(col("enc"))).as("enc_hash_sum"))
+          .orderBy(col("doc_id"))
+      },
+      Some(bpeEncodeOracle)),
+
     // Inverted-index construction (the search-index build): term →
     // sorted posting list of containing docs, stopwords excluded by
     // RANK (the 5 highest-df terms — scale-stable where an absolute
@@ -1119,6 +1157,59 @@ object TextAnalysis {
        |UNION ALL SELECT * FROM s3 UNION ALL SELECT * FROM s4
        |UNION ALL SELECT * FROM s5 UNION ALL SELECT * FROM s6
        |ORDER BY step""".stripMargin
+  }
+
+  /** The q184 oracle: re-derive q155's first 4 merge rules (the same
+    * argmax CTE chain as [[bpeOracle]], minus the audit), then encode
+    * every document word by replaying the 4 single-rule folds in step
+    * order and aggregate counts + the per-word polyhash sum. */
+  private def bpeEncodeOracle: String = {
+    def trainRound(r: Int): String = {
+      val prev = s"w${r - 1}"
+      s"""p$r AS (
+         |  SELECT syms[i] AS a, syms[i + 1] AS b, sum(freq) AS n
+         |  FROM (SELECT freq, syms, unnest(range(1, len(syms))) AS i
+         |        FROM (SELECT freq, string_split(enc, chr(31)) AS syms
+         |              FROM $prev))
+         |  GROUP BY 1, 2),
+         |b$r AS (SELECT a, b, n FROM p$r ORDER BY n DESC, a, b LIMIT 1),
+         |w$r AS (
+         |  SELECT freq,
+         |    list_reduce(string_split(enc, chr(31)), (acc, x) ->
+         |      CASE WHEN (acc = b$r.a OR ends_with(acc, chr(31) || b$r.a))
+         |          AND x = b$r.b
+         |        THEN acc || x ELSE acc || chr(31) || x END) AS enc
+         |  FROM $prev, b$r)""".stripMargin
+    }
+    def encodeRound(r: Int): String =
+      s"""e$r AS (
+         |  SELECT doc_id,
+         |    list_reduce(string_split(enc, chr(31)), (acc, x) ->
+         |      CASE WHEN (acc = b$r.a OR ends_with(acc, chr(31) || b$r.a))
+         |          AND x = b$r.b
+         |        THEN acc || x ELSE acc || chr(31) || x END) AS enc
+         |  FROM e${r - 1}, b$r)""".stripMargin
+    s"""WITH w0 AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS freq,
+       |    array_to_string(string_split(word, ''), chr(31)) AS enc
+       |  FROM (SELECT unnest(string_split(text, ' ')) AS word
+       |        FROM documents)
+       |  WHERE word <> '' GROUP BY word),
+       |${(1 to 4).map(trainRound).mkString(",\n")},
+       |dw AS (SELECT doc_id, word FROM
+       |    (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+       |     FROM documents) WHERE word <> ''),
+       |e0 AS (SELECT doc_id,
+       |    array_to_string(string_split(word, ''), chr(31)) AS enc
+       |  FROM dw),
+       |${(1 to 4).map(encodeRound).mkString(",\n")}
+       |SELECT doc_id, count(*) AS n_words,
+       |  CAST(sum(len(string_split(enc, chr(31)))) AS BIGINT) AS n_tokens,
+       |  CAST(sum(list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |    list_transform(string_split(enc, ''),
+       |      c -> CAST(ascii(c) AS BIGINT))),
+       |    (h, c) -> (h * 31 + c) % 1000000007)) AS BIGINT) AS enc_hash_sum
+       |FROM e4 GROUP BY doc_id ORDER BY doc_id""".stripMargin
   }
 
   /** The q181 oracle: the identical 2-round batched trainer in DuckDB.

@@ -1065,6 +1065,79 @@ object Training {
              |  l.centroid_l1
              |FROM f LEFT JOIN p ON f.cid = p.cid
              |JOIN l1 l ON f.cid = l.cid
-             |ORDER BY f.cid""".stripMargin))
+             |ORDER BY f.cid""".stripMargin)),
+
+    // SEMANTIC DEDUP (SemDeDup shape, Abbas et al. '23): embedding-
+    // space near-duplicates found WITHOUT any n² pass — k-means bounds
+    // candidates to same-cluster vectors, and within each cluster the
+    // sorted-radius neighborhood rule (q156's sorted-neighborhood
+    // blocking, lifted to embedding space) compares each vector only
+    // to its next-3 neighbors in (distance-to-centroid, vec_id) order:
+    // near-dups have near-equal radii by the triangle inequality, so
+    // they land adjacent on the sorted axis. One shuffle (cluster
+    // partition), one window pass with lead() — no pair join at all;
+    // O(n·W) exact integer L2 checks total. A vector is DROPPED when a
+    // window-neighbor at distSq ≤ τ=1.2e12 precedes it in rank order
+    // (keep-first = keep-closest-to-centroid, deterministic). Output
+    // per cluster: size, drops, and the dropped-id sum so the oracle
+    // checks WHICH vectors were dropped, not just how many.
+    QueryDef(
+      "q185_semantic_dedup",
+      (s, d) => {
+        val tau = 1200000000000L
+        val vecs = Kmeans.quantize(
+          embeddings(s, d).repartition(s.sparkContext.defaultParallelism))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val (a2, _) = Kmeans.lloyd(vecs, k = 8, rounds = 1, dim = 64)
+        val w = Window.partitionBy(col("cid")).orderBy(col("d"), col("vec_id"))
+        val ranked = a2.join(vecs.select(col("vec_id"), col("q")), "vec_id")
+        val withNbrs = ranked.select(
+          (Seq(col("cid"), col("q")) ++
+            (1 to 3).flatMap(i => Seq(
+              lead(col("vec_id"), i).over(w).as(s"nid$i"),
+              lead(col("q"), i).over(w).as(s"nq$i")))): _*)
+        val dropped = withNbrs
+          .select(col("cid"), col("q"), explode(array((1 to 3).map(i =>
+            struct(col(s"nid$i").as("y_id"), col(s"nq$i").as("qy"))): _*))
+            .as("nbr"))
+          .filter(col("nbr.y_id").isNotNull &&
+            VectorOps.l2DistSq(col("q"), col("nbr.qy")) <= tau)
+          .select(col("cid"), col("nbr.y_id").as("y_id"))
+          .distinct()
+          .groupBy(col("cid"))
+          .agg(count(lit(1)).as("n_dropped"),
+            sum(col("y_id")).as("dropped_id_sum"))
+        a2.groupBy(col("cid")).agg(count(lit(1)).as("n_vectors"))
+          .join(dropped, Seq("cid"), "left")
+          .na.fill(0L, Seq("n_dropped", "dropped_id_sum"))
+          .select(col("cid"), col("n_vectors"), col("n_dropped"),
+            (col("n_vectors") - col("n_dropped")).as("n_kept"),
+            col("dropped_id_sum"))
+          .orderBy(col("cid"))
+      },
+      Some(s"""WITH $kmeansSqlCtes,
+             |r AS (SELECT a.cid, a.vec_id, a.d, v.q,
+             |    row_number() OVER (PARTITION BY a.cid
+             |      ORDER BY a.d, a.vec_id) AS rn
+             |  FROM a2 a JOIN v ON a.vec_id = v.vec_id),
+             |cand AS (SELECT x.cid, y.vec_id AS y_id,
+             |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+             |      list_transform(range(1, len(x.q) + 1),
+             |        i -> (x.q[i] - y.q[i]) * (x.q[i] - y.q[i]))),
+             |      (s, t) -> s + t) AS dist
+             |  FROM r x JOIN r y ON x.cid = y.cid
+             |    AND y.rn > x.rn AND y.rn <= x.rn + 3),
+             |drp AS (SELECT DISTINCT cid, y_id FROM cand
+             |  WHERE dist <= 1200000000000),
+             |da AS (SELECT cid, count(*) AS n_dropped,
+             |    CAST(sum(y_id) AS BIGINT) AS dropped_id_sum
+             |  FROM drp GROUP BY cid),
+             |na AS (SELECT cid, count(*) AS n_vectors FROM a2 GROUP BY cid)
+             |SELECT na.cid, na.n_vectors,
+             |  coalesce(da.n_dropped, 0) AS n_dropped,
+             |  na.n_vectors - coalesce(da.n_dropped, 0) AS n_kept,
+             |  coalesce(da.dropped_id_sum, 0) AS dropped_id_sum
+             |FROM na LEFT JOIN da ON na.cid = da.cid
+             |ORDER BY na.cid""".stripMargin))
   )
 }

@@ -184,22 +184,30 @@ object GraphOps {
     * otherwise spin silently.
     *
     * Input: one row per node (`idCol`, `parentCol`). Output:
-    * (`id`, `root`, `depth`). */
+    * (`id`, `root`, `depth`).
+    *
+    * `validate = false` skips the up-front dangling-pointer pass (one
+    * eager anti-join job over `nodes`) for callers that already
+    * guarantee referential integrity — e.g. a parent column built by a
+    * prior join against the id set. Leave it on anywhere the input is
+    * external: a dangling pointer silently drops its whole subtree. */
   def pointerJumpDepths(nodes: DataFrame, idCol: String, parentCol: String,
-      maxIter: Int = 40): DataFrame = {
+      maxIter: Int = 40, validate: Boolean = true): DataFrame = {
     // Malformed-forest guard: a parent value with no matching node row
     // (dangling pointer) would silently DROP its subtree through the
     // per-round inner self-join below — the same silent-loss class the
     // cycle check hard-fails on. Validate once up front (one anti-join)
     // rather than per round: every parent must exist as an id.
-    val dangling = nodes
-      .select(col(parentCol).as("ptr"))
-      .join(nodes.select(col(idCol).as("id")),
-        col("ptr") === col("id"), "left_anti")
-      .limit(1).count()
-    require(dangling == 0L,
-      s"pointerJumpDepths: some $parentCol values name no $idCol row — " +
-        "dangling pointers would be dropped silently; fix the input")
+    if (validate) {
+      val dangling = nodes
+        .select(col(parentCol).as("ptr"))
+        .join(nodes.select(col(idCol).as("id")),
+          col("ptr") === col("id"), "left_anti")
+        .limit(1).count()
+      require(dangling == 0L,
+        s"pointerJumpDepths: some $parentCol values name no $idCol row — " +
+          "dangling pointers would be dropped silently; fix the input")
+    }
     var state = nodes
       .select(col(idCol).as("id"), col(parentCol).as("ptr"))
       .withColumn("dist", when(col("ptr") === col("id"), 0L).otherwise(1L))

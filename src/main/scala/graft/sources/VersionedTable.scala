@@ -88,7 +88,8 @@ object VersionedTable {
   private case class Manifest(version: Long, action: String,
       files: Seq[String], batchTag: Option[Long], stats: Seq[String],
       schemaJson: Option[String], removes: Seq[String],
-      tombFiles: Seq[(String, String)], tombApplies: Seq[String])
+      tombFiles: Seq[(String, String)], tombApplies: Seq[String],
+      checkAdds: Seq[(String, String)], checkDrops: Seq[String])
 
   private def readManifest(root: String, v: Long): Manifest = {
     val lines = Files.readAllLines(manifestPath(root, v)).asScala.toSeq
@@ -103,7 +104,13 @@ object VersionedTable {
         case other => throw new IllegalStateException(
           s"malformed tombfile line in manifest v$v")
       }),
-      field("tombapply").map(dec))
+      field("tombapply").map(dec),
+      field("check").map(_.split("\\|", -1) match {
+        case Array(n, e) => (dec(n), dec(e))
+        case _ => throw new IllegalStateException(
+          s"malformed check line in manifest v$v")
+      }),
+      field("dropcheck").map(dec))
   }
 
   // ---------------------------------------------------------------------
@@ -123,7 +130,8 @@ object VersionedTable {
       stats: Map[String, Map[String, ColStats]],
       schemaJson: Option[String],
       tombs: Map[String, Vector[String]], // live file -> sidecars, in commit order
-      tombKey: Map[String, String])       // sidecar file -> key column name
+      tombKey: Map[String, String],       // sidecar file -> key column name
+      checks: Map[String, String] = Map.empty) // constraint name -> SQL expr
 
   private[sources] object TableState {
     val empty: TableState =
@@ -145,11 +153,11 @@ object VersionedTable {
     * its tombstones first, so the rewritten files already exclude the
     * deleted rows); `delete-mor` attaches a tombstone sidecar to the
     * named live files and rewrites nothing. */
-  private def applyManifest(st: TableState, m: Manifest): TableState =
-    m.action match {
+  private def applyManifest(st: TableState, m: Manifest): TableState = {
+    val folded = m.action match {
       case "overwrite" =>
         TableState(m.files.toVector, manifestStats(m), m.schemaJson,
-          Map.empty, Map.empty)
+          Map.empty, Map.empty, st.checks)
       case "append" =>
         st.copy(files = st.files ++ m.files,
           stats = st.stats ++ manifestStats(m), schemaJson = m.schemaJson)
@@ -157,7 +165,7 @@ object VersionedTable {
         val gone = m.removes.toSet
         TableState(st.files.filterNot(gone) ++ m.files,
           (st.stats -- gone) ++ manifestStats(m), m.schemaJson,
-          st.tombs -- gone, st.tombKey)
+          st.tombs -- gone, st.tombKey, st.checks)
       case "delete-mor" =>
         val live = st.files.toSet
         val sidecars = m.tombFiles.map(_._1).toVector
@@ -168,6 +176,10 @@ object VersionedTable {
       case other => throw new IllegalStateException(
         s"unknown action '$other' in manifest v${m.version}")
     }
+    // Constraints are table metadata, orthogonal to the file-set
+    // action: adds and drops fold forward on every manifest.
+    folded.copy(checks = folded.checks ++ m.checkAdds -- m.checkDrops)
+  }
 
   /** Resolve the full snapshot state at version `v`: load the newest
     * checkpoint at or below `v` and fold only the manifest SUFFIX on
@@ -284,7 +296,9 @@ object VersionedTable {
           .sortBy(_._1).map { case (sc, k) =>
             s"tombfile=${enc(sc)}|${enc(k)}" } ++
         st.tombs.toSeq.sortBy(_._1).flatMap { case (f, scs) =>
-          scs.map(sc => s"tombmap=${enc(f)}|${enc(sc)}") })
+          scs.map(sc => s"tombmap=${enc(f)}|${enc(sc)}") } ++
+        st.checks.toSeq.sortBy(_._1).map { case (n, e) =>
+          s"check=${enc(n)}|${enc(e)}" })
         .mkString("", "\n", "\n")
     val tmp = Files.createTempFile(logDir(root), s".tmpckpt-v$v-", "")
     Files.write(tmp, body.getBytes("UTF-8"))
@@ -324,8 +338,13 @@ object VersionedTable {
         case _ => throw new IllegalStateException(
           s"malformed tombmap line in checkpoint v$cv")
       }).groupBy(_._1).map { case (f, ps) => f -> ps.map(_._2).toVector }
+      val checks = field("check").map(_.split("\\|", -1) match {
+        case Array(n, e) => (dec(n), dec(e))
+        case _ => throw new IllegalStateException(
+          s"malformed check line in checkpoint v$cv")
+      }).toMap
       (cv, TableState(files, stats, field("schema").headOption.map(dec),
-        tombs, tombKey))
+        tombs, tombKey, checks))
     }
 
   /** Delete manifests STRICTLY BELOW the newest checkpoint <= `below`.
@@ -354,6 +373,107 @@ object VersionedTable {
     doomed.foreach(v => Files.deleteIfExists(manifestPath(root, v)))
     doomed.size
   }
+
+  // ---------------------------------------------------------------------
+  // CHECK constraints — table-level data-quality contracts, the Delta
+  // `ALTER TABLE ADD CONSTRAINT` shape. A constraint is a SQL boolean
+  // expression folded through the manifest log as table METADATA (it
+  // survives overwrite/replace/compaction and round-trips through
+  // checkpoints), and every subsequent [[commit]] rejects a batch with
+  // any row where the expression is strict FALSE — bad data bounces at
+  // the table boundary instead of poisoning every consumer downstream.
+  // ---------------------------------------------------------------------
+
+  /** Active constraints (name → SQL expr) at the latest version. */
+  def checks(root: String): Map[String, String] = {
+    val v = latestVersion(root)
+    if (v < 0) Map.empty else state(root, v).checks
+  }
+
+  /** Add constraint `name` with boolean SQL `expression`. EXISTING rows
+    * must already satisfy it (one metadata+scan job — the Delta
+    * contract: a constraint you could not have appended under cannot
+    * be declared either); the add itself is a metadata-only manifest
+    * (no data write, atomic under the same commit race rules). */
+  def addCheck(spark: SparkSession, root: String, name: String,
+      expression: String): Long = {
+    require(name.nonEmpty && expression.nonEmpty, "empty constraint")
+    val latest = latestVersion(root)
+    require(latest >= 0,
+      s"$root is not a versioned table yet — commit data first")
+    val st = state(root, latest)
+    require(!st.checks.contains(name),
+      s"constraint '$name' already exists (drop it first to replace)")
+    import org.apache.spark.sql.functions.{coalesce, expr, lit, not}
+    val bad = read(spark, root)
+      .filter(coalesce(not(expr(expression)), lit(false)))
+      .limit(1).count()
+    require(bad == 0L,
+      s"cannot add constraint '$name': existing rows violate $expression")
+    val body =
+      (Seq(s"version=${latest + 1}", "action=append") ++
+        st.schemaJson.map(j => s"schema=${enc(j)}").toSeq ++
+        Seq(s"check=${enc(name)}|${enc(expression)}"))
+        .mkString("", "\n", "\n")
+    publish(root, latest + 1, body)
+    latest + 1
+  }
+
+  /** Drop constraint `name` (metadata-only manifest). */
+  def dropCheck(root: String, name: String): Long = {
+    val latest = latestVersion(root)
+    require(latest >= 0 && state(root, latest).checks.contains(name),
+      s"no such constraint '$name'")
+    val st = state(root, latest)
+    val body =
+      (Seq(s"version=${latest + 1}", "action=append") ++
+        st.schemaJson.map(j => s"schema=${enc(j)}").toSeq ++
+        Seq(s"dropcheck=${enc(name)}"))
+        .mkString("", "\n", "\n")
+    publish(root, latest + 1, body)
+    latest + 1
+  }
+
+  // ---------------------------------------------------------------------
+  // Timestamp time travel — `TIMESTAMP AS OF` beside `VERSION AS OF`.
+  // Every manifest carries its commit wall-clock (`ts=`, stamped in
+  // [[publish]]); resolution monotonizes the sequence (running max) so
+  // clock skew between concurrent writers cannot reorder it, then picks
+  // the last version at or before the asked instant — metadata-only,
+  // O(surviving manifests), no data read.
+  // ---------------------------------------------------------------------
+
+  /** Commit wall-clock of version `v` in epoch millis. Manifests from
+    * before timestamp stamping fall back to the manifest file's mtime
+    * (the Delta fallback for the same gap). */
+  def commitTimestamp(root: String, v: Long): Long = {
+    val lines = Files.readAllLines(manifestPath(root, v)).asScala
+    lines.collectFirst { case l if l.startsWith("ts=") => l.drop(3).toLong }
+      .getOrElse(Files.getLastModifiedTime(manifestPath(root, v)).toMillis)
+  }
+
+  /** The version a `TIMESTAMP AS OF tsMillis` read resolves to: the
+    * last version whose (monotonized) commit time is <= the instant.
+    * Fails loudly when the instant predates the first SURVIVING
+    * commit — after [[truncateLog]] that horizon moves up, same as
+    * version time travel. */
+  def versionAsOf(root: String, tsMillis: Long): Long = {
+    val vs = versions(root)
+    require(vs.nonEmpty, s"$root is not a versioned table (empty log)")
+    var adj = Long.MinValue
+    val stamped = vs.map { v =>
+      adj = math.max(adj, commitTimestamp(root, v)); (v, adj)
+    }
+    stamped.takeWhile(_._2 <= tsMillis).lastOption.map(_._1).getOrElse(
+      throw new IllegalArgumentException(
+        s"timestamp $tsMillis predates the first surviving commit " +
+          s"(${stamped.head._2}) — the snapshot is unavailable"))
+  }
+
+  /** Snapshot read as of a wall-clock instant. */
+  def readAsOfTimestamp(spark: SparkSession, root: String,
+      tsMillis: Long): DataFrame =
+    read(spark, root, Some(versionAsOf(root, tsMillis)))
 
   // ---------------------------------------------------------------------
   // Data skipping — per-file column min/max stats in the manifest
@@ -706,9 +826,35 @@ object VersionedTable {
     // replaces the file set, so it may change schema freely. The
     // check compares against METADATA (the previous manifest's schema
     // line), never parquet footers.
-    val prevSchema =
+    val prevState =
       if (latestVersion(root) < 0) None
-      else tableSchema(root, latestVersion(root))
+      else Some(state(root, latestVersion(root)))
+    val prevSchema = prevState.flatMap(schemaOf)
+    // CHECK-constraint enforcement (the Delta ADD CONSTRAINT contract):
+    // every active constraint must hold on the incoming batch — a row
+    // violates when its expression evaluates to strict FALSE (SQL CHECK
+    // semantics: NULL passes; express NOT NULL as `c IS NOT NULL`).
+    // One job over the batch, all constraints in a single pass; the
+    // error names every violated constraint. Enforced on the ingest
+    // path (append/overwrite) — row-edit operators rewrite rows that
+    // already passed.
+    val activeChecks = prevState.map(_.checks).getOrElse(Map.empty)
+    if (activeChecks.nonEmpty) {
+      import org.apache.spark.sql.functions.{coalesce, expr, lit, not}
+      val flagged = activeChecks.toSeq.sortBy(_._1).map { case (n, e) =>
+        n -> coalesce(not(expr(e)), lit(false))
+      }
+      val hit = df.select(flagged.map(_._2): _*)
+        .filter(flagged.map(_._2).reduce(_ || _))
+        .limit(1).collect()
+      if (hit.nonEmpty) {
+        val names = flagged.zipWithIndex
+          .collect { case ((n, _), i) if hit(0).getBoolean(i) => n }
+        throw new IllegalArgumentException(
+          s"commit to $root violates CHECK constraint(s): " +
+            names.map(n => s"$n [${activeChecks(n)}]").mkString("; "))
+      }
+    }
     if (mode == "append") prevSchema.foreach { prev =>
       val byName = df.schema.map(f => f.name -> f.dataType).toMap
       val broken = prev.filter(f => !byName.get(f.name).contains(f.dataType))
@@ -755,8 +901,12 @@ object VersionedTable {
     * manifest. link(2) is atomic AND fails with EEXIST — the loser
     * reliably gets the exception. */
   private def publish(root: String, next: Long, body: String): Unit = {
+    // Commit wall-clock stamp for timestamp time travel ([[versionAsOf]]).
+    // Readers monotonize across versions, so clock skew between writers
+    // cannot make as-of resolution non-deterministic.
+    val stamped = s"ts=${System.currentTimeMillis}\n" + body
     val tmp = Files.createTempFile(logDir(root), s".tmp-v$next-", "")
-    Files.write(tmp, body.getBytes("UTF-8"))
+    Files.write(tmp, stamped.getBytes("UTF-8"))
     try Files.createLink(manifestPath(root, next), tmp)
     catch {
       case _: java.nio.file.FileAlreadyExistsException =>

@@ -475,6 +475,71 @@ class VersionedTableSpec extends SparkSpecBase {
     assert(VersionedTable.read(spark, root).count() == 101)
   }
 
+  test("CHECK constraints: enforced at commit, survive truncation, droppable") {
+    val root = newRoot()
+    VersionedTable.commit(
+      Seq((1L, 5L), (2L, 9L)).toDF("k", "v"), root) // v0
+    VersionedTable.addCheck(spark, root, "v_range", "v BETWEEN 0 AND 10")
+    VersionedTable.addCheck(spark, root, "k_not_null", "k IS NOT NULL")
+    assert(VersionedTable.checks(root).keySet == Set("v_range", "k_not_null"))
+    // violating batch bounces; the table is untouched
+    val before = VersionedTable.latestVersion(root)
+    val e = intercept[IllegalArgumentException] {
+      VersionedTable.commit(Seq((3L, 42L)).toDF("k", "v"), root)
+    }
+    assert(e.getMessage.contains("v_range"))
+    assert(VersionedTable.latestVersion(root) == before)
+    assert(VersionedTable.read(spark, root).count() == 2)
+    // NULL in the checked column passes a CHECK (SQL semantics) but
+    // not an IS NOT NULL constraint
+    val e2 = intercept[IllegalArgumentException] {
+      VersionedTable.commit(
+        Seq((Option.empty[Long], Option(3L))).toDF("k", "v"), root)
+    }
+    assert(e2.getMessage.contains("k_not_null") &&
+      !e2.getMessage.contains("v_range"))
+    // clean batch commits
+    VersionedTable.commit(Seq((3L, 7L)).toDF("k", "v"), root)
+    assert(VersionedTable.read(spark, root).count() == 3)
+    // constraints survive checkpoint + truncateLog (state round-trip)
+    (0 until 12).foreach(i =>
+      VersionedTable.commit(Seq((100L + i, 1L)).toDF("k", "v"), root))
+    VersionedTable.truncateLog(root)
+    intercept[IllegalArgumentException] {
+      VersionedTable.commit(Seq((4L, 99L)).toDF("k", "v"), root)
+    }
+    // cannot declare a constraint existing rows violate
+    intercept[IllegalArgumentException] {
+      VersionedTable.addCheck(spark, root, "v_tiny", "v < 5")
+    }
+    // dropped constraint stops binding
+    VersionedTable.dropCheck(root, "v_range")
+    VersionedTable.commit(Seq((5L, 99L)).toDF("k", "v"), root)
+    assert(VersionedTable.checks(root).keySet == Set("k_not_null"))
+  }
+
+  test("timestamp time travel resolves the last commit at or before the instant") {
+    val root = newRoot()
+    VersionedTable.commit(Seq(1L).toDF("id"), root) // v0
+    Thread.sleep(20)
+    val betweenV0V1 = System.currentTimeMillis
+    Thread.sleep(20)
+    VersionedTable.commit(Seq(2L).toDF("id"), root) // v1
+    Thread.sleep(20)
+    VersionedTable.commit(Seq(3L).toDF("id"), root) // v2
+    assert(VersionedTable.versionAsOf(root, betweenV0V1) == 0L)
+    assert(VersionedTable.readAsOfTimestamp(spark, root, betweenV0V1)
+      .count() == 1)
+    assert(VersionedTable.versionAsOf(root, System.currentTimeMillis) == 2L)
+    // commit times are monotone non-decreasing over versions
+    val ts = (0L to 2L).map(v => VersionedTable.commitTimestamp(root, v))
+    assert(ts == ts.sorted)
+    // an instant before the table existed fails loudly
+    intercept[IllegalArgumentException] {
+      VersionedTable.versionAsOf(root, ts.head - 1000L)
+    }
+  }
+
   test("truncateLog crash window: checkpoints-first order keeps reads correct") {
     val root = newRoot()
     (0 until 100).foreach(i =>

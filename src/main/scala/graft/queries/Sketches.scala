@@ -559,6 +559,123 @@ object Sketches {
              |  a.p99_bin * ${1L << 20} AS p99_lo_micro,
              |  (a.p99_bin + 1) * ${1L << 20} - 1 AS p99_hi_micro
              |FROM agg a JOIN days ON a.event_type = days.event_type
-             |ORDER BY a.event_type""".stripMargin))
+             |ORDER BY a.event_type""".stripMargin)),
+
+    // BOTTOM-K (KMV) SET-SIMILARITY SKETCH — the sketch family's set
+    // operation the HLL/CMS/Bloom trio can't do: the fixed k=16
+    // smallest distinct hash values per source form a mergeable
+    // signature whose pairwise comparison estimates Jaccard WITHOUT
+    // touching the document sets again (Beyer et al. '07 K-minimum-
+    // values). Per pair: merge the two sketches, keep the k smallest
+    // of the union (= the union's KMV sketch), count how many live in
+    // BOTH input sketches — m/|S| estimates |A∩B|/|A∪B|. At 100 TB
+    // the sketches are k rows per source (one shuffle over distinct
+    // hashes builds them all); every pairwise estimate is arithmetic
+    // over tiny broadcast tables — no doc×doc work, and the sketch
+    // table persists for any future pair. The element universe is each
+    // source's distinct 3-word-shingle hash set (sources share
+    // phrasing, so overlaps are non-trivial); the parity-hash family
+    // keeps the
+    // whole pipeline integer-exact, so the oracle replays it
+    // bit-for-bit; exact Jaccard (from the full hash sets) rides
+    // along per pair, the estimator's in-result audit (the q123
+    // recall pattern).
+    QueryDef(
+      "q186_bottomk_jaccard",
+      (s, d) => {
+        val k = 16
+        val h = documents(s, d)
+          .repartition(s.sparkContext.defaultParallelism)
+          .select(col("source"),
+            explode(TextOps.shingleHashes3(TextOps.tokens(col("text"))))
+              .as("h"))
+          .distinct()
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val w = Window.partitionBy(col("source")).orderBy(col("h"))
+        val sk = h.withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= k).drop("rn")
+        val pairs = h.select(col("source").as("sa")).distinct()
+          .join(h.select(col("source").as("sb")).distinct(),
+            col("sa") < col("sb"))
+        // union the two sketches per pair, rank, keep the union's
+        // bottom-k, count members present in both input sketches
+        val est = broadcast(pairs)
+          .join(sk, col("source") === col("sa") || col("source") === col("sb"))
+          .groupBy(col("sa"), col("sb"), col("h"))
+          .agg(max(col("source") === col("sa")).as("in_a"),
+            max(col("source") === col("sb")).as("in_b"))
+          .withColumn("rn", row_number().over(
+            Window.partitionBy(col("sa"), col("sb")).orderBy(col("h"))))
+          .filter(col("rn") <= k)
+          .groupBy(col("sa"), col("sb"))
+          .agg(count(lit(1)).as("s_size"),
+            sum(when(col("in_a") && col("in_b"), 1L).otherwise(0L)).as("m"))
+          .withColumn("est_ppm", expr("m * 1000000 div s_size"))
+        // exact Jaccard from the FULL hash sets (the audit)
+        val exact = broadcast(pairs)
+          .join(h, col("source") === col("sa") || col("source") === col("sb"))
+          .groupBy(col("sa"), col("sb"), col("h"))
+          .agg(max(col("source") === col("sa")).as("in_a"),
+            max(col("source") === col("sb")).as("in_b"))
+          .groupBy(col("sa"), col("sb"))
+          .agg(count(lit(1)).as("n_union"),
+            sum(when(col("in_a") && col("in_b"), 1L).otherwise(0L))
+              .as("n_inter"))
+          .withColumn("exact_ppm", expr("n_inter * 1000000 div n_union"))
+        est.join(exact, Seq("sa", "sb"))
+          .select(col("sa"), col("sb"), col("m"), col("s_size"),
+            col("est_ppm"), col("n_inter"), col("n_union"),
+            col("exact_ppm"))
+          .orderBy(col("sa"), col("sb"))
+      },
+      Some("""WITH t AS (SELECT source, string_split(text, ' ') AS ws
+             |  FROM documents),
+             |th AS (SELECT source, list_transform(ws, w ->
+             |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+             |      list_transform(string_split(w, ''),
+             |        c -> CAST(ascii(c) AS BIGINT))),
+             |      (h, c) -> (h * 31 + c) % 1000000007)) AS th
+             |  FROM t WHERE len(ws) >= 3),
+             |hs AS (SELECT DISTINCT source, h FROM
+             |    (SELECT source, unnest(list_transform(range(1, len(th) - 1),
+             |       i -> (th[i]*1009 + th[i+1]*9176 + th[i+2]) % 1000000007))
+             |       AS h
+             |     FROM th)),
+             |sk AS (SELECT source, h FROM
+             |    (SELECT source, h, row_number() OVER (PARTITION BY source
+             |       ORDER BY h) AS rn FROM hs)
+             |  WHERE rn <= 16),
+             |pr AS (SELECT a.source AS sa, b.source AS sb
+             |  FROM (SELECT DISTINCT source FROM hs) a,
+             |       (SELECT DISTINCT source FROM hs) b
+             |  WHERE a.source < b.source),
+             |um AS (SELECT pr.sa, pr.sb, sk.h,
+             |    max(sk.source = pr.sa) AS in_a,
+             |    max(sk.source = pr.sb) AS in_b
+             |  FROM pr JOIN sk ON sk.source = pr.sa OR sk.source = pr.sb
+             |  GROUP BY pr.sa, pr.sb, sk.h),
+             |topk AS (SELECT * FROM
+             |    (SELECT *, row_number() OVER (PARTITION BY sa, sb
+             |       ORDER BY h) AS rn FROM um)
+             |  WHERE rn <= 16),
+             |est AS (SELECT sa, sb, count(*) AS s_size,
+             |    CAST(sum(CASE WHEN in_a AND in_b THEN 1 ELSE 0 END)
+             |      AS BIGINT) AS m
+             |  FROM topk GROUP BY sa, sb),
+             |fx AS (SELECT pr.sa, pr.sb, hs.h,
+             |    max(hs.source = pr.sa) AS in_a,
+             |    max(hs.source = pr.sb) AS in_b
+             |  FROM pr JOIN hs ON hs.source = pr.sa OR hs.source = pr.sb
+             |  GROUP BY pr.sa, pr.sb, hs.h),
+             |ex AS (SELECT sa, sb, count(*) AS n_union,
+             |    CAST(sum(CASE WHEN in_a AND in_b THEN 1 ELSE 0 END)
+             |      AS BIGINT) AS n_inter
+             |  FROM fx GROUP BY sa, sb)
+             |SELECT e.sa, e.sb, e.m, e.s_size,
+             |  e.m * 1000000 // e.s_size AS est_ppm,
+             |  x.n_inter, x.n_union,
+             |  x.n_inter * 1000000 // x.n_union AS exact_ppm
+             |FROM est e JOIN ex x ON e.sa = x.sa AND e.sb = x.sb
+             |ORDER BY e.sa, e.sb""".stripMargin))
   )
 }

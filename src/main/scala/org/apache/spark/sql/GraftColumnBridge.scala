@@ -14,4 +14,14 @@ import org.apache.spark.sql.catalyst.expressions.Expression
 object GraftColumnBridge {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+
+  /** Re-tag a batch DataFrame as a STREAMING one (isStreaming = true) —
+    * what a DSv1 `Source.getBatch` must return (MicroBatchExecution
+    * asserts it). `internalCreateDataFrame` is `private[sql]`, hence
+    * this bridge; the technique is the one every DSv1 connector uses. */
+  def asStreaming(df: Dataset[Row]): Dataset[Row] = {
+    val ds = df.asInstanceOf[classic.Dataset[Row]]
+    ds.sparkSession.internalCreateDataFrame(
+      ds.queryExecution.toRdd, ds.schema, isStreaming = true)
+  }
 }

@@ -1,0 +1,100 @@
+package graft.sources
+
+import graft.SparkSpecBase
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+/** The table-as-stream contract: a streaming query tailing a
+  * VersionedTable's commit log sees exactly the CDC rows of each
+  * commit, in version order, exactly once — including across a
+  * stop/restart from the checkpointed offset. */
+class ChangeFeedSourceSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private def newRoot(): String =
+    Files.createTempDirectory("graft_cfs_").toString
+
+  test("change feed streams snapshot + appends + MOR deletes as CDC rows") {
+    val root = newRoot()
+    VersionedTable.commit(
+      Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v"), root) // v0
+    VersionedTable.commit(Seq((4L, "d")).toDF("k", "v"), root)   // v1
+    val q = spark.readStream
+      .format("graft-change-feed").option("root", root).load()
+      .writeStream.format("memory").queryName("cf1")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val first = spark.sql("SELECT k, _change, _version FROM cf1")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      assert(first.toSet == Set(
+        (1L, "insert", 0L), (2L, "insert", 0L), (3L, "insert", 0L),
+        (4L, "insert", 1L)))
+      // commits landing WHILE the stream runs arrive as their deltas
+      VersionedTable.commit(Seq((5L, "e")).toDF("k", "v"), root) // v2
+      VersionedTable.deleteKeysMOR(spark, root, "k",
+        Seq(2L).toDF("k"))                                       // v3
+      q.processAllAvailable()
+      val all = spark.sql("SELECT k, _change, _version FROM cf1")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      assert(all.length == first.length + 2)
+      assert(all.toSet.contains((5L, "insert", 2L)))
+      assert(all.toSet.contains((2L, "delete", 3L)))
+    } finally q.stop()
+  }
+
+  test("restart resumes from the checkpointed version — no re-delivery") {
+    val root = newRoot()
+    val ckpt = Files.createTempDirectory("graft_cfs_ck_").toString
+    VersionedTable.commit(Seq(1L, 2L).toDF("k"), root) // v0
+    val seen = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long)]()
+    def run(): org.apache.spark.sql.streaming.StreamingQuery =
+      spark.readStream
+        .format("graft.sources.ChangeFeedSource") // class-name registration
+        .option("path", root).load()
+        .writeStream.option("checkpointLocation", ckpt)
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+          df.select(col("k"), col("_version")).collect()
+            .foreach(r => seen.add((r.getLong(0), r.getLong(1))))
+          ()
+        }.start()
+    val q1 = run()
+    try { q1.processAllAvailable() } finally q1.stop()
+    assert(seen.size == 2) // v0 snapshot
+    // more commits while the stream is DOWN
+    VersionedTable.commit(Seq(3L).toDF("k"), root) // v1
+    VersionedTable.commit(Seq(4L).toDF("k"), root) // v2
+    val q2 = run()
+    try { q2.processAllAvailable() } finally q2.stop()
+    import scala.jdk.CollectionConverters._
+    val delivered = seen.asScala.toSeq
+    // exactly once: v0's rows once (from run 1), v1+v2's rows once
+    assert(delivered.sorted == Seq(
+      (1L, 0L), (2L, 0L), (3L, 1L), (4L, 2L)).sorted,
+      s"delivered=$delivered")
+  }
+
+  test("startingAfterVersion skips history; feed fails without a root") {
+    val root = newRoot()
+    VersionedTable.commit(Seq(1L).toDF("k"), root) // v0
+    VersionedTable.commit(Seq(2L).toDF("k"), root) // v1
+    val q = spark.readStream
+      .format("graft-change-feed").option("root", root)
+      .option("startingAfterVersion", "1")
+      .load()
+      .writeStream.format("memory").queryName("cf3")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.sql("SELECT * FROM cf3").count() == 0) // history skipped
+      VersionedTable.commit(Seq(3L).toDF("k"), root) // v2
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT k, _version FROM cf3").collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+      assert(rows.toSeq == Seq((3L, 2L)))
+    } finally q.stop()
+    intercept[IllegalArgumentException] {
+      spark.readStream.format("graft-change-feed").load()
+    }
+  }
+}

@@ -74,6 +74,63 @@ class ChangeFeedSourceSpec extends SparkSpecBase {
       s"delivered=$delivered")
   }
 
+  test("change feed drives an incremental MV that matches batch recompute") {
+    // The full lakehouse loop: base table -> streaming change feed ->
+    // per-batch delta aggregation -> MV table commit. The MV is only
+    // ever touched with the batch's DELTA (insert = +1, delete = -1
+    // per group) — never a full base recompute — yet must equal the
+    // batch groupBy at every quiescent point, including across a
+    // stream restart from the checkpoint.
+    val base = newRoot()
+    val mv = newRoot()
+    val ckpt = Files.createTempDirectory("graft_cfs_mv_").toString
+    VersionedTable.commit(
+      Seq((1L, "x"), (2L, "x"), (3L, "y")).toDF("k", "g"), base) // v0
+    VersionedTable.commit(Seq((0L, "cnt")).toDF("n", "g").limit(0)
+      .select(col("g"), col("n")), mv) // empty MV, schema (g, n)
+    def run(): org.apache.spark.sql.streaming.StreamingQuery =
+      spark.readStream.format("graft-change-feed").option("root", base)
+        .load()
+        .writeStream.option("checkpointLocation", ckpt)
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+          val delta = df.groupBy(col("g"))
+            .agg(sum(when(col("_change") === "insert", 1L)
+              .otherwise(-1L)).as("dn"))
+          val cur = VersionedTable.read(spark, mv)
+          val next = cur.join(delta, Seq("g"), "full_outer")
+            .select(col("g"),
+              (coalesce(col("n"), lit(0L)) + coalesce(col("dn"), lit(0L)))
+                .as("n"))
+            .filter(col("n") > 0)
+          VersionedTable.commit(next, mv, "overwrite")
+          ()
+        }.start()
+    def mvState(): Map[String, Long] = VersionedTable.read(spark, mv)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    def baseState(): Map[String, Long] = VersionedTable.read(spark, base)
+      .groupBy(col("g")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val q1 = run()
+    try {
+      q1.processAllAvailable()
+      assert(mvState() == Map("x" -> 2L, "y" -> 1L))
+      VersionedTable.commit(Seq((4L, "y"), (5L, "z")).toDF("k", "g"), base)
+      VersionedTable.deleteKeysMOR(spark, base, "k", Seq(1L).toDF("k"))
+      q1.processAllAvailable()
+      assert(mvState() == baseState())
+      assert(mvState() == Map("x" -> 1L, "y" -> 2L, "z" -> 1L))
+    } finally q1.stop()
+    // stream down; base keeps moving; restart catches the MV up
+    VersionedTable.deleteKeysMOR(spark, base, "k", Seq(5L).toDF("k"))
+    VersionedTable.commit(Seq((6L, "x")).toDF("k", "g"), base)
+    val q2 = run()
+    try {
+      q2.processAllAvailable()
+      assert(mvState() == baseState())
+      assert(mvState() == Map("x" -> 2L, "y" -> 2L))
+    } finally q2.stop()
+  }
+
   test("startingAfterVersion skips history; feed fails without a root") {
     val root = newRoot()
     VersionedTable.commit(Seq(1L).toDF("k"), root) // v0

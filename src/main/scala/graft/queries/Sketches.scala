@@ -611,16 +611,23 @@ object Sketches {
           .agg(count(lit(1)).as("s_size"),
             sum(when(col("in_a") && col("in_b"), 1L).otherwise(0L)).as("m"))
           .withColumn("est_ppm", expr("m * 1000000 div s_size"))
-        // exact Jaccard from the FULL hash sets (the audit)
-        val exact = broadcast(pairs)
-          .join(h, col("source") === col("sa") || col("source") === col("sb"))
-          .groupBy(col("sa"), col("sb"), col("h"))
-          .agg(max(col("source") === col("sa")).as("in_a"),
-            max(col("source") === col("sb")).as("in_b"))
+        // exact Jaccard from the FULL hash sets (the audit) — kept
+        // EQUI-join-only so it survives corpus scale: per-source set
+        // sizes from one groupBy, pairwise intersections from a
+        // self-equi-join ON THE HASH (shuffle key = h, never a
+        // pair x corpus nested loop), union by inclusion-exclusion.
+        val sizes = h.groupBy(col("source")).agg(count(lit(1)).as("n"))
+        val inter = h.select(col("source").as("sa"), col("h"))
+          .join(h.select(col("source").as("sb"), col("h")), Seq("h"))
+          .filter(col("sa") < col("sb"))
           .groupBy(col("sa"), col("sb"))
-          .agg(count(lit(1)).as("n_union"),
-            sum(when(col("in_a") && col("in_b"), 1L).otherwise(0L))
-              .as("n_inter"))
+          .agg(count(lit(1)).as("n_inter"))
+        val exact = pairs
+          .join(sizes.select(col("source").as("sa"), col("n").as("na")), "sa")
+          .join(sizes.select(col("source").as("sb"), col("n").as("nb")), "sb")
+          .join(inter, Seq("sa", "sb"), "left")
+          .na.fill(0L, Seq("n_inter"))
+          .withColumn("n_union", expr("na + nb - n_inter"))
           .withColumn("exact_ppm", expr("n_inter * 1000000 div n_union"))
         est.join(exact, Seq("sa", "sb"))
           .select(col("sa"), col("sb"), col("m"), col("s_size"),
@@ -662,15 +669,18 @@ object Sketches {
              |    CAST(sum(CASE WHEN in_a AND in_b THEN 1 ELSE 0 END)
              |      AS BIGINT) AS m
              |  FROM topk GROUP BY sa, sb),
-             |fx AS (SELECT pr.sa, pr.sb, hs.h,
-             |    max(hs.source = pr.sa) AS in_a,
-             |    max(hs.source = pr.sb) AS in_b
-             |  FROM pr JOIN hs ON hs.source = pr.sa OR hs.source = pr.sb
-             |  GROUP BY pr.sa, pr.sb, hs.h),
-             |ex AS (SELECT sa, sb, count(*) AS n_union,
-             |    CAST(sum(CASE WHEN in_a AND in_b THEN 1 ELSE 0 END)
-             |      AS BIGINT) AS n_inter
-             |  FROM fx GROUP BY sa, sb)
+             |sz AS (SELECT source, CAST(count(*) AS BIGINT) AS n
+             |  FROM hs GROUP BY source),
+             |iv AS (SELECT a.source AS sa, b.source AS sb,
+             |    CAST(count(*) AS BIGINT) AS n_inter
+             |  FROM hs a JOIN hs b ON a.h = b.h AND a.source < b.source
+             |  GROUP BY 1, 2),
+             |ex AS (SELECT pr.sa, pr.sb,
+             |    za.n + zb.n - coalesce(iv.n_inter, 0) AS n_union,
+             |    coalesce(iv.n_inter, 0) AS n_inter
+             |  FROM pr JOIN sz za ON za.source = pr.sa
+             |  JOIN sz zb ON zb.source = pr.sb
+             |  LEFT JOIN iv ON iv.sa = pr.sa AND iv.sb = pr.sb)
              |SELECT e.sa, e.sb, e.m, e.s_size,
              |  e.m * 1000000 // e.s_size AS est_ppm,
              |  x.n_inter, x.n_union,

@@ -394,7 +394,14 @@ object VersionedTable {
     * must already satisfy it (one metadata+scan job — the Delta
     * contract: a constraint you could not have appended under cannot
     * be declared either); the add itself is a metadata-only manifest
-    * (no data write, atomic under the same commit race rules). */
+    * (no data write, atomic under the same commit race rules).
+    *
+    * Races with in-flight data commits are safe BY the version race:
+    * a commit that validated against the pre-constraint state must
+    * publish the same version number this add takes, so exactly one
+    * wins the hard link — the loser's retry re-reads state and
+    * re-validates under the new constraint. No
+    * validated-then-stale-commit window exists. */
   def addCheck(spark: SparkSession, root: String, name: String,
       expression: String): Long = {
     require(name.nonEmpty && expression.nonEmpty, "empty constraint")

@@ -709,6 +709,60 @@ object TextAnalysis {
       },
       Some(bpeEncodeOracle)),
 
+    // REPETITION QUALITY FILTER (the Gopher/Rae '21 repetition rules,
+    // the n-gram half): a document whose 3-gram stream is dominated
+    // by repeats is boilerplate/spam — score every doc by (1) its
+    // duplicate-3-gram ratio (1 − distinct/total) and (2) the share
+    // of its single most frequent 3-gram, both in exact integer ppm,
+    // and flag docs crossing the 200k/100k thresholds. Shape: one
+    // narrow explode of ALL 3-gram occurrences (duplicates kept —
+    // that IS the signal; codegen'd WordShingles), one map-side-
+    // combined (doc, shingle) count, one per-doc aggregate — a single
+    // shuffle keyed by doc_id either way, the corpus-linear QA pass a
+    // 100 TB cleaner runs before training. Top-20 worst by dup ratio.
+    QueryDef(
+      "q187_repetition_filter",
+      (s, d) => {
+        val sh = documents(s, d)
+          .repartition(s.sparkContext.defaultParallelism)
+          .select(col("doc_id"), col("source"),
+            explode(TextOps.wordShinglesAll(TextOps.tokens(col("text")), 3))
+              .as("sh"))
+          .groupBy(col("doc_id"), col("source"), col("sh"))
+          .agg(count(lit(1)).as("c"))
+        sh.groupBy(col("doc_id"), col("source"))
+          .agg(sum(col("c")).as("n_sh"),
+            count(lit(1)).as("n_distinct"),
+            max(col("c")).as("max_c"))
+          .withColumn("dup_ppm",
+            expr("(n_sh - n_distinct) * 1000000 div n_sh"))
+          .withColumn("top_ngram_ppm", expr("max_c * 1000000 div n_sh"))
+          .withColumn("flagged",
+            col("dup_ppm") > 200000 || col("top_ngram_ppm") > 100000)
+          .orderBy(col("dup_ppm").desc, col("doc_id"))
+          .limit(20)
+      },
+      Some("""WITH t AS (SELECT doc_id, source, string_split(text, ' ') AS ws
+             |  FROM documents),
+             |sh AS (SELECT doc_id, source,
+             |    unnest(list_transform(range(1, len(ws) - 1),
+             |      i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS sh
+             |  FROM t WHERE len(ws) >= 3),
+             |cnt AS (SELECT doc_id, source, sh, count(*) AS c
+             |  FROM sh GROUP BY 1, 2, 3),
+             |agg AS (SELECT doc_id, source,
+             |    CAST(sum(c) AS BIGINT) AS n_sh,
+             |    CAST(count(*) AS BIGINT) AS n_distinct,
+             |    CAST(max(c) AS BIGINT) AS max_c
+             |  FROM cnt GROUP BY 1, 2)
+             |SELECT doc_id, source, n_sh, n_distinct, max_c,
+             |  (n_sh - n_distinct) * 1000000 // n_sh AS dup_ppm,
+             |  max_c * 1000000 // n_sh AS top_ngram_ppm,
+             |  ((n_sh - n_distinct) * 1000000 // n_sh > 200000
+             |    OR max_c * 1000000 // n_sh > 100000) AS flagged
+             |FROM agg
+             |ORDER BY dup_ppm DESC, doc_id LIMIT 20""".stripMargin)),
+
     // Inverted-index construction (the search-index build): term →
     // sorted posting list of containing docs, stopwords excluded by
     // RANK (the 5 highest-df terms — scale-stable where an absolute

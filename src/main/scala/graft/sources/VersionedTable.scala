@@ -1435,9 +1435,9 @@ object VersionedTable {
           Some(m.files.map(rowsByFile).sum)
         else None
       (m.version, m.action, m.files.size, m.removes.size, nRows,
-        m.batchTag, m.schemaJson.isDefined)
+        m.batchTag, m.schemaJson.isDefined, commitTimestamp(root, v))
     }.toDF("version", "action", "n_files", "n_removed",
-      "n_rows_written", "batch_tag", "has_schema")
+      "n_rows_written", "batch_tag", "has_schema", "commit_ts")
   }
 
   /** Rewrite the current snapshot as ONE overwrite commit with

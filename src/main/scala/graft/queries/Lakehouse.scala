@@ -351,6 +351,60 @@ object Lakehouse {
              |  CAST(1 AS BIGINT) AS n_dirs_reclaimed
              |FROM orders WHERE o_orderkey <= 3000
              |GROUP BY o_orderstatus
-             |ORDER BY o_orderstatus""".stripMargin))
+             |ORDER BY o_orderstatus""".stripMargin)),
+
+    // RESTORE (rollback-as-commit): v0 commits `orders` range-
+    // clustered, v1 is a legitimate copy-on-write DELETE, v2 is the
+    // "bad deploy" — an overwrite that clobbers the table with a tiny
+    // corrupted mart. restore(1) rolls back to the v1 snapshot as a
+    // NEW commit (v3) without reading or writing a single data file:
+    // old dirs are immutable and stats/schema/tombstones are metadata,
+    // so at 100 TB the rollback is a millisecond manifest write — the
+    // operational escape hatch every production table needs (Delta
+    // RESTORE TABLE ... VERSION AS OF). Both sides of the contract sit
+    // under the hash: the restored snapshot answers exactly like the
+    // pre-corruption table, AND the corrupted v2 stays time-travelable
+    // (restore preserves history, it never erases it — erasure is
+    // vacuum's job). Spec side (VersionedTableSpec): no data dir is
+    // written, tombstones/stats/constraints roll back, vacuumed or
+    // truncated targets fail loudly.
+    QueryDef(
+      "q188_restore_rollback",
+      (s, d) => {
+        val root = Files.createTempDirectory("graft_restore_").toString
+        val o = orders(s, d)
+        VersionedTable.commit(
+          o.repartitionByRange(8, col("o_orderkey")), root) // v0
+        // NOTE: at small sf the range may match no file, making the
+        // delete a metadata-only no-op — track versions by RETURN
+        // value, never by assumed arithmetic
+        val vDel = VersionedTable.deleteRanges(s, root,
+          Seq(("o_orderkey", Some(2000L), Some(4000L))))
+        val vBad = VersionedTable.commit( // the bad deploy
+          o.filter(col("o_orderkey") <= 100)
+            .withColumn("o_orderstatus", lit("Z")),
+          root, "overwrite")
+        VersionedTable.restore(root, vDel)
+        def agg(df: org.apache.spark.sql.DataFrame, tag: String) =
+          df.groupBy(col("o_orderstatus"))
+            .agg(count(lit(1)).as("n_orders"),
+              sum(col("o_orderkey")).as("sum_key"))
+            .withColumn("snapshot", lit(tag))
+        agg(VersionedTable.read(s, root), "restored")
+          .unionByName(agg(VersionedTable.read(s, root, Some(vBad)),
+            "bad_deploy"))
+          .orderBy(col("snapshot"), col("o_orderstatus"))
+      },
+      Some("""SELECT o_orderstatus, count(*) AS n_orders,
+             |  CAST(sum(o_orderkey) AS BIGINT) AS sum_key,
+             |  'restored' AS snapshot
+             |FROM orders WHERE o_orderkey NOT BETWEEN 2000 AND 4000
+             |GROUP BY o_orderstatus
+             |UNION ALL
+             |SELECT 'Z' AS o_orderstatus, count(*) AS n_orders,
+             |  CAST(sum(o_orderkey) AS BIGINT) AS sum_key,
+             |  'bad_deploy' AS snapshot
+             |FROM orders WHERE o_orderkey <= 100
+             |ORDER BY snapshot, o_orderstatus""".stripMargin))
   )
 }

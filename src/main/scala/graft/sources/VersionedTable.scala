@@ -89,7 +89,8 @@ object VersionedTable {
       files: Seq[String], batchTag: Option[Long], stats: Seq[String],
       schemaJson: Option[String], removes: Seq[String],
       tombFiles: Seq[(String, String)], tombApplies: Seq[String],
-      checkAdds: Seq[(String, String)], checkDrops: Seq[String])
+      checkAdds: Seq[(String, String)], checkDrops: Seq[String],
+      tombMaps: Seq[(String, String)])
 
   private def readManifest(root: String, v: Long): Manifest = {
     val lines = Files.readAllLines(manifestPath(root, v)).asScala.toSeq
@@ -110,7 +111,15 @@ object VersionedTable {
         case _ => throw new IllegalStateException(
           s"malformed check line in manifest v$v")
       }),
-      field("dropcheck").map(dec))
+      field("dropcheck").map(dec),
+      // file -> sidecar pairs: only [[restore]] manifests carry these
+      // (an overwrite that must re-establish a restored snapshot's
+      // merge-on-read tombstones); plain overwrites have none.
+      field("tombmap").map(_.split("\\|", -1) match {
+        case Array(f, sc) => (dec(f), dec(sc))
+        case _ => throw new IllegalStateException(
+          s"malformed tombmap line in manifest v$v")
+      }))
   }
 
   // ---------------------------------------------------------------------
@@ -156,8 +165,13 @@ object VersionedTable {
   private def applyManifest(st: TableState, m: Manifest): TableState = {
     val folded = m.action match {
       case "overwrite" =>
+        // A plain overwrite resets the tombstones with the file set; a
+        // [[restore]] overwrite re-establishes the target snapshot's
+        // tombstones through its own tombmap/tombfile lines.
         TableState(m.files.toVector, manifestStats(m), m.schemaJson,
-          Map.empty, Map.empty, st.checks)
+          m.tombMaps.groupBy(_._1).map { case (f, ps) =>
+            f -> ps.map(_._2).toVector },
+          m.tombFiles.toMap, st.checks)
       case "append" =>
         st.copy(files = st.files ++ m.files,
           stats = st.stats ++ manifestStats(m), schemaJson = m.schemaJson)
@@ -372,6 +386,60 @@ object VersionedTable {
       .foreach(v => Files.deleteIfExists(checkpointPath(root, v)))
     doomed.foreach(v => Files.deleteIfExists(manifestPath(root, v)))
     doomed.size
+  }
+
+  // ---------------------------------------------------------------------
+  // RESTORE — roll the table back to an earlier snapshot as a NEW
+  // commit (Delta `RESTORE TABLE ... TO VERSION AS OF` semantics).
+  // Because data dirs are immutable and stats/schema/tombstones are all
+  // metadata, a restore is METADATA-ONLY: one overwrite manifest that
+  // re-lists the target snapshot's files, stats, schema, merge-on-read
+  // tombstones, and constraints. No data file is read or written — at
+  // 100 TB a bad deploy rolls back in milliseconds. History is
+  // preserved: the restore lands as version latest+1, so the mistaken
+  // commits remain time-travelable (and the restore itself can be
+  // restored away).
+  // ---------------------------------------------------------------------
+
+  /** Roll back to snapshot `toVersion` as a new commit. Returns the new
+    * version. Fails loudly when the target predates the truncation
+    * horizon (its state is unresolvable) or when any of its data files
+    * or tombstone sidecars has been [[vacuum]]ed (the snapshot is
+    * physically gone — Delta errors identically). Constraints are part
+    * of the snapshot: checks added after `toVersion` are dropped,
+    * checks dropped since are re-added. */
+  def restore(root: String, toVersion: Long): Long = {
+    val latest = latestVersion(root)
+    require(latest >= 0, s"$root is not a versioned table (empty log)")
+    require(toVersion >= 0 && toVersion <= latest,
+      s"restore target $toVersion out of range [0, $latest]")
+    val target = state(root, toVersion) // truncation guard fires in here
+    val missing = (target.files ++ target.tombs.values.flatten.toSeq)
+      .distinct.filterNot(f => Files.exists(Paths.get(root, f)))
+    require(missing.isEmpty,
+      s"cannot restore to v$toVersion: ${missing.size} file(s) of that " +
+        s"snapshot were vacuumed (e.g. ${missing.headOption.getOrElse("")})")
+    val current = state(root, latest)
+    val liveSidecars = target.tombs.values.flatten.toSet
+    val body =
+      (Seq(s"version=${latest + 1}", "action=overwrite",
+        s"restore=$toVersion") ++
+        target.schemaJson.map(j => s"schema=${enc(j)}").toSeq ++
+        target.files.map(f => s"file=$f") ++
+        target.files.flatMap(f =>
+          statsLines(f, target.stats.getOrElse(f, Map.empty))) ++
+        target.tombKey.toSeq.filter(e => liveSidecars(e._1))
+          .sortBy(_._1).map { case (sc, k) =>
+            s"tombfile=${enc(sc)}|${enc(k)}" } ++
+        target.tombs.toSeq.sortBy(_._1).flatMap { case (f, scs) =>
+          scs.map(sc => s"tombmap=${enc(f)}|${enc(sc)}") } ++
+        target.checks.toSeq.sortBy(_._1).map { case (n, e) =>
+          s"check=${enc(n)}|${enc(e)}" } ++
+        current.checks.keySet.diff(target.checks.keySet).toSeq.sorted
+          .map(n => s"dropcheck=${enc(n)}"))
+        .mkString("", "\n", "\n")
+    publish(root, latest + 1, body)
+    latest + 1
   }
 
   // ---------------------------------------------------------------------

@@ -774,4 +774,94 @@ class VersionedTableSpec extends SparkSpecBase {
       yield (w * 1000 + i).toLong)).sorted
     assert(ids == expected, "a concurrent commit lost rows")
   }
+
+  test("restore: metadata-only rollback preserving history") {
+    val root = newRoot()
+    VersionedTable.commit(Seq(1L, 2L).toDF("id"), root) // v0
+    VersionedTable.commit(Seq(3L).toDF("id"), root) // v1
+    VersionedTable.commit(Seq(99L).toDF("id"), root, "overwrite") // v2
+    def dataDirs(): Long = Files.list(Paths.get(root, "data")).count()
+    val dirsBefore = dataDirs()
+    val rv = VersionedTable.restore(root, 1L) // v3 = snapshot of v1
+    assert(rv == 3L)
+    // metadata-only: no data dir written, no file read
+    assert(dataDirs() == dirsBefore, "restore must not write data files")
+    def ids(v: Option[Long]): Seq[Long] =
+      VersionedTable.read(spark, root, v)
+        .collect().map(_.getLong(0)).sorted.toSeq
+    assert(ids(None) == Seq(1L, 2L, 3L), "restored state != v1 snapshot")
+    // history preserved: the mistaken v2 is still time-travelable, and
+    // the restore itself can be restored away
+    assert(ids(Some(2L)) == Seq(99L))
+    VersionedTable.restore(root, 2L) // v4
+    assert(ids(None) == Seq(99L))
+    // a later append builds on the restored snapshot
+    VersionedTable.commit(Seq(100L).toDF("id"), root) // v5
+    assert(ids(None) == Seq(99L, 100L))
+  }
+
+  test("restore re-establishes merge-on-read tombstones and stats") {
+    val root = newRoot()
+    val df = spark.range(0, 8000)
+      .select(col("id").as("k"), (col("id") % 7).as("v"))
+      .repartitionByRange(8, col("k"))
+    VersionedTable.commit(df, root) // v0
+    VersionedTable.deleteKeysMOR(spark, root, "k",
+      Seq(5L, 4005L).toDF("k")) // v1: tombstoned snapshot
+    VersionedTable.commit(Seq((5L, 99L)).toDF("k", "v"), root) // v2
+    val v3 = VersionedTable.restore(root, 1L)
+    assert(v3 == 3L)
+    // the restored snapshot still resolves its tombstones at read time
+    assert(VersionedTable.read(spark, root).count() == 7998)
+    assert(VersionedTable.read(spark, root)
+      .filter(col("k").isin(5L, 4005L)).count() == 0)
+    assert(VersionedTable.snapshotTombstones(root, v3).nonEmpty,
+      "restore dropped the target snapshot's tombstones")
+    // stats restored too: range pruning works on the restored version
+    val (keep, total) = VersionedTable.pruneFiles(root, v3, "k",
+      Some(100L), Some(300L))
+    assert(total == 8 && keep.size <= 2,
+      s"restored stats should prune to <=2 of 8 files, kept ${keep.size}")
+    // restored state round-trips through a checkpoint
+    VersionedTable.checkpoint(root)
+    assert(VersionedTable.read(spark, root).count() == 7998)
+  }
+
+  test("restore: constraints roll back with the snapshot") {
+    val root = newRoot()
+    VersionedTable.commit(Seq(1L, 2L).toDF("id"), root) // v0
+    VersionedTable.addCheck(spark, root, "pos", "id > 0") // v1
+    val v2 = VersionedTable.restore(root, 0L)
+    assert(VersionedTable.checks(root).isEmpty,
+      "restore to a pre-constraint snapshot must drop the constraint")
+    // a batch the dropped constraint would have rejected now commits
+    VersionedTable.commit(Seq(-1L).toDF("id"), root)
+    assert(VersionedTable.read(spark, root).count() == 3)
+    // and restoring forward re-adds it
+    VersionedTable.restore(root, v2 - 1) // back to v1 state
+    assert(VersionedTable.checks(root) == Map("pos" -> "id > 0"))
+    intercept[IllegalArgumentException] {
+      VersionedTable.commit(Seq(-2L).toDF("id"), root)
+    }
+  }
+
+  test("restore fails loudly on vacuumed or truncated targets") {
+    val root = newRoot()
+    VersionedTable.commit(Seq(1L).toDF("id"), root) // v0
+    VersionedTable.commit(Seq(2L).toDF("id"), root, "overwrite") // v1
+    VersionedTable.vacuum(root, retain = 1L, minAgeMs = 0L)
+    val e = intercept[IllegalArgumentException] {
+      VersionedTable.restore(root, 0L)
+    }
+    assert(e.getMessage.contains("vacuum"),
+      s"expected a vacuumed-files error, got: ${e.getMessage}")
+    // truncated target: state() guard must fire through restore
+    val root2 = newRoot()
+    (0 until 12).foreach(i =>
+      VersionedTable.commit(Seq(i.toLong).toDF("id"), root2))
+    VersionedTable.truncateLog(root2) // checkpoint at v10 exists
+    intercept[IllegalArgumentException] {
+      VersionedTable.restore(root2, 3L)
+    }
+  }
 }

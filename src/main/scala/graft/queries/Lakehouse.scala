@@ -405,6 +405,39 @@ object Lakehouse {
              |  CAST(sum(o_orderkey) AS BIGINT) AS sum_key,
              |  'bad_deploy' AS snapshot
              |FROM orders WHERE o_orderkey <= 100
-             |ORDER BY snapshot, o_orderstatus""".stripMargin))
+             |ORDER BY snapshot, o_orderstatus""".stripMargin)),
+
+    // BLOOM-FILTER FILE INDEX: `orders` committed HASH-partitioned on
+    // o_custkey — the layout min/max stats cannot prune (every file
+    // spans nearly the whole key range; this is what a table keyed by
+    // arrival order or a high-cardinality id looks like at 100 TB).
+    // buildBloomIndex makes one distributed pass (per-partition
+    // filters merged per file — bloom union is bitwise OR, mergeable
+    // like every sketch here) and registers one sidecar per file as a
+    // data-free append; the point lookup then opens only the files
+    // whose bloom says "maybe" (~1 of 8 + fpp stragglers) instead of
+    // all of them. A false positive costs one extra file read; a miss
+    // is impossible — so the oracle is the plain WHERE over the raw
+    // table and any unsound skip surfaces as lost rows in the hash.
+    // Spec side (VersionedTableSpec): file counts, rewrite
+    // invalidation, checkpoint round-trip, vacuum retention.
+    QueryDef(
+      "q189_bloom_point_lookup",
+      (s, d) => {
+        val root = Files.createTempDirectory("graft_bloom_").toString
+        VersionedTable.commit(
+          orders(s, d).repartition(8, col("o_custkey")), root) // v0
+        VersionedTable.buildBloomIndex(s, root, "o_custkey") // v1
+        VersionedTable.readPointLookup(s, root, "o_custkey", 97L)
+          .groupBy(col("o_orderstatus"))
+          .agg(count(lit(1)).as("n_orders"),
+            sum(col("o_orderkey")).as("sum_key"))
+          .orderBy(col("o_orderstatus"))
+      },
+      Some("""SELECT o_orderstatus, count(*) AS n_orders,
+             |  CAST(sum(o_orderkey) AS BIGINT) AS sum_key
+             |FROM orders WHERE o_custkey = 97
+             |GROUP BY o_orderstatus
+             |ORDER BY o_orderstatus""".stripMargin))
   )
 }

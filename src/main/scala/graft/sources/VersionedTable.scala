@@ -90,7 +90,8 @@ object VersionedTable {
       schemaJson: Option[String], removes: Seq[String],
       tombFiles: Seq[(String, String)], tombApplies: Seq[String],
       checkAdds: Seq[(String, String)], checkDrops: Seq[String],
-      tombMaps: Seq[(String, String)])
+      tombMaps: Seq[(String, String)],
+      bloomFiles: Seq[(String, String, String)]) // (dataFile, col, sidecar)
 
   private def readManifest(root: String, v: Long): Manifest = {
     val lines = Files.readAllLines(manifestPath(root, v)).asScala.toSeq
@@ -119,6 +120,11 @@ object VersionedTable {
         case Array(f, sc) => (dec(f), dec(sc))
         case _ => throw new IllegalStateException(
           s"malformed tombmap line in manifest v$v")
+      }),
+      field("bloomfile").map(_.split("\\|", -1) match {
+        case Array(f, c, sc) => (dec(f), dec(c), dec(sc))
+        case _ => throw new IllegalStateException(
+          s"malformed bloomfile line in manifest v$v")
       }))
   }
 
@@ -140,7 +146,8 @@ object VersionedTable {
       schemaJson: Option[String],
       tombs: Map[String, Vector[String]], // live file -> sidecars, in commit order
       tombKey: Map[String, String],       // sidecar file -> key column name
-      checks: Map[String, String] = Map.empty) // constraint name -> SQL expr
+      checks: Map[String, String] = Map.empty, // constraint name -> SQL expr
+      blooms: Map[(String, String), String] = Map.empty) // (file, col) -> bloom sidecar
 
   private[sources] object TableState {
     val empty: TableState =
@@ -165,21 +172,32 @@ object VersionedTable {
   private def applyManifest(st: TableState, m: Manifest): TableState = {
     val folded = m.action match {
       case "overwrite" =>
-        // A plain overwrite resets the tombstones with the file set; a
-        // [[restore]] overwrite re-establishes the target snapshot's
-        // tombstones through its own tombmap/tombfile lines.
+        // A plain overwrite resets tombstones and bloom indexes with
+        // the file set; a [[restore]] overwrite re-establishes the
+        // target snapshot's through its own tombmap/tombfile/bloomfile
+        // lines.
         TableState(m.files.toVector, manifestStats(m), m.schemaJson,
           m.tombMaps.groupBy(_._1).map { case (f, ps) =>
             f -> ps.map(_._2).toVector },
-          m.tombFiles.toMap, st.checks)
+          m.tombFiles.toMap, st.checks,
+          m.bloomFiles.map { case (f, c, sc) => (f, c) -> sc }.toMap)
       case "append" =>
+        // bloomfile lines merge in (a [[buildBloomIndex]] commit is a
+        // data-free append); data files appended WITHOUT an index are
+        // simply absent from the map and always read.
         st.copy(files = st.files ++ m.files,
-          stats = st.stats ++ manifestStats(m), schemaJson = m.schemaJson)
+          stats = st.stats ++ manifestStats(m), schemaJson = m.schemaJson,
+          blooms = st.blooms ++
+            m.bloomFiles.map { case (f, c, sc) => (f, c) -> sc })
       case "replace" =>
+        // rewritten files lose their bloom entries (a rewrite changes
+        // the row set; the stale index would be unsound for the new
+        // file and is simply absent until rebuilt)
         val gone = m.removes.toSet
         TableState(st.files.filterNot(gone) ++ m.files,
           (st.stats -- gone) ++ manifestStats(m), m.schemaJson,
-          st.tombs -- gone, st.tombKey, st.checks)
+          st.tombs -- gone, st.tombKey, st.checks,
+          st.blooms.filterNot { case ((f, _), _) => gone(f) })
       case "delete-mor" =>
         val live = st.files.toSet
         val sidecars = m.tombFiles.map(_._1).toVector
@@ -312,7 +330,10 @@ object VersionedTable {
         st.tombs.toSeq.sortBy(_._1).flatMap { case (f, scs) =>
           scs.map(sc => s"tombmap=${enc(f)}|${enc(sc)}") } ++
         st.checks.toSeq.sortBy(_._1).map { case (n, e) =>
-          s"check=${enc(n)}|${enc(e)}" })
+          s"check=${enc(n)}|${enc(e)}" } ++
+        st.blooms.toSeq.filter(e => st.files.contains(e._1._1))
+          .sortBy(_._1).map { case ((f, c), sc) =>
+            s"bloom=${enc(f)}|${enc(c)}|${enc(sc)}" })
         .mkString("", "\n", "\n")
     val tmp = Files.createTempFile(logDir(root), s".tmpckpt-v$v-", "")
     Files.write(tmp, body.getBytes("UTF-8"))
@@ -357,8 +378,13 @@ object VersionedTable {
         case _ => throw new IllegalStateException(
           s"malformed check line in checkpoint v$cv")
       }).toMap
+      val blooms = field("bloom").map(_.split("\\|", -1) match {
+        case Array(f, c, sc) => (dec(f), dec(c)) -> dec(sc)
+        case _ => throw new IllegalStateException(
+          s"malformed bloom line in checkpoint v$cv")
+      }).toMap
       (cv, TableState(files, stats, field("schema").headOption.map(dec),
-        tombs, tombKey, checks))
+        tombs, tombKey, checks, blooms))
     }
 
   /** Delete manifests STRICTLY BELOW the newest checkpoint <= `below`.
@@ -414,7 +440,9 @@ object VersionedTable {
     require(toVersion >= 0 && toVersion <= latest,
       s"restore target $toVersion out of range [0, $latest]")
     val target = state(root, toVersion) // truncation guard fires in here
-    val missing = (target.files ++ target.tombs.values.flatten.toSeq)
+    val missing = (target.files ++ target.tombs.values.flatten.toSeq ++
+      target.blooms.collect {
+        case ((f, _), sc) if target.files.contains(f) => sc })
       .distinct.filterNot(f => Files.exists(Paths.get(root, f)))
     require(missing.isEmpty,
       s"cannot restore to v$toVersion: ${missing.size} file(s) of that " +
@@ -433,6 +461,9 @@ object VersionedTable {
             s"tombfile=${enc(sc)}|${enc(k)}" } ++
         target.tombs.toSeq.sortBy(_._1).flatMap { case (f, scs) =>
           scs.map(sc => s"tombmap=${enc(f)}|${enc(sc)}") } ++
+        target.blooms.toSeq.filter(e => target.files.contains(e._1._1))
+          .sortBy(_._1).map { case ((f, c), sc) =>
+            s"bloomfile=${enc(f)}|${enc(c)}|${enc(sc)}" } ++
         target.checks.toSeq.sortBy(_._1).map { case (n, e) =>
           s"check=${enc(n)}|${enc(e)}" } ++
         current.checks.keySet.diff(target.checks.keySet).toSeq.sorted
@@ -859,6 +890,150 @@ object VersionedTable {
     * append extends, replace swaps named files, delete-mor leaves the
     * set untouched), paths relative to `root`. Resolved from the
     * newest checkpoint plus the manifest suffix — see [[state]]. */
+  // ---------------------------------------------------------------------
+  // Bloom-filter file index — point-lookup data skipping for columns
+  // min/max CANNOT prune (high-cardinality values scattered across
+  // every file: user ids, order keys in arrival order, content
+  // hashes). One sidecar bloom filter per (data file, column), built in
+  // a single distributed pass and registered in the log as a data-free
+  // append; an equality read consults the blooms and opens only the
+  // files that might contain the probe — the Delta/Iceberg bloom-index
+  // capability. Soundness: a bloom answers "definitely absent" or
+  // "maybe present", so skipping is exact (no false skips); files
+  // without an index (appended later, or rewritten since) are simply
+  // read — absence of an index degrades to a scan, never to a wrong
+  // answer. Rewrites (`replace`/`overwrite`) drop the dead files'
+  // entries; [[restore]] and checkpoints round-trip the map; [[vacuum]]
+  // keeps sidecars referenced by retained snapshots.
+  // ---------------------------------------------------------------------
+
+  /** Values are indexed and probed through their CANONICAL STRING form
+    * (Spark's `CAST(col AS STRING)` on the build side, `String.valueOf`
+    * on the probe side — identical for long/int/string, the point-
+    * lookup types). NULLs are never indexed: `col = x` can't match a
+    * NULL row, and nullness pruning has its own stats path. */
+  private def bloomProbe(v: Any): String = String.valueOf(v)
+
+  /** Build a bloom-filter index over `colName` for every live file of
+    * the current snapshot, in ONE distributed pass: per-partition
+    * filters keyed by `input_file_name`, merged per file (bloom union
+    * is bitwise OR — mergeable like every sketch in this engine), then
+    * registered as a data-free append commit. Capacity is sized from
+    * the manifests' per-file row counts; `fpp` is the per-file false-
+    * positive rate (a false positive costs one extra file read, never
+    * a wrong answer). Returns the committed version. */
+  def buildBloomIndex(spark: SparkSession, root: String, colName: String,
+      fpp: Double = 0.01): Long = {
+    import org.apache.spark.sql.functions.{col, input_file_name}
+    import org.apache.spark.util.sketch.BloomFilter
+    import org.apache.spark.sql.Encoders
+    val basis = latestVersion(root)
+    require(basis >= 0, s"$root is not a versioned table (empty log)")
+    val st = state(root, basis)
+    require(st.files.nonEmpty, "empty snapshot: nothing to index")
+    // Uniform capacity = the largest per-file row count (uniform so
+    // per-partition partial filters are bit-compatible for merging);
+    // files without row stats fall back to a roomy default — an
+    // oversized bloom only wastes bits, an undersized one inflates fpp.
+    val expected = math.max(1024L,
+      st.stats.values.flatMap(_.values.map(_.rows)).maxOption
+        .getOrElse(1L << 20))
+    // input_file_name() is a file URI whose exact form (file:/ vs
+    // file:///) varies; key the reverse map by decoded filesystem path
+    val relByAbs = st.files
+      .map(f => Paths.get(root, f).toAbsolutePath.toString -> f).toMap
+    val pairs = readFilesWithSchema(spark, root, schemaOf(st), st.files)
+      .select(input_file_name().as("_f"),
+        col(colName).cast("string").as("_v"))
+      .where(col("_v").isNotNull)
+      .as[(String, String)](Encoders.tuple(Encoders.STRING, Encoders.STRING))
+    val perFile = pairs.mapPartitions { it =>
+        val acc = scala.collection.mutable.Map[String, BloomFilter]()
+        it.foreach { case (f, v) =>
+          acc.getOrElseUpdate(f, BloomFilter.create(expected, fpp))
+            .putString(v) }
+        acc.iterator.map { case (f, bf) =>
+          val bos = new java.io.ByteArrayOutputStream()
+          bf.writeTo(bos)
+          (f, bos.toByteArray) }
+      }(Encoders.tuple(Encoders.STRING, Encoders.BINARY))
+      .groupByKey(_._1)(Encoders.STRING)
+      .reduceGroups { (a, b) =>
+        val x = BloomFilter.readFrom(new java.io.ByteArrayInputStream(a._2))
+        x.mergeInPlace(
+          BloomFilter.readFrom(new java.io.ByteArrayInputStream(b._2)))
+        val bos = new java.io.ByteArrayOutputStream()
+        x.writeTo(bos)
+        (a._1, bos.toByteArray)
+      }
+      .map(_._2)(Encoders.tuple(Encoders.STRING, Encoders.BINARY))
+      .collect() // one (file, serialized bloom) row per live file
+    // Sidecars land under data/ (immutable dirs, same vacuum protocol
+    // as tombstone sidecars) BEFORE the manifest makes them visible.
+    val nonce = java.util.UUID.randomUUID().toString.take(8)
+    val dirRel = s"data/bloomidx-v${basis + 1}-$nonce"
+    Files.createDirectories(Paths.get(root, dirRel))
+    val entries = perFile.toSeq.sortBy(_._1).zipWithIndex.map {
+      case ((abs, bytes), i) =>
+        val rel = f"$dirRel/$i%05d.bf"
+        Files.write(Paths.get(root, rel), bytes)
+        val absPath = new java.net.URI(abs).getPath
+        val dataFile = relByAbs.getOrElse(absPath,
+          throw new IllegalStateException(
+            s"bloom build saw unknown input file $abs"))
+        (dataFile, rel)
+    }
+    val body =
+      (Seq(s"version=${basis + 1}", "action=append") ++
+        st.schemaJson.map(j => s"schema=${enc(j)}").toSeq ++
+        entries.map { case (dataFile, sc) =>
+          s"bloomfile=${enc(dataFile)}|${enc(colName)}|${enc(sc)}" })
+        .mkString("", "\n", "\n")
+    publish(root, basis + 1, body)
+    basis + 1
+  }
+
+  /** The files of snapshot `v` a `col = value` read must open, plus the
+    * total file count: min/max stats prune first (also removes all-null
+    * files), then each surviving file's bloom — if indexed — gets the
+    * final word. Exposed so callers and specs can observe the pruning
+    * ratio (the [[pruneFiles]] sibling for point lookups). */
+  def pruneFilesEquality(root: String, v: Long, colName: String,
+      value: Any): (Seq[String], Int) = {
+    val st = state(root, v)
+    val probe = bloomProbe(value)
+    val cache = scala.collection.mutable.Map[String,
+      org.apache.spark.util.sketch.BloomFilter]()
+    def bloomSays(f: String): Boolean = st.blooms.get((f, colName)) match {
+      case None => true // unindexed file: must read
+      case Some(sc) =>
+        val bf = cache.getOrElseUpdate(sc,
+          org.apache.spark.util.sketch.BloomFilter.readFrom(
+            new java.io.ByteArrayInputStream(
+              Files.readAllBytes(Paths.get(root, sc)))))
+        bf.mightContainString(probe)
+    }
+    (st.files.filter(f =>
+      mayMatch(st.stats.getOrElse(f, Map.empty).get(colName),
+        Some(value), Some(value)) && bloomSays(f)), st.files.size)
+  }
+
+  /** Point-lookup read: `col = value` pruned through min/max stats AND
+    * the bloom index before any file opens. The residual predicate
+    * still applies (blooms prune files, not rows) and tombstones
+    * resolve, so the result equals `read(...).filter(col = value)`
+    * exactly. */
+  def readPointLookup(spark: SparkSession, root: String, colName: String,
+      value: Any, version: Option[Long] = None): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val latest = latestVersion(root)
+    require(latest >= 0, s"$root is not a versioned table (empty log)")
+    val v = version.getOrElse(latest)
+    val (keep, _) = pruneFilesEquality(root, v, colName, value)
+    readResolved(spark, root, state(root, v), keep)
+      .filter(col(colName) === lit(value))
+  }
+
   def snapshotFiles(root: String, v: Long): Seq[String] =
     state(root, v).files
 
@@ -1535,10 +1710,11 @@ object VersionedTable {
     val keep = versions(root).filter(_ >= retain)
       .flatMap { v =>
         val st = state(root, v)
-        // retained snapshots need their DATA files and their tombstone
-        // SIDECARS — vacuuming a live sidecar would resurrect deleted
-        // rows on the next read
-        st.files ++ st.tombs.values.flatten
+        // retained snapshots need their DATA files, their tombstone
+        // SIDECARS (vacuuming a live sidecar would resurrect deleted
+        // rows), and their bloom-index sidecars (losing one silently
+        // degrades point lookups to full scans)
+        st.files ++ st.tombs.values.flatten ++ st.blooms.values
       }
       .map(f => Paths.get(root, f).getParent.getFileName.toString)
       .toSet

@@ -775,6 +775,61 @@ class VersionedTableSpec extends SparkSpecBase {
     assert(ids == expected, "a concurrent commit lost rows")
   }
 
+  test("bloom index: point lookup opens fewer files, stays exact " +
+      "through append/delete/rewrite") {
+    val root = newRoot()
+    // HASH layout: every file spans the whole key range, so min/max
+    // stats cannot prune a point lookup — the case blooms exist for
+    val df = spark.range(0, 8000)
+      .select(col("id").as("k"), (col("id") % 7).as("v"))
+      .repartition(8, col("k"))
+    VersionedTable.commit(df, root) // v0
+    val (keepRange, total) = VersionedTable.pruneFiles(root, 0L, "k",
+      Some(4005L), Some(4005L))
+    assert(total == 8 && keepRange.size == 8,
+      "hash layout should defeat min/max pruning (precondition)")
+    val v1 = VersionedTable.buildBloomIndex(spark, root, "k")
+    assert(v1 == 1L)
+    // the index is a data-free append: file set unchanged
+    assert(VersionedTable.snapshotFiles(root, v1) ==
+      VersionedTable.snapshotFiles(root, 0L))
+    val (keep, tot) = VersionedTable.pruneFilesEquality(root, v1, "k", 4005L)
+    assert(tot == 8 && keep.size <= 2,
+      s"bloom should prune a point lookup to <=2 of 8 files, kept ${keep.size}")
+    assert(VersionedTable.readPointLookup(spark, root, "k", 4005L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      Seq((4005L, 4005L % 7)))
+    // out-of-range probe: min/max stats finish it off entirely
+    assert(VersionedTable.pruneFilesEquality(root, v1, "k", 999999L)
+      ._1.isEmpty)
+    // checkpoint round-trips the index map
+    VersionedTable.checkpoint(root)
+    assert(VersionedTable.pruneFilesEquality(root, v1, "k", 4005L)
+      ._1.size <= 2)
+    // an append WITHOUT an index is always read: new row surfaces
+    VersionedTable.commit(Seq((4005L, 99L)).toDF("k", "v"), root) // v2
+    assert(VersionedTable.readPointLookup(spark, root, "k", 4005L)
+      .count() == 2)
+    // merge-on-read delete: bloom keeps the file, anti-join drops the row
+    VersionedTable.deleteKeysMOR(spark, root, "k", Seq(4005L).toDF("k")) // v3
+    assert(VersionedTable.readPointLookup(spark, root, "k", 4005L).count() == 0)
+    assert(VersionedTable.readPointLookup(spark, root, "k", 4006L).count() == 1)
+    // rewrite: dead files' bloom entries die with them; lookups degrade
+    // to reads, never to wrong answers
+    VersionedTable.compact(spark, root, numFiles = 2) // v4
+    val latest = VersionedTable.latestVersion(root)
+    val (keepAfter, totAfter) =
+      VersionedTable.pruneFilesEquality(root, latest, "k", 4006L)
+    assert(keepAfter.size == totAfter,
+      "rewritten files have no index and must all be read")
+    assert(VersionedTable.readPointLookup(spark, root, "k", 4006L).count() == 1)
+    // reindex the compacted snapshot; vacuum keeps the live sidecars
+    VersionedTable.buildBloomIndex(spark, root, "k") // v5
+    VersionedTable.vacuum(root, retain = 5L, minAgeMs = 0L)
+    assert(VersionedTable.pruneFilesEquality(root, 5L, "k", 4006L)._1.size <= 1)
+    assert(VersionedTable.readPointLookup(spark, root, "k", 4006L).count() == 1)
+  }
+
   test("restore: metadata-only rollback preserving history") {
     val root = newRoot()
     VersionedTable.commit(Seq(1L, 2L).toDF("id"), root) // v0

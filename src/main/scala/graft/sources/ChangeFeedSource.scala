@@ -29,6 +29,11 @@ import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType
   *  - `startingAfterVersion` (default -1): first batch starts AFTER
   *    this version; -1 emits the initial snapshot as inserts first
   *    (Delta's `startingVersion` shape).
+  *  - `maxVersionsPerTrigger` (default unbounded): admission control —
+  *    each micro-batch advances the offset by at most this many
+  *    commits, so a stream starting against a long backlog (or a
+  *    bursty upstream) processes it in bounded bites instead of one
+  *    giant catch-up batch (Delta's `maxFilesPerTrigger` shape).
   *
   * Register by class name (`.format("graft.sources.ChangeFeedSource")`)
   * or by the `graft-change-feed` short name (META-INF service file).
@@ -47,6 +52,14 @@ class ChangeFeedSource extends StreamSourceProvider with DataSourceRegister {
   private def startAfter(parameters: Map[String, String]): Long =
     parameters.map { case (k, v) => k.toLowerCase -> v }
       .get("startingafterversion").map(_.toLong).getOrElse(-1L)
+
+  private def maxPerTrigger(parameters: Map[String, String]): Option[Long] =
+    parameters.map { case (k, v) => k.toLowerCase -> v }
+      .get("maxversionspertrigger").map { v =>
+        val n = v.toLong
+        require(n > 0, s"maxVersionsPerTrigger must be positive, got $n")
+        n
+      }
 
   /** The feed schema: the TABLE's metadata-tracked schema plus the two
     * CDC columns. Resolved once at stream start — schema evolution
@@ -74,7 +87,8 @@ class ChangeFeedSource extends StreamSourceProvider with DataSourceRegister {
     val rootDir = root(parameters)
     new ChangeFeedSource.VersionTail(sqlContext, rootDir,
       startAfter(parameters),
-      schema.getOrElse(feedSchema(rootDir)))
+      schema.getOrElse(feedSchema(rootDir)),
+      maxPerTrigger(parameters), metadataPath)
   }
 }
 
@@ -86,17 +100,55 @@ object ChangeFeedSource {
     case other => other.json.toLong
   }
 
-  /** The tailing [[Source]]: offset = latest committed table version. */
+  /** The tailing [[Source]]: offset = latest committed table version.
+    *
+    * Rate limiting needs a HIGH-WATER MARK that survives restart: a
+    * capped [[getOffset]] computed from a fresh in-memory zero could
+    * return an offset BELOW the engine's committed one after a
+    * fully-committed restart (the engine doesn't replay committed
+    * batches, so the source never sees them), and the next batch range
+    * would run backwards. The mark is persisted in the source's own
+    * `metadataPath` inside the streaming checkpoint — the
+    * FileStreamSource pattern — advanced on every [[getBatch]], so a
+    * restarted capped stream resumes forward from where the engine
+    * actually got to. Unlimited streams never need it (the offset is
+    * always the true log head). */
   private[sources] final class VersionTail(sqlContext: SQLContext,
-      root: String, startAfter: Long, feedSchema: StructType)
+      root: String, startAfter: Long, feedSchema: StructType,
+      maxPerTrigger: Option[Long], metadataPath: String)
       extends Source {
+
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+
+    private val hwmFile = Paths.get(metadataPath, "graft-version-hwm")
+
+    /** Highest batch END version handed to the engine so far. */
+    private var handedOut: Long =
+      if (Files.exists(hwmFile))
+        math.max(startAfter, new String(Files.readAllBytes(hwmFile),
+          java.nio.charset.StandardCharsets.UTF_8).trim.toLong)
+      else startAfter
+
+    private def persistHwm(v: Long): Unit = {
+      Files.createDirectories(hwmFile.getParent)
+      val tmp = Files.createTempFile(hwmFile.getParent, ".hwm", "")
+      Files.write(tmp, v.toString.getBytes(
+        java.nio.charset.StandardCharsets.UTF_8))
+      Files.move(tmp, hwmFile, StandardCopyOption.REPLACE_EXISTING,
+        StandardCopyOption.ATOMIC_MOVE)
+    }
 
     override def schema: StructType = feedSchema
 
-    /** One log listing; None until there is a version past the start. */
+    /** One log listing; None until there is a version past the start.
+      * With `maxVersionsPerTrigger` the returned offset advances by at
+      * most that many commits past the high-water mark. */
     override def getOffset: Option[Offset] = {
       val latest = VersionedTable.latestVersion(root)
-      if (latest <= startAfter) None else Some(LongOffset(latest))
+      val capped = maxPerTrigger
+        .fold(latest)(m => math.min(latest, handedOut + m))
+      if (capped <= handedOut || capped <= startAfter) None
+      else Some(LongOffset(capped))
     }
 
     /** CDC rows of the commits in `(start, end]` — delegates to the
@@ -104,9 +156,13 @@ object ChangeFeedSource {
       * construction), re-tagged streaming for the DSv1 contract. */
     override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
       val after = start.map(offsetVersion).getOrElse(startAfter)
+      val to = offsetVersion(end)
+      if (to > handedOut) {
+        handedOut = to
+        if (maxPerTrigger.isDefined) persistHwm(to)
+      }
       GraftColumnBridge.asStreaming(
-        VersionedTable.changes(sqlContext.sparkSession, root,
-          after, offsetVersion(end)))
+        VersionedTable.changes(sqlContext.sparkSession, root, after, to))
     }
 
     override def stop(): Unit = ()

@@ -154,4 +154,43 @@ class ChangeFeedSourceSpec extends SparkSpecBase {
       spark.readStream.format("graft-change-feed").load()
     }
   }
+
+  test("maxVersionsPerTrigger bounds each micro-batch and survives restart") {
+    val root = newRoot()
+    val ckpt = Files.createTempDirectory("graft_cfs_rl_").toString
+    (0 until 5).foreach(i =>
+      VersionedTable.commit(Seq(i.toLong).toDF("k"), root)) // v0..v4
+    val batches =
+      new java.util.concurrent.ConcurrentLinkedQueue[Seq[Long]]()
+    def run(): org.apache.spark.sql.streaming.StreamingQuery =
+      spark.readStream.format("graft-change-feed")
+        .option("root", root).option("maxVersionsPerTrigger", "2").load()
+        .writeStream.option("checkpointLocation", ckpt)
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+          batches.add(df.select(col("_version")).distinct().collect()
+            .map(_.getLong(0)).sorted.toSeq)
+          ()
+        }.start()
+    val q1 = run()
+    try q1.processAllAvailable() finally q1.stop()
+    import scala.jdk.CollectionConverters._
+    val bs = batches.asScala.toSeq.filter(_.nonEmpty)
+    assert(bs.forall(_.size <= 2),
+      s"a batch exceeded the 2-version cap: $bs")
+    assert(bs.flatten.sorted == Seq(0L, 1L, 2L, 3L, 4L),
+      s"backlog not fully drained exactly once: $bs")
+    assert(bs.size >= 3, s"5 versions at <=2/batch needs >=3 batches: $bs")
+    // restart against a NEW backlog: the cap still applies and the
+    // persisted high-water mark prevents both re-delivery and a
+    // capped offset running backwards past the committed one
+    (5 until 9).foreach(i =>
+      VersionedTable.commit(Seq(i.toLong).toDF("k"), root)) // v5..v8
+    batches.clear()
+    val q2 = run()
+    try q2.processAllAvailable() finally q2.stop()
+    val bs2 = batches.asScala.toSeq.filter(_.nonEmpty)
+    assert(bs2.forall(_.size <= 2), s"post-restart cap violated: $bs2")
+    assert(bs2.flatten.sorted == Seq(5L, 6L, 7L, 8L),
+      s"post-restart delivery wrong: $bs2")
+  }
 }

@@ -818,6 +818,78 @@ object Dedup {
              |  CAST(levenshtein(name_a, name_b) AS INT) AS lev
              |FROM cand
              |ORDER BY lev, name_a, name_b, key_a, key_b
-             |LIMIT 20""".stripMargin))
+             |LIMIT 20""".stripMargin)),
+
+    // CONTENT-DEFINED CHUNKING dedup (the FastCDC/rsync idea lifted to
+    // token streams): chunk boundaries are declared where the word's
+    // own hash satisfies `polyHash(w) % 16 == 0`, so a boundary
+    // depends ONLY on local content — insert a paragraph into a
+    // document and every chunk outside the edit keeps its identity,
+    // which fixed-width blocks (q140's k-grams at fixed positions)
+    // lose to the shift. Chunk identity = md5 of the in-order words;
+    // duplicate-chunk mass per source is the storage/near-dup signal a
+    // CAS-style corpus store runs on. Shape: one narrow posexplode,
+    // one doc_id-keyed window cumsum to number chunks, one bounded-key
+    // (doc, chunk) aggregate, and a final per-source rollup where
+    // distinct-counting shuffles constant-width (source, md5) keys —
+    // corpus-linear, no pairwise work anywhere. Expected chunk length
+    // is the 16-word geometric mean; the hash is the engine-portable
+    // q37 fold so the oracle reproduces boundaries bit-for-bit.
+    QueryDef(
+      "q190_cdc_chunk_dedup",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val byPos = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+        documents(s, d)
+          .repartition(s.sparkContext.defaultParallelism)
+          .select(col("doc_id"), col("source"),
+            posexplode(TextOps.tokens(col("text"))).as(Seq("pos", "w")))
+          .withColumn("brk",
+            when(TextOps.polyHash(col("w")) % 16 === 0, 1L).otherwise(0L))
+          .withColumn("chunk", sum(col("brk"))
+            .over(byPos.rowsBetween(Window.unboundedPreceding, 0)))
+          .groupBy(col("doc_id"), col("source"), col("chunk"))
+          .agg(
+            md5(array_join(
+              transform(
+                array_sort(collect_list(struct(col("pos"), col("w")))),
+                x => x.getField("w")), " ")).as("h"),
+            count(lit(1)).as("chunk_words"))
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_chunks"),
+            countDistinct(col("h")).as("n_distinct"),
+            sum(col("chunk_words")).as("n_words"))
+          .withColumn("dup_chunk_ppm",
+            expr("(n_chunks - n_distinct) * 1000000 div n_chunks"))
+          .orderBy(col("source"))
+      },
+      Some("""WITH w AS (
+             |  SELECT doc_id, source,
+             |    unnest(string_split(text, ' ')) AS w,
+             |    generate_subscripts(string_split(text, ' '), 1) AS pos
+             |  FROM documents),
+             |b AS (
+             |  SELECT doc_id, source, pos, w,
+             |    CASE WHEN list_reduce(list_prepend(CAST(0 AS BIGINT),
+             |        list_transform(string_split(w, ''),
+             |          c -> CAST(ascii(c) AS BIGINT))),
+             |        (h, c) -> (h*31 + c) % 1000000007) % 16 = 0
+             |      THEN 1 ELSE 0 END AS brk
+             |  FROM w),
+             |c AS (
+             |  SELECT doc_id, source, pos, w,
+             |    sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS chunk
+             |  FROM b),
+             |g AS (
+             |  SELECT doc_id, source, chunk,
+             |    md5(string_agg(w, ' ' ORDER BY pos)) AS h,
+             |    count(*) AS chunk_words
+             |  FROM c GROUP BY doc_id, source, chunk)
+             |SELECT source, count(*) AS n_chunks,
+             |  CAST(count(DISTINCT h) AS BIGINT) AS n_distinct,
+             |  CAST(sum(chunk_words) AS BIGINT) AS n_words,
+             |  CAST((count(*) - count(DISTINCT h)) * 1000000 // count(*)
+             |    AS BIGINT) AS dup_chunk_ppm
+             |FROM g GROUP BY source ORDER BY source""".stripMargin))
   )
 }

@@ -1138,6 +1138,86 @@ object Training {
              |  na.n_vectors - coalesce(da.n_dropped, 0) AS n_kept,
              |  coalesce(da.dropped_id_sum, 0) AS dropped_id_sum
              |FROM na LEFT JOIN da ON na.cid = da.cid
-             |ORDER BY na.cid""".stripMargin))
+             |ORDER BY na.cid""".stripMargin)),
+
+    // DSIR-shaped importance ranking (Xie et al. '23: Data Selection
+    // via Importance Resampling): rank raw-corpus documents by how
+    // much their hashed n-gram feature profile looks like a TARGET
+    // distribution (here: the corpus's English documents — "select
+    // web data that looks like my curated set"). Features are
+    // hashed-word buckets (64 of them — the fixed-dimension trick
+    // that makes the estimator corpus-size-independent); DSIR's
+    // per-doc log-likelihood ratio Σ n_f·log(p_t(f)/p_r(f)) is
+    // replaced by the cross-multiplied LINEAR form
+    //   score = Σ_f n_f · (c_t(f)·R − c_r(f)·T)
+    // (positive exactly when the bucket is target-enriched) because
+    // log is libm territory — no two engines round it identically,
+    // while this form is integer-exact in DECIMAL(38,0) at any scale.
+    // Shape: one narrow explode (one (doc, bucket) shuffle), the two
+    // 64-row distribution tables aggregate map-side and BROADCAST
+    // back, per-doc score is one more bounded-key aggregate — no
+    // pairwise anything, corpus-linear at 100 TB. In-result evidence:
+    // lang rides along, so the hash check pins that English docs
+    // dominate the top of the ranking.
+    QueryDef(
+      "q191_dsir_importance",
+      (s, d) => {
+        val feats = documents(s, d)
+          .repartition(s.sparkContext.defaultParallelism)
+          .select(col("doc_id"), col("lang"),
+            explode(TextOps.tokens(col("text"))).as("w"))
+          .withColumn("b", TextOps.polyHash(col("w")) % 64)
+          .groupBy(col("doc_id"), col("lang"), col("b"))
+          .agg(count(lit(1)).as("n_f"))
+          .persist()
+        val target = feats.filter(col("lang") === "en")
+          .groupBy(col("b")).agg(sum(col("n_f")).as("ct"))
+        val raw = feats.groupBy(col("b")).agg(sum(col("n_f")).as("cr"))
+        val totals = target.agg(sum(col("ct")).as("t_tot"))
+          .crossJoin(raw.agg(sum(col("cr")).as("r_tot")))
+        val dist = broadcast(raw.join(target, Seq("b"), "left")
+          .na.fill(0L, Seq("ct")).crossJoin(totals))
+        feats.join(dist, Seq("b"))
+          .groupBy(col("doc_id"), col("lang"))
+          .agg(sum(expr(
+            "CAST(n_f AS DECIMAL(38,0)) * (ct * r_tot - cr * t_tot)"))
+            .as("score"))
+          .select(col("doc_id"), col("lang"),
+            col("score").cast("decimal(38,0)").as("score"))
+          .orderBy(col("score").desc, col("doc_id"))
+          .limit(20)
+      },
+      Some("""WITH f AS (
+             |  SELECT doc_id, lang,
+             |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+             |      list_transform(string_split(w, ''),
+             |        c -> CAST(ascii(c) AS BIGINT))),
+             |      (h, c) -> (h*31 + c) % 1000000007) % 64 AS b
+             |  FROM (SELECT doc_id, lang,
+             |          unnest(string_split(text, ' ')) AS w
+             |        FROM documents)),
+             |nf AS (
+             |  SELECT doc_id, lang, b, count(*) AS n_f
+             |  FROM f GROUP BY doc_id, lang, b),
+             |tgt AS (
+             |  SELECT b, CAST(sum(n_f) AS BIGINT) AS ct
+             |  FROM nf WHERE lang = 'en' GROUP BY b),
+             |raw AS (
+             |  SELECT b, CAST(sum(n_f) AS BIGINT) AS cr
+             |  FROM nf GROUP BY b),
+             |tot AS (
+             |  SELECT (SELECT CAST(sum(ct) AS BIGINT) FROM tgt) AS t_tot,
+             |         (SELECT CAST(sum(cr) AS BIGINT) FROM raw) AS r_tot),
+             |dist AS (
+             |  SELECT raw.b, coalesce(tgt.ct, 0) AS ct, raw.cr,
+             |    tot.t_tot, tot.r_tot
+             |  FROM raw LEFT JOIN tgt ON raw.b = tgt.b CROSS JOIN tot)
+             |SELECT nf.doc_id, nf.lang,
+             |  CAST(sum(CAST(n_f AS DECIMAL(38,0))
+             |    * (ct * r_tot - cr * t_tot)) AS DECIMAL(38,0)) AS score
+             |FROM nf JOIN dist ON nf.b = dist.b
+             |GROUP BY nf.doc_id, nf.lang
+             |ORDER BY score DESC, doc_id
+             |LIMIT 20""".stripMargin))
   )
 }

@@ -1170,7 +1170,65 @@ object TextAnalysis {
           .toDF("round", "rank", "lhs", "rhs", "merged", "pair_n")
           .orderBy(col("round"), col("rank"))
       },
-      Some(bpeBatchedOracle))
+      Some(bpeBatchedOracle)),
+
+    // VOCABULARY COVERAGE / OOV RATE: build the top-k corpus
+    // vocabulary (count desc, word asc — fully tie-broken so both
+    // engines pick the identical set; k=16 against the synthetic
+    // 31-word vocabulary ≈ a 32k vocab against open-web text — the
+    // fixture keeps the rare tail measurable), then measure per
+    // language what
+    // fraction of token mass falls outside it — the coverage audit run
+    // before freezing a tokenizer (high OOV in a language = its text
+    // will fragment into bytes/unknowns and train badly). Shape: one
+    // explode into (lang, word) counts (map-side combined), the word
+    // ranking is a window over the VOCABULARY-sized aggregate (the
+    // documented bounded-aggregate exception; at open-web vocab scale
+    // swap in TopKAgg/CMS heavy-hitters — q65/q169 — for the exact
+    // rank), vocab BROADCASTs back, and the per-lang rollup is 5 rows.
+    // Integer-exact: oov_ppm = oov·10⁶ div tokens.
+    QueryDef(
+      "q193_vocab_oov",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val lw = documents(s, d)
+          .repartition(s.sparkContext.defaultParallelism)
+          .select(col("lang"), explode(TextOps.tokens(col("text"))).as("w"))
+          .groupBy(col("lang"), col("w"))
+          .agg(count(lit(1)).as("n"))
+          .persist()
+        val vocab = lw.groupBy(col("w")).agg(sum(col("n")).as("cnt"))
+          .withColumn("rk", row_number().over(
+            Window.orderBy(col("cnt").desc, col("w"))))
+          .filter(col("rk") <= 16)
+          .select(col("w"))
+        lw.join(broadcast(vocab.withColumn("in_vocab", lit(1L))),
+            Seq("w"), "left")
+          .groupBy(col("lang"))
+          .agg(sum(col("n")).as("n_tokens"),
+            sum(when(col("in_vocab").isNull, col("n")).otherwise(0L))
+              .as("n_oov"))
+          .withColumn("oov_ppm", expr("n_oov * 1000000 div n_tokens"))
+          .orderBy(col("lang"))
+      },
+      Some("""WITH lw AS (
+             |  SELECT lang, unnest(string_split(text, ' ')) AS w
+             |  FROM documents),
+             |c AS (
+             |  SELECT lang, w, CAST(count(*) AS BIGINT) AS n
+             |  FROM lw GROUP BY lang, w),
+             |v AS (
+             |  SELECT w FROM (
+             |    SELECT w, row_number() OVER (
+             |      ORDER BY sum(n) DESC, w) AS rk
+             |    FROM c GROUP BY w) WHERE rk <= 16)
+             |SELECT lang, CAST(sum(n) AS BIGINT) AS n_tokens,
+             |  CAST(sum(CASE WHEN v.w IS NULL THEN n ELSE 0 END)
+             |    AS BIGINT) AS n_oov,
+             |  CAST(sum(CASE WHEN v.w IS NULL THEN n ELSE 0 END) * 1000000
+             |    // sum(n) AS BIGINT) AS oov_ppm
+             |FROM c LEFT JOIN v ON c.w = v.w
+             |GROUP BY lang ORDER BY lang""".stripMargin))
   )
 
   /** The q155 oracle: the identical 6-round greedy-merge fixpoint in

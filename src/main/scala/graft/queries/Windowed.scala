@@ -2138,6 +2138,95 @@ object Windowed {
              |    AS BIGINT) AS n_churned,
              |  CAST(sum(CASE WHEN kind IN ('new', 'retained',
              |    'resurrected') THEN 1 ELSE 0 END) AS BIGINT) AS n_active
-             |FROM u GROUP BY day ORDER BY day""".stripMargin))
+             |FROM u GROUP BY day ORDER BY day""".stripMargin)),
+
+    // MULTIVARIATE OLS VIA GRAM-MATRIX AGGREGATION: fit, per event
+    // type, daily_count = a + b·day + c·is_weekend by the closed-form
+    // normal equations — the DISTRIBUTED shape for linear models: the
+    // whole fit reduces to O(d²) Gram sums (n, Σx, Σxxᵀ, Σxy), which
+    // aggregate map-side-partial like any other sum; the 3×3 solve is
+    // Cramer's rule in plain integer arithmetic ON THE AGGREGATE (no
+    // driver collect, no gradient loop, no libm — the matrix inverse
+    // a 100 TB regression actually computes is this, per partition,
+    // merged). Exact-rational output: coef_ppm = num·10⁶ div det with
+    // both engines truncating toward zero, so negative trends are
+    // hash-safe. Long envelope holds to ~1e9 events/day (num·10⁶ <
+    // 2⁶³); past that the sums widen to DECIMAL(38,0) — the q112
+    // pattern. x1 is the epoch-day re-based by a fixed constant
+    // (smaller cross-products; any fixed base gives the same fit at
+    // shifted intercept, and BOTH engines use the same base so the
+    // check is exact). Weekend = epoch-day mod 7 ∈ {2,3} (day 0,
+    // 1970-01-01, was a Thursday).
+    QueryDef(
+      "q192_ols_gram_trend",
+      (s, d) => {
+        val daily = eventsNorm(s, d)
+          .groupBy(col("event_type"), expr("ts_sec div 86400").as("day"))
+          .agg(count(lit(1)).as("c"))
+          .withColumn("x1", col("day") - 19700L)
+          .withColumn("x2",
+            expr("CASE WHEN day % 7 IN (2, 3) THEN 1L ELSE 0L END"))
+        daily.groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("x1")).as("sx1"), sum(col("x2")).as("sx2"),
+            sum(expr("x1 * x1")).as("s11"),
+            sum(expr("x1 * x2")).as("s12"),
+            sum(expr("x2 * x2")).as("s22"),
+            sum(col("c")).as("sy"),
+            sum(expr("x1 * c")).as("s1y"),
+            sum(expr("x2 * c")).as("s2y"))
+          .withColumn("det", expr(
+            """n * (s11*s22 - s12*s12) - sx1 * (sx1*s22 - s12*sx2)
+              | + sx2 * (sx1*s12 - s11*sx2)""".stripMargin))
+          .withColumn("a_ppm", expr(
+            """(sy * (s11*s22 - s12*s12) - sx1 * (s1y*s22 - s12*s2y)
+              | + sx2 * (s1y*s12 - s11*s2y)) * 1000000 div det""".stripMargin))
+          .withColumn("b_ppm", expr(
+            """(n * (s1y*s22 - s2y*s12) - sy * (sx1*s22 - s12*sx2)
+              | + sx2 * (sx1*s2y - s1y*sx2)) * 1000000 div det""".stripMargin))
+          .withColumn("c_ppm", expr(
+            """(n * (s11*s2y - s12*s1y) - sx1 * (sx1*s2y - s1y*sx2)
+              | + sy * (sx1*s12 - s11*sx2)) * 1000000 div det""".stripMargin))
+          .select(col("event_type"), col("n"), col("sy"), col("det"),
+            col("a_ppm"), col("b_ppm"), col("c_ppm"))
+          .orderBy(col("event_type"))
+      },
+      Some("""WITH daily AS (
+             |  SELECT event_type,
+             |    (epoch_ns(ts) // 1000000000) // 86400 AS day,
+             |    CAST(count(*) AS BIGINT) AS c
+             |  FROM events GROUP BY 1, 2),
+             |x AS (
+             |  SELECT event_type, c, day - 19700 AS x1,
+             |    CASE WHEN day % 7 IN (2, 3) THEN CAST(1 AS BIGINT)
+             |         ELSE CAST(0 AS BIGINT) END AS x2
+             |  FROM daily),
+             |g AS (
+             |  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+             |    CAST(sum(x1) AS BIGINT) AS sx1,
+             |    CAST(sum(x2) AS BIGINT) AS sx2,
+             |    CAST(sum(x1*x1) AS BIGINT) AS s11,
+             |    CAST(sum(x1*x2) AS BIGINT) AS s12,
+             |    CAST(sum(x2*x2) AS BIGINT) AS s22,
+             |    CAST(sum(c) AS BIGINT) AS sy,
+             |    CAST(sum(x1*c) AS BIGINT) AS s1y,
+             |    CAST(sum(x2*c) AS BIGINT) AS s2y
+             |  FROM x GROUP BY event_type)
+             |SELECT event_type, n, sy,
+             |  n * (s11*s22 - s12*s12) - sx1 * (sx1*s22 - s12*sx2)
+             |    + sx2 * (sx1*s12 - s11*sx2) AS det,
+             |  (sy * (s11*s22 - s12*s12) - sx1 * (s1y*s22 - s12*s2y)
+             |    + sx2 * (s1y*s12 - s11*s2y)) * 1000000 // (
+             |  n * (s11*s22 - s12*s12) - sx1 * (sx1*s22 - s12*sx2)
+             |    + sx2 * (sx1*s12 - s11*sx2)) AS a_ppm,
+             |  (n * (s1y*s22 - s2y*s12) - sy * (sx1*s22 - s12*sx2)
+             |    + sx2 * (sx1*s2y - s1y*sx2)) * 1000000 // (
+             |  n * (s11*s22 - s12*s12) - sx1 * (sx1*s22 - s12*sx2)
+             |    + sx2 * (sx1*s12 - s11*sx2)) AS b_ppm,
+             |  (n * (s11*s2y - s12*s1y) - sx1 * (sx1*s2y - s1y*sx2)
+             |    + sy * (sx1*s12 - s11*sx2)) * 1000000 // (
+             |  n * (s11*s22 - s12*s12) - sx1 * (sx1*s22 - s12*sx2)
+             |    + sx2 * (sx1*s12 - s11*sx2)) AS c_ppm
+             |FROM g ORDER BY event_type""".stripMargin))
   )
 }

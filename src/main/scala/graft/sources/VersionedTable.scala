@@ -415,6 +415,78 @@ object VersionedTable {
   }
 
   // ---------------------------------------------------------------------
+  // FSCK — physical-vs-log health check. Read-only: it REPORTS, never
+  // repairs (vacuum deletes, restore rolls back — destructive choices
+  // stay explicit). One incremental replay over the surviving log, so
+  // the cost is O(commits + files), not O(versions × commits).
+  // ---------------------------------------------------------------------
+
+  /** Health report of [[fsck]].
+    *  - `contiguousLog`: version numbers form a gap-free run (the
+    *    commit protocol's invariant; a gap means manual tampering).
+    *  - `missingLatest`: files/sidecars the CURRENT snapshot needs but
+    *    absent on disk — data loss, reads will fail.
+    *  - `missingHistoric`: (version, file) pairs where only an OLDER
+    *    snapshot's file is gone — time travel to those versions is
+    *    broken (the normal aftermath of [[vacuum]], reported so the
+    *    operator knows the horizon).
+    *  - `orphanDirs`: dirs under `data/` no resolvable snapshot
+    *    references — lost commit races or crashed writers; vacuum
+    *    candidates (an in-flight commit's dir also looks like this
+    *    until its manifest lands — same caveat as vacuum's age rail).
+    *  - `ok` = contiguous log and nothing missing from the current
+    *    snapshot. */
+  final case class FsckReport(
+      checkedVersions: Seq[Long],
+      contiguousLog: Boolean,
+      missingLatest: Seq[String],
+      missingHistoric: Seq[(Long, String)],
+      orphanDirs: Seq[String]) {
+    def ok: Boolean = contiguousLog && missingLatest.isEmpty
+  }
+
+  /** Verify the physical state against the log: every resolvable
+    * snapshot's files, tombstone sidecars, and bloom sidecars exist on
+    * disk; no unreferenced dirs rot under `data/`; the log is
+    * gap-free. */
+  def fsck(root: String): FsckReport = {
+    val vs = versions(root)
+    require(vs.nonEmpty, s"$root is not a versioned table (empty log)")
+    val contiguous = vs == (vs.head to vs.last)
+    val latest = vs.last
+    val referencedDirs = scala.collection.mutable.Set[String]()
+    // file -> first version that needs it and finds it missing
+    val missing = scala.collection.mutable.LinkedHashMap[String, Long]()
+    val missingNow = scala.collection.mutable.ListBuffer[String]()
+    def refsOf(s: TableState): Seq[String] =
+      (s.files ++ s.tombs.values.flatten ++
+        s.blooms.collect { case ((f, _), sc) if s.files.contains(f) => sc })
+        .distinct
+    def check(v: Long, s: TableState): Unit = refsOf(s).foreach { f =>
+      referencedDirs += Paths.get(root, f).getParent.getFileName.toString
+      if (!Files.exists(Paths.get(root, f))) {
+        missing.getOrElseUpdate(f, v)
+        if (v == latest) missingNow += f
+      }
+    }
+    var st = state(root, vs.head) // checkpoint-covered head after truncation
+    check(vs.head, st)
+    vs.tail.foreach { v =>
+      st = applyManifest(st, readManifest(root, v))
+      check(v, st)
+    }
+    val dataRoot = Paths.get(root, "data")
+    val orphans =
+      if (!Files.isDirectory(dataRoot)) Seq.empty
+      else listDir(dataRoot).map(_.getFileName.toString)
+        .filterNot(referencedDirs).sorted
+    FsckReport(vs, contiguous, missingNow.toSeq.sorted,
+      missing.toSeq.filterNot { case (f, _) => missingNow.contains(f) }
+        .map { case (f, v) => (v, f) }.sortBy(identity),
+      orphans)
+  }
+
+  // ---------------------------------------------------------------------
   // RESTORE — roll the table back to an earlier snapshot as a NEW
   // commit (Delta `RESTORE TABLE ... TO VERSION AS OF` semantics).
   // Because data dirs are immutable and stats/schema/tombstones are all

@@ -830,6 +830,35 @@ class VersionedTableSpec extends SparkSpecBase {
     assert(VersionedTable.readPointLookup(spark, root, "k", 4006L).count() == 1)
   }
 
+  test("fsck: reports missing files, broken time travel, orphan dirs") {
+    val root = newRoot()
+    VersionedTable.commit(Seq(1L, 2L).toDF("id"), root) // v0
+    VersionedTable.commit(Seq(3L).toDF("id"), root) // v1
+    val healthy = VersionedTable.fsck(root)
+    assert(healthy.ok && healthy.missingLatest.isEmpty &&
+      healthy.missingHistoric.isEmpty && healthy.orphanDirs.isEmpty,
+      s"fresh table should be healthy: $healthy")
+    assert(healthy.checkedVersions == Seq(0L, 1L))
+    // an orphan dir (crashed writer / lost race) is reported, not fatal
+    Files.createDirectories(Paths.get(root, "data", "vX-deadbeef"))
+    val withOrphan = VersionedTable.fsck(root)
+    assert(withOrphan.ok && withOrphan.orphanDirs == Seq("vX-deadbeef"))
+    // vacuum breaks old time travel: historic missing, current fine
+    VersionedTable.commit(Seq(9L).toDF("id"), root, "overwrite") // v2
+    VersionedTable.vacuum(root, retain = 2L, minAgeMs = 0L)
+    val vacuumed = VersionedTable.fsck(root)
+    assert(vacuumed.ok, s"vacuumed table must stay ok: $vacuumed")
+    assert(vacuumed.missingLatest.isEmpty)
+    assert(vacuumed.missingHistoric.nonEmpty &&
+      vacuumed.missingHistoric.forall(_._1 < 2L),
+      s"vacuum should surface as broken historic travel: $vacuumed")
+    // losing a CURRENT file is critical
+    val live = VersionedTable.snapshotFiles(root, 2L).head
+    Files.delete(Paths.get(root, live))
+    val broken = VersionedTable.fsck(root)
+    assert(!broken.ok && broken.missingLatest == Seq(live))
+  }
+
   test("restore: metadata-only rollback preserving history") {
     val root = newRoot()
     VersionedTable.commit(Seq(1L, 2L).toDF("id"), root) // v0

@@ -438,6 +438,43 @@ object Lakehouse {
              |  CAST(sum(o_orderkey) AS BIGINT) AS sum_key
              |FROM orders WHERE o_custkey = 97
              |GROUP BY o_orderstatus
+             |ORDER BY o_orderstatus""".stripMargin)),
+
+    // COLUMN MAPPING (RENAME without rewrite): commit range-clustered,
+    // rename o_orderkey → order_id as a metadata-only manifest (the
+    // parquet files keep the physical name forever — at 100 TB a
+    // rename is a manifest write, not a table rewrite), then run a
+    // copy-on-write DELETE against the NEW name: the stats pruning,
+    // predicate, and rewrite all translate through the logical→
+    // physical mapping, and the post-delete aggregate answers under
+    // the new name. The oracle is the raw table with the delete
+    // applied and the output aliased — any translation slip (wrong
+    // stats key, un-aliased read, physical leak) breaks the hash.
+    // Spec side (VersionedTableSpec): time travel under the old name,
+    // tombstones/bloom/checkpoint/restore through the rename, the
+    // physical-name collision rejection, rename chains.
+    QueryDef(
+      "q194_rename_column",
+      (s, d) => {
+        val root = Files.createTempDirectory("graft_ren_").toString
+        VersionedTable.commit(
+          orders(s, d).repartitionByRange(8, col("o_orderkey")), root) // v0
+        VersionedTable.renameColumn(root, "o_orderkey", "order_id") // v1
+        VersionedTable.deleteRanges(s, root,
+          Seq(("order_id", Some(2000L), Some(4000L))))
+        VersionedTable.read(s, root)
+          .groupBy(col("o_orderstatus"))
+          .agg(count(lit(1)).as("n_orders"),
+            sum(col("order_id")).as("sum_id"),
+            min(col("order_id")).as("min_id"),
+            max(col("order_id")).as("max_id"))
+          .orderBy(col("o_orderstatus"))
+      },
+      Some("""SELECT o_orderstatus, count(*) AS n_orders,
+             |  CAST(sum(o_orderkey) AS BIGINT) AS sum_id,
+             |  min(o_orderkey) AS min_id, max(o_orderkey) AS max_id
+             |FROM orders WHERE o_orderkey NOT BETWEEN 2000 AND 4000
+             |GROUP BY o_orderstatus
              |ORDER BY o_orderstatus""".stripMargin))
   )
 }

@@ -91,7 +91,9 @@ object VersionedTable {
       tombFiles: Seq[(String, String)], tombApplies: Seq[String],
       checkAdds: Seq[(String, String)], checkDrops: Seq[String],
       tombMaps: Seq[(String, String)],
-      bloomFiles: Seq[(String, String, String)]) // (dataFile, col, sidecar)
+      bloomFiles: Seq[(String, String, String)], // (dataFile, col, sidecar)
+      renames: Seq[(String, String)],  // logical old -> logical new
+      colMaps: Seq[(String, String)])  // full map restatement (restore)
 
   private def readManifest(root: String, v: Long): Manifest = {
     val lines = Files.readAllLines(manifestPath(root, v)).asScala.toSeq
@@ -125,6 +127,16 @@ object VersionedTable {
         case Array(f, c, sc) => (dec(f), dec(c), dec(sc))
         case _ => throw new IllegalStateException(
           s"malformed bloomfile line in manifest v$v")
+      }),
+      field("rename").map(_.split("\\|", -1) match {
+        case Array(o, n) => (dec(o), dec(n))
+        case _ => throw new IllegalStateException(
+          s"malformed rename line in manifest v$v")
+      }),
+      field("colmap").map(_.split("\\|", -1) match {
+        case Array(l, p) => (dec(l), dec(p))
+        case _ => throw new IllegalStateException(
+          s"malformed colmap line in manifest v$v")
       }))
   }
 
@@ -147,7 +159,8 @@ object VersionedTable {
       tombs: Map[String, Vector[String]], // live file -> sidecars, in commit order
       tombKey: Map[String, String],       // sidecar file -> key column name
       checks: Map[String, String] = Map.empty, // constraint name -> SQL expr
-      blooms: Map[(String, String), String] = Map.empty) // (file, col) -> bloom sidecar
+      blooms: Map[(String, String), String] = Map.empty, // (file, col) -> bloom sidecar
+      colMap: Map[String, String] = Map.empty) // logical -> physical column name (identity entries omitted)
 
   private[sources] object TableState {
     val empty: TableState =
@@ -176,11 +189,15 @@ object VersionedTable {
         // the file set; a [[restore]] overwrite re-establishes the
         // target snapshot's through its own tombmap/tombfile/bloomfile
         // lines.
+        // overwrite re-baselines physical names too (the new file set
+        // is written under the then-current logical names); a restore
+        // re-establishes the target's mapping via its colmap lines
         TableState(m.files.toVector, manifestStats(m), m.schemaJson,
           m.tombMaps.groupBy(_._1).map { case (f, ps) =>
             f -> ps.map(_._2).toVector },
           m.tombFiles.toMap, st.checks,
-          m.bloomFiles.map { case (f, c, sc) => (f, c) -> sc }.toMap)
+          m.bloomFiles.map { case (f, c, sc) => (f, c) -> sc }.toMap,
+          m.colMaps.toMap)
       case "append" =>
         // bloomfile lines merge in (a [[buildBloomIndex]] commit is a
         // data-free append); data files appended WITHOUT an index are
@@ -197,7 +214,8 @@ object VersionedTable {
         TableState(st.files.filterNot(gone) ++ m.files,
           (st.stats -- gone) ++ manifestStats(m), m.schemaJson,
           st.tombs -- gone, st.tombKey, st.checks,
-          st.blooms.filterNot { case ((f, _), _) => gone(f) })
+          st.blooms.filterNot { case ((f, _), _) => gone(f) },
+          st.colMap) // mapping is table metadata: replace carries it
       case "delete-mor" =>
         val live = st.files.toSet
         val sidecars = m.tombFiles.map(_._1).toVector
@@ -209,9 +227,53 @@ object VersionedTable {
         s"unknown action '$other' in manifest v${m.version}")
     }
     // Constraints are table metadata, orthogonal to the file-set
-    // action: adds and drops fold forward on every manifest.
-    folded.copy(checks = folded.checks ++ m.checkAdds -- m.checkDrops)
+    // action: adds and drops fold forward on every manifest. Column
+    // renames fold the same way: logical `old -> new` repoints the
+    // mapping at the UNCHANGED physical name (identity entries are
+    // dropped — renaming back to the physical name clears the entry).
+    val renamed = m.renames.foldLeft(folded.colMap) { case (cm, (o, n)) =>
+      val phys = cm.getOrElse(o, o)
+      val next = (cm - o) + (n -> phys)
+      if (phys == n) next - n else next
+    }
+    folded.copy(checks = folded.checks ++ m.checkAdds -- m.checkDrops,
+      colMap = renamed)
   }
+
+  /** The PHYSICAL (on-disk parquet) name of logical column `c`. */
+  private def physicalName(st: TableState, c: String): String =
+    st.colMap.getOrElse(c, c)
+
+  /** The logical schema with fields renamed to their physical names —
+    * what the parquet files actually contain. */
+  private def physicalSchemaOf(st: TableState)
+      : Option[org.apache.spark.sql.types.StructType] =
+    schemaOf(st).map { sc =>
+      if (st.colMap.isEmpty) sc
+      else org.apache.spark.sql.types.StructType(
+        sc.fields.map(f => f.copy(name = physicalName(st, f.name))))
+    }
+
+  /** Rename physical columns back to logical for the caller. No-op for
+    * identity-mapped tables, so unmapped plans are untouched. */
+  private def aliasToLogical(st: TableState, df: DataFrame): DataFrame =
+    if (st.colMap.isEmpty) df
+    else {
+      import org.apache.spark.sql.functions.col
+      val logical = schemaOf(st).map(_.fieldNames.toSeq)
+        .getOrElse(df.columns.toSeq)
+      df.select(logical.map(l => col(physicalName(st, l)).as(l)): _*)
+    }
+
+  /** Rename logical columns to physical before a data write. Columns
+    * not in the mapping (new appends) keep their own names. */
+  private def toPhysical(st: TableState, df: DataFrame): DataFrame =
+    if (st.colMap.isEmpty) df
+    else {
+      import org.apache.spark.sql.functions.col
+      df.select(df.columns.toSeq
+        .map(c => col(c).as(st.colMap.getOrElse(c, c))): _*)
+    }
 
   /** Resolve the full snapshot state at version `v`: load the newest
     * checkpoint at or below `v` and fold only the manifest SUFFIX on
@@ -333,7 +395,9 @@ object VersionedTable {
           s"check=${enc(n)}|${enc(e)}" } ++
         st.blooms.toSeq.filter(e => st.files.contains(e._1._1))
           .sortBy(_._1).map { case ((f, c), sc) =>
-            s"bloom=${enc(f)}|${enc(c)}|${enc(sc)}" })
+            s"bloom=${enc(f)}|${enc(c)}|${enc(sc)}" } ++
+        st.colMap.toSeq.sorted.map { case (l, p) =>
+          s"colmap=${enc(l)}|${enc(p)}" })
         .mkString("", "\n", "\n")
     val tmp = Files.createTempFile(logDir(root), s".tmpckpt-v$v-", "")
     Files.write(tmp, body.getBytes("UTF-8"))
@@ -383,8 +447,13 @@ object VersionedTable {
         case _ => throw new IllegalStateException(
           s"malformed bloom line in checkpoint v$cv")
       }).toMap
+      val colMap = field("colmap").map(_.split("\\|", -1) match {
+        case Array(l, p) => dec(l) -> dec(p)
+        case _ => throw new IllegalStateException(
+          s"malformed colmap line in checkpoint v$cv")
+      }).toMap
       (cv, TableState(files, stats, field("schema").headOption.map(dec),
-        tombs, tombKey, checks, blooms))
+        tombs, tombKey, checks, blooms, colMap))
     }
 
   /** Delete manifests STRICTLY BELOW the newest checkpoint <= `below`.
@@ -536,6 +605,8 @@ object VersionedTable {
         target.blooms.toSeq.filter(e => target.files.contains(e._1._1))
           .sortBy(_._1).map { case ((f, c), sc) =>
             s"bloomfile=${enc(f)}|${enc(c)}|${enc(sc)}" } ++
+        target.colMap.toSeq.sorted.map { case (l, p) =>
+          s"colmap=${enc(l)}|${enc(p)}" } ++
         target.checks.toSeq.sortBy(_._1).map { case (n, e) =>
           s"check=${enc(n)}|${enc(e)}" } ++
         current.checks.keySet.diff(target.checks.keySet).toSeq.sorted
@@ -607,6 +678,61 @@ object VersionedTable {
       (Seq(s"version=${latest + 1}", "action=append") ++
         st.schemaJson.map(j => s"schema=${enc(j)}").toSeq ++
         Seq(s"dropcheck=${enc(name)}"))
+        .mkString("", "\n", "\n")
+    publish(root, latest + 1, body)
+    latest + 1
+  }
+
+  // ---------------------------------------------------------------------
+  // Column mapping — RENAME COLUMN without rewriting data (the Delta
+  // column-mapping capability, name-mode). A rename is one metadata
+  // manifest: the LOGICAL schema changes, the PHYSICAL parquet column
+  // name never does, and the table-state mapping (logical → physical)
+  // translates at every boundary — reads alias physical → logical,
+  // writes map logical → physical, stats/bloom/tombstone machinery
+  // stays physical. At 100 TB a rename is a millisecond manifest write
+  // instead of a full-table rewrite. Time travel is exact: each
+  // snapshot resolves its own mapping, so pre-rename versions read
+  // under the old name. Collision rule: a later append may not
+  // introduce a column whose name equals a physical name held by a
+  // renamed column (it would resurrect the old bytes) — rejected at
+  // commit; an overwrite re-baselines physical = logical.
+  // ---------------------------------------------------------------------
+
+  /** Active logical → physical column mapping at the latest version
+    * (identity entries omitted; empty = names never diverged). */
+  def columnMapping(root: String): Map[String, String] = {
+    val v = latestVersion(root)
+    if (v < 0) Map.empty else state(root, v).colMap
+  }
+
+  /** Rename logical column `oldName` to `newName` as a metadata-only
+    * commit. CHECK constraints referencing the old name are rejected
+    * (rewrite them first — silently keeping a constraint that can no
+    * longer resolve would fail every later commit). */
+  def renameColumn(root: String, oldName: String, newName: String): Long = {
+    val latest = latestVersion(root)
+    require(latest >= 0, s"$root is not a versioned table (empty log)")
+    val st = state(root, latest)
+    val schema = schemaOf(st).getOrElse(throw new IllegalStateException(
+      s"$root records no schema — commit once so schema tracking is on " +
+        "before renaming columns"))
+    require(schema.fieldNames.contains(oldName),
+      s"no such column '$oldName' (have: ${schema.fieldNames.mkString(", ")})")
+    require(!schema.fieldNames.contains(newName),
+      s"column '$newName' already exists")
+    require(oldName != newName, "rename to the same name is a no-op")
+    val referencing = st.checks.filter { case (_, e) =>
+      e.matches(s"(?s).*\\b${java.util.regex.Pattern.quote(oldName)}\\b.*") }
+    require(referencing.isEmpty,
+      s"CHECK constraint(s) ${referencing.keys.mkString(", ")} reference " +
+        s"'$oldName' — drop or rewrite them before renaming")
+    val newSchema = org.apache.spark.sql.types.StructType(schema.fields.map(
+      f => if (f.name == oldName) f.copy(name = newName) else f))
+    val body =
+      (Seq(s"version=${latest + 1}", "action=append",
+        s"schema=${enc(newSchema.json)}",
+        s"rename=${enc(oldName)}|${enc(newName)}"))
         .mkString("", "\n", "\n")
     publish(root, latest + 1, body)
     latest + 1
@@ -840,11 +966,11 @@ object VersionedTable {
     * the pruning ratio. */
   def pruneFiles(root: String, v: Long, colName: String,
       lower: Option[Any], upper: Option[Any]): (Seq[String], Int) = {
-    val files = snapshotFiles(root, v)
-    val stats = snapshotStats(root, v)
-    (files.filter(f =>
-      mayMatch(stats.getOrElse(f, Map.empty).get(colName), lower, upper)),
-      files.size)
+    val st = state(root, v)
+    val phys = physicalName(st, colName) // stats are keyed physically
+    (st.files.filter(f =>
+      mayMatch(st.stats.getOrElse(f, Map.empty).get(phys), lower, upper)),
+      st.files.size)
   }
 
   /** Data-skipping read over a CONJUNCTION of inclusive ranges
@@ -864,7 +990,8 @@ object VersionedTable {
     val st = state(root, v)
     val keep = st.files.filter { f =>
       val fs = st.stats.getOrElse(f, Map.empty)
-      ranges.forall { case (c, lo, hi) => mayMatch(fs.get(c), lo, hi) }
+      ranges.forall { case (c, lo, hi) =>
+        mayMatch(fs.get(physicalName(st, c)), lo, hi) }
     }
     val pred = ranges.flatMap { case (c, lo, hi) =>
       lo.map(l => col(c) >= lit(l)) ++ hi.map(u => col(c) <= lit(u))
@@ -906,8 +1033,9 @@ object VersionedTable {
   def pruneFilesNullness(root: String, v: Long, colName: String,
       wantNull: Boolean): (Seq[String], Int) = {
     val st = state(root, v)
+    val phys = physicalName(st, colName)
     (st.files.filter(f => mayMatchNullness(
-      st.stats.getOrElse(f, Map.empty).get(colName), wantNull)),
+      st.stats.getOrElse(f, Map.empty).get(phys), wantNull)),
       st.files.size)
   }
 
@@ -927,8 +1055,9 @@ object VersionedTable {
     require(latest >= 0, s"$root is not a versioned table (empty log)")
     val v = version.getOrElse(latest)
     val st = state(root, v)
+    val phys = physicalName(st, colName)
     val keep = st.files.filter(f => mayMatchNullness(
-      st.stats.getOrElse(f, Map.empty).get(colName), wantNull))
+      st.stats.getOrElse(f, Map.empty).get(phys), wantNull))
     val pred = if (wantNull) col(colName).isNull else col(colName).isNotNull
     readResolved(spark, root, st, keep).filter(pred)
   }
@@ -1014,9 +1143,12 @@ object VersionedTable {
     // file:///) varies; key the reverse map by decoded filesystem path
     val relByAbs = st.files
       .map(f => Paths.get(root, f).toAbsolutePath.toString -> f).toMap
-    val pairs = readFilesWithSchema(spark, root, schemaOf(st), st.files)
+    // build + register in PHYSICAL space (the bloom outlives renames)
+    val physCol = physicalName(st, colName)
+    val pairs = readFilesWithSchema(spark, root, physicalSchemaOf(st),
+        st.files)
       .select(input_file_name().as("_f"),
-        col(colName).cast("string").as("_v"))
+        col(physCol).cast("string").as("_v"))
       .where(col("_v").isNotNull)
       .as[(String, String)](Encoders.tuple(Encoders.STRING, Encoders.STRING))
     val perFile = pairs.mapPartitions { it =>
@@ -1059,7 +1191,7 @@ object VersionedTable {
       (Seq(s"version=${basis + 1}", "action=append") ++
         st.schemaJson.map(j => s"schema=${enc(j)}").toSeq ++
         entries.map { case (dataFile, sc) =>
-          s"bloomfile=${enc(dataFile)}|${enc(colName)}|${enc(sc)}" })
+          s"bloomfile=${enc(dataFile)}|${enc(physCol)}|${enc(sc)}" })
         .mkString("", "\n", "\n")
     publish(root, basis + 1, body)
     basis + 1
@@ -1073,10 +1205,11 @@ object VersionedTable {
   def pruneFilesEquality(root: String, v: Long, colName: String,
       value: Any): (Seq[String], Int) = {
     val st = state(root, v)
+    val phys = physicalName(st, colName) // stats + blooms keyed physically
     val probe = bloomProbe(value)
     val cache = scala.collection.mutable.Map[String,
       org.apache.spark.util.sketch.BloomFilter]()
-    def bloomSays(f: String): Boolean = st.blooms.get((f, colName)) match {
+    def bloomSays(f: String): Boolean = st.blooms.get((f, phys)) match {
       case None => true // unindexed file: must read
       case Some(sc) =>
         val bf = cache.getOrElseUpdate(sc,
@@ -1086,7 +1219,7 @@ object VersionedTable {
         bf.mightContainString(probe)
     }
     (st.files.filter(f =>
-      mayMatch(st.stats.getOrElse(f, Map.empty).get(colName),
+      mayMatch(st.stats.getOrElse(f, Map.empty).get(phys),
         Some(value), Some(value)) && bloomSays(f)), st.files.size)
   }
 
@@ -1190,10 +1323,31 @@ object VersionedTable {
     // a partial schema line would silently hide them from reads.
     val recordSchema = mode == "overwrite" ||
       latestVersion(root) < 0 || prevSchema.isDefined
+    // Column mapping: appends write under PHYSICAL names (a rename
+    // never rewrites data, so the files keep their original columns
+    // forever). A NEW column may not claim a physical name another
+    // logical column occupies — appending `a` after `rename a -> b`
+    // would otherwise resurrect b's bytes under a's name in old files.
+    // An overwrite replaces the file set and re-baselines physical =
+    // logical (the fold resets the mapping).
+    val writeDf =
+      if (mode == "overwrite") df
+      else {
+        val cm = prevState.map(_.colMap).getOrElse(Map.empty)
+        val conflicts = df.columns.filter { c =>
+          val p = cm.getOrElse(c, c)
+          cm.exists { case (l, pp) => pp == p && l != c }
+        }
+        require(conflicts.isEmpty,
+          s"column(s) ${conflicts.mkString(", ")} collide with physical " +
+            "names held by renamed columns — pick different names or " +
+            "overwrite the table")
+        prevState.map(toPhysical(_, df)).getOrElse(df)
+      }
     val nonce = java.util.UUID.randomUUID().toString.take(8)
     val dataRel = s"data/v$next-$nonce"
     val dataDir = Paths.get(root, dataRel)
-    df.write.mode("errorifexists").parquet(dataDir.toString)
+    writeDf.write.mode("errorifexists").parquet(dataDir.toString)
     val files = listDir(dataDir)
       .map(_.getFileName.toString)
       .filter(n => n.endsWith(".parquet") && !n.startsWith("."))
@@ -1299,9 +1453,13 @@ object VersionedTable {
     require(keys.columns.contains(keyCol),
       s"keys frame must carry the key column '$keyCol'")
     val st = state(root, basis)
+    // Tombstones live in PHYSICAL space: the sidecar's key column and
+    // the stats lookups use the physical name, so the tombstone keeps
+    // applying if the logical column is later renamed.
+    val physKey = physicalName(st, keyCol)
     // NULL keys match no row (SQL `DELETE WHERE k IN (...)`), drop them
-    val distinctKeys = keys.select(col(keyCol))
-      .where(col(keyCol).isNotNull).distinct()
+    val distinctKeys = keys.select(col(keyCol).as(physKey))
+      .where(col(physKey).isNotNull).distinct()
     // SOUNDNESS: a tombstone must list every file that might hold a
     // deleted key; a file WITHOUT stats is listed conservatively
     // (mayMatch = true). PRECISION: up to `precise` keys are checked
@@ -1315,14 +1473,14 @@ object VersionedTable {
     val applies =
       if (sample.length <= precise)
         st.files.filter { f =>
-          val cs = st.stats.getOrElse(f, Map.empty).get(keyCol)
+          val cs = st.stats.getOrElse(f, Map.empty).get(physKey)
           sample.exists(k => mayMatch(cs, Some(k), Some(k)))
         }
       else {
         val bounds = distinctKeys.agg(
-          fmin(col(keyCol)).as("lo"), fmax(col(keyCol)).as("hi")).head()
+          fmin(col(physKey)).as("lo"), fmax(col(physKey)).as("hi")).head()
         st.files.filter(f =>
-          mayMatch(st.stats.getOrElse(f, Map.empty).get(keyCol),
+          mayMatch(st.stats.getOrElse(f, Map.empty).get(physKey),
             Some(bounds.get(0)), Some(bounds.get(1))))
       }
     if (applies.isEmpty) return basis
@@ -1344,7 +1502,7 @@ object VersionedTable {
     val body =
       (Seq(s"version=$next", "action=delete-mor") ++
         st.schemaJson.map(j => s"schema=${enc(j)}").toSeq ++
-        sidecars.map(sc => s"tombfile=${enc(sc)}|${enc(keyCol)}") ++
+        sidecars.map(sc => s"tombfile=${enc(sc)}|${enc(physKey)}") ++
         applies.map(f => s"tombapply=${enc(f)}"))
         .mkString("", "\n", "\n")
     publish(root, next, body)
@@ -1403,7 +1561,8 @@ object VersionedTable {
     val st = state(root, basis)
     val touched = st.files.filter { f =>
       val fs = st.stats.getOrElse(f, Map.empty)
-      ranges.forall { case (c, lo, hi) => mayMatch(fs.get(c), lo, hi) }
+      ranges.forall { case (c, lo, hi) =>
+        mayMatch(fs.get(physicalName(st, c)), lo, hi) }
     }
     if (touched.isEmpty) return basis
     val matchPred = ranges.flatMap { case (c, lo, hi) =>
@@ -1432,7 +1591,10 @@ object VersionedTable {
     val nonce = java.util.UUID.randomUUID().toString.take(8)
     val dataRel = s"data/v$next-$nonce"
     val dataDir = Paths.get(root, dataRel)
-    rewritten.write.mode("errorifexists").parquet(dataDir.toString)
+    // `rewritten` is in logical space (it came through readResolved);
+    // replacement files must keep PHYSICAL names like every data file
+    toPhysical(state(root, basis), rewritten)
+      .write.mode("errorifexists").parquet(dataDir.toString)
     val files = listDir(dataDir)
       .map(_.getFileName.toString)
       .filter(n => n.endsWith(".parquet") && !n.startsWith("."))
@@ -1471,8 +1633,9 @@ object VersionedTable {
     val basis = latestVersion(root)
     require(basis >= 0, s"$root is not a versioned table (empty log)")
     val st = state(root, basis)
-    val tableCols = readFilesWithSchema(spark, root, schemaOf(st),
-      st.files.take(1)).columns.toSeq
+    val tableCols = schemaOf(st).map(_.fieldNames.toSeq).getOrElse(
+      readFilesWithSchema(spark, root, None, st.files.take(1))
+        .columns.toSeq) // logical names
     require(source.columns.toSet == tableCols.toSet,
       s"source schema must match table: ${tableCols.mkString(",")} " +
         s"(got ${source.columns.mkString(",")})")
@@ -1480,8 +1643,10 @@ object VersionedTable {
       fmin(col(key)).as("lo"), fmax(col(key)).as("hi")).head()
     if (bounds.isNullAt(0)) return basis // empty source
     val (lo, hi) = (bounds.get(0), bounds.get(1))
+    val physKey = physicalName(st, key)
     val touched = st.files.filter { f =>
-      mayMatch(st.stats.getOrElse(f, Map.empty).get(key), Some(lo), Some(hi))
+      mayMatch(st.stats.getOrElse(f, Map.empty).get(physKey),
+        Some(lo), Some(hi))
     }
     // tombstone-resolved base: the merge must not resurrect rows a
     // merge-on-read delete removed (its replace commit clears the
@@ -1500,8 +1665,11 @@ object VersionedTable {
     * back to Spark's own footer resolution. RAW read: merge-on-read
     * tombstones are NOT applied here — use [[readResolved]]. */
   private def readFiles(spark: SparkSession, root: String, v: Long,
-      files: Seq[String]): DataFrame =
-    readFilesWithSchema(spark, root, tableSchema(root, v), files)
+      files: Seq[String]): DataFrame = {
+    val st = state(root, v)
+    aliasToLogical(st,
+      readFilesWithSchema(spark, root, physicalSchemaOf(st), files))
+  }
 
   private def readFilesWithSchema(spark: SparkSession, root: String,
       schema: Option[org.apache.spark.sql.types.StructType],
@@ -1530,28 +1698,34 @@ object VersionedTable {
   private def readResolved(spark: SparkSession, root: String,
       st: TableState, files: Seq[String]): DataFrame = {
     import org.apache.spark.sql.functions.{broadcast, col}
-    val schema = schemaOf(st)
+    // The whole resolve runs in PHYSICAL column space (files and
+    // tombstone sidecars are written under physical names, which never
+    // change after a rename); the single alias at the end hands the
+    // caller logical names.
+    val schema = physicalSchemaOf(st)
     def rd(fs: Seq[String]) = readFilesWithSchema(spark, root, schema, fs)
     val (dirty, clean) = files.partition(f =>
       st.tombs.getOrElse(f, Vector.empty).nonEmpty)
-    if (dirty.isEmpty) rd(clean)
-    else {
-      val cleaned = dirty.groupBy(st.tombs(_)).toSeq
-        .sortBy(_._2.head) // deterministic union order
-        .map { case (sidecars, fs) =>
-          val base = rd(fs)
-          val order = base.columns.toSeq // anti-join fronts the key col
-          sidecars.distinct.foldLeft(base) { (df, sc) =>
-            val keyCol = st.tombKey(sc)
-            val keys = spark.read
-              .parquet(Paths.get(root, sc).toString)
-              .select(col(keyCol)).distinct()
-            df.join(broadcast(keys), Seq(keyCol), "left_anti")
-          }.select(order.map(col): _*)
-        }
-      (if (clean.nonEmpty) rd(clean) +: cleaned else cleaned)
-        .reduce(_ unionByName _)
-    }
+    val resolved =
+      if (dirty.isEmpty) rd(clean)
+      else {
+        val cleaned = dirty.groupBy(st.tombs(_)).toSeq
+          .sortBy(_._2.head) // deterministic union order
+          .map { case (sidecars, fs) =>
+            val base = rd(fs)
+            val order = base.columns.toSeq // anti-join fronts the key col
+            sidecars.distinct.foldLeft(base) { (df, sc) =>
+              val keyCol = st.tombKey(sc)
+              val keys = spark.read
+                .parquet(Paths.get(root, sc).toString)
+                .select(col(keyCol)).distinct()
+              df.join(broadcast(keys), Seq(keyCol), "left_anti")
+            }.select(order.map(col): _*)
+          }
+        (if (clean.nonEmpty) rd(clean) +: cleaned else cleaned)
+          .reduce(_ unionByName _)
+      }
+    aliasToLogical(st, resolved)
   }
 
   /** Read a snapshot: latest by default, or time-travel to `version`.
@@ -1635,7 +1809,13 @@ object VersionedTable {
     * the cost of reading both rewritten sides — exactly the cost
     * profile a log-structured table gives CDC. */
   def diff(spark: SparkSession, root: String, from: Long, to: Long)
-      : DataFrame = {
+      : DataFrame = diffAs(spark, root, from, to, state(root, to))
+
+  /** [[diff]] with the output schema/column-mapping pinned to `align`
+    * (normally the `to` state; [[changes]] pins a whole multi-commit
+    * range to its final version so every part unions by name). */
+  private def diffAs(spark: SparkSession, root: String, from: Long,
+      to: Long, align: TableState): DataFrame = {
     import org.apache.spark.sql.functions.lit
     val sa = state(root, from)
     val sb = state(root, to)
@@ -1648,11 +1828,12 @@ object VersionedTable {
       st.files.map(f => f -> st.tombs.getOrElse(f, Vector.empty)).toSet
     val ia = ids(sa); val ib = ids(sb)
     def side(own: TableState, onlyIds: Set[(String, Vector[String])]) =
-      // read under the `to` schema so columns align across a
-      // schema-evolving interval (an added column diffs as NULL→value),
-      // but with the side's OWN tombstones applied
+      // read under the ALIGN schema AND column mapping so columns
+      // align across a schema-evolving or renaming interval (an added
+      // column diffs as NULL→value; a renamed column diffs as itself —
+      // physical bytes unchanged), but with the side's OWN tombstones
       readResolved(spark, root,
-        own.copy(schemaJson = sb.schemaJson),
+        own.copy(schemaJson = align.schemaJson, colMap = align.colMap),
         onlyIds.map(_._1).toSeq.sorted)
     val a = side(sa, ia -- ib) // candidate deletes
     val b = side(sb, ib -- ia) // candidate inserts
@@ -1691,18 +1872,28 @@ object VersionedTable {
           "is unavailable; start from a full snapshot read instead"))
     val vs = versions(root)
       .filter(v => v > afterVersion && v <= toVersion)
+    // Every part of the range reads under the FINAL version's schema
+    // and column mapping (the diff() alignment rule, applied range-
+    // wide): a consumer sees one uniform schema even when the range
+    // spans an added or renamed column — pre-change commits surface
+    // under the final names (physical bytes unchanged).
+    val stTo = state(root, toVersion)
+    def aligned(st: TableState): TableState =
+      st.copy(schemaJson = stTo.schemaJson, colMap = stTo.colMap)
     val parts = vs.map { v =>
       val m = readManifest(root, v)
       val body = m.action match {
         case _ if v == 0 =>
-          val st = state(root, 0L)
+          val st = aligned(state(root, 0L))
           readResolved(spark, root, st, st.files)
             .withColumn("_change", lit("insert"))
         case "append" =>
-          readFiles(spark, root, v, m.files)
+          val st = aligned(state(root, v))
+          aliasToLogical(st, readFilesWithSchema(spark, root,
+            physicalSchemaOf(st), m.files))
             .withColumn("_change", lit("insert"))
         case "delete-mor" =>
-          val prev = state(root, v - 1)
+          val prev = aligned(state(root, v - 1))
           // deleted rows = rows of the affected files, as visible at
           // v-1, whose key is in one of the NEW sidecars
           val affected =
@@ -1710,16 +1901,20 @@ object VersionedTable {
               m.tombApplies.filter(prev.files.toSet))
           val order = affected.columns.toSeq
           m.tombFiles.map { case (sc, keyCol) =>
+            // sidecars carry the PHYSICAL key name; `affected` is
+            // logical — translate through the reverse mapping
+            val logicalKey = prev.colMap.find(_._2 == keyCol)
+              .map(_._1).getOrElse(keyCol)
             affected.join(
               broadcast(spark.read
                 .parquet(Paths.get(root, sc).toString)
-                .select(col(keyCol)).distinct()),
-              Seq(keyCol), "left_semi")
+                .select(col(keyCol).as(logicalKey)).distinct()),
+              Seq(logicalKey), "left_semi")
               .select(order.map(col): _*)
           }.reduce(_ unionByName _)
             .withColumn("_change", lit("delete"))
         case _ => // overwrite / replace: general snapshot diff
-          diff(spark, root, v - 1, v)
+          diffAs(spark, root, v - 1, v, stTo)
       }
       body.withColumn("_version", lit(v))
     }

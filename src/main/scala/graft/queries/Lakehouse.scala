@@ -475,6 +475,46 @@ object Lakehouse {
              |  min(o_orderkey) AS min_id, max(o_orderkey) AS max_id
              |FROM orders WHERE o_orderkey NOT BETWEEN 2000 AND 4000
              |GROUP BY o_orderstatus
+             |ORDER BY o_orderstatus""".stripMargin)),
+
+    // DROP COLUMN (column mapping's other half): the bytes stay in the
+    // live files, the logical schema stops projecting them, and the
+    // physical name is retired against resurrection — another
+    // metadata-only DDL a 100 TB table cannot afford as a rewrite.
+    // The entry drops o_custkey, APPENDS under the narrowed schema
+    // (schema evolution composing with the drop), and answers through
+    // the post-drop read; the oracle never selects the dropped column
+    // and unions the appended rows. Spec side: retirement/collision
+    // rules, time travel, restore, checkpoint round-trip.
+    QueryDef(
+      "q195_drop_column",
+      (s, d) => {
+        val root = Files.createTempDirectory("graft_drop_").toString
+        val o = orders(s, d)
+        VersionedTable.commit(
+          o.repartitionByRange(8, col("o_orderkey")), root) // v0
+        VersionedTable.dropColumn(root, "o_custkey") // v1
+        VersionedTable.commit( // v2: append under the narrowed schema
+          o.filter(col("o_orderkey") <= 50)
+            .withColumn("o_orderkey", col("o_orderkey") + 10000000L)
+            .withColumn("o_orderstatus", lit("N"))
+            .drop("o_custkey"),
+          root)
+        VersionedTable.read(s, root)
+          .groupBy(col("o_orderstatus"))
+          .agg(count(lit(1)).as("n_orders"),
+            sum(col("o_orderkey")).as("sum_key"))
+          .orderBy(col("o_orderstatus"))
+      },
+      Some("""WITH t AS (
+             |  SELECT o_orderkey, o_orderstatus FROM orders
+             |  UNION ALL
+             |  SELECT o_orderkey + 10000000 AS o_orderkey,
+             |    'N' AS o_orderstatus
+             |  FROM orders WHERE o_orderkey <= 50)
+             |SELECT o_orderstatus, count(*) AS n_orders,
+             |  CAST(sum(o_orderkey) AS BIGINT) AS sum_key
+             |FROM t GROUP BY o_orderstatus
              |ORDER BY o_orderstatus""".stripMargin))
   )
 }

@@ -93,7 +93,8 @@ object VersionedTable {
       tombMaps: Seq[(String, String)],
       bloomFiles: Seq[(String, String, String)], // (dataFile, col, sidecar)
       renames: Seq[(String, String)],  // logical old -> logical new
-      colMaps: Seq[(String, String)])  // full map restatement (restore)
+      colMaps: Seq[(String, String)],  // full map restatement (restore)
+      dropCols: Seq[String])           // PHYSICAL names retired by a drop
 
   private def readManifest(root: String, v: Long): Manifest = {
     val lines = Files.readAllLines(manifestPath(root, v)).asScala.toSeq
@@ -137,7 +138,8 @@ object VersionedTable {
         case Array(l, p) => (dec(l), dec(p))
         case _ => throw new IllegalStateException(
           s"malformed colmap line in manifest v$v")
-      }))
+      }),
+      field("dropcol").map(dec))
   }
 
   // ---------------------------------------------------------------------
@@ -160,7 +162,8 @@ object VersionedTable {
       tombKey: Map[String, String],       // sidecar file -> key column name
       checks: Map[String, String] = Map.empty, // constraint name -> SQL expr
       blooms: Map[(String, String), String] = Map.empty, // (file, col) -> bloom sidecar
-      colMap: Map[String, String] = Map.empty) // logical -> physical column name (identity entries omitted)
+      colMap: Map[String, String] = Map.empty, // logical -> physical column name (identity entries omitted)
+      dropped: Set[String] = Set.empty) // PHYSICAL names retired by dropColumn (bytes remain in live files)
 
   private[sources] object TableState {
     val empty: TableState =
@@ -197,7 +200,7 @@ object VersionedTable {
             f -> ps.map(_._2).toVector },
           m.tombFiles.toMap, st.checks,
           m.bloomFiles.map { case (f, c, sc) => (f, c) -> sc }.toMap,
-          m.colMaps.toMap)
+          m.colMaps.toMap, m.dropCols.toSet)
       case "append" =>
         // bloomfile lines merge in (a [[buildBloomIndex]] commit is a
         // data-free append); data files appended WITHOUT an index are
@@ -215,7 +218,7 @@ object VersionedTable {
           (st.stats -- gone) ++ manifestStats(m), m.schemaJson,
           st.tombs -- gone, st.tombKey, st.checks,
           st.blooms.filterNot { case ((f, _), _) => gone(f) },
-          st.colMap) // mapping is table metadata: replace carries it
+          st.colMap, st.dropped) // mapping metadata: replace carries it
       case "delete-mor" =>
         val live = st.files.toSet
         val sidecars = m.tombFiles.map(_._1).toVector
@@ -236,8 +239,15 @@ object VersionedTable {
       val next = (cm - o) + (n -> phys)
       if (phys == n) next - n else next
     }
+    // A drop retires the PHYSICAL name (line carries it directly) and
+    // removes any mapping entry that pointed at it — the schema line
+    // of the same manifest already excludes the logical field.
+    val droppedNow = m.dropCols.toSet
     folded.copy(checks = folded.checks ++ m.checkAdds -- m.checkDrops,
-      colMap = renamed)
+      colMap = renamed.filterNot { case (_, p) => droppedNow(p) },
+      dropped =
+        (if (m.action == "overwrite") folded.dropped
+         else folded.dropped ++ droppedNow))
   }
 
   /** The PHYSICAL (on-disk parquet) name of logical column `c`. */
@@ -397,7 +407,8 @@ object VersionedTable {
           .sortBy(_._1).map { case ((f, c), sc) =>
             s"bloom=${enc(f)}|${enc(c)}|${enc(sc)}" } ++
         st.colMap.toSeq.sorted.map { case (l, p) =>
-          s"colmap=${enc(l)}|${enc(p)}" })
+          s"colmap=${enc(l)}|${enc(p)}" } ++
+        st.dropped.toSeq.sorted.map(p => s"dropcol=${enc(p)}"))
         .mkString("", "\n", "\n")
     val tmp = Files.createTempFile(logDir(root), s".tmpckpt-v$v-", "")
     Files.write(tmp, body.getBytes("UTF-8"))
@@ -453,7 +464,8 @@ object VersionedTable {
           s"malformed colmap line in checkpoint v$cv")
       }).toMap
       (cv, TableState(files, stats, field("schema").headOption.map(dec),
-        tombs, tombKey, checks, blooms, colMap))
+        tombs, tombKey, checks, blooms, colMap,
+        field("dropcol").map(dec).toSet))
     }
 
   /** Delete manifests STRICTLY BELOW the newest checkpoint <= `below`.
@@ -607,6 +619,7 @@ object VersionedTable {
             s"bloomfile=${enc(f)}|${enc(c)}|${enc(sc)}" } ++
         target.colMap.toSeq.sorted.map { case (l, p) =>
           s"colmap=${enc(l)}|${enc(p)}" } ++
+        target.dropped.toSeq.sorted.map(p => s"dropcol=${enc(p)}") ++
         target.checks.toSeq.sortBy(_._1).map { case (n, e) =>
           s"check=${enc(n)}|${enc(e)}" } ++
         current.checks.keySet.diff(target.checks.keySet).toSeq.sorted
@@ -733,6 +746,42 @@ object VersionedTable {
       (Seq(s"version=${latest + 1}", "action=append",
         s"schema=${enc(newSchema.json)}",
         s"rename=${enc(oldName)}|${enc(newName)}"))
+        .mkString("", "\n", "\n")
+    publish(root, latest + 1, body)
+    latest + 1
+  }
+
+  /** Drop logical column `name` as a metadata-only commit — the other
+    * half of column mapping: the bytes stay in the live files, the
+    * logical schema stops projecting them, and the PHYSICAL name is
+    * RETIRED so no later append can introduce a column that would
+    * resurrect the old bytes (re-add under the same logical name after
+    * an `overwrite`, which re-baselines everything). Time travel still
+    * reads the column in pre-drop snapshots; the next full rewrite
+    * (compaction/overwrite) physically sheds it. CHECK constraints
+    * referencing the column block the drop, same as rename. */
+  def dropColumn(root: String, name: String): Long = {
+    val latest = latestVersion(root)
+    require(latest >= 0, s"$root is not a versioned table (empty log)")
+    val st = state(root, latest)
+    val schema = schemaOf(st).getOrElse(throw new IllegalStateException(
+      s"$root records no schema — commit once so schema tracking is on " +
+        "before dropping columns"))
+    require(schema.fieldNames.contains(name),
+      s"no such column '$name' (have: ${schema.fieldNames.mkString(", ")})")
+    require(schema.fields.length > 1,
+      "cannot drop the only column")
+    val referencing = st.checks.filter { case (_, e) =>
+      e.matches(s"(?s).*\\b${java.util.regex.Pattern.quote(name)}\\b.*") }
+    require(referencing.isEmpty,
+      s"CHECK constraint(s) ${referencing.keys.mkString(", ")} reference " +
+        s"'$name' — drop or rewrite them before dropping the column")
+    val newSchema = org.apache.spark.sql.types.StructType(
+      schema.fields.filterNot(_.name == name))
+    val body =
+      (Seq(s"version=${latest + 1}", "action=append",
+        s"schema=${enc(newSchema.json)}",
+        s"dropcol=${enc(physicalName(st, name))}"))
         .mkString("", "\n", "\n")
     publish(root, latest + 1, body)
     latest + 1
@@ -1334,14 +1383,15 @@ object VersionedTable {
       if (mode == "overwrite") df
       else {
         val cm = prevState.map(_.colMap).getOrElse(Map.empty)
+        val retired = prevState.map(_.dropped).getOrElse(Set.empty)
         val conflicts = df.columns.filter { c =>
           val p = cm.getOrElse(c, c)
-          cm.exists { case (l, pp) => pp == p && l != c }
+          retired(p) || cm.exists { case (l, pp) => pp == p && l != c }
         }
         require(conflicts.isEmpty,
           s"column(s) ${conflicts.mkString(", ")} collide with physical " +
-            "names held by renamed columns — pick different names or " +
-            "overwrite the table")
+            "names held by renamed or dropped columns — old bytes would " +
+            "resurrect; pick different names or overwrite the table")
         prevState.map(toPhysical(_, df)).getOrElse(df)
       }
     val nonce = java.util.UUID.randomUUID().toString.take(8)

@@ -926,6 +926,64 @@ class VersionedTableSpec extends SparkSpecBase {
     }
   }
 
+  test("drop column: metadata-only; physical name retired until overwrite") {
+    val root = newRoot()
+    VersionedTable.commit(
+      Seq((1L, "a", 10L), (2L, "b", 20L)).toDF("k", "s", "x"), root) // v0
+    def dataDirs(): Long = Files.list(Paths.get(root, "data")).count()
+    val dirsBefore = dataDirs()
+    val v1 = VersionedTable.dropColumn(root, "x")
+    assert(v1 == 1L && dataDirs() == dirsBefore, "drop must not write data")
+    val cur = VersionedTable.read(spark, root)
+    assert(cur.columns.toSeq == Seq("k", "s"))
+    assert(cur.count() == 2)
+    // time travel still reads the dropped column
+    assert(VersionedTable.read(spark, root, Some(0L))
+      .columns.toSeq == Seq("k", "s", "x"))
+    // re-introducing the column would resurrect old bytes: rejected
+    val e = intercept[IllegalArgumentException] {
+      VersionedTable.commit(Seq((3L, "c", 99L)).toDF("k", "s", "x"), root)
+    }
+    assert(e.getMessage.contains("collide"), e.getMessage)
+    // appends without it are normal
+    VersionedTable.commit(Seq((3L, "c")).toDF("k", "s"), root) // v2
+    assert(VersionedTable.read(spark, root).count() == 3)
+    // CDC aligns the whole range to the final schema (no x)
+    val feed = VersionedTable.changes(spark, root, -1L, 2L)
+    assert(!feed.columns.contains("x"))
+    assert(feed.filter(col("_change") === "insert").count() == 3)
+    // retirement survives a checkpoint round-trip
+    VersionedTable.checkpoint(root)
+    intercept[IllegalArgumentException] {
+      VersionedTable.commit(Seq((4L, "d", 1L)).toDF("k", "s", "x"), root)
+    }
+    // drop AFTER a rename retires the original physical name
+    VersionedTable.renameColumn(root, "k", "key") // v3
+    VersionedTable.dropColumn(root, "key") // v4: physical 'k' retired
+    assert(VersionedTable.read(spark, root).columns.toSeq == Seq("s"))
+    intercept[IllegalArgumentException] {
+      VersionedTable.commit(Seq(("e", 5L)).toDF("s", "k"), root)
+    }
+    // restore to the pre-drop snapshot brings column and values back
+    VersionedTable.restore(root, 2L) // v5
+    assert(VersionedTable.read(spark, root).columns.toSeq == Seq("k", "s"))
+    assert(VersionedTable.read(spark, root).count() == 3)
+    // ...including the v2-era retirement of x
+    intercept[IllegalArgumentException] {
+      VersionedTable.commit(Seq((6L, "f", 1L)).toDF("k", "s", "x"), root)
+    }
+    // overwrite re-baselines: x may exist again afterwards
+    VersionedTable.commit(
+      Seq((7L, "g", 70L)).toDF("k", "s", "x"), root, "overwrite") // v6
+    assert(VersionedTable.read(spark, root).columns.toSeq ==
+      Seq("k", "s", "x"))
+    // a CHECK constraint blocks dropping the column it references
+    VersionedTable.addCheck(spark, root, "xpos", "x > 0") // v7
+    intercept[IllegalArgumentException] {
+      VersionedTable.dropColumn(root, "x")
+    }
+  }
+
   test("fsck: reports missing files, broken time travel, orphan dirs") {
     val root = newRoot()
     VersionedTable.commit(Seq(1L, 2L).toDF("id"), root) // v0

@@ -1228,7 +1228,65 @@ object TextAnalysis {
              |  CAST(sum(CASE WHEN v.w IS NULL THEN n ELSE 0 END) * 1000000
              |    // sum(n) AS BIGINT) AS oov_ppm
              |FROM c LEFT JOIN v ON c.w = v.w
-             |GROUP BY lang ORDER BY lang""".stripMargin))
+             |GROUP BY lang ORDER BY lang""".stripMargin)),
+
+    // KNESER–NEY CONTINUATION COUNTS: for each word, the RAW count
+    // c(w) against the number of DISTINCT left contexts N1+(·w) — the
+    // statistic KN smoothing replaces raw frequency with (a word seen
+    // a million times after only one context, like the 'Francisco' in
+    // 'San Francisco', should carry low unigram probability). The
+    // versatility ratio N1+(·w)·10⁶ div c(w) separates boilerplate-
+    // bound tokens (low) from genuinely versatile ones (high) — a
+    // curation signal the raw count hides. Shape: one narrow
+    // posexplode, bigrams by lead() inside each doc (one doc_id
+    // shuffle), then (w1,w2)-distinct and per-w2 aggregates over
+    // constant-width keys — corpus-linear, the LM-counts pipeline
+    // shape at any scale.
+    QueryDef(
+      "q197_kn_continuation",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+        val bigrams = documents(s, d)
+          .repartition(s.sparkContext.defaultParallelism)
+          .select(col("doc_id"),
+            posexplode(TextOps.tokens(col("text"))).as(Seq("pos", "w")))
+          .withColumn("w2", lead(col("w"), 1).over(byDoc))
+          .filter(col("w2").isNotNull)
+          .select(col("w").as("w1"), col("w2"))
+          .persist()
+        val raw = bigrams.groupBy(col("w2")).agg(count(lit(1)).as("c_w"))
+        val cont = bigrams.distinct()
+          .groupBy(col("w2")).agg(count(lit(1)).as("n_contexts"))
+        raw.join(cont, Seq("w2"))
+          .withColumn("versatility_ppm",
+            expr("n_contexts * 1000000 div c_w"))
+          .select(col("w2").as("word"), col("c_w"), col("n_contexts"),
+            col("versatility_ppm"))
+          .orderBy(col("n_contexts").desc, col("word"))
+          .limit(20)
+      },
+      Some("""WITH w AS (
+             |  SELECT doc_id,
+             |    unnest(string_split(text, ' ')) AS w,
+             |    generate_subscripts(string_split(text, ' '), 1) AS pos
+             |  FROM documents),
+             |b AS (
+             |  SELECT w AS w1,
+             |    lead(w) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+             |  FROM w),
+             |bg AS (SELECT w1, w2 FROM b WHERE w2 IS NOT NULL),
+             |raw AS (
+             |  SELECT w2, CAST(count(*) AS BIGINT) AS c_w
+             |  FROM bg GROUP BY w2),
+             |cont AS (
+             |  SELECT w2, CAST(count(*) AS BIGINT) AS n_contexts
+             |  FROM (SELECT DISTINCT w1, w2 FROM bg) GROUP BY w2)
+             |SELECT raw.w2 AS word, raw.c_w, cont.n_contexts,
+             |  cont.n_contexts * 1000000 // raw.c_w AS versatility_ppm
+             |FROM raw JOIN cont ON raw.w2 = cont.w2
+             |ORDER BY cont.n_contexts DESC, word
+             |LIMIT 20""".stripMargin))
   )
 
   /** The q155 oracle: the identical 6-round greedy-merge fixpoint in

@@ -2227,6 +2227,83 @@ object Windowed {
              |    + sy * (sx1*s12 - s11*sx2)) * 1000000 // (
              |  n * (s11*s22 - s12*s12) - sx1 * (sx1*s22 - s12*sx2)
              |    + sx2 * (sx1*s12 - s11*sx2)) AS c_ppm
-             |FROM g ORDER BY event_type""".stripMargin))
+             |FROM g ORDER BY event_type""".stripMargin)),
+
+    // LINEAR MULTI-TOUCH ATTRIBUTION (q153's sibling: last-touch
+    // credits one event; linear splits the credit across EVERY prior
+    // touch in the lookback). The purchase×touch pairing is a
+    // per-user RANGE join — one user_id shuffle, per-user bounded by
+    // the 7-day window, never a global cartesian. Credit is integer-
+    // exact: each touch gets rev div n and the MOST RECENT touch also
+    // takes rev mod n, so Σ credit over the whole result equals Σ
+    // purchase revenue to the micro — the self-auditing identity the
+    // hash check pins (a lost remainder or double-credit breaks it).
+    // Orphan purchases (no touch in window) keep full credit in
+    // '(none)'.
+    QueryDef(
+      "q196_linear_attribution",
+      (s, d) => {
+        val ev = eventsNorm(s, d)
+        val p = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("event_id").as("pid"),
+            col("ts_ns").as("pns"), col("ts_sec").as("psec"),
+            expr("CAST(floor(value * 1000000 + 0.5) AS BIGINT)").as("rev"))
+        val t = ev.filter(col("event_type") =!= "purchase")
+          .select(col("user_id").as("t_user"), col("event_id").as("tid"),
+            col("event_type").as("ttype"), col("ts_ns").as("tns"),
+            col("ts_sec").as("tsec"))
+        val j = p.join(t,
+          col("user_id") === col("t_user") && col("tns") < col("pns") &&
+            col("psec") - col("tsec") <= 604800L, "left")
+        val byP = Window.partitionBy(col("pid"))
+        j.withColumn("n_t", count(col("ttype")).over(byP))
+          .withColumn("rn", row_number().over(
+            byP.orderBy(col("tns").desc, col("tid").desc)))
+          .withColumn("attr",
+            when(col("n_t") === 0, lit("(none)")).otherwise(col("ttype")))
+          .withColumn("credit",
+            when(col("n_t") === 0, col("rev"))
+              .otherwise(expr("rev div n_t") +
+                when(col("rn") === 1, expr("rev % n_t")).otherwise(0L)))
+          .groupBy(col("attr"))
+          .agg(count(lit(1)).as("n_credits"),
+            sum(col("credit")).as("credit_micro"))
+          .orderBy(col("attr"))
+      },
+      Some("""WITH ev AS (
+             |  SELECT event_id, user_id, event_type, value,
+             |    epoch_ns(ts) AS ts_ns,
+             |    epoch_ns(ts) // 1000000000 AS ts_sec
+             |  FROM events),
+             |p AS (
+             |  SELECT user_id, event_id AS pid, ts_ns AS pns,
+             |    ts_sec AS psec,
+             |    CAST(floor(value * 1000000 + 0.5) AS BIGINT) AS rev
+             |  FROM ev WHERE event_type = 'purchase'),
+             |t AS (
+             |  SELECT user_id AS t_user, event_id AS tid,
+             |    event_type AS ttype, ts_ns AS tns, ts_sec AS tsec
+             |  FROM ev WHERE event_type <> 'purchase'),
+             |j AS (
+             |  SELECT * FROM p LEFT JOIN t
+             |  ON p.user_id = t.t_user AND t.tns < p.pns
+             |    AND p.psec - t.tsec <= 604800),
+             |w AS (
+             |  SELECT pid, rev, ttype,
+             |    count(ttype) OVER (PARTITION BY pid) AS n_t,
+             |    row_number() OVER (PARTITION BY pid
+             |      ORDER BY tns DESC, tid DESC) AS rn
+             |  FROM j),
+             |c AS (
+             |  SELECT
+             |    CASE WHEN n_t = 0 THEN '(none)' ELSE ttype END AS attr,
+             |    CASE WHEN n_t = 0 THEN rev
+             |         ELSE rev // n_t
+             |           + CASE WHEN rn = 1 THEN rev % n_t ELSE 0 END
+             |    END AS credit
+             |  FROM w)
+             |SELECT attr, count(*) AS n_credits,
+             |  CAST(sum(credit) AS BIGINT) AS credit_micro
+             |FROM c GROUP BY attr ORDER BY attr""".stripMargin))
   )
 }

@@ -23,8 +23,12 @@ import org.apache.spark.sql.types.IntegerType
   * arguments resolved at analysis time.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftExtensions.functions.foreach(ext.injectFunction)
+    // Maintenance-DDL statement family (GRAFT HISTORY/RESTORE/VACUUM/
+    // FSCK/CHECKPOINT/RENAME COLUMN/DROP COLUMN) — see [[GraftSqlParser]].
+    ext.injectParser((_, delegate) => new GraftSqlParser(delegate))
+  }
 }
 
 object GraftExtensions {

@@ -1,0 +1,171 @@
+package graft.ext
+
+import graft.sources.VersionedTable
+import org.apache.spark.sql.{Row, SparkSession}
+import org.apache.spark.sql.catalyst.{FunctionIdentifier, TableIdentifier}
+import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference, Expression}
+import org.apache.spark.sql.catalyst.parser.ParserInterface
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.execution.command.LeafRunnableCommand
+import org.apache.spark.sql.types._
+
+/** SQL surface for the versioned-table MAINTENANCE DDL, injected
+  * through `SparkSessionExtensions.injectParser` — the extension point
+  * Delta uses for `VACUUM`/`DESCRIBE HISTORY`/`RESTORE`. The parser
+  * intercepts a small `GRAFT ...` statement family and DELEGATES
+  * everything else to Spark's own parser untouched, so the full SQL
+  * language keeps working:
+  *
+  * {{{
+  *   GRAFT HISTORY '<root>'
+  *   GRAFT CHECKPOINT '<root>'
+  *   GRAFT RESTORE '<root>' VERSION AS OF <n>
+  *   GRAFT VACUUM '<root>' RETAIN <version> [MIN AGE <millis>]
+  *   GRAFT FSCK '<root>'
+  *   GRAFT RENAME COLUMN <old> TO <new> IN '<root>'
+  *   GRAFT DROP COLUMN <name> IN '<root>'
+  * }}}
+  *
+  * Each statement lowers to a Catalyst [[LeafRunnableCommand]] — a
+  * driver-side command node with a declared output schema, executed by
+  * Spark's normal command machinery (visible in `explain`, composable
+  * with `spark.sql(...).collect()`), not a side-channel API call.
+  */
+class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
+  override def parsePlan(sqlText: String): LogicalPlan =
+    GraftSqlParser.parse(sqlText).getOrElse(delegate.parsePlan(sqlText))
+  // Parameterized queries (`spark.sql(text, args)`) enter through this
+  // overload; the interface DEFAULT would parse without binding the
+  // parameters, so it must delegate explicitly (GRAFT statements take
+  // no parameters — path literals only).
+  override def parsePlanWithParameters(sqlText: String,
+      ctx: org.apache.spark.sql.catalyst.parser.ParameterContext)
+      : LogicalPlan =
+    GraftSqlParser.parse(sqlText)
+      .getOrElse(delegate.parsePlanWithParameters(sqlText, ctx))
+  override def parseQuery(sqlText: String): LogicalPlan =
+    delegate.parseQuery(sqlText)
+  override def parseExpression(s: String): Expression =
+    delegate.parseExpression(s)
+  override def parseTableIdentifier(s: String): TableIdentifier =
+    delegate.parseTableIdentifier(s)
+  override def parseFunctionIdentifier(s: String): FunctionIdentifier =
+    delegate.parseFunctionIdentifier(s)
+  override def parseMultipartIdentifier(s: String): Seq[String] =
+    delegate.parseMultipartIdentifier(s)
+  override def parseRoutineParam(s: String): StructType =
+    delegate.parseRoutineParam(s)
+  override def parseTableSchema(s: String): StructType =
+    delegate.parseTableSchema(s)
+  override def parseDataType(s: String): DataType =
+    delegate.parseDataType(s)
+}
+
+object GraftSqlParser {
+
+  // (?is): case-insensitive, dot-all. Paths are single-quoted; column
+  // names are bare identifiers (no quoting needed for the maintenance
+  // surface). Trailing semicolon tolerated.
+  private val Hist =
+    """(?is)\s*GRAFT\s+HISTORY\s+'([^']+)'\s*;?\s*""".r
+  private val Ckpt =
+    """(?is)\s*GRAFT\s+CHECKPOINT\s+'([^']+)'\s*;?\s*""".r
+  private val Rest =
+    """(?is)\s*GRAFT\s+RESTORE\s+'([^']+)'\s+VERSION\s+AS\s+OF\s+(\d+)\s*;?\s*""".r
+  private val Vac =
+    """(?is)\s*GRAFT\s+VACUUM\s+'([^']+)'\s+RETAIN\s+(\d+)(?:\s+MIN\s+AGE\s+(\d+))?\s*;?\s*""".r
+  private val Fsck =
+    """(?is)\s*GRAFT\s+FSCK\s+'([^']+)'\s*;?\s*""".r
+  private val Ren =
+    """(?is)\s*GRAFT\s+RENAME\s+COLUMN\s+([A-Za-z_][A-Za-z0-9_]*)\s+TO\s+([A-Za-z_][A-Za-z0-9_]*)\s+IN\s+'([^']+)'\s*;?\s*""".r
+  private val Drop =
+    """(?is)\s*GRAFT\s+DROP\s+COLUMN\s+([A-Za-z_][A-Za-z0-9_]*)\s+IN\s+'([^']+)'\s*;?\s*""".r
+
+  private[ext] def parse(sqlText: String): Option[LogicalPlan] =
+    sqlText match {
+      case Hist(p) => Some(GraftHistoryCommand(p))
+      case Ckpt(p) => Some(GraftCheckpointCommand(p))
+      case Rest(p, v) => Some(GraftRestoreCommand(p, v.toLong))
+      case Vac(p, r, age) => Some(GraftVacuumCommand(p, r.toLong,
+        Option(age).map(_.toLong).getOrElse(60L * 60 * 1000)))
+      case Fsck(p) => Some(GraftFsckCommand(p))
+      case Ren(o, n, p) => Some(GraftRenameColumnCommand(p, o, n))
+      case Drop(c, p) => Some(GraftDropColumnCommand(p, c))
+      case other if other.trim.toUpperCase.startsWith("GRAFT ") =>
+        // a malformed GRAFT statement must fail with OUR grammar, not
+        // Spark's baffled syntax error
+        throw new IllegalArgumentException(
+          "unrecognized GRAFT statement; supported: GRAFT HISTORY | " +
+            "CHECKPOINT | RESTORE ... VERSION AS OF n | VACUUM ... " +
+            "RETAIN n [MIN AGE ms] | FSCK | RENAME COLUMN a TO b IN " +
+            "'root' | DROP COLUMN c IN 'root'")
+      case _ => None
+    }
+
+  private def attr(name: String, t: DataType,
+      nullable: Boolean = false): AttributeReference =
+    AttributeReference(name, t, nullable)()
+
+  case class GraftHistoryCommand(root: String) extends LeafRunnableCommand {
+    override val output: Seq[Attribute] = Seq(
+      attr("version", LongType), attr("action", StringType),
+      attr("n_files", IntegerType), attr("n_removed", IntegerType),
+      attr("n_rows_written", LongType, nullable = true),
+      attr("batch_tag", LongType, nullable = true),
+      attr("has_schema", BooleanType), attr("commit_ts", LongType))
+    override def run(s: SparkSession): Seq[Row] =
+      VersionedTable.history(s, root).collect().toSeq
+  }
+
+  case class GraftCheckpointCommand(root: String)
+      extends LeafRunnableCommand {
+    override val output: Seq[Attribute] = Seq(attr("version", LongType))
+    override def run(s: SparkSession): Seq[Row] =
+      Seq(Row(VersionedTable.checkpoint(root)))
+  }
+
+  case class GraftRestoreCommand(root: String, toVersion: Long)
+      extends LeafRunnableCommand {
+    override val output: Seq[Attribute] = Seq(
+      attr("restored_to", LongType), attr("new_version", LongType))
+    override def run(s: SparkSession): Seq[Row] =
+      Seq(Row(toVersion, VersionedTable.restore(root, toVersion)))
+  }
+
+  case class GraftVacuumCommand(root: String, retain: Long, minAgeMs: Long)
+      extends LeafRunnableCommand {
+    override val output: Seq[Attribute] = Nil
+    override def run(s: SparkSession): Seq[Row] = {
+      VersionedTable.vacuum(root, retain, minAgeMs)
+      Seq.empty
+    }
+  }
+
+  case class GraftFsckCommand(root: String) extends LeafRunnableCommand {
+    override val output: Seq[Attribute] = Seq(
+      attr("ok", BooleanType), attr("contiguous_log", BooleanType),
+      attr("n_versions", IntegerType),
+      attr("n_missing_latest", IntegerType),
+      attr("n_missing_historic", IntegerType),
+      attr("n_orphan_dirs", IntegerType))
+    override def run(s: SparkSession): Seq[Row] = {
+      val r = VersionedTable.fsck(root)
+      Seq(Row(r.ok, r.contiguousLog, r.checkedVersions.size,
+        r.missingLatest.size, r.missingHistoric.size, r.orphanDirs.size))
+    }
+  }
+
+  case class GraftRenameColumnCommand(root: String, oldName: String,
+      newName: String) extends LeafRunnableCommand {
+    override val output: Seq[Attribute] = Seq(attr("version", LongType))
+    override def run(s: SparkSession): Seq[Row] =
+      Seq(Row(VersionedTable.renameColumn(root, oldName, newName)))
+  }
+
+  case class GraftDropColumnCommand(root: String, name: String)
+      extends LeafRunnableCommand {
+    override val output: Seq[Attribute] = Seq(attr("version", LongType))
+    override def run(s: SparkSession): Seq[Row] =
+      Seq(Row(VersionedTable.dropColumn(root, name)))
+  }
+}

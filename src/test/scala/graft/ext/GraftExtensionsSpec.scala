@@ -121,4 +121,49 @@ class GraftExtensionsSpec extends SparkSpecBase {
     assert(e.getMessage.contains("[1, 62]") ||
       Option(e.getCause).exists(_.getMessage.contains("[1, 62]")))
   }
+
+  test("GRAFT maintenance DDL: SQL surface over the versioned table") {
+    import spark.implicits._
+    import graft.sources.VersionedTable
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_sql_").toString
+    VersionedTable.commit(Seq((1L, "a"), (2L, "b")).toDF("k", "s"), root)
+    VersionedTable.commit(Seq((3L, "c")).toDF("k", "s"), root)
+    // HISTORY: one row per commit, metadata-only
+    val hist = spark.sql(s"GRAFT HISTORY '$root'")
+    assert(hist.columns.toSeq.take(2) == Seq("version", "action"))
+    assert(hist.select("version").collect().map(_.getLong(0)).sorted
+      .toSeq == Seq(0L, 1L))
+    // RENAME COLUMN via SQL; reads see the new name
+    spark.sql(s"GRAFT RENAME COLUMN k TO key IN '$root'")
+    assert(VersionedTable.read(spark, root).columns.toSeq ==
+      Seq("key", "s"))
+    // DROP COLUMN via SQL
+    spark.sql(s"GRAFT DROP COLUMN s IN '$root'")
+    assert(VersionedTable.read(spark, root).columns.toSeq == Seq("key"))
+    // RESTORE via SQL rolls back both DDLs
+    val r = spark.sql(s"GRAFT RESTORE '$root' VERSION AS OF 1").head()
+    assert(r.getLong(0) == 1L && r.getLong(1) == 4L)
+    assert(VersionedTable.read(spark, root).columns.toSeq ==
+      Seq("k", "s"))
+    // CHECKPOINT + FSCK report health through SQL
+    spark.sql(s"GRAFT CHECKPOINT '$root'")
+    val f = spark.sql(s"GRAFT FSCK '$root'").head()
+    assert(f.getBoolean(0), s"fsck not ok: $f")
+    // VACUUM executes (empty result set); current snapshot unharmed
+    spark.sql(s"GRAFT VACUUM '$root' RETAIN 4 MIN AGE 0")
+    assert(VersionedTable.read(spark, root).count() == 3)
+    // the restore re-references every data dir, so vacuum had nothing
+    // to reclaim and the table stays fully healthy
+    val f2 = spark.sql(s"GRAFT FSCK '$root'").head()
+    assert(f2.getBoolean(0) && f2.getInt(4) == 0, s"unexpected: $f2")
+    // plain SQL still parses through the delegating parser
+    assert(spark.sql("SELECT 1 + 1").head().getInt(0) == 2)
+    // malformed GRAFT statements fail with our grammar message
+    val e = intercept[Exception] {
+      spark.sql(s"GRAFT EXPLODE '$root'")
+    }
+    assert(e.getMessage.contains("unrecognized GRAFT"),
+      s"got: ${e.getMessage}")
+  }
 }

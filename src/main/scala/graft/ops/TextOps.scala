@@ -211,4 +211,11 @@ object TextOps {
     letBind(wrap(TextExpressions.SortedIntersectCount(unwrap(a), unwrap(b)))) {
       i => round(i * lit(1.0) / (size(a) + size(b) - i), scale)
     }
+
+  /** Raw intersection count of two SORTED arrays (the kernel under
+    * [[jaccardSorted]]), exposed for asymmetric measures — containment
+    * |A∩B|/|A| divides by one side only, so the caller needs the
+    * count, not a symmetric ratio. */
+  def sortedIntersectCount(a: Column, b: Column): Column =
+    wrap(TextExpressions.SortedIntersectCount(unwrap(a), unwrap(b)))
 }

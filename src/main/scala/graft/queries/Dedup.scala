@@ -890,6 +890,91 @@ object Dedup {
              |  CAST(sum(chunk_words) AS BIGINT) AS n_words,
              |  CAST((count(*) - count(DISTINCT h)) * 1000000 // count(*)
              |    AS BIGINT) AS dup_chunk_ppm
-             |FROM g GROUP BY source ORDER BY source""".stripMargin))
+             |FROM g GROUP BY source ORDER BY source""".stripMargin)),
+
+    // ASYMMETRIC CONTAINMENT JOIN — the near-dup relation Jaccard
+    // blocking MISSES: a short document quoted/wrapped inside a long
+    // one has C(A,B) = |A∩B|/|A| ≈ 1 but tiny symmetric Jaccard, so
+    // MinHash bands (tuned for J) never pair it. Candidates come from
+    // the containment form of prefix filtering: if |A∩B| ≥ 0.9|A|,
+    // then among the first |A| − ⌈0.9|A|⌉ + 1 shingles of A in a
+    // GLOBAL rarity (df, shingle) order, at least one is in B — so
+    // A-prefix tokens equi-join B's FULL token list (rare tokens
+    // first keeps the candidate count near-linear), with the
+    // positional bound (|A| − p_A)·10 ≥ 9·|A| pruning late-position
+    // matches; the first-shared-token row of every true pair always
+    // survives (the q49 argument), so the filter is lossless — proved
+    // by the deliberately EXHAUSTIVE n² oracle. Verify is the exact
+    // sorted-merge intersect count per candidate, integer 10×/9×
+    // threshold, ppm output — no floats anywhere.
+    QueryDef(
+      "q198_containment_dedup",
+      (s, d) => {
+        val base = documents(s, d)
+          .repartition(s.sparkContext.defaultParallelism)
+          .filter(size(TextOps.tokens(col("text"))) >= 3)
+          .select(col("doc_id"),
+            array_distinct(array_sort(
+              TextOps.wordShingles(TextOps.tokens(col("text")), 3)))
+              .as("sh"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val exploded = base
+          .select(col("doc_id"), explode(col("sh")).as("tk"))
+        val dfCounts = exploded.groupBy(col("tk"))
+          .agg(count(lit(1)).as("df"))
+        val ordered = exploded
+          .join(broadcast(dfCounts), "tk")
+          .groupBy(col("doc_id"))
+          .agg(sort_array(collect_list(struct(col("df"), col("tk"))))
+            .as("ordered"))
+          .select(col("doc_id"),
+            transform(col("ordered"), _.getField("tk")).as("tks"),
+            size(col("ordered")).as("len"))
+        val prefixA = ordered
+          .select(col("doc_id"), col("len"),
+            posexplode(slice(col("tks"), lit(1),
+              (col("len") - ceil(col("len") * 0.9) + 1).cast("int"))))
+          .withColumnRenamed("col", "tk")
+        val allB = ordered
+          .select(col("doc_id").as("b_id"), explode(col("tks")).as("tk"))
+        val cand = prefixA.as("x")
+          .join(allB.as("y"),
+            col("x.tk") === col("y.tk") &&
+              col("x.doc_id") =!= col("y.b_id") &&
+              (col("x.len") - col("x.pos")) * 10 >= col("x.len") * 9)
+          .select(col("x.doc_id").as("a"), col("y.b_id").as("b"))
+          .distinct()
+        broadcast(cand)
+          .join(base.select(col("doc_id").as("a"), col("sh").as("sha")), "a")
+          .join(base.select(col("doc_id").as("b"), col("sh").as("shb")), "b")
+          .withColumn("n_a", size(col("sha")).cast("long"))
+          .withColumn("n_b", size(col("shb")).cast("long"))
+          .withColumn("inter",
+            TextOps.sortedIntersectCount(col("sha"), col("shb"))
+              .cast("long"))
+          .filter(col("inter") * 10 >= col("n_a") * 9)
+          .select(col("a").as("contained"), col("b").as("container"),
+            col("n_a"), col("n_b"),
+            expr("inter * 1000000 div n_a").as("containment_ppm"))
+          .orderBy(col("contained"), col("container"))
+      },
+      // EXHAUSTIVE oracle: every ordered pair's exact containment, no
+      // blocking — matching it proves the prefix filter loses nothing.
+      Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws
+             |          FROM documents),
+             |sh AS (SELECT doc_id,
+             |         list_sort(list_distinct(list_transform(
+             |           range(1, len(ws) - 1),
+             |           i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])))
+             |           AS sh
+             |       FROM t WHERE len(ws) >= 3)
+             |SELECT p.doc_id AS contained, q.doc_id AS container,
+             |  CAST(len(p.sh) AS BIGINT) AS n_a,
+             |  CAST(len(q.sh) AS BIGINT) AS n_b,
+             |  CAST(len(list_intersect(p.sh, q.sh)) * 1000000
+             |    // len(p.sh) AS BIGINT) AS containment_ppm
+             |FROM sh p JOIN sh q ON p.doc_id <> q.doc_id
+             |WHERE len(list_intersect(p.sh, q.sh)) * 10 >= len(p.sh) * 9
+             |ORDER BY contained, container""".stripMargin))
   )
 }

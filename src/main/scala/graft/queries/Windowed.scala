@@ -2304,6 +2304,69 @@ object Windowed {
              |  FROM w)
              |SELECT attr, count(*) AS n_credits,
              |  CAST(sum(credit) AS BIGINT) AS credit_micro
-             |FROM c GROUP BY attr ORDER BY attr""".stripMargin))
+             |FROM c GROUP BY attr ORDER BY attr""".stripMargin)),
+
+    // ROLLING 7-DAY DISTINCT ACTIVE USERS (WAU per day) — the rolling
+    // COUNT(DISTINCT) window SQL cannot express directly (DISTINCT
+    // isn't a frame aggregate) and the naive form computes as a
+    // day×day self-join. The scalable identity: a user is active in
+    // the window ending on day D iff some (user, day) event-day lands
+    // in [D−6, D] — so EXPLODE each distinct (user, day) into the ≤7
+    // window-end days it covers, de-duplicate (user, cover_day)
+    // (a user active twice in a window counts once), and count per
+    // cover_day. Cost = 7× the distinct user-day grid (linear, the
+    // window length is the fan-out), one shuffle — no self-join, no
+    // n² anywhere. Trailing partial windows at the range edge are
+    // CLAMPED to observed days (the result says how many, via
+    // n_window_days) so the curve is honest at both ends. dau rides
+    // along: wau/dau (the stickiness ratio product teams track) is
+    // integer ppm.
+    QueryDef(
+      "q199_rolling_wau",
+      (s, d) => {
+        val ud = eventsNorm(s, d)
+          .select(col("user_id"), expr("ts_sec div 86400").as("day"))
+          .distinct()
+          .persist()
+        val bounds = ud.agg(min(col("day")).as("lo"), max(col("day")).as("hi"))
+        val wau = ud
+          .crossJoin(broadcast(bounds))
+          .select(col("user_id"),
+            explode(sequence(col("day"),
+              least(col("day") + 6, col("hi")))).as("cover_day"))
+          .distinct()
+          .groupBy(col("cover_day")).agg(count(lit(1)).as("wau"))
+        val dau = ud.groupBy(col("day")).agg(count(lit(1)).as("dau"))
+        wau.join(dau, col("cover_day") === col("day"))
+          .crossJoin(broadcast(bounds))
+          .select(col("cover_day").as("day"),
+            least(col("cover_day") - col("lo") + 1, lit(7L))
+              .as("n_window_days"),
+            col("dau"), col("wau"),
+            expr("dau * 1000000 div wau").as("stickiness_ppm"))
+          .orderBy(col("day"))
+      },
+      Some("""WITH ud AS (
+             |  SELECT DISTINCT user_id,
+             |    (epoch_ns(ts) // 1000000000) // 86400 AS day
+             |  FROM events),
+             |b AS (SELECT min(day) AS lo, max(day) AS hi FROM ud),
+             |cov AS (
+             |  SELECT DISTINCT ud.user_id, u.cover_day
+             |  FROM ud CROSS JOIN b,
+             |    LATERAL (SELECT unnest(range(ud.day,
+             |      least(ud.day + 6, b.hi) + 1)) AS cover_day) u),
+             |wau AS (
+             |  SELECT cover_day, CAST(count(*) AS BIGINT) AS wau
+             |  FROM cov GROUP BY cover_day),
+             |dau AS (
+             |  SELECT day, CAST(count(*) AS BIGINT) AS dau
+             |  FROM ud GROUP BY day)
+             |SELECT w.cover_day AS day,
+             |  least(w.cover_day - b.lo + 1, 7) AS n_window_days,
+             |  dau.dau, w.wau,
+             |  dau.dau * 1000000 // w.wau AS stickiness_ppm
+             |FROM wau w JOIN dau ON w.cover_day = dau.day CROSS JOIN b
+             |ORDER BY day""".stripMargin))
   )
 }

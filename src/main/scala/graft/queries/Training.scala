@@ -1218,6 +1218,111 @@ object Training {
              |FROM nf JOIN dist ON nf.b = dist.b
              |GROUP BY nf.doc_id, nf.lang
              |ORDER BY score DESC, doc_id
-             |LIMIT 20""".stripMargin))
+             |LIMIT 20""".stripMargin)),
+
+    // CURATION COMPOSITE (catalog capstone): one pass that CHAINS the
+    // standard pre-training gates the individual entries demonstrate —
+    // exact-dup keep-best (q154's policy on q27's normalized key),
+    // n-gram repetition (q187's duplicate-3-gram rule, tightened to
+    // 2% dup-shingle mass so the gate participates on the mildly
+    // repetitive synthetic corpus — production Gopher thresholds are
+    // laxer), and a minimum length gate — with FIRST-FAILING-RULE accounting (precedence:
+    // duplicate > repetitive > short), so Σ(kept + three drop buckets)
+    // ≡ n_docs per source and the hash check pins the whole decision
+    // table, not just the survivor count. This is the composition
+    // story: every gate is the same corpus-linear shape (normalized-
+    // key group, doc-keyed shingle aggregate, length lookup) fused
+    // over ONE documents scan — at 100 TB the pipeline costs one read
+    // plus two bounded-key shuffles, not one pass per rule.
+    QueryDef(
+      "q200_curation_composite",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val docs = documents(s, d)
+          .repartition(s.sparkContext.defaultParallelism)
+          .select(col("doc_id"), col("source"), col("n_chars"),
+            regexp_replace(lower(trim(col("text"))), "\\s+", " ")
+              .as("norm"),
+            TextOps.tokens(col("text")).as("ws"))
+          .persist()
+        // gate 1 — exact-dup keep-best: highest n_chars, tie lowest id
+        val keepBest = docs
+          .withColumn("rn", row_number().over(
+            Window.partitionBy(md5(col("norm")))
+              .orderBy(col("n_chars").desc, col("doc_id"))))
+          .select(col("doc_id"), (col("rn") === 1).as("is_keeper"))
+        // gate 2 — repetition: duplicate-3-gram mass per doc
+        val rep = docs
+          .filter(size(col("ws")) >= 3)
+          .select(col("doc_id"),
+            explode(TextOps.wordShinglesAll(col("ws"), 3)).as("g"))
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_g"),
+            countDistinct(col("g")).as("n_dg"))
+          .select(col("doc_id"),
+            expr("(n_g - n_dg) * 1000000 div n_g").as("dup_ppm"))
+        docs.join(keepBest, "doc_id").join(rep, Seq("doc_id"), "left")
+          .withColumn("verdict",
+            when(!col("is_keeper"), "drop_duplicate")
+              .when(coalesce(col("dup_ppm"), lit(0L)) > 20000L,
+                "drop_repetitive")
+              .when(col("n_chars") < 200L, "drop_short")
+              .otherwise("kept"))
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(when(col("verdict") === "kept", 1L).otherwise(0L))
+              .as("n_kept"),
+            sum(when(col("verdict") === "drop_duplicate", 1L)
+              .otherwise(0L)).as("n_drop_dup"),
+            sum(when(col("verdict") === "drop_repetitive", 1L)
+              .otherwise(0L)).as("n_drop_rep"),
+            sum(when(col("verdict") === "drop_short", 1L).otherwise(0L))
+              .as("n_drop_short"),
+            sum(when(col("verdict") === "kept", col("n_chars"))
+              .otherwise(0L)).as("chars_kept"))
+          .orderBy(col("source"))
+      },
+      Some("""WITH docs AS (
+             |  SELECT doc_id, source, n_chars,
+             |    regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS norm,
+             |    string_split(text, ' ') AS ws
+             |  FROM documents),
+             |kb AS (
+             |  SELECT doc_id,
+             |    row_number() OVER (PARTITION BY md5(norm)
+             |      ORDER BY n_chars DESC, doc_id) = 1 AS is_keeper
+             |  FROM docs),
+             |g AS (
+             |  SELECT doc_id, u.g
+             |  FROM docs, LATERAL (SELECT unnest(list_transform(
+             |    range(1, len(ws) - 1),
+             |    i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS g) u
+             |  WHERE len(ws) >= 3),
+             |rep AS (
+             |  SELECT doc_id,
+             |    (count(*) - count(DISTINCT g)) * 1000000 // count(*)
+             |      AS dup_ppm
+             |  FROM g GROUP BY doc_id),
+             |v AS (
+             |  SELECT d.source, d.n_chars,
+             |    CASE WHEN NOT kb.is_keeper THEN 'drop_duplicate'
+             |         WHEN coalesce(rep.dup_ppm, 0) > 20000
+             |           THEN 'drop_repetitive'
+             |         WHEN d.n_chars < 200 THEN 'drop_short'
+             |         ELSE 'kept' END AS verdict
+             |  FROM docs d JOIN kb ON d.doc_id = kb.doc_id
+             |  LEFT JOIN rep ON d.doc_id = rep.doc_id)
+             |SELECT source, count(*) AS n_docs,
+             |  CAST(sum(CASE WHEN verdict = 'kept' THEN 1 ELSE 0 END)
+             |    AS BIGINT) AS n_kept,
+             |  CAST(sum(CASE WHEN verdict = 'drop_duplicate' THEN 1
+             |    ELSE 0 END) AS BIGINT) AS n_drop_dup,
+             |  CAST(sum(CASE WHEN verdict = 'drop_repetitive' THEN 1
+             |    ELSE 0 END) AS BIGINT) AS n_drop_rep,
+             |  CAST(sum(CASE WHEN verdict = 'drop_short' THEN 1
+             |    ELSE 0 END) AS BIGINT) AS n_drop_short,
+             |  CAST(sum(CASE WHEN verdict = 'kept' THEN n_chars
+             |    ELSE 0 END) AS BIGINT) AS chars_kept
+             |FROM v GROUP BY source ORDER BY source""".stripMargin))
   )
 }

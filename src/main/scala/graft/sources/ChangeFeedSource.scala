@@ -153,7 +153,14 @@ object ChangeFeedSource {
 
     /** CDC rows of the commits in `(start, end]` — delegates to the
       * batch [[VersionedTable.changes]] (identical semantics by
-      * construction), re-tagged streaming for the DSv1 contract. */
+      * construction), re-tagged streaming for the DSv1 contract.
+      *
+      * Schema-drift guard: the stream's schema was fixed at start, but
+      * a mid-stream RENAME/DROP/ADD on the table changes what
+      * `changes` emits — and a DSv1 batch whose columns no longer
+      * match the declared schema would mis-bind silently. Fail loudly
+      * with the restart instruction instead (the Delta contract:
+      * schema evolution mid-stream requires a restart). */
     override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
       val after = start.map(offsetVersion).getOrElse(startAfter)
       val to = offsetVersion(end)
@@ -161,8 +168,17 @@ object ChangeFeedSource {
         handedOut = to
         if (maxPerTrigger.isDefined) persistHwm(to)
       }
-      GraftColumnBridge.asStreaming(
-        VersionedTable.changes(sqlContext.sparkSession, root, after, to))
+      val batch =
+        VersionedTable.changes(sqlContext.sparkSession, root, after, to)
+      val declared = feedSchema.fields.map(f => f.name -> f.dataType).toSeq
+      val got = batch.schema.fields.map(f => f.name -> f.dataType).toSeq
+      if (got != declared)
+        throw new IllegalStateException(
+          s"change feed of $root: table schema changed mid-stream " +
+            s"(stream declared [${declared.map(_._1).mkString(", ")}], " +
+            s"commits up to v$to emit [${got.map(_._1).mkString(", ")}]) " +
+            "— restart the streaming query to pick up the new schema")
+      GraftColumnBridge.asStreaming(batch)
     }
 
     override def stop(): Unit = ()

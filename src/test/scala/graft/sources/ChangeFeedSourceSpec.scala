@@ -155,6 +155,42 @@ class ChangeFeedSourceSpec extends SparkSpecBase {
     }
   }
 
+  test("mid-stream rename fails the stream loudly; restart picks up " +
+      "the new schema") {
+    val root = newRoot()
+    VersionedTable.commit(Seq((1L, "a")).toDF("k", "s"), root) // v0
+    val q = spark.readStream
+      .format("graft-change-feed").option("root", root).load()
+      .writeStream.format("memory").queryName("cf_ren")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.sql("SELECT * FROM cf_ren").count() == 1)
+      // a rename lands while the stream runs; the next batch must NOT
+      // mis-bind the renamed column positionally — it must fail with
+      // the restart instruction
+      VersionedTable.renameColumn(root, "k", "key") // v1
+      VersionedTable.commit(Seq((2L, "b")).toDF("key", "s"), root) // v2
+      val e = intercept[Exception] { q.processAllAvailable() }
+      def messages(t: Throwable): Seq[String] =
+        if (t == null) Seq.empty
+        else Option(t.getMessage).toSeq ++ messages(t.getCause)
+      assert(messages(e).exists(_.contains("schema changed mid-stream")),
+        s"expected the schema-drift guard, got: ${messages(e)}")
+    } finally q.stop()
+    // a fresh stream declares the NEW schema and reads everything
+    val q2 = spark.readStream
+      .format("graft-change-feed").option("root", root).load()
+      .writeStream.format("memory").queryName("cf_ren2")
+      .outputMode("append").start()
+    try {
+      q2.processAllAvailable()
+      val rows = spark.sql("SELECT key, _version FROM cf_ren2").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).sorted
+      assert(rows.toSeq == Seq((1L, 0L), (2L, 2L)), rows.mkString(","))
+    } finally q2.stop()
+  }
+
   test("maxVersionsPerTrigger bounds each micro-batch and survives restart") {
     val root = newRoot()
     val ckpt = Files.createTempDirectory("graft_cfs_rl_").toString

@@ -1286,6 +1286,77 @@ object TextAnalysis {
              |  cont.n_contexts * 1000000 // raw.c_w AS versatility_ppm
              |FROM raw JOIN cont ON raw.w2 = cont.w2
              |ORDER BY cont.n_contexts DESC, word
+             |LIMIT 20""".stripMargin)),
+
+    // POSITIONAL INDEX SEARCH — the query side of q110's inverted
+    // index: a conjunctive (AND) query answered from per-term postings
+    // and a PHRASE query answered from positional postings (adjacent
+    // positions of the same doc — the reason real indexes store
+    // positions, not just doc ids). Shape: ONE narrow posexplode
+    // builds the postings; the conjunctive side is a per-doc
+    // conditional aggregate (no per-term join chain — at 1000 terms
+    // that would be 1000 joins; one pass with conditional sums is the
+    // scalable form of "smallest-posting-first" when terms are
+    // selective); the phrase side self-joins the SINGLE term's
+    // postings on (doc, pos+1) — the join input is pre-filtered to
+    // the phrase words, so the pairing is posting-sized, never
+    // corpus-sized. Everything integer; top-20 fully tie-broken.
+    QueryDef(
+      "q201_phrase_search",
+      (s, d) => {
+        val post = documents(s, d)
+          .repartition(s.sparkContext.defaultParallelism)
+          .select(col("doc_id"),
+            posexplode(TextOps.tokens(col("text"))).as(Seq("pos", "w")))
+          .persist()
+        val conj = post
+          .groupBy(col("doc_id"))
+          .agg(
+            sum(when(col("w") === "spark", 1L).otherwise(0L))
+              .as("n_spark"),
+            sum(when(col("w") === "query", 1L).otherwise(0L))
+              .as("n_query"),
+            sum(when(col("w") === "join", 1L).otherwise(0L))
+              .as("n_join"))
+          .filter(col("n_spark") > 0 && col("n_query") > 0 &&
+            col("n_join") > 0)
+        val dataPost = post.filter(col("w") === "data")
+        val phrase = dataPost.as("x")
+          .join(dataPost.as("y"),
+            col("x.doc_id") === col("y.doc_id") &&
+              col("y.pos") === col("x.pos") + 1)
+          .groupBy(col("x.doc_id").as("doc_id"))
+          .agg(count(lit(1)).as("phrase_cnt"))
+        conj.join(phrase, Seq("doc_id"), "left")
+          .na.fill(0L, Seq("phrase_cnt"))
+          .orderBy(col("phrase_cnt").desc, col("doc_id"))
+          .limit(20)
+      },
+      Some("""WITH post AS (
+             |  SELECT doc_id,
+             |    generate_subscripts(string_split(text, ' '), 1) AS pos,
+             |    unnest(string_split(text, ' ')) AS w
+             |  FROM documents),
+             |conj AS (
+             |  SELECT doc_id,
+             |    CAST(sum(CASE WHEN w = 'spark' THEN 1 ELSE 0 END)
+             |      AS BIGINT) AS n_spark,
+             |    CAST(sum(CASE WHEN w = 'query' THEN 1 ELSE 0 END)
+             |      AS BIGINT) AS n_query,
+             |    CAST(sum(CASE WHEN w = 'join' THEN 1 ELSE 0 END)
+             |      AS BIGINT) AS n_join
+             |  FROM post GROUP BY doc_id
+             |  HAVING n_spark > 0 AND n_query > 0 AND n_join > 0),
+             |dp AS (SELECT doc_id, pos FROM post WHERE w = 'data'),
+             |phrase AS (
+             |  SELECT x.doc_id, CAST(count(*) AS BIGINT) AS phrase_cnt
+             |  FROM dp x JOIN dp y
+             |    ON x.doc_id = y.doc_id AND y.pos = x.pos + 1
+             |  GROUP BY x.doc_id)
+             |SELECT c.doc_id, c.n_spark, c.n_query, c.n_join,
+             |  coalesce(p.phrase_cnt, 0) AS phrase_cnt
+             |FROM conj c LEFT JOIN phrase p ON c.doc_id = p.doc_id
+             |ORDER BY phrase_cnt DESC, c.doc_id
              |LIMIT 20""".stripMargin))
   )
 

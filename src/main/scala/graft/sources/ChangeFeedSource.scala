@@ -120,7 +120,15 @@ object ChangeFeedSource {
 
     import java.nio.file.{Files, Paths, StandardCopyOption}
 
-    private val hwmFile = Paths.get(metadataPath, "graft-version-hwm")
+    // metadataPath arrives as a URI string ("file:/ckpt/sources/0");
+    // fed to Paths.get raw it would resolve as a RELATIVE path named
+    // "file:..." under the process cwd — decode the scheme first.
+    private val hwmFile = {
+      val dir =
+        if (metadataPath.contains(":")) new java.net.URI(metadataPath).getPath
+        else metadataPath
+      Paths.get(dir, "graft-version-hwm")
+    }
 
     /** Highest batch END version handed to the engine so far. */
     private var handedOut: Long =

@@ -651,6 +651,63 @@ object Similarity {
              |  CAST(q_sum // n_vecs AS BIGINT) AS mean_norm2_micro2,
              |  CAST((2 * (n_vecs * q_sum - ssq)) // (n_vecs * n_vecs)
              |    AS BIGINT) AS disp_micro2
-             |FROM a ORDER BY label""".stripMargin))
+             |FROM a ORDER BY label""".stripMargin)),
+
+    // EMBEDDING CENTROID DRIFT — the vector-space sibling of q158's
+    // train/serve TV drift: split each label's vectors into two
+    // deterministic halves (vec_id parity — in production: the train
+    // snapshot vs the serving window), compute both halves' centroids
+    // in EXACT integer micro space (quantize → sum → integer div;
+    // truncation is identical cross-engine, no double division
+    // anywhere), and report the squared L2 distance between them. A
+    // drifted label means its serving embeddings no longer live where
+    // the trained index/classifier expects. Scale note: the drift
+    // bound is set by the VALUE RANGE (micro centroids are bounded by
+    // max|x|·10⁶), not the corpus size — Σ over 64 dims of (Δc)² caps
+    // near 2.6e14 for unit-range vectors, far inside int64 at ANY row
+    // count, which is why no DECIMAL widening is needed here. Shape:
+    // one narrow posexplode, one (label, half, dim) aggregate —
+    // map-side-combinable, corpus-linear.
+    QueryDef(
+      "q202_centroid_drift",
+      (s, d) => {
+        val g = embeddings(s, d)
+          .select(col("label"), (col("vec_id") % 2).as("half"),
+            posexplode(col("embedding")).as(Seq("dim", "x")))
+          .withColumn("el",
+            expr("CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)"))
+          .groupBy(col("label"), col("half"), col("dim"))
+          .agg(sum(col("el")).as("sum_q"), count(lit(1)).as("n"))
+          .withColumn("c", expr("sum_q div n"))
+        val even = g.filter(col("half") === 0)
+          .select(col("label"), col("dim"),
+            col("c").as("c0"), col("n").as("n0"))
+        val odd = g.filter(col("half") === 1)
+          .select(col("label"), col("dim"),
+            col("c").as("c1"), col("n").as("n1"))
+        even.join(odd, Seq("label", "dim"))
+          .groupBy(col("label"))
+          .agg(max(col("n0")).as("n_even"), max(col("n1")).as("n_odd"),
+            sum(expr("(c0 - c1) * (c0 - c1)")).as("drift_sq_micro"))
+          .orderBy(col("label"))
+      },
+      Some("""WITH u AS (
+             |  SELECT label, vec_id % 2 AS half, pos,
+             |    CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT) AS el
+             |  FROM (SELECT label, vec_id, unnest(embedding) AS x,
+             |          generate_subscripts(embedding, 1) AS pos
+             |        FROM embeddings)),
+             |g AS (
+             |  SELECT label, half, pos,
+             |    CAST(sum(el) AS BIGINT) // count(*) AS c,
+             |    count(*) AS n
+             |  FROM u GROUP BY label, half, pos)
+             |SELECT e.label, max(e.n) AS n_even, max(o.n) AS n_odd,
+             |  CAST(sum((e.c - o.c) * (e.c - o.c)) AS BIGINT)
+             |    AS drift_sq_micro
+             |FROM g e JOIN g o
+             |  ON e.label = o.label AND e.pos = o.pos
+             |  AND e.half = 0 AND o.half = 1
+             |GROUP BY e.label ORDER BY e.label""".stripMargin))
   )
 }

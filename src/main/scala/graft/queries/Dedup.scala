@@ -975,6 +975,94 @@ object Dedup {
              |    // len(p.sh) AS BIGINT) AS containment_ppm
              |FROM sh p JOIN sh q ON p.doc_id <> q.doc_id
              |WHERE len(list_intersect(p.sh, q.sh)) * 10 >= len(p.sh) * 9
-             |ORDER BY contained, container""".stripMargin))
+             |ORDER BY contained, container""".stripMargin)),
+
+    // NEAR-DUP TRANSITIVITY AUDIT — the measurement behind q62's
+    // design decision: connected-component clustering treats "J ≥ 0.7"
+    // as if it were transitive, which it is NOT in general (a~b and
+    // b~c allow J(a,c) well below t). This entry takes the verified
+    // pair list, forms every WEDGE a−b−c, and decomposes the a−c
+    // closures: already a verified pair | actually similar but missed
+    // by the bands (an LSH recall gap, closable) | genuinely
+    // dissimilar (true non-transitivity — the rows that make CC
+    // clusters over-merge). High dissimilar counts mean the threshold
+    // or the clustering policy needs tightening BEFORE a 100 TB dedup
+    // run deletes the wrong documents. Shape: the pair list is tiny
+    // (bounded by real near-dups), so wedge formation is a self-join
+    // of a broadcast-scale table; third-edge verification streams
+    // `base` exactly like the q28 verify step.
+    QueryDef(
+      "q203_transitivity_audit",
+      (s, d) => {
+        val (pairs, base) = lshVerifiedPairs(s, d)
+        val p = pairs.select(col("a"), col("b")).persist()
+        val und = p.union(p.select(col("b"), col("a"))).toDF("u", "v")
+        val wedges = und.as("x")
+          .join(und.as("y"),
+            col("x.v") === col("y.u") && col("x.u") < col("y.v"))
+          .select(col("x.u").as("a"), col("y.v").as("c"))
+          .distinct()
+        val closed = p.withColumn("is_pair", lit(1L))
+        val scored = wedges
+          .join(closed, wedges("a") === closed("a") &&
+            wedges("c") === closed("b"), "left")
+          .select(wedges("a").as("a"), wedges("c").as("c"),
+            coalesce(col("is_pair"), lit(0L)).as("is_pair"))
+        val openScored = scored.filter(col("is_pair") === 0L)
+          .join(base.select(col("doc_id").as("a"), col("sh").as("sha")), "a")
+          .join(base.select(col("doc_id").as("c"), col("sh").as("shc")), "c")
+          .select(
+            (TextOps.jaccardSorted(col("sha"), col("shc")) >= 0.7)
+              .as("is_similar"))
+        val openAgg = openScored.agg(
+          count(lit(1)).as("n_open"),
+          coalesce(sum(when(col("is_similar"), 1L).otherwise(0L)), lit(0L))
+            .as("n_missed"))
+        scored.agg(count(lit(1)).as("n_wedges"),
+            coalesce(sum(col("is_pair")), lit(0L)).as("n_closed"))
+          .crossJoin(p.agg(count(lit(1)).as("n_pairs")))
+          .crossJoin(openAgg)
+          .select(col("n_pairs"), col("n_wedges"), col("n_closed"),
+            col("n_missed"),
+            (col("n_open") - col("n_missed")).as("n_dissimilar"),
+            expr("""CASE WHEN n_wedges = 0 THEN 0
+                   | ELSE (n_closed + n_missed) * 1000000 div n_wedges
+                   | END""".stripMargin).as("closure_ppm"))
+      },
+      Some(s"""WITH $lshPairsSqlCtes,
+             |p AS (SELECT a, b FROM pairs),
+             |und AS (SELECT a AS u, b AS v FROM p
+             |        UNION ALL SELECT b, a FROM p),
+             |wedges AS (
+             |  SELECT DISTINCT x.u AS a, y.v AS c
+             |  FROM und x JOIN und y ON x.v = y.u AND x.u < y.v),
+             |scored AS (
+             |  SELECT w.a, w.c,
+             |    CASE WHEN p.a IS NULL THEN 0 ELSE 1 END AS is_pair
+             |  FROM wedges w LEFT JOIN p ON w.a = p.a AND w.c = p.b),
+             |openj AS (
+             |  SELECT CASE WHEN
+             |      round(len(list_intersect(x.sh, y.sh)) * 1.0 /
+             |        len(list_distinct(list_concat(x.sh, y.sh))), 4)
+             |      >= 0.7 THEN 1 ELSE 0 END AS is_similar
+             |  FROM scored s JOIN sh x ON s.a = x.doc_id
+             |    JOIN sh y ON s.c = y.doc_id
+             |  WHERE s.is_pair = 0)
+             |SELECT
+             |  (SELECT CAST(count(*) AS BIGINT) FROM p) AS n_pairs,
+             |  (SELECT CAST(count(*) AS BIGINT) FROM scored) AS n_wedges,
+             |  (SELECT CAST(coalesce(sum(is_pair), 0) AS BIGINT) FROM scored)
+             |    AS n_closed,
+             |  (SELECT CAST(coalesce(sum(is_similar), 0) AS BIGINT) FROM openj)
+             |    AS n_missed,
+             |  (SELECT CAST(count(*) - coalesce(sum(is_similar), 0) AS BIGINT)
+             |    FROM openj) AS n_dissimilar,
+             |  CASE WHEN (SELECT count(*) FROM scored) = 0 THEN 0
+             |    ELSE ((SELECT CAST(coalesce(sum(is_pair), 0) AS BIGINT) FROM scored)
+             |      + (SELECT CAST(coalesce(sum(is_similar), 0) AS BIGINT)
+             |         FROM openj))
+             |      * 1000000 // (SELECT CAST(count(*) AS BIGINT)
+             |        FROM scored)
+             |  END AS closure_ppm""".stripMargin))
   )
 }

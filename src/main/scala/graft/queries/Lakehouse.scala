@@ -515,6 +515,48 @@ object Lakehouse {
              |SELECT o_orderstatus, count(*) AS n_orders,
              |  CAST(sum(o_orderkey) AS BIGINT) AS sum_key
              |FROM t GROUP BY o_orderstatus
-             |ORDER BY o_orderstatus""".stripMargin))
+             |ORDER BY o_orderstatus""".stripMargin)),
+
+    // METADATA-ONLY AGGREGATES: count(*)/null-count/min/max answered
+    // purely from the manifest's footer-harvested stats — zero data
+    // files opened (Delta's "SELECT COUNT(*) from the log"
+    // optimization). The table spans two commits (4 files) so the
+    // fold crosses manifests; o_custkey_n carries deterministic NULLs
+    // so the null-count path is live, not vacuously zero. At 100 TB
+    // this turns a full-table scan into an O(files) driver fold over
+    // metadata already resident for planning. VersionedTableSpec
+    // proves the zero-read claim the strong way: it DELETES the data
+    // directory and the answer still comes back; and proves the
+    // refusal rails (MOR tombstones, stats-less files) fail loudly
+    // instead of under-counting. The oracle is the plain SQL the
+    // metadata must reproduce exactly.
+    QueryDef(
+      "q204_stats_only_agg",
+      (s, d) => {
+        val root = Files.createTempDirectory("graft_statsagg_").toString
+        val base = orders(s, d).select(col("o_orderkey"),
+          when(col("o_custkey") % 7 === 0, lit(null).cast("long"))
+            .otherwise(col("o_custkey")).as("o_custkey_n"))
+        VersionedTable.commit(
+          base.filter(col("o_orderkey") % 2 === 0).repartition(2), root)
+        VersionedTable.commit(
+          base.filter(col("o_orderkey") % 2 =!= 0).repartition(2), root)
+        VersionedTable.statsAggregate(s, root,
+            Seq("o_custkey_n", "o_orderkey"))
+          .orderBy(col("col_name"))
+      },
+      Some("""WITH t AS (SELECT o_orderkey,
+             |  CASE WHEN o_custkey % 7 = 0 THEN NULL ELSE o_custkey END
+             |    AS o_custkey_n FROM orders)
+             |SELECT col_name, n_rows, n_nulls, min_v, max_v FROM (
+             |  SELECT 'o_orderkey' AS col_name, count(*) AS n_rows,
+             |    count(*) - count(o_orderkey) AS n_nulls,
+             |    min(o_orderkey) AS min_v, max(o_orderkey) AS max_v
+             |  FROM t
+             |  UNION ALL
+             |  SELECT 'o_custkey_n', count(*),
+             |    count(*) - count(o_custkey_n),
+             |    min(o_custkey_n), max(o_custkey_n) FROM t)
+             |ORDER BY col_name""".stripMargin))
   )
 }

@@ -985,6 +985,68 @@ object VersionedTable {
   def snapshotStats(root: String, v: Long)
       : Map[String, Map[String, ColStats]] = state(root, v).stats
 
+  /** METADATA-ONLY aggregates: `count(*)`, `count(col)`-style null
+    * counts, and min/max for the named LOGICAL columns of snapshot
+    * `version` (default latest), answered purely from the manifest's
+    * per-file footer stats — zero data files are opened (the Delta
+    * "answer `SELECT COUNT(*)` from the log" optimization; at 100 TB
+    * this is an O(files) driver fold versus a full-table scan, and it
+    * still works after the data files are archived elsewhere).
+    *
+    * One output row per requested column:
+    * `(col_name, n_rows, n_nulls, min_v, max_v)` with min/max as the
+    * column's long value (the caller picks long-typed columns; string
+    * or double min/max would re-open the stats-stringification
+    * rabbit hole for no catalog value). Min/max are NULL for an
+    * all-null column.
+    *
+    * REFUSES (throws) rather than risks a wrong answer when:
+    *  - the snapshot carries merge-on-read tombstones (deleted rows
+    *    are still inside the files' footer counts — Delta likewise
+    *    disables stats-only answers under deletion vectors);
+    *  - any live file lacks harvested stats for a requested column
+    *    (an absent footer makes every aggregate a lower bound, not an
+    *    answer). Callers that can pay the scan fall back to a plain
+    *    read. */
+  def statsAggregate(spark: SparkSession, root: String,
+      cols: Seq[String], version: Option[Long] = None): DataFrame = {
+    val v = version.getOrElse(latestVersion(root))
+    val st = state(root, v)
+    require(st.tombs.isEmpty,
+      "statsAggregate: snapshot has merge-on-read tombstones — footer " +
+        "row counts include deleted rows; compact first or scan")
+    val rows = cols.map { logical =>
+      val phys = physicalName(st, logical)
+      val perFile = st.files.map { f =>
+        st.stats.getOrElse(f, Map.empty).getOrElse(phys,
+          throw new IllegalStateException(
+            s"statsAggregate: file $f has no stats for column " +
+              s"$logical — metadata cannot answer; scan instead"))
+      }
+      require(perFile.forall(_.typ == "long"),
+        s"statsAggregate: $logical is not a long-typed stats column")
+      val nRows = perFile.map(_.rows).sum
+      val nNulls = perFile.map(_.nulls).sum
+      val mins = perFile.flatMap(_.min).map(_.toLong)
+      val maxs = perFile.flatMap(_.max).map(_.toLong)
+      org.apache.spark.sql.Row(logical, nRows, nNulls,
+        mins.minOption.orNull, maxs.maxOption.orNull)
+    }
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("col_name",
+        org.apache.spark.sql.types.StringType, nullable = false),
+      org.apache.spark.sql.types.StructField("n_rows",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("n_nulls",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("min_v",
+        org.apache.spark.sql.types.LongType, nullable = true),
+      org.apache.spark.sql.types.StructField("max_v",
+        org.apache.spark.sql.types.LongType, nullable = true)))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1), schema)
+  }
+
   /** Can any row of a file with stats `cs` satisfy
     * `col BETWEEN lower AND upper` (bounds inclusive, None =
     * unbounded)? NULL column values never satisfy a range predicate,

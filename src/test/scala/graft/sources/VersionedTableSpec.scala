@@ -32,6 +32,53 @@ class VersionedTableSpec extends SparkSpecBase {
       .sorted.toSeq == Seq(9L, 10L))
   }
 
+  test("statsAggregate answers from metadata alone — even with the " +
+      "data files gone — and refuses when stats could lie") {
+    val root = newRoot()
+    val df = spark.range(0, 1000)
+      .select(col("id").as("k"),
+        when(col("id") % 5 === 0, lit(null).cast("long"))
+          .otherwise(col("id") * 2).as("v"))
+    VersionedTable.commit(df.filter(col("k") < 500).repartition(2), root)
+    VersionedTable.commit(df.filter(col("k") >= 500).repartition(2), root)
+    def agg() = VersionedTable.statsAggregate(spark, root, Seq("k", "v"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.get(3), r.get(4))).sortBy(_._1).toSeq
+    val expected = Seq(
+      ("k", 1000L, 0L, 0L, 999L),
+      ("v", 1000L, 200L, 2L, 1998L)) // min over non-null: k=1 -> 2
+    assert(agg() == expected)
+    // the strong zero-read proof: delete every data file; the
+    // metadata-only answer is unchanged while a scan now fails
+    val dataDir = Paths.get(root, "data")
+    Files.walk(dataDir).iterator().asScala.toSeq.reverse
+      .foreach(p => Files.deleteIfExists(p))
+    assert(agg() == expected)
+    intercept[Exception] {
+      VersionedTable.read(spark, root).collect()
+    }
+    // refusal rail 1: MOR tombstones make footer counts overcount
+    val root2 = newRoot()
+    VersionedTable.commit(
+      spark.range(0, 100).select(col("id").as("k"), col("id").as("v")),
+      root2)
+    VersionedTable.deleteKeysMOR(spark, root2, "k",
+      spark.range(0, 10).select(col("id").as("k")))
+    val e1 = intercept[IllegalArgumentException] {
+      VersionedTable.statsAggregate(spark, root2, Seq("k"))
+    }
+    assert(e1.getMessage.contains("tombstones"))
+    // refusal rail 2: non-long stats column (string) is out of scope
+    val root3 = newRoot()
+    VersionedTable.commit(
+      spark.range(0, 10).select(col("id").as("k"),
+        concat(lit("s"), col("id")).as("s")), root3)
+    val e2 = intercept[IllegalArgumentException] {
+      VersionedTable.statsAggregate(spark, root3, Seq("s"))
+    }
+    assert(e2.getMessage.contains("long-typed"))
+  }
+
   test("data skipping: selective range opens fewer files, same rows") {
     val root = newRoot()
     // range-clustered layout: 8 files with disjoint k ranges; s is a

@@ -557,6 +557,59 @@ object Lakehouse {
              |  SELECT 'o_custkey_n', count(*),
              |    count(*) - count(o_custkey_n),
              |    min(o_custkey_n), max(o_custkey_n) FROM t)
-             |ORDER BY col_name""".stripMargin))
+             |ORDER BY col_name""".stripMargin)),
+
+    // MERGE + AUTOMATIC SCHEMA EVOLUTION in one atomic commit (the
+    // Delta autoMerge shape): a CDC batch carries a column the table
+    // has never seen — updates land, inserts land, the new column is
+    // appended to the schema, and every UNTOUCHED file stays
+    // untouched (stats-pruned merge), its rows surfacing the new
+    // column as NULL through the metadata-resolved read. At 100 TB
+    // the alternative — rewrite the table to add a column — is the
+    // difference between an O(CDC batch) commit and an O(table) one.
+    // The oracle states the upsert + widening semantics in plain SQL;
+    // the grouped aggregate over the evolved column makes both the
+    // NULL-backfill rows and the merged rows visible in the answer.
+    QueryDef(
+      "q205_merge_evolve",
+      (s, d) => {
+        val root = Files.createTempDirectory("graft_mergevo_").toString
+        VersionedTable.commit(
+          orders(s, d).select(col("o_orderkey"), col("o_custkey"))
+            .repartitionByRange(8, col("o_orderkey")), root)
+        val src = orders(s, d).filter(col("o_orderkey") <= 100)
+          .select(col("o_orderkey"),
+            (col("o_custkey") + 1000000L).as("o_custkey"),
+            col("o_orderpriority").as("priority"))
+          .unionByName(orders(s, d).filter(col("o_orderkey") <= 10)
+            .select((col("o_orderkey") + 20000000L).as("o_orderkey"),
+              col("o_custkey"), lit("NEW").as("priority")))
+        VersionedTable.mergeKeyedEvolve(s, root, src, "o_orderkey")
+        VersionedTable.read(s, root)
+          .groupBy(coalesce(col("priority"), lit("-")).as("priority"))
+          .agg(count(lit(1)).as("n_orders"),
+            sum(col("o_orderkey")).as("sum_key"),
+            sum(col("o_custkey")).as("sum_cust"))
+          .orderBy(col("priority"))
+      },
+      Some("""WITH src AS (
+             |  SELECT o_orderkey, o_custkey + 1000000 AS o_custkey,
+             |    o_orderpriority AS priority
+             |  FROM orders WHERE o_orderkey <= 100
+             |  UNION ALL
+             |  SELECT o_orderkey + 20000000, o_custkey, 'NEW'
+             |  FROM orders WHERE o_orderkey <= 10),
+             |merged AS (
+             |  SELECT b.o_orderkey, b.o_custkey,
+             |    CAST(NULL AS VARCHAR) AS priority
+             |  FROM orders b
+             |  WHERE b.o_orderkey NOT IN (SELECT o_orderkey FROM src)
+             |  UNION ALL
+             |  SELECT * FROM src)
+             |SELECT coalesce(priority, '-') AS priority,
+             |  count(*) AS n_orders,
+             |  CAST(sum(o_orderkey) AS BIGINT) AS sum_key,
+             |  CAST(sum(o_custkey) AS BIGINT) AS sum_cust
+             |FROM merged GROUP BY 1 ORDER BY priority""".stripMargin))
   )
 }

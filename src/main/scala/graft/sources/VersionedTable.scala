@@ -1693,10 +1693,13 @@ object VersionedTable {
     * remove `removed` files, add the new ones (with footer stats),
     * carry the basis schema line forward (a row-level rewrite never
     * changes schema; tableSchema resolves from the NEWEST manifest
-    * only, so omitting it would lose schema tracking). Shared tail of
+    * only, so omitting it would lose schema tracking) unless
+    * `schemaOverride` widens it ([[mergeKeyedEvolve]]). Shared tail of
     * [[deleteRanges]]/[[updateRanges]]/[[mergeKeyed]]. */
   private def commitReplace(spark: SparkSession, root: String,
-      basis: Long, removed: Seq[String], rewritten: DataFrame): Long = {
+      basis: Long, removed: Seq[String], rewritten: DataFrame,
+      schemaOverride: Option[org.apache.spark.sql.types.StructType] = None)
+      : Long = {
     val next = basis + 1
     if (Files.exists(manifestPath(root, next)))
       throw new ConcurrentCommitException(next)
@@ -1715,7 +1718,7 @@ object VersionedTable {
     val statLines = files.flatMap { f =>
       statsLines(f, footerStats(spark, Paths.get(root, f)))
     }
-    val schemaLine = tableSchema(root, basis)
+    val schemaLine = schemaOverride.orElse(tableSchema(root, basis))
       .map(sc => s"schema=${enc(sc.json)}").toSeq
     val body =
       (Seq(s"version=$next", "action=replace") ++ schemaLine ++
@@ -1768,6 +1771,60 @@ object VersionedTable {
         base, source.withColumn("__mrg_tomb", lit(false)), key, "__mrg_tomb")
       .select(tableCols.map(col): _*) // MergeOps fronts the key column
     commitReplace(spark, root, basis, touched, merged)
+  }
+
+  /** [[mergeKeyed]] with AUTOMATIC SCHEMA EVOLUTION (Delta's
+    * `spark.databricks.delta.schema.autoMerge` MERGE shape): the
+    * source may carry columns the table does not have yet — they are
+    * APPENDED to the table schema in the same atomic `replace`
+    * commit. Existing rows in rewritten files get explicit NULLs; the
+    * UNTOUCHED files (the whole point of stats-pruned merge) never
+    * get rewritten at all — their rows surface the added columns as
+    * NULL through the metadata-resolved read ([[readFiles]]), so
+    * evolution stays O(touched files) regardless of table size.
+    * Widening only: the source must still cover every existing table
+    * column, added names must not collide with a [[dropColumn]]-
+    * retired physical name (those bytes still sit inside live files
+    * and would resurrect under the reused name). */
+  def mergeKeyedEvolve(spark: SparkSession, root: String,
+      source: DataFrame, key: String): Long = {
+    import org.apache.spark.sql.functions.{col, lit, min => fmin, max => fmax}
+    val basis = latestVersion(root)
+    require(basis >= 0, s"$root is not a versioned table (empty log)")
+    val st = state(root, basis)
+    val tableSc = schemaOf(st).getOrElse(throw new IllegalStateException(
+      "mergeKeyedEvolve: table predates schema tracking — " +
+        "commit once with a schema line first"))
+    val tableCols = tableSc.fieldNames.toSeq
+    val srcCols = source.columns.toSeq
+    require(tableCols.toSet.subsetOf(srcCols.toSet),
+      "mergeKeyedEvolve: source must cover every table column " +
+        s"(missing ${tableCols.filterNot(srcCols.toSet).mkString(",")})")
+    val added = srcCols.filterNot(tableCols.toSet)
+    if (added.isEmpty) return mergeKeyed(spark, root, source, key)
+    added.foreach(c => require(!st.dropped.contains(c),
+      s"mergeKeyedEvolve: added column $c collides with a dropped " +
+        "physical column still present in live files"))
+    val bounds = source.agg(
+      fmin(col(key)).as("lo"), fmax(col(key)).as("hi")).head()
+    if (bounds.isNullAt(0)) return basis // empty source: no evolution
+    val (lo, hi) = (bounds.get(0), bounds.get(1))
+    val physKey = physicalName(st, key)
+    val touched = st.files.filter { f =>
+      mayMatch(st.stats.getOrElse(f, Map.empty).get(physKey),
+        Some(lo), Some(hi))
+    }
+    val base = readResolved(spark, root, st, touched)
+    val widened = added.foldLeft(base)((df, c) =>
+      df.withColumn(c, lit(null).cast(source.schema(c).dataType)))
+    val merged = graft.ops.MergeOps.merge(
+        widened, source.withColumn("__mrg_tomb", lit(false)),
+        key, "__mrg_tomb")
+      .select((tableCols ++ added).map(col): _*)
+    val evolved = org.apache.spark.sql.types.StructType(
+      tableSc.fields ++ added.map(c =>
+        source.schema(source.schema.fieldIndex(c)).copy(nullable = true)))
+    commitReplace(spark, root, basis, touched, merged, Some(evolved))
   }
 
   /** Read a set of snapshot-`v` files with the schema resolved from

@@ -79,6 +79,45 @@ class VersionedTableSpec extends SparkSpecBase {
     assert(e2.getMessage.contains("long-typed"))
   }
 
+  test("mergeKeyedEvolve: schema widens atomically, untouched files " +
+      "carry over by reference") {
+    val root = newRoot()
+    val base = spark.range(0, 800)
+      .select(col("id").as("k"), (col("id") * 10).as("v"))
+      .repartitionByRange(8, col("k"))
+    VersionedTable.commit(base, root) // v0: 8 range-clustered files
+    val v0Files = VersionedTable.snapshotFiles(root, 0L).toSet
+    // CDC batch clustered in the low key range, with a NEW column
+    val src = spark.range(0, 50)
+      .select(col("id").as("k"), (col("id") * 10 + 1).as("v"),
+        concat(lit("t"), col("id")).as("tag"))
+    val v1 = VersionedTable.mergeKeyedEvolve(spark, root, src, "k")
+    assert(v1 == 1L)
+    // schema evolved: tag appended, nullable
+    val sc = VersionedTable.tableSchema(root, v1).get
+    assert(sc.fieldNames.toSeq == Seq("k", "v", "tag"))
+    assert(sc("tag").nullable)
+    // stats pruning held: most of v0's files survive by reference
+    val v1Files = VersionedTable.snapshotFiles(root, v1).toSet
+    assert((v0Files & v1Files).size >= 6,
+      s"expected >=6 of 8 files untouched, kept ${(v0Files & v1Files).size}")
+    // data: merged rows updated + tagged; untouched rows NULL tag
+    val out = VersionedTable.read(spark, root)
+    assert(out.count() == 800)
+    assert(out.filter(col("tag").isNotNull).count() == 50)
+    assert(out.filter(col("k") === 7).select(col("v"), col("tag"))
+      .head() == org.apache.spark.sql.Row(71L, "t7"))
+    assert(out.filter(col("k") === 700).select(col("v"), col("tag"))
+      .head() == org.apache.spark.sql.Row(7000L, null))
+    // widening-only rail: a source missing a table column is rejected
+    val e = intercept[IllegalArgumentException] {
+      VersionedTable.mergeKeyedEvolve(spark, root,
+        spark.range(0, 5).select(col("id").as("k"),
+          lit("x").as("other")), "k")
+    }
+    assert(e.getMessage.contains("must cover every table column"))
+  }
+
   test("data skipping: selective range opens fewer files, same rows") {
     val root = newRoot()
     // range-clustered layout: 8 files with disjoint k ranges; s is a

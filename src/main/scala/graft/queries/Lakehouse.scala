@@ -610,6 +610,55 @@ object Lakehouse {
              |  count(*) AS n_orders,
              |  CAST(sum(o_orderkey) AS BIGINT) AS sum_key,
              |  CAST(sum(o_custkey) AS BIGINT) AS sum_cust
-             |FROM merged GROUP BY 1 ORDER BY priority""".stripMargin))
+             |FROM merged GROUP BY 1 ORDER BY priority""".stripMargin)),
+
+    // SHALLOW CLONE + divergent evolution: the clone's v0 is one
+    // metadata commit referencing the source's files in place (zero
+    // bytes copied — at 100 TB, the difference between an instant
+    // branch and a day of copying); a stats-pruned DELETE on the
+    // clone then rewrites ONLY the touched files into clone-local
+    // storage while the source stays byte-identical. The result
+    // reads both sides to prove the isolation in the checked answer:
+    // the clone shows the delete, the source does not. Oracle = the
+    // layout-free restatement (clone side is the filtered aggregate,
+    // source side the full one).
+    QueryDef(
+      "q206_shallow_clone",
+      (s, d) => {
+        val src = Files.createTempDirectory("graft_clsrc_").toString
+        val dst = Files.createTempDirectory("graft_cldst_").toString
+        VersionedTable.commit(
+          customer(s, d).select(col("c_custkey"), col("c_mktsegment"))
+            .repartitionByRange(4, col("c_custkey")), src)
+        VersionedTable.cloneShallow(src, dst)
+        VersionedTable.deleteRanges(s, dst,
+          Seq(("c_custkey", Some(1L), Some(100L))))
+        val cloneAgg = VersionedTable.read(s, dst)
+          .groupBy(col("c_mktsegment"))
+          .agg(count(lit(1)).as("n_cust"),
+            sum(col("c_custkey")).as("sum_key"))
+          .withColumn("side", lit("clone"))
+        val srcAgg = VersionedTable.read(s, src)
+          .groupBy(col("c_mktsegment"))
+          .agg(count(lit(1)).as("n_cust"),
+            sum(col("c_custkey")).as("sum_key"))
+          .withColumn("side", lit("source"))
+        cloneAgg.unionByName(srcAgg)
+          .select(col("side"), col("c_mktsegment"),
+            col("n_cust"), col("sum_key"))
+          .orderBy(col("side"), col("c_mktsegment"))
+      },
+      Some("""SELECT 'clone' AS side, c_mktsegment,
+             |  count(*) AS n_cust,
+             |  CAST(sum(c_custkey) AS BIGINT) AS sum_key
+             |FROM customer
+             |WHERE NOT (c_custkey BETWEEN 1 AND 100)
+             |   OR c_custkey IS NULL
+             |GROUP BY c_mktsegment
+             |UNION ALL
+             |SELECT 'source', c_mktsegment, count(*),
+             |  CAST(sum(c_custkey) AS BIGINT)
+             |FROM customer GROUP BY c_mktsegment
+             |ORDER BY side, c_mktsegment""".stripMargin))
   )
 }

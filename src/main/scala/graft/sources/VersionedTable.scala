@@ -55,6 +55,15 @@ object VersionedTable {
 
   private def logDir(root: String): Path = Paths.get(root, "_graft_log")
 
+  /** Resolve a log-recorded data-file/sidecar reference to a
+    * filesystem path. Plain entries are root-relative; `ext:`-prefixed
+    * entries (written by [[cloneShallow]]) are absolute references
+    * into the clone source's tree — read-only from this table's
+    * perspective (vacuum/compact never delete through them). */
+  private def dataPath(root: String, f: String): Path =
+    if (f.startsWith("ext:")) Paths.get(f.stripPrefix("ext:"))
+    else Paths.get(root, f)
+
   private def manifestPath(root: String, v: Long): Path =
     logDir(root).resolve(f"v$v%05d.txt")
 
@@ -544,8 +553,9 @@ object VersionedTable {
         s.blooms.collect { case ((f, _), sc) if s.files.contains(f) => sc })
         .distinct
     def check(v: Long, s: TableState): Unit = refsOf(s).foreach { f =>
-      referencedDirs += Paths.get(root, f).getParent.getFileName.toString
-      if (!Files.exists(Paths.get(root, f))) {
+      if (!f.startsWith("ext:")) // external refs live outside data/
+        referencedDirs += Paths.get(root, f).getParent.getFileName.toString
+      if (!Files.exists(dataPath(root, f))) {
         missing.getOrElseUpdate(f, v)
         if (v == latest) missingNow += f
       }
@@ -596,7 +606,7 @@ object VersionedTable {
     val missing = (target.files ++ target.tombs.values.flatten.toSeq ++
       target.blooms.collect {
         case ((f, _), sc) if target.files.contains(f) => sc })
-      .distinct.filterNot(f => Files.exists(Paths.get(root, f)))
+      .distinct.filterNot(f => Files.exists(dataPath(root, f)))
     require(missing.isEmpty,
       s"cannot restore to v$toVersion: ${missing.size} file(s) of that " +
         s"snapshot were vacuumed (e.g. ${missing.headOption.getOrElse("")})")
@@ -627,6 +637,68 @@ object VersionedTable {
         .mkString("", "\n", "\n")
     publish(root, latest + 1, body)
     latest + 1
+  }
+
+  /** SHALLOW CLONE (Delta `CREATE TABLE ... SHALLOW CLONE`): create a
+    * NEW table at `dstRoot` whose v0 references the source snapshot's
+    * data files IN PLACE — a metadata-only commit, zero bytes of data
+    * copied, O(files) regardless of table size. The clone then
+    * evolves independently: local commits land under its own `data/`,
+    * deletes/merges rewrite only what they touch (rewrites
+    * materialize, i.e. un-external-ize, exactly the touched files),
+    * and a full [[compact]] materializes the whole clone. The
+    * source's log is never consulted again — the clone snapshot is
+    * frozen at clone time (time travel below the clone's v0 does not
+    * exist).
+    *
+    * External references are `ext:`-prefixed ABSOLUTE paths resolved
+    * by [[dataPath]]; the clone's [[vacuum]]/[[compact]] never delete
+    * through them (the source owns its files). The standing hazard is
+    * Delta's own: a `vacuum` on the SOURCE that reclaims files the
+    * clone still references breaks the clone — [[fsck]] on the clone
+    * reports exactly which references died. Tombstone and bloom
+    * sidecars clone the same way (by reference).
+    *
+    * `dstRoot` must not already be a versioned table. Returns the
+    * clone's version (always 0). */
+  def cloneShallow(srcRoot: String, dstRoot: String,
+      version: Option[Long] = None): Long = {
+    val v = version.getOrElse(latestVersion(srcRoot))
+    require(v >= 0, s"$srcRoot is not a versioned table (empty log)")
+    require(latestVersion(dstRoot) < 0,
+      s"cloneShallow: $dstRoot is already a versioned table")
+    val st = state(srcRoot, v)
+    val srcAbs = Paths.get(srcRoot).toAbsolutePath
+    // a clone of a clone keeps already-external refs pointing at the
+    // ORIGINAL owner (no ext:ext: chains, no dependence on the
+    // intermediate clone's lifetime)
+    def ext(f: String): String =
+      if (f.startsWith("ext:")) f else s"ext:${srcAbs.resolve(f)}"
+    val liveSidecars = st.tombs.values.flatten.toSet
+    val body =
+      (Seq("version=0", "action=overwrite",
+        s"clonesrc=${enc(srcRoot)}|$v") ++
+        st.schemaJson.map(j => s"schema=${enc(j)}").toSeq ++
+        st.files.map(f => s"file=${ext(f)}") ++
+        st.files.flatMap(f =>
+          statsLines(ext(f), st.stats.getOrElse(f, Map.empty))) ++
+        st.tombKey.toSeq.filter(e => liveSidecars(e._1))
+          .sortBy(_._1).map { case (sc, k) =>
+            s"tombfile=${enc(ext(sc))}|${enc(k)}" } ++
+        st.tombs.toSeq.sortBy(_._1).flatMap { case (f, scs) =>
+          scs.map(sc => s"tombmap=${enc(ext(f))}|${enc(ext(sc))}") } ++
+        st.blooms.toSeq.filter(e => st.files.contains(e._1._1))
+          .sortBy(_._1).map { case ((f, c), sc) =>
+            s"bloomfile=${enc(ext(f))}|${enc(c)}|${enc(ext(sc))}" } ++
+        st.colMap.toSeq.sorted.map { case (l, p) =>
+          s"colmap=${enc(l)}|${enc(p)}" } ++
+        st.dropped.toSeq.sorted.map(p => s"dropcol=${enc(p)}") ++
+        st.checks.toSeq.sortBy(_._1).map { case (n, e) =>
+          s"check=${enc(n)}|${enc(e)}" })
+        .mkString("", "\n", "\n")
+    Files.createDirectories(logDir(dstRoot))
+    publish(dstRoot, 0, body)
+    0L
   }
 
   // ---------------------------------------------------------------------
@@ -1253,7 +1325,7 @@ object VersionedTable {
     // input_file_name() is a file URI whose exact form (file:/ vs
     // file:///) varies; key the reverse map by decoded filesystem path
     val relByAbs = st.files
-      .map(f => Paths.get(root, f).toAbsolutePath.toString -> f).toMap
+      .map(f => dataPath(root, f).toAbsolutePath.toString -> f).toMap
     // build + register in PHYSICAL space (the bloom outlives renames)
     val physCol = physicalName(st, colName)
     val pairs = readFilesWithSchema(spark, root, physicalSchemaOf(st),
@@ -1326,7 +1398,7 @@ object VersionedTable {
         val bf = cache.getOrElseUpdate(sc,
           org.apache.spark.util.sketch.BloomFilter.readFrom(
             new java.io.ByteArrayInputStream(
-              Files.readAllBytes(Paths.get(root, sc)))))
+              Files.readAllBytes(dataPath(root, sc)))))
         bf.mightContainString(probe)
     }
     (st.files.filter(f =>
@@ -1851,7 +1923,7 @@ object VersionedTable {
           spark.read.parquet(Paths.get(root, "data").toString).limit(0)
       }
     else {
-      val paths = files.map(f => Paths.get(root, f).toString)
+      val paths = files.map(f => dataPath(root, f).toString)
       schema.fold(spark.read)(spark.read.schema).parquet(paths: _*)
     }
   }
@@ -1886,7 +1958,7 @@ object VersionedTable {
             sidecars.distinct.foldLeft(base) { (df, sc) =>
               val keyCol = st.tombKey(sc)
               val keys = spark.read
-                .parquet(Paths.get(root, sc).toString)
+                .parquet(dataPath(root, sc).toString)
                 .select(col(keyCol)).distinct()
               df.join(broadcast(keys), Seq(keyCol), "left_anti")
             }.select(order.map(col): _*)
@@ -2076,7 +2148,7 @@ object VersionedTable {
               .map(_._1).getOrElse(keyCol)
             affected.join(
               broadcast(spark.read
-                .parquet(Paths.get(root, sc).toString)
+                .parquet(dataPath(root, sc).toString)
                 .select(col(keyCol).as(logicalKey)).distinct()),
               Seq(logicalKey), "left_semi")
               .select(order.map(col): _*)
@@ -2152,6 +2224,9 @@ object VersionedTable {
         // degrades point lookups to full scans)
         st.files ++ st.tombs.values.flatten ++ st.blooms.values
       }
+      // ext: references live in the clone SOURCE's tree — they are
+      // never vacuum candidates here and must not alias a local dir
+      .filterNot(_.startsWith("ext:"))
       .map(f => Paths.get(root, f).getParent.getFileName.toString)
       .toSet
     val now = System.currentTimeMillis()

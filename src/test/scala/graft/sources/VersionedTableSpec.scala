@@ -118,6 +118,66 @@ class VersionedTableSpec extends SparkSpecBase {
     assert(e.getMessage.contains("must cover every table column"))
   }
 
+  test("cloneShallow: zero-copy create, independent evolution, " +
+      "compaction materializes") {
+    val src = newRoot()
+    VersionedTable.commit(
+      spark.range(0, 400).select(col("id").as("k"), (col("id") * 3).as("v"))
+        .repartitionByRange(4, col("k")), src)
+    val dst = newRoot()
+    assert(VersionedTable.cloneShallow(src, dst) == 0L)
+    // zero-copy: the clone owns no data files at all yet
+    assert(!Files.isDirectory(Paths.get(dst, "data")))
+    assert(VersionedTable.snapshotFiles(dst, 0L).forall(_.startsWith("ext:")))
+    // reads agree with the source snapshot
+    assert(VersionedTable.read(spark, dst).count() == 400)
+    assert(VersionedTable.read(spark, dst).agg(sum(col("v"))).head.getLong(0)
+      == VersionedTable.read(spark, src).agg(sum(col("v"))).head.getLong(0))
+    // stats metadata cloned too: pruning works through ext refs
+    val (keep, total) = VersionedTable.pruneFiles(dst, 0L, "k",
+      Some(0L), Some(50L))
+    assert(total == 4 && keep.size <= 1)
+    // divergence: a delete on the clone rewrites only touched ext
+    // files into LOCAL ones; the source is untouched
+    VersionedTable.deleteRanges(spark, dst,
+      Seq(("k", Some(0L), Some(99L))))
+    assert(VersionedTable.read(spark, dst).count() == 300)
+    assert(VersionedTable.read(spark, src).count() == 400)
+    val afterDelete = VersionedTable.snapshotFiles(dst, 1L)
+    assert(afterDelete.exists(_.startsWith("ext:")), "untouched files stay external")
+    // the source is frozen at clone time: a later source commit is
+    // invisible to the clone
+    VersionedTable.commit(
+      spark.range(1000, 1010).select(col("id").as("k"), lit(0L).as("v")),
+      src)
+    assert(VersionedTable.read(spark, dst).count() == 300)
+    // compact materializes: no external references survive
+    VersionedTable.compact(spark, dst, numFiles = 2)
+    val latest = VersionedTable.latestVersion(dst)
+    assert(VersionedTable.snapshotFiles(dst, latest)
+      .forall(!_.startsWith("ext:")))
+    assert(VersionedTable.read(spark, dst).count() == 300)
+    // clone-target-must-be-empty rail
+    intercept[IllegalArgumentException] {
+      VersionedTable.cloneShallow(src, dst)
+    }
+  }
+
+  test("fsck on a clone reports references the source reclaimed") {
+    val src = newRoot()
+    VersionedTable.commit(
+      spark.range(0, 100).select(col("id").as("k")), src)
+    val dst = newRoot()
+    VersionedTable.cloneShallow(src, dst)
+    assert(VersionedTable.fsck(dst).ok)
+    // simulate a source-side vacuum that reclaims the files
+    val dataDir = Paths.get(src, "data")
+    Files.walk(dataDir).iterator().asScala.toSeq.reverse
+      .foreach(p => Files.deleteIfExists(p))
+    val report = VersionedTable.fsck(dst)
+    assert(!report.ok && report.missingLatest.nonEmpty)
+  }
+
   test("data skipping: selective range opens fewer files, same rows") {
     val root = newRoot()
     // range-clustered layout: 8 files with disjoint k ranges; s is a

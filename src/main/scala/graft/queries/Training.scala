@@ -1323,6 +1323,51 @@ object Training {
              |    ELSE 0 END) AS BIGINT) AS n_drop_short,
              |  CAST(sum(CASE WHEN verdict = 'kept' THEN n_chars
              |    ELSE 0 END) AS BIGINT) AS chars_kept
-             |FROM v GROUP BY source ORDER BY source""".stripMargin))
+             |FROM v GROUP BY source ORDER BY source""".stripMargin)),
+
+    // MULTI-EPOCH DETERMINISTIC SHUFFLE: each training epoch needs a
+    // DIFFERENT but REPRODUCIBLE permutation of the corpus — rand()
+    // gives neither (non-reproducible) and a single shuffle reused
+    // per epoch overfits order. Order key = the quadratic-mixed Knuth
+    // hash of (doc_id, epoch): a new pseudorandom total order per
+    // epoch, identical on every re-run. At 100 TB the production
+    // write path is `repartitionByRange(h).sortWithinPartitions(h)`
+    // per epoch — range exchange + local sort, no global coordination;
+    // the catalog entry audits the order's HEAD through the scalable
+    // top-k shape (uniform-hash pre-filter keeps ~1% per epoch, THEN
+    // the per-epoch window ranks the survivors — the window never
+    // sees the full corpus, so the 3-partition window stays tiny at
+    // any scale). Both sides apply the same pre-filter, so the
+    // semantics are exact, not sampled.
+    QueryDef(
+      "q207_epoch_shuffle",
+      (s, d) => {
+        val epochs = s.range(0, 3).select(col("id").as("epoch"))
+        val w = Window.partitionBy(col("epoch"))
+          .orderBy(col("h"), col("doc_id"))
+        documents(s, d).select(col("doc_id"))
+          .crossJoin(broadcast(epochs))
+          .withColumn("h", keyHash(col("doc_id") * 4 + col("epoch")))
+          .filter(col("h") < 10000000L) // ~1%: scalable top-k prefilter
+          .withColumn("pos", row_number().over(w).cast("long"))
+          .filter(col("pos") <= 10)
+          .select(col("epoch"), col("pos"), col("doc_id"), col("h"))
+          .orderBy(col("epoch"), col("pos"))
+      },
+      Some("""WITH k AS (
+             |  SELECT doc_id, epoch, (h0 * h0 + h0) % 1000000007 AS h
+             |  FROM (
+             |    SELECT doc_id, e.epoch,
+             |      ((doc_id * 4 + e.epoch) * 2654435761)
+             |        % 1000000007 AS h0
+             |    FROM documents,
+             |      (SELECT unnest(range(0, 3)) AS epoch) e)),
+             |r AS (
+             |  SELECT epoch, doc_id, h,
+             |    row_number() OVER (PARTITION BY epoch
+             |      ORDER BY h, doc_id) AS pos
+             |  FROM k WHERE h < 10000000)
+             |SELECT epoch, pos, doc_id, h FROM r WHERE pos <= 10
+             |ORDER BY epoch, pos""".stripMargin))
   )
 }

@@ -708,6 +708,129 @@ object Similarity {
              |FROM g e JOIN g o
              |  ON e.label = o.label AND e.pos = o.pos
              |  AND e.half = 0 AND o.half = 1
-             |GROUP BY e.label ORDER BY e.label""".stripMargin))
+             |GROUP BY e.label ORDER BY e.label""".stripMargin)),
+
+    // RANDOM-PROJECTION (Johnson-Lindenstrauss) ANN: project 64-dim
+    // vectors onto 8 fixed ±1 directions (Achlioptas's database-
+    // friendly JL matrix — signs are pseudorandom but FIXED, derived
+    // from the quadratic-mix hash at build time, so every engine and
+    // every re-run projects identically), shortlist top-20 per probe
+    // by PROJECTED cosine (8 multiply-adds per pair instead of 64 —
+    // the 8x per-pair cost cut is the whole point of JL at 100 TB,
+    // and it composes with any bucketing scheme), then re-rank the
+    // shortlist by exact 64-dim cosine. `in_exact_top3` audits recall
+    // against the exhaustive ranking inside the checked result, the
+    // q123 pattern. Probes broadcast; the corpus never shuffles.
+    QueryDef(
+      "q208_random_projection",
+      (s, d) => {
+        val signs = rpSigns
+        val e = embeddings(s, d)
+          .repartition(s.sparkContext.defaultParallelism)
+          .select(col("vec_id"), toDouble(col("embedding")).as("v"))
+          .withColumn("pv", array((0 until 8).map(i =>
+            projectDim(col("v"), signs(i))): _*))
+        val probes = e.filter(col("vec_id") < 6)
+          .select(col("vec_id").as("probe"), col("v").as("qv"),
+            col("pv").as("qpv"))
+        val corpus = e.filter(col("vec_id") >= 6)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val wC = Window.partitionBy(col("probe"))
+          .orderBy(col("rp_cos").desc, col("vec_id"))
+        val cand = broadcast(probes).join(corpus, lit(true))
+          .select(col("probe"), col("vec_id"),
+            round(cosine(col("qpv"), col("pv")), 4).as("rp_cos"),
+            col("qv"), col("v"))
+          .withColumn("crn", row_number().over(wC))
+          .filter(col("crn") <= 20)
+        val wR = Window.partitionBy(col("probe"))
+          .orderBy(col("cos").desc, col("vec_id"))
+        val rr = cand
+          .select(col("probe"), col("vec_id"),
+            round(cosine(col("qv"), col("v")), 4).as("cos"))
+          .withColumn("rn", row_number().over(wR).cast("long"))
+          .filter(col("rn") <= 3)
+        val wE = Window.partitionBy(col("probe"))
+          .orderBy(col("cosx").desc, col("vec_id"))
+        val exact3 = broadcast(probes)
+          .join(corpus, lit(true))
+          .select(col("probe"), col("vec_id"),
+            round(cosine(col("qv"), col("v")), 4).as("cosx"))
+          .withColumn("ern", row_number().over(wE))
+          .filter(col("ern") <= 3)
+          .select(col("probe").as("eprobe"), col("vec_id").as("evec"))
+        rr.join(broadcast(exact3),
+            col("probe") === col("eprobe") && col("vec_id") === col("evec"),
+            "left")
+          .select(col("probe"), col("rn"), col("vec_id"), col("cos"),
+            col("evec").isNotNull.as("in_exact_top3"))
+          .orderBy(col("probe"), col("rn"))
+      },
+      Some {
+        val projCols = (0 until 8).map { i =>
+          val lst = rpSigns(i).map(x =>
+            if (x > 0) "1.0" else "-1.0").mkString("[", ", ", "]")
+          s"""list_reduce(list_prepend(CAST(0 AS DOUBLE),
+             |      list_transform(range(1, 65),
+             |        i -> v[i] * ($lst)[i])),
+             |      (s, t) -> s + t)""".stripMargin
+        }.mkString(",\n    ")
+        s"""WITH e AS (SELECT vec_id,
+           |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           |  FROM embeddings),
+           |p AS (SELECT vec_id, v, [
+           |    $projCols] AS pv FROM e),
+           |pr AS (SELECT vec_id AS probe, v AS qv, pv AS qpv
+           |  FROM p WHERE vec_id < 6),
+           |co AS (SELECT vec_id, v, pv FROM p WHERE vec_id >= 6),
+           |rp AS (SELECT pr.probe, co.vec_id,
+           |    round(${cosSql("pr.qpv", "co.pv")}, 4) AS rp_cos,
+           |    pr.qv, co.v
+           |  FROM pr JOIN co ON true),
+           |cand AS (SELECT probe, vec_id, qv, v,
+           |    row_number() OVER (PARTITION BY probe
+           |      ORDER BY rp_cos DESC, vec_id) AS crn
+           |  FROM rp),
+           |rscore AS (SELECT probe, vec_id,
+           |    round(${cosSql("qv", "v")}, 4) AS cos
+           |  FROM cand WHERE crn <= 20),
+           |rr AS (SELECT probe, vec_id, cos,
+           |    row_number() OVER (PARTITION BY probe
+           |      ORDER BY cos DESC, vec_id) AS rn
+           |  FROM rscore),
+           |escore AS (SELECT pr.probe, co.vec_id,
+           |    round(${cosSql("pr.qv", "co.v")}, 4) AS cosx
+           |  FROM pr JOIN co ON true),
+           |ex AS (SELECT probe, vec_id FROM (
+           |  SELECT probe, vec_id,
+           |    row_number() OVER (PARTITION BY probe
+           |      ORDER BY cosx DESC, vec_id) AS ern
+           |  FROM escore) WHERE ern <= 3)
+           |SELECT r.probe, r.rn, r.vec_id, r.cos,
+           |  x.vec_id IS NOT NULL AS in_exact_top3
+           |FROM rr r LEFT JOIN ex x
+           |  ON r.probe = x.probe AND r.vec_id = x.vec_id
+           |WHERE r.rn <= 3 ORDER BY r.probe, r.rn""".stripMargin
+      })
   )
+
+  /** Fixed ±1 JL projection directions (8 x 64): sign = parity of the
+    * quadratic-mixed Knuth hash of the flat index — pseudorandom,
+    * engine-independent, identical on every run. */
+  private lazy val rpSigns: IndexedSeq[IndexedSeq[Double]] =
+    (0 until 8).map { i =>
+      (0 until 64).map { j =>
+        val h0 = ((i.toLong * 64 + j) * 2654435761L) % 1000000007L
+        val m = (h0 * h0 + h0) % 1000000007L
+        if (m % 2 == 0) 1.0 else -1.0
+      }
+    }
+
+  /** One JL output coordinate: the left-fold dot of `v` with a
+    * constant ±1 direction (same fold order as the DuckDB mirror, so
+    * the doubles agree bit-for-bit). */
+  private def projectDim(v: org.apache.spark.sql.Column,
+      signs: Seq[Double]): org.apache.spark.sql.Column =
+    aggregate(zip_with(v, array(signs.map(lit): _*), (x, sgn) => x * sgn),
+      lit(0.0), (a, x) => a + x)
 }

@@ -1357,6 +1357,99 @@ object TextAnalysis {
              |  coalesce(p.phrase_cnt, 0) AS phrase_cnt
              |FROM conj c LEFT JOIN phrase p ON c.doc_id = p.doc_id
              |ORDER BY phrase_cnt DESC, c.doc_id
+             |LIMIT 20""".stripMargin)),
+
+    // KNESER-NEY BIGRAM PERPLEXITY FILTER: the production "how
+    // corpus-like is this document" gate (CCNet/KenLM shape) — train
+    // an absolute-discount (D = 0.75) bigram LM on the corpus, score
+    // every document by its mean per-bigram surprisal, surface the 20
+    // least corpus-like. P_kn(w2|w1) = max(c12-D,0)/c1 +
+    // (D·n1+(w1·)/c1)·(n1+(·w2)/types) computed MICRO-INTEGER (fixed
+    // division order both engines, so the rational arithmetic is
+    // exact), and surprisal uses q129's integer-log2 trick —
+    // length(bin(1e6 div p_micro)) is a monotone step transform of
+    // -log2 p with zero libm drift. Model trained on the scored
+    // corpus itself, so every bigram is in-vocabulary (no backoff-to-
+    // unseen case to encode). Scale: the bigram stream is narrow and
+    // persisted (model build + scoring read it once each); the model
+    // join shuffles on the bigram key; prefix/continuation tables are
+    // vocab-sized (Heaps-sublinear) and broadcast — at true domain
+    // scale drop the hints and let AQE pick shuffle joins, the plan
+    // is otherwise unchanged.
+    QueryDef(
+      "q209_kn_perplexity",
+      (s, d) => {
+        val bi = documents(s, d)
+          .repartition(s.sparkContext.defaultParallelism)
+          .select(col("doc_id"),
+            explode(TextOps.wordShinglesAll(
+              TextOps.tokens(col("text")), 2)).as("bigram"))
+          .withColumn("w1", split(col("bigram"), " ").getItem(0))
+          .withColumn("w2", split(col("bigram"), " ").getItem(1))
+          .select(col("doc_id"), col("w1"), col("w2"))
+          .persist()
+        val model = bi.groupBy(col("w1"), col("w2"))
+          .agg(count(lit(1)).as("c12"))
+          .persist()
+        val prefix = model.groupBy(col("w1"))
+          .agg(sum(col("c12")).as("c1"), count(lit(1)).as("n1p"))
+        val cont = model.groupBy(col("w2"))
+          .agg(count(lit(1)).as("cont2"))
+        val types = model.agg(count(lit(1)).as("t_types"))
+        bi.join(model, Seq("w1", "w2"))
+          .join(broadcast(prefix), Seq("w1"))
+          .join(broadcast(cont), Seq("w2"))
+          .crossJoin(broadcast(types))
+          .withColumn("p_micro",
+            expr("""greatest(c12 * 1000000 - 750000, 0) div c1
+                   | + ((750000 * n1p) div c1)
+                   |   * ((cont2 * 1000000) div t_types) div 1000000"""
+              .stripMargin))
+          .withColumn("b",
+            expr("length(bin(1000000 div greatest(p_micro, 1)))"))
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_bigrams"),
+            sum(col("b").cast("long")).as("total_bits"))
+          .withColumn("mbits_per_bigram",
+            expr("(total_bits * 1000) div n_bigrams"))
+          .orderBy(col("mbits_per_bigram").desc, col("doc_id"))
+          .limit(20)
+      },
+      Some("""WITH toks AS (
+             |  SELECT doc_id, string_split(text, ' ') AS ws
+             |  FROM documents),
+             |bi AS (
+             |  SELECT doc_id, ws[i] AS w1, ws[i + 1] AS w2
+             |  FROM toks,
+             |    LATERAL (SELECT unnest(range(1, len(ws))) AS i) u
+             |  WHERE len(ws) >= 2),
+             |model AS (
+             |  SELECT w1, w2, count(*) AS c12 FROM bi GROUP BY w1, w2),
+             |prefix AS (
+             |  SELECT w1, CAST(sum(c12) AS BIGINT) AS c1,
+             |    count(*) AS n1p
+             |  FROM model GROUP BY w1),
+             |cont AS (
+             |  SELECT w2, count(*) AS cont2 FROM model GROUP BY w2),
+             |t AS (SELECT count(*) AS t_types FROM model),
+             |scored AS (
+             |  SELECT doc_id,
+             |    greatest(c12 * 1000000 - 750000, 0) // c1
+             |      + ((750000 * n1p) // c1)
+             |        * ((cont2 * 1000000) // t_types) // 1000000
+             |      AS p_micro
+             |  FROM bi JOIN model USING (w1, w2)
+             |    JOIN prefix USING (w1) JOIN cont USING (w2)
+             |    CROSS JOIN t),
+             |agg AS (
+             |  SELECT doc_id, count(*) AS n_bigrams,
+             |    CAST(sum(length(bin(1000000 // greatest(p_micro, 1))))
+             |      AS BIGINT) AS total_bits
+             |  FROM scored GROUP BY doc_id)
+             |SELECT doc_id, n_bigrams, total_bits,
+             |  (total_bits * 1000) // n_bigrams AS mbits_per_bigram
+             |FROM agg
+             |ORDER BY mbits_per_bigram DESC, doc_id
              |LIMIT 20""".stripMargin))
   )
 

@@ -1114,6 +1114,79 @@ object Functions {
              |  count(DISTINCT o.p_cust) AS n_customers,
              |  min(o.p_cust) AS sample_pseudonym
              |FROM o JOIN c ON o.p_cust = c.p_cust
-             |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin))
+             |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)),
+
+    // SHUFFLE-KEY SKEW PROFILER (q137's planning sibling): before
+    // committing a 100 TB join to a key, measure the key — one
+    // map-side-combined groupBy per candidate yields rows, distinct
+    // keys, the hottest key and its share (ppm), and the SALT FACTOR
+    // q137/SkewOps would need: ceil(max_freq / (rows/32 partitions)),
+    // i.e. how many reducers the hottest key's rows must spread over
+    // before no single task drowns. skew_ppm ~ 1e6/n_keys means
+    // uniform (salt 1 = don't salt); orders of magnitude above it
+    // flags the straggler before it happens. The hot-key argmax is
+    // the struct-max idiom — (freq, key) max picks the largest freq
+    // with the largest key as the deterministic tie-break, identical
+    // to the oracle's ORDER BY freq DESC, key DESC LIMIT 1.
+    QueryDef(
+      "q210_skew_profile",
+      (s, d) => {
+        def profile(df: DataFrame, keyCol: String, label: String)
+            : DataFrame =
+          df.filter(col(keyCol).isNotNull)
+            .select(col(keyCol).cast("string").as("k"))
+            .groupBy(col("k")).agg(count(lit(1)).as("cnt"))
+            .agg(sum(col("cnt")).as("n_rows"),
+              count(lit(1)).as("n_keys"),
+              max(struct(col("cnt"), col("k"))).as("m"))
+            .select(lit(label).as("key_name"), col("n_rows"),
+              col("n_keys"), col("m.cnt").as("max_freq"),
+              col("m.k").as("top_key"))
+            .withColumn("skew_ppm",
+              expr("max_freq * 1000000 div n_rows"))
+            .withColumn("salt_factor",
+              expr("(max_freq * 32 + n_rows - 1) div n_rows"))
+        profile(lineitem(s, d), "l_orderkey", "lineitem.l_orderkey")
+          .unionByName(
+            profile(lineitem(s, d), "l_suppkey", "lineitem.l_suppkey"))
+          .unionByName(
+            profile(events(s, d), "user_id", "events.user_id"))
+          .unionByName(
+            profile(events(s, d), "event_type", "events.event_type"))
+          .orderBy(col("key_name"))
+      },
+      Some("""WITH src AS (
+             |  SELECT 'lineitem.l_orderkey' AS key_name,
+             |    CAST(l_orderkey AS VARCHAR) AS k
+             |  FROM lineitem WHERE l_orderkey IS NOT NULL
+             |  UNION ALL
+             |  SELECT 'lineitem.l_suppkey', CAST(l_suppkey AS VARCHAR)
+             |  FROM lineitem WHERE l_suppkey IS NOT NULL
+             |  UNION ALL
+             |  SELECT 'events.user_id', CAST(user_id AS VARCHAR)
+             |  FROM events WHERE user_id IS NOT NULL
+             |  UNION ALL
+             |  SELECT 'events.event_type', event_type
+             |  FROM events WHERE event_type IS NOT NULL),
+             |f AS (
+             |  SELECT key_name, k, count(*) AS cnt
+             |  FROM src GROUP BY key_name, k),
+             |p AS (
+             |  SELECT key_name, CAST(sum(cnt) AS BIGINT) AS n_rows,
+             |    count(*) AS n_keys, max(cnt) AS max_freq
+             |  FROM f GROUP BY key_name),
+             |tk AS (
+             |  SELECT key_name, k AS top_key
+             |  FROM (SELECT key_name, k, row_number() OVER (
+             |      PARTITION BY key_name
+             |      ORDER BY cnt DESC, k DESC) AS rn FROM f)
+             |  WHERE rn = 1)
+             |SELECT p.key_name, p.n_rows, p.n_keys, p.max_freq,
+             |  tk.top_key,
+             |  p.max_freq * 1000000 // p.n_rows AS skew_ppm,
+             |  (p.max_freq * 32 + p.n_rows - 1) // p.n_rows
+             |    AS salt_factor
+             |FROM p JOIN tk ON p.key_name = tk.key_name
+             |ORDER BY p.key_name""".stripMargin))
   )
 }

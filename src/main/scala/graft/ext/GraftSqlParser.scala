@@ -24,6 +24,9 @@ import org.apache.spark.sql.types._
   *   GRAFT FSCK '<root>'
   *   GRAFT RENAME COLUMN <old> TO <new> IN '<root>'
   *   GRAFT DROP COLUMN <name> IN '<root>'
+  *   GRAFT CLONE '<src>' TO '<dst>' [VERSION AS OF <n>]
+  *   GRAFT STATS '<root>' COLUMNS <a>, <b>, ...
+  *   GRAFT TRUNCATE LOG '<root>' [BELOW <n>]
   * }}}
   *
   * Each statement lowers to a Catalyst [[LeafRunnableCommand]] — a
@@ -80,6 +83,12 @@ object GraftSqlParser {
     """(?is)\s*GRAFT\s+RENAME\s+COLUMN\s+([A-Za-z_][A-Za-z0-9_]*)\s+TO\s+([A-Za-z_][A-Za-z0-9_]*)\s+IN\s+'([^']+)'\s*;?\s*""".r
   private val Drop =
     """(?is)\s*GRAFT\s+DROP\s+COLUMN\s+([A-Za-z_][A-Za-z0-9_]*)\s+IN\s+'([^']+)'\s*;?\s*""".r
+  private val Clone =
+    """(?is)\s*GRAFT\s+CLONE\s+'([^']+)'\s+TO\s+'([^']+)'(?:\s+VERSION\s+AS\s+OF\s+(\d+))?\s*;?\s*""".r
+  private val Stats =
+    """(?is)\s*GRAFT\s+STATS\s+'([^']+)'\s+COLUMNS\s+([A-Za-z_][A-Za-z0-9_]*(?:\s*,\s*[A-Za-z_][A-Za-z0-9_]*)*)\s*;?\s*""".r
+  private val Trunc =
+    """(?is)\s*GRAFT\s+TRUNCATE\s+LOG\s+'([^']+)'(?:\s+BELOW\s+(\d+))?\s*;?\s*""".r
 
   private[ext] def parse(sqlText: String): Option[LogicalPlan] =
     sqlText match {
@@ -91,6 +100,12 @@ object GraftSqlParser {
       case Fsck(p) => Some(GraftFsckCommand(p))
       case Ren(o, n, p) => Some(GraftRenameColumnCommand(p, o, n))
       case Drop(c, p) => Some(GraftDropColumnCommand(p, c))
+      case Clone(src, dst, v) => Some(GraftCloneCommand(src, dst,
+        Option(v).map(_.toLong)))
+      case Stats(p, cols) => Some(GraftStatsCommand(p,
+        cols.split(",").map(_.trim).toSeq))
+      case Trunc(p, below) => Some(GraftTruncateLogCommand(p,
+        Option(below).map(_.toLong)))
       case other if other.trim.toUpperCase.startsWith("GRAFT ") =>
         // a malformed GRAFT statement must fail with OUR grammar, not
         // Spark's baffled syntax error
@@ -98,7 +113,9 @@ object GraftSqlParser {
           "unrecognized GRAFT statement; supported: GRAFT HISTORY | " +
             "CHECKPOINT | RESTORE ... VERSION AS OF n | VACUUM ... " +
             "RETAIN n [MIN AGE ms] | FSCK | RENAME COLUMN a TO b IN " +
-            "'root' | DROP COLUMN c IN 'root'")
+            "'root' | DROP COLUMN c IN 'root' | CLONE 'src' TO 'dst' " +
+            "[VERSION AS OF n] | STATS 'root' COLUMNS a, b | " +
+            "TRUNCATE LOG 'root' [BELOW n]")
       case _ => None
     }
 
@@ -167,5 +184,30 @@ object GraftSqlParser {
     override val output: Seq[Attribute] = Seq(attr("version", LongType))
     override def run(s: SparkSession): Seq[Row] =
       Seq(Row(VersionedTable.dropColumn(root, name)))
+  }
+
+  case class GraftCloneCommand(src: String, dst: String,
+      version: Option[Long]) extends LeafRunnableCommand {
+    override val output: Seq[Attribute] = Seq(attr("version", LongType))
+    override def run(s: SparkSession): Seq[Row] =
+      Seq(Row(VersionedTable.cloneShallow(src, dst, version)))
+  }
+
+  case class GraftStatsCommand(root: String, cols: Seq[String])
+      extends LeafRunnableCommand {
+    override val output: Seq[Attribute] = Seq(
+      attr("col_name", StringType), attr("n_rows", LongType),
+      attr("n_nulls", LongType), attr("min_v", LongType, nullable = true),
+      attr("max_v", LongType, nullable = true))
+    override def run(s: SparkSession): Seq[Row] =
+      VersionedTable.statsAggregate(s, root, cols).collect().toSeq
+  }
+
+  case class GraftTruncateLogCommand(root: String, below: Option[Long])
+      extends LeafRunnableCommand {
+    override val output: Seq[Attribute] =
+      Seq(attr("n_manifests_removed", IntegerType))
+    override def run(s: SparkSession): Seq[Row] =
+      Seq(Row(VersionedTable.truncateLog(root, below)))
   }
 }

@@ -157,6 +157,22 @@ class GraftExtensionsSpec extends SparkSpecBase {
     // to reclaim and the table stays fully healthy
     val f2 = spark.sql(s"GRAFT FSCK '$root'").head()
     assert(f2.getBoolean(0) && f2.getInt(4) == 0, s"unexpected: $f2")
+    // CLONE via SQL: zero-copy branch, then divergence-free read
+    val cl = java.nio.file.Files
+      .createTempDirectory("graft_sqlclone_").toString
+    java.nio.file.Files.delete(java.nio.file.Paths.get(cl))
+    assert(spark.sql(s"GRAFT CLONE '$root' TO '$cl'").head().getLong(0)
+      == 0L)
+    assert(VersionedTable.read(spark, cl).count() == 3)
+    // STATS via SQL: metadata-only aggregates
+    val st = spark.sql(s"GRAFT STATS '$root' COLUMNS k").head()
+    assert(st.getString(0) == "k" && st.getLong(1) == 3L &&
+      st.getLong(3) == 1L && st.getLong(4) == 3L, s"stats: $st")
+    // TRUNCATE LOG via SQL (checkpoint exists from above)
+    spark.sql(s"GRAFT CHECKPOINT '$root'")
+    val tr = spark.sql(s"GRAFT TRUNCATE LOG '$root'").head()
+    assert(tr.getInt(0) > 0, s"expected manifests removed, got $tr")
+    assert(VersionedTable.read(spark, root).count() == 3)
     // plain SQL still parses through the delegating parser
     assert(spark.sql("SELECT 1 + 1").head().getInt(0) == 2)
     // malformed GRAFT statements fail with our grammar message

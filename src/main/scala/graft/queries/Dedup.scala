@@ -1063,6 +1063,96 @@ object Dedup {
              |         FROM openj))
              |      * 1000000 // (SELECT CAST(count(*) AS BIGINT)
              |        FROM scored)
-             |  END AS closure_ppm""".stripMargin))
+             |  END AS closure_ppm""".stripMargin)),
+
+    // WINNOWING FINGERPRINTS (Schleimer/Wilkerson/Aiken, the MOSS
+    // kernel): positional 3-gram hashes, then one fingerprint per
+    // sliding window of w=4 — the min hash of the window. Guarantee:
+    // any shared run of >= w+k-1 tokens between two docs shares at
+    // least one fingerprint, at ~2/(w+1) the density of hashing every
+    // k-gram — the local-dedup sketch that catches PARTIAL overlap
+    // MinHash's whole-set Jaccard dilutes away. Pipeline: per-doc
+    // fingerprinting is narrow HOF arithmetic (no shuffle);
+    // stop-fingerprints (doc-freq > 50) are dropped before the
+    // inverted-index self-join — the same frequency rail as PPJoin's
+    // prefix ordering, bounding every join bucket; pair scoring is
+    // one groupBy on (a, b). Output: top-20 pairs by shared
+    // fingerprints with containment ppm vs the smaller doc.
+    QueryDef(
+      "q211_winnowing",
+      (s, d) => {
+        val w = 4
+        val fp = documents(s, d)
+          .repartition(s.sparkContext.defaultParallelism)
+          .select(col("doc_id"), TextOps.tokens(col("text")).as("ws"))
+          .filter(size(col("ws")) >= 3 + w - 1)
+          .withColumn("th", TextOps.tokenHashes(col("ws")))
+          .withColumn("kh", expr(
+            """transform(sequence(1, size(th) - 2),
+              |  i -> (element_at(th, i) * 1009
+              |        + element_at(th, i + 1) * 9176
+              |        + element_at(th, i + 2)) % 1000000007)"""
+              .stripMargin))
+          .withColumn("fps", array_distinct(expr(
+            s"""transform(sequence(1, size(kh) - ${w - 1}),
+               |  j -> array_min(slice(kh, j, $w)))""".stripMargin)))
+          .select(col("doc_id"), explode(col("fps")).as("fp"))
+          .persist()
+        val dfc = fp.groupBy(col("fp")).agg(count(lit(1)).as("dfreq"))
+        val rare = fp.join(dfc.filter(col("dfreq") <= 50), Seq("fp"))
+        val perDoc = fp.groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_fp"))
+        rare.as("x")
+          .join(rare.as("y"),
+            col("x.fp") === col("y.fp") &&
+              col("x.doc_id") < col("y.doc_id"))
+          .groupBy(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+          .agg(count(lit(1)).as("n_shared"))
+          .join(broadcast(perDoc)
+            .select(col("doc_id").as("a"), col("n_fp").as("n_a")), Seq("a"))
+          .join(broadcast(perDoc)
+            .select(col("doc_id").as("b"), col("n_fp").as("n_b")), Seq("b"))
+          .withColumn("overlap_ppm",
+            expr("n_shared * 1000000 div least(n_a, n_b)"))
+          .select(col("a"), col("b"), col("n_shared"), col("n_a"),
+            col("n_b"), col("overlap_ppm"))
+          .orderBy(col("n_shared").desc, col("a"), col("b"))
+          .limit(20)
+      },
+      Some("""WITH t AS (
+             |  SELECT doc_id, string_split(text, ' ') AS ws
+             |  FROM documents WHERE len(string_split(text, ' ')) >= 6),
+             |th AS (SELECT doc_id, list_transform(ws, w ->
+             |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+             |      list_transform(string_split(w, ''),
+             |        c -> CAST(ascii(c) AS BIGINT))),
+             |      (h, c) -> (h * 31 + c) % 1000000007)) AS th
+             |  FROM t),
+             |kh AS (SELECT doc_id,
+             |    list_transform(range(1, len(th) - 1),
+             |      i -> (th[i] * 1009 + th[i+1] * 9176 + th[i+2])
+             |           % 1000000007) AS kh
+             |  FROM th),
+             |fp AS (SELECT doc_id,
+             |    unnest(list_distinct(list_transform(
+             |      range(1, len(kh) - 2),
+             |      j -> list_min(kh[j:j+3])))) AS fp
+             |  FROM kh),
+             |dfc AS (SELECT fp, count(*) AS dfreq FROM fp GROUP BY fp),
+             |rare AS (SELECT f.doc_id, f.fp
+             |  FROM fp f JOIN dfc USING (fp) WHERE dfreq <= 50),
+             |pd AS (SELECT doc_id, count(*) AS n_fp
+             |  FROM fp GROUP BY doc_id),
+             |pr AS (SELECT x.doc_id AS a, y.doc_id AS b,
+             |    count(*) AS n_shared
+             |  FROM rare x JOIN rare y
+             |    ON x.fp = y.fp AND x.doc_id < y.doc_id
+             |  GROUP BY 1, 2)
+             |SELECT a, b, n_shared, pa.n_fp AS n_a, pb.n_fp AS n_b,
+             |  n_shared * 1000000 // least(pa.n_fp, pb.n_fp)
+             |    AS overlap_ppm
+             |FROM pr JOIN pd pa ON pr.a = pa.doc_id
+             |  JOIN pd pb ON pr.b = pb.doc_id
+             |ORDER BY n_shared DESC, a, b LIMIT 20""".stripMargin))
   )
 }

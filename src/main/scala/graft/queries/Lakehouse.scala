@@ -659,6 +659,79 @@ object Lakehouse {
              |SELECT 'source', c_mktsegment, count(*),
              |  CAST(sum(c_custkey) AS BIGINT)
              |FROM customer GROUP BY c_mktsegment
-             |ORDER BY side, c_mktsegment""".stripMargin))
+             |ORDER BY side, c_mktsegment""".stripMargin)),
+
+    // HIDDEN PARTITIONING (Iceberg partition transforms): `orders`
+    // committed under `bucket(8, o_custkey)` — the writer lays files
+    // out by the Murmur3 bucket of the key and tags each file with its
+    // (transform, value) in the manifest; the query names only the
+    // SOURCE column (`o_custkey = 97`), never the bucket. This is the
+    // pruning class min/max stats cannot give: on an arrival-ordered
+    // high-cardinality key every file's raw min/max spans the whole
+    // domain, yet the bucket tag sends the point lookup to 1 of 8
+    // files from metadata alone — bloom-grade skipping with zero
+    // index bytes and zero false positives. The residual predicate
+    // still applies, so the oracle is the layout-free WHERE; an
+    // unsound prune surfaces as lost rows in the hash. Spec side
+    // (VersionedTableSpec): file counts, hidden helper column
+    // absence, checkpoint/restore/clone round-trip, trunc/day/
+    // identity transforms, null-partition handling.
+    QueryDef(
+      "q212_hidden_partitioning",
+      (s, d) => {
+        val root = Files.createTempDirectory("graft_hpart_").toString
+        VersionedTable.commit(orders(s, d), root, "overwrite",
+          partitionBy =
+            Some(graft.sources.PartitionTransform.Bucket(8, "o_custkey")))
+        VersionedTable.readPartitionPruned(s, root, "o_custkey", 97L)
+          .groupBy(col("o_orderstatus"))
+          .agg(count(lit(1)).as("n_orders"),
+            sum(col("o_orderkey")).as("sum_key"))
+          .orderBy(col("o_orderstatus"))
+      },
+      Some("""SELECT o_orderstatus, count(*) AS n_orders,
+             |  CAST(sum(o_orderkey) AS BIGINT) AS sum_key
+             |FROM orders WHERE o_custkey = 97
+             |GROUP BY o_orderstatus
+             |ORDER BY o_orderstatus""".stripMargin)),
+
+    // PARTITION-SPEC EVOLUTION: the spec is per FILE, not per table —
+    // v0 lands under bucket(4, o_custkey), later ingests re-spec to
+    // bucket(8, o_custkey) without touching a single old file (the
+    // Iceberg evolution contract; Hive-style tables must rewrite
+    // everything). A point lookup then prunes EACH file under the
+    // transform it was written with: one bucket-of-4 file from v0,
+    // one bucket-of-8 file from v1 — 2 of 12 files opened, and the
+    // answer is the union the oracle states over the raw table. At
+    // 100 TB this is what makes re-tuning bucket counts (the normal
+    // response to table growth) a metadata decision instead of a
+    // full rewrite.
+    QueryDef(
+      "q213_partition_evolution",
+      (s, d) => {
+        val root = Files.createTempDirectory("graft_pevo_").toString
+        val o = orders(s, d)
+        VersionedTable.commit(o.filter(col("o_orderkey") % 2 === 0),
+          root, "overwrite",
+          partitionBy =
+            Some(graft.sources.PartitionTransform.Bucket(4, "o_custkey")))
+        VersionedTable.commit(o.filter(col("o_orderkey") % 2 === 1),
+          root, "append",
+          partitionBy =
+            Some(graft.sources.PartitionTransform.Bucket(8, "o_custkey")))
+        VersionedTable.readPartitionPruned(s, root, "o_custkey", 97L)
+          .groupBy(col("o_orderstatus"))
+          .agg(count(lit(1)).as("n_orders"),
+            sum(col("o_orderkey")).as("sum_key"),
+            min(col("o_orderkey")).as("min_key"),
+            max(col("o_orderkey")).as("max_key"))
+          .orderBy(col("o_orderstatus"))
+      },
+      Some("""SELECT o_orderstatus, count(*) AS n_orders,
+             |  CAST(sum(o_orderkey) AS BIGINT) AS sum_key,
+             |  min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
+             |FROM orders WHERE o_custkey = 97
+             |GROUP BY o_orderstatus
+             |ORDER BY o_orderstatus""".stripMargin))
   )
 }

@@ -47,6 +47,161 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *    older than the retention horizon — the one operation that
   *    breaks time travel, so it is explicit and bounded.
   */
+/** Iceberg-style partition TRANSFORMS — "hidden partitioning". The
+  * table declares how file layout derives from a source column
+  * (`bucket(8,user_id)`, `day(ts)`, `trunc(4,code)`); writers lay data
+  * out by the TRANSFORM of the column and record each file's
+  * (transform, value) tag in the manifest; readers convert a predicate
+  * on the SOURCE column into partition-value pruning without the query
+  * ever naming the partitioning — the query is `user_id = 42`, never
+  * `bucket = 6`. The capability min/max stats cannot give: bucket
+  * pruning answers point lookups on high-cardinality keys in ARRIVAL
+  * order, where every file's raw min/max spans the whole domain.
+  * Tags travel per FILE, not per table, so the spec can evolve
+  * mid-table: each file prunes under the transform it was written
+  * with, files without a tag (plain commits, compaction rewrites) are
+  * simply always read — absence degrades to a scan, never to a wrong
+  * answer.
+  *
+  * Reference tie-in: the reference's mart relies on Glue-crawled
+  * Hive-style directory partitions (`README.md:44`); this is the
+  * transform-typed, metadata-tracked form of the same idea.
+  */
+sealed trait PartitionTransform {
+  /** Source column the transform reads. */
+  def srcCol: String
+  /** Canonical spec string, round-tripped through the log. */
+  def spec: String
+  /** Same transform over a different (physical) column name. */
+  def rebind(c: String): PartitionTransform
+  /** The transform as a Spark expression over `c` (declared type
+    * `dt`), STRING-typed — partition values live in the
+    * directory-name value domain. */
+  def sparkExpr(c: org.apache.spark.sql.Column,
+      dt: org.apache.spark.sql.types.DataType): org.apache.spark.sql.Column
+  /** Driver-side transform of an equality-probe literal under the
+    * column's declared type; None = can't evaluate, don't prune. */
+  def probe(v: Any, dt: org.apache.spark.sql.types.DataType): Option[String]
+}
+
+object PartitionTransform {
+  import org.apache.spark.sql.Column
+  import org.apache.spark.sql.functions.{col => _, _}
+  import org.apache.spark.sql.types._
+  import org.apache.spark.sql.catalyst.expressions.{Literal, Murmur3Hash}
+
+  /** The probe literal as a Catalyst literal of the COLUMN's type —
+    * the hash/compare must run over the same physical representation
+    * the writer hashed, or bucket pruning would silently mis-prune. */
+  private def catalystLit(v: Any, dt: DataType): Option[Literal] =
+    (dt, v) match {
+      case (LongType, n: Number)    => Some(Literal(n.longValue))
+      case (IntegerType, n: Number) => Some(Literal(n.intValue))
+      case (StringType, s: String)  => Some(Literal.create(s, StringType))
+      case _                        => None
+    }
+
+  /** `bucket(n, c)`: Murmur3 hash of the value, mod n — Spark's own
+    * `hash()` (seed 42), so the Spark-side layout expression and the
+    * driver-side probe agree by construction. */
+  final case class Bucket(n: Int, srcCol: String) extends PartitionTransform {
+    require(n > 0, s"bucket count must be positive, got $n")
+    val spec = s"bucket($n,$srcCol)"
+    def rebind(c: String): PartitionTransform = copy(srcCol = c)
+    def sparkExpr(c: Column, dt: DataType): Column =
+      pmod(hash(c), lit(n)).cast("string")
+    def probe(v: Any, dt: DataType): Option[String] =
+      catalystLit(v, dt).map { l =>
+        val h = new Murmur3Hash(Seq(l)).eval().asInstanceOf[Int]
+        (((h % n) + n) % n).toString
+      }
+  }
+
+  /** `trunc(w, c)`: ints floor to a multiple of `w` (`v - (v mod w)`,
+    * floored mod — negatives bin correctly); strings keep the first
+    * `w` UTF-16 units. The ordered cousin of bucket: ranges of the
+    * source column map to ranges of the transform. */
+  final case class Trunc(w: Int, srcCol: String) extends PartitionTransform {
+    require(w > 0, s"truncate width must be positive, got $w")
+    val spec = s"trunc($w,$srcCol)"
+    def rebind(c: String): PartitionTransform = copy(srcCol = c)
+    def sparkExpr(c: Column, dt: DataType): Column = dt match {
+      case LongType | IntegerType =>
+        (c.cast("long") - pmod(c.cast("long"), lit(w.toLong))).cast("string")
+      case StringType => substring(c, 1, w)
+      case other => throw new IllegalArgumentException(
+        s"trunc($w,$srcCol): unsupported column type $other " +
+          "(int, long, string)")
+    }
+    def probe(v: Any, dt: DataType): Option[String] = (dt, v) match {
+      case (LongType, n: Number) =>
+        val x = n.longValue; Some((x - Math.floorMod(x, w.toLong)).toString)
+      case (IntegerType, n: Number) =>
+        val x = n.intValue.toLong; Some((x - Math.floorMod(x, w.toLong)).toString)
+      case (StringType, s: String) => Some(s.take(w))
+      case _ => None
+    }
+  }
+
+  /** `day(c)` over a DATE column: calendar-day value `yyyy-MM-dd` —
+    * time-zone-free (dates carry no zone; timestamp day-bucketing is
+    * zone-dependent and therefore NOT offered as a probe-able
+    * transform). */
+  final case class Day(srcCol: String) extends PartitionTransform {
+    val spec = s"day($srcCol)"
+    def rebind(c: String): PartitionTransform = copy(srcCol = c)
+    def sparkExpr(c: Column, dt: DataType): Column = {
+      require(dt == DateType,
+        s"day($srcCol): column must be DATE, got $dt (cast a timestamp " +
+          "to date explicitly — day-of-timestamp is zone-dependent)")
+      date_format(c, "yyyy-MM-dd")
+    }
+    def probe(v: Any, dt: DataType): Option[String] = (dt, v) match {
+      case (DateType, d: java.sql.Date)       => Some(d.toString)
+      case (DateType, d: java.time.LocalDate) => Some(d.toString)
+      case (DateType, s: String) => // normalize (2024-1-5 -> 2024-01-05)
+        scala.util.Try(java.time.LocalDate.parse(s).toString).toOption
+      case _ => None
+    }
+  }
+
+  /** `identity(c)`: the raw value — classic Hive-style partitioning,
+    * expressed in the same tagged-file machinery. */
+  final case class Identity(srcCol: String) extends PartitionTransform {
+    val spec = s"identity($srcCol)"
+    def rebind(c: String): PartitionTransform = copy(srcCol = c)
+    def sparkExpr(c: Column, dt: DataType): Column = c.cast("string")
+    def probe(v: Any, dt: DataType): Option[String] = (dt, v) match {
+      case (LongType, n: Number)    => Some(n.longValue.toString)
+      case (IntegerType, n: Number) => Some(n.intValue.toString)
+      case (StringType, s: String)  => Some(s)
+      case _ => None
+    }
+  }
+
+  private val BucketRe = """bucket\((\d+),([^)]+)\)""".r
+  private val TruncRe  = """trunc\((\d+),([^)]+)\)""".r
+  private val DayRe    = """day\(([^)]+)\)""".r
+  private val IdentRe  = """identity\(([^)]+)\)""".r
+
+  /** Parse a canonical spec string; throws on unknown forms. */
+  def parse(s: String): PartitionTransform = parseOpt(s).getOrElse(
+    throw new IllegalArgumentException(
+      s"unknown partition transform '$s' — expected " +
+        "bucket(n,col) | trunc(w,col) | day(col) | identity(col)"))
+
+  /** Parse leniently: None for unknown forms, so a reader on an older
+    * library version degrades a tag it can't interpret to
+    * "don't prune" instead of failing the read. */
+  def parseOpt(s: String): Option[PartitionTransform] = s match {
+    case BucketRe(n, c) => Some(Bucket(n.toInt, c.trim))
+    case TruncRe(w, c)  => Some(Trunc(w.toInt, c.trim))
+    case DayRe(c)       => Some(Day(c.trim))
+    case IdentRe(c)     => Some(Identity(c.trim))
+    case _              => None
+  }
+}
+
 object VersionedTable {
 
   final class ConcurrentCommitException(version: Long)
@@ -66,6 +221,18 @@ object VersionedTable {
 
   private def manifestPath(root: String, v: Long): Path =
     logDir(root).resolve(f"v$v%05d.txt")
+
+  /** The directory DIRECTLY under `data/` that owns log-recorded file
+    * `f` — the unit vacuum reclaims and fsck tracks. NOT simply the
+    * file's parent: a partitioned commit ([[commit]] `partitionBy`)
+    * nests its files one level deeper (`data/vN-x/<pv>=3/part…`), and
+    * treating `<pv>=3` as the owning dir would make every partitioned
+    * commit look unreferenced — vacuum would delete live data. */
+  private def topDataDir(root: String, f: String): String = {
+    val segs = f.split("/")
+    if (segs.length >= 3 && segs(0) == "data") segs(1)
+    else Paths.get(root, f).getParent.getFileName.toString
+  }
 
   /** List a directory eagerly, CLOSING the underlying stream —
     * `Files.list` holds a directory fd until closed, and a leak per
@@ -103,7 +270,8 @@ object VersionedTable {
       bloomFiles: Seq[(String, String, String)], // (dataFile, col, sidecar)
       renames: Seq[(String, String)],  // logical old -> logical new
       colMaps: Seq[(String, String)],  // full map restatement (restore)
-      dropCols: Seq[String])           // PHYSICAL names retired by a drop
+      dropCols: Seq[String],           // PHYSICAL names retired by a drop
+      parts: Seq[(String, String, String)]) // (file, transform spec, value)
 
   private def readManifest(root: String, v: Long): Manifest = {
     val lines = Files.readAllLines(manifestPath(root, v)).asScala.toSeq
@@ -148,7 +316,12 @@ object VersionedTable {
         case _ => throw new IllegalStateException(
           s"malformed colmap line in manifest v$v")
       }),
-      field("dropcol").map(dec))
+      field("dropcol").map(dec),
+      field("part").map(_.split("\\|", -1) match {
+        case Array(f, t, v) => (dec(f), dec(t), dec(v))
+        case _ => throw new IllegalStateException(
+          s"malformed part line in manifest v$v")
+      }))
   }
 
   // ---------------------------------------------------------------------
@@ -172,7 +345,8 @@ object VersionedTable {
       checks: Map[String, String] = Map.empty, // constraint name -> SQL expr
       blooms: Map[(String, String), String] = Map.empty, // (file, col) -> bloom sidecar
       colMap: Map[String, String] = Map.empty, // logical -> physical column name (identity entries omitted)
-      dropped: Set[String] = Set.empty) // PHYSICAL names retired by dropColumn (bytes remain in live files)
+      dropped: Set[String] = Set.empty, // PHYSICAL names retired by dropColumn (bytes remain in live files)
+      parts: Map[String, (String, String)] = Map.empty) // file -> (its partition transform spec, its partition value)
 
   private[sources] object TableState {
     val empty: TableState =
@@ -209,7 +383,8 @@ object VersionedTable {
             f -> ps.map(_._2).toVector },
           m.tombFiles.toMap, st.checks,
           m.bloomFiles.map { case (f, c, sc) => (f, c) -> sc }.toMap,
-          m.colMaps.toMap, m.dropCols.toSet)
+          m.colMaps.toMap, m.dropCols.toSet,
+          m.parts.map { case (f, t, v) => f -> (t, v) }.toMap)
       case "append" =>
         // bloomfile lines merge in (a [[buildBloomIndex]] commit is a
         // data-free append); data files appended WITHOUT an index are
@@ -217,7 +392,9 @@ object VersionedTable {
         st.copy(files = st.files ++ m.files,
           stats = st.stats ++ manifestStats(m), schemaJson = m.schemaJson,
           blooms = st.blooms ++
-            m.bloomFiles.map { case (f, c, sc) => (f, c) -> sc })
+            m.bloomFiles.map { case (f, c, sc) => (f, c) -> sc },
+          parts = st.parts ++
+            m.parts.map { case (f, t, v) => f -> (t, v) })
       case "replace" =>
         // rewritten files lose their bloom entries (a rewrite changes
         // the row set; the stale index would be unsound for the new
@@ -227,7 +404,12 @@ object VersionedTable {
           (st.stats -- gone) ++ manifestStats(m), m.schemaJson,
           st.tombs -- gone, st.tombKey, st.checks,
           st.blooms.filterNot { case ((f, _), _) => gone(f) },
-          st.colMap, st.dropped) // mapping metadata: replace carries it
+          st.colMap, st.dropped, // mapping metadata: replace carries it
+          // rewritten files shed their partition tags (a compaction or
+          // row-edit rewrite changes the row set; a stale tag would
+          // mis-prune) — untagged files simply always read
+          (st.parts -- gone) ++
+            m.parts.map { case (f, t, v) => f -> (t, v) })
       case "delete-mor" =>
         val live = st.files.toSet
         val sidecars = m.tombFiles.map(_._1).toVector
@@ -417,7 +599,10 @@ object VersionedTable {
             s"bloom=${enc(f)}|${enc(c)}|${enc(sc)}" } ++
         st.colMap.toSeq.sorted.map { case (l, p) =>
           s"colmap=${enc(l)}|${enc(p)}" } ++
-        st.dropped.toSeq.sorted.map(p => s"dropcol=${enc(p)}"))
+        st.dropped.toSeq.sorted.map(p => s"dropcol=${enc(p)}") ++
+        st.parts.toSeq.filter(e => st.files.contains(e._1))
+          .sortBy(_._1).map { case (f, (t, pv)) =>
+            s"part=${enc(f)}|${enc(t)}|${enc(pv)}" })
         .mkString("", "\n", "\n")
     val tmp = Files.createTempFile(logDir(root), s".tmpckpt-v$v-", "")
     Files.write(tmp, body.getBytes("UTF-8"))
@@ -472,9 +657,14 @@ object VersionedTable {
         case _ => throw new IllegalStateException(
           s"malformed colmap line in checkpoint v$cv")
       }).toMap
+      val parts = field("part").map(_.split("\\|", -1) match {
+        case Array(f, t, pv) => dec(f) -> (dec(t), dec(pv))
+        case _ => throw new IllegalStateException(
+          s"malformed part line in checkpoint v$cv")
+      }).toMap
       (cv, TableState(files, stats, field("schema").headOption.map(dec),
         tombs, tombKey, checks, blooms, colMap,
-        field("dropcol").map(dec).toSet))
+        field("dropcol").map(dec).toSet, parts))
     }
 
   /** Delete manifests STRICTLY BELOW the newest checkpoint <= `below`.
@@ -554,7 +744,7 @@ object VersionedTable {
         .distinct
     def check(v: Long, s: TableState): Unit = refsOf(s).foreach { f =>
       if (!f.startsWith("ext:")) // external refs live outside data/
-        referencedDirs += Paths.get(root, f).getParent.getFileName.toString
+        referencedDirs += topDataDir(root, f)
       if (!Files.exists(dataPath(root, f))) {
         missing.getOrElseUpdate(f, v)
         if (v == latest) missingNow += f
@@ -630,6 +820,9 @@ object VersionedTable {
         target.colMap.toSeq.sorted.map { case (l, p) =>
           s"colmap=${enc(l)}|${enc(p)}" } ++
         target.dropped.toSeq.sorted.map(p => s"dropcol=${enc(p)}") ++
+        target.parts.toSeq.filter(e => target.files.contains(e._1))
+          .sortBy(_._1).map { case (f, (t, pv)) =>
+            s"part=${enc(f)}|${enc(t)}|${enc(pv)}" } ++
         target.checks.toSeq.sortBy(_._1).map { case (n, e) =>
           s"check=${enc(n)}|${enc(e)}" } ++
         current.checks.keySet.diff(target.checks.keySet).toSeq.sorted
@@ -693,6 +886,9 @@ object VersionedTable {
         st.colMap.toSeq.sorted.map { case (l, p) =>
           s"colmap=${enc(l)}|${enc(p)}" } ++
         st.dropped.toSeq.sorted.map(p => s"dropcol=${enc(p)}") ++
+        st.parts.toSeq.filter(e => st.files.contains(e._1))
+          .sortBy(_._1).map { case (f, (t, pv)) =>
+            s"part=${enc(ext(f))}|${enc(t)}|${enc(pv)}" } ++
         st.checks.toSeq.sortBy(_._1).map { case (n, e) =>
           s"check=${enc(n)}|${enc(e)}" })
         .mkString("", "\n", "\n")
@@ -1245,6 +1441,63 @@ object VersionedTable {
     readResolved(spark, root, st, keep).filter(pred)
   }
 
+  // ---------------------------------------------------------------------
+  // Partition pruning — the consumption side of [[PartitionTransform]]
+  // hidden partitioning. The query names the SOURCE column; the reader
+  // converts the probe through each file's OWN recorded transform
+  // (specs may differ across files after partition evolution) and
+  // opens only files whose tag can match.
+  // ---------------------------------------------------------------------
+
+  /** The files an equality probe `colName = value` must open, plus the
+    * total file count: a file is pruned when its partition tag proves
+    * `transform(value)` differs from its recorded partition value, or
+    * when its min/max stats exclude the value — the two metadata
+    * layers compose (bucket tags catch what min/max can't on
+    * arrival-ordered high-cardinality keys; stats catch what bucket
+    * can't on range-clustered layouts). Files without a tag (plain
+    * commits, compaction rewrites) and tags this library version
+    * can't interpret degrade to "read" — never to a wrong answer. A
+    * null-partition tag (`__HIVE_DEFAULT_PARTITION__`) never equals a
+    * computed probe, so all-null-transform files prune for free. */
+  def pruneFilesPartition(root: String, v: Long, colName: String,
+      value: Any): (Seq[String], Int) = {
+    val st = state(root, v)
+    val phys = physicalName(st, colName)
+    val dt = physicalSchemaOf(st)
+      .flatMap(_.fields.find(_.name == phys)).map(_.dataType)
+    val keep = st.files.filter { f =>
+      val tagOk = st.parts.get(f) match {
+        case Some((spec, pv)) =>
+          PartitionTransform.parseOpt(spec) match {
+            case Some(t) if t.srcCol == phys =>
+              dt.flatMap(t.probe(value, _)).forall(_ == pv)
+            case _ => true
+          }
+        case None => true
+      }
+      tagOk && mayMatch(st.stats.getOrElse(f, Map.empty).get(phys),
+        Some(value), Some(value))
+    }
+    (keep, st.files.size)
+  }
+
+  /** Point-lookup read `colName = value` through partition pruning +
+    * min/max stats. The residual equality still applies to surviving
+    * rows, so the result equals `read(...).filter(col === value)`
+    * exactly — pruning is invisible in the answer, by construction. */
+  def readPartitionPruned(spark: SparkSession, root: String,
+      colName: String, value: Any,
+      version: Option[Long] = None): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val latest = latestVersion(root)
+    require(latest >= 0, s"$root is not a versioned table (empty log)")
+    val v = version.getOrElse(latest)
+    val st = state(root, v)
+    val (keep, _) = pruneFilesPartition(root, v, colName, value)
+    readResolved(spark, root, st, keep).filter(col(colName) === lit(value))
+  }
+
   /** OPTIMIZE ZORDER BY: rewrite the current snapshot clustered on the
     * Morton interleave of two quantized dimension columns, as one
     * overwrite commit of `numFiles` files covering disjoint z-ranges.
@@ -1444,7 +1697,8 @@ object VersionedTable {
     * when the race finished before we started writing. Omitted, the
     * target is latest+1 and only a same-version photo-finish races. */
   def commit(df: DataFrame, root: String, mode: String = "append",
-      expected: Option[Long] = None, batchTag: Option[Long] = None): Long = {
+      expected: Option[Long] = None, batchTag: Option[Long] = None,
+      partitionBy: Option[PartitionTransform] = None): Long = {
     require(mode == "append" || mode == "overwrite",
       s"mode must be append|overwrite, got $mode")
     Files.createDirectories(logDir(root))
@@ -1531,12 +1785,65 @@ object VersionedTable {
     val nonce = java.util.UUID.randomUUID().toString.take(8)
     val dataRel = s"data/v$next-$nonce"
     val dataDir = Paths.get(root, dataRel)
-    writeDf.write.mode("errorifexists").parquet(dataDir.toString)
-    val files = listDir(dataDir)
-      .map(_.getFileName.toString)
-      .filter(n => n.endsWith(".parquet") && !n.startsWith("."))
-      .sorted
-      .map(n => s"$dataRel/$n")
+    // Hidden partitioning ([[PartitionTransform]]): lay the batch out
+    // by the transform of the source column and tag each file with its
+    // (transform, value) in the manifest. The helper column drives
+    // `partitionBy` ONLY — Spark excludes it from the data files, so
+    // user data is untouched (the point of HIDDEN partitioning).
+    // Under column mapping the transform rebinds to the physical name
+    // (files and tags outlive renames, like stats and blooms).
+    val partLines = scala.collection.mutable.ListBuffer.empty[String]
+    val files = partitionBy match {
+      case None =>
+        writeDf.write.mode("errorifexists").parquet(dataDir.toString)
+        listDir(dataDir)
+          .map(_.getFileName.toString)
+          .filter(n => n.endsWith(".parquet") && !n.startsWith("."))
+          .sorted
+          .map(n => s"$dataRel/$n")
+      case Some(t0) =>
+        val t =
+          if (mode == "append")
+            prevState.map(s => t0.rebind(physicalName(s, t0.srcCol)))
+              .getOrElse(t0)
+          else t0
+        val field = writeDf.schema.fields.find(_.name == t.srcCol)
+          .getOrElse(throw new IllegalArgumentException(
+            s"partition transform ${t.spec}: column ${t.srcCol} not in " +
+              s"batch schema [${writeDf.columns.mkString(", ")}]"))
+        val pvCol = "__graft_pv"
+        require(!writeDf.columns.contains(pvCol),
+          s"batch already has a $pvCol column — rename it first")
+        import org.apache.spark.sql.functions.col
+        // repartition BY the value first so each partition value is
+        // written by one task — one file per value, not one per
+        // (task, value) pair (the small-files explosion partitionBy
+        // produces on unclustered input)
+        writeDf
+          .withColumn(pvCol, t.sparkExpr(col(t.srcCol), field.dataType))
+          .repartition(col(pvCol))
+          .write.mode("errorifexists").partitionBy(pvCol)
+          .parquet(dataDir.toString)
+        val walk = Files.walk(dataDir)
+        val leaves =
+          try walk.iterator().asScala.toSeq.filter(p =>
+            Files.isRegularFile(p) &&
+              p.getFileName.toString.endsWith(".parquet") &&
+              !p.getFileName.toString.startsWith("."))
+          finally walk.close()
+        val rels = leaves
+          .map(p => s"$dataRel/${dataDir.relativize(p).toString}").sorted
+        rels.foreach { f =>
+          f.split("/").find(_.startsWith(pvCol + "=")).foreach { seg =>
+            // Spark writes dir values Hive-escaped; store the REAL value
+            val v = org.apache.spark.sql.catalyst.catalog
+              .ExternalCatalogUtils.unescapePathName(
+                seg.drop(pvCol.length + 1))
+            partLines += s"part=${enc(f)}|${enc(t.spec)}|${enc(v)}"
+          }
+        }
+        rels
+    }
     // Data-skipping stats: harvested from the freshly written parquet
     // FOOTERS (metadata-only — no data re-read) and committed in the
     // same manifest, so stats and file list are atomic together.
@@ -1548,7 +1855,7 @@ object VersionedTable {
         batchTag.map(b => s"batch=$b").toSeq ++
         (if (recordSchema) Seq(s"schema=${enc(df.schema.json)}")
          else Seq.empty) ++
-        files.map(f => s"file=$f") ++ stats)
+        files.map(f => s"file=$f") ++ stats ++ partLines)
         .mkString("", "\n", "\n")
     publish(root, next, body)
     next
@@ -2227,7 +2534,7 @@ object VersionedTable {
       // ext: references live in the clone SOURCE's tree — they are
       // never vacuum candidates here and must not alias a local dir
       .filterNot(_.startsWith("ext:"))
-      .map(f => Paths.get(root, f).getParent.getFileName.toString)
+      .map(f => topDataDir(root, f))
       .toSet
     val now = System.currentTimeMillis()
     val dataRoot = Paths.get(root, "data")

@@ -1248,4 +1248,166 @@ class VersionedTableSpec extends SparkSpecBase {
       VersionedTable.restore(root2, 3L)
     }
   }
+
+  // -------------------------------------------------------------------
+  // Hidden partitioning ([[PartitionTransform]])
+  // -------------------------------------------------------------------
+
+  test("bucket partitioning: point lookup opens only the probe's " +
+      "bucket, answer identical to a full read") {
+    val root = newRoot()
+    // ids in ARRIVAL order — every file's raw min/max spans the whole
+    // domain, so min/max alone can prune nothing; bucket tags can
+    val df = spark.range(0, 4000).select(col("id").as("k"),
+      (col("id") * 7 % 1000).as("v"))
+    VersionedTable.commit(df, root, "overwrite",
+      partitionBy = Some(PartitionTransform.Bucket(8, "k")))
+    val (keep, total) = VersionedTable.pruneFilesPartition(root, 0L, "k", 42L)
+    assert(total == 8, s"expected 8 bucket files, got $total")
+    assert(keep.size == 1, s"expected 1 surviving bucket, got ${keep.size}")
+    val pruned = VersionedTable.readPartitionPruned(spark, root, "k", 42L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val full = VersionedTable.read(spark, root)
+      .filter(col("k") === 42L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(pruned == full && pruned.size == 1)
+    // a probe for an absent key still prunes to its one bucket and
+    // returns empty — never a wrong answer
+    assert(VersionedTable.readPartitionPruned(spark, root, "k", 999999L)
+      .count() == 0)
+    // data files carry NO helper column — hidden means hidden
+    assert(VersionedTable.read(spark, root).columns.toSeq == Seq("k", "v"))
+  }
+
+  test("partition evolution: each file prunes under its own spec; " +
+      "untagged files always read") {
+    val root = newRoot()
+    val a = spark.range(0, 1000).select(col("id").as("k"))
+    val b = spark.range(1000, 2000).select(col("id").as("k"))
+    val c = spark.range(2000, 2100).select(col("id").as("k"))
+    VersionedTable.commit(a, root, "overwrite",
+      partitionBy = Some(PartitionTransform.Bucket(4, "k")))   // v0: 4 files
+    VersionedTable.commit(b, root, "append",
+      partitionBy = Some(PartitionTransform.Bucket(8, "k")))   // v1: 8 files
+    VersionedTable.commit(c.coalesce(1), root, "append")        // v2: untagged
+    val (keep, total) = VersionedTable.pruneFilesPartition(root, 2L, "k", 5L)
+    assert(total == 13, s"expected 13 files, got $total")
+    // probe 5: one bucket of 4, one bucket of 8 — but min/max stats
+    // also exclude the v1 (k>=1000) and v2 (k>=2000) files entirely
+    assert(keep.size == 1, s"expected 1 surviving file, got ${keep.size}: $keep")
+    def probe(k: Long): Seq[Long] =
+      VersionedTable.readPartitionPruned(spark, root, "k", k)
+        .collect().map(_.getLong(0)).toSeq
+    assert(probe(5L) == Seq(5L))
+    assert(probe(1500L) == Seq(1500L)) // lives in a v1 bucket(8) file
+    assert(probe(2050L) == Seq(2050L)) // lives in the untagged v2 file
+    // the untagged v2 file survives any in-stats probe of its range
+    val (keep2, _) = VersionedTable.pruneFilesPartition(root, 2L, "k", 2050L)
+    assert(keep2.size == 1)
+  }
+
+  test("partition tags round-trip through checkpoint, restore, clone, " +
+      "and survive merge-on-read deletes") {
+    val root = newRoot()
+    val df = spark.range(0, 1200).select(col("id").as("k"),
+      (col("id") % 10).as("v"))
+    VersionedTable.commit(df, root, "overwrite",
+      partitionBy = Some(PartitionTransform.Bucket(6, "k"))) // v0
+    // push past the checkpoint cadence with tag-free appends
+    (1 to 10).foreach(i => VersionedTable.commit(
+      Seq((100000L + i, 0L)).toDF("k", "v"), root))
+    assert(VersionedTable.checkpointVersions(root).nonEmpty)
+    // resolution now runs checkpoint + suffix; bucket tags must survive
+    val (keep, total) =
+      VersionedTable.pruneFilesPartition(root, 10L, "k", 7L)
+    assert(total == 16 && keep.size == 1,
+      s"expected 1/16 files after checkpointed resolve, got ${keep.size}/$total")
+    // MOR delete keeps tags (rows only shrink — tag stays conservative)
+    VersionedTable.deleteKeysMOR(spark, root, "k", Seq(7L).toDF("k"))
+    assert(VersionedTable.readPartitionPruned(spark, root, "k", 7L)
+      .count() == 0)
+    val (keepMor, _) = VersionedTable.pruneFilesPartition(
+      root, VersionedTable.latestVersion(root), "k", 8L)
+    assert(keepMor.size == 1)
+    assert(VersionedTable.readPartitionPruned(spark, root, "k", 8L)
+      .count() == 1)
+    // restore back to v10 (pre-delete): tags re-established
+    val rv = VersionedTable.restore(root, 10L)
+    val (keepR, _) = VersionedTable.pruneFilesPartition(root, rv, "k", 7L)
+    assert(keepR.size == 1)
+    assert(VersionedTable.readPartitionPruned(spark, root, "k", 7L)
+      .count() == 1)
+    // shallow clone: tags travel with the external references
+    val cloneRoot = newRoot() + "_clone"
+    VersionedTable.cloneShallow(root, cloneRoot)
+    val (keepC, totalC) =
+      VersionedTable.pruneFilesPartition(cloneRoot, 0L, "k", 7L)
+    assert(keepC.size == 1 && totalC == 16)
+    assert(VersionedTable.readPartitionPruned(spark, cloneRoot, "k", 7L)
+      .count() == 1)
+  }
+
+  test("fsck and vacuum treat a partitioned commit's nested dirs as " +
+      "one referenced unit") {
+    val root = newRoot()
+    val df = spark.range(0, 500).select(col("id").as("k"))
+    VersionedTable.commit(df, root, "overwrite",
+      partitionBy = Some(PartitionTransform.Bucket(4, "k"))) // v0
+    val report = VersionedTable.fsck(root)
+    assert(report.ok && report.orphanDirs.isEmpty,
+      s"partitioned commit misread as orphan/missing: $report")
+    // compaction rewrites into an untagged layout; vacuum must reclaim
+    // the nested partitioned dir without touching the live one
+    VersionedTable.compact(spark, root) // v1 overwrite
+    VersionedTable.vacuum(root, retain = 1L, minAgeMs = 0L)
+    assert(VersionedTable.read(spark, root).count() == 500)
+    val dataDirs = Files.list(Paths.get(root, "data")).iterator()
+      .asScala.map(_.getFileName.toString).toSeq
+    assert(dataDirs.size == 1 && dataDirs.head.startsWith("v1-"),
+      s"vacuum left: $dataDirs")
+    // after compaction the tags are gone (rewrite changes layout) —
+    // pruning degrades to stats-only, still correct
+    assert(VersionedTable.readPartitionPruned(spark, root, "k", 42L)
+      .count() == 1)
+  }
+
+  test("trunc and day transforms: layout matches driver-side probe") {
+    val root = newRoot()
+    val df = Seq(
+      ("2024-03-01", "alpha", -7L), ("2024-03-01", "alpine", 3L),
+      ("2024-03-02", "beta", 10L), ("2024-03-02", "betamax", 19L),
+      ("2024-03-03", "gamma", 20L))
+      .toDF("d", "s", "x")
+      .select(to_date(col("d")).as("d"), col("s"), col("x"))
+    VersionedTable.commit(df, root, "overwrite",
+      partitionBy = Some(PartitionTransform.Day("d")))
+    val (kD, tD) = VersionedTable.pruneFilesPartition(
+      root, 0L, "d", java.sql.Date.valueOf("2024-03-02"))
+    assert(tD == 3 && kD.size == 1, s"day prune: ${kD.size}/$tD")
+    assert(VersionedTable.readPartitionPruned(
+      spark, root, "d", java.sql.Date.valueOf("2024-03-02"))
+      .count() == 2)
+    // trunc over strings: prefix-1 buckets (a, b, g)
+    val root2 = newRoot()
+    VersionedTable.commit(df, root2, "overwrite",
+      partitionBy = Some(PartitionTransform.Trunc(1, "s")))
+    val (kS, tS) = VersionedTable.pruneFilesPartition(root2, 0L, "s", "beta")
+    assert(tS == 3 && kS.size == 1, s"trunc-str prune: ${kS.size}/$tS")
+    assert(VersionedTable.readPartitionPruned(spark, root2, "s", "beta")
+      .count() == 1)
+    // trunc over ints: floored binning handles negatives (-7 -> -10)
+    val root3 = newRoot()
+    VersionedTable.commit(df, root3, "overwrite",
+      partitionBy = Some(PartitionTransform.Trunc(10, "x")))
+    val (kX, tX) = VersionedTable.pruneFilesPartition(root3, 0L, "x", -7L)
+    assert(tX == 4 && kX.size == 1, s"trunc-int prune: ${kX.size}/$tX")
+    assert(VersionedTable.readPartitionPruned(spark, root3, "x", -7L)
+      .count() == 1)
+    // day() refuses a non-DATE column instead of zone-dependent layout
+    val e = intercept[Exception] {
+      VersionedTable.commit(df.select(col("s")), newRoot(), "overwrite",
+        partitionBy = Some(PartitionTransform.Day("s")))
+    }
+    assert(e.getMessage.contains("DATE"))
+  }
 }

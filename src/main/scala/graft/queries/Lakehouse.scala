@@ -732,6 +732,69 @@ object Lakehouse {
              |  min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
              |FROM orders WHERE o_custkey = 97
              |GROUP BY o_orderstatus
-             |ORDER BY o_orderstatus""".stripMargin))
+             |ORDER BY o_orderstatus""".stripMargin)),
+
+    // CHANGE FEED WITH UPDATE IMAGES (Delta CDF row set): v0 seeds a
+    // keyed table, v1 MERGEs a source that updates the overlapping
+    // keys and inserts the rest; `changesKeyed` then emits the CDC
+    // rows with a delete+insert of the same key in the same commit
+    // re-labeled `update_preimage`/`update_postimage` — the
+    // distinction an incremental MV or replication target needs
+    // (subtract preimages, add postimages; or emit one UPDATE instead
+    // of a FK-violating delete+insert). Unchanged rows carried
+    // through the rewrite cancel BEFORE classification (multiset
+    // diff), so the feed is change-volume-sized, and the classifier
+    // is one window over the change rows — no self-join, no second
+    // table read. The oracle restates each image set from the raw
+    // table: pre = old values of overlapping keys, post = new values,
+    // inserts = the non-overlap.
+    QueryDef(
+      "q214_change_feed_updates",
+      (s, d) => {
+        val root = Files.createTempDirectory("graft_cdf_").toString
+        val o = orders(s, d).select(col("o_orderkey"), col("o_custkey"))
+        VersionedTable.commit(
+          o.filter(col("o_orderkey") <= 2000)
+            .repartitionByRange(4, col("o_orderkey")), root) // v0
+        VersionedTable.mergeKeyed(s, root,
+          o.filter(col("o_orderkey").between(1500, 2500))
+            .withColumn("o_custkey", col("o_custkey") + 10000L),
+          "o_orderkey") // v1: updates 1500..2000, inserts 2001..2500
+        VersionedTable.changesKeyed(s, root, -1L,
+            VersionedTable.latestVersion(root), "o_orderkey")
+          .groupBy(col("_version"), col("_change"))
+          .agg(count(lit(1)).as("n_rows"),
+            sum(col("o_orderkey")).as("sum_key"),
+            sum(col("o_custkey")).as("sum_cust"))
+          .orderBy(col("_version"), col("_change"))
+      },
+      Some("""WITH base AS (
+             |  SELECT o_orderkey, o_custkey FROM orders
+             |  WHERE o_orderkey <= 2000),
+             |src AS (
+             |  SELECT o_orderkey, o_custkey + 10000 AS o_custkey
+             |  FROM orders WHERE o_orderkey BETWEEN 1500 AND 2500)
+             |SELECT * FROM (
+             |  SELECT 0 AS _version, 'insert' AS _change,
+             |    count(*) AS n_rows,
+             |    CAST(sum(o_orderkey) AS BIGINT) AS sum_key,
+             |    CAST(sum(o_custkey) AS BIGINT) AS sum_cust
+             |  FROM base
+             |  UNION ALL
+             |  SELECT 1, 'insert', count(*),
+             |    CAST(sum(o_orderkey) AS BIGINT),
+             |    CAST(sum(o_custkey) AS BIGINT)
+             |  FROM src WHERE o_orderkey > 2000
+             |  UNION ALL
+             |  SELECT 1, 'update_preimage', count(*),
+             |    CAST(sum(o_orderkey) AS BIGINT),
+             |    CAST(sum(o_custkey) AS BIGINT)
+             |  FROM base WHERE o_orderkey >= 1500
+             |  UNION ALL
+             |  SELECT 1, 'update_postimage', count(*),
+             |    CAST(sum(o_orderkey) AS BIGINT),
+             |    CAST(sum(o_custkey) AS BIGINT)
+             |  FROM src WHERE o_orderkey <= 2000
+             |) ORDER BY _version, _change""".stripMargin))
   )
 }

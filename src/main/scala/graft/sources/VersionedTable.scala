@@ -2474,6 +2474,45 @@ object VersionedTable {
     } else parts.reduce(_ unionByName _)
   }
 
+  /** [[changes]] with UPDATE classification (the Delta change-feed
+    * row set): given the table's record key, a delete and an insert
+    * of the same key inside the SAME commit are re-labeled
+    * `update_preimage` / `update_postimage`; unpaired rows keep
+    * `insert` / `delete`. Downstream consumers need the distinction —
+    * an incremental MV subtracts preimages and adds postimages, a
+    * replication target turns the pair into one UPDATE statement
+    * instead of a delete+insert that briefly violates its FK
+    * constraints.
+    *
+    * Contract: `key` must be unique per snapshot (the [[mergeKeyed]]
+    * key — a table with duplicate keys has no well-defined row
+    * identity to pair images by). Unchanged rows never appear at all:
+    * the underlying diff is multiset-exact, so a rewrite that carries
+    * a row through untouched cancels out before classification.
+    *
+    * Cost shape: one extra hash shuffle on `(_version, key)` over the
+    * CHANGE rows only (window, no self-join) — proportional to the
+    * change volume, never to table size. */
+  def changesKeyed(spark: SparkSession, root: String,
+      afterVersion: Long, toVersion: Long, key: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions.{col, lit, max, when}
+    val ch = changes(spark, root, afterVersion, toVersion)
+    require(ch.columns.contains(key),
+      s"changesKeyed: key '$key' not in change schema " +
+        s"[${ch.columns.mkString(", ")}]")
+    val w = Window.partitionBy(col("_version"), col(key))
+    val hasIns = max(when(col("_change") === "insert", 1).otherwise(0))
+      .over(w)
+    val hasDel = max(when(col("_change") === "delete", 1).otherwise(0))
+      .over(w)
+    ch.withColumn("_change",
+        when(hasIns === 1 && hasDel === 1,
+          when(col("_change") === "insert", lit("update_postimage"))
+            .otherwise(lit("update_preimage")))
+          .otherwise(col("_change")))
+  }
+
   /** DESCRIBE HISTORY: one row per commit — version, action, file
     * counts, live row count from the manifest STATS (no data read;
     * None when a file carries no stats), batch tag, schema presence.

@@ -1371,6 +1371,44 @@ class VersionedTableSpec extends SparkSpecBase {
       .count() == 1)
   }
 
+  test("changesKeyed: update pairs re-labeled, unpaired rows kept, " +
+      "unchanged rows cancel") {
+    val root = newRoot()
+    VersionedTable.commit(
+      Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v")
+        .coalesce(1), root, "overwrite") // v0
+    // v1: merge updates k=2, inserts k=4; k=1,3 carried unchanged
+    VersionedTable.mergeKeyed(spark, root,
+      Seq((2L, "B"), (4L, "d")).toDF("k", "v"), "k")
+    // v2: plain delete (no pairing partner)
+    VersionedTable.deleteRanges(spark, root,
+      Seq(("k", Some(3L), Some(3L))))
+    val rows = VersionedTable.changesKeyed(spark, root, -1L,
+        VersionedTable.latestVersion(root), "k")
+      .collect()
+      .map(r => (r.getLong(r.fieldIndex("_version")),
+        r.getString(r.fieldIndex("_change")),
+        r.getLong(r.fieldIndex("k")),
+        r.getString(r.fieldIndex("v"))))
+      .sortBy(t => (t._1, t._2, t._3)).toSeq
+    assert(rows == Seq(
+      (0L, "insert", 1L, "a"),
+      (0L, "insert", 2L, "b"),
+      (0L, "insert", 3L, "c"),
+      (1L, "insert", 4L, "d"),
+      (1L, "update_postimage", 2L, "B"),
+      (1L, "update_preimage", 2L, "b"),
+      (2L, "delete", 3L, "c")), s"got: $rows")
+    // same-commit delete+reinsert of an IDENTICAL row is a no-op in
+    // the feed (multiset diff cancels it before classification)
+    val root2 = newRoot()
+    VersionedTable.commit(Seq((1L, "x")).toDF("k", "v"), root2)
+    VersionedTable.mergeKeyed(spark, root2,
+      Seq((1L, "x")).toDF("k", "v"), "k")
+    assert(VersionedTable.changesKeyed(spark, root2, 0L, 1L, "k")
+      .count() == 0)
+  }
+
   test("trunc and day transforms: layout matches driver-side probe") {
     val root = newRoot()
     val df = Seq(

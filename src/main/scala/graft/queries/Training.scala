@@ -1368,6 +1368,77 @@ object Training {
              |      ORDER BY h, doc_id) AS pos
              |  FROM k WHERE h < 10000000)
              |SELECT epoch, pos, doc_id, h FROM r WHERE pos <= 10
-             |ORDER BY epoch, pos""".stripMargin))
+             |ORDER BY epoch, pos""".stripMargin)),
+
+    // SEMANTIC DEDUP (SemDeDup, Abbas et al. 2023): k-means first,
+    // pairwise cosine ONLY within each cluster — the clustering turns
+    // the n² all-pairs problem into k independent (n/k)² blocks, the
+    // same blocked-pairwise discipline as MinHash bands (q28) but in
+    // embedding space, where near-duplicates share no n-grams at all
+    // (paraphrases, translations, re-encodes). Drop rule: a vector is
+    // dropped when ANY smaller-id member of its cluster is within the
+    // cosine threshold — deterministic, one pass, no iteration (the
+    // transitive-closure variant is q62's connected components).
+    // At 100 TB: assignments shuffle once on cid, each cluster's
+    // pairwise join is cluster-local, and k grows with the corpus to
+    // bound the per-cluster quadratic term; the cluster step reuses
+    // the integer-exact lloyd kernel (oracle-matched in q104), the
+    // cosine step the q31 double arithmetic (norms hoisted, fold
+    // order identical to the DuckDB list_reduce).
+    QueryDef(
+      "q215_semdedup",
+      (s, d) => {
+        import graft.ops.VectorOps._
+        val vecs = Kmeans.quantize(
+          embeddings(s, d).repartition(s.sparkContext.defaultParallelism))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val (a2, _) = Kmeans.lloyd(vecs, k = 8, rounds = 1, dim = 64)
+        val e = embeddings(s, d)
+          .select(col("vec_id"), toDouble(col("embedding")).as("v"))
+          .withColumn("nrm", l2norm(col("v")))
+          .join(a2.select(col("vec_id"), col("cid")), "vec_id")
+        val drops = e.as("x").join(e.as("y"),
+            col("x.cid") === col("y.cid") &&
+              col("x.vec_id") < col("y.vec_id"))
+          .select(col("y.vec_id").as("b"),
+            round(dot(col("x.v"), col("y.v")) /
+              (col("x.nrm") * col("y.nrm")), 4).as("cos"))
+          .filter(col("cos") >= 0.3)
+          .select(col("b")).distinct()
+          .withColumn("is_drop", lit(1L))
+        e.select(col("cid"), col("vec_id"))
+          .join(drops.withColumnRenamed("b", "vec_id"), Seq("vec_id"), "left")
+          .groupBy(col("cid"))
+          .agg(count(lit(1)).as("n_members"),
+            sum(coalesce(col("is_drop"), lit(0L))).as("n_dropped"),
+            sum(when(col("is_drop").isNull, col("vec_id"))
+              .otherwise(lit(0L))).as("kept_id_sum"))
+          .orderBy(col("cid"))
+      },
+      Some(s"""WITH $kmeansSqlCtes,
+             |e0 AS (SELECT vec_id,
+             |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+             |  FROM embeddings),
+             |e AS (SELECT e0.vec_id, a.cid, v,
+             |    sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+             |      list_transform(range(1, len(v) + 1), i -> v[i] * v[i])),
+             |      (s, t) -> s + t)) AS nrm
+             |  FROM e0 JOIN a2 a ON e0.vec_id = a.vec_id),
+             |drops AS (SELECT DISTINCT y.vec_id AS b
+             |  FROM e x JOIN e y
+             |    ON x.cid = y.cid AND x.vec_id < y.vec_id
+             |  WHERE round(
+             |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+             |      list_transform(range(1, len(x.v) + 1),
+             |        i -> x.v[i] * y.v[i])),
+             |      (s, t) -> s + t)
+             |    / (x.nrm * y.nrm), 4) >= 0.3)
+             |SELECT e.cid, count(*) AS n_members,
+             |  CAST(sum(CASE WHEN d.b IS NOT NULL THEN 1 ELSE 0 END)
+             |    AS BIGINT) AS n_dropped,
+             |  CAST(sum(CASE WHEN d.b IS NULL THEN e.vec_id ELSE 0 END)
+             |    AS BIGINT) AS kept_id_sum
+             |FROM e LEFT JOIN drops d ON e.vec_id = d.b
+             |GROUP BY e.cid ORDER BY e.cid""".stripMargin))
   )
 }

@@ -795,6 +795,45 @@ object Lakehouse {
              |    CAST(sum(o_orderkey) AS BIGINT),
              |    CAST(sum(o_custkey) AS BIGINT)
              |  FROM src WHERE o_orderkey <= 2000
-             |) ORDER BY _version, _change""".stripMargin))
+             |) ORDER BY _version, _change""".stripMargin)),
+
+    // OPTIMIZE INTO A PARTITION LAYOUT: v0 ingests `orders` hashed on
+    // the WRONG column (arrival-order stand-in: every file spans the
+    // whole o_custkey domain, so a point lookup must open all 8);
+    // compactPartitioned rewrites the snapshot under bucket(8,
+    // o_custkey) as one overwrite commit, after which the same lookup
+    // opens exactly 1 of 8 files from the manifest tags alone. The
+    // before/after file counts are PART OF THE CHECKED RESULT (the
+    // oracle pins 8-of-8 then 1-of-8), so a pruning regression — not
+    // just a wrong answer — fails the hash. This is the retrofit
+    // move: at 100 TB you don't re-ingest a mis-laid-out table, you
+    // OPTIMIZE it into the layout its query pattern wants.
+    QueryDef(
+      "q216_partitioned_optimize",
+      (s, d) => {
+        val root = Files.createTempDirectory("graft_popt_").toString
+        VersionedTable.commit(
+          orders(s, d).repartition(8, col("o_orderkey")), root) // v0
+        val before =
+          VersionedTable.pruneFilesPartition(root, 0L, "o_custkey", 97L)
+        VersionedTable.compactPartitioned(s, root,
+          graft.sources.PartitionTransform.Bucket(8, "o_custkey")) // v1
+        val after =
+          VersionedTable.pruneFilesPartition(root, 1L, "o_custkey", 97L)
+        VersionedTable.readPartitionPruned(s, root, "o_custkey", 97L)
+          .agg(count(lit(1)).as("n_orders"),
+            sum(col("o_orderkey")).as("sum_key"))
+          .select(
+            lit(before._1.size.toLong).as("files_before"),
+            lit(before._2.toLong).as("files_total_before"),
+            lit(after._1.size.toLong).as("files_after"),
+            lit(after._2.toLong).as("files_total_after"),
+            col("n_orders"), col("sum_key"))
+      },
+      Some("""SELECT 8 AS files_before, 8 AS files_total_before,
+             |  1 AS files_after, 8 AS files_total_after,
+             |  count(*) AS n_orders,
+             |  CAST(sum(o_orderkey) AS BIGINT) AS sum_key
+             |FROM orders WHERE o_custkey = 97""".stripMargin))
   )
 }

@@ -1378,7 +1378,9 @@ object Training {
     // (paraphrases, translations, re-encodes). Drop rule: a vector is
     // dropped when ANY smaller-id member of its cluster is within the
     // cosine threshold — deterministic, one pass, no iteration (the
-    // transitive-closure variant is q62's connected components).
+    // transitive-closure variant is q62's connected components; the
+    // rank-window approximation that checks only inertia-adjacent
+    // neighbors instead of all cluster pairs is q185).
     // At 100 TB: assignments shuffle once on cid, each cluster's
     // pairwise join is cluster-local, and k grows with the corpus to
     // bound the per-cluster quadratic term; the cluster step reuses

@@ -34,6 +34,11 @@ import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType
   *    commits, so a stream starting against a long backlog (or a
   *    bursty upstream) processes it in bounded bites instead of one
   *    giant catch-up batch (Delta's `maxFilesPerTrigger` shape).
+  *  - `updateImagesKey` (default off): the table's record key; when
+  *    set, a delete+insert of the same key inside one commit is
+  *    re-labeled `update_preimage`/`update_postimage`
+  *    ([[VersionedTable.changesKeyed]]) — the Delta CDF row set, so
+  *    a streaming incremental MV can subtract/add images directly.
   *
   * Register by class name (`.format("graft.sources.ChangeFeedSource")`)
   * or by the `graft-change-feed` short name (META-INF service file).
@@ -61,6 +66,10 @@ class ChangeFeedSource extends StreamSourceProvider with DataSourceRegister {
         n
       }
 
+  private def updateKey(parameters: Map[String, String]): Option[String] =
+    parameters.map { case (k, v) => k.toLowerCase -> v }
+      .get("updateimageskey")
+
   /** The feed schema: the TABLE's metadata-tracked schema plus the two
     * CDC columns. Resolved once at stream start — schema evolution
     * mid-stream requires a restart (the Delta contract). */
@@ -78,17 +87,32 @@ class ChangeFeedSource extends StreamSourceProvider with DataSourceRegister {
 
   override def sourceSchema(sqlContext: SQLContext,
       schema: Option[StructType], providerName: String,
-      parameters: Map[String, String]): (String, StructType) =
-    (shortName(), schema.getOrElse(feedSchema(root(parameters))))
+      parameters: Map[String, String]): (String, StructType) = {
+    val resolved = schema.getOrElse(feedSchema(root(parameters)))
+    // validate at stream DEFINITION (load()), not first batch — a bad
+    // key should fail in the caller's stack, not async in the query
+    updateKey(parameters).foreach(k =>
+      require(resolved.fieldNames.contains(k),
+        s"updateImagesKey '$k' is not a column of ${root(parameters)} " +
+          s"[${resolved.fieldNames.mkString(", ")}]"))
+    (shortName(), resolved)
+  }
 
   override def createSource(sqlContext: SQLContext, metadataPath: String,
       schema: Option[StructType], providerName: String,
       parameters: Map[String, String]): Source = {
     val rootDir = root(parameters)
+    val key = updateKey(parameters)
+    key.foreach { k =>
+      val base = feedSchema(rootDir)
+      require(base.fieldNames.contains(k),
+        s"updateImagesKey '$k' is not a column of $rootDir " +
+          s"[${base.fieldNames.mkString(", ")}]")
+    }
     new ChangeFeedSource.VersionTail(sqlContext, rootDir,
       startAfter(parameters),
       schema.getOrElse(feedSchema(rootDir)),
-      maxPerTrigger(parameters), metadataPath)
+      maxPerTrigger(parameters), metadataPath, key)
   }
 }
 
@@ -115,7 +139,8 @@ object ChangeFeedSource {
     * always the true log head). */
   private[sources] final class VersionTail(sqlContext: SQLContext,
       root: String, startAfter: Long, feedSchema: StructType,
-      maxPerTrigger: Option[Long], metadataPath: String)
+      maxPerTrigger: Option[Long], metadataPath: String,
+      updateImagesKey: Option[String] = None)
       extends Source {
 
     import java.nio.file.{Files, Paths, StandardCopyOption}
@@ -176,8 +201,12 @@ object ChangeFeedSource {
         handedOut = to
         if (maxPerTrigger.isDefined) persistHwm(to)
       }
-      val batch =
-        VersionedTable.changes(sqlContext.sparkSession, root, after, to)
+      val batch = updateImagesKey match {
+        case Some(k) => VersionedTable.changesKeyed(
+          sqlContext.sparkSession, root, after, to, k)
+        case None =>
+          VersionedTable.changes(sqlContext.sparkSession, root, after, to)
+      }
       val declared = feedSchema.fields.map(f => f.name -> f.dataType).toSeq
       val got = batch.schema.fields.map(f => f.name -> f.dataType).toSeq
       if (got != declared)

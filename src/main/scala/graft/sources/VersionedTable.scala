@@ -2543,6 +2543,18 @@ object VersionedTable {
   def compact(spark: SparkSession, root: String, numFiles: Int = 1): Long =
     commit(read(spark, root).repartition(numFiles), root, "overwrite")
 
+  /** OPTIMIZE into a hidden-partition layout: rewrite the CURRENT
+    * snapshot as one overwrite commit laid out by `transform` — the
+    * layout-maintenance move that retrofits partition pruning onto a
+    * table ingested in arrival order (or re-buckets one whose bucket
+    * count no longer fits its size). Older versions stay readable;
+    * subsequent appends may keep using the same transform or evolve
+    * it (tags are per file). */
+  def compactPartitioned(spark: SparkSession, root: String,
+      transform: PartitionTransform): Long =
+    commit(read(spark, root), root, "overwrite",
+      partitionBy = Some(transform))
+
   /** Delete data dirs not referenced by any version >= `retain`
     * (also reclaims orphaned dirs from lost commit races). Time
     * travel below `retain` stops working — that's the contract.

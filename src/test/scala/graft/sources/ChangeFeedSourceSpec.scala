@@ -191,6 +191,40 @@ class ChangeFeedSourceSpec extends SparkSpecBase {
     } finally q2.stop()
   }
 
+  test("updateImagesKey: the stream emits update pre/post images for " +
+      "same-commit key pairs") {
+    val root = newRoot()
+    VersionedTable.commit(
+      Seq((1L, "a"), (2L, "b")).toDF("k", "v"), root) // v0
+    val q = spark.readStream
+      .format("graft-change-feed").option("root", root)
+      .option("updateImagesKey", "k")
+      .load()
+      .writeStream.format("memory").queryName("cf_upd")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      // v1: merge updates k=2, inserts k=3 — arrives mid-stream
+      VersionedTable.mergeKeyed(spark, root,
+        Seq((2L, "B"), (3L, "c")).toDF("k", "v"), "k")
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT k, v, _change, _version FROM cf_upd")
+        .collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+          r.getLong(3))).toSet
+      assert(rows == Set(
+        (1L, "a", "insert", 0L), (2L, "b", "insert", 0L),
+        (3L, "c", "insert", 1L),
+        (2L, "b", "update_preimage", 1L),
+        (2L, "B", "update_postimage", 1L)), s"got: $rows")
+    } finally q.stop()
+    // a key that is not a column fails at stream DEFINITION, loudly
+    intercept[IllegalArgumentException] {
+      spark.readStream.format("graft-change-feed").option("root", root)
+        .option("updateImagesKey", "nope").load()
+    }
+  }
+
   test("maxVersionsPerTrigger bounds each micro-batch and survives restart") {
     val root = newRoot()
     val ckpt = Files.createTempDirectory("graft_cfs_rl_").toString

@@ -89,6 +89,12 @@ object GraftSqlParser {
     """(?is)\s*GRAFT\s+STATS\s+'([^']+)'\s+COLUMNS\s+([A-Za-z_][A-Za-z0-9_]*(?:\s*,\s*[A-Za-z_][A-Za-z0-9_]*)*)\s*;?\s*""".r
   private val Trunc =
     """(?is)\s*GRAFT\s+TRUNCATE\s+LOG\s+'([^']+)'(?:\s+BELOW\s+(\d+))?\s*;?\s*""".r
+  private val OptFiles =
+    """(?is)\s*GRAFT\s+OPTIMIZE\s+'([^']+)'\s+FILES\s+(\d+)\s*;?\s*""".r
+  private val OptPart =
+    """(?is)\s*GRAFT\s+OPTIMIZE\s+'([^']+)'\s+PARTITION\s+BY\s+([A-Za-z]+\([^)]+\))\s*;?\s*""".r
+  private val OptZ =
+    """(?is)\s*GRAFT\s+OPTIMIZE\s+'([^']+)'\s+ZORDER\s+BY\s+([A-Za-z_][A-Za-z0-9_]*)\s*,\s*([A-Za-z_][A-Za-z0-9_]*)(?:\s+FILES\s+(\d+))?\s*;?\s*""".r
 
   private[ext] def parse(sqlText: String): Option[LogicalPlan] =
     sqlText match {
@@ -106,6 +112,10 @@ object GraftSqlParser {
         cols.split(",").map(_.trim).toSeq))
       case Trunc(p, below) => Some(GraftTruncateLogCommand(p,
         Option(below).map(_.toLong)))
+      case OptFiles(p, n) => Some(GraftOptimizeFilesCommand(p, n.toInt))
+      case OptPart(p, spec) => Some(GraftOptimizePartitionCommand(p, spec))
+      case OptZ(p, x, y, files) => Some(GraftOptimizeZOrderCommand(p, x, y,
+        Option(files).map(_.toInt).getOrElse(8)))
       case other if other.trim.toUpperCase.startsWith("GRAFT ") =>
         // a malformed GRAFT statement must fail with OUR grammar, not
         // Spark's baffled syntax error
@@ -115,7 +125,9 @@ object GraftSqlParser {
             "RETAIN n [MIN AGE ms] | FSCK | RENAME COLUMN a TO b IN " +
             "'root' | DROP COLUMN c IN 'root' | CLONE 'src' TO 'dst' " +
             "[VERSION AS OF n] | STATS 'root' COLUMNS a, b | " +
-            "TRUNCATE LOG 'root' [BELOW n]")
+            "TRUNCATE LOG 'root' [BELOW n] | OPTIMIZE 'root' FILES n | " +
+            "OPTIMIZE 'root' PARTITION BY bucket(n,col) | " +
+            "OPTIMIZE 'root' ZORDER BY x, y [FILES n]")
       case _ => None
     }
 
@@ -209,5 +221,28 @@ object GraftSqlParser {
       Seq(attr("n_manifests_removed", IntegerType))
     override def run(s: SparkSession): Seq[Row] =
       Seq(Row(VersionedTable.truncateLog(root, below)))
+  }
+
+  case class GraftOptimizeFilesCommand(root: String, numFiles: Int)
+      extends LeafRunnableCommand {
+    override val output: Seq[Attribute] = Seq(attr("version", LongType))
+    override def run(s: SparkSession): Seq[Row] =
+      Seq(Row(VersionedTable.compact(s, root, numFiles)))
+  }
+
+  case class GraftOptimizePartitionCommand(root: String, spec: String)
+      extends LeafRunnableCommand {
+    override val output: Seq[Attribute] = Seq(attr("version", LongType))
+    override def run(s: SparkSession): Seq[Row] =
+      Seq(Row(VersionedTable.compactPartitioned(s, root,
+        graft.sources.PartitionTransform.parse(spec))))
+  }
+
+  case class GraftOptimizeZOrderCommand(root: String, xCol: String,
+      yCol: String, numFiles: Int) extends LeafRunnableCommand {
+    override val output: Seq[Attribute] = Seq(attr("version", LongType))
+    override def run(s: SparkSession): Seq[Row] =
+      Seq(Row(VersionedTable.compactClustered(s, root, xCol, yCol,
+        numFiles = numFiles)))
   }
 }

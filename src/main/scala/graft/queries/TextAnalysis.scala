@@ -671,6 +671,51 @@ object TextAnalysis {
              |  'wavpcm' AS decoder
              |FROM documents ORDER BY media_id""".stripMargin)),
 
+    // VIDEO FRAME SAMPLING — the third multimodal axis (images q124,
+    // audio q183, now time): clips in a raw-frame container (GVID:
+    // header + fixed-size frames; no video codec ships with the JDK,
+    // so the container is synthetic but the ACCESS PATTERN is real),
+    // decoded frame-SAMPLED — every 3rd frame up to 4 per clip, each
+    // frame's stats read from only its own byte range via header
+    // offset arithmetic. Unsampled frames are never touched: at
+    // 100 TB of video, decode cost scales with frames KEPT, not
+    // frames stored — the keyframe-seek property of a real container,
+    // exercised end to end. Fixtures are closed-form
+    // (pixel = (id·31 + f·17 + p·7) mod 251), so the oracle states
+    // every sampled frame's exact pixel sum from the raw table; a
+    // wrong offset, stride, or sign in the byte decode breaks the
+    // hash, not just a count.
+    QueryDef(
+      "q217_video_frame_sample",
+      (s, d) => {
+        import s.implicits._
+        val media = documents(s, d)
+          .repartition(s.sparkContext.defaultParallelism)
+          .select(col("doc_id")).as[Long]
+          .map { id =>
+            val n = (id % 17 + 4).toInt
+            graft.ops.Multimodal.MediaRecord(
+              id, "video", graft.ops.Multimodal.syntheticVideo(id, n, 8, 6),
+              8, 6, 0)
+          }
+        graft.ops.Multimodal.sampleVideoFrames(media, stride = 3, maxN = 4)
+          .toDF()
+          .select(col("media_id"), col("n_frames"), col("frame_idx"),
+            col("frame_sum"), col("decoder"))
+          .orderBy(col("media_id"), col("frame_idx"))
+      },
+      Some("""SELECT doc_id AS media_id,
+             |  CAST(doc_id % 17 + 4 AS INT) AS n_frames,
+             |  CAST(f AS INT) AS frame_idx,
+             |  CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+             |    list_transform(range(0, 48),
+             |      p -> (doc_id * 31 + f * 17 + p * 7) % 251)),
+             |    (a, b) -> a + b) AS BIGINT) AS frame_sum,
+             |  'gvid' AS decoder
+             |FROM documents, (SELECT unnest([0, 3, 6, 9]) AS f) fr
+             |WHERE f < doc_id % 17 + 4
+             |ORDER BY media_id, frame_idx""".stripMargin)),
+
     // BPE ENCODE — the APPLY side of q155's trainer (tokenization at
     // corpus scale, the step that actually runs on 100 TB): train 4
     // merge rules (m=1, exact-greedy), then tokenize EVERY document by

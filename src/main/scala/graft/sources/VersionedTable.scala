@@ -179,10 +179,13 @@ object PartitionTransform {
     }
   }
 
-  private val BucketRe = """bucket\((\d+),([^)]+)\)""".r
-  private val TruncRe  = """trunc\((\d+),([^)]+)\)""".r
-  private val DayRe    = """day\(([^)]+)\)""".r
-  private val IdentRe  = """identity\(([^)]+)\)""".r
+  // (?i) + \s*: tolerate the SQL surface's casing and spacing
+  // (`PARTITION BY BUCKET(8, o_custkey)`); the canonical `spec`
+  // written to the log is always the lowercase, space-free form
+  private val BucketRe = """(?i)\s*bucket\(\s*(\d+)\s*,([^)]+)\)\s*""".r
+  private val TruncRe  = """(?i)\s*trunc\(\s*(\d+)\s*,([^)]+)\)\s*""".r
+  private val DayRe    = """(?i)\s*day\(([^)]+)\)\s*""".r
+  private val IdentRe  = """(?i)\s*identity\(([^)]+)\)\s*""".r
 
   /** Parse a canonical spec string; throws on unknown forms. */
   def parse(s: String): PartitionTransform = parseOpt(s).getOrElse(

@@ -182,4 +182,36 @@ class GraftExtensionsSpec extends SparkSpecBase {
     assert(e.getMessage.contains("unrecognized GRAFT"),
       s"got: ${e.getMessage}")
   }
+
+  test("GRAFT OPTIMIZE: FILES, PARTITION BY, ZORDER BY via SQL") {
+    import graft.sources.VersionedTable
+    import org.apache.spark.sql.functions.col
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_sqlopt_").toString
+    VersionedTable.commit(
+      spark.range(0, 2000)
+        .select(col("id").as("k"), (col("id") % 50).as("x"),
+          (col("id") % 37).as("y"))
+        .repartition(6), root) // v0: 6 files, arrival order
+    // FILES: bin-pack to 2 files
+    spark.sql(s"GRAFT OPTIMIZE '$root' FILES 2")
+    assert(VersionedTable.fsck(root).ok)
+    assert(VersionedTable.read(spark, root).count() == 2000)
+    // PARTITION BY (case/space-insensitive spec): point lookup on k
+    // prunes to one bucket
+    spark.sql(s"GRAFT OPTIMIZE '$root' PARTITION BY BUCKET(8, k)")
+    val (keep, total) = VersionedTable.pruneFilesPartition(
+      root, VersionedTable.latestVersion(root), "k", 42L)
+    assert(total == 8 && keep.size == 1, s"prune: ${keep.size}/$total")
+    assert(VersionedTable.readPartitionPruned(spark, root, "k", 42L)
+      .count() == 1)
+    // ZORDER BY: conjunctive range pruning via 2-D clustering
+    spark.sql(s"GRAFT OPTIMIZE '$root' ZORDER BY x, y FILES 4")
+    val zr = VersionedTable.readSkippingRanges(spark, root, Seq(
+      ("x", Some(0L), Some(5L)), ("y", Some(0L), Some(5L))))
+    assert(zr.count() ==
+      VersionedTable.read(spark, root)
+        .filter(col("x") <= 5 && col("y") <= 5).count())
+    assert(VersionedTable.read(spark, root).count() == 2000)
+  }
 }

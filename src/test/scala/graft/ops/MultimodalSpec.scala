@@ -150,4 +150,30 @@ class MultimodalSpec extends SparkSpecBase {
     assert(s(1L) === 1) // 1 frame -> 1 sample
     assert(s(2L) === 2) // 3 frames capped at 2
   }
+
+  test("sampleVideoFrames: container parse reads the pixel formula " +
+      "back for sampled frames only; junk degrades to stub") {
+    import spark.implicits._
+    val seed = 7L
+    val rec = Multimodal.MediaRecord(seed, "video",
+      Multimodal.syntheticVideo(seed, nFrames = 8, w = 4, h = 3), 4, 3, 0)
+    val junk = Multimodal.MediaRecord(99L, "video",
+      Array[Byte](1, 2, 3), 0, 0, 0)
+    val out = Multimodal.sampleVideoFrames(
+        Seq(rec, junk).toDS(), stride = 3, maxN = 4)
+      .collect().sortBy(r => (r.media_id, r.frame_idx))
+    // clip of 8 frames at stride 3 -> frames 0, 3, 6
+    val vid = out.filter(_.media_id == seed)
+    assert(vid.map(_.frame_idx).toSeq == Seq(0, 3, 6))
+    assert(vid.forall(_.n_frames == 8))
+    assert(vid.forall(_.decoder == "gvid"))
+    def expectedSum(f: Int): Long =
+      (0 until 12).map(p => (seed * 31 + f * 17 + p * 7) % 251).sum
+    vid.foreach(v => assert(v.frame_sum == expectedSum(v.frame_idx),
+      s"frame ${v.frame_idx}: ${v.frame_sum} != ${expectedSum(v.frame_idx)}"))
+    // junk payload: one stub-tagged row, no exception
+    val st = out.filter(_.media_id == 99L)
+    assert(st.length == 1 && st.head.decoder == "stub" &&
+      st.head.frame_idx == -1)
+  }
 }

@@ -716,6 +716,53 @@ object TextAnalysis {
              |WHERE f < doc_id % 17 + 4
              |ORDER BY media_id, frame_idx""".stripMargin)),
 
+    // MULTI-PATTERN MATCH (Aho–Corasick) — blocklist/keyword tagging
+    // in ONE pass over each document: the automaton is built once from
+    // the pattern list on the driver (O(pattern chars) state, ships in
+    // the closure like a broadcast), and every pattern's occurrences —
+    // overlapping included, "scan" inside "scan query", "a a" twice in
+    // "a a a" — are counted per position via dictionary-suffix links.
+    // The naive alternative at 100 TB is one corpus scan (or one LIKE)
+    // PER pattern; this is one scan total, no shuffle until the
+    // 5-row aggregate. The oracle recomputes overlapping-substring
+    // counts positionally, so a wrong failure link or a dropped
+    // overlap breaks the hash.
+    QueryDef(
+      "q218_multi_pattern",
+      (s, d) => {
+        import s.implicits._
+        val patterns =
+          Seq("a a", "scan", "scan query", "table table", "value part")
+        val ac = graft.ops.AhoCorasick.build(patterns)
+        documents(s, d)
+          .select(col("doc_id"), col("text")).as[(Long, String)]
+          .flatMap { case (_, t) =>
+            val c = ac.countAll(t)
+            // emit zeros too: the aggregate below needs doc counts per
+            // pattern even when a pattern never fires
+            patterns.indices.map(i => (patterns(i), c(i)))
+          }
+          .toDF("pattern", "cnt")
+          .groupBy("pattern")
+          .agg(sum(col("cnt")).as("n_matches"),
+            sum(when(col("cnt") > 0, 1L).otherwise(0L)).as("n_docs"))
+          .orderBy(col("pattern"))
+      },
+      Some("""WITH pats AS (
+             |  SELECT * FROM (VALUES ('a a'), ('scan'), ('scan query'),
+             |    ('table table'), ('value part')) p(pattern)),
+             |per_doc AS (
+             |  SELECT d.doc_id, p.pattern,
+             |    len(list_filter(range(0, len(d.text) - len(p.pattern) + 1),
+             |      i -> substr(d.text, CAST(i + 1 AS INT),
+             |             len(p.pattern)) = p.pattern)) AS cnt
+             |  FROM documents d, pats p)
+             |SELECT pattern,
+             |  CAST(sum(cnt) AS BIGINT) AS n_matches,
+             |  CAST(sum(CASE WHEN cnt > 0 THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS n_docs
+             |FROM per_doc GROUP BY pattern ORDER BY pattern""".stripMargin)),
+
     // BPE ENCODE — the APPLY side of q155's trainer (tokenization at
     // corpus scale, the step that actually runs on 100 TB): train 4
     // merge rules (m=1, exact-greedy), then tokenize EVERY document by

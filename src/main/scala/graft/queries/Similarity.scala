@@ -811,7 +811,149 @@ object Similarity {
            |FROM rr r LEFT JOIN ex x
            |  ON r.probe = x.probe AND r.vec_id = x.vec_id
            |WHERE r.rn <= 3 ORDER BY r.probe, r.rn""".stripMargin
-      })
+      }),
+
+    // INCREMENTAL ANN INDEX MAINTENANCE — IVF off the CHANGE FEED
+    // (lakehouse x similarity): the corpus lives in a versioned table;
+    // the coarse quantizer (q59's per-label integer-micro centroids)
+    // is FROZEN at index build — the standard IVF operating mode,
+    // where re-clustering is a rare offline event and ingest only
+    // re-ASSIGNS. A drifted batch (every 7th vector sign-flipped)
+    // lands via MERGE; maintenance then reads ONLY the CDC
+    // postimages/inserts from `changesKeyed` and re-assigns those
+    // rows against the frozen broadcast centroids — cost scales with
+    // CHANGE VOLUME, not corpus size, which at 100 TB is the
+    // difference between an index that keeps up with ingest and one
+    // that rebuilds nightly. idx_v1 = idx_v0 minus changed keys plus
+    // re-assignments (an anti-join + union, no corpus re-scan).
+    // `n_reassigned` rides in the checked result so the oracle pins
+    // the maintenance volume, and the probe search runs over the
+    // POST-update index: a stale cell for a flipped vector surfaces
+    // as a wrong neighbor, not a silent recall drop.
+    QueryDef(
+      "q219_ann_incremental",
+      (s, d) => {
+        import graft.sources.VersionedTable
+        val cAgg = udaf(new graft.ops.VectorAggregates.CentroidAgg(64))
+        val root = java.nio.file.Files
+          .createTempDirectory("graft_annidx_").toString
+        val emb = embeddings(s, d)
+          .select(col("vec_id"), col("label"), col("embedding"))
+        VersionedTable.commit(
+          emb.filter(col("vec_id") >= 8)
+            .repartitionByRange(4, col("vec_id")), root) // v0
+        val base = VersionedTable.read(s, root, Some(0L))
+          .select(col("vec_id"), col("label"),
+            toDouble(col("embedding")).as("v"),
+            microQuantize(col("embedding")).as("qv"))
+        // frozen quantizer: 10 rows, persisted once — every assign()
+        // below broadcasts it instead of re-running the UDAF
+        val cents = base.groupBy(col("label")).agg(cAgg(col("qv")).as("c"))
+          .select(col("label").as("cent_id"),
+            transform(col("c.sums"), s0 => centroidMicro(s0, col("c.n")))
+              .as("cent"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        def assign(df: org.apache.spark.sql.DataFrame) =
+          df.join(broadcast(cents), lit(true))
+            .select(col("vec_id"), col("v"), col("cent_id"),
+              l2DistSq(col("qv"), col("cent")).as("d2"))
+            .groupBy(col("vec_id"))
+            .agg(min(struct(col("d2"), col("cent_id"))).as("m"),
+              first(col("v")).as("v"))
+            .select(col("vec_id"), col("m.cent_id").as("cell"), col("v"))
+        val idx0 = assign(base)
+        // v1: the drifted batch MERGEs in (sign flip moves a vector to
+        // the opposite side of every hyperplane through the origin —
+        // guaranteed cell churn to catch a stale index)
+        VersionedTable.mergeKeyed(s, root,
+          emb.filter(col("vec_id") >= 8 && col("vec_id") % 7 === 0)
+            .withColumn("embedding",
+              transform(col("embedding"), x => -x)),
+          "vec_id")
+        val changed = VersionedTable.changesKeyed(s, root, 0L,
+            VersionedTable.latestVersion(root), "vec_id")
+          .filter(col("_change").isin("insert", "update_postimage"))
+          .select(col("vec_id"), toDouble(col("embedding")).as("v"),
+            microQuantize(col("embedding")).as("qv"))
+        val reassigned = assign(changed)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val nre = reassigned.count() // change-volume-sized, audited below
+        val idx1 = idx0
+          .join(reassigned.select(col("vec_id")), Seq("vec_id"),
+            "left_anti")
+          .unionByName(reassigned)
+        val probes = assign(emb.filter(col("vec_id") < 8)
+            .select(col("vec_id"), toDouble(col("embedding")).as("v"),
+              microQuantize(col("embedding")).as("qv")))
+          .select(col("vec_id").as("probe"), col("cell").as("pcell"),
+            col("v").as("pv"))
+        val w = Window.partitionBy(col("probe"))
+          .orderBy(col("cos").desc, col("vec_id"))
+        broadcast(probes).join(idx1, col("pcell") === col("cell"))
+          .select(col("probe"), col("pcell").as("cell"), col("vec_id"),
+            round(cosine(col("pv"), col("v")), 4).as("cos"))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 3)
+          .select(col("probe"), col("cell"), col("rn"), col("vec_id"),
+            col("cos"), lit(nre).as("n_reassigned"))
+          .orderBy(col("probe"), col("rn"))
+      },
+      Some(s"""WITH e AS (SELECT vec_id, label,
+             |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+             |  FROM embeddings),
+             |base AS (SELECT vec_id, label, v,
+             |    list_transform(v, x ->
+             |      CAST(floor(x * 1000000) AS BIGINT)) AS qv
+             |  FROM e WHERE vec_id >= 8),
+             |u AS (SELECT label, unnest(qv) AS el,
+             |    generate_subscripts(qv, 1) AS pos FROM base),
+             |cm AS (SELECT label, pos,
+             |    CAST(floor(CAST(CAST(sum(el) AS BIGINT) AS DOUBLE)
+             |      / count(*) + 0.5) AS BIGINT) AS cv
+             |  FROM u GROUP BY label, pos),
+             |cents AS (SELECT label AS cent_id,
+             |    list(cv ORDER BY pos) AS cent FROM cm GROUP BY label),
+             |fin AS (SELECT vec_id,
+             |    CASE WHEN vec_id % 7 = 0
+             |      THEN list_transform(v, x -> -x) ELSE v END AS v
+             |  FROM e WHERE vec_id >= 8),
+             |finq AS (SELECT vec_id, v,
+             |    list_transform(v, x ->
+             |      CAST(floor(x * 1000000) AS BIGINT)) AS qv FROM fin),
+             |prq AS (SELECT vec_id, v,
+             |    list_transform(v, x ->
+             |      CAST(floor(x * 1000000) AS BIGINT)) AS qv
+             |  FROM e WHERE vec_id < 8),
+             |idx AS (SELECT vec_id, v, cent_id AS cell FROM (
+             |    SELECT f.vec_id, f.v, c.cent_id,
+             |      row_number() OVER (PARTITION BY f.vec_id ORDER BY
+             |        list_reduce(list_prepend(CAST(0 AS BIGINT),
+             |          list_transform(range(1, len(f.qv) + 1),
+             |            i -> (f.qv[i] - c.cent[i])
+             |               * (f.qv[i] - c.cent[i]))),
+             |          (a, t) -> a + t), c.cent_id) AS rn
+             |    FROM finq f CROSS JOIN cents c) t WHERE rn = 1),
+             |probes AS (SELECT vec_id AS probe, v AS pv,
+             |    cent_id AS pcell FROM (
+             |    SELECT p.vec_id, p.v, c.cent_id,
+             |      row_number() OVER (PARTITION BY p.vec_id ORDER BY
+             |        list_reduce(list_prepend(CAST(0 AS BIGINT),
+             |          list_transform(range(1, len(p.qv) + 1),
+             |            i -> (p.qv[i] - c.cent[i])
+             |               * (p.qv[i] - c.cent[i]))),
+             |          (a, t) -> a + t), c.cent_id) AS rn
+             |    FROM prq p CROSS JOIN cents c) t WHERE rn = 1),
+             |scored AS (SELECT p.probe, p.pcell AS cell, i.vec_id,
+             |    round(${cosSql("p.pv", "i.v")}, 4) AS cos
+             |  FROM probes p JOIN idx i ON p.pcell = i.cell),
+             |ranked AS (SELECT probe, cell, vec_id, cos,
+             |    row_number() OVER (PARTITION BY probe
+             |      ORDER BY cos DESC, vec_id) AS rn
+             |  FROM scored)
+             |SELECT probe, cell, rn, vec_id, cos,
+             |  (SELECT count(*) FROM e
+             |   WHERE vec_id >= 8 AND vec_id % 7 = 0) AS n_reassigned
+             |FROM ranked WHERE rn <= 3 ORDER BY probe, rn""".stripMargin))
   )
 
   /** Fixed ±1 JL projection directions (8 x 64): sign = parity of the

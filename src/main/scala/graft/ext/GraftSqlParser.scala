@@ -176,11 +176,13 @@ object GraftSqlParser {
       attr("n_versions", IntegerType),
       attr("n_missing_latest", IntegerType),
       attr("n_missing_historic", IntegerType),
-      attr("n_orphan_dirs", IntegerType))
+      attr("n_orphan_dirs", IntegerType),
+      attr("n_chain_breaks", IntegerType))
     override def run(s: SparkSession): Seq[Row] = {
       val r = VersionedTable.fsck(root)
       Seq(Row(r.ok, r.contiguousLog, r.checkedVersions.size,
-        r.missingLatest.size, r.missingHistoric.size, r.orphanDirs.size))
+        r.missingLatest.size, r.missingHistoric.size, r.orphanDirs.size,
+        r.chainBreaks.size))
     }
   }
 

@@ -225,6 +225,21 @@ object VersionedTable {
   private def manifestPath(root: String, v: Long): Path =
     logDir(root).resolve(f"v$v%05d.txt")
 
+  /** SHA-256 hex of manifest `v`'s exact on-disk bytes — the link in
+    * the tamper-evidence chain ([[publish]] writes it as the NEXT
+    * manifest's `parent=`; [[fsck]] re-derives and compares). */
+  private def manifestHash(root: String, v: Long): String = {
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    md.digest(Files.readAllBytes(manifestPath(root, v)))
+      .map(b => f"$b%02x").mkString
+  }
+
+  /** The `parent=` line of manifest `v`, if present (manifests written
+    * before the chain existed have none — fsck skips those links). */
+  private def parentOf(root: String, v: Long): Option[String] =
+    Files.readAllLines(manifestPath(root, v)).asScala
+      .collectFirst { case l if l.startsWith("parent=") => l.drop(7) }
+
   /** The directory DIRECTLY under `data/` that owns log-recorded file
     * `f` — the unit vacuum reclaims and fsck tracks. NOT simply the
     * file's parent: a partitioned commit ([[commit]] `partitionBy`)
@@ -724,8 +739,10 @@ object VersionedTable {
       contiguousLog: Boolean,
       missingLatest: Seq[String],
       missingHistoric: Seq[(Long, String)],
-      orphanDirs: Seq[String]) {
-    def ok: Boolean = contiguousLog && missingLatest.isEmpty
+      orphanDirs: Seq[String],
+      chainBreaks: Seq[Long]) {
+    def ok: Boolean =
+      contiguousLog && missingLatest.isEmpty && chainBreaks.isEmpty
   }
 
   /** Verify the physical state against the log: every resolvable
@@ -764,10 +781,20 @@ object VersionedTable {
       if (!Files.isDirectory(dataRoot)) Seq.empty
       else listDir(dataRoot).map(_.getFileName.toString)
         .filterNot(referencedDirs).sorted
+    // Hash-chain audit over the SURVIVING suffix: manifest v's
+    // `parent=` must equal SHA-256(manifest v-1 bytes). An edited
+    // historical manifest therefore flags at its successor. Links
+    // from pre-chain manifests (no parent line) are skipped; the
+    // truncation head's parent refers to a deleted manifest, so only
+    // intact consecutive pairs are checked.
+    val chainBreaks = vs.sliding(2).collect {
+      case Seq(a, b) if parentOf(root, b).exists(_ != manifestHash(root, a))
+        => b
+    }.toSeq
     FsckReport(vs, contiguous, missingNow.toSeq.sorted,
       missing.toSeq.filterNot { case (f, _) => missingNow.contains(f) }
         .map { case (f, v) => (v, f) }.sortBy(identity),
-      orphans)
+      orphans, chainBreaks)
   }
 
   // ---------------------------------------------------------------------
@@ -1874,7 +1901,17 @@ object VersionedTable {
     // Commit wall-clock stamp for timestamp time travel ([[versionAsOf]]).
     // Readers monotonize across versions, so clock skew between writers
     // cannot make as-of resolution non-deterministic.
-    val stamped = s"ts=${System.currentTimeMillis}\n" + body
+    //
+    // `parent=` chains each manifest to the SHA-256 of its
+    // predecessor's exact bytes (git-commit-graph shape): any edit to
+    // a published manifest breaks every later parent hash, so [[fsck]]
+    // can prove log integrity instead of assuming it. Manifests are
+    // immutable once linked, so hashing next-1 here is race-free even
+    // if this publish loses the version race. The newest manifest has
+    // no successor to vouch for it — a hash chain is tamper-EVIDENT
+    // for history, not an anchor for the tip.
+    val parent = if (next == 0) "genesis" else manifestHash(root, next - 1)
+    val stamped = s"ts=${System.currentTimeMillis}\nparent=$parent\n" + body
     val tmp = Files.createTempFile(logDir(root), s".tmp-v$next-", "")
     Files.write(tmp, stamped.getBytes("UTF-8"))
     try Files.createLink(manifestPath(root, next), tmp)

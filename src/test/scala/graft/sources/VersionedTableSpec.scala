@@ -1159,6 +1159,37 @@ class VersionedTableSpec extends SparkSpecBase {
     assert(!broken.ok && broken.missingLatest == Seq(live))
   }
 
+  test("fsck hash chain: an edited historical manifest flags at its " +
+      "successor; truncation leaves no false positives") {
+    val root = newRoot()
+    VersionedTable.commit(Seq(1L, 2L).toDF("id"), root) // v0
+    VersionedTable.commit(Seq(3L).toDF("id"), root) // v1
+    VersionedTable.commit(Seq(4L).toDF("id"), root) // v2
+    assert(VersionedTable.fsck(root).chainBreaks.isEmpty)
+    // tamper: rewrite a metadata line in v1 — no file goes missing,
+    // so only the chain can catch it
+    val m1 = Paths.get(root, "_graft_log", "v00001.txt")
+    val doctored = new String(Files.readAllBytes(m1), "UTF-8")
+      .replaceFirst("(?m)^ts=\\d+", "ts=1")
+    Files.write(m1, doctored.getBytes("UTF-8"))
+    val tampered = VersionedTable.fsck(root)
+    assert(tampered.chainBreaks == Seq(2L) && !tampered.ok,
+      s"edit to v1 must break v2's parent link: $tampered")
+    // restore the original chain by re-linking: fix v1 back is not
+    // possible (bytes unknown) — instead prove truncation hygiene on
+    // a FRESH table: checkpoint + truncate, then the surviving suffix
+    // still chain-verifies (the head's parent target is gone and is
+    // skipped, not flagged)
+    val root2 = newRoot()
+    (0 to 5).foreach(i =>
+      VersionedTable.commit(Seq(i.toLong).toDF("id"), root2))
+    VersionedTable.checkpoint(root2, Some(4L))
+    VersionedTable.truncateLog(root2, Some(4L))
+    val truncated = VersionedTable.fsck(root2)
+    assert(truncated.chainBreaks.isEmpty && truncated.ok,
+      s"truncated suffix must still verify: $truncated")
+  }
+
   test("restore: metadata-only rollback preserving history") {
     val root = newRoot()
     VersionedTable.commit(Seq(1L, 2L).toDF("id"), root) // v0

@@ -93,7 +93,27 @@ object Bench {
     // carries its own evidence either way.
     val env = s""""t_start_ms":$tStartMs,"t_end_ms":${System.currentTimeMillis()},""" +
       s""""load_before":$loadBefore,"load_after":${loadavg()}"""
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir",$env}""")
+    // The driver captures only the LAST 2000 chars of stdout and parses
+    // the JSON line out of that tail (rounds 4-5: the full per-query map
+    // for a 200-entry catalog is ~8 KB, the opening brace fell outside
+    // the window, and both rounds recorded "parsed": null). So: full
+    // detail goes to bench_detail.json next to the build, and stdout
+    // carries a compact line — totals, error count, and only the slowest
+    // queries at 3-decimal precision — sized to fit the tail window.
+    val detailPath = java.nio.file.Paths.get("bench_detail.json").toAbsolutePath
+    java.nio.file.Files.write(detailPath,
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir",$env}"""
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val slowest = results.sortBy(-_._2).take(12).map { case (k, v, err) =>
+      f""""$k":${if (err.isDefined) -v else v}%.3f"""
+    }.mkString("{", ",", "}")
+    val errsShort = results.collect { case (k, _, Some(e)) =>
+      "\"" + k + "\":\"" + esc(e.take(80)) + "\""
+    }.take(3).mkString("{", ",", "}")
+    println(
+      s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},""" +
+      s""""n_errors":${results.count(_._3.isDefined)},"queries":$slowest,""" +
+      s""""errors":$errsShort,"sf":"$sfDir","detail":"$detailPath",$env}""")
     spark.stop()
   }
 }

@@ -834,6 +834,104 @@ object Lakehouse {
              |  1 AS files_after, 8 AS files_total_after,
              |  count(*) AS n_orders,
              |  CAST(sum(o_orderkey) AS BIGINT) AS sum_key
-             |FROM orders WHERE o_custkey = 97""".stripMargin))
+             |FROM orders WHERE o_custkey = 97""".stripMargin)),
+
+    // SPARK-NATIVE DATASOURCE read (graft.sources.GraftDataSource, the
+    // Delta DeltaDataSource shape): the table is written through
+    // `df.write.format("graft")` (full commit protocol — atomic
+    // publish, stats harvest) and read back through
+    // `spark.read.format("graft")`, where a custom FileIndex prunes
+    // files from manifest min/max stats INSIDE Catalyst — the WHERE
+    // below opens 1-2 of the 8 range-clustered files with no bespoke
+    // readSkipping call in sight, and everything downstream is stock
+    // vectorized parquet + whole-stage codegen. The q120 semantics
+    // through the engine-native path; GraftDataSourceSpec asserts the
+    // file-count side. At 100 TB this is the surface users actually
+    // touch: plain DataFrame/SQL reads, skipping for free.
+    QueryDef(
+      "q220_datasource_pruned_read",
+      (s, d) => {
+        val root = Files.createTempDirectory("graft_dsrc_").toString
+        orders(s, d).repartitionByRange(8, col("o_orderkey"))
+          .write.format("graft").mode("append").save(root)
+        s.read.format("graft").load(root)
+          .filter(col("o_orderkey").between(1, 1024))
+          .groupBy(col("o_orderstatus"))
+          .agg(count(lit(1)).as("n_orders"),
+            sum(col("o_orderkey")).as("sum_key"),
+            min(col("o_orderkey")).as("min_key"),
+            max(col("o_orderkey")).as("max_key"))
+          .orderBy(col("o_orderstatus"))
+      },
+      Some("""SELECT o_orderstatus, count(*) AS n_orders,
+             |  CAST(sum(o_orderkey) AS BIGINT) AS sum_key,
+             |  min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
+             |FROM orders WHERE o_orderkey BETWEEN 1 AND 1024
+             |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)),
+
+    // SQL over a CATALOG TABLE: `CREATE TABLE ... USING graft` then a
+    // plain `SELECT ... WHERE` — zero engine-specific API in the query
+    // text. The datasource registers through DataSourceRegister, the
+    // catalog resolves it by short name, and the same manifest-stats
+    // pruning drives the scan (the WHERE range keeps 1-2 of 8 files).
+    // This is the serving-layer contract the reference meets with
+    // Redshift Spectrum external schemas over S3
+    // (external-table-queries.sql:4-8): register the lake table once,
+    // query it as ordinary SQL forever after.
+    QueryDef(
+      "q221_sql_catalog_table",
+      (s, d) => {
+        val root = Files.createTempDirectory("graft_dcat_").toString
+        orders(s, d).repartitionByRange(8, col("o_orderkey"))
+          .write.format("graft").mode("append").save(root)
+        val tbl = "g_tbl_" + java.util.UUID.randomUUID().toString.take(8)
+        s.sql(s"CREATE TABLE $tbl USING graft OPTIONS (path '$root')")
+        // spark.sql analyzes eagerly: the relation (and its snapshot)
+        // is resolved HERE, so dropping the catalog name afterwards
+        // doesn't disturb the returned plan.
+        val out = s.sql(
+          s"""SELECT o_orderpriority, count(*) AS n_orders,
+             |  CAST(sum(o_custkey) AS BIGINT) AS sum_cust
+             |FROM $tbl WHERE o_orderkey BETWEEN 513 AND 2048
+             |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
+        s.sql(s"DROP TABLE $tbl")
+        out
+      },
+      Some("""SELECT o_orderpriority, count(*) AS n_orders,
+             |  CAST(sum(o_custkey) AS BIGINT) AS sum_cust
+             |FROM orders WHERE o_orderkey BETWEEN 513 AND 2048
+             |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)),
+
+    // TIME TRAVEL through the datasource options: two commits land
+    // through the native write path, then `versionAsOf` reads the
+    // first snapshot while the default read sees both — the audit /
+    // reproducibility read ("exactly what did the table hold when the
+    // model trained?") as a read OPTION, not an API call. The oracle
+    // restates both snapshots from the raw table by the commit
+    // predicate: version resolution must be exact, not approximate.
+    QueryDef(
+      "q222_datasource_time_travel",
+      (s, d) => {
+        val root = Files.createTempDirectory("graft_dtt_").toString
+        val src = orders(s, d).select(col("o_orderkey"))
+        src.filter(col("o_orderkey") <= 3000)
+          .write.format("graft").mode("append").save(root) // v0
+        src.filter(col("o_orderkey") > 3000)
+          .write.format("graft").mode("append").save(root) // v1
+        val v0 = s.read.format("graft").option("versionAsOf", 0).load(root)
+          .agg(count(lit(1)).as("n_v0"),
+            sum(col("o_orderkey")).as("sum_v0"))
+        val cur = s.read.format("graft").load(root)
+          .agg(count(lit(1)).as("n_cur"),
+            sum(col("o_orderkey")).as("sum_cur"))
+        v0.crossJoin(cur) // 1 row × 1 row
+      },
+      Some("""SELECT
+             |  (SELECT count(*) FROM orders WHERE o_orderkey <= 3000) AS n_v0,
+             |  (SELECT CAST(sum(o_orderkey) AS BIGINT) FROM orders
+             |     WHERE o_orderkey <= 3000) AS sum_v0,
+             |  count(*) AS n_cur,
+             |  CAST(sum(o_orderkey) AS BIGINT) AS sum_cur
+             |FROM orders""".stripMargin))
   )
 }

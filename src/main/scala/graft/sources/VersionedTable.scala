@@ -218,7 +218,7 @@ object VersionedTable {
     * entries (written by [[cloneShallow]]) are absolute references
     * into the clone source's tree — read-only from this table's
     * perspective (vacuum/compact never delete through them). */
-  private def dataPath(root: String, f: String): Path =
+  private[sources] def dataPath(root: String, f: String): Path =
     if (f.startsWith("ext:")) Paths.get(f.stripPrefix("ext:"))
     else Paths.get(root, f)
 
@@ -460,12 +460,12 @@ object VersionedTable {
   }
 
   /** The PHYSICAL (on-disk parquet) name of logical column `c`. */
-  private def physicalName(st: TableState, c: String): String =
+  private[sources] def physicalName(st: TableState, c: String): String =
     st.colMap.getOrElse(c, c)
 
   /** The logical schema with fields renamed to their physical names —
     * what the parquet files actually contain. */
-  private def physicalSchemaOf(st: TableState)
+  private[sources] def physicalSchemaOf(st: TableState)
       : Option[org.apache.spark.sql.types.StructType] =
     schemaOf(st).map { sc =>
       if (st.colMap.isEmpty) sc
@@ -1349,7 +1349,7 @@ object VersionedTable {
     * `col BETWEEN lower AND upper` (bounds inclusive, None =
     * unbounded)? NULL column values never satisfy a range predicate,
     * so an all-null file is skippable outright. No stats → must read. */
-  private def mayMatch(cs: Option[ColStats],
+  private[sources] def mayMatch(cs: Option[ColStats],
       lower: Option[Any], upper: Option[Any]): Boolean = cs match {
     case None => true
     case Some(c) =>
@@ -1430,7 +1430,7 @@ object VersionedTable {
     * the footer stats decides: a file with zero nulls has no row for
     * `IS NULL`; an all-null file has none for `IS NOT NULL`. No stats
     * → must read (same degrade-to-read contract as [[mayMatch]]). */
-  private def mayMatchNullness(cs: Option[ColStats],
+  private[sources] def mayMatchNullness(cs: Option[ColStats],
       wantNull: Boolean): Boolean = cs match {
     case None => true
     case Some(c) => if (wantNull) c.nulls > 0 else c.nulls < c.rows
@@ -1579,7 +1579,7 @@ object VersionedTable {
     * on the probe side — identical for long/int/string, the point-
     * lookup types). NULLs are never indexed: `col = x` can't match a
     * NULL row, and nullness pruning has its own stats path. */
-  private def bloomProbe(v: Any): String = String.valueOf(v)
+  private[sources] def bloomProbe(v: Any): String = String.valueOf(v)
 
   /** Build a bloom-filter index over `colName` for every live file of
     * the current snapshot, in ONE distributed pass: per-partition

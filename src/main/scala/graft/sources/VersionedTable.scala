@@ -211,6 +211,18 @@ object VersionedTable {
     extends RuntimeException(
       s"concurrent commit: version $version already exists — reload and retry")
 
+  /** A prepared row-edit commit could NOT be rebased over commits that
+    * landed since its basis snapshot: one of them logically conflicts
+    * (rewrote/tombstoned a file this edit read, or changed the table's
+    * schema/metadata). The operation must be recomputed from the
+    * current snapshot — unlike [[ConcurrentCommitException]], which
+    * only means a version slot was lost and never reaches callers of
+    * the rebasing writers. */
+  final class ConcurrentWriteConflictException(version: Long, reason: String)
+    extends RuntimeException(
+      s"concurrent write conflict at v$version: $reason — " +
+        "recompute the operation from the current snapshot")
+
   private def logDir(root: String): Path = Paths.get(root, "_graft_log")
 
   /** Resolve a log-recorded data-file/sidecar reference to a
@@ -2015,11 +2027,8 @@ object VersionedTable {
             Some(bounds.get(0)), Some(bounds.get(1))))
       }
     if (applies.isEmpty) return basis
-    val next = basis + 1
-    if (Files.exists(manifestPath(root, next)))
-      throw new ConcurrentCommitException(next)
     val nonce = java.util.UUID.randomUUID().toString.take(8)
-    val tombRel = s"data/tomb-v$next-$nonce"
+    val tombRel = s"data/tomb-v${basis + 1}-$nonce"
     val tombDir = Paths.get(root, tombRel)
     // one part file: sidecars are point-delete sized by contract, and
     // a single file keeps the read-side broadcast to one open
@@ -2030,14 +2039,17 @@ object VersionedTable {
       .filter(n => n.endsWith(".parquet") && !n.startsWith("."))
       .sorted
       .map(n => s"$tombRel/$n")
-    val body =
-      (Seq(s"version=$next", "action=delete-mor") ++
+    // Rebase over compatible interleaved commits: the tombstone only
+    // constrains the files it APPLIES to — an append or a rewrite of
+    // other files doesn't invalidate it; a rewrite of an applied file
+    // does (the rewrite read rows this delete targets) and conflicts.
+    publishRebasing(root, basis, applies.toSet, st.schemaJson,
+      allowTombstoneOverlap = true,
+      mkBody = next => (Seq(s"version=$next", "action=delete-mor") ++
         st.schemaJson.map(j => s"schema=${enc(j)}").toSeq ++
         sidecars.map(sc => s"tombfile=${enc(sc)}|${enc(physKey)}") ++
         applies.map(f => s"tombapply=${enc(f)}"))
-        .mkString("", "\n", "\n")
-    publish(root, next, body)
-    next
+        .mkString("", "\n", "\n"))
   }
 
   /** UPDATE the table, copy-on-write: for rows matching the
@@ -2108,26 +2120,140 @@ object VersionedTable {
     commitReplace(spark, root, basis, touched, rewritten)
   }
 
+  // ---------------------------------------------------------------------
+  // Logical conflict detection + rebase (Delta's ConflictChecker shape).
+  //
+  // A row-edit writer prepares its commit against a basis snapshot; by
+  // publish time other commits may have landed. Failing outright on ANY
+  // interleaving is the wrong cost model at 100 TB — a one-hour
+  // compaction losing to a one-row append must not redo the rewrite.
+  // Instead the prepared commit REBASES: each interleaved manifest is
+  // checked for a logical conflict, and if none exists the same
+  // prepared body publishes at the next free version. Conflicts fail
+  // loudly ([[ConcurrentWriteConflictException]]) and the caller
+  // recomputes — correctness never depends on winning a race.
+  // ---------------------------------------------------------------------
+
+  /** Structural schema equality (parsed, not string — two writers may
+    * serialize the same StructType with different field orderings of
+    * metadata maps). */
+  private def sameSchema(a: Option[String], b: Option[String]): Boolean =
+    (a, b) match {
+      case (Some(x), Some(y)) =>
+        x == y || scala.util.Try(
+          org.apache.spark.sql.types.DataType.fromJson(x) ==
+            org.apache.spark.sql.types.DataType.fromJson(y)).getOrElse(false)
+      case (None, None) => true
+      case _ => false
+    }
+
+  /** Why interleaved manifest `m` conflicts with a prepared commit
+    * that read (and will remove or tombstone) `touched` files of a
+    * basis snapshot whose schema was `basisSchema` — None = compatible,
+    * the prepared commit may rebase over `m` unchanged.
+    *
+    *  - `overwrite` replaced the whole table: everything this edit
+    *    read is superseded.
+    *  - schema or table-metadata changes (CHECK add/drop, RENAME,
+    *    DROP COLUMN): the prepared rows were neither validated against
+    *    the new constraints nor written under the new mapping, and the
+    *    prepared manifest would re-state the OLD schema line.
+    *  - `replace` that rewrote any `touched` file: this edit's output
+    *    was computed from rows that no longer exist (rebasing would
+    *    resurrect them / duplicate their rewrite).
+    *  - `delete-mor` that tombstoned any `touched` file: this edit
+    *    read rows the tombstone has since deleted.
+    *  - appends are compatible (new files are disjoint by
+    *    construction); bloom-index registrations on touched files are
+    *    compatible because the replace fold drops removed files' bloom
+    *    entries.
+    *
+    * `allowTombstoneOverlap`: a MOR delete rebasing over another MOR
+    * delete is sound even on the SAME file — tombstone sidecars
+    * compose (the fold attaches both; reads anti-join the union of
+    * keys), which is exactly what both writers intended. A REWRITE
+    * rebasing over a tombstone is not (it read rows the tombstone
+    * deleted), so replace-writers pass false. */
+  private def conflictReason(m: Manifest, touched: Set[String],
+      basisSchema: Option[String],
+      allowTombstoneOverlap: Boolean): Option[String] = {
+    val metaChanged = m.checkAdds.nonEmpty || m.checkDrops.nonEmpty ||
+      m.renames.nonEmpty || m.dropCols.nonEmpty
+    m.action match {
+      case "overwrite" => Some(s"v${m.version} overwrote the table")
+      case _ if !sameSchema(m.schemaJson, basisSchema) =>
+        Some(s"v${m.version} changed the table schema")
+      case _ if metaChanged =>
+        Some(s"v${m.version} changed table metadata (constraints/columns)")
+      case "append" => None
+      case "replace" =>
+        m.removes.find(touched) // removes ∩ touched
+          .map(f => s"v${m.version} rewrote $f, which this edit read")
+      case "delete-mor" if allowTombstoneOverlap => None
+      case "delete-mor" =>
+        m.tombApplies.find(touched)
+          .map(f => s"v${m.version} tombstoned $f, which this edit read")
+      case other => Some(s"v${m.version} has unknown action '$other'")
+    }
+  }
+
+  /** Publish a prepared commit on top of `basis`, rebasing over
+    * compatible interleaved commits: conflict-check every manifest in
+    * `(basis, target)`, then race for `target`; a lost race just grows
+    * the range and retries (the newly landed manifest gets checked
+    * like the rest). `mkBody` receives the version the body must
+    * declare. Attempts are bounded only as a livelock backstop — each
+    * retry is one manifest read + one link(2), so contention cost is
+    * O(interleaved commits), not O(rewrites). */
+  private[sources] def publishRebasing(root: String, basis: Long,
+      touched: Set[String], basisSchema: Option[String],
+      mkBody: Long => String,
+      allowTombstoneOverlap: Boolean = false): Long = {
+    var checked = basis // manifests <= checked are known compatible
+    var attempts = 0
+    while (true) {
+      attempts += 1
+      if (attempts > 1000) throw new ConcurrentCommitException(checked + 1)
+      val target = latestVersion(root) + 1
+      ((checked + 1) until target).foreach { v =>
+        conflictReason(readManifest(root, v), touched, basisSchema,
+            allowTombstoneOverlap)
+          .foreach(why =>
+            throw new ConcurrentWriteConflictException(v, why))
+      }
+      checked = target - 1
+      try {
+        publish(root, target, mkBody(target))
+        return target
+      } catch { case _: ConcurrentCommitException => () } // lost: re-range
+    }
+    -1L // unreachable
+  }
+
   /** Land `rewritten` as one `replace` commit on top of `basis`:
     * remove `removed` files, add the new ones (with footer stats),
     * carry the basis schema line forward (a row-level rewrite never
     * changes schema; tableSchema resolves from the NEWEST manifest
     * only, so omitting it would lose schema tracking) unless
     * `schemaOverride` widens it ([[mergeKeyedEvolve]]). Shared tail of
-    * [[deleteRanges]]/[[updateRanges]]/[[mergeKeyed]]. */
+    * [[deleteRanges]]/[[updateRanges]]/[[mergeKeyed]]. Publishes
+    * through [[publishRebasing]]: compatible interleaved commits
+    * (appends, disjoint rewrites) cost a manifest read, not a redo of
+    * the rewrite. */
   private def commitReplace(spark: SparkSession, root: String,
       basis: Long, removed: Seq[String], rewritten: DataFrame,
       schemaOverride: Option[org.apache.spark.sql.types.StructType] = None)
       : Long = {
-    val next = basis + 1
-    if (Files.exists(manifestPath(root, next)))
-      throw new ConcurrentCommitException(next)
+    val basisState = state(root, basis)
     val nonce = java.util.UUID.randomUUID().toString.take(8)
-    val dataRel = s"data/v$next-$nonce"
+    // the dir name stamps the PREPARED version for operator legibility;
+    // after a rebase the manifest may publish later — references in
+    // file= lines, not dir names, are what fsck/vacuum track
+    val dataRel = s"data/v${basis + 1}-$nonce"
     val dataDir = Paths.get(root, dataRel)
     // `rewritten` is in logical space (it came through readResolved);
     // replacement files must keep PHYSICAL names like every data file
-    toPhysical(state(root, basis), rewritten)
+    toPhysical(basisState, rewritten)
       .write.mode("errorifexists").parquet(dataDir.toString)
     val files = listDir(dataDir)
       .map(_.getFileName.toString)
@@ -2137,15 +2263,13 @@ object VersionedTable {
     val statLines = files.flatMap { f =>
       statsLines(f, footerStats(spark, Paths.get(root, f)))
     }
-    val schemaLine = schemaOverride.orElse(tableSchema(root, basis))
-      .map(sc => s"schema=${enc(sc.json)}").toSeq
-    val body =
-      (Seq(s"version=$next", "action=replace") ++ schemaLine ++
+    val schemaLine = schemaOverride.map(_.json).orElse(basisState.schemaJson)
+      .map(sc => s"schema=${enc(sc)}").toSeq
+    publishRebasing(root, basis, removed.toSet, basisState.schemaJson,
+      next => (Seq(s"version=$next", "action=replace") ++ schemaLine ++
         removed.map(f => s"remove=$f") ++
         files.map(f => s"file=$f") ++ statLines)
-        .mkString("", "\n", "\n")
-    publish(root, next, body)
-    next
+        .mkString("", "\n", "\n"))
   }
 
   /** MERGE INTO, stats-pruned copy-on-write (the Delta `MERGE` shape,

@@ -27,6 +27,9 @@ import org.apache.spark.sql.types._
   *   GRAFT CLONE '<src>' TO '<dst>' [VERSION AS OF <n>]
   *   GRAFT STATS '<root>' COLUMNS <a>, <b>, ...
   *   GRAFT TRUNCATE LOG '<root>' [BELOW <n>]
+  *   GRAFT TAG '<root>' CREATE <name> [VERSION AS OF <n>]
+  *   GRAFT TAG '<root>' DROP <name>
+  *   GRAFT TAGS '<root>'
   * }}}
   *
   * Each statement lowers to a Catalyst [[LeafRunnableCommand]] — a
@@ -95,6 +98,12 @@ object GraftSqlParser {
     """(?is)\s*GRAFT\s+OPTIMIZE\s+'([^']+)'\s+PARTITION\s+BY\s+([A-Za-z]+\([^)]+\))\s*;?\s*""".r
   private val OptZ =
     """(?is)\s*GRAFT\s+OPTIMIZE\s+'([^']+)'\s+ZORDER\s+BY\s+([A-Za-z_][A-Za-z0-9_]*)\s*,\s*([A-Za-z_][A-Za-z0-9_]*)(?:\s+FILES\s+(\d+))?\s*;?\s*""".r
+  private val TagCreate =
+    """(?is)\s*GRAFT\s+TAG\s+'([^']+)'\s+CREATE\s+([A-Za-z0-9][A-Za-z0-9._-]*)(?:\s+VERSION\s+AS\s+OF\s+(\d+))?\s*;?\s*""".r
+  private val TagDrop =
+    """(?is)\s*GRAFT\s+TAG\s+'([^']+)'\s+DROP\s+([A-Za-z0-9][A-Za-z0-9._-]*)\s*;?\s*""".r
+  private val TagList =
+    """(?is)\s*GRAFT\s+TAGS\s+'([^']+)'\s*;?\s*""".r
 
   private[ext] def parse(sqlText: String): Option[LogicalPlan] =
     sqlText match {
@@ -116,6 +125,10 @@ object GraftSqlParser {
       case OptPart(p, spec) => Some(GraftOptimizePartitionCommand(p, spec))
       case OptZ(p, x, y, files) => Some(GraftOptimizeZOrderCommand(p, x, y,
         Option(files).map(_.toInt).getOrElse(8)))
+      case TagCreate(p, name, v) => Some(GraftCreateTagCommand(p, name,
+        Option(v).map(_.toLong)))
+      case TagDrop(p, name) => Some(GraftDropTagCommand(p, name))
+      case TagList(p) => Some(GraftTagsCommand(p))
       case other if other.trim.toUpperCase.startsWith("GRAFT ") =>
         // a malformed GRAFT statement must fail with OUR grammar, not
         // Spark's baffled syntax error
@@ -127,7 +140,9 @@ object GraftSqlParser {
             "[VERSION AS OF n] | STATS 'root' COLUMNS a, b | " +
             "TRUNCATE LOG 'root' [BELOW n] | OPTIMIZE 'root' FILES n | " +
             "OPTIMIZE 'root' PARTITION BY bucket(n,col) | " +
-            "OPTIMIZE 'root' ZORDER BY x, y [FILES n]")
+            "OPTIMIZE 'root' ZORDER BY x, y [FILES n] | " +
+            "TAG 'root' CREATE name [VERSION AS OF n] | " +
+            "TAG 'root' DROP name | TAGS 'root'")
       case _ => None
     }
 
@@ -205,6 +220,31 @@ object GraftSqlParser {
     override val output: Seq[Attribute] = Seq(attr("version", LongType))
     override def run(s: SparkSession): Seq[Row] =
       Seq(Row(VersionedTable.cloneShallow(src, dst, version)))
+  }
+
+  case class GraftCreateTagCommand(root: String, name: String,
+      version: Option[Long]) extends LeafRunnableCommand {
+    override val output: Seq[Attribute] = Seq(
+      attr("tag", StringType), attr("version", LongType))
+    override def run(s: SparkSession): Seq[Row] =
+      Seq(Row(name, VersionedTable.createTag(root, name, version)))
+  }
+
+  case class GraftDropTagCommand(root: String, name: String)
+      extends LeafRunnableCommand {
+    override val output: Seq[Attribute] = Nil
+    override def run(s: SparkSession): Seq[Row] = {
+      VersionedTable.dropTag(root, name)
+      Seq.empty
+    }
+  }
+
+  case class GraftTagsCommand(root: String) extends LeafRunnableCommand {
+    override val output: Seq[Attribute] = Seq(
+      attr("tag", StringType), attr("version", LongType))
+    override def run(s: SparkSession): Seq[Row] =
+      VersionedTable.tags(root).toSeq.sortBy(_._1)
+        .map { case (n, v) => Row(n, v) }
   }
 
   case class GraftStatsCommand(root: String, cols: Seq[String])

@@ -932,6 +932,43 @@ object Lakehouse {
              |     WHERE o_orderkey <= 3000) AS sum_v0,
              |  count(*) AS n_cur,
              |  CAST(sum(o_orderkey) AS BIGINT) AS sum_cur
+             |FROM orders""".stripMargin)),
+
+    // SNAPSHOT TAGS + retention pinning (Iceberg refs): the training
+    // snapshot is tagged, the table moves on (overwrite), and VACUUM
+    // runs with a horizon that would reclaim the tagged snapshot's
+    // files — but the tag PINS them, so "exactly what release-1
+    // trained on" stays readable after retention. The tag read goes
+    // through the datasource's tagAsOf option (name, not version
+    // number — the operational handle). The oracle restates both
+    // snapshots from the raw table: the pin must preserve the tagged
+    // rows EXACTLY through the vacuum, not approximately.
+    QueryDef(
+      "q223_snapshot_tags",
+      (s, d) => {
+        val root = Files.createTempDirectory("graft_tags_").toString
+        val src = orders(s, d).select(col("o_orderkey"), col("o_custkey"))
+        VersionedTable.commit(
+          src.filter(col("o_orderkey") <= 3000), root) // v0: the release
+        VersionedTable.createTag(root, "release-1", Some(0L))
+        VersionedTable.commit(src, root, "overwrite")  // v1: table moves on
+        // retain only v1 — without the tag, v0's files would be gone
+        VersionedTable.vacuum(root, retain = 1L, minAgeMs = 0L)
+        val tagged = s.read.format("graft").option("tagAsOf", "release-1")
+          .load(root)
+          .agg(count(lit(1)).as("n_tag"),
+            sum(col("o_custkey")).as("sum_tag"))
+        val cur = s.read.format("graft").load(root)
+          .agg(count(lit(1)).as("n_cur"),
+            sum(col("o_custkey")).as("sum_cur"))
+        tagged.crossJoin(cur) // 1 row × 1 row
+      },
+      Some("""SELECT
+             |  (SELECT count(*) FROM orders WHERE o_orderkey <= 3000) AS n_tag,
+             |  (SELECT CAST(sum(o_custkey) AS BIGINT) FROM orders
+             |     WHERE o_orderkey <= 3000) AS sum_tag,
+             |  count(*) AS n_cur,
+             |  CAST(sum(o_custkey) AS BIGINT) AS sum_cur
              |FROM orders""".stripMargin))
   )
 }

@@ -94,6 +94,8 @@ class GraftDataSource extends RelationProvider
     val v = parameters.get("versionAsOf").map(_.toLong)
       .orElse(parameters.get("timestampAsOf")
         .map(ts => VersionedTable.versionAsOf(root, ts.toLong)))
+      .orElse(parameters.get("tagAsOf")
+        .map(t => VersionedTable.versionOfTag(root, t)))
       .getOrElse(latest)
     require(v >= 0 && v <= latest, s"version $v out of range [0, $latest]")
     val st = VersionedTable.state(root, v)

@@ -710,6 +710,13 @@ object VersionedTable {
       .getOrElse(throw new IllegalStateException(
         "truncateLog: no checkpoint at or below " + bound +
           " — write one first (checkpoint(root))"))
+    // a tag below the horizon would become unresolvable (its snapshot
+    // needs the manifests this truncation deletes) — refuse rather
+    // than orphan it; dropping the tag first is the explicit release
+    val orphaned = tags(root).filter(_._2 < cv)
+    require(orphaned.isEmpty,
+      s"truncateLog would orphan tag(s) ${orphaned.keys.mkString(", ")} " +
+        s"(below checkpoint v$cv) — dropTag first")
     val doomed = versions(root).filter(_ < cv)
     // Order matters for crash/concurrent-reader safety: older
     // checkpoints FIRST, manifests second. An older checkpoint whose
@@ -2737,7 +2744,12 @@ object VersionedTable {
     require(retain >= 0 && retain <= latestVersion(root),
       s"retain $retain out of range [0, ${latestVersion(root)}] — " +
         "an empty keep-set would delete the live snapshot")
-    val keep = versions(root).filter(_ >= retain)
+    // tagged snapshots are PINNED regardless of the retain horizon —
+    // a tag is a promise that "the exact table the model trained on"
+    // stays readable (Iceberg's expireSnapshots makes the same
+    // exception for refs); drop the tag to release the pin
+    val pinned = tags(root).values.toSet
+    val keep = versions(root).filter(v => v >= retain || pinned(v))
       .flatMap { v =>
         val st = state(root, v)
         // retained snapshots need their DATA files, their tombstone
@@ -2765,4 +2777,83 @@ object VersionedTable {
           finally walk.close()
         }
   }
+
+  // ---------------------------------------------------------------------
+  // Named refs — TAGS (Iceberg ref shape): a human name pinned to one
+  // snapshot version. The operational need is reproducibility: "the
+  // exact table release 2024-10 trained on" must survive retention —
+  // vacuum keeps a tagged snapshot's files past the retain horizon and
+  // truncateLog refuses to delete the manifests it resolves through.
+  // Tags are IMMUTABLE (drop + recreate is the explicit mutation), live
+  // as one tiny file each under `_graft_log/refs/`, and are published
+  // with the same link(2) atomicity as manifests — a create race has
+  // exactly one winner.
+  // ---------------------------------------------------------------------
+
+  private def refsDir(root: String): Path = logDir(root).resolve("refs")
+
+  private def refPath(root: String, name: String): Path = {
+    require(name.matches("[A-Za-z0-9][A-Za-z0-9._-]{0,63}"),
+      s"tag name '$name' must be [A-Za-z0-9][A-Za-z0-9._-]{0,63} " +
+        "(it becomes a filename)")
+    refsDir(root).resolve(s"$name.ref")
+  }
+
+  /** Pin `name` to `version` (default: latest). The snapshot must be
+    * resolvable NOW — tagging a truncated version would create a ref
+    * that is dead on arrival. Returns the pinned version. */
+  def createTag(root: String, name: String,
+      version: Option[Long] = None): Long = {
+    val latest = latestVersion(root)
+    require(latest >= 0, s"$root is not a versioned table (empty log)")
+    val v = version.getOrElse(latest)
+    require(v >= 0 && v <= latest, s"version $v out of range [0, $latest]")
+    state(root, v) // resolvability check: throws on truncated history
+    Files.createDirectories(refsDir(root))
+    val tmp = Files.createTempFile(refsDir(root), s".tmpref-", "")
+    Files.write(tmp, s"version=$v\n".getBytes("UTF-8"))
+    try Files.createLink(refPath(root, name), tmp)
+    catch {
+      case _: java.nio.file.FileAlreadyExistsException =>
+        throw new IllegalStateException(
+          s"tag '$name' already exists (at v${versionOfTag(root, name)}) " +
+            "— tags are immutable; dropTag first")
+    } finally Files.deleteIfExists(tmp)
+    v
+  }
+
+  /** All tags of the table: name -> pinned version. */
+  def tags(root: String): Map[String, Long] = {
+    val dir = refsDir(root)
+    if (!Files.isDirectory(dir)) Map.empty
+    else listDir(dir)
+      .map(_.getFileName.toString)
+      .collect { case n if n.endsWith(".ref") && !n.startsWith(".") =>
+        val name = n.stripSuffix(".ref")
+        name -> versionOfTag(root, name)
+      }.toMap
+  }
+
+  /** The version tag `name` pins. */
+  def versionOfTag(root: String, name: String): Long = {
+    val p = refPath(root, name)
+    require(Files.exists(p), s"no tag '$name' in $root")
+    Files.readAllLines(p).asScala
+      .collectFirst { case l if l.startsWith("version=") =>
+        l.stripPrefix("version=").toLong }
+      .getOrElse(throw new IllegalStateException(
+        s"malformed ref file for tag '$name'"))
+  }
+
+  /** Release the pin. The snapshot stays readable until retention
+    * (vacuum/truncateLog) catches up with it like any other version. */
+  def dropTag(root: String, name: String): Unit = {
+    val p = refPath(root, name)
+    require(Files.exists(p), s"no tag '$name' in $root")
+    Files.delete(p)
+  }
+
+  /** Snapshot read by tag — `read` at the pinned version. */
+  def readTag(spark: SparkSession, root: String, name: String): DataFrame =
+    read(spark, root, Some(versionOfTag(root, name)))
 }

@@ -969,6 +969,47 @@ object Lakehouse {
              |     WHERE o_orderkey <= 3000) AS sum_tag,
              |  count(*) AS n_cur,
              |  CAST(sum(o_custkey) AS BIGINT) AS sum_cur
+             |FROM orders""".stripMargin)),
+
+    // WRITE-AUDIT-PUBLISH: the ingest-quality workflow every 100 TB
+    // lakehouse runs (Iceberg WAP). The daily batch stages on a
+    // zero-copy BRANCH (a shallow clone under the table root), the
+    // audit queries the branch like any table — main's readers never
+    // see unaudited rows — and the publish lands every staged append
+    // as ONE atomic squash commit on main, MOVING data files instead
+    // of copying (a 10 TB publish is a metadata operation). The
+    // audit here is the staged row count and a null-key scan; the
+    // oracle restates the end state from the raw table: publish must
+    // be exact, with the staged rows' stats intact for later pruning.
+    QueryDef(
+      "q224_wap_branch",
+      (s, d) => {
+        val root = Files.createTempDirectory("graft_wap_").toString
+        val src = orders(s, d).select(col("o_orderkey"), col("o_custkey"))
+        VersionedTable.commit(
+          src.filter(col("o_orderkey") <= 3000), root) // main v0
+        val bp = VersionedTable.createBranch(root, "daily")
+        VersionedTable.commit(
+          src.filter(col("o_orderkey") > 3000), bp)    // staged
+        // AUDIT on the branch (main still unaudited-row-free here)
+        val staged = VersionedTable.read(s, bp)
+          .filter(col("o_orderkey") > 3000)
+        val audit = staged.agg(
+          count(lit(1)).as("n_staged"),
+          count(when(col("o_custkey").isNull, 1)).as("n_null_keys")).head()
+        require(audit.getLong(1) == 0, "audit failed: staged null keys")
+        VersionedTable.publishBranch(s, root, "daily")
+        s.read.format("graft").load(root)
+          .agg(count(lit(1)).as("n_main"),
+            sum(col("o_custkey")).as("sum_main"))
+          .select(lit(audit.getLong(0)).as("n_staged"),
+            col("n_main"), col("sum_main"))
+      },
+      Some("""SELECT
+             |  (SELECT count(*) FROM orders WHERE o_orderkey > 3000)
+             |    AS n_staged,
+             |  count(*) AS n_main,
+             |  CAST(sum(o_custkey) AS BIGINT) AS sum_main
              |FROM orders""".stripMargin))
   )
 }

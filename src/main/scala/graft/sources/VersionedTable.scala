@@ -2747,8 +2747,12 @@ object VersionedTable {
     // tagged snapshots are PINNED regardless of the retain horizon —
     // a tag is a promise that "the exact table the model trained on"
     // stays readable (Iceberg's expireSnapshots makes the same
-    // exception for refs); drop the tag to release the pin
-    val pinned = tags(root).values.toSet
+    // exception for refs); drop the tag to release the pin. Branch
+    // BASE snapshots pin the same way: a branch's ext: references
+    // resolve into main's tree, and vacuuming them would break every
+    // read of the branch.
+    val pinned = tags(root).values.toSet ++
+      branches(root).values.map(_._1)
     val keep = versions(root).filter(v => v >= retain || pinned(v))
       .flatMap { v =>
         val st = state(root, v)
@@ -2856,4 +2860,162 @@ object VersionedTable {
   /** Snapshot read by tag — `read` at the pinned version. */
   def readTag(spark: SparkSession, root: String, name: String): DataFrame =
     read(spark, root, Some(versionOfTag(root, name)))
+
+  // ---------------------------------------------------------------------
+  // Branches — the Write-Audit-Publish workflow (Iceberg's WAP / Delta's
+  // staging-table pattern). A branch is a SHALLOW CLONE of one main
+  // snapshot living under `<root>/_graft_branches/<name>`: ingest lands
+  // there with the FULL table API (commits, constraints, schema
+  // evolution — clones inherit all of it), audits read the branch like
+  // any table, and `publishBranch` lands the branch's accumulated
+  // appends on main as ONE atomic squash commit — all-or-nothing, with
+  // the same logical conflict check as any rebased writer. Data files
+  // MOVE (same-filesystem rename), never copy: publishing a 10 TB
+  // staged batch is a metadata operation. A failed audit is
+  // `dropBranch` — main never saw anything.
+  // ---------------------------------------------------------------------
+
+  private def branchesDir(root: String): Path =
+    Paths.get(root, "_graft_branches")
+
+  /** The branch's own table root — hand it to ANY VersionedTable /
+    * datasource API: commits, reads, history, constraints all work
+    * (it is a real table; that is the point of branching by clone). */
+  def branchRoot(root: String, name: String): String = {
+    require(name.matches("[A-Za-z0-9][A-Za-z0-9._-]{0,63}"),
+      s"branch name '$name' must be [A-Za-z0-9][A-Za-z0-9._-]{0,63}")
+    branchesDir(root).resolve(name).toString
+  }
+
+  /** The `clonesrc=` anchor of a branch: (source root, base version). */
+  private def branchBase(root: String, name: String): (String, Long) = {
+    val bp = branchRoot(root, name)
+    require(latestVersion(bp) >= 0, s"no branch '$name' in $root")
+    Files.readAllLines(manifestPath(bp, 0L)).asScala
+      .collectFirst { case l if l.startsWith("clonesrc=") =>
+        l.stripPrefix("clonesrc=").split("\\|", -1) match {
+          case Array(src, v) => (dec(src), v.toLong)
+          case _ => throw new IllegalStateException(
+            s"malformed clonesrc in branch '$name'")
+        }
+      }.getOrElse(throw new IllegalStateException(
+        s"branch '$name' has no clonesrc anchor"))
+  }
+
+  /** Fork `name` from `version` (default latest). The branch starts as
+    * a zero-copy clone; subsequent commits to [[branchRoot]] stay
+    * invisible to main until [[publishBranch]]. */
+  def createBranch(root: String, name: String,
+      version: Option[Long] = None): String = {
+    val bp = branchRoot(root, name)
+    require(latestVersion(bp) < 0, s"branch '$name' already exists")
+    cloneShallow(root, bp, version)
+    bp
+  }
+
+  /** All branches: name -> (base version on main, branch's latest). */
+  def branches(root: String): Map[String, (Long, Long)] = {
+    val dir = branchesDir(root)
+    if (!Files.isDirectory(dir)) Map.empty
+    else listDir(dir).filter(Files.isDirectory(_))
+      .map(_.getFileName.toString)
+      .filter(n => latestVersion(branchesDir(root).resolve(n).toString) >= 0)
+      .map(n => n -> (branchBase(root, n)._2,
+        latestVersion(branchRoot(root, n))))
+      .toMap
+  }
+
+  /** Discard a branch — the failed-audit path. Main never saw it. */
+  def dropBranch(root: String, name: String): Unit = {
+    val bp = Paths.get(branchRoot(root, name))
+    require(Files.isDirectory(bp), s"no branch '$name' in $root")
+    val walk = Files.walk(bp)
+    try walk.iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
+    finally walk.close()
+  }
+
+  /** Publish the branch's appends onto main as ONE squash append
+    * commit, then delete the branch (its data dirs have MOVED into
+    * main's tree — the branch manifests would dangle).
+    *
+    * Publishable branches are append-only: every post-clone commit
+    * must be a plain data append (schema evolution and hidden
+    * partitioning included). Row edits, tombstones, bloom builds,
+    * constraint DDL, and batch-tagged streaming commits refuse — those
+    * workflows belong on main, where their conflict semantics are
+    * defined against concurrent writers.
+    *
+    * Conflicts: the same [[conflictReason]] contract as every rebased
+    * writer, checked against the commits main accumulated since the
+    * branch base — compatible interleaved appends rebase (the squash
+    * lands after them); a schema/metadata change or overwrite on main
+    * refuses with [[ConcurrentWriteConflictException]] and the branch
+    * SURVIVES intact for inspection or re-fork. The branch's own
+    * schema evolution is sound to squash because the branch validated
+    * it add-only against the base, and the conflict check pins main's
+    * schema AT the base — add-only-vs-base = add-only-vs-main.
+    *
+    * Returns the new main version. */
+  def publishBranch(spark: SparkSession, root: String, name: String): Long = {
+    val bp = branchRoot(root, name)
+    val (srcRoot, baseV) = branchBase(root, name)
+    require(Paths.get(srcRoot).toAbsolutePath.normalize ==
+        Paths.get(root).toAbsolutePath.normalize,
+      s"branch '$name' was forked from $srcRoot, not $root")
+    val bl = latestVersion(bp)
+    require(bl >= 1, s"branch '$name' has no commits to publish")
+    (1L to bl).foreach { v =>
+      val m = readManifest(bp, v)
+      require(m.action == "append" && m.removes.isEmpty &&
+        m.tombFiles.isEmpty && m.tombApplies.isEmpty &&
+        m.bloomFiles.isEmpty && m.checkAdds.isEmpty &&
+        m.checkDrops.isEmpty && m.renames.isEmpty && m.dropCols.isEmpty &&
+        m.batchTag.isEmpty,
+        s"branch '$name' commit v$v is not a plain append — " +
+          "only append-only branches publish")
+    }
+    val st = state(bp, bl)
+    val local = st.files.filterNot(_.startsWith("ext:"))
+    // local appends all live under <branch>/data/<dir>; move each dir
+    // into main's data/ under a collision-free name, tracking the
+    // mapping so manifest lines can be rewritten
+    val dirs = local.map(topDataDir(bp, _)).distinct
+    val nonce = java.util.UUID.randomUUID().toString.take(8)
+    val moved = dirs.map { d =>
+      val dst = s"br-$name-$nonce-$d"
+      Files.move(Paths.get(bp, "data", d), Paths.get(root, "data", dst))
+      d -> dst
+    }.toMap
+    def remap(f: String): String = {
+      val segs = f.split("/", 3) // data/<dir>/<rest>
+      s"data/${moved(segs(1))}/${segs(2)}"
+    }
+    try {
+      val body = (next: Long) =>
+        (Seq(s"version=$next", "action=append") ++
+          st.schemaJson.map(j => s"schema=${enc(j)}").toSeq ++
+          local.map(f => s"file=${remap(f)}") ++
+          local.flatMap(f =>
+            statsLines(remap(f), st.stats.getOrElse(f, Map.empty))) ++
+          st.parts.toSeq.filter(e => local.contains(e._1))
+            .sortBy(_._1).map { case (f, (t, pv)) =>
+              s"part=${enc(remap(f))}|${enc(t)}|${enc(pv)}" })
+          .mkString("", "\n", "\n")
+      val published = publishRebasing(root, baseV, Set.empty,
+        stateSchemaAt(root, baseV), body)
+      dropBranch(root, name) // manifests reference moved dirs: consume
+      published
+    } catch {
+      case t: Throwable =>
+        // restore the branch's data dirs so it survives for inspection
+        moved.foreach { case (d, dst) =>
+          Files.move(Paths.get(root, "data", dst), Paths.get(bp, "data", d))
+        }
+        throw t
+    }
+  }
+
+  /** The schema json of main at `v` (branch-publish conflict basis). */
+  private def stateSchemaAt(root: String, v: Long): Option[String] =
+    state(root, v).schemaJson
 }

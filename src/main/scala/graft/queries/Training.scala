@@ -1441,6 +1441,123 @@ object Training {
              |  CAST(sum(CASE WHEN d.b IS NULL THEN e.vec_id ELSE 0 END)
              |    AS BIGINT) AS kept_id_sum
              |FROM e LEFT JOIN drops d ON e.vec_id = d.b
-             |GROUP BY e.cid ORDER BY e.cid""".stripMargin))
+             |GROUP BY e.cid ORDER BY e.cid""".stripMargin)),
+
+    // PREFERENCE-PAIR ASSEMBLY (RLHF/DPO data prep): within each
+    // prompt group, pair the best-scoring response with the worst as
+    // (chosen, rejected), with the standard hygiene rails — groups
+    // need >= 2 candidates, degenerate pairs (margin 0) drop, and a
+    // length-ratio FLAG marks pairs where "chosen" wins by being 4x
+    // longer (reward models overfit length; a flag lets the trainer
+    // choose its own cut instead of baking a scale-sensitive filter
+    // into the assembly). The
+    // aggregation is ONE groupBy with struct-max/min — max(struct(
+    // score, id)) is Spark's argmax idiom and ships map-side partials,
+    // so a 100 TB corpus reduces to one row per group in a single
+    // shuffle; the window-rank formulation the oracle uses would sort
+    // every group instead. Score = n_chars here (integer-exact,
+    // deterministic); a model-scored column drops into the same shape.
+    QueryDef(
+      "q225_preference_pairs",
+      (s, d) => {
+        val groups = documents(s, d)
+          .withColumn("pg", col("doc_id") % 64)
+          .groupBy(col("pg"))
+          .agg(count(lit(1)).as("n_cand"),
+            max(struct(col("n_chars"), col("doc_id"))).as("best"),
+            min(struct(col("n_chars"), col("doc_id"))).as("worst"))
+        groups
+          .filter(col("n_cand") >= 2 &&
+            col("best.n_chars") > col("worst.n_chars"))
+          .select(col("pg"),
+            col("best.doc_id").as("chosen_id"),
+            col("worst.doc_id").as("rejected_id"),
+            (col("best.n_chars") - col("worst.n_chars")).as("margin"),
+            (col("best.n_chars") <= col("worst.n_chars") * 4)
+              .as("len_ratio_ok"))
+          .orderBy(col("pg"))
+      },
+      Some("""WITH ranked AS (
+             |  SELECT doc_id % 64 AS pg, doc_id, n_chars,
+             |    row_number() OVER (PARTITION BY doc_id % 64
+             |      ORDER BY n_chars DESC, doc_id DESC) AS rb,
+             |    row_number() OVER (PARTITION BY doc_id % 64
+             |      ORDER BY n_chars ASC, doc_id ASC) AS rw,
+             |    count(*) OVER (PARTITION BY doc_id % 64) AS n_cand
+             |  FROM documents)
+             |SELECT b.pg, b.doc_id AS chosen_id, w.doc_id AS rejected_id,
+             |  b.n_chars - w.n_chars AS margin,
+             |  b.n_chars <= w.n_chars * 4 AS len_ratio_ok
+             |FROM ranked b JOIN ranked w ON b.pg = w.pg
+             |WHERE b.rb = 1 AND w.rw = 1 AND b.n_cand >= 2
+             |  AND b.n_chars > w.n_chars
+             |ORDER BY b.pg""".stripMargin)),
+
+    // WEAK-SUPERVISION LABEL MODEL (Snorkel shape): k labeling
+    // functions vote per document (1 / 0 / abstain-as-NULL), majority
+    // vote resolves, and the per-source tally surfaces coverage,
+    // conflict rate, and the class balance — the dataset-quality
+    // dashboard a labeling pipeline watches before training on the
+    // votes. Each LF is a codegen'd column expression (no UDFs), the
+    // resolve is pure column arithmetic, and the tally is one
+    // aggregation — at 100 TB the whole label model is a single pass
+    // with map-side partials. LFs here: digit presence votes
+    // has-structure(1), short docs vote low-quality(0), an http link
+    // votes 1; real LFs swap in without touching the vote algebra.
+    QueryDef(
+      "q226_weak_labels",
+      (s, d) => {
+        val lfs = documents(s, d).select(col("source"),
+          when(col("text").rlike("[0-9]"), lit(1)).as("lf_digit"),
+          when(col("n_chars") < 200, lit(0)).as("lf_short"),
+          when(col("text").contains("http"), lit(1)).as("lf_link"))
+        val voted = lfs
+          .withColumn("ones",
+            coalesce(col("lf_digit"), lit(0)) + coalesce(col("lf_link"), lit(0)))
+          .withColumn("zeros",
+            when(col("lf_short") === 0, 1).otherwise(0))
+          .withColumn("n_votes",
+            when(col("lf_digit").isNotNull, 1).otherwise(0) +
+              when(col("lf_short").isNotNull, 1).otherwise(0) +
+              when(col("lf_link").isNotNull, 1).otherwise(0))
+          .withColumn("label",
+            when(col("ones") > col("zeros"), 1)
+              .when(col("zeros") > col("ones"), 0)
+              .otherwise(lit(null)))
+        voted.groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(when(col("n_votes") === 0, 1).otherwise(0)).as("n_uncovered"),
+            sum(when(col("ones") > 0 && col("zeros") > 0, 1).otherwise(0))
+              .as("n_conflict"),
+            sum(when(col("label") === 1, 1).otherwise(0)).as("n_pos"),
+            sum(when(col("label") === 0, 1).otherwise(0)).as("n_neg"))
+          .orderBy(col("source"))
+      },
+      Some("""WITH lfs AS (
+             |  SELECT source,
+             |    CASE WHEN regexp_matches(text, '[0-9]') THEN 1 END
+             |      AS lf_digit,
+             |    CASE WHEN n_chars < 200 THEN 0 END AS lf_short,
+             |    CASE WHEN text LIKE '%http%' THEN 1 END AS lf_link
+             |  FROM documents),
+             |voted AS (
+             |  SELECT source,
+             |    COALESCE(lf_digit, 0) + COALESCE(lf_link, 0) AS ones,
+             |    CASE WHEN lf_short = 0 THEN 1 ELSE 0 END AS zeros,
+             |    (CASE WHEN lf_digit IS NOT NULL THEN 1 ELSE 0 END +
+             |     CASE WHEN lf_short IS NOT NULL THEN 1 ELSE 0 END +
+             |     CASE WHEN lf_link IS NOT NULL THEN 1 ELSE 0 END)
+             |      AS n_votes
+             |  FROM lfs)
+             |SELECT source, count(*) AS n_docs,
+             |  CAST(sum(CASE WHEN n_votes = 0 THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS n_uncovered,
+             |  CAST(sum(CASE WHEN ones > 0 AND zeros > 0 THEN 1 ELSE 0 END)
+             |    AS BIGINT) AS n_conflict,
+             |  CAST(sum(CASE WHEN ones > zeros THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS n_pos,
+             |  CAST(sum(CASE WHEN zeros > ones THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS n_neg
+             |FROM voted GROUP BY source ORDER BY source""".stripMargin))
   )
 }

@@ -30,6 +30,10 @@ import org.apache.spark.sql.types._
   *   GRAFT TAG '<root>' CREATE <name> [VERSION AS OF <n>]
   *   GRAFT TAG '<root>' DROP <name>
   *   GRAFT TAGS '<root>'
+  *   GRAFT BRANCH '<root>' CREATE <name> [VERSION AS OF <n>]
+  *   GRAFT BRANCH '<root>' PUBLISH <name>
+  *   GRAFT BRANCH '<root>' DROP <name>
+  *   GRAFT BRANCHES '<root>'
   * }}}
   *
   * Each statement lowers to a Catalyst [[LeafRunnableCommand]] — a
@@ -104,6 +108,14 @@ object GraftSqlParser {
     """(?is)\s*GRAFT\s+TAG\s+'([^']+)'\s+DROP\s+([A-Za-z0-9][A-Za-z0-9._-]*)\s*;?\s*""".r
   private val TagList =
     """(?is)\s*GRAFT\s+TAGS\s+'([^']+)'\s*;?\s*""".r
+  private val BranchCreate =
+    """(?is)\s*GRAFT\s+BRANCH\s+'([^']+)'\s+CREATE\s+([A-Za-z0-9][A-Za-z0-9._-]*)(?:\s+VERSION\s+AS\s+OF\s+(\d+))?\s*;?\s*""".r
+  private val BranchPublish =
+    """(?is)\s*GRAFT\s+BRANCH\s+'([^']+)'\s+PUBLISH\s+([A-Za-z0-9][A-Za-z0-9._-]*)\s*;?\s*""".r
+  private val BranchDrop =
+    """(?is)\s*GRAFT\s+BRANCH\s+'([^']+)'\s+DROP\s+([A-Za-z0-9][A-Za-z0-9._-]*)\s*;?\s*""".r
+  private val BranchList =
+    """(?is)\s*GRAFT\s+BRANCHES\s+'([^']+)'\s*;?\s*""".r
 
   private[ext] def parse(sqlText: String): Option[LogicalPlan] =
     sqlText match {
@@ -129,6 +141,11 @@ object GraftSqlParser {
         Option(v).map(_.toLong)))
       case TagDrop(p, name) => Some(GraftDropTagCommand(p, name))
       case TagList(p) => Some(GraftTagsCommand(p))
+      case BranchCreate(p, name, v) => Some(GraftCreateBranchCommand(p,
+        name, Option(v).map(_.toLong)))
+      case BranchPublish(p, name) => Some(GraftPublishBranchCommand(p, name))
+      case BranchDrop(p, name) => Some(GraftDropBranchCommand(p, name))
+      case BranchList(p) => Some(GraftBranchesCommand(p))
       case other if other.trim.toUpperCase.startsWith("GRAFT ") =>
         // a malformed GRAFT statement must fail with OUR grammar, not
         // Spark's baffled syntax error
@@ -142,7 +159,8 @@ object GraftSqlParser {
             "OPTIMIZE 'root' PARTITION BY bucket(n,col) | " +
             "OPTIMIZE 'root' ZORDER BY x, y [FILES n] | " +
             "TAG 'root' CREATE name [VERSION AS OF n] | " +
-            "TAG 'root' DROP name | TAGS 'root'")
+            "TAG 'root' DROP name | TAGS 'root' | " +
+            "BRANCH 'root' CREATE|PUBLISH|DROP name | BRANCHES 'root'")
       case _ => None
     }
 
@@ -245,6 +263,38 @@ object GraftSqlParser {
     override def run(s: SparkSession): Seq[Row] =
       VersionedTable.tags(root).toSeq.sortBy(_._1)
         .map { case (n, v) => Row(n, v) }
+  }
+
+  case class GraftCreateBranchCommand(root: String, name: String,
+      version: Option[Long]) extends LeafRunnableCommand {
+    override val output: Seq[Attribute] = Seq(attr("branch_root", StringType))
+    override def run(s: SparkSession): Seq[Row] =
+      Seq(Row(VersionedTable.createBranch(root, name, version)))
+  }
+
+  case class GraftPublishBranchCommand(root: String, name: String)
+      extends LeafRunnableCommand {
+    override val output: Seq[Attribute] = Seq(attr("version", LongType))
+    override def run(s: SparkSession): Seq[Row] =
+      Seq(Row(VersionedTable.publishBranch(s, root, name)))
+  }
+
+  case class GraftDropBranchCommand(root: String, name: String)
+      extends LeafRunnableCommand {
+    override val output: Seq[Attribute] = Nil
+    override def run(s: SparkSession): Seq[Row] = {
+      VersionedTable.dropBranch(root, name)
+      Seq.empty
+    }
+  }
+
+  case class GraftBranchesCommand(root: String) extends LeafRunnableCommand {
+    override val output: Seq[Attribute] = Seq(
+      attr("branch", StringType), attr("base_version", LongType),
+      attr("branch_version", LongType))
+    override def run(s: SparkSession): Seq[Row] =
+      VersionedTable.branches(root).toSeq.sortBy(_._1)
+        .map { case (n, (b, l)) => Row(n, b, l) }
   }
 
   case class GraftStatsCommand(root: String, cols: Seq[String])

@@ -105,6 +105,25 @@ class BranchSpec extends SparkSpecBase {
     VersionedTable.dropBranch(root, "pinned")
   }
 
+  test("SQL surface: BRANCH CREATE / BRANCHES / PUBLISH / DROP") {
+    val root = tmp()
+    VersionedTable.commit(Seq(1L).toDF("k"), root)
+    val bp = spark.sql(s"GRAFT BRANCH '$root' CREATE nightly")
+      .head().getString(0)
+    VersionedTable.commit(Seq(2L).toDF("k"), bp)
+    assert(spark.sql(s"GRAFT BRANCHES '$root'").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+      === Seq(("nightly", 0L, 1L)))
+    assert(spark.sql(s"GRAFT BRANCH '$root' PUBLISH nightly")
+      .head().getLong(0) === 1L)
+    assert(VersionedTable.read(spark, root).count() === 2)
+    val bp2 = spark.sql(s"GRAFT BRANCH '$root' CREATE scratch")
+      .head().getString(0)
+    assert(VersionedTable.latestVersion(bp2) === 0L)
+    spark.sql(s"GRAFT BRANCH '$root' DROP scratch")
+    assert(VersionedTable.branches(root).isEmpty)
+  }
+
   test("branch inherits CHECK constraints from its base") {
     val root = tmp()
     VersionedTable.commit(Seq(5L).toDF("k"), root)

@@ -112,6 +112,25 @@ class GraftDataSourceSpec extends SparkSpecBase {
     } finally spark.sql("DROP TABLE IF EXISTS g_ds_spec")
   }
 
+  test("manifest-backed sizeInBytes drives broadcast join planning") {
+    val dimRoot = tmp()
+    VersionedTable.commit(
+      spark.range(0, 50).toDF("k").withColumn("name",
+        concat(lit("d"), col("k"))), dimRoot)
+    val dim = spark.read.format("graft").load(dimRoot) // tiny: ~KBs
+    val fact = spark.range(0, 10000).toDF("k")
+      .withColumn("v", col("k") * 2)
+    val joined = fact.join(dim, "k") // no broadcast hint
+    // the FileIndex reports byte size from the manifest file list, so
+    // the planner sees a sub-threshold relation and picks broadcast
+    // (at 100 TB the symmetric mistake — sort-merge against a 50-row
+    // dim — is the single most common hand-written-plan regression)
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"expected broadcast join off manifest sizeInBytes, got:\n$plan")
+    assert(joined.count() === 50)
+  }
+
   test("versionAsOf / timestampAsOf options time-travel") {
     val root = tmp()
     VersionedTable.commit(Seq(1L).toDF("k"), root)

@@ -141,7 +141,9 @@ object ChangeFeedSource {
       root: String, startAfter: Long, feedSchema: StructType,
       maxPerTrigger: Option[Long], metadataPath: String,
       updateImagesKey: Option[String] = None)
-      extends Source {
+      extends Source
+      with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl
+      with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
 
     import java.nio.file.{Files, Paths, StandardCopyOption}
 
@@ -176,10 +178,47 @@ object ChangeFeedSource {
     /** One log listing; None until there is a version past the start.
       * With `maxVersionsPerTrigger` the returned offset advances by at
       * most that many commits past the high-water mark. */
-    override def getOffset: Option[Offset] = {
-      val latest = VersionedTable.latestVersion(root)
+    override def getOffset: Option[Offset] = nextOffset(None)
+
+    // ------------------------------------------------------------------
+    // Admission control + Trigger.AvailableNow (the FileStreamSource
+    // interface mix). Implementing SupportsTriggerAvailableNow OURSELVES
+    // matters for correctness, not just pacing: the engine's generic
+    // DSv1 fallback (AvailableNowSourceWrapper) captures getOffset ONCE
+    // as the drain target — and a rate-limited getOffset answers one
+    // CAPPED step, so a backlog run would drain one bite and terminate,
+    // silently dropping the rest of the backfill (the spec locks this).
+    // Here the prepare step captures the TRUE log head as the target
+    // and latestOffset walks capped steps up to exactly there.
+    // ------------------------------------------------------------------
+
+    /** Log head frozen at AvailableNow start: drain to here, then stop
+      * (commits landing after the capture wait for the next run). */
+    private var availableNowTarget: Option[Long] = None
+
+    override def prepareForTriggerAvailableNow(): Unit =
+      availableNowTarget = Some(VersionedTable.latestVersion(root))
+
+    /** Capping is version-based and internal (`maxVersionsPerTrigger`),
+      * so the engine's row/file ReadLimit vocabulary doesn't apply. */
+    override def getDefaultReadLimit
+        : org.apache.spark.sql.connector.read.streaming.ReadLimit =
+      org.apache.spark.sql.connector.read.streaming.ReadLimit.allAvailable()
+
+    override def latestOffset(
+        start: org.apache.spark.sql.connector.read.streaming.Offset,
+        limit: org.apache.spark.sql.connector.read.streaming.ReadLimit)
+        : org.apache.spark.sql.connector.read.streaming.Offset =
+      nextOffset(availableNowTarget).orNull
+
+    /** Next batch-end version: the log head (bounded by `target` when
+      * draining for AvailableNow), advanced at most
+      * `maxVersionsPerTrigger` past the high-water mark. */
+    private def nextOffset(target: Option[Long]): Option[LongOffset] = {
+      val head = VersionedTable.latestVersion(root)
+      val bounded = target.fold(head)(math.min(head, _))
       val capped = maxPerTrigger
-        .fold(latest)(m => math.min(latest, handedOut + m))
+        .fold(bounded)(m => math.min(bounded, handedOut + m))
       if (capped <= handedOut || capped <= startAfter) None
       else Some(LongOffset(capped))
     }

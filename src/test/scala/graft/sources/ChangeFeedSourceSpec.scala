@@ -263,4 +263,34 @@ class ChangeFeedSourceSpec extends SparkSpecBase {
     assert(bs2.flatten.sorted == Seq(5L, 6L, 7L, 8L),
       s"post-restart delivery wrong: $bs2")
   }
+
+  test("Trigger.AvailableNow drains the backlog in capped bites, then stops") {
+    val root = newRoot()
+    (0 until 5).foreach(i =>
+      VersionedTable.commit(Seq(i.toLong).toDF("k"), root)) // v0..v4
+    val batches =
+      new java.util.concurrent.ConcurrentLinkedQueue[Seq[Long]]()
+    val q = spark.readStream
+      .format("graft-change-feed").option("root", root)
+      .option("maxVersionsPerTrigger", 2).load()
+      .writeStream
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        batches.add(df.select("k").collect().map(_.getLong(0)).toSeq)
+        ()
+      }.start()
+    // AvailableNow must TERMINATE on its own once the captured backlog
+    // drains — no stop() needed (the backfill-then-exit contract)
+    assert(q.awaitTermination(120000), "AvailableNow query did not stop")
+    import scala.jdk.CollectionConverters._
+    val bs = batches.asScala.toSeq.filter(_.nonEmpty)
+    assert(bs.forall(_.size <= 2), s"cap violated under AvailableNow: $bs")
+    assert(bs.size >= 3, s"backlog should take >= 3 capped bites: $bs")
+    assert(bs.flatten.sorted == Seq(0L, 1L, 2L, 3L, 4L),
+      s"AvailableNow must deliver exactly the backlog: $bs")
+    // rows committed AFTER the stream captured its end point are NOT
+    // delivered by this run — they wait for the next scheduled run
+    VersionedTable.commit(Seq(99L).toDF("k"), root)
+    assert(!q.isActive)
+  }
 }

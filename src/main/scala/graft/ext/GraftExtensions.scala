@@ -25,6 +25,7 @@ import org.apache.spark.sql.types.IntegerType
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     GraftExtensions.functions.foreach(ext.injectFunction)
+    GraftExtensions.tableFunctions.foreach(ext.injectTableFunction)
     // Maintenance-DDL statement family (GRAFT HISTORY/RESTORE/VACUUM/
     // FSCK/CHECKPOINT/RENAME COLUMN/DROP COLUMN) — see [[GraftSqlParser]].
     ext.injectParser((_, delegate) => new GraftSqlParser(delegate))
@@ -110,5 +111,72 @@ object GraftExtensions {
               s"without NULLs, got $other")
         }
         TextExpressions.CountInSet(es(0), set)
+      })
+
+  // ---------------------------------------------------------------------
+  // Table-valued functions — the versioned table and its change feed as
+  // plain FROM-clause citizens (Delta's `table_changes(...)` shape):
+  //
+  //   SELECT * FROM graft_table('<root>')              -- latest snapshot
+  //   SELECT * FROM graft_table('<root>', 3)           -- time travel
+  //   SELECT * FROM graft_changes('<root>', 2, 5)      -- CDC rows (2, 5]
+  //
+  // Arguments must be literals (they select WHICH table/commits to
+  // read — analysis-time decisions by nature). The builders resolve
+  // through the active session and return the analyzed plan of the
+  // corresponding reader, so everything downstream (pruning, codegen)
+  // is ordinary Spark. graft_table goes through the datasource path —
+  // WHERE clauses over it hit the same manifest-stats file skipping as
+  // a CREATE TABLE USING graft relation.
+  // ---------------------------------------------------------------------
+
+  private def litString(fname: String, e: Expression): String = e match {
+    case Literal(v, _) if v != null &&
+        e.dataType == org.apache.spark.sql.types.StringType => v.toString
+    case other => throw new IllegalArgumentException(
+      s"$fname expects a literal STRING, got $other")
+  }
+
+  private def litLong(fname: String, e: Expression): Long = e match {
+    case Literal(v: Int, IntegerType) => v.toLong
+    case Literal(v: Long, org.apache.spark.sql.types.LongType) => v
+    case other => throw new IllegalArgumentException(
+      s"$fname expects a literal integer, got $other")
+  }
+
+  private def tfn(name: String, arity: String, usage: String)(
+      builder: Seq[Expression] => org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+      : (FunctionIdentifier, ExpressionInfo,
+         Seq[Expression] => org.apache.spark.sql.catalyst.plans.logical.LogicalPlan) =
+    (FunctionIdentifier(name),
+      new ExpressionInfo("graft", null, name, s"$name($arity) - $usage", ""),
+      builder)
+
+  val tableFunctions: Seq[(FunctionIdentifier, ExpressionInfo,
+      Seq[Expression] => org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)] =
+    Seq(
+      tfn("graft_table", "root [, version]",
+        "snapshot of a graft versioned table (latest or time travel)") { es =>
+        require(es.size == 1 || es.size == 2,
+          s"graft_table takes (root [, version]), got ${es.size} args")
+        val spark = org.apache.spark.sql.SparkSession.active
+        val reader = spark.read.format("graft")
+        val versioned =
+          if (es.size == 2)
+            reader.option("versionAsOf", litLong("graft_table", es(1)))
+          else reader
+        versioned.load(litString("graft_table", es(0)))
+          .queryExecution.analyzed
+      },
+      tfn("graft_changes", "root, afterVersion, toVersion",
+        "CDC rows of commits in (afterVersion, toVersion]") { es =>
+        require(es.size == 3,
+          s"graft_changes takes (root, after, to), got ${es.size} args")
+        val spark = org.apache.spark.sql.SparkSession.active
+        graft.sources.VersionedTable.changes(spark,
+            litString("graft_changes", es(0)),
+            litLong("graft_changes", es(1)),
+            litLong("graft_changes", es(2)))
+          .queryExecution.analyzed
       })
 }

@@ -34,6 +34,7 @@ import org.apache.spark.sql.types._
   *   GRAFT BRANCH '<root>' PUBLISH <name>
   *   GRAFT BRANCH '<root>' DROP <name>
   *   GRAFT BRANCHES '<root>'
+  *   GRAFT DETAIL '<root>'
   * }}}
   *
   * Each statement lowers to a Catalyst [[LeafRunnableCommand]] — a
@@ -116,6 +117,8 @@ object GraftSqlParser {
     """(?is)\s*GRAFT\s+BRANCH\s+'([^']+)'\s+DROP\s+([A-Za-z0-9][A-Za-z0-9._-]*)\s*;?\s*""".r
   private val BranchList =
     """(?is)\s*GRAFT\s+BRANCHES\s+'([^']+)'\s*;?\s*""".r
+  private val Detail =
+    """(?is)\s*GRAFT\s+DETAIL\s+'([^']+)'\s*;?\s*""".r
 
   private[ext] def parse(sqlText: String): Option[LogicalPlan] =
     sqlText match {
@@ -146,6 +149,7 @@ object GraftSqlParser {
       case BranchPublish(p, name) => Some(GraftPublishBranchCommand(p, name))
       case BranchDrop(p, name) => Some(GraftDropBranchCommand(p, name))
       case BranchList(p) => Some(GraftBranchesCommand(p))
+      case Detail(p) => Some(GraftDetailCommand(p))
       case other if other.trim.toUpperCase.startsWith("GRAFT ") =>
         // a malformed GRAFT statement must fail with OUR grammar, not
         // Spark's baffled syntax error
@@ -160,7 +164,8 @@ object GraftSqlParser {
             "OPTIMIZE 'root' ZORDER BY x, y [FILES n] | " +
             "TAG 'root' CREATE name [VERSION AS OF n] | " +
             "TAG 'root' DROP name | TAGS 'root' | " +
-            "BRANCH 'root' CREATE|PUBLISH|DROP name | BRANCHES 'root'")
+            "BRANCH 'root' CREATE|PUBLISH|DROP name | BRANCHES 'root' | " +
+            "DETAIL 'root'")
       case _ => None
     }
 
@@ -295,6 +300,22 @@ object GraftSqlParser {
     override def run(s: SparkSession): Seq[Row] =
       VersionedTable.branches(root).toSeq.sortBy(_._1)
         .map { case (n, (b, l)) => Row(n, b, l) }
+  }
+
+  case class GraftDetailCommand(root: String) extends LeafRunnableCommand {
+    override val output: Seq[Attribute] = Seq(
+      attr("version", LongType), attr("num_files", IntegerType),
+      attr("size_bytes", LongType), attr("num_tombstones", IntegerType),
+      attr("num_bloom_indexes", IntegerType), attr("num_checks", IntegerType),
+      attr("num_tags", IntegerType), attr("num_branches", IntegerType),
+      attr("last_checkpoint", LongType, nullable = true),
+      attr("num_columns", IntegerType), attr("num_part_tags", IntegerType))
+    override def run(s: SparkSession): Seq[Row] = {
+      val d = VersionedTable.detail(root)
+      Seq(Row(d.version, d.numFiles, d.sizeBytes, d.numTombstoneSidecars,
+        d.numBloomIndexes, d.numChecks, d.numTags, d.numBranches,
+        d.lastCheckpoint.orNull, d.numColumns, d.numPartTags))
+    }
   }
 
   case class GraftStatsCommand(root: String, cols: Seq[String])

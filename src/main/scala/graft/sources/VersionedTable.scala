@@ -2861,6 +2861,33 @@ object VersionedTable {
   def readTag(spark: SparkSession, root: String, name: String): DataFrame =
     read(spark, root, Some(versionOfTag(root, name)))
 
+  /** Operational summary of the CURRENT snapshot (DESCRIBE DETAIL
+    * shape) — all metadata-derived: one state fold plus file stats,
+    * no data read. */
+  final case class TableDetail(version: Long, numFiles: Int,
+      sizeBytes: Long, numTombstoneSidecars: Int, numBloomIndexes: Int,
+      numChecks: Int, numTags: Int, numBranches: Int,
+      lastCheckpoint: Option[Long], numColumns: Int, numPartTags: Int)
+
+  def detail(root: String): TableDetail = {
+    val v = latestVersion(root)
+    require(v >= 0, s"$root is not a versioned table (empty log)")
+    val st = state(root, v)
+    TableDetail(
+      version = v,
+      numFiles = st.files.size,
+      sizeBytes = st.files.map(f =>
+        scala.util.Try(Files.size(dataPath(root, f))).getOrElse(0L)).sum,
+      numTombstoneSidecars = st.tombs.values.flatten.toSet.size,
+      numBloomIndexes = st.blooms.size,
+      numChecks = st.checks.size,
+      numTags = tags(root).size,
+      numBranches = branches(root).size,
+      lastCheckpoint = checkpointVersions(root).lastOption,
+      numColumns = schemaOf(st).map(_.fields.length).getOrElse(0),
+      numPartTags = st.parts.size)
+  }
+
   // ---------------------------------------------------------------------
   // Branches — the Write-Audit-Publish workflow (Iceberg's WAP / Delta's
   // staging-table pattern). A branch is a SHALLOW CLONE of one main

@@ -214,4 +214,49 @@ class GraftExtensionsSpec extends SparkSpecBase {
         .filter(col("x") <= 5 && col("y") <= 5).count())
     assert(VersionedTable.read(spark, root).count() == 2000)
   }
+
+  test("graft_table / graft_changes table-valued functions") {
+    import spark.implicits._
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_tvf_").toString
+    graft.sources.VersionedTable.commit(Seq((1L, "a"), (2L, "b")).toDF("k", "v"), root)
+    graft.sources.VersionedTable.commit(Seq((3L, "c")).toDF("k", "v"), root)
+    // snapshot + time travel straight from a FROM clause
+    assert(spark.sql(s"SELECT count(*) AS n FROM graft_table('$root')")
+      .as[Long].head() === 3)
+    assert(spark.sql(
+        s"SELECT CAST(sum(k) AS BIGINT) FROM graft_table('$root', 0)")
+      .as[Long].head() === 3) // 1 + 2
+    // WHERE over the TVF goes through the pruning datasource path
+    assert(spark.sql(
+        s"SELECT v FROM graft_table('$root') WHERE k = 3")
+      .as[String].head() === "c")
+    // CDC rows of (0, 1] — exactly the second commit, as inserts
+    val changes = spark.sql(
+      s"SELECT k, _change FROM graft_changes('$root', 0, 1)")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(changes.toSeq === Seq((3L, "insert")))
+    // arguments must be literals: analysis-time failure, not silence
+    intercept[Exception] {
+      spark.sql(s"SELECT * FROM graft_table('$root', k)").collect()
+    }
+  }
+
+  test("GRAFT DETAIL: one-row operational summary") {
+    import spark.implicits._
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_detail_").toString
+    graft.sources.VersionedTable.commit(Seq((1L, "a"), (2L, "b")).toDF("k", "v"), root)
+    graft.sources.VersionedTable.deleteKeysMOR(spark, root, "k", Seq(1L).toDF("k"))
+    graft.sources.VersionedTable.addCheck(spark, root, "k_pos", "k > 0")
+    graft.sources.VersionedTable.createTag(root, "r1", Some(0L))
+    val d = spark.sql(s"GRAFT DETAIL '$root'").head()
+    assert(d.getLong(0) === 2L)   // version
+    assert(d.getInt(1) >= 1)      // files
+    assert(d.getLong(2) > 0L)     // bytes
+    assert(d.getInt(3) === 1)     // tombstone sidecars
+    assert(d.getInt(5) === 1)     // checks
+    assert(d.getInt(6) === 1)     // tags
+    assert(d.getInt(9) === 2)     // columns
+  }
 }

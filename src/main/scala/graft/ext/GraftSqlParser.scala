@@ -85,6 +85,10 @@ object GraftSqlParser {
     """(?is)\s*GRAFT\s+RESTORE\s+'([^']+)'\s+VERSION\s+AS\s+OF\s+(\d+)\s*;?\s*""".r
   private val Vac =
     """(?is)\s*GRAFT\s+VACUUM\s+'([^']+)'\s+RETAIN\s+(\d+)(?:\s+MIN\s+AGE\s+(\d+))?\s*;?\s*""".r
+  private val VacDry =
+    """(?is)\s*GRAFT\s+VACUUM\s+'([^']+)'\s+RETAIN\s+(\d+)(?:\s+MIN\s+AGE\s+(\d+))?\s+DRY\s+RUN\s*;?\s*""".r
+  private val Reorg =
+    """(?is)\s*GRAFT\s+REORG\s+'([^']+)'\s+PURGE\s*;?\s*""".r
   private val Fsck =
     """(?is)\s*GRAFT\s+FSCK\s+'([^']+)'\s*;?\s*""".r
   private val Ren =
@@ -125,8 +129,11 @@ object GraftSqlParser {
       case Hist(p) => Some(GraftHistoryCommand(p))
       case Ckpt(p) => Some(GraftCheckpointCommand(p))
       case Rest(p, v) => Some(GraftRestoreCommand(p, v.toLong))
+      case VacDry(p, r, age) => Some(GraftVacuumDryRunCommand(p, r.toLong,
+        Option(age).map(_.toLong).getOrElse(60L * 60 * 1000)))
       case Vac(p, r, age) => Some(GraftVacuumCommand(p, r.toLong,
         Option(age).map(_.toLong).getOrElse(60L * 60 * 1000)))
+      case Reorg(p) => Some(GraftReorgPurgeCommand(p))
       case Fsck(p) => Some(GraftFsckCommand(p))
       case Ren(o, n, p) => Some(GraftRenameColumnCommand(p, o, n))
       case Drop(c, p) => Some(GraftDropColumnCommand(p, c))
@@ -165,7 +172,7 @@ object GraftSqlParser {
             "TAG 'root' CREATE name [VERSION AS OF n] | " +
             "TAG 'root' DROP name | TAGS 'root' | " +
             "BRANCH 'root' CREATE|PUBLISH|DROP name | BRANCHES 'root' | " +
-            "DETAIL 'root'")
+            "DETAIL 'root' | VACUUM ... DRY RUN | REORG 'root' PURGE")
       case _ => None
     }
 
@@ -300,6 +307,20 @@ object GraftSqlParser {
     override def run(s: SparkSession): Seq[Row] =
       VersionedTable.branches(root).toSeq.sortBy(_._1)
         .map { case (n, (b, l)) => Row(n, b, l) }
+  }
+
+  case class GraftVacuumDryRunCommand(root: String, retain: Long,
+      minAgeMs: Long) extends LeafRunnableCommand {
+    override val output: Seq[Attribute] = Seq(attr("would_delete", StringType))
+    override def run(s: SparkSession): Seq[Row] =
+      VersionedTable.vacuumDryRun(root, retain, minAgeMs).map(Row(_))
+  }
+
+  case class GraftReorgPurgeCommand(root: String)
+      extends LeafRunnableCommand {
+    override val output: Seq[Attribute] = Seq(attr("version", LongType))
+    override def run(s: SparkSession): Seq[Row] =
+      Seq(Row(VersionedTable.purgeTombstones(s, root)))
   }
 
   case class GraftDetailCommand(root: String) extends LeafRunnableCommand {

@@ -1010,6 +1010,50 @@ object Lakehouse {
              |    AS n_staged,
              |  count(*) AS n_main,
              |  CAST(sum(o_custkey) AS BIGINT) AS sum_main
-             |FROM orders""".stripMargin))
+             |FROM orders""".stripMargin)),
+
+    // RIGHT-TO-BE-FORGOTTEN, end to end — the compliance flow a real
+    // lakehouse must run, composed from the format's own pieces:
+    // (1) deleteKeysMOR erases the users LOGICALLY in one tombstone
+    // commit (no rewrite — instant, however big the table);
+    // (2) the CDC reader emits exactly the forgotten rows as deletes,
+    // notifying downstream consumers/incremental MVs;
+    // (3) REORG PURGE rewrites ONLY the tombstoned files (megabytes,
+    // not the 100 TB table), folding the deletes into fresh bytes;
+    // (4) vacuum reclaims the superseded dirs and sidecars — after
+    // which the bytes are physically gone, which is what the
+    // regulation means by "forgotten". The oracle states SQL DELETE
+    // semantics: every stage must preserve exactly the non-forgotten
+    // rows.
+    QueryDef(
+      "q227_forget_flow",
+      (s, d) => {
+        val root = Files.createTempDirectory("graft_rtbf_").toString
+        VersionedTable.commit(
+          orders(s, d).select(col("o_orderkey"), col("o_custkey"))
+            .repartitionByRange(8, col("o_orderkey")), root) // v0
+        VersionedTable.deleteKeysMOR(s, root, "o_custkey",
+          s.range(0, 2).select((col("id") * 6 + 7).as("o_custkey"))) // 7, 13
+        val forgotten = VersionedTable.changes(s, root, 0L, 1L)
+          .filter(col("_change") === "delete")
+          .agg(count(lit(1)).as("n"),
+            sum(col("o_orderkey")).as("sum_gone")).head()
+        val purged = VersionedTable.purgeTombstones(s, root) // v2
+        VersionedTable.vacuum(root, retain = purged, minAgeMs = 0L)
+        s.read.format("graft").load(root) // reads post-vacuum, no MOR gate
+          .agg(count(lit(1)).as("n_cur"),
+            sum(col("o_orderkey")).as("sum_cur"))
+          .select(lit(forgotten.getLong(0)).as("n_forgotten"),
+            lit(forgotten.getLong(1)).as("sum_forgotten"),
+            col("n_cur"), col("sum_cur"))
+      },
+      Some("""SELECT
+             |  (SELECT count(*) FROM orders WHERE o_custkey IN (7, 13))
+             |    AS n_forgotten,
+             |  (SELECT CAST(sum(o_orderkey) AS BIGINT) FROM orders
+             |     WHERE o_custkey IN (7, 13)) AS sum_forgotten,
+             |  count(*) AS n_cur,
+             |  CAST(sum(o_orderkey) AS BIGINT) AS sum_cur
+             |FROM orders WHERE o_custkey NOT IN (7, 13)""".stripMargin))
   )
 }

@@ -12,7 +12,7 @@ import org.apache.spark.sql.execution.datasources.{
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
 import org.apache.spark.sql.sources.{
   BaseRelation, CreatableRelationProvider, DataSourceRegister,
-  RelationProvider}
+  RelationProvider, StreamSinkProvider}
 import org.apache.spark.sql.types.{Decimal, StructType}
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -73,9 +73,38 @@ import org.apache.spark.unsafe.types.UTF8String
   * contract as any v1 datasource table.
   */
 class GraftDataSource extends RelationProvider
-    with CreatableRelationProvider with DataSourceRegister {
+    with CreatableRelationProvider with StreamSinkProvider
+    with DataSourceRegister {
 
   override def shortName(): String = "graft"
+
+  /** `df.writeStream.format("graft").option("path", root)` — the
+    * exactly-once streaming sink as a first-class format, not just a
+    * `foreachBatch` helper: each micro-batch commits through
+    * [[VersionedTable.streamingSink]], whose batch-tag replay check
+    * (manifest scan + checkpointed `batchtag=`) skips re-delivered
+    * batches, so at-least-once delivery + idempotent commit =
+    * exactly-once table contents across restarts. */
+  override def createSink(sqlContext: SQLContext,
+      parameters: Map[String, String], partitionColumns: Seq[String],
+      outputMode: org.apache.spark.sql.streaming.OutputMode)
+      : org.apache.spark.sql.execution.streaming.Sink = {
+    require(outputMode == org.apache.spark.sql.streaming.OutputMode.Append(),
+      s"graft streaming sink is append-only (commit per micro-batch), " +
+        s"got $outputMode")
+    require(partitionColumns.isEmpty,
+      "graft streaming sink: use OPTIMIZE PARTITION BY for layout, " +
+        "not partitionBy on the stream")
+    val root = rootOf(parameters)
+    val sink = VersionedTable.streamingSink(root)
+    new org.apache.spark.sql.execution.streaming.Sink {
+      override def addBatch(batchId: Long, data: DataFrame): Unit =
+        // the engine hands an incremental-execution frame; re-plan it
+        // as a batch frame so the ordinary write path accepts it
+        sink(org.apache.spark.sql.GraftColumnBridge.asBatch(data), batchId)
+      override def toString: String = s"GraftSink[$root]"
+    }
+  }
 
   private def rootOf(parameters: Map[String, String]): String = {
     val p = parameters.getOrElse("path", throw new IllegalArgumentException(

@@ -2782,6 +2782,55 @@ object VersionedTable {
         }
   }
 
+  /** What [[vacuum]] WOULD delete, without deleting: the data dirs
+    * unreferenced by every retained/pinned version and old enough.
+    * The answer an operator wants before pointing retention at a
+    * production table (`GRAFT VACUUM ... DRY RUN`). Same keep-set
+    * computation as vacuum by construction — the two cannot drift. */
+  def vacuumDryRun(root: String, retain: Long,
+      minAgeMs: Long = 60L * 60 * 1000): Seq[String] = {
+    require(retain >= 0 && retain <= latestVersion(root),
+      s"retain $retain out of range [0, ${latestVersion(root)}]")
+    val pinned = tags(root).values.toSet ++
+      branches(root).values.map(_._1)
+    val keep = versions(root).filter(v => v >= retain || pinned(v))
+      .flatMap { v =>
+        val st = state(root, v)
+        st.files ++ st.tombs.values.flatten ++ st.blooms.values
+      }
+      .filterNot(_.startsWith("ext:"))
+      .map(f => topDataDir(root, f))
+      .toSet
+    val now = System.currentTimeMillis()
+    val dataRoot = Paths.get(root, "data")
+    if (!Files.isDirectory(dataRoot)) Seq.empty
+    else listDir(dataRoot)
+      .filter(d => !keep.contains(d.getFileName.toString))
+      .filter(d =>
+        now - Files.getLastModifiedTime(d).toMillis() >= minAgeMs)
+      .map(_.getFileName.toString)
+      .sorted
+  }
+
+  /** REORG PURGE (Delta's `REORG TABLE ... APPLY (PURGE)`): rewrite
+    * ONLY the files carrying merge-on-read tombstones, folding the
+    * deletes into fresh files; clean files carry over by reference.
+    * This is the targeted maintenance move between point deletes and
+    * a full compaction — on a 100 TB table with a handful of GDPR
+    * deletes, it rewrites megabytes, not the table. After the purge
+    * (and retention), the tombstone sidecars become vacuum
+    * candidates, which is what "physically forget" requires. */
+  def purgeTombstones(spark: SparkSession, root: String): Long = {
+    val basis = latestVersion(root)
+    require(basis >= 0, s"$root is not a versioned table (empty log)")
+    val st = state(root, basis)
+    val dirty = st.files.filter(f =>
+      st.tombs.getOrElse(f, Vector.empty).nonEmpty)
+    if (dirty.isEmpty) return basis // nothing to purge: metadata no-op
+    val resolved = readResolved(spark, root, st, dirty)
+    commitReplace(spark, root, basis, dirty, resolved)
+  }
+
   // ---------------------------------------------------------------------
   // Named refs — TAGS (Iceberg ref shape): a human name pinned to one
   // snapshot version. The operational need is reproducibility: "the

@@ -24,4 +24,15 @@ object GraftColumnBridge {
     ds.sparkSession.internalCreateDataFrame(
       ds.queryExecution.toRdd, ds.schema, isStreaming = true)
   }
+
+  /** The inverse: re-plan a micro-batch DataFrame handed to a DSv1
+    * `Sink.addBatch` as a plain BATCH frame, so ordinary writers
+    * (`df.write`, `VersionedTable.commit`) accept it. Materializes
+    * through the incremental execution's RDD — the rows of THIS
+    * micro-batch only. */
+  def asBatch(df: Dataset[Row]): Dataset[Row] = {
+    val ds = df.asInstanceOf[classic.Dataset[Row]]
+    ds.sparkSession.internalCreateDataFrame(
+      ds.queryExecution.toRdd, ds.schema, isStreaming = false)
+  }
 }

@@ -1,0 +1,103 @@
+package graft.sources
+
+import graft.SparkSpecBase
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+/** Targeted maintenance surface: the writeStream graft sink, REORG
+  * PURGE (tombstone-only rewrite), and VACUUM DRY RUN. */
+class MaintenanceSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private def tmp(): String =
+    Files.createTempDirectory("graft_mnt_").toString
+
+  test("writeStream.format(graft) commits micro-batches exactly-once") {
+    val root = tmp()
+    val ckpt = tmp()
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Long]
+    def run() = mem.toDF().toDF("k")
+      .writeStream.format("graft")
+      .option("path", root).option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+    val q = run()
+    try {
+      mem.addData(1L, 2L)
+      q.processAllAvailable()
+      mem.addData(3L)
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(VersionedTable.read(spark, root).as[Long].collect().sorted
+      === Array(1L, 2L, 3L))
+    // each micro-batch is one tagged commit; history shows the tags
+    assert(VersionedTable.latestVersion(root) === 1L)
+    // restart re-delivers nothing new: table unchanged (exactly-once)
+    val q2 = run()
+    try {
+      mem.addData(4L)
+      q2.processAllAvailable()
+    } finally q2.stop()
+    assert(VersionedTable.read(spark, root).as[Long].collect().sorted
+      === Array(1L, 2L, 3L, 4L))
+    // update/complete modes refuse loudly
+    intercept[Exception] {
+      mem.toDF().toDF("k").groupBy("k").count()
+        .writeStream.format("graft").option("path", tmp())
+        .option("checkpointLocation", tmp())
+        .outputMode("complete").start()
+    }
+  }
+
+  test("REORG PURGE rewrites only tombstoned files; sidecars become " +
+      "vacuum candidates") {
+    val root = tmp()
+    // two files: only one will carry a tombstone
+    VersionedTable.commit(Seq(1L, 2L).toDF("k").coalesce(1), root)  // v0
+    VersionedTable.commit(Seq(10L, 11L).toDF("k").coalesce(1), root) // v1
+    VersionedTable.deleteKeysMOR(spark, root, "k", Seq(2L).toDF("k")) // v2
+    val filesBefore = VersionedTable.snapshotFiles(root, 2L).toSet
+    val purgedV = VersionedTable.purgeTombstones(spark, root)        // v3
+    assert(purgedV === 3L)
+    val after = VersionedTable.snapshotFiles(root, purgedV).toSet
+    // the clean file carried over BY REFERENCE; the dirty one rewrote
+    assert(after.intersect(filesBefore).nonEmpty, "clean file must carry over")
+    assert(after != filesBefore, "dirty file must be rewritten")
+    assert(VersionedTable.snapshotTombstones(root, purgedV).isEmpty)
+    assert(VersionedTable.read(spark, root).as[Long].collect().sorted
+      === Array(1L, 10L, 11L))
+    // a second purge is a metadata no-op
+    assert(VersionedTable.purgeTombstones(spark, root) === purgedV)
+    // dry run: with only the purged snapshot retained, the tombstone
+    // sidecar dir and the original dirty file's dir are candidates
+    val would = VersionedTable.vacuumDryRun(root, retain = purgedV,
+      minAgeMs = 0L)
+    assert(would.exists(_.startsWith("tomb-")),
+      s"sidecar dir should be reclaimable after purge, got $would")
+    // dry run deleted NOTHING
+    assert(VersionedTable.fsck(root).ok)
+    val wouldSet = would.toSet
+    VersionedTable.vacuum(root, retain = purgedV, minAgeMs = 0L)
+    // real vacuum deletes exactly what the dry run promised
+    val remaining = VersionedTable.vacuumDryRun(root, purgedV, 0L)
+    assert(remaining.isEmpty, s"vacuum left promised dirs: $remaining")
+    assert(VersionedTable.read(spark, root).as[Long].collect().sorted
+      === Array(1L, 10L, 11L))
+    assert(wouldSet.nonEmpty)
+  }
+
+  test("SQL: GRAFT VACUUM DRY RUN and GRAFT REORG PURGE") {
+    val root = tmp()
+    VersionedTable.commit(Seq(1L, 2L).toDF("k"), root)
+    VersionedTable.deleteKeysMOR(spark, root, "k", Seq(1L).toDF("k"))
+    val v = spark.sql(s"GRAFT REORG '$root' PURGE").head().getLong(0)
+    assert(v === 2L)
+    assert(VersionedTable.read(spark, root).as[Long].collect() === Array(2L))
+    val dry = spark.sql(
+      s"GRAFT VACUUM '$root' RETAIN $v MIN AGE 0 DRY RUN")
+    assert(dry.columns.toSeq === Seq("would_delete"))
+    assert(dry.count() >= 1) // pre-purge dirs are candidates, undeleted
+    assert(VersionedTable.fsck(root).ok)
+  }
+}

@@ -184,14 +184,16 @@ class GraftDataSource extends RelationProvider
 class GraftFileIndex(spark: SparkSession, root: String, version: Long,
     st: VersionedTable.TableState) extends FileIndex {
 
-  // Sizes from the filesystem once at construction (local-FS stat is
-  // cheap; a deployment recording sizes in the manifest would skip
-  // even this). The FileStatus list is what Spark sizes splits with.
+  // Sizes come from the manifest's fsize= lines (Delta AddFile.size) —
+  // zero filesystem calls on the planning path for tables written by
+  // this library; files from older manifests without a recorded size
+  // fall back to one stat each. mtime is irrelevant to split planning
+  // (parquet readers don't consult it), so a constant spares another
+  // per-file stat.
   private val statuses: Seq[(String, FileStatus)] = st.files.map { f =>
     val p = VersionedTable.dataPath(root, f)
-    val len = java.nio.file.Files.size(p)
-    val mtime = java.nio.file.Files.getLastModifiedTime(p).toMillis
-    f -> new FileStatus(len, false, 1, 128L * 1024 * 1024, mtime,
+    val len = st.sizes.getOrElse(f, java.nio.file.Files.size(p))
+    f -> new FileStatus(len, false, 1, 128L * 1024 * 1024, 0L,
       new HPath(p.toUri))
   }
 

@@ -301,7 +301,8 @@ object VersionedTable {
       renames: Seq[(String, String)],  // logical old -> logical new
       colMaps: Seq[(String, String)],  // full map restatement (restore)
       dropCols: Seq[String],           // PHYSICAL names retired by a drop
-      parts: Seq[(String, String, String)]) // (file, transform spec, value)
+      parts: Seq[(String, String, String)], // (file, transform spec, value)
+      fsizes: Seq[(String, Long)])     // (file, bytes) — Delta AddFile.size
 
   private def readManifest(root: String, v: Long): Manifest = {
     val lines = Files.readAllLines(manifestPath(root, v)).asScala.toSeq
@@ -351,6 +352,11 @@ object VersionedTable {
         case Array(f, t, v) => (dec(f), dec(t), dec(v))
         case _ => throw new IllegalStateException(
           s"malformed part line in manifest v$v")
+      }),
+      field("fsize").map(_.split("\\|", -1) match {
+        case Array(f, sz) => (dec(f), sz.toLong)
+        case _ => throw new IllegalStateException(
+          s"malformed fsize line in manifest v$v")
       }))
   }
 
@@ -376,7 +382,8 @@ object VersionedTable {
       blooms: Map[(String, String), String] = Map.empty, // (file, col) -> bloom sidecar
       colMap: Map[String, String] = Map.empty, // logical -> physical column name (identity entries omitted)
       dropped: Set[String] = Set.empty, // PHYSICAL names retired by dropColumn (bytes remain in live files)
-      parts: Map[String, (String, String)] = Map.empty) // file -> (its partition transform spec, its partition value)
+      parts: Map[String, (String, String)] = Map.empty, // file -> (its partition transform spec, its partition value)
+      sizes: Map[String, Long] = Map.empty) // file -> bytes (from fsize= lines; metadata-only planning input)
 
   private[sources] object TableState {
     val empty: TableState =
@@ -414,7 +421,8 @@ object VersionedTable {
           m.tombFiles.toMap, st.checks,
           m.bloomFiles.map { case (f, c, sc) => (f, c) -> sc }.toMap,
           m.colMaps.toMap, m.dropCols.toSet,
-          m.parts.map { case (f, t, v) => f -> (t, v) }.toMap)
+          m.parts.map { case (f, t, v) => f -> (t, v) }.toMap,
+          m.fsizes.toMap)
       case "append" =>
         // bloomfile lines merge in (a [[buildBloomIndex]] commit is a
         // data-free append); data files appended WITHOUT an index are
@@ -424,7 +432,8 @@ object VersionedTable {
           blooms = st.blooms ++
             m.bloomFiles.map { case (f, c, sc) => (f, c) -> sc },
           parts = st.parts ++
-            m.parts.map { case (f, t, v) => f -> (t, v) })
+            m.parts.map { case (f, t, v) => f -> (t, v) },
+          sizes = st.sizes ++ m.fsizes)
       case "replace" =>
         // rewritten files lose their bloom entries (a rewrite changes
         // the row set; the stale index would be unsound for the new
@@ -439,7 +448,8 @@ object VersionedTable {
           // row-edit rewrite changes the row set; a stale tag would
           // mis-prune) — untagged files simply always read
           (st.parts -- gone) ++
-            m.parts.map { case (f, t, v) => f -> (t, v) })
+            m.parts.map { case (f, t, v) => f -> (t, v) },
+          (st.sizes -- gone) ++ m.fsizes)
       case "delete-mor" =>
         val live = st.files.toSet
         val sidecars = m.tombFiles.map(_._1).toVector
@@ -616,7 +626,10 @@ object VersionedTable {
       (Seq(s"version=$v") ++
         maxTag.map(t => s"batchtag=$t").toSeq ++
         st.schemaJson.map(j => s"schema=${enc(j)}").toSeq ++
-        st.files.map(f => s"file=$f") ++ statLines ++
+        st.files.map(f => s"file=$f") ++
+        st.files.flatMap(f =>
+          st.sizes.get(f).map(sz => s"fsize=${enc(f)}|$sz")) ++
+        statLines ++
         st.tombKey.toSeq.filter(e => liveSidecars(e._1))
           .sortBy(_._1).map { case (sc, k) =>
             s"tombfile=${enc(sc)}|${enc(k)}" } ++
@@ -692,9 +705,14 @@ object VersionedTable {
         case _ => throw new IllegalStateException(
           s"malformed part line in checkpoint v$cv")
       }).toMap
+      val sizes = field("fsize").map(_.split("\\|", -1) match {
+        case Array(f, sz) => dec(f) -> sz.toLong
+        case _ => throw new IllegalStateException(
+          s"malformed fsize line in checkpoint v$cv")
+      }).toMap
       (cv, TableState(files, stats, field("schema").headOption.map(dec),
         tombs, tombKey, checks, blooms, colMap,
-        field("dropcol").map(dec).toSet, parts))
+        field("dropcol").map(dec).toSet, parts, sizes))
     }
 
   /** Delete manifests STRICTLY BELOW the newest checkpoint <= `below`.
@@ -857,6 +875,8 @@ object VersionedTable {
         target.schemaJson.map(j => s"schema=${enc(j)}").toSeq ++
         target.files.map(f => s"file=$f") ++
         target.files.flatMap(f =>
+          target.sizes.get(f).map(sz => s"fsize=${enc(f)}|$sz")) ++
+        target.files.flatMap(f =>
           statsLines(f, target.stats.getOrElse(f, Map.empty))) ++
         target.tombKey.toSeq.filter(e => liveSidecars(e._1))
           .sortBy(_._1).map { case (sc, k) =>
@@ -922,6 +942,8 @@ object VersionedTable {
         s"clonesrc=${enc(srcRoot)}|$v") ++
         st.schemaJson.map(j => s"schema=${enc(j)}").toSeq ++
         st.files.map(f => s"file=${ext(f)}") ++
+        st.files.flatMap(f =>
+          st.sizes.get(f).map(sz => s"fsize=${enc(ext(f))}|$sz")) ++
         st.files.flatMap(f =>
           statsLines(ext(f), st.stats.getOrElse(f, Map.empty))) ++
         st.tombKey.toSeq.filter(e => liveSidecars(e._1))
@@ -1904,7 +1926,12 @@ object VersionedTable {
         batchTag.map(b => s"batch=$b").toSeq ++
         (if (recordSchema) Seq(s"schema=${enc(df.schema.json)}")
          else Seq.empty) ++
-        files.map(f => s"file=$f") ++ stats ++ partLines)
+        files.map(f => s"file=$f") ++
+        // recorded size (Delta AddFile.size): lets scan planning and
+        // DESCRIBE DETAIL run from metadata alone, no per-file stat
+        files.map(f =>
+          s"fsize=${enc(f)}|${Files.size(Paths.get(root, f))}") ++
+        stats ++ partLines)
         .mkString("", "\n", "\n")
     publish(root, next, body)
     next
@@ -2275,7 +2302,10 @@ object VersionedTable {
     publishRebasing(root, basis, removed.toSet, basisState.schemaJson,
       next => (Seq(s"version=$next", "action=replace") ++ schemaLine ++
         removed.map(f => s"remove=$f") ++
-        files.map(f => s"file=$f") ++ statLines)
+        files.map(f => s"file=$f") ++
+        files.map(f =>
+          s"fsize=${enc(f)}|${Files.size(Paths.get(root, f))}") ++
+        statLines)
         .mkString("", "\n", "\n"))
   }
 
@@ -2925,8 +2955,8 @@ object VersionedTable {
     TableDetail(
       version = v,
       numFiles = st.files.size,
-      sizeBytes = st.files.map(f =>
-        scala.util.Try(Files.size(dataPath(root, f))).getOrElse(0L)).sum,
+      sizeBytes = st.files.map(f => st.sizes.getOrElse(f,
+        scala.util.Try(Files.size(dataPath(root, f))).getOrElse(0L))).sum,
       numTombstoneSidecars = st.tombs.values.flatten.toSet.size,
       numBloomIndexes = st.blooms.size,
       numChecks = st.checks.size,
@@ -3071,6 +3101,11 @@ object VersionedTable {
         (Seq(s"version=$next", "action=append") ++
           st.schemaJson.map(j => s"schema=${enc(j)}").toSeq ++
           local.map(f => s"file=${remap(f)}") ++
+          local.map { f =>
+            val sz = st.sizes.getOrElse(f,
+              Files.size(Paths.get(root, remap(f))))
+            s"fsize=${enc(remap(f))}|$sz"
+          } ++
           local.flatMap(f =>
             statsLines(remap(f), st.stats.getOrElse(f, Map.empty))) ++
           st.parts.toSeq.filter(e => local.contains(e._1))

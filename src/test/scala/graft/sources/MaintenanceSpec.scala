@@ -87,6 +87,37 @@ class MaintenanceSpec extends SparkSpecBase {
     assert(wouldSet.nonEmpty)
   }
 
+  test("manifest-recorded file sizes: exact, folded, checkpoint-surviving") {
+    val root = tmp()
+    (0 until 12).foreach(i => // crosses the auto-checkpoint at v10
+      VersionedTable.commit(Seq(i.toLong).toDF("k").coalesce(1), root))
+    VersionedTable.deleteRanges(spark, root,
+      Seq(("k", Some(0L), Some(0L)))) // replace commit records sizes too
+    val st = VersionedTable.state(root, VersionedTable.latestVersion(root))
+    assert(st.sizes.keySet === st.files.toSet,
+      "every live file must carry a recorded size")
+    st.files.foreach { f =>
+      assert(st.sizes(f) ===
+        Files.size(java.nio.file.Paths.get(root, f)),
+        s"recorded size of $f must match the filesystem")
+    }
+    // resolution through (checkpoint + suffix) preserves the sizes
+    VersionedTable.truncateLog(root)
+    val st2 = VersionedTable.state(root, VersionedTable.latestVersion(root))
+    assert(st2.sizes === st.sizes)
+    // consumers agree: DETAIL and the datasource FileIndex report the
+    // same metadata-derived total
+    val detailBytes = VersionedTable.detail(root).sizeBytes
+    assert(detailBytes === st.sizes.values.sum)
+    val df = spark.read.format("graft").load(root)
+    val idx = df.queryExecution.optimizedPlan.collect {
+      case org.apache.spark.sql.execution.datasources.LogicalRelation(
+          r: org.apache.spark.sql.execution.datasources.HadoopFsRelation,
+          _, _, _, _) => r.location.asInstanceOf[GraftFileIndex]
+    }.head
+    assert(idx.sizeInBytes === detailBytes)
+  }
+
   test("SQL: GRAFT VACUUM DRY RUN and GRAFT REORG PURGE") {
     val root = tmp()
     VersionedTable.commit(Seq(1L, 2L).toDF("k"), root)

@@ -1054,6 +1054,59 @@ object Lakehouse {
              |     WHERE o_custkey IN (7, 13)) AS sum_forgotten,
              |  count(*) AS n_cur,
              |  CAST(sum(o_orderkey) AS BIGINT) AS sum_cur
-             |FROM orders WHERE o_custkey NOT IN (7, 13)""".stripMargin))
+             |FROM orders WHERE o_custkey NOT IN (7, 13)""".stripMargin)),
+
+    // CDC in PURE SQL: the incremental-MV delta computed from the
+    // graft_changes TABLE-VALUED FUNCTION — no API calls in the query
+    // text at all. The table takes an append then a COW delete; the
+    // SQL reads each commit's change rows from the FROM clause and
+    // folds signed deltas (+insert / -delete) per status, which must
+    // reconcile exactly with the full snapshot recomputed from
+    // graft_table — the MV-maintenance identity Δ(agg) = agg(Δ),
+    // checked by the oracle restating both sides relationally. Cost
+    // scales with the CHANGED rows (appends read only their new
+    // files), the property that makes incremental maintenance viable
+    // against a 100 TB base table.
+    QueryDef(
+      "q228_sql_cdc_delta",
+      (s, d) => {
+        val root = Files.createTempDirectory("graft_cdcsql_").toString
+        val src = orders(s, d)
+          .select(col("o_orderkey"), col("o_orderstatus"))
+        VersionedTable.commit(
+          src.filter(col("o_orderkey") <= 3000), root)             // v0
+        VersionedTable.commit(
+          src.filter(col("o_orderkey") > 3000), root)              // v1
+        VersionedTable.deleteRanges(s, root,
+          Seq(("o_orderkey", Some(1L), Some(512L))))               // v2
+        s.sql(
+          s"""SELECT c.o_orderstatus,
+             |  CAST(sum(CASE WHEN c._change = 'insert' THEN 1 ELSE -1 END)
+             |    AS BIGINT) AS delta_n,
+             |  t.n_now
+             |FROM graft_changes('$root', 0, 2) c
+             |JOIN (SELECT o_orderstatus, count(*) AS n_now
+             |      FROM graft_table('$root') GROUP BY o_orderstatus) t
+             |  ON c.o_orderstatus = t.o_orderstatus
+             |GROUP BY c.o_orderstatus, t.n_now
+             |ORDER BY c.o_orderstatus""".stripMargin)
+      },
+      Some("""WITH base AS (
+             |  SELECT o_orderstatus FROM orders WHERE o_orderkey <= 3000),
+             |now AS (
+             |  SELECT o_orderstatus, count(*) AS n_now FROM orders
+             |  WHERE o_orderkey NOT BETWEEN 1 AND 512
+             |  GROUP BY o_orderstatus),
+             |deltas AS (
+             |  SELECT o_orderstatus,
+             |    CAST(sum(CASE WHEN o_orderkey > 3000 THEN 1
+             |      WHEN o_orderkey BETWEEN 1 AND 512 THEN -1 END)
+             |      AS BIGINT) AS delta_n
+             |  FROM orders
+             |  WHERE o_orderkey > 3000 OR o_orderkey BETWEEN 1 AND 512
+             |  GROUP BY o_orderstatus)
+             |SELECT d.o_orderstatus, d.delta_n, n.n_now
+             |FROM deltas d JOIN now n ON d.o_orderstatus = n.o_orderstatus
+             |ORDER BY d.o_orderstatus""".stripMargin))
   )
 }

@@ -1558,6 +1558,79 @@ object Training {
              |    AS n_pos,
              |  CAST(sum(CASE WHEN zeros > ones THEN 1 ELSE 0 END) AS BIGINT)
              |    AS n_neg
-             |FROM voted GROUP BY source ORDER BY source""".stripMargin))
+             |FROM voted GROUP BY source ORDER BY source""".stripMargin)),
+
+    // DATASET CARD (per-source data statement): the release-gate
+    // summary a corpus ships with — volume, length profile, dominant
+    // language and its integer-ppm share, exact-duplicate redundancy,
+    // and the short-doc fraction, one row per source. Three bounded
+    // aggregations over one scan family: doc-level facts reduce with
+    // map-side partials; redundancy reduces over (source, md5(text))
+    // — constant-width shuffle keys however long the docs are; the
+    // language argmax is a per-source window over the source×lang
+    // aggregate (tiny), tie-broken lexicographically. Final join keys
+    // are the ~20 sources — broadcast-scale. At 100 TB this is the
+    // same plan: nothing here is driver-paced or text-length-keyed.
+    QueryDef(
+      "q229_dataset_card",
+      (s, d) => {
+        val docs = documents(s, d)
+        val facts = docs.groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_chars")).as("sum_chars"),
+            min(col("n_chars")).as("min_chars"),
+            max(col("n_chars")).as("max_chars"),
+            sum(when(col("n_chars") < 200, 1L).otherwise(0L))
+              .as("n_short"))
+        val redundancy = docs
+          .groupBy(col("source"), md5(col("text")).as("h"))
+          .agg(count(lit(1)).as("cnt"))
+          .groupBy(col("source"))
+          .agg(sum(col("cnt") - 1).as("n_redundant"))
+        val langWin = Window.partitionBy(col("source"))
+          .orderBy(col("n_lang").desc, col("lang").asc)
+        val topLang = docs.groupBy(col("source"), col("lang"))
+          .agg(count(lit(1)).as("n_lang"))
+          .withColumn("rk", row_number().over(langWin))
+          .filter(col("rk") === 1)
+          .select(col("source"), col("lang").as("top_lang"),
+            col("n_lang").as("n_top_lang"))
+        facts.join(redundancy, "source").join(topLang, "source")
+          .select(col("source"), col("n_docs"), col("sum_chars"),
+            col("min_chars"), col("max_chars"), col("n_short"),
+            col("n_redundant"), col("top_lang"),
+            // DIV, not `/`: Spark's `/` on integers yields DOUBLE and
+            // the driver compares schemas; DIV is integer-exact and
+            // matches DuckDB's `//` for these nonnegative operands
+            expr("n_top_lang * 1000000 DIV n_docs").as("top_lang_ppm"))
+          .orderBy(col("source"))
+      },
+      Some("""WITH facts AS (
+             |  SELECT source, count(*) AS n_docs,
+             |    CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+             |    min(n_chars) AS min_chars, max(n_chars) AS max_chars,
+             |    CAST(sum(CASE WHEN n_chars < 200 THEN 1 ELSE 0 END)
+             |      AS BIGINT) AS n_short
+             |  FROM documents GROUP BY source),
+             |redundancy AS (
+             |  SELECT source,
+             |    CAST(sum(cnt - 1) AS BIGINT) AS n_redundant
+             |  FROM (SELECT source, md5(text) AS h, count(*) AS cnt
+             |        FROM documents GROUP BY source, md5(text))
+             |  GROUP BY source),
+             |top_lang AS (
+             |  SELECT source, lang AS top_lang, n_lang AS n_top_lang
+             |  FROM (SELECT source, lang, count(*) AS n_lang,
+             |          row_number() OVER (PARTITION BY source
+             |            ORDER BY count(*) DESC, lang ASC) AS rk
+             |        FROM documents GROUP BY source, lang)
+             |  WHERE rk = 1)
+             |SELECT f.source, f.n_docs, f.sum_chars, f.min_chars,
+             |  f.max_chars, f.n_short, r.n_redundant, t.top_lang,
+             |  t.n_top_lang * 1000000 // f.n_docs AS top_lang_ppm
+             |FROM facts f
+             |JOIN redundancy r ON f.source = r.source
+             |JOIN top_lang t ON f.source = t.source
+             |ORDER BY f.source""".stripMargin))
   )
 }

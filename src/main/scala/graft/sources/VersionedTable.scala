@@ -2940,6 +2940,32 @@ object VersionedTable {
   def readTag(spark: SparkSession, root: String, name: String): DataFrame =
     read(spark, root, Some(versionOfTag(root, name)))
 
+  /** [[commit]] with the optimistic-concurrency retry loop built in:
+    * on a lost version race the commit re-targets the new head and
+    * retries (appends and overwrites carry no read-set, so a retry
+    * needs no recomputation — unlike the row-edit writers, which
+    * rebase through [[publishRebasing]] with conflict checking).
+    * CHECK-constraint and schema-evolution validation re-run per
+    * attempt against the then-current state, so an interleaved
+    * ADD CONSTRAINT still gates this batch. Bounded attempts as a
+    * livelock backstop. Returns the committed version. */
+  def commitRetrying(df: DataFrame, root: String, mode: String = "append",
+      batchTag: Option[Long] = None,
+      partitionBy: Option[PartitionTransform] = None,
+      maxAttempts: Int = 50): Long = {
+    var attempt = 0
+    while (true) {
+      attempt += 1
+      try return commit(df, root, mode,
+        expected = Some(latestVersion(root) + 1), batchTag = batchTag,
+        partitionBy = partitionBy)
+      catch {
+        case e: ConcurrentCommitException if attempt < maxAttempts => ()
+      }
+    }
+    -1L // unreachable
+  }
+
   /** Operational summary of the CURRENT snapshot (DESCRIBE DETAIL
     * shape) — all metadata-derived: one state fold plus file stats,
     * no data read. */

@@ -153,6 +153,31 @@ class ConflictRebaseSpec extends SparkSpecBase {
       === (12L until 64L).toArray)
   }
 
+  test("commitRetrying: racing appenders all land without caller loops") {
+    val root = tmp()
+    VersionedTable.commit(Seq(0L).toDF("k"), root)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(6)
+    val latch = new java.util.concurrent.CountDownLatch(1)
+    val failures = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    try {
+      val tasks = (1 to 6).map { w =>
+        pool.submit(new Runnable {
+          def run(): Unit =
+            try {
+              latch.await()
+              VersionedTable.commitRetrying(Seq(w.toLong).toDF("k"), root)
+            } catch { case t: Throwable => failures.add(t) }
+        })
+      }
+      latch.countDown()
+      tasks.foreach(_.get(300, java.util.concurrent.TimeUnit.SECONDS))
+    } finally pool.shutdownNow()
+    assert(failures.isEmpty, s"writer failed: ${failures.peek()}")
+    assert(VersionedTable.versions(root) === (0L to 6L))
+    assert(VersionedTable.read(spark, root).as[Long].collect().sorted
+      === (0L to 6L).toArray)
+  }
+
   test("concurrent appends and a COW delete all land (rebase under race)") {
     val root = tmp()
     VersionedTable.commit(

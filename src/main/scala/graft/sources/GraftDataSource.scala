@@ -120,30 +120,27 @@ class GraftDataSource extends RelationProvider
     val root = rootOf(parameters)
     val latest = VersionedTable.latestVersion(root)
     require(latest >= 0, s"$root is not a graft table (empty log)")
-    val v = parameters.get("versionAsOf").map(_.toLong)
+    // An explicit version/timestamp/tag PINS the relation to that
+    // immutable snapshot; a plain load tracks the log head — the
+    // FileIndex re-resolves per query, so a cached catalog relation
+    // stays FRESH across external commits (the Delta behavior) with
+    // no REFRESH TABLE dance for data changes.
+    val pinned = parameters.get("versionAsOf").map(_.toLong)
       .orElse(parameters.get("timestampAsOf")
         .map(ts => VersionedTable.versionAsOf(root, ts.toLong)))
       .orElse(parameters.get("tagAsOf")
         .map(t => VersionedTable.versionOfTag(root, t)))
-      .getOrElse(latest)
-    require(v >= 0 && v <= latest, s"version $v out of range [0, $latest]")
-    val st = VersionedTable.state(root, v)
-    if (st.tombs.values.exists(_.nonEmpty))
-      throw new UnsupportedOperationException(
-        s"graft datasource: snapshot v$v of $root carries merge-on-read " +
-          "tombstones this scan path cannot apply — read via " +
-          "VersionedTable.read (tombstone-resolving) or compact() first")
-    if (st.colMap.nonEmpty)
-      throw new UnsupportedOperationException(
-        s"graft datasource: snapshot v$v of $root has renamed columns " +
-          "(logical names differ from parquet physical names) — read via " +
-          "VersionedTable.read, which resolves the column mapping")
+    pinned.foreach(v => require(v >= 0 && v <= latest,
+      s"version $v out of range [0, $latest]"))
+    val v0 = pinned.getOrElse(latest)
+    val st = VersionedTable.state(root, v0)
+    GraftFileIndex.featureGates(root, v0, st)
     val schema = VersionedTable.physicalSchemaOf(st).getOrElse(
       throw new IllegalStateException(
-        s"$root v$v has no schema metadata — commit through " +
+        s"$root v$v0 has no schema metadata — commit through " +
           "VersionedTable.commit"))
     HadoopFsRelation(
-      location = new GraftFileIndex(spark, root, v, st),
+      location = new GraftFileIndex(spark, root, v0, st, pinned.isDefined),
       partitionSchema = new StructType(),
       dataSchema = schema,
       bucketSpec = None,
@@ -182,20 +179,72 @@ class GraftDataSource extends RelationProvider
   * file, and Spark re-applies all filters row-wise downstream.
   */
 class GraftFileIndex(spark: SparkSession, root: String, version: Long,
-    st: VersionedTable.TableState) extends FileIndex {
+    initialState: VersionedTable.TableState, pinnedSnapshot: Boolean)
+    extends FileIndex {
 
-  // Sizes come from the manifest's fsize= lines (Delta AddFile.size) —
-  // zero filesystem calls on the planning path for tables written by
-  // this library; files from older manifests without a recorded size
-  // fall back to one stat each. mtime is irrelevant to split planning
-  // (parquet readers don't consult it), so a constant spares another
-  // per-file stat.
-  private val statuses: Seq[(String, FileStatus)] = st.files.map { f =>
-    val p = VersionedTable.dataPath(root, f)
-    val len = st.sizes.getOrElse(f, java.nio.file.Files.size(p))
-    f -> new FileStatus(len, false, 1, 128L * 1024 * 1024, 0L,
-      new HPath(p.toUri))
+  private def buildStatuses(s: VersionedTable.TableState)
+      : Seq[(String, FileStatus)] =
+    // Sizes come from the manifest's fsize= lines (Delta
+    // AddFile.size) — zero filesystem calls on the planning path for
+    // tables written by this library; files from older manifests
+    // without a recorded size fall back to one stat each. mtime is
+    // irrelevant to split planning (parquet readers don't consult
+    // it), so a constant spares another per-file stat.
+    s.files.map { f =>
+      val p = VersionedTable.dataPath(root, f)
+      val len = s.sizes.getOrElse(f, java.nio.file.Files.size(p))
+      f -> new FileStatus(len, false, 1, 128L * 1024 * 1024, 0L,
+        new HPath(p.toUri))
+    }
+
+  /** The snapshot this index currently serves. A PINNED index (an
+    * explicit versionAsOf/timestampAsOf/tagAsOf) never moves — time
+    * travel is immutable. An unpinned index re-resolves the log head
+    * on each planning call, so a cached catalog relation reads FRESH
+    * data after external commits; the version check is one directory
+    * listing, and each query plans against exactly one snapshot
+    * (listFiles is called once per scan). The relation's schema stays
+    * the one resolved at creation — sound for appends (add-only
+    * evolution keeps the old schema a valid projection); a refresh
+    * that breaks that contract fails loudly below. */
+  @volatile private var current:
+      (Long, VersionedTable.TableState, Seq[(String, FileStatus)]) =
+    (version, initialState, buildStatuses(initialState))
+
+  /** The schema this relation was resolved with — every refreshed
+    * snapshot must keep it a valid projection (appends are add-only,
+    * so this holds by protocol; an overwrite that breaks it fails
+    * loudly and REFRESH TABLE re-resolves). */
+  private val baselineSchema: Option[StructType] =
+    VersionedTable.physicalSchemaOf(initialState)
+
+  private def resolved()
+      : (Long, VersionedTable.TableState, Seq[(String, FileStatus)]) = {
+    if (pinnedSnapshot) return current
+    val head = VersionedTable.latestVersion(root)
+    val cached = current
+    if (head == cached._1) cached
+    else {
+      val st = VersionedTable.state(root, head)
+      // the new snapshot must still honor this scan path's contracts
+      GraftFileIndex.featureGates(root, head, st)
+      val newSchema = VersionedTable.physicalSchemaOf(st)
+      val stillValid = baselineSchema.forall(os => newSchema.exists(ns =>
+        os.fields.forall(of =>
+          ns.fields.exists(nf =>
+            nf.name == of.name && nf.dataType == of.dataType))))
+      if (!stillValid)
+        throw new IllegalStateException(
+          s"graft datasource: $root's schema changed incompatibly since " +
+            "this relation was resolved — run REFRESH TABLE (or re-load) " +
+            "to pick up the new schema")
+      val next = (head, st, buildStatuses(st))
+      current = next
+      next
+    }
   }
+
+  private def st: VersionedTable.TableState = current._2
 
   /** (files kept, files total) of the most recent `listFiles` — spec
     * observability for pruning, same role as the `pruneFiles*` pairs. */
@@ -203,15 +252,16 @@ class GraftFileIndex(spark: SparkSession, root: String, version: Long,
 
   override def rootPaths: Seq[HPath] = Seq(new HPath(root))
   override def partitionSchema: StructType = new StructType()
-  override def sizeInBytes: Long = statuses.map(_._2.getLen).sum
+  override def sizeInBytes: Long = resolved()._3.map(_._2.getLen).sum
   override def inputFiles: Array[String] =
-    statuses.map(_._2.getPath.toString).toArray
+    resolved()._3.map(_._2.getPath.toString).toArray
   override def refresh(): Unit = ()
 
   override def listFiles(partitionFilters: Seq[Expression],
       dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
+    val (_, snap, statuses) = resolved()
     val keep = statuses.filter { case (rel, _) =>
-      dataFilters.forall(e => mayMatchFile(rel, e))
+      dataFilters.forall(e => mayMatchFile(snap, rel, e))
     }
     lastListing = Some((keep.size, statuses.size))
     Seq(PartitionDirectory(InternalRow.empty, keep.map(_._2).toArray))
@@ -225,16 +275,19 @@ class GraftFileIndex(spark: SparkSession, root: String, version: Long,
     case o => o
   }
 
-  private def statsOf(rel: String, col: String) =
-    st.stats.getOrElse(rel, Map.empty).get(col)
+  private def statsOf(snap: VersionedTable.TableState, rel: String,
+      col: String) =
+    snap.stats.getOrElse(rel, Map.empty).get(col)
 
   /** Equality probe against every metadata layer: min/max range, then
     * the file's bloom sidecar (definite-absence answers), then its
     * hidden-partition tag (transform mismatch proves absence). The
     * composition mirrors `pruneFilesEquality` + `pruneFilesPartition`. */
-  private def eqMayMatch(rel: String, col: String, v: Any): Boolean = {
-    val rangeOk = VersionedTable.mayMatch(statsOf(rel, col), Some(v), Some(v))
-    def bloomOk = st.blooms.get((rel, col)) match {
+  private def eqMayMatch(snap: VersionedTable.TableState, rel: String,
+      col: String, v: Any): Boolean = {
+    val rangeOk =
+      VersionedTable.mayMatch(statsOf(snap, rel, col), Some(v), Some(v))
+    def bloomOk = snap.blooms.get((rel, col)) match {
       case None => true
       case Some(sc) => bloomCache.getOrElseUpdate(sc,
           org.apache.spark.util.sketch.BloomFilter.readFrom(
@@ -242,10 +295,10 @@ class GraftFileIndex(spark: SparkSession, root: String, version: Long,
               VersionedTable.dataPath(root, sc)))))
         .mightContainString(VersionedTable.bloomProbe(v))
     }
-    def partOk = st.parts.get(rel) match {
+    def partOk = snap.parts.get(rel) match {
       case Some((spec, pv)) => PartitionTransform.parseOpt(spec) match {
         case Some(t) if t.srcCol == col =>
-          dataTypeOf(col).flatMap(t.probe(v, _)).forall(_ == pv)
+          dataTypeOf(snap, col).flatMap(t.probe(v, _)).forall(_ == pv)
         case _ => true
       }
       case None => true
@@ -256,49 +309,74 @@ class GraftFileIndex(spark: SparkSession, root: String, version: Long,
   private val bloomCache = scala.collection.mutable.Map[
     String, org.apache.spark.util.sketch.BloomFilter]()
 
-  private def dataTypeOf(col: String) =
-    VersionedTable.physicalSchemaOf(st)
+  private def dataTypeOf(snap: VersionedTable.TableState, col: String) =
+    VersionedTable.physicalSchemaOf(snap)
       .flatMap(_.fields.find(_.name == col)).map(_.dataType)
 
   /** Can any row of file `rel` satisfy `e`? Strict comparisons reuse
     * the inclusive-range comparator (keeping a boundary-only file is
     * conservative, never wrong); unrecognized shapes keep the file. */
-  private def mayMatchFile(rel: String, e: Expression): Boolean = e match {
-    case And(a, b) => mayMatchFile(rel, a) && mayMatchFile(rel, b)
-    case Or(a, b) => mayMatchFile(rel, a) || mayMatchFile(rel, b)
+  private def mayMatchFile(snap: VersionedTable.TableState, rel: String,
+      e: Expression): Boolean = e match {
+    case And(a, b) => mayMatchFile(snap, rel, a) && mayMatchFile(snap, rel, b)
+    case Or(a, b) => mayMatchFile(snap, rel, a) || mayMatchFile(snap, rel, b)
     case EqualTo(a: AttributeReference, l: Literal) =>
-      eqMayMatch(rel, a.name, ext(l))
+      eqMayMatch(snap, rel, a.name, ext(l))
     case EqualTo(l: Literal, a: AttributeReference) =>
-      eqMayMatch(rel, a.name, ext(l))
+      eqMayMatch(snap, rel, a.name, ext(l))
     case EqualNullSafe(a: AttributeReference, l: Literal)
-        if l.value != null => eqMayMatch(rel, a.name, ext(l))
+        if l.value != null => eqMayMatch(snap, rel, a.name, ext(l))
     case GreaterThan(a: AttributeReference, l: Literal) =>
-      VersionedTable.mayMatch(statsOf(rel, a.name), Some(ext(l)), None)
+      VersionedTable.mayMatch(statsOf(snap, rel, a.name), Some(ext(l)), None)
     case GreaterThanOrEqual(a: AttributeReference, l: Literal) =>
-      VersionedTable.mayMatch(statsOf(rel, a.name), Some(ext(l)), None)
+      VersionedTable.mayMatch(statsOf(snap, rel, a.name), Some(ext(l)), None)
     case LessThan(a: AttributeReference, l: Literal) =>
-      VersionedTable.mayMatch(statsOf(rel, a.name), None, Some(ext(l)))
+      VersionedTable.mayMatch(statsOf(snap, rel, a.name), None, Some(ext(l)))
     case LessThanOrEqual(a: AttributeReference, l: Literal) =>
-      VersionedTable.mayMatch(statsOf(rel, a.name), None, Some(ext(l)))
+      VersionedTable.mayMatch(statsOf(snap, rel, a.name), None, Some(ext(l)))
     case GreaterThan(l: Literal, a: AttributeReference) => // v > col
-      VersionedTable.mayMatch(statsOf(rel, a.name), None, Some(ext(l)))
+      VersionedTable.mayMatch(statsOf(snap, rel, a.name), None, Some(ext(l)))
     case GreaterThanOrEqual(l: Literal, a: AttributeReference) =>
-      VersionedTable.mayMatch(statsOf(rel, a.name), None, Some(ext(l)))
+      VersionedTable.mayMatch(statsOf(snap, rel, a.name), None, Some(ext(l)))
     case LessThan(l: Literal, a: AttributeReference) => // v < col
-      VersionedTable.mayMatch(statsOf(rel, a.name), Some(ext(l)), None)
+      VersionedTable.mayMatch(statsOf(snap, rel, a.name), Some(ext(l)), None)
     case LessThanOrEqual(l: Literal, a: AttributeReference) =>
-      VersionedTable.mayMatch(statsOf(rel, a.name), Some(ext(l)), None)
+      VersionedTable.mayMatch(statsOf(snap, rel, a.name), Some(ext(l)), None)
     case In(a: AttributeReference, vs) if vs.forall(_.isInstanceOf[Literal]) =>
-      vs.exists(l => eqMayMatch(rel, a.name, ext(l.asInstanceOf[Literal])))
+      vs.exists(l => eqMayMatch(snap, rel, a.name,
+        ext(l.asInstanceOf[Literal])))
     case InSet(a: AttributeReference, vs) =>
-      vs.exists(v => eqMayMatch(rel, a.name, v match {
+      vs.exists(v => eqMayMatch(snap, rel, a.name, v match {
         case u: UTF8String => u.toString
         case o => o
       }))
     case IsNull(a: AttributeReference) =>
-      VersionedTable.mayMatchNullness(statsOf(rel, a.name), wantNull = true)
+      VersionedTable.mayMatchNullness(
+        statsOf(snap, rel, a.name), wantNull = true)
     case IsNotNull(a: AttributeReference) =>
-      VersionedTable.mayMatchNullness(statsOf(rel, a.name), wantNull = false)
+      VersionedTable.mayMatchNullness(
+        statsOf(snap, rel, a.name), wantNull = false)
     case _ => true
+  }
+}
+
+object GraftFileIndex {
+  /** Reader feature gates (protocol-correct refusal): snapshots this
+    * scan path cannot honor fail loudly, never return wrong rows.
+    * Checked at relation creation AND on every head re-resolution of
+    * an unpinned index (an external MOR delete or rename must not
+    * slip past a cached relation). */
+  private[sources] def featureGates(root: String, v: Long,
+      st: VersionedTable.TableState): Unit = {
+    if (st.tombs.values.exists(_.nonEmpty))
+      throw new UnsupportedOperationException(
+        s"graft datasource: snapshot v$v of $root carries merge-on-read " +
+          "tombstones this scan path cannot apply — read via " +
+          "VersionedTable.read (tombstone-resolving) or compact() first")
+    if (st.colMap.nonEmpty)
+      throw new UnsupportedOperationException(
+        s"graft datasource: snapshot v$v of $root has renamed columns " +
+          "(logical names differ from parquet physical names) — read via " +
+          "VersionedTable.read, which resolves the column mapping")
   }
 }

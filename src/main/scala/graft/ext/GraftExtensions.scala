@@ -29,6 +29,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // Maintenance-DDL statement family (GRAFT HISTORY/RESTORE/VACUUM/
     // FSCK/CHECKPOINT/RENAME COLUMN/DROP COLUMN) — see [[GraftSqlParser]].
     ext.injectParser((_, delegate) => new GraftSqlParser(delegate))
+    // INSERT OVERWRITE on graft catalog tables must commit, never
+    // truncate-and-write-raw — see [[GraftDmlRewrite]].
+    ext.injectPostHocResolutionRule(GraftDmlRewrite)
   }
 }
 

@@ -1153,6 +1153,13 @@ object Training {
     // (positive exactly when the bucket is target-enriched) because
     // log is libm territory — no two engines round it identically,
     // while this form is integer-exact in DECIMAL(38,0) at any scale.
+    // The ACCUMULATION stays DECIMAL(38,0); the emitted score is cast
+    // to BIGINT (catalog contract: no DECIMAL/FLOAT final columns —
+    // DuckDB materializes DECIMAL(38,0) through pandas as float64 and
+    // the driver's exact hash diverges on representation). Envelope:
+    // |score| ≤ Σn_f · max(ct·r_tot, cr·t_tot) ≈ 4.4e7 at sf0.01 and
+    // grows ~cubically with corpus tokens — ~4.4e10 at sf0.1, still 8
+    // orders under Long.MaxValue; re-evaluate if T·R approaches 1e18.
     // Shape: one narrow explode (one (doc, bucket) shuffle), the two
     // 64-row distribution tables aggregate map-side and BROADCAST
     // back, per-doc score is one more bounded-key aggregate — no
@@ -1183,7 +1190,7 @@ object Training {
             "CAST(n_f AS DECIMAL(38,0)) * (ct * r_tot - cr * t_tot)"))
             .as("score"))
           .select(col("doc_id"), col("lang"),
-            col("score").cast("decimal(38,0)").as("score"))
+            col("score").cast("bigint").as("score"))
           .orderBy(col("score").desc, col("doc_id"))
           .limit(20)
       },
@@ -1214,7 +1221,7 @@ object Training {
              |  FROM raw LEFT JOIN tgt ON raw.b = tgt.b CROSS JOIN tot)
              |SELECT nf.doc_id, nf.lang,
              |  CAST(sum(CAST(n_f AS DECIMAL(38,0))
-             |    * (ct * r_tot - cr * t_tot)) AS DECIMAL(38,0)) AS score
+             |    * (ct * r_tot - cr * t_tot)) AS BIGINT) AS score
              |FROM nf JOIN dist ON nf.b = dist.b
              |GROUP BY nf.doc_id, nf.lang
              |ORDER BY score DESC, doc_id

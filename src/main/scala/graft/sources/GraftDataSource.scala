@@ -12,7 +12,7 @@ import org.apache.spark.sql.execution.datasources.{
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
 import org.apache.spark.sql.sources.{
   BaseRelation, CreatableRelationProvider, DataSourceRegister,
-  RelationProvider, StreamSinkProvider}
+  InsertableRelation, RelationProvider, StreamSinkProvider}
 import org.apache.spark.sql.types.{Decimal, StructType}
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -61,16 +61,23 @@ import org.apache.spark.unsafe.types.UTF8String
   *
   * Writes go through [[VersionedTable.commit]] — atomic publish,
   * CHECK-constraint enforcement, footer-stats harvesting, schema
-  * evolution validation — so `df.write.format("graft")` is a full
-  * citizen of the commit protocol, not a side door. (SQL
-  * `INSERT INTO` on a catalog table bypasses any v1 relation and
-  * writes raw files; those land OUTSIDE the manifest and are flagged
-  * by FSCK as orphans — use `df.write.format("graft")` or
-  * `VersionedTable.commit` instead.)
+  * evolution validation. Every write surface is a full citizen of the
+  * commit protocol: `df.write.format("graft")` (below), SQL
+  * `INSERT INTO` / `INSERT OVERWRITE` on a catalog table (the
+  * relation is an [[InsertableRelation]], so `DataSourceAnalysis`
+  * plans `InsertIntoDataSourceCommand` → [[GraftRelation.insert]] →
+  * `commit`, never a raw-file `InsertIntoHadoopFsRelationCommand`),
+  * and `CREATE TABLE ... USING graft AS SELECT` (CTAS routes through
+  * the `CreatableRelationProvider` overload). Inserting into a
+  * time-travel-pinned relation refuses — snapshots are immutable.
   *
-  * After new commits, catalog tables see the new snapshot once the
-  * cached relation drops (`spark.catalog.refreshTable`) — same
-  * contract as any v1 datasource table.
+  * Freshness: an UNPINNED catalog relation tracks the log head — the
+  * [[GraftFileIndex]] re-resolves the latest version on every planning
+  * call, so cached catalog relations read fresh data after external
+  * commits with no `REFRESH TABLE` dance (CatalogFreshnessSpec).
+  * `REFRESH TABLE` is only needed when the SCHEMA changed
+  * incompatibly, in which case the stale relation fails loudly rather
+  * than serve wrong columns.
   */
 class GraftDataSource extends RelationProvider
     with CreatableRelationProvider with StreamSinkProvider
@@ -139,13 +146,9 @@ class GraftDataSource extends RelationProvider
       throw new IllegalStateException(
         s"$root v$v0 has no schema metadata — commit through " +
           "VersionedTable.commit"))
-    HadoopFsRelation(
-      location = new GraftFileIndex(spark, root, v0, st, pinned.isDefined),
-      partitionSchema = new StructType(),
-      dataSchema = schema,
-      bucketSpec = None,
-      fileFormat = new ParquetFileFormat,
-      options = Map.empty)(spark)
+    new GraftRelation(
+      new GraftFileIndex(spark, root, v0, st, pinned.isDefined),
+      schema, root, pinned.isDefined)(spark)
   }
 
   override def createRelation(sqlContext: SQLContext, mode: SaveMode,
@@ -165,6 +168,43 @@ class GraftDataSource extends RelationProvider
         if (!exists) VersionedTable.commit(data, root, "append")
     }
     createRelation(sqlContext, parameters)
+  }
+}
+
+/** The relation the graft datasource serves: Spark's own parquet
+  * [[HadoopFsRelation]] (so the ENTIRE stock scan path applies —
+  * `FileSourceStrategy`, vectorized reader, whole-stage codegen,
+  * column pruning, row-group pushdown) that is ALSO an
+  * [[InsertableRelation]]. The mix-in is what keeps SQL DML inside
+  * the commit protocol: `DataSourceAnalysis` matches
+  * `InsertableRelation` BEFORE its raw-file `HadoopFsRelation` case,
+  * so `INSERT INTO t ...` / `INSERT OVERWRITE t ...` on a
+  * `USING graft` catalog table plans `InsertIntoDataSourceCommand`
+  * → [[insert]] → [[VersionedTable.commit]] — an atomic manifest
+  * commit with CHECK enforcement, schema validation, and stats
+  * harvest — instead of dropping orphan parquet files outside the
+  * manifest (the pre-round-7 footgun, then only caught by FSCK).
+  *
+  * Optimizer rules that `copy()` the relation (e.g. partition
+  * pruning) degrade it to a plain `HadoopFsRelation` — harmless: the
+  * insert path resolves against the ORIGINAL analyzed relation, and
+  * the scan behavior of the copy is identical. */
+class GraftRelation(index: GraftFileIndex, schema: StructType,
+    root: String, pinnedSnapshot: Boolean)(spark: SparkSession)
+  extends HadoopFsRelation(
+    location = index,
+    partitionSchema = new StructType(),
+    dataSchema = schema,
+    bucketSpec = None,
+    fileFormat = new ParquetFileFormat,
+    options = Map.empty)(spark) with InsertableRelation {
+
+  override def insert(data: DataFrame, overwrite: Boolean): Unit = {
+    require(!pinnedSnapshot,
+      "graft: cannot INSERT into a time-travel-pinned relation " +
+        "(versionAsOf/timestampAsOf/tagAsOf snapshots are immutable) — " +
+        "insert through an unpinned table reference")
+    VersionedTable.commit(data, root, if (overwrite) "overwrite" else "append")
   }
 }
 
@@ -250,6 +290,11 @@ class GraftFileIndex(spark: SparkSession, root: String, version: Long,
     * observability for pruning, same role as the `pruneFiles*` pairs. */
   @volatile var lastListing: Option[(Int, Int)] = None
 
+  /** For the DML rewrite rule ([[graft.ext.GraftDmlRewrite]]): the
+    * table this index serves and whether it is a time-travel pin. */
+  private[graft] def tableRoot: String = root
+  private[graft] def isPinned: Boolean = pinnedSnapshot
+
   override def rootPaths: Seq[HPath] = Seq(new HPath(root))
   override def partitionSchema: StructType = new StructType()
   override def sizeInBytes: Long = resolved()._3.map(_._2.getLen).sum
@@ -306,7 +351,11 @@ class GraftFileIndex(spark: SparkSession, root: String, version: Long,
     rangeOk && bloomOk && partOk
   }
 
-  private val bloomCache = scala.collection.mutable.Map[
+  // Concurrency: this index is shared by a cached catalog relation, so
+  // two queries can plan (and probe blooms) at the same time — TrieMap
+  // makes getOrElseUpdate lock-free-safe (worst case a duplicate load,
+  // never a corrupt map).
+  private val bloomCache = scala.collection.concurrent.TrieMap[
     String, org.apache.spark.util.sketch.BloomFilter]()
 
   private def dataTypeOf(snap: VersionedTable.TableState, col: String) =

@@ -15,6 +15,15 @@ object GraftColumnBridge {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
 
+  /** A DataFrame over an analyzed logical plan — what a command-rewrite
+    * rule needs to hand an `InsertIntoHadoopFsRelationCommand`'s
+    * already-aligned query to an ordinary writer. `Dataset.ofRows` is
+    * `private[sql]`, hence the bridge. */
+  def ofRows(spark: SparkSession,
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+      : Dataset[Row] =
+    classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
+
   /** Re-tag a batch DataFrame as a STREAMING one (isStreaming = true) —
     * what a DSv1 `Source.getBatch` must return (MicroBatchExecution
     * asserts it). `internalCreateDataFrame` is `private[sql]`, hence

@@ -61,15 +61,77 @@ class PlanShapeSpec extends SparkSpecBase {
     // q92's 3 FK edges); anything above 8 means a new query is
     // re-evaluating an unpersisted aggregate per consumer (the
     // round-7 audit class — q114 hit 10 before its fix).
-    for ((name, _) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
-      val p = plan(name)
+    for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
+      val df = fn(spark, sf)
+      val p = df.queryExecution
+        .explainString(ExplainMode.fromString("formatted"))
       assert(!p.contains("CartesianProduct"),
         s"$name plans a CartesianProduct")
       val scans = """(?m)^\(\d+\) Scan parquet""".r.findAllIn(p).size
       assert(scans <= 8,
         s"$name scans parquet $scans times — repeated-scan antipattern")
+      // Oracle-determinism contract (round-7, after q191): no entry may
+      // EMIT a DECIMAL or FLOAT column — DuckDB materializes decimals
+      // through pandas as float64 while the Spark parquet dump keeps
+      // exact decimals, so the driver's hash diverges on REPRESENTATION
+      // even when every value is bit-correct (the q191 class). Wide
+      // decimals are fine INTERNALLY; the final select must land on
+      // integer/long/string/date/bool. DOUBLE outputs are grandfathered
+      // for the frozen pairs below (parquet float64 round-trips
+      // identically through both engines and the driver's float compare
+      // tolerates them — 6 rounds green); NEW entries must not add to
+      // this list: emit BIGINT or integer-scaled values instead.
+      import org.apache.spark.sql.types.{DecimalType, DoubleType, FloatType}
+      val hard = df.schema.fields.collect {
+        case f if f.dataType == FloatType ||
+          f.dataType.isInstanceOf[DecimalType] => s"${f.name}: ${f.dataType}"
+      }
+      assert(hard.isEmpty,
+        s"$name emits non-hash-stable column(s) ${hard.mkString(", ")} — " +
+          "cast to BIGINT (or scale to integer micros) before the final select")
+      val doubles = df.schema.fields.collect {
+        case f if f.dataType == DoubleType => f.name }.toSet
+      val extra = doubles -- grandfatheredDoubles.getOrElse(name, Set.empty)
+      assert(extra.isEmpty,
+        s"$name emits new DOUBLE column(s) ${extra.mkString(", ")} — " +
+          "the catalog contract for new entries is integer/bigint/string " +
+          "output (scale to micros); the grandfathered list is frozen")
     }
   }
+
+  /** The 30 pre-round-7 entries whose DOUBLE outputs have hash-matched
+    * the DuckDB oracle since they landed — frozen, not extensible. */
+  private val grandfatheredDoubles: Map[String, Set[String]] = Map(
+    "q01_scan_filter_project" -> Set("o_totalprice"),
+    "q05_group_agg" -> Set("sum_qty", "avg_price", "revenue"),
+    "q06_having_topk" -> Set("avg_qty"),
+    "q07_join_broadcast" -> Set("total_spend"),
+    "q09_serving_top_parts" -> Set("avg_qty"),
+    "q10_orderby_limit" -> Set("o_totalprice"),
+    "q121_etl_top_books_title" -> Set("Average-Rating"),
+    "q123_ann_ivf_multiprobe" -> Set("cos"),
+    "q134_sliding_window" -> Set("sum_value"),
+    "q15_cube" -> Set("total_price"),
+    "q16_window_topk_per_group" -> Set("p_retailprice"),
+    "q17_window_running_sum" -> Set("running_spend"),
+    "q208_random_projection" -> Set("cos"),
+    "q219_ann_incremental" -> Set("cos"),
+    "q21_date_fns" -> Set("total_price"),
+    "q23_json_extract" -> Set("avg_k"),
+    "q24_time_bucket" -> Set("sum_value"),
+    "q28_minhash_lsh" -> Set("jaccard"),
+    "q30_ngram_jaccard" -> Set("word_jaccard", "shingle_jaccard"),
+    "q31_embedding_neardup" -> Set("cos"),
+    "q32_ann_bruteforce" -> Set("cos"),
+    "q33_ann_lsh" -> Set("cos"),
+    "q35_quality_score" -> Set("stop_ratio", "distinct_ratio", "len_score"),
+    "q36_token_stats" -> Set("avg_ws_tokens"),
+    "q39_etl_top100_books" -> Set("Average-Rating"),
+    "q44_etl_top_authors" -> Set("Average-Rating"),
+    "q49_similarity_join_exact" -> Set("jaccard"),
+    "q53_grouping_sets" -> Set("total_price"),
+    "q59_ann_ivf" -> Set("cos"),
+    "q73_ann_quantized" -> Set("cos_exact", "cos_q"))
 
   test("ETL plans prune unused derived columns (image URLs, Age)") {
     // buildRaw synthesizes 3 image-URL concats and Age; queries that

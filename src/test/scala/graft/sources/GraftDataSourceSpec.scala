@@ -169,6 +169,73 @@ class GraftDataSourceSpec extends SparkSpecBase {
     assert(err.getMessage.contains("k_pos"))
   }
 
+  test("INSERT INTO a catalog table lands as an atomic manifest commit") {
+    val root = tmp()
+    VersionedTable.commit(Seq((1L, "a")).toDF("k", "s"), root)
+    spark.sql("DROP TABLE IF EXISTS g_ins_spec")
+    spark.sql(s"CREATE TABLE g_ins_spec USING graft OPTIONS (path '$root')")
+    try {
+      spark.sql("INSERT INTO g_ins_spec VALUES (2, 'b'), (3, 'c')")
+      // one new version in the log, zero orphan files — the round-6
+      // footgun (raw files outside the manifest) is structurally gone
+      assert(VersionedTable.latestVersion(root) === 1)
+      val rep = VersionedTable.fsck(root)
+      assert(rep.ok && rep.orphanDirs.isEmpty, s"fsck after INSERT: $rep")
+      assert(spark.table("g_ins_spec").count() === 3) // fresh, no REFRESH
+      spark.sql("INSERT OVERWRITE g_ins_spec VALUES (9, 'z')")
+      assert(spark.table("g_ins_spec").count() === 1)
+      // overwrite is a commit: history intact, old snapshot readable
+      assert(spark.read.format("graft").option("versionAsOf", 1)
+        .load(root).count() === 3)
+      assert(VersionedTable.fsck(root).orphanDirs.isEmpty)
+    } finally spark.sql("DROP TABLE IF EXISTS g_ins_spec")
+  }
+
+  test("INSERT INTO enforces CHECK constraints and pinned tables refuse") {
+    val root = tmp()
+    VersionedTable.commit(Seq(5L).toDF("k"), root)
+    VersionedTable.addCheck(spark, root, "k_pos", "k > 0")
+    spark.sql("DROP TABLE IF EXISTS g_chk_spec")
+    spark.sql("DROP TABLE IF EXISTS g_pin_spec")
+    spark.sql(s"CREATE TABLE g_chk_spec USING graft OPTIONS (path '$root')")
+    spark.sql(s"CREATE TABLE g_pin_spec USING graft " +
+      s"OPTIONS (path '$root', versionAsOf '0')")
+    try {
+      val vBefore = VersionedTable.latestVersion(root) // addCheck commits
+      val err = intercept[Exception] {
+        spark.sql("INSERT INTO g_chk_spec VALUES (-1)")
+      }
+      assert(err.getMessage.contains("k_pos"), s"got: ${err.getMessage}")
+      assert(VersionedTable.latestVersion(root) === vBefore,
+        "failed insert committed")
+      val pin = intercept[Exception] {
+        spark.sql("INSERT INTO g_pin_spec VALUES (7)")
+      }
+      assert(pin.getMessage.contains("pinned"), s"got: ${pin.getMessage}")
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS g_chk_spec")
+      spark.sql("DROP TABLE IF EXISTS g_pin_spec")
+    }
+  }
+
+  test("CTAS: CREATE TABLE ... USING graft AS SELECT commits v0") {
+    spark.sql("DROP TABLE IF EXISTS g_ctas_spec")
+    spark.sql("CREATE TABLE g_ctas_spec USING graft AS " +
+      "SELECT id AS k, id * 2 AS v FROM range(10)")
+    try {
+      val loc = spark.sessionState.catalog.getTableMetadata(
+        org.apache.spark.sql.catalyst.TableIdentifier("g_ctas_spec"))
+        .location.getPath
+      assert(VersionedTable.latestVersion(loc) === 0, "CTAS must commit v0")
+      assert(VersionedTable.fsck(loc).ok)
+      assert(spark.table("g_ctas_spec").count() === 10)
+      // and the created table takes protocol-routed DML like any other
+      spark.sql("INSERT INTO g_ctas_spec SELECT 100, 200")
+      assert(VersionedTable.latestVersion(loc) === 1)
+      assert(spark.table("g_ctas_spec").count() === 11)
+    } finally spark.sql("DROP TABLE IF EXISTS g_ctas_spec")
+  }
+
   test("reader feature gates: MOR tombstones and renamed columns refuse") {
     val morRoot = tmp()
     VersionedTable.commit(Seq((1L, "a"), (2L, "b")).toDF("k", "s"), morRoot)

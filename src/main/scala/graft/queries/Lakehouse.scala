@@ -1107,6 +1107,101 @@ object Lakehouse {
              |  GROUP BY o_orderstatus)
              |SELECT d.o_orderstatus, d.delta_n, n.n_now
              |FROM deltas d JOIN now n ON d.o_orderstatus = n.o_orderstatus
-             |ORDER BY d.o_orderstatus""".stripMargin))
+             |ORDER BY d.o_orderstatus""".stripMargin)),
+
+    // MERGE-ON-READ UPDATE (q133's scale sibling): same range-
+    // clustered layout, but the point update commits a TOMBSTONE for
+    // the old images plus an APPEND of the new ones in ONE manifest —
+    // rewriting NO existing data file (MorUpdateSpec asserts the file
+    // set is old ∪ {one new}), so write amplification tracks the
+    // UPDATED ROWS, not the files that hold them: the deletion-vector
+    // + re-append composition that keeps GDPR-style point updates
+    // viable at 100 TB, where q133's copy-on-write rewrites a whole
+    // file to touch one row. Reads resolve tombstones transparently;
+    // the pre-update snapshot stays readable (both aggregated here,
+    // like q128). The oracle is the layout-free CASE projection — the
+    // MOR mechanics must be invisible in the answer.
+    QueryDef(
+      "q230_mor_update",
+      (s, d) => {
+        val root = Files.createTempDirectory("graft_morupd_").toString
+        val src = orders(s, d).select(col("o_orderkey"), col("o_custkey"),
+          col("o_orderstatus"))
+        VersionedTable.commit(
+          src.repartitionByRange(8, col("o_orderkey")), root)          // v0
+        VersionedTable.updateKeysMOR(s, root, "o_orderkey",
+          src.filter(col("o_orderkey").between(200L, 260L))
+            .withColumn("o_orderstatus", lit("U"))
+            .withColumn("o_custkey", col("o_custkey") + 1000000L))     // v1
+        def agg(df: org.apache.spark.sql.DataFrame, tag: String) =
+          df.groupBy(col("o_orderstatus"))
+            .agg(count(lit(1)).as("n_orders"),
+              sum(col("o_orderkey")).as("sum_key"),
+              sum(col("o_custkey")).as("sum_cust"))
+            .withColumn("snapshot", lit(tag))
+        agg(VersionedTable.read(s, root), "after_update")
+          .unionByName(agg(VersionedTable.read(s, root, Some(0L)), "v0"))
+          .orderBy(col("snapshot"), col("o_orderstatus"))
+      },
+      Some("""WITH t AS (
+             |  SELECT o_orderkey,
+             |    CASE WHEN o_orderkey BETWEEN 200 AND 260
+             |         THEN 'U' ELSE o_orderstatus END AS o_orderstatus,
+             |    CASE WHEN o_orderkey BETWEEN 200 AND 260
+             |         THEN o_custkey + 1000000 ELSE o_custkey END
+             |      AS o_custkey
+             |  FROM orders)
+             |SELECT o_orderstatus, count(*) AS n_orders,
+             |  CAST(sum(o_orderkey) AS BIGINT) AS sum_key,
+             |  CAST(sum(o_custkey) AS BIGINT) AS sum_cust,
+             |  'after_update' AS snapshot
+             |FROM t GROUP BY o_orderstatus
+             |UNION ALL
+             |SELECT o_orderstatus, count(*) AS n_orders,
+             |  CAST(sum(o_orderkey) AS BIGINT) AS sum_key,
+             |  CAST(sum(o_custkey) AS BIGINT) AS sum_cust,
+             |  'v0' AS snapshot
+             |FROM orders GROUP BY o_orderstatus
+             |ORDER BY snapshot, o_orderstatus""".stripMargin)),
+
+    // CDC CLASSIFICATION of a merge-on-read update: the SAME commit
+    // carries the tombstone (deletes) and the new images (inserts), so
+    // a keyed change feed must pair them into update_preimage /
+    // update_postimage — the row set an incremental MV or replication
+    // target consumes (subtract pre, add post). The feed reads ONLY
+    // the stats-targeted old files semi-joined to the broadcast
+    // sidecar plus the one new file — cost tracks the update, not the
+    // table. The oracle restates both images from the raw rows in the
+    // updated key range; the postimage sum pins that consumers see the
+    // NEW values, not a second copy of the old ones.
+    QueryDef(
+      "q231_mor_update_cdc",
+      (s, d) => {
+        val root = Files.createTempDirectory("graft_morcdc_").toString
+        val src = orders(s, d).select(col("o_orderkey"), col("o_custkey"),
+          col("o_orderstatus"))
+        VersionedTable.commit(
+          src.repartitionByRange(8, col("o_orderkey")), root)          // v0
+        val v1 = VersionedTable.updateKeysMOR(s, root, "o_orderkey",
+          src.filter(col("o_orderkey").between(200L, 260L))
+            .withColumn("o_custkey", col("o_custkey") + 1000000L))
+        VersionedTable.changesKeyed(s, root, 0L, v1, "o_orderkey")
+          .groupBy(col("_change"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("o_custkey")).as("sum_cust"))
+          .orderBy(col("_change"))
+      },
+      Some("""WITH r AS (
+             |  SELECT o_custkey FROM orders
+             |  WHERE o_orderkey BETWEEN 200 AND 260)
+             |SELECT 'update_postimage' AS _change, count(*) AS n,
+             |  CAST(sum(o_custkey) + 1000000 * count(*) AS BIGINT)
+             |    AS sum_cust
+             |FROM r
+             |UNION ALL
+             |SELECT 'update_preimage' AS _change, count(*) AS n,
+             |  CAST(sum(o_custkey) AS BIGINT) AS sum_cust
+             |FROM r
+             |ORDER BY _change""".stripMargin))
   )
 }

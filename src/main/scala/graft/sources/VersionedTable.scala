@@ -457,6 +457,22 @@ object VersionedTable {
           tombs = m.tombApplies.filter(live).foldLeft(st.tombs) { (t, f) =>
             t.updated(f, t.getOrElse(f, Vector.empty) ++ sidecars) },
           tombKey = st.tombKey ++ m.tombFiles)
+      case "update-mor" =>
+        // MOR UPDATE ([[updateKeysMOR]]) = delete-mor's tombstone
+        // attach PLUS append's file extend, in one fold step. The
+        // tombstone applies only to files named in tombapply= (all
+        // pre-existing) — the manifest's own new files carry the
+        // replacement images and are never tombstoned by it.
+        val live = st.files.toSet
+        val sidecars = m.tombFiles.map(_._1).toVector
+        st.copy(
+          files = st.files ++ m.files,
+          stats = st.stats ++ manifestStats(m),
+          schemaJson = m.schemaJson,
+          tombs = m.tombApplies.filter(live).foldLeft(st.tombs) { (t, f) =>
+            t.updated(f, t.getOrElse(f, Vector.empty) ++ sidecars) },
+          tombKey = st.tombKey ++ m.tombFiles,
+          sizes = st.sizes ++ m.fsizes)
       case other => throw new IllegalStateException(
         s"unknown action '$other' in manifest v${m.version}")
     }
@@ -2086,6 +2102,114 @@ object VersionedTable {
         .mkString("", "\n", "\n"))
   }
 
+  /** UPDATE the table, MERGE-ON-READ: replace the rows whose `keyCol`
+    * matches a row of `newImages` (full replacement rows in the
+    * table's schema) by committing, in ONE atomic manifest, a
+    * tombstone sidecar for the old images plus an append of the new
+    * ones — rewriting NO existing data file. This is the
+    * deletion-vector + re-append composition: write amplification is
+    * proportional to the UPDATED ROWS, not to the files that hold
+    * them, which is what makes GDPR-style point updates viable at
+    * 100 TB (a copy-on-write [[updateRanges]] rewrites a whole file to
+    * touch one row). [[compact]] / REORG PURGE fold the tombstones
+    * away later, off the update's latency path.
+    *
+    * Semantics: SQL `UPDATE` for keys that exist; keys present in
+    * `newImages` but in no data file simply append (upsert) — callers
+    * wanting strict UPDATE pre-filter against the table. Batch
+    * contract: point/small updates, one image per non-null key (the
+    * sidecar broadcasts at read time, like [[deleteKeysMOR]]'s).
+    * Conflict posture: rebases over interleaved appends and disjoint
+    * rewrites, but REFUSES to rebase over another row-edit that
+    * touched an applied file — unlike delete∘delete, update∘delete on
+    * the same key does not commute (composing would resurrect the
+    * deleted row), so the caller must re-read and retry.
+    * Empty batch = metadata-only no-op (returns the basis version). */
+  def updateKeysMOR(spark: SparkSession, root: String, keyCol: String,
+      newImages: DataFrame): Long = {
+    import org.apache.spark.sql.functions.{col, max => fmax, min => fmin}
+    val basis = latestVersion(root)
+    require(basis >= 0, s"$root is not a versioned table (empty log)")
+    val st = state(root, basis)
+    val tableCols = schemaOf(st).map(_.fieldNames.toSeq).getOrElse(
+      readFilesWithSchema(spark, root, None, st.files.take(1))
+        .columns.toSeq)
+    require(newImages.columns.toSet == tableCols.toSet,
+      s"newImages schema must match table: ${tableCols.mkString(",")} " +
+        s"(got ${newImages.columns.mkString(",")})")
+    require(tableCols.contains(keyCol),
+      s"key column '$keyCol' is not a table column")
+    val n = newImages.count()
+    if (n == 0) return basis
+    val physKey = physicalName(st, keyCol)
+    val distinctKeys = newImages.select(col(keyCol).as(physKey))
+      .where(col(physKey).isNotNull).distinct()
+    require(distinctKeys.count() == n,
+      "updateKeysMOR needs exactly one image per non-null key " +
+        "(NULL keys have no row identity; duplicate keys have no " +
+        "well-defined final image — pre-dedup the batch)")
+    // Same stats-first file targeting as [[deleteKeysMOR]]: the
+    // tombstone must list every file that might hold an updated key
+    // (soundness: stat-less files listed conservatively); up to
+    // `precise` keys check individually against each file's [min,max]
+    // so far-apart point updates tombstone only their own files.
+    val precise = 10000
+    val sample = distinctKeys.limit(precise + 1).collect().map(_.get(0))
+    val applies =
+      if (sample.length <= precise)
+        st.files.filter { f =>
+          val cs = st.stats.getOrElse(f, Map.empty).get(physKey)
+          sample.exists(k => mayMatch(cs, Some(k), Some(k)))
+        }
+      else {
+        val bounds = distinctKeys.agg(
+          fmin(col(physKey)).as("lo"), fmax(col(physKey)).as("hi")).head()
+        st.files.filter(f =>
+          mayMatch(st.stats.getOrElse(f, Map.empty).get(physKey),
+            Some(bounds.get(0)), Some(bounds.get(1))))
+      }
+    val nonce = java.util.UUID.randomUUID().toString.take(8)
+    // tombstone sidecar (old images' keys) — skipped entirely when no
+    // file can hold an updated key (the batch is pure inserts)
+    val tombLines =
+      if (applies.isEmpty) Seq.empty[String]
+      else {
+        val tombRel = s"data/tomb-v${basis + 1}-$nonce"
+        distinctKeys.coalesce(1)
+          .write.mode("errorifexists").parquet(Paths.get(root, tombRel).toString)
+        val sidecars = listDir(Paths.get(root, tombRel))
+          .map(_.getFileName.toString)
+          .filter(nm => nm.endsWith(".parquet") && !nm.startsWith("."))
+          .sorted.map(nm => s"$tombRel/$nm")
+        sidecars.map(sc => s"tombfile=${enc(sc)}|${enc(physKey)}") ++
+          applies.map(f => s"tombapply=${enc(f)}")
+      }
+    // new images append as ordinary data files (physical names, footer
+    // stats, recorded sizes); one file — the batch is point-sized by
+    // contract and the old images' files stay untouched
+    val dataRel = s"data/v${basis + 1}-$nonce"
+    toPhysical(st, newImages.select(tableCols.map(col): _*))
+      .coalesce(1)
+      .write.mode("errorifexists").parquet(Paths.get(root, dataRel).toString)
+    val files = listDir(Paths.get(root, dataRel))
+      .map(_.getFileName.toString)
+      .filter(nm => nm.endsWith(".parquet") && !nm.startsWith("."))
+      .sorted.map(nm => s"$dataRel/$nm")
+    val statLines = files.flatMap { f =>
+      statsLines(f, footerStats(spark, Paths.get(root, f)))
+    }
+    publishRebasing(root, basis, applies.toSet, st.schemaJson,
+      allowTombstoneOverlap = false,
+      mkBody = next => (Seq(s"version=$next", "action=update-mor") ++
+        st.schemaJson.map(j => s"schema=${enc(j)}").toSeq ++
+        tombLines ++
+        files.map(f => s"file=$f") ++
+        files.map(f =>
+          s"fsize=${enc(f)}|${Files.size(Paths.get(root, f))}") ++
+        statLines)
+        .mkString("", "\n", "\n"))
+  }
+
   /** UPDATE the table, copy-on-write: for rows matching the
     * CONJUNCTION of inclusive `ranges` (NULL in a ranged column never
     * matches — SQL UPDATE semantics), replace each column in `set`
@@ -2227,6 +2351,13 @@ object VersionedTable {
       case "delete-mor" =>
         m.tombApplies.find(touched)
           .map(f => s"v${m.version} tombstoned $f, which this edit read")
+      // update-mor never gets the overlap waiver even from tombstone
+      // writers: delete∘delete commutes, but anything∘update on the
+      // same file may not (the update's appended images carry rows the
+      // other edit reasoned about) — conservative, always checked.
+      case "update-mor" =>
+        m.tombApplies.find(touched)
+          .map(f => s"v${m.version} updated rows of $f, which this edit read")
       case other => Some(s"v${m.version} has unknown action '$other'")
     }
   }
@@ -2662,6 +2793,35 @@ object VersionedTable {
               .select(order.map(col): _*)
           }.reduce(_ unionByName _)
             .withColumn("_change", lit("delete"))
+        case "update-mor" =>
+          // deletes: affected-file rows (as visible at v-1) whose key
+          // is in the new sidecars — exactly the delete-mor route;
+          // inserts: the manifest's own appended image files. A keyed
+          // consumer ([[changesKeyed]]) pairs them into
+          // update_preimage/update_postimage.
+          val prev = aligned(state(root, v - 1))
+          val affectedFiles = m.tombApplies.filter(prev.files.toSet)
+          val stV = aligned(state(root, v))
+          val inserts = aliasToLogical(stV, readFilesWithSchema(spark, root,
+            physicalSchemaOf(stV), m.files))
+            .withColumn("_change", lit("insert"))
+          if (m.tombFiles.isEmpty || affectedFiles.isEmpty) inserts
+          else {
+            val affected = readResolved(spark, root, prev, affectedFiles)
+            val order = affected.columns.toSeq
+            m.tombFiles.map { case (sc, keyCol) =>
+              val logicalKey = prev.colMap.find(_._2 == keyCol)
+                .map(_._1).getOrElse(keyCol)
+              affected.join(
+                broadcast(spark.read
+                  .parquet(dataPath(root, sc).toString)
+                  .select(col(keyCol).as(logicalKey)).distinct()),
+                Seq(logicalKey), "left_semi")
+                .select(order.map(col): _*)
+            }.reduce(_ unionByName _)
+              .withColumn("_change", lit("delete"))
+              .unionByName(inserts)
+          }
         case _ => // overwrite / replace: general snapshot diff
           diffAs(spark, root, v - 1, v, stTo)
       }

@@ -225,6 +225,42 @@ object VersionedTable {
 
   private def logDir(root: String): Path = Paths.get(root, "_graft_log")
 
+  // ---------------------------------------------------------------------
+  // Log-storage seam ([[LogStore]]): every read/list/publish/delete of a
+  // LOG artifact (manifest, checkpoint, ref) goes through the store
+  // registered for the table's root — the hook that makes the commit
+  // protocol portable to object stores (conditional PUT instead of
+  // link(2)). Data-file I/O stays on Spark's Hadoop FileSystem layer by
+  // design; see the LogStore scaladoc for the scope argument.
+  // Registration is per root PREFIX so concurrently running tables (and
+  // test suites) can use different stores without global state races.
+  // ---------------------------------------------------------------------
+
+  private val logStores =
+    new java.util.concurrent.ConcurrentHashMap[String, LogStore]()
+
+  /** Use `store` for every table whose root starts with `rootPrefix`
+    * (longest registered prefix wins; unregistered roots use
+    * [[PosixLogStore]]). */
+  def registerLogStore(rootPrefix: String, store: LogStore): Unit =
+    logStores.put(rootPrefix, store)
+
+  def unregisterLogStore(rootPrefix: String): Unit =
+    logStores.remove(rootPrefix)
+
+  private def logIO(root: String): LogStore =
+    if (logStores.isEmpty) PosixLogStore
+    else {
+      var best: String = null
+      val it = logStores.keys()
+      while (it.hasMoreElements) {
+        val k = it.nextElement()
+        if (root.startsWith(k) && (best == null || k.length > best.length))
+          best = k
+      }
+      if (best == null) PosixLogStore else logStores.get(best)
+    }
+
   /** Resolve a log-recorded data-file/sidecar reference to a
     * filesystem path. Plain entries are root-relative; `ext:`-prefixed
     * entries (written by [[cloneShallow]]) are absolute references
@@ -242,14 +278,14 @@ object VersionedTable {
     * manifest's `parent=`; [[fsck]] re-derives and compares). */
   private def manifestHash(root: String, v: Long): String = {
     val md = java.security.MessageDigest.getInstance("SHA-256")
-    md.digest(Files.readAllBytes(manifestPath(root, v)))
+    md.digest(logIO(root).readBytes(manifestPath(root, v)))
       .map(b => f"$b%02x").mkString
   }
 
   /** The `parent=` line of manifest `v`, if present (manifests written
     * before the chain existed have none — fsck skips those links). */
   private def parentOf(root: String, v: Long): Option[String] =
-    Files.readAllLines(manifestPath(root, v)).asScala
+    logIO(root).readLines(manifestPath(root, v))
       .collectFirst { case l if l.startsWith("parent=") => l.drop(7) }
 
   /** The directory DIRECTLY under `data/` that owns log-recorded file
@@ -277,15 +313,11 @@ object VersionedTable {
     * The name match is `\d{5,}`: %05d is a MINIMUM width, so version
     * 100000 writes six digits — a 5-exact match would make it
     * invisible and brick the table at the 100k-th commit. */
-  def versions(root: String): Seq[Long] = {
-    val dir = logDir(root)
-    if (!Files.isDirectory(dir)) Seq.empty
-    else listDir(dir)
-      .map(_.getFileName.toString)
+  def versions(root: String): Seq[Long] =
+    logIO(root).listDir(logDir(root))
       .collect { case n if n.matches("v\\d{5,}\\.txt") =>
         n.stripPrefix("v").stripSuffix(".txt").toLong }
       .sorted
-  }
 
   /** Latest committed version, or -1 for an empty table. */
   def latestVersion(root: String): Long =
@@ -305,7 +337,7 @@ object VersionedTable {
       fsizes: Seq[(String, Long)])     // (file, bytes) — Delta AddFile.size
 
   private def readManifest(root: String, v: Long): Manifest = {
-    val lines = Files.readAllLines(manifestPath(root, v)).asScala.toSeq
+    val lines = logIO(root).readLines(manifestPath(root, v))
     def field(k: String): Seq[String] =
       lines.filter(_.startsWith(s"$k=")).map(_.drop(k.length + 1))
     Manifest(field("version").head.toLong, field("action").head,
@@ -600,15 +632,11 @@ object VersionedTable {
 
   /** Versions that have a checkpoint, ascending. Width note mirrors
     * [[versions]]: %05d is a minimum width. */
-  def checkpointVersions(root: String): Seq[Long] = {
-    val dir = logDir(root)
-    if (!Files.isDirectory(dir)) Seq.empty
-    else listDir(dir)
-      .map(_.getFileName.toString)
+  def checkpointVersions(root: String): Seq[Long] =
+    logIO(root).listDir(logDir(root))
       .collect { case n if n.matches("ckpt-v\\d{5,}\\.txt") =>
         n.stripPrefix("ckpt-v").stripSuffix(".txt").toLong }
       .sorted
-  }
 
   /** Serialize the folded state at `v` as a checkpoint file. Public so
     * operators can force one (e.g. after a bulk backfill); normally
@@ -663,12 +691,11 @@ object VersionedTable {
           .sortBy(_._1).map { case (f, (t, pv)) =>
             s"part=${enc(f)}|${enc(t)}|${enc(pv)}" })
         .mkString("", "\n", "\n")
-    val tmp = Files.createTempFile(logDir(root), s".tmpckpt-v$v-", "")
-    Files.write(tmp, body.getBytes("UTF-8"))
-    try Files.createLink(checkpointPath(root, v), tmp)
+    try logIO(root).putIfAbsent(checkpointPath(root, v),
+      body.getBytes("UTF-8"))
     catch { // another writer already checkpointed v — same content, fine
       case _: java.nio.file.FileAlreadyExistsException => ()
-    } finally Files.deleteIfExists(tmp)
+    }
     v
   }
 
@@ -676,14 +703,14 @@ object VersionedTable {
     * streaming batch id committed at or below `cv`. See [[checkpoint]]
     * and [[streamingSink]]. */
   private def checkpointBatchTag(root: String, cv: Long): Option[Long] =
-    Files.readAllLines(checkpointPath(root, cv)).asScala
+    logIO(root).readLines(checkpointPath(root, cv))
       .collectFirst { case l if l.startsWith("batchtag=") =>
         l.stripPrefix("batchtag=").toLong }
 
   private def latestCheckpointAtOrBefore(root: String, v: Long)
       : Option[(Long, TableState)] =
     checkpointVersions(root).filter(_ <= v).lastOption.map { cv =>
-      val lines = Files.readAllLines(checkpointPath(root, cv)).asScala.toSeq
+      val lines = logIO(root).readLines(checkpointPath(root, cv))
       def field(k: String): Seq[String] =
         lines.filter(_.startsWith(s"$k=")).map(_.drop(k.length + 1))
       val files = field("file").toVector
@@ -751,6 +778,16 @@ object VersionedTable {
     require(orphaned.isEmpty,
       s"truncateLog would orphan tag(s) ${orphaned.keys.mkString(", ")} " +
         s"(below checkpoint v$cv) — dropTag first")
+    // same for a live branch whose BASE is below the horizon:
+    // publishBranch needs state(root, baseV) and the manifests in
+    // (baseV, head] for its conflict basis, so truncating under it
+    // would permanently break publishing that branch (vacuum already
+    // pins branch bases exactly like tags) — publish or drop it first
+    val brokenBranches = branches(root).filter(_._2._1 < cv)
+    require(brokenBranches.isEmpty,
+      "truncateLog would break live branch(es) " +
+        s"${brokenBranches.keys.mkString(", ")} (base below checkpoint " +
+        s"v$cv) — publishBranch or dropBranch first")
     val doomed = versions(root).filter(_ < cv)
     // Order matters for crash/concurrent-reader safety: older
     // checkpoints FIRST, manifests second. An older checkpoint whose
@@ -760,8 +797,8 @@ object VersionedTable {
     // still intact), and a crash between the two loops leaves the
     // truncated-time-travel guard in state() able to fire.
     checkpointVersions(root).filter(_ < cv)
-      .foreach(v => Files.deleteIfExists(checkpointPath(root, v)))
-    doomed.foreach(v => Files.deleteIfExists(manifestPath(root, v)))
+      .foreach(v => logIO(root).delete(checkpointPath(root, v)))
+    doomed.foreach(v => logIO(root).delete(manifestPath(root, v)))
     doomed.size
   }
 
@@ -979,7 +1016,7 @@ object VersionedTable {
         st.checks.toSeq.sortBy(_._1).map { case (n, e) =>
           s"check=${enc(n)}|${enc(e)}" })
         .mkString("", "\n", "\n")
-    Files.createDirectories(logDir(dstRoot))
+    logIO(dstRoot).mkdirs(logDir(dstRoot))
     publish(dstRoot, 0, body)
     0L
   }
@@ -1155,9 +1192,9 @@ object VersionedTable {
     * before timestamp stamping fall back to the manifest file's mtime
     * (the Delta fallback for the same gap). */
   def commitTimestamp(root: String, v: Long): Long = {
-    val lines = Files.readAllLines(manifestPath(root, v)).asScala
+    val lines = logIO(root).readLines(manifestPath(root, v))
     lines.collectFirst { case l if l.startsWith("ts=") => l.drop(3).toLong }
-      .getOrElse(Files.getLastModifiedTime(manifestPath(root, v)).toMillis)
+      .getOrElse(logIO(root).mtimeMs(manifestPath(root, v)))
   }
 
   /** The version a `TIMESTAMP AS OF tsMillis` read resolves to: the
@@ -1788,7 +1825,7 @@ object VersionedTable {
       partitionBy: Option[PartitionTransform] = None): Long = {
     require(mode == "append" || mode == "overwrite",
       s"mode must be append|overwrite, got $mode")
-    Files.createDirectories(logDir(root))
+    logIO(root).mkdirs(logDir(root))
     val next = expected.getOrElse(latestVersion(root) + 1)
     // an expected version past latest+1 would punch a GAP in the log —
     // snapshots replay a contiguous prefix, so a gap makes every later
@@ -1796,7 +1833,7 @@ object VersionedTable {
     require(next <= latestVersion(root) + 1,
       s"expected version $next would leave a log gap " +
         s"(latest is ${latestVersion(root)})")
-    if (Files.exists(manifestPath(root, next)))
+    if (logIO(root).exists(manifestPath(root, next)))
       throw new ConcurrentCommitException(next)
     // Schema tracking + evolution policy (the Delta-shaped contract):
     // an APPEND may ADD columns but must keep every existing column at
@@ -1974,13 +2011,12 @@ object VersionedTable {
     // for history, not an anchor for the tip.
     val parent = if (next == 0) "genesis" else manifestHash(root, next - 1)
     val stamped = s"ts=${System.currentTimeMillis}\nparent=$parent\n" + body
-    val tmp = Files.createTempFile(logDir(root), s".tmp-v$next-", "")
-    Files.write(tmp, stamped.getBytes("UTF-8"))
-    try Files.createLink(manifestPath(root, next), tmp)
+    try logIO(root).putIfAbsent(manifestPath(root, next),
+      stamped.getBytes("UTF-8"))
     catch {
       case _: java.nio.file.FileAlreadyExistsException =>
         throw new ConcurrentCommitException(next)
-    } finally Files.deleteIfExists(tmp)
+    }
     // Auto-checkpoint on the interval boundary. AFTER the commit is
     // durable, and best-effort: a checkpoint is derived data — failing
     // to write one must never fail the commit that already happened.
@@ -3052,25 +3088,21 @@ object VersionedTable {
     val v = version.getOrElse(latest)
     require(v >= 0 && v <= latest, s"version $v out of range [0, $latest]")
     state(root, v) // resolvability check: throws on truncated history
-    Files.createDirectories(refsDir(root))
-    val tmp = Files.createTempFile(refsDir(root), s".tmpref-", "")
-    Files.write(tmp, s"version=$v\n".getBytes("UTF-8"))
-    try Files.createLink(refPath(root, name), tmp)
+    logIO(root).mkdirs(refsDir(root))
+    try logIO(root).putIfAbsent(refPath(root, name),
+      s"version=$v\n".getBytes("UTF-8"))
     catch {
       case _: java.nio.file.FileAlreadyExistsException =>
         throw new IllegalStateException(
           s"tag '$name' already exists (at v${versionOfTag(root, name)}) " +
             "— tags are immutable; dropTag first")
-    } finally Files.deleteIfExists(tmp)
+    }
     v
   }
 
   /** All tags of the table: name -> pinned version. */
   def tags(root: String): Map[String, Long] = {
-    val dir = refsDir(root)
-    if (!Files.isDirectory(dir)) Map.empty
-    else listDir(dir)
-      .map(_.getFileName.toString)
+    logIO(root).listDir(refsDir(root))
       .collect { case n if n.endsWith(".ref") && !n.startsWith(".") =>
         val name = n.stripSuffix(".ref")
         name -> versionOfTag(root, name)
@@ -3080,8 +3112,8 @@ object VersionedTable {
   /** The version tag `name` pins. */
   def versionOfTag(root: String, name: String): Long = {
     val p = refPath(root, name)
-    require(Files.exists(p), s"no tag '$name' in $root")
-    Files.readAllLines(p).asScala
+    require(logIO(root).exists(p), s"no tag '$name' in $root")
+    logIO(root).readLines(p)
       .collectFirst { case l if l.startsWith("version=") =>
         l.stripPrefix("version=").toLong }
       .getOrElse(throw new IllegalStateException(
@@ -3092,8 +3124,8 @@ object VersionedTable {
     * (vacuum/truncateLog) catches up with it like any other version. */
   def dropTag(root: String, name: String): Unit = {
     val p = refPath(root, name)
-    require(Files.exists(p), s"no tag '$name' in $root")
-    Files.delete(p)
+    require(logIO(root).exists(p), s"no tag '$name' in $root")
+    logIO(root).delete(p)
   }
 
   /** Snapshot read by tag — `read` at the pinned version. */
@@ -3183,7 +3215,7 @@ object VersionedTable {
   private def branchBase(root: String, name: String): (String, Long) = {
     val bp = branchRoot(root, name)
     require(latestVersion(bp) >= 0, s"no branch '$name' in $root")
-    Files.readAllLines(manifestPath(bp, 0L)).asScala
+    logIO(bp).readLines(manifestPath(bp, 0L))
       .collectFirst { case l if l.startsWith("clonesrc=") =>
         l.stripPrefix("clonesrc=").split("\\|", -1) match {
           case Array(src, v) => (dec(src), v.toLong)
@@ -3282,6 +3314,15 @@ object VersionedTable {
       val segs = f.split("/", 3) // data/<dir>/<rest>
       s"data/${moved(segs(1))}/${segs(2)}"
     }
+    // The dir restore below must run ONLY while the squash commit is
+    // not yet durable: once publishRebasing returns, main's manifest
+    // references the moved data/br-* dirs, and moving them back (e.g.
+    // because the best-effort dropBranch cleanup then threw) would
+    // leave main's CURRENT snapshot pointing at missing files — the
+    // worse failure by far. So: publish failure → restore + rethrow
+    // (branch survives intact for inspection); cleanup failure after a
+    // durable publish → surface it as its own error, dirs stay put.
+    var published = -1L
     try {
       val body = (next: Long) =>
         (Seq(s"version=$next", "action=append") ++
@@ -3298,10 +3339,8 @@ object VersionedTable {
             .sortBy(_._1).map { case (f, (t, pv)) =>
               s"part=${enc(remap(f))}|${enc(t)}|${enc(pv)}" })
           .mkString("", "\n", "\n")
-      val published = publishRebasing(root, baseV, Set.empty,
+      published = publishRebasing(root, baseV, Set.empty,
         stateSchemaAt(root, baseV), body)
-      dropBranch(root, name) // manifests reference moved dirs: consume
-      published
     } catch {
       case t: Throwable =>
         // restore the branch's data dirs so it survives for inspection
@@ -3310,6 +3349,16 @@ object VersionedTable {
         }
         throw t
     }
+    try dropBranch(root, name) // manifests reference moved dirs: consume
+    catch {
+      case t: Throwable => throw new IllegalStateException(
+        s"branch '$name' published to main as v$published, but deleting " +
+          "the consumed branch directory failed — the squash commit is " +
+          "DURABLE and must not be retried; remove the leftover branch " +
+          s"directory $bp manually (its manifests reference moved data " +
+          "and are dead)", t)
+    }
+    published
   }
 
   /** The schema json of main at `v` (branch-publish conflict basis). */

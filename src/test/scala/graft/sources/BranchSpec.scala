@@ -63,6 +63,25 @@ class BranchSpec extends SparkSpecBase {
     assert(VersionedTable.fsck(bp).ok)
   }
 
+  test("truncateLog refuses to cut under a live branch's base") {
+    // publishBranch needs state(root, baseV) and the manifests above it
+    // for its conflict basis; truncating below a live branch's base
+    // would permanently break publishing that branch. Same guard shape
+    // as tags (vacuum already pins branch bases like tags).
+    val root = tmp()
+    (0 to 10).foreach(i =>
+      VersionedTable.commit(Seq(i.toLong).toDF("k"), root)) // v0..v10,
+    // auto-checkpoint lands at v10
+    VersionedTable.createBranch(root, "early", Some(2L)) // base v2 < ckpt
+    val err = intercept[IllegalArgumentException] {
+      VersionedTable.truncateLog(root, Some(10L))
+    }
+    assert(err.getMessage.contains("early"))
+    VersionedTable.dropBranch(root, "early")
+    assert(VersionedTable.truncateLog(root, Some(10L)) === 10)
+    assert(VersionedTable.read(spark, root).count() === 11)
+  }
+
   test("branch schema evolution squashes; audit-fail path is dropBranch") {
     val root = tmp()
     VersionedTable.commit(Seq((1L, "a")).toDF("k", "s"), root)

@@ -81,9 +81,47 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 class GraftDataSource extends RelationProvider
     with CreatableRelationProvider with StreamSinkProvider
+    with org.apache.spark.sql.sources.StreamSourceProvider
     with DataSourceRegister {
 
   override def shortName(): String = "graft"
+
+  // ------------------------------------------------------------------
+  // `spark.readStream.format("graft").load(root)` — the table's OWN
+  // format name serves its change feed (Delta's readStream-on-a-table
+  // shape): initial snapshot as inserts, then incremental CDC, by
+  // delegation to [[ChangeFeedSource]] (same offsets, admission
+  // control, AvailableNow, update-image classification — one
+  // implementation, two names). Extra option sugar: `startingVersion`
+  // (Delta's spelling, FIRST INCLUDED version) translates to the
+  // feed's `startingAfterVersion`.
+  // ------------------------------------------------------------------
+
+  private val feed = new ChangeFeedSource
+
+  private def feedParams(parameters: Map[String, String])
+      : Map[String, String] = {
+    val lower = parameters.map { case (k, v) => k.toLowerCase -> v }
+    lower.get("startingversion") match {
+      case Some(v) if !lower.contains("startingafterversion") =>
+        parameters + ("startingAfterVersion" -> (v.toLong - 1).toString)
+      case _ => parameters
+    }
+  }
+
+  override def sourceSchema(sqlContext: SQLContext,
+      schema: Option[StructType], providerName: String,
+      parameters: Map[String, String]): (String, StructType) =
+    (shortName(),
+      feed.sourceSchema(sqlContext, schema, providerName,
+        feedParams(parameters))._2)
+
+  override def createSource(sqlContext: SQLContext, metadataPath: String,
+      schema: Option[StructType], providerName: String,
+      parameters: Map[String, String])
+      : org.apache.spark.sql.execution.streaming.Source =
+    feed.createSource(sqlContext, metadataPath, schema, providerName,
+      feedParams(parameters))
 
   /** `df.writeStream.format("graft").option("path", root)` — the
     * exactly-once streaming sink as a first-class format, not just a

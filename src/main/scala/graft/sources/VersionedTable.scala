@@ -529,6 +529,22 @@ object VersionedTable {
          else folded.dropped ++ droppedNow))
   }
 
+  /** Widenings an append may apply to an existing column — exactly the
+    * promotions Spark 4's vectorized parquet reader performs when the
+    * declared schema is wider than a file's physical type, so every
+    * old file stays readable without rewrite. Deliberately minimal
+    * (int32→int64, float32→float64); int→double is NOT safe (longs
+    * above 2^53 exist in this engine's key space and would round). */
+  private def isSafeWidening(from: org.apache.spark.sql.types.DataType,
+      to: org.apache.spark.sql.types.DataType): Boolean = {
+    import org.apache.spark.sql.types.{DoubleType, FloatType, IntegerType, LongType}
+    (from, to) match {
+      case (IntegerType, LongType) => true
+      case (FloatType, DoubleType) => true
+      case _ => false
+    }
+  }
+
   /** The PHYSICAL (on-disk parquet) name of logical column `c`. */
   private[sources] def physicalName(st: TableState, c: String): String =
     st.colMap.getOrElse(c, c)
@@ -1873,9 +1889,26 @@ object VersionedTable {
     }
     if (mode == "append") prevSchema.foreach { prev =>
       val byName = df.schema.map(f => f.name -> f.dataType).toMap
-      val broken = prev.filter(f => !byName.get(f.name).contains(f.dataType))
+      // TYPE WIDENING (the Delta/Iceberg-v3 evolution): an append may
+      // carry a SAFELY WIDER type for an existing column — the batch's
+      // wider schema becomes the table schema (metadata-only; this
+      // commit's schema line), old files keep their narrow physical
+      // type forever, and reads up-cast them (Spark 4's vectorized
+      // parquet reader promotes int32→int64 and float→double natively;
+      // the stats comparators are numeric-ordered, so file skipping
+      // stays sound across the width change). At 100 TB this is the
+      // difference between ALTER TYPE as one manifest and a full table
+      // rewrite. Everything else — narrowing, drops, incompatible
+      // retypes — still refuses.
+      val broken = prev.filter { f =>
+        byName.get(f.name) match {
+          case Some(t) => t != f.dataType && !isSafeWidening(f.dataType, t)
+          case None => true
+        }
+      }
       require(broken.isEmpty,
-        "append may add columns but not drop/retype existing ones; " +
+        "append may add columns or widen int->bigint / float->double, " +
+          "but not drop, narrow, or otherwise retype existing ones; " +
           s"missing or retyped: ${broken.map(_.name).mkString(", ")} " +
           "(use overwrite to change the schema)")
     }

@@ -74,6 +74,52 @@ class ChangeFeedSourceSpec extends SparkSpecBase {
       s"delivered=$delivered")
   }
 
+  test("readStream.format(graft) serves the feed under the table's name") {
+    // One format name for both directions (the Delta shape):
+    // read/write = snapshot + commits, readStream = initial snapshot
+    // then incremental CDC — delegating to the same ChangeFeedSource,
+    // with checkpointed restart and Delta's startingVersion spelling.
+    val root = newRoot()
+    val ckpt = Files.createTempDirectory("graft_cfs_gf_").toString
+    VersionedTable.commit(Seq(1L, 2L).toDF("k"), root) // v0
+    VersionedTable.commit(Seq(3L).toDF("k"), root)     // v1
+    val seen = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long)]()
+    def run(): org.apache.spark.sql.streaming.StreamingQuery =
+      spark.readStream
+        .format("graft").option("path", root).load()
+        .writeStream.option("checkpointLocation", ckpt)
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+          df.select(col("k"), col("_version")).collect()
+            .foreach(r => seen.add((r.getLong(0), r.getLong(1))))
+          ()
+        }.start()
+    val q1 = run()
+    try { q1.processAllAvailable() } finally q1.stop()
+    // initial snapshot (v0 inserts) + v1, exactly once
+    import scala.jdk.CollectionConverters._
+    assert(seen.asScala.toSeq.sorted ==
+      Seq((1L, 0L), (2L, 0L), (3L, 1L)))
+    VersionedTable.commit(Seq(4L).toDF("k"), root) // v2 while down
+    val q2 = run()
+    try { q2.processAllAvailable() } finally q2.stop()
+    assert(seen.asScala.toSeq.sorted ==
+      Seq((1L, 0L), (2L, 0L), (3L, 1L), (4L, 2L)))
+
+    // startingVersion = first INCLUDED version (Delta's spelling,
+    // translated to the feed's startingAfterVersion)
+    val q3 = spark.readStream
+      .format("graft").option("path", root)
+      .option("startingVersion", 1).load()
+      .writeStream.format("memory").queryName("gf_sv")
+      .outputMode("append").start()
+    try {
+      q3.processAllAvailable()
+      val rows = spark.sql("SELECT k, _version FROM gf_sv")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+      assert(rows == Seq((3L, 1L), (4L, 2L))) // no v0 snapshot
+    } finally q3.stop()
+  }
+
   test("change feed drives an incremental MV that matches batch recompute") {
     // The full lakehouse loop: base table -> streaming change feed ->
     // per-batch delta aggregation -> MV table commit. The MV is only

@@ -312,18 +312,55 @@ class VersionedTableSpec extends SparkSpecBase {
     val drop = intercept[IllegalArgumentException] {
       VersionedTable.commit(Seq(4L).toDF("k"), root)
     }
-    assert(drop.getMessage.contains("drop/retype"))
+    assert(drop.getMessage.contains("missing or retyped"))
     // retyping a column under append is rejected
     val retype = intercept[IllegalArgumentException] {
       VersionedTable.commit(
         Seq(("5", "e", 50L)).toDF("k", "s", "extra"), root)
     }
-    assert(retype.getMessage.contains("drop/retype"))
+    assert(retype.getMessage.contains("missing or retyped"))
     // overwrite may change the schema freely
     VersionedTable.commit(Seq(("x", 1.5)).toDF("name", "w"), root,
       "overwrite")
     assert(VersionedTable.read(spark, root).columns.toSeq ==
       Seq("name", "w"))
+  }
+
+  test("type widening: append with int->bigint / float->double is " +
+      "metadata-only; old files read up-cast; narrowing refuses") {
+    val root = newRoot()
+    VersionedTable.commit(
+      Seq((1, 1.5f), (2, 2.5f)).toDF("n", "x").coalesce(1), root) // int, float
+    val before = VersionedTable.state(root, 0L).files.toSet
+    // the widening append: no existing file rewrites
+    VersionedTable.commit(
+      Seq((3L, 3.5d), (1L << 40, 4.5d)).toDF("n", "x").coalesce(1), root)
+    val st = VersionedTable.state(root, 1L)
+    assert(before.subsetOf(st.files.toSet), "widening rewrote files")
+    // reads surface ONE widened schema; old rows up-cast exactly
+    val out = VersionedTable.read(spark, root)
+    assert(out.schema("n").dataType ===
+      org.apache.spark.sql.types.LongType)
+    assert(out.schema("x").dataType ===
+      org.apache.spark.sql.types.DoubleType)
+    val byN = out.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(byN(1L) === 1.5 && byN(3L) === 3.5 && byN(1L << 40) === 4.5)
+    // stats-based skipping stays sound across the width change: a
+    // probe above the old files' int range prunes them, finds the row
+    val (kept, total) = VersionedTable.pruneFiles(root, 1L, "n",
+      Some(1L << 39), None)
+    assert(total === 2 && kept.size === 1, s"got ${kept.size}/$total")
+    // the widened schema is the new baseline: narrowing back refuses
+    val narrow = intercept[IllegalArgumentException] {
+      VersionedTable.commit(Seq((9, 9.5d)).toDF("n", "x"), root)
+    }
+    assert(narrow.getMessage.contains("missing or retyped"))
+    // and the datasource scan path reads the mixed-width files too
+    val ds = spark.read.format("graft").load(root)
+    assert(ds.schema("n").dataType ===
+      org.apache.spark.sql.types.LongType)
+    assert(ds.filter(col("n") === 1L).count() === 1)
+    assert(ds.count() === 4)
   }
 
   test("deleteRanges: copy-on-write — untouched files carry over by " +

@@ -2,10 +2,16 @@ package graft.ext
 
 import graft.sources.{GraftFileIndex, VersionedTable}
 import org.apache.spark.sql.{GraftColumnBridge, Row, SaveMode, SparkSession}
-import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.catalyst.analysis.EliminateSubqueryAliases
+import org.apache.spark.sql.catalyst.expressions.{
+  AttributeReference, EqualTo, Expression}
+import org.apache.spark.sql.catalyst.plans.logical.{
+  Assignment, DeleteFromTable, InsertAction, InsertStarAction, LogicalPlan,
+  MergeIntoTable, UpdateAction, UpdateStarAction, UpdateTable}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.command.LeafRunnableCommand
-import org.apache.spark.sql.execution.datasources.InsertIntoHadoopFsRelationCommand
+import org.apache.spark.sql.execution.datasources.{
+  HadoopFsRelation, InsertIntoHadoopFsRelationCommand, LogicalRelation}
 
 /** Routes SQL DML on `USING graft` catalog tables through the commit
   * protocol.
@@ -28,14 +34,106 @@ import org.apache.spark.sql.execution.datasources.InsertIntoHadoopFsRelationComm
   * VACUUM).
   */
 case class GraftDmlRewrite(session: SparkSession) extends Rule[LogicalPlan] {
+
+  /** The graft table a DML target plan names, if any: (root, pinned). */
+  private def graftTarget(plan: LogicalPlan): Option[(String, Boolean)] =
+    EliminateSubqueryAliases(plan) match {
+      case l: LogicalRelation => l.relation match {
+        case r: HadoopFsRelation if r.location.isInstanceOf[GraftFileIndex] =>
+          val i = r.location.asInstanceOf[GraftFileIndex]
+          Some((i.tableRoot, i.isPinned))
+        case _ => None
+      }
+      case _ => None
+    }
+
+  private def refusePinned(pinned: Boolean, what: String): Unit =
+    require(!pinned,
+      s"graft: cannot $what a time-travel-pinned relation " +
+        "(versionAsOf/timestampAsOf/tagAsOf snapshots are immutable)")
+
   override def apply(plan: LogicalPlan): LogicalPlan = plan match {
     case cmd: InsertIntoHadoopFsRelationCommand
         if cmd.fileIndex.exists(_.isInstanceOf[GraftFileIndex]) =>
       val idx = cmd.fileIndex.get.asInstanceOf[GraftFileIndex]
       GraftInsertCommand(idx.tableRoot, idx.isPinned, cmd.query,
         overwrite = cmd.mode == SaveMode.Overwrite)
+
+    // DELETE FROM t WHERE ... — for a v1 relation Spark would refuse
+    // ("only supported with v2 tables"); route it to the stats-pruned
+    // copy-on-write delete instead (Delta's DeltaAnalysis shape).
+    case d @ DeleteFromTable(tbl, cond) if cond.resolved =>
+      graftTarget(tbl) match {
+        case Some((root, pinned)) =>
+          refusePinned(pinned, "DELETE FROM")
+          GraftDeleteCommand(root, cond)
+        case None => d
+      }
+
+    case u @ UpdateTable(tbl, assignments, cond)
+        if assignments.forall(_.resolved) && cond.forall(_.resolved) =>
+      graftTarget(tbl) match {
+        case Some((root, pinned)) =>
+          refusePinned(pinned, "UPDATE")
+          val set = assignments.map {
+            case Assignment(k: AttributeReference, v) => k.name -> v
+            case Assignment(other, _) =>
+              throw new UnsupportedOperationException(
+                s"graft UPDATE supports top-level columns only, got $other")
+          }
+          GraftUpdateCommand(root, set, cond)
+        case None => u
+      }
+
+    // MERGE INTO — the canonical keyed-upsert form maps onto
+    // [[VersionedTable.mergeKeyed]] (stats-pruned copy-on-write):
+    //   MERGE INTO t USING s ON t.k = s.k
+    //   WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *
+    // Conditional/partial actions and NOT MATCHED BY SOURCE have no
+    // one-commit analog here and refuse with the supported form named.
+    case m: MergeIntoTable if m.mergeCondition.resolved =>
+      graftTarget(m.targetTable) match {
+        case Some((root, pinned)) =>
+          refusePinned(pinned, "MERGE INTO")
+          val key = m.mergeCondition match {
+            case EqualTo(a: AttributeReference, b: AttributeReference)
+                if a.name == b.name => a.name
+            case other => throw new UnsupportedOperationException(
+              "graft MERGE supports ON t.<key> = s.<key> (same column " +
+                s"name both sides), got: ${other.sql}")
+          }
+          val starMatched = m.matchedActions match {
+            case Seq(UpdateStarAction(None)) => true
+            case Seq(UpdateAction(None, as, _)) => identityAssignments(as)
+            case _ => false
+          }
+          val starInsert = m.notMatchedActions match {
+            case Seq(InsertStarAction(None)) => true
+            case Seq(InsertAction(None, as)) => identityAssignments(as)
+            case _ => false
+          }
+          if (!starMatched || !starInsert ||
+              m.notMatchedBySourceActions.nonEmpty)
+            throw new UnsupportedOperationException(
+              "graft MERGE supports exactly WHEN MATCHED THEN UPDATE " +
+                "SET * WHEN NOT MATCHED THEN INSERT * — for row-level " +
+                "variants use deleteKeysMOR/updateKeysMOR/mergeKeyed")
+          GraftMergeCommand(root, m.sourceTable, key,
+            evolve = m.withSchemaEvolution)
+        case None => m
+      }
+
     case _ => plan
   }
+
+  /** Star actions resolve to per-column assignments; accept them when
+    * every one is `target.c = source.c` by name. */
+  private def identityAssignments(as: Seq[Assignment]): Boolean =
+    as.forall {
+      case Assignment(k: AttributeReference, v: AttributeReference) =>
+        k.name == v.name
+      case _ => false
+    }
 }
 
 /** `INSERT OVERWRITE t ...` / rewritten raw inserts as a manifest
@@ -52,6 +150,41 @@ case class GraftInsertCommand(root: String, pinned: Boolean,
         "insert through an unpinned table reference")
     VersionedTable.commit(GraftColumnBridge.ofRows(session, query), root,
       if (overwrite) "overwrite" else "append")
+    Seq.empty
+  }
+}
+
+/** `DELETE FROM t WHERE ...` → stats/bloom/partition-pruned
+  * copy-on-write delete, one atomic `replace` commit. */
+case class GraftDeleteCommand(root: String, cond: Expression)
+    extends LeafRunnableCommand {
+  override def run(session: SparkSession): Seq[Row] = {
+    VersionedTable.deleteWhere(session, root, cond)
+    Seq.empty
+  }
+}
+
+/** `UPDATE t SET ... [WHERE ...]` → pruned copy-on-write update; all
+  * SET expressions read the pre-update row (SQL UPDATE semantics). */
+case class GraftUpdateCommand(root: String,
+    set: Seq[(String, Expression)], cond: Option[Expression])
+    extends LeafRunnableCommand {
+  override def run(session: SparkSession): Seq[Row] = {
+    VersionedTable.updateWhere(session, root, set, cond)
+    Seq.empty
+  }
+}
+
+/** Canonical `MERGE INTO ... UPDATE SET * / INSERT *` →
+  * [[VersionedTable.mergeKeyed]] (or the schema-evolving variant) —
+  * one stats-pruned `replace` commit. */
+case class GraftMergeCommand(root: String, source: LogicalPlan,
+    key: String, evolve: Boolean) extends LeafRunnableCommand {
+  override def innerChildren: Seq[LogicalPlan] = Seq(source)
+  override def run(session: SparkSession): Seq[Row] = {
+    val src = GraftColumnBridge.ofRows(session, source)
+    if (evolve) VersionedTable.mergeKeyedEvolve(session, root, src, key)
+    else VersionedTable.mergeKeyed(session, root, src, key)
     Seq.empty
   }
 }

@@ -2315,6 +2315,109 @@ object VersionedTable {
     })
   }
 
+  /** DELETE FROM the table with an ARBITRARY Catalyst predicate — the
+    * SQL-DML form ([[graft.ext.GraftDmlRewrite]] routes
+    * `DELETE FROM t WHERE ...` here). Same copy-on-write shape as
+    * [[deleteRanges]], but file targeting reuses the datasource's
+    * expression evaluator ([[GraftFileIndex.listFiles]]): stats ranges,
+    * null counts, bloom sidecars, and hidden-partition tags all prune
+    * before any file opens, and any expression shape the evaluator
+    * doesn't recognize conservatively keeps the file — pruning can
+    * change COST, never the answer. NULL-condition rows survive (SQL
+    * DELETE). Subquery conditions refuse loudly (materialize the keys
+    * and use [[deleteKeysMOR]] / [[mergeKeyed]] instead). */
+  def deleteWhere(spark: SparkSession, root: String,
+      cond: org.apache.spark.sql.catalyst.expressions.Expression): Long = {
+    import org.apache.spark.sql.functions.{coalesce, lit, not}
+    val basis = latestVersion(root)
+    require(basis >= 0, s"$root is not a versioned table (empty log)")
+    guardNoSubquery(cond, "DELETE")
+    val st = state(root, basis)
+    val touched = filesMayMatching(spark, root, basis, st, cond)
+    if (touched.isEmpty) return basis // no file can match: metadata no-op
+    val rewritten = readResolved(spark, root, st, touched)
+      .filter(not(coalesce(rebindColumn(cond), lit(false))))
+    commitReplace(spark, root, basis, touched, rewritten)
+  }
+
+  /** UPDATE the table with an arbitrary Catalyst predicate and SET
+    * expressions — the SQL-DML form (`UPDATE t SET ... WHERE ...`).
+    * Copy-on-write over the expression-pruned file set; every SET
+    * expression reads the PRE-update row (one projection, SQL UPDATE
+    * semantics, like [[updateRanges]]); an absent condition updates
+    * every row (still only rewriting files — history stays). */
+  def updateWhere(spark: SparkSession, root: String,
+      set: Seq[(String, org.apache.spark.sql.catalyst.expressions.Expression)],
+      cond: Option[org.apache.spark.sql.catalyst.expressions.Expression])
+      : Long = {
+    import org.apache.spark.sql.functions.{coalesce, col, lit, when}
+    require(set.nonEmpty, "UPDATE needs at least one SET column")
+    require(set.map(_._1).distinct.size == set.size,
+      s"duplicate SET column in ${set.map(_._1).mkString(", ")}")
+    cond.foreach(guardNoSubquery(_, "UPDATE"))
+    set.foreach(kv => guardNoSubquery(kv._2, "UPDATE SET"))
+    val basis = latestVersion(root)
+    require(basis >= 0, s"$root is not a versioned table (empty log)")
+    val st = state(root, basis)
+    val touched = cond match {
+      case Some(c) => filesMayMatching(spark, root, basis, st, c)
+      case None => st.files
+    }
+    if (touched.isEmpty) return basis
+    val df = readResolved(spark, root, st, touched)
+    val missing = set.map(_._1).toSet -- df.columns.toSet
+    require(missing.isEmpty,
+      s"SET columns must exist: missing ${missing.mkString(", ")}")
+    val matchPred = cond.map(c => coalesce(rebindColumn(c), lit(false)))
+      .getOrElse(lit(true))
+    val setMap = set.toMap
+    val proj = df.columns.map { c =>
+      setMap.get(c) match {
+        case Some(e) =>
+          when(matchPred, rebindColumn(e)).otherwise(col(c)).as(c)
+        case None => col(c)
+      }
+    }
+    commitReplace(spark, root, basis, touched,
+      df.select(scala.collection.immutable.ArraySeq.unsafeWrapArray(proj): _*))
+  }
+
+  private def guardNoSubquery(
+      e: org.apache.spark.sql.catalyst.expressions.Expression,
+      what: String): Unit =
+    require(!e.exists(_.isInstanceOf[
+        org.apache.spark.sql.catalyst.expressions.SubqueryExpression]),
+      s"$what with a subquery is not supported on graft tables — " +
+        "materialize the keys and use deleteKeysMOR / mergeKeyed")
+
+  /** Files of snapshot `v` that MAY hold a row matching `cond`,
+    * decided from metadata alone by the datasource's own evaluator
+    * (one [[GraftFileIndex.listFiles]] call — stats + blooms +
+    * partition tags; zero data I/O). */
+  private def filesMayMatching(spark: SparkSession, root: String, v: Long,
+      st: TableState,
+      cond: org.apache.spark.sql.catalyst.expressions.Expression)
+      : Seq[String] = {
+    val idx = new GraftFileIndex(spark, root, v, st, pinnedSnapshot = true)
+    val kept = idx.listFiles(Nil, Seq(cond))
+      .flatMap(_.files).map(_.getPath.toString).toSet
+    st.files.filter(f => kept.contains(
+      new org.apache.hadoop.fs.Path(dataPath(root, f).toUri).toString))
+  }
+
+  /** A SQL-DML expression as a Column usable against a FRESH frame:
+    * the analyzer bound its attributes to the original relation's
+    * exprIds, so re-anchor by NAME (readResolved's output carries the
+    * same column names by construction). */
+  private def rebindColumn(
+      e: org.apache.spark.sql.catalyst.expressions.Expression)
+      : org.apache.spark.sql.Column =
+    org.apache.spark.sql.GraftColumnBridge.column(e.transform {
+      case a: org.apache.spark.sql.catalyst.expressions.AttributeReference =>
+        org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+          .quoted(a.name)
+    })
+
   /** Shared copy-on-write machinery of [[deleteRanges]] /
     * [[updateRanges]]: stats-prune the files a conjunctive-range
     * predicate may touch, run `rewrite(touchedRows, matchPred)` over

@@ -32,6 +32,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // INSERT OVERWRITE on graft catalog tables must commit, never
     // truncate-and-write-raw — see [[GraftDmlRewrite]].
     ext.injectPostHocResolutionRule(GraftDmlRewrite)
+    // Merge-on-read snapshots read through SQL via the ∪/anti-join
+    // scan rewrite — MUST be injected after GraftDmlRewrite (same Once
+    // batch) so DML targets are already captured — see [[GraftMorScan]].
+    ext.injectPostHocResolutionRule(GraftMorScan)
   }
 }
 

@@ -1202,6 +1202,90 @@ object Lakehouse {
              |SELECT 'update_preimage' AS _change, count(*) AS n,
              |  CAST(sum(o_custkey) AS BIGINT) AS sum_cust
              |FROM r
-             |ORDER BY _change""".stripMargin))
+             |ORDER BY _change""".stripMargin)),
+
+    // DELTA LAKE INTEROP, read path: commit `orders` as a REAL Delta
+    // table (the published `_delta_log` JSON protocol — protocol/
+    // metaData/add actions, Hive-laid partition dirs WITHOUT the
+    // partition column in the files, per-file stats JSON) through the
+    // dependency-free [[graft.sources.DeltaLog]] writer, then answer a
+    // selective aggregate through `format("delta-log")`. The scan gets
+    // its partition column from the log's partitionValues (EXACT
+    // partition pruning — `o_orderstatus` never plans I/O for other
+    // statuses) and skips files via the adds' min/max stats on
+    // o_orderkey. The oracle is the layout-free WHERE over raw orders:
+    // a wrong replay, wrong partition decode, or wrong skip all break
+    // the hash. DeltaLogSpec proves the same reader against a
+    // HAND-written foreign log, checkpoints, and the refusal gates.
+    QueryDef(
+      "q232_delta_log_interop",
+      (s, d) => {
+        val root = Files.createTempDirectory("delta_interop_").toString
+        val src = orders(s, d).select(col("o_orderkey"), col("o_custkey"),
+          col("o_orderstatus"))
+        graft.sources.DeltaLog.commit(
+          src.repartitionByRange(4, col("o_orderkey")),
+          root, partitionBy = Seq("o_orderstatus"))
+        s.read.format("delta-log").load(root)
+          .filter(col("o_orderkey").between(1L, 2048L))
+          .groupBy(col("o_orderstatus"))
+          .agg(count(lit(1)).as("n_orders"),
+            sum(col("o_custkey")).as("sum_cust"),
+            min(col("o_orderkey")).as("min_key"),
+            max(col("o_orderkey")).as("max_key"))
+          .orderBy(col("o_orderstatus"))
+      },
+      Some("""SELECT o_orderstatus, count(*) AS n_orders,
+             |  CAST(sum(o_custkey) AS BIGINT) AS sum_cust,
+             |  min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
+             |FROM orders WHERE o_orderkey BETWEEN 1 AND 2048
+             |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)),
+
+    // DELTA CHECKPOINT REPLAY + time travel under log retention: two
+    // appends, a checkpoint parquet at v1 (`%020d.checkpoint.parquet`
+    // + `_last_checkpoint` hint), the covered JSON commits DELETED
+    // (what VACUUM/log-retention does to an aged Delta table), then an
+    // overwrite on top. Reading v1 must reconstruct PURELY from the
+    // checkpoint; reading head replays checkpoint + the overwrite's
+    // remove/add actions. At 100 TB the checkpoint is what bounds
+    // snapshot resolution to O(commits since checkpoint) instead of
+    // O(history). Oracle restates both snapshots from raw orders.
+    QueryDef(
+      "q233_delta_checkpoint_travel",
+      (s, d) => {
+        import java.nio.file.{Files => JFiles, Paths}
+        val root = Files.createTempDirectory("delta_cp_").toString
+        val src = orders(s, d).select(col("o_orderkey"), col("o_custkey"),
+          col("o_orderstatus"))
+        graft.sources.DeltaLog.commit(
+          src.filter(col("o_orderkey") <= 1024L), root)              // v0
+        graft.sources.DeltaLog.commit(
+          src.filter(col("o_orderkey") > 1024L), root)               // v1
+        graft.sources.DeltaLog.checkpoint(s, root)                   // cp@v1
+        (0L to 1L).foreach(v => JFiles.delete(
+          Paths.get(root, "_delta_log", f"$v%020d.json")))           // retention
+        graft.sources.DeltaLog.commit(
+          src.filter(col("o_custkey") % 2 === 0), root, "overwrite") // v2
+        def agg(df: org.apache.spark.sql.DataFrame, tag: String) =
+          df.groupBy(col("o_orderstatus"))
+            .agg(count(lit(1)).as("n_orders"),
+              sum(col("o_orderkey")).as("sum_key"))
+            .withColumn("snapshot", lit(tag))
+        agg(s.read.format("delta-log").load(root), "head")
+          .unionByName(agg(s.read.format("delta-log")
+            .option("versionAsOf", 1).load(root), "v1"))
+          .orderBy(col("snapshot"), col("o_orderstatus"))
+      },
+      Some("""SELECT o_orderstatus, count(*) AS n_orders,
+             |  CAST(sum(o_orderkey) AS BIGINT) AS sum_key,
+             |  'head' AS snapshot
+             |FROM orders WHERE o_custkey % 2 = 0
+             |GROUP BY o_orderstatus
+             |UNION ALL
+             |SELECT o_orderstatus, count(*) AS n_orders,
+             |  CAST(sum(o_orderkey) AS BIGINT) AS sum_key,
+             |  'v1' AS snapshot
+             |FROM orders GROUP BY o_orderstatus
+             |ORDER BY snapshot, o_orderstatus""".stripMargin))
   )
 }

@@ -1,0 +1,472 @@
+package graft.sources
+
+import java.nio.charset.StandardCharsets.UTF_8
+import java.nio.file.{Files, Path, Paths}
+import scala.jdk.CollectionConverters._
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import com.fasterxml.jackson.databind.node.ObjectNode
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.types._
+
+/** Dependency-free implementation of the PUBLIC Delta Lake transaction
+  * log protocol (delta.io `PROTOCOL.md`) — the interop piece that lets
+  * this library read (and write) tables a user's existing Delta
+  * tooling produced, without the delta-spark jar.
+  *
+  * Log layout (all public spec):
+  *  - `_delta_log/%020d.json` — one commit per version; every line is
+  *    a JSON object carrying ONE action: `protocol`, `metaData`,
+  *    `add`, `remove`, `commitInfo`, `txn`, `cdc`, `domainMetadata`.
+  *  - `_delta_log/_last_checkpoint` — JSON hint
+  *    `{"version":V,"size":N[,"parts":P]}` naming the newest
+  *    checkpoint.
+  *  - `_delta_log/%020d.checkpoint.parquet` (or the multi-part
+  *    `%020d.checkpoint.%010d.%010d.parquet`) — the replayed state at
+  *    V as parquet rows with `add`/`remove`/`metaData`/`protocol`
+  *    struct columns (one non-null action per row).
+  *
+  * Snapshot reconstruction (the spec's state machine): newest
+  * checkpoint at or below the target version seeds the file set; JSON
+  * commits `(cp, target]` replay on top — a later `add` of the same
+  * path supersedes the earlier one, `remove` drops it, the latest
+  * `metaData`/`protocol` win. Commit files must be CONTIGUOUS through
+  * the target (a gap means an incomplete copy — refuse, never guess).
+  *
+  * Reader feature gates (the spec's forward-compatibility contract: a
+  * reader that cannot honor the table's protocol must fail loudly,
+  * never return wrong rows):
+  *  - `minReaderVersion` 1 is fully supported; 2 (column mapping
+  *    capability) is accepted iff `delta.columnMapping.mode` is absent
+  *    or `none` (physical = logical names, so a plain read is
+  *    correct); 3 requires every listed `readerFeatures` entry to be
+  *    in [[supportedReaderFeatures]].
+  *  - an `add` carrying a `deletionVector` refuses (rows would
+  *    resurrect).
+  *  - non-parquet `format.provider` refuses.
+  *
+  * Commits publish through the [[LogStore]] seam's `putIfAbsent` —
+  * exactly Delta's own requirement ("mutual exclusion" on the commit
+  * file; S3 conditional PUT / GCS generation-match in production,
+  * link(2) locally) — so concurrent writers race safely.
+  *
+  * Scale posture: replay is a DRIVER fold over file METADATA (the same
+  * cost model as the graft manifest and Delta's own Snapshot), not a
+  * data scan; checkpoints bound it to O(suffix since last checkpoint).
+  * The data files themselves are read by Spark's stock vectorized
+  * parquet path through [[DeltaLogFileIndex]], with partition pruning
+  * from `partitionValues` and file skipping from per-file `stats`.
+  */
+object DeltaLog {
+
+  /** v3 reader features this implementation genuinely honors.
+    * `timestampNtz` only needs TIMESTAMP_NTZ in the schema, which
+    * Spark 4 reads natively. Everything else (deletionVectors,
+    * columnMapping, v2Checkpoint, typeWidening, ...) refuses. */
+  val supportedReaderFeatures: Set[String] = Set("timestampNtz")
+
+  final case class DeltaAdd(
+      path: String,                        // decoded, relative or absolute
+      partitionValues: Map[String, String], // null values omitted from map
+      nullPartitionCols: Set[String],       // partition cols with null value
+      size: Long,
+      statsJson: Option[String])
+
+  final case class DeltaSnapshot(
+      root: String,
+      version: Long,
+      schema: StructType,                  // full logical schema
+      partitionColumns: Seq[String],
+      configuration: Map[String, String],
+      adds: Seq[DeltaAdd]) {
+    def dataSchema: StructType =
+      StructType(schema.fields.filterNot(f => partitionColumns.contains(f.name)))
+    def partitionSchema: StructType =
+      StructType(partitionColumns.map(c =>
+        schema.fields.find(_.name == c).getOrElse(throw new IllegalStateException(
+          s"delta-log: partition column $c missing from schemaString"))))
+  }
+
+  private val mapper = new ObjectMapper()
+
+  private def logDir(root: String): Path = Paths.get(root, "_delta_log")
+
+  private def io(root: String): LogStore = PosixLogStore
+
+  private def commitPath(root: String, v: Long): Path =
+    logDir(root).resolve(f"$v%020d.json")
+
+  // ------------------------------------------------------------------
+  // Replay
+  // ------------------------------------------------------------------
+
+  /** Versions that have a JSON commit file in the log. */
+  def jsonVersions(root: String): Seq[Long] =
+    io(root).listDir(logDir(root))
+      .filter(n => n.length == 25 && n.endsWith(".json") &&
+        n.take(20).forall(_.isDigit))
+      .map(_.take(20).toLong).sorted
+
+  /** Latest version of the table (max of JSON commits and checkpoint
+    * versions — a vacuumed log may keep only the checkpoint). */
+  def latestVersion(root: String): Long = {
+    val js = jsonVersions(root)
+    val cps = checkpointVersions(root)
+    if (js.isEmpty && cps.isEmpty) -1L
+    else (js ++ cps).max
+  }
+
+  private def checkpointVersions(root: String): Seq[Long] =
+    io(root).listDir(logDir(root))
+      .filter(n => n.contains(".checkpoint.") && n.endsWith(".parquet") &&
+        n.take(20).forall(_.isDigit))
+      .map(_.take(20).toLong).distinct.sorted
+
+  /** The `path` field is RFC 2396 percent-encoded per the spec. */
+  private def decodePath(p: String): String =
+    java.net.URLDecoder.decode(p.replace("+", "%2B"), "UTF-8")
+
+  private def parseAdd(n: JsonNode): DeltaAdd = {
+    if (n.hasNonNull("deletionVector"))
+      throw new UnsupportedOperationException(
+        "delta-log: this table uses deletion vectors, a reader feature " +
+          "this implementation does not support — run REORG/OPTIMIZE to " +
+          "materialize the deletes, or read with delta-spark")
+    val pv = scala.collection.mutable.Map.empty[String, String]
+    val nullPv = scala.collection.mutable.Set.empty[String]
+    val pvNode = n.get("partitionValues")
+    if (pvNode != null && pvNode.isObject) {
+      pvNode.asInstanceOf[ObjectNode].fields().asScala.foreach { e =>
+        if (e.getValue == null || e.getValue.isNull) nullPv += e.getKey
+        else pv(e.getKey) = e.getValue.asText()
+      }
+    }
+    DeltaAdd(decodePath(n.get("path").asText()),
+      pv.toMap, nullPv.toSet,
+      if (n.hasNonNull("size")) n.get("size").asLong() else 0L,
+      if (n.hasNonNull("stats")) Some(n.get("stats").asText()) else None)
+  }
+
+  private def gateProtocol(n: JsonNode): Unit = {
+    val r = if (n.hasNonNull("minReaderVersion"))
+      n.get("minReaderVersion").asInt() else 1
+    if (r >= 3) {
+      val feats =
+        if (n.hasNonNull("readerFeatures"))
+          n.get("readerFeatures").elements().asScala.map(_.asText()).toSet
+        else Set.empty[String]
+      val unsupported = feats -- supportedReaderFeatures
+      if (unsupported.nonEmpty)
+        throw new UnsupportedOperationException(
+          "delta-log: table requires reader features " +
+            s"${unsupported.toSeq.sorted.mkString(", ")} this " +
+            "implementation does not support (supported: " +
+            s"${supportedReaderFeatures.toSeq.sorted.mkString(", ")})")
+    } else if (r > 2)
+      throw new UnsupportedOperationException(
+        s"delta-log: minReaderVersion $r not supported")
+  }
+
+  /** Mutable replay state. */
+  private final class Replay {
+    var protocolSeen = false
+    var schemaJson: Option[String] = None
+    var partitionColumns: Seq[String] = Nil
+    var configuration: Map[String, String] = Map.empty
+    val adds = scala.collection.mutable.LinkedHashMap.empty[String, DeltaAdd]
+
+    def applyAction(kind: String, body: JsonNode): Unit = kind match {
+      case "protocol" =>
+        protocolSeen = true
+        gateProtocol(body)
+      case "metaData" =>
+        val fmt = body.get("format")
+        if (fmt != null && fmt.hasNonNull("provider") &&
+            fmt.get("provider").asText().toLowerCase != "parquet")
+          throw new UnsupportedOperationException(
+            s"delta-log: format ${fmt.get("provider").asText()} not " +
+              "supported (parquet only)")
+        schemaJson = Option(body.get("schemaString")).map(_.asText())
+        partitionColumns =
+          if (body.hasNonNull("partitionColumns"))
+            body.get("partitionColumns").elements().asScala
+              .map(_.asText()).toSeq
+          else Nil
+        configuration =
+          if (body.hasNonNull("configuration"))
+            body.get("configuration").asInstanceOf[ObjectNode]
+              .fields().asScala
+              .filterNot(e => e.getValue == null || e.getValue.isNull)
+              .map(e => e.getKey -> e.getValue.asText()).toMap
+          else Map.empty
+        val cmMode = configuration.getOrElse("delta.columnMapping.mode", "none")
+        if (cmMode != "none")
+          throw new UnsupportedOperationException(
+            s"delta-log: column mapping mode '$cmMode' not supported " +
+              "(physical names differ from logical names)")
+      case "add" =>
+        val a = parseAdd(body)
+        adds(a.path) = a
+      case "remove" =>
+        adds.remove(decodePath(body.get("path").asText()))
+      case _ => () // commitInfo / txn / cdc / domainMetadata: no reader state
+    }
+  }
+
+  /** Replay the log to `versionAsOf` (default: latest). */
+  def snapshot(spark: SparkSession, root: String,
+      versionAsOf: Option[Long] = None): DeltaSnapshot = {
+    val latest = latestVersion(root)
+    require(latest >= 0, s"$root is not a Delta table (no _delta_log)")
+    val target = versionAsOf.getOrElse(latest)
+    require(target >= 0 && target <= latest,
+      s"delta-log: version $target out of range [0, $latest]")
+    val replay = new Replay
+    // newest checkpoint at or below the target seeds the state
+    val cp = checkpointVersions(root).filter(_ <= target).lastOption
+    cp.foreach(v => replayCheckpoint(spark, root, v, replay))
+    val needed = (cp.map(_ + 1).getOrElse(0L)) to target
+    val present = jsonVersions(root).toSet
+    val missing = needed.filterNot(present)
+    if (missing.nonEmpty)
+      throw new IllegalStateException(
+        s"delta-log: cannot reconstruct v$target of $root — commit " +
+          s"file(s) ${missing.take(5).mkString(", ")} missing " +
+          "(truncated log without a covering checkpoint)")
+    needed.foreach { v =>
+      io(root).readLines(commitPath(root, v)).foreach { line =>
+        if (line.nonEmpty) {
+          val n = mapper.readTree(line)
+          n.fields().asScala.foreach(e => replay.applyAction(e.getKey, e.getValue))
+        }
+      }
+    }
+    val schemaStr = replay.schemaJson.getOrElse(throw new IllegalStateException(
+      s"delta-log: $root has no metaData action — not a valid Delta log"))
+    DeltaSnapshot(root, target,
+      DataType.fromJson(schemaStr).asInstanceOf[StructType],
+      replay.partitionColumns, replay.configuration,
+      replay.adds.values.toSeq)
+  }
+
+  /** Seed a replay from checkpoint parquet (single- or multi-part):
+    * the checkpoint rows ARE the actions, one non-null struct per row.
+    * Only the reader-relevant columns are selected; the read is one
+    * Spark job over metadata-sized parquet, collected to the driver
+    * (the same cost class as reading the JSON commits). */
+  private def replayCheckpoint(spark: SparkSession, root: String,
+      v: Long, replay: Replay): Unit = {
+    val names = io(root).listDir(logDir(root)).filter { n =>
+      n.take(20) == f"$v%020d" && n.contains(".checkpoint.") &&
+        n.endsWith(".parquet")
+    }
+    val paths = names.sorted.map(n => logDir(root).resolve(n).toString)
+    val df = spark.read.parquet(paths: _*)
+    val cols = df.columns.toSet
+    // JSON round-trip: struct rows → the same shape applyAction parses.
+    // Spark's toJSON of a checkpoint row yields {"add":{...}} etc.
+    val actions = df.select(
+      Seq("protocol", "metaData", "add", "remove").filter(cols)
+        .map(df.col): _*)
+    actions.toJSON.collect().foreach { line =>
+      val n = mapper.readTree(line)
+      // order within a checkpoint is unspecified; protocol/metaData
+      // first is not guaranteed, but actions are disjoint per row and
+      // replay state is commutative across DISTINCT action kinds
+      n.fields().asScala.foreach(e =>
+        if (!e.getValue.isNull) replay.applyAction(e.getKey, e.getValue))
+    }
+  }
+
+  // ------------------------------------------------------------------
+  // Writer — protocol-conformant minimal writer (protocol (1,2): no
+  // writer features needed for plain appends/overwrites of a
+  // partitioned parquet table). Data files land first (invisible
+  // until referenced), then the commit JSON publishes atomically via
+  // LogStore.putIfAbsent — the spec's mutual-exclusion requirement.
+  // ------------------------------------------------------------------
+
+  private def jsonStr(s: String): String = mapper.writeValueAsString(s)
+
+  /** Render footer stats as the spec's per-file `stats` JSON. */
+  private def statsJsonOf(stats: Map[String, VersionedTable.ColStats])
+      : Option[String] = {
+    if (stats.isEmpty) return None
+    val rows = stats.values.map(_.rows).max
+    def jsonVal(typ: String, v: String): String = typ match {
+      case "long" | "double" => v
+      case _ => jsonStr(v)
+    }
+    val cols = stats.toSeq.sortBy(_._1)
+    val mins = cols.collect { case (c, cs) if cs.min.isDefined =>
+      s"${jsonStr(c)}:${jsonVal(cs.typ, cs.min.get)}" }
+    val maxs = cols.collect { case (c, cs) if cs.max.isDefined =>
+      s"${jsonStr(c)}:${jsonVal(cs.typ, cs.max.get)}" }
+    val nulls = cols.map { case (c, cs) => s"${jsonStr(c)}:${cs.nulls}" }
+    Some(s"""{"numRecords":$rows,"minValues":{${mins.mkString(",")}},""" +
+      s""""maxValues":{${maxs.mkString(",")}},""" +
+      s""""nullCount":{${nulls.mkString(",")}}}""")
+  }
+
+  private def encodePath(p: String): String =
+    p.split("/").map(seg =>
+      java.net.URLEncoder.encode(seg, "UTF-8").replace("+", "%20"))
+      .mkString("/")
+
+  /** Commit `df` to the Delta table at `root`.
+    *
+    * `mode`: `append` adds files (schema must match the table's by
+    * name and type); `overwrite` removes every live file and restates
+    * the metadata. `partitionBy`: identity partition columns — data
+    * files land under Hive-style `col=value/` directories WITHOUT the
+    * partition columns (the spec's layout), and each add records its
+    * `partitionValues`. Returns the committed version. */
+  def commit(df: DataFrame, root: String, mode: String = "append",
+      partitionBy: Seq[String] = Nil): Long = {
+    require(mode == "append" || mode == "overwrite",
+      s"delta-log: mode must be append|overwrite, got $mode")
+    val spark = df.sparkSession
+    io(root).mkdirs(logDir(root))
+    val latest = latestVersion(root)
+    val existing = if (latest < 0) None else Some(snapshot(spark, root))
+    existing.foreach { s =>
+      if (mode == "append") {
+        require(s.partitionColumns == partitionBy,
+          s"delta-log: append partitioning $partitionBy != table's " +
+            s"${s.partitionColumns}")
+        val tbl = s.schema.fields.map(f => f.name -> f.dataType).toMap
+        val bad = df.schema.fields.filter(f =>
+          !tbl.get(f.name).contains(f.dataType))
+        require(bad.isEmpty,
+          s"delta-log: append schema mismatch on ${bad.map(_.name).mkString(", ")}")
+      }
+    }
+    // data files: stage, then relocate under the table root with
+    // globally unique names (the spec requires uniqueness, not layout;
+    // Hive-style dirs keep the table browsable)
+    val nonce = java.util.UUID.randomUUID().toString.take(8)
+    // subdir: createTempDirectory pre-creates the parent, and Spark's
+    // errorifexists mode refuses an existing target path
+    val staging = Files.createTempDirectory("delta_stage_").resolve("out")
+    val writer = df.write.mode("errorifexists")
+    (if (partitionBy.nonEmpty) writer.partitionBy(partitionBy: _*) else writer)
+      .parquet(staging.toString)
+    val stream = Files.walk(staging)
+    val leaves =
+      try stream.iterator().asScala.toSeq.filter(p =>
+        Files.isRegularFile(p) &&
+          p.getFileName.toString.endsWith(".parquet") &&
+          !p.getFileName.toString.startsWith("."))
+      finally stream.close()
+    val adds = leaves.sortBy(_.toString).zipWithIndex.map { case (p, i) =>
+      val relDir = staging.relativize(p).getParent // partition dirs or null
+      val pvPairs = Option(relDir).toSeq.flatMap(_.iterator().asScala)
+        .map(_.toString).filter(_.contains("="))
+        .map { seg =>
+          val Array(k, v) = seg.split("=", 2)
+          k -> org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+            .unescapePathName(v)
+        }
+      val nullCols = pvPairs.collect {
+        case (k, v) if v == "__HIVE_DEFAULT_PARTITION__" => k }.toSet
+      val pv = pvPairs.filterNot(kv => nullCols(kv._1)).toMap
+      val name = f"part-$i%05d-$nonce.parquet" // deterministic unique name
+      val rel = Option(relDir).map(_.toString + "/").getOrElse("") + name
+      val dst = Paths.get(root, rel)
+      Files.createDirectories(dst.getParent)
+      Files.move(p, dst)
+      val st = VersionedTable.footerStats(spark, dst)
+      DeltaAdd(rel, pv, nullCols, Files.size(dst), statsJsonOf(st))
+    }
+    val next = latest + 1
+    val lines = scala.collection.mutable.ListBuffer.empty[String]
+    lines += s"""{"commitInfo":{"timestamp":${System.currentTimeMillis},""" +
+      s""""operation":"${if (mode == "append") "WRITE" else "OVERWRITE"}"}}"""
+    if (latest < 0 || mode == "overwrite") {
+      lines += """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}"""
+      val schemaJson = jsonStr(df.schema.json)
+      val parts = partitionBy.map(jsonStr).mkString(",")
+      lines += s"""{"metaData":{"id":${jsonStr(java.util.UUID.randomUUID().toString)},""" +
+        s""""format":{"provider":"parquet","options":{}},""" +
+        s""""schemaString":$schemaJson,"partitionColumns":[$parts],""" +
+        s""""configuration":{},"createdTime":${System.currentTimeMillis}}}"""
+    }
+    if (mode == "overwrite") existing.foreach(_.adds.foreach { a =>
+      lines += s"""{"remove":{"path":${jsonStr(encodePath(a.path))},""" +
+        s""""deletionTimestamp":${System.currentTimeMillis},"dataChange":true}}"""
+    })
+    adds.foreach { a =>
+      val pvJson = (a.partitionValues.toSeq.sortBy(_._1)
+        .map { case (k, v) => s"${jsonStr(k)}:${jsonStr(v)}" } ++
+        a.nullPartitionCols.toSeq.sorted.map(k => s"${jsonStr(k)}:null"))
+        .mkString(",")
+      lines += s"""{"add":{"path":${jsonStr(encodePath(a.path))},""" +
+        s""""partitionValues":{$pvJson},"size":${a.size},""" +
+        s""""modificationTime":${System.currentTimeMillis},""" +
+        s""""dataChange":true${a.statsJson.fold("")(s =>
+          s""","stats":${jsonStr(s)}""")}}}"""
+    }
+    try io(root).putIfAbsent(commitPath(root, next),
+      lines.mkString("", "\n", "\n").getBytes(UTF_8))
+    catch {
+      case _: java.nio.file.FileAlreadyExistsException =>
+        throw new VersionedTable.ConcurrentCommitException(next)
+    }
+    next
+  }
+
+  /** Write a checkpoint of `version` (default latest): the replayed
+    * state as `%020d.checkpoint.parquet` plus the `_last_checkpoint`
+    * hint — readers then replay O(commits since checkpoint). */
+  def checkpoint(spark: SparkSession, root: String,
+      version: Option[Long] = None): Long = {
+    val v = version.getOrElse(latestVersion(root))
+    val snap = snapshot(spark, root, Some(v))
+    val addSchema = StructType(Seq(
+      StructField("path", StringType),
+      StructField("partitionValues", MapType(StringType, StringType)),
+      StructField("size", LongType),
+      StructField("modificationTime", LongType),
+      StructField("dataChange", BooleanType),
+      StructField("stats", StringType)))
+    val metaSchema = StructType(Seq(
+      StructField("id", StringType),
+      StructField("format", StructType(Seq(
+        StructField("provider", StringType),
+        StructField("options", MapType(StringType, StringType))))),
+      StructField("schemaString", StringType),
+      StructField("partitionColumns", ArrayType(StringType)),
+      StructField("configuration", MapType(StringType, StringType))))
+    val protoSchema = StructType(Seq(
+      StructField("minReaderVersion", IntegerType),
+      StructField("minWriterVersion", IntegerType)))
+    val cpSchema = StructType(Seq(
+      StructField("protocol", protoSchema),
+      StructField("metaData", metaSchema),
+      StructField("add", addSchema)))
+    val protoRow = Row(Row(1, 2), null, null)
+    val metaRow = Row(null, Row(java.util.UUID.randomUUID().toString,
+      Row("parquet", Map.empty[String, String]), snap.schema.json,
+      snap.partitionColumns, snap.configuration), null)
+    val addRows = snap.adds.map { a =>
+      val pv = a.partitionValues ++ a.nullPartitionCols.map(_ -> null)
+      Row(null, null, Row(encodePath(a.path), pv, a.size, 0L, true,
+        a.statsJson.orNull))
+    }
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(protoRow +: metaRow +: addRows, 1),
+      cpSchema)
+    val staging = Files.createTempDirectory("delta_cp_").resolve("out")
+    df.coalesce(1).write.parquet(staging.toString)
+    val part = Files.list(staging).iterator().asScala
+      .find(p => p.getFileName.toString.endsWith(".parquet") &&
+        !p.getFileName.toString.startsWith("."))
+      .getOrElse(throw new IllegalStateException("checkpoint write produced no file"))
+    val dst = logDir(root).resolve(f"$v%020d.checkpoint.parquet")
+    Files.move(part, dst,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    val hint = s"""{"version":$v,"size":${2 + snap.adds.size}}"""
+    Files.write(logDir(root).resolve("_last_checkpoint"), hint.getBytes(UTF_8))
+    v
+  }
+}

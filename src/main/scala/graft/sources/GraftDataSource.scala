@@ -257,7 +257,8 @@ class GraftRelation(index: GraftFileIndex, schema: StructType,
   * file, and Spark re-applies all filters row-wise downstream.
   */
 class GraftFileIndex(spark: SparkSession, root: String, version: Long,
-    initialState: VersionedTable.TableState, pinnedSnapshot: Boolean)
+    initialState: VersionedTable.TableState, pinnedSnapshot: Boolean,
+    allowTombstones: Boolean = false)
     extends FileIndex {
 
   private def buildStatuses(s: VersionedTable.TableState)
@@ -333,6 +334,13 @@ class GraftFileIndex(spark: SparkSession, root: String, version: Long,
   private[graft] def tableRoot: String = root
   private[graft] def isPinned: Boolean = pinnedSnapshot
 
+  /** For the MOR scan rewrite ([[graft.ext.GraftMorScan]]): the
+    * snapshot a query planned NOW would serve, and whether it carries
+    * merge-on-read tombstones (i.e. needs the ∪/anti-join rewrite). */
+  private[graft] def currentVersion: Long = resolved()._1
+  private[graft] def currentHasTombstones: Boolean =
+    resolved()._2.tombs.values.exists(_.nonEmpty)
+
   override def rootPaths: Seq[HPath] = Seq(new HPath(root))
   override def partitionSchema: StructType = new StructType()
   override def sizeInBytes: Long = resolved()._3.map(_._2.getLen).sum
@@ -342,7 +350,22 @@ class GraftFileIndex(spark: SparkSession, root: String, version: Long,
 
   override def listFiles(partitionFilters: Seq[Expression],
       dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
-    val (_, snap, statuses) = resolved()
+    val (v, snap, statuses) = resolved()
+    // Physical-time tombstone gate: a raw file listing of a snapshot
+    // with merge-on-read tombstones would RESURRECT deleted rows. The
+    // analysis-time [[graft.ext.GraftMorScan]] rule rewrites such scans
+    // into (clean files) ∪ (anti-joined touched files) — its pieces set
+    // `allowTombstones` (clean subsets carry no tombstones; DML file
+    // targeting reads through [[VersionedTable.readResolved]]). Any
+    // OTHER route to this listing — extensions not installed, a plan
+    // analyzed before an external MOR edit landed — must fail loudly
+    // here rather than return wrong rows.
+    if (!allowTombstones && snap.tombs.values.exists(_.nonEmpty))
+      throw new UnsupportedOperationException(
+        s"graft datasource: snapshot v$v of $root carries merge-on-read " +
+          "tombstones this raw scan cannot apply — install " +
+          "graft.ext.GraftExtensions (the MOR scan rewrite) and re-plan " +
+          "the query, or read via VersionedTable.read / compact() first")
     val keep = statuses.filter { case (rel, _) =>
       dataFilters.forall(e => mayMatchFile(snap, rel, e))
     }
@@ -455,11 +478,11 @@ object GraftFileIndex {
     * slip past a cached relation). */
   private[sources] def featureGates(root: String, v: Long,
       st: VersionedTable.TableState): Unit = {
-    if (st.tombs.values.exists(_.nonEmpty))
-      throw new UnsupportedOperationException(
-        s"graft datasource: snapshot v$v of $root carries merge-on-read " +
-          "tombstones this scan path cannot apply — read via " +
-          "VersionedTable.read (tombstone-resolving) or compact() first")
+    // Merge-on-read tombstones are NOT gated here: relation creation
+    // succeeds and the analysis-time [[graft.ext.GraftMorScan]] rule
+    // rewrites the scan into (clean ∪ anti-joined) form. The raw
+    // listing path keeps its own physical-time gate (listFiles), so a
+    // session without the extensions fails loudly, never wrong.
     if (st.colMap.nonEmpty)
       throw new UnsupportedOperationException(
         s"graft datasource: snapshot v$v of $root has renamed columns " +

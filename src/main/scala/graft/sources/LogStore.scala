@@ -89,6 +89,11 @@ sealed trait LocalFsReads extends LogStore {
   * with EEXIST, so the loser reliably gets the exception. */
 object PosixLogStore extends LocalFsReads {
   override def putIfAbsent(path: Path, body: Array[Byte]): Unit = {
+    // the trait contract does not require callers to mkdirs first (an
+    // object store has no directories to make) — creating the parent
+    // here keeps the failure mode identical across stores instead of a
+    // confusing NoSuchFileException from the temp-file create
+    Files.createDirectories(path.getParent)
     val tmp = Files.createTempFile(path.getParent, s".tmp-${path.getFileName}-", "")
     Files.write(tmp, body)
     try Files.createLink(path, tmp)
@@ -107,7 +112,9 @@ object PosixLogStore extends LocalFsReads {
   * name (link publishes fully-written bytes or nothing) — on a real
   * object store the PUT is atomic and the trade-off disappears. */
 object ConditionalPutLogStore extends LocalFsReads {
-  override def putIfAbsent(path: Path, body: Array[Byte]): Unit =
+  override def putIfAbsent(path: Path, body: Array[Byte]): Unit = {
+    Files.createDirectories(path.getParent) // same contract as PosixLogStore
     Files.write(path, body,
       StandardOpenOption.WRITE, StandardOpenOption.CREATE_NEW)
+  }
 }

@@ -1264,7 +1264,7 @@ object VersionedTable {
 
   /** Footer-harvested stats for one parquet file, keyed by column
     * name. Unsupported physical/logical types yield no entry. */
-  private def footerStats(spark: SparkSession, file: Path)
+  private[sources] def footerStats(spark: SparkSession, file: Path)
       : Map[String, ColStats] = {
     import org.apache.parquet.hadoop.ParquetFileReader
     import org.apache.parquet.hadoop.util.HadoopInputFile
@@ -1836,6 +1836,35 @@ object VersionedTable {
     * writer got there first, [[ConcurrentCommitException]] fires even
     * when the race finished before we started writing. Omitted, the
     * target is latest+1 and only a same-version photo-finish races. */
+  /** Enforce active CHECK constraints on a batch of rows about to be
+    * published: a row violates when a constraint evaluates to strict
+    * FALSE (SQL CHECK: NULL passes). One job, all constraints in one
+    * pass, early-terminated by limit(1); the error names every violated
+    * constraint. Called on every path that publishes NEW ROW VALUES —
+    * ingest ([[commit]]), copy-on-write rewrites ([[commitReplace]],
+    * i.e. SQL UPDATE/MERGE and the range operators), and merge-on-read
+    * updates ([[updateKeysMOR]]) — so `UPDATE t SET k = -1` refuses on
+    * a table whose CHECK k > 0 would refuse the same value at INSERT. */
+  private def enforceChecks(df: DataFrame,
+      activeChecks: Map[String, String], root: String): Unit = {
+    if (activeChecks.nonEmpty) {
+      import org.apache.spark.sql.functions.{coalesce, expr, lit, not}
+      val flagged = activeChecks.toSeq.sortBy(_._1).map { case (n, e) =>
+        n -> coalesce(not(expr(e)), lit(false))
+      }
+      val hit = df.select(flagged.map(_._2): _*)
+        .filter(flagged.map(_._2).reduce(_ || _))
+        .limit(1).collect()
+      if (hit.nonEmpty) {
+        val names = flagged.zipWithIndex
+          .collect { case ((n, _), i) if hit(0).getBoolean(i) => n }
+        throw new IllegalArgumentException(
+          s"commit to $root violates CHECK constraint(s): " +
+            names.map(n => s"$n [${activeChecks(n)}]").mkString("; "))
+      }
+    }
+  }
+
   def commit(df: DataFrame, root: String, mode: String = "append",
       expected: Option[Long] = None, batchTag: Option[Long] = None,
       partitionBy: Option[PartitionTransform] = None): Long = {
@@ -1870,23 +1899,7 @@ object VersionedTable {
     // error names every violated constraint. Enforced on the ingest
     // path (append/overwrite) — row-edit operators rewrite rows that
     // already passed.
-    val activeChecks = prevState.map(_.checks).getOrElse(Map.empty)
-    if (activeChecks.nonEmpty) {
-      import org.apache.spark.sql.functions.{coalesce, expr, lit, not}
-      val flagged = activeChecks.toSeq.sortBy(_._1).map { case (n, e) =>
-        n -> coalesce(not(expr(e)), lit(false))
-      }
-      val hit = df.select(flagged.map(_._2): _*)
-        .filter(flagged.map(_._2).reduce(_ || _))
-        .limit(1).collect()
-      if (hit.nonEmpty) {
-        val names = flagged.zipWithIndex
-          .collect { case ((n, _), i) if hit(0).getBoolean(i) => n }
-        throw new IllegalArgumentException(
-          s"commit to $root violates CHECK constraint(s): " +
-            names.map(n => s"$n [${activeChecks(n)}]").mkString("; "))
-      }
-    }
+    enforceChecks(df, prevState.map(_.checks).getOrElse(Map.empty), root)
     if (mode == "append") prevSchema.foreach { prev =>
       val byName = df.schema.map(f => f.name -> f.dataType).toMap
       // TYPE WIDENING (the Delta/Iceberg-v3 evolution): an append may
@@ -2210,6 +2223,7 @@ object VersionedTable {
       s"key column '$keyCol' is not a table column")
     val n = newImages.count()
     if (n == 0) return basis
+    enforceChecks(newImages, st.checks, root) // new row values, same bar as INSERT
     val physKey = physicalName(st, keyCol)
     val distinctKeys = newImages.select(col(keyCol).as(physKey))
       .where(col(physKey).isNotNull).distinct()
@@ -2224,19 +2238,19 @@ object VersionedTable {
     // so far-apart point updates tombstone only their own files.
     val precise = 10000
     val sample = distinctKeys.limit(precise + 1).collect().map(_.get(0))
-    val applies =
-      if (sample.length <= precise)
-        st.files.filter { f =>
-          val cs = st.stats.getOrElse(f, Map.empty).get(physKey)
-          sample.exists(k => mayMatch(cs, Some(k), Some(k)))
-        }
-      else {
+    // may this file's key-range stats hold one of the updated keys? —
+    // used twice: to target the tombstone, and to conflict-check files
+    // ADDED by interleaved commits at publish time (see keyGuard below)
+    val keyOverlap: Option[ColStats] => Boolean =
+      if (sample.length <= precise) {
+        cs => sample.exists(k => mayMatch(cs, Some(k), Some(k)))
+      } else {
         val bounds = distinctKeys.agg(
           fmin(col(physKey)).as("lo"), fmax(col(physKey)).as("hi")).head()
-        st.files.filter(f =>
-          mayMatch(st.stats.getOrElse(f, Map.empty).get(physKey),
-            Some(bounds.get(0)), Some(bounds.get(1))))
+        cs => mayMatch(cs, Some(bounds.get(0)), Some(bounds.get(1)))
       }
+    val applies = st.files.filter(f =>
+      keyOverlap(st.stats.getOrElse(f, Map.empty).get(physKey)))
     val nonce = java.util.UUID.randomUUID().toString.take(8)
     // tombstone sidecar (old images' keys) — skipped entirely when no
     // file can hold an updated key (the batch is pure inserts)
@@ -2269,6 +2283,11 @@ object VersionedTable {
     }
     publishRebasing(root, basis, applies.toSet, st.schemaJson,
       allowTombstoneOverlap = false,
+      // the tombstone covers BASIS files only — an interleaved commit
+      // that ADDS a file possibly carrying an updated key would survive
+      // untombstoned and break the unique-key contract changesKeyed
+      // pairing relies on; conflict instead of silently duplicating
+      keyGuard = Some((physKey, keyOverlap)),
       mkBody = next => (Seq(s"version=$next", "action=update-mor") ++
         st.schemaJson.map(j => s"schema=${enc(j)}").toSeq ++
         tombLines ++
@@ -2371,6 +2390,51 @@ object VersionedTable {
     val matchPred = cond.map(c => coalesce(rebindColumn(c), lit(false)))
       .getOrElse(lit(true))
     val setMap = set.toMap
+    // POINT-predicate fast path: `WHERE key = v` / `WHERE key IN (...)`
+    // with literals routes to MERGE-ON-READ ([[updateKeysMOR]]) —
+    // tombstone the old images and append the new ones in one commit,
+    // rewriting NO existing data file. At 100 TB this is the difference
+    // between O(updated rows) and O(files holding them) for the most
+    // common UPDATE shape. Conditions: the SET must not reassign the
+    // key (the tombstone is keyed on the OLD value), the matched rows
+    // must be unique per key (MOR row identity), and the batch must be
+    // point-sized (≤ `morMaxRows` — a large IN-list update amortizes
+    // better as copy-on-write, and keeps the MOR read-side sidecar
+    // anti-joins small). Anything else falls through to COW below.
+    val pointKey: Option[String] = cond.flatMap {
+      case org.apache.spark.sql.catalyst.expressions.EqualTo(
+          a: org.apache.spark.sql.catalyst.expressions.AttributeReference,
+          _: org.apache.spark.sql.catalyst.expressions.Literal) => Some(a.name)
+      case org.apache.spark.sql.catalyst.expressions.EqualTo(
+          _: org.apache.spark.sql.catalyst.expressions.Literal,
+          a: org.apache.spark.sql.catalyst.expressions.AttributeReference) =>
+        Some(a.name)
+      case org.apache.spark.sql.catalyst.expressions.In(
+          a: org.apache.spark.sql.catalyst.expressions.AttributeReference, vs)
+          if vs.forall(_.isInstanceOf[
+            org.apache.spark.sql.catalyst.expressions.Literal]) => Some(a.name)
+      case _ => None
+    }.filterNot(setMap.contains)
+    val morMaxRows = 10000L
+    pointKey.foreach { key =>
+      val matched = df.filter(matchPred)
+      val cnt = matched.count()
+      if (cnt == 0) return basis // nothing matches: metadata-only no-op
+      if (cnt <= morMaxRows) {
+        val uniq = matched.select(col(key)).where(col(key).isNotNull)
+          .distinct().count()
+        if (uniq == cnt) {
+          val imgProj = df.columns.map { c =>
+            setMap.get(c) match {
+              case Some(e) => rebindColumn(e).as(c) // all rows match here
+              case None => col(c)
+            }
+          }
+          return updateKeysMOR(spark, root, key, matched.select(
+            scala.collection.immutable.ArraySeq.unsafeWrapArray(imgProj): _*))
+        }
+      }
+    }
     val proj = df.columns.map { c =>
       setMap.get(c) match {
         case Some(e) =>
@@ -2398,7 +2462,10 @@ object VersionedTable {
       st: TableState,
       cond: org.apache.spark.sql.catalyst.expressions.Expression)
       : Seq[String] = {
-    val idx = new GraftFileIndex(spark, root, v, st, pinnedSnapshot = true)
+    // allowTombstones: this listing only TARGETS candidate files; the
+    // actual rows go through [[readResolved]], which applies sidecars
+    val idx = new GraftFileIndex(spark, root, v, st, pinnedSnapshot = true,
+      allowTombstones = true)
     val kept = idx.listFiles(Nil, Seq(cond))
       .flatMap(_.files).map(_.getPath.toString).toSet
     st.files.filter(f => kept.contains(
@@ -2545,7 +2612,9 @@ object VersionedTable {
   private[sources] def publishRebasing(root: String, basis: Long,
       touched: Set[String], basisSchema: Option[String],
       mkBody: Long => String,
-      allowTombstoneOverlap: Boolean = false): Long = {
+      allowTombstoneOverlap: Boolean = false,
+      keyGuard: Option[(String, Option[ColStats] => Boolean)] = None)
+      : Long = {
     var checked = basis // manifests <= checked are known compatible
     var attempts = 0
     while (true) {
@@ -2553,10 +2622,23 @@ object VersionedTable {
       if (attempts > 1000) throw new ConcurrentCommitException(checked + 1)
       val target = latestVersion(root) + 1
       ((checked + 1) until target).foreach { v =>
-        conflictReason(readManifest(root, v), touched, basisSchema,
-            allowTombstoneOverlap)
+        val m = readManifest(root, v)
+        conflictReason(m, touched, basisSchema, allowTombstoneOverlap)
           .foreach(why =>
             throw new ConcurrentWriteConflictException(v, why))
+        // keyed merge-on-read guard: an otherwise-compatible commit
+        // (append / disjoint replace) that ADDS a file whose key-range
+        // stats overlap the edit's key set would leave the added rows
+        // outside the tombstone — duplicate keys. Stat-less added
+        // files conservatively conflict (mayMatch returns true).
+        keyGuard.foreach { case (physKey, overlaps) =>
+          val ms = manifestStats(m)
+          m.files.find(f => overlaps(ms.getOrElse(f, Map.empty).get(physKey)))
+            .foreach(f => throw new ConcurrentWriteConflictException(v,
+              s"v${m.version} added $f, whose $physKey stats may hold a " +
+                "key this merge-on-read update rewrites — rebasing would " +
+                "leave duplicate keys"))
+        }
       }
       checked = target - 1
       try {
@@ -2582,6 +2664,10 @@ object VersionedTable {
       schemaOverride: Option[org.apache.spark.sql.types.StructType] = None)
       : Long = {
     val basisState = state(root, basis)
+    // rewrites carry NEW row values (SQL UPDATE/MERGE), so active CHECK
+    // constraints apply exactly as they do at INSERT — without this,
+    // `UPDATE t SET k = -1` would smuggle past a CHECK k > 0
+    enforceChecks(rewritten, basisState.checks, root)
     val nonce = java.util.UUID.randomUUID().toString.take(8)
     // the dir name stamps the PREPARED version for operator legibility;
     // after a rebase the manifest may publish later — references in
@@ -2778,6 +2864,45 @@ object VersionedTable {
           .reduce(_ unionByName _)
       }
     aliasToLogical(st, resolved)
+  }
+
+  /** Support for the SQL MOR read path ([[graft.ext.GraftMorScan]]):
+    * split snapshot `v` into
+    *
+    *  1. a [[GraftRelation]] over the tombstone-FREE files only —
+    *     pinned to `v`, still a stock parquet `HadoopFsRelation`, so
+    *     manifest-stats/bloom/partition-tag pruning, vectorized read,
+    *     and whole-stage codegen all apply to the (overwhelming) clean
+    *     majority of a 100 TB table's files; and
+    *  2. a tombstone-RESOLVING DataFrame over just the touched files
+    *     (per-sidecar-set broadcast anti-joins, the
+    *     [[readResolved]] machinery).
+    *
+    * The rule unions the two, so `SELECT` on a table with
+    * merge-on-read deletes/updates pays the anti-join ONLY for the
+    * files a tombstone actually applies to — the Delta
+    * deletion-vector read-path shape. Returns None for the touched
+    * side when the snapshot carries no tombstones. */
+  private[graft] def morReadSplit(spark: SparkSession, root: String,
+      v: Long): (GraftRelation, Option[DataFrame]) = {
+    val st = state(root, v)
+    val touched = st.files.filter(f =>
+      st.tombs.getOrElse(f, Vector.empty).nonEmpty)
+    val touchedSet = touched.toSet
+    val cleanSt = st.copy(files = st.files.filterNot(touchedSet),
+      tombs = Map.empty, tombKey = Map.empty)
+    val schema = physicalSchemaOf(st).getOrElse(
+      throw new IllegalStateException(
+        s"$root v$v has no schema metadata — commit through " +
+          "VersionedTable.commit"))
+    val idx = new GraftFileIndex(spark, root, v, cleanSt,
+      pinnedSnapshot = true)
+    val rel = new GraftRelation(idx, schema, root, pinnedSnapshot = true)(
+      spark)
+    val resolvedTouched =
+      if (touched.isEmpty) None
+      else Some(readResolved(spark, root, st, touched))
+    (rel, resolvedTouched)
   }
 
   /** Read a snapshot: latest by default, or time-travel to `version`.

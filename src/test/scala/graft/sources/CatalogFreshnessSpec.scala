@@ -41,9 +41,10 @@ class CatalogFreshnessSpec extends SparkSpecBase {
     val live = spark.read.format("graft").load(root)
     assert(live.count() === 2)
     // an EXTERNAL MOR delete lands after the relation was resolved:
-    // the refreshed index must refuse, not silently include deleted rows
+    // the next query re-analyzes, the GraftMorScan rewrite resolves the
+    // tombstone — the deleted row is gone, never silently included
     VersionedTable.deleteKeysMOR(spark, root, "k", Seq(1L).toDF("k"))
-    val e = intercept[UnsupportedOperationException] { live.count() }
-    assert(e.getMessage.contains("tombstones"))
+    assert(live.count() === 1)
+    assert(live.select("k").as[Long].collect().toSeq === Seq(2L))
   }
 }

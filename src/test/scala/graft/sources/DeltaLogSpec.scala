@@ -1,0 +1,216 @@
+package graft.sources
+
+import java.nio.charset.StandardCharsets.UTF_8
+import java.nio.file.{Files, Paths}
+import graft.SparkSpecBase
+import org.apache.spark.sql.functions._
+
+/** The Delta Lake log protocol implementation ([[DeltaLog]] +
+  * [[DeltaLogDataSource]]): snapshot replay from JSON commits and
+  * checkpoint parquet, partition pruning from `partitionValues`,
+  * data skipping from per-file `stats`, time travel, writer
+  * round-trips, and the reader feature refusal gates. Includes a
+  * HAND-WRITTEN spec-conformant fixture (raw JSON, not our writer) so
+  * the reader is proven against the published protocol, not against
+  * our own serialization. */
+class DeltaLogSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private def tmp(): String =
+    Files.createTempDirectory("delta_spec_").toString
+
+  private def indexOf(df: org.apache.spark.sql.DataFrame): DeltaLogFileIndex =
+    df.queryExecution.optimizedPlan.collect {
+      case org.apache.spark.sql.execution.datasources.LogicalRelation(
+          r: org.apache.spark.sql.execution.datasources.HadoopFsRelation,
+          _, _, _, _) =>
+        r.location.asInstanceOf[DeltaLogFileIndex]
+    }.head
+
+  test("writer/reader round-trip, unpartitioned, stats skip files") {
+    val root = tmp()
+    // 4 range-disjoint files via 4 commits
+    (0 until 4).foreach { i =>
+      DeltaLog.commit(
+        spark.range(16 * i, 16 * i + 16).toDF("k")
+          .withColumn("v", col("k") * 2).coalesce(1),
+        root)
+    }
+    assert(DeltaLog.latestVersion(root) === 3L)
+    val ds = spark.read.format("delta-log").load(root)
+    assert(ds.count() === 64)
+    assert(ds.agg(sum("v")).as[Long].head() === (0 until 64).map(_ * 2).sum)
+    // data skipping: k in [20, 25] lives in one file
+    val q = spark.read.format("delta-log").load(root)
+      .filter(col("k") >= 20 && col("k") <= 25)
+    assert(q.agg(sum("v")).as[Long].head() === (20 to 25).map(_ * 2).sum)
+    val (kept, total) = indexOf(q).lastListing.get
+    assert(total === 4 && kept === 1, s"expected 1/4 files, got $kept/$total")
+  }
+
+  test("partitioned table: partition values from the log, exact pruning") {
+    val root = tmp()
+    val df = spark.range(0, 40).toDF("k")
+      .withColumn("p", (col("k") % 4).cast("int"))
+      .withColumn("v", col("k") * 10)
+    DeltaLog.commit(df, root, partitionBy = Seq("p"))
+    val ds = spark.read.format("delta-log").load(root)
+    // partition column reconstructed from partitionValues, right type
+    assert(ds.schema("p").dataType ===
+      org.apache.spark.sql.types.IntegerType)
+    assert(ds.count() === 40)
+    assert(ds.groupBy("p").count().orderBy("p")
+      .as[(Int, Long)].collect().toSeq ===
+      (0 until 4).map(p => (p, 10L)))
+    val q = spark.read.format("delta-log").load(root).filter(col("p") === 2)
+    assert(q.agg(sum("v")).as[Long].head() ===
+      (0 until 40).filter(_ % 4 == 2).map(_ * 10).sum)
+    val (kept, total) = indexOf(q).lastListing.get
+    assert(kept < total, s"partition pruning kept $kept/$total")
+    // and the scan plans a real partition filter (no row-level rescue)
+    assert(q.queryExecution.executedPlan.toString.contains("PartitionFilters"))
+  }
+
+  test("append enforces schema; overwrite replaces; time travel reads both") {
+    val root = tmp()
+    DeltaLog.commit(Seq((1L, "a"), (2L, "b")).toDF("k", "s"), root)
+    DeltaLog.commit(Seq((3L, "c")).toDF("k", "s"), root)
+    intercept[IllegalArgumentException] {
+      DeltaLog.commit(Seq((4, "d")).toDF("k", "s"), root) // k INT != BIGINT
+    }
+    val v2 = DeltaLog.commit(Seq((9L, 1L)).toDF("k", "n"), root, "overwrite")
+    assert(v2 === 2L)
+    val now = spark.read.format("delta-log").load(root)
+    assert(now.columns.toSeq === Seq("k", "n"))
+    assert(now.as[(Long, Long)].collect().toSeq === Seq((9L, 1L)))
+    val v1 = spark.read.format("delta-log").option("versionAsOf", 1).load(root)
+    assert(v1.orderBy("k").as[(Long, String)].collect().toSeq ===
+      Seq((1L, "a"), (2L, "b"), (3L, "c")))
+  }
+
+  test("checkpoint seeds replay; survives truncated JSON prefix") {
+    val root = tmp()
+    (0 until 5).foreach { i =>
+      DeltaLog.commit(Seq((i.toLong, i.toString)).toDF("k", "s"), root)
+    }
+    DeltaLog.checkpoint(spark, root)          // checkpoint at v4
+    DeltaLog.commit(Seq((99L, "z")).toDF("k", "s"), root) // v5 on top
+    // simulate log retention: drop the JSON commits the checkpoint covers
+    (0 until 4).foreach { v =>
+      Files.delete(Paths.get(root, "_delta_log", f"$v%020d.json"))
+    }
+    val ds = spark.read.format("delta-log").load(root)
+    assert(ds.orderBy("k").as[(Long, String)].collect().toSeq ===
+      (0 until 5).map(i => (i.toLong, i.toString)) :+ (99L, "z"))
+    // a version BELOW the checkpoint is no longer reconstructible: refuse
+    val e = intercept[IllegalStateException] {
+      spark.read.format("delta-log").option("versionAsOf", 2).load(root)
+        .collect()
+    }
+    assert(e.getMessage.contains("missing"))
+  }
+
+  test("reads a hand-written spec-conformant log (foreign writer)") {
+    val root = tmp()
+    // data files written by PLAIN spark, one per partition dir, with a
+    // URL-encodable name; partition column NOT in the files (the spec)
+    val d1 = Paths.get(root, "p=x")
+    val d2 = Paths.get(root, "p=y")
+    Seq(1L, 2L).toDF("k").coalesce(1).write.parquet(d1.toString)
+    Seq(3L).toDF("k").coalesce(1).write.parquet(d2.toString)
+    import scala.jdk.CollectionConverters._
+    def onlyParquet(dir: java.nio.file.Path): String = {
+      val s = Files.list(dir)
+      try s.iterator().asScala.map(_.getFileName.toString)
+        .filter(n => n.endsWith(".parquet") && !n.startsWith("."))
+        .next()
+      finally s.close()
+    }
+    val f1 = s"p=x/${onlyParquet(d1)}"
+    val f2 = s"p=y/${onlyParquet(d2)}"
+    val schema = """{\"type\":\"struct\",\"fields\":[""" +
+      """{\"name\":\"k\",\"type\":\"long\",\"nullable\":true,\"metadata\":{}},""" +
+      """{\"name\":\"p\",\"type\":\"string\",\"nullable\":true,\"metadata\":{}}]}"""
+    val log = Paths.get(root, "_delta_log")
+    Files.createDirectories(log)
+    Files.write(log.resolve(f"${0L}%020d.json"),
+      (s"""{"commitInfo":{"operation":"WRITE"}}\n""" +
+        s"""{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}\n""" +
+        s"""{"metaData":{"id":"fixture","format":{"provider":"parquet","options":{}},"schemaString":"$schema","partitionColumns":["p"],"configuration":{}}}\n""" +
+        s"""{"add":{"path":"$f1","partitionValues":{"p":"x"},"size":${Files.size(Paths.get(root, f1))},"modificationTime":0,"dataChange":true,"stats":"{\\"numRecords\\":2,\\"minValues\\":{\\"k\\":1},\\"maxValues\\":{\\"k\\":2},\\"nullCount\\":{\\"k\\":0}}"}}\n""" +
+        s"""{"add":{"path":"$f2","partitionValues":{"p":"y"},"size":${Files.size(Paths.get(root, f2))},"modificationTime":0,"dataChange":true}}\n""")
+        .getBytes(UTF_8))
+    // second commit removes f2 (the spec's remove action)
+    Files.write(log.resolve(f"${1L}%020d.json"),
+      (s"""{"commitInfo":{"operation":"DELETE"}}\n""" +
+        s"""{"remove":{"path":"$f2","deletionTimestamp":1,"dataChange":true}}\n""")
+        .getBytes(UTF_8))
+    val ds = spark.read.format("delta-log").load(root)
+    assert(ds.orderBy("k").as[(Long, String)].collect().toSeq ===
+      Seq((1L, "x"), (2L, "x")))
+    val v0 = spark.read.format("delta-log").option("versionAsOf", 0).load(root)
+    assert(v0.orderBy("k").as[(Long, String)].collect().toSeq ===
+      Seq((1L, "x"), (2L, "x"), (3L, "y")))
+    // stats from the hand-written JSON prune: k >= 5 matches nothing,
+    // and f1's stats say so; the statless removed file is gone anyway
+    val q = ds.filter(col("k") >= 5)
+    assert(q.count() === 0)
+    assert(indexOf(q).lastListing.get._1 === 0)
+  }
+
+  test("reader feature gates refuse what we cannot honor") {
+    def mkLog(extraProto: String, addExtra: String = ""): String = {
+      val root = tmp()
+      val log = Paths.get(root, "_delta_log")
+      Files.createDirectories(log)
+      val schema = """{\"type\":\"struct\",\"fields\":[{\"name\":\"k\",\"type\":\"long\",\"nullable\":true,\"metadata\":{}}]}"""
+      Files.write(log.resolve(f"${0L}%020d.json"),
+        (s"""{"protocol":$extraProto}\n""" +
+          s"""{"metaData":{"id":"x","format":{"provider":"parquet","options":{}},"schemaString":"$schema","partitionColumns":[],"configuration":{}}}\n""" +
+          s"""{"add":{"path":"f.parquet","partitionValues":{},"size":1,"modificationTime":0,"dataChange":true$addExtra}}\n""")
+          .getBytes(UTF_8))
+      root
+    }
+    val dv = mkLog(
+      """{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["deletionVectors"],"writerFeatures":["deletionVectors"]}""")
+    val e1 = intercept[UnsupportedOperationException] {
+      DeltaLog.snapshot(spark, dv)
+    }
+    assert(e1.getMessage.contains("deletionVectors"))
+    val dvAdd = mkLog("""{"minReaderVersion":1,"minWriterVersion":2}""",
+      ""","deletionVector":{"storageType":"u","pathOrInlineDv":"x","offset":1,"sizeInBytes":1,"cardinality":1}""")
+    val e2 = intercept[UnsupportedOperationException] {
+      DeltaLog.snapshot(spark, dvAdd)
+    }
+    assert(e2.getMessage.contains("deletion vectors"))
+    // column mapping refuses through configuration
+    val cmRoot = tmp()
+    val cmLog = Paths.get(cmRoot, "_delta_log")
+    Files.createDirectories(cmLog)
+    val schema2 = """{\"type\":\"struct\",\"fields\":[{\"name\":\"k\",\"type\":\"long\",\"nullable\":true,\"metadata\":{}}]}"""
+    Files.write(cmLog.resolve(f"${0L}%020d.json"),
+      (s"""{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}\n""" +
+        s"""{"metaData":{"id":"x","format":{"provider":"parquet","options":{}},"schemaString":"$schema2","partitionColumns":[],"configuration":{"delta.columnMapping.mode":"name"}}}\n""")
+        .getBytes(UTF_8))
+    val e3 = intercept[UnsupportedOperationException] {
+      DeltaLog.snapshot(spark, cmRoot)
+    }
+    assert(e3.getMessage.contains("column mapping"))
+    // timestampNtz alone is honored (Spark reads NTZ natively)
+    val ok = mkLog(
+      """{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["timestampNtz"],"writerFeatures":["timestampNtz"]}""")
+    assert(DeltaLog.snapshot(spark, ok).adds.size === 1)
+  }
+
+  test("null partition values survive the round trip") {
+    val root = tmp()
+    val df = Seq((1L, Some("a")), (2L, None), (3L, Some("a")))
+      .toDF("k", "p")
+    DeltaLog.commit(df, root, partitionBy = Seq("p"))
+    val ds = spark.read.format("delta-log").load(root)
+    assert(ds.orderBy("k").as[(Long, Option[String])].collect().toSeq ===
+      Seq((1L, Some("a")), (2L, None), (3L, Some("a"))))
+    assert(ds.filter(col("p").isNull).select("k").as[Long].collect().toSeq
+      === Seq(2L))
+  }
+}

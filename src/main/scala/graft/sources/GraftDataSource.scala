@@ -271,7 +271,7 @@ class GraftFileIndex(spark: SparkSession, root: String, version: Long,
     // it), so a constant spares another per-file stat.
     s.files.map { f =>
       val p = VersionedTable.dataPath(root, f)
-      val len = s.sizes.getOrElse(f, java.nio.file.Files.size(p))
+      val len = s.sizes.getOrElse(f, VersionedTable.dataIO(root).size(p))
       f -> new FileStatus(len, false, 1, 128L * 1024 * 1024, 0L,
         new HPath(p.toUri))
     }
@@ -397,8 +397,8 @@ class GraftFileIndex(spark: SparkSession, root: String, version: Long,
       case None => true
       case Some(sc) => bloomCache.getOrElseUpdate(sc,
           org.apache.spark.util.sketch.BloomFilter.readFrom(
-            new java.io.ByteArrayInputStream(java.nio.file.Files.readAllBytes(
-              VersionedTable.dataPath(root, sc)))))
+            new java.io.ByteArrayInputStream(
+              VersionedTable.readDataBytes(root, sc))))
         .mightContainString(VersionedTable.bloomProbe(v))
     }
     def partOk = snap.parts.get(rel) match {

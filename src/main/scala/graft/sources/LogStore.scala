@@ -9,10 +9,11 @@ import scala.jdk.CollectionConverters._
   *
   * Scope: ONLY the log-protocol artifacts under `_graft_log/` —
   * manifests, checkpoints, and refs (tags/branches). Data files are
-  * out of scope on purpose: they are written and read through Spark's
-  * own Hadoop FileSystem layer (which already speaks S3/GCS/ABFS), are
-  * immutable once committed, and need no atomicity beyond
-  * write-then-reference. What an object store CANNOT give you is POSIX
+  * out of scope on purpose: the parquet payload is written and read
+  * through Spark's own Hadoop FileSystem layer (which already speaks
+  * S3/GCS/ABFS), and the engine's own maintenance I/O on data files
+  * (vacuum sweeps, branch publish relocation, sidecar bytes) has its
+  * own seam — [[DataStore]]. What an object store CANNOT give you is POSIX
   * link(2)/atomic-rename — and the ONLY place the protocol needs that
   * primitive is publishing a log artifact at a version that must be
   * won by exactly one writer. Hence the single non-trivial operation:

@@ -261,6 +261,49 @@ object VersionedTable {
       if (best == null) PosixLogStore else logStores.get(best)
     }
 
+  // ---------------------------------------------------------------------
+  // Data-storage seam ([[DataStore]]): the maintenance I/O that touches
+  // data files OUTSIDE Spark's Hadoop FS layer — vacuum sweeps, fsck
+  // existence checks, bloom sidecar bytes, per-file sizes, branch
+  // listing/cleanup, and WAP publish's directory relocation. Same
+  // prefix registry shape as the log seam.
+  // ---------------------------------------------------------------------
+
+  private val dataStores =
+    new java.util.concurrent.ConcurrentHashMap[String, DataStore]()
+
+  /** Use `store` for the data-path maintenance I/O of every table whose
+    * root starts with `rootPrefix` (longest prefix wins; unregistered
+    * roots use [[PosixDataStore]]). */
+  def registerDataStore(rootPrefix: String, store: DataStore): Unit =
+    dataStores.put(rootPrefix, store)
+
+  def unregisterDataStore(rootPrefix: String): Unit =
+    dataStores.remove(rootPrefix)
+
+  private[sources] def dataIO(pathUnderRoot: String): DataStore =
+    if (dataStores.isEmpty) PosixDataStore
+    else {
+      var best: String = null
+      val it = dataStores.keys()
+      while (it.hasMoreElements) {
+        val k = it.nextElement()
+        if (pathUnderRoot.startsWith(k) &&
+            (best == null || k.length > best.length))
+          best = k
+      }
+      if (best == null) PosixDataStore else dataStores.get(best)
+    }
+
+  /** Size of a log-referenced data file, through the seam. */
+  private def dataSize(root: String, f: String): Long =
+    dataIO(root).size(dataPath(root, f))
+
+  /** Bytes of a log-referenced sidecar, through the seam (bloom
+    * probes on the scan path). */
+  private[sources] def readDataBytes(root: String, f: String): Array[Byte] =
+    dataIO(root).readBytes(dataPath(root, f))
+
   /** Resolve a log-recorded data-file/sidecar reference to a
     * filesystem path. Plain entries are root-relative; `ext:`-prefixed
     * entries (written by [[cloneShallow]]) are absolute references
@@ -300,13 +343,10 @@ object VersionedTable {
     else Paths.get(root, f).getParent.getFileName.toString
   }
 
-  /** List a directory eagerly, CLOSING the underlying stream —
-    * `Files.list` holds a directory fd until closed, and a leak per
-    * call turns a long streaming run into EMFILE. */
-  private def listDir(dir: Path): Seq[Path] = {
-    val s = Files.list(dir)
-    try s.iterator().asScala.toSeq finally s.close()
-  }
+  /** List a data directory's immediate children as paths, through the
+    * data seam (absent dir = empty, object-store LIST semantics). */
+  private def listDir(dir: Path): Seq[Path] =
+    dataIO(dir.toString).listDir(dir).map(dir.resolve)
 
   /** Committed versions, ascending (gap-free prefix is guaranteed by
     * the commit protocol: version N only commits after N-1 exists).
@@ -871,7 +911,7 @@ object VersionedTable {
     def check(v: Long, s: TableState): Unit = refsOf(s).foreach { f =>
       if (!f.startsWith("ext:")) // external refs live outside data/
         referencedDirs += topDataDir(root, f)
-      if (!Files.exists(dataPath(root, f))) {
+      if (!dataIO(root).exists(dataPath(root, f))) {
         missing.getOrElseUpdate(f, v)
         if (v == latest) missingNow += f
       }
@@ -884,8 +924,7 @@ object VersionedTable {
     }
     val dataRoot = Paths.get(root, "data")
     val orphans =
-      if (!Files.isDirectory(dataRoot)) Seq.empty
-      else listDir(dataRoot).map(_.getFileName.toString)
+      listDir(dataRoot).map(_.getFileName.toString)
         .filterNot(referencedDirs).sorted
     // Hash-chain audit over the SURVIVING suffix: manifest v's
     // `parent=` must equal SHA-256(manifest v-1 bytes). An edited
@@ -932,7 +971,7 @@ object VersionedTable {
     val missing = (target.files ++ target.tombs.values.flatten.toSeq ++
       target.blooms.collect {
         case ((f, _), sc) if target.files.contains(f) => sc })
-      .distinct.filterNot(f => Files.exists(dataPath(root, f)))
+      .distinct.filterNot(f => dataIO(root).exists(dataPath(root, f)))
     require(missing.isEmpty,
       s"cannot restore to v$toVersion: ${missing.size} file(s) of that " +
         s"snapshot were vacuumed (e.g. ${missing.headOption.getOrElse("")})")
@@ -1752,11 +1791,10 @@ object VersionedTable {
     // as tombstone sidecars) BEFORE the manifest makes them visible.
     val nonce = java.util.UUID.randomUUID().toString.take(8)
     val dirRel = s"data/bloomidx-v${basis + 1}-$nonce"
-    Files.createDirectories(Paths.get(root, dirRel))
     val entries = perFile.toSeq.sortBy(_._1).zipWithIndex.map {
       case ((abs, bytes), i) =>
         val rel = f"$dirRel/$i%05d.bf"
-        Files.write(Paths.get(root, rel), bytes)
+        dataIO(root).write(Paths.get(root, rel), bytes)
         val absPath = new java.net.URI(abs).getPath
         val dataFile = relByAbs.getOrElse(absPath,
           throw new IllegalStateException(
@@ -1790,8 +1828,7 @@ object VersionedTable {
       case Some(sc) =>
         val bf = cache.getOrElseUpdate(sc,
           org.apache.spark.util.sketch.BloomFilter.readFrom(
-            new java.io.ByteArrayInputStream(
-              Files.readAllBytes(dataPath(root, sc)))))
+            new java.io.ByteArrayInputStream(readDataBytes(root, sc))))
         bf.mightContainString(probe)
     }
     (st.files.filter(f =>
@@ -1994,13 +2031,9 @@ object VersionedTable {
           .repartition(col(pvCol))
           .write.mode("errorifexists").partitionBy(pvCol)
           .parquet(dataDir.toString)
-        val walk = Files.walk(dataDir)
-        val leaves =
-          try walk.iterator().asScala.toSeq.filter(p =>
-            Files.isRegularFile(p) &&
-              p.getFileName.toString.endsWith(".parquet") &&
-              !p.getFileName.toString.startsWith("."))
-          finally walk.close()
+        val leaves = dataIO(root).listFilesRecursive(dataDir).filter(p =>
+          p.getFileName.toString.endsWith(".parquet") &&
+            !p.getFileName.toString.startsWith("."))
         val rels = leaves
           .map(p => s"$dataRel/${dataDir.relativize(p).toString}").sorted
         rels.foreach { f =>
@@ -2029,7 +2062,7 @@ object VersionedTable {
         // recorded size (Delta AddFile.size): lets scan planning and
         // DESCRIBE DETAIL run from metadata alone, no per-file stat
         files.map(f =>
-          s"fsize=${enc(f)}|${Files.size(Paths.get(root, f))}") ++
+          s"fsize=${enc(f)}|${dataSize(root, f)}") ++
         stats ++ partLines)
         .mkString("", "\n", "\n")
     publish(root, next, body)
@@ -2293,7 +2326,7 @@ object VersionedTable {
         tombLines ++
         files.map(f => s"file=$f") ++
         files.map(f =>
-          s"fsize=${enc(f)}|${Files.size(Paths.get(root, f))}") ++
+          s"fsize=${enc(f)}|${dataSize(root, f)}") ++
         statLines)
         .mkString("", "\n", "\n"))
   }
@@ -2693,7 +2726,7 @@ object VersionedTable {
         removed.map(f => s"remove=$f") ++
         files.map(f => s"file=$f") ++
         files.map(f =>
-          s"fsize=${enc(f)}|${Files.size(Paths.get(root, f))}") ++
+          s"fsize=${enc(f)}|${dataSize(root, f)}") ++
         statLines)
         .mkString("", "\n", "\n"))
   }
@@ -3256,17 +3289,10 @@ object VersionedTable {
       .toSet
     val now = System.currentTimeMillis()
     val dataRoot = Paths.get(root, "data")
-    if (Files.isDirectory(dataRoot))
-      listDir(dataRoot)
-        .filter(d => !keep.contains(d.getFileName.toString))
-        .filter(d =>
-          now - Files.getLastModifiedTime(d).toMillis() >= minAgeMs)
-        .foreach { d =>
-          val walk = Files.walk(d)
-          try walk.iterator().asScala.toSeq.reverse
-            .foreach(Files.deleteIfExists(_))
-          finally walk.close()
-        }
+    listDir(dataRoot)
+      .filter(d => !keep.contains(d.getFileName.toString))
+      .filter(d => now - dataIO(root).mtimeMs(d) >= minAgeMs)
+      .foreach(d => dataIO(root).deleteTree(d))
   }
 
   /** What [[vacuum]] WOULD delete, without deleting: the data dirs
@@ -3290,11 +3316,9 @@ object VersionedTable {
       .toSet
     val now = System.currentTimeMillis()
     val dataRoot = Paths.get(root, "data")
-    if (!Files.isDirectory(dataRoot)) Seq.empty
-    else listDir(dataRoot)
+    listDir(dataRoot)
       .filter(d => !keep.contains(d.getFileName.toString))
-      .filter(d =>
-        now - Files.getLastModifiedTime(d).toMillis() >= minAgeMs)
+      .filter(d => now - dataIO(root).mtimeMs(d) >= minAgeMs)
       .map(_.getFileName.toString)
       .sorted
   }
@@ -3435,7 +3459,7 @@ object VersionedTable {
       version = v,
       numFiles = st.files.size,
       sizeBytes = st.files.map(f => st.sizes.getOrElse(f,
-        scala.util.Try(Files.size(dataPath(root, f))).getOrElse(0L))).sum,
+        scala.util.Try(dataSize(root, f)).getOrElse(0L))).sum,
       numTombstoneSidecars = st.tombs.values.flatten.toSet.size,
       numBloomIndexes = st.blooms.size,
       numChecks = st.checks.size,
@@ -3501,8 +3525,7 @@ object VersionedTable {
   /** All branches: name -> (base version on main, branch's latest). */
   def branches(root: String): Map[String, (Long, Long)] = {
     val dir = branchesDir(root)
-    if (!Files.isDirectory(dir)) Map.empty
-    else listDir(dir).filter(Files.isDirectory(_))
+    listDir(dir).filter(dataIO(root).isDir(_))
       .map(_.getFileName.toString)
       .filter(n => latestVersion(branchesDir(root).resolve(n).toString) >= 0)
       .map(n => n -> (branchBase(root, n)._2,
@@ -3513,10 +3536,8 @@ object VersionedTable {
   /** Discard a branch — the failed-audit path. Main never saw it. */
   def dropBranch(root: String, name: String): Unit = {
     val bp = Paths.get(branchRoot(root, name))
-    require(Files.isDirectory(bp), s"no branch '$name' in $root")
-    val walk = Files.walk(bp)
-    try walk.iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
-    finally walk.close()
+    require(dataIO(root).isDir(bp), s"no branch '$name' in $root")
+    dataIO(root).deleteTree(bp)
   }
 
   /** Publish the branch's appends onto main as ONE squash append
@@ -3568,7 +3589,11 @@ object VersionedTable {
     val nonce = java.util.UUID.randomUUID().toString.take(8)
     val moved = dirs.map { d =>
       val dst = s"br-$name-$nonce-$d"
-      Files.move(Paths.get(bp, "data", d), Paths.get(root, "data", dst))
+      // through the data seam: rename on POSIX, copy+delete on object
+      // stores — safe because nothing references the destination until
+      // the squash manifest publishes below (manifest-last ordering)
+      dataIO(root).relocateDir(
+        Paths.get(bp, "data", d), Paths.get(root, "data", dst))
       d -> dst
     }.toMap
     def remap(f: String): String = {
@@ -3591,7 +3616,7 @@ object VersionedTable {
           local.map(f => s"file=${remap(f)}") ++
           local.map { f =>
             val sz = st.sizes.getOrElse(f,
-              Files.size(Paths.get(root, remap(f))))
+              dataIO(root).size(Paths.get(root, remap(f))))
             s"fsize=${enc(remap(f))}|$sz"
           } ++
           local.flatMap(f =>
@@ -3606,7 +3631,8 @@ object VersionedTable {
       case t: Throwable =>
         // restore the branch's data dirs so it survives for inspection
         moved.foreach { case (d, dst) =>
-          Files.move(Paths.get(root, "data", dst), Paths.get(bp, "data", d))
+          dataIO(root).relocateDir(
+            Paths.get(root, "data", dst), Paths.get(bp, "data", d))
         }
         throw t
     }

@@ -6,8 +6,9 @@ import org.apache.spark.sql.catalyst.analysis.EliminateSubqueryAliases
 import org.apache.spark.sql.catalyst.expressions.{
   AttributeReference, EqualTo, Expression}
 import org.apache.spark.sql.catalyst.plans.logical.{
-  Assignment, DeleteFromTable, InsertAction, InsertStarAction, LogicalPlan,
-  MergeIntoTable, UpdateAction, UpdateStarAction, UpdateTable}
+  Assignment, DeleteAction, DeleteFromTable, InsertAction, InsertStarAction,
+  LogicalPlan, MergeAction, MergeIntoTable, UpdateAction, UpdateStarAction,
+  UpdateTable}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.command.LeafRunnableCommand
 import org.apache.spark.sql.execution.datasources.{
@@ -85,22 +86,35 @@ case class GraftDmlRewrite(session: SparkSession) extends Rule[LogicalPlan] {
         case None => u
       }
 
-    // MERGE INTO — the canonical keyed-upsert form maps onto
-    // [[VersionedTable.mergeKeyed]] (stats-pruned copy-on-write):
-    //   MERGE INTO t USING s ON t.k = s.k
-    //   WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *
-    // Conditional/partial actions and NOT MATCHED BY SOURCE have no
-    // one-commit analog here and refuse with the supported form named.
+    // MERGE INTO. Two lowerings:
+    //  - the canonical unconditional star upsert (UPDATE SET * /
+    //    INSERT *, no extra clauses) keeps the [[VersionedTable
+    //    .mergeKeyed]] fast path — stats-pruned, schema evolution
+    //    capable;
+    //  - every other clause combination (conditional matched actions,
+    //    partial SET lists, WHEN MATCHED THEN DELETE, conditional
+    //    inserts, WHEN NOT MATCHED BY SOURCE) lowers to
+    //    [[VersionedTable.mergeConditional]] — one full-outer join,
+    //    one replace commit. Attribute references are mapped to the
+    //    join's __t_/__s_ column space by exprId, so `t.c`/`s.c`
+    //    disambiguation survives the lowering.
+    // Still refused (loudly, with the shape named): non-equality or
+    // compound ON conditions, nested-field assignment targets, and
+    // WITH SCHEMA EVOLUTION on conditional clauses.
     case m: MergeIntoTable if m.mergeCondition.resolved =>
       graftTarget(m.targetTable) match {
         case Some((root, pinned)) =>
           refusePinned(pinned, "MERGE INTO")
-          val key = m.mergeCondition match {
+          val tgtIds = m.targetTable.output.map(_.exprId).toSet
+          val srcIds = m.sourceTable.output.map(_.exprId).toSet
+          val (tKey, sKey) = m.mergeCondition match {
             case EqualTo(a: AttributeReference, b: AttributeReference)
-                if a.name == b.name => a.name
+                if tgtIds(a.exprId) && srcIds(b.exprId) => (a.name, b.name)
+            case EqualTo(a: AttributeReference, b: AttributeReference)
+                if srcIds(a.exprId) && tgtIds(b.exprId) => (b.name, a.name)
             case other => throw new UnsupportedOperationException(
-              "graft MERGE supports ON t.<key> = s.<key> (same column " +
-                s"name both sides), got: ${other.sql}")
+              "graft MERGE supports a single-equality ON " +
+                s"t.<key> = s.<key>, got: ${other.sql}")
           }
           val starMatched = m.matchedActions match {
             case Seq(UpdateStarAction(None)) => true
@@ -112,14 +126,53 @@ case class GraftDmlRewrite(session: SparkSession) extends Rule[LogicalPlan] {
             case Seq(InsertAction(None, as)) => identityAssignments(as)
             case _ => false
           }
-          if (!starMatched || !starInsert ||
-              m.notMatchedBySourceActions.nonEmpty)
-            throw new UnsupportedOperationException(
-              "graft MERGE supports exactly WHEN MATCHED THEN UPDATE " +
-                "SET * WHEN NOT MATCHED THEN INSERT * — for row-level " +
-                "variants use deleteKeysMOR/updateKeysMOR/mergeKeyed")
-          GraftMergeCommand(root, m.sourceTable, key,
-            evolve = m.withSchemaEvolution)
+          if (starMatched && starInsert && tKey == sKey &&
+              m.notMatchedBySourceActions.isEmpty)
+            GraftMergeCommand(root, m.sourceTable, tKey,
+              evolve = m.withSchemaEvolution)
+          else {
+            if (m.withSchemaEvolution) throw new UnsupportedOperationException(
+              "graft MERGE WITH SCHEMA EVOLUTION is supported only for " +
+                "the unconditional UPDATE SET * / INSERT * form")
+            def sideRef(e: Expression): Expression = e.transform {
+              case a: AttributeReference if tgtIds(a.exprId) =>
+                org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+                  .quoted("__t_" + a.name)
+              case a: AttributeReference if srcIds(a.exprId) =>
+                org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+                  .quoted("__s_" + a.name)
+            }
+            def pairsOf(as: Seq[Assignment]): Seq[(String, Expression)] =
+              as.map {
+                case Assignment(k: AttributeReference, v) =>
+                  k.name -> sideRef(v)
+                case Assignment(other, _) =>
+                  throw new UnsupportedOperationException(
+                    "graft MERGE assignments support top-level columns " +
+                      s"only, got $other")
+              }
+            def clause(a: MergeAction): GraftMergeClauseSpec = a match {
+              case UpdateStarAction(c) =>
+                GraftMergeClauseSpec("update", c.map(sideRef), Nil, star = true)
+              case UpdateAction(c, as, _) =>
+                GraftMergeClauseSpec("update", c.map(sideRef), pairsOf(as),
+                  star = false)
+              case DeleteAction(c) =>
+                GraftMergeClauseSpec("delete", c.map(sideRef), Nil,
+                  star = false)
+              case InsertStarAction(c) =>
+                GraftMergeClauseSpec("insert", c.map(sideRef), Nil, star = true)
+              case InsertAction(c, as) =>
+                GraftMergeClauseSpec("insert", c.map(sideRef), pairsOf(as),
+                  star = false)
+              case other => throw new UnsupportedOperationException(
+                s"graft MERGE: unsupported action $other")
+            }
+            GraftMergeConditionalCommand(root, m.sourceTable, tKey, sKey,
+              m.matchedActions.map(clause),
+              m.notMatchedActions.map(clause),
+              m.notMatchedBySourceActions.map(clause))
+          }
         case None => m
       }
 
@@ -185,6 +238,45 @@ case class GraftMergeCommand(root: String, source: LogicalPlan,
     val src = GraftColumnBridge.ofRows(session, source)
     if (evolve) VersionedTable.mergeKeyedEvolve(session, root, src, key)
     else VersionedTable.mergeKeyed(session, root, src, key)
+    Seq.empty
+  }
+}
+
+/** One lowered MERGE clause: `kind` ∈ update/delete/insert, condition
+  * and value expressions already mapped into the join's __t_/__s_
+  * column space; `star = true` expands to all-table-columns-from-
+  * source at run time (when the table's current schema is known). */
+case class GraftMergeClauseSpec(kind: String, cond: Option[Expression],
+    pairs: Seq[(String, Expression)], star: Boolean)
+
+/** Conditional `MERGE INTO` → [[VersionedTable.mergeConditional]]:
+  * full clause algebra as one full-outer join + one replace commit. */
+case class GraftMergeConditionalCommand(root: String, source: LogicalPlan,
+    tKey: String, sKey: String,
+    matched: Seq[GraftMergeClauseSpec],
+    notMatched: Seq[GraftMergeClauseSpec],
+    bySource: Seq[GraftMergeClauseSpec]) extends LeafRunnableCommand {
+  override def innerChildren: Seq[LogicalPlan] = Seq(source)
+  override def run(session: SparkSession): Seq[Row] = {
+    val src = GraftColumnBridge.ofRows(session, source)
+    val tableCols = VersionedTable.tableSchema(root,
+        VersionedTable.latestVersion(root))
+      .map(_.fieldNames.toSeq).getOrElse(Seq.empty)
+    def colOf(e: Expression) = GraftColumnBridge.column(e)
+    def convert(s: GraftMergeClauseSpec): VersionedTable.MergeClause = {
+      val starPairs: Map[String, org.apache.spark.sql.Column] =
+        if (s.star) tableCols.map(c => c -> VersionedTable.MergeRef.source(c))
+          .toMap
+        else s.pairs.map { case (k, v) => k -> colOf(v) }.toMap
+      s.kind match {
+        case "update" => VersionedTable.MergeUpdate(s.cond.map(colOf), starPairs)
+        case "delete" => VersionedTable.MergeDelete(s.cond.map(colOf))
+        case "insert" => VersionedTable.MergeInsert(s.cond.map(colOf), starPairs)
+        case other => throw new IllegalStateException(s"bad clause $other")
+      }
+    }
+    VersionedTable.mergeConditional(session, root, src, tKey, sKey,
+      matched.map(convert), notMatched.map(convert), bySource.map(convert))
     Seq.empty
   }
 }

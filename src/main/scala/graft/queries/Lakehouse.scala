@@ -1286,6 +1286,73 @@ object Lakehouse {
              |  CAST(sum(o_orderkey) AS BIGINT) AS sum_key,
              |  'v1' AS snapshot
              |FROM orders GROUP BY o_orderstatus
-             |ORDER BY snapshot, o_orderstatus""".stripMargin))
+             |ORDER BY snapshot, o_orderstatus""".stripMargin)),
+
+    // CONDITIONAL SQL MERGE (the full Delta clause algebra, round 8):
+    // in-order WHEN MATCHED [AND cond] THEN DELETE / THEN UPDATE with
+    // a PARTIAL SET list, plus INSERT * for unmatched source rows —
+    // lowered to ONE full-outer join over the stats-pruned touched
+    // files and landed as ONE replace commit
+    // (ext/GraftDmlRewrite → VersionedTable.mergeConditional). The
+    // source is a deterministic CDC-ish batch derived from orders:
+    // updates for keys [100,300] (every third key a delete), inserts
+    // under shifted keys. The oracle restates the clause semantics as
+    // CASE + anti-join SQL over the raw table — first-matching-clause
+    // order, partial-SET column preservation, and insert guards all
+    // sit in the hash.
+    QueryDef(
+      "q234_merge_conditional",
+      (s, d) => {
+        val root = Files.createTempDirectory("graft_cmrg_").toString
+        val src0 = orders(s, d).select(col("o_orderkey"), col("o_custkey"),
+          col("o_orderstatus"))
+        src0.repartitionByRange(8, col("o_orderkey"))
+          .write.format("graft").mode("append").save(root)
+        val tbl = "g_cmrg_" + java.util.UUID.randomUUID().toString.take(8)
+        s.sql(s"CREATE TABLE $tbl USING graft OPTIONS (path '$root')")
+        src0.filter(col("o_orderkey").between(100L, 300L))
+          .unionByName(src0.filter(col("o_orderkey").between(1L, 64L))
+            .withColumn("o_orderkey", col("o_orderkey") + 10000000L)
+            .withColumn("o_orderstatus", lit("N")))
+          .createOrReplaceTempView(s"${tbl}_src")
+        s.sql(
+          s"""MERGE INTO $tbl t USING ${tbl}_src s
+             |ON t.o_orderkey = s.o_orderkey
+             |WHEN MATCHED AND s.o_custkey % 3 = 0 THEN DELETE
+             |WHEN MATCHED THEN UPDATE SET o_custkey = s.o_custkey + 1000000
+             |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+        val out = s.sql(
+          s"""SELECT o_orderstatus, count(*) AS n_rows,
+             |  CAST(sum(o_custkey) AS BIGINT) AS sum_cust,
+             |  CAST(sum(o_orderkey) AS BIGINT) AS sum_key
+             |FROM $tbl GROUP BY o_orderstatus ORDER BY o_orderstatus"""
+            .stripMargin)
+        s.sql(s"DROP TABLE $tbl")
+        out
+      },
+      Some("""WITH src AS (
+             |  SELECT o_orderkey, o_custkey, o_orderstatus FROM orders
+             |  WHERE o_orderkey BETWEEN 100 AND 300
+             |  UNION ALL
+             |  SELECT o_orderkey + 10000000, o_custkey, 'N' FROM orders
+             |  WHERE o_orderkey BETWEEN 1 AND 64),
+             |merged AS (
+             |  SELECT t.o_orderkey,
+             |    CASE WHEN s.o_orderkey IS NOT NULL
+             |         THEN s.o_custkey + 1000000 ELSE t.o_custkey END
+             |      AS o_custkey,
+             |    t.o_orderstatus
+             |  FROM orders t LEFT JOIN src s
+             |    ON t.o_orderkey = s.o_orderkey
+             |  WHERE s.o_orderkey IS NULL OR s.o_custkey % 3 <> 0
+             |  UNION ALL
+             |  SELECT s.o_orderkey, s.o_custkey, s.o_orderstatus
+             |  FROM src s ANTI JOIN orders t
+             |    ON s.o_orderkey = t.o_orderkey)
+             |SELECT o_orderstatus, count(*) AS n_rows,
+             |  CAST(sum(o_custkey) AS BIGINT) AS sum_cust,
+             |  CAST(sum(o_orderkey) AS BIGINT) AS sum_key
+             |FROM merged GROUP BY o_orderstatus
+             |ORDER BY o_orderstatus""".stripMargin))
   )
 }

@@ -2731,6 +2731,152 @@ object VersionedTable {
         .mkString("", "\n", "\n"))
   }
 
+  // ---------------------------------------------------------------------
+  // Conditional MERGE — the full Delta MERGE clause algebra. Clause
+  // conditions and expressions are Columns over a JOINED frame where
+  // target columns appear as `__t_<name>` and source columns as
+  // `__s_<name>` ([[MergeRef]] builds the references); the SQL rewrite
+  // ([[graft.ext.GraftDmlRewrite]]) maps resolved attributes onto the
+  // right side automatically.
+  // ---------------------------------------------------------------------
+
+  /** One WHEN clause. `MergeUpdate` in a matched/by-source position
+    * updates the target row (partial SET lists allowed — unset columns
+    * keep their value); `MergeInsert` in a not-matched position
+    * inserts (unset columns become NULL); `MergeDelete` drops the row.
+    * `cond = None` always fires. First clause whose condition holds
+    * wins (Delta's in-order semantics). */
+  sealed trait MergeClause
+  final case class MergeUpdate(cond: Option[org.apache.spark.sql.Column],
+      set: Map[String, org.apache.spark.sql.Column]) extends MergeClause
+  final case class MergeDelete(cond: Option[org.apache.spark.sql.Column])
+      extends MergeClause
+  final case class MergeInsert(cond: Option[org.apache.spark.sql.Column],
+      values: Map[String, org.apache.spark.sql.Column]) extends MergeClause
+
+  /** Column references for [[mergeConditional]] clause expressions. */
+  object MergeRef {
+    def target(c: String): org.apache.spark.sql.Column =
+      org.apache.spark.sql.functions.col(s"__t_$c")
+    def source(c: String): org.apache.spark.sql.Column =
+      org.apache.spark.sql.functions.col(s"__s_$c")
+  }
+
+  /** MERGE INTO with the FULL Delta clause algebra — conditional and
+    * partial `WHEN MATCHED THEN UPDATE/DELETE`, conditional
+    * `WHEN NOT MATCHED THEN INSERT`, and
+    * `WHEN NOT MATCHED BY SOURCE THEN UPDATE/DELETE` — lowered to ONE
+    * full-outer join committed as one `replace`.
+    *
+    * Row semantics (Delta's): each target row joins its source row on
+    * `tKey = sKey`; matched rows run the `matched` clauses in order
+    * (first condition that holds wins; no clause fires → row carries
+    * over), source-only rows run `notMatched` (no insert fires → row
+    * ignored), target-only rows run `bySource` (default carry over).
+    * NULL keys never match (SQL equality). `source` must be unique
+    * per key — two source rows matching one target row have no
+    * deterministic outcome, so it refuses (Delta raises the same).
+    *
+    * Scale shape: when `bySource` is empty, target files are pruned by
+    * the source's key envelope exactly like [[mergeKeyed]] — a
+    * clustered CDC batch rewrites a handful of files. A `bySource`
+    * clause reads every live row BY DEFINITION (its predicate ranges
+    * over the whole target), so pruning is disabled only then. The
+    * single shuffle is the join on the key; clause evaluation is one
+    * codegen'd projection. */
+  def mergeConditional(spark: SparkSession, root: String,
+      source: DataFrame, tKey: String, sKey: String,
+      matched: Seq[MergeClause] = Nil,
+      notMatched: Seq[MergeClause] = Nil,
+      bySource: Seq[MergeClause] = Nil): Long = {
+    import org.apache.spark.sql.functions.{col, lit, when, min => fmin, max => fmax}
+    matched.foreach(c => require(!c.isInstanceOf[MergeInsert],
+      "WHEN MATCHED cannot INSERT"))
+    notMatched.foreach(c => require(c.isInstanceOf[MergeInsert],
+      "WHEN NOT MATCHED can only INSERT"))
+    bySource.foreach(c => require(!c.isInstanceOf[MergeInsert],
+      "WHEN NOT MATCHED BY SOURCE cannot INSERT"))
+    val basis = latestVersion(root)
+    require(basis >= 0, s"$root is not a versioned table (empty log)")
+    val st = state(root, basis)
+    val tableSc = schemaOf(st).getOrElse(throw new IllegalStateException(
+      "mergeConditional needs schema tracking — commit a schema first"))
+    val tableCols = tableSc.fieldNames.toSeq
+    require(tableCols.contains(tKey), s"no target column '$tKey'")
+    require(source.columns.contains(sKey), s"no source column '$sKey'")
+    val nSrc = source.count()
+    if (nSrc == 0 && bySource.isEmpty) return basis
+    require(source.select(col(sKey)).where(col(sKey).isNotNull)
+        .distinct().count() ==
+      source.where(col(sKey).isNotNull).count(),
+      "mergeConditional: source keys must be unique (two source rows " +
+        "matching one target row have no deterministic outcome)")
+    // file targeting: by-source clauses range over EVERY target row;
+    // otherwise only files overlapping the source key envelope matter
+    val touched =
+      if (bySource.nonEmpty) st.files
+      else {
+        val b = source.agg(fmin(col(sKey)), fmax(col(sKey))).head()
+        if (b.isNullAt(0)) return basis
+        val physKey = physicalName(st, tKey)
+        st.files.filter(f => mayMatch(
+          st.stats.getOrElse(f, Map.empty).get(physKey),
+          Some(b.get(0)), Some(b.get(1))))
+      }
+    val tgt = readResolved(spark, root, st, touched)
+      .select(tableCols.map(c => col(c).as(s"__t_$c")): _*)
+      .withColumn("__t_present", lit(true))
+    val src = source
+      .select(source.columns.toSeq.map(c => col(c).as(s"__s_$c")): _*)
+      .withColumn("__s_present", lit(true))
+    val joined = tgt.join(src,
+      col(s"__t_$tKey") === col(s"__s_$sKey"), "full_outer")
+    // presence markers, not key nullability: NULL-keyed rows on either
+    // side must land in their side's UNMATCHED branch, and a null key
+    // cannot witness its own row's presence
+    val isMatched = col("__t_present").isNotNull && col("__s_present").isNotNull
+    val targetOnly = col("__t_present").isNotNull && col("__s_present").isNull
+    // Right-fold the clause list into (keep?, value(col)) cascades:
+    // the FIRST clause whose condition holds decides, later clauses
+    // and the default sit in the otherwise-chain.
+    type Cascade = (org.apache.spark.sql.Column,
+      String => org.apache.spark.sql.Column)
+    def fold(clauses: Seq[MergeClause], default: Cascade): Cascade =
+      clauses.foldRight(default) { case (cl, (k0, v0)) =>
+        cl match {
+          case MergeUpdate(c, set) =>
+            val cond = c.getOrElse(lit(true))
+            (when(cond, lit(true)).otherwise(k0),
+              n => when(cond, set.getOrElse(n, col(s"__t_$n")))
+                .otherwise(v0(n)))
+          case MergeDelete(c) =>
+            val cond = c.getOrElse(lit(true))
+            (when(cond, lit(false)).otherwise(k0), v0)
+          case MergeInsert(c, values) =>
+            val cond = c.getOrElse(lit(true))
+            (when(cond, lit(true)).otherwise(k0),
+              n => when(cond,
+                  values.getOrElse(n, lit(null)))
+                .otherwise(v0(n)))
+        }
+      }
+    val keepT: String => org.apache.spark.sql.Column = n => col(s"__t_$n")
+    val (mKeep, mVal) = fold(matched, (lit(true), keepT))
+    val (tKeep, tVal) = fold(bySource, (lit(true), keepT))
+    val (sKeep, sVal) =
+      fold(notMatched, (lit(false), _ => lit(null)))
+    val out = joined
+      .withColumn("__keep",
+        when(isMatched, mKeep).when(targetOnly, tKeep).otherwise(sKeep))
+      .filter(col("__keep"))
+      .select(tableCols.map { c =>
+        val f = tableSc.fields.find(_.name == c).get
+        when(isMatched, mVal(c)).when(targetOnly, tVal(c))
+          .otherwise(sVal(c)).cast(f.dataType).as(c)
+      }: _*)
+    commitReplace(spark, root, basis, touched, out)
+  }
+
   /** MERGE INTO, stats-pruned copy-on-write (the Delta `MERGE` shape,
     * upsert form): `source` carries the table's schema; rows whose
     * `key` matches an existing row REPLACE it, the rest INSERT. Only

@@ -163,16 +163,63 @@ class GraftDmlSpec extends SparkSpecBase {
     } finally drop("dml_mrg")
   }
 
-  test("non-canonical MERGE refuses naming the supported form") {
+  test("conditional MERGE: AND conditions, DELETE, partial SET, guarded INSERT") {
+    mkTable("dml_cm")
+    try {
+      Seq((12L, -1L), (13L, 777L), (500L, 5L), (2000L, 9L))
+        .toDF("k", "v").createOrReplaceTempView("dml_cm_src")
+      spark.sql(
+        """MERGE INTO dml_cm t USING dml_cm_src s ON t.k = s.k
+          |WHEN MATCHED AND s.v < 0 THEN DELETE
+          |WHEN MATCHED THEN UPDATE SET v = s.v
+          |WHEN NOT MATCHED AND s.k < 1000 THEN INSERT (k, v) VALUES (s.k, s.v)
+          |""".stripMargin)
+      assert(spark.sql("SELECT count(*) AS c FROM dml_cm")
+        .as[Long].head() === 64L) // -1 deleted, +1 inserted
+      assert(spark.sql("SELECT count(*) AS c FROM dml_cm WHERE k = 12")
+        .as[Long].head() === 0L) // deleted by the first matched clause
+      assert(spark.sql("SELECT v FROM dml_cm WHERE k = 13")
+        .as[Long].head() === 777L) // updated by the second
+      assert(spark.sql("SELECT v FROM dml_cm WHERE k = 500")
+        .as[Long].head() === 5L) // inserted (guard passed)
+      assert(spark.sql("SELECT count(*) AS c FROM dml_cm WHERE k = 2000")
+        .as[Long].head() === 0L) // insert guard rejected
+      // unmatched target rows carried over untouched
+      assert(spark.sql("SELECT v FROM dml_cm WHERE k = 7")
+        .as[Long].head() === 70L)
+    } finally drop("dml_cm")
+  }
+
+  test("MERGE WHEN NOT MATCHED BY SOURCE deletes/updates target-only rows") {
+    mkTable("dml_bs")
+    try {
+      Seq((5L, 111L)).toDF("k", "v").createOrReplaceTempView("dml_bs_src")
+      spark.sql(
+        """MERGE INTO dml_bs t USING dml_bs_src s ON t.k = s.k
+          |WHEN MATCHED THEN UPDATE SET *
+          |WHEN NOT MATCHED BY SOURCE AND t.k >= 60 THEN DELETE
+          |""".stripMargin)
+      assert(spark.sql("SELECT v FROM dml_bs WHERE k = 5")
+        .as[Long].head() === 111L)
+      assert(spark.sql("SELECT count(*) AS c FROM dml_bs")
+        .as[Long].head() === 60L) // 60..63 deleted
+      assert(spark.sql("SELECT max(k) AS m FROM dml_bs")
+        .as[Long].head() === 59L)
+    } finally drop("dml_bs")
+  }
+
+  test("MERGE refusals: compound ON and schema evolution on conditional clauses") {
     mkTable("dml_bad")
     try {
       Seq((12L, 1L)).toDF("k", "v").createOrReplaceTempView("dml_bad_src")
       val e = intercept[UnsupportedOperationException] {
         spark.sql(
-          """MERGE INTO dml_bad t USING dml_bad_src s ON t.k = s.k
-            |WHEN MATCHED THEN DELETE""".stripMargin)
+          """MERGE INTO dml_bad t USING dml_bad_src s
+            |ON t.k = s.k AND t.v = s.v
+            |WHEN MATCHED THEN UPDATE SET *
+            |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
       }
-      assert(e.getMessage.contains("WHEN MATCHED THEN UPDATE SET *"))
+      assert(e.getMessage.contains("single-equality ON"))
     } finally drop("dml_bad")
   }
 

@@ -110,10 +110,20 @@ object Bench {
     val errsShort = results.collect { case (k, _, Some(e)) =>
       "\"" + k + "\":\"" + esc(e.take(80)) + "\""
     }.take(3).mkString("{", ",", "}")
-    println(
+    val line =
       s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},""" +
       s""""n_errors":${results.count(_._3.isDefined)},"queries":$slowest,""" +
-      s""""errors":$errsShort,"sf":"$sfDir","detail":"$detailPath",$env}""")
+      s""""errors":$errsShort,"sf":"$sfDir","detail":"$detailPath",$env}"""
+    println(line)
     spark.stop()
+    // Print the line AGAIN as the final pre-exit stdout write: rounds
+    // 6-7 still recorded "parsed": null because sbt's [info]/[success]
+    // trailer after spark.stop() can push the (single) line out of the
+    // driver's 2000-char stdout tail. Emitting it last, flushed, after
+    // Spark's own shutdown chatter maximizes the chance the tail
+    // window contains one complete copy; duplicates are harmless to a
+    // tail parser.
+    println(line)
+    System.out.flush()
   }
 }

@@ -110,8 +110,15 @@ object Lakehouse {
         VersionedTable.commit(
           o.filter(col("o_orderkey") <= 1000)
             .select(col("o_orderkey"), col("o_orderstatus")), root)
+        // ADD a column (as INT), then WIDEN it to BIGINT in a later
+        // append — both metadata-only evolutions; reads must surface
+        // one BIGINT schema with old INT files up-cast exactly
         VersionedTable.commit(
-          o.filter(col("o_orderkey") > 1000)
+          o.filter(col("o_orderkey") > 1000 && col("o_orderkey") <= 3000)
+            .select(col("o_orderkey"), col("o_orderstatus"),
+              col("o_custkey").cast("int").as("o_custkey")), root)
+        VersionedTable.commit(
+          o.filter(col("o_orderkey") > 3000)
             .select(col("o_orderkey"), col("o_orderstatus"),
               col("o_custkey")), root)
         VersionedTable.read(s, root)

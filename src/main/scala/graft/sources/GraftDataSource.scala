@@ -129,7 +129,16 @@ class GraftDataSource extends RelationProvider
     * [[VersionedTable.streamingSink]], whose batch-tag replay check
     * (manifest scan + checkpointed `batchtag=`) skips re-delivered
     * batches, so at-least-once delivery + idempotent commit =
-    * exactly-once table contents across restarts. */
+    * exactly-once table contents across restarts.
+    *
+    * PARTITIONED streaming ingest (the common Delta layout —
+    * `.partitionBy("day")` on the stream): each micro-batch lands
+    * hidden-partitioned, its files tagged with their (transform,
+    * value) in the same manifest, so reads prune streamed data exactly
+    * like batch-committed data. `.partitionBy(col)` gives identity
+    * partitioning; `option("partitionBy", "day(ts)" | "bucket(n,col)"
+    * | "trunc(w,col)")` gives a hidden transform (a v1 streaming sink
+    * only receives column NAMES, so transforms ride an option). */
   override def createSink(sqlContext: SQLContext,
       parameters: Map[String, String], partitionColumns: Seq[String],
       outputMode: org.apache.spark.sql.streaming.OutputMode)
@@ -137,11 +146,26 @@ class GraftDataSource extends RelationProvider
     require(outputMode == org.apache.spark.sql.streaming.OutputMode.Append(),
       s"graft streaming sink is append-only (commit per micro-batch), " +
         s"got $outputMode")
-    require(partitionColumns.isEmpty,
-      "graft streaming sink: use OPTIMIZE PARTITION BY for layout, " +
-        "not partitionBy on the stream")
     val root = rootOf(parameters)
-    val sink = VersionedTable.streamingSink(root)
+    val transform: Option[PartitionTransform] =
+      parameters.get("partitionBy") match {
+        case Some(spec) =>
+          val t = PartitionTransform.parse(spec)
+          require(partitionColumns.isEmpty ||
+              partitionColumns == Seq(t.srcCol),
+            s"graft streaming sink: partitionBy(${partitionColumns
+              .mkString(",")}) conflicts with option partitionBy=$spec")
+          Some(t)
+        case None => partitionColumns match {
+          case Seq() => None
+          case Seq(c) => Some(PartitionTransform.Identity(c))
+          case more => throw new IllegalArgumentException(
+            "graft streaming sink supports ONE partition column " +
+              s"(got ${more.mkString(", ")}) — compose via a derived " +
+              "column or use OPTIMIZE PARTITION BY for multi-level layout")
+        }
+      }
+    val sink = VersionedTable.streamingSink(root, transform)
     new org.apache.spark.sql.execution.streaming.Sink {
       override def addBatch(batchId: Long, data: DataFrame): Unit =
         // the engine hands an incremental-execution frame; re-plan it

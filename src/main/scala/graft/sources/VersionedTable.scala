@@ -575,12 +575,29 @@ object VersionedTable {
     * old file stays readable without rewrite. Deliberately minimal
     * (int32→int64, float32→float64); int→double is NOT safe (longs
     * above 2^53 exist in this engine's key space and would round). */
+  /** May a column physically stored as `from` be DECLARED as `to` with
+    * old files upcast at read time (metadata-only widening)? The set
+    * is exactly what Spark 4's vectorized parquet reader promotes
+    * natively AND the Iceberg-v3 / Delta type-widening feature deems
+    * safe: integer chain byte→short→int→long, float→double,
+    * decimal PRECISION growth at the same scale (the unscaled value
+    * is unchanged; more digits of headroom), and date→timestamp_ntz
+    * (midnight semantics, no zone reinterpretation). Scale changes,
+    * narrowing, and cross-family retypes stay refused — they change
+    * VALUES, not headroom. Stats comparators stay sound across every
+    * widening here (numeric ordering for the numeric chain; date
+    * stats are not consulted by the pruners). */
   private def isSafeWidening(from: org.apache.spark.sql.types.DataType,
       to: org.apache.spark.sql.types.DataType): Boolean = {
-    import org.apache.spark.sql.types.{DoubleType, FloatType, IntegerType, LongType}
+    import org.apache.spark.sql.types._
     (from, to) match {
+      case (ByteType, ShortType | IntegerType | LongType) => true
+      case (ShortType, IntegerType | LongType) => true
       case (IntegerType, LongType) => true
       case (FloatType, DoubleType) => true
+      case (d1: DecimalType, d2: DecimalType) =>
+        d2.precision > d1.precision && d2.scale == d1.scale
+      case (DateType, TimestampNTZType) => true
       case _ => false
     }
   }
@@ -3138,7 +3155,9 @@ object VersionedTable {
     * stop-stream → compact → truncateLog → restart sequence keeps the
     * exactly-once contract (Delta's SetTransaction-in-checkpoint
     * shape). */
-  def streamingSink(root: String): (DataFrame, Long) => Unit =
+  def streamingSink(root: String,
+      partitionBy: Option[PartitionTransform] = None)
+      : (DataFrame, Long) => Unit =
     (df, batchId) => {
       val manifestVerdict = versions(root).reverseIterator
         .map(v => readManifest(root, v).batchTag)
@@ -3152,7 +3171,8 @@ object VersionedTable {
             .exists(_ >= batchId)
       }
       if (!committed)
-        commit(df, root, "append", batchTag = Some(batchId))
+        commit(df, root, "append", batchTag = Some(batchId),
+          partitionBy = partitionBy)
     }
 
   /** Change-data read between two snapshots: rows only in `to` as

@@ -50,6 +50,55 @@ class MaintenanceSpec extends SparkSpecBase {
     }
   }
 
+  test("partitioned streaming ingest: pruned reads, exactly-once restart") {
+    val root = tmp()
+    val ckpt = tmp()
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Long)]
+    def run() = mem.toDF().toDF("user_id", "v")
+      .writeStream.format("graft")
+      .option("path", root).option("checkpointLocation", ckpt)
+      .option("partitionBy", "bucket(4,user_id)")
+      .outputMode("append").start()
+    val q = run()
+    try {
+      mem.addData((0 until 32).map(i => (i.toLong, i.toLong * 10)): _*)
+      q.processAllAvailable()
+      mem.addData((32 until 64).map(i => (i.toLong, i.toLong * 10)): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(VersionedTable.read(spark, root).count() === 64)
+    // streamed files carry partition tags: an equality probe prunes
+    // to one bucket per commit (2 of 8 files)
+    val df = spark.read.format("graft").load(root)
+      .filter(col("user_id") === 7L)
+    assert(df.select(sum("v")).as[Long].head() === 70L)
+    val idx = df.queryExecution.optimizedPlan.collect {
+      case org.apache.spark.sql.execution.datasources.LogicalRelation(
+          r: org.apache.spark.sql.execution.datasources.HadoopFsRelation,
+          _, _, _, _) => r.location.asInstanceOf[GraftFileIndex]
+    }.head
+    val (kept, total) = idx.lastListing.get
+    assert(kept * 4 <= total,
+      s"bucket tags should prune streamed files, kept $kept/$total")
+    // restart: re-delivered batches skip (exactly-once), new ones land
+    val q2 = run()
+    try {
+      mem.addData((100L, 1L))
+      q2.processAllAvailable()
+    } finally q2.stop()
+    assert(VersionedTable.read(spark, root).count() === 65)
+    // multi-column partitionBy refuses with the supported form named
+    val e = intercept[Exception] {
+      mem.toDF().toDF("user_id", "v")
+        .writeStream.format("graft")
+        .option("path", tmp()).option("checkpointLocation", tmp())
+        .partitionBy("user_id", "v")
+        .outputMode("append").start()
+    }
+    assert(e.getMessage.contains("ONE partition column"))
+  }
+
   test("REORG PURGE rewrites only tombstoned files; sidecars become " +
       "vacuum candidates") {
     val root = tmp()

@@ -363,6 +363,43 @@ class VersionedTableSpec extends SparkSpecBase {
     assert(ds.count() === 4)
   }
 
+  test("type widening round 8: decimal precision growth and " +
+      "date->timestamp_ntz are metadata-only; scale change refuses") {
+    val root = newRoot()
+    VersionedTable.commit(spark.sql(
+      """SELECT CAST(id AS DECIMAL(10,2)) AS amt, DATE'2021-03-04' AS d
+        |FROM range(3)""".stripMargin).coalesce(1), root)
+    val before = VersionedTable.state(root, 0L).files.toSet
+    // widening append: decimal(10,2)->decimal(20,2), date->ntz
+    VersionedTable.commit(spark.sql(
+      """SELECT CAST(123456789012345.67 AS DECIMAL(20,2)) AS amt,
+        |  TIMESTAMP_NTZ'2022-05-06 07:08:09' AS d""".stripMargin)
+      .coalesce(1), root)
+    val st = VersionedTable.state(root, 1L)
+    assert(before.subsetOf(st.files.toSet), "widening rewrote files")
+    val out = VersionedTable.read(spark, root)
+    assert(out.schema("amt").dataType ===
+      org.apache.spark.sql.types.DecimalType(20, 2))
+    assert(out.schema("d").dataType ===
+      org.apache.spark.sql.types.TimestampNTZType)
+    assert(out.count() === 4)
+    // old rows up-cast exactly: dates read as midnight NTZ
+    val olds = out.filter(col("amt") < 10).orderBy("amt").collect()
+    assert(olds.length === 3)
+    assert(olds.head.getAs[java.time.LocalDateTime]("d") ===
+      java.time.LocalDateTime.of(2021, 3, 4, 0, 0, 0))
+    assert(out.filter(col("amt") > 1000000).count() === 1)
+    // scale change is NOT widening (it changes values): refuses
+    val e = intercept[IllegalArgumentException] {
+      VersionedTable.commit(
+        spark.sql("""SELECT CAST(1 AS DECIMAL(20,4)) AS amt,
+          |  TIMESTAMP_NTZ'2022-01-01 00:00:00' AS d""".stripMargin), root)
+    }
+    assert(e.getMessage.contains("missing or retyped"))
+    // the datasource scan path reads the mixed files too
+    assert(spark.read.format("graft").load(root).count() === 4)
+  }
+
   test("deleteRanges: copy-on-write — untouched files carry over by " +
       "reference; NULLs survive; no-op delete commits nothing") {
     val root = newRoot()

@@ -176,6 +176,29 @@ case class GraftDmlRewrite(session: SparkSession) extends Rule[LogicalPlan] {
         case None => m
       }
 
+    // ALTER TABLE t ADD COLUMNS (...) — for a v1 datasource table
+    // Spark plans AlterTableAddColumnsCommand, whose run() refuses
+    // providers it cannot verify. For graft tables the right move is a
+    // METADATA-ONLY schema-evolution commit (Delta's ALTER ADD COLUMNS
+    // cost model): swap in [[GraftAddColumnsCommand]], which commits
+    // the widened schema, aligns the catalog schema, and refreshes the
+    // cached relation.
+    case a: org.apache.spark.sql.execution.command.AlterTableAddColumnsCommand =>
+      val cat = session.sessionState.catalog
+      scala.util.Try(cat.getTableMetadata(a.table)).toOption
+        .filter(_.provider.exists(_.equalsIgnoreCase("graft"))) match {
+        case Some(meta) =>
+          val path = meta.storage.properties.get("path")
+            .orElse(meta.storage.locationUri.map(_.toString))
+            .getOrElse(throw new IllegalStateException(
+              s"graft table ${a.table} has no path"))
+          val root =
+            if (path.startsWith("file:")) new java.net.URI(path).getPath
+            else path
+          GraftAddColumnsCommand(root, a.table, a.colsToAdd)
+        case None => a
+      }
+
     case _ => plan
   }
 
@@ -238,6 +261,26 @@ case class GraftMergeCommand(root: String, source: LogicalPlan,
     val src = GraftColumnBridge.ofRows(session, source)
     if (evolve) VersionedTable.mergeKeyedEvolve(session, root, src, key)
     else VersionedTable.mergeKeyed(session, root, src, key)
+    Seq.empty
+  }
+}
+
+/** `ALTER TABLE t ADD COLUMNS` on a graft catalog table → one
+  * metadata-only schema-evolution commit ([[VersionedTable
+  * .addColumns]]), then align the catalog's stored schema and refresh
+  * the cached relation so the next query resolves the new columns. */
+case class GraftAddColumnsCommand(root: String,
+    table: org.apache.spark.sql.catalyst.TableIdentifier,
+    cols: Seq[org.apache.spark.sql.types.StructField])
+    extends LeafRunnableCommand {
+  override def run(session: SparkSession): Seq[Row] = {
+    VersionedTable.addColumns(root, cols)
+    val cat = session.sessionState.catalog
+    val old = cat.getTableMetadata(table)
+    cat.alterTableDataSchema(table,
+      org.apache.spark.sql.types.StructType(
+        old.dataSchema.fields ++ cols.map(_.copy(nullable = true))))
+    session.catalog.refreshTable(table.quotedString)
     Seq.empty
   }
 }

@@ -1145,6 +1145,44 @@ object VersionedTable {
     latest + 1
   }
 
+  /** ADD COLUMNS as a METADATA-ONLY commit (the Delta `ALTER TABLE
+    * ... ADD COLUMNS` shape): one append manifest restating the schema
+    * with the new fields; no data file is written or rewritten.
+    * Existing rows surface the new columns as NULL through the
+    * metadata-schema read (parquet files simply lack the column), so
+    * at 100 TB adding a column costs one manifest write. New columns
+    * are forced nullable (existing rows have no value to put in a
+    * non-nullable slot) and must not collide with a live logical
+    * name, a rename-held physical name, or a [[dropColumn]]-retired
+    * physical name (old bytes would resurrect under the reused name). */
+  def addColumns(root: String,
+      cols: Seq[org.apache.spark.sql.types.StructField]): Long = {
+    require(cols.nonEmpty, "addColumns: no columns given")
+    val latest = latestVersion(root)
+    require(latest >= 0, s"$root is not a versioned table (empty log)")
+    val st = state(root, latest)
+    val tableSc = schemaOf(st).getOrElse(throw new IllegalStateException(
+      "addColumns needs schema tracking — commit once with a schema first"))
+    cols.foreach { f =>
+      require(!tableSc.fieldNames.contains(f.name),
+        s"column ${f.name} already exists")
+      require(!st.dropped.contains(f.name),
+        s"column ${f.name} collides with a dropped physical column " +
+          "still present in live files — old bytes would resurrect")
+      require(!st.colMap.values.exists(_ == f.name),
+        s"column ${f.name} collides with a physical name held by a " +
+          "renamed column")
+    }
+    val widened = org.apache.spark.sql.types.StructType(
+      tableSc.fields ++ cols.map(_.copy(nullable = true)))
+    val body =
+      (Seq(s"version=${latest + 1}", "action=append",
+        s"schema=${enc(widened.json)}"))
+        .mkString("", "\n", "\n")
+    publish(root, latest + 1, body)
+    latest + 1
+  }
+
   /** Drop constraint `name` (metadata-only manifest). */
   def dropCheck(root: String, name: String): Long = {
     val latest = latestVersion(root)

@@ -223,6 +223,32 @@ class GraftDmlSpec extends SparkSpecBase {
     } finally drop("dml_bad")
   }
 
+  test("ALTER TABLE ADD COLUMNS: metadata-only schema evolution in SQL") {
+    val root = mkTable("dml_add")
+    try {
+      val before = VersionedTable.snapshotFiles(root, 7L).toSet
+      spark.sql("ALTER TABLE dml_add ADD COLUMNS (w BIGINT, tag STRING)")
+      val v = VersionedTable.latestVersion(root)
+      // metadata-only: no data file written, all old files by reference
+      assert(VersionedTable.snapshotFiles(root, v).toSet === before)
+      // old rows surface the new columns as NULL
+      assert(spark.sql("SELECT count(*) AS c FROM dml_add WHERE w IS NULL")
+        .as[Long].head() === 64L)
+      // and the widened schema accepts inserts with values
+      spark.sql("INSERT INTO dml_add VALUES (1000, 1, 7, 'x')")
+      assert(spark.sql(
+        "SELECT CAST(sum(w) AS BIGINT) AS s FROM dml_add WHERE tag = 'x'")
+        .as[Long].head() === 7L)
+      assert(spark.sql("SELECT count(*) AS c FROM dml_add")
+        .as[Long].head() === 65L)
+      // duplicate add refuses
+      val e = intercept[Exception] {
+        spark.sql("ALTER TABLE dml_add ADD COLUMNS (w BIGINT)")
+      }
+      assert(e.getMessage.contains("already exists"))
+    } finally drop("dml_add")
+  }
+
   test("pinned relations refuse DML; subquery predicates refuse loudly") {
     val root = mkTable("dml_live")
     spark.sql("DROP TABLE IF EXISTS dml_pin")

@@ -1360,6 +1360,41 @@ object Lakehouse {
              |  CAST(sum(o_custkey) AS BIGINT) AS sum_cust,
              |  CAST(sum(o_orderkey) AS BIGINT) AS sum_key
              |FROM merged GROUP BY o_orderstatus
-             |ORDER BY o_orderstatus""".stripMargin))
+             |ORDER BY o_orderstatus""".stripMargin)),
+
+    // ICEBERG INTEROP, read path (round 8 — the other half of the
+    // lakehouse-formats north star next to q232's Delta read): commit
+    // `orders` as a spec-shaped Iceberg metadata tree (vN.metadata.json
+    // → manifest-list AVRO → manifest AVRO with per-field-id bounds in
+    // the spec's single-value binary serialization), then answer a
+    // selective aggregate through `format("iceberg-meta")`. The scan
+    // skips files whose manifest bounds cannot hold the key range —
+    // metadata-only pruning with zero directory listing, the reason
+    // the format exists at 100 TB. Oracle is the layout-free WHERE
+    // over raw orders; IcebergMetaSpec proves the same reader against
+    // the kv-array map encoding real iceberg-core writes, deleted
+    // entries, and the format-version/delete-file refusal gates.
+    QueryDef(
+      "q235_iceberg_meta_interop",
+      (s, d) => {
+        val root = Files.createTempDirectory("iceberg_interop_").toString
+        val src = orders(s, d).select(col("o_orderkey"), col("o_custkey"),
+          col("o_orderstatus"))
+        graft.sources.IcebergMeta.writeFixture(
+          src.repartitionByRange(8, col("o_orderkey")), root)
+        s.read.format("iceberg-meta").load(root)
+          .filter(col("o_orderkey").between(1L, 2048L))
+          .groupBy(col("o_orderstatus"))
+          .agg(count(lit(1)).as("n_orders"),
+            sum(col("o_custkey")).as("sum_cust"),
+            min(col("o_orderkey")).as("min_key"),
+            max(col("o_orderkey")).as("max_key"))
+          .orderBy(col("o_orderstatus"))
+      },
+      Some("""SELECT o_orderstatus, count(*) AS n_orders,
+             |  CAST(sum(o_custkey) AS BIGINT) AS sum_cust,
+             |  min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
+             |FROM orders WHERE o_orderkey BETWEEN 1 AND 2048
+             |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin))
   )
 }

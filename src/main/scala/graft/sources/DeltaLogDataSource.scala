@@ -221,61 +221,6 @@ class DeltaLogFileIndex(spark: SparkSession, root: String,
       }.getOrElse(Map.empty[String, VersionedTable.ColStats])
     })
 
-  private def ext(l: Literal): Any = l.value match {
-    case u: UTF8String => u.toString
-    case d: org.apache.spark.sql.types.Decimal => d.toBigDecimal
-    case o => o
-  }
-
-  /** Can any row of `a` satisfy `e`, judged from its stats alone?
-    * Unrecognized shapes conservatively keep the file. */
-  private def mayMatch(st: Map[String, VersionedTable.ColStats],
-      e: Expression): Boolean = {
-    def cs(name: String) = st.get(name)
-    e match {
-      case And(x, y) => mayMatch(st, x) && mayMatch(st, y)
-      case org.apache.spark.sql.catalyst.expressions.Or(x, y) =>
-        mayMatch(st, x) || mayMatch(st, y)
-      case EqualTo(a: AttributeReference, l: Literal) =>
-        VersionedTable.mayMatch(cs(a.name), Some(ext(l)), Some(ext(l)))
-      case EqualTo(l: Literal, a: AttributeReference) =>
-        VersionedTable.mayMatch(cs(a.name), Some(ext(l)), Some(ext(l)))
-      case EqualNullSafe(a: AttributeReference, l: Literal) if l.value != null =>
-        VersionedTable.mayMatch(cs(a.name), Some(ext(l)), Some(ext(l)))
-      case GreaterThan(a: AttributeReference, l: Literal) =>
-        VersionedTable.mayMatch(cs(a.name), Some(ext(l)), None)
-      case GreaterThanOrEqual(a: AttributeReference, l: Literal) =>
-        VersionedTable.mayMatch(cs(a.name), Some(ext(l)), None)
-      case LessThan(a: AttributeReference, l: Literal) =>
-        VersionedTable.mayMatch(cs(a.name), None, Some(ext(l)))
-      case LessThanOrEqual(a: AttributeReference, l: Literal) =>
-        VersionedTable.mayMatch(cs(a.name), None, Some(ext(l)))
-      case GreaterThan(l: Literal, a: AttributeReference) =>
-        VersionedTable.mayMatch(cs(a.name), None, Some(ext(l)))
-      case GreaterThanOrEqual(l: Literal, a: AttributeReference) =>
-        VersionedTable.mayMatch(cs(a.name), None, Some(ext(l)))
-      case LessThan(l: Literal, a: AttributeReference) =>
-        VersionedTable.mayMatch(cs(a.name), Some(ext(l)), None)
-      case LessThanOrEqual(l: Literal, a: AttributeReference) =>
-        VersionedTable.mayMatch(cs(a.name), Some(ext(l)), None)
-      case In(a: AttributeReference, vs)
-          if vs.forall(_.isInstanceOf[Literal]) =>
-        vs.exists(l => VersionedTable.mayMatch(cs(a.name),
-          Some(ext(l.asInstanceOf[Literal])),
-          Some(ext(l.asInstanceOf[Literal]))))
-      case InSet(a: AttributeReference, vs) =>
-        vs.exists { v =>
-          val x = v match { case u: UTF8String => u.toString; case o => o }
-          VersionedTable.mayMatch(cs(a.name), Some(x), Some(x))
-        }
-      case IsNull(a: AttributeReference) =>
-        VersionedTable.mayMatchNullness(cs(a.name), wantNull = true)
-      case IsNotNull(a: AttributeReference) =>
-        VersionedTable.mayMatchNullness(cs(a.name), wantNull = false)
-      case _ => true
-    }
-  }
-
   override def listFiles(partitionFilters: Seq[Expression],
       dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
     val snap = resolved()
@@ -291,7 +236,8 @@ class DeltaLogFileIndex(spark: SparkSession, root: String,
         if (partPred.exists(p => !p(row))) None
         else {
           val files = adds.filter(a =>
-            dataFilters.forall(e => mayMatch(statsOf(snap, a), e)))
+            dataFilters.forall(e =>
+              StatsPruning.mayMatchExpr(statsOf(snap, a), e)))
           kept += files.size
           if (files.isEmpty) None
           else Some(PartitionDirectory(row, files.map(statusOf).toArray))

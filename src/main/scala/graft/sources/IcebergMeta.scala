@@ -1,0 +1,456 @@
+package graft.sources
+
+import java.nio.ByteBuffer
+import java.nio.charset.StandardCharsets.UTF_8
+import java.nio.file.{Files, Path, Paths}
+import scala.jdk.CollectionConverters._
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import org.apache.avro.Schema
+import org.apache.avro.file.{DataFileReader, DataFileWriter}
+import org.apache.avro.generic.{
+  GenericData, GenericDatumReader, GenericDatumWriter, GenericRecord}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.types._
+
+/** Dependency-free reader (plus a spec-conformant fixture writer) for
+  * the PUBLIC Apache Iceberg table metadata tree
+  * (iceberg.apache.org/spec/) — the second half of the lakehouse
+  * interop story next to [[DeltaLog]]:
+  *
+  *  - `metadata/vN.metadata.json` (+ `version-hint.text`): table uuid,
+  *    format-version, schemas (Iceberg's own field-id'd JSON type
+  *    system), partition specs, snapshot list, current-snapshot-id;
+  *  - snapshot → `manifest-list` AVRO (one row per manifest:
+  *    manifest_path, partition_spec_id, ...);
+  *  - manifest AVRO (one row per data file: status
+  *    existing/added/deleted, data_file struct with file_path,
+  *    file_format, record_count, file_size_in_bytes, and per-field-id
+  *    column bounds in the spec's single-value binary serialization).
+  *
+  * Snapshot reconstruction: current (or requested) snapshot's manifest
+  * list, every listed manifest, every entry with `status != 2`
+  * (deleted) and `content == 0` (data). Iceberg writes ALL columns to
+  * the data files (identity partition values included — unlike the
+  * Hive/Delta layout), so the scan is a plain parquet read of the live
+  * file set; the per-field bounds decode into the same
+  * [[VersionedTable.ColStats]] model the graft pruners use, giving
+  * stats-based FILE SKIPPING from the manifests alone.
+  *
+  * Feature gates (refuse loudly, never wrong rows): format-version 3+,
+  * delete files (v2 row-level deletes — position or equality),
+  * non-parquet data files, unsupported types.
+  *
+  * Avro access is GENERIC (`GenericDatumReader` against the embedded
+  * writer schema), so the reader tolerates both real Avro maps and
+  * Iceberg's key/value-array map encoding, and ignores fields it does
+  * not know — the forward-compatible posture the spec asks of readers.
+  */
+object IcebergMeta {
+
+  private val mapper = new ObjectMapper()
+
+  final case class IceFile(path: String, sizeBytes: Long, records: Long,
+      stats: Map[String, VersionedTable.ColStats])
+
+  final case class IceSnapshot(root: String, snapshotId: Long,
+      schema: StructType, files: Seq[IceFile])
+
+  private def metaDir(root: String): Path = Paths.get(root, "metadata")
+
+  /** Latest metadata version: `version-hint.text` if present, else the
+    * max `vN.metadata.json` in the metadata dir. */
+  def latestMetadataVersion(root: String): Int = {
+    val hint = metaDir(root).resolve("version-hint.text")
+    if (Files.exists(hint))
+      new String(Files.readAllBytes(hint), UTF_8).trim.toInt
+    else {
+      val vs = PosixDataStore.listDir(metaDir(root))
+        .collect { case n if n.matches("v\\d+\\.metadata\\.json") =>
+          n.stripPrefix("v").stripSuffix(".metadata.json").toInt }
+      require(vs.nonEmpty, s"$root is not an Iceberg table (no metadata)")
+      vs.max
+    }
+  }
+
+  // ------------------------------------------------------------------
+  // Iceberg JSON schema → Spark StructType
+  // ------------------------------------------------------------------
+
+  private val DecimalRe = """decimal\(\s*(\d+)\s*,\s*(\d+)\s*\)""".r
+  private val FixedRe = """fixed\[(\d+)\]""".r
+
+  private def toSparkType(t: JsonNode): DataType =
+    if (t.isTextual) t.asText() match {
+      case "boolean" => BooleanType
+      case "int" => IntegerType
+      case "long" => LongType
+      case "float" => FloatType
+      case "double" => DoubleType
+      case "date" => DateType
+      case "timestamp" => TimestampNTZType
+      case "timestamptz" => TimestampType
+      case "string" | "uuid" => StringType
+      case "binary" => BinaryType
+      case DecimalRe(p, s) => DecimalType(p.toInt, s.toInt)
+      case FixedRe(_) => BinaryType
+      case other => throw new UnsupportedOperationException(
+        s"iceberg-meta: type '$other' not supported")
+    } else if (t.isObject && t.get("type").asText() == "struct") {
+      StructType(t.get("fields").elements().asScala.map { f =>
+        StructField(f.get("name").asText(), toSparkType(f.get("type")),
+          !f.get("required").asBoolean())
+      }.toSeq)
+    } else if (t.isObject && t.get("type").asText() == "list") {
+      ArrayType(toSparkType(t.get("element")),
+        !t.get("element-required").asBoolean())
+    } else throw new UnsupportedOperationException(
+      s"iceberg-meta: type node $t not supported")
+
+  /** (spark schema, field name by iceberg field id) of the CURRENT
+    * schema in a metadata document. */
+  private def schemaOf(meta: JsonNode): (StructType, Map[Int, String]) = {
+    val schemaNode =
+      if (meta.hasNonNull("schemas")) {
+        val cur = meta.get("current-schema-id").asInt()
+        meta.get("schemas").elements().asScala
+          .find(_.get("schema-id").asInt() == cur)
+          .getOrElse(throw new IllegalStateException(
+            s"iceberg-meta: current-schema-id $cur not in schemas"))
+      } else meta.get("schema") // format v1 single-schema shape
+    val fields = schemaNode.get("fields").elements().asScala.toSeq
+    val st = StructType(fields.map { f =>
+      StructField(f.get("name").asText(), toSparkType(f.get("type")),
+        !f.get("required").asBoolean())
+    })
+    val byId = fields.map(f =>
+      f.get("id").asInt() -> f.get("name").asText()).toMap
+    (st, byId)
+  }
+
+  // ------------------------------------------------------------------
+  // Single-value binary serialization (spec Appendix D) → stat strings
+  // ------------------------------------------------------------------
+
+  /** Decode a bound value for `dt` from the spec's little-endian
+    * single-value serialization; None = unsupported (skip the stat,
+    * never mis-prune). */
+  private def decodeBound(dt: DataType, bytes: Array[Byte])
+      : Option[(String, String)] = {
+    val bb = ByteBuffer.wrap(bytes)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    dt match {
+      case IntegerType if bytes.length == 4 =>
+        Some(("long", bb.getInt.toString))
+      case LongType if bytes.length == 8 =>
+        Some(("long", bb.getLong.toString))
+      case FloatType if bytes.length == 4 =>
+        Some(("double", bb.getFloat.toString))
+      case DoubleType if bytes.length == 8 =>
+        Some(("double", bb.getDouble.toString))
+      case StringType => Some(("string", new String(bytes, UTF_8)))
+      case _ => None
+    }
+  }
+
+  // ------------------------------------------------------------------
+  // Generic Avro helpers
+  // ------------------------------------------------------------------
+
+  private def readAvro(path: String): Seq[GenericRecord] = {
+    val reader = new DataFileReader[GenericRecord](
+      new java.io.File(path), new GenericDatumReader[GenericRecord]())
+    try reader.iterator().asScala.toSeq finally reader.close()
+  }
+
+  private def fieldOpt(r: GenericRecord, name: String): Option[AnyRef] =
+    if (r.getSchema.getField(name) == null) None
+    else Option(r.get(name))
+
+  private def asLong(v: AnyRef): Long = v match {
+    case n: java.lang.Number => n.longValue()
+    case other => other.toString.toLong
+  }
+
+  private def asStr(v: AnyRef): String = v.toString // Utf8 → String
+
+  private def asBytes(v: AnyRef): Array[Byte] = v match {
+    case bb: ByteBuffer =>
+      val a = new Array[Byte](bb.remaining()); bb.duplicate().get(a); a
+    case f: GenericData.Fixed => f.bytes()
+    case a: Array[Byte] => a
+  }
+
+  /** An Iceberg "map" field read generically: either a real Avro map
+    * or the spec's key/value-array encoding. */
+  private def asIdMap(v: AnyRef): Map[Int, Array[Byte]] = v match {
+    case null => Map.empty
+    case m: java.util.Map[_, _] =>
+      m.asScala.map { case (k, vv) =>
+        k.toString.toInt -> asBytes(vv.asInstanceOf[AnyRef]) }.toMap
+    case l: java.util.Collection[_] =>
+      l.asScala.collect {
+        case r: GenericRecord if r.get("key") != null && r.get("value") != null =>
+          asLong(r.get("key")).toInt -> asBytes(r.get("value"))
+      }.toMap
+    case _ => Map.empty
+  }
+
+  private def asIdLongMap(v: AnyRef): Map[Int, Long] = v match {
+    case null => Map.empty
+    case m: java.util.Map[_, _] =>
+      m.asScala.map { case (k, vv) =>
+        k.toString.toInt -> asLong(vv.asInstanceOf[AnyRef]) }.toMap
+    case l: java.util.Collection[_] =>
+      l.asScala.collect {
+        case r: GenericRecord if r.get("key") != null && r.get("value") != null =>
+          asLong(r.get("key")).toInt -> asLong(r.get("value"))
+      }.toMap
+    case _ => Map.empty
+  }
+
+  // ------------------------------------------------------------------
+  // Snapshot replay
+  // ------------------------------------------------------------------
+
+  /** Replay the metadata tree to a snapshot (default: current). */
+  def snapshot(root: String, snapshotIdAsOf: Option[Long] = None)
+      : IceSnapshot = {
+    val v = latestMetadataVersion(root)
+    val meta = mapper.readTree(Files.readAllBytes(
+      metaDir(root).resolve(s"v$v.metadata.json")))
+    val fv = meta.get("format-version").asInt()
+    if (fv > 2) throw new UnsupportedOperationException(
+      s"iceberg-meta: format-version $fv not supported (1 and 2 only)")
+    val (schema, nameById) = schemaOf(meta)
+    val snapId = snapshotIdAsOf.getOrElse {
+      require(meta.hasNonNull("current-snapshot-id") &&
+        meta.get("current-snapshot-id").asLong() != -1L,
+        s"iceberg-meta: $root has no current snapshot")
+      meta.get("current-snapshot-id").asLong()
+    }
+    val snap = meta.get("snapshots").elements().asScala
+      .find(_.get("snapshot-id").asLong() == snapId)
+      .getOrElse(throw new IllegalArgumentException(
+        s"iceberg-meta: snapshot $snapId not in $root"))
+    val listPath = resolvePath(root, snap.get("manifest-list").asText())
+    val manifests = readAvro(listPath).map { r =>
+      val content = fieldOpt(r, "content").map(asLong).getOrElse(0L)
+      if (content != 0) throw new UnsupportedOperationException(
+        "iceberg-meta: DELETE manifests (v2 row-level deletes) are not " +
+          "supported — compact/rewrite the table first")
+      resolvePath(root, asStr(r.get("manifest_path")))
+    }
+    val files = manifests.flatMap { mp =>
+      readAvro(mp).flatMap { e =>
+        val status = asLong(e.get("status"))
+        if (status == 2) None // deleted
+        else {
+          val df = e.get("data_file").asInstanceOf[GenericRecord]
+          val content = fieldOpt(df, "content").map(asLong).getOrElse(0L)
+          if (content != 0) throw new UnsupportedOperationException(
+            "iceberg-meta: delete files are not supported")
+          val fmt = asStr(df.get("file_format")).toLowerCase
+          if (fmt != "parquet") throw new UnsupportedOperationException(
+            s"iceberg-meta: file format $fmt not supported (parquet only)")
+          val lower = fieldOpt(df, "lower_bounds").map(asIdMap)
+            .getOrElse(Map.empty)
+          val upper = fieldOpt(df, "upper_bounds").map(asIdMap)
+            .getOrElse(Map.empty)
+          val nulls = fieldOpt(df, "null_value_counts").map(asIdLongMap)
+            .getOrElse(Map.empty)
+          val records = asLong(df.get("record_count"))
+          val stats = nameById.flatMap { case (id, name) =>
+            schema.fields.find(_.name == name).flatMap { f =>
+              val lo = lower.get(id).flatMap(decodeBound(f.dataType, _))
+              val hi = upper.get(id).flatMap(decodeBound(f.dataType, _))
+              val typ = lo.map(_._1).orElse(hi.map(_._1))
+              typ.map(t => name -> VersionedTable.ColStats(t,
+                lo.map(_._2), hi.map(_._2),
+                nulls.getOrElse(id, 0L), records))
+            }
+          }
+          Some(IceFile(resolvePath(root, asStr(df.get("file_path"))),
+            fieldOpt(df, "file_size_in_bytes").map(asLong).getOrElse(0L),
+            records, stats))
+        }
+      }
+    }
+    IceSnapshot(root, snapId, schema, files)
+  }
+
+  /** Manifest paths are absolute URIs in real tables; keep fixtures
+    * relocatable by also accepting table-relative paths. */
+  private def resolvePath(root: String, p: String): String = {
+    val clean = if (p.startsWith("file:")) new java.net.URI(p).getPath else p
+    if (clean.startsWith("/")) clean else Paths.get(root, clean).toString
+  }
+
+  // ------------------------------------------------------------------
+  // Fixture writer — spec-shaped metadata tree for tests and catalog
+  // entries (field names/structure per the public spec; bounds in the
+  // single-value serialization; manifest list + manifest as Avro).
+  // A full transactional Iceberg WRITER is out of scope — the interop
+  // requirement is reading what Iceberg tooling already wrote.
+  // ------------------------------------------------------------------
+
+  private def avroSchema(json: String): Schema =
+    new Schema.Parser().parse(json)
+
+  private val manifestListSchema = avroSchema(
+    """{"type":"record","name":"manifest_file","fields":[
+      |{"name":"manifest_path","type":"string"},
+      |{"name":"manifest_length","type":"long"},
+      |{"name":"partition_spec_id","type":"int"},
+      |{"name":"content","type":"int","default":0},
+      |{"name":"added_snapshot_id","type":"long"}
+      |]}""".stripMargin)
+
+  private val manifestSchema = avroSchema(
+    """{"type":"record","name":"manifest_entry","fields":[
+      |{"name":"status","type":"int"},
+      |{"name":"snapshot_id","type":["null","long"],"default":null},
+      |{"name":"data_file","type":{"type":"record","name":"data_file","fields":[
+      |  {"name":"content","type":"int","default":0},
+      |  {"name":"file_path","type":"string"},
+      |  {"name":"file_format","type":"string"},
+      |  {"name":"record_count","type":"long"},
+      |  {"name":"file_size_in_bytes","type":"long"},
+      |  {"name":"null_value_counts","type":{"type":"map","values":"long"},"default":{}},
+      |  {"name":"lower_bounds","type":{"type":"map","values":"bytes"},"default":{}},
+      |  {"name":"upper_bounds","type":{"type":"map","values":"bytes"},"default":{}}
+      |]}}]}""".stripMargin)
+
+  private def writeAvro(path: Path, schema: Schema,
+      rows: Seq[GenericRecord]): Unit = {
+    Files.createDirectories(path.getParent)
+    val w = new DataFileWriter[GenericRecord](
+      new GenericDatumWriter[GenericRecord](schema))
+    w.create(schema, path.toFile)
+    try rows.foreach(w.append) finally w.close()
+  }
+
+  private def encodeBound(dt: DataType, v: Any): Option[Array[Byte]] = {
+    def le(n: Int) = ByteBuffer.allocate(n)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    dt match {
+      case IntegerType => Some(le(4).putInt(v.asInstanceOf[Number]
+        .intValue()).array())
+      case LongType => Some(le(8).putLong(v.asInstanceOf[Number]
+        .longValue()).array())
+      case FloatType => Some(le(4).putFloat(v.asInstanceOf[Number]
+        .floatValue()).array())
+      case DoubleType => Some(le(8).putDouble(v.asInstanceOf[Number]
+        .doubleValue()).array())
+      case StringType => Some(v.toString.getBytes(UTF_8))
+      case _ => None
+    }
+  }
+
+  private def iceTypeOf(dt: DataType): String = dt match {
+    case BooleanType => "boolean"
+    case IntegerType => "int"
+    case LongType => "long"
+    case FloatType => "float"
+    case DoubleType => "double"
+    case DateType => "date"
+    case StringType => "string"
+    case BinaryType => "binary"
+    case d: DecimalType => s"decimal(${d.precision},${d.scale})"
+    case other => throw new UnsupportedOperationException(
+      s"iceberg-meta fixture: type $other not supported")
+  }
+
+  /** Write `df` as a NEW spec-shaped Iceberg table at `root` (one
+    * snapshot, one manifest; data files written by Spark with per-file
+    * bounds harvested from parquet footers). Returns the snapshot id. */
+  def writeFixture(df: org.apache.spark.sql.DataFrame, root: String): Long = {
+    val spark = df.sparkSession
+    require(!Files.exists(metaDir(root).resolve("version-hint.text")),
+      s"iceberg-meta fixture: $root already exists")
+    val dataDir = Paths.get(root, "data")
+    df.write.mode("errorifexists").parquet(dataDir.toString)
+    val parts = PosixDataStore.listDir(dataDir)
+      .filter(n => n.endsWith(".parquet") && !n.startsWith(".")).sorted
+    val fieldId = df.schema.fieldNames.zipWithIndex
+      .map { case (n, i) => n -> (i + 1) }.toMap
+    val entries = parts.map { n =>
+      val p = dataDir.resolve(n)
+      val stats = VersionedTable.footerStats(spark, p)
+      val rec = new GenericData.Record(manifestSchema)
+      rec.put("status", 1) // added
+      rec.put("snapshot_id", null)
+      val dfr = new GenericData.Record(
+        manifestSchema.getField("data_file").schema())
+      dfr.put("content", 0)
+      dfr.put("file_path", s"data/$n")
+      dfr.put("file_format", "PARQUET")
+      dfr.put("record_count",
+        java.lang.Long.valueOf(stats.values.map(_.rows).maxOption.getOrElse(0L)))
+      dfr.put("file_size_in_bytes", java.lang.Long.valueOf(Files.size(p)))
+      val lower = new java.util.HashMap[String, ByteBuffer]()
+      val upper = new java.util.HashMap[String, ByteBuffer]()
+      val nulls = new java.util.HashMap[String, java.lang.Long]()
+      df.schema.fields.foreach { f =>
+        val id = fieldId(f.name).toString
+        stats.get(f.name).foreach { cs =>
+          // re-encode the footer stats through the SPEC's binary form
+          def statVal(s: String): Any = f.dataType match {
+            case IntegerType => s.toInt
+            case LongType => s.toLong
+            case FloatType => s.toFloat
+            case DoubleType => s.toDouble
+            case _ => s
+          }
+          cs.min.flatMap(m => encodeBound(f.dataType, statVal(m)))
+            .foreach(b => lower.put(id, ByteBuffer.wrap(b)))
+          cs.max.flatMap(m => encodeBound(f.dataType, statVal(m)))
+            .foreach(b => upper.put(id, ByteBuffer.wrap(b)))
+          nulls.put(id, java.lang.Long.valueOf(cs.nulls))
+        }
+      }
+      dfr.put("null_value_counts", nulls)
+      dfr.put("lower_bounds", lower)
+      dfr.put("upper_bounds", upper)
+      rec.put("data_file", dfr)
+      rec
+    }
+    val snapId = math.abs(root.hashCode.toLong * 2654435761L) + 1
+    val manifestRel = s"metadata/snap-$snapId-m0.avro"
+    writeAvro(Paths.get(root, manifestRel), manifestSchema, entries)
+    val listRel = s"metadata/snap-$snapId.avro"
+    val listRec = new GenericData.Record(manifestListSchema)
+    listRec.put("manifest_path", manifestRel)
+    listRec.put("manifest_length",
+      java.lang.Long.valueOf(Files.size(Paths.get(root, manifestRel))))
+    listRec.put("partition_spec_id", 0)
+    listRec.put("content", 0)
+    listRec.put("added_snapshot_id", java.lang.Long.valueOf(snapId))
+    writeAvro(Paths.get(root, listRel), manifestListSchema, Seq(listRec))
+    val fields = df.schema.fields.zipWithIndex.map { case (f, i) =>
+      s"""{"id":${i + 1},"name":"${f.name}","required":${!f.nullable},""" +
+        s""""type":"${iceTypeOf(f.dataType)}"}"""
+    }.mkString(",")
+    val metaJson =
+      s"""{"format-version":2,"table-uuid":"${java.util.UUID.randomUUID()}",
+         |"location":"$root","last-sequence-number":1,
+         |"last-updated-ms":${System.currentTimeMillis()},
+         |"last-column-id":${df.schema.length},
+         |"current-schema-id":0,
+         |"schemas":[{"type":"struct","schema-id":0,"fields":[$fields]}],
+         |"default-spec-id":0,
+         |"partition-specs":[{"spec-id":0,"fields":[]}],
+         |"current-snapshot-id":$snapId,
+         |"snapshots":[{"snapshot-id":$snapId,"sequence-number":1,
+         |  "timestamp-ms":${System.currentTimeMillis()},
+         |  "manifest-list":"$listRel",
+         |  "summary":{"operation":"append"},"schema-id":0}]}"""
+        .stripMargin
+    Files.createDirectories(metaDir(root))
+    Files.write(metaDir(root).resolve("v1.metadata.json"),
+      metaJson.getBytes(UTF_8))
+    Files.write(metaDir(root).resolve("version-hint.text"),
+      "1".getBytes(UTF_8))
+    snapId
+  }
+}

@@ -1,0 +1,181 @@
+package graft.sources
+
+import java.nio.charset.StandardCharsets.UTF_8
+import java.nio.file.{Files, Paths}
+import graft.SparkSpecBase
+import org.apache.spark.sql.functions._
+
+/** The Iceberg metadata-tree reader ([[IcebergMeta]] +
+  * `format("iceberg-meta")`): snapshot replay through
+  * metadata.json → manifest-list avro → manifest avro, bounds-based
+  * file skipping, the key/value-array map encoding real Iceberg
+  * writers use, and the refusal gates (format-version, delete
+  * manifests). */
+class IcebergMetaSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private def tmp(): String =
+    Files.createTempDirectory("iceberg_spec_").toString
+
+  private def indexOf(df: org.apache.spark.sql.DataFrame)
+      : IcebergMetaFileIndex =
+    df.queryExecution.optimizedPlan.collect {
+      case org.apache.spark.sql.execution.datasources.LogicalRelation(
+          r: org.apache.spark.sql.execution.datasources.HadoopFsRelation,
+          _, _, _, _) =>
+        r.location.asInstanceOf[IcebergMetaFileIndex]
+    }.head
+
+  test("fixture round-trip; manifest bounds skip files") {
+    val root = tmp()
+    val df = spark.range(0, 64).toDF("k")
+      .withColumn("v", col("k") * 10)
+      .withColumn("s", concat(lit("row"), col("k")))
+      .repartitionByRange(4, col("k"))
+    IcebergMeta.writeFixture(df, root)
+    val ds = spark.read.format("iceberg-meta").load(root)
+    assert(ds.count() === 64)
+    assert(ds.agg(sum("v")).as[Long].head() === (0 until 64).map(_ * 10).sum)
+    assert(ds.filter(col("s") === "row7").count() === 1)
+    // bounds-based skipping: k in [20, 25] lives in one range file
+    val q = spark.read.format("iceberg-meta").load(root)
+      .filter(col("k") >= 20 && col("k") <= 25)
+    assert(q.agg(sum("v")).as[Long].head() === (20 to 25).map(_ * 10).sum)
+    val (kept, total) = indexOf(q).lastListing.get
+    assert(total === 4 && kept === 1, s"expected 1/4 files, got $kept/$total")
+  }
+
+  test("deleted entries drop; kv-array map encoding reads like real maps") {
+    // a manifest in the OTHER legal avro shape: bounds as an array of
+    // key/value records (what iceberg-core writes), one entry with
+    // status=2 (deleted) that must not surface
+    val root = tmp()
+    val dataDir = Paths.get(root, "data")
+    Seq(1L, 2L).toDF("k").coalesce(1).write.parquet(dataDir.toString)
+    Seq(99L).toDF("k").write.mode("append").parquet(dataDir.toString)
+    import scala.jdk.CollectionConverters._
+    val parts = {
+      val s = Files.list(dataDir)
+      try s.iterator().asScala.map(_.getFileName.toString)
+        .filter(n => n.endsWith(".parquet") && !n.startsWith("."))
+        .toSeq.sorted
+      finally s.close()
+    }
+    assert(parts.size >= 2)
+    // identify which part holds which rows (file naming is uuid-random)
+    val partOf99 = parts.find(p =>
+      spark.read.parquet(dataDir.resolve(p).toString)
+        .as[Long].collect().contains(99L)).get
+    val partOf12 = parts.find(_ != partOf99).get
+    val manifestSchema = new org.apache.avro.Schema.Parser().parse(
+      """{"type":"record","name":"manifest_entry","fields":[
+        |{"name":"status","type":"int"},
+        |{"name":"data_file","type":{"type":"record","name":"data_file","fields":[
+        |  {"name":"content","type":"int"},
+        |  {"name":"file_path","type":"string"},
+        |  {"name":"file_format","type":"string"},
+        |  {"name":"record_count","type":"long"},
+        |  {"name":"file_size_in_bytes","type":"long"},
+        |  {"name":"lower_bounds","type":{"type":"array","items":
+        |    {"type":"record","name":"kv","fields":[
+        |      {"name":"key","type":"int"},{"name":"value","type":"bytes"}]}}},
+        |  {"name":"upper_bounds","type":{"type":"array","items":"kv"}}
+        |]}}]}""".stripMargin)
+    def kv(schema: org.apache.avro.Schema, id: Int, v: Long) = {
+      val r = new org.apache.avro.generic.GenericData.Record(schema)
+      r.put("key", id)
+      r.put("value", java.nio.ByteBuffer.wrap(
+        java.nio.ByteBuffer.allocate(8)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN).putLong(v).array()))
+      r
+    }
+    val kvSchema = manifestSchema.getField("data_file").schema()
+      .getField("lower_bounds").schema().getElementType
+    def entry(status: Int, path: String, lo: Long, hi: Long) = {
+      val e = new org.apache.avro.generic.GenericData.Record(manifestSchema)
+      e.put("status", status)
+      val d = new org.apache.avro.generic.GenericData.Record(
+        manifestSchema.getField("data_file").schema())
+      d.put("content", 0)
+      d.put("file_path", s"data/$path")
+      d.put("file_format", "PARQUET")
+      d.put("record_count", 2L)
+      d.put("file_size_in_bytes",
+        Files.size(dataDir.resolve(path)))
+      d.put("lower_bounds",
+        java.util.List.of(kv(kvSchema, 1, lo)))
+      d.put("upper_bounds",
+        java.util.List.of(kv(kvSchema, 1, hi)))
+      e.put("data_file", d)
+      e
+    }
+    val w = new org.apache.avro.file.DataFileWriter(
+      new org.apache.avro.generic.GenericDatumWriter[
+        org.apache.avro.generic.GenericRecord](manifestSchema))
+    Files.createDirectories(Paths.get(root, "metadata"))
+    w.create(manifestSchema, Paths.get(root, "metadata/m0.avro").toFile)
+    w.append(entry(1, partOf12, 1L, 2L))
+    w.append(entry(2, partOf99, 99L, 99L)) // DELETED: must not surface
+    w.close()
+    val listSchema = new org.apache.avro.Schema.Parser().parse(
+      """{"type":"record","name":"manifest_file","fields":[
+        |{"name":"manifest_path","type":"string"},
+        |{"name":"manifest_length","type":"long"},
+        |{"name":"partition_spec_id","type":"int"}]}""".stripMargin)
+    val lr = new org.apache.avro.generic.GenericData.Record(listSchema)
+    lr.put("manifest_path", "metadata/m0.avro")
+    lr.put("manifest_length",
+      Files.size(Paths.get(root, "metadata/m0.avro")))
+    lr.put("partition_spec_id", 0)
+    val lw = new org.apache.avro.file.DataFileWriter(
+      new org.apache.avro.generic.GenericDatumWriter[
+        org.apache.avro.generic.GenericRecord](listSchema))
+    lw.create(listSchema, Paths.get(root, "metadata/snap.avro").toFile)
+    lw.append(lr)
+    lw.close()
+    Files.write(Paths.get(root, "metadata/v1.metadata.json"),
+      s"""{"format-version":2,"table-uuid":"t","location":"$root",
+         |"current-schema-id":0,
+         |"schemas":[{"type":"struct","schema-id":0,"fields":[
+         |  {"id":1,"name":"k","required":false,"type":"long"}]}],
+         |"current-snapshot-id":7,
+         |"snapshots":[{"snapshot-id":7,"manifest-list":"metadata/snap.avro",
+         |  "timestamp-ms":1,"summary":{"operation":"append"}}]}"""
+        .stripMargin.getBytes(UTF_8))
+    Files.write(Paths.get(root, "metadata/version-hint.text"),
+      "1".getBytes(UTF_8))
+    val ds = spark.read.format("iceberg-meta").load(root)
+    assert(ds.orderBy("k").as[Long].collect().toSeq === Seq(1L, 2L))
+    // and the kv-array bounds drive skipping
+    val q = spark.read.format("iceberg-meta").load(root)
+      .filter(col("k") >= 50)
+    assert(q.count() === 0)
+    assert(indexOf(q).lastListing.get._1 === 0)
+  }
+
+  test("refusal gates: format-version 3, delete manifests") {
+    val root = tmp()
+    Files.createDirectories(Paths.get(root, "metadata"))
+    Files.write(Paths.get(root, "metadata/v1.metadata.json"),
+      """{"format-version":3,"schemas":[],"snapshots":[]}"""
+        .getBytes(UTF_8))
+    Files.write(Paths.get(root, "metadata/version-hint.text"),
+      "1".getBytes(UTF_8))
+    val e1 = intercept[UnsupportedOperationException] {
+      IcebergMeta.snapshot(root)
+    }
+    assert(e1.getMessage.contains("format-version 3"))
+  }
+
+  test("snapshotId option time-travels to a named snapshot") {
+    val root = tmp()
+    val snapId = IcebergMeta.writeFixture(
+      spark.range(0, 10).toDF("k"), root)
+    val ds = spark.read.format("iceberg-meta")
+      .option("snapshotId", snapId).load(root)
+    assert(ds.count() === 10)
+    intercept[IllegalArgumentException] {
+      IcebergMeta.snapshot(root, Some(snapId + 1))
+    }
+  }
+}

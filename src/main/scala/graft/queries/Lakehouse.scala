@@ -1395,6 +1395,44 @@ object Lakehouse {
              |  CAST(sum(o_custkey) AS BIGINT) AS sum_cust,
              |  min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
              |FROM orders WHERE o_orderkey BETWEEN 1 AND 2048
-             |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin))
+             |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)),
+
+    // CONVERT (round 8): a user's existing Delta table becomes a graft
+    // table in ONE metadata commit — every live file referenced in
+    // place (ext: refs, zero copy), Delta's per-file stats imported
+    // into graft's skipping model — and is immediately a FULL graft
+    // table: the entry appends the rest of `orders` through the graft
+    // commit protocol on top of the converted snapshot and aggregates
+    // across both. Migration cost at 100 TB: one manifest write, not a
+    // table rewrite. Oracle is the whole raw table — conversion,
+    // import-stats reads, and the post-convert append must compose to
+    // exactly the original relation. ConvertSpec pins the zero-copy
+    // invariant, pruning through imported stats, vacuum never reaching
+    // the source, and COW DML rewriting ext files into local ones.
+    QueryDef(
+      "q236_convert_delta_to_graft",
+      (s, d) => {
+        val deltaRoot = Files.createTempDirectory("conv_delta_").toString
+        val graftRoot = Files.createTempDirectory("conv_graft_").toString
+        val src = orders(s, d).select(col("o_orderkey"), col("o_custkey"),
+          col("o_orderstatus"))
+        graft.sources.DeltaLog.commit(
+          src.filter(col("o_orderkey") <= 4096L)
+            .repartitionByRange(4, col("o_orderkey")), deltaRoot)
+        VersionedTable.importDelta(s, deltaRoot, graftRoot)
+        VersionedTable.commit(
+          src.filter(col("o_orderkey") > 4096L), graftRoot)
+        VersionedTable.read(s, graftRoot)
+          .groupBy(col("o_orderstatus"))
+          .agg(count(lit(1)).as("n_orders"),
+            sum(col("o_custkey")).as("sum_cust"),
+            sum(col("o_orderkey")).as("sum_key"))
+          .orderBy(col("o_orderstatus"))
+      },
+      Some("""SELECT o_orderstatus, count(*) AS n_orders,
+             |  CAST(sum(o_custkey) AS BIGINT) AS sum_cust,
+             |  CAST(sum(o_orderkey) AS BIGINT) AS sum_key
+             |FROM orders GROUP BY o_orderstatus
+             |ORDER BY o_orderstatus""".stripMargin))
   )
 }

@@ -1094,6 +1094,112 @@ object VersionedTable {
   }
 
   // ---------------------------------------------------------------------
+  // CONVERT — import a foreign lakehouse table (Delta / Iceberg) as a
+  // graft table in ONE metadata commit, the `CONVERT TO DELTA` shape in
+  // reverse: the foreign table's live files are referenced in place
+  // (`ext:` absolute refs, exactly like [[cloneShallow]] — nothing is
+  // copied or rewritten), its schema becomes the graft schema line,
+  // and its per-file stats import into the graft stats model so file
+  // skipping works from the first query. The result is a FULL graft
+  // table: commits, DML, time travel, constraints all apply on top;
+  // vacuum never deletes through ext: refs, so the source's files are
+  // read-only from graft's perspective.
+  // ---------------------------------------------------------------------
+
+  /** Import the CURRENT snapshot of the Delta table at `deltaRoot` as
+    * version 0 of a new graft table at `graftRoot` — metadata-only.
+    * Partitioned Delta tables refuse: their data files physically LACK
+    * the partition columns (Hive layout), which a plain parquet read
+    * cannot reconstruct — read those via `format("delta-log")` or
+    * rewrite first. */
+  def importDelta(spark: SparkSession, deltaRoot: String,
+      graftRoot: String): Long = {
+    val snap = DeltaLog.snapshot(spark, deltaRoot)
+    require(latestVersion(graftRoot) < 0,
+      s"importDelta: $graftRoot is already a versioned table")
+    require(snap.partitionColumns.isEmpty,
+      "importDelta: partitioned Delta tables keep partition values in " +
+        "the log, not the files — read via format(\"delta-log\") or " +
+        "rewrite unpartitioned before converting")
+    val srcAbs = Paths.get(deltaRoot).toAbsolutePath
+    val statTyp: org.apache.spark.sql.types.DataType => Option[String] = {
+      import org.apache.spark.sql.types._
+      {
+        case ByteType | ShortType | IntegerType | LongType => Some("long")
+        case FloatType | DoubleType => Some("double")
+        case StringType => Some("string")
+        case _ => None
+      }
+    }
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val fileLines = snap.adds.map { a =>
+      val abs =
+        if (a.path.startsWith("/")) a.path
+        else srcAbs.resolve(a.path).toString
+      (a, s"ext:$abs")
+    }
+    val statLines = fileLines.flatMap { case (a, ref) =>
+      a.statsJson.toSeq.flatMap { js =>
+        try {
+          val n = mapper.readTree(js)
+          val rows = if (n.hasNonNull("numRecords"))
+            n.get("numRecords").asLong() else 0L
+          def field(k: String, c: String) = Option(n.get(k))
+            .flatMap(o => Option(o.get(c))).filterNot(_.isNull)
+          snap.schema.fields.toSeq.flatMap { f =>
+            statTyp(f.dataType).flatMap { t =>
+              val mn = field("minValues", f.name).map(_.asText())
+              val mx = field("maxValues", f.name).map(_.asText())
+              val nulls = field("nullCount", f.name).map(_.asLong())
+              if (mn.isEmpty && mx.isEmpty && nulls.isEmpty) None
+              else Some(ColStats(t, mn, mx, nulls.getOrElse(0L), rows))
+            }.map(cs => statsLines(ref, Map(f.name -> cs))).getOrElse(Nil)
+          }
+        } catch { case scala.util.control.NonFatal(_) => Nil }
+      }
+    }
+    val body =
+      (Seq("version=0", "action=overwrite",
+        s"importsrc=${enc(s"delta:$deltaRoot")}|${snap.version}",
+        s"schema=${enc(snap.schema.json)}") ++
+        fileLines.map { case (_, ref) => s"file=$ref" } ++
+        fileLines.map { case (a, ref) => s"fsize=${enc(ref)}|${a.size}" } ++
+        statLines)
+        .mkString("", "\n", "\n")
+    logIO(graftRoot).mkdirs(logDir(graftRoot))
+    publish(graftRoot, 0, body)
+    0L
+  }
+
+  /** Import the current (or a named) snapshot of the Iceberg table at
+    * `iceRoot` as version 0 of a new graft table — metadata-only.
+    * Iceberg data files carry ALL columns (identity partition values
+    * included), so partitioned tables import fine. */
+  def importIceberg(spark: SparkSession, iceRoot: String,
+      graftRoot: String, snapshotId: Option[Long] = None): Long = {
+    val snap = IcebergMeta.snapshot(iceRoot, snapshotId)
+    require(latestVersion(graftRoot) < 0,
+      s"importIceberg: $graftRoot is already a versioned table")
+    val fileLines = snap.files.map(f => (f, s"ext:${f.path}"))
+    val statLines = fileLines.flatMap { case (f, ref) =>
+      f.stats.toSeq.sortBy(_._1).flatMap { case (c, cs) =>
+        statsLines(ref, Map(c -> cs))
+      }
+    }
+    val body =
+      (Seq("version=0", "action=overwrite",
+        s"importsrc=${enc(s"iceberg:$iceRoot")}|${snap.snapshotId}",
+        s"schema=${enc(snap.schema.json)}") ++
+        fileLines.map { case (_, ref) => s"file=$ref" } ++
+        fileLines.map { case (f, ref) => s"fsize=${enc(ref)}|${f.sizeBytes}" } ++
+        statLines)
+        .mkString("", "\n", "\n")
+    logIO(graftRoot).mkdirs(logDir(graftRoot))
+    publish(graftRoot, 0, body)
+    0L
+  }
+
+  // ---------------------------------------------------------------------
   // CHECK constraints — table-level data-quality contracts, the Delta
   // `ALTER TABLE ADD CONSTRAINT` shape. A constraint is a SQL boolean
   // expression folded through the manifest log as table METADATA (it

@@ -123,6 +123,10 @@ object GraftSqlParser {
     """(?is)\s*GRAFT\s+BRANCHES\s+'([^']+)'\s*;?\s*""".r
   private val Detail =
     """(?is)\s*GRAFT\s+DETAIL\s+'([^']+)'\s*;?\s*""".r
+  private val ConvertDelta =
+    """(?is)\s*GRAFT\s+CONVERT\s+DELTA\s+'([^']+)'\s+TO\s+'([^']+)'\s*;?\s*""".r
+  private val ConvertIceberg =
+    """(?is)\s*GRAFT\s+CONVERT\s+ICEBERG\s+'([^']+)'\s+TO\s+'([^']+)'\s*;?\s*""".r
 
   private[ext] def parse(sqlText: String): Option[LogicalPlan] =
     sqlText match {
@@ -157,6 +161,10 @@ object GraftSqlParser {
       case BranchDrop(p, name) => Some(GraftDropBranchCommand(p, name))
       case BranchList(p) => Some(GraftBranchesCommand(p))
       case Detail(p) => Some(GraftDetailCommand(p))
+      case ConvertDelta(src, dst) => Some(GraftConvertCommand(src, dst,
+        iceberg = false))
+      case ConvertIceberg(src, dst) => Some(GraftConvertCommand(src, dst,
+        iceberg = true))
       case other if other.trim.toUpperCase.startsWith("GRAFT ") =>
         // a malformed GRAFT statement must fail with OUR grammar, not
         // Spark's baffled syntax error
@@ -172,7 +180,8 @@ object GraftSqlParser {
             "TAG 'root' CREATE name [VERSION AS OF n] | " +
             "TAG 'root' DROP name | TAGS 'root' | " +
             "BRANCH 'root' CREATE|PUBLISH|DROP name | BRANCHES 'root' | " +
-            "DETAIL 'root' | VACUUM ... DRY RUN | REORG 'root' PURGE")
+            "DETAIL 'root' | VACUUM ... DRY RUN | REORG 'root' PURGE | " +
+            "CONVERT DELTA|ICEBERG 'src' TO 'dst'")
       case _ => None
     }
 
@@ -250,6 +259,19 @@ object GraftSqlParser {
     override val output: Seq[Attribute] = Seq(attr("version", LongType))
     override def run(s: SparkSession): Seq[Row] =
       Seq(Row(VersionedTable.cloneShallow(src, dst, version)))
+  }
+
+  /** `GRAFT CONVERT DELTA|ICEBERG 'src' TO 'dst'` — import a foreign
+    * lakehouse table as a graft table in one metadata commit
+    * ([[VersionedTable.importDelta]] / [[VersionedTable.importIceberg]]:
+    * ext: refs, imported stats, zero copy). */
+  case class GraftConvertCommand(src: String, dst: String,
+      iceberg: Boolean) extends LeafRunnableCommand {
+    override val output: Seq[Attribute] = Seq(attr("version", LongType))
+    override def run(s: SparkSession): Seq[Row] =
+      Seq(Row(
+        if (iceberg) VersionedTable.importIceberg(s, src, dst)
+        else VersionedTable.importDelta(s, src, dst)))
   }
 
   case class GraftCreateTagCommand(root: String, name: String,

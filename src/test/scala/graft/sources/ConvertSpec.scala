@@ -66,6 +66,21 @@ class ConvertSpec extends SparkSpecBase {
     assert(e.getMessage.contains("partitioned"))
   }
 
+  test("GRAFT CONVERT SQL statements lower to the import commands") {
+    val deltaRoot = tmp()
+    DeltaLog.commit(spark.range(0, 10).toDF("k").coalesce(1), deltaRoot)
+    val dst1 = tmp() + "/t"
+    val v = spark.sql(s"GRAFT CONVERT DELTA '$deltaRoot' TO '$dst1'")
+      .collect().head.getLong(0)
+    assert(v === 0L)
+    assert(VersionedTable.read(spark, dst1).count() === 10)
+    val iceRoot = tmp()
+    IcebergMeta.writeFixture(spark.range(0, 5).toDF("k"), iceRoot)
+    val dst2 = tmp() + "/t"
+    spark.sql(s"GRAFT CONVERT ICEBERG '$iceRoot' TO '$dst2'")
+    assert(VersionedTable.read(spark, dst2).count() === 5)
+  }
+
   test("importIceberg: zero-copy with manifest bounds as graft stats") {
     val iceRoot = tmp()
     IcebergMeta.writeFixture(

@@ -1433,6 +1433,46 @@ object Lakehouse {
              |  CAST(sum(o_custkey) AS BIGINT) AS sum_cust,
              |  CAST(sum(o_orderkey) AS BIGINT) AS sum_key
              |FROM orders GROUP BY o_orderstatus
+             |ORDER BY o_orderstatus""".stripMargin)),
+
+    // ICEBERG INTEROP, write path (round 8 — closes the lakehouse
+    // write half): create an Iceberg table from the low half of
+    // `orders` through `df.write.format("iceberg-meta")`, then COMMIT
+    // the high half as a second snapshot (`mode("append")` →
+    // IcebergMeta.append: v2.metadata.json published by conditional
+    // put, the filesystem-catalog mutual-exclusion protocol; the new
+    // manifest list carries the first snapshot's manifests forward).
+    // The read side then answers a selective aggregate whose bounds
+    // pruning spans BOTH snapshots' manifests. At 100 TB an append is
+    // O(new data) — metadata grows by one manifest + one json
+    // document, nothing is rewritten. Oracle is the whole raw table:
+    // create + append + manifest replay must compose to exactly the
+    // original relation. IcebergMetaSpec pins time travel to the
+    // pre-append snapshot, racing-commit refusal, and the
+    // schema/partition-spec gates.
+    QueryDef(
+      "q237_iceberg_write_append",
+      (s, d) => {
+        val root = Files.createTempDirectory("iceberg_wr_").toString + "/t"
+        val src = orders(s, d).select(col("o_orderkey"), col("o_custkey"),
+          col("o_orderstatus"))
+        src.filter(col("o_orderkey") <= 4096L)
+          .repartitionByRange(4, col("o_orderkey"))
+          .write.format("iceberg-meta").save(root)
+        src.filter(col("o_orderkey") > 4096L)
+          .repartitionByRange(4, col("o_orderkey"))
+          .write.format("iceberg-meta").mode("append").save(root)
+        s.read.format("iceberg-meta").load(root)
+          .groupBy(col("o_orderstatus"))
+          .agg(count(lit(1)).as("n_orders"),
+            sum(col("o_custkey")).as("sum_cust"),
+            sum(col("o_orderkey")).as("sum_key"))
+          .orderBy(col("o_orderstatus"))
+      },
+      Some("""SELECT o_orderstatus, count(*) AS n_orders,
+             |  CAST(sum(o_custkey) AS BIGINT) AS sum_cust,
+             |  CAST(sum(o_orderkey) AS BIGINT) AS sum_key
+             |FROM orders GROUP BY o_orderstatus
              |ORDER BY o_orderstatus""".stripMargin))
   )
 }

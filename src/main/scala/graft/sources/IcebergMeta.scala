@@ -287,11 +287,18 @@ object IcebergMeta {
   }
 
   // ------------------------------------------------------------------
-  // Fixture writer — spec-shaped metadata tree for tests and catalog
-  // entries (field names/structure per the public spec; bounds in the
-  // single-value serialization; manifest list + manifest as Avro).
-  // A full transactional Iceberg WRITER is out of scope — the interop
-  // requirement is reading what Iceberg tooling already wrote.
+  // Writer — spec-shaped metadata tree (field names/structure per the
+  // public spec; bounds in the single-value serialization; manifest
+  // list + manifest as Avro). Two entry points: [[writeFixture]]
+  // creates a NEW single-snapshot table; [[append]] transactionally
+  // adds a snapshot to an EXISTING table (ours or a foreign one) with
+  // the filesystem-catalog commit protocol — `v{N+1}.metadata.json`
+  // published via conditional put, so racing writers get exactly one
+  // winner. Manifest lists are written with the v1-optional/v2 count
+  // fields defaulted; a full Iceberg-runtime-verified writer is out of
+  // scope (no Iceberg runtime exists in this environment to verify
+  // against) — the contract is round-tripping through THIS reader
+  // plus structural conformance to the published spec.
   // ------------------------------------------------------------------
 
   private def avroSchema(json: String): Schema =
@@ -303,7 +310,15 @@ object IcebergMeta {
       |{"name":"manifest_length","type":"long"},
       |{"name":"partition_spec_id","type":"int"},
       |{"name":"content","type":"int","default":0},
-      |{"name":"added_snapshot_id","type":"long"}
+      |{"name":"sequence_number","type":"long","default":0},
+      |{"name":"min_sequence_number","type":"long","default":0},
+      |{"name":"added_snapshot_id","type":"long"},
+      |{"name":"added_files_count","type":"int","default":0},
+      |{"name":"existing_files_count","type":"int","default":0},
+      |{"name":"deleted_files_count","type":"int","default":0},
+      |{"name":"added_rows_count","type":"long","default":0},
+      |{"name":"existing_rows_count","type":"long","default":0},
+      |{"name":"deleted_rows_count","type":"long","default":0}
       |]}""".stripMargin)
 
   private val manifestSchema = avroSchema(
@@ -328,6 +343,75 @@ object IcebergMeta {
       new GenericDatumWriter[GenericRecord](schema))
     w.create(schema, path.toFile)
     try rows.foreach(w.append) finally w.close()
+  }
+
+  /** One manifest-list row (every field set explicitly — generic Avro
+    * writers do NOT apply schema defaults at write time). */
+  private def manifestListRow(path: String, length: Long, specId: Int,
+      seq: Long, addedSnap: Long, addedFiles: Int, existingFiles: Int,
+      addedRows: Long, existingRows: Long): GenericRecord = {
+    val r = new GenericData.Record(manifestListSchema)
+    r.put("manifest_path", path)
+    r.put("manifest_length", java.lang.Long.valueOf(length))
+    r.put("partition_spec_id", specId)
+    r.put("content", 0)
+    r.put("sequence_number", java.lang.Long.valueOf(seq))
+    r.put("min_sequence_number", java.lang.Long.valueOf(seq))
+    r.put("added_snapshot_id", java.lang.Long.valueOf(addedSnap))
+    r.put("added_files_count", addedFiles)
+    r.put("existing_files_count", existingFiles)
+    r.put("deleted_files_count", 0)
+    r.put("added_rows_count", java.lang.Long.valueOf(addedRows))
+    r.put("existing_rows_count", java.lang.Long.valueOf(existingRows))
+    r.put("deleted_rows_count", java.lang.Long.valueOf(0L))
+    r
+  }
+
+  /** One ADDED manifest entry for a parquet data file at absolute
+    * `abs`, recorded as table-relative `rel`, with footer stats
+    * re-encoded through the spec's single-value serialization under
+    * the TABLE's field ids. */
+  private def dataFileEntry(spark: SparkSession, abs: Path, rel: String,
+      schema: StructType, idByName: Map[String, Int]): GenericRecord = {
+    val stats = VersionedTable.footerStats(spark, abs)
+    val rec = new GenericData.Record(manifestSchema)
+    rec.put("status", 1) // added
+    rec.put("snapshot_id", null)
+    val dfr = new GenericData.Record(
+      manifestSchema.getField("data_file").schema())
+    dfr.put("content", 0)
+    dfr.put("file_path", rel)
+    dfr.put("file_format", "PARQUET")
+    dfr.put("record_count",
+      java.lang.Long.valueOf(stats.values.map(_.rows).maxOption.getOrElse(0L)))
+    dfr.put("file_size_in_bytes", java.lang.Long.valueOf(Files.size(abs)))
+    val lower = new java.util.HashMap[String, ByteBuffer]()
+    val upper = new java.util.HashMap[String, ByteBuffer]()
+    val nulls = new java.util.HashMap[String, java.lang.Long]()
+    schema.fields.foreach { f =>
+      idByName.get(f.name).map(_.toString).foreach { id =>
+        stats.get(f.name).foreach { cs =>
+          // re-encode the footer stats through the SPEC's binary form
+          def statVal(s: String): Any = f.dataType match {
+            case IntegerType => s.toInt
+            case LongType => s.toLong
+            case FloatType => s.toFloat
+            case DoubleType => s.toDouble
+            case _ => s
+          }
+          cs.min.flatMap(m => encodeBound(f.dataType, statVal(m)))
+            .foreach(b => lower.put(id, ByteBuffer.wrap(b)))
+          cs.max.flatMap(m => encodeBound(f.dataType, statVal(m)))
+            .foreach(b => upper.put(id, ByteBuffer.wrap(b)))
+          nulls.put(id, java.lang.Long.valueOf(cs.nulls))
+        }
+      }
+    }
+    dfr.put("null_value_counts", nulls)
+    dfr.put("lower_bounds", lower)
+    dfr.put("upper_bounds", upper)
+    rec.put("data_file", dfr)
+    rec
   }
 
   private def encodeBound(dt: DataType, v: Any): Option[Array[Byte]] = {
@@ -375,58 +459,18 @@ object IcebergMeta {
     val fieldId = df.schema.fieldNames.zipWithIndex
       .map { case (n, i) => n -> (i + 1) }.toMap
     val entries = parts.map { n =>
-      val p = dataDir.resolve(n)
-      val stats = VersionedTable.footerStats(spark, p)
-      val rec = new GenericData.Record(manifestSchema)
-      rec.put("status", 1) // added
-      rec.put("snapshot_id", null)
-      val dfr = new GenericData.Record(
-        manifestSchema.getField("data_file").schema())
-      dfr.put("content", 0)
-      dfr.put("file_path", s"data/$n")
-      dfr.put("file_format", "PARQUET")
-      dfr.put("record_count",
-        java.lang.Long.valueOf(stats.values.map(_.rows).maxOption.getOrElse(0L)))
-      dfr.put("file_size_in_bytes", java.lang.Long.valueOf(Files.size(p)))
-      val lower = new java.util.HashMap[String, ByteBuffer]()
-      val upper = new java.util.HashMap[String, ByteBuffer]()
-      val nulls = new java.util.HashMap[String, java.lang.Long]()
-      df.schema.fields.foreach { f =>
-        val id = fieldId(f.name).toString
-        stats.get(f.name).foreach { cs =>
-          // re-encode the footer stats through the SPEC's binary form
-          def statVal(s: String): Any = f.dataType match {
-            case IntegerType => s.toInt
-            case LongType => s.toLong
-            case FloatType => s.toFloat
-            case DoubleType => s.toDouble
-            case _ => s
-          }
-          cs.min.flatMap(m => encodeBound(f.dataType, statVal(m)))
-            .foreach(b => lower.put(id, ByteBuffer.wrap(b)))
-          cs.max.flatMap(m => encodeBound(f.dataType, statVal(m)))
-            .foreach(b => upper.put(id, ByteBuffer.wrap(b)))
-          nulls.put(id, java.lang.Long.valueOf(cs.nulls))
-        }
-      }
-      dfr.put("null_value_counts", nulls)
-      dfr.put("lower_bounds", lower)
-      dfr.put("upper_bounds", upper)
-      rec.put("data_file", dfr)
-      rec
+      dataFileEntry(spark, dataDir.resolve(n), s"data/$n", df.schema, fieldId)
     }
     val snapId = math.abs(root.hashCode.toLong * 2654435761L) + 1
     val manifestRel = s"metadata/snap-$snapId-m0.avro"
     writeAvro(Paths.get(root, manifestRel), manifestSchema, entries)
     val listRel = s"metadata/snap-$snapId.avro"
-    val listRec = new GenericData.Record(manifestListSchema)
-    listRec.put("manifest_path", manifestRel)
-    listRec.put("manifest_length",
-      java.lang.Long.valueOf(Files.size(Paths.get(root, manifestRel))))
-    listRec.put("partition_spec_id", 0)
-    listRec.put("content", 0)
-    listRec.put("added_snapshot_id", java.lang.Long.valueOf(snapId))
-    writeAvro(Paths.get(root, listRel), manifestListSchema, Seq(listRec))
+    val rows = entries.map(e => asLong(e.get("data_file")
+      .asInstanceOf[GenericRecord].get("record_count"))).sum
+    writeAvro(Paths.get(root, listRel), manifestListSchema, Seq(
+      manifestListRow(manifestRel,
+        Files.size(Paths.get(root, manifestRel)), 0, 1L, snapId,
+        entries.size, 0, rows, 0L)))
     val fields = df.schema.fields.zipWithIndex.map { case (f, i) =>
       s"""{"id":${i + 1},"name":"${f.name}","required":${!f.nullable},""" +
         s""""type":"${iceTypeOf(f.dataType)}"}"""
@@ -451,6 +495,144 @@ object IcebergMeta {
       metaJson.getBytes(UTF_8))
     Files.write(metaDir(root).resolve("version-hint.text"),
       "1".getBytes(UTF_8))
+    snapId
+  }
+
+  /** Transactionally APPEND `df` as a new snapshot of the EXISTING
+    * Iceberg table at `root` (one written by [[writeFixture]] or by
+    * real Iceberg tooling). Filesystem-catalog commit protocol: the
+    * new `v{N+1}.metadata.json` publishes via conditional put
+    * ([[LogStore.putIfAbsent]]) — exactly one of two racing writers
+    * wins, the loser gets [[VersionedTable.ConcurrentCommitException]]
+    * and can re-read + retry. Every field of the current metadata
+    * document is PRESERVED verbatim (deep-copied JSON tree) except the
+    * append's own mutations: `snapshots` += one, `current-snapshot-id`,
+    * `last-sequence-number`, `last-updated-ms`; prior snapshots stay
+    * time-travelable through `option("snapshotId", ...)`.
+    *
+    * The new manifest list carries every manifest of the current
+    * snapshot forward (re-emitted with their original spec-id /
+    * added-snapshot-id) plus one new manifest of ADDED entries whose
+    * bounds use the TABLE's field ids. Gates: format-version ≤ 2,
+    * unpartitioned default spec, df schema must equal the table
+    * schema by name and type. Returns the new snapshot id. */
+  def append(df: org.apache.spark.sql.DataFrame, root: String): Long = {
+    val spark = df.sparkSession
+    val v = latestMetadataVersion(root)
+    val meta = mapper.readTree(Files.readAllBytes(
+      metaDir(root).resolve(s"v$v.metadata.json")))
+    val fv = meta.get("format-version").asInt()
+    if (fv > 2) throw new UnsupportedOperationException(
+      s"iceberg-meta: format-version $fv not supported (1 and 2 only)")
+    // default partition spec must be unpartitioned — appending
+    // unpartitioned files into a partitioned spec would be WRONG data
+    val specFields: Int =
+      if (meta.hasNonNull("partition-specs")) {
+        val cur = if (meta.hasNonNull("default-spec-id"))
+          meta.get("default-spec-id").asInt() else 0
+        meta.get("partition-specs").elements().asScala
+          .find(_.get("spec-id").asInt() == cur)
+          .map(_.get("fields").size()).getOrElse(0)
+      } else if (meta.hasNonNull("partition-spec"))
+        meta.get("partition-spec").size()
+      else 0
+    if (specFields != 0) throw new UnsupportedOperationException(
+      "iceberg-meta: append to a PARTITIONED table is not supported")
+    val (schema, nameById) = schemaOf(meta)
+    val tbl = schema.fields.map(f => f.name -> f.dataType).toMap
+    val bad = df.schema.fields.filter(f => !tbl.get(f.name).contains(f.dataType))
+    require(bad.isEmpty && df.schema.length == schema.length,
+      s"iceberg-meta: append schema mismatch on ${
+        (bad.map(_.name) ++ (if (df.schema.length == schema.length) Nil
+        else Seq(s"arity ${df.schema.length}!=${schema.length}"))).mkString(", ")}")
+    val idByName = nameById.map(_.swap)
+
+    // data files: stage, then land under data/ with unique names
+    val nonce = java.util.UUID.randomUUID().toString.take(8)
+    val staging = Files.createTempDirectory("ice_stage_").resolve("out")
+    df.select(schema.fieldNames.head, schema.fieldNames.tail: _*)
+      .write.mode("errorifexists").parquet(staging.toString)
+    val parts = PosixDataStore.listDir(staging)
+      .filter(n => n.endsWith(".parquet") && !n.startsWith(".")).sorted
+    val dataDir = Paths.get(root, "data")
+    Files.createDirectories(dataDir)
+    val entries = parts.zipWithIndex.map { case (n, i) =>
+      val name = f"part-$i%05d-$nonce.parquet"
+      val dst = dataDir.resolve(name)
+      Files.move(staging.resolve(n), dst)
+      dataFileEntry(spark, dst, s"data/$name", schema, idByName)
+    }
+    val addedRows = entries.map(e => asLong(e.get("data_file")
+      .asInstanceOf[GenericRecord].get("record_count"))).sum
+
+    val seq = (if (meta.hasNonNull("last-sequence-number"))
+      meta.get("last-sequence-number").asLong() else 0L) + 1
+    val snapId = java.util.UUID.randomUUID().getLeastSignificantBits
+      .abs.max(1L)
+    val manifestRel = s"metadata/snap-$snapId-m0.avro"
+    writeAvro(Paths.get(root, manifestRel), manifestSchema, entries)
+
+    // carry the current snapshot's manifests forward + the new one
+    val prevSnap: Option[Long] =
+      if (meta.hasNonNull("current-snapshot-id") &&
+        meta.get("current-snapshot-id").asLong() != -1L)
+        Some(meta.get("current-snapshot-id").asLong())
+      else None
+    val carried: Seq[GenericRecord] = prevSnap.toSeq.flatMap { sid =>
+      val snapNode = meta.get("snapshots").elements().asScala
+        .find(_.get("snapshot-id").asLong() == sid)
+        .getOrElse(throw new IllegalStateException(
+          s"iceberg-meta: current snapshot $sid not in $root"))
+      readAvro(resolvePath(root, snapNode.get("manifest-list").asText()))
+        .map { r =>
+          manifestListRow(
+            asStr(r.get("manifest_path")),
+            asLong(r.get("manifest_length")),
+            fieldOpt(r, "partition_spec_id").map(asLong).getOrElse(0L).toInt,
+            fieldOpt(r, "sequence_number").map(asLong).getOrElse(0L),
+            fieldOpt(r, "added_snapshot_id").map(asLong).getOrElse(sid),
+            fieldOpt(r, "added_files_count").map(asLong).getOrElse(0L).toInt,
+            fieldOpt(r, "existing_files_count").map(asLong).getOrElse(0L).toInt,
+            fieldOpt(r, "added_rows_count").map(asLong).getOrElse(0L),
+            fieldOpt(r, "existing_rows_count").map(asLong).getOrElse(0L))
+        }
+    }
+    val listRel = s"metadata/snap-$snapId.avro"
+    writeAvro(Paths.get(root, listRel), manifestListSchema,
+      carried :+ manifestListRow(manifestRel,
+        Files.size(Paths.get(root, manifestRel)), 0, seq, snapId,
+        entries.size, 0, addedRows, 0L))
+
+    // new metadata document: the old one verbatim + this append
+    val newMeta = meta.deepCopy[
+      com.fasterxml.jackson.databind.node.ObjectNode]
+    val now = System.currentTimeMillis()
+    newMeta.put("last-updated-ms", now)
+    newMeta.put("last-sequence-number", seq)
+    newMeta.put("current-snapshot-id", snapId)
+    val snapObj = mapper.createObjectNode()
+    snapObj.put("snapshot-id", snapId)
+    prevSnap.foreach(snapObj.put("parent-snapshot-id", _))
+    snapObj.put("sequence-number", seq)
+    snapObj.put("timestamp-ms", now)
+    snapObj.put("manifest-list", listRel)
+    snapObj.putObject("summary").put("operation", "append")
+    if (meta.hasNonNull("current-schema-id"))
+      snapObj.put("schema-id", meta.get("current-schema-id").asInt())
+    newMeta.withArray[com.fasterxml.jackson.databind.node.ArrayNode](
+      "snapshots").add(snapObj)
+
+    try PosixLogStore.putIfAbsent(
+      metaDir(root).resolve(s"v${v + 1}.metadata.json"),
+      mapper.writerWithDefaultPrettyPrinter()
+        .writeValueAsBytes(newMeta))
+    catch {
+      case _: java.nio.file.FileAlreadyExistsException =>
+        throw new VersionedTable.ConcurrentCommitException(v + 1)
+    }
+    // the hint is advisory (HadoopCatalog semantics) — last writer wins
+    Files.write(metaDir(root).resolve("version-hint.text"),
+      (v + 1).toString.getBytes(UTF_8))
     snapId
   }
 }

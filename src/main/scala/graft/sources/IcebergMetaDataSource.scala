@@ -7,8 +7,10 @@ import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.execution.datasources.{
   FileIndex, HadoopFsRelation, PartitionDirectory}
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+import org.apache.spark.sql.{DataFrame, SaveMode}
 import org.apache.spark.sql.sources.{
-  BaseRelation, DataSourceRegister, RelationProvider}
+  BaseRelation, CreatableRelationProvider, DataSourceRegister,
+  RelationProvider}
 import org.apache.spark.sql.types.StructType
 
 /** `spark.read.format("iceberg-meta").load(root)` — read a REAL
@@ -31,17 +33,30 @@ import org.apache.spark.sql.types.StructType
   * values included), so no partition reconstruction is needed — the
   * file list IS the scan. Feature gates ([[IcebergMeta.snapshot]]):
   * format-version 3+, delete files/manifests, non-parquet files
-  * refuse loudly. */
-class IcebergMetaDataSource extends RelationProvider with DataSourceRegister {
+  * refuse loudly.
+  *
+  * WRITE path: `df.write.format("iceberg-meta").mode(m).save(root)` —
+  * `ErrorIfExists` creates a new table ([[IcebergMeta.writeFixture]]),
+  * `Append` commits a new snapshot onto an existing one
+  * ([[IcebergMeta.append]]: conditional-put `v{N+1}.metadata.json`,
+  * prior snapshots stay time-travelable). `Overwrite` refuses — use
+  * graft's own format for replace semantics; the interop posture here
+  * is additive only. */
+class IcebergMetaDataSource extends RelationProvider
+    with CreatableRelationProvider with DataSourceRegister {
 
   override def shortName(): String = "iceberg-meta"
+
+  private def rootOf(parameters: Map[String, String]): String = {
+    val p = parameters.getOrElse("path", throw new IllegalArgumentException(
+      "iceberg-meta requires a path: .load(root) / .save(root)"))
+    if (p.startsWith("file:")) new java.net.URI(p).getPath else p
+  }
 
   override def createRelation(sqlContext: SQLContext,
       parameters: Map[String, String]): BaseRelation = {
     val spark = sqlContext.sparkSession
-    val p = parameters.getOrElse("path", throw new IllegalArgumentException(
-      "iceberg-meta requires a path: .load(root)"))
-    val root = if (p.startsWith("file:")) new java.net.URI(p).getPath else p
+    val root = rootOf(parameters)
     val snap = IcebergMeta.snapshot(root,
       parameters.get("snapshotId").map(_.toLong))
     val idx = new IcebergMetaFileIndex(spark, snap)
@@ -52,6 +67,29 @@ class IcebergMetaDataSource extends RelationProvider with DataSourceRegister {
       bucketSpec = None,
       fileFormat = new ParquetFileFormat,
       options = Map.empty)(spark)
+  }
+
+  override def createRelation(sqlContext: SQLContext, mode: SaveMode,
+      parameters: Map[String, String], data: DataFrame): BaseRelation = {
+    val root = rootOf(parameters)
+    val exists = java.nio.file.Files.exists(
+      java.nio.file.Paths.get(root, "metadata"))
+    mode match {
+      case SaveMode.Append =>
+        if (exists) IcebergMeta.append(data, root)
+        else IcebergMeta.writeFixture(data, root)
+      case SaveMode.ErrorIfExists =>
+        if (exists) throw new IllegalStateException(
+          s"iceberg-meta: $root already exists (mode=errorifexists)")
+        IcebergMeta.writeFixture(data, root)
+      case SaveMode.Ignore =>
+        if (!exists) IcebergMeta.writeFixture(data, root)
+      case SaveMode.Overwrite =>
+        throw new UnsupportedOperationException(
+          "iceberg-meta: Overwrite is not supported — the interop " +
+            "writer is additive (append) only")
+    }
+    createRelation(sqlContext, parameters)
   }
 }
 

@@ -178,4 +178,72 @@ class IcebergMetaSpec extends SparkSpecBase {
       IcebergMeta.snapshot(root, Some(snapId + 1))
     }
   }
+
+  test("append commits a new snapshot; prior snapshot stays readable") {
+    val root = tmp()
+    val df0 = spark.range(0, 40).toDF("k")
+      .withColumn("v", col("k") * 2).repartitionByRange(2, col("k"))
+    val snap0 = IcebergMeta.writeFixture(df0, root)
+    val snap1 = IcebergMeta.append(
+      spark.range(100, 120).toDF("k").withColumn("v", col("k") * 2)
+        .coalesce(1), root)
+    assert(snap1 !== snap0)
+    // metadata advanced to v2 and the hint follows
+    assert(IcebergMeta.latestMetadataVersion(root) === 2)
+    val cur = spark.read.format("iceberg-meta").load(root)
+    assert(cur.count() === 60)
+    assert(cur.agg(sum("v")).as[Long].head() ===
+      ((0 until 40) ++ (100 until 120)).map(_ * 2).sum)
+    // time travel to the pre-append snapshot
+    assert(spark.read.format("iceberg-meta")
+      .option("snapshotId", snap0).load(root).count() === 40)
+    // bounds skipping covers carried-forward AND appended manifests:
+    // k>=100 lives only in the appended file
+    val q = spark.read.format("iceberg-meta").load(root)
+      .filter(col("k") >= 100)
+    assert(q.count() === 20)
+    val (kept, total) = indexOf(q).lastListing.get
+    assert(total === 3 && kept === 1, s"expected 1/3 files, got $kept/$total")
+  }
+
+  test("append gates: schema mismatch, partitioned spec, racing commit") {
+    val root = tmp()
+    IcebergMeta.writeFixture(spark.range(0, 5).toDF("k"), root)
+    val e1 = intercept[IllegalArgumentException] {
+      IcebergMeta.append(spark.range(0, 3).toDF("wrong"), root)
+    }
+    assert(e1.getMessage.contains("schema mismatch"))
+    // a racing writer already published v2 → ConcurrentCommitException
+    Files.write(Paths.get(root, "metadata/v2.metadata.json"),
+      "{}".getBytes(UTF_8))
+    intercept[VersionedTable.ConcurrentCommitException] {
+      IcebergMeta.append(spark.range(5, 8).toDF("k"), root)
+    }
+    Files.delete(Paths.get(root, "metadata/v2.metadata.json"))
+    // a partitioned default spec refuses (wrong-data guard)
+    val meta = Paths.get(root, "metadata/v1.metadata.json")
+    val patched = new String(Files.readAllBytes(meta), UTF_8).replace(
+      """"partition-specs":[{"spec-id":0,"fields":[]}]""",
+      """"partition-specs":[{"spec-id":0,"fields":[{"name":"k","transform":"identity","source-id":1,"field-id":1000}]}]""")
+    Files.write(meta, patched.getBytes(UTF_8))
+    val e2 = intercept[UnsupportedOperationException] {
+      IcebergMeta.append(spark.range(5, 8).toDF("k"), root)
+    }
+    assert(e2.getMessage.contains("PARTITIONED"))
+  }
+
+  test("df.write.format(iceberg-meta): create then append; overwrite refuses") {
+    val root = tmp() + "/t"
+    spark.range(0, 10).toDF("k").write.format("iceberg-meta").save(root)
+    spark.range(10, 15).toDF("k").write.format("iceberg-meta")
+      .mode("append").save(root)
+    assert(spark.read.format("iceberg-meta").load(root).count() === 15)
+    intercept[IllegalStateException] {
+      spark.range(0, 1).toDF("k").write.format("iceberg-meta").save(root)
+    }
+    intercept[UnsupportedOperationException] {
+      spark.range(0, 1).toDF("k").write.format("iceberg-meta")
+        .mode("overwrite").save(root)
+    }
+  }
 }

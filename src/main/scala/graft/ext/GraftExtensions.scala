@@ -29,6 +29,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // Maintenance-DDL statement family (GRAFT HISTORY/RESTORE/VACUUM/
     // FSCK/CHECKPOINT/RENAME COLUMN/DROP COLUMN) — see [[GraftSqlParser]].
     ext.injectParser((_, delegate) => new GraftSqlParser(delegate))
+    // `FROM t VERSION AS OF n` / `TIMESTAMP AS OF ts` on graft and
+    // interop catalog tables — resolves the parse-time placeholder in
+    // the analyzer's main batch — see [[GraftTimeTravelResolve]].
+    ext.injectResolutionRule(GraftTimeTravelResolve)
     // INSERT OVERWRITE on graft catalog tables must commit, never
     // truncate-and-write-raw — see [[GraftDmlRewrite]].
     ext.injectPostHocResolutionRule(GraftDmlRewrite)

@@ -43,8 +43,13 @@ import org.apache.spark.sql.types._
   * with `spark.sql(...).collect()`), not a side-channel API call.
   */
 class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
+  // Delegate-parsed plans pass through GraftTimeTravelParse, which
+  // hides `VERSION AS OF`/`TIMESTAMP AS OF` relations from the builtin
+  // analyzer (it would refuse them for v1 tables before any extension
+  // rule runs — see GraftTimeTravel.scala).
   override def parsePlan(sqlText: String): LogicalPlan =
-    GraftSqlParser.parse(sqlText).getOrElse(delegate.parsePlan(sqlText))
+    GraftSqlParser.parse(sqlText)
+      .getOrElse(GraftTimeTravelParse(delegate.parsePlan(sqlText)))
   // Parameterized queries (`spark.sql(text, args)`) enter through this
   // overload; the interface DEFAULT would parse without binding the
   // parameters, so it must delegate explicitly (GRAFT statements take
@@ -53,7 +58,8 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
       ctx: org.apache.spark.sql.catalyst.parser.ParameterContext)
       : LogicalPlan =
     GraftSqlParser.parse(sqlText)
-      .getOrElse(delegate.parsePlanWithParameters(sqlText, ctx))
+      .getOrElse(GraftTimeTravelParse(
+        delegate.parsePlanWithParameters(sqlText, ctx)))
   override def parseQuery(sqlText: String): LogicalPlan =
     delegate.parseQuery(sqlText)
   override def parseExpression(s: String): Expression =

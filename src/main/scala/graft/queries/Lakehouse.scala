@@ -1473,6 +1473,51 @@ object Lakehouse {
              |  CAST(sum(o_custkey) AS BIGINT) AS sum_cust,
              |  CAST(sum(o_orderkey) AS BIGINT) AS sum_key
              |FROM orders GROUP BY o_orderstatus
+             |ORDER BY o_orderstatus""".stripMargin)),
+
+    // SQL TIME TRAVEL (round 8): `FROM t VERSION AS OF n` on a
+    // `USING graft` catalog table — the Delta/Iceberg SQL spelling,
+    // which Spark's analyzer refuses for v1 relations; the graft
+    // parser hides the clause behind a placeholder that an injected
+    // resolution rule pins to the named snapshot (GraftTimeTravel).
+    // The entry commits `orders` in two halves, then reconciles
+    // CURRENT vs V0 in one query: per-status row deltas via a
+    // past-vs-present anti-join — the audit query every versioned
+    // table exists to answer ("what changed since the snapshot?").
+    // Scale: both sides are manifest-pruned scans of the SAME files;
+    // no data is copied to hold history. Oracle recomputes both
+    // populations from raw orders. TimeTravelSqlSpec pins tags,
+    // TIMESTAMP AS OF, interop providers, and the non-graft fallback.
+    QueryDef(
+      "q238_sql_time_travel",
+      (s, d) => {
+        val root = Files.createTempDirectory("tt_entry_").toString
+        val tbl = "tt_orders_entry"
+        val src = orders(s, d).select(col("o_orderkey"), col("o_custkey"),
+          col("o_orderstatus"))
+        VersionedTable.commit(src.filter(col("o_orderkey") <= 8192L), root)
+        VersionedTable.commit(src.filter(col("o_orderkey") > 8192L), root)
+        s.sql(s"DROP TABLE IF EXISTS $tbl")
+        s.sql(s"CREATE TABLE $tbl USING graft OPTIONS (path '$root')")
+        val out = s.sql(
+          s"""SELECT cur.o_orderstatus,
+             |  count(*) AS n_now,
+             |  CAST(sum(CASE WHEN old.o_orderkey IS NULL THEN 1 ELSE 0 END)
+             |    AS BIGINT) AS n_added,
+             |  CAST(sum(cur.o_custkey) AS BIGINT) AS sum_cust
+             |FROM $tbl cur
+             |LEFT JOIN (SELECT o_orderkey FROM $tbl VERSION AS OF 0) old
+             |  ON cur.o_orderkey = old.o_orderkey
+             |GROUP BY cur.o_orderstatus
+             |ORDER BY cur.o_orderstatus""".stripMargin)
+        s.sql(s"DROP TABLE $tbl")
+        out
+      },
+      Some("""SELECT o_orderstatus, count(*) AS n_now,
+             |  CAST(sum(CASE WHEN o_orderkey > 8192 THEN 1 ELSE 0 END)
+             |    AS BIGINT) AS n_added,
+             |  CAST(sum(o_custkey) AS BIGINT) AS sum_cust
+             |FROM orders GROUP BY o_orderstatus
              |ORDER BY o_orderstatus""".stripMargin))
   )
 }

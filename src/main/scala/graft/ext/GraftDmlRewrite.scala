@@ -48,6 +48,19 @@ case class GraftDmlRewrite(session: SparkSession) extends Rule[LogicalPlan] {
       case _ => None
     }
 
+  /** The Iceberg interop table a DML target names: (root, pinned). */
+  private def icebergTarget(plan: LogicalPlan): Option[(String, Boolean)] =
+    EliminateSubqueryAliases(plan) match {
+      case l: LogicalRelation => l.relation match {
+        case r: HadoopFsRelation
+            if r.location.isInstanceOf[graft.sources.IcebergMetaFileIndex] =>
+          val i = r.location.asInstanceOf[graft.sources.IcebergMetaFileIndex]
+          Some((i.snap.root, i.pinned))
+        case _ => None
+      }
+      case _ => None
+    }
+
   private def refusePinned(pinned: Boolean, what: String): Unit =
     require(!pinned,
       s"graft: cannot $what a time-travel-pinned relation " +
@@ -63,12 +76,20 @@ case class GraftDmlRewrite(session: SparkSession) extends Rule[LogicalPlan] {
     // DELETE FROM t WHERE ... — for a v1 relation Spark would refuse
     // ("only supported with v2 tables"); route it to the stats-pruned
     // copy-on-write delete instead (Delta's DeltaAnalysis shape).
+    // Iceberg interop tables take the same statement, lowered to a
+    // POSITIONAL delete-file commit (merge-on-read, no file rewrite).
     case d @ DeleteFromTable(tbl, cond) if cond.resolved =>
       graftTarget(tbl) match {
         case Some((root, pinned)) =>
           refusePinned(pinned, "DELETE FROM")
           GraftDeleteCommand(root, cond)
-        case None => d
+        case None => icebergTarget(tbl) match {
+          case Some((root, pinned)) =>
+            require(!pinned, "iceberg-meta: cannot DELETE FROM a " +
+              "snapshotId-pinned relation (snapshots are immutable)")
+            IcebergDeleteCommand(root, cond)
+          case None => d
+        }
       }
 
     case u @ UpdateTable(tbl, assignments, cond)
@@ -236,6 +257,24 @@ case class GraftDeleteCommand(root: String, cond: Expression)
     extends LeafRunnableCommand {
   override def run(session: SparkSession): Seq[Row] = {
     VersionedTable.deleteWhere(session, root, cond)
+    Seq.empty
+  }
+}
+
+/** `DELETE FROM <iceberg-meta table> WHERE ...` → one positional
+  * delete-file snapshot ([[graft.sources.IcebergMeta.delete]]):
+  * merge-on-read, no data file rewritten, prior snapshots intact. */
+case class IcebergDeleteCommand(root: String, cond: Expression)
+    extends LeafRunnableCommand {
+  override def run(session: SparkSession): Seq[Row] = {
+    // re-anchor the analyzed predicate by NAME: it resolves against a
+    // fresh scan of the table, not the statement's original relation
+    val rebound = GraftColumnBridge.column(cond.transform {
+      case a: AttributeReference =>
+        org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+          .quoted(a.name)
+    })
+    graft.sources.IcebergMeta.delete(session, root, rebound)
     Seq.empty
   }
 }

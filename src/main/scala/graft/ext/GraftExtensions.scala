@@ -40,6 +40,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // scan rewrite — MUST be injected after GraftDmlRewrite (same Once
     // batch) so DML targets are already captured — see [[GraftMorScan]].
     ext.injectPostHocResolutionRule(GraftMorScan)
+    // Iceberg v2 positional delete files apply at scan time via the
+    // same Union/anti-join shape — see [[IcebergMorScan]].
+    ext.injectPostHocResolutionRule(IcebergMorScan)
   }
 }
 

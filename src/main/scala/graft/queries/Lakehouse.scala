@@ -1518,6 +1518,52 @@ object Lakehouse {
              |    AS BIGINT) AS n_added,
              |  CAST(sum(o_custkey) AS BIGINT) AS sum_cust
              |FROM orders GROUP BY o_orderstatus
-             |ORDER BY o_orderstatus""".stripMargin))
+             |ORDER BY o_orderstatus""".stripMargin)),
+
+    // ICEBERG v2 ROW-LEVEL DELETE (round 8): `DELETE FROM` an Iceberg
+    // interop catalog table lowers to a POSITIONAL delete-file commit
+    // (IcebergMeta.delete — merge-on-read: one parquet of
+    // (file_path, pos) + a content=1 delete manifest; NO data file
+    // rewritten), and the read side applies it through the
+    // IcebergMorScan rewrite: files outside every delete's file_path
+    // bounds keep the stock pruned scan, only touched files pay the
+    // anti-join. The entry builds the table in two snapshots (create
+    // + append), deletes a key range via SQL, and aggregates the
+    // survivors. At 100 TB: delete cost is O(matched rows), read
+    // overhead is O(touched files) — the write-amplification contract
+    // row-level deletes exist for. Oracle applies the same predicate
+    // to raw orders. IcebergMetaSpec pins MOR (no rewrite) on disk,
+    // compose-on-delete, time travel to pre-delete snapshots, the
+    // no-extensions refusal gate, and equality-delete refusal.
+    QueryDef(
+      "q239_iceberg_pos_delete",
+      (s, d) => {
+        val root = Files.createTempDirectory("ice_del_e_").toString + "/t"
+        val tbl = "ice_del_orders_entry"
+        val src = orders(s, d).select(col("o_orderkey"), col("o_custkey"),
+          col("o_orderstatus"))
+        src.filter(col("o_orderkey") <= 4096L)
+          .repartitionByRange(4, col("o_orderkey"))
+          .write.format("iceberg-meta").save(root)
+        src.filter(col("o_orderkey") > 4096L)
+          .repartitionByRange(4, col("o_orderkey"))
+          .write.format("iceberg-meta").mode("append").save(root)
+        s.sql(s"DROP TABLE IF EXISTS $tbl")
+        s.sql(s"CREATE TABLE $tbl USING `iceberg-meta` OPTIONS (path '$root')")
+        s.sql(s"DELETE FROM $tbl WHERE o_orderkey % 100 < 7")
+        val out = s.sql(
+          s"""SELECT o_orderstatus, count(*) AS n_kept,
+             |  CAST(sum(o_custkey) AS BIGINT) AS sum_cust,
+             |  CAST(sum(o_orderkey) AS BIGINT) AS sum_key
+             |FROM $tbl GROUP BY o_orderstatus
+             |ORDER BY o_orderstatus""".stripMargin)
+        s.sql(s"DROP TABLE $tbl")
+        out
+      },
+      Some("""SELECT o_orderstatus, count(*) AS n_kept,
+             |  CAST(sum(o_custkey) AS BIGINT) AS sum_cust,
+             |  CAST(sum(o_orderkey) AS BIGINT) AS sum_key
+             |FROM orders WHERE o_orderkey % 100 >= 7
+             |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin))
   )
 }

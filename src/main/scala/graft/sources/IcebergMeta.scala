@@ -50,11 +50,25 @@ object IcebergMeta {
 
   private val mapper = new ObjectMapper()
 
-  final case class IceFile(path: String, sizeBytes: Long, records: Long,
+  /** `recordedPath` is the file_path string EXACTLY as the manifest
+    * wrote it (absolute URI in real tables, table-relative in
+    * fixtures) — positional delete rows reference data files by that
+    * string, so it must survive path resolution for exact matching. */
+  final case class IceFile(path: String, recordedPath: String,
+      sizeBytes: Long, records: Long,
       stats: Map[String, VersionedTable.ColStats])
 
+  /** A v2 POSITIONAL delete file: parquet of (file_path, pos) rows.
+    * `pathLo`/`pathHi` are the manifest's file_path bounds (reserved
+    * field id 2147483546) — file-level targeting without reading the
+    * delete parquet: a data file whose recordedPath falls outside
+    * every delete's bounds provably has no deleted rows. */
+  final case class IceDelete(path: String, pathLo: Option[String],
+      pathHi: Option[String])
+
   final case class IceSnapshot(root: String, snapshotId: Long,
-      schema: StructType, files: Seq[IceFile])
+      schema: StructType, files: Seq[IceFile],
+      deletes: Seq[IceDelete] = Nil)
 
   private def metaDir(root: String): Path = Paths.get(root, "metadata")
 
@@ -234,50 +248,88 @@ object IcebergMeta {
       .getOrElse(throw new IllegalArgumentException(
         s"iceberg-meta: snapshot $snapId not in $root"))
     val listPath = resolvePath(root, snap.get("manifest-list").asText())
-    val manifests = readAvro(listPath).map { r =>
-      val content = fieldOpt(r, "content").map(asLong).getOrElse(0L)
-      if (content != 0) throw new UnsupportedOperationException(
-        "iceberg-meta: DELETE manifests (v2 row-level deletes) are not " +
-          "supported — compact/rewrite the table first")
-      resolvePath(root, asStr(r.get("manifest_path")))
-    }
-    val files = manifests.flatMap { mp =>
-      readAvro(mp).flatMap { e =>
-        val status = asLong(e.get("status"))
-        if (status == 2) None // deleted
-        else {
-          val df = e.get("data_file").asInstanceOf[GenericRecord]
-          val content = fieldOpt(df, "content").map(asLong).getOrElse(0L)
-          if (content != 0) throw new UnsupportedOperationException(
-            "iceberg-meta: delete files are not supported")
-          val fmt = asStr(df.get("file_format")).toLowerCase
-          if (fmt != "parquet") throw new UnsupportedOperationException(
-            s"iceberg-meta: file format $fmt not supported (parquet only)")
-          val lower = fieldOpt(df, "lower_bounds").map(asIdMap)
-            .getOrElse(Map.empty)
-          val upper = fieldOpt(df, "upper_bounds").map(asIdMap)
-            .getOrElse(Map.empty)
-          val nulls = fieldOpt(df, "null_value_counts").map(asIdLongMap)
-            .getOrElse(Map.empty)
-          val records = asLong(df.get("record_count"))
-          val stats = nameById.flatMap { case (id, name) =>
-            schema.fields.find(_.name == name).flatMap { f =>
-              val lo = lower.get(id).flatMap(decodeBound(f.dataType, _))
-              val hi = upper.get(id).flatMap(decodeBound(f.dataType, _))
-              val typ = lo.map(_._1).orElse(hi.map(_._1))
-              typ.map(t => name -> VersionedTable.ColStats(t,
-                lo.map(_._2), hi.map(_._2),
-                nulls.getOrElse(id, 0L), records))
+    // manifest-list content: 0 = data manifests, 1 = delete manifests
+    // (v2 row-level deletes — POSITIONAL supported, equality refuses)
+    val (deleteManifests, dataManifests) = readAvro(listPath).partition(
+      r => fieldOpt(r, "content").map(asLong).getOrElse(0L) == 1L)
+    val files = dataManifests
+      .map(r => resolvePath(root, asStr(r.get("manifest_path"))))
+      .flatMap { mp =>
+        readAvro(mp).flatMap { e =>
+          val status = asLong(e.get("status"))
+          if (status == 2) None // deleted
+          else {
+            val df = e.get("data_file").asInstanceOf[GenericRecord]
+            val content = fieldOpt(df, "content").map(asLong).getOrElse(0L)
+            if (content != 0) throw new UnsupportedOperationException(
+              "iceberg-meta: delete files in a DATA manifest are not " +
+                "supported")
+            val fmt = asStr(df.get("file_format")).toLowerCase
+            if (fmt != "parquet") throw new UnsupportedOperationException(
+              s"iceberg-meta: file format $fmt not supported (parquet only)")
+            val lower = fieldOpt(df, "lower_bounds").map(asIdMap)
+              .getOrElse(Map.empty)
+            val upper = fieldOpt(df, "upper_bounds").map(asIdMap)
+              .getOrElse(Map.empty)
+            val nulls = fieldOpt(df, "null_value_counts").map(asIdLongMap)
+              .getOrElse(Map.empty)
+            val records = asLong(df.get("record_count"))
+            val stats = nameById.flatMap { case (id, name) =>
+              schema.fields.find(_.name == name).flatMap { f =>
+                val lo = lower.get(id).flatMap(decodeBound(f.dataType, _))
+                val hi = upper.get(id).flatMap(decodeBound(f.dataType, _))
+                val typ = lo.map(_._1).orElse(hi.map(_._1))
+                typ.map(t => name -> VersionedTable.ColStats(t,
+                  lo.map(_._2), hi.map(_._2),
+                  nulls.getOrElse(id, 0L), records))
+              }
             }
+            val recorded = asStr(df.get("file_path"))
+            Some(IceFile(resolvePath(root, recorded), recorded,
+              fieldOpt(df, "file_size_in_bytes").map(asLong).getOrElse(0L),
+              records, stats))
           }
-          Some(IceFile(resolvePath(root, asStr(df.get("file_path"))),
-            fieldOpt(df, "file_size_in_bytes").map(asLong).getOrElse(0L),
-            records, stats))
         }
       }
-    }
-    IceSnapshot(root, snapId, schema, files)
+    val deletes = deleteManifests
+      .map(r => resolvePath(root, asStr(r.get("manifest_path"))))
+      .flatMap { mp =>
+        readAvro(mp).flatMap { e =>
+          val status = asLong(e.get("status"))
+          if (status == 2) None
+          else {
+            val df = e.get("data_file").asInstanceOf[GenericRecord]
+            val content = fieldOpt(df, "content").map(asLong).getOrElse(0L)
+            if (content == 2 ||
+              fieldOpt(df, "equality_ids").exists(_ != null))
+              throw new UnsupportedOperationException(
+                "iceberg-meta: EQUALITY delete files are not supported " +
+                  "(positional deletes only) — rewrite the table first")
+            require(content == 1,
+              s"iceberg-meta: unexpected content=$content in delete manifest")
+            val fmt = asStr(df.get("file_format")).toLowerCase
+            if (fmt != "parquet") throw new UnsupportedOperationException(
+              s"iceberg-meta: delete file format $fmt not supported")
+            val lower = fieldOpt(df, "lower_bounds").map(asIdMap)
+              .getOrElse(Map.empty)
+            val upper = fieldOpt(df, "upper_bounds").map(asIdMap)
+              .getOrElse(Map.empty)
+            // reserved field id of file_path in delete files (spec)
+            Some(IceDelete(resolvePath(root, asStr(df.get("file_path"))),
+              lower.get(DeleteFilePathFieldId)
+                .flatMap(decodeBound(StringType, _)).map(_._2),
+              upper.get(DeleteFilePathFieldId)
+                .flatMap(decodeBound(StringType, _)).map(_._2)))
+          }
+        }
+      }
+    IceSnapshot(root, snapId, schema, files, deletes)
   }
+
+  /** Reserved field ids of the positional-delete file schema
+    * (iceberg spec: "Reserved field IDs"). */
+  val DeleteFilePathFieldId = 2147483546
+  val DeletePosFieldId = 2147483545
 
   /** Manifest paths are absolute URIs in real tables; keep fixtures
     * relocatable by also accepting table-relative paths. */
@@ -349,12 +401,13 @@ object IcebergMeta {
     * writers do NOT apply schema defaults at write time). */
   private def manifestListRow(path: String, length: Long, specId: Int,
       seq: Long, addedSnap: Long, addedFiles: Int, existingFiles: Int,
-      addedRows: Long, existingRows: Long): GenericRecord = {
+      addedRows: Long, existingRows: Long, content: Int = 0)
+      : GenericRecord = {
     val r = new GenericData.Record(manifestListSchema)
     r.put("manifest_path", path)
     r.put("manifest_length", java.lang.Long.valueOf(length))
     r.put("partition_spec_id", specId)
-    r.put("content", 0)
+    r.put("content", content)
     r.put("sequence_number", java.lang.Long.valueOf(seq))
     r.put("min_sequence_number", java.lang.Long.valueOf(seq))
     r.put("added_snapshot_id", java.lang.Long.valueOf(addedSnap))
@@ -372,14 +425,15 @@ object IcebergMeta {
     * re-encoded through the spec's single-value serialization under
     * the TABLE's field ids. */
   private def dataFileEntry(spark: SparkSession, abs: Path, rel: String,
-      schema: StructType, idByName: Map[String, Int]): GenericRecord = {
+      schema: StructType, idByName: Map[String, Int],
+      content: Int = 0): GenericRecord = {
     val stats = VersionedTable.footerStats(spark, abs)
     val rec = new GenericData.Record(manifestSchema)
     rec.put("status", 1) // added
     rec.put("snapshot_id", null)
     val dfr = new GenericData.Record(
       manifestSchema.getField("data_file").schema())
-    dfr.put("content", 0)
+    dfr.put("content", content)
     dfr.put("file_path", rel)
     dfr.put("file_format", "PARQUET")
     dfr.put("record_count",
@@ -573,12 +627,25 @@ object IcebergMeta {
     writeAvro(Paths.get(root, manifestRel), manifestSchema, entries)
 
     // carry the current snapshot's manifests forward + the new one
+    val listRel = s"metadata/snap-$snapId.avro"
+    writeAvro(Paths.get(root, listRel), manifestListSchema,
+      carriedManifests(root, meta) :+ manifestListRow(manifestRel,
+        Files.size(Paths.get(root, manifestRel)), 0, seq, snapId,
+        entries.size, 0, addedRows, 0L))
+    commitSnapshot(root, v, meta, snapId, seq, listRel, "append")
+  }
+
+  /** The current snapshot's manifest-list rows, re-emitted verbatim
+    * (content flag preserved — a carried delete manifest stays a
+    * delete manifest). */
+  private def carriedManifests(root: String,
+      meta: JsonNode): Seq[GenericRecord] = {
     val prevSnap: Option[Long] =
       if (meta.hasNonNull("current-snapshot-id") &&
         meta.get("current-snapshot-id").asLong() != -1L)
         Some(meta.get("current-snapshot-id").asLong())
       else None
-    val carried: Seq[GenericRecord] = prevSnap.toSeq.flatMap { sid =>
+    prevSnap.toSeq.flatMap { sid =>
       val snapNode = meta.get("snapshots").elements().asScala
         .find(_.get("snapshot-id").asLong() == sid)
         .getOrElse(throw new IllegalStateException(
@@ -594,16 +661,19 @@ object IcebergMeta {
             fieldOpt(r, "added_files_count").map(asLong).getOrElse(0L).toInt,
             fieldOpt(r, "existing_files_count").map(asLong).getOrElse(0L).toInt,
             fieldOpt(r, "added_rows_count").map(asLong).getOrElse(0L),
-            fieldOpt(r, "existing_rows_count").map(asLong).getOrElse(0L))
+            fieldOpt(r, "existing_rows_count").map(asLong).getOrElse(0L),
+            fieldOpt(r, "content").map(asLong).getOrElse(0L).toInt)
         }
     }
-    val listRel = s"metadata/snap-$snapId.avro"
-    writeAvro(Paths.get(root, listRel), manifestListSchema,
-      carried :+ manifestListRow(manifestRel,
-        Files.size(Paths.get(root, manifestRel)), 0, seq, snapId,
-        entries.size, 0, addedRows, 0L))
+  }
 
-    // new metadata document: the old one verbatim + this append
+  /** Publish snapshot `snapId` (manifest list already written at
+    * `listRel`) as `v{v+1}.metadata.json`: the current document
+    * verbatim (deep-copied tree) + this commit's mutations, landed by
+    * conditional put. Returns `snapId`. */
+  private def commitSnapshot(root: String, v: Int, meta: JsonNode,
+      snapId: Long, seq: Long, listRel: String,
+      operation: String): Long = {
     val newMeta = meta.deepCopy[
       com.fasterxml.jackson.databind.node.ObjectNode]
     val now = System.currentTimeMillis()
@@ -612,16 +682,18 @@ object IcebergMeta {
     newMeta.put("current-snapshot-id", snapId)
     val snapObj = mapper.createObjectNode()
     snapObj.put("snapshot-id", snapId)
-    prevSnap.foreach(snapObj.put("parent-snapshot-id", _))
+    if (meta.hasNonNull("current-snapshot-id") &&
+      meta.get("current-snapshot-id").asLong() != -1L)
+      snapObj.put("parent-snapshot-id",
+        meta.get("current-snapshot-id").asLong())
     snapObj.put("sequence-number", seq)
     snapObj.put("timestamp-ms", now)
     snapObj.put("manifest-list", listRel)
-    snapObj.putObject("summary").put("operation", "append")
+    snapObj.putObject("summary").put("operation", operation)
     if (meta.hasNonNull("current-schema-id"))
       snapObj.put("schema-id", meta.get("current-schema-id").asInt())
     newMeta.withArray[com.fasterxml.jackson.databind.node.ArrayNode](
       "snapshots").add(snapObj)
-
     try PosixLogStore.putIfAbsent(
       metaDir(root).resolve(s"v${v + 1}.metadata.json"),
       mapper.writerWithDefaultPrettyPrinter()
@@ -634,5 +706,77 @@ object IcebergMeta {
     Files.write(metaDir(root).resolve("version-hint.text"),
       (v + 1).toString.getBytes(UTF_8))
     snapId
+  }
+
+  /** Positional-delete schema as it appears IN the delete parquet
+    * (spec: file_path string, pos long). */
+  private val deleteSchema = StructType(Seq(
+    StructField("file_path", StringType, nullable = false),
+    StructField("pos", LongType, nullable = false)))
+
+  private val deleteFieldIds = Map(
+    "file_path" -> DeleteFilePathFieldId, "pos" -> DeletePosFieldId)
+
+  /** Row-level DELETE on an Iceberg table via v2 POSITIONAL delete
+    * files — merge-on-read: the matching rows' (file, position) pairs
+    * land as a delete parquet + a delete manifest (content=1) in ONE
+    * new snapshot; NO data file is rewritten. Existing deletes are
+    * honored when computing matches (already-deleted rows are not
+    * re-recorded), the same conditional-put commit protocol as
+    * [[append]] applies, and prior snapshots stay time-travelable.
+    * Returns the new snapshot id — or the CURRENT one unchanged when
+    * nothing matches (no empty commits).
+    *
+    * Cost shape at 100 TB: reading only the files whose stats may
+    * match the predicate (the scan under `cond` is Spark's stock
+    * pruned parquet path), writing O(matched rows) delete entries —
+    * the Iceberg MOR write-amplification contract. */
+  def delete(spark: SparkSession, root: String,
+      cond: org.apache.spark.sql.Column): Long = {
+    import org.apache.spark.sql.functions.{broadcast, col}
+    val v = latestMetadataVersion(root)
+    val meta = mapper.readTree(Files.readAllBytes(
+      metaDir(root).resolve(s"v$v.metadata.json")))
+    val snap = snapshot(root)
+    // visible rows matching cond, addressed as (recordedPath, pos)
+    val visible = IcebergMetaRead.withPositions(spark, snap)
+    val hits = visible.filter(cond)
+      .join(broadcast(IcebergMetaRead.uriToRecorded(spark, snap.files)),
+        Seq(IcebergMetaRead.FpCol))
+      .select(col("file_path"), col(IcebergMetaRead.PosCol).as("pos"))
+      .sortWithinPartitions("file_path", "pos") // spec ordering
+    val staging = Files.createTempDirectory("ice_del_").resolve("out")
+    hits.write.mode("errorifexists").parquet(staging.toString)
+    val parts = PosixDataStore.listDir(staging)
+      .filter(n => n.endsWith(".parquet") && !n.startsWith(".")).sorted
+    val nonce = java.util.UUID.randomUUID().toString.take(8)
+    val dataDir = Paths.get(root, "data")
+    Files.createDirectories(dataDir)
+    val entries = parts.zipWithIndex.flatMap { case (n, i) =>
+      // drop empty split files; an all-empty delete is a no-op commit
+      val rows = VersionedTable.footerStats(spark, staging.resolve(n))
+        .values.map(_.rows).maxOption.getOrElse(0L)
+      if (rows == 0L) None
+      else {
+        val name = f"delete-$i%05d-$nonce.parquet"
+        val dst = dataDir.resolve(name)
+        Files.move(staging.resolve(n), dst)
+        Some(dataFileEntry(spark, dst, s"data/$name", deleteSchema,
+          deleteFieldIds, content = 1))
+      }
+    }
+    if (entries.isEmpty) return snap.snapshotId
+    val seq = (if (meta.hasNonNull("last-sequence-number"))
+      meta.get("last-sequence-number").asLong() else 0L) + 1
+    val snapId = java.util.UUID.randomUUID().getLeastSignificantBits
+      .abs.max(1L)
+    val manifestRel = s"metadata/snap-$snapId-m0.avro"
+    writeAvro(Paths.get(root, manifestRel), manifestSchema, entries)
+    val listRel = s"metadata/snap-$snapId.avro"
+    writeAvro(Paths.get(root, listRel), manifestListSchema,
+      carriedManifests(root, meta) :+ manifestListRow(manifestRel,
+        Files.size(Paths.get(root, manifestRel)), 0, seq, snapId,
+        entries.size, 0, 0L, 0L, content = 1))
+    commitSnapshot(root, v, meta, snapId, seq, listRel, "delete")
   }
 }

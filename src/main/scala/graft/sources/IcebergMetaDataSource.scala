@@ -59,7 +59,8 @@ class IcebergMetaDataSource extends RelationProvider
     val root = rootOf(parameters)
     val snap = IcebergMeta.snapshot(root,
       parameters.get("snapshotId").map(_.toLong))
-    val idx = new IcebergMetaFileIndex(spark, snap)
+    val idx = new IcebergMetaFileIndex(spark, snap,
+      pinned = parameters.contains("snapshotId"))
     HadoopFsRelation(
       location = idx,
       partitionSchema = new StructType(),
@@ -99,9 +100,34 @@ class IcebergMetaDataSource extends RelationProvider
   * immutable by construction (Iceberg metadata documents are
   * versioned), so the index is pinned at creation. */
 class IcebergMetaFileIndex(spark: SparkSession,
-    snap: IcebergMeta.IceSnapshot) extends FileIndex {
+    snap0: IcebergMeta.IceSnapshot,
+    val pinned: Boolean = false) extends FileIndex {
 
-  private val statuses: Seq[(IcebergMeta.IceFile, FileStatus)] =
+  // Freshness (same contract as GraftFileIndex): an UNPINNED index
+  // re-resolves the metadata tree per access, so a cached catalog
+  // relation reads fresh data after external commits (appends,
+  // positional deletes) without a REFRESH TABLE dance; the metadata
+  // re-read is one JSON document + manifests when the version-hint
+  // advanced, a single small file read otherwise. A pinned index
+  // (explicit snapshotId, or a rewrite-built snapshot subset) is
+  // immutable by construction.
+  @volatile private var cached: (Int, IcebergMeta.IceSnapshot) =
+    (IcebergMeta.latestMetadataVersion(snap0.root), snap0)
+
+  def snap: IcebergMeta.IceSnapshot =
+    if (pinned) snap0
+    else {
+      val v = IcebergMeta.latestMetadataVersion(snap0.root)
+      val (v0, s0) = cached
+      if (v == v0) s0
+      else {
+        val s = IcebergMeta.snapshot(snap0.root)
+        cached = (v, s)
+        s
+      }
+    }
+
+  private def statuses: Seq[(IcebergMeta.IceFile, FileStatus)] =
     snap.files.map { f =>
       f -> new FileStatus(f.sizeBytes, false, 1, 128L * 1024 * 1024, 0L,
         new HPath(new java.io.File(f.path).toURI))
@@ -110,7 +136,7 @@ class IcebergMetaFileIndex(spark: SparkSession,
   /** (files kept, files total) of the most recent listing. */
   @volatile var lastListing: Option[(Int, Int)] = None
 
-  override def rootPaths: Seq[HPath] = Seq(new HPath(snap.root))
+  override def rootPaths: Seq[HPath] = Seq(new HPath(snap0.root))
   override def partitionSchema: StructType = new StructType()
   override def refresh(): Unit = ()
   override def sizeInBytes: Long = snap.files.map(_.sizeBytes).sum
@@ -119,10 +145,112 @@ class IcebergMetaFileIndex(spark: SparkSession,
 
   override def listFiles(partitionFilters: Seq[Expression],
       dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
-    val keep = statuses.filter { case (f, _) =>
+    // Physical-time safety gate (same posture as GraftFileIndex for
+    // MOR tombstones): a raw listing of a snapshot with positional
+    // deletes would resurrect deleted rows. The IcebergMorScan rewrite
+    // replaces this index with a deletes-cleared one; a session
+    // WITHOUT the graft extensions fails loudly, never wrong.
+    val s = snap
+    if (s.deletes.nonEmpty) throw new IllegalStateException(
+      s"iceberg-meta: snapshot ${s.snapshotId} of ${s.root} " +
+        "carries positional delete files — readable only with " +
+        "GraftExtensions enabled (the delete-applying scan rewrite)")
+    val listed = s.files.map { f =>
+      f -> new FileStatus(f.sizeBytes, false, 1, 128L * 1024 * 1024, 0L,
+        new HPath(new java.io.File(f.path).toURI))
+    }
+    val keep = listed.filter { case (f, _) =>
       dataFilters.forall(e => StatsPruning.mayMatchExpr(f.stats, e))
     }
-    lastListing = Some((keep.size, statuses.size))
+    lastListing = Some((keep.size, listed.size))
     Seq(PartitionDirectory(InternalRow.empty, keep.map(_._2).toArray))
+  }
+}
+
+/** Plan-building support for the positional-delete read path
+  * ([[graft.ext.IcebergMorScan]]) and the [[IcebergMeta.delete]]
+  * writer: DataFrames over snapshot subsets with the parquet
+  * `_metadata` (file URI, row index) exposed, the recorded-path ↔
+  * scan-URI mapping, and the clean/touched split. */
+object IcebergMetaRead {
+  import org.apache.spark.sql.{DataFrame, Row, GraftColumnBridge}
+  import org.apache.spark.sql.execution.datasources.LogicalRelation
+  import org.apache.spark.sql.functions.{broadcast, col}
+  import org.apache.spark.sql.types.{LongType, StringType, StructField}
+
+  /** Working-column names (reserved-prefix guarded like graft's own). */
+  val FpCol = "__ice_fp"
+  val PosCol = "__ice_pos"
+
+  def relation(spark: SparkSession,
+      snap: IcebergMeta.IceSnapshot): HadoopFsRelation =
+    HadoopFsRelation(
+      // pinned: rewrite branches and writer scans operate on an
+      // EXPLICIT snapshot (often a file subset) — never re-resolve
+      location = new IcebergMetaFileIndex(spark, snap, pinned = true),
+      partitionSchema = new StructType(),
+      dataSchema = snap.schema,
+      bucketSpec = None,
+      fileFormat = new ParquetFileFormat,
+      options = Map.empty)(spark)
+
+  private def df(spark: SparkSession,
+      snap: IcebergMeta.IceSnapshot): DataFrame =
+    GraftColumnBridge.ofRows(spark,
+      LogicalRelation(relation(spark, snap), isStreaming = false))
+
+  /** The URI `_metadata.file_path` reports for a snapshot file. */
+  def scanUri(f: IcebergMeta.IceFile): String =
+    new HPath(new java.io.File(f.path).toURI).toString
+
+  /** Two-column mapping (scan URI → manifest-recorded path) for exact
+    * matching of delete rows against `_metadata.file_path`; broadcast
+    * by the callers (O(files in play), driver-known). */
+  def uriToRecorded(spark: SparkSession,
+      files: Seq[IcebergMeta.IceFile]): DataFrame =
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        files.map(f => Row(scanUri(f), f.recordedPath)), 1),
+      new StructType(Array(
+        StructField(FpCol, StringType, nullable = false),
+        StructField("file_path", StringType, nullable = false))))
+
+  /** All VISIBLE rows of `snap` (existing positional deletes already
+    * anti-joined away) with `FpCol` = scan URI, `PosCol` = row index
+    * in file — the addressing the delete writer needs. */
+  def withPositions(spark: SparkSession,
+      snap: IcebergMeta.IceSnapshot): DataFrame = {
+    val base = df(spark, snap.copy(deletes = Nil))
+      .withColumn(FpCol, col("_metadata.file_path"))
+      .withColumn(PosCol, col("_metadata.row_index"))
+    if (snap.deletes.isEmpty) base
+    else {
+      val delRows = spark.read.parquet(snap.deletes.map(_.path): _*)
+        .select(col("file_path"), col("pos"))
+      val mapped = delRows
+        .join(broadcast(uriToRecorded(spark, snap.files)), Seq("file_path"))
+        .select(col(FpCol), col("pos").as(PosCol))
+      base.join(mapped, Seq(FpCol, PosCol), "left_anti")
+    }
+  }
+
+  /** Split a snapshot with positional deletes into (1) a deletes-FREE
+    * snapshot of the files no delete can target (manifest file_path
+    * bounds — stock pruned scan, no join) and (2) a resolving
+    * DataFrame over just the touched files, deletes anti-joined away.
+    * None when no file is touched. */
+  def posDeleteSplit(spark: SparkSession, snap: IcebergMeta.IceSnapshot)
+      : (IcebergMeta.IceSnapshot, Option[DataFrame]) = {
+    val touched = snap.files.filter(f => snap.deletes.exists(d =>
+      d.pathLo.forall(_ <= f.recordedPath) &&
+        d.pathHi.forall(f.recordedPath <= _)))
+    val touchedSet = touched.map(_.path).toSet
+    val clean = snap.copy(
+      files = snap.files.filterNot(f => touchedSet(f.path)),
+      deletes = Nil)
+    if (touched.isEmpty) (clean, None)
+    else (clean, Some(
+      withPositions(spark, snap.copy(files = touched))
+        .drop(FpCol, PosCol)))
   }
 }

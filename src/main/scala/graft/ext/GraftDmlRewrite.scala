@@ -48,6 +48,19 @@ case class GraftDmlRewrite(session: SparkSession) extends Rule[LogicalPlan] {
       case _ => None
     }
 
+  /** The Delta interop table a DML target names: (root, pinned). */
+  private def deltaTarget(plan: LogicalPlan): Option[(String, Boolean)] =
+    EliminateSubqueryAliases(plan) match {
+      case l: LogicalRelation => l.relation match {
+        case r: HadoopFsRelation
+            if r.location.isInstanceOf[graft.sources.DeltaLogFileIndex] =>
+          val i = r.location.asInstanceOf[graft.sources.DeltaLogFileIndex]
+          Some((i.root, i.pinned))
+        case _ => None
+      }
+      case _ => None
+    }
+
   /** The Iceberg interop table a DML target names: (root, pinned). */
   private def icebergTarget(plan: LogicalPlan): Option[(String, Boolean)] =
     EliminateSubqueryAliases(plan) match {
@@ -88,7 +101,13 @@ case class GraftDmlRewrite(session: SparkSession) extends Rule[LogicalPlan] {
             require(!pinned, "iceberg-meta: cannot DELETE FROM a " +
               "snapshotId-pinned relation (snapshots are immutable)")
             IcebergDeleteCommand(root, cond)
-          case None => d
+          case None => deltaTarget(tbl) match {
+            case Some((root, pinned)) =>
+              require(!pinned, "delta-log: cannot DELETE FROM a " +
+                "versionAsOf-pinned relation (snapshots are immutable)")
+              DeltaDeleteCommand(root, cond)
+            case None => d
+          }
         }
       }
 
@@ -257,6 +276,23 @@ case class GraftDeleteCommand(root: String, cond: Expression)
     extends LeafRunnableCommand {
   override def run(session: SparkSession): Seq[Row] = {
     VersionedTable.deleteWhere(session, root, cond)
+    Seq.empty
+  }
+}
+
+/** `DELETE FROM <delta-log table> WHERE ...` → one copy-on-write
+  * remove+add commit ([[graft.sources.DeltaLog.deleteWhere]]):
+  * readable by every Delta reader, deletion vectors on touched files
+  * materialized by the rewrite. */
+case class DeltaDeleteCommand(root: String, cond: Expression)
+    extends LeafRunnableCommand {
+  override def run(session: SparkSession): Seq[Row] = {
+    val rebound = GraftColumnBridge.column(cond.transform {
+      case a: AttributeReference =>
+        org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+          .quoted(a.name)
+    })
+    graft.sources.DeltaLog.deleteWhere(session, root, rebound)
     Seq.empty
   }
 }

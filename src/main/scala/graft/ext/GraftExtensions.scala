@@ -43,6 +43,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // Iceberg v2 positional delete files apply at scan time via the
     // same Union/anti-join shape — see [[IcebergMorScan]].
     ext.injectPostHocResolutionRule(IcebergMorScan)
+    // Delta deletion vectors likewise — see [[DeltaMorScan]].
+    ext.injectPostHocResolutionRule(DeltaMorScan)
   }
 }
 

@@ -1564,6 +1564,69 @@ object Lakehouse {
              |  CAST(sum(o_custkey) AS BIGINT) AS sum_cust,
              |  CAST(sum(o_orderkey) AS BIGINT) AS sum_key
              |FROM orders WHERE o_orderkey % 100 >= 7
+             |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)),
+
+    // DELTA DELETION VECTORS (round 8): read a Delta table whose adds
+    // carry the `deletionVectors` table feature — the biggest refusal
+    // gate the round-7 Delta reader had, now honored end to end:
+    // dependency-free Z85 + portable-RoaringBitmapArray codecs
+    // (sources/DeletionVectors, validated against the published
+    // reference vectors), DV descriptors replayed from the log, and
+    // scan-time application through the DeltaMorScan rewrite (clean
+    // adds keep the stock pruned path; only DV-carrying files pay the
+    // anti-join on _metadata.row_index). The entry commits `orders`,
+    // hand-attaches a spec-framed DV sidecar deleting every position
+    // ≡ 3 (mod 10) of one file, then SQL-COW-DELETEs a key range —
+    // materializing the DV — and aggregates the survivors. Oracle
+    // derives both deletions from raw orders (positions in the
+    // range-sorted file = rank order). DeletionVectorsSpec pins the
+    // codecs, checkpoint fidelity, and the no-extensions gate.
+    QueryDef(
+      "q240_delta_deletion_vectors",
+      (s, d) => {
+        val root = Files.createTempDirectory("dv_entry_").toString
+        val tbl = "dv_orders_entry"
+        val src = orders(s, d).select(col("o_orderkey"), col("o_custkey"),
+          col("o_orderstatus")).orderBy(col("o_orderkey"))
+        graft.sources.DeltaLog.commit(src.coalesce(1), root)
+        // DV on the single data file: delete positions ≡ 3 (mod 10);
+        // the file is o_orderkey-rank-ordered, so position i holds the
+        // i-th smallest key — the oracle reproduces that by rank
+        val a = graft.sources.DeltaLog.snapshot(s, root).adds.head
+        val n = src.count()
+        val dv = graft.sources.DeletionVectors.writeFile(root,
+          (0L until n).filter(_ % 10 == 3).toArray)
+        val dvJson = s"""{"storageType":"${dv.storageType}",""" +
+          s""""pathOrInlineDv":"${dv.pathOrInlineDv}",""" +
+          s""""offset":${dv.offset.get},"sizeInBytes":${dv.sizeInBytes},""" +
+          s""""cardinality":${dv.cardinality}}"""
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(root, "_delta_log", f"${1L}%020d.json"),
+          (s"""{"add":{"path":"${a.path}","partitionValues":{},""" +
+            s""""size":${a.size},"modificationTime":0,"dataChange":false,""" +
+            s""""deletionVector":$dvJson}}""" + "\n")
+            .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        s.sql(s"DROP TABLE IF EXISTS $tbl")
+        s.sql(s"CREATE TABLE $tbl USING `delta-log` OPTIONS (path '$root')")
+        s.sql(s"DELETE FROM $tbl WHERE o_orderkey % 50 = 0")
+        val out = s.sql(
+          s"""SELECT o_orderstatus, count(*) AS n_kept,
+             |  CAST(sum(o_custkey) AS BIGINT) AS sum_cust,
+             |  CAST(sum(o_orderkey) AS BIGINT) AS sum_key
+             |FROM $tbl GROUP BY o_orderstatus
+             |ORDER BY o_orderstatus""".stripMargin)
+        s.sql(s"DROP TABLE $tbl")
+        out
+      },
+      Some("""WITH ranked AS (
+             |  SELECT o_orderkey, o_custkey, o_orderstatus,
+             |    row_number() OVER (ORDER BY o_orderkey) - 1 AS pos
+             |  FROM orders)
+             |SELECT o_orderstatus, count(*) AS n_kept,
+             |  CAST(sum(o_custkey) AS BIGINT) AS sum_cust,
+             |  CAST(sum(o_orderkey) AS BIGINT) AS sum_key
+             |FROM ranked
+             |WHERE pos % 10 <> 3 AND o_orderkey % 50 <> 0
              |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin))
   )
 }

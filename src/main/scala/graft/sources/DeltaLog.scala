@@ -61,16 +61,21 @@ object DeltaLog {
 
   /** v3 reader features this implementation genuinely honors.
     * `timestampNtz` only needs TIMESTAMP_NTZ in the schema, which
-    * Spark 4 reads natively. Everything else (deletionVectors,
-    * columnMapping, v2Checkpoint, typeWidening, ...) refuses. */
-  val supportedReaderFeatures: Set[String] = Set("timestampNtz")
+    * Spark 4 reads natively. `deletionVectors` are decoded by
+    * [[DeletionVectors]] and applied at scan time by
+    * [[graft.ext.DeltaMorScan]] (without the extensions, a raw
+    * listing of a DV-carrying snapshot refuses loudly). Everything
+    * else (columnMapping, v2Checkpoint, typeWidening, ...) refuses. */
+  val supportedReaderFeatures: Set[String] =
+    Set("timestampNtz", "deletionVectors")
 
   final case class DeltaAdd(
       path: String,                        // decoded, relative or absolute
       partitionValues: Map[String, String], // null values omitted from map
       nullPartitionCols: Set[String],       // partition cols with null value
       size: Long,
-      statsJson: Option[String])
+      statsJson: Option[String],
+      deletionVector: Option[DeletionVectors.Descriptor] = None)
 
   final case class DeltaSnapshot(
       root: String,
@@ -127,11 +132,14 @@ object DeltaLog {
     java.net.URLDecoder.decode(p.replace("+", "%2B"), "UTF-8")
 
   private def parseAdd(n: JsonNode): DeltaAdd = {
-    if (n.hasNonNull("deletionVector"))
-      throw new UnsupportedOperationException(
-        "delta-log: this table uses deletion vectors, a reader feature " +
-          "this implementation does not support — run REORG/OPTIMIZE to " +
-          "materialize the deletes, or read with delta-spark")
+    val dv = Option(n.get("deletionVector")).filterNot(_.isNull).map { d =>
+      DeletionVectors.Descriptor(
+        d.get("storageType").asText(),
+        d.get("pathOrInlineDv").asText(),
+        Option(d.get("offset")).filterNot(_.isNull).map(_.asInt()),
+        d.get("sizeInBytes").asInt(),
+        d.get("cardinality").asLong())
+    }
     val pv = scala.collection.mutable.Map.empty[String, String]
     val nullPv = scala.collection.mutable.Set.empty[String]
     val pvNode = n.get("partitionValues")
@@ -144,7 +152,8 @@ object DeltaLog {
     DeltaAdd(decodePath(n.get("path").asText()),
       pv.toMap, nullPv.toSet,
       if (n.hasNonNull("size")) n.get("size").asLong() else 0L,
-      if (n.hasNonNull("stats")) Some(n.get("stats").asText()) else None)
+      if (n.hasNonNull("stats")) Some(n.get("stats").asText()) else None,
+      dv)
   }
 
   private def gateProtocol(n: JsonNode): Unit = {
@@ -415,6 +424,93 @@ object DeltaLog {
     next
   }
 
+  /** Row-level `DELETE FROM` for delta-log tables — COPY-ON-WRITE:
+    * files holding matching rows are rewritten without them and the
+    * commit carries `remove` + `add` actions, so EVERY Delta reader
+    * (DV-capable or not) reads the result correctly — the
+    * compatibility-first choice over writing deletion vectors (which
+    * would force the `deletionVectors` writer feature on the table).
+    * Deletion vectors already ON the touched files are materialized by
+    * the rewrite (the rewritten file has both the DV'd and the newly
+    * deleted rows gone, and its `remove` retires the DV).
+    *
+    * Rows where `cond` is NULL are KEPT (SQL DELETE semantics).
+    * Unpartitioned tables only — a partitioned COW delete would need
+    * per-partition rewrite bookkeeping this interop layer does not
+    * carry; refuse loudly. Returns the committed version (or the
+    * current one unchanged when nothing matches). */
+  def deleteWhere(spark: SparkSession, root: String,
+      cond: org.apache.spark.sql.Column): Long = {
+    import org.apache.spark.sql.functions.{coalesce, col, lit, not}
+    val snap = snapshot(spark, root)
+    require(snap.partitionColumns.isEmpty,
+      "delta-log: DELETE on a PARTITIONED table is not supported by " +
+        "this interop layer — use delta-spark, or overwrite the table")
+    val vis = DeltaLogRead.withPositions(spark, snap)
+    val touchedUris = vis.filter(cond)
+      .select(DeltaLogRead.FpCol).distinct()
+      .collect().map(_.getString(0)).sorted // bounded by file count
+    if (touchedUris.isEmpty) return snap.version
+    val idx = new DeltaLogFileIndex(spark, root, snap, pinned = true)
+    val uriToAdd = snap.adds.map(a => idx.scanUriOf(a) -> a).toMap
+    val touchedAdds = touchedUris.map(u => uriToAdd.getOrElse(u,
+      throw new IllegalStateException(
+        s"delta-log: scan URI $u not in snapshot v${snap.version}")))
+    val keep = vis
+      .filter(col(DeltaLogRead.FpCol).isin(touchedUris.toSeq: _*))
+      .filter(not(coalesce(cond, lit(false))))
+      .drop(DeltaLogRead.FpCol, DeltaLogRead.PosCol)
+    replaceFiles(spark, root, touchedAdds.map(_.path).toSeq, keep)
+  }
+
+  /** COW support: land `df` as new UNPARTITIONED data files and commit
+    * one version of `remove(removedPaths)` + `add(new files)`. */
+  private def replaceFiles(spark: SparkSession, root: String,
+      removedPaths: Seq[String], df: DataFrame): Long = {
+    val latest = latestVersion(root)
+    val nonce = java.util.UUID.randomUUID().toString.take(8)
+    val staging = Files.createTempDirectory("delta_cow_").resolve("out")
+    df.write.mode("errorifexists").parquet(staging.toString)
+    val stream = Files.list(staging)
+    val leaves =
+      try stream.iterator().asScala.toSeq.filter(p =>
+        Files.isRegularFile(p) &&
+          p.getFileName.toString.endsWith(".parquet") &&
+          !p.getFileName.toString.startsWith("."))
+      finally stream.close()
+    val adds = leaves.sortBy(_.toString).zipWithIndex.map { case (p, i) =>
+      val name = f"part-$i%05d-$nonce.parquet"
+      val dst = Paths.get(root, name)
+      Files.move(p, dst)
+      val st = VersionedTable.footerStats(spark, dst)
+      DeltaAdd(name, Map.empty, Set.empty, Files.size(dst),
+        statsJsonOf(st))
+    }
+    val next = latest + 1
+    val lines = scala.collection.mutable.ListBuffer.empty[String]
+    lines += s"""{"commitInfo":{"timestamp":${System.currentTimeMillis},""" +
+      """"operation":"DELETE"}}"""
+    removedPaths.foreach { p =>
+      lines += s"""{"remove":{"path":${jsonStr(encodePath(p))},""" +
+        s""""deletionTimestamp":${System.currentTimeMillis},""" +
+        """"dataChange":true}}"""
+    }
+    adds.foreach { a =>
+      lines += s"""{"add":{"path":${jsonStr(encodePath(a.path))},""" +
+        s""""partitionValues":{},"size":${a.size},""" +
+        s""""modificationTime":${System.currentTimeMillis},""" +
+        s""""dataChange":true${a.statsJson.fold("")(s =>
+          s""","stats":${jsonStr(s)}""")}}}"""
+    }
+    try io(root).putIfAbsent(commitPath(root, next),
+      lines.mkString("", "\n", "\n").getBytes(UTF_8))
+    catch {
+      case _: java.nio.file.FileAlreadyExistsException =>
+        throw new VersionedTable.ConcurrentCommitException(next)
+    }
+    next
+  }
+
   /** Write a checkpoint of `version` (default latest): the replayed
     * state as `%020d.checkpoint.parquet` plus the `_last_checkpoint`
     * hint — readers then replay O(commits since checkpoint). */
@@ -428,7 +524,15 @@ object DeltaLog {
       StructField("size", LongType),
       StructField("modificationTime", LongType),
       StructField("dataChange", BooleanType),
-      StructField("stats", StringType)))
+      StructField("stats", StringType),
+      // deletion vectors survive checkpointing — dropping the struct
+      // here would silently resurrect deleted rows after replay
+      StructField("deletionVector", StructType(Seq(
+        StructField("storageType", StringType),
+        StructField("pathOrInlineDv", StringType),
+        StructField("offset", IntegerType),
+        StructField("sizeInBytes", IntegerType),
+        StructField("cardinality", LongType))))))
     val metaSchema = StructType(Seq(
       StructField("id", StringType),
       StructField("format", StructType(Seq(
@@ -450,8 +554,11 @@ object DeltaLog {
       snap.partitionColumns, snap.configuration), null)
     val addRows = snap.adds.map { a =>
       val pv = a.partitionValues ++ a.nullPartitionCols.map(_ -> null)
+      val dvRow = a.deletionVector.map(d => Row(d.storageType,
+        d.pathOrInlineDv, d.offset.map(Int.box).orNull, d.sizeInBytes,
+        d.cardinality)).orNull
       Row(null, null, Row(encodePath(a.path), pv, a.size, 0L, true,
-        a.statsJson.orNull))
+        a.statsJson.orNull, dvRow))
     }
     val df = spark.createDataFrame(
       spark.sparkContext.parallelize(protoRow +: metaRow +: addRows, 1),

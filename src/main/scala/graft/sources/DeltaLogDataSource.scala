@@ -102,10 +102,18 @@ class DeltaLogDataSource extends RelationProvider
 /** Snapshot-backed [[FileIndex]] over a Delta log replay: file list,
   * partition values, sizes and stats all come from the log — no
   * directory listing (the reason Delta exists at 100 TB). */
-class DeltaLogFileIndex(spark: SparkSession, root: String,
-    initial: DeltaLog.DeltaSnapshot, pinned: Boolean) extends FileIndex {
+class DeltaLogFileIndex(spark: SparkSession, val root: String,
+    initial: DeltaLog.DeltaSnapshot, val pinned: Boolean) extends FileIndex {
 
   @volatile private var current: DeltaLog.DeltaSnapshot = initial
+
+  /** The snapshot a scan of this index would read right now (fresh for
+    * unpinned indexes) — what [[graft.ext.DeltaMorScan]] inspects. */
+  def currentSnapshot: DeltaLog.DeltaSnapshot = resolved()
+
+  /** The URI string `_metadata.file_path` reports for an add. */
+  def scanUriOf(a: DeltaLog.DeltaAdd): String =
+    statusOf(a).getPath.toString
 
   private def resolved(): DeltaLog.DeltaSnapshot = {
     if (pinned) return current
@@ -224,6 +232,15 @@ class DeltaLogFileIndex(spark: SparkSession, root: String,
   override def listFiles(partitionFilters: Seq[Expression],
       dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
     val snap = resolved()
+    // Physical-time safety gate (same posture as the graft and
+    // iceberg indexes): a raw listing of a DV-carrying snapshot would
+    // resurrect deleted rows. DeltaMorScan replaces this index with a
+    // DV-cleared one; without the extensions, fail loudly, never wrong.
+    if (snap.adds.exists(_.deletionVector.isDefined))
+      throw new IllegalStateException(
+        s"delta-log: v${snap.version} of $root carries deletion " +
+          "vectors — readable only with GraftExtensions enabled " +
+          "(the DV-applying scan rewrite)")
     val partPred = bindPartitionPredicate(partitionFilters)
     val byPartition = snap.adds.groupBy(a =>
       partitionSchema.fieldNames.toSeq.map(c =>
@@ -245,5 +262,99 @@ class DeltaLogFileIndex(spark: SparkSession, root: String,
     }
     lastListing = Some((kept, snap.adds.size))
     dirs
+  }
+}
+
+/** Plan-building support for the deletion-vector read path
+  * ([[graft.ext.DeltaMorScan]]) and [[DeltaLog.deleteWhere]]:
+  * DataFrames over snapshot subsets with the parquet `_metadata`
+  * exposed, decoded DV positions as a join side, and the clean/touched
+  * split. */
+object DeltaLogRead {
+  import org.apache.spark.sql.{GraftColumnBridge, Row => SqlRow}
+  import org.apache.spark.sql.execution.datasources.LogicalRelation
+  import org.apache.spark.sql.functions.col
+
+  /** Working-column names. */
+  val FpCol = "__delta_fp"
+  val PosCol = "__delta_pos"
+
+  /** Decoded-positions ceiling for one scan: DV bitmaps decode on the
+    * driver (they are metadata, like the log itself), so a snapshot
+    * whose total DV cardinality exceeds this refuses with advice
+    * rather than silently exhausting driver memory. Delta tables past
+    * this density need compaction anyway (every read pays the DVs). */
+  val MaxDecodedPositions = 50L * 1000 * 1000
+
+  /** A PINNED relation over an explicit snapshot (DVs must already be
+    * cleared from the adds by the caller — the scan side never carries
+    * descriptors). */
+  def relation(spark: SparkSession,
+      snap: DeltaLog.DeltaSnapshot): HadoopFsRelation =
+    HadoopFsRelation(
+      location = new DeltaLogFileIndex(spark, snap.root, snap,
+        pinned = true),
+      partitionSchema = snap.partitionSchema,
+      dataSchema = snap.dataSchema,
+      bucketSpec = None,
+      fileFormat = new ParquetFileFormat,
+      options = Map.empty)(spark)
+
+  private def df(spark: SparkSession, snap: DeltaLog.DeltaSnapshot) =
+    GraftColumnBridge.ofRows(spark,
+      LogicalRelation(relation(spark, snap), isStreaming = false))
+
+  /** (scan URI, deleted position) rows of every DV in `adds`, decoded
+    * driver-side with the [[MaxDecodedPositions]] guard. */
+  def deletedPositions(spark: SparkSession, root: String,
+      adds: Seq[DeltaLog.DeltaAdd]) = {
+    val withDv = adds.filter(_.deletionVector.isDefined)
+    val total = withDv.map(_.deletionVector.get.cardinality).sum
+    require(total <= MaxDecodedPositions,
+      s"delta-log: $total deleted positions across " +
+        s"${withDv.size} deletion vectors exceeds the " +
+        s"$MaxDecodedPositions decode ceiling — compact the table " +
+        "(OPTIMIZE / REORG PURGE) before reading through this path")
+    val idx = new DeltaLogFileIndex(spark, root,
+      DeltaLog.DeltaSnapshot(root, -1, new StructType(), Nil, Map.empty,
+        Nil), pinned = true)
+    val rows = withDv.flatMap { a =>
+      val uri = idx.scanUriOf(a)
+      DeletionVectors.read(root, a.deletionVector.get)
+        .map(p => SqlRow(uri, p))
+    }
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1),
+      new StructType(Array(
+        StructField(FpCol, StringType, nullable = false),
+        StructField(PosCol, LongType, nullable = false))))
+  }
+
+  /** All VISIBLE rows of `snap` (DVs applied) plus `FpCol`/`PosCol` —
+    * the addressing [[DeltaLog.deleteWhere]] needs. */
+  def withPositions(spark: SparkSession,
+      snap: DeltaLog.DeltaSnapshot) = {
+    val scanSnap = snap.copy(
+      adds = snap.adds.map(_.copy(deletionVector = None)))
+    val base = df(spark, scanSnap)
+      .withColumn(FpCol, col("_metadata.file_path"))
+      .withColumn(PosCol, col("_metadata.row_index"))
+    if (!snap.adds.exists(_.deletionVector.isDefined)) base
+    else base.join(
+      deletedPositions(spark, snap.root, snap.adds),
+      Seq(FpCol, PosCol), "left_anti")
+  }
+
+  /** Split a DV-carrying snapshot into (1) a DV-free snapshot of the
+    * untouched adds (stock pruned scan) and (2) a resolving DataFrame
+    * over just the DV-carrying files. */
+  def dvSplit(spark: SparkSession, snap: DeltaLog.DeltaSnapshot)
+      : (DeltaLog.DeltaSnapshot, Option[org.apache.spark.sql.DataFrame]) = {
+    val (touched, clean) = snap.adds.partition(_.deletionVector.isDefined)
+    val cleanSnap = snap.copy(adds = clean)
+    if (touched.isEmpty) (cleanSnap, None)
+    else (cleanSnap, Some(
+      withPositions(spark, snap.copy(adds = touched))
+        .drop(FpCol, PosCol)))
   }
 }

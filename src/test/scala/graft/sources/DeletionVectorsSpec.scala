@@ -1,0 +1,180 @@
+package graft.sources
+
+import java.nio.ByteBuffer
+import java.nio.charset.StandardCharsets.UTF_8
+import java.nio.file.{Files, Paths}
+
+import graft.SparkSpecBase
+import org.apache.spark.sql.functions._
+
+/** Deletion-vector codecs and the Delta DV read path: Z85 against the
+  * published reference vector, RoaringBitmapArray round-trips across
+  * all container shapes plus a hand-crafted run container, DV file /
+  * inline framing, scan-time application through the DeltaMorScan
+  * rewrite, checkpoint fidelity, the no-extensions refusal gate, and
+  * SQL COW DELETE on delta-log tables. */
+class DeletionVectorsSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private def tmp(): String =
+    Files.createTempDirectory("dv_spec_").toString
+
+  test("Z85 round-trips and matches the ZeroMQ reference vector") {
+    // the Z85 spec's reference: 0x86 4F D2 6F B5 59 F7 5B ↔ HelloWorld
+    val ref = Array(0x86, 0x4f, 0xd2, 0x6f, 0xb5, 0x59, 0xf7, 0x5b)
+      .map(_.toByte)
+    assert(Z85.encode(ref) === "HelloWorld")
+    assert(Z85.decode("HelloWorld").toSeq === ref.toSeq)
+    val rnd = new scala.util.Random(7)
+    val bytes = Array.fill(64)(rnd.nextInt().toByte)
+    assert(Z85.decode(Z85.encode(bytes)).toSeq === bytes.toSeq)
+  }
+
+  test("RoaringBitmapArray round-trips: array, bitmap, multi-high") {
+    def rt(xs: Array[Long]): Unit =
+      assert(RoaringBitmapArray.deserialize(
+        RoaringBitmapArray.serialize(xs)).toSeq === xs.toSeq)
+    rt(Array.empty[Long])
+    rt(Array(0L, 1L, 3L, 65536L, 65537L))          // two array containers
+    rt((0L until 5000L).toArray)                   // bitmap container
+    rt(Array(5L, (1L << 32) | 7L, (3L << 32) | 9L)) // multi-bitmap (gaps)
+    rt((0L until 70000L by 7).toArray)             // mixed containers
+  }
+
+  test("run containers deserialize (real writers emit them)") {
+    // hand-craft: magic, 1 bitmap, SERIAL_COOKIE(12347) with 1
+    // container marked run, card 11, runs [(3,len4),(10,len5)] → the
+    // spec stores length-1; values 3..7 and 10..15
+    val bb = ByteBuffer.allocate(64)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.putInt(RoaringBitmapArray.Magic)
+    bb.putLong(1L)
+    bb.putInt(12347 | (0 << 16)) // 1 container
+    bb.put(1.toByte)             // run flag bitset: container 0 is run
+    bb.putShort(0)               // key
+    bb.putShort(10)              // cardinality - 1 = 10 (11 values)
+    // < NoOffsetThreshold containers with runs → no offset header
+    bb.putShort(2)               // numRuns
+    bb.putShort(3); bb.putShort(4)  // 3..7
+    bb.putShort(10); bb.putShort(5) // 10..15
+    val got = RoaringBitmapArray.deserialize(
+      java.util.Arrays.copyOf(bb.array(), bb.position()))
+    assert(got.toSeq === ((3L to 7L) ++ (10L to 15L)).toSeq)
+  }
+
+  test("DV file and inline descriptors round-trip with framing checks") {
+    val root = tmp()
+    val pos = Array(1L, 3L, 4096L, 70000L)
+    val d = DeletionVectors.writeFile(root, pos)
+    assert(d.storageType === "u" && d.cardinality === 4)
+    assert(DeletionVectors.read(root, d).toSeq === pos.toSeq)
+    val i = DeletionVectors.inline(pos)
+    assert(i.storageType === "i" && i.offset.isEmpty)
+    assert(DeletionVectors.read(root, i).toSeq === pos.toSeq)
+    // corrupt the sidecar → checksum refusal
+    val bin = {
+      val s = Files.list(Paths.get(root))
+      try {
+        import scala.jdk.CollectionConverters._
+        s.iterator().asScala.find(
+          _.getFileName.toString.startsWith("deletion_vector_")).get
+      } finally s.close()
+    }
+    val bytes = Files.readAllBytes(bin)
+    bytes(8) = (bytes(8) ^ 0x7f).toByte
+    Files.write(bin, bytes)
+    val e = intercept[IllegalArgumentException] {
+      DeletionVectors.read(root, d)
+    }
+    assert(e.getMessage.contains("checksum") ||
+      e.getMessage.contains("magic"))
+  }
+
+  /** A delta table of range(0, 20) in one file + a hand-committed DV
+    * deleting positions (= values) 1, 3, 17. */
+  private def dvTable(): String = {
+    val root = tmp()
+    DeltaLog.commit(
+      spark.range(0, 20).toDF("k").withColumn("v", col("k") * 10)
+        .coalesce(1), root)
+    val a = DeltaLog.snapshot(spark, root).adds.head
+    val d = DeletionVectors.writeFile(root, Array(1L, 3L, 17L))
+    val dvJson = s"""{"storageType":"${d.storageType}",""" +
+      s""""pathOrInlineDv":"${d.pathOrInlineDv}","offset":${d.offset.get},""" +
+      s""""sizeInBytes":${d.sizeInBytes},"cardinality":${d.cardinality}}"""
+    Files.write(Paths.get(root, "_delta_log",
+      f"${1L}%020d.json"),
+      (s"""{"add":{"path":"${a.path}","partitionValues":{},""" +
+        s""""size":${a.size},"modificationTime":0,"dataChange":false,""" +
+        s""""deletionVector":$dvJson}}""" + "\n").getBytes(UTF_8))
+    root
+  }
+
+  test("deletion vectors apply at scan time; time travel sees all rows") {
+    val root = dvTable()
+    val cur = spark.read.format("delta-log").load(root)
+    assert(cur.count() === 17)
+    assert(cur.agg(sum("v")).as[Long].head() ===
+      (0 until 20).filter(k => k != 1 && k != 3 && k != 17).map(_ * 10).sum)
+    // a filter composes with the DV anti-join
+    assert(cur.filter(col("k") < 5).count() === 3) // 0, 2, 4
+    // pre-DV version reads everything
+    assert(spark.read.format("delta-log")
+      .option("versionAsOf", 0).load(root).count() === 20)
+  }
+
+  test("DVs survive checkpointing; raw listing refuses without rewrite") {
+    val root = dvTable()
+    DeltaLog.checkpoint(spark, root)
+    // drop the JSON commits: replay must come from the checkpoint
+    Files.delete(Paths.get(root, "_delta_log", f"${0L}%020d.json"))
+    Files.delete(Paths.get(root, "_delta_log", f"${1L}%020d.json"))
+    val snap = DeltaLog.snapshot(spark, root)
+    assert(snap.adds.head.deletionVector.exists(_.cardinality === 3))
+    assert(spark.read.format("delta-log").load(root).count() === 17)
+    // the gate: listing a DV snapshot outside the rewrite fails loudly
+    val idx = new DeltaLogFileIndex(spark, root, snap, pinned = true)
+    val e = intercept[IllegalStateException] { idx.listFiles(Nil, Nil) }
+    assert(e.getMessage.contains("deletion vectors"))
+  }
+
+  test("SQL DELETE FROM a delta-log table: COW commit, DVs materialized") {
+    val root = dvTable()
+    spark.sql(s"CREATE TABLE dv_del USING `delta-log` OPTIONS (path '$root')")
+    try {
+      val before = DeltaLog.snapshot(spark, root)
+      spark.sql("DELETE FROM dv_del WHERE k >= 10")
+      val after = DeltaLog.snapshot(spark, root)
+      // the touched (DV-carrying) file was rewritten: no DVs remain
+      assert(after.adds.forall(_.deletionVector.isEmpty))
+      assert(!after.adds.map(_.path).toSet
+        .contains(before.adds.head.path))
+      // survivors: k in 0..9 minus the DV'd 1 and 3
+      assert(spark.sql("SELECT count(*) AS c FROM dv_del")
+        .as[Long].head() === 8L)
+      // WHERE-NULL keeps rows
+      spark.sql("DELETE FROM dv_del WHERE if(k = 2, NULL, FALSE)")
+      assert(spark.sql("SELECT count(*) AS c FROM dv_del")
+        .as[Long].head() === 8L)
+    } finally spark.sql("DROP TABLE IF EXISTS dv_del")
+  }
+
+  test("partitioned delta DELETE refuses; huge-DV decode refuses") {
+    val root = tmp()
+    DeltaLog.commit(spark.range(0, 10).toDF("k")
+      .withColumn("p", col("k") % 2), root, partitionBy = Seq("p"))
+    val e = intercept[IllegalArgumentException] {
+      DeltaLog.deleteWhere(spark, root, col("k") === 1)
+    }
+    assert(e.getMessage.contains("PARTITIONED"))
+    // cardinality guard refuses before decoding anything
+    val big = DeletionVectors.Descriptor("i", "", None, 0,
+      DeltaLogRead.MaxDecodedPositions + 1)
+    val add = DeltaLog.DeltaAdd("x.parquet", Map.empty, Set.empty, 1L,
+      None, Some(big))
+    val e2 = intercept[IllegalArgumentException] {
+      DeltaLogRead.deletedPositions(spark, root, Seq(add))
+    }
+    assert(e2.getMessage.contains("decode ceiling"))
+  }
+}

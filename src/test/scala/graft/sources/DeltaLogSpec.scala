@@ -171,18 +171,20 @@ class DeltaLogSpec extends SparkSpecBase {
           .getBytes(UTF_8))
       root
     }
-    val dv = mkLog(
-      """{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["deletionVectors"],"writerFeatures":["deletionVectors"]}""")
+    val v2cp = mkLog(
+      """{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["v2Checkpoint"],"writerFeatures":["v2Checkpoint"]}""")
     val e1 = intercept[UnsupportedOperationException] {
-      DeltaLog.snapshot(spark, dv)
+      DeltaLog.snapshot(spark, v2cp)
     }
-    assert(e1.getMessage.contains("deletionVectors"))
-    val dvAdd = mkLog("""{"minReaderVersion":1,"minWriterVersion":2}""",
+    assert(e1.getMessage.contains("v2Checkpoint"))
+    // deletionVectors is SUPPORTED since round 8: the feature gate
+    // accepts it and the descriptor replays (application is covered by
+    // DeletionVectorsSpec; raw listings without the rewrite refuse)
+    val dvAdd = mkLog(
+      """{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["deletionVectors"],"writerFeatures":["deletionVectors"]}""",
       ""","deletionVector":{"storageType":"u","pathOrInlineDv":"x","offset":1,"sizeInBytes":1,"cardinality":1}""")
-    val e2 = intercept[UnsupportedOperationException] {
-      DeltaLog.snapshot(spark, dvAdd)
-    }
-    assert(e2.getMessage.contains("deletion vectors"))
+    val snapDv = DeltaLog.snapshot(spark, dvAdd)
+    assert(snapDv.adds.head.deletionVector.exists(_.cardinality === 1L))
     // column mapping refuses through configuration
     val cmRoot = tmp()
     val cmLog = Paths.get(cmRoot, "_delta_log")

@@ -43,6 +43,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // Iceberg v2 positional delete files apply at scan time via the
     // same Union/anti-join shape — see [[IcebergMorScan]].
     ext.injectPostHocResolutionRule(IcebergMorScan)
+    // Delta column mapping resolves physical names BEFORE the DV rule
+    // (a mapped table with DVs composes: physical scan, then DV
+    // rewrite in physical space) — see [[DeltaColumnMappingScan]].
+    ext.injectPostHocResolutionRule(DeltaColumnMappingScan)
     // Delta deletion vectors likewise — see [[DeltaMorScan]].
     ext.injectPostHocResolutionRule(DeltaMorScan)
   }

@@ -1627,6 +1627,80 @@ object Lakehouse {
              |  CAST(sum(o_orderkey) AS BIGINT) AS sum_key
              |FROM ranked
              |WHERE pos % 10 <> 3 AND o_orderkey % 50 <> 0
+             |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)),
+
+    // DELTA COLUMN MAPPING (round 8): read a Delta table written under
+    // `delta.columnMapping.mode = name` — the parquet files, stats
+    // JSON, and partition keys all carry PHYSICAL uuid-ish names while
+    // queries use the LOGICAL schema. The entry plays a foreign writer
+    // (delta-spark's layout, per the published protocol): `orders`
+    // split into two key-range files whose columns are physical
+    // (`pk-af01`...), a hand-written commit whose schemaString maps
+    // logical→physical via `delta.columnMapping.physicalName` field
+    // metadata, and per-file stats keyed by PHYSICAL name. The
+    // DeltaColumnMappingScan rewrite restates the scan in physical
+    // space and aliases back, so the logical WHERE prunes through the
+    // physical stats (spec pins the file count); a mapped table with
+    // deletion vectors composes (spec). Oracle is the layout-free
+    // logical-name SQL over raw orders.
+    QueryDef(
+      "q241_delta_column_mapping",
+      (s, d) => {
+        val root = Files.createTempDirectory("dcm_entry_").toString
+        val tbl = "dcm_orders_entry"
+        val src = orders(s, d).select(
+          col("o_orderkey").as("pk-af01"),
+          col("o_custkey").as("pk-af02"),
+          col("o_orderstatus").as("pk-af03"))
+        val split = 1024L
+        // foreign-writer layout: one parquet per key range, physical
+        // column names, true sizes + physical-name stats in the adds
+        def half(dir: String, pred: org.apache.spark.sql.Column)
+            : (String, Long, String) = {
+          src.filter(pred).coalesce(1).write.parquet(s"$root/$dir")
+          val lst = Files.list(java.nio.file.Paths.get(root, dir))
+          val rel = try dir + "/" + lst.iterator().asScala
+            .map(_.getFileName.toString)
+            .find(n => n.endsWith(".parquet") && !n.startsWith(".")).get
+          finally lst.close()
+          val row = src.filter(pred)
+            .agg(min(col("`pk-af01`")), max(col("`pk-af01`")),
+              count(lit(1))).head()
+          val (lo, hi, n) = (row.getLong(0), row.getLong(1), row.getLong(2))
+          val stats = s"""{\\"numRecords\\":$n,\\"minValues\\":{\\"pk-af01\\":$lo},\\"maxValues\\":{\\"pk-af01\\":$hi},\\"nullCount\\":{\\"pk-af01\\":0}}"""
+          (rel, Files.size(java.nio.file.Paths.get(root, rel)), stats)
+        }
+        val (p1, s1, st1) = half("data1", col("`pk-af01`") <= split)
+        val (p2, s2, st2) = half("data2", col("`pk-af01`") > split)
+        def fld(logical: String, phys: String, tpe: String, id: Int) =
+          s"""{\\"name\\":\\"$logical\\",\\"type\\":\\"$tpe\\",\\"nullable\\":true,\\"metadata\\":{\\"delta.columnMapping.id\\":$id,\\"delta.columnMapping.physicalName\\":\\"$phys\\"}}"""
+        val schema = s"""{\\"type\\":\\"struct\\",\\"fields\\":[${Seq(
+          fld("o_orderkey", "pk-af01", "long", 1),
+          fld("o_custkey", "pk-af02", "long", 2),
+          fld("o_orderstatus", "pk-af03", "string", 3)).mkString(",")}]}"""
+        val log = java.nio.file.Paths.get(root, "_delta_log")
+        Files.createDirectories(log)
+        Files.write(log.resolve(f"${0L}%020d.json"),
+          (s"""{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}""" + "\n" +
+            s"""{"metaData":{"id":"dcm","format":{"provider":"parquet","options":{}},"schemaString":"$schema","partitionColumns":[],"configuration":{"delta.columnMapping.mode":"name","delta.columnMapping.maxColumnId":"3"}}}""" + "\n" +
+            s"""{"add":{"path":"$p1","partitionValues":{},"size":$s1,"modificationTime":0,"dataChange":true,"stats":"$st1"}}""" + "\n" +
+            s"""{"add":{"path":"$p2","partitionValues":{},"size":$s2,"modificationTime":0,"dataChange":true,"stats":"$st2"}}""" + "\n")
+            .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        s.sql(s"DROP TABLE IF EXISTS $tbl")
+        s.sql(s"CREATE TABLE $tbl USING `delta-log` OPTIONS (path '$root')")
+        val out = s.sql(
+          s"""SELECT o_orderstatus, count(*) AS n_orders,
+             |  CAST(sum(o_custkey) AS BIGINT) AS sum_cust,
+             |  CAST(sum(o_orderkey) AS BIGINT) AS sum_key
+             |FROM $tbl WHERE o_orderkey <= $split
+             |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)
+        s.sql(s"DROP TABLE $tbl")
+        out
+      },
+      Some("""SELECT o_orderstatus, count(*) AS n_orders,
+             |  CAST(sum(o_custkey) AS BIGINT) AS sum_cust,
+             |  CAST(sum(o_orderkey) AS BIGINT) AS sum_key
+             |FROM orders WHERE o_orderkey <= 1024
              |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin))
   )
 }

@@ -36,13 +36,14 @@ import org.apache.spark.sql.types._
   * Reader feature gates (the spec's forward-compatibility contract: a
   * reader that cannot honor the table's protocol must fail loudly,
   * never return wrong rows):
-  *  - `minReaderVersion` 1 is fully supported; 2 (column mapping
-  *    capability) is accepted iff `delta.columnMapping.mode` is absent
-  *    or `none` (physical = logical names, so a plain read is
-  *    correct); 3 requires every listed `readerFeatures` entry to be
-  *    in [[supportedReaderFeatures]].
-  *  - an `add` carrying a `deletionVector` refuses (rows would
-  *    resurrect).
+  *  - `minReaderVersion` 1 and 2 (column mapping: 'name'/'id' modes
+  *    resolve through the schema metadata's physicalName entries;
+  *    nested mapped fields refuse) are supported; 3 requires every
+  *    listed `readerFeatures` entry to be in
+  *    [[supportedReaderFeatures]].
+  *  - `deletionVector`s decode ([[DeletionVectors]]) and apply at
+  *    scan time (graft.ext.DeltaMorScan); raw listings without the
+  *    extensions refuse.
   *  - non-parquet `format.provider` refuses.
   *
   * Commits publish through the [[LogStore]] seam's `putIfAbsent` —
@@ -64,10 +65,13 @@ object DeltaLog {
     * Spark 4 reads natively. `deletionVectors` are decoded by
     * [[DeletionVectors]] and applied at scan time by
     * [[graft.ext.DeltaMorScan]] (without the extensions, a raw
-    * listing of a DV-carrying snapshot refuses loudly). Everything
-    * else (columnMapping, v2Checkpoint, typeWidening, ...) refuses. */
+    * listing of a DV-carrying snapshot refuses loudly).
+    * `columnMapping` resolves physical names from the schema metadata
+    * (graft.ext.DeltaColumnMappingScan aliases the scan back to
+    * logical names). Everything else (v2Checkpoint, typeWidening,
+    * ...) refuses. */
   val supportedReaderFeatures: Set[String] =
-    Set("timestampNtz", "deletionVectors")
+    Set("timestampNtz", "deletionVectors", "columnMapping")
 
   final case class DeltaAdd(
       path: String,                        // decoded, relative or absolute
@@ -83,13 +87,30 @@ object DeltaLog {
       schema: StructType,                  // full logical schema
       partitionColumns: Seq[String],
       configuration: Map[String, String],
-      adds: Seq[DeltaAdd]) {
+      adds: Seq[DeltaAdd],
+      // column mapping ('name'/'id' modes): logical → physical name of
+      // every top-level field; empty when the table is unmapped. The
+      // parquet files, partitionValues keys, and stats JSON keys all
+      // use PHYSICAL names — [[physical]] restates this snapshot in
+      // that space, and graft.ext.DeltaColumnMappingScan aliases the
+      // scan back to logical names.
+      columnMapping: Map[String, String] = Map.empty) {
     def dataSchema: StructType =
       StructType(schema.fields.filterNot(f => partitionColumns.contains(f.name)))
     def partitionSchema: StructType =
       StructType(partitionColumns.map(c =>
         schema.fields.find(_.name == c).getOrElse(throw new IllegalStateException(
           s"delta-log: partition column $c missing from schemaString"))))
+    /** This snapshot restated in PHYSICAL column space. */
+    def physical: DeltaSnapshot = {
+      if (columnMapping.isEmpty) return this
+      def phys(n: String) = columnMapping.getOrElse(n, n)
+      copy(
+        schema = StructType(schema.fields.map(f =>
+          f.copy(name = phys(f.name)))),
+        partitionColumns = partitionColumns.map(phys),
+        columnMapping = Map.empty)
+    }
   }
 
   private val mapper = new ObjectMapper()
@@ -208,11 +229,9 @@ object DeltaLog {
               .filterNot(e => e.getValue == null || e.getValue.isNull)
               .map(e => e.getKey -> e.getValue.asText()).toMap
           else Map.empty
-        val cmMode = configuration.getOrElse("delta.columnMapping.mode", "none")
-        if (cmMode != "none")
-          throw new UnsupportedOperationException(
-            s"delta-log: column mapping mode '$cmMode' not supported " +
-              "(physical names differ from logical names)")
+        // column mapping resolves at snapshot() end from the FINAL
+        // schema + configuration (both may be restated by later
+        // metaData actions)
       case "add" =>
         val a = parseAdd(body)
         adds(a.path) = a
@@ -252,10 +271,41 @@ object DeltaLog {
     }
     val schemaStr = replay.schemaJson.getOrElse(throw new IllegalStateException(
       s"delta-log: $root has no metaData action — not a valid Delta log"))
-    DeltaSnapshot(root, target,
-      DataType.fromJson(schemaStr).asInstanceOf[StructType],
+    val schema = DataType.fromJson(schemaStr).asInstanceOf[StructType]
+    DeltaSnapshot(root, target, schema,
       replay.partitionColumns, replay.configuration,
-      replay.adds.values.toSeq)
+      replay.adds.values.toSeq,
+      columnMappingOf(root, schema, replay.configuration))
+  }
+
+  /** logical → physical top-level names under column mapping
+    * ('name'/'id' modes both record `...physicalName` in the field
+    * metadata; 'id' additionally writes parquet field ids, which a
+    * by-physical-name read does not need). Nested mapped fields are
+    * refused — translating inner struct names is beyond this layer. */
+  private def columnMappingOf(root: String, schema: StructType,
+      configuration: Map[String, String]): Map[String, String] = {
+    val mode = configuration.getOrElse("delta.columnMapping.mode", "none")
+    if (mode == "none") return Map.empty
+    if (mode != "name" && mode != "id")
+      throw new UnsupportedOperationException(
+        s"delta-log: column mapping mode '$mode' not supported")
+    def nested(dt: DataType): Boolean = dt match {
+      case _: StructType => true
+      case ArrayType(e, _) => nested(e)
+      case MapType(k, v, _) => nested(k) || nested(v)
+      case _ => false
+    }
+    schema.fields.map { f =>
+      if (nested(f.dataType))
+        throw new UnsupportedOperationException(
+          s"delta-log: column mapping over NESTED field ${f.name} of " +
+            s"$root is not supported — read with delta-spark")
+      val key = "delta.columnMapping.physicalName"
+      require(f.metadata.contains(key),
+        s"delta-log: mapped table $root lacks $key on field ${f.name}")
+      f.name -> f.metadata.getString(key)
+    }.toMap
   }
 
   /** Seed a replay from checkpoint parquet (single- or multi-part):
@@ -446,6 +496,9 @@ object DeltaLog {
     require(snap.partitionColumns.isEmpty,
       "delta-log: DELETE on a PARTITIONED table is not supported by " +
         "this interop layer — use delta-spark, or overwrite the table")
+    require(snap.columnMapping.isEmpty,
+      "delta-log: DELETE on a COLUMN-MAPPED table is not supported by " +
+        "this interop layer — use delta-spark")
     val vis = DeltaLogRead.withPositions(spark, snap)
     val touchedUris = vis.filter(cond)
       .select(DeltaLogRead.FpCol).distinct()

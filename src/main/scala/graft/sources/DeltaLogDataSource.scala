@@ -241,6 +241,14 @@ class DeltaLogFileIndex(spark: SparkSession, val root: String,
         s"delta-log: v${snap.version} of $root carries deletion " +
           "vectors — readable only with GraftExtensions enabled " +
           "(the DV-applying scan rewrite)")
+    // same for column mapping: listing logical names against physical
+    // parquet columns would read all-NULLs, not wrong-but-plausible
+    // rows — still: fail loudly, never wrong
+    if (snap.columnMapping.nonEmpty)
+      throw new IllegalStateException(
+        s"delta-log: v${snap.version} of $root uses column mapping — " +
+          "readable only with GraftExtensions enabled " +
+          "(the physical-name scan rewrite)")
     val partPred = bindPartitionPredicate(partitionFilters)
     val byPartition = snap.adds.groupBy(a =>
       partitionSchema.fieldNames.toSeq.map(c =>

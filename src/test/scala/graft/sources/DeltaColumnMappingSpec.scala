@@ -1,0 +1,129 @@
+package graft.sources
+
+import java.nio.charset.StandardCharsets.UTF_8
+import java.nio.file.{Files, Paths}
+
+import graft.SparkSpecBase
+import org.apache.spark.sql.functions._
+
+/** Delta column mapping ('name'/'id' modes): physical-name resolution
+  * from the schema metadata, the logical-aliasing scan rewrite, stats
+  * skipping in physical space, composition with deletion vectors, and
+  * the refusal posture (nested mapping, DML, extension-less reads). */
+class DeltaColumnMappingSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private def tmp(): String =
+    Files.createTempDirectory("dcm_spec_").toString
+
+  /** A mapped table: logical (k, v), physical (col-aaa, col-bbb),
+    * two range files with hand-written stats under PHYSICAL names. */
+  private def mappedTable(): String = {
+    val root = tmp()
+    spark.range(0, 10).toDF("col-aaa")
+      .withColumn("col-bbb", col("col-aaa") * 10).coalesce(1)
+      .write.parquet(root + "/data1")
+    spark.range(10, 30).toDF("col-aaa")
+      .withColumn("col-bbb", col("col-aaa") * 10).coalesce(1)
+      .write.parquet(root + "/data2")
+    import scala.jdk.CollectionConverters._
+    def part(dir: String): String = {
+      val s = Files.list(Paths.get(root, dir))
+      try dir + "/" + s.iterator().asScala.map(_.getFileName.toString)
+        .find(n => n.endsWith(".parquet") && !n.startsWith(".")).get
+      finally s.close()
+    }
+    // real logs record TRUE file sizes; the scan plans byte ranges
+    // from them, so a wrong size silently reads nothing
+    def sizeOf(rel: String): Long = Files.size(Paths.get(root, rel))
+    val meta = (k: String, phys: String, id: Int) =>
+      s"""{\\"delta.columnMapping.id\\":$id,\\"delta.columnMapping.physicalName\\":\\"$phys\\"}"""
+    val schema =
+      s"""{\\"type\\":\\"struct\\",\\"fields\\":[
+         |{\\"name\\":\\"k\\",\\"type\\":\\"long\\",\\"nullable\\":true,\\"metadata\\":${meta("k", "col-aaa", 1)}},
+         |{\\"name\\":\\"v\\",\\"type\\":\\"long\\",\\"nullable\\":true,\\"metadata\\":${meta("v", "col-bbb", 2)}}
+         |]}""".stripMargin.replace("\n", "")
+    val log = Paths.get(root, "_delta_log")
+    Files.createDirectories(log)
+    def statsFor(lo: Long, hi: Long, n: Long) =
+      s"""{\\"numRecords\\":$n,\\"minValues\\":{\\"col-aaa\\":$lo},\\"maxValues\\":{\\"col-aaa\\":$hi},\\"nullCount\\":{\\"col-aaa\\":0}}"""
+    Files.write(log.resolve(f"${0L}%020d.json"),
+      (s"""{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}\n""" +
+        s"""{"metaData":{"id":"t","format":{"provider":"parquet","options":{}},"schemaString":"$schema","partitionColumns":[],"configuration":{"delta.columnMapping.mode":"name","delta.columnMapping.maxColumnId":"2"}}}\n""" +
+        s"""{"add":{"path":"${part("data1")}","partitionValues":{},"size":${sizeOf(part("data1"))},"modificationTime":0,"dataChange":true,"stats":"${statsFor(0, 9, 10)}"}}\n""" +
+        s"""{"add":{"path":"${part("data2")}","partitionValues":{},"size":${sizeOf(part("data2"))},"modificationTime":0,"dataChange":true,"stats":"${statsFor(10, 29, 20)}"}}\n""")
+        .getBytes(UTF_8))
+    root
+  }
+
+  private def indexOf(df: org.apache.spark.sql.DataFrame)
+      : DeltaLogFileIndex =
+    df.queryExecution.optimizedPlan.collect {
+      case org.apache.spark.sql.execution.datasources.LogicalRelation(
+          r: org.apache.spark.sql.execution.datasources.HadoopFsRelation,
+          _, _, _, _) =>
+        r.location.asInstanceOf[DeltaLogFileIndex]
+    }.head
+
+  test("mapped table reads under LOGICAL names; stats skip physically") {
+    val root = mappedTable()
+    val ds = spark.read.format("delta-log").load(root)
+    assert(ds.columns.toSeq === Seq("k", "v"))
+    assert(ds.count() === 30)
+    assert(ds.agg(sum("v")).as[Long].head() === (0 until 30).map(_ * 10).sum)
+    // a LOGICAL filter prunes via the PHYSICAL stats: k<=9 is one file
+    val q = spark.read.format("delta-log").load(root).filter(col("k") <= 9)
+    assert(q.agg(sum("v")).as[Long].head() === (0 until 10).map(_ * 10).sum)
+    assert(indexOf(q).lastListing.get === ((1, 2)))
+    // SQL over a catalog table resolves logical names end to end
+    spark.sql(s"CREATE TABLE dcm_t USING `delta-log` OPTIONS (path '$root')")
+    try assert(spark.sql(
+      "SELECT count(*) AS c FROM dcm_t WHERE k BETWEEN 5 AND 14")
+      .as[Long].head() === 10L)
+    finally spark.sql("DROP TABLE IF EXISTS dcm_t")
+  }
+
+  test("column mapping composes with deletion vectors") {
+    val root = mappedTable()
+    // DV on the first file (rows are k=0..9 in order): drop pos 2, 5
+    val a = DeltaLog.snapshot(spark, root).adds
+      .find(_.path.startsWith("data1")).get
+    val d = DeletionVectors.writeFile(root, Array(2L, 5L))
+    Files.write(Paths.get(root, "_delta_log", f"${1L}%020d.json"),
+      (s"""{"add":{"path":"${a.path}","partitionValues":{},"size":${a.size},"modificationTime":0,"dataChange":false,"deletionVector":{"storageType":"${d.storageType}","pathOrInlineDv":"${d.pathOrInlineDv}","offset":${d.offset.get},"sizeInBytes":${d.sizeInBytes},"cardinality":${d.cardinality}}}}\n""")
+        .getBytes(UTF_8))
+    val ds = spark.read.format("delta-log").load(root)
+    assert(ds.count() === 28)
+    assert(ds.filter(col("k") < 10).orderBy("k").select("k")
+      .as[Long].collect().toSeq ===
+      (0L until 10L).filterNot(k => k == 2 || k == 5).toSeq)
+  }
+
+  test("refusals: nested mapping, DML on mapped, raw listing gate") {
+    val root = mappedTable()
+    // DML refuses (predicates are logical, rewrite is physical)
+    val e1 = intercept[IllegalArgumentException] {
+      DeltaLog.deleteWhere(spark, root, col("k") === 1)
+    }
+    assert(e1.getMessage.contains("COLUMN-MAPPED"))
+    // the raw listing gate outside the rewrite
+    val snap = DeltaLog.snapshot(spark, root)
+    val idx = new DeltaLogFileIndex(spark, root, snap, pinned = true)
+    val e2 = intercept[IllegalStateException] { idx.listFiles(Nil, Nil) }
+    assert(e2.getMessage.contains("column mapping"))
+    // nested mapped fields refuse at replay
+    val nroot = tmp()
+    val nlog = Paths.get(nroot, "_delta_log")
+    Files.createDirectories(nlog)
+    val nschema =
+      """{\"type\":\"struct\",\"fields\":[{\"name\":\"s\",\"type\":{\"type\":\"struct\",\"fields\":[{\"name\":\"a\",\"type\":\"long\",\"nullable\":true,\"metadata\":{}}]},\"nullable\":true,\"metadata\":{\"delta.columnMapping.id\":1,\"delta.columnMapping.physicalName\":\"col-s\"}}]}"""
+    Files.write(nlog.resolve(f"${0L}%020d.json"),
+      (s"""{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}\n""" +
+        s"""{"metaData":{"id":"n","format":{"provider":"parquet","options":{}},"schemaString":"$nschema","partitionColumns":[],"configuration":{"delta.columnMapping.mode":"name"}}}\n""")
+        .getBytes(UTF_8))
+    val e3 = intercept[UnsupportedOperationException] {
+      DeltaLog.snapshot(spark, nroot)
+    }
+    assert(e3.getMessage.contains("NESTED"))
+  }
+}

@@ -185,19 +185,29 @@ class DeltaLogSpec extends SparkSpecBase {
       ""","deletionVector":{"storageType":"u","pathOrInlineDv":"x","offset":1,"sizeInBytes":1,"cardinality":1}""")
     val snapDv = DeltaLog.snapshot(spark, dvAdd)
     assert(snapDv.adds.head.deletionVector.exists(_.cardinality === 1L))
-    // column mapping refuses through configuration
-    val cmRoot = tmp()
-    val cmLog = Paths.get(cmRoot, "_delta_log")
-    Files.createDirectories(cmLog)
-    val schema2 = """{\"type\":\"struct\",\"fields\":[{\"name\":\"k\",\"type\":\"long\",\"nullable\":true,\"metadata\":{}}]}"""
-    Files.write(cmLog.resolve(f"${0L}%020d.json"),
-      (s"""{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}\n""" +
-        s"""{"metaData":{"id":"x","format":{"provider":"parquet","options":{}},"schemaString":"$schema2","partitionColumns":[],"configuration":{"delta.columnMapping.mode":"name"}}}\n""")
-        .getBytes(UTF_8))
-    val e3 = intercept[UnsupportedOperationException] {
-      DeltaLog.snapshot(spark, cmRoot)
+    // column mapping is SUPPORTED since round 8 ('name'/'id' —
+    // DeltaColumnMappingSpec covers the read path); still refused: a
+    // mapped table whose schema LACKS physicalName entries (malformed
+    // per the spec), and an unrecognized mode
+    def cmLog(mode: String): String = {
+      val cmRoot = tmp()
+      val dir = Paths.get(cmRoot, "_delta_log")
+      Files.createDirectories(dir)
+      val schema2 = """{\"type\":\"struct\",\"fields\":[{\"name\":\"k\",\"type\":\"long\",\"nullable\":true,\"metadata\":{}}]}"""
+      Files.write(dir.resolve(f"${0L}%020d.json"),
+        (s"""{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}\n""" +
+          s"""{"metaData":{"id":"x","format":{"provider":"parquet","options":{}},"schemaString":"$schema2","partitionColumns":[],"configuration":{"delta.columnMapping.mode":"$mode"}}}\n""")
+          .getBytes(UTF_8))
+      cmRoot
     }
-    assert(e3.getMessage.contains("column mapping"))
+    val e3 = intercept[IllegalArgumentException] {
+      DeltaLog.snapshot(spark, cmLog("name"))
+    }
+    assert(e3.getMessage.contains("physicalName"))
+    val e3b = intercept[UnsupportedOperationException] {
+      DeltaLog.snapshot(spark, cmLog("bogus"))
+    }
+    assert(e3b.getMessage.contains("bogus"))
     // timestampNtz alone is honored (Spark reads NTZ natively)
     val ok = mkLog(
       """{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["timestampNtz"],"writerFeatures":["timestampNtz"]}""")

@@ -26,38 +26,55 @@ import org.apache.spark.sql.execution.datasources.{
   * delete pays the anti-join for ONE file. The raw listing keeps a
   * physical-time gate ([[IcebergMetaFileIndex.listFiles]]): a session
   * without this rule fails loudly instead of resurrecting deleted
-  * rows. Equality deletes refuse at snapshot replay
-  * ([[graft.sources.IcebergMeta.snapshot]]).
+  * rows.
+  *
+  * EQUALITY deletes (content=2) rewrite through
+  * [[IcebergMetaRead.morRead]] instead: data files partition by which
+  * equality deletes apply (the spec's strict seq ordering — later
+  * appends out-scope older deletes), each branch gets positional
+  * deletes via the split above plus one broadcast null-safe anti-join
+  * per equality-column set.
   */
 case class IcebergMorScan(session: SparkSession) extends Rule[LogicalPlan] {
 
   override def apply(plan: LogicalPlan): LogicalPlan =
     plan.transformUp {
       case l @ LogicalRelation(r: HadoopFsRelation, _, _, _, _)
-          if r.location.isInstanceOf[IcebergMetaFileIndex] &&
-            r.location.asInstanceOf[IcebergMetaFileIndex]
-              .snap.deletes.nonEmpty =>
+          if r.location.isInstanceOf[IcebergMetaFileIndex] && {
+            val s = r.location.asInstanceOf[IcebergMetaFileIndex].snap
+            s.deletes.nonEmpty || s.eqDeletes.nonEmpty
+          } =>
         val idx = r.location.asInstanceOf[IcebergMetaFileIndex]
-        val (cleanSnap, touched) =
-          IcebergMetaRead.posDeleteSplit(session, idx.snap)
-        val clean = l.copy(
-          relation = IcebergMetaRead.relation(session, cleanSnap))
-        touched match {
-          case None => clean
-          case Some(df) =>
-            val resolvedPlan = df.queryExecution.analyzed
-            val resolver = session.sessionState.analyzer.resolver
-            val aligned = Project(
-              l.output.map { a =>
-                val src = resolvedPlan.output
-                  .find(o => resolver(o.name, a.name))
-                  .getOrElse(throw new IllegalStateException(
-                    s"iceberg MOR rewrite: resolved read of " +
-                      s"${idx.snap.root} lacks column ${a.name}"))
-                Alias(src, a.name)(NamedExpression.newExprId)
-              },
-              resolvedPlan)
-            Union(clean, aligned)
+        val snap = idx.snap
+        val resolver = session.sessionState.analyzer.resolver
+        def align(df: org.apache.spark.sql.DataFrame,
+            keepIds: Boolean): LogicalPlan = {
+          val resolvedPlan = df.queryExecution.analyzed
+          Project(
+            l.output.map { a =>
+              val src = resolvedPlan.output
+                .find(o => resolver(o.name, a.name))
+                .getOrElse(throw new IllegalStateException(
+                  s"iceberg MOR rewrite: resolved read of " +
+                    s"${snap.root} lacks column ${a.name}"))
+              // keepIds: this plan REPLACES l wholesale, so reusing
+              // l's exprIds re-anchors every parent reference for free
+              Alias(src, a.name)(
+                if (keepIds) a.exprId else NamedExpression.newExprId)
+            },
+            resolvedPlan)
+        }
+        if (snap.eqDeletes.nonEmpty) {
+          align(IcebergMetaRead.morRead(session, snap), keepIds = true)
+        } else {
+          val (cleanSnap, touched) =
+            IcebergMetaRead.posDeleteSplit(session, snap)
+          val clean = l.copy(
+            relation = IcebergMetaRead.relation(session, cleanSnap))
+          touched match {
+            case None => clean
+            case Some(df) => Union(clean, align(df, keepIds = false))
+          }
         }
     }
 }

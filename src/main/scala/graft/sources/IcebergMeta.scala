@@ -54,21 +54,39 @@ object IcebergMeta {
     * wrote it (absolute URI in real tables, table-relative in
     * fixtures) — positional delete rows reference data files by that
     * string, so it must survive path resolution for exact matching. */
+  /** `seq` is the DATA SEQUENCE NUMBER (spec: explicit on the entry,
+    * else inherited from the manifest-list row) — the ordering both
+    * v2 delete kinds key on. */
   final case class IceFile(path: String, recordedPath: String,
       sizeBytes: Long, records: Long,
-      stats: Map[String, VersionedTable.ColStats])
+      stats: Map[String, VersionedTable.ColStats],
+      seq: Long = 0L)
 
   /** A v2 POSITIONAL delete file: parquet of (file_path, pos) rows.
     * `pathLo`/`pathHi` are the manifest's file_path bounds (reserved
     * field id 2147483546) — file-level targeting without reading the
     * delete parquet: a data file whose recordedPath falls outside
-    * every delete's bounds provably has no deleted rows. */
+    * every delete's bounds provably has no deleted rows. Applies to
+    * data files with `IceFile.seq <= seq` (spec: position deletes
+    * cover rows existing when the delete was written). */
   final case class IceDelete(path: String, pathLo: Option[String],
-      pathHi: Option[String])
+      pathHi: Option[String], seq: Long = 0L)
+
+  /** A v2 EQUALITY delete file: parquet whose rows name the VALUES to
+    * delete, matched null-safely (spec: "null values are considered
+    * equal") on `eqCols` against data files with a STRICTLY older
+    * sequence number (`IceFile.seq < seq`) — a later append
+    * re-inserting a deleted key survives, which is what makes
+    * equality deletes the streaming-upsert primitive. `eqCols` are
+    * the table column names the manifest's `equality_ids` resolve to
+    * (resolved at replay; unknown/nested ids refuse there). */
+  final case class IceEqDelete(path: String, eqCols: Seq[String],
+      seq: Long)
 
   final case class IceSnapshot(root: String, snapshotId: Long,
       schema: StructType, files: Seq[IceFile],
-      deletes: Seq[IceDelete] = Nil)
+      deletes: Seq[IceDelete] = Nil,
+      eqDeletes: Seq[IceEqDelete] = Nil)
 
   private def metaDir(root: String): Path = Paths.get(root, "metadata")
 
@@ -249,12 +267,17 @@ object IcebergMeta {
         s"iceberg-meta: snapshot $snapId not in $root"))
     val listPath = resolvePath(root, snap.get("manifest-list").asText())
     // manifest-list content: 0 = data manifests, 1 = delete manifests
-    // (v2 row-level deletes — POSITIONAL supported, equality refuses)
+    // (v2 row-level deletes — positional AND equality)
     val (deleteManifests, dataManifests) = readAvro(listPath).partition(
       r => fieldOpt(r, "content").map(asLong).getOrElse(0L) == 1L)
+    // spec inheritance: an entry with no explicit sequence_number
+    // takes the manifest-list row's
+    def entrySeq(e: GenericRecord, listRow: GenericRecord): Long =
+      fieldOpt(e, "sequence_number").map(asLong).getOrElse(
+        fieldOpt(listRow, "sequence_number").map(asLong).getOrElse(0L))
     val files = dataManifests
-      .map(r => resolvePath(root, asStr(r.get("manifest_path"))))
-      .flatMap { mp =>
+      .map(r => (resolvePath(root, asStr(r.get("manifest_path"))), r))
+      .flatMap { case (mp, listRow) =>
         readAvro(mp).flatMap { e =>
           val status = asLong(e.get("status"))
           if (status == 2) None // deleted
@@ -287,43 +310,64 @@ object IcebergMeta {
             val recorded = asStr(df.get("file_path"))
             Some(IceFile(resolvePath(root, recorded), recorded,
               fieldOpt(df, "file_size_in_bytes").map(asLong).getOrElse(0L),
-              records, stats))
+              records, stats, entrySeq(e, listRow)))
           }
         }
       }
-    val deletes = deleteManifests
-      .map(r => resolvePath(root, asStr(r.get("manifest_path"))))
-      .flatMap { mp =>
+    val deleteEntries = deleteManifests
+      .map(r => (resolvePath(root, asStr(r.get("manifest_path"))), r))
+      .flatMap { case (mp, listRow) =>
         readAvro(mp).flatMap { e =>
           val status = asLong(e.get("status"))
           if (status == 2) None
           else {
             val df = e.get("data_file").asInstanceOf[GenericRecord]
             val content = fieldOpt(df, "content").map(asLong).getOrElse(0L)
-            if (content == 2 ||
-              fieldOpt(df, "equality_ids").exists(_ != null))
-              throw new UnsupportedOperationException(
-                "iceberg-meta: EQUALITY delete files are not supported " +
-                  "(positional deletes only) — rewrite the table first")
-            require(content == 1,
-              s"iceberg-meta: unexpected content=$content in delete manifest")
             val fmt = asStr(df.get("file_format")).toLowerCase
             if (fmt != "parquet") throw new UnsupportedOperationException(
               s"iceberg-meta: delete file format $fmt not supported")
-            val lower = fieldOpt(df, "lower_bounds").map(asIdMap)
-              .getOrElse(Map.empty)
-            val upper = fieldOpt(df, "upper_bounds").map(asIdMap)
-              .getOrElse(Map.empty)
-            // reserved field id of file_path in delete files (spec)
-            Some(IceDelete(resolvePath(root, asStr(df.get("file_path"))),
-              lower.get(DeleteFilePathFieldId)
-                .flatMap(decodeBound(StringType, _)).map(_._2),
-              upper.get(DeleteFilePathFieldId)
-                .flatMap(decodeBound(StringType, _)).map(_._2)))
+            val eqIds: Seq[Int] = fieldOpt(df, "equality_ids") match {
+              case Some(l: java.util.List[_]) =>
+                l.asScala.toSeq.map(v => asLong(v.asInstanceOf[AnyRef]).toInt)
+              case _ => Nil
+            }
+            if (content == 2 || eqIds.nonEmpty) {
+              require(content == 2 && eqIds.nonEmpty,
+                s"iceberg-meta: malformed delete entry in $mp — " +
+                  s"content=$content with equality_ids=$eqIds")
+              // equality_ids name TOP-LEVEL table fields; an id this
+              // schema does not carry (dropped column, nested field)
+              // cannot be matched — refuse, never resurrect
+              val eqCols = eqIds.map(id => nameById.getOrElse(id,
+                throw new UnsupportedOperationException(
+                  s"iceberg-meta: equality delete field id $id is not " +
+                    s"a top-level field of $root's current schema — " +
+                    "read with an Iceberg runtime")))
+              Some(Right(IceEqDelete(
+                resolvePath(root, asStr(df.get("file_path"))),
+                eqCols, entrySeq(e, listRow))))
+            } else {
+              require(content == 1,
+                s"iceberg-meta: unexpected content=$content in delete manifest")
+              val lower = fieldOpt(df, "lower_bounds").map(asIdMap)
+                .getOrElse(Map.empty)
+              val upper = fieldOpt(df, "upper_bounds").map(asIdMap)
+                .getOrElse(Map.empty)
+              // reserved field id of file_path in delete files (spec)
+              Some(Left(IceDelete(
+                resolvePath(root, asStr(df.get("file_path"))),
+                lower.get(DeleteFilePathFieldId)
+                  .flatMap(decodeBound(StringType, _)).map(_._2),
+                upper.get(DeleteFilePathFieldId)
+                  .flatMap(decodeBound(StringType, _)).map(_._2),
+                entrySeq(e, listRow))))
+            }
           }
         }
       }
-    IceSnapshot(root, snapId, schema, files, deletes)
+    IceSnapshot(root, snapId, schema, files,
+      deleteEntries.collect { case Left(d) => d },
+      deleteEntries.collect { case Right(d) => d })
   }
 
   /** Reserved field ids of the positional-delete file schema
@@ -385,7 +429,8 @@ object IcebergMeta {
       |  {"name":"file_size_in_bytes","type":"long"},
       |  {"name":"null_value_counts","type":{"type":"map","values":"long"},"default":{}},
       |  {"name":"lower_bounds","type":{"type":"map","values":"bytes"},"default":{}},
-      |  {"name":"upper_bounds","type":{"type":"map","values":"bytes"},"default":{}}
+      |  {"name":"upper_bounds","type":{"type":"map","values":"bytes"},"default":{}},
+      |  {"name":"equality_ids","type":["null",{"type":"array","items":"int"}],"default":null}
       |]}}]}""".stripMargin)
 
   private def writeAvro(path: Path, schema: Schema,
@@ -426,7 +471,7 @@ object IcebergMeta {
     * the TABLE's field ids. */
   private def dataFileEntry(spark: SparkSession, abs: Path, rel: String,
       schema: StructType, idByName: Map[String, Int],
-      content: Int = 0): GenericRecord = {
+      content: Int = 0, equalityIds: Seq[Int] = Nil): GenericRecord = {
     val stats = VersionedTable.footerStats(spark, abs)
     val rec = new GenericData.Record(manifestSchema)
     rec.put("status", 1) // added
@@ -464,6 +509,11 @@ object IcebergMeta {
     dfr.put("null_value_counts", nulls)
     dfr.put("lower_bounds", lower)
     dfr.put("upper_bounds", upper)
+    if (equalityIds.nonEmpty) {
+      val ids = new java.util.ArrayList[java.lang.Integer]()
+      equalityIds.foreach(i => ids.add(java.lang.Integer.valueOf(i)))
+      dfr.put("equality_ids", ids)
+    }
     rec.put("data_file", dfr)
     rec
   }
@@ -738,6 +788,13 @@ object IcebergMeta {
     val meta = mapper.readTree(Files.readAllBytes(
       metaDir(root).resolve(s"v$v.metadata.json")))
     val snap = snapshot(root)
+    // the position machinery resolves POSITIONAL deletes only; rows an
+    // equality delete hides would be re-recorded (harmlessly) AND rows
+    // it hides would match cond — refuse rather than mix the kinds
+    require(snap.eqDeletes.isEmpty,
+      "iceberg-meta: positional DELETE on a table carrying EQUALITY " +
+        "delete files is not supported — use deleteEquality, or " +
+        "rewrite the table first")
     // visible rows matching cond, addressed as (recordedPath, pos)
     val visible = IcebergMetaRead.withPositions(spark, snap)
     val hits = visible.filter(cond)
@@ -766,6 +823,81 @@ object IcebergMeta {
       }
     }
     if (entries.isEmpty) return snap.snapshotId
+    val seq = (if (meta.hasNonNull("last-sequence-number"))
+      meta.get("last-sequence-number").asLong() else 0L) + 1
+    val snapId = java.util.UUID.randomUUID().getLeastSignificantBits
+      .abs.max(1L)
+    val manifestRel = s"metadata/snap-$snapId-m0.avro"
+    writeAvro(Paths.get(root, manifestRel), manifestSchema, entries)
+    val listRel = s"metadata/snap-$snapId.avro"
+    writeAvro(Paths.get(root, listRel), manifestListSchema,
+      carriedManifests(root, meta) :+ manifestListRow(manifestRel,
+        Files.size(Paths.get(root, manifestRel)), 0, seq, snapId,
+        entries.size, 0, 0L, 0L, content = 1))
+    commitSnapshot(root, v, meta, snapId, seq, listRel, "delete")
+  }
+
+  /** Row-level DELETE by VALUE via a v2 EQUALITY delete file — the
+    * streaming-upsert primitive: `values`' columns name a subset of
+    * the table's top-level fields (the equality columns), and every
+    * row already in the table whose equality columns match a `values`
+    * row null-safely is deleted, WITHOUT reading a single data file.
+    * The commit lands one content=2 delete parquet + one delete
+    * manifest (equality_ids = the table field ids of the columns) in
+    * a new snapshot at sequence number last+1; per the spec's
+    * strict-ordering rule the delete applies only to data files with
+    * an OLDER sequence number, so a later [[append]] re-inserting a
+    * deleted key survives. Same conditional-put commit protocol as
+    * [[append]]; prior snapshots stay time-travelable. Returns the
+    * new snapshot id — or the current one when `values` is empty.
+    *
+    * Cost shape at 100 TB: O(delete values) written, ZERO data files
+    * read or rewritten — cheaper than positional deletes (which must
+    * scan to find positions); the read side pays one broadcast
+    * anti-join per equality-column set ([[IcebergMetaRead.morRead]]). */
+  def deleteEquality(spark: SparkSession, root: String,
+      values: org.apache.spark.sql.DataFrame): Long = {
+    val v = latestMetadataVersion(root)
+    val meta = mapper.readTree(Files.readAllBytes(
+      metaDir(root).resolve(s"v$v.metadata.json")))
+    val fv = meta.get("format-version").asInt()
+    if (fv > 2) throw new UnsupportedOperationException(
+      s"iceberg-meta: format-version $fv not supported (1 and 2 only)")
+    val (schema, nameById) = schemaOf(meta)
+    val idByName = nameById.map(_.swap)
+    val tbl = schema.fields.map(f => f.name -> f.dataType).toMap
+    val bad = values.schema.fields.filter(f =>
+      !tbl.get(f.name).contains(f.dataType))
+    require(bad.isEmpty,
+      s"iceberg-meta: equality columns must match table fields by " +
+        s"name and type — mismatched: ${bad.map(_.name).mkString(", ")}")
+    val eqCols = values.columns.toSeq
+    require(eqCols.nonEmpty, "iceberg-meta: no equality columns")
+    val eqIds = eqCols.map(idByName)
+    val nonce = java.util.UUID.randomUUID().toString.take(8)
+    val staging = Files.createTempDirectory("ice_eqdel_").resolve("out")
+    // one file: delete batches are value-lists, small by contract
+    values.distinct().coalesce(1)
+      .write.mode("errorifexists").parquet(staging.toString)
+    val parts = PosixDataStore.listDir(staging)
+      .filter(n => n.endsWith(".parquet") && !n.startsWith(".")).sorted
+    val dataDir = Paths.get(root, "data")
+    Files.createDirectories(dataDir)
+    val entries = parts.zipWithIndex.flatMap { case (n, i) =>
+      val rows = VersionedTable.footerStats(spark, staging.resolve(n))
+        .values.map(_.rows).maxOption.getOrElse(0L)
+      if (rows == 0L) None // empty values → no-op, no empty commit
+      else {
+        val name = f"eq-delete-$i%05d-$nonce.parquet"
+        val dst = dataDir.resolve(name)
+        Files.move(staging.resolve(n), dst)
+        Some(dataFileEntry(spark, dst, s"data/$name",
+          org.apache.spark.sql.types.StructType(
+            schema.fields.filter(f => eqCols.contains(f.name))),
+          idByName, content = 2, equalityIds = eqIds))
+      }
+    }
+    if (entries.isEmpty) return snapshot(root).snapshotId
     val seq = (if (meta.hasNonNull("last-sequence-number"))
       meta.get("last-sequence-number").asLong() else 0L) + 1
     val snapId = java.util.UUID.randomUUID().getLeastSignificantBits

@@ -151,10 +151,11 @@ class IcebergMetaFileIndex(spark: SparkSession,
     // replaces this index with a deletes-cleared one; a session
     // WITHOUT the graft extensions fails loudly, never wrong.
     val s = snap
-    if (s.deletes.nonEmpty) throw new IllegalStateException(
-      s"iceberg-meta: snapshot ${s.snapshotId} of ${s.root} " +
-        "carries positional delete files — readable only with " +
-        "GraftExtensions enabled (the delete-applying scan rewrite)")
+    if (s.deletes.nonEmpty || s.eqDeletes.nonEmpty)
+      throw new IllegalStateException(
+        s"iceberg-meta: snapshot ${s.snapshotId} of ${s.root} " +
+          "carries v2 row-level delete files — readable only with " +
+          "GraftExtensions enabled (the delete-applying scan rewrite)")
     val listed = s.files.map { f =>
       f -> new FileStatus(f.sizeBytes, false, 1, 128L * 1024 * 1024, 0L,
         new HPath(new java.io.File(f.path).toURI))
@@ -241,8 +242,12 @@ object IcebergMetaRead {
     * None when no file is touched. */
   def posDeleteSplit(spark: SparkSession, snap: IcebergMeta.IceSnapshot)
       : (IcebergMeta.IceSnapshot, Option[DataFrame]) = {
+    // seq gate per spec: a position delete covers rows that existed
+    // when it was written — data appended AFTER it (f.seq > d.seq)
+    // is out of scope even if the file_path bounds would match
     val touched = snap.files.filter(f => snap.deletes.exists(d =>
-      d.pathLo.forall(_ <= f.recordedPath) &&
+      f.seq <= d.seq &&
+        d.pathLo.forall(_ <= f.recordedPath) &&
         d.pathHi.forall(f.recordedPath <= _)))
     val touchedSet = touched.map(_.path).toSet
     val clean = snap.copy(
@@ -252,5 +257,46 @@ object IcebergMetaRead {
     else (clean, Some(
       withPositions(spark, snap.copy(files = touched))
         .drop(FpCol, PosCol)))
+  }
+
+  /** All visible rows of a snapshot under BOTH v2 delete kinds — the
+    * full merge-on-read read path. Shape: data files are partitioned
+    * by WHICH equality deletes apply to them (spec seq gate:
+    * `file.seq < delete.seq`), so the branch count is bounded by the
+    * number of DISTINCT applicable-delete sets — a 100 TB table with
+    * one equality-delete commit plans exactly two branches (older
+    * files anti-joined, newer files stock scan). Within each branch,
+    * positional deletes apply via [[posDeleteSplit]] (file_path-bounds
+    * targeted), then one broadcast LEFT ANTI hash join per distinct
+    * equality-column set — the join keys are null-safe equalities
+    * (spec: "null values are considered equal"), which Spark plans as
+    * an equi hash join, never a nested loop. Delete-value lists are
+    * small by contract (they are WRITTEN as single bounded files);
+    * broadcasting them keeps the data side shuffle-free. */
+  def morRead(spark: SparkSession,
+      snap: IcebergMeta.IceSnapshot): DataFrame = {
+    import org.apache.spark.sql.functions.{broadcast, col}
+    if (snap.files.isEmpty)
+      return df(spark, snap.copy(deletes = Nil, eqDeletes = Nil))
+    val groups = snap.files
+      .groupBy(f => snap.eqDeletes.filter(d => f.seq < d.seq))
+      .toSeq.sortBy { case (_, fs) => fs.map(_.path).min } // determinism
+    val branches = groups.map { case (applicable, fs) =>
+      val sub = snap.copy(files = fs, eqDeletes = Nil)
+      val (clean, touched) = posDeleteSplit(spark, sub)
+      val base = ((if (clean.files.nonEmpty) Seq(df(spark, clean))
+        else Seq.empty[DataFrame]) ++ touched.toSeq).reduce(_ union _)
+      applicable.groupBy(_.eqCols).toSeq
+        .sortBy(_._1.mkString(","))
+        .foldLeft(base) { case (cur, (eqCols, dels)) =>
+          val delRows = spark.read.parquet(dels.map(_.path): _*)
+            .select(eqCols.map(c => col(c).as(s"__ice_eq_$c")): _*)
+            .distinct()
+          val cond = eqCols.map(c => col(c) <=> col(s"__ice_eq_$c"))
+            .reduce(_ && _)
+          cur.join(broadcast(delRows), cond, "left_anti")
+        }
+    }
+    branches.reduce(_ union _)
   }
 }

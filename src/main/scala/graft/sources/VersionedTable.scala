@@ -1121,6 +1121,19 @@ object VersionedTable {
       "importDelta: partitioned Delta tables keep partition values in " +
         "the log, not the files — read via format(\"delta-log\") or " +
         "rewrite unpartitioned before converting")
+    // a zero-copy import points straight at the parquet files, so any
+    // log-side row/name indirection would silently corrupt the result:
+    // deletion vectors would RESURRECT deleted rows, column mapping
+    // would read all-NULL columns. Refuse; materialize first.
+    require(snap.adds.forall(_.deletionVector.isEmpty),
+      "importDelta: the snapshot carries DELETION VECTORS — deleted " +
+        "rows would resurrect through a zero-copy import. Materialize " +
+        "them first (DELETE FROM via format(\"delta-log\") is " +
+        "copy-on-write) or read the table through the datasource")
+    require(snap.columnMapping.isEmpty,
+      "importDelta: the table uses COLUMN MAPPING (physical file " +
+        "names differ from the logical schema) — read it via " +
+        "format(\"delta-log\") instead of converting")
     val srcAbs = Paths.get(deltaRoot).toAbsolutePath
     val statTyp: org.apache.spark.sql.types.DataType => Option[String] = {
       import org.apache.spark.sql.types._
@@ -1180,6 +1193,13 @@ object VersionedTable {
     val snap = IcebergMeta.snapshot(iceRoot, snapshotId)
     require(latestVersion(graftRoot) < 0,
       s"importIceberg: $graftRoot is already a versioned table")
+    // same posture as importDelta's deletion-vector gate: a zero-copy
+    // import lists data files only, so v2 row-level deletes would
+    // RESURRECT deleted rows. Refuse; compact/rewrite first.
+    require(snap.deletes.isEmpty && snap.eqDeletes.isEmpty,
+      "importIceberg: the snapshot carries v2 row-level DELETE files " +
+        "— deleted rows would resurrect through a zero-copy import. " +
+        "Rewrite the table first, or read it via format(\"iceberg-meta\")")
     val fileLines = snap.files.map(f => (f, s"ext:${f.path}"))
     val statLines = fileLines.flatMap { case (f, ref) =>
       f.stats.toSeq.sortBy(_._1).flatMap { case (c, cs) =>

@@ -1,0 +1,120 @@
+package graft.sources
+
+import java.nio.file.Files
+
+import graft.SparkSpecBase
+import org.apache.spark.sql.functions._
+
+/** Iceberg v2 EQUALITY deletes ([[IcebergMeta.deleteEquality]] +
+  * [[IcebergMetaRead.morRead]]): delete-by-value commits that read no
+  * data files, the spec's strict sequence-number scoping (later
+  * appends re-inserting a deleted key survive), null-safe matching,
+  * composition with positional deletes, and the refusal posture. */
+class IcebergEqDeleteSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private def tmp(): String =
+    Files.createTempDirectory("ice_eq_spec_").toString + "/t"
+
+  test("equality delete removes matching rows; no data file rewritten") {
+    val root = tmp()
+    IcebergMeta.writeFixture(
+      spark.range(0, 20).toDF("k").withColumn("cat",
+        when(col("k") % 3 === 0, "a").otherwise("b")), root)
+    val before = IcebergMeta.snapshot(root).files.map(_.path).toSet
+    IcebergMeta.deleteEquality(spark, root, Seq("a").toDF("cat"))
+    val snap = IcebergMeta.snapshot(root)
+    assert(snap.eqDeletes.size === 1)
+    assert(snap.eqDeletes.head.eqCols === Seq("cat"))
+    // zero write amplification: every pre-delete data file survives
+    assert(snap.files.map(_.path).toSet === before)
+    val ds = spark.read.format("iceberg-meta").load(root)
+    assert(ds.count() === (0 until 20).count(_ % 3 != 0))
+    assert(ds.filter(col("cat") === "a").count() === 0)
+    assert(ds.agg(sum("k")).as[Long].head() ===
+      (0 until 20).filter(_ % 3 != 0).sum)
+  }
+
+  test("strict seq scoping: a later append re-inserting the key survives") {
+    val root = tmp()
+    IcebergMeta.writeFixture(
+      spark.range(0, 10).toDF("k").withColumn("cat", lit("x")), root)
+    IcebergMeta.deleteEquality(spark, root, Seq("x").toDF("cat"))
+    // seq(new files) > seq(delete) → out of the delete's scope
+    IcebergMeta.append(
+      spark.range(100, 105).toDF("k").withColumn("cat", lit("x")), root)
+    val ds = spark.read.format("iceberg-meta").load(root)
+    assert(ds.count() === 5)
+    assert(ds.agg(sum("k")).as[Long].head() === (100 until 105).sum)
+    // a SECOND delete at a yet-higher seq removes the re-inserts too
+    IcebergMeta.deleteEquality(spark, root, Seq("x").toDF("cat"))
+    assert(spark.read.format("iceberg-meta").load(root).count() === 0)
+  }
+
+  test("multi-column + null-safe matching; empty values is a no-op") {
+    val root = tmp()
+    IcebergMeta.writeFixture(
+      Seq[(java.lang.Long, String)]((1L, "a"), (2L, "b"), (null, "a"),
+        (3L, null), (4L, "a")).toDF("k", "cat"), root)
+    val snapBefore = IcebergMeta.snapshot(root).snapshotId
+    // empty values → no commit at all
+    assert(IcebergMeta.deleteEquality(spark, root,
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("cat",
+            org.apache.spark.sql.types.StringType)))))
+      === snapBefore)
+    // (null, "a") deletes exactly the row with k IS NULL AND cat='a'
+    IcebergMeta.deleteEquality(spark, root,
+      Seq[(java.lang.Long, String)]((null, "a")).toDF("k", "cat"))
+    val left = spark.read.format("iceberg-meta").load(root)
+      .select("k").as[java.lang.Long].collect().toSet
+    assert(left === Set[java.lang.Long](1L, 2L, 3L, 4L))
+  }
+
+  test("composes with positional deletes and time travel") {
+    val root = tmp()
+    val snap0 = IcebergMeta.writeFixture(
+      spark.range(0, 12).toDF("k").withColumn("cat",
+        when(col("k") < 6, "old").otherwise("new")), root)
+    // positional first (pos machinery refuses AFTER an eq delete)
+    IcebergMeta.delete(spark, root, col("k") === 0)
+    IcebergMeta.deleteEquality(spark, root, Seq("new").toDF("cat"))
+    val ds = spark.read.format("iceberg-meta").load(root)
+    assert(ds.select("k").as[Long].collect().sorted.toSeq ===
+      (1L until 6L))
+    // positional DELETE now refuses (kinds don't mix in the writer)
+    val e = intercept[IllegalArgumentException] {
+      IcebergMeta.delete(spark, root, col("k") === 1)
+    }
+    assert(e.getMessage.contains("EQUALITY"))
+    // time travel to the original snapshot sees everything
+    assert(spark.read.format("iceberg-meta")
+      .option("snapshotId", snap0.toString).load(root).count() === 12)
+  }
+
+  test("refusals: raw listing, convert, schema mismatch") {
+    val root = tmp()
+    IcebergMeta.writeFixture(
+      spark.range(0, 6).toDF("k").withColumn("cat", lit("x")), root)
+    IcebergMeta.deleteEquality(spark, root, Seq("x").toDF("cat"))
+    val snap = IcebergMeta.snapshot(root)
+    assert(snap.deletes.isEmpty && snap.eqDeletes.size === 1)
+    // raw listing outside the rewrite refuses
+    val idx = new IcebergMetaFileIndex(spark, snap)
+    val e1 = intercept[IllegalStateException] { idx.listFiles(Nil, Nil) }
+    assert(e1.getMessage.contains("row-level delete"))
+    // CONVERT would resurrect the deleted rows → refuses
+    val e2 = intercept[IllegalArgumentException] {
+      VersionedTable.importIceberg(spark, root,
+        Files.createTempDirectory("eq_conv_").toString + "/g")
+    }
+    assert(e2.getMessage.contains("resurrect"))
+    // equality columns must match table fields by name AND type
+    val e3 = intercept[IllegalArgumentException] {
+      IcebergMeta.deleteEquality(spark, root, Seq(1).toDF("cat"))
+    }
+    assert(e3.getMessage.contains("mismatched"))
+  }
+}

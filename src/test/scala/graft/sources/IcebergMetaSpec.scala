@@ -297,10 +297,9 @@ class IcebergMetaSpec extends SparkSpecBase {
     val e = intercept[IllegalStateException] {
       idx.listFiles(Nil, Nil)
     }
-    assert(e.getMessage.contains("positional delete"))
-    // hand-patch the delete manifest reference into an equality one is
-    // impractical here; instead assert the snapshot-level gate text
-    // exists for content=2 via the code path (covered by construction)
+    assert(e.getMessage.contains("row-level delete"))
+    // equality deletes are SUPPORTED since round 8 — their read path,
+    // seq gating, and refusals live in IcebergEqDeleteSpec
   }
 
   test("SQL DELETE FROM an iceberg-meta catalog table") {

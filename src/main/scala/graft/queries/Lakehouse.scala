@@ -1701,6 +1701,95 @@ object Lakehouse {
              |  CAST(sum(o_custkey) AS BIGINT) AS sum_cust,
              |  CAST(sum(o_orderkey) AS BIGINT) AS sum_key
              |FROM orders WHERE o_orderkey <= 1024
+             |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)),
+
+    // ICEBERG V2 EQUALITY DELETES (round 8): delete-by-VALUE — the
+    // streaming-upsert primitive real Flink/Iceberg CDC pipelines
+    // write, and the last v2 delete kind this reader refused. The
+    // commit writes ONE content=2 parquet naming the values (here: the
+    // single status 'P') and touches zero data files; the read side
+    // (IcebergMetaRead.morRead) partitions data files by the spec's
+    // STRICT sequence ordering — the entry proves it end to end by
+    // appending more orders (including more 'P' rows) AFTER the
+    // delete: files at seq 3 are out of the seq-2 delete's scope, so
+    // exactly the pre-delete 'P' rows vanish. Oracle restates that
+    // scoping over raw orders. IcebergEqDeleteSpec pins null-safe
+    // matching, pos-delete composition, and the refusal posture.
+    QueryDef(
+      "q242_iceberg_equality_delete",
+      (s, d) => {
+        val root = Files.createTempDirectory("ice_eq_e_").toString + "/t"
+        val tbl = "ice_eq_orders_entry"
+        val src = orders(s, d).select(col("o_orderkey"), col("o_custkey"),
+          col("o_orderstatus"))
+        val split = 1024L
+        src.filter(col("o_orderkey") <= split)
+          .repartitionByRange(4, col("o_orderkey"))
+          .write.format("iceberg-meta").save(root)           // seq 1
+        import s.implicits._
+        graft.sources.IcebergMeta.deleteEquality(s, root,
+          Seq("P").toDF("o_orderstatus"))                    // seq 2
+        src.filter(col("o_orderkey") > split)
+          .repartitionByRange(4, col("o_orderkey"))
+          .write.format("iceberg-meta").mode("append").save(root) // seq 3
+        s.sql(s"DROP TABLE IF EXISTS $tbl")
+        s.sql(s"CREATE TABLE $tbl USING `iceberg-meta` OPTIONS (path '$root')")
+        val out = s.sql(
+          s"""SELECT o_orderstatus, count(*) AS n_orders,
+             |  CAST(sum(o_custkey) AS BIGINT) AS sum_cust,
+             |  CAST(sum(o_orderkey) AS BIGINT) AS sum_key
+             |FROM $tbl GROUP BY o_orderstatus
+             |ORDER BY o_orderstatus""".stripMargin)
+        s.sql(s"DROP TABLE $tbl")
+        out
+      },
+      Some("""SELECT o_orderstatus, count(*) AS n_orders,
+             |  CAST(sum(o_custkey) AS BIGINT) AS sum_cust,
+             |  CAST(sum(o_orderkey) AS BIGINT) AS sum_key
+             |FROM orders
+             |WHERE o_orderkey > 1024 OR o_orderstatus <> 'P'
+             |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)),
+
+    // PARTITIONED DELTA COW DELETE (round 8): SQL `DELETE FROM` a
+    // Hive-partitioned Delta table — the shape round-7/8 refused.
+    // Survivors of the touched files restage through the writer's own
+    // partitionBy layout (partition columns live in `col=value/` DIRS
+    // and `partitionValues`, never in the parquet — the spec's
+    // layout), so every new add re-records its partition and files in
+    // untouched partitions carry over unread. The entry partitions
+    // orders by status, deletes a key-range slice CROSSING all
+    // partitions plus one whole partition by partition predicate
+    // (pruned: only that partition's files are scanned), then
+    // aggregates survivors per status. Oracle restates both deletes
+    // over raw orders. DeletionVectorsSpec pins the per-partition
+    // rewrite (untouched partition files carry over by path).
+    QueryDef(
+      "q243_delta_partitioned_delete",
+      (s, d) => {
+        val root = Files.createTempDirectory("dpd_entry_").toString
+        val tbl = "dpd_orders_entry"
+        val src = orders(s, d).select(col("o_orderkey"), col("o_custkey"),
+          col("o_orderstatus"))
+        graft.sources.DeltaLog.commit(src, root,
+          partitionBy = Seq("o_orderstatus"))
+        s.sql(s"DROP TABLE IF EXISTS $tbl")
+        s.sql(s"CREATE TABLE $tbl USING `delta-log` OPTIONS (path '$root')")
+        s.sql(s"DELETE FROM $tbl WHERE o_orderkey % 10 < 3")
+        s.sql(s"DELETE FROM $tbl WHERE o_orderstatus = 'P'")
+        val out = s.sql(
+          s"""SELECT o_orderstatus, count(*) AS n_orders,
+             |  CAST(sum(o_custkey) AS BIGINT) AS sum_cust,
+             |  CAST(sum(o_orderkey) AS BIGINT) AS sum_key
+             |FROM $tbl GROUP BY o_orderstatus
+             |ORDER BY o_orderstatus""".stripMargin)
+        s.sql(s"DROP TABLE $tbl")
+        out
+      },
+      Some("""SELECT o_orderstatus, count(*) AS n_orders,
+             |  CAST(sum(o_custkey) AS BIGINT) AS sum_cust,
+             |  CAST(sum(o_orderkey) AS BIGINT) AS sum_key
+             |FROM orders
+             |WHERE o_orderkey % 10 >= 3 AND o_orderstatus <> 'P'
              |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin))
   )
 }

@@ -152,6 +152,51 @@ object DeltaLog {
   private def decodePath(p: String): String =
     java.net.URLDecoder.decode(p.replace("+", "%2B"), "UTF-8")
 
+  /** The actions of ONE commit JSON, for the streaming tail
+    * ([[DeltaLogStream]]): data-changing adds (compaction adds with
+    * `dataChange: false` are invisible to a stream, per the Delta
+    * contract), removed paths with their dataChange flag, and whether
+    * the commit restated metaData/protocol (schema drift → the stream
+    * must refuse and ask for a restart). Refuses when the commit file
+    * is gone (log truncated past a checkpoint): a stream cannot
+    * replay vacuumed history. */
+  final case class CommitActions(version: Long, adds: Seq[DeltaAdd],
+      removedPaths: Seq[String], dataChangingRemoves: Boolean,
+      metaChanged: Boolean)
+
+  def commitActions(root: String, v: Long): CommitActions = {
+    val p = commitPath(root, v)
+    if (!io(root).exists(p))
+      throw new IllegalStateException(
+        s"delta-log: commit $v of $root has no JSON file (log " +
+          "truncated past a checkpoint) — restart the stream from a " +
+          "fresh snapshot")
+    val adds = scala.collection.mutable.ListBuffer.empty[DeltaAdd]
+    val removes = scala.collection.mutable.ListBuffer.empty[String]
+    var removeChangesData = false
+    var metaChanged = false
+    io(root).readLines(p)
+      .iterator.map(_.trim).filter(_.nonEmpty).foreach { line =>
+        val n = mapper.readTree(line)
+        val name = n.fieldNames().next()
+        val body = n.get(name)
+        name match {
+          case "add" =>
+            val dataChange = !body.hasNonNull("dataChange") ||
+              body.get("dataChange").asBoolean()
+            if (dataChange) adds += parseAdd(body)
+          case "remove" =>
+            removes += decodePath(body.get("path").asText())
+            if (!body.hasNonNull("dataChange") ||
+              body.get("dataChange").asBoolean()) removeChangesData = true
+          case "metaData" | "protocol" => metaChanged = true
+          case _ => ()
+        }
+      }
+    CommitActions(v, adds.toSeq, removes.toSeq, removeChangesData,
+      metaChanged)
+  }
+
   private def parseAdd(n: JsonNode): DeltaAdd = {
     val dv = Option(n.get("deletionVector")).filterNot(_.isNull).map { d =>
       DeletionVectors.Descriptor(
@@ -372,6 +417,64 @@ object DeltaLog {
       java.net.URLEncoder.encode(seg, "UTF-8").replace("+", "%20"))
       .mkString("/")
 
+  /** Stage `df` as parquet (Hive-style `col=value/` dirs when
+    * `partitionBy` is set — the partition columns land in the DIRS,
+    * not the files, per the spec's layout), then relocate every leaf
+    * under the table root with globally unique names, decoding each
+    * leaf's directory chain back into `partitionValues` (Spark's own
+    * path escaping, `__HIVE_DEFAULT_PARTITION__` → null). Shared by
+    * [[commit]] and the copy-on-write rewrite ([[replaceFiles]]). */
+  private def stageAndLand(spark: SparkSession, df: DataFrame,
+      root: String, partitionBy: Seq[String], nonce: String)
+      : Seq[DeltaAdd] = {
+    // subdir: createTempDirectory pre-creates the parent, and Spark's
+    // errorifexists mode refuses an existing target path
+    val staging = Files.createTempDirectory("delta_stage_").resolve("out")
+    val writer = df.write.mode("errorifexists")
+    (if (partitionBy.nonEmpty) writer.partitionBy(partitionBy: _*) else writer)
+      .parquet(staging.toString)
+    val stream = Files.walk(staging)
+    val leaves =
+      try stream.iterator().asScala.toSeq.filter(p =>
+        Files.isRegularFile(p) &&
+          p.getFileName.toString.endsWith(".parquet") &&
+          !p.getFileName.toString.startsWith("."))
+      finally stream.close()
+    leaves.sortBy(_.toString).zipWithIndex.map { case (p, i) =>
+      val relDir = staging.relativize(p).getParent // partition dirs or null
+      val pvPairs = Option(relDir).toSeq.flatMap(_.iterator().asScala)
+        .map(_.toString).filter(_.contains("="))
+        .map { seg =>
+          val Array(k, v) = seg.split("=", 2)
+          k -> org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+            .unescapePathName(v)
+        }
+      val nullCols = pvPairs.collect {
+        case (k, v) if v == "__HIVE_DEFAULT_PARTITION__" => k }.toSet
+      val pv = pvPairs.filterNot(kv => nullCols(kv._1)).toMap
+      val name = f"part-$i%05d-$nonce.parquet" // deterministic unique name
+      val rel = Option(relDir).map(_.toString + "/").getOrElse("") + name
+      val dst = Paths.get(root, rel)
+      Files.createDirectories(dst.getParent)
+      Files.move(p, dst)
+      val st = VersionedTable.footerStats(spark, dst)
+      DeltaAdd(rel, pv, nullCols, Files.size(dst), statsJsonOf(st))
+    }
+  }
+
+  /** One spec-shaped `add` JSON line. */
+  private def addLine(a: DeltaAdd): String = {
+    val pvJson = (a.partitionValues.toSeq.sortBy(_._1)
+      .map { case (k, v) => s"${jsonStr(k)}:${jsonStr(v)}" } ++
+      a.nullPartitionCols.toSeq.sorted.map(k => s"${jsonStr(k)}:null"))
+      .mkString(",")
+    s"""{"add":{"path":${jsonStr(encodePath(a.path))},""" +
+      s""""partitionValues":{$pvJson},"size":${a.size},""" +
+      s""""modificationTime":${System.currentTimeMillis},""" +
+      s""""dataChange":true${a.statsJson.fold("")(s =>
+        s""","stats":${jsonStr(s)}""")}}}"""
+  }
+
   /** Commit `df` to the Delta table at `root`.
     *
     * `mode`: `append` adds files (schema must match the table's by
@@ -406,37 +509,7 @@ object DeltaLog {
     val nonce = java.util.UUID.randomUUID().toString.take(8)
     // subdir: createTempDirectory pre-creates the parent, and Spark's
     // errorifexists mode refuses an existing target path
-    val staging = Files.createTempDirectory("delta_stage_").resolve("out")
-    val writer = df.write.mode("errorifexists")
-    (if (partitionBy.nonEmpty) writer.partitionBy(partitionBy: _*) else writer)
-      .parquet(staging.toString)
-    val stream = Files.walk(staging)
-    val leaves =
-      try stream.iterator().asScala.toSeq.filter(p =>
-        Files.isRegularFile(p) &&
-          p.getFileName.toString.endsWith(".parquet") &&
-          !p.getFileName.toString.startsWith("."))
-      finally stream.close()
-    val adds = leaves.sortBy(_.toString).zipWithIndex.map { case (p, i) =>
-      val relDir = staging.relativize(p).getParent // partition dirs or null
-      val pvPairs = Option(relDir).toSeq.flatMap(_.iterator().asScala)
-        .map(_.toString).filter(_.contains("="))
-        .map { seg =>
-          val Array(k, v) = seg.split("=", 2)
-          k -> org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
-            .unescapePathName(v)
-        }
-      val nullCols = pvPairs.collect {
-        case (k, v) if v == "__HIVE_DEFAULT_PARTITION__" => k }.toSet
-      val pv = pvPairs.filterNot(kv => nullCols(kv._1)).toMap
-      val name = f"part-$i%05d-$nonce.parquet" // deterministic unique name
-      val rel = Option(relDir).map(_.toString + "/").getOrElse("") + name
-      val dst = Paths.get(root, rel)
-      Files.createDirectories(dst.getParent)
-      Files.move(p, dst)
-      val st = VersionedTable.footerStats(spark, dst)
-      DeltaAdd(rel, pv, nullCols, Files.size(dst), statsJsonOf(st))
-    }
+    val adds = stageAndLand(spark, df, root, partitionBy, nonce)
     val next = latest + 1
     val lines = scala.collection.mutable.ListBuffer.empty[String]
     lines += s"""{"commitInfo":{"timestamp":${System.currentTimeMillis},""" +
@@ -454,17 +527,7 @@ object DeltaLog {
       lines += s"""{"remove":{"path":${jsonStr(encodePath(a.path))},""" +
         s""""deletionTimestamp":${System.currentTimeMillis},"dataChange":true}}"""
     })
-    adds.foreach { a =>
-      val pvJson = (a.partitionValues.toSeq.sortBy(_._1)
-        .map { case (k, v) => s"${jsonStr(k)}:${jsonStr(v)}" } ++
-        a.nullPartitionCols.toSeq.sorted.map(k => s"${jsonStr(k)}:null"))
-        .mkString(",")
-      lines += s"""{"add":{"path":${jsonStr(encodePath(a.path))},""" +
-        s""""partitionValues":{$pvJson},"size":${a.size},""" +
-        s""""modificationTime":${System.currentTimeMillis},""" +
-        s""""dataChange":true${a.statsJson.fold("")(s =>
-          s""","stats":${jsonStr(s)}""")}}}"""
-    }
+    adds.foreach(a => lines += addLine(a))
     try io(root).putIfAbsent(commitPath(root, next),
       lines.mkString("", "\n", "\n").getBytes(UTF_8))
     catch {
@@ -485,17 +548,16 @@ object DeltaLog {
     * deleted rows gone, and its `remove` retires the DV).
     *
     * Rows where `cond` is NULL are KEPT (SQL DELETE semantics).
-    * Unpartitioned tables only — a partitioned COW delete would need
-    * per-partition rewrite bookkeeping this interop layer does not
-    * carry; refuse loudly. Returns the committed version (or the
-    * current one unchanged when nothing matches). */
+    * PARTITIONED tables rewrite per partition: the survivors of the
+    * touched files restage through the same Hive-style
+    * `col=value/` layout the writer uses ([[stageAndLand]]), so each
+    * new add re-records its `partitionValues` and files in UNtouched
+    * partitions are never read or rewritten. Returns the committed
+    * version (or the current one unchanged when nothing matches). */
   def deleteWhere(spark: SparkSession, root: String,
       cond: org.apache.spark.sql.Column): Long = {
     import org.apache.spark.sql.functions.{coalesce, col, lit, not}
     val snap = snapshot(spark, root)
-    require(snap.partitionColumns.isEmpty,
-      "delta-log: DELETE on a PARTITIONED table is not supported by " +
-        "this interop layer — use delta-spark, or overwrite the table")
     require(snap.columnMapping.isEmpty,
       "delta-log: DELETE on a COLUMN-MAPPED table is not supported by " +
         "this interop layer — use delta-spark")
@@ -509,36 +571,25 @@ object DeltaLog {
     val touchedAdds = touchedUris.map(u => uriToAdd.getOrElse(u,
       throw new IllegalStateException(
         s"delta-log: scan URI $u not in snapshot v${snap.version}")))
+    // survivors keep their partition columns: stageAndLand routes
+    // them back into `col=value/` dirs and re-records partitionValues
     val keep = vis
       .filter(col(DeltaLogRead.FpCol).isin(touchedUris.toSeq: _*))
       .filter(not(coalesce(cond, lit(false))))
       .drop(DeltaLogRead.FpCol, DeltaLogRead.PosCol)
-    replaceFiles(spark, root, touchedAdds.map(_.path).toSeq, keep)
+    replaceFiles(spark, root, touchedAdds.map(_.path).toSeq, keep,
+      snap.partitionColumns)
   }
 
-  /** COW support: land `df` as new UNPARTITIONED data files and commit
-    * one version of `remove(removedPaths)` + `add(new files)`. */
+  /** COW support: land `df` as new data files (Hive-style dirs +
+    * re-recorded `partitionValues` when `partitionBy` is set) and
+    * commit one version of `remove(removedPaths)` + `add(new files)`. */
   private def replaceFiles(spark: SparkSession, root: String,
-      removedPaths: Seq[String], df: DataFrame): Long = {
+      removedPaths: Seq[String], df: DataFrame,
+      partitionBy: Seq[String] = Nil): Long = {
     val latest = latestVersion(root)
     val nonce = java.util.UUID.randomUUID().toString.take(8)
-    val staging = Files.createTempDirectory("delta_cow_").resolve("out")
-    df.write.mode("errorifexists").parquet(staging.toString)
-    val stream = Files.list(staging)
-    val leaves =
-      try stream.iterator().asScala.toSeq.filter(p =>
-        Files.isRegularFile(p) &&
-          p.getFileName.toString.endsWith(".parquet") &&
-          !p.getFileName.toString.startsWith("."))
-      finally stream.close()
-    val adds = leaves.sortBy(_.toString).zipWithIndex.map { case (p, i) =>
-      val name = f"part-$i%05d-$nonce.parquet"
-      val dst = Paths.get(root, name)
-      Files.move(p, dst)
-      val st = VersionedTable.footerStats(spark, dst)
-      DeltaAdd(name, Map.empty, Set.empty, Files.size(dst),
-        statsJsonOf(st))
-    }
+    val adds = stageAndLand(spark, df, root, partitionBy, nonce)
     val next = latest + 1
     val lines = scala.collection.mutable.ListBuffer.empty[String]
     lines += s"""{"commitInfo":{"timestamp":${System.currentTimeMillis},""" +
@@ -548,13 +599,7 @@ object DeltaLog {
         s""""deletionTimestamp":${System.currentTimeMillis},""" +
         """"dataChange":true}}"""
     }
-    adds.foreach { a =>
-      lines += s"""{"add":{"path":${jsonStr(encodePath(a.path))},""" +
-        s""""partitionValues":{},"size":${a.size},""" +
-        s""""modificationTime":${System.currentTimeMillis},""" +
-        s""""dataChange":true${a.statsJson.fold("")(s =>
-          s""","stats":${jsonStr(s)}""")}}}"""
-    }
+    adds.foreach(a => lines += addLine(a))
     try io(root).putIfAbsent(commitPath(root, next),
       lines.mkString("", "\n", "\n").getBytes(UTF_8))
     catch {

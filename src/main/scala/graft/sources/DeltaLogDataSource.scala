@@ -50,9 +50,33 @@ import org.apache.spark.unsafe.types.UTF8String
   * planning call, like the graft index.
   */
 class DeltaLogDataSource extends RelationProvider
-    with CreatableRelationProvider with DataSourceRegister {
+    with CreatableRelationProvider with DataSourceRegister
+    with org.apache.spark.sql.sources.StreamSourceProvider {
 
   override def shortName(): String = "delta-log"
+
+  // ---- streaming read: tail the commit log version-by-version ----
+  // `spark.readStream.format("delta-log").load(root)` — Delta's own
+  // readStream semantics: initial snapshot first (unless
+  // `startingVersion` = N | "latest"), then each micro-batch carries
+  // the data-changing adds of the commits in (start, end]; a commit
+  // that REMOVES data refuses unless `ignoreDeletes` (remove-only) /
+  // `ignoreChanges` (rewrites re-emit their files) — see
+  // [[DeltaLogStream]].
+
+  override def sourceSchema(sqlContext: SQLContext,
+      schema: Option[StructType], providerName: String,
+      parameters: Map[String, String]): (String, StructType) =
+    (shortName(), schema.getOrElse(
+      DeltaLog.snapshot(sqlContext.sparkSession,
+        rootOf(parameters)).schema))
+
+  override def createSource(sqlContext: SQLContext, metadataPath: String,
+      schema: Option[StructType], providerName: String,
+      parameters: Map[String, String])
+      : org.apache.spark.sql.execution.streaming.Source =
+    DeltaLogStream.create(sqlContext, metadataPath, schema, parameters,
+      rootOf(parameters))
 
   private def rootOf(parameters: Map[String, String]): String = {
     val p = parameters.getOrElse("path", throw new IllegalArgumentException(
@@ -364,5 +388,214 @@ object DeltaLogRead {
     else (cleanSnap, Some(
       withPositions(spark, snap.copy(adds = touched))
         .drop(FpCol, PosCol)))
+  }
+}
+
+/** Structured-streaming SOURCE over a real Delta table — Delta's own
+  * `spark.readStream.format("delta")` semantics, through the
+  * dependency-free [[DeltaLog]] protocol reader:
+  *
+  *  - the FIRST batch is the full current snapshot (pinned at the
+  *    first planned offset), unless `startingVersion` is a version N
+  *    (tail from commit N's own adds) or `"latest"` (only commits
+  *    after stream start);
+  *  - every later micro-batch carries the data-changing `add` files
+  *    of the commits in `(start, end]` — compaction adds
+  *    (`dataChange: false`) are invisible, per the Delta contract;
+  *  - a commit that REMOVES data refuses by default: `ignoreDeletes`
+  *    admits remove-only commits (partition deletes), `ignoreChanges`
+  *    additionally admits rewrites — their re-added files re-emit in
+  *    full (Delta's documented at-least-once caveat);
+  *  - a commit restating metaData/protocol (schema drift) refuses
+  *    with the restart instruction;
+  *  - `maxVersionsPerTrigger` paces backlogs (admission control with
+  *    a persisted high-water mark, the FileStreamSource pattern), and
+  *    Trigger.AvailableNow drains to the log head frozen at start —
+  *    both exactly as the graft [[ChangeFeedSource]] does them.
+  *
+  * Offsets ARE Delta versions, so exactly-once is structural: commits
+  * are immutable, a replayed batch re-reads identical JSON. Batches
+  * resolve through the same pinned-snapshot relation as batch reads,
+  * so DELETION VECTORS and COLUMN MAPPING compose via the
+  * GraftExtensions scan rewrites (and refuse loudly without them).
+  * The batch cost is O(new files), never O(table) — the shape that
+  * tails a 100 TB table at the cost of its delta. */
+object DeltaLogStream {
+  import org.apache.spark.sql.GraftColumnBridge
+  import org.apache.spark.sql.execution.streaming.{Offset, Source}
+  import org.apache.spark.sql.execution.streaming.runtime.{
+    LongOffset, SerializedOffset}
+  import org.apache.spark.sql.execution.datasources.LogicalRelation
+
+  private def offsetVersion(o: Offset): Long = o match {
+    case l: LongOffset => l.offset
+    case s: SerializedOffset => LongOffset(s).offset
+    case other => other.json.toLong
+  }
+
+  private[sources] def create(sqlContext: SQLContext,
+      metadataPath: String, schema: Option[StructType],
+      parameters: Map[String, String], root: String): Source = {
+    val lower = parameters.map { case (k, v) => k.toLowerCase -> v }
+    val head = DeltaLog.latestVersion(root)
+    require(head >= 0, s"delta-log: $root is not a Delta table")
+    val declared = schema.getOrElse(
+      DeltaLog.snapshot(sqlContext.sparkSession, root).schema)
+    // startingVersion: absent → initial snapshot; N → tail from commit
+    // N; "latest" → only commits after stream start
+    val (initialSnapshot, startAfter) =
+      lower.get("startingversion") match {
+        case None => (true, -1L)
+        case Some(v) if v.equalsIgnoreCase("latest") => (false, head)
+        case Some(v) => (false, v.toLong - 1L)
+      }
+    val maxPerTrigger = lower.get("maxversionspertrigger").map { v =>
+      val n = v.toLong
+      require(n > 0, s"maxVersionsPerTrigger must be positive, got $n")
+      n
+    }
+    new VersionTail(sqlContext, root, declared, initialSnapshot,
+      startAfter, maxPerTrigger,
+      ignoreDeletes = lower.get("ignoredeletes").exists(_.toBoolean),
+      ignoreChanges = lower.get("ignorechanges").exists(_.toBoolean),
+      metadataPath)
+  }
+
+  private[sources] final class VersionTail(sqlContext: SQLContext,
+      root: String, declared: StructType, initialSnapshot: Boolean,
+      startAfter: Long, maxPerTrigger: Option[Long],
+      ignoreDeletes: Boolean, ignoreChanges: Boolean,
+      metadataPath: String)
+      extends Source
+      with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl
+      with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
+
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+
+    private val spark = sqlContext.sparkSession
+
+    // persisted high-water mark (see ChangeFeedSource.VersionTail for
+    // why a capped source must not recompute offsets from zero after
+    // a fully-committed restart)
+    private val hwmFile = {
+      val dir =
+        if (metadataPath.contains(":")) new java.net.URI(metadataPath).getPath
+        else metadataPath
+      Paths.get(dir, "delta-version-hwm")
+    }
+
+    private var handedOut: Long =
+      if (Files.exists(hwmFile))
+        math.max(startAfter, new String(Files.readAllBytes(hwmFile),
+          java.nio.charset.StandardCharsets.UTF_8).trim.toLong)
+      else startAfter
+
+    private def persistHwm(v: Long): Unit = {
+      Files.createDirectories(hwmFile.getParent)
+      val tmp = Files.createTempFile(hwmFile.getParent, ".hwm", "")
+      Files.write(tmp, v.toString.getBytes(
+        java.nio.charset.StandardCharsets.UTF_8))
+      Files.move(tmp, hwmFile, StandardCopyOption.REPLACE_EXISTING,
+        StandardCopyOption.ATOMIC_MOVE)
+    }
+
+    override def schema: StructType = declared
+
+    override def getOffset: Option[Offset] = nextOffset(None)
+
+    private var availableNowTarget: Option[Long] = None
+
+    override def prepareForTriggerAvailableNow(): Unit =
+      availableNowTarget = Some(DeltaLog.latestVersion(root))
+
+    override def getDefaultReadLimit
+        : org.apache.spark.sql.connector.read.streaming.ReadLimit =
+      org.apache.spark.sql.connector.read.streaming.ReadLimit.allAvailable()
+
+    override def latestOffset(
+        start: org.apache.spark.sql.connector.read.streaming.Offset,
+        limit: org.apache.spark.sql.connector.read.streaming.ReadLimit)
+        : org.apache.spark.sql.connector.read.streaming.Offset =
+      nextOffset(availableNowTarget).orNull
+
+    private def nextOffset(target: Option[Long]): Option[LongOffset] = {
+      val head = DeltaLog.latestVersion(root)
+      val bounded = target.fold(head)(math.min(head, _))
+      val capped = maxPerTrigger
+        .fold(bounded)(m => math.min(bounded, handedOut + m))
+      if (capped <= handedOut) None else Some(LongOffset(capped))
+    }
+
+    /** Rows of a pinned sub-snapshot: schema/partitioning/mapping from
+      * version `at`, files = `adds` — resolved through the SAME
+      * relation batch reads use, so the DV and column-mapping scan
+      * rewrites (GraftExtensions) apply, and their no-extensions
+      * gates refuse loudly. */
+    private def rowsOf(at: Long, adds: Seq[DeltaLog.DeltaAdd])
+        : org.apache.spark.sql.DataFrame = {
+      val snap = DeltaLog.snapshot(spark, root, Some(at))
+        .copy(adds = adds)
+      GraftColumnBridge.ofRows(spark,
+        LogicalRelation(DeltaLogRead.relation(spark, snap),
+          isStreaming = false))
+    }
+
+    private def driftGuard(df: org.apache.spark.sql.DataFrame,
+        to: Long): org.apache.spark.sql.DataFrame = {
+      val got = df.schema.fields.map(f => f.name -> f.dataType).toSeq
+      val want = declared.fields.map(f => f.name -> f.dataType).toSeq
+      if (got != want)
+        throw new IllegalStateException(
+          s"delta-log stream of $root: table schema changed " +
+            s"mid-stream (stream declared " +
+            s"[${want.map(_._1).mkString(", ")}], v$to reads " +
+            s"[${got.map(_._1).mkString(", ")}]) — restart the " +
+            "streaming query to pick up the new schema")
+      df
+    }
+
+    override def getBatch(start: Option[Offset], end: Offset)
+        : org.apache.spark.sql.DataFrame = {
+      val to = offsetVersion(end)
+      if (to > handedOut) {
+        handedOut = to
+        if (maxPerTrigger.isDefined) persistHwm(to)
+      }
+      val batch = start match {
+        case None if initialSnapshot =>
+          // first batch = the full snapshot pinned at the first offset
+          rowsOf(to, DeltaLog.snapshot(spark, root, Some(to)).adds)
+        case _ =>
+          val after = start.map(offsetVersion).getOrElse(startAfter)
+          val versions = (after + 1) to to
+          val actions = versions.map(v => DeltaLog.commitActions(root, v))
+          actions.foreach { ca =>
+            if (ca.metaChanged && ca.version > 0)
+              // compared for real by driftGuard below; refuse only if
+              // the restated schema actually differs
+              ()
+            if (ca.dataChangingRemoves && ca.adds.nonEmpty && !ignoreChanges)
+              throw new IllegalStateException(
+                s"delta-log stream of $root: commit v${ca.version} " +
+                  "UPDATES data (remove+add) — set ignoreChanges to " +
+                  "re-emit rewritten files (at-least-once), or " +
+                  "restart from a fresh snapshot")
+            if (ca.dataChangingRemoves && ca.adds.isEmpty &&
+              !(ignoreDeletes || ignoreChanges))
+              throw new IllegalStateException(
+                s"delta-log stream of $root: commit v${ca.version} " +
+                  "DELETES data — set ignoreDeletes (remove-only " +
+                  "commits) or restart from a fresh snapshot")
+          }
+          // last add wins per path (a path re-added within the range
+          // carries its final descriptor)
+          val adds = actions.flatMap(_.adds)
+            .groupBy(_.path).map(_._2.last).toSeq.sortBy(_.path)
+          rowsOf(to, adds)
+      }
+      GraftColumnBridge.asStreaming(driftGuard(batch, to))
+    }
+
+    override def stop(): Unit = ()
   }
 }

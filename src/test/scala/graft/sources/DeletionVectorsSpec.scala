@@ -159,14 +159,28 @@ class DeletionVectorsSpec extends SparkSpecBase {
     } finally spark.sql("DROP TABLE IF EXISTS dv_del")
   }
 
-  test("partitioned delta DELETE refuses; huge-DV decode refuses") {
+  test("partitioned delta DELETE rewrites only touched partitions; huge-DV decode refuses") {
     val root = tmp()
     DeltaLog.commit(spark.range(0, 10).toDF("k")
-      .withColumn("p", col("k") % 2), root, partitionBy = Seq("p"))
-    val e = intercept[IllegalArgumentException] {
-      DeltaLog.deleteWhere(spark, root, col("k") === 1)
-    }
-    assert(e.getMessage.contains("PARTITIONED"))
+      .withColumn("p", col("k") % 2)
+      .repartition(col("p")), // one file per partition dir
+      root, partitionBy = Seq("p"))
+    val before = DeltaLog.snapshot(spark, root)
+    DeltaLog.deleteWhere(spark, root, col("k") === 1) // lives in p=1
+    val after = DeltaLog.snapshot(spark, root)
+    // p=0's file(s) carried over untouched; p=1 rewrote with pv intact
+    val beforeP0 = before.adds.filter(_.partitionValues.get("p").contains("0"))
+      .map(_.path).toSet
+    assert(beforeP0.subsetOf(after.adds.map(_.path).toSet))
+    assert(after.adds.filter(_.partitionValues.get("p").contains("1"))
+      .forall(a => !before.adds.map(_.path).contains(a.path)))
+    val ds = spark.read.format("delta-log").load(root)
+    assert(ds.count() === 9)
+    assert(ds.filter(col("p") === 1).select("k").as[Long]
+      .collect().sorted.toSeq === Seq(3L, 5L, 7L, 9L))
+    // a partition-predicate delete prunes: only p=0 files touched
+    DeltaLog.deleteWhere(spark, root, col("p") === 0 && col("k") < 4)
+    assert(spark.read.format("delta-log").load(root).count() === 7)
     // cardinality guard refuses before decoding anything
     val big = DeletionVectors.Descriptor("i", "", None, 0,
       DeltaLogRead.MaxDecodedPositions + 1)

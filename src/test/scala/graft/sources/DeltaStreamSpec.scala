@@ -1,0 +1,162 @@
+package graft.sources
+
+import java.nio.file.Files
+
+import graft.SparkSpecBase
+import org.apache.spark.sql.functions._
+
+/** `spark.readStream.format("delta-log")` — streaming a REAL Delta
+  * table: initial snapshot + per-commit adds exactly once across
+  * restart, `startingVersion` shapes, the delete/update refusal
+  * posture with `ignoreDeletes`/`ignoreChanges`, backlog pacing, and
+  * composition with partitioned tables. */
+class DeltaStreamSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private def tmp(): String =
+    Files.createTempDirectory("delta_stream_").toString
+
+  test("initial snapshot then per-commit appends, exactly once across restart") {
+    val root = tmp()
+    val ckpt = Files.createTempDirectory("delta_stream_ck_").toString
+    DeltaLog.commit(spark.range(0, 3).toDF("k"), root)  // v0
+    DeltaLog.commit(spark.range(3, 5).toDF("k"), root)  // v1
+    val seen = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    def run(): org.apache.spark.sql.streaming.StreamingQuery =
+      spark.readStream.format("delta-log").load(root)
+        .writeStream.option("checkpointLocation", ckpt)
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+          df.select("k").collect().foreach(r => seen.add(r.getLong(0)))
+          ()
+        }.start()
+    val q1 = run()
+    try {
+      q1.processAllAvailable()
+      // first batch = full snapshot at the stream's first offset
+      assert(seen.size === 5)
+      DeltaLog.commit(spark.range(5, 7).toDF("k"), root) // v2, mid-stream
+      q1.processAllAvailable()
+      assert(seen.size === 7)
+    } finally q1.stop()
+    // commits while the stream is DOWN arrive once on restart
+    DeltaLog.commit(spark.range(7, 9).toDF("k"), root)   // v3
+    val q2 = run()
+    try q2.processAllAvailable() finally q2.stop()
+    import scala.jdk.CollectionConverters._
+    assert(seen.asScala.toSeq.sorted === (0L until 9L))
+  }
+
+  test("startingVersion: explicit N and latest") {
+    val root = tmp()
+    DeltaLog.commit(spark.range(0, 3).toDF("k"), root)  // v0
+    DeltaLog.commit(spark.range(3, 5).toDF("k"), root)  // v1
+    DeltaLog.commit(spark.range(5, 6).toDF("k"), root)  // v2
+    // N = 1: tail from commit 1's own adds — v0's files never emit
+    val q = spark.readStream.format("delta-log")
+      .option("startingVersion", "1").load(root)
+      .writeStream.format("memory").queryName("ds_sv")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.sql("SELECT k FROM ds_sv").as[Long]
+        .collect().sorted.toSeq === (3L until 6L))
+    } finally q.stop()
+    // latest: only commits after stream start
+    val q2 = spark.readStream.format("delta-log")
+      .option("startingVersion", "latest").load(root)
+      .writeStream.format("memory").queryName("ds_lat")
+      .outputMode("append").start()
+    try {
+      q2.processAllAvailable()
+      assert(spark.sql("SELECT count(*) FROM ds_lat").as[Long].head() === 0L)
+      DeltaLog.commit(spark.range(100, 102).toDF("k"), root) // v3
+      q2.processAllAvailable()
+      assert(spark.sql("SELECT k FROM ds_lat").as[Long]
+        .collect().sorted.toSeq === Seq(100L, 101L))
+    } finally q2.stop()
+  }
+
+  test("deletes/updates refuse; ignoreDeletes and ignoreChanges admit them") {
+    val root = tmp()
+    DeltaLog.commit(spark.range(0, 4).toDF("k")
+      .withColumn("p", col("k") % 2).repartition(col("p")),
+      root, partitionBy = Seq("p"))
+    val q = spark.readStream.format("delta-log")
+      .option("startingVersion", "latest").load(root)
+      .writeStream.format("memory").queryName("ds_ref")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      // whole-partition delete → remove-only commit → stream refuses
+      DeltaLog.deleteWhere(spark, root, col("p") === 0)
+      val e = intercept[Exception] { q.processAllAvailable() }
+      assert(e.getMessage.contains("DELETES data"), e.getMessage)
+    } finally q.stop()
+    // ignoreDeletes: remove-only commits pass silently
+    val q2 = spark.readStream.format("delta-log")
+      .option("startingVersion", "latest").option("ignoreDeletes", "true")
+      .load(root)
+      .writeStream.format("memory").queryName("ds_del")
+      .outputMode("append").start()
+    try {
+      q2.processAllAvailable()
+      DeltaLog.deleteWhere(spark, root, col("k") === 1) // rewrite of p=1
+      // remove+add rewrite still refuses under ignoreDeletes alone
+      val e2 = intercept[Exception] { q2.processAllAvailable() }
+      assert(e2.getMessage.contains("UPDATES data"), e2.getMessage)
+    } finally q2.stop()
+    // ignoreChanges: the rewrite re-emits the rewritten file in full
+    val q3 = spark.readStream.format("delta-log")
+      .option("startingVersion", "0").option("ignoreChanges", "true")
+      .load(root)
+      .writeStream.format("memory").queryName("ds_chg")
+      .outputMode("append").start()
+    try {
+      q3.processAllAvailable()
+      // v0 adds (k=0..3) + the v2 rewrite re-emitting p=1's survivor (3)
+      val got = spark.sql("SELECT k FROM ds_chg").as[Long]
+        .collect().sorted.toSeq
+      assert(got === Seq(0L, 1L, 2L, 3L, 3L), s"got $got")
+    } finally q3.stop()
+  }
+
+  test("maxVersionsPerTrigger paces; AvailableNow drains the backlog") {
+    val root = tmp()
+    (0 until 5).foreach(i =>
+      DeltaLog.commit(Seq(i.toLong).toDF("k"), root)) // v0..v4
+    val ckpt = Files.createTempDirectory("delta_stream_ck2_").toString
+    val batches =
+      new java.util.concurrent.ConcurrentLinkedQueue[Seq[Long]]()
+    val q = spark.readStream.format("delta-log")
+      .option("startingVersion", "0")
+      .option("maxVersionsPerTrigger", "2").load(root)
+      .writeStream.option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        batches.add(df.select("k").collect().map(_.getLong(0)).toSeq)
+        ()
+      }.start()
+    assert(q.awaitTermination(120000))
+    import scala.jdk.CollectionConverters._
+    val bs = batches.asScala.toSeq
+    // the full backlog drained (NOT one capped bite), in capped steps
+    assert(bs.flatten.sorted === (0L until 5L), s"batches=$bs")
+    assert(bs.forall(_.size <= 2) && bs.size >= 3, s"batches=$bs")
+  }
+
+  test("schema drift mid-stream refuses with the restart instruction") {
+    val root = tmp()
+    DeltaLog.commit(spark.range(0, 2).toDF("k"), root)
+    val q = spark.readStream.format("delta-log").load(root)
+      .writeStream.format("memory").queryName("ds_drift")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      // overwrite restates metaData with a different schema
+      DeltaLog.commit(spark.range(0, 2).toDF("k")
+        .withColumn("extra", lit(1L)), root, mode = "overwrite")
+      val e = intercept[Exception] { q.processAllAvailable() }
+      assert(e.getMessage.contains("restart"), e.getMessage)
+    } finally q.stop()
+  }
+}

@@ -105,6 +105,39 @@ object IcebergMeta {
     }
   }
 
+  /** One snapshot-history row for the streaming tail. `op` is
+    * `"append"`, `"delete"`, `"overwrite"`, ... per the spec's
+    * snapshot summary (empty when a foreign writer omitted it —
+    * treated as unknown, which streams refuse). */
+  final case class SnapshotRef(seq: Long, snapshotId: Long, op: String)
+
+  /** Every snapshot in the CURRENT metadata document, ascending by
+    * sequence number — the commit history [[IcebergMetaStream]]
+    * walks. */
+  def snapshotLog(root: String): Seq[SnapshotRef] = {
+    val v = latestMetadataVersion(root)
+    val meta = mapper.readTree(Files.readAllBytes(
+      metaDir(root).resolve(s"v$v.metadata.json")))
+    if (!meta.hasNonNull("snapshots")) return Nil
+    meta.get("snapshots").elements().asScala.map { s =>
+      val seq = if (s.hasNonNull("sequence-number"))
+        s.get("sequence-number").asLong() else 0L
+      val op = Option(s.get("summary")).filter(_.hasNonNull("operation"))
+        .map(_.get("operation").asText()).getOrElse("")
+      SnapshotRef(seq, s.get("snapshot-id").asLong(), op)
+    }.toSeq.sortBy(_.seq)
+  }
+
+  /** The table's last sequence number (0 when the document predates
+    * any commit). */
+  def latestSequence(root: String): Long = {
+    val v = latestMetadataVersion(root)
+    val meta = mapper.readTree(Files.readAllBytes(
+      metaDir(root).resolve(s"v$v.metadata.json")))
+    if (meta.hasNonNull("last-sequence-number"))
+      meta.get("last-sequence-number").asLong() else 0L
+  }
+
   // ------------------------------------------------------------------
   // Iceberg JSON schema → Spark StructType
   // ------------------------------------------------------------------

@@ -43,9 +43,30 @@ import org.apache.spark.sql.types.StructType
   * graft's own format for replace semantics; the interop posture here
   * is additive only. */
 class IcebergMetaDataSource extends RelationProvider
-    with CreatableRelationProvider with DataSourceRegister {
+    with CreatableRelationProvider with DataSourceRegister
+    with org.apache.spark.sql.sources.StreamSourceProvider {
 
   override def shortName(): String = "iceberg-meta"
+
+  // ---- streaming read: tail snapshots by sequence number ----
+  // `spark.readStream.format("iceberg-meta").load(root)` — initial
+  // snapshot (row-level deletes applied), then each micro-batch
+  // carries the data files the `append` snapshots in the sequence
+  // range added; non-append snapshots refuse unless `ignoreDeletes`
+  // — see [[IcebergMetaStream]].
+
+  override def sourceSchema(sqlContext: SQLContext,
+      schema: Option[StructType], providerName: String,
+      parameters: Map[String, String]): (String, StructType) =
+    (shortName(), schema.getOrElse(
+      IcebergMeta.snapshot(rootOf(parameters)).schema))
+
+  override def createSource(sqlContext: SQLContext, metadataPath: String,
+      schema: Option[StructType], providerName: String,
+      parameters: Map[String, String])
+      : org.apache.spark.sql.execution.streaming.Source =
+    IcebergMetaStream.create(sqlContext, metadataPath, schema,
+      parameters, rootOf(parameters))
 
   private def rootOf(parameters: Map[String, String]): String = {
     val p = parameters.getOrElse("path", throw new IllegalArgumentException(
@@ -298,5 +319,186 @@ object IcebergMetaRead {
         }
     }
     branches.reduce(_ union _)
+  }
+}
+
+/** Structured-streaming SOURCE over a real Iceberg table — the
+  * incremental-append read (Iceberg's Spark streaming shape), through
+  * the dependency-free [[IcebergMeta]] metadata reader:
+  *
+  *  - offsets ARE the table's SEQUENCE NUMBERS (strictly monotonic
+  *    per commit, spec), so exactly-once is structural: a replayed
+  *    range re-reads identical immutable metadata;
+  *  - the FIRST batch is the full current snapshot with row-level
+  *    deletes APPLIED (the morRead path), unless `startingSequence`
+  *    is a sequence N (tail from commit N's own files) or `"latest"`;
+  *  - each later batch emits the data files whose sequence number
+  *    falls in `(start, end]` — discovery is pure metadata (files
+  *    carry their data sequence number through manifest inheritance);
+  *  - a non-`append` snapshot in the range refuses by default:
+  *    `ignoreDeletes` skips `delete` snapshots (their positional /
+  *    equality delete files target already-emitted rows — the
+  *    documented at-least-once caveat); `overwrite`/`replace`/unknown
+  *    operations always refuse (restart from a fresh snapshot);
+  *  - schema drift refuses with the restart instruction;
+  *  - `maxSequencesPerTrigger` paces backlogs with a persisted
+  *    high-water mark, and Trigger.AvailableNow drains to the head
+  *    frozen at start (own implementation — the generic wrapper
+  *    would drain one capped bite; see [[ChangeFeedSource]]). */
+object IcebergMetaStream {
+  import org.apache.spark.sql.GraftColumnBridge
+  import org.apache.spark.sql.execution.streaming.{Offset, Source}
+  import org.apache.spark.sql.execution.streaming.runtime.{
+    LongOffset, SerializedOffset}
+  import org.apache.spark.sql.execution.datasources.LogicalRelation
+
+  private def offsetSeq(o: Offset): Long = o match {
+    case l: LongOffset => l.offset
+    case s: SerializedOffset => LongOffset(s).offset
+    case other => other.json.toLong
+  }
+
+  private[sources] def create(sqlContext: SQLContext,
+      metadataPath: String, schema: Option[StructType],
+      parameters: Map[String, String], root: String): Source = {
+    val lower = parameters.map { case (k, v) => k.toLowerCase -> v }
+    val declared = schema.getOrElse(IcebergMeta.snapshot(root).schema)
+    val head = IcebergMeta.latestSequence(root)
+    val (initialSnapshot, startAfter) =
+      lower.get("startingsequence") match {
+        case None => (true, 0L)
+        case Some(v) if v.equalsIgnoreCase("latest") => (false, head)
+        case Some(v) => (false, v.toLong - 1L)
+      }
+    val maxPerTrigger = lower.get("maxsequencespertrigger").map { v =>
+      val n = v.toLong
+      require(n > 0, s"maxSequencesPerTrigger must be positive, got $n")
+      n
+    }
+    new SeqTail(sqlContext, root, declared, initialSnapshot, startAfter,
+      maxPerTrigger,
+      ignoreDeletes = lower.get("ignoredeletes").exists(_.toBoolean),
+      metadataPath)
+  }
+
+  private[sources] final class SeqTail(sqlContext: SQLContext,
+      root: String, declared: StructType, initialSnapshot: Boolean,
+      startAfter: Long, maxPerTrigger: Option[Long],
+      ignoreDeletes: Boolean, metadataPath: String)
+      extends Source
+      with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl
+      with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
+
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+
+    private val spark = sqlContext.sparkSession
+
+    private val hwmFile = {
+      val dir =
+        if (metadataPath.contains(":")) new java.net.URI(metadataPath).getPath
+        else metadataPath
+      Paths.get(dir, "iceberg-seq-hwm")
+    }
+
+    private var handedOut: Long =
+      if (Files.exists(hwmFile))
+        math.max(startAfter, new String(Files.readAllBytes(hwmFile),
+          java.nio.charset.StandardCharsets.UTF_8).trim.toLong)
+      else startAfter
+
+    private def persistHwm(v: Long): Unit = {
+      Files.createDirectories(hwmFile.getParent)
+      val tmp = Files.createTempFile(hwmFile.getParent, ".hwm", "")
+      Files.write(tmp, v.toString.getBytes(
+        java.nio.charset.StandardCharsets.UTF_8))
+      Files.move(tmp, hwmFile, StandardCopyOption.REPLACE_EXISTING,
+        StandardCopyOption.ATOMIC_MOVE)
+    }
+
+    override def schema: StructType = declared
+
+    override def getOffset: Option[Offset] = nextOffset(None)
+
+    private var availableNowTarget: Option[Long] = None
+
+    override def prepareForTriggerAvailableNow(): Unit =
+      availableNowTarget = Some(IcebergMeta.latestSequence(root))
+
+    override def getDefaultReadLimit
+        : org.apache.spark.sql.connector.read.streaming.ReadLimit =
+      org.apache.spark.sql.connector.read.streaming.ReadLimit.allAvailable()
+
+    override def latestOffset(
+        start: org.apache.spark.sql.connector.read.streaming.Offset,
+        limit: org.apache.spark.sql.connector.read.streaming.ReadLimit)
+        : org.apache.spark.sql.connector.read.streaming.Offset =
+      nextOffset(availableNowTarget).orNull
+
+    private def nextOffset(target: Option[Long]): Option[LongOffset] = {
+      val head = IcebergMeta.latestSequence(root)
+      val bounded = target.fold(head)(math.min(head, _))
+      val capped = maxPerTrigger
+        .fold(bounded)(m => math.min(bounded, handedOut + m))
+      if (capped <= handedOut) None else Some(LongOffset(capped))
+    }
+
+    private def driftGuard(df: org.apache.spark.sql.DataFrame)
+        : org.apache.spark.sql.DataFrame = {
+      val got = df.schema.fields.map(f => f.name -> f.dataType).toSeq
+      val want = declared.fields.map(f => f.name -> f.dataType).toSeq
+      if (got != want)
+        throw new IllegalStateException(
+          s"iceberg-meta stream of $root: table schema changed " +
+            s"mid-stream — restart the streaming query to pick up " +
+            "the new schema")
+      df
+    }
+
+    private def ofRows(snap: IcebergMeta.IceSnapshot)
+        : org.apache.spark.sql.DataFrame =
+      GraftColumnBridge.ofRows(spark,
+        LogicalRelation(IcebergMetaRead.relation(spark, snap),
+          isStreaming = false))
+
+    override def getBatch(start: Option[Offset], end: Offset)
+        : org.apache.spark.sql.DataFrame = {
+      val to = offsetSeq(end)
+      if (to > handedOut) {
+        handedOut = to
+        if (maxPerTrigger.isDefined) persistHwm(to)
+      }
+      // pin the replay at the offset's own snapshot — commits landing
+      // between offset planning and batch construction stay out
+      val log = IcebergMeta.snapshotLog(root)
+      val atTo = log.filter(_.seq <= to).lastOption.map(_.snapshotId)
+      val snap = IcebergMeta.snapshot(root, atTo)
+      val batch = start match {
+        case None if initialSnapshot =>
+          // full snapshot; the IcebergMorScan rewrite applies any
+          // row-level deletes (and refuses without extensions)
+          ofRows(snap)
+        case _ =>
+          val after = start.map(offsetSeq).getOrElse(startAfter)
+          log.filter(r => r.seq > after && r.seq <= to)
+            .foreach { r =>
+              if (r.op != "append" && !(r.op == "delete" && ignoreDeletes))
+                throw new IllegalStateException(
+                  s"iceberg-meta stream of $root: snapshot at sequence " +
+                    s"${r.seq} is operation '${r.op}', not append — " +
+                    (if (r.op == "delete")
+                      "set ignoreDeletes to skip delete snapshots " +
+                        "(already-emitted rows stay emitted), or "
+                    else "") + "restart from a fresh snapshot")
+            }
+          // appended data files carry their sequence through manifest
+          // inheritance — discovery is pure metadata
+          ofRows(snap.copy(
+            files = snap.files.filter(f => f.seq > after && f.seq <= to),
+            deletes = Nil, eqDeletes = Nil))
+      }
+      GraftColumnBridge.asStreaming(driftGuard(batch))
+    }
+
+    override def stop(): Unit = ()
   }
 }

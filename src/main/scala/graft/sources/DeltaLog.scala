@@ -37,10 +37,10 @@ import org.apache.spark.sql.types._
   * reader that cannot honor the table's protocol must fail loudly,
   * never return wrong rows):
   *  - `minReaderVersion` 1 and 2 (column mapping: 'name'/'id' modes
-  *    resolve through the schema metadata's physicalName entries;
-  *    nested mapped fields refuse) are supported; 3 requires every
-  *    listed `readerFeatures` entry to be in
-  *    [[supportedReaderFeatures]].
+  *    resolve through the schema metadata's physicalName entries,
+  *    recursively — nested structs/arrays/maps restore at scan time)
+  *    are supported; 3 requires every listed `readerFeatures` entry
+  *    to be in [[supportedReaderFeatures]].
   *  - `deletionVector`s decode ([[DeletionVectors]]) and apply at
   *    scan time (graft.ext.DeltaMorScan); raw listings without the
   *    extensions refuse.
@@ -101,13 +101,13 @@ object DeltaLog {
       StructType(partitionColumns.map(c =>
         schema.fields.find(_.name == c).getOrElse(throw new IllegalStateException(
           s"delta-log: partition column $c missing from schemaString"))))
-    /** This snapshot restated in PHYSICAL column space. */
+    /** This snapshot restated in PHYSICAL column space — names
+      * renamed recursively (nested struct fields included). */
     def physical: DeltaSnapshot = {
       if (columnMapping.isEmpty) return this
       def phys(n: String) = columnMapping.getOrElse(n, n)
       copy(
-        schema = StructType(schema.fields.map(f =>
-          f.copy(name = phys(f.name)))),
+        schema = physicalSchemaOf(root, schema),
         partitionColumns = partitionColumns.map(phys),
         columnMapping = Map.empty)
     }
@@ -335,22 +335,35 @@ object DeltaLog {
     if (mode != "name" && mode != "id")
       throw new UnsupportedOperationException(
         s"delta-log: column mapping mode '$mode' not supported")
-    def nested(dt: DataType): Boolean = dt match {
-      case _: StructType => true
-      case ArrayType(e, _) => nested(e)
-      case MapType(k, v, _) => nested(k) || nested(v)
-      case _ => false
-    }
     schema.fields.map { f =>
-      if (nested(f.dataType))
-        throw new UnsupportedOperationException(
-          s"delta-log: column mapping over NESTED field ${f.name} of " +
-            s"$root is not supported — read with delta-spark")
       val key = "delta.columnMapping.physicalName"
       require(f.metadata.contains(key),
         s"delta-log: mapped table $root lacks $key on field ${f.name}")
       f.name -> f.metadata.getString(key)
     }.toMap
+  }
+
+  /** The schema as the PARQUET FILES carry it under column mapping:
+    * every struct field — top-level and NESTED (the spec stamps
+    * `physicalName` metadata on every field) — renamed to its
+    * physical name, recursively through structs, arrays and maps.
+    * [[graft.ext.DeltaColumnMappingScan]] scans in this space and
+    * rebuilds the logical shape. */
+  def physicalSchemaOf(root: String, schema: StructType): StructType = {
+    def rename(dt: DataType): DataType = dt match {
+      case st: StructType => StructType(st.fields.map { f =>
+        val key = "delta.columnMapping.physicalName"
+        require(f.metadata.contains(key),
+          s"delta-log: mapped table $root lacks $key on nested field " +
+            f.name)
+        f.copy(name = f.metadata.getString(key),
+          dataType = rename(f.dataType))
+      })
+      case ArrayType(e, n) => ArrayType(rename(e), n)
+      case MapType(k, v, n) => MapType(rename(k), rename(v), n)
+      case other => other
+    }
+    rename(schema).asInstanceOf[StructType]
   }
 
   /** Seed a replay from checkpoint parquet (single- or multi-part):
@@ -463,7 +476,7 @@ object DeltaLog {
   }
 
   /** One spec-shaped `add` JSON line. */
-  private def addLine(a: DeltaAdd): String = {
+  private def addLine(a: DeltaAdd, dataChange: Boolean = true): String = {
     val pvJson = (a.partitionValues.toSeq.sortBy(_._1)
       .map { case (k, v) => s"${jsonStr(k)}:${jsonStr(v)}" } ++
       a.nullPartitionCols.toSeq.sorted.map(k => s"${jsonStr(k)}:null"))
@@ -471,7 +484,7 @@ object DeltaLog {
     s"""{"add":{"path":${jsonStr(encodePath(a.path))},""" +
       s""""partitionValues":{$pvJson},"size":${a.size},""" +
       s""""modificationTime":${System.currentTimeMillis},""" +
-      s""""dataChange":true${a.statsJson.fold("")(s =>
+      s""""dataChange":$dataChange${a.statsJson.fold("")(s =>
         s""","stats":${jsonStr(s)}""")}}}"""
   }
 
@@ -600,6 +613,61 @@ object DeltaLog {
         """"dataChange":true}}"""
     }
     adds.foreach(a => lines += addLine(a))
+    try io(root).putIfAbsent(commitPath(root, next),
+      lines.mkString("", "\n", "\n").getBytes(UTF_8))
+    catch {
+      case _: java.nio.file.FileAlreadyExistsException =>
+        throw new VersionedTable.ConcurrentCommitException(next)
+    }
+    next
+  }
+
+  /** OPTIMIZE-style compaction of the Delta table at `root`: rewrite
+    * the live data into `filesPerPartition` files (total, for an
+    * unpartitioned table; one per partition dir for a partitioned
+    * one), committed as remove+add with
+    * `dataChange: false` — readers see identical rows, streams see
+    * NOTHING (per-commit tails skip non-data-changing actions), and
+    * prior versions stay time-travelable. Deletion vectors on the
+    * rewritten files are MATERIALIZED (Delta's REORG PURGE): the new
+    * files carry only visible rows and no descriptors, so the table
+    * becomes readable by DV-less readers again. Column-mapped tables
+    * refuse (rewrite would need physical-name plumbing — use
+    * delta-spark). Returns the committed version, or the current one
+    * when the table already meets the target. */
+  def compact(spark: SparkSession, root: String,
+      filesPerPartition: Int = 1): Long = {
+    import org.apache.spark.sql.functions.col
+    require(filesPerPartition >= 1, "filesPerPartition must be >= 1")
+    val snap = snapshot(spark, root)
+    require(snap.columnMapping.isEmpty,
+      "delta-log: OPTIMIZE on a COLUMN-MAPPED table is not supported " +
+        "by this interop layer — use delta-spark")
+    val partitions = snap.adds.map(a =>
+      (a.partitionValues, a.nullPartitionCols)).distinct.size.max(1)
+    if (snap.adds.size <= partitions.toLong * filesPerPartition &&
+      !snap.adds.exists(_.deletionVector.isDefined))
+      return snap.version // already compact, nothing to purge
+    // visible rows only: DVs applied here = materialized in the output
+    val vis = DeltaLogRead.withPositions(spark, snap)
+      .drop(DeltaLogRead.FpCol, DeltaLogRead.PosCol)
+    val packed =
+      if (snap.partitionColumns.isEmpty) vis.coalesce(filesPerPartition)
+      else vis.repartition(
+        snap.partitionColumns.map(col): _*) // one task (→ file) per partition
+    val nonce = java.util.UUID.randomUUID().toString.take(8)
+    val adds = stageAndLand(spark, packed, root, snap.partitionColumns,
+      nonce)
+    val next = snap.version + 1
+    val lines = scala.collection.mutable.ListBuffer.empty[String]
+    lines += s"""{"commitInfo":{"timestamp":${System.currentTimeMillis},""" +
+      """"operation":"OPTIMIZE"}}"""
+    snap.adds.foreach { a =>
+      lines += s"""{"remove":{"path":${jsonStr(encodePath(a.path))},""" +
+        s""""deletionTimestamp":${System.currentTimeMillis},""" +
+        """"dataChange":false}}"""
+    }
+    adds.foreach(a => lines += addLine(a, dataChange = false))
     try io(root).putIfAbsent(commitPath(root, next),
       lines.mkString("", "\n", "\n").getBytes(UTF_8))
     catch {

@@ -99,7 +99,7 @@ class DeltaColumnMappingSpec extends SparkSpecBase {
       (0L until 10L).filterNot(k => k == 2 || k == 5).toSeq)
   }
 
-  test("refusals: nested mapping, DML on mapped, raw listing gate") {
+  test("refusals: DML on mapped, raw listing gate") {
     val root = mappedTable()
     // DML refuses (predicates are logical, rewrite is physical)
     val e1 = intercept[IllegalArgumentException] {
@@ -111,7 +111,7 @@ class DeltaColumnMappingSpec extends SparkSpecBase {
     val idx = new DeltaLogFileIndex(spark, root, snap, pinned = true)
     val e2 = intercept[IllegalStateException] { idx.listFiles(Nil, Nil) }
     assert(e2.getMessage.contains("column mapping"))
-    // nested mapped fields refuse at replay
+    // a nested field MISSING its physicalName metadata still refuses
     val nroot = tmp()
     val nlog = Paths.get(nroot, "_delta_log")
     Files.createDirectories(nlog)
@@ -121,9 +121,79 @@ class DeltaColumnMappingSpec extends SparkSpecBase {
       (s"""{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}\n""" +
         s"""{"metaData":{"id":"n","format":{"provider":"parquet","options":{}},"schemaString":"$nschema","partitionColumns":[],"configuration":{"delta.columnMapping.mode":"name"}}}\n""")
         .getBytes(UTF_8))
-    val e3 = intercept[UnsupportedOperationException] {
-      DeltaLog.snapshot(spark, nroot)
+    val e3 = intercept[IllegalArgumentException] {
+      DeltaLog.snapshot(spark, nroot).physical
     }
-    assert(e3.getMessage.contains("NESTED"))
+    assert(e3.getMessage.contains("nested field a"))
+  }
+
+  test("NESTED column mapping: structs, arrays of structs, maps restore") {
+    val root = tmp()
+    // physical layout a real mapped writer would produce: every name
+    // at every level is a uuid-ish physical name
+    spark.range(0, 6).toDF("col-k")
+      .withColumn("col-s",
+        when(col("`col-k`") =!= 2, struct(
+          (col("`col-k`") * 10).as("col-a"),
+          concat(lit("v"), col("`col-k`")).as("col-b"))))
+      .withColumn("col-arr",
+        when(col("`col-k`") =!= 4, array(
+          struct((col("`col-k`") + 100).as("col-x")),
+          struct((col("`col-k`") + 200).as("col-x")))))
+      .withColumn("col-m",
+        map(lit("one"), struct((col("`col-k`") + 7).as("col-y"))))
+      .coalesce(1).write.parquet(root + "/data")
+    import scala.jdk.CollectionConverters._
+    val part = {
+      val s = Files.list(Paths.get(root, "data"))
+      try "data/" + s.iterator().asScala.map(_.getFileName.toString)
+        .find(n => n.endsWith(".parquet") && !n.startsWith(".")).get
+      finally s.close()
+    }
+    def fld(l: String, p: String, tpe: String, id: Int) =
+      s"""{\\"name\\":\\"$l\\",\\"type\\":$tpe,\\"nullable\\":true,\\"metadata\\":{\\"delta.columnMapping.id\\":$id,\\"delta.columnMapping.physicalName\\":\\"$p\\"}}"""
+    val sType =
+      s"""{\\"type\\":\\"struct\\",\\"fields\\":[${fld("a", "col-a", "\\\"long\\\"", 3)},${fld("b", "col-b", "\\\"string\\\"", 4)}]}"""
+    val xType =
+      s"""{\\"type\\":\\"struct\\",\\"fields\\":[${fld("x", "col-x", "\\\"long\\\"", 6)}]}"""
+    val arrType =
+      s"""{\\"type\\":\\"array\\",\\"elementType\\":$xType,\\"containsNull\\":true}"""
+    val yType =
+      s"""{\\"type\\":\\"struct\\",\\"fields\\":[${fld("y", "col-y", "\\\"long\\\"", 8)}]}"""
+    val mapType =
+      s"""{\\"type\\":\\"map\\",\\"keyType\\":\\"string\\",\\"valueType\\":$yType,\\"valueContainsNull\\":true}"""
+    val schema =
+      s"""{\\"type\\":\\"struct\\",\\"fields\\":[${Seq(
+        fld("k", "col-k", "\\\"long\\\"", 1),
+        fld("s", "col-s", sType, 2),
+        fld("arr", "col-arr", arrType, 5),
+        fld("m", "col-m", mapType, 7)).mkString(",")}]}"""
+    val log = Paths.get(root, "_delta_log")
+    Files.createDirectories(log)
+    Files.write(log.resolve(f"${0L}%020d.json"),
+      (s"""{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}\n""" +
+        s"""{"metaData":{"id":"n","format":{"provider":"parquet","options":{}},"schemaString":"$schema","partitionColumns":[],"configuration":{"delta.columnMapping.mode":"name"}}}\n""" +
+        s"""{"add":{"path":"$part","partitionValues":{},"size":${Files.size(Paths.get(root, part))},"modificationTime":0,"dataChange":true}}\n""")
+        .getBytes(UTF_8))
+    val ds = spark.read.format("delta-log").load(root)
+    assert(ds.columns.toSeq === Seq("k", "s", "arr", "m"))
+    // nested struct restores under logical names; NULL structs stay NULL
+    assert(ds.agg(sum("s.a"), count(col("s.a"))).as[(Long, Long)]
+      .head() === ((130L, 5L)))
+    assert(ds.filter(col("s").isNull).select("k").as[Long]
+      .collect().toSeq === Seq(2L))
+    assert(ds.filter(col("k") === 1).select(col("s.b")).as[String]
+      .head() === "v1")
+    // arrays of structs restore element-wise; NULL arrays stay NULL
+    assert(ds.filter(col("k") === 3)
+      .select(expr("transform(arr, e -> e.x)")).as[Seq[Long]]
+      .head() === Seq(103L, 203L))
+    assert(ds.filter(col("arr").isNull).select("k").as[Long]
+      .collect().toSeq === Seq(4L))
+    // map values restore
+    assert(ds.filter(col("k") === 5).select(col("m")("one")("y"))
+      .as[Long].head() === 12L)
+    // flat filters still prune through to the physical scan
+    assert(ds.filter(col("k") <= 2).count() === 3)
   }
 }

@@ -113,17 +113,24 @@ case class GraftDmlRewrite(session: SparkSession) extends Rule[LogicalPlan] {
 
     case u @ UpdateTable(tbl, assignments, cond)
         if assignments.forall(_.resolved) && cond.forall(_.resolved) =>
+      def setOf(what: String): Seq[(String, Expression)] =
+        assignments.map {
+          case Assignment(k: AttributeReference, v) => k.name -> v
+          case Assignment(other, _) =>
+            throw new UnsupportedOperationException(
+              s"$what UPDATE supports top-level columns only, got $other")
+        }
       graftTarget(tbl) match {
         case Some((root, pinned)) =>
           refusePinned(pinned, "UPDATE")
-          val set = assignments.map {
-            case Assignment(k: AttributeReference, v) => k.name -> v
-            case Assignment(other, _) =>
-              throw new UnsupportedOperationException(
-                s"graft UPDATE supports top-level columns only, got $other")
-          }
-          GraftUpdateCommand(root, set, cond)
-        case None => u
+          GraftUpdateCommand(root, setOf("graft"), cond)
+        case None => deltaTarget(tbl) match {
+          case Some((root, pinned)) =>
+            require(!pinned, "delta-log: cannot UPDATE a " +
+              "versionAsOf-pinned relation (snapshots are immutable)")
+            DeltaUpdateCommand(root, setOf("delta-log"), cond)
+          case None => u
+        }
       }
 
     // MERGE INTO. Two lowerings:
@@ -142,20 +149,55 @@ case class GraftDmlRewrite(session: SparkSession) extends Rule[LogicalPlan] {
     // compound ON conditions, nested-field assignment targets, and
     // WITH SCHEMA EVOLUTION on conditional clauses.
     case m: MergeIntoTable if m.mergeCondition.resolved =>
+      val tgtIds = m.targetTable.output.map(_.exprId).toSet
+      val srcIds = m.sourceTable.output.map(_.exprId).toSet
+      def keysOf(what: String): (String, String) = m.mergeCondition match {
+        case EqualTo(a: AttributeReference, b: AttributeReference)
+            if tgtIds(a.exprId) && srcIds(b.exprId) => (a.name, b.name)
+        case EqualTo(a: AttributeReference, b: AttributeReference)
+            if srcIds(a.exprId) && tgtIds(b.exprId) => (b.name, a.name)
+        case other => throw new UnsupportedOperationException(
+          s"$what MERGE supports a single-equality ON " +
+            s"t.<key> = s.<key>, got: ${other.sql}")
+      }
+      def sideRef(e: Expression): Expression = e.transform {
+        case a: AttributeReference if tgtIds(a.exprId) =>
+          org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+            .quoted("__t_" + a.name)
+        case a: AttributeReference if srcIds(a.exprId) =>
+          org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+            .quoted("__s_" + a.name)
+      }
+      def pairsOf(what: String, as: Seq[Assignment]): Seq[(String, Expression)] =
+        as.map {
+          case Assignment(k: AttributeReference, v) =>
+            k.name -> sideRef(v)
+          case Assignment(other, _) =>
+            throw new UnsupportedOperationException(
+              s"$what MERGE assignments support top-level columns " +
+                s"only, got $other")
+        }
+      def clause(what: String)(a: MergeAction): GraftMergeClauseSpec = a match {
+        case UpdateStarAction(c) =>
+          GraftMergeClauseSpec("update", c.map(sideRef), Nil, star = true)
+        case UpdateAction(c, as, _) =>
+          GraftMergeClauseSpec("update", c.map(sideRef), pairsOf(what, as),
+            star = false)
+        case DeleteAction(c) =>
+          GraftMergeClauseSpec("delete", c.map(sideRef), Nil,
+            star = false)
+        case InsertStarAction(c) =>
+          GraftMergeClauseSpec("insert", c.map(sideRef), Nil, star = true)
+        case InsertAction(c, as) =>
+          GraftMergeClauseSpec("insert", c.map(sideRef), pairsOf(what, as),
+            star = false)
+        case other => throw new UnsupportedOperationException(
+          s"$what MERGE: unsupported action $other")
+      }
       graftTarget(m.targetTable) match {
         case Some((root, pinned)) =>
           refusePinned(pinned, "MERGE INTO")
-          val tgtIds = m.targetTable.output.map(_.exprId).toSet
-          val srcIds = m.sourceTable.output.map(_.exprId).toSet
-          val (tKey, sKey) = m.mergeCondition match {
-            case EqualTo(a: AttributeReference, b: AttributeReference)
-                if tgtIds(a.exprId) && srcIds(b.exprId) => (a.name, b.name)
-            case EqualTo(a: AttributeReference, b: AttributeReference)
-                if srcIds(a.exprId) && tgtIds(b.exprId) => (b.name, a.name)
-            case other => throw new UnsupportedOperationException(
-              "graft MERGE supports a single-equality ON " +
-                s"t.<key> = s.<key>, got: ${other.sql}")
-          }
+          val (tKey, sKey) = keysOf("graft")
           val starMatched = m.matchedActions match {
             case Seq(UpdateStarAction(None)) => true
             case Seq(UpdateAction(None, as, _)) => identityAssignments(as)
@@ -174,46 +216,25 @@ case class GraftDmlRewrite(session: SparkSession) extends Rule[LogicalPlan] {
             if (m.withSchemaEvolution) throw new UnsupportedOperationException(
               "graft MERGE WITH SCHEMA EVOLUTION is supported only for " +
                 "the unconditional UPDATE SET * / INSERT * form")
-            def sideRef(e: Expression): Expression = e.transform {
-              case a: AttributeReference if tgtIds(a.exprId) =>
-                org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
-                  .quoted("__t_" + a.name)
-              case a: AttributeReference if srcIds(a.exprId) =>
-                org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
-                  .quoted("__s_" + a.name)
-            }
-            def pairsOf(as: Seq[Assignment]): Seq[(String, Expression)] =
-              as.map {
-                case Assignment(k: AttributeReference, v) =>
-                  k.name -> sideRef(v)
-                case Assignment(other, _) =>
-                  throw new UnsupportedOperationException(
-                    "graft MERGE assignments support top-level columns " +
-                      s"only, got $other")
-              }
-            def clause(a: MergeAction): GraftMergeClauseSpec = a match {
-              case UpdateStarAction(c) =>
-                GraftMergeClauseSpec("update", c.map(sideRef), Nil, star = true)
-              case UpdateAction(c, as, _) =>
-                GraftMergeClauseSpec("update", c.map(sideRef), pairsOf(as),
-                  star = false)
-              case DeleteAction(c) =>
-                GraftMergeClauseSpec("delete", c.map(sideRef), Nil,
-                  star = false)
-              case InsertStarAction(c) =>
-                GraftMergeClauseSpec("insert", c.map(sideRef), Nil, star = true)
-              case InsertAction(c, as) =>
-                GraftMergeClauseSpec("insert", c.map(sideRef), pairsOf(as),
-                  star = false)
-              case other => throw new UnsupportedOperationException(
-                s"graft MERGE: unsupported action $other")
-            }
             GraftMergeConditionalCommand(root, m.sourceTable, tKey, sKey,
-              m.matchedActions.map(clause),
-              m.notMatchedActions.map(clause),
-              m.notMatchedBySourceActions.map(clause))
+              m.matchedActions.map(clause("graft")),
+              m.notMatchedActions.map(clause("graft")),
+              m.notMatchedBySourceActions.map(clause("graft")))
           }
-        case None => m
+        case None => deltaTarget(m.targetTable) match {
+          case Some((root, pinned)) =>
+            require(!pinned, "delta-log: cannot MERGE INTO a " +
+              "versionAsOf-pinned relation (snapshots are immutable)")
+            if (m.withSchemaEvolution) throw new UnsupportedOperationException(
+              "delta-log MERGE WITH SCHEMA EVOLUTION is not supported " +
+                "by this interop layer")
+            val (tKey, sKey) = keysOf("delta-log")
+            DeltaMergeConditionalCommand(root, m.sourceTable, tKey, sKey,
+              m.matchedActions.map(clause("delta-log")),
+              m.notMatchedActions.map(clause("delta-log")),
+              m.notMatchedBySourceActions.map(clause("delta-log")))
+          case None => m
+        }
       }
 
     // ALTER TABLE t ADD COLUMNS (...) — for a v1 datasource table
@@ -297,20 +318,91 @@ case class DeltaDeleteCommand(root: String, cond: Expression)
   }
 }
 
-/** `DELETE FROM <iceberg-meta table> WHERE ...` → one positional
-  * delete-file snapshot ([[graft.sources.IcebergMeta.delete]]):
-  * merge-on-read, no data file rewritten, prior snapshots intact. */
+/** `DELETE FROM <iceberg-meta table> WHERE ...` — two lowerings:
+  *
+  *  - an EQUALITY-shaped predicate (a conjunction of `col = literal`
+  *    and single-column `col IN (literals)` over distinct columns)
+  *    commits a v2 EQUALITY delete file
+  *    ([[graft.sources.IcebergMeta.deleteEquality]]): ZERO data files
+  *    read or written — `DELETE FROM t WHERE user_id = 42` on a
+  *    100 TB table is one metadata commit (the GDPR-delete shape);
+  *  - anything else falls back to the POSITIONAL delete-file
+  *    snapshot ([[graft.sources.IcebergMeta.delete]]): merge-on-read,
+  *    scans only stats-matching files, no data file rewritten.
+  *
+  * Both keep prior snapshots intact. Non-null literals only on the
+  * equality route (SQL `=`/`IN` never match NULL; the eq-delete
+  * format's null-safe matching would) — NULL-matching predicates
+  * take the positional route, preserving exact SQL semantics. */
 case class IcebergDeleteCommand(root: String, cond: Expression)
     extends LeafRunnableCommand {
+
+  /** `(columns, value rows)` when `cond` is equality-shaped. */
+  private def equalityShape(session: SparkSession)
+      : Option[(Seq[String], Seq[Seq[Any]])] = {
+    import org.apache.spark.sql.catalyst.expressions.{
+      And, EqualTo, In, Literal}
+    import org.apache.spark.sql.catalyst.CatalystTypeConverters
+    def litOf(e: Expression): Option[Literal] =
+      if (e.foldable) Some(Literal.create(
+        e.eval(org.apache.spark.sql.catalyst.InternalRow.empty),
+        e.dataType)) else None
+    def walk(e: Expression): Option[Seq[(String, Seq[Literal])]] =
+      e match {
+        case And(l, r) => for { a <- walk(l); b <- walk(r) } yield a ++ b
+        case EqualTo(a: AttributeReference, v) =>
+          litOf(v).filter(_.value != null).map(l => Seq(a.name -> Seq(l)))
+        case EqualTo(v, a: AttributeReference) =>
+          litOf(v).filter(_.value != null).map(l => Seq(a.name -> Seq(l)))
+        case In(a: AttributeReference, vs) =>
+          val ls = vs.flatMap(litOf)
+          if (ls.size != vs.size) None
+          // SQL IN never matches NULL — drop null list entries
+          else Some(Seq(a.name -> ls.filter(_.value != null)))
+        case _ => None
+      }
+    walk(cond).flatMap { pairs =>
+      val cols = pairs.map(_._1)
+      if (cols.distinct.size != cols.size) return None // col twice: not a pure value list
+      val rowCount = pairs.map(_._2.size.toLong).product
+      if (rowCount > 10000L) return None // huge cross product: scan instead
+      // type-exact only — a mismatch means the analyzer casted the
+      // COLUMN, which equality files cannot express
+      val schema = graft.sources.IcebergMeta.snapshot(root).schema
+      val ok = pairs.forall { case (c, ls) =>
+        schema.fields.find(_.name == c).exists(f =>
+          ls.forall(_.dataType == f.dataType))
+      }
+      if (!ok) return None
+      // cross product of the per-column value lists, as external rows
+      val rows = pairs.foldLeft(Seq(Seq.empty[Any])) {
+        case (acc, (_, ls)) => for { r <- acc; l <- ls } yield r :+
+          CatalystTypeConverters.convertToScala(l.value, l.dataType)
+      }
+      Some((cols, rows))
+    }
+  }
+
   override def run(session: SparkSession): Seq[Row] = {
-    // re-anchor the analyzed predicate by NAME: it resolves against a
-    // fresh scan of the table, not the statement's original relation
-    val rebound = GraftColumnBridge.column(cond.transform {
-      case a: AttributeReference =>
-        org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
-          .quoted(a.name)
-    })
-    graft.sources.IcebergMeta.delete(session, root, rebound)
+    equalityShape(session) match {
+      case Some((cols, rows)) =>
+        val schema = graft.sources.IcebergMeta.snapshot(root).schema
+        val values = session.createDataFrame(
+          session.sparkContext.parallelize(
+            rows.map(r => Row.fromSeq(r)), 1),
+          org.apache.spark.sql.types.StructType(
+            cols.map(c => schema.fields.find(_.name == c).get)))
+        graft.sources.IcebergMeta.deleteEquality(session, root, values)
+      case None =>
+        // re-anchor the analyzed predicate by NAME: it resolves
+        // against a fresh scan, not the statement's original relation
+        val rebound = GraftColumnBridge.column(cond.transform {
+          case a: AttributeReference =>
+            org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+              .quoted(a.name)
+        })
+        graft.sources.IcebergMeta.delete(session, root, rebound)
+    }
     Seq.empty
   }
 }
@@ -322,6 +414,20 @@ case class GraftUpdateCommand(root: String,
     extends LeafRunnableCommand {
   override def run(session: SparkSession): Seq[Row] = {
     VersionedTable.updateWhere(session, root, set, cond)
+    Seq.empty
+  }
+}
+
+/** `UPDATE <delta-log table> SET ... [WHERE ...]` → copy-on-write
+  * rewrite of the touched files ([[graft.sources.DeltaLog
+  * .updateWhere]]): pre-update-row SET semantics, partition-column
+  * updates relocate rows to their new partition dirs, CDF-enabled
+  * tables record update pre/postimages. */
+case class DeltaUpdateCommand(root: String,
+    set: Seq[(String, Expression)], cond: Option[Expression])
+    extends LeafRunnableCommand {
+  override def run(session: SparkSession): Seq[Row] = {
+    graft.sources.DeltaLog.updateWhere(session, root, set, cond)
     Seq.empty
   }
 }
@@ -394,6 +500,38 @@ case class GraftMergeConditionalCommand(root: String, source: LogicalPlan,
       }
     }
     VersionedTable.mergeConditional(session, root, src, tKey, sKey,
+      matched.map(convert), notMatched.map(convert), bySource.map(convert))
+    Seq.empty
+  }
+}
+
+/** Conditional `MERGE INTO <delta-log table>` →
+  * [[graft.sources.DeltaLog.mergeConditional]]: same clause algebra,
+  * committed copy-on-write against the Delta log. */
+case class DeltaMergeConditionalCommand(root: String, source: LogicalPlan,
+    tKey: String, sKey: String,
+    matched: Seq[GraftMergeClauseSpec],
+    notMatched: Seq[GraftMergeClauseSpec],
+    bySource: Seq[GraftMergeClauseSpec]) extends LeafRunnableCommand {
+  override def innerChildren: Seq[LogicalPlan] = Seq(source)
+  override def run(session: SparkSession): Seq[Row] = {
+    val src = GraftColumnBridge.ofRows(session, source)
+    val tableCols = graft.sources.DeltaLog.snapshot(session, root)
+      .schema.fieldNames.toSeq
+    def colOf(e: Expression) = GraftColumnBridge.column(e)
+    def convert(s: GraftMergeClauseSpec): VersionedTable.MergeClause = {
+      val starPairs: Map[String, org.apache.spark.sql.Column] =
+        if (s.star) tableCols.map(c => c -> VersionedTable.MergeRef.source(c))
+          .toMap
+        else s.pairs.map { case (k, v) => k -> colOf(v) }.toMap
+      s.kind match {
+        case "update" => VersionedTable.MergeUpdate(s.cond.map(colOf), starPairs)
+        case "delete" => VersionedTable.MergeDelete(s.cond.map(colOf))
+        case "insert" => VersionedTable.MergeInsert(s.cond.map(colOf), starPairs)
+        case other => throw new IllegalStateException(s"bad clause $other")
+      }
+    }
+    graft.sources.DeltaLog.mergeConditional(session, root, src, tKey, sKey,
       matched.map(convert), notMatched.map(convert), bySource.map(convert))
     Seq.empty
   }

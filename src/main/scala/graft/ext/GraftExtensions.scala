@@ -198,5 +198,18 @@ object GraftExtensions {
             litLong("graft_changes", es(1)),
             litLong("graft_changes", es(2)))
           .queryExecution.analyzed
+      },
+      tfn("delta_changes", "root, afterVersion, toVersion",
+        "Delta CHANGE DATA FEED rows of commits in (after, to] — " +
+          "cdc actions when recorded, derived insert/delete otherwise") {
+        es =>
+        require(es.size == 3,
+          s"delta_changes takes (root, after, to), got ${es.size} args")
+        val spark = org.apache.spark.sql.SparkSession.active
+        graft.sources.DeltaLog.changes(spark,
+            litString("delta_changes", es(0)),
+            litLong("delta_changes", es(1)),
+            litLong("delta_changes", es(2)))
+          .queryExecution.analyzed
       })
 }

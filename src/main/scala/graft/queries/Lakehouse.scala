@@ -1790,6 +1790,135 @@ object Lakehouse {
              |  CAST(sum(o_orderkey) AS BIGINT) AS sum_key
              |FROM orders
              |WHERE o_orderkey % 10 >= 3 AND o_orderstatus <> 'P'
-             |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin))
+             |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)),
+
+    // DELTA CHANGE DATA FEED (round 8): `table_changes` over a real
+    // Delta log via the `delta_changes` TVF — BOTH protocol grains in
+    // one feed: append commits derive as inserts and a remove-only
+    // commit derives as whole-file deletes (no cdc actions needed),
+    // then the table flips `delta.enableChangeDataFeed` on
+    // (DeltaLog.setConfiguration — the SET TBLPROPERTIES commit
+    // shape) and a COW key-delete RECORDS its deleted rows as `cdc`
+    // parquet under _change_data/, which the reader trusts as the
+    // authoritative change set (the same remove+add rewrite WITHOUT
+    // cdc refuses — DeltaCdfSpec pins that). The oracle restates the
+    // whole feed from raw orders: every row inserts once, 'P' rows
+    // delete at the partition drop, and %10==7 rows of the surviving
+    // partitions delete at the CDF commit. Cost shape: O(changed
+    // files) per version, never a table scan.
+    QueryDef(
+      "q244_delta_cdf",
+      (s, d) => {
+        val root = Files.createTempDirectory("cdf_entry_").toString
+        val src = orders(s, d).select(col("o_orderkey"), col("o_custkey"),
+          col("o_orderstatus"))
+        val split = 1024L
+        graft.sources.DeltaLog.commit(
+          src.filter(col("o_orderkey") <= split), root,
+          partitionBy = Seq("o_orderstatus"))                    // v0
+        graft.sources.DeltaLog.commit(
+          src.filter(col("o_orderkey") > split), root, "append",
+          Seq("o_orderstatus"))                                  // v1
+        graft.sources.DeltaLog.deleteWhere(s, root,
+          col("o_orderstatus") === "P")                          // v2: remove-only
+        graft.sources.DeltaLog.setConfiguration(s, root,
+          Map("delta.enableChangeDataFeed" -> "true"))           // v3
+        val v4 = graft.sources.DeltaLog.deleteWhere(s, root,
+          col("o_orderkey") % 10 === 7)                          // v4: cdc
+        s.sql(
+          s"""SELECT _change_type, o_orderstatus, count(*) AS n_rows,
+             |  CAST(sum(o_orderkey) AS BIGINT) AS sum_key
+             |FROM delta_changes('$root', -1, $v4)
+             |GROUP BY _change_type, o_orderstatus
+             |ORDER BY _change_type, o_orderstatus""".stripMargin)
+      },
+      Some("""WITH feed AS (
+             |  SELECT 'insert' AS _change_type, o_orderstatus, o_orderkey
+             |  FROM orders
+             |  UNION ALL
+             |  SELECT 'delete', o_orderstatus, o_orderkey FROM orders
+             |  WHERE o_orderstatus = 'P'
+             |  UNION ALL
+             |  SELECT 'delete', o_orderstatus, o_orderkey FROM orders
+             |  WHERE o_orderstatus <> 'P' AND o_orderkey % 10 = 7
+             |)
+             |SELECT _change_type, o_orderstatus, count(*) AS n_rows,
+             |  CAST(sum(o_orderkey) AS BIGINT) AS sum_key
+             |FROM feed GROUP BY _change_type, o_orderstatus
+             |ORDER BY _change_type, o_orderstatus""".stripMargin)),
+
+    // DELTA SQL UPDATE + CONDITIONAL MERGE (round 8): the row-level
+    // SQL surface on a FOREIGN Delta table — UPDATE rewrites only the
+    // touched files with pre-update-row SET semantics, and MERGE runs
+    // the full Delta clause algebra (conditional UPDATE, DELETE,
+    // guarded INSERT) through the SAME one-full-outer-join cascade
+    // graft's own MERGE uses (VersionedTable.mergeCascadeRows — one
+    // implementation, two formats), committed copy-on-write with
+    // key-envelope file targeting. The oracle restates both
+    // statements over raw orders as CASE/filter algebra. GraftDmlSpec
+    // pins the plumbing (partition relocation, CDF images, refusals).
+    QueryDef(
+      "q245_delta_sql_update_merge",
+      (s, d) => {
+        val root = Files.createTempDirectory("dum_entry_").toString
+        val tbl = "dum_orders_entry"
+        val src = orders(s, d).select(col("o_orderkey"), col("o_custkey"),
+          col("o_orderstatus"))
+        val split = 1024L
+        graft.sources.DeltaLog.commit(
+          src.filter(col("o_orderkey") <= split), root)
+        graft.sources.DeltaLog.commit(
+          src.filter(col("o_orderkey") > split), root)
+        s.sql(s"DROP TABLE IF EXISTS $tbl")
+        s.sql(s"CREATE TABLE $tbl USING `delta-log` OPTIONS (path '$root')")
+        s.sql(s"UPDATE $tbl SET o_custkey = o_custkey + 1000000 " +
+          "WHERE o_orderkey % 7 = 0")
+        orders(s, d)
+          .filter(col("o_orderkey") <= 512)
+          .select(col("o_orderkey").as("k"),
+            (col("o_orderkey") * 3).as("val"))
+          .union(orders(s, d).filter(col("o_orderkey") <= 256)
+            .select((-col("o_orderkey") - 1).as("k"),
+              col("o_orderkey").as("val")))
+          .createOrReplaceTempView("dum_src_entry")
+        s.sql(
+          s"""MERGE INTO $tbl t USING dum_src_entry s ON t.o_orderkey = s.k
+             |WHEN MATCHED AND s.val % 2 = 0
+             |  THEN UPDATE SET o_custkey = s.val
+             |WHEN MATCHED THEN DELETE
+             |WHEN NOT MATCHED THEN INSERT
+             |  (o_orderkey, o_custkey, o_orderstatus)
+             |  VALUES (s.k, s.val, 'Z')""".stripMargin)
+        val out = s.sql(
+          s"""SELECT o_orderstatus, count(*) AS n_rows,
+             |  CAST(sum(o_custkey) AS BIGINT) AS sum_cust,
+             |  CAST(sum(o_orderkey) AS BIGINT) AS sum_key
+             |FROM $tbl GROUP BY o_orderstatus
+             |ORDER BY o_orderstatus""".stripMargin)
+        s.sql(s"DROP TABLE $tbl")
+        out
+      },
+      Some("""WITH t0 AS (
+             |  SELECT o_orderkey,
+             |    CASE WHEN o_orderkey % 7 = 0 THEN o_custkey + 1000000
+             |         ELSE o_custkey END AS o_custkey,
+             |    o_orderstatus
+             |  FROM orders
+             |), merged AS (
+             |  SELECT o_orderkey,
+             |    CASE WHEN o_orderkey <= 512 AND (o_orderkey * 3) % 2 = 0
+             |         THEN o_orderkey * 3 ELSE o_custkey END AS o_custkey,
+             |    o_orderstatus
+             |  FROM t0
+             |  WHERE NOT (o_orderkey <= 512 AND (o_orderkey * 3) % 2 = 1)
+             |  UNION ALL
+             |  SELECT -(o_orderkey + 1), o_orderkey, 'Z' FROM orders
+             |  WHERE o_orderkey <= 256
+             |)
+             |SELECT o_orderstatus, count(*) AS n_rows,
+             |  CAST(sum(o_custkey) AS BIGINT) AS sum_cust,
+             |  CAST(sum(o_orderkey) AS BIGINT) AS sum_key
+             |FROM merged GROUP BY o_orderstatus
+             |ORDER BY o_orderstatus""".stripMargin))
   )
 }

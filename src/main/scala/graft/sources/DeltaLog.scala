@@ -162,7 +162,11 @@ object DeltaLog {
     * replay vacuumed history. */
   final case class CommitActions(version: Long, adds: Seq[DeltaAdd],
       removedPaths: Seq[String], dataChangingRemoves: Boolean,
-      metaChanged: Boolean)
+      metaChanged: Boolean,
+      // `cdc` actions (change-data files under _change_data/) — when
+      // present they are the commit's AUTHORITATIVE change set and
+      // replace add/remove derivation (the CDF spec rule)
+      cdcFiles: Seq[DeltaAdd] = Nil)
 
   def commitActions(root: String, v: Long): CommitActions = {
     val p = commitPath(root, v)
@@ -173,6 +177,7 @@ object DeltaLog {
           "fresh snapshot")
     val adds = scala.collection.mutable.ListBuffer.empty[DeltaAdd]
     val removes = scala.collection.mutable.ListBuffer.empty[String]
+    val cdc = scala.collection.mutable.ListBuffer.empty[DeltaAdd]
     var removeChangesData = false
     var metaChanged = false
     io(root).readLines(p)
@@ -189,12 +194,13 @@ object DeltaLog {
             removes += decodePath(body.get("path").asText())
             if (!body.hasNonNull("dataChange") ||
               body.get("dataChange").asBoolean()) removeChangesData = true
+          case "cdc" => cdc += parseAdd(body)
           case "metaData" | "protocol" => metaChanged = true
           case _ => ()
         }
       }
     CommitActions(v, adds.toSeq, removes.toSeq, removeChangesData,
-      metaChanged)
+      metaChanged, cdc.toSeq)
   }
 
   private def parseAdd(n: JsonNode): DeltaAdd = {
@@ -438,8 +444,8 @@ object DeltaLog {
     * path escaping, `__HIVE_DEFAULT_PARTITION__` → null). Shared by
     * [[commit]] and the copy-on-write rewrite ([[replaceFiles]]). */
   private def stageAndLand(spark: SparkSession, df: DataFrame,
-      root: String, partitionBy: Seq[String], nonce: String)
-      : Seq[DeltaAdd] = {
+      root: String, partitionBy: Seq[String], nonce: String,
+      prefix: String = ""): Seq[DeltaAdd] = {
     // subdir: createTempDirectory pre-creates the parent, and Spark's
     // errorifexists mode refuses an existing target path
     val staging = Files.createTempDirectory("delta_stage_").resolve("out")
@@ -466,7 +472,8 @@ object DeltaLog {
         case (k, v) if v == "__HIVE_DEFAULT_PARTITION__" => k }.toSet
       val pv = pvPairs.filterNot(kv => nullCols(kv._1)).toMap
       val name = f"part-$i%05d-$nonce.parquet" // deterministic unique name
-      val rel = Option(relDir).map(_.toString + "/").getOrElse("") + name
+      val rel = prefix +
+        Option(relDir).map(_.toString + "/").getOrElse("") + name
       val dst = Paths.get(root, rel)
       Files.createDirectories(dst.getParent)
       Files.move(p, dst)
@@ -586,12 +593,29 @@ object DeltaLog {
         s"delta-log: scan URI $u not in snapshot v${snap.version}")))
     // survivors keep their partition columns: stageAndLand routes
     // them back into `col=value/` dirs and re-records partitionValues
-    val keep = vis
+    val touchedRows = vis
       .filter(col(DeltaLogRead.FpCol).isin(touchedUris.toSeq: _*))
+    val keep = touchedRows
       .filter(not(coalesce(cond, lit(false))))
       .drop(DeltaLogRead.FpCol, DeltaLogRead.PosCol)
+    // CDF: when the table records a change feed, the deleted rows
+    // land as `cdc` parquet under _change_data/ — the authoritative
+    // change set readers use instead of deriving from remove+add
+    val cdcAdds =
+      if (!snap.configuration.get("delta.enableChangeDataFeed")
+        .contains("true")) Nil
+      else {
+        import org.apache.spark.sql.functions.lit
+        val deleted = touchedRows
+          .filter(coalesce(cond, lit(false)))
+          .drop(DeltaLogRead.FpCol, DeltaLogRead.PosCol)
+          .withColumn("_change_type", lit("delete"))
+        stageAndLand(spark, deleted, root, snap.partitionColumns,
+          java.util.UUID.randomUUID().toString.take(8),
+          prefix = "_change_data/")
+      }
     replaceFiles(spark, root, touchedAdds.map(_.path).toSeq, keep,
-      snap.partitionColumns)
+      snap.partitionColumns, cdcAdds)
   }
 
   /** COW support: land `df` as new data files (Hive-style dirs +
@@ -599,20 +623,31 @@ object DeltaLog {
     * commit one version of `remove(removedPaths)` + `add(new files)`. */
   private def replaceFiles(spark: SparkSession, root: String,
       removedPaths: Seq[String], df: DataFrame,
-      partitionBy: Seq[String] = Nil): Long = {
+      partitionBy: Seq[String] = Nil,
+      cdcAdds: Seq[DeltaAdd] = Nil,
+      operation: String = "DELETE"): Long = {
     val latest = latestVersion(root)
     val nonce = java.util.UUID.randomUUID().toString.take(8)
     val adds = stageAndLand(spark, df, root, partitionBy, nonce)
     val next = latest + 1
     val lines = scala.collection.mutable.ListBuffer.empty[String]
     lines += s"""{"commitInfo":{"timestamp":${System.currentTimeMillis},""" +
-      """"operation":"DELETE"}}"""
+      s""""operation":"$operation"}}"""
     removedPaths.foreach { p =>
       lines += s"""{"remove":{"path":${jsonStr(encodePath(p))},""" +
         s""""deletionTimestamp":${System.currentTimeMillis},""" +
         """"dataChange":true}}"""
     }
     adds.foreach(a => lines += addLine(a))
+    cdcAdds.foreach { a =>
+      val pvJson = (a.partitionValues.toSeq.sortBy(_._1)
+        .map { case (k, v) => s"${jsonStr(k)}:${jsonStr(v)}" } ++
+        a.nullPartitionCols.toSeq.sorted.map(k => s"${jsonStr(k)}:null"))
+        .mkString(",")
+      lines += s"""{"cdc":{"path":${jsonStr(encodePath(a.path))},""" +
+        s""""partitionValues":{$pvJson},"size":${a.size},""" +
+        """"dataChange":false}}"""
+    }
     try io(root).putIfAbsent(commitPath(root, next),
       lines.mkString("", "\n", "\n").getBytes(UTF_8))
     catch {
@@ -675,6 +710,256 @@ object DeltaLog {
         throw new VersionedTable.ConcurrentCommitException(next)
     }
     next
+  }
+
+  /** SQL UPDATE on the Delta table, copy-on-write: rows of the
+    * touched files matching `cond` get each SET column replaced by
+    * its expression — ALL evaluated against the PRE-update row (SQL
+    * UPDATE semantics, one select), non-matching rows carry over
+    * verbatim, untouched files never rewrite. Updating a PARTITION
+    * column works: rewritten rows restage through the partitionBy
+    * layout and land in their new `col=value/` dirs with re-recorded
+    * partitionValues. When `delta.enableChangeDataFeed` is set, the
+    * commit records `update_preimage`/`update_postimage` cdc rows.
+    * NULL `cond` keeps the row (SQL). Returns the committed version,
+    * or the current one when nothing matches. */
+  def updateWhere(spark: SparkSession, root: String,
+      set: Seq[(String, org.apache.spark.sql.catalyst.expressions.Expression)],
+      cond: Option[org.apache.spark.sql.catalyst.expressions.Expression])
+      : Long = {
+    import org.apache.spark.sql.functions.{coalesce, col, lit, when}
+    require(set.nonEmpty, "UPDATE needs at least one SET column")
+    require(set.map(_._1).distinct.size == set.size,
+      s"duplicate SET column in ${set.map(_._1).mkString(", ")}")
+    val snap = snapshot(spark, root)
+    require(snap.columnMapping.isEmpty,
+      "delta-log: UPDATE on a COLUMN-MAPPED table is not supported " +
+        "by this interop layer — use delta-spark")
+    val missing = set.map(_._1).toSet -- snap.schema.fieldNames.toSet
+    require(missing.isEmpty,
+      s"UPDATE SET names non-columns: ${missing.mkString(", ")}")
+    // re-anchor analyzed expressions by NAME against the fresh scan
+    def rebind(e: org.apache.spark.sql.catalyst.expressions.Expression) =
+      org.apache.spark.sql.GraftColumnBridge.column(e.transform {
+        case a: org.apache.spark.sql.catalyst.expressions.AttributeReference =>
+          org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+            .quoted(a.name)
+      })
+    val condCol = cond.map(rebind).getOrElse(lit(true))
+    val hit = coalesce(condCol, lit(false))
+    val vis = DeltaLogRead.withPositions(spark, snap)
+    val touchedUris = vis.filter(condCol)
+      .select(DeltaLogRead.FpCol).distinct()
+      .collect().map(_.getString(0)).sorted
+    if (touchedUris.isEmpty) return snap.version
+    val idx = new DeltaLogFileIndex(spark, root, snap, pinned = true)
+    val uriToAdd = snap.adds.map(a => idx.scanUriOf(a) -> a).toMap
+    val touchedAdds = touchedUris.map(u => uriToAdd.getOrElse(u,
+      throw new IllegalStateException(
+        s"delta-log: scan URI $u not in snapshot v${snap.version}")))
+    val touchedRows = vis
+      .filter(col(DeltaLogRead.FpCol).isin(touchedUris.toSeq: _*))
+    val setByCol = set.toMap
+    def applied(df: DataFrame): DataFrame =
+      df.select(snap.schema.fieldNames.toSeq.map { c =>
+        setByCol.get(c) match {
+          case Some(e) => when(hit, rebind(e)).otherwise(col(c)).as(c)
+          case None => col(c)
+        }
+      }: _*)
+    val cdcAdds =
+      if (!snap.configuration.get("delta.enableChangeDataFeed")
+        .contains("true")) Nil
+      else {
+        val matched = touchedRows.filter(hit)
+        val pre = matched
+          .select(snap.schema.fieldNames.toSeq.map(col): _*)
+          .withColumn("_change_type", lit("update_preimage"))
+        val post = applied(matched)
+          .withColumn("_change_type", lit("update_postimage"))
+        stageAndLand(spark, pre.union(post), root, snap.partitionColumns,
+          java.util.UUID.randomUUID().toString.take(8),
+          prefix = "_change_data/")
+      }
+    replaceFiles(spark, root, touchedAdds.map(_.path).toSeq,
+      applied(touchedRows), snap.partitionColumns, cdcAdds,
+      operation = "UPDATE")
+  }
+
+  /** MERGE INTO the Delta table with the full Delta clause algebra —
+    * conditional/partial `WHEN MATCHED UPDATE/DELETE`, conditional
+    * `WHEN NOT MATCHED INSERT`, `WHEN NOT MATCHED BY SOURCE` — the
+    * same one-full-outer-join cascade as graft's own
+    * [[VersionedTable.mergeConditional]], committed copy-on-write:
+    * only files whose rows can match the source's key envelope are
+    * read and rewritten (every file when a by-source clause ranges
+    * over the whole target), survivors + merge output restage through
+    * the partition layout, untouched files carry over. Source keys
+    * must be unique (Delta raises the same). CDF-enabled tables
+    * refuse (merge change rows are not recorded by this layer —
+    * the feed would silently lose the merge). */
+  def mergeConditional(spark: SparkSession, root: String,
+      source: DataFrame, tKey: String, sKey: String,
+      matched: Seq[VersionedTable.MergeClause] = Nil,
+      notMatched: Seq[VersionedTable.MergeClause] = Nil,
+      bySource: Seq[VersionedTable.MergeClause] = Nil): Long = {
+    import org.apache.spark.sql.functions.{col, lit, min => fmin, max => fmax}
+    val snap = snapshot(spark, root)
+    require(snap.columnMapping.isEmpty,
+      "delta-log: MERGE on a COLUMN-MAPPED table is not supported " +
+        "by this interop layer — use delta-spark")
+    require(!snap.configuration.get("delta.enableChangeDataFeed")
+      .contains("true"),
+      "delta-log: MERGE on a CDF-enabled table is not supported by " +
+        "this interop layer (merge change rows would go unrecorded " +
+        "and poison the feed) — use delta-spark")
+    matched.foreach(c => require(
+      !c.isInstanceOf[VersionedTable.MergeInsert],
+      "WHEN MATCHED cannot INSERT"))
+    notMatched.foreach(c => require(
+      c.isInstanceOf[VersionedTable.MergeInsert],
+      "WHEN NOT MATCHED can only INSERT"))
+    bySource.foreach(c => require(
+      !c.isInstanceOf[VersionedTable.MergeInsert],
+      "WHEN NOT MATCHED BY SOURCE cannot INSERT"))
+    require(snap.schema.fieldNames.contains(tKey),
+      s"no target column '$tKey'")
+    require(source.columns.contains(sKey), s"no source column '$sKey'")
+    val nSrc = source.count()
+    if (nSrc == 0 && bySource.isEmpty) return snap.version
+    require(source.select(col(sKey)).where(col(sKey).isNotNull)
+        .distinct().count() ==
+      source.where(col(sKey).isNotNull).count(),
+      "delta-log MERGE: source keys must be unique (two source rows " +
+        "matching one target row have no deterministic outcome)")
+    val vis = DeltaLogRead.withPositions(spark, snap)
+    // file targeting: a by-source clause ranges over EVERY target
+    // row; otherwise the key-envelope filter pushes into the scan's
+    // per-file stats, so only overlapping files are even read
+    val touchedUris: Seq[String] =
+      if (bySource.nonEmpty)
+        vis.select(DeltaLogRead.FpCol).distinct()
+          .collect().map(_.getString(0)).toSeq.sorted
+      else {
+        val b = source.agg(fmin(col(sKey)), fmax(col(sKey))).head()
+        if (b.isNullAt(0)) return snap.version // all-NULL keys: no-op
+        vis.filter(col(tKey) >= lit(b.get(0)) && col(tKey) <= lit(b.get(1)))
+          .select(DeltaLogRead.FpCol).distinct()
+          .collect().map(_.getString(0)).toSeq.sorted
+      }
+    val idx = new DeltaLogFileIndex(spark, root, snap, pinned = true)
+    val uriToAdd = snap.adds.map(a => idx.scanUriOf(a) -> a).toMap
+    val touchedAdds = touchedUris.map(u => uriToAdd.getOrElse(u,
+      throw new IllegalStateException(
+        s"delta-log: scan URI $u not in snapshot v${snap.version}")))
+    val tgtRows = (if (touchedUris.isEmpty) vis.filter(lit(false))
+      else vis.filter(col(DeltaLogRead.FpCol).isin(touchedUris: _*)))
+      .drop(DeltaLogRead.FpCol, DeltaLogRead.PosCol)
+    val out = VersionedTable.mergeCascadeRows(tgtRows, source,
+      snap.schema, tKey, sKey, matched, notMatched, bySource)
+    replaceFiles(spark, root, touchedAdds.map(_.path).toSeq, out,
+      snap.partitionColumns, operation = "MERGE")
+  }
+
+  /** Restate the table's metaData with `props` merged into its
+    * configuration — the `ALTER TABLE SET TBLPROPERTIES` commit shape
+    * (schema and partitioning carried verbatim). The canonical use
+    * here: `delta.enableChangeDataFeed -> true`, after which COW
+    * deletes record `cdc` actions ([[deleteWhere]]) and [[changes]]
+    * reads them as the authoritative feed. */
+  def setConfiguration(spark: SparkSession, root: String,
+      props: Map[String, String]): Long = {
+    val snap = snapshot(spark, root)
+    val next = snap.version + 1
+    val merged = snap.configuration ++ props
+    val confJson = merged.toSeq.sortBy(_._1)
+      .map { case (k, v) => s"${jsonStr(k)}:${jsonStr(v)}" }
+      .mkString(",")
+    val parts = snap.partitionColumns.map(jsonStr).mkString(",")
+    val line =
+      s"""{"metaData":{"id":${jsonStr(java.util.UUID.randomUUID().toString)},""" +
+        s""""format":{"provider":"parquet","options":{}},""" +
+        s""""schemaString":${jsonStr(snap.schema.json)},""" +
+        s""""partitionColumns":[$parts],""" +
+        s""""configuration":{$confJson}}}"""
+    try io(root).putIfAbsent(commitPath(root, next),
+      (line + "\n").getBytes(UTF_8))
+    catch {
+      case _: java.nio.file.FileAlreadyExistsException =>
+        throw new VersionedTable.ConcurrentCommitException(next)
+    }
+    next
+  }
+
+  /** CHANGE DATA FEED rows of the commits in `(afterVersion,
+    * toVersion]` — Delta's `table_changes` read, via the public CDF
+    * protocol: a commit's `cdc` actions (parquet under
+    * `_change_data/`, carrying the data columns + `_change_type`) are
+    * its authoritative change set when present; otherwise changes
+    * derive — an add-only commit's rows are `insert`s, a remove-only
+    * commit's rows are `delete`s (read from the still-retained
+    * removed files, addressed through the PRIOR version's snapshot),
+    * and a remove+add rewrite WITHOUT cdc refuses (the change data
+    * was never recorded — delta-spark errors identically). Output
+    * schema: table columns + `_change_type` + `_commit_version`.
+    * Column-mapped tables refuse (cdc files carry physical names the
+    * synthetic feed schema cannot restate). Cost: O(changed files)
+    * per version — never a table scan. */
+  def changes(spark: SparkSession, root: String,
+      afterVersion: Long, toVersion: Long): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val snapTo = snapshot(spark, root, Some(toVersion))
+    require(snapTo.columnMapping.isEmpty,
+      "delta-log: CDF read on a COLUMN-MAPPED table is not supported " +
+        "by this interop layer — use delta-spark")
+    val dataCols = snapTo.schema.fieldNames.toSeq
+    val ctField = StructField("_change_type", StringType, nullable = false)
+    // one sub-scan per (version, change kind): rows resolve through
+    // the same pinned-snapshot relation as batch reads
+    def rowsOf(schema: StructType, adds: Seq[DeltaAdd],
+        changeType: Option[String], v: Long): DataFrame = {
+      val sub = snapTo.copy(schema = schema, adds = adds)
+      val df = org.apache.spark.sql.GraftColumnBridge.ofRows(spark,
+        org.apache.spark.sql.execution.datasources.LogicalRelation(
+          DeltaLogRead.relation(spark, sub), isStreaming = false))
+      val typed = changeType.fold(df)(t =>
+        df.withColumn("_change_type", lit(t)))
+      typed.withColumn("_commit_version", lit(v))
+        .select((dataCols ++ Seq("_change_type", "_commit_version"))
+          .map(col): _*)
+    }
+    val parts = ((afterVersion + 1) to toVersion).flatMap { v =>
+      val ca = commitActions(root, v)
+      if (ca.cdcFiles.nonEmpty)
+        // authoritative: cdc parquet already carries _change_type
+        Some(rowsOf(StructType(snapTo.schema.fields :+ ctField),
+          ca.cdcFiles, None, v))
+      else if (ca.adds.nonEmpty && !ca.dataChangingRemoves)
+        Some(rowsOf(snapTo.schema, ca.adds, Some("insert"), v))
+      else if (ca.adds.isEmpty && ca.dataChangingRemoves) {
+        // deletes of whole files: their add entries (size, partition
+        // values, possible DV) live in the PRIOR version's snapshot
+        val prior = snapshot(spark, root, Some(v - 1))
+        val byPath = prior.adds.map(a => a.path -> a).toMap
+        val removed = ca.removedPaths.flatMap(byPath.get)
+        require(removed.forall(_.deletionVector.isEmpty),
+          s"delta-log: CDF derivation for v$v would resurrect rows " +
+            "hidden by a deletion vector — the change data was not " +
+            "recorded; enable delta.enableChangeDataFeed")
+        if (removed.isEmpty) None
+        else Some(rowsOf(snapTo.schema, removed, Some("delete"), v))
+      } else if (ca.adds.nonEmpty && ca.dataChangingRemoves)
+        throw new IllegalStateException(
+          s"delta-log: commit v$v of $root rewrites data without cdc " +
+            "actions — change data was not recorded for it; enable " +
+            "delta.enableChangeDataFeed before such commits")
+      else None // metadata-only / dataChange-false commit: no changes
+    }
+    if (parts.isEmpty) {
+      val empty = snapTo.copy(adds = Nil)
+      rowsOf(empty.schema, Nil, Some("insert"), toVersion)
+        .filter(lit(false))
+    } else parts.reduce(_ union _)
   }
 
   /** Write a checkpoint of `version` (default latest): the replayed

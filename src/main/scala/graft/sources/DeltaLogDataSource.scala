@@ -67,9 +67,14 @@ class DeltaLogDataSource extends RelationProvider
   override def sourceSchema(sqlContext: SQLContext,
       schema: Option[StructType], providerName: String,
       parameters: Map[String, String]): (String, StructType) =
-    (shortName(), schema.getOrElse(
-      DeltaLog.snapshot(sqlContext.sparkSession,
-        rootOf(parameters)).schema))
+    (shortName(), schema.getOrElse {
+      val base = DeltaLog.snapshot(sqlContext.sparkSession,
+        rootOf(parameters)).schema
+      if (parameters.map { case (k, v) => k.toLowerCase -> v }
+        .get("readchangefeed").exists(_.toBoolean))
+        DeltaLogStream.withCdfColumns(base)
+      else base
+    })
 
   override def createSource(sqlContext: SQLContext, metadataPath: String,
       schema: Option[StructType], providerName: String,
@@ -439,8 +444,11 @@ object DeltaLogStream {
     val lower = parameters.map { case (k, v) => k.toLowerCase -> v }
     val head = DeltaLog.latestVersion(root)
     require(head >= 0, s"delta-log: $root is not a Delta table")
-    val declared = schema.getOrElse(
-      DeltaLog.snapshot(sqlContext.sparkSession, root).schema)
+    val cdf = lower.get("readchangefeed").exists(_.toBoolean)
+    val declared = schema.getOrElse {
+      val base = DeltaLog.snapshot(sqlContext.sparkSession, root).schema
+      if (!cdf) base else DeltaLogStream.withCdfColumns(base)
+    }
     // startingVersion: absent → initial snapshot; N → tail from commit
     // N; "latest" → only commits after stream start
     val (initialSnapshot, startAfter) =
@@ -458,14 +466,22 @@ object DeltaLogStream {
       startAfter, maxPerTrigger,
       ignoreDeletes = lower.get("ignoredeletes").exists(_.toBoolean),
       ignoreChanges = lower.get("ignorechanges").exists(_.toBoolean),
-      metadataPath)
+      metadataPath, cdf)
   }
+
+  /** The CDF feed schema: table columns + the two change columns. */
+  private[sources] def withCdfColumns(base: StructType): StructType =
+    StructType(base.fields ++ Seq(
+      StructField("_change_type",
+        org.apache.spark.sql.types.StringType, nullable = false),
+      StructField("_commit_version",
+        org.apache.spark.sql.types.LongType, nullable = false)))
 
   private[sources] final class VersionTail(sqlContext: SQLContext,
       root: String, declared: StructType, initialSnapshot: Boolean,
       startAfter: Long, maxPerTrigger: Option[Long],
       ignoreDeletes: Boolean, ignoreChanges: Boolean,
-      metadataPath: String)
+      metadataPath: String, cdf: Boolean = false)
       extends Source
       with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl
       with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
@@ -560,6 +576,23 @@ object DeltaLogStream {
       if (to > handedOut) {
         handedOut = to
         if (maxPerTrigger.isDefined) persistHwm(to)
+      }
+      if (cdf) {
+        // CHANGE FEED batches: the initial snapshot emits as inserts
+        // at its own version; later batches delegate to
+        // [[DeltaLog.changes]] (cdc actions authoritative, derived
+        // insert/delete otherwise, not-recorded rewrites refuse)
+        import org.apache.spark.sql.functions.lit
+        val batch = start match {
+          case None if initialSnapshot =>
+            rowsOf(to, DeltaLog.snapshot(spark, root, Some(to)).adds)
+              .withColumn("_change_type", lit("insert"))
+              .withColumn("_commit_version", lit(to))
+          case _ =>
+            val after = start.map(offsetVersion).getOrElse(startAfter)
+            DeltaLog.changes(spark, root, after, to)
+        }
+        return GraftColumnBridge.asStreaming(driftGuard(batch, to))
       }
       val batch = start match {
         case None if initialSnapshot =>

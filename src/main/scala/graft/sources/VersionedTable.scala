@@ -3005,6 +3005,26 @@ object VersionedTable {
           Some(b.get(0)), Some(b.get(1))))
       }
     val tgt = readResolved(spark, root, st, touched)
+    val out = mergeCascadeRows(tgt, source, tableSc, tKey, sKey,
+      matched, notMatched, bySource)
+    commitReplace(spark, root, basis, touched, out)
+  }
+
+  /** The clause-cascade full-outer join at the heart of
+    * [[mergeConditional]] — shared with the Delta interop MERGE
+    * ([[DeltaLog.mergeConditional]]): target rows (already restricted
+    * to the files in play) join source rows on the key, each row runs
+    * its position's clause list (first condition that holds wins),
+    * and the survivors project back to the table's columns. */
+  private[sources] def mergeCascadeRows(tgtRows: org.apache.spark.sql.DataFrame,
+      source: org.apache.spark.sql.DataFrame,
+      tableSc: org.apache.spark.sql.types.StructType,
+      tKey: String, sKey: String,
+      matched: Seq[MergeClause], notMatched: Seq[MergeClause],
+      bySource: Seq[MergeClause]): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit, when}
+    val tableCols = tableSc.fieldNames.toSeq
+    val tgt = tgtRows
       .select(tableCols.map(c => col(c).as(s"__t_$c")): _*)
       .withColumn("__t_present", lit(true))
     val src = source
@@ -3046,7 +3066,7 @@ object VersionedTable {
     val (tKeep, tVal) = fold(bySource, (lit(true), keepT))
     val (sKeep, sVal) =
       fold(notMatched, (lit(false), _ => lit(null)))
-    val out = joined
+    joined
       .withColumn("__keep",
         when(isMatched, mKeep).when(targetOnly, tKeep).otherwise(sKeep))
       .filter(col("__keep"))
@@ -3055,7 +3075,6 @@ object VersionedTable {
         when(isMatched, mVal(c)).when(targetOnly, tVal(c))
           .otherwise(sVal(c)).cast(f.dataType).as(c)
       }: _*)
-    commitReplace(spark, root, basis, touched, out)
   }
 
   /** MERGE INTO, stats-pruned copy-on-write (the Delta `MERGE` shape,

@@ -272,4 +272,109 @@ class GraftDmlSpec extends SparkSpecBase {
       assert(eSub.getMessage.contains("subquery"))
     } finally { drop("dml_pin"); drop("dml_live") }
   }
+
+  test("SQL UPDATE on a delta-log table: COW, pre-update-row SET") {
+    import graft.sources.DeltaLog
+    val root = tmp()
+    (0 until 3).foreach(i => DeltaLog.commit(
+      spark.range(8 * i, 8 * i + 8).toDF("k")
+        .withColumn("v", col("k") * 10).coalesce(1), root))
+    spark.sql(s"CREATE TABLE dml_dup USING `delta-log` OPTIONS (path '$root')")
+    try {
+      val before = DeltaLog.snapshot(spark, root).adds.map(_.path).toSet
+      // SET reads the PRE-update row: v := v + k, k := k + 1000 must
+      // use the ORIGINAL k in both
+      spark.sql(
+        "UPDATE dml_dup SET v = v + k, k = k + 1000 WHERE k >= 16")
+      val after = DeltaLog.snapshot(spark, root)
+      // only the third file rewrote
+      assert(before.diff(after.adds.map(_.path).toSet).size === 1)
+      val rows = spark.sql(
+        "SELECT k, v FROM dml_dup WHERE k >= 1000 ORDER BY k")
+        .as[(Long, Long)].collect().toSeq
+      assert(rows === (16 until 24).map(k =>
+        (k + 1000L, k * 10L + k)))
+      // untouched rows intact; WHERE-null keeps rows
+      assert(spark.sql("SELECT count(*) FROM dml_dup WHERE k < 16")
+        .as[Long].head() === 16L)
+      spark.sql("UPDATE dml_dup SET v = 0 WHERE if(k = 1, NULL, FALSE)")
+      assert(spark.sql("SELECT count(*) FROM dml_dup WHERE v = 0")
+        .as[Long].head() === 1L) // only k=0 (v was 0 already)
+    } finally drop("dml_dup")
+  }
+
+  test("delta UPDATE of a partition column relocates rows; CDF records images") {
+    import graft.sources.DeltaLog
+    val root = tmp()
+    DeltaLog.commit(spark.range(0, 8).toDF("k")
+      .withColumn("p", col("k") % 2).repartition(col("p")),
+      root, partitionBy = Seq("p"))
+    DeltaLog.setConfiguration(spark, root,
+      Map("delta.enableChangeDataFeed" -> "true"))
+    spark.sql(s"CREATE TABLE dml_dpart USING `delta-log` OPTIONS (path '$root')")
+    try {
+      val v = DeltaLog.latestVersion(root) + 1
+      spark.sql("UPDATE dml_dpart SET p = 2 WHERE k = 3") // p=1 -> p=2
+      val snap = DeltaLog.snapshot(spark, root)
+      assert(snap.adds.exists(_.partitionValues.get("p").contains("2")))
+      assert(spark.sql("SELECT p FROM dml_dpart WHERE k = 3")
+        .as[Long].head() === 2L)
+      // CDF pre/postimages recorded by the commit
+      val feed = DeltaLog.changes(spark, root, v - 1, v)
+        .select("k", "p", "_change_type")
+        .as[(Long, Long, String)].collect().toSet
+      assert(feed === Set((3L, 1L, "update_preimage"),
+        (3L, 2L, "update_postimage")))
+    } finally drop("dml_dpart")
+  }
+
+  test("SQL MERGE INTO a delta-log table: full clause algebra, COW") {
+    import graft.sources.DeltaLog
+    val root = tmp()
+    (0 until 3).foreach(i => DeltaLog.commit(
+      spark.range(8 * i, 8 * i + 8).toDF("k")
+        .withColumn("v", col("k") * 10).coalesce(1), root))
+    spark.sql(s"CREATE TABLE dml_dm USING `delta-log` OPTIONS (path '$root')")
+    Seq((1L, 111L), (2L, -1L), (30L, 300L), (40L, -1L))
+      .toDF("k", "v").createOrReplaceTempView("dml_dm_src")
+    try {
+      val before = DeltaLog.snapshot(spark, root).adds.map(_.path).toSet
+      spark.sql(
+        """MERGE INTO dml_dm t USING dml_dm_src s ON t.k = s.k
+          |WHEN MATCHED AND s.v < 0 THEN DELETE
+          |WHEN MATCHED THEN UPDATE SET v = s.v + t.v
+          |WHEN NOT MATCHED AND s.v >= 0 THEN INSERT (k, v) VALUES (s.k, s.v)
+          |""".stripMargin)
+      // k=1 updates (111 + 10), k=2 deletes, k=30 inserts, k=40 skipped
+      val rows = spark.sql(
+        "SELECT k, v FROM dml_dm WHERE k IN (1, 2, 30, 40) ORDER BY k")
+        .as[(Long, Long)].collect().toSeq
+      assert(rows === Seq((1L, 121L), (30L, 300L)))
+      assert(spark.sql("SELECT count(*) FROM dml_dm").as[Long]
+        .head() === 24L) // 24 - 1 deleted + 1 inserted
+      // key-envelope pruning: source keys hit files 0 and... envelope
+      // [1, 40] spans all three files here, so just assert the commit
+      // REPLACED rather than duplicated
+      val after = DeltaLog.snapshot(spark, root)
+      assert(after.adds.map(_.path).toSet.intersect(before).isEmpty ||
+        after.adds.size <= before.size + 1)
+      // WHEN NOT MATCHED BY SOURCE over a second merge
+      spark.sql(
+        """MERGE INTO dml_dm t USING dml_dm_src s ON t.k = s.k
+          |WHEN NOT MATCHED BY SOURCE AND t.k >= 20 THEN DELETE
+          |""".stripMargin)
+      assert(spark.sql("SELECT max(k) FROM dml_dm").as[Long]
+        .head() === 30L) // 20..23 gone (not in source), 30 IS in source
+      // CDF-enabled tables refuse MERGE loudly
+      DeltaLog.setConfiguration(spark, root,
+        Map("delta.enableChangeDataFeed" -> "true"))
+      val e = intercept[Exception] {
+        spark.sql(
+          """MERGE INTO dml_dm t USING dml_dm_src s ON t.k = s.k
+            |WHEN MATCHED THEN UPDATE SET v = s.v
+            |""".stripMargin)
+      }
+      assert(e.getMessage.contains("CDF"))
+    } finally { drop("dml_dm"); spark.catalog.dropTempView("dml_dm_src") }
+  }
 }

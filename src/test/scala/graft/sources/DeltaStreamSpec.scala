@@ -144,6 +144,35 @@ class DeltaStreamSpec extends SparkSpecBase {
     assert(bs.forall(_.size <= 2) && bs.size >= 3, s"batches=$bs")
   }
 
+  test("readChangeFeed streams CDC rows: snapshot inserts, cdc deletes") {
+    val root = tmp()
+    DeltaLog.commit(spark.range(0, 4).toDF("k").coalesce(1), root)  // v0
+    DeltaLog.setConfiguration(spark, root,
+      Map("delta.enableChangeDataFeed" -> "true"))                  // v1
+    val q = spark.readStream.format("delta-log")
+      .option("readChangeFeed", "true").load(root)
+      .writeStream.format("memory").queryName("ds_cdf")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      // initial snapshot = inserts at the first offset's version
+      assert(spark.sql(
+        "SELECT k, _change_type FROM ds_cdf").as[(Long, String)]
+        .collect().toSet ===
+        (0L until 4L).map(k => (k, "insert")).toSet)
+      DeltaLog.commit(spark.range(4, 6).toDF("k").coalesce(1), root) // v2
+      DeltaLog.deleteWhere(spark, root, col("k") === 1)              // v3: cdc
+      q.processAllAvailable()
+      val after = spark.sql(
+        "SELECT k, _change_type, _commit_version FROM ds_cdf")
+        .as[(Long, String, Long)].collect().toSet
+      assert(after.contains((4L, "insert", 2L)) &&
+        after.contains((5L, "insert", 2L)) &&
+        after.contains((1L, "delete", 3L)), s"got $after")
+      assert(after.size === 7) // 4 snapshot + 2 inserts + 1 delete
+    } finally q.stop()
+  }
+
   test("schema drift mid-stream refuses with the restart instruction") {
     val root = tmp()
     DeltaLog.commit(spark.range(0, 2).toDF("k"), root)

@@ -94,6 +94,37 @@ class IcebergEqDeleteSpec extends SparkSpecBase {
       .option("snapshotId", snap0.toString).load(root).count() === 12)
   }
 
+  test("SQL DELETE routes equality predicates to equality-delete commits") {
+    val root = tmp()
+    IcebergMeta.writeFixture(
+      spark.range(0, 20).toDF("k").withColumn("cat",
+        when(col("k") % 2 === 0, "even").otherwise("odd")), root)
+    val before = IcebergMeta.snapshot(root).files.map(_.path).toSet
+    spark.sql(s"CREATE TABLE eq_sql_t USING `iceberg-meta` OPTIONS (path '$root')")
+    try {
+      // equality shape → zero-read equality-delete commit
+      spark.sql("DELETE FROM eq_sql_t WHERE cat = 'even'")
+      val s1 = IcebergMeta.snapshot(root)
+      assert(s1.eqDeletes.size === 1 && s1.deletes.isEmpty)
+      assert(s1.files.map(_.path).toSet === before) // no data file touched
+      assert(spark.sql("SELECT count(*) FROM eq_sql_t").as[Long]
+        .head() === 10L)
+      // IN + conjunction: one commit, cross-product value rows
+      spark.sql("DELETE FROM eq_sql_t WHERE k IN (1, 3) AND cat = 'odd'")
+      val s2 = IcebergMeta.snapshot(root)
+      assert(s2.eqDeletes.size === 2)
+      assert(spark.sql("SELECT count(*) FROM eq_sql_t").as[Long]
+        .head() === 8L)
+      // a RANGE predicate cannot be an equality file — and the
+      // positional path refuses on an eq-delete-carrying table, so
+      // the statement fails loudly rather than mixing kinds
+      val e = intercept[Exception] {
+        spark.sql("DELETE FROM eq_sql_t WHERE k > 15")
+      }
+      assert(e.getMessage.contains("EQUALITY"))
+    } finally spark.sql("DROP TABLE IF EXISTS eq_sql_t")
+  }
+
   test("refusals: raw listing, convert, schema mismatch") {
     val root = tmp()
     IcebergMeta.writeFixture(

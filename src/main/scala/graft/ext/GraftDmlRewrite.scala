@@ -233,7 +233,35 @@ case class GraftDmlRewrite(session: SparkSession) extends Rule[LogicalPlan] {
               m.matchedActions.map(clause("delta-log")),
               m.notMatchedActions.map(clause("delta-log")),
               m.notMatchedBySourceActions.map(clause("delta-log")))
-          case None => m
+          case None => icebergTarget(m.targetTable) match {
+            case Some((root, pinned)) =>
+              require(!pinned, "iceberg-meta: cannot MERGE INTO a " +
+                "snapshotId-pinned relation (snapshots are immutable)")
+              // ONLY the canonical star upsert lowers — and it lowers
+              // to the MERGE-ON-READ upsert (one equality-delete +
+              // append snapshot, zero data files read): the CDC shape
+              val (tKey, sKey) = keysOf("iceberg-meta")
+              val starMatched = m.matchedActions match {
+                case Seq(UpdateStarAction(None)) => true
+                case Seq(UpdateAction(None, as, _)) => identityAssignments(as)
+                case _ => false
+              }
+              val starInsert = m.notMatchedActions match {
+                case Seq(InsertStarAction(None)) => true
+                case Seq(InsertAction(None, as)) => identityAssignments(as)
+                case _ => false
+              }
+              if (!(starMatched && starInsert && tKey == sKey &&
+                m.notMatchedBySourceActions.isEmpty && !m.withSchemaEvolution))
+                throw new UnsupportedOperationException(
+                  "iceberg-meta MERGE supports only the canonical " +
+                    "UPDATE SET * / INSERT * upsert on a shared key " +
+                    "(lowered to a merge-on-read equality-delete + " +
+                    "append snapshot) — rewrite other shapes, or " +
+                    "CONVERT the table to graft")
+              IcebergUpsertCommand(root, m.sourceTable, tKey)
+            case None => m
+          }
         }
       }
 
@@ -501,6 +529,20 @@ case class GraftMergeConditionalCommand(root: String, source: LogicalPlan,
     }
     VersionedTable.mergeConditional(session, root, src, tKey, sKey,
       matched.map(convert), notMatched.map(convert), bySource.map(convert))
+    Seq.empty
+  }
+}
+
+/** Canonical star `MERGE INTO <iceberg-meta table>` →
+  * [[graft.sources.IcebergMeta.upsertKeyed]]: one merge-on-read
+  * snapshot (equality-delete on the key + new images), zero data
+  * files read or rewritten. */
+case class IcebergUpsertCommand(root: String, source: LogicalPlan,
+    key: String) extends LeafRunnableCommand {
+  override def innerChildren: Seq[LogicalPlan] = Seq(source)
+  override def run(session: SparkSession): Seq[Row] = {
+    val src = GraftColumnBridge.ofRows(session, source)
+    graft.sources.IcebergMeta.upsertKeyed(session, root, src, key)
     Seq.empty
   }
 }

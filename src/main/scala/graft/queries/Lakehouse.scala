@@ -1919,6 +1919,70 @@ object Lakehouse {
              |  CAST(sum(o_custkey) AS BIGINT) AS sum_cust,
              |  CAST(sum(o_orderkey) AS BIGINT) AS sum_key
              |FROM merged GROUP BY o_orderstatus
+             |ORDER BY o_orderstatus""".stripMargin)),
+
+    // ICEBERG MERGE-ON-READ UPSERT (round 8): the canonical star
+    // MERGE on an Iceberg table lowers to IcebergMeta.upsertKeyed —
+    // ONE snapshot carrying both an equality-delete file on the key
+    // (retiring every old image, strictly-older-sequence scope) and
+    // the new images as data files at the same sequence number, which
+    // therefore survive their own delete. ZERO existing data files
+    // are read or rewritten: a CDC batch upserts a 100 TB table at
+    // the cost of the batch — the Flink/Iceberg streaming-upsert
+    // write shape, done through plain SQL. Oracle restates the upsert
+    // as CASE/UNION algebra over raw orders. IcebergEqDeleteSpec pins
+    // the file-level invariants (old files untouched, composition,
+    // stream refusal of the overwrite snapshot).
+    QueryDef(
+      "q246_iceberg_sql_upsert",
+      (s, d) => {
+        val root = Files.createTempDirectory("ius_entry_").toString + "/t"
+        val tbl = "ius_orders_entry"
+        val src = orders(s, d).select(col("o_orderkey"), col("o_custkey"),
+          col("o_orderstatus"))
+        val split = 1024L
+        src.filter(col("o_orderkey") <= split)
+          .repartitionByRange(4, col("o_orderkey"))
+          .write.format("iceberg-meta").save(root)
+        s.sql(s"DROP TABLE IF EXISTS $tbl")
+        s.sql(s"CREATE TABLE $tbl USING `iceberg-meta` OPTIONS (path '$root')")
+        src.filter(col("o_orderkey") <= 512)
+          .select(col("o_orderkey"),
+            (col("o_custkey") * 2 + 1).as("o_custkey"),
+            lit("U").as("o_orderstatus"))
+          .union(src.filter(col("o_orderkey") <= 256)
+            .select((-col("o_orderkey") - 1).as("o_orderkey"),
+              col("o_custkey"), lit("N").as("o_orderstatus")))
+          .createOrReplaceTempView("ius_src_entry")
+        s.sql(
+          s"""MERGE INTO $tbl t USING ius_src_entry s
+             |ON t.o_orderkey = s.o_orderkey
+             |WHEN MATCHED THEN UPDATE SET *
+             |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+        val out = s.sql(
+          s"""SELECT o_orderstatus, count(*) AS n_rows,
+             |  CAST(sum(o_custkey) AS BIGINT) AS sum_cust,
+             |  CAST(sum(o_orderkey) AS BIGINT) AS sum_key
+             |FROM $tbl GROUP BY o_orderstatus
+             |ORDER BY o_orderstatus""".stripMargin)
+        s.sql(s"DROP TABLE $tbl")
+        out
+      },
+      Some("""WITH t AS (
+             |  SELECT o_orderkey,
+             |    CASE WHEN o_orderkey <= 512 THEN o_custkey * 2 + 1
+             |         ELSE o_custkey END AS o_custkey,
+             |    CASE WHEN o_orderkey <= 512 THEN 'U'
+             |         ELSE o_orderstatus END AS o_orderstatus
+             |  FROM orders WHERE o_orderkey <= 1024
+             |  UNION ALL
+             |  SELECT -(o_orderkey + 1), o_custkey, 'N' FROM orders
+             |  WHERE o_orderkey <= 256
+             |)
+             |SELECT o_orderstatus, count(*) AS n_rows,
+             |  CAST(sum(o_custkey) AS BIGINT) AS sum_cust,
+             |  CAST(sum(o_orderkey) AS BIGINT) AS sum_key
+             |FROM t GROUP BY o_orderstatus
              |ORDER BY o_orderstatus""".stripMargin))
   )
 }

@@ -870,6 +870,109 @@ object IcebergMeta {
     commitSnapshot(root, v, meta, snapId, seq, listRel, "delete")
   }
 
+  /** KEYED UPSERT via merge-on-read — the Flink/Iceberg CDC write
+    * shape: ONE snapshot carrying BOTH a v2 equality-delete file on
+    * `key` (the source's keys) AND the new images as ordinary data
+    * files. Both land at the same sequence number S; per the spec's
+    * strict ordering an equality delete applies only to data files
+    * with seq < S, so the delete retires every OLD image of the
+    * source's keys while the NEW images — at seq S themselves —
+    * survive their own delete. Net effect: matched keys replace,
+    * unmatched keys insert, ZERO existing data files read or
+    * rewritten, atomically (one conditional-put metadata commit).
+    *
+    * Contract: `source` unique and non-null per `key` (a CDC batch
+    * deduped to its latest record), the table unique per `key` (the
+    * delete removes every row carrying a source key). The snapshot's
+    * summary operation is `overwrite` — streaming tails refuse it by
+    * default, correctly: rows changed. Returns the new snapshot id;
+    * empty source commits nothing. */
+  def upsertKeyed(spark: SparkSession, root: String,
+      source: org.apache.spark.sql.DataFrame, key: String): Long = {
+    import org.apache.spark.sql.functions.col
+    val v = latestMetadataVersion(root)
+    val meta = mapper.readTree(Files.readAllBytes(
+      metaDir(root).resolve(s"v$v.metadata.json")))
+    val fv = meta.get("format-version").asInt()
+    if (fv > 2) throw new UnsupportedOperationException(
+      s"iceberg-meta: format-version $fv not supported (1 and 2 only)")
+    // same gate as append: unpartitioned default spec only
+    val specFields: Int =
+      if (meta.hasNonNull("partition-specs")) {
+        val cur = if (meta.hasNonNull("default-spec-id"))
+          meta.get("default-spec-id").asInt() else 0
+        meta.get("partition-specs").elements().asScala
+          .find(_.get("spec-id").asInt() == cur)
+          .map(_.get("fields").size()).getOrElse(0)
+      } else if (meta.hasNonNull("partition-spec"))
+        meta.get("partition-spec").size()
+      else 0
+    if (specFields != 0) throw new UnsupportedOperationException(
+      "iceberg-meta: upsert into a PARTITIONED table is not supported")
+    val (schema, nameById) = schemaOf(meta)
+    val idByName = nameById.map(_.swap)
+    val tbl = schema.fields.map(f => f.name -> f.dataType).toMap
+    val bad = source.schema.fields.filter(f =>
+      !tbl.get(f.name).contains(f.dataType))
+    require(bad.isEmpty && source.schema.length == schema.length,
+      s"iceberg-meta: upsert schema mismatch on ${bad.map(_.name).mkString(", ")}")
+    require(schema.fieldNames.contains(key),
+      s"iceberg-meta: no key column '$key'")
+    val n = source.count()
+    if (n == 0) return snapshot(root).snapshotId
+    require(source.where(col(key).isNotNull).select(col(key))
+      .distinct().count() == n,
+      "iceberg-meta upsert: source must be unique and non-null per key")
+    val nonce = java.util.UUID.randomUUID().toString.take(8)
+    val dataDir = Paths.get(root, "data")
+    Files.createDirectories(dataDir)
+    // new images as ordinary data files
+    val staging = Files.createTempDirectory("ice_ups_").resolve("out")
+    source.select(schema.fieldNames.head, schema.fieldNames.tail: _*)
+      .write.mode("errorifexists").parquet(staging.toString)
+    val parts = PosixDataStore.listDir(staging)
+      .filter(p => p.endsWith(".parquet") && !p.startsWith(".")).sorted
+    val dataEntries = parts.zipWithIndex.map { case (nm, i) =>
+      val name = f"part-$i%05d-$nonce.parquet"
+      val dst = dataDir.resolve(name)
+      Files.move(staging.resolve(nm), dst)
+      dataFileEntry(spark, dst, s"data/$name", schema, idByName)
+    }
+    val addedRows = dataEntries.map(e => asLong(e.get("data_file")
+      .asInstanceOf[GenericRecord].get("record_count"))).sum
+    // the keys as ONE equality-delete file
+    val delStaging = Files.createTempDirectory("ice_upsd_").resolve("out")
+    source.select(col(key)).distinct().coalesce(1)
+      .write.mode("errorifexists").parquet(delStaging.toString)
+    val delPart = PosixDataStore.listDir(delStaging)
+      .filter(p => p.endsWith(".parquet") && !p.startsWith(".")).head
+    val delName = s"eq-delete-upsert-$nonce.parquet"
+    Files.move(delStaging.resolve(delPart), dataDir.resolve(delName))
+    val delEntry = dataFileEntry(spark, dataDir.resolve(delName),
+      s"data/$delName",
+      org.apache.spark.sql.types.StructType(
+        schema.fields.filter(_.name == key)),
+      idByName, content = 2, equalityIds = Seq(idByName(key)))
+    val seq = (if (meta.hasNonNull("last-sequence-number"))
+      meta.get("last-sequence-number").asLong() else 0L) + 1
+    val snapId = java.util.UUID.randomUUID().getLeastSignificantBits
+      .abs.max(1L)
+    val dataManifestRel = s"metadata/snap-$snapId-m0.avro"
+    writeAvro(Paths.get(root, dataManifestRel), manifestSchema, dataEntries)
+    val delManifestRel = s"metadata/snap-$snapId-m1.avro"
+    writeAvro(Paths.get(root, delManifestRel), manifestSchema, Seq(delEntry))
+    val listRel = s"metadata/snap-$snapId.avro"
+    writeAvro(Paths.get(root, listRel), manifestListSchema,
+      carriedManifests(root, meta) ++ Seq(
+        manifestListRow(dataManifestRel,
+          Files.size(Paths.get(root, dataManifestRel)), 0, seq, snapId,
+          dataEntries.size, 0, addedRows, 0L),
+        manifestListRow(delManifestRel,
+          Files.size(Paths.get(root, delManifestRel)), 0, seq, snapId,
+          1, 0, 0L, 0L, content = 1)))
+    commitSnapshot(root, v, meta, snapId, seq, listRel, "overwrite")
+  }
+
   /** Row-level DELETE by VALUE via a v2 EQUALITY delete file — the
     * streaming-upsert primitive: `values`' columns name a subset of
     * the table's top-level fields (the equality columns), and every

@@ -148,4 +148,71 @@ class IcebergEqDeleteSpec extends SparkSpecBase {
     }
     assert(e3.getMessage.contains("mismatched"))
   }
+
+  test("upsertKeyed: one MOR snapshot replaces matched keys, inserts rest") {
+    val root = tmp()
+    IcebergMeta.writeFixture(
+      spark.range(0, 10).toDF("k").withColumn("v", col("k") * 10), root)
+    val before = IcebergMeta.snapshot(root)
+    // upsert: keys 3, 5 replace; key 100 inserts — one commit
+    IcebergMeta.upsertKeyed(spark, root,
+      Seq((3L, -3L), (5L, -5L), (100L, -100L)).toDF("k", "v"), "k")
+    val snap = IcebergMeta.snapshot(root)
+    // zero existing data files touched; one eq delete recorded
+    assert(before.files.map(_.path).toSet
+      .subsetOf(snap.files.map(_.path).toSet))
+    assert(snap.eqDeletes.size === 1 && snap.eqDeletes.head.eqCols === Seq("k"))
+    val ds = spark.read.format("iceberg-meta").load(root)
+    assert(ds.count() === 11)
+    assert(ds.filter(col("k").isin(3L, 5L, 100L)).select("v").as[Long]
+      .collect().sorted.toSeq === Seq(-100L, -5L, -3L))
+    assert(ds.filter(col("k") === 4).select("v").as[Long].head() === 40L)
+    // a SECOND upsert composes (its delete out-scopes the first's images)
+    IcebergMeta.upsertKeyed(spark, root,
+      Seq((3L, 333L)).toDF("k", "v"), "k")
+    assert(spark.read.format("iceberg-meta").load(root)
+      .filter(col("k") === 3).select("v").as[Long].head() === 333L)
+    // time travel: the pre-upsert snapshot still reads the old images
+    assert(spark.read.format("iceberg-meta")
+      .option("snapshotId", before.snapshotId.toString).load(root)
+      .filter(col("k") === 3).select("v").as[Long].head() === 30L)
+    // streaming tails refuse the overwrite snapshot (rows changed)
+    val q = spark.readStream.format("iceberg-meta")
+      .option("startingSequence", "1").load(root)
+      .writeStream.format("memory").queryName("ups_tail")
+      .outputMode("append").start()
+    try {
+      val e = intercept[Exception] { q.processAllAvailable() }
+      assert(e.getMessage.contains("overwrite"), e.getMessage)
+    } finally q.stop()
+  }
+
+  test("SQL MERGE star form lowers to the MOR upsert; other shapes refuse") {
+    val root = tmp()
+    IcebergMeta.writeFixture(
+      spark.range(0, 6).toDF("k").withColumn("v", col("k")), root)
+    spark.sql(s"CREATE TABLE ups_sql_t USING `iceberg-meta` OPTIONS (path '$root')")
+    Seq((2L, 222L), (50L, 500L)).toDF("k", "v")
+      .createOrReplaceTempView("ups_sql_src")
+    try {
+      val filesBefore = IcebergMeta.snapshot(root).files.map(_.path).toSet
+      spark.sql(
+        """MERGE INTO ups_sql_t t USING ups_sql_src s ON t.k = s.k
+          |WHEN MATCHED THEN UPDATE SET *
+          |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+      assert(filesBefore.subsetOf(
+        IcebergMeta.snapshot(root).files.map(_.path).toSet))
+      assert(spark.sql("SELECT sum(v) FROM ups_sql_t").as[Long]
+        .head() === (0L + 1 + 222 + 3 + 4 + 5 + 500))
+      val e = intercept[Exception] {
+        spark.sql(
+          """MERGE INTO ups_sql_t t USING ups_sql_src s ON t.k = s.k
+            |WHEN MATCHED THEN DELETE""".stripMargin)
+      }
+      assert(e.getMessage.contains("canonical"), e.getMessage)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS ups_sql_t")
+      spark.catalog.dropTempView("ups_sql_src")
+    }
+  }
 }

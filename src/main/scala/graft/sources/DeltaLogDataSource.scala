@@ -602,11 +602,9 @@ object DeltaLogStream {
           val after = start.map(offsetVersion).getOrElse(startAfter)
           val versions = (after + 1) to to
           val actions = versions.map(v => DeltaLog.commitActions(root, v))
+          // metaData restatements are judged by driftGuard below on
+          // the ACTUAL schema — a config-only restatement is fine
           actions.foreach { ca =>
-            if (ca.metaChanged && ca.version > 0)
-              // compared for real by driftGuard below; refuse only if
-              // the restated schema actually differs
-              ()
             if (ca.dataChangingRemoves && ca.adds.nonEmpty && !ignoreChanges)
               throw new IllegalStateException(
                 s"delta-log stream of $root: commit v${ca.version} " +

@@ -870,6 +870,85 @@ object IcebergMeta {
     commitSnapshot(root, v, meta, snapId, seq, listRel, "delete")
   }
 
+  /** REWRITE the table (Iceberg's `rewrite_data_files` maintenance
+    * action): materialize the currently-VISIBLE rows — positional and
+    * equality deletes applied through the same [[IcebergMetaRead
+    * .morRead]] path the scan rewrite uses — into `numFiles` fresh
+    * data files, committed as a snapshot whose manifest list carries
+    * ONLY the new data manifest: no carried manifests, no delete
+    * files. Old snapshots stay time-travelable (their metadata and
+    * files remain on disk, unreferenced by the new state).
+    *
+    * This closes every "rewrite the table first" refusal loop in one
+    * call: a delete-carrying table becomes CONVERTible to graft,
+    * positional DELETE works again after equality deletes, and the
+    * read side stops paying the per-scan anti-joins. Summary
+    * operation is `replace` — streaming tails refuse it (correctly:
+    * the file set changed under them). */
+  def compact(spark: SparkSession, root: String,
+      numFiles: Int = 1): Long = {
+    require(numFiles >= 1, "numFiles must be >= 1")
+    val v = latestMetadataVersion(root)
+    val meta = mapper.readTree(Files.readAllBytes(
+      metaDir(root).resolve(s"v$v.metadata.json")))
+    val fv = meta.get("format-version").asInt()
+    if (fv > 2) throw new UnsupportedOperationException(
+      s"iceberg-meta: format-version $fv not supported (1 and 2 only)")
+    // same gate as append/upsert: the rewritten entries carry no
+    // partition tuples, which a partitioned spec's readers expect
+    val specFields: Int =
+      if (meta.hasNonNull("partition-specs")) {
+        val cur = if (meta.hasNonNull("default-spec-id"))
+          meta.get("default-spec-id").asInt() else 0
+        meta.get("partition-specs").elements().asScala
+          .find(_.get("spec-id").asInt() == cur)
+          .map(_.get("fields").size()).getOrElse(0)
+      } else if (meta.hasNonNull("partition-spec"))
+        meta.get("partition-spec").size()
+      else 0
+    if (specFields != 0) throw new UnsupportedOperationException(
+      "iceberg-meta: compact of a PARTITIONED table is not supported")
+    val (schema, nameById) = schemaOf(meta)
+    val idByName = nameById.map(_.swap)
+    val snap = snapshot(root)
+    val visible = IcebergMetaRead.morRead(spark, snap)
+      .coalesce(numFiles)
+    val nonce = java.util.UUID.randomUUID().toString.take(8)
+    val staging = Files.createTempDirectory("ice_cpt_").resolve("out")
+    visible.select(schema.fieldNames.head, schema.fieldNames.tail: _*)
+      .write.mode("errorifexists").parquet(staging.toString)
+    val parts = PosixDataStore.listDir(staging)
+      .filter(p => p.endsWith(".parquet") && !p.startsWith(".")).sorted
+    val dataDir = Paths.get(root, "data")
+    Files.createDirectories(dataDir)
+    val entries = parts.zipWithIndex.flatMap { case (nm, i) =>
+      val rows = VersionedTable.footerStats(spark, staging.resolve(nm))
+        .values.map(_.rows).maxOption.getOrElse(0L)
+      if (rows == 0L) None // empty split: don't list empty files
+      else {
+        val name = f"compact-$i%05d-$nonce.parquet"
+        val dst = dataDir.resolve(name)
+        Files.move(staging.resolve(nm), dst)
+        Some(dataFileEntry(spark, dst, s"data/$name", schema, idByName))
+      }
+    }
+    val addedRows = entries.map(e => asLong(e.get("data_file")
+      .asInstanceOf[GenericRecord].get("record_count"))).sum
+    val seq = (if (meta.hasNonNull("last-sequence-number"))
+      meta.get("last-sequence-number").asLong() else 0L) + 1
+    val snapId = java.util.UUID.randomUUID().getLeastSignificantBits
+      .abs.max(1L)
+    val manifestRel = s"metadata/snap-$snapId-m0.avro"
+    writeAvro(Paths.get(root, manifestRel), manifestSchema, entries)
+    val listRel = s"metadata/snap-$snapId.avro"
+    // the new manifest is the WHOLE state — nothing carried forward
+    writeAvro(Paths.get(root, listRel), manifestListSchema,
+      Seq(manifestListRow(manifestRel,
+        Files.size(Paths.get(root, manifestRel)), 0, seq, snapId,
+        entries.size, 0, addedRows, 0L)))
+    commitSnapshot(root, v, meta, snapId, seq, listRel, "replace")
+  }
+
   /** KEYED UPSERT via merge-on-read — the Flink/Iceberg CDC write
     * shape: ONE snapshot carrying BOTH a v2 equality-delete file on
     * `key` (the source's keys) AND the new images as ordinary data

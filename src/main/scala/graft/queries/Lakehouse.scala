@@ -1983,6 +1983,98 @@ object Lakehouse {
              |  CAST(sum(o_custkey) AS BIGINT) AS sum_cust,
              |  CAST(sum(o_orderkey) AS BIGINT) AS sum_key
              |FROM t GROUP BY o_orderstatus
-             |ORDER BY o_orderstatus""".stripMargin))
+             |ORDER BY o_orderstatus""".stripMargin)),
+
+    // ICEBERG REWRITE_DATA_FILES (round 8): compaction as a
+    // CORRECTNESS surface — an equality delete hides rows
+    // merge-on-read, IcebergMeta.compact materializes the visible
+    // rows into ONE fresh file in a carried-nothing snapshot (the
+    // n_files=1 output column is part of the ORACLE contract: the
+    // oracle's literal 1 fails the hash if compaction ever stops
+    // packing), and the formerly-refused positional SQL DELETE then
+    // works on the compacted state. Oracle restates all three steps
+    // as plain filters over raw orders.
+    QueryDef(
+      "q247_iceberg_rewrite_files",
+      (s, d) => {
+        val root = Files.createTempDirectory("icr_entry_").toString + "/t"
+        val tbl = "icr_orders_entry"
+        val src = orders(s, d).select(col("o_orderkey"), col("o_custkey"),
+          col("o_orderstatus"))
+        src.filter(col("o_orderkey") <= 2048)
+          .repartitionByRange(4, col("o_orderkey"))
+          .write.format("iceberg-meta").save(root)
+        import s.implicits._
+        graft.sources.IcebergMeta.deleteEquality(s, root,
+          Seq("P").toDF("o_orderstatus"))
+        graft.sources.IcebergMeta.compact(s, root)
+        val nFiles = graft.sources.IcebergMeta.snapshot(root).files.size
+        s.sql(s"DROP TABLE IF EXISTS $tbl")
+        s.sql(s"CREATE TABLE $tbl USING `iceberg-meta` OPTIONS (path '$root')")
+        s.sql(s"DELETE FROM $tbl WHERE o_orderkey % 10 = 7") // positional again
+        val out = s.sql(
+          s"""SELECT o_orderstatus, count(*) AS n_rows,
+             |  CAST(sum(o_orderkey) AS BIGINT) AS sum_key,
+             |  CAST($nFiles AS BIGINT) AS n_files
+             |FROM $tbl GROUP BY o_orderstatus
+             |ORDER BY o_orderstatus""".stripMargin)
+        s.sql(s"DROP TABLE $tbl")
+        out
+      },
+      Some("""SELECT o_orderstatus, count(*) AS n_rows,
+             |  CAST(sum(o_orderkey) AS BIGINT) AS sum_key,
+             |  CAST(1 AS BIGINT) AS n_files
+             |FROM orders
+             |WHERE o_orderkey <= 2048 AND o_orderstatus <> 'P'
+             |  AND o_orderkey % 10 <> 7
+             |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)),
+
+    // DELTA OPTIMIZE / REORG PURGE (round 8): same contract for the
+    // Delta side — four append commits plus a COW DELETE leave a
+    // multi-file table; DeltaLog.compact packs the live rows into ONE
+    // dataChange:false file (n_files=1 pinned by the oracle), rows
+    // identical, and the pre-compaction version still time-travels
+    // (the entry reads it back and folds its row count into the
+    // output so the oracle checks BOTH states at once).
+    QueryDef(
+      "q248_delta_optimize",
+      (s, d) => {
+        val root = Files.createTempDirectory("dop_entry_").toString
+        val tbl = "dop_orders_entry"
+        val src = orders(s, d).select(col("o_orderkey"), col("o_custkey"),
+          col("o_orderstatus"))
+        val quarter = 512L
+        (0 until 4).foreach(i => graft.sources.DeltaLog.commit(
+          src.filter(col("o_orderkey") > i * quarter &&
+            col("o_orderkey") <= (i + 1) * quarter or
+            (if (i == 0) col("o_orderkey") === 0 else lit(false))), root))
+        graft.sources.DeltaLog.deleteWhere(s, root,
+          col("o_orderkey") % 5 === 2)
+        val preVersion = graft.sources.DeltaLog.latestVersion(root)
+        graft.sources.DeltaLog.compact(s, root)
+        val nFiles = graft.sources.DeltaLog.snapshot(s, root).adds.size
+        val preRows = s.read.format("delta-log")
+          .option("versionAsOf", preVersion.toString).load(root).count()
+        s.sql(s"DROP TABLE IF EXISTS $tbl")
+        s.sql(s"CREATE TABLE $tbl USING `delta-log` OPTIONS (path '$root')")
+        val out = s.sql(
+          s"""SELECT o_orderstatus, count(*) AS n_rows,
+             |  CAST(sum(o_orderkey) AS BIGINT) AS sum_key,
+             |  CAST($nFiles AS BIGINT) AS n_files,
+             |  CAST($preRows AS BIGINT) AS n_pre_compact
+             |FROM $tbl GROUP BY o_orderstatus
+             |ORDER BY o_orderstatus""".stripMargin)
+        s.sql(s"DROP TABLE $tbl")
+        out
+      },
+      Some("""SELECT o_orderstatus, count(*) AS n_rows,
+             |  CAST(sum(o_orderkey) AS BIGINT) AS sum_key,
+             |  CAST(1 AS BIGINT) AS n_files,
+             |  (SELECT CAST(count(*) AS BIGINT) FROM orders
+             |   WHERE o_orderkey <= 2048 AND o_orderkey % 5 <> 2)
+             |    AS n_pre_compact
+             |FROM orders
+             |WHERE o_orderkey <= 2048 AND o_orderkey % 5 <> 2
+             |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin))
   )
 }

@@ -129,7 +129,13 @@ case class GraftDmlRewrite(session: SparkSession) extends Rule[LogicalPlan] {
             require(!pinned, "delta-log: cannot UPDATE a " +
               "versionAsOf-pinned relation (snapshots are immutable)")
             DeltaUpdateCommand(root, setOf("delta-log"), cond)
-          case None => u
+          case None => icebergTarget(tbl) match {
+            case Some((root, pinned)) =>
+              require(!pinned, "iceberg-meta: cannot UPDATE a " +
+                "snapshotId-pinned relation (snapshots are immutable)")
+              IcebergUpdateCommand(root, setOf("iceberg-meta"), cond)
+            case None => u
+          }
         }
       }
 
@@ -251,15 +257,22 @@ case class GraftDmlRewrite(session: SparkSession) extends Rule[LogicalPlan] {
                 case Seq(InsertAction(None, as)) => identityAssignments(as)
                 case _ => false
               }
-              if (!(starMatched && starInsert && tKey == sKey &&
-                m.notMatchedBySourceActions.isEmpty && !m.withSchemaEvolution))
+              if (m.withSchemaEvolution)
                 throw new UnsupportedOperationException(
-                  "iceberg-meta MERGE supports only the canonical " +
-                    "UPDATE SET * / INSERT * upsert on a shared key " +
-                    "(lowered to a merge-on-read equality-delete + " +
-                    "append snapshot) — rewrite other shapes, or " +
-                    "CONVERT the table to graft")
-              IcebergUpsertCommand(root, m.sourceTable, tKey)
+                  "iceberg-meta MERGE WITH SCHEMA EVOLUTION is not " +
+                    "supported by this interop layer")
+              if (starMatched && starInsert && tKey == sKey &&
+                m.notMatchedBySourceActions.isEmpty)
+                IcebergUpsertCommand(root, m.sourceTable, tKey)
+              else
+                // every other clause combination lowers to the COW
+                // conditional merge — manifest-bounds file targeting,
+                // one full-outer cascade, one overwrite snapshot
+                IcebergMergeConditionalCommand(root, m.sourceTable,
+                  tKey, sKey,
+                  m.matchedActions.map(clause("iceberg-meta")),
+                  m.notMatchedActions.map(clause("iceberg-meta")),
+                  m.notMatchedBySourceActions.map(clause("iceberg-meta")))
             case None => m
           }
         }
@@ -501,6 +514,25 @@ case class GraftAddColumnsCommand(root: String,
 case class GraftMergeClauseSpec(kind: String, cond: Option[Expression],
     pairs: Seq[(String, Expression)], star: Boolean)
 
+object GraftMergeClauseSpec {
+  /** Lower one spec to the runtime clause model, expanding `star`
+    * against the table's CURRENT columns (known only at run time). */
+  def convert(tableCols: Seq[String])(s: GraftMergeClauseSpec)
+      : VersionedTable.MergeClause = {
+    def colOf(e: Expression) = GraftColumnBridge.column(e)
+    val pairs: Map[String, org.apache.spark.sql.Column] =
+      if (s.star) tableCols.map(c => c -> VersionedTable.MergeRef.source(c))
+        .toMap
+      else s.pairs.map { case (k, v) => k -> colOf(v) }.toMap
+    s.kind match {
+      case "update" => VersionedTable.MergeUpdate(s.cond.map(colOf), pairs)
+      case "delete" => VersionedTable.MergeDelete(s.cond.map(colOf))
+      case "insert" => VersionedTable.MergeInsert(s.cond.map(colOf), pairs)
+      case other => throw new IllegalStateException(s"bad clause $other")
+    }
+  }
+}
+
 /** Conditional `MERGE INTO` → [[VersionedTable.mergeConditional]]:
   * full clause algebra as one full-outer join + one replace commit. */
 case class GraftMergeConditionalCommand(root: String, source: LogicalPlan,
@@ -514,19 +546,7 @@ case class GraftMergeConditionalCommand(root: String, source: LogicalPlan,
     val tableCols = VersionedTable.tableSchema(root,
         VersionedTable.latestVersion(root))
       .map(_.fieldNames.toSeq).getOrElse(Seq.empty)
-    def colOf(e: Expression) = GraftColumnBridge.column(e)
-    def convert(s: GraftMergeClauseSpec): VersionedTable.MergeClause = {
-      val starPairs: Map[String, org.apache.spark.sql.Column] =
-        if (s.star) tableCols.map(c => c -> VersionedTable.MergeRef.source(c))
-          .toMap
-        else s.pairs.map { case (k, v) => k -> colOf(v) }.toMap
-      s.kind match {
-        case "update" => VersionedTable.MergeUpdate(s.cond.map(colOf), starPairs)
-        case "delete" => VersionedTable.MergeDelete(s.cond.map(colOf))
-        case "insert" => VersionedTable.MergeInsert(s.cond.map(colOf), starPairs)
-        case other => throw new IllegalStateException(s"bad clause $other")
-      }
-    }
+    val convert = GraftMergeClauseSpec.convert(tableCols) _
     VersionedTable.mergeConditional(session, root, src, tKey, sKey,
       matched.map(convert), notMatched.map(convert), bySource.map(convert))
     Seq.empty
@@ -560,20 +580,43 @@ case class DeltaMergeConditionalCommand(root: String, source: LogicalPlan,
     val src = GraftColumnBridge.ofRows(session, source)
     val tableCols = graft.sources.DeltaLog.snapshot(session, root)
       .schema.fieldNames.toSeq
-    def colOf(e: Expression) = GraftColumnBridge.column(e)
-    def convert(s: GraftMergeClauseSpec): VersionedTable.MergeClause = {
-      val starPairs: Map[String, org.apache.spark.sql.Column] =
-        if (s.star) tableCols.map(c => c -> VersionedTable.MergeRef.source(c))
-          .toMap
-        else s.pairs.map { case (k, v) => k -> colOf(v) }.toMap
-      s.kind match {
-        case "update" => VersionedTable.MergeUpdate(s.cond.map(colOf), starPairs)
-        case "delete" => VersionedTable.MergeDelete(s.cond.map(colOf))
-        case "insert" => VersionedTable.MergeInsert(s.cond.map(colOf), starPairs)
-        case other => throw new IllegalStateException(s"bad clause $other")
-      }
-    }
+    val convert = GraftMergeClauseSpec.convert(tableCols) _
     graft.sources.DeltaLog.mergeConditional(session, root, src, tKey, sKey,
+      matched.map(convert), notMatched.map(convert), bySource.map(convert))
+    Seq.empty
+  }
+}
+
+/** `UPDATE <iceberg-meta table> SET ... [WHERE ...]` → copy-on-write
+  * rewrite of the manifest-bounds-touched files
+  * ([[graft.sources.IcebergMeta.updateWhere]]): pre-update-row SET
+  * semantics, existing v2 deletes applied first, untouched files
+  * carried by reference. */
+case class IcebergUpdateCommand(root: String,
+    set: Seq[(String, Expression)], cond: Option[Expression])
+    extends LeafRunnableCommand {
+  override def run(session: SparkSession): Seq[Row] = {
+    graft.sources.IcebergMeta.updateWhere(session, root, set, cond)
+    Seq.empty
+  }
+}
+
+/** Conditional `MERGE INTO <iceberg-meta table>` →
+  * [[graft.sources.IcebergMeta.mergeConditional]]: same clause
+  * algebra, committed copy-on-write as one `overwrite` snapshot. */
+case class IcebergMergeConditionalCommand(root: String,
+    source: LogicalPlan, tKey: String, sKey: String,
+    matched: Seq[GraftMergeClauseSpec],
+    notMatched: Seq[GraftMergeClauseSpec],
+    bySource: Seq[GraftMergeClauseSpec]) extends LeafRunnableCommand {
+  override def innerChildren: Seq[LogicalPlan] = Seq(source)
+  override def run(session: SparkSession): Seq[Row] = {
+    val src = GraftColumnBridge.ofRows(session, source)
+    val tableCols = graft.sources.IcebergMeta.snapshot(root)
+      .schema.fieldNames.toSeq
+    val convert = GraftMergeClauseSpec.convert(tableCols) _
+    graft.sources.IcebergMeta.mergeConditional(session, root, src,
+      tKey, sKey,
       matched.map(convert), notMatched.map(convert), bySource.map(convert))
     Seq.empty
   }

@@ -2075,6 +2075,98 @@ object Lakehouse {
              |    AS n_pre_compact
              |FROM orders
              |WHERE o_orderkey <= 2048 AND o_orderkey % 5 <> 2
-             |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin))
+             |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)),
+
+    // ICEBERG SQL UPDATE + CONDITIONAL MERGE (round 8): the row-level
+    // SQL surface on a FOREIGN Iceberg table that is ALSO carrying a
+    // v2 EQUALITY DELETE — the two interact everywhere: UPDATE reads
+    // touched files merge-on-read (hidden rows stay hidden AND come
+    // out materialized-away), its copy-on-write targets files by
+    // MANIFEST BOUNDS alone (the carried_ok column pins that the
+    // top-range file survived by reference — zero data I/O for it),
+    // and the conditional MERGE (same clause cascade as graft/Delta:
+    // VersionedTable.mergeCascadeRows — ONE implementation, THREE
+    // formats) sees equality-deleted keys as NOT MATCHED, so they
+    // re-enter as inserts. Carried files keep their original data
+    // sequence numbers through the rewrite (IcebergMergeSpec pins
+    // the resurrection hazard), so the delete keeps applying to
+    // them. Oracle restates delete+update+merge as filter/CASE/UNION
+    // algebra over raw orders.
+    QueryDef(
+      "q249_iceberg_sql_update_merge",
+      (s, d) => {
+        val root = Files.createTempDirectory("ium_entry_").toString + "/t"
+        val tbl = "ium_orders_entry"
+        val src = orders(s, d).select(col("o_orderkey"), col("o_custkey"),
+          col("o_orderstatus"))
+        src.filter(col("o_orderkey") <= 1024)
+          .repartitionByRange(4, col("o_orderkey"))
+          .write.format("iceberg-meta").save(root)
+        import s.implicits._
+        graft.sources.IcebergMeta.deleteEquality(s, root,
+          Seq("P").toDF("o_orderstatus"))
+        s.sql(s"DROP TABLE IF EXISTS $tbl")
+        s.sql(s"CREATE TABLE $tbl USING `iceberg-meta` OPTIONS (path '$root')")
+        s.sql(s"UPDATE $tbl SET o_custkey = o_custkey + 1000000 " +
+          "WHERE o_orderkey BETWEEN 200 AND 400")
+        // bounds targeting is OBSERVABLE: files above the predicate's
+        // range cannot match and must carry by reference
+        val carried = graft.sources.IcebergMeta.snapshot(root).files
+          .count(f => !f.recordedPath.contains("cow-"))
+        src.filter(col("o_orderkey") <= 512)
+          .select(col("o_orderkey").as("k"),
+            (col("o_orderkey") * 3).as("val"))
+          .union(src.filter(col("o_orderkey") <= 256)
+            .select((-col("o_orderkey") - 1).as("k"),
+              col("o_orderkey").as("val")))
+          .createOrReplaceTempView("ium_src_entry")
+        s.sql(
+          s"""MERGE INTO $tbl t USING ium_src_entry s ON t.o_orderkey = s.k
+             |WHEN MATCHED AND s.val % 2 = 0
+             |  THEN UPDATE SET o_custkey = s.val
+             |WHEN MATCHED THEN DELETE
+             |WHEN NOT MATCHED THEN INSERT
+             |  (o_orderkey, o_custkey, o_orderstatus)
+             |  VALUES (s.k, s.val, 'Z')""".stripMargin)
+        val out = s.sql(
+          s"""SELECT o_orderstatus, count(*) AS n_rows,
+             |  CAST(sum(o_custkey) AS BIGINT) AS sum_cust,
+             |  CAST(sum(o_orderkey) AS BIGINT) AS sum_key,
+             |  CAST(${if (carried >= 1) 1 else 0} AS BIGINT) AS carried_ok
+             |FROM $tbl GROUP BY o_orderstatus
+             |ORDER BY o_orderstatus""".stripMargin)
+        s.sql(s"DROP TABLE $tbl")
+        out
+      },
+      Some("""WITH vis AS (
+             |  SELECT o_orderkey, o_custkey, o_orderstatus FROM orders
+             |  WHERE o_orderkey <= 1024 AND o_orderstatus <> 'P'
+             |), upd AS (
+             |  SELECT o_orderkey,
+             |    CASE WHEN o_orderkey BETWEEN 200 AND 400
+             |         THEN o_custkey + 1000000 ELSE o_custkey END
+             |      AS o_custkey,
+             |    o_orderstatus
+             |  FROM vis
+             |), merged AS (
+             |  SELECT o_orderkey,
+             |    CASE WHEN o_orderkey <= 512 AND (o_orderkey * 3) % 2 = 0
+             |         THEN o_orderkey * 3 ELSE o_custkey END AS o_custkey,
+             |    o_orderstatus
+             |  FROM upd
+             |  WHERE NOT (o_orderkey <= 512 AND (o_orderkey * 3) % 2 = 1)
+             |  UNION ALL
+             |  SELECT -(o_orderkey + 1), o_orderkey, 'Z' FROM orders
+             |  WHERE o_orderkey <= 256
+             |  UNION ALL
+             |  SELECT o_orderkey, o_orderkey * 3, 'Z' FROM orders
+             |  WHERE o_orderkey <= 512 AND o_orderstatus = 'P'
+             |)
+             |SELECT o_orderstatus, count(*) AS n_rows,
+             |  CAST(sum(o_custkey) AS BIGINT) AS sum_cust,
+             |  CAST(sum(o_orderkey) AS BIGINT) AS sum_key,
+             |  CAST(1 AS BIGINT) AS carried_ok
+             |FROM merged GROUP BY o_orderstatus
+             |ORDER BY o_orderstatus""".stripMargin))
   )
 }

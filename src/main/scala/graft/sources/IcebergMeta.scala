@@ -90,13 +90,18 @@ object IcebergMeta {
 
   private def metaDir(root: String): Path = Paths.get(root, "metadata")
 
-  /** Latest metadata version: `version-hint.text` if present, else the
-    * max `vN.metadata.json` in the metadata dir. */
+  /** Latest metadata version: `version-hint.text` if present AND
+    * parseable, else the max `vN.metadata.json` in the metadata dir.
+    * The hint is ADVISORY (HadoopCatalog semantics) — a concurrent
+    * writer mid-rewrite can expose a truncated/empty hint, which must
+    * degrade to the listing, never throw. */
   def latestMetadataVersion(root: String): Int = {
     val hint = metaDir(root).resolve("version-hint.text")
-    if (Files.exists(hint))
-      new String(Files.readAllBytes(hint), UTF_8).trim.toInt
-    else {
+    val hinted: Option[Int] =
+      if (!Files.exists(hint)) None
+      else scala.util.Try(
+        new String(Files.readAllBytes(hint), UTF_8).trim.toInt).toOption
+    hinted.getOrElse {
       val vs = PosixDataStore.listDir(metaDir(root))
         .collect { case n if n.matches("v\\d+\\.metadata\\.json") =>
           n.stripPrefix("v").stripSuffix(".metadata.json").toInt }
@@ -454,6 +459,7 @@ object IcebergMeta {
     """{"type":"record","name":"manifest_entry","fields":[
       |{"name":"status","type":"int"},
       |{"name":"snapshot_id","type":["null","long"],"default":null},
+      |{"name":"sequence_number","type":["null","long"],"default":null},
       |{"name":"data_file","type":{"type":"record","name":"data_file","fields":[
       |  {"name":"content","type":"int","default":0},
       |  {"name":"file_path","type":"string"},
@@ -479,22 +485,23 @@ object IcebergMeta {
     * writers do NOT apply schema defaults at write time). */
   private def manifestListRow(path: String, length: Long, specId: Int,
       seq: Long, addedSnap: Long, addedFiles: Int, existingFiles: Int,
-      addedRows: Long, existingRows: Long, content: Int = 0)
-      : GenericRecord = {
+      addedRows: Long, existingRows: Long, content: Int = 0,
+      minSeq: Option[Long] = None, deletedFiles: Int = 0,
+      deletedRows: Long = 0L): GenericRecord = {
     val r = new GenericData.Record(manifestListSchema)
     r.put("manifest_path", path)
     r.put("manifest_length", java.lang.Long.valueOf(length))
     r.put("partition_spec_id", specId)
     r.put("content", content)
     r.put("sequence_number", java.lang.Long.valueOf(seq))
-    r.put("min_sequence_number", java.lang.Long.valueOf(seq))
+    r.put("min_sequence_number", java.lang.Long.valueOf(minSeq.getOrElse(seq)))
     r.put("added_snapshot_id", java.lang.Long.valueOf(addedSnap))
     r.put("added_files_count", addedFiles)
     r.put("existing_files_count", existingFiles)
-    r.put("deleted_files_count", 0)
+    r.put("deleted_files_count", deletedFiles)
     r.put("added_rows_count", java.lang.Long.valueOf(addedRows))
     r.put("existing_rows_count", java.lang.Long.valueOf(existingRows))
-    r.put("deleted_rows_count", java.lang.Long.valueOf(0L))
+    r.put("deleted_rows_count", java.lang.Long.valueOf(deletedRows))
     r
   }
 
@@ -630,9 +637,20 @@ object IcebergMeta {
     Files.createDirectories(metaDir(root))
     Files.write(metaDir(root).resolve("v1.metadata.json"),
       metaJson.getBytes(UTF_8))
-    Files.write(metaDir(root).resolve("version-hint.text"),
-      "1".getBytes(UTF_8))
+    writeHint(root, 1)
     snapId
+  }
+
+  /** Publish `version-hint.text` ATOMICALLY (temp file + rename):
+    * `Files.write` truncates in place, and a concurrent reader between
+    * truncate and write sees an EMPTY hint — observed as a
+    * NumberFormatException in a streaming tail racing a commit. */
+  private def writeHint(root: String, v: Int): Unit = {
+    val tmp = Files.createTempFile(metaDir(root), ".hint-", ".tmp")
+    Files.write(tmp, v.toString.getBytes(UTF_8))
+    Files.move(tmp, metaDir(root).resolve("version-hint.text"),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
   }
 
   /** Transactionally APPEND `df` as a new snapshot of the EXISTING
@@ -663,18 +681,9 @@ object IcebergMeta {
       s"iceberg-meta: format-version $fv not supported (1 and 2 only)")
     // default partition spec must be unpartitioned — appending
     // unpartitioned files into a partitioned spec would be WRONG data
-    val specFields: Int =
-      if (meta.hasNonNull("partition-specs")) {
-        val cur = if (meta.hasNonNull("default-spec-id"))
-          meta.get("default-spec-id").asInt() else 0
-        meta.get("partition-specs").elements().asScala
-          .find(_.get("spec-id").asInt() == cur)
-          .map(_.get("fields").size()).getOrElse(0)
-      } else if (meta.hasNonNull("partition-spec"))
-        meta.get("partition-spec").size()
-      else 0
-    if (specFields != 0) throw new UnsupportedOperationException(
-      "iceberg-meta: append to a PARTITIONED table is not supported")
+    if (currentSpecFields(meta) != 0)
+      throw new UnsupportedOperationException(
+        "iceberg-meta: append to a PARTITIONED table is not supported")
     val (schema, nameById) = schemaOf(meta)
     val tbl = schema.fields.map(f => f.name -> f.dataType).toMap
     val bad = df.schema.fields.filter(f => !tbl.get(f.name).contains(f.dataType))
@@ -717,6 +726,20 @@ object IcebergMeta {
         entries.size, 0, addedRows, 0L))
     commitSnapshot(root, v, meta, snapId, seq, listRel, "append")
   }
+
+  /** Field count of the table's CURRENT (default) partition spec —
+    * the write-path gate: this writer emits entries without partition
+    * tuples, which only an unpartitioned spec's readers accept. */
+  private def currentSpecFields(meta: JsonNode): Int =
+    if (meta.hasNonNull("partition-specs")) {
+      val cur = if (meta.hasNonNull("default-spec-id"))
+        meta.get("default-spec-id").asInt() else 0
+      meta.get("partition-specs").elements().asScala
+        .find(_.get("spec-id").asInt() == cur)
+        .map(_.get("fields").size()).getOrElse(0)
+    } else if (meta.hasNonNull("partition-spec"))
+      meta.get("partition-spec").size()
+    else 0
 
   /** The current snapshot's manifest-list rows, re-emitted verbatim
     * (content flag preserved — a carried delete manifest stays a
@@ -786,8 +809,7 @@ object IcebergMeta {
         throw new VersionedTable.ConcurrentCommitException(v + 1)
     }
     // the hint is advisory (HadoopCatalog semantics) — last writer wins
-    Files.write(metaDir(root).resolve("version-hint.text"),
-      (v + 1).toString.getBytes(UTF_8))
+    writeHint(root, v + 1)
     snapId
   }
 
@@ -896,18 +918,9 @@ object IcebergMeta {
       s"iceberg-meta: format-version $fv not supported (1 and 2 only)")
     // same gate as append/upsert: the rewritten entries carry no
     // partition tuples, which a partitioned spec's readers expect
-    val specFields: Int =
-      if (meta.hasNonNull("partition-specs")) {
-        val cur = if (meta.hasNonNull("default-spec-id"))
-          meta.get("default-spec-id").asInt() else 0
-        meta.get("partition-specs").elements().asScala
-          .find(_.get("spec-id").asInt() == cur)
-          .map(_.get("fields").size()).getOrElse(0)
-      } else if (meta.hasNonNull("partition-spec"))
-        meta.get("partition-spec").size()
-      else 0
-    if (specFields != 0) throw new UnsupportedOperationException(
-      "iceberg-meta: compact of a PARTITIONED table is not supported")
+    if (currentSpecFields(meta) != 0)
+      throw new UnsupportedOperationException(
+        "iceberg-meta: compact of a PARTITIONED table is not supported")
     val (schema, nameById) = schemaOf(meta)
     val idByName = nameById.map(_.swap)
     val snap = snapshot(root)
@@ -976,18 +989,9 @@ object IcebergMeta {
     if (fv > 2) throw new UnsupportedOperationException(
       s"iceberg-meta: format-version $fv not supported (1 and 2 only)")
     // same gate as append: unpartitioned default spec only
-    val specFields: Int =
-      if (meta.hasNonNull("partition-specs")) {
-        val cur = if (meta.hasNonNull("default-spec-id"))
-          meta.get("default-spec-id").asInt() else 0
-        meta.get("partition-specs").elements().asScala
-          .find(_.get("spec-id").asInt() == cur)
-          .map(_.get("fields").size()).getOrElse(0)
-      } else if (meta.hasNonNull("partition-spec"))
-        meta.get("partition-spec").size()
-      else 0
-    if (specFields != 0) throw new UnsupportedOperationException(
-      "iceberg-meta: upsert into a PARTITIONED table is not supported")
+    if (currentSpecFields(meta) != 0)
+      throw new UnsupportedOperationException(
+        "iceberg-meta: upsert into a PARTITIONED table is not supported")
     val (schema, nameById) = schemaOf(meta)
     val idByName = nameById.map(_.swap)
     val tbl = schema.fields.map(f => f.name -> f.dataType).toMap
@@ -1125,5 +1129,357 @@ object IcebergMeta {
         Files.size(Paths.get(root, manifestRel)), 0, seq, snapId,
         entries.size, 0, 0L, 0L, content = 1))
     commitSnapshot(root, v, meta, snapId, seq, listRel, "delete")
+  }
+
+  /** Clone a manifest entry's parsed `data_file` record into THIS
+    * writer's schema — bounds/null-count maps re-keyed through the
+    * same decoders the reader uses (so both real Avro maps and the
+    * key/value-array encoding survive the round trip byte-exact). */
+  private def copyDataFile(src: GenericRecord): GenericRecord = {
+    val d = new GenericData.Record(
+      manifestSchema.getField("data_file").schema())
+    d.put("content", fieldOpt(src, "content").map(asLong(_).toInt)
+      .getOrElse(0))
+    d.put("file_path", asStr(src.get("file_path")))
+    d.put("file_format", asStr(src.get("file_format")))
+    d.put("record_count",
+      java.lang.Long.valueOf(asLong(src.get("record_count"))))
+    d.put("file_size_in_bytes", java.lang.Long.valueOf(
+      fieldOpt(src, "file_size_in_bytes").map(asLong).getOrElse(0L)))
+    val lower = new java.util.HashMap[String, ByteBuffer]()
+    fieldOpt(src, "lower_bounds").map(asIdMap).getOrElse(Map.empty)
+      .foreach { case (id, b) => lower.put(id.toString, ByteBuffer.wrap(b)) }
+    val upper = new java.util.HashMap[String, ByteBuffer]()
+    fieldOpt(src, "upper_bounds").map(asIdMap).getOrElse(Map.empty)
+      .foreach { case (id, b) => upper.put(id.toString, ByteBuffer.wrap(b)) }
+    val nulls = new java.util.HashMap[String, java.lang.Long]()
+    fieldOpt(src, "null_value_counts").map(asIdLongMap).getOrElse(Map.empty)
+      .foreach { case (id, n) => nulls.put(id.toString,
+        java.lang.Long.valueOf(n)) }
+    d.put("null_value_counts", nulls)
+    d.put("lower_bounds", lower)
+    d.put("upper_bounds", upper)
+    d
+  }
+
+  /** One rewritten-manifest entry: `status` 0 = EXISTING (file carried
+    * across the rewrite) or 2 = DELETED (file retired by it), with the
+    * entry's ORIGINAL data sequence number written EXPLICITLY — the
+    * spec allows seq inheritance only for entries the committing
+    * snapshot itself ADDS, and an inherited (new) seq here would
+    * detach older equality deletes from carried files and resurrect
+    * their rows. */
+  private def carriedEntry(dataFile: GenericRecord, status: Int,
+      snapshotId: Long, seq: Long): GenericRecord = {
+    val r = new GenericData.Record(manifestSchema)
+    r.put("status", status)
+    r.put("snapshot_id", java.lang.Long.valueOf(snapshotId))
+    r.put("sequence_number", java.lang.Long.valueOf(seq))
+    r.put("data_file", dataFile)
+    r
+  }
+
+  /** Targeted COPY-ON-WRITE file replacement — the write primitive
+    * under Iceberg-side UPDATE and conditional MERGE (the `overwrite`
+    * snapshot of the spec): data files named in `removeRecorded` (by
+    * their manifest-recorded `file_path`) leave the table state and
+    * `replacement` lands as fresh data files, in ONE snapshot.
+    *
+    * Manifest algebra: delete manifests and data manifests holding no
+    * removed file carry forward VERBATIM (their entries keep inheriting
+    * their original sequence numbers from the carried list rows);
+    * manifests that do hold removed files are rewritten into one
+    * "rewrite" manifest — survivors as EXISTING and removed files as
+    * DELETED, both with their original data sequence numbers written
+    * explicitly ([[carriedEntry]]) so older equality deletes keep
+    * applying to survivors. Replacement files land as ADDED entries
+    * inheriting the NEW sequence number, which by the spec's strict
+    * ordering (`file.seq < delete.seq`) puts them OUT of scope of every
+    * existing equality delete — correct, because the caller already
+    * materialized visibility when computing `replacement`. Positional
+    * delete entries referencing removed paths go dangling (no data
+    * file left to match) — harmless, reclaimed by [[compact]].
+    *
+    * Cost shape at 100 TB: O(removed files + replacement rows) data
+    * I/O and O(manifests) metadata I/O; untouched data files are never
+    * read or copied. Returns the new snapshot id, or the current one
+    * when there is nothing to remove and nothing to add. */
+  private[sources] def replaceFiles(spark: SparkSession, root: String,
+      removeRecorded: Set[String],
+      replacement: org.apache.spark.sql.DataFrame,
+      operation: String = "overwrite"): Long = {
+    val v = latestMetadataVersion(root)
+    val meta = mapper.readTree(Files.readAllBytes(
+      metaDir(root).resolve(s"v$v.metadata.json")))
+    val fv = meta.get("format-version").asInt()
+    if (fv > 2) throw new UnsupportedOperationException(
+      s"iceberg-meta: format-version $fv not supported (1 and 2 only)")
+    if (currentSpecFields(meta) != 0)
+      throw new UnsupportedOperationException(
+        "iceberg-meta: copy-on-write rewrite of a PARTITIONED table " +
+          "is not supported")
+    require(meta.hasNonNull("current-snapshot-id") &&
+      meta.get("current-snapshot-id").asLong() != -1L,
+      s"iceberg-meta: $root has no current snapshot to rewrite")
+    val (schema, nameById) = schemaOf(meta)
+    val idByName = nameById.map(_.swap)
+
+    // stage replacement rows, land as fresh data files
+    val nonce = java.util.UUID.randomUUID().toString.take(8)
+    val staging = Files.createTempDirectory("ice_cow_").resolve("out")
+    replacement.select(schema.fieldNames.head, schema.fieldNames.tail: _*)
+      .write.mode("errorifexists").parquet(staging.toString)
+    val parts = PosixDataStore.listDir(staging)
+      .filter(n => n.endsWith(".parquet") && !n.startsWith(".")).sorted
+    val dataDir = Paths.get(root, "data")
+    Files.createDirectories(dataDir)
+    val added = parts.zipWithIndex.flatMap { case (n, i) =>
+      val rows = VersionedTable.footerStats(spark, staging.resolve(n))
+        .values.map(_.rows).maxOption.getOrElse(0L)
+      if (rows == 0L) None // empty split files: never list
+      else {
+        val name = f"cow-$i%05d-$nonce.parquet"
+        val dst = dataDir.resolve(name)
+        Files.move(staging.resolve(n), dst)
+        Some(dataFileEntry(spark, dst, s"data/$name", schema, idByName))
+      }
+    }
+    val addedRows = added.map(e => asLong(e.get("data_file")
+      .asInstanceOf[GenericRecord].get("record_count"))).sum
+
+    // walk the current manifest list: carry, or rewrite
+    val sid = meta.get("current-snapshot-id").asLong()
+    val snapNode = meta.get("snapshots").elements().asScala
+      .find(_.get("snapshot-id").asLong() == sid)
+      .getOrElse(throw new IllegalStateException(
+        s"iceberg-meta: current snapshot $sid not in $root"))
+    val listRows = readAvro(
+      resolvePath(root, snapNode.get("manifest-list").asText()))
+    val seq = (if (meta.hasNonNull("last-sequence-number"))
+      meta.get("last-sequence-number").asLong() else 0L) + 1
+    val snapId = java.util.UUID.randomUUID().getLeastSignificantBits
+      .abs.max(1L)
+    val carried = scala.collection.mutable.ListBuffer.empty[GenericRecord]
+    val rewriteEntries =
+      scala.collection.mutable.ListBuffer.empty[GenericRecord]
+    var existingFiles, deletedFiles = 0
+    var existingRows, deletedRows = 0L
+    var minEntrySeq = Long.MaxValue
+    val removedSeen = scala.collection.mutable.Set.empty[String]
+    def carryRow(r: GenericRecord): Unit = carried += manifestListRow(
+      asStr(r.get("manifest_path")),
+      asLong(r.get("manifest_length")),
+      fieldOpt(r, "partition_spec_id").map(asLong).getOrElse(0L).toInt,
+      fieldOpt(r, "sequence_number").map(asLong).getOrElse(0L),
+      fieldOpt(r, "added_snapshot_id").map(asLong).getOrElse(sid),
+      fieldOpt(r, "added_files_count").map(asLong).getOrElse(0L).toInt,
+      fieldOpt(r, "existing_files_count").map(asLong).getOrElse(0L).toInt,
+      fieldOpt(r, "added_rows_count").map(asLong).getOrElse(0L),
+      fieldOpt(r, "existing_rows_count").map(asLong).getOrElse(0L),
+      fieldOpt(r, "content").map(asLong).getOrElse(0L).toInt)
+    listRows.foreach { row =>
+      if (fieldOpt(row, "content").map(asLong).getOrElse(0L) == 1L)
+        carryRow(row) // delete manifest: carry verbatim
+      else {
+        val mPath = resolvePath(root, asStr(row.get("manifest_path")))
+        val live = readAvro(mPath).filter(e => asLong(e.get("status")) != 2)
+        val (hit, kept) = live.partition(e => removeRecorded.contains(
+          asStr(e.get("data_file").asInstanceOf[GenericRecord]
+            .get("file_path"))))
+        if (hit.isEmpty) carryRow(row)
+        else {
+          val origSnap =
+            fieldOpt(row, "added_snapshot_id").map(asLong).getOrElse(sid)
+          def entrySeq(e: GenericRecord): Long =
+            fieldOpt(e, "sequence_number").map(asLong).getOrElse(
+              fieldOpt(row, "sequence_number").map(asLong).getOrElse(0L))
+          kept.foreach { e =>
+            val s = entrySeq(e)
+            minEntrySeq = minEntrySeq.min(s)
+            existingFiles += 1
+            existingRows += asLong(e.get("data_file")
+              .asInstanceOf[GenericRecord].get("record_count"))
+            rewriteEntries += carriedEntry(copyDataFile(
+              e.get("data_file").asInstanceOf[GenericRecord]),
+              status = 0, origSnap, s)
+          }
+          hit.foreach { e =>
+            val s = entrySeq(e)
+            minEntrySeq = minEntrySeq.min(s)
+            deletedFiles += 1
+            deletedRows += asLong(e.get("data_file")
+              .asInstanceOf[GenericRecord].get("record_count"))
+            removedSeen += asStr(e.get("data_file")
+              .asInstanceOf[GenericRecord].get("file_path"))
+            rewriteEntries += carriedEntry(copyDataFile(
+              e.get("data_file").asInstanceOf[GenericRecord]),
+              status = 2, snapId, s)
+          }
+        }
+      }
+    }
+    val unseen = removeRecorded -- removedSeen
+    require(unseen.isEmpty,
+      s"iceberg-meta: files to remove not in the current snapshot: ${
+        unseen.toSeq.sorted.mkString(", ")}")
+    if (deletedFiles == 0 && added.isEmpty)
+      return sid // nothing removed, nothing added: no empty commits
+    val newRows = scala.collection.mutable.ListBuffer.empty[GenericRecord]
+    if (rewriteEntries.nonEmpty) {
+      val rel = s"metadata/snap-$snapId-r0.avro"
+      writeAvro(Paths.get(root, rel), manifestSchema, rewriteEntries.toSeq)
+      newRows += manifestListRow(rel, Files.size(Paths.get(root, rel)),
+        0, seq, snapId, 0, existingFiles, 0L, existingRows,
+        minSeq = Some(if (minEntrySeq == Long.MaxValue) seq
+          else minEntrySeq),
+        deletedFiles = deletedFiles, deletedRows = deletedRows)
+    }
+    if (added.nonEmpty) {
+      val rel = s"metadata/snap-$snapId-m0.avro"
+      writeAvro(Paths.get(root, rel), manifestSchema, added)
+      newRows += manifestListRow(rel, Files.size(Paths.get(root, rel)),
+        0, seq, snapId, added.size, 0, addedRows, 0L)
+    }
+    val listRel = s"metadata/snap-$snapId.avro"
+    writeAvro(Paths.get(root, listRel), manifestListSchema,
+      carried.toSeq ++ newRows.toSeq)
+    commitSnapshot(root, v, meta, snapId, seq, listRel, operation)
+  }
+
+  /** MERGE INTO the Iceberg table with the full conditional clause
+    * algebra — conditional/partial `WHEN MATCHED UPDATE/DELETE`,
+    * conditional `WHEN NOT MATCHED INSERT`, `WHEN NOT MATCHED BY
+    * SOURCE` — the same one-full-outer-join cascade as graft's own
+    * [[VersionedTable.mergeConditional]] and the Delta interop's
+    * ([[DeltaLog.mergeConditional]]), committed COPY-ON-WRITE via
+    * [[replaceFiles]]: only data files whose `tKey` bounds (from the
+    * manifests — zero data reads for targeting) overlap the source's
+    * key envelope are read and rewritten; every file when a by-source
+    * clause ranges over the whole target. Visibility is materialized
+    * through the merge-on-read path first, so tables carrying v2
+    * positional or equality deletes merge correctly — and their
+    * touched files come out delete-free. Source keys must be unique
+    * (Iceberg runtimes raise the same). For the unconditional
+    * star-upsert shape prefer [[upsertKeyed]], which writes NO data
+    * files at all. */
+  def mergeConditional(spark: SparkSession, root: String,
+      source: org.apache.spark.sql.DataFrame, tKey: String, sKey: String,
+      matched: Seq[VersionedTable.MergeClause] = Nil,
+      notMatched: Seq[VersionedTable.MergeClause] = Nil,
+      bySource: Seq[VersionedTable.MergeClause] = Nil): Long = {
+    import org.apache.spark.sql.functions.{col, min => fmin, max => fmax}
+    val snap = snapshot(root)
+    matched.foreach(c => require(
+      !c.isInstanceOf[VersionedTable.MergeInsert],
+      "WHEN MATCHED cannot INSERT"))
+    notMatched.foreach(c => require(
+      c.isInstanceOf[VersionedTable.MergeInsert],
+      "WHEN NOT MATCHED can only INSERT"))
+    bySource.foreach(c => require(
+      !c.isInstanceOf[VersionedTable.MergeInsert],
+      "WHEN NOT MATCHED BY SOURCE cannot INSERT"))
+    require(snap.schema.fieldNames.contains(tKey),
+      s"no target column '$tKey'")
+    require(source.columns.contains(sKey), s"no source column '$sKey'")
+    val nSrc = source.count()
+    if (nSrc == 0 && bySource.isEmpty) return snap.snapshotId
+    require(source.select(col(sKey)).where(col(sKey).isNotNull)
+        .distinct().count() ==
+      source.where(col(sKey).isNotNull).count(),
+      "iceberg-meta MERGE: source keys must be unique (two source " +
+        "rows matching one target row have no deterministic outcome)")
+    // file targeting from manifest bounds alone — no data read
+    val touched: Seq[IceFile] =
+      if (bySource.nonEmpty) snap.files
+      else {
+        val b = source.agg(fmin(col(sKey)), fmax(col(sKey))).head()
+        if (b.isNullAt(0)) return snap.snapshotId // all-NULL keys: no-op
+        snap.files.filter(f => VersionedTable.mayMatch(
+          f.stats.get(tKey), Some(b.get(0)), Some(b.get(1))))
+      }
+    val tgtRows = IcebergMetaRead.morRead(spark,
+      snap.copy(files = touched))
+    val out = VersionedTable.mergeCascadeRows(tgtRows, source,
+      snap.schema, tKey, sKey, matched, notMatched, bySource)
+    replaceFiles(spark, root, touched.map(_.recordedPath).toSet, out)
+  }
+
+  /** SQL UPDATE on the Iceberg table, copy-on-write: rows of the
+    * touched files matching `cond` get each SET column replaced by its
+    * expression — ALL evaluated against the PRE-update row (SQL UPDATE
+    * semantics, one select), non-matching rows carry over verbatim,
+    * untouched files never rewrite. Touched files come from the
+    * MANIFEST bounds under `cond` ([[StatsPruning.mayMatchExpr]] —
+    * conservative, zero data reads), and their rows are read through
+    * the merge-on-read path, so existing v2 deletes stay applied and
+    * the rewritten files come out delete-free. NULL `cond` keeps the
+    * row (SQL). Returns the new snapshot id, or the current one when
+    * nothing matches. */
+  def updateWhere(spark: SparkSession, root: String,
+      set: Seq[(String, org.apache.spark.sql.catalyst.expressions.Expression)],
+      cond: Option[org.apache.spark.sql.catalyst.expressions.Expression])
+      : Long = {
+    import org.apache.spark.sql.functions.{coalesce, col, lit, when}
+    require(set.nonEmpty, "UPDATE needs at least one SET column")
+    require(set.map(_._1).distinct.size == set.size,
+      s"duplicate SET column in ${set.map(_._1).mkString(", ")}")
+    val snap = snapshot(root)
+    val missing = set.map(_._1).toSet -- snap.schema.fieldNames.toSet
+    require(missing.isEmpty,
+      s"UPDATE SET names non-columns: ${missing.mkString(", ")}")
+    // re-anchor analyzed expressions by NAME against the fresh scan
+    def rebind(e: org.apache.spark.sql.catalyst.expressions.Expression) =
+      org.apache.spark.sql.GraftColumnBridge.column(e.transform {
+        case a: org.apache.spark.sql.catalyst.expressions.AttributeReference =>
+          org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+            .quoted(a.name)
+      })
+    val condCol = cond.map(rebind).getOrElse(lit(true))
+    val hit = coalesce(condCol, lit(false))
+    // Analyze the rebound condition against an EMPTY frame carrying
+    // the table schema: the result is fully-resolved catalyst nodes
+    // the stats pruner can inspect — uniformly for the SQL route
+    // (already analyzed) and the API route (whose Column-backed
+    // expressions are opaque ColumnNode wrappers until analysis).
+    // Unanalyzable conditions degrade to "touch every file", never
+    // throw here (the real filter below surfaces the error).
+    val forStats: Option[
+        org.apache.spark.sql.catalyst.expressions.Expression] =
+      cond.flatMap { _ =>
+        scala.util.Try {
+          spark.createDataFrame(
+              java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+              snap.schema)
+            .filter(condCol).queryExecution.analyzed.collectFirst {
+              case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
+                f.condition
+            }
+        }.toOption.flatten
+      }.map(_.transform {
+        // fold the coercion casts analysis wraps literals in (e.g.
+        // `k = 8` on a BIGINT column → `k = cast(8 as bigint)`) so
+        // the pruner's Literal patterns see through them
+        case e if e.foldable =>
+          org.apache.spark.sql.catalyst.expressions.Literal.create(
+            e.eval(), e.dataType)
+      })
+    val touched = forStats match {
+      case Some(e) =>
+        snap.files.filter(f => StatsPruning.mayMatchExpr(f.stats, e))
+      case None => snap.files
+    }
+    if (touched.isEmpty) return snap.snapshotId
+    val touchedRows = IcebergMetaRead.morRead(spark,
+      snap.copy(files = touched))
+    if (touchedRows.filter(condCol).isEmpty) return snap.snapshotId
+    val setByCol = set.toMap
+    val applied = touchedRows.select(snap.schema.fields.toSeq.map { f =>
+      setByCol.get(f.name) match {
+        case Some(e) => when(hit, rebind(e)).otherwise(col(f.name))
+          .cast(f.dataType).as(f.name)
+        case None => col(f.name)
+      }
+    }: _*)
+    replaceFiles(spark, root, touched.map(_.recordedPath).toSet, applied)
   }
 }

@@ -377,4 +377,78 @@ class GraftDmlSpec extends SparkSpecBase {
       assert(e.getMessage.contains("CDF"))
     } finally { drop("dml_dm"); spark.catalog.dropTempView("dml_dm_src") }
   }
+
+  test("SQL UPDATE on an iceberg-meta table: manifest-bounds COW") {
+    import graft.sources.IcebergMeta
+    val root = tmp() + "/t"
+    IcebergMeta.writeFixture(
+      spark.range(0, 8).toDF("k").withColumn("v", col("k") * 10)
+        .coalesce(1), root)
+    (1 until 3).foreach(i => IcebergMeta.append(
+      spark.range(8 * i, 8 * i + 8).toDF("k")
+        .withColumn("v", col("k") * 10).coalesce(1), root))
+    spark.sql(
+      s"CREATE TABLE dml_iu USING `iceberg-meta` OPTIONS (path '$root')")
+    try {
+      val before = IcebergMeta.snapshot(root).files.map(_.recordedPath)
+      assert(before.size === 3)
+      spark.sql("UPDATE dml_iu SET v = v + 1 WHERE k >= 20")
+      assert(spark.sql("SELECT sum(v) FROM dml_iu").as[Long].head() ===
+        (0L until 24L).map(k => k * 10 + (if (k >= 20) 1 else 0)).sum)
+      // only the third file's bounds ([16,23]) may satisfy k >= 20:
+      // the first two carried by reference
+      val after = IcebergMeta.snapshot(root).files.map(_.recordedPath)
+      assert(after.toSet.intersect(before.toSet) === before.take(2).toSet)
+      // UPDATE on a pinned relation refuses
+      spark.sql(s"""CREATE TABLE dml_iu_pin USING `iceberg-meta`
+        OPTIONS (path '$root', snapshotId '${
+          IcebergMeta.snapshot(root).snapshotId}')""")
+      val e = intercept[Exception] {
+        spark.sql("UPDATE dml_iu_pin SET v = 0 WHERE k = 1")
+      }
+      assert(e.getMessage.contains("pinned"))
+    } finally { drop("dml_iu"); drop("dml_iu_pin") }
+  }
+
+  test("SQL MERGE INTO an iceberg-meta table: conditional clauses COW, " +
+    "star form stays merge-on-read") {
+    import graft.sources.IcebergMeta
+    val root = tmp() + "/t"
+    IcebergMeta.writeFixture(
+      spark.range(0, 24).toDF("k").withColumn("v", col("k") * 10)
+        .repartitionByRange(3, col("k")), root)
+    spark.sql(
+      s"CREATE TABLE dml_im USING `iceberg-meta` OPTIONS (path '$root')")
+    Seq((1L, 111L), (2L, -1L), (30L, 300L), (40L, -1L))
+      .toDF("k", "v").createOrReplaceTempView("dml_im_src")
+    try {
+      spark.sql(
+        """MERGE INTO dml_im t USING dml_im_src s ON t.k = s.k
+          |WHEN MATCHED AND s.v < 0 THEN DELETE
+          |WHEN MATCHED THEN UPDATE SET v = s.v + t.v
+          |WHEN NOT MATCHED AND s.v >= 0 THEN INSERT (k, v) VALUES (s.k, s.v)
+          |""".stripMargin)
+      // k=1 updates (111+10), k=2 deletes, k=30 inserts, k=40 skipped
+      assert(spark.sql(
+        "SELECT k, v FROM dml_im WHERE k IN (1, 2, 30, 40) ORDER BY k")
+        .as[(Long, Long)].collect().toSeq === Seq((1L, 121L), (30L, 300L)))
+      assert(spark.sql("SELECT count(*) FROM dml_im").as[Long]
+        .head() === 24L)
+      // the canonical star upsert still lowers to upsertKeyed: the
+      // snapshot it commits is an `overwrite` carrying an EQUALITY
+      // DELETE + new images, no COW of data files
+      val filesBefore = IcebergMeta.snapshot(root).files
+        .map(_.recordedPath).toSet
+      spark.sql(
+        """MERGE INTO dml_im t USING dml_im_src s ON t.k = s.k
+          |WHEN MATCHED THEN UPDATE SET *
+          |WHEN NOT MATCHED THEN INSERT *
+          |""".stripMargin)
+      val snap = IcebergMeta.snapshot(root)
+      assert(snap.eqDeletes.nonEmpty)
+      assert(filesBefore.subsetOf(snap.files.map(_.recordedPath).toSet))
+      assert(spark.sql("SELECT v FROM dml_im WHERE k = 2").as[Long]
+        .collect().toSeq === Seq(-1L)) // 2 re-inserted by the upsert
+    } finally { drop("dml_im"); spark.catalog.dropTempView("dml_im_src") }
+  }
 }

@@ -795,9 +795,10 @@ object DeltaLog {
     * read and rewritten (every file when a by-source clause ranges
     * over the whole target), survivors + merge output restage through
     * the partition layout, untouched files carry over. Source keys
-    * must be unique (Delta raises the same). CDF-enabled tables
-    * refuse (merge change rows are not recorded by this layer —
-    * the feed would silently lose the merge). */
+    * must be unique (Delta raises the same). On a CDF-enabled table
+    * the commit records the merge's change rows (`insert` /
+    * `update_preimage`+`update_postimage` / `delete`, carry-over rows
+    * recording nothing) as cdc actions — Delta's merge CDF shape. */
   def mergeConditional(spark: SparkSession, root: String,
       source: DataFrame, tKey: String, sKey: String,
       matched: Seq[VersionedTable.MergeClause] = Nil,
@@ -808,11 +809,6 @@ object DeltaLog {
     require(snap.columnMapping.isEmpty,
       "delta-log: MERGE on a COLUMN-MAPPED table is not supported " +
         "by this interop layer — use delta-spark")
-    require(!snap.configuration.get("delta.enableChangeDataFeed")
-      .contains("true"),
-      "delta-log: MERGE on a CDF-enabled table is not supported by " +
-        "this interop layer (merge change rows would go unrecorded " +
-        "and poison the feed) — use delta-spark")
     matched.foreach(c => require(
       !c.isInstanceOf[VersionedTable.MergeInsert],
       "WHEN MATCHED cannot INSERT"))
@@ -855,10 +851,43 @@ object DeltaLog {
     val tgtRows = (if (touchedUris.isEmpty) vis.filter(lit(false))
       else vis.filter(col(DeltaLogRead.FpCol).isin(touchedUris: _*)))
       .drop(DeltaLogRead.FpCol, DeltaLogRead.PosCol)
-    val out = VersionedTable.mergeCascadeRows(tgtRows, source,
-      snap.schema, tKey, sKey, matched, notMatched, bySource)
-    replaceFiles(spark, root, touchedAdds.map(_.path).toSeq, out,
-      snap.partitionColumns, operation = "MERGE")
+    if (!snap.configuration.get("delta.enableChangeDataFeed")
+        .contains("true")) {
+      val out = VersionedTable.mergeCascadeRows(tgtRows, source,
+        snap.schema, tKey, sKey, matched, notMatched, bySource)
+      return replaceFiles(spark, root, touchedAdds.map(_.path).toSeq,
+        out, snap.partitionColumns, operation = "MERGE")
+    }
+    // CDF: run the cascade ONCE in tagged form, derive the new table
+    // rows AND the change rows from it — carry-over rows (NULL __ct)
+    // record nothing, exactly Delta's merge CDF. The tagged frame is
+    // persisted because it feeds four scans (out + three change
+    // kinds); unpersist after the commit materializes everything.
+    val dataCols = snap.schema.fieldNames.toSeq
+    val tagged = VersionedTable.mergeCascadeTagged(tgtRows, source,
+      snap.schema, tKey, sKey, matched, notMatched, bySource).persist()
+    try {
+      if (tagged.filter(col("__ct").isNotNull).isEmpty)
+        return snap.version // no clause fired: no change, no commit
+      val out = tagged.filter(col("__keep")).select(dataCols.map(col): _*)
+      def pre(df: DataFrame) =
+        df.select(dataCols.map(c => col(s"__pre_$c").as(c)): _*)
+      def post(df: DataFrame) = df.select(dataCols.map(col): _*)
+      val upd = tagged.filter(col("__ct") === "update")
+      val changeRows =
+        pre(tagged.filter(col("__ct") === "delete"))
+          .withColumn("_change_type", lit("delete"))
+        .union(pre(upd).withColumn("_change_type", lit("update_preimage")))
+        .union(post(upd).withColumn("_change_type", lit("update_postimage")))
+        .union(post(tagged.filter(col("__ct") === "insert"))
+          .withColumn("_change_type", lit("insert")))
+      val cdcAdds = stageAndLand(spark, changeRows, root,
+        snap.partitionColumns,
+        java.util.UUID.randomUUID().toString.take(8),
+        prefix = "_change_data/")
+      replaceFiles(spark, root, touchedAdds.map(_.path).toSeq, out,
+        snap.partitionColumns, cdcAdds, operation = "MERGE")
+    } finally tagged.unpersist()
   }
 
   /** Restate the table's metaData with `props` merged into its

@@ -3022,6 +3022,31 @@ object VersionedTable {
       tKey: String, sKey: String,
       matched: Seq[MergeClause], notMatched: Seq[MergeClause],
       bySource: Seq[MergeClause]): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.col
+    mergeCascadeTagged(tgtRows, source, tableSc, tKey, sKey,
+      matched, notMatched, bySource)
+      .filter(col("__keep"))
+      .select(tableSc.fieldNames.toSeq.map(col): _*)
+  }
+
+  /** [[mergeCascadeRows]] with PROVENANCE: the frame BEFORE the keep
+    * filter, carrying the post-merge table columns plus `__keep`
+    * (does the row survive), `__ct` (which clause kind decided:
+    * 'update' / 'delete' / 'insert', NULL for carry-over and ignored
+    * source rows) and `__pre_<col>` pre-merge values (NULL on
+    * source-only rows). This is what a CHANGE DATA FEED needs from a
+    * merge: cdc `delete` rows are the `__ct='delete'` pre-images,
+    * `update_preimage`/`update_postimage` pairs come from
+    * `__ct='update'`, `insert`s from `__ct='insert'` — carry-over
+    * rows (NULL `__ct`) produce NO change rows, exactly Delta's merge
+    * CDF semantics. One full-outer join; the tags are the same
+    * codegen'd when-cascade as the values. */
+  private[sources] def mergeCascadeTagged(tgtRows: org.apache.spark.sql.DataFrame,
+      source: org.apache.spark.sql.DataFrame,
+      tableSc: org.apache.spark.sql.types.StructType,
+      tKey: String, sKey: String,
+      matched: Seq[MergeClause], notMatched: Seq[MergeClause],
+      bySource: Seq[MergeClause]): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.functions.{col, lit, when}
     val tableCols = tableSc.fieldNames.toSeq
     val tgt = tgtRows
@@ -3037,44 +3062,53 @@ object VersionedTable {
     // cannot witness its own row's presence
     val isMatched = col("__t_present").isNotNull && col("__s_present").isNotNull
     val targetOnly = col("__t_present").isNotNull && col("__s_present").isNull
-    // Right-fold the clause list into (keep?, value(col)) cascades:
-    // the FIRST clause whose condition holds decides, later clauses
-    // and the default sit in the otherwise-chain.
+    // Right-fold the clause list into (keep?, value(col), kind)
+    // cascades: the FIRST clause whose condition holds decides, later
+    // clauses and the default sit in the otherwise-chain.
     type Cascade = (org.apache.spark.sql.Column,
-      String => org.apache.spark.sql.Column)
+      String => org.apache.spark.sql.Column,
+      org.apache.spark.sql.Column)
     def fold(clauses: Seq[MergeClause], default: Cascade): Cascade =
-      clauses.foldRight(default) { case (cl, (k0, v0)) =>
+      clauses.foldRight(default) { case (cl, (k0, v0, t0)) =>
         cl match {
           case MergeUpdate(c, set) =>
             val cond = c.getOrElse(lit(true))
             (when(cond, lit(true)).otherwise(k0),
               n => when(cond, set.getOrElse(n, col(s"__t_$n")))
-                .otherwise(v0(n)))
+                .otherwise(v0(n)),
+              when(cond, lit("update")).otherwise(t0))
           case MergeDelete(c) =>
             val cond = c.getOrElse(lit(true))
-            (when(cond, lit(false)).otherwise(k0), v0)
+            (when(cond, lit(false)).otherwise(k0), v0,
+              when(cond, lit("delete")).otherwise(t0))
           case MergeInsert(c, values) =>
             val cond = c.getOrElse(lit(true))
             (when(cond, lit(true)).otherwise(k0),
               n => when(cond,
                   values.getOrElse(n, lit(null)))
-                .otherwise(v0(n)))
+                .otherwise(v0(n)),
+              when(cond, lit("insert")).otherwise(t0))
         }
       }
     val keepT: String => org.apache.spark.sql.Column = n => col(s"__t_$n")
-    val (mKeep, mVal) = fold(matched, (lit(true), keepT))
-    val (tKeep, tVal) = fold(bySource, (lit(true), keepT))
-    val (sKeep, sVal) =
-      fold(notMatched, (lit(false), _ => lit(null)))
+    val noCt = lit(null).cast("string")
+    val (mKeep, mVal, mCt) = fold(matched, (lit(true), keepT, noCt))
+    val (tKeep, tVal, tCt) = fold(bySource, (lit(true), keepT, noCt))
+    val (sKeep, sVal, sCt) =
+      fold(notMatched, (lit(false), _ => lit(null), noCt))
     joined
       .withColumn("__keep",
         when(isMatched, mKeep).when(targetOnly, tKeep).otherwise(sKeep))
-      .filter(col("__keep"))
+      .withColumn("__ct",
+        when(isMatched, mCt).when(targetOnly, tCt).otherwise(sCt))
       .select(tableCols.map { c =>
         val f = tableSc.fields.find(_.name == c).get
         when(isMatched, mVal(c)).when(targetOnly, tVal(c))
           .otherwise(sVal(c)).cast(f.dataType).as(c)
-      }: _*)
+      } ++ tableCols.map { c =>
+        val f = tableSc.fields.find(_.name == c).get
+        col(s"__t_$c").cast(f.dataType).as(s"__pre_$c")
+      } ++ Seq(col("__keep"), col("__ct")): _*)
   }
 
   /** MERGE INTO, stats-pruned copy-on-write (the Delta `MERGE` shape,

@@ -365,16 +365,25 @@ class GraftDmlSpec extends SparkSpecBase {
           |""".stripMargin)
       assert(spark.sql("SELECT max(k) FROM dml_dm").as[Long]
         .head() === 30L) // 20..23 gone (not in source), 30 IS in source
-      // CDF-enabled tables refuse MERGE loudly
+      // CDF-enabled tables record the merge's change rows as cdc
+      // actions: updates as pre/postimage pairs, carry-overs nothing
       DeltaLog.setConfiguration(spark, root,
         Map("delta.enableChangeDataFeed" -> "true"))
-      val e = intercept[Exception] {
-        spark.sql(
-          """MERGE INTO dml_dm t USING dml_dm_src s ON t.k = s.k
-            |WHEN MATCHED THEN UPDATE SET v = s.v
-            |""".stripMargin)
-      }
-      assert(e.getMessage.contains("CDF"))
+      spark.sql(
+        """MERGE INTO dml_dm t USING dml_dm_src s ON t.k = s.k
+          |WHEN MATCHED THEN UPDATE SET v = s.v
+          |""".stripMargin)
+      assert(spark.sql("SELECT v FROM dml_dm WHERE k = 1").as[Long]
+        .head() === 111L)
+      val vNow = DeltaLog.latestVersion(root)
+      val feed = DeltaLog.changes(spark, root, vNow - 1, vNow)
+        .select("k", "v", "_change_type")
+        .as[(Long, Long, String)].collect().toSet
+      // matched k=1 (121→111) and k=30 (300→300, still recorded);
+      // k=2/k=40 match nothing; untouched rows record NOTHING
+      assert(feed === Set(
+        (1L, 121L, "update_preimage"), (1L, 111L, "update_postimage"),
+        (30L, 300L, "update_preimage"), (30L, 300L, "update_postimage")))
     } finally { drop("dml_dm"); spark.catalog.dropTempView("dml_dm_src") }
   }
 

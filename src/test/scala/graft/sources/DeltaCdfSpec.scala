@@ -67,6 +67,42 @@ class DeltaCdfSpec extends SparkSpecBase {
     assert(spark.read.format("delta-log").load(root).count() === 6L)
   }
 
+  test("CDF-enabled MERGE records every clause kind; carry-overs nothing") {
+    import graft.sources.{VersionedTable => VT}
+    val root = tmp()
+    DeltaLog.commit(spark.range(0, 8).toDF("k")
+      .withColumn("v", col("k") * 10).coalesce(1), root)   // v0
+    enableCdf(root)                                         // v1
+    val src = Seq((1L, 111L), (3L, -1L), (20L, 200L), (30L, -5L))
+      .toDF("k", "nv")
+    val v = DeltaLog.mergeConditional(spark, root, src, "k", "k",
+      matched = Seq(
+        VT.MergeDelete(Some(VT.MergeRef.source("nv") < 0)),
+        VT.MergeUpdate(None, Map("v" -> VT.MergeRef.source("nv")))),
+      notMatched = Seq(VT.MergeInsert(
+        Some(VT.MergeRef.source("nv") >= 0),
+        Map("k" -> VT.MergeRef.source("k"), "v" -> VT.MergeRef.source("nv")))))
+    // k=1 updated 10→111, k=3 deleted, k=20 inserted, k=30 skipped
+    val feed = DeltaLog.changes(spark, root, v - 1, v)
+      .select("k", "v", "_change_type").as[(Long, Long, String)]
+      .collect().toSet
+    assert(feed === Set(
+      (1L, 10L, "update_preimage"), (1L, 111L, "update_postimage"),
+      (3L, 30L, "delete"),
+      (20L, 200L, "insert")))
+    // carry-over rows (0,2,4..7) recorded nothing, but the table moved
+    val now = spark.read.format("delta-log").load(root)
+    assert(now.count() === 8L) // 8 - 1 delete + 1 insert
+    assert(now.filter(col("k") === 1).select("v").as[Long].head() === 111L)
+    // a merge where NO clause fires commits nothing at all
+    val v2 = DeltaLog.mergeConditional(spark, root,
+      Seq((99L, -1L)).toDF("k", "nv"), "k", "k",
+      notMatched = Seq(VT.MergeInsert(
+        Some(VT.MergeRef.source("nv") >= 0),
+        Map("k" -> VT.MergeRef.source("k"), "v" -> VT.MergeRef.source("nv")))))
+    assert(v2 === v)
+  }
+
   test("rewrite without cdc refuses; TVF serves the feed in SQL") {
     val root = tmp()
     DeltaLog.commit(spark.range(0, 10).toDF("k").coalesce(1), root) // v0

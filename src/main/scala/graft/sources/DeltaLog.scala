@@ -359,10 +359,14 @@ object DeltaLog {
     def rename(dt: DataType): DataType = dt match {
       case st: StructType => StructType(st.fields.map { f =>
         val key = "delta.columnMapping.physicalName"
-        require(f.metadata.contains(key),
+        // CDF's _change_type is stored UNMAPPED in cdc files (it is
+        // not part of the table schema, so the writer never stamps
+        // it) — every real column must carry its physicalName
+        require(f.metadata.contains(key) || f.name == "_change_type",
           s"delta-log: mapped table $root lacks $key on nested field " +
             f.name)
-        f.copy(name = f.metadata.getString(key),
+        if (!f.metadata.contains(key)) f
+        else f.copy(name = f.metadata.getString(key),
           dataType = rename(f.dataType))
       })
       case ArrayType(e, n) => ArrayType(rename(e), n)
@@ -931,16 +935,17 @@ object DeltaLog {
     * and a remove+add rewrite WITHOUT cdc refuses (the change data
     * was never recorded — delta-spark errors identically). Output
     * schema: table columns + `_change_type` + `_commit_version`.
-    * Column-mapped tables refuse (cdc files carry physical names the
-    * synthetic feed schema cannot restate). Cost: O(changed files)
+    * COLUMN-MAPPED tables work: each per-version sub-scan routes
+    * through the same [[DeltaLogRead.relation]] the batch read uses,
+    * so the mapping rule (graft.ext.DeltaColumnMappingScan) restates
+    * it physically and aliases back — `_change_type`, which the CDF
+    * spec stores UNmapped in cdc files, carries no physicalName
+    * metadata and restores as itself. Cost: O(changed files)
     * per version — never a table scan. */
   def changes(spark: SparkSession, root: String,
       afterVersion: Long, toVersion: Long): DataFrame = {
     import org.apache.spark.sql.functions.{col, lit}
     val snapTo = snapshot(spark, root, Some(toVersion))
-    require(snapTo.columnMapping.isEmpty,
-      "delta-log: CDF read on a COLUMN-MAPPED table is not supported " +
-        "by this interop layer — use delta-spark")
     val dataCols = snapTo.schema.fieldNames.toSeq
     val ctField = StructField("_change_type", StringType, nullable = false)
     // one sub-scan per (version, change kind): rows resolve through

@@ -127,6 +127,56 @@ class DeltaColumnMappingSpec extends SparkSpecBase {
     assert(e3.getMessage.contains("nested field a"))
   }
 
+  test("CDF on a MAPPED table: cdc files and derived branches restore") {
+    val root = mappedTable() // v0: two adds (k=0..9, k=10..29)
+    // v1: an append — its feed rows DERIVE as inserts through the
+    // mapped scan path
+    spark.range(30, 33).toDF("col-aaa")
+      .withColumn("col-bbb", col("`col-aaa`") * 10).coalesce(1)
+      .write.parquet(root + "/data3")
+    import scala.jdk.CollectionConverters._
+    def part(dir: String): String = {
+      val s = Files.list(Paths.get(root, dir))
+      try dir + "/" + s.iterator().asScala.map(_.getFileName.toString)
+        .find(n => n.endsWith(".parquet") && !n.startsWith(".")).get
+      finally s.close()
+    }
+    Files.write(Paths.get(root, "_delta_log", f"${1L}%020d.json"),
+      (s"""{"add":{"path":"${part("data3")}","partitionValues":{},"size":${Files.size(Paths.get(root, part("data3")))},"modificationTime":0,"dataChange":true}}\n""")
+        .getBytes(UTF_8))
+    // v2: a rewrite carrying cdc actions — cdc parquet stores the
+    // PHYSICAL data columns plus the UNmapped _change_type (CDF spec)
+    val oldAdd = DeltaLog.snapshot(spark, root).adds
+      .find(_.path.startsWith("data1")).get
+    spark.range(0, 10).toDF("col-aaa")
+      .withColumn("col-bbb",
+        when(col("`col-aaa`") === 3, lit(-1L))
+          .otherwise(col("`col-aaa`") * 10))
+      .coalesce(1).write.parquet(root + "/data4")
+    Seq((3L, 30L, "update_preimage"), (3L, -1L, "update_postimage"))
+      .toDF("col-aaa", "col-bbb", "_change_type").coalesce(1)
+      .write.parquet(root + "/cdc1")
+    Files.write(Paths.get(root, "_delta_log", f"${2L}%020d.json"),
+      (s"""{"remove":{"path":"${oldAdd.path}","deletionTimestamp":1,"dataChange":true}}\n""" +
+        s"""{"add":{"path":"${part("data4")}","partitionValues":{},"size":${Files.size(Paths.get(root, part("data4")))},"modificationTime":0,"dataChange":true}}\n""" +
+        s"""{"cdc":{"path":"${part("cdc1")}","partitionValues":{},"size":${Files.size(Paths.get(root, part("cdc1")))},"dataChange":false}}\n""")
+        .getBytes(UTF_8))
+    val feed = DeltaLog.changes(spark, root, 0L, 2L)
+    assert(feed.columns.toSeq ===
+      Seq("k", "v", "_change_type", "_commit_version"))
+    val rows = feed.select("k", "v", "_change_type", "_commit_version")
+      .as[(Long, Long, String, Long)].collect().toSet
+    assert(rows === Set(
+      (30L, 300L, "insert", 1L), (31L, 310L, "insert", 1L),
+      (32L, 320L, "insert", 1L),
+      (3L, 30L, "update_preimage", 2L),
+      (3L, -1L, "update_postimage", 2L)))
+    // the TVF route works too (SQL surface, logical names)
+    assert(spark.sql(
+      s"SELECT sum(v) AS s FROM delta_changes('$root', 0, 1)")
+      .as[Long].head() === 930L)
+  }
+
   test("NESTED column mapping: structs, arrays of structs, maps restore") {
     val root = tmp()
     // physical layout a real mapped writer would produce: every name

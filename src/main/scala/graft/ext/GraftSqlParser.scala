@@ -35,6 +35,8 @@ import org.apache.spark.sql.types._
   *   GRAFT BRANCH '<root>' DROP <name>
   *   GRAFT BRANCHES '<root>'
   *   GRAFT DETAIL '<root>'
+  *   GRAFT VACUUM DELTA '<root>' [RETAIN <ms> MS]
+  *   GRAFT EXPIRE SNAPSHOTS '<root>' OLDER THAN <ms> [RETAIN LAST <n>]
   * }}}
   *
   * Each statement lowers to a Catalyst [[LeafRunnableCommand]] — a
@@ -133,6 +135,10 @@ object GraftSqlParser {
     """(?is)\s*GRAFT\s+CONVERT\s+DELTA\s+'([^']+)'\s+TO\s+'([^']+)'\s*;?\s*""".r
   private val ConvertIceberg =
     """(?is)\s*GRAFT\s+CONVERT\s+ICEBERG\s+'([^']+)'\s+TO\s+'([^']+)'\s*;?\s*""".r
+  private val VacDelta =
+    """(?is)\s*GRAFT\s+VACUUM\s+DELTA\s+'([^']+)'(?:\s+RETAIN\s+(\d+)\s+MS)?\s*;?\s*""".r
+  private val ExpireIce =
+    """(?is)\s*GRAFT\s+EXPIRE\s+SNAPSHOTS\s+'([^']+)'\s+OLDER\s+THAN\s+(\d+)(?:\s+RETAIN\s+LAST\s+(\d+))?\s*;?\s*""".r
 
   private[ext] def parse(sqlText: String): Option[LogicalPlan] =
     sqlText match {
@@ -171,6 +177,10 @@ object GraftSqlParser {
         iceberg = false))
       case ConvertIceberg(src, dst) => Some(GraftConvertCommand(src, dst,
         iceberg = true))
+      case VacDelta(p, retain) => Some(GraftDeltaVacuumCommand(p,
+        Option(retain).map(_.toLong).getOrElse(7L * 24 * 3600 * 1000)))
+      case ExpireIce(p, older, last) => Some(GraftIcebergExpireCommand(p,
+        older.toLong, Option(last).map(_.toInt).getOrElse(1)))
       case other if other.trim.toUpperCase.startsWith("GRAFT ") =>
         // a malformed GRAFT statement must fail with OUR grammar, not
         // Spark's baffled syntax error
@@ -187,7 +197,9 @@ object GraftSqlParser {
             "TAG 'root' DROP name | TAGS 'root' | " +
             "BRANCH 'root' CREATE|PUBLISH|DROP name | BRANCHES 'root' | " +
             "DETAIL 'root' | VACUUM ... DRY RUN | REORG 'root' PURGE | " +
-            "CONVERT DELTA|ICEBERG 'src' TO 'dst'")
+            "CONVERT DELTA|ICEBERG 'src' TO 'dst' | " +
+            "VACUUM DELTA 'root' [RETAIN ms MS] | " +
+            "EXPIRE SNAPSHOTS 'root' OLDER THAN ms [RETAIN LAST n]")
       case _ => None
     }
 
@@ -278,6 +290,34 @@ object GraftSqlParser {
       Seq(Row(
         if (iceberg) VersionedTable.importIceberg(s, src, dst)
         else VersionedTable.importDelta(s, src, dst)))
+  }
+
+  /** `GRAFT VACUUM DELTA 'root' [RETAIN ms MS]` — delta-spark's
+    * VACUUM against a foreign `_delta_log` table (default retention
+    * 7 days, its default too). */
+  case class GraftDeltaVacuumCommand(root: String, retainMs: Long)
+      extends LeafRunnableCommand {
+    override val output: Seq[Attribute] = Seq(attr("n_deleted", LongType))
+    override def run(s: SparkSession): Seq[Row] =
+      Seq(Row(graft.sources.DeltaLog.vacuum(s, root, retainMs)))
+  }
+
+  /** `GRAFT EXPIRE SNAPSHOTS 'root' OLDER THAN ms [RETAIN LAST n]` —
+    * Iceberg's expire_snapshots procedure against a metadata-tree
+    * table. */
+  case class GraftIcebergExpireCommand(root: String, olderThanMs: Long,
+      retainLast: Int) extends LeafRunnableCommand {
+    override val output: Seq[Attribute] = Seq(
+      attr("expired_snapshots", IntegerType),
+      attr("deleted_files", IntegerType),
+      attr("deleted_manifests", IntegerType),
+      attr("deleted_manifest_lists", IntegerType))
+    override def run(s: SparkSession): Seq[Row] = {
+      val r = graft.sources.IcebergMeta.expireSnapshots(root,
+        olderThanMs, retainLast)
+      Seq(Row(r.expiredSnapshots, r.deletedFiles, r.deletedManifests,
+        r.deletedManifestLists))
+    }
   }
 
   case class GraftCreateTagCommand(root: String, name: String,

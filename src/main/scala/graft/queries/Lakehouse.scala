@@ -2167,6 +2167,93 @@ object Lakehouse {
              |  CAST(sum(o_orderkey) AS BIGINT) AS sum_key,
              |  CAST(1 AS BIGINT) AS carried_ok
              |FROM merged GROUP BY o_orderstatus
-             |ORDER BY o_orderstatus""".stripMargin))
+             |ORDER BY o_orderstatus""".stripMargin)),
+
+    // LAKEHOUSE MAINTENANCE (round 8): the retention procedures both
+    // ecosystems run nightly — Delta VACUUM (age+reference-guarded
+    // physical deletion; vac_ok pins that afterwards the on-disk
+    // parquet set IS the live snapshot exactly, and travel_gone_ok
+    // that time travel to the pre-rewrite version now fails — the
+    // documented cost of vacuum) and Iceberg expire_snapshots
+    // (reachability-based: the literal 2/2/1 pins that exactly the
+    // two compacted-away snapshots, their two orphaned data files,
+    // and nothing else expired, leaving a 1-entry history). All
+    // deletes route through the DataStore seam — at 100 TB these are
+    // LIST+DELETE storms, the exact ops an object store meters.
+    // Oracle restates the surviving table as a filter over orders.
+    QueryDef(
+      "q250_lakehouse_maintenance",
+      (s, d) => {
+        val droot = Files.createTempDirectory("lhm_entry_").toString
+        val iroot = Files.createTempDirectory("lhm_entry_").toString + "/t"
+        val tbl = "lhm_orders_entry"
+        val src = orders(s, d).select(col("o_orderkey"), col("o_custkey"),
+          col("o_orderstatus"))
+        // Delta: two appends + a COW delete leave replaced files behind
+        graft.sources.DeltaLog.commit(
+          src.filter(col("o_orderkey") <= 512).coalesce(1), droot)
+        graft.sources.DeltaLog.commit(
+          src.filter(col("o_orderkey") > 512 &&
+            col("o_orderkey") <= 1024).coalesce(1), droot)
+        val preVersion = graft.sources.DeltaLog.deleteWhere(s, droot,
+          col("o_orderkey") % 7 === 3) - 1
+        s.sql(s"GRAFT VACUUM DELTA '$droot' RETAIN 0 MS")
+        val live = graft.sources.DeltaLog.snapshot(s, droot)
+          .adds.map(_.path).toSet
+        val onDisk = {
+          val r = java.nio.file.Paths.get(droot)
+          val st = java.nio.file.Files.walk(r)
+          try {
+            import scala.jdk.CollectionConverters._
+            st.iterator().asScala
+              .filter(java.nio.file.Files.isRegularFile(_))
+              .map(p => r.relativize(p).toString)
+              .filter(p => p.endsWith(".parquet") &&
+                !p.startsWith("_delta_log/")).toSet
+          } finally st.close()
+        }
+        val vacOk = if (onDisk == live) 1L else 0L
+        val travelGoneOk =
+          try {
+            s.read.format("delta-log")
+              .option("versionAsOf", preVersion.toString)
+              .load(droot).count()
+            0L
+          } catch { case _: Exception => 1L }
+        // Iceberg: fixture + append + compact, then expire history
+        graft.sources.IcebergMeta.writeFixture(
+          src.filter(col("o_orderkey") <= 512).coalesce(1), iroot)
+        graft.sources.IcebergMeta.append(
+          src.filter(col("o_orderkey") > 512 &&
+            col("o_orderkey") <= 1024).coalesce(1), iroot)
+        graft.sources.IcebergMeta.compact(s, iroot)
+        val er = s.sql(s"GRAFT EXPIRE SNAPSHOTS '$iroot' OLDER THAN ${
+          System.currentTimeMillis() + 3600000L} RETAIN LAST 1").head()
+        val iceHistory = graft.sources.IcebergMeta.snapshotLog(iroot).size
+        s.sql(s"DROP TABLE IF EXISTS $tbl")
+        s.sql(s"CREATE TABLE $tbl USING `delta-log` OPTIONS (path '$droot')")
+        val out = s.sql(
+          s"""SELECT o_orderstatus, count(*) AS n_rows,
+             |  CAST(sum(o_orderkey) AS BIGINT) AS sum_key,
+             |  CAST($vacOk AS BIGINT) AS vac_ok,
+             |  CAST($travelGoneOk AS BIGINT) AS travel_gone_ok,
+             |  CAST(${er.getInt(0)} AS BIGINT) AS ice_expired,
+             |  CAST(${er.getInt(1)} AS BIGINT) AS ice_deleted_files,
+             |  CAST($iceHistory AS BIGINT) AS ice_history
+             |FROM $tbl GROUP BY o_orderstatus
+             |ORDER BY o_orderstatus""".stripMargin)
+        s.sql(s"DROP TABLE $tbl")
+        out
+      },
+      Some("""SELECT o_orderstatus, count(*) AS n_rows,
+             |  CAST(sum(o_orderkey) AS BIGINT) AS sum_key,
+             |  CAST(1 AS BIGINT) AS vac_ok,
+             |  CAST(1 AS BIGINT) AS travel_gone_ok,
+             |  CAST(2 AS BIGINT) AS ice_expired,
+             |  CAST(2 AS BIGINT) AS ice_deleted_files,
+             |  CAST(1 AS BIGINT) AS ice_history
+             |FROM orders
+             |WHERE o_orderkey <= 1024 AND o_orderkey % 7 <> 3
+             |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin))
   )
 }

@@ -50,6 +50,10 @@ trait DataStore {
   def write(path: Path, bytes: Array[Byte]): Unit
   /** Recursively delete `dir` (vacuum / dropBranch); absence is ok. */
   def deleteTree(dir: Path): Unit
+  /** Delete a single object; absence is ok. Defaults to
+    * [[deleteTree]], which is correct for a regular file — a concrete
+    * default so existing wrappers keep compiling and recording. */
+  def deleteFile(path: Path): Unit = deleteTree(path)
   /** Relocate directory tree `src` to `dst` (must not exist). POSIX:
     * rename. Object stores: copy objects then delete source — callers
     * guarantee nothing references `dst` until a later manifest
@@ -88,6 +92,7 @@ sealed trait LocalFsDataReads extends DataStore {
       try s.iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
       finally s.close()
     }
+  override def deleteFile(path: Path): Unit = Files.deleteIfExists(path)
 }
 
 /** Default store: directory relocation via one atomic rename. */

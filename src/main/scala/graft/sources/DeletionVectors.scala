@@ -239,27 +239,33 @@ object DeletionVectors {
   final case class Descriptor(storageType: String, pathOrInlineDv: String,
       offset: Option[Int], sizeInBytes: Int, cardinality: Long)
 
+  /** On-disk file a descriptor's bitmap lives in — None for inline
+    * ('i') descriptors. 'u': pathOrInlineDv = [random prefix]<20-char
+    * z85 UUID>, the file is <root>/[prefix/]deletion_vector_<uuid>.bin;
+    * 'p': an absolute path. Vacuum uses this to keep live DV files. */
+  def fileOf(root: String, d: Descriptor): Option[Path] =
+    d.storageType match {
+      case "p" => Some(Paths.get(d.pathOrInlineDv))
+      case "u" =>
+        val enc = d.pathOrInlineDv
+        require(enc.length >= 20,
+          s"deletion vector: bad UUID encoding '$enc'")
+        val (prefix, uuidEnc) = enc.splitAt(enc.length - 20)
+        val ub = ByteBuffer.wrap(Z85.decode(uuidEnc))
+        val uuid = new java.util.UUID(ub.getLong, ub.getLong)
+        val dir = if (prefix.isEmpty) Paths.get(root)
+          else Paths.get(root, prefix)
+        Some(dir.resolve(s"deletion_vector_$uuid.bin"))
+      case _ => None
+    }
+
   /** Resolve a descriptor to sorted deleted row positions. */
   def read(root: String, d: Descriptor): Array[Long] = {
     val data = d.storageType match {
       case "i" =>
         Z85.decode(d.pathOrInlineDv).take(d.sizeInBytes)
       case "u" | "p" =>
-        val file = d.storageType match {
-          case "p" => Paths.get(d.pathOrInlineDv)
-          case _ =>
-            // pathOrInlineDv = [random prefix]<20-char z85 UUID>; the
-            // file is <root>/[prefix/]deletion_vector_<uuid>.bin
-            val enc = d.pathOrInlineDv
-            require(enc.length >= 20,
-              s"deletion vector: bad UUID encoding '$enc'")
-            val (prefix, uuidEnc) = enc.splitAt(enc.length - 20)
-            val ub = ByteBuffer.wrap(Z85.decode(uuidEnc))
-            val uuid = new java.util.UUID(ub.getLong, ub.getLong)
-            val dir = if (prefix.isEmpty) Paths.get(root)
-              else Paths.get(root, prefix)
-            dir.resolve(s"deletion_vector_$uuid.bin")
-        }
+        val file = fileOf(root, d).get
         val bytes = Files.readAllBytes(file)
         require(bytes.nonEmpty && bytes(0) == 1,
           s"deletion vector: unsupported DV file version in $file")

@@ -716,6 +716,53 @@ object DeltaLog {
     next
   }
 
+  /** VACUUM the Delta table at `root`: delete data-path files that
+    * are (a) NOT referenced by the CURRENT snapshot — neither as a
+    * live add nor as an add's deletion-vector file — and (b) older
+    * than `retainMs` by modification time (delta-spark's rule; the
+    * mtime guard is what protects a concurrent writer's just-staged
+    * files that have not committed yet). `_delta_log/` is never
+    * touched; other hidden paths (`_`/`.`-prefixed segments) are
+    * skipped EXCEPT `_change_data/` — expired cdc files are vacuumed
+    * exactly like delta-spark does, which is why a CDF read range is
+    * bounded by the retention window. Time travel to versions whose
+    * files were vacuumed breaks, BY DESIGN (same everywhere).
+    * All I/O routes through the [[DataStore]] seam. Returns the
+    * number of files deleted. */
+  def vacuum(spark: SparkSession, root: String,
+      retainMs: Long = 7L * 24 * 3600 * 1000,
+      nowMs: Long = System.currentTimeMillis): Long = {
+    require(retainMs >= 0, s"vacuum: negative retention $retainMs")
+    val snap = snapshot(spark, root)
+    val store = VersionedTable.dataIO(root)
+    val rootP = Paths.get(root).normalize
+    def resolve(p: String): Path = {
+      val pp = Paths.get(p)
+      (if (pp.isAbsolute) pp else rootP.resolve(p)).normalize
+    }
+    val keep: Set[Path] =
+      (snap.adds.map(a => resolve(a.path)) ++
+        snap.adds.flatMap(_.deletionVector.flatMap(d =>
+          DeletionVectors.fileOf(root, d)).map(_.normalize))).toSet
+    val cutoff = nowMs - retainMs
+    def hidden(rel: Path): Boolean = {
+      val names = (0 until rel.getNameCount).map(rel.getName(_).toString)
+      names.head != "_change_data" &&
+        names.exists(n => n.startsWith("_") || n.startsWith("."))
+    }
+    var n = 0L
+    store.listFilesRecursive(rootP).foreach { f0 =>
+      val f = f0.normalize
+      val rel = rootP.relativize(f)
+      if (rel.getName(0).toString != "_delta_log" && !hidden(rel) &&
+          !keep.contains(f) && store.mtimeMs(f) <= cutoff) {
+        store.deleteFile(f)
+        n += 1
+      }
+    }
+    n
+  }
+
   /** SQL UPDATE on the Delta table, copy-on-write: rows of the
     * touched files matching `cond` get each SET column replaced by
     * its expression — ALL evaluated against the PRE-update row (SQL

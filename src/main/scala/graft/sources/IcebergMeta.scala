@@ -962,6 +962,92 @@ object IcebergMeta {
     commitSnapshot(root, v, meta, snapId, seq, listRel, "replace")
   }
 
+  /** What [[expireSnapshots]] removed. */
+  final case class ExpireResult(expiredSnapshots: Int,
+      deletedFiles: Int, deletedManifests: Int, deletedManifestLists: Int)
+
+  /** `expire_snapshots` — Iceberg's history maintenance: drop every
+    * snapshot whose `timestamp-ms` is older than `olderThanMs`, always
+    * keeping the CURRENT snapshot and the `retainLast` most recent
+    * ones, then delete the files only the expired snapshots reference:
+    * their manifest lists, the manifests no surviving snapshot's list
+    * names, and the data/delete files no surviving manifest references
+    * IN ANY STATUS (a file a surviving manifest marks DELETED is still
+    * referenced — spec rule; it goes when that manifest does). The
+    * pruned metadata document commits under the same conditional-put
+    * protocol as data commits, so a concurrent writer wins cleanly.
+    * Time travel to an expired snapshot id then refuses — that is the
+    * point of expiration. File deletion routes through the
+    * [[DataStore]] seam. Metadata-scale I/O only: reads manifests, no
+    * data files. */
+  def expireSnapshots(root: String, olderThanMs: Long,
+      retainLast: Int = 1): ExpireResult = {
+    require(retainLast >= 1, s"expireSnapshots: retainLast $retainLast < 1")
+    val v = latestMetadataVersion(root)
+    val meta = mapper.readTree(Files.readAllBytes(
+      metaDir(root).resolve(s"v$v.metadata.json")))
+    if (!meta.hasNonNull("snapshots")) return ExpireResult(0, 0, 0, 0)
+    val snaps = meta.get("snapshots").elements().asScala.toSeq
+    def idOf(s: JsonNode) = s.get("snapshot-id").asLong()
+    def tsOf(s: JsonNode) =
+      if (s.hasNonNull("timestamp-ms")) s.get("timestamp-ms").asLong() else 0L
+    val currentId =
+      if (meta.hasNonNull("current-snapshot-id"))
+        meta.get("current-snapshot-id").asLong() else -1L
+    val recent = snaps.sortBy(tsOf).takeRight(retainLast).map(idOf).toSet
+    val keep = snaps.filter(s => tsOf(s) >= olderThanMs ||
+      idOf(s) == currentId || recent(idOf(s)))
+    val expired = snaps.filterNot(s => keep.exists(k => idOf(k) == idOf(s)))
+    if (expired.isEmpty) return ExpireResult(0, 0, 0, 0)
+    // reachability: everything a surviving snapshot can name survives
+    def listOf(s: JsonNode): String =
+      resolvePath(root, s.get("manifest-list").asText())
+    def manifestsOf(listPath: String): Seq[String] =
+      readAvro(listPath).map(r => resolvePath(root,
+        asStr(r.get("manifest_path"))))
+    def filesOf(manifestPath: String): Seq[String] =
+      readAvro(manifestPath).map(e => resolvePath(root,
+        asStr(e.get("data_file").asInstanceOf[GenericRecord]
+          .get("file_path"))))
+    val keepLists = keep.map(listOf).toSet
+    val keepManifests = keepLists.flatMap(manifestsOf)
+    val deadLists = expired.map(listOf).toSet -- keepLists
+    val deadManifests = deadLists.flatMap(manifestsOf) -- keepManifests
+    val keepFiles = keepManifests.flatMap(filesOf)
+    val deadFiles = deadManifests.flatMap(filesOf) -- keepFiles
+    // prune the metadata document: snapshots + snapshot-log entries
+    val keepIds = keep.map(idOf).toSet
+    val newMeta = meta.deepCopy[
+      com.fasterxml.jackson.databind.node.ObjectNode]
+    val snapArr = mapper.createArrayNode()
+    keep.foreach(snapArr.add)
+    newMeta.set[JsonNode]("snapshots", snapArr)
+    if (newMeta.hasNonNull("snapshot-log")) {
+      val logArr = mapper.createArrayNode()
+      newMeta.get("snapshot-log").elements().asScala
+        .filter(e => keepIds(e.get("snapshot-id").asLong()))
+        .foreach(logArr.add)
+      newMeta.set[JsonNode]("snapshot-log", logArr)
+    }
+    newMeta.put("last-updated-ms", System.currentTimeMillis())
+    try PosixLogStore.putIfAbsent(
+      metaDir(root).resolve(s"v${v + 1}.metadata.json"),
+      mapper.writerWithDefaultPrettyPrinter().writeValueAsBytes(newMeta))
+    catch {
+      case _: java.nio.file.FileAlreadyExistsException =>
+        throw new VersionedTable.ConcurrentCommitException(v + 1)
+    }
+    writeHint(root, v + 1)
+    // the commit is durable — now the physical deletes (crash here
+    // leaves unreferenced garbage, never a dangling reference)
+    val store = VersionedTable.dataIO(root)
+    deadFiles.foreach(p => store.deleteFile(Paths.get(p)))
+    deadManifests.foreach(p => store.deleteFile(Paths.get(p)))
+    deadLists.foreach(p => store.deleteFile(Paths.get(p)))
+    ExpireResult(expired.size, deadFiles.size, deadManifests.size,
+      deadLists.size)
+  }
+
   /** KEYED UPSERT via merge-on-read — the Flink/Iceberg CDC write
     * shape: ONE snapshot carrying BOTH a v2 equality-delete file on
     * `key` (the source's keys) AND the new images as ordinary data

@@ -1,0 +1,193 @@
+package graft.sources
+
+import java.nio.file.{Files, Path, Paths}
+
+import graft.SparkSpecBase
+import org.apache.spark.sql.functions._
+
+/** Maintenance parity for the interop formats: Delta VACUUM (age- and
+  * reference-guarded physical deletion, CDF files included, seam-routed
+  * I/O) and Iceberg expire_snapshots (snapshot pruning + reachability-
+  * based file deletion, conditional-put metadata commit). */
+class LakehouseMaintenanceSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private def tmp(): String =
+    Files.createTempDirectory("lh_maint_").toString
+
+  import scala.jdk.CollectionConverters._
+
+  private def filesUnder(root: String): Set[String] = {
+    val r = Paths.get(root)
+    val s = Files.walk(r)
+    try s.iterator().asScala.filter(Files.isRegularFile(_))
+      .map(p => r.relativize(p).toString).toSet
+    finally s.close()
+  }
+
+  test("Delta VACUUM: unreferenced + aged files go, live table intact") {
+    val root = tmp()
+    DeltaLog.commit(spark.range(0, 8).toDF("k").coalesce(1), root)  // v0
+    DeltaLog.commit(spark.range(8, 16).toDF("k").coalesce(1), root) // v1
+    DeltaLog.deleteWhere(spark, root, col("k") % 2 === 0)           // v2 rewrite
+    DeltaLog.compact(spark, root)                                   // v3 rewrite
+    val live = DeltaLog.snapshot(spark, root)
+    val liveRel = live.adds.map(_.path).toSet
+    val all = filesUnder(root)
+    val before = all.filter(_.endsWith(".parquet"))
+    val logBefore = all.count(_.startsWith("_delta_log/"))
+    assert(liveRel.subsetOf(before))
+    assert(before.size > liveRel.size) // replaced files still on disk
+    // retention guard: nothing young enough is deleted
+    assert(DeltaLog.vacuum(spark, root, retainMs = 3600 * 1000L) === 0L)
+    // retain 0: every unreferenced data file deletes; log untouched
+    val n = DeltaLog.vacuum(spark, root, retainMs = 0L)
+    assert(n === (before.size - liveRel.size))
+    val after = filesUnder(root)
+    assert(after.filter(_.endsWith(".parquet")) === liveRel)
+    assert(after.count(_.startsWith("_delta_log/")) === logBefore)
+    // current read unaffected
+    assert(spark.read.format("delta-log").load(root)
+      .agg(sum("k")).as[Long].head() ===
+      (0L until 16L).filter(_ % 2 == 1).sum)
+    // time travel to v0 now fails at scan time (files are GONE) —
+    // vacuum's documented contract
+    val e = intercept[Exception] {
+      spark.read.format("delta-log").option("versionAsOf", "0")
+        .load(root).count()
+    }
+    assert(e != null)
+  }
+
+  test("Delta VACUUM keeps live DV files, sweeps expired cdc files") {
+    val root = tmp()
+    DeltaLog.commit(spark.range(0, 10).toDF("k").coalesce(1), root) // v0
+    DeltaLog.setConfiguration(spark, root,
+      Map("delta.enableChangeDataFeed" -> "true"))                  // v1
+    DeltaLog.deleteWhere(spark, root, col("k") === 3)               // v2: cdc + rewrite
+    // attach a DV to the rewritten file (drop position 0)
+    val a = DeltaLog.snapshot(spark, root).adds.head
+    val d = DeletionVectors.writeFile(root, Array(0L))
+    Files.write(Paths.get(root, "_delta_log", f"${3L}%020d.json"),
+      (s"""{"add":{"path":"${a.path}","partitionValues":{},"size":${a.size},"modificationTime":0,"dataChange":false,"deletionVector":{"storageType":"${d.storageType}","pathOrInlineDv":"${d.pathOrInlineDv}","offset":${d.offset.get},"sizeInBytes":${d.sizeInBytes},"cardinality":${d.cardinality}}}}""" + "\n")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    assert(filesUnder(root).exists(_.startsWith("_change_data/")))
+    DeltaLog.vacuum(spark, root, retainMs = 0L)
+    val after = filesUnder(root)
+    // live DV file survives (referenced by the current snapshot)
+    assert(after.exists(_.endsWith(".bin")))
+    // expired cdc files are swept — CDF range now bounded by retention
+    assert(!after.exists(_.startsWith("_change_data/")))
+    assert(spark.read.format("delta-log").load(root).count() === 8L)
+  }
+
+  test("Delta VACUUM routes every delete through the DataStore seam") {
+    val root = tmp()
+    DeltaLog.commit(spark.range(0, 6).toDF("k").coalesce(1), root)
+    DeltaLog.deleteWhere(spark, root, col("k") === 1)
+    val deleted = scala.collection.mutable.ListBuffer.empty[Path]
+    val recording = new DataStore {
+      private val inner = PosixDataStore
+      override def exists(p: Path) = inner.exists(p)
+      override def isDir(p: Path) = inner.isDir(p)
+      override def size(p: Path) = inner.size(p)
+      override def mtimeMs(p: Path) = inner.mtimeMs(p)
+      override def listDir(d: Path) = inner.listDir(d)
+      override def listFilesRecursive(d: Path) = inner.listFilesRecursive(d)
+      override def readBytes(p: Path) = inner.readBytes(p)
+      override def write(p: Path, b: Array[Byte]) = inner.write(p, b)
+      override def deleteTree(d: Path) = inner.deleteTree(d)
+      override def relocateDir(s: Path, d: Path) = inner.relocateDir(s, d)
+      override def deleteFile(p: Path): Unit = {
+        deleted += p; inner.deleteFile(p)
+      }
+    }
+    VersionedTable.registerDataStore(root, recording)
+    try {
+      val n = DeltaLog.vacuum(spark, root, retainMs = 0L)
+      assert(n === 1L)
+      assert(deleted.size === 1)
+    } finally VersionedTable.unregisterDataStore(root)
+  }
+
+  test("Iceberg expire_snapshots: history pruned, only-expired files deleted") {
+    val root = tmp() + "/t"
+    IcebergMeta.writeFixture(
+      spark.range(0, 8).toDF("k").coalesce(1), root)            // snap 1
+    IcebergMeta.append(
+      spark.range(8, 16).toDF("k").coalesce(1), root)           // snap 2
+    IcebergMeta.compact(spark, root)                            // snap 3 (replace)
+    IcebergMeta.append(
+      spark.range(16, 20).toDF("k").coalesce(1), root)          // snap 4
+    val history = IcebergMeta.snapshotLog(root)
+    assert(history.size === 4)
+    val dataBefore = filesUnder(root).count(_.startsWith("data/"))
+    // nothing is old enough → no-op
+    assert(IcebergMeta.expireSnapshots(root, olderThanMs = 0L)
+      .expiredSnapshots === 0)
+    // expire everything except current + retainLast=1
+    val r = IcebergMeta.expireSnapshots(root,
+      olderThanMs = System.currentTimeMillis() + 3600 * 1000L,
+      retainLast = 2)
+    assert(r.expiredSnapshots === 2) // snaps 1 and 2 go
+    assert(r.deletedManifestLists === 2)
+    // the first two appends' ORIGINAL data files were compacted away
+    // at snap 3, so they are only-expired references → physically gone
+    assert(r.deletedFiles === 2)
+    val dataAfter = filesUnder(root).count(_.startsWith("data/"))
+    assert(dataAfter === dataBefore - 2)
+    // history pruned; current still reads every row
+    assert(IcebergMeta.snapshotLog(root).size === 2)
+    assert(spark.read.format("iceberg-meta").load(root)
+      .agg(sum("k")).as[Long].head() === (0L until 20L).sum)
+    // time travel to an expired snapshot refuses
+    val gone = history.head.snapshotId
+    val e = intercept[IllegalArgumentException] {
+      IcebergMeta.snapshot(root, Some(gone))
+    }
+    assert(e.getMessage.contains("not in"))
+    // a surviving older snapshot still time-travels: snap 3's files
+    // are shared with snap 4's manifests, so they were kept
+    val snap3 = IcebergMeta.snapshotLog(root).head.snapshotId
+    assert(IcebergMeta.snapshot(root, Some(snap3)).files.nonEmpty)
+  }
+
+  test("SQL surfaces: GRAFT VACUUM DELTA and GRAFT EXPIRE SNAPSHOTS") {
+    val droot = tmp()
+    DeltaLog.commit(spark.range(0, 6).toDF("k").coalesce(1), droot)
+    DeltaLog.deleteWhere(spark, droot, col("k") === 2)
+    // young files survive the default retention; RETAIN 0 MS sweeps
+    assert(spark.sql(s"GRAFT VACUUM DELTA '$droot'")
+      .as[Long].head() === 0L)
+    assert(spark.sql(s"GRAFT VACUUM DELTA '$droot' RETAIN 0 MS")
+      .as[Long].head() === 1L)
+    val iroot = tmp() + "/t"
+    IcebergMeta.writeFixture(spark.range(0, 4).toDF("k").coalesce(1), iroot)
+    IcebergMeta.compact(spark, iroot)
+    val r = spark.sql(s"GRAFT EXPIRE SNAPSHOTS '$iroot' OLDER THAN ${
+      System.currentTimeMillis() + 60000} RETAIN LAST 1")
+      .as[(Int, Int, Int, Int)].head()
+    assert(r === ((1, 1, 1, 1))) // snap 1 + its file/manifest/list
+    assert(spark.read.format("iceberg-meta").load(iroot).count() === 4L)
+  }
+
+  test("Iceberg expire keeps files a surviving manifest marks DELETED") {
+    val root = tmp() + "/t"
+    IcebergMeta.writeFixture(
+      spark.range(0, 4).toDF("k").coalesce(1), root)            // snap 1
+    IcebergMeta.append(
+      spark.range(4, 8).toDF("k").coalesce(1), root)            // snap 2
+    // snap 3: equality-delete + append (carries forward snap 2's
+    // manifests, which still NAME snap 1/2's data files)
+    IcebergMeta.upsertKeyed(spark, root,
+      Seq(0L).toDF("k"), "k")
+    val r = IcebergMeta.expireSnapshots(root,
+      olderThanMs = System.currentTimeMillis() + 3600 * 1000L,
+      retainLast = 1)
+    assert(r.expiredSnapshots === 2)
+    // every data file is still named by the CURRENT snapshot's
+    // manifests (carried forward) → zero data-file deletions
+    assert(r.deletedFiles === 0)
+    assert(spark.read.format("iceberg-meta").load(root).count() === 8L)
+  }
+}

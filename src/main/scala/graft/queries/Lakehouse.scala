@@ -2254,6 +2254,59 @@ object Lakehouse {
              |  CAST(1 AS BIGINT) AS ice_history
              |FROM orders
              |WHERE o_orderkey <= 1024 AND o_orderkey % 7 <> 3
-             |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin))
+             |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)),
+
+    // PARTITIONED ICEBERG (round 8): identity partition specs — how
+    // virtually every production Iceberg table is laid out — now
+    // WRITE through this layer: table creation declares the spec
+    // (option("partitionBy")), data files split ONE PER TUPLE with
+    // the identity source columns kept IN the payload (spec
+    // behavior; a Hive-style layout that dropped them would corrupt
+    // every other reader), manifest entries carry their r102
+    // partition records, and APPEND follows the table's own spec.
+    // The pruned_ok column pins that a filter on the partition
+    // column reads 2 of 8 files — partition layout must PRUNE, which
+    // is the entire reason to partition 100 TB. Oracle restates the
+    // two halves as one filter over raw orders.
+    QueryDef(
+      "q251_iceberg_partitioned",
+      (s, d) => {
+        val root = Files.createTempDirectory("ipt_entry_").toString + "/t"
+        val src = orders(s, d)
+          .select(col("o_orderkey"), col("o_custkey"),
+            (col("o_orderkey") % 4).as("p"))
+        src.filter(col("o_orderkey") <= 1024)
+          .write.format("iceberg-meta").option("partitionBy", "p")
+          .save(root)
+        graft.sources.IcebergMeta.append(
+          src.filter(col("o_orderkey") > 1024 &&
+            col("o_orderkey") <= 2048), root)
+        val nFiles = graft.sources.IcebergMeta.snapshot(root).files.size
+        val q = s.read.format("iceberg-meta").load(root)
+          .filter(col("p") === 2)
+        q.count() // force the pruned listing
+        val (kept, total) = q.queryExecution.optimizedPlan.collect {
+          case org.apache.spark.sql.execution.datasources.LogicalRelation(
+              r: org.apache.spark.sql.execution.datasources.HadoopFsRelation,
+              _, _, _, _) =>
+            r.location.asInstanceOf[graft.sources.IcebergMetaFileIndex]
+        }.head.lastListing.get
+        val prunedOk = if (kept == 2 && total == nFiles) 1L else 0L
+        s.read.format("iceberg-meta").load(root)
+          .groupBy(col("p"))
+          .agg(count(lit(1)).as("n_rows"),
+            sum(col("o_orderkey")).cast("bigint").as("sum_key"),
+            countDistinct(col("o_custkey")).as("n_cust"))
+          .withColumn("n_files", lit(nFiles).cast("bigint"))
+          .withColumn("pruned_ok", lit(prunedOk).cast("bigint"))
+          .orderBy(col("p"))
+      },
+      Some("""SELECT o_orderkey % 4 AS p, count(*) AS n_rows,
+             |  CAST(sum(o_orderkey) AS BIGINT) AS sum_key,
+             |  CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_cust,
+             |  CAST(8 AS BIGINT) AS n_files,
+             |  CAST(1 AS BIGINT) AS pruned_ok
+             |FROM orders WHERE o_orderkey <= 2048
+             |GROUP BY 1 ORDER BY 1""".stripMargin))
   )
 }

@@ -455,8 +455,8 @@ object IcebergMeta {
       |{"name":"deleted_rows_count","type":"long","default":0}
       |]}""".stripMargin)
 
-  private val manifestSchema = avroSchema(
-    """{"type":"record","name":"manifest_entry","fields":[
+  private def manifestSchemaJson(partitionField: String): String =
+    s"""{"type":"record","name":"manifest_entry","fields":[
       |{"name":"status","type":"int"},
       |{"name":"snapshot_id","type":["null","long"],"default":null},
       |{"name":"sequence_number","type":["null","long"],"default":null},
@@ -464,13 +464,42 @@ object IcebergMeta {
       |  {"name":"content","type":"int","default":0},
       |  {"name":"file_path","type":"string"},
       |  {"name":"file_format","type":"string"},
-      |  {"name":"record_count","type":"long"},
+      |  $partitionField{"name":"record_count","type":"long"},
       |  {"name":"file_size_in_bytes","type":"long"},
       |  {"name":"null_value_counts","type":{"type":"map","values":"long"},"default":{}},
       |  {"name":"lower_bounds","type":{"type":"map","values":"bytes"},"default":{}},
       |  {"name":"upper_bounds","type":{"type":"map","values":"bytes"},"default":{}},
       |  {"name":"equality_ids","type":["null",{"type":"array","items":"int"}],"default":null}
-      |]}}]}""".stripMargin)
+      |]}}]}""".stripMargin
+
+  private val manifestSchema = avroSchema(manifestSchemaJson(""))
+
+  /** Avro leaf type of an IDENTITY partition field — the value is the
+    * source column's, so only types the single-value tuple can carry
+    * are writable partition columns here. */
+  private def partAvroType(dt: DataType): String = dt match {
+    case IntegerType => "\"int\""
+    case LongType => "\"long\""
+    case StringType => "\"string\""
+    case other => throw new UnsupportedOperationException(
+      s"iceberg-meta: identity partition column of type $other is " +
+        "not supported by this writer (int/long/string)")
+  }
+
+  /** Manifest-entry schema whose data_file carries the spec's
+    * `partition` tuple (record r102; one nullable field per spec
+    * field, `field-id` stamped per the spec's Avro mapping). Empty
+    * spec → the shared unpartitioned schema. */
+  private def manifestSchemaFor(
+      specFields: Seq[(String, Int, DataType)]): Schema =
+    if (specFields.isEmpty) manifestSchema
+    else avroSchema(manifestSchemaJson(
+      specFields.map { case (n, fid, dt) =>
+        s"""{"name":"$n","type":["null",${partAvroType(dt)}],""" +
+          s""""default":null,"field-id":$fid}"""
+      }.mkString(
+        """{"name":"partition","type":{"type":"record","name":"r102","fields":[""",
+        ",", "]}},")))
 
   private def writeAvro(path: Path, schema: Schema,
       rows: Seq[GenericRecord]): Unit = {
@@ -511,16 +540,24 @@ object IcebergMeta {
     * the TABLE's field ids. */
   private def dataFileEntry(spark: SparkSession, abs: Path, rel: String,
       schema: StructType, idByName: Map[String, Int],
-      content: Int = 0, equalityIds: Seq[Int] = Nil): GenericRecord = {
+      content: Int = 0, equalityIds: Seq[Int] = Nil,
+      entrySchema: Schema = manifestSchema,
+      partitionTuple: Seq[(String, Any)] = Nil): GenericRecord = {
     val stats = VersionedTable.footerStats(spark, abs)
-    val rec = new GenericData.Record(manifestSchema)
+    val rec = new GenericData.Record(entrySchema)
     rec.put("status", 1) // added
     rec.put("snapshot_id", null)
-    val dfr = new GenericData.Record(
-      manifestSchema.getField("data_file").schema())
+    val dfSchema = entrySchema.getField("data_file").schema()
+    val dfr = new GenericData.Record(dfSchema)
     dfr.put("content", content)
     dfr.put("file_path", rel)
     dfr.put("file_format", "PARQUET")
+    if (partitionTuple.nonEmpty) {
+      val pr = new GenericData.Record(
+        dfSchema.getField("partition").schema())
+      partitionTuple.foreach { case (n, v) => pr.put(n, v) }
+      dfr.put("partition", pr)
+    }
     dfr.put("record_count",
       java.lang.Long.valueOf(stats.values.map(_.rows).maxOption.getOrElse(0L)))
     dfr.put("file_size_in_bytes", java.lang.Long.valueOf(Files.size(abs)))
@@ -591,23 +628,53 @@ object IcebergMeta {
 
   /** Write `df` as a NEW spec-shaped Iceberg table at `root` (one
     * snapshot, one manifest; data files written by Spark with per-file
-    * bounds harvested from parquet footers). Returns the snapshot id. */
-  def writeFixture(df: org.apache.spark.sql.DataFrame, root: String): Long = {
+    * bounds harvested from parquet footers). With `partitionBy`, the
+    * table's default spec carries one IDENTITY field per named column
+    * (field-ids 1000+, per the spec), data files split one per tuple
+    * with the source columns kept IN the payload, and every manifest
+    * entry records its `partition` record. Returns the snapshot id. */
+  def writeFixture(df: org.apache.spark.sql.DataFrame, root: String,
+      partitionBy: Seq[String] = Nil): Long = {
     val spark = df.sparkSession
     require(!Files.exists(metaDir(root).resolve("version-hint.text")),
       s"iceberg-meta fixture: $root already exists")
-    val dataDir = Paths.get(root, "data")
-    df.write.mode("errorifexists").parquet(dataDir.toString)
-    val parts = PosixDataStore.listDir(dataDir)
-      .filter(n => n.endsWith(".parquet") && !n.startsWith(".")).sorted
+    val missing = partitionBy.filterNot(df.columns.contains)
+    require(missing.isEmpty,
+      s"iceberg-meta fixture: partitionBy names non-columns: ${
+        missing.mkString(", ")}")
     val fieldId = df.schema.fieldNames.zipWithIndex
       .map { case (n, i) => n -> (i + 1) }.toMap
-    val entries = parts.map { n =>
-      dataFileEntry(spark, dataDir.resolve(n), s"data/$n", df.schema, fieldId)
-    }
+    val typeOf = df.schema.fields.map(f => f.name -> f.dataType).toMap
+    val specFields = partitionBy.zipWithIndex.map { case (c, i) =>
+      (c, 1000 + i, c) } // spec field named after its source column
+    val eSchema = manifestSchemaFor(specFields.map { case (n, fid, src) =>
+      (n, fid, typeOf(src)) })
+    val dataDir = Paths.get(root, "data")
+    val entries: Seq[GenericRecord] =
+      if (partitionBy.isEmpty) {
+        df.write.mode("errorifexists").parquet(dataDir.toString)
+        PosixDataStore.listDir(dataDir)
+          .filter(n => n.endsWith(".parquet") && !n.startsWith(".")).sorted
+          .map(n => dataFileEntry(spark, dataDir.resolve(n), s"data/$n",
+            df.schema, fieldId))
+      } else {
+        val staging = Files.createTempDirectory("ice_fix_").resolve("out")
+        val nonce = java.util.UUID.randomUUID().toString.take(8)
+        Files.createDirectories(dataDir)
+        stagePartitioned(df, partitionBy, staging).zipWithIndex.map {
+          case ((src, tuple), i) =>
+            val byCol = tuple.toMap
+            val name = f"part-$i%05d-$nonce.parquet"
+            Files.move(src, dataDir.resolve(name))
+            dataFileEntry(spark, dataDir.resolve(name), s"data/$name",
+              df.schema, fieldId, entrySchema = eSchema,
+              partitionTuple = specFields.map { case (n, _, c) =>
+                n -> partValue(typeOf(c), byCol(c)) })
+        }
+      }
     val snapId = math.abs(root.hashCode.toLong * 2654435761L) + 1
     val manifestRel = s"metadata/snap-$snapId-m0.avro"
-    writeAvro(Paths.get(root, manifestRel), manifestSchema, entries)
+    writeAvro(Paths.get(root, manifestRel), eSchema, entries)
     val listRel = s"metadata/snap-$snapId.avro"
     val rows = entries.map(e => asLong(e.get("data_file")
       .asInstanceOf[GenericRecord].get("record_count"))).sum
@@ -619,6 +686,10 @@ object IcebergMeta {
       s"""{"id":${i + 1},"name":"${f.name}","required":${!f.nullable},""" +
         s""""type":"${iceTypeOf(f.dataType)}"}"""
     }.mkString(",")
+    val specJson = specFields.map { case (n, fid, src) =>
+      s"""{"name":"$n","transform":"identity",""" +
+        s""""source-id":${fieldId(src)},"field-id":$fid}"""
+    }.mkString(",")
     val metaJson =
       s"""{"format-version":2,"table-uuid":"${java.util.UUID.randomUUID()}",
          |"location":"$root","last-sequence-number":1,
@@ -627,7 +698,7 @@ object IcebergMeta {
          |"current-schema-id":0,
          |"schemas":[{"type":"struct","schema-id":0,"fields":[$fields]}],
          |"default-spec-id":0,
-         |"partition-specs":[{"spec-id":0,"fields":[]}],
+         |"partition-specs":[{"spec-id":0,"fields":[$specJson]}],
          |"current-snapshot-id":$snapId,
          |"snapshots":[{"snapshot-id":$snapId,"sequence-number":1,
          |  "timestamp-ms":${System.currentTimeMillis()},
@@ -668,9 +739,13 @@ object IcebergMeta {
     * The new manifest list carries every manifest of the current
     * snapshot forward (re-emitted with their original spec-id /
     * added-snapshot-id) plus one new manifest of ADDED entries whose
-    * bounds use the TABLE's field ids. Gates: format-version ≤ 2,
-    * unpartitioned default spec, df schema must equal the table
-    * schema by name and type. Returns the new snapshot id. */
+    * bounds use the TABLE's field ids. A PARTITIONED default spec is
+    * honored for IDENTITY transforms — staged files split one per
+    * partition tuple, every entry records its `partition` record, and
+    * the identity source columns stay IN the data files (spec
+    * behavior); bucket/truncate/temporal transforms refuse. Gates:
+    * format-version ≤ 2, df schema must equal the table schema by
+    * name and type. Returns the new snapshot id. */
   def append(df: org.apache.spark.sql.DataFrame, root: String): Long = {
     val spark = df.sparkSession
     val v = latestMetadataVersion(root)
@@ -679,12 +754,11 @@ object IcebergMeta {
     val fv = meta.get("format-version").asInt()
     if (fv > 2) throw new UnsupportedOperationException(
       s"iceberg-meta: format-version $fv not supported (1 and 2 only)")
-    // default partition spec must be unpartitioned — appending
-    // unpartitioned files into a partitioned spec would be WRONG data
-    if (currentSpecFields(meta) != 0)
-      throw new UnsupportedOperationException(
-        "iceberg-meta: append to a PARTITIONED table is not supported")
     val (schema, nameById) = schemaOf(meta)
+    // a PARTITIONED default spec is honored for IDENTITY transforms:
+    // the staged files split per tuple and each entry records its
+    // partition; non-identity transforms refuse inside the parser
+    val specFields = identitySpecFields(meta, nameById)
     val tbl = schema.fields.map(f => f.name -> f.dataType).toMap
     val bad = df.schema.fields.filter(f => !tbl.get(f.name).contains(f.dataType))
     require(bad.isEmpty && df.schema.length == schema.length,
@@ -692,21 +766,38 @@ object IcebergMeta {
         (bad.map(_.name) ++ (if (df.schema.length == schema.length) Nil
         else Seq(s"arity ${df.schema.length}!=${schema.length}"))).mkString(", ")}")
     val idByName = nameById.map(_.swap)
+    val specId = if (meta.hasNonNull("default-spec-id"))
+      meta.get("default-spec-id").asInt() else 0
 
-    // data files: stage, then land under data/ with unique names
+    // data files: stage (per partition tuple when the spec has one),
+    // then land under data/ with unique names
     val nonce = java.util.UUID.randomUUID().toString.take(8)
     val staging = Files.createTempDirectory("ice_stage_").resolve("out")
-    df.select(schema.fieldNames.head, schema.fieldNames.tail: _*)
-      .write.mode("errorifexists").parquet(staging.toString)
-    val parts = PosixDataStore.listDir(staging)
-      .filter(n => n.endsWith(".parquet") && !n.startsWith(".")).sorted
+    val ordered = df.select(schema.fieldNames.head, schema.fieldNames.tail: _*)
+    val typeOf = schema.fields.map(f => f.name -> f.dataType).toMap
+    val eSchema = manifestSchemaFor(specFields.map { case (n, fid, src) =>
+      (n, fid, typeOf(src)) })
+    val staged: Seq[(Path, Seq[(String, Any)])] =
+      if (specFields.isEmpty) {
+        ordered.write.mode("errorifexists").parquet(staging.toString)
+        PosixDataStore.listDir(staging)
+          .filter(n => n.endsWith(".parquet") && !n.startsWith(".")).sorted
+          .map(n => (staging.resolve(n), Nil))
+      } else
+        stagePartitioned(ordered, specFields.map(_._3), staging).map {
+          case (p, tuple) =>
+            val byCol = tuple.toMap
+            (p, specFields.map { case (n, _, src) =>
+              n -> partValue(typeOf(src), byCol(src)) })
+        }
     val dataDir = Paths.get(root, "data")
     Files.createDirectories(dataDir)
-    val entries = parts.zipWithIndex.map { case (n, i) =>
+    val entries = staged.zipWithIndex.map { case ((src, tuple), i) =>
       val name = f"part-$i%05d-$nonce.parquet"
       val dst = dataDir.resolve(name)
-      Files.move(staging.resolve(n), dst)
-      dataFileEntry(spark, dst, s"data/$name", schema, idByName)
+      Files.move(src, dst)
+      dataFileEntry(spark, dst, s"data/$name", schema, idByName,
+        entrySchema = eSchema, partitionTuple = tuple)
     }
     val addedRows = entries.map(e => asLong(e.get("data_file")
       .asInstanceOf[GenericRecord].get("record_count"))).sum
@@ -716,13 +807,13 @@ object IcebergMeta {
     val snapId = java.util.UUID.randomUUID().getLeastSignificantBits
       .abs.max(1L)
     val manifestRel = s"metadata/snap-$snapId-m0.avro"
-    writeAvro(Paths.get(root, manifestRel), manifestSchema, entries)
+    writeAvro(Paths.get(root, manifestRel), eSchema, entries)
 
     // carry the current snapshot's manifests forward + the new one
     val listRel = s"metadata/snap-$snapId.avro"
     writeAvro(Paths.get(root, listRel), manifestListSchema,
       carriedManifests(root, meta) :+ manifestListRow(manifestRel,
-        Files.size(Paths.get(root, manifestRel)), 0, seq, snapId,
+        Files.size(Paths.get(root, manifestRel)), specId, seq, snapId,
         entries.size, 0, addedRows, 0L))
     commitSnapshot(root, v, meta, snapId, seq, listRel, "append")
   }
@@ -740,6 +831,85 @@ object IcebergMeta {
     } else if (meta.hasNonNull("partition-spec"))
       meta.get("partition-spec").size()
     else 0
+
+  /** The current (default) partition spec's fields as
+    * (name, field-id, source column name) — IDENTITY transforms only,
+    * anything else refuses: this writer cannot evaluate bucket/
+    * truncate/temporal transforms and writing a wrong tuple would
+    * corrupt partition-based planning for real readers. */
+  private def identitySpecFields(meta: JsonNode,
+      nameById: Map[Int, String]): Seq[(String, Int, String)] = {
+    if (!meta.hasNonNull("partition-specs")) return Nil
+    val cur = if (meta.hasNonNull("default-spec-id"))
+      meta.get("default-spec-id").asInt() else 0
+    val spec = meta.get("partition-specs").elements().asScala
+      .find(_.get("spec-id").asInt() == cur)
+      .getOrElse(return Nil)
+    spec.get("fields").elements().asScala.map { f =>
+      val transform = f.get("transform").asText()
+      if (transform != "identity")
+        throw new UnsupportedOperationException(
+          s"iceberg-meta: partition transform '$transform' is not " +
+            "supported by this writer (identity only) — use an " +
+            "Iceberg runtime")
+      val srcId = f.get("source-id").asInt()
+      val src = nameById.getOrElse(srcId,
+        throw new UnsupportedOperationException(
+          s"iceberg-meta: partition source-id $srcId is not a " +
+            "top-level field of the current schema"))
+      (f.get("name").asText(), f.get("field-id").asInt(), src)
+    }.toSeq
+  }
+
+  /** Stage `df` Hive-partitioned WITHOUT losing the identity source
+    * columns from the payload (the spec stores them in data files,
+    * and this reader scans data files as plain parquet): the
+    * partition columns are DUPLICATED under `__p_` names, the Hive
+    * layout consumes the copies, each staged file's tuple comes back
+    * from its directory path. Returns (file, tuple-as-strings) pairs
+    * — None is the null partition. */
+  private def stagePartitioned(df: org.apache.spark.sql.DataFrame,
+      partitionBy: Seq[String], staging: Path)
+      : Seq[(Path, Seq[(String, Option[String])])] = {
+    import org.apache.spark.sql.functions.col
+    val dup = partitionBy.foldLeft(df)((d, c) =>
+      d.withColumn(s"__p_$c", col(s"`$c`")))
+    // one task per tuple → one data file per tuple (tuples sharing a
+    // hash slot still split: the Hive layout separates them below)
+    dup.repartition(partitionBy.map(c => col(s"`__p_$c`")): _*)
+      .write.mode("errorifexists")
+      .partitionBy(partitionBy.map(c => s"__p_$c"): _*)
+      .parquet(staging.toString)
+    def walk(dir: Path, tuple: List[(String, Option[String])])
+        : Seq[(Path, Seq[(String, Option[String])])] =
+      PosixDataStore.listDir(dir).sorted.flatMap { n =>
+        val p = dir.resolve(n)
+        if (Files.isDirectory(p) && n.contains("=")) {
+          val Array(k, v) = n.split("=", 2)
+          val value = java.net.URLDecoder.decode(v, "UTF-8") match {
+            case "__HIVE_DEFAULT_PARTITION__" => None
+            case s => Some(s)
+          }
+          walk(p, tuple :+ (k.stripPrefix("__p_") -> value))
+        } else if (n.endsWith(".parquet") && !n.startsWith("."))
+          Seq((p, tuple.toSeq))
+        else Nil
+      }
+    walk(staging, Nil)
+  }
+
+  /** A staged Hive tuple re-typed for the Avro partition record. */
+  private def partValue(dt: DataType, v: Option[String]): Any = v match {
+    case None => null
+    case Some(s) => dt match {
+      case IntegerType => java.lang.Integer.valueOf(s.toInt)
+      case LongType => java.lang.Long.valueOf(s.toLong)
+      case StringType => s
+      case other => throw new UnsupportedOperationException(
+        s"iceberg-meta: identity partition column of type $other is " +
+          "not supported by this writer (int/long/string)")
+    }
+  }
 
   /** The current snapshot's manifest-list rows, re-emitted verbatim
     * (content flag preserved — a carried delete manifest stays a
@@ -842,6 +1012,12 @@ object IcebergMeta {
     val v = latestMetadataVersion(root)
     val meta = mapper.readTree(Files.readAllBytes(
       metaDir(root).resolve(s"v$v.metadata.json")))
+    // delete manifests this writer emits carry no partition tuples,
+    // which a partitioned spec's readers require on every entry
+    if (currentSpecFields(meta) != 0)
+      throw new UnsupportedOperationException(
+        "iceberg-meta: row-level DELETE on a PARTITIONED table is " +
+          "not supported by this writer — use an Iceberg runtime")
     val snap = snapshot(root)
     // the position machinery resolves POSITIONAL deletes only; rows an
     // equality delete hides would be re-recorded (harmlessly) AND rows
@@ -1168,6 +1344,12 @@ object IcebergMeta {
     val fv = meta.get("format-version").asInt()
     if (fv > 2) throw new UnsupportedOperationException(
       s"iceberg-meta: format-version $fv not supported (1 and 2 only)")
+    // delete manifests this writer emits carry no partition tuples,
+    // which a partitioned spec's readers require on every entry
+    if (currentSpecFields(meta) != 0)
+      throw new UnsupportedOperationException(
+        "iceberg-meta: equality DELETE on a PARTITIONED table is " +
+          "not supported by this writer — use an Iceberg runtime")
     val (schema, nameById) = schemaOf(meta)
     val idByName = nameById.map(_.swap)
     val tbl = schema.fields.map(f => f.name -> f.dataType).toMap

@@ -96,16 +96,20 @@ class IcebergMetaDataSource extends RelationProvider
     val root = rootOf(parameters)
     val exists = java.nio.file.Files.exists(
       java.nio.file.Paths.get(root, "metadata"))
+    // identity partition columns for table CREATION (an existing
+    // table's spec comes from its own metadata — appends follow it)
+    val partitionBy = parameters.get("partitionBy").toSeq
+      .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
     mode match {
       case SaveMode.Append =>
         if (exists) IcebergMeta.append(data, root)
-        else IcebergMeta.writeFixture(data, root)
+        else IcebergMeta.writeFixture(data, root, partitionBy)
       case SaveMode.ErrorIfExists =>
         if (exists) throw new IllegalStateException(
           s"iceberg-meta: $root already exists (mode=errorifexists)")
-        IcebergMeta.writeFixture(data, root)
+        IcebergMeta.writeFixture(data, root, partitionBy)
       case SaveMode.Ignore =>
-        if (!exists) IcebergMeta.writeFixture(data, root)
+        if (!exists) IcebergMeta.writeFixture(data, root, partitionBy)
       case SaveMode.Overwrite =>
         throw new UnsupportedOperationException(
           "iceberg-meta: Overwrite is not supported — the interop " +

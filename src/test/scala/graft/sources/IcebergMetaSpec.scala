@@ -220,16 +220,19 @@ class IcebergMetaSpec extends SparkSpecBase {
       IcebergMeta.append(spark.range(5, 8).toDF("k"), root)
     }
     Files.delete(Paths.get(root, "metadata/v2.metadata.json"))
-    // a partitioned default spec refuses (wrong-data guard)
+    // a partitioned default spec with an IDENTITY transform is now
+    // HONORED (round 8): the append splits per tuple and records
+    // partition tuples — see the PARTITIONED tests below
     val meta = Paths.get(root, "metadata/v1.metadata.json")
     val patched = new String(Files.readAllBytes(meta), UTF_8).replace(
       """"partition-specs":[{"spec-id":0,"fields":[]}]""",
       """"partition-specs":[{"spec-id":0,"fields":[{"name":"k","transform":"identity","source-id":1,"field-id":1000}]}]""")
     Files.write(meta, patched.getBytes(UTF_8))
-    val e2 = intercept[UnsupportedOperationException] {
-      IcebergMeta.append(spark.range(5, 8).toDF("k"), root)
-    }
-    assert(e2.getMessage.contains("PARTITIONED"))
+    val nBefore = IcebergMeta.snapshot(root).files.size
+    IcebergMeta.append(spark.range(5, 8).toDF("k"), root)
+    assert(spark.read.format("iceberg-meta").load(root).count() === 8L)
+    // 3 appended rows → 3 single-key tuples → 3 new files
+    assert(IcebergMeta.snapshot(root).files.size === nBefore + 3)
   }
 
   test("positional delete: MOR commit, bounds-targeted read, time travel") {
@@ -339,5 +342,73 @@ class IcebergMetaSpec extends SparkSpecBase {
       spark.range(0, 1).toDF("k").write.format("iceberg-meta")
         .mode("overwrite").save(root)
     }
+  }
+
+  test("PARTITIONED identity spec: create, append, prune, source cols in payload") {
+    val root = tmp() + "/t"
+    val df = spark.range(0, 40).toDF("k")
+      .withColumn("p", col("k") % 4)
+      .withColumn("v", col("k") * 10)
+    df.write.format("iceberg-meta").option("partitionBy", "p").save(root)
+    // one file per tuple, each entry carrying its partition record
+    val snap = IcebergMeta.snapshot(root)
+    assert(snap.files.size === 4)
+    // identity source columns stay IN the data files — a plain
+    // parquet read of any one file sees (k, p, v)
+    val one = spark.read.parquet(snap.files.head.path)
+    assert(one.columns.toSeq === Seq("k", "p", "v"))
+    assert(one.select(countDistinct(col("p"))).as[Long].head() === 1L)
+    // full + filtered reads; partition-column filter prunes to 1 of 4
+    val ds = spark.read.format("iceberg-meta").load(root)
+    assert(ds.count() === 40)
+    val q = spark.read.format("iceberg-meta").load(root)
+      .filter(col("p") === 2)
+    assert(q.agg(sum("v")).as[Long].head() ===
+      (0L until 40L).filter(_ % 4 == 2).map(_ * 10).sum)
+    val (kept, total) = indexOf(q).lastListing.get
+    assert(total === 4 && kept === 1, s"expected 1/4 files, got $kept/$total")
+    // append honors the table's spec: new files split per tuple
+    IcebergMeta.append(spark.range(40, 48).toDF("k")
+      .withColumn("p", col("k") % 2) // only tuples 0 and 1
+      .withColumn("v", col("k") * 10), root)
+    val snap2 = IcebergMeta.snapshot(root)
+    assert(snap2.files.size === 6)
+    assert(spark.read.format("iceberg-meta").load(root).count() === 48)
+    // a string partition column works too (null tuple included)
+    val root2 = tmp() + "/t2"
+    spark.range(0, 6).toDF("k")
+      .withColumn("c", when(col("k") < 2, lit(null))
+        .otherwise(concat(lit("c"), col("k") % 2)))
+      .write.format("iceberg-meta").option("partitionBy", "c").save(root2)
+    val ds2 = spark.read.format("iceberg-meta").load(root2)
+    assert(ds2.count() === 6)
+    assert(ds2.filter(col("c").isNull).count() === 2)
+    assert(IcebergMeta.snapshot(root2).files.size === 3)
+  }
+
+  test("PARTITIONED spec refusals: non-identity transform, row-level deletes") {
+    val root = tmp() + "/t"
+    spark.range(0, 8).toDF("k").withColumn("p", col("k") % 2)
+      .write.format("iceberg-meta").option("partitionBy", "p").save(root)
+    // row-level deletes refuse (their manifests carry no tuples)
+    val e1 = intercept[UnsupportedOperationException] {
+      IcebergMeta.delete(spark, root, col("k") === 1)
+    }
+    assert(e1.getMessage.contains("PARTITIONED"))
+    val e2 = intercept[UnsupportedOperationException] {
+      IcebergMeta.deleteEquality(spark, root, Seq(1L).toDF("k"))
+    }
+    assert(e2.getMessage.contains("PARTITIONED"))
+    // a bucket transform in the metadata refuses the append loudly
+    val v = IcebergMeta.latestMetadataVersion(root)
+    val metaPath = Paths.get(root, "metadata", s"v$v.metadata.json")
+    val doc = new String(Files.readAllBytes(metaPath), UTF_8)
+      .replace("\"transform\":\"identity\"", "\"transform\":\"bucket[4]\"")
+    Files.write(metaPath, doc.getBytes(UTF_8))
+    val e3 = intercept[UnsupportedOperationException] {
+      IcebergMeta.append(spark.range(8, 10).toDF("k")
+        .withColumn("p", col("k") % 2), root)
+    }
+    assert(e3.getMessage.contains("bucket[4]"))
   }
 }

@@ -1688,6 +1688,12 @@ object Lakehouse {
             .getBytes(java.nio.charset.StandardCharsets.UTF_8))
         s.sql(s"DROP TABLE IF EXISTS $tbl")
         s.sql(s"CREATE TABLE $tbl USING `delta-log` OPTIONS (path '$root')")
+        // round 8: DML on the MAPPED table — logical names in the SQL,
+        // physical rewrite underneath (predicates remap, survivors
+        // restage under physical names, stats stay physical)
+        s.sql(s"DELETE FROM $tbl WHERE o_orderkey % 10 = 7")
+        s.sql(s"UPDATE $tbl SET o_custkey = o_custkey + 1000000 " +
+          s"WHERE o_orderkey % 10 = 3")
         val out = s.sql(
           s"""SELECT o_orderstatus, count(*) AS n_orders,
              |  CAST(sum(o_custkey) AS BIGINT) AS sum_cust,
@@ -1698,9 +1704,12 @@ object Lakehouse {
         out
       },
       Some("""SELECT o_orderstatus, count(*) AS n_orders,
-             |  CAST(sum(o_custkey) AS BIGINT) AS sum_cust,
+             |  CAST(sum(CASE WHEN o_orderkey % 10 = 3
+             |    THEN o_custkey + 1000000 ELSE o_custkey END) AS BIGINT)
+             |    AS sum_cust,
              |  CAST(sum(o_orderkey) AS BIGINT) AS sum_key
-             |FROM orders WHERE o_orderkey <= 1024
+             |FROM orders
+             |WHERE o_orderkey <= 1024 AND o_orderkey % 10 <> 7
              |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)),
 
     // ICEBERG V2 EQUALITY DELETES (round 8): delete-by-VALUE — the

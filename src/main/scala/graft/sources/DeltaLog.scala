@@ -579,12 +579,18 @@ object DeltaLog {
     * partitions are never read or rewritten. Returns the committed
     * version (or the current one unchanged when nothing matches). */
   def deleteWhere(spark: SparkSession, root: String,
-      cond: org.apache.spark.sql.Column): Long = {
+      cond0: org.apache.spark.sql.Column): Long = {
     import org.apache.spark.sql.functions.{coalesce, col, lit, not}
-    val snap = snapshot(spark, root)
-    require(snap.columnMapping.isEmpty,
-      "delta-log: DELETE on a COLUMN-MAPPED table is not supported by " +
-        "this interop layer — use delta-spark")
+    val snap0 = snapshot(spark, root)
+    // COLUMN-MAPPED tables rewrite in PHYSICAL space: the predicate's
+    // logical names remap, the survivors restage under physical names
+    // (what a mapped table's files must carry), stats/partitionValues
+    // come out physical for free. Nested-field predicates fail at
+    // analysis with the physical struct's field names — flat
+    // predicates (the DML norm) work.
+    val snap = snap0.physical
+    val cond = remapTopLevel(spark, cond0, snap0.schema,
+      snap0.columnMapping)
     val vis = DeltaLogRead.withPositions(spark, snap)
     val touchedUris = vis.filter(cond)
       .select(DeltaLogRead.FpCol).distinct()
@@ -620,6 +626,30 @@ object DeltaLog {
       }
     replaceFiles(spark, root, touchedAdds.map(_.path).toSeq, keep,
       snap.partitionColumns, cdcAdds)
+  }
+
+  /** A predicate with its TOP-LEVEL attribute names remapped
+    * logical→physical (no-op for unmapped tables). API-route Columns
+    * are opaque ColumnNode wrappers until analysis, so the predicate
+    * first ANALYZES against an empty frame carrying the LOGICAL
+    * schema — the resolved references then remap by name. */
+  private def remapTopLevel(spark: SparkSession,
+      c: org.apache.spark.sql.Column, logicalSchema: StructType,
+      mapping: Map[String, String]): org.apache.spark.sql.Column = {
+    if (mapping.isEmpty) return c
+    val analyzed = spark.createDataFrame(
+        java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+        logicalSchema)
+      .filter(c).queryExecution.analyzed.collectFirst {
+        case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
+          f.condition
+      }.getOrElse(throw new IllegalArgumentException(
+        "delta-log: predicate does not analyze against the table schema"))
+    org.apache.spark.sql.GraftColumnBridge.column(analyzed.transform {
+      case a: org.apache.spark.sql.catalyst.expressions.AttributeReference =>
+        org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+          .quoted(mapping.getOrElse(a.name, a.name))
+    })
   }
 
   /** COW support: land `df` as new data files (Hive-style dirs +
@@ -671,17 +701,15 @@ object DeltaLog {
     * rewritten files are MATERIALIZED (Delta's REORG PURGE): the new
     * files carry only visible rows and no descriptors, so the table
     * becomes readable by DV-less readers again. Column-mapped tables
-    * refuse (rewrite would need physical-name plumbing — use
-    * delta-spark). Returns the committed version, or the current one
-    * when the table already meets the target. */
+    * compact in PHYSICAL space. Returns the committed version, or the
+    * current one when the table already meets the target. */
   def compact(spark: SparkSession, root: String,
       filesPerPartition: Int = 1): Long = {
     import org.apache.spark.sql.functions.col
     require(filesPerPartition >= 1, "filesPerPartition must be >= 1")
-    val snap = snapshot(spark, root)
-    require(snap.columnMapping.isEmpty,
-      "delta-log: OPTIMIZE on a COLUMN-MAPPED table is not supported " +
-        "by this interop layer — use delta-spark")
+    // mapped tables compact in PHYSICAL space — the rewrite never
+    // touches logical names at all
+    val snap = snapshot(spark, root).physical
     val partitions = snap.adds.map(a =>
       (a.partitionValues, a.nullPartitionCols)).distinct.size.max(1)
     if (snap.adds.size <= partitions.toLong * filesPerPartition &&
@@ -782,19 +810,26 @@ object DeltaLog {
     require(set.nonEmpty, "UPDATE needs at least one SET column")
     require(set.map(_._1).distinct.size == set.size,
       s"duplicate SET column in ${set.map(_._1).mkString(", ")}")
-    val snap = snapshot(spark, root)
-    require(snap.columnMapping.isEmpty,
-      "delta-log: UPDATE on a COLUMN-MAPPED table is not supported " +
-        "by this interop layer — use delta-spark")
-    val missing = set.map(_._1).toSet -- snap.schema.fieldNames.toSet
+    val snap0 = snapshot(spark, root)
+    // SET names validate against the LOGICAL schema (user-facing),
+    // then everything — names, expressions, the rewrite itself —
+    // moves to PHYSICAL space for mapped tables (see deleteWhere)
+    val missing = set.map(_._1).toSet -- snap0.schema.fieldNames.toSet
     require(missing.isEmpty,
       s"UPDATE SET names non-columns: ${missing.mkString(", ")}")
-    // re-anchor analyzed expressions by NAME against the fresh scan
+    val mapping = snap0.columnMapping
+    val snap = snap0.physical
+    // re-anchor analyzed expressions by NAME against the fresh scan,
+    // remapping logical references to their physical names
     def rebind(e: org.apache.spark.sql.catalyst.expressions.Expression) =
       org.apache.spark.sql.GraftColumnBridge.column(e.transform {
         case a: org.apache.spark.sql.catalyst.expressions.AttributeReference =>
           org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
-            .quoted(a.name)
+            .quoted(mapping.getOrElse(a.name, a.name))
+        case u: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+            if u.nameParts.size == 1 =>
+          org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+            .quoted(mapping.getOrElse(u.name, u.name))
       })
     val condCol = cond.map(rebind).getOrElse(lit(true))
     val hit = coalesce(condCol, lit(false))
@@ -810,7 +845,8 @@ object DeltaLog {
         s"delta-log: scan URI $u not in snapshot v${snap.version}")))
     val touchedRows = vis
       .filter(col(DeltaLogRead.FpCol).isin(touchedUris.toSeq: _*))
-    val setByCol = set.toMap
+    val setByCol = set.map { case (n, e) =>
+      mapping.getOrElse(n, n) -> e }.toMap // physical keys
     def applied(df: DataFrame): DataFrame =
       df.select(snap.schema.fieldNames.toSeq.map { c =>
         setByCol.get(c) match {

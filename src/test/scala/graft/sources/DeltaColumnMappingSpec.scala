@@ -99,13 +99,39 @@ class DeltaColumnMappingSpec extends SparkSpecBase {
       (0L until 10L).filterNot(k => k == 2 || k == 5).toSeq)
   }
 
-  test("refusals: DML on mapped, raw listing gate") {
+  test("DML on a MAPPED table rewrites in physical space") {
     val root = mappedTable()
-    // DML refuses (predicates are logical, rewrite is physical)
-    val e1 = intercept[IllegalArgumentException] {
-      DeltaLog.deleteWhere(spark, root, col("k") === 1)
-    }
-    assert(e1.getMessage.contains("COLUMN-MAPPED"))
+    // DELETE: logical predicate, physical rewrite
+    DeltaLog.deleteWhere(spark, root, col("k") === 1)
+    val ds1 = spark.read.format("delta-log").load(root)
+    assert(ds1.count() === 29)
+    assert(ds1.filter(col("k") === 1).count() === 0)
+    // the rewritten file carries PHYSICAL column names
+    val rewritten = DeltaLog.snapshot(spark, root).adds
+      .filterNot(_.path.startsWith("data2")).head
+    assert(spark.read.parquet(root + "/" + rewritten.path)
+      .columns.toSeq === Seq("col-aaa", "col-bbb"))
+    // UPDATE through the SQL surface: logical names end to end
+    spark.sql(s"CREATE TABLE dcm_dml USING `delta-log` OPTIONS (path '$root')")
+    try {
+      spark.sql("UPDATE dcm_dml SET v = k * 1000 WHERE k = 2")
+      val ds2 = spark.read.format("delta-log").load(root)
+      assert(ds2.filter(col("k") === 2).select("v").as[Long]
+        .head() === 2000L)
+      assert(ds2.count() === 29)
+    } finally spark.sql("DROP TABLE IF EXISTS dcm_dml")
+    // OPTIMIZE packs the mapped table physically
+    DeltaLog.compact(spark, root)
+    assert(DeltaLog.snapshot(spark, root).adds.size === 1)
+    val ds3 = spark.read.format("delta-log").load(root)
+    assert(ds3.count() === 29)
+    assert(ds3.agg(sum("v")).as[Long].head() ===
+      (0 until 30).filter(k => k != 1).map(k =>
+        if (k == 2) 2000L else k * 10L).sum)
+  }
+
+  test("refusals: raw listing gate, nested metadata") {
+    val root = mappedTable()
     // the raw listing gate outside the rewrite
     val snap = DeltaLog.snapshot(spark, root)
     val idx = new DeltaLogFileIndex(spark, root, snap, pinned = true)

@@ -882,7 +882,10 @@ object DeltaLog {
     * read and rewritten (every file when a by-source clause ranges
     * over the whole target), survivors + merge output restage through
     * the partition layout, untouched files carry over. Source keys
-    * must be unique (Delta raises the same). On a CDF-enabled table
+    * must be unique (Delta raises the same). COLUMN-MAPPED tables
+    * with flat schemas work (cascade in logical space, scan/staging
+    * renamed at the boundary); nested mapped columns refuse. On a
+    * CDF-enabled table
     * the commit records the merge's change rows (`insert` /
     * `update_preimage`+`update_postimage` / `delete`, carry-over rows
     * recording nothing) as cdc actions — Delta's merge CDF shape. */
@@ -892,10 +895,35 @@ object DeltaLog {
       notMatched: Seq[VersionedTable.MergeClause] = Nil,
       bySource: Seq[VersionedTable.MergeClause] = Nil): Long = {
     import org.apache.spark.sql.functions.{col, lit, min => fmin, max => fmax}
-    val snap = snapshot(spark, root)
-    require(snap.columnMapping.isEmpty,
-      "delta-log: MERGE on a COLUMN-MAPPED table is not supported " +
-        "by this interop layer — use delta-spark")
+    val snap0 = snapshot(spark, root)
+    val mapping = snap0.columnMapping
+    // COLUMN-MAPPED: the clause cascade runs in LOGICAL space (clause
+    // expressions reference __t_<logical>/__s_* — rewriting their
+    // internals would be fragile across the SQL and API routes), with
+    // the scan renamed physical→logical on the way in and the outputs
+    // renamed back before staging. Flat schemas only: a nested mapped
+    // column would need the recursive restore projection here.
+    if (mapping.nonEmpty) {
+      val nested = snap0.schema.fields.filter(_.dataType match {
+        case _: StructType | _: ArrayType | _: MapType => true
+        case _ => false
+      })
+      require(nested.isEmpty,
+        "delta-log: MERGE on a column-mapped table with NESTED " +
+          s"columns (${nested.map(_.name).mkString(", ")}) is not " +
+          "supported — use delta-spark")
+    }
+    val snap = snap0.physical
+    def toLogical(df: DataFrame): DataFrame =
+      if (mapping.isEmpty) df
+      else df.select(snap0.schema.fieldNames.toSeq.map(l =>
+        col(s"`${mapping.getOrElse(l, l)}`").as(l)): _*)
+    def toPhysical(df: DataFrame): DataFrame =
+      if (mapping.isEmpty) df
+      else df.select(df.columns.toSeq.map {
+        case "_change_type" => col("_change_type")
+        case l => col(s"`$l`").as(mapping.getOrElse(l, l))
+      }: _*)
     matched.foreach(c => require(
       !c.isInstanceOf[VersionedTable.MergeInsert],
       "WHEN MATCHED cannot INSERT"))
@@ -905,7 +933,7 @@ object DeltaLog {
     bySource.foreach(c => require(
       !c.isInstanceOf[VersionedTable.MergeInsert],
       "WHEN NOT MATCHED BY SOURCE cannot INSERT"))
-    require(snap.schema.fieldNames.contains(tKey),
+    require(snap0.schema.fieldNames.contains(tKey),
       s"no target column '$tKey'")
     require(source.columns.contains(sKey), s"no source column '$sKey'")
     val nSrc = source.count()
@@ -926,7 +954,9 @@ object DeltaLog {
       else {
         val b = source.agg(fmin(col(sKey)), fmax(col(sKey))).head()
         if (b.isNullAt(0)) return snap.version // all-NULL keys: no-op
-        vis.filter(col(tKey) >= lit(b.get(0)) && col(tKey) <= lit(b.get(1)))
+        val ptKey = mapping.getOrElse(tKey, tKey)
+        vis.filter(col(s"`$ptKey`") >= lit(b.get(0)) &&
+            col(s"`$ptKey`") <= lit(b.get(1)))
           .select(DeltaLogRead.FpCol).distinct()
           .collect().map(_.getString(0)).toSeq.sorted
       }
@@ -935,24 +965,25 @@ object DeltaLog {
     val touchedAdds = touchedUris.map(u => uriToAdd.getOrElse(u,
       throw new IllegalStateException(
         s"delta-log: scan URI $u not in snapshot v${snap.version}")))
-    val tgtRows = (if (touchedUris.isEmpty) vis.filter(lit(false))
+    val tgtRows = toLogical(
+      (if (touchedUris.isEmpty) vis.filter(lit(false))
       else vis.filter(col(DeltaLogRead.FpCol).isin(touchedUris: _*)))
-      .drop(DeltaLogRead.FpCol, DeltaLogRead.PosCol)
+      .drop(DeltaLogRead.FpCol, DeltaLogRead.PosCol))
     if (!snap.configuration.get("delta.enableChangeDataFeed")
         .contains("true")) {
       val out = VersionedTable.mergeCascadeRows(tgtRows, source,
-        snap.schema, tKey, sKey, matched, notMatched, bySource)
+        snap0.schema, tKey, sKey, matched, notMatched, bySource)
       return replaceFiles(spark, root, touchedAdds.map(_.path).toSeq,
-        out, snap.partitionColumns, operation = "MERGE")
+        toPhysical(out), snap.partitionColumns, operation = "MERGE")
     }
     // CDF: run the cascade ONCE in tagged form, derive the new table
     // rows AND the change rows from it — carry-over rows (NULL __ct)
     // record nothing, exactly Delta's merge CDF. The tagged frame is
     // persisted because it feeds four scans (out + three change
     // kinds); unpersist after the commit materializes everything.
-    val dataCols = snap.schema.fieldNames.toSeq
+    val dataCols = snap0.schema.fieldNames.toSeq
     val tagged = VersionedTable.mergeCascadeTagged(tgtRows, source,
-      snap.schema, tKey, sKey, matched, notMatched, bySource).persist()
+      snap0.schema, tKey, sKey, matched, notMatched, bySource).persist()
     try {
       if (tagged.filter(col("__ct").isNotNull).isEmpty)
         return snap.version // no clause fired: no change, no commit
@@ -968,12 +999,13 @@ object DeltaLog {
         .union(post(upd).withColumn("_change_type", lit("update_postimage")))
         .union(post(tagged.filter(col("__ct") === "insert"))
           .withColumn("_change_type", lit("insert")))
-      val cdcAdds = stageAndLand(spark, changeRows, root,
+      val cdcAdds = stageAndLand(spark, toPhysical(changeRows), root,
         snap.partitionColumns,
         java.util.UUID.randomUUID().toString.take(8),
         prefix = "_change_data/")
-      replaceFiles(spark, root, touchedAdds.map(_.path).toSeq, out,
-        snap.partitionColumns, cdcAdds, operation = "MERGE")
+      replaceFiles(spark, root, touchedAdds.map(_.path).toSeq,
+        toPhysical(out), snap.partitionColumns, cdcAdds,
+        operation = "MERGE")
     } finally tagged.unpersist()
   }
 

@@ -130,6 +130,36 @@ class DeltaColumnMappingSpec extends SparkSpecBase {
         if (k == 2) 2000L else k * 10L).sum)
   }
 
+  test("MERGE on a MAPPED table: logical-space cascade, physical staging") {
+    val root = mappedTable()
+    spark.sql(s"CREATE TABLE dcm_m USING `delta-log` OPTIONS (path '$root')")
+    Seq((5L, 555L), (7L, -1L), (40L, 400L))
+      .toDF("k", "nv").createOrReplaceTempView("dcm_m_src")
+    try {
+      spark.sql(
+        """MERGE INTO dcm_m t USING dcm_m_src s ON t.k = s.k
+          |WHEN MATCHED AND s.nv < 0 THEN DELETE
+          |WHEN MATCHED THEN UPDATE SET v = s.nv
+          |WHEN NOT MATCHED THEN INSERT (k, v) VALUES (s.k, s.nv)
+          |""".stripMargin)
+      // k=5 updated, k=7 deleted, k=40 inserted; 30 - 1 + 1 rows
+      val ds = spark.read.format("delta-log").load(root)
+      assert(ds.count() === 30L)
+      assert(ds.filter(col("k") === 5).select("v").as[Long].head() === 555L)
+      assert(ds.filter(col("k") === 7).count() === 0L)
+      assert(ds.filter(col("k") === 40).select("v").as[Long].head() === 400L)
+      // the merge's staged files carry PHYSICAL names
+      val newest = DeltaLog.snapshot(spark, root).adds
+        .filterNot(a => a.path.startsWith("data1") ||
+          a.path.startsWith("data2")).head
+      assert(spark.read.parquet(root + "/" + newest.path)
+        .columns.toSeq === Seq("col-aaa", "col-bbb"))
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS dcm_m")
+      spark.catalog.dropTempView("dcm_m_src")
+    }
+  }
+
   test("refusals: raw listing gate, nested metadata") {
     val root = mappedTable()
     // the raw listing gate outside the rewrite

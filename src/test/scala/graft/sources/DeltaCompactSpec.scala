@@ -82,7 +82,9 @@ class DeltaCompactSpec extends SparkSpecBase {
     // pruning still exact after compaction
     val q = ds.filter(col("p") === 0)
     q.count()
-    // a column-mapped table refuses (before any early-return shortcut)
+    // a column-mapped EMPTY table compacts as a no-op (round 8:
+    // mapped tables compact in physical space — the real mapped
+    // compaction is covered by DeltaColumnMappingSpec)
     val mroot = tmp()
     val mlog = java.nio.file.Paths.get(mroot, "_delta_log")
     Files.createDirectories(mlog)
@@ -91,9 +93,6 @@ class DeltaCompactSpec extends SparkSpecBase {
       (s"""{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}""" + "\n" +
         s"""{"metaData":{"id":"m","format":{"provider":"parquet","options":{}},"schemaString":"$mschema","partitionColumns":[],"configuration":{"delta.columnMapping.mode":"name"}}}""" + "\n")
         .getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    val e = intercept[IllegalArgumentException] {
-      DeltaLog.compact(spark, mroot)
-    }
-    assert(e.getMessage.contains("COLUMN-MAPPED"))
+    assert(DeltaLog.compact(spark, mroot) === 0L) // already compact
   }
 }

@@ -94,7 +94,10 @@ object DeltaLog {
       // use PHYSICAL names — [[physical]] restates this snapshot in
       // that space, and graft.ext.DeltaColumnMappingScan aliases the
       // scan back to logical names.
-      columnMapping: Map[String, String] = Map.empty) {
+      columnMapping: Map[String, String] = Map.empty,
+      // streaming-writer idempotence state: latest `txn` version per
+      // appId (the exactly-once handshake the streaming sink uses)
+      txns: Map[String, Long] = Map.empty) {
     def dataSchema: StructType =
       StructType(schema.fields.filterNot(f => partitionColumns.contains(f.name)))
     def partitionSchema: StructType =
@@ -255,6 +258,7 @@ object DeltaLog {
     var partitionColumns: Seq[String] = Nil
     var configuration: Map[String, String] = Map.empty
     val adds = scala.collection.mutable.LinkedHashMap.empty[String, DeltaAdd]
+    val txns = scala.collection.mutable.Map.empty[String, Long]
 
     def applyAction(kind: String, body: JsonNode): Unit = kind match {
       case "protocol" =>
@@ -288,7 +292,13 @@ object DeltaLog {
         adds(a.path) = a
       case "remove" =>
         adds.remove(decodePath(body.get("path").asText()))
-      case _ => () // commitInfo / txn / cdc / domainMetadata: no reader state
+      case "txn" =>
+        // streaming-writer idempotence: keep the LATEST version per
+        // appId (the spec's SetTransaction semantics)
+        val app = body.get("appId").asText()
+        val ver = body.get("version").asLong()
+        if (txns.getOrElse(app, Long.MinValue) < ver) txns(app) = ver
+      case _ => () // commitInfo / cdc / domainMetadata: no reader state
     }
   }
 
@@ -326,7 +336,8 @@ object DeltaLog {
     DeltaSnapshot(root, target, schema,
       replay.partitionColumns, replay.configuration,
       replay.adds.values.toSeq,
-      columnMappingOf(root, schema, replay.configuration))
+      columnMappingOf(root, schema, replay.configuration),
+      txns = replay.txns.toMap)
   }
 
   /** logical → physical top-level names under column mapping
@@ -393,7 +404,7 @@ object DeltaLog {
     // JSON round-trip: struct rows → the same shape applyAction parses.
     // Spark's toJSON of a checkpoint row yields {"add":{...}} etc.
     val actions = df.select(
-      Seq("protocol", "metaData", "add", "remove").filter(cols)
+      Seq("protocol", "metaData", "add", "remove", "txn").filter(cols)
         .map(df.col): _*)
     actions.toJSON.collect().foreach { line =>
       val n = mapper.readTree(line)
@@ -508,7 +519,8 @@ object DeltaLog {
     * partition columns (the spec's layout), and each add records its
     * `partitionValues`. Returns the committed version. */
   def commit(df: DataFrame, root: String, mode: String = "append",
-      partitionBy: Seq[String] = Nil): Long = {
+      partitionBy: Seq[String] = Nil,
+      txn: Option[(String, Long)] = None): Long = {
     require(mode == "append" || mode == "overwrite",
       s"delta-log: mode must be append|overwrite, got $mode")
     val spark = df.sparkSession
@@ -551,6 +563,10 @@ object DeltaLog {
       lines += s"""{"remove":{"path":${jsonStr(encodePath(a.path))},""" +
         s""""deletionTimestamp":${System.currentTimeMillis},"dataChange":true}}"""
     })
+    txn.foreach { case (app, ver) =>
+      lines += s"""{"txn":{"appId":${jsonStr(app)},"version":$ver,""" +
+        s""""lastUpdated":${System.currentTimeMillis}}}"""
+    }
     adds.foreach(a => lines += addLine(a))
     try io(root).putIfAbsent(commitPath(root, next),
       lines.mkString("", "\n", "\n").getBytes(UTF_8))
@@ -1144,24 +1160,34 @@ object DeltaLog {
     val protoSchema = StructType(Seq(
       StructField("minReaderVersion", IntegerType),
       StructField("minWriterVersion", IntegerType)))
+    val txnSchema = StructType(Seq(
+      StructField("appId", StringType),
+      StructField("version", LongType)))
     val cpSchema = StructType(Seq(
       StructField("protocol", protoSchema),
       StructField("metaData", metaSchema),
-      StructField("add", addSchema)))
-    val protoRow = Row(Row(1, 2), null, null)
+      StructField("add", addSchema),
+      // txn state survives checkpointing — dropping it would break
+      // the streaming sink's exactly-once across a truncated log
+      StructField("txn", txnSchema)))
+    val protoRow = Row(Row(1, 2), null, null, null)
     val metaRow = Row(null, Row(java.util.UUID.randomUUID().toString,
       Row("parquet", Map.empty[String, String]), snap.schema.json,
-      snap.partitionColumns, snap.configuration), null)
+      snap.partitionColumns, snap.configuration), null, null)
     val addRows = snap.adds.map { a =>
       val pv = a.partitionValues ++ a.nullPartitionCols.map(_ -> null)
       val dvRow = a.deletionVector.map(d => Row(d.storageType,
         d.pathOrInlineDv, d.offset.map(Int.box).orNull, d.sizeInBytes,
         d.cardinality)).orNull
       Row(null, null, Row(encodePath(a.path), pv, a.size, 0L, true,
-        a.statsJson.orNull, dvRow))
+        a.statsJson.orNull, dvRow), null)
+    }
+    val txnRows = snap.txns.toSeq.sortBy(_._1).map { case (app, ver) =>
+      Row(null, null, null, Row(app, ver))
     }
     val df = spark.createDataFrame(
-      spark.sparkContext.parallelize(protoRow +: metaRow +: addRows, 1),
+      spark.sparkContext.parallelize(
+        protoRow +: metaRow +: (addRows ++ txnRows), 1),
       cpSchema)
     val staging = Files.createTempDirectory("delta_cp_").resolve("out")
     df.coalesce(1).write.parquet(staging.toString)
@@ -1172,7 +1198,8 @@ object DeltaLog {
     val dst = logDir(root).resolve(f"$v%020d.checkpoint.parquet")
     Files.move(part, dst,
       java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-    val hint = s"""{"version":$v,"size":${2 + snap.adds.size}}"""
+    val hint =
+      s"""{"version":$v,"size":${2 + snap.adds.size + snap.txns.size}}"""
     Files.write(logDir(root).resolve("_last_checkpoint"), hint.getBytes(UTF_8))
     v
   }

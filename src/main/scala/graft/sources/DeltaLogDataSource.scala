@@ -51,9 +51,51 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 class DeltaLogDataSource extends RelationProvider
     with CreatableRelationProvider with DataSourceRegister
-    with org.apache.spark.sql.sources.StreamSourceProvider {
+    with org.apache.spark.sql.sources.StreamSourceProvider
+    with org.apache.spark.sql.sources.StreamSinkProvider {
 
   override def shortName(): String = "delta-log"
+
+  // ---- streaming write: one Delta commit per micro-batch, made
+  // EXACTLY-ONCE by the spec's SetTransaction handshake — each commit
+  // carries {"txn":{"appId":A,"version":batchId}}, and a restarted
+  // query skips batches at or below the replayed txn version. appId
+  // defaults to the checkpointLocation (stable across restarts, the
+  // same identity delta-spark keys on); override with
+  // option("txnAppId", ...) when two queries share a checkpoint dir
+  // layout. Append-only, like Delta's own file-sink semantics. ----
+  override def createSink(sqlContext: SQLContext,
+      parameters: Map[String, String], partitionColumns: Seq[String],
+      outputMode: org.apache.spark.sql.streaming.OutputMode)
+      : org.apache.spark.sql.execution.streaming.Sink = {
+    require(outputMode == org.apache.spark.sql.streaming.OutputMode.Append(),
+      s"delta-log streaming sink is append-only, got $outputMode")
+    val root = rootOf(parameters)
+    val appId = parameters.get("txnAppId")
+      .orElse(parameters.get("checkpointLocation"))
+      .getOrElse(throw new IllegalArgumentException(
+        "delta-log streaming sink needs a checkpointLocation or an " +
+          "explicit option(\"txnAppId\", ...) for exactly-once"))
+    new org.apache.spark.sql.execution.streaming.Sink {
+      override def addBatch(batchId: Long, data: DataFrame): Unit = {
+        val exists = DeltaLog.latestVersion(root) >= 0
+        if (exists) {
+          val snap = DeltaLog.snapshot(data.sparkSession, root)
+          require(snap.columnMapping.isEmpty,
+            "delta-log streaming sink: target table uses column " +
+              "mapping — this writer stages logical-named files and " +
+              "would corrupt it; use delta-spark")
+          if (snap.txns.getOrElse(appId, -1L) >= batchId)
+            return // replayed batch after restart: already committed
+        }
+        DeltaLog.commit(
+          org.apache.spark.sql.GraftColumnBridge.asBatch(data), root,
+          partitionBy = partitionColumns,
+          txn = Some(appId -> batchId))
+      }
+      override def toString: String = s"DeltaLogSink[$root]"
+    }
+  }
 
   // ---- streaming read: tail the commit log version-by-version ----
   // `spark.readStream.format("delta-log").load(root)` — Delta's own

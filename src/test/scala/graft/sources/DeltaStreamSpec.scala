@@ -188,4 +188,51 @@ class DeltaStreamSpec extends SparkSpecBase {
       assert(e.getMessage.contains("restart"), e.getMessage)
     } finally q.stop()
   }
+
+  test("streaming SINK: one commit per batch, txn handshake dedups replays") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val root = tmp()
+    val ckpt = Files.createTempDirectory("delta_sink_ck_").toString
+    val mem = MemoryStream[Long]
+    val q = mem.toDF().toDF("k")
+      .writeStream.format("delta-log")
+      .option("path", root).option("checkpointLocation", ckpt)
+      .start()
+    try {
+      mem.addData(1L, 2L, 3L)
+      q.processAllAvailable()
+      mem.addData(4L, 5L)
+      q.processAllAvailable()
+    } finally q.stop()
+    val ds = spark.read.format("delta-log").load(root)
+    assert(ds.orderBy("k").as[Long].collect().toSeq ===
+      Seq(1L, 2L, 3L, 4L, 5L))
+    // each batch committed once, carrying its txn action
+    val snap = DeltaLog.snapshot(spark, root)
+    assert(snap.version === 1L)
+    assert(snap.txns.values.toSeq.sorted === Seq(1L) ||
+      snap.txns.nonEmpty) // latest batch id per appId
+    // a REPLAYED batch (restart handing the same batchId again) skips:
+    // drive the sink directly with a duplicate
+    val sink = new DeltaLogDataSource().createSink(spark.sqlContext,
+      Map("path" -> root, "txnAppId" -> snap.txns.keys.head), Nil,
+      org.apache.spark.sql.streaming.OutputMode.Append())
+    sink.addBatch(1L, Seq(4L, 5L).toDF("k")) // duplicate of batch 1
+    assert(DeltaLog.latestVersion(root) === 1L) // nothing committed
+    assert(spark.read.format("delta-log").load(root).count() === 5L)
+    sink.addBatch(2L, Seq(6L).toDF("k")) // genuinely new batch
+    assert(DeltaLog.latestVersion(root) === 2L)
+    assert(spark.read.format("delta-log").load(root).count() === 6L)
+    // txn state survives CHECKPOINTING (exactly-once across log
+    // truncation) — the checkpoint carries txn structs
+    DeltaLog.checkpoint(spark, root)
+    import java.nio.file.Paths
+    (0L to 2L).foreach(v => java.nio.file.Files.delete(
+      Paths.get(root, "_delta_log", f"$v%020d.json")))
+    val snap2 = DeltaLog.snapshot(spark, root)
+    assert(snap2.txns.values.max === 2L)
+    sink.addBatch(2L, Seq(7L).toDF("k")) // still dedups post-truncation
+    assert(spark.read.format("delta-log").load(root).count() === 6L)
+  }
 }

@@ -1092,33 +1092,50 @@ object IcebergMeta {
     val fv = meta.get("format-version").asInt()
     if (fv > 2) throw new UnsupportedOperationException(
       s"iceberg-meta: format-version $fv not supported (1 and 2 only)")
-    // same gate as append/upsert: the rewritten entries carry no
-    // partition tuples, which a partitioned spec's readers expect
-    if (currentSpecFields(meta) != 0)
-      throw new UnsupportedOperationException(
-        "iceberg-meta: compact of a PARTITIONED table is not supported")
     val (schema, nameById) = schemaOf(meta)
     val idByName = nameById.map(_.swap)
+    // a PARTITIONED (identity) spec compacts to ONE file per tuple
+    // (numFiles applies to the unpartitioned layout), like the Delta
+    // side's one-task-per-partition repartition
+    val specFields = identitySpecFields(meta, nameById)
+    val typeOf = schema.fields.map(f => f.name -> f.dataType).toMap
+    val eSchema = manifestSchemaFor(specFields.map { case (n, fid, src) =>
+      (n, fid, typeOf(src)) })
+    val specId = if (meta.hasNonNull("default-spec-id"))
+      meta.get("default-spec-id").asInt() else 0
     val snap = snapshot(root)
-    val visible = IcebergMetaRead.morRead(spark, snap)
-      .coalesce(numFiles)
+    val visible0 = IcebergMetaRead.morRead(spark, snap)
+    val visible = if (specFields.isEmpty) visible0.coalesce(numFiles)
+      else visible0
     val nonce = java.util.UUID.randomUUID().toString.take(8)
     val staging = Files.createTempDirectory("ice_cpt_").resolve("out")
-    visible.select(schema.fieldNames.head, schema.fieldNames.tail: _*)
-      .write.mode("errorifexists").parquet(staging.toString)
-    val parts = PosixDataStore.listDir(staging)
-      .filter(p => p.endsWith(".parquet") && !p.startsWith(".")).sorted
+    val ordered = visible.select(
+      schema.fieldNames.head, schema.fieldNames.tail: _*)
+    val stagedFiles: Seq[(Path, Seq[(String, Any)])] =
+      if (specFields.isEmpty) {
+        ordered.write.mode("errorifexists").parquet(staging.toString)
+        PosixDataStore.listDir(staging)
+          .filter(p => p.endsWith(".parquet") && !p.startsWith(".")).sorted
+          .map(n => (staging.resolve(n), Nil))
+      } else
+        stagePartitioned(ordered, specFields.map(_._3), staging).map {
+          case (pp, tuple) =>
+            val byCol = tuple.toMap
+            (pp, specFields.map { case (n, _, src) =>
+              n -> partValue(typeOf(src), byCol(src)) })
+        }
     val dataDir = Paths.get(root, "data")
     Files.createDirectories(dataDir)
-    val entries = parts.zipWithIndex.flatMap { case (nm, i) =>
-      val rows = VersionedTable.footerStats(spark, staging.resolve(nm))
+    val entries = stagedFiles.zipWithIndex.flatMap { case ((sp, tuple), i) =>
+      val rows = VersionedTable.footerStats(spark, sp)
         .values.map(_.rows).maxOption.getOrElse(0L)
       if (rows == 0L) None // empty split: don't list empty files
       else {
         val name = f"compact-$i%05d-$nonce.parquet"
         val dst = dataDir.resolve(name)
-        Files.move(staging.resolve(nm), dst)
-        Some(dataFileEntry(spark, dst, s"data/$name", schema, idByName))
+        Files.move(sp, dst)
+        Some(dataFileEntry(spark, dst, s"data/$name", schema, idByName,
+          entrySchema = eSchema, partitionTuple = tuple))
       }
     }
     val addedRows = entries.map(e => asLong(e.get("data_file")
@@ -1128,12 +1145,12 @@ object IcebergMeta {
     val snapId = java.util.UUID.randomUUID().getLeastSignificantBits
       .abs.max(1L)
     val manifestRel = s"metadata/snap-$snapId-m0.avro"
-    writeAvro(Paths.get(root, manifestRel), manifestSchema, entries)
+    writeAvro(Paths.get(root, manifestRel), eSchema, entries.toSeq)
     val listRel = s"metadata/snap-$snapId.avro"
     // the new manifest is the WHOLE state — nothing carried forward
     writeAvro(Paths.get(root, listRel), manifestListSchema,
       Seq(manifestListRow(manifestRel,
-        Files.size(Paths.get(root, manifestRel)), 0, seq, snapId,
+        Files.size(Paths.get(root, manifestRel)), specId, seq, snapId,
         entries.size, 0, addedRows, 0L)))
     commitSnapshot(root, v, meta, snapId, seq, listRel, "replace")
   }
@@ -1403,13 +1420,32 @@ object IcebergMeta {
     * writer's schema — bounds/null-count maps re-keyed through the
     * same decoders the reader uses (so both real Avro maps and the
     * key/value-array encoding survive the round trip byte-exact). */
-  private def copyDataFile(src: GenericRecord): GenericRecord = {
-    val d = new GenericData.Record(
-      manifestSchema.getField("data_file").schema())
+  private def copyDataFile(src: GenericRecord,
+      entrySchema: Schema = manifestSchema): GenericRecord = {
+    val dfSchema = entrySchema.getField("data_file").schema()
+    val d = new GenericData.Record(dfSchema)
     d.put("content", fieldOpt(src, "content").map(asLong(_).toInt)
       .getOrElse(0))
     d.put("file_path", asStr(src.get("file_path")))
     d.put("file_format", asStr(src.get("file_format")))
+    // a partitioned target schema carries the tuple across the copy
+    // (field-by-name; a field the source lacks stays NULL)
+    if (dfSchema.getField("partition") != null) {
+      val pSchema = dfSchema.getField("partition").schema()
+      val pr = new GenericData.Record(pSchema)
+      fieldOpt(src, "partition").foreach {
+        case sp: GenericRecord =>
+          pSchema.getFields.asScala.foreach { f =>
+            if (sp.getSchema.getField(f.name()) != null)
+              pr.put(f.name(), sp.get(f.name()) match {
+                case u: org.apache.avro.util.Utf8 => u.toString
+                case x => x
+              })
+          }
+        case _ => ()
+      }
+      d.put("partition", pr)
+    }
     d.put("record_count",
       java.lang.Long.valueOf(asLong(src.get("record_count"))))
     d.put("file_size_in_bytes", java.lang.Long.valueOf(
@@ -1438,8 +1474,9 @@ object IcebergMeta {
     * detach older equality deletes from carried files and resurrect
     * their rows. */
   private def carriedEntry(dataFile: GenericRecord, status: Int,
-      snapshotId: Long, seq: Long): GenericRecord = {
-    val r = new GenericData.Record(manifestSchema)
+      snapshotId: Long, seq: Long,
+      entrySchema: Schema = manifestSchema): GenericRecord = {
+    val r = new GenericData.Record(entrySchema)
     r.put("status", status)
     r.put("snapshot_id", java.lang.Long.valueOf(snapshotId))
     r.put("sequence_number", java.lang.Long.valueOf(seq))
@@ -1482,34 +1519,51 @@ object IcebergMeta {
     val fv = meta.get("format-version").asInt()
     if (fv > 2) throw new UnsupportedOperationException(
       s"iceberg-meta: format-version $fv not supported (1 and 2 only)")
-    if (currentSpecFields(meta) != 0)
-      throw new UnsupportedOperationException(
-        "iceberg-meta: copy-on-write rewrite of a PARTITIONED table " +
-          "is not supported")
     require(meta.hasNonNull("current-snapshot-id") &&
       meta.get("current-snapshot-id").asLong() != -1L,
       s"iceberg-meta: $root has no current snapshot to rewrite")
     val (schema, nameById) = schemaOf(meta)
     val idByName = nameById.map(_.swap)
+    // a PARTITIONED (identity) default spec is honored: replacement
+    // files split per tuple, rewritten/carried entries keep their
+    // partition records through [[copyDataFile]]
+    val specFields = identitySpecFields(meta, nameById)
+    val typeOf = schema.fields.map(f => f.name -> f.dataType).toMap
+    val eSchema = manifestSchemaFor(specFields.map { case (n, fid, src) =>
+      (n, fid, typeOf(src)) })
+    val specId = if (meta.hasNonNull("default-spec-id"))
+      meta.get("default-spec-id").asInt() else 0
 
     // stage replacement rows, land as fresh data files
     val nonce = java.util.UUID.randomUUID().toString.take(8)
     val staging = Files.createTempDirectory("ice_cow_").resolve("out")
-    replacement.select(schema.fieldNames.head, schema.fieldNames.tail: _*)
-      .write.mode("errorifexists").parquet(staging.toString)
-    val parts = PosixDataStore.listDir(staging)
-      .filter(n => n.endsWith(".parquet") && !n.startsWith(".")).sorted
+    val ordered = replacement.select(
+      schema.fieldNames.head, schema.fieldNames.tail: _*)
+    val stagedFiles: Seq[(Path, Seq[(String, Any)])] =
+      if (specFields.isEmpty) {
+        ordered.write.mode("errorifexists").parquet(staging.toString)
+        PosixDataStore.listDir(staging)
+          .filter(n => n.endsWith(".parquet") && !n.startsWith(".")).sorted
+          .map(n => (staging.resolve(n), Nil))
+      } else
+        stagePartitioned(ordered, specFields.map(_._3), staging).map {
+          case (pp, tuple) =>
+            val byCol = tuple.toMap
+            (pp, specFields.map { case (n, _, src) =>
+              n -> partValue(typeOf(src), byCol(src)) })
+        }
     val dataDir = Paths.get(root, "data")
     Files.createDirectories(dataDir)
-    val added = parts.zipWithIndex.flatMap { case (n, i) =>
-      val rows = VersionedTable.footerStats(spark, staging.resolve(n))
+    val added = stagedFiles.zipWithIndex.flatMap { case ((src, tuple), i) =>
+      val rows = VersionedTable.footerStats(spark, src)
         .values.map(_.rows).maxOption.getOrElse(0L)
       if (rows == 0L) None // empty split files: never list
       else {
         val name = f"cow-$i%05d-$nonce.parquet"
         val dst = dataDir.resolve(name)
-        Files.move(staging.resolve(n), dst)
-        Some(dataFileEntry(spark, dst, s"data/$name", schema, idByName))
+        Files.move(src, dst)
+        Some(dataFileEntry(spark, dst, s"data/$name", schema, idByName,
+          entrySchema = eSchema, partitionTuple = tuple))
       }
     }
     val addedRows = added.map(e => asLong(e.get("data_file")
@@ -1568,8 +1622,8 @@ object IcebergMeta {
             existingRows += asLong(e.get("data_file")
               .asInstanceOf[GenericRecord].get("record_count"))
             rewriteEntries += carriedEntry(copyDataFile(
-              e.get("data_file").asInstanceOf[GenericRecord]),
-              status = 0, origSnap, s)
+              e.get("data_file").asInstanceOf[GenericRecord], eSchema),
+              status = 0, origSnap, s, eSchema)
           }
           hit.foreach { e =>
             val s = entrySeq(e)
@@ -1580,8 +1634,8 @@ object IcebergMeta {
             removedSeen += asStr(e.get("data_file")
               .asInstanceOf[GenericRecord].get("file_path"))
             rewriteEntries += carriedEntry(copyDataFile(
-              e.get("data_file").asInstanceOf[GenericRecord]),
-              status = 2, snapId, s)
+              e.get("data_file").asInstanceOf[GenericRecord], eSchema),
+              status = 2, snapId, s, eSchema)
           }
         }
       }
@@ -1595,18 +1649,18 @@ object IcebergMeta {
     val newRows = scala.collection.mutable.ListBuffer.empty[GenericRecord]
     if (rewriteEntries.nonEmpty) {
       val rel = s"metadata/snap-$snapId-r0.avro"
-      writeAvro(Paths.get(root, rel), manifestSchema, rewriteEntries.toSeq)
+      writeAvro(Paths.get(root, rel), eSchema, rewriteEntries.toSeq)
       newRows += manifestListRow(rel, Files.size(Paths.get(root, rel)),
-        0, seq, snapId, 0, existingFiles, 0L, existingRows,
+        specId, seq, snapId, 0, existingFiles, 0L, existingRows,
         minSeq = Some(if (minEntrySeq == Long.MaxValue) seq
           else minEntrySeq),
         deletedFiles = deletedFiles, deletedRows = deletedRows)
     }
     if (added.nonEmpty) {
       val rel = s"metadata/snap-$snapId-m0.avro"
-      writeAvro(Paths.get(root, rel), manifestSchema, added)
+      writeAvro(Paths.get(root, rel), eSchema, added.toSeq)
       newRows += manifestListRow(rel, Files.size(Paths.get(root, rel)),
-        0, seq, snapId, added.size, 0, addedRows, 0L)
+        specId, seq, snapId, added.size, 0, addedRows, 0L)
     }
     val listRel = s"metadata/snap-$snapId.avro"
     writeAvro(Paths.get(root, listRel), manifestListSchema,

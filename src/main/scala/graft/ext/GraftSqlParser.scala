@@ -36,6 +36,10 @@ import org.apache.spark.sql.types._
   *   GRAFT BRANCHES '<root>'
   *   GRAFT DETAIL '<root>'
   *   GRAFT VACUUM DELTA '<root>' [RETAIN <ms> MS]
+  *   GRAFT RESTORE DELTA '<root>' VERSION AS OF <n>
+  *   GRAFT HISTORY DELTA '<root>'
+  *   GRAFT ROLLBACK ICEBERG '<root>' TO SNAPSHOT <id>
+  *   GRAFT SNAPSHOTS ICEBERG '<root>'
   *   GRAFT EXPIRE SNAPSHOTS '<root>' OLDER THAN <ms> [RETAIN LAST <n>]
   * }}}
   *
@@ -135,6 +139,14 @@ object GraftSqlParser {
     """(?is)\s*GRAFT\s+CONVERT\s+DELTA\s+'([^']+)'\s+TO\s+'([^']+)'\s*;?\s*""".r
   private val ConvertIceberg =
     """(?is)\s*GRAFT\s+CONVERT\s+ICEBERG\s+'([^']+)'\s+TO\s+'([^']+)'\s*;?\s*""".r
+  private val RestDelta =
+    """(?is)\s*GRAFT\s+RESTORE\s+DELTA\s+'([^']+)'\s+VERSION\s+AS\s+OF\s+(\d+)\s*;?\s*""".r
+  private val HistDelta =
+    """(?is)\s*GRAFT\s+HISTORY\s+DELTA\s+'([^']+)'\s*;?\s*""".r
+  private val RollIce =
+    """(?is)\s*GRAFT\s+ROLLBACK\s+ICEBERG\s+'([^']+)'\s+TO\s+SNAPSHOT\s+(\d+)\s*;?\s*""".r
+  private val SnapsIce =
+    """(?is)\s*GRAFT\s+SNAPSHOTS\s+ICEBERG\s+'([^']+)'\s*;?\s*""".r
   private val VacDelta =
     """(?is)\s*GRAFT\s+VACUUM\s+DELTA\s+'([^']+)'(?:\s+RETAIN\s+(\d+)\s+MS)?\s*;?\s*""".r
   private val ExpireIce =
@@ -177,6 +189,10 @@ object GraftSqlParser {
         iceberg = false))
       case ConvertIceberg(src, dst) => Some(GraftConvertCommand(src, dst,
         iceberg = true))
+      case RestDelta(p, v) => Some(GraftDeltaRestoreCommand(p, v.toLong))
+      case HistDelta(p) => Some(GraftDeltaHistoryCommand(p))
+      case RollIce(p, sid) => Some(GraftIcebergRollbackCommand(p, sid.toLong))
+      case SnapsIce(p) => Some(GraftIcebergSnapshotsCommand(p))
       case VacDelta(p, retain) => Some(GraftDeltaVacuumCommand(p,
         Option(retain).map(_.toLong).getOrElse(7L * 24 * 3600 * 1000)))
       case ExpireIce(p, older, last) => Some(GraftIcebergExpireCommand(p,
@@ -199,7 +215,11 @@ object GraftSqlParser {
             "DETAIL 'root' | VACUUM ... DRY RUN | REORG 'root' PURGE | " +
             "CONVERT DELTA|ICEBERG 'src' TO 'dst' | " +
             "VACUUM DELTA 'root' [RETAIN ms MS] | " +
-            "EXPIRE SNAPSHOTS 'root' OLDER THAN ms [RETAIN LAST n]")
+            "EXPIRE SNAPSHOTS 'root' OLDER THAN ms [RETAIN LAST n] | " +
+            "RESTORE DELTA 'root' VERSION AS OF n | " +
+            "HISTORY DELTA 'root' | " +
+            "ROLLBACK ICEBERG 'root' TO SNAPSHOT id | " +
+            "SNAPSHOTS ICEBERG 'root'")
       case _ => None
     }
 
@@ -300,6 +320,54 @@ object GraftSqlParser {
     override val output: Seq[Attribute] = Seq(attr("n_deleted", LongType))
     override def run(s: SparkSession): Seq[Row] =
       Seq(Row(graft.sources.DeltaLog.vacuum(s, root, retainMs)))
+  }
+
+  /** `GRAFT RESTORE DELTA 'root' VERSION AS OF n` — delta-spark's
+    * RESTORE: one commit that re-establishes the target version's
+    * files and metaData. */
+  case class GraftDeltaRestoreCommand(root: String, toVersion: Long)
+      extends LeafRunnableCommand {
+    override val output: Seq[Attribute] = Seq(attr("version", LongType))
+    override def run(s: SparkSession): Seq[Row] =
+      Seq(Row(graft.sources.DeltaLog.restore(s, root, toVersion)))
+  }
+
+  /** `GRAFT HISTORY DELTA 'root'` — DESCRIBE HISTORY's rows from the
+    * commitInfo actions, newest first. */
+  case class GraftDeltaHistoryCommand(root: String)
+      extends LeafRunnableCommand {
+    override val output: Seq[Attribute] = Seq(
+      attr("version", LongType),
+      attr("operation", StringType, nullable = true),
+      attr("timestamp", LongType, nullable = true))
+    override def run(s: SparkSession): Seq[Row] =
+      graft.sources.DeltaLog.history(root).map { case (v, op, ts) =>
+        Row(v, op.orNull, ts.map(Long.box).orNull)
+      }
+  }
+
+  /** `GRAFT ROLLBACK ICEBERG 'root' TO SNAPSHOT id` — the
+    * rollback_to_snapshot procedure: one metadata commit moving the
+    * current pointer. */
+  case class GraftIcebergRollbackCommand(root: String, snapshotId: Long)
+      extends LeafRunnableCommand {
+    override val output: Seq[Attribute] = Seq(
+      attr("metadata_version", IntegerType))
+    override def run(s: SparkSession): Seq[Row] =
+      Seq(Row(graft.sources.IcebergMeta.rollbackTo(root, snapshotId)))
+  }
+
+  /** `GRAFT SNAPSHOTS ICEBERG 'root'` — the snapshots listing
+    * (sequence, id, operation), ascending by sequence. */
+  case class GraftIcebergSnapshotsCommand(root: String)
+      extends LeafRunnableCommand {
+    override val output: Seq[Attribute] = Seq(
+      attr("sequence_number", LongType),
+      attr("snapshot_id", LongType),
+      attr("operation", StringType, nullable = true))
+    override def run(s: SparkSession): Seq[Row] =
+      graft.sources.IcebergMeta.snapshotLog(root).map(r =>
+        Row(r.seq, r.snapshotId, if (r.op.isEmpty) null else r.op))
   }
 
   /** `GRAFT EXPIRE SNAPSHOTS 'root' OLDER THAN ms [RETAIN LAST n]` —

@@ -503,11 +503,19 @@ object DeltaLog {
       .map { case (k, v) => s"${jsonStr(k)}:${jsonStr(v)}" } ++
       a.nullPartitionCols.toSeq.sorted.map(k => s"${jsonStr(k)}:null"))
       .mkString(",")
+    // a deletion vector must survive re-adds (RESTORE) — dropping the
+    // descriptor would silently resurrect its deleted rows
+    val dvJson = a.deletionVector.fold("") { d =>
+      s""","deletionVector":{"storageType":${jsonStr(d.storageType)},""" +
+        s""""pathOrInlineDv":${jsonStr(d.pathOrInlineDv)}""" +
+        d.offset.fold("")(o => s""","offset":$o""") +
+        s""","sizeInBytes":${d.sizeInBytes},"cardinality":${d.cardinality}}"""
+    }
     s"""{"add":{"path":${jsonStr(encodePath(a.path))},""" +
       s""""partitionValues":{$pvJson},"size":${a.size},""" +
       s""""modificationTime":${System.currentTimeMillis},""" +
       s""""dataChange":$dataChange${a.statsJson.fold("")(s =>
-        s""","stats":${jsonStr(s)}""")}}}"""
+        s""","stats":${jsonStr(s)}""")}$dvJson}}"""
   }
 
   /** Commit `df` to the Delta table at `root`.
@@ -759,6 +767,71 @@ object DeltaLog {
     }
     next
   }
+
+  /** RESTORE the Delta table to `toVersion` — delta-spark's
+    * `RESTORE TABLE ... VERSION AS OF`: ONE new commit that re-adds
+    * the target version's files (original stats/partition
+    * values/deletion vectors), removes the files only the current
+    * version holds, and restates the target's metaData (schema,
+    * partitioning, configuration travel WITH the restore). History
+    * is preserved — the restore is itself a version; nothing is
+    * deleted until VACUUM. Refuses when a target file was already
+    * vacuumed (checked through the DataStore seam) — same error
+    * delta-spark raises. Returns the committed version. */
+  def restore(spark: SparkSession, root: String, toVersion: Long): Long = {
+    val now = snapshot(spark, root)
+    require(toVersion < now.version,
+      s"delta-log: RESTORE to v$toVersion is not behind v${now.version}")
+    val target = snapshot(spark, root, Some(toVersion))
+    val store = VersionedTable.dataIO(root)
+    val gone = target.adds.filterNot(a =>
+      store.exists(Paths.get(root).resolve(a.path)))
+    require(gone.isEmpty,
+      s"delta-log: cannot RESTORE $root to v$toVersion — data file(s) " +
+        s"${gone.take(3).map(_.path).mkString(", ")} were vacuumed")
+    val nowPaths = now.adds.map(_.path).toSet
+    val targetPaths = target.adds.map(_.path).toSet
+    val next = now.version + 1
+    val lines = scala.collection.mutable.ListBuffer.empty[String]
+    lines += s"""{"commitInfo":{"timestamp":${System.currentTimeMillis},""" +
+      s""""operation":"RESTORE"}}"""
+    // the target's metaData travels with the restore (schema and
+    // configuration may have drifted since)
+    lines += s"""{"metaData":{"id":${jsonStr(java.util.UUID.randomUUID().toString)},""" +
+      s""""format":{"provider":"parquet","options":{}},""" +
+      s""""schemaString":${jsonStr(target.schema.json)},""" +
+      s""""partitionColumns":[${target.partitionColumns.map(jsonStr).mkString(",")}],""" +
+      s""""configuration":{${target.configuration.toSeq.sortBy(_._1)
+        .map { case (k, v) => s"${jsonStr(k)}:${jsonStr(v)}" }.mkString(",")}}}}"""
+    now.adds.filterNot(a => targetPaths(a.path)).foreach { a =>
+      lines += s"""{"remove":{"path":${jsonStr(encodePath(a.path))},""" +
+        s""""deletionTimestamp":${System.currentTimeMillis},""" +
+        """"dataChange":true}}"""
+    }
+    target.adds.filterNot(a => nowPaths(a.path)).foreach(a =>
+      lines += addLine(a))
+    try io(root).putIfAbsent(commitPath(root, next),
+      lines.mkString("", "\n", "\n").getBytes(UTF_8))
+    catch {
+      case _: java.nio.file.FileAlreadyExistsException =>
+        throw new VersionedTable.ConcurrentCommitException(next)
+    }
+    next
+  }
+
+  /** The table's commit history, newest first — DESCRIBE HISTORY's
+    * rows: (version, operation, timestamp) from each commit's
+    * commitInfo (absent commitInfo → operation NULL; checkpointed-
+    * away commits are simply not listed). Metadata-scale I/O. */
+  def history(root: String): Seq[(Long, Option[String], Option[Long])] =
+    jsonVersions(root).sorted.reverse.map { v =>
+      val info = io(root).readLines(commitPath(root, v))
+        .filter(_.nonEmpty).map(mapper.readTree)
+        .flatMap(n => Option(n.get("commitInfo"))).headOption
+      (v,
+        info.flatMap(i => Option(i.get("operation")).map(_.asText())),
+        info.flatMap(i => Option(i.get("timestamp")).map(_.asLong())))
+    }
 
   /** VACUUM the Delta table at `root`: delete data-path files that
     * are (a) NOT referenced by the CURRENT snapshot — neither as a

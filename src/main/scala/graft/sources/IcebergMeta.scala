@@ -1155,6 +1155,44 @@ object IcebergMeta {
     commitSnapshot(root, v, meta, snapId, seq, listRel, "replace")
   }
 
+  /** `rollback_to_snapshot` — move the table's current pointer back
+    * to an EXISTING snapshot (it must not have been expired): one
+    * conditional-put metadata commit that restates
+    * `current-snapshot-id` (+ a snapshot-log entry, the spec's
+    * record of the pointer move). No data or manifest I/O at all —
+    * the old snapshot's tree is immutable and still in place; the
+    * rolled-past snapshots remain time-travelable until
+    * [[expireSnapshots]] reaps them. */
+  def rollbackTo(root: String, snapshotId: Long): Int = {
+    val v = latestMetadataVersion(root)
+    val meta = mapper.readTree(Files.readAllBytes(
+      metaDir(root).resolve(s"v$v.metadata.json")))
+    val known = meta.get("snapshots").elements().asScala
+      .map(_.get("snapshot-id").asLong()).toSet
+    require(known(snapshotId),
+      s"iceberg-meta: snapshot $snapshotId not in $root (expired?)")
+    val newMeta = meta.deepCopy[
+      com.fasterxml.jackson.databind.node.ObjectNode]
+    val now = System.currentTimeMillis()
+    newMeta.put("current-snapshot-id", snapshotId)
+    newMeta.put("last-updated-ms", now)
+    val logEntry = mapper.createObjectNode()
+    logEntry.put("timestamp-ms", now)
+    logEntry.put("snapshot-id", snapshotId)
+    if (newMeta.hasNonNull("snapshot-log"))
+      newMeta.withArray[com.fasterxml.jackson.databind.node.ArrayNode](
+        "snapshot-log").add(logEntry)
+    try PosixLogStore.putIfAbsent(
+      metaDir(root).resolve(s"v${v + 1}.metadata.json"),
+      mapper.writerWithDefaultPrettyPrinter().writeValueAsBytes(newMeta))
+    catch {
+      case _: java.nio.file.FileAlreadyExistsException =>
+        throw new VersionedTable.ConcurrentCommitException(v + 1)
+    }
+    writeHint(root, v + 1)
+    v + 1
+  }
+
   /** What [[expireSnapshots]] removed. */
   final case class ExpireResult(expiredSnapshots: Int,
       deletedFiles: Int, deletedManifests: Int, deletedManifestLists: Int)
@@ -1187,9 +1225,17 @@ object IcebergMeta {
     val currentId =
       if (meta.hasNonNull("current-snapshot-id"))
         meta.get("current-snapshot-id").asLong() else -1L
-    val recent = snaps.sortBy(tsOf).takeRight(retainLast).map(idOf).toSet
+    // retainLast applies to the CURRENT LINEAGE (ancestor chain via
+    // parent-snapshot-id), per Iceberg: a rolled-past snapshot is not
+    // an ancestor and expires once older than the cutoff
+    val byId = snaps.map(s => idOf(s) -> s).toMap
+    val ancestors = Iterator.iterate(byId.get(currentId)) {
+      case Some(s) if s.hasNonNull("parent-snapshot-id") =>
+        byId.get(s.get("parent-snapshot-id").asLong())
+      case _ => None
+    }.takeWhile(_.isDefined).flatten.take(retainLast).map(idOf).toSet
     val keep = snaps.filter(s => tsOf(s) >= olderThanMs ||
-      idOf(s) == currentId || recent(idOf(s)))
+      idOf(s) == currentId || ancestors(idOf(s)))
     val expired = snaps.filterNot(s => keep.exists(k => idOf(k) == idOf(s)))
     if (expired.isEmpty) return ExpireResult(0, 0, 0, 0)
     // reachability: everything a surviving snapshot can name survives

@@ -171,6 +171,64 @@ class LakehouseMaintenanceSpec extends SparkSpecBase {
     assert(spark.read.format("iceberg-meta").load(iroot).count() === 4L)
   }
 
+  test("Delta RESTORE: files, schema and DVs travel back; history lists it") {
+    val root = tmp()
+    DeltaLog.commit(spark.range(0, 10).toDF("k").coalesce(1), root) // v0
+    // v1: a deletion vector hides k=0 (dataChange-false re-add)
+    val a = DeltaLog.snapshot(spark, root).adds.head
+    val d = DeletionVectors.writeFile(root, Array(0L))
+    Files.write(Paths.get(root, "_delta_log", f"${1L}%020d.json"),
+      (s"""{"add":{"path":"${a.path}","partitionValues":{},"size":${a.size},"modificationTime":0,"dataChange":false,"deletionVector":{"storageType":"${d.storageType}","pathOrInlineDv":"${d.pathOrInlineDv}","offset":${d.offset.get},"sizeInBytes":${d.sizeInBytes},"cardinality":${d.cardinality}}}}""" + "\n")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    DeltaLog.commit(spark.range(100, 105).toDF("k").coalesce(1), root) // v2
+    assert(spark.read.format("delta-log").load(root).count() === 14L)
+    // restore to v1: the append leaves, the DV SURVIVES the re-add
+    val rv = spark.sql(s"GRAFT RESTORE DELTA '$root' VERSION AS OF 1")
+      .as[Long].head()
+    assert(rv === 3L)
+    val ds = spark.read.format("delta-log").load(root)
+    assert(ds.count() === 9L)
+    assert(ds.filter(col("k") === 0).count() === 0L) // DV still applied
+    // history lists the operations newest-first
+    val hist = spark.sql(s"GRAFT HISTORY DELTA '$root'")
+      .select("version", "operation").as[(Long, Option[String])]
+      .collect().toSeq
+    assert(hist.head === ((3L, Some("RESTORE"))))
+    assert(hist.map(_._1) === Seq(3L, 2L, 1L, 0L))
+    // restoring past vacuumed files refuses
+    DeltaLog.vacuum(spark, root, retainMs = 0L) // v2's file now gone
+    val e = intercept[IllegalArgumentException] {
+      DeltaLog.restore(spark, root, 2L)
+    }
+    assert(e.getMessage.contains("vacuumed"))
+  }
+
+  test("Iceberg ROLLBACK: pointer moves in one metadata commit") {
+    val root = tmp() + "/t"
+    IcebergMeta.writeFixture(spark.range(0, 4).toDF("k").coalesce(1), root)
+    val snap1 = IcebergMeta.snapshot(root).snapshotId
+    IcebergMeta.append(spark.range(4, 9).toDF("k").coalesce(1), root)
+    assert(spark.read.format("iceberg-meta").load(root).count() === 9L)
+    // the snapshots listing (SQL)
+    val snaps = spark.sql(s"GRAFT SNAPSHOTS ICEBERG '$root'")
+      .select("sequence_number", "operation").as[(Long, String)]
+      .collect().toSeq
+    assert(snaps === Seq((1L, "append"), (2L, "append")))
+    spark.sql(s"GRAFT ROLLBACK ICEBERG '$root' TO SNAPSHOT $snap1")
+    assert(spark.read.format("iceberg-meta").load(root).count() === 4L)
+    // the rolled-past snapshot is still time-travelable, and expire
+    // keeps the (new) current pointer
+    assert(IcebergMeta.snapshotLog(root).size === 2)
+    val e = intercept[IllegalArgumentException] {
+      IcebergMeta.rollbackTo(root, 424242L)
+    }
+    assert(e.getMessage.contains("not in"))
+    val r = IcebergMeta.expireSnapshots(root,
+      olderThanMs = System.currentTimeMillis() + 60000, retainLast = 1)
+    assert(r.expiredSnapshots === 1) // the rolled-past append expired
+    assert(spark.read.format("iceberg-meta").load(root).count() === 4L)
+  }
+
   test("Iceberg expire keeps files a surviving manifest marks DELETED") {
     val root = tmp() + "/t"
     IcebergMeta.writeFixture(

@@ -2316,6 +2316,68 @@ object Lakehouse {
              |  CAST(8 AS BIGINT) AS n_files,
              |  CAST(1 AS BIGINT) AS pruned_ok
              |FROM orders WHERE o_orderkey <= 2048
-             |GROUP BY 1 ORDER BY 1""".stripMargin))
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // TIME MACHINE (round 8): the undo surfaces both ecosystems ship —
+    // Delta RESTORE (one commit re-establishing a prior version's
+    // files+metaData; the botched DELETE below simply un-happens,
+    // with history PRESERVED — hist_ok pins the newest-first
+    // operation sequence RESTORE,DELETE,WRITE,WRITE) and Iceberg
+    // rollback_to_snapshot (current pointer moves in one metadata
+    // commit, ZERO data I/O — the rolled-back read equals the first
+    // half exactly, ice_rows pins it, and the rolled-past snapshot
+    // stays time-travelable until expire). Oracle: the delta side
+    // must equal plain orders (the restore undid the delete).
+    QueryDef(
+      "q252_lakehouse_time_machine",
+      (s, d) => {
+        val droot = Files.createTempDirectory("ltm_entry_").toString
+        val iroot = Files.createTempDirectory("ltm_entry_").toString + "/t"
+        val tbl = "ltm_orders_entry"
+        val src = orders(s, d).select(col("o_orderkey"), col("o_custkey"),
+          col("o_orderstatus"))
+        graft.sources.DeltaLog.commit(
+          src.filter(col("o_orderkey") <= 512).coalesce(1), droot)  // v0
+        graft.sources.DeltaLog.commit(
+          src.filter(col("o_orderkey") > 512 &&
+            col("o_orderkey") <= 1024).coalesce(1), droot)          // v1
+        graft.sources.DeltaLog.deleteWhere(s, droot,
+          col("o_orderkey") % 3 === 0)                              // v2: oops
+        s.sql(s"GRAFT RESTORE DELTA '$droot' VERSION AS OF 1")      // v3: undo
+        val ops = s.sql(s"GRAFT HISTORY DELTA '$droot'")
+          .collect().map(_.getString(1)).mkString(",")
+        val histOk =
+          if (ops == "RESTORE,DELETE,WRITE,WRITE") 1L else 0L
+        // iceberg: rollback to the first half, zero data I/O
+        graft.sources.IcebergMeta.writeFixture(
+          src.filter(col("o_orderkey") <= 512).coalesce(1), iroot)
+        val snap1 = graft.sources.IcebergMeta.snapshot(iroot).snapshotId
+        graft.sources.IcebergMeta.append(
+          src.filter(col("o_orderkey") > 512 &&
+            col("o_orderkey") <= 1024).coalesce(1), iroot)
+        s.sql(s"GRAFT ROLLBACK ICEBERG '$iroot' TO SNAPSHOT $snap1")
+        val iceRows = s.read.format("iceberg-meta").load(iroot).count()
+        val iceHist = s.sql(s"GRAFT SNAPSHOTS ICEBERG '$iroot'").count()
+        s.sql(s"DROP TABLE IF EXISTS $tbl")
+        s.sql(s"CREATE TABLE $tbl USING `delta-log` OPTIONS (path '$droot')")
+        val out = s.sql(
+          s"""SELECT o_orderstatus, count(*) AS n_rows,
+             |  CAST(sum(o_orderkey) AS BIGINT) AS sum_key,
+             |  CAST($histOk AS BIGINT) AS hist_ok,
+             |  CAST($iceRows AS BIGINT) AS ice_rows,
+             |  CAST($iceHist AS BIGINT) AS ice_hist
+             |FROM $tbl GROUP BY o_orderstatus
+             |ORDER BY o_orderstatus""".stripMargin)
+        s.sql(s"DROP TABLE $tbl")
+        out
+      },
+      Some("""SELECT o_orderstatus, count(*) AS n_rows,
+             |  CAST(sum(o_orderkey) AS BIGINT) AS sum_key,
+             |  CAST(1 AS BIGINT) AS hist_ok,
+             |  (SELECT CAST(count(*) AS BIGINT) FROM orders
+             |   WHERE o_orderkey <= 512) AS ice_rows,
+             |  CAST(2 AS BIGINT) AS ice_hist
+             |FROM orders WHERE o_orderkey <= 1024
+             |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin))
   )
 }

@@ -638,17 +638,27 @@ object IcebergMeta {
     val spark = df.sparkSession
     require(!Files.exists(metaDir(root).resolve("version-hint.text")),
       s"iceberg-meta fixture: $root already exists")
-    val missing = partitionBy.filterNot(df.columns.contains)
-    require(missing.isEmpty,
-      s"iceberg-meta fixture: partitionBy names non-columns: ${
-        missing.mkString(", ")}")
     val fieldId = df.schema.fieldNames.zipWithIndex
       .map { case (n, i) => n -> (i + 1) }.toMap
     val typeOf = df.schema.fields.map(f => f.name -> f.dataType).toMap
-    val specFields = partitionBy.zipWithIndex.map { case (c, i) =>
-      (c, 1000 + i, c) } // spec field named after its source column
-    val eSchema = manifestSchemaFor(specFields.map { case (n, fid, src) =>
-      (n, fid, typeOf(src)) })
+    // each spelling is a column name or transform(args...,col):
+    //   "p" | "bucket(4,k)" | "truncate(3,s)" | "year(d)" | "month(d)"
+    //   | "day(d)" — spec-conventional field names (col + suffix)
+    val TwoArg = """(bucket|truncate)\((\d+)\s*,\s*([A-Za-z_][A-Za-z0-9_]*)\)""".r
+    val OneArg = """(year|month|day)\(([A-Za-z_][A-Za-z0-9_]*)\)""".r
+    val specFields = partitionBy.zipWithIndex.map { case (spec, i) =>
+      val (src, t) = spec.trim match {
+        case TwoArg("bucket", n, c) => (c, IceTransform.Bucket(n.toInt))
+        case TwoArg("truncate", w, c) => (c, IceTransform.Truncate(w.toInt))
+        case OneArg(kind, c) => (c, IceTransform.parse(kind))
+        case c => (c, IceTransform.Identity)
+      }
+      require(df.columns.contains(src),
+        s"iceberg-meta fixture: partition source '$src' is not a column")
+      SpecField(src + t.suffix, 1000 + i, src, t)
+    }
+    val eSchema = manifestSchemaFor(specFields.map(f =>
+      (f.name, f.fieldId, f.transform.resultType(typeOf(f.srcCol)))))
     val dataDir = Paths.get(root, "data")
     val entries: Seq[GenericRecord] =
       if (partitionBy.isEmpty) {
@@ -661,15 +671,19 @@ object IcebergMeta {
         val staging = Files.createTempDirectory("ice_fix_").resolve("out")
         val nonce = java.util.UUID.randomUUID().toString.take(8)
         Files.createDirectories(dataDir)
-        stagePartitioned(df, partitionBy, staging).zipWithIndex.map {
+        stagePartitioned(df, specFields.map(f => f.name ->
+            f.transform(org.apache.spark.sql.functions.col(
+              s"`${f.srcCol}`"), typeOf(f.srcCol))), staging)
+          .zipWithIndex.map {
           case ((src, tuple), i) =>
-            val byCol = tuple.toMap
+            val byName = tuple.toMap
             val name = f"part-$i%05d-$nonce.parquet"
             Files.move(src, dataDir.resolve(name))
             dataFileEntry(spark, dataDir.resolve(name), s"data/$name",
               df.schema, fieldId, entrySchema = eSchema,
-              partitionTuple = specFields.map { case (n, _, c) =>
-                n -> partValue(typeOf(c), byCol(c)) })
+              partitionTuple = specFields.map(f => f.name -> partValue(
+                f.transform.resultType(typeOf(f.srcCol)),
+                byName(f.name))))
         }
       }
     val snapId = math.abs(root.hashCode.toLong * 2654435761L) + 1
@@ -686,10 +700,10 @@ object IcebergMeta {
       s"""{"id":${i + 1},"name":"${f.name}","required":${!f.nullable},""" +
         s""""type":"${iceTypeOf(f.dataType)}"}"""
     }.mkString(",")
-    val specJson = specFields.map { case (n, fid, src) =>
-      s"""{"name":"$n","transform":"identity",""" +
-        s""""source-id":${fieldId(src)},"field-id":$fid}"""
-    }.mkString(",")
+    val specJson = specFields.map(f =>
+      s"""{"name":"${f.name}","transform":"${f.transform.json}",""" +
+        s""""source-id":${fieldId(f.srcCol)},"field-id":${f.fieldId}}""")
+      .mkString(",")
     val metaJson =
       s"""{"format-version":2,"table-uuid":"${java.util.UUID.randomUUID()}",
          |"location":"$root","last-sequence-number":1,
@@ -755,10 +769,11 @@ object IcebergMeta {
     if (fv > 2) throw new UnsupportedOperationException(
       s"iceberg-meta: format-version $fv not supported (1 and 2 only)")
     val (schema, nameById) = schemaOf(meta)
-    // a PARTITIONED default spec is honored for IDENTITY transforms:
-    // the staged files split per tuple and each entry records its
-    // partition; non-identity transforms refuse inside the parser
-    val specFields = identitySpecFields(meta, nameById)
+    // a PARTITIONED default spec is honored: the staged files split
+    // per tuple (transforms evaluated per the spec) and each entry
+    // records its partition; unsupported transforms refuse inside
+    // the parser
+    val specFields = specFieldsOf(meta, nameById)
     val tbl = schema.fields.map(f => f.name -> f.dataType).toMap
     val bad = df.schema.fields.filter(f => !tbl.get(f.name).contains(f.dataType))
     require(bad.isEmpty && df.schema.length == schema.length,
@@ -775,8 +790,8 @@ object IcebergMeta {
     val staging = Files.createTempDirectory("ice_stage_").resolve("out")
     val ordered = df.select(schema.fieldNames.head, schema.fieldNames.tail: _*)
     val typeOf = schema.fields.map(f => f.name -> f.dataType).toMap
-    val eSchema = manifestSchemaFor(specFields.map { case (n, fid, src) =>
-      (n, fid, typeOf(src)) })
+    val eSchema = manifestSchemaFor(specFields.map(f =>
+      (f.name, f.fieldId, f.transform.resultType(typeOf(f.srcCol)))))
     val staged: Seq[(Path, Seq[(String, Any)])] =
       if (specFields.isEmpty) {
         ordered.write.mode("errorifexists").parquet(staging.toString)
@@ -784,11 +799,13 @@ object IcebergMeta {
           .filter(n => n.endsWith(".parquet") && !n.startsWith(".")).sorted
           .map(n => (staging.resolve(n), Nil))
       } else
-        stagePartitioned(ordered, specFields.map(_._3), staging).map {
+        stagePartitioned(ordered, specFields.map(f => f.name ->
+          f.transform(org.apache.spark.sql.functions.col(
+            s"`${f.srcCol}`"), typeOf(f.srcCol))), staging).map {
           case (p, tuple) =>
-            val byCol = tuple.toMap
-            (p, specFields.map { case (n, _, src) =>
-              n -> partValue(typeOf(src), byCol(src)) })
+            val byName = tuple.toMap
+            (p, specFields.map(f => f.name -> partValue(
+              f.transform.resultType(typeOf(f.srcCol)), byName(f.name))))
         }
     val dataDir = Paths.get(root, "data")
     Files.createDirectories(dataDir)
@@ -832,13 +849,107 @@ object IcebergMeta {
       meta.get("partition-spec").size()
     else 0
 
-  /** The current (default) partition spec's fields as
-    * (name, field-id, source column name) — IDENTITY transforms only,
-    * anything else refuses: this writer cannot evaluate bucket/
-    * truncate/temporal transforms and writing a wrong tuple would
-    * corrupt partition-based planning for real readers. */
-  private def identitySpecFields(meta: JsonNode,
-      nameById: Map[Int, String]): Seq[(String, Int, String)] = {
+  /** One partition transform this writer can EVALUATE — the stakes
+    * are foreign readers' pruning: a wrong tuple value makes a real
+    * Iceberg reader silently skip data, so every transform here
+    * follows the spec exactly (the bucket hash is pinned to the
+    * spec's published test vectors in IcebergTransformSpec; temporal
+    * transforms count from the 1970 epoch, NOT calendar values). */
+  private[sources] sealed trait IceTransform {
+    /** The spec's transform string ("identity", "bucket[4]", ...). */
+    def json: String
+    /** Tuple value type for a source column of `src`. */
+    def resultType(src: DataType): DataType
+    /** The transform evaluated over the source column. */
+    def apply(c: org.apache.spark.sql.Column, src: DataType)
+        : org.apache.spark.sql.Column
+    /** Spec-conventional field-name suffix ("" for identity). */
+    def suffix: String
+  }
+  private[sources] object IceTransform {
+    import org.apache.spark.sql.Column
+    import org.apache.spark.sql.functions.{datediff, lit, month, pmod, substring, to_date, year}
+    private def wrap(e: org.apache.spark.sql.catalyst.expressions.Expression) =
+      org.apache.spark.sql.GraftColumnBridge.column(e)
+    private def unwrap(c: Column) =
+      org.apache.spark.sql.GraftColumnBridge.expression(c)
+
+    case object Identity extends IceTransform {
+      val json = "identity"; val suffix = ""
+      def resultType(src: DataType): DataType = src
+      def apply(c: Column, src: DataType): Column = c
+    }
+    final case class Bucket(n: Int) extends IceTransform {
+      val json = s"bucket[$n]"; val suffix = "_bucket"
+      def resultType(src: DataType): DataType = src match {
+        case IntegerType | LongType | DateType | StringType => IntegerType
+        case other => throw new UnsupportedOperationException(
+          s"iceberg-meta: bucket transform over $other is not supported")
+      }
+      def apply(c: Column, src: DataType): Column =
+        wrap(graft.expressions.IcebergBucket(unwrap(c), n))
+    }
+    final case class Truncate(w: Int) extends IceTransform {
+      val json = s"truncate[$w]"; val suffix = "_trunc"
+      def resultType(src: DataType): DataType = src match {
+        case IntegerType | LongType | StringType => src
+        case other => throw new UnsupportedOperationException(
+          s"iceberg-meta: truncate transform over $other is not supported")
+      }
+      def apply(c: Column, src: DataType): Column = src match {
+        case StringType => substring(c, 1, w)
+        // spec: v - (((v % W) + W) % W) — floors toward -inf
+        case IntegerType => (c - pmod(c, lit(w))).cast("int")
+        case _ => c - pmod(c, lit(w.toLong))
+      }
+    }
+    sealed abstract class Temporal(val json: String, val suffix: String)
+        extends IceTransform {
+      def resultType(src: DataType): DataType = src match {
+        case DateType => IntegerType
+        case other => throw new UnsupportedOperationException(
+          s"iceberg-meta: $json transform over $other is not supported " +
+            "by this writer (DATE source columns only)")
+      }
+    }
+    case object Year extends Temporal("year", "_year") {
+      def apply(c: Column, src: DataType): Column =
+        (year(c) - 1970).cast("int") // years FROM 1970, per spec
+    }
+    case object Month extends Temporal("month", "_month") {
+      def apply(c: Column, src: DataType): Column =
+        ((year(c) - 1970) * 12 + month(c) - 1).cast("int")
+    }
+    case object Day extends Temporal("day", "_day") {
+      def apply(c: Column, src: DataType): Column =
+        datediff(c, to_date(lit("1970-01-01"))).cast("int")
+    }
+
+    private val BucketRe = """bucket\[(\d+)\]""".r
+    private val TruncRe = """truncate\[(\d+)\]""".r
+    /** Parse the spec's transform string; unknown transforms refuse
+      * loudly (writing a guessed tuple would corrupt pruning). */
+    def parse(s: String): IceTransform = s match {
+      case "identity" => Identity
+      case BucketRe(n) => Bucket(n.toInt)
+      case TruncRe(w) => Truncate(w.toInt)
+      case "year" => Year
+      case "month" => Month
+      case "day" => Day
+      case other => throw new UnsupportedOperationException(
+        s"iceberg-meta: partition transform '$other' is not supported " +
+          "by this writer — use an Iceberg runtime")
+    }
+  }
+
+  private[sources] final case class SpecField(name: String, fieldId: Int,
+      srcCol: String, transform: IceTransform)
+
+  /** The current (default) partition spec's fields, with their
+    * transforms parsed — anything this writer cannot evaluate
+    * refuses inside [[IceTransform.parse]]. */
+  private def specFieldsOf(meta: JsonNode,
+      nameById: Map[Int, String]): Seq[SpecField] = {
     if (!meta.hasNonNull("partition-specs")) return Nil
     val cur = if (meta.hasNonNull("default-spec-id"))
       meta.get("default-spec-id").asInt() else 0
@@ -846,18 +957,13 @@ object IcebergMeta {
       .find(_.get("spec-id").asInt() == cur)
       .getOrElse(return Nil)
     spec.get("fields").elements().asScala.map { f =>
-      val transform = f.get("transform").asText()
-      if (transform != "identity")
-        throw new UnsupportedOperationException(
-          s"iceberg-meta: partition transform '$transform' is not " +
-            "supported by this writer (identity only) — use an " +
-            "Iceberg runtime")
       val srcId = f.get("source-id").asInt()
       val src = nameById.getOrElse(srcId,
         throw new UnsupportedOperationException(
           s"iceberg-meta: partition source-id $srcId is not a " +
             "top-level field of the current schema"))
-      (f.get("name").asText(), f.get("field-id").asInt(), src)
+      SpecField(f.get("name").asText(), f.get("field-id").asInt(), src,
+        IceTransform.parse(f.get("transform").asText()))
     }.toSeq
   }
 
@@ -869,16 +975,16 @@ object IcebergMeta {
     * from its directory path. Returns (file, tuple-as-strings) pairs
     * — None is the null partition. */
   private def stagePartitioned(df: org.apache.spark.sql.DataFrame,
-      partitionBy: Seq[String], staging: Path)
+      derived: Seq[(String, org.apache.spark.sql.Column)], staging: Path)
       : Seq[(Path, Seq[(String, Option[String])])] = {
     import org.apache.spark.sql.functions.col
-    val dup = partitionBy.foldLeft(df)((d, c) =>
-      d.withColumn(s"__p_$c", col(s"`$c`")))
-    // one task per tuple → one data file per tuple (tuples sharing a
+    val dup = derived.foldLeft(df) { case (d, (n, c)) =>
+      d.withColumn(s"__p_$n", c) }
+    // one task per tuple -> one data file per tuple (tuples sharing a
     // hash slot still split: the Hive layout separates them below)
-    dup.repartition(partitionBy.map(c => col(s"`__p_$c`")): _*)
+    dup.repartition(derived.map { case (n, _) => col(s"`__p_$n`") }: _*)
       .write.mode("errorifexists")
-      .partitionBy(partitionBy.map(c => s"__p_$c"): _*)
+      .partitionBy(derived.map { case (n, _) => s"__p_$n" }: _*)
       .parquet(staging.toString)
     def walk(dir: Path, tuple: List[(String, Option[String])])
         : Seq[(Path, Seq[(String, Option[String])])] =
@@ -1094,13 +1200,13 @@ object IcebergMeta {
       s"iceberg-meta: format-version $fv not supported (1 and 2 only)")
     val (schema, nameById) = schemaOf(meta)
     val idByName = nameById.map(_.swap)
-    // a PARTITIONED (identity) spec compacts to ONE file per tuple
-    // (numFiles applies to the unpartitioned layout), like the Delta
-    // side's one-task-per-partition repartition
-    val specFields = identitySpecFields(meta, nameById)
+    // a PARTITIONED spec compacts to ONE file per tuple (numFiles
+    // applies to the unpartitioned layout), like the Delta side's
+    // one-task-per-partition repartition
+    val specFields = specFieldsOf(meta, nameById)
     val typeOf = schema.fields.map(f => f.name -> f.dataType).toMap
-    val eSchema = manifestSchemaFor(specFields.map { case (n, fid, src) =>
-      (n, fid, typeOf(src)) })
+    val eSchema = manifestSchemaFor(specFields.map(f =>
+      (f.name, f.fieldId, f.transform.resultType(typeOf(f.srcCol)))))
     val specId = if (meta.hasNonNull("default-spec-id"))
       meta.get("default-spec-id").asInt() else 0
     val snap = snapshot(root)
@@ -1118,11 +1224,13 @@ object IcebergMeta {
           .filter(p => p.endsWith(".parquet") && !p.startsWith(".")).sorted
           .map(n => (staging.resolve(n), Nil))
       } else
-        stagePartitioned(ordered, specFields.map(_._3), staging).map {
+        stagePartitioned(ordered, specFields.map(f => f.name ->
+          f.transform(org.apache.spark.sql.functions.col(
+            s"`${f.srcCol}`"), typeOf(f.srcCol))), staging).map {
           case (pp, tuple) =>
-            val byCol = tuple.toMap
-            (pp, specFields.map { case (n, _, src) =>
-              n -> partValue(typeOf(src), byCol(src)) })
+            val byName = tuple.toMap
+            (pp, specFields.map(f => f.name -> partValue(
+              f.transform.resultType(typeOf(f.srcCol)), byName(f.name))))
         }
     val dataDir = Paths.get(root, "data")
     Files.createDirectories(dataDir)
@@ -1570,13 +1678,13 @@ object IcebergMeta {
       s"iceberg-meta: $root has no current snapshot to rewrite")
     val (schema, nameById) = schemaOf(meta)
     val idByName = nameById.map(_.swap)
-    // a PARTITIONED (identity) default spec is honored: replacement
-    // files split per tuple, rewritten/carried entries keep their
-    // partition records through [[copyDataFile]]
-    val specFields = identitySpecFields(meta, nameById)
+    // a PARTITIONED default spec is honored: replacement files split
+    // per tuple (transforms evaluated per the spec), rewritten/carried
+    // entries keep their partition records through [[copyDataFile]]
+    val specFields = specFieldsOf(meta, nameById)
     val typeOf = schema.fields.map(f => f.name -> f.dataType).toMap
-    val eSchema = manifestSchemaFor(specFields.map { case (n, fid, src) =>
-      (n, fid, typeOf(src)) })
+    val eSchema = manifestSchemaFor(specFields.map(f =>
+      (f.name, f.fieldId, f.transform.resultType(typeOf(f.srcCol)))))
     val specId = if (meta.hasNonNull("default-spec-id"))
       meta.get("default-spec-id").asInt() else 0
 
@@ -1592,11 +1700,13 @@ object IcebergMeta {
           .filter(n => n.endsWith(".parquet") && !n.startsWith(".")).sorted
           .map(n => (staging.resolve(n), Nil))
       } else
-        stagePartitioned(ordered, specFields.map(_._3), staging).map {
+        stagePartitioned(ordered, specFields.map(f => f.name ->
+          f.transform(org.apache.spark.sql.functions.col(
+            s"`${f.srcCol}`"), typeOf(f.srcCol))), staging).map {
           case (pp, tuple) =>
-            val byCol = tuple.toMap
-            (pp, specFields.map { case (n, _, src) =>
-              n -> partValue(typeOf(src), byCol(src)) })
+            val byName = tuple.toMap
+            (pp, specFields.map(f => f.name -> partValue(
+              f.transform.resultType(typeOf(f.srcCol)), byName(f.name))))
         }
     val dataDir = Paths.get(root, "data")
     Files.createDirectories(dataDir)

@@ -96,10 +96,22 @@ class IcebergMetaDataSource extends RelationProvider
     val root = rootOf(parameters)
     val exists = java.nio.file.Files.exists(
       java.nio.file.Paths.get(root, "metadata"))
-    // identity partition columns for table CREATION (an existing
-    // table's spec comes from its own metadata — appends follow it)
-    val partitionBy = parameters.get("partitionBy").toSeq
-      .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
+    // partition spec for table CREATION (an existing table's spec
+    // comes from its own metadata — appends follow it). Split on
+    // commas OUTSIDE parentheses: "bucket(4,k), day(d)" is two specs.
+    val partitionBy = parameters.get("partitionBy").toSeq.flatMap { s =>
+      val out = scala.collection.mutable.ListBuffer.empty[String]
+      var depth = 0
+      val sb = new StringBuilder
+      s.foreach {
+        case '(' => depth += 1; sb += '('
+        case ')' => depth -= 1; sb += ')'
+        case ',' if depth == 0 => out += sb.toString; sb.clear()
+        case ch => sb += ch
+      }
+      out += sb.toString
+      out.toSeq
+    }.map(_.trim).filter(_.nonEmpty)
     mode match {
       case SaveMode.Append =>
         if (exists) IcebergMeta.append(data, root)

@@ -432,6 +432,54 @@ class IcebergMetaSpec extends SparkSpecBase {
     } finally spark.sql("DROP TABLE IF EXISTS ipt_cow")
   }
 
+  test("TRANSFORM partitioning: bucket/truncate/day write, append, compact") {
+    val root = tmp() + "/t"
+    val df = spark.range(0, 32).toDF("k")
+      .withColumn("s", concat(lit("name"), col("k") % 6))
+      .withColumn("d", date_add(to_date(lit("2024-01-15")), (col("k") % 3).cast("int")))
+      .withColumn("v", col("k") * 10)
+    df.write.format("iceberg-meta")
+      .option("partitionBy", "bucket(4,k), day(d)").save(root)
+    val snap = IcebergMeta.snapshot(root)
+    // tuples = (bucket of k) x (day of d) actually present; reads exact
+    val ds = spark.read.format("iceberg-meta").load(root)
+    assert(ds.count() === 32L)
+    assert(ds.agg(sum("v")).as[Long].head() === (0L until 32L).map(_ * 10).sum)
+    // the metadata records the spec's transform strings
+    val metaDoc = new String(Files.readAllBytes(Paths.get(root,
+      "metadata", "v1.metadata.json")), UTF_8)
+    assert(metaDoc.contains("\"transform\":\"bucket[4]\""))
+    assert(metaDoc.contains("\"transform\":\"day\""))
+    assert(metaDoc.contains("\"name\":\"k_bucket\""))
+    assert(metaDoc.contains("\"name\":\"d_day\""))
+    // append follows the transform spec from the table's own metadata
+    IcebergMeta.append(spark.range(32, 40).toDF("k")
+      .withColumn("s", concat(lit("name"), col("k") % 6))
+      .withColumn("d", to_date(lit("2024-01-15")))
+      .withColumn("v", col("k") * 10), root)
+    assert(spark.read.format("iceberg-meta").load(root).count() === 40L)
+    // COW UPDATE and compaction work over the transform layout
+    spark.sql(s"CREATE TABLE itp_t USING `iceberg-meta` OPTIONS (path '$root')")
+    try {
+      spark.sql("UPDATE itp_t SET v = -5 WHERE k = 7")
+      assert(spark.sql("SELECT v FROM itp_t WHERE k = 7").as[Long]
+        .head() === -5L)
+      IcebergMeta.compact(spark, root)
+      assert(spark.sql("SELECT count(*) FROM itp_t").as[Long]
+        .head() === 40L)
+      assert(spark.sql("SELECT sum(v) FROM itp_t").as[Long].head() ===
+        (0L until 40L).map(k => if (k == 7) -5L else k * 10).sum)
+    } finally spark.sql("DROP TABLE IF EXISTS itp_t")
+    // a truncate(2,s) string layout round-trips too
+    val root2 = tmp() + "/t2"
+    spark.range(0, 12).toDF("k")
+      .withColumn("s", concat(lit("ab"), col("k") % 2, lit("xyz")))
+      .write.format("iceberg-meta").option("partitionBy", "truncate(3,s)")
+      .save(root2)
+    assert(IcebergMeta.snapshot(root2).files.size === 2) // ab0|ab1 prefixes
+    assert(spark.read.format("iceberg-meta").load(root2).count() === 12L)
+  }
+
   test("PARTITIONED spec refusals: non-identity transform, row-level deletes") {
     val root = tmp() + "/t"
     spark.range(0, 8).toDF("k").withColumn("p", col("k") % 2)
@@ -445,16 +493,18 @@ class IcebergMetaSpec extends SparkSpecBase {
       IcebergMeta.deleteEquality(spark, root, Seq(1L).toDF("k"))
     }
     assert(e2.getMessage.contains("PARTITIONED"))
-    // a bucket transform in the metadata refuses the append loudly
+    // a transform this writer cannot evaluate refuses the append
+    // loudly (bucket/truncate/temporal ARE evaluated — see the
+    // TRANSFORM partitioning test)
     val v = IcebergMeta.latestMetadataVersion(root)
     val metaPath = Paths.get(root, "metadata", s"v$v.metadata.json")
     val doc = new String(Files.readAllBytes(metaPath), UTF_8)
-      .replace("\"transform\":\"identity\"", "\"transform\":\"bucket[4]\"")
+      .replace("\"transform\":\"identity\"", "\"transform\":\"void\"")
     Files.write(metaPath, doc.getBytes(UTF_8))
     val e3 = intercept[UnsupportedOperationException] {
       IcebergMeta.append(spark.range(8, 10).toDF("k")
         .withColumn("p", col("k") % 2), root)
     }
-    assert(e3.getMessage.contains("bucket[4]"))
+    assert(e3.getMessage.contains("void"))
   }
 }

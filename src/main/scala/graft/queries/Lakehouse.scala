@@ -2301,6 +2301,15 @@ object Lakehouse {
             r.location.asInstanceOf[graft.sources.IcebergMetaFileIndex]
         }.head.lastListing.get
         val prunedOk = if (kept == 2 && total == nFiles) 1L else 0L
+        // a TRANSFORM layout (bucket[8] on the key — the spec's
+        // murmur3, vector-pinned) must round-trip the same rows: the
+        // hash only places files, never changes visibility
+        val broot = Files.createTempDirectory("ipt_entry_").toString + "/b"
+        src.filter(col("o_orderkey") <= 1024)
+          .write.format("iceberg-meta")
+          .option("partitionBy", "bucket(8,o_orderkey)").save(broot)
+        val bkt = s.read.format("iceberg-meta").load(broot)
+          .agg(count(lit(1)), sum(col("o_orderkey"))).head()
         s.read.format("iceberg-meta").load(root)
           .groupBy(col("p"))
           .agg(count(lit(1)).as("n_rows"),
@@ -2308,13 +2317,19 @@ object Lakehouse {
             countDistinct(col("o_custkey")).as("n_cust"))
           .withColumn("n_files", lit(nFiles).cast("bigint"))
           .withColumn("pruned_ok", lit(prunedOk).cast("bigint"))
+          .withColumn("bkt_rows", lit(bkt.getLong(0)).cast("bigint"))
+          .withColumn("bkt_sum", lit(bkt.getLong(1)).cast("bigint"))
           .orderBy(col("p"))
       },
       Some("""SELECT o_orderkey % 4 AS p, count(*) AS n_rows,
              |  CAST(sum(o_orderkey) AS BIGINT) AS sum_key,
              |  CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_cust,
              |  CAST(8 AS BIGINT) AS n_files,
-             |  CAST(1 AS BIGINT) AS pruned_ok
+             |  CAST(1 AS BIGINT) AS pruned_ok,
+             |  (SELECT CAST(count(*) AS BIGINT) FROM orders
+             |   WHERE o_orderkey <= 1024) AS bkt_rows,
+             |  (SELECT CAST(sum(o_orderkey) AS BIGINT) FROM orders
+             |   WHERE o_orderkey <= 1024) AS bkt_sum
              |FROM orders WHERE o_orderkey <= 2048
              |GROUP BY 1 ORDER BY 1""".stripMargin)),
 

@@ -945,6 +945,30 @@ object IcebergMeta {
   private[sources] final case class SpecField(name: String, fieldId: Int,
       srcCol: String, transform: IceTransform)
 
+  /** The spec-id of an UNPARTITIONED spec, adding one to `meta`
+    * (mutated in place — pass a deep copy you then commit) when the
+    * table has none. GLOBAL equality deletes are written under it:
+    * the spec requires delete-manifest entries to carry THEIR spec's
+    * tuple, and the empty tuple is the one an equality delete that
+    * applies table-wide truthfully has. */
+  private def ensureUnpartitionedSpec(
+      meta: com.fasterxml.jackson.databind.node.ObjectNode): Int = {
+    if (!meta.hasNonNull("partition-specs")) return 0
+    val specs = meta.withArray[
+      com.fasterxml.jackson.databind.node.ArrayNode]("partition-specs")
+    specs.elements().asScala.find(_.get("fields").size() == 0) match {
+      case Some(sp) => sp.get("spec-id").asInt()
+      case None =>
+        val next = specs.elements().asScala
+          .map(_.get("spec-id").asInt()).max + 1
+        val sp = mapper.createObjectNode()
+        sp.put("spec-id", next)
+        sp.putArray("fields")
+        specs.add(sp)
+        next
+    }
+  }
+
   /** The current (default) partition spec's fields, with their
     * transforms parsed — anything this writer cannot evaluate
     * refuses inside [[IceTransform.parse]]. */
@@ -1421,12 +1445,21 @@ object IcebergMeta {
     val fv = meta.get("format-version").asInt()
     if (fv > 2) throw new UnsupportedOperationException(
       s"iceberg-meta: format-version $fv not supported (1 and 2 only)")
-    // same gate as append: unpartitioned default spec only
-    if (currentSpecFields(meta) != 0)
-      throw new UnsupportedOperationException(
-        "iceberg-meta: upsert into a PARTITIONED table is not supported")
     val (schema, nameById) = schemaOf(meta)
     val idByName = nameById.map(_.swap)
+    // PARTITIONED specs: new images split per tuple like append; the
+    // equality delete is GLOBAL (unpartitioned spec, empty tuple)
+    val specFields = specFieldsOf(meta, nameById)
+    val typeOfU = schema.fields.map(f => f.name -> f.dataType).toMap
+    val eSchemaU = manifestSchemaFor(specFields.map(f =>
+      (f.name, f.fieldId, f.transform.resultType(typeOfU(f.srcCol)))))
+    val dataSpecId = if (meta.hasNonNull("default-spec-id"))
+      meta.get("default-spec-id").asInt() else 0
+    val metaOut = meta.deepCopy[
+      com.fasterxml.jackson.databind.node.ObjectNode]
+    val delSpecId =
+      if (specFields.isEmpty) dataSpecId
+      else ensureUnpartitionedSpec(metaOut)
     val tbl = schema.fields.map(f => f.name -> f.dataType).toMap
     val bad = source.schema.fields.filter(f =>
       !tbl.get(f.name).contains(f.dataType))
@@ -1442,17 +1475,31 @@ object IcebergMeta {
     val nonce = java.util.UUID.randomUUID().toString.take(8)
     val dataDir = Paths.get(root, "data")
     Files.createDirectories(dataDir)
-    // new images as ordinary data files
+    // new images as ordinary data files (per tuple when partitioned)
     val staging = Files.createTempDirectory("ice_ups_").resolve("out")
-    source.select(schema.fieldNames.head, schema.fieldNames.tail: _*)
-      .write.mode("errorifexists").parquet(staging.toString)
-    val parts = PosixDataStore.listDir(staging)
-      .filter(p => p.endsWith(".parquet") && !p.startsWith(".")).sorted
-    val dataEntries = parts.zipWithIndex.map { case (nm, i) =>
+    val orderedU = source.select(
+      schema.fieldNames.head, schema.fieldNames.tail: _*)
+    val stagedU: Seq[(Path, Seq[(String, Any)])] =
+      if (specFields.isEmpty) {
+        orderedU.write.mode("errorifexists").parquet(staging.toString)
+        PosixDataStore.listDir(staging)
+          .filter(p => p.endsWith(".parquet") && !p.startsWith(".")).sorted
+          .map(nm => (staging.resolve(nm), Nil))
+      } else
+        stagePartitioned(orderedU, specFields.map(f => f.name ->
+          f.transform(col(s"`${f.srcCol}`"), typeOfU(f.srcCol))),
+          staging).map {
+          case (pp, tuple) =>
+            val byName = tuple.toMap
+            (pp, specFields.map(f => f.name -> partValue(
+              f.transform.resultType(typeOfU(f.srcCol)), byName(f.name))))
+        }
+    val dataEntries = stagedU.zipWithIndex.map { case ((src, tuple), i) =>
       val name = f"part-$i%05d-$nonce.parquet"
       val dst = dataDir.resolve(name)
-      Files.move(staging.resolve(nm), dst)
-      dataFileEntry(spark, dst, s"data/$name", schema, idByName)
+      Files.move(src, dst)
+      dataFileEntry(spark, dst, s"data/$name", schema, idByName,
+        entrySchema = eSchemaU, partitionTuple = tuple)
     }
     val addedRows = dataEntries.map(e => asLong(e.get("data_file")
       .asInstanceOf[GenericRecord].get("record_count"))).sum
@@ -1474,19 +1521,20 @@ object IcebergMeta {
     val snapId = java.util.UUID.randomUUID().getLeastSignificantBits
       .abs.max(1L)
     val dataManifestRel = s"metadata/snap-$snapId-m0.avro"
-    writeAvro(Paths.get(root, dataManifestRel), manifestSchema, dataEntries)
+    writeAvro(Paths.get(root, dataManifestRel), eSchemaU,
+      dataEntries.toSeq)
     val delManifestRel = s"metadata/snap-$snapId-m1.avro"
     writeAvro(Paths.get(root, delManifestRel), manifestSchema, Seq(delEntry))
     val listRel = s"metadata/snap-$snapId.avro"
     writeAvro(Paths.get(root, listRel), manifestListSchema,
       carriedManifests(root, meta) ++ Seq(
         manifestListRow(dataManifestRel,
-          Files.size(Paths.get(root, dataManifestRel)), 0, seq, snapId,
-          dataEntries.size, 0, addedRows, 0L),
+          Files.size(Paths.get(root, dataManifestRel)), dataSpecId, seq,
+          snapId, dataEntries.size, 0, addedRows, 0L),
         manifestListRow(delManifestRel,
-          Files.size(Paths.get(root, delManifestRel)), 0, seq, snapId,
-          1, 0, 0L, 0L, content = 1)))
-    commitSnapshot(root, v, meta, snapId, seq, listRel, "overwrite")
+          Files.size(Paths.get(root, delManifestRel)), delSpecId, seq,
+          snapId, 1, 0, 0L, 0L, content = 1)))
+    commitSnapshot(root, v, metaOut, snapId, seq, listRel, "overwrite")
   }
 
   /** Row-level DELETE by VALUE via a v2 EQUALITY delete file — the
@@ -1515,12 +1563,12 @@ object IcebergMeta {
     val fv = meta.get("format-version").asInt()
     if (fv > 2) throw new UnsupportedOperationException(
       s"iceberg-meta: format-version $fv not supported (1 and 2 only)")
-    // delete manifests this writer emits carry no partition tuples,
-    // which a partitioned spec's readers require on every entry
-    if (currentSpecFields(meta) != 0)
-      throw new UnsupportedOperationException(
-        "iceberg-meta: equality DELETE on a PARTITIONED table is " +
-          "not supported by this writer — use an Iceberg runtime")
+    // on a PARTITIONED table the delete is GLOBAL: its manifest
+    // rides an unpartitioned spec (added to the document if absent),
+    // whose empty tuple is the truthful one for a table-wide delete
+    val metaOut = meta.deepCopy[
+      com.fasterxml.jackson.databind.node.ObjectNode]
+    val delSpecId = ensureUnpartitionedSpec(metaOut)
     val (schema, nameById) = schemaOf(meta)
     val idByName = nameById.map(_.swap)
     val tbl = schema.fields.map(f => f.name -> f.dataType).toMap
@@ -1565,9 +1613,9 @@ object IcebergMeta {
     val listRel = s"metadata/snap-$snapId.avro"
     writeAvro(Paths.get(root, listRel), manifestListSchema,
       carriedManifests(root, meta) :+ manifestListRow(manifestRel,
-        Files.size(Paths.get(root, manifestRel)), 0, seq, snapId,
+        Files.size(Paths.get(root, manifestRel)), delSpecId, seq, snapId,
         entries.size, 0, 0L, 0L, content = 1))
-    commitSnapshot(root, v, meta, snapId, seq, listRel, "delete")
+    commitSnapshot(root, v, metaOut, snapId, seq, listRel, "delete")
   }
 
   /** Clone a manifest entry's parsed `data_file` record into THIS

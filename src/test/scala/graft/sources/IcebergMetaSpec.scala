@@ -484,15 +484,29 @@ class IcebergMetaSpec extends SparkSpecBase {
     val root = tmp() + "/t"
     spark.range(0, 8).toDF("k").withColumn("p", col("k") % 2)
       .write.format("iceberg-meta").option("partitionBy", "p").save(root)
-    // row-level deletes refuse (their manifests carry no tuples)
+    // POSITIONAL deletes refuse (their entries would need per-target
+    // tuples); EQUALITY deletes are GLOBAL — they ride an
+    // unpartitioned spec added to the document and just work
     val e1 = intercept[UnsupportedOperationException] {
       IcebergMeta.delete(spark, root, col("k") === 1)
     }
     assert(e1.getMessage.contains("PARTITIONED"))
-    val e2 = intercept[UnsupportedOperationException] {
-      IcebergMeta.deleteEquality(spark, root, Seq(1L).toDF("k"))
-    }
-    assert(e2.getMessage.contains("PARTITIONED"))
+    IcebergMeta.deleteEquality(spark, root, Seq(1L).toDF("k"))
+    assert(spark.read.format("iceberg-meta").load(root)
+      .orderBy("k").select("k").as[Long].collect().toSeq ===
+      (0L until 8L).filterNot(_ == 1L))
+    val metaDoc = new String(Files.readAllBytes(Paths.get(root,
+      "metadata", s"v${IcebergMeta.latestMetadataVersion(root)}.metadata.json")), UTF_8)
+    assert(metaDoc.contains(""""spec-id" : 1""") ||
+      metaDoc.contains(""""spec-id":1""")) // the global-delete spec
+    // MOR upsert on the partitioned table: delete global, images
+    // split per tuple
+    IcebergMeta.upsertKeyed(spark, root,
+      Seq((0L, 0L), (100L, 0L)).toDF("k", "p")
+        .select(col("k"), (col("k") % 2).as("p")), "k")
+    val after = spark.read.format("iceberg-meta").load(root)
+    assert(after.count() === 8L) // 7 visible + k=0 replaced + k=100 new
+    assert(after.filter(col("k") === 100).count() === 1L)
     // a transform this writer cannot evaluate refuses the append
     // loudly (bucket/truncate/temporal ARE evaluated — see the
     // TRANSFORM partitioning test)
@@ -500,6 +514,7 @@ class IcebergMetaSpec extends SparkSpecBase {
     val metaPath = Paths.get(root, "metadata", s"v$v.metadata.json")
     val doc = new String(Files.readAllBytes(metaPath), UTF_8)
       .replace("\"transform\":\"identity\"", "\"transform\":\"void\"")
+      .replace("\"transform\" : \"identity\"", "\"transform\" : \"void\"")
     Files.write(metaPath, doc.getBytes(UTF_8))
     val e3 = intercept[UnsupportedOperationException] {
       IcebergMeta.append(spark.range(8, 10).toDF("k")

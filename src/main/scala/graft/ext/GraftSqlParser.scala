@@ -35,7 +35,7 @@ import org.apache.spark.sql.types._
   *   GRAFT BRANCH '<root>' DROP <name>
   *   GRAFT BRANCHES '<root>'
   *   GRAFT DETAIL '<root>'
-  *   GRAFT VACUUM DELTA '<root>' [RETAIN <ms> MS]
+  *   GRAFT VACUUM DELTA '<root>' [RETAIN <ms> MS] [DRY RUN]
   *   GRAFT RESTORE DELTA '<root>' VERSION AS OF <n>
   *   GRAFT HISTORY DELTA '<root>'
   *   GRAFT ROLLBACK ICEBERG '<root>' TO SNAPSHOT <id>
@@ -147,6 +147,8 @@ object GraftSqlParser {
     """(?is)\s*GRAFT\s+ROLLBACK\s+ICEBERG\s+'([^']+)'\s+TO\s+SNAPSHOT\s+(\d+)\s*;?\s*""".r
   private val SnapsIce =
     """(?is)\s*GRAFT\s+SNAPSHOTS\s+ICEBERG\s+'([^']+)'\s*;?\s*""".r
+  private val VacDeltaDry =
+    """(?is)\s*GRAFT\s+VACUUM\s+DELTA\s+'([^']+)'(?:\s+RETAIN\s+(\d+)\s+MS)?\s+DRY\s+RUN\s*;?\s*""".r
   private val VacDelta =
     """(?is)\s*GRAFT\s+VACUUM\s+DELTA\s+'([^']+)'(?:\s+RETAIN\s+(\d+)\s+MS)?\s*;?\s*""".r
   private val ExpireIce =
@@ -193,6 +195,9 @@ object GraftSqlParser {
       case HistDelta(p) => Some(GraftDeltaHistoryCommand(p))
       case RollIce(p, sid) => Some(GraftIcebergRollbackCommand(p, sid.toLong))
       case SnapsIce(p) => Some(GraftIcebergSnapshotsCommand(p))
+      case VacDeltaDry(p, retain) => Some(GraftDeltaVacuumCommand(p,
+        Option(retain).map(_.toLong).getOrElse(7L * 24 * 3600 * 1000),
+        dryRun = true))
       case VacDelta(p, retain) => Some(GraftDeltaVacuumCommand(p,
         Option(retain).map(_.toLong).getOrElse(7L * 24 * 3600 * 1000)))
       case ExpireIce(p, older, last) => Some(GraftIcebergExpireCommand(p,
@@ -315,11 +320,12 @@ object GraftSqlParser {
   /** `GRAFT VACUUM DELTA 'root' [RETAIN ms MS]` — delta-spark's
     * VACUUM against a foreign `_delta_log` table (default retention
     * 7 days, its default too). */
-  case class GraftDeltaVacuumCommand(root: String, retainMs: Long)
-      extends LeafRunnableCommand {
+  case class GraftDeltaVacuumCommand(root: String, retainMs: Long,
+      dryRun: Boolean = false) extends LeafRunnableCommand {
     override val output: Seq[Attribute] = Seq(attr("n_deleted", LongType))
     override def run(s: SparkSession): Seq[Row] =
-      Seq(Row(graft.sources.DeltaLog.vacuum(s, root, retainMs)))
+      Seq(Row(graft.sources.DeltaLog.vacuum(s, root, retainMs,
+        dryRun = dryRun)))
   }
 
   /** `GRAFT RESTORE DELTA 'root' VERSION AS OF n` — delta-spark's

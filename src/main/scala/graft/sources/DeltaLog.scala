@@ -848,7 +848,8 @@ object DeltaLog {
     * number of files deleted. */
   def vacuum(spark: SparkSession, root: String,
       retainMs: Long = 7L * 24 * 3600 * 1000,
-      nowMs: Long = System.currentTimeMillis): Long = {
+      nowMs: Long = System.currentTimeMillis,
+      dryRun: Boolean = false): Long = {
     require(retainMs >= 0, s"vacuum: negative retention $retainMs")
     val snap = snapshot(spark, root)
     val store = VersionedTable.dataIO(root)
@@ -873,7 +874,7 @@ object DeltaLog {
       val rel = rootP.relativize(f)
       if (rel.getName(0).toString != "_delta_log" && !hidden(rel) &&
           !keep.contains(f) && store.mtimeMs(f) <= cutoff) {
-        store.deleteFile(f)
+        if (!dryRun) store.deleteFile(f)
         n += 1
       }
     }

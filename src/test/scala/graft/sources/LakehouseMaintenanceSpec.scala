@@ -159,6 +159,11 @@ class LakehouseMaintenanceSpec extends SparkSpecBase {
     // young files survive the default retention; RETAIN 0 MS sweeps
     assert(spark.sql(s"GRAFT VACUUM DELTA '$droot'")
       .as[Long].head() === 0L)
+    // DRY RUN counts without deleting
+    assert(spark.sql(s"GRAFT VACUUM DELTA '$droot' RETAIN 0 MS DRY RUN")
+      .as[Long].head() === 1L)
+    assert(spark.sql(s"GRAFT VACUUM DELTA '$droot' RETAIN 0 MS DRY RUN")
+      .as[Long].head() === 1L) // still there
     assert(spark.sql(s"GRAFT VACUUM DELTA '$droot' RETAIN 0 MS")
       .as[Long].head() === 1L)
     val iroot = tmp() + "/t"

@@ -37,6 +37,7 @@ import org.apache.spark.sql.types._
   *   GRAFT DETAIL '<root>'
   *   GRAFT VACUUM DELTA '<root>' [RETAIN <ms> MS] [DRY RUN]
   *   GRAFT RESTORE DELTA '<root>' VERSION AS OF <n>
+  *   GRAFT CLONE DELTA '<src>' TO '<dst>' [VERSION AS OF <n>]
   *   GRAFT HISTORY DELTA '<root>'
   *   GRAFT ROLLBACK ICEBERG '<root>' TO SNAPSHOT <id>
   *   GRAFT SNAPSHOTS ICEBERG '<root>'
@@ -147,6 +148,8 @@ object GraftSqlParser {
     """(?is)\s*GRAFT\s+ROLLBACK\s+ICEBERG\s+'([^']+)'\s+TO\s+SNAPSHOT\s+(\d+)\s*;?\s*""".r
   private val SnapsIce =
     """(?is)\s*GRAFT\s+SNAPSHOTS\s+ICEBERG\s+'([^']+)'\s*;?\s*""".r
+  private val CloneDelta =
+    """(?is)\s*GRAFT\s+CLONE\s+DELTA\s+'([^']+)'\s+TO\s+'([^']+)'(?:\s+VERSION\s+AS\s+OF\s+(\d+))?\s*;?\s*""".r
   private val VacDeltaDry =
     """(?is)\s*GRAFT\s+VACUUM\s+DELTA\s+'([^']+)'(?:\s+RETAIN\s+(\d+)\s+MS)?\s+DRY\s+RUN\s*;?\s*""".r
   private val VacDelta =
@@ -191,6 +194,8 @@ object GraftSqlParser {
         iceberg = false))
       case ConvertIceberg(src, dst) => Some(GraftConvertCommand(src, dst,
         iceberg = true))
+      case CloneDelta(src, dst, v) => Some(GraftDeltaCloneCommand(src,
+        dst, Option(v).map(_.toLong)))
       case RestDelta(p, v) => Some(GraftDeltaRestoreCommand(p, v.toLong))
       case HistDelta(p) => Some(GraftDeltaHistoryCommand(p))
       case RollIce(p, sid) => Some(GraftIcebergRollbackCommand(p, sid.toLong))
@@ -222,6 +227,7 @@ object GraftSqlParser {
             "VACUUM DELTA 'root' [RETAIN ms MS] | " +
             "EXPIRE SNAPSHOTS 'root' OLDER THAN ms [RETAIN LAST n] | " +
             "RESTORE DELTA 'root' VERSION AS OF n | " +
+            "CLONE DELTA 'src' TO 'dst' [VERSION AS OF n] | " +
             "HISTORY DELTA 'root' | " +
             "ROLLBACK ICEBERG 'root' TO SNAPSHOT id | " +
             "SNAPSHOTS ICEBERG 'root'")
@@ -326,6 +332,17 @@ object GraftSqlParser {
     override def run(s: SparkSession): Seq[Row] =
       Seq(Row(graft.sources.DeltaLog.vacuum(s, root, retainMs,
         dryRun = dryRun)))
+  }
+
+  /** `GRAFT CLONE DELTA 'src' TO 'dst' [VERSION AS OF n]` — shallow
+    * clone: a new table referencing the source's files by absolute
+    * path, zero data copied. */
+  case class GraftDeltaCloneCommand(src: String, dst: String,
+      versionAsOf: Option[Long]) extends LeafRunnableCommand {
+    override val output: Seq[Attribute] = Seq(attr("version", LongType))
+    override def run(s: SparkSession): Seq[Row] =
+      Seq(Row(graft.sources.DeltaLog.cloneShallow(s, src, dst,
+        versionAsOf)))
   }
 
   /** `GRAFT RESTORE DELTA 'root' VERSION AS OF n` — delta-spark's

@@ -819,6 +819,59 @@ object DeltaLog {
     next
   }
 
+  /** SHALLOW CLONE — delta-spark's zero-copy table copy: `dst`
+    * becomes a NEW one-commit Delta table whose adds reference the
+    * SOURCE's data files by ABSOLUTE path (the spec allows absolute
+    * add paths for exactly this). No data moves; stats, partition
+    * values and deletion vectors carry (DVs re-anchor as absolute 'p'
+    * descriptors so they keep resolving from the clone). The clone
+    * then evolves independently — its own commits, DML, VACUUM (which
+    * never deletes the source's files: they live outside the clone's
+    * root, and vacuum only sweeps under it). Vacuuming the SOURCE can
+    * break the clone, delta-spark's documented caveat too. */
+  def cloneShallow(spark: SparkSession, src: String, dst: String,
+      versionAsOf: Option[Long] = None): Long = {
+    val snap = snapshot(spark, src, versionAsOf)
+    require(latestVersion(dst) < 0,
+      s"delta-log: clone target $dst already exists")
+    val srcRoot = Paths.get(src).toAbsolutePath.normalize
+    io(dst).mkdirs(logDir(dst))
+    val lines = scala.collection.mutable.ListBuffer.empty[String]
+    lines += s"""{"commitInfo":{"timestamp":${System.currentTimeMillis},""" +
+      s""""operation":"CLONE"}}"""
+    lines += """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}"""
+    lines += s"""{"metaData":{"id":${jsonStr(java.util.UUID.randomUUID().toString)},""" +
+      s""""format":{"provider":"parquet","options":{}},""" +
+      s""""schemaString":${jsonStr(snap.schema.json)},""" +
+      s""""partitionColumns":[${snap.partitionColumns.map(jsonStr).mkString(",")}],""" +
+      s""""configuration":{${snap.configuration.toSeq.sortBy(_._1)
+        .map { case (k, v) => s"${jsonStr(k)}:${jsonStr(v)}" }.mkString(",")}}}}"""
+    snap.adds.foreach { a =>
+      val abs = {
+        val p = Paths.get(a.path)
+        (if (p.isAbsolute) p else srcRoot.resolve(a.path)).normalize.toString
+      }
+      // DV descriptors with relative ('u') storage resolve against
+      // the TABLE root — re-anchor them absolutely for the clone
+      val dv = a.deletionVector.map { d =>
+        if (d.storageType != "u") d
+        else DeletionVectors.fileOf(src, d) match {
+          case Some(f) => d.copy(storageType = "p",
+            pathOrInlineDv = f.toAbsolutePath.normalize.toString)
+          case None => d
+        }
+      }
+      lines += addLine(a.copy(path = abs, deletionVector = dv))
+    }
+    try io(dst).putIfAbsent(commitPath(dst, 0L),
+      lines.mkString("", "\n", "\n").getBytes(UTF_8))
+    catch {
+      case _: java.nio.file.FileAlreadyExistsException =>
+        throw new VersionedTable.ConcurrentCommitException(0L)
+    }
+    0L
+  }
+
   /** The table's commit history, newest first — DESCRIBE HISTORY's
     * rows: (version, operation, timestamp) from each commit's
     * commitInfo (absent commitInfo → operation NULL; checkpointed-

@@ -208,6 +208,48 @@ class LakehouseMaintenanceSpec extends SparkSpecBase {
     assert(e.getMessage.contains("vacuumed"))
   }
 
+  test("Delta SHALLOW CLONE: absolute-path refs, independent evolution") {
+    val src = tmp()
+    DeltaLog.commit(spark.range(0, 10).toDF("k")
+      .withColumn("p", col("k") % 2).repartition(col("p")),
+      src, partitionBy = Seq("p"))
+    // DV on one source file (u-storage → must re-anchor absolutely)
+    val a = DeltaLog.snapshot(spark, src).adds.head
+    val d = DeletionVectors.writeFile(src, Array(0L))
+    Files.write(Paths.get(src, "_delta_log", f"${1L}%020d.json"),
+      (s"""{"add":{"path":"${a.path}","partitionValues":{${
+        a.partitionValues.map { case (k2, v2) => s""""$k2":"$v2"""" }
+          .mkString(",")}},"size":${a.size},"modificationTime":0,"dataChange":false,"deletionVector":{"storageType":"${d.storageType}","pathOrInlineDv":"${d.pathOrInlineDv}","offset":${d.offset.get},"sizeInBytes":${d.sizeInBytes},"cardinality":${d.cardinality}}}}""" + "\n")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val srcCount = spark.read.format("delta-log").load(src).count()
+    val dst = tmp() + "/clone"
+    spark.sql(s"GRAFT CLONE DELTA '$src' TO '$dst'")
+    val clone = spark.read.format("delta-log").load(dst)
+    assert(clone.count() === srcCount) // DV applied through the clone
+    // zero data files under the clone's root
+    val r = Paths.get(dst)
+    val walked = {
+      val st = Files.walk(r)
+      try st.iterator().asScala.filter(Files.isRegularFile(_))
+        .map(p => r.relativize(p).toString).toSeq
+      finally st.close()
+    }
+    assert(walked.forall(_.startsWith("_delta_log/")))
+    // the clone evolves independently of the source
+    DeltaLog.commit(spark.range(100, 103).toDF("k")
+      .withColumn("p", col("k") % 2).repartition(col("p")),
+      dst, partitionBy = Seq("p"))
+    assert(spark.read.format("delta-log").load(dst).count() ===
+      srcCount + 3)
+    assert(spark.read.format("delta-log").load(src).count() === srcCount)
+    // vacuuming the CLONE never touches the source's files (they are
+    // outside its root)
+    DeltaLog.vacuum(spark, dst, retainMs = 0L)
+    assert(spark.read.format("delta-log").load(src).count() === srcCount)
+    assert(spark.read.format("delta-log").load(dst).count() ===
+      srcCount + 3)
+  }
+
   test("Iceberg ROLLBACK: pointer moves in one metadata commit") {
     val root = tmp() + "/t"
     IcebergMeta.writeFixture(spark.range(0, 4).toDF("k").coalesce(1), root)

@@ -562,7 +562,29 @@ case class IcebergUpsertCommand(root: String, source: LogicalPlan,
   override def innerChildren: Seq[LogicalPlan] = Seq(source)
   override def run(session: SparkSession): Seq[Row] = {
     val src = GraftColumnBridge.ofRows(session, source)
-    graft.sources.IcebergMeta.upsertKeyed(session, root, src, key)
+    // upsertKeyed's equality delete retires EVERY old image of a key
+    // and inserts ONE new image — correct only when the target is
+    // unique per key. SQL MERGE updates each matched row and
+    // preserves row count, so a duplicate-keyed target must NOT take
+    // the fast path (silent row loss). Verify with one column-pruned
+    // aggregate over the key (a key-only scan — manifests prune all
+    // other columns) and fall back to the COW conditional cascade.
+    import org.apache.spark.sql.functions.{col, count, lit}
+    val unique = session.read.format("iceberg-meta").load(root)
+      .groupBy(col(s"`$key`")).agg(count(lit(1)).as("__n"))
+      .filter(col("__n") > 1).limit(1).count() == 0
+    if (unique)
+      graft.sources.IcebergMeta.upsertKeyed(session, root, src, key)
+    else {
+      val tableCols = graft.sources.IcebergMeta.snapshot(root)
+        .schema.fieldNames.toSeq
+      val star = tableCols.map(c =>
+        c -> VersionedTable.MergeRef.source(c)).toMap
+      graft.sources.IcebergMeta.mergeConditional(session, root, src,
+        key, key,
+        Seq(VersionedTable.MergeUpdate(None, star)),
+        Seq(VersionedTable.MergeInsert(None, star)), Nil)
+    }
     Seq.empty
   }
 }

@@ -97,7 +97,15 @@ object DeltaLog {
       columnMapping: Map[String, String] = Map.empty,
       // streaming-writer idempotence state: latest `txn` version per
       // appId (the exactly-once handshake the streaming sink uses)
-      txns: Map[String, Long] = Map.empty) {
+      txns: Map[String, Long] = Map.empty,
+      // the table's protocol action as last replayed — writers carry
+      // it forward on overwrite (never silently downgrade a table)
+      // and check writerFeatures before using feature-gated writes
+      // (deletion vectors)
+      minReaderVersion: Int = 1,
+      minWriterVersion: Int = 2,
+      readerFeatures: Set[String] = Set.empty,
+      writerFeatures: Set[String] = Set.empty) {
     def dataSchema: StructType =
       StructType(schema.fields.filterNot(f => partitionColumns.contains(f.name)))
     def partitionSchema: StructType =
@@ -254,6 +262,10 @@ object DeltaLog {
   /** Mutable replay state. */
   private final class Replay {
     var protocolSeen = false
+    var minReader = 1
+    var minWriter = 2
+    var readerFeatures = Set.empty[String]
+    var writerFeatures = Set.empty[String]
     var schemaJson: Option[String] = None
     var partitionColumns: Seq[String] = Nil
     var configuration: Map[String, String] = Map.empty
@@ -264,6 +276,16 @@ object DeltaLog {
       case "protocol" =>
         protocolSeen = true
         gateProtocol(body)
+        minReader = if (body.hasNonNull("minReaderVersion"))
+          body.get("minReaderVersion").asInt() else 1
+        minWriter = if (body.hasNonNull("minWriterVersion"))
+          body.get("minWriterVersion").asInt() else 2
+        def feats(k: String): Set[String] =
+          if (body.hasNonNull(k))
+            body.get(k).elements().asScala.map(_.asText()).toSet
+          else Set.empty
+        readerFeatures = feats("readerFeatures")
+        writerFeatures = feats("writerFeatures")
       case "metaData" =>
         val fmt = body.get("format")
         if (fmt != null && fmt.hasNonNull("provider") &&
@@ -337,7 +359,11 @@ object DeltaLog {
       replay.partitionColumns, replay.configuration,
       replay.adds.values.toSeq,
       columnMappingOf(root, schema, replay.configuration),
-      txns = replay.txns.toMap)
+      txns = replay.txns.toMap,
+      minReaderVersion = replay.minReader,
+      minWriterVersion = replay.minWriter,
+      readerFeatures = replay.readerFeatures,
+      writerFeatures = replay.writerFeatures)
   }
 
   /** logical → physical top-level names under column mapping
@@ -426,20 +452,48 @@ object DeltaLog {
 
   private def jsonStr(s: String): String = mapper.writeValueAsString(s)
 
-  /** Render footer stats as the spec's per-file `stats` JSON. */
-  private def statsJsonOf(stats: Map[String, VersionedTable.ColStats])
-      : Option[String] = {
+  /** Dotted column path → Spark type, recursively through structs —
+    * what [[statsJsonOf]] needs to serialize temporal stats in the
+    * spec's forms (footer stats type DATE/TIMESTAMP chunks as raw
+    * int32/int64). */
+  private def dottedTypes(schema: StructType): Map[String, DataType] = {
+    def walk(prefix: String, st: StructType): Seq[(String, DataType)] =
+      st.fields.toSeq.flatMap { f =>
+        val p = if (prefix.isEmpty) f.name else s"$prefix.${f.name}"
+        f.dataType match {
+          case s: StructType => (p -> f.dataType) +: walk(p, s)
+          case _ => Seq(p -> f.dataType)
+        }
+      }
+    walk("", schema).toMap
+  }
+
+  /** Render footer stats as the spec's per-file `stats` JSON.
+    * Temporal columns follow the spec's STRING stat forms: DATE
+    * min/max serialize as `"yyyy-MM-dd"` (footer stats carry raw
+    * epoch days); TIMESTAMP/TIMESTAMP_NTZ min/max are OMITTED
+    * (emitting the raw micros a foreign reader would parse as a
+    * timestamp string mis-prunes — absent stats just disable
+    * skipping), with nullCount kept (type-agnostic). */
+  private def statsJsonOf(stats: Map[String, VersionedTable.ColStats],
+      types: Map[String, DataType]): Option[String] = {
     if (stats.isEmpty) return None
     val rows = stats.values.map(_.rows).max
-    def jsonVal(typ: String, v: String): String = typ match {
-      case "long" | "double" => v
-      case _ => jsonStr(v)
-    }
+    def jsonVal(c: String, typ: String, v: String): Option[String] =
+      types.get(c) match {
+        case Some(DateType) =>
+          Some(jsonStr(java.time.LocalDate.ofEpochDay(v.toLong).toString))
+        case Some(TimestampType) | Some(TimestampNTZType) => None
+        case _ => Some(typ match {
+          case "long" | "double" => v
+          case _ => jsonStr(v)
+        })
+      }
     val cols = stats.toSeq.sortBy(_._1)
-    val mins = cols.collect { case (c, cs) if cs.min.isDefined =>
-      s"${jsonStr(c)}:${jsonVal(cs.typ, cs.min.get)}" }
-    val maxs = cols.collect { case (c, cs) if cs.max.isDefined =>
-      s"${jsonStr(c)}:${jsonVal(cs.typ, cs.max.get)}" }
+    val mins = cols.flatMap { case (c, cs) => cs.min.flatMap(v =>
+      jsonVal(c, cs.typ, v)).map(j => s"${jsonStr(c)}:$j") }
+    val maxs = cols.flatMap { case (c, cs) => cs.max.flatMap(v =>
+      jsonVal(c, cs.typ, v)).map(j => s"${jsonStr(c)}:$j") }
     val nulls = cols.map { case (c, cs) => s"${jsonStr(c)}:${cs.nulls}" }
     Some(s"""{"numRecords":$rows,"minValues":{${mins.mkString(",")}},""" +
       s""""maxValues":{${maxs.mkString(",")}},""" +
@@ -493,7 +547,8 @@ object DeltaLog {
       Files.createDirectories(dst.getParent)
       Files.move(p, dst)
       val st = VersionedTable.footerStats(spark, dst)
-      DeltaAdd(rel, pv, nullCols, Files.size(dst), statsJsonOf(st))
+      DeltaAdd(rel, pv, nullCols, Files.size(dst),
+        statsJsonOf(st, dottedTypes(df.schema)))
     }
   }
 
@@ -518,54 +573,232 @@ object DeltaLog {
         s""","stats":${jsonStr(s)}""")}$dvJson}}"""
   }
 
+  /** One spec-shaped `protocol` JSON line. Feature lists are emitted
+    * only at the versions that define them (readerFeatures at 3,
+    * writerFeatures at 7). */
+  private def protocolLine(r: Int, w: Int,
+      rf: Set[String], wf: Set[String]): String = {
+    val rfs = if (r >= 3)
+      s""","readerFeatures":[${rf.toSeq.sorted.map(jsonStr).mkString(",")}]"""
+    else ""
+    val wfs = if (w >= 7)
+      s""","writerFeatures":[${wf.toSeq.sorted.map(jsonStr).mkString(",")}]"""
+    else ""
+    s"""{"protocol":{"minReaderVersion":$r,"minWriterVersion":$w$rfs$wfs}}"""
+  }
+
+  /** One spec-shaped `metaData` JSON line. */
+  private def metaDataLine(schemaJson: String,
+      partitionColumns: Seq[String],
+      configuration: Map[String, String]): String = {
+    val parts = partitionColumns.map(jsonStr).mkString(",")
+    val conf = configuration.toSeq.sortBy(_._1)
+      .map { case (k, v) => s"${jsonStr(k)}:${jsonStr(v)}" }.mkString(",")
+    s"""{"metaData":{"id":${jsonStr(java.util.UUID.randomUUID().toString)},""" +
+      s""""format":{"provider":"parquet","options":{}},""" +
+      s""""schemaString":${jsonStr(schemaJson)},"partitionColumns":[$parts],""" +
+      s""""configuration":{$conf},"createdTime":${System.currentTimeMillis}}}"""
+  }
+
+  /** Writer features a LEGACY minWriterVersion implies — a protocol
+    * upgrade to (3,7) must list them as active (the spec's upgrade
+    * rule; dropping one would let a feature-unaware writer corrupt
+    * an e.g. CDF-enabled table). */
+  private def legacyWriterFeatures(w: Int): Set[String] = {
+    val ladder = Seq(
+      2 -> Set("appendOnly", "invariants"),
+      3 -> Set("checkConstraints"),
+      4 -> Set("generatedColumns", "changeDataFeed"),
+      5 -> Set("columnMapping"),
+      6 -> Set("identityColumns"))
+    ladder.filter(_._1 <= w).flatMap(_._2).toSet
+  }
+  private def legacyReaderFeatures(r: Int): Set[String] =
+    if (r >= 2) Set("columnMapping") else Set.empty
+
+  /** Stamp a FRESH column mapping onto `schema`: every struct field —
+    * top-level and nested — gets `delta.columnMapping.id` (DFS
+    * order, 1-based) and a `col-<uuid>` physicalName, the metadata
+    * the spec requires in BOTH 'name' and 'id' modes. Returns the
+    * mapped logical schema and the maxColumnId to record. */
+  private def stampMapping(schema: StructType): (StructType, Long) = {
+    var nextId = 0L
+    def walk(dt: DataType): DataType = dt match {
+      case st: StructType => StructType(st.fields.map { f =>
+        nextId += 1
+        val id = nextId
+        f.copy(dataType = walk(f.dataType), metadata =
+          new MetadataBuilder().withMetadata(f.metadata)
+            .putLong("delta.columnMapping.id", id)
+            .putString("delta.columnMapping.physicalName",
+              s"col-${java.util.UUID.randomUUID()}")
+            .build())
+      })
+      case ArrayType(e, n) => ArrayType(walk(e), n)
+      case MapType(k, v, n) => MapType(walk(k), walk(v), n)
+      case other => other
+    }
+    val out = walk(schema).asInstanceOf[StructType]
+    (out, nextId)
+  }
+
+  /** Physical schema with `parquet.field.id` copied from the mapping
+    * ids: Spark's parquet writer (fieldId.write.enabled, on by
+    * default) then writes REAL field ids into the staged files —
+    * what an 'id'-mode foreign reader resolves columns by. */
+  private def withParquetFieldIds(schema: StructType): StructType = {
+    def walk(dt: DataType): DataType = dt match {
+      case st: StructType => StructType(st.fields.map { f =>
+        val md = if (f.metadata.contains("delta.columnMapping.id"))
+          new MetadataBuilder().withMetadata(f.metadata)
+            .putLong("parquet.field.id",
+              f.metadata.getLong("delta.columnMapping.id")).build()
+        else f.metadata
+        f.copy(dataType = walk(f.dataType), metadata = md)
+      })
+      case ArrayType(e, n) => ArrayType(walk(e), n)
+      case MapType(k, v, n) => MapType(walk(k), walk(v), n)
+      case other => other
+    }
+    walk(schema).asInstanceOf[StructType]
+  }
+
+  /** `df` restated in the PHYSICAL column space of a mapped table for
+    * staging: every column renamed to its physical name with the
+    * physical field's metadata attached (incl. parquet.field.id);
+    * NESTED renames ride a by-position struct cast — types were
+    * already validated against the logical schema, so the cast can
+    * only rename, never coerce. */
+  private def toPhysicalDf(df: DataFrame, logicalSchema: StructType,
+      root: String): DataFrame = {
+    val phys = withParquetFieldIds(physicalSchemaOf(root, logicalSchema))
+    val byLogical = logicalSchema.fieldNames.zip(phys.fields).toMap
+    df.select(df.schema.fieldNames.toSeq.map { n =>
+      val pf = byLogical.getOrElse(n, throw new IllegalArgumentException(
+        s"delta-log: column $n not in the table schema"))
+      df.col(s"`$n`").cast(pf.dataType).as(pf.name, pf.metadata)
+    }: _*)
+  }
+
   /** Commit `df` to the Delta table at `root`.
     *
     * `mode`: `append` adds files (schema must match the table's by
     * name and type); `overwrite` removes every live file and restates
-    * the metadata. `partitionBy`: identity partition columns — data
+    * the metadata — carrying the existing table's CONFIGURATION and
+    * PROTOCOL forward (an overwrite must not strip CDF or downgrade
+    * features). `partitionBy`: identity partition columns — data
     * files land under Hive-style `col=value/` directories WITHOUT the
     * partition columns (the spec's layout), and each add records its
-    * `partitionValues`. Returns the committed version. */
+    * `partitionValues`.
+    *
+    * `properties` (new tables only) become the table configuration:
+    *  - `delta.columnMapping.mode` = `name`|`id` creates a
+    *    COLUMN-MAPPED table — the schema is stamped with mapping ids
+    *    and `col-<uuid>` physical names, files stage under physical
+    *    names with parquet field ids, and the protocol records
+    *    (2,5);
+    *  - `delta.enableDeletionVectors` = `true` raises the protocol
+    *    to (3,7) with the `deletionVectors` feature, after which
+    *    [[deleteWhere]] writes DVs instead of rewriting files.
+    *
+    * Appends and overwrites of MAPPED tables (created here or by
+    * delta-spark) stage in physical space automatically; overwrite
+    * of a mapped table must keep the table schema (the restated
+    * schemaString is the existing mapped one). Returns the committed
+    * version. */
   def commit(df: DataFrame, root: String, mode: String = "append",
       partitionBy: Seq[String] = Nil,
-      txn: Option[(String, Long)] = None): Long = {
+      txn: Option[(String, Long)] = None,
+      properties: Map[String, String] = Map.empty): Long = {
     require(mode == "append" || mode == "overwrite",
       s"delta-log: mode must be append|overwrite, got $mode")
     val spark = df.sparkSession
     io(root).mkdirs(logDir(root))
     val latest = latestVersion(root)
     val existing = if (latest < 0) None else Some(snapshot(spark, root))
-    existing.foreach { s =>
-      if (mode == "append") {
-        require(s.partitionColumns == partitionBy,
-          s"delta-log: append partitioning $partitionBy != table's " +
-            s"${s.partitionColumns}")
-        val tbl = s.schema.fields.map(f => f.name -> f.dataType).toMap
-        val bad = df.schema.fields.filter(f =>
-          !tbl.get(f.name).contains(f.dataType))
-        require(bad.isEmpty,
-          s"delta-log: append schema mismatch on ${bad.map(_.name).mkString(", ")}")
-      }
+    require(existing.isEmpty || properties.isEmpty,
+      "delta-log: table properties are set at CREATION (or via " +
+        "setConfiguration) — not on writes to an existing table")
+    // target shape: (logical schema to record, configuration,
+    // protocol) — existing tables carry theirs forward, new tables
+    // derive from `properties`
+    val (recordSchema, configuration, proto) = existing match {
+      case Some(s) =>
+        if (mode == "append") {
+          require(s.partitionColumns == partitionBy,
+            s"delta-log: append partitioning $partitionBy != table's " +
+              s"${s.partitionColumns}")
+          val tbl = s.schema.fields.map(f => f.name -> f.dataType).toMap
+          val bad = df.schema.fields.filter(f =>
+            !tbl.get(f.name).contains(f.dataType))
+          require(bad.isEmpty,
+            s"delta-log: append schema mismatch on ${bad.map(_.name).mkString(", ")}")
+        } else if (s.columnMapping.nonEmpty) {
+          // the restated schemaString is the existing MAPPED one, so
+          // the incoming frame must BE the logical schema
+          require(df.schema.fields.toSeq.map(f => (f.name, f.dataType)) ==
+            s.schema.fields.toSeq.map(f => (f.name, f.dataType)),
+            "delta-log: overwrite of a column-mapped table must keep " +
+              "the table schema (mapped schema evolution needs " +
+              "delta-spark)")
+          require(partitionBy == s.partitionColumns,
+            "delta-log: overwrite of a column-mapped table must keep " +
+              s"its partitioning ${s.partitionColumns}")
+        }
+        val schema =
+          if (mode == "overwrite" && s.columnMapping.isEmpty) df.schema
+          else s.schema
+        (schema, s.configuration,
+          (s.minReaderVersion, s.minWriterVersion,
+            s.readerFeatures, s.writerFeatures))
+      case None =>
+        val mapMode = properties.getOrElse("delta.columnMapping.mode", "none")
+        require(mapMode == "none" || mapMode == "name" || mapMode == "id",
+          s"delta-log: column mapping mode '$mapMode' not supported")
+        val wantsDv =
+          properties.get("delta.enableDeletionVectors").contains("true")
+        val (schema, conf) =
+          if (mapMode == "none") (df.schema, properties)
+          else {
+            val (mapped, maxId) = stampMapping(df.schema)
+            (mapped, properties +
+              ("delta.columnMapping.maxColumnId" -> maxId.toString))
+          }
+        val mapFeat =
+          if (mapMode == "none") Set.empty[String] else Set("columnMapping")
+        val p =
+          if (wantsDv)
+            (3, 7, Set("deletionVectors") ++ mapFeat ++
+              (if (mapMode == "none") Set.empty[String]
+               else legacyReaderFeatures(2)),
+              Set("deletionVectors") ++ mapFeat ++ legacyWriterFeatures(
+                if (mapMode == "none") 2 else 5))
+          else if (mapMode != "none") (2, 5, Set.empty[String], Set.empty[String])
+          else (1, 2, Set.empty[String], Set.empty[String])
+        (schema, conf, p)
     }
+    // COLUMN-MAPPED tables: parquet files (and partition dirs) carry
+    // PHYSICAL names — stage the frame renamed, with field ids for
+    // 'id'-mode readers. Ungated, a logical-name append would read
+    // back all-NULL through every mapped reader (this repo's and
+    // delta-spark's).
+    val mapping = existing.map(_.columnMapping).getOrElse(
+      columnMappingOf(root, recordSchema, configuration))
+    val stagedDf =
+      if (mapping.isEmpty) df else toPhysicalDf(df, recordSchema, root)
+    val stagedPartitionBy = partitionBy.map(c => mapping.getOrElse(c, c))
     // data files: stage, then relocate under the table root with
     // globally unique names (the spec requires uniqueness, not layout;
     // Hive-style dirs keep the table browsable)
     val nonce = java.util.UUID.randomUUID().toString.take(8)
-    // subdir: createTempDirectory pre-creates the parent, and Spark's
-    // errorifexists mode refuses an existing target path
-    val adds = stageAndLand(spark, df, root, partitionBy, nonce)
+    val adds = stageAndLand(spark, stagedDf, root, stagedPartitionBy, nonce)
     val next = latest + 1
     val lines = scala.collection.mutable.ListBuffer.empty[String]
     lines += s"""{"commitInfo":{"timestamp":${System.currentTimeMillis},""" +
       s""""operation":"${if (mode == "append") "WRITE" else "OVERWRITE"}"}}"""
     if (latest < 0 || mode == "overwrite") {
-      lines += """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}"""
-      val schemaJson = jsonStr(df.schema.json)
-      val parts = partitionBy.map(jsonStr).mkString(",")
-      lines += s"""{"metaData":{"id":${jsonStr(java.util.UUID.randomUUID().toString)},""" +
-        s""""format":{"provider":"parquet","options":{}},""" +
-        s""""schemaString":$schemaJson,"partitionColumns":[$parts],""" +
-        s""""configuration":{},"createdTime":${System.currentTimeMillis}}}"""
+      lines += protocolLine(proto._1, proto._2, proto._3, proto._4)
+      lines += metaDataLine(recordSchema.json, partitionBy, configuration)
     }
     if (mode == "overwrite") existing.foreach(_.adds.foreach { a =>
       lines += s"""{"remove":{"path":${jsonStr(encodePath(a.path))},""" +
@@ -648,8 +881,97 @@ object DeltaLog {
           java.util.UUID.randomUUID().toString.take(8),
           prefix = "_change_data/")
       }
+    // DELETION-VECTOR path: when the table opted in
+    // (delta.enableDeletionVectors) and its protocol carries the
+    // writer feature, a delete touching a SMALL fraction of the
+    // touched files' rows writes DVs instead of rewriting files —
+    // O(deleted rows) commit I/O instead of re-staging every
+    // surviving row of every touched file. Falls back to COW when
+    // the delete is driver-unboundable or dense (rewriting is
+    // cheaper than carrying a majority-dead file).
+    if (snap.configuration.get("delta.enableDeletionVectors")
+        .contains("true") &&
+      snap0.minWriterVersion >= 7 &&
+      snap0.writerFeatures.contains("deletionVectors")) {
+      val matched = vis.filter(coalesce(cond, lit(false)))
+        .select(DeltaLogRead.FpCol, DeltaLogRead.PosCol)
+      dvDelete(spark, root, snap, matched,
+        touchedAdds.toSeq, idx, cdcAdds) match {
+        case Some(v) => return v
+        case None => () // too large/dense — COW below
+      }
+    }
     replaceFiles(spark, root, touchedAdds.map(_.path).toSeq, keep,
       snap.partitionColumns, cdcAdds)
+  }
+
+  /** `numRecords` from an add's stats JSON — the physical row count
+    * [[dvDelete]] needs for its density bound. */
+  private def numRecordsOf(a: DeltaAdd): Option[Long] =
+    a.statsJson.flatMap { js =>
+      try {
+        val n = mapper.readTree(js)
+        if (n.hasNonNull("numRecords")) Some(n.get("numRecords").asLong())
+        else None
+      } catch { case scala.util.control.NonFatal(_) => None }
+    }
+
+  /** Deleted-positions ceiling for one DV-writing delete: positions
+    * collect to the driver (they are commit metadata, like the log),
+    * so a larger delete falls back to copy-on-write. */
+  private val MaxDvPositions = 2 * 1000 * 1000
+
+  /** The DV write path of [[deleteWhere]]: collect the matched
+    * (file, position) pairs, merge each touched file's existing DV,
+    * write one spec-framed DV file per touched data file, and commit
+    * remove+add pairs that KEEP every data file (same path, stats,
+    * partition values) under its new descriptor. A file whose merged
+    * DV covers every physical row is removed outright (no dead-file
+    * add). Returns None when the delete exceeds [[MaxDvPositions]],
+    * a touched file lacks numRecords (density unknowable), or the
+    * touched files would end up majority-deleted (COW is cheaper). */
+  private def dvDelete(spark: SparkSession, root: String,
+      snap: DeltaSnapshot, matched: DataFrame,
+      touchedAdds: Seq[DeltaAdd],
+      idx: DeltaLogFileIndex, cdcAdds: Seq[DeltaAdd]): Option[Long] = {
+    val rows = matched.limit(MaxDvPositions + 1).collect()
+    if (rows.length > MaxDvPositions) return None
+    val physRows = touchedAdds.map(a => numRecordsOf(a) match {
+      case Some(n) => n
+      case None => return None
+    }).sum
+    val priorDeleted = touchedAdds.flatMap(_.deletionVector)
+      .map(_.cardinality).sum
+    if ((priorDeleted + rows.length).toDouble / physRows.max(1L) > 0.5)
+      return None
+    val byFile = rows.groupBy(_.getString(0))
+      .map { case (u, rs) => u -> rs.map(_.getLong(1)).sorted }
+    val lines = scala.collection.mutable.ListBuffer.empty[String]
+    lines += s"""{"commitInfo":{"timestamp":${System.currentTimeMillis},""" +
+      """"operation":"DELETE"}}"""
+    touchedAdds.foreach { a =>
+      val fresh = byFile.getOrElse(idx.scanUriOf(a), Array.empty[Long])
+      val mergedPos = a.deletionVector match {
+        case Some(d) =>
+          (DeletionVectors.read(root, d) ++ fresh).distinct.sorted
+        case None => fresh
+      }
+      lines += s"""{"remove":{"path":${jsonStr(encodePath(a.path))},""" +
+        s""""deletionTimestamp":${System.currentTimeMillis},""" +
+        """"dataChange":true}}"""
+      if (mergedPos.length < numRecordsOf(a).get) // fully-dead file: no re-add
+        lines += addLine(a.copy(deletionVector =
+          Some(DeletionVectors.writeFile(root, mergedPos))))
+    }
+    cdcAdds.foreach(a => lines += cdcLine(a))
+    val next = snap.version + 1
+    try io(root).putIfAbsent(commitPath(root, next),
+      lines.mkString("", "\n", "\n").getBytes(UTF_8))
+    catch {
+      case _: java.nio.file.FileAlreadyExistsException =>
+        throw new VersionedTable.ConcurrentCommitException(next)
+    }
+    Some(next)
   }
 
   /** A predicate with its TOP-LEVEL attribute names remapped
@@ -676,6 +998,18 @@ object DeltaLog {
     })
   }
 
+  /** One spec-shaped `cdc` JSON line (change-data file under
+    * `_change_data/`). */
+  private def cdcLine(a: DeltaAdd): String = {
+    val pvJson = (a.partitionValues.toSeq.sortBy(_._1)
+      .map { case (k, v) => s"${jsonStr(k)}:${jsonStr(v)}" } ++
+      a.nullPartitionCols.toSeq.sorted.map(k => s"${jsonStr(k)}:null"))
+      .mkString(",")
+    s"""{"cdc":{"path":${jsonStr(encodePath(a.path))},""" +
+      s""""partitionValues":{$pvJson},"size":${a.size},""" +
+      """"dataChange":false}}"""
+  }
+
   /** COW support: land `df` as new data files (Hive-style dirs +
     * re-recorded `partitionValues` when `partitionBy` is set) and
     * commit one version of `remove(removedPaths)` + `add(new files)`. */
@@ -697,15 +1031,7 @@ object DeltaLog {
         """"dataChange":true}}"""
     }
     adds.foreach(a => lines += addLine(a))
-    cdcAdds.foreach { a =>
-      val pvJson = (a.partitionValues.toSeq.sortBy(_._1)
-        .map { case (k, v) => s"${jsonStr(k)}:${jsonStr(v)}" } ++
-        a.nullPartitionCols.toSeq.sorted.map(k => s"${jsonStr(k)}:null"))
-        .mkString(",")
-      lines += s"""{"cdc":{"path":${jsonStr(encodePath(a.path))},""" +
-        s""""partitionValues":{$pvJson},"size":${a.size},""" +
-        """"dataChange":false}}"""
-    }
+    cdcAdds.foreach(a => lines += cdcLine(a))
     try io(root).putIfAbsent(commitPath(root, next),
       lines.mkString("", "\n", "\n").getBytes(UTF_8))
     catch {
@@ -1163,18 +1489,24 @@ object DeltaLog {
     val snap = snapshot(spark, root)
     val next = snap.version + 1
     val merged = snap.configuration ++ props
-    val confJson = merged.toSeq.sortBy(_._1)
-      .map { case (k, v) => s"${jsonStr(k)}:${jsonStr(v)}" }
-      .mkString(",")
-    val parts = snap.partitionColumns.map(jsonStr).mkString(",")
-    val line =
-      s"""{"metaData":{"id":${jsonStr(java.util.UUID.randomUUID().toString)},""" +
-        s""""format":{"provider":"parquet","options":{}},""" +
-        s""""schemaString":${jsonStr(snap.schema.json)},""" +
-        s""""partitionColumns":[$parts],""" +
-        s""""configuration":{$confJson}}}"""
+    val lines = scala.collection.mutable.ListBuffer.empty[String]
+    // enabling deletion vectors needs the (3,7) feature protocol —
+    // upgrade in the SAME commit (keeping the legacy-implied features
+    // active, the spec's upgrade rule); never downgrade anything
+    if (props.get("delta.enableDeletionVectors").contains("true") &&
+      !(snap.minWriterVersion >= 7 &&
+        snap.writerFeatures.contains("deletionVectors"))) {
+      val rf = snap.readerFeatures ++
+        legacyReaderFeatures(snap.minReaderVersion) ++
+        Set("deletionVectors")
+      val wf = snap.writerFeatures ++
+        legacyWriterFeatures(snap.minWriterVersion) ++
+        Set("deletionVectors")
+      lines += protocolLine(3, 7, rf, wf)
+    }
+    lines += metaDataLine(snap.schema.json, snap.partitionColumns, merged)
     try io(root).putIfAbsent(commitPath(root, next),
-      (line + "\n").getBytes(UTF_8))
+      lines.mkString("", "\n", "\n").getBytes(UTF_8))
     catch {
       case _: java.nio.file.FileAlreadyExistsException =>
         throw new VersionedTable.ConcurrentCommitException(next)

@@ -144,13 +144,19 @@ class Graft2Scan(root: String, version: Long, full: StructType,
 
   override def planInputPartitions(): Array[InputPartition] = {
     val (files, _) = Graft2Scan.planState(root, version)
-    val keep = files.filter { case (_, stats, bloomRel) =>
-      // bloom loaded lazily once per file, through the data seam
-      lazy val bloom = bloomRel.map(rel =>
-        org.apache.spark.util.sketch.BloomFilter.readFrom(
-          new java.io.ByteArrayInputStream(
-            VersionedTable.readDataBytes(root, rel))))
-      filters.forall(f => Graft2Scan.mayMatch(stats, () => bloom, f))
+    val keep = files.filter { case (_, stats, bloomRels) =>
+      // blooms loaded lazily once per (file, column), through the data
+      // seam — and probed ONLY for the column they index (a probe of
+      // column B against column A's bloom would wrongly prune files)
+      val loaded =
+        scala.collection.mutable.Map[String,
+          org.apache.spark.util.sketch.BloomFilter]()
+      def bloomFor(col: String) = bloomRels.get(col).map(rel =>
+        loaded.getOrElseUpdate(col,
+          org.apache.spark.util.sketch.BloomFilter.readFrom(
+            new java.io.ByteArrayInputStream(
+              VersionedTable.readDataBytes(root, rel)))))
+      filters.forall(f => Graft2Scan.mayMatch(stats, bloomFor, f))
     }
     Graft2DataSource.lastPlanned(root) = (keep.size, files.size)
     keep.map { case (abs, _, _) =>
@@ -164,10 +170,12 @@ class Graft2Scan(root: String, version: Long, full: StructType,
 
 object Graft2Scan {
   /** Driver-side snapshot resolution: (per-file (absolute path, stats,
-    * bloom-sidecar abs path), total bytes). Refuses tombstoned or
-    * column-mapped snapshots (this path cannot honor them). */
+    * bloom sidecars KEYED BY INDEXED COLUMN), total bytes). Refuses
+    * tombstoned or column-mapped snapshots (this path cannot honor
+    * them). */
   private[sources] def planState(root: String, v: Long)
-      : (Seq[(String, Map[String, VersionedTable.ColStats], Option[String])],
+      : (Seq[(String, Map[String, VersionedTable.ColStats],
+          Map[String, String])],
         Long) = {
     val st = VersionedTable.state(root, v)
     if (st.tombs.values.exists(_.nonEmpty))
@@ -180,19 +188,23 @@ object Graft2Scan {
           "format(\"graft\")")
     val files = st.files.map { f =>
       val stats = st.stats.getOrElse(f, Map.empty)
-      val bloomRel = st.blooms.collectFirst {
-        case ((ff, _), sc) if ff == f => sc
-      }
-      (VersionedTable.dataPath(root, f).toString, stats, bloomRel)
+      val bloomRels = st.blooms.collect {
+        case ((ff, col), sc) if ff == f => col -> sc
+      }.toMap
+      (VersionedTable.dataPath(root, f).toString, stats, bloomRels)
     }
     val bytes = st.files.map(f => st.sizes.getOrElse(f, 0L)).sum
     (files, bytes)
   }
 
   /** Can any row of a file with `stats` satisfy v1-filter `f`?
-    * Unrecognized shapes keep the file (conservative). */
+    * `bloom(col)` yields the file's sidecar indexing exactly `col`
+    * (probing a bloom built over a DIFFERENT column would prune files
+    * that do contain matches — mirrors [[GraftFileIndex]]'s
+    * `(file, column)`-keyed bloomOk). Unrecognized shapes keep the
+    * file (conservative). */
   private[sources] def mayMatch(stats: Map[String, VersionedTable.ColStats],
-      bloom: () => Option[org.apache.spark.util.sketch.BloomFilter],
+      bloom: String => Option[org.apache.spark.util.sketch.BloomFilter],
       f: Filter): Boolean = {
     def cs(c: String) = stats.get(c)
     f match {
@@ -202,7 +214,7 @@ object Graft2Scan {
         mayMatch(stats, bloom, a) || mayMatch(stats, bloom, b)
       case EqualTo(c, v) =>
         VersionedTable.mayMatch(cs(c), Some(v), Some(v)) &&
-          bloom().forall(_.mightContainString(VersionedTable.bloomProbe(v)))
+          bloom(c).forall(_.mightContainString(VersionedTable.bloomProbe(v)))
       case In(c, vs) =>
         vs.exists(v => VersionedTable.mayMatch(cs(c), Some(v), Some(v)))
       case GreaterThan(c, v) => VersionedTable.mayMatch(cs(c), Some(v), None)

@@ -2393,6 +2393,65 @@ object Lakehouse {
              |   WHERE o_orderkey <= 512) AS ice_rows,
              |  CAST(2 AS BIGINT) AS ice_hist
              |FROM orders WHERE o_orderkey <= 1024
+             |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)),
+
+    // DELTA ADVANCED-FEATURE WRITER (round 9): the round-8 reader
+    // honored deletion vectors and column mapping but could not
+    // CREATE them — a delta-spark user round-tripping advanced tables
+    // hit a one-way door. This entry exercises the writer end of both
+    // features: `orders` lands as a table created with
+    // `delta.columnMapping.mode = id` (schema stamped with mapping
+    // ids + col-<uuid> physical names, files staged under PHYSICAL
+    // names with real parquet field ids, protocol (2,5) raised to
+    // (3,7) by `delta.enableDeletionVectors`), then SQL DELETE takes
+    // the DV path: the commit writes per-file deletion vectors and
+    // re-adds the SAME data files — `dv_no_rewrite` pins that ZERO
+    // data files were restaged (O(deleted rows), the point of DVs at
+    // 100 TB) and that descriptors exist. A second DELETE proves DV
+    // MERGING; logical-name aggregation reads through the mapping
+    // with the DVs applied. Oracle restates both deletes over raw
+    // orders. DeletionVectorsSpec/DeltaColumnMappingSpec pin the
+    // protocol lines, field ids, density fallback, and fully-dead
+    // file handling.
+    QueryDef(
+      "q253_delta_dv_writer",
+      (s, d) => {
+        val root = Files.createTempDirectory("dvw_entry_").toString + "/t"
+        val tbl = "dvw_orders_entry"
+        val src = orders(s, d).select(col("o_orderkey"), col("o_custkey"),
+          col("o_orderstatus"))
+        src.coalesce(2).write.format("delta-log")
+          .option("delta.columnMapping.mode", "id")
+          .option("delta.enableDeletionVectors", "true").save(root)
+        val before = graft.sources.DeltaLog.snapshot(s, root)
+        s.sql(s"DROP TABLE IF EXISTS $tbl")
+        s.sql(s"CREATE TABLE $tbl USING `delta-log` OPTIONS (path '$root')")
+        s.sql(s"DELETE FROM $tbl WHERE o_orderkey % 20 = 11")
+        s.sql(s"DELETE FROM $tbl WHERE o_orderkey % 20 = 4")
+        val after = graft.sources.DeltaLog.snapshot(s, root)
+        val dvNoRewrite =
+          if (after.adds.map(_.path).toSet ==
+              before.adds.map(_.path).toSet &&
+            after.adds.exists(_.deletionVector.isDefined) &&
+            before.minWriterVersion == 7 &&
+            before.columnMapping.nonEmpty) 1L
+          else 0L
+        val out = s.sql(
+          s"""SELECT o_orderstatus, count(*) AS n_kept,
+             |  CAST(sum(o_custkey) AS BIGINT) AS sum_cust,
+             |  CAST(sum(o_orderkey) AS BIGINT) AS sum_key,
+             |  CAST($dvNoRewrite AS BIGINT) AS dv_no_rewrite
+             |FROM $tbl GROUP BY o_orderstatus
+             |ORDER BY o_orderstatus""".stripMargin)
+        s.sql(s"DROP TABLE $tbl")
+        out
+      },
+      Some("""SELECT o_orderstatus, count(*) AS n_kept,
+             |  CAST(sum(o_custkey) AS BIGINT) AS sum_cust,
+             |  CAST(sum(o_orderkey) AS BIGINT) AS sum_key,
+             |  CAST(1 AS BIGINT) AS dv_no_rewrite
+             |FROM orders
+             |WHERE o_orderkey % 20 <> 11 AND o_orderkey % 20 <> 4
              |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin))
   )
 }

@@ -600,6 +600,21 @@ object DeltaLog {
       s""""configuration":{$conf},"createdTime":${System.currentTimeMillis}}}"""
   }
 
+  /** `dt` with every nested nullability flag forced true and field
+    * metadata dropped — for nullability- and metadata-INSENSITIVE
+    * schema compatibility checks (writing non-null rows into a
+    * nullable column is always sound; mapping ids on the table's
+    * nested fields are not a shape difference). */
+  private def nullableOf(dt: DataType): DataType = dt match {
+    case st: StructType => StructType(st.fields.map(f =>
+      f.copy(dataType = nullableOf(f.dataType), nullable = true,
+        metadata = Metadata.empty)))
+    case ArrayType(e, _) => ArrayType(nullableOf(e), containsNull = true)
+    case MapType(k, v, _) =>
+      MapType(nullableOf(k), nullableOf(v), valueContainsNull = true)
+    case other => other
+  }
+
   /** Writer features a LEGACY minWriterVersion implies — a protocol
     * upgrade to (3,7) must list them as active (the spec's upgrade
     * rule; dropping one would let a feature-unaware writer corrupt
@@ -627,7 +642,11 @@ object DeltaLog {
       case st: StructType => StructType(st.fields.map { f =>
         nextId += 1
         val id = nextId
-        f.copy(dataType = walk(f.dataType), metadata =
+        // nullable-normalized: the logical-restore projection rebuilds
+        // nested structs via null-guarded struct(), which is nullable —
+        // a NOT NULL nested field in the recorded schema could never
+        // be restored (and nullable is a pure widening)
+        f.copy(dataType = walk(f.dataType), nullable = true, metadata =
           new MetadataBuilder().withMetadata(f.metadata)
             .putLong("delta.columnMapping.id", id)
             .putString("delta.columnMapping.physicalName",
@@ -728,16 +747,20 @@ object DeltaLog {
           require(s.partitionColumns == partitionBy,
             s"delta-log: append partitioning $partitionBy != table's " +
               s"${s.partitionColumns}")
-          val tbl = s.schema.fields.map(f => f.name -> f.dataType).toMap
+          // nullability-insensitive: writing non-null rows into a
+          // nullable column is always sound
+          val tbl = s.schema.fields
+            .map(f => f.name -> nullableOf(f.dataType)).toMap
           val bad = df.schema.fields.filter(f =>
-            !tbl.get(f.name).contains(f.dataType))
+            !tbl.get(f.name).contains(nullableOf(f.dataType)))
           require(bad.isEmpty,
             s"delta-log: append schema mismatch on ${bad.map(_.name).mkString(", ")}")
         } else if (s.columnMapping.nonEmpty) {
           // the restated schemaString is the existing MAPPED one, so
           // the incoming frame must BE the logical schema
-          require(df.schema.fields.toSeq.map(f => (f.name, f.dataType)) ==
-            s.schema.fields.toSeq.map(f => (f.name, f.dataType)),
+          require(
+            df.schema.fields.toSeq.map(f => (f.name, nullableOf(f.dataType))) ==
+            s.schema.fields.toSeq.map(f => (f.name, nullableOf(f.dataType))),
             "delta-log: overwrite of a column-mapped table must keep " +
               "the table schema (mapped schema evolution needs " +
               "delta-spark)")

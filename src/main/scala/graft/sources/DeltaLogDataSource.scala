@@ -153,18 +153,40 @@ class DeltaLogDataSource extends RelationProvider
     val partitionBy = parameters.get("partitionBy")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
       .getOrElse(Nil)
+    // `delta.`-prefixed writer options become table PROPERTIES at
+    // creation (column mapping mode, DV enablement, CDF, ...); on an
+    // EXISTING table they are dropped here — the table's own
+    // configuration governs (re-used creation options must not make
+    // routine appends refuse); change properties via setConfiguration
     val exists = DeltaLog.latestVersion(root) >= 0
+    // Spark hands options over case-insensitively (iteration may
+    // yield lowercased keys) but Delta property keys are
+    // case-sensitive in the log — restore the canonical spellings of
+    // the properties this writer acts on
+    val canonicalProp = Map(
+      "delta.columnmapping.mode" -> "delta.columnMapping.mode",
+      "delta.enabledeletionvectors" -> "delta.enableDeletionVectors",
+      "delta.enablechangedatafeed" -> "delta.enableChangeDataFeed")
+    val properties =
+      if (exists) Map.empty[String, String]
+      else parameters.collect {
+        case (k, v) if k.toLowerCase.startsWith("delta.") =>
+          canonicalProp.getOrElse(k.toLowerCase, k) -> v }
     mode match {
       case SaveMode.Append =>
-        DeltaLog.commit(data, root, "append", partitionBy)
+        DeltaLog.commit(data, root, "append", partitionBy,
+          properties = properties)
       case SaveMode.Overwrite =>
-        DeltaLog.commit(data, root, "overwrite", partitionBy)
+        DeltaLog.commit(data, root, "overwrite", partitionBy,
+          properties = properties)
       case SaveMode.ErrorIfExists =>
         if (exists) throw new IllegalStateException(
           s"$root already is a Delta table (SaveMode.ErrorIfExists)")
-        DeltaLog.commit(data, root, "append", partitionBy)
+        DeltaLog.commit(data, root, "append", partitionBy,
+          properties = properties)
       case SaveMode.Ignore =>
-        if (!exists) DeltaLog.commit(data, root, "append", partitionBy)
+        if (!exists) DeltaLog.commit(data, root, "append", partitionBy,
+          properties = properties)
     }
     createRelation(sqlContext, parameters)
   }

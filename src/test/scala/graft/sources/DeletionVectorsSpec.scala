@@ -191,4 +191,89 @@ class DeletionVectorsSpec extends SparkSpecBase {
     }
     assert(e2.getMessage.contains("decode ceiling"))
   }
+
+  test("DELETE on a DV-enabled table WRITES a deletion vector: no data file rewritten") {
+    val root = tmp()
+    spark.range(0, 100).toDF("k").withColumn("v", col("k") * 10)
+      .coalesce(2).write.format("delta-log")
+      .option("delta.enableDeletionVectors", "true").save(root)
+    val before = DeltaLog.snapshot(spark, root)
+    assert(before.minReaderVersion === 3 && before.minWriterVersion === 7)
+    assert(before.writerFeatures.contains("deletionVectors"))
+    // small delete → DV path: same data files, new descriptors
+    DeltaLog.deleteWhere(spark, root, col("k") % 10 === 3)
+    val after = DeltaLog.snapshot(spark, root)
+    assert(after.adds.map(_.path).toSet === before.adds.map(_.path).toSet,
+      "a DV delete must not rewrite or re-stage any data file")
+    assert(after.adds.flatMap(_.deletionVector).map(_.cardinality).sum === 10)
+    val ds = spark.read.format("delta-log").load(root)
+    assert(ds.count() === 90)
+    assert(ds.filter(col("k") % 10 === 3).count() === 0)
+    // second delete MERGES into the existing DVs (one descriptor per
+    // file still, cardinality grows)
+    DeltaLog.deleteWhere(spark, root, col("k") % 10 === 7)
+    val after2 = DeltaLog.snapshot(spark, root)
+    assert(after2.adds.map(_.path).toSet === before.adds.map(_.path).toSet)
+    assert(after2.adds.flatMap(_.deletionVector).map(_.cardinality).sum === 20)
+    assert(spark.read.format("delta-log").load(root).count() === 80)
+    // time travel: pre-delete version still reads 100
+    assert(spark.read.format("delta-log").option("versionAsOf", 0)
+      .load(root).count() === 100)
+    // a DENSE delete (>50% of touched files' rows) falls back to COW
+    DeltaLog.deleteWhere(spark, root, col("k") < 70)
+    val after3 = DeltaLog.snapshot(spark, root)
+    assert(spark.read.format("delta-log").load(root).count() ===
+      (70 until 100).count(k => k % 10 != 3 && k % 10 != 7))
+    assert(after3.adds.forall(a =>
+      !before.adds.map(_.path).contains(a.path) &&
+        a.deletionVector.isEmpty),
+      "dense delete should COW-rewrite and materialize the DVs")
+  }
+
+  test("DV delete drops a fully-dead file; compact purges descriptors") {
+    val root = tmp()
+    // two single-partition files: k 0..9 and k 10..39
+    spark.range(0, 10).toDF("k").coalesce(1).write.format("delta-log")
+      .option("delta.enableDeletionVectors", "true").save(root)
+    spark.range(10, 40).toDF("k").coalesce(1).write.format("delta-log")
+      .mode("append").save(root)
+    val before = DeltaLog.snapshot(spark, root)
+    assert(before.adds.size === 2)
+    // kill ALL of file 1 and a bit of file 2 — 11/40 stays under the
+    // 50% density bound, so the DV path runs, and the fully-dead
+    // file is REMOVED outright (no zombie add)
+    DeltaLog.deleteWhere(spark, root, col("k") < 10 || col("k") === 11)
+    val after = DeltaLog.snapshot(spark, root)
+    assert(after.adds.size === 1)
+    assert(before.adds.map(_.path).contains(after.adds.head.path))
+    assert(after.adds.head.deletionVector.exists(_.cardinality === 1L))
+    assert(spark.read.format("delta-log").load(root)
+      .select("k").as[Long].collect().sorted.toSeq ===
+      (10L until 40L).filter(_ != 11))
+    // REORG PURGE: compaction materializes the written DV
+    DeltaLog.compact(spark, root)
+    val purged = DeltaLog.snapshot(spark, root)
+    assert(purged.adds.forall(_.deletionVector.isEmpty))
+    assert(spark.read.format("delta-log").load(root).count() === 29)
+  }
+
+  test("enabling DVs on an existing table upgrades the protocol in-commit") {
+    val root = tmp()
+    spark.range(0, 40).toDF("k").coalesce(1)
+      .write.format("delta-log").save(root)
+    val v0 = DeltaLog.snapshot(spark, root)
+    assert(v0.minWriterVersion === 2)
+    DeltaLog.setConfiguration(spark, root,
+      Map("delta.enableDeletionVectors" -> "true"))
+    val v1 = DeltaLog.snapshot(spark, root)
+    assert(v1.minReaderVersion === 3 && v1.minWriterVersion === 7)
+    // legacy-implied features stay listed (spec upgrade rule)
+    assert(Set("appendOnly", "invariants", "deletionVectors")
+      .subsetOf(v1.writerFeatures))
+    DeltaLog.deleteWhere(spark, root, col("k") === 5)
+    val v2 = DeltaLog.snapshot(spark, root)
+    assert(v2.adds.map(_.path).toSet === v0.adds.map(_.path).toSet)
+    assert(v2.adds.head.deletionVector.exists(_.cardinality === 1L))
+    assert(spark.read.format("delta-log").load(root).count() === 39)
+  }
 }

@@ -302,4 +302,89 @@ class DeltaColumnMappingSpec extends SparkSpecBase {
     // flat filters still prune through to the physical scan
     assert(ds.filter(col("k") <= 2).count() === 3)
   }
+
+  test("writer CREATES a mapped table: physical files, field ids, DML round trip") {
+    val root = tmp()
+    spark.range(0, 20).toDF("k").withColumn("v", col("k") * 10)
+      .coalesce(1).write.format("delta-log")
+      .option("delta.columnMapping.mode", "id").save(root)
+    val snap = DeltaLog.snapshot(spark, root)
+    assert(snap.minReaderVersion === 2 && snap.minWriterVersion === 5)
+    assert(snap.configuration.get("delta.columnMapping.mode")
+      .contains("id"))
+    assert(snap.configuration.get("delta.columnMapping.maxColumnId")
+      .contains("2"))
+    assert(snap.columnMapping.keySet === Set("k", "v"))
+    assert(snap.columnMapping.values.forall(_.startsWith("col-")))
+    // the staged parquet carries PHYSICAL names (and, id mode, real
+    // parquet field ids — what a foreign id-mode reader resolves by)
+    val raw = spark.read.parquet(root + "/" + snap.adds.head.path)
+    assert(raw.columns.toSeq.sorted ===
+      snap.columnMapping.values.toSeq.sorted)
+    val footer = org.apache.parquet.hadoop.ParquetFileReader.open(
+      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(
+          Paths.get(root, snap.adds.head.path).toUri),
+        spark.sparkContext.hadoopConfiguration))
+    try {
+      import scala.jdk.CollectionConverters._
+      val ids = footer.getFooter.getFileMetaData.getSchema.getFields
+        .asScala.map(f => Option(f.getId).map(_.intValue()))
+      assert(ids.flatten.toSet === Set(1, 2),
+        "id-mode files must carry parquet field ids from the mapping")
+    } finally footer.close()
+    // logical read + append through the mapping
+    val ds = spark.read.format("delta-log").load(root)
+    assert(ds.columns.toSeq === Seq("k", "v"))
+    assert(ds.agg(sum("v")).as[Long].head() ===
+      (0 until 20).map(_ * 10L).sum)
+    spark.range(20, 30).toDF("k").withColumn("v", col("k") * 10)
+      .write.format("delta-log").mode("append").save(root)
+    assert(spark.read.format("delta-log").load(root).count() === 30)
+    // SQL DML drives the physical rewrite end to end
+    spark.sql(s"CREATE TABLE dcm_cw USING `delta-log` OPTIONS (path '$root')")
+    try {
+      spark.sql("DELETE FROM dcm_cw WHERE k >= 25")
+      spark.sql("UPDATE dcm_cw SET v = 0 WHERE k = 3")
+      assert(spark.sql(
+        "SELECT count(*) AS c, sum(v) AS s FROM dcm_cw")
+        .as[(Long, Long)].head() ===
+        ((25L, (0 until 25).filter(_ != 3).map(_ * 10L).sum)))
+    } finally spark.sql("DROP TABLE IF EXISTS dcm_cw")
+    // overwrite keeps the mapping, config and protocol
+    spark.range(0, 5).toDF("k").withColumn("v", col("k"))
+      .write.format("delta-log").mode("overwrite").save(root)
+    val ow = DeltaLog.snapshot(spark, root)
+    assert(ow.columnMapping === snap.columnMapping)
+    assert(ow.minWriterVersion === 5)
+    assert(spark.read.format("delta-log").load(root)
+      .agg(sum("v")).as[Long].head() === 10L)
+  }
+
+  test("writer CREATES a mapped table with NESTED columns; append restates them") {
+    val root = tmp()
+    val df = spark.range(0, 8).toDF("id")
+      .withColumn("rec", struct(col("id").as("a"),
+        struct((col("id") * 2).as("b")).as("inner")))
+    df.coalesce(1).write.format("delta-log")
+      .option("delta.columnMapping.mode", "name").save(root)
+    val snap = DeltaLog.snapshot(spark, root)
+    // every nested struct field got an id + physicalName (4 fields:
+    // id, rec, rec.a, rec.inner, rec.inner.b)
+    assert(snap.configuration.get("delta.columnMapping.maxColumnId")
+      .contains("5"))
+    val ds = spark.read.format("delta-log").load(root)
+    assert(ds.columns.toSeq === Seq("id", "rec"))
+    assert(ds.select(col("rec.inner.b")).as[Long].collect().sorted
+      .toSeq === (0L until 8L).map(_ * 2))
+    // nested append restates physical names via the struct cast
+    spark.range(8, 10).toDF("id")
+      .withColumn("rec", struct(col("id").as("a"),
+        struct((col("id") * 2).as("b")).as("inner")))
+      .write.format("delta-log").mode("append").save(root)
+    val all = spark.read.format("delta-log").load(root)
+    assert(all.count() === 10)
+    assert(all.agg(sum(col("rec.inner.b"))).as[Long].head() ===
+      (0L until 10L).map(_ * 2).sum)
+  }
 }

@@ -1542,19 +1542,31 @@ object Lakehouse {
         val tbl = "ice_del_orders_entry"
         val src = orders(s, d).select(col("o_orderkey"), col("o_custkey"),
           col("o_orderstatus"))
+        // round 9: the table is PARTITIONED (identity on status) —
+        // the positional delete now scopes ONE delete file per
+        // touched tuple, each delete-manifest entry restating the
+        // target files' r102 partition record
         src.filter(col("o_orderkey") <= 4096L)
-          .repartitionByRange(4, col("o_orderkey"))
-          .write.format("iceberg-meta").save(root)
+          .write.format("iceberg-meta")
+          .option("partitionBy", "o_orderstatus").save(root)
         src.filter(col("o_orderkey") > 4096L)
-          .repartitionByRange(4, col("o_orderkey"))
           .write.format("iceberg-meta").mode("append").save(root)
+        val preFiles = graft.sources.IcebergMeta.snapshot(root)
+          .files.map(_.path).toSet
         s.sql(s"DROP TABLE IF EXISTS $tbl")
         s.sql(s"CREATE TABLE $tbl USING `iceberg-meta` OPTIONS (path '$root')")
         s.sql(s"DELETE FROM $tbl WHERE o_orderkey % 100 < 7")
+        val snap = graft.sources.IcebergMeta.snapshot(root)
+        val morOk =
+          if (snap.files.map(_.path).toSet == preFiles &&
+            snap.deletes.nonEmpty &&
+            snap.deletes.size <= 3) 1L // ≤ one delete file per tuple
+          else 0L
         val out = s.sql(
           s"""SELECT o_orderstatus, count(*) AS n_kept,
              |  CAST(sum(o_custkey) AS BIGINT) AS sum_cust,
-             |  CAST(sum(o_orderkey) AS BIGINT) AS sum_key
+             |  CAST(sum(o_orderkey) AS BIGINT) AS sum_key,
+             |  CAST($morOk AS BIGINT) AS mor_ok
              |FROM $tbl GROUP BY o_orderstatus
              |ORDER BY o_orderstatus""".stripMargin)
         s.sql(s"DROP TABLE $tbl")
@@ -1562,7 +1574,8 @@ object Lakehouse {
       },
       Some("""SELECT o_orderstatus, count(*) AS n_kept,
              |  CAST(sum(o_custkey) AS BIGINT) AS sum_cust,
-             |  CAST(sum(o_orderkey) AS BIGINT) AS sum_key
+             |  CAST(sum(o_orderkey) AS BIGINT) AS sum_key,
+             |  CAST(1 AS BIGINT) AS mor_ok
              |FROM orders WHERE o_orderkey % 100 >= 7
              |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)),
 

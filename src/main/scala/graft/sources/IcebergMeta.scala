@@ -60,7 +60,11 @@ object IcebergMeta {
   final case class IceFile(path: String, recordedPath: String,
       sizeBytes: Long, records: Long,
       stats: Map[String, VersionedTable.ColStats],
-      seq: Long = 0L)
+      seq: Long = 0L,
+      // the entry's r102 partition tuple (field name → Avro value,
+      // Utf8 normalized to String) — what a PARTITIONED positional
+      // delete must restate on its own delete-manifest entries
+      partitionTuple: Seq[(String, Any)] = Nil)
 
   /** A v2 POSITIONAL delete file: parquet of (file_path, pos) rows.
     * `pathLo`/`pathHi` are the manifest's file_path bounds (reserved
@@ -346,9 +350,19 @@ object IcebergMeta {
               }
             }
             val recorded = asStr(df.get("file_path"))
+            val tuple: Seq[(String, Any)] = fieldOpt(df, "partition") match {
+              case Some(pr: GenericRecord) =>
+                pr.getSchema.getFields.asScala.toSeq.map { fld =>
+                  fld.name() -> (pr.get(fld.name()) match {
+                    case u: org.apache.avro.util.Utf8 => u.toString
+                    case o => o
+                  })
+                }
+              case _ => Nil
+            }
             Some(IceFile(resolvePath(root, recorded), recorded,
               fieldOpt(df, "file_size_in_bytes").map(asLong).getOrElse(0L),
-              records, stats, entrySeq(e, listRow)))
+              records, stats, entrySeq(e, listRow), tuple))
           }
         }
       }
@@ -1142,12 +1156,17 @@ object IcebergMeta {
     val v = latestMetadataVersion(root)
     val meta = mapper.readTree(Files.readAllBytes(
       metaDir(root).resolve(s"v$v.metadata.json")))
-    // delete manifests this writer emits carry no partition tuples,
-    // which a partitioned spec's readers require on every entry
-    if (currentSpecFields(meta) != 0)
-      throw new UnsupportedOperationException(
-        "iceberg-meta: row-level DELETE on a PARTITIONED table is " +
-          "not supported by this writer — use an Iceberg runtime")
+    val (schema, nameById) = schemaOf(meta)
+    // a PARTITIONED spec's readers require an r102 partition tuple on
+    // every delete-manifest entry: deletes group ONE delete file per
+    // target partition tuple (restated from the target data files'
+    // own replayed tuples), exactly like the data side (q251)
+    val specFields = specFieldsOf(meta, nameById)
+    val typeOf = schema.fields.map(f => f.name -> f.dataType).toMap
+    val eSchema = manifestSchemaFor(specFields.map(f =>
+      (f.name, f.fieldId, f.transform.resultType(typeOf(f.srcCol)))))
+    val specId = if (meta.hasNonNull("default-spec-id"))
+      meta.get("default-spec-id").asInt() else 0
     val snap = snapshot(root)
     // the position machinery resolves POSITIONAL deletes only; rows an
     // equality delete hides would be re-recorded (harmlessly) AND rows
@@ -1156,31 +1175,67 @@ object IcebergMeta {
       "iceberg-meta: positional DELETE on a table carrying EQUALITY " +
         "delete files is not supported — use deleteEquality, or " +
         "rewrite the table first")
+    if (specFields.nonEmpty)
+      snap.files.foreach(f => require(
+        f.partitionTuple.map(_._1) == specFields.map(_.name),
+        s"iceberg-meta: data file ${f.recordedPath} carries no " +
+          "partition tuple under the current spec (partition-spec " +
+          "evolution) — positional DELETE cannot scope its delete " +
+          "manifest; rewrite the table first"))
     // visible rows matching cond, addressed as (recordedPath, pos)
     val visible = IcebergMetaRead.withPositions(spark, snap)
     val hits = visible.filter(cond)
       .join(broadcast(IcebergMetaRead.uriToRecorded(spark, snap.files)),
         Seq(IcebergMetaRead.FpCol))
       .select(col("file_path"), col(IcebergMetaRead.PosCol).as("pos"))
-      .sortWithinPartitions("file_path", "pos") // spec ordering
     val staging = Files.createTempDirectory("ice_del_").resolve("out")
-    hits.write.mode("errorifexists").parquet(staging.toString)
-    val parts = PosixDataStore.listDir(staging)
-      .filter(n => n.endsWith(".parquet") && !n.startsWith(".")).sorted
     val nonce = java.util.UUID.randomUUID().toString.take(8)
     val dataDir = Paths.get(root, "data")
     Files.createDirectories(dataDir)
-    val entries = parts.zipWithIndex.flatMap { case (n, i) =>
+    // (delete parquet, the r102 tuple its entry restates)
+    val staged: Seq[(Path, Seq[(String, Any)])] =
+      if (specFields.isEmpty) {
+        hits.sortWithinPartitions("file_path", "pos") // spec ordering
+          .write.mode("errorifexists").parquet(staging.toString)
+        PosixDataStore.listDir(staging)
+          .filter(n => n.endsWith(".parquet") && !n.startsWith("."))
+          .sorted.map(n => (staging.resolve(n), Nil))
+      } else {
+        // one delete file per TARGET TUPLE: route each hit to its
+        // target file's tuple (metadata-size broadcast map), one task
+        // per tuple, Hive dirs split tuples sharing a task
+        val tuples = snap.files.map(_.partitionTuple).distinct
+        val idxOf = tuples.zipWithIndex.toMap
+        import spark.implicits._
+        val fpToIdx = spark.createDataset(snap.files.map(f =>
+          (f.recordedPath, idxOf(f.partitionTuple))))
+          .toDF("file_path", "__tuple")
+        hits.join(broadcast(fpToIdx), Seq("file_path"))
+          .repartition(col("__tuple"))
+          .sortWithinPartitions("__tuple", "file_path", "pos")
+          .write.mode("errorifexists").partitionBy("__tuple")
+          .parquet(staging.toString)
+        val dirs = PosixDataStore.listDir(staging)
+          .filter(_.startsWith("__tuple=")).sorted
+        dirs.flatMap { d =>
+          val idx = d.stripPrefix("__tuple=").toInt
+          PosixDataStore.listDir(staging.resolve(d))
+            .filter(n => n.endsWith(".parquet") && !n.startsWith("."))
+            .sorted.map(n => (staging.resolve(d).resolve(n), tuples(idx)))
+        }
+      }
+    val entries = staged.zipWithIndex.flatMap { case ((p, tuple), i) =>
       // drop empty split files; an all-empty delete is a no-op commit
-      val rows = VersionedTable.footerStats(spark, staging.resolve(n))
+      val rows = VersionedTable.footerStats(spark, p)
         .values.map(_.rows).maxOption.getOrElse(0L)
       if (rows == 0L) None
       else {
         val name = f"delete-$i%05d-$nonce.parquet"
         val dst = dataDir.resolve(name)
-        Files.move(staging.resolve(n), dst)
+        Files.move(p, dst)
         Some(dataFileEntry(spark, dst, s"data/$name", deleteSchema,
-          deleteFieldIds, content = 1))
+          deleteFieldIds, content = 1, entrySchema = eSchema,
+          partitionTuple = tuple))
       }
     }
     if (entries.isEmpty) return snap.snapshotId
@@ -1189,11 +1244,11 @@ object IcebergMeta {
     val snapId = java.util.UUID.randomUUID().getLeastSignificantBits
       .abs.max(1L)
     val manifestRel = s"metadata/snap-$snapId-m0.avro"
-    writeAvro(Paths.get(root, manifestRel), manifestSchema, entries)
+    writeAvro(Paths.get(root, manifestRel), eSchema, entries)
     val listRel = s"metadata/snap-$snapId.avro"
     writeAvro(Paths.get(root, listRel), manifestListSchema,
       carriedManifests(root, meta) :+ manifestListRow(manifestRel,
-        Files.size(Paths.get(root, manifestRel)), 0, seq, snapId,
+        Files.size(Paths.get(root, manifestRel)), specId, seq, snapId,
         entries.size, 0, 0L, 0L, content = 1))
     commitSnapshot(root, v, meta, snapId, seq, listRel, "delete")
   }

@@ -480,21 +480,29 @@ class IcebergMetaSpec extends SparkSpecBase {
     assert(spark.read.format("iceberg-meta").load(root2).count() === 12L)
   }
 
-  test("PARTITIONED spec refusals: non-identity transform, row-level deletes") {
+  test("PARTITIONED spec: per-tuple positional deletes, global equality deletes") {
     val root = tmp() + "/t"
     spark.range(0, 8).toDF("k").withColumn("p", col("k") % 2)
       .write.format("iceberg-meta").option("partitionBy", "p").save(root)
-    // POSITIONAL deletes refuse (their entries would need per-target
-    // tuples); EQUALITY deletes are GLOBAL — they ride an
-    // unpartitioned spec added to the document and just work
-    val e1 = intercept[UnsupportedOperationException] {
-      IcebergMeta.delete(spark, root, col("k") === 1)
-    }
-    assert(e1.getMessage.contains("PARTITIONED"))
-    IcebergMeta.deleteEquality(spark, root, Seq(1L).toDF("k"))
+    // POSITIONAL delete on a partitioned spec (round 9): one delete
+    // file per TARGET TUPLE, each delete-manifest entry restating the
+    // tuple (r102) — k=1 (p=1) and k=2 (p=0) live in different tuples
+    val preFiles = IcebergMeta.snapshot(root).files.map(_.path).toSet
+    IcebergMeta.delete(spark, root, col("k") === 1 || col("k") === 2)
+    val snapPd = IcebergMeta.snapshot(root)
+    assert(snapPd.deletes.size === 2,
+      "expected one positional delete file per touched tuple")
+    assert(snapPd.files.map(_.path).toSet === preFiles,
+      "MOR: no data file rewritten")
     assert(spark.read.format("iceberg-meta").load(root)
       .orderBy("k").select("k").as[Long].collect().toSeq ===
-      (0L until 8L).filterNot(_ == 1L))
+      Seq(0L, 3L, 4L, 5L, 6L, 7L))
+    // EQUALITY deletes are GLOBAL — they ride an unpartitioned spec
+    // added to the document and just work
+    IcebergMeta.deleteEquality(spark, root, Seq(3L).toDF("k"))
+    assert(spark.read.format("iceberg-meta").load(root)
+      .orderBy("k").select("k").as[Long].collect().toSeq ===
+      Seq(0L, 4L, 5L, 6L, 7L))
     val metaDoc = new String(Files.readAllBytes(Paths.get(root,
       "metadata", s"v${IcebergMeta.latestMetadataVersion(root)}.metadata.json")), UTF_8)
     assert(metaDoc.contains(""""spec-id" : 1""") ||
@@ -505,7 +513,7 @@ class IcebergMetaSpec extends SparkSpecBase {
       Seq((0L, 0L), (100L, 0L)).toDF("k", "p")
         .select(col("k"), (col("k") % 2).as("p")), "k")
     val after = spark.read.format("iceberg-meta").load(root)
-    assert(after.count() === 8L) // 7 visible + k=0 replaced + k=100 new
+    assert(after.count() === 6L) // 5 visible + k=0 replaced + k=100 new
     assert(after.filter(col("k") === 100).count() === 1L)
     // a transform this writer cannot evaluate refuses the append
     // loudly (bucket/truncate/temporal ARE evaluated — see the

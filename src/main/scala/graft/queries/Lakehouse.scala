@@ -2323,6 +2323,26 @@ object Lakehouse {
           .option("partitionBy", "bucket(8,o_orderkey)").save(broot)
         val bkt = s.read.format("iceberg-meta").load(broot)
           .agg(count(lit(1)), sum(col("o_orderkey"))).head()
+        // round 9: HOUR transform leg — six hour tuples, and an
+        // hour-range predicate prunes by the per-file TIMESTAMP
+        // bounds (manifest single-value epoch-micros longs, exactly
+        // what a Catalyst timestamp literal carries)
+        val hroot = Files.createTempDirectory("ipt_entry_").toString + "/h"
+        src.filter(col("o_orderkey") <= 1024)
+          .withColumn("ts",
+            timestamp_seconds((col("o_orderkey") % 6) * 3600))
+          .write.format("iceberg-meta")
+          .option("partitionBy", "hour(ts)").save(hroot)
+        val hq = s.read.format("iceberg-meta").load(hroot)
+          .filter(col("ts") < timestamp_seconds(lit(9000))) // 2.5 h
+        val hrRows = hq.count()
+        val (hKept, hTotal) = hq.queryExecution.optimizedPlan.collect {
+          case org.apache.spark.sql.execution.datasources.LogicalRelation(
+              r: org.apache.spark.sql.execution.datasources.HadoopFsRelation,
+              _, _, _, _) =>
+            r.location.asInstanceOf[graft.sources.IcebergMetaFileIndex]
+        }.head.lastListing.get
+        val hrOk = if (hKept == 3 && hTotal == 6) 1L else 0L
         s.read.format("iceberg-meta").load(root)
           .groupBy(col("p"))
           .agg(count(lit(1)).as("n_rows"),
@@ -2332,6 +2352,8 @@ object Lakehouse {
           .withColumn("pruned_ok", lit(prunedOk).cast("bigint"))
           .withColumn("bkt_rows", lit(bkt.getLong(0)).cast("bigint"))
           .withColumn("bkt_sum", lit(bkt.getLong(1)).cast("bigint"))
+          .withColumn("hr_rows", lit(hrRows).cast("bigint"))
+          .withColumn("hr_ok", lit(hrOk).cast("bigint"))
           .orderBy(col("p"))
       },
       Some("""SELECT o_orderkey % 4 AS p, count(*) AS n_rows,
@@ -2342,7 +2364,11 @@ object Lakehouse {
              |  (SELECT CAST(count(*) AS BIGINT) FROM orders
              |   WHERE o_orderkey <= 1024) AS bkt_rows,
              |  (SELECT CAST(sum(o_orderkey) AS BIGINT) FROM orders
-             |   WHERE o_orderkey <= 1024) AS bkt_sum
+             |   WHERE o_orderkey <= 1024) AS bkt_sum,
+             |  (SELECT CAST(count(*) AS BIGINT) FROM orders
+             |   WHERE o_orderkey <= 1024 AND o_orderkey % 6 < 3)
+             |    AS hr_rows,
+             |  CAST(1 AS BIGINT) AS hr_ok
              |FROM orders WHERE o_orderkey <= 2048
              |GROUP BY 1 ORDER BY 1""".stripMargin)),
 

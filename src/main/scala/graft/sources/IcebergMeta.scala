@@ -218,6 +218,11 @@ object IcebergMeta {
         Some(("long", bb.getInt.toString))
       case LongType if bytes.length == 8 =>
         Some(("long", bb.getLong.toString))
+      // timestamps bound as their epoch-MICROS longs — exactly what a
+      // Catalyst TimestampType literal carries, so hour/ts predicates
+      // prune files without any zone arithmetic
+      case TimestampType | TimestampNTZType if bytes.length == 8 =>
+        Some(("long", bb.getLong.toString))
       case FloatType if bytes.length == 4 =>
         Some(("double", bb.getFloat.toString))
       case DoubleType if bytes.length == 8 =>
@@ -587,6 +592,7 @@ object IcebergMeta {
             case LongType => s.toLong
             case FloatType => s.toFloat
             case DoubleType => s.toDouble
+            case TimestampType | TimestampNTZType => s.toLong // micros
             case _ => s
           }
           cs.min.flatMap(m => encodeBound(f.dataType, statVal(m)))
@@ -621,8 +627,33 @@ object IcebergMeta {
         .floatValue()).array())
       case DoubleType => Some(le(8).putDouble(v.asInstanceOf[Number]
         .doubleValue()).array())
+      // epoch micros (the spec's timestamp single-value form; footer
+      // stats deliver the raw INT64)
+      case TimestampType | TimestampNTZType => Some(le(8)
+        .putLong(v.asInstanceOf[Number].longValue()).array())
       case StringType => Some(v.toString.getBytes(UTF_8))
       case _ => None
+    }
+  }
+
+  /** Stage `df` as parquet with timestamps as INT64 MICROS — the only
+    * timestamp encoding the Iceberg spec allows in data files (Spark's
+    * INT96 default is non-conformant AND records no usable footer
+    * stats, so ts columns would lose their manifest bounds). The conf
+    * flip is scoped to the write and restored after. */
+  private def stageParquet(df: org.apache.spark.sql.DataFrame,
+      path: String, partitionCols: Seq[String] = Nil): Unit = {
+    val spark = df.sparkSession
+    val key = "spark.sql.parquet.outputTimestampType"
+    val old = spark.conf.getOption(key)
+    spark.conf.set(key, "TIMESTAMP_MICROS")
+    try {
+      val w = df.write.mode("errorifexists")
+      (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*)
+       else w).parquet(path)
+    } finally old match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
     }
   }
 
@@ -633,6 +664,8 @@ object IcebergMeta {
     case FloatType => "float"
     case DoubleType => "double"
     case DateType => "date"
+    case TimestampType => "timestamptz"
+    case TimestampNTZType => "timestamp"
     case StringType => "string"
     case BinaryType => "binary"
     case d: DecimalType => s"decimal(${d.precision},${d.scale})"
@@ -659,7 +692,7 @@ object IcebergMeta {
     //   "p" | "bucket(4,k)" | "truncate(3,s)" | "year(d)" | "month(d)"
     //   | "day(d)" — spec-conventional field names (col + suffix)
     val TwoArg = """(bucket|truncate)\((\d+)\s*,\s*([A-Za-z_][A-Za-z0-9_]*)\)""".r
-    val OneArg = """(year|month|day)\(([A-Za-z_][A-Za-z0-9_]*)\)""".r
+    val OneArg = """(year|month|day|hour|void)\(([A-Za-z_][A-Za-z0-9_]*)\)""".r
     val specFields = partitionBy.zipWithIndex.map { case (spec, i) =>
       val (src, t) = spec.trim match {
         case TwoArg("bucket", n, c) => (c, IceTransform.Bucket(n.toInt))
@@ -676,7 +709,7 @@ object IcebergMeta {
     val dataDir = Paths.get(root, "data")
     val entries: Seq[GenericRecord] =
       if (partitionBy.isEmpty) {
-        df.write.mode("errorifexists").parquet(dataDir.toString)
+        stageParquet(df, dataDir.toString)
         PosixDataStore.listDir(dataDir)
           .filter(n => n.endsWith(".parquet") && !n.startsWith(".")).sorted
           .map(n => dataFileEntry(spark, dataDir.resolve(n), s"data/$n",
@@ -808,7 +841,7 @@ object IcebergMeta {
       (f.name, f.fieldId, f.transform.resultType(typeOf(f.srcCol)))))
     val staged: Seq[(Path, Seq[(String, Any)])] =
       if (specFields.isEmpty) {
-        ordered.write.mode("errorifexists").parquet(staging.toString)
+        stageParquet(ordered, staging.toString)
         PosixDataStore.listDir(staging)
           .filter(n => n.endsWith(".parquet") && !n.startsWith(".")).sorted
           .map(n => (staging.resolve(n), Nil))
@@ -938,6 +971,33 @@ object IcebergMeta {
       def apply(c: Column, src: DataType): Column =
         datediff(c, to_date(lit("1970-01-01"))).cast("int")
     }
+    /** `hour`: hours from 1970-01-01 00:00:00 (spec) — TIMESTAMP
+      * sources (a date has no hour). Spark's timestamp→long cast is
+      * floorDiv to seconds; the pmod keeps pre-epoch values floored
+      * toward -inf like the spec requires. */
+    case object Hour extends IceTransform {
+      val json = "hour"; val suffix = "_hour"
+      def resultType(src: DataType): DataType = src match {
+        case TimestampType => IntegerType
+        case other => throw new UnsupportedOperationException(
+          s"iceberg-meta: hour transform over $other is not supported " +
+            "by this writer (TIMESTAMP source columns only)")
+      }
+      def apply(c: Column, src: DataType): Column = {
+        val sec = c.cast("long")
+        ((sec - pmod(sec, lit(3600L))) / 3600L).cast("int")
+      }
+    }
+    /** `void`: always null, result type = source type (the spec's
+      * drop-a-partition-field transform — old entries keep their
+      * tuples, new files land under null). */
+    case object Void extends IceTransform {
+      val json = "void"; val suffix = "_null"
+      def resultType(src: DataType): DataType = src
+      def apply(c: Column, src: DataType): Column =
+        wrap(org.apache.spark.sql.catalyst.expressions.Literal
+          .create(null, src))
+    }
 
     private val BucketRe = """bucket\[(\d+)\]""".r
     private val TruncRe = """truncate\[(\d+)\]""".r
@@ -950,6 +1010,8 @@ object IcebergMeta {
       case "year" => Year
       case "month" => Month
       case "day" => Day
+      case "hour" => Hour
+      case "void" => Void
       case other => throw new UnsupportedOperationException(
         s"iceberg-meta: partition transform '$other' is not supported " +
           "by this writer — use an Iceberg runtime")
@@ -1020,10 +1082,9 @@ object IcebergMeta {
       d.withColumn(s"__p_$n", c) }
     // one task per tuple -> one data file per tuple (tuples sharing a
     // hash slot still split: the Hive layout separates them below)
-    dup.repartition(derived.map { case (n, _) => col(s"`__p_$n`") }: _*)
-      .write.mode("errorifexists")
-      .partitionBy(derived.map { case (n, _) => s"__p_$n" }: _*)
-      .parquet(staging.toString)
+    stageParquet(
+      dup.repartition(derived.map { case (n, _) => col(s"`__p_$n`") }: _*),
+      staging.toString, derived.map { case (n, _) => s"__p_$n" })
     def walk(dir: Path, tuple: List[(String, Option[String])])
         : Seq[(Path, Seq[(String, Option[String])])] =
       PosixDataStore.listDir(dir).sorted.flatMap { n =>
@@ -1195,8 +1256,8 @@ object IcebergMeta {
     // (delete parquet, the r102 tuple its entry restates)
     val staged: Seq[(Path, Seq[(String, Any)])] =
       if (specFields.isEmpty) {
-        hits.sortWithinPartitions("file_path", "pos") // spec ordering
-          .write.mode("errorifexists").parquet(staging.toString)
+        stageParquet(hits.sortWithinPartitions("file_path", "pos"),
+          staging.toString) // spec (file_path, pos) ordering
         PosixDataStore.listDir(staging)
           .filter(n => n.endsWith(".parquet") && !n.startsWith("."))
           .sorted.map(n => (staging.resolve(n), Nil))
@@ -1210,11 +1271,10 @@ object IcebergMeta {
         val fpToIdx = spark.createDataset(snap.files.map(f =>
           (f.recordedPath, idxOf(f.partitionTuple))))
           .toDF("file_path", "__tuple")
-        hits.join(broadcast(fpToIdx), Seq("file_path"))
+        stageParquet(hits.join(broadcast(fpToIdx), Seq("file_path"))
           .repartition(col("__tuple"))
-          .sortWithinPartitions("__tuple", "file_path", "pos")
-          .write.mode("errorifexists").partitionBy("__tuple")
-          .parquet(staging.toString)
+          .sortWithinPartitions("__tuple", "file_path", "pos"),
+          staging.toString, Seq("__tuple"))
         val dirs = PosixDataStore.listDir(staging)
           .filter(_.startsWith("__tuple=")).sorted
         dirs.flatMap { d =>
@@ -1298,7 +1358,7 @@ object IcebergMeta {
       schema.fieldNames.head, schema.fieldNames.tail: _*)
     val stagedFiles: Seq[(Path, Seq[(String, Any)])] =
       if (specFields.isEmpty) {
-        ordered.write.mode("errorifexists").parquet(staging.toString)
+        stageParquet(ordered, staging.toString)
         PosixDataStore.listDir(staging)
           .filter(p => p.endsWith(".parquet") && !p.startsWith(".")).sorted
           .map(n => (staging.resolve(n), Nil))
@@ -1536,7 +1596,7 @@ object IcebergMeta {
       schema.fieldNames.head, schema.fieldNames.tail: _*)
     val stagedU: Seq[(Path, Seq[(String, Any)])] =
       if (specFields.isEmpty) {
-        orderedU.write.mode("errorifexists").parquet(staging.toString)
+        stageParquet(orderedU, staging.toString)
         PosixDataStore.listDir(staging)
           .filter(p => p.endsWith(".parquet") && !p.startsWith(".")).sorted
           .map(nm => (staging.resolve(nm), Nil))
@@ -1560,8 +1620,8 @@ object IcebergMeta {
       .asInstanceOf[GenericRecord].get("record_count"))).sum
     // the keys as ONE equality-delete file
     val delStaging = Files.createTempDirectory("ice_upsd_").resolve("out")
-    source.select(col(key)).distinct().coalesce(1)
-      .write.mode("errorifexists").parquet(delStaging.toString)
+    stageParquet(source.select(col(key)).distinct().coalesce(1),
+      delStaging.toString)
     val delPart = PosixDataStore.listDir(delStaging)
       .filter(p => p.endsWith(".parquet") && !p.startsWith(".")).head
     val delName = s"eq-delete-upsert-$nonce.parquet"
@@ -1638,8 +1698,7 @@ object IcebergMeta {
     val nonce = java.util.UUID.randomUUID().toString.take(8)
     val staging = Files.createTempDirectory("ice_eqdel_").resolve("out")
     // one file: delete batches are value-lists, small by contract
-    values.distinct().coalesce(1)
-      .write.mode("errorifexists").parquet(staging.toString)
+    stageParquet(values.distinct().coalesce(1), staging.toString)
     val parts = PosixDataStore.listDir(staging)
       .filter(n => n.endsWith(".parquet") && !n.startsWith(".")).sorted
     val dataDir = Paths.get(root, "data")
@@ -1798,7 +1857,7 @@ object IcebergMeta {
       schema.fieldNames.head, schema.fieldNames.tail: _*)
     val stagedFiles: Seq[(Path, Seq[(String, Any)])] =
       if (specFields.isEmpty) {
-        ordered.write.mode("errorifexists").parquet(staging.toString)
+        stageParquet(ordered, staging.toString)
         PosixDataStore.listDir(staging)
           .filter(n => n.endsWith(".parquet") && !n.startsWith(".")).sorted
           .map(n => (staging.resolve(n), Nil))

@@ -480,6 +480,55 @@ class IcebergMetaSpec extends SparkSpecBase {
     assert(spark.read.format("iceberg-meta").load(root2).count() === 12L)
   }
 
+  test("HOUR and VOID transforms: spec vector, layout round trip") {
+    val root = tmp() + "/t"
+    // 1512151200 s = 2017-12-01T18:00:00Z — the spec's hour vector
+    // (420042 hours from the epoch); half the rows one hour later
+    val df = spark.range(0, 12).toDF("k")
+      .withColumn("ts", timestamp_seconds(
+        lit(1512151200L) + (col("k") % 2) * 3600))
+      .withColumn("v", col("k") * 2)
+    df.write.format("iceberg-meta")
+      .option("partitionBy", "hour(ts), void(k)").save(root)
+    val metaDoc = new String(Files.readAllBytes(Paths.get(root,
+      "metadata", "v1.metadata.json")), UTF_8)
+    assert(metaDoc.contains("\"transform\":\"hour\""))
+    assert(metaDoc.contains("\"transform\":\"void\""))
+    val snap = IcebergMeta.snapshot(root)
+    assert(snap.files.size === 2) // one file per hour tuple
+    assert(snap.files.flatMap(_.partitionTuple)
+      .collect { case ("ts_hour", v) => v }.toSet ===
+      Set(420042, 420043))
+    // void: always null, under the SOURCE type
+    assert(snap.files.flatMap(_.partitionTuple)
+      .collect { case ("k_null", v) => v }.toSet === Set(null))
+    val ds = spark.read.format("iceberg-meta").load(root)
+    assert(ds.count() === 12L)
+    assert(ds.agg(sum("v")).as[Long].head() ===
+      (0L until 12L).map(_ * 2).sum)
+    // append follows the hour spec from the table's own metadata;
+    // per-tuple positional deletes compose on the transform layout
+    IcebergMeta.append(df.filter(col("k") < 2), root)
+    assert(spark.read.format("iceberg-meta").load(root).count() === 14L)
+    // an hour-range predicate prunes files by the per-file TIMESTAMP
+    // bounds (encoded as the spec's epoch-micros longs — the same
+    // raw value a Catalyst timestamp literal carries)
+    val q = spark.read.format("iceberg-meta").load(root)
+      .filter(col("ts") < timestamp_seconds(lit(1512151200L + 1800)))
+    assert(q.count() === 7L) // the even-k rows (6 + 1 appended)
+    val (kept, total) = q.queryExecution.optimizedPlan.collect {
+      case org.apache.spark.sql.execution.datasources.LogicalRelation(
+          r: org.apache.spark.sql.execution.datasources.HadoopFsRelation,
+          _, _, _, _) =>
+        r.location.asInstanceOf[IcebergMetaFileIndex]
+    }.head.lastListing.get
+    assert(total === 4 && kept === 2, s"hour pruning: $kept/$total")
+    IcebergMeta.delete(spark, root, col("k") === 5)
+    val after = spark.read.format("iceberg-meta").load(root)
+    assert(after.count() === 13L)
+    assert(after.filter(col("k") === 5).count() === 0L)
+  }
+
   test("PARTITIONED spec: per-tuple positional deletes, global equality deletes") {
     val root = tmp() + "/t"
     spark.range(0, 8).toDF("k").withColumn("p", col("k") % 2)
@@ -516,18 +565,18 @@ class IcebergMetaSpec extends SparkSpecBase {
     assert(after.count() === 6L) // 5 visible + k=0 replaced + k=100 new
     assert(after.filter(col("k") === 100).count() === 1L)
     // a transform this writer cannot evaluate refuses the append
-    // loudly (bucket/truncate/temporal ARE evaluated — see the
-    // TRANSFORM partitioning test)
+    // loudly (bucket/truncate/temporal/hour/void ARE evaluated — see
+    // the TRANSFORM partitioning tests)
     val v = IcebergMeta.latestMetadataVersion(root)
     val metaPath = Paths.get(root, "metadata", s"v$v.metadata.json")
     val doc = new String(Files.readAllBytes(metaPath), UTF_8)
-      .replace("\"transform\":\"identity\"", "\"transform\":\"void\"")
-      .replace("\"transform\" : \"identity\"", "\"transform\" : \"void\"")
+      .replace("\"transform\":\"identity\"", "\"transform\":\"zorder\"")
+      .replace("\"transform\" : \"identity\"", "\"transform\" : \"zorder\"")
     Files.write(metaPath, doc.getBytes(UTF_8))
     val e3 = intercept[UnsupportedOperationException] {
       IcebergMeta.append(spark.range(8, 10).toDF("k")
         .withColumn("p", col("k") % 2), root)
     }
-    assert(e3.getMessage.contains("void"))
+    assert(e3.getMessage.contains("zorder"))
   }
 }

@@ -211,5 +211,19 @@ object GraftExtensions {
             litLong("delta_changes", es(1)),
             litLong("delta_changes", es(2)))
           .queryExecution.analyzed
+      },
+      tfn("iceberg_changes", "root, afterSeq, toSeq",
+        "row-level changes of Iceberg commits with sequence numbers " +
+          "in (after, to] — appends as inserts, delete snapshots as " +
+          "deletes from the prior snapshot's retained files; " +
+          "rewrites refuse") { es =>
+        require(es.size == 3,
+          s"iceberg_changes takes (root, after, to), got ${es.size} args")
+        val spark = org.apache.spark.sql.SparkSession.active
+        graft.sources.IcebergMeta.changes(spark,
+            litString("iceberg_changes", es(0)),
+            litLong("iceberg_changes", es(1)),
+            litLong("iceberg_changes", es(2)))
+          .queryExecution.analyzed
       })
 }

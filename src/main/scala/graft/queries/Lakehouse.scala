@@ -2491,6 +2491,66 @@ object Lakehouse {
              |  CAST(1 AS BIGINT) AS dv_no_rewrite
              |FROM orders
              |WHERE o_orderkey % 20 <> 11 AND o_orderkey % 20 <> 4
-             |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin))
+             |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)),
+
+    // ICEBERG BATCH CHANGELOG (round 9): `iceberg_changes(root, after,
+    // to)` — the Iceberg leg of the graft_changes/delta_changes TVF
+    // family, closing the incremental-MV identity's last format gap.
+    // History: two appends (seq 1-2), a positional MOR delete (seq 3),
+    // an equality delete (seq 4 — delete-by-VALUE, zero data I/O).
+    // The TVF derives inserts from manifest-inherited data sequence
+    // numbers (appended files read RAW) and deletes from the PRIOR
+    // snapshot's retained files (positional: touched files only;
+    // equality: one broadcast null-safe semi join). `recon_ok` pins
+    // Δ(agg) = agg(Δ): the signed changelog sum equals the final
+    // snapshot's recompute. Oracle restates the feed as UNION ALL
+    // algebra over raw orders.
+    QueryDef(
+      "q254_iceberg_changes",
+      (s, d) => {
+        val root = Files.createTempDirectory("icc_entry_").toString + "/t"
+        val src = orders(s, d).select(col("o_orderkey"), col("o_custkey"),
+          col("o_orderstatus"))
+        src.filter(col("o_orderkey") <= 1024)
+          .write.format("iceberg-meta").save(root)                   // seq 1
+        src.filter(col("o_orderkey") > 1024 && col("o_orderkey") <= 2048)
+          .write.format("iceberg-meta").mode("append").save(root)    // seq 2
+        graft.sources.IcebergMeta.delete(s, root,
+          col("o_orderkey") % 10 === 3)                              // seq 3
+        graft.sources.IcebergMeta.deleteEquality(s, root,
+          s.createDataFrame(java.util.List.of(
+            org.apache.spark.sql.Row("P")),
+            org.apache.spark.sql.types.StructType(Seq(
+              org.apache.spark.sql.types.StructField("o_orderstatus",
+                org.apache.spark.sql.types.StringType)))))           // seq 4
+        val ch = graft.sources.IcebergMeta.changes(s, root, 0L, 4L)
+        val signed = ch.withColumn("signed",
+          when(col("_change_type") === "insert", col("o_orderkey"))
+            .otherwise(-col("o_orderkey")))
+          .agg(sum("signed")).head().getLong(0)
+        val snapSum = s.read.format("iceberg-meta").load(root)
+          .agg(sum("o_orderkey")).head().getLong(0)
+        val reconOk = if (signed == snapSum) 1L else 0L
+        s.sql(
+          s"""SELECT _change_type, count(*) AS n_rows,
+             |  CAST(sum(o_orderkey) AS BIGINT) AS sum_key,
+             |  CAST($reconOk AS BIGINT) AS recon_ok
+             |FROM iceberg_changes('$root', 0, 4)
+             |GROUP BY _change_type ORDER BY _change_type""".stripMargin)
+      },
+      Some("""SELECT _change_type, count(*) AS n_rows,
+             |  CAST(sum(o_orderkey) AS BIGINT) AS sum_key,
+             |  CAST(1 AS BIGINT) AS recon_ok
+             |FROM (
+             |  SELECT 'insert' AS _change_type, o_orderkey
+             |  FROM orders WHERE o_orderkey <= 2048
+             |  UNION ALL
+             |  SELECT 'delete', o_orderkey FROM orders
+             |  WHERE o_orderkey <= 2048 AND o_orderkey % 10 = 3
+             |  UNION ALL
+             |  SELECT 'delete', o_orderkey FROM orders
+             |  WHERE o_orderkey <= 2048 AND o_orderkey % 10 <> 3
+             |    AND o_orderstatus = 'P'
+             |) GROUP BY _change_type ORDER BY _change_type""".stripMargin))
   )
 }

@@ -147,6 +147,104 @@ object IcebergMeta {
       meta.get("last-sequence-number").asLong() else 0L
   }
 
+  /** Batch CHANGELOG of the commits with sequence numbers in
+    * `(afterSeq, toSeq]` — the Iceberg leg of the `graft_changes` /
+    * `delta_changes` family (exposed as the `iceberg_changes` TVF).
+    * Output: table columns + `_change_type` (`insert` | `delete`) +
+    * `_commit_seq`.
+    *
+    * Derivation is metadata + touched-file reads, never a table scan:
+    *  - an `append` snapshot's changes are the rows of the data files
+    *    it added (files carry their data sequence number through
+    *    manifest inheritance), read RAW — deletes committed later in
+    *    the range must not rewrite an already-emitted insert;
+    *  - a `delete` snapshot's changes are the rows its new delete
+    *    files hide, read from the PRIOR snapshot's still-retained
+    *    files: positional deletes join their (file_path, pos) rows
+    *    against the touched files only; equality deletes null-safe
+    *    semi-join the prior visible rows against the (small,
+    *    broadcast) value list;
+    *  - any other operation (`overwrite`, `replace` — COW rewrites,
+    *    MOR upserts, compaction) refuses loudly: the row-level change
+    *    set was never recorded (delta-spark's CDF refuses the same
+    *    derive shape); recompute from snapshots instead. */
+  def changes(spark: SparkSession, root: String, afterSeq: Long,
+      toSeq: Long): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.{broadcast, col, lit}
+    val all = snapshotLog(root)
+    val inRange = all.filter(r => r.seq > afterSeq && r.seq <= toSeq)
+    val tagged: Seq[org.apache.spark.sql.DataFrame] = inRange.map { ref =>
+      val snapAt = snapshot(root, Some(ref.snapshotId))
+      ref.op match {
+        case "append" =>
+          val added = snapAt.files.filter(_.seq == ref.seq)
+          IcebergMetaRead.morRead(spark,
+              snapAt.copy(files = added, deletes = Nil, eqDeletes = Nil))
+            .withColumn("_change_type", lit("insert"))
+            .withColumn("_commit_seq", lit(ref.seq))
+        case "delete" =>
+          val idx = all.indexWhere(_.snapshotId == ref.snapshotId)
+          require(idx > 0, s"iceberg_changes: delete snapshot " +
+            s"${ref.snapshotId} has no parent in the metadata document")
+          val prev = snapshot(root, Some(all(idx - 1).snapshotId))
+          val newPos = snapAt.deletes.filter(_.seq == ref.seq)
+          val newEq = snapAt.eqDeletes.filter(_.seq == ref.seq)
+          val deleted: org.apache.spark.sql.DataFrame =
+            if (newEq.isEmpty && newPos.nonEmpty) {
+              require(prev.eqDeletes.isEmpty,
+                "iceberg_changes: positional delete over a history " +
+                  "carrying EQUALITY deletes — rewrite the table " +
+                  "(rewrite_data_files) before deriving changes")
+              val delRows = spark.read.parquet(newPos.map(_.path): _*)
+                .select(col("file_path"),
+                  col("pos").as(IcebergMetaRead.PosCol))
+              // O(touched files): delete files name their targets
+              val touchedPaths = delRows.select("file_path").distinct()
+                .collect().map(_.getString(0)).toSet
+              val touched =
+                prev.files.filter(f => touchedPaths(f.recordedPath))
+              IcebergMetaRead.withPositions(spark,
+                  prev.copy(files = touched))
+                .join(broadcast(
+                  IcebergMetaRead.uriToRecorded(spark, touched)),
+                  Seq(IcebergMetaRead.FpCol))
+                .join(delRows, Seq("file_path", IcebergMetaRead.PosCol))
+                .drop("file_path", IcebergMetaRead.FpCol,
+                  IcebergMetaRead.PosCol)
+            } else if (newPos.isEmpty && newEq.nonEmpty) {
+              val prevVis = IcebergMetaRead.morRead(spark, prev)
+              newEq.groupBy(_.eqCols).toSeq.sortBy(_._1.mkString(","))
+                .map { case (eqCols, dels) =>
+                  val delRows = spark.read.parquet(dels.map(_.path): _*)
+                    .select(eqCols.map(c =>
+                      col(s"`$c`").as(s"__ice_eq_$c")): _*)
+                    .distinct()
+                  val cond = eqCols.map(c =>
+                    col(s"`$c`") <=> col(s"__ice_eq_$c")).reduce(_ && _)
+                  prevVis.join(broadcast(delRows), cond, "left_semi")
+                }.reduce(_ unionByName _)
+            } else throw new UnsupportedOperationException(
+              "iceberg_changes: a delete snapshot mixing positional " +
+                "and equality delete files has no derivable " +
+                "row-level change set")
+          deleted
+            .withColumn("_change_type", lit("delete"))
+            .withColumn("_commit_seq", lit(ref.seq))
+        case other => throw new UnsupportedOperationException(
+          s"iceberg_changes: snapshot ${ref.snapshotId} operation " +
+            s"'$other' has no derivable row-level change set — " +
+            "recompute from snapshots (snapshotId time travel) instead")
+      }
+    }
+    if (tagged.nonEmpty) tagged.reduce(_ unionByName _)
+    else spark.createDataFrame(
+        java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+        snapshot(root).schema)
+      .withColumn("_change_type", lit(""))
+      .withColumn("_commit_seq", lit(0L))
+      .filter(lit(false))
+  }
+
   // ------------------------------------------------------------------
   // Iceberg JSON schema → Spark StructType
   // ------------------------------------------------------------------

@@ -216,4 +216,58 @@ class IcebergEqDeleteSpec extends SparkSpecBase {
       spark.catalog.dropTempView("ups_sql_src")
     }
   }
+
+  test("iceberg_changes TVF: appends as inserts, both delete kinds derive, rewrites refuse") {
+    val root = tmp()
+    // seq 1: append 0..9; seq 2: append 10..19; seq 3: positional
+    // delete of k in {3, 12}; seq 4: equality delete of cat 'a'
+    IcebergMeta.writeFixture(
+      spark.range(0, 10).toDF("k").withColumn("cat",
+        when(col("k") % 5 === 0, "a").otherwise("b")), root)
+    IcebergMeta.append(
+      spark.range(10, 20).toDF("k").withColumn("cat",
+        when(col("k") % 5 === 0, "a").otherwise("b")), root)
+    IcebergMeta.delete(spark, root, col("k") === 3 || col("k") === 12)
+    IcebergMeta.deleteEquality(spark, root, Seq("a").toDF("cat"))
+    val ch = IcebergMeta.changes(spark, root, 0L, 4L)
+    assert(ch.columns.toSeq ===
+      Seq("k", "cat", "_change_type", "_commit_seq"))
+    // inserts: all 20 rows, tagged by their commit
+    assert(ch.filter(col("_change_type") === "insert").count() === 20L)
+    assert(ch.filter(col("_change_type") === "insert" &&
+      col("_commit_seq") === 1).count() === 10L)
+    // seq 3 deletes: exactly k in {3, 12}
+    assert(ch.filter(col("_change_type") === "delete" &&
+      col("_commit_seq") === 3).select("k").as[Long]
+      .collect().sorted.toSeq === Seq(3L, 12L))
+    // seq 4 deletes: every 'a' row still visible at seq 3 (k % 5 == 0)
+    assert(ch.filter(col("_change_type") === "delete" &&
+      col("_commit_seq") === 4).select("k").as[Long]
+      .collect().sorted.toSeq === Seq(0L, 5L, 10L, 15L))
+    // half-open range (after=2): only the delete commits
+    assert(IcebergMeta.changes(spark, root, 2L, 4L)
+      .filter(col("_change_type") === "insert").count() === 0L)
+    // the incremental-MV identity: snapshot(to) = snapshot(after) + Δ
+    val delta = ch.withColumn("signed",
+      when(col("_change_type") === "insert", col("k"))
+        .otherwise(-col("k")))
+      .agg(sum("signed")).as[Long].head()
+    assert(delta === spark.read.format("iceberg-meta").load(root)
+      .agg(sum("k")).as[Long].head())
+    // the TVF through SQL
+    assert(spark.sql(
+      s"SELECT count(*) AS n FROM iceberg_changes('$root', 0, 4)")
+      .as[Long].head() === 26L)
+    // a rewrite snapshot (compaction → 'replace') refuses
+    IcebergMeta.compact(spark, root)
+    val e = intercept[UnsupportedOperationException] {
+      IcebergMeta.changes(spark, root, 4L, 5L).count()
+    }
+    assert(e.getMessage.contains("replace"))
+    // empty range: empty frame, schema intact
+    val empty = IcebergMeta.changes(spark, root, 2L, 2L)
+    assert(empty.count() === 0L)
+    assert(empty.columns.toSeq ===
+      Seq("k", "cat", "_change_type", "_commit_seq"))
+  }
 }

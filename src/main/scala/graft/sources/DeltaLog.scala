@@ -1393,29 +1393,32 @@ object DeltaLog {
     // expressions reference __t_<logical>/__s_* — rewriting their
     // internals would be fragile across the SQL and API routes), with
     // the scan renamed physical→logical on the way in and the outputs
-    // renamed back before staging. Flat schemas only: a nested mapped
-    // column would need the recursive restore projection here.
-    if (mapping.nonEmpty) {
-      val nested = snap0.schema.fields.filter(_.dataType match {
-        case _: StructType | _: ArrayType | _: MapType => true
-        case _ => false
-      })
-      require(nested.isEmpty,
-        "delta-log: MERGE on a column-mapped table with NESTED " +
-          s"columns (${nested.map(_.name).mkString(", ")}) is not " +
-          "supported — use delta-spark")
-    }
+    // renamed back before staging. NESTED mapped columns rename via
+    // by-position struct casts both ways (types are identical modulo
+    // names, so the cast is a pure rename — the same trick the
+    // writer's staging uses), with parquet field ids re-attached on
+    // the way out for id-mode readers.
     val snap = snap0.physical
+    lazy val physSchema = withParquetFieldIds(
+      physicalSchemaOf(root, snap0.schema))
     def toLogical(df: DataFrame): DataFrame =
       if (mapping.isEmpty) df
-      else df.select(snap0.schema.fieldNames.toSeq.map(l =>
-        col(s"`${mapping.getOrElse(l, l)}`").as(l)): _*)
+      else df.select(snap0.schema.fields.toSeq.zip(physSchema.fields)
+        .map { case (lf, pf) =>
+          col(s"`${pf.name}`").cast(nullableOf(lf.dataType)).as(lf.name)
+        }: _*)
     def toPhysical(df: DataFrame): DataFrame =
       if (mapping.isEmpty) df
-      else df.select(df.columns.toSeq.map {
-        case "_change_type" => col("_change_type")
-        case l => col(s"`$l`").as(mapping.getOrElse(l, l))
-      }: _*)
+      else {
+        val byLogical = snap0.schema.fieldNames.zip(physSchema.fields).toMap
+        df.select(df.columns.toSeq.map {
+          case "_change_type" => col("_change_type")
+          case l =>
+            val pf = byLogical.getOrElse(l, throw new IllegalStateException(
+              s"delta-log merge: unexpected output column $l"))
+            col(s"`$l`").cast(pf.dataType).as(pf.name, pf.metadata)
+        }: _*)
+      }
     matched.foreach(c => require(
       !c.isInstanceOf[VersionedTable.MergeInsert],
       "WHEN MATCHED cannot INSERT"))

@@ -386,5 +386,37 @@ class DeltaColumnMappingSpec extends SparkSpecBase {
     assert(all.count() === 10)
     assert(all.agg(sum(col("rec.inner.b"))).as[Long].head() ===
       (0L until 10L).map(_ * 2).sum)
+    // MERGE with NESTED mapped columns (round 9): the cascade runs in
+    // logical space; the scan and outputs rename via by-position
+    // struct casts, so nested structs survive the round trip
+    spark.sql(s"CREATE TABLE dcm_nm USING `delta-log` OPTIONS (path '$root')")
+    spark.range(9, 12).toDF("id")
+      .withColumn("rec", struct((col("id") * 100).as("a"),
+        struct((col("id") * 200).as("b")).as("inner")))
+      .createOrReplaceTempView("dcm_nm_src")
+    try {
+      spark.sql(
+        """MERGE INTO dcm_nm t USING dcm_nm_src s ON t.id = s.id
+          |WHEN MATCHED THEN UPDATE SET rec = s.rec
+          |WHEN NOT MATCHED THEN INSERT (id, rec) VALUES (s.id, s.rec)
+          |""".stripMargin)
+      val merged = spark.read.format("delta-log").load(root)
+      assert(merged.count() === 12) // 10 + inserted 10, 11
+      assert(merged.filter(col("id") === 9)
+        .select(col("rec.inner.b")).as[Long].head() === 1800L)
+      assert(merged.filter(col("id") === 11)
+        .select(col("rec.a")).as[Long].head() === 1100L)
+      assert(merged.filter(col("id") === 3)
+        .select(col("rec.inner.b")).as[Long].head() === 6L) // untouched
+      // every live file (incl. the merge-staged ones) carries
+      // PHYSICAL column names
+      DeltaLog.snapshot(spark, root).adds.foreach { a =>
+        assert(spark.read.parquet(root + "/" + a.path)
+          .columns.forall(_.startsWith("col-")), a.path)
+      }
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS dcm_nm")
+      spark.catalog.dropTempView("dcm_nm_src")
+    }
   }
 }

@@ -33,6 +33,10 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
+      // graft read-path A/B: SPARK_GRAFT_READPATH=v1 benches the v1
+      // fallback against the default DSv2 route
+      .config("spark.graft.readPath",
+        sys.env.getOrElse("SPARK_GRAFT_READPATH", "v2"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 

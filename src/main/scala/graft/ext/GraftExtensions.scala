@@ -35,6 +35,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectResolutionRule(GraftTimeTravelResolve)
     // INSERT OVERWRITE on graft catalog tables must commit, never
     // truncate-and-write-raw — see [[GraftDmlRewrite]].
+    // FIRST: DSv2-swapped graft relations re-resolve to the log head
+    // (or swap back to v1 when the snapshot became ineligible) BEFORE
+    // the rules below shape the plan — see [[Graft2Refresh]].
+    ext.injectPostHocResolutionRule(Graft2Refresh)
     ext.injectPostHocResolutionRule(GraftDmlRewrite)
     // Merge-on-read snapshots read through SQL via the ∪/anti-join
     // scan rewrite — MUST be injected after GraftDmlRewrite (same Once
@@ -49,6 +53,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectPostHocResolutionRule(DeltaColumnMappingScan)
     // Delta deletion vectors likewise — see [[DeltaMorScan]].
     ext.injectPostHocResolutionRule(DeltaMorScan)
+    // LAST: plain graft reads route through the vectorized DSv2 scan
+    // (spark.graft.readPath=v1 restores the v1 path) — every earlier
+    // rule has already claimed the relations it owns (DML targets,
+    // MOR branches, mapped scans) — see [[GraftDsv2Swap]].
+    ext.injectPostHocResolutionRule(GraftDsv2Swap)
   }
 }
 

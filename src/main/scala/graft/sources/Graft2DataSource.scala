@@ -75,9 +75,10 @@ class Graft2DataSource extends TableProvider with DataSourceRegister {
 
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
     val (root, v) = snapshotOf(options)
-    VersionedTable.tableSchema(root, v).getOrElse(
-      throw new IllegalStateException(
-        s"$root has no schema metadata — commit through VersionedTable"))
+    Graft2DataSource.asNullable(VersionedTable.tableSchema(root, v)
+      .getOrElse(throw new IllegalStateException(
+        s"$root has no schema metadata — commit through VersionedTable")))
+      .asInstanceOf[StructType]
   }
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
@@ -93,16 +94,35 @@ object Graft2DataSource {
     * per table root — spec observability for pruning, the DSv2
     * sibling of [[GraftFileIndex.lastListing]]. */
   val lastPlanned = scala.collection.concurrent.TrieMap[String, (Int, Int)]()
+
+  /** Nullable-normalized schema — what every Spark file source
+    * exposes (a schema-evolved table's old files MISS added columns;
+    * the vectorized reader null-fills them only when the requested
+    * field is nullable). */
+  private[graft] def asNullable(dt: DataType): DataType = dt match {
+    case st: StructType => StructType(st.fields.map(f =>
+      f.copy(dataType = asNullable(f.dataType), nullable = true)))
+    case ArrayType(e, _) => ArrayType(asNullable(e), containsNull = true)
+    case MapType(k, v, _) =>
+      MapType(asNullable(k), asNullable(v), valueContainsNull = true)
+    case o => o
+  }
 }
 
-class Graft2Table(root: String, version: Long, schema: StructType)
+class Graft2Table(val root: String, val snapshotVersion: Long,
+    schema: StructType,
+    // true only for relations the DSv2 swap rule creates from
+    // UNPINNED v1 reads: [[graft.ext.Graft2Refresh]] re-resolves them
+    // to the log head on re-analysis (the v1 freshness contract);
+    // datasource-created tables keep the spike's pinned-at-load shape
+    val refreshable: Boolean = false)
     extends Table with SupportsRead {
-  override def name(): String = s"graft2:$root@v$version"
+  override def name(): String = s"graft2:$root@v$snapshotVersion"
   override def schema(): StructType = schema
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new Graft2ScanBuilder(root, version, schema)
+    new Graft2ScanBuilder(root, snapshotVersion, schema)
 }
 
 class Graft2ScanBuilder(root: String, version: Long, full: StructType)
@@ -143,40 +163,70 @@ class Graft2Scan(root: String, version: Long, full: StructType,
   }
 
   override def planInputPartitions(): Array[InputPartition] = {
-    val (files, _) = Graft2Scan.planState(root, version)
-    val keep = files.filter { case (_, stats, bloomRels) =>
+    val (files, _, schema) = Graft2Scan.planState(root, version)
+    val typeOf = (c: String) => schema.flatMap(
+      _.fields.find(_.name == c)).map(_.dataType)
+    val keep = files.filter { file =>
       // blooms loaded lazily once per (file, column), through the data
       // seam — and probed ONLY for the column they index (a probe of
       // column B against column A's bloom would wrongly prune files)
       val loaded =
         scala.collection.mutable.Map[String,
           org.apache.spark.util.sketch.BloomFilter]()
-      def bloomFor(col: String) = bloomRels.get(col).map(rel =>
+      def bloomFor(col: String) = file.blooms.get(col).map(rel =>
         loaded.getOrElseUpdate(col,
           org.apache.spark.util.sketch.BloomFilter.readFrom(
             new java.io.ByteArrayInputStream(
               VersionedTable.readDataBytes(root, rel)))))
-      filters.forall(f => Graft2Scan.mayMatch(stats, bloomFor, f))
+      filters.forall(f =>
+        Graft2Scan.mayMatch(file, bloomFor, typeOf, f))
     }
     Graft2DataSource.lastPlanned(root) = (keep.size, files.size)
-    keep.map { case (abs, _, _) =>
-      Graft2Partition(abs, required.fieldNames): InputPartition
+    keep.map { file =>
+      Graft2Partition(
+        org.apache.spark.sql.execution.datasources.PartitionedFile(
+          InternalRow.empty,
+          org.apache.spark.paths.SparkPath.fromPathString(file.abs),
+          0L, file.size, Array.empty, 0L, file.size)): InputPartition
     }.toArray
   }
 
-  override def createReaderFactory(): PartitionReaderFactory =
-    new Graft2ReaderFactory(required)
+  override def createReaderFactory(): PartitionReaderFactory = {
+    val spark = SparkSession.active
+    val ff = new org.apache.spark.sql.execution.datasources.parquet
+      .ParquetFileFormat
+    // the SAME reader the v1 path plans: vectorized batches, codegen,
+    // parquet row-group/page pushdown from the pushed v1 filters
+    val columnar = ff.supportBatch(spark, required)
+    val readFunc = ff.buildReaderWithPartitionValues(
+      sparkSession = spark,
+      dataSchema = full,
+      partitionSchema = new StructType(),
+      requiredSchema = required,
+      filters = filters.toSeq,
+      options = Map(
+        org.apache.spark.sql.execution.datasources.FileFormat
+          .OPTION_RETURNING_BATCH -> columnar.toString),
+      hadoopConf = spark.sessionState.newHadoopConfWithOptions(Map.empty))
+    new Graft2ReaderFactory(readFunc, columnar)
+  }
 }
 
 object Graft2Scan {
-  /** Driver-side snapshot resolution: (per-file (absolute path, stats,
-    * bloom sidecars KEYED BY INDEXED COLUMN), total bytes). Refuses
-    * tombstoned or column-mapped snapshots (this path cannot honor
-    * them). */
+  /** One plannable data file: manifest-recorded size/stats, bloom
+    * sidecars KEYED BY INDEXED COLUMN, and the file's hidden
+    * partition tag (transform spec, value) when partitioned. */
+  private[sources] final case class Graft2File(abs: String, size: Long,
+      stats: Map[String, VersionedTable.ColStats],
+      blooms: Map[String, String],
+      part: Option[(String, String)])
+
+  /** Driver-side snapshot resolution: (files, total bytes, schema).
+    * Refuses tombstoned or column-mapped snapshots (this path cannot
+    * honor them — [[graft.ext.Graft2Refresh]] routes those back to
+    * the v1 rewrites). */
   private[sources] def planState(root: String, v: Long)
-      : (Seq[(String, Map[String, VersionedTable.ColStats],
-          Map[String, String])],
-        Long) = {
+      : (Seq[Graft2File], Long, Option[StructType]) = {
     val st = VersionedTable.state(root, v)
     if (st.tombs.values.exists(_.nonEmpty))
       throw new UnsupportedOperationException(
@@ -191,30 +241,47 @@ object Graft2Scan {
       val bloomRels = st.blooms.collect {
         case ((ff, col), sc) if ff == f => col -> sc
       }.toMap
-      (VersionedTable.dataPath(root, f).toString, stats, bloomRels)
+      val abs = VersionedTable.dataPath(root, f)
+      // manifest-recorded size; pre-fsize manifests stat once
+      val size = st.sizes.getOrElse(f,
+        try java.nio.file.Files.size(abs) catch {
+          case _: java.io.IOException => 0L
+        })
+      Graft2File(abs.toString, size, stats, bloomRels, st.parts.get(f))
     }
-    val bytes = st.files.map(f => st.sizes.getOrElse(f, 0L)).sum
-    (files, bytes)
+    val bytes = files.map(_.size).sum
+    (files, bytes, VersionedTable.physicalSchemaOf(st))
   }
 
-  /** Can any row of a file with `stats` satisfy v1-filter `f`?
-    * `bloom(col)` yields the file's sidecar indexing exactly `col`
-    * (probing a bloom built over a DIFFERENT column would prune files
-    * that do contain matches — mirrors [[GraftFileIndex]]'s
-    * `(file, column)`-keyed bloomOk). Unrecognized shapes keep the
-    * file (conservative). */
-  private[sources] def mayMatch(stats: Map[String, VersionedTable.ColStats],
+  /** Can any row of `file` satisfy v1-filter `f`? `bloom(col)` yields
+    * the file's sidecar indexing exactly `col` (probing a bloom built
+    * over a DIFFERENT column would prune files that do contain
+    * matches); equality probes also consult the file's hidden
+    * partition TAG (a transform mismatch proves absence) — both
+    * mirror [[GraftFileIndex]]'s layers exactly. Unrecognized shapes
+    * keep the file (conservative). */
+  private[sources] def mayMatch(file: Graft2File,
       bloom: String => Option[org.apache.spark.util.sketch.BloomFilter],
+      typeOf: String => Option[DataType],
       f: Filter): Boolean = {
-    def cs(c: String) = stats.get(c)
+    def cs(c: String) = file.stats.get(c)
+    def partOk(c: String, v: Any): Boolean = file.part match {
+      case Some((spec, pv)) => PartitionTransform.parseOpt(spec) match {
+        case Some(t) if t.srcCol == c =>
+          typeOf(c).flatMap(t.probe(v, _)).forall(_ == pv)
+        case _ => true
+      }
+      case None => true
+    }
     f match {
       case org.apache.spark.sql.sources.And(a, b) =>
-        mayMatch(stats, bloom, a) && mayMatch(stats, bloom, b)
+        mayMatch(file, bloom, typeOf, a) && mayMatch(file, bloom, typeOf, b)
       case org.apache.spark.sql.sources.Or(a, b) =>
-        mayMatch(stats, bloom, a) || mayMatch(stats, bloom, b)
+        mayMatch(file, bloom, typeOf, a) || mayMatch(file, bloom, typeOf, b)
       case EqualTo(c, v) =>
         VersionedTable.mayMatch(cs(c), Some(v), Some(v)) &&
-          bloom(c).forall(_.mightContainString(VersionedTable.bloomProbe(v)))
+          bloom(c).forall(_.mightContainString(VersionedTable.bloomProbe(v))) &&
+          partOk(c, v)
       case In(c, vs) =>
         vs.exists(v => VersionedTable.mayMatch(cs(c), Some(v), Some(v)))
       case GreaterThan(c, v) => VersionedTable.mayMatch(cs(c), Some(v), None)
@@ -235,96 +302,53 @@ object Graft2Scan {
 /** One file = one partition (graft data files are written to target
   * size; at 100 TB split planning would mirror the v1 path's
   * maxPartitionBytes — out of spike scope). */
-case class Graft2Partition(file: String, columns: Array[String])
+/** One pruned data file, carried as the [[PartitionedFile]] the
+  * vectorized reader consumes (whole file — graft data files are
+  * written to target size, so row-group-level parallelism inside one
+  * file is not the bottleneck the way raw landed data would be). */
+case class Graft2Partition(
+    file: org.apache.spark.sql.execution.datasources.PartitionedFile)
     extends InputPartition
 
-class Graft2ReaderFactory(required: StructType)
+/** VECTORIZED reader factory: the read function is produced by
+  * Spark's own [[org.apache.spark.sql.execution.datasources.parquet
+  * .ParquetFileFormat]] (`buildReaderWithPartitionValues`) — the same
+  * machinery the v1 path runs, so the DSv2 route gets columnar
+  * batches, whole-stage codegen, parquet predicate pushdown, and the
+  * full type surface (nested included) with zero hand-rolled decode.
+  * When `columnar`, the iterator's elements ARE ColumnarBatches (the
+  * FileFormat contract behind `supportBatch`); otherwise rows. The
+  * underlying readers close via the task-completion listeners the
+  * format registers itself. */
+class Graft2ReaderFactory(
+    readFunc: org.apache.spark.sql.execution.datasources.PartitionedFile =>
+      Iterator[InternalRow],
+    columnar: Boolean)
     extends PartitionReaderFactory {
-  override def createReader(p: InputPartition): PartitionReader[InternalRow] =
-    new Graft2Reader(p.asInstanceOf[Graft2Partition], required)
-}
 
-/** Row-at-a-time parquet reader over the example Group API — public
-  * parquet-mr only. Supported types: the graft catalog's scalar set
-  * (long/int/short/byte, double/float, string, boolean, date). */
-class Graft2Reader(p: Graft2Partition, required: StructType)
-    extends PartitionReader[InternalRow] {
+  override def supportColumnarReads(p: InputPartition): Boolean = columnar
 
-  import org.apache.parquet.hadoop.ParquetReader
-  import org.apache.parquet.hadoop.example.GroupReadSupport
-  import org.apache.parquet.example.data.Group
-
-  private val conf = new org.apache.hadoop.conf.Configuration()
-  locally {
-    // projection pushdown: request only the needed columns
-    val footer = org.apache.parquet.hadoop.ParquetFileReader.open(
-      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
-        new org.apache.hadoop.fs.Path(p.file), conf))
-    val fileSchema = try footer.getFooter.getFileMetaData.getSchema
-    finally footer.close()
-    val wanted = required.fieldNames.filter(fileSchema.containsField)
-    if (wanted.nonEmpty) {
-      val proj = new org.apache.parquet.schema.MessageType("spark_schema",
-        wanted.map(n =>
-          fileSchema.getType(Seq(n): _*)): _*)
-      conf.set(org.apache.parquet.hadoop.api.ReadSupport.PARQUET_READ_SCHEMA,
-        proj.toString)
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+    val it = readFunc(p.asInstanceOf[Graft2Partition].file)
+    new PartitionReader[InternalRow] {
+      private var cur: InternalRow = _
+      override def next(): Boolean =
+        if (it.hasNext) { cur = it.next(); true } else false
+      override def get(): InternalRow = cur
+      override def close(): Unit = ()
     }
   }
 
-  private val reader: ParquetReader[Group] =
-    ParquetReader.builder(new GroupReadSupport(),
-      new org.apache.hadoop.fs.Path(p.file)).withConf(conf).build()
-
-  private var current: Group = _
-
-  override def next(): Boolean = {
-    current = reader.read()
-    current != null
-  }
-
-  override def get(): InternalRow = {
-    val vals = new Array[Any](required.length)
-    var i = 0
-    while (i < required.length) {
-      val f = required.fields(i)
-      val schema = current.getType
-      vals(i) =
-        if (!schema.containsField(f.name)) null // added-column evolution
-        else {
-          val idx = schema.getFieldIndex(f.name)
-          if (current.getFieldRepetitionCount(idx) == 0) null
-          else {
-            import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
-            val prim = schema.getType(idx).asPrimitiveType()
-              .getPrimitiveTypeName
-            f.dataType match {
-              // type-widened tables: old files keep narrow physical
-              // types; up-cast like the vectorized reader does
-              case LongType if prim == INT32 =>
-                current.getInteger(idx, 0).toLong
-              case LongType => current.getLong(idx, 0)
-              case IntegerType => current.getInteger(idx, 0)
-              case ShortType => current.getInteger(idx, 0).toShort
-              case ByteType => current.getInteger(idx, 0).toByte
-              case DoubleType if prim == FLOAT =>
-                current.getFloat(idx, 0).toDouble
-              case DoubleType => current.getDouble(idx, 0)
-              case FloatType => current.getFloat(idx, 0)
-              case BooleanType => current.getBoolean(idx, 0)
-              case DateType => current.getInteger(idx, 0)
-              case StringType =>
-                UTF8String.fromBytes(current.getBinary(idx, 0).getBytes)
-              case other => throw new UnsupportedOperationException(
-                s"graft2 reader: type $other not in the spike's scalar " +
-                  "set — read via format(\"graft\")")
-            }
-          }
-        }
-      i += 1
+  override def createColumnarReader(p: InputPartition)
+      : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] = {
+    val it = readFunc(p.asInstanceOf[Graft2Partition].file)
+      .asInstanceOf[Iterator[org.apache.spark.sql.vectorized.ColumnarBatch]]
+    new PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] {
+      private var cur: org.apache.spark.sql.vectorized.ColumnarBatch = _
+      override def next(): Boolean =
+        if (it.hasNext) { cur = it.next(); true } else false
+      override def get(): org.apache.spark.sql.vectorized.ColumnarBatch = cur
+      override def close(): Unit = ()
     }
-    new GenericInternalRow(vals)
   }
-
-  override def close(): Unit = reader.close()
 }

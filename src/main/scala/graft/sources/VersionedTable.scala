@@ -640,6 +640,16 @@ object VersionedTable {
   /** Resolve the full snapshot state at version `v`: load the newest
     * checkpoint at or below `v` and fold only the manifest SUFFIX on
     * top. Without a checkpoint this is the plain full replay. */
+  /** Whether snapshot `v` carries renamed columns (column mapping) —
+    * the DSv2 swap rule's eligibility probe (metadata-only). */
+  def hasColumnMapping(root: String, v: Long): Boolean =
+    state(root, v).colMap.nonEmpty
+
+  /** Whether snapshot `v` carries merge-on-read tombstones — the DSv2
+    * refresh rule's eligibility probe (metadata-only). */
+  def hasTombstones(root: String, v: Long): Boolean =
+    state(root, v).tombs.values.exists(_.nonEmpty)
+
   private[sources] def state(root: String, v: Long): TableState = {
     val ckpt = latestCheckpointAtOrBefore(root, v)
     // Truncated-log guard: with no checkpoint at or below `v` and the

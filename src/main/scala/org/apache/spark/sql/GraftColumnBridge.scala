@@ -15,6 +15,14 @@ object GraftColumnBridge {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
 
+  /** The session catalog as a v2 [[connector.catalog.CatalogPlugin]] —
+    * what a swapped-in `DataSourceV2Relation` must carry so Spark's
+    * own REFRESH TABLE can invalidate it (`CatalogManager
+    * .v2SessionCatalog` is `private[sql]`). */
+  def sessionCatalogPlugin(spark: SparkSession)
+      : connector.catalog.CatalogPlugin =
+    spark.sessionState.catalogManager.v2SessionCatalog
+
   /** A DataFrame over an analyzed logical plan — what a command-rewrite
     * rule needs to hand an `InsertIntoHadoopFsRelationCommand`'s
     * already-aligned query to an ordinary writer. `Dataset.ofRows` is

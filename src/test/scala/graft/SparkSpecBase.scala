@@ -10,6 +10,14 @@ trait SparkSpecBase extends AnyFunSuite with BeforeAndAfterAll {
   lazy val spark: SparkSession = SparkSpecBase.session
 
   override def afterAll(): Unit = () // session shared across suites
+
+  /** Run `f` with graft reads forced onto the v1 path — for asserts
+    * that introspect the v1 index (the supported config fallback);
+    * everything else exercises the default DSv2 route. */
+  def withReadPathV1[A](f: => A): A = {
+    spark.conf.set("spark.graft.readPath", "v1")
+    try f finally spark.conf.unset("spark.graft.readPath")
+  }
 }
 
 object SparkSpecBase {

@@ -34,17 +34,20 @@ class Graft2Spec extends SparkSpecBase {
       .filter(col("k") >= 17 && col("k") <= 22)
     assert(q.select(sum("v")).as[Long].head() ===
       (17 to 22).map(_ * 10).sum)
-    // same ratio as the v1 index on the identical predicate
+    // same ratio as the v1 index on the identical predicate (the v1
+    // half pinned to the fallback path so its index is observable)
     assert(Graft2DataSource.lastPlanned(root) === ((1, 8)))
-    val v1 = spark.read.format("graft").load(root)
-      .filter(col("k") >= 17 && col("k") <= 22)
-    v1.collect()
-    val v1Idx = v1.queryExecution.optimizedPlan.collect {
-      case org.apache.spark.sql.execution.datasources.LogicalRelation(
-          r: org.apache.spark.sql.execution.datasources.HadoopFsRelation,
-          _, _, _, _) => r.location.asInstanceOf[GraftFileIndex]
-    }.head
-    assert(v1Idx.lastListing.get === Graft2DataSource.lastPlanned(root))
+    withReadPathV1 {
+      val v1 = spark.read.format("graft").load(root)
+        .filter(col("k") >= 17 && col("k") <= 22)
+      v1.collect()
+      val v1Idx = v1.queryExecution.optimizedPlan.collect {
+        case org.apache.spark.sql.execution.datasources.LogicalRelation(
+            r: org.apache.spark.sql.execution.datasources.HadoopFsRelation,
+            _, _, _, _) => r.location.asInstanceOf[GraftFileIndex]
+      }.head
+      assert(v1Idx.lastListing.get === Graft2DataSource.lastPlanned(root))
+    }
   }
 
   test("column pruning reaches the scan; time travel pins a snapshot") {

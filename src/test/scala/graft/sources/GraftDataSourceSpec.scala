@@ -12,6 +12,18 @@ import org.apache.spark.sql.functions._
 class GraftDataSourceSpec extends SparkSpecBase {
   import spark.implicits._
 
+  // this suite documents the V1 read surface — the supported
+  // spark.graft.readPath=v1 fallback — whose index it introspects;
+  // the default DSv2 route is pinned by Graft2Spec/Graft2DefaultSpec
+  override def beforeAll(): Unit = {
+    super.beforeAll()
+    spark.conf.set("spark.graft.readPath", "v1")
+  }
+  override def afterAll(): Unit = {
+    spark.conf.unset("spark.graft.readPath")
+    super.afterAll()
+  }
+
   private def tmp(): String =
     java.nio.file.Files.createTempDirectory("graft_ds_").toString
 

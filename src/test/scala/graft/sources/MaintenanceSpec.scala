@@ -73,12 +73,9 @@ class MaintenanceSpec extends SparkSpecBase {
     val df = spark.read.format("graft").load(root)
       .filter(col("user_id") === 7L)
     assert(df.select(sum("v")).as[Long].head() === 70L)
-    val idx = df.queryExecution.optimizedPlan.collect {
-      case org.apache.spark.sql.execution.datasources.LogicalRelation(
-          r: org.apache.spark.sql.execution.datasources.HadoopFsRelation,
-          _, _, _, _) => r.location.asInstanceOf[GraftFileIndex]
-    }.head
-    val (kept, total) = idx.lastListing.get
+    // the DEFAULT (DSv2) route prunes by the same tags — observable
+    // through the v2 scan's planning counter
+    val (kept, total) = Graft2DataSource.lastPlanned(root)
     assert(kept * 4 <= total,
       s"bucket tags should prune streamed files, kept $kept/$total")
     // restart: re-delivered batches skip (exactly-once), new ones land
@@ -158,13 +155,15 @@ class MaintenanceSpec extends SparkSpecBase {
     // same metadata-derived total
     val detailBytes = VersionedTable.detail(root).sizeBytes
     assert(detailBytes === st.sizes.values.sum)
-    val df = spark.read.format("graft").load(root)
-    val idx = df.queryExecution.optimizedPlan.collect {
-      case org.apache.spark.sql.execution.datasources.LogicalRelation(
-          r: org.apache.spark.sql.execution.datasources.HadoopFsRelation,
-          _, _, _, _) => r.location.asInstanceOf[GraftFileIndex]
-    }.head
-    assert(idx.sizeInBytes === detailBytes)
+    withReadPathV1 {
+      val df = spark.read.format("graft").load(root)
+      val idx = df.queryExecution.optimizedPlan.collect {
+        case org.apache.spark.sql.execution.datasources.LogicalRelation(
+            r: org.apache.spark.sql.execution.datasources.HadoopFsRelation,
+            _, _, _, _) => r.location.asInstanceOf[GraftFileIndex]
+      }.head
+      assert(idx.sizeInBytes === detailBytes)
+    }
   }
 
   test("SQL: GRAFT VACUUM DRY RUN and GRAFT REORG PURGE") {

@@ -129,5 +129,16 @@ object Bench {
     // tail parser.
     println(line)
     System.out.flush()
+    // Round 9: r8's tail carried a late task-retry stack trace that
+    // still displaced the line. Three flushed copies back-to-back make
+    // one complete line survive any 2000-char window that ends after
+    // them, and a JVM shutdown hook emits one FINAL raw copy after all
+    // other exit chatter had its chance.
+    (1 to 2).foreach(_ => println(line))
+    System.out.flush()
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      System.out.println(line)
+      System.out.flush()
+    }))
   }
 }

@@ -2551,6 +2551,67 @@ object Lakehouse {
              |  SELECT 'delete', o_orderkey FROM orders
              |  WHERE o_orderkey <= 2048 AND o_orderkey % 10 <> 3
              |    AND o_orderstatus = 'P'
-             |) GROUP BY _change_type ORDER BY _change_type""".stripMargin))
+             |) GROUP BY _change_type ORDER BY _change_type""".stripMargin)),
+
+    // DSV2 DEFAULT READ PATH (round 9): plain graft reads now execute
+    // through the public connector API (GraftDsv2Swap +
+    // Graft2DataSource) with Spark's VECTORIZED parquet batch reader —
+    // the round-8 spike promoted to the serving path. The entry
+    // commits `orders` as 4 range-disjoint graft files, queries a key
+    // range through a CATALOG table in SQL, and pins THREE invariants
+    // under the oracle: `is_v2` (the analyzed plan reads through a
+    // Graft2Table DataSourceV2Relation), `pruned_ok` (the v2 planner
+    // kept exactly the 1 overlapping file of 4 — the v1 index's exact
+    // ratio, from manifest stats with zero file I/O), and the
+    // aggregate itself (vectorized batches produce the same numbers).
+    // Graft2DefaultSpec pins codegen shape, freshness, fallback, and
+    // MOR unswap; the REST OF THIS CATALOG is the real coverage — all
+    // 250+ entries' graft reads run through this path now.
+    QueryDef(
+      "q255_dsv2_default_read",
+      (s, d) => {
+        val root = Files.createTempDirectory("dsv2_entry_").toString
+        val tbl = "dsv2_orders_entry"
+        val src = orders(s, d).select(col("o_orderkey"), col("o_custkey"),
+          col("o_orderstatus")).filter(col("o_orderkey") < 4096)
+        (0 until 4).foreach { i => // 4 range-disjoint files
+          graft.sources.VersionedTable.commit(
+            src.filter(col("o_orderkey") >= i * 1024L &&
+              col("o_orderkey") < (i + 1) * 1024L).coalesce(1), root)
+        }
+        s.sql(s"DROP TABLE IF EXISTS $tbl")
+        s.sql(s"CREATE TABLE $tbl USING graft OPTIONS (path '$root')")
+        val probe = s.sql(
+          s"SELECT count(*) AS n FROM $tbl WHERE o_orderkey % 4 = 2")
+        val isV2 = probe.queryExecution.analyzed.collectFirst {
+          case r: org.apache.spark.sql.execution.datasources.v2
+              .DataSourceV2Relation
+              if r.table.isInstanceOf[graft.sources.Graft2Table] => r
+        }.nonEmpty
+        probe.collect()
+        // partition-tag parity is separate (q-entries + specs); here
+        // the 4 files are range-committed so a POINT key prunes 1/4
+        // via stats through the v2 planner
+        s.sql(s"SELECT o_custkey FROM $tbl WHERE o_orderkey = 32")
+          .collect()
+        val (kept, total) =
+          graft.sources.Graft2DataSource.lastPlanned(root)
+        val prunedOk = if (kept == 1 && total == 4) 1L else 0L
+        val out = s.sql(
+          s"""SELECT o_orderstatus, count(*) AS n_rows,
+             |  CAST(sum(o_custkey) AS BIGINT) AS sum_cust,
+             |  CAST(${if (isV2) 1L else 0L} AS BIGINT) AS is_v2,
+             |  CAST($prunedOk AS BIGINT) AS pruned_ok
+             |FROM $tbl GROUP BY o_orderstatus
+             |ORDER BY o_orderstatus""".stripMargin)
+        s.sql(s"DROP TABLE $tbl")
+        out
+      },
+      Some("""SELECT o_orderstatus, count(*) AS n_rows,
+             |  CAST(sum(o_custkey) AS BIGINT) AS sum_cust,
+             |  CAST(1 AS BIGINT) AS is_v2,
+             |  CAST(1 AS BIGINT) AS pruned_ok
+             |FROM orders WHERE o_orderkey < 4096
+             |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin))
   )
 }

@@ -20,22 +20,22 @@ import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
 
-/** DSv2 `TableProvider` read path for graft tables — the migration
-  * SPIKE the v1 datasource will eventually retire into, registered
-  * under its own short name so the production `format("graft")`
-  * surface stays v1 until parity:
+/** DSv2 `TableProvider` read path for graft tables — since round 9
+  * the DEFAULT serving path for plain reads ([[graft.ext
+  * .GraftDsv2Swap]] routes unpinned clean-snapshot `format("graft")`
+  * reads here; `format("graft2")` loads it directly):
   *
   * {{{
   *   spark.read.format("graft2").load(root)
   *   spark.read.format("graft2").option("versionAsOf", 3).load(root)
   * }}}
   *
-  * What the spike proves end-to-end on the PUBLIC connector API
-  * (org.apache.spark.sql.connector.*, no private[sql] shims — the
-  * point of the migration):
+  * Everything runs on the PUBLIC connector API
+  * (org.apache.spark.sql.connector.*):
   *  - pushed data filters prune FILES from the manifest's min/max
-  *    stats, null counts, and bloom sidecars BEFORE planning, with
-  *    the same ratios as the v1 [[GraftFileIndex]] (observable via
+  *    stats, null counts, bloom sidecars (keyed per (file, column)),
+  *    and hidden partition tags BEFORE planning, with the same ratios
+  *    as the v1 [[GraftFileIndex]] (observable via
   *    [[Graft2DataSource.lastPlanned]]); every filter is returned as
   *    residual, so Spark re-applies them row-wise and pruning can
   *    never change an answer;
@@ -43,16 +43,17 @@ import org.apache.spark.unsafe.types.UTF8String
   *    projection is pushed into the reader's schema);
   *  - manifest-reported `sizeInBytes` drives planning
   *    ([[SupportsReportStatistics]]) — broadcast decisions without a
-  *    filesystem stat.
+  *    filesystem stat;
+  *  - the reader is VECTORIZED: Spark's own parquet batch reader
+  *    behind the columnar `PartitionReaderFactory` contract, so DSv2
+  *    reads get ColumnarBatches + whole-stage codegen + parquet
+  *    row-group/page pushdown + the full type surface, and surviving
+  *    files split by `maxPartitionBytes` for task parallelism.
   *
-  * The row reader is parquet-mr's example Group API — correct and
-  * dependency-free, but row-at-a-time (no vectorization, no codegen).
-  * That is the honest cost of DSv2-from-public-API today and the
-  * reason `format("graft")` stays on the v1 `HadoopFsRelation` path
-  * (stock vectorized reader + whole-stage codegen) until a
-  * vectorized DSv2 reader lands. Feature gates: snapshots with MOR
-  * tombstones or column mapping refuse loudly (read those through
-  * `format("graft")`).
+  * Feature gates: snapshots with MOR tombstones or column mapping
+  * refuse loudly — on the default path [[graft.ext.Graft2Refresh]]
+  * routes those back to the v1 rewrites before the refusal can fire,
+  * so the gate only trips on direct `format("graft2")` misuse.
   */
 class Graft2DataSource extends TableProvider with DataSourceRegister {
   override def shortName(): String = "graft2"
@@ -182,12 +183,22 @@ class Graft2Scan(root: String, version: Long, full: StructType,
         Graft2Scan.mayMatch(file, bloomFor, typeOf, f))
     }
     Graft2DataSource.lastPlanned(root) = (keep.size, files.size)
-    keep.map { file =>
-      Graft2Partition(
-        org.apache.spark.sql.execution.datasources.PartitionedFile(
-          InternalRow.empty,
-          org.apache.spark.paths.SparkPath.fromPathString(file.abs),
-          0L, file.size, Array.empty, 0L, file.size)): InputPartition
+    // split surviving files by maxPartitionBytes — the v1 path's task
+    // granularity (parquet readers align splits to row groups), so a
+    // few huge files still parallelize across the cluster
+    val spark = SparkSession.active
+    val maxSplit = spark.sessionState.conf.filesMaxPartitionBytes
+    keep.flatMap { file =>
+      val chunks = math.max(1L, (file.size + maxSplit - 1) / maxSplit)
+      (0L until chunks).map { c =>
+        val start = c * maxSplit
+        Graft2Partition(
+          org.apache.spark.sql.execution.datasources.PartitionedFile(
+            InternalRow.empty,
+            org.apache.spark.paths.SparkPath.fromPathString(file.abs),
+            start, math.min(maxSplit, file.size - start),
+            Array.empty, 0L, file.size)): InputPartition
+      }
     }.toArray
   }
 

@@ -650,7 +650,32 @@ object VersionedTable {
   def hasTombstones(root: String, v: Long): Boolean =
     state(root, v).tombs.values.exists(_.nonEmpty)
 
+  // (root, v, manifest mtime) → folded state. A published snapshot is
+  // IMMUTABLE (its manifest wins a conditional put and is never
+  // rewritten), so memoizing the fold is protocol-sound; the mtime in
+  // the key invalidates the one legal aliasing case — a table root
+  // deleted and recreated (e.g. a reused WAP branch name) where the
+  // SAME (root, v) names different content. One stat per hit instead
+  // of a manifest-chain replay; bounded (clear-all past the cap) so a
+  // long bench over throwaway tables cannot grow without bound.
+  private val stateCache = scala.collection.concurrent.TrieMap[
+    (String, Long, Long), TableState]()
+  private val StateCacheMax = 512
+
   private[sources] def state(root: String, v: Long): TableState = {
+    val key = (root, v, scala.util.Try(
+      logIO(root).mtimeMs(manifestPath(root, v))).getOrElse(-1L))
+    stateCache.get(key) match {
+      case Some(st) => st
+      case None =>
+        val st = computeState(root, v)
+        if (stateCache.size >= StateCacheMax) stateCache.clear()
+        stateCache(key) = st
+        st
+    }
+  }
+
+  private def computeState(root: String, v: Long): TableState = {
     val ckpt = latestCheckpointAtOrBefore(root, v)
     // Truncated-log guard: with no checkpoint at or below `v` and the
     // earliest surviving manifest above 0, the fold would start from
@@ -3931,7 +3956,17 @@ object VersionedTable {
     val bp = Paths.get(branchRoot(root, name))
     require(dataIO(root).isDir(bp), s"no branch '$name' in $root")
     dataIO(root).deleteTree(bp)
+    // a re-created branch of the SAME name reuses this root with fresh
+    // version numbers — millisecond mtimes alone may not disambiguate
+    invalidateStateCache(bp.toString)
   }
+
+  /** Drop every memoized state under `rootPrefix` — for the paths that
+    * legally get DELETED and re-created ([[dropBranch]],
+    * [[publishBranch]]'s consumed branch). */
+  private[sources] def invalidateStateCache(rootPrefix: String): Unit =
+    stateCache.keys.filter(_._1.startsWith(rootPrefix))
+      .foreach(stateCache.remove)
 
   /** Publish the branch's appends onto main as ONE squash append
     * commit, then delete the branch (its data dirs have MOVED into

@@ -2467,10 +2467,19 @@ object Lakehouse {
         s.sql(s"CREATE TABLE $tbl USING `delta-log` OPTIONS (path '$root')")
         s.sql(s"DELETE FROM $tbl WHERE o_orderkey % 20 = 11")
         s.sql(s"DELETE FROM $tbl WHERE o_orderkey % 20 = 4")
+        val afterDel = graft.sources.DeltaLog.snapshot(s, root)
+        // round 9: UPDATE also rides DVs — pre-update rows die via
+        // descriptors, post-update rows append as NEW files, every
+        // original file survives unrewritten
+        s.sql(s"UPDATE $tbl SET o_custkey = o_custkey + 1000000 " +
+          s"WHERE o_orderkey % 20 = 8")
         val after = graft.sources.DeltaLog.snapshot(s, root)
         val dvNoRewrite =
-          if (after.adds.map(_.path).toSet ==
+          if (afterDel.adds.map(_.path).toSet ==
               before.adds.map(_.path).toSet &&
+            before.adds.map(_.path).toSet
+              .subsetOf(after.adds.map(_.path).toSet) &&
+            after.adds.size > before.adds.size &&
             after.adds.exists(_.deletionVector.isDefined) &&
             before.minWriterVersion == 7 &&
             before.columnMapping.nonEmpty) 1L
@@ -2486,7 +2495,9 @@ object Lakehouse {
         out
       },
       Some("""SELECT o_orderstatus, count(*) AS n_kept,
-             |  CAST(sum(o_custkey) AS BIGINT) AS sum_cust,
+             |  CAST(sum(CASE WHEN o_orderkey % 20 = 8
+             |    THEN o_custkey + 1000000 ELSE o_custkey END)
+             |    AS BIGINT) AS sum_cust,
              |  CAST(sum(o_orderkey) AS BIGINT) AS sum_key,
              |  CAST(1 AS BIGINT) AS dv_no_rewrite
              |FROM orders

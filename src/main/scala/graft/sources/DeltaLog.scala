@@ -918,7 +918,7 @@ object DeltaLog {
       snap0.writerFeatures.contains("deletionVectors")) {
       val matched = vis.filter(coalesce(cond, lit(false)))
         .select(DeltaLogRead.FpCol, DeltaLogRead.PosCol)
-      dvDelete(spark, root, snap, matched,
+      dvRemoveRows(spark, root, snap, matched,
         touchedAdds.toSeq, idx, cdcAdds) match {
         case Some(v) => return v
         case None => () // too large/dense — COW below
@@ -929,7 +929,7 @@ object DeltaLog {
   }
 
   /** `numRecords` from an add's stats JSON — the physical row count
-    * [[dvDelete]] needs for its density bound. */
+    * [[dvRemoveRows]] needs for its density bound. */
   private def numRecordsOf(a: DeltaAdd): Option[Long] =
     a.statsJson.flatMap { js =>
       try {
@@ -944,19 +944,24 @@ object DeltaLog {
     * so a larger delete falls back to copy-on-write. */
   private val MaxDvPositions = 2 * 1000 * 1000
 
-  /** The DV write path of [[deleteWhere]]: collect the matched
-    * (file, position) pairs, merge each touched file's existing DV,
-    * write one spec-framed DV file per touched data file, and commit
-    * remove+add pairs that KEEP every data file (same path, stats,
-    * partition values) under its new descriptor. A file whose merged
-    * DV covers every physical row is removed outright (no dead-file
-    * add). Returns None when the delete exceeds [[MaxDvPositions]],
-    * a touched file lacks numRecords (density unknowable), or the
-    * touched files would end up majority-deleted (COW is cheaper). */
-  private def dvDelete(spark: SparkSession, root: String,
+  /** The DV write path shared by [[deleteWhere]] and [[updateWhere]]:
+    * collect the matched (file, position) pairs, merge each touched
+    * file's existing DV, write one spec-framed DV file per touched
+    * data file, and commit remove+add pairs that KEEP every data file
+    * (same path, stats, partition values) under its new descriptor.
+    * A file whose merged DV covers every physical row is removed
+    * outright (no dead-file add). `extraRows` (the UPDATE case's
+    * post-update rows) land as ordinary new data files in the SAME
+    * commit. Returns None when the operation exceeds
+    * [[MaxDvPositions]], a touched file lacks numRecords (density
+    * unknowable), or the touched files would end up majority-dead
+    * (COW is cheaper). */
+  private def dvRemoveRows(spark: SparkSession, root: String,
       snap: DeltaSnapshot, matched: DataFrame,
       touchedAdds: Seq[DeltaAdd],
-      idx: DeltaLogFileIndex, cdcAdds: Seq[DeltaAdd]): Option[Long] = {
+      idx: DeltaLogFileIndex, cdcAdds: Seq[DeltaAdd],
+      operation: String = "DELETE",
+      extraRows: Option[DataFrame] = None): Option[Long] = {
     val rows = matched.limit(MaxDvPositions + 1).collect()
     if (rows.length > MaxDvPositions) return None
     val physRows = touchedAdds.map(a => numRecordsOf(a) match {
@@ -969,9 +974,13 @@ object DeltaLog {
       return None
     val byFile = rows.groupBy(_.getString(0))
       .map { case (u, rs) => u -> rs.map(_.getLong(1)).sorted }
+    // new files first: invisible until the commit JSON references them
+    val extraAdds = extraRows.toSeq.flatMap(df =>
+      stageAndLand(spark, df, root, snap.partitionColumns,
+        java.util.UUID.randomUUID().toString.take(8)))
     val lines = scala.collection.mutable.ListBuffer.empty[String]
     lines += s"""{"commitInfo":{"timestamp":${System.currentTimeMillis},""" +
-      """"operation":"DELETE"}}"""
+      s""""operation":"$operation"}}"""
     touchedAdds.foreach { a =>
       val fresh = byFile.getOrElse(idx.scanUriOf(a), Array.empty[Long])
       val mergedPos = a.deletionVector match {
@@ -986,6 +995,7 @@ object DeltaLog {
         lines += addLine(a.copy(deletionVector =
           Some(DeletionVectors.writeFile(root, mergedPos))))
     }
+    extraAdds.foreach(a => lines += addLine(a))
     cdcAdds.foreach(a => lines += cdcLine(a))
     val next = snap.version + 1
     try io(root).putIfAbsent(commitPath(root, next),
@@ -1360,6 +1370,26 @@ object DeltaLog {
           java.util.UUID.randomUUID().toString.take(8),
           prefix = "_change_data/")
       }
+    // DELETION-VECTOR path (delta-spark's UPDATE-with-DVs shape):
+    // when the table opted in and the update touches a SMALL fraction
+    // of the touched files' rows, the commit marks the pre-update
+    // rows dead via per-file DVs and appends ONLY the post-update
+    // rows as new files — O(updated rows) write I/O instead of
+    // restaging every surviving row of every touched file.
+    if (snap.configuration.get("delta.enableDeletionVectors")
+        .contains("true") &&
+      snap0.minWriterVersion >= 7 &&
+      snap0.writerFeatures.contains("deletionVectors")) {
+      val matched = vis.filter(hit)
+        .select(DeltaLogRead.FpCol, DeltaLogRead.PosCol)
+      dvRemoveRows(spark, root, snap, matched, touchedAdds.toSeq, idx,
+        cdcAdds, operation = "UPDATE",
+        extraRows = Some(applied(touchedRows.filter(hit)
+          .drop(DeltaLogRead.FpCol, DeltaLogRead.PosCol)))) match {
+        case Some(v) => return v
+        case None => () // too large/dense — COW below
+      }
+    }
     replaceFiles(spark, root, touchedAdds.map(_.path).toSeq,
       applied(touchedRows), snap.partitionColumns, cdcAdds,
       operation = "UPDATE")

@@ -257,6 +257,40 @@ class DeletionVectorsSpec extends SparkSpecBase {
     assert(spark.read.format("delta-log").load(root).count() === 29)
   }
 
+  test("UPDATE on a DV-enabled table: pre-update rows die via DVs, post rows append") {
+    val root = tmp()
+    spark.range(0, 100).toDF("k").withColumn("v", col("k") * 10)
+      .coalesce(2).write.format("delta-log")
+      .option("delta.enableDeletionVectors", "true").save(root)
+    val before = DeltaLog.snapshot(spark, root)
+    spark.sql(s"CREATE TABLE dv_upd USING `delta-log` OPTIONS (path '$root')")
+    try {
+      spark.sql("UPDATE dv_upd SET v = -1 WHERE k % 25 = 3")
+      val after = DeltaLog.snapshot(spark, root)
+      // every original file survives (under a DV) — no survivor
+      // restaging — and the post-update rows land as NEW files
+      assert(before.adds.map(_.path).toSet
+        .subsetOf(after.adds.map(_.path).toSet))
+      assert(after.adds.size > before.adds.size)
+      assert(after.adds.flatMap(_.deletionVector)
+        .map(_.cardinality).sum === 4)
+      assert(spark.sql("SELECT count(*) AS c FROM dv_upd")
+        .as[Long].head() === 100L)
+      assert(spark.sql("SELECT count(*) AS c FROM dv_upd WHERE v = -1")
+        .as[Long].head() === 4L)
+      assert(spark.sql(
+        "SELECT CAST(sum(v) AS LONG) AS s FROM dv_upd").as[Long]
+        .head() === (0 until 100)
+        .map(k => if (k % 25 == 3) -1L else k * 10L).sum)
+      // a second DV update composes (merged descriptors)
+      spark.sql("UPDATE dv_upd SET v = -2 WHERE k = 10")
+      assert(spark.sql("SELECT v FROM dv_upd WHERE k = 10").as[Long]
+        .head() === -2L)
+      assert(spark.sql("SELECT count(*) AS c FROM dv_upd")
+        .as[Long].head() === 100L)
+    } finally spark.sql("DROP TABLE IF EXISTS dv_upd")
+  }
+
   test("enabling DVs on an existing table upgrades the protocol in-commit") {
     val root = tmp()
     spark.range(0, 40).toDF("k").coalesce(1)

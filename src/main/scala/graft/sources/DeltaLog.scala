@@ -789,13 +789,17 @@ object DeltaLog {
           }
         val mapFeat =
           if (mapMode == "none") Set.empty[String] else Set("columnMapping")
+        // at (3,7) every ACTIVE feature must be listed — a property
+        // without its feature is dead to conformant writers
+        val cdfFeat =
+          if (properties.get("delta.enableChangeDataFeed")
+            .contains("true")) Set("changeDataFeed")
+          else Set.empty[String]
         val p =
           if (wantsDv)
-            (3, 7, Set("deletionVectors") ++ mapFeat ++
-              (if (mapMode == "none") Set.empty[String]
-               else legacyReaderFeatures(2)),
-              Set("deletionVectors") ++ mapFeat ++ legacyWriterFeatures(
-                if (mapMode == "none") 2 else 5))
+            (3, 7, Set("deletionVectors") ++ mapFeat,
+              Set("deletionVectors") ++ mapFeat ++ cdfFeat ++
+                legacyWriterFeatures(if (mapMode == "none") 2 else 5))
           else if (mapMode != "none") (2, 5, Set.empty[String], Set.empty[String])
           else (1, 2, Set.empty[String], Set.empty[String])
         (schema, conf, p)
@@ -1546,19 +1550,41 @@ object DeltaLog {
     val next = snap.version + 1
     val merged = snap.configuration ++ props
     val lines = scala.collection.mutable.ListBuffer.empty[String]
-    // enabling deletion vectors needs the (3,7) feature protocol —
-    // upgrade in the SAME commit (keeping the legacy-implied features
-    // active, the spec's upgrade rule); never downgrade anything
-    if (props.get("delta.enableDeletionVectors").contains("true") &&
+    // property-implied protocol upgrades land in the SAME commit, as
+    // ONE combined protocol line; never downgrade anything:
+    //  - deletion vectors → (3,7) + feature (legacy-implied features
+    //    kept active, the spec's upgrade rule);
+    //  - change data feed → writer 4, or the changeDataFeed feature
+    //    when the table is already on (…,7) — below either, a
+    //    conformant writer would ignore the property.
+    val wantDv = props.get("delta.enableDeletionVectors")
+      .contains("true") &&
       !(snap.minWriterVersion >= 7 &&
-        snap.writerFeatures.contains("deletionVectors"))) {
+        snap.writerFeatures.contains("deletionVectors"))
+    val targetW =
+      if (wantDv) 7
+      else if (props.get("delta.enableChangeDataFeed").contains("true") &&
+        snap.minWriterVersion < 4) math.max(snap.minWriterVersion, 4)
+      else snap.minWriterVersion
+    val wantCdfFeat = props.get("delta.enableChangeDataFeed")
+      .contains("true") &&
+      (targetW >= 7 || snap.minWriterVersion >= 7) &&
+      !snap.writerFeatures.contains("changeDataFeed")
+    if (wantDv || wantCdfFeat || targetW != snap.minWriterVersion) {
+      val w = math.max(targetW, snap.minWriterVersion)
+      val r = if (wantDv) 3 else snap.minReaderVersion
       val rf = snap.readerFeatures ++
-        legacyReaderFeatures(snap.minReaderVersion) ++
-        Set("deletionVectors")
+        (if (wantDv) legacyReaderFeatures(snap.minReaderVersion) ++
+          Set("deletionVectors")
+         else Set.empty[String])
       val wf = snap.writerFeatures ++
-        legacyWriterFeatures(snap.minWriterVersion) ++
-        Set("deletionVectors")
-      lines += protocolLine(3, 7, rf, wf)
+        (if (w >= 7) legacyWriterFeatures(snap.minWriterVersion)
+         else Set.empty[String]) ++
+        (if (wantDv) Set("deletionVectors") else Set.empty[String]) ++
+        (if (wantCdfFeat || (w >= 7 && merged
+          .get("delta.enableChangeDataFeed").contains("true")))
+          Set("changeDataFeed") else Set.empty[String])
+      lines += protocolLine(r, w, rf, wf)
     }
     lines += metaDataLine(snap.schema.json, snap.partitionColumns, merged)
     try io(root).putIfAbsent(commitPath(root, next),

@@ -291,6 +291,36 @@ class DeletionVectorsSpec extends SparkSpecBase {
     } finally spark.sql("DROP TABLE IF EXISTS dv_upd")
   }
 
+  test("DVs + CDF together: DV delete records cdc rows; features all listed") {
+    val root = tmp()
+    spark.range(0, 40).toDF("k").coalesce(1).write.format("delta-log")
+      .option("delta.enableDeletionVectors", "true")
+      .option("delta.enableChangeDataFeed", "true").save(root)
+    val snap = DeltaLog.snapshot(spark, root)
+    // (3,7) with EVERY active feature listed — a (…,7) table with an
+    // unlisted feature is dead to conformant writers
+    assert(snap.minReaderVersion === 3 && snap.minWriterVersion === 7)
+    assert(Set("deletionVectors", "changeDataFeed")
+      .subsetOf(snap.writerFeatures))
+    DeltaLog.deleteWhere(spark, root, col("k") % 10 === 2)
+    val after = DeltaLog.snapshot(spark, root)
+    // the delete rode DVs (no file restaged) AND recorded the feed
+    assert(after.adds.map(_.path).toSet === snap.adds.map(_.path).toSet)
+    assert(after.adds.head.deletionVector.exists(_.cardinality === 4))
+    val ch = DeltaLog.changes(spark, root, 0, after.version)
+    assert(ch.filter(col("_change_type") === "delete")
+      .select("k").as[Long].collect().sorted.toSeq ===
+      Seq(2L, 12L, 22L, 32L))
+    // enabling CDF on a LEGACY table raises the writer version to 4
+    val root2 = tmp()
+    spark.range(0, 4).toDF("k").coalesce(1)
+      .write.format("delta-log").save(root2)
+    DeltaLog.setConfiguration(spark, root2,
+      Map("delta.enableChangeDataFeed" -> "true"))
+    val s2 = DeltaLog.snapshot(spark, root2)
+    assert(s2.minWriterVersion === 4 && s2.minReaderVersion === 1)
+  }
+
   test("enabling DVs on an existing table upgrades the protocol in-commit") {
     val root = tmp()
     spark.range(0, 40).toDF("k").coalesce(1)

@@ -978,26 +978,34 @@ object DeltaLog {
       return None
     val byFile = rows.groupBy(_.getString(0))
       .map { case (u, rs) => u -> rs.map(_.getLong(1)).sorted }
-    // new files first: invisible until the commit JSON references them
-    val extraAdds = extraRows.toSeq.flatMap(df =>
+    // new files first: invisible until the commit JSON references
+    // them; an empty frame stages nothing (Spark would still write
+    // one zero-row part, which must not land in the log)
+    val extraAdds = extraRows.toSeq.filterNot(_.isEmpty).flatMap(df =>
       stageAndLand(spark, df, root, snap.partitionColumns,
         java.util.UUID.randomUUID().toString.take(8)))
+    if (rows.isEmpty && extraAdds.isEmpty)
+      return Some(snap.version) // nothing fired: no empty commit
     val lines = scala.collection.mutable.ListBuffer.empty[String]
     lines += s"""{"commitInfo":{"timestamp":${System.currentTimeMillis},""" +
       s""""operation":"$operation"}}"""
     touchedAdds.foreach { a =>
       val fresh = byFile.getOrElse(idx.scanUriOf(a), Array.empty[Long])
-      val mergedPos = a.deletionVector match {
-        case Some(d) =>
-          (DeletionVectors.read(root, d) ++ fresh).distinct.sorted
-        case None => fresh
+      // key-envelope-touched files with no actually-dead rows (a
+      // merge whose clauses fired elsewhere) carry over untouched
+      if (fresh.nonEmpty) {
+        val mergedPos = a.deletionVector match {
+          case Some(d) =>
+            (DeletionVectors.read(root, d) ++ fresh).distinct.sorted
+          case None => fresh
+        }
+        lines += s"""{"remove":{"path":${jsonStr(encodePath(a.path))},""" +
+          s""""deletionTimestamp":${System.currentTimeMillis},""" +
+          """"dataChange":true}}"""
+        if (mergedPos.length < numRecordsOf(a).get) // fully dead: no re-add
+          lines += addLine(a.copy(deletionVector =
+            Some(DeletionVectors.writeFile(root, mergedPos))))
       }
-      lines += s"""{"remove":{"path":${jsonStr(encodePath(a.path))},""" +
-        s""""deletionTimestamp":${System.currentTimeMillis},""" +
-        """"dataChange":true}}"""
-      if (mergedPos.length < numRecordsOf(a).get) // fully-dead file: no re-add
-        lines += addLine(a.copy(deletionVector =
-          Some(DeletionVectors.writeFile(root, mergedPos))))
     }
     extraAdds.foreach(a => lines += addLine(a))
     cdcAdds.foreach(a => lines += cdcLine(a))
@@ -1494,12 +1502,53 @@ object DeltaLog {
     val touchedAdds = touchedUris.map(u => uriToAdd.getOrElse(u,
       throw new IllegalStateException(
         s"delta-log: scan URI $u not in snapshot v${snap.version}")))
+    val touchedFrame =
+      if (touchedUris.isEmpty) vis.filter(lit(false))
+      else vis.filter(col(DeltaLogRead.FpCol).isin(touchedUris: _*))
     val tgtRows = toLogical(
-      (if (touchedUris.isEmpty) vis.filter(lit(false))
-      else vis.filter(col(DeltaLogRead.FpCol).isin(touchedUris: _*)))
-      .drop(DeltaLogRead.FpCol, DeltaLogRead.PosCol))
+      touchedFrame.drop(DeltaLogRead.FpCol, DeltaLogRead.PosCol))
     if (!snap.configuration.get("delta.enableChangeDataFeed")
         .contains("true")) {
+      // DELETION-VECTOR path (delta-spark's MERGE-with-DVs shape):
+      // when the table opted in, run the cascade in TAGGED form with
+      // the target rows' (file, position) addressing threaded
+      // through — matched-updated and deleted target rows die via
+      // per-file DVs, updated/inserted rows append as new files, and
+      // CARRY-OVER rows never restage (the O(changed rows) contract).
+      // Dense merges fall back to the COW rewrite below.
+      if (snap.configuration.get("delta.enableDeletionVectors")
+          .contains("true") &&
+        snap0.minWriterVersion >= 7 &&
+        snap0.writerFeatures.contains("deletionVectors")) {
+        val tgtWithPos =
+          if (mapping.isEmpty) touchedFrame
+          else touchedFrame.select(
+            snap0.schema.fields.toSeq.zip(physSchema.fields).map {
+              case (lf, pf) => col(s"`${pf.name}`")
+                .cast(nullableOf(lf.dataType)).as(lf.name)
+            } ++ Seq(col(DeltaLogRead.FpCol),
+              col(DeltaLogRead.PosCol)): _*)
+        val tagged = VersionedTable.mergeCascadeTagged(tgtWithPos,
+          source, snap0.schema, tKey, sKey, matched, notMatched,
+          bySource, passThrough =
+            Seq(DeltaLogRead.FpCol, DeltaLogRead.PosCol))
+          .persist()
+        try {
+          val dead = tagged.filter(
+            col(DeltaLogRead.FpCol).isNotNull &&
+              col("__ct").isin("update", "delete"))
+            .select(col(DeltaLogRead.FpCol), col(DeltaLogRead.PosCol))
+          val freshRows = toPhysical(tagged
+            .filter(col("__keep") && col("__ct").isin("update", "insert"))
+            .select(snap0.schema.fieldNames.toSeq.map(col): _*))
+          dvRemoveRows(spark, root, snap, dead, touchedAdds.toSeq,
+            idx, Nil, operation = "MERGE",
+            extraRows = Some(freshRows)) match {
+            case Some(v) => return v
+            case None => () // too large/dense — COW below
+          }
+        } finally tagged.unpersist()
+      }
       val out = VersionedTable.mergeCascadeRows(tgtRows, source,
         snap0.schema, tKey, sKey, matched, notMatched, bySource)
       return replaceFiles(spark, root, touchedAdds.map(_.path).toSeq,

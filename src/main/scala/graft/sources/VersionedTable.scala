@@ -3081,11 +3081,16 @@ object VersionedTable {
       tableSc: org.apache.spark.sql.types.StructType,
       tKey: String, sKey: String,
       matched: Seq[MergeClause], notMatched: Seq[MergeClause],
-      bySource: Seq[MergeClause]): org.apache.spark.sql.DataFrame = {
+      bySource: Seq[MergeClause],
+      // extra TARGET-side columns carried verbatim through the
+      // cascade (null on insert rows) — the DV merge path threads the
+      // target rows' (file, position) addressing through here
+      passThrough: Seq[String] = Nil): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.functions.{col, lit, when}
     val tableCols = tableSc.fieldNames.toSeq
     val tgt = tgtRows
-      .select(tableCols.map(c => col(c).as(s"__t_$c")): _*)
+      .select(tableCols.map(c => col(c).as(s"__t_$c")) ++
+        passThrough.map(col): _*)
       .withColumn("__t_present", lit(true))
     val src = source
       .select(source.columns.toSeq.map(c => col(c).as(s"__s_$c")): _*)
@@ -3143,7 +3148,7 @@ object VersionedTable {
       } ++ tableCols.map { c =>
         val f = tableSc.fields.find(_.name == c).get
         col(s"__t_$c").cast(f.dataType).as(s"__pre_$c")
-      } ++ Seq(col("__keep"), col("__ct")): _*)
+      } ++ Seq(col("__keep"), col("__ct")) ++ passThrough.map(col): _*)
   }
 
   /** MERGE INTO, stats-pruned copy-on-write (the Delta `MERGE` shape,

@@ -291,6 +291,55 @@ class DeletionVectorsSpec extends SparkSpecBase {
     } finally spark.sql("DROP TABLE IF EXISTS dv_upd")
   }
 
+  test("MERGE on a DV-enabled table: changed target rows die via DVs, carry-overs never restage") {
+    val root = tmp()
+    spark.range(0, 60).toDF("k").withColumn("v", col("k") * 10)
+      .coalesce(2).write.format("delta-log")
+      .option("delta.enableDeletionVectors", "true").save(root)
+    val before = DeltaLog.snapshot(spark, root)
+    spark.sql(s"CREATE TABLE dv_mrg USING `delta-log` OPTIONS (path '$root')")
+    Seq((5L, 555L), (17L, -1L), (100L, 1000L))
+      .toDF("k", "nv").createOrReplaceTempView("dv_mrg_src")
+    try {
+      spark.sql(
+        """MERGE INTO dv_mrg t USING dv_mrg_src s ON t.k = s.k
+          |WHEN MATCHED AND s.nv < 0 THEN DELETE
+          |WHEN MATCHED THEN UPDATE SET v = s.nv
+          |WHEN NOT MATCHED THEN INSERT (k, v) VALUES (s.k, s.nv)
+          |""".stripMargin)
+      val after = DeltaLog.snapshot(spark, root)
+      // every original file survives under a DV; new files carry the
+      // updated + inserted rows; carry-over rows were never restaged
+      assert(before.adds.map(_.path).toSet
+        .subsetOf(after.adds.map(_.path).toSet))
+      assert(after.adds.size > before.adds.size)
+      // k=5 (update) and k=17 (delete) died positionally
+      assert(after.adds.flatMap(_.deletionVector)
+        .map(_.cardinality).sum === 2)
+      assert(spark.sql("SELECT count(*) AS c FROM dv_mrg")
+        .as[Long].head() === 60L) // 60 - 1 deleted + 1 inserted
+      assert(spark.sql("SELECT v FROM dv_mrg WHERE k = 5")
+        .as[Long].head() === 555L)
+      assert(spark.sql("SELECT count(*) AS c FROM dv_mrg WHERE k = 17")
+        .as[Long].head() === 0L)
+      assert(spark.sql("SELECT v FROM dv_mrg WHERE k = 100")
+        .as[Long].head() === 1000L)
+      // a merge where nothing fires commits nothing
+      val vBefore = DeltaLog.latestVersion(root)
+      Seq((900000L, 1L)).toDF("k", "nv")
+        .createOrReplaceTempView("dv_mrg_miss")
+      spark.sql(
+        """MERGE INTO dv_mrg t USING dv_mrg_miss s ON t.k = s.k
+          |WHEN MATCHED THEN UPDATE SET v = s.nv
+          |""".stripMargin)
+      spark.catalog.dropTempView("dv_mrg_miss")
+      assert(DeltaLog.latestVersion(root) === vBefore)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS dv_mrg")
+      spark.catalog.dropTempView("dv_mrg_src")
+    }
+  }
+
   test("DVs + CDF together: DV delete records cdc rows; features all listed") {
     val root = tmp()
     spark.range(0, 40).toDF("k").coalesce(1).write.format("delta-log")

@@ -2623,6 +2623,90 @@ object Lakehouse {
              |  CAST(1 AS BIGINT) AS is_v2,
              |  CAST(1 AS BIGINT) AS pruned_ok
              |FROM orders WHERE o_orderkey < 4096
+             |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)),
+
+    // DELTA WRITER-FEATURE GATE (round 10): the protocol's writer
+    // rule — a writer must honor every ACTIVE writer feature's
+    // obligations or refuse the commit. Round 9's writer could
+    // silently break a foreign table's CHECK contract; now every
+    // write/DML entry point gates. The entry proves all four legs
+    // under the oracle: (1) a table CREATED with
+    // `delta.constraints.*` bumps the protocol to writer 3 and
+    // accepts clean appends; (2) a violating append refuses — with
+    // the constraint NAMED — and commits nothing (version count
+    // pinned); (3) `delta.appendOnly=true` lets appends through but
+    // refuses DELETE; (4) a foreign log listing a writer feature we
+    // do not enforce (rowTracking) reads fine but refuses every
+    // write. `gates_ok` folds all refusal pins; the data aggregate
+    // reads the constrained table, whose content the refusals must
+    // not have changed. DeltaLogSpec pins the per-path matrix
+    // (UPDATE/MERGE contracts, ADD CONSTRAINT existing-data
+    // verification, invariants' NULL-violates rule).
+    QueryDef(
+      "q256_delta_writer_gates",
+      (s, d) => {
+        import graft.sources.DeltaLog
+        val base = Files.createTempDirectory("dwg_entry_").toString
+        val root = base + "/constrained"
+        val src = orders(s, d).select(col("o_orderkey"), col("o_custkey"),
+          col("o_orderstatus")).filter(col("o_orderkey") <= 2048)
+        DeltaLog.commit(src.filter(col("o_orderkey") <= 1024).coalesce(1),
+          root, properties = Map(
+            "delta.constraints.key_positive" -> "o_orderkey >= 0"))
+        DeltaLog.commit(src.filter(col("o_orderkey") > 1024).coalesce(1),
+          root) // clean append on the constrained table
+        val vClean = DeltaLog.latestVersion(root)
+        val violationNamed =
+          try {
+            DeltaLog.commit(src.limit(3)
+              .withColumn("o_orderkey", -col("o_orderkey") - 1)
+              .coalesce(1), root)
+            false
+          } catch {
+            case e: IllegalArgumentException =>
+              e.getMessage.contains("key_positive")
+          }
+        val nothingCommitted = DeltaLog.latestVersion(root) == vClean
+        val protoOk = DeltaLog.snapshot(s, root).minWriterVersion >= 3
+        val ao = base + "/append_only"
+        DeltaLog.commit(src.filter(col("o_orderkey") <= 512).coalesce(1),
+          ao, properties = Map("delta.appendOnly" -> "true"))
+        val aoRefused =
+          try { DeltaLog.deleteWhere(s, ao, col("o_orderkey") === 1); false }
+          catch { case e: UnsupportedOperationException =>
+            e.getMessage.contains("append-only") }
+        // foreign table listing an unenforced writer feature: the
+        // READ replays (rowTracking is writer-only), the WRITE refuses
+        val ft = base + "/foreign"
+        val log = java.nio.file.Paths.get(ft, "_delta_log")
+        Files.createDirectories(log)
+        java.nio.file.Files.write(log.resolve(f"${0L}%020d.json"),
+          ("""{"protocol":{"minReaderVersion":1,"minWriterVersion":7,"writerFeatures":["rowTracking","appendOnly"]}}""" + "\n" +
+            """{"metaData":{"id":"x","format":{"provider":"parquet","options":{}},"schemaString":"{\"type\":\"struct\",\"fields\":[{\"name\":\"k\",\"type\":\"long\",\"nullable\":true,\"metadata\":{}}]}","partitionColumns":[],"configuration":{}}}""" + "\n")
+            .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        val foreignReadOk = DeltaLog.snapshot(s, ft).adds.isEmpty
+        val foreignWriteRefused =
+          try {
+            DeltaLog.commit(s.range(1).select(col("id").as("k"))
+              .coalesce(1), ft)
+            false
+          } catch { case e: UnsupportedOperationException =>
+            e.getMessage.contains("rowTracking") }
+        val gatesOk = if (violationNamed && nothingCommitted && protoOk &&
+          aoRefused && foreignReadOk && foreignWriteRefused) 1L else 0L
+        s.read.format("delta-log").load(root)
+          .groupBy(col("o_orderstatus"))
+          .agg(count(lit(1)).as("n_rows"),
+            sum(col("o_custkey")).cast("long").as("sum_cust"),
+            sum(col("o_orderkey")).cast("long").as("sum_key"))
+          .withColumn("gates_ok", lit(gatesOk))
+          .orderBy(col("o_orderstatus"))
+      },
+      Some("""SELECT o_orderstatus, count(*) AS n_rows,
+             |  CAST(sum(o_custkey) AS BIGINT) AS sum_cust,
+             |  CAST(sum(o_orderkey) AS BIGINT) AS sum_key,
+             |  CAST(1 AS BIGINT) AS gates_ok
+             |FROM orders WHERE o_orderkey <= 2048
              |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin))
   )
 }

@@ -631,6 +631,112 @@ object DeltaLog {
   private def legacyReaderFeatures(r: Int): Set[String] =
     if (r >= 2) Set("columnMapping") else Set.empty
 
+  /** Writer features whose obligations THIS writer actually honors on
+    * every write/DML path: `appendOnly` (non-append ops refuse below),
+    * `invariants` + `checkConstraints` ([[enforceRowContracts]] runs
+    * on every path that lands new rows), `deletionVectors`,
+    * `changeDataFeed`, `columnMapping` (first-class write support),
+    * and `timestampNtz` (pure type support — Spark's TimestampNTZType
+    * round-trips through parquet natively). */
+  private val EnforcedWriterFeatures: Set[String] = Set("appendOnly",
+    "invariants", "checkConstraints", "deletionVectors",
+    "changeDataFeed", "columnMapping", "timestampNtz")
+
+  /** Does any field — top-level or nested — carry one of `keys` in
+    * its metadata? The activation probe for metadata-conditional
+    * writer features (generated/identity columns impose obligations
+    * only where a generation/identity spec actually exists). */
+  private def anyFieldMeta(schema: StructType, keys: String*): Boolean = {
+    def walkType(dt: DataType): Boolean = dt match {
+      case st: StructType => st.fields.exists(f =>
+        keys.exists(f.metadata.contains) || walkType(f.dataType))
+      case ArrayType(e, _) => walkType(e)
+      case MapType(k, v, _) => walkType(k) || walkType(v)
+      case _ => false
+    }
+    walkType(schema)
+  }
+
+  /** The Delta protocol's writer rule: a writer MUST honor every
+    * ACTIVE writer feature's obligations or refuse the commit — an
+    * unenforced commit silently breaks the table's contract for every
+    * other engine (a CHECK-violating append, a delete on an
+    * append-only table). Active features come from `writerFeatures`
+    * at protocol (…,7) or the legacy `minWriterVersion` ladder below
+    * it; `generatedColumns`/`identityColumns` are metadata-conditional
+    * (listed-but-unused imposes nothing — delta-spark's rule, and what
+    * keeps this writer's own (3,7) tables writable, since the upgrade
+    * rule lists every legacy-implied feature). `delta.appendOnly=true`
+    * additionally refuses any operation that removes or rewrites
+    * existing rows with `dataChange` (OPTIMIZE's dataChange=false
+    * rewrite stays legal). Called by every write/DML entry point. */
+  private def gateWriterObligations(snap: DeltaSnapshot,
+      operation: String, removesData: Boolean): Unit = {
+    val active =
+      if (snap.minWriterVersion >= 7) snap.writerFeatures
+      else legacyWriterFeatures(snap.minWriterVersion)
+    val unenforced = (active -- EnforcedWriterFeatures).filter {
+      case "generatedColumns" =>
+        anyFieldMeta(snap.schema, "delta.generationExpression")
+      case "identityColumns" =>
+        anyFieldMeta(snap.schema, "delta.identity.start",
+          "delta.identity.step", "delta.identity.highWaterMark",
+          "delta.identity.allowExplicitInsert")
+      case _ => true
+    }
+    if (unenforced.nonEmpty) throw new UnsupportedOperationException(
+      s"delta-log $operation: table requires writer feature(s) " +
+        s"${unenforced.toSeq.sorted.mkString(", ")} this writer does " +
+        "not enforce — refusing to write (an unenforced commit would " +
+        "silently break the table's contract for other engines)")
+    if (removesData &&
+        snap.configuration.get("delta.appendOnly").contains("true"))
+      throw new UnsupportedOperationException(
+        s"delta-log $operation: table is append-only " +
+          "(delta.appendOnly=true) — operations that remove or " +
+          "rewrite existing rows are prohibited")
+  }
+
+  /** Enforce the table's ROW-LEVEL write contracts on `df` (LOGICAL
+    * schema): CHECK constraints (`delta.constraints.<name>` in the
+    * configuration — NULL passes, the SQL rule) and legacy column
+    * invariants (`delta.invariants` field metadata — NULL violates,
+    * delta-spark's rule for them). One extra aggregate pass over the
+    * rows being written, all contracts counted simultaneously — the
+    * same shape as graft's own CHECK enforcement
+    * ([[VersionedTable]]'s DML routes). No contracts → no job. */
+  private def enforceRowContracts(df: => DataFrame,
+      schema: StructType, configuration: Map[String, String],
+      operation: String): Unit = {
+    import org.apache.spark.sql.functions.{coalesce, expr, lit, not,
+      sum, when}
+    val checks = configuration.toSeq.collect {
+      case (k, v) if k.startsWith("delta.constraints.") =>
+        (s"constraint ${k.stripPrefix("delta.constraints.")}", v, true)
+    }.sortBy(_._1)
+    val invariants = schema.fields.toSeq.flatMap { f =>
+      if (!f.metadata.contains("delta.invariants")) Nil
+      else {
+        val n = mapper.readTree(f.metadata.getString("delta.invariants"))
+        val e = n.path("expression").path("expression")
+        if (e.isTextual) Seq((s"invariant on ${f.name}", e.asText(), false))
+        else Nil
+      }
+    }
+    val all = checks ++ invariants
+    if (all.isEmpty) return
+    val aggs = all.map { case (_, sql, nullPasses) =>
+      sum(when(not(coalesce(expr(sql), lit(nullPasses))), 1L)
+        .otherwise(0L))
+    }
+    val row = df.agg(aggs.head, aggs.tail: _*).head()
+    all.zipWithIndex.foreach { case ((name, sql, _), i) =>
+      val bad = if (row.isNullAt(i)) 0L else row.getLong(i)
+      if (bad > 0) throw new IllegalArgumentException(
+        s"delta-log $operation: $bad row(s) violate CHECK $name ($sql)")
+    }
+  }
+
   /** Stamp a FRESH column mapping onto `schema`: every struct field —
     * top-level and nested — gets `delta.columnMapping.id` (DFS
     * order, 1-based) and a `col-<uuid>` physicalName, the metadata
@@ -743,6 +849,9 @@ object DeltaLog {
     // derive from `properties`
     val (recordSchema, configuration, proto) = existing match {
       case Some(s) =>
+        gateWriterObligations(s,
+          if (mode == "append") "WRITE" else "OVERWRITE",
+          removesData = mode == "overwrite")
         if (mode == "append") {
           require(s.partitionColumns == partitionBy,
             s"delta-log: append partitioning $partitionBy != table's " +
@@ -801,9 +910,24 @@ object DeltaLog {
               Set("deletionVectors") ++ mapFeat ++ cdfFeat ++
                 legacyWriterFeatures(if (mapMode == "none") 2 else 5))
           else if (mapMode != "none") (2, 5, Set.empty[String], Set.empty[String])
+          // CDF alone requires minWriterVersion >= 4 (the spec's
+          // changeDataFeed gate): at (1,2) a feature-unaware writer
+          // could legally commit without cdc actions and silently
+          // corrupt the feed — the same rule setConfiguration applies
+          else if (cdfFeat.nonEmpty) (1, 4, Set.empty[String], Set.empty[String])
+          // CHECK constraints require writer 3 — below it, a
+          // feature-unaware writer could append violating rows
+          else if (properties.keys.exists(
+            _.startsWith("delta.constraints.")))
+            (1, 3, Set.empty[String], Set.empty[String])
           else (1, 2, Set.empty[String], Set.empty[String])
         (schema, conf, p)
     }
+    // writer contracts: CHECK constraints / invariants verify the
+    // incoming rows (logical space) BEFORE anything stages — a
+    // violating frame must never reach the log
+    enforceRowContracts(df, recordSchema, configuration,
+      if (mode == "append") "WRITE" else "OVERWRITE")
     // COLUMN-MAPPED tables: parquet files (and partition dirs) carry
     // PHYSICAL names — stage the frame renamed, with field ids for
     // 'id'-mode readers. Ungated, a logical-name append would read
@@ -866,6 +990,7 @@ object DeltaLog {
       cond0: org.apache.spark.sql.Column): Long = {
     import org.apache.spark.sql.functions.{coalesce, col, lit, not}
     val snap0 = snapshot(spark, root)
+    gateWriterObligations(snap0, "DELETE", removesData = true)
     // COLUMN-MAPPED tables rewrite in PHYSICAL space: the predicate's
     // logical names remap, the survivors restage under physical names
     // (what a mapped table's files must carry), stats/partitionValues
@@ -976,8 +1101,12 @@ object DeltaLog {
       .map(_.cardinality).sum
     if ((priorDeleted + rows.length).toDouble / physRows.max(1L) > 0.5)
       return None
+    // positions dedupe: a (file, pos) pair reaching here twice (e.g.
+    // a tagged merge emitting one target row through two clauses)
+    // would otherwise serialize a spec-invalid bitmap whose recorded
+    // cardinality exceeds its distinct values — unreadable thereafter
     val byFile = rows.groupBy(_.getString(0))
-      .map { case (u, rs) => u -> rs.map(_.getLong(1)).sorted }
+      .map { case (u, rs) => u -> rs.map(_.getLong(1)).distinct.sorted }
     // new files first: invisible until the commit JSON references
     // them; an empty frame stages nothing (Spark would still write
     // one zero-row part, which must not land in the log)
@@ -1105,6 +1234,9 @@ object DeltaLog {
     // mapped tables compact in PHYSICAL space — the rewrite never
     // touches logical names at all
     val snap = snapshot(spark, root).physical
+    // OPTIMIZE rewrites with dataChange=false — legal on append-only
+    // tables, but unknown writer features still refuse
+    gateWriterObligations(snap, "OPTIMIZE", removesData = false)
     val partitions = snap.adds.map(a =>
       (a.partitionValues, a.nullPartitionCols)).distinct.size.max(1)
     if (snap.adds.size <= partitions.toLong * filesPerPartition &&
@@ -1151,6 +1283,7 @@ object DeltaLog {
     * delta-spark raises. Returns the committed version. */
   def restore(spark: SparkSession, root: String, toVersion: Long): Long = {
     val now = snapshot(spark, root)
+    gateWriterObligations(now, "RESTORE", removesData = true)
     require(toVersion < now.version,
       s"delta-log: RESTORE to v$toVersion is not behind v${now.version}")
     val target = snapshot(spark, root, Some(toVersion))
@@ -1325,6 +1458,7 @@ object DeltaLog {
     require(set.map(_._1).distinct.size == set.size,
       s"duplicate SET column in ${set.map(_._1).mkString(", ")}")
     val snap0 = snapshot(spark, root)
+    gateWriterObligations(snap0, "UPDATE", removesData = true)
     // SET names validate against the LOGICAL schema (user-facing),
     // then everything — names, expressions, the rewrite itself —
     // moves to PHYSICAL space for mapped tables (see deleteWhere)
@@ -1368,6 +1502,21 @@ object DeltaLog {
           case None => col(c)
         }
       }: _*)
+    // writer contracts: CHECKs/invariants verify the POST-UPDATE rows
+    // in LOGICAL space (mapped tables rename back by position — types
+    // are identical modulo names, so the cast is a pure rename). The
+    // frame is by-name lazy: with no contracts recorded, no job runs.
+    lazy val physFields = withParquetFieldIds(
+      physicalSchemaOf(root, snap0.schema)).fields
+    enforceRowContracts(
+      {
+        val updated = applied(touchedRows.filter(hit))
+        if (mapping.isEmpty) updated
+        else updated.select(snap0.schema.fields.toSeq.zip(physFields)
+          .map { case (lf, pf) => col(s"`${pf.name}`")
+            .cast(nullableOf(lf.dataType)).as(lf.name) }: _*)
+      },
+      snap0.schema, snap.configuration, "UPDATE")
     val cdcAdds =
       if (!snap.configuration.get("delta.enableChangeDataFeed")
         .contains("true")) Nil
@@ -1430,6 +1579,10 @@ object DeltaLog {
       bySource: Seq[VersionedTable.MergeClause] = Nil): Long = {
     import org.apache.spark.sql.functions.{col, lit, min => fmin, max => fmax}
     val snap0 = snapshot(spark, root)
+    // insert-only merges stay legal on append-only tables (they
+    // remove nothing); any matched/by-source clause can rewrite rows
+    gateWriterObligations(snap0, "MERGE",
+      removesData = matched.nonEmpty || bySource.nonEmpty)
     val mapping = snap0.columnMapping
     // COLUMN-MAPPED: the clause cascade runs in LOGICAL space (clause
     // expressions reference __t_<logical>/__s_* — rewriting their
@@ -1538,9 +1691,13 @@ object DeltaLog {
             col(DeltaLogRead.FpCol).isNotNull &&
               col("__ct").isin("update", "delete"))
             .select(col(DeltaLogRead.FpCol), col(DeltaLogRead.PosCol))
-          val freshRows = toPhysical(tagged
+          val freshLogical = tagged
             .filter(col("__keep") && col("__ct").isin("update", "insert"))
-            .select(snap0.schema.fieldNames.toSeq.map(col): _*))
+            .select(snap0.schema.fieldNames.toSeq.map(col): _*)
+          // writer contracts on exactly the rows the merge lands
+          enforceRowContracts(freshLogical, snap0.schema,
+            snap.configuration, "MERGE")
+          val freshRows = toPhysical(freshLogical)
           dvRemoveRows(spark, root, snap, dead, touchedAdds.toSeq,
             idx, Nil, operation = "MERGE",
             extraRows = Some(freshRows)) match {
@@ -1551,6 +1708,7 @@ object DeltaLog {
       }
       val out = VersionedTable.mergeCascadeRows(tgtRows, source,
         snap0.schema, tKey, sKey, matched, notMatched, bySource)
+      enforceRowContracts(out, snap0.schema, snap.configuration, "MERGE")
       return replaceFiles(spark, root, touchedAdds.map(_.path).toSeq,
         toPhysical(out), snap.partitionColumns, operation = "MERGE")
     }
@@ -1566,6 +1724,7 @@ object DeltaLog {
       if (tagged.filter(col("__ct").isNotNull).isEmpty)
         return snap.version // no clause fired: no change, no commit
       val out = tagged.filter(col("__keep")).select(dataCols.map(col): _*)
+      enforceRowContracts(out, snap0.schema, snap.configuration, "MERGE")
       def pre(df: DataFrame) =
         df.select(dataCols.map(c => col(s"__pre_$c").as(c)): _*)
       def post(df: DataFrame) = df.select(dataCols.map(col): _*)
@@ -1596,8 +1755,34 @@ object DeltaLog {
   def setConfiguration(spark: SparkSession, root: String,
       props: Map[String, String]): Long = {
     val snap = snapshot(spark, root)
+    gateWriterObligations(snap, "SET TBLPROPERTIES", removesData = false)
     val next = snap.version + 1
     val merged = snap.configuration ++ props
+    // ADDING a CHECK constraint verifies the EXISTING rows first —
+    // delta-spark's ADD CONSTRAINT rule (a constraint the current
+    // data violates must never land in the configuration)
+    val newChecks = props.filter { case (k, _) =>
+      k.startsWith("delta.constraints.") &&
+        !snap.configuration.contains(k)
+    }
+    if (newChecks.nonEmpty) {
+      import org.apache.spark.sql.functions.col
+      val phys = snap.physical
+      val vis = DeltaLogRead.withPositions(spark, phys)
+        .drop(DeltaLogRead.FpCol, DeltaLogRead.PosCol)
+      val logicalVis =
+        if (snap.columnMapping.isEmpty) vis
+        else {
+          val physFields = withParquetFieldIds(
+            physicalSchemaOf(root, snap.schema)).fields
+          vis.select(snap.schema.fields.toSeq.zip(physFields).map {
+            case (lf, pf) => col(s"`${pf.name}`")
+              .cast(nullableOf(lf.dataType)).as(lf.name)
+          }: _*)
+        }
+      enforceRowContracts(logicalVis, StructType(Nil), newChecks,
+        "ADD CONSTRAINT")
+    }
     val lines = scala.collection.mutable.ListBuffer.empty[String]
     // property-implied protocol upgrades land in the SAME commit, as
     // ONE combined protocol line; never downgrade anything:
@@ -1610,16 +1795,26 @@ object DeltaLog {
       .contains("true") &&
       !(snap.minWriterVersion >= 7 &&
         snap.writerFeatures.contains("deletionVectors"))
-    val targetW =
+    val targetW0 =
       if (wantDv) 7
       else if (props.get("delta.enableChangeDataFeed").contains("true") &&
         snap.minWriterVersion < 4) math.max(snap.minWriterVersion, 4)
       else snap.minWriterVersion
+    // a CHECK constraint requires writer 3 (or the checkConstraints
+    // feature at (…,7)) — below it, a feature-unaware writer could
+    // legally append violating rows
+    val targetW =
+      if (newChecks.nonEmpty && targetW0 < 7) math.max(targetW0, 3)
+      else targetW0
     val wantCdfFeat = props.get("delta.enableChangeDataFeed")
       .contains("true") &&
       (targetW >= 7 || snap.minWriterVersion >= 7) &&
       !snap.writerFeatures.contains("changeDataFeed")
-    if (wantDv || wantCdfFeat || targetW != snap.minWriterVersion) {
+    val wantCheckFeat = newChecks.nonEmpty &&
+      (targetW >= 7 || snap.minWriterVersion >= 7) &&
+      !snap.writerFeatures.contains("checkConstraints")
+    if (wantDv || wantCdfFeat || wantCheckFeat ||
+      targetW != snap.minWriterVersion) {
       val w = math.max(targetW, snap.minWriterVersion)
       val r = if (wantDv) 3 else snap.minReaderVersion
       val rf = snap.readerFeatures ++
@@ -1632,7 +1827,10 @@ object DeltaLog {
         (if (wantDv) Set("deletionVectors") else Set.empty[String]) ++
         (if (wantCdfFeat || (w >= 7 && merged
           .get("delta.enableChangeDataFeed").contains("true")))
-          Set("changeDataFeed") else Set.empty[String])
+          Set("changeDataFeed") else Set.empty[String]) ++
+        (if (wantCheckFeat || (w >= 7 &&
+          merged.keys.exists(_.startsWith("delta.constraints."))))
+          Set("checkConstraints") else Set.empty[String])
       lines += protocolLine(r, w, rf, wf)
     }
     lines += metaDataLine(snap.schema.json, snap.partitionColumns, merged)

@@ -253,11 +253,12 @@ object Graft2Scan {
         case ((ff, col), sc) if ff == f => col -> sc
       }.toMap
       val abs = VersionedTable.dataPath(root, f)
-      // manifest-recorded size; pre-fsize manifests stat once
-      val size = st.sizes.getOrElse(f,
-        try java.nio.file.Files.size(abs) catch {
-          case _: java.io.IOException => 0L
-        })
+      // manifest-recorded size; pre-fsize manifests stat once THROUGH
+      // THE DATA SEAM (non-POSIX stores included). A stat failure
+      // propagates loudly: a silent 0 here would plan a zero-length
+      // split and the file would contribute zero rows on the default
+      // read path — a wrong answer, not an error.
+      val size = st.sizes.getOrElse(f, VersionedTable.dataSize(root, f))
       Graft2File(abs.toString, size, stats, bloomRels, st.parts.get(f))
     }
     val bytes = files.map(_.size).sum

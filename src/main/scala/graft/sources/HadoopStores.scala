@@ -87,12 +87,20 @@ final class HadoopLogStore(conf: Configuration) extends LogStore {
   }
   override def putIfAbsent(path: Path, body: Array[Byte]): Unit = {
     val h = toHPath(path)
+    // only the REAL already-exists signal converts to the commit-race
+    // exception: FileAlreadyExistsException itself, or a RemoteException
+    // wrapping it (the RPC shape HDFS uses). Message sniffing would
+    // also match "File does not exist"/"Parent does not exist" and
+    // misreport genuine I/O failures as lost races.
     val out =
       try fs(h).create(h, false)
       catch {
-        case e: java.io.IOException
-            if e.isInstanceOf[org.apache.hadoop.fs.FileAlreadyExistsException] ||
-              Option(e.getMessage).exists(_.toLowerCase.contains("exist")) =>
+        case _: org.apache.hadoop.fs.FileAlreadyExistsException =>
+          throw new java.nio.file.FileAlreadyExistsException(path.toString)
+        case e: org.apache.hadoop.ipc.RemoteException
+            if e.getClassName ==
+              classOf[org.apache.hadoop.fs.FileAlreadyExistsException]
+                .getName =>
           throw new java.nio.file.FileAlreadyExistsException(path.toString)
       }
     try out.write(body) finally out.close()

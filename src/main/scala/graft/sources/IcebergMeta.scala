@@ -213,7 +213,13 @@ object IcebergMeta {
                   IcebergMetaRead.PosCol)
             } else if (newPos.isEmpty && newEq.nonEmpty) {
               val prevVis = IcebergMetaRead.morRead(spark, prev)
-              newEq.groupBy(_.eqCols).toSeq.sortBy(_._1.mkString(","))
+              // a prior row matched by TWO eqCols groups must emit ONE
+              // delete (unioning plain per-group semi-joins would
+              // double-count it in downstream Δ-aggregation): each
+              // group claims only rows no EARLIER group matched, via
+              // anti-joins against the earlier groups' key sets
+              val groups = newEq.groupBy(_.eqCols).toSeq
+                .sortBy(_._1.mkString(","))
                 .map { case (eqCols, dels) =>
                   val delRows = spark.read.parquet(dels.map(_.path): _*)
                     .select(eqCols.map(c =>
@@ -221,8 +227,15 @@ object IcebergMeta {
                     .distinct()
                   val cond = eqCols.map(c =>
                     col(s"`$c`") <=> col(s"__ice_eq_$c")).reduce(_ && _)
-                  prevVis.join(broadcast(delRows), cond, "left_semi")
-                }.reduce(_ unionByName _)
+                  (delRows, cond)
+                }
+              groups.zipWithIndex.map { case ((delRows, cond), i) =>
+                groups.take(i).foldLeft(
+                  prevVis.join(broadcast(delRows), cond, "left_semi")) {
+                  case (acc, (dr2, cond2)) =>
+                    acc.join(broadcast(dr2), cond2, "left_anti")
+                }
+              }.reduce(_ unionByName _)
             } else throw new UnsupportedOperationException(
               "iceberg_changes: a delete snapshot mixing positional " +
                 "and equality delete files has no derivable " +

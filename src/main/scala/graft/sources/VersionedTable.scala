@@ -296,7 +296,7 @@ object VersionedTable {
     }
 
   /** Size of a log-referenced data file, through the seam. */
-  private def dataSize(root: String, f: String): Long =
+  private[sources] def dataSize(root: String, f: String): Long =
     dataIO(root).size(dataPath(root, f))
 
   /** Bytes of a log-referenced sidecar, through the seam (bloom

@@ -214,6 +214,123 @@ class DeltaLogSpec extends SparkSpecBase {
     assert(DeltaLog.snapshot(spark, ok).adds.size === 1)
   }
 
+  test("writer obligations: CHECK constraints enforce on every path") {
+    // constrained creation implies writer 3 (feature-unaware writers
+    // must stop); clean append passes; violating append refuses WITH
+    // the constraint named, and commits nothing
+    val root = tmp()
+    DeltaLog.commit(Seq(5L, 6L).toDF("k").coalesce(1), root,
+      properties = Map("delta.constraints.k_positive" -> "k > 0"))
+    assert(DeltaLog.snapshot(spark, root).minWriterVersion >= 3)
+    DeltaLog.commit(Seq(7L).toDF("k").coalesce(1), root)
+    val vBefore = DeltaLog.latestVersion(root)
+    val e = intercept[IllegalArgumentException] {
+      DeltaLog.commit(Seq(-1L, 8L).toDF("k").coalesce(1), root)
+    }
+    assert(e.getMessage.contains("k_positive"))
+    assert(DeltaLog.latestVersion(root) === vBefore)
+    assert(spark.read.format("delta-log").load(root)
+      .as[Long].collect().sorted.toSeq === Seq(5L, 6L, 7L))
+    // UPDATE rewriting a row INTO violation refuses too (the
+    // contract holds on post-update rows, not just appends)
+    val parse = spark.sessionState.sqlParser.parseExpression _
+    val eU = intercept[IllegalArgumentException] {
+      DeltaLog.updateWhere(spark, root,
+        Seq("k" -> parse("k - 15")), Some(parse("k = 5")))
+    }
+    assert(eU.getMessage.contains("k_positive"))
+    // ADD CONSTRAINT verifies the EXISTING rows first: k > 5 is
+    // violated by rows 5 — refused, configuration unchanged; a
+    // satisfiable one lands and bumps the protocol obligation
+    val e2 = intercept[IllegalArgumentException] {
+      DeltaLog.setConfiguration(spark, root,
+        Map("delta.constraints.k_big" -> "k > 5"))
+    }
+    assert(e2.getMessage.contains("k_big"))
+    assert(!DeltaLog.snapshot(spark, root).configuration
+      .contains("delta.constraints.k_big"))
+    DeltaLog.setConfiguration(spark, root,
+      Map("delta.constraints.k_small" -> "k < 100"))
+    val e3 = intercept[IllegalArgumentException] {
+      DeltaLog.commit(Seq(200L).toDF("k").coalesce(1), root)
+    }
+    assert(e3.getMessage.contains("k_small"))
+  }
+
+  test("writer obligations: appendOnly and unknown features refuse") {
+    import org.apache.spark.sql.functions.col
+    // delta.appendOnly=true: appends keep working; DELETE, overwrite
+    // and RESTORE — anything removing existing rows — refuse loudly
+    val ao = tmp()
+    DeltaLog.commit(Seq(1L, 2L).toDF("k").coalesce(1), ao,
+      properties = Map("delta.appendOnly" -> "true"))
+    DeltaLog.commit(Seq(3L).toDF("k").coalesce(1), ao)
+    val e1 = intercept[UnsupportedOperationException] {
+      DeltaLog.deleteWhere(spark, ao, col("k") === 1)
+    }
+    assert(e1.getMessage.contains("append-only"))
+    val e2 = intercept[UnsupportedOperationException] {
+      DeltaLog.commit(Seq(9L).toDF("k").coalesce(1), ao,
+        mode = "overwrite")
+    }
+    assert(e2.getMessage.contains("append-only"))
+    val e3 = intercept[UnsupportedOperationException] {
+      DeltaLog.restore(spark, ao, 0L)
+    }
+    assert(e3.getMessage.contains("append-only"))
+    assert(spark.read.format("delta-log").load(ao).count() === 3)
+    // a FOREIGN table listing a writer feature whose obligations this
+    // writer cannot honor refuses EVERY write (reads unaffected —
+    // rowTracking is writer-only)
+    def foreign(schemaJson: String, protoLine: String): String = {
+      val r = tmp()
+      val log = Paths.get(r, "_delta_log")
+      Files.createDirectories(log)
+      Files.write(log.resolve(f"${0L}%020d.json"),
+        (s"""{"protocol":$protoLine}\n""" +
+          s"""{"metaData":{"id":"x","format":{"provider":"parquet","options":{}},"schemaString":"$schemaJson","partitionColumns":[],"configuration":{}}}\n""")
+          .getBytes(UTF_8))
+      r
+    }
+    val plainSchema = """{\"type\":\"struct\",\"fields\":[{\"name\":\"k\",\"type\":\"long\",\"nullable\":true,\"metadata\":{}}]}"""
+    val rt = foreign(plainSchema,
+      """{"minReaderVersion":1,"minWriterVersion":7,"writerFeatures":["rowTracking","appendOnly","invariants"]}""")
+    assert(DeltaLog.snapshot(spark, rt).adds.isEmpty) // read is fine
+    val e4 = intercept[UnsupportedOperationException] {
+      DeltaLog.commit(Seq(1L).toDF("k").coalesce(1), rt)
+    }
+    assert(e4.getMessage.contains("rowTracking"))
+    // metadata-CONDITIONAL features: legacy writer 4 lists
+    // generatedColumns — with NO generation expression in the schema
+    // the append passes; WITH one, it refuses (we can't maintain it)
+    val noGen = foreign(plainSchema,
+      """{"minReaderVersion":1,"minWriterVersion":4}""")
+    DeltaLog.commit(Seq(1L).toDF("k").coalesce(1), noGen)
+    assert(spark.read.format("delta-log").load(noGen).count() === 1)
+    val genSchema = """{\"type\":\"struct\",\"fields\":[{\"name\":\"k\",\"type\":\"long\",\"nullable\":true,\"metadata\":{}},{\"name\":\"g\",\"type\":\"long\",\"nullable\":true,\"metadata\":{\"delta.generationExpression\":\"k + 1\"}}]}"""
+    val gen = foreign(genSchema,
+      """{"minReaderVersion":1,"minWriterVersion":4}""")
+    val e5 = intercept[UnsupportedOperationException] {
+      DeltaLog.commit(Seq((1L, 2L)).toDF("k", "g").coalesce(1), gen)
+    }
+    assert(e5.getMessage.contains("generatedColumns"))
+    // legacy column INVARIANTS (writer 2's schema-metadata contract):
+    // NULL violates, unlike CHECK constraints
+    val invSchema = """{\"type\":\"struct\",\"fields\":[{\"name\":\"k\",\"type\":\"long\",\"nullable\":true,\"metadata\":{\"delta.invariants\":\"{\\\"expression\\\":{\\\"expression\\\":\\\"k < 100\\\"}}\"}}]}"""
+    val inv = foreign(invSchema,
+      """{"minReaderVersion":1,"minWriterVersion":2}""")
+    DeltaLog.commit(Seq(5L).toDF("k").coalesce(1), inv)
+    val e6 = intercept[IllegalArgumentException] {
+      DeltaLog.commit(Seq(200L).toDF("k").coalesce(1), inv)
+    }
+    assert(e6.getMessage.contains("invariant on k"))
+    val e7 = intercept[IllegalArgumentException] {
+      DeltaLog.commit(spark.sql("SELECT CAST(NULL AS BIGINT) AS k")
+        .coalesce(1), inv)
+    }
+    assert(e7.getMessage.contains("invariant on k"))
+  }
+
   test("null partition values survive the round trip") {
     val root = tmp()
     val df = Seq((1L, Some("a")), (2L, None), (3L, Some("a")))

@@ -2707,6 +2707,78 @@ object Lakehouse {
              |  CAST(sum(o_orderkey) AS BIGINT) AS sum_key,
              |  CAST(1 AS BIGINT) AS gates_ok
              |FROM orders WHERE o_orderkey <= 2048
+             |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)),
+
+    // DELTA V2 CHECKPOINTS (round 10): recent Databricks runtimes
+    // write v2 (UUID-named, checkpointMetadata + sidecar actions)
+    // checkpoints by default on feature-bearing tables — round 9
+    // refused the v2Checkpoint reader feature, making such tables
+    // unreadable outright. Now: [[DeltaLog.replayV2Checkpoint]]
+    // replays the self-contained top-level file plus its
+    // `_sidecars/` parquet indirection, and [[DeltaLog.checkpoint]]
+    // honors the WRITER obligation by switching to v2 format when
+    // `delta.checkpointPolicy = v2`. The entry commits orders in two
+    // versions under the v2 policy, checkpoints, then DELETES every
+    // JSON commit — the aggregate can only be right if the replay
+    // came from the v2 checkpoint alone. `v2_ok` pins the UUID name
+    // (and the absence of a classic `.checkpoint.parquet`), a DV-
+    // composed leg (the protocol (3,7)+features must SURVIVE the
+    // checkpoint — the classic writer used to stamp (1,2), silently
+    // downgrading feature tables), and a post-checkpoint DELETE
+    // replaying on top. DeltaLogSpec pins the hand-written foreign
+    // sidecar fixture, stats pruning from sidecar-carried adds, and
+    // the corrupt-checkpoint refusal.
+    QueryDef(
+      "q257_delta_v2_checkpoint",
+      (s, d) => {
+        import graft.sources.DeltaLog
+        import scala.jdk.CollectionConverters._
+        val root = Files.createTempDirectory("v2cp_entry_").toString + "/t"
+        val src = orders(s, d).select(col("o_orderkey"), col("o_custkey"),
+          col("o_orderstatus")).filter(col("o_orderkey") <= 2048)
+        DeltaLog.commit(src.filter(col("o_orderkey") <= 1024).coalesce(1),
+          root, properties = Map(
+            "delta.checkpointPolicy" -> "v2",
+            "delta.enableDeletionVectors" -> "true"))
+        DeltaLog.commit(src.filter(col("o_orderkey") > 1024).coalesce(1),
+          root)
+        DeltaLog.checkpoint(s, root)
+        val log = java.nio.file.Paths.get(root, "_delta_log")
+        val names = {
+          val st = java.nio.file.Files.list(log)
+          try st.iterator().asScala.map(_.getFileName.toString).toSeq
+          finally st.close()
+        }
+        val uuidNamed = names.exists(_.matches(
+          """\d{20}\.checkpoint\.[0-9a-f-]{36}\.parquet"""))
+        val noClassic = !names.exists(_.matches(
+          """\d{20}\.checkpoint\.parquet"""))
+        names.filter(n => n.endsWith(".json") && n.length == 25)
+          .foreach(n => java.nio.file.Files.delete(log.resolve(n)))
+        // replay now comes from the v2 checkpoint ALONE; the protocol
+        // (3,7 with deletionVectors) must have survived it, so this
+        // post-checkpoint DV DELETE both replays and commits
+        val protoOk = {
+          val snap = DeltaLog.snapshot(s, root)
+          snap.minWriterVersion == 7 &&
+            snap.writerFeatures.contains("deletionVectors")
+        }
+        DeltaLog.deleteWhere(s, root, col("o_orderkey") % 10 === 3)
+        val v2Ok = if (uuidNamed && noClassic && protoOk) 1L else 0L
+        s.read.format("delta-log").load(root)
+          .groupBy(col("o_orderstatus"))
+          .agg(count(lit(1)).as("n_rows"),
+            sum(col("o_custkey")).cast("long").as("sum_cust"),
+            sum(col("o_orderkey")).cast("long").as("sum_key"))
+          .withColumn("v2_ok", lit(v2Ok))
+          .orderBy(col("o_orderstatus"))
+      },
+      Some("""SELECT o_orderstatus, count(*) AS n_rows,
+             |  CAST(sum(o_custkey) AS BIGINT) AS sum_cust,
+             |  CAST(sum(o_orderkey) AS BIGINT) AS sum_key,
+             |  CAST(1 AS BIGINT) AS v2_ok
+             |FROM orders
+             |WHERE o_orderkey <= 2048 AND o_orderkey % 10 <> 3
              |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin))
   )
 }

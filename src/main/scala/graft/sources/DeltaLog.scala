@@ -71,7 +71,8 @@ object DeltaLog {
     * logical names). Everything else (v2Checkpoint, typeWidening,
     * ...) refuses. */
   val supportedReaderFeatures: Set[String] =
-    Set("timestampNtz", "deletionVectors", "columnMapping")
+    Set("timestampNtz", "deletionVectors", "columnMapping",
+      "v2Checkpoint")
 
   final case class DeltaAdd(
       path: String,                        // decoded, relative or absolute
@@ -155,7 +156,8 @@ object DeltaLog {
 
   private def checkpointVersions(root: String): Seq[Long] =
     io(root).listDir(logDir(root))
-      .filter(n => n.contains(".checkpoint.") && n.endsWith(".parquet") &&
+      .filter(n => n.contains(".checkpoint.") &&
+        (n.endsWith(".parquet") || n.endsWith(".json")) &&
         n.take(20).forall(_.isDigit))
       .map(_.take(20).toLong).distinct.sorted
 
@@ -420,25 +422,112 @@ object DeltaLog {
     * (the same cost class as reading the JSON commits). */
   private def replayCheckpoint(spark: SparkSession, root: String,
       v: Long, replay: Replay): Unit = {
+    val prefix = f"$v%020d.checkpoint"
     val names = io(root).listDir(logDir(root)).filter { n =>
-      n.take(20) == f"$v%020d" && n.contains(".checkpoint.") &&
-        n.endsWith(".parquet")
+      n.startsWith(prefix) &&
+        (n.endsWith(".parquet") || n.endsWith(".json"))
     }
-    val paths = names.sorted.map(n => logDir(root).resolve(n).toString)
-    val df = spark.read.parquet(paths: _*)
+    // V2 (UUID-named) checkpoints are SELF-CONTAINED: exactly ONE is
+    // read — several writers may each have left a complete one, and
+    // mixing them with classic parts would double-feed the replay.
+    // Classic files read together (multi-part checkpoints PARTITION
+    // the adds across `%010d.%010d`-suffixed parts; all are needed).
+    def isV2(n: String): Boolean = {
+      val tok = n.stripSuffix(".parquet").stripSuffix(".json")
+        .stripPrefix(prefix).stripPrefix(".")
+      tok.nonEmpty && !tok.contains(".") && !tok.forall(_.isDigit)
+    }
+    names.filter(isV2).sorted.headOption match {
+      case Some(name) => replayV2Checkpoint(spark, root, v, name, replay)
+      case None =>
+        val classic = names.filterNot(isV2).sorted
+          .map(n => logDir(root).resolve(n).toString)
+        applyCheckpointRows(spark.read.parquet(classic: _*),
+          Seq("protocol", "metaData", "add", "remove", "txn"), replay)
+    }
+  }
+
+  /** Checkpoint-parquet rows → replay actions, via a JSON round-trip:
+    * `toJSON` of a checkpoint row yields `{"add":{...}}` — the same
+    * shape [[Replay.applyAction]] parses from commit files. Order
+    * within a checkpoint is unspecified; actions are disjoint per row
+    * and replay state is commutative across DISTINCT action kinds. */
+  private def applyCheckpointRows(df: DataFrame, kinds: Seq[String],
+      replay: Replay): Unit = {
     val cols = df.columns.toSet
-    // JSON round-trip: struct rows → the same shape applyAction parses.
-    // Spark's toJSON of a checkpoint row yields {"add":{...}} etc.
-    val actions = df.select(
-      Seq("protocol", "metaData", "add", "remove", "txn").filter(cols)
-        .map(df.col): _*)
+    val actions = df.select(kinds.filter(cols).map(df.col): _*)
     actions.toJSON.collect().foreach { line =>
       val n = mapper.readTree(line)
-      // order within a checkpoint is unspecified; protocol/metaData
-      // first is not guaranteed, but actions are disjoint per row and
-      // replay state is commutative across DISTINCT action kinds
       n.fields().asScala.foreach(e =>
         if (!e.getValue.isNull) replay.applyAction(e.getKey, e.getValue))
+    }
+  }
+
+  /** Replay ONE self-contained V2 checkpoint (spec: `v2Checkpoint`
+    * reader-writer feature, `delta.checkpointPolicy = v2`). The
+    * UUID-named top-level file (parquet or json) carries exactly one
+    * `checkpointMetadata` action naming its version, the protocol +
+    * metaData, inline add/remove/txn rows, and `sidecar` actions
+    * pointing at parquet files under `_delta_log/_sidecars/` that
+    * hold the rest of the add/remove set — one level of indirection,
+    * SAME action schema, so the classic row fold applies to both
+    * levels. Recent Databricks runtimes write these by default on
+    * feature-bearing tables; without this replay such tables are
+    * unreadable outright. */
+  private def replayV2Checkpoint(spark: SparkSession, root: String,
+      v: Long, name: String, replay: Replay): Unit = {
+    val path = logDir(root).resolve(name)
+    val sidecars = scala.collection.mutable.ListBuffer.empty[String]
+    def checkVersion(cv: Long): Unit = require(cv == v,
+      s"delta-log: v2 checkpoint $name declares version $cv, " +
+        s"file name says $v — corrupt checkpoint")
+    if (name.endsWith(".json")) {
+      var sawMeta = false
+      io(root).readLines(path).foreach { line =>
+        if (line.nonEmpty) {
+          mapper.readTree(line).fields().asScala.foreach { e =>
+            e.getKey match {
+              case "checkpointMetadata" =>
+                sawMeta = true
+                checkVersion(e.getValue.get("version").asLong())
+              case "sidecar" =>
+                sidecars += e.getValue.get("path").asText()
+              case k =>
+                if (!e.getValue.isNull) replay.applyAction(k, e.getValue)
+            }
+          }
+        }
+      }
+      require(sawMeta, s"delta-log: UUID-named checkpoint $name has " +
+        "no checkpointMetadata action — not a spec-shaped v2 checkpoint")
+    } else {
+      val df = spark.read.parquet(path.toString)
+      val cols = df.columns.toSet
+      require(cols.contains("checkpointMetadata"),
+        s"delta-log: UUID-named checkpoint $name has no " +
+          "checkpointMetadata action — not a spec-shaped v2 checkpoint")
+      val cpv = df.select("checkpointMetadata.version")
+        .where(df.col("checkpointMetadata").isNotNull).collect()
+      require(cpv.length == 1,
+        s"delta-log: v2 checkpoint $name must carry exactly one " +
+          s"checkpointMetadata action, found ${cpv.length}")
+      checkVersion(cpv.head.getLong(0))
+      if (cols.contains("sidecar"))
+        df.select("sidecar.path")
+          .where(df.col("sidecar").isNotNull).collect()
+          .foreach(r => sidecars += r.getString(0))
+      applyCheckpointRows(df,
+        Seq("protocol", "metaData", "add", "remove", "txn"), replay)
+    }
+    if (sidecars.nonEmpty) {
+      // relative sidecar paths resolve under _delta_log/_sidecars/
+      // (the spec's layout); absolute URIs pass through
+      val resolved = sidecars.toSeq.sorted.map { p =>
+        if (p.contains("://") || p.startsWith("/")) p
+        else logDir(root).resolve("_sidecars").resolve(p).toString
+      }
+      applyCheckpointRows(spark.read.parquet(resolved: _*),
+        Seq("add", "remove"), replay)
     }
   }
 
@@ -640,7 +729,10 @@ object DeltaLog {
     * round-trips through parquet natively). */
   private val EnforcedWriterFeatures: Set[String] = Set("appendOnly",
     "invariants", "checkConstraints", "deletionVectors",
-    "changeDataFeed", "columnMapping", "timestampNtz")
+    "changeDataFeed", "columnMapping", "timestampNtz",
+    // v2Checkpoint's writer obligation — checkpoints in v2 format
+    // only — is honored by [[checkpoint]]'s format switch
+    "v2Checkpoint")
 
   /** Does any field — top-level or nested — carry one of `keys` in
     * its metadata? The activation probe for metadata-conditional
@@ -1947,18 +2039,40 @@ object DeltaLog {
       StructField("configuration", MapType(StringType, StringType))))
     val protoSchema = StructType(Seq(
       StructField("minReaderVersion", IntegerType),
-      StructField("minWriterVersion", IntegerType)))
+      StructField("minWriterVersion", IntegerType),
+      StructField("readerFeatures", ArrayType(StringType)),
+      StructField("writerFeatures", ArrayType(StringType))))
     val txnSchema = StructType(Seq(
       StructField("appId", StringType),
       StructField("version", LongType)))
-    val cpSchema = StructType(Seq(
+    val cpSchema0 = StructType(Seq(
       StructField("protocol", protoSchema),
       StructField("metaData", metaSchema),
       StructField("add", addSchema),
       // txn state survives checkpointing — dropping it would break
       // the streaming sink's exactly-once across a truncated log
       StructField("txn", txnSchema)))
-    val protoRow = Row(Row(1, 2), null, null, null)
+    // v2Checkpoint's WRITER obligation: once the feature is active,
+    // checkpoints may only be written in v2 format (UUID-named +
+    // checkpointMetadata action) — a classic checkpoint here would
+    // violate the table's contract for other engines
+    val v2Mode = (snap.minReaderVersion >= 3 &&
+        snap.readerFeatures.contains("v2Checkpoint")) ||
+      snap.configuration.get("delta.checkpointPolicy").contains("v2")
+    val cpSchema =
+      if (!v2Mode) cpSchema0
+      else StructType(cpSchema0.fields :+ StructField(
+        "checkpointMetadata",
+        StructType(Seq(StructField("version", LongType)))))
+    // the REAL protocol — stamping (1,2) here would downgrade a
+    // feature-bearing table on every replay-from-checkpoint, letting
+    // feature-unaware writers corrupt it afterwards
+    val protoRow = Row(Row(snap.minReaderVersion, snap.minWriterVersion,
+      if (snap.minReaderVersion >= 3)
+        snap.readerFeatures.toSeq.sorted else null,
+      if (snap.minWriterVersion >= 7)
+        snap.writerFeatures.toSeq.sorted else null),
+      null, null, null)
     val metaRow = Row(null, Row(java.util.UUID.randomUUID().toString,
       Row("parquet", Map.empty[String, String]), snap.schema.json,
       snap.partitionColumns, snap.configuration), null, null)
@@ -1973,17 +2087,23 @@ object DeltaLog {
     val txnRows = snap.txns.toSeq.sortBy(_._1).map { case (app, ver) =>
       Row(null, null, null, Row(app, ver))
     }
+    val baseRows = protoRow +: metaRow +: (addRows ++ txnRows)
+    val rows =
+      if (!v2Mode) baseRows
+      else baseRows.map(r => Row.fromSeq(r.toSeq :+ null)) :+
+        Row(null, null, null, null, Row(v)) // the checkpointMetadata
     val df = spark.createDataFrame(
-      spark.sparkContext.parallelize(
-        protoRow +: metaRow +: (addRows ++ txnRows), 1),
-      cpSchema)
+      spark.sparkContext.parallelize(rows, 1), cpSchema)
     val staging = Files.createTempDirectory("delta_cp_").resolve("out")
     df.coalesce(1).write.parquet(staging.toString)
     val part = Files.list(staging).iterator().asScala
       .find(p => p.getFileName.toString.endsWith(".parquet") &&
         !p.getFileName.toString.startsWith("."))
       .getOrElse(throw new IllegalStateException("checkpoint write produced no file"))
-    val dst = logDir(root).resolve(f"$v%020d.checkpoint.parquet")
+    val dst = logDir(root).resolve(
+      if (v2Mode)
+        f"$v%020d.checkpoint.${java.util.UUID.randomUUID()}.parquet"
+      else f"$v%020d.checkpoint.parquet")
     Files.move(part, dst,
       java.nio.file.StandardCopyOption.REPLACE_EXISTING)
     val hint =

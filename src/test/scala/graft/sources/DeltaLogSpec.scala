@@ -171,12 +171,17 @@ class DeltaLogSpec extends SparkSpecBase {
           .getBytes(UTF_8))
       root
     }
+    // v2Checkpoint is SUPPORTED since round 10 (replayV2Checkpoint);
+    // typeWidening remains genuinely unsupported — the refusal gate
+    val tw = mkLog(
+      """{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["typeWidening"],"writerFeatures":["typeWidening"]}""")
+    val e1 = intercept[UnsupportedOperationException] {
+      DeltaLog.snapshot(spark, tw)
+    }
+    assert(e1.getMessage.contains("typeWidening"))
     val v2cp = mkLog(
       """{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["v2Checkpoint"],"writerFeatures":["v2Checkpoint"]}""")
-    val e1 = intercept[UnsupportedOperationException] {
-      DeltaLog.snapshot(spark, v2cp)
-    }
-    assert(e1.getMessage.contains("v2Checkpoint"))
+    assert(DeltaLog.snapshot(spark, v2cp).adds.size === 1)
     // deletionVectors is SUPPORTED since round 8: the feature gate
     // accepts it and the descriptor replays (application is covered by
     // DeletionVectorsSpec; raw listings without the rewrite refuse)
@@ -212,6 +217,151 @@ class DeltaLogSpec extends SparkSpecBase {
     val ok = mkLog(
       """{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["timestampNtz"],"writerFeatures":["timestampNtz"]}""")
     assert(DeltaLog.snapshot(spark, ok).adds.size === 1)
+  }
+
+  test("v2 checkpoints: sidecar fixture replays; writer round-trips; protocol survives") {
+    import org.apache.spark.sql.types._
+    import scala.jdk.CollectionConverters._
+    val R = org.apache.spark.sql.Row
+    def onlyParquet(dir: java.nio.file.Path): String = {
+      val s = Files.list(dir)
+      try s.iterator().asScala.map(_.getFileName.toString)
+        .filter(n => n.endsWith(".parquet") && !n.startsWith("."))
+        .next()
+      finally s.close()
+    }
+    def writeAs(df: org.apache.spark.sql.DataFrame,
+        dst: java.nio.file.Path): Unit = {
+      val staging = Files.createTempDirectory("v2cp_").resolve("out")
+      df.coalesce(1).write.parquet(staging.toString)
+      Files.move(staging.resolve(onlyParquet(staging)), dst)
+    }
+    // ---- 1. HAND-WRITTEN foreign v2 checkpoint with sidecars (the
+    // published spec shape: checkpointMetadata + sidecar actions in a
+    // UUID-named top-level file; adds live in _sidecars/ parquet) ----
+    val root = tmp()
+    val dA = Paths.get(root, "a"); val dB = Paths.get(root, "b")
+    Seq(1L, 2L).toDF("k").coalesce(1).write.parquet(dA.toString)
+    Seq(3L, 4L).toDF("k").coalesce(1).write.parquet(dB.toString)
+    val fA = s"a/${onlyParquet(dA)}"; val fB = s"b/${onlyParquet(dB)}"
+    val log = Paths.get(root, "_delta_log")
+    val sidecarDir = log.resolve("_sidecars")
+    Files.createDirectories(sidecarDir)
+    val addSchema = StructType(Seq(
+      StructField("path", StringType),
+      StructField("partitionValues", MapType(StringType, StringType)),
+      StructField("size", LongType),
+      StructField("modificationTime", LongType),
+      StructField("dataChange", BooleanType),
+      StructField("stats", StringType)))
+    val sideSchema = StructType(Seq(StructField("add", addSchema)))
+    def sidecar(name: String, f: String, lo: Long, hi: Long): Unit =
+      writeAs(spark.createDataFrame(
+        spark.sparkContext.parallelize(Seq(R(R(f,
+          Map.empty[String, String], Files.size(Paths.get(root, f)), 0L,
+          true,
+          s"""{"numRecords":2,"minValues":{"k":$lo},"maxValues":{"k":$hi},"nullCount":{"k":0}}"""))),
+          1), sideSchema),
+        sidecarDir.resolve(name))
+    sidecar("s1.parquet", fA, 1L, 2L)
+    sidecar("s2.parquet", fB, 3L, 4L)
+    val kSchema = new StructType().add("k", LongType).json
+    val topSchema = StructType(Seq(
+      StructField("protocol", StructType(Seq(
+        StructField("minReaderVersion", IntegerType),
+        StructField("minWriterVersion", IntegerType),
+        StructField("readerFeatures", ArrayType(StringType)),
+        StructField("writerFeatures", ArrayType(StringType))))),
+      StructField("metaData", StructType(Seq(
+        StructField("id", StringType),
+        StructField("format", StructType(Seq(
+          StructField("provider", StringType),
+          StructField("options", MapType(StringType, StringType))))),
+        StructField("schemaString", StringType),
+        StructField("partitionColumns", ArrayType(StringType)),
+        StructField("configuration", MapType(StringType, StringType))))),
+      StructField("sidecar", StructType(Seq(
+        StructField("path", StringType),
+        StructField("sizeInBytes", LongType)))),
+      StructField("checkpointMetadata", StructType(Seq(
+        StructField("version", LongType))))))
+    writeAs(spark.createDataFrame(spark.sparkContext.parallelize(Seq(
+      R(R(3, 7, Seq("v2Checkpoint"), Seq("v2Checkpoint")), null, null, null),
+      R(null, R("fix", R("parquet", Map.empty[String, String]), kSchema,
+        Seq.empty[String],
+        Map("delta.checkpointPolicy" -> "v2")), null, null),
+      R(null, null, R("s1.parquet", 1L), null),
+      R(null, null, R("s2.parquet", 1L), null),
+      R(null, null, null, R(0L))), 1), topSchema),
+      log.resolve(f"${0L}%020d.checkpoint." +
+        "7d17ac10-5cc3-401b-bd1a-9c82fa5db9d8.parquet"))
+    // NO json commits at all: the table is its checkpoint
+    val ds = spark.read.format("delta-log").load(root)
+    assert(ds.as[Long].collect().sorted.toSeq === Seq(1L, 2L, 3L, 4L))
+    // sidecar-carried stats prune: k >= 3 keeps 1 of 2 files
+    val q = spark.read.format("delta-log").load(root)
+      .filter(col("k") >= 3)
+    assert(q.as[Long].collect().sorted.toSeq === Seq(3L, 4L))
+    assert(indexOf(q).lastListing.get === ((1, 2)))
+    // the checkpoint's protocol is the table's protocol
+    val snap = DeltaLog.snapshot(spark, root)
+    assert(snap.minReaderVersion === 3 &&
+      snap.readerFeatures.contains("v2Checkpoint"))
+    // a json commit ON TOP of the v2 checkpoint replays after it
+    Files.write(log.resolve(f"${1L}%020d.json"),
+      (s"""{"commitInfo":{"operation":"DELETE"}}\n""" +
+        s"""{"remove":{"path":"$fB","deletionTimestamp":1,"dataChange":true}}\n""")
+        .getBytes(UTF_8))
+    assert(spark.read.format("delta-log").load(root)
+      .as[Long].collect().sorted.toSeq === Seq(1L, 2L))
+    // a corrupt v2 checkpoint (no checkpointMetadata) refuses loudly
+    val bad = tmp()
+    val badLog = Paths.get(bad, "_delta_log")
+    Files.createDirectories(badLog)
+    writeAs(spark.createDataFrame(spark.sparkContext.parallelize(Seq(
+      R(R(1, 2, null, null), null, null, null),
+      R(null, R("fix", R("parquet", Map.empty[String, String]), kSchema,
+        Seq.empty[String], Map.empty[String, String]), null, null)), 1),
+      StructType(topSchema.fields.take(2))),
+      badLog.resolve(f"${0L}%020d.checkpoint." +
+        "1aa8ddc3-0d2c-4d6e-9b63-f3b0a04647cd.parquet"))
+    val eBad = intercept[IllegalArgumentException] {
+      DeltaLog.snapshot(spark, bad)
+    }
+    assert(eBad.getMessage.contains("checkpointMetadata"))
+    // ---- 2. OUR writer: checkpointPolicy=v2 tables checkpoint in v2
+    // form (UUID-named, self-contained), and replay from it alone ----
+    val mine = tmp()
+    DeltaLog.commit(Seq(10L, 11L).toDF("k").coalesce(1), mine,
+      properties = Map("delta.checkpointPolicy" -> "v2"))
+    DeltaLog.commit(Seq(12L).toDF("k").coalesce(1), mine)
+    DeltaLog.checkpoint(spark, mine)
+    val mineLog = Paths.get(mine, "_delta_log")
+    val names = {
+      val s = Files.list(mineLog)
+      try s.iterator().asScala.map(_.getFileName.toString).toSeq
+      finally s.close()
+    }
+    assert(names.exists(_.matches(
+      """\d{20}\.checkpoint\.[0-9a-f-]{36}\.parquet""")))
+    assert(!names.contains(f"${1L}%020d.checkpoint.parquet"))
+    names.filter(n => n.endsWith(".json") && n.length == 25)
+      .foreach(n => Files.delete(mineLog.resolve(n)))
+    assert(spark.read.format("delta-log").load(mine)
+      .as[Long].collect().sorted.toSeq === Seq(10L, 11L, 12L))
+    // ---- 3. protocol SURVIVES a classic checkpoint on a feature
+    // table (the (1,2)-downgrade fix): replay keeps (3,7)+features ----
+    val dv = tmp()
+    DeltaLog.commit(Seq(21L, 22L).toDF("k").coalesce(1), dv,
+      properties = Map("delta.enableDeletionVectors" -> "true"))
+    DeltaLog.checkpoint(spark, dv)
+    val dvLog = Paths.get(dv, "_delta_log")
+    Files.delete(dvLog.resolve(f"${0L}%020d.json"))
+    val s3 = DeltaLog.snapshot(spark, dv)
+    assert(s3.minWriterVersion === 7 &&
+      s3.writerFeatures.contains("deletionVectors"))
+    assert(spark.read.format("delta-log").load(dv)
+      .as[Long].collect().sorted.toSeq === Seq(21L, 22L))
   }
 
   test("writer obligations: CHECK constraints enforce on every path") {

@@ -140,5 +140,15 @@ object Bench {
       System.out.println(line)
       System.out.flush()
     }))
+    // Round 10: stdout-tail wrapping has cost the driver's parser the
+    // line for five rounds despite everything above — when the env
+    // names a file, write the compact line THERE too and sidestep
+    // stdout entirely (a driver that knows the env can read the file;
+    // one that doesn't is no worse off).
+    sys.env.get("SPARK_GRAFT_BENCH_OUT").foreach { out =>
+      try java.nio.file.Files.write(java.nio.file.Paths.get(out),
+        (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      catch { case scala.util.control.NonFatal(_) => () }
+    }
   }
 }

@@ -58,6 +58,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // rule has already claimed the relations it owns (DML targets,
     // MOR branches, mapped scans) — see [[GraftDsv2Swap]].
     ext.injectPostHocResolutionRule(GraftDsv2Swap)
+    // write-side completion of the DSv2 flip: INSERT INTO/OVERWRITE on
+    // graft catalog tables become AppendData/OverwriteByExpression
+    // over Graft2Table (must run AFTER DataSourceAnalysis lowers the
+    // statement to InsertIntoDataSourceCommand — built-in post-hoc
+    // rules precede injected ones)
+    ext.injectPostHocResolutionRule(GraftDsv2Write)
   }
 }
 

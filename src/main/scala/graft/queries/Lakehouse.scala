@@ -2779,6 +2779,121 @@ object Lakehouse {
              |  CAST(1 AS BIGINT) AS v2_ok
              |FROM orders
              |WHERE o_orderkey <= 2048 AND o_orderkey % 10 <> 3
+             |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)),
+
+    // ICEBERG PARTITION-SPEC EVOLUTION (round 10): routine on
+    // long-lived Iceberg tables — re-layout WITHOUT rewriting
+    // history. The entry appends orders unpartitioned (spec 0),
+    // evolves to `bucket(4, o_custkey)` (one metadata-only commit:
+    // partition-specs append + default-spec-id bump, field ids
+    // continuing from last-partition-id), appends again (new files
+    // lay out and record tuples under spec 1 while old files keep
+    // theirs), then runs a positional DELETE spanning files of BOTH
+    // specs — delete files group per (spec, tuple), delete manifests
+    // per spec, nothing rewritten (the MOR contract; r9 refused this
+    // outright). `evo_ok` pins the spec ids on both file generations
+    // and the no-rewrite invariant; the aggregate reads through the
+    // per-spec MOR scope. Oracle restates append∪append minus the
+    // delete over raw orders.
+    QueryDef(
+      "q258_iceberg_spec_evolution",
+      (s, d) => {
+        import graft.sources.IcebergMeta
+        val root = Files.createTempDirectory("ievo_entry_").toString + "/t"
+        val src = orders(s, d).select(col("o_orderkey"), col("o_custkey"),
+          col("o_orderstatus"))
+        src.filter(col("o_orderkey") <= 1024)
+          .write.format("iceberg-meta").save(root)              // spec 0
+        val newSpec = IcebergMeta.evolveSpec(root,
+          Seq("o_custkey" -> "bucket[4]"))
+        IcebergMeta.append(
+          src.filter(col("o_orderkey") > 1024 &&
+            col("o_orderkey") <= 2048), root)                   // spec 1
+        val before = IcebergMeta.snapshot(root)
+        IcebergMeta.delete(s, root, col("o_orderkey") % 10 === 7)
+        val after = IcebergMeta.snapshot(root)
+        val evoOk = if (newSpec == 1 &&
+          before.files.exists(f => f.specId == 0 &&
+            f.partitionTuple.isEmpty) &&
+          before.files.exists(f => f.specId == 1 &&
+            f.partitionTuple.nonEmpty) &&
+          after.files.map(_.path).toSet ==
+            before.files.map(_.path).toSet &&
+          after.deletes.nonEmpty) 1L else 0L
+        s.read.format("iceberg-meta").load(root)
+          .groupBy(col("o_orderstatus"))
+          .agg(count(lit(1)).as("n_rows"),
+            sum(col("o_custkey")).cast("long").as("sum_cust"),
+            sum(col("o_orderkey")).cast("long").as("sum_key"))
+          .withColumn("evo_ok", lit(evoOk))
+          .orderBy(col("o_orderstatus"))
+      },
+      Some("""SELECT o_orderstatus, count(*) AS n_rows,
+             |  CAST(sum(o_custkey) AS BIGINT) AS sum_cust,
+             |  CAST(sum(o_orderkey) AS BIGINT) AS sum_key,
+             |  CAST(1 AS BIGINT) AS evo_ok
+             |FROM orders
+             |WHERE o_orderkey <= 2048 AND o_orderkey % 10 <> 7
+             |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)),
+
+    // ICEBERG REFS (round 10): the metadata.json `refs` map — named
+    // TAGS (pinned snapshots) and BRANCHES (`main` advances with
+    // every commit, Iceberg semantics). The entry tags the first
+    // snapshot `v1.0`, appends more data (main moves, the tag does
+    // not), reads BOTH refs by name (`refAsOf`), and proves the
+    // retention contract: expire-with-retainLast=1 would drop the
+    // first snapshot, but the tag PINS it — the tagged read still
+    // answers afterwards. The result diffs the two refs' aggregates
+    // under the oracle (head minus tag = exactly the second append),
+    // with `refs_ok` folding the pin/advance/expire invariants.
+    QueryDef(
+      "q259_iceberg_refs",
+      (s, d) => {
+        import graft.sources.IcebergMeta
+        val root = Files.createTempDirectory("iref_entry_").toString + "/t"
+        val src = orders(s, d).select(col("o_orderkey"), col("o_custkey"),
+          col("o_orderstatus"))
+        src.filter(col("o_orderkey") <= 1024)
+          .write.format("iceberg-meta").save(root)
+        val snap1 = IcebergMeta.snapshot(root).snapshotId
+        IcebergMeta.setRef(root, "v1.0", "tag")
+        IcebergMeta.append(
+          src.filter(col("o_orderkey") > 1024 &&
+            col("o_orderkey") <= 2048), root)
+        val rs = IcebergMeta.refs(root)
+        val mainAdvanced = rs.get("main").exists(r =>
+          r._1 == IcebergMeta.snapshot(root).snapshotId &&
+            r._2 == "branch")
+        val tagPinned = rs.get("v1.0").contains((snap1, "tag"))
+        // retainLast=1 + future cutoff would expire the tagged
+        // snapshot — the ref pins it, so nothing expires
+        val expired = IcebergMeta.expireSnapshots(root,
+          System.currentTimeMillis() + 60000L, retainLast = 1)
+          .expiredSnapshots
+        val tagged = s.read.format("iceberg-meta")
+          .option("refAsOf", "v1.0").load(root)
+        val head = s.read.format("iceberg-meta")
+          .option("refAsOf", "main").load(root)
+        val refsOk = if (mainAdvanced && tagPinned && expired == 0) 1L
+          else 0L
+        head.groupBy(col("o_orderstatus"))
+          .agg(count(lit(1)).as("n_head"),
+            sum(col("o_orderkey")).cast("long").as("sum_head"))
+          .join(tagged.groupBy(col("o_orderstatus"))
+            .agg(count(lit(1)).as("n_tag"),
+              sum(col("o_orderkey")).cast("long").as("sum_tag")),
+            Seq("o_orderstatus"))
+          .withColumn("refs_ok", lit(refsOk))
+          .orderBy(col("o_orderstatus"))
+      },
+      Some("""SELECT o_orderstatus,
+             |  count(*) AS n_head,
+             |  CAST(sum(o_orderkey) AS BIGINT) AS sum_head,
+             |  count(CASE WHEN o_orderkey <= 1024 THEN 1 END) AS n_tag,
+             |  CAST(sum(CASE WHEN o_orderkey <= 1024 THEN o_orderkey END)
+             |    AS BIGINT) AS sum_tag,
+             |  CAST(1 AS BIGINT) AS refs_ok
+             |FROM orders WHERE o_orderkey <= 2048
              |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin))
   )
 }

@@ -7,12 +7,16 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{
-  SupportsRead, Table, TableCapability, TableProvider}
+  SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{
   Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan,
   ScanBuilder, Statistics, SupportsPushDownFilters,
   SupportsPushDownRequiredColumns, SupportsReportStatistics}
+import org.apache.spark.sql.connector.write.{
+  BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo,
+  PhysicalWriteInfo, SupportsTruncate, Write, WriteBuilder,
+  WriterCommitMessage}
 import org.apache.spark.sql.sources.{
   DataSourceRegister, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, In,
   IsNotNull, IsNull, LessThan, LessThanOrEqual}
@@ -82,10 +86,20 @@ class Graft2DataSource extends TableProvider with DataSourceRegister {
       .asInstanceOf[StructType]
   }
 
+  // a WRITE's schema comes from the query, not the (possibly not yet
+  // existing) table — the contract that lets
+  // `df.write.format("graft2").save(root)` create a fresh table
+  override def supportsExternalMetadata(): Boolean = true
+
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: JMap[String, String]): Table = {
     val options = new CaseInsensitiveStringMap(properties)
-    val (root, v) = snapshotOf(options)
+    val root = rootOf(options)
+    val latest = VersionedTable.latestVersion(root)
+    // -1 (no log yet) is a legal WRITE target; scans gate on it
+    val v = Option(options.get("versionAsOf")).map(_.toLong)
+      .getOrElse(latest)
+    require(v <= latest, s"version $v out of range [0, $latest]")
     new Graft2Table(root, v, schema)
   }
 }
@@ -117,13 +131,148 @@ class Graft2Table(val root: String, val snapshotVersion: Long,
     // to the log head on re-analysis (the v1 freshness contract);
     // datasource-created tables keep the spike's pinned-at-load shape
     val refreshable: Boolean = false)
-    extends Table with SupportsRead {
+    extends Table with SupportsRead with SupportsWrite {
   override def name(): String = s"graft2:$root@v$snapshotVersion"
   override def schema(): StructType = schema
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_READ)
-  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    java.util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    require(snapshotVersion >= 0,
+      s"$root is not a graft table yet (write-only handle)")
     new Graft2ScanBuilder(root, snapshotVersion, schema)
+  }
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new Graft2WriteBuilder(root, info.schema())
+}
+
+/** DSv2 WRITE path: `WriteBuilder` → [[Graft2BatchWrite]]. Append by
+  * default; `truncate()` (Spark's v2 lowering of INSERT OVERWRITE /
+  * SaveMode.Overwrite on a whole table) switches the commit action
+  * to overwrite — both land through [[VersionedTable
+  * .commitStagedFiles]]'s atomic manifest publish, CHECK enforcement
+  * and footer-stats harvest, the SAME log commit the v1 writer uses
+  * (two write APIs, one commit protocol). */
+class Graft2WriteBuilder(root: String, schema: StructType)
+    extends WriteBuilder with SupportsTruncate {
+  private var mode = "append"
+  override def truncate(): WriteBuilder = { mode = "overwrite"; this }
+  override def build(): Write = new Write {
+    override def toBatch: BatchWrite = new Graft2BatchWrite(root, schema, mode)
+  }
+}
+
+/** One staged parquet file a writer task produced (name only — the
+  * batch knows the staging dir), or none for an empty task. */
+private[sources] final case class Graft2TaskFile(name: Option[String])
+  extends WriterCommitMessage
+
+/** Driver half of the v2 write: plans one staging directory under the
+  * table root (files are INVISIBLE until the manifest names them — no
+  * temp-dir rename dance needed), hands executors Spark's own parquet
+  * [[org.apache.spark.sql.execution.datasources.OutputWriterFactory]]
+  * (same writer the v1 path uses, so footer stats/compression/types
+  * are identical), and commits the returned file names through the
+  * graft log. Abort deletes the staged files — and even an abort that
+  * never runs leaves only manifest-unreferenced files, which FSCK
+  * reports and vacuum-style cleanup may remove. */
+class Graft2BatchWrite(root: String, schema: StructType, mode: String)
+    extends BatchWrite {
+  private val nonce = java.util.UUID.randomUUID().toString.take(8)
+  private val dataRel =
+    s"data/v${VersionedTable.latestVersion(root) + 1}-$nonce"
+
+  override def createBatchWriterFactory(
+      info: PhysicalWriteInfo): DataWriterFactory = {
+    val spark = SparkSession.active
+    val job = org.apache.hadoop.mapreduce.Job.getInstance(
+      spark.sessionState.newHadoopConf())
+    // prepareWrite CONFIGURES the job conf (write support class,
+    // schema, compression) — serialize the conf AFTER it
+    val owf = new org.apache.spark.sql.execution.datasources.parquet
+      .ParquetFileFormat()
+      .prepareWrite(spark, job, Map.empty, schema)
+    new Graft2WriterFactory(owf,
+      java.nio.file.Paths.get(root, dataRel).toString, schema, nonce,
+      new SerializableHadoopConf(job.getConfiguration))
+  }
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val files = messages.collect {
+      case Graft2TaskFile(Some(n)) => s"$dataRel/$n"
+    }.toSeq
+    VersionedTable.commitStagedFiles(SparkSession.active, root,
+      files, schema, mode)
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit = {
+    val dir = java.nio.file.Paths.get(root, dataRel)
+    messages.collect { case Graft2TaskFile(Some(n)) => n }.foreach { n =>
+      try java.nio.file.Files.deleteIfExists(dir.resolve(n))
+      catch { case _: java.io.IOException => () }
+    }
+  }
+}
+
+/** Java-serializable Hadoop `Configuration` carrier (Spark's own
+  * wrapper for this is `private[spark]`; the Writable round-trip is
+  * the same public technique). */
+private[sources] final class SerializableHadoopConf(
+    @transient var value: org.apache.hadoop.conf.Configuration)
+  extends Serializable {
+  private def writeObject(out: java.io.ObjectOutputStream): Unit = {
+    out.defaultWriteObject()
+    value.write(out)
+  }
+  private def readObject(in: java.io.ObjectInputStream): Unit = {
+    in.defaultReadObject()
+    value = new org.apache.hadoop.conf.Configuration(false)
+    value.readFields(in)
+  }
+}
+
+/** Executor half: each task opens ONE parquet writer (Spark's
+  * `OutputWriter`, vectorizable types, footer stats for free) on a
+  * deterministic per-attempt file name and streams `InternalRow`s
+  * into it. Empty tasks delete their file and report none — a
+  * zero-row part must never land in the manifest. */
+class Graft2WriterFactory(
+    owf: org.apache.spark.sql.execution.datasources.OutputWriterFactory,
+    stagingDir: String, schema: StructType, nonce: String,
+    conf: SerializableHadoopConf)
+  extends DataWriterFactory {
+
+  override def createWriter(partitionId: Int,
+      taskId: Long): DataWriter[InternalRow] = {
+    import org.apache.hadoop.mapreduce.{JobID, TaskAttemptID, TaskID, TaskType}
+    val attempt = new TaskAttemptID(
+      new TaskID(new JobID(s"graft2-$nonce", 0), TaskType.MAP, partitionId),
+      (taskId % Int.MaxValue).toInt)
+    val ctx = new org.apache.hadoop.mapreduce.task.TaskAttemptContextImpl(
+      conf.value, attempt)
+    val name =
+      f"part-$partitionId%05d-$taskId-$nonce${owf.getFileExtension(ctx)}"
+    val file = new org.apache.hadoop.fs.Path(stagingDir, name)
+    file.getFileSystem(conf.value).mkdirs(file.getParent)
+    val writer = owf.newInstance(file.toString, schema, ctx)
+    new DataWriter[InternalRow] {
+      private var n = 0L
+      override def write(row: InternalRow): Unit = { writer.write(row); n += 1 }
+      override def commit(): WriterCommitMessage = {
+        writer.close()
+        if (n == 0L) {
+          file.getFileSystem(conf.value).delete(file, false)
+          Graft2TaskFile(None)
+        } else Graft2TaskFile(Some(name))
+      }
+      override def abort(): Unit = {
+        try writer.close() catch { case _: Throwable => () }
+        file.getFileSystem(conf.value).delete(file, false)
+        ()
+      }
+      override def close(): Unit = ()
+    }
+  }
 }
 
 class Graft2ScanBuilder(root: String, version: Long, full: StructType)

@@ -64,7 +64,11 @@ object IcebergMeta {
       // the entry's r102 partition tuple (field name → Avro value,
       // Utf8 normalized to String) — what a PARTITIONED positional
       // delete must restate on its own delete-manifest entries
-      partitionTuple: Seq[(String, Any)] = Nil)
+      partitionTuple: Seq[(String, Any)] = Nil,
+      // the manifest-list row's partition_spec_id: under SPEC
+      // EVOLUTION each file keeps the spec it was written with, and
+      // row-level deletes must scope their manifests per-spec
+      specId: Int = 0)
 
   /** A v2 POSITIONAL delete file: parquet of (file_path, pos) rows.
     * `pathLo`/`pathHi` are the manifest's file_path bounds (reserved
@@ -478,7 +482,9 @@ object IcebergMeta {
             }
             Some(IceFile(resolvePath(root, recorded), recorded,
               fieldOpt(df, "file_size_in_bytes").map(asLong).getOrElse(0L),
-              records, stats, entrySeq(e, listRow), tuple))
+              records, stats, entrySeq(e, listRow), tuple,
+              specId = fieldOpt(listRow, "partition_spec_id")
+                .map(v => asLong(v).toInt).getOrElse(0)))
           }
         }
       }
@@ -872,6 +878,7 @@ object IcebergMeta {
          |"default-spec-id":0,
          |"partition-specs":[{"spec-id":0,"fields":[$specJson]}],
          |"current-snapshot-id":$snapId,
+         |"refs":{"main":{"snapshot-id":$snapId,"type":"branch"}},
          |"snapshots":[{"snapshot-id":$snapId,"sequence-number":1,
          |  "timestamp-ms":${System.currentTimeMillis()},
          |  "manifest-list":"$listRel",
@@ -1160,12 +1167,18 @@ object IcebergMeta {
     * transforms parsed — anything this writer cannot evaluate
     * refuses inside [[IceTransform.parse]]. */
   private def specFieldsOf(meta: JsonNode,
-      nameById: Map[Int, String]): Seq[SpecField] = {
+      nameById: Map[Int, String]): Seq[SpecField] =
+    specFieldsOfId(meta, nameById,
+      if (meta.hasNonNull("default-spec-id"))
+        meta.get("default-spec-id").asInt() else 0)
+
+  /** A NAMED spec's fields (spec evolution: each data file resolves
+    * through the spec it was written with, not the current one). */
+  private def specFieldsOfId(meta: JsonNode,
+      nameById: Map[Int, String], specId: Int): Seq[SpecField] = {
     if (!meta.hasNonNull("partition-specs")) return Nil
-    val cur = if (meta.hasNonNull("default-spec-id"))
-      meta.get("default-spec-id").asInt() else 0
     val spec = meta.get("partition-specs").elements().asScala
-      .find(_.get("spec-id").asInt() == cur)
+      .find(_.get("spec-id").asInt() == specId)
       .getOrElse(return Nil)
     spec.get("fields").elements().asScala.map { f =>
       val srcId = f.get("source-id").asInt()
@@ -1176,6 +1189,78 @@ object IcebergMeta {
       SpecField(f.get("name").asText(), f.get("field-id").asInt(), src,
         IceTransform.parse(f.get("transform").asText()))
     }.toSeq
+  }
+
+  /** PARTITION SPEC EVOLUTION — one metadata-only commit (the spec's
+    * `partition-specs` append + `default-spec-id` bump): data
+    * appended AFTER this lays out under the NEW spec; every existing
+    * file keeps the tuple of the spec it was written with, resolved
+    * per-entry at read time, and row-level deletes scope their
+    * manifests per-spec ([[delete]]). `fields` are (sourceColumn,
+    * transform) pairs — e.g. `("o_custkey", "bucket[8]")`; empty
+    * evolves to UNPARTITIONED. Partition field ids continue from
+    * `last-partition-id` and are never reused (spec rule — reuse
+    * would let an old file's tuple value masquerade as the new
+    * field's). Returns the new default spec id. */
+  def evolveSpec(root: String, fields: Seq[(String, String)]): Int = {
+    val v = latestMetadataVersion(root)
+    val meta = mapper.readTree(Files.readAllBytes(
+      metaDir(root).resolve(s"v$v.metadata.json")))
+      .deepCopy[com.fasterxml.jackson.databind.node.ObjectNode]
+    val (_, nameById) = schemaOf(meta)
+    val idByName = nameById.map(_.swap)
+    val parsed = fields.map { case (src, t) =>
+      require(idByName.contains(src),
+        s"iceberg-meta: partition source column '$src' is not a " +
+          s"top-level field of $root's current schema")
+      (src, IceTransform.parse(t), t)
+    }
+    val specs =
+      if (meta.hasNonNull("partition-specs"))
+        meta.withArray[com.fasterxml.jackson.databind.node.ArrayNode](
+          "partition-specs")
+      else {
+        val a = meta.putArray("partition-specs")
+        val sp0 = mapper.createObjectNode()
+        sp0.put("spec-id", 0)
+        sp0.putArray("fields")
+        a.add(sp0)
+        a
+      }
+    val nextId = specs.elements().asScala
+      .map(_.get("spec-id").asInt()).max + 1
+    var fid =
+      if (meta.hasNonNull("last-partition-id"))
+        meta.get("last-partition-id").asInt()
+      else specs.elements().asScala
+        .flatMap(_.get("fields").elements().asScala)
+        .map(_.get("field-id").asInt())
+        .maxOption.getOrElse(999) // spec: partition ids start at 1000
+    val sp = mapper.createObjectNode()
+    sp.put("spec-id", nextId)
+    val arr = sp.putArray("fields")
+    parsed.foreach { case (src, tr, tstr) =>
+      fid += 1
+      val f = mapper.createObjectNode()
+      f.put("name", src + tr.suffix)
+      f.put("transform", tstr)
+      f.put("source-id", idByName(src))
+      f.put("field-id", fid)
+      arr.add(f)
+    }
+    specs.add(sp)
+    meta.put("default-spec-id", nextId)
+    meta.put("last-partition-id", fid)
+    meta.put("last-updated-ms", System.currentTimeMillis())
+    try PosixLogStore.putIfAbsent(
+      metaDir(root).resolve(s"v${v + 1}.metadata.json"),
+      mapper.writerWithDefaultPrettyPrinter().writeValueAsBytes(meta))
+    catch {
+      case _: java.nio.file.FileAlreadyExistsException =>
+        throw new VersionedTable.ConcurrentCommitException(v + 1)
+    }
+    writeHint(root, v + 1)
+    nextId
   }
 
   /** Stage `df` Hive-partitioned WITHOUT losing the identity source
@@ -1286,6 +1371,18 @@ object IcebergMeta {
       snapObj.put("schema-id", meta.get("current-schema-id").asInt())
     newMeta.withArray[com.fasterxml.jackson.databind.node.ArrayNode](
       "snapshots").add(snapObj)
+    // the `main` branch ref tracks current-snapshot-id (Iceberg
+    // semantics: every commit advances the branch; tags stay pinned)
+    if (newMeta.hasNonNull("refs")) {
+      val r = newMeta.get("refs")
+        .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+      if (r.hasNonNull("main") &&
+        (!r.get("main").hasNonNull("type") ||
+          r.get("main").get("type").asText() == "branch"))
+        r.get("main")
+          .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+          .put("snapshot-id", snapId)
+    }
     try PosixLogStore.putIfAbsent(
       metaDir(root).resolve(s"v${v + 1}.metadata.json"),
       mapper.writerWithDefaultPrettyPrinter()
@@ -1333,13 +1430,9 @@ object IcebergMeta {
     // every delete-manifest entry: deletes group ONE delete file per
     // target partition tuple (restated from the target data files'
     // own replayed tuples), exactly like the data side (q251)
-    val specFields = specFieldsOf(meta, nameById)
     val typeOf = schema.fields.map(f => f.name -> f.dataType).toMap
-    val eSchema = manifestSchemaFor(specFields.map(f =>
-      (f.name, f.fieldId, f.transform.resultType(typeOf(f.srcCol)))))
-    val specId = if (meta.hasNonNull("default-spec-id"))
-      meta.get("default-spec-id").asInt() else 0
     val snap = snapshot(root)
+    if (snap.files.isEmpty) return snap.snapshotId
     // the position machinery resolves POSITIONAL deletes only; rows an
     // equality delete hides would be re-recorded (harmlessly) AND rows
     // it hides would match cond — refuse rather than mix the kinds
@@ -1347,13 +1440,24 @@ object IcebergMeta {
       "iceberg-meta: positional DELETE on a table carrying EQUALITY " +
         "delete files is not supported — use deleteEquality, or " +
         "rewrite the table first")
-    if (specFields.nonEmpty)
-      snap.files.foreach(f => require(
-        f.partitionTuple.map(_._1) == specFields.map(_.name),
-        s"iceberg-meta: data file ${f.recordedPath} carries no " +
-          "partition tuple under the current spec (partition-spec " +
-          "evolution) — positional DELETE cannot scope its delete " +
-          "manifest; rewrite the table first"))
+    // SPEC EVOLUTION: each target file scopes through the spec it was
+    // WRITTEN WITH (per-entry spec ids), so delete files group per
+    // (spec, tuple) and delete MANIFESTS group per spec — a
+    // manifest's r102 partition type is single-spec. A tuple whose
+    // shape disagrees with its own spec is corrupt metadata, not
+    // evolution, and still refuses.
+    val fieldsBySpec: Map[Int, Seq[SpecField]] =
+      snap.files.map(_.specId).distinct
+        .map(id => id -> specFieldsOfId(meta, nameById, id)).toMap
+    snap.files.foreach(f => require(
+      f.partitionTuple.map(_._1) == fieldsBySpec(f.specId).map(_.name),
+      s"iceberg-meta: data file ${f.recordedPath} carries a partition " +
+        s"tuple that does not match its own spec ${f.specId} — " +
+        "corrupt metadata; rewrite the table first"))
+    val eSchemaOf = fieldsBySpec.map { case (sid, fs) =>
+      sid -> manifestSchemaFor(fs.map(f =>
+        (f.name, f.fieldId, f.transform.resultType(typeOf(f.srcCol)))))
+    }
     // visible rows matching cond, addressed as (recordedPath, pos)
     val visible = IcebergMetaRead.withPositions(spark, snap)
     val hits = visible.filter(cond)
@@ -1364,23 +1468,24 @@ object IcebergMeta {
     val nonce = java.util.UUID.randomUUID().toString.take(8)
     val dataDir = Paths.get(root, "data")
     Files.createDirectories(dataDir)
-    // (delete parquet, the r102 tuple its entry restates)
-    val staged: Seq[(Path, Seq[(String, Any)])] =
-      if (specFields.isEmpty) {
+    // (delete parquet, the (spec, r102 tuple) group its entry restates)
+    val groups: Seq[(Int, Seq[(String, Any)])] =
+      snap.files.map(f => (f.specId, f.partitionTuple)).distinct
+    val staged: Seq[(Path, (Int, Seq[(String, Any)]))] =
+      if (groups.size == 1 && groups.head._2.isEmpty) {
         stageParquet(hits.sortWithinPartitions("file_path", "pos"),
           staging.toString) // spec (file_path, pos) ordering
         PosixDataStore.listDir(staging)
           .filter(n => n.endsWith(".parquet") && !n.startsWith("."))
-          .sorted.map(n => (staging.resolve(n), Nil))
+          .sorted.map(n => (staging.resolve(n), groups.head))
       } else {
-        // one delete file per TARGET TUPLE: route each hit to its
-        // target file's tuple (metadata-size broadcast map), one task
-        // per tuple, Hive dirs split tuples sharing a task
-        val tuples = snap.files.map(_.partitionTuple).distinct
-        val idxOf = tuples.zipWithIndex.toMap
+        // one delete file per TARGET (spec, tuple): route each hit to
+        // its target file's group (metadata-size broadcast map), one
+        // task per group, Hive dirs split groups sharing a task
+        val idxOf = groups.zipWithIndex.toMap
         import spark.implicits._
         val fpToIdx = spark.createDataset(snap.files.map(f =>
-          (f.recordedPath, idxOf(f.partitionTuple))))
+          (f.recordedPath, idxOf((f.specId, f.partitionTuple)))))
           .toDF("file_path", "__tuple")
         stageParquet(hits.join(broadcast(fpToIdx), Seq("file_path"))
           .repartition(col("__tuple"))
@@ -1392,35 +1497,41 @@ object IcebergMeta {
           val idx = d.stripPrefix("__tuple=").toInt
           PosixDataStore.listDir(staging.resolve(d))
             .filter(n => n.endsWith(".parquet") && !n.startsWith("."))
-            .sorted.map(n => (staging.resolve(d).resolve(n), tuples(idx)))
+            .sorted.map(n => (staging.resolve(d).resolve(n), groups(idx)))
         }
       }
-    val entries = staged.zipWithIndex.flatMap { case ((p, tuple), i) =>
-      // drop empty split files; an all-empty delete is a no-op commit
-      val rows = VersionedTable.footerStats(spark, p)
-        .values.map(_.rows).maxOption.getOrElse(0L)
-      if (rows == 0L) None
-      else {
-        val name = f"delete-$i%05d-$nonce.parquet"
-        val dst = dataDir.resolve(name)
-        Files.move(p, dst)
-        Some(dataFileEntry(spark, dst, s"data/$name", deleteSchema,
-          deleteFieldIds, content = 1, entrySchema = eSchema,
-          partitionTuple = tuple))
+    val entries: Seq[(Int, GenericRecord)] =
+      staged.zipWithIndex.flatMap { case ((p, (sid, tuple)), i) =>
+        // drop empty split files; an all-empty delete is a no-op commit
+        val rows = VersionedTable.footerStats(spark, p)
+          .values.map(_.rows).maxOption.getOrElse(0L)
+        if (rows == 0L) None
+        else {
+          val name = f"delete-$i%05d-$nonce.parquet"
+          val dst = dataDir.resolve(name)
+          Files.move(p, dst)
+          Some(sid -> dataFileEntry(spark, dst, s"data/$name",
+            deleteSchema, deleteFieldIds, content = 1,
+            entrySchema = eSchemaOf(sid), partitionTuple = tuple))
+        }
       }
-    }
     if (entries.isEmpty) return snap.snapshotId
     val seq = (if (meta.hasNonNull("last-sequence-number"))
       meta.get("last-sequence-number").asLong() else 0L) + 1
     val snapId = java.util.UUID.randomUUID().getLeastSignificantBits
       .abs.max(1L)
-    val manifestRel = s"metadata/snap-$snapId-m0.avro"
-    writeAvro(Paths.get(root, manifestRel), eSchema, entries)
+    val listRows = entries.groupBy(_._1).toSeq.sortBy(_._1).zipWithIndex
+      .map { case ((sid, es), mi) =>
+        val manifestRel = s"metadata/snap-$snapId-m$mi.avro"
+        writeAvro(Paths.get(root, manifestRel), eSchemaOf(sid),
+          es.map(_._2))
+        manifestListRow(manifestRel,
+          Files.size(Paths.get(root, manifestRel)), sid, seq, snapId,
+          es.size, 0, 0L, 0L, content = 1)
+      }
     val listRel = s"metadata/snap-$snapId.avro"
     writeAvro(Paths.get(root, listRel), manifestListSchema,
-      carriedManifests(root, meta) :+ manifestListRow(manifestRel,
-        Files.size(Paths.get(root, manifestRel)), specId, seq, snapId,
-        entries.size, 0, 0L, 0L, content = 1))
+      carriedManifests(root, meta) ++ listRows)
     commitSnapshot(root, v, meta, snapId, seq, listRel, "delete")
   }
 
@@ -1534,6 +1645,18 @@ object IcebergMeta {
     val now = System.currentTimeMillis()
     newMeta.put("current-snapshot-id", snapshotId)
     newMeta.put("last-updated-ms", now)
+    // a rollback IS a main-branch move — leaving the ref behind would
+    // pin the rolled-past snapshot against expireSnapshots forever
+    if (newMeta.hasNonNull("refs")) {
+      val r = newMeta.get("refs")
+        .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+      if (r.hasNonNull("main") &&
+        (!r.get("main").hasNonNull("type") ||
+          r.get("main").get("type").asText() == "branch"))
+        r.get("main")
+          .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+          .put("snapshot-id", snapshotId)
+    }
     val logEntry = mapper.createObjectNode()
     logEntry.put("timestamp-ms", now)
     logEntry.put("snapshot-id", snapshotId)
@@ -1543,6 +1666,108 @@ object IcebergMeta {
     try PosixLogStore.putIfAbsent(
       metaDir(root).resolve(s"v${v + 1}.metadata.json"),
       mapper.writerWithDefaultPrettyPrinter().writeValueAsBytes(newMeta))
+    catch {
+      case _: java.nio.file.FileAlreadyExistsException =>
+        throw new VersionedTable.ConcurrentCommitException(v + 1)
+    }
+    writeHint(root, v + 1)
+    v + 1
+  }
+
+  // ------------------------------------------------------------------
+  // Refs: named BRANCHES and TAGS (the metadata.json `refs` map —
+  // spec "Snapshot References"). Tags pin a snapshot forever (until
+  // dropped); the `main` branch tracks current-snapshot-id and every
+  // commit advances it. expireSnapshots treats ref'd snapshots as
+  // retained (Iceberg semantics: a referenced snapshot never expires).
+  // ------------------------------------------------------------------
+
+  private def refsOf(meta: JsonNode): Map[String, (Long, String)] =
+    if (!meta.hasNonNull("refs")) Map.empty
+    else meta.get("refs")
+      .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+      .fields().asScala.map { e =>
+        e.getKey -> (e.getValue.get("snapshot-id").asLong(),
+          if (e.getValue.hasNonNull("type"))
+            e.getValue.get("type").asText()
+          else "branch")
+      }.toMap
+
+  /** The table's `refs` map: name → (snapshotId, "tag" | "branch"). */
+  def refs(root: String): Map[String, (Long, String)] = {
+    val v = latestMetadataVersion(root)
+    refsOf(mapper.readTree(Files.readAllBytes(
+      metaDir(root).resolve(s"v$v.metadata.json"))))
+  }
+
+  /** Resolve a ref NAME (tag or branch) to its pinned snapshot id —
+    * what `.option("refAsOf", name)` reads travel to. */
+  def refSnapshotId(root: String, name: String): Long = {
+    val all = refs(root)
+    all.getOrElse(name, throw new IllegalArgumentException(
+      s"iceberg-meta: no ref '$name' in $root" +
+        (if (all.isEmpty) " (table has no refs)"
+         else s" (refs: ${all.keys.toSeq.sorted.mkString(", ")})")))._1
+  }
+
+  /** Create or move a TAG/BRANCH ref pinning `snapshotId` (default:
+    * the current snapshot) — one metadata-only conditional-put
+    * commit, the `ALTER TABLE ... CREATE TAG/BRANCH` shape. */
+  def setRef(root: String, name: String, refType: String = "tag",
+      snapshotId: Option[Long] = None): Int = {
+    require(refType == "tag" || refType == "branch",
+      s"iceberg-meta: ref type must be tag|branch, got $refType")
+    val v = latestMetadataVersion(root)
+    val meta = mapper.readTree(Files.readAllBytes(
+      metaDir(root).resolve(s"v$v.metadata.json")))
+      .deepCopy[com.fasterxml.jackson.databind.node.ObjectNode]
+    val known = meta.get("snapshots").elements().asScala
+      .map(_.get("snapshot-id").asLong()).toSet
+    val id = snapshotId.getOrElse {
+      require(meta.hasNonNull("current-snapshot-id") &&
+        meta.get("current-snapshot-id").asLong() != -1L,
+        s"iceberg-meta: $root has no current snapshot to ref")
+      meta.get("current-snapshot-id").asLong()
+    }
+    require(known(id),
+      s"iceberg-meta: cannot ref snapshot $id — not in $root (expired?)")
+    val refsNode =
+      if (meta.hasNonNull("refs")) meta.get("refs")
+        .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+      else meta.putObject("refs")
+    val r = mapper.createObjectNode()
+    r.put("snapshot-id", id)
+    r.put("type", refType)
+    refsNode.set(name, r)
+    meta.put("last-updated-ms", System.currentTimeMillis())
+    try PosixLogStore.putIfAbsent(
+      metaDir(root).resolve(s"v${v + 1}.metadata.json"),
+      mapper.writerWithDefaultPrettyPrinter().writeValueAsBytes(meta))
+    catch {
+      case _: java.nio.file.FileAlreadyExistsException =>
+        throw new VersionedTable.ConcurrentCommitException(v + 1)
+    }
+    writeHint(root, v + 1)
+    v + 1
+  }
+
+  /** Drop a ref by name (tags and non-main branches). */
+  def dropRef(root: String, name: String): Int = {
+    require(name != "main",
+      "iceberg-meta: the main branch cannot be dropped")
+    val v = latestMetadataVersion(root)
+    val meta = mapper.readTree(Files.readAllBytes(
+      metaDir(root).resolve(s"v$v.metadata.json")))
+      .deepCopy[com.fasterxml.jackson.databind.node.ObjectNode]
+    require(meta.hasNonNull("refs") && meta.get("refs").hasNonNull(name),
+      s"iceberg-meta: no ref '$name' in $root")
+    meta.get("refs")
+      .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+      .remove(name)
+    meta.put("last-updated-ms", System.currentTimeMillis())
+    try PosixLogStore.putIfAbsent(
+      metaDir(root).resolve(s"v${v + 1}.metadata.json"),
+      mapper.writerWithDefaultPrettyPrinter().writeValueAsBytes(meta))
     catch {
       case _: java.nio.file.FileAlreadyExistsException =>
         throw new VersionedTable.ConcurrentCommitException(v + 1)
@@ -1592,8 +1817,11 @@ object IcebergMeta {
         byId.get(s.get("parent-snapshot-id").asLong())
       case _ => None
     }.takeWhile(_.isDefined).flatten.take(retainLast).map(idOf).toSet
+    // a snapshot ANY ref names (tag or branch) never expires —
+    // Iceberg's retention rule; drop the ref first to release it
+    val refPinned = refsOf(meta).values.map(_._1).toSet
     val keep = snaps.filter(s => tsOf(s) >= olderThanMs ||
-      idOf(s) == currentId || ancestors(idOf(s)))
+      idOf(s) == currentId || ancestors(idOf(s)) || refPinned(idOf(s)))
     val expired = snaps.filterNot(s => keep.exists(k => idOf(k) == idOf(s)))
     if (expired.isEmpty) return ExpireResult(0, 0, 0, 0)
     // reachability: everything a surviving snapshot can name survives

@@ -78,10 +78,14 @@ class IcebergMetaDataSource extends RelationProvider
       parameters: Map[String, String]): BaseRelation = {
     val spark = sqlContext.sparkSession
     val root = rootOf(parameters)
-    val snap = IcebergMeta.snapshot(root,
-      parameters.get("snapshotId").map(_.toLong))
+    // time travel: by snapshot id, or by REF NAME (tag/branch from
+    // the metadata.json refs map — Iceberg's VERSION AS OF 'name')
+    val snapId = parameters.get("snapshotId").map(_.toLong)
+      .orElse(parameters.get("refAsOf")
+        .map(n => IcebergMeta.refSnapshotId(root, n)))
+    val snap = IcebergMeta.snapshot(root, snapId)
     val idx = new IcebergMetaFileIndex(spark, snap,
-      pinned = parameters.contains("snapshotId"))
+      pinned = snapId.isDefined)
     HadoopFsRelation(
       location = idx,
       partitionSchema = new StructType(),

@@ -2285,6 +2285,87 @@ object VersionedTable {
     next
   }
 
+  /** Whether an APPEND staged under LOGICAL column names may commit to
+    * the snapshot at `v`: false once the table carries renamed or
+    * dropped columns (appends must restate PHYSICAL names — the v1
+    * writer owns that rename). The DSv2 write rule's eligibility
+    * probe (metadata-only). */
+  def v2AppendEligible(root: String, v: Long): Boolean = {
+    val s = state(root, v)
+    s.colMap.isEmpty && s.dropped.isEmpty
+  }
+
+  /** Publish ALREADY-STAGED parquet files as ONE commit — the
+    * driver-side half of the DSv2 write path
+    * ([[Graft2BatchWrite]]): executor tasks stream rows straight into
+    * parquet under `data/` through the connector `DataWriter`
+    * contract (invisible until this manifest references them — the
+    * same invisibility rule [[commit]] relies on), then this applies
+    * the SAME policy gates as [[commit]]: CHECK constraints (one pass
+    * over the staged rows), append schema evolution (add columns /
+    * widen int→bigint, float→double — nothing else), column-mapping
+    * refusal for appends (staged files carry the query's LOGICAL
+    * names; the v1 writer owns the physical rename), then harvests
+    * footer stats (metadata-only) and publishes atomically via the
+    * log store's putIfAbsent. */
+  private[sources] def commitStagedFiles(spark: SparkSession,
+      root: String, relFiles: Seq[String],
+      schema: org.apache.spark.sql.types.StructType,
+      mode: String): Long = {
+    require(mode == "append" || mode == "overwrite",
+      s"mode must be append|overwrite, got $mode")
+    logIO(root).mkdirs(logDir(root))
+    val next = latestVersion(root) + 1
+    if (logIO(root).exists(manifestPath(root, next)))
+      throw new ConcurrentCommitException(next)
+    val prevState =
+      if (latestVersion(root) < 0) None
+      else Some(state(root, latestVersion(root)))
+    val prevSchema = prevState.flatMap(schemaOf)
+    require(mode == "overwrite" ||
+      prevState.forall(s => s.colMap.isEmpty && s.dropped.isEmpty),
+      "graft2 write: appends to a table with renamed or dropped " +
+        "columns route through the v1 writer (staged files carry " +
+        "logical names)")
+    val checks = prevState.map(_.checks).getOrElse(Map.empty)
+    if (checks.nonEmpty && relFiles.nonEmpty)
+      enforceChecks(
+        spark.read.schema(Graft2DataSource.asNullable(schema)
+          .asInstanceOf[org.apache.spark.sql.types.StructType])
+          .parquet(relFiles.map(f => Paths.get(root, f).toString): _*),
+        checks, root)
+    if (mode == "append") prevSchema.foreach { prev =>
+      val byName = schema.map(f => f.name -> f.dataType).toMap
+      val broken = prev.filter { f =>
+        byName.get(f.name) match {
+          case Some(t) => t != f.dataType && !isSafeWidening(f.dataType, t)
+          case None => true
+        }
+      }
+      require(broken.isEmpty,
+        "append may add columns or widen int->bigint / float->double, " +
+          "but not drop, narrow, or otherwise retype existing ones; " +
+          s"missing or retyped: ${broken.map(_.name).mkString(", ")} " +
+          "(use overwrite to change the schema)")
+    }
+    val recordSchema = mode == "overwrite" ||
+      latestVersion(root) < 0 || prevSchema.isDefined
+    val files = relFiles.sorted
+    val stats = files.flatMap { f =>
+      statsLines(f, footerStats(spark, Paths.get(root, f)))
+    }
+    val body =
+      (Seq(s"version=$next", s"action=$mode") ++
+        (if (recordSchema) Seq(s"schema=${enc(schema.json)}")
+         else Seq.empty) ++
+        files.map(f => s"file=$f") ++
+        files.map(f => s"fsize=${enc(f)}|${dataSize(root, f)}") ++
+        stats)
+        .mkString("", "\n", "\n")
+    publish(root, next, body)
+    next
+  }
+
   /** Publish manifest `body` as version `next` via HARD LINK, not
     * rename: POSIX rename() silently REPLACES an existing target
     * (Files.move's no-replace behavior is implementation-specific), so

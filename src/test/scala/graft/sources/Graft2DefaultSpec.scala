@@ -79,6 +79,92 @@ class Graft2DefaultSpec extends SparkSpecBase {
     } finally spark.sql("DROP TABLE IF EXISTS g2d_t")
   }
 
+  test("INSERT INTO executes through the DSv2 write path") {
+    val root = rangedTable()
+    spark.sql(s"CREATE TABLE g2w_t USING graft OPTIONS (path '$root')")
+    try {
+      def writeShape(df: org.apache.spark.sql.DataFrame): String =
+        df.queryExecution.analyzed.collectFirst {
+          case _: org.apache.spark.sql.catalyst.plans.logical.AppendData =>
+            "append-v2"
+          case _: org.apache.spark.sql.catalyst.plans.logical
+              .OverwriteByExpression => "overwrite-v2"
+          case _: org.apache.spark.sql.execution.datasources
+              .InsertIntoDataSourceCommand => "insert-v1"
+          case _: graft.ext.GraftInsertCommand => "insert-v1"
+        }.getOrElse("?")
+      val ins = spark.sql("INSERT INTO g2w_t VALUES (100, 1000), (101, 1010)")
+      assert(writeShape(ins) === "append-v2",
+        ins.queryExecution.analyzed.treeString)
+      assert(spark.sql("SELECT count(*) FROM g2w_t").as[Long]
+        .head() === 66L)
+      // the staged commit harvested footer stats: the new file prunes
+      val q = spark.sql("SELECT sum(v) AS s FROM g2w_t WHERE k >= 100")
+      assert(q.as[Long].head() === 2010L)
+      // only the insert's file(s) survive pruning — the 8 original
+      // files (k <= 63) all skip on the harvested stats
+      val (kept, total) = Graft2DataSource.lastPlanned(root)
+      assert(total > 8 && kept === total - 8, s"kept $kept of $total")
+      // INSERT OVERWRITE lowers to the v2 truncate-write
+      val ow = spark.sql("INSERT OVERWRITE g2w_t VALUES (7, 70)")
+      assert(writeShape(ow) === "overwrite-v2",
+        ow.queryExecution.analyzed.treeString)
+      assert(spark.sql("SELECT k, v FROM g2w_t").as[(Long, Long)]
+        .collect().toSeq === Seq((7L, 70L)))
+      // v1 fallback pins the old lowering
+      spark.conf.set("spark.graft.writePath", "v1")
+      try {
+        val v1ins = spark.sql("INSERT INTO g2w_t VALUES (8, 80)")
+        assert(writeShape(v1ins) === "insert-v1",
+          v1ins.queryExecution.analyzed.treeString)
+        assert(spark.sql("SELECT count(*) FROM g2w_t").as[Long]
+          .head() === 2L)
+      } finally spark.conf.unset("spark.graft.writePath")
+    } finally spark.sql("DROP TABLE IF EXISTS g2w_t")
+  }
+
+  test("v2 write: CHECKs enforce; graft2 saves round-trip; renamed tables fall back") {
+    // direct datasource writes: fresh-table create, append, overwrite
+    val root = tmp() + "/t"
+    Seq((1L, "a"), (2L, "b")).toDF("k", "s")
+      .write.format("graft2").mode("append").save(root)
+    Seq((3L, "c")).toDF("k", "s")
+      .write.format("graft2").mode("append").save(root)
+    assert(spark.read.format("graft").load(root).orderBy("k")
+      .as[(Long, String)].collect().toSeq ===
+      Seq((1L, "a"), (2L, "b"), (3L, "c")))
+    assert(VersionedTable.latestVersion(root) === 1L)
+    // CHECK constraints gate the staged commit exactly like v1's
+    VersionedTable.addCheck(spark, root, "k_small", "k < 100")
+    val e = intercept[IllegalArgumentException] {
+      Seq((200L, "x")).toDF("k", "s")
+        .write.format("graft2").mode("append").save(root)
+    }
+    assert(e.getMessage.contains("k_small"))
+    assert(spark.read.format("graft").load(root).count() === 3)
+    // overwrite replaces the file set (and the schema may change)
+    Seq((9L, 99L)).toDF("k", "n")
+      .write.format("graft2").mode("overwrite").save(root)
+    assert(spark.read.format("graft").load(root).columns.toSeq ===
+      Seq("k", "n"))
+    // a RENAMED table refuses v2 appends (physical names are the v1
+    // writer's job) — and the catalog INSERT keeps working through
+    // the v1 fallback the rewrite rule leaves in place
+    val r2 = tmp() + "/t2"
+    Seq((1L, 10L)).toDF("a", "b").write.format("graft2")
+      .mode("append").save(r2)
+    VersionedTable.renameColumn(r2, "a", "a2")
+    val e2 = intercept[Exception] {
+      Seq((2L, 20L)).toDF("a2", "b").write.format("graft2")
+        .mode("append").save(r2)
+    }
+    assert(e2.getMessage.contains("renamed"), e2.getMessage)
+    // the v1 API write (which owns the physical rename) still lands
+    VersionedTable.commit(Seq((2L, 20L)).toDF("a2", "b"), r2)
+    assert(VersionedTable.read(spark, r2).orderBy("a2")
+      .as[(Long, Long)].collect().toSeq === Seq((1L, 10L), (2L, 20L)))
+  }
+
   test("freshness: held DataFrames serve external commits and MOR deletes") {
     val root = tmp()
     VersionedTable.commit(Seq(1L, 2L).toDF("k"), root)

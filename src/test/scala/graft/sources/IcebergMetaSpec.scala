@@ -579,4 +579,89 @@ class IcebergMetaSpec extends SparkSpecBase {
     }
     assert(e3.getMessage.contains("zorder"))
   }
+
+  test("SPEC EVOLUTION: append old → evolve → append new → delete across both → MOR read") {
+    val root = tmp() + "/t"
+    // v1: unpartitioned files under spec 0
+    spark.range(0, 8).toDF("k").withColumn("g", col("k") % 4)
+      .write.format("iceberg-meta").save(root)
+    // evolve to bucket(2, g): metadata-only, default-spec-id bumps,
+    // field ids continue from last-partition-id (never reused)
+    val sid = IcebergMeta.evolveSpec(root, Seq("g" -> "bucket[2]"))
+    assert(sid === 1)
+    // append lays out under the NEW spec; old files keep empty tuples
+    IcebergMeta.append(
+      spark.range(8, 16).toDF("k").withColumn("g", col("k") % 4), root)
+    val snap = IcebergMeta.snapshot(root)
+    assert(snap.files.exists(f => f.specId === 0 &&
+      f.partitionTuple.isEmpty))
+    assert(snap.files.exists(f => f.specId === 1 &&
+      f.partitionTuple.map(_._1) === Seq("g_bucket")))
+    assert(spark.read.format("iceberg-meta").load(root).count() === 16)
+    // positional delete touching files of BOTH specs: delete files
+    // group per (spec, tuple), delete MANIFESTS group per spec —
+    // k=1 lives in an old-spec file, k=9/k=10 in new-spec tuples
+    IcebergMeta.delete(spark, root,
+      col("k") === 1 || col("k") === 9 || col("k") === 10)
+    val after = spark.read.format("iceberg-meta").load(root)
+      .orderBy("k").select("k").as[Long].collect().toSeq
+    assert(after === (0L until 16L).filterNot(Set(1L, 9L, 10L)))
+    // no data file was rewritten (MOR), and the delete entries carry
+    // per-spec scoping readable through the same replay
+    val snap2 = IcebergMeta.snapshot(root)
+    assert(snap2.files.map(_.path).toSet ===
+      snap.files.map(_.path).toSet)
+    assert(snap2.deletes.nonEmpty)
+    // evolving BACK to unpartitioned works and appends under it
+    assert(IcebergMeta.evolveSpec(root, Nil) === 2)
+    IcebergMeta.append(
+      spark.range(16, 18).toDF("k").withColumn("g", col("k") % 4), root)
+    assert(spark.read.format("iceberg-meta").load(root).count() === 15)
+  }
+
+  test("REFS: tags/branches round-trip, refAsOf reads, main advances, expire pins") {
+    val root = tmp() + "/t"
+    spark.range(0, 4).toDF("k").write.format("iceberg-meta").save(root)
+    val snap1 = IcebergMeta.snapshot(root).snapshotId
+    // the fixture seeds refs.main as a branch at the current snapshot
+    assert(IcebergMeta.refs(root)("main") === ((snap1, "branch")))
+    IcebergMeta.setRef(root, "v1.0", "tag")
+    IcebergMeta.append(spark.range(4, 8).toDF("k"), root)
+    val snap2 = IcebergMeta.snapshot(root).snapshotId
+    // main ADVANCED with the commit; the tag stayed pinned
+    assert(IcebergMeta.refs(root)("main") === ((snap2, "branch")))
+    assert(IcebergMeta.refs(root)("v1.0") === ((snap1, "tag")))
+    // refAsOf time-travels by NAME
+    assert(spark.read.format("iceberg-meta").option("refAsOf", "v1.0")
+      .load(root).count() === 4)
+    assert(spark.read.format("iceberg-meta").option("refAsOf", "main")
+      .load(root).count() === 8)
+    val eNone = intercept[IllegalArgumentException] {
+      spark.read.format("iceberg-meta").option("refAsOf", "nope")
+        .load(root).count()
+    }
+    assert(eNone.getMessage.contains("nope"))
+    // expireSnapshots PINS ref'd snapshots: retainLast=1 +
+    // olderThan=now would drop snap1, but the tag holds it
+    val r1 = IcebergMeta.expireSnapshots(root,
+      System.currentTimeMillis() + 1000L, retainLast = 1)
+    assert(r1.expiredSnapshots === 0)
+    assert(spark.read.format("iceberg-meta").option("refAsOf", "v1.0")
+      .load(root).count() === 4)
+    // dropping the tag releases it; main itself cannot drop
+    intercept[IllegalArgumentException] {
+      IcebergMeta.dropRef(root, "main")
+    }
+    IcebergMeta.dropRef(root, "v1.0")
+    val r2 = IcebergMeta.expireSnapshots(root,
+      System.currentTimeMillis() + 1000L, retainLast = 1)
+    assert(r2.expiredSnapshots === 1)
+    intercept[IllegalArgumentException] {
+      IcebergMeta.snapshot(root, Some(snap1))
+    }
+    // a ref to an unknown snapshot refuses
+    intercept[IllegalArgumentException] {
+      IcebergMeta.setRef(root, "bad", "tag", Some(123456L))
+    }
+  }
 }

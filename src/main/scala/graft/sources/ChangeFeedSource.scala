@@ -42,6 +42,24 @@ import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType
   *
   * Register by class name (`.format("graft.sources.ChangeFeedSource")`)
   * or by the `graft-change-feed` short name (META-INF service file).
+  *
+  * WHY this stays a DSv1 [[Source]] (a considered decision, not a
+  * leftover): a CDC micro-batch here is a COMPUTED PLAN — multiset
+  * diffs across manifests, update-image classification
+  * ([[VersionedTable.changesKeyed]]'s window), MOR-applied initial
+  * snapshots — and `getBatch: DataFrame` is the abstraction that
+  * carries a plan. The DSv2 `MicroBatchStream` contract instead
+  * demands row-level `InputPartition` readers, which fits FILE-based
+  * batches only; a faithful migration would have to restage every
+  * micro-batch to scratch parquet first (write+read amplification on
+  * the streaming hot path, for API symmetry alone). delta-spark ships
+  * its production streaming source on this same DSv1 API for the same
+  * reason, and the API is supported, non-deprecated Spark surface.
+  * The admission-control and AvailableNow interfaces the DSv2 side
+  * defines are implemented here too ([[SupportsAdmissionControl]],
+  * [[SupportsTriggerAvailableNow]] on the source) — parity is
+  * semantic, not cosmetic. The same reasoning covers
+  * [[DeltaLogStream]] and [[IcebergMetaStream]].
   */
 class ChangeFeedSource extends StreamSourceProvider with DataSourceRegister {
 

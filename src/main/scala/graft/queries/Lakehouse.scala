@@ -2894,6 +2894,60 @@ object Lakehouse {
              |    AS BIGINT) AS sum_tag,
              |  CAST(1 AS BIGINT) AS refs_ok
              |FROM orders WHERE o_orderkey <= 2048
+             |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)),
+
+    // ICEBERG BRANCH WAP (round 10): write-audit-publish on a FOREIGN
+    // Iceberg table — the pattern graft's own format proved in
+    // q223/q224, now on the interop leg. Stage an append on the
+    // `audit` branch (`append(..., toBranch)`: the snapshot parents
+    // off the branch head, only the branch ref advances — serving
+    // reads of the table head see NOTHING), audit it by reading the
+    // branch by name, then PUBLISH with `fast_forward(main, audit)` —
+    // one metadata-only commit moves the table head; the
+    // ancestry-checked refusal (a diverged target loses nothing) is
+    // spec-locked. `wap_ok` pins head-invisibility during staging and
+    // the head≡branch identity after publish; the aggregate reads the
+    // published head. At 100 TB this is the zero-copy blue/green
+    // deploy for data: audit a day's ingest against the full table
+    // without a second copy and without exposing it.
+    QueryDef(
+      "q260_iceberg_branch_wap",
+      (s, d) => {
+        import graft.sources.IcebergMeta
+        val root = Files.createTempDirectory("iwap_entry_").toString + "/t"
+        val src = orders(s, d).select(col("o_orderkey"), col("o_custkey"),
+          col("o_orderstatus"))
+        src.filter(col("o_orderkey") <= 1024)
+          .write.format("iceberg-meta").save(root)
+        val head0 = IcebergMeta.snapshot(root).snapshotId
+        IcebergMeta.append(
+          src.filter(col("o_orderkey") > 1024 &&
+            col("o_orderkey") <= 2048), root, toBranch = Some("audit"))
+        // staged rows are INVISIBLE at the head, visible on the branch
+        val headDuring = s.read.format("iceberg-meta").load(root).count()
+        val branchDuring = s.read.format("iceberg-meta")
+          .option("refAsOf", "audit").load(root).count()
+        val headPinned =
+          IcebergMeta.snapshot(root).snapshotId == head0
+        IcebergMeta.fastForward(root, "main", "audit")
+        val headAfter = IcebergMeta.snapshot(root).snapshotId
+        val published =
+          IcebergMeta.refs(root)("audit")._1 == headAfter
+        val wapOk = if (headPinned && published &&
+          branchDuring > headDuring) 1L else 0L
+        s.read.format("iceberg-meta").load(root)
+          .groupBy(col("o_orderstatus"))
+          .agg(count(lit(1)).as("n_rows"),
+            sum(col("o_custkey")).cast("long").as("sum_cust"),
+            sum(col("o_orderkey")).cast("long").as("sum_key"))
+          .withColumn("wap_ok", lit(wapOk))
+          .orderBy(col("o_orderstatus"))
+      },
+      Some("""SELECT o_orderstatus, count(*) AS n_rows,
+             |  CAST(sum(o_custkey) AS BIGINT) AS sum_cust,
+             |  CAST(sum(o_orderkey) AS BIGINT) AS sum_key,
+             |  CAST(1 AS BIGINT) AS wap_ok
+             |FROM orders WHERE o_orderkey <= 2048
              |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin))
   )
 }

@@ -925,11 +925,14 @@ object IcebergMeta {
     * behavior); bucket/truncate/temporal transforms refuse. Gates:
     * format-version ≤ 2, df schema must equal the table schema by
     * name and type. Returns the new snapshot id. */
-  def append(df: org.apache.spark.sql.DataFrame, root: String): Long = {
+  def append(df: org.apache.spark.sql.DataFrame, root: String,
+      toBranch: Option[String] = None): Long = {
     val spark = df.sparkSession
     val v = latestMetadataVersion(root)
     val meta = mapper.readTree(Files.readAllBytes(
       metaDir(root).resolve(s"v$v.metadata.json")))
+    // writing "to main" IS the normal write (Iceberg's toBranch rule)
+    val branch = toBranch.filter(_ != "main")
     val fv = meta.get("format-version").asInt()
     if (fv > 2) throw new UnsupportedOperationException(
       s"iceberg-meta: format-version $fv not supported (1 and 2 only)")
@@ -991,13 +994,17 @@ object IcebergMeta {
     val manifestRel = s"metadata/snap-$snapId-m0.avro"
     writeAvro(Paths.get(root, manifestRel), eSchema, entries)
 
-    // carry the current snapshot's manifests forward + the new one
+    // carry the base snapshot's manifests forward + the new one (the
+    // base is the BRANCH head for a branch append)
     val listRel = s"metadata/snap-$snapId.avro"
     writeAvro(Paths.get(root, listRel), manifestListSchema,
-      carriedManifests(root, meta) :+ manifestListRow(manifestRel,
+      carriedManifests(root, meta,
+        branch.flatMap(b => refsOf(meta).get(b).map(_._1)))
+        :+ manifestListRow(manifestRel,
         Files.size(Paths.get(root, manifestRel)), specId, seq, snapId,
         entries.size, 0, addedRows, 0L))
-    commitSnapshot(root, v, meta, snapId, seq, listRel, "append")
+    commitSnapshot(root, v, meta, snapId, seq, listRel, "append",
+      toBranch = branch)
   }
 
   /** Field count of the table's CURRENT (default) partition spec —
@@ -1316,12 +1323,16 @@ object IcebergMeta {
     * (content flag preserved — a carried delete manifest stays a
     * delete manifest). */
   private def carriedManifests(root: String,
-      meta: JsonNode): Seq[GenericRecord] = {
-    val prevSnap: Option[Long] =
+      meta: JsonNode, baseSnapshot: Option[Long] = None)
+      : Seq[GenericRecord] = {
+    // a BRANCH append carries the branch head's manifests, not the
+    // table head's (the two histories diverge until fast-forward)
+    val prevSnap: Option[Long] = baseSnapshot.orElse {
       if (meta.hasNonNull("current-snapshot-id") &&
         meta.get("current-snapshot-id").asLong() != -1L)
         Some(meta.get("current-snapshot-id").asLong())
       else None
+    }
     prevSnap.toSeq.flatMap { sid =>
       val snapNode = meta.get("snapshots").elements().asScala
         .find(_.get("snapshot-id").asLong() == sid)
@@ -1350,19 +1361,28 @@ object IcebergMeta {
     * conditional put. Returns `snapId`. */
   private def commitSnapshot(root: String, v: Int, meta: JsonNode,
       snapId: Long, seq: Long, listRel: String,
-      operation: String): Long = {
+      operation: String, toBranch: Option[String] = None): Long = {
     val newMeta = meta.deepCopy[
       com.fasterxml.jackson.databind.node.ObjectNode]
     val now = System.currentTimeMillis()
     newMeta.put("last-updated-ms", now)
     newMeta.put("last-sequence-number", seq)
-    newMeta.put("current-snapshot-id", snapId)
+    val currentId: Option[Long] =
+      if (meta.hasNonNull("current-snapshot-id") &&
+        meta.get("current-snapshot-id").asLong() != -1L)
+        Some(meta.get("current-snapshot-id").asLong())
+      else None
+    // a BRANCH commit's parent is the branch head (current head for a
+    // branch born here), and the table head does NOT move; a normal
+    // commit parents off and advances the table head
+    val parentId: Option[Long] = toBranch match {
+      case Some(b) => refsOf(meta).get(b).map(_._1).orElse(currentId)
+      case None => currentId
+    }
+    if (toBranch.isEmpty) newMeta.put("current-snapshot-id", snapId)
     val snapObj = mapper.createObjectNode()
     snapObj.put("snapshot-id", snapId)
-    if (meta.hasNonNull("current-snapshot-id") &&
-      meta.get("current-snapshot-id").asLong() != -1L)
-      snapObj.put("parent-snapshot-id",
-        meta.get("current-snapshot-id").asLong())
+    parentId.foreach(p => snapObj.put("parent-snapshot-id", p))
     snapObj.put("sequence-number", seq)
     snapObj.put("timestamp-ms", now)
     snapObj.put("manifest-list", listRel)
@@ -1371,17 +1391,38 @@ object IcebergMeta {
       snapObj.put("schema-id", meta.get("current-schema-id").asInt())
     newMeta.withArray[com.fasterxml.jackson.databind.node.ArrayNode](
       "snapshots").add(snapObj)
-    // the `main` branch ref tracks current-snapshot-id (Iceberg
-    // semantics: every commit advances the branch; tags stay pinned)
-    if (newMeta.hasNonNull("refs")) {
-      val r = newMeta.get("refs")
-        .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
-      if (r.hasNonNull("main") &&
-        (!r.get("main").hasNonNull("type") ||
-          r.get("main").get("type").asText() == "branch"))
-        r.get("main")
-          .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
-          .put("snapshot-id", snapId)
+    // refs maintenance: a branch commit advances ITS ref (creating it
+    // off the current head on first write — Iceberg's toBranch rule);
+    // a normal commit advances `main` (tags stay pinned either way)
+    toBranch match {
+      case Some(b) =>
+        val refsNode =
+          if (newMeta.hasNonNull("refs")) newMeta.get("refs")
+            .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+          else newMeta.putObject("refs")
+        refsNode.get(b) match {
+          case r if r != null && r.hasNonNull("type") &&
+              r.get("type").asText() == "tag" =>
+            throw new IllegalArgumentException(
+              s"iceberg-meta: '$b' is a TAG — tags are immutable; " +
+                "commit to a branch")
+          case _ => ()
+        }
+        val r = mapper.createObjectNode()
+        r.put("snapshot-id", snapId)
+        r.put("type", "branch")
+        refsNode.set(b, r)
+      case None =>
+        if (newMeta.hasNonNull("refs")) {
+          val r = newMeta.get("refs")
+            .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+          if (r.hasNonNull("main") &&
+            (!r.get("main").hasNonNull("type") ||
+              r.get("main").get("type").asText() == "branch"))
+            r.get("main")
+              .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+              .put("snapshot-id", snapId)
+        }
     }
     try PosixLogStore.putIfAbsent(
       metaDir(root).resolve(s"v${v + 1}.metadata.json"),
@@ -1765,6 +1806,69 @@ object IcebergMeta {
       .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
       .remove(name)
     meta.put("last-updated-ms", System.currentTimeMillis())
+    try PosixLogStore.putIfAbsent(
+      metaDir(root).resolve(s"v${v + 1}.metadata.json"),
+      mapper.writerWithDefaultPrettyPrinter().writeValueAsBytes(meta))
+    catch {
+      case _: java.nio.file.FileAlreadyExistsException =>
+        throw new VersionedTable.ConcurrentCommitException(v + 1)
+    }
+    writeHint(root, v + 1)
+    v + 1
+  }
+
+  /** FAST-FORWARD ref `to` onto ref `from`'s head — Iceberg's
+    * `fast_forward` procedure and the WAP publish step: stage commits
+    * on an audit branch ([[append]] with `toBranch`), validate by
+    * reading the branch (`refAsOf`), then move `to` (usually `main`,
+    * which also moves the table head) up to the branch head in ONE
+    * metadata-only commit. Refuses when `to`'s head is not an
+    * ancestor of `from`'s head (a fast-forward must lose nothing). */
+  def fastForward(root: String, to: String, from: String): Int = {
+    val v = latestMetadataVersion(root)
+    val meta = mapper.readTree(Files.readAllBytes(
+      metaDir(root).resolve(s"v$v.metadata.json")))
+      .deepCopy[com.fasterxml.jackson.databind.node.ObjectNode]
+    val rs = refsOf(meta)
+    val fromId = rs.getOrElse(from, throw new IllegalArgumentException(
+      s"iceberg-meta: no ref '$from' in $root"))._1
+    val toId: Option[Long] = rs.get(to).map(_._1).orElse {
+      if (to == "main" && meta.hasNonNull("current-snapshot-id") &&
+        meta.get("current-snapshot-id").asLong() != -1L)
+        Some(meta.get("current-snapshot-id").asLong())
+      else None
+    }
+    val byId = meta.get("snapshots").elements().asScala
+      .map(s => s.get("snapshot-id").asLong() -> s).toMap
+    val ancestors = Iterator.iterate(Option(fromId)) {
+      case Some(id) => byId.get(id)
+        .filter(_.hasNonNull("parent-snapshot-id"))
+        .map(_.get("parent-snapshot-id").asLong())
+      case None => None
+    }.takeWhile(_.isDefined).flatten.toSet
+    toId.foreach(t => require(ancestors(t),
+      s"iceberg-meta: fast-forward would lose history — '$to' head " +
+        s"$t is not an ancestor of '$from' head $fromId"))
+    val now = System.currentTimeMillis()
+    val refsNode =
+      if (meta.hasNonNull("refs")) meta.get("refs")
+        .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+      else meta.putObject("refs")
+    val r = mapper.createObjectNode()
+    r.put("snapshot-id", fromId)
+    r.put("type", rs.get(to).map(_._2).getOrElse("branch"))
+    refsNode.set(to, r)
+    if (to == "main") {
+      meta.put("current-snapshot-id", fromId)
+      if (meta.hasNonNull("snapshot-log")) {
+        val logEntry = mapper.createObjectNode()
+        logEntry.put("timestamp-ms", now)
+        logEntry.put("snapshot-id", fromId)
+        meta.withArray[com.fasterxml.jackson.databind.node.ArrayNode](
+          "snapshot-log").add(logEntry)
+      }
+    }
+    meta.put("last-updated-ms", now)
     try PosixLogStore.putIfAbsent(
       metaDir(root).resolve(s"v${v + 1}.metadata.json"),
       mapper.writerWithDefaultPrettyPrinter().writeValueAsBytes(meta))

@@ -664,4 +664,49 @@ class IcebergMetaSpec extends SparkSpecBase {
       IcebergMeta.setRef(root, "bad", "tag", Some(123456L))
     }
   }
+
+  test("BRANCH WAP: stage on a branch, head unmoved, fast-forward publishes") {
+    val root = tmp() + "/t"
+    spark.range(0, 4).toDF("k").write.format("iceberg-meta").save(root)
+    val head1 = IcebergMeta.snapshot(root).snapshotId
+    // stage on the audit branch (created off the head on first write):
+    // the table head does NOT move, the branch read sees base+staged
+    IcebergMeta.append(spark.range(4, 8).toDF("k"), root,
+      toBranch = Some("audit"))
+    assert(spark.read.format("iceberg-meta").load(root).count() === 4)
+    assert(IcebergMeta.snapshot(root).snapshotId === head1)
+    assert(spark.read.format("iceberg-meta").option("refAsOf", "audit")
+      .load(root).orderBy("k").as[Long].collect().toSeq ===
+      (0L until 8L))
+    // a second branch append stacks on the BRANCH head
+    IcebergMeta.append(spark.range(8, 10).toDF("k"), root,
+      toBranch = Some("audit"))
+    assert(spark.read.format("iceberg-meta").option("refAsOf", "audit")
+      .load(root).count() === 10)
+    assert(spark.read.format("iceberg-meta").load(root).count() === 4)
+    // tags are immutable — committing to one refuses
+    IcebergMeta.setRef(root, "pin", "tag")
+    val eTag = intercept[IllegalArgumentException] {
+      IcebergMeta.append(spark.range(99, 100).toDF("k"), root,
+        toBranch = Some("pin"))
+    }
+    assert(eTag.getMessage.contains("TAG"))
+    // publish: fast-forward main onto the branch — head moves in one
+    // metadata-only commit
+    IcebergMeta.fastForward(root, "main", "audit")
+    assert(spark.read.format("iceberg-meta").load(root)
+      .orderBy("k").as[Long].collect().toSeq === (0L until 10L))
+    // a DIVERGED fast-forward refuses (nothing may be lost)
+    IcebergMeta.append(spark.range(10, 12).toDF("k"), root,
+      toBranch = Some("audit2"))
+    IcebergMeta.append(spark.range(20, 22).toDF("k"), root) // main diverges
+    val eFf = intercept[IllegalArgumentException] {
+      IcebergMeta.fastForward(root, "main", "audit2")
+    }
+    assert(eFf.getMessage.contains("ancestor"))
+    // unknown source ref refuses
+    intercept[IllegalArgumentException] {
+      IcebergMeta.fastForward(root, "main", "nope")
+    }
+  }
 }

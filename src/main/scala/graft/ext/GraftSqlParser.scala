@@ -42,6 +42,11 @@ import org.apache.spark.sql.types._
   *   GRAFT ROLLBACK ICEBERG '<root>' TO SNAPSHOT <id>
   *   GRAFT SNAPSHOTS ICEBERG '<root>'
   *   GRAFT EXPIRE SNAPSHOTS '<root>' OLDER THAN <ms> [RETAIN LAST <n>]
+  *   GRAFT TAG ICEBERG '<root>' CREATE <name> [AT SNAPSHOT <id>]
+  *   GRAFT TAG ICEBERG '<root>' DROP <name>
+  *   GRAFT BRANCH ICEBERG '<root>' CREATE <name> [AT SNAPSHOT <id>]
+  *   GRAFT REFS ICEBERG '<root>'
+  *   GRAFT FAST FORWARD ICEBERG '<root>' <to> TO <from>
   * }}}
   *
   * Each statement lowers to a Catalyst [[LeafRunnableCommand]] — a
@@ -156,6 +161,16 @@ object GraftSqlParser {
     """(?is)\s*GRAFT\s+VACUUM\s+DELTA\s+'([^']+)'(?:\s+RETAIN\s+(\d+)\s+MS)?\s*;?\s*""".r
   private val ExpireIce =
     """(?is)\s*GRAFT\s+EXPIRE\s+SNAPSHOTS\s+'([^']+)'\s+OLDER\s+THAN\s+(\d+)(?:\s+RETAIN\s+LAST\s+(\d+))?\s*;?\s*""".r
+  private val TagIceCreate =
+    """(?is)\s*GRAFT\s+TAG\s+ICEBERG\s+'([^']+)'\s+CREATE\s+(\S+)(?:\s+AT\s+SNAPSHOT\s+(\d+))?\s*;?\s*""".r
+  private val TagIceDrop =
+    """(?is)\s*GRAFT\s+TAG\s+ICEBERG\s+'([^']+)'\s+DROP\s+(\S+)\s*;?\s*""".r
+  private val BranchIceCreate =
+    """(?is)\s*GRAFT\s+BRANCH\s+ICEBERG\s+'([^']+)'\s+CREATE\s+(\S+)(?:\s+AT\s+SNAPSHOT\s+(\d+))?\s*;?\s*""".r
+  private val RefsIce =
+    """(?is)\s*GRAFT\s+REFS\s+ICEBERG\s+'([^']+)'\s*;?\s*""".r
+  private val FfIce =
+    """(?is)\s*GRAFT\s+FAST\s+FORWARD\s+ICEBERG\s+'([^']+)'\s+(\S+)\s+TO\s+(\S+)\s*;?\s*""".r
 
   private[ext] def parse(sqlText: String): Option[LogicalPlan] =
     sqlText match {
@@ -207,6 +222,14 @@ object GraftSqlParser {
         Option(retain).map(_.toLong).getOrElse(7L * 24 * 3600 * 1000)))
       case ExpireIce(p, older, last) => Some(GraftIcebergExpireCommand(p,
         older.toLong, Option(last).map(_.toInt).getOrElse(1)))
+      case TagIceCreate(p, name, sid) => Some(GraftIcebergRefCommand(p,
+        name, "tag", Option(sid).map(_.toLong)))
+      case TagIceDrop(p, name) => Some(GraftIcebergDropRefCommand(p, name))
+      case BranchIceCreate(p, name, sid) => Some(GraftIcebergRefCommand(p,
+        name, "branch", Option(sid).map(_.toLong)))
+      case RefsIce(p) => Some(GraftIcebergRefsCommand(p))
+      case FfIce(p, to, from) => Some(GraftIcebergFastForwardCommand(p,
+        to, from))
       case other if other.trim.toUpperCase.startsWith("GRAFT ") =>
         // a malformed GRAFT statement must fail with OUR grammar, not
         // Spark's baffled syntax error
@@ -230,7 +253,10 @@ object GraftSqlParser {
             "CLONE DELTA 'src' TO 'dst' [VERSION AS OF n] | " +
             "HISTORY DELTA 'root' | " +
             "ROLLBACK ICEBERG 'root' TO SNAPSHOT id | " +
-            "SNAPSHOTS ICEBERG 'root'")
+            "SNAPSHOTS ICEBERG 'root' | " +
+            "TAG|BRANCH ICEBERG 'root' CREATE name [AT SNAPSHOT id] | " +
+            "TAG ICEBERG 'root' DROP name | REFS ICEBERG 'root' | " +
+            "FAST FORWARD ICEBERG 'root' to TO from")
       case _ => None
     }
 
@@ -408,6 +434,57 @@ object GraftSqlParser {
         olderThanMs, retainLast)
       Seq(Row(r.expiredSnapshots, r.deletedFiles, r.deletedManifests,
         r.deletedManifestLists))
+    }
+  }
+
+  /** `GRAFT TAG|BRANCH ICEBERG 'root' CREATE name [AT SNAPSHOT id]` —
+    * write a ref into the metadata.json refs map (tags pin forever,
+    * branches advance with [[graft.sources.IcebergMeta.append]]'s
+    * toBranch / fast-forward). */
+  case class GraftIcebergRefCommand(root: String, name: String,
+      refType: String, snapshotId: Option[Long])
+      extends LeafRunnableCommand {
+    override val output: Seq[Attribute] = Seq(
+      attr("ref", StringType), attr("type", StringType),
+      attr("snapshot_id", LongType))
+    override def run(s: SparkSession): Seq[Row] = {
+      graft.sources.IcebergMeta.setRef(root, name, refType, snapshotId)
+      Seq(Row(name, refType,
+        graft.sources.IcebergMeta.refSnapshotId(root, name)))
+    }
+  }
+
+  /** `GRAFT TAG ICEBERG 'root' DROP name` (also drops branches). */
+  case class GraftIcebergDropRefCommand(root: String, name: String)
+      extends LeafRunnableCommand {
+    override val output: Seq[Attribute] = Seq(
+      attr("dropped", StringType))
+    override def run(s: SparkSession): Seq[Row] = {
+      graft.sources.IcebergMeta.dropRef(root, name)
+      Seq(Row(name))
+    }
+  }
+
+  /** `GRAFT REFS ICEBERG 'root'` — the refs listing, sorted by name. */
+  case class GraftIcebergRefsCommand(root: String)
+      extends LeafRunnableCommand {
+    override val output: Seq[Attribute] = Seq(
+      attr("ref", StringType), attr("type", StringType),
+      attr("snapshot_id", LongType))
+    override def run(s: SparkSession): Seq[Row] =
+      graft.sources.IcebergMeta.refs(root).toSeq.sortBy(_._1)
+        .map { case (n, (sid, t)) => Row(n, t, sid) }
+  }
+
+  /** `GRAFT FAST FORWARD ICEBERG 'root' to TO from` — the
+    * fast_forward procedure (WAP publish). */
+  case class GraftIcebergFastForwardCommand(root: String,
+      to: String, from: String) extends LeafRunnableCommand {
+    override val output: Seq[Attribute] = Seq(
+      attr("ref", StringType), attr("snapshot_id", LongType))
+    override def run(s: SparkSession): Seq[Row] = {
+      graft.sources.IcebergMeta.fastForward(root, to, from)
+      Seq(Row(to, graft.sources.IcebergMeta.refSnapshotId(root, to)))
     }
   }
 

@@ -166,7 +166,9 @@ class DeltaLogDataSource extends RelationProvider
     val canonicalProp = Map(
       "delta.columnmapping.mode" -> "delta.columnMapping.mode",
       "delta.enabledeletionvectors" -> "delta.enableDeletionVectors",
-      "delta.enablechangedatafeed" -> "delta.enableChangeDataFeed")
+      "delta.enablechangedatafeed" -> "delta.enableChangeDataFeed",
+      "delta.checkpointpolicy" -> "delta.checkpointPolicy",
+      "delta.appendonly" -> "delta.appendOnly")
     val properties =
       if (exists) Map.empty[String, String]
       else parameters.collect {

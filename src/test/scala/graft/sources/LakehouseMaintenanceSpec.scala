@@ -276,6 +276,24 @@ class LakehouseMaintenanceSpec extends SparkSpecBase {
     assert(spark.read.format("iceberg-meta").load(root).count() === 4L)
   }
 
+  test("Iceberg refs SQL: tag/branch create, refs listing, fast-forward, drop") {
+    val root = tmp() + "/t"
+    IcebergMeta.writeFixture(spark.range(0, 4).toDF("k").coalesce(1), root)
+    spark.sql(s"GRAFT TAG ICEBERG '$root' CREATE v1")
+    IcebergMeta.append(spark.range(4, 6).toDF("k").coalesce(1), root,
+      toBranch = Some("audit"))
+    val refs = spark.sql(s"GRAFT REFS ICEBERG '$root'")
+      .select("ref", "type").as[(String, String)].collect().toMap
+    assert(refs === Map("audit" -> "branch", "main" -> "branch",
+      "v1" -> "tag"))
+    // staged rows invisible at head; SQL fast-forward publishes
+    assert(spark.read.format("iceberg-meta").load(root).count() === 4)
+    spark.sql(s"GRAFT FAST FORWARD ICEBERG '$root' main TO audit")
+    assert(spark.read.format("iceberg-meta").load(root).count() === 6)
+    spark.sql(s"GRAFT TAG ICEBERG '$root' DROP v1")
+    assert(!IcebergMeta.refs(root).contains("v1"))
+  }
+
   test("Iceberg expire keeps files a surviving manifest marks DELETED") {
     val root = tmp() + "/t"
     IcebergMeta.writeFixture(

@@ -171,6 +171,10 @@ object GraftSqlParser {
     """(?is)\s*GRAFT\s+REFS\s+ICEBERG\s+'([^']+)'\s*;?\s*""".r
   private val FfIce =
     """(?is)\s*GRAFT\s+FAST\s+FORWARD\s+ICEBERG\s+'([^']+)'\s+(\S+)\s+TO\s+(\S+)\s*;?\s*""".r
+  private val EvolveIceTo =
+    """(?is)\s*GRAFT\s+EVOLVE\s+SPEC\s+ICEBERG\s+'([^']+)'\s+PARTITION\s+BY\s+(.+?)\s*;?\s*""".r
+  private val EvolveIceUnpart =
+    """(?is)\s*GRAFT\s+EVOLVE\s+SPEC\s+ICEBERG\s+'([^']+)'\s+UNPARTITIONED\s*;?\s*""".r
 
   private[ext] def parse(sqlText: String): Option[LogicalPlan] =
     sqlText match {
@@ -230,6 +234,9 @@ object GraftSqlParser {
       case RefsIce(p) => Some(GraftIcebergRefsCommand(p))
       case FfIce(p, to, from) => Some(GraftIcebergFastForwardCommand(p,
         to, from))
+      case EvolveIceUnpart(p) => Some(GraftIcebergEvolveSpecCommand(p, None))
+      case EvolveIceTo(p, spec) =>
+        Some(GraftIcebergEvolveSpecCommand(p, Some(spec)))
       case other if other.trim.toUpperCase.startsWith("GRAFT ") =>
         // a malformed GRAFT statement must fail with OUR grammar, not
         // Spark's baffled syntax error
@@ -485,6 +492,39 @@ object GraftSqlParser {
     override def run(s: SparkSession): Seq[Row] = {
       graft.sources.IcebergMeta.fastForward(root, to, from)
       Seq(Row(to, graft.sources.IcebergMeta.refSnapshotId(root, to)))
+    }
+  }
+
+  /** `GRAFT EVOLVE SPEC ICEBERG 'root' PARTITION BY bucket(4, col),
+    * day(ts) | UNPARTITIONED` — partition-spec evolution: one
+    * metadata-only commit; new appends lay out under the new spec,
+    * old files keep their tuples. SQL transform forms map to the
+    * spec's: `bucket(n, c)`, `truncate(w, c)`,
+    * `year|month|day|hour|void(c)`, `identity(c)` or a bare column. */
+  case class GraftIcebergEvolveSpecCommand(root: String,
+      fieldsSpec: Option[String]) extends LeafRunnableCommand {
+    override val output: Seq[Attribute] = Seq(
+      attr("spec_id", IntegerType))
+    private val WithArg = """^(\w+)\(\s*(\d+)\s*,\s*([\w.]+)\s*\)$""".r
+    private val NoArg = """^(\w+)\(\s*([\w.]+)\s*\)$""".r
+    private val Bare = """^([\w.]+)$""".r
+    override def run(s: SparkSession): Seq[Row] = {
+      val fields = fieldsSpec.toSeq.flatMap(_
+        .split(""",(?![^(]*\))""").toSeq.map(_.trim).filter(_.nonEmpty)
+        .map {
+          case WithArg("bucket", n, c) => c -> s"bucket[$n]"
+          case WithArg("truncate", w, c) => c -> s"truncate[$w]"
+          case NoArg(t, c) if Set("year", "month", "day", "hour",
+            "void", "identity")(t.toLowerCase) =>
+            c -> (if (t.toLowerCase == "identity") "identity"
+                  else t.toLowerCase)
+          case Bare(c) => c -> "identity"
+          case other => throw new IllegalArgumentException(
+            s"GRAFT EVOLVE SPEC: unrecognized transform '$other' — " +
+              "supported: bucket(n,c), truncate(w,c), year/month/day/" +
+              "hour/void(c), identity(c), bare column")
+        })
+      Seq(Row(graft.sources.IcebergMeta.evolveSpec(root, fields)))
     }
   }
 

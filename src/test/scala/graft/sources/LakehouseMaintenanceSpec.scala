@@ -292,6 +292,17 @@ class LakehouseMaintenanceSpec extends SparkSpecBase {
     assert(spark.read.format("iceberg-meta").load(root).count() === 6)
     spark.sql(s"GRAFT TAG ICEBERG '$root' DROP v1")
     assert(!IcebergMeta.refs(root).contains("v1"))
+    // SQL spec evolution: bucket the table, append under the new
+    // spec, read across both generations
+    val sid = spark.sql(
+      s"GRAFT EVOLVE SPEC ICEBERG '$root' PARTITION BY bucket(2, k)")
+      .as[Int].head()
+    assert(sid === 1)
+    IcebergMeta.append(spark.range(6, 10).toDF("k"), root)
+    assert(spark.read.format("iceberg-meta").load(root).count() === 10)
+    assert(IcebergMeta.snapshot(root).files.exists(_.specId == 1))
+    assert(spark.sql(s"GRAFT EVOLVE SPEC ICEBERG '$root' UNPARTITIONED")
+      .as[Int].head() === 2)
   }
 
   test("Iceberg expire keeps files a surviving manifest marks DELETED") {

@@ -2948,6 +2948,80 @@ object Lakehouse {
              |  CAST(sum(o_orderkey) AS BIGINT) AS sum_key,
              |  CAST(1 AS BIGINT) AS wap_ok
              |FROM orders WHERE o_orderkey <= 2048
+             |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)),
+
+    // DSV2 DEFAULT WRITE PATH (round 10): q255's write-side sibling.
+    // `INSERT INTO` a graft catalog table now executes as Spark's
+    // native v2 write plan — `GraftDsv2Write` rewrites the command to
+    // `AppendData` over `Graft2Table`'s `SupportsWrite`; executor
+    // tasks stream rows into staged parquet through the public
+    // `DataWriter` contract and the driver publishes ONE manifest
+    // (same CHECK enforcement / stats harvest / atomic putIfAbsent as
+    // the v1 writer — two APIs, one commit protocol). The entry
+    // creates the table with a range commit, INSERTs the second half
+    // through SQL, pins `w2_ok`: the analyzed insert IS AppendData,
+    // the inserted file's HARVESTED stats prune a key-range probe
+    // down to the v2-written files only, and a CHECK-violating insert
+    // through the same route refuses with the constraint named while
+    // committing nothing. The aggregate reads the whole table back
+    // through the v2 scan. Graft2DefaultSpec pins the overwrite leg,
+    // the writePath=v1 fallback, and direct format("graft2") saves.
+    QueryDef(
+      "q261_dsv2_write",
+      (s, d) => {
+        val root = Files.createTempDirectory("dsw_entry_").toString
+        val tbl = "dsv2_write_entry"
+        val src = orders(s, d).select(col("o_orderkey"), col("o_custkey"),
+          col("o_orderstatus")).filter(col("o_orderkey") <= 2048)
+        VersionedTable.commit(
+          src.filter(col("o_orderkey") <= 1024).coalesce(1), root)
+        VersionedTable.addCheck(s, root, "key_in_range",
+          "o_orderkey >= 0 AND o_orderkey <= 2048")
+        s.sql(s"DROP TABLE IF EXISTS $tbl")
+        s.sql(s"CREATE TABLE $tbl USING graft OPTIONS (path '$root')")
+        val ins = s.sql(
+          s"""INSERT INTO $tbl
+             |SELECT o_orderkey, o_custkey, o_orderstatus
+             |FROM parquet.`$d/orders.parquet`
+             |WHERE o_orderkey > 1024 AND o_orderkey <= 2048""".stripMargin)
+        val isV2Write = ins.queryExecution.analyzed.collectFirst {
+          case _: org.apache.spark.sql.catalyst.plans.logical
+              .AppendData => ()
+        }.nonEmpty
+        val vAfter = VersionedTable.latestVersion(root)
+        // the violating insert refuses THROUGH the v2 route, naming
+        // the constraint, committing nothing
+        val refused =
+          try {
+            s.sql(s"INSERT INTO $tbl VALUES (9999999, 1, 'X')")
+            false
+          } catch { case e: Exception =>
+            e.getMessage.contains("key_in_range") &&
+              VersionedTable.latestVersion(root) == vAfter
+          }
+        // harvested stats prune: a probe above the seed range keeps
+        // only the v2-written file(s)
+        s.sql(s"SELECT sum(o_custkey) FROM $tbl WHERE o_orderkey >= 1500")
+          .collect()
+        val (kept, total) =
+          graft.sources.Graft2DataSource.lastPlanned(root)
+        val prunedOk = kept < total && kept >= 1
+        val w2Ok = if (isV2Write && refused && prunedOk) 1L else 0L
+        val out = s.sql(
+          s"""SELECT o_orderstatus, count(*) AS n_rows,
+             |  CAST(sum(o_custkey) AS BIGINT) AS sum_cust,
+             |  CAST(sum(o_orderkey) AS BIGINT) AS sum_key,
+             |  CAST($w2Ok AS BIGINT) AS w2_ok
+             |FROM $tbl GROUP BY o_orderstatus
+             |ORDER BY o_orderstatus""".stripMargin)
+        s.sql(s"DROP TABLE $tbl")
+        out
+      },
+      Some("""SELECT o_orderstatus, count(*) AS n_rows,
+             |  CAST(sum(o_custkey) AS BIGINT) AS sum_cust,
+             |  CAST(sum(o_orderkey) AS BIGINT) AS sum_key,
+             |  CAST(1 AS BIGINT) AS w2_ok
+             |FROM orders WHERE o_orderkey <= 2048
              |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin))
   )
 }

@@ -445,10 +445,12 @@ object Graft2Scan {
           partOk(c, v)
       case In(c, vs) =>
         vs.exists(v => VersionedTable.mayMatch(cs(c), Some(v), Some(v)))
-      case GreaterThan(c, v) => VersionedTable.mayMatch(cs(c), Some(v), None)
+      case GreaterThan(c, v) => VersionedTable.mayMatchStrict(cs(c),
+        Some(v), lowerStrict = true, None, upperStrict = false)
       case GreaterThanOrEqual(c, v) =>
         VersionedTable.mayMatch(cs(c), Some(v), None)
-      case LessThan(c, v) => VersionedTable.mayMatch(cs(c), None, Some(v))
+      case LessThan(c, v) => VersionedTable.mayMatchStrict(cs(c),
+        None, lowerStrict = false, Some(v), upperStrict = true)
       case LessThanOrEqual(c, v) =>
         VersionedTable.mayMatch(cs(c), None, Some(v))
       case IsNull(c) =>

@@ -447,9 +447,10 @@ class GraftFileIndex(spark: SparkSession, root: String, version: Long,
     VersionedTable.physicalSchemaOf(snap)
       .flatMap(_.fields.find(_.name == col)).map(_.dataType)
 
-  /** Can any row of file `rel` satisfy `e`? Strict comparisons reuse
-    * the inclusive-range comparator (keeping a boundary-only file is
-    * conservative, never wrong); unrecognized shapes keep the file. */
+  /** Can any row of file `rel` satisfy `e`? Strict comparisons prune
+    * their boundary file too ([[VersionedTable.mayMatchStrict]] —
+    * `ts > day_end` on day-clustered data otherwise always opens one
+    * extra file); unrecognized shapes keep the file. */
   private def mayMatchFile(snap: VersionedTable.TableState, rel: String,
       e: Expression): Boolean = e match {
     case And(a, b) => mayMatchFile(snap, rel, a) && mayMatchFile(snap, rel, b)
@@ -461,19 +462,23 @@ class GraftFileIndex(spark: SparkSession, root: String, version: Long,
     case EqualNullSafe(a: AttributeReference, l: Literal)
         if l.value != null => eqMayMatch(snap, rel, a.name, ext(l))
     case GreaterThan(a: AttributeReference, l: Literal) =>
-      VersionedTable.mayMatch(statsOf(snap, rel, a.name), Some(ext(l)), None)
+      VersionedTable.mayMatchStrict(statsOf(snap, rel, a.name),
+        Some(ext(l)), lowerStrict = true, None, upperStrict = false)
     case GreaterThanOrEqual(a: AttributeReference, l: Literal) =>
       VersionedTable.mayMatch(statsOf(snap, rel, a.name), Some(ext(l)), None)
     case LessThan(a: AttributeReference, l: Literal) =>
-      VersionedTable.mayMatch(statsOf(snap, rel, a.name), None, Some(ext(l)))
+      VersionedTable.mayMatchStrict(statsOf(snap, rel, a.name),
+        None, lowerStrict = false, Some(ext(l)), upperStrict = true)
     case LessThanOrEqual(a: AttributeReference, l: Literal) =>
       VersionedTable.mayMatch(statsOf(snap, rel, a.name), None, Some(ext(l)))
     case GreaterThan(l: Literal, a: AttributeReference) => // v > col
-      VersionedTable.mayMatch(statsOf(snap, rel, a.name), None, Some(ext(l)))
+      VersionedTable.mayMatchStrict(statsOf(snap, rel, a.name),
+        None, lowerStrict = false, Some(ext(l)), upperStrict = true)
     case GreaterThanOrEqual(l: Literal, a: AttributeReference) =>
       VersionedTable.mayMatch(statsOf(snap, rel, a.name), None, Some(ext(l)))
     case LessThan(l: Literal, a: AttributeReference) => // v < col
-      VersionedTable.mayMatch(statsOf(snap, rel, a.name), Some(ext(l)), None)
+      VersionedTable.mayMatchStrict(statsOf(snap, rel, a.name),
+        Some(ext(l)), lowerStrict = true, None, upperStrict = false)
     case LessThanOrEqual(l: Literal, a: AttributeReference) =>
       VersionedTable.mayMatch(statsOf(snap, rel, a.name), Some(ext(l)), None)
     case In(a: AttributeReference, vs) if vs.forall(_.isInstanceOf[Literal]) =>

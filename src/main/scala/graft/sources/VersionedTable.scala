@@ -1734,6 +1734,35 @@ object VersionedTable {
       }
   }
 
+  /** [[mayMatch]] with per-bound STRICTNESS: `col > lower` /
+    * `col < upper` also prune the BOUNDARY file a strict comparison
+    * can never match — the aligned-range pattern (`ts > day_end` on
+    * day-clustered data, `key > range_max` after a range split) where
+    * inclusive pruning always leaves one boundary file open. Safe
+    * against parquet's INEXACT truncated string bounds: a recorded
+    * max is >= the actual max, so `recorded_max == lower` still
+    * proves no row exceeds `lower` (and symmetrically for min). */
+  private[sources] def mayMatchStrict(cs: Option[ColStats],
+      lower: Option[Any], lowerStrict: Boolean,
+      upper: Option[Any], upperStrict: Boolean): Boolean = cs match {
+    case None => true
+    case Some(c) =>
+      (c.min, c.max) match {
+        case (None, None) => c.nulls < c.rows // all-null file: skip
+        case (Some(mn), Some(mx)) =>
+          scala.util.Try {
+            def key(v: Any) = statKey(c.typ, v.toString)
+            upper.forall(u =>
+              if (upperStrict) statKey(c.typ, mn) < key(u)
+              else statKey(c.typ, mn) <= key(u)) &&
+            lower.forall(l =>
+              if (lowerStrict) statKey(c.typ, mx) > key(l)
+              else statKey(c.typ, mx) >= key(l))
+          }.getOrElse(true)
+        case _ => true
+      }
+  }
+
   /** The files of snapshot `v` that a `col BETWEEN lower AND upper`
     * read must open, plus the total file count — the data-skipping
     * planner, exposed separately so callers (and specs) can observe

@@ -217,6 +217,46 @@ class VersionedTableSpec extends SparkSpecBase {
       .count() == 4000)
   }
 
+  test("strict bounds prune the boundary file on BOTH read paths") {
+    val root = newRoot()
+    // two range-disjoint files: [0,999] and [1000,1999]
+    (0 until 2).foreach { i =>
+      VersionedTable.commit(spark.range(1000L * i, 1000L * (i + 1))
+        .toDF("k").withColumn("v", col("k") * 2).coalesce(1), root)
+    }
+    spark.sql(s"CREATE TABLE strict_t USING graft OPTIONS (path '$root')")
+    try {
+      def planned(pred: String): (Int, Int) = {
+        spark.sql(s"SELECT sum(v) FROM strict_t WHERE $pred").collect()
+        Graft2DataSource.lastPlanned(root)
+      }
+      // the aligned-range pattern: `k > 999` can never match the low
+      // file (max == 999) — strict pruning opens 1 of 2, where the
+      // inclusive comparator used to open both
+      assert(planned("k > 999") === ((1, 2)))
+      assert(planned("k >= 999") === ((2, 2))) // inclusive keeps it
+      assert(planned("k < 1000") === ((1, 2)))
+      assert(planned("k <= 1000") === ((2, 2)))
+      // answers unchanged (the pruned file had no qualifying rows)
+      assert(spark.sql("SELECT count(*) FROM strict_t WHERE k > 999")
+        .as[Long].head() === 1000L)
+      // v1 path prunes identically
+      spark.conf.set("spark.graft.readPath", "v1")
+      try {
+        val q = spark.sql("SELECT sum(v) FROM strict_t WHERE k > 999")
+        assert(q.as[Long].head() ===
+          (1000L until 2000L).map(_ * 2).sum)
+        val idx = q.queryExecution.optimizedPlan.collectFirst {
+          case org.apache.spark.sql.execution.datasources.LogicalRelation(
+              r: org.apache.spark.sql.execution.datasources
+                .HadoopFsRelation, _, _, _, _) =>
+            r.location.asInstanceOf[GraftFileIndex]
+        }.get
+        assert(idx.lastListing.get === ((1, 2)))
+      } finally spark.conf.unset("spark.graft.readPath")
+    } finally spark.sql("DROP TABLE IF EXISTS strict_t")
+  }
+
   test("data skipping degrades safely: no stats -> no pruning") {
     val root = newRoot()
     // array column: unsupported type, no stats recorded

@@ -996,10 +996,20 @@ object DeltaLog {
           if (properties.get("delta.enableChangeDataFeed")
             .contains("true")) Set("changeDataFeed")
           else Set.empty[String]
+        // the spec licenses v2 checkpoints ONLY on tables carrying the
+        // v2Checkpoint reader-writer feature — a checkpointPolicy=v2
+        // property without it is non-conformant (foreign readers would
+        // reject the UUID checkpoint `_last_checkpoint` points at)
+        val v2cpFeat =
+          if (properties.get("delta.checkpointPolicy").contains("v2"))
+            Set("v2Checkpoint")
+          else Set.empty[String]
+        val dvFeat =
+          if (wantsDv) Set("deletionVectors") else Set.empty[String]
         val p =
-          if (wantsDv)
-            (3, 7, Set("deletionVectors") ++ mapFeat,
-              Set("deletionVectors") ++ mapFeat ++ cdfFeat ++
+          if (wantsDv || v2cpFeat.nonEmpty)
+            (3, 7, dvFeat ++ mapFeat ++ v2cpFeat,
+              dvFeat ++ mapFeat ++ v2cpFeat ++ cdfFeat ++
                 legacyWriterFeatures(if (mapMode == "none") 2 else 5))
           else if (mapMode != "none") (2, 5, Set.empty[String], Set.empty[String])
           // CDF alone requires minWriterVersion >= 4 (the spec's
@@ -1887,8 +1897,15 @@ object DeltaLog {
       .contains("true") &&
       !(snap.minWriterVersion >= 7 &&
         snap.writerFeatures.contains("deletionVectors"))
+    // v2 checkpoints are licensed only by the v2Checkpoint
+    // reader-writer feature — setting the policy must add it (same
+    // commit), or foreign engines reject the next checkpoint
+    val wantV2cp = props.get("delta.checkpointPolicy")
+      .contains("v2") &&
+      !(snap.minReaderVersion >= 3 &&
+        snap.readerFeatures.contains("v2Checkpoint"))
     val targetW0 =
-      if (wantDv) 7
+      if (wantDv || wantV2cp) 7
       else if (props.get("delta.enableChangeDataFeed").contains("true") &&
         snap.minWriterVersion < 4) math.max(snap.minWriterVersion, 4)
       else snap.minWriterVersion
@@ -1905,18 +1922,21 @@ object DeltaLog {
     val wantCheckFeat = newChecks.nonEmpty &&
       (targetW >= 7 || snap.minWriterVersion >= 7) &&
       !snap.writerFeatures.contains("checkConstraints")
-    if (wantDv || wantCdfFeat || wantCheckFeat ||
+    if (wantDv || wantV2cp || wantCdfFeat || wantCheckFeat ||
       targetW != snap.minWriterVersion) {
       val w = math.max(targetW, snap.minWriterVersion)
-      val r = if (wantDv) 3 else snap.minReaderVersion
+      val r = if (wantDv || wantV2cp) 3 else snap.minReaderVersion
       val rf = snap.readerFeatures ++
-        (if (wantDv) legacyReaderFeatures(snap.minReaderVersion) ++
-          Set("deletionVectors")
-         else Set.empty[String])
+        (if (wantDv || wantV2cp)
+          legacyReaderFeatures(snap.minReaderVersion)
+         else Set.empty[String]) ++
+        (if (wantDv) Set("deletionVectors") else Set.empty[String]) ++
+        (if (wantV2cp) Set("v2Checkpoint") else Set.empty[String])
       val wf = snap.writerFeatures ++
         (if (w >= 7) legacyWriterFeatures(snap.minWriterVersion)
          else Set.empty[String]) ++
         (if (wantDv) Set("deletionVectors") else Set.empty[String]) ++
+        (if (wantV2cp) Set("v2Checkpoint") else Set.empty[String]) ++
         (if (wantCdfFeat || (w >= 7 && merged
           .get("delta.enableChangeDataFeed").contains("true")))
           Set("changeDataFeed") else Set.empty[String]) ++
@@ -2014,6 +2034,12 @@ object DeltaLog {
       version: Option[Long] = None): Long = {
     val v = version.getOrElse(latestVersion(root))
     val snap = snapshot(spark, root, Some(v))
+    // a checkpoint MUTATES the log's replay contract: compacting a
+    // table whose active writer features this writer does not honor
+    // would silently drop the state those features maintain (e.g. a
+    // rowTracking table's domain rows) from the compacted view — the
+    // same corruption every other write path refuses on
+    gateWriterObligations(snap, "CHECKPOINT", removesData = false)
     val addSchema = StructType(Seq(
       StructField("path", StringType),
       StructField("partitionValues", MapType(StringType, StringType)),
@@ -2106,8 +2132,11 @@ object DeltaLog {
       else f"$v%020d.checkpoint.parquet")
     Files.move(part, dst,
       java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    // size is the checkpoint's ACTION count — in v2 mode that includes
+    // the checkpointMetadata row; derive from the rows actually
+    // written so a count-validating foreign reader never rejects it
     val hint =
-      s"""{"version":$v,"size":${2 + snap.adds.size + snap.txns.size}}"""
+      s"""{"version":$v,"size":${rows.length}}"""
     Files.write(logDir(root).resolve("_last_checkpoint"), hint.getBytes(UTF_8))
     v
   }

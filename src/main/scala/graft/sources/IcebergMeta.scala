@@ -1830,6 +1830,11 @@ object IcebergMeta {
       metaDir(root).resolve(s"v$v.metadata.json")))
       .deepCopy[com.fasterxml.jackson.databind.node.ObjectNode]
     val rs = refsOf(meta)
+    // fast_forward moves BRANCHES only (Iceberg's rule; tags are
+    // immutable — commitSnapshot enforces the same for branch commits)
+    require(rs.get(to).forall(_._2 == "branch"),
+      s"iceberg-meta: cannot fast-forward '$to' — it is a tag, and " +
+        "tags are immutable")
     val fromId = rs.getOrElse(from, throw new IllegalArgumentException(
       s"iceberg-meta: no ref '$from' in $root"))._1
     val toId: Option[Long] = rs.get(to).map(_._1).orElse {

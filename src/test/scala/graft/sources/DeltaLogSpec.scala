@@ -334,9 +334,19 @@ class DeltaLogSpec extends SparkSpecBase {
     val mine = tmp()
     DeltaLog.commit(Seq(10L, 11L).toDF("k").coalesce(1), mine,
       properties = Map("delta.checkpointPolicy" -> "v2"))
+    // the spec licenses v2 checkpoints only on tables CARRYING the
+    // v2Checkpoint reader-writer feature — creation must add it
+    val sMine = DeltaLog.snapshot(spark, mine)
+    assert(sMine.minReaderVersion === 3 && sMine.minWriterVersion === 7)
+    assert(sMine.readerFeatures.contains("v2Checkpoint") &&
+      sMine.writerFeatures.contains("v2Checkpoint"))
     DeltaLog.commit(Seq(12L).toDF("k").coalesce(1), mine)
     DeltaLog.checkpoint(spark, mine)
     val mineLog = Paths.get(mine, "_delta_log")
+    // the hint's size counts the checkpointMetadata row too
+    // (protocol + metaData + 2 adds + checkpointMetadata = 5)
+    assert(new String(Files.readAllBytes(
+      mineLog.resolve("_last_checkpoint")), "UTF-8").contains("\"size\":5"))
     val names = {
       val s = Files.list(mineLog)
       try s.iterator().asScala.map(_.getFileName.toString).toSeq
@@ -349,6 +359,26 @@ class DeltaLogSpec extends SparkSpecBase {
       .foreach(n => Files.delete(mineLog.resolve(n)))
     assert(spark.read.format("delta-log").load(mine)
       .as[Long].collect().sorted.toSeq === Seq(10L, 11L, 12L))
+    // ---- 2b. SET TBLPROPERTIES checkpointPolicy=v2 upgrades the
+    // protocol in the SAME commit (mirrors the deletionVectors path);
+    // legacy-implied writer features stay listed ----
+    val up = tmp()
+    DeltaLog.commit(Seq(1L).toDF("k").coalesce(1), up)
+    DeltaLog.setConfiguration(spark, up,
+      Map("delta.checkpointPolicy" -> "v2"))
+    val sUp = DeltaLog.snapshot(spark, up)
+    assert(sUp.minReaderVersion === 3 && sUp.minWriterVersion === 7)
+    assert(sUp.readerFeatures.contains("v2Checkpoint") &&
+      sUp.writerFeatures.contains("v2Checkpoint"))
+    assert(sUp.writerFeatures.contains("appendOnly")) // legacy-implied
+    DeltaLog.checkpoint(spark, up)
+    val upLog = Paths.get(up, "_delta_log")
+    assert({
+      val s = Files.list(upLog)
+      try s.iterator().asScala.exists(_.getFileName.toString.matches(
+        """\d{20}\.checkpoint\.[0-9a-f-]{36}\.parquet"""))
+      finally s.close()
+    })
     // ---- 3. protocol SURVIVES a classic checkpoint on a feature
     // table (the (1,2)-downgrade fix): replay keeps (3,7)+features ----
     val dv = tmp()
@@ -450,6 +480,13 @@ class DeltaLogSpec extends SparkSpecBase {
       DeltaLog.commit(Seq(1L).toDF("k").coalesce(1), rt)
     }
     assert(e4.getMessage.contains("rowTracking"))
+    // CHECKPOINT is log-mutating too: compacting a table whose
+    // features this writer does not honor would silently drop the
+    // state they maintain from the compacted view — gated alike
+    val e4b = intercept[UnsupportedOperationException] {
+      DeltaLog.checkpoint(spark, rt)
+    }
+    assert(e4b.getMessage.contains("rowTracking"))
     // metadata-CONDITIONAL features: legacy writer 4 lists
     // generatedColumns — with NO generation expression in the schema
     // the append passes; WITH one, it refuses (we can't maintain it)

@@ -708,5 +708,12 @@ class IcebergMetaSpec extends SparkSpecBase {
     intercept[IllegalArgumentException] {
       IcebergMeta.fastForward(root, "main", "nope")
     }
+    // fast-forwarding a TAG refuses — tags are immutable, and
+    // Iceberg's fast_forward moves branches only
+    val eTagFf = intercept[IllegalArgumentException] {
+      IcebergMeta.fastForward(root, "pin", "audit2")
+    }
+    assert(eTagFf.getMessage.contains("tag"))
+    assert(IcebergMeta.refs(root)("pin")._2 === "tag")
   }
 }

@@ -3022,6 +3022,107 @@ object Lakehouse {
              |  CAST(sum(o_orderkey) AS BIGINT) AS sum_key,
              |  CAST(1 AS BIGINT) AS w2_ok
              |FROM orders WHERE o_orderkey <= 2048
-             |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin))
+             |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)),
+
+    // DELTA GENERATED + IDENTITY COLUMNS ON WRITE (round 11):
+    // generated partition-style columns and identity keys are
+    // everywhere in real Delta tables, and round 10 made every such
+    // table READ-ONLY for us (the gate refused the metadata-bearing
+    // writer features). Now both are ENFORCED obligations
+    // ([[graft.sources.DeltaLog]]): a generated column missing from
+    // the frame computes from `delta.generationExpression`, a
+    // supplied value VERIFIES against it (mismatch refuses, nothing
+    // commits), UPDATE recomputes generated columns from the
+    // post-update row; identity columns allocate past
+    // `delta.identity.highWaterMark` and restate the moved mark in
+    // the SAME commit (monotonic across appends — the spec contract),
+    // with explicit values refused on GENERATED ALWAYS and identity
+    // UPDATE/MERGE assignment refused outright. The entry appends
+    // orders twice into a HAND-WRITTEN fixture carrying both
+    // metadata kinds, updates a slice (generated recompute), and
+    // pins the refusal matrix in `gi_ok`; identity values are
+    // oracle-stated as a ROW_NUMBER ramp (the two appends are
+    // key-ordered, so the global order-by reproduces the allocation
+    // sequence). DeltaLogSpec pins the per-path matrix.
+    QueryDef(
+      "q262_delta_generated_identity",
+      (s, d) => {
+        import graft.sources.DeltaLog
+        val root = Files.createTempDirectory("dgi_entry_").toString + "/t"
+        val log = java.nio.file.Paths.get(root, "_delta_log")
+        Files.createDirectories(log)
+        val schemaJson = """{\"type\":\"struct\",\"fields\":[{\"name\":\"o_orderkey\",\"type\":\"long\",\"nullable\":true,\"metadata\":{}},{\"name\":\"o_custkey\",\"type\":\"long\",\"nullable\":true,\"metadata\":{}},{\"name\":\"g_key\",\"type\":\"long\",\"nullable\":true,\"metadata\":{\"delta.generationExpression\":\"o_orderkey + o_custkey\"}},{\"name\":\"row_id\",\"type\":\"long\",\"nullable\":true,\"metadata\":{\"delta.identity.start\":100,\"delta.identity.step\":10,\"delta.identity.allowExplicitInsert\":false}}]}"""
+        java.nio.file.Files.write(log.resolve(f"${0L}%020d.json"),
+          ("""{"protocol":{"minReaderVersion":1,"minWriterVersion":6}}""" + "\n" +
+            s"""{"metaData":{"id":"dgi-fix","format":{"provider":"parquet","options":{}},"schemaString":"$schemaJson","partitionColumns":[],"configuration":{}}}""" + "\n")
+            .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        val src = orders(s, d).select(col("o_orderkey"), col("o_custkey"))
+          .filter(col("o_orderkey") <= 2000)
+        // two key-ordered appends: g_key computes, row_id allocates
+        // monotonically across the commits (mark restated in each)
+        DeltaLog.commit(src.filter(col("o_orderkey") <= 1000)
+          .orderBy("o_orderkey").coalesce(1), root)
+        val hwm1 = DeltaLog.snapshot(s, root).schema("row_id").metadata
+          .getLong("delta.identity.highWaterMark")
+        DeltaLog.commit(src.filter(col("o_orderkey") > 1000)
+          .orderBy("o_orderkey").coalesce(1), root)
+        val hwm2 = DeltaLog.snapshot(s, root).schema("row_id").metadata
+          .getLong("delta.identity.highWaterMark")
+        val n = src.count()
+        val hwmOk = hwm2 == 90L + 10L * n && hwm2 > hwm1
+        val vClean = DeltaLog.latestVersion(root)
+        // a MISMATCHED supplied generated value refuses, names the
+        // column, commits nothing
+        val genRefused =
+          try {
+            DeltaLog.commit(s.range(1).select(
+              lit(5000L).as("o_orderkey"), lit(1L).as("o_custkey"),
+              lit(999L).as("g_key")).coalesce(1), root)
+            false
+          } catch { case e: IllegalArgumentException =>
+            e.getMessage.contains("g_key") &&
+              DeltaLog.latestVersion(root) == vClean }
+        // explicit identity values refuse (GENERATED ALWAYS)
+        val idRefused =
+          try {
+            DeltaLog.commit(s.range(1).select(
+              lit(5000L).as("o_orderkey"), lit(1L).as("o_custkey"),
+              lit(777L).as("row_id")).coalesce(1), root)
+            false
+          } catch { case e: IllegalArgumentException =>
+            e.getMessage.contains("GENERATED ALWAYS") }
+        // UPDATE of a source column recomputes the generated one; an
+        // UPDATE naming the identity column refuses
+        val parse = s.sessionState.sqlParser.parseExpression _
+        DeltaLog.updateWhere(s, root,
+          Seq("o_custkey" -> parse("o_custkey + 1000")),
+          Some(parse("o_orderkey <= 100")))
+        val updIdRefused =
+          try {
+            DeltaLog.updateWhere(s, root,
+              Seq("row_id" -> parse("row_id + 1")), None)
+            false
+          } catch { case e: IllegalArgumentException =>
+            e.getMessage.contains("IDENTITY") }
+        val giOk = if (hwmOk && genRefused && idRefused && updIdRefused)
+          1L else 0L
+        s.read.format("delta-log").load(root)
+          .agg(count(lit(1)).as("n_rows"),
+            sum(col("g_key")).cast("long").as("sum_g"),
+            sum(col("row_id")).cast("long").as("sum_id"))
+          .withColumn("gi_ok", lit(giOk))
+      },
+      Some("""WITH f AS (SELECT o_orderkey, o_custkey FROM orders
+             |  WHERE o_orderkey <= 2000),
+             |ids AS (SELECT o_orderkey,
+             |  CASE WHEN o_orderkey <= 100 THEN o_custkey + 1000
+             |       ELSE o_custkey END AS c2,
+             |  90 + 10 * ROW_NUMBER() OVER (ORDER BY o_orderkey) AS rid
+             |  FROM f)
+             |SELECT CAST(count(*) AS BIGINT) AS n_rows,
+             |  CAST(sum(o_orderkey + c2) AS BIGINT) AS sum_g,
+             |  CAST(sum(rid) AS BIGINT) AS sum_id,
+             |  CAST(1 AS BIGINT) AS gi_ok
+             |FROM ids""".stripMargin))
   )
 }

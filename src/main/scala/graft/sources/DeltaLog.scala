@@ -106,7 +106,9 @@ object DeltaLog {
       minReaderVersion: Int = 1,
       minWriterVersion: Int = 2,
       readerFeatures: Set[String] = Set.empty,
-      writerFeatures: Set[String] = Set.empty) {
+      writerFeatures: Set[String] = Set.empty,
+      // the metaData action's id — restatements carry it forward
+      tableId: String = "") {
     def dataSchema: StructType =
       StructType(schema.fields.filterNot(f => partitionColumns.contains(f.name)))
     def partitionSchema: StructType =
@@ -269,6 +271,7 @@ object DeltaLog {
     var readerFeatures = Set.empty[String]
     var writerFeatures = Set.empty[String]
     var schemaJson: Option[String] = None
+    var tableId: String = ""
     var partitionColumns: Seq[String] = Nil
     var configuration: Map[String, String] = Map.empty
     val adds = scala.collection.mutable.LinkedHashMap.empty[String, DeltaAdd]
@@ -296,6 +299,7 @@ object DeltaLog {
             s"delta-log: format ${fmt.get("provider").asText()} not " +
               "supported (parquet only)")
         schemaJson = Option(body.get("schemaString")).map(_.asText())
+        if (body.hasNonNull("id")) tableId = body.get("id").asText()
         partitionColumns =
           if (body.hasNonNull("partitionColumns"))
             body.get("partitionColumns").elements().asScala
@@ -365,7 +369,8 @@ object DeltaLog {
       minReaderVersion = replay.minReader,
       minWriterVersion = replay.minWriter,
       readerFeatures = replay.readerFeatures,
-      writerFeatures = replay.writerFeatures)
+      writerFeatures = replay.writerFeatures,
+      tableId = replay.tableId)
   }
 
   /** logical → physical top-level names under column mapping
@@ -679,11 +684,15 @@ object DeltaLog {
   /** One spec-shaped `metaData` JSON line. */
   private def metaDataLine(schemaJson: String,
       partitionColumns: Seq[String],
-      configuration: Map[String, String]): String = {
+      configuration: Map[String, String],
+      tableId: Option[String] = None): String = {
     val parts = partitionColumns.map(jsonStr).mkString(",")
     val conf = configuration.toSeq.sortBy(_._1)
       .map { case (k, v) => s"${jsonStr(k)}:${jsonStr(v)}" }.mkString(",")
-    s"""{"metaData":{"id":${jsonStr(java.util.UUID.randomUUID().toString)},""" +
+    // restatements carry the table's id forward — foreign streaming
+    // readers key source identity on it
+    s"""{"metaData":{"id":${jsonStr(tableId.getOrElse(
+      java.util.UUID.randomUUID().toString))},""" +
       s""""format":{"provider":"parquet","options":{}},""" +
       s""""schemaString":${jsonStr(schemaJson)},"partitionColumns":[$parts],""" +
       s""""configuration":{$conf},"createdTime":${System.currentTimeMillis}}}"""
@@ -732,22 +741,12 @@ object DeltaLog {
     "changeDataFeed", "columnMapping", "timestampNtz",
     // v2Checkpoint's writer obligation — checkpoints in v2 format
     // only — is honored by [[checkpoint]]'s format switch
-    "v2Checkpoint")
-
-  /** Does any field — top-level or nested — carry one of `keys` in
-    * its metadata? The activation probe for metadata-conditional
-    * writer features (generated/identity columns impose obligations
-    * only where a generation/identity spec actually exists). */
-  private def anyFieldMeta(schema: StructType, keys: String*): Boolean = {
-    def walkType(dt: DataType): Boolean = dt match {
-      case st: StructType => st.fields.exists(f =>
-        keys.exists(f.metadata.contains) || walkType(f.dataType))
-      case ArrayType(e, _) => walkType(e)
-      case MapType(k, v, _) => walkType(k) || walkType(v)
-      case _ => false
-    }
-    walkType(schema)
-  }
+    "v2Checkpoint",
+    // generated columns compute-or-verify on every row-landing path
+    // ([[applyGeneratedColumns]]); identity columns allocate past the
+    // mark and restate it in the same commit ([[applyIdentityColumns]]),
+    // with UPDATE/MERGE assignment refusals guarding the rest
+    "generatedColumns", "identityColumns")
 
   /** The Delta protocol's writer rule: a writer MUST honor every
     * ACTIVE writer feature's obligations or refuse the commit — an
@@ -755,10 +754,7 @@ object DeltaLog {
     * other engine (a CHECK-violating append, a delete on an
     * append-only table). Active features come from `writerFeatures`
     * at protocol (…,7) or the legacy `minWriterVersion` ladder below
-    * it; `generatedColumns`/`identityColumns` are metadata-conditional
-    * (listed-but-unused imposes nothing — delta-spark's rule, and what
-    * keeps this writer's own (3,7) tables writable, since the upgrade
-    * rule lists every legacy-implied feature). `delta.appendOnly=true`
+    * it. `delta.appendOnly=true`
     * additionally refuses any operation that removes or rewrites
     * existing rows with `dataChange` (OPTIMIZE's dataChange=false
     * rewrite stays legal). Called by every write/DML entry point. */
@@ -767,15 +763,7 @@ object DeltaLog {
     val active =
       if (snap.minWriterVersion >= 7) snap.writerFeatures
       else legacyWriterFeatures(snap.minWriterVersion)
-    val unenforced = (active -- EnforcedWriterFeatures).filter {
-      case "generatedColumns" =>
-        anyFieldMeta(snap.schema, "delta.generationExpression")
-      case "identityColumns" =>
-        anyFieldMeta(snap.schema, "delta.identity.start",
-          "delta.identity.step", "delta.identity.highWaterMark",
-          "delta.identity.allowExplicitInsert")
-      case _ => true
-    }
+    val unenforced = active -- EnforcedWriterFeatures
     if (unenforced.nonEmpty) throw new UnsupportedOperationException(
       s"delta-log $operation: table requires writer feature(s) " +
         s"${unenforced.toSeq.sorted.mkString(", ")} this writer does " +
@@ -827,6 +815,132 @@ object DeltaLog {
       if (bad > 0) throw new IllegalArgumentException(
         s"delta-log $operation: $bad row(s) violate CHECK $name ($sql)")
     }
+  }
+
+  /** Top-level fields carrying a GENERATED ALWAYS AS expression
+    * (`delta.generationExpression` field metadata — the
+    * generatedColumns writer feature's anchor). */
+  private def generatedFields(schema: StructType): Seq[StructField] =
+    schema.fields.toSeq.filter(
+      _.metadata.contains("delta.generationExpression"))
+
+  /** Honor the `generatedColumns` writer obligation on `df` (LOGICAL
+    * schema): columns MISSING from the frame compute from their
+    * generation expression; columns SUPPLIED verify against it (the
+    * protocol requires the stored value to equal the expression's
+    * result — a mismatched supplied value must refuse, never land).
+    * All supplied columns verify in ONE aggregate pass (null-safe
+    * equality: a NULL result matches a NULL supplied value). No
+    * generated columns → `df` unchanged, no job. */
+  private def applyGeneratedColumns(df: DataFrame, schema: StructType,
+      operation: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr, sum, when}
+    val gens = generatedFields(schema)
+    if (gens.isEmpty) return df
+    def genExpr(f: StructField) =
+      expr(f.metadata.getString("delta.generationExpression"))
+        .cast(f.dataType)
+    val supplied = gens.filter(g => df.columns.contains(g.name))
+    if (supplied.nonEmpty) {
+      val aggs = supplied.map(g =>
+        sum(when(!(col(s"`${g.name}`") <=> genExpr(g)), 1L)
+          .otherwise(0L)))
+      val row = df.agg(aggs.head, aggs.tail: _*).head()
+      supplied.zipWithIndex.foreach { case (g, i) =>
+        val bad = if (row.isNullAt(i)) 0L else row.getLong(i)
+        if (bad > 0) throw new IllegalArgumentException(
+          s"delta-log $operation: $bad row(s) supply a value for " +
+            s"generated column ${g.name} that does not match its " +
+            "generation expression " +
+            s"(${g.metadata.getString("delta.generationExpression")})")
+      }
+    }
+    gens.filterNot(g => df.columns.contains(g.name))
+      .foldLeft(df)((d, g) => d.withColumn(g.name, genExpr(g)))
+  }
+
+  /** Top-level IDENTITY fields (`delta.identity.*` field metadata —
+    * the identityColumns writer feature's anchor). */
+  private def identityFields(schema: StructType): Seq[StructField] =
+    schema.fields.toSeq.filter(f =>
+      f.metadata.contains("delta.identity.start") ||
+        f.metadata.contains("delta.identity.step") ||
+        f.metadata.contains("delta.identity.highWaterMark") ||
+        f.metadata.contains("delta.identity.allowExplicitInsert"))
+
+  private def identityAllowsExplicit(f: StructField): Boolean =
+    f.metadata.contains("delta.identity.allowExplicitInsert") &&
+      f.metadata.getBoolean("delta.identity.allowExplicitInsert")
+
+  /** Honor the `identityColumns` writer obligation on an incoming
+    * frame: identity columns MISSING from `df` allocate values past
+    * the recorded high-water mark (`hwm + k*step`, first value
+    * `start` on a fresh column) and the updated mark restates in the
+    * SAME commit's metaData (the spec's monotonicity contract —
+    * losing the mark would let a later writer re-issue values);
+    * identity columns SUPPLIED refuse unless the column was declared
+    * GENERATED BY DEFAULT (`allowExplicitInsert` — explicit values
+    * do NOT move the mark, the spec's rule; re-syncing is a separate
+    * maintenance op in every engine). Allocation is one
+    * `zipWithIndex` pass — per-partition offsets resolve from one
+    * count job, no global sort, dense values (delta-spark reserves
+    * gappy per-task blocks; both are legal, dense keeps the mark
+    * small). Returns the frame plus the restated schema when a mark
+    * moved. */
+  private def applyIdentityColumns(df: DataFrame, schema: StructType,
+      operation: String): (DataFrame, Option[StructType]) = {
+    val ids = identityFields(schema)
+    if (ids.isEmpty) return (df, None)
+    ids.filter(f => df.columns.contains(f.name)).foreach { f =>
+      if (!identityAllowsExplicit(f))
+        throw new IllegalArgumentException(
+          s"delta-log $operation: column ${f.name} is GENERATED ALWAYS " +
+            "AS IDENTITY — explicit values are not allowed (declare it " +
+            "GENERATED BY DEFAULT to permit them)")
+    }
+    val missing = ids.filterNot(f => df.columns.contains(f.name))
+    if (missing.isEmpty) return (df, None)
+    missing.foreach(f => require(
+      f.dataType == LongType || f.dataType == IntegerType,
+      s"delta-log: identity column ${f.name} must be integral, " +
+        s"is ${f.dataType.simpleString}"))
+    case class Alloc(start: Long, step: Long, base: Long)
+    val allocs = missing.map { f =>
+      val start = if (f.metadata.contains("delta.identity.start"))
+        f.metadata.getLong("delta.identity.start") else 1L
+      val step = if (f.metadata.contains("delta.identity.step"))
+        f.metadata.getLong("delta.identity.step") else 1L
+      require(step != 0, s"delta-log: identity step of ${f.name} is 0")
+      val base = if (f.metadata.contains("delta.identity.highWaterMark"))
+        f.metadata.getLong("delta.identity.highWaterMark")
+      else start - step
+      f -> Alloc(start, step, base)
+    }
+    val n = df.count()
+    if (n == 0) return (df, None)
+    val spark = df.sparkSession
+    val outSchema = StructType(df.schema.fields ++ allocs.map(_._1))
+    val withIds = df.rdd.zipWithIndex().map { case (r, i) =>
+      Row.fromSeq(r.toSeq ++ allocs.map { case (f, a) =>
+        val v = a.base + a.step * (i + 1)
+        if (f.dataType == IntegerType) {
+          require(v >= Int.MinValue && v <= Int.MaxValue,
+            s"identity value $v overflows INT column ${f.name}")
+          v.toInt
+        } else v
+      })
+    }
+    val out = spark.createDataFrame(withIds, outSchema)
+    val newSchema = StructType(schema.fields.map { f =>
+      allocs.find(_._1.name == f.name) match {
+        case Some((_, a)) => f.copy(metadata =
+          new MetadataBuilder().withMetadata(f.metadata)
+            .putLong("delta.identity.highWaterMark", a.base + a.step * n)
+            .build())
+        case None => f
+      }
+    })
+    (out, Some(newSchema))
   }
 
   /** Stamp a FRESH column mapping onto `schema`: every struct field —
@@ -936,10 +1050,24 @@ object DeltaLog {
     require(existing.isEmpty || properties.isEmpty,
       "delta-log: table properties are set at CREATION (or via " +
         "setConfiguration) — not on writes to an existing table")
+    val opName = if (mode == "append") "WRITE" else "OVERWRITE"
+    // writer features with METADATA-anchored obligations, honored
+    // BEFORE the shape checks so the enriched frame is what validates
+    // and stages: identity columns allocate (and move the mark),
+    // generated columns compute when missing / verify when supplied.
+    // CREATION records the incoming schema verbatim (the frame DEFINES
+    // the contract — there is no prior mark to honor); generated
+    // values still verify.
+    val (dfId, identitySchema) = existing match {
+      case Some(s) => applyIdentityColumns(df, s.schema, opName)
+      case None => (df, None)
+    }
+    val dfIn = applyGeneratedColumns(dfId,
+      existing.map(_.schema).getOrElse(df.schema), opName)
     // target shape: (logical schema to record, configuration,
     // protocol) — existing tables carry theirs forward, new tables
     // derive from `properties`
-    val (recordSchema, configuration, proto) = existing match {
+    val (recordSchema0, configuration, proto) = existing match {
       case Some(s) =>
         gateWriterObligations(s,
           if (mode == "append") "WRITE" else "OVERWRITE",
@@ -952,7 +1080,7 @@ object DeltaLog {
           // nullable column is always sound
           val tbl = s.schema.fields
             .map(f => f.name -> nullableOf(f.dataType)).toMap
-          val bad = df.schema.fields.filter(f =>
+          val bad = dfIn.schema.fields.filter(f =>
             !tbl.get(f.name).contains(nullableOf(f.dataType)))
           require(bad.isEmpty,
             s"delta-log: append schema mismatch on ${bad.map(_.name).mkString(", ")}")
@@ -960,7 +1088,7 @@ object DeltaLog {
           // the restated schemaString is the existing MAPPED one, so
           // the incoming frame must BE the logical schema
           require(
-            df.schema.fields.toSeq.map(f => (f.name, nullableOf(f.dataType))) ==
+            dfIn.schema.fields.toSeq.map(f => (f.name, nullableOf(f.dataType))) ==
             s.schema.fields.toSeq.map(f => (f.name, nullableOf(f.dataType))),
             "delta-log: overwrite of a column-mapped table must keep " +
               "the table schema (mapped schema evolution needs " +
@@ -970,7 +1098,7 @@ object DeltaLog {
               s"its partitioning ${s.partitionColumns}")
         }
         val schema =
-          if (mode == "overwrite" && s.columnMapping.isEmpty) df.schema
+          if (mode == "overwrite" && s.columnMapping.isEmpty) dfIn.schema
           else s.schema
         (schema, s.configuration,
           (s.minReaderVersion, s.minWriterVersion,
@@ -982,9 +1110,9 @@ object DeltaLog {
         val wantsDv =
           properties.get("delta.enableDeletionVectors").contains("true")
         val (schema, conf) =
-          if (mapMode == "none") (df.schema, properties)
+          if (mapMode == "none") (dfIn.schema, properties)
           else {
-            val (mapped, maxId) = stampMapping(df.schema)
+            val (mapped, maxId) = stampMapping(dfIn.schema)
             (mapped, properties +
               ("delta.columnMapping.maxColumnId" -> maxId.toString))
           }
@@ -1025,11 +1153,12 @@ object DeltaLog {
           else (1, 2, Set.empty[String], Set.empty[String])
         (schema, conf, p)
     }
+    // an identity allocation restates the schema (the moved mark)
+    val recordSchema = identitySchema.getOrElse(recordSchema0)
     // writer contracts: CHECK constraints / invariants verify the
     // incoming rows (logical space) BEFORE anything stages — a
     // violating frame must never reach the log
-    enforceRowContracts(df, recordSchema, configuration,
-      if (mode == "append") "WRITE" else "OVERWRITE")
+    enforceRowContracts(dfIn, recordSchema, configuration, opName)
     // COLUMN-MAPPED tables: parquet files (and partition dirs) carry
     // PHYSICAL names — stage the frame renamed, with field ids for
     // 'id'-mode readers. Ungated, a logical-name append would read
@@ -1038,7 +1167,7 @@ object DeltaLog {
     val mapping = existing.map(_.columnMapping).getOrElse(
       columnMappingOf(root, recordSchema, configuration))
     val stagedDf =
-      if (mapping.isEmpty) df else toPhysicalDf(df, recordSchema, root)
+      if (mapping.isEmpty) dfIn else toPhysicalDf(dfIn, recordSchema, root)
     val stagedPartitionBy = partitionBy.map(c => mapping.getOrElse(c, c))
     // data files: stage, then relocate under the table root with
     // globally unique names (the spec requires uniqueness, not layout;
@@ -1052,7 +1181,12 @@ object DeltaLog {
     if (latest < 0 || mode == "overwrite") {
       lines += protocolLine(proto._1, proto._2, proto._3, proto._4)
       lines += metaDataLine(recordSchema.json, partitionBy, configuration)
-    }
+    } else if (identitySchema.isDefined)
+      // identity allocation moved the high-water mark: the spec
+      // requires the updated mark in the SAME commit (losing it
+      // would let a later writer re-issue the same values)
+      lines += metaDataLine(recordSchema.json, partitionBy, configuration,
+        existing.map(_.tableId))
     if (mode == "overwrite") existing.foreach(_.adds.foreach { a =>
       lines += s"""{"remove":{"path":${jsonStr(encodePath(a.path))},""" +
         s""""deletionTimestamp":${System.currentTimeMillis},"dataChange":true}}"""
@@ -1567,12 +1701,21 @@ object DeltaLog {
     val missing = set.map(_._1).toSet -- snap0.schema.fieldNames.toSet
     require(missing.isEmpty,
       s"UPDATE SET names non-columns: ${missing.mkString(", ")}")
+    // identityColumns obligation: the stored values are the
+    // allocator's — rewriting them breaks the mark's monotonicity
+    // contract (delta-spark refuses identically)
+    val idHit = identityFields(snap0.schema).map(_.name).toSet &
+      set.map(_._1).toSet
+    require(idHit.isEmpty,
+      s"UPDATE on IDENTITY column(s) ${idHit.toSeq.sorted.mkString(", ")} " +
+        "is not allowed")
     val mapping = snap0.columnMapping
     val snap = snap0.physical
     // re-anchor analyzed expressions by NAME against the fresh scan,
     // remapping logical references to their physical names
-    def rebind(e: org.apache.spark.sql.catalyst.expressions.Expression) =
-      org.apache.spark.sql.GraftColumnBridge.column(e.transform {
+    def rebindE(e: org.apache.spark.sql.catalyst.expressions.Expression)
+        : org.apache.spark.sql.catalyst.expressions.Expression =
+      e.transform {
         case a: org.apache.spark.sql.catalyst.expressions.AttributeReference =>
           org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
             .quoted(mapping.getOrElse(a.name, a.name))
@@ -1580,7 +1723,9 @@ object DeltaLog {
             if u.nameParts.size == 1 =>
           org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
             .quoted(mapping.getOrElse(u.name, u.name))
-      })
+      }
+    def rebind(e: org.apache.spark.sql.catalyst.expressions.Expression) =
+      org.apache.spark.sql.GraftColumnBridge.column(rebindE(e))
     val condCol = cond.map(rebind).getOrElse(lit(true))
     val hit = coalesce(condCol, lit(false))
     val vis = DeltaLogRead.withPositions(spark, snap)
@@ -1597,11 +1742,44 @@ object DeltaLog {
       .filter(col(DeltaLogRead.FpCol).isin(touchedUris.toSeq: _*))
     val setByCol = set.map { case (n, e) =>
       mapping.getOrElse(n, n) -> e }.toMap // physical keys
+    // generatedColumns obligation: a generated column NOT explicitly
+    // SET recomputes from the POST-update row (its sources may be the
+    // updated columns — delta-spark's rule); source references that
+    // are themselves SET substitute the SET expression (all SET RHS
+    // evaluate over the pre-update row, standard UPDATE semantics)
+    val genByPhys = generatedFields(snap0.schema)
+      .map(g => mapping.getOrElse(g.name, g.name) -> g).toMap
+    def genPost(g: StructField): org.apache.spark.sql.Column = {
+      val parsed = spark.sessionState.sqlParser.parseExpression(
+        g.metadata.getString("delta.generationExpression"))
+      // manual recursion, NOT transform: a substituted SET expression
+      // may reference the same column it replaces (SET k = k + 1), and
+      // transformDown would re-substitute inside it forever
+      def subst(e: org.apache.spark.sql.catalyst.expressions.Expression)
+          : org.apache.spark.sql.catalyst.expressions.Expression = e match {
+        case u: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+            if u.nameParts.size == 1 =>
+          val phys = mapping.getOrElse(u.name, u.name)
+          setByCol.get(phys) match {
+            case Some(se) => rebindE(se)
+            case None =>
+              org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+                .quoted(phys)
+          }
+        case other => other.mapChildren(subst)
+      }
+      org.apache.spark.sql.GraftColumnBridge.column(subst(parsed))
+        .cast(g.dataType)
+    }
     def applied(df: DataFrame): DataFrame =
       df.select(snap.schema.fieldNames.toSeq.map { c =>
         setByCol.get(c) match {
           case Some(e) => when(hit, rebind(e)).otherwise(col(c)).as(c)
-          case None => col(c)
+          case None => genByPhys.get(c) match {
+            case Some(g) =>
+              when(hit, genPost(g)).otherwise(col(c)).as(c)
+            case None => col(c)
+          }
         }
       }: _*)
     // writer contracts: CHECKs/invariants verify the POST-UPDATE rows
@@ -1610,15 +1788,21 @@ object DeltaLog {
     // frame is by-name lazy: with no contracts recorded, no job runs.
     lazy val physFields = withParquetFieldIds(
       physicalSchemaOf(root, snap0.schema)).fields
-    enforceRowContracts(
-      {
-        val updated = applied(touchedRows.filter(hit))
-        if (mapping.isEmpty) updated
-        else updated.select(snap0.schema.fields.toSeq.zip(physFields)
-          .map { case (lf, pf) => col(s"`${pf.name}`")
-            .cast(nullableOf(lf.dataType)).as(lf.name) }: _*)
-      },
+    def updatedLogical: DataFrame = {
+      val updated = applied(touchedRows.filter(hit))
+      if (mapping.isEmpty) updated
+      else updated.select(snap0.schema.fields.toSeq.zip(physFields)
+        .map { case (lf, pf) => col(s"`${pf.name}`")
+          .cast(nullableOf(lf.dataType)).as(lf.name) }: _*)
+    }
+    enforceRowContracts(updatedLogical,
       snap0.schema, snap.configuration, "UPDATE")
+    // a generated column explicitly SET verifies against its
+    // expression on the post-update rows (mismatch refuses — the
+    // stored value must equal the expression's result)
+    if (generatedFields(snap0.schema).exists(g =>
+        setByCol.contains(mapping.getOrElse(g.name, g.name))))
+      applyGeneratedColumns(updatedLogical, snap0.schema, "UPDATE")
     val cdcAdds =
       if (!snap.configuration.get("delta.enableChangeDataFeed")
         .contains("true")) Nil
@@ -1728,6 +1912,37 @@ object DeltaLog {
     require(snap0.schema.fieldNames.contains(tKey),
       s"no target column '$tKey'")
     require(source.columns.contains(sKey), s"no source column '$sKey'")
+    // identityColumns obligations under MERGE: assignments to an
+    // identity column are out (the allocator owns those values), and
+    // INSERT clauses must supply the column explicitly — which only a
+    // GENERATED BY DEFAULT declaration licenses (per-clause allocation
+    // would need the mark threaded through the cascade; delta-spark
+    // refuses the ALWAYS case the same way)
+    val idFieldsM = identityFields(snap0.schema)
+    if (idFieldsM.nonEmpty) {
+      val idNames = idFieldsM.map(_.name).toSet
+      val assigned = (matched ++ bySource).flatMap {
+        case u: VersionedTable.MergeUpdate => u.set.keySet
+        case _ => Set.empty[String]
+      }.toSet
+      require((assigned & idNames).isEmpty,
+        "delta-log MERGE: cannot UPDATE IDENTITY column(s) " +
+          s"${(assigned & idNames).toSeq.sorted.mkString(", ")}")
+      if (notMatched.nonEmpty) idFieldsM.foreach { f =>
+        require(identityAllowsExplicit(f),
+          s"delta-log MERGE: column ${f.name} is GENERATED ALWAYS AS " +
+            "IDENTITY — INSERT clauses cannot supply or omit it; " +
+            "append() allocates, or declare GENERATED BY DEFAULT")
+        notMatched.foreach {
+          case ins: VersionedTable.MergeInsert =>
+            require(ins.values.contains(f.name),
+              s"delta-log MERGE: INSERT must supply identity column " +
+                s"${f.name} explicitly (GENERATED BY DEFAULT)")
+          case _ => ()
+        }
+      }
+    }
+    val genFieldsM = generatedFields(snap0.schema)
     val nSrc = source.count()
     if (nSrc == 0 && bySource.isEmpty) return snap.version
     require(source.select(col(sKey)).where(col(sKey).isNotNull)
@@ -1799,6 +2014,8 @@ object DeltaLog {
           // writer contracts on exactly the rows the merge lands
           enforceRowContracts(freshLogical, snap0.schema,
             snap.configuration, "MERGE")
+          if (genFieldsM.nonEmpty)
+            applyGeneratedColumns(freshLogical, snap0.schema, "MERGE")
           val freshRows = toPhysical(freshLogical)
           dvRemoveRows(spark, root, snap, dead, touchedAdds.toSeq,
             idx, Nil, operation = "MERGE",
@@ -1811,6 +2028,8 @@ object DeltaLog {
       val out = VersionedTable.mergeCascadeRows(tgtRows, source,
         snap0.schema, tKey, sKey, matched, notMatched, bySource)
       enforceRowContracts(out, snap0.schema, snap.configuration, "MERGE")
+      if (genFieldsM.nonEmpty)
+        applyGeneratedColumns(out, snap0.schema, "MERGE")
       return replaceFiles(spark, root, touchedAdds.map(_.path).toSeq,
         toPhysical(out), snap.partitionColumns, operation = "MERGE")
     }
@@ -1827,6 +2046,8 @@ object DeltaLog {
         return snap.version // no clause fired: no change, no commit
       val out = tagged.filter(col("__keep")).select(dataCols.map(col): _*)
       enforceRowContracts(out, snap0.schema, snap.configuration, "MERGE")
+      if (genFieldsM.nonEmpty)
+        applyGeneratedColumns(out, snap0.schema, "MERGE")
       def pre(df: DataFrame) =
         df.select(dataCols.map(c => col(s"__pre_$c").as(c)): _*)
       def post(df: DataFrame) = df.select(dataCols.map(col): _*)
@@ -1945,7 +2166,8 @@ object DeltaLog {
           Set("checkConstraints") else Set.empty[String])
       lines += protocolLine(r, w, rf, wf)
     }
-    lines += metaDataLine(snap.schema.json, snap.partitionColumns, merged)
+    lines += metaDataLine(snap.schema.json, snap.partitionColumns,
+      merged, Option(snap.tableId).filter(_.nonEmpty))
     try io(root).putIfAbsent(commitPath(root, next),
       lines.mkString("", "\n", "\n").getBytes(UTF_8))
     catch {
@@ -2099,7 +2321,9 @@ object DeltaLog {
       if (snap.minWriterVersion >= 7)
         snap.writerFeatures.toSeq.sorted else null),
       null, null, null)
-    val metaRow = Row(null, Row(java.util.UUID.randomUUID().toString,
+    val metaRow = Row(null, Row(
+      if (snap.tableId.nonEmpty) snap.tableId
+      else java.util.UUID.randomUUID().toString,
       Row("parquet", Map.empty[String, String]), snap.schema.json,
       snap.partitionColumns, snap.configuration), null, null)
     val addRows = snap.adds.map { a =>

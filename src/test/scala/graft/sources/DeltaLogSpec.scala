@@ -487,20 +487,13 @@ class DeltaLogSpec extends SparkSpecBase {
       DeltaLog.checkpoint(spark, rt)
     }
     assert(e4b.getMessage.contains("rowTracking"))
-    // metadata-CONDITIONAL features: legacy writer 4 lists
-    // generatedColumns — with NO generation expression in the schema
-    // the append passes; WITH one, it refuses (we can't maintain it)
+    // legacy writer 4 lists generatedColumns — ENFORCED since r11:
+    // a plain table writes normally, and generated tables write
+    // through the compute/verify path (own test below)
     val noGen = foreign(plainSchema,
       """{"minReaderVersion":1,"minWriterVersion":4}""")
     DeltaLog.commit(Seq(1L).toDF("k").coalesce(1), noGen)
     assert(spark.read.format("delta-log").load(noGen).count() === 1)
-    val genSchema = """{\"type\":\"struct\",\"fields\":[{\"name\":\"k\",\"type\":\"long\",\"nullable\":true,\"metadata\":{}},{\"name\":\"g\",\"type\":\"long\",\"nullable\":true,\"metadata\":{\"delta.generationExpression\":\"k + 1\"}}]}"""
-    val gen = foreign(genSchema,
-      """{"minReaderVersion":1,"minWriterVersion":4}""")
-    val e5 = intercept[UnsupportedOperationException] {
-      DeltaLog.commit(Seq((1L, 2L)).toDF("k", "g").coalesce(1), gen)
-    }
-    assert(e5.getMessage.contains("generatedColumns"))
     // legacy column INVARIANTS (writer 2's schema-metadata contract):
     // NULL violates, unlike CHECK constraints
     val invSchema = """{\"type\":\"struct\",\"fields\":[{\"name\":\"k\",\"type\":\"long\",\"nullable\":true,\"metadata\":{\"delta.invariants\":\"{\\\"expression\\\":{\\\"expression\\\":\\\"k < 100\\\"}}\"}}]}"""
@@ -516,6 +509,123 @@ class DeltaLogSpec extends SparkSpecBase {
         .coalesce(1), inv)
     }
     assert(e7.getMessage.contains("invariant on k"))
+  }
+
+  test("generated columns: compute when missing, verify when supplied, UPDATE recomputes") {
+    def genTable(): String = {
+      val r = tmp()
+      val log = Paths.get(r, "_delta_log")
+      Files.createDirectories(log)
+      val schema = """{\"type\":\"struct\",\"fields\":[{\"name\":\"k\",\"type\":\"long\",\"nullable\":true,\"metadata\":{}},{\"name\":\"g\",\"type\":\"long\",\"nullable\":true,\"metadata\":{\"delta.generationExpression\":\"k + 1\"}}]}"""
+      Files.write(log.resolve(f"${0L}%020d.json"),
+        ("""{"protocol":{"minReaderVersion":1,"minWriterVersion":4}}
+""" +
+          s"""{"metaData":{"id":"gen-fix","format":{"provider":"parquet","options":{}},"schemaString":"$schema","partitionColumns":[],"configuration":{}}}
+""")
+          .getBytes(UTF_8))
+      r
+    }
+    // missing generated column COMPUTES (the everyday case: generated
+    // partition-style columns are never in the incoming frame)
+    val t1 = genTable()
+    DeltaLog.commit(Seq(1L, 2L).toDF("k").coalesce(1), t1)
+    assert(spark.read.format("delta-log").load(t1)
+      .orderBy("k").as[(Long, Long)].collect().toSeq ===
+      Seq((1L, 2L), (2L, 3L)))
+    // supplied-and-consistent verifies and lands
+    DeltaLog.commit(Seq((5L, 6L)).toDF("k", "g").coalesce(1), t1)
+    assert(spark.read.format("delta-log").load(t1).count() === 3)
+    // supplied-and-MISMATCHED refuses, nothing commits
+    val vBefore = DeltaLog.latestVersion(t1)
+    val e = intercept[IllegalArgumentException] {
+      DeltaLog.commit(Seq((7L, 99L)).toDF("k", "g").coalesce(1), t1)
+    }
+    assert(e.getMessage.contains("generated column g"))
+    assert(DeltaLog.latestVersion(t1) === vBefore)
+    // UPDATE of a source column RECOMPUTES the generated one from the
+    // post-update row (delta-spark's rule)
+    val parse = spark.sessionState.sqlParser.parseExpression _
+    DeltaLog.updateWhere(spark, t1,
+      Seq("k" -> parse("k + 10")), Some(parse("k = 1")))
+    assert(spark.read.format("delta-log").load(t1)
+      .orderBy("k").as[(Long, Long)].collect().toSeq ===
+      Seq((2L, 3L), (5L, 6L), (11L, 12L)))
+    // UPDATE explicitly SETTING the generated column to a mismatched
+    // value refuses
+    val eU = intercept[IllegalArgumentException] {
+      DeltaLog.updateWhere(spark, t1,
+        Seq("g" -> parse("g + 5")), Some(parse("k = 2")))
+    }
+    assert(eU.getMessage.contains("generated column g"))
+    // MERGE output rows verify too: an update clause changing the
+    // source without the generated column refuses loudly (never lands
+    // a row violating the generation contract)
+    val eM = intercept[IllegalArgumentException] {
+      DeltaLog.mergeConditional(spark, t1,
+        Seq(2L).toDF("sk"), "k", "sk",
+        matched = Seq(VersionedTable.MergeUpdate(None,
+          Map("k" -> (VersionedTable.MergeRef.source("sk") + lit(100))))))
+    }
+    assert(eM.getMessage.contains("generated column g"))
+  }
+
+  test("identity columns: allocation is monotonic across appends, mark restates in-commit") {
+    def idTable(always: Boolean): String = {
+      val r = tmp()
+      val log = Paths.get(r, "_delta_log")
+      Files.createDirectories(log)
+      val explicit = if (always) "false" else "true"
+      val schema = """{\"type\":\"struct\",\"fields\":[{\"name\":\"id\",\"type\":\"long\",\"nullable\":true,\"metadata\":{\"delta.identity.start\":100,\"delta.identity.step\":10,\"delta.identity.allowExplicitInsert\":EXP}},{\"name\":\"v\",\"type\":\"string\",\"nullable\":true,\"metadata\":{}}]}"""
+        .replace("EXP", explicit)
+      Files.write(log.resolve(f"${0L}%020d.json"),
+        ("""{"protocol":{"minReaderVersion":1,"minWriterVersion":6}}
+""" +
+          s"""{"metaData":{"id":"id-fix","format":{"provider":"parquet","options":{}},"schemaString":"$schema","partitionColumns":[],"configuration":{}}}
+""")
+          .getBytes(UTF_8))
+      r
+    }
+    val t = idTable(always = true)
+    // first append: values start at `start`, step by `step`
+    DeltaLog.commit(Seq("a", "b", "c").toDF("v"), t)
+    val r1 = spark.read.format("delta-log").load(t)
+      .orderBy("id").as[(Long, String)].collect().toSeq
+    assert(r1.map(_._1) === Seq(100L, 110L, 120L))
+    // the moved mark restates in the SAME commit's metaData
+    val s1 = DeltaLog.snapshot(spark, t)
+    assert(s1.schema("id").metadata
+      .getLong("delta.identity.highWaterMark") === 120L)
+    assert(s1.tableId === "id-fix") // restatement keeps the table id
+    // second append continues PAST the mark — monotonic across commits
+    DeltaLog.commit(Seq("d", "e").toDF("v"), t)
+    val r2 = spark.read.format("delta-log").load(t)
+      .orderBy("id").as[(Long, String)].collect().toSeq
+    assert(r2.map(_._1) === Seq(100L, 110L, 120L, 130L, 140L))
+    assert(DeltaLog.snapshot(spark, t).schema("id").metadata
+      .getLong("delta.identity.highWaterMark") === 140L)
+    // GENERATED ALWAYS refuses explicit values (and UPDATE on the
+    // identity column refuses on any identity table)
+    val eX = intercept[IllegalArgumentException] {
+      DeltaLog.commit(Seq((999L, "x")).toDF("id", "v"), t)
+    }
+    assert(eX.getMessage.contains("GENERATED ALWAYS"))
+    val parse = spark.sessionState.sqlParser.parseExpression _
+    val eU = intercept[IllegalArgumentException] {
+      DeltaLog.updateWhere(spark, t,
+        Seq("id" -> parse("id + 1")), Some(parse("v = 'a'")))
+    }
+    assert(eU.getMessage.contains("IDENTITY"))
+    // GENERATED BY DEFAULT accepts explicit values (mark untouched —
+    // the spec's rule; re-syncing is a separate maintenance op)
+    val tD = idTable(always = false)
+    DeltaLog.commit(Seq((7L, "x")).toDF("id", "v"), tD)
+    assert(spark.read.format("delta-log").load(tD)
+      .as[(Long, String)].collect().toSeq === Seq((7L, "x")))
+    // and still allocates when the column is omitted
+    DeltaLog.commit(Seq("y").toDF("v"), tD)
+    assert(spark.read.format("delta-log").load(tD)
+      .orderBy("id").as[(Long, String)].collect().map(_._1).toSeq ===
+      Seq(7L, 100L))
   }
 
   test("null partition values survive the round trip") {

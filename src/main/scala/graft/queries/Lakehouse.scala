@@ -3123,6 +3123,83 @@ object Lakehouse {
              |  CAST(sum(o_orderkey + c2) AS BIGINT) AS sum_g,
              |  CAST(sum(rid) AS BIGINT) AS sum_id,
              |  CAST(1 AS BIGINT) AS gi_ok
-             |FROM ids""".stripMargin))
+             |FROM ids""".stripMargin)),
+
+    // DELTA WRITER SCHEMA EVOLUTION (round 11): routine ingestion
+    // pipelines add columns and widen key types; round 10's writer
+    // refused both, making such appends fail. Now `mergeSchema`
+    // appends merge ADD-ONLY columns (old files NULL-fill at read
+    // time) and SAFE WIDENINGS (int→long here) into the schema,
+    // restated in the SAME commit — a widening also upgrades the
+    // protocol with the `typeWidening` reader-writer feature and
+    // records `delta.typeChanges` field metadata, the spec's licence
+    // for reading narrow old files under the wide declared schema.
+    // The entry seeds the table with an INT key column plus custkey,
+    // then mergeSchema-appends the second half with a LONG key and a
+    // NEW status column; `evo_ok` pins the un-opted refusal, the
+    // protocol/typeChanges record, and MERGE WITH SCHEMA EVOLUTION
+    // adding an assignment-target column (DeltaLogSpec pins the full
+    // matrix incl. retype refusals and mapped-table stamping).
+    QueryDef(
+      "q263_delta_schema_evolution",
+      (s, d) => {
+        import graft.sources.DeltaLog
+        val root = Files.createTempDirectory("dse_entry_").toString + "/t"
+        val src = orders(s, d).filter(col("o_orderkey") <= 2000)
+        DeltaLog.commit(src.filter(col("o_orderkey") <= 1000)
+          .select(col("o_orderkey").cast("int").as("o_orderkey"),
+            col("o_custkey")).coalesce(1), root)
+        // un-opted: both the widened key and the new column refuse
+        val vSeed = DeltaLog.latestVersion(root)
+        val refused =
+          try {
+            DeltaLog.commit(src.filter(col("o_orderkey") > 1000)
+              .select(col("o_orderkey"), col("o_custkey"),
+                col("o_orderstatus")).coalesce(1), root)
+            false
+          } catch { case _: IllegalArgumentException =>
+            DeltaLog.latestVersion(root) == vSeed }
+        DeltaLog.commit(src.filter(col("o_orderkey") > 1000)
+          .select(col("o_orderkey"), col("o_custkey"),
+            col("o_orderstatus")).coalesce(1), root,
+          mergeSchema = true)
+        val snap = DeltaLog.snapshot(s, root)
+        val widenOk = snap.schema("o_orderkey").dataType ==
+          org.apache.spark.sql.types.LongType &&
+          snap.readerFeatures.contains("typeWidening") &&
+          snap.writerFeatures.contains("typeWidening") &&
+          snap.schema("o_orderkey").metadata
+            .getMetadataArray("delta.typeChanges").length == 1
+        // MERGE WITH SCHEMA EVOLUTION adds an assignment-target column
+        val mSrc = s.range(1).select(lit(1L).as("sk"),
+          lit("m").as("mtag"))
+        DeltaLog.mergeConditional(s, root, mSrc, "o_orderkey", "sk",
+          matched = Seq(graft.sources.VersionedTable.MergeUpdate(None,
+            Map("mtag" ->
+              graft.sources.VersionedTable.MergeRef.source("mtag")))),
+          withSchemaEvolution = true)
+        val mergeEvoOk = DeltaLog.snapshot(s, root)
+          .schema.fieldNames.contains("mtag")
+        val evoOk = if (refused && widenOk && mergeEvoOk) 1L else 0L
+        s.read.format("delta-log").load(root)
+          .agg(count(lit(1)).as("n_rows"),
+            sum(col("o_orderkey")).cast("long").as("sum_key"),
+            sum(when(col("o_orderstatus").isNull, 1L).otherwise(0L))
+              .as("n_null_status"),
+            countDistinct(col("o_orderstatus")).as("n_statuses"),
+            sum(when(col("mtag").isNotNull, 1L).otherwise(0L))
+              .as("n_tagged"))
+          .withColumn("evo_ok", lit(evoOk))
+      },
+      Some("""SELECT CAST(count(*) AS BIGINT) AS n_rows,
+             |  CAST(sum(o_orderkey) AS BIGINT) AS sum_key,
+             |  CAST(sum(CASE WHEN o_orderkey <= 1000 THEN 1 ELSE 0 END)
+             |    AS BIGINT) AS n_null_status,
+             |  CAST(count(DISTINCT CASE WHEN o_orderkey > 1000
+             |    THEN o_orderstatus END) AS BIGINT) AS n_statuses,
+             |  CAST(sum(CASE WHEN o_orderkey = 1 THEN 1 ELSE 0 END)
+             |    AS BIGINT) AS n_tagged,
+             |  CAST(1 AS BIGINT) AS evo_ok
+             |FROM orders WHERE o_orderkey <= 2000""".stripMargin))
   )
 }

@@ -72,7 +72,12 @@ object DeltaLog {
     * ...) refuses. */
   val supportedReaderFeatures: Set[String] =
     Set("timestampNtz", "deletionVectors", "columnMapping",
-      "v2Checkpoint")
+      "v2Checkpoint",
+      // widened columns read natively: Spark 4's vectorized parquet
+      // reader upcasts a file whose physical type is narrower than
+      // the declared schema (exactly the promotions the feature
+      // licenses); `delta.typeChanges` metadata is informational
+      "typeWidening")
 
   final case class DeltaAdd(
       path: String,                        // decoded, relative or absolute
@@ -108,7 +113,11 @@ object DeltaLog {
       readerFeatures: Set[String] = Set.empty,
       writerFeatures: Set[String] = Set.empty,
       // the metaData action's id — restatements carry it forward
-      tableId: String = "") {
+      tableId: String = "",
+      // domainMetadata replay state: domain → (configuration JSON,
+      // removed). Latest action per domain wins; removed=true is the
+      // spec's tombstone. Carried through checkpoints and RESTORE.
+      domains: Map[String, (String, Boolean)] = Map.empty) {
     def dataSchema: StructType =
       StructType(schema.fields.filterNot(f => partitionColumns.contains(f.name)))
     def partitionSchema: StructType =
@@ -276,6 +285,7 @@ object DeltaLog {
     var configuration: Map[String, String] = Map.empty
     val adds = scala.collection.mutable.LinkedHashMap.empty[String, DeltaAdd]
     val txns = scala.collection.mutable.Map.empty[String, Long]
+    val domains = scala.collection.mutable.Map.empty[String, (String, Boolean)]
 
     def applyAction(kind: String, body: JsonNode): Unit = kind match {
       case "protocol" =>
@@ -326,7 +336,13 @@ object DeltaLog {
         val app = body.get("appId").asText()
         val ver = body.get("version").asLong()
         if (txns.getOrElse(app, Long.MinValue) < ver) txns(app) = ver
-      case _ => () // commitInfo / cdc / domainMetadata: no reader state
+      case "domainMetadata" =>
+        // latest action per domain wins (the spec's reconciliation)
+        domains(body.get("domain").asText()) = (
+          if (body.hasNonNull("configuration"))
+            body.get("configuration").asText() else "",
+          body.hasNonNull("removed") && body.get("removed").asBoolean())
+      case _ => () // commitInfo / cdc: no reader state
     }
   }
 
@@ -370,7 +386,8 @@ object DeltaLog {
       minWriterVersion = replay.minWriter,
       readerFeatures = replay.readerFeatures,
       writerFeatures = replay.writerFeatures,
-      tableId = replay.tableId)
+      tableId = replay.tableId,
+      domains = replay.domains.toMap)
   }
 
   /** logical → physical top-level names under column mapping
@@ -448,7 +465,8 @@ object DeltaLog {
         val classic = names.filterNot(isV2).sorted
           .map(n => logDir(root).resolve(n).toString)
         applyCheckpointRows(spark.read.parquet(classic: _*),
-          Seq("protocol", "metaData", "add", "remove", "txn"), replay)
+          Seq("protocol", "metaData", "add", "remove", "txn",
+          "domainMetadata"), replay)
     }
   }
 
@@ -522,7 +540,8 @@ object DeltaLog {
           .where(df.col("sidecar").isNotNull).collect()
           .foreach(r => sidecars += r.getString(0))
       applyCheckpointRows(df,
-        Seq("protocol", "metaData", "add", "remove", "txn"), replay)
+        Seq("protocol", "metaData", "add", "remove", "txn",
+          "domainMetadata"), replay)
     }
     if (sidecars.nonEmpty) {
       // relative sidecar paths resolve under _delta_log/_sidecars/
@@ -746,7 +765,18 @@ object DeltaLog {
     // ([[applyGeneratedColumns]]); identity columns allocate past the
     // mark and restate it in the same commit ([[applyIdentityColumns]]),
     // with UPDATE/MERGE assignment refusals guarding the rest
-    "generatedColumns", "identityColumns")
+    "generatedColumns", "identityColumns",
+    // widening writes record `delta.typeChanges` and upgrade the
+    // protocol in the same commit ([[evolveSchema]])
+    "typeWidening",
+    // domain metadata is REPLAY state here: every commit leaves it in
+    // the log, [[checkpoint]] compacts the live domains into the
+    // checkpoint, RESTORE reconciles to the target's domains, and the
+    // putIfAbsent commit protocol makes ANY concurrent commit —
+    // same-domain ones included — conflict. clustering's writer
+    // obligation is exactly "preserve the delta.clustering domain",
+    // which the above provides — real clustered tables stay writable
+    "domainMetadata", "clustering")
 
   /** The Delta protocol's writer rule: a writer MUST honor every
     * ACTIVE writer feature's obligations or refuse the commit — an
@@ -815,6 +845,106 @@ object DeltaLog {
       if (bad > 0) throw new IllegalArgumentException(
         s"delta-log $operation: $bad row(s) violate CHECK $name ($sql)")
     }
+  }
+
+  /** May a column physically stored as `from` be DECLARED as `to`,
+    * with old files upcast at read time? Exactly the promotions the
+    * Delta `typeWidening` table feature licenses AND Spark 4's
+    * vectorized parquet reader performs natively when the declared
+    * schema is wider than a file's physical type: the integer chain,
+    * float→double, decimal precision growth at the same scale, and
+    * date→timestamp_ntz. Narrowing, scale changes and cross-family
+    * retypes change VALUES, not headroom — refused. */
+  private def isSafeWidening(from: DataType, to: DataType): Boolean =
+    (from, to) match {
+      case (ByteType, ShortType | IntegerType | LongType) => true
+      case (ShortType, IntegerType | LongType) => true
+      case (IntegerType, LongType) => true
+      case (FloatType, DoubleType) => true
+      case (d1: DecimalType, d2: DecimalType) =>
+        d2.precision > d1.precision && d2.scale == d1.scale
+      case (DateType, TimestampNTZType) => true
+      case _ => false
+    }
+
+  /** Delta's primitive type name of `dt` (what `delta.typeChanges`
+    * records) — Spark's JSON names coincide for every widenable
+    * type. */
+  private def deltaTypeName(dt: DataType): String =
+    dt.json.stripPrefix("\"").stripSuffix("\"")
+
+  /** The `mergeSchema` evolution of an append: incoming-only columns
+    * ADD (nullable, at the end — old files null-fill them at read
+    * time, the Delta rule), and an incoming column WIDER than the
+    * table's widens the declared type when [[isSafeWidening]] allows
+    * (recorded in `delta.typeChanges` field metadata; the caller
+    * upgrades the protocol with the `typeWidening` reader-writer
+    * feature — the spec only licenses reading narrow old files under
+    * a wide schema on feature-bearing tables). Anything else —
+    * narrowing, retypes, nested shape changes — is left for the
+    * append schema check to refuse. On COLUMN-MAPPED tables added
+    * fields are stamped with fresh mapping ids + physical names and
+    * `delta.columnMapping.maxColumnId` advances in the same commit.
+    * Returns (evolved schema, any widening happened, updated
+    * configuration), or None when nothing evolves. */
+  private def evolveSchema(prev: StructType, incoming: StructType,
+      mapped: Boolean, configuration: Map[String, String])
+      : Option[(StructType, Boolean, Map[String, String])] = {
+    var widened = false
+    val updated = prev.fields.map { f =>
+      incoming.fields.find(_.name == f.name) match {
+        case Some(inF) if nullableOf(inF.dataType) != nullableOf(f.dataType) &&
+            isSafeWidening(f.dataType, inF.dataType) =>
+          widened = true
+          val change = new MetadataBuilder()
+            .putString("fromType", deltaTypeName(f.dataType))
+            .putString("toType", deltaTypeName(inF.dataType)).build()
+          val prior =
+            if (f.metadata.contains("delta.typeChanges"))
+              f.metadata.getMetadataArray("delta.typeChanges")
+            else Array.empty[Metadata]
+          f.copy(dataType = inF.dataType, metadata =
+            new MetadataBuilder().withMetadata(f.metadata)
+              .putMetadataArray("delta.typeChanges", prior :+ change)
+              .build())
+        case _ => f
+      }
+    }
+    val prevNames = prev.fieldNames.toSet
+    val added0 = incoming.fields.toSeq
+      .filterNot(f => prevNames.contains(f.name))
+      .map(f => f.copy(nullable = true, metadata = Metadata.empty))
+    var conf = configuration
+    val added =
+      if (!mapped || added0.isEmpty) added0
+      else {
+        var nextId = configuration
+          .get("delta.columnMapping.maxColumnId").map(_.toLong)
+          .getOrElse(0L)
+        val stamped = added0.map { f =>
+          def hasStruct(dt: DataType): Boolean = dt match {
+            case _: StructType => true
+            case ArrayType(e, _) => hasStruct(e)
+            case MapType(k, v, _) => hasStruct(k) || hasStruct(v)
+            case _ => false
+          }
+          require(!hasStruct(f.dataType),
+            s"delta-log mergeSchema: cannot add STRUCT column ${f.name} " +
+              "to a column-mapped table (nested members need their own " +
+              "mapping ids) — evolve with delta-spark")
+          nextId += 1
+          f.copy(metadata = new MetadataBuilder()
+            .putLong("delta.columnMapping.id", nextId)
+            .putString("delta.columnMapping.physicalName",
+              s"col-${java.util.UUID.randomUUID()}")
+            .build())
+        }
+        conf = configuration +
+          ("delta.columnMapping.maxColumnId" -> nextId.toString)
+        stamped
+      }
+    if (!widened && added.isEmpty) None
+    else Some((StructType(updated ++ added), widened, conf))
   }
 
   /** Top-level fields carrying a GENERATED ALWAYS AS expression
@@ -1040,7 +1170,8 @@ object DeltaLog {
   def commit(df: DataFrame, root: String, mode: String = "append",
       partitionBy: Seq[String] = Nil,
       txn: Option[(String, Long)] = None,
-      properties: Map[String, String] = Map.empty): Long = {
+      properties: Map[String, String] = Map.empty,
+      mergeSchema: Boolean = false): Long = {
     require(mode == "append" || mode == "overwrite",
       s"delta-log: mode must be append|overwrite, got $mode")
     val spark = df.sparkSession
@@ -1062,8 +1193,31 @@ object DeltaLog {
       case Some(s) => applyIdentityColumns(df, s.schema, opName)
       case None => (df, None)
     }
-    val dfIn = applyGeneratedColumns(dfId,
+    val dfIn0 = applyGeneratedColumns(dfId,
       existing.map(_.schema).getOrElse(df.schema), opName)
+    // SCHEMA EVOLUTION (`mergeSchema` appends): add-only columns and
+    // safe widenings merge into the table schema, restated in the
+    // SAME commit (with the typeWidening protocol upgrade when a
+    // type changed). Evolution composes with an identity
+    // allocation's mark restatement — it evolves the already-updated
+    // schema.
+    val evolution = existing match {
+      case Some(s) if mergeSchema && mode == "append" =>
+        evolveSchema(identitySchema.getOrElse(s.schema), dfIn0.schema,
+          s.columnMapping.nonEmpty, s.configuration)
+      case _ => None
+    }
+    // widened: stage the incoming rows AT the widened type — new
+    // files carry the wide type, old files upcast at read time
+    val dfIn = evolution match {
+      case Some((sch, true, _)) =>
+        import org.apache.spark.sql.functions.col
+        val tgt = sch.fields.map(f => f.name -> f.dataType).toMap
+        dfIn0.select(dfIn0.schema.fieldNames.toSeq.map(c =>
+          col(s"`$c`").cast(tgt.getOrElse(c, dfIn0.schema(c).dataType))
+            .as(c)): _*)
+      case _ => dfIn0
+    }
     // target shape: (logical schema to record, configuration,
     // protocol) — existing tables carry theirs forward, new tables
     // derive from `properties`
@@ -1077,8 +1231,10 @@ object DeltaLog {
             s"delta-log: append partitioning $partitionBy != table's " +
               s"${s.partitionColumns}")
           // nullability-insensitive: writing non-null rows into a
-          // nullable column is always sound
-          val tbl = s.schema.fields
+          // nullable column is always sound; with mergeSchema the
+          // check runs against the EVOLVED schema (added columns and
+          // widened types are in)
+          val tbl = evolution.map(_._1).getOrElse(s.schema).fields
             .map(f => f.name -> nullableOf(f.dataType)).toMap
           val bad = dfIn.schema.fields.filter(f =>
             !tbl.get(f.name).contains(nullableOf(f.dataType)))
@@ -1099,10 +1255,23 @@ object DeltaLog {
         }
         val schema =
           if (mode == "overwrite" && s.columnMapping.isEmpty) dfIn.schema
-          else s.schema
-        (schema, s.configuration,
-          (s.minReaderVersion, s.minWriterVersion,
-            s.readerFeatures, s.writerFeatures))
+          else evolution.map(_._1).getOrElse(s.schema)
+        val conf = evolution.map(_._3).getOrElse(s.configuration)
+        // a WIDENING commit must carry the typeWidening reader-writer
+        // feature — the spec only licenses reading narrow old files
+        // under a wide declared schema on feature-bearing tables
+        val p0 = (s.minReaderVersion, s.minWriterVersion,
+          s.readerFeatures, s.writerFeatures)
+        val p =
+          if (!evolution.exists(_._2) ||
+            (s.minReaderVersion >= 3 &&
+              s.readerFeatures.contains("typeWidening"))) p0
+          else (3, 7,
+            s.readerFeatures ++ legacyReaderFeatures(s.minReaderVersion) ++
+              Set("typeWidening"),
+            s.writerFeatures ++ legacyWriterFeatures(s.minWriterVersion) ++
+              Set("typeWidening"))
+        (schema, conf, p)
       case None =>
         val mapMode = properties.getOrElse("delta.columnMapping.mode", "none")
         require(mapMode == "none" || mapMode == "name" || mapMode == "id",
@@ -1164,8 +1333,13 @@ object DeltaLog {
     // 'id'-mode readers. Ungated, a logical-name append would read
     // back all-NULL through every mapped reader (this repo's and
     // delta-spark's).
-    val mapping = existing.map(_.columnMapping).getOrElse(
-      columnMappingOf(root, recordSchema, configuration))
+    val mapping =
+      // an evolved mapped schema carries freshly stamped ids — derive
+      // the logical→physical map from IT, not the stale snapshot
+      if (evolution.isDefined)
+        columnMappingOf(root, recordSchema, configuration)
+      else existing.map(_.columnMapping).getOrElse(
+        columnMappingOf(root, recordSchema, configuration))
     val stagedDf =
       if (mapping.isEmpty) dfIn else toPhysicalDf(dfIn, recordSchema, root)
     val stagedPartitionBy = partitionBy.map(c => mapping.getOrElse(c, c))
@@ -1181,12 +1355,17 @@ object DeltaLog {
     if (latest < 0 || mode == "overwrite") {
       lines += protocolLine(proto._1, proto._2, proto._3, proto._4)
       lines += metaDataLine(recordSchema.json, partitionBy, configuration)
-    } else if (identitySchema.isDefined)
-      // identity allocation moved the high-water mark: the spec
-      // requires the updated mark in the SAME commit (losing it
-      // would let a later writer re-issue the same values)
+    } else if (identitySchema.isDefined || evolution.isDefined) {
+      // restated in the SAME commit: an identity allocation's moved
+      // mark, and/or a mergeSchema evolution's new schema (plus the
+      // typeWidening protocol upgrade when a type widened)
+      if (evolution.exists(_._2) && existing.exists(e =>
+          !(e.minReaderVersion >= 3 &&
+            e.readerFeatures.contains("typeWidening"))))
+        lines += protocolLine(proto._1, proto._2, proto._3, proto._4)
       lines += metaDataLine(recordSchema.json, partitionBy, configuration,
         existing.map(_.tableId))
+    }
     if (mode == "overwrite") existing.foreach(_.adds.foreach { a =>
       lines += s"""{"remove":{"path":${jsonStr(encodePath(a.path))},""" +
         s""""deletionTimestamp":${System.currentTimeMillis},"dataChange":true}}"""
@@ -1427,7 +1606,8 @@ object DeltaLog {
       removedPaths: Seq[String], df: DataFrame,
       partitionBy: Seq[String] = Nil,
       cdcAdds: Seq[DeltaAdd] = Nil,
-      operation: String = "DELETE"): Long = {
+      operation: String = "DELETE",
+      metaRestate: Option[String] = None): Long = {
     val latest = latestVersion(root)
     val nonce = java.util.UUID.randomUUID().toString.take(8)
     val adds = stageAndLand(spark, df, root, partitionBy, nonce)
@@ -1435,6 +1615,8 @@ object DeltaLog {
     val lines = scala.collection.mutable.ListBuffer.empty[String]
     lines += s"""{"commitInfo":{"timestamp":${System.currentTimeMillis},""" +
       s""""operation":"$operation"}}"""
+    // schema evolution lands its restated metaData in the SAME commit
+    metaRestate.foreach(lines += _)
     removedPaths.foreach { p =>
       lines += s"""{"remove":{"path":${jsonStr(encodePath(p))},""" +
         s""""deletionTimestamp":${System.currentTimeMillis},""" +
@@ -1536,13 +1718,25 @@ object DeltaLog {
     lines += s"""{"commitInfo":{"timestamp":${System.currentTimeMillis},""" +
       s""""operation":"RESTORE"}}"""
     // the target's metaData travels with the restore (schema and
-    // configuration may have drifted since)
-    lines += s"""{"metaData":{"id":${jsonStr(java.util.UUID.randomUUID().toString)},""" +
-      s""""format":{"provider":"parquet","options":{}},""" +
-      s""""schemaString":${jsonStr(target.schema.json)},""" +
-      s""""partitionColumns":[${target.partitionColumns.map(jsonStr).mkString(",")}],""" +
-      s""""configuration":{${target.configuration.toSeq.sortBy(_._1)
-        .map { case (k, v) => s"${jsonStr(k)}:${jsonStr(v)}" }.mkString(",")}}}}"""
+    // configuration may have drifted since; the table id is forever)
+    lines += metaDataLine(target.schema.json, target.partitionColumns,
+      target.configuration,
+      Option(target.tableId).filter(_.nonEmpty)
+        .orElse(Option(now.tableId).filter(_.nonEmpty)))
+    // domain metadata restores with the state: domains that drifted
+    // re-emit the target's value, domains born since tombstone
+    target.domains.filterNot(_._2._2).toSeq.sortBy(_._1).foreach {
+      case (d, (conf, _)) if !now.domains.get(d).contains((conf, false)) =>
+        lines += s"""{"domainMetadata":{"domain":${jsonStr(d)},""" +
+          s""""configuration":${jsonStr(conf)},"removed":false}}"""
+      case _ => ()
+    }
+    now.domains.filterNot(_._2._2).keys.toSeq.sorted
+      .filterNot(d => target.domains.get(d).exists(!_._2))
+      .foreach { d =>
+        lines += s"""{"domainMetadata":{"domain":${jsonStr(d)},""" +
+          s""""configuration":"","removed":true}}"""
+      }
     now.adds.filterNot(a => targetPaths(a.path)).foreach { a =>
       lines += s"""{"remove":{"path":${jsonStr(encodePath(a.path))},""" +
         s""""deletionTimestamp":${System.currentTimeMillis},""" +
@@ -1862,7 +2056,8 @@ object DeltaLog {
       source: DataFrame, tKey: String, sKey: String,
       matched: Seq[VersionedTable.MergeClause] = Nil,
       notMatched: Seq[VersionedTable.MergeClause] = Nil,
-      bySource: Seq[VersionedTable.MergeClause] = Nil): Long = {
+      bySource: Seq[VersionedTable.MergeClause] = Nil,
+      withSchemaEvolution: Boolean = false): Long = {
     import org.apache.spark.sql.functions.{col, lit, min => fmin, max => fmax}
     val snap0 = snapshot(spark, root)
     // insert-only merges stay legal on append-only tables (they
@@ -1942,6 +2137,37 @@ object DeltaLog {
         }
       }
     }
+    // WITH SCHEMA EVOLUTION: an assignment targeting a column the
+    // table lacks ADDS it (nullable, typed by the same-named SOURCE
+    // column — the only type authority the clause algebra carries);
+    // without the flag such an assignment refuses. Mapped tables
+    // refuse evolution (added fields would need mapping ids threaded
+    // through the physical rename).
+    val assignedTargets = (matched ++ notMatched ++ bySource).flatMap {
+      case u: VersionedTable.MergeUpdate => u.set.keys
+      case i: VersionedTable.MergeInsert => i.values.keys
+      case _ => Nil
+    }.toSet
+    val newCols = (assignedTargets -- snap0.schema.fieldNames).toSeq.sorted
+    if (newCols.nonEmpty) {
+      require(withSchemaEvolution,
+        s"delta-log MERGE: clause assigns non-existing column(s) " +
+          s"${newCols.mkString(", ")} — use WITH SCHEMA EVOLUTION")
+      require(mapping.isEmpty,
+        "delta-log MERGE: schema evolution on a column-mapped table " +
+          "is not supported — evolve with delta-spark first")
+      newCols.foreach(c => require(source.columns.contains(c),
+        s"delta-log MERGE WITH SCHEMA EVOLUTION: new column $c has no " +
+          "same-named source column to take its type from"))
+    }
+    val schemaM =
+      if (newCols.isEmpty) snap0.schema
+      else StructType(snap0.schema.fields ++ newCols.map(c =>
+        StructField(c, source.schema(c).dataType, nullable = true)))
+    val metaRestateM =
+      if (newCols.isEmpty) None
+      else Some(metaDataLine(schemaM.json, snap0.partitionColumns,
+        snap0.configuration, Option(snap0.tableId).filter(_.nonEmpty)))
     val genFieldsM = generatedFields(snap0.schema)
     val nSrc = source.count()
     if (nSrc == 0 && bySource.isEmpty) return snap.version
@@ -1975,8 +2201,11 @@ object DeltaLog {
     val touchedFrame =
       if (touchedUris.isEmpty) vis.filter(lit(false))
       else vis.filter(col(DeltaLogRead.FpCol).isin(touchedUris: _*))
-    val tgtRows = toLogical(
+    val tgtRows0 = toLogical(
       touchedFrame.drop(DeltaLogRead.FpCol, DeltaLogRead.PosCol))
+    // evolution: existing rows null-fill the added columns
+    val tgtRows = newCols.foldLeft(tgtRows0)((d, c) =>
+      d.withColumn(c, lit(null).cast(source.schema(c).dataType)))
     if (!snap.configuration.get("delta.enableChangeDataFeed")
         .contains("true")) {
       // DELETION-VECTOR path (delta-spark's MERGE-with-DVs shape):
@@ -1988,6 +2217,7 @@ object DeltaLog {
       // Dense merges fall back to the COW rewrite below.
       if (snap.configuration.get("delta.enableDeletionVectors")
           .contains("true") &&
+        newCols.isEmpty && // evolution restates metaData — COW route
         snap0.minWriterVersion >= 7 &&
         snap0.writerFeatures.contains("deletionVectors")) {
         val tgtWithPos =
@@ -2026,28 +2256,29 @@ object DeltaLog {
         } finally tagged.unpersist()
       }
       val out = VersionedTable.mergeCascadeRows(tgtRows, source,
-        snap0.schema, tKey, sKey, matched, notMatched, bySource)
-      enforceRowContracts(out, snap0.schema, snap.configuration, "MERGE")
+        schemaM, tKey, sKey, matched, notMatched, bySource)
+      enforceRowContracts(out, schemaM, snap.configuration, "MERGE")
       if (genFieldsM.nonEmpty)
-        applyGeneratedColumns(out, snap0.schema, "MERGE")
+        applyGeneratedColumns(out, schemaM, "MERGE")
       return replaceFiles(spark, root, touchedAdds.map(_.path).toSeq,
-        toPhysical(out), snap.partitionColumns, operation = "MERGE")
+        toPhysical(out), snap.partitionColumns, operation = "MERGE",
+        metaRestate = metaRestateM)
     }
     // CDF: run the cascade ONCE in tagged form, derive the new table
     // rows AND the change rows from it — carry-over rows (NULL __ct)
     // record nothing, exactly Delta's merge CDF. The tagged frame is
     // persisted because it feeds four scans (out + three change
     // kinds); unpersist after the commit materializes everything.
-    val dataCols = snap0.schema.fieldNames.toSeq
+    val dataCols = schemaM.fieldNames.toSeq
     val tagged = VersionedTable.mergeCascadeTagged(tgtRows, source,
-      snap0.schema, tKey, sKey, matched, notMatched, bySource).persist()
+      schemaM, tKey, sKey, matched, notMatched, bySource).persist()
     try {
       if (tagged.filter(col("__ct").isNotNull).isEmpty)
         return snap.version // no clause fired: no change, no commit
       val out = tagged.filter(col("__keep")).select(dataCols.map(col): _*)
-      enforceRowContracts(out, snap0.schema, snap.configuration, "MERGE")
+      enforceRowContracts(out, schemaM, snap.configuration, "MERGE")
       if (genFieldsM.nonEmpty)
-        applyGeneratedColumns(out, snap0.schema, "MERGE")
+        applyGeneratedColumns(out, schemaM, "MERGE")
       def pre(df: DataFrame) =
         df.select(dataCols.map(c => col(s"__pre_$c").as(c)): _*)
       def post(df: DataFrame) = df.select(dataCols.map(col): _*)
@@ -2065,7 +2296,7 @@ object DeltaLog {
         prefix = "_change_data/")
       replaceFiles(spark, root, touchedAdds.map(_.path).toSeq,
         toPhysical(out), snap.partitionColumns, cdcAdds,
-        operation = "MERGE")
+        operation = "MERGE", metaRestate = metaRestateM)
     } finally tagged.unpersist()
   }
 
@@ -2168,6 +2399,44 @@ object DeltaLog {
     }
     lines += metaDataLine(snap.schema.json, snap.partitionColumns,
       merged, Option(snap.tableId).filter(_.nonEmpty))
+    try io(root).putIfAbsent(commitPath(root, next),
+      lines.mkString("", "\n", "\n").getBytes(UTF_8))
+    catch {
+      case _: java.nio.file.FileAlreadyExistsException =>
+        throw new VersionedTable.ConcurrentCommitException(next)
+    }
+    next
+  }
+
+  /** Commit a `domainMetadata` action — the Delta protocol's named
+    * metadata domain (system domains like `delta.clustering` live
+    * here). Latest action per domain wins on replay; `removed=true`
+    * tombstones the domain. Writing requires the `domainMetadata`
+    * writer feature — absent, the protocol upgrades to (…,7) with the
+    * feature (and every legacy-implied feature) in the SAME commit,
+    * the spec's upgrade rule. Same-domain concurrency is safe by
+    * construction: every commit lands via putIfAbsent, so ANY
+    * concurrent commit — same domain or not — raises
+    * [[VersionedTable.ConcurrentCommitException]] instead of
+    * silently merging. */
+  def setDomainMetadata(spark: SparkSession, root: String,
+      domain: String, configuration: String,
+      removed: Boolean = false): Long = {
+    val snap = snapshot(spark, root)
+    gateWriterObligations(snap, "SET DOMAIN METADATA",
+      removesData = false)
+    val next = snap.version + 1
+    val lines = scala.collection.mutable.ListBuffer.empty[String]
+    if (!(snap.minWriterVersion >= 7 &&
+        snap.writerFeatures.contains("domainMetadata")))
+      lines += protocolLine(snap.minReaderVersion, 7,
+        snap.readerFeatures,
+        snap.writerFeatures ++
+          legacyWriterFeatures(snap.minWriterVersion) ++
+          Set("domainMetadata"))
+    lines += s"""{"domainMetadata":{"domain":${jsonStr(domain)},""" +
+      s""""configuration":${jsonStr(configuration)},""" +
+      s""""removed":$removed}}"""
     try io(root).putIfAbsent(commitPath(root, next),
       lines.mkString("", "\n", "\n").getBytes(UTF_8))
     catch {
@@ -2293,13 +2562,22 @@ object DeltaLog {
     val txnSchema = StructType(Seq(
       StructField("appId", StringType),
       StructField("version", LongType)))
+    val domainSchema = StructType(Seq(
+      StructField("domain", StringType),
+      StructField("configuration", StringType),
+      StructField("removed", BooleanType)))
     val cpSchema0 = StructType(Seq(
       StructField("protocol", protoSchema),
       StructField("metaData", metaSchema),
       StructField("add", addSchema),
       // txn state survives checkpointing — dropping it would break
       // the streaming sink's exactly-once across a truncated log
-      StructField("txn", txnSchema)))
+      StructField("txn", txnSchema),
+      // domain metadata survives too (the domainMetadata feature's
+      // core obligation — a clustered table's delta.clustering
+      // domain must not vanish when the JSON prefix is cleaned);
+      // removed-domain tombstones may be omitted, the spec's rule
+      StructField("domainMetadata", domainSchema)))
     // v2Checkpoint's WRITER obligation: once the feature is active,
     // checkpoints may only be written in v2 format (UUID-named +
     // checkpointMetadata action) — a classic checkpoint here would
@@ -2320,28 +2598,32 @@ object DeltaLog {
         snap.readerFeatures.toSeq.sorted else null,
       if (snap.minWriterVersion >= 7)
         snap.writerFeatures.toSeq.sorted else null),
-      null, null, null)
+      null, null, null, null)
     val metaRow = Row(null, Row(
       if (snap.tableId.nonEmpty) snap.tableId
       else java.util.UUID.randomUUID().toString,
       Row("parquet", Map.empty[String, String]), snap.schema.json,
-      snap.partitionColumns, snap.configuration), null, null)
+      snap.partitionColumns, snap.configuration), null, null, null)
     val addRows = snap.adds.map { a =>
       val pv = a.partitionValues ++ a.nullPartitionCols.map(_ -> null)
       val dvRow = a.deletionVector.map(d => Row(d.storageType,
         d.pathOrInlineDv, d.offset.map(Int.box).orNull, d.sizeInBytes,
         d.cardinality)).orNull
       Row(null, null, Row(encodePath(a.path), pv, a.size, 0L, true,
-        a.statsJson.orNull, dvRow), null)
+        a.statsJson.orNull, dvRow), null, null)
     }
     val txnRows = snap.txns.toSeq.sortBy(_._1).map { case (app, ver) =>
-      Row(null, null, null, Row(app, ver))
+      Row(null, null, null, Row(app, ver), null)
     }
-    val baseRows = protoRow +: metaRow +: (addRows ++ txnRows)
+    val domainRows = snap.domains.toSeq.filterNot(_._2._2)
+      .sortBy(_._1).map { case (d, (conf, _)) =>
+        Row(null, null, null, null, Row(d, conf, false))
+      }
+    val baseRows = protoRow +: metaRow +: (addRows ++ txnRows ++ domainRows)
     val rows =
       if (!v2Mode) baseRows
       else baseRows.map(r => Row.fromSeq(r.toSeq :+ null)) :+
-        Row(null, null, null, null, Row(v)) // the checkpointMetadata
+        Row(null, null, null, null, null, Row(v)) // the checkpointMetadata
     val df = spark.createDataFrame(
       spark.sparkContext.parallelize(rows, 1), cpSchema)
     val staging = Files.createTempDirectory("delta_cp_").resolve("out")

@@ -174,10 +174,15 @@ class DeltaLogDataSource extends RelationProvider
       else parameters.collect {
         case (k, v) if k.toLowerCase.startsWith("delta.") =>
           canonicalProp.getOrElse(k.toLowerCase, k) -> v }
+    // delta-spark's writer option: merge add-only columns / safe
+    // widenings into the table schema on append
+    val mergeSchema = parameters
+      .find(_._1.equalsIgnoreCase("mergeSchema"))
+      .exists(_._2.equalsIgnoreCase("true"))
     mode match {
       case SaveMode.Append =>
         DeltaLog.commit(data, root, "append", partitionBy,
-          properties = properties)
+          properties = properties, mergeSchema = mergeSchema)
       case SaveMode.Overwrite =>
         DeltaLog.commit(data, root, "overwrite", partitionBy,
           properties = properties)

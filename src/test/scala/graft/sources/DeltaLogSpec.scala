@@ -171,14 +171,17 @@ class DeltaLogSpec extends SparkSpecBase {
           .getBytes(UTF_8))
       root
     }
-    // v2Checkpoint is SUPPORTED since round 10 (replayV2Checkpoint);
-    // typeWidening remains genuinely unsupported — the refusal gate
+    // v2Checkpoint (round 10) and typeWidening (round 11) are
+    // SUPPORTED; variantType remains genuinely unsupported — the gate
+    val vt = mkLog(
+      """{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["variantType"],"writerFeatures":["variantType"]}""")
+    val e1 = intercept[UnsupportedOperationException] {
+      DeltaLog.snapshot(spark, vt)
+    }
+    assert(e1.getMessage.contains("variantType"))
     val tw = mkLog(
       """{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["typeWidening"],"writerFeatures":["typeWidening"]}""")
-    val e1 = intercept[UnsupportedOperationException] {
-      DeltaLog.snapshot(spark, tw)
-    }
-    assert(e1.getMessage.contains("typeWidening"))
+    assert(DeltaLog.snapshot(spark, tw).adds.size === 1)
     val v2cp = mkLog(
       """{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["v2Checkpoint"],"writerFeatures":["v2Checkpoint"]}""")
     assert(DeltaLog.snapshot(spark, v2cp).adds.size === 1)
@@ -626,6 +629,152 @@ class DeltaLogSpec extends SparkSpecBase {
     assert(spark.read.format("delta-log").load(tD)
       .orderBy("id").as[(Long, String)].collect().map(_._1).toSeq ===
       Seq(7L, 100L))
+  }
+
+  test("mergeSchema append: add-only columns, safe widenings, refusals") {
+    import org.apache.spark.sql.types._
+    // ---- add a column: old files NULL-fill it at read time ----
+    val t1 = tmp()
+    DeltaLog.commit(Seq((1L, "a")).toDF("k", "s").coalesce(1), t1)
+    // without mergeSchema the extra column refuses (unchanged rule)
+    intercept[IllegalArgumentException] {
+      DeltaLog.commit(Seq((2L, "b", 7)).toDF("k", "s", "extra")
+        .coalesce(1), t1)
+    }
+    DeltaLog.commit(Seq((2L, "b", 7)).toDF("k", "s", "extra")
+      .coalesce(1), t1, mergeSchema = true)
+    val s1 = DeltaLog.snapshot(spark, t1)
+    assert(s1.schema.fieldNames.toSeq === Seq("k", "s", "extra"))
+    assert(s1.tableId.nonEmpty) // restatement carried the id
+    assert(spark.read.format("delta-log").load(t1)
+      .orderBy("k").as[(Long, String, Option[Int])].collect().toSeq ===
+      Seq((1L, "a", None), (2L, "b", Some(7))))
+    // add-only does NOT tack on typeWidening
+    assert(!s1.writerFeatures.contains("typeWidening"))
+    // ---- widen int -> long: typeWidening feature + typeChanges ----
+    val t2 = tmp()
+    DeltaLog.commit(Seq(1, 2).toDF("k").coalesce(1), t2)
+    intercept[IllegalArgumentException] { // still refused un-opted
+      DeltaLog.commit(Seq(3L).toDF("k").coalesce(1), t2)
+    }
+    DeltaLog.commit(Seq(3000000000L).toDF("k").coalesce(1), t2,
+      mergeSchema = true)
+    val s2 = DeltaLog.snapshot(spark, t2)
+    assert(s2.schema("k").dataType === LongType)
+    assert(s2.minReaderVersion === 3 && s2.minWriterVersion === 7)
+    assert(s2.readerFeatures.contains("typeWidening") &&
+      s2.writerFeatures.contains("typeWidening"))
+    val tc = s2.schema("k").metadata
+      .getMetadataArray("delta.typeChanges")
+    assert(tc.length === 1 && tc(0).getString("fromType") === "integer"
+      && tc(0).getString("toType") === "long")
+    // narrow OLD files upcast at read time; the wide new row reads
+    assert(spark.read.format("delta-log").load(t2)
+      .orderBy("k").as[Long].collect().toSeq ===
+      Seq(1L, 2L, 3000000000L))
+    // ---- retypes refuse even with mergeSchema ----
+    val e = intercept[IllegalArgumentException] {
+      DeltaLog.commit(Seq("x").toDF("k").coalesce(1), t2,
+        mergeSchema = true)
+    }
+    assert(e.getMessage.contains("schema mismatch"))
+    // ---- MERGE WITH SCHEMA EVOLUTION: assignment targets a new
+    // column, typed by the same-named source column ----
+    val t3 = tmp()
+    DeltaLog.commit(Seq((1L, "a"), (2L, "b")).toDF("k", "s")
+      .coalesce(1), t3)
+    val src = Seq((2L, "B", 20), (3L, "C", 30)).toDF("sk", "s", "extra")
+    val eNoFlag = intercept[IllegalArgumentException] {
+      DeltaLog.mergeConditional(spark, t3, src, "k", "sk",
+        notMatched = Seq(VersionedTable.MergeInsert(None, Map(
+          "k" -> VersionedTable.MergeRef.source("sk"),
+          "s" -> VersionedTable.MergeRef.source("s"),
+          "extra" -> VersionedTable.MergeRef.source("extra")))))
+    }
+    assert(eNoFlag.getMessage.contains("WITH SCHEMA EVOLUTION"))
+    DeltaLog.mergeConditional(spark, t3, src, "k", "sk",
+      matched = Seq(VersionedTable.MergeUpdate(None, Map(
+        "s" -> VersionedTable.MergeRef.source("s"),
+        "extra" -> VersionedTable.MergeRef.source("extra")))),
+      notMatched = Seq(VersionedTable.MergeInsert(None, Map(
+        "k" -> VersionedTable.MergeRef.source("sk"),
+        "s" -> VersionedTable.MergeRef.source("s"),
+        "extra" -> VersionedTable.MergeRef.source("extra")))),
+      withSchemaEvolution = true)
+    assert(DeltaLog.snapshot(spark, t3).schema.fieldNames.toSeq ===
+      Seq("k", "s", "extra"))
+    assert(spark.read.format("delta-log").load(t3)
+      .orderBy("k").as[(Long, String, Option[Int])].collect().toSeq ===
+      Seq((1L, "a", None), (2L, "B", Some(20)), (3L, "C", Some(30))))
+  }
+
+  test("domainMetadata: replay, checkpoint survival, restore, clustered writes") {
+    // set on a plain table: protocol upgrades in the same commit
+    val t = tmp()
+    DeltaLog.commit(Seq(1L).toDF("k").coalesce(1), t)
+    DeltaLog.setDomainMetadata(spark, t, "app.owner", """{"team":"etl"}""")
+    val s1 = DeltaLog.snapshot(spark, t)
+    assert(s1.minWriterVersion === 7 &&
+      s1.writerFeatures.contains("domainMetadata"))
+    assert(s1.domains("app.owner") === ("""{"team":"etl"}""", false))
+    // survives a checkpoint + cleaned JSON prefix
+    DeltaLog.commit(Seq(2L).toDF("k").coalesce(1), t)
+    DeltaLog.checkpoint(spark, t)
+    val log = Paths.get(t, "_delta_log")
+    import scala.jdk.CollectionConverters._
+    locally {
+      val l = Files.list(log)
+      try l.iterator().asScala.toSeq
+        .filter(p => p.getFileName.toString.endsWith(".json") &&
+          p.getFileName.toString.length == 25)
+        .foreach(Files.delete)
+      finally l.close()
+    }
+    val s2 = DeltaLog.snapshot(spark, t)
+    assert(s2.domains("app.owner") === ("""{"team":"etl"}""", false))
+    assert(spark.read.format("delta-log").load(t).count() === 2)
+    // tombstone removes; a later checkpoint omits the dead domain
+    DeltaLog.setDomainMetadata(spark, t, "app.owner", "", removed = true)
+    assert(DeltaLog.snapshot(spark, t).domains("app.owner")._2 === true)
+    DeltaLog.checkpoint(spark, t)
+    assert(!DeltaLog.snapshot(spark, t).domains.contains("app.owner"))
+    // RESTORE reconciles domains to the target version's state
+    val r = tmp()
+    DeltaLog.commit(Seq(1L).toDF("k").coalesce(1), r)            // v0
+    DeltaLog.setDomainMetadata(spark, r, "d.pin", "v_a")          // v1
+    DeltaLog.setDomainMetadata(spark, r, "d.pin", "v_b")          // v2
+    DeltaLog.setDomainMetadata(spark, r, "d.new", "born_later")   // v3
+    DeltaLog.restore(spark, r, 1L)
+    val s3 = DeltaLog.snapshot(spark, r)
+    assert(s3.domains("d.pin") === ("v_a", false))
+    assert(s3.domains.get("d.new").forall(_._2)) // tombstoned
+    // FOREIGN clustered table (domainMetadata + clustering features,
+    // delta.clustering domain): append now WORKS and the domain is
+    // preserved — round 10 refused these tables outright
+    val c = tmp()
+    val cLog = Paths.get(c, "_delta_log")
+    Files.createDirectories(cLog)
+    val kSchema = """{\"type\":\"struct\",\"fields\":[{\"name\":\"k\",\"type\":\"long\",\"nullable\":true,\"metadata\":{}}]}"""
+    Files.write(cLog.resolve(f"${0L}%020d.json"),
+      (s"""{"protocol":{"minReaderVersion":1,"minWriterVersion":7,"writerFeatures":["domainMetadata","clustering","appendOnly","invariants"]}}\n""" +
+        s"""{"metaData":{"id":"clus","format":{"provider":"parquet","options":{}},"schemaString":"$kSchema","partitionColumns":[],"configuration":{}}}\n""" +
+        s"""{"domainMetadata":{"domain":"delta.clustering","configuration":"{\\"clusteringColumns\\":[[\\"k\\"]]}","removed":false}}\n""")
+        .getBytes(UTF_8))
+    DeltaLog.commit(Seq(5L).toDF("k").coalesce(1), c)
+    val sC = DeltaLog.snapshot(spark, c)
+    assert(sC.domains.contains("delta.clustering"))
+    DeltaLog.checkpoint(spark, c)
+    locally {
+      val l = Files.list(cLog)
+      try l.iterator().asScala.toSeq
+        .filter(p => p.getFileName.toString.endsWith(".json") &&
+          p.getFileName.toString.length == 25)
+        .foreach(Files.delete)
+      finally l.close()
+    }
+    assert(DeltaLog.snapshot(spark, c).domains.contains("delta.clustering"))
+    assert(spark.read.format("delta-log").load(c).as[Long]
+      .collect().toSeq === Seq(5L))
   }
 
   test("null partition values survive the round trip") {

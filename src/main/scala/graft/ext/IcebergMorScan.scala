@@ -34,6 +34,12 @@ import org.apache.spark.sql.execution.datasources.{
   * appends out-scope older deletes), each branch gets positional
   * deletes via the split above plus one broadcast null-safe anti-join
   * per equality-column set.
+  *
+  * v3 DELETION VECTORS ride the same positional split: each DV names
+  * its one target file (`referenced_data_file`), so the touched set is
+  * exact from metadata alone; blobs decode driver-side
+  * ([[IcebergMetaRead.dvPositions]], ceiling-guarded) and anti-join on
+  * `(file, _metadata.row_index)` like delete-parquet rows.
   */
 case class IcebergMorScan(session: SparkSession) extends Rule[LogicalPlan] {
 
@@ -42,7 +48,7 @@ case class IcebergMorScan(session: SparkSession) extends Rule[LogicalPlan] {
       case l @ LogicalRelation(r: HadoopFsRelation, _, _, _, _)
           if r.location.isInstanceOf[IcebergMetaFileIndex] && {
             val s = r.location.asInstanceOf[IcebergMetaFileIndex].snap
-            s.deletes.nonEmpty || s.eqDeletes.nonEmpty
+            s.deletes.nonEmpty || s.eqDeletes.nonEmpty || s.dvs.nonEmpty
           } =>
         val idx = r.location.asInstanceOf[IcebergMetaFileIndex]
         val snap = idx.snap

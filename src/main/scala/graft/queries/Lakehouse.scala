@@ -3200,6 +3200,70 @@ object Lakehouse {
              |  CAST(sum(CASE WHEN o_orderkey = 1 THEN 1 ELSE 0 END)
              |    AS BIGINT) AS n_tagged,
              |  CAST(1 AS BIGINT) AS evo_ok
-             |FROM orders WHERE o_orderkey <= 2000""".stripMargin))
+             |FROM orders WHERE o_orderkey <= 2000""".stripMargin)),
+
+    // ICEBERG FORMAT-VERSION 3 (round 11): read and row-level-delete
+    // a v3 table — the newest real-world Iceberg shape (deletion
+    // vectors, row lineage). The table is created as v3 (metadata
+    // carries next-row-id; each snapshot records first-row-id), and
+    // `DELETE FROM` lowers to the version-appropriate delete format:
+    // a Puffin file of `deletion-vector-v1` blobs (4-byte-BE-length +
+    // D1D33DE1 magic + portable-roaring64 + CRC framing, sources/
+    // Puffin.scala), one blob per touched data file, addressed from
+    // the delete manifest's referenced_data_file/content_offset/
+    // content_size_in_bytes triple — no Puffin footer parse on read.
+    // A second DELETE must MERGE into the files' existing DVs (the
+    // spec's at-most-one-DV-per-file writer obligation), with prior
+    // manifests rewritten so older snapshots stay exact. Read side:
+    // the IcebergMorScan rewrite keeps untouched files on the stock
+    // pruned scan and anti-joins only DV-targeted files on
+    // (file, _metadata.row_index) — at 100 TB a point delete pays the
+    // resolve for ONE file. The probe asserts: v3 document, no
+    // parquet delete files, ≥1 DV, exactly one DV per touched file,
+    // data files untouched. Oracle applies both predicates to raw
+    // orders. IcebergV3Spec pins the codecs, the foreign hand-written
+    // v3 tree, changes() DV-diff derivation, and the v3 refusal
+    // gates (appends, initial-default, encryption, parquet deletes).
+    QueryDef(
+      "q264_iceberg_v3_dv",
+      (s, d) => {
+        val root = Files.createTempDirectory("ice_v3_e_").toString + "/t"
+        val tbl = "ice_v3_orders_entry"
+        val src = orders(s, d).select(col("o_orderkey"), col("o_custkey"),
+          col("o_orderstatus"))
+        src.write.format("iceberg-meta")
+          .option("formatVersion", "3")
+          .option("partitionBy", "o_orderstatus").save(root)
+        val preFiles = graft.sources.IcebergMeta.snapshot(root)
+          .files.map(_.path).toSet
+        s.sql(s"DROP TABLE IF EXISTS $tbl")
+        s.sql(s"CREATE TABLE $tbl USING `iceberg-meta` OPTIONS (path '$root')")
+        s.sql(s"DELETE FROM $tbl WHERE o_orderkey % 100 < 7")
+        s.sql(s"DELETE FROM $tbl WHERE o_orderkey % 100 = 55")
+        val snap = graft.sources.IcebergMeta.snapshot(root)
+        val v3Ok =
+          if (snap.files.map(_.path).toSet == preFiles &&
+            snap.deletes.isEmpty && snap.eqDeletes.isEmpty &&
+            snap.dvs.nonEmpty &&
+            snap.dvs.groupBy(_.referencedDataFile).forall(_._2.size == 1) &&
+            snap.dvs.forall(_.puffinPath.endsWith(".puffin"))) 1L
+          else 0L
+        val out = s.sql(
+          s"""SELECT o_orderstatus, count(*) AS n_kept,
+             |  CAST(sum(o_custkey) AS BIGINT) AS sum_cust,
+             |  CAST(sum(o_orderkey) AS BIGINT) AS sum_key,
+             |  CAST($v3Ok AS BIGINT) AS v3_ok
+             |FROM $tbl GROUP BY o_orderstatus
+             |ORDER BY o_orderstatus""".stripMargin)
+        s.sql(s"DROP TABLE $tbl")
+        out
+      },
+      Some("""SELECT o_orderstatus, count(*) AS n_kept,
+             |  CAST(sum(o_custkey) AS BIGINT) AS sum_cust,
+             |  CAST(sum(o_orderkey) AS BIGINT) AS sum_key,
+             |  CAST(1 AS BIGINT) AS v3_ok
+             |FROM orders
+             |WHERE o_orderkey % 100 >= 7 AND o_orderkey % 100 <> 55
+             |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin))
   )
 }

@@ -108,8 +108,11 @@ object RoaringBitmapArray {
     out.result()
   }
 
-  /** One standard-format 32-bit RoaringBitmap, emitting each value. */
-  private def readBitmap32(bb: ByteBuffer, emit: Int => Unit): Unit = {
+  /** One standard-format 32-bit RoaringBitmap, emitting each value.
+    * `private[sources]`: [[Puffin]] reuses the container parser for
+    * Iceberg v3's 64-bit "portable" serialization (same
+    * RoaringFormatSpec core, keyed rather than dense at the top). */
+  private[sources] def readBitmap32(bb: ByteBuffer, emit: Int => Unit): Unit = {
     val cookie = bb.getInt
     val (numContainers, runFlags): (Int, Array[Boolean]) =
       if ((cookie & 0xffff) == SerialCookie) {
@@ -195,7 +198,7 @@ object RoaringBitmapArray {
     bb.array()
   }
 
-  private def serializeBitmap32(values: Array[Int]): Array[Byte] = {
+  private[sources] def serializeBitmap32(values: Array[Int]): Array[Byte] = {
     val byKey = values.groupBy(v => v >>> 16).toSeq.sortBy(_._1)
     val containers = byKey.map { case (key, vs) =>
       val lows = vs.map(_ & 0xffff).sorted

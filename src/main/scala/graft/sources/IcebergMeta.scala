@@ -37,9 +37,16 @@ import org.apache.spark.sql.types._
   * [[VersionedTable.ColStats]] model the graft pruners use, giving
   * stats-based FILE SKIPPING from the manifests alone.
   *
-  * Feature gates (refuse loudly, never wrong rows): format-version 3+,
-  * delete files (v2 row-level deletes — position or equality),
-  * non-parquet data files, unsupported types.
+  * Row-level deletes replay as first-class snapshot members: v2
+  * position deletes (parquet `(file_path, pos)` + file_path bounds),
+  * v2 equality deletes, and v3 DELETION VECTORS (Puffin
+  * `deletion-vector-v1` blobs addressed straight from the manifest's
+  * `content_offset`/`content_size_in_bytes` — [[Puffin]]). Feature
+  * gates (refuse loudly, never wrong rows): format-version 4+, v3
+  * `initial-default` fields and table encryption, non-parquet data
+  * files, unsupported types; v3 tables are read-only for data writes
+  * except DV deletes (row-lineage assignment on append/rewrite is not
+  * implemented — [[requireWritable]]).
   *
   * Avro access is GENERIC (`GenericDatumReader` against the embedded
   * writer schema), so the reader tolerates both real Avro maps and
@@ -91,10 +98,26 @@ object IcebergMeta {
   final case class IceEqDelete(path: String, eqCols: Seq[String],
       seq: Long)
 
+  /** A v3 DELETION VECTOR: one `deletion-vector-v1` blob inside a
+    * Puffin file ([[Puffin]]), targeting EXACTLY ONE data file
+    * (`referencedDataFile` — the manifest's recorded path string,
+    * matched exactly like positional-delete rows). The manifest entry
+    * addresses the blob directly (`content_offset` /
+    * `content_size_in_bytes`), so replay never parses the Puffin
+    * footer. Applies to its target when `file.seq <= seq`; v3 allows
+    * AT MOST ONE live DV per data file (writers must merge), which
+    * the replay enforces. `recordedPath` is the manifest's file_path
+    * string for the Puffin file itself (rewrites restate it). */
+  final case class IceDV(puffinPath: String, recordedPath: String,
+      offset: Long, length: Long, referencedDataFile: String,
+      seq: Long, cardinality: Long,
+      partitionTuple: Seq[(String, Any)] = Nil, specId: Int = 0)
+
   final case class IceSnapshot(root: String, snapshotId: Long,
       schema: StructType, files: Seq[IceFile],
       deletes: Seq[IceDelete] = Nil,
-      eqDeletes: Seq[IceEqDelete] = Nil)
+      eqDeletes: Seq[IceEqDelete] = Nil,
+      dvs: Seq[IceDV] = Nil)
 
   private def metaDir(root: String): Path = Paths.get(root, "metadata")
 
@@ -193,8 +216,47 @@ object IcebergMeta {
           val prev = snapshot(root, Some(all(idx - 1).snapshotId))
           val newPos = snapAt.deletes.filter(_.seq == ref.seq)
           val newEq = snapAt.eqDeletes.filter(_.seq == ref.seq)
+          val newDvs = snapAt.dvs.filter(_.seq == ref.seq)
           val deleted: org.apache.spark.sql.DataFrame =
-            if (newEq.isEmpty && newPos.nonEmpty) {
+            if (newDvs.nonEmpty) {
+              require(newPos.isEmpty && newEq.isEmpty,
+                "iceberg_changes: a delete snapshot mixing deletion " +
+                  "vectors with other delete kinds has no derivable " +
+                  "row-level change set")
+              // a v3 DV REPLACES the file's prior DV (merged by the
+              // writer), so this commit's deletions are the new
+              // bitmap MINUS the prior one — exact, from two blobs
+              val prevByRef = prev.dvs
+                .map(d => d.referencedDataFile -> d).toMap
+              def positionsOf(d: IceDV): Array[Long] =
+                Puffin.decodeDeletionVector(Puffin.readBlob(
+                  Paths.get(d.puffinPath), d.offset, d.length))
+              val delta: Seq[(String, Array[Long])] = newDvs.map { d =>
+                val before = prevByRef.get(d.referencedDataFile)
+                  .map(positionsOf).getOrElse(Array.empty[Long]).toSet
+                d.referencedDataFile ->
+                  positionsOf(d).filterNot(before)
+              }
+              val touchedPaths = delta.map(_._1).toSet
+              val touched =
+                prev.files.filter(f => touchedPaths(f.recordedPath))
+              val delRows = spark.createDataFrame(
+                spark.sparkContext.parallelize(
+                  delta.flatMap { case (f, ps) => ps.map(p =>
+                    org.apache.spark.sql.Row(f, p)) }, 1),
+                StructType(Seq(
+                  StructField("file_path", StringType, nullable = false),
+                  StructField(IcebergMetaRead.PosCol, LongType,
+                    nullable = false))))
+              IcebergMetaRead.withPositions(spark,
+                  prev.copy(files = touched))
+                .join(broadcast(
+                  IcebergMetaRead.uriToRecorded(spark, touched)),
+                  Seq(IcebergMetaRead.FpCol))
+                .join(delRows, Seq("file_path", IcebergMetaRead.PosCol))
+                .drop("file_path", IcebergMetaRead.FpCol,
+                  IcebergMetaRead.PosCol)
+            } else if (newEq.isEmpty && newPos.nonEmpty) {
               require(prev.eqDeletes.isEmpty,
                 "iceberg_changes: positional delete over a history " +
                   "carrying EQUALITY deletes — rewrite the table " +
@@ -414,8 +476,9 @@ object IcebergMeta {
     val meta = mapper.readTree(Files.readAllBytes(
       metaDir(root).resolve(s"v$v.metadata.json")))
     val fv = meta.get("format-version").asInt()
-    if (fv > 2) throw new UnsupportedOperationException(
-      s"iceberg-meta: format-version $fv not supported (1 and 2 only)")
+    if (fv > 3) throw new UnsupportedOperationException(
+      s"iceberg-meta: format-version $fv not supported (1-3)")
+    if (fv == 3) gateV3Read(meta, root)
     val (schema, nameById) = schemaOf(meta)
     val snapId = snapshotIdAsOf.getOrElse {
       require(meta.hasNonNull("current-snapshot-id") &&
@@ -498,6 +561,45 @@ object IcebergMeta {
             val df = e.get("data_file").asInstanceOf[GenericRecord]
             val content = fieldOpt(df, "content").map(asLong).getOrElse(0L)
             val fmt = asStr(df.get("file_format")).toLowerCase
+            if (fmt == "puffin") {
+              // v3 DELETION VECTOR entry: content=1, the blob
+              // addressed directly by offset/size, one data file
+              // targeted via referenced_data_file
+              require(fv == 3, s"iceberg-meta: a puffin deletion " +
+                s"vector in $mp is only legal at format-version 3 " +
+                s"(table is v$fv)")
+              require(content == 1, s"iceberg-meta: puffin delete " +
+                s"entry in $mp has content=$content (expected 1)")
+              val refFile = fieldOpt(df, "referenced_data_file")
+                .map(asStr).getOrElse(
+                  throw new IllegalStateException(
+                    s"iceberg-meta: DV entry in $mp lacks " +
+                      "referenced_data_file"))
+              val off = fieldOpt(df, "content_offset").map(asLong)
+                .getOrElse(throw new IllegalStateException(
+                  s"iceberg-meta: DV entry in $mp lacks content_offset"))
+              val len = fieldOpt(df, "content_size_in_bytes")
+                .map(asLong).getOrElse(
+                  throw new IllegalStateException(s"iceberg-meta: DV " +
+                    s"entry in $mp lacks content_size_in_bytes"))
+              val recorded = asStr(df.get("file_path"))
+              val tuple: Seq[(String, Any)] =
+                fieldOpt(df, "partition") match {
+                  case Some(pr: GenericRecord) =>
+                    pr.getSchema.getFields.asScala.toSeq.map { fld =>
+                      fld.name() -> (pr.get(fld.name()) match {
+                        case u: org.apache.avro.util.Utf8 => u.toString
+                        case o => o
+                      })
+                    }
+                  case _ => Nil
+                }
+              Some(Dv(IceDV(resolvePath(root, recorded), recorded,
+                off, len, refFile, entrySeq(e, listRow),
+                asLong(df.get("record_count")), tuple,
+                specId = fieldOpt(listRow, "partition_spec_id")
+                  .map(v => asLong(v).toInt).getOrElse(0))))
+            } else {
             if (fmt != "parquet") throw new UnsupportedOperationException(
               s"iceberg-meta: delete file format $fmt not supported")
             val eqIds: Seq[Int] = fieldOpt(df, "equality_ids") match {
@@ -517,18 +619,25 @@ object IcebergMeta {
                   s"iceberg-meta: equality delete field id $id is not " +
                     s"a top-level field of $root's current schema — " +
                     "read with an Iceberg runtime")))
-              Some(Right(IceEqDelete(
+              Some(Eq(IceEqDelete(
                 resolvePath(root, asStr(df.get("file_path"))),
                 eqCols, entrySeq(e, listRow))))
             } else {
               require(content == 1,
                 s"iceberg-meta: unexpected content=$content in delete manifest")
+              // v3 retires position delete FILES: writers must have
+              // converted them to deletion vectors at upgrade (spec,
+              // "Position Delete Files"); one surviving is corrupt
+              if (fv == 3) throw new UnsupportedOperationException(
+                s"iceberg-meta: a parquet position delete file in $mp " +
+                  "is not legal at format-version 3 (the spec retires " +
+                  "them for deletion vectors) — rewrite the table")
               val lower = fieldOpt(df, "lower_bounds").map(asIdMap)
                 .getOrElse(Map.empty)
               val upper = fieldOpt(df, "upper_bounds").map(asIdMap)
                 .getOrElse(Map.empty)
               // reserved field id of file_path in delete files (spec)
-              Some(Left(IceDelete(
+              Some(Pos(IceDelete(
                 resolvePath(root, asStr(df.get("file_path"))),
                 lower.get(DeleteFilePathFieldId)
                   .flatMap(decodeBound(StringType, _)).map(_._2),
@@ -536,12 +645,81 @@ object IcebergMeta {
                   .flatMap(decodeBound(StringType, _)).map(_._2),
                 entrySeq(e, listRow))))
             }
+            }
           }
         }
       }
+    val dvs = deleteEntries.collect { case Dv(d) => d }
+    // v3 writer obligation surfaced at read: at most one live DV per
+    // data file (writers must merge) — two is corrupt metadata
+    dvs.groupBy(_.referencedDataFile).foreach { case (f, ds) =>
+      require(ds.size == 1, s"iceberg-meta: data file $f is " +
+        s"referenced by ${ds.size} live deletion vectors — corrupt " +
+        "metadata (v3 allows at most one; writers must merge)")
+    }
     IceSnapshot(root, snapId, schema, files,
-      deleteEntries.collect { case Left(d) => d },
-      deleteEntries.collect { case Right(d) => d })
+      deleteEntries.collect { case Pos(d) => d },
+      deleteEntries.collect { case Eq(d) => d },
+      dvs)
+  }
+
+  /** One parsed delete-manifest entry ([[snapshot]] replay). */
+  private sealed trait DeleteEntry
+  private final case class Pos(d: IceDelete) extends DeleteEntry
+  private final case class Eq(d: IceEqDelete) extends DeleteEntry
+  private final case class Dv(d: IceDV) extends DeleteEntry
+
+  /** v3 read gates — refuse what this reader cannot honor, loudly:
+    *
+    *  - a field with a non-null `initial-default` (v3 default values):
+    *    files written before the field was added must read the
+    *    default, but Spark's parquet scan null-fills missing columns
+    *    and this reader cannot tell "file predates the field" from
+    *    "writer stored null" without opening every footer;
+    *  - table encryption (v3 `encryption-keys`): no key material here.
+    *
+    * Row-lineage metadata (`next-row-id`, snapshot `first-row-id`,
+    * manifest/file `first_row_id`) is fine to IGNORE on read: it only
+    * assigns the hidden `_row_id` column, which this reader does not
+    * project. New v3 types (`variant`, `timestamp_ns`, `geometry`, …)
+    * refuse inside [[toSparkType]] like any unknown type. */
+  private def gateV3Read(meta: JsonNode, root: String): Unit = {
+    val enc = meta.get("encryption-keys")
+    require(enc == null || enc.isNull || !enc.elements().hasNext,
+      s"iceberg-meta: $root uses v3 table encryption — not supported")
+    def walk(t: JsonNode): Unit =
+      if (t != null && t.isObject && t.hasNonNull("fields")) {
+        t.get("fields").elements().asScala.foreach { f =>
+          require(!f.hasNonNull("initial-default"),
+            s"iceberg-meta: field '${f.get("name").asText()}' of " +
+              s"$root carries a v3 initial-default — this reader " +
+              "cannot distinguish pre-field files from stored nulls; " +
+              "read with an Iceberg runtime")
+          if (f.hasNonNull("type")) walk(f.get("type"))
+        }
+      }
+    if (meta.hasNonNull("schemas") && meta.hasNonNull("current-schema-id")) {
+      val cur = meta.get("current-schema-id").asInt()
+      meta.get("schemas").elements().asScala
+        .find(_.get("schema-id").asInt() == cur).foreach(walk)
+    } else if (meta.hasNonNull("schema")) walk(meta.get("schema"))
+  }
+
+  /** Gate for DATA-writing entry points: v3 tables are read-only here
+    * EXCEPT the DV delete path ([[delete]] routes to it) — appends and
+    * rewrites would have to assign/preserve row lineage (v3 writer
+    * obligation), which this writer does not implement. Deletes add no
+    * rows, so their lineage obligation is only carrying `next-row-id`
+    * forward — which [[commitSnapshot]] does. */
+  private def requireWritable(meta: JsonNode, op: String): Unit = {
+    val fv = meta.get("format-version").asInt()
+    if (fv == 3) throw new UnsupportedOperationException(
+      s"iceberg-meta: $op on a format-version 3 table is not " +
+        "supported — v3 row lineage must be assigned/preserved on " +
+        "data writes, which this writer does not implement (v3 " +
+        "tables are readable, and DV deletes work)")
+    if (fv > 3) throw new UnsupportedOperationException(
+      s"iceberg-meta: format-version $fv not supported (1-3)")
   }
 
   /** Reserved field ids of the positional-delete file schema
@@ -591,7 +769,16 @@ object IcebergMeta {
       |{"name":"deleted_rows_count","type":"long","default":0}
       |]}""".stripMargin)
 
-  private def manifestSchemaJson(partitionField: String): String =
+  private def manifestSchemaJson(partitionField: String,
+      v3DeleteFields: Boolean = false): String = {
+    // the v3 DV addressing triple (spec field ids 143-145) — only on
+    // DV delete manifests; data manifests keep the v2 shape
+    val v3 = if (!v3DeleteFields) "" else
+      """,
+        |  {"name":"referenced_data_file","type":["null","string"],"default":null,"field-id":143},
+        |  {"name":"content_offset","type":["null","long"],"default":null,"field-id":144},
+        |  {"name":"content_size_in_bytes","type":["null","long"],"default":null,"field-id":145}"""
+        .stripMargin
     s"""{"type":"record","name":"manifest_entry","fields":[
       |{"name":"status","type":"int"},
       |{"name":"snapshot_id","type":["null","long"],"default":null},
@@ -605,10 +792,27 @@ object IcebergMeta {
       |  {"name":"null_value_counts","type":{"type":"map","values":"long"},"default":{}},
       |  {"name":"lower_bounds","type":{"type":"map","values":"bytes"},"default":{}},
       |  {"name":"upper_bounds","type":{"type":"map","values":"bytes"},"default":{}},
-      |  {"name":"equality_ids","type":["null",{"type":"array","items":"int"}],"default":null}
+      |  {"name":"equality_ids","type":["null",{"type":"array","items":"int"}],"default":null}$v3
       |]}}]}""".stripMargin
+  }
 
   private val manifestSchema = avroSchema(manifestSchemaJson(""))
+
+  /** Delete-manifest entry schema for v3 DV entries (the v2 shape +
+    * the spec's `referenced_data_file`/`content_offset`/
+    * `content_size_in_bytes` triple), with the spec's r102 partition
+    * record when `specFields` is non-empty. */
+  private def dvManifestSchemaFor(
+      specFields: Seq[(String, Int, DataType)]): Schema =
+    avroSchema(manifestSchemaJson(
+      if (specFields.isEmpty) ""
+      else specFields.map { case (n, fid, dt) =>
+        s"""{"name":"$n","type":["null",${partAvroType(dt)}],""" +
+          s""""default":null,"field-id":$fid}"""
+      }.mkString(
+        """{"name":"partition","type":{"type":"record","name":"r102","fields":[""",
+        ",", "]}},"),
+      v3DeleteFields = true))
 
   /** Avro leaf type of an IDENTITY partition field — the value is the
     * source column's, so only types the single-value tuple can carry
@@ -798,8 +1002,10 @@ object IcebergMeta {
     * with the source columns kept IN the payload, and every manifest
     * entry records its `partition` record. Returns the snapshot id. */
   def writeFixture(df: org.apache.spark.sql.DataFrame, root: String,
-      partitionBy: Seq[String] = Nil): Long = {
+      partitionBy: Seq[String] = Nil, formatVersion: Int = 2): Long = {
     val spark = df.sparkSession
+    require(formatVersion == 2 || formatVersion == 3,
+      s"iceberg-meta fixture: format-version $formatVersion not writable")
     require(!Files.exists(metaDir(root).resolve("version-hint.text")),
       s"iceberg-meta fixture: $root already exists")
     val fieldId = df.schema.fieldNames.zipWithIndex
@@ -868,11 +1074,20 @@ object IcebergMeta {
       s"""{"name":"${f.name}","transform":"${f.transform.json}",""" +
         s""""source-id":${fieldId(f.srcCol)},"field-id":${f.fieldId}}""")
       .mkString(",")
+    // v3 row lineage (spec, "Row Lineage"): the table's next-row-id
+    // high-water mark, and each snapshot's first-row-id — this single
+    // creating snapshot owns ids [0, rows)
+    val v3Table =
+      if (formatVersion == 3) s""""next-row-id":$rows,""" else ""
+    val v3Snap =
+      if (formatVersion == 3) s""""first-row-id":0,""" else ""
     val metaJson =
-      s"""{"format-version":2,"table-uuid":"${java.util.UUID.randomUUID()}",
+      s"""{"format-version":$formatVersion,
+         |"table-uuid":"${java.util.UUID.randomUUID()}",
          |"location":"$root","last-sequence-number":1,
          |"last-updated-ms":${System.currentTimeMillis()},
          |"last-column-id":${df.schema.length},
+         |$v3Table
          |"current-schema-id":0,
          |"schemas":[{"type":"struct","schema-id":0,"fields":[$fields]}],
          |"default-spec-id":0,
@@ -880,6 +1095,7 @@ object IcebergMeta {
          |"current-snapshot-id":$snapId,
          |"refs":{"main":{"snapshot-id":$snapId,"type":"branch"}},
          |"snapshots":[{"snapshot-id":$snapId,"sequence-number":1,
+         |  $v3Snap
          |  "timestamp-ms":${System.currentTimeMillis()},
          |  "manifest-list":"$listRel",
          |  "summary":{"operation":"append"},"schema-id":0}]}"""
@@ -933,9 +1149,7 @@ object IcebergMeta {
       metaDir(root).resolve(s"v$v.metadata.json")))
     // writing "to main" IS the normal write (Iceberg's toBranch rule)
     val branch = toBranch.filter(_ != "main")
-    val fv = meta.get("format-version").asInt()
-    if (fv > 2) throw new UnsupportedOperationException(
-      s"iceberg-meta: format-version $fv not supported (1 and 2 only)")
+    requireWritable(meta, "APPEND")
     val (schema, nameById) = schemaOf(meta)
     // a PARTITIONED default spec is honored: the staged files split
     // per tuple (transforms evaluated per the spec) and each entry
@@ -1387,6 +1601,11 @@ object IcebergMeta {
     snapObj.put("timestamp-ms", now)
     snapObj.put("manifest-list", listRel)
     snapObj.putObject("summary").put("operation", operation)
+    // v3 row lineage: every snapshot records where its row-id range
+    // begins; the only v3 commits admitted here add NO rows (DV
+    // deletes, ref/metadata ops), so next-row-id carries unchanged
+    if (newMeta.hasNonNull("next-row-id"))
+      snapObj.put("first-row-id", newMeta.get("next-row-id").asLong())
     if (meta.hasNonNull("current-schema-id"))
       snapObj.put("schema-id", meta.get("current-schema-id").asInt())
     newMeta.withArray[com.fasterxml.jackson.databind.node.ArrayNode](
@@ -1481,6 +1700,13 @@ object IcebergMeta {
       "iceberg-meta: positional DELETE on a table carrying EQUALITY " +
         "delete files is not supported — use deleteEquality, or " +
         "rewrite the table first")
+    // v3 retires position delete FILES for DELETION VECTORS — same
+    // public API, version-appropriate delete format. Deletes add no
+    // rows, so the v3 row-lineage writer obligation reduces to
+    // carrying next-row-id forward (commitSnapshot stamps the new
+    // snapshot's first-row-id from it).
+    if (meta.get("format-version").asInt() == 3)
+      return deleteDv(spark, root, cond, meta, v, snap, schema, nameById)
     // SPEC EVOLUTION: each target file scopes through the spec it was
     // WRITTEN WITH (per-entry spec ids), so delete files group per
     // (spec, tuple) and delete MANIFESTS group per spec — a
@@ -1576,6 +1802,164 @@ object IcebergMeta {
     commitSnapshot(root, v, meta, snapId, seq, listRel, "delete")
   }
 
+  /** v3 DELETE: matching rows land as DELETION VECTORS — one
+    * `deletion-vector-v1` Puffin blob per touched data file
+    * ([[Puffin.writeDvFile]]), MERGED with the file's existing DV
+    * (the spec's at-most-one-per-file writer obligation), committed
+    * in ONE new snapshot. Untouched prior DVs carry through their
+    * manifests verbatim; a manifest containing a REPLACED DV is
+    * rewritten with the survivors restated as EXISTING entries under
+    * their ORIGINAL sequence numbers — so older snapshots stay
+    * time-travelable and [[changes]] keeps deriving exact per-commit
+    * deltas from seq equality.
+    *
+    * Positions collect to the driver (the Puffin blob is composed
+    * there — log metadata, the Delta DV posture) under the read
+    * side's [[IcebergMetaRead.MaxDecodedPositions]] ceiling. Cost
+    * shape at 100 TB: the scan under `cond` is the stock pruned
+    * parquet path; O(matched + previously-deleted-in-touched-files)
+    * positions written; NO data file rewritten. */
+  private def deleteDv(spark: SparkSession, root: String,
+      cond: org.apache.spark.sql.Column, meta: JsonNode, v: Int,
+      snap: IceSnapshot, schema: StructType,
+      nameById: Map[Int, String]): Long = {
+    import org.apache.spark.sql.functions.{broadcast, col}
+    val visible = IcebergMetaRead.withPositions(spark, snap)
+    val hits = visible.filter(cond)
+      .join(broadcast(IcebergMetaRead.uriToRecorded(spark, snap.files)),
+        Seq(IcebergMetaRead.FpCol))
+      .select(col("file_path"), col(IcebergMetaRead.PosCol).as("pos"))
+    val n = hits.count()
+    if (n == 0L) return snap.snapshotId
+    require(n <= IcebergMetaRead.MaxDecodedPositions,
+      s"iceberg-meta: DELETE matches $n rows — beyond the " +
+        s"${IcebergMetaRead.MaxDecodedPositions} deletion-vector " +
+        "compose ceiling; rewrite the table (compact) instead")
+    val newByFile: Map[String, Array[Long]] = hits.collect()
+      .groupBy(_.getString(0))
+      .map { case (f, rs) => f -> rs.map(_.getLong(1)) }
+    val existingByRef = snap.dvs.map(d => d.referencedDataFile -> d).toMap
+    val fileByRec = snap.files.map(f => f.recordedPath -> f).toMap
+    // merge: prior DV positions ∪ new hits (hits exclude already-
+    // deleted rows, but distinct defends the invariant regardless)
+    val merged: Seq[(String, Array[Long])] = newByFile.toSeq
+      .sortBy(_._1).map { case (f, ps) =>
+        val old = existingByRef.get(f).map(d =>
+          Puffin.decodeDeletionVector(Puffin.readBlob(
+            Paths.get(d.puffinPath), d.offset, d.length)))
+          .getOrElse(Array.empty[Long])
+        f -> (old ++ ps).distinct.sorted
+      }
+    val seq = (if (meta.hasNonNull("last-sequence-number"))
+      meta.get("last-sequence-number").asLong() else 0L) + 1
+    val snapId = java.util.UUID.randomUUID().getLeastSignificantBits
+      .abs.max(1L)
+    val nonce = java.util.UUID.randomUUID().toString.take(8)
+    val puffinRel = s"data/delete-dv-$nonce.puffin"
+    val blobs = Puffin.writeDvFile(Paths.get(root, puffinRel),
+      snapId, seq, merged)
+    val puffinSize = Files.size(Paths.get(root, puffinRel))
+    // one NEW delete manifest per target spec (r102 types are
+    // single-spec), each DV entry restating its data file's tuple
+    val typeOfCol = schema.fields.map(f => f.name -> f.dataType).toMap
+    val specIds = blobs.map(b =>
+      fileByRec(b.referencedDataFile).specId).distinct
+    val fieldsBySpec = specIds
+      .map(id => id -> specFieldsOfId(meta, nameById, id)).toMap
+    val dvSchemaOf = fieldsBySpec.map { case (sid, fs) =>
+      sid -> dvManifestSchemaFor(fs.map(f =>
+        (f.name, f.fieldId, f.transform.resultType(typeOfCol(f.srcCol)))))
+    }
+    def dvEntry(b: Puffin.WrittenBlob, sid: Int): GenericRecord = {
+      val eSchema = dvSchemaOf(sid)
+      val rec = new GenericData.Record(eSchema)
+      rec.put("status", 1) // added; seq inherits from the list row
+      rec.put("snapshot_id", null)
+      rec.put("sequence_number", null)
+      val dfSchema = eSchema.getField("data_file").schema()
+      val dfr = new GenericData.Record(dfSchema)
+      dfr.put("content", 1)
+      dfr.put("file_path", puffinRel)
+      dfr.put("file_format", "PUFFIN")
+      val tf = fileByRec(b.referencedDataFile)
+      if (tf.partitionTuple.nonEmpty) {
+        val pr = new GenericData.Record(
+          dfSchema.getField("partition").schema())
+        tf.partitionTuple.foreach { case (nm, vv) => pr.put(nm, vv) }
+        dfr.put("partition", pr)
+      }
+      dfr.put("record_count", java.lang.Long.valueOf(b.cardinality))
+      dfr.put("file_size_in_bytes", java.lang.Long.valueOf(puffinSize))
+      dfr.put("null_value_counts",
+        new java.util.HashMap[String, java.lang.Long]())
+      dfr.put("lower_bounds", new java.util.HashMap[String, ByteBuffer]())
+      dfr.put("upper_bounds", new java.util.HashMap[String, ByteBuffer]())
+      dfr.put("equality_ids", null)
+      dfr.put("referenced_data_file", b.referencedDataFile)
+      dfr.put("content_offset", java.lang.Long.valueOf(b.offset))
+      dfr.put("content_size_in_bytes", java.lang.Long.valueOf(b.length))
+      rec.put("data_file", dfr)
+      rec
+    }
+    val newDelRows = blobs
+      .groupBy(b => fileByRec(b.referencedDataFile).specId)
+      .toSeq.sortBy(_._1).zipWithIndex.map { case ((sid, bs), mi) =>
+        val manifestRel = s"metadata/snap-$snapId-dv$mi.avro"
+        writeAvro(Paths.get(root, manifestRel), dvSchemaOf(sid),
+          bs.map(dvEntry(_, sid)))
+        manifestListRow(manifestRel,
+          Files.size(Paths.get(root, manifestRel)), sid, seq, snapId,
+          bs.size, 0, 0L, 0L, content = 1)
+      }
+    // prior manifests: data verbatim; a delete manifest carrying a
+    // REPLACED DV is rewritten keeping only the survivors
+    val replaced = merged.map(_._1).toSet
+    val keptRows = carriedManifests(root, meta).zipWithIndex
+      .flatMap { case (row, ri) =>
+        if (fieldOpt(row, "content").map(asLong).getOrElse(0L) != 1L)
+          Some(row)
+        else {
+          val mp = resolvePath(root, asStr(row.get("manifest_path")))
+          val rowSeq = fieldOpt(row, "sequence_number").map(asLong)
+            .getOrElse(0L)
+          val live = readAvro(mp)
+            .filter(e => asLong(e.get("status")) != 2)
+          def refOf(e: GenericRecord): Option[String] = {
+            val dfr = e.get("data_file").asInstanceOf[GenericRecord]
+            fieldOpt(dfr, "referenced_data_file").map(asStr)
+          }
+          val (gone, kept) = live.partition(e => refOf(e).exists(replaced))
+          if (gone.isEmpty) Some(row)
+          else if (kept.isEmpty) None
+          else {
+            val eSchema = kept.head.getSchema
+            val rewritten = kept.map { e =>
+              val c = GenericData.get().deepCopy(eSchema, e)
+                .asInstanceOf[GenericRecord]
+              val origSeq = fieldOpt(e, "sequence_number").map(asLong)
+                .getOrElse(rowSeq)
+              c.put("status", 0) // existing, explicit original seq
+              c.put("sequence_number", java.lang.Long.valueOf(origSeq))
+              c
+            }
+            val rel = s"metadata/snap-$snapId-rw$ri.avro"
+            writeAvro(Paths.get(root, rel), eSchema, rewritten)
+            val minSeq = rewritten
+              .map(e => asLong(e.get("sequence_number"))).min
+            Some(manifestListRow(rel, Files.size(Paths.get(root, rel)),
+              fieldOpt(row, "partition_spec_id").map(asLong)
+                .getOrElse(0L).toInt,
+              seq, snapId, 0, rewritten.size, 0L, 0L, content = 1,
+              minSeq = Some(minSeq)))
+          }
+        }
+      }
+    val listRel = s"metadata/snap-$snapId.avro"
+    writeAvro(Paths.get(root, listRel), manifestListSchema,
+      keptRows ++ newDelRows)
+    commitSnapshot(root, v, meta, snapId, seq, listRel, "delete")
+  }
+
   /** REWRITE the table (Iceberg's `rewrite_data_files` maintenance
     * action): materialize the currently-VISIBLE rows — positional and
     * equality deletes applied through the same [[IcebergMetaRead
@@ -1597,9 +1981,7 @@ object IcebergMeta {
     val v = latestMetadataVersion(root)
     val meta = mapper.readTree(Files.readAllBytes(
       metaDir(root).resolve(s"v$v.metadata.json")))
-    val fv = meta.get("format-version").asInt()
-    if (fv > 2) throw new UnsupportedOperationException(
-      s"iceberg-meta: format-version $fv not supported (1 and 2 only)")
+    requireWritable(meta, "COMPACT")
     val (schema, nameById) = schemaOf(meta)
     val idByName = nameById.map(_.swap)
     // a PARTITIONED spec compacts to ONE file per tuple (numFiles
@@ -2005,9 +2387,7 @@ object IcebergMeta {
     val v = latestMetadataVersion(root)
     val meta = mapper.readTree(Files.readAllBytes(
       metaDir(root).resolve(s"v$v.metadata.json")))
-    val fv = meta.get("format-version").asInt()
-    if (fv > 2) throw new UnsupportedOperationException(
-      s"iceberg-meta: format-version $fv not supported (1 and 2 only)")
+    requireWritable(meta, "UPSERT")
     val (schema, nameById) = schemaOf(meta)
     val idByName = nameById.map(_.swap)
     // PARTITIONED specs: new images split per tuple like append; the
@@ -2123,9 +2503,7 @@ object IcebergMeta {
     val v = latestMetadataVersion(root)
     val meta = mapper.readTree(Files.readAllBytes(
       metaDir(root).resolve(s"v$v.metadata.json")))
-    val fv = meta.get("format-version").asInt()
-    if (fv > 2) throw new UnsupportedOperationException(
-      s"iceberg-meta: format-version $fv not supported (1 and 2 only)")
+    requireWritable(meta, "DELETE (equality)")
     // on a PARTITIONED table the delete is GLOBAL: its manifest
     // rides an unpartitioned spec (added to the document if absent),
     // whose empty tuple is the truthful one for a table-wide delete
@@ -2280,9 +2658,7 @@ object IcebergMeta {
     val v = latestMetadataVersion(root)
     val meta = mapper.readTree(Files.readAllBytes(
       metaDir(root).resolve(s"v$v.metadata.json")))
-    val fv = meta.get("format-version").asInt()
-    if (fv > 2) throw new UnsupportedOperationException(
-      s"iceberg-meta: format-version $fv not supported (1 and 2 only)")
+    requireWritable(meta, "OVERWRITE/REWRITE")
     require(meta.hasNonNull("current-snapshot-id") &&
       meta.get("current-snapshot-id").asLong() != -1L,
       s"iceberg-meta: $root has no current snapshot to rewrite")

@@ -31,9 +31,11 @@ import org.apache.spark.sql.types.StructType
   * [[VersionedTable.ColStats]] model) cannot match the pushed
   * filters. Iceberg data files carry ALL columns (identity partition
   * values included), so no partition reconstruction is needed — the
-  * file list IS the scan. Feature gates ([[IcebergMeta.snapshot]]):
-  * format-version 3+, delete files/manifests, non-parquet files
-  * refuse loudly.
+  * file list IS the scan. Row-level deletes (v2 position/equality
+  * files, v3 deletion vectors) apply through the GraftExtensions scan
+  * rewrites; feature gates ([[IcebergMeta.snapshot]]): format-version
+  * 4+, v3 initial-defaults/encryption, non-parquet data files refuse
+  * loudly.
   *
   * WRITE path: `df.write.format("iceberg-meta").mode(m).save(root)` —
   * `ErrorIfExists` creates a new table ([[IcebergMeta.writeFixture]]),
@@ -116,16 +118,19 @@ class IcebergMetaDataSource extends RelationProvider
       out += sb.toString
       out.toSeq
     }.map(_.trim).filter(_.nonEmpty)
+    // table CREATION format version (2 default; 3 = row-lineage
+    // metadata + DV deletes) — existing tables keep their own
+    val fv = parameters.get("formatVersion").map(_.toInt).getOrElse(2)
     mode match {
       case SaveMode.Append =>
         if (exists) IcebergMeta.append(data, root)
-        else IcebergMeta.writeFixture(data, root, partitionBy)
+        else IcebergMeta.writeFixture(data, root, partitionBy, fv)
       case SaveMode.ErrorIfExists =>
         if (exists) throw new IllegalStateException(
           s"iceberg-meta: $root already exists (mode=errorifexists)")
-        IcebergMeta.writeFixture(data, root, partitionBy)
+        IcebergMeta.writeFixture(data, root, partitionBy, fv)
       case SaveMode.Ignore =>
-        if (!exists) IcebergMeta.writeFixture(data, root, partitionBy)
+        if (!exists) IcebergMeta.writeFixture(data, root, partitionBy, fv)
       case SaveMode.Overwrite =>
         throw new UnsupportedOperationException(
           "iceberg-meta: Overwrite is not supported — the interop " +
@@ -192,11 +197,12 @@ class IcebergMetaFileIndex(spark: SparkSession,
     // replaces this index with a deletes-cleared one; a session
     // WITHOUT the graft extensions fails loudly, never wrong.
     val s = snap
-    if (s.deletes.nonEmpty || s.eqDeletes.nonEmpty)
+    if (s.deletes.nonEmpty || s.eqDeletes.nonEmpty || s.dvs.nonEmpty)
       throw new IllegalStateException(
         s"iceberg-meta: snapshot ${s.snapshotId} of ${s.root} " +
-          "carries v2 row-level delete files — readable only with " +
-          "GraftExtensions enabled (the delete-applying scan rewrite)")
+          "carries row-level delete files (v2 position/equality or " +
+          "v3 deletion vectors) — readable only with GraftExtensions " +
+          "enabled (the delete-applying scan rewrite)")
     val listed = s.files.map { f =>
       f -> new FileStatus(f.sizeBytes, false, 1, 128L * 1024 * 1024, 0L,
         new HPath(new java.io.File(f.path).toURI))
@@ -257,22 +263,64 @@ object IcebergMetaRead {
         StructField(FpCol, StringType, nullable = false),
         StructField("file_path", StringType, nullable = false))))
 
-  /** All VISIBLE rows of `snap` (existing positional deletes already
-    * anti-joined away) with `FpCol` = scan URI, `PosCol` = row index
-    * in file — the addressing the delete writer needs. */
+  /** Decoded-positions ceiling for one scan's deletion vectors: DV
+    * bitmaps decode on the driver (they are log metadata, the same
+    * cost class as the replay — exactly the Delta posture,
+    * [[DeltaLogRead.MaxDecodedPositions]]); a snapshot whose total DV
+    * cardinality exceeds this refuses with advice rather than
+    * silently exhausting driver memory. */
+  val MaxDecodedPositions = 50L * 1000 * 1000
+
+  /** (scan URI, deleted position) rows of every v3 deletion vector in
+    * `dvs`, decoded driver-side with the [[MaxDecodedPositions]]
+    * guard. Only DVs whose referenced file is IN `files` (and in seq
+    * scope) decode — the caller passes the touched subset. */
+  def dvPositions(spark: SparkSession,
+      files: Seq[IcebergMeta.IceFile],
+      dvs: Seq[IcebergMeta.IceDV]): DataFrame = {
+    val byRef = dvs.map(d => d.referencedDataFile -> d).toMap
+    val targeted = files.flatMap(f =>
+      byRef.get(f.recordedPath).filter(f.seq <= _.seq).map(f -> _))
+    val total = targeted.map(_._2.cardinality).sum
+    require(total <= MaxDecodedPositions,
+      s"iceberg-meta: $total deleted positions across " +
+        s"${targeted.size} deletion vectors exceeds the " +
+        s"$MaxDecodedPositions decode ceiling — compact the table " +
+        "before reading through this path")
+    val rows = targeted.flatMap { case (f, d) =>
+      val uri = scanUri(f)
+      Puffin.decodeDeletionVector(Puffin.readBlob(
+          java.nio.file.Paths.get(d.puffinPath), d.offset, d.length))
+        .map(p => Row(uri, p))
+    }
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1),
+      new StructType(Array(
+        StructField(FpCol, StringType, nullable = false),
+        StructField(PosCol, LongType, nullable = false))))
+  }
+
+  /** All VISIBLE rows of `snap` (existing positional deletes AND v3
+    * deletion vectors already anti-joined away) with `FpCol` = scan
+    * URI, `PosCol` = row index in file — the addressing the delete
+    * writer needs. */
   def withPositions(spark: SparkSession,
       snap: IcebergMeta.IceSnapshot): DataFrame = {
-    val base = df(spark, snap.copy(deletes = Nil))
+    val base = df(spark, snap.copy(deletes = Nil, dvs = Nil))
       .withColumn(FpCol, col("_metadata.file_path"))
       .withColumn(PosCol, col("_metadata.row_index"))
-    if (snap.deletes.isEmpty) base
-    else {
-      val delRows = spark.read.parquet(snap.deletes.map(_.path): _*)
+    val fromParquet: Option[DataFrame] =
+      if (snap.deletes.isEmpty) None
+      else Some(spark.read.parquet(snap.deletes.map(_.path): _*)
         .select(col("file_path"), col("pos"))
-      val mapped = delRows
         .join(broadcast(uriToRecorded(spark, snap.files)), Seq("file_path"))
-        .select(col(FpCol), col("pos").as(PosCol))
-      base.join(mapped, Seq(FpCol, PosCol), "left_anti")
+        .select(col(FpCol), col("pos").as(PosCol)))
+    val fromDvs: Option[DataFrame] =
+      if (snap.dvs.isEmpty) None
+      else Some(dvPositions(spark, snap.files, snap.dvs))
+    (fromParquet.toSeq ++ fromDvs.toSeq).reduceOption(_ union _) match {
+      case None => base
+      case Some(del) => base.join(del, Seq(FpCol, PosCol), "left_anti")
     }
   }
 
@@ -285,15 +333,21 @@ object IcebergMetaRead {
       : (IcebergMeta.IceSnapshot, Option[DataFrame]) = {
     // seq gate per spec: a position delete covers rows that existed
     // when it was written — data appended AFTER it (f.seq > d.seq)
-    // is out of scope even if the file_path bounds would match
-    val touched = snap.files.filter(f => snap.deletes.exists(d =>
-      f.seq <= d.seq &&
-        d.pathLo.forall(_ <= f.recordedPath) &&
-        d.pathHi.forall(f.recordedPath <= _)))
+    // is out of scope even if the file_path bounds would match.
+    // v3 deletion vectors target exactly one file by recorded path,
+    // same seq gate — so the clean majority is every file no delete
+    // CAN touch, resolved from metadata alone.
+    val touched = snap.files.filter(f =>
+      snap.deletes.exists(d =>
+        f.seq <= d.seq &&
+          d.pathLo.forall(_ <= f.recordedPath) &&
+          d.pathHi.forall(f.recordedPath <= _)) ||
+      snap.dvs.exists(d =>
+        f.seq <= d.seq && d.referencedDataFile == f.recordedPath))
     val touchedSet = touched.map(_.path).toSet
     val clean = snap.copy(
       files = snap.files.filterNot(f => touchedSet(f.path)),
-      deletes = Nil)
+      deletes = Nil, dvs = Nil)
     if (touched.isEmpty) (clean, None)
     else (clean, Some(
       withPositions(spark, snap.copy(files = touched))
@@ -318,7 +372,8 @@ object IcebergMetaRead {
       snap: IcebergMeta.IceSnapshot): DataFrame = {
     import org.apache.spark.sql.functions.{broadcast, col}
     if (snap.files.isEmpty)
-      return df(spark, snap.copy(deletes = Nil, eqDeletes = Nil))
+      return df(spark, snap.copy(deletes = Nil, eqDeletes = Nil,
+        dvs = Nil))
     val groups = snap.files
       .groupBy(f => snap.eqDeletes.filter(d => f.seq < d.seq))
       .toSeq.sortBy { case (_, fs) => fs.map(_.path).min } // determinism

@@ -153,18 +153,18 @@ class IcebergMetaSpec extends SparkSpecBase {
     assert(indexOf(q).lastListing.get._1 === 0)
   }
 
-  test("refusal gates: format-version 3, delete manifests") {
+  test("refusal gates: format-version 4 (v3 reads — IcebergV3Spec)") {
     val root = tmp()
     Files.createDirectories(Paths.get(root, "metadata"))
     Files.write(Paths.get(root, "metadata/v1.metadata.json"),
-      """{"format-version":3,"schemas":[],"snapshots":[]}"""
+      """{"format-version":4,"schemas":[],"snapshots":[]}"""
         .getBytes(UTF_8))
     Files.write(Paths.get(root, "metadata/version-hint.text"),
       "1".getBytes(UTF_8))
     val e1 = intercept[UnsupportedOperationException] {
       IcebergMeta.snapshot(root)
     }
-    assert(e1.getMessage.contains("format-version 3"))
+    assert(e1.getMessage.contains("format-version 4"))
   }
 
   test("snapshotId option time-travels to a named snapshot") {

@@ -1,0 +1,291 @@
+package graft.sources
+
+import java.nio.charset.StandardCharsets.UTF_8
+import java.nio.file.{Files, Paths}
+import graft.SparkSpecBase
+import org.apache.spark.sql.functions._
+
+/** Iceberg FORMAT-VERSION 3: metadata superset parsing (row-lineage
+  * fields ignored on read), Puffin deletion-vector replay through the
+  * MOR scan rewrite, the DV DELETE writer (merge + manifest rewrite),
+  * changes() derivation from DV diffs, and the v3 refusal gates
+  * (initial-default, encryption, parquet position deletes, duplicate
+  * DVs, data writes). */
+class IcebergV3Spec extends SparkSpecBase {
+  import spark.implicits._
+
+  private def tmp(): String =
+    Files.createTempDirectory("iceberg_v3_").toString
+
+  private def metaJson(root: String): String = new String(
+    Files.readAllBytes(Paths.get(root,
+      s"metadata/v${IcebergMeta.latestMetadataVersion(root)}.metadata.json")),
+    UTF_8)
+
+  test("v3 fixture round-trips; DV delete hides rows; merge keeps one DV per file") {
+    val root = tmp()
+    val df = spark.range(0, 60).toDF("k")
+      .withColumn("v", col("k") * 10)
+      .repartitionByRange(3, col("k"))
+    val snap0 = IcebergMeta.writeFixture(df, root, formatVersion = 3)
+    assert(metaJson(root).contains("\"next-row-id\""))
+    assert(spark.read.format("iceberg-meta").load(root).count() === 60)
+
+    // first DELETE → a puffin DV, not a parquet position delete
+    IcebergMeta.delete(spark, root, col("k") % 10 === 3)
+    val s1 = IcebergMeta.snapshot(root)
+    assert(s1.deletes.isEmpty && s1.eqDeletes.isEmpty)
+    assert(s1.dvs.nonEmpty)
+    assert(s1.dvs.forall(_.puffinPath.endsWith(".puffin")))
+    val r1 = spark.read.format("iceberg-meta").load(root)
+    assert(r1.count() === 54)
+    assert(r1.filter(col("k") % 10 === 3).count() === 0)
+
+    // second DELETE touching the same files MERGES per file: replay
+    // still sees at most one DV per data file (the spec obligation)
+    IcebergMeta.delete(spark, root, col("k") % 10 === 7)
+    val s2 = IcebergMeta.snapshot(root)
+    assert(s2.dvs.groupBy(_.referencedDataFile).forall(_._2.size == 1))
+    val r2 = spark.read.format("iceberg-meta").load(root)
+    assert(r2.count() === 48)
+    assert(r2.agg(sum("v")).as[Long].head() ===
+      (0 until 60).filter(k => k % 10 != 3 && k % 10 != 7)
+        .map(_ * 10L).sum)
+
+    // prior snapshots stay exact through the rewritten manifests
+    assert(spark.read.format("iceberg-meta")
+      .option("snapshotId", snap0).load(root).count() === 60)
+    val mid = IcebergMeta.snapshotLog(root).map(_.snapshotId)(1)
+    assert(spark.read.format("iceberg-meta")
+      .option("snapshotId", mid).load(root).count() === 54)
+
+    // the new snapshots carry first-row-id (no rows added → the
+    // table's next-row-id, unchanged)
+    assert(metaJson(root).contains("\"first-row-id\""))
+  }
+
+  test("v3 partitioned table: DV entries restate the target file's tuple") {
+    val root = tmp()
+    val df = Seq((1L, "a"), (2L, "a"), (3L, "b"), (4L, "b"), (5L, "b"))
+      .toDF("k", "p")
+    IcebergMeta.writeFixture(df, root, partitionBy = Seq("p"),
+      formatVersion = 3)
+    IcebergMeta.delete(spark, root, col("k") === 3 || col("k") === 1)
+    val s = IcebergMeta.snapshot(root)
+    assert(s.dvs.size === 2) // one per touched file (one per partition)
+    assert(s.dvs.forall(_.partitionTuple.map(_._1) == Seq("p")))
+    val r = spark.read.format("iceberg-meta").load(root)
+    assert(r.orderBy("k").as[(Long, String)].collect().toSeq ===
+      Seq((2L, "a"), (4L, "b"), (5L, "b")))
+  }
+
+  test("iceberg_changes derives exact per-commit deltas from DV diffs") {
+    val root = tmp()
+    IcebergMeta.writeFixture(
+      spark.range(0, 10).toDF("k").coalesce(1), root, formatVersion = 3)
+    IcebergMeta.delete(spark, root, col("k") < 2)
+    IcebergMeta.delete(spark, root, col("k") === 5) // merges into same DV
+    val ch = IcebergMeta.changes(spark, root, afterSeq = 1L, toSeq = 3L)
+      .orderBy("_commit_seq", "k")
+      .select("k", "_change_type", "_commit_seq")
+      .as[(Long, String, Long)].collect().toSeq
+    // commit 2 deleted {0,1}; commit 3 deleted exactly {5} (the DV
+    // replaced the old one, but only the diff is a change)
+    assert(ch === Seq((0L, "delete", 2L), (1L, "delete", 2L),
+      (5L, "delete", 3L)))
+  }
+
+  test("hand-written foreign v3 tree: DV + row-lineage fields read exactly") {
+    import org.apache.avro.generic.{GenericData, GenericDatumWriter, GenericRecord}
+    import org.apache.avro.file.DataFileWriter
+    val root = tmp()
+    val dataDir = Paths.get(root, "data")
+    // one data file, k = 0..9, one row group
+    spark.range(0, 10).toDF("k").coalesce(1).write.parquet(dataDir.toString)
+    import scala.jdk.CollectionConverters._
+    val part = {
+      val s = Files.list(dataDir)
+      try s.iterator().asScala.map(_.getFileName.toString)
+        .filter(n => n.endsWith(".parquet") && !n.startsWith("."))
+        .toSeq.sorted.head
+      finally s.close()
+    }
+    // DV hiding positions 2, 3, 7 — written with real Puffin framing
+    val Seq(blob) = Puffin.writeDvFile(Paths.get(root, "data/dv.puffin"),
+      snapshotId = 7L, sequenceNumber = 2L,
+      Seq(s"data/$part" -> Array(2L, 3L, 7L)))
+    Files.createDirectories(Paths.get(root, "metadata"))
+    def writeAvro(path: String, schema: org.apache.avro.Schema,
+        rows: Seq[GenericRecord]): Unit = {
+      val w = new DataFileWriter(new GenericDatumWriter[GenericRecord](schema))
+      w.create(schema, Paths.get(root, path).toFile)
+      rows.foreach(w.append)
+      w.close()
+    }
+    // data manifest: carries the v3 first_row_id field (must be
+    // tolerated and ignored on read)
+    val dataManifest = new org.apache.avro.Schema.Parser().parse(
+      """{"type":"record","name":"manifest_entry","fields":[
+        |{"name":"status","type":"int"},
+        |{"name":"sequence_number","type":["null","long"],"default":null},
+        |{"name":"data_file","type":{"type":"record","name":"data_file","fields":[
+        |  {"name":"content","type":"int"},
+        |  {"name":"file_path","type":"string"},
+        |  {"name":"file_format","type":"string"},
+        |  {"name":"record_count","type":"long"},
+        |  {"name":"file_size_in_bytes","type":"long"},
+        |  {"name":"first_row_id","type":["null","long"],"default":null}
+        |]}}]}""".stripMargin)
+    val de = new GenericData.Record(dataManifest)
+    de.put("status", 1)
+    de.put("sequence_number", java.lang.Long.valueOf(1L))
+    val dd = new GenericData.Record(
+      dataManifest.getField("data_file").schema())
+    dd.put("content", 0)
+    dd.put("file_path", s"data/$part")
+    dd.put("file_format", "PARQUET")
+    dd.put("record_count", 10L)
+    dd.put("file_size_in_bytes", Files.size(dataDir.resolve(part)))
+    dd.put("first_row_id", java.lang.Long.valueOf(0L))
+    de.put("data_file", dd)
+    writeAvro("metadata/m0.avro", dataManifest, Seq(de))
+    // delete manifest: the v3 DV addressing triple
+    val delManifest = new org.apache.avro.Schema.Parser().parse(
+      """{"type":"record","name":"manifest_entry","fields":[
+        |{"name":"status","type":"int"},
+        |{"name":"sequence_number","type":["null","long"],"default":null},
+        |{"name":"data_file","type":{"type":"record","name":"data_file","fields":[
+        |  {"name":"content","type":"int"},
+        |  {"name":"file_path","type":"string"},
+        |  {"name":"file_format","type":"string"},
+        |  {"name":"record_count","type":"long"},
+        |  {"name":"file_size_in_bytes","type":"long"},
+        |  {"name":"referenced_data_file","type":["null","string"],"default":null},
+        |  {"name":"content_offset","type":["null","long"],"default":null},
+        |  {"name":"content_size_in_bytes","type":["null","long"],"default":null}
+        |]}}]}""".stripMargin)
+    val ve = new GenericData.Record(delManifest)
+    ve.put("status", 1)
+    ve.put("sequence_number", java.lang.Long.valueOf(2L))
+    val vd = new GenericData.Record(
+      delManifest.getField("data_file").schema())
+    vd.put("content", 1)
+    vd.put("file_path", "data/dv.puffin")
+    vd.put("file_format", "PUFFIN")
+    vd.put("record_count", 3L)
+    vd.put("file_size_in_bytes",
+      Files.size(Paths.get(root, "data/dv.puffin")))
+    vd.put("referenced_data_file", s"data/$part")
+    vd.put("content_offset", java.lang.Long.valueOf(blob.offset))
+    vd.put("content_size_in_bytes", java.lang.Long.valueOf(blob.length))
+    ve.put("data_file", vd)
+    writeAvro("metadata/m1.avro", delManifest, Seq(ve))
+    // manifest list with v3 first_row_id on the data row
+    val listSchema = new org.apache.avro.Schema.Parser().parse(
+      """{"type":"record","name":"manifest_file","fields":[
+        |{"name":"manifest_path","type":"string"},
+        |{"name":"manifest_length","type":"long"},
+        |{"name":"partition_spec_id","type":"int"},
+        |{"name":"content","type":"int"},
+        |{"name":"sequence_number","type":"long"},
+        |{"name":"first_row_id","type":["null","long"],"default":null}
+        |]}""".stripMargin)
+    def listRow(p: String, content: Int, seq: Long,
+        firstRowId: Option[Long]): GenericRecord = {
+      val r = new GenericData.Record(listSchema)
+      r.put("manifest_path", p)
+      r.put("manifest_length", Files.size(Paths.get(root, p)))
+      r.put("partition_spec_id", 0)
+      r.put("content", content)
+      r.put("sequence_number", seq)
+      firstRowId.foreach(v => r.put("first_row_id", java.lang.Long.valueOf(v)))
+      r
+    }
+    writeAvro("metadata/snap.avro", listSchema, Seq(
+      listRow("metadata/m0.avro", 0, 1L, Some(0L)),
+      listRow("metadata/m1.avro", 1, 2L, None)))
+    Files.write(Paths.get(root, "metadata/v1.metadata.json"),
+      s"""{"format-version":3,"table-uuid":"t","location":"$root",
+         |"last-sequence-number":2,"next-row-id":10,
+         |"current-schema-id":0,
+         |"schemas":[{"type":"struct","schema-id":0,"fields":[
+         |  {"id":1,"name":"k","required":false,"type":"long",
+         |   "write-default":0}]}],
+         |"current-snapshot-id":7,
+         |"snapshots":[{"snapshot-id":7,"sequence-number":2,
+         |  "first-row-id":10,
+         |  "manifest-list":"metadata/snap.avro",
+         |  "timestamp-ms":1,"summary":{"operation":"delete"}}]}"""
+        .stripMargin.getBytes(UTF_8))
+    Files.write(Paths.get(root, "metadata/version-hint.text"),
+      "1".getBytes(UTF_8))
+    val r = spark.read.format("iceberg-meta").load(root)
+    assert(r.orderBy("k").as[Long].collect().toSeq ===
+      Seq(0L, 1L, 4L, 5L, 6L, 8L, 9L))
+  }
+
+  test("v3 gates: writes, initial-default, encryption, parquet pos deletes, dup DVs") {
+    val root = tmp()
+    IcebergMeta.writeFixture(
+      spark.range(0, 4).toDF("k").coalesce(1), root, formatVersion = 3)
+    // data writes refuse with the read-only story
+    val e1 = intercept[UnsupportedOperationException] {
+      IcebergMeta.append(spark.range(4, 8).toDF("k"), root)
+    }
+    assert(e1.getMessage.contains("row lineage"))
+    intercept[UnsupportedOperationException] {
+      IcebergMeta.compact(spark, root)
+    }
+    intercept[UnsupportedOperationException] {
+      IcebergMeta.deleteEquality(spark, root, Seq(1L).toDF("k"))
+    }
+
+    // initial-default refuses by field name
+    def patchMeta(f: String => String): Unit = {
+      val p = Paths.get(root,
+        s"metadata/v${IcebergMeta.latestMetadataVersion(root)}.metadata.json")
+      val orig = new String(Files.readAllBytes(p), UTF_8)
+      Files.write(p, f(orig).getBytes(UTF_8))
+    }
+    patchMeta(_.replace(""""name":"k"""",
+      """"name":"k","initial-default":42"""))
+    val e2 = intercept[IllegalArgumentException] {
+      IcebergMeta.snapshot(root)
+    }
+    assert(e2.getMessage.contains("initial-default") &&
+      e2.getMessage.contains("'k'"))
+    patchMeta(_.replace(""","initial-default":42""", ""))
+
+    // encryption refuses
+    patchMeta(_.replace(""""current-schema-id":0""",
+      """"encryption-keys":[{"key-id":"x"}],"current-schema-id":0"""))
+    val e3 = intercept[IllegalArgumentException] {
+      IcebergMeta.snapshot(root)
+    }
+    assert(e3.getMessage.contains("encryption"))
+    patchMeta(_.replace(
+      """"encryption-keys":[{"key-id":"x"}],""", ""))
+
+    // sanity: the patched document is healthy again
+    assert(spark.read.format("iceberg-meta").load(root).count() === 4)
+  }
+
+  test("v3 refuses a parquet position delete file loudly") {
+    // build a v2 table with a real positional delete, then flip the
+    // document to v3: the reader must refuse rather than apply
+    val root = tmp()
+    IcebergMeta.writeFixture(
+      spark.range(0, 6).toDF("k").coalesce(1), root)
+    IcebergMeta.delete(spark, root, col("k") === 2)
+    val p = Paths.get(root,
+      s"metadata/v${IcebergMeta.latestMetadataVersion(root)}.metadata.json")
+    Files.write(p, new String(Files.readAllBytes(p), UTF_8)
+      .replace("\"format-version\":2", "\"format-version\":3")
+      .replace("\"format-version\" : 2", "\"format-version\" : 3")
+      .getBytes(UTF_8))
+    val e = intercept[UnsupportedOperationException] {
+      IcebergMeta.snapshot(root)
+    }
+    assert(e.getMessage.contains("position delete"))
+  }
+}

@@ -126,19 +126,15 @@ object IcebergMeta {
     * The hint is ADVISORY (HadoopCatalog semantics) — a concurrent
     * writer mid-rewrite can expose a truncated/empty hint, which must
     * degrade to the listing, never throw. */
-  def latestMetadataVersion(root: String): Int = {
-    val hint = metaDir(root).resolve("version-hint.text")
-    val hinted: Option[Int] =
-      if (!Files.exists(hint)) None
-      else scala.util.Try(
-        new String(Files.readAllBytes(hint), UTF_8).trim.toInt).toOption
-    hinted.getOrElse {
-      val vs = PosixDataStore.listDir(metaDir(root))
-        .collect { case n if n.matches("v\\d+\\.metadata\\.json") =>
-          n.stripPrefix("v").stripSuffix(".metadata.json").toInt }
-      require(vs.nonEmpty, s"$root is not an Iceberg table (no metadata)")
-      vs.max
-    }
+  def latestMetadataVersion(root: String): Int =
+    IceCatalog.forRoot(root).currentVersion(root)
+
+  /** The current metadata document through the CATALOG seam
+    * ([[IceCatalog]]): (version, parsed JSON). Every reader and every
+    * commit base resolves through this — the REST-catalog swap point. */
+  private def currentMeta(root: String): (Int, JsonNode) = {
+    val (v, bytes) = IceCatalog.forRoot(root).currentMetadata(root)
+    (v, mapper.readTree(bytes))
   }
 
   /** One snapshot-history row for the streaming tail. `op` is
@@ -151,9 +147,7 @@ object IcebergMeta {
     * sequence number — the commit history [[IcebergMetaStream]]
     * walks. */
   def snapshotLog(root: String): Seq[SnapshotRef] = {
-    val v = latestMetadataVersion(root)
-    val meta = mapper.readTree(Files.readAllBytes(
-      metaDir(root).resolve(s"v$v.metadata.json")))
+    val (v, meta) = currentMeta(root)
     if (!meta.hasNonNull("snapshots")) return Nil
     meta.get("snapshots").elements().asScala.map { s =>
       val seq = if (s.hasNonNull("sequence-number"))
@@ -167,9 +161,7 @@ object IcebergMeta {
   /** The table's last sequence number (0 when the document predates
     * any commit). */
   def latestSequence(root: String): Long = {
-    val v = latestMetadataVersion(root)
-    val meta = mapper.readTree(Files.readAllBytes(
-      metaDir(root).resolve(s"v$v.metadata.json")))
+    val (v, meta) = currentMeta(root)
     if (meta.hasNonNull("last-sequence-number"))
       meta.get("last-sequence-number").asLong() else 0L
   }
@@ -472,9 +464,7 @@ object IcebergMeta {
   /** Replay the metadata tree to a snapshot (default: current). */
   def snapshot(root: String, snapshotIdAsOf: Option[Long] = None)
       : IceSnapshot = {
-    val v = latestMetadataVersion(root)
-    val meta = mapper.readTree(Files.readAllBytes(
-      metaDir(root).resolve(s"v$v.metadata.json")))
+    val (v, meta) = currentMeta(root)
     val fv = meta.get("format-version").asInt()
     if (fv > 3) throw new UnsupportedOperationException(
       s"iceberg-meta: format-version $fv not supported (1-3)")
@@ -1006,7 +996,7 @@ object IcebergMeta {
     val spark = df.sparkSession
     require(formatVersion == 2 || formatVersion == 3,
       s"iceberg-meta fixture: format-version $formatVersion not writable")
-    require(!Files.exists(metaDir(root).resolve("version-hint.text")),
+    require(!IceCatalog.forRoot(root).tableExists(root),
       s"iceberg-meta fixture: $root already exists")
     val fieldId = df.schema.fieldNames.zipWithIndex
       .map { case (n, i) => n -> (i + 1) }.toMap
@@ -1100,32 +1090,18 @@ object IcebergMeta {
          |  "manifest-list":"$listRel",
          |  "summary":{"operation":"append"},"schema-id":0}]}"""
         .stripMargin
-    Files.createDirectories(metaDir(root))
-    Files.write(metaDir(root).resolve("v1.metadata.json"),
-      metaJson.getBytes(UTF_8))
-    writeHint(root, 1)
+    IceCatalog.forRoot(root).create(root, metaJson.getBytes(UTF_8))
     snapId
-  }
-
-  /** Publish `version-hint.text` ATOMICALLY (temp file + rename):
-    * `Files.write` truncates in place, and a concurrent reader between
-    * truncate and write sees an EMPTY hint — observed as a
-    * NumberFormatException in a streaming tail racing a commit. */
-  private def writeHint(root: String, v: Int): Unit = {
-    val tmp = Files.createTempFile(metaDir(root), ".hint-", ".tmp")
-    Files.write(tmp, v.toString.getBytes(UTF_8))
-    Files.move(tmp, metaDir(root).resolve("version-hint.text"),
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
   }
 
   /** Transactionally APPEND `df` as a new snapshot of the EXISTING
     * Iceberg table at `root` (one written by [[writeFixture]] or by
-    * real Iceberg tooling). Filesystem-catalog commit protocol: the
-    * new `v{N+1}.metadata.json` publishes via conditional put
-    * ([[LogStore.putIfAbsent]]) — exactly one of two racing writers
-    * wins, the loser gets [[VersionedTable.ConcurrentCommitException]]
-    * and can re-read + retry. Every field of the current metadata
+    * real Iceberg tooling). The commit publishes through the CATALOG
+    * seam ([[IceCatalog.commit]] — CAS semantics: exactly one of two
+    * racing writers wins, the loser gets
+    * [[VersionedTable.ConcurrentCommitException]] and can re-read +
+    * retry; the default [[FsIceCatalog]] is the HadoopCatalog
+    * conditional-put convention, a REST catalog is a client away). Every field of the current metadata
     * document is PRESERVED verbatim (deep-copied JSON tree) except the
     * append's own mutations: `snapshots` += one, `current-snapshot-id`,
     * `last-sequence-number`, `last-updated-ms`; prior snapshots stay
@@ -1144,9 +1120,7 @@ object IcebergMeta {
   def append(df: org.apache.spark.sql.DataFrame, root: String,
       toBranch: Option[String] = None): Long = {
     val spark = df.sparkSession
-    val v = latestMetadataVersion(root)
-    val meta = mapper.readTree(Files.readAllBytes(
-      metaDir(root).resolve(s"v$v.metadata.json")))
+    val (v, meta) = currentMeta(root)
     // writing "to main" IS the normal write (Iceberg's toBranch rule)
     val branch = toBranch.filter(_ != "main")
     requireWritable(meta, "APPEND")
@@ -1424,9 +1398,8 @@ object IcebergMeta {
     * would let an old file's tuple value masquerade as the new
     * field's). Returns the new default spec id. */
   def evolveSpec(root: String, fields: Seq[(String, String)]): Int = {
-    val v = latestMetadataVersion(root)
-    val meta = mapper.readTree(Files.readAllBytes(
-      metaDir(root).resolve(s"v$v.metadata.json")))
+    val (v, meta0) = currentMeta(root)
+    val meta = meta0
       .deepCopy[com.fasterxml.jackson.databind.node.ObjectNode]
     val (_, nameById) = schemaOf(meta)
     val idByName = nameById.map(_.swap)
@@ -1473,14 +1446,8 @@ object IcebergMeta {
     meta.put("default-spec-id", nextId)
     meta.put("last-partition-id", fid)
     meta.put("last-updated-ms", System.currentTimeMillis())
-    try PosixLogStore.putIfAbsent(
-      metaDir(root).resolve(s"v${v + 1}.metadata.json"),
+    IceCatalog.forRoot(root).commit(root, v,
       mapper.writerWithDefaultPrettyPrinter().writeValueAsBytes(meta))
-    catch {
-      case _: java.nio.file.FileAlreadyExistsException =>
-        throw new VersionedTable.ConcurrentCommitException(v + 1)
-    }
-    writeHint(root, v + 1)
     nextId
   }
 
@@ -1643,16 +1610,9 @@ object IcebergMeta {
               .put("snapshot-id", snapId)
         }
     }
-    try PosixLogStore.putIfAbsent(
-      metaDir(root).resolve(s"v${v + 1}.metadata.json"),
+    IceCatalog.forRoot(root).commit(root, v,
       mapper.writerWithDefaultPrettyPrinter()
         .writeValueAsBytes(newMeta))
-    catch {
-      case _: java.nio.file.FileAlreadyExistsException =>
-        throw new VersionedTable.ConcurrentCommitException(v + 1)
-    }
-    // the hint is advisory (HadoopCatalog semantics) — last writer wins
-    writeHint(root, v + 1)
     snapId
   }
 
@@ -1682,9 +1642,7 @@ object IcebergMeta {
   def delete(spark: SparkSession, root: String,
       cond: org.apache.spark.sql.Column): Long = {
     import org.apache.spark.sql.functions.{broadcast, col}
-    val v = latestMetadataVersion(root)
-    val meta = mapper.readTree(Files.readAllBytes(
-      metaDir(root).resolve(s"v$v.metadata.json")))
+    val (v, meta) = currentMeta(root)
     val (schema, nameById) = schemaOf(meta)
     // a PARTITIONED spec's readers require an r102 partition tuple on
     // every delete-manifest entry: deletes group ONE delete file per
@@ -1978,9 +1936,7 @@ object IcebergMeta {
   def compact(spark: SparkSession, root: String,
       numFiles: Int = 1): Long = {
     require(numFiles >= 1, "numFiles must be >= 1")
-    val v = latestMetadataVersion(root)
-    val meta = mapper.readTree(Files.readAllBytes(
-      metaDir(root).resolve(s"v$v.metadata.json")))
+    val (v, meta) = currentMeta(root)
     requireWritable(meta, "COMPACT")
     val (schema, nameById) = schemaOf(meta)
     val idByName = nameById.map(_.swap)
@@ -2056,9 +2012,7 @@ object IcebergMeta {
     * rolled-past snapshots remain time-travelable until
     * [[expireSnapshots]] reaps them. */
   def rollbackTo(root: String, snapshotId: Long): Int = {
-    val v = latestMetadataVersion(root)
-    val meta = mapper.readTree(Files.readAllBytes(
-      metaDir(root).resolve(s"v$v.metadata.json")))
+    val (v, meta) = currentMeta(root)
     val known = meta.get("snapshots").elements().asScala
       .map(_.get("snapshot-id").asLong()).toSet
     require(known(snapshotId),
@@ -2086,14 +2040,8 @@ object IcebergMeta {
     if (newMeta.hasNonNull("snapshot-log"))
       newMeta.withArray[com.fasterxml.jackson.databind.node.ArrayNode](
         "snapshot-log").add(logEntry)
-    try PosixLogStore.putIfAbsent(
-      metaDir(root).resolve(s"v${v + 1}.metadata.json"),
+    IceCatalog.forRoot(root).commit(root, v,
       mapper.writerWithDefaultPrettyPrinter().writeValueAsBytes(newMeta))
-    catch {
-      case _: java.nio.file.FileAlreadyExistsException =>
-        throw new VersionedTable.ConcurrentCommitException(v + 1)
-    }
-    writeHint(root, v + 1)
     v + 1
   }
 
@@ -2140,9 +2088,8 @@ object IcebergMeta {
       snapshotId: Option[Long] = None): Int = {
     require(refType == "tag" || refType == "branch",
       s"iceberg-meta: ref type must be tag|branch, got $refType")
-    val v = latestMetadataVersion(root)
-    val meta = mapper.readTree(Files.readAllBytes(
-      metaDir(root).resolve(s"v$v.metadata.json")))
+    val (v, meta0) = currentMeta(root)
+    val meta = meta0
       .deepCopy[com.fasterxml.jackson.databind.node.ObjectNode]
     val known = meta.get("snapshots").elements().asScala
       .map(_.get("snapshot-id").asLong()).toSet
@@ -2163,14 +2110,8 @@ object IcebergMeta {
     r.put("type", refType)
     refsNode.set(name, r)
     meta.put("last-updated-ms", System.currentTimeMillis())
-    try PosixLogStore.putIfAbsent(
-      metaDir(root).resolve(s"v${v + 1}.metadata.json"),
+    IceCatalog.forRoot(root).commit(root, v,
       mapper.writerWithDefaultPrettyPrinter().writeValueAsBytes(meta))
-    catch {
-      case _: java.nio.file.FileAlreadyExistsException =>
-        throw new VersionedTable.ConcurrentCommitException(v + 1)
-    }
-    writeHint(root, v + 1)
     v + 1
   }
 
@@ -2178,9 +2119,8 @@ object IcebergMeta {
   def dropRef(root: String, name: String): Int = {
     require(name != "main",
       "iceberg-meta: the main branch cannot be dropped")
-    val v = latestMetadataVersion(root)
-    val meta = mapper.readTree(Files.readAllBytes(
-      metaDir(root).resolve(s"v$v.metadata.json")))
+    val (v, meta0) = currentMeta(root)
+    val meta = meta0
       .deepCopy[com.fasterxml.jackson.databind.node.ObjectNode]
     require(meta.hasNonNull("refs") && meta.get("refs").hasNonNull(name),
       s"iceberg-meta: no ref '$name' in $root")
@@ -2188,14 +2128,8 @@ object IcebergMeta {
       .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
       .remove(name)
     meta.put("last-updated-ms", System.currentTimeMillis())
-    try PosixLogStore.putIfAbsent(
-      metaDir(root).resolve(s"v${v + 1}.metadata.json"),
+    IceCatalog.forRoot(root).commit(root, v,
       mapper.writerWithDefaultPrettyPrinter().writeValueAsBytes(meta))
-    catch {
-      case _: java.nio.file.FileAlreadyExistsException =>
-        throw new VersionedTable.ConcurrentCommitException(v + 1)
-    }
-    writeHint(root, v + 1)
     v + 1
   }
 
@@ -2207,9 +2141,8 @@ object IcebergMeta {
     * metadata-only commit. Refuses when `to`'s head is not an
     * ancestor of `from`'s head (a fast-forward must lose nothing). */
   def fastForward(root: String, to: String, from: String): Int = {
-    val v = latestMetadataVersion(root)
-    val meta = mapper.readTree(Files.readAllBytes(
-      metaDir(root).resolve(s"v$v.metadata.json")))
+    val (v, meta0) = currentMeta(root)
+    val meta = meta0
       .deepCopy[com.fasterxml.jackson.databind.node.ObjectNode]
     val rs = refsOf(meta)
     // fast_forward moves BRANCHES only (Iceberg's rule; tags are
@@ -2256,14 +2189,8 @@ object IcebergMeta {
       }
     }
     meta.put("last-updated-ms", now)
-    try PosixLogStore.putIfAbsent(
-      metaDir(root).resolve(s"v${v + 1}.metadata.json"),
+    IceCatalog.forRoot(root).commit(root, v,
       mapper.writerWithDefaultPrettyPrinter().writeValueAsBytes(meta))
-    catch {
-      case _: java.nio.file.FileAlreadyExistsException =>
-        throw new VersionedTable.ConcurrentCommitException(v + 1)
-    }
-    writeHint(root, v + 1)
     v + 1
   }
 
@@ -2288,9 +2215,7 @@ object IcebergMeta {
   def expireSnapshots(root: String, olderThanMs: Long,
       retainLast: Int = 1): ExpireResult = {
     require(retainLast >= 1, s"expireSnapshots: retainLast $retainLast < 1")
-    val v = latestMetadataVersion(root)
-    val meta = mapper.readTree(Files.readAllBytes(
-      metaDir(root).resolve(s"v$v.metadata.json")))
+    val (v, meta) = currentMeta(root)
     if (!meta.hasNonNull("snapshots")) return ExpireResult(0, 0, 0, 0)
     val snaps = meta.get("snapshots").elements().asScala.toSeq
     def idOf(s: JsonNode) = s.get("snapshot-id").asLong()
@@ -2346,14 +2271,8 @@ object IcebergMeta {
       newMeta.set[JsonNode]("snapshot-log", logArr)
     }
     newMeta.put("last-updated-ms", System.currentTimeMillis())
-    try PosixLogStore.putIfAbsent(
-      metaDir(root).resolve(s"v${v + 1}.metadata.json"),
+    IceCatalog.forRoot(root).commit(root, v,
       mapper.writerWithDefaultPrettyPrinter().writeValueAsBytes(newMeta))
-    catch {
-      case _: java.nio.file.FileAlreadyExistsException =>
-        throw new VersionedTable.ConcurrentCommitException(v + 1)
-    }
-    writeHint(root, v + 1)
     // the commit is durable — now the physical deletes (crash here
     // leaves unreferenced garbage, never a dangling reference)
     val store = VersionedTable.dataIO(root)
@@ -2384,9 +2303,7 @@ object IcebergMeta {
   def upsertKeyed(spark: SparkSession, root: String,
       source: org.apache.spark.sql.DataFrame, key: String): Long = {
     import org.apache.spark.sql.functions.col
-    val v = latestMetadataVersion(root)
-    val meta = mapper.readTree(Files.readAllBytes(
-      metaDir(root).resolve(s"v$v.metadata.json")))
+    val (v, meta) = currentMeta(root)
     requireWritable(meta, "UPSERT")
     val (schema, nameById) = schemaOf(meta)
     val idByName = nameById.map(_.swap)
@@ -2500,9 +2417,7 @@ object IcebergMeta {
     * anti-join per equality-column set ([[IcebergMetaRead.morRead]]). */
   def deleteEquality(spark: SparkSession, root: String,
       values: org.apache.spark.sql.DataFrame): Long = {
-    val v = latestMetadataVersion(root)
-    val meta = mapper.readTree(Files.readAllBytes(
-      metaDir(root).resolve(s"v$v.metadata.json")))
+    val (v, meta) = currentMeta(root)
     requireWritable(meta, "DELETE (equality)")
     // on a PARTITIONED table the delete is GLOBAL: its manifest
     // rides an unpartitioned spec (added to the document if absent),
@@ -2655,9 +2570,7 @@ object IcebergMeta {
       removeRecorded: Set[String],
       replacement: org.apache.spark.sql.DataFrame,
       operation: String = "overwrite"): Long = {
-    val v = latestMetadataVersion(root)
-    val meta = mapper.readTree(Files.readAllBytes(
-      metaDir(root).resolve(s"v$v.metadata.json")))
+    val (v, meta) = currentMeta(root)
     requireWritable(meta, "OVERWRITE/REWRITE")
     require(meta.hasNonNull("current-snapshot-id") &&
       meta.get("current-snapshot-id").asLong() != -1L,

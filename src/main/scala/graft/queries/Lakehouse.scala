@@ -3264,6 +3264,74 @@ object Lakehouse {
              |  CAST(1 AS BIGINT) AS v3_ok
              |FROM orders
              |WHERE o_orderkey % 100 >= 7 AND o_orderkey % 100 <> 55
+             |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)),
+
+    // ICEBERG v3 ROW LINEAGE on the ADDITIVE write paths (round 11):
+    // v3 is not read-only here — append, equality delete, and
+    // MOR upsert all work, each discharging the v3 writer obligation
+    // the spec actually imposes on them: the snapshot records
+    // first-row-id = the table's next-row-id, the new data manifest's
+    // manifest-list row carries the same base for inheritance-based
+    // id assignment (entry first_row_id stays null), and next-row-id
+    // moves by the added row count IN THE SAME COMMIT. Deletes add no
+    // rows, so their mark is unchanged. Only REWRITES (compaction,
+    // COW) refuse — they would have to preserve existing rows' ids.
+    // The probe asserts the arithmetic end to end: after create(n1) +
+    // append(n2) + upsert(n3), next-row-id == n1+n2+n3 and every
+    // snapshot's first-row-id is the running total at its commit.
+    // Oracle: orders with the upsert images substituted and the
+    // eq-deleted keys gone. IcebergV3Spec pins the per-commit marks
+    // and the rewrite refusal.
+    QueryDef(
+      "q265_iceberg_v3_lineage",
+      (s, d) => {
+        val root = Files.createTempDirectory("ice_v3l_").toString + "/t"
+        val src = orders(s, d).select(col("o_orderkey"), col("o_custkey"),
+          col("o_orderstatus"))
+        val n1 = src.filter(col("o_orderkey") <= 4096L).count()
+        val n2 = src.filter(col("o_orderkey") > 4096L).count()
+        src.filter(col("o_orderkey") <= 4096L)
+          .write.format("iceberg-meta")
+          .option("formatVersion", "3").save(root)
+        graft.sources.IcebergMeta.append(
+          src.filter(col("o_orderkey") > 4096L), root)
+        graft.sources.IcebergMeta.deleteEquality(s, root,
+          src.filter(col("o_orderkey") % 100 === 13)
+            .select(col("o_orderkey")))
+        val images = src.filter(col("o_orderkey") % 100 === 55)
+          .withColumn("o_custkey", col("o_custkey") + 1000000L)
+        val n3 = images.count()
+        graft.sources.IcebergMeta.upsertKeyed(s, root, images,
+          "o_orderkey")
+        // lineage probe: the mark moved by exactly the added rows,
+        // and each snapshot's first-row-id is the pre-commit total
+        val meta = new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get(root, s"metadata/v${
+            graft.sources.IcebergMeta.latestMetadataVersion(root)
+          }.metadata.json")), java.nio.charset.StandardCharsets.UTF_8)
+        def longsOf(field: String): Seq[Long] =
+          s""""$field"\\s*:\\s*(\\d+)""".r
+            .findAllMatchIn(meta).map(_.group(1).toLong).toSeq
+        val lineageOk =
+          if (longsOf("next-row-id") == Seq(n1 + n2 + n3) &&
+            longsOf("first-row-id").sorted ==
+              Seq(0L, n1, n1 + n2, n1 + n2)) 1L
+          else 0L
+        s.read.format("iceberg-meta").load(root)
+          .groupBy("o_orderstatus")
+          .agg(count(lit(1)).as("n_kept"),
+            sum("o_custkey").cast("long").as("sum_cust"),
+            sum("o_orderkey").cast("long").as("sum_key"))
+          .withColumn("lineage_ok", lit(lineageOk))
+          .orderBy("o_orderstatus")
+      },
+      Some("""SELECT o_orderstatus, count(*) AS n_kept,
+             |  CAST(sum(CASE WHEN o_orderkey % 100 = 55
+             |    THEN o_custkey + 1000000 ELSE o_custkey END)
+             |    AS BIGINT) AS sum_cust,
+             |  CAST(sum(o_orderkey) AS BIGINT) AS sum_key,
+             |  CAST(1 AS BIGINT) AS lineage_ok
+             |FROM orders WHERE o_orderkey % 100 <> 13
              |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin))
   )
 }

@@ -44,9 +44,12 @@ import org.apache.spark.sql.types._
   * `content_offset`/`content_size_in_bytes` — [[Puffin]]). Feature
   * gates (refuse loudly, never wrong rows): format-version 4+, v3
   * `initial-default` fields and table encryption, non-parquet data
-  * files, unsupported types; v3 tables are read-only for data writes
-  * except DV deletes (row-lineage assignment on append/rewrite is not
-  * implemented — [[requireWritable]]).
+  * files, unsupported types. v3 WRITES: the additive paths — append,
+  * upsert, DV and equality deletes — assign row lineage by
+  * inheritance (snapshot first-row-id from the table's next-row-id,
+  * moved by the added row count in the same commit); REWRITES
+  * (compaction, COW) refuse — they must preserve existing row ids,
+  * which this writer does not implement ([[requireRewritable]]).
   *
   * Avro access is GENERIC (`GenericDatumReader` against the embedded
   * writer schema), so the reader tolerates both real Avro maps and
@@ -695,21 +698,30 @@ object IcebergMeta {
     } else if (meta.hasNonNull("schema")) walk(meta.get("schema"))
   }
 
-  /** Gate for DATA-writing entry points: v3 tables are read-only here
-    * EXCEPT the DV delete path ([[delete]] routes to it) — appends and
-    * rewrites would have to assign/preserve row lineage (v3 writer
-    * obligation), which this writer does not implement. Deletes add no
-    * rows, so their lineage obligation is only carrying `next-row-id`
-    * forward — which [[commitSnapshot]] does. */
-  private def requireWritable(meta: JsonNode, op: String): Unit = {
+  /** Version gate for every write entry point; returns the parsed
+    * format-version so v3-specific obligations can branch. */
+  private def requireKnownVersion(meta: JsonNode): Int = {
     val fv = meta.get("format-version").asInt()
-    if (fv == 3) throw new UnsupportedOperationException(
-      s"iceberg-meta: $op on a format-version 3 table is not " +
-        "supported — v3 row lineage must be assigned/preserved on " +
-        "data writes, which this writer does not implement (v3 " +
-        "tables are readable, and DV deletes work)")
     if (fv > 3) throw new UnsupportedOperationException(
       s"iceberg-meta: format-version $fv not supported (1-3)")
+    fv
+  }
+
+  /** Gate for REWRITING entry points (compaction, COW UPDATE/MERGE/
+    * overwrite): a v3 rewrite must PRESERVE the rewritten rows' ids
+    * (materialize `_row_id` into the new files or copy
+    * `first_row_id`), which this writer does not implement. The
+    * ADDITIVE paths — append, upsert, DV/equality deletes — assign
+    * fresh ids by inheritance (snapshot `first-row-id` = the table's
+    * `next-row-id`, moved by the added row count in the same commit)
+    * and are fully supported on v3. */
+  private def requireRewritable(meta: JsonNode, op: String): Unit = {
+    if (requireKnownVersion(meta) == 3)
+      throw new UnsupportedOperationException(
+        s"iceberg-meta: $op on a format-version 3 table is not " +
+          "supported — rewriting existing rows must preserve their " +
+          "row lineage (_row_id), which this writer does not " +
+          "implement; appends, upserts and deletes work on v3")
   }
 
   /** Reserved field ids of the positional-delete file schema
@@ -756,7 +768,8 @@ object IcebergMeta {
       |{"name":"deleted_files_count","type":"int","default":0},
       |{"name":"added_rows_count","type":"long","default":0},
       |{"name":"existing_rows_count","type":"long","default":0},
-      |{"name":"deleted_rows_count","type":"long","default":0}
+      |{"name":"deleted_rows_count","type":"long","default":0},
+      |{"name":"first_row_id","type":["null","long"],"default":null}
       |]}""".stripMargin)
 
   private def manifestSchemaJson(partitionField: String,
@@ -846,7 +859,8 @@ object IcebergMeta {
       seq: Long, addedSnap: Long, addedFiles: Int, existingFiles: Int,
       addedRows: Long, existingRows: Long, content: Int = 0,
       minSeq: Option[Long] = None, deletedFiles: Int = 0,
-      deletedRows: Long = 0L): GenericRecord = {
+      deletedRows: Long = 0L,
+      firstRowId: Option[Long] = None): GenericRecord = {
     val r = new GenericData.Record(manifestListSchema)
     r.put("manifest_path", path)
     r.put("manifest_length", java.lang.Long.valueOf(length))
@@ -861,6 +875,10 @@ object IcebergMeta {
     r.put("added_rows_count", java.lang.Long.valueOf(addedRows))
     r.put("existing_rows_count", java.lang.Long.valueOf(existingRows))
     r.put("deleted_rows_count", java.lang.Long.valueOf(deletedRows))
+    // v3 row lineage: the base row id this (data) manifest's entries
+    // assign from by inheritance; null pre-v3 and on delete manifests
+    r.put("first_row_id",
+      firstRowId.map(java.lang.Long.valueOf).orNull)
     r
   }
 
@@ -1055,7 +1073,9 @@ object IcebergMeta {
     writeAvro(Paths.get(root, listRel), manifestListSchema, Seq(
       manifestListRow(manifestRel,
         Files.size(Paths.get(root, manifestRel)), 0, 1L, snapId,
-        entries.size, 0, rows, 0L)))
+        entries.size, 0, rows, 0L,
+        // v3 row lineage: the creating snapshot assigns ids [0, rows)
+        firstRowId = if (formatVersion == 3) Some(0L) else None)))
     val fields = df.schema.fields.zipWithIndex.map { case (f, i) =>
       s"""{"id":${i + 1},"name":"${f.name}","required":${!f.nullable},""" +
         s""""type":"${iceTypeOf(f.dataType)}"}"""
@@ -1123,7 +1143,7 @@ object IcebergMeta {
     val (v, meta) = currentMeta(root)
     // writing "to main" IS the normal write (Iceberg's toBranch rule)
     val branch = toBranch.filter(_ != "main")
-    requireWritable(meta, "APPEND")
+    requireKnownVersion(meta)
     val (schema, nameById) = schemaOf(meta)
     // a PARTITIONED default spec is honored: the staged files split
     // per tuple (transforms evaluated per the spec) and each entry
@@ -1185,14 +1205,19 @@ object IcebergMeta {
     // carry the base snapshot's manifests forward + the new one (the
     // base is the BRANCH head for a branch append)
     val listRel = s"metadata/snap-$snapId.avro"
+    // v3 row lineage: the new manifest assigns ids from the table's
+    // next-row-id (inheritance; entry first_row_id stays null)
+    val rowIdBase: Option[Long] =
+      if (meta.hasNonNull("next-row-id"))
+        Some(meta.get("next-row-id").asLong()) else None
     writeAvro(Paths.get(root, listRel), manifestListSchema,
       carriedManifests(root, meta,
         branch.flatMap(b => refsOf(meta).get(b).map(_._1)))
         :+ manifestListRow(manifestRel,
         Files.size(Paths.get(root, manifestRel)), specId, seq, snapId,
-        entries.size, 0, addedRows, 0L))
+        entries.size, 0, addedRows, 0L, firstRowId = rowIdBase))
     commitSnapshot(root, v, meta, snapId, seq, listRel, "append",
-      toBranch = branch)
+      toBranch = branch, addedRows = addedRows)
   }
 
   /** Field count of the table's CURRENT (default) partition spec —
@@ -1531,7 +1556,9 @@ object IcebergMeta {
             fieldOpt(r, "existing_files_count").map(asLong).getOrElse(0L).toInt,
             fieldOpt(r, "added_rows_count").map(asLong).getOrElse(0L),
             fieldOpt(r, "existing_rows_count").map(asLong).getOrElse(0L),
-            fieldOpt(r, "content").map(asLong).getOrElse(0L).toInt)
+            fieldOpt(r, "content").map(asLong).getOrElse(0L).toInt,
+            minSeq = fieldOpt(r, "min_sequence_number").map(asLong),
+            firstRowId = fieldOpt(r, "first_row_id").map(asLong))
         }
     }
   }
@@ -1542,7 +1569,8 @@ object IcebergMeta {
     * conditional put. Returns `snapId`. */
   private def commitSnapshot(root: String, v: Int, meta: JsonNode,
       snapId: Long, seq: Long, listRel: String,
-      operation: String, toBranch: Option[String] = None): Long = {
+      operation: String, toBranch: Option[String] = None,
+      addedRows: Long = 0L): Long = {
     val newMeta = meta.deepCopy[
       com.fasterxml.jackson.databind.node.ObjectNode]
     val now = System.currentTimeMillis()
@@ -1569,10 +1597,15 @@ object IcebergMeta {
     snapObj.put("manifest-list", listRel)
     snapObj.putObject("summary").put("operation", operation)
     // v3 row lineage: every snapshot records where its row-id range
-    // begins; the only v3 commits admitted here add NO rows (DV
-    // deletes, ref/metadata ops), so next-row-id carries unchanged
-    if (newMeta.hasNonNull("next-row-id"))
-      snapObj.put("first-row-id", newMeta.get("next-row-id").asLong())
+    // begins (the table's next-row-id BEFORE this commit), and a
+    // commit that added data rows moves the high-water mark by their
+    // count — ids assigned to the new files by inheritance from the
+    // new manifest-list row's first_row_id (same base)
+    if (newMeta.hasNonNull("next-row-id")) {
+      val base = newMeta.get("next-row-id").asLong()
+      snapObj.put("first-row-id", base)
+      if (addedRows > 0) newMeta.put("next-row-id", base + addedRows)
+    }
     if (meta.hasNonNull("current-schema-id"))
       snapObj.put("schema-id", meta.get("current-schema-id").asInt())
     newMeta.withArray[com.fasterxml.jackson.databind.node.ArrayNode](
@@ -1937,7 +1970,7 @@ object IcebergMeta {
       numFiles: Int = 1): Long = {
     require(numFiles >= 1, "numFiles must be >= 1")
     val (v, meta) = currentMeta(root)
-    requireWritable(meta, "COMPACT")
+    requireRewritable(meta, "COMPACT")
     val (schema, nameById) = schemaOf(meta)
     val idByName = nameById.map(_.swap)
     // a PARTITIONED spec compacts to ONE file per tuple (numFiles
@@ -2304,7 +2337,7 @@ object IcebergMeta {
       source: org.apache.spark.sql.DataFrame, key: String): Long = {
     import org.apache.spark.sql.functions.col
     val (v, meta) = currentMeta(root)
-    requireWritable(meta, "UPSERT")
+    requireKnownVersion(meta)
     val (schema, nameById) = schemaOf(meta)
     val idByName = nameById.map(_.swap)
     // PARTITIONED specs: new images split per tuple like append; the
@@ -2386,15 +2419,20 @@ object IcebergMeta {
     val delManifestRel = s"metadata/snap-$snapId-m1.avro"
     writeAvro(Paths.get(root, delManifestRel), manifestSchema, Seq(delEntry))
     val listRel = s"metadata/snap-$snapId.avro"
+    val rowIdBaseU: Option[Long] =
+      if (meta.hasNonNull("next-row-id"))
+        Some(meta.get("next-row-id").asLong()) else None
     writeAvro(Paths.get(root, listRel), manifestListSchema,
       carriedManifests(root, meta) ++ Seq(
         manifestListRow(dataManifestRel,
           Files.size(Paths.get(root, dataManifestRel)), dataSpecId, seq,
-          snapId, dataEntries.size, 0, addedRows, 0L),
+          snapId, dataEntries.size, 0, addedRows, 0L,
+          firstRowId = rowIdBaseU),
         manifestListRow(delManifestRel,
           Files.size(Paths.get(root, delManifestRel)), delSpecId, seq,
           snapId, 1, 0, 0L, 0L, content = 1)))
-    commitSnapshot(root, v, metaOut, snapId, seq, listRel, "overwrite")
+    commitSnapshot(root, v, metaOut, snapId, seq, listRel, "overwrite",
+      addedRows = addedRows)
   }
 
   /** Row-level DELETE by VALUE via a v2 EQUALITY delete file — the
@@ -2418,7 +2456,7 @@ object IcebergMeta {
   def deleteEquality(spark: SparkSession, root: String,
       values: org.apache.spark.sql.DataFrame): Long = {
     val (v, meta) = currentMeta(root)
-    requireWritable(meta, "DELETE (equality)")
+    requireKnownVersion(meta)
     // on a PARTITIONED table the delete is GLOBAL: its manifest
     // rides an unpartitioned spec (added to the document if absent),
     // whose empty tuple is the truthful one for a table-wide delete
@@ -2571,7 +2609,7 @@ object IcebergMeta {
       replacement: org.apache.spark.sql.DataFrame,
       operation: String = "overwrite"): Long = {
     val (v, meta) = currentMeta(root)
-    requireWritable(meta, "OVERWRITE/REWRITE")
+    requireRewritable(meta, "OVERWRITE/REWRITE")
     require(meta.hasNonNull("current-snapshot-id") &&
       meta.get("current-snapshot-id").asLong() != -1L,
       s"iceberg-meta: $root has no current snapshot to rewrite")

@@ -224,21 +224,53 @@ class IcebergV3Spec extends SparkSpecBase {
       Seq(0L, 1L, 4L, 5L, 6L, 8L, 9L))
   }
 
-  test("v3 gates: writes, initial-default, encryption, parquet pos deletes, dup DVs") {
+  test("v3 append/upsert assign row lineage; equality deletes compose") {
+    val root = tmp()
+    IcebergMeta.writeFixture(
+      spark.range(0, 10).toDF("k").withColumn("v", col("k"))
+        .coalesce(1), root, formatVersion = 3)
+    assert(metaJson(root).contains("\"next-row-id\":10"))
+    // append: snapshot first-row-id = old next-row-id; mark moves
+    IcebergMeta.append(
+      spark.range(10, 16).toDF("k").withColumn("v", col("k"))
+        .coalesce(1), root)
+    val m1 = metaJson(root)
+    assert(m1.contains("\"next-row-id\" : 16") ||
+      m1.contains("\"next-row-id\":16"), m1.take(400))
+    assert(m1.contains("\"first-row-id\" : 10") ||
+      m1.contains("\"first-row-id\":10"))
+    assert(spark.read.format("iceberg-meta").load(root).count() === 16)
+    // equality delete: no rows added, mark unchanged
+    IcebergMeta.deleteEquality(spark, root, Seq(3L, 12L).toDF("k"))
+    assert(spark.read.format("iceberg-meta").load(root).count() === 14)
+    // upsert: replaces k=5, inserts k=100 — mark moves by the SOURCE
+    // row count (new images are new rows; old images hide via eq
+    // delete, their ids retire with them)
+    IcebergMeta.upsertKeyed(spark, root,
+      Seq((5L, 555L), (100L, 1L)).toDF("k", "v"), "k")
+    val m2 = metaJson(root)
+    assert(m2.contains("\"next-row-id\" : 18") ||
+      m2.contains("\"next-row-id\":18"))
+    val r = spark.read.format("iceberg-meta").load(root)
+    assert(r.count() === 15)
+    assert(r.filter(col("k") === 5).select("v").as[Long].head() === 555L)
+    // DV delete on an equality-carrying table keeps the documented
+    // mixed-kind refusal (same rule as v2 positional deletes)
+    val e = intercept[IllegalArgumentException] {
+      IcebergMeta.delete(spark, root, col("k") === 11)
+    }
+    assert(e.getMessage.contains("EQUALITY"))
+  }
+
+  test("v3 gates: rewrites, initial-default, encryption, parquet pos deletes") {
     val root = tmp()
     IcebergMeta.writeFixture(
       spark.range(0, 4).toDF("k").coalesce(1), root, formatVersion = 3)
-    // data writes refuse with the read-only story
+    // REWRITES refuse: existing rows' ids would need preserving
     val e1 = intercept[UnsupportedOperationException] {
-      IcebergMeta.append(spark.range(4, 8).toDF("k"), root)
-    }
-    assert(e1.getMessage.contains("row lineage"))
-    intercept[UnsupportedOperationException] {
       IcebergMeta.compact(spark, root)
     }
-    intercept[UnsupportedOperationException] {
-      IcebergMeta.deleteEquality(spark, root, Seq(1L).toDF("k"))
-    }
+    assert(e1.getMessage.contains("row lineage"))
 
     // initial-default refuses by field name
     def patchMeta(f: String => String): Unit = {

@@ -2676,12 +2676,14 @@ object Lakehouse {
           catch { case e: UnsupportedOperationException =>
             e.getMessage.contains("append-only") }
         // foreign table listing an unenforced writer feature: the
-        // READ replays (rowTracking is writer-only), the WRITE refuses
+        // READ replays (icebergCompatV2 is writer-only), the WRITE
+        // refuses (rowTracking retired from this probe in round 11 —
+        // it is ENFORCED now, q266)
         val ft = base + "/foreign"
         val log = java.nio.file.Paths.get(ft, "_delta_log")
         Files.createDirectories(log)
         java.nio.file.Files.write(log.resolve(f"${0L}%020d.json"),
-          ("""{"protocol":{"minReaderVersion":1,"minWriterVersion":7,"writerFeatures":["rowTracking","appendOnly"]}}""" + "\n" +
+          ("""{"protocol":{"minReaderVersion":1,"minWriterVersion":7,"writerFeatures":["icebergCompatV2","appendOnly"]}}""" + "\n" +
             """{"metaData":{"id":"x","format":{"provider":"parquet","options":{}},"schemaString":"{\"type\":\"struct\",\"fields\":[{\"name\":\"k\",\"type\":\"long\",\"nullable\":true,\"metadata\":{}}]}","partitionColumns":[],"configuration":{}}}""" + "\n")
             .getBytes(java.nio.charset.StandardCharsets.UTF_8))
         val foreignReadOk = DeltaLog.snapshot(s, ft).adds.isEmpty
@@ -2691,7 +2693,7 @@ object Lakehouse {
               .coalesce(1), ft)
             false
           } catch { case e: UnsupportedOperationException =>
-            e.getMessage.contains("rowTracking") }
+            e.getMessage.contains("icebergCompatV2") }
         val gatesOk = if (violationNamed && nothingCommitted && protoOk &&
           aoRefused && foreignReadOk && foreignWriteRefused) 1L else 0L
         s.read.format("delta-log").load(root)
@@ -3332,6 +3334,79 @@ object Lakehouse {
              |  CAST(sum(o_orderkey) AS BIGINT) AS sum_key,
              |  CAST(1 AS BIGINT) AS lineage_ok
              |FROM orders WHERE o_orderkey % 100 <> 13
+             |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)),
+
+    // DELTA ROW TRACKING (round 11): the rowTracking writer feature
+    // joins the ENFORCED set — the Delta mirror of the Iceberg v3
+    // row-lineage work. Every path that lands new adds (append,
+    // COW delete/update/merge, OPTIMIZE, RESTORE re-adds of
+    // pre-feature files) assigns a fresh contiguous id block
+    // [baseRowId, baseRowId + numRecords) past the table's
+    // high-water mark and restates the delta.rowTracking domain in
+    // the SAME commit; recommits of the same file (DV merges,
+    // RESTORE) keep their blocks; checkpoints carry the two add
+    // fields. The probe asserts the arithmetic: after create(n1) +
+    // append(n2), the mark is n1+n2-1 and the blocks tile [0, n1+n2)
+    // disjointly; a COW delete moves the mark (rewritten survivors
+    // get fresh blocks — unpreserved row tracking, the spec's
+    // default); after checkpoint + JSON truncation the blocks and
+    // the domain replay intact. Oracle: the surviving rows from raw
+    // orders. DeltaLogSpec pins OPTIMIZE/RESTORE monotonicity and
+    // the no-backfill SET TBLPROPERTIES refusal.
+    QueryDef(
+      "q266_delta_row_tracking",
+      (s, d) => {
+        import graft.sources.DeltaLog
+        val root = Files.createTempDirectory("drt_entry_").toString + "/t"
+        val src = orders(s, d).select(col("o_orderkey"), col("o_custkey"),
+          col("o_orderstatus"))
+        val n1 = src.filter(col("o_orderkey") <= 4096L).count()
+        val n2 = src.filter(col("o_orderkey") > 4096L).count()
+        DeltaLog.commit(src.filter(col("o_orderkey") <= 4096L), root,
+          properties = Map("delta.enableRowTracking" -> "true"))
+        DeltaLog.commit(src.filter(col("o_orderkey") > 4096L), root)
+        def markOf(): Long = {
+          val conf = DeltaLog.snapshot(s, root)
+            .domains("delta.rowTracking")._1
+          """"rowIdHighWaterMark"\s*:\s*(-?\d+)""".r
+            .findFirstMatchIn(conf).get.group(1).toLong
+        }
+        def blocks(): Seq[(Long, Long)] = DeltaLog.snapshot(s, root)
+          .adds.map(a => (a.baseRowId.get, a.baseRowId.get +
+            """"numRecords"\s*:\s*(\d+)""".r
+              .findFirstMatchIn(a.statsJson.get).get.group(1).toLong - 1))
+          .sortBy(_._1)
+        val b0 = blocks()
+        val tiled = b0.head._1 == 0L && b0.zip(b0.tail).forall {
+          case ((_, e), (st, _)) => st == e + 1 }
+        val markAfterAppend = markOf()
+        DeltaLog.deleteWhere(s, root, col("o_orderkey") % 100 < 5)
+        val markMoved = markOf() > markAfterAppend
+        val allBlocked = DeltaLog.snapshot(s, root)
+          .adds.forall(_.baseRowId.isDefined)
+        val cpv = DeltaLog.checkpoint(s, root)
+        val log = java.nio.file.Paths.get(root, "_delta_log")
+        (0L until cpv).foreach(v => java.nio.file.Files.deleteIfExists(
+          log.resolve(f"$v%020d.json")))
+        val snapCp = DeltaLog.snapshot(s, root)
+        val survived = snapCp.adds.forall(_.baseRowId.isDefined) &&
+          snapCp.domains.contains("delta.rowTracking") &&
+          snapCp.writerFeatures.contains("rowTracking")
+        val rtOk = if (markAfterAppend == n1 + n2 - 1 && tiled &&
+          markMoved && allBlocked && survived) 1L else 0L
+        s.read.format("delta-log").load(root)
+          .groupBy(col("o_orderstatus"))
+          .agg(count(lit(1)).as("n_kept"),
+            sum(col("o_custkey")).cast("long").as("sum_cust"),
+            sum(col("o_orderkey")).cast("long").as("sum_key"))
+          .withColumn("rt_ok", lit(rtOk))
+          .orderBy(col("o_orderstatus"))
+      },
+      Some("""SELECT o_orderstatus, count(*) AS n_kept,
+             |  CAST(sum(o_custkey) AS BIGINT) AS sum_cust,
+             |  CAST(sum(o_orderkey) AS BIGINT) AS sum_key,
+             |  CAST(1 AS BIGINT) AS rt_ok
+             |FROM orders WHERE o_orderkey % 100 >= 5
              |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin))
   )
 }

@@ -85,7 +85,13 @@ object DeltaLog {
       nullPartitionCols: Set[String],       // partition cols with null value
       size: Long,
       statsJson: Option[String],
-      deletionVector: Option[DeletionVectors.Descriptor] = None)
+      deletionVector: Option[DeletionVectors.Descriptor] = None,
+      // ROW TRACKING (PROTOCOL.md): the file's fresh-row-id block
+      // starts here ([baseRowId, baseRowId + numRecords)), assigned
+      // when the rowTracking writer feature is active; recommits of
+      // the same file (DV merges, RESTORE) carry them forward
+      baseRowId: Option[Long] = None,
+      defaultRowCommitVersion: Option[Long] = None)
 
   final case class DeltaSnapshot(
       root: String,
@@ -249,7 +255,11 @@ object DeltaLog {
       pv.toMap, nullPv.toSet,
       if (n.hasNonNull("size")) n.get("size").asLong() else 0L,
       if (n.hasNonNull("stats")) Some(n.get("stats").asText()) else None,
-      dv)
+      dv,
+      baseRowId = if (n.hasNonNull("baseRowId"))
+        Some(n.get("baseRowId").asLong()) else None,
+      defaultRowCommitVersion = if (n.hasNonNull("defaultRowCommitVersion"))
+        Some(n.get("defaultRowCommitVersion").asLong()) else None)
   }
 
   private def gateProtocol(n: JsonNode): Unit = {
@@ -641,7 +651,13 @@ object DeltaLog {
           p.getFileName.toString.endsWith(".parquet") &&
           !p.getFileName.toString.startsWith("."))
       finally stream.close()
-    leaves.sortBy(_.toString).zipWithIndex.map { case (p, i) =>
+    // ZERO-ROW leaves drop before landing: Spark's writer emits one
+    // empty part file per empty task, and committing them bloats the
+    // log with adds no reader can use (and no row-id block can size)
+    leaves.sortBy(_.toString)
+      .map(p => p -> parquetRowCount(spark, p))
+      .filter(_._2 > 0L)
+      .zipWithIndex.map { case ((p, rowCount), i) =>
       val relDir = staging.relativize(p).getParent // partition dirs or null
       val pvPairs = Option(relDir).toSeq.flatMap(_.iterator().asScala)
         .map(_.toString).filter(_.contains("="))
@@ -660,9 +676,25 @@ object DeltaLog {
       Files.createDirectories(dst.getParent)
       Files.move(p, dst)
       val st = VersionedTable.footerStats(spark, dst)
+      // a file whose columns all lack usable footer stats (e.g. pure
+      // binary payloads) still records numRecords — the stat every
+      // replayer needs (DV density bounds, row-id block sizing)
       DeltaAdd(rel, pv, nullCols, Files.size(dst),
-        statsJsonOf(st, dottedTypes(df.schema)))
+        statsJsonOf(st, dottedTypes(df.schema)).orElse(Some(
+          s"""{"numRecords":$rowCount,"minValues":{},""" +
+            """"maxValues":{},"nullCount":{}}""")))
     }
+  }
+
+  /** Exact row count from a parquet footer (block record counts). */
+  private def parquetRowCount(spark: SparkSession, file: Path): Long = {
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    val reader = ParquetFileReader.open(HadoopInputFile.fromPath(
+      new org.apache.hadoop.fs.Path(file.toUri),
+      spark.sparkContext.hadoopConfiguration))
+    try reader.getFooter.getBlocks.asScala.map(_.getRowCount).sum
+    finally reader.close()
   }
 
   /** One spec-shaped `add` JSON line. */
@@ -679,11 +711,14 @@ object DeltaLog {
         d.offset.fold("")(o => s""","offset":$o""") +
         s""","sizeInBytes":${d.sizeInBytes},"cardinality":${d.cardinality}}"""
     }
+    val rtJson = a.baseRowId.fold("")(b => s""","baseRowId":$b""") +
+      a.defaultRowCommitVersion.fold("")(v =>
+        s""","defaultRowCommitVersion":$v""")
     s"""{"add":{"path":${jsonStr(encodePath(a.path))},""" +
       s""""partitionValues":{$pvJson},"size":${a.size},""" +
       s""""modificationTime":${System.currentTimeMillis},""" +
       s""""dataChange":$dataChange${a.statsJson.fold("")(s =>
-        s""","stats":${jsonStr(s)}""")}$dvJson}}"""
+        s""","stats":${jsonStr(s)}""")}$dvJson$rtJson}}"""
   }
 
   /** One spec-shaped `protocol` JSON line. Feature lists are emitted
@@ -776,7 +811,13 @@ object DeltaLog {
     // same-domain ones included — conflict. clustering's writer
     // obligation is exactly "preserve the delta.clustering domain",
     // which the above provides — real clustered tables stay writable
-    "domainMetadata", "clustering")
+    "domainMetadata", "clustering",
+    // row tracking: every path that lands new adds assigns fresh
+    // id blocks past the high-water mark and restates the
+    // delta.rowTracking domain in the same commit ([[assignRowIds]],
+    // called from commit/replaceFiles/DV-DML/OPTIMIZE/RESTORE);
+    // checkpoints carry baseRowId/defaultRowCommitVersion
+    "rowTracking")
 
   /** The Delta protocol's writer rule: a writer MUST honor every
     * ACTIVE writer feature's obligations or refuse the commit — an
@@ -1303,10 +1344,19 @@ object DeltaLog {
           else Set.empty[String]
         val dvFeat =
           if (wantsDv) Set("deletionVectors") else Set.empty[String]
+        // rowTracking is WRITER-only: feature-listing needs writer 7,
+        // the reader version stays wherever the reader features put it
+        val rtFeat =
+          if (properties.get("delta.enableRowTracking").contains("true"))
+            Set("rowTracking") else Set.empty[String]
         val p =
           if (wantsDv || v2cpFeat.nonEmpty)
             (3, 7, dvFeat ++ mapFeat ++ v2cpFeat,
-              dvFeat ++ mapFeat ++ v2cpFeat ++ cdfFeat ++
+              dvFeat ++ mapFeat ++ v2cpFeat ++ cdfFeat ++ rtFeat ++
+                legacyWriterFeatures(if (mapMode == "none") 2 else 5))
+          else if (rtFeat.nonEmpty)
+            (if (mapMode == "none") 1 else 2, 7, Set.empty[String],
+              rtFeat ++ cdfFeat ++
                 legacyWriterFeatures(if (mapMode == "none") 2 else 5))
           else if (mapMode != "none") (2, 5, Set.empty[String], Set.empty[String])
           // CDF alone requires minWriterVersion >= 4 (the spec's
@@ -1374,7 +1424,14 @@ object DeltaLog {
       lines += s"""{"txn":{"appId":${jsonStr(app)},"version":$ver,""" +
         s""""lastUpdated":${System.currentTimeMillis}}}"""
     }
-    adds.foreach(a => lines += addLine(a))
+    val (addsRt, rtLines) = assignRowIds(
+      rowTrackingActive(proto._2, proto._4),
+      existing.map(_.domains).getOrElse(Map.empty),
+      // overwrite retires the old adds with their blocks; the mark
+      // is monotonic over the whole history and never reuses them
+      existing.map(_.adds).getOrElse(Nil), next, adds)
+    rtLines.foreach(lines += _)
+    addsRt.foreach(a => lines += addLine(a))
     try io(root).putIfAbsent(commitPath(root, next),
       lines.mkString("", "\n", "\n").getBytes(UTF_8))
     catch {
@@ -1468,12 +1525,63 @@ object DeltaLog {
         case None => () // too large/dense — COW below
       }
     }
-    replaceFiles(spark, root, touchedAdds.map(_.path).toSeq, keep,
-      snap.partitionColumns, cdcAdds)
+    replaceFiles(spark, root, snap, touchedAdds.map(_.path).toSeq,
+      keep, snap.partitionColumns, cdcAdds)
   }
 
   /** `numRecords` from an add's stats JSON — the physical row count
     * [[dvRemoveRows]] needs for its density bound. */
+  /** Is the `rowTracking` writer feature active on this protocol? */
+  private def rowTrackingActive(minWriterVersion: Int,
+      writerFeatures: Set[String]): Boolean =
+    minWriterVersion >= 7 && writerFeatures.contains("rowTracking")
+
+  /** ROW TRACKING's writer obligation (PROTOCOL.md "Row Tracking"):
+    * when the feature is active, every NEW add action gets a fresh
+    * contiguous row-id block `[baseRowId, baseRowId + numRecords)`
+    * past the table's high-water mark (the `delta.rowTracking`
+    * domain's rowIdHighWaterMark), plus this commit's version as
+    * defaultRowCommitVersion; the moved mark lands as a
+    * domainMetadata action in the SAME commit. Adds already carrying
+    * a baseRowId keep it (recommits: DV merges of the same file,
+    * RESTORE re-adds). The mark floor also covers the live adds'
+    * own blocks — defensive against a foreign table whose domain row
+    * went missing (never reassign a live block). An add without a
+    * numRecords stat refuses: the block width would be unknown. */
+  private def assignRowIds(active: Boolean,
+      domains: Map[String, (String, Boolean)],
+      existingAdds: Seq[DeltaAdd], commitVersion: Long,
+      adds: Seq[DeltaAdd]): (Seq[DeltaAdd], Seq[String]) = {
+    if (!active) return (adds, Nil)
+    val domainMark = domains.get("delta.rowTracking").filterNot(_._2)
+      .flatMap(d => Option(mapper.readTree(d._1)
+        .get("rowIdHighWaterMark")).map(_.asLong()))
+      .getOrElse(-1L)
+    val liveMark = existingAdds.flatMap(a => a.baseRowId.map(b =>
+      b + numRecordsOf(a).getOrElse(1L) - 1)).maxOption.getOrElse(-1L)
+    var hwm = math.max(domainMark, liveMark)
+    var moved = false
+    val out = adds.map { a =>
+      if (a.baseRowId.isDefined) a
+      else {
+        val n = numRecordsOf(a).getOrElse(
+          throw new UnsupportedOperationException(
+            s"delta-log: rowTracking requires numRecords stats to " +
+              s"size the row-id block of ${a.path} — refusing to " +
+              "commit an id-less add"))
+        val assigned = a.copy(baseRowId = Some(hwm + 1),
+          defaultRowCommitVersion = Some(commitVersion))
+        hwm += n
+        moved = true
+        assigned
+      }
+    }
+    (out, if (!moved) Nil else Seq(
+      s"""{"domainMetadata":{"domain":"delta.rowTracking",""" +
+        s""""configuration":${jsonStr(s"""{"rowIdHighWaterMark":$hwm}""")},""" +
+        """"removed":false}}"""))
+  }
+
   private def numRecordsOf(a: DeltaAdd): Option[Long] =
     a.statsJson.flatMap { js =>
       try {
@@ -1551,9 +1659,13 @@ object DeltaLog {
             Some(DeletionVectors.writeFile(root, mergedPos))))
       }
     }
-    extraAdds.foreach(a => lines += addLine(a))
-    cdcAdds.foreach(a => lines += cdcLine(a))
     val next = snap.version + 1
+    val (extraRt, rtLines) = assignRowIds(
+      rowTrackingActive(snap.minWriterVersion, snap.writerFeatures),
+      snap.domains, snap.adds, next, extraAdds)
+    rtLines.foreach(lines += _)
+    extraRt.foreach(a => lines += addLine(a))
+    cdcAdds.foreach(a => lines += cdcLine(a))
     try io(root).putIfAbsent(commitPath(root, next),
       lines.mkString("", "\n", "\n").getBytes(UTF_8))
     catch {
@@ -1603,6 +1715,7 @@ object DeltaLog {
     * re-recorded `partitionValues` when `partitionBy` is set) and
     * commit one version of `remove(removedPaths)` + `add(new files)`. */
   private def replaceFiles(spark: SparkSession, root: String,
+      base: DeltaSnapshot,
       removedPaths: Seq[String], df: DataFrame,
       partitionBy: Seq[String] = Nil,
       cdcAdds: Seq[DeltaAdd] = Nil,
@@ -1622,7 +1735,11 @@ object DeltaLog {
         s""""deletionTimestamp":${System.currentTimeMillis},""" +
         """"dataChange":true}}"""
     }
-    adds.foreach(a => lines += addLine(a))
+    val (addsRt, rtLines) = assignRowIds(
+      rowTrackingActive(base.minWriterVersion, base.writerFeatures),
+      base.domains, base.adds, next, adds)
+    rtLines.foreach(lines += _)
+    addsRt.foreach(a => lines += addLine(a))
     cdcAdds.foreach(a => lines += cdcLine(a))
     try io(root).putIfAbsent(commitPath(root, next),
       lines.mkString("", "\n", "\n").getBytes(UTF_8))
@@ -1679,7 +1796,13 @@ object DeltaLog {
         s""""deletionTimestamp":${System.currentTimeMillis},""" +
         """"dataChange":false}}"""
     }
-    adds.foreach(a => lines += addLine(a, dataChange = false))
+    // fresh blocks for the rewritten files (unpreserved row
+    // tracking — the compaction shuffles rows across files)
+    val (addsRt, rtLines) = assignRowIds(
+      rowTrackingActive(snap.minWriterVersion, snap.writerFeatures),
+      snap.domains, snap.adds, next, adds)
+    rtLines.foreach(lines += _)
+    addsRt.foreach(a => lines += addLine(a, dataChange = false))
     try io(root).putIfAbsent(commitPath(root, next),
       lines.mkString("", "\n", "\n").getBytes(UTF_8))
     catch {
@@ -1724,8 +1847,12 @@ object DeltaLog {
       Option(target.tableId).filter(_.nonEmpty)
         .orElse(Option(now.tableId).filter(_.nonEmpty)))
     // domain metadata restores with the state: domains that drifted
-    // re-emit the target's value, domains born since tombstone
+    // re-emit the target's value, domains born since tombstone —
+    // EXCEPT delta.rowTracking: the row-id high-water mark is
+    // monotonic over the whole history (restoring an older, lower
+    // mark would let future commits reassign already-issued blocks)
     target.domains.filterNot(_._2._2).toSeq.sortBy(_._1).foreach {
+      case ("delta.rowTracking", _) => ()
       case (d, (conf, _)) if !now.domains.get(d).contains((conf, false)) =>
         lines += s"""{"domainMetadata":{"domain":${jsonStr(d)},""" +
           s""""configuration":${jsonStr(conf)},"removed":false}}"""
@@ -1733,6 +1860,7 @@ object DeltaLog {
     }
     now.domains.filterNot(_._2._2).keys.toSeq.sorted
       .filterNot(d => target.domains.get(d).exists(!_._2))
+      .filterNot(_ == "delta.rowTracking")
       .foreach { d =>
         lines += s"""{"domainMetadata":{"domain":${jsonStr(d)},""" +
           s""""configuration":"","removed":true}}"""
@@ -1742,8 +1870,14 @@ object DeltaLog {
         s""""deletionTimestamp":${System.currentTimeMillis},""" +
         """"dataChange":true}}"""
     }
-    target.adds.filterNot(a => nowPaths(a.path)).foreach(a =>
-      lines += addLine(a))
+    // re-adds keep their original blocks; a pre-feature file with no
+    // block gets a fresh one (the same file-recommit rule as DVs)
+    val (reAddsRt, rtLines) = assignRowIds(
+      rowTrackingActive(now.minWriterVersion, now.writerFeatures),
+      now.domains, now.adds, next,
+      target.adds.filterNot(a => nowPaths(a.path)))
+    rtLines.foreach(lines += _)
+    reAddsRt.foreach(a => lines += addLine(a))
     try io(root).putIfAbsent(commitPath(root, next),
       lines.mkString("", "\n", "\n").getBytes(UTF_8))
     catch {
@@ -1773,13 +1907,26 @@ object DeltaLog {
     val lines = scala.collection.mutable.ListBuffer.empty[String]
     lines += s"""{"commitInfo":{"timestamp":${System.currentTimeMillis},""" +
       s""""operation":"CLONE"}}"""
-    lines += """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}"""
+    // the clone CARRIES the source's protocol — cloning a
+    // feature-bearing table (deletion vectors, column mapping, row
+    // tracking) to (1,2) would let feature-unaware writers corrupt
+    // the copy, and DV descriptors would be unreadable to conformant
+    // readers that trust the stated protocol
+    lines += protocolLine(snap.minReaderVersion, snap.minWriterVersion,
+      snap.readerFeatures, snap.writerFeatures)
     lines += s"""{"metaData":{"id":${jsonStr(java.util.UUID.randomUUID().toString)},""" +
       s""""format":{"provider":"parquet","options":{}},""" +
       s""""schemaString":${jsonStr(snap.schema.json)},""" +
       s""""partitionColumns":[${snap.partitionColumns.map(jsonStr).mkString(",")}],""" +
       s""""configuration":{${snap.configuration.toSeq.sortBy(_._1)
         .map { case (k, v) => s"${jsonStr(k)}:${jsonStr(v)}" }.mkString(",")}}}}"""
+    // live domain metadata travels with the clone (a clustered or
+    // row-tracked source's domains are part of its contract)
+    snap.domains.filterNot(_._2._2).toSeq.sortBy(_._1).foreach {
+      case (d, (conf, _)) =>
+        lines += s"""{"domainMetadata":{"domain":${jsonStr(d)},""" +
+          s""""configuration":${jsonStr(conf)},"removed":false}}"""
+    }
     snap.adds.foreach { a =>
       val abs = {
         val p = Paths.get(a.path)
@@ -2031,7 +2178,7 @@ object DeltaLog {
         case None => () // too large/dense — COW below
       }
     }
-    replaceFiles(spark, root, touchedAdds.map(_.path).toSeq,
+    replaceFiles(spark, root, snap, touchedAdds.map(_.path).toSeq,
       applied(touchedRows), snap.partitionColumns, cdcAdds,
       operation = "UPDATE")
   }
@@ -2260,7 +2407,8 @@ object DeltaLog {
       enforceRowContracts(out, schemaM, snap.configuration, "MERGE")
       if (genFieldsM.nonEmpty)
         applyGeneratedColumns(out, schemaM, "MERGE")
-      return replaceFiles(spark, root, touchedAdds.map(_.path).toSeq,
+      return replaceFiles(spark, root, snap,
+        touchedAdds.map(_.path).toSeq,
         toPhysical(out), snap.partitionColumns, operation = "MERGE",
         metaRestate = metaRestateM)
     }
@@ -2294,7 +2442,7 @@ object DeltaLog {
         snap.partitionColumns,
         java.util.UUID.randomUUID().toString.take(8),
         prefix = "_change_data/")
-      replaceFiles(spark, root, touchedAdds.map(_.path).toSeq,
+      replaceFiles(spark, root, snap, touchedAdds.map(_.path).toSeq,
         toPhysical(out), snap.partitionColumns, cdcAdds,
         operation = "MERGE", metaRestate = metaRestateM)
     } finally tagged.unpersist()
@@ -2337,6 +2485,19 @@ object DeltaLog {
       enforceRowContracts(logicalVis, StructType(Nil), newChecks,
         "ADD CONSTRAINT")
     }
+    // enabling row tracking on an EXISTING table is a backfill
+    // operation (every live file needs a block assigned and
+    // materialized consistently) — delta-spark runs it as a
+    // dedicated ALTER; refuse rather than flip the property without
+    // the obligation's state
+    if (props.get("delta.enableRowTracking").contains("true") &&
+      !(snap.minWriterVersion >= 7 &&
+        snap.writerFeatures.contains("rowTracking")))
+      throw new UnsupportedOperationException(
+        "delta-log: enabling row tracking on an existing table " +
+          "requires backfilling id blocks for every live file — " +
+          "not supported; create the table with " +
+          "delta.enableRowTracking=true instead")
     val lines = scala.collection.mutable.ListBuffer.empty[String]
     // property-implied protocol upgrades land in the SAME commit, as
     // ONE combined protocol line; never downgrade anything:
@@ -2545,7 +2706,11 @@ object DeltaLog {
         StructField("pathOrInlineDv", StringType),
         StructField("offset", IntegerType),
         StructField("sizeInBytes", IntegerType),
-        StructField("cardinality", LongType))))))
+        StructField("cardinality", LongType)))),
+      // row tracking survives too — a compacted log must not strip
+      // the files' id blocks (readers derive _row_id from them)
+      StructField("baseRowId", LongType),
+      StructField("defaultRowCommitVersion", LongType)))
     val metaSchema = StructType(Seq(
       StructField("id", StringType),
       StructField("format", StructType(Seq(
@@ -2610,7 +2775,9 @@ object DeltaLog {
         d.pathOrInlineDv, d.offset.map(Int.box).orNull, d.sizeInBytes,
         d.cardinality)).orNull
       Row(null, null, Row(encodePath(a.path), pv, a.size, 0L, true,
-        a.statsJson.orNull, dvRow), null, null)
+        a.statsJson.orNull, dvRow,
+        a.baseRowId.map(Long.box).orNull,
+        a.defaultRowCommitVersion.map(Long.box).orNull), null, null)
     }
     val txnRows = snap.txns.toSeq.sortBy(_._1).map { case (app, ver) =>
       Row(null, null, null, Row(app, ver), null)

@@ -477,19 +477,19 @@ class DeltaLogSpec extends SparkSpecBase {
     }
     val plainSchema = """{\"type\":\"struct\",\"fields\":[{\"name\":\"k\",\"type\":\"long\",\"nullable\":true,\"metadata\":{}}]}"""
     val rt = foreign(plainSchema,
-      """{"minReaderVersion":1,"minWriterVersion":7,"writerFeatures":["rowTracking","appendOnly","invariants"]}""")
+      """{"minReaderVersion":1,"minWriterVersion":7,"writerFeatures":["icebergCompatV2","appendOnly","invariants"]}""")
     assert(DeltaLog.snapshot(spark, rt).adds.isEmpty) // read is fine
     val e4 = intercept[UnsupportedOperationException] {
       DeltaLog.commit(Seq(1L).toDF("k").coalesce(1), rt)
     }
-    assert(e4.getMessage.contains("rowTracking"))
+    assert(e4.getMessage.contains("icebergCompatV2"))
     // CHECKPOINT is log-mutating too: compacting a table whose
     // features this writer does not honor would silently drop the
     // state they maintain from the compacted view — gated alike
     val e4b = intercept[UnsupportedOperationException] {
       DeltaLog.checkpoint(spark, rt)
     }
-    assert(e4b.getMessage.contains("rowTracking"))
+    assert(e4b.getMessage.contains("icebergCompatV2"))
     // legacy writer 4 lists generatedColumns — ENFORCED since r11:
     // a plain table writes normally, and generated tables write
     // through the compute/verify path (own test below)
@@ -787,5 +787,73 @@ class DeltaLogSpec extends SparkSpecBase {
       Seq((1L, Some("a")), (2L, None), (3L, Some("a"))))
     assert(ds.filter(col("p").isNull).select("k").as[Long].collect().toSeq
       === Seq(2L))
+  }
+
+  test("row tracking: fresh blocks, monotonic mark, checkpoint + restore survival") {
+    val root = tmp()
+    def markOf(): Long = {
+      val snap = DeltaLog.snapshot(spark, root)
+      val conf = snap.domains("delta.rowTracking")._1
+      """"rowIdHighWaterMark"\s*:\s*(-?\d+)""".r
+        .findFirstMatchIn(conf).get.group(1).toLong
+    }
+    def blocks(): Seq[(Long, Long)] = {
+      val snap = DeltaLog.snapshot(spark, root)
+      snap.adds.map(a => (a.baseRowId.get,
+        a.baseRowId.get + a.statsJson.map(js =>
+          """"numRecords"\s*:\s*(\d+)""".r.findFirstMatchIn(js)
+            .get.group(1).toLong).get - 1)).sortBy(_._1)
+    }
+    // creation with the property: protocol lists the feature, every
+    // add carries a block, the domain records the mark
+    DeltaLog.commit(spark.range(0, 8).toDF("k").repartition(2), root,
+      properties = Map("delta.enableRowTracking" -> "true"))
+    val s0 = DeltaLog.snapshot(spark, root)
+    assert(s0.minWriterVersion === 7 &&
+      s0.writerFeatures.contains("rowTracking"))
+    assert(s0.adds.forall(_.baseRowId.isDefined))
+    assert(s0.adds.forall(_.defaultRowCommitVersion.contains(0L)))
+    assert(markOf() === 7L)
+    // blocks are disjoint and contiguous from 0
+    val b0 = blocks()
+    assert(b0.head._1 === 0L)
+    assert(b0.zip(b0.tail).forall { case ((_, e), (s, _)) => s == e + 1 })
+    // append continues past the mark
+    DeltaLog.commit(spark.range(8, 13).toDF("k").coalesce(1), root)
+    assert(markOf() === 12L)
+    assert(DeltaLog.snapshot(spark, root).adds
+      .exists(_.defaultRowCommitVersion.contains(1L)))
+    // COW delete: rewritten survivors get FRESH blocks past the mark
+    DeltaLog.deleteWhere(spark, root, col("k") === 2)
+    assert(markOf() >= 13L)
+    val afterDelete = markOf()
+    // OPTIMIZE (dataChange=false) also assigns fresh blocks
+    DeltaLog.compact(spark, root)
+    assert(markOf() > afterDelete)
+    assert(blocks().forall(_._1 > afterDelete))
+    // checkpoint: blocks and the domain survive log compaction
+    val cpv = DeltaLog.checkpoint(spark, root)
+    val log = Paths.get(root, "_delta_log")
+    (0L until cpv).foreach(v =>
+      Files.deleteIfExists(log.resolve(f"$v%020d.json")))
+    assert(DeltaLog.snapshot(spark, root).adds
+      .forall(_.baseRowId.isDefined))
+    val preRestoreMark = markOf()
+    // RESTORE: the mark NEVER decreases (re-issued blocks would
+    // collide with ids already handed out)
+    DeltaLog.commit(spark.range(100, 104).toDF("k").coalesce(1), root)
+    DeltaLog.restore(spark, root, cpv)
+    assert(markOf() >= preRestoreMark + 4)
+    assert(spark.read.format("delta-log").load(root).count() === 12)
+    // appends without numRecords stats would be un-sizable: the
+    // enforced path always writes stats, so force the refusal shape
+    // directly through the assignment contract on a foreign add
+    val e = intercept[UnsupportedOperationException] {
+      DeltaLog.setConfiguration(spark,
+        { val r2 = tmp()
+          DeltaLog.commit(Seq(1L).toDF("k").coalesce(1), r2); r2 },
+        Map("delta.enableRowTracking" -> "true"))
+    }
+    assert(e.getMessage.contains("backfill"))
   }
 }

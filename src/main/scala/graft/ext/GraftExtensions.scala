@@ -240,5 +240,26 @@ object GraftExtensions {
             litLong("iceberg_changes", es(1)),
             litLong("iceberg_changes", es(2)))
           .queryExecution.analyzed
+      },
+      tfn("delta_row_ids", "root",
+        "visible rows of a row-tracked Delta table plus _row_id " +
+          "(baseRowId + position) and _last_updated_version") { es =>
+        require(es.size == 1,
+          s"delta_row_ids takes (root), got ${es.size} args")
+        val spark = org.apache.spark.sql.SparkSession.active
+        graft.sources.DeltaLogRead.readWithRowIds(spark,
+            litString("delta_row_ids", es(0)))
+          .queryExecution.analyzed
+      },
+      tfn("iceberg_row_ids", "root",
+        "visible rows of an Iceberg v3 table plus _row_id " +
+          "(first_row_id inheritance + position) and " +
+          "_last_updated_sequence_number") { es =>
+        require(es.size == 1,
+          s"iceberg_row_ids takes (root), got ${es.size} args")
+        val spark = org.apache.spark.sql.SparkSession.active
+        graft.sources.IcebergMetaRead.readWithRowIds(spark,
+            litString("iceberg_row_ids", es(0)))
+          .queryExecution.analyzed
       })
 }

@@ -3407,6 +3407,70 @@ object Lakehouse {
              |  CAST(sum(o_orderkey) AS BIGINT) AS sum_key,
              |  CAST(1 AS BIGINT) AS rt_ok
              |FROM orders WHERE o_orderkey % 100 >= 5
-             |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin))
+             |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)),
+
+    // ROW-ID READ SURFACE, both formats (round 11): the consumer half
+    // of row lineage. `delta_row_ids(root)` exposes `_row_id` =
+    // baseRowId + physical position and `_last_updated_version` on a
+    // row-tracked Delta table; `iceberg_row_ids(root)` exposes
+    // `_row_id` = first_row_id (the spec's manifest-inheritance walk,
+    // resolved at replay) + position and
+    // `_last_updated_sequence_number` on a v3 Iceberg table. The
+    // load-bearing property both TVFs must prove: ids are STABLE
+    // under DV deletes (deleted rows keep occupying their physical
+    // slots), so a surviving row's id equals its position at write —
+    // which the oracle can state exactly as
+    // ROW_NUMBER() OVER (ORDER BY o_orderkey) - 1, because both
+    // tables are built from key-sorted single-file commits (batch 1 =
+    // keys ≤ 4096, batch 2 = the rest — the two blocks concatenate in
+    // key order). Both formats must agree with the oracle AND each
+    // other. Plumbing: one broadcast metadata join (file → id base)
+    // over the stock pruned scan + `_metadata.row_index` — no
+    // shuffle, no data rewrite, O(files) driver state at 100 TB.
+    QueryDef(
+      "q267_row_id_read",
+      (s, d) => {
+        import graft.sources.{DeltaLog, DeltaLogRead, IcebergMeta, IcebergMetaRead}
+        val base = Files.createTempDirectory("rid_entry_").toString
+        val src = orders(s, d).select(col("o_orderkey"), col("o_custkey"))
+        def sorted(df: org.apache.spark.sql.DataFrame) =
+          df.coalesce(1).sortWithinPartitions("o_orderkey")
+        val lo = sorted(src.filter(col("o_orderkey") <= 4096L))
+        val hi = sorted(src.filter(col("o_orderkey") > 4096L))
+        // Delta: row-tracked + DV-enabled, so the DELETE keeps files
+        val droot = base + "/delta"
+        DeltaLog.commit(lo, droot, properties = Map(
+          "delta.enableRowTracking" -> "true",
+          "delta.enableDeletionVectors" -> "true"))
+        DeltaLog.commit(hi, droot)
+        DeltaLog.deleteWhere(s, droot, col("o_orderkey") % 100 < 10)
+        // Iceberg v3: DV delete via the same public delete API
+        val iroot = base + "/iceberg"
+        IcebergMeta.writeFixture(lo, iroot, formatVersion = 3)
+        IcebergMeta.append(hi, iroot)
+        IcebergMeta.delete(s, iroot, col("o_orderkey") % 100 < 10)
+        val dd = DeltaLogRead.readWithRowIds(s, droot)
+          .select(lit("delta").as("fmt"), col("o_orderkey"),
+            col("_row_id"))
+        val id = IcebergMetaRead.readWithRowIds(s, iroot)
+          .select(lit("iceberg").as("fmt"), col("o_orderkey"),
+            col("_row_id"))
+        dd.unionByName(id)
+          .groupBy("fmt")
+          .agg(count(lit(1)).as("n_rows"),
+            sum(col("_row_id")).cast("long").as("sum_rid"),
+            sum(col("o_orderkey")).cast("long").as("sum_key"))
+          .orderBy("fmt")
+      },
+      Some("""WITH ids AS (
+             |  SELECT o_orderkey,
+             |    ROW_NUMBER() OVER (ORDER BY o_orderkey) - 1 AS rid
+             |  FROM orders)
+             |SELECT fmt, count(*) AS n_rows,
+             |  CAST(sum(rid) AS BIGINT) AS sum_rid,
+             |  CAST(sum(o_orderkey) AS BIGINT) AS sum_key
+             |FROM ids CROSS JOIN (VALUES ('delta'), ('iceberg')) t(fmt)
+             |WHERE o_orderkey % 100 >= 10
+             |GROUP BY fmt ORDER BY fmt""".stripMargin))
   )
 }

@@ -381,7 +381,7 @@ class DeltaLogFileIndex(spark: SparkSession, val root: String,
 object DeltaLogRead {
   import org.apache.spark.sql.{GraftColumnBridge, Row => SqlRow}
   import org.apache.spark.sql.execution.datasources.LogicalRelation
-  import org.apache.spark.sql.functions.col
+  import org.apache.spark.sql.functions.{broadcast, col}
 
   /** Working-column names. */
   val FpCol = "__delta_fp"
@@ -451,6 +451,52 @@ object DeltaLogRead {
     else base.join(
       deletedPositions(spark, snap.root, snap.adds),
       Seq(FpCol, PosCol), "left_anti")
+  }
+
+  /** All visible rows of a ROW-TRACKED table plus the feature's read
+    * surface: `_row_id` = the file's baseRowId + the row's physical
+    * position, `_last_updated_version` = the file's
+    * defaultRowCommitVersion. Positions are stable under deletion
+    * vectors (deleted rows keep occupying their physical slots), so
+    * ids survive DV DML — exactly what makes them usable as stable
+    * keys for incremental processing. Refuses: non-row-tracked
+    * tables; tables carrying MATERIALIZED row-tracking columns
+    * (delta-spark's preserved rewrites make the per-row values
+    * authoritative, and this reader does not project them);
+    * column-mapped tables; id-less adds (written before the feature —
+    * OPTIMIZE assigns fresh blocks). */
+  def readWithRowIds(spark: SparkSession, root: String): DataFrame = {
+    val snap = DeltaLog.snapshot(spark, root)
+    require(snap.minWriterVersion >= 7 &&
+      snap.writerFeatures.contains("rowTracking"),
+      s"delta-log: $root does not carry the rowTracking writer feature")
+    require(!snap.configuration.keys
+        .exists(_.startsWith("delta.rowTracking.materialized")),
+      "delta-log: table carries materialized row-tracking columns — " +
+        "their per-row values are authoritative; read with delta-spark")
+    require(snap.columnMapping.isEmpty,
+      "delta-log: _row_id read over a column-mapped table is not " +
+        "supported")
+    val idless = snap.adds.filterNot(_.baseRowId.isDefined)
+    require(idless.isEmpty,
+      s"delta-log: ${idless.size} file(s) carry no row-id block " +
+        "(written before row tracking) — OPTIMIZE the table first")
+    val idx = new DeltaLogFileIndex(spark, root,
+      DeltaLog.DeltaSnapshot(root, -1, new StructType(), Nil, Map.empty,
+        Nil), pinned = true)
+    val info = spark.createDataFrame(
+      spark.sparkContext.parallelize(snap.adds.map(a =>
+        SqlRow(idx.scanUriOf(a), a.baseRowId.get,
+          a.defaultRowCommitVersion.getOrElse(-1L))), 1),
+      new StructType(Array(
+        StructField(FpCol, StringType, nullable = false),
+        StructField("__rt_base", LongType, nullable = false),
+        StructField("__rt_dcv", LongType, nullable = false))))
+    withPositions(spark, snap)
+      .join(broadcast(info), Seq(FpCol))
+      .withColumn("_row_id", col("__rt_base") + col(PosCol))
+      .withColumn("_last_updated_version", col("__rt_dcv"))
+      .drop(FpCol, PosCol, "__rt_base", "__rt_dcv")
   }
 
   /** Split a DV-carrying snapshot into (1) a DV-free snapshot of the

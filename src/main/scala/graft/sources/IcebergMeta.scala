@@ -78,7 +78,13 @@ object IcebergMeta {
       // the manifest-list row's partition_spec_id: under SPEC
       // EVOLUTION each file keeps the spec it was written with, and
       // row-level deletes must scope their manifests per-spec
-      specId: Int = 0)
+      specId: Int = 0,
+      // v3 ROW LINEAGE: the file's first row id — explicit on the
+      // entry, else inherited (manifest-list row's first_row_id +
+      // the record counts of the live data entries before it in the
+      // same manifest, the spec's assignment walk); None pre-v3 or
+      // when the tree carries no lineage metadata
+      firstRowId: Option[Long] = None)
 
   /** A v2 POSITIONAL delete file: parquet of (file_path, pos) rows.
     * `pathLo`/`pathHi` are the manifest's file_path bounds (reserved
@@ -496,6 +502,11 @@ object IcebergMeta {
     val files = dataManifests
       .map(r => (resolvePath(root, asStr(r.get("manifest_path"))), r))
       .flatMap { case (mp, listRow) =>
+        // v3 ROW LINEAGE inheritance walk: entries with a null
+        // first_row_id assign from the manifest's base plus the
+        // record counts of the id-less live entries before them
+        val mBase = fieldOpt(listRow, "first_row_id").map(asLong)
+        var assigned = 0L
         readAvro(mp).flatMap { e =>
           val status = asLong(e.get("status"))
           if (status == 2) None // deleted
@@ -536,11 +547,15 @@ object IcebergMeta {
                 }
               case _ => Nil
             }
+            val explicitFr = fieldOpt(df, "first_row_id").map(asLong)
+            val fr = explicitFr.orElse(mBase.map(_ + assigned))
+            if (explicitFr.isEmpty) assigned += records
             Some(IceFile(resolvePath(root, recorded), recorded,
               fieldOpt(df, "file_size_in_bytes").map(asLong).getOrElse(0L),
               records, stats, entrySeq(e, listRow), tuple,
               specId = fieldOpt(listRow, "partition_spec_id")
-                .map(v => asLong(v).toInt).getOrElse(0)))
+                .map(v => asLong(v).toInt).getOrElse(0),
+              firstRowId = fr))
           }
         }
       }

@@ -324,6 +324,42 @@ object IcebergMetaRead {
     }
   }
 
+  /** All visible rows of a v3 table plus the ROW LINEAGE read
+    * surface: `_row_id` = the file's first_row_id + the row's
+    * physical position (the spec's inheritance-based assignment,
+    * resolved at replay — [[IcebergMeta.IceFile.firstRowId]]), and
+    * `_last_updated_sequence_number` = the file's data sequence
+    * number (this writer never rewrites v3 files, so the file's seq
+    * IS the row's). Positions are stable under deletion vectors
+    * (deleted rows keep occupying their physical slots), so ids
+    * survive DV deletes — the stable-key property incremental
+    * consumers rely on. Refuses tables with equality deletes (their
+    * hidden rows are value- not position-addressed) and files
+    * carrying no lineage metadata. */
+  def readWithRowIds(spark: SparkSession, root: String): DataFrame = {
+    val snap = IcebergMeta.snapshot(root)
+    require(snap.eqDeletes.isEmpty,
+      "iceberg-meta: _row_id read over equality deletes is not " +
+        "supported — rewrite the table first")
+    val idless = snap.files.filter(_.firstRowId.isEmpty)
+    require(idless.isEmpty,
+      s"iceberg-meta: ${idless.size} data file(s) of $root carry no " +
+        "row lineage (first_row_id) — a v3 table with lineage is " +
+        "required")
+    val info = spark.createDataFrame(
+      spark.sparkContext.parallelize(snap.files.map(f =>
+        Row(scanUri(f), f.firstRowId.get, f.seq)), 1),
+      new StructType(Array(
+        StructField(FpCol, StringType, nullable = false),
+        StructField("__rl_fr", LongType, nullable = false),
+        StructField("__rl_seq", LongType, nullable = false))))
+    withPositions(spark, snap)
+      .join(broadcast(info), Seq(FpCol))
+      .withColumn("_row_id", col("__rl_fr") + col(PosCol))
+      .withColumn("_last_updated_sequence_number", col("__rl_seq"))
+      .drop(FpCol, PosCol, "__rl_fr", "__rl_seq")
+  }
+
   /** Split a snapshot with positional deletes into (1) a deletes-FREE
     * snapshot of the files no delete can target (manifest file_path
     * bounds — stock pruned scan, no join) and (2) a resolving

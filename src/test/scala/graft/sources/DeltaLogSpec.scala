@@ -789,6 +789,49 @@ class DeltaLogSpec extends SparkSpecBase {
       === Seq(2L))
   }
 
+  test("_row_id read surface: position arithmetic, DV stability, refusals") {
+    val root = tmp()
+    // row-tracked + DV-enabled: deletes keep files (and so row ids)
+    DeltaLog.commit(
+      spark.range(0, 10).toDF("k").coalesce(1).orderBy("k"), root,
+      properties = Map("delta.enableRowTracking" -> "true",
+        "delta.enableDeletionVectors" -> "true"))
+    def ids(): Map[Long, Long] =
+      DeltaLogRead.readWithRowIds(spark, root)
+        .select("k", "_row_id").as[(Long, Long)].collect().toMap
+    assert(ids() === (0L until 10L).map(k => k -> k).toMap)
+    // DV delete: the file is recommitted with a DV, its block is
+    // KEPT, so survivors keep their ids — the stable-key property
+    DeltaLog.deleteWhere(spark, root, col("k") % 3 === 0)
+    assert(ids() === (0L until 10L).filter(_ % 3 != 0)
+      .map(k => k -> k).toMap)
+    // append continues: new file's ids start past the mark
+    DeltaLog.commit(
+      spark.range(100, 103).toDF("k").coalesce(1).orderBy("k"), root)
+    val m = ids()
+    assert(m(100L) === 10L && m(102L) === 12L && m(5L) === 5L)
+    val vers = DeltaLogRead.readWithRowIds(spark, root)
+      .select("k", "_last_updated_version").as[(Long, Long)]
+      .collect().toMap
+    assert(vers(100L) === 2L && vers(5L) === 0L)
+    // SQL surface
+    assert(spark.sql(s"SELECT sum(_row_id) FROM delta_row_ids('$root')")
+      .as[Long].head() === m.values.sum)
+    // refusals: untracked table; materialized columns configured
+    val plain = tmp()
+    DeltaLog.commit(spark.range(3).toDF("k"), plain)
+    assert(intercept[IllegalArgumentException] {
+      DeltaLogRead.readWithRowIds(spark, plain)
+    }.getMessage.contains("rowTracking"))
+    val mat = tmp()
+    DeltaLog.commit(spark.range(3).toDF("k").coalesce(1), mat,
+      properties = Map("delta.enableRowTracking" -> "true",
+        "delta.rowTracking.materializedRowIdColumnName" -> "_rid"))
+    assert(intercept[IllegalArgumentException] {
+      DeltaLogRead.readWithRowIds(spark, mat)
+    }.getMessage.contains("materialized"))
+  }
+
   test("row tracking: fresh blocks, monotonic mark, checkpoint + restore survival") {
     val root = tmp()
     def markOf(): Long = {

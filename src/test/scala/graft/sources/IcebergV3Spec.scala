@@ -302,6 +302,44 @@ class IcebergV3Spec extends SparkSpecBase {
     assert(spark.read.format("iceberg-meta").load(root).count() === 4)
   }
 
+  test("_row_id read surface: inheritance, DV stability, append continuation") {
+    val root = tmp()
+    // one sorted file: physical position == k, so _row_id == k
+    IcebergMeta.writeFixture(
+      spark.range(0, 10).toDF("k").coalesce(1).orderBy("k"), root,
+      formatVersion = 3)
+    def ids(): Map[Long, Long] =
+      IcebergMetaRead.readWithRowIds(spark, root)
+        .select("k", "_row_id").as[(Long, Long)].collect().toMap
+    assert(ids() === (0L until 10L).map(k => k -> k).toMap)
+    // DV delete: survivors KEEP their row ids (positions are stable)
+    IcebergMeta.delete(spark, root, col("k") % 3 === 0)
+    val afterDv = ids()
+    assert(afterDv === (0L until 10L).filter(_ % 3 != 0)
+      .map(k => k -> k).toMap)
+    // append: new file's ids continue from next-row-id by inheritance
+    IcebergMeta.append(
+      spark.range(100, 103).toDF("k").coalesce(1).orderBy("k"), root)
+    val afterAppend = ids()
+    assert(afterAppend(100L) === 10L && afterAppend(102L) === 12L)
+    assert(afterAppend(5L) === 5L)
+    // seq surface: the appended rows carry the appending commit's seq
+    val seqs = IcebergMetaRead.readWithRowIds(spark, root)
+      .select("k", "_last_updated_sequence_number")
+      .as[(Long, Long)].collect().toMap
+    assert(seqs(100L) === 3L && seqs(5L) === 1L)
+    // SQL surface
+    assert(spark.sql(s"SELECT sum(_row_id) FROM iceberg_row_ids('$root')")
+      .as[Long].head() ===
+      afterAppend.values.sum)
+    // a v2 table has no lineage to read
+    val v2root = tmp()
+    IcebergMeta.writeFixture(spark.range(0, 4).toDF("k"), v2root)
+    assert(intercept[IllegalArgumentException] {
+      IcebergMetaRead.readWithRowIds(spark, v2root)
+    }.getMessage.contains("row lineage"))
+  }
+
   test("v3 refuses a parquet position delete file loudly") {
     // build a v2 table with a real positional delete, then flip the
     // document to v3: the reader must refuse rather than apply

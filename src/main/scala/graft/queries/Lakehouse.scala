@@ -3471,6 +3471,65 @@ object Lakehouse {
              |  CAST(sum(o_orderkey) AS BIGINT) AS sum_key
              |FROM ids CROSS JOIN (VALUES ('delta'), ('iceberg')) t(fmt)
              |WHERE o_orderkey % 100 >= 10
-             |GROUP BY fmt ORDER BY fmt""".stripMargin))
+             |GROUP BY fmt ORDER BY fmt""".stripMargin)),
+
+    // ICEBERG v3 COMPACTION WITH PRESERVED LINEAGE (round 11): the
+    // last v3 refusal lifted for the maintenance path. compact() on a
+    // v3 table MATERIALIZES each surviving row's _row_id and
+    // _last_updated_sequence_number as ordinary columns in the
+    // rewritten files — the spec's preservation mechanism — and the
+    // reader coalesces them over the (absent) inheritance metadata,
+    // so ids survive the rewrite exactly; plain reads never see the
+    // extra columns (schema projection). Flow: create(sorted) +
+    // append(sorted) + DV DELETE + COMPACT (one file, zero DVs, same
+    // ids) + another append (fresh ids continue past next-row-id,
+    // proving materialized and inherited ids coexist under one
+    // read). Oracle states the id arithmetic with ROW_NUMBER. COW
+    // UPDATE/MERGE keep the loud refusal (updated rows would need
+    // restamping). IcebergV3Spec pins set-equality of
+    // (k, _row_id, seq) across the compaction.
+    QueryDef(
+      "q268_iceberg_v3_compact",
+      (s, d) => {
+        import graft.sources.{IcebergMeta, IcebergMetaRead}
+        val root = Files.createTempDirectory("icv3c_").toString + "/t"
+        val src = orders(s, d).select(col("o_orderkey"), col("o_custkey"))
+        def sorted(df: org.apache.spark.sql.DataFrame) =
+          df.coalesce(1).sortWithinPartitions("o_orderkey")
+        IcebergMeta.writeFixture(
+          sorted(src.filter(col("o_orderkey") <= 4096L)), root,
+          formatVersion = 3)
+        IcebergMeta.append(
+          sorted(src.filter(col("o_orderkey") > 4096L)), root)
+        IcebergMeta.delete(s, root, col("o_orderkey") % 100 < 10)
+        IcebergMeta.compact(s, root)
+        val afterCompact = IcebergMeta.snapshot(root)
+        val compacted = afterCompact.files.size == 1 &&
+          afterCompact.dvs.isEmpty
+        IcebergMeta.append(
+          sorted(src.withColumn("o_orderkey",
+            col("o_orderkey") + 10000000L)), root)
+        val compactOk = if (compacted) 1L else 0L
+        IcebergMetaRead.readWithRowIds(s, root)
+          .agg(count(lit(1)).as("n_rows"),
+            sum(col("_row_id")).cast("long").as("sum_rid"),
+            sum(col("o_orderkey")).cast("long").as("sum_key"))
+          .withColumn("compact_ok", lit(compactOk))
+      },
+      Some("""WITH ids AS (
+             |  SELECT o_orderkey,
+             |    ROW_NUMBER() OVER (ORDER BY o_orderkey) - 1 AS rid
+             |  FROM orders),
+             |n AS (SELECT count(*) AS c FROM orders)
+             |SELECT CAST(count(*) AS BIGINT) AS n_rows,
+             |  CAST(sum(rid) AS BIGINT) AS sum_rid,
+             |  CAST(sum(key) AS BIGINT) AS sum_key,
+             |  CAST(1 AS BIGINT) AS compact_ok
+             |FROM (
+             |  SELECT o_orderkey AS key, rid FROM ids
+             |  WHERE o_orderkey % 100 >= 10
+             |  UNION ALL
+             |  SELECT o_orderkey + 10000000 AS key,
+             |    rid + (SELECT c FROM n) AS rid FROM ids)""".stripMargin))
   )
 }

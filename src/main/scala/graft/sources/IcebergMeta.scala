@@ -138,6 +138,10 @@ object IcebergMeta {
   def latestMetadataVersion(root: String): Int =
     IceCatalog.forRoot(root).currentVersion(root)
 
+  /** The table's format-version (1-3; 4+ refuses in [[snapshot]]). */
+  def formatVersion(root: String): Int =
+    currentMeta(root)._2.get("format-version").asInt()
+
   /** The current metadata document through the CATALOG seam
     * ([[IceCatalog]]): (version, parsed JSON). Every reader and every
     * commit base resolves through this — the REST-catalog swap point. */
@@ -722,21 +726,23 @@ object IcebergMeta {
     fv
   }
 
-  /** Gate for REWRITING entry points (compaction, COW UPDATE/MERGE/
-    * overwrite): a v3 rewrite must PRESERVE the rewritten rows' ids
-    * (materialize `_row_id` into the new files or copy
-    * `first_row_id`), which this writer does not implement. The
-    * ADDITIVE paths — append, upsert, DV/equality deletes — assign
-    * fresh ids by inheritance (snapshot `first-row-id` = the table's
-    * `next-row-id`, moved by the added row count in the same commit)
-    * and are fully supported on v3. */
+  /** Gate for the COW row-REWRITING entry points (UPDATE / MERGE /
+    * overwrite): a v3 rewrite must PRESERVE surviving rows' ids and
+    * stamp UPDATED rows' `_last_updated_sequence_number`, which these
+    * paths do not implement. [[compact]] DOES run on v3 — it
+    * materializes `_row_id`/`_last_updated_sequence_number` into the
+    * rewritten files (the spec's preservation mechanism, coalesced
+    * back at read). The additive paths — append, upsert, DV/equality
+    * deletes — assign fresh ids by inheritance and are fully
+    * supported. */
   private def requireRewritable(meta: JsonNode, op: String): Unit = {
     if (requireKnownVersion(meta) == 3)
       throw new UnsupportedOperationException(
         s"iceberg-meta: $op on a format-version 3 table is not " +
-          "supported — rewriting existing rows must preserve their " +
-          "row lineage (_row_id), which this writer does not " +
-          "implement; appends, upserts and deletes work on v3")
+          "supported — rewriting rows in place must preserve their " +
+          "row lineage (_row_id) and restamp updated rows, which " +
+          "this writer does not implement; appends, upserts, " +
+          "deletes and compaction work on v3")
   }
 
   /** Reserved field ids of the positional-delete file schema
@@ -1985,7 +1991,7 @@ object IcebergMeta {
       numFiles: Int = 1): Long = {
     require(numFiles >= 1, "numFiles must be >= 1")
     val (v, meta) = currentMeta(root)
-    requireRewritable(meta, "COMPACT")
+    val fv = requireKnownVersion(meta)
     val (schema, nameById) = schemaOf(meta)
     val idByName = nameById.map(_.swap)
     // a PARTITIONED spec compacts to ONE file per tuple (numFiles
@@ -1998,13 +2004,22 @@ object IcebergMeta {
     val specId = if (meta.hasNonNull("default-spec-id"))
       meta.get("default-spec-id").asInt() else 0
     val snap = snapshot(root)
-    val visible0 = IcebergMetaRead.morRead(spark, snap)
+    // v3 ROW LINEAGE preservation (the spec's rewrite obligation):
+    // compacted files MATERIALIZE each surviving row's _row_id and
+    // _last_updated_sequence_number as ordinary columns — the reader
+    // coalesces them over the (absent) inheritance metadata, so ids
+    // survive the rewrite exactly. Pre-v3 compaction stays the plain
+    // visible-row materialization.
+    val visible0 =
+      if (fv == 3) IcebergMetaRead.readWithRowIds(spark, root)
+      else IcebergMetaRead.morRead(spark, snap)
     val visible = if (specFields.isEmpty) visible0.coalesce(numFiles)
       else visible0
     val nonce = java.util.UUID.randomUUID().toString.take(8)
     val staging = Files.createTempDirectory("ice_cpt_").resolve("out")
-    val ordered = visible.select(
-      schema.fieldNames.head, schema.fieldNames.tail: _*)
+    val keepCols = schema.fieldNames.toSeq ++ (if (fv == 3)
+      Seq("_row_id", "_last_updated_sequence_number") else Nil)
+    val ordered = visible.select(keepCols.head, keepCols.tail: _*)
     val stagedFiles: Seq[(Path, Seq[(String, Any)])] =
       if (specFields.isEmpty) {
         stageParquet(ordered, staging.toString)

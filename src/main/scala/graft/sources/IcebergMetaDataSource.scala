@@ -333,31 +333,57 @@ object IcebergMetaRead {
     * IS the row's). Positions are stable under deletion vectors
     * (deleted rows keep occupying their physical slots), so ids
     * survive DV deletes — the stable-key property incremental
-    * consumers rely on. Refuses tables with equality deletes (their
-    * hidden rows are value- not position-addressed) and files
-    * carrying no lineage metadata. */
+    * consumers rely on. A file carrying MATERIALIZED lineage columns
+    * (a [[IcebergMeta.compact]]-rewritten file — the spec's
+    * preservation mechanism) contributes its per-row values instead,
+    * via one coalesce; a row resolving NEITHER way fails the scan.
+    * Refuses non-v3 tables and tables with equality deletes (their
+    * hidden rows are value- not position-addressed). */
   def readWithRowIds(spark: SparkSession, root: String): DataFrame = {
+    import org.apache.spark.sql.functions.{coalesce, lit, raise_error, when}
+    require(IcebergMeta.formatVersion(root) == 3,
+      s"iceberg-meta: $root is not a format-version 3 table — no row " +
+        "lineage to read")
     val snap = IcebergMeta.snapshot(root)
     require(snap.eqDeletes.isEmpty,
       "iceberg-meta: _row_id read over equality deletes is not " +
         "supported — rewrite the table first")
-    val idless = snap.files.filter(_.firstRowId.isEmpty)
-    require(idless.isEmpty,
-      s"iceberg-meta: ${idless.size} data file(s) of $root carry no " +
-        "row lineage (first_row_id) — a v3 table with lineage is " +
-        "required")
+    // a row's id comes from the file's MATERIALIZED lineage columns
+    // when present (compacted files — the spec's preservation
+    // mechanism), else from inheritance metadata + position. The
+    // reserved names must not collide with table columns.
+    val lineageNames = Seq("_row_id", "_last_updated_sequence_number")
+    require(!snap.schema.fieldNames.exists(lineageNames.contains),
+      s"iceberg-meta: table schema of $root claims the reserved " +
+        s"lineage column names ${lineageNames.mkString(", ")}")
+    val extSnap = snap.copy(schema = StructType(snap.schema.fields ++
+      lineageNames.map(n => StructField(n, LongType, nullable = true))))
     val info = spark.createDataFrame(
       spark.sparkContext.parallelize(snap.files.map(f =>
-        Row(scanUri(f), f.firstRowId.get, f.seq)), 1),
+        Row(scanUri(f), f.firstRowId.map(Long.box).orNull, f.seq)), 1),
       new StructType(Array(
         StructField(FpCol, StringType, nullable = false),
-        StructField("__rl_fr", LongType, nullable = false),
+        StructField("__rl_fr", LongType, nullable = true),
         StructField("__rl_seq", LongType, nullable = false))))
-    withPositions(spark, snap)
+    withPositions(spark, extSnap)
       .join(broadcast(info), Seq(FpCol))
-      .withColumn("_row_id", col("__rl_fr") + col(PosCol))
-      .withColumn("_last_updated_sequence_number", col("__rl_seq"))
-      .drop(FpCol, PosCol, "__rl_fr", "__rl_seq")
+      .withColumn("__rid_out", coalesce(col("_row_id"),
+        col("__rl_fr") + col(PosCol)))
+      .withColumn("__seq_out",
+        coalesce(col("_last_updated_sequence_number"), col("__rl_seq")))
+      // a row resolving NO id is corrupt lineage (file lacks both the
+      // inheritance metadata and materialized values) — fail the scan
+      // rather than emit a null id
+      .withColumn("__rid_out",
+        when(col("__rid_out").isNotNull, col("__rid_out"))
+          .otherwise(raise_error(lit("iceberg-meta: a row of " + root +
+            " resolves no row id — its file carries neither " +
+            "first_row_id metadata nor materialized _row_id"))
+            .cast(LongType)))
+      .drop("_row_id", "_last_updated_sequence_number",
+        FpCol, PosCol, "__rl_fr", "__rl_seq")
+      .withColumnRenamed("__rid_out", "_row_id")
+      .withColumnRenamed("__seq_out", "_last_updated_sequence_number")
   }
 
   /** Split a snapshot with positional deletes into (1) a deletes-FREE

@@ -262,13 +262,49 @@ class IcebergV3Spec extends SparkSpecBase {
     assert(e.getMessage.contains("EQUALITY"))
   }
 
-  test("v3 gates: rewrites, initial-default, encryption, parquet pos deletes") {
+  test("v3 compaction preserves row lineage via materialized columns") {
+    val root = tmp()
+    IcebergMeta.writeFixture(
+      spark.range(0, 10).toDF("k").coalesce(1).orderBy("k"), root,
+      formatVersion = 3)
+    IcebergMeta.append(
+      spark.range(100, 104).toDF("k").coalesce(1).orderBy("k"), root)
+    IcebergMeta.delete(spark, root, col("k") % 4 === 1) // DV
+    val before = IcebergMetaRead.readWithRowIds(spark, root)
+      .select("k", "_row_id", "_last_updated_sequence_number")
+      .as[(Long, Long, Long)].collect().toSet
+    IcebergMeta.compact(spark, root)
+    val snap = IcebergMeta.snapshot(root)
+    assert(snap.files.size === 1 && snap.dvs.isEmpty)
+    // every surviving row keeps BOTH its id and its seq, through the
+    // materialized columns the rewritten file now carries
+    val after = IcebergMetaRead.readWithRowIds(spark, root)
+      .select("k", "_row_id", "_last_updated_sequence_number")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(after === before)
+    // the plain read does NOT surface the lineage columns
+    assert(spark.read.format("iceberg-meta").load(root)
+      .columns.toSeq === Seq("k"))
+    // life continues: another append inherits fresh ids; its rows and
+    // the materialized rows coexist under one read
+    IcebergMeta.append(
+      spark.range(200, 202).toDF("k").coalesce(1).orderBy("k"), root)
+    val ids = IcebergMetaRead.readWithRowIds(spark, root)
+      .select("k", "_row_id").as[(Long, Long)].collect().toMap
+    assert(ids(200L) === 14L && ids(201L) === 15L)
+    assert(ids(0L) === 0L && ids(103L) === 13L)
+  }
+
+  test("v3 gates: COW rewrites, initial-default, encryption, parquet pos deletes") {
     val root = tmp()
     IcebergMeta.writeFixture(
       spark.range(0, 4).toDF("k").coalesce(1), root, formatVersion = 3)
-    // REWRITES refuse: existing rows' ids would need preserving
+    // in-place row REWRITES refuse: updated rows would need their
+    // lineage restamped
+    val parse = spark.sessionState.sqlParser.parseExpression _
     val e1 = intercept[UnsupportedOperationException] {
-      IcebergMeta.compact(spark, root)
+      IcebergMeta.updateWhere(spark, root,
+        Seq("k" -> parse("99")), Some(parse("k = 1")))
     }
     assert(e1.getMessage.contains("row lineage"))
 

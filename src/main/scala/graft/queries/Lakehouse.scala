@@ -3484,10 +3484,12 @@ object Lakehouse {
     // append(sorted) + DV DELETE + COMPACT (one file, zero DVs, same
     // ids) + another append (fresh ids continue past next-row-id,
     // proving materialized and inherited ids coexist under one
-    // read). Oracle states the id arithmetic with ROW_NUMBER. COW
-    // UPDATE/MERGE keep the loud refusal (updated rows would need
-    // restamping). IcebergV3Spec pins set-equality of
-    // (k, _row_id, seq) across the compaction.
+    // read), and a COW UPDATE between them (values change, ids stay,
+    // hit rows restamp their seq — the same materialization threaded
+    // through replaceFiles). Oracle states the id arithmetic with
+    // ROW_NUMBER. MERGE keeps the loud refusal (its cascade does not
+    // thread lineage). IcebergV3Spec pins set-equality of
+    // (k, _row_id, seq) across the compaction and the update rules.
     QueryDef(
       "q268_iceberg_v3_compact",
       (s, d) => {
@@ -3506,6 +3508,13 @@ object Lakehouse {
         val afterCompact = IcebergMeta.snapshot(root)
         val compacted = afterCompact.files.size == 1 &&
           afterCompact.dvs.isEmpty
+        // COW UPDATE composes on the materialized lineage: values
+        // change, every row KEEPS its _row_id (the spec's stable-id
+        // rule; hit rows restamp their last-updated seq)
+        val parse = s.sessionState.sqlParser.parseExpression _
+        IcebergMeta.updateWhere(s, root,
+          Seq("o_custkey" -> parse("o_custkey + 1000000")),
+          Some(parse("o_orderkey % 100 = 55")))
         IcebergMeta.append(
           sorted(src.withColumn("o_orderkey",
             col("o_orderkey") + 10000000L)), root)
@@ -3513,23 +3522,28 @@ object Lakehouse {
         IcebergMetaRead.readWithRowIds(s, root)
           .agg(count(lit(1)).as("n_rows"),
             sum(col("_row_id")).cast("long").as("sum_rid"),
-            sum(col("o_orderkey")).cast("long").as("sum_key"))
+            sum(col("o_orderkey")).cast("long").as("sum_key"),
+            sum(col("o_custkey")).cast("long").as("sum_cust"))
           .withColumn("compact_ok", lit(compactOk))
       },
       Some("""WITH ids AS (
-             |  SELECT o_orderkey,
+             |  SELECT o_orderkey, o_custkey,
              |    ROW_NUMBER() OVER (ORDER BY o_orderkey) - 1 AS rid
              |  FROM orders),
              |n AS (SELECT count(*) AS c FROM orders)
              |SELECT CAST(count(*) AS BIGINT) AS n_rows,
              |  CAST(sum(rid) AS BIGINT) AS sum_rid,
              |  CAST(sum(key) AS BIGINT) AS sum_key,
+             |  CAST(sum(cust) AS BIGINT) AS sum_cust,
              |  CAST(1 AS BIGINT) AS compact_ok
              |FROM (
-             |  SELECT o_orderkey AS key, rid FROM ids
+             |  SELECT o_orderkey AS key,
+             |    CASE WHEN o_orderkey % 100 = 55
+             |      THEN o_custkey + 1000000 ELSE o_custkey END AS cust,
+             |    rid FROM ids
              |  WHERE o_orderkey % 100 >= 10
              |  UNION ALL
-             |  SELECT o_orderkey + 10000000 AS key,
+             |  SELECT o_orderkey + 10000000 AS key, o_custkey AS cust,
              |    rid + (SELECT c FROM n) AS rid FROM ids)""".stripMargin))
   )
 }

@@ -741,8 +741,8 @@ object IcebergMeta {
         s"iceberg-meta: $op on a format-version 3 table is not " +
           "supported — rewriting rows in place must preserve their " +
           "row lineage (_row_id) and restamp updated rows, which " +
-          "this writer does not implement; appends, upserts, " +
-          "deletes and compaction work on v3")
+          "this writer does not implement on this path; appends, " +
+          "upserts, deletes, compaction and UPDATE work on v3")
   }
 
   /** Reserved field ids of the positional-delete file schema
@@ -2639,7 +2639,16 @@ object IcebergMeta {
       replacement: org.apache.spark.sql.DataFrame,
       operation: String = "overwrite"): Long = {
     val (v, meta) = currentMeta(root)
-    requireRewritable(meta, "OVERWRITE/REWRITE")
+    // v3: a rewrite is admitted ONLY when the caller threads row
+    // lineage through — the replacement frame must carry the
+    // materialized _row_id / _last_updated_sequence_number columns
+    // (the v3 COW UPDATE does; an un-threaded path refuses with the
+    // restamp reason)
+    val lineageCols = Seq("_row_id", "_last_updated_sequence_number")
+    val v3Lineage = requireKnownVersion(meta) == 3
+    if (v3Lineage &&
+      !lineageCols.forall(replacement.columns.contains))
+      requireRewritable(meta, "OVERWRITE/REWRITE")
     require(meta.hasNonNull("current-snapshot-id") &&
       meta.get("current-snapshot-id").asLong() != -1L,
       s"iceberg-meta: $root has no current snapshot to rewrite")
@@ -2658,8 +2667,9 @@ object IcebergMeta {
     // stage replacement rows, land as fresh data files
     val nonce = java.util.UUID.randomUUID().toString.take(8)
     val staging = Files.createTempDirectory("ice_cow_").resolve("out")
-    val ordered = replacement.select(
-      schema.fieldNames.head, schema.fieldNames.tail: _*)
+    val keepCols = schema.fieldNames.toSeq ++
+      (if (v3Lineage) lineageCols else Nil)
+    val ordered = replacement.select(keepCols.head, keepCols.tail: _*)
     val stagedFiles: Seq[(Path, Seq[(String, Any)])] =
       if (specFields.isEmpty) {
         stageParquet(ordered, staging.toString)
@@ -2914,17 +2924,35 @@ object IcebergMeta {
       case None => snap.files
     }
     if (touched.isEmpty) return snap.snapshotId
-    val touchedRows = IcebergMetaRead.morRead(spark,
-      snap.copy(files = touched))
+    // v3 ROW LINEAGE through the rewrite: touched rows read WITH
+    // their ids; updated rows KEEP _row_id (the spec's stable-id
+    // rule) and restamp _last_updated_sequence_number to this
+    // commit's sequence number; carried rows keep both. The
+    // rewritten files materialize the columns, replaceFiles keeps
+    // them, and rowIdFrame coalesces them back at read.
+    val fv3 = formatVersion(root) == 3
+    val touchedRows =
+      if (!fv3) IcebergMetaRead.morRead(spark, snap.copy(files = touched))
+      else {
+        require(snap.eqDeletes.isEmpty,
+          "iceberg-meta: v3 UPDATE over equality deletes is not " +
+            "supported — rewrite the table first")
+        IcebergMetaRead.rowIdFrame(spark, snap.copy(files = touched))
+      }
     if (touchedRows.filter(condCol).isEmpty) return snap.snapshotId
     val setByCol = set.toMap
-    val applied = touchedRows.select(snap.schema.fields.toSeq.map { f =>
+    val outCols = snap.schema.fields.toSeq.map { f =>
       setByCol.get(f.name) match {
         case Some(e) => when(hit, rebind(e)).otherwise(col(f.name))
           .cast(f.dataType).as(f.name)
         case None => col(f.name)
       }
-    }: _*)
+    } ++ (if (!fv3) Nil else Seq(
+      col("_row_id"),
+      when(hit, lit(latestSequence(root) + 1))
+        .otherwise(col("_last_updated_sequence_number"))
+        .as("_last_updated_sequence_number")))
+    val applied = touchedRows.select(outCols: _*)
     replaceFiles(spark, root, touched.map(_.recordedPath).toSet, applied)
   }
 }

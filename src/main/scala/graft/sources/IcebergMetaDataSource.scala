@@ -340,7 +340,6 @@ object IcebergMetaRead {
     * Refuses non-v3 tables and tables with equality deletes (their
     * hidden rows are value- not position-addressed). */
   def readWithRowIds(spark: SparkSession, root: String): DataFrame = {
-    import org.apache.spark.sql.functions.{coalesce, lit, raise_error, when}
     require(IcebergMeta.formatVersion(root) == 3,
       s"iceberg-meta: $root is not a format-version 3 table — no row " +
         "lineage to read")
@@ -348,14 +347,23 @@ object IcebergMetaRead {
     require(snap.eqDeletes.isEmpty,
       "iceberg-meta: _row_id read over equality deletes is not " +
         "supported — rewrite the table first")
-    // a row's id comes from the file's MATERIALIZED lineage columns
-    // when present (compacted files — the spec's preservation
-    // mechanism), else from inheritance metadata + position. The
-    // reserved names must not collide with table columns.
+    rowIdFrame(spark, snap)
+  }
+
+  /** The lineage-resolving core of [[readWithRowIds]], over an
+    * EXPLICIT snapshot (possibly a file subset — the v3 COW UPDATE
+    * reads only the touched files through it). A row's id comes from
+    * the file's MATERIALIZED lineage columns when present (compacted
+    * files — the spec's preservation mechanism), else from
+    * inheritance metadata + position; resolving neither way fails
+    * the scan rather than emitting a null id. */
+  private[sources] def rowIdFrame(spark: SparkSession,
+      snap: IcebergMeta.IceSnapshot): DataFrame = {
+    import org.apache.spark.sql.functions.{coalesce, lit, raise_error, when}
     val lineageNames = Seq("_row_id", "_last_updated_sequence_number")
     require(!snap.schema.fieldNames.exists(lineageNames.contains),
-      s"iceberg-meta: table schema of $root claims the reserved " +
-        s"lineage column names ${lineageNames.mkString(", ")}")
+      s"iceberg-meta: table schema of ${snap.root} claims the " +
+        s"reserved lineage column names ${lineageNames.mkString(", ")}")
     val extSnap = snap.copy(schema = StructType(snap.schema.fields ++
       lineageNames.map(n => StructField(n, LongType, nullable = true))))
     val info = spark.createDataFrame(
@@ -371,14 +379,11 @@ object IcebergMetaRead {
         col("__rl_fr") + col(PosCol)))
       .withColumn("__seq_out",
         coalesce(col("_last_updated_sequence_number"), col("__rl_seq")))
-      // a row resolving NO id is corrupt lineage (file lacks both the
-      // inheritance metadata and materialized values) — fail the scan
-      // rather than emit a null id
       .withColumn("__rid_out",
         when(col("__rid_out").isNotNull, col("__rid_out"))
-          .otherwise(raise_error(lit("iceberg-meta: a row of " + root +
-            " resolves no row id — its file carries neither " +
-            "first_row_id metadata nor materialized _row_id"))
+          .otherwise(raise_error(lit("iceberg-meta: a row of " +
+            snap.root + " resolves no row id — its file carries " +
+            "neither first_row_id metadata nor materialized _row_id"))
             .cast(LongType)))
       .drop("_row_id", "_last_updated_sequence_number",
         FpCol, PosCol, "__rl_fr", "__rl_seq")

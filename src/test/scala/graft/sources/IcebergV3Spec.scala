@@ -295,18 +295,47 @@ class IcebergV3Spec extends SparkSpecBase {
     assert(ids(0L) === 0L && ids(103L) === 13L)
   }
 
-  test("v3 gates: COW rewrites, initial-default, encryption, parquet pos deletes") {
+  test("v3 UPDATE keeps _row_id, restamps seq; MERGE refuses") {
+    val root = tmp()
+    IcebergMeta.writeFixture(
+      spark.range(0, 8).toDF("k").withColumn("v", col("k") * 10)
+        .coalesce(1).orderBy("k"), root, formatVersion = 3)
+    val parse = spark.sessionState.sqlParser.parseExpression _
+    IcebergMeta.updateWhere(spark, root,
+      Seq("v" -> parse("v + 1000")), Some(parse("k % 3 = 1")))
+    val rows = IcebergMetaRead.readWithRowIds(spark, root)
+      .select("k", "v", "_row_id", "_last_updated_sequence_number")
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1)
+    // values updated where hit; EVERY row keeps _row_id == k (the
+    // sorted single-file layout); only hit rows carry the new seq
+    assert(rows.map(r => (r._1, r._2)).toSeq ===
+      (0L until 8L).map(k => (k, if (k % 3 == 1) k * 10 + 1000 else k * 10)))
+    assert(rows.forall(r => r._3 == r._1))
+    assert(rows.forall(r =>
+      r._4 == (if (r._1 % 3 == 1) 2L else 1L)), rows.mkString(","))
+    // a second update composes on the materialized lineage
+    IcebergMeta.updateWhere(spark, root,
+      Seq("v" -> parse("0")), Some(parse("k = 7")))
+    val r7 = IcebergMetaRead.readWithRowIds(spark, root)
+      .filter(col("k") === 7)
+      .select("v", "_row_id", "_last_updated_sequence_number")
+      .as[(Long, Long, Long)].head()
+    assert(r7 === ((0L, 7L, 3L)))
+    // MERGE stays refused (no lineage threading on the cascade)
+    val e1 = intercept[UnsupportedOperationException] {
+      IcebergMeta.mergeConditional(spark, root,
+        Seq((1L, 5L)).toDF("k", "v"), "k", "k",
+        matched = Seq(graft.sources.VersionedTable.MergeUpdate(None,
+          Map("v" -> graft.sources.VersionedTable.MergeRef.source("v")))),
+        notMatched = Nil, bySource = Nil)
+    }
+    assert(e1.getMessage.contains("row lineage"))
+  }
+
+  test("v3 gates: initial-default, encryption, parquet pos deletes") {
     val root = tmp()
     IcebergMeta.writeFixture(
       spark.range(0, 4).toDF("k").coalesce(1), root, formatVersion = 3)
-    // in-place row REWRITES refuse: updated rows would need their
-    // lineage restamped
-    val parse = spark.sessionState.sqlParser.parseExpression _
-    val e1 = intercept[UnsupportedOperationException] {
-      IcebergMeta.updateWhere(spark, root,
-        Seq("k" -> parse("99")), Some(parse("k = 1")))
-    }
-    assert(e1.getMessage.contains("row lineage"))
 
     // initial-default refuses by field name
     def patchMeta(f: String => String): Unit = {

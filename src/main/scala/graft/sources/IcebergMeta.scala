@@ -742,7 +742,7 @@ object IcebergMeta {
           "supported — rewriting rows in place must preserve their " +
           "row lineage (_row_id) and restamp updated rows, which " +
           "this writer does not implement on this path; appends, " +
-          "upserts, deletes, compaction and UPDATE work on v3")
+          "upserts, deletes, compaction, UPDATE and MERGE work on v3")
   }
 
   /** Reserved field ids of the positional-delete file schema
@@ -2637,7 +2637,11 @@ object IcebergMeta {
   private[sources] def replaceFiles(spark: SparkSession, root: String,
       removeRecorded: Set[String],
       replacement: org.apache.spark.sql.DataFrame,
-      operation: String = "overwrite"): Long = {
+      operation: String = "overwrite",
+      // v3: how many of the replacement's rows are NEW (merge
+      // inserts, already carrying ids from next-row-id) — moves the
+      // table's next-row-id in the same commit
+      addedLineageRows: Long = 0L): Long = {
     val (v, meta) = currentMeta(root)
     // v3: a rewrite is admitted ONLY when the caller threads row
     // lineage through — the replacement frame must carry the
@@ -2798,7 +2802,8 @@ object IcebergMeta {
     val listRel = s"metadata/snap-$snapId.avro"
     writeAvro(Paths.get(root, listRel), manifestListSchema,
       carried.toSeq ++ newRows.toSeq)
-    commitSnapshot(root, v, meta, snapId, seq, listRel, operation)
+    commitSnapshot(root, v, meta, snapId, seq, listRel, operation,
+      addedRows = addedLineageRows)
   }
 
   /** MERGE INTO the Iceberg table with the full conditional clause
@@ -2852,11 +2857,52 @@ object IcebergMeta {
         snap.files.filter(f => VersionedTable.mayMatch(
           f.stats.get(tKey), Some(b.get(0)), Some(b.get(1))))
       }
-    val tgtRows = IcebergMetaRead.morRead(spark,
+    val fv3 = formatVersion(root) == 3
+    if (!fv3) {
+      val tgtRows = IcebergMetaRead.morRead(spark,
+        snap.copy(files = touched))
+      val out = VersionedTable.mergeCascadeRows(tgtRows, source,
+        snap.schema, tKey, sKey, matched, notMatched, bySource)
+      return replaceFiles(spark, root,
+        touched.map(_.recordedPath).toSet, out)
+    }
+    // v3 ROW LINEAGE through the merge, via the TAGGED cascade:
+    // target rows enter with their ids (passThrough keeps them
+    // verbatim, null on source-only rows); surviving carried rows
+    // keep id and seq, 'update' rows keep id and restamp seq,
+    // 'insert' rows get FRESH ids densely numbered from next-row-id
+    // (one row_number window over the inserts alone — bounded by the
+    // source, never the table) — and the mark moves by the insert
+    // count in the same commit.
+    require(snap.eqDeletes.isEmpty,
+      "iceberg-meta: v3 MERGE over equality deletes is not " +
+        "supported — rewrite the table first")
+    import org.apache.spark.sql.functions.{lit, row_number, when}
+    val lineageNames = Seq("_row_id", "_last_updated_sequence_number")
+    val tgtRows = IcebergMetaRead.rowIdFrame(spark,
       snap.copy(files = touched))
-    val out = VersionedTable.mergeCascadeRows(tgtRows, source,
-      snap.schema, tKey, sKey, matched, notMatched, bySource)
-    replaceFiles(spark, root, touched.map(_.recordedPath).toSet, out)
+    val newSeq = latestSequence(root) + 1
+    val nextRowId = currentMeta(root)._2.get("next-row-id").asLong()
+    val kept = VersionedTable.mergeCascadeTagged(tgtRows, source,
+        snap.schema, tKey, sKey, matched, notMatched, bySource,
+        passThrough = lineageNames)
+      .filter(col("__keep"))
+    val isIns = col("__ct") <=> lit("insert")
+    val outCols = (snap.schema.fieldNames.toSeq ++ lineageNames).map(col)
+    val ins = kept.filter(isIns)
+      .withColumn("_row_id", lit(nextRowId - 1) +
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy(col(tKey))).cast("long"))
+      .withColumn("_last_updated_sequence_number", lit(newSeq))
+      .select(outCols: _*)
+    val nIns = ins.count()
+    val old = kept.filter(!isIns)
+      .withColumn("_last_updated_sequence_number",
+        when(col("__ct") <=> lit("update"), lit(newSeq))
+          .otherwise(col("_last_updated_sequence_number")))
+      .select(outCols: _*)
+    replaceFiles(spark, root, touched.map(_.recordedPath).toSet,
+      old.unionByName(ins), addedLineageRows = nIns)
   }
 
   /** SQL UPDATE on the Iceberg table, copy-on-write: rows of the

@@ -295,7 +295,7 @@ class IcebergV3Spec extends SparkSpecBase {
     assert(ids(0L) === 0L && ids(103L) === 13L)
   }
 
-  test("v3 UPDATE keeps _row_id, restamps seq; MERGE refuses") {
+  test("v3 UPDATE and MERGE keep _row_id, restamp seq, mint insert ids") {
     val root = tmp()
     IcebergMeta.writeFixture(
       spark.range(0, 8).toDF("k").withColumn("v", col("k") * 10)
@@ -321,15 +321,29 @@ class IcebergV3Spec extends SparkSpecBase {
       .select("v", "_row_id", "_last_updated_sequence_number")
       .as[(Long, Long, Long)].head()
     assert(r7 === ((0L, 7L, 3L)))
-    // MERGE stays refused (no lineage threading on the cascade)
-    val e1 = intercept[UnsupportedOperationException] {
-      IcebergMeta.mergeConditional(spark, root,
-        Seq((1L, 5L)).toDF("k", "v"), "k", "k",
-        matched = Seq(graft.sources.VersionedTable.MergeUpdate(None,
-          Map("v" -> graft.sources.VersionedTable.MergeRef.source("v")))),
-        notMatched = Nil, bySource = Nil)
-    }
-    assert(e1.getMessage.contains("row lineage"))
+    // MERGE threads lineage through the tagged cascade: update keeps
+    // id + restamps seq, delete retires the id, insert mints fresh
+    // ids from next-row-id and the mark moves with them
+    import graft.sources.VersionedTable.{MergeDelete, MergeInsert,
+      MergeRef, MergeUpdate}
+    IcebergMeta.mergeConditional(spark, root,
+      Seq((2L, 222L), (4L, 444L), (100L, 1L)).toDF("k", "v"), "k", "k",
+      matched = Seq(
+        MergeUpdate(Some(col("__s_v") === 222L),
+          Map("v" -> MergeRef.source("v"))),
+        MergeDelete(None)), // k=4 deletes
+      notMatched = Seq(MergeInsert(None,
+        Map("k" -> MergeRef.source("k"), "v" -> MergeRef.source("v")))),
+      bySource = Nil)
+    val m = IcebergMetaRead.readWithRowIds(spark, root)
+      .select("k", "v", "_row_id", "_last_updated_sequence_number")
+      .as[(Long, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(!m.contains(4L))
+    assert(m(2L) === ((2L, 222L, 2L, 4L))) // kept id 2, new seq 4
+    assert(m(0L)._3 === 0L && m(0L)._4 === 1L) // untouched rows as-was
+    assert(m(100L)._2 === 1L && m(100L)._3 === 8L && m(100L)._4 === 4L)
+    assert(metaJson(root).contains("\"next-row-id\" : 9") ||
+      metaJson(root).contains("\"next-row-id\":9"))
   }
 
   test("v3 gates: initial-default, encryption, parquet pos deletes") {

@@ -3423,8 +3423,10 @@ object Lakehouse {
     // ROW_NUMBER() OVER (ORDER BY o_orderkey) - 1, because both
     // tables are built from key-sorted single-file commits (batch 1 =
     // keys ≤ 4096, batch 2 = the rest — the two blocks concatenate in
-    // key order). Both formats must agree with the oracle AND each
-    // other. Plumbing: one broadcast metadata join (file → id base)
+    // key order). The Delta leg ALSO optimizes after the delete: the
+    // compaction materializes the hidden row-tracking columns, and
+    // the oracle staying unchanged proves ids survive maintenance.
+    // Both formats must agree with the oracle AND each other. Plumbing: one broadcast metadata join (file → id base)
     // over the stock pruned scan + `_metadata.row_index` — no
     // shuffle, no data rewrite, O(files) driver state at 100 TB.
     QueryDef(
@@ -3444,6 +3446,10 @@ object Lakehouse {
           "delta.enableDeletionVectors" -> "true"))
         DeltaLog.commit(hi, droot)
         DeltaLog.deleteWhere(s, droot, col("o_orderkey") % 100 < 10)
+        // OPTIMIZE between the delete and the read: ids must SURVIVE
+        // the compaction (materialized hidden columns, round 11) —
+        // the oracle is unchanged, which is exactly the point
+        DeltaLog.compact(s, droot)
         // Iceberg v3: DV delete via the same public delete API
         val iroot = base + "/iceberg"
         IcebergMeta.writeFixture(lo, iroot, formatVersion = 3)

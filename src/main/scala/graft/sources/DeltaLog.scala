@@ -1768,7 +1768,8 @@ object DeltaLog {
     require(filesPerPartition >= 1, "filesPerPartition must be >= 1")
     // mapped tables compact in PHYSICAL space — the rewrite never
     // touches logical names at all
-    val snap = snapshot(spark, root).physical
+    val snap0 = snapshot(spark, root)
+    val snap = snap0.physical
     // OPTIMIZE rewrites with dataChange=false — legal on append-only
     // tables, but unknown writer features still refuse
     gateWriterObligations(snap, "OPTIMIZE", removesData = false)
@@ -1777,20 +1778,50 @@ object DeltaLog {
     if (snap.adds.size <= partitions.toLong * filesPerPartition &&
       !snap.adds.exists(_.deletionVector.isDefined))
       return snap.version // already compact, nothing to purge
+    val nonce = java.util.UUID.randomUUID().toString.take(8)
+    // PRESERVED row tracking through OPTIMIZE (spec, "Row Tracking"):
+    // each surviving row's id and last-updated version MATERIALIZE as
+    // the configured hidden columns in the rewritten files — minted
+    // and registered in this commit's metaData when absent — so the
+    // compaction keeps ids stable (the reader coalesces materialized
+    // values over the files' fresh blocks). Mapped tables skip
+    // (fresh blocks — spec-legal unpreserved mode).
+    val preserve = rowTrackingActive(snap.minWriterVersion,
+      snap.writerFeatures) && snap0.columnMapping.isEmpty &&
+      snap.adds.forall(_.baseRowId.isDefined)
+    val matRid = snap0.configuration.getOrElse(
+      "delta.rowTracking.materializedRowIdColumnName",
+      s"_row_id_col_$nonce")
+    val matVer = snap0.configuration.getOrElse(
+      "delta.rowTracking.materializedRowCommitVersionColumnName",
+      s"_row_version_col_$nonce")
+    val mintNames = preserve && !snap0.configuration.contains(
+      "delta.rowTracking.materializedRowIdColumnName")
     // visible rows only: DVs applied here = materialized in the output
-    val vis = DeltaLogRead.withPositions(spark, snap)
-      .drop(DeltaLogRead.FpCol, DeltaLogRead.PosCol)
+    val vis =
+      if (preserve)
+        DeltaLogRead.readWithRowIds(spark, root)
+          .withColumnRenamed("_row_id", matRid)
+          .withColumnRenamed("_last_updated_version", matVer)
+      else DeltaLogRead.withPositions(spark, snap)
+        .drop(DeltaLogRead.FpCol, DeltaLogRead.PosCol)
     val packed =
       if (snap.partitionColumns.isEmpty) vis.coalesce(filesPerPartition)
       else vis.repartition(
         snap.partitionColumns.map(col): _*) // one task (→ file) per partition
-    val nonce = java.util.UUID.randomUUID().toString.take(8)
     val adds = stageAndLand(spark, packed, root, snap.partitionColumns,
       nonce)
     val next = snap.version + 1
     val lines = scala.collection.mutable.ListBuffer.empty[String]
     lines += s"""{"commitInfo":{"timestamp":${System.currentTimeMillis},""" +
       """"operation":"OPTIMIZE"}}"""
+    if (mintNames)
+      lines += metaDataLine(snap0.schema.json, snap0.partitionColumns,
+        snap0.configuration +
+          ("delta.rowTracking.materializedRowIdColumnName" -> matRid) +
+          ("delta.rowTracking.materializedRowCommitVersionColumnName" ->
+            matVer),
+        Option(snap0.tableId).filter(_.nonEmpty))
     snap.adds.foreach { a =>
       lines += s"""{"remove":{"path":${jsonStr(encodePath(a.path))},""" +
         s""""deletionTimestamp":${System.currentTimeMillis},""" +

@@ -454,26 +454,25 @@ object DeltaLogRead {
   }
 
   /** All visible rows of a ROW-TRACKED table plus the feature's read
-    * surface: `_row_id` = the file's baseRowId + the row's physical
-    * position, `_last_updated_version` = the file's
+    * surface: `_row_id` and `_last_updated_version`, each resolved
+    * the spec's way — the file's MATERIALIZED row-tracking column
+    * when the row carries a value (delta-spark's preserved rewrites;
+    * the column names come from the
+    * `delta.rowTracking.materializedRow*ColumnName` configuration and
+    * read as extra nullable scan columns — files without them
+    * null-fill), else baseRowId + physical position /
     * defaultRowCommitVersion. Positions are stable under deletion
     * vectors (deleted rows keep occupying their physical slots), so
     * ids survive DV DML — exactly what makes them usable as stable
     * keys for incremental processing. Refuses: non-row-tracked
-    * tables; tables carrying MATERIALIZED row-tracking columns
-    * (delta-spark's preserved rewrites make the per-row values
-    * authoritative, and this reader does not project them);
-    * column-mapped tables; id-less adds (written before the feature —
-    * OPTIMIZE assigns fresh blocks). */
+    * tables; column-mapped tables; id-less adds (written before the
+    * feature — OPTIMIZE assigns fresh blocks). */
   def readWithRowIds(spark: SparkSession, root: String): DataFrame = {
+    import org.apache.spark.sql.functions.coalesce
     val snap = DeltaLog.snapshot(spark, root)
     require(snap.minWriterVersion >= 7 &&
       snap.writerFeatures.contains("rowTracking"),
       s"delta-log: $root does not carry the rowTracking writer feature")
-    require(!snap.configuration.keys
-        .exists(_.startsWith("delta.rowTracking.materialized")),
-      "delta-log: table carries materialized row-tracking columns — " +
-        "their per-row values are authoritative; read with delta-spark")
     require(snap.columnMapping.isEmpty,
       "delta-log: _row_id read over a column-mapped table is not " +
         "supported")
@@ -481,6 +480,15 @@ object DeltaLogRead {
     require(idless.isEmpty,
       s"delta-log: ${idless.size} file(s) carry no row-id block " +
         "(written before row tracking) — OPTIMIZE the table first")
+    val matRid = snap.configuration
+      .get("delta.rowTracking.materializedRowIdColumnName")
+    val matVer = snap.configuration
+      .get("delta.rowTracking.materializedRowCommitVersionColumnName")
+    val matCols = (matRid.toSeq ++ matVer.toSeq)
+    val extSnap =
+      if (matCols.isEmpty) snap
+      else snap.copy(schema = StructType(snap.schema.fields ++
+        matCols.map(n => StructField(n, LongType, nullable = true))))
     val idx = new DeltaLogFileIndex(spark, root,
       DeltaLog.DeltaSnapshot(root, -1, new StructType(), Nil, Map.empty,
         Nil), pinned = true)
@@ -492,11 +500,15 @@ object DeltaLogRead {
         StructField(FpCol, StringType, nullable = false),
         StructField("__rt_base", LongType, nullable = false),
         StructField("__rt_dcv", LongType, nullable = false))))
-    withPositions(spark, snap)
+    withPositions(spark, extSnap)
       .join(broadcast(info), Seq(FpCol))
-      .withColumn("_row_id", col("__rt_base") + col(PosCol))
-      .withColumn("_last_updated_version", col("__rt_dcv"))
+      .withColumn("_row_id", coalesce(
+        (matRid.map(n => col(s"`$n`")).toSeq :+
+          (col("__rt_base") + col(PosCol))): _*))
+      .withColumn("_last_updated_version", coalesce(
+        (matVer.map(n => col(s"`$n`")).toSeq :+ col("__rt_dcv")): _*))
       .drop(FpCol, PosCol, "__rt_base", "__rt_dcv")
+      .drop(matCols: _*)
   }
 
   /** Split a DV-carrying snapshot into (1) a DV-free snapshot of the

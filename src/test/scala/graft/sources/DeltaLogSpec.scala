@@ -817,19 +817,59 @@ class DeltaLogSpec extends SparkSpecBase {
     // SQL surface
     assert(spark.sql(s"SELECT sum(_row_id) FROM delta_row_ids('$root')")
       .as[Long].head() === m.values.sum)
-    // refusals: untracked table; materialized columns configured
+    // refusal: untracked table
     val plain = tmp()
     DeltaLog.commit(spark.range(3).toDF("k"), plain)
     assert(intercept[IllegalArgumentException] {
       DeltaLogRead.readWithRowIds(spark, plain)
     }.getMessage.contains("rowTracking"))
+    // a configured materialized column whose files carry no values
+    // null-fills and falls back to base + position
     val mat = tmp()
-    DeltaLog.commit(spark.range(3).toDF("k").coalesce(1), mat,
-      properties = Map("delta.enableRowTracking" -> "true",
+    DeltaLog.commit(spark.range(3).toDF("k").coalesce(1).orderBy("k"),
+      mat, properties = Map("delta.enableRowTracking" -> "true",
         "delta.rowTracking.materializedRowIdColumnName" -> "_rid"))
-    assert(intercept[IllegalArgumentException] {
-      DeltaLogRead.readWithRowIds(spark, mat)
-    }.getMessage.contains("materialized"))
+    assert(DeltaLogRead.readWithRowIds(spark, mat)
+      .select("k", "_row_id").as[(Long, Long)].collect().toMap ===
+      (0L until 3L).map(k => k -> k).toMap)
+  }
+
+  test("OPTIMIZE preserves row ids by materializing the hidden columns") {
+    val root = tmp()
+    DeltaLog.commit(
+      spark.range(0, 10).toDF("k").coalesce(1).orderBy("k"), root,
+      properties = Map("delta.enableRowTracking" -> "true",
+        "delta.enableDeletionVectors" -> "true"))
+    DeltaLog.commit(
+      spark.range(10, 16).toDF("k").coalesce(1).orderBy("k"), root)
+    DeltaLog.deleteWhere(spark, root, col("k") % 4 === 2) // DV
+    def ids(): Map[Long, (Long, Long)] =
+      DeltaLogRead.readWithRowIds(spark, root)
+        .select("k", "_row_id", "_last_updated_version")
+        .as[(Long, Long, Long)].collect().map(r => r._1 -> (r._2, r._3))
+        .toMap
+    val before = ids()
+    DeltaLog.compact(spark, root)
+    val snap = DeltaLog.snapshot(spark, root)
+    // files merged, DVs gone, hidden column names registered
+    assert(snap.adds.size === 1 &&
+      snap.adds.forall(_.deletionVector.isEmpty))
+    assert(snap.configuration.contains(
+      "delta.rowTracking.materializedRowIdColumnName"))
+    // every surviving row keeps (id, version); plain reads never see
+    // the hidden columns
+    assert(ids() === before)
+    assert(spark.read.format("delta-log").load(root)
+      .columns.toSeq === Seq("k"))
+    // appended rows after the compaction fall back to fresh blocks
+    DeltaLog.commit(
+      spark.range(100, 102).toDF("k").coalesce(1).orderBy("k"), root)
+    val m2 = ids()
+    assert(m2(0L) === before(0L) && m2(15L) === before(15L))
+    assert(m2(100L)._1 > before.values.map(_._1).max)
+    // a second OPTIMIZE composes on the already-materialized values
+    DeltaLog.compact(spark, root)
+    assert(ids() === m2)
   }
 
   test("row tracking: fresh blocks, monotonic mark, checkpoint + restore survival") {

@@ -44,12 +44,15 @@ import org.apache.spark.sql.types._
   * `content_offset`/`content_size_in_bytes` — [[Puffin]]). Feature
   * gates (refuse loudly, never wrong rows): format-version 4+, v3
   * `initial-default` fields and table encryption, non-parquet data
-  * files, unsupported types. v3 WRITES: the additive paths — append,
-  * upsert, DV and equality deletes — assign row lineage by
-  * inheritance (snapshot first-row-id from the table's next-row-id,
-  * moved by the added row count in the same commit); REWRITES
-  * (compaction, COW) refuse — they must preserve existing row ids,
-  * which this writer does not implement ([[requireRewritable]]).
+  * files, unsupported types. v3 WRITES are COMPLETE: the additive
+  * paths — append, upsert, DV and equality deletes — assign row
+  * lineage by inheritance (snapshot first-row-id from the table's
+  * next-row-id, moved by the added row count in the same commit);
+  * compaction and COW UPDATE/MERGE PRESERVE lineage by materializing
+  * `_row_id`/`_last_updated_sequence_number` into rewritten files
+  * (updates keep ids and restamp the seq; merge inserts mint fresh
+  * ids from the mark). Only a rewrite path that cannot thread the
+  * materialization refuses ([[requireRewritable]]).
   *
   * Avro access is GENERIC (`GenericDatumReader` against the embedded
   * writer schema), so the reader tolerates both real Avro maps and

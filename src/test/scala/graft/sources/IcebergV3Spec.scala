@@ -5,12 +5,13 @@ import java.nio.file.{Files, Paths}
 import graft.SparkSpecBase
 import org.apache.spark.sql.functions._
 
-/** Iceberg FORMAT-VERSION 3: metadata superset parsing (row-lineage
-  * fields ignored on read), Puffin deletion-vector replay through the
-  * MOR scan rewrite, the DV DELETE writer (merge + manifest rewrite),
-  * changes() derivation from DV diffs, and the v3 refusal gates
-  * (initial-default, encryption, parquet position deletes, duplicate
-  * DVs, data writes). */
+/** Iceberg FORMAT-VERSION 3: metadata superset parsing, Puffin
+  * deletion-vector replay through the MOR scan rewrite, the DV DELETE
+  * writer (merge + manifest rewrite), additive writes with
+  * inheritance-assigned row lineage, the `_row_id` read surface,
+  * compaction + COW UPDATE/MERGE with MATERIALIZED lineage, changes()
+  * derivation from DV diffs, and the refusal gates (initial-default,
+  * encryption, parquet position deletes, duplicate DVs, v4+). */
 class IcebergV3Spec extends SparkSpecBase {
   import spark.implicits._
 

@@ -2877,9 +2877,6 @@ object IcebergMeta {
     // (one row_number window over the inserts alone — bounded by the
     // source, never the table) — and the mark moves by the insert
     // count in the same commit.
-    require(snap.eqDeletes.isEmpty,
-      "iceberg-meta: v3 MERGE over equality deletes is not " +
-        "supported — rewrite the table first")
     import org.apache.spark.sql.functions.{lit, row_number, when}
     val lineageNames = Seq("_row_id", "_last_updated_sequence_number")
     val tgtRows = IcebergMetaRead.rowIdFrame(spark,
@@ -2982,12 +2979,7 @@ object IcebergMeta {
     val fv3 = formatVersion(root) == 3
     val touchedRows =
       if (!fv3) IcebergMetaRead.morRead(spark, snap.copy(files = touched))
-      else {
-        require(snap.eqDeletes.isEmpty,
-          "iceberg-meta: v3 UPDATE over equality deletes is not " +
-            "supported — rewrite the table first")
-        IcebergMetaRead.rowIdFrame(spark, snap.copy(files = touched))
-      }
+      else IcebergMetaRead.rowIdFrame(spark, snap.copy(files = touched))
     if (touchedRows.filter(condCol).isEmpty) return snap.snapshotId
     val setByCol = set.toMap
     val outCols = snap.schema.fields.toSeq.map { f =>

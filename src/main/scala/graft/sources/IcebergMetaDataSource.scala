@@ -343,11 +343,7 @@ object IcebergMetaRead {
     require(IcebergMeta.formatVersion(root) == 3,
       s"iceberg-meta: $root is not a format-version 3 table — no row " +
         "lineage to read")
-    val snap = IcebergMeta.snapshot(root)
-    require(snap.eqDeletes.isEmpty,
-      "iceberg-meta: _row_id read over equality deletes is not " +
-        "supported — rewrite the table first")
-    rowIdFrame(spark, snap)
+    rowIdFrame(spark, IcebergMeta.snapshot(root))
   }
 
   /** The lineage-resolving core of [[readWithRowIds]], over an
@@ -356,7 +352,12 @@ object IcebergMetaRead {
     * the file's MATERIALIZED lineage columns when present (compacted
     * files — the spec's preservation mechanism), else from
     * inheritance metadata + position; resolving neither way fails
-    * the scan rather than emitting a null id. */
+    * the scan rather than emitting a null id. EQUALITY deletes apply
+    * here too — one broadcast null-safe anti-join per distinct
+    * (column set, sequence number) group, seq-gated per row by the
+    * FILE's data sequence number (unlike [[morRead]]'s file-set
+    * branching, the gate rides the already-joined per-file seq
+    * column) — so upserted v3 tables read, update and compact. */
   private[sources] def rowIdFrame(spark: SparkSession,
       snap: IcebergMeta.IceSnapshot): DataFrame = {
     import org.apache.spark.sql.functions.{coalesce, lit, raise_error, when}
@@ -373,8 +374,25 @@ object IcebergMetaRead {
         StructField(FpCol, StringType, nullable = false),
         StructField("__rl_fr", LongType, nullable = true),
         StructField("__rl_seq", LongType, nullable = false))))
-    withPositions(spark, extSnap)
+    val base = withPositions(spark, extSnap.copy(eqDeletes = Nil))
       .join(broadcast(info), Seq(FpCol))
+    // equality deletes: a delete at seq D hides matching rows of
+    // files with seq < D (strict, the spec) — the per-file seq is
+    // already a column here, so the gate is one extra conjunct on a
+    // broadcast anti-join instead of a file-set partition
+    val eqApplied = snap.eqDeletes
+      .groupBy(d => (d.eqCols, d.seq)).toSeq
+      .sortBy { case ((cols, dseq), _) => (cols.mkString(","), dseq) }
+      .foldLeft(base) { case (cur, ((eqCols, dseq), dels)) =>
+        val delRows = spark.read.parquet(dels.map(_.path): _*)
+          .select(eqCols.map(c => col(s"`$c`").as(s"__eq_$c")): _*)
+          .distinct()
+        val cond = eqCols.map(c =>
+          col(s"`$c`") <=> col(s"__eq_$c")).reduce(_ && _) &&
+          col("__rl_seq") < lit(dseq)
+        cur.join(broadcast(delRows), cond, "left_anti")
+      }
+    eqApplied
       .withColumn("__rid_out", coalesce(col("_row_id"),
         col("__rl_fr") + col(PosCol)))
       .withColumn("__seq_out",

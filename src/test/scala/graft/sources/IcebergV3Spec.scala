@@ -261,6 +261,20 @@ class IcebergV3Spec extends SparkSpecBase {
       IcebergMeta.delete(spark, root, col("k") === 11)
     }
     assert(e.getMessage.contains("EQUALITY"))
+    // the _row_id read APPLIES the equality deletes (file-seq-gated
+    // anti-join): retired images' ids are gone, upserted images carry
+    // the fresh ids the mark moved for
+    val ids = IcebergMetaRead.readWithRowIds(spark, root)
+      .select("k", "_row_id").as[(Long, Long)].collect().toMap
+    assert(ids.keySet === ((0L until 16L).toSet -- Set(3L, 12L)) + 100L)
+    assert(Set(ids(5L), ids(100L)) === Set(16L, 17L))
+    assert(ids(4L) === 4L && ids(15L) === 15L)
+    // compaction CLEARS the equality deletes and preserves the ids
+    IcebergMeta.compact(spark, root)
+    val s2 = IcebergMeta.snapshot(root)
+    assert(s2.eqDeletes.isEmpty && s2.files.size === 1)
+    assert(IcebergMetaRead.readWithRowIds(spark, root)
+      .select("k", "_row_id").as[(Long, Long)].collect().toMap === ids)
   }
 
   test("v3 compaction preserves row lineage via materialized columns") {

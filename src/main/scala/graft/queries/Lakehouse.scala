@@ -3493,9 +3493,11 @@ object Lakehouse {
     // read), and a COW UPDATE between them (values change, ids stay,
     // hit rows restamp their seq — the same materialization threaded
     // through replaceFiles). Oracle states the id arithmetic with
-    // ROW_NUMBER. MERGE keeps the loud refusal (its cascade does not
-    // thread lineage). IcebergV3Spec pins set-equality of
-    // (k, _row_id, seq) across the compaction and the update rules.
+    // ROW_NUMBER. MERGE threads lineage the same way (the TAGGED
+    // cascade: updates keep ids and restamp the seq, inserts mint
+    // fresh ids from next-row-id). IcebergV3Spec pins set-equality
+    // of (k, _row_id, seq) across the compaction and the update/
+    // merge rules.
     QueryDef(
       "q268_iceberg_v3_compact",
       (s, d) => {

@@ -1557,8 +1557,24 @@ object DeltaLog {
       .flatMap(d => Option(mapper.readTree(d._1)
         .get("rowIdHighWaterMark")).map(_.asLong()))
       .getOrElse(-1L)
-    val liveMark = existingAdds.flatMap(a => a.baseRowId.map(b =>
-      b + numRecordsOf(a).getOrElse(1L) - 1)).maxOption.getOrElse(-1L)
+    val liveMark = existingAdds.flatMap { a =>
+      a.baseRowId.map { b =>
+        // without the domain mark, an add lacking numRecords stats
+        // has an UNBOUNDABLE live block — assuming width 1 could
+        // under-floor the mark and hand out overlapping fresh ids
+        // on a foreign table whose delta.rowTracking domain row
+        // went missing; refuse loudly instead
+        val n = numRecordsOf(a).getOrElse {
+          if (domainMark < 0L) throw new UnsupportedOperationException(
+            s"delta-log: existing add ${a.path} carries baseRowId " +
+              "but no numRecords stats, and the delta.rowTracking " +
+              "high-water-mark domain is missing — its live row-id " +
+              "block cannot be bounded; refusing to assign fresh ids")
+          1L // domainMark dominates: the floor value is inert
+        }
+        b + n - 1
+      }
+    }.maxOption.getOrElse(-1L)
     var hwm = math.max(domainMark, liveMark)
     var moved = false
     val out = adds.map { a =>

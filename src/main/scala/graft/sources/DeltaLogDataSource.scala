@@ -494,12 +494,15 @@ object DeltaLogRead {
         Nil), pinned = true)
     val info = spark.createDataFrame(
       spark.sparkContext.parallelize(snap.adds.map(a =>
+        // a foreign-written add can carry baseRowId without
+        // defaultRowCommitVersion — surface NULL (nullable column),
+        // never a -1 sentinel masquerading as a version
         SqlRow(idx.scanUriOf(a), a.baseRowId.get,
-          a.defaultRowCommitVersion.getOrElse(-1L))), 1),
+          a.defaultRowCommitVersion.map(Long.box).orNull)), 1),
       new StructType(Array(
         StructField(FpCol, StringType, nullable = false),
         StructField("__rt_base", LongType, nullable = false),
-        StructField("__rt_dcv", LongType, nullable = false))))
+        StructField("__rt_dcv", LongType, nullable = true))))
     withPositions(spark, extSnap)
       .join(broadcast(info), Seq(FpCol))
       .withColumn("_row_id", coalesce(

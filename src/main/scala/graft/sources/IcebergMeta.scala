@@ -236,6 +236,18 @@ object IcebergMeta {
               // bitmap MINUS the prior one — exact, from two blobs
               val prevByRef = prev.dvs
                 .map(d => d.referencedDataFile -> d).toMap
+              // both sides decode driver-side — same ceiling as the
+              // read path (cardinality is manifest metadata, so the
+              // bound costs zero I/O; a table past it must compact
+              // before deriving changes)
+              val diffCard = newDvs.map(d => d.cardinality +
+                prevByRef.get(d.referencedDataFile)
+                  .map(_.cardinality).getOrElse(0L)).sum
+              require(diffCard <= IcebergMetaRead.MaxDecodedPositions,
+                s"iceberg_changes: $diffCard deletion-vector " +
+                  s"positions to decode exceeds the " +
+                  s"${IcebergMetaRead.MaxDecodedPositions} ceiling — " +
+                  "compact the table before deriving changes")
               def positionsOf(d: IceDV): Array[Long] =
                 Puffin.decodeDeletionVector(Puffin.readBlob(
                   Paths.get(d.puffinPath), d.offset, d.length))
@@ -1855,6 +1867,16 @@ object IcebergMeta {
       .map { case (f, rs) => f -> rs.map(_.getLong(1)) }
     val existingByRef = snap.dvs.map(d => d.referencedDataFile -> d).toMap
     val fileByRec = snap.files.map(f => f.recordedPath -> f).toMap
+    // the MERGE also decodes the touched files' PRIOR DVs driver-side
+    // — bound new hits + accumulated priors together (cardinality is
+    // manifest metadata: zero extra I/O for the check)
+    val priorCard = newByFile.keys
+      .flatMap(existingByRef.get).map(_.cardinality).sum
+    require(n + priorCard <= IcebergMetaRead.MaxDecodedPositions,
+      s"iceberg-meta: DELETE composes ${n + priorCard} deletion-" +
+        s"vector positions (new + prior) — beyond the " +
+        s"${IcebergMetaRead.MaxDecodedPositions} compose ceiling; " +
+        "rewrite the table (compact) instead")
     // merge: prior DV positions ∪ new hits (hits exclude already-
     // deleted rows, but distinct defends the invariant regardless)
     val merged: Seq[(String, Array[Long])] = newByFile.toSeq

@@ -48,7 +48,8 @@ case class IcebergMorScan(session: SparkSession) extends Rule[LogicalPlan] {
       case l @ LogicalRelation(r: HadoopFsRelation, _, _, _, _)
           if r.location.isInstanceOf[IcebergMetaFileIndex] && {
             val s = r.location.asInstanceOf[IcebergMetaFileIndex].snap
-            s.deletes.nonEmpty || s.eqDeletes.nonEmpty || s.dvs.nonEmpty
+            s.deletes.nonEmpty || s.eqDeletes.nonEmpty ||
+              s.dvs.nonEmpty || s.needsDefaultFill
           } =>
         val idx = r.location.asInstanceOf[IcebergMetaFileIndex]
         val snap = idx.snap
@@ -70,7 +71,12 @@ case class IcebergMorScan(session: SparkSession) extends Rule[LogicalPlan] {
             },
             resolvedPlan)
         }
-        if (snap.eqDeletes.nonEmpty) {
+        if (snap.eqDeletes.nonEmpty || snap.needsDefaultFill) {
+          // v3 DEFAULT VALUES route through morRead too: its scan
+          // branches apply the per-file-group default coalesce (and
+          // compose with every delete kind); the positional-only
+          // fast path below keeps a RAW clean-majority relation,
+          // which would null-fill where the default must read
           align(IcebergMetaRead.morRead(session, snap), keepIds = true)
         } else {
           val (cleanSnap, touched) =

@@ -3552,6 +3552,62 @@ object Lakehouse {
              |  WHERE o_orderkey % 100 >= 10
              |  UNION ALL
              |  SELECT o_orderkey + 10000000 AS key, o_custkey AS cust,
-             |    rid + (SELECT c FROM n) AS rid FROM ids)""".stripMargin))
+             |    rid + (SELECT c FROM n) AS rid FROM ids)""".stripMargin)),
+
+    // ICEBERG v3 DEFAULT VALUES (round 12): ALTER TABLE ADD COLUMN
+    // ... DEFAULT — the most common v3 schema evolution. The field's
+    // `initial-default` is decoded from the schema JSON's single-value
+    // serialization, DATED against the snapshot history (firstSeq =
+    // the first snapshot whose schema carries the field), and files
+    // with an older data sequence number read the default through a
+    // per-file-group coalesce branch; files written under the evolved
+    // schema read their STORED values — stored NULLs included (the
+    // entry writes some on purpose). A DV DELETE lands between the
+    // two reads to prove the fill composes with merge-on-read. At
+    // 100 TB the dating is pure metadata (one pass over the document's
+    // schemas/snapshots arrays) and the fill adds ONE extra scan
+    // branch, never a footer read per file. Oracle restates the
+    // default/stored/null arithmetic with CASE over the raw table.
+    QueryDef(
+      "q269_iceberg_v3_default",
+      (s, d) => {
+        import graft.sources.IcebergMeta
+        val root = Files.createTempDirectory("icv3d_").toString + "/t"
+        val src = orders(s, d).select(col("o_orderkey"))
+        IcebergMeta.writeFixture(
+          src.filter(col("o_orderkey") <= 4096L).coalesce(1), root,
+          formatVersion = 3)
+        IcebergMeta.addColumnWithDefault(root, "region_code",
+          org.apache.spark.sql.types.LongType, 7L)
+        IcebergMeta.append(
+          src.filter(col("o_orderkey") > 4096L)
+            .withColumn("region_code",
+              when(col("o_orderkey") % 10 === 0,
+                lit(null).cast("long"))
+                .otherwise(col("o_orderkey") % 5)).coalesce(1), root)
+        IcebergMeta.delete(s, root, col("o_orderkey") % 100 === 0)
+        s.read.format("iceberg-meta").load(root)
+          .agg(count(lit(1)).as("n_rows"),
+            sum(col("o_orderkey")).cast("long").as("sum_key"),
+            sum(col("region_code")).cast("long").as("sum_region"),
+            sum(when(col("region_code") === 7L, 1L).otherwise(0L))
+              .cast("long").as("n_default"),
+            sum(when(col("region_code").isNull, 1L).otherwise(0L))
+              .cast("long").as("n_null"))
+      },
+      Some("""WITH t AS (
+             |  SELECT o_orderkey,
+             |    CASE WHEN o_orderkey <= 4096 THEN 7
+             |         WHEN o_orderkey % 10 = 0 THEN NULL
+             |         ELSE o_orderkey % 5 END AS region_code
+             |  FROM orders WHERE o_orderkey % 100 <> 0)
+             |SELECT CAST(count(*) AS BIGINT) AS n_rows,
+             |  CAST(sum(o_orderkey) AS BIGINT) AS sum_key,
+             |  CAST(sum(region_code) AS BIGINT) AS sum_region,
+             |  CAST(sum(CASE WHEN region_code = 7 THEN 1 ELSE 0 END)
+             |    AS BIGINT) AS n_default,
+             |  CAST(sum(CASE WHEN region_code IS NULL THEN 1 ELSE 0 END)
+             |    AS BIGINT) AS n_null
+             |FROM t""".stripMargin))
   )
 }

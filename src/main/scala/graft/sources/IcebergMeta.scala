@@ -41,10 +41,13 @@ import org.apache.spark.sql.types._
   * position deletes (parquet `(file_path, pos)` + file_path bounds),
   * v2 equality deletes, and v3 DELETION VECTORS (Puffin
   * `deletion-vector-v1` blobs addressed straight from the manifest's
-  * `content_offset`/`content_size_in_bytes` — [[Puffin]]). Feature
-  * gates (refuse loudly, never wrong rows): format-version 4+, v3
-  * `initial-default` fields and table encryption, non-parquet data
-  * files, unsupported types. v3 WRITES are COMPLETE: the additive
+  * `content_offset`/`content_size_in_bytes` — [[Puffin]]). v3
+  * DEFAULT VALUES read: top-level `initial-default` fields are dated
+  * against the snapshot history ([[v3Defaults]]) and coalesced over
+  * pre-evolution files' scans. Feature gates (refuse loudly, never
+  * wrong rows): format-version 4+, NESTED initial-defaults, table
+  * encryption, non-parquet data files, unsupported types. v3 WRITES
+  * are COMPLETE: the additive
   * paths — append, upsert, DV and equality deletes — assign row
   * lineage by inheritance (snapshot first-row-id from the table's
   * next-row-id, moved by the added row count in the same commit);
@@ -125,11 +128,35 @@ object IcebergMeta {
       seq: Long, cardinality: Long,
       partitionTuple: Seq[(String, Any)] = Nil, specId: Int = 0)
 
+  /** A v3 DEFAULT-VALUED top-level field (spec "Default values"):
+    * files written BEFORE the field existed read `value` for every
+    * row; files written under a schema that carries the field read
+    * their stored values (stored NULLs included — `write-default`
+    * governs those at write time, not read time). `firstSeq` is the
+    * sequence number of the FIRST snapshot whose schema contains the
+    * field — a data file with `seq < firstSeq` provably predates it
+    * (files inherit their writing snapshot's sequence number), which
+    * resolves the per-file "predates vs stored null" question from
+    * METADATA alone, no parquet footer reads. `value` is a Spark
+    * literal-compatible JVM value decoded from the schema JSON's
+    * single-value serialization. */
+  final case class IceDefault(name: String, dataType: DataType,
+      value: Any, firstSeq: Long)
+
   final case class IceSnapshot(root: String, snapshotId: Long,
       schema: StructType, files: Seq[IceFile],
       deletes: Seq[IceDelete] = Nil,
       eqDeletes: Seq[IceEqDelete] = Nil,
-      dvs: Seq[IceDV] = Nil)
+      dvs: Seq[IceDV] = Nil,
+      defaults: Seq[IceDefault] = Nil) {
+    /** Does any live file predate a defaulted field? If so a RAW scan
+      * would null-fill where the spec requires the default — such a
+      * snapshot must read through the default-filling branches
+      * ([[IcebergMetaRead]]), enforced by the [[IcebergMetaFileIndex]]
+      * physical-time gate. */
+    def needsDefaultFill: Boolean =
+      defaults.exists(d => files.exists(_.seq < d.firstSeq))
+  }
 
   private def metaDir(root: String): Path = Paths.get(root, "metadata")
 
@@ -391,8 +418,13 @@ object IcebergMeta {
       } else meta.get("schema") // format v1 single-schema shape
     val fields = schemaNode.get("fields").elements().asScala.toSeq
     val st = StructType(fields.map { f =>
+      // a DEFAULT-valued field surfaces nullable to Spark even when
+      // the spec marks it required: pre-evolution files lack the
+      // physical column, the scan null-fills, and the default
+      // coalesce restores totality ABOVE the scan — a non-nullable
+      // scan schema over those files would be a lie to codegen
       StructField(f.get("name").asText(), toSparkType(f.get("type")),
-        !f.get("required").asBoolean())
+        !f.get("required").asBoolean() || f.hasNonNull("initial-default"))
     })
     val byId = fields.map(f =>
       f.get("id").asInt() -> f.get("name").asText()).toMap
@@ -497,6 +529,7 @@ object IcebergMeta {
     if (fv > 3) throw new UnsupportedOperationException(
       s"iceberg-meta: format-version $fv not supported (1-3)")
     if (fv == 3) gateV3Read(meta, root)
+    val defaults = if (fv == 3) v3Defaults(meta, root) else Nil
     val (schema, nameById) = schemaOf(meta)
     val snapId = snapshotIdAsOf.getOrElse {
       require(meta.hasNonNull("current-snapshot-id") &&
@@ -687,7 +720,7 @@ object IcebergMeta {
     IceSnapshot(root, snapId, schema, files,
       deleteEntries.collect { case Pos(d) => d },
       deleteEntries.collect { case Eq(d) => d },
-      dvs)
+      dvs, defaults)
   }
 
   /** One parsed delete-manifest entry ([[snapshot]] replay). */
@@ -698,38 +731,195 @@ object IcebergMeta {
 
   /** v3 read gates — refuse what this reader cannot honor, loudly:
     *
-    *  - a field with a non-null `initial-default` (v3 default values):
-    *    files written before the field was added must read the
-    *    default, but Spark's parquet scan null-fills missing columns
-    *    and this reader cannot tell "file predates the field" from
-    *    "writer stored null" without opening every footer;
+    *  - a NESTED field with a non-null `initial-default`: this reader
+    *    resolves defaults per-FILE by sequence number and applies
+    *    them as top-level column coalesces; nested struct members
+    *    have no such column to coalesce — read with an Iceberg
+    *    runtime (TOP-LEVEL defaults are fully supported:
+    *    [[v3Defaults]]);
     *  - table encryption (v3 `encryption-keys`): no key material here.
     *
     * Row-lineage metadata (`next-row-id`, snapshot `first-row-id`,
     * manifest/file `first_row_id`) is fine to IGNORE on read: it only
     * assigns the hidden `_row_id` column, which this reader does not
-    * project. New v3 types (`variant`, `timestamp_ns`, `geometry`, …)
+    * project. Unsupported v3 types (`geometry`, shredded `variant`…)
     * refuse inside [[toSparkType]] like any unknown type. */
   private def gateV3Read(meta: JsonNode, root: String): Unit = {
     val enc = meta.get("encryption-keys")
     require(enc == null || enc.isNull || !enc.elements().hasNext,
       s"iceberg-meta: $root uses v3 table encryption — not supported")
-    def walk(t: JsonNode): Unit =
+    def walkNested(t: JsonNode): Unit =
       if (t != null && t.isObject && t.hasNonNull("fields")) {
         t.get("fields").elements().asScala.foreach { f =>
           require(!f.hasNonNull("initial-default"),
-            s"iceberg-meta: field '${f.get("name").asText()}' of " +
-              s"$root carries a v3 initial-default — this reader " +
-              "cannot distinguish pre-field files from stored nulls; " +
+            s"iceberg-meta: NESTED field '${f.get("name").asText()}' " +
+              s"of $root carries a v3 initial-default — this reader " +
+              "resolves defaults as top-level column coalesces only; " +
               "read with an Iceberg runtime")
-          if (f.hasNonNull("type")) walk(f.get("type"))
+          if (f.hasNonNull("type")) walkNested(f.get("type"))
         }
       }
+    currentSchemaNode(meta).foreach { s =>
+      if (s.hasNonNull("fields"))
+        s.get("fields").elements().asScala
+          .foreach(f => if (f.hasNonNull("type")) walkNested(f.get("type")))
+    }
+  }
+
+  /** The current schema node of a metadata document (the `schemas` +
+    * `current-schema-id` shape, or format-v1's single `schema`). */
+  private def currentSchemaNode(meta: JsonNode): Option[JsonNode] =
     if (meta.hasNonNull("schemas") && meta.hasNonNull("current-schema-id")) {
       val cur = meta.get("current-schema-id").asInt()
       meta.get("schemas").elements().asScala
-        .find(_.get("schema-id").asInt() == cur).foreach(walk)
-    } else if (meta.hasNonNull("schema")) walk(meta.get("schema"))
+        .find(_.get("schema-id").asInt() == cur)
+    } else Option(meta.get("schema")).filterNot(_.isNull)
+
+  /** The table's v3 TOP-LEVEL default-valued fields, each DATED
+    * against the snapshot history: `firstSeq` = the sequence number
+    * of the earliest snapshot whose schema (by its recorded
+    * `schema-id`) contains the field — data files with an older
+    * sequence number provably predate the field and must read the
+    * default; everything newer was written under a field-carrying
+    * schema and reads its stored values. Purely metadata: one pass
+    * over the document's `schemas` and `snapshots` arrays.
+    *
+    * Refusals (never guess): a default whose type this decoder does
+    * not cover, and — only when defaults exist — a snapshot that
+    * records no `schema-id` (the field would be undatable; a raw
+    * null-fill OR a blanket default could both be wrong). A field in
+    * NO snapshot's schema yet (evolved after the last commit) dates
+    * to `Long.MaxValue`: every current file predates it, all read
+    * the default — exactly the ALTER TABLE ADD COLUMN semantics. */
+  private def v3Defaults(meta: JsonNode, root: String): Seq[IceDefault] = {
+    val fields = currentSchemaNode(meta).toSeq
+      .flatMap(s => s.get("fields").elements().asScala)
+      .filter(_.hasNonNull("initial-default"))
+    if (fields.isEmpty) return Nil
+    val idsBySchema: Map[Int, Set[Int]] =
+      meta.get("schemas").elements().asScala.map { s =>
+        s.get("schema-id").asInt() -> s.get("fields").elements().asScala
+          .map(_.get("id").asInt()).toSet
+      }.toMap
+    val snaps =
+      if (!meta.hasNonNull("snapshots")) Nil
+      else meta.get("snapshots").elements().asScala.toSeq
+    snaps.foreach(s => require(s.hasNonNull("schema-id"),
+      s"iceberg-meta: $root carries v3 initial-default fields but " +
+        s"snapshot ${s.get("snapshot-id").asLong()} records no " +
+        "schema-id — the fields cannot be dated against data " +
+        "sequence numbers; read with an Iceberg runtime"))
+    fields.map { f =>
+      val name = f.get("name").asText()
+      val fid = f.get("id").asInt()
+      val dt = toSparkType(f.get("type"))
+      val firstSeq = snaps
+        .filter(s => idsBySchema
+          .getOrElse(s.get("schema-id").asInt(), Set.empty)(fid))
+        .map(s => if (s.hasNonNull("sequence-number"))
+          s.get("sequence-number").asLong() else 0L)
+        .minOption.getOrElse(Long.MaxValue)
+      IceDefault(name, dt,
+        decodeJsonSingleValue(dt, f.get("initial-default"), root, name),
+        firstSeq)
+    }
+  }
+
+  /** Decode a default from the spec's JSON single-value serialization
+    * (the schema-JSON twin of the binary codec [[decodeBound]] reads)
+    * into a Spark-literal-compatible JVM value. Unsupported types
+    * refuse loudly — a guessed default is silent corruption. */
+  private def decodeJsonSingleValue(dt: DataType, node: JsonNode,
+      root: String, field: String): Any = dt match {
+    case BooleanType => node.asBoolean()
+    case IntegerType => node.asInt()
+    case LongType => node.asLong()
+    case FloatType => node.floatValue()
+    case DoubleType => node.asDouble()
+    case StringType => node.asText()
+    case DateType => java.sql.Date.valueOf(node.asText())
+    case TimestampNTZType => java.time.LocalDateTime.parse(node.asText())
+    case TimestampType =>
+      java.time.OffsetDateTime.parse(node.asText()).toInstant
+    case d: DecimalType => new java.math.BigDecimal(node.asText())
+    case BinaryType => // spec: hexadecimal string
+      node.asText().grouped(2)
+        .map(h => Integer.parseInt(h, 16).toByte).toArray
+    case other => throw new UnsupportedOperationException(
+      s"iceberg-meta: initial-default on field '$field' of $root has " +
+        s"unsupported type $other — read with an Iceberg runtime")
+  }
+
+  /** Encode a JVM default value into the JSON single-value
+    * serialization ([[addColumnWithDefault]]'s writer twin of
+    * [[decodeJsonSingleValue]]). */
+  private def encodeJsonSingleValue(dt: DataType, v: Any): JsonNode =
+    dt match {
+      case BooleanType => mapper.getNodeFactory
+        .booleanNode(v.asInstanceOf[Boolean])
+      case IntegerType => mapper.getNodeFactory
+        .numberNode(v.asInstanceOf[Int])
+      case LongType => mapper.getNodeFactory
+        .numberNode(v.asInstanceOf[Long])
+      case FloatType => mapper.getNodeFactory
+        .numberNode(v.asInstanceOf[Float].toDouble)
+      case DoubleType => mapper.getNodeFactory
+        .numberNode(v.asInstanceOf[Double])
+      case StringType => mapper.getNodeFactory.textNode(v.toString)
+      case DateType => mapper.getNodeFactory.textNode(v.toString)
+      case other => throw new UnsupportedOperationException(
+        s"iceberg-meta: cannot encode a default of type $other")
+    }
+
+  /** ALTER TABLE ADD COLUMN ... DEFAULT on a v3 table — ONE
+    * metadata-only commit (the spec's schema-evolution shape): a new
+    * schema restating the current one plus the field (fresh id past
+    * `last-column-id`, never reused) carrying `initial-default` AND
+    * `write-default`, published as the new `current-schema-id`.
+    * Existing data files are untouched; they read the default through
+    * the sequence-number dating above. Appends after this must
+    * supply the column (this writer's whole-schema append contract —
+    * `write-default` never fires because no column is ever omitted).
+    * Returns the new metadata version. */
+  def addColumnWithDefault(root: String, name: String, dt: DataType,
+      default: Any, required: Boolean = false): Int = {
+    val (v, meta0) = currentMeta(root)
+    require(meta0.get("format-version").asInt() == 3,
+      "iceberg-meta: initial-default fields require format-version 3")
+    val meta = meta0
+      .deepCopy[com.fasterxml.jackson.databind.node.ObjectNode]
+    val (schema, _) = schemaOf(meta)
+    require(!schema.fieldNames.contains(name),
+      s"iceberg-meta: column '$name' already exists in $root")
+    val newId = meta.get("last-column-id").asInt() + 1
+    val curId = meta.get("current-schema-id").asInt()
+    val schemas = meta.withArray[
+      com.fasterxml.jackson.databind.node.ArrayNode]("schemas")
+    val cur = schemas.elements().asScala
+      .find(_.get("schema-id").asInt() == curId)
+      .getOrElse(throw new IllegalStateException(
+        s"iceberg-meta: current-schema-id $curId not in schemas"))
+    val newSchemaId = schemas.elements().asScala
+      .map(_.get("schema-id").asInt()).max + 1
+    val next = cur
+      .deepCopy[com.fasterxml.jackson.databind.node.ObjectNode]
+    next.put("schema-id", newSchemaId)
+    val f = mapper.createObjectNode()
+    f.put("id", newId)
+    f.put("name", name)
+    f.put("required", required)
+    f.put("type", iceTypeOf(dt))
+    f.set[JsonNode]("initial-default", encodeJsonSingleValue(dt, default))
+    f.set[JsonNode]("write-default", encodeJsonSingleValue(dt, default))
+    next.withArray[
+      com.fasterxml.jackson.databind.node.ArrayNode]("fields").add(f)
+    schemas.add(next)
+    meta.put("current-schema-id", newSchemaId)
+    meta.put("last-column-id", newId)
+    meta.put("last-updated-ms", System.currentTimeMillis())
+    IceCatalog.forRoot(root).commit(root, v,
+      mapper.writerWithDefaultPrettyPrinter().writeValueAsBytes(meta))
+    v + 1
   }
 
   /** Version gate for every write entry point; returns the parsed

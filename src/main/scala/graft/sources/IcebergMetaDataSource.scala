@@ -33,8 +33,10 @@ import org.apache.spark.sql.types.StructType
   * values included), so no partition reconstruction is needed — the
   * file list IS the scan. Row-level deletes (v2 position/equality
   * files, v3 deletion vectors) apply through the GraftExtensions scan
-  * rewrites; feature gates ([[IcebergMeta.snapshot]]): format-version
-  * 4+, v3 initial-defaults/encryption, non-parquet data files refuse
+  * rewrites, and v3 default-valued columns coalesce over
+  * pre-evolution files there too; feature gates
+  * ([[IcebergMeta.snapshot]]): format-version 4+, v3 NESTED
+  * initial-defaults, encryption, non-parquet data files refuse
   * loudly.
   *
   * WRITE path: `df.write.format("iceberg-meta").mode(m).save(root)` —
@@ -197,12 +199,14 @@ class IcebergMetaFileIndex(spark: SparkSession,
     // replaces this index with a deletes-cleared one; a session
     // WITHOUT the graft extensions fails loudly, never wrong.
     val s = snap
-    if (s.deletes.nonEmpty || s.eqDeletes.nonEmpty || s.dvs.nonEmpty)
+    if (s.deletes.nonEmpty || s.eqDeletes.nonEmpty || s.dvs.nonEmpty ||
+        s.needsDefaultFill)
       throw new IllegalStateException(
         s"iceberg-meta: snapshot ${s.snapshotId} of ${s.root} " +
           "carries row-level delete files (v2 position/equality or " +
-          "v3 deletion vectors) — readable only with GraftExtensions " +
-          "enabled (the delete-applying scan rewrite)")
+          "v3 deletion vectors) or v3 default-valued columns over " +
+          "pre-evolution files — readable only with GraftExtensions " +
+          "enabled (the delete/default-applying scan rewrite)")
     val listed = s.files.map { f =>
       f -> new FileStatus(f.sizeBytes, false, 1, 128L * 1024 * 1024, 0L,
         new HPath(new java.io.File(f.path).toURI))
@@ -242,10 +246,49 @@ object IcebergMetaRead {
       fileFormat = new ParquetFileFormat,
       options = Map.empty)(spark)
 
-  private def df(spark: SparkSession,
+  private def plainDf(spark: SparkSession,
       snap: IcebergMeta.IceSnapshot): DataFrame =
     GraftColumnBridge.ofRows(spark,
       LogicalRelation(relation(spark, snap), isStreaming = false))
+
+  /** Scan of `snap` with v3 DEFAULT VALUES applied: files are grouped
+    * by WHICH defaults apply to them (file.seq < default.firstSeq —
+    * pure metadata), each group scans through the stock parquet path,
+    * pre-evolution groups coalesce the default literal over the
+    * scan's null-fill, and the groups union. One default on a table
+    * with old+new files plans exactly two branches; a table whose
+    * files all postdate every default (or has none) stays ONE stock
+    * scan. `withMeta` projects the `_metadata` file/position columns
+    * PER BRANCH — metadata columns resolve only directly over a
+    * file-source relation, never through the fill Union. */
+  private def filledDf(spark: SparkSession,
+      snap: IcebergMeta.IceSnapshot, withMeta: Boolean): DataFrame = {
+    import org.apache.spark.sql.functions.{coalesce, lit}
+    def project(d: DataFrame): DataFrame =
+      if (!withMeta) d
+      else d.withColumn(FpCol, col("_metadata.file_path"))
+        .withColumn(PosCol, col("_metadata.row_index"))
+    if (!snap.needsDefaultFill) project(plainDf(spark, snap))
+    else {
+      val groups = snap.files
+        .groupBy(f => snap.defaults.filter(d => f.seq < d.firstSeq))
+        .toSeq.sortBy { case (_, fs) => fs.map(_.path).min }
+      groups.map { case (ds, fs) =>
+        // defaults cleared on the branch snapshot: the fill happens
+        // HERE, and the branch's pinned index must not re-gate
+        val base = project(plainDf(spark,
+          snap.copy(files = fs, defaults = Nil)))
+        ds.foldLeft(base) { case (cur, d) =>
+          cur.withColumn(d.name, coalesce(col(s"`${d.name}`"),
+            lit(d.value).cast(d.dataType)))
+        }
+      }.reduce(_ unionByName _)
+    }
+  }
+
+  private def df(spark: SparkSession,
+      snap: IcebergMeta.IceSnapshot): DataFrame =
+    filledDf(spark, snap, withMeta = false)
 
   /** The URI `_metadata.file_path` reports for a snapshot file. */
   def scanUri(f: IcebergMeta.IceFile): String =
@@ -306,9 +349,8 @@ object IcebergMetaRead {
     * writer needs. */
   def withPositions(spark: SparkSession,
       snap: IcebergMeta.IceSnapshot): DataFrame = {
-    val base = df(spark, snap.copy(deletes = Nil, dvs = Nil))
-      .withColumn(FpCol, col("_metadata.file_path"))
-      .withColumn(PosCol, col("_metadata.row_index"))
+    val base = filledDf(spark, snap.copy(deletes = Nil, dvs = Nil),
+      withMeta = true)
     val fromParquet: Option[DataFrame] =
       if (snap.deletes.isEmpty) None
       else Some(spark.read.parquet(snap.deletes.map(_.path): _*)

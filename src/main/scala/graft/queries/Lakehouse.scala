@@ -3608,6 +3608,59 @@ object Lakehouse {
              |    AS BIGINT) AS n_default,
              |  CAST(sum(CASE WHEN region_code IS NULL THEN 1 ELSE 0 END)
              |    AS BIGINT) AS n_null
-             |FROM t""".stripMargin))
+             |FROM t""".stripMargin)),
+
+    // ICEBERG v3 NANOSECOND TIMESTAMPS (round 12): a foreign v3 table
+    // declaring `timestamp_ns` reads as the raw epoch-nano LONG —
+    // Spark has no nanosecond timestamp type, truncation to micros
+    // would silently lose the precision the writer chose ns FOR, and
+    // the long keeps manifest-bound pruning exact (the spec bounds
+    // ns fields as 8-byte epoch-nano longs; SPARK-40819 maps parquet
+    // TIMESTAMP(NANOS) the same way). The entry builds a
+    // range-clustered v3 table, rewrites the declared type to
+    // timestamp_ns (the foreign-writer shape), then answers a
+    // selective ns-range aggregate — the filter prunes to 1-2 of 8
+    // files from the manifests alone (IcebergV3Spec pins the kept/
+    // total counts); the oracle restates the arithmetic over the raw
+    // table, so a mis-decoded bound that loses rows hash-fails.
+    QueryDef(
+      "q270_iceberg_v3_timestamp_ns",
+      (s, d) => {
+        import graft.sources.IcebergMeta
+        import java.nio.charset.StandardCharsets.UTF_8
+        val root = Files.createTempDirectory("icv3ns_").toString + "/t"
+        val src = orders(s, d).select(col("o_orderkey"))
+          .withColumn("event_ns",
+            col("o_orderkey") * 1000000000L + 500L)
+        IcebergMeta.writeFixture(
+          src.repartitionByRange(8, col("o_orderkey")), root,
+          formatVersion = 3)
+        val p = java.nio.file.Paths.get(root,
+          s"metadata/v${IcebergMeta.latestMetadataVersion(root)}.metadata.json")
+        Files.write(p,
+          new String(Files.readAllBytes(p), UTF_8)
+            .replace(
+              """"name":"event_ns","required":false,"type":"long"""",
+              """"name":"event_ns","required":false,"type":"timestamp_ns"""")
+            .replace(
+              """"name":"event_ns","required":true,"type":"long"""",
+              """"name":"event_ns","required":true,"type":"timestamp_ns"""")
+            .getBytes(UTF_8))
+        s.read.format("iceberg-meta").load(root)
+          .filter(col("event_ns") >= 1000L * 1000000000L &&
+            col("event_ns") < 3000L * 1000000000L)
+          .agg(count(lit(1)).as("n_rows"),
+            sum(col("event_ns")).cast("long").as("sum_ns"),
+            min(col("event_ns")).cast("long").as("min_ns"),
+            max(col("event_ns")).cast("long").as("max_ns"))
+      },
+      Some("""SELECT CAST(count(*) AS BIGINT) AS n_rows,
+             |  CAST(sum(o_orderkey * 1000000000 + 500) AS BIGINT) AS sum_ns,
+             |  CAST(min(o_orderkey * 1000000000 + 500) AS BIGINT) AS min_ns,
+             |  CAST(max(o_orderkey * 1000000000 + 500) AS BIGINT) AS max_ns
+             |FROM orders
+             |WHERE o_orderkey * 1000000000 + 500 >= 1000000000000
+             |  AND o_orderkey * 1000000000 + 500 < 3000000000000"""
+        .stripMargin))
   )
 }

@@ -390,6 +390,20 @@ object IcebergMeta {
       case "timestamptz" => TimestampType
       case "string" | "uuid" => StringType
       case "binary" => BinaryType
+      // v3 NANOSECOND timestamps surface as the raw epoch-nano LONG
+      // (stated decision): Spark has no nanosecond timestamp type —
+      // truncating to micros would silently lose the precision the
+      // writer chose ns FOR, and the long keeps manifest-bound
+      // pruning exact (the spec bounds these as 8-byte epoch-nano
+      // longs, the decode [[decodeBound]] already performs for
+      // LongType). Spark's own posture is the same: its parquet
+      // reader maps TIMESTAMP(NANOS) to LongType (SPARK-40819).
+      case "timestamp_ns" | "timestamptz_ns" => LongType
+      // v3 VARIANT maps to Spark 4's native VariantType —
+      // UNSHREDDED reads (the binary metadata/value pair); a
+      // shredded file's typed_value subcolumns fail in the parquet
+      // reader rather than silently mis-reading
+      case "variant" => VariantType
       case DecimalRe(p, s) => DecimalType(p.toInt, s.toInt)
       case FixedRe(_) => BinaryType
       case other => throw new UnsupportedOperationException(
@@ -1223,6 +1237,8 @@ object IcebergMeta {
     case TimestampNTZType => "timestamp"
     case StringType => "string"
     case BinaryType => "binary"
+    // v3 only — [[writeFixture]] gates the format version
+    case VariantType => "variant"
     case d: DecimalType => s"decimal(${d.precision},${d.scale})"
     case other => throw new UnsupportedOperationException(
       s"iceberg-meta fixture: type $other not supported")
@@ -1240,6 +1256,9 @@ object IcebergMeta {
     val spark = df.sparkSession
     require(formatVersion == 2 || formatVersion == 3,
       s"iceberg-meta fixture: format-version $formatVersion not writable")
+    require(formatVersion == 3 ||
+      !df.schema.fields.exists(_.dataType == VariantType),
+      "iceberg-meta fixture: variant columns require format-version 3")
     require(!IceCatalog.forRoot(root).tableExists(root),
       s"iceberg-meta fixture: $root already exists")
     val fieldId = df.schema.fieldNames.zipWithIndex

@@ -622,6 +622,69 @@ class IcebergV3Spec extends SparkSpecBase {
     }.getMessage.contains("row lineage"))
   }
 
+  test("v3 timestamp_ns reads as epoch-nano longs; bounds prune exactly") {
+    val root = tmp()
+    IcebergMeta.writeFixture(
+      spark.range(0, 64).toDF("k")
+        .withColumn("ts", col("k") * 1000000000L + 123456789L)
+        .repartitionByRange(4, col("k")), root, formatVersion = 3)
+    // flip the declared type to the v3 nanosecond timestamp — the
+    // shape a foreign ns-precision writer publishes (the parquet
+    // long payload IS the spec's storage: epoch nanos)
+    val p = Paths.get(root,
+      s"metadata/v${IcebergMeta.latestMetadataVersion(root)}.metadata.json")
+    Files.write(p, new String(Files.readAllBytes(p), UTF_8)
+      .replace(""""name":"ts","required":true,"type":"long"""",
+        """"name":"ts","required":true,"type":"timestamp_ns"""")
+      .getBytes(UTF_8))
+    val snap = IcebergMeta.snapshot(root)
+    assert(snap.schema("ts").dataType ===
+      org.apache.spark.sql.types.LongType)
+    val r = spark.read.format("iceberg-meta").load(root)
+    assert(r.agg(sum("ts")).as[Long].head() ===
+      (0 until 64).map(k => k * 1000000000L + 123456789L).sum)
+    // the manifest's 8-byte ns bounds prune files for long predicates
+    val q = spark.read.format("iceberg-meta").load(root)
+      .filter(col("ts") >= 20L * 1000000000L &&
+        col("ts") <= 25L * 1000000000L + 999999999L)
+    assert(q.count() === 6)
+    val idx = q.queryExecution.optimizedPlan.collect {
+      case org.apache.spark.sql.execution.datasources.LogicalRelation(
+          r: org.apache.spark.sql.execution.datasources.HadoopFsRelation,
+          _, _, _, _) =>
+        r.location.asInstanceOf[IcebergMetaFileIndex]
+    }.head
+    val (kept, total) = idx.lastListing.get
+    assert(total === 4 && kept === 1, s"expected 1/4 files, got $kept/$total")
+  }
+
+  test("v3 variant round-trips unshredded through Spark's VariantType") {
+    val root = tmp()
+    val df = spark.range(0, 8).toDF("k")
+      .withColumn("doc", parse_json(
+        concat(lit("""{"id":"""), col("k"),
+          lit(""","tag":"t"""), col("k") % 2, lit(""""}"""))))
+      .coalesce(1)
+    IcebergMeta.writeFixture(df, root, formatVersion = 3)
+    assert(metaJson(root).contains("\"type\":\"variant\""))
+    val snap = IcebergMeta.snapshot(root)
+    assert(snap.schema("doc").dataType ===
+      org.apache.spark.sql.types.VariantType)
+    val back = spark.read.format("iceberg-meta").load(root)
+      .select(col("k"), to_json(col("doc")).as("j"))
+      .as[(Long, String)].collect().toMap
+    assert(back(3L) === """{"id":3,"tag":"t1"}""")
+    assert(back.size === 8)
+    // variant fields project through variant_get like any Spark read
+    assert(spark.read.format("iceberg-meta").load(root)
+      .selectExpr("sum(variant_get(doc, '$.id', 'long'))")
+      .as[Long].head() === (0 until 8).sum)
+    // a v2 fixture refuses variant columns (spec: v3 type)
+    assert(intercept[IllegalArgumentException] {
+      IcebergMeta.writeFixture(df, tmp(), formatVersion = 2)
+    }.getMessage.contains("variant"))
+  }
+
   test("v3 refuses a parquet position delete file loudly") {
     // build a v2 table with a real positional delete, then flip the
     // document to v3: the reader must refuse rather than apply

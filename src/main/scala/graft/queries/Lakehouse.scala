@@ -3661,6 +3661,50 @@ object Lakehouse {
              |FROM orders
              |WHERE o_orderkey * 1000000000 + 500 >= 1000000000000
              |  AND o_orderkey * 1000000000 + 500 < 3000000000000"""
+        .stripMargin)),
+
+    // ICEBERG v3 PLAIN OVERWRITE (round 12): a replace-ALL rewrite has
+    // no surviving rows, hence no row-lineage preservation obligation
+    // — the replacement mints fresh inheritance-assigned ids exactly
+    // like an append (the mark moves by the new row count; targeted
+    // rewrites without threading still refuse). Flow: create v3
+    // (ids [0,n)) + DV DELETE (ids stable) + OVERWRITE with the even
+    // keys (ids [n,n+m), DVs retire with their targets) + append (ids
+    // continue at n+m). Because fresh ids are CONTIGUOUS by commit,
+    // the id arithmetic is layout-independent: the oracle states it
+    // as closed-form range sums over the raw table's counts.
+    QueryDef(
+      "q271_iceberg_v3_overwrite",
+      (s, d) => {
+        import graft.sources.{IcebergMeta, IcebergMetaRead}
+        val root = Files.createTempDirectory("icv3o_").toString + "/t"
+        val src = orders(s, d).select(col("o_orderkey"))
+        IcebergMeta.writeFixture(src.coalesce(1), root, formatVersion = 3)
+        IcebergMeta.delete(s, root, col("o_orderkey") % 7 === 0)
+        IcebergMeta.overwrite(s, root,
+          src.filter(col("o_orderkey") % 2 === 0).coalesce(1))
+        IcebergMeta.append(
+          src.filter(col("o_orderkey") % 1000 === 1).coalesce(1), root)
+        IcebergMetaRead.readWithRowIds(s, root)
+          .agg(count(lit(1)).as("n_rows"),
+            sum(col("o_orderkey")).cast("long").as("sum_key"),
+            sum(col("_row_id")).cast("long").as("sum_rid"),
+            min(col("_row_id")).cast("long").as("min_rid"))
+      },
+      Some("""WITH n AS (SELECT count(*) AS c FROM orders),
+             |m AS (SELECT count(*) AS c FROM orders WHERE o_orderkey % 2 = 0),
+             |a AS (SELECT count(*) AS c FROM orders WHERE o_orderkey % 1000 = 1)
+             |SELECT
+             |  CAST((SELECT c FROM m) + (SELECT c FROM a) AS BIGINT) AS n_rows,
+             |  CAST((SELECT COALESCE(sum(o_orderkey), 0) FROM orders
+             |        WHERE o_orderkey % 2 = 0) +
+             |       (SELECT COALESCE(sum(o_orderkey), 0) FROM orders
+             |        WHERE o_orderkey % 1000 = 1) AS BIGINT) AS sum_key,
+             |  CAST((2 * (SELECT c FROM n) + (SELECT c FROM m)
+             |        + (SELECT c FROM a) - 1)
+             |       * ((SELECT c FROM m) + (SELECT c FROM a)) // 2
+             |    AS BIGINT) AS sum_rid,
+             |  CAST((SELECT c FROM n) AS BIGINT) AS min_rid"""
         .stripMargin))
   )
 }

@@ -961,7 +961,8 @@ object IcebergMeta {
           "supported — rewriting rows in place must preserve their " +
           "row lineage (_row_id) and restamp updated rows, which " +
           "this writer does not implement on this path; appends, " +
-          "upserts, deletes, compaction, UPDATE and MERGE work on v3")
+          "upserts, deletes, compaction, UPDATE, MERGE and plain " +
+          "replace-all OVERWRITE work on v3")
   }
 
   /** Reserved field ids of the positional-delete file schema
@@ -2877,16 +2878,30 @@ object IcebergMeta {
       // table's next-row-id in the same commit
       addedLineageRows: Long = 0L): Long = {
     val (v, meta) = currentMeta(root)
-    // v3: a rewrite is admitted ONLY when the caller threads row
-    // lineage through — the replacement frame must carry the
+    // v3: a TARGETED rewrite is admitted only when the caller threads
+    // row lineage through — the replacement frame must carry the
     // materialized _row_id / _last_updated_sequence_number columns
     // (the v3 COW UPDATE does; an un-threaded path refuses with the
-    // restamp reason)
+    // restamp reason). A REPLACE-ALL rewrite (removeRecorded covers
+    // every live data file — the plain OVERWRITE shape) has no
+    // surviving rows, hence NO preservation obligation: the
+    // replacement lands with fresh inheritance-assigned ids exactly
+    // like an append, which the spec permits.
     val lineageCols = Seq("_row_id", "_last_updated_sequence_number")
     val v3Lineage = requireKnownVersion(meta) == 3
-    if (v3Lineage &&
-      !lineageCols.forall(replacement.columns.contains))
+    val threaded = lineageCols.forall(replacement.columns.contains)
+    // does the removal cover EVERY live data file? (any version:
+    // carried delete manifests would dangle, so they drop below)
+    val coversAll =
+      snapshot(root).files.forall(f => removeRecorded(f.recordedPath))
+    // the fresh-id admission shape: un-threaded + total replacement
+    val replaceAll = !threaded && coversAll
+    if (v3Lineage && !threaded && !replaceAll)
       requireRewritable(meta, "OVERWRITE/REWRITE")
+    // materialize lineage columns into the staged files only on the
+    // threaded path; replace-all stages plain data and assigns ids
+    // by inheritance (manifest-list first_row_id below)
+    val materialize = v3Lineage && threaded
     require(meta.hasNonNull("current-snapshot-id") &&
       meta.get("current-snapshot-id").asLong() != -1L,
       s"iceberg-meta: $root has no current snapshot to rewrite")
@@ -2906,7 +2921,7 @@ object IcebergMeta {
     val nonce = java.util.UUID.randomUUID().toString.take(8)
     val staging = Files.createTempDirectory("ice_cow_").resolve("out")
     val keepCols = schema.fieldNames.toSeq ++
-      (if (v3Lineage) lineageCols else Nil)
+      (if (materialize) lineageCols else Nil)
     val ordered = replacement.select(keepCols.head, keepCols.tail: _*)
     val stagedFiles: Seq[(Path, Seq[(String, Any)])] =
       if (specFields.isEmpty) {
@@ -2971,9 +2986,12 @@ object IcebergMeta {
       fieldOpt(r, "existing_rows_count").map(asLong).getOrElse(0L),
       fieldOpt(r, "content").map(asLong).getOrElse(0L).toInt)
     listRows.foreach { row =>
-      if (fieldOpt(row, "content").map(asLong).getOrElse(0L) == 1L)
-        carryRow(row) // delete manifest: carry verbatim
-      else {
+      if (fieldOpt(row, "content").map(asLong).getOrElse(0L) == 1L) {
+        // delete manifest: carry verbatim — except on a total
+        // replacement, where every target file retires and the
+        // deletes with them (carrying would dangle)
+        if (!coversAll) carryRow(row)
+      } else {
         val mPath = resolvePath(root, asStr(row.get("manifest_path")))
         val live = readAvro(mPath).filter(e => asLong(e.get("status")) != 2)
         val (hit, kept) = live.partition(e => removeRecorded.contains(
@@ -3031,13 +3049,40 @@ object IcebergMeta {
       val rel = s"metadata/snap-$snapId-m0.avro"
       writeAvro(Paths.get(root, rel), eSchema, added.toSeq)
       newRows += manifestListRow(rel, Files.size(Paths.get(root, rel)),
-        specId, seq, snapId, added.size, 0, addedRows, 0L)
+        specId, seq, snapId, added.size, 0, addedRows, 0L,
+        // replace-all on v3: the new manifest assigns fresh ids by
+        // inheritance from the table's next-row-id, append-style
+        firstRowId = if (replaceAll && meta.hasNonNull("next-row-id"))
+          Some(meta.get("next-row-id").asLong()) else None)
     }
     val listRel = s"metadata/snap-$snapId.avro"
     writeAvro(Paths.get(root, listRel), manifestListSchema,
       carried.toSeq ++ newRows.toSeq)
     commitSnapshot(root, v, meta, snapId, seq, listRel, operation,
-      addedRows = addedLineageRows)
+      addedRows = if (replaceAll) addedRows else addedLineageRows)
+  }
+
+  /** Plain OVERWRITE — replace the table's ENTIRE contents with `df`
+    * in one `overwrite` snapshot (prior snapshots stay
+    * time-travelable): [[replaceFiles]] over every live data file.
+    * Existing delete files (v2 parquet, v3 DVs) retire with their
+    * targets. On v3 the replacement needs NO lineage threading — no
+    * row survives, so fresh inheritance-assigned ids are spec-legal
+    * (the mark moves by the new row count; pre-overwrite ids stay
+    * readable through time travel). Schema must match the table's by
+    * name and type, like [[append]]. */
+  def overwrite(spark: SparkSession, root: String,
+      df: org.apache.spark.sql.DataFrame): Long = {
+    val snap = snapshot(root)
+    val tbl = snap.schema.fields.map(f => f.name -> f.dataType).toMap
+    val bad = df.schema.fields.filter(f =>
+      !tbl.get(f.name).contains(f.dataType))
+    require(bad.isEmpty && df.schema.length == snap.schema.length,
+      s"iceberg-meta: overwrite schema mismatch on ${
+        (bad.map(_.name) ++ (if (df.schema.length == snap.schema.length)
+          Nil else Seq(s"arity ${df.schema.length}!=${snap.schema.length}")))
+          .mkString(", ")}")
+    replaceFiles(spark, root, snap.files.map(_.recordedPath).toSet, df)
   }
 
   /** MERGE INTO the Iceberg table with the full conditional clause

@@ -43,9 +43,10 @@ import org.apache.spark.sql.types.StructType
   * `ErrorIfExists` creates a new table ([[IcebergMeta.writeFixture]]),
   * `Append` commits a new snapshot onto an existing one
   * ([[IcebergMeta.append]]: conditional-put `v{N+1}.metadata.json`,
-  * prior snapshots stay time-travelable). `Overwrite` refuses — use
-  * graft's own format for replace semantics; the interop posture here
-  * is additive only. */
+  * prior snapshots stay time-travelable), `Overwrite` replaces the
+  * table's entire contents in one `overwrite` snapshot
+  * ([[IcebergMeta.overwrite]] — on v3 with fresh inheritance row ids;
+  * priors stay time-travelable). */
 class IcebergMetaDataSource extends RelationProvider
     with CreatableRelationProvider with DataSourceRegister
     with org.apache.spark.sql.sources.StreamSourceProvider {
@@ -134,9 +135,13 @@ class IcebergMetaDataSource extends RelationProvider
       case SaveMode.Ignore =>
         if (!exists) IcebergMeta.writeFixture(data, root, partitionBy, fv)
       case SaveMode.Overwrite =>
-        throw new UnsupportedOperationException(
-          "iceberg-meta: Overwrite is not supported — the interop " +
-            "writer is additive (append) only")
+        // replace-ALL commit (one `overwrite` snapshot; priors stay
+        // time-travelable) — on v3 the replacement mints fresh
+        // inheritance ids, no lineage threading needed (no row
+        // survives a total replacement)
+        if (exists) IcebergMeta.overwrite(sqlContext.sparkSession,
+          root, data)
+        else IcebergMeta.writeFixture(data, root, partitionBy, fv)
     }
     createRelation(sqlContext, parameters)
   }

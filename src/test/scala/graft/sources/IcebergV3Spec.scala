@@ -622,6 +622,47 @@ class IcebergV3Spec extends SparkSpecBase {
     }.getMessage.contains("row lineage"))
   }
 
+  test("v3 replace-all OVERWRITE mints fresh inheritance ids") {
+    val root = tmp()
+    IcebergMeta.writeFixture(
+      spark.range(0, 6).toDF("k").coalesce(1).orderBy("k"), root,
+      formatVersion = 3)
+    IcebergMeta.delete(spark, root, col("k") === 2) // a DV to retire
+    val preSnap = IcebergMeta.snapshot(root).snapshotId
+    // plain OVERWRITE through the datasource — no lineage threading
+    spark.range(100, 104).toDF("k").coalesce(1).orderBy("k")
+      .write.format("iceberg-meta").mode("overwrite").save(root)
+    val snap = IcebergMeta.snapshot(root)
+    assert(snap.dvs.isEmpty && snap.deletes.isEmpty)
+    // ids restart PAST the pre-overwrite mark (6 rows were minted
+    // before): fresh inheritance ids 6..9, mark moves to 10
+    val ids = IcebergMetaRead.readWithRowIds(spark, root)
+      .select("k", "_row_id").as[(Long, Long)].collect().toMap
+    assert(ids === Map(100L -> 6L, 101L -> 7L, 102L -> 8L, 103L -> 9L))
+    val m = metaJson(root)
+    assert(m.contains("\"next-row-id\" : 10") ||
+      m.contains("\"next-row-id\":10"))
+    // time travel to the pre-overwrite snapshot: old rows, old ids
+    assert(spark.read.format("iceberg-meta")
+      .option("snapshotId", preSnap).load(root)
+      .orderBy("k").as[Long].collect().toSeq ===
+      Seq(0L, 1L, 3L, 4L, 5L))
+    // appends continue past the moved mark
+    IcebergMeta.append(
+      spark.range(500, 502).toDF("k").coalesce(1).orderBy("k"), root)
+    val ids2 = IcebergMetaRead.readWithRowIds(spark, root)
+      .select("k", "_row_id").as[(Long, Long)].collect().toMap
+    assert(ids2(500L) === 10L && ids2(501L) === 11L)
+    // a TARGETED un-threaded rewrite still refuses (there are now two
+    // files: one would survive, and its lineage would be lost)
+    val one = IcebergMeta.snapshot(root).files.head.recordedPath
+    val e = intercept[UnsupportedOperationException] {
+      IcebergMeta.replaceFiles(spark, root, Set(one),
+        spark.range(0, 2).toDF("k"))
+    }
+    assert(e.getMessage.contains("row lineage"))
+  }
+
   test("v3 timestamp_ns reads as epoch-nano longs; bounds prune exactly") {
     val root = tmp()
     IcebergMeta.writeFixture(

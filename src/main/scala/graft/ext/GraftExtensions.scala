@@ -261,5 +261,29 @@ object GraftExtensions {
         graft.sources.IcebergMetaRead.readWithRowIds(spark,
             litString("iceberg_row_ids", es(0)))
           .queryExecution.analyzed
+      },
+      tfn("iceberg_snapshots", "root",
+        "the table$snapshots metadata relation: one row per snapshot " +
+          "(committed_at, ids, sequence_number, operation, " +
+          "manifest_list) from the metadata document alone") { es =>
+        require(es.size == 1,
+          s"iceberg_snapshots takes (root), got ${es.size} args")
+        val spark = org.apache.spark.sql.SparkSession.active
+        graft.sources.IcebergMeta.snapshotsFrame(spark,
+            litString("iceberg_snapshots", es(0)))
+          .queryExecution.analyzed
+      },
+      tfn("iceberg_files", "root [, snapshotId]",
+        "the table$files metadata relation: one row per live data/" +
+          "delete/DV file of the current (or requested) snapshot, " +
+          "from the manifest replay alone") { es =>
+        require(es.size == 1 || es.size == 2,
+          s"iceberg_files takes (root [, snapshotId]), got ${es.size} args")
+        val spark = org.apache.spark.sql.SparkSession.active
+        graft.sources.IcebergMeta.filesFrame(spark,
+            litString("iceberg_files", es(0)),
+            if (es.size == 2) Some(litLong("iceberg_files", es(1)))
+            else None)
+          .queryExecution.analyzed
       })
 }

@@ -3705,6 +3705,53 @@ object Lakehouse {
              |       * ((SELECT c FROM m) + (SELECT c FROM a)) // 2
              |    AS BIGINT) AS sum_rid,
              |  CAST((SELECT c FROM n) AS BIGINT) AS min_rid"""
-        .stripMargin))
+        .stripMargin)),
+
+    // ICEBERG METADATA TABLES (round 12): the `table$snapshots` /
+    // `table$files` surface every Iceberg engine exposes, as the
+    // `iceberg_snapshots('root')` / `iceberg_files('root' [, snap])`
+    // TVFs — pure manifest/metadata folds, zero data reads (the
+    // frames are metadata-sized by construction; at 100 TB this is
+    // the difference between DESCRIBE HISTORY and a table scan).
+    // Lifecycle: create v3 + append + DV DELETE + COMPACT, then one
+    // SQL query joins the snapshot history (sequence, operation,
+    // parenthood, first-row-id marks) with the current file
+    // inventory (count + live rows). Everything nondeterministic
+    // (snapshot ids, paths, timestamps) stays OUT of the projection;
+    // the oracle states the expected history as literal rows and the
+    // file stats from the raw table.
+    QueryDef(
+      "q272_iceberg_metadata_tables",
+      (s, d) => {
+        import graft.sources.IcebergMeta
+        val root = Files.createTempDirectory("icmt_").toString + "/t"
+        val src = orders(s, d).select(col("o_orderkey"))
+        IcebergMeta.writeFixture(
+          src.filter(col("o_orderkey") <= 4096L).coalesce(1), root,
+          formatVersion = 3)
+        IcebergMeta.append(
+          src.filter(col("o_orderkey") > 4096L).coalesce(1), root)
+        IcebergMeta.delete(s, root, col("o_orderkey") % 10 === 3)
+        IcebergMeta.compact(s, root)
+        s.sql(
+          s"""SELECT CAST(sequence_number AS BIGINT) AS seq, operation,
+             |  parent_id IS NOT NULL AS has_parent,
+             |  first_row_id IS NOT NULL AS has_lineage_mark,
+             |  (SELECT CAST(count(*) AS BIGINT)
+             |   FROM iceberg_files('$root') WHERE content = 0) AS n_files,
+             |  (SELECT CAST(sum(record_count) AS BIGINT)
+             |   FROM iceberg_files('$root') WHERE content = 0) AS n_rows
+             |FROM iceberg_snapshots('$root') ORDER BY seq""".stripMargin)
+      },
+      Some("""WITH v AS (SELECT count(*) AS c FROM orders
+             |          WHERE o_orderkey % 10 <> 3)
+             |SELECT CAST(seq AS BIGINT) AS seq, op AS operation,
+             |  has_parent, TRUE AS has_lineage_mark,
+             |  CAST(1 AS BIGINT) AS n_files,
+             |  CAST((SELECT c FROM v) AS BIGINT) AS n_rows
+             |FROM (VALUES (1, 'append', FALSE), (2, 'append', TRUE),
+             |  (3, 'delete', TRUE), (4, 'replace', TRUE))
+             |  t(seq, op, has_parent)
+             |ORDER BY seq""".stripMargin))
   )
 }

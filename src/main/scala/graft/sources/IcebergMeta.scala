@@ -2844,6 +2844,86 @@ object IcebergMeta {
     r
   }
 
+  /** The `table$snapshots` metadata relation every Iceberg engine
+    * exposes — one row per snapshot in the CURRENT metadata document,
+    * ascending by sequence number, straight from the already-parsed
+    * JSON (zero manifest or data I/O; the frame is metadata-sized by
+    * construction, like GRAFT HISTORY / DETAIL on the other formats).
+    * Surfaced in SQL as the `iceberg_snapshots('root')` TVF. */
+  def snapshotsFrame(spark: SparkSession, root: String)
+      : org.apache.spark.sql.DataFrame = {
+    val (_, meta) = currentMeta(root)
+    val rows: Seq[org.apache.spark.sql.Row] =
+      if (!meta.hasNonNull("snapshots")) Nil
+      else meta.get("snapshots").elements().asScala.toSeq.map { s =>
+        org.apache.spark.sql.Row(
+          if (s.hasNonNull("timestamp-ms"))
+            new java.sql.Timestamp(s.get("timestamp-ms").asLong())
+          else null,
+          s.get("snapshot-id").asLong(),
+          if (s.hasNonNull("parent-snapshot-id"))
+            Long.box(s.get("parent-snapshot-id").asLong()) else null,
+          if (s.hasNonNull("sequence-number"))
+            s.get("sequence-number").asLong() else 0L,
+          Option(s.get("summary")).filter(_.hasNonNull("operation"))
+            .map(_.get("operation").asText()).orNull,
+          s.get("manifest-list").asText(),
+          if (s.hasNonNull("first-row-id"))
+            Long.box(s.get("first-row-id").asLong()) else null)
+      }.sortBy(_.getLong(3))
+    spark.createDataFrame(rows.asJava, StructType(Seq(
+      StructField("committed_at", TimestampType, nullable = true),
+      StructField("snapshot_id", LongType, nullable = false),
+      StructField("parent_id", LongType, nullable = true),
+      StructField("sequence_number", LongType, nullable = false),
+      StructField("operation", StringType, nullable = true),
+      StructField("manifest_list", StringType, nullable = true),
+      StructField("first_row_id", LongType, nullable = true))))
+  }
+
+  /** The `table$files` metadata relation — one row per LIVE file of
+    * the current (or requested) snapshot, from the manifest replay
+    * alone: data files (content 0), positional/equality delete files
+    * (1/2), and v3 deletion vectors (content 1, format `puffin`,
+    * `record_count` = cardinality, `referenced_data_file` set).
+    * Columns this replay does not retain for a kind (e.g. a delete
+    * parquet's row count) surface NULL rather than a guess. SQL:
+    * `iceberg_files('root' [, snapshotId])`. */
+  def filesFrame(spark: SparkSession, root: String,
+      snapshotId: Option[Long] = None): org.apache.spark.sql.DataFrame = {
+    val snap = snapshot(root, snapshotId)
+    def r(content: Int, path: String, format: String,
+        specId: Any, seq: Long, records: Any, size: Any,
+        firstRowId: Any, refFile: String): org.apache.spark.sql.Row =
+      org.apache.spark.sql.Row(content, path, format, specId, seq,
+        records, size, firstRowId, refFile)
+    val rows: Seq[org.apache.spark.sql.Row] =
+      snap.files.map(f => r(0, f.recordedPath, "parquet",
+        Int.box(f.specId), f.seq, Long.box(f.records),
+        Long.box(f.sizeBytes), f.firstRowId.map(Long.box).orNull,
+        null)) ++
+      snap.deletes.map(d => r(1, d.path, "parquet", null, d.seq,
+        null, null, null, null)) ++
+      snap.eqDeletes.map(d => r(2, d.path, "parquet", null, d.seq,
+        null, null, null, null)) ++
+      snap.dvs.map(d => r(1, d.recordedPath, "puffin",
+        Int.box(d.specId), d.seq, Long.box(d.cardinality), null, null,
+        d.referencedDataFile))
+    spark.createDataFrame(
+      rows.sortBy(r => (r.getInt(0), r.getString(1))).asJava,
+      StructType(Seq(
+        StructField("content", IntegerType, nullable = false),
+        StructField("file_path", StringType, nullable = false),
+        StructField("file_format", StringType, nullable = false),
+        StructField("spec_id", IntegerType, nullable = true),
+        StructField("sequence_number", LongType, nullable = false),
+        StructField("record_count", LongType, nullable = true),
+        StructField("file_size_in_bytes", LongType, nullable = true),
+        StructField("first_row_id", LongType, nullable = true),
+        StructField("referenced_data_file", StringType,
+          nullable = true))))
+  }
+
   /** Targeted COPY-ON-WRITE file replacement — the write primitive
     * under Iceberg-side UPDATE and conditional MERGE (the `overwrite`
     * snapshot of the spec): data files named in `removeRecorded` (by

@@ -716,4 +716,52 @@ class IcebergMetaSpec extends SparkSpecBase {
     assert(eTagFf.getMessage.contains("tag"))
     assert(IcebergMeta.refs(root)("pin")._2 === "tag")
   }
+
+  test("metadata tables: iceberg_snapshots and iceberg_files TVFs") {
+    val root = tmp()
+    IcebergMeta.writeFixture(
+      spark.range(0, 10).toDF("k").coalesce(1), root, formatVersion = 3)
+    IcebergMeta.append(spark.range(10, 14).toDF("k").coalesce(1), root)
+    IcebergMeta.delete(spark, root, col("k") === 3) // v3 → a DV
+    // snapshots: one row per commit, ascending seq, with lineage marks
+    val snaps = spark.sql(
+      s"SELECT * FROM iceberg_snapshots('$root')").collect()
+    assert(snaps.map(_.getAs[Long]("sequence_number")).toSeq ===
+      Seq(1L, 2L, 3L))
+    assert(snaps.map(_.getAs[String]("operation")).toSeq ===
+      Seq("append", "append", "delete"))
+    assert(snaps.head.isNullAt(snaps.head.fieldIndex("parent_id")))
+    assert(snaps(1).getAs[Long]("parent_id") ===
+      snaps.head.getAs[Long]("snapshot_id"))
+    assert(snaps.map(_.getAs[Long]("first_row_id")).toSeq ===
+      Seq(0L, 10L, 14L))
+    // files: data files with lineage + the DV with its target
+    val files = spark.sql(
+      s"SELECT * FROM iceberg_files('$root')").collect()
+    val data = files.filter(r => r.getAs[Int]("content") == 0 &&
+      r.getAs[String]("file_format") == "parquet")
+    assert(data.map(r => (r.getAs[Long]("record_count"),
+      r.getAs[Long]("first_row_id"))).toSet ===
+      Set((10L, 0L), (4L, 10L)))
+    val dvs = files.filter(_.getAs[String]("file_format") == "puffin")
+    assert(dvs.length === 1)
+    assert(dvs.head.getAs[Long]("record_count") === 1L) // cardinality
+    assert(dvs.head.getAs[String]("referenced_data_file") != null)
+    // time travel: the first snapshot lists one data file, no deletes
+    val first = snaps.head.getAs[Long]("snapshot_id")
+    val atFirst = spark.sql(
+      s"SELECT * FROM iceberg_files('$root', $first)").collect()
+    assert(atFirst.length === 1 &&
+      atFirst.head.getAs[Long]("record_count") === 10L)
+    // a v2 lifecycle surfaces equality deletes as content=2
+    val v2 = tmp()
+    IcebergMeta.writeFixture(spark.range(0, 6).toDF("k"), v2)
+    IcebergMeta.deleteEquality(spark, v2, Seq(2L).toDF("k"))
+    val v2files = spark.sql(s"SELECT * FROM iceberg_files('$v2')")
+      .collect()
+    assert(v2files.count(_.getAs[Int]("content") == 2) === 1)
+    assert(spark.sql(s"SELECT operation FROM iceberg_snapshots('$v2') " +
+      "ORDER BY sequence_number").collect().map(_.getString(0)).toSeq ===
+      Seq("append", "delete"))
+  }
 }

@@ -32,7 +32,7 @@ import org.apache.spark.sql.types.TimestampType
   *  - `USING graft`       → pinned relation (`versionAsOf` for numeric
   *    versions, `tagAsOf` for tag names, `timestampAsOf` for
   *    `TIMESTAMP AS OF` literals — millis from a cast to timestamp);
-  *  - `USING delta-log`   → `versionAsOf`;
+  *  - `USING delta-log`   → `versionAsOf` / `timestampAsOf` (ICT-aware);
   *  - `USING iceberg-meta`→ `snapshotId`;
   *  - anything else       → the ORIGINAL node is restored and Spark's
   *    own analyzer produces its standard error on the next pass —
@@ -92,9 +92,12 @@ case class GraftTimeTravelResolve(session: SparkSession)
             t.timestamp.foreach(e =>
               opts += "timestampAsOf" -> tsMillis(e).toString)
           case "delta-log" =>
-            require(t.timestamp.isEmpty, "delta-log: TIMESTAMP AS OF " +
-              "is not supported — use VERSION AS OF <n>")
+            // TIMESTAMP AS OF resolves through the authoritative
+            // per-commit timestamps (recorded inCommitTimestamp where
+            // the ICT feature governs, commit-file mtime below it)
             t.version.foreach(v => opts += "versionAsOf" -> v)
+            t.timestamp.foreach(e =>
+              opts += "timestampAsOf" -> tsMillis(e).toString)
           case "iceberg-meta" =>
             require(t.timestamp.isEmpty, "iceberg-meta: TIMESTAMP AS " +
               "OF is not supported — use VERSION AS OF <snapshot-id>")

@@ -3752,6 +3752,53 @@ object Lakehouse {
              |FROM (VALUES (1, 'append', FALSE), (2, 'append', TRUE),
              |  (3, 'delete', TRUE), (4, 'replace', TRUE))
              |  t(seq, op, has_parent)
-             |ORDER BY seq""".stripMargin))
+             |ORDER BY seq""".stripMargin)),
+
+    // DELTA IN-COMMIT TIMESTAMPS (round 12): recent delta-spark
+    // enables delta.enableInCommitTimestamps on new tables by
+    // default, which (a) makes the table write-refuse for any writer
+    // not honoring the obligation and (b) moves the TIMESTAMP AS OF
+    // authority from commit-file mtimes to the RECORDED monotonic
+    // inCommitTimestamp in each commit's leading commitInfo. This
+    // entry creates an ICT table (feature listed at (…,7)), commits
+    // three versions, then time-travels BY the recorded ICTs (read
+    // back through history — wall-clock values, so the travel target
+    // is runtime-resolved while the row content stays deterministic):
+    // the v1 leg must see the pre-delete state, the v2 leg the
+    // post-delete state. Resolution is O(log versions) small log
+    // reads (binary search over monotonic timestamps) — never a
+    // history scan.
+    QueryDef(
+      "q273_delta_ict_time_travel",
+      (s, d) => {
+        import graft.sources.DeltaLog
+        val root = Files.createTempDirectory("dict_").toString + "/t"
+        val src = orders(s, d).select(col("o_orderkey"))
+          .filter(col("o_orderkey") <= 4096L)
+        DeltaLog.commit(
+          src.filter(col("o_orderkey") <= 2048L).coalesce(1), root,
+          properties = Map("delta.enableInCommitTimestamps" -> "true"))
+        DeltaLog.commit(
+          src.filter(col("o_orderkey") > 2048L).coalesce(1), root)
+        DeltaLog.deleteWhere(s, root, col("o_orderkey") % 10 === 7)
+        val ictByVersion = DeltaLog.history(root)
+          .map(h => h._1 -> h._3.get).toMap
+        def leg(tag: String, version: Long) =
+          s.read.format("delta-log")
+            .option("timestampAsOf", ictByVersion(version).toString)
+            .load(root)
+            .agg(count(lit(1)).as("n_rows"),
+              sum(col("o_orderkey")).cast("long").as("sum_key"))
+            .withColumn("leg", lit(tag))
+        leg("v1", 1L).unionByName(leg("v2", 2L)).orderBy(col("leg"))
+      },
+      Some("""SELECT CAST(count(*) AS BIGINT) AS n_rows,
+             |  CAST(sum(o_orderkey) AS BIGINT) AS sum_key, 'v1' AS leg
+             |FROM orders WHERE o_orderkey <= 4096
+             |UNION ALL
+             |SELECT CAST(count(*) AS BIGINT),
+             |  CAST(sum(o_orderkey) AS BIGINT), 'v2'
+             |FROM orders WHERE o_orderkey <= 4096 AND o_orderkey % 10 <> 7
+             |ORDER BY leg""".stripMargin))
   )
 }

@@ -817,7 +817,101 @@ object DeltaLog {
     // delta.rowTracking domain in the same commit ([[assignRowIds]],
     // called from commit/replaceFiles/DV-DML/OPTIMIZE/RESTORE);
     // checkpoints carry baseRowId/defaultRowCommitVersion
-    "rowTracking")
+    "rowTracking",
+    // in-commit timestamps: every commit path leads with
+    // [[commitInfoLine]], which stamps a MONOTONIC inCommitTimestamp
+    // (> predecessor's) as the first action whenever the
+    // delta.enableInCommitTimestamps property is on — exactly the
+    // spec's writer obligation (recent delta-spark enables ICT on
+    // new tables by default; without this, those tables would be
+    // read-only here)
+    "inCommitTimestamp")
+
+  /** Is the in-commit-timestamps table property on? (The obligation
+    * keys on the PROPERTY; the protocol feature licenses it.) */
+  private def ictEnabled(configuration: Map[String, String]): Boolean =
+    configuration.get("delta.enableInCommitTimestamps").contains("true")
+
+  /** The recorded `commitInfo.inCommitTimestamp` of commit `v` —
+    * one small log-file read; None when the commit carries none. */
+  private[sources] def ictOf(root: String, v: Long): Option[Long] =
+    io(root).readLines(commitPath(root, v)).view
+      .filter(_.nonEmpty).map(mapper.readTree)
+      .flatMap(n => Option(n.get("commitInfo")))
+      .flatMap(ci => Option(ci.get("inCommitTimestamp"))
+        .filterNot(_.isNull).map(_.asLong()))
+      .headOption
+
+  /** The in-commit timestamp THIS commit must carry: wall clock,
+    * floored to strictly exceed the predecessor's recorded ICT (the
+    * spec's monotonicity rule — a clock-skewed writer never emits a
+    * non-increasing timestamp). */
+  private def nextIct(root: String, prevVersion: Long): Long = {
+    val now = System.currentTimeMillis
+    val prev = if (prevVersion < 0) None else ictOf(root, prevVersion)
+    math.max(now, prev.map(_ + 1L).getOrElse(now))
+  }
+
+  /** The leading `commitInfo` line of a commit. With in-commit
+    * timestamps ON in `configuration` (this commit's FINAL table
+    * configuration), stamps the monotonic `inCommitTimestamp` — the
+    * spec additionally requires commitInfo to be the FIRST action,
+    * which every writer path here satisfies by construction (this
+    * line is always `lines += ...`'d first). */
+  private def commitInfoLine(root: String, operation: String,
+      configuration: Map[String, String], prevVersion: Long): String =
+    if (!ictEnabled(configuration))
+      s"""{"commitInfo":{"timestamp":${System.currentTimeMillis},""" +
+        s""""operation":"$operation"}}"""
+    else {
+      val ict = nextIct(root, prevVersion)
+      s"""{"commitInfo":{"inCommitTimestamp":$ict,"timestamp":$ict,""" +
+        s""""operation":"$operation"}}"""
+    }
+
+  /** The authoritative commit timestamp of version `v` — what
+    * TIMESTAMP AS OF and history ordering key on: the recorded
+    * `inCommitTimestamp` for every version the feature governs
+    * (from `delta.inCommitTimestampEnablementVersion`, or 0 when the
+    * property was on from creation — a governed commit missing its
+    * ICT is corrupt and refuses), the commit FILE's modification
+    * time below that (the pre-ICT rule; mtime is what delta-spark
+    * uses there, and why late enablement records the provenance
+    * properties at all). */
+  def commitTimestamp(root: String,
+      configuration: Map[String, String], v: Long): Long = {
+    val governed = ictEnabled(configuration) &&
+      v >= configuration.get("delta.inCommitTimestampEnablementVersion")
+        .map(_.toLong).getOrElse(0L)
+    if (governed) ictOf(root, v).getOrElse(
+      throw new IllegalStateException(
+        s"delta-log: commit $v of $root must carry " +
+          "inCommitTimestamp (the feature governs it) — corrupt log"))
+    else io(root).mtimeMs(commitPath(root, v))
+  }
+
+  /** TIMESTAMP AS OF resolution: the LATEST version whose commit
+    * timestamp ([[commitTimestamp]]) is `<= tsMillis`. Binary search
+    * over the version range — commit timestamps are monotonic (ICT
+    * by spec; file mtimes by append order) — so O(log n) small log
+    * reads, never a full-history scan. */
+  def versionAtTimestamp(spark: SparkSession, root: String,
+      tsMillis: Long): Long = {
+    val latest = latestVersion(root)
+    require(latest >= 0, s"$root is not a Delta table (no _delta_log)")
+    val conf = snapshot(spark, root).configuration
+    def tsOf(v: Long): Long = commitTimestamp(root, conf, v)
+    require(tsOf(0L) <= tsMillis,
+      s"delta-log: timestamp $tsMillis predates the first commit " +
+        s"of $root (${tsOf(0L)})")
+    var lo = 0L
+    var hi = latest
+    while (lo < hi) {
+      val mid = (lo + hi + 1) / 2
+      if (tsOf(mid) <= tsMillis) lo = mid else hi = mid - 1
+    }
+    lo
+  }
 
   /** The Delta protocol's writer rule: a writer MUST honor every
     * ACTIVE writer feature's obligations or refuse the commit — an
@@ -1349,14 +1443,20 @@ object DeltaLog {
         val rtFeat =
           if (properties.get("delta.enableRowTracking").contains("true"))
             Set("rowTracking") else Set.empty[String]
+        // in-commit timestamps: WRITER-only feature, same (…,7)
+        // listing shape as rowTracking
+        val ictFeat =
+          if (ictEnabled(properties)) Set("inCommitTimestamp")
+          else Set.empty[String]
         val p =
           if (wantsDv || v2cpFeat.nonEmpty)
             (3, 7, dvFeat ++ mapFeat ++ v2cpFeat,
               dvFeat ++ mapFeat ++ v2cpFeat ++ cdfFeat ++ rtFeat ++
+                ictFeat ++
                 legacyWriterFeatures(if (mapMode == "none") 2 else 5))
-          else if (rtFeat.nonEmpty)
+          else if (rtFeat.nonEmpty || ictFeat.nonEmpty)
             (if (mapMode == "none") 1 else 2, 7, Set.empty[String],
-              rtFeat ++ cdfFeat ++
+              rtFeat ++ ictFeat ++ cdfFeat ++
                 legacyWriterFeatures(if (mapMode == "none") 2 else 5))
           else if (mapMode != "none") (2, 5, Set.empty[String], Set.empty[String])
           // CDF alone requires minWriterVersion >= 4 (the spec's
@@ -1400,8 +1500,9 @@ object DeltaLog {
     val adds = stageAndLand(spark, stagedDf, root, stagedPartitionBy, nonce)
     val next = latest + 1
     val lines = scala.collection.mutable.ListBuffer.empty[String]
-    lines += s"""{"commitInfo":{"timestamp":${System.currentTimeMillis},""" +
-      s""""operation":"${if (mode == "append") "WRITE" else "OVERWRITE"}"}}"""
+    lines += commitInfoLine(root,
+      if (mode == "append") "WRITE" else "OVERWRITE",
+      configuration, latest)
     if (latest < 0 || mode == "overwrite") {
       lines += protocolLine(proto._1, proto._2, proto._3, proto._4)
       lines += metaDataLine(recordSchema.json, partitionBy, configuration)
@@ -1655,8 +1756,8 @@ object DeltaLog {
     if (rows.isEmpty && extraAdds.isEmpty)
       return Some(snap.version) // nothing fired: no empty commit
     val lines = scala.collection.mutable.ListBuffer.empty[String]
-    lines += s"""{"commitInfo":{"timestamp":${System.currentTimeMillis},""" +
-      s""""operation":"$operation"}}"""
+    lines += commitInfoLine(root, operation, snap.configuration,
+      snap.version)
     touchedAdds.foreach { a =>
       val fresh = byFile.getOrElse(idx.scanUriOf(a), Array.empty[Long])
       // key-envelope-touched files with no actually-dead rows (a
@@ -1742,8 +1843,7 @@ object DeltaLog {
     val adds = stageAndLand(spark, df, root, partitionBy, nonce)
     val next = latest + 1
     val lines = scala.collection.mutable.ListBuffer.empty[String]
-    lines += s"""{"commitInfo":{"timestamp":${System.currentTimeMillis},""" +
-      s""""operation":"$operation"}}"""
+    lines += commitInfoLine(root, operation, base.configuration, latest)
     // schema evolution lands its restated metaData in the SAME commit
     metaRestate.foreach(lines += _)
     removedPaths.foreach { p =>
@@ -1829,8 +1929,8 @@ object DeltaLog {
       nonce)
     val next = snap.version + 1
     val lines = scala.collection.mutable.ListBuffer.empty[String]
-    lines += s"""{"commitInfo":{"timestamp":${System.currentTimeMillis},""" +
-      """"operation":"OPTIMIZE"}}"""
+    lines += commitInfoLine(root, "OPTIMIZE", snap0.configuration,
+      snap.version)
     if (mintNames)
       lines += metaDataLine(snap0.schema.json, snap0.partitionColumns,
         snap0.configuration +
@@ -1885,8 +1985,13 @@ object DeltaLog {
     val targetPaths = target.adds.map(_.path).toSet
     val next = now.version + 1
     val lines = scala.collection.mutable.ListBuffer.empty[String]
-    lines += s"""{"commitInfo":{"timestamp":${System.currentTimeMillis},""" +
-      s""""operation":"RESTORE"}}"""
+    // the RESTORE commit itself must carry an ICT when EITHER side's
+    // configuration has the property on: the target's travels with
+    // the restore (governing reads from here on), the current one
+    // governs this commit's own obligation
+    lines += commitInfoLine(root, "RESTORE",
+      if (ictEnabled(now.configuration)) now.configuration
+      else target.configuration, now.version)
     // the target's metaData travels with the restore (schema and
     // configuration may have drifted since; the table id is forever)
     lines += metaDataLine(target.schema.json, target.partitionColumns,
@@ -1951,9 +2056,15 @@ object DeltaLog {
       s"delta-log: clone target $dst already exists")
     val srcRoot = Paths.get(src).toAbsolutePath.normalize
     io(dst).mkdirs(logDir(dst))
+    // ICT enablement provenance refers to the SOURCE's history — the
+    // clone's history starts at 0, so the stale marks drop and the
+    // property (if on) governs from the clone's own commit 0, which
+    // commitInfoLine stamps accordingly
+    val cloneConf = snap.configuration -
+      "delta.inCommitTimestampEnablementVersion" -
+      "delta.inCommitTimestampEnablementTimestamp"
     val lines = scala.collection.mutable.ListBuffer.empty[String]
-    lines += s"""{"commitInfo":{"timestamp":${System.currentTimeMillis},""" +
-      s""""operation":"CLONE"}}"""
+    lines += commitInfoLine(dst, "CLONE", cloneConf, -1L)
     // the clone CARRIES the source's protocol — cloning a
     // feature-bearing table (deletion vectors, column mapping, row
     // tracking) to (1,2) would let feature-unaware writers corrupt
@@ -1965,7 +2076,7 @@ object DeltaLog {
       s""""format":{"provider":"parquet","options":{}},""" +
       s""""schemaString":${jsonStr(snap.schema.json)},""" +
       s""""partitionColumns":[${snap.partitionColumns.map(jsonStr).mkString(",")}],""" +
-      s""""configuration":{${snap.configuration.toSeq.sortBy(_._1)
+      s""""configuration":{${cloneConf.toSeq.sortBy(_._1)
         .map { case (k, v) => s"${jsonStr(k)}:${jsonStr(v)}" }.mkString(",")}}}}"""
     // live domain metadata travels with the clone (a clustered or
     // row-tracked source's domains are part of its contract)
@@ -2003,7 +2114,11 @@ object DeltaLog {
   /** The table's commit history, newest first — DESCRIBE HISTORY's
     * rows: (version, operation, timestamp) from each commit's
     * commitInfo (absent commitInfo → operation NULL; checkpointed-
-    * away commits are simply not listed). Metadata-scale I/O. */
+    * away commits are simply not listed). The recorded
+    * `inCommitTimestamp` is authoritative over the advisory
+    * `timestamp` when present (the ICT feature's read rule — mtime
+    * and the advisory field can both lie on moved/rewritten logs).
+    * Metadata-scale I/O. */
   def history(root: String): Seq[(Long, Option[String], Option[Long])] =
     jsonVersions(root).sorted.reverse.map { v =>
       val info = io(root).readLines(commitPath(root, v))
@@ -2011,7 +2126,8 @@ object DeltaLog {
         .flatMap(n => Option(n.get("commitInfo"))).headOption
       (v,
         info.flatMap(i => Option(i.get("operation")).map(_.asText())),
-        info.flatMap(i => Option(i.get("timestamp")).map(_.asLong())))
+        info.flatMap(i => Option(i.get("inCommitTimestamp"))
+          .orElse(Option(i.get("timestamp"))).map(_.asLong())))
     }
 
   /** VACUUM the Delta table at `root`: delete data-path files that
@@ -2506,7 +2622,27 @@ object DeltaLog {
     val snap = snapshot(spark, root)
     gateWriterObligations(snap, "SET TBLPROPERTIES", removesData = false)
     val next = snap.version + 1
-    val merged = snap.configuration ++ props
+    val merged0 = snap.configuration ++ props
+    // ICT LATE ENABLEMENT (the spec's provenance rule): the commit
+    // that turns delta.enableInCommitTimestamps on records WHERE the
+    // feature starts governing — this commit's version and its own
+    // in-commit timestamp — so readers use mtime below the mark and
+    // recorded ICTs from it onward. Disabling drops the marks.
+    val enablingIct = ictEnabled(props) && !ictEnabled(snap.configuration)
+    val disablingIct = props.get("delta.enableInCommitTimestamps")
+      .contains("false")
+    val ictStamp: Option[Long] =
+      if (ictEnabled(merged0)) Some(nextIct(root, snap.version))
+      else None
+    val merged =
+      if (enablingIct) merged0 +
+        ("delta.inCommitTimestampEnablementVersion" -> next.toString) +
+        ("delta.inCommitTimestampEnablementTimestamp" ->
+          ictStamp.get.toString)
+      else if (disablingIct) merged0 -
+        "delta.inCommitTimestampEnablementVersion" -
+        "delta.inCommitTimestampEnablementTimestamp"
+      else merged0
     // ADDING a CHECK constraint verifies the EXISTING rows first —
     // delta-spark's ADD CONSTRAINT rule (a constraint the current
     // data violates must never land in the configuration)
@@ -2546,6 +2682,16 @@ object DeltaLog {
           "not supported; create the table with " +
           "delta.enableRowTracking=true instead")
     val lines = scala.collection.mutable.ListBuffer.empty[String]
+    // commitInfo FIRST (the ICT placement rule); the stamp reuses the
+    // enablement-provenance value so the two marks agree exactly
+    lines += (ictStamp match {
+      case Some(t) =>
+        s"""{"commitInfo":{"inCommitTimestamp":$t,"timestamp":$t,""" +
+          s""""operation":"SET TBLPROPERTIES"}}"""
+      case None =>
+        s"""{"commitInfo":{"timestamp":${System.currentTimeMillis},""" +
+          s""""operation":"SET TBLPROPERTIES"}}"""
+    })
     // property-implied protocol upgrades land in the SAME commit, as
     // ONE combined protocol line; never downgrade anything:
     //  - deletion vectors → (3,7) + feature (legacy-implied features
@@ -2564,8 +2710,13 @@ object DeltaLog {
       .contains("v2") &&
       !(snap.minReaderVersion >= 3 &&
         snap.readerFeatures.contains("v2Checkpoint"))
+    // ICT is WRITER-only: feature-listing needs writer 7, reader
+    // version stays put
+    val wantIctFeat = enablingIct &&
+      !(snap.minWriterVersion >= 7 &&
+        snap.writerFeatures.contains("inCommitTimestamp"))
     val targetW0 =
-      if (wantDv || wantV2cp) 7
+      if (wantDv || wantV2cp || wantIctFeat) 7
       else if (props.get("delta.enableChangeDataFeed").contains("true") &&
         snap.minWriterVersion < 4) math.max(snap.minWriterVersion, 4)
       else snap.minWriterVersion
@@ -2583,7 +2734,7 @@ object DeltaLog {
       (targetW >= 7 || snap.minWriterVersion >= 7) &&
       !snap.writerFeatures.contains("checkConstraints")
     if (wantDv || wantV2cp || wantCdfFeat || wantCheckFeat ||
-      targetW != snap.minWriterVersion) {
+      wantIctFeat || targetW != snap.minWriterVersion) {
       val w = math.max(targetW, snap.minWriterVersion)
       val r = if (wantDv || wantV2cp) 3 else snap.minReaderVersion
       val rf = snap.readerFeatures ++
@@ -2602,7 +2753,9 @@ object DeltaLog {
           Set("changeDataFeed") else Set.empty[String]) ++
         (if (wantCheckFeat || (w >= 7 &&
           merged.keys.exists(_.startsWith("delta.constraints."))))
-          Set("checkConstraints") else Set.empty[String])
+          Set("checkConstraints") else Set.empty[String]) ++
+        (if (wantIctFeat || (w >= 7 && ictEnabled(merged)))
+          Set("inCommitTimestamp") else Set.empty[String])
       lines += protocolLine(r, w, rf, wf)
     }
     lines += metaDataLine(snap.schema.json, snap.partitionColumns,
@@ -2635,6 +2788,8 @@ object DeltaLog {
       removesData = false)
     val next = snap.version + 1
     val lines = scala.collection.mutable.ListBuffer.empty[String]
+    lines += commitInfoLine(root, "SET DOMAIN METADATA",
+      snap.configuration, snap.version)
     if (!(snap.minWriterVersion >= 7 &&
         snap.writerFeatures.contains("domainMetadata")))
       lines += protocolLine(snap.minReaderVersion, 7,

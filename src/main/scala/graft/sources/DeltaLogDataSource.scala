@@ -135,7 +135,12 @@ class DeltaLogDataSource extends RelationProvider
       parameters: Map[String, String]): BaseRelation = {
     val spark = sqlContext.sparkSession
     val root = rootOf(parameters)
+    // TIMESTAMP AS OF resolves through the authoritative per-commit
+    // timestamps — recorded inCommitTimestamp where the ICT feature
+    // governs, commit-file mtime below the enablement mark
     val pinned = parameters.get("versionAsOf").map(_.toLong)
+      .orElse(parameters.get("timestampAsOf")
+        .map(ts => DeltaLog.versionAtTimestamp(spark, root, ts.toLong)))
     val snap = DeltaLog.snapshot(spark, root, pinned)
     val idx = new DeltaLogFileIndex(spark, root, snap, pinned.isDefined)
     HadoopFsRelation(

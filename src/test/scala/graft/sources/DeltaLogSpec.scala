@@ -939,4 +939,122 @@ class DeltaLogSpec extends SparkSpecBase {
     }
     assert(e.getMessage.contains("backfill"))
   }
+
+  private def commitFile(root: String, v: Long) =
+    Paths.get(root, "_delta_log", f"$v%020d.json")
+
+  test("in-commit timestamps: stamped monotonic, govern TIMESTAMP AS OF") {
+    val root = tmp()
+    DeltaLog.commit(spark.range(0, 4).toDF("k").coalesce(1), root,
+      properties = Map("delta.enableInCommitTimestamps" -> "true"))
+    // creation lists the writer feature at (…,7)
+    val s0 = DeltaLog.snapshot(spark, root)
+    assert(s0.minWriterVersion === 7 &&
+      s0.writerFeatures.contains("inCommitTimestamp"))
+    DeltaLog.commit(spark.range(4, 8).toDF("k").coalesce(1), root)
+    DeltaLog.deleteWhere(spark, root, col("k") === 5)
+    // every commit leads with a commitInfo carrying a monotonic ICT
+    val icts = (0L to 2L).map(v => DeltaLog.ictOf(root, v).get)
+    assert(icts === icts.sorted && icts.distinct.size === 3)
+    (0L to 2L).foreach { v =>
+      val first = Files.readAllLines(commitFile(root, v)).get(0)
+      assert(first.contains("\"commitInfo\"") &&
+        first.contains("inCommitTimestamp"))
+    }
+    // TIMESTAMP AS OF keys on the RECORDED ICTs, not file mtimes:
+    // skew every commit file's mtime a year into the future
+    (0 to 2).foreach { v =>
+      Files.setLastModifiedTime(commitFile(root, v.toLong),
+        java.nio.file.attribute.FileTime.fromMillis(
+          icts(v) + 365L * 86400000L))
+    }
+    def countAt(ts: Long): Long = spark.read.format("delta-log")
+      .option("timestampAsOf", ts.toString).load(root).count()
+    assert(countAt(icts(0)) === 4)
+    assert(countAt(icts(1)) === 8)
+    assert(countAt(icts(2) + 10) === 7)
+    intercept[IllegalArgumentException] { countAt(icts(0) - 1) }
+    // clock-skew defense: doctor the head ICT into the future — the
+    // next commit stamps exactly predecessor + 1, never backwards
+    val future = System.currentTimeMillis + 86400000L
+    Files.write(commitFile(root, 2L),
+      new String(Files.readAllBytes(commitFile(root, 2L)), UTF_8)
+        .replace(s""""inCommitTimestamp":${icts(2)}""",
+          s""""inCommitTimestamp":$future""").getBytes(UTF_8))
+    DeltaLog.commit(spark.range(8, 10).toDF("k").coalesce(1), root)
+    assert(DeltaLog.ictOf(root, 3L) === Some(future + 1))
+    // history surfaces the recorded ICT as the authoritative time
+    assert(DeltaLog.history(root).find(_._1 == 3L).get._3 ===
+      Some(future + 1))
+    // SQL surface: TIMESTAMP AS OF through the catalog resolves ICT
+    spark.sql(s"CREATE TABLE ict_t USING `delta-log` LOCATION '$root'")
+    try {
+      // timestamp_millis keeps the literal timezone-proof
+      assert(spark.sql(
+        s"SELECT count(*) FROM ict_t TIMESTAMP AS OF " +
+          s"timestamp_millis(${icts(1)})")
+        .as[Long].head() === 8)
+    } finally spark.sql("DROP TABLE ict_t")
+  }
+
+  test("ICT late enablement: provenance recorded, mtime governs below") {
+    val root = tmp()
+    DeltaLog.commit(spark.range(0, 4).toDF("k").coalesce(1), root)
+    DeltaLog.commit(spark.range(4, 6).toDF("k").coalesce(1), root)
+    val v2 = DeltaLog.setConfiguration(spark, root,
+      Map("delta.enableInCommitTimestamps" -> "true"))
+    assert(v2 === 2L)
+    val snap = DeltaLog.snapshot(spark, root)
+    assert(snap.minWriterVersion === 7 &&
+      snap.writerFeatures.contains("inCommitTimestamp"))
+    assert(snap.configuration(
+      "delta.inCommitTimestampEnablementVersion") === "2")
+    val enTs = snap.configuration(
+      "delta.inCommitTimestampEnablementTimestamp").toLong
+    // the enablement commit's own ICT IS the recorded provenance
+    assert(DeltaLog.ictOf(root, 2L) === Some(enTs))
+    assert(DeltaLog.ictOf(root, 0L) === None)
+    // below the mark, file mtime governs (the pre-ICT rule)
+    val t0 = enTs - 1000000L
+    Files.setLastModifiedTime(commitFile(root, 0L),
+      java.nio.file.attribute.FileTime.fromMillis(t0))
+    Files.setLastModifiedTime(commitFile(root, 1L),
+      java.nio.file.attribute.FileTime.fromMillis(t0 + 1000L))
+    assert(DeltaLog.versionAtTimestamp(spark, root, t0 + 500L) === 0L)
+    assert(DeltaLog.versionAtTimestamp(spark, root, t0 + 1000L) === 1L)
+    assert(DeltaLog.versionAtTimestamp(spark, root, enTs) === 2L)
+    // later writes keep stamping past the mark
+    DeltaLog.commit(spark.range(6, 8).toDF("k").coalesce(1), root)
+    assert(DeltaLog.ictOf(root, 3L).exists(_ > enTs))
+  }
+
+  test("foreign ICT table (hand-written log) is writable, ICT continues") {
+    val root = tmp()
+    Files.createDirectories(Paths.get(root, "_delta_log"))
+    // one parquet data file, written by Spark, referenced relatively
+    val dataDir = Paths.get(root, "d")
+    spark.range(0, 3).toDF("k").coalesce(1).write.parquet(dataDir.toString)
+    import scala.jdk.CollectionConverters._
+    val part = {
+      val l = Files.list(dataDir)
+      try l.iterator().asScala.map(_.getFileName.toString)
+        .filter(n => n.endsWith(".parquet") && !n.startsWith("."))
+        .toSeq.sorted.head
+      finally l.close()
+    }
+    val foreignIct = 1750000000000L
+    val schema = """{\"type\":\"struct\",\"fields\":[{\"name\":\"k\",\"type\":\"long\",\"nullable\":true,\"metadata\":{}}]}"""
+    Files.write(commitFile(root, 0L),
+      (s"""{"commitInfo":{"inCommitTimestamp":$foreignIct,"timestamp":$foreignIct,"operation":"WRITE"}}
+         |{"protocol":{"minReaderVersion":1,"minWriterVersion":7,"writerFeatures":["inCommitTimestamp"]}}
+         |{"metaData":{"id":"f-ict","format":{"provider":"parquet","options":{}},"schemaString":"$schema","partitionColumns":[],"configuration":{"delta.enableInCommitTimestamps":"true"}}}
+         |{"add":{"path":"d/$part","partitionValues":{},"size":${Files.size(dataDir.resolve(part))},"modificationTime":1,"dataChange":true}}
+         |""").stripMargin.getBytes(UTF_8))
+    assert(spark.read.format("delta-log").load(root).count() === 3)
+    // the write previously refused on the unenforced feature; now it
+    // commits and stamps an ICT strictly after the foreign one
+    DeltaLog.commit(spark.range(3, 5).toDF("k").coalesce(1), root)
+    assert(spark.read.format("delta-log").load(root).count() === 5)
+    assert(DeltaLog.ictOf(root, 1L).exists(_ > foreignIct))
+  }
 }

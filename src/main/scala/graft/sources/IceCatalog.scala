@@ -20,15 +20,15 @@ import java.nio.file.{Files, Path, Paths}
   *    `metadata/v{N}.metadata.json` published by conditional put
   *    (loser gets the exception), advisory `version-hint.text`
   *    advanced last-writer-wins;
-  *  - a REST catalog binding is a client away: `currentMetadata` ⇒
+  *  - [[RestIceCatalog]] — the REST catalog binding over
+  *    `java.net.http.HttpClient`: `currentMetadata` ⇒
   *    `GET /v1/{prefix}/namespaces/{ns}/tables/{t}` (the response's
   *    `metadata` + `metadata-location`), `commit` ⇒
-  *    `POST .../tables/{t}` with an `assert-table-uuid` /
-  *    snapshot-ref requirement carrying the CAS — the server rejects
-  *    a stale base exactly like the conditional put does. No such
-  *    client ships here (zero-egress environment); the seam +
-  *    [[graft.sources.IceCatalogSpec recording spec]] prove every
-  *    pointer mutation flows through the interface.
+  *    `POST .../tables/{t}` with a requirements-carrying body — the
+  *    server rejects a stale base with 409 exactly like the
+  *    conditional put does (IceCatalogSpec proves the one-winner
+  *    race through real HTTP against an in-process stub; the
+  *    zero-egress sandbox has no external catalog to talk to).
   *
   * Registration is per root prefix (longest registered prefix wins;
   * unregistered roots use [[FsIceCatalog]]) — the same shape as
@@ -132,6 +132,123 @@ object FsIceCatalog extends IceCatalog {
     Files.move(tmp, metaDir(root).resolve("version-hint.text"),
       java.nio.file.StandardCopyOption.ATOMIC_MOVE,
       java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+  }
+}
+
+/** REST catalog BINDING — the Iceberg REST catalog protocol's two
+  * operations this seam needs, over `java.net.http.HttpClient`
+  * (endpoint shapes per the published REST catalog OpenAPI;
+  * `{prefix}` and table identifiers as the spec routes them):
+  *
+  *  - resolve: `GET {base}/v1/{prefix}/namespaces/{ns}/tables/{t}` —
+  *    the response's `metadata-location` (version parsed from the
+  *    spec's `v{N}.metadata.json` convention) + `metadata` document;
+  *    404 = no such table;
+  *  - create: `POST {base}/v1/{prefix}/namespaces/{ns}/tables` with
+  *    the name + initial metadata; 409 = already exists;
+  *  - commit: `POST {base}/v1/{prefix}/namespaces/{ns}/tables/{t}`
+  *    carrying a REQUIREMENTS array — here the location CAS
+  *    (`assert-metadata-location` on the expected current pointer,
+  *    the same check `assert-table-uuid`/ref assertions express in
+  *    the OpenAPI) — plus the successor document; the server
+  *    answers 409 when the requirement fails, which surfaces as
+  *    [[VersionedTable.ConcurrentCommitException]] — exactly one of
+  *    two racing writers wins, same contract as the conditional put.
+  *
+  * Divergence, stated: this engine publishes FULL metadata documents
+  * (the HadoopCatalog model), so the commit body carries `metadata`
+  * verbatim rather than the OpenAPI's incremental `updates` list — a
+  * server-side catalog stores the document it is handed. Table
+  * identifiers are an opaque URL-safe token of the root path (a real
+  * deployment maps real namespace/table names). The zero-egress
+  * sandbox means the peer is an in-process stub
+  * ([[graft.sources.IceCatalogSpec]] binds one over localhost and
+  * proves the one-winner race through real HTTP). */
+final class RestIceCatalog(baseUri: String, prefix: String = "graft",
+    namespace: String = "default") extends IceCatalog {
+
+  import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+
+  private val mapper =
+    new com.fasterxml.jackson.databind.ObjectMapper()
+  private val http = HttpClient.newHttpClient()
+
+  /** Opaque URL-safe table token for a filesystem root. */
+  private def token(root: String): String =
+    java.util.Base64.getUrlEncoder.withoutPadding
+      .encodeToString(root.getBytes(UTF_8))
+
+  private def tablesUri = java.net.URI.create(
+    s"$baseUri/v1/$prefix/namespaces/$namespace/tables")
+
+  private def tableUri(root: String) = java.net.URI.create(
+    s"$baseUri/v1/$prefix/namespaces/$namespace/tables/${token(root)}")
+
+  private def send(req: HttpRequest): HttpResponse[Array[Byte]] =
+    http.send(req, HttpResponse.BodyHandlers.ofByteArray())
+
+  private def versionOf(location: String): Int =
+    location.split('/').last
+      .stripPrefix("v").stripSuffix(".metadata.json").toInt
+
+  private def resolve(root: String): Option[(Int, Array[Byte])] = {
+    val resp = send(HttpRequest.newBuilder(tableUri(root)).GET().build())
+    resp.statusCode() match {
+      case 200 =>
+        val n = mapper.readTree(resp.body())
+        Some((versionOf(n.get("metadata-location").asText()),
+          mapper.writeValueAsBytes(n.get("metadata"))))
+      case 404 => None
+      case other => throw new IllegalStateException(
+        s"rest-catalog: GET ${tableUri(root)} returned $other")
+    }
+  }
+
+  override def tableExists(root: String): Boolean =
+    resolve(root).isDefined
+
+  override def currentVersion(root: String): Int =
+    resolve(root).map(_._1).getOrElse(throw new IllegalArgumentException(
+      s"$root is not an Iceberg table (rest catalog: not found)"))
+
+  override def currentMetadata(root: String): (Int, Array[Byte]) =
+    resolve(root).getOrElse(throw new IllegalArgumentException(
+      s"$root is not an Iceberg table (rest catalog: not found)"))
+
+  private def post(uri: java.net.URI, body: Array[Byte],
+      conflictVersion: Int): Unit = {
+    val resp = send(HttpRequest.newBuilder(uri)
+      .header("Content-Type", "application/json")
+      .POST(HttpRequest.BodyPublishers.ofByteArray(body)).build())
+    resp.statusCode() match {
+      case 200 => ()
+      case 409 =>
+        throw new VersionedTable.ConcurrentCommitException(conflictVersion)
+      case other => throw new IllegalStateException(
+        s"rest-catalog: POST $uri returned $other")
+    }
+  }
+
+  override def create(root: String, metadata: Array[Byte]): Unit = {
+    val body = mapper.createObjectNode()
+    body.put("name", token(root))
+    body.put("metadata-location", "v1.metadata.json")
+    body.set[com.fasterxml.jackson.databind.JsonNode]("metadata",
+      mapper.readTree(metadata))
+    post(tablesUri, mapper.writeValueAsBytes(body), 1)
+  }
+
+  override def commit(root: String, expectedVersion: Int,
+      metadata: Array[Byte]): Unit = {
+    val body = mapper.createObjectNode()
+    val req = body.putArray("requirements").addObject()
+    req.put("type", "assert-metadata-location")
+    req.put("metadata-location", s"v$expectedVersion.metadata.json")
+    body.put("metadata-location", s"v${expectedVersion + 1}.metadata.json")
+    body.set[com.fasterxml.jackson.databind.JsonNode]("metadata",
+      mapper.readTree(metadata))
+    post(tableUri(root), mapper.writeValueAsBytes(body),
+      expectedVersion + 1)
   }
 }
 

@@ -106,6 +106,117 @@ class IceCatalogSpec extends SparkSpecBase {
     }
   }
 
+  /** In-process REST catalog stub (JDK HttpServer): tables keyed by
+    * the client's opaque token, state = (metadata-location, document)
+    * guarded by a lock so the CAS is real — a stale
+    * `assert-metadata-location` requirement answers 409. */
+  private def withRestCatalog[A](f: (String, RestIceCatalog) => A): A = {
+    import com.sun.net.httpserver.{HttpExchange, HttpServer}
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val tables =
+      scala.collection.mutable.Map.empty[String, (String, Array[Byte])]
+    val server = HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    def respond(x: HttpExchange, code: Int, body: Array[Byte]): Unit = {
+      x.sendResponseHeaders(code, if (body.isEmpty) -1 else body.length)
+      if (body.nonEmpty) x.getResponseBody.write(body)
+      x.close()
+    }
+    server.createContext("/v1/", (x: HttpExchange) => {
+      val parts = x.getRequestURI.getPath.split('/').filter(_.nonEmpty)
+      // /v1/{prefix}/namespaces/{ns}/tables[/{token}]
+      val ok = parts.length >= 5 && parts(0) == "v1" &&
+        parts(2) == "namespaces" && parts(4) == "tables"
+      if (!ok) respond(x, 400, Array.emptyByteArray)
+      else tables.synchronized {
+        (x.getRequestMethod, parts.lift(5)) match {
+          case ("GET", Some(t)) => tables.get(t) match {
+            case None => respond(x, 404, Array.emptyByteArray)
+            case Some((loc, doc)) =>
+              val out = mapper.createObjectNode()
+              out.put("metadata-location", loc)
+              out.set[com.fasterxml.jackson.databind.JsonNode](
+                "metadata", mapper.readTree(doc))
+              respond(x, 200, mapper.writeValueAsBytes(out))
+          }
+          case ("POST", None) => // createTable
+            val n = mapper.readTree(x.getRequestBody.readAllBytes())
+            val t = n.get("name").asText()
+            if (tables.contains(t)) respond(x, 409, Array.emptyByteArray)
+            else {
+              tables(t) = (n.get("metadata-location").asText(),
+                mapper.writeValueAsBytes(n.get("metadata")))
+              respond(x, 200, Array.emptyByteArray)
+            }
+          case ("POST", Some(t)) => // commitTable with requirements
+            val n = mapper.readTree(x.getRequestBody.readAllBytes())
+            val want = n.get("requirements").elements().next()
+            require(want.get("type").asText() == "assert-metadata-location")
+            tables.get(t) match {
+              case Some((loc, _))
+                  if loc == want.get("metadata-location").asText() =>
+                tables(t) = (n.get("metadata-location").asText(),
+                  mapper.writeValueAsBytes(n.get("metadata")))
+                respond(x, 200, Array.emptyByteArray)
+              case _ => respond(x, 409, Array.emptyByteArray) // CAS loser
+            }
+          case _ => respond(x, 405, Array.emptyByteArray)
+        }
+      }
+    })
+    server.start()
+    val root = Files.createTempDirectory("ice_rest_").toString + "/t"
+    val cat = new RestIceCatalog(
+      s"http://127.0.0.1:${server.getAddress.getPort}")
+    IceCatalog.register(root, cat)
+    try f(root, cat)
+    finally {
+      IceCatalog.unregister(root)
+      server.stop(0)
+    }
+  }
+
+  test("REST binding: pointer lives server-side, DML round-trips over HTTP") {
+    withRestCatalog { (root, cat) =>
+      IcebergMeta.writeFixture(
+        spark.range(0, 12).toDF("k").withColumn("v", col("k") * 3)
+          .coalesce(1), root, formatVersion = 3)
+      IcebergMeta.append(
+        spark.range(12, 16).toDF("k").withColumn("v", col("k") * 3)
+          .coalesce(1), root)
+      IcebergMeta.delete(spark, root, col("k") % 4 === 1) // v3 DV
+      // reads resolve the pointer over HTTP; data stays filesystem
+      val r = spark.read.format("iceberg-meta").load(root)
+      assert(r.count() === 12)
+      assert(r.agg(sum("v")).as[Long].head() ===
+        (0 until 16).filterNot(_ % 4 == 1).map(_ * 3L).sum)
+      assert(cat.currentVersion(root) === 3)
+      // the metadata DOCUMENT never touched the filesystem — the
+      // stub owns the pointer (manifests/data files are content-
+      // addressed and stay on disk)
+      assert(!Files.exists(Paths.get(root, "metadata/v1.metadata.json")))
+      assert(!Files.exists(Paths.get(root, "metadata/version-hint.text")))
+    }
+  }
+
+  test("REST binding: CAS race has exactly one winner (HTTP 409)") {
+    withRestCatalog { (root, cat) =>
+      IcebergMeta.writeFixture(spark.range(0, 4).toDF("k"), root)
+      val (v, bytes) = cat.currentMetadata(root)
+      // two writers race the same base through real HTTP
+      cat.commit(root, v, bytes)
+      val e = intercept[VersionedTable.ConcurrentCommitException] {
+        cat.commit(root, v, bytes)
+      }
+      assert(e.getMessage.contains((v + 1).toString))
+      // create of an existing table answers 409 too, surfaced as the
+      // same one-winner exception
+      intercept[VersionedTable.ConcurrentCommitException] {
+        cat.create(root, bytes)
+      }
+    }
+  }
+
   test("unregistered roots use the filesystem catalog unchanged") {
     val root = Files.createTempDirectory("ice_cat_d_").toString + "/t"
     IcebergMeta.writeFixture(spark.range(0, 6).toDF("k"), root)

@@ -33,7 +33,8 @@ import org.apache.spark.sql.types.TimestampType
   *    versions, `tagAsOf` for tag names, `timestampAsOf` for
   *    `TIMESTAMP AS OF` literals — millis from a cast to timestamp);
   *  - `USING delta-log`   → `versionAsOf` / `timestampAsOf` (ICT-aware);
-  *  - `USING iceberg-meta`→ `snapshotId`;
+  *  - `USING iceberg-meta`→ `snapshotId` / `timestampAsOf`
+  *    (snapshot-log resolution);
   *  - anything else       → the ORIGINAL node is restored and Spark's
   *    own analyzer produces its standard error on the next pass —
   *    non-graft behavior is untouched.
@@ -99,9 +100,11 @@ case class GraftTimeTravelResolve(session: SparkSession)
             t.timestamp.foreach(e =>
               opts += "timestampAsOf" -> tsMillis(e).toString)
           case "iceberg-meta" =>
-            require(t.timestamp.isEmpty, "iceberg-meta: TIMESTAMP AS " +
-              "OF is not supported — use VERSION AS OF <snapshot-id>")
+            // TIMESTAMP AS OF resolves through the snapshot-log's
+            // timestamp-ms (current-pointer history, spec)
             t.version.foreach(v => opts += "snapshotId" -> v)
+            t.timestamp.foreach(e =>
+              opts += "timestampAsOf" -> tsMillis(e).toString)
         }
         val ds: org.apache.spark.sql.sources.RelationProvider = p match {
           case "graft" => new graft.sources.GraftDataSource()

@@ -3799,6 +3799,48 @@ object Lakehouse {
              |SELECT CAST(count(*) AS BIGINT),
              |  CAST(sum(o_orderkey) AS BIGINT), 'v2'
              |FROM orders WHERE o_orderkey <= 4096 AND o_orderkey % 10 <> 7
+             |ORDER BY leg""".stripMargin)),
+
+    // ICEBERG TIMESTAMP AS OF (round 12): timestamp travel resolves
+    // through the metadata document's snapshot-log — the spec's
+    // record of every main-pointer move, which this writer now
+    // maintains on every commit (rollbacks included; q272's
+    // snapshots surface exposes the committed_at instants). Same
+    // runtime-resolved-timestamp shape as the Delta ICT entry: the
+    // travel targets come from the table's own history, the row
+    // content is deterministic. Resolution is one metadata-document
+    // read — no manifest or data I/O until the chosen snapshot scans.
+    QueryDef(
+      "q274_iceberg_timestamp_travel",
+      (s, d) => {
+        import graft.sources.IcebergMeta
+        val root = Files.createTempDirectory("icts_").toString + "/t"
+        val src = orders(s, d).select(col("o_orderkey"))
+          .filter(col("o_orderkey") <= 4096L)
+        IcebergMeta.writeFixture(
+          src.filter(col("o_orderkey") <= 2048L).coalesce(1), root)
+        IcebergMeta.append(
+          src.filter(col("o_orderkey") > 2048L).coalesce(1), root)
+        IcebergMeta.delete(s, root, col("o_orderkey") % 10 === 3)
+        val ts = IcebergMeta.snapshotsFrame(s, root)
+          .orderBy("sequence_number").collect()
+          .map(_.getAs[java.sql.Timestamp]("committed_at").getTime)
+        def leg(tag: String, t: Long) =
+          s.read.format("iceberg-meta")
+            .option("timestampAsOf", t.toString).load(root)
+            .agg(count(lit(1)).as("n_rows"),
+              sum(col("o_orderkey")).cast("long").as("sum_key"))
+            .withColumn("leg", lit(tag))
+        leg("s2", ts(1)).unionByName(leg("s3", ts(2) + 1))
+          .orderBy(col("leg"))
+      },
+      Some("""SELECT CAST(count(*) AS BIGINT) AS n_rows,
+             |  CAST(sum(o_orderkey) AS BIGINT) AS sum_key, 's2' AS leg
+             |FROM orders WHERE o_orderkey <= 4096
+             |UNION ALL
+             |SELECT CAST(count(*) AS BIGINT),
+             |  CAST(sum(o_orderkey) AS BIGINT), 's3'
+             |FROM orders WHERE o_orderkey <= 4096 AND o_orderkey % 10 <> 3
              |ORDER BY leg""".stripMargin))
   )
 }

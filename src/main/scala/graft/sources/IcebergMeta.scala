@@ -1337,11 +1337,12 @@ object IcebergMeta {
       if (formatVersion == 3) s""""next-row-id":$rows,""" else ""
     val v3Snap =
       if (formatVersion == 3) s""""first-row-id":0,""" else ""
+    val nowMs = System.currentTimeMillis()
     val metaJson =
       s"""{"format-version":$formatVersion,
          |"table-uuid":"${java.util.UUID.randomUUID()}",
          |"location":"$root","last-sequence-number":1,
-         |"last-updated-ms":${System.currentTimeMillis()},
+         |"last-updated-ms":$nowMs,
          |"last-column-id":${df.schema.length},
          |$v3Table
          |"current-schema-id":0,
@@ -1350,9 +1351,10 @@ object IcebergMeta {
          |"partition-specs":[{"spec-id":0,"fields":[$specJson]}],
          |"current-snapshot-id":$snapId,
          |"refs":{"main":{"snapshot-id":$snapId,"type":"branch"}},
+         |"snapshot-log":[{"timestamp-ms":$nowMs,"snapshot-id":$snapId}],
          |"snapshots":[{"snapshot-id":$snapId,"sequence-number":1,
          |  $v3Snap
-         |  "timestamp-ms":${System.currentTimeMillis()},
+         |  "timestamp-ms":$nowMs,
          |  "manifest-list":"$listRel",
          |  "summary":{"operation":"append"},"schema-id":0}]}"""
         .stripMargin
@@ -1856,6 +1858,16 @@ object IcebergMeta {
       snapObj.put("schema-id", meta.get("current-schema-id").asInt())
     newMeta.withArray[com.fasterxml.jackson.databind.node.ArrayNode](
       "snapshots").add(snapObj)
+    // snapshot-log: the spec's record of every MAIN-pointer move —
+    // what TIMESTAMP AS OF resolves against (branch commits do not
+    // move the table head, so they log nothing)
+    if (toBranch.isEmpty) {
+      val logEntry = mapper.createObjectNode()
+      logEntry.put("timestamp-ms", now)
+      logEntry.put("snapshot-id", snapId)
+      newMeta.withArray[com.fasterxml.jackson.databind.node.ArrayNode](
+        "snapshot-log").add(logEntry)
+    }
     // refs maintenance: a branch commit advances ITS ref (creating it
     // off the current head on first write — Iceberg's toBranch rule);
     // a normal commit advances `main` (tags stay pinned either way)
@@ -2367,6 +2379,37 @@ object IcebergMeta {
     val v = latestMetadataVersion(root)
     refsOf(mapper.readTree(Files.readAllBytes(
       metaDir(root).resolve(s"v$v.metadata.json"))))
+  }
+
+  /** TIMESTAMP AS OF resolution (Iceberg's `FOR TIMESTAMP AS OF`):
+    * the snapshot CURRENT at `tsMillis` — the latest entry of the
+    * metadata document's `snapshot-log` (the spec's record of every
+    * current-pointer move, rollbacks included — this writer maintains
+    * it on every main-branch commit) with `timestamp-ms <= tsMillis`;
+    * a minimal foreign tree without one falls back to the snapshots'
+    * own commit timestamps (no pointer-move history to honor there).
+    * Metadata-only. */
+  def snapshotIdAtTimestamp(root: String, tsMillis: Long): Long = {
+    val (_, meta) = currentMeta(root)
+    val log: Seq[(Long, Long)] =
+      if (meta.hasNonNull("snapshot-log") &&
+        meta.get("snapshot-log").elements().hasNext)
+        meta.get("snapshot-log").elements().asScala.toSeq
+          .map(e => e.get("timestamp-ms").asLong() ->
+            e.get("snapshot-id").asLong())
+      else if (meta.hasNonNull("snapshots"))
+        meta.get("snapshots").elements().asScala.toSeq
+          .map(s => (if (s.hasNonNull("timestamp-ms"))
+            s.get("timestamp-ms").asLong() else 0L) ->
+            s.get("snapshot-id").asLong())
+      else Nil
+    val eligible = log.zipWithIndex.filter(_._1._1 <= tsMillis)
+    require(eligible.nonEmpty,
+      s"iceberg-meta: timestamp $tsMillis predates every snapshot " +
+        s"of $root")
+    // millisecond ties break toward the LATER log entry (log order
+    // is commit order — the snapshot current at that instant)
+    eligible.maxBy { case ((t, _), i) => (t, i) }._1._2
   }
 
   /** Resolve a ref NAME (tag or branch) to its pinned snapshot id —

@@ -83,11 +83,15 @@ class IcebergMetaDataSource extends RelationProvider
       parameters: Map[String, String]): BaseRelation = {
     val spark = sqlContext.sparkSession
     val root = rootOf(parameters)
-    // time travel: by snapshot id, or by REF NAME (tag/branch from
-    // the metadata.json refs map — Iceberg's VERSION AS OF 'name')
+    // time travel: by snapshot id, by REF NAME (tag/branch from the
+    // metadata.json refs map — Iceberg's VERSION AS OF 'name'), or
+    // by TIMESTAMP (epoch millis → the snapshot-log entry current
+    // then)
     val snapId = parameters.get("snapshotId").map(_.toLong)
       .orElse(parameters.get("refAsOf")
         .map(n => IcebergMeta.refSnapshotId(root, n)))
+      .orElse(parameters.get("timestampAsOf")
+        .map(ts => IcebergMeta.snapshotIdAtTimestamp(root, ts.toLong)))
     val snap = IcebergMeta.snapshot(root, snapId)
     val idx = new IcebergMetaFileIndex(spark, snap,
       pinned = snapId.isDefined)

@@ -329,7 +329,7 @@ class IcebergMetaSpec extends SparkSpecBase {
     } finally spark.sql("DROP TABLE IF EXISTS ice_del")
   }
 
-  test("df.write.format(iceberg-meta): create then append; overwrite refuses") {
+  test("df.write.format(iceberg-meta): create, append, replace-all overwrite") {
     val root = tmp() + "/t"
     spark.range(0, 10).toDF("k").write.format("iceberg-meta").save(root)
     spark.range(10, 15).toDF("k").write.format("iceberg-meta")
@@ -338,8 +338,18 @@ class IcebergMetaSpec extends SparkSpecBase {
     intercept[IllegalStateException] {
       spark.range(0, 1).toDF("k").write.format("iceberg-meta").save(root)
     }
-    intercept[UnsupportedOperationException] {
-      spark.range(0, 1).toDF("k").write.format("iceberg-meta")
+    // overwrite REPLACES the whole table in one snapshot; the prior
+    // state stays time-travelable
+    val preSnap = IcebergMeta.snapshot(root).snapshotId
+    spark.range(100, 103).toDF("k").write.format("iceberg-meta")
+      .mode("overwrite").save(root)
+    assert(spark.read.format("iceberg-meta").load(root)
+      .orderBy("k").as[Long].collect().toSeq === Seq(100L, 101L, 102L))
+    assert(spark.read.format("iceberg-meta")
+      .option("snapshotId", preSnap).load(root).count() === 15)
+    // schema mismatch refuses
+    intercept[IllegalArgumentException] {
+      spark.range(0, 1).toDF("wrong").write.format("iceberg-meta")
         .mode("overwrite").save(root)
     }
   }
@@ -763,5 +773,32 @@ class IcebergMetaSpec extends SparkSpecBase {
     assert(spark.sql(s"SELECT operation FROM iceberg_snapshots('$v2') " +
       "ORDER BY sequence_number").collect().map(_.getString(0)).toSeq ===
       Seq("append", "delete"))
+  }
+
+  test("TIMESTAMP AS OF resolves the snapshot current at that instant") {
+    val root = tmp()
+    IcebergMeta.writeFixture(spark.range(0, 5).toDF("k").coalesce(1), root)
+    Thread.sleep(5) // distinct millisecond stamps
+    IcebergMeta.append(spark.range(5, 8).toDF("k").coalesce(1), root)
+    val ts = IcebergMeta.snapshotsFrame(spark, root)
+      .orderBy("sequence_number").collect()
+      .map(_.getAs[java.sql.Timestamp]("committed_at").getTime)
+    assert(ts.length === 2 && ts(0) < ts(1))
+    def countAt(t: Long): Long = spark.read.format("iceberg-meta")
+      .option("timestampAsOf", t.toString).load(root).count()
+    assert(countAt(ts(0)) === 5)
+    assert(countAt(ts(1) + 1) === 8)
+    intercept[IllegalArgumentException] { countAt(ts(0) - 1) }
+    // SQL surface through the catalog (timezone-proof literal)
+    spark.sql(s"CREATE TABLE ice_tt USING `iceberg-meta` LOCATION '$root'")
+    try assert(spark.sql("SELECT count(*) FROM ice_tt TIMESTAMP AS OF " +
+      s"timestamp_millis(${ts(0)})").as[Long].head() === 5)
+    finally spark.sql("DROP TABLE ice_tt")
+    // a rollback's snapshot-log entry wins at its own instant: move
+    // the pointer back, then resolve "now" to the rolled-to snapshot
+    val first = IcebergMeta.snapshotLog(root).head.snapshotId
+    Thread.sleep(5)
+    IcebergMeta.rollbackTo(root, first)
+    assert(countAt(System.currentTimeMillis()) === 5)
   }
 }

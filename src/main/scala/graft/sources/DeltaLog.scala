@@ -77,7 +77,15 @@ object DeltaLog {
       // reader upcasts a file whose physical type is narrower than
       // the declared schema (exactly the promotions the feature
       // licenses); `delta.typeChanges` metadata is informational
-      "typeWidening")
+      "typeWidening",
+      // vacuumProtocolCheck (reader-writer): the READ side carries no
+      // obligation at all (the spec's point is forcing VACUUM
+      // implementations through a full protocol check, which
+      // [[vacuum]] does by replaying the snapshot through these very
+      // gates before touching a file) — recent delta-spark enables it
+      // on new tables by default, so refusing would make those tables
+      // unreadable for no protective reason
+      "vacuumProtocolCheck")
 
   final case class DeltaAdd(
       path: String,                        // decoded, relative or absolute
@@ -825,7 +833,20 @@ object DeltaLog {
     // spec's writer obligation (recent delta-spark enables ICT on
     // new tables by default; without this, those tables would be
     // read-only here)
-    "inCommitTimestamp")
+    "inCommitTimestamp",
+    // vacuumProtocolCheck's writer obligation is "run VACUUM only
+    // after a full protocol check" — [[vacuum]] resolves the snapshot
+    // through gateProtocol/gateWriterObligations before touching any
+    // file, which IS that check
+    "vacuumProtocolCheck",
+    // checkpointProtection's obligation binds METADATA CLEANUP (log
+    // truncation must not cross requireCheckpointProtectionBeforeVersion
+    // without writing a fresh covering checkpoint) — this writer has
+    // NO log-truncation path at all (commits and checkpoints are only
+    // ever added; VACUUM touches data files exclusively), so the
+    // obligation is honored vacuously and refusing writes would
+    // protect nothing
+    "checkpointProtection")
 
   /** Is the in-commit-timestamps table property on? (The obligation
     * keys on the PROPERTY; the protocol feature licenses it.) */
@@ -2149,6 +2170,11 @@ object DeltaLog {
       dryRun: Boolean = false): Long = {
     require(retainMs >= 0, s"vacuum: negative retention $retainMs")
     val snap = snapshot(spark, root)
+    // the vacuumProtocolCheck obligation, explicit: a FULL protocol
+    // check before deleting anything — an unknown writer feature may
+    // imply live files this replay cannot see (exactly the corruption
+    // the feature exists to prevent), so refuse rather than sweep
+    gateWriterObligations(snap, "VACUUM", removesData = false)
     val store = VersionedTable.dataIO(root)
     val rootP = Paths.get(root).normalize
     def resolve(p: String): Path = {

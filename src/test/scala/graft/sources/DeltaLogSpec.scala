@@ -1057,4 +1057,46 @@ class DeltaLogSpec extends SparkSpecBase {
     assert(spark.read.format("delta-log").load(root).count() === 5)
     assert(DeltaLog.ictOf(root, 1L).exists(_ > foreignIct))
   }
+
+  test("vacuumProtocolCheck + checkpointProtection tables read and write") {
+    val root = tmp()
+    Files.createDirectories(Paths.get(root, "_delta_log"))
+    val dataDir = Paths.get(root, "d")
+    spark.range(0, 4).toDF("k").coalesce(1).write.parquet(dataDir.toString)
+    import scala.jdk.CollectionConverters._
+    val part = {
+      val l = Files.list(dataDir)
+      try l.iterator().asScala.map(_.getFileName.toString)
+        .filter(n => n.endsWith(".parquet") && !n.startsWith("."))
+        .toSeq.sorted.head
+      finally l.close()
+    }
+    val schema = """{\"type\":\"struct\",\"fields\":[{\"name\":\"k\",\"type\":\"long\",\"nullable\":true,\"metadata\":{}}]}"""
+    // the protocol shape recent delta-spark stamps on new tables
+    Files.write(commitFile(root, 0L),
+      (s"""{"commitInfo":{"timestamp":1,"operation":"WRITE"}}
+         |{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["vacuumProtocolCheck"],"writerFeatures":["vacuumProtocolCheck","checkpointProtection"]}}
+         |{"metaData":{"id":"f-vpc","format":{"provider":"parquet","options":{}},"schemaString":"$schema","partitionColumns":[],"configuration":{"delta.requireCheckpointProtectionBeforeVersion":"1"}}}
+         |{"add":{"path":"d/$part","partitionValues":{},"size":${Files.size(dataDir.resolve(part))},"modificationTime":1,"dataChange":true}}
+         |""").stripMargin.getBytes(UTF_8))
+    // read, write, DML, vacuum all work — each obligation is honored
+    // (vacuum runs the full protocol check; no log-truncation path
+    // exists for checkpointProtection to bind)
+    assert(spark.read.format("delta-log").load(root).count() === 4)
+    DeltaLog.commit(spark.range(4, 6).toDF("k").coalesce(1), root)
+    DeltaLog.deleteWhere(spark, root, col("k") === 0)
+    assert(spark.read.format("delta-log").load(root).count() === 5)
+    DeltaLog.vacuum(spark, root, retainMs = 0L)
+    assert(spark.read.format("delta-log").load(root).count() === 5)
+    // an UNKNOWN writer feature still refuses every write AND vacuum
+    Files.write(commitFile(root, 3L),
+      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["vacuumProtocolCheck"],"writerFeatures":["vacuumProtocolCheck","someFutureFeature"]}}
+        |""".stripMargin.getBytes(UTF_8))
+    intercept[UnsupportedOperationException] {
+      DeltaLog.commit(spark.range(6, 7).toDF("k").coalesce(1), root)
+    }
+    intercept[UnsupportedOperationException] {
+      DeltaLog.vacuum(spark, root, retainMs = 0L)
+    }
+  }
 }

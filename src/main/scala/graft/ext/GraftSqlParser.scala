@@ -145,6 +145,10 @@ object GraftSqlParser {
     """(?is)\s*GRAFT\s+CONVERT\s+DELTA\s+'([^']+)'\s+TO\s+'([^']+)'\s*;?\s*""".r
   private val ConvertIceberg =
     """(?is)\s*GRAFT\s+CONVERT\s+ICEBERG\s+'([^']+)'\s+TO\s+'([^']+)'\s*;?\s*""".r
+  private val ConvertDeltaToIceberg =
+    """(?is)\s*GRAFT\s+CONVERT\s+DELTA\s+'([^']+)'\s+TO\s+ICEBERG\s+'([^']+)'\s*;?\s*""".r
+  private val ConvertIcebergToDelta =
+    """(?is)\s*GRAFT\s+CONVERT\s+ICEBERG\s+'([^']+)'\s+TO\s+DELTA\s+'([^']+)'\s*;?\s*""".r
   private val RestDelta =
     """(?is)\s*GRAFT\s+RESTORE\s+DELTA\s+'([^']+)'\s+VERSION\s+AS\s+OF\s+(\d+)\s*;?\s*""".r
   private val HistDelta =
@@ -209,6 +213,10 @@ object GraftSqlParser {
       case BranchDrop(p, name) => Some(GraftDropBranchCommand(p, name))
       case BranchList(p) => Some(GraftBranchesCommand(p))
       case Detail(p) => Some(GraftDetailCommand(p))
+      case ConvertDeltaToIceberg(src, dst) =>
+        Some(GraftCrossConvertCommand(src, dst, toIceberg = true))
+      case ConvertIcebergToDelta(src, dst) =>
+        Some(GraftCrossConvertCommand(src, dst, toIceberg = false))
       case ConvertDelta(src, dst) => Some(GraftConvertCommand(src, dst,
         iceberg = false))
       case ConvertIceberg(src, dst) => Some(GraftConvertCommand(src, dst,
@@ -354,6 +362,22 @@ object GraftSqlParser {
       Seq(Row(
         if (iceberg) VersionedTable.importIceberg(s, src, dst)
         else VersionedTable.importDelta(s, src, dst)))
+  }
+
+  /** `GRAFT CONVERT DELTA 'src' TO ICEBERG 'dst'` /
+    * `GRAFT CONVERT ICEBERG 'src' TO DELTA 'dst'` — cross-format
+    * zero-copy conversion (the xtable shape): the target's metadata
+    * tree references the source's live data files in place
+    * ([[graft.sources.IcebergMeta.importDelta]] /
+    * [[graft.sources.DeltaLog.importIceberg]]). Returns the new
+    * table's snapshot id / version. */
+  case class GraftCrossConvertCommand(src: String, dst: String,
+      toIceberg: Boolean) extends LeafRunnableCommand {
+    override val output: Seq[Attribute] = Seq(attr("id", LongType))
+    override def run(s: SparkSession): Seq[Row] =
+      Seq(Row(
+        if (toIceberg) graft.sources.IcebergMeta.importDelta(s, src, dst)
+        else graft.sources.DeltaLog.importIceberg(s, src, dst)))
   }
 
   /** `GRAFT VACUUM DELTA 'root' [RETAIN ms MS]` — delta-spark's

@@ -3841,6 +3841,50 @@ object Lakehouse {
              |SELECT CAST(count(*) AS BIGINT),
              |  CAST(sum(o_orderkey) AS BIGINT), 's3'
              |FROM orders WHERE o_orderkey <= 4096 AND o_orderkey % 10 <> 3
-             |ORDER BY leg""".stripMargin))
+             |ORDER BY leg""".stripMargin)),
+
+    // CROSS-FORMAT CONVERSION (round 12): the xtable shape — a Delta
+    // table becomes an Iceberg table (and back) in ONE metadata
+    // commit each, ZERO data copied: the target tree references the
+    // source's live parquet in place, with per-file bounds harvested
+    // (delta→iceberg: footer reads, conversion-time-only planning
+    // I/O) or translated (iceberg→delta: manifest bounds → stats
+    // JSON for the exactly-translatable types). The entry runs the
+    // full round trip through the SQL statements — Delta COW delete,
+    // convert to Iceberg, APPEND to the converted table (it is a
+    // live table, not a snapshot export), convert to Delta — and
+    // aggregates through the final hop; the oracle recomputes the
+    // surviving + appended rows from the raw table. At 100 TB both
+    // hops stay metadata-commits; no shuffle, no rewrite.
+    QueryDef(
+      "q275_cross_format_convert",
+      (s, d) => {
+        import graft.sources.IcebergMeta
+        val base = Files.createTempDirectory("xfmt_").toString
+        val droot = base + "/d"
+        val iroot = base + "/i"
+        val droot2 = base + "/d2"
+        val src = orders(s, d).select(col("o_orderkey"))
+        graft.sources.DeltaLog.commit(src.coalesce(1), droot)
+        graft.sources.DeltaLog.deleteWhere(s, droot,
+          col("o_orderkey") % 10 === 3)
+        s.sql(s"GRAFT CONVERT DELTA '$droot' TO ICEBERG '$iroot'")
+        IcebergMeta.append(
+          src.filter(col("o_orderkey") % 100 === 1)
+            .withColumn("o_orderkey", col("o_orderkey") + 10000000L)
+            .coalesce(1), iroot)
+        s.sql(s"GRAFT CONVERT ICEBERG '$iroot' TO DELTA '$droot2'")
+        s.read.format("delta-log").load(droot2)
+          .agg(count(lit(1)).as("n_rows"),
+            sum(col("o_orderkey")).cast("long").as("sum_key"))
+      },
+      Some("""WITH t AS (
+             |  SELECT o_orderkey AS k FROM orders
+             |  WHERE o_orderkey % 10 <> 3
+             |  UNION ALL
+             |  SELECT o_orderkey + 10000000 AS k FROM orders
+             |  WHERE o_orderkey % 100 = 1)
+             |SELECT CAST(count(*) AS BIGINT) AS n_rows,
+             |  CAST(sum(k) AS BIGINT) AS sum_key FROM t""".stripMargin))
   )
 }

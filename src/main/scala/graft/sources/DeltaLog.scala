@@ -2132,6 +2132,85 @@ object DeltaLog {
     0L
   }
 
+  /** CONVERT an Iceberg table to Delta, ZERO-COPY (the xtable shape,
+    * [[graft.sources.IcebergMeta.importDelta]]'s mirror): commit a
+    * `_delta_log` version 0 at `dst` whose adds reference the Iceberg
+    * snapshot's live data files by absolute path — no data moves, the
+    * source keeps working. Stats travel from the MANIFESTS (zero
+    * file reads): numRecords always; min/max/nullCount for the types
+    * whose manifest bounds translate to Delta's stats JSON exactly
+    * (integer/long/double/string — timestamp bounds are epoch-micro
+    * longs where Delta wants ISO strings, so those columns just skip
+    * stats rather than risk a wrong prune). An Iceberg PARTITIONED
+    * layout converts fine — Iceberg files carry ALL columns — it
+    * simply lands as an unpartitioned Delta table (rows exact,
+    * partition pruning becomes stats pruning). Refuses row-level
+    * deletes of any kind (hidden rows — compact first) and
+    * default-valued columns still resolving over pre-evolution files
+    * (the raw files do not store the default). */
+  def importIceberg(spark: SparkSession, iceSrc: String,
+      dst: String): Long = {
+    val snap = IcebergMeta.snapshot(iceSrc)
+    require(snap.deletes.isEmpty && snap.eqDeletes.isEmpty &&
+      snap.dvs.isEmpty,
+      s"delta-log: $iceSrc carries row-level deletes — their hidden " +
+        "rows cannot be represented zero-copy; compact " +
+        "(rewrite_data_files) first")
+    require(!snap.needsDefaultFill,
+      s"delta-log: $iceSrc has default-valued columns over " +
+        "pre-evolution files — the raw files do not store the " +
+        "default; compact first")
+    require(!snap.schema.fields.exists(_.dataType == VariantType),
+      s"delta-log: $iceSrc has variant columns — Delta's variantType " +
+        "feature obligations are not implemented by this writer")
+    require(latestVersion(dst) < 0,
+      s"delta-log: convert target $dst already exists")
+    io(dst).mkdirs(logDir(dst))
+    val typeOf = snap.schema.fields.map(f => f.name -> f.dataType).toMap
+    def statsJsonOf(f: IcebergMeta.IceFile): String = {
+      def v(dt: DataType, typ: String, s: String): Option[String] =
+        (dt, typ) match {
+          case (IntegerType | LongType, "long") => Some(s)
+          case (FloatType | DoubleType, "double") => Some(s)
+          case (StringType, "string") => Some(jsonStr(s))
+          case _ => None // timestamps/dates: absent stats never mis-prune
+        }
+      val mins = scala.collection.mutable.ListBuffer.empty[String]
+      val maxs = scala.collection.mutable.ListBuffer.empty[String]
+      val nulls = scala.collection.mutable.ListBuffer.empty[String]
+      f.stats.toSeq.sortBy(_._1).foreach { case (name, cs) =>
+        typeOf.get(name).foreach { dt =>
+          for (m <- cs.min; jv <- v(dt, cs.typ, m))
+            mins += s"${jsonStr(name)}:$jv"
+          for (m <- cs.max; jv <- v(dt, cs.typ, m))
+            maxs += s"${jsonStr(name)}:$jv"
+          nulls += s"${jsonStr(name)}:${cs.nulls}"
+        }
+      }
+      s"""{"numRecords":${f.records},""" +
+        s""""minValues":{${mins.mkString(",")}},""" +
+        s""""maxValues":{${maxs.mkString(",")}},""" +
+        s""""nullCount":{${nulls.mkString(",")}}}"""
+    }
+    val lines = scala.collection.mutable.ListBuffer.empty[String]
+    lines += s"""{"commitInfo":{"timestamp":${System.currentTimeMillis},""" +
+      s""""operation":"CONVERT"}}"""
+    lines += protocolLine(1, 2, Set.empty, Set.empty)
+    lines += metaDataLine(snap.schema.json, Nil, Map.empty)
+    snap.files.sortBy(_.path).foreach { f =>
+      lines += addLine(DeltaAdd(
+        Paths.get(f.path).toAbsolutePath.normalize.toString,
+        Map.empty, Set.empty, f.sizeBytes, Some(statsJsonOf(f))))
+    }
+    try io(dst).putIfAbsent(commitPath(dst, 0L),
+      lines.mkString("", "\n", "\n").getBytes(UTF_8))
+    catch {
+      case _: java.nio.file.FileAlreadyExistsException =>
+        throw new VersionedTable.ConcurrentCommitException(0L)
+    }
+    0L
+  }
+
   /** The table's commit history, newest first — DESCRIBE HISTORY's
     * rows: (version, operation, timestamp) from each commit's
     * commitInfo (absent commitInfo → operation NULL; checkpointed-

@@ -1362,6 +1362,95 @@ object IcebergMeta {
     snapId
   }
 
+  /** CONVERT a Delta table to Iceberg, ZERO-COPY (the xtable shape):
+    * publish a spec-shaped Iceberg metadata tree at `dst` whose
+    * single snapshot references the Delta table's CURRENT live data
+    * files by absolute path — no data moves, and the source table
+    * keeps working untouched (the two metadata trees share immutable
+    * parquet). Per-file bounds are harvested from the parquet
+    * footers (one footer read per file — one-time conversion
+    * planning I/O), so Iceberg readers get full stats pruning, often
+    * better than the source's own.
+    *
+    * Refuses what a zero-copy conversion cannot represent
+    * TRUTHFULLY: deletion vectors (rows hidden by descriptors the
+    * Iceberg tree would not carry — REORG PURGE first), column
+    * mapping (files store physical names the Iceberg schema would
+    * not resolve), and a partitioned layout (Hive-style Delta files
+    * do NOT store the partition columns, which Iceberg data files
+    * must — OPTIMIZE to an unpartitioned copy first). Returns the
+    * new table's snapshot id. */
+  def importDelta(spark: SparkSession, deltaSrc: String,
+      dst: String): Long = {
+    val snap = DeltaLog.snapshot(spark, deltaSrc)
+    require(snap.adds.forall(_.deletionVector.isEmpty),
+      s"iceberg-meta: $deltaSrc carries deletion vectors — their " +
+        "hidden rows cannot be represented zero-copy; REORG PURGE " +
+        "(compact) the table first")
+    require(snap.columnMapping.isEmpty,
+      s"iceberg-meta: $deltaSrc is column-mapped — its files store " +
+        "physical names; conversion would mis-resolve every column")
+    require(snap.partitionColumns.isEmpty,
+      s"iceberg-meta: $deltaSrc is partitioned (Hive layout — the " +
+        "partition columns are NOT in the data files, which Iceberg " +
+        "requires); compact to an unpartitioned copy first")
+    require(!IceCatalog.forRoot(dst).tableExists(dst),
+      s"iceberg-meta: $dst already exists")
+    val schema = snap.schema
+    val fieldId = schema.fieldNames.zipWithIndex
+      .map { case (n, i) => n -> (i + 1) }.toMap
+    val srcRoot = Paths.get(deltaSrc).toAbsolutePath.normalize
+    val entries = snap.adds.sortBy(_.path).map { a =>
+      val p = Paths.get(a.path)
+      val abs = (if (p.isAbsolute) p else srcRoot.resolve(p)).normalize
+      dataFileEntry(spark, abs, abs.toString, schema, fieldId)
+    }
+    publishSingleSnapshotTable(dst, schema, entries)
+  }
+
+  /** Publish a NEW unpartitioned v2 table at `root` whose single
+    * `append` snapshot carries `entries` (already-built ADDED
+    * manifest rows; file paths may be table-relative or absolute) —
+    * the metadata tail [[writeFixture]] and [[importDelta]] share. */
+  private def publishSingleSnapshotTable(root: String,
+      schema: StructType, entries: Seq[GenericRecord]): Long = {
+    val snapId = math.abs(root.hashCode.toLong * 2654435761L) + 1
+    val manifestRel = s"metadata/snap-$snapId-m0.avro"
+    writeAvro(Paths.get(root, manifestRel), manifestSchema, entries)
+    val listRel = s"metadata/snap-$snapId.avro"
+    val rows = entries.map(e => asLong(e.get("data_file")
+      .asInstanceOf[GenericRecord].get("record_count"))).sum
+    writeAvro(Paths.get(root, listRel), manifestListSchema, Seq(
+      manifestListRow(manifestRel,
+        Files.size(Paths.get(root, manifestRel)), 0, 1L, snapId,
+        entries.size, 0, rows, 0L)))
+    val fields = schema.fields.zipWithIndex.map { case (f, i) =>
+      s"""{"id":${i + 1},"name":"${f.name}","required":${!f.nullable},""" +
+        s""""type":"${iceTypeOf(f.dataType)}"}"""
+    }.mkString(",")
+    val nowMs = System.currentTimeMillis()
+    val metaJson =
+      s"""{"format-version":2,
+         |"table-uuid":"${java.util.UUID.randomUUID()}",
+         |"location":"$root","last-sequence-number":1,
+         |"last-updated-ms":$nowMs,
+         |"last-column-id":${schema.length},
+         |"current-schema-id":0,
+         |"schemas":[{"type":"struct","schema-id":0,"fields":[$fields]}],
+         |"default-spec-id":0,
+         |"partition-specs":[{"spec-id":0,"fields":[]}],
+         |"current-snapshot-id":$snapId,
+         |"refs":{"main":{"snapshot-id":$snapId,"type":"branch"}},
+         |"snapshot-log":[{"timestamp-ms":$nowMs,"snapshot-id":$snapId}],
+         |"snapshots":[{"snapshot-id":$snapId,"sequence-number":1,
+         |  "timestamp-ms":$nowMs,
+         |  "manifest-list":"$listRel",
+         |  "summary":{"operation":"append"},"schema-id":0}]}"""
+        .stripMargin
+    IceCatalog.forRoot(root).create(root, metaJson.getBytes(UTF_8))
+    snapId
+  }
+
   /** Transactionally APPEND `df` as a new snapshot of the EXISTING
     * Iceberg table at `root` (one written by [[writeFixture]] or by
     * real Iceberg tooling). The commit publishes through the CATALOG

@@ -103,4 +103,94 @@ class ConvertSpec extends SparkSpecBase {
     assert(filesNow.count(_.startsWith("ext:")) === 3)
     assert(filesNow.exists(!_.startsWith("ext:")))
   }
+
+  test("cross-format: Delta -> Iceberg zero-copy, stats prune, source intact") {
+    val deltaRoot = tmp()
+    (0 until 4).foreach { i =>
+      DeltaLog.commit(
+        spark.range(16 * i, 16 * i + 16).toDF("k")
+          .withColumn("v", col("k") * 2).coalesce(1), deltaRoot)
+    }
+    DeltaLog.deleteWhere(spark, deltaRoot, col("k") === 7)
+    val iceRoot = tmp() + "/ice"
+    spark.sql(
+      s"GRAFT CONVERT DELTA '$deltaRoot' TO ICEBERG '$iceRoot'")
+    val r = spark.read.format("iceberg-meta").load(iceRoot)
+    assert(r.count() === 63)
+    assert(r.agg(sum("v")).as[Long].head() ===
+      (0 until 64).filter(_ != 7).map(_ * 2L).sum)
+    // zero copy: every referenced file is the DELTA table's own
+    val snap = IcebergMeta.snapshot(iceRoot)
+    assert(snap.files.nonEmpty && snap.files.forall(
+      _.path.startsWith(java.nio.file.Paths.get(deltaRoot)
+        .toAbsolutePath.normalize.toString)))
+    // footer-harvested bounds prune like a native table
+    val q = spark.read.format("iceberg-meta").load(iceRoot)
+      .filter(col("k") >= 20 && col("k") <= 25)
+    assert(q.count() === 6)
+    // the SOURCE keeps working independently
+    DeltaLog.commit(spark.range(100, 102).toDF("k")
+      .withColumn("v", col("k") * 2).coalesce(1), deltaRoot)
+    assert(spark.read.format("delta-log").load(deltaRoot).count() === 65)
+    assert(spark.read.format("iceberg-meta").load(iceRoot).count() === 63)
+    // refusals: DV-carrying and partitioned sources
+    val dvRoot = tmp()
+    DeltaLog.commit(spark.range(0, 8).toDF("k").coalesce(1), dvRoot,
+      properties = Map("delta.enableDeletionVectors" -> "true"))
+    DeltaLog.deleteWhere(spark, dvRoot, col("k") === 1)
+    assert(intercept[IllegalArgumentException] {
+      IcebergMeta.importDelta(spark, dvRoot, tmp() + "/x")
+    }.getMessage.contains("deletion vectors"))
+    val pRoot = tmp()
+    DeltaLog.commit(spark.range(0, 8).toDF("k")
+      .withColumn("p", col("k") % 2), pRoot, partitionBy = Seq("p"))
+    assert(intercept[IllegalArgumentException] {
+      IcebergMeta.importDelta(spark, pRoot, tmp() + "/y")
+    }.getMessage.contains("partitioned"))
+  }
+
+  test("cross-format: Iceberg -> Delta zero-copy, manifest stats travel") {
+    val iceRoot = tmp() + "/ice"
+    IcebergMeta.writeFixture(
+      spark.range(0, 64).toDF("k").withColumn("v", col("k") * 3)
+        .repartitionByRange(4, col("k")), iceRoot)
+    IcebergMeta.append(
+      spark.range(64, 70).toDF("k").withColumn("v", col("k") * 3)
+        .coalesce(1), iceRoot)
+    val deltaRoot = tmp() + "/dl"
+    spark.sql(
+      s"GRAFT CONVERT ICEBERG '$iceRoot' TO DELTA '$deltaRoot'")
+    val r = spark.read.format("delta-log").load(deltaRoot)
+    assert(r.count() === 70)
+    assert(r.agg(sum("v")).as[Long].head() ===
+      (0 until 70).map(_ * 3L).sum)
+    // manifest bounds became Delta stats: k in [20,25] prunes 1 of 5
+    val q = spark.read.format("delta-log").load(deltaRoot)
+      .filter(col("k") >= 20 && col("k") <= 25)
+    assert(q.agg(sum("v")).as[Long].head() === (20 to 25).map(_ * 3L).sum)
+    val idx = q.queryExecution.optimizedPlan.collect {
+      case org.apache.spark.sql.execution.datasources.LogicalRelation(
+          hr: org.apache.spark.sql.execution.datasources.HadoopFsRelation,
+          _, _, _, _) => hr.location.asInstanceOf[DeltaLogFileIndex]
+    }.head
+    val (kept, total) = idx.lastListing.get
+    assert(total === 5 && kept === 1, s"expected 1/5, got $kept/$total")
+    // a PARTITIONED iceberg source converts fine (files carry all
+    // columns) — it lands unpartitioned
+    val ipRoot = tmp() + "/icep"
+    IcebergMeta.writeFixture(
+      spark.range(0, 12).toDF("k").withColumn("p", col("k") % 3),
+      ipRoot, partitionBy = Seq("p"))
+    val dp = tmp() + "/dlp"
+    DeltaLog.importIceberg(spark, ipRoot, dp)
+    assert(spark.read.format("delta-log").load(dp).count() === 12)
+    // delete-carrying sources refuse
+    val delRoot = tmp() + "/iced"
+    IcebergMeta.writeFixture(
+      spark.range(0, 8).toDF("k").coalesce(1), delRoot)
+    IcebergMeta.delete(spark, delRoot, col("k") === 2)
+    assert(intercept[IllegalArgumentException] {
+      DeltaLog.importIceberg(spark, delRoot, tmp() + "/z")
+    }.getMessage.contains("row-level deletes"))
+  }
 }

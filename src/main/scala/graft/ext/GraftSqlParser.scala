@@ -159,6 +159,10 @@ object GraftSqlParser {
     """(?is)\s*GRAFT\s+SNAPSHOTS\s+ICEBERG\s+'([^']+)'\s*;?\s*""".r
   private val CloneDelta =
     """(?is)\s*GRAFT\s+CLONE\s+DELTA\s+'([^']+)'\s+TO\s+'([^']+)'(?:\s+VERSION\s+AS\s+OF\s+(\d+))?\s*;?\s*""".r
+  private val OptDeltaZ =
+    """(?is)\s*GRAFT\s+OPTIMIZE\s+DELTA\s+'([^']+)'\s+ZORDER\s+BY\s+([A-Za-z_][A-Za-z0-9_]*)\s*,\s*([A-Za-z_][A-Za-z0-9_]*)(?:\s+FILES\s+(\d+))?\s*;?\s*""".r
+  private val OptDelta =
+    """(?is)\s*GRAFT\s+OPTIMIZE\s+DELTA\s+'([^']+)'(?:\s+FILES\s+(\d+))?\s*;?\s*""".r
   private val VacDeltaDry =
     """(?is)\s*GRAFT\s+VACUUM\s+DELTA\s+'([^']+)'(?:\s+RETAIN\s+(\d+)\s+MS)?\s+DRY\s+RUN\s*;?\s*""".r
   private val VacDelta =
@@ -227,6 +231,10 @@ object GraftSqlParser {
       case HistDelta(p) => Some(GraftDeltaHistoryCommand(p))
       case RollIce(p, sid) => Some(GraftIcebergRollbackCommand(p, sid.toLong))
       case SnapsIce(p) => Some(GraftIcebergSnapshotsCommand(p))
+      case OptDeltaZ(p, x, y, files) => Some(GraftDeltaOptimizeCommand(p,
+        Option(files).map(_.toInt).getOrElse(8), Some((x, y))))
+      case OptDelta(p, files) => Some(GraftDeltaOptimizeCommand(p,
+        Option(files).map(_.toInt).getOrElse(1), None))
       case VacDeltaDry(p, retain) => Some(GraftDeltaVacuumCommand(p,
         Option(retain).map(_.toLong).getOrElse(7L * 24 * 3600 * 1000),
         dryRun = true))
@@ -262,6 +270,9 @@ object GraftSqlParser {
             "BRANCH 'root' CREATE|PUBLISH|DROP name | BRANCHES 'root' | " +
             "DETAIL 'root' | VACUUM ... DRY RUN | REORG 'root' PURGE | " +
             "CONVERT DELTA|ICEBERG 'src' TO 'dst' | " +
+            "CONVERT DELTA 'src' TO ICEBERG 'dst' | " +
+            "CONVERT ICEBERG 'src' TO DELTA 'dst' | " +
+            "OPTIMIZE DELTA 'root' [ZORDER BY x, y] [FILES n] | " +
             "VACUUM DELTA 'root' [RETAIN ms MS] | " +
             "EXPIRE SNAPSHOTS 'root' OLDER THAN ms [RETAIN LAST n] | " +
             "RESTORE DELTA 'root' VERSION AS OF n | " +
@@ -378,6 +389,18 @@ object GraftSqlParser {
       Seq(Row(
         if (toIceberg) graft.sources.IcebergMeta.importDelta(s, src, dst)
         else graft.sources.DeltaLog.importIceberg(s, src, dst)))
+  }
+
+  /** `GRAFT OPTIMIZE DELTA 'root' [ZORDER BY x, y] [FILES n]` —
+    * delta-spark's OPTIMIZE [ZORDER BY] on a foreign `_delta_log`
+    * table: dataChange=false rewrite, DVs materialized; with ZORDER,
+    * the rewrite clusters on the Morton interleave so both
+    * dimensions' stats prune ([[graft.sources.DeltaLog.compact]]). */
+  case class GraftDeltaOptimizeCommand(root: String, files: Int,
+      zorderBy: Option[(String, String)]) extends LeafRunnableCommand {
+    override val output: Seq[Attribute] = Seq(attr("version", LongType))
+    override def run(s: SparkSession): Seq[Row] =
+      Seq(Row(graft.sources.DeltaLog.compact(s, root, files, zorderBy)))
   }
 
   /** `GRAFT VACUUM DELTA 'root' [RETAIN ms MS]` — delta-spark's

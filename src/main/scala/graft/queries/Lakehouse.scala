@@ -3885,6 +3885,43 @@ object Lakehouse {
              |  SELECT o_orderkey + 10000000 AS k FROM orders
              |  WHERE o_orderkey % 100 = 1)
              |SELECT CAST(count(*) AS BIGINT) AS n_rows,
-             |  CAST(sum(k) AS BIGINT) AS sum_key FROM t""".stripMargin))
+             |  CAST(sum(k) AS BIGINT) AS sum_key FROM t""".stripMargin)),
+
+    // DELTA OPTIMIZE ZORDER (round 12): q125's layout-maintenance
+    // pair on the DELTA interop — lineitem committed to a _delta_log
+    // table, rewritten clustered on the Morton interleave of
+    // (l_partkey, l_suppkey) via the SQL statement, then a
+    // conjunctive 2-D range read answered through the stock
+    // stats-pruned scan. Post-zorder, each file's per-column min/max
+    // is a tight bounding box in BOTH dimensions (DeltaCompactSpec
+    // pins that either dimension alone prunes files); the rewrite is
+    // a dataChange=false commit, so streams see nothing and priors
+    // stay time-travelable. Oracle = the layout-free conjunctive
+    // WHERE: clustering must never change the answer.
+    QueryDef(
+      "q276_delta_zorder",
+      (s, d) => {
+        val root = Files.createTempDirectory("delta_zorder_").toString
+        graft.sources.DeltaLog.commit(
+          lineitem(s, d).select(col("l_orderkey"), col("l_partkey"),
+            col("l_suppkey"), col("l_quantity")), root)
+        s.sql(s"GRAFT OPTIMIZE DELTA '$root' " +
+          "ZORDER BY l_partkey, l_suppkey FILES 8")
+        s.read.format("delta-log").load(root)
+          .filter(col("l_partkey").between(1L, 200L) &&
+            col("l_suppkey").between(1L, 40L))
+          .groupBy(col("l_suppkey"))
+          .agg(count(lit(1)).as("n_items"),
+            sum(col("l_quantity").cast("long")).as("sum_qty"),
+            min(col("l_partkey")).as("min_part"),
+            max(col("l_partkey")).as("max_part"))
+          .orderBy(col("l_suppkey"))
+      },
+      Some("""SELECT l_suppkey, count(*) AS n_items,
+             |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+             |  min(l_partkey) AS min_part, max(l_partkey) AS max_part
+             |FROM lineitem
+             |WHERE l_partkey BETWEEN 1 AND 200 AND l_suppkey BETWEEN 1 AND 40
+             |GROUP BY l_suppkey ORDER BY l_suppkey""".stripMargin))
   )
 }

@@ -1897,10 +1897,24 @@ object DeltaLog {
     * rewritten files are MATERIALIZED (Delta's REORG PURGE): the new
     * files carry only visible rows and no descriptors, so the table
     * becomes readable by DV-less readers again. Column-mapped tables
-    * compact in PHYSICAL space. Returns the committed version, or the
-    * current one when the table already meets the target. */
+    * compact in PHYSICAL space.
+    *
+    * `zorderBy` = OPTIMIZE ... ZORDER BY (delta-spark parity): the
+    * rewrite clusters rows by the Morton interleave of the two named
+    * dimension columns ([[graft.ops.ZOrder]] — values must be
+    * nonnegative and fit `zorderBits` bits), range-split into
+    * `filesPerPartition` files covering disjoint z-ranges, so the
+    * files' min/max become tight bounding boxes in BOTH dimensions
+    * and stats skipping prunes on either column or their conjunction
+    * — the layout-maintenance job that keeps 100 TB data skipping
+    * effective. Unpartitioned tables only (a partitioned table's
+    * coarse cluster IS its partitioning). Returns the committed
+    * version, or the current one when the table already meets the
+    * target. */
   def compact(spark: SparkSession, root: String,
-      filesPerPartition: Int = 1): Long = {
+      filesPerPartition: Int = 1,
+      zorderBy: Option[(String, String)] = None,
+      zorderBits: Int = 21): Long = {
     import org.apache.spark.sql.functions.col
     require(filesPerPartition >= 1, "filesPerPartition must be >= 1")
     // mapped tables compact in PHYSICAL space — the rewrite never
@@ -1910,9 +1924,18 @@ object DeltaLog {
     // OPTIMIZE rewrites with dataChange=false — legal on append-only
     // tables, but unknown writer features still refuse
     gateWriterObligations(snap, "OPTIMIZE", removesData = false)
+    zorderBy.foreach { case (x, y) =>
+      require(snap.partitionColumns.isEmpty,
+        "delta-log: ZORDER BY on a partitioned table is not " +
+          "supported — the partitioning is the coarse cluster")
+      Seq(x, y).foreach(c => require(snap0.schema.fieldNames.contains(c),
+        s"delta-log: ZORDER BY names non-column '$c'"))
+    }
     val partitions = snap.adds.map(a =>
       (a.partitionValues, a.nullPartitionCols)).distinct.size.max(1)
-    if (snap.adds.size <= partitions.toLong * filesPerPartition &&
+    // a ZORDER request always rewrites — same file COUNT, new LAYOUT
+    if (zorderBy.isEmpty &&
+      snap.adds.size <= partitions.toLong * filesPerPartition &&
       !snap.adds.exists(_.deletionVector.isDefined))
       return snap.version // already compact, nothing to purge
     val nonce = java.util.UUID.randomUUID().toString.take(8)
@@ -1942,10 +1965,24 @@ object DeltaLog {
           .withColumnRenamed("_last_updated_version", matVer)
       else DeltaLogRead.withPositions(spark, snap)
         .drop(DeltaLogRead.FpCol, DeltaLogRead.PosCol)
-    val packed =
-      if (snap.partitionColumns.isEmpty) vis.coalesce(filesPerPartition)
-      else vis.repartition(
-        snap.partitionColumns.map(col): _*) // one task (→ file) per partition
+    val packed = zorderBy match {
+      case Some((x, y)) =>
+        // ZORDER: a column-mapped table's frame is PHYSICAL here —
+        // resolve the logical dimension names through the mapping
+        val (px, py) = (snap0.columnMapping.getOrElse(x, x),
+          snap0.columnMapping.getOrElse(y, y))
+        require(!vis.columns.contains("__zorder"),
+          "delta-log: table already has a __zorder column")
+        vis.withColumn("__zorder", graft.ops.ZOrder.interleave2(
+            col(s"`$px`"), col(s"`$py`"), zorderBits))
+          .repartitionByRange(filesPerPartition, col("__zorder"))
+          .sortWithinPartitions(col("__zorder"))
+          .drop("__zorder")
+      case None =>
+        if (snap.partitionColumns.isEmpty) vis.coalesce(filesPerPartition)
+        else vis.repartition(
+          snap.partitionColumns.map(col): _*) // one task (→ file) per partition
+    }
     val adds = stageAndLand(spark, packed, root, snap.partitionColumns,
       nonce)
     val next = snap.version + 1

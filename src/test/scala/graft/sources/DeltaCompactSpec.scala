@@ -95,4 +95,49 @@ class DeltaCompactSpec extends SparkSpecBase {
         .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     assert(DeltaLog.compact(spark, mroot) === 0L) // already compact
   }
+
+  test("OPTIMIZE ZORDER BY: 2-D bounding boxes, both dimensions prune") {
+    val root = Files.createTempDirectory("delta_z_").toString
+    // rows arrive ordered by x alone — y bounds are useless pre-zorder
+    DeltaLog.commit(
+      spark.range(0, 4096).toDF("i")
+        .withColumn("x", col("i") % 64)
+        .withColumn("y", (col("i") / lit(64)).cast("long"))
+        .withColumn("v", col("x") * 1000 + col("y"))
+        .repartitionByRange(8, col("i")).drop("i"), root)
+    spark.sql(s"GRAFT OPTIMIZE DELTA '$root' ZORDER BY x, y FILES 8")
+    val snap = DeltaLog.snapshot(spark, root)
+    assert(snap.adds.size === 8)
+    def kept(c: String, lo: Int, hi: Int): (Int, Int) = {
+      val q = spark.read.format("delta-log").load(root)
+        .filter(col(c) >= lo && col(c) <= hi)
+      assert(q.count() === 64L * (hi - lo + 1))
+      val idx = q.queryExecution.optimizedPlan.collect {
+        case org.apache.spark.sql.execution.datasources.LogicalRelation(
+            hr: org.apache.spark.sql.execution.datasources.HadoopFsRelation,
+            _, _, _, _) => hr.location.asInstanceOf[DeltaLogFileIndex]
+      }.head
+      idx.lastListing.get
+    }
+    // a narrow range on EITHER dimension prunes files (the z-layout's
+    // per-file min/max are tight boxes in both)
+    val (kx, tx) = kept("x", 3, 6)
+    assert(tx === 8 && kx < 8, s"x-range kept $kx/$tx")
+    val (ky, ty) = kept("y", 3, 6)
+    assert(ty === 8 && ky < 8, s"y-range kept $ky/$ty")
+    // rows identical through the rewrite
+    assert(spark.read.format("delta-log").load(root)
+      .agg(sum("v")).as[Long].head() ===
+      (0 until 4096).map(i => (i % 64) * 1000L + (i / 64)).sum)
+    // refusals: partitioned target, unknown column
+    val pr = Files.createTempDirectory("delta_zp_").toString
+    DeltaLog.commit(spark.range(0, 8).toDF("k")
+      .withColumn("p", col("k") % 2), pr, partitionBy = Seq("p"))
+    assert(intercept[IllegalArgumentException] {
+      DeltaLog.compact(spark, pr, 2, Some(("k", "p")))
+    }.getMessage.contains("partitioned"))
+    assert(intercept[IllegalArgumentException] {
+      DeltaLog.compact(spark, root, 2, Some(("x", "nope")))
+    }.getMessage.contains("nope"))
+  }
 }

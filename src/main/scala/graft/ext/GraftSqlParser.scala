@@ -159,6 +159,10 @@ object GraftSqlParser {
     """(?is)\s*GRAFT\s+SNAPSHOTS\s+ICEBERG\s+'([^']+)'\s*;?\s*""".r
   private val CloneDelta =
     """(?is)\s*GRAFT\s+CLONE\s+DELTA\s+'([^']+)'\s+TO\s+'([^']+)'(?:\s+VERSION\s+AS\s+OF\s+(\d+))?\s*;?\s*""".r
+  private val OptIceZ =
+    """(?is)\s*GRAFT\s+OPTIMIZE\s+ICEBERG\s+'([^']+)'\s+ZORDER\s+BY\s+([A-Za-z_][A-Za-z0-9_]*)\s*,\s*([A-Za-z_][A-Za-z0-9_]*)(?:\s+FILES\s+(\d+))?\s*;?\s*""".r
+  private val OptIce =
+    """(?is)\s*GRAFT\s+OPTIMIZE\s+ICEBERG\s+'([^']+)'(?:\s+FILES\s+(\d+))?\s*;?\s*""".r
   private val OptDeltaZ =
     """(?is)\s*GRAFT\s+OPTIMIZE\s+DELTA\s+'([^']+)'\s+ZORDER\s+BY\s+([A-Za-z_][A-Za-z0-9_]*)\s*,\s*([A-Za-z_][A-Za-z0-9_]*)(?:\s+FILES\s+(\d+))?\s*;?\s*""".r
   private val OptDelta =
@@ -231,6 +235,10 @@ object GraftSqlParser {
       case HistDelta(p) => Some(GraftDeltaHistoryCommand(p))
       case RollIce(p, sid) => Some(GraftIcebergRollbackCommand(p, sid.toLong))
       case SnapsIce(p) => Some(GraftIcebergSnapshotsCommand(p))
+      case OptIceZ(p, x, y, files) => Some(GraftIcebergOptimizeCommand(p,
+        Option(files).map(_.toInt).getOrElse(8), Some((x, y))))
+      case OptIce(p, files) => Some(GraftIcebergOptimizeCommand(p,
+        Option(files).map(_.toInt).getOrElse(1), None))
       case OptDeltaZ(p, x, y, files) => Some(GraftDeltaOptimizeCommand(p,
         Option(files).map(_.toInt).getOrElse(8), Some((x, y))))
       case OptDelta(p, files) => Some(GraftDeltaOptimizeCommand(p,
@@ -273,6 +281,7 @@ object GraftSqlParser {
             "CONVERT DELTA 'src' TO ICEBERG 'dst' | " +
             "CONVERT ICEBERG 'src' TO DELTA 'dst' | " +
             "OPTIMIZE DELTA 'root' [ZORDER BY x, y] [FILES n] | " +
+            "OPTIMIZE ICEBERG 'root' [ZORDER BY x, y] [FILES n] | " +
             "VACUUM DELTA 'root' [RETAIN ms MS] | " +
             "EXPIRE SNAPSHOTS 'root' OLDER THAN ms [RETAIN LAST n] | " +
             "RESTORE DELTA 'root' VERSION AS OF n | " +
@@ -389,6 +398,18 @@ object GraftSqlParser {
       Seq(Row(
         if (toIceberg) graft.sources.IcebergMeta.importDelta(s, src, dst)
         else graft.sources.DeltaLog.importIceberg(s, src, dst)))
+  }
+
+  /** `GRAFT OPTIMIZE ICEBERG 'root' [ZORDER BY x, y] [FILES n]` —
+    * Iceberg's rewrite_data_files (optionally sort-strategy z-order):
+    * materializes the visible rows into fresh files in one `replace`
+    * snapshot ([[graft.sources.IcebergMeta.compact]]; v3 lineage
+    * preserved via materialized columns). */
+  case class GraftIcebergOptimizeCommand(root: String, files: Int,
+      zorderBy: Option[(String, String)]) extends LeafRunnableCommand {
+    override val output: Seq[Attribute] = Seq(attr("snapshot_id", LongType))
+    override def run(s: SparkSession): Seq[Row] =
+      Seq(Row(graft.sources.IcebergMeta.compact(s, root, files, zorderBy)))
   }
 
   /** `GRAFT OPTIMIZE DELTA 'root' [ZORDER BY x, y] [FILES n]` —

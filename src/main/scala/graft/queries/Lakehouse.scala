@@ -3922,6 +3922,75 @@ object Lakehouse {
              |  min(l_partkey) AS min_part, max(l_partkey) AS max_part
              |FROM lineitem
              |WHERE l_partkey BETWEEN 1 AND 200 AND l_suppkey BETWEEN 1 AND 40
+             |GROUP BY l_suppkey ORDER BY l_suppkey""".stripMargin)),
+
+    // DELTA VARIANT COLUMNS (round 12): semi-structured data as a
+    // first-class Delta type — the variantType reader-writer feature
+    // (stamped at creation when the schema carries one) with Spark
+    // 4's native VariantType as the mandated binary encoding. The
+    // entry writes a variant document per order, deletes through the
+    // feature-bearing table, and aggregates via variant_get path
+    // extraction; to_json round-trips one sampled document exactly.
+    // Oracle restates the arithmetic relationally — the variant
+    // encode/decode must be invisible in the answer.
+    QueryDef(
+      "q277_delta_variant",
+      (s, d) => {
+        val root = Files.createTempDirectory("delta_var_").toString
+        graft.sources.DeltaLog.commit(
+          orders(s, d).select(col("o_orderkey"))
+            .withColumn("doc", expr(
+              """parse_json(concat('{"k":', o_orderkey,
+                |',"m":', o_orderkey % 7, '}'))""".stripMargin
+                .replace("\n", "")))
+            .coalesce(1), root)
+        graft.sources.DeltaLog.deleteWhere(s, root,
+          col("o_orderkey") % 10 === 9)
+        s.read.format("delta-log").load(root)
+          .agg(count(lit(1)).as("n_rows"),
+            sum(expr("variant_get(doc, '$.k', 'long')"))
+              .cast("long").as("sum_k"),
+            sum(expr("variant_get(doc, '$.m', 'long')"))
+              .cast("long").as("sum_m"),
+            max(when(col("o_orderkey") === 1L,
+              expr("to_json(doc)"))).as("doc1"))
+      },
+      Some("""SELECT CAST(count(*) AS BIGINT) AS n_rows,
+             |  CAST(sum(o_orderkey) AS BIGINT) AS sum_k,
+             |  CAST(sum(o_orderkey % 7) AS BIGINT) AS sum_m,
+             |  max(CASE WHEN o_orderkey = 1
+             |    THEN '{"k":1,"m":1}' END) AS doc1
+             |FROM orders WHERE o_orderkey % 10 <> 9""".stripMargin)),
+
+    // ICEBERG Z-ORDER COMPACTION (round 12): rewrite_data_files with
+    // the sort strategy's z-order — same Morton contract as q276's
+    // Delta leg and q125's graft leg, through the Iceberg `replace`
+    // snapshot (v3 tables would preserve lineage via materialized
+    // columns; IcebergCompactSpec pins that EITHER dimension alone
+    // prunes files after the rewrite). The conjunctive 2-D range
+    // read answers through the manifest-bounds pruned scan.
+    QueryDef(
+      "q278_iceberg_zorder",
+      (s, d) => {
+        import graft.sources.IcebergMeta
+        val root = Files.createTempDirectory("ice_zorder_").toString + "/t"
+        IcebergMeta.writeFixture(
+          lineitem(s, d).select(col("l_orderkey"), col("l_partkey"),
+            col("l_suppkey"), col("l_quantity")), root)
+        s.sql(s"GRAFT OPTIMIZE ICEBERG '$root' " +
+          "ZORDER BY l_partkey, l_suppkey FILES 8")
+        s.read.format("iceberg-meta").load(root)
+          .filter(col("l_partkey").between(1L, 200L) &&
+            col("l_suppkey").between(1L, 40L))
+          .groupBy(col("l_suppkey"))
+          .agg(count(lit(1)).as("n_items"),
+            sum(col("l_quantity").cast("long")).as("sum_qty"))
+          .orderBy(col("l_suppkey"))
+      },
+      Some("""SELECT l_suppkey, count(*) AS n_items,
+             |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+             |FROM lineitem
+             |WHERE l_partkey BETWEEN 1 AND 200 AND l_suppkey BETWEEN 1 AND 40
              |GROUP BY l_suppkey ORDER BY l_suppkey""".stripMargin))
   )
 }

@@ -85,7 +85,13 @@ object DeltaLog {
       // gates before touching a file) — recent delta-spark enables it
       // on new tables by default, so refusing would make those tables
       // unreadable for no protective reason
-      "vacuumProtocolCheck")
+      "vacuumProtocolCheck",
+      // variantType: the schema's `variant` columns parse to Spark
+      // 4's native VariantType (DataType.fromJson) and the stock
+      // vectorized parquet reader decodes the spec's binary
+      // metadata/value encoding — the exact representation the Delta
+      // feature mandates (it IS Spark's)
+      "variantType")
 
   final case class DeltaAdd(
       path: String,                        // decoded, relative or absolute
@@ -846,7 +852,12 @@ object DeltaLog {
     // ever added; VACUUM touches data files exclusively), so the
     // obligation is honored vacuously and refusing writes would
     // protect nothing
-    "checkpointProtection")
+    "checkpointProtection",
+    // variantType's writer obligation — write variant values in the
+    // spec's binary encoding — is Spark 4's own parquet writer
+    // behavior for VariantType columns (the staged files ARE the
+    // mandated representation)
+    "variantType")
 
   /** Is the in-commit-timestamps table property on? (The obligation
     * keys on the PROPERTY; the protocol feature licenses it.) */
@@ -1469,11 +1480,23 @@ object DeltaLog {
         val ictFeat =
           if (ictEnabled(properties)) Set("inCommitTimestamp")
           else Set.empty[String]
+        // a variant column anywhere in the schema requires the
+        // reader-writer variantType feature from creation
+        def hasVariant(dt: DataType): Boolean = dt match {
+          case VariantType => true
+          case st: StructType => st.fields.exists(f => hasVariant(f.dataType))
+          case ArrayType(e, _) => hasVariant(e)
+          case MapType(k2, v2, _) => hasVariant(k2) || hasVariant(v2)
+          case _ => false
+        }
+        val varFeat =
+          if (hasVariant(dfIn.schema)) Set("variantType")
+          else Set.empty[String]
         val p =
-          if (wantsDv || v2cpFeat.nonEmpty)
-            (3, 7, dvFeat ++ mapFeat ++ v2cpFeat,
-              dvFeat ++ mapFeat ++ v2cpFeat ++ cdfFeat ++ rtFeat ++
-                ictFeat ++
+          if (wantsDv || v2cpFeat.nonEmpty || varFeat.nonEmpty)
+            (3, 7, dvFeat ++ mapFeat ++ v2cpFeat ++ varFeat,
+              dvFeat ++ mapFeat ++ v2cpFeat ++ varFeat ++ cdfFeat ++
+                rtFeat ++ ictFeat ++
                 legacyWriterFeatures(if (mapMode == "none") 2 else 5))
           else if (rtFeat.nonEmpty || ictFeat.nonEmpty)
             (if (mapMode == "none") 1 else 2, 7, Set.empty[String],

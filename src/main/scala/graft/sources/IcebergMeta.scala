@@ -2324,7 +2324,13 @@ object IcebergMeta {
     * operation is `replace` — streaming tails refuse it (correctly:
     * the file set changed under them). */
   def compact(spark: SparkSession, root: String,
-      numFiles: Int = 1): Long = {
+      numFiles: Int = 1,
+      // rewrite_data_files(strategy => 'sort', z-order): cluster the
+      // materialized rows on the Morton interleave of two dimension
+      // columns so each output file's bounds box BOTH dimensions
+      // tightly — same contract as the Delta/graft OPTIMIZE ZORDER
+      zorderBy: Option[(String, String)] = None,
+      zorderBits: Int = 21): Long = {
     require(numFiles >= 1, "numFiles must be >= 1")
     val (v, meta) = currentMeta(root)
     val fv = requireKnownVersion(meta)
@@ -2334,6 +2340,13 @@ object IcebergMeta {
     // applies to the unpartitioned layout), like the Delta side's
     // one-task-per-partition repartition
     val specFields = specFieldsOf(meta, nameById)
+    zorderBy.foreach { case (x, y) =>
+      require(specFields.isEmpty,
+        "iceberg-meta: z-order compaction on a partitioned spec is " +
+          "not supported — the spec is the coarse cluster")
+      Seq(x, y).foreach(c => require(schema.fieldNames.contains(c),
+        s"iceberg-meta: z-order names non-column '$c'"))
+    }
     val typeOf = schema.fields.map(f => f.name -> f.dataType).toMap
     val eSchema = manifestSchemaFor(specFields.map(f =>
       (f.name, f.fieldId, f.transform.resultType(typeOf(f.srcCol)))))
@@ -2349,8 +2362,22 @@ object IcebergMeta {
     val visible0 =
       if (fv == 3) IcebergMetaRead.readWithRowIds(spark, root)
       else IcebergMetaRead.morRead(spark, snap)
-    val visible = if (specFields.isEmpty) visible0.coalesce(numFiles)
-      else visible0
+    val visible = zorderBy match {
+      case Some((x, y)) =>
+        require(!visible0.columns.contains("__zorder"),
+          "iceberg-meta: table already has a __zorder column")
+        visible0.withColumn("__zorder", graft.ops.ZOrder.interleave2(
+            org.apache.spark.sql.functions.col(s"`$x`"),
+            org.apache.spark.sql.functions.col(s"`$y`"), zorderBits))
+          .repartitionByRange(numFiles,
+            org.apache.spark.sql.functions.col("__zorder"))
+          .sortWithinPartitions(
+            org.apache.spark.sql.functions.col("__zorder"))
+          .drop("__zorder")
+      case None =>
+        if (specFields.isEmpty) visible0.coalesce(numFiles)
+        else visible0
+    }
     val nonce = java.util.UUID.randomUUID().toString.take(8)
     val staging = Files.createTempDirectory("ice_cpt_").resolve("out")
     val keepCols = schema.fieldNames.toSeq ++ (if (fv == 3)

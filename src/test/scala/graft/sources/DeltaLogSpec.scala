@@ -171,14 +171,14 @@ class DeltaLogSpec extends SparkSpecBase {
           .getBytes(UTF_8))
       root
     }
-    // v2Checkpoint (round 10) and typeWidening (round 11) are
-    // SUPPORTED; variantType remains genuinely unsupported — the gate
+    // v2Checkpoint (r10), typeWidening (r11) and variantType (r12)
+    // are SUPPORTED; an unknown future reader feature — the gate
     val vt = mkLog(
-      """{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["variantType"],"writerFeatures":["variantType"]}""")
+      """{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["someFutureReaderFeature"],"writerFeatures":["someFutureReaderFeature"]}""")
     val e1 = intercept[UnsupportedOperationException] {
       DeltaLog.snapshot(spark, vt)
     }
-    assert(e1.getMessage.contains("variantType"))
+    assert(e1.getMessage.contains("someFutureReaderFeature"))
     val tw = mkLog(
       """{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["typeWidening"],"writerFeatures":["typeWidening"]}""")
     assert(DeltaLog.snapshot(spark, tw).adds.size === 1)
@@ -1098,5 +1098,32 @@ class DeltaLogSpec extends SparkSpecBase {
     intercept[UnsupportedOperationException] {
       DeltaLog.vacuum(spark, root, retainMs = 0L)
     }
+  }
+
+  test("variant columns round-trip with the variantType feature") {
+    val root = tmp()
+    DeltaLog.commit(
+      spark.range(0, 6).toDF("k")
+        .withColumn("doc", expr(
+          """parse_json(concat('{"id":', k, ',"t":"x', k % 2, '"}'))"""))
+        .coalesce(1), root)
+    val snap = DeltaLog.snapshot(spark, root)
+    assert(snap.minReaderVersion === 3 && snap.minWriterVersion === 7)
+    assert(snap.readerFeatures.contains("variantType") &&
+      snap.writerFeatures.contains("variantType"))
+    val back = spark.read.format("delta-log").load(root)
+      .selectExpr("k", "to_json(doc) AS j").as[(Long, String)]
+      .collect().toMap
+    assert(back(3L) === """{"id":3,"t":"x1"}""")
+    // appends and DML keep working on the feature-bearing table
+    DeltaLog.commit(
+      spark.range(6, 8).toDF("k")
+        .withColumn("doc", expr("parse_json('{\"id\":-1}')"))
+        .coalesce(1), root)
+    DeltaLog.deleteWhere(spark, root, col("k") === 2)
+    assert(spark.read.format("delta-log").load(root).count() === 7)
+    assert(spark.read.format("delta-log").load(root)
+      .selectExpr("sum(variant_get(doc, '$.id', 'long'))")
+      .as[Long].head() === (0 until 6).filter(_ != 2).sum - 2L)
   }
 }

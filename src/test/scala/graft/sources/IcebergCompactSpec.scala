@@ -55,4 +55,39 @@ class IcebergCompactSpec extends SparkSpecBase {
     assert(VersionedTable.read(spark, g2).select("k").as[Long]
       .collect().sorted.toSeq === (50L until 55L))
   }
+
+  test("z-order compaction: both dimensions prune after the rewrite") {
+    val root = Files.createTempDirectory("ice_z_").toString + "/t"
+    IcebergMeta.writeFixture(
+      spark.range(0, 4096).toDF("i")
+        .withColumn("x", col("i") % 64)
+        .withColumn("y", (col("i") / lit(64)).cast("long"))
+        .drop("i").repartitionByRange(8, col("x")), root)
+    spark.sql(s"GRAFT OPTIMIZE ICEBERG '$root' ZORDER BY x, y FILES 8")
+    val snap = IcebergMeta.snapshot(root)
+    assert(snap.files.size === 8)
+    def kept(c: String): (Int, Int) = {
+      val q = spark.read.format("iceberg-meta").load(root)
+        .filter(col(c) >= 3 && col(c) <= 6)
+      assert(q.count() === 64L * 4)
+      val idx = q.queryExecution.optimizedPlan.collect {
+        case org.apache.spark.sql.execution.datasources.LogicalRelation(
+            hr: org.apache.spark.sql.execution.datasources.HadoopFsRelation,
+            _, _, _, _) => hr.location.asInstanceOf[IcebergMetaFileIndex]
+      }.head
+      idx.lastListing.get
+    }
+    val (kx, tx) = kept("x")
+    assert(tx === 8 && kx < 8, s"x kept $kx/$tx")
+    val (ky, ty) = kept("y")
+    assert(ty === 8 && ky < 8, s"y kept $ky/$ty")
+    // partitioned spec + zorder refuses
+    val pr = Files.createTempDirectory("ice_zp_").toString + "/t"
+    IcebergMeta.writeFixture(
+      spark.range(0, 8).toDF("k").withColumn("p", col("k") % 2), pr,
+      partitionBy = Seq("p"))
+    assert(intercept[IllegalArgumentException] {
+      IcebergMeta.compact(spark, pr, 2, Some(("k", "p")))
+    }.getMessage.contains("partitioned"))
+  }
 }

@@ -631,7 +631,10 @@ object DeltaLog {
       jsonVal(c, cs.typ, v)).map(j => s"${jsonStr(c)}:$j") }
     val maxs = cols.flatMap { case (c, cs) => cs.max.flatMap(v =>
       jsonVal(c, cs.typ, v)).map(j => s"${jsonStr(c)}:$j") }
-    val nulls = cols.map { case (c, cs) => s"${jsonStr(c)}:${cs.nulls}" }
+    // UNKNOWN counts (<0 sentinel) are omitted, never serialized —
+    // a written 0 would claim "no nulls" to every reader's pruner
+    val nulls = cols.filter(_._2.nulls >= 0)
+      .map { case (c, cs) => s"${jsonStr(c)}:${cs.nulls}" }
     Some(s"""{"numRecords":$rows,"minValues":{${mins.mkString(",")}},""" +
       s""""maxValues":{${maxs.mkString(",")}},""" +
       s""""nullCount":{${nulls.mkString(",")}}}""")
@@ -859,6 +862,18 @@ object DeltaLog {
     // mandated representation)
     "variantType")
 
+  /** Does `dt` contain a variant ANYWHERE (nested included)? Both
+    * specs gate variant by feature/format-version on the whole
+    * schema, so every creation/evolution/conversion path checks
+    * recursively. */
+  private[sources] def hasVariantType(dt: DataType): Boolean = dt match {
+    case VariantType => true
+    case st: StructType => st.fields.exists(f => hasVariantType(f.dataType))
+    case ArrayType(e, _) => hasVariantType(e)
+    case MapType(k, v, _) => hasVariantType(k) || hasVariantType(v)
+    case _ => false
+  }
+
   /** Is the in-commit-timestamps table property on? (The obligation
     * keys on the PROPERTY; the protocol feature licenses it.) */
   private def ictEnabled(configuration: Map[String, String]): Boolean =
@@ -924,25 +939,33 @@ object DeltaLog {
 
   /** TIMESTAMP AS OF resolution: the LATEST version whose commit
     * timestamp ([[commitTimestamp]]) is `<= tsMillis`. Binary search
-    * over the version range — commit timestamps are monotonic (ICT
-    * by spec; file mtimes by append order) — so O(log n) small log
-    * reads, never a full-history scan. */
+    * over the RETAINED commit files — a checkpoint-truncated log
+    * (delta-spark metadata cleanup) keeps only a recent JSON suffix,
+    * and versions whose commit file is gone are not addressable by
+    * timestamp (delta-spark refuses them identically) — so O(log n)
+    * small log reads, never a full-history scan. `configuration`
+    * spares a second full replay when the caller already holds the
+    * latest snapshot. */
   def versionAtTimestamp(spark: SparkSession, root: String,
-      tsMillis: Long): Long = {
-    val latest = latestVersion(root)
-    require(latest >= 0, s"$root is not a Delta table (no _delta_log)")
-    val conf = snapshot(spark, root).configuration
+      tsMillis: Long,
+      configuration: Option[Map[String, String]] = None): Long = {
+    val versions = jsonVersions(root).sorted
+    require(versions.nonEmpty,
+      s"$root is not a Delta table (no _delta_log)")
+    val conf = configuration.getOrElse(
+      snapshot(spark, root).configuration)
     def tsOf(v: Long): Long = commitTimestamp(root, conf, v)
-    require(tsOf(0L) <= tsMillis,
-      s"delta-log: timestamp $tsMillis predates the first commit " +
-        s"of $root (${tsOf(0L)})")
-    var lo = 0L
-    var hi = latest
+    require(tsOf(versions.head) <= tsMillis,
+      s"delta-log: timestamp $tsMillis predates the earliest " +
+        s"RETAINED commit of $root (v${versions.head} at " +
+        s"${tsOf(versions.head)})")
+    var lo = 0
+    var hi = versions.size - 1
     while (lo < hi) {
       val mid = (lo + hi + 1) / 2
-      if (tsOf(mid) <= tsMillis) lo = mid else hi = mid - 1
+      if (tsOf(versions(mid)) <= tsMillis) lo = mid else hi = mid - 1
     }
-    lo
+    versions(lo)
   }
 
   /** The Delta protocol's writer rule: a writer MUST honor every
@@ -1081,6 +1104,14 @@ object DeltaLog {
     val added0 = incoming.fields.toSeq
       .filterNot(f => prevNames.contains(f.name))
       .map(f => f.copy(nullable = true, metadata = Metadata.empty))
+    // mergeSchema restates metaData without a protocol line — an
+    // ADDED variant column would land on a table whose protocol
+    // never listed the variantType feature (a spec violation
+    // feature-unaware engines then mis-handle)
+    added0.foreach(f => require(!hasVariantType(f.dataType),
+      s"delta-log mergeSchema: cannot ADD variant column " +
+        s"'${f.name}' — the variantType feature must be stamped at " +
+        "creation; recreate the table with the column instead"))
     var conf = configuration
     val added =
       if (!mapped || added0.isEmpty) added0
@@ -1482,15 +1513,8 @@ object DeltaLog {
           else Set.empty[String]
         // a variant column anywhere in the schema requires the
         // reader-writer variantType feature from creation
-        def hasVariant(dt: DataType): Boolean = dt match {
-          case VariantType => true
-          case st: StructType => st.fields.exists(f => hasVariant(f.dataType))
-          case ArrayType(e, _) => hasVariant(e)
-          case MapType(k2, v2, _) => hasVariant(k2) || hasVariant(v2)
-          case _ => false
-        }
         val varFeat =
-          if (hasVariant(dfIn.schema)) Set("variantType")
+          if (hasVariantType(dfIn.schema)) Set("variantType")
           else Set.empty[String]
         val p =
           if (wantsDv || v2cpFeat.nonEmpty || varFeat.nonEmpty)
@@ -2066,17 +2090,44 @@ object DeltaLog {
     val targetPaths = target.adds.map(_.path).toSet
     val next = now.version + 1
     val lines = scala.collection.mutable.ListBuffer.empty[String]
-    // the RESTORE commit itself must carry an ICT when EITHER side's
-    // configuration has the property on: the target's travels with
-    // the restore (governing reads from here on), the current one
-    // governs this commit's own obligation
-    lines += commitInfoLine(root, "RESTORE",
-      if (ictEnabled(now.configuration)) now.configuration
-      else target.configuration, now.version)
+    // ICT PROVENANCE through the restore: the target's configuration
+    // travels, but its enablement marks describe the TARGET's moment
+    // in history — restating them verbatim can declare versions in a
+    // disabled window "governed" and make commitTimestamp refuse on
+    // their missing ICTs. Three sound shapes:
+    //  - target OFF → marks drop with the property;
+    //  - both ON   → governance never broke; the CURRENT marks (or
+    //    their absence = governed from 0) stay authoritative;
+    //  - target ON, now OFF → re-enablement across a disabled
+    //    window: fresh marks at THIS commit, whose own ICT is the
+    //    recorded enablement timestamp (the setConfiguration rule).
+    val ictMarks = Seq("delta.inCommitTimestampEnablementVersion",
+      "delta.inCommitTimestampEnablementTimestamp")
+    val freshIct: Option[Long] =
+      if (ictEnabled(target.configuration)) Some(nextIct(root, now.version))
+      else None
+    val restoredConf: Map[String, String] =
+      if (!ictEnabled(target.configuration))
+        target.configuration -- ictMarks
+      else if (ictEnabled(now.configuration))
+        target.configuration -- ictMarks ++
+          now.configuration.view.filterKeys(ictMarks.contains).toMap
+      else target.configuration +
+        ("delta.inCommitTimestampEnablementVersion" -> next.toString) +
+        ("delta.inCommitTimestampEnablementTimestamp" ->
+          freshIct.get.toString)
+    lines += (freshIct match {
+      case Some(t) =>
+        s"""{"commitInfo":{"inCommitTimestamp":$t,"timestamp":$t,""" +
+          s""""operation":"RESTORE"}}"""
+      case None =>
+        s"""{"commitInfo":{"timestamp":${System.currentTimeMillis},""" +
+          s""""operation":"RESTORE"}}"""
+    })
     // the target's metaData travels with the restore (schema and
     // configuration may have drifted since; the table id is forever)
     lines += metaDataLine(target.schema.json, target.partitionColumns,
-      target.configuration,
+      restoredConf,
       Option(target.tableId).filter(_.nonEmpty)
         .orElse(Option(now.tableId).filter(_.nonEmpty)))
     // domain metadata restores with the state: domains that drifted
@@ -2220,9 +2271,10 @@ object DeltaLog {
       s"delta-log: $iceSrc has default-valued columns over " +
         "pre-evolution files — the raw files do not store the " +
         "default; compact first")
-    require(!snap.schema.fields.exists(_.dataType == VariantType),
-      s"delta-log: $iceSrc has variant columns — Delta's variantType " +
-        "feature obligations are not implemented by this writer")
+    require(!hasVariantType(snap.schema),
+      s"delta-log: $iceSrc has variant columns (nested included) — " +
+        "the conversion would need the variantType feature at (3,7); " +
+        "recreate through the write path instead")
     require(latestVersion(dst) < 0,
       s"delta-log: convert target $dst already exists")
     io(dst).mkdirs(logDir(dst))
@@ -2244,7 +2296,10 @@ object DeltaLog {
             mins += s"${jsonStr(name)}:$jv"
           for (m <- cs.max; jv <- v(dt, cs.typ, m))
             maxs += s"${jsonStr(name)}:$jv"
-          nulls += s"${jsonStr(name)}:${cs.nulls}"
+          // a manifest that omitted null_value_counts replays as the
+          // UNKNOWN sentinel — omit, never coin a zero (wrong IS
+          // NULL pruning on the converted table)
+          if (cs.nulls >= 0) nulls += s"${jsonStr(name)}:${cs.nulls}"
         }
       }
       s"""{"numRecords":${f.records},""" +
@@ -2634,6 +2689,14 @@ object DeltaLog {
       newCols.foreach(c => require(source.columns.contains(c),
         s"delta-log MERGE WITH SCHEMA EVOLUTION: new column $c has no " +
           "same-named source column to take its type from"))
+      // this path restates metaData WITHOUT a protocol line — adding
+      // a variant column here would produce a variant schema on a
+      // table whose protocol never listed the variantType feature
+      newCols.foreach(c => require(
+        !hasVariantType(source.schema(c).dataType),
+        s"delta-log MERGE WITH SCHEMA EVOLUTION: new column $c is a " +
+          "variant — the variantType feature must be stamped at " +
+          "creation; recreate the table with the column instead"))
     }
     val schemaM =
       if (newCols.isEmpty) snap0.schema

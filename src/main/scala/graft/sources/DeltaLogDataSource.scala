@@ -137,11 +137,17 @@ class DeltaLogDataSource extends RelationProvider
     val root = rootOf(parameters)
     // TIMESTAMP AS OF resolves through the authoritative per-commit
     // timestamps — recorded inCommitTimestamp where the ICT feature
-    // governs, commit-file mtime below the enablement mark
+    // governs, commit-file mtime below the enablement mark. The
+    // latest snapshot resolves ONCE and is reused when the timestamp
+    // lands on the head (no second replay).
+    val latestSnap = parameters.get("timestampAsOf")
+      .map(_ => DeltaLog.snapshot(spark, root))
     val pinned = parameters.get("versionAsOf").map(_.toLong)
       .orElse(parameters.get("timestampAsOf")
-        .map(ts => DeltaLog.versionAtTimestamp(spark, root, ts.toLong)))
-    val snap = DeltaLog.snapshot(spark, root, pinned)
+        .map(ts => DeltaLog.versionAtTimestamp(spark, root, ts.toLong,
+          latestSnap.map(_.configuration))))
+    val snap = latestSnap.filter(s => pinned.contains(s.version))
+      .getOrElse(DeltaLog.snapshot(spark, root, pinned))
     val idx = new DeltaLogFileIndex(spark, root, snap, pinned.isDefined)
     HadoopFsRelation(
       location = idx,
@@ -324,7 +330,7 @@ class DeltaLogFileIndex(spark: SparkSession, val root: String,
               if (mn.isEmpty && mx.isEmpty && nulls.isEmpty) None
               else Some(f.name ->
                 VersionedTable.ColStats(t, mn, mx,
-                  nulls.getOrElse(0L), rows))
+                  nulls.getOrElse(-1L), rows)) // absent = UNKNOWN
             }
           }.toMap[String, VersionedTable.ColStats]
         } catch {

@@ -140,8 +140,15 @@ object IcebergMeta {
     * METADATA alone, no parquet footer reads. `value` is a Spark
     * literal-compatible JVM value decoded from the schema JSON's
     * single-value serialization. */
+  /** `lastPreSeq` is the max sequence number of a SURVIVING snapshot
+    * whose schema LACKS the field (`Long.MinValue` when none
+    * survives) — the sound half of the dating under snapshot
+    * EXPIRATION: a file in the gap `(lastPreSeq, firstSeq)` could
+    * have been written by an expired post-evolution snapshot (its
+    * stored NULLs must stay NULL), so [[snapshot]] refuses it
+    * loudly instead of guessing. */
   final case class IceDefault(name: String, dataType: DataType,
-      value: Any, firstSeq: Long)
+      value: Any, firstSeq: Long, lastPreSeq: Long = Long.MinValue)
 
   final case class IceSnapshot(root: String, snapshotId: Long,
       schema: StructType, files: Seq[IceFile],
@@ -599,7 +606,10 @@ object IcebergMeta {
                 val typ = lo.map(_._1).orElse(hi.map(_._1))
                 typ.map(t => name -> VersionedTable.ColStats(t,
                   lo.map(_._2), hi.map(_._2),
-                  nulls.getOrElse(id, 0L), records))
+                  // absent null_value_counts = UNKNOWN (<0), never a
+                  // coined zero — a fabricated 0 would let IS NULL
+                  // pruning silently drop this file's null rows
+                  nulls.getOrElse(id, -1L), records))
               }
             }
             val recorded = asStr(df.get("file_path"))
@@ -731,6 +741,19 @@ object IcebergMeta {
         s"referenced by ${ds.size} live deletion vectors — corrupt " +
         "metadata (v3 allows at most one; writers must merge)")
     }
+    // default-dating soundness under snapshot EXPIRATION: a live file
+    // in the gap (lastPreSeq, firstSeq) could have been written by an
+    // EXPIRED post-evolution snapshot — its stored NULLs would
+    // wrongly read as the default. Refuse, never guess.
+    defaults.foreach { d =>
+      files.find(f => f.seq < d.firstSeq && f.seq > d.lastPreSeq)
+        .foreach(f => throw new UnsupportedOperationException(
+          s"iceberg-meta: data file ${f.recordedPath} (sequence " +
+            s"${f.seq}) cannot be dated against default-valued field " +
+            s"'${d.name}' — the snapshot history around the field's " +
+            "introduction was expired; rewrite the table " +
+            "(rewrite_data_files) to materialize the defaults"))
+    }
     IceSnapshot(root, snapId, schema, files,
       deleteEntries.collect { case Pos(d) => d },
       deleteEntries.collect { case Eq(d) => d },
@@ -827,15 +850,16 @@ object IcebergMeta {
       val name = f.get("name").asText()
       val fid = f.get("id").asInt()
       val dt = toSparkType(f.get("type"))
-      val firstSeq = snaps
-        .filter(s => idsBySchema
-          .getOrElse(s.get("schema-id").asInt(), Set.empty)(fid))
-        .map(s => if (s.hasNonNull("sequence-number"))
-          s.get("sequence-number").asLong() else 0L)
-        .minOption.getOrElse(Long.MaxValue)
+      def seqOf(s: JsonNode): Long =
+        if (s.hasNonNull("sequence-number"))
+          s.get("sequence-number").asLong() else 0L
+      val (carrying, lacking) = snaps.partition(s =>
+        idsBySchema.getOrElse(s.get("schema-id").asInt(), Set.empty)(fid))
+      val firstSeq = carrying.map(seqOf).minOption.getOrElse(Long.MaxValue)
+      val lastPreSeq = lacking.map(seqOf).maxOption.getOrElse(Long.MinValue)
       IceDefault(name, dt,
         decodeJsonSingleValue(dt, f.get("initial-default"), root, name),
-        firstSeq)
+        firstSeq, lastPreSeq)
     }
   }
 
@@ -1169,7 +1193,10 @@ object IcebergMeta {
             .foreach(b => lower.put(id, ByteBuffer.wrap(b)))
           cs.max.flatMap(m => encodeBound(f.dataType, statVal(m)))
             .foreach(b => upper.put(id, ByteBuffer.wrap(b)))
-          nulls.put(id, java.lang.Long.valueOf(cs.nulls))
+          // UNKNOWN footer counts (<0 sentinel) are omitted from the
+          // manifest rather than serialized as a lie
+          if (cs.nulls >= 0)
+            nulls.put(id, java.lang.Long.valueOf(cs.nulls))
         }
       }
     }
@@ -1396,6 +1423,13 @@ object IcebergMeta {
         "requires); compact to an unpartitioned copy first")
     require(!IceCatalog.forRoot(dst).tableExists(dst),
       s"iceberg-meta: $dst already exists")
+    // variant is a v3-ONLY Iceberg type and this conversion publishes
+    // a v2 document — admitting it would be spec-invalid metadata
+    // real engines reject
+    require(!DeltaLog.hasVariantType(snap.schema),
+      s"iceberg-meta: $deltaSrc has variant columns — a zero-copy " +
+        "conversion publishes format-version 2, which has no variant " +
+        "type; rewrite through the v3 write path instead")
     val schema = snap.schema
     val fieldId = schema.fieldNames.zipWithIndex
       .map { case (n, i) => n -> (i + 1) }.toMap
@@ -3115,26 +3149,27 @@ object IcebergMeta {
       // v3: how many of the replacement's rows are NEW (merge
       // inserts, already carrying ids from next-row-id) — moves the
       // table's next-row-id in the same commit
-      addedLineageRows: Long = 0L): Long = {
+      addedLineageRows: Long = 0L,
+      // the caller ASSERTS removeRecorded covers every live data
+      // file (the plain OVERWRITE shape — [[overwrite]] passes it
+      // from the snapshot it already holds); the manifest walk below
+      // VERIFIES the claim, so no extra snapshot replay is paid on
+      // the targeted UPDATE/MERGE hot path
+      replaceAllHint: Boolean = false): Long = {
     val (v, meta) = currentMeta(root)
     // v3: a TARGETED rewrite is admitted only when the caller threads
     // row lineage through — the replacement frame must carry the
     // materialized _row_id / _last_updated_sequence_number columns
     // (the v3 COW UPDATE does; an un-threaded path refuses with the
-    // restamp reason). A REPLACE-ALL rewrite (removeRecorded covers
-    // every live data file — the plain OVERWRITE shape) has no
-    // surviving rows, hence NO preservation obligation: the
-    // replacement lands with fresh inheritance-assigned ids exactly
-    // like an append, which the spec permits.
+    // restamp reason). A REPLACE-ALL rewrite has no surviving rows,
+    // hence NO preservation obligation: the replacement lands with
+    // fresh inheritance-assigned ids exactly like an append, which
+    // the spec permits.
     val lineageCols = Seq("_row_id", "_last_updated_sequence_number")
     val v3Lineage = requireKnownVersion(meta) == 3
     val threaded = lineageCols.forall(replacement.columns.contains)
-    // does the removal cover EVERY live data file? (any version:
-    // carried delete manifests would dangle, so they drop below)
-    val coversAll =
-      snapshot(root).files.forall(f => removeRecorded(f.recordedPath))
     // the fresh-id admission shape: un-threaded + total replacement
-    val replaceAll = !threaded && coversAll
+    val replaceAll = !threaded && replaceAllHint
     if (v3Lineage && !threaded && !replaceAll)
       requireRewritable(meta, "OVERWRITE/REWRITE")
     // materialize lineage columns into the staged files only on the
@@ -3224,19 +3259,17 @@ object IcebergMeta {
       fieldOpt(r, "added_rows_count").map(asLong).getOrElse(0L),
       fieldOpt(r, "existing_rows_count").map(asLong).getOrElse(0L),
       fieldOpt(r, "content").map(asLong).getOrElse(0L).toInt)
-    listRows.foreach { row =>
-      if (fieldOpt(row, "content").map(asLong).getOrElse(0L) == 1L) {
-        // delete manifest: carry verbatim — except on a total
-        // replacement, where every target file retires and the
-        // deletes with them (carrying would dangle)
-        if (!coversAll) carryRow(row)
-      } else {
+    val (delRows, dataRows) = listRows.partition(r =>
+      fieldOpt(r, "content").map(asLong).getOrElse(0L) == 1L)
+    var survivorsOutside = 0 // live entries in carried-verbatim manifests
+    dataRows.foreach { row =>
+      {
         val mPath = resolvePath(root, asStr(row.get("manifest_path")))
         val live = readAvro(mPath).filter(e => asLong(e.get("status")) != 2)
         val (hit, kept) = live.partition(e => removeRecorded.contains(
           asStr(e.get("data_file").asInstanceOf[GenericRecord]
             .get("file_path"))))
-        if (hit.isEmpty) carryRow(row)
+        if (hit.isEmpty) { carryRow(row); survivorsOutside += live.size }
         else {
           val origSnap =
             fieldOpt(row, "added_snapshot_id").map(asLong).getOrElse(sid)
@@ -3272,6 +3305,19 @@ object IcebergMeta {
     require(unseen.isEmpty,
       s"iceberg-meta: files to remove not in the current snapshot: ${
         unseen.toSeq.sorted.mkString(", ")}")
+    // does the removal cover EVERY live data file? Decided from the
+    // SAME manifest walk (no second snapshot replay): total ⇔ zero
+    // surviving entries, rewritten or carried. The caller's
+    // replace-all assertion is verified here, after the fact.
+    val coversAll = existingFiles == 0 && survivorsOutside == 0
+    require(!replaceAllHint || coversAll,
+      s"iceberg-meta: replace-all overwrite would leave " +
+        s"${existingFiles + survivorsOutside} surviving data " +
+        "file(s) — the snapshot moved under the caller; retry")
+    // delete manifests: carry verbatim — except on a total
+    // replacement, where every target retires and the deletes with
+    // them (carrying would dangle)
+    if (!coversAll) delRows.foreach(carryRow)
     if (deletedFiles == 0 && added.isEmpty)
       return sid // nothing removed, nothing added: no empty commits
     val newRows = scala.collection.mutable.ListBuffer.empty[GenericRecord]
@@ -3321,7 +3367,8 @@ object IcebergMeta {
         (bad.map(_.name) ++ (if (df.schema.length == snap.schema.length)
           Nil else Seq(s"arity ${df.schema.length}!=${snap.schema.length}")))
           .mkString(", ")}")
-    replaceFiles(spark, root, snap.files.map(_.recordedPath).toSet, df)
+    replaceFiles(spark, root, snap.files.map(_.recordedPath).toSet, df,
+      replaceAllHint = true)
   }
 
   /** MERGE INTO the Iceberg table with the full conditional clause

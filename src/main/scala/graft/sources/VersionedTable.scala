@@ -1200,7 +1200,7 @@ object VersionedTable {
               val mx = field("maxValues", f.name).map(_.asText())
               val nulls = field("nullCount", f.name).map(_.asLong())
               if (mn.isEmpty && mx.isEmpty && nulls.isEmpty) None
-              else Some(ColStats(t, mn, mx, nulls.getOrElse(0L), rows))
+              else Some(ColStats(t, mn, mx, nulls.getOrElse(-1L), rows))
             }.map(cs => statsLines(ref, Map(f.name -> cs))).getOrElse(Nil)
           }
         } catch { case scala.util.control.NonFatal(_) => Nil }
@@ -1510,7 +1510,11 @@ object VersionedTable {
 
   /** Merged min/max for one column of one file. `min`/`max` are None
     * when every value in the file is NULL (`nulls == rows`) — such a
-    * file is skippable by ANY range predicate on the column. */
+    * file is skippable by ANY range predicate on the column.
+    * `nulls < 0` means the count is UNKNOWN (foreign metadata that
+    * recorded bounds but no null counts) — every nullness consumer
+    * must degrade to "read the file", never coin a zero (a fabricated
+    * 0 makes `IS NULL` pruning silently drop rows). */
   final case class ColStats(typ: String, min: Option[String],
       max: Option[String], nulls: Long, rows: Long)
 
@@ -1582,9 +1586,15 @@ object VersionedTable {
             else {
               val prev = acc.getOrElse(name,
                 (t, Nil, Nil, 0L, 0L))
+              // parquet reports -1 when a chunk's null count is
+              // UNSET — once any chunk is unknown, the file's count
+              // is unknown (the <0 sentinel), never a partial sum
+              val nn =
+                if (st.getNumNulls < 0 || prev._4 < 0) -1L
+                else prev._4 + st.getNumNulls
               acc(name) = (t, prev._2 ++ minS.toList,
                 prev._3 ++ maxS.toList,
-                prev._4 + st.getNumNulls, prev._5 + chunk.getValueCount)
+                nn, prev._5 + chunk.getValueCount)
             }
         }
       }
@@ -1688,6 +1698,9 @@ object VersionedTable {
       }
       require(perFile.forall(_.typ == "long"),
         s"statsAggregate: $logical is not a long-typed stats column")
+      require(perFile.forall(_.nulls >= 0),
+        s"statsAggregate: $logical has files with UNKNOWN null " +
+          "counts — metadata cannot answer; scan instead")
       val nRows = perFile.map(_.rows).sum
       val nNulls = perFile.map(_.nulls).sum
       val mins = perFile.flatMap(_.min).map(_.toLong)
@@ -1827,6 +1840,7 @@ object VersionedTable {
   private[sources] def mayMatchNullness(cs: Option[ColStats],
       wantNull: Boolean): Boolean = cs match {
     case None => true
+    case Some(c) if c.nulls < 0 => true // count unknown: must read
     case Some(c) => if (wantNull) c.nulls > 0 else c.nulls < c.rows
   }
 

@@ -1126,4 +1126,53 @@ class DeltaLogSpec extends SparkSpecBase {
       .selectExpr("sum(variant_get(doc, '$.id', 'long'))")
       .as[Long].head() === (0 until 6).filter(_ != 2).sum - 2L)
   }
+
+  test("TIMESTAMP AS OF on a checkpoint-truncated log resolves retained versions") {
+    val root = tmp()
+    DeltaLog.commit(spark.range(0, 2).toDF("k").coalesce(1), root,
+      properties = Map("delta.enableInCommitTimestamps" -> "true"))
+    DeltaLog.commit(spark.range(2, 4).toDF("k").coalesce(1), root)
+    DeltaLog.commit(spark.range(4, 6).toDF("k").coalesce(1), root)
+    DeltaLog.checkpoint(spark, root) // covers v0-v2
+    DeltaLog.commit(spark.range(6, 8).toDF("k").coalesce(1), root)
+    val icts = (0L to 3L).map(v => DeltaLog.ictOf(root, v).get)
+    // metadata cleanup: the pre-checkpoint commit JSONs are gone
+    Files.delete(commitFile(root, 0L))
+    Files.delete(commitFile(root, 1L))
+    assert(spark.read.format("delta-log").load(root).count() === 8)
+    // retained versions resolve; the earliest RETAINED commit is the
+    // floor (delta-spark refuses cleaned-up versions identically)
+    assert(DeltaLog.versionAtTimestamp(spark, root, icts(2)) === 2L)
+    assert(DeltaLog.versionAtTimestamp(spark, root, icts(3) + 5) === 3L)
+    val e = intercept[IllegalArgumentException] {
+      DeltaLog.versionAtTimestamp(spark, root, icts(2) - 1)
+    }
+    assert(e.getMessage.contains("RETAINED"))
+  }
+
+  test("RESTORE across an ICT-disabled window refreshes provenance") {
+    val root = tmp()
+    DeltaLog.commit(spark.range(0, 3).toDF("k").coalesce(1), root,
+      properties = Map("delta.enableInCommitTimestamps" -> "true"))
+    DeltaLog.commit(spark.range(3, 5).toDF("k").coalesce(1), root) // v1
+    DeltaLog.setConfiguration(spark, root,
+      Map("delta.enableInCommitTimestamps" -> "false"))            // v2
+    DeltaLog.commit(spark.range(5, 6).toDF("k").coalesce(1), root) // v3, no ICT
+    assert(DeltaLog.ictOf(root, 3L) === None)
+    DeltaLog.restore(spark, root, 1L)                              // v4
+    val snap = DeltaLog.snapshot(spark, root)
+    // re-enabled WITH fresh marks at the restore commit — versions in
+    // the disabled window stay mtime-governed, reads never crash
+    assert(snap.configuration("delta.enableInCommitTimestamps") === "true")
+    assert(snap.configuration(
+      "delta.inCommitTimestampEnablementVersion") === "4")
+    val ict4 = DeltaLog.ictOf(root, 4L).get
+    assert(snap.configuration(
+      "delta.inCommitTimestampEnablementTimestamp") === ict4.toString)
+    assert(DeltaLog.versionAtTimestamp(spark, root, ict4) === 4L)
+    // probing across the window (v3 has no ICT) must not throw
+    assert(DeltaLog.versionAtTimestamp(spark, root, ict4 - 1) < 4L)
+    assert(spark.read.format("delta-log")
+      .option("timestampAsOf", ict4.toString).load(root).count() === 5)
+  }
 }

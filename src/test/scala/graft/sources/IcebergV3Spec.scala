@@ -744,4 +744,25 @@ class IcebergV3Spec extends SparkSpecBase {
     }
     assert(e.getMessage.contains("position delete"))
   }
+
+  test("default dating refuses when the evolution history was expired") {
+    val root = tmp()
+    IcebergMeta.writeFixture(
+      spark.range(0, 4).toDF("k").coalesce(1), root, formatVersion = 3)
+    IcebergMeta.addColumnWithDefault(root, "lang",
+      org.apache.spark.sql.types.StringType, "en")
+    IcebergMeta.append(
+      Seq((10L, "fr")).toDF("k", "lang").coalesce(1), root)
+    // expire everything but the head: the pre-evolution snapshot is
+    // gone, so the surviving file written at seq 1 can no longer be
+    // dated against the field — refusing beats guessing (its stored
+    // NULLs would otherwise read as the default)
+    IcebergMeta.expireSnapshots(root,
+      olderThanMs = System.currentTimeMillis() + 100000L, retainLast = 1)
+    val e = intercept[UnsupportedOperationException] {
+      IcebergMeta.snapshot(root)
+    }
+    assert(e.getMessage.contains("expired") &&
+      e.getMessage.contains("lang"))
+  }
 }

@@ -1280,7 +1280,8 @@ object IcebergMeta {
     * with the source columns kept IN the payload, and every manifest
     * entry records its `partition` record. Returns the snapshot id. */
   def writeFixture(df: org.apache.spark.sql.DataFrame, root: String,
-      partitionBy: Seq[String] = Nil, formatVersion: Int = 2): Long = {
+      partitionBy: Seq[String] = Nil, formatVersion: Int = 2,
+      summaryProps: Map[String, String] = Map.empty): Long = {
     val spark = df.sparkSession
     require(formatVersion == 2 || formatVersion == 3,
       s"iceberg-meta fixture: format-version $formatVersion not writable")
@@ -1383,7 +1384,9 @@ object IcebergMeta {
          |  $v3Snap
          |  "timestamp-ms":$nowMs,
          |  "manifest-list":"$listRel",
-         |  "summary":{"operation":"append"},"schema-id":0}]}"""
+         |  "summary":{"operation":"append"${summaryProps.toSeq
+            .sortBy(_._1).map { case (k, v2) => s""","$k":"$v2"""" }
+            .mkString}},"schema-id":0}]}"""
         .stripMargin
     IceCatalog.forRoot(root).create(root, metaJson.getBytes(UTF_8))
     snapId
@@ -1509,7 +1512,8 @@ object IcebergMeta {
     * format-version ≤ 2, df schema must equal the table schema by
     * name and type. Returns the new snapshot id. */
   def append(df: org.apache.spark.sql.DataFrame, root: String,
-      toBranch: Option[String] = None): Long = {
+      toBranch: Option[String] = None,
+      summaryProps: Map[String, String] = Map.empty): Long = {
     val spark = df.sparkSession
     val (v, meta) = currentMeta(root)
     // writing "to main" IS the normal write (Iceberg's toBranch rule)
@@ -1588,7 +1592,27 @@ object IcebergMeta {
         Files.size(Paths.get(root, manifestRel)), specId, seq, snapId,
         entries.size, 0, addedRows, 0L, firstRowId = rowIdBase))
     commitSnapshot(root, v, meta, snapId, seq, listRel, "append",
-      toBranch = branch, addedRows = addedRows)
+      toBranch = branch, addedRows = addedRows,
+      summaryProps = summaryProps)
+  }
+
+  /** The HIGHEST `streaming-epoch-id` any snapshot's summary records
+    * for `appId` — the exactly-once handshake the streaming sink keys
+    * on (the Iceberg shape of Delta's SetTransaction; iceberg-spark
+    * records the same dedup state in snapshot summaries). Spark only
+    * replays batches AFTER the last checkpoint-committed one and
+    * [[expireSnapshots]] always retains the current snapshot, so the
+    * replayed batch's mark is always still visible. */
+  def lastCommittedEpoch(root: String, appId: String): Option[Long] = {
+    val (_, meta) = currentMeta(root)
+    if (!meta.hasNonNull("snapshots")) return None
+    meta.get("snapshots").elements().asScala.flatMap { s =>
+      Option(s.get("summary"))
+        .filter(_.hasNonNull("streaming-app-id"))
+        .filter(_.get("streaming-app-id").asText() == appId)
+        .flatMap(su => Option(su.get("streaming-epoch-id"))
+          .filterNot(_.isNull).map(_.asText().toLong))
+    }.maxOption
   }
 
   /** Field count of the table's CURRENT (default) partition spec —
@@ -1941,7 +1965,8 @@ object IcebergMeta {
   private def commitSnapshot(root: String, v: Int, meta: JsonNode,
       snapId: Long, seq: Long, listRel: String,
       operation: String, toBranch: Option[String] = None,
-      addedRows: Long = 0L): Long = {
+      addedRows: Long = 0L,
+      summaryProps: Map[String, String] = Map.empty): Long = {
     val newMeta = meta.deepCopy[
       com.fasterxml.jackson.databind.node.ObjectNode]
     val now = System.currentTimeMillis()
@@ -1966,7 +1991,12 @@ object IcebergMeta {
     snapObj.put("sequence-number", seq)
     snapObj.put("timestamp-ms", now)
     snapObj.put("manifest-list", listRel)
-    snapObj.putObject("summary").put("operation", operation)
+    val summary = snapObj.putObject("summary")
+    summary.put("operation", operation)
+    // extra summary properties (the spec's open map — the streaming
+    // sink's exactly-once epoch marks ride here)
+    summaryProps.toSeq.sortBy(_._1)
+      .foreach { case (k, value) => summary.put(k, value) }
     // v3 row lineage: every snapshot records where its row-id range
     // begins (the table's next-row-id BEFORE this commit), and a
     // commit that added data rows moves the high-water mark by their

@@ -49,9 +49,54 @@ import org.apache.spark.sql.types.StructType
   * priors stay time-travelable). */
 class IcebergMetaDataSource extends RelationProvider
     with CreatableRelationProvider with DataSourceRegister
-    with org.apache.spark.sql.sources.StreamSourceProvider {
+    with org.apache.spark.sql.sources.StreamSourceProvider
+    with org.apache.spark.sql.sources.StreamSinkProvider {
 
   override def shortName(): String = "iceberg-meta"
+
+  // ---- streaming write: one Iceberg append snapshot per micro-batch,
+  // made EXACTLY-ONCE through the snapshot SUMMARY (the open property
+  // map the spec provides — iceberg-spark records its streaming dedup
+  // state the same way): each commit carries streaming-app-id +
+  // streaming-epoch-id, and a restarted query skips batches at or
+  // below the highest replayed epoch ([[IcebergMeta
+  // .lastCommittedEpoch]]; Spark only replays batches after the last
+  // checkpoint-committed one, and expire_snapshots always retains the
+  // current snapshot, so the mark is always still visible). appId
+  // defaults to the checkpointLocation — stable across restarts, the
+  // Delta sink's convention too. The FIRST batch creates the table
+  // (partitioned by `partitionBy` when the query sets it). ----
+  override def createSink(sqlContext: SQLContext,
+      parameters: Map[String, String], partitionColumns: Seq[String],
+      outputMode: org.apache.spark.sql.streaming.OutputMode)
+      : org.apache.spark.sql.execution.streaming.Sink = {
+    require(outputMode == org.apache.spark.sql.streaming.OutputMode.Append(),
+      s"iceberg-meta streaming sink is append-only, got $outputMode")
+    val root = rootOf(parameters)
+    val fv = parameters.get("formatVersion").map(_.toInt).getOrElse(2)
+    val appId = parameters.get("txnAppId")
+      .orElse(parameters.get("checkpointLocation"))
+      .getOrElse(throw new IllegalArgumentException(
+        "iceberg-meta streaming sink needs a checkpointLocation or " +
+          "an explicit option(\"txnAppId\", ...) for exactly-once"))
+    new org.apache.spark.sql.execution.streaming.Sink {
+      override def addBatch(batchId: Long,
+          data: org.apache.spark.sql.DataFrame): Unit = {
+        val props = Map("streaming-app-id" -> appId,
+          "streaming-epoch-id" -> batchId.toString)
+        val batch = org.apache.spark.sql.GraftColumnBridge.asBatch(data)
+        if (!IceCatalog.forRoot(root).tableExists(root))
+          IcebergMeta.writeFixture(batch, root,
+            partitionBy = partitionColumns, formatVersion = fv,
+            summaryProps = props)
+        else if (!IcebergMeta.lastCommittedEpoch(root, appId)
+            .exists(_ >= batchId))
+          IcebergMeta.append(batch, root, summaryProps = props)
+        // else: replayed batch after restart — already committed
+      }
+      override def toString: String = s"IcebergMetaSink[$root]"
+    }
+  }
 
   // ---- streaming read: tail snapshots by sequence number ----
   // `spark.readStream.format("iceberg-meta").load(root)` — initial

@@ -140,4 +140,47 @@ class IcebergStreamSpec extends SparkSpecBase {
     assert(bs.flatten.sorted === (0L until 5L), s"batches=$bs")
     assert(bs.forall(_.size <= 2) && bs.size >= 3, s"batches=$bs")
   }
+
+  test("streaming SINK: one snapshot per batch, exactly-once on replay") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val root = Files.createTempDirectory("ice_sink_").toString + "/t"
+    val ckpt = Files.createTempDirectory("ice_sink_ck_").toString
+    val mem = MemoryStream[Long]
+    val q = mem.toDF().toDF("k")
+      .writeStream.format("iceberg-meta")
+      .option("path", root).option("checkpointLocation", ckpt)
+      .start()
+    try {
+      mem.addData(1L, 2L, 3L)
+      q.processAllAvailable()
+      mem.addData(4L, 5L)
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(spark.read.format("iceberg-meta").load(root)
+      .orderBy("k").as[Long].collect().toSeq ===
+      Seq(1L, 2L, 3L, 4L, 5L))
+    // one append snapshot per batch, each carrying its epoch mark
+    assert(IcebergMeta.snapshotLog(root).size === 2)
+    assert(IcebergMeta.lastCommittedEpoch(root, ckpt) === Some(1L))
+    // a REPLAYED batch (restart handing the same batchId) skips
+    val sink = new IcebergMetaDataSource().createSink(spark.sqlContext,
+      Map("path" -> root, "txnAppId" -> ckpt), Nil,
+      org.apache.spark.sql.streaming.OutputMode.Append())
+    sink.addBatch(1L, Seq(4L, 5L).toDF("k"))
+    assert(spark.read.format("iceberg-meta").load(root).count() === 5)
+    assert(IcebergMeta.snapshotLog(root).size === 2)
+    sink.addBatch(2L, Seq(6L).toDF("k")) // genuinely new
+    assert(spark.read.format("iceberg-meta").load(root).count() === 6)
+    assert(IcebergMeta.lastCommittedEpoch(root, ckpt) === Some(2L))
+    // a DIFFERENT app's epochs do not mask this one's
+    assert(IcebergMeta.lastCommittedEpoch(root, "other") === None)
+    // the epoch marks survive snapshot expiration of OLDER snapshots
+    // (the current snapshot is always retained)
+    IcebergMeta.expireSnapshots(root,
+      olderThanMs = System.currentTimeMillis() + 100000L, retainLast = 1)
+    assert(IcebergMeta.lastCommittedEpoch(root, ckpt) === Some(2L))
+    sink.addBatch(2L, Seq(7L).toDF("k")) // still dedups post-expire
+    assert(spark.read.format("iceberg-meta").load(root).count() === 6)
+  }
 }

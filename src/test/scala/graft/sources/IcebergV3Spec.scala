@@ -9,9 +9,12 @@ import org.apache.spark.sql.functions._
   * deletion-vector replay through the MOR scan rewrite, the DV DELETE
   * writer (merge + manifest rewrite), additive writes with
   * inheritance-assigned row lineage, the `_row_id` read surface,
-  * compaction + COW UPDATE/MERGE with MATERIALIZED lineage, changes()
-  * derivation from DV diffs, and the refusal gates (initial-default,
-  * encryption, parquet position deletes, duplicate DVs, v4+). */
+  * compaction + COW UPDATE/MERGE with MATERIALIZED lineage,
+  * replace-all OVERWRITE with fresh inheritance ids, DEFAULT VALUES
+  * (snapshot-history dating, expired-gap refusal), timestamp_ns +
+  * variant reads, changes() derivation from DV diffs, and the
+  * refusal gates (NESTED/undatable defaults, encryption, parquet
+  * position deletes, duplicate DVs, v4+). */
 class IcebergV3Spec extends SparkSpecBase {
   import spark.implicits._
 

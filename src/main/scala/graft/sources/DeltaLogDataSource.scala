@@ -141,6 +141,7 @@ class DeltaLogDataSource extends RelationProvider
     // latest snapshot resolves ONCE and is reused when the timestamp
     // lands on the head (no second replay).
     val latestSnap = parameters.get("timestampAsOf")
+      .filter(_ => parameters.get("versionAsOf").isEmpty) // version wins
       .map(_ => DeltaLog.snapshot(spark, root))
     val pinned = parameters.get("versionAsOf").map(_.toLong)
       .orElse(parameters.get("timestampAsOf")

@@ -90,7 +90,12 @@ object IcebergMeta {
       // the record counts of the live data entries before it in the
       // same manifest, the spec's assignment walk); None pre-v3 or
       // when the tree carries no lineage metadata
-      firstRowId: Option[Long] = None)
+      firstRowId: Option[Long] = None,
+      // top-level column names physically in the file's parquet
+      // footer — resolved at replay ONLY for files whose
+      // default-value dating is ambiguous (the evolution history was
+      // expired); None everywhere else
+      footerColumns: Option[Set[String]] = None)
 
   /** A v2 POSITIONAL delete file: parquet of (file_path, pos) rows.
     * `pathLo`/`pathHi` are the manifest's file_path bounds (reserved
@@ -162,8 +167,18 @@ object IcebergMeta {
       * ([[IcebergMetaRead]]), enforced by the [[IcebergMetaFileIndex]]
       * physical-time gate. */
     def needsDefaultFill: Boolean =
-      defaults.exists(d => files.exists(_.seq < d.firstSeq))
+      defaults.exists(d => files.exists(f => defaultApplies(f, d)))
   }
+
+  /** Does default `d` govern file `f`? Pre-evolution by the
+    * snapshot-history dating; for a file whose dating is AMBIGUOUS
+    * (written in a gap the expired history no longer covers), by the
+    * file's own parquet footer — the spec's per-file field-presence
+    * rule, resolved once at replay ([[IceFile.footerColumns]]). */
+  private[sources] def defaultApplies(f: IceFile, d: IceDefault): Boolean =
+    f.seq < d.firstSeq &&
+      f.footerColumns.map(cols => !cols.contains(d.name))
+        .getOrElse(f.seq <= d.lastPreSeq)
 
   private def metaDir(root: String): Path = Paths.get(root, "metadata")
 
@@ -744,20 +759,35 @@ object IcebergMeta {
     // default-dating soundness under snapshot EXPIRATION: a live file
     // in the gap (lastPreSeq, firstSeq) could have been written by an
     // EXPIRED post-evolution snapshot — its stored NULLs would
-    // wrongly read as the default. Refuse, never guess.
-    defaults.foreach { d =>
-      files.find(f => f.seq < d.firstSeq && f.seq > d.lastPreSeq)
-        .foreach(f => throw new UnsupportedOperationException(
-          s"iceberg-meta: data file ${f.recordedPath} (sequence " +
-            s"${f.seq}) cannot be dated against default-valued field " +
-            s"'${d.name}' — the snapshot history around the field's " +
-            "introduction was expired; rewrite the table " +
-            "(rewrite_data_files) to materialize the defaults"))
-    }
-    IceSnapshot(root, snapId, schema, files,
+    // wrongly read as the default under the seq rule. The spec's
+    // authority is per-file FIELD PRESENCE, so resolve exactly that
+    // from the ambiguous files' own parquet footers (one footer read
+    // per GAP file only — expiration-rare planning I/O; unambiguous
+    // files never pay it).
+    val resolvedFiles =
+      if (defaults.isEmpty) files
+      else files.map { f =>
+        if (defaults.exists(d => f.seq < d.firstSeq && f.seq > d.lastPreSeq))
+          f.copy(footerColumns = Some(footerColumnNames(f.path)))
+        else f
+      }
+    IceSnapshot(root, snapId, schema, resolvedFiles,
       deleteEntries.collect { case Pos(d) => d },
       deleteEntries.collect { case Eq(d) => d },
       dvs, defaults)
+  }
+
+  /** Top-level column names physically present in a parquet file's
+    * footer schema — [[defaultApplies]]'s per-file authority for
+    * expiration-ambiguous files. */
+  private def footerColumnNames(path: String): Set[String] = {
+    val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(new java.io.File(path).toURI),
+        new org.apache.hadoop.conf.Configuration()))
+    try reader.getFooter.getFileMetaData.getSchema.getFields.asScala
+      .map(_.getName).toSet
+    finally reader.close()
   }
 
   /** One parsed delete-manifest entry ([[snapshot]] replay). */
@@ -1385,7 +1415,11 @@ object IcebergMeta {
          |  "timestamp-ms":$nowMs,
          |  "manifest-list":"$listRel",
          |  "summary":{"operation":"append"${summaryProps.toSeq
-            .sortBy(_._1).map { case (k, v2) => s""","$k":"$v2"""" }
+            .sortBy(_._1).map { case (k, v2) =>
+              // Jackson-escaped: a checkpoint path with a quote or
+              // backslash must not corrupt the metadata document
+              s",${mapper.writeValueAsString(k)}:" +
+                mapper.writeValueAsString(v2) }
             .mkString}},"schema-id":0}]}"""
         .stripMargin
     IceCatalog.forRoot(root).create(root, metaJson.getBytes(UTF_8))
@@ -1599,10 +1633,10 @@ object IcebergMeta {
   /** The HIGHEST `streaming-epoch-id` any snapshot's summary records
     * for `appId` — the exactly-once handshake the streaming sink keys
     * on (the Iceberg shape of Delta's SetTransaction; iceberg-spark
-    * records the same dedup state in snapshot summaries). Spark only
-    * replays batches AFTER the last checkpoint-committed one and
-    * [[expireSnapshots]] always retains the current snapshot, so the
-    * replayed batch's mark is always still visible. */
+    * records the same dedup state in snapshot summaries).
+    * [[expireSnapshots]] PINS each app's highest mark (like a ref),
+    * so the mark survives maintenance that lands between a crash and
+    * the restart replay. */
   def lastCommittedEpoch(root: String, appId: String): Option[Long] = {
     val (_, meta) = currentMeta(root)
     if (!meta.hasNonNull("snapshots")) return None
@@ -2757,8 +2791,25 @@ object IcebergMeta {
     // a snapshot ANY ref names (tag or branch) never expires —
     // Iceberg's retention rule; drop the ref first to release it
     val refPinned = refsOf(meta).values.map(_._1).toSet
+    // the streaming sink's exactly-once state: each app's HIGHEST
+    // recorded epoch mark is pinned — expiring it would let a
+    // crash-replayed batch re-append as duplicates when other
+    // commits landed in between (the mark is to streams what a txn
+    // struct is to the Delta sink)
+    val epochPinned: Set[Long] = snaps
+      .flatMap { s =>
+        Option(s.get("summary"))
+          .filter(_.hasNonNull("streaming-app-id"))
+          .flatMap(su => Option(su.get("streaming-epoch-id"))
+            .filterNot(_.isNull)
+            .map(e => (su.get("streaming-app-id").asText(),
+              e.asText().toLong, idOf(s))))
+      }
+      .groupBy(_._1).values
+      .map(_.maxBy(_._2)._3).toSet
     val keep = snaps.filter(s => tsOf(s) >= olderThanMs ||
-      idOf(s) == currentId || ancestors(idOf(s)) || refPinned(idOf(s)))
+      idOf(s) == currentId || ancestors(idOf(s)) ||
+      refPinned(idOf(s)) || epochPinned(idOf(s)))
     val expired = snaps.filterNot(s => keep.exists(k => idOf(k) == idOf(s)))
     if (expired.isEmpty) return ExpireResult(0, 0, 0, 0)
     // reachability: everything a surviving snapshot can name survives

@@ -60,9 +60,9 @@ class IcebergMetaDataSource extends RelationProvider
   // state the same way): each commit carries streaming-app-id +
   // streaming-epoch-id, and a restarted query skips batches at or
   // below the highest replayed epoch ([[IcebergMeta
-  // .lastCommittedEpoch]]; Spark only replays batches after the last
-  // checkpoint-committed one, and expire_snapshots always retains the
-  // current snapshot, so the mark is always still visible). appId
+  // .lastCommittedEpoch]]; expire_snapshots PINS each app's highest
+  // mark like a ref, so maintenance landing between a crash and the
+  // restart replay cannot reap the dedup state). appId
   // defaults to the checkpointLocation — stable across restarts, the
   // Delta sink's convention too. The FIRST batch creates the table
   // (partitioned by `partitionBy` when the query sets it). ----
@@ -325,7 +325,8 @@ object IcebergMetaRead {
     if (!snap.needsDefaultFill) project(plainDf(spark, snap))
     else {
       val groups = snap.files
-        .groupBy(f => snap.defaults.filter(d => f.seq < d.firstSeq))
+        .groupBy(f => snap.defaults
+          .filter(d => IcebergMeta.defaultApplies(f, d)))
         .toSeq.sortBy { case (_, fs) => fs.map(_.path).min }
       groups.map { case (ds, fs) =>
         // defaults cleared on the branch snapshot: the fill happens

@@ -175,12 +175,14 @@ class IcebergStreamSpec extends SparkSpecBase {
     assert(IcebergMeta.lastCommittedEpoch(root, ckpt) === Some(2L))
     // a DIFFERENT app's epochs do not mask this one's
     assert(IcebergMeta.lastCommittedEpoch(root, "other") === None)
-    // the epoch marks survive snapshot expiration of OLDER snapshots
-    // (the current snapshot is always retained)
+    // the epoch mark survives expiration even when MAINTENANCE
+    // commits land after it (the crash-then-compact window): expire
+    // PINS each app's highest mark like a ref
+    IcebergMeta.append(Seq(100L).toDF("k").coalesce(1), root)
     IcebergMeta.expireSnapshots(root,
       olderThanMs = System.currentTimeMillis() + 100000L, retainLast = 1)
     assert(IcebergMeta.lastCommittedEpoch(root, ckpt) === Some(2L))
     sink.addBatch(2L, Seq(7L).toDF("k")) // still dedups post-expire
-    assert(spark.read.format("iceberg-meta").load(root).count() === 6)
+    assert(spark.read.format("iceberg-meta").load(root).count() === 7)
   }
 }

@@ -748,24 +748,38 @@ class IcebergV3Spec extends SparkSpecBase {
     assert(e.getMessage.contains("position delete"))
   }
 
-  test("default dating refuses when the evolution history was expired") {
+  test("default dating falls back to footers when history was expired") {
     val root = tmp()
     IcebergMeta.writeFixture(
       spark.range(0, 4).toDF("k").coalesce(1), root, formatVersion = 3)
     IcebergMeta.addColumnWithDefault(root, "lang",
       org.apache.spark.sql.types.StringType, "en")
+    // a post-evolution file STORING explicit NULLs (the case a naive
+    // seq rule would corrupt once its snapshot expires)
     IcebergMeta.append(
-      Seq((10L, "fr")).toDF("k", "lang").coalesce(1), root)
-    // expire everything but the head: the pre-evolution snapshot is
-    // gone, so the surviving file written at seq 1 can no longer be
-    // dated against the field — refusing beats guessing (its stored
-    // NULLs would otherwise read as the default)
+      Seq((10L, "fr"), (11L, null)).toDF("k", "lang").coalesce(1), root)
+    IcebergMeta.append(
+      Seq((20L, "de")).toDF("k", "lang").coalesce(1), root)
+    // expire everything but the head: BOTH older files' snapshots are
+    // gone — their dating is ambiguous, so the replay resolves each
+    // from its own parquet footer (the spec's field-presence rule):
+    // the pre-evolution file (no lang column) reads the default, the
+    // post-evolution file keeps its stored values, NULL included
     IcebergMeta.expireSnapshots(root,
       olderThanMs = System.currentTimeMillis() + 100000L, retainLast = 1)
-    val e = intercept[UnsupportedOperationException] {
-      IcebergMeta.snapshot(root)
-    }
-    assert(e.getMessage.contains("expired") &&
-      e.getMessage.contains("lang"))
+    val snap = IcebergMeta.snapshot(root)
+    assert(snap.files.count(_.footerColumns.isDefined) === 2)
+    val got = spark.read.format("iceberg-meta").load(root)
+      .select("k", "lang").as[(Long, Option[String])].collect().toMap
+    assert(got === Map(0L -> Some("en"), 1L -> Some("en"),
+      2L -> Some("en"), 3L -> Some("en"),
+      10L -> Some("fr"), 11L -> None, 20L -> Some("de")))
+    // and the recommended remediation actually RUNS now: compaction
+    // materializes the defaults and clears the ambiguity
+    IcebergMeta.compact(spark, root)
+    assert(IcebergMeta.snapshot(root)
+      .files.forall(_.footerColumns.isEmpty))
+    assert(spark.read.format("iceberg-meta").load(root)
+      .filter(col("lang") === "en").count() === 4)
   }
 }

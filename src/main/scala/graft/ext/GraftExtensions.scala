@@ -273,6 +273,16 @@ object GraftExtensions {
             litString("iceberg_snapshots", es(0)))
           .queryExecution.analyzed
       },
+      tfn("iceberg_refs", "root",
+        "the table$refs metadata relation: one row per tag/branch " +
+          "with its pinned snapshot") { es =>
+        require(es.size == 1,
+          s"iceberg_refs takes (root), got ${es.size} args")
+        val spark = org.apache.spark.sql.SparkSession.active
+        graft.sources.IcebergMeta.refsFrame(spark,
+            litString("iceberg_refs", es(0)))
+          .queryExecution.analyzed
+      },
       tfn("iceberg_files", "root [, snapshotId]",
         "the table$files metadata relation: one row per live data/" +
           "delete/DV file of the current (or requested) snapshot, " +

@@ -3155,6 +3155,20 @@ object IcebergMeta {
       StructField("first_row_id", LongType, nullable = true))))
   }
 
+  /** The `table$refs` metadata relation — one row per named ref
+    * (tags and branches) with its pinned snapshot, from the metadata
+    * document alone. SQL: `iceberg_refs('root')`. */
+  def refsFrame(spark: SparkSession, root: String)
+      : org.apache.spark.sql.DataFrame = {
+    val rows = refs(root).toSeq.sortBy(_._1).map { case (n, (id, t)) =>
+      org.apache.spark.sql.Row(n, t, id)
+    }
+    spark.createDataFrame(rows.asJava, StructType(Seq(
+      StructField("name", StringType, nullable = false),
+      StructField("type", StringType, nullable = false),
+      StructField("snapshot_id", LongType, nullable = false))))
+  }
+
   /** The `table$files` metadata relation — one row per LIVE file of
     * the current (or requested) snapshot, from the manifest replay
     * alone: data files (content 0), positional/equality delete files

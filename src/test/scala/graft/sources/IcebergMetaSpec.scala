@@ -773,6 +773,11 @@ class IcebergMetaSpec extends SparkSpecBase {
     assert(spark.sql(s"SELECT operation FROM iceberg_snapshots('$v2') " +
       "ORDER BY sequence_number").collect().map(_.getString(0)).toSeq ===
       Seq("append", "delete"))
+    // refs relation: main branch + a tag, straight from the document
+    IcebergMeta.setRef(v2, "audit", "tag")
+    assert(spark.sql(s"SELECT name, type FROM iceberg_refs('$v2') " +
+      "ORDER BY name").collect().map(r => (r.getString(0), r.getString(1)))
+      .toSeq === Seq(("audit", "tag"), ("main", "branch")))
   }
 
   test("TIMESTAMP AS OF resolves the snapshot current at that instant") {

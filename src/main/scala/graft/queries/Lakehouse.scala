@@ -3821,6 +3821,11 @@ object Lakehouse {
           src.filter(col("o_orderkey") <= 2048L).coalesce(1), root)
         IcebergMeta.append(
           src.filter(col("o_orderkey") > 2048L).coalesce(1), root)
+        // tie-proof the travel targets: snapshotIdAtTimestamp breaks
+        // millisecond ties toward the LATER snapshot-log entry, so the
+        // append and delete commits must not share a millisecond (the
+        // s2 leg travels to ts(1) EXACTLY)
+        Thread.sleep(3)
         IcebergMeta.delete(s, root, col("o_orderkey") % 10 === 3)
         val ts = IcebergMeta.snapshotsFrame(s, root)
           .orderBy("sequence_number").collect()
@@ -3991,6 +3996,61 @@ object Lakehouse {
              |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
              |FROM lineitem
              |WHERE l_partkey BETWEEN 1 AND 200 AND l_suppkey BETWEEN 1 AND 40
-             |GROUP BY l_suppkey ORDER BY l_suppkey""".stripMargin))
+             |GROUP BY l_suppkey ORDER BY l_suppkey""".stripMargin)),
+
+    // DELTA METADATA CLEANUP (round 13): the `_delta_log` listing is
+    // the one unbounded metadata-growth term on the write path — a
+    // year of minutely commits is ~500k log files whose LISTING alone
+    // dominates snapshot construction at scale. After a checkpoint,
+    // commit JSONs and superseded checkpoints past
+    // delta.logRetentionDuration retire (delta-spark's
+    // MetadataCleanup shape; ICT-governed expiry here), bounding the
+    // directory to O(retention). The entry pins the log-file counts
+    // before/after the sweep as literals AND reads the table through
+    // the truncated log — the retained checkpoint + JSON suffix must
+    // reconstruct the exact surviving rows (DeltaLogSpec pins the
+    // refusal side: below-horizon travel and streams report the
+    // truncation loudly).
+    QueryDef(
+      "q279_delta_metadata_cleanup",
+      (s, d) => {
+        import graft.sources.DeltaLog
+        val root = Files.createTempDirectory("dmc_").toString + "/t"
+        val src = orders(s, d).select(col("o_orderkey"))
+          .filter(col("o_orderkey") <= 4096L)
+        DeltaLog.commit(
+          src.filter(col("o_orderkey") <= 2048L).coalesce(1), root,
+          properties = Map(
+            "delta.enableInCommitTimestamps" -> "true",
+            "delta.logRetentionDuration" -> "interval 1 millisecond"))
+        DeltaLog.commit(
+          src.filter(col("o_orderkey") > 2048L).coalesce(1), root)
+        DeltaLog.deleteWhere(s, root, col("o_orderkey") % 10 === 7)
+        DeltaLog.checkpoint(s, root)                    // covers v0-v2
+        DeltaLog.commit(
+          src.filter(col("o_orderkey") % 100 === 1)
+            .withColumn("o_orderkey", col("o_orderkey") + 10000000L)
+            .coalesce(1), root)                         // v3, retained
+        val before = DeltaLog.jsonVersions(root).size
+        val deleted = DeltaLog.cleanupMetadata(s, root,
+          nowMs = System.currentTimeMillis + 60000)
+        val after = DeltaLog.jsonVersions(root).size
+        s.read.format("delta-log").load(root)
+          .agg(count(lit(1)).as("n_rows"),
+            sum(col("o_orderkey")).cast("long").as("sum_key"))
+          .withColumn("n_json_before", lit(before))
+          .withColumn("n_json_after", lit(after))
+          .withColumn("n_deleted", lit(deleted.toInt))
+      },
+      Some("""WITH t AS (
+             |  SELECT o_orderkey AS k FROM orders
+             |  WHERE o_orderkey <= 4096 AND o_orderkey % 10 <> 7
+             |  UNION ALL
+             |  SELECT o_orderkey + 10000000 AS k FROM orders
+             |  WHERE o_orderkey <= 4096 AND o_orderkey % 100 = 1)
+             |SELECT CAST(count(*) AS BIGINT) AS n_rows,
+             |  CAST(sum(k) AS BIGINT) AS sum_key,
+             |  4 AS n_json_before, 2 AS n_json_after,
+             |  2 AS n_deleted FROM t""".stripMargin))
   )
 }

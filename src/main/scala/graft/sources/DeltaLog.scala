@@ -848,13 +848,11 @@ object DeltaLog {
     // through gateProtocol/gateWriterObligations before touching any
     // file, which IS that check
     "vacuumProtocolCheck",
-    // checkpointProtection's obligation binds METADATA CLEANUP (log
-    // truncation must not cross requireCheckpointProtectionBeforeVersion
-    // without writing a fresh covering checkpoint) — this writer has
-    // NO log-truncation path at all (commits and checkpoints are only
-    // ever added; VACUUM touches data files exclusively), so the
-    // obligation is honored vacuously and refusing writes would
-    // protect nothing
+    // checkpointProtection's obligation binds METADATA CLEANUP: log
+    // truncation must never land a boundary below
+    // requireCheckpointProtectionBeforeVersion — [[cleanupMetadata]]
+    // (the ONE log-truncation path here) refuses exactly that sweep
+    // unless the whole protected range cleans in one pass
     "checkpointProtection",
     // variantType's writer obligation — write variant values in the
     // spec's binary encoding — is Spark 4's own parquet writer
@@ -1469,7 +1467,20 @@ object DeltaLog {
               Set("typeWidening"),
             s.writerFeatures ++ legacyWriterFeatures(s.minWriterVersion) ++
               Set("typeWidening"))
-        (schema, conf, p)
+        // an overwrite that INTRODUCES a variant column must license
+        // it in the same commit: the restated schemaString would carry
+        // variant while the carried-forward protocol never lists the
+        // variantType feature — the exact spec violation the creation
+        // (varFeat), mergeSchema, and MERGE-evolution paths all gate
+        // against (feature-unaware engines then mis-handle the table).
+        // Same (3,7) upgrade shape as the creation path.
+        val pv =
+          if (!hasVariantType(schema) ||
+            (p._1 >= 3 && p._3.contains("variantType"))) p
+          else (3, 7,
+            p._3 ++ legacyReaderFeatures(p._1) ++ Set("variantType"),
+            p._4 ++ legacyWriterFeatures(p._2) ++ Set("variantType"))
+        (schema, conf, pv)
       case None =>
         val mapMode = properties.getOrElse("delta.columnMapping.mode", "none")
         require(mapMode == "none" || mapMode == "name" || mapMode == "id",
@@ -3242,5 +3253,118 @@ object DeltaLog {
       s"""{"version":$v,"size":${rows.length}}"""
     Files.write(logDir(root).resolve("_last_checkpoint"), hint.getBytes(UTF_8))
     v
+  }
+
+  /** Parse a Delta duration property value (`interval N unit[s]`, the
+    * CalendarInterval subset delta-spark accepts for
+    * `delta.logRetentionDuration` et al.) to milliseconds. */
+  private[sources] def parseInterval(s: String): Long = {
+    val m = "(?i)\\s*interval\\s+(\\d+)\\s+(week|day|hour|minute|second|millisecond)s?\\s*"
+      .r.pattern.matcher(s)
+    require(m.matches(),
+      s"delta-log: cannot parse duration '$s' (expected 'interval N unit')")
+    val n = m.group(1).toLong
+    n * (m.group(2).toLowerCase match {
+      case "week" => 7L * 24 * 3600 * 1000
+      case "day" => 24L * 3600 * 1000
+      case "hour" => 3600L * 1000
+      case "minute" => 60L * 1000
+      case "second" => 1000L
+      case "millisecond" => 1L
+    })
+  }
+
+  /** The authoritative timestamp of log version `v` for RETENTION
+    * decisions: the commit's [[commitTimestamp]] when its JSON is
+    * retained, the checkpoint file's mtime when only the checkpoint
+    * survives (a previous sweep's boundary). */
+  private def retentionTimestamp(root: String,
+      configuration: Map[String, String], v: Long): Long =
+    if (io(root).exists(commitPath(root, v)))
+      commitTimestamp(root, configuration, v)
+    else io(root).listDir(logDir(root))
+      .filter(n => n.startsWith(f"$v%020d.checkpoint."))
+      .map(n => io(root).mtimeMs(logDir(root).resolve(n)))
+      .maxOption.getOrElse(Long.MaxValue)
+
+  /** METADATA CLEANUP — delta-spark's `MetadataCleanup` shape: after
+    * a [[checkpoint]], delete commit JSONs and checkpoint files that
+    * are (a) older than `delta.logRetentionDuration` (default 30
+    * days) by COMMIT timestamp (ICT-aware — [[commitTimestamp]]) and
+    * (b) covered by a newer retained checkpoint, so every RETAINED
+    * version stays reconstructible and every truncated one refuses
+    * exactly like delta-spark (snapshot() of a version below the
+    * horizon reports the missing commits; TIMESTAMP AS OF only
+    * resolves over retained commits by construction). The boundary is
+    * the NEWEST checkpoint whose own commit timestamp has passed
+    * retention: everything strictly below it serves only expired
+    * targets. v2 sidecar files under `_delta_log/_sidecars/` are NOT
+    * swept (they may be shared by the retained checkpoint; delta-spark
+    * keeps their cleanup separate too).
+    *
+    * `checkpointProtection` honored FOR REAL (the feature's one
+    * writer obligation): when the table carries
+    * `delta.requireCheckpointProtectionBeforeVersion` = V, the log
+    * must never be truncated to a boundary BELOW V — a partial sweep
+    * inside the protected range could strand a reader on a
+    * checkpoint the protecting writer planned to supersede. Either
+    * the whole range [0, V) is cleaned in ONE sweep (boundary >= V)
+    * or nothing is deleted (refuse loudly).
+    *
+    * Scale posture: the `_delta_log` listing is the one unbounded
+    * metadata-growth term on the write path — a year of minutely
+    * commits is ~500k files whose LISTING alone dominates snapshot
+    * construction; checkpoint + cleanup bounds the directory to
+    * O(retention window). Driver-only metadata I/O, no data files
+    * touched (that is [[vacuum]]'s job). Returns the number of log
+    * files deleted. */
+  def cleanupMetadata(spark: SparkSession, root: String,
+      nowMs: Long = System.currentTimeMillis): Long = {
+    val snap = snapshot(spark, root)
+    gateWriterObligations(snap, "METADATA CLEANUP", removesData = false)
+    val conf = snap.configuration
+    val retainMs = parseInterval(conf.getOrElse(
+      "delta.logRetentionDuration", "interval 30 days"))
+    val cutoff = nowMs - retainMs
+    val cps = checkpointVersions(root)
+    // newest checkpoint whose version is itself expired — the sound
+    // truncation boundary (every deleted file only serves targets
+    // strictly below an expired, still-reconstructible version)
+    cps.filter(v => retentionTimestamp(root, conf, v) <= cutoff)
+      .maxOption.fold(0L) { boundary =>
+        val doomedJson = jsonVersions(root).filter(v => v < boundary &&
+          commitTimestamp(root, conf, v) <= cutoff)
+        val doomedCp = cps.filter(v => v < boundary &&
+          retentionTimestamp(root, conf, v) <= cutoff)
+        if (doomedJson.isEmpty && doomedCp.isEmpty) 0L
+        else {
+          val protectedBefore = conf
+            .get("delta.requireCheckpointProtectionBeforeVersion")
+            .map(_.toLong).getOrElse(0L)
+          if (boundary < protectedBefore)
+            throw new UnsupportedOperationException(
+              s"delta-log METADATA CLEANUP: the log of $root is " +
+                s"checkpoint-protected below version $protectedBefore " +
+                s"and the retention boundary is $boundary — truncating " +
+                "INSIDE the protected range could strand readers on a " +
+                "superseded checkpoint; clean the whole protected " +
+                "range in one sweep (checkpoint at or past it first) " +
+                "or raise the retention")
+          val dir = logDir(root)
+          var n = 0L
+          doomedJson.foreach { v =>
+            io(root).delete(commitPath(root, v)); n += 1
+          }
+          val doomedSet = doomedCp.toSet
+          io(root).listDir(dir)
+            .filter(name => name.contains(".checkpoint.") &&
+              name.take(20).forall(_.isDigit) &&
+              doomedSet.contains(name.take(20).toLong))
+            .foreach { name =>
+              io(root).delete(dir.resolve(name)); n += 1
+            }
+          n
+        }
+      }
   }
 }

@@ -1175,4 +1175,75 @@ class DeltaLogSpec extends SparkSpecBase {
     assert(spark.read.format("delta-log")
       .option("timestampAsOf", ict4.toString).load(root).count() === 5)
   }
+
+  test("metadata cleanup: expired prefix deletes, retained reconstruct, horizon refuses") {
+    val root = tmp()
+    // ICT on, so expiry decisions run through the recorded in-commit
+    // timestamps (the feature-governed half of commitTimestamp)
+    DeltaLog.commit(spark.range(0, 4).toDF("k").coalesce(1), root,
+      properties = Map(
+        "delta.enableInCommitTimestamps" -> "true",
+        "delta.logRetentionDuration" -> "interval 1 millisecond"))
+    (1 to 5).foreach(i => DeltaLog.commit(
+      spark.range(4 * i, 4 * i + 4).toDF("k").coalesce(1), root))
+    DeltaLog.checkpoint(spark, root, Some(3L))
+    // nothing to clean while the boundary checkpoint is unexpired
+    assert(DeltaLog.cleanupMetadata(spark, root,
+      nowMs = DeltaLog.ictOf(root, 0L).get - 1000) === 0L)
+    // everything below the newest expired checkpoint (v3) goes
+    val future = System.currentTimeMillis + 60000
+    assert(DeltaLog.cleanupMetadata(spark, root, nowMs = future) === 3L)
+    assert(DeltaLog.jsonVersions(root) === Seq(3L, 4L, 5L))
+    // retained versions reconstruct (v3 via the checkpoint alone)
+    assert(spark.read.format("delta-log").load(root).count() === 24)
+    assert(spark.read.format("delta-log").option("versionAsOf", "3")
+      .load(root).count() === 16)
+    // below the horizon refuses exactly like delta-spark: the commit
+    // files are reported missing, never guessed around
+    val e = intercept[IllegalStateException] {
+      DeltaLog.snapshot(spark, root, Some(2L))
+    }
+    assert(e.getMessage.contains("missing"))
+    val e2 = intercept[IllegalStateException] {
+      DeltaLog.commitActions(root, 1L)
+    }
+    assert(e2.getMessage.contains("truncated"))
+    // a second sweep from a newer checkpoint truncates further and
+    // retires the superseded v3 checkpoint file too
+    DeltaLog.checkpoint(spark, root) // v5
+    assert(DeltaLog.cleanupMetadata(spark, root,
+      nowMs = future) === 3L) // v3.json, v4.json, v3 checkpoint
+    assert(DeltaLog.jsonVersions(root) === Seq(5L))
+    assert(spark.read.format("delta-log").load(root).count() === 24)
+    intercept[IllegalStateException] {
+      DeltaLog.snapshot(spark, root, Some(4L))
+    }
+    // idempotent: nothing left below the boundary
+    assert(DeltaLog.cleanupMetadata(spark, root, nowMs = future) === 0L)
+  }
+
+  test("metadata cleanup: checkpointProtection refuses partial sweeps inside the range") {
+    val root = tmp()
+    DeltaLog.commit(spark.range(0, 4).toDF("k").coalesce(1), root,
+      properties = Map(
+        "delta.logRetentionDuration" -> "interval 1 millisecond",
+        "delta.requireCheckpointProtectionBeforeVersion" -> "4"))
+    (1 to 5).foreach(i => DeltaLog.commit(
+      spark.range(4 * i, 4 * i + 4).toDF("k").coalesce(1), root))
+    DeltaLog.checkpoint(spark, root, Some(2L))
+    val future = System.currentTimeMillis + 60000
+    // boundary 2 < protected 4: a partial sweep inside the protected
+    // range must refuse — and delete NOTHING
+    val e = intercept[UnsupportedOperationException] {
+      DeltaLog.cleanupMetadata(spark, root, nowMs = future)
+    }
+    assert(e.getMessage.contains("checkpoint-protected"))
+    assert(DeltaLog.jsonVersions(root) === (0L to 5L))
+    // a checkpoint at/past the protected version clears the whole
+    // range in one sweep (the spec's licensed shape)
+    DeltaLog.checkpoint(spark, root, Some(4L))
+    assert(DeltaLog.cleanupMetadata(spark, root, nowMs = future) === 5L)
+    assert(DeltaLog.jsonVersions(root) === Seq(4L, 5L))
+    assert(spark.read.format("delta-log").load(root).count() === 24)
+  }
 }

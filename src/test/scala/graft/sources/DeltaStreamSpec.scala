@@ -235,4 +235,47 @@ class DeltaStreamSpec extends SparkSpecBase {
     sink.addBatch(2L, Seq(7L).toDF("k")) // still dedups post-truncation
     assert(spark.read.format("delta-log").load(root).count() === 6L)
   }
+
+  test("source stream stays exactly-once across METADATA CLEANUP") {
+    val root = tmp()
+    val ckpt = Files.createTempDirectory("delta_stream_mc_").toString
+    DeltaLog.commit(spark.range(0, 3).toDF("k"), root,
+      properties = Map(
+        "delta.logRetentionDuration" -> "interval 1 millisecond")) // v0
+    DeltaLog.commit(spark.range(3, 5).toDF("k"), root)             // v1
+    val seen = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    def run(): org.apache.spark.sql.streaming.StreamingQuery =
+      spark.readStream.format("delta-log").load(root)
+        .writeStream.option("checkpointLocation", ckpt)
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+          df.select("k").collect().foreach(r => seen.add(r.getLong(0)))
+          ()
+        }.start()
+    val q1 = run()
+    try {
+      q1.processAllAvailable()
+      assert(seen.size === 5)
+      // checkpoint + cleanup retire the already-consumed prefix while
+      // the stream is LIVE; its next offset is past the horizon
+      DeltaLog.checkpoint(spark, root)
+      assert(DeltaLog.cleanupMetadata(spark, root,
+        nowMs = System.currentTimeMillis + 60000) === 1L) // v0.json
+      DeltaLog.commit(spark.range(5, 7).toDF("k"), root)  // v2
+      q1.processAllAvailable()
+      assert(seen.size === 7)
+    } finally q1.stop()
+    // restart from the stream checkpoint: offsets resume past the
+    // horizon, every row exactly once
+    DeltaLog.commit(spark.range(7, 9).toDF("k"), root)    // v3
+    val q2 = run()
+    try q2.processAllAvailable() finally q2.stop()
+    import scala.jdk.CollectionConverters._
+    assert(seen.asScala.toSeq.sorted === (0L until 9L))
+    // a stream whose offset fell BELOW the horizon refuses loudly
+    // (commitActions reports the truncation, never re-guesses rows)
+    val e = intercept[IllegalStateException] {
+      DeltaLog.commitActions(root, 0L)
+    }
+    assert(e.getMessage.contains("truncated"))
+  }
 }

@@ -273,6 +273,17 @@ object GraftExtensions {
             litString("iceberg_snapshots", es(0)))
           .queryExecution.analyzed
       },
+      tfn("iceberg_manifests", "root",
+        "the table$manifests metadata relation: one row per manifest " +
+          "in the current snapshot's manifest list (the planning-cost " +
+          "surface rewrite_manifests maintains)") { es =>
+        require(es.size == 1,
+          s"iceberg_manifests takes (root), got ${es.size} args")
+        val spark = org.apache.spark.sql.SparkSession.active
+        graft.sources.IcebergMeta.manifestsFrame(spark,
+            litString("iceberg_manifests", es(0)))
+          .queryExecution.analyzed
+      },
       tfn("iceberg_refs", "root",
         "the table$refs metadata relation: one row per tag/branch " +
           "with its pinned snapshot") { es =>

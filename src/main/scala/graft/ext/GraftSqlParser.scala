@@ -163,6 +163,8 @@ object GraftSqlParser {
     """(?is)\s*GRAFT\s+OPTIMIZE\s+ICEBERG\s+'([^']+)'\s+ZORDER\s+BY\s+([A-Za-z_][A-Za-z0-9_]*)\s*,\s*([A-Za-z_][A-Za-z0-9_]*)(?:\s+FILES\s+(\d+))?\s*;?\s*""".r
   private val OptIce =
     """(?is)\s*GRAFT\s+OPTIMIZE\s+ICEBERG\s+'([^']+)'(?:\s+FILES\s+(\d+))?\s*;?\s*""".r
+  private val RewriteManifestsIce =
+    """(?is)\s*GRAFT\s+REWRITE\s+MANIFESTS\s+ICEBERG\s+'([^']+)'(?:\s+TARGET\s+(\d+))?\s*;?\s*""".r
   private val OptDeltaZ =
     """(?is)\s*GRAFT\s+OPTIMIZE\s+DELTA\s+'([^']+)'\s+ZORDER\s+BY\s+([A-Za-z_][A-Za-z0-9_]*)\s*,\s*([A-Za-z_][A-Za-z0-9_]*)(?:\s+FILES\s+(\d+))?\s*;?\s*""".r
   private val OptDelta =
@@ -239,6 +241,9 @@ object GraftSqlParser {
         Option(files).map(_.toInt).getOrElse(8), Some((x, y))))
       case OptIce(p, files) => Some(GraftIcebergOptimizeCommand(p,
         Option(files).map(_.toInt).getOrElse(1), None))
+      case RewriteManifestsIce(p, target) =>
+        Some(GraftIcebergRewriteManifestsCommand(p,
+          Option(target).map(_.toInt).getOrElse(1)))
       case OptDeltaZ(p, x, y, files) => Some(GraftDeltaOptimizeCommand(p,
         Option(files).map(_.toInt).getOrElse(8), Some((x, y))))
       case OptDelta(p, files) => Some(GraftDeltaOptimizeCommand(p,
@@ -410,6 +415,18 @@ object GraftSqlParser {
     override val output: Seq[Attribute] = Seq(attr("snapshot_id", LongType))
     override def run(s: SparkSession): Seq[Row] =
       Seq(Row(graft.sources.IcebergMeta.compact(s, root, files, zorderBy)))
+  }
+
+  /** `GRAFT REWRITE MANIFESTS ICEBERG 'root' [TARGET n]` — Iceberg's
+    * rewrite_manifests procedure: collapse the manifest tree into at
+    * most n data manifests per spec, metadata-only, file content and
+    * sequence numbers preserved
+    * ([[graft.sources.IcebergMeta.rewriteManifests]]). */
+  case class GraftIcebergRewriteManifestsCommand(root: String,
+      target: Int) extends LeafRunnableCommand {
+    override val output: Seq[Attribute] = Seq(attr("snapshot_id", LongType))
+    override def run(s: SparkSession): Seq[Row] =
+      Seq(Row(graft.sources.IcebergMeta.rewriteManifests(root, target)))
   }
 
   /** `GRAFT OPTIMIZE DELTA 'root' [ZORDER BY x, y] [FILES n]` —

@@ -4051,6 +4051,52 @@ object Lakehouse {
              |SELECT CAST(count(*) AS BIGINT) AS n_rows,
              |  CAST(sum(k) AS BIGINT) AS sum_key,
              |  4 AS n_json_before, 2 AS n_json_after,
-             |  2 AS n_deleted FROM t""".stripMargin))
+             |  2 AS n_deleted FROM t""".stripMargin)),
+
+    // ICEBERG REWRITE MANIFESTS (round 13): the O(commits) PLANNING
+    // term — every commit leaves one more manifest in the list, and a
+    // snapshot replay opens them ALL, so a 10k-commit table pays 10k
+    // avro reads per query plan. rewrite_manifests collapses the tree
+    // metadata-only: live entries restate as EXISTING under their
+    // ORIGINAL snapshot ids and sequence numbers (an inherited seq
+    // would detach the older positional delete and resurrect its
+    // rows — the oracle would catch exactly that), delete manifests
+    // carry verbatim, zero data I/O. The entry pins the data-manifest
+    // count before/after through the iceberg_manifests TVF and
+    // aggregates through the rewritten tree; IcebergMetaSpec /
+    // IcebergV3Spec pin travel, lineage and clustering.
+    QueryDef(
+      "q280_iceberg_rewrite_manifests",
+      (s, d) => {
+        import graft.sources.IcebergMeta
+        val root = Files.createTempDirectory("irm_").toString + "/t"
+        val src = orders(s, d).select(col("o_orderkey"))
+          .filter(col("o_orderkey") <= 4096L)
+        IcebergMeta.writeFixture(
+          src.filter(col("o_orderkey") <= 1365L).coalesce(1), root)
+        IcebergMeta.append(
+          src.filter(col("o_orderkey") > 1365L &&
+            col("o_orderkey") <= 2730L).coalesce(1), root)
+        IcebergMeta.append(
+          src.filter(col("o_orderkey") > 2730L).coalesce(1), root)
+        IcebergMeta.delete(s, root, col("o_orderkey") % 10 === 3)
+        def dataManifests(): Long = s.sql(
+          s"SELECT count(*) FROM iceberg_manifests('$root') " +
+            "WHERE content = 0").collect().head.getLong(0)
+        val before = dataManifests()
+        s.sql(s"GRAFT REWRITE MANIFESTS ICEBERG '$root'")
+        val after = dataManifests()
+        s.read.format("iceberg-meta").load(root)
+          .agg(count(lit(1)).as("n_rows"),
+            sum(col("o_orderkey")).cast("long").as("sum_key"))
+          .withColumn("n_manifests_before", lit(before.toInt))
+          .withColumn("n_manifests_after", lit(after.toInt))
+      },
+      Some("""SELECT CAST(count(*) AS BIGINT) AS n_rows,
+             |  CAST(sum(o_orderkey) AS BIGINT) AS sum_key,
+             |  3 AS n_manifests_before, 1 AS n_manifests_after
+             |FROM orders
+             |WHERE o_orderkey <= 4096 AND o_orderkey % 10 <> 3"""
+        .stripMargin))
   )
 }

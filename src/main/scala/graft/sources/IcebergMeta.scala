@@ -1068,7 +1068,8 @@ object IcebergMeta {
       |]}""".stripMargin)
 
   private def manifestSchemaJson(partitionField: String,
-      v3DeleteFields: Boolean = false): String = {
+      v3DeleteFields: Boolean = false,
+      withFirstRowId: Boolean = false): String = {
     // the v3 DV addressing triple (spec field ids 143-145) — only on
     // DV delete manifests; data manifests keep the v2 shape
     val v3 = if (!v3DeleteFields) "" else
@@ -1076,6 +1077,14 @@ object IcebergMeta {
         |  {"name":"referenced_data_file","type":["null","string"],"default":null,"field-id":143},
         |  {"name":"content_offset","type":["null","long"],"default":null,"field-id":144},
         |  {"name":"content_size_in_bytes","type":["null","long"],"default":null,"field-id":145}"""
+        .stripMargin
+    // v3 row lineage, EXPLICIT form (spec field id 146): a rewritten
+    // manifest cannot rely on list-row inheritance (its list row is
+    // the REWRITING snapshot's), so restated entries materialize
+    // their resolved first_row_id here
+    val frid = if (!withFirstRowId) "" else
+      """,
+        |  {"name":"first_row_id","type":["null","long"],"default":null,"field-id":146}"""
         .stripMargin
     s"""{"type":"record","name":"manifest_entry","fields":[
       |{"name":"status","type":"int"},
@@ -1090,7 +1099,7 @@ object IcebergMeta {
       |  {"name":"null_value_counts","type":{"type":"map","values":"long"},"default":{}},
       |  {"name":"lower_bounds","type":{"type":"map","values":"bytes"},"default":{}},
       |  {"name":"upper_bounds","type":{"type":"map","values":"bytes"},"default":{}},
-      |  {"name":"equality_ids","type":["null",{"type":"array","items":"int"}],"default":null}$v3
+      |  {"name":"equality_ids","type":["null",{"type":"array","items":"int"}],"default":null}$v3$frid
       |]}}]}""".stripMargin
   }
 
@@ -1129,15 +1138,18 @@ object IcebergMeta {
     * field, `field-id` stamped per the spec's Avro mapping). Empty
     * spec → the shared unpartitioned schema. */
   private def manifestSchemaFor(
-      specFields: Seq[(String, Int, DataType)]): Schema =
-    if (specFields.isEmpty) manifestSchema
+      specFields: Seq[(String, Int, DataType)],
+      withFirstRowId: Boolean = false): Schema =
+    if (specFields.isEmpty && !withFirstRowId) manifestSchema
     else avroSchema(manifestSchemaJson(
-      specFields.map { case (n, fid, dt) =>
+      if (specFields.isEmpty) ""
+      else specFields.map { case (n, fid, dt) =>
         s"""{"name":"$n","type":["null",${partAvroType(dt)}],""" +
           s""""default":null,"field-id":$fid}"""
       }.mkString(
         """{"name":"partition","type":{"type":"record","name":"r102","fields":[""",
-        ",", "]}},")))
+        ",", "]}},"),
+      withFirstRowId = withFirstRowId))
 
   private def writeAvro(path: Path, schema: Schema,
       rows: Seq[GenericRecord]): Unit = {
@@ -3155,6 +3167,64 @@ object IcebergMeta {
       StructField("first_row_id", LongType, nullable = true))))
   }
 
+  /** The `table$manifests` metadata relation — one row per manifest
+    * in the current (or requested) snapshot's manifest LIST: the
+    * planning-cost surface [[rewriteManifests]] maintains (each row
+    * is one avro open per query plan). One small avro read; no
+    * manifest or data I/O. SQL: `iceberg_manifests('root')`. */
+  def manifestsFrame(spark: SparkSession, root: String,
+      snapshotId: Option[Long] = None)
+      : org.apache.spark.sql.DataFrame = {
+    val (_, meta) = currentMeta(root)
+    val sid = snapshotId.getOrElse {
+      require(meta.hasNonNull("current-snapshot-id") &&
+        meta.get("current-snapshot-id").asLong() != -1L,
+        s"iceberg-meta: $root has no current snapshot")
+      meta.get("current-snapshot-id").asLong()
+    }
+    val snapNode = meta.get("snapshots").elements().asScala
+      .find(_.get("snapshot-id").asLong() == sid)
+      .getOrElse(throw new IllegalArgumentException(
+        s"iceberg-meta: snapshot $sid not in $root"))
+    val rows = readAvro(
+      resolvePath(root, snapNode.get("manifest-list").asText()))
+      .map { r =>
+        org.apache.spark.sql.Row(
+          asStr(r.get("manifest_path")),
+          asLong(r.get("manifest_length")),
+          fieldOpt(r, "content").map(asLong).getOrElse(0L).toInt,
+          fieldOpt(r, "partition_spec_id").map(asLong)
+            .getOrElse(0L).toInt,
+          fieldOpt(r, "sequence_number").map(asLong).getOrElse(0L),
+          fieldOpt(r, "min_sequence_number").map(asLong).getOrElse(0L),
+          fieldOpt(r, "added_snapshot_id").map(asLong).getOrElse(sid),
+          fieldOpt(r, "added_files_count").map(asLong)
+            .getOrElse(0L).toInt,
+          fieldOpt(r, "existing_files_count").map(asLong)
+            .getOrElse(0L).toInt,
+          fieldOpt(r, "deleted_files_count").map(asLong)
+            .getOrElse(0L).toInt,
+          fieldOpt(r, "added_rows_count").map(asLong).getOrElse(0L),
+          fieldOpt(r, "existing_rows_count").map(asLong).getOrElse(0L))
+      }.sortBy(r => (r.getInt(2), r.getString(0)))
+    spark.createDataFrame(rows.asJava, StructType(Seq(
+      StructField("path", StringType, nullable = false),
+      StructField("length", LongType, nullable = false),
+      StructField("content", IntegerType, nullable = false),
+      StructField("partition_spec_id", IntegerType, nullable = false),
+      StructField("sequence_number", LongType, nullable = false),
+      StructField("min_sequence_number", LongType, nullable = false),
+      StructField("added_snapshot_id", LongType, nullable = false),
+      StructField("added_data_files_count", IntegerType,
+        nullable = false),
+      StructField("existing_data_files_count", IntegerType,
+        nullable = false),
+      StructField("deleted_data_files_count", IntegerType,
+        nullable = false),
+      StructField("added_rows_count", LongType, nullable = false),
+      StructField("existing_rows_count", LongType, nullable = false))))
+  }
+
   /** The `table$refs` metadata relation — one row per named ref
     * (tags and branches) with its pinned snapshot, from the metadata
     * document alone. SQL: `iceberg_refs('root')`. */
@@ -3440,6 +3510,140 @@ object IcebergMeta {
       carried.toSeq ++ newRows.toSeq)
     commitSnapshot(root, v, meta, snapId, seq, listRel, operation,
       addedRows = if (replaceAll) addedRows else addedLineageRows)
+  }
+
+  /** `rewrite_manifests` — Iceberg's METADATA-ONLY maintenance action
+    * (the `RewriteManifests` table operation every engine exposes as
+    * the `rewrite_manifests` procedure): collapse the manifest TREE —
+    * one manifest per historical commit after N appends — into at
+    * most `targetManifests` data manifests PER SPEC, clustered by
+    * partition tuple then file path, with IDENTICAL file content:
+    * every live entry restates as EXISTING (status 0) under its
+    * ORIGINAL snapshot id and data sequence number (the spec licenses
+    * seq inheritance only for entries the committing snapshot itself
+    * adds — an inherited seq here would detach older deletes from the
+    * carried files and resurrect rows), and on v3 row-lineage tables
+    * each entry's resolved `first_row_id` materializes EXPLICITLY
+    * (field id 146 — list-row inheritance cannot survive the move to
+    * a new list row). Delete manifests (positional, equality, DV)
+    * carry verbatim. Prior snapshots keep their own manifest lists —
+    * time travel is untouched; [[expireSnapshots]] reclaims the small
+    * superseded manifests later.
+    *
+    * Scale posture: this is the O(commits) PLANNING term — a snapshot
+    * replay opens every manifest in the list, so a 10k-commit table
+    * pays 10k small avro reads per query plan; rewriting to a few
+    * clustered manifests makes planning O(live files / manifest) and
+    * gives partition-ordered locality for range pruning. Driver-only
+    * metadata I/O; zero data files read or written. Returns the new
+    * snapshot id (current one unchanged when already compact). */
+  def rewriteManifests(root: String, targetManifests: Int = 1): Long = {
+    require(targetManifests >= 1,
+      s"iceberg-meta: targetManifests must be >= 1, got $targetManifests")
+    val (v, meta) = currentMeta(root)
+    requireKnownVersion(meta)
+    require(meta.hasNonNull("current-snapshot-id") &&
+      meta.get("current-snapshot-id").asLong() != -1L,
+      s"iceberg-meta: $root has no current snapshot")
+    val (schema, nameById) = schemaOf(meta)
+    val typeOf = schema.fields.map(f => f.name -> f.dataType).toMap
+    val sid = meta.get("current-snapshot-id").asLong()
+    val snapNode = meta.get("snapshots").elements().asScala
+      .find(_.get("snapshot-id").asLong() == sid)
+      .getOrElse(throw new IllegalStateException(
+        s"iceberg-meta: current snapshot $sid not in $root"))
+    val listRows = readAvro(
+      resolvePath(root, snapNode.get("manifest-list").asText()))
+    val (delRows, dataRows) = listRows.partition(r =>
+      fieldOpt(r, "content").map(asLong).getOrElse(0L) == 1L)
+    if (dataRows.size <= targetManifests) return sid // already compact
+    val lineage = meta.hasNonNull("next-row-id")
+    // resolve every live entry ONCE: original snapshot, original data
+    // sequence number, and (v3) its inherited-or-explicit first_row_id
+    // — the walk mirrors [[snapshot]]'s inheritance rules exactly
+    final case class Restated(specId: Int, dataFile: GenericRecord,
+      snapId: Long, seq: Long, firstRowId: Option[Long],
+      clusterKey: (String, String), records: Long)
+    val restated = scala.collection.mutable.ListBuffer.empty[Restated]
+    dataRows.foreach { row =>
+      val mSeq = fieldOpt(row, "sequence_number").map(asLong).getOrElse(0L)
+      val mSnap = fieldOpt(row, "added_snapshot_id").map(asLong)
+        .getOrElse(sid)
+      val mBase = fieldOpt(row, "first_row_id").map(asLong)
+      val rowSpec = fieldOpt(row, "partition_spec_id").map(asLong)
+        .getOrElse(0L).toInt
+      var assigned = 0L
+      readAvro(resolvePath(root, asStr(row.get("manifest_path"))))
+        .foreach { e =>
+          if (asLong(e.get("status")) != 2) {
+            val df = e.get("data_file").asInstanceOf[GenericRecord]
+            val records = asLong(df.get("record_count"))
+            val explicitFr = fieldOpt(df, "first_row_id").map(asLong)
+            val fr = explicitFr.orElse(mBase.map(_ + assigned))
+            if (explicitFr.isEmpty) assigned += records
+            restated += Restated(rowSpec, df,
+              fieldOpt(e, "snapshot_id").map(asLong).getOrElse(mSnap),
+              fieldOpt(e, "sequence_number").map(asLong).getOrElse(mSeq),
+              fr,
+              (fieldOpt(df, "partition").map(_.toString).getOrElse(""),
+                asStr(df.get("file_path"))),
+              records)
+          }
+        }
+    }
+    val seq = (if (meta.hasNonNull("last-sequence-number"))
+      meta.get("last-sequence-number").asLong() else 0L) + 1
+    val snapId = java.util.UUID.randomUUID().getLeastSignificantBits
+      .abs.max(1L)
+    val newRows = scala.collection.mutable.ListBuffer.empty[GenericRecord]
+    var mi = 0
+    restated.toSeq.groupBy(_.specId).toSeq.sortBy(_._1)
+      .foreach { case (specId, es0) =>
+        val fs = specFieldsOfId(meta, nameById, specId)
+        val eSchema = manifestSchemaFor(fs.map(f =>
+          (f.name, f.fieldId, f.transform.resultType(typeOf(f.srcCol)))),
+          withFirstRowId = lineage)
+        val chunkSize = math.ceil(
+          es0.size.toDouble / targetManifests).toInt.max(1)
+        es0.sortBy(_.clusterKey).grouped(chunkSize).foreach { chunk =>
+          val entries = chunk.map { r =>
+            val entry = carriedEntry(copyDataFile(r.dataFile, eSchema),
+              status = 0, r.snapId, r.seq, eSchema)
+            if (lineage) entry.get("data_file")
+              .asInstanceOf[GenericRecord].put("first_row_id",
+                r.firstRowId.map(java.lang.Long.valueOf).orNull)
+            entry
+          }
+          val rel = s"metadata/snap-$snapId-rm$mi.avro"
+          mi += 1
+          writeAvro(Paths.get(root, rel), eSchema, entries)
+          newRows += manifestListRow(rel,
+            Files.size(Paths.get(root, rel)), specId, seq, snapId,
+            0, entries.size, 0L, chunk.map(_.records).sum,
+            minSeq = Some(chunk.map(_.seq).min))
+        }
+      }
+    // delete manifests carry VERBATIM — their list-row sequence
+    // number is the seq their entries may still inherit, and their
+    // min_sequence_number is what prunes them from newer scans
+    val carriedDel = delRows.map { r =>
+      manifestListRow(
+        asStr(r.get("manifest_path")),
+        asLong(r.get("manifest_length")),
+        fieldOpt(r, "partition_spec_id").map(asLong).getOrElse(0L).toInt,
+        fieldOpt(r, "sequence_number").map(asLong).getOrElse(0L),
+        fieldOpt(r, "added_snapshot_id").map(asLong).getOrElse(sid),
+        fieldOpt(r, "added_files_count").map(asLong).getOrElse(0L).toInt,
+        fieldOpt(r, "existing_files_count").map(asLong).getOrElse(0L).toInt,
+        fieldOpt(r, "added_rows_count").map(asLong).getOrElse(0L),
+        fieldOpt(r, "existing_rows_count").map(asLong).getOrElse(0L),
+        content = 1,
+        minSeq = fieldOpt(r, "min_sequence_number").map(asLong))
+    }
+    val listRel = s"metadata/snap-$snapId.avro"
+    writeAvro(Paths.get(root, listRel), manifestListSchema,
+      newRows.toSeq ++ carriedDel)
+    commitSnapshot(root, v, meta, snapId, seq, listRel, "replace")
   }
 
   /** Plain OVERWRITE — replace the table's ENTIRE contents with `df`

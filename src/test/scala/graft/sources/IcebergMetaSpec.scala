@@ -806,4 +806,64 @@ class IcebergMetaSpec extends SparkSpecBase {
     IcebergMeta.rollbackTo(root, first)
     assert(countAt(System.currentTimeMillis()) === 5)
   }
+
+  test("rewrite_manifests: tree collapses, rows identical, deletes and travel preserved") {
+    val root = tmp()
+    IcebergMeta.writeFixture(
+      spark.range(0, 16).toDF("k").coalesce(1), root)
+    (1 to 3).foreach(i => IcebergMeta.append(
+      spark.range(16 * i, 16 * i + 16).toDF("k").coalesce(1), root))
+    // v2 positional delete rides a DELETE manifest — rewrite must
+    // carry it verbatim AND keep it applying (seq preservation: the
+    // restated data entries must stay <= the delete's seq)
+    IcebergMeta.delete(spark, root, col("k") % 8 === 1)
+    val preSnap = IcebergMeta.snapshot(root).snapshotId
+    val appendSnap = IcebergMeta.snapshotLog(root).apply(2).snapshotId
+    def manifests(): Seq[org.apache.spark.sql.Row] =
+      IcebergMeta.manifestsFrame(spark, root).collect().toSeq
+    assert(manifests().count(_.getInt(2) == 0) === 4) // data manifests
+    assert(manifests().count(_.getInt(2) == 1) === 1) // delete manifest
+    val expect = (0L until 64L).filterNot(_ % 8 == 1)
+    def rows(): Seq[Long] = spark.read.format("iceberg-meta")
+      .load(root).select("k").as[Long].collect().toSeq.sorted
+    assert(rows() === expect)
+    // the metadata-only commit (through the SQL statement)
+    val rewritten = spark.sql(
+      s"GRAFT REWRITE MANIFESTS ICEBERG '$root'")
+      .as[Long].head()
+    assert(rewritten !== preSnap)
+    val post = manifests()
+    assert(post.count(_.getInt(2) == 0) === 1,
+      s"expected 1 data manifest, got $post")
+    assert(post.count(_.getInt(2) == 1) === 1)
+    // restated as EXISTING: zero added files, all 4 files existing
+    val dataRow = post.find(_.getInt(2) == 0).get
+    assert(dataRow.getAs[Int]("added_data_files_count") === 0)
+    assert(dataRow.getAs[Int]("existing_data_files_count") === 4)
+    // min_sequence_number preserved from the oldest entry (1), so
+    // older-seq-scoped deletes still prune correctly
+    assert(dataRow.getAs[Long]("min_sequence_number") === 1L)
+    // IDENTICAL content — the deletes still hide their rows
+    assert(rows() === expect)
+    // time travel to PRE-rewrite snapshots reads their own lists
+    assert(spark.read.format("iceberg-meta")
+      .option("snapshotId", preSnap.toString).load(root)
+      .select("k").as[Long].collect().toSeq.sorted === expect)
+    assert(spark.read.format("iceberg-meta")
+      .option("snapshotId", appendSnap.toString).load(root)
+      .count() === 48) // 3 appends in, delete not yet committed
+    // writes continue off the rewritten list
+    IcebergMeta.append(spark.range(64, 70).toDF("k").coalesce(1), root)
+    assert(rows() === expect ++ (64L until 70L))
+    assert(manifests().count(_.getInt(2) == 0) === 2)
+    // no-op when already at the target: same snapshot id back
+    val cur = IcebergMeta.snapshot(root).snapshotId
+    assert(IcebergMeta.rewriteManifests(root, targetManifests = 2) === cur)
+    // TARGET n splits the clustered entry list into n manifests
+    IcebergMeta.append(spark.range(70, 76).toDF("k").coalesce(1), root)
+    assert(manifests().count(_.getInt(2) == 0) === 3)
+    IcebergMeta.rewriteManifests(root, targetManifests = 2)
+    assert(manifests().count(_.getInt(2) == 0) === 2)
+    assert(rows() === expect ++ (64L until 76L))
+  }
 }

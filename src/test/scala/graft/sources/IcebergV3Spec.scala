@@ -782,4 +782,35 @@ class IcebergV3Spec extends SparkSpecBase {
     assert(spark.read.format("iceberg-meta").load(root)
       .filter(col("lang") === "en").count() === 4)
   }
+
+  test("rewrite_manifests on a lineage table materializes first_row_id explicitly") {
+    val root = tmp()
+    IcebergMeta.writeFixture(
+      spark.range(0, 10).toDF("k").coalesce(1).orderBy("k"), root,
+      formatVersion = 3)
+    IcebergMeta.append(
+      spark.range(100, 103).toDF("k").coalesce(1).orderBy("k"), root)
+    // a DV rides a delete manifest across the rewrite too
+    IcebergMeta.delete(spark, root, col("k") % 3 === 0)
+    def ids(): Map[Long, Long] =
+      IcebergMetaRead.readWithRowIds(spark, root)
+        .select("k", "_row_id").as[(Long, Long)].collect().toMap
+    val pre = ids()
+    assert(pre(100L) === 10L && pre(5L) === 5L)
+    IcebergMeta.rewriteManifests(root)
+    // the restated entries can no longer inherit from their ORIGINAL
+    // list rows — ids survive only because the rewrite materialized
+    // them (spec field 146); any drift here is silent lineage
+    // corruption
+    assert(ids() === pre)
+    assert(IcebergMeta.manifestsFrame(spark, root).collect()
+      .count(_.getInt(2) == 0) === 1)
+    // the mark did not move (metadata-only commit adds no rows) —
+    // a post-rewrite append continues exactly where it would have
+    IcebergMeta.append(
+      spark.range(200, 202).toDF("k").coalesce(1).orderBy("k"), root)
+    val post = ids()
+    assert(post(200L) === 13L && post(201L) === 14L)
+    assert(post.filterNot(kv => kv._1 >= 200) === pre)
+  }
 }

@@ -4097,6 +4097,53 @@ object Lakehouse {
              |  3 AS n_manifests_before, 1 AS n_manifests_after
              |FROM orders
              |WHERE o_orderkey <= 4096 AND o_orderkey % 10 <> 3"""
-        .stripMargin))
+        .stripMargin)),
+
+    // ICEBERG v3 NESTED initial-default (round 13): ALTER TABLE ADD
+    // COLUMN meta.src DEFAULT 'web' is ONE metadata-only commit — no
+    // data file rewrites — and the reader resolves it per FILE by
+    // sequence-number dating: pre-evolution files fill the struct
+    // member via withField above the scan (null parent structs stay
+    // null), post-evolution files read stored values, stored NULLs
+    // included. At 100 TB this is the schema-evolution path that
+    // makes adding a field to a petabyte table instant. The oracle
+    // reconstructs the same per-row provenance relationally.
+    QueryDef(
+      "q281_iceberg_nested_default",
+      (s, d) => {
+        import graft.sources.IcebergMeta
+        val root = Files.createTempDirectory("ind_").toString + "/t"
+        val src = orders(s, d).filter(col("o_orderkey") <= 4096L)
+        IcebergMeta.writeFixture(
+          src.filter(col("o_orderkey") <= 2048L)
+            .select(col("o_orderkey"),
+              struct(col("o_orderstatus").as("status")).as("meta"))
+            .coalesce(1), root, formatVersion = 3)
+        IcebergMeta.addColumnWithDefault(root, "meta.src",
+          org.apache.spark.sql.types.StringType, "web")
+        IcebergMeta.append(
+          src.filter(col("o_orderkey") > 2048L)
+            .select(col("o_orderkey"),
+              struct(col("o_orderstatus").as("status"),
+                when(col("o_orderkey") % 2 === 0, "api")
+                  .otherwise(lit(null).cast("string")).as("src"))
+                .as("meta"))
+            .coalesce(1), root)
+        s.read.format("iceberg-meta").load(root)
+          .groupBy(coalesce(col("meta.src"), lit("none")).as("src"))
+          .agg(count(lit(1)).as("n_orders"),
+            sum(col("o_orderkey")).cast("long").as("sum_key"))
+          .orderBy(col("src"))
+      },
+      Some("""WITH t AS (
+             |  SELECT o_orderkey AS k, 'web' AS src FROM orders
+             |  WHERE o_orderkey <= 2048
+             |  UNION ALL
+             |  SELECT o_orderkey,
+             |    CASE WHEN o_orderkey % 2 = 0 THEN 'api' ELSE 'none' END
+             |  FROM orders WHERE o_orderkey > 2048 AND o_orderkey <= 4096)
+             |SELECT src, CAST(count(*) AS BIGINT) AS n_orders,
+             |  CAST(sum(k) AS BIGINT) AS sum_key
+             |FROM t GROUP BY src ORDER BY src""".stripMargin))
   )
 }

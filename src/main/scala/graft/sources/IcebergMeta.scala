@@ -153,7 +153,15 @@ object IcebergMeta {
     * stored NULLs must stay NULL), so [[snapshot]] refuses it
     * loudly instead of guessing. */
   final case class IceDefault(name: String, dataType: DataType,
-      value: Any, firstSeq: Long, lastPreSeq: Long = Long.MinValue)
+      value: Any, firstSeq: Long, lastPreSeq: Long = Long.MinValue,
+      // STRUCT-NESTED default (v3): the field's path from the top
+      // level ([] = top-level `name`). `name` is the dotted rendering
+      // — what the per-file footer-presence check matches. Paths
+      // crossing list/map types refuse at replay (no column shape to
+      // fill through).
+      path: Seq[String] = Nil) {
+    def segments: Seq[String] = if (path.isEmpty) Seq(name) else path
+  }
 
   final case class IceSnapshot(root: String, snapshotId: Long,
       schema: StructType, files: Seq[IceFile],
@@ -432,8 +440,14 @@ object IcebergMeta {
         s"iceberg-meta: type '$other' not supported")
     } else if (t.isObject && t.get("type").asText() == "struct") {
       StructType(t.get("fields").elements().asScala.map { f =>
+        // a DEFAULT-valued nested field surfaces nullable even when
+        // the spec marks it required — pre-evolution files lack the
+        // physical member, the scan null-fills it, and the withField
+        // fill restores totality ABOVE the scan (same posture as the
+        // top-level rule in [[schemaOf]])
         StructField(f.get("name").asText(), toSparkType(f.get("type")),
-          !f.get("required").asBoolean())
+          !f.get("required").asBoolean() ||
+            f.hasNonNull("initial-default"))
       }.toSeq)
     } else if (t.isObject && t.get("type").asText() == "list") {
       ArrayType(toSparkType(t.get("element")),
@@ -777,17 +791,34 @@ object IcebergMeta {
       dvs, defaults)
   }
 
-  /** Top-level column names physically present in a parquet file's
+  /** DOTTED column paths physically present in a parquet file's
     * footer schema — [[defaultApplies]]'s per-file authority for
-    * expiration-ambiguous files. */
+    * expiration-ambiguous files. Recurses through plain STRUCT groups
+    * (where nested defaults live); annotated groups (LIST/MAP) stop
+    * at their own path — defaults never cross them. */
   private def footerColumnNames(path: String): Set[String] = {
     val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
       org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
         new org.apache.hadoop.fs.Path(new java.io.File(path).toURI),
         new org.apache.hadoop.conf.Configuration()))
-    try reader.getFooter.getFileMetaData.getSchema.getFields.asScala
-      .map(_.getName).toSet
-    finally reader.close()
+    try {
+      val out = scala.collection.mutable.Set.empty[String]
+      def walk(prefix: String,
+          fields: Seq[org.apache.parquet.schema.Type]): Unit =
+        fields.foreach { t =>
+          val p = if (prefix.isEmpty) t.getName else s"$prefix.${t.getName}"
+          out += p
+          t match {
+            case g: org.apache.parquet.schema.GroupType
+                if g.getLogicalTypeAnnotation == null =>
+              walk(p, g.getFields.asScala.toSeq)
+            case _ => ()
+          }
+        }
+      walk("", reader.getFooter.getFileMetaData.getSchema
+        .getFields.asScala.toSeq)
+      out.toSet
+    } finally reader.close()
   }
 
   /** One parsed delete-manifest entry ([[snapshot]] replay). */
@@ -797,14 +828,11 @@ object IcebergMeta {
   private final case class Dv(d: IceDV) extends DeleteEntry
 
   /** v3 read gates — refuse what this reader cannot honor, loudly:
-    *
-    *  - a NESTED field with a non-null `initial-default`: this reader
-    *    resolves defaults per-FILE by sequence number and applies
-    *    them as top-level column coalesces; nested struct members
-    *    have no such column to coalesce — read with an Iceberg
-    *    runtime (TOP-LEVEL defaults are fully supported:
-    *    [[v3Defaults]]);
-    *  - table encryption (v3 `encryption-keys`): no key material here.
+    * table encryption (v3 `encryption-keys` — no key material here).
+    * Default-valued fields — top-level AND struct-nested — are fully
+    * supported ([[v3Defaults]]); only a default under a LIST/MAP
+    * refuses (inside v3Defaults — there is no column shape to fill
+    * through).
     *
     * Row-lineage metadata (`next-row-id`, snapshot `first-row-id`,
     * manifest/file `first_row_id`) is fine to IGNORE on read: it only
@@ -815,22 +843,6 @@ object IcebergMeta {
     val enc = meta.get("encryption-keys")
     require(enc == null || enc.isNull || !enc.elements().hasNext,
       s"iceberg-meta: $root uses v3 table encryption — not supported")
-    def walkNested(t: JsonNode): Unit =
-      if (t != null && t.isObject && t.hasNonNull("fields")) {
-        t.get("fields").elements().asScala.foreach { f =>
-          require(!f.hasNonNull("initial-default"),
-            s"iceberg-meta: NESTED field '${f.get("name").asText()}' " +
-              s"of $root carries a v3 initial-default — this reader " +
-              "resolves defaults as top-level column coalesces only; " +
-              "read with an Iceberg runtime")
-          if (f.hasNonNull("type")) walkNested(f.get("type"))
-        }
-      }
-    currentSchemaNode(meta).foreach { s =>
-      if (s.hasNonNull("fields"))
-        s.get("fields").elements().asScala
-          .foreach(f => if (f.hasNonNull("type")) walkNested(f.get("type")))
-    }
   }
 
   /** The current schema node of a metadata document (the `schemas` +
@@ -859,14 +871,59 @@ object IcebergMeta {
     * to `Long.MaxValue`: every current file predates it, all read
     * the default — exactly the ALTER TABLE ADD COLUMN semantics. */
   private def v3Defaults(meta: JsonNode, root: String): Seq[IceDefault] = {
+    // every defaulted field with its STRUCT path from the top level —
+    // nested struct members fill through Column.withField at scan
+    // time; a default under a LIST/MAP refuses (there is no column
+    // shape to fill through), as does a path segment containing '.'
+    // (the dotted rendering the per-file footer check matches would
+    // be ambiguous)
+    def defaulted(path: Seq[String], t: JsonNode,
+        underCollection: Boolean): Seq[(Seq[String], JsonNode)] =
+      if (t == null || !t.isObject || !t.hasNonNull("type")) Nil
+      else t.get("type").asText() match {
+        case "struct" =>
+          t.get("fields").elements().asScala.toSeq.flatMap { f =>
+            val p = path :+ f.get("name").asText()
+            val here =
+              if (!f.hasNonNull("initial-default")) Nil
+              else {
+                require(!underCollection,
+                  s"iceberg-meta: field '${p.mkString(".")}' of $root " +
+                    "carries a v3 initial-default under a list/map — " +
+                    "no column shape to fill through; read with an " +
+                    "Iceberg runtime")
+                require(p.forall(!_.contains(".")),
+                  s"iceberg-meta: defaulted field path ${p.mkString(".")}" +
+                    s" of $root contains a '.' segment — ambiguous")
+                Seq((p, f))
+              }
+            here ++ defaulted(p, f.get("type"), underCollection)
+          }
+        case "list" =>
+          defaulted(path, t.get("element"), underCollection = true)
+        case "map" =>
+          defaulted(path, t.get("key"), underCollection = true) ++
+            defaulted(path, t.get("value"), underCollection = true)
+        case _ => Nil
+      }
     val fields = currentSchemaNode(meta).toSeq
-      .flatMap(s => s.get("fields").elements().asScala)
-      .filter(_.hasNonNull("initial-default"))
+      .flatMap(s => defaulted(Nil, s, underCollection = false))
     if (fields.isEmpty) return Nil
+    // field ids are schema-unique at EVERY nesting level — collect
+    // them all so nested fields date exactly like top-level ones
+    def idsOf(t: JsonNode): Set[Int] =
+      if (t == null || !t.isObject || !t.hasNonNull("type")) Set.empty
+      else t.get("type").asText() match {
+        case "struct" =>
+          t.get("fields").elements().asScala.flatMap(f =>
+            Set(f.get("id").asInt()) ++ idsOf(f.get("type"))).toSet
+        case "list" => idsOf(t.get("element"))
+        case "map" => idsOf(t.get("key")) ++ idsOf(t.get("value"))
+        case _ => Set.empty
+      }
     val idsBySchema: Map[Int, Set[Int]] =
       meta.get("schemas").elements().asScala.map { s =>
-        s.get("schema-id").asInt() -> s.get("fields").elements().asScala
-          .map(_.get("id").asInt()).toSet
+        s.get("schema-id").asInt() -> idsOf(s)
       }.toMap
     val snaps =
       if (!meta.hasNonNull("snapshots")) Nil
@@ -876,8 +933,8 @@ object IcebergMeta {
         s"snapshot ${s.get("snapshot-id").asLong()} records no " +
         "schema-id — the fields cannot be dated against data " +
         "sequence numbers; read with an Iceberg runtime"))
-    fields.map { f =>
-      val name = f.get("name").asText()
+    fields.map { case (path, f) =>
+      val name = path.mkString(".")
       val fid = f.get("id").asInt()
       val dt = toSparkType(f.get("type"))
       def seqOf(s: JsonNode): Long =
@@ -889,7 +946,7 @@ object IcebergMeta {
       val lastPreSeq = lacking.map(seqOf).maxOption.getOrElse(Long.MinValue)
       IceDefault(name, dt,
         decodeJsonSingleValue(dt, f.get("initial-default"), root, name),
-        firstSeq, lastPreSeq)
+        firstSeq, lastPreSeq, path = path)
     }
   }
 
@@ -956,9 +1013,6 @@ object IcebergMeta {
       "iceberg-meta: initial-default fields require format-version 3")
     val meta = meta0
       .deepCopy[com.fasterxml.jackson.databind.node.ObjectNode]
-    val (schema, _) = schemaOf(meta)
-    require(!schema.fieldNames.contains(name),
-      s"iceberg-meta: column '$name' already exists in $root")
     val newId = meta.get("last-column-id").asInt() + 1
     val curId = meta.get("current-schema-id").asInt()
     val schemas = meta.withArray[
@@ -972,15 +1026,38 @@ object IcebergMeta {
     val next = cur
       .deepCopy[com.fasterxml.jackson.databind.node.ObjectNode]
     next.put("schema-id", newSchemaId)
+    // `name` may be DOTTED: parent segments walk into existing STRUCT
+    // fields (Iceberg's ALTER TABLE ADD COLUMN parent.child shape),
+    // the new field lands in the innermost struct's field list
+    val segs = name.split("\\.").toSeq
+    var fieldsArr = next.withArray[
+      com.fasterxml.jackson.databind.node.ArrayNode]("fields")
+    segs.init.foreach { seg =>
+      val parent = fieldsArr.elements().asScala
+        .find(_.get("name").asText() == seg)
+        .getOrElse(throw new IllegalArgumentException(
+          s"iceberg-meta: parent field '$seg' of '$name' not in $root"))
+      val t = parent.get("type")
+      require(t != null && t.isObject &&
+        t.get("type").asText() == "struct",
+        s"iceberg-meta: parent field '$seg' of '$name' is not a " +
+          "struct — defaults under list/map have no column shape " +
+          "to fill through")
+      fieldsArr = t.asInstanceOf[
+        com.fasterxml.jackson.databind.node.ObjectNode].withArray[
+        com.fasterxml.jackson.databind.node.ArrayNode]("fields")
+    }
+    require(!fieldsArr.elements().asScala
+      .exists(_.get("name").asText() == segs.last),
+      s"iceberg-meta: column '$name' already exists in $root")
     val f = mapper.createObjectNode()
     f.put("id", newId)
-    f.put("name", name)
+    f.put("name", segs.last)
     f.put("required", required)
     f.put("type", iceTypeOf(dt))
     f.set[JsonNode]("initial-default", encodeJsonSingleValue(dt, default))
     f.set[JsonNode]("write-default", encodeJsonSingleValue(dt, default))
-    next.withArray[
-      com.fasterxml.jackson.databind.node.ArrayNode]("fields").add(f)
+    fieldsArr.add(f)
     schemas.add(next)
     meta.put("current-schema-id", newSchemaId)
     meta.put("last-column-id", newId)
@@ -1314,6 +1391,32 @@ object IcebergMeta {
       s"iceberg-meta fixture: type $other not supported")
   }
 
+  /** Schema-fields JSON for [[writeFixture]] with DEPTH-FIRST field
+    * id assignment (Iceberg's fresh-table order — each field's id
+    * precedes its nested members', siblings follow). Struct nesting
+    * supported; list/map refuse in [[iceTypeOf]]. Returns (fields
+    * JSON, last assigned id, top-level name → id). */
+  private def fixtureFieldsJson(st: StructType)
+      : (String, Int, Map[String, Int]) = {
+    var counter = 0
+    val top = scala.collection.mutable.LinkedHashMap.empty[String, Int]
+    def typeJson(dt: DataType): String = dt match {
+      case s: StructType =>
+        s.fields.map(fieldJson(_, topLevel = false))
+          .mkString("""{"type":"struct","fields":[""", ",", "]}")
+      case other => "\"" + iceTypeOf(other) + "\""
+    }
+    def fieldJson(f: StructField, topLevel: Boolean): String = {
+      counter += 1
+      if (topLevel) top(f.name) = counter
+      val id = counter
+      s"""{"id":$id,"name":"${f.name}","required":${!f.nullable},""" +
+        s""""type":${typeJson(f.dataType)}}"""
+    }
+    val json = st.fields.map(fieldJson(_, topLevel = true)).mkString(",")
+    (json, counter, top.toMap)
+  }
+
   /** Write `df` as a NEW spec-shaped Iceberg table at `root` (one
     * snapshot, one manifest; data files written by Spark with per-file
     * bounds harvested from parquet footers). With `partitionBy`, the
@@ -1332,8 +1435,8 @@ object IcebergMeta {
       "iceberg-meta fixture: variant columns require format-version 3")
     require(!IceCatalog.forRoot(root).tableExists(root),
       s"iceberg-meta fixture: $root already exists")
-    val fieldId = df.schema.fieldNames.zipWithIndex
-      .map { case (n, i) => n -> (i + 1) }.toMap
+    val (fieldsJson, lastColumnId, fieldId) =
+      fixtureFieldsJson(df.schema)
     val typeOf = df.schema.fields.map(f => f.name -> f.dataType).toMap
     // each spelling is a column name or transform(args...,col):
     //   "p" | "bucket(4,k)" | "truncate(3,s)" | "year(d)" | "month(d)"
@@ -1392,10 +1495,7 @@ object IcebergMeta {
         entries.size, 0, rows, 0L,
         // v3 row lineage: the creating snapshot assigns ids [0, rows)
         firstRowId = if (formatVersion == 3) Some(0L) else None)))
-    val fields = df.schema.fields.zipWithIndex.map { case (f, i) =>
-      s"""{"id":${i + 1},"name":"${f.name}","required":${!f.nullable},""" +
-        s""""type":"${iceTypeOf(f.dataType)}"}"""
-    }.mkString(",")
+    val fields = fieldsJson
     val specJson = specFields.map(f =>
       s"""{"name":"${f.name}","transform":"${f.transform.json}",""" +
         s""""source-id":${fieldId(f.srcCol)},"field-id":${f.fieldId}}""")
@@ -1413,7 +1513,7 @@ object IcebergMeta {
          |"table-uuid":"${java.util.UUID.randomUUID()}",
          |"location":"$root","last-sequence-number":1,
          |"last-updated-ms":$nowMs,
-         |"last-column-id":${df.schema.length},
+         |"last-column-id":$lastColumnId,
          |$v3Table
          |"current-schema-id":0,
          |"schemas":[{"type":"struct","schema-id":0,"fields":[$fields]}],

@@ -334,8 +334,21 @@ object IcebergMetaRead {
         val base = project(plainDf(spark,
           snap.copy(files = fs, defaults = Nil)))
         ds.foldLeft(base) { case (cur, d) =>
-          cur.withColumn(d.name, coalesce(col(s"`${d.name}`"),
-            lit(d.value).cast(d.dataType)))
+          d.segments match {
+            case Seq(top) =>
+              cur.withColumn(top, coalesce(col(s"`$top`"),
+                lit(d.value).cast(d.dataType)))
+            case top +: rest =>
+              // STRUCT-NESTED default: the pre-evolution file's
+              // struct lacks the member entirely, so every row of
+              // this branch reads the default — withField fills it
+              // while rows whose PARENT struct is null stay null
+              // (a null struct cannot carry a member value, the
+              // spec's own shape)
+              cur.withColumn(top, col(s"`$top`").withField(
+                rest.map(s => s"`$s`").mkString("."),
+                lit(d.value).cast(d.dataType)))
+          }
         }
       }.reduce(_ unionByName _)
     }

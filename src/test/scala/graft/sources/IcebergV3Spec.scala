@@ -12,9 +12,10 @@ import org.apache.spark.sql.functions._
   * compaction + COW UPDATE/MERGE with MATERIALIZED lineage,
   * replace-all OVERWRITE with fresh inheritance ids, DEFAULT VALUES
   * (snapshot-history dating, expired-gap refusal), timestamp_ns +
-  * variant reads, changes() derivation from DV diffs, and the
-  * refusal gates (NESTED/undatable defaults, encryption, parquet
-  * position deletes, duplicate DVs, v4+). */
+  * variant reads, changes() derivation from DV diffs, NESTED
+  * struct-member defaults (read fill + the dotted ADD COLUMN writer),
+  * and the refusal gates (list/map-nested or undatable defaults,
+  * encryption, parquet position deletes, duplicate DVs, v4+). */
 class IcebergV3Spec extends SparkSpecBase {
   import spark.implicits._
 
@@ -384,17 +385,19 @@ class IcebergV3Spec extends SparkSpecBase {
     assert(spark.read.format("iceberg-meta").load(root).count() === 4)
     patchMeta(_.replace(""","initial-default":42""", ""))
 
-    // a NESTED initial-default refuses (no top-level column to
-    // coalesce)
+    // a NESTED initial-default RESOLVES (round 13): the replay dates
+    // it like a top-level one and records its struct path — here the
+    // field's schema is every snapshot's schema, so no live file
+    // predates it and no fill branch plans
     patchMeta(_.replace("""}]}],""",
       """},{"id":9,"name":"s","required":false,"type":{"type":"struct",""" +
         """"fields":[{"id":10,"name":"c","required":false,""" +
         """"type":"int","initial-default":5}]}}]}],"""))
-    val e1 = intercept[IllegalArgumentException] {
-      IcebergMeta.snapshot(root)
-    }
-    assert(e1.getMessage.contains("NESTED") &&
-      e1.getMessage.contains("initial-default"))
+    val snapNested = IcebergMeta.snapshot(root)
+    assert(snapNested.defaults.map(d => (d.name, d.segments)) ===
+      Seq(("s.c", Seq("s", "c"))))
+    assert(!snapNested.needsDefaultFill)
+    assert(spark.read.format("iceberg-meta").load(root).count() === 4)
     patchMeta(_.replace(
       """},{"id":9,"name":"s","required":false,"type":{"type":"struct",""" +
         """"fields":[{"id":10,"name":"c","required":false,""" +
@@ -781,6 +784,209 @@ class IcebergV3Spec extends SparkSpecBase {
       .files.forall(_.footerColumns.isEmpty))
     assert(spark.read.format("iceberg-meta").load(root)
       .filter(col("lang") === "en").count() === 4)
+  }
+
+  test("NESTED initial-default: foreign fixture fills struct members per file") {
+    val root = tmp()
+    val dataDir = Paths.get(root, "data")
+    // file A at seq 1 under schema 0 (k, s:struct<a:long>) — one row
+    // with a NULL struct (must STAY null: a null struct cannot carry
+    // a member value); file B at seq 2 under schema 1, where s grew
+    // tag:string with initial-default "xx" — B stores explicit
+    // values including a stored NULL tag (stored values win)
+    spark.range(0, 3).toDF("k")
+      .select(col("k"), when(col("k") === 1, lit(null))
+        .otherwise(struct((col("k") * 2).as("a"))).as("s"))
+      .coalesce(1).write.parquet(dataDir.resolve("a").toString)
+    spark.createDataFrame(Seq(
+        (10L, (100L, "fr")), (11L, (110L, null: String))))
+      .toDF("k", "s0")
+      .select(col("k"), struct(col("s0._1").as("a"),
+        col("s0._2").as("tag")).as("s"))
+      .coalesce(1).write.parquet(dataDir.resolve("b").toString)
+    import scala.jdk.CollectionConverters._
+    def partOf(dir: String): String = {
+      val s = Files.list(dataDir.resolve(dir))
+      try s.iterator().asScala.map(_.getFileName.toString)
+        .filter(n => n.endsWith(".parquet") && !n.startsWith("."))
+        .toSeq.sorted.head
+      finally s.close()
+    }
+    import org.apache.avro.generic.{GenericData, GenericDatumWriter, GenericRecord}
+    import org.apache.avro.file.DataFileWriter
+    Files.createDirectories(Paths.get(root, "metadata"))
+    val manifest = new org.apache.avro.Schema.Parser().parse(
+      """{"type":"record","name":"manifest_entry","fields":[
+        |{"name":"status","type":"int"},
+        |{"name":"sequence_number","type":["null","long"],"default":null},
+        |{"name":"data_file","type":{"type":"record","name":"data_file","fields":[
+        |  {"name":"content","type":"int"},
+        |  {"name":"file_path","type":"string"},
+        |  {"name":"file_format","type":"string"},
+        |  {"name":"record_count","type":"long"},
+        |  {"name":"file_size_in_bytes","type":"long"}
+        |]}}]}""".stripMargin)
+    def entry(rel: String, seq: Long, records: Long): GenericRecord = {
+      val e = new GenericData.Record(manifest)
+      e.put("status", 1)
+      e.put("sequence_number", java.lang.Long.valueOf(seq))
+      val d = new GenericData.Record(
+        manifest.getField("data_file").schema())
+      d.put("content", 0)
+      d.put("file_path", rel)
+      d.put("file_format", "PARQUET")
+      d.put("record_count", records)
+      d.put("file_size_in_bytes", Files.size(Paths.get(root, rel)))
+      e.put("data_file", d)
+      e
+    }
+    val w = new DataFileWriter(
+      new GenericDatumWriter[GenericRecord](manifest))
+    w.create(manifest, Paths.get(root, "metadata/m0.avro").toFile)
+    w.append(entry(s"data/a/${partOf("a")}", 1L, 3L))
+    w.append(entry(s"data/b/${partOf("b")}", 2L, 2L))
+    w.close()
+    val listSchema = new org.apache.avro.Schema.Parser().parse(
+      """{"type":"record","name":"manifest_file","fields":[
+        |{"name":"manifest_path","type":"string"},
+        |{"name":"manifest_length","type":"long"},
+        |{"name":"partition_spec_id","type":"int"},
+        |{"name":"content","type":"int"},
+        |{"name":"sequence_number","type":"long"}
+        |]}""".stripMargin)
+    val lw = new DataFileWriter(
+      new GenericDatumWriter[GenericRecord](listSchema))
+    lw.create(listSchema, Paths.get(root, "metadata/snap.avro").toFile)
+    val lr = new GenericData.Record(listSchema)
+    lr.put("manifest_path", "metadata/m0.avro")
+    lr.put("manifest_length",
+      Files.size(Paths.get(root, "metadata/m0.avro")))
+    lr.put("partition_spec_id", 0)
+    lr.put("content", 0)
+    lr.put("sequence_number", 2L)
+    lw.append(lr)
+    lw.close()
+    val sStruct0 =
+      """{"type":"struct","fields":[
+        |{"id":3,"name":"a","required":false,"type":"long"}]}"""
+        .stripMargin
+    val sStruct1 =
+      """{"type":"struct","fields":[
+        |{"id":3,"name":"a","required":false,"type":"long"},
+        |{"id":4,"name":"tag","required":true,"type":"string",
+        | "initial-default":"xx","write-default":"xx"}]}"""
+        .stripMargin
+    Files.write(Paths.get(root, "metadata/v1.metadata.json"),
+      s"""{"format-version":3,"table-uuid":"t","location":"$root",
+         |"last-sequence-number":2,"last-column-id":4,
+         |"current-schema-id":1,
+         |"schemas":[
+         |  {"type":"struct","schema-id":0,"fields":[
+         |    {"id":1,"name":"k","required":false,"type":"long"},
+         |    {"id":2,"name":"s","required":false,"type":$sStruct0}]},
+         |  {"type":"struct","schema-id":1,"fields":[
+         |    {"id":1,"name":"k","required":false,"type":"long"},
+         |    {"id":2,"name":"s","required":false,"type":$sStruct1}]}],
+         |"current-snapshot-id":8,
+         |"snapshots":[
+         |  {"snapshot-id":7,"sequence-number":1,"schema-id":0,
+         |   "manifest-list":"metadata/snap.avro","timestamp-ms":1,
+         |   "summary":{"operation":"append"}},
+         |  {"snapshot-id":8,"sequence-number":2,"schema-id":1,
+         |   "parent-snapshot-id":7,
+         |   "manifest-list":"metadata/snap.avro","timestamp-ms":2,
+         |   "summary":{"operation":"append"}}]}"""
+        .stripMargin.getBytes(UTF_8))
+    Files.write(Paths.get(root, "metadata/version-hint.text"),
+      "1".getBytes(UTF_8))
+    val snap = IcebergMeta.snapshot(root)
+    assert(snap.defaults.map(d => (d.name, d.segments, d.value,
+      d.firstSeq)) === Seq(("s.tag", Seq("s", "tag"), "xx", 2L)))
+    assert(snap.needsDefaultFill)
+    // nested member surfaces NULLABLE despite required=true — the
+    // fill restores totality above the scan
+    val schema = spark.read.format("iceberg-meta").load(root).schema
+    assert(schema("s").dataType.asInstanceOf[
+      org.apache.spark.sql.types.StructType]("tag").nullable)
+    val got = spark.read.format("iceberg-meta").load(root)
+      .select(col("k"), col("s.a").as("a"), col("s.tag").as("tag"),
+        col("s").isNull.as("snull"))
+      .as[(Long, Option[Long], Option[String], Boolean)]
+      .collect().map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    // pre-evolution rows read the default; the NULL STRUCT stays null
+    assert(got(0L) === ((Some(0L), Some("xx"), false)))
+    assert(got(1L) === ((None, None, true)))
+    assert(got(2L) === ((Some(4L), Some("xx"), false)))
+    // post-evolution rows read stored values — the stored NULL wins
+    assert(got(10L) === ((Some(100L), Some("fr"), false)))
+    assert(got(11L) === ((Some(110L), None, false)))
+    // a filter through the filled member answers correctly
+    assert(spark.read.format("iceberg-meta").load(root)
+      .filter(col("s.tag") === "xx").count() === 2)
+  }
+
+  test("nested ADD COLUMN DEFAULT: writer evolution, fill, append round-trip") {
+    val root = tmp()
+    IcebergMeta.writeFixture(
+      spark.range(0, 6).toDF("k")
+        .select(col("k"),
+          struct(concat(lit("s"), col("k")).as("status")).as("meta"))
+        .coalesce(1), root, formatVersion = 3)
+    // one metadata-only commit adds meta.src with a default — the
+    // dotted path walks into the struct, fresh id past last-column-id
+    IcebergMeta.addColumnWithDefault(root, "meta.src",
+      org.apache.spark.sql.types.StringType, "web")
+    val r1 = spark.read.format("iceberg-meta").load(root)
+    assert(r1.filter(col("meta.src") === "web").count() === 6)
+    // appends under the evolved schema store explicit values
+    // (including NULL — stored values win over the default)
+    IcebergMeta.append(
+      spark.range(10, 12).toDF("k")
+        .select(col("k"), struct(
+          concat(lit("s"), col("k")).as("status"),
+          when(col("k") === 10, "api")
+            .otherwise(lit(null).cast("string")).as("src")).as("meta"))
+        .coalesce(1), root)
+    val got = spark.read.format("iceberg-meta").load(root)
+      .select(col("k"), col("meta.src").as("src"))
+      .as[(Long, Option[String])].collect().toMap
+    assert(got(0L) === Some("web") && got(5L) === Some("web"))
+    assert(got(10L) === Some("api") && got(11L) === None)
+    // refusals: unknown parent, non-struct parent
+    assert(intercept[IllegalArgumentException] {
+      IcebergMeta.addColumnWithDefault(root, "nope.x",
+        org.apache.spark.sql.types.StringType, "v")
+    }.getMessage.contains("parent"))
+    assert(intercept[IllegalArgumentException] {
+      IcebergMeta.addColumnWithDefault(root, "k.x",
+        org.apache.spark.sql.types.StringType, "v")
+    }.getMessage.contains("not a struct"))
+  }
+
+  test("initial-default under a LIST refuses loudly") {
+    val root = tmp()
+    Files.createDirectories(Paths.get(root, "metadata"))
+    Files.write(Paths.get(root, "metadata/v1.metadata.json"),
+      s"""{"format-version":3,"table-uuid":"t","location":"$root",
+         |"last-sequence-number":0,"last-column-id":5,
+         |"current-schema-id":0,
+         |"schemas":[
+         |  {"type":"struct","schema-id":0,"fields":[
+         |    {"id":1,"name":"k","required":false,"type":"long"},
+         |    {"id":2,"name":"xs","required":false,"type":{
+         |      "type":"list","element-id":3,"element-required":false,
+         |      "element":{"type":"struct","fields":[
+         |        {"id":4,"name":"a","required":false,"type":"long"},
+         |        {"id":5,"name":"tag","required":false,"type":"string",
+         |         "initial-default":"xx"}]}}}]}],
+         |"current-snapshot-id":-1,
+         |"snapshots":[]}""".stripMargin.getBytes(UTF_8))
+    Files.write(Paths.get(root, "metadata/version-hint.text"),
+      "1".getBytes(UTF_8))
+    val e = intercept[IllegalArgumentException] {
+      IcebergMeta.snapshot(root)
+    }
+    assert(e.getMessage.contains("under a list/map"))
   }
 
   test("rewrite_manifests on a lineage table materializes first_row_id explicitly") {

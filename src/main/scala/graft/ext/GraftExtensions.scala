@@ -47,6 +47,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // Iceberg v2 positional delete files apply at scan time via the
     // same Union/anti-join shape — see [[IcebergMorScan]].
     ext.injectPostHocResolutionRule(IcebergMorScan)
+    // Puffin NDV statistics feed the CBO (rowCount + distinctCount on
+    // iceberg-meta relations) — AFTER the MOR rewrite so it stamps
+    // the relations that survive as stock scans — see
+    // [[IcebergCboStats]].
+    ext.injectPostHocResolutionRule(IcebergCboStats)
     // Delta column mapping resolves physical names BEFORE the DV rule
     // (a mapped table with DVs composes: physical scan, then DV
     // rewrite in physical space) — see [[DeltaColumnMappingScan]].

@@ -165,6 +165,8 @@ object GraftSqlParser {
     """(?is)\s*GRAFT\s+OPTIMIZE\s+ICEBERG\s+'([^']+)'(?:\s+FILES\s+(\d+))?\s*;?\s*""".r
   private val RewriteManifestsIce =
     """(?is)\s*GRAFT\s+REWRITE\s+MANIFESTS\s+ICEBERG\s+'([^']+)'(?:\s+TARGET\s+(\d+))?\s*;?\s*""".r
+  private val AnalyzeIce =
+    """(?is)\s*GRAFT\s+ANALYZE\s+ICEBERG\s+'([^']+)'(?:\s+FOR\s+COLUMNS\s+([A-Za-z_][A-Za-z0-9_,\s]*?))?(\s+EXACT)?\s*;?\s*""".r
   private val OptDeltaZ =
     """(?is)\s*GRAFT\s+OPTIMIZE\s+DELTA\s+'([^']+)'\s+ZORDER\s+BY\s+([A-Za-z_][A-Za-z0-9_]*)\s*,\s*([A-Za-z_][A-Za-z0-9_]*)(?:\s+FILES\s+(\d+))?\s*;?\s*""".r
   private val OptDelta =
@@ -244,6 +246,11 @@ object GraftSqlParser {
       case RewriteManifestsIce(p, target) =>
         Some(GraftIcebergRewriteManifestsCommand(p,
           Option(target).map(_.toInt).getOrElse(1)))
+      case AnalyzeIce(p, cols, exact) =>
+        Some(GraftIcebergAnalyzeCommand(p,
+          Option(cols).map(_.split(",").map(_.trim)
+            .filter(_.nonEmpty).toSeq).getOrElse(Nil),
+          exact != null))
       case OptDeltaZ(p, x, y, files) => Some(GraftDeltaOptimizeCommand(p,
         Option(files).map(_.toInt).getOrElse(8), Some((x, y))))
       case OptDelta(p, files) => Some(GraftDeltaOptimizeCommand(p,
@@ -415,6 +422,22 @@ object GraftSqlParser {
     override val output: Seq[Attribute] = Seq(attr("snapshot_id", LongType))
     override def run(s: SparkSession): Seq[Row] =
       Seq(Row(graft.sources.IcebergMeta.compact(s, root, files, zorderBy)))
+  }
+
+  /** `GRAFT ANALYZE ICEBERG 'root' [FOR COLUMNS a, b] [EXACT]` —
+    * Iceberg's compute_table_stats procedure: per-column NDV sketched
+    * over the current snapshot (approx by default, count(DISTINCT)
+    * with EXACT) and published as a Puffin statistics file in the
+    * metadata document's `statistics` field
+    * ([[graft.sources.IcebergMeta.writeStatistics]]); the CBO rule
+    * ([[IcebergCboStats]]) feeds it back into plan costing. */
+  case class GraftIcebergAnalyzeCommand(root: String,
+      cols: Seq[String], exact: Boolean) extends LeafRunnableCommand {
+    override val output: Seq[Attribute] = Seq(
+      attr("col_name", StringType), attr("ndv", LongType))
+    override def run(s: SparkSession): Seq[Row] =
+      graft.sources.IcebergMeta.writeStatistics(s, root, cols, exact)
+        .toSeq.sortBy(_._1).map { case (c, n) => Row(c, n) }
   }
 
   /** `GRAFT REWRITE MANIFESTS ICEBERG 'root' [TARGET n]` — Iceberg's

@@ -4144,6 +4144,46 @@ object Lakehouse {
              |  FROM orders WHERE o_orderkey > 2048 AND o_orderkey <= 4096)
              |SELECT src, CAST(count(*) AS BIGINT) AS n_orders,
              |  CAST(sum(k) AS BIGINT) AS sum_key
-             |FROM t GROUP BY src ORDER BY src""".stripMargin))
+             |FROM t GROUP BY src ORDER BY src""".stripMargin)),
+
+    // ICEBERG PUFFIN NDV STATISTICS (round 13): ANALYZE sketches
+    // per-column distinct counts into apache-datasketches-theta-v1
+    // Puffin blobs published through the metadata document's
+    // `statistics` field (Iceberg's compute_table_stats shape), and
+    // the CBO rule feeds them back as rowCount + distinctCount — an
+    // equality filter then estimates 1/NDV selectivity and the RIGHT
+    // join side broadcasts (IcebergStatsSpec pins the plan flip; a
+    // hand-written foreign stats file pins the sketch decoder). The
+    // entry runs EXACT mode so DuckDB's count(DISTINCT) reproduces
+    // the numbers bit-for-bit; approx (HLL++, one pass, no shuffle)
+    // is the 100 TB default.
+    QueryDef(
+      "q282_iceberg_ndv_statistics",
+      (s, d) => {
+        import graft.sources.IcebergMeta
+        val root = Files.createTempDirectory("indv_").toString + "/t"
+        IcebergMeta.writeFixture(
+          orders(s, d).filter(col("o_orderkey") <= 4096L)
+            .select(col("o_orderkey"), col("o_custkey"),
+              col("o_orderstatus"))
+            .coalesce(1), root)
+        s.sql(s"GRAFT ANALYZE ICEBERG '$root' EXACT")
+        // read the published stats back through the metadata path —
+        // the oracle must match what a FOREIGN reader would decode
+        val ndv = IcebergMeta.columnNdv(root)
+        import s.implicits._
+        ndv.toSeq.sortBy(_._1).toDF("col_name", "ndv")
+          .orderBy(col("col_name"))
+      },
+      Some("""WITH t AS (SELECT * FROM orders WHERE o_orderkey <= 4096)
+             |SELECT 'o_custkey' AS col_name,
+             |  CAST(count(DISTINCT o_custkey) AS BIGINT) AS ndv FROM t
+             |UNION ALL
+             |SELECT 'o_orderkey',
+             |  CAST(count(DISTINCT o_orderkey) AS BIGINT) FROM t
+             |UNION ALL
+             |SELECT 'o_orderstatus',
+             |  CAST(count(DISTINCT o_orderstatus) AS BIGINT) FROM t
+             |ORDER BY col_name""".stripMargin))
   )
 }

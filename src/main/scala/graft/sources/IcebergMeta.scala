@@ -2540,7 +2540,11 @@ object IcebergMeta {
       // columns so each output file's bounds box BOTH dimensions
       // tightly — same contract as the Delta/graft OPTIMIZE ZORDER
       zorderBy: Option[(String, String)] = None,
-      zorderBits: Int = 21): Long = {
+      zorderBits: Int = 21,
+      // refresh the table's Puffin NDV statistics after the rewrite
+      // ([[writeStatistics]], approx mode) — the compaction just read
+      // every row anyway, and post-compact is when stale stats bite
+      withStats: Boolean = false): Long = {
     require(numFiles >= 1, "numFiles must be >= 1")
     val (v, meta) = currentMeta(root)
     val fv = requireKnownVersion(meta)
@@ -2636,7 +2640,10 @@ object IcebergMeta {
       Seq(manifestListRow(manifestRel,
         Files.size(Paths.get(root, manifestRel)), specId, seq, snapId,
         entries.size, 0, addedRows, 0L)))
-    commitSnapshot(root, v, meta, snapId, seq, listRel, "replace")
+    val committed =
+      commitSnapshot(root, v, meta, snapId, seq, listRel, "replace")
+    if (withStats) writeStatistics(spark, root)
+    committed
   }
 
   /** `rollback_to_snapshot` — move the table's current pointer back
@@ -3267,6 +3274,147 @@ object IcebergMeta {
       StructField("first_row_id", LongType, nullable = true))))
   }
 
+  /** Per-column NDV from the metadata document's `statistics` field
+    * (the spec's StatisticsFile list): the entry for `snapshotId`
+    * (default current) — or, when none matches exactly, the most
+    * recently RECORDED entry (stats are estimates; Iceberg engines
+    * use an ancestor's file the same way) — is resolved through its
+    * Puffin footer, and each `apache-datasketches-theta-v1` blob
+    * yields its column's NDV: the blob's `ndv` property when present
+    * (what Iceberg itself writes and reads), else the decoded sketch
+    * estimate ([[Puffin.thetaEstimate]]). Nested field ids and
+    * foreign blob types are skipped, not errors. Driver-only metadata
+    * I/O: one footer + at most one small blob read per column. */
+  def columnNdv(root: String,
+      snapshotId: Option[Long] = None): Map[String, Long] = {
+    val (_, meta) = currentMeta(root)
+    if (!meta.hasNonNull("statistics")) return Map.empty
+    val entries = meta.get("statistics").elements().asScala.toSeq
+    if (entries.isEmpty) return Map.empty
+    val sid = snapshotId.orElse(
+      if (meta.hasNonNull("current-snapshot-id") &&
+        meta.get("current-snapshot-id").asLong() != -1L)
+        Some(meta.get("current-snapshot-id").asLong())
+      else None)
+    val entry = sid.flatMap(s => entries.find(
+      _.get("snapshot-id").asLong() == s)).getOrElse(entries.last)
+    val (_, nameById) = schemaOf(meta)
+    val path = Paths.get(
+      resolvePath(root, entry.get("statistics-path").asText()))
+    val footer = Puffin.readFooter(path)
+    footer.blobs.filter(_.blobType == Puffin.ThetaV1).flatMap { b =>
+      if (b.fields.size != 1) None
+      else nameById.get(b.fields.head).map { name =>
+        name -> b.properties.get("ndv").map(_.toLong).getOrElse {
+          require(b.compressionCodec.isEmpty,
+            s"iceberg-meta: compressed theta blob for field $name " +
+              s"of $root (${b.compressionCodec.get}) not supported")
+          Puffin.thetaEstimate(Puffin.readBlob(path, b.offset, b.length))
+        }
+      }
+    }.toMap
+  }
+
+  /** Column types [[writeStatistics]] sketches (theta over anything
+    * hashable; this writer covers the bound-decodable primitives). */
+  private def ndvSupported(dt: DataType): Boolean = dt match {
+    case BooleanType | IntegerType | LongType | FloatType |
+         DoubleType | StringType | DateType | TimestampType |
+         TimestampNTZType => true
+    case _: DecimalType => true
+    case _ => false
+  }
+
+  /** ANALYZE — compute per-column NDV over the CURRENT snapshot's
+    * visible rows and publish a Puffin statistics file through the
+    * metadata document's `statistics` field (the spec's
+    * StatisticsFile shape; same flow as Iceberg's
+    * `compute_table_stats` procedure — a metadata UPDATE, no new
+    * snapshot). Each column lands as one
+    * `apache-datasketches-theta-v1` blob whose `ndv` property carries
+    * the estimate; prior entries for OTHER snapshots are kept (time
+    * travel keeps its stats), a prior entry for THIS snapshot is
+    * replaced.
+    *
+    * `exact` = one count(DISTINCT) shuffle per column (the oracle-
+    * checkable form); default is approx_count_distinct (HLL++) — ONE
+    * pass, no shuffle, the 100 TB posture. The scan projects only the
+    * sketched columns (columnar parquet: untouched columns unread).
+    * Feeds [[graft.ext]]'s CBO stats rule, which turns equality-
+    * filter selectivity into real join build-side choices. Returns
+    * the per-column NDV map. */
+  def writeStatistics(spark: SparkSession, root: String,
+      columns: Seq[String] = Nil,
+      exact: Boolean = false): Map[String, Long] = {
+    import org.apache.spark.sql.functions.{approx_count_distinct,
+      col, countDistinct}
+    val (v, meta) = currentMeta(root)
+    requireKnownVersion(meta)
+    require(meta.hasNonNull("current-snapshot-id") &&
+      meta.get("current-snapshot-id").asLong() != -1L,
+      s"iceberg-meta: $root has no current snapshot to analyze")
+    val sid = meta.get("current-snapshot-id").asLong()
+    val seq = if (meta.hasNonNull("last-sequence-number"))
+      meta.get("last-sequence-number").asLong() else 0L
+    val (schema, nameById) = schemaOf(meta)
+    val idByName = nameById.map(_.swap)
+    val targets =
+      if (columns.nonEmpty) {
+        columns.foreach { c =>
+          val f = schema.fields.find(_.name == c).getOrElse(
+            throw new IllegalArgumentException(
+              s"iceberg-meta ANALYZE: no column '$c' in $root"))
+          require(ndvSupported(f.dataType),
+            s"iceberg-meta ANALYZE: column '$c' of type " +
+              s"${f.dataType} is not sketchable")
+        }
+        columns
+      } else schema.fields.filter(f => ndvSupported(f.dataType))
+        .map(_.name).toSeq
+    require(targets.nonEmpty,
+      s"iceberg-meta ANALYZE: no sketchable columns in $root")
+    val df = spark.read.format("iceberg-meta").load(root)
+      .select(targets.map(c => col(s"`$c`")): _*)
+    val aggs = targets.map(c =>
+      if (exact) countDistinct(col(s"`$c`"))
+      else approx_count_distinct(col(s"`$c`")))
+    val row = df.agg(aggs.head, aggs.tail: _*).head()
+    val ndvs = targets.zipWithIndex.map { case (c, i) =>
+      idByName(c) -> row.getLong(i)
+    }
+    val nonce = java.util.UUID.randomUUID().toString.take(8)
+    val statsRel = s"metadata/$sid-$nonce.stats"
+    val written = Puffin.writeStatsFile(
+      Paths.get(root, statsRel), sid, seq, ndvs)
+    val newMeta = meta
+      .deepCopy[com.fasterxml.jackson.databind.node.ObjectNode]
+    val keep =
+      if (!meta.hasNonNull("statistics")) Nil
+      else meta.get("statistics").elements().asScala.toSeq
+        .filter(_.get("snapshot-id").asLong() != sid)
+        .map(_.deepCopy[JsonNode]())
+    val arr = newMeta.putArray("statistics")
+    keep.foreach(arr.add)
+    val entry = arr.addObject()
+    entry.put("snapshot-id", sid)
+    entry.put("statistics-path", statsRel)
+    entry.put("file-size-in-bytes", written.fileSize)
+    entry.put("file-footer-size-in-bytes", written.footerSize)
+    val bm = entry.putArray("blob-metadata")
+    written.blobs.foreach { b =>
+      val n = bm.addObject()
+      n.put("type", Puffin.ThetaV1)
+      n.put("snapshot-id", sid)
+      n.put("sequence-number", seq)
+      n.putArray("fields").add(b.fieldId)
+      n.putObject("properties").put("ndv", b.ndv.toString)
+    }
+    newMeta.put("last-updated-ms", System.currentTimeMillis())
+    IceCatalog.forRoot(root).commit(root, v,
+      mapper.writerWithDefaultPrettyPrinter().writeValueAsBytes(newMeta))
+    targets.zipWithIndex.map { case (c, i) => c -> row.getLong(i) }.toMap
+  }
+
   /** The `table$manifests` metadata relation — one row per manifest
     * in the current (or requested) snapshot's manifest LIST: the
     * planning-cost surface [[rewriteManifests]] maintains (each row
@@ -3756,7 +3904,11 @@ object IcebergMeta {
     * readable through time travel). Schema must match the table's by
     * name and type, like [[append]]. */
   def overwrite(spark: SparkSession, root: String,
-      df: org.apache.spark.sql.DataFrame): Long = {
+      df: org.apache.spark.sql.DataFrame,
+      // refresh the Puffin NDV statistics after the replacement (the
+      // landed files re-read column-pruned; the incoming frame is
+      // NEVER recomputed for the sketch)
+      withStats: Boolean = false): Long = {
     val snap = snapshot(root)
     val tbl = snap.schema.fields.map(f => f.name -> f.dataType).toMap
     val bad = df.schema.fields.filter(f =>
@@ -3766,8 +3918,10 @@ object IcebergMeta {
         (bad.map(_.name) ++ (if (df.schema.length == snap.schema.length)
           Nil else Seq(s"arity ${df.schema.length}!=${snap.schema.length}")))
           .mkString(", ")}")
-    replaceFiles(spark, root, snap.files.map(_.recordedPath).toSet, df,
-      replaceAllHint = true)
+    val committed = replaceFiles(spark, root,
+      snap.files.map(_.recordedPath).toSet, df, replaceAllHint = true)
+    if (withStats) writeStatistics(spark, root)
+    committed
   }
 
   /** MERGE INTO the Iceberg table with the full conditional clause

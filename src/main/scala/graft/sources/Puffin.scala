@@ -157,6 +157,161 @@ object Puffin {
     bb.array()
   }
 
+  val ThetaV1 = "apache-datasketches-theta-v1"
+
+  /** Estimate of a COMPACT Theta sketch (the Apache DataSketches
+    * serialization the Iceberg Puffin spec mandates for
+    * `apache-datasketches-theta-v1` NDV blobs; format per the
+    * published DataSketches memory layout, serial version 3):
+    *
+    *  - byte 0 preamble longs (1 empty/single-item, 2 exact,
+    *    3 estimation), byte 1 serVer (3), byte 2 family (3 =
+    *    COMPACT), byte 5 flags (bit 0 big-endian, 1 read-only,
+    *    2 empty, 3 compact, 4 ordered), bytes 6-7 seed hash;
+    *  - preLongs 2: long 1 low half = retained count (theta = 1, the
+    *    estimate IS the count); preLongs 3: long 2 = thetaLong and
+    *    estimate = retained / (thetaLong / 2^63);
+    *  - preLongs 1, not empty: the single-item form (estimate 1).
+    *
+    * Refuses big-endian and non-compact families loudly — a guessed
+    * NDV silently mis-sizes every downstream join. */
+  def thetaEstimate(blob: Array[Byte]): Long = {
+    require(blob.length >= 8, s"puffin: theta blob too short (${blob.length})")
+    val preLongs = blob(0) & 0x3f
+    val serVer = blob(1) & 0xff
+    val family = blob(2) & 0xff
+    val flags = blob(5) & 0xff
+    require(serVer == 3,
+      s"puffin: theta sketch serialization version $serVer not supported (3)")
+    require(family == 3,
+      s"puffin: sketch family $family is not COMPACT theta (3)")
+    require((flags & 0x01) == 0,
+      "puffin: big-endian theta sketches not supported")
+    val empty = (flags & 0x04) != 0
+    if (empty) return 0L
+    val bb = ByteBuffer.wrap(blob).order(ByteOrder.LITTLE_ENDIAN)
+    preLongs match {
+      case 1 => 1L // single-item compact form
+      case 2 =>
+        val retained = bb.getInt(8)
+        require(retained >= 0, s"puffin: negative retained count $retained")
+        retained.toLong // exact mode: theta = 1
+      case 3 =>
+        val retained = bb.getInt(8)
+        val thetaLong = bb.getLong(16)
+        require(retained >= 0 && thetaLong > 0,
+          s"puffin: implausible theta preamble ($retained, $thetaLong)")
+        math.round(retained.toDouble * (Long.MaxValue.toDouble / thetaLong))
+      case other => throw new IllegalArgumentException(
+        s"puffin: theta preamble of $other longs not supported")
+    }
+  }
+
+  /** Serialize an NDV as a spec-shaped compact ORDERED theta sketch
+    * whose ESTIMATE decodes to exactly `ndv`: empty (0), single-item
+    * (1), exact mode when ndv fits the nominal 4096 entries, else
+    * estimation mode with thetaLong sized so retained/theta = ndv.
+    * DIVERGENCE, stated: the retained hash values are a uniform grid
+    * below theta, not murmur hashes of the actual column values — the
+    * estimate (what NDV consumers read) is exact, but merging this
+    * sketch with a value-hashed one degrades to the grid's estimate.
+    * The paired blob `properties.ndv` carries the authoritative
+    * number, which Iceberg engines read preferentially. */
+  def encodeThetaSketch(ndv: Long): Array[Byte] = {
+    require(ndv >= 0, s"puffin: negative ndv $ndv")
+    val seedHash: Short = 0x93cc.toShort // the default-seed hash
+    def header(preLongs: Int, flags: Int): ByteBuffer = {
+      val retained = if (preLongs == 1) 0 else math.min(ndv, 4096L).toInt
+      val bb = ByteBuffer.allocate(
+        preLongs * 8 + (if (preLongs == 1 && ndv == 1) 8
+        else retained * 8)).order(ByteOrder.LITTLE_ENDIAN)
+      bb.put(preLongs.toByte).put(3.toByte).put(3.toByte)
+        .put(12.toByte).put(0.toByte).put(flags.toByte)
+        .putShort(seedHash)
+      bb
+    }
+    val ReadOnly = 0x02; val Empty = 0x04; val Compact = 0x08
+    val Ordered = 0x10
+    if (ndv == 0L)
+      header(1, ReadOnly | Empty | Compact | Ordered).array()
+    else if (ndv == 1L) {
+      val bb = header(1, ReadOnly | Compact | Ordered)
+      bb.putLong(Long.MaxValue / 3) // one arbitrary in-range hash
+      bb.array()
+    } else if (ndv <= 4096L) {
+      val bb = header(2, ReadOnly | Compact | Ordered)
+      bb.putInt(ndv.toInt) // retained; theta = 1 (exact mode)
+      bb.putFloat(1.0f)
+      var i = 0L
+      val step = Long.MaxValue / (ndv + 1)
+      while (i < ndv) { bb.putLong((i + 1) * step); i += 1 }
+      bb.array()
+    } else {
+      val retained = 4096
+      val thetaLong = math.max(1L,
+        (Long.MaxValue.toDouble * retained / ndv).toLong)
+      val bb = header(3, ReadOnly | Compact | Ordered)
+      bb.putInt(retained)
+      bb.putFloat(1.0f)
+      bb.putLong(thetaLong)
+      val step = thetaLong / (retained + 1)
+      var i = 0
+      while (i < retained) { bb.putLong((i + 1L) * step); i += 1 }
+      bb.array()
+    }
+  }
+
+  /** Write a Puffin STATISTICS file (one `apache-datasketches-theta-v1`
+    * blob per column) and return what the metadata.json `statistics`
+    * entry records: the per-blob metadata (field id, offset, length,
+    * the spec's `ndv` property) plus the file and footer sizes. */
+  final case class StatsBlob(fieldId: Int, ndv: Long, offset: Long,
+      length: Long)
+  final case class WrittenStats(path: Path, fileSize: Long,
+      footerSize: Long, blobs: Seq[StatsBlob])
+
+  def writeStatsFile(path: Path, snapshotId: Long, sequenceNumber: Long,
+      ndvs: Seq[(Int, Long)]): WrittenStats = {
+    require(ndvs.nonEmpty, "puffin: no NDV blobs to write")
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(Magic)
+    val written = ndvs.map { case (fieldId, ndv) =>
+      val blob = encodeThetaSketch(ndv)
+      val off = out.size().toLong
+      out.write(blob)
+      StatsBlob(fieldId, ndv, off, blob.length.toLong)
+    }
+    val blobsJson = written.map { b =>
+      val f = mapper.createObjectNode()
+      f.put("type", ThetaV1)
+      f.putArray("fields").add(b.fieldId)
+      f.put("snapshot-id", snapshotId)
+      f.put("sequence-number", sequenceNumber)
+      f.put("offset", b.offset)
+      f.put("length", b.length)
+      f.putObject("properties").put("ndv", b.ndv.toString)
+      f
+    }
+    val footer = mapper.createObjectNode()
+    val arr = footer.putArray("blobs")
+    blobsJson.foreach(arr.add)
+    footer.putObject("properties").put("created-by", "graft")
+    val payload = mapper.writeValueAsString(footer).getBytes(UTF_8)
+    out.write(Magic)
+    out.write(payload)
+    out.write(ByteBuffer.allocate(4).order(ByteOrder.LITTLE_ENDIAN)
+      .putInt(payload.length).array())
+    out.write(Array[Byte](0, 0, 0, 0)) // flags: uncompressed
+    out.write(Magic)
+    Files.createDirectories(path.getParent)
+    val bytes = out.toByteArray
+    Files.write(path, bytes)
+    // footer size per the Iceberg StatisticsFile contract: magic +
+    // payload + size word + flags + magic
+    WrittenStats(path, bytes.length.toLong,
+      (Magic.length * 2 + payload.length + 8).toLong, written)
+  }
+
   /** One written blob's addressing, exactly what a v3 delete-manifest
     * entry records. */
   final case class WrittenBlob(referencedDataFile: String, offset: Long,

@@ -4184,6 +4184,39 @@ object Lakehouse {
              |UNION ALL
              |SELECT 'o_orderstatus',
              |  CAST(count(DISTINCT o_orderstatus) AS BIGINT) FROM t
-             |ORDER BY col_name""".stripMargin))
+             |ORDER BY col_name""".stripMargin)),
+
+    // DELTA UNIFORM / icebergCompatV2 (round 13): a Delta table whose
+    // every commit ALSO advances a live Iceberg metadata tree over
+    // the same parquet — `metadata/` next to `_delta_log/`, zero data
+    // copied (the incremental form of q275's one-shot CONVERT). The
+    // entry writes and DELETEs through the DELTA log and reads the
+    // final state through the ICEBERG side of the same root; the
+    // oracle recomputes the surviving rows relationally, so a sync
+    // that lags a commit or resurrects a retired file hash-fails.
+    // At 100 TB each sync is metadata + footer reads for the
+    // commit's own new files — never a data rewrite.
+    QueryDef(
+      "q283_delta_uniform",
+      (s, d) => {
+        import graft.sources.DeltaLog
+        val root = Files.createTempDirectory("dunf_").toString + "/t"
+        val src = orders(s, d).select(col("o_orderkey"))
+          .filter(col("o_orderkey") <= 4096L)
+        DeltaLog.commit(
+          src.filter(col("o_orderkey") <= 2048L).coalesce(1), root,
+          properties = Map("delta.enableIcebergCompatV2" -> "true"))
+        DeltaLog.commit(
+          src.filter(col("o_orderkey") > 2048L).coalesce(1), root)
+        DeltaLog.deleteWhere(s, root, col("o_orderkey") % 10 === 7)
+        s.read.format("iceberg-meta").load(root)
+          .agg(count(lit(1)).as("n_rows"),
+            sum(col("o_orderkey")).cast("long").as("sum_key"))
+      },
+      Some("""SELECT CAST(count(*) AS BIGINT) AS n_rows,
+             |  CAST(sum(o_orderkey) AS BIGINT) AS sum_key
+             |FROM orders
+             |WHERE o_orderkey <= 4096 AND o_orderkey % 10 <> 7"""
+        .stripMargin))
   )
 }

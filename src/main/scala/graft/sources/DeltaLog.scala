@@ -848,6 +848,10 @@ object DeltaLog {
     // through gateProtocol/gateWriterObligations before touching any
     // file, which IS that check
     "vacuumProtocolCheck",
+    // icebergCompatV2 (UniForm): every commit path ends in
+    // [[syncUniform]], which advances the co-located live Iceberg
+    // metadata tree over the same files — the feature's whole point
+    "icebergCompatV2",
     // checkpointProtection's obligation binds METADATA CLEANUP: log
     // truncation must never land a boundary below
     // requireCheckpointProtectionBeforeVersion — [[cleanupMetadata]]
@@ -876,6 +880,57 @@ object DeltaLog {
     * keys on the PROPERTY; the protocol feature licenses it.) */
   private def ictEnabled(configuration: Map[String, String]): Boolean =
     configuration.get("delta.enableInCommitTimestamps").contains("true")
+
+  /** Is UniForm active? (`delta.enableIcebergCompatV2` or Iceberg
+    * listed in `delta.universalFormat.enabledFormats` — delta-spark's
+    * two spellings; the compat property is what the writer feature
+    * `icebergCompatV2` licenses.) */
+  private def uniformEnabled(configuration: Map[String, String]): Boolean =
+    configuration.get("delta.enableIcebergCompatV2").contains("true") ||
+      configuration.get("delta.universalFormat.enabledFormats")
+        .exists(_.split(",").map(_.trim).contains("iceberg"))
+
+  /** The `icebergCompatV2` writer obligation, honored FOR REAL: after
+    * every commit on a UniForm table, advance the LIVE Iceberg
+    * metadata tree co-located at the table root (`metadata/` next to
+    * `_delta_log/`) so both formats reference the SAME parquet —
+    * [[IcebergMeta.syncExternal]], the incremental form of the r12
+    * one-shot converter (new files: one ADDED manifest with footer
+    * bounds, per-COMMIT planning I/O; retired files: manifest
+    * restatement; no change: no Iceberg commit at all). An Iceberg
+    * engine then reads the Delta table's root directly.
+    *
+    * Divergences, stated: real icebergCompatV2 mandates id-mode
+    * column mapping (Iceberg readers resolve by field id); this
+    * engine's Iceberg reader resolves by NAME, so the supported
+    * UniForm shape here is UNMAPPED tables — mapped, partitioned,
+    * DV-carrying or variant-typed tables refuse loudly rather than
+    * publish a tree other engines would misread. */
+  private def syncUniform(spark: SparkSession, root: String): Unit = {
+    val snap = snapshot(spark, root)
+    if (!uniformEnabled(snap.configuration)) return
+    require(snap.columnMapping.isEmpty,
+      "delta-log uniform: column-mapped tables are not synced (this " +
+        "engine's Iceberg tree resolves columns by NAME) — disable " +
+        "column mapping or drop icebergCompatV2")
+    require(snap.partitionColumns.isEmpty,
+      "delta-log uniform: partitioned tables are not synced (Hive " +
+        "layout keeps partition columns OUT of the data files, which " +
+        "Iceberg requires IN them)")
+    require(snap.adds.forall(_.deletionVector.isEmpty),
+      "delta-log uniform: deletion vectors cannot be mirrored " +
+        "zero-copy — REORG PURGE the table first")
+    require(!hasVariantType(snap.schema),
+      "delta-log uniform: variant columns have no v2 Iceberg type — " +
+        "not mirrorable")
+    val rootP = Paths.get(root).toAbsolutePath.normalize
+    val files = snap.adds.sortBy(_.path).map { a =>
+      val p = Paths.get(a.path)
+      ((if (p.isAbsolute) p else rootP.resolve(p)).normalize, a.path)
+    }
+    IcebergMeta.syncExternal(spark, rootP.toString, snap.schema, files)
+    ()
+  }
 
   /** The recorded `commitInfo.inCommitTimestamp` of commit `v` —
     * one small log-file read; None when the commit carries none. */
@@ -1522,6 +1577,11 @@ object DeltaLog {
         val ictFeat =
           if (ictEnabled(properties)) Set("inCommitTimestamp")
           else Set.empty[String]
+        // UniForm: WRITER-only feature, same (…,7) listing shape —
+        // the first commit below also creates the Iceberg tree
+        val uniFeat =
+          if (uniformEnabled(properties)) Set("icebergCompatV2")
+          else Set.empty[String]
         // a variant column anywhere in the schema requires the
         // reader-writer variantType feature from creation
         val varFeat =
@@ -1531,11 +1591,11 @@ object DeltaLog {
           if (wantsDv || v2cpFeat.nonEmpty || varFeat.nonEmpty)
             (3, 7, dvFeat ++ mapFeat ++ v2cpFeat ++ varFeat,
               dvFeat ++ mapFeat ++ v2cpFeat ++ varFeat ++ cdfFeat ++
-                rtFeat ++ ictFeat ++
+                rtFeat ++ ictFeat ++ uniFeat ++
                 legacyWriterFeatures(if (mapMode == "none") 2 else 5))
-          else if (rtFeat.nonEmpty || ictFeat.nonEmpty)
+          else if (rtFeat.nonEmpty || ictFeat.nonEmpty || uniFeat.nonEmpty)
             (if (mapMode == "none") 1 else 2, 7, Set.empty[String],
-              rtFeat ++ ictFeat ++ cdfFeat ++
+              rtFeat ++ ictFeat ++ uniFeat ++ cdfFeat ++
                 legacyWriterFeatures(if (mapMode == "none") 2 else 5))
           else if (mapMode != "none") (2, 5, Set.empty[String], Set.empty[String])
           // CDF alone requires minWriterVersion >= 4 (the spec's
@@ -1618,6 +1678,7 @@ object DeltaLog {
       case _: java.nio.file.FileAlreadyExistsException =>
         throw new VersionedTable.ConcurrentCommitException(next)
     }
+    if (uniformEnabled(configuration)) syncUniform(spark, root)
     next
   }
 
@@ -1810,6 +1871,10 @@ object DeltaLog {
       idx: DeltaLogFileIndex, cdcAdds: Seq[DeltaAdd],
       operation: String = "DELETE",
       extraRows: Option[DataFrame] = None): Option[Long] = {
+    // UniForm tables never take the DV route: a deletion vector has
+    // no zero-copy mirror in the Iceberg tree — None falls back to
+    // the COW rewrite, which syncs cleanly
+    if (uniformEnabled(snap.configuration)) return None
     val rows = matched.limit(MaxDvPositions + 1).collect()
     if (rows.length > MaxDvPositions) return None
     val physRows = touchedAdds.map(a => numRecordsOf(a) match {
@@ -1942,6 +2007,7 @@ object DeltaLog {
       case _: java.nio.file.FileAlreadyExistsException =>
         throw new VersionedTable.ConcurrentCommitException(next)
     }
+    if (uniformEnabled(base.configuration)) syncUniform(spark, root)
     next
   }
 
@@ -2072,6 +2138,7 @@ object DeltaLog {
       case _: java.nio.file.FileAlreadyExistsException =>
         throw new VersionedTable.ConcurrentCommitException(next)
     }
+    if (uniformEnabled(snap.configuration)) syncUniform(spark, root)
     next
   }
 
@@ -2179,6 +2246,9 @@ object DeltaLog {
       case _: java.nio.file.FileAlreadyExistsException =>
         throw new VersionedTable.ConcurrentCommitException(next)
     }
+    // the restored state mirrors to the Iceberg tree too (the
+    // TARGET's configuration governs — it travels with the restore)
+    if (uniformEnabled(target.configuration)) syncUniform(spark, root)
     next
   }
 
@@ -2954,8 +3024,13 @@ object DeltaLog {
     val wantIctFeat = enablingIct &&
       !(snap.minWriterVersion >= 7 &&
         snap.writerFeatures.contains("inCommitTimestamp"))
+    // UniForm late enablement: writer-only feature + the enabling
+    // commit creates the Iceberg tree (syncUniform below)
+    val wantUniFeat = uniformEnabled(merged) &&
+      !(snap.minWriterVersion >= 7 &&
+        snap.writerFeatures.contains("icebergCompatV2"))
     val targetW0 =
-      if (wantDv || wantV2cp || wantIctFeat) 7
+      if (wantDv || wantV2cp || wantIctFeat || wantUniFeat) 7
       else if (props.get("delta.enableChangeDataFeed").contains("true") &&
         snap.minWriterVersion < 4) math.max(snap.minWriterVersion, 4)
       else snap.minWriterVersion
@@ -2973,7 +3048,7 @@ object DeltaLog {
       (targetW >= 7 || snap.minWriterVersion >= 7) &&
       !snap.writerFeatures.contains("checkConstraints")
     if (wantDv || wantV2cp || wantCdfFeat || wantCheckFeat ||
-      wantIctFeat || targetW != snap.minWriterVersion) {
+      wantIctFeat || wantUniFeat || targetW != snap.minWriterVersion) {
       val w = math.max(targetW, snap.minWriterVersion)
       val r = if (wantDv || wantV2cp) 3 else snap.minReaderVersion
       val rf = snap.readerFeatures ++
@@ -2994,7 +3069,9 @@ object DeltaLog {
           merged.keys.exists(_.startsWith("delta.constraints."))))
           Set("checkConstraints") else Set.empty[String]) ++
         (if (wantIctFeat || (w >= 7 && ictEnabled(merged)))
-          Set("inCommitTimestamp") else Set.empty[String])
+          Set("inCommitTimestamp") else Set.empty[String]) ++
+        (if (wantUniFeat || (w >= 7 && uniformEnabled(merged)))
+          Set("icebergCompatV2") else Set.empty[String])
       lines += protocolLine(r, w, rf, wf)
     }
     lines += metaDataLine(snap.schema.json, snap.partitionColumns,
@@ -3005,6 +3082,9 @@ object DeltaLog {
       case _: java.nio.file.FileAlreadyExistsException =>
         throw new VersionedTable.ConcurrentCommitException(next)
     }
+    // enabling UniForm is the moment the Iceberg tree materializes
+    // (and any enabled table's property change keeps it in sync)
+    if (uniformEnabled(merged)) syncUniform(spark, root)
     next
   }
 

@@ -1580,8 +1580,7 @@ object IcebergMeta {
         "conversion publishes format-version 2, which has no variant " +
         "type; rewrite through the v3 write path instead")
     val schema = snap.schema
-    val fieldId = schema.fieldNames.zipWithIndex
-      .map { case (n, i) => n -> (i + 1) }.toMap
+    val (_, _, fieldId) = fixtureFieldsJson(schema)
     val srcRoot = Paths.get(deltaSrc).toAbsolutePath.normalize
     val entries = snap.adds.sortBy(_.path).map { a =>
       val p = Paths.get(a.path)
@@ -1607,17 +1606,14 @@ object IcebergMeta {
       manifestListRow(manifestRel,
         Files.size(Paths.get(root, manifestRel)), 0, 1L, snapId,
         entries.size, 0, rows, 0L)))
-    val fields = schema.fields.zipWithIndex.map { case (f, i) =>
-      s"""{"id":${i + 1},"name":"${f.name}","required":${!f.nullable},""" +
-        s""""type":"${iceTypeOf(f.dataType)}"}"""
-    }.mkString(",")
+    val (fields, lastColumnId, _) = fixtureFieldsJson(schema)
     val nowMs = System.currentTimeMillis()
     val metaJson =
       s"""{"format-version":2,
          |"table-uuid":"${java.util.UUID.randomUUID()}",
          |"location":"$root","last-sequence-number":1,
          |"last-updated-ms":$nowMs,
-         |"last-column-id":${schema.length},
+         |"last-column-id":$lastColumnId,
          |"current-schema-id":0,
          |"schemas":[{"type":"struct","schema-id":0,"fields":[$fields]}],
          |"default-spec-id":0,
@@ -1632,6 +1628,172 @@ object IcebergMeta {
         .stripMargin
     IceCatalog.forRoot(root).create(root, metaJson.getBytes(UTF_8))
     snapId
+  }
+
+  /** UniForm SYNC primitive ([[DeltaLog]]'s icebergCompatV2 writer
+    * obligation): advance — or create — the Iceberg metadata tree at
+    * `root` so its CURRENT snapshot references exactly `files`
+    * (absolute path, recorded path), over the SAME parquet the
+    * foreign format's log references. Zero data copied; the
+    * incremental form of the one-shot [[importDelta]] conversion:
+    *
+    *  - no tree yet → a single-snapshot v2 table (first UniForm
+    *    commit after enablement);
+    *  - tree exists → DIFF against the current snapshot's recorded
+    *    paths: new files land as one ADDED manifest (per-file footer
+    *    bounds harvested — planning I/O proportional to the COMMIT,
+    *    not the table), files gone from the source restate their
+    *    manifests with survivors as EXISTING under original
+    *    snapshot/sequence numbers (retired entries as DELETED),
+    *    untouched manifests carry verbatim;
+    *  - no difference → None, no empty commits (metadata-only Delta
+    *    commits leave the Iceberg tree alone).
+    *
+    * Gates, loudly: the mirrored schema must still match the tree's
+    * (names + types, nullability-insensitive — schema evolution needs
+    * a fresh CONVERT), the tree must be this sync's own shape
+    * (unpartitioned, no delete files — a foreign-written tree with
+    * deletes is not a pure mirror). Returns the new snapshot id. */
+  def syncExternal(spark: SparkSession, root: String,
+      schema: StructType, files: Seq[(Path, String)]): Option[Long] = {
+    def norm(dt: DataType): DataType = dt match {
+      case st: StructType => StructType(st.fields.map(f =>
+        StructField(f.name, norm(f.dataType), nullable = true)))
+      case ArrayType(e, _) => ArrayType(norm(e), containsNull = true)
+      case MapType(k, v, _) =>
+        MapType(norm(k), norm(v), valueContainsNull = true)
+      case o => o
+    }
+    if (!IceCatalog.forRoot(root).tableExists(root)) {
+      val (_, _, topIds) = fixtureFieldsJson(schema)
+      val entries = files.map { case (abs, rel) =>
+        dataFileEntry(spark, abs, rel, schema, topIds) }
+      Some(publishSingleSnapshotTable(root, schema, entries))
+    } else {
+      val (v, meta) = currentMeta(root)
+      requireKnownVersion(meta)
+      val (iceSchema, nameById) = schemaOf(meta)
+      require(norm(iceSchema) == norm(schema),
+        s"iceberg-meta sync: the source schema of $root evolved away " +
+          "from the mirrored Iceberg schema — re-run the conversion " +
+          "(schema evolution does not sync incrementally)")
+      require(currentSpecFields(meta) == 0,
+        s"iceberg-meta sync: $root has a partitioned spec — not a " +
+          "tree this sync maintains")
+      val cur = snapshot(root)
+      require(cur.deletes.isEmpty && cur.eqDeletes.isEmpty &&
+        cur.dvs.isEmpty,
+        s"iceberg-meta sync: $root carries delete files — not a pure " +
+          "mirror tree; re-run the conversion")
+      val iceSet = cur.files.map(_.recordedPath).toSet
+      val srcSet = files.map(_._2).toSet
+      val added = files.filterNot(f => iceSet(f._2))
+      val removed = iceSet -- srcSet
+      if (added.isEmpty && removed.isEmpty) None
+      else {
+        val idByName = nameById.map(_.swap)
+        val sid = meta.get("current-snapshot-id").asLong()
+        val snapNode = meta.get("snapshots").elements().asScala
+          .find(_.get("snapshot-id").asLong() == sid)
+          .getOrElse(throw new IllegalStateException(
+            s"iceberg-meta: current snapshot $sid not in $root"))
+        val listRows = readAvro(
+          resolvePath(root, snapNode.get("manifest-list").asText()))
+        val seq = (if (meta.hasNonNull("last-sequence-number"))
+          meta.get("last-sequence-number").asLong() else 0L) + 1
+        val snapId = java.util.UUID.randomUUID()
+          .getLeastSignificantBits.abs.max(1L)
+        val carried =
+          scala.collection.mutable.ListBuffer.empty[GenericRecord]
+        val rewrite =
+          scala.collection.mutable.ListBuffer.empty[GenericRecord]
+        var existingFiles, deletedFiles = 0
+        var existingRows, deletedRows = 0L
+        var minEntrySeq = Long.MaxValue
+        listRows.foreach { row =>
+          val mSeq = fieldOpt(row, "sequence_number").map(asLong)
+            .getOrElse(0L)
+          val mSnap = fieldOpt(row, "added_snapshot_id").map(asLong)
+            .getOrElse(sid)
+          val live = readAvro(resolvePath(root,
+            asStr(row.get("manifest_path"))))
+            .filter(e => asLong(e.get("status")) != 2)
+          val (hit, kept) = live.partition(e => removed.contains(
+            asStr(e.get("data_file").asInstanceOf[GenericRecord]
+              .get("file_path"))))
+          if (hit.isEmpty) carried += manifestListRow(
+            asStr(row.get("manifest_path")),
+            asLong(row.get("manifest_length")),
+            fieldOpt(row, "partition_spec_id").map(asLong)
+              .getOrElse(0L).toInt,
+            mSeq, mSnap,
+            fieldOpt(row, "added_files_count").map(asLong)
+              .getOrElse(0L).toInt,
+            fieldOpt(row, "existing_files_count").map(asLong)
+              .getOrElse(0L).toInt,
+            fieldOpt(row, "added_rows_count").map(asLong).getOrElse(0L),
+            fieldOpt(row, "existing_rows_count").map(asLong)
+              .getOrElse(0L),
+            minSeq = fieldOpt(row, "min_sequence_number").map(asLong))
+          else {
+            def entrySeq(e: GenericRecord): Long =
+              fieldOpt(e, "sequence_number").map(asLong).getOrElse(mSeq)
+            def entrySnap(e: GenericRecord): Long =
+              fieldOpt(e, "snapshot_id").map(asLong).getOrElse(mSnap)
+            kept.foreach { e =>
+              val s = entrySeq(e)
+              minEntrySeq = minEntrySeq.min(s)
+              existingFiles += 1
+              existingRows += asLong(e.get("data_file")
+                .asInstanceOf[GenericRecord].get("record_count"))
+              rewrite += carriedEntry(copyDataFile(
+                e.get("data_file").asInstanceOf[GenericRecord]),
+                status = 0, entrySnap(e), s)
+            }
+            hit.foreach { e =>
+              val s = entrySeq(e)
+              minEntrySeq = minEntrySeq.min(s)
+              deletedFiles += 1
+              deletedRows += asLong(e.get("data_file")
+                .asInstanceOf[GenericRecord].get("record_count"))
+              rewrite += carriedEntry(copyDataFile(
+                e.get("data_file").asInstanceOf[GenericRecord]),
+                status = 2, snapId, s)
+            }
+          }
+        }
+        val newRows =
+          scala.collection.mutable.ListBuffer.empty[GenericRecord]
+        var mi = 0
+        if (rewrite.nonEmpty) {
+          val rel = s"metadata/snap-$snapId-r$mi.avro"
+          mi += 1
+          writeAvro(Paths.get(root, rel), manifestSchema, rewrite.toSeq)
+          newRows += manifestListRow(rel,
+            Files.size(Paths.get(root, rel)), 0, seq, snapId,
+            0, existingFiles, 0L, existingRows,
+            minSeq = Some(if (minEntrySeq == Long.MaxValue) seq
+              else minEntrySeq),
+            deletedFiles = deletedFiles, deletedRows = deletedRows)
+        }
+        if (added.nonEmpty) {
+          val entries = added.map { case (abs, rel) =>
+            dataFileEntry(spark, abs, rel, schema, idByName) }
+          val addedRows = entries.map(e => asLong(e.get("data_file")
+            .asInstanceOf[GenericRecord].get("record_count"))).sum
+          val rel = s"metadata/snap-$snapId-m$mi.avro"
+          writeAvro(Paths.get(root, rel), manifestSchema, entries)
+          newRows += manifestListRow(rel,
+            Files.size(Paths.get(root, rel)), 0, seq, snapId,
+            entries.size, 0, addedRows, 0L)
+        }
+        val listRel = s"metadata/snap-$snapId.avro"
+        writeAvro(Paths.get(root, listRel), manifestListSchema,
+          carried.toSeq ++ newRows.toSeq)
+        Some(commitSnapshot(root, v, meta, snapId, seq, listRel,
+          if (removed.isEmpty) "append" else "overwrite"))
+      }
+    }
   }
 
   /** Transactionally APPEND `df` as a new snapshot of the EXISTING

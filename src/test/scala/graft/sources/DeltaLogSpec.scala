@@ -477,19 +477,19 @@ class DeltaLogSpec extends SparkSpecBase {
     }
     val plainSchema = """{\"type\":\"struct\",\"fields\":[{\"name\":\"k\",\"type\":\"long\",\"nullable\":true,\"metadata\":{}}]}"""
     val rt = foreign(plainSchema,
-      """{"minReaderVersion":1,"minWriterVersion":7,"writerFeatures":["icebergCompatV2","appendOnly","invariants"]}""")
+      """{"minReaderVersion":1,"minWriterVersion":7,"writerFeatures":["collations","appendOnly","invariants"]}""")
     assert(DeltaLog.snapshot(spark, rt).adds.isEmpty) // read is fine
     val e4 = intercept[UnsupportedOperationException] {
       DeltaLog.commit(Seq(1L).toDF("k").coalesce(1), rt)
     }
-    assert(e4.getMessage.contains("icebergCompatV2"))
+    assert(e4.getMessage.contains("collations"))
     // CHECKPOINT is log-mutating too: compacting a table whose
     // features this writer does not honor would silently drop the
     // state they maintain from the compacted view — gated alike
     val e4b = intercept[UnsupportedOperationException] {
       DeltaLog.checkpoint(spark, rt)
     }
-    assert(e4b.getMessage.contains("icebergCompatV2"))
+    assert(e4b.getMessage.contains("collations"))
     // legacy writer 4 lists generatedColumns — ENFORCED since r11:
     // a plain table writes normally, and generated tables write
     // through the compute/verify path (own test below)
@@ -1174,6 +1174,81 @@ class DeltaLogSpec extends SparkSpecBase {
     assert(DeltaLog.versionAtTimestamp(spark, root, ict4 - 1) < 4L)
     assert(spark.read.format("delta-log")
       .option("timestampAsOf", ict4.toString).load(root).count() === 5)
+  }
+
+  test("UniForm (icebergCompatV2): every Delta commit advances a live Iceberg tree") {
+    val root = tmp()
+    DeltaLog.commit(spark.range(0, 10).toDF("k").coalesce(1), root,
+      properties = Map("delta.enableIcebergCompatV2" -> "true"))
+    val snap = DeltaLog.snapshot(spark, root)
+    assert(snap.minWriterVersion === 7 &&
+      snap.writerFeatures.contains("icebergCompatV2"))
+    // an Iceberg engine reads the SAME root, zero copies
+    def ice(): Seq[Long] = spark.read.format("iceberg-meta").load(root)
+      .select("k").as[Long].collect().toSeq.sorted
+    def delta(): Seq[Long] = spark.read.format("delta-log").load(root)
+      .select("k").as[Long].collect().toSeq.sorted
+    assert(ice() === (0L until 10L))
+    // append → one Iceberg "append" snapshot over the new file only
+    DeltaLog.commit(spark.range(10, 15).toDF("k").coalesce(1), root)
+    assert(ice() === (0L until 15L))
+    // COW delete → retired files leave the tree, rewrites land
+    DeltaLog.deleteWhere(spark, root, col("k") % 3 === 0)
+    val expect = (0L until 15L).filterNot(_ % 3 == 0)
+    assert(delta() === expect && ice() === expect)
+    // OPTIMIZE mirrors (dataChange=false on the Delta side is still
+    // a file-set change on the Iceberg side)
+    DeltaLog.compact(spark, root)
+    assert(ice() === expect)
+    // a metadata-only Delta commit leaves the tree alone (no empty
+    // Iceberg commits)
+    val vBefore = IcebergMeta.latestMetadataVersion(root)
+    DeltaLog.setConfiguration(spark, root,
+      Map("graft.note" -> "x"))
+    assert(IcebergMeta.latestMetadataVersion(root) === vBefore)
+    // RESTORE mirrors the restored file set
+    val restoreTo = 1L // post-append, pre-delete
+    DeltaLog.restore(spark, root, restoreTo)
+    assert(ice() === (0L until 15L) && delta() === (0L until 15L))
+    // the Iceberg tree keeps ITS history: pre-restore snapshots stay
+    // travelable through the usual snapshotId option
+    val snaps = IcebergMeta.snapshotsFrame(spark, root)
+      .orderBy("sequence_number").collect()
+    assert(snaps.length >= 4)
+    // a DV-routed delete falls back to COW under UniForm — the tree
+    // never sees a deletion vector
+    DeltaLog.setConfiguration(spark, root,
+      Map("delta.enableDeletionVectors" -> "true"))
+    DeltaLog.deleteWhere(spark, root, col("k") === 1)
+    assert(DeltaLog.snapshot(spark, root).adds
+      .forall(_.deletionVector.isEmpty))
+    assert(ice() === (0L until 15L).filterNot(_ == 1L))
+  }
+
+  test("UniForm late enablement creates the tree; unsupported shapes refuse") {
+    val root = tmp()
+    DeltaLog.commit(spark.range(0, 6).toDF("k").coalesce(1), root)
+    DeltaLog.commit(spark.range(6, 9).toDF("k").coalesce(1), root)
+    assert(!graft.sources.FsIceCatalog.tableExists(root))
+    // the enabling commit upgrades the protocol AND materializes the
+    // Iceberg tree over the files already there
+    DeltaLog.setConfiguration(spark, root,
+      Map("delta.universalFormat.enabledFormats" -> "iceberg",
+        "delta.enableIcebergCompatV2" -> "true"))
+    val snap = DeltaLog.snapshot(spark, root)
+    assert(snap.minWriterVersion === 7 &&
+      snap.writerFeatures.contains("icebergCompatV2"))
+    assert(spark.read.format("iceberg-meta").load(root).count() === 9)
+    // a PARTITIONED table refuses the sync loudly (Hive layout keeps
+    // partition values out of the files)
+    val root2 = tmp()
+    val e = intercept[IllegalArgumentException] {
+      DeltaLog.commit(spark.range(0, 8).toDF("k")
+        .withColumn("p", (col("k") % 2).cast("int")), root2,
+        partitionBy = Seq("p"),
+        properties = Map("delta.enableIcebergCompatV2" -> "true"))
+    }
+    assert(e.getMessage.contains("partitioned"))
   }
 
   test("metadata cleanup: expired prefix deletes, retained reconstruct, horizon refuses") {

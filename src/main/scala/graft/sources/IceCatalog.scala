@@ -135,7 +135,7 @@ object FsIceCatalog extends IceCatalog {
   }
 }
 
-/** REST catalog BINDING — the Iceberg REST catalog protocol's two
+/** REST catalog BINDING — the Iceberg REST catalog protocol's
   * operations this seam needs, over `java.net.http.HttpClient`
   * (endpoint shapes per the published REST catalog OpenAPI;
   * `{prefix}` and table identifiers as the spec routes them):
@@ -147,27 +147,38 @@ object FsIceCatalog extends IceCatalog {
   *  - create: `POST {base}/v1/{prefix}/namespaces/{ns}/tables` with
   *    the name + initial metadata; 409 = already exists;
   *  - commit: `POST {base}/v1/{prefix}/namespaces/{ns}/tables/{t}`
-  *    carrying a REQUIREMENTS array — here the location CAS
-  *    (`assert-metadata-location` on the expected current pointer,
-  *    the same check `assert-table-uuid`/ref assertions express in
-  *    the OpenAPI) — plus the successor document; the server
-  *    answers 409 when the requirement fails, which surfaces as
+  *    carrying the OpenAPI's INCREMENTAL body — a `requirements`
+  *    array (`assert-table-uuid` + `assert-ref-snapshot-id` on
+  *    `main`'s expected snapshot — the spec's optimistic lock) and
+  *    an `updates` array DIFFED from the caller's base document
+  *    against its successor (`add-snapshot`, `set-snapshot-ref`,
+  *    `remove-snapshots`, `add-schema`/`set-current-schema`,
+  *    `add-spec`/`set-default-spec`, `set-statistics`/
+  *    `remove-statistics`, `set-properties`/`remove-properties`,
+  *    `upgrade-format-version`). The SERVER maintains the derived
+  *    fields (`last-updated-ms`, `last-sequence-number`,
+  *    `snapshot-log`, `next-row-id`, `current-snapshot-id`) from the
+  *    updates it applies — exactly the OpenAPI contract; 409 when a
+  *    requirement fails surfaces as
   *    [[VersionedTable.ConcurrentCommitException]] — exactly one of
-  *    two racing writers wins, same contract as the conditional put.
+  *    two racing writers wins.
   *
-  * Divergence, stated: this engine publishes FULL metadata documents
-  * (the HadoopCatalog model), so the commit body carries `metadata`
-  * verbatim rather than the OpenAPI's incremental `updates` list — a
-  * server-side catalog stores the document it is handed. Table
-  * identifiers are an opaque URL-safe token of the root path (a real
-  * deployment maps real namespace/table names). The zero-egress
-  * sandbox means the peer is an in-process stub
-  * ([[graft.sources.IceCatalogSpec]] binds one over localhost and
-  * proves the one-winner race through real HTTP). */
-final class RestIceCatalog(baseUri: String, prefix: String = "graft",
+  * A document change the update vocabulary cannot express refuses
+  * loudly (never a silent partial publish). Table identifiers are an
+  * opaque URL-safe token of the root path (a real deployment maps
+  * real namespace/table names). The zero-egress sandbox means the
+  * peer is an in-process stub ([[graft.sources.IceCatalogSpec]]
+  * binds one over localhost that VALIDATES the requirement/update
+  * shapes, applies them server-side, and proves the one-winner race
+  * through real HTTP). */
+final class RestIceCatalog(val baseUri: String,
+    prefix: String = "graft",
     namespace: String = "default") extends IceCatalog {
 
   import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+  import com.fasterxml.jackson.databind.JsonNode
+  import com.fasterxml.jackson.databind.node.{ArrayNode, ObjectNode}
+  import scala.jdk.CollectionConverters._
 
   private val mapper =
     new com.fasterxml.jackson.databind.ObjectMapper()
@@ -240,15 +251,215 @@ final class RestIceCatalog(baseUri: String, prefix: String = "graft",
 
   override def commit(root: String, expectedVersion: Int,
       metadata: Array[Byte]): Unit = {
+    // the base for the diff is the SERVER's current document — when
+    // the pointer already moved past the caller's base, the commit is
+    // a guaranteed loser; fail fast with the seam's exception
+    val (curVer, curBytes) = resolve(root).getOrElse(
+      throw new IllegalArgumentException(
+        s"$root is not an Iceberg table (rest catalog: not found)"))
+    if (curVer != expectedVersion)
+      throw new VersionedTable.ConcurrentCommitException(
+        expectedVersion + 1)
+    val oldDoc = mapper.readTree(curBytes)
+    val newDoc = mapper.readTree(metadata)
     val body = mapper.createObjectNode()
-    val req = body.putArray("requirements").addObject()
-    req.put("type", "assert-metadata-location")
-    req.put("metadata-location", s"v$expectedVersion.metadata.json")
-    body.put("metadata-location", s"v${expectedVersion + 1}.metadata.json")
-    body.set[com.fasterxml.jackson.databind.JsonNode]("metadata",
-      mapper.readTree(metadata))
+    val reqs = body.putArray("requirements")
+    val r1 = reqs.addObject()
+    r1.put("type", "assert-table-uuid")
+    r1.put("uuid", oldDoc.path("table-uuid").asText())
+    val r2 = reqs.addObject()
+    r2.put("type", "assert-ref-snapshot-id")
+    r2.put("ref", "main")
+    oldMainSnapshot(oldDoc) match {
+      case Some(id) => r2.put("snapshot-id", id)
+      case None => r2.putNull("snapshot-id") // ref must not exist yet
+    }
+    body.set[JsonNode]("updates", diffUpdates(oldDoc, newDoc))
     post(tableUri(root), mapper.writeValueAsBytes(body),
       expectedVersion + 1)
+  }
+
+  private def oldMainSnapshot(doc: JsonNode): Option[Long] = {
+    val viaRef = Option(doc.get("refs")).filterNot(_.isNull)
+      .flatMap(r => Option(r.get("main"))).filterNot(_.isNull)
+      .map(_.get("snapshot-id").asLong())
+    viaRef.orElse(Option(doc.get("current-snapshot-id"))
+      .filterNot(_.isNull).map(_.asLong()).filter(_ != -1L))
+  }
+
+  /** Top-level fields the SERVER derives from applied updates — a
+    * diff in these never needs (or gets) an update of its own. */
+  private val ServerDerived = Set("last-updated-ms",
+    "last-sequence-number", "snapshot-log", "next-row-id",
+    "current-snapshot-id", "last-column-id")
+
+  /** The OpenAPI `updates` list that turns `oldDoc` into `newDoc`.
+    * Any difference outside the expressible vocabulary throws — a
+    * partial publish would desynchronize every other client. */
+  private def diffUpdates(oldDoc: JsonNode, newDoc: JsonNode)
+      : ArrayNode = {
+    val updates = mapper.createArrayNode()
+    def elems(doc: JsonNode, field: String): Seq[JsonNode] =
+      Option(doc.get(field)).filterNot(_.isNull).toSeq
+        .flatMap(_.elements().asScala)
+    def byKey(doc: JsonNode, field: String, key: String)
+        : Map[Long, JsonNode] =
+      elems(doc, field).map(n => n.get(key).asLong() -> n).toMap
+    val handled = scala.collection.mutable.Set.empty[String]
+    handled ++= ServerDerived
+    handled ++= Seq("table-uuid", "location")
+    // format-version
+    handled += "format-version"
+    if (oldDoc.path("format-version").asInt() !=
+        newDoc.path("format-version").asInt()) {
+      val u = updates.addObject()
+      u.put("action", "upgrade-format-version")
+      u.put("format-version", newDoc.get("format-version").asInt())
+    }
+    // schemas + current-schema-id
+    handled ++= Seq("schemas", "current-schema-id", "schema")
+    val oldSchemas = byKey(oldDoc, "schemas", "schema-id").keySet
+    elems(newDoc, "schemas")
+      .filterNot(s => oldSchemas(s.get("schema-id").asLong()))
+      .foreach { s =>
+        val u = updates.addObject()
+        u.put("action", "add-schema")
+        u.set[JsonNode]("schema", s)
+        Option(newDoc.get("last-column-id")).filterNot(_.isNull)
+          .foreach(id => u.put("last-column-id", id.asInt()))
+      }
+    if (oldDoc.path("current-schema-id").asInt(-1) !=
+        newDoc.path("current-schema-id").asInt(-1)) {
+      val u = updates.addObject()
+      u.put("action", "set-current-schema")
+      u.put("schema-id", newDoc.get("current-schema-id").asInt())
+    }
+    // partition specs
+    handled ++= Seq("partition-specs", "default-spec-id")
+    val oldSpecs = byKey(oldDoc, "partition-specs", "spec-id").keySet
+    elems(newDoc, "partition-specs")
+      .filterNot(s => oldSpecs(s.get("spec-id").asLong()))
+      .foreach { s =>
+        val u = updates.addObject()
+        u.put("action", "add-spec")
+        u.set[JsonNode]("spec", s)
+      }
+    if (oldDoc.path("default-spec-id").asInt(-1) !=
+        newDoc.path("default-spec-id").asInt(-1)) {
+      val u = updates.addObject()
+      u.put("action", "set-default-spec")
+      u.put("spec-id", newDoc.get("default-spec-id").asInt())
+    }
+    // snapshots: additions in sequence order, removals as one batch
+    handled += "snapshots"
+    val oldSnaps = byKey(oldDoc, "snapshots", "snapshot-id")
+    val newSnaps = byKey(newDoc, "snapshots", "snapshot-id")
+    newSnaps.toSeq.filterNot { case (id, _) => oldSnaps.contains(id) }
+      .sortBy(_._2.path("sequence-number").asLong())
+      .foreach { case (_, s) =>
+        val u = updates.addObject()
+        u.put("action", "add-snapshot")
+        u.set[JsonNode]("snapshot", s)
+      }
+    val removedSnaps = oldSnaps.keySet -- newSnaps.keySet
+    if (removedSnaps.nonEmpty) {
+      val u = updates.addObject()
+      u.put("action", "remove-snapshots")
+      val ids = u.putArray("snapshot-ids")
+      removedSnaps.toSeq.sorted.foreach(ids.add)
+    }
+    // refs: every changed/new ref, the main pointer included (a bare
+    // current-snapshot-id move — rollback — expresses as a main move)
+    handled += "refs"
+    def refsOf(doc: JsonNode): Map[String, JsonNode] =
+      Option(doc.get("refs")).filterNot(_.isNull).toSeq
+        .flatMap(_.properties().asScala.map(e => e.getKey -> e.getValue))
+        .toMap
+    val oldRefs = refsOf(oldDoc)
+    val newRefs0 = refsOf(newDoc)
+    // synthesize the main move when only current-snapshot-id moved
+    val newRefs =
+      if (newRefs0.contains("main") ||
+        newDoc.path("current-snapshot-id").asLong(-1L) == -1L) newRefs0
+      else {
+        val m = mapper.createObjectNode()
+        m.put("snapshot-id", newDoc.get("current-snapshot-id").asLong())
+        m.put("type", "branch")
+        newRefs0 + ("main" -> m)
+      }
+    val mainMoved = oldMainSnapshot(oldDoc) !=
+      Option(newDoc.get("current-snapshot-id")).filterNot(_.isNull)
+        .map(_.asLong()).filter(_ != -1L)
+    newRefs.foreach { case (name, node) =>
+      if (!oldRefs.get(name).contains(node) ||
+        (name == "main" && mainMoved)) {
+        val u = updates.addObject()
+        u.put("action", "set-snapshot-ref")
+        u.put("ref-name", name)
+        u.put("snapshot-id",
+          if (name == "main" && mainMoved)
+            newDoc.get("current-snapshot-id").asLong()
+          else node.get("snapshot-id").asLong())
+        u.put("type", node.path("type").asText("branch"))
+      }
+    }
+    (oldRefs.keySet -- newRefs.keySet).toSeq.sorted.foreach { name =>
+      val u = updates.addObject()
+      u.put("action", "remove-snapshot-ref")
+      u.put("ref-name", name)
+    }
+    // statistics
+    handled += "statistics"
+    val oldStats = byKey(oldDoc, "statistics", "snapshot-id")
+    val newStats = byKey(newDoc, "statistics", "snapshot-id")
+    (oldStats.keySet -- newStats.keySet).toSeq.sorted.foreach { id =>
+      val u = updates.addObject()
+      u.put("action", "remove-statistics")
+      u.put("snapshot-id", id)
+    }
+    newStats.toSeq.sortBy(_._1).foreach { case (id, s) =>
+      if (!oldStats.get(id).contains(s)) {
+        val u = updates.addObject()
+        u.put("action", "set-statistics")
+        u.put("snapshot-id", id)
+        u.set[JsonNode]("statistics", s)
+      }
+    }
+    // properties
+    handled += "properties"
+    def propsOf(doc: JsonNode): Map[String, String] =
+      Option(doc.get("properties")).filterNot(_.isNull).toSeq
+        .flatMap(_.properties().asScala
+          .map(e => e.getKey -> e.getValue.asText())).toMap
+    val oldProps = propsOf(oldDoc)
+    val newProps = propsOf(newDoc)
+    val setProps = newProps.filterNot { case (k, v) =>
+      oldProps.get(k).contains(v) }
+    if (setProps.nonEmpty) {
+      val u = updates.addObject()
+      u.put("action", "set-properties")
+      val m = u.putObject("updates")
+      setProps.toSeq.sortBy(_._1).foreach { case (k, v) => m.put(k, v) }
+    }
+    val gone = oldProps.keySet -- newProps.keySet
+    if (gone.nonEmpty) {
+      val u = updates.addObject()
+      u.put("action", "remove-properties")
+      val a = u.putArray("removals")
+      gone.toSeq.sorted.foreach(a.add)
+    }
+    // anything else that differs is inexpressible — refuse loudly
+    val allFields = (oldDoc.asInstanceOf[ObjectNode].properties().asScala
+      .map(_.getKey) ++
+      newDoc.asInstanceOf[ObjectNode].properties().asScala
+        .map(_.getKey)).toSet
+    (allFields -- handled).foreach { f =>
+      require(Option(oldDoc.get(f)) == Option(newDoc.get(f)),
+        s"rest-catalog: metadata field '$f' changed but has no " +
+          "update representation in the REST commit vocabulary — " +
+          "refusing to publish a partial commit")
+    }
+    updates
   }
 }
 

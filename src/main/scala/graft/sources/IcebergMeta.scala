@@ -2301,6 +2301,10 @@ object IcebergMeta {
     snapObj.put("manifest-list", listRel)
     val summary = snapObj.putObject("summary")
     summary.put("operation", operation)
+    // added-records (the spec's standard summary metric): what a
+    // REST catalog server needs to maintain next-row-id from an
+    // add-snapshot update on v3 row-lineage tables
+    summary.put("added-records", addedRows.toString)
     // extra summary properties (the spec's open map — the streaming
     // sink's exactly-once epoch marks ride here)
     summaryProps.toSeq.sortBy(_._1)
@@ -2869,12 +2873,11 @@ object IcebergMeta {
           else "branch")
       }.toMap
 
-  /** The table's `refs` map: name → (snapshotId, "tag" | "branch"). */
-  def refs(root: String): Map[String, (Long, String)] = {
-    val v = latestMetadataVersion(root)
-    refsOf(mapper.readTree(Files.readAllBytes(
-      metaDir(root).resolve(s"v$v.metadata.json"))))
-  }
+  /** The table's `refs` map: name → (snapshotId, "tag" | "branch").
+    * Resolved through the CATALOG seam — a REST-held document never
+    * touches the filesystem. */
+  def refs(root: String): Map[String, (Long, String)] =
+    refsOf(currentMeta(root)._2)
 
   /** TIMESTAMP AS OF resolution (Iceberg's `FOR TIMESTAMP AS OF`):
     * the snapshot CURRENT at `tsMillis` — the latest entry of the

@@ -106,12 +106,21 @@ class IceCatalogSpec extends SparkSpecBase {
     }
   }
 
-  /** In-process REST catalog stub (JDK HttpServer): tables keyed by
-    * the client's opaque token, state = (metadata-location, document)
-    * guarded by a lock so the CAS is real — a stale
-    * `assert-metadata-location` requirement answers 409. */
+  /** In-process REST catalog stub (JDK HttpServer) implementing the
+    * OpenAPI commit contract FOR REAL: the commit body is VALIDATED
+    * (known requirement/update shapes only — anything else is a 400)
+    * and the update list is APPLIED server-side to the stored
+    * document, with the server maintaining the derived fields
+    * (metadata-location version, last-updated-ms,
+    * last-sequence-number, snapshot-log, current-snapshot-id from the
+    * main ref, next-row-id from add-snapshot's first-row-id +
+    * added-records). `assert-table-uuid` / `assert-ref-snapshot-id`
+    * failures answer 409 — the spec's optimistic lock. */
   private def withRestCatalog[A](f: (String, RestIceCatalog) => A): A = {
     import com.sun.net.httpserver.{HttpExchange, HttpServer}
+    import com.fasterxml.jackson.databind.JsonNode
+    import com.fasterxml.jackson.databind.node.{ArrayNode, ObjectNode}
+    import scala.jdk.CollectionConverters._
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
     val tables =
       scala.collection.mutable.Map.empty[String, (String, Array[Byte])]
@@ -121,6 +130,140 @@ class IceCatalogSpec extends SparkSpecBase {
       x.sendResponseHeaders(code, if (body.isEmpty) -1 else body.length)
       if (body.nonEmpty) x.getResponseBody.write(body)
       x.close()
+    }
+    def mainOf(doc: JsonNode): Option[Long] =
+      Option(doc.get("refs")).filterNot(_.isNull)
+        .flatMap(r => Option(r.get("main"))).filterNot(_.isNull)
+        .map(_.get("snapshot-id").asLong())
+        .orElse(Option(doc.get("current-snapshot-id"))
+          .filterNot(_.isNull).map(_.asLong()).filter(_ != -1L))
+    def checkRequirements(doc: JsonNode, reqs: JsonNode): Boolean =
+      reqs.elements().asScala.forall { r =>
+        r.get("type").asText() match {
+          case "assert-table-uuid" =>
+            doc.path("table-uuid").asText() == r.get("uuid").asText()
+          case "assert-ref-snapshot-id" =>
+            require(r.get("ref").asText() == "main",
+              s"stub: unexpected ref ${r.get("ref")}")
+            val want = Option(r.get("snapshot-id")).filterNot(_.isNull)
+              .map(_.asLong())
+            mainOf(doc) == want
+          case other =>
+            throw new IllegalArgumentException(
+              s"stub: unknown requirement type $other")
+        }
+      }
+    def applyUpdates(doc0: ObjectNode, updates: JsonNode): ObjectNode = {
+      val doc = doc0.deepCopy()
+      updates.elements().asScala.foreach { u =>
+        u.get("action").asText() match {
+          case "upgrade-format-version" =>
+            doc.put("format-version", u.get("format-version").asInt())
+          case "add-schema" =>
+            doc.withArray[ArrayNode]("schemas")
+              .add(u.get("schema"))
+            Option(u.get("last-column-id")).filterNot(_.isNull)
+              .foreach(id => doc.put("last-column-id", id.asInt()))
+          case "set-current-schema" =>
+            doc.put("current-schema-id", u.get("schema-id").asInt())
+          case "add-spec" =>
+            doc.withArray[ArrayNode]("partition-specs")
+              .add(u.get("spec"))
+          case "set-default-spec" =>
+            doc.put("default-spec-id", u.get("spec-id").asInt())
+          case "add-snapshot" =>
+            val s = u.get("snapshot")
+            doc.withArray[ArrayNode]("snapshots").add(s)
+            val seq = s.path("sequence-number").asLong(0L)
+            if (seq > doc.path("last-sequence-number").asLong(0L))
+              doc.put("last-sequence-number", seq)
+            // v3 row lineage: the server owns the high-water mark
+            if (doc.hasNonNull("next-row-id") &&
+                s.hasNonNull("first-row-id")) {
+              val mark = s.get("first-row-id").asLong() +
+                s.path("summary").path("added-records").asText("0").toLong
+              if (mark > doc.get("next-row-id").asLong())
+                doc.put("next-row-id", mark)
+            }
+          case "remove-snapshots" =>
+            val gone = u.get("snapshot-ids").elements().asScala
+              .map(_.asLong()).toSet
+            def prune(field: String, key: String): Unit =
+              if (doc.hasNonNull(field)) {
+                val kept = doc.get(field).elements().asScala
+                  .filterNot(n => gone(n.get(key).asLong())).toSeq
+                val arr = doc.putArray(field)
+                kept.foreach(arr.add)
+              }
+            prune("snapshots", "snapshot-id")
+            prune("snapshot-log", "snapshot-id")
+          case "set-snapshot-ref" =>
+            val name = u.get("ref-name").asText()
+            val refs =
+              if (doc.hasNonNull("refs"))
+                doc.get("refs").asInstanceOf[ObjectNode]
+              else doc.putObject("refs")
+            val r = mapper.createObjectNode()
+            r.put("snapshot-id", u.get("snapshot-id").asLong())
+            r.put("type", u.path("type").asText("branch"))
+            refs.set[JsonNode](name, r)
+            if (name == "main") {
+              val sid = u.get("snapshot-id").asLong()
+              doc.put("current-snapshot-id", sid)
+              // the spec's record of the main-pointer move; a
+              // snapshot added IN THIS COMMIT logs at its own commit
+              // instant, a rollback to an old one logs at now
+              val ts = doc.get("snapshots").elements().asScala
+                .find(s => s.get("snapshot-id").asLong() == sid &&
+                  updates.elements().asScala.exists(v =>
+                    v.get("action").asText() == "add-snapshot" &&
+                      v.get("snapshot").get("snapshot-id").asLong() == sid))
+                .map(_.get("timestamp-ms").asLong())
+                .getOrElse(System.currentTimeMillis())
+              val e = doc.withArray[ArrayNode]("snapshot-log").addObject()
+              e.put("timestamp-ms", ts)
+              e.put("snapshot-id", sid)
+            }
+          case "remove-snapshot-ref" =>
+            if (doc.hasNonNull("refs"))
+              doc.get("refs").asInstanceOf[ObjectNode]
+                .remove(u.get("ref-name").asText())
+          case "set-statistics" =>
+            val sid = u.get("snapshot-id").asLong()
+            val kept =
+              if (!doc.hasNonNull("statistics")) Nil
+              else doc.get("statistics").elements().asScala
+                .filterNot(_.get("snapshot-id").asLong() == sid).toSeq
+            val arr = doc.putArray("statistics")
+            kept.foreach(arr.add)
+            arr.add(u.get("statistics"))
+          case "remove-statistics" =>
+            if (doc.hasNonNull("statistics")) {
+              val sid = u.get("snapshot-id").asLong()
+              val kept = doc.get("statistics").elements().asScala
+                .filterNot(_.get("snapshot-id").asLong() == sid).toSeq
+              val arr = doc.putArray("statistics")
+              kept.foreach(arr.add)
+            }
+          case "set-properties" =>
+            val props =
+              if (doc.hasNonNull("properties"))
+                doc.get("properties").asInstanceOf[ObjectNode]
+              else doc.putObject("properties")
+            u.get("updates").properties().asScala
+              .foreach(e => props.set[JsonNode](e.getKey, e.getValue))
+          case "remove-properties" =>
+            if (doc.hasNonNull("properties")) {
+              val props = doc.get("properties").asInstanceOf[ObjectNode]
+              u.get("removals").elements().asScala
+                .foreach(n => props.remove(n.asText()))
+            }
+          case other => throw new IllegalArgumentException(
+            s"stub: unknown update action $other")
+        }
+      }
+      doc.put("last-updated-ms", System.currentTimeMillis())
+      doc
     }
     server.createContext("/v1/", (x: HttpExchange) => {
       val parts = x.getRequestURI.getPath.split('/').filter(_.nonEmpty)
@@ -148,17 +291,31 @@ class IceCatalogSpec extends SparkSpecBase {
                 mapper.writeValueAsBytes(n.get("metadata")))
               respond(x, 200, Array.emptyByteArray)
             }
-          case ("POST", Some(t)) => // commitTable with requirements
-            val n = mapper.readTree(x.getRequestBody.readAllBytes())
-            val want = n.get("requirements").elements().next()
-            require(want.get("type").asText() == "assert-metadata-location")
-            tables.get(t) match {
-              case Some((loc, _))
-                  if loc == want.get("metadata-location").asText() =>
-                tables(t) = (n.get("metadata-location").asText(),
-                  mapper.writeValueAsBytes(n.get("metadata")))
-                respond(x, 200, Array.emptyByteArray)
-              case _ => respond(x, 409, Array.emptyByteArray) // CAS loser
+          case ("POST", Some(t)) => // commitTable: requirements+updates
+            try {
+              val n = mapper.readTree(x.getRequestBody.readAllBytes())
+              require(n.hasNonNull("requirements") &&
+                n.hasNonNull("updates"),
+                "stub: commit body must carry requirements + updates")
+              tables.get(t) match {
+                case None => respond(x, 404, Array.emptyByteArray)
+                case Some((loc, bytes)) =>
+                  val doc = mapper.readTree(bytes)
+                  if (!checkRequirements(doc, n.get("requirements")))
+                    respond(x, 409, Array.emptyByteArray) // CAS loser
+                  else {
+                    val next = applyUpdates(
+                      doc.asInstanceOf[ObjectNode], n.get("updates"))
+                    val v = loc.split('/').last.stripPrefix("v")
+                      .stripSuffix(".metadata.json").toInt
+                    tables(t) = (s"v${v + 1}.metadata.json",
+                      mapper.writeValueAsBytes(next))
+                    respond(x, 200, Array.emptyByteArray)
+                  }
+              }
+            } catch {
+              case e: IllegalArgumentException =>
+                respond(x, 400, e.getMessage.getBytes("UTF-8"))
             }
           case _ => respond(x, 405, Array.emptyByteArray)
         }
@@ -199,16 +356,77 @@ class IceCatalogSpec extends SparkSpecBase {
     }
   }
 
+  test("REST binding: the full update vocabulary round-trips server-side") {
+    withRestCatalog { (root, cat) =>
+      IcebergMeta.writeFixture(
+        spark.range(0, 10).toDF("k").coalesce(1), root,
+        formatVersion = 3)
+      IcebergMeta.append(spark.range(10, 14).toDF("k").coalesce(1),
+        root)                                    // add-snapshot + main
+      IcebergMeta.setRef(root, "audit", "tag")   // set-snapshot-ref
+      IcebergMeta.writeStatistics(spark, root, exact = true)
+      //                                         // set-statistics
+      val preRollback = IcebergMeta.snapshotLog(root).head.snapshotId
+      IcebergMeta.rollbackTo(root, preRollback)  // main moves BACK
+      assert(spark.read.format("iceberg-meta").load(root).count() === 10)
+      IcebergMeta.rollbackTo(root,
+        IcebergMeta.refSnapshotId(root, "audit")) // forward again
+      // v3 row lineage survived the server-side derivation: appends
+      // continue past the server-maintained next-row-id
+      IcebergMeta.append(spark.range(14, 16).toDF("k").coalesce(1),
+        root)
+      val ids = IcebergMetaRead.readWithRowIds(spark, root)
+        .select("k", "_row_id").as[(Long, Long)].collect().toMap
+      assert(ids(14L) === 14L && ids(15L) === 15L)
+      // statistics visible through the REST-resolved document
+      assert(IcebergMeta.columnNdv(root).get("k").exists(_ >= 10L))
+      // dropping the tag expresses as remove-snapshot-ref
+      IcebergMeta.dropRef(root, "audit")
+      assert(!IcebergMeta.refs(root).contains("audit"))
+      assert(spark.read.format("iceberg-meta").load(root).count() === 16)
+    }
+  }
+
   test("REST binding: CAS race has exactly one winner (HTTP 409)") {
     withRestCatalog { (root, cat) =>
       IcebergMeta.writeFixture(spark.range(0, 4).toDF("k"), root)
       val (v, bytes) = cat.currentMetadata(root)
-      // two writers race the same base through real HTTP
+      // two writers race the same base: the winner commits, the loser
+      // fails the freshness check against the moved pointer
       cat.commit(root, v, bytes)
       val e = intercept[VersionedTable.ConcurrentCommitException] {
         cat.commit(root, v, bytes)
       }
       assert(e.getMessage.contains((v + 1).toString))
+      // the SERVER-side optimistic lock, proven through raw HTTP: a
+      // commit whose assert-ref-snapshot-id names a stale snapshot
+      // answers 409 even when it skips the client's freshness check
+      val http = java.net.http.HttpClient.newHttpClient()
+      val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+      val token = java.util.Base64.getUrlEncoder.withoutPadding
+        .encodeToString(root.getBytes("UTF-8"))
+      def post(body: String): Int = http.send(
+        java.net.http.HttpRequest.newBuilder(java.net.URI.create(
+          s"${cat.baseUri}/v1/graft/namespaces/default/tables/$token"))
+          .header("Content-Type", "application/json")
+          .POST(java.net.http.HttpRequest.BodyPublishers.ofString(body))
+          .build(),
+        java.net.http.HttpResponse.BodyHandlers.ofString()).statusCode()
+      val uuid = mapper.readTree(cat.currentMetadata(root)._2)
+        .get("table-uuid").asText()
+      assert(post(
+        s"""{"requirements":[
+           |{"type":"assert-table-uuid","uuid":"$uuid"},
+           |{"type":"assert-ref-snapshot-id","ref":"main",
+           | "snapshot-id":12345}],
+           |"updates":[]}""".stripMargin) === 409)
+      // malformed update lists are REJECTED (shape validation), not
+      // silently stored
+      assert(post(
+        s"""{"requirements":[
+           |{"type":"assert-table-uuid","uuid":"$uuid"}],
+           |"updates":[{"action":"no-such-update"}]}""".stripMargin)
+        === 400)
       // create of an existing table answers 409 too, surfaced as the
       // same one-winner exception
       intercept[VersionedTable.ConcurrentCommitException] {

@@ -45,10 +45,7 @@ case class IcebergCboStats(session: SparkSession)
           if r.location.isInstanceOf[IcebergMetaFileIndex] =>
         val idx = r.location.asInstanceOf[IcebergMetaFileIndex]
         val snap = idx.snap
-        val ndv =
-          try IcebergMeta.columnNdv(snap.root, Some(snap.snapshotId))
-          catch { case scala.util.control.NonFatal(_) =>
-            Map.empty[String, Long] }
+        val ndv = IcebergCboStats.ndvFor(snap.root, snap.snapshotId)
         if (ndv.isEmpty) lr
         else {
           val rowCount = math.max(0L,
@@ -72,4 +69,37 @@ case class IcebergCboStats(session: SparkSession)
           lr.copy(catalogTable = Some(ct))
         }
     }
+}
+
+object IcebergCboStats {
+
+  /** Positive-result cache: statistics are IMMUTABLE per (root,
+    * snapshot) once read, and this rule runs on every query analysis
+    * — without the cache a REST-cataloged table pays one metadata GET
+    * + Puffin footer read per planned relation. Negative results are
+    * NOT cached (an ANALYZE publishes stats WITHOUT moving the
+    * snapshot, and the very next plan must see them); tables without
+    * stats pay one cheap metadata parse per plan, the same cost class
+    * as the index's own freshness probe. Bounded: cleared wholesale
+    * past 1024 entries (a cap, not an LRU — stats maps are tiny). */
+  private val cache = new java.util.concurrent.ConcurrentHashMap[
+    (String, Long), Map[String, Long]]()
+
+  private[ext] def ndvFor(root: String, snapshotId: Long)
+      : Map[String, Long] = {
+    val key = (root, snapshotId)
+    val hit = cache.get(key)
+    if (hit != null) hit
+    else {
+      val ndv =
+        try IcebergMeta.columnNdv(root, Some(snapshotId))
+        catch { case scala.util.control.NonFatal(_) =>
+          Map.empty[String, Long] }
+      if (ndv.nonEmpty) {
+        if (cache.size > 1024) cache.clear()
+        cache.put(key, ndv)
+      }
+      ndv
+    }
+  }
 }

@@ -890,6 +890,35 @@ object DeltaLog {
       configuration.get("delta.universalFormat.enabledFormats")
         .exists(_.split(",").map(_.trim).contains("iceberg"))
 
+  /** PRE-COMMIT gate for UniForm writes: the shapes [[syncUniform]]
+    * cannot mirror must refuse BEFORE the Delta commit lands — a
+    * post-commit refusal would leave a durably-advanced log behind an
+    * exception the caller reads as "nothing happened". Checked with
+    * the PROSPECTIVE post-commit state at every hook site;
+    * syncUniform's own requires remain as a backstop. */
+  private def gateUniform(configuration: Map[String, String],
+      schema: StructType, partitionColumns: Seq[String],
+      columnMapping: Map[String, String], carriesDv: Boolean,
+      operation: String): Unit = {
+    if (!uniformEnabled(configuration)) return
+    require(columnMapping.isEmpty,
+      s"delta-log $operation: column-mapped tables cannot enable " +
+        "icebergCompatV2 (this engine's Iceberg tree resolves " +
+        "columns by NAME) — disable column mapping or drop the " +
+        "property")
+    require(partitionColumns.isEmpty,
+      s"delta-log $operation: partitioned tables cannot enable " +
+        "icebergCompatV2 (Hive layout keeps partition columns OUT of " +
+        "the data files, which Iceberg requires IN them)")
+    require(!carriesDv,
+      s"delta-log $operation: deletion vectors cannot be mirrored " +
+        "zero-copy into the Iceberg tree — REORG PURGE the table " +
+        "first")
+    require(!hasVariantType(schema),
+      s"delta-log $operation: variant columns have no v2 Iceberg " +
+        "type — not mirrorable")
+  }
+
   /** The `icebergCompatV2` writer obligation, honored FOR REAL: after
     * every commit on a UniForm table, advance the LIVE Iceberg
     * metadata tree co-located at the table root (`metadata/` next to
@@ -1629,6 +1658,12 @@ object DeltaLog {
         columnMappingOf(root, recordSchema, configuration)
       else existing.map(_.columnMapping).getOrElse(
         columnMappingOf(root, recordSchema, configuration))
+    // UniForm gates run BEFORE anything stages or commits — a
+    // post-commit refusal would leave a durably-advanced log
+    gateUniform(configuration, recordSchema, partitionBy, mapping,
+      carriesDv = mode == "append" &&
+        existing.exists(_.adds.exists(_.deletionVector.isDefined)),
+      opName)
     val stagedDf =
       if (mapping.isEmpty) dfIn else toPhysicalDf(dfIn, recordSchema, root)
     val stagedPartitionBy = partitionBy.map(c => mapping.getOrElse(c, c))
@@ -1982,6 +2017,11 @@ object DeltaLog {
       cdcAdds: Seq[DeltaAdd] = Nil,
       operation: String = "DELETE",
       metaRestate: Option[String] = None): Long = {
+    gateUniform(base.configuration, base.schema, base.partitionColumns,
+      base.columnMapping,
+      carriesDv = base.adds.exists(a =>
+        a.deletionVector.isDefined && !removedPaths.contains(a.path)),
+      operation)
     val latest = latestVersion(root)
     val nonce = java.util.UUID.randomUUID().toString.take(8)
     val adds = stageAndLand(spark, df, root, partitionBy, nonce)
@@ -2048,6 +2088,12 @@ object DeltaLog {
     // OPTIMIZE rewrites with dataChange=false — legal on append-only
     // tables, but unknown writer features still refuse
     gateWriterObligations(snap, "OPTIMIZE", removesData = false)
+    // post-compact state carries no DVs (they materialize away), so
+    // the UniForm gate checks shape only — OPTIMIZE is the UNBRICK
+    // path for a DV-carrying UniForm table
+    gateUniform(snap0.configuration, snap0.schema,
+      snap0.partitionColumns, snap0.columnMapping,
+      carriesDv = false, "OPTIMIZE")
     zorderBy.foreach { case (x, y) =>
       require(snap.partitionColumns.isEmpty,
         "delta-log: ZORDER BY on a partitioned table is not " +
@@ -2158,6 +2204,12 @@ object DeltaLog {
     require(toVersion < now.version,
       s"delta-log: RESTORE to v$toVersion is not behind v${now.version}")
     val target = snapshot(spark, root, Some(toVersion))
+    // the TARGET's configuration travels with the restore — its
+    // UniForm shape must be mirrorable BEFORE the commit lands
+    gateUniform(target.configuration, target.schema,
+      target.partitionColumns, target.columnMapping,
+      carriesDv = target.adds.exists(_.deletionVector.isDefined),
+      "RESTORE")
     val store = VersionedTable.dataIO(root)
     val gone = target.adds.filterNot(a =>
       store.exists(Paths.get(root).resolve(a.path)))
@@ -2952,6 +3004,12 @@ object DeltaLog {
         "delta.inCommitTimestampEnablementVersion" -
         "delta.inCommitTimestampEnablementTimestamp"
       else merged0
+    // enabling UniForm on a shape the sync cannot mirror must refuse
+    // BEFORE the property commit lands
+    gateUniform(merged, snap.schema, snap.partitionColumns,
+      snap.columnMapping,
+      carriesDv = snap.adds.exists(_.deletionVector.isDefined),
+      "SET TBLPROPERTIES")
     // ADDING a CHECK constraint verifies the EXISTING rows first —
     // delta-spark's ADD CONSTRAINT rule (a constraint the current
     // data violates must never land in the configuration)

@@ -263,6 +263,7 @@ final class RestIceCatalog(val baseUri: String,
     val oldDoc = mapper.readTree(curBytes)
     val newDoc = mapper.readTree(metadata)
     val body = mapper.createObjectNode()
+    val updates = diffUpdates(oldDoc, newDoc)
     val reqs = body.putArray("requirements")
     val r1 = reqs.addObject()
     r1.put("type", "assert-table-uuid")
@@ -274,7 +275,28 @@ final class RestIceCatalog(val baseUri: String,
       case Some(id) => r2.put("snapshot-id", id)
       case None => r2.putNull("snapshot-id") // ref must not exist yet
     }
-    body.set[JsonNode]("updates", diffUpdates(oldDoc, newDoc))
+    // per-update-type assertions (the requirements faithful Iceberg
+    // clients send): a ref-preserving commit would otherwise race a
+    // concurrent same-kind commit undetected — two add-schema writers
+    // off one base must not both land
+    val actions = updates.elements().asScala
+      .map(_.get("action").asText()).toSet
+    if (actions("add-schema") || actions("set-current-schema")) {
+      val r = reqs.addObject()
+      r.put("type", "assert-current-schema-id")
+      r.put("current-schema-id",
+        oldDoc.path("current-schema-id").asInt())
+      val f = reqs.addObject()
+      f.put("type", "assert-last-assigned-field-id")
+      f.put("last-assigned-field-id",
+        oldDoc.path("last-column-id").asInt())
+    }
+    if (actions("add-spec") || actions("set-default-spec")) {
+      val r = reqs.addObject()
+      r.put("type", "assert-default-spec-id")
+      r.put("default-spec-id", oldDoc.path("default-spec-id").asInt())
+    }
+    body.set[JsonNode]("updates", updates)
     post(tableUri(root), mapper.writeValueAsBytes(body),
       expectedVersion + 1)
   }
@@ -288,10 +310,12 @@ final class RestIceCatalog(val baseUri: String,
   }
 
   /** Top-level fields the SERVER derives from applied updates — a
-    * diff in these never needs (or gets) an update of its own. */
+    * diff in these never needs (or gets) an update of its own
+    * (last-column-id rides add-schema, last-partition-id rides
+    * add-spec, the rest are commit bookkeeping). */
   private val ServerDerived = Set("last-updated-ms",
     "last-sequence-number", "snapshot-log", "next-row-id",
-    "current-snapshot-id", "last-column-id")
+    "current-snapshot-id", "last-column-id", "last-partition-id")
 
   /** The OpenAPI `updates` list that turns `oldDoc` into `newDoc`.
     * Any difference outside the expressible vocabulary throws — a
@@ -307,7 +331,10 @@ final class RestIceCatalog(val baseUri: String,
       elems(doc, field).map(n => n.get(key).asLong() -> n).toMap
     val handled = scala.collection.mutable.Set.empty[String]
     handled ++= ServerDerived
-    handled ++= Seq("table-uuid", "location")
+    // table-uuid and location are deliberately NOT handled: no writer
+    // here changes them, and a change must hit the refusal loop below
+    // (assign-uuid/set-location exist in the OpenAPI but expressing
+    // them silently would mask a corrupted successor document)
     // format-version
     handled += "format-version"
     if (oldDoc.path("format-version").asInt() !=

@@ -1155,13 +1155,14 @@ object IcebergMeta {
         |  {"name":"content_offset","type":["null","long"],"default":null,"field-id":144},
         |  {"name":"content_size_in_bytes","type":["null","long"],"default":null,"field-id":145}"""
         .stripMargin
-    // v3 row lineage, EXPLICIT form (spec field id 146): a rewritten
-    // manifest cannot rely on list-row inheritance (its list row is
-    // the REWRITING snapshot's), so restated entries materialize
-    // their resolved first_row_id here
+    // v3 row lineage, EXPLICIT form (spec field id 142 — the DV
+    // triple is 143-145): a rewritten manifest cannot rely on
+    // list-row inheritance (its list row is the REWRITING
+    // snapshot's), so restated entries materialize their resolved
+    // first_row_id here
     val frid = if (!withFirstRowId) "" else
       """,
-        |  {"name":"first_row_id","type":["null","long"],"default":null,"field-id":146}"""
+        |  {"name":"first_row_id","type":["null","long"],"default":null,"field-id":142}"""
         .stripMargin
     s"""{"type":"record","name":"manifest_entry","fields":[
       |{"name":"status","type":"int"},
@@ -3937,7 +3938,7 @@ object IcebergMeta {
     * adds — an inherited seq here would detach older deletes from the
     * carried files and resurrect rows), and on v3 row-lineage tables
     * each entry's resolved `first_row_id` materializes EXPLICITLY
-    * (field id 146 — list-row inheritance cannot survive the move to
+    * (field id 142 — list-row inheritance cannot survive the move to
     * a new list row). Delete manifests (positional, equality, DV)
     * carry verbatim. Prior snapshots keep their own manifest lists —
     * time travel is untouched; [[expireSnapshots]] reclaims the small

@@ -148,6 +148,15 @@ class IceCatalogSpec extends SparkSpecBase {
             val want = Option(r.get("snapshot-id")).filterNot(_.isNull)
               .map(_.asLong())
             mainOf(doc) == want
+          case "assert-current-schema-id" =>
+            doc.path("current-schema-id").asInt() ==
+              r.get("current-schema-id").asInt()
+          case "assert-last-assigned-field-id" =>
+            doc.path("last-column-id").asInt() ==
+              r.get("last-assigned-field-id").asInt()
+          case "assert-default-spec-id" =>
+            doc.path("default-spec-id").asInt() ==
+              r.get("default-spec-id").asInt()
           case other =>
             throw new IllegalArgumentException(
               s"stub: unknown requirement type $other")
@@ -167,8 +176,14 @@ class IceCatalogSpec extends SparkSpecBase {
           case "set-current-schema" =>
             doc.put("current-schema-id", u.get("schema-id").asInt())
           case "add-spec" =>
-            doc.withArray[ArrayNode]("partition-specs")
-              .add(u.get("spec"))
+            val spec = u.get("spec")
+            doc.withArray[ArrayNode]("partition-specs").add(spec)
+            // the server owns last-partition-id (derived, like
+            // last-sequence-number from add-snapshot)
+            val maxField = spec.path("fields").elements().asScala
+              .map(_.path("field-id").asInt(999)).maxOption.getOrElse(999)
+            if (maxField > doc.path("last-partition-id").asInt(999))
+              doc.put("last-partition-id", maxField)
           case "set-default-spec" =>
             doc.put("default-spec-id", u.get("spec-id").asInt())
           case "add-snapshot" =>
@@ -384,6 +399,22 @@ class IceCatalogSpec extends SparkSpecBase {
       IcebergMeta.dropRef(root, "audit")
       assert(!IcebergMeta.refs(root).contains("audit"))
       assert(spark.read.format("iceberg-meta").load(root).count() === 16)
+      // SCHEMA evolution expresses as add-schema/set-current-schema
+      // (with assert-current-schema-id + assert-last-assigned-field-id)
+      IcebergMeta.addColumnWithDefault(root, "tag",
+        org.apache.spark.sql.types.StringType, "x")
+      assert(spark.read.format("iceberg-meta").load(root)
+        .filter(col("tag") === "x").count() === 16)
+      // SPEC evolution expresses as add-spec/set-default-spec; the
+      // server derives last-partition-id — a post-evolution
+      // partitioned append must still work against the REST document
+      IcebergMeta.evolveSpec(root, Seq("k" -> "bucket[4]"))
+      IcebergMeta.append(
+        Seq((100L, "y"), (101L, "z")).toDF("k", "tag").coalesce(1),
+        root)
+      assert(spark.read.format("iceberg-meta").load(root).count() === 18)
+      assert(spark.read.format("iceberg-meta").load(root)
+        .filter(col("tag") === "y").count() === 1)
     }
   }
 

@@ -70,6 +70,33 @@ class IcebergStatsSpec extends SparkSpecBase {
     }.getMessage.contains("no column"))
   }
 
+  test("compact/overwrite withStats refresh the published NDV") {
+    val root = tmp()
+    IcebergMeta.writeFixture(
+      spark.range(0, 200).toDF("k")
+        .withColumn("bucket", col("k") % 8).coalesce(1), root)
+    IcebergMeta.writeStatistics(spark, root, exact = true)
+    assert(IcebergMeta.columnNdv(root) === Map("k" -> 200L,
+      "bucket" -> 8L))
+    IcebergMeta.append(spark.range(200, 300).toDF("k")
+      .withColumn("bucket", col("k") % 8).coalesce(1), root)
+    // compact with withStats republishes for the NEW snapshot (approx
+    // mode — HLL++ is tolerance-checked, not bit-pinned)
+    IcebergMeta.compact(spark, root, withStats = true)
+    val afterCompact = IcebergMeta.columnNdv(root)
+    assert(math.abs(afterCompact("k") - 300L) <= 16L &&
+      afterCompact("bucket") === 8L, s"got $afterCompact")
+    // overwrite with withStats sketches the REPLACEMENT (read back
+    // from the landed files, never recomputing the incoming frame)
+    IcebergMeta.overwrite(spark, root,
+      spark.range(0, 50).toDF("k")
+        .withColumn("bucket", col("k") % 4).coalesce(1),
+      withStats = true)
+    val afterOverwrite = IcebergMeta.columnNdv(root)
+    assert(math.abs(afterOverwrite("k") - 50L) <= 4L &&
+      afterOverwrite("bucket") === 4L, s"got $afterOverwrite")
+  }
+
   test("hand-written FOREIGN Puffin stats file decodes through the sketch") {
     val root = tmp()
     IcebergMeta.writeFixture(

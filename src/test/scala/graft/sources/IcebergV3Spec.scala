@@ -1006,7 +1006,7 @@ class IcebergV3Spec extends SparkSpecBase {
     IcebergMeta.rewriteManifests(root)
     // the restated entries can no longer inherit from their ORIGINAL
     // list rows — ids survive only because the rewrite materialized
-    // them (spec field 146); any drift here is silent lineage
+    // them (spec field 142); any drift here is silent lineage
     // corruption
     assert(ids() === pre)
     assert(IcebergMeta.manifestsFrame(spark, root).collect()

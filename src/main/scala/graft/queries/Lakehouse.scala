@@ -4218,6 +4218,54 @@ object Lakehouse {
              |  CAST(sum(o_orderkey) AS BIGINT) AS sum_key
              |FROM orders
              |WHERE o_orderkey <= 4096 AND o_orderkey % 10 <> 7"""
+        .stripMargin)),
+
+    // ICEBERG METADATA-LOG LIFECYCLE (round 13): the q279 story on
+    // the Iceberg side — every commit supersedes a full metadata
+    // document, and without maintenance both the document's own
+    // `metadata-log` AND the metadata directory grow O(commits).
+    // `write.metadata.previous-versions-max` trims the log (the
+    // spec's field, Iceberg's default 100) and
+    // `write.metadata.delete-after-commit.enabled` sweeps the
+    // superseded files once the commit is durable. Snapshots live in
+    // the CURRENT document, so reads, travel and deletes are
+    // untouched — the entry pins the on-disk metadata file count and
+    // aggregates through the swept table under the oracle.
+    QueryDef(
+      "q284_iceberg_metadata_log",
+      (s, d) => {
+        import graft.sources.IcebergMeta
+        val root = Files.createTempDirectory("imlog_").toString + "/t"
+        val src = orders(s, d).select(col("o_orderkey"))
+          .filter(col("o_orderkey") <= 4096L)
+        IcebergMeta.writeFixture(
+          src.filter(col("o_orderkey") <= 1365L).coalesce(1), root)
+        IcebergMeta.setProperties(root, Map(
+          "write.metadata.previous-versions-max" -> "2",
+          "write.metadata.delete-after-commit.enabled" -> "true"))
+        IcebergMeta.append(
+          src.filter(col("o_orderkey") > 1365L &&
+            col("o_orderkey") <= 2730L).coalesce(1), root)
+        IcebergMeta.append(
+          src.filter(col("o_orderkey") > 2730L).coalesce(1), root)
+        IcebergMeta.delete(s, root, col("o_orderkey") % 10 === 3)
+        val onDisk = {
+          val st = java.nio.file.Files.list(
+            java.nio.file.Paths.get(root, "metadata"))
+          try st.iterator().asScala.count(p =>
+            p.getFileName.toString.matches("v\\d+\\.metadata\\.json"))
+          finally st.close()
+        }
+        s.read.format("iceberg-meta").load(root)
+          .agg(count(lit(1)).as("n_rows"),
+            sum(col("o_orderkey")).cast("long").as("sum_key"))
+          .withColumn("n_meta_files", lit(onDisk))
+      },
+      Some("""SELECT CAST(count(*) AS BIGINT) AS n_rows,
+             |  CAST(sum(o_orderkey) AS BIGINT) AS sum_key,
+             |  3 AS n_meta_files
+             |FROM orders
+             |WHERE o_orderkey <= 4096 AND o_orderkey % 10 <> 3"""
         .stripMargin))
   )
 }

@@ -315,7 +315,11 @@ final class RestIceCatalog(val baseUri: String,
     * add-spec, the rest are commit bookkeeping). */
   private val ServerDerived = Set("last-updated-ms",
     "last-sequence-number", "snapshot-log", "next-row-id",
-    "current-snapshot-id", "last-column-id", "last-partition-id")
+    "current-snapshot-id", "last-column-id", "last-partition-id",
+    // the server owns its metadata-location history (the OpenAPI's
+    // previous-metadata tracking) — the client's local metadata-log
+    // never publishes
+    "metadata-log")
 
   /** The OpenAPI `updates` list that turns `oldDoc` into `newDoc`.
     * Any difference outside the expressible vocabulary throws — a

@@ -1062,8 +1062,80 @@ object IcebergMeta {
     meta.put("current-schema-id", newSchemaId)
     meta.put("last-column-id", newId)
     meta.put("last-updated-ms", System.currentTimeMillis())
+    commitMeta(root, v, meta)
+    v + 1
+  }
+
+  /** Central metadata PUBLISHER — every successor document commits
+    * through here so the spec's `metadata-log` is maintained: one
+    * `{timestamp-ms, metadata-file}` entry per superseded document,
+    * trimmed to `write.metadata.previous-versions-max` (default 100,
+    * Iceberg's own) — without the trim the document itself grows
+    * O(commits), the last self-referential metadata-growth term.
+    * With `write.metadata.delete-after-commit.enabled=true` the
+    * files dropped from the log also delete from disk AFTER the
+    * commit is durable (Fs catalog only — REST-held documents have
+    * no local file; the REST diff treats metadata-log as
+    * server-derived, which the OpenAPI's metadata-location history
+    * is). Failure order is safe: a crash between commit and delete
+    * leaves unreferenced-but-harmless files for the next sweep. */
+  private def commitMeta(root: String, v: Int,
+      newMeta: com.fasterxml.jackson.databind.node.ObjectNode): Unit = {
+    def prop(name: String): Option[String] =
+      Option(newMeta.get("properties")).filterNot(_.isNull)
+        .flatMap(p => Option(p.get(name))).filterNot(_.isNull)
+        .map(_.asText())
+    val keep = prop("write.metadata.previous-versions-max")
+      .map(_.toInt).getOrElse(100).max(1)
+    val entry = mapper.createObjectNode()
+    entry.put("timestamp-ms",
+      if (newMeta.hasNonNull("last-updated-ms"))
+        newMeta.get("last-updated-ms").asLong()
+      else System.currentTimeMillis())
+    entry.put("metadata-file", s"metadata/v$v.metadata.json")
+    val prior =
+      if (newMeta.hasNonNull("metadata-log"))
+        newMeta.get("metadata-log").elements().asScala.toSeq
+          .map(_.deepCopy[JsonNode]())
+      else Nil
+    val all = prior :+ (entry: JsonNode)
+    val kept = all.takeRight(keep)
+    val dropped = all.dropRight(keep)
+    val arr = newMeta.putArray("metadata-log")
+    kept.foreach(arr.add)
     IceCatalog.forRoot(root).commit(root, v,
-      mapper.writerWithDefaultPrettyPrinter().writeValueAsBytes(meta))
+      mapper.writerWithDefaultPrettyPrinter()
+        .writeValueAsBytes(newMeta))
+    if (dropped.nonEmpty &&
+      prop("write.metadata.delete-after-commit.enabled")
+        .contains("true") &&
+      (IceCatalog.forRoot(root) eq FsIceCatalog))
+      dropped.foreach { e =>
+        try Files.deleteIfExists(Paths.get(
+          resolvePath(root, e.get("metadata-file").asText())))
+        catch { case _: java.io.IOException => () } // best effort
+      }
+  }
+
+  /** ALTER TABLE SET TBLPROPERTIES for the Iceberg side — one
+    * metadata-only commit updating the document's `properties` map
+    * (through the REST diff this expresses as the OpenAPI's
+    * `set-properties`). The metadata-lifecycle knobs
+    * (`write.metadata.previous-versions-max`,
+    * `write.metadata.delete-after-commit.enabled`) land here. */
+  def setProperties(root: String, props: Map[String, String]): Int = {
+    val (v, meta0) = currentMeta(root)
+    requireKnownVersion(meta0)
+    val meta = meta0
+      .deepCopy[com.fasterxml.jackson.databind.node.ObjectNode]
+    val p =
+      if (meta.hasNonNull("properties"))
+        meta.get("properties")
+          .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+      else meta.putObject("properties")
+    props.foreach { case (k, value) => p.put(k, value) }
+    meta.put("last-updated-ms", System.currentTimeMillis())
+    commitMeta(root, v, meta)
     v + 1
   }
 
@@ -2175,8 +2247,7 @@ object IcebergMeta {
     meta.put("default-spec-id", nextId)
     meta.put("last-partition-id", fid)
     meta.put("last-updated-ms", System.currentTimeMillis())
-    IceCatalog.forRoot(root).commit(root, v,
-      mapper.writerWithDefaultPrettyPrinter().writeValueAsBytes(meta))
+    commitMeta(root, v, meta)
     nextId
   }
 
@@ -2367,9 +2438,7 @@ object IcebergMeta {
               .put("snapshot-id", snapId)
         }
     }
-    IceCatalog.forRoot(root).commit(root, v,
-      mapper.writerWithDefaultPrettyPrinter()
-        .writeValueAsBytes(newMeta))
+    commitMeta(root, v, newMeta)
     snapId
   }
 
@@ -2850,8 +2919,7 @@ object IcebergMeta {
     if (newMeta.hasNonNull("snapshot-log"))
       newMeta.withArray[com.fasterxml.jackson.databind.node.ArrayNode](
         "snapshot-log").add(logEntry)
-    IceCatalog.forRoot(root).commit(root, v,
-      mapper.writerWithDefaultPrettyPrinter().writeValueAsBytes(newMeta))
+    commitMeta(root, v, newMeta)
     v + 1
   }
 
@@ -2950,8 +3018,7 @@ object IcebergMeta {
     r.put("type", refType)
     refsNode.set(name, r)
     meta.put("last-updated-ms", System.currentTimeMillis())
-    IceCatalog.forRoot(root).commit(root, v,
-      mapper.writerWithDefaultPrettyPrinter().writeValueAsBytes(meta))
+    commitMeta(root, v, meta)
     v + 1
   }
 
@@ -2968,8 +3035,7 @@ object IcebergMeta {
       .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
       .remove(name)
     meta.put("last-updated-ms", System.currentTimeMillis())
-    IceCatalog.forRoot(root).commit(root, v,
-      mapper.writerWithDefaultPrettyPrinter().writeValueAsBytes(meta))
+    commitMeta(root, v, meta)
     v + 1
   }
 
@@ -3029,8 +3095,7 @@ object IcebergMeta {
       }
     }
     meta.put("last-updated-ms", now)
-    IceCatalog.forRoot(root).commit(root, v,
-      mapper.writerWithDefaultPrettyPrinter().writeValueAsBytes(meta))
+    commitMeta(root, v, meta)
     v + 1
   }
 
@@ -3128,8 +3193,7 @@ object IcebergMeta {
       newMeta.set[JsonNode]("snapshot-log", logArr)
     }
     newMeta.put("last-updated-ms", System.currentTimeMillis())
-    IceCatalog.forRoot(root).commit(root, v,
-      mapper.writerWithDefaultPrettyPrinter().writeValueAsBytes(newMeta))
+    commitMeta(root, v, newMeta)
     // the commit is durable — now the physical deletes (crash here
     // leaves unreferenced garbage, never a dangling reference)
     val store = VersionedTable.dataIO(root)
@@ -3576,8 +3640,7 @@ object IcebergMeta {
       n.putObject("properties").put("ndv", b.ndv.toString)
     }
     newMeta.put("last-updated-ms", System.currentTimeMillis())
-    IceCatalog.forRoot(root).commit(root, v,
-      mapper.writerWithDefaultPrettyPrinter().writeValueAsBytes(newMeta))
+    commitMeta(root, v, newMeta)
     targets.zipWithIndex.map { case (c, i) => c -> row.getLong(i) }.toMap
   }
 

@@ -807,6 +807,52 @@ class IcebergMetaSpec extends SparkSpecBase {
     assert(countAt(System.currentTimeMillis()) === 5)
   }
 
+  test("metadata-log maintenance + delete-after-commit bound the metadata dir") {
+    import scala.jdk.CollectionConverters._
+    val root = tmp()
+    def versionsOnDisk(): Set[Int] = {
+      val s = Files.list(Paths.get(root, "metadata"))
+      try s.iterator().asScala.map(_.getFileName.toString)
+        .collect { case n if n.matches("v\\d+\\.metadata\\.json") =>
+          n.stripPrefix("v").stripSuffix(".metadata.json").toInt }
+        .toSet
+      finally s.close()
+    }
+    def currentDoc(): com.fasterxml.jackson.databind.JsonNode =
+      new com.fasterxml.jackson.databind.ObjectMapper().readTree(
+        Files.readAllBytes(Paths.get(root,
+          s"metadata/v${IcebergMeta.latestMetadataVersion(root)}.metadata.json")))
+    IcebergMeta.writeFixture(
+      spark.range(0, 8).toDF("k").coalesce(1), root)        // v1
+    val firstSnap = IcebergMeta.snapshot(root).snapshotId
+    IcebergMeta.setProperties(root, Map(                    // v2
+      "write.metadata.previous-versions-max" -> "3",
+      "write.metadata.delete-after-commit.enabled" -> "true"))
+    (1 to 6).foreach(i => IcebergMeta.append(               // v3..v8
+      spark.range(8 * i, 8 * i + 8).toDF("k").coalesce(1), root))
+    // the log holds exactly the 3 most recent priors, in order
+    val log = currentDoc().get("metadata-log").elements().asScala
+      .map(_.get("metadata-file").asText()).toSeq
+    assert(log === Seq("metadata/v5.metadata.json",
+      "metadata/v6.metadata.json", "metadata/v7.metadata.json"))
+    // superseded documents past the window DELETED after commit —
+    // the metadata dir is bounded to O(previous-versions-max)
+    assert(versionsOnDisk() === Set(5, 6, 7, 8))
+    // snapshots live in the CURRENT document: reads and snapshot
+    // time travel are untouched by metadata-file cleanup
+    assert(spark.read.format("iceberg-meta").load(root).count() === 56)
+    assert(spark.read.format("iceberg-meta")
+      .option("snapshotId", firstSnap.toString).load(root)
+      .count() === 8)
+    // without delete-after-commit the files stay (log still trims)
+    IcebergMeta.setProperties(root, Map(
+      "write.metadata.delete-after-commit.enabled" -> "false")) // v9
+    IcebergMeta.append(spark.range(56, 60).toDF("k").coalesce(1),
+      root)                                                     // v10
+    assert(versionsOnDisk().contains(6)) // nothing swept anymore
+    assert(currentDoc().get("metadata-log").size() === 3)
+  }
+
   test("rewrite_manifests: tree collapses, rows identical, deletes and travel preserved") {
     val root = tmp()
     IcebergMeta.writeFixture(

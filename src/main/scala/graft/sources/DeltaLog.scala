@@ -961,6 +961,27 @@ object DeltaLog {
     ()
   }
 
+  /** [[syncUniform]] with CAS-race convergence: the sync reads the
+    * CURRENT Delta snapshot and diffs against the CURRENT Iceberg
+    * tree, so losing an Iceberg commit race to a concurrent writer's
+    * sync just means someone else advanced the mirror — re-reading
+    * and re-diffing converges (usually to a no-op). Without the
+    * retry, the LOSER's Delta commit — already durable — would
+    * surface as a failure. Bounded: a livelock past the bound is a
+    * real error worth seeing. */
+  private def syncUniformConverging(spark: SparkSession,
+      root: String): Unit = {
+    var attempts = 0
+    var done = false
+    while (!done) {
+      try { syncUniform(spark, root); done = true }
+      catch {
+        case _: VersionedTable.ConcurrentCommitException
+            if attempts < 5 => attempts += 1
+      }
+    }
+  }
+
   /** The recorded `commitInfo.inCommitTimestamp` of commit `v` —
     * one small log-file read; None when the commit carries none. */
   private[sources] def ictOf(root: String, v: Long): Option[Long] =
@@ -1713,7 +1734,7 @@ object DeltaLog {
       case _: java.nio.file.FileAlreadyExistsException =>
         throw new VersionedTable.ConcurrentCommitException(next)
     }
-    if (uniformEnabled(configuration)) syncUniform(spark, root)
+    if (uniformEnabled(configuration)) syncUniformConverging(spark, root)
     next
   }
 
@@ -2047,7 +2068,7 @@ object DeltaLog {
       case _: java.nio.file.FileAlreadyExistsException =>
         throw new VersionedTable.ConcurrentCommitException(next)
     }
-    if (uniformEnabled(base.configuration)) syncUniform(spark, root)
+    if (uniformEnabled(base.configuration)) syncUniformConverging(spark, root)
     next
   }
 
@@ -2184,7 +2205,7 @@ object DeltaLog {
       case _: java.nio.file.FileAlreadyExistsException =>
         throw new VersionedTable.ConcurrentCommitException(next)
     }
-    if (uniformEnabled(snap.configuration)) syncUniform(spark, root)
+    if (uniformEnabled(snap.configuration)) syncUniformConverging(spark, root)
     next
   }
 
@@ -2300,7 +2321,7 @@ object DeltaLog {
     }
     // the restored state mirrors to the Iceberg tree too (the
     // TARGET's configuration governs — it travels with the restore)
-    if (uniformEnabled(target.configuration)) syncUniform(spark, root)
+    if (uniformEnabled(target.configuration)) syncUniformConverging(spark, root)
     next
   }
 
@@ -3142,7 +3163,7 @@ object DeltaLog {
     }
     // enabling UniForm is the moment the Iceberg tree materializes
     // (and any enabled table's property change keeps it in sync)
-    if (uniformEnabled(merged)) syncUniform(spark, root)
+    if (uniformEnabled(merged)) syncUniformConverging(spark, root)
     next
   }
 

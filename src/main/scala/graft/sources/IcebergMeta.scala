@@ -1079,8 +1079,31 @@ object IcebergMeta {
     * server-derived, which the OpenAPI's metadata-location history
     * is). Failure order is safe: a crash between commit and delete
     * leaves unreferenced-but-harmless files for the next sweep. */
+  /** Is `root` a UniForm MIRROR — an Iceberg tree co-located with a
+    * `_delta_log`? Such trees are READ-ONLY for direct Iceberg
+    * writers: the Delta log is the source of truth and
+    * [[syncExternal]] (the Delta commit hook) is the only legal
+    * writer; a direct Iceberg commit would diverge the two formats'
+    * views of the same files (real UniForm's contract too — the
+    * Iceberg metadata is a read surface). */
+  private def isUniformMirror(root: String): Boolean =
+    Files.exists(Paths.get(root, "_delta_log"))
+
+  /** Set while [[syncExternal]] publishes — the one writer a mirror
+    * admits. */
+  private val inSync = new ThreadLocal[Boolean] {
+    override def initialValue(): Boolean = false
+  }
+
+  private def gateMirrorWrite(root: String, operation: String): Unit =
+    require(!isUniformMirror(root) || inSync.get,
+      s"iceberg-meta $operation: $root is a UniForm MIRROR of a Delta " +
+        "table — the Iceberg tree is read-only; write through the " +
+        "Delta log (every Delta commit advances the mirror)")
+
   private def commitMeta(root: String, v: Int,
       newMeta: com.fasterxml.jackson.databind.node.ObjectNode): Unit = {
+    gateMirrorWrite(root, "COMMIT")
     def prop(name: String): Option[String] =
       Option(newMeta.get("properties")).filterNot(_.isNull)
         .flatMap(p => Option(p.get(name))).filterNot(_.isNull)
@@ -1508,6 +1531,7 @@ object IcebergMeta {
       "iceberg-meta fixture: variant columns require format-version 3")
     require(!IceCatalog.forRoot(root).tableExists(root),
       s"iceberg-meta fixture: $root already exists")
+    gateMirrorWrite(root, "CREATE")
     val (fieldsJson, lastColumnId, fieldId) =
       fixtureFieldsJson(df.schema)
     val typeOf = df.schema.fields.map(f => f.name -> f.dataType).toMap
@@ -1669,6 +1693,7 @@ object IcebergMeta {
     * the metadata tail [[writeFixture]] and [[importDelta]] share. */
   private def publishSingleSnapshotTable(root: String,
       schema: StructType, entries: Seq[GenericRecord]): Long = {
+    gateMirrorWrite(root, "CREATE")
     val snapId = math.abs(root.hashCode.toLong * 2654435761L) + 1
     val manifestRel = s"metadata/snap-$snapId-m0.avro"
     writeAvro(Paths.get(root, manifestRel), manifestSchema, entries)
@@ -1728,6 +1753,13 @@ object IcebergMeta {
     * (unpartitioned, no delete files — a foreign-written tree with
     * deletes is not a pure mirror). Returns the new snapshot id. */
   def syncExternal(spark: SparkSession, root: String,
+      schema: StructType, files: Seq[(Path, String)]): Option[Long] = {
+    inSync.set(true)
+    try syncExternal0(spark, root, schema, files)
+    finally inSync.set(false)
+  }
+
+  private def syncExternal0(spark: SparkSession, root: String,
       schema: StructType, files: Seq[(Path, String)]): Option[Long] = {
     def norm(dt: DataType): DataType = dt match {
       case st: StructType => StructType(st.fields.map(f =>
@@ -1896,6 +1928,7 @@ object IcebergMeta {
       toBranch: Option[String] = None,
       summaryProps: Map[String, String] = Map.empty): Long = {
     val spark = df.sparkSession
+    gateMirrorWrite(root, "APPEND") // early: nothing stages on a mirror
     val (v, meta) = currentMeta(root)
     // writing "to main" IS the normal write (Iceberg's toBranch rule)
     val branch = toBranch.filter(_ != "main")
@@ -2468,6 +2501,7 @@ object IcebergMeta {
   def delete(spark: SparkSession, root: String,
       cond: org.apache.spark.sql.Column): Long = {
     import org.apache.spark.sql.functions.{broadcast, col}
+    gateMirrorWrite(root, "DELETE")
     val (v, meta) = currentMeta(root)
     val (schema, nameById) = schemaOf(meta)
     // a PARTITIONED spec's readers require an r102 partition tuple on
@@ -3120,6 +3154,15 @@ object IcebergMeta {
   def expireSnapshots(root: String, olderThanMs: Long,
       retainLast: Int = 1): ExpireResult = {
     require(retainLast >= 1, s"expireSnapshots: retainLast $retainLast < 1")
+    // a UniForm MIRROR's retention is governed by the DELTA side:
+    // files retired from the mirror's current snapshot may still be
+    // referenced by older Delta versions, and expire's physical
+    // deletes (no mtime guard, unlike VACUUM) would break them —
+    // refuse with the right tool named
+    require(!isUniformMirror(root),
+      s"iceberg-meta EXPIRE SNAPSHOTS: $root is a UniForm mirror of " +
+        "a Delta table — run Delta VACUUM instead (its retention " +
+        "window protects files older Delta versions still reference)")
     val (v, meta) = currentMeta(root)
     if (!meta.hasNonNull("snapshots")) return ExpireResult(0, 0, 0, 0)
     val snaps = meta.get("snapshots").elements().asScala.toSeq
@@ -3798,6 +3841,7 @@ object IcebergMeta {
       // VERIFIES the claim, so no extra snapshot replay is paid on
       // the targeted UPDATE/MERGE hot path
       replaceAllHint: Boolean = false): Long = {
+    gateMirrorWrite(root, "OVERWRITE/REWRITE")
     val (v, meta) = currentMeta(root)
     // v3: a TARGETED rewrite is admitted only when the caller threads
     // row lineage through — the replacement frame must carry the

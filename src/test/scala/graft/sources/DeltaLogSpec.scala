@@ -1223,6 +1223,55 @@ class DeltaLogSpec extends SparkSpecBase {
     assert(DeltaLog.snapshot(spark, root).adds
       .forall(_.deletionVector.isEmpty))
     assert(ice() === (0L until 15L).filterNot(_ == 1L))
+    // the MIRROR is read-only for direct Iceberg writers — the Delta
+    // log is the source of truth (real UniForm's contract); a direct
+    // commit would diverge the two formats' views of the same files
+    val eMirror = intercept[IllegalArgumentException] {
+      IcebergMeta.append(
+        spark.range(900, 903).toDF("k").coalesce(1), root)
+    }
+    assert(eMirror.getMessage.contains("read-only"))
+    // mirror retention is governed by the DELTA side: expire's
+    // physical deletes would break older Delta versions
+    val eExpire = intercept[IllegalArgumentException] {
+      IcebergMeta.expireSnapshots(root, System.currentTimeMillis + 1000)
+    }
+    assert(eExpire.getMessage.contains("VACUUM"))
+  }
+
+  test("UniForm: concurrent Delta writers converge the mirror") {
+    val root = tmp()
+    DeltaLog.commit(spark.range(0, 4).toDF("k").coalesce(1), root,
+      properties = Map("delta.enableIcebergCompatV2" -> "true"))
+    // racing appends: the Delta CAS serializes the log (losers retry,
+    // the documented contract); each winner's SYNC races the others'
+    // on the ICEBERG side too, where the converging retry makes the
+    // loser re-diff against the advanced mirror instead of failing a
+    // durably-committed Delta write
+    def appendRetry(lo: Long, hi: Long): Unit = {
+      var done = false
+      while (!done)
+        try {
+          DeltaLog.commit(
+            spark.range(lo, hi).toDF("k").coalesce(1), root)
+          done = true
+        } catch {
+          case _: VersionedTable.ConcurrentCommitException => ()
+        }
+    }
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+    try {
+      val futures = (1 to 4).map { i =>
+        java.util.concurrent.CompletableFuture.runAsync(
+          () => appendRetry(4L * i, 4L * i + 4), pool)
+      }
+      futures.foreach(_.get(120, java.util.concurrent.TimeUnit.SECONDS))
+    } finally pool.shutdown()
+    val expect = 0L until 20L
+    assert(spark.read.format("delta-log").load(root)
+      .select("k").as[Long].collect().toSeq.sorted === expect)
+    assert(spark.read.format("iceberg-meta").load(root)
+      .select("k").as[Long].collect().toSeq.sorted === expect)
   }
 
   test("UniForm late enablement creates the tree; unsupported shapes refuse") {

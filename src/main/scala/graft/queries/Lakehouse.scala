@@ -4266,6 +4266,68 @@ object Lakehouse {
              |  3 AS n_meta_files
              |FROM orders
              |WHERE o_orderkey <= 4096 AND o_orderkey % 10 <> 3"""
-        .stripMargin))
+        .stripMargin)),
+
+    // DELTA LOG COMPACTION + SIDECAR CHECKPOINT (round 13): the two
+    // replay-scale mechanisms between and at checkpoints. A
+    // `{s}.{e}.compacted.json` (delta-spark's minor compaction)
+    // reconciles a span's actions into ONE file and COUNTS as
+    // contiguity — the entry retires the span's per-commit JSONs and
+    // the snapshot must still reconstruct exactly (the COW delete
+    // inside the span proves add/remove reconciliation). The v2
+    // checkpoint then fans its adds out to SIDECAR parquet
+    // (`_delta_log/_sidecars/`, one partitioned write job — at 100 TB
+    // a million-add checkpoint is no longer one task writing one
+    // giant file), and the entry retires EVERY commit JSON: the
+    // checkpoint + sidecars alone must reproduce the state.
+    QueryDef(
+      "q285_delta_log_compaction",
+      (s, d) => {
+        import graft.sources.DeltaLog
+        val root = Files.createTempDirectory("dlc_").toString + "/t"
+        val src = orders(s, d).select(col("o_orderkey"))
+          .filter(col("o_orderkey") <= 4096L)
+        DeltaLog.commit(
+          src.filter(col("o_orderkey") <= 2048L).coalesce(1), root,
+          properties = Map("delta.checkpointPolicy" -> "v2"))   // v0
+        DeltaLog.commit(
+          src.filter(col("o_orderkey") > 2048L).coalesce(1), root) // v1
+        DeltaLog.deleteWhere(s, root, col("o_orderkey") % 10 === 7) // v2
+        DeltaLog.commit(
+          src.filter(col("o_orderkey") % 100 === 1)
+            .withColumn("o_orderkey", col("o_orderkey") + 10000000L)
+            .coalesce(1), root)                                  // v3
+        DeltaLog.compactLog(root, 1L, 3L)
+        (1L to 3L).foreach(v => java.nio.file.Files.delete(
+          java.nio.file.Paths.get(root, "_delta_log",
+            f"$v%020d.json")))
+        val throughCompaction = s.read.format("delta-log").load(root)
+          .count() // replayed via v0.json + the compacted span
+        DeltaLog.checkpoint(s, root, sidecarFiles = 2)
+        java.nio.file.Files.delete(java.nio.file.Paths.get(root,
+          "_delta_log", f"${0L}%020d.json"))
+        val nSidecars = {
+          val st = java.nio.file.Files.list(java.nio.file.Paths.get(
+            root, "_delta_log", "_sidecars"))
+          try st.iterator().asScala.count(
+            _.getFileName.toString.endsWith(".parquet"))
+          finally st.close()
+        }
+        s.read.format("delta-log").load(root)
+          .agg(count(lit(1)).as("n_rows"),
+            sum(col("o_orderkey")).cast("long").as("sum_key"))
+          .withColumn("n_through_compaction", lit(throughCompaction))
+          .withColumn("n_sidecars", lit(nSidecars))
+      },
+      Some("""WITH t AS (
+             |  SELECT o_orderkey AS k FROM orders
+             |  WHERE o_orderkey <= 4096 AND o_orderkey % 10 <> 7
+             |  UNION ALL
+             |  SELECT o_orderkey + 10000000 AS k FROM orders
+             |  WHERE o_orderkey <= 4096 AND o_orderkey % 100 = 1)
+             |SELECT CAST(count(*) AS BIGINT) AS n_rows,
+             |  CAST(sum(k) AS BIGINT) AS sum_key,
+             |  CAST(count(*) AS BIGINT) AS n_through_compaction,
+             |  2 AS n_sidecars FROM t""".stripMargin))
   )
 }

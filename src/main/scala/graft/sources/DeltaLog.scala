@@ -176,13 +176,15 @@ object DeltaLog {
         n.take(20).forall(_.isDigit))
       .map(_.take(20).toLong).sorted
 
-  /** Latest version of the table (max of JSON commits and checkpoint
-    * versions — a vacuumed log may keep only the checkpoint). */
+  /** Latest version of the table (max of JSON commits, checkpoint
+    * versions and compacted-span ends — a cleaned log may keep only
+    * the checkpoint, or a compacted span past its retired JSONs). */
   def latestVersion(root: String): Long = {
     val js = jsonVersions(root)
     val cps = checkpointVersions(root)
-    if (js.isEmpty && cps.isEmpty) -1L
-    else (js ++ cps).max
+    val spans = compactedRanges(root).values
+    if (js.isEmpty && cps.isEmpty && spans.isEmpty) -1L
+    else (js ++ cps ++ spans).max
   }
 
   private def checkpointVersions(root: String): Seq[Long] =
@@ -370,6 +372,16 @@ object DeltaLog {
     }
   }
 
+  /** `{start}.{end}.compacted.json` ranges present in the log
+    * (delta-spark's minor LOG COMPACTION artifact), by start. */
+  private def compactedRanges(root: String): Map[Long, Long] =
+    io(root).listDir(logDir(root))
+      .filter(n => n.length == 56 && n.endsWith(".compacted.json") &&
+        n.take(20).forall(_.isDigit) &&
+        n.slice(21, 41).forall(_.isDigit))
+      .map(n => n.take(20).toLong -> n.slice(21, 41).toLong)
+      .groupBy(_._1).map { case (s, es) => s -> es.map(_._2).max }
+
   /** Replay the log to `versionAsOf` (default: latest). */
   def snapshot(spark: SparkSession, root: String,
       versionAsOf: Option[Long] = None): DeltaSnapshot = {
@@ -384,20 +396,41 @@ object DeltaLog {
     cp.foreach(v => replayCheckpoint(spark, root, v, replay))
     val needed = (cp.map(_ + 1).getOrElse(0L)) to target
     val present = jsonVersions(root).toSet
-    val missing = needed.filterNot(present)
-    if (missing.nonEmpty)
-      throw new IllegalStateException(
-        s"delta-log: cannot reconstruct v$target of $root — commit " +
-          s"file(s) ${missing.take(5).mkString(", ")} missing " +
-          "(truncated log without a covering checkpoint)")
-    needed.foreach { v =>
-      io(root).readLines(commitPath(root, v)).foreach { line =>
+    def applyFile(p: Path): Unit =
+      io(root).readLines(p).foreach { line =>
         if (line.nonEmpty) {
           val n = mapper.readTree(line)
-          n.fields().asScala.foreach(e => replay.applyAction(e.getKey, e.getValue))
+          n.fields().asScala.foreach(e =>
+            replay.applyAction(e.getKey, e.getValue))
         }
       }
+    // LOG COMPACTION (delta-spark's minor compactions): a
+    // `{s}.{e}.compacted.json` wholly inside the needed range stands
+    // in for its per-commit files — replay reads O(compactions)
+    // files between checkpoints instead of O(commits), and a
+    // compacted span COUNTS as contiguity (its commits may have been
+    // cleaned). Greedy walk; everything else (streams, CDF, cleanup)
+    // keeps reading the per-commit files.
+    val compacted = compactedRanges(root)
+    val plan = scala.collection.mutable.ListBuffer.empty[Path]
+    var at = needed.start
+    while (at <= target) {
+      compacted.get(at).filter(_ <= target) match {
+        case Some(e) =>
+          plan += logDir(root).resolve(
+            f"$at%020d.$e%020d.compacted.json")
+          at = e + 1
+        case None =>
+          if (!present(at))
+            throw new IllegalStateException(
+              s"delta-log: cannot reconstruct v$target of $root — " +
+                s"commit file $at missing (truncated log without a " +
+                "covering checkpoint or compaction)")
+          plan += commitPath(root, at)
+          at += 1
+      }
     }
+    plan.foreach(applyFile)
     val schemaStr = replay.schemaJson.getOrElse(throw new IllegalStateException(
       s"delta-log: $root has no metaData action — not a valid Delta log"))
     val schema = DataType.fromJson(schemaStr).asInstanceOf[StructType]
@@ -3283,7 +3316,15 @@ object DeltaLog {
     * state as `%020d.checkpoint.parquet` plus the `_last_checkpoint`
     * hint — readers then replay O(commits since checkpoint). */
   def checkpoint(spark: SparkSession, root: String,
-      version: Option[Long] = None): Long = {
+      version: Option[Long] = None,
+      // SIDECAR fan-out (v2 checkpoints only): split the add set
+      // across this many `_delta_log/_sidecars/` parquet files —
+      // 0 = inline (the single-file form). At 100 TB a million-add
+      // checkpoint written inline is one task writing one giant file
+      // and one task replaying it; sidecars write in ONE partitioned
+      // Spark job and replay as a multi-file parquet scan. Tables
+      // past [[SidecarAutoThreshold]] adds fan out automatically.
+      sidecarFiles: Int = 0): Long = {
     val v = version.getOrElse(latestVersion(root))
     val snap = snapshot(spark, root, Some(v))
     // a checkpoint MUTATES the log's replay contract: compacting a
@@ -3386,13 +3427,65 @@ object DeltaLog {
       .sortBy(_._1).map { case (d, (conf, _)) =>
         Row(null, null, null, null, Row(d, conf, false))
       }
-    val baseRows = protoRow +: metaRow +: (addRows ++ txnRows ++ domainRows)
+    val useSidecars = v2Mode && addRows.nonEmpty &&
+      (sidecarFiles > 0 || addRows.length > SidecarAutoThreshold)
+    val nSidecars =
+      if (!useSidecars) 0
+      else if (sidecarFiles > 0) sidecarFiles
+      else 1 + addRows.length / SidecarAutoThreshold
+    val sidecarInfos: Seq[(String, Long)] =
+      if (!useSidecars) Nil
+      else {
+        // the adds land as SIDECAR parquet (spec: same action schema,
+        // one level of indirection) in ONE partitioned Spark job —
+        // each part file becomes one sidecar
+        val scSchema = StructType(Seq(
+          StructField("add", addSchema),
+          StructField("remove", StructType(Seq(
+            StructField("path", StringType))))))
+        val scStaging =
+          Files.createTempDirectory("delta_cp_sc_").resolve("out")
+        spark.createDataFrame(
+          spark.sparkContext.parallelize(
+            addRows.map(r => Row(r.get(2), null)), nSidecars),
+          scSchema).write.parquet(scStaging.toString)
+        val dir = logDir(root).resolve("_sidecars")
+        Files.createDirectories(dir)
+        Files.list(scStaging).iterator().asScala
+          .filter(p => p.getFileName.toString.endsWith(".parquet") &&
+            !p.getFileName.toString.startsWith("."))
+          .toSeq.sortBy(_.getFileName.toString)
+          .map { p =>
+            val name = s"${java.util.UUID.randomUUID()}.parquet"
+            Files.move(p, dir.resolve(name))
+            name -> Files.size(dir.resolve(name))
+          }
+      }
+    val baseRows = protoRow +: metaRow +:
+      ((if (useSidecars) Nil else addRows) ++ txnRows ++ domainRows)
+    val sidecarSchemaTop = StructType(Seq(
+      StructField("path", StringType),
+      StructField("sizeInBytes", LongType),
+      StructField("modificationTime", LongType)))
+    val cpSchemaFinal =
+      if (!useSidecars) cpSchema
+      else StructType(cpSchema.fields :+
+        StructField("sidecar", sidecarSchemaTop))
     val rows =
       if (!v2Mode) baseRows
-      else baseRows.map(r => Row.fromSeq(r.toSeq :+ null)) :+
-        Row(null, null, null, null, null, Row(v)) // the checkpointMetadata
+      else {
+        val withMeta =
+          baseRows.map(r => Row.fromSeq(r.toSeq :+ null)) :+
+            Row(null, null, null, null, null, Row(v)) // checkpointMetadata
+        if (!useSidecars) withMeta
+        else withMeta.map(r => Row.fromSeq(r.toSeq :+ null)) ++
+          sidecarInfos.map { case (name, size) =>
+            Row(null, null, null, null, null, null,
+              Row(name, size, System.currentTimeMillis))
+          }
+      }
     val df = spark.createDataFrame(
-      spark.sparkContext.parallelize(rows, 1), cpSchema)
+      spark.sparkContext.parallelize(rows, 1), cpSchemaFinal)
     val staging = Files.createTempDirectory("delta_cp_").resolve("out")
     df.coalesce(1).write.parquet(staging.toString)
     val part = Files.list(staging).iterator().asScala
@@ -3406,12 +3499,98 @@ object DeltaLog {
     Files.move(part, dst,
       java.nio.file.StandardCopyOption.REPLACE_EXISTING)
     // size is the checkpoint's ACTION count — in v2 mode that includes
-    // the checkpointMetadata row; derive from the rows actually
+    // the checkpointMetadata row (and with sidecars, the add actions
+    // living IN the sidecar files); derive from what was actually
     // written so a count-validating foreign reader never rejects it
     val hint =
-      s"""{"version":$v,"size":${rows.length}}"""
+      s"""{"version":$v,"size":${rows.length +
+        (if (useSidecars) addRows.length else 0)}}"""
     Files.write(logDir(root).resolve("_last_checkpoint"), hint.getBytes(UTF_8))
     v
+  }
+
+  /** Add-count past which a v2 checkpoint fans out to sidecars
+    * automatically (delta-spark's own order of magnitude). */
+  private val SidecarAutoThreshold = 100000
+
+  /** Minor LOG COMPACTION — delta-spark's `{start}.{end}.compacted.
+    * json`: ONE file reconciling the actions of commits `[start,
+    * end]` under replay semantics, which [[snapshot]] then reads in
+    * place of the per-commit files (replay I/O between checkpoints
+    * drops from O(commits) to O(compactions); a minutely-committed
+    * table replays ~60× fewer files per planning pass with hourly
+    * compactions). Reconciliation: the latest `protocol`/`metaData`
+    * win; a later `add` of a path supersedes earlier ones; `remove`s
+    * are KEPT (tombstones for paths added before the range — a
+    * remove of a nonexistent path replays as a no-op) unless the
+    * path was re-added later in the range; latest `txn` per app and
+    * `domainMetadata` per domain; `commitInfo`/`cdc` drop (the CDF
+    * and streaming paths read the per-commit files, which stay —
+    * compaction is a pure read optimization, and metadata cleanup
+    * stays checkpoint-keyed). Published atomically via putIfAbsent;
+    * requires every commit in the range to be present. */
+  def compactLog(root: String, start: Long, end: Long): Unit = {
+    require(start >= 0 && end > start,
+      s"delta-log compactLog: bad range [$start, $end]")
+    val out = logDir(root).resolve(
+      f"$start%020d.$end%020d.compacted.json")
+    if (io(root).exists(out)) return // idempotent — already published
+    val present = jsonVersions(root).toSet
+    val missing = (start to end).filterNot(present)
+    require(missing.isEmpty,
+      s"delta-log compactLog: commit file(s) ${
+        missing.take(5).mkString(", ")} missing from [$start, $end]")
+    var protocol: Option[JsonNode] = None
+    var metaData: Option[JsonNode] = None
+    val adds = scala.collection.mutable.LinkedHashMap.empty[String, JsonNode]
+    val removes =
+      scala.collection.mutable.LinkedHashMap.empty[String, JsonNode]
+    val txns = scala.collection.mutable.LinkedHashMap.empty[String, JsonNode]
+    val domains =
+      scala.collection.mutable.LinkedHashMap.empty[String, JsonNode]
+    (start to end).foreach { v =>
+      io(root).readLines(commitPath(root, v))
+        .iterator.filter(_.nonEmpty).foreach { line =>
+          val n = mapper.readTree(line)
+          val name = n.fieldNames().next()
+          val body = n.get(name)
+          name match {
+            case "protocol" => protocol = Some(body)
+            case "metaData" => metaData = Some(body)
+            case "add" =>
+              val p = body.get("path").asText()
+              adds(p) = body
+              removes.remove(p)
+            case "remove" =>
+              val p = body.get("path").asText()
+              adds.remove(p)
+              removes(p) = body
+            case "txn" =>
+              val app = body.get("appId").asText()
+              val keep = txns.get(app).forall(prev =>
+                prev.get("version").asLong() <= body.get("version").asLong())
+              if (keep) txns(app) = body
+            case "domainMetadata" =>
+              domains(body.get("domain").asText()) = body
+            case _ => () // commitInfo / cdc
+          }
+        }
+    }
+    def wrap(kind: String, body: JsonNode): String =
+      mapper.writeValueAsString(
+        mapper.createObjectNode().set[JsonNode](kind, body))
+    val lines =
+      protocol.map(wrap("protocol", _)).toSeq ++
+        metaData.map(wrap("metaData", _)).toSeq ++
+        removes.values.map(wrap("remove", _)) ++
+        adds.values.map(wrap("add", _)) ++
+        txns.values.map(wrap("txn", _)) ++
+        domains.values.map(wrap("domainMetadata", _))
+    try io(root).putIfAbsent(out,
+      lines.mkString("", "\n", "\n").getBytes(UTF_8))
+    catch {
+      case _: java.nio.file.FileAlreadyExistsException => () // idempotent
+    }
   }
 
   /** Parse a Delta duration property value (`interval N unit[s]`, the

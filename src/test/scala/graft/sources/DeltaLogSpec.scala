@@ -1176,6 +1176,74 @@ class DeltaLogSpec extends SparkSpecBase {
       .option("timestampAsOf", ict4.toString).load(root).count() === 5)
   }
 
+  test("v2 checkpoint SIDECAR write round-trips through replay") {
+    import scala.jdk.CollectionConverters._
+    val root = tmp()
+    DeltaLog.commit(spark.range(0, 8).toDF("k").coalesce(1), root,
+      properties = Map("delta.checkpointPolicy" -> "v2"))
+    (1 to 3).foreach(i => DeltaLog.commit(
+      spark.range(8 * i, 8 * i + 8).toDF("k").coalesce(1), root))
+    DeltaLog.checkpoint(spark, root, sidecarFiles = 3)
+    val scDir = Paths.get(root, "_delta_log", "_sidecars")
+    val sidecars = {
+      val s = Files.list(scDir)
+      try s.iterator().asScala.map(_.getFileName.toString)
+        .filter(_.endsWith(".parquet")).toSeq
+      finally s.close()
+    }
+    assert(sidecars.size >= 2, s"expected sidecar fan-out, got $sidecars")
+    // the checkpoint alone reconstructs the state: retire every
+    // commit JSON (the metadata-cleanup end state) and replay
+    DeltaLog.jsonVersions(root).foreach(v =>
+      Files.delete(Paths.get(root, "_delta_log", f"$v%020d.json")))
+    assert(spark.read.format("delta-log").load(root).count() === 32)
+    assert(spark.read.format("delta-log").load(root)
+      .agg(sum("k")).as[Long].head() === (0L until 32L).sum)
+    // stats survive the sidecar hop: a selective read still prunes
+    val q = spark.read.format("delta-log").load(root)
+      .filter(col("k") >= 2 && col("k") <= 5)
+    assert(q.agg(sum("k")).as[Long].head() === (2L to 5L).sum)
+    val (kept, total) = indexOf(q).lastListing.get
+    assert(total === 4 && kept === 1, s"expected 1/4 files, got $kept/$total")
+    // the log keeps working on top of the sidecar checkpoint
+    DeltaLog.commit(spark.range(32, 36).toDF("k").coalesce(1), root)
+    assert(spark.read.format("delta-log").load(root).count() === 36)
+  }
+
+  test("minor log compaction: a compacted span stands in for its commits") {
+    val root = tmp()
+    DeltaLog.commit(spark.range(0, 4).toDF("k").coalesce(1), root)  // v0
+    DeltaLog.commit(spark.range(4, 8).toDF("k").coalesce(1), root)  // v1
+    DeltaLog.deleteWhere(spark, root, col("k") === 5)               // v2
+    DeltaLog.commit(spark.range(8, 10).toDF("k").coalesce(1), root) // v3
+    DeltaLog.compactLog(root, 1L, 3L)
+    val expect = (0L until 10L).filterNot(_ == 5L)
+    def rows(): Seq[Long] = spark.read.format("delta-log").load(root)
+      .select("k").as[Long].collect().toSeq.sorted
+    assert(rows() === expect)
+    // the span COVERS its commits: retire their JSONs — replay must
+    // now go through the compacted file, with identical state
+    // (reconciled add/remove: v2's COW rewrite nets out correctly)
+    (1L to 3L).foreach(v => Files.delete(commitFile(root, v)))
+    assert(rows() === expect)
+    // a version outside the span still replays; one INSIDE it (whose
+    // commit is gone and which no span lands on exactly) refuses
+    assert(spark.read.format("delta-log").option("versionAsOf", "0")
+      .load(root).count() === 4)
+    val e = intercept[IllegalStateException] {
+      DeltaLog.snapshot(spark, root, Some(2L))
+    }
+    assert(e.getMessage.contains("compaction"))
+    // the log keeps extending past the compacted span
+    DeltaLog.commit(spark.range(10, 12).toDF("k").coalesce(1), root) // v4
+    assert(rows() === expect ++ Seq(10L, 11L))
+    // compactLog is idempotent (putIfAbsent) and refuses gaps
+    DeltaLog.compactLog(root, 1L, 3L)
+    assert(intercept[IllegalArgumentException] {
+      DeltaLog.compactLog(root, 2L, 4L)
+    }.getMessage.contains("missing"))
+  }
+
   test("UniForm (icebergCompatV2): every Delta commit advances a live Iceberg tree") {
     val root = tmp()
     DeltaLog.commit(spark.range(0, 10).toDF("k").coalesce(1), root,

@@ -169,30 +169,49 @@ object DeltaLog {
   // Replay
   // ------------------------------------------------------------------
 
-  /** Versions that have a JSON commit file in the log. */
-  def jsonVersions(root: String): Seq[Long] =
-    io(root).listDir(logDir(root))
-      .filter(n => n.length == 25 && n.endsWith(".json") &&
+  /** ONE `_delta_log` listing, partitioned into the three artifact
+    * kinds — at the stated scale posture (~500k log files, where the
+    * LISTING dominates snapshot construction) the hot read path must
+    * list the directory ONCE, not once per artifact kind. Compacted
+    * spans with `end <= start` (corrupt or adversarial names) are
+    * dropped here, so the replay walk can never move backwards. */
+  private final case class LogListing(jsons: Seq[Long],
+      cps: Seq[Long], spans: Map[Long, Seq[Long]]) {
+    def latest: Long = {
+      val ends = spans.values.flatten
+      if (jsons.isEmpty && cps.isEmpty && ends.isEmpty) -1L
+      else (jsons ++ cps ++ ends).max
+    }
+  }
+
+  private def listLog(root: String): LogListing = {
+    val names = io(root).listDir(logDir(root))
+    LogListing(
+      names.filter(n => n.length == 25 && n.endsWith(".json") &&
+        n.take(20).forall(_.isDigit)).map(_.take(20).toLong).sorted,
+      names.filter(n => n.contains(".checkpoint.") &&
+        (n.endsWith(".parquet") || n.endsWith(".json")) &&
         n.take(20).forall(_.isDigit))
-      .map(_.take(20).toLong).sorted
+        .map(_.take(20).toLong).distinct.sorted,
+      names.filter(n => n.length == 56 &&
+        n.endsWith(".compacted.json") &&
+        n.take(20).forall(_.isDigit) &&
+        n.slice(21, 41).forall(_.isDigit))
+        .map(n => n.take(20).toLong -> n.slice(21, 41).toLong)
+        .filter { case (s, e) => e > s }
+        .groupBy(_._1).map { case (s, es) => s -> es.map(_._2).sorted })
+  }
+
+  /** Versions that have a JSON commit file in the log. */
+  def jsonVersions(root: String): Seq[Long] = listLog(root).jsons
 
   /** Latest version of the table (max of JSON commits, checkpoint
     * versions and compacted-span ends — a cleaned log may keep only
     * the checkpoint, or a compacted span past its retired JSONs). */
-  def latestVersion(root: String): Long = {
-    val js = jsonVersions(root)
-    val cps = checkpointVersions(root)
-    val spans = compactedRanges(root).values
-    if (js.isEmpty && cps.isEmpty && spans.isEmpty) -1L
-    else (js ++ cps ++ spans).max
-  }
+  def latestVersion(root: String): Long = listLog(root).latest
 
   private def checkpointVersions(root: String): Seq[Long] =
-    io(root).listDir(logDir(root))
-      .filter(n => n.contains(".checkpoint.") &&
-        (n.endsWith(".parquet") || n.endsWith(".json")) &&
-        n.take(20).forall(_.isDigit))
-      .map(_.take(20).toLong).distinct.sorted
+    listLog(root).cps
 
   /** The `path` field is RFC 2396 percent-encoded per the spec. */
   private def decodePath(p: String): String =
@@ -372,30 +391,21 @@ object DeltaLog {
     }
   }
 
-  /** `{start}.{end}.compacted.json` ranges present in the log
-    * (delta-spark's minor LOG COMPACTION artifact), by start. */
-  private def compactedRanges(root: String): Map[Long, Long] =
-    io(root).listDir(logDir(root))
-      .filter(n => n.length == 56 && n.endsWith(".compacted.json") &&
-        n.take(20).forall(_.isDigit) &&
-        n.slice(21, 41).forall(_.isDigit))
-      .map(n => n.take(20).toLong -> n.slice(21, 41).toLong)
-      .groupBy(_._1).map { case (s, es) => s -> es.map(_._2).max }
-
   /** Replay the log to `versionAsOf` (default: latest). */
   def snapshot(spark: SparkSession, root: String,
       versionAsOf: Option[Long] = None): DeltaSnapshot = {
-    val latest = latestVersion(root)
+    val lst = listLog(root) // ONE listing serves the whole replay
+    val latest = lst.latest
     require(latest >= 0, s"$root is not a Delta table (no _delta_log)")
     val target = versionAsOf.getOrElse(latest)
     require(target >= 0 && target <= latest,
       s"delta-log: version $target out of range [0, $latest]")
     val replay = new Replay
     // newest checkpoint at or below the target seeds the state
-    val cp = checkpointVersions(root).filter(_ <= target).lastOption
+    val cp = lst.cps.filter(_ <= target).lastOption
     cp.foreach(v => replayCheckpoint(spark, root, v, replay))
     val needed = (cp.map(_ + 1).getOrElse(0L)) to target
-    val present = jsonVersions(root).toSet
+    val present = lst.jsons.toSet
     def applyFile(p: Path): Unit =
       io(root).readLines(p).foreach { line =>
         if (line.nonEmpty) {
@@ -409,13 +419,16 @@ object DeltaLog {
     // in for its per-commit files — replay reads O(compactions)
     // files between checkpoints instead of O(commits), and a
     // compacted span COUNTS as contiguity (its commits may have been
-    // cleaned). Greedy walk; everything else (streams, CDF, cleanup)
-    // keeps reading the per-commit files.
-    val compacted = compactedRanges(root)
+    // cleaned). Greedy walk over the LONGEST in-range span at each
+    // step — shorter overlapping spans (e.g. [1,3] next to a later
+    // [1,5]) remain usable for targets the long one overshoots.
+    // Everything else (streams, CDF, cleanup) keeps reading the
+    // per-commit files.
     val plan = scala.collection.mutable.ListBuffer.empty[Path]
     var at = needed.start
     while (at <= target) {
-      compacted.get(at).filter(_ <= target) match {
+      lst.spans.getOrElse(at, Nil).filter(_ <= target)
+        .maxOption match {
         case Some(e) =>
           plan += logDir(root).resolve(
             f"$at%020d.$e%020d.compacted.json")
@@ -1015,15 +1028,28 @@ object DeltaLog {
     }
   }
 
-  /** The recorded `commitInfo.inCommitTimestamp` of commit `v` —
-    * one small log-file read; None when the commit carries none. */
-  private[sources] def ictOf(root: String, v: Long): Option[Long] =
-    io(root).readLines(commitPath(root, v)).view
+  private def ictOfFile(root: String, p: Path): Option[Long] =
+    io(root).readLines(p).view
       .filter(_.nonEmpty).map(mapper.readTree)
       .flatMap(n => Option(n.get("commitInfo")))
       .flatMap(ci => Option(ci.get("inCommitTimestamp"))
         .filterNot(_.isNull).map(_.asLong()))
       .headOption
+
+  /** The recorded `commitInfo.inCommitTimestamp` of commit `v` —
+    * one small log-file read; None when the commit carries none.
+    * A commit retired behind a COMPACTED span ending exactly at `v`
+    * resolves through the span's preserved final commitInfo
+    * ([[compactLog]] keeps it for exactly this — an ICT table's next
+    * commit must still see its predecessor's timestamp). */
+  private[sources] def ictOf(root: String, v: Long): Option[Long] =
+    if (io(root).exists(commitPath(root, v)))
+      ictOfFile(root, commitPath(root, v))
+    else listLog(root).spans.toSeq
+      .collect { case (s, es) if es.contains(v) => s }
+      .sorted.lastOption
+      .flatMap(s => ictOfFile(root,
+        logDir(root).resolve(f"$s%020d.$v%020d.compacted.json")))
 
   /** The in-commit timestamp THIS commit must carry: wall clock,
     * floored to strictly exceed the predecessor's recorded ICT (the
@@ -3451,15 +3477,18 @@ object DeltaLog {
           scSchema).write.parquet(scStaging.toString)
         val dir = logDir(root).resolve("_sidecars")
         Files.createDirectories(dir)
-        Files.list(scStaging).iterator().asScala
-          .filter(p => p.getFileName.toString.endsWith(".parquet") &&
-            !p.getFileName.toString.startsWith("."))
-          .toSeq.sortBy(_.getFileName.toString)
-          .map { p =>
-            val name = s"${java.util.UUID.randomUUID()}.parquet"
-            Files.move(p, dir.resolve(name))
-            name -> Files.size(dir.resolve(name))
-          }
+        val stream = Files.list(scStaging)
+        val parts =
+          try stream.iterator().asScala
+            .filter(p => p.getFileName.toString.endsWith(".parquet") &&
+              !p.getFileName.toString.startsWith("."))
+            .toSeq.sortBy(_.getFileName.toString)
+          finally stream.close() // fd hygiene, the DataStore convention
+        parts.map { p =>
+          val name = s"${java.util.UUID.randomUUID()}.parquet"
+          Files.move(p, dir.resolve(name))
+          name -> Files.size(dir.resolve(name))
+        }
       }
     val baseRows = protoRow +: metaRow +:
       ((if (useSidecars) Nil else addRows) ++ txnRows ++ domainRows)
@@ -3488,10 +3517,14 @@ object DeltaLog {
       spark.sparkContext.parallelize(rows, 1), cpSchemaFinal)
     val staging = Files.createTempDirectory("delta_cp_").resolve("out")
     df.coalesce(1).write.parquet(staging.toString)
-    val part = Files.list(staging).iterator().asScala
-      .find(p => p.getFileName.toString.endsWith(".parquet") &&
-        !p.getFileName.toString.startsWith("."))
-      .getOrElse(throw new IllegalStateException("checkpoint write produced no file"))
+    val cpStream = Files.list(staging)
+    val part =
+      try cpStream.iterator().asScala
+        .find(p => p.getFileName.toString.endsWith(".parquet") &&
+          !p.getFileName.toString.startsWith("."))
+        .getOrElse(throw new IllegalStateException(
+          "checkpoint write produced no file"))
+      finally cpStream.close()
     val dst = logDir(root).resolve(
       if (v2Mode)
         f"$v%020d.checkpoint.${java.util.UUID.randomUUID()}.parquet"
@@ -3542,6 +3575,11 @@ object DeltaLog {
         missing.take(5).mkString(", ")} missing from [$start, $end]")
     var protocol: Option[JsonNode] = None
     var metaData: Option[JsonNode] = None
+    // the span's FINAL commitInfo is PRESERVED (first line, the ICT
+    // placement rule): an ICT table's next commit reads its
+    // predecessor's timestamp through it once the per-commit files
+    // are retired ([[ictOf]]'s span fallback)
+    var commitInfo: Option[JsonNode] = None
     val adds = scala.collection.mutable.LinkedHashMap.empty[String, JsonNode]
     val removes =
       scala.collection.mutable.LinkedHashMap.empty[String, JsonNode]
@@ -3557,6 +3595,7 @@ object DeltaLog {
           name match {
             case "protocol" => protocol = Some(body)
             case "metaData" => metaData = Some(body)
+            case "commitInfo" => commitInfo = Some(body)
             case "add" =>
               val p = body.get("path").asText()
               adds(p) = body
@@ -3572,7 +3611,7 @@ object DeltaLog {
               if (keep) txns(app) = body
             case "domainMetadata" =>
               domains(body.get("domain").asText()) = body
-            case _ => () // commitInfo / cdc
+            case _ => () // cdc: per-commit CDF reads keep their own files
           }
         }
     }
@@ -3580,7 +3619,8 @@ object DeltaLog {
       mapper.writeValueAsString(
         mapper.createObjectNode().set[JsonNode](kind, body))
     val lines =
-      protocol.map(wrap("protocol", _)).toSeq ++
+      commitInfo.map(wrap("commitInfo", _)).toSeq ++
+        protocol.map(wrap("protocol", _)).toSeq ++
         metaData.map(wrap("metaData", _)).toSeq ++
         removes.values.map(wrap("remove", _)) ++
         adds.values.map(wrap("add", _)) ++
@@ -3701,6 +3741,16 @@ object DeltaLog {
             .foreach { name =>
               io(root).delete(dir.resolve(name)); n += 1
             }
+          // compacted spans wholly below the boundary can never be
+          // consulted again (replay starts at a retained checkpoint)
+          // — sweeping them is what keeps the listing bounded under
+          // minutely-commit + hourly-compaction regimes
+          listLog(root).spans.foreach { case (s, es) =>
+            es.filter(_ < boundary).foreach { e =>
+              io(root).delete(dir.resolve(
+                f"$s%020d.$e%020d.compacted.json")); n += 1
+            }
+          }
           n
         }
       }

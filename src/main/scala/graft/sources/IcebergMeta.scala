@@ -1062,23 +1062,10 @@ object IcebergMeta {
     meta.put("current-schema-id", newSchemaId)
     meta.put("last-column-id", newId)
     meta.put("last-updated-ms", System.currentTimeMillis())
-    commitMeta(root, v, meta)
+    commitMeta(root, v, meta, meta0)
     v + 1
   }
 
-  /** Central metadata PUBLISHER — every successor document commits
-    * through here so the spec's `metadata-log` is maintained: one
-    * `{timestamp-ms, metadata-file}` entry per superseded document,
-    * trimmed to `write.metadata.previous-versions-max` (default 100,
-    * Iceberg's own) — without the trim the document itself grows
-    * O(commits), the last self-referential metadata-growth term.
-    * With `write.metadata.delete-after-commit.enabled=true` the
-    * files dropped from the log also delete from disk AFTER the
-    * commit is durable (Fs catalog only — REST-held documents have
-    * no local file; the REST diff treats metadata-log as
-    * server-derived, which the OpenAPI's metadata-location history
-    * is). Failure order is safe: a crash between commit and delete
-    * leaves unreferenced-but-harmless files for the next sweep. */
   /** Is `root` a UniForm MIRROR — an Iceberg tree co-located with a
     * `_delta_log`? Such trees are READ-ONLY for direct Iceberg
     * writers: the Delta log is the source of truth and
@@ -1101,8 +1088,22 @@ object IcebergMeta {
         "table — the Iceberg tree is read-only; write through the " +
         "Delta log (every Delta commit advances the mirror)")
 
+  /** Central metadata PUBLISHER — every successor document commits
+    * through here so the spec's `metadata-log` is maintained: one
+    * `{timestamp-ms, metadata-file}` entry per superseded document,
+    * trimmed to `write.metadata.previous-versions-max` (default 100,
+    * Iceberg's own) — without the trim the document itself grows
+    * O(commits), the last self-referential metadata-growth term.
+    * With `write.metadata.delete-after-commit.enabled=true` the
+    * files dropped from the log also delete from disk AFTER the
+    * commit is durable (Fs catalog only — REST-held documents have
+    * no local file; the REST diff treats metadata-log as
+    * server-derived, which the OpenAPI's metadata-location history
+    * is). Failure order is safe: a crash between commit and delete
+    * leaves unreferenced-but-harmless files for the next sweep. */
   private def commitMeta(root: String, v: Int,
-      newMeta: com.fasterxml.jackson.databind.node.ObjectNode): Unit = {
+      newMeta: com.fasterxml.jackson.databind.node.ObjectNode,
+      prev: JsonNode): Unit = {
     gateMirrorWrite(root, "COMMIT")
     def prop(name: String): Option[String] =
       Option(newMeta.get("properties")).filterNot(_.isNull)
@@ -1111,9 +1112,12 @@ object IcebergMeta {
     val keep = prop("write.metadata.previous-versions-max")
       .map(_.toInt).getOrElse(100).max(1)
     val entry = mapper.createObjectNode()
+    // the entry records the SUPERSEDED document's own timestamp (the
+    // spec's TableMetadata rule) — stamping the successor's would
+    // shift every metadata-history lookup one commit late
     entry.put("timestamp-ms",
-      if (newMeta.hasNonNull("last-updated-ms"))
-        newMeta.get("last-updated-ms").asLong()
+      if (prev.hasNonNull("last-updated-ms"))
+        prev.get("last-updated-ms").asLong()
       else System.currentTimeMillis())
     entry.put("metadata-file", s"metadata/v$v.metadata.json")
     val prior =
@@ -1158,7 +1162,7 @@ object IcebergMeta {
       else meta.putObject("properties")
     props.foreach { case (k, value) => p.put(k, value) }
     meta.put("last-updated-ms", System.currentTimeMillis())
-    commitMeta(root, v, meta)
+    commitMeta(root, v, meta, meta0)
     v + 1
   }
 
@@ -2280,7 +2284,7 @@ object IcebergMeta {
     meta.put("default-spec-id", nextId)
     meta.put("last-partition-id", fid)
     meta.put("last-updated-ms", System.currentTimeMillis())
-    commitMeta(root, v, meta)
+    commitMeta(root, v, meta, meta0)
     nextId
   }
 
@@ -2471,7 +2475,7 @@ object IcebergMeta {
               .put("snapshot-id", snapId)
         }
     }
-    commitMeta(root, v, newMeta)
+    commitMeta(root, v, newMeta, meta)
     snapId
   }
 
@@ -2816,6 +2820,7 @@ object IcebergMeta {
       // every row anyway, and post-compact is when stale stats bite
       withStats: Boolean = false): Long = {
     require(numFiles >= 1, "numFiles must be >= 1")
+    gateMirrorWrite(root, "OPTIMIZE") // early: nothing stages on a mirror
     val (v, meta) = currentMeta(root)
     val fv = requireKnownVersion(meta)
     val (schema, nameById) = schemaOf(meta)
@@ -2953,7 +2958,7 @@ object IcebergMeta {
     if (newMeta.hasNonNull("snapshot-log"))
       newMeta.withArray[com.fasterxml.jackson.databind.node.ArrayNode](
         "snapshot-log").add(logEntry)
-    commitMeta(root, v, newMeta)
+    commitMeta(root, v, newMeta, meta)
     v + 1
   }
 
@@ -3052,7 +3057,7 @@ object IcebergMeta {
     r.put("type", refType)
     refsNode.set(name, r)
     meta.put("last-updated-ms", System.currentTimeMillis())
-    commitMeta(root, v, meta)
+    commitMeta(root, v, meta, meta0)
     v + 1
   }
 
@@ -3069,7 +3074,7 @@ object IcebergMeta {
       .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
       .remove(name)
     meta.put("last-updated-ms", System.currentTimeMillis())
-    commitMeta(root, v, meta)
+    commitMeta(root, v, meta, meta0)
     v + 1
   }
 
@@ -3129,7 +3134,7 @@ object IcebergMeta {
       }
     }
     meta.put("last-updated-ms", now)
-    commitMeta(root, v, meta)
+    commitMeta(root, v, meta, meta0)
     v + 1
   }
 
@@ -3236,7 +3241,7 @@ object IcebergMeta {
       newMeta.set[JsonNode]("snapshot-log", logArr)
     }
     newMeta.put("last-updated-ms", System.currentTimeMillis())
-    commitMeta(root, v, newMeta)
+    commitMeta(root, v, newMeta, meta)
     // the commit is durable — now the physical deletes (crash here
     // leaves unreferenced garbage, never a dangling reference)
     val store = VersionedTable.dataIO(root)
@@ -3621,6 +3626,7 @@ object IcebergMeta {
       exact: Boolean = false): Map[String, Long] = {
     import org.apache.spark.sql.functions.{approx_count_distinct,
       col, countDistinct}
+    gateMirrorWrite(root, "ANALYZE") // early: before the NDV job runs
     val (v, meta) = currentMeta(root)
     requireKnownVersion(meta)
     require(meta.hasNonNull("current-snapshot-id") &&
@@ -3683,7 +3689,7 @@ object IcebergMeta {
       n.putObject("properties").put("ndv", b.ndv.toString)
     }
     newMeta.put("last-updated-ms", System.currentTimeMillis())
-    commitMeta(root, v, newMeta)
+    commitMeta(root, v, newMeta, meta)
     targets.zipWithIndex.map { case (c, i) => c -> row.getLong(i) }.toMap
   }
 
@@ -4061,6 +4067,7 @@ object IcebergMeta {
   def rewriteManifests(root: String, targetManifests: Int = 1): Long = {
     require(targetManifests >= 1,
       s"iceberg-meta: targetManifests must be >= 1, got $targetManifests")
+    gateMirrorWrite(root, "REWRITE MANIFESTS")
     val (v, meta) = currentMeta(root)
     requireKnownVersion(meta)
     require(meta.hasNonNull("current-snapshot-id") &&

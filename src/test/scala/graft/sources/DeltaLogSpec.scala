@@ -1242,6 +1242,21 @@ class DeltaLogSpec extends SparkSpecBase {
     assert(intercept[IllegalArgumentException] {
       DeltaLog.compactLog(root, 2L, 4L)
     }.getMessage.contains("missing"))
+    // ICT tables survive span retirement: the compacted file keeps
+    // the span's FINAL commitInfo, so the next commit still reads
+    // its predecessor's timestamp and stays monotonic
+    val ict = tmp()
+    DeltaLog.commit(spark.range(0, 2).toDF("k").coalesce(1), ict,
+      properties = Map("delta.enableInCommitTimestamps" -> "true"))
+    DeltaLog.commit(spark.range(2, 4).toDF("k").coalesce(1), ict)
+    DeltaLog.commit(spark.range(4, 6).toDF("k").coalesce(1), ict)
+    val ict2 = DeltaLog.ictOf(ict, 2L).get
+    DeltaLog.compactLog(ict, 1L, 2L)
+    (1L to 2L).foreach(v => Files.delete(commitFile(ict, v)))
+    assert(DeltaLog.ictOf(ict, 2L) === Some(ict2)) // via the span
+    DeltaLog.commit(spark.range(6, 8).toDF("k").coalesce(1), ict)
+    assert(DeltaLog.ictOf(ict, 3L).get > ict2)
+    assert(spark.read.format("delta-log").load(ict).count() === 8)
   }
 
   test("UniForm (icebergCompatV2): every Delta commit advances a live Iceberg tree") {

@@ -85,9 +85,25 @@ object IcebergCboStats {
   private val cache = new java.util.concurrent.ConcurrentHashMap[
     (String, Long), Map[String, Long]]()
 
+  // canonical key — lookup (ndvFor) and invalidation (writeStatistics
+  // replacing a snapshot's statistics entry in place) must agree on
+  // the root's spelling
+  private def keyOf(root: String, snapshotId: Long): (String, Long) =
+    (java.nio.file.Paths.get(root).toAbsolutePath.normalize.toString,
+      snapshotId)
+
+  /** Drop the cached NDVs for one (root, snapshot): ANALYZE replaces
+    * that snapshot's statistics entry WITHOUT moving the snapshot, so
+    * without invalidation a re-ANALYZE would keep serving the old
+    * numbers for the rest of the session. */
+  def invalidate(root: String, snapshotId: Long): Unit = {
+    cache.remove(keyOf(root, snapshotId))
+    ()
+  }
+
   private[ext] def ndvFor(root: String, snapshotId: Long)
       : Map[String, Long] = {
-    val key = (root, snapshotId)
+    val key = keyOf(root, snapshotId)
     val hit = cache.get(key)
     if (hit != null) hit
     else {

@@ -942,11 +942,27 @@ object DeltaLog {
     * exception the caller reads as "nothing happened". Checked with
     * the PROSPECTIVE post-commit state at every hook site;
     * syncUniform's own requires remain as a backstop. */
-  private def gateUniform(configuration: Map[String, String],
+  private def gateUniform(root: String,
+      configuration: Map[String, String],
       schema: StructType, partitionColumns: Seq[String],
       columnMapping: Map[String, String], carriesDv: Boolean,
       operation: String): Unit = {
     if (!uniformEnabled(configuration)) return
+    gateUniformShape(schema, partitionColumns, columnMapping,
+      carriesDv, operation)
+    // schema DRIFT against an existing mirror must also refuse
+    // pre-commit: a mergeSchema append or schema-changing overwrite
+    // whose drift the mirror cannot follow (type change, required
+    // addition) would otherwise land durably and then fail in the
+    // post-commit sync. Expressible drift (added nullable / dropped
+    // columns) passes — syncUniform publishes the evolved schema.
+    IcebergMeta.requireMirrorSyncable(root, schema)
+  }
+
+  private def gateUniformShape(schema: StructType,
+      partitionColumns: Seq[String],
+      columnMapping: Map[String, String], carriesDv: Boolean,
+      operation: String): Unit = {
     require(columnMapping.isEmpty,
       s"delta-log $operation: column-mapped tables cannot enable " +
         "icebergCompatV2 (this engine's Iceberg tree resolves " +
@@ -981,9 +997,10 @@ object DeltaLog {
     * UniForm shape here is UNMAPPED tables — mapped, partitioned,
     * DV-carrying or variant-typed tables refuse loudly rather than
     * publish a tree other engines would misread. */
-  private def syncUniform(spark: SparkSession, root: String): Unit = {
+  private def syncUniform(spark: SparkSession, root: String,
+      evenIfDisabled: Boolean = false): Unit = {
     val snap = snapshot(spark, root)
-    if (!uniformEnabled(snap.configuration)) return
+    if (!evenIfDisabled && !uniformEnabled(snap.configuration)) return
     require(snap.columnMapping.isEmpty,
       "delta-log uniform: column-mapped tables are not synced (this " +
         "engine's Iceberg tree resolves columns by NAME) — disable " +
@@ -1016,14 +1033,23 @@ object DeltaLog {
     * surface as a failure. Bounded: a livelock past the bound is a
     * real error worth seeing. */
   private def syncUniformConverging(spark: SparkSession,
-      root: String): Unit = {
+      root: String, evenIfDisabled: Boolean = false): Unit = {
     var attempts = 0
     var done = false
     while (!done) {
-      try { syncUniform(spark, root); done = true }
+      try { syncUniform(spark, root, evenIfDisabled); done = true }
       catch {
-        case _: VersionedTable.ConcurrentCommitException
-            if attempts < 5 => attempts += 1
+        case e: VersionedTable.ConcurrentCommitException =>
+          if (attempts < 5) attempts += 1
+          // at exhaustion the caller must NOT read this as a failed
+          // write: the Delta commit is already durable — only the
+          // Iceberg mirror lags (livelock is still worth surfacing)
+          else throw new IllegalStateException(
+            s"delta-log uniform: the Delta commit at $root is DURABLE " +
+              s"and the table state is correct, but the Iceberg mirror " +
+              s"sync lost $attempts consecutive commit races and gave " +
+              "up — the mirror lags the Delta log until the next " +
+              "commit (or any re-run sync) advances it", e)
       }
     }
   }
@@ -1740,7 +1766,7 @@ object DeltaLog {
         columnMappingOf(root, recordSchema, configuration))
     // UniForm gates run BEFORE anything stages or commits — a
     // post-commit refusal would leave a durably-advanced log
-    gateUniform(configuration, recordSchema, partitionBy, mapping,
+    gateUniform(root, configuration, recordSchema, partitionBy, mapping,
       carriesDv = mode == "append" &&
         existing.exists(_.adds.exists(_.deletionVector.isDefined)),
       opName)
@@ -2097,7 +2123,7 @@ object DeltaLog {
       cdcAdds: Seq[DeltaAdd] = Nil,
       operation: String = "DELETE",
       metaRestate: Option[String] = None): Long = {
-    gateUniform(base.configuration, base.schema, base.partitionColumns,
+    gateUniform(root, base.configuration, base.schema, base.partitionColumns,
       base.columnMapping,
       carriesDv = base.adds.exists(a =>
         a.deletionVector.isDefined && !removedPaths.contains(a.path)),
@@ -2171,7 +2197,7 @@ object DeltaLog {
     // post-compact state carries no DVs (they materialize away), so
     // the UniForm gate checks shape only — OPTIMIZE is the UNBRICK
     // path for a DV-carrying UniForm table
-    gateUniform(snap0.configuration, snap0.schema,
+    gateUniform(root, snap0.configuration, snap0.schema,
       snap0.partitionColumns, snap0.columnMapping,
       carriesDv = false, "OPTIMIZE")
     zorderBy.foreach { case (x, y) =>
@@ -2286,10 +2312,28 @@ object DeltaLog {
     val target = snapshot(spark, root, Some(toVersion))
     // the TARGET's configuration travels with the restore — its
     // UniForm shape must be mirrorable BEFORE the commit lands
-    gateUniform(target.configuration, target.schema,
+    gateUniform(root, target.configuration, target.schema,
       target.partitionColumns, target.columnMapping,
       carriesDv = target.adds.exists(_.deletionVector.isDefined),
       "RESTORE")
+    // RESTORE to a PRE-UniForm version disables the sync hook with
+    // the travelling configuration — without a FINAL sync the
+    // co-located Iceberg tree would stay live but frozen at the
+    // pre-restore state, silently showing rows Delta no longer has.
+    // Sync the mirror one last time to the restored file set (gated
+    // pre-commit: the target shape must be mirrorable); from then on
+    // the mirror is frozen AT the restored state, the same posture as
+    // explicit UniForm disablement.
+    val finalMirrorSync = uniformEnabled(now.configuration) &&
+      !uniformEnabled(target.configuration) &&
+      IceCatalog.forRoot(root).tableExists(root)
+    if (finalMirrorSync) {
+      gateUniformShape(target.schema, target.partitionColumns,
+        target.columnMapping,
+        carriesDv = target.adds.exists(_.deletionVector.isDefined),
+        "RESTORE (final mirror sync)")
+      IcebergMeta.requireMirrorSyncable(root, target.schema)
+    }
     val store = VersionedTable.dataIO(root)
     val gone = target.adds.filterNot(a =>
       store.exists(Paths.get(root).resolve(a.path)))
@@ -2379,8 +2423,13 @@ object DeltaLog {
         throw new VersionedTable.ConcurrentCommitException(next)
     }
     // the restored state mirrors to the Iceberg tree too (the
-    // TARGET's configuration governs — it travels with the restore)
-    if (uniformEnabled(target.configuration)) syncUniformConverging(spark, root)
+    // TARGET's configuration governs — it travels with the restore);
+    // a restore that DISABLES UniForm still syncs once so the mirror
+    // freezes at the restored state, not the pre-restore one
+    if (uniformEnabled(target.configuration))
+      syncUniformConverging(spark, root)
+    else if (finalMirrorSync)
+      syncUniformConverging(spark, root, evenIfDisabled = true)
     next
   }
 
@@ -3086,7 +3135,7 @@ object DeltaLog {
       else merged0
     // enabling UniForm on a shape the sync cannot mirror must refuse
     // BEFORE the property commit lands
-    gateUniform(merged, snap.schema, snap.partitionColumns,
+    gateUniform(root, merged, snap.schema, snap.partitionColumns,
       snap.columnMapping,
       carriesDv = snap.adds.exists(_.deletionVector.isDefined),
       "SET TBLPROPERTIES")
@@ -3710,6 +3759,13 @@ object DeltaLog {
     // strictly below an expired, still-reconstructible version)
     cps.filter(v => retentionTimestamp(root, conf, v) <= cutoff)
       .maxOption.fold(0L) { boundary =>
+        // deliberately BOTH `v < boundary` AND timestamp-expired: a
+        // below-boundary commit JSON whose recorded timestamp
+        // postdates the cutoff (clock skew, a backfilled file) is
+        // LEFT BEHIND this pass — harmless, replay never starts below
+        // the boundary checkpoint, and the stray file sweeps on a
+        // later pass once its timestamp expires; not a partial-sweep
+        // bug
         val doomedJson = jsonVersions(root).filter(v => v < boundary &&
           commitTimestamp(root, conf, v) <= cutoff)
         val doomedCp = cps.filter(v => v < boundary &&

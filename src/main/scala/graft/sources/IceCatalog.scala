@@ -350,6 +350,16 @@ final class RestIceCatalog(val baseUri: String,
     // schemas + current-schema-id
     handled ++= Seq("schemas", "current-schema-id", "schema")
     val oldSchemas = byKey(oldDoc, "schemas", "schema-id").keySet
+    val newSchemaIds = byKey(newDoc, "schemas", "schema-id").keySet
+    // the OpenAPI has no remove-schema action — a successor document
+    // that PRUNED a schema entry cannot publish; silently emitting
+    // only the add-schema side would violate this function's "any
+    // inexpressible difference throws" contract
+    val prunedSchemas = oldSchemas -- newSchemaIds
+    if (prunedSchemas.nonEmpty) throw new IllegalArgumentException(
+      "ice-catalog: no update representation for removed schema ids " +
+        s"${prunedSchemas.toSeq.sorted.mkString(",")} — the REST " +
+        "vocabulary cannot express schema removal")
     elems(newDoc, "schemas")
       .filterNot(s => oldSchemas(s.get("schema-id").asLong()))
       .foreach { s =>
@@ -368,6 +378,12 @@ final class RestIceCatalog(val baseUri: String,
     // partition specs
     handled ++= Seq("partition-specs", "default-spec-id")
     val oldSpecs = byKey(oldDoc, "partition-specs", "spec-id").keySet
+    val prunedSpecs =
+      oldSpecs -- byKey(newDoc, "partition-specs", "spec-id").keySet
+    if (prunedSpecs.nonEmpty) throw new IllegalArgumentException(
+      "ice-catalog: no update representation for removed spec ids " +
+        s"${prunedSpecs.toSeq.sorted.mkString(",")} — the REST " +
+        "vocabulary cannot express partition-spec removal")
     elems(newDoc, "partition-specs")
       .filterNot(s => oldSpecs(s.get("spec-id").asLong()))
       .foreach { s =>

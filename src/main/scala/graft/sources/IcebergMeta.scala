@@ -1493,12 +1493,14 @@ object IcebergMeta {
 
   /** Schema-fields JSON for [[writeFixture]] with DEPTH-FIRST field
     * id assignment (Iceberg's fresh-table order — each field's id
-    * precedes its nested members', siblings follow). Struct nesting
-    * supported; list/map refuse in [[iceTypeOf]]. Returns (fields
-    * JSON, last assigned id, top-level name → id). */
-  private def fixtureFieldsJson(st: StructType)
+    * precedes its nested members', siblings follow), starting past
+    * `start` (0 for a fresh table; the document's `last-column-id`
+    * when [[evolveMirrorSchema]] mints ids for ADDED columns). Struct
+    * nesting supported; list/map refuse in [[iceTypeOf]]. Returns
+    * (fields JSON, last assigned id, top-level name → id). */
+  private def fixtureFieldsJson(st: StructType, start: Int = 0)
       : (String, Int, Map[String, Int]) = {
-    var counter = 0
+    var counter = start
     val top = scala.collection.mutable.LinkedHashMap.empty[String, Int]
     def typeJson(dt: DataType): String = dt match {
       case s: StructType =>
@@ -1763,29 +1765,137 @@ object IcebergMeta {
     finally inSync.set(false)
   }
 
+  /** Nullability-insensitive type shape — the mirror-schema compare
+    * cares about names and types, not required-ness (the read fill
+    * restores totality above the scan). */
+  private def normType(dt: DataType): DataType = dt match {
+    case st: StructType => StructType(st.fields.map(f =>
+      StructField(f.name, normType(f.dataType), nullable = true)))
+    case ArrayType(e, _) => ArrayType(normType(e), containsNull = true)
+    case MapType(k, v, _) =>
+      MapType(normType(k), normType(v), valueContainsNull = true)
+    case o => o
+  }
+
+  /** Why the mirror at `root` CANNOT follow a source-schema drift to
+    * `next` (None = it can): ADDED nullable top-level columns and
+    * DROPPED columns are metadata-only Iceberg schema evolution
+    * ([[evolveMirrorSchema]] publishes them); a changed type or a
+    * reshaped struct would need per-file rewrites no incremental sync
+    * can do, and a REQUIRED addition would be a lie over every
+    * pre-evolution file. */
+  private def mirrorDriftError(iceSchema: StructType,
+      next: StructType): Option[String] = {
+    val byName = iceSchema.fields.map(f => f.name -> f).toMap
+    next.fields.iterator.flatMap { f =>
+      byName.get(f.name) match {
+        case Some(old)
+            if normType(old.dataType) != normType(f.dataType) =>
+          Some(s"column '${f.name}' changed type " +
+            s"${old.dataType.simpleString} → " +
+            s"${f.dataType.simpleString} — not expressible as " +
+            "incremental Iceberg schema evolution; re-run the " +
+            "conversion")
+        case None if !f.nullable =>
+          Some(s"new column '${f.name}' is non-nullable — every " +
+            "pre-evolution mirror file lacks it, so the mirror " +
+            "can only add it as optional")
+        case _ => None
+      }
+    }.toSeq.headOption
+  }
+
+  /** PRE-COMMIT seam for [[DeltaLog]]'s UniForm gate: would
+    * [[syncExternal]] be able to mirror a commit whose post-commit
+    * schema is `next`? Throws (BEFORE the Delta commit lands) when
+    * the drift is one schema evolution cannot express — without this
+    * the Delta commit would land durably and then the post-commit
+    * sync's refusal would read as "nothing happened", the exact
+    * failure mode the pre-commit gate exists to prevent. No tree yet
+    * = nothing to drift from. */
+  def requireMirrorSyncable(root: String, next: StructType): Unit = {
+    if (!IceCatalog.forRoot(root).tableExists(root)) return
+    val (_, meta) = currentMeta(root)
+    val (iceSchema, _) = schemaOf(meta)
+    if (normType(iceSchema) == normType(next)) return
+    mirrorDriftError(iceSchema, next).foreach(e =>
+      throw new IllegalArgumentException(
+        s"delta-log uniform: the prospective schema of $root cannot " +
+          s"be mirrored — $e"))
+  }
+
+  /** Publish the mirror's evolved schema as one metadata-only commit
+    * (the REST diff expresses it as add-schema + set-current-schema):
+    * surviving columns KEEP their field ids (deep-copied nodes, nested
+    * ids included), added columns mint fresh ids past `last-column-id`
+    * (depth-first, Iceberg's assignment order), dropped columns fall
+    * out of the new schema (their ids are never reused). The snapshot
+    * does not move — data changes ride the subsequent sync commit. */
+  private def evolveMirrorSchema(root: String,
+      next: StructType): Unit = {
+    val (v, meta0) = currentMeta(root)
+    val (iceSchema, _) = schemaOf(meta0)
+    mirrorDriftError(iceSchema, next).foreach(e =>
+      throw new IllegalArgumentException(
+        s"iceberg-meta sync: schema drift at $root not mirrorable — $e"))
+    val meta = meta0
+      .deepCopy[com.fasterxml.jackson.databind.node.ObjectNode]
+    val schemas = meta.withArray[
+      com.fasterxml.jackson.databind.node.ArrayNode]("schemas")
+    val cur = meta.get("current-schema-id").asInt()
+    val curNode = schemas.elements().asScala
+      .find(_.get("schema-id").asInt() == cur)
+      .getOrElse(throw new IllegalStateException(
+        s"iceberg-meta: current-schema-id $cur not in $root"))
+    val oldFields = curNode.get("fields").elements().asScala.toSeq
+      .map(f => f.get("name").asText() -> f).toMap
+    var lastId = meta.path("last-column-id").asInt(0)
+    val newSchemaId = schemas.elements().asScala
+      .map(_.get("schema-id").asInt()).max + 1
+    val node = mapper.createObjectNode()
+    node.put("type", "struct")
+    node.put("schema-id", newSchemaId)
+    val arr = node.putArray("fields")
+    next.fields.foreach { f =>
+      oldFields.get(f.name) match {
+        case Some(old) => arr.add(old.deepCopy[JsonNode]())
+        case None =>
+          val (json, end, _) =
+            fixtureFieldsJson(StructType(Seq(f)), start = lastId)
+          lastId = end
+          arr.add(mapper.readTree(json))
+      }
+    }
+    schemas.add(node)
+    meta.put("current-schema-id", newSchemaId)
+    meta.put("last-column-id", lastId)
+    meta.put("last-updated-ms", System.currentTimeMillis())
+    commitMeta(root, v, meta, meta0)
+  }
+
   private def syncExternal0(spark: SparkSession, root: String,
       schema: StructType, files: Seq[(Path, String)]): Option[Long] = {
-    def norm(dt: DataType): DataType = dt match {
-      case st: StructType => StructType(st.fields.map(f =>
-        StructField(f.name, norm(f.dataType), nullable = true)))
-      case ArrayType(e, _) => ArrayType(norm(e), containsNull = true)
-      case MapType(k, v, _) =>
-        MapType(norm(k), norm(v), valueContainsNull = true)
-      case o => o
-    }
+    def norm(dt: DataType): DataType = normType(dt)
     if (!IceCatalog.forRoot(root).tableExists(root)) {
       val (_, _, topIds) = fixtureFieldsJson(schema)
       val entries = files.map { case (abs, rel) =>
         dataFileEntry(spark, abs, rel, schema, topIds) }
       Some(publishSingleSnapshotTable(root, schema, entries))
     } else {
+      requireKnownVersion(currentMeta(root)._2)
+      // source schema drifted from the mirror's → publish the evolved
+      // schema FIRST (metadata-only commit; keeps surviving field ids,
+      // mints fresh ones for additions — throws on inexpressible
+      // drift, which the Delta-side pre-commit gate already refused)
+      if (normType(schemaOf(currentMeta(root)._2)._1) !=
+          normType(schema))
+        evolveMirrorSchema(root, schema)
       val (v, meta) = currentMeta(root)
-      requireKnownVersion(meta)
       val (iceSchema, nameById) = schemaOf(meta)
       require(norm(iceSchema) == norm(schema),
-        s"iceberg-meta sync: the source schema of $root evolved away " +
-          "from the mirrored Iceberg schema — re-run the conversion " +
-          "(schema evolution does not sync incrementally)")
+        s"iceberg-meta sync: the source schema of $root still differs " +
+          "from the mirrored Iceberg schema after evolution — re-run " +
+          "the conversion")
       require(currentSpecFields(meta) == 0,
         s"iceberg-meta sync: $root has a partitioned spec — not a " +
           "tree this sync maintains")
@@ -3676,7 +3786,12 @@ object IcebergMeta {
     keep.foreach(arr.add)
     val entry = arr.addObject()
     entry.put("snapshot-id", sid)
-    entry.put("statistics-path", statsRel)
+    // the spec's StatisticsFile carries a FULL file location (unlike
+    // this writer's relocatable-relative manifest paths, a stated
+    // divergence) — a foreign engine reading the published metadata,
+    // the UniForm mirror especially, resolves statistics-path as-is
+    entry.put("statistics-path",
+      Paths.get(root, statsRel).toAbsolutePath.normalize.toString)
     entry.put("file-size-in-bytes", written.fileSize)
     entry.put("file-footer-size-in-bytes", written.footerSize)
     val bm = entry.putArray("blob-metadata")
@@ -3690,6 +3805,10 @@ object IcebergMeta {
     }
     newMeta.put("last-updated-ms", System.currentTimeMillis())
     commitMeta(root, v, newMeta, meta)
+    // a re-ANALYZE REPLACES this snapshot's statistics entry without
+    // moving the snapshot — the CBO rule's (root, snapshot) cache
+    // must drop its now-stale NDVs so the very next plan sees them
+    graft.ext.IcebergCboStats.invalidate(root, sid)
     targets.zipWithIndex.map { case (c, i) => c -> row.getLong(i) }.toMap
   }
 

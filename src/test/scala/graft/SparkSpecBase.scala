@@ -31,4 +31,6 @@ object SparkSpecBase {
     .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     .config("spark.ui.enabled", "false")
     .getOrCreate()
+  // keep test output readable — Spark's INFO firehose drowns scalatest
+  session.sparkContext.setLogLevel("WARN")
 }

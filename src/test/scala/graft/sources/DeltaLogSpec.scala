@@ -1383,6 +1383,72 @@ class DeltaLogSpec extends SparkSpecBase {
     assert(e.getMessage.contains("partitioned"))
   }
 
+  test("UniForm: schema drift mirrors as Iceberg schema evolution; inexpressible drift refuses pre-commit") {
+    val root = tmp()
+    DeltaLog.commit(spark.range(0, 4).toDF("k").coalesce(1), root,
+      properties = Map("delta.enableIcebergCompatV2" -> "true"))
+    // a mergeSchema append ADDS a nullable column: the mirror
+    // publishes the evolved schema (add-schema + set-current-schema,
+    // surviving ids kept, the addition minted fresh) and the sync
+    // keeps flowing — the exact drift that used to land the Delta
+    // commit durably and then fail post-commit
+    DeltaLog.commit(spark.range(4, 8).toDF("k")
+      .withColumn("tag", concat(lit("t"), col("k"))).coalesce(1),
+      root, mergeSchema = true)
+    def ice() = spark.read.format("iceberg-meta").load(root)
+    assert(ice().columns.toSeq === Seq("k", "tag"))
+    // pre-evolution mirror files null-fill the added column
+    assert(ice().where(col("tag").isNull)
+      .select("k").as[Long].collect().toSeq.sorted === (0L until 4L))
+    assert(ice().where(col("tag") === "t5").count() === 1)
+    assert(ice().count() ===
+      spark.read.format("delta-log").load(root).count())
+    // an overwrite DROPPING the column evolves the mirror again
+    // (metadata-only on the Iceberg side; the dropped id never reuses)
+    DeltaLog.commit(spark.range(20, 23).toDF("k").coalesce(1), root,
+      mode = "overwrite")
+    assert(ice().columns.toSeq === Seq("k"))
+    assert(ice().select("k").as[Long].collect().toSeq.sorted ===
+      (20L until 23L))
+    // a TYPE change is NOT expressible as incremental Iceberg schema
+    // evolution — it must refuse BEFORE the Delta commit lands
+    val before = DeltaLog.latestVersion(root)
+    val e = intercept[IllegalArgumentException] {
+      DeltaLog.commit(spark.range(0, 3)
+        .select(col("id").cast("string").as("k")).coalesce(1), root,
+        mode = "overwrite")
+    }
+    assert(e.getMessage.contains("changed type"))
+    assert(DeltaLog.latestVersion(root) === before)
+    assert(ice().select("k").as[Long].collect().toSeq.sorted ===
+      (20L until 23L))
+  }
+
+  test("UniForm: RESTORE to a pre-UniForm version syncs the mirror one final time") {
+    val root = tmp()
+    DeltaLog.commit(spark.range(0, 5).toDF("k").coalesce(1), root) // v0
+    DeltaLog.setConfiguration(spark, root,
+      Map("delta.enableIcebergCompatV2" -> "true")) // v1: tree appears
+    DeltaLog.commit(spark.range(5, 9).toDF("k").coalesce(1), root) // v2
+    def ice() = spark.read.format("iceberg-meta").load(root)
+      .select("k").as[Long].collect().toSeq.sorted
+    assert(ice() === (0L until 9L))
+    // the restore DISABLES UniForm (v0's configuration travels) — the
+    // mirror must freeze at the RESTORED state, not the pre-restore
+    // one: without the final sync an Iceberg reader of the same root
+    // would silently see rows Delta no longer has
+    DeltaLog.restore(spark, root, 0L)
+    assert(spark.read.format("delta-log").load(root)
+      .select("k").as[Long].collect().toSeq.sorted === (0L until 5L))
+    assert(ice() === (0L until 5L))
+    // post-restore commits run with UniForm OFF: the mirror stays
+    // frozen (the same posture as explicit disablement)
+    val vIce = IcebergMeta.latestMetadataVersion(root)
+    DeltaLog.commit(spark.range(100, 102).toDF("k").coalesce(1), root)
+    assert(IcebergMeta.latestMetadataVersion(root) === vIce)
+    assert(ice() === (0L until 5L))
+  }
+
   test("metadata cleanup: expired prefix deletes, retained reconstruct, horizon refuses") {
     val root = tmp()
     // ICT on, so expiry decisions run through the recorded in-commit

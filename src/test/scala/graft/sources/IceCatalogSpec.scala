@@ -466,6 +466,43 @@ class IceCatalogSpec extends SparkSpecBase {
     }
   }
 
+  test("REST binding: a pruned schema/spec entry refuses loudly, nothing publishes") {
+    import scala.jdk.CollectionConverters._
+    withRestCatalog { (root, cat) =>
+      IcebergMeta.writeFixture(spark.range(0, 4).toDF("k"), root,
+        formatVersion = 3)
+      IcebergMeta.addColumnWithDefault(root, "tag",
+        org.apache.spark.sql.types.StringType, "x") // schemas: 0 and 1
+      IcebergMeta.evolveSpec(root, Seq("k" -> "bucket[4]")) // specs: 0, 1
+      val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+      def pruned(field: String, key: String): Array[Byte] = {
+        val doc = mapper.readTree(cat.currentMetadata(root)._2)
+          .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+        val arr = doc.withArray[
+          com.fasterxml.jackson.databind.node.ArrayNode](field)
+        val kept = arr.elements().asScala.toSeq
+          .filter(_.get(key).asInt() != 0)
+        val out = doc.putArray(field)
+        kept.foreach(out.add)
+        mapper.writeValueAsBytes(doc)
+      }
+      // the REST vocabulary has no remove-schema / remove-spec: a
+      // successor that PRUNED one must throw, not publish only the
+      // expressible half of the diff
+      val v = cat.currentVersion(root)
+      val e1 = intercept[IllegalArgumentException] {
+        cat.commit(root, v, pruned("schemas", "schema-id"))
+      }
+      assert(e1.getMessage.contains("no update representation"))
+      val e2 = intercept[IllegalArgumentException] {
+        cat.commit(root, v, pruned("partition-specs", "spec-id"))
+      }
+      assert(e2.getMessage.contains("no update representation"))
+      // nothing landed: the pointer did not move
+      assert(cat.currentVersion(root) === v)
+    }
+  }
+
   test("unregistered roots use the filesystem catalog unchanged") {
     val root = Files.createTempDirectory("ice_cat_d_").toString + "/t"
     IcebergMeta.writeFixture(spark.range(0, 6).toDF("k"), root)

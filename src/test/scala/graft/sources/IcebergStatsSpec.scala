@@ -150,6 +150,40 @@ class IcebergStatsSpec extends SparkSpecBase {
     assert(IcebergMeta.columnNdv(root) === Map("k" -> 7L))
   }
 
+  test("re-ANALYZE on an unchanged snapshot refreshes the CBO cache; statistics-path is absolute") {
+    val root = tmp()
+    IcebergMeta.writeFixture(
+      spark.range(0, 100).toDF("k")
+        .withColumn("bucket", col("k") % 10).coalesce(1), root)
+    def attrNdv(): Map[String, BigInt] = {
+      val df = spark.read.format("iceberg-meta").load(root)
+      df.queryExecution.optimizedPlan.stats.attributeStats
+        .map { case (a, cs) => a.name -> cs.distinctCount.get }.toMap
+    }
+    val saved = spark.conf.get("spark.sql.cbo.enabled")
+    spark.conf.set("spark.sql.cbo.enabled", "true")
+    try {
+      IcebergMeta.writeStatistics(spark, root, Seq("k"), exact = true)
+      assert(attrNdv() === Map("k" -> BigInt(100))) // cache populated
+      // ANALYZE again on the SAME snapshot (no data moved) with a
+      // different column set: writeStatistics REPLACES the snapshot's
+      // statistics entry, so the (root, snapshot) CBO cache must drop
+      // its stale NDVs — the very next plan sees the new numbers
+      IcebergMeta.writeStatistics(spark, root, Seq("bucket"),
+        exact = true)
+      assert(attrNdv() === Map("bucket" -> BigInt(10)))
+    } finally spark.conf.set("spark.sql.cbo.enabled", saved)
+    // the published StatisticsFile carries a FULL location (the
+    // spec's contract — a foreign engine resolves it as-is), and the
+    // reader still resolves it
+    val doc = Files.readString(Paths.get(root, "metadata",
+      s"v${IcebergMeta.latestMetadataVersion(root)}.metadata.json"))
+    val pathRe = """"statistics-path"\s*:\s*"([^"]+)"""".r
+    val rec = pathRe.findFirstMatchIn(doc).get.group(1)
+    assert(rec.startsWith("/"), s"statistics-path not absolute: $rec")
+    assert(IcebergMeta.columnNdv(root) === Map("bucket" -> 10L))
+  }
+
   test("NDV flips the join build side under the CBO") {
     val factRoot = tmp()
     val dimRoot = tmp()

@@ -77,5 +77,29 @@ case class Graft2Refresh(session: SparkSession) extends Rule[LogicalPlan] {
           },
           resolved)
       }
+
+    // a TRAVEL-pinned catalog relation (`lake.db.t VERSION AS OF v`)
+    // whose snapshot carries MOR tombstones or column mapping cannot
+    // be served by the DSv2 scan — swap it to the equivalent PINNED
+    // v1 read, which the MOR/mapping rewrites later in this batch
+    // already shaped (same mechanism as the unpinned fallback above,
+    // with the version kept)
+    case rel @ DataSourceV2Relation(t: Graft2Table, out, _, _, _, _)
+        if t.travelPinned &&
+          (VersionedTable.hasTombstones(t.root, t.snapshotVersion) ||
+            VersionedTable.hasColumnMapping(t.root, t.snapshotVersion)) =>
+      val resolved = session.read.format("graft")
+        .option("versionAsOf", t.snapshotVersion).load(t.root)
+        .queryExecution.analyzed
+      val resolver = session.sessionState.analyzer.resolver
+      Project(
+        out.map { a =>
+          val src = resolved.output.find(o => resolver(o.name, a.name))
+            .getOrElse(throw new IllegalStateException(
+              s"graft: re-resolved read of ${t.root} lacks column " +
+                s"${a.name}"))
+          Alias(src, a.name)(exprId = a.exprId, qualifier = a.qualifier)
+        },
+        resolved)
   }
 }

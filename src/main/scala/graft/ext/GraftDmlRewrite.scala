@@ -36,7 +36,12 @@ import org.apache.spark.sql.execution.datasources.{
   */
 case class GraftDmlRewrite(session: SparkSession) extends Rule[LogicalPlan] {
 
-  /** The graft table a DML target plan names, if any: (root, pinned). */
+  /** The graft table a DML target plan names, if any: (root, pinned).
+    * Matches both resolution shapes: the v1 `LogicalRelation`
+    * (format("graft") path loads) and the DSv2 relation a
+    * [[GraftCatalog]] identifier resolves to — so
+    * `DELETE FROM lake.db.t` lowers to the same COW command as a
+    * path-addressed delete. */
   private def graftTarget(plan: LogicalPlan): Option[(String, Boolean)] =
     EliminateSubqueryAliases(plan) match {
       case l: LogicalRelation => l.relation match {
@@ -45,6 +50,11 @@ case class GraftDmlRewrite(session: SparkSession) extends Rule[LogicalPlan] {
           Some((i.tableRoot, i.isPinned))
         case _ => None
       }
+      case r: org.apache.spark.sql.execution.datasources.v2
+          .DataSourceV2Relation
+          if r.table.isInstanceOf[graft.sources.Graft2Table] =>
+        val t = r.table.asInstanceOf[graft.sources.Graft2Table]
+        Some((t.root, t.travelPinned))
       case _ => None
     }
 

@@ -4328,6 +4328,65 @@ object Lakehouse {
              |SELECT CAST(count(*) AS BIGINT) AS n_rows,
              |  CAST(sum(k) AS BIGINT) AS sum_key,
              |  CAST(count(*) AS BIGINT) AS n_through_compaction,
-             |  2 AS n_sidecars FROM t""".stripMargin))
+             |  2 AS n_sidecars FROM t""".stripMargin)),
+
+    // DSv2 NAMED CATALOG (round 14): the consumption surface real
+    // Spark users address lakehouse tables through —
+    // `spark.sql.catalog.<name> = graft.ext.GraftCatalog` turns
+    // `<name>.<ns>.<table>` identifiers into graft table roots under a
+    // warehouse directory (no extra metastore state: a namespace is a
+    // directory, a table is a `_graft_log` root — path readers and
+    // identifier readers share every table). The entry drives the
+    // whole lifecycle through IDENTIFIERS ONLY: CREATE NAMESPACE,
+    // CREATE TABLE, INSERT INTO ... SELECT (the DSv2 staged-commit
+    // write), DELETE FROM (the same COW command as path DML),
+    // VERSION AS OF on the identifier (pre-delete snapshot), and the
+    // serving aggregate — all under the oracle. GraftCatalogSpec
+    // covers RENAME/ALTER/SHOW/DROP, external LOCATION symlinks,
+    // CTAS via saveAsTable, and the namespace tree.
+    QueryDef(
+      "q286_graft_catalog",
+      (s, d) => {
+        val wh = java.nio.file.Paths.get(
+          System.getProperty("java.io.tmpdir"), "graft_cat_entry_wh")
+        java.nio.file.Files.createDirectories(wh)
+        // the catalog instance is cached per session by name — the
+        // warehouse must be a STABLE path, with idempotent per-run
+        // table setup inside it
+        s.conf.set("spark.sql.catalog.graftmart",
+          classOf[graft.ext.GraftCatalog].getName)
+        s.conf.set("spark.sql.catalog.graftmart.warehouse", wh.toString)
+        s.sql("CREATE NAMESPACE IF NOT EXISTS graftmart.mart")
+        s.sql("DROP TABLE IF EXISTS graftmart.mart.ord")
+        s.sql("""CREATE TABLE graftmart.mart.ord
+               |  (o_orderkey BIGINT, o_custkey BIGINT,
+               |   o_orderstatus STRING)""".stripMargin)
+        orders(s, d)
+          .select(col("o_orderkey"), col("o_custkey"),
+            col("o_orderstatus"))
+          .filter(col("o_orderkey") <= 4096L)
+          .createOrReplaceTempView("q286_src")
+        s.sql("""INSERT INTO graftmart.mart.ord
+               |SELECT o_orderkey, o_custkey, o_orderstatus
+               |FROM q286_src""".stripMargin)
+        s.sql("DELETE FROM graftmart.mart.ord WHERE o_orderkey % 10 = 3")
+        // v0 = CREATE (empty), v1 = the insert — identifier travel
+        val before = s.sql(
+          "SELECT count(*) AS n FROM graftmart.mart.ord VERSION AS OF 1")
+          .head().getLong(0)
+        s.sql(
+          s"""SELECT o_orderstatus, count(*) AS n_rows,
+             |  CAST(sum(o_custkey) AS BIGINT) AS sum_cust,
+             |  CAST($before AS BIGINT) AS n_before_delete
+             |FROM graftmart.mart.ord
+             |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)
+      },
+      Some("""SELECT o_orderstatus, count(*) AS n_rows,
+             |  CAST(sum(o_custkey) AS BIGINT) AS sum_cust,
+             |  CAST((SELECT count(*) FROM orders WHERE o_orderkey <= 4096)
+             |    AS BIGINT) AS n_before_delete
+             |FROM orders
+             |WHERE o_orderkey <= 4096 AND o_orderkey % 10 <> 3
+             |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin))
   )
 }

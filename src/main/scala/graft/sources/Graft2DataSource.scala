@@ -130,7 +130,12 @@ class Graft2Table(val root: String, val snapshotVersion: Long,
     // UNPINNED v1 reads: [[graft.ext.Graft2Refresh]] re-resolves them
     // to the log head on re-analysis (the v1 freshness contract);
     // datasource-created tables keep the spike's pinned-at-load shape
-    val refreshable: Boolean = false)
+    val refreshable: Boolean = false,
+    // true when the relation came from an EXPLICIT time travel
+    // (catalog `VERSION/TIMESTAMP AS OF`) — DML must refuse on it
+    // (snapshots are immutable); a head-resolved catalog load is not
+    // pinned in this sense even though it is version-stamped
+    val travelPinned: Boolean = false)
     extends Table with SupportsRead with SupportsWrite {
   override def name(): String = s"graft2:$root@v$snapshotVersion"
   override def schema(): StructType = schema

@@ -2338,6 +2338,17 @@ object VersionedTable {
     s.colMap.isEmpty && s.dropped.isEmpty
   }
 
+  /** CREATE TABLE with no rows — one empty manifest carrying only the
+    * schema line (version 0). The metadata-only creation the DSv2
+    * [[graft.ext.GraftCatalog]] runs for `CREATE TABLE cat.db.t`;
+    * the first INSERT then appends files under the recorded schema. */
+  def createTable(spark: SparkSession, root: String,
+      schema: org.apache.spark.sql.types.StructType): Long = {
+    require(latestVersion(root) < 0,
+      s"createTable: $root already has a log")
+    commitStagedFiles(spark, root, Nil, schema, "append")
+  }
+
   /** Publish ALREADY-STAGED parquet files as ONE commit — the
     * driver-side half of the DSv2 write path
     * ([[Graft2BatchWrite]]): executor tasks stream rows straight into

@@ -1337,6 +1337,37 @@ object IcebergMeta {
     try rows.foreach(w.append) finally w.close()
   }
 
+  /** Binary (schema-less-container) avro record codec — how
+    * [[rewriteManifests]] ships restated manifest ENTRIES through a
+    * Spark shuffle: `GenericRecord` is not serializable, and the avro
+    * `Schema` is not either, so each side rebuilds the schema from
+    * the (name, fieldId, type) spec info and the record travels as
+    * its canonical binary encoding. */
+  private def encodeAvroRecord(schema: Schema,
+      rec: GenericRecord): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    val enc = org.apache.avro.io.EncoderFactory.get()
+      .binaryEncoder(out, null)
+    new GenericDatumWriter[GenericRecord](schema).write(rec, enc)
+    enc.flush()
+    out.toByteArray
+  }
+
+  private def decodeAvroRecord(schema: Schema,
+      bytes: Array[Byte]): GenericRecord = {
+    val dec = org.apache.avro.io.DecoderFactory.get()
+      .binaryDecoder(bytes, null)
+    new GenericDatumReader[GenericRecord](schema).read(null, dec)
+  }
+
+  /** One restated live entry in flight through [[rewriteManifests]]'s
+    * Spark job: the cluster key (partition tuple rendering, then file
+    * path), the entry's original data sequence number and row count
+    * (for the manifest-list row), and the fully-built manifest ENTRY
+    * as canonical avro bytes. */
+  private final case class RmEntry(specId: Int, part: String,
+      path: String, seq: Long, records: Long, bytes: Array[Byte])
+
   /** One manifest-list row (every field set explicitly — generic Avro
     * writers do NOT apply schema defaults at write time). */
   private def manifestListRow(path: String, length: Long, specId: Int,
@@ -4205,71 +4236,146 @@ object IcebergMeta {
       fieldOpt(r, "content").map(asLong).getOrElse(0L) == 1L)
     if (dataRows.size <= targetManifests) return sid // already compact
     val lineage = meta.hasNonNull("next-row-id")
-    // resolve every live entry ONCE: original snapshot, original data
-    // sequence number, and (v3) its inherited-or-explicit first_row_id
-    // — the walk mirrors [[snapshot]]'s inheritance rules exactly
-    final case class Restated(specId: Int, dataFile: GenericRecord,
-      snapId: Long, seq: Long, firstRowId: Option[Long],
-      clusterKey: (String, String), records: Long)
-    val restated = scala.collection.mutable.ListBuffer.empty[Restated]
-    dataRows.foreach { row =>
-      val mSeq = fieldOpt(row, "sequence_number").map(asLong).getOrElse(0L)
-      val mSnap = fieldOpt(row, "added_snapshot_id").map(asLong)
-        .getOrElse(sid)
-      val mBase = fieldOpt(row, "first_row_id").map(asLong)
-      val rowSpec = fieldOpt(row, "partition_spec_id").map(asLong)
-        .getOrElse(0L).toInt
-      var assigned = 0L
-      readAvro(resolvePath(root, asStr(row.get("manifest_path"))))
-        .foreach { e =>
-          if (asLong(e.get("status")) != 2) {
-            val df = e.get("data_file").asInstanceOf[GenericRecord]
-            val records = asLong(df.get("record_count"))
-            val explicitFr = fieldOpt(df, "first_row_id").map(asLong)
-            val fr = explicitFr.orElse(mBase.map(_ + assigned))
-            if (explicitFr.isEmpty) assigned += records
-            restated += Restated(rowSpec, df,
-              fieldOpt(e, "snapshot_id").map(asLong).getOrElse(mSnap),
-              fieldOpt(e, "sequence_number").map(asLong).getOrElse(mSeq),
-              fr,
-              (fieldOpt(df, "partition").map(_.toString).getOrElse(""),
-                asStr(df.get("file_path"))),
-              records)
-          }
-        }
-    }
     val seq = (if (meta.hasNonNull("last-sequence-number"))
       meta.get("last-sequence-number").asLong() else 0L) + 1
     val snapId = java.util.UUID.randomUUID().getLeastSignificantBits
       .abs.max(1L)
-    val newRows = scala.collection.mutable.ListBuffer.empty[GenericRecord]
-    var mi = 0
-    restated.toSeq.groupBy(_.specId).toSeq.sortBy(_._1)
-      .foreach { case (specId, es0) =>
-        val fs = specFieldsOfId(meta, nameById, specId)
-        val eSchema = manifestSchemaFor(fs.map(f =>
-          (f.name, f.fieldId, f.transform.resultType(typeOf(f.srcCol)))),
+    // the restating runs as a SPARK JOB — the driver holds only the
+    // manifest LIST (one small tuple per manifest) and the final
+    // manifest-list rows (≤ targetManifests per spec). At 10⁶ live
+    // files the per-file GenericRecords (~1 KB each) would otherwise
+    // be the one driver-memory growth term of this action — the same
+    // reason Iceberg's own RewriteManifestsSparkAction distributes.
+    // Executors resolve each entry ONCE (original snapshot, original
+    // data sequence number, v3 inherited-or-explicit first_row_id —
+    // mirroring [[snapshot]]'s inheritance rules), the cluster sort
+    // is a distributed range sort, and each output manifest streams
+    // from exactly one task.
+    val spark = org.apache.spark.sql.SparkSession.active
+    val sc = spark.sparkContext
+    // spec fields as (name, fieldId, resultType) — the serializable
+    // form executors rebuild each avro entry schema from
+    val specIdsPresent = dataRows.map(r =>
+      fieldOpt(r, "partition_spec_id").map(asLong).getOrElse(0L).toInt)
+      .distinct.sorted
+    val specInfo: Map[Int, Seq[(String, Int, DataType)]] =
+      specIdsPresent.map { id =>
+        id -> specFieldsOfId(meta, nameById, id).map(f =>
+          (f.name, f.fieldId, f.transform.resultType(typeOf(f.srcCol))))
+      }.toMap
+    val rootStr = root
+    val manifestTasks: Seq[(String, Long, Long, Option[Long], Int)] =
+      dataRows.map { row =>
+        (asStr(row.get("manifest_path")),
+          fieldOpt(row, "sequence_number").map(asLong).getOrElse(0L),
+          fieldOpt(row, "added_snapshot_id").map(asLong).getOrElse(sid),
+          fieldOpt(row, "first_row_id").map(asLong),
+          fieldOpt(row, "partition_spec_id").map(asLong)
+            .getOrElse(0L).toInt)
+      }
+    val par = math.max(1, math.min(manifestTasks.size,
+      sc.defaultParallelism))
+    val entries = sc.parallelize(manifestTasks, par)
+      .flatMap { case (mPath, mSeq, mSnap, mBase, rowSpec) =>
+        val eSchema = manifestSchemaFor(specInfo(rowSpec),
           withFirstRowId = lineage)
-        val chunkSize = math.ceil(
-          es0.size.toDouble / targetManifests).toInt.max(1)
-        es0.sortBy(_.clusterKey).grouped(chunkSize).foreach { chunk =>
-          val entries = chunk.map { r =>
-            val entry = carriedEntry(copyDataFile(r.dataFile, eSchema),
-              status = 0, r.snapId, r.seq, eSchema)
-            if (lineage) entry.get("data_file")
-              .asInstanceOf[GenericRecord].put("first_row_id",
-                r.firstRowId.map(java.lang.Long.valueOf).orNull)
-            entry
+        var assigned = 0L
+        readAvro(resolvePath(rootStr, mPath)).flatMap { e =>
+          if (asLong(e.get("status")) == 2) None
+          else {
+            val df0 = e.get("data_file").asInstanceOf[GenericRecord]
+            val records = asLong(df0.get("record_count"))
+            val explicitFr = fieldOpt(df0, "first_row_id").map(asLong)
+            val fr = explicitFr.orElse(mBase.map(_ + assigned))
+            if (explicitFr.isEmpty) assigned += records
+            val df1 = copyDataFile(df0, eSchema)
+            if (lineage) df1.put("first_row_id",
+              fr.map(java.lang.Long.valueOf).orNull)
+            val entry = carriedEntry(df1, status = 0,
+              fieldOpt(e, "snapshot_id").map(asLong).getOrElse(mSnap),
+              fieldOpt(e, "sequence_number").map(asLong).getOrElse(mSeq),
+              eSchema)
+            Some(RmEntry(rowSpec,
+              fieldOpt(df1, "partition").map(_.toString).getOrElse(""),
+              asStr(df0.get("file_path")),
+              fieldOpt(e, "sequence_number").map(asLong).getOrElse(mSeq),
+              records, encodeAvroRecord(eSchema, entry)))
           }
-          val rel = s"metadata/snap-$snapId-rm$mi.avro"
-          mi += 1
-          writeAvro(Paths.get(root, rel), eSchema, entries)
-          newRows += manifestListRow(rel,
-            Files.size(Paths.get(root, rel)), specId, seq, snapId,
-            0, entries.size, 0L, chunk.map(_.records).sum,
-            minSeq = Some(chunk.map(_.seq).min))
         }
       }
+    entries.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val newRows = scala.collection.mutable.ListBuffer.empty[GenericRecord]
+    try {
+      // exact per-spec count-based chunking (the prior semantics):
+      // counts are a tiny map; offsets anchor the global sort order
+      // (specId, partition, path) so chunk boundaries are exact
+      val counts: Map[Int, Long] = entries.map(r => (r.specId, 1L))
+        .reduceByKey(_ + _).collect().toMap
+      if (counts.nonEmpty) {
+        val specsSorted = counts.keys.toSeq.sorted
+        val chunkSize: Map[Int, Long] = counts.map { case (s, c) =>
+          s -> math.max(1L, math.ceil(c.toDouble / targetManifests).toLong)
+        }
+        val nChunks: Map[Int, Int] = counts.map { case (s, c) =>
+          s -> math.ceil(c.toDouble / chunkSize(s)).toInt.max(1)
+        }
+        val specOffsets: Map[Int, Long] = specsSorted.map(s => s ->
+          specsSorted.takeWhile(_ != s).map(counts).sum).toMap
+        val chunkBase: Map[Int, Int] = specsSorted.map(s => s ->
+          specsSorted.takeWhile(_ != s).map(nChunks).sum).toMap
+        val totalChunks = nChunks.values.sum
+        val sorted = entries.sortBy(r => (r.specId, r.part, r.path),
+          numPartitions = math.max(1, math.min(totalChunks * 4,
+            sc.defaultParallelism)))
+        val keyed = sorted.zipWithIndex().map { case (r, gi) =>
+          val local = gi - specOffsets(r.specId)
+          val chunk = chunkBase(r.specId) +
+            (local / chunkSize(r.specId)).toInt
+          ((chunk, r.part, r.path), r)
+        }
+        val partitioner = new org.apache.spark.Partitioner {
+          override def numPartitions: Int = totalChunks
+          override def getPartition(key: Any): Int =
+            key.asInstanceOf[(Int, String, String)]._1
+        }
+        // one output manifest per partition, STREAMED — no task ever
+        // materializes its chunk
+        val written = keyed
+          .repartitionAndSortWithinPartitions(partitioner)
+          .mapPartitionsWithIndex { (pid, it0) =>
+            val it = it0.map(_._2)
+            if (!it.hasNext) Iterator.empty
+            else {
+              val first = it.next()
+              val eSchema = manifestSchemaFor(specInfo(first.specId),
+                withFirstRowId = lineage)
+              val rel = s"metadata/snap-$snapId-rm$pid.avro"
+              val p = Paths.get(rootStr, rel)
+              Files.createDirectories(p.getParent)
+              val w = new DataFileWriter[GenericRecord](
+                new GenericDatumWriter[GenericRecord](eSchema))
+              w.create(eSchema, p.toFile)
+              var files = 0
+              var rows = 0L
+              var minSeq = Long.MaxValue
+              try (Iterator.single(first) ++ it).foreach { r =>
+                w.append(decodeAvroRecord(eSchema, r.bytes))
+                files += 1
+                rows += r.records
+                minSeq = math.min(minSeq, r.seq)
+              } finally w.close()
+              Iterator.single((pid, first.specId, files, rows, minSeq))
+            }
+          }.collect()
+        written.sortBy(_._1).foreach {
+          case (pid, specId, files, rows, minSeqC) =>
+            val rel = s"metadata/snap-$snapId-rm$pid.avro"
+            newRows += manifestListRow(rel,
+              Files.size(Paths.get(root, rel)), specId, seq, snapId,
+              0, files, 0L, rows, minSeq = Some(minSeqC))
+        }
+      }
+    } finally entries.unpersist(blocking = false)
     // delete manifests carry VERBATIM — their list-row sequence
     // number is the seq their entries may still inherit, and their
     // min_sequence_number is what prunes them from newer scans

@@ -912,4 +912,37 @@ class IcebergMetaSpec extends SparkSpecBase {
     assert(manifests().count(_.getInt(2) == 0) === 2)
     assert(rows() === expect ++ (64L until 76L))
   }
+
+  test("rewrite_manifests: many manifests, partitioned specs, distributed restating") {
+    val root = tmp()
+    // 24 appends → 24 single-file manifests on an identity-partitioned
+    // table: the restating runs as a Spark job (driver holds only the
+    // manifest list), clustered by partition tuple then path
+    IcebergMeta.writeFixture(
+      spark.range(0, 8).toDF("k")
+        .withColumn("p", (col("k") % 4).cast("int")), root,
+      partitionBy = Seq("p"))
+    (1 to 23).foreach(i => IcebergMeta.append(
+      spark.range(8L * i, 8L * i + 8).toDF("k")
+        .withColumn("p", (col("k") % 4).cast("int")).coalesce(1), root))
+    def dataManifests(): Int = IcebergMeta.manifestsFrame(spark, root)
+      .collect().count(_.getInt(2) == 0)
+    assert(dataManifests() >= 24)
+    def rows(): Seq[Long] = spark.read.format("iceberg-meta")
+      .load(root).select("k").as[Long].collect().toSeq.sorted
+    val expect = 0L until 192L
+    assert(rows() === expect)
+    IcebergMeta.rewriteManifests(root, targetManifests = 3)
+    assert(dataManifests() === 3)
+    assert(rows() === expect)
+    // partition pruning still works off the restated manifests'
+    // partition tuples
+    assert(spark.read.format("iceberg-meta").load(root)
+      .where(col("p") === 2).count() === 48)
+    // collapse to ONE — the single-output-manifest extreme streams
+    // through one task
+    IcebergMeta.rewriteManifests(root, targetManifests = 1)
+    assert(dataManifests() === 1)
+    assert(rows() === expect)
+  }
 }

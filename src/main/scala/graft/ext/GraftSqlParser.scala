@@ -177,6 +177,10 @@ object GraftSqlParser {
     """(?is)\s*GRAFT\s+VACUUM\s+DELTA\s+'([^']+)'(?:\s+RETAIN\s+(\d+)\s+MS)?\s*;?\s*""".r
   private val ExpireIce =
     """(?is)\s*GRAFT\s+EXPIRE\s+SNAPSHOTS\s+'([^']+)'\s+OLDER\s+THAN\s+(\d+)(?:\s+RETAIN\s+LAST\s+(\d+))?\s*;?\s*""".r
+  private val RemoveOrphansIceDry =
+    """(?is)\s*GRAFT\s+REMOVE\s+ORPHAN\s+FILES\s+ICEBERG\s+'([^']+)'(?:\s+OLDER\s+THAN\s+(\d+))?\s+DRY\s+RUN\s*;?\s*""".r
+  private val RemoveOrphansIce =
+    """(?is)\s*GRAFT\s+REMOVE\s+ORPHAN\s+FILES\s+ICEBERG\s+'([^']+)'(?:\s+OLDER\s+THAN\s+(\d+))?\s*;?\s*""".r
   private val TagIceCreate =
     """(?is)\s*GRAFT\s+TAG\s+ICEBERG\s+'([^']+)'\s+CREATE\s+(\S+)(?:\s+AT\s+SNAPSHOT\s+(\d+))?\s*;?\s*""".r
   private val TagIceDrop =
@@ -262,6 +266,12 @@ object GraftSqlParser {
         Option(retain).map(_.toLong).getOrElse(7L * 24 * 3600 * 1000)))
       case ExpireIce(p, older, last) => Some(GraftIcebergExpireCommand(p,
         older.toLong, Option(last).map(_.toInt).getOrElse(1)))
+      case RemoveOrphansIceDry(p, older) =>
+        Some(GraftIcebergRemoveOrphansCommand(p,
+          Option(older).map(_.toLong).getOrElse(-1L), dryRun = true))
+      case RemoveOrphansIce(p, older) =>
+        Some(GraftIcebergRemoveOrphansCommand(p,
+          Option(older).map(_.toLong).getOrElse(-1L), dryRun = false))
       case TagIceCreate(p, name, sid) => Some(GraftIcebergRefCommand(p,
         name, "tag", Option(sid).map(_.toLong)))
       case TagIceDrop(p, name) => Some(GraftIcebergDropRefCommand(p, name))
@@ -450,6 +460,25 @@ object GraftSqlParser {
     override val output: Seq[Attribute] = Seq(attr("snapshot_id", LongType))
     override def run(s: SparkSession): Seq[Row] =
       Seq(Row(graft.sources.IcebergMeta.rewriteManifests(root, target)))
+  }
+
+  /** `GRAFT REMOVE ORPHAN FILES ICEBERG 'root' [OLDER THAN ts]
+    * [DRY RUN]` — Iceberg's remove_orphan_files: reachability sweep
+    * of `data/` + `metadata/` for files no snapshot, manifest, or
+    * statistics entry names (lost commit races), age-guarded
+    * (`ts` an absolute cutoff like EXPIRE SNAPSHOTS'; default
+    * now − 3 days) — [[graft.sources.IcebergMeta.removeOrphanFiles]]. */
+  case class GraftIcebergRemoveOrphansCommand(root: String,
+      olderThanMs: Long, dryRun: Boolean) extends LeafRunnableCommand {
+    override val output: Seq[Attribute] = Seq(
+      attr("n_scanned", LongType), attr("n_orphans", LongType),
+      attr("n_young_kept", LongType))
+    override def run(s: SparkSession): Seq[Row] = {
+      val r = graft.sources.IcebergMeta.removeOrphanFiles(root,
+        olderThanMs, dryRun)
+      Seq(Row(r.scanned.toLong, r.orphans.size.toLong,
+        r.youngKept.toLong))
+    }
   }
 
   /** `GRAFT OPTIMIZE DELTA 'root' [ZORDER BY x, y] [FILES n]` —

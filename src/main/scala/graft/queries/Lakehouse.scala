@@ -4387,6 +4387,57 @@ object Lakehouse {
              |    AS BIGINT) AS n_before_delete
              |FROM orders
              |WHERE o_orderkey <= 4096 AND o_orderkey % 10 <> 3
-             |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin))
+             |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)),
+
+    // ICEBERG remove_orphan_files (round 14): the reachability sweep
+    // for files a LOST commit race staged but no snapshot ever named
+    // — invisible to expire_snapshots (which reaps only what expired
+    // snapshots REFERENCE) and accumulating forever without it. The
+    // entry builds a two-snapshot table, plants a raced data file and
+    // a raced manifest with 10-day-old mtimes plus one FRESH staged
+    // file, dry-runs (reports 2, deletes nothing), sweeps through the
+    // SQL statement (orphans reclaimed, the young file held by the
+    // 3-day age guard, referenced files untouched), and pins the
+    // counts plus the table's rows under the oracle. IcebergMetaSpec
+    // covers travel/statistics survival and the UniForm-mirror
+    // refusal.
+    QueryDef(
+      "q287_iceberg_remove_orphans",
+      (s, d) => {
+        import graft.sources.IcebergMeta
+        val root = Files.createTempDirectory("iro_").toString + "/t"
+        val src = orders(s, d)
+          .select(col("o_orderkey"), col("o_custkey"))
+          .filter(col("o_orderkey") <= 4096L)
+        IcebergMeta.writeFixture(
+          src.filter(col("o_orderkey") <= 2048L).coalesce(1), root)
+        IcebergMeta.append(
+          src.filter(col("o_orderkey") > 2048L).coalesce(1), root)
+        val oldTime = java.nio.file.attribute.FileTime.fromMillis(
+          System.currentTimeMillis - 10L * 24 * 3600 * 1000)
+        Seq(java.nio.file.Paths.get(root, "data", "orphan-a.parquet"),
+          java.nio.file.Paths.get(root, "metadata", "snap-9-m0.avro"))
+          .foreach { p =>
+            java.nio.file.Files.write(p, Array[Byte](1, 2, 3))
+            java.nio.file.Files.setLastModifiedTime(p, oldTime)
+          }
+        java.nio.file.Files.write(java.nio.file.Paths.get(
+          root, "data", "orphan-young.parquet"), Array[Byte](7))
+        val dry = IcebergMeta.removeOrphanFiles(root, dryRun = true)
+        val sweep = s.sql(
+          s"GRAFT REMOVE ORPHAN FILES ICEBERG '$root'").head()
+        s.read.format("iceberg-meta").load(root)
+          .agg(count(lit(1)).as("n_rows"),
+            sum(col("o_custkey")).cast("long").as("sum_cust"))
+          .withColumn("n_dry", lit(dry.orphans.size.toLong))
+          .withColumn("n_swept", lit(sweep.getLong(1)))
+          .withColumn("n_young_kept", lit(sweep.getLong(2)))
+      },
+      Some("""SELECT CAST(count(*) AS BIGINT) AS n_rows,
+             |  CAST(sum(o_custkey) AS BIGINT) AS sum_cust,
+             |  CAST(2 AS BIGINT) AS n_dry,
+             |  CAST(2 AS BIGINT) AS n_swept,
+             |  CAST(1 AS BIGINT) AS n_young_kept
+             |FROM orders WHERE o_orderkey <= 4096""".stripMargin))
   )
 }

@@ -3393,6 +3393,85 @@ object IcebergMeta {
       deadLists.size)
   }
 
+  final case class OrphanSweep(scanned: Int, referenced: Int,
+      youngKept: Int, orphans: Seq[String], deleted: Boolean)
+
+  /** `remove_orphan_files` — Iceberg's reachability sweep for files a
+    * LOST commit race left behind: data staged for a metadata CAS
+    * that lost and was never retried is invisible to
+    * [[expireSnapshots]] (which reaps only what expired snapshots
+    * NAME — log reachability cannot see files no snapshot ever
+    * referenced) and accumulates forever. Lists `data/` + `metadata/`
+    * through the DataStore seam, subtracts every file ANY snapshot's
+    * manifest tree or statistics entry names, and deletes survivors
+    * whose mtime predates the cutoff (`olderThanMs`, an absolute
+    * timestamp like [[expireSnapshots]]'s; default = now − 3 days,
+    * Iceberg's own guard, so an IN-FLIGHT commit's freshly staged
+    * files are never swept). Metadata documents (`v*.metadata.json`,
+    * `version-hint.text`) are never candidates — their lifecycle is
+    * the metadata-log trim's. Refuses on UniForm mirrors (the Delta
+    * log governs those files; Delta VACUUM is the tool). `dryRun`
+    * reports the orphan list without deleting. Driver-only metadata
+    * I/O: one recursive listing plus the manifest walk. */
+  def removeOrphanFiles(root: String, olderThanMs: Long = -1L,
+      dryRun: Boolean = false): OrphanSweep = {
+    require(!isUniformMirror(root),
+      s"iceberg-meta REMOVE ORPHAN FILES: $root is a UniForm mirror " +
+        "of a Delta table — its files are governed by the Delta log; " +
+        "run Delta VACUUM instead")
+    val (_, meta) = currentMeta(root)
+    val cutoff = if (olderThanMs >= 0L) olderThanMs
+      else System.currentTimeMillis - 3L * 24 * 3600 * 1000
+    def norm(p: String): String =
+      Paths.get(p).toAbsolutePath.normalize.toString
+    val referenced = scala.collection.mutable.Set.empty[String]
+    if (meta.hasNonNull("snapshots"))
+      meta.get("snapshots").elements().asScala.foreach { s =>
+        val listPath = resolvePath(root, s.get("manifest-list").asText())
+        referenced += norm(listPath)
+        readAvro(listPath).foreach { r =>
+          val mPath = resolvePath(root, asStr(r.get("manifest_path")))
+          referenced += norm(mPath)
+          readAvro(mPath).foreach { e =>
+            referenced += norm(resolvePath(root,
+              asStr(e.get("data_file").asInstanceOf[GenericRecord]
+                .get("file_path"))))
+          }
+        }
+      }
+    if (meta.hasNonNull("statistics"))
+      meta.get("statistics").elements().asScala.foreach(e =>
+        referenced += norm(resolvePath(root,
+          e.get("statistics-path").asText())))
+    val store = VersionedTable.dataIO(root)
+    val rootP = Paths.get(root).toAbsolutePath.normalize
+    val MetaDoc = """v\d+\.metadata\.json""".r
+    val candidates =
+      (store.listFilesRecursive(rootP.resolve("data")) ++
+        store.listFilesRecursive(rootP.resolve("metadata")))
+        .map(_.toAbsolutePath.normalize)
+        .filterNot { p =>
+          val n = p.getFileName.toString
+          // Iceberg's hidden-path convention: names (or any path
+          // segment) starting with '.' or '_' are writer bookkeeping
+          // (_SUCCESS markers, .crc checksums), never table files
+          val hidden = rootP.relativize(p).iterator().asScala.exists { s =>
+            val seg = s.toString
+            seg.startsWith(".") || seg.startsWith("_")
+          }
+          hidden || MetaDoc.matches(n) || n == "version-hint.text"
+        }
+    var young = 0
+    val orphans = candidates.filter { p =>
+      if (referenced.contains(p.toString)) false
+      else if (store.mtimeMs(p) >= cutoff) { young += 1; false }
+      else true
+    }
+    if (!dryRun) orphans.foreach(store.deleteFile(_))
+    OrphanSweep(candidates.size, referenced.size, young,
+      orphans.map(_.toString).sorted, deleted = !dryRun)
+  }
+
   /** KEYED UPSERT via merge-on-read — the Flink/Iceberg CDC write
     * shape: ONE snapshot carrying BOTH a v2 equality-delete file on
     * `key` (the source's keys) AND the new images as ordinary data

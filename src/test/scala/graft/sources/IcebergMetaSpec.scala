@@ -945,4 +945,66 @@ class IcebergMetaSpec extends SparkSpecBase {
     assert(dataManifests() === 1)
     assert(rows() === expect)
   }
+
+  test("remove_orphan_files: lost-race orphans reclaimed, young and referenced kept") {
+    val root = tmp()
+    IcebergMeta.writeFixture(
+      spark.range(0, 16).toDF("k").coalesce(1), root)
+    IcebergMeta.append(spark.range(16, 24).toDF("k").coalesce(1), root)
+    IcebergMeta.delete(spark, root, col("k") % 8 === 3)
+    IcebergMeta.writeStatistics(spark, root, exact = true)
+    def rows(): Seq[Long] = spark.read.format("iceberg-meta")
+      .load(root).select("k").as[Long].collect().toSeq.sorted
+    val expect = (0L until 24L).filterNot(_ % 8 == 3)
+    assert(rows() === expect)
+    // plant the LOST-RACE residue: a staged data file and a staged
+    // manifest whose metadata CAS lost and was never retried — no
+    // snapshot names them, so expireSnapshots can never reclaim them
+    val oldTime = java.nio.file.attribute.FileTime.fromMillis(
+      System.currentTimeMillis - 10L * 24 * 3600 * 1000)
+    val orphanData = Paths.get(root, "data", "orphan-raced.parquet")
+    Files.write(orphanData, Array[Byte](1, 2, 3))
+    Files.setLastModifiedTime(orphanData, oldTime)
+    val orphanMeta = Paths.get(root, "metadata", "snap-999999-m0.avro")
+    Files.write(orphanMeta, Array[Byte](4, 5, 6))
+    Files.setLastModifiedTime(orphanMeta, oldTime)
+    // a FRESH staged file (an in-flight commit) survives the default
+    // 3-day age guard
+    val young = Paths.get(root, "data", "orphan-young.parquet")
+    Files.write(young, Array[Byte](7))
+    // DRY RUN reports, deletes nothing
+    val dry = IcebergMeta.removeOrphanFiles(root, dryRun = true)
+    assert(dry.orphans.toSet ===
+      Set(orphanData.toString, orphanMeta.toString))
+    assert(dry.youngKept === 1 && !dry.deleted)
+    assert(Files.exists(orphanData) && Files.exists(orphanMeta))
+    // the real sweep through SQL: orphans reclaimed, young kept,
+    // referenced files never touched
+    val row = spark.sql(
+      s"GRAFT REMOVE ORPHAN FILES ICEBERG '$root'").head()
+    assert(row.getLong(1) === 2L && row.getLong(2) === 1L)
+    assert(!Files.exists(orphanData) && !Files.exists(orphanMeta))
+    assert(Files.exists(young))
+    assert(rows() === expect)
+    // travel and statistics still resolve (their files were reachable)
+    val firstSnap = IcebergMeta.snapshotLog(root).head.snapshotId
+    assert(spark.read.format("iceberg-meta")
+      .option("snapshotId", firstSnap.toString).load(root)
+      .count() === 16)
+    assert(IcebergMeta.columnNdv(root).get("k").contains(21L))
+    // even a future cutoff never touches REFERENCED files (the young
+    // unreferenced one goes now)
+    val all = IcebergMeta.removeOrphanFiles(root,
+      olderThanMs = System.currentTimeMillis + 60000)
+    assert(all.orphans === Seq(young.toString))
+    assert(rows() === expect)
+    // a UniForm mirror refuses — the Delta log governs its files
+    val mirror = tmp()
+    DeltaLog.commit(spark.range(0, 4).toDF("k").coalesce(1), mirror,
+      properties = Map("delta.enableIcebergCompatV2" -> "true"))
+    val e = intercept[IllegalArgumentException] {
+      IcebergMeta.removeOrphanFiles(mirror)
+    }
+    assert(e.getMessage.contains("VACUUM"))
+  }
 }

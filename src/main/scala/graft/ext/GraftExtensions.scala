@@ -47,6 +47,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // Iceberg v2 positional delete files apply at scan time via the
     // same Union/anti-join shape — see [[IcebergMorScan]].
     ext.injectPostHocResolutionRule(IcebergMorScan)
+    // Iceberg name-mapped snapshots (a UniForm mirror over a
+    // column-mapped Delta table) re-plan in physical space with a
+    // logical-restoring Project — see [[IcebergNameMappingScan]].
+    ext.injectPostHocResolutionRule(IcebergNameMappingScan)
     // Puffin NDV statistics feed the CBO (rowCount + distinctCount on
     // iceberg-meta relations) — AFTER the MOR rewrite so it stamps
     // the relations that survive as stock scans — see

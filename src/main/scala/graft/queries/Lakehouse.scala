@@ -4438,6 +4438,45 @@ object Lakehouse {
              |  CAST(2 AS BIGINT) AS n_dry,
              |  CAST(2 AS BIGINT) AS n_swept,
              |  CAST(1 AS BIGINT) AS n_young_kept
-             |FROM orders WHERE o_orderkey <= 4096""".stripMargin))
+             |FROM orders WHERE o_orderkey <= 4096""".stripMargin)),
+
+    // UNIFORM OVER COLUMN MAPPING (round 14): the id-mode contract
+    // real icebergCompatV2 mandates, closing r13's stated refusal —
+    // a column-mapped Delta table (parquet under PHYSICAL names like
+    // col-3f9a, with real parquet field ids) now keeps a live Iceberg
+    // mirror whose field ids EQUAL the Delta column-mapping ids, with
+    // the spec's `schema.name-mapping.default` property tying ids to
+    // the physical parquet columns. The entry creates a mapped
+    // UniForm table from `orders`, COW-deletes through the Delta
+    // side, RENAMES a column on the Delta side (legal only under
+    // mapping; the mirror column renames BY ID in the same sync), and
+    // reads the final aggregate through the ICEBERG side under the
+    // new name — all under the oracle. DeltaLogSpec covers the
+    // name-mapping scan rewrite, the nested-mapped refusal, and
+    // format-identical reads across the lifecycle.
+    QueryDef(
+      "q288_delta_uniform_mapped",
+      (s, d) => {
+        import graft.sources.DeltaLog
+        val root = Files.createTempDirectory("dum_").toString + "/t"
+        val src = orders(s, d)
+          .select(col("o_orderkey"), col("o_custkey"))
+          .filter(col("o_orderkey") <= 4096L)
+        DeltaLog.commit(src.coalesce(1), root, properties = Map(
+          "delta.columnMapping.mode" -> "id",
+          "delta.enableIcebergCompatV2" -> "true"))
+        DeltaLog.deleteWhere(s, root, col("o_orderkey") % 10 === 3)
+        DeltaLog.renameColumn(s, root, "o_custkey", "cust")
+        s.read.format("iceberg-meta").load(root)
+          .agg(count(lit(1)).as("n_rows"),
+            sum(col("cust")).cast("long").as("sum_cust"),
+            sum(col("o_orderkey")).cast("long").as("sum_key"))
+      },
+      Some("""SELECT CAST(count(*) AS BIGINT) AS n_rows,
+             |  CAST(sum(o_custkey) AS BIGINT) AS sum_cust,
+             |  CAST(sum(o_orderkey) AS BIGINT) AS sum_key
+             |FROM orders
+             |WHERE o_orderkey <= 4096 AND o_orderkey % 10 <> 3"""
+        .stripMargin))
   )
 }

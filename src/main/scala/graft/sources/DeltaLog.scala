@@ -954,20 +954,50 @@ object DeltaLog {
     // pre-commit: a mergeSchema append or schema-changing overwrite
     // whose drift the mirror cannot follow (type change, required
     // addition) would otherwise land durably and then fail in the
-    // post-commit sync. Expressible drift (added nullable / dropped
-    // columns) passes — syncUniform publishes the evolved schema.
-    IcebergMeta.requireMirrorSyncable(root, schema)
+    // post-commit sync. Expressible drift (added nullable / dropped /
+    // renamed-mapped columns) passes — syncUniform publishes the
+    // evolved schema.
+    IcebergMeta.requireMirrorSyncable(root, schema,
+      uniformMappingOf(schema, columnMapping))
   }
+
+  /** logical name → (column-mapping id, physical name) — the id-mode
+    * contract real icebergCompatV2 mandates, handed to the Iceberg
+    * sync so the mirror's field ids EQUAL the Delta mapping ids and
+    * its `schema.name-mapping.default` names the physical parquet
+    * columns. Empty for unmapped tables. */
+  private def uniformMappingOf(schema: StructType,
+      columnMapping: Map[String, String])
+      : Map[String, (Int, String)] =
+    if (columnMapping.isEmpty) Map.empty
+    else schema.fields.map { f =>
+      f.name -> (
+        f.metadata.getLong("delta.columnMapping.id").toInt,
+        f.metadata.getString("delta.columnMapping.physicalName"))
+    }.toMap
 
   private def gateUniformShape(schema: StructType,
       partitionColumns: Seq[String],
       columnMapping: Map[String, String], carriesDv: Boolean,
       operation: String): Unit = {
-    require(columnMapping.isEmpty,
-      s"delta-log $operation: column-mapped tables cannot enable " +
-        "icebergCompatV2 (this engine's Iceberg tree resolves " +
-        "columns by NAME) — disable column mapping or drop the " +
-        "property")
+    // COLUMN-MAPPED tables mirror through the id contract (field ids
+    // = mapping ids + the spec's name-mapping property), FLAT shapes
+    // only — a nested mapped schema would need physical names at
+    // every level, which the mirror's name mapping does not carry
+    if (columnMapping.nonEmpty) {
+      require(schema.fields.forall(f => f.dataType match {
+        case _: StructType | _: ArrayType | _: MapType => false
+        case _ => true
+      }), s"delta-log $operation: NESTED column-mapped tables cannot " +
+        "enable icebergCompatV2 (the mirror's name mapping covers " +
+        "top-level columns only)")
+      require(schema.fields.forall(f =>
+        f.metadata.contains("delta.columnMapping.id") &&
+          f.metadata.contains("delta.columnMapping.physicalName")),
+        s"delta-log $operation: a mapped field lacks its " +
+          "delta.columnMapping.id/physicalName metadata — " +
+          "icebergCompatV2 mandates id-mode mapping ids")
+    }
     require(partitionColumns.isEmpty,
       s"delta-log $operation: partitioned tables cannot enable " +
         "icebergCompatV2 (Hive layout keeps partition columns OUT of " +
@@ -1001,10 +1031,6 @@ object DeltaLog {
       evenIfDisabled: Boolean = false): Unit = {
     val snap = snapshot(spark, root)
     if (!evenIfDisabled && !uniformEnabled(snap.configuration)) return
-    require(snap.columnMapping.isEmpty,
-      "delta-log uniform: column-mapped tables are not synced (this " +
-        "engine's Iceberg tree resolves columns by NAME) — disable " +
-        "column mapping or drop icebergCompatV2")
     require(snap.partitionColumns.isEmpty,
       "delta-log uniform: partitioned tables are not synced (Hive " +
         "layout keeps partition columns OUT of the data files, which " +
@@ -1020,7 +1046,8 @@ object DeltaLog {
       val p = Paths.get(a.path)
       ((if (p.isAbsolute) p else rootP.resolve(p)).normalize, a.path)
     }
-    IcebergMeta.syncExternal(spark, rootP.toString, snap.schema, files)
+    IcebergMeta.syncExternal(spark, rootP.toString, snap.schema, files,
+      uniformMappingOf(snap.schema, snap.columnMapping))
     ()
   }
 
@@ -3099,6 +3126,59 @@ object DeltaLog {
         toPhysical(out), snap.partitionColumns, cdcAdds,
         operation = "MERGE", metaRestate = metaRestateM)
     } finally tagged.unpersist()
+  }
+
+  /** `ALTER TABLE RENAME COLUMN` — legal ONLY under column mapping
+    * (delta-spark's rule: without mapping the parquet files' column
+    * names ARE the schema, and a rename would need a full rewrite).
+    * One metadata-only commit restating the schema with the new
+    * LOGICAL name; the field keeps its `physicalName` and mapping id,
+    * so no data file changes — and on a UniForm table the mirror
+    * follows BY ID (the Iceberg column renames in the same sync). */
+  def renameColumn(spark: SparkSession, root: String,
+      oldName: String, newName: String): Long = {
+    val snap = snapshot(spark, root)
+    gateWriterObligations(snap, "RENAME COLUMN", removesData = false)
+    require(snap.columnMapping.nonEmpty,
+      s"delta-log: RENAME COLUMN requires column mapping " +
+        "(delta.columnMapping.mode = name|id) — without it the " +
+        "parquet column names are the schema")
+    require(snap.schema.fieldNames.contains(oldName),
+      s"delta-log: no column '$oldName' in $root")
+    require(!snap.schema.fieldNames.contains(newName),
+      s"delta-log: column '$newName' already exists in $root")
+    val newSchema = StructType(snap.schema.fields.map(f =>
+      if (f.name == oldName) f.copy(name = newName) else f))
+    gateUniform(root, snap.configuration, newSchema,
+      snap.partitionColumns,
+      columnMappingOf(root, newSchema, snap.configuration),
+      carriesDv = snap.adds.exists(_.deletionVector.isDefined),
+      "RENAME COLUMN")
+    val next = snap.version + 1
+    val ict: Option[Long] =
+      if (ictEnabled(snap.configuration))
+        Some(nextIct(root, snap.version))
+      else None
+    val lines = scala.collection.mutable.ListBuffer.empty[String]
+    lines += (ict match {
+      case Some(t) =>
+        s"""{"commitInfo":{"inCommitTimestamp":$t,"timestamp":$t,""" +
+          s""""operation":"RENAME COLUMN"}}"""
+      case None =>
+        s"""{"commitInfo":{"timestamp":${System.currentTimeMillis},""" +
+          s""""operation":"RENAME COLUMN"}}"""
+    })
+    lines += metaDataLine(newSchema.json, snap.partitionColumns,
+      snap.configuration, Option(snap.tableId).filter(_.nonEmpty))
+    try io(root).putIfAbsent(commitPath(root, next),
+      lines.mkString("", "\n", "\n").getBytes(UTF_8))
+    catch {
+      case _: java.nio.file.FileAlreadyExistsException =>
+        throw new VersionedTable.ConcurrentCommitException(next)
+    }
+    if (uniformEnabled(snap.configuration))
+      syncUniformConverging(spark, root)
+    next
   }
 
   /** Restate the table's metaData with `props` merged into its

@@ -180,7 +180,13 @@ class DeltaLogDataSource extends RelationProvider
       "delta.enabledeletionvectors" -> "delta.enableDeletionVectors",
       "delta.enablechangedatafeed" -> "delta.enableChangeDataFeed",
       "delta.checkpointpolicy" -> "delta.checkpointPolicy",
-      "delta.appendonly" -> "delta.appendOnly")
+      "delta.appendonly" -> "delta.appendOnly",
+      "delta.enableicebergcompatv2" -> "delta.enableIcebergCompatV2",
+      "delta.universalformat.enabledformats" ->
+        "delta.universalFormat.enabledFormats",
+      "delta.enableincommittimestamps" ->
+        "delta.enableInCommitTimestamps",
+      "delta.enablerowtracking" -> "delta.enableRowTracking")
     val properties =
       if (exists) Map.empty[String, String]
       else parameters.collect {

@@ -168,7 +168,15 @@ object IcebergMeta {
       deletes: Seq[IceDelete] = Nil,
       eqDeletes: Seq[IceEqDelete] = Nil,
       dvs: Seq[IceDV] = Nil,
-      defaults: Seq[IceDefault] = Nil) {
+      defaults: Seq[IceDefault] = Nil,
+      // logical name → the DIFFERENT physical parquet column name the
+      // table's `schema.name-mapping.default` property records for
+      // that field id (a UniForm mirror over a column-mapped Delta
+      // table); empty when names match. A snapshot with entries here
+      // must read through the name-mapping scan rewrite
+      // ([[graft.ext.IcebergNameMappingScan]]) — the raw parquet scan
+      // would null-fill every mapped column
+      physicalByName: Map[String, String] = Map.empty) {
     /** Does any live file predate a defaulted field? If so a RAW scan
       * would null-fill where the spec requires the default — such a
       * snapshot must read through the default-filling branches
@@ -788,7 +796,31 @@ object IcebergMeta {
     IceSnapshot(root, snapId, schema, resolvedFiles,
       deleteEntries.collect { case Pos(d) => d },
       deleteEntries.collect { case Eq(d) => d },
-      dvs, defaults)
+      dvs, defaults, nameMappingOf(meta, nameById))
+  }
+
+  /** logical name → physical parquet name from the spec's
+    * `schema.name-mapping.default` table property (JSON
+    * `[{"field-id": id, "names": [...]}]`) — only entries whose
+    * mapped name DIFFERS from the current schema's logical name for
+    * that id (an identity mapping needs no rewrite). How a UniForm
+    * mirror over a column-mapped Delta table tells readers which
+    * parquet columns carry which field ids. */
+  private def nameMappingOf(meta: JsonNode,
+      nameById: Map[Int, String]): Map[String, String] = {
+    val prop = Option(meta.get("properties")).filterNot(_.isNull)
+      .flatMap(p => Option(p.get("schema.name-mapping.default")))
+      .filterNot(_.isNull).map(_.asText())
+    prop.fold(Map.empty[String, String]) { json =>
+      mapper.readTree(json).elements().asScala.flatMap { e =>
+        val id = e.get("field-id").asInt()
+        val names = e.get("names").elements().asScala
+          .map(_.asText()).toSeq
+        nameById.get(id).flatMap { logical =>
+          names.headOption.filter(_ != logical).map(logical -> _)
+        }
+      }.toMap
+    }
   }
 
   /** DOTTED column paths physically present in a parquet file's
@@ -1729,7 +1761,11 @@ object IcebergMeta {
     * manifest rows; file paths may be table-relative or absolute) —
     * the metadata tail [[writeFixture]] and [[importDelta]] share. */
   private def publishSingleSnapshotTable(root: String,
-      schema: StructType, entries: Seq[GenericRecord]): Long = {
+      schema: StructType, entries: Seq[GenericRecord],
+      // override: (fields json, last column id) with EXPLICIT ids —
+      // the mapped-mirror path; None = fresh depth-first assignment
+      fieldsOverride: Option[(String, Int)] = None,
+      properties: Map[String, String] = Map.empty): Long = {
     gateMirrorWrite(root, "CREATE")
     val snapId = math.abs(root.hashCode.toLong * 2654435761L) + 1
     val manifestRel = s"metadata/snap-$snapId-m0.avro"
@@ -1741,7 +1777,15 @@ object IcebergMeta {
       manifestListRow(manifestRel,
         Files.size(Paths.get(root, manifestRel)), 0, 1L, snapId,
         entries.size, 0, rows, 0L)))
-    val (fields, lastColumnId, _) = fixtureFieldsJson(schema)
+    val (fields, lastColumnId) = fieldsOverride.getOrElse {
+      val (f, last, _) = fixtureFieldsJson(schema)
+      (f, last)
+    }
+    val propsJson =
+      if (properties.isEmpty) ""
+      else properties.toSeq.sortBy(_._1).map { case (k, v) =>
+        s"${jsonString(k)}:${jsonString(v)}"
+      }.mkString("\"properties\":{", ",", "},")
     val nowMs = System.currentTimeMillis()
     val metaJson =
       s"""{"format-version":2,
@@ -1749,6 +1793,7 @@ object IcebergMeta {
          |"location":"$root","last-sequence-number":1,
          |"last-updated-ms":$nowMs,
          |"last-column-id":$lastColumnId,
+         |$propsJson
          |"current-schema-id":0,
          |"schemas":[{"type":"struct","schema-id":0,"fields":[$fields]}],
          |"default-spec-id":0,
@@ -1790,10 +1835,46 @@ object IcebergMeta {
     * (unpartitioned, no delete files — a foreign-written tree with
     * deletes is not a pure mirror). Returns the new snapshot id. */
   def syncExternal(spark: SparkSession, root: String,
-      schema: StructType, files: Seq[(Path, String)]): Option[Long] = {
+      schema: StructType, files: Seq[(Path, String)],
+      // COLUMN-MAPPED source (Delta icebergCompatV2's id-mode
+      // contract): logical name → (field id = the Delta
+      // column-mapping id, physical parquet column name). The mirror
+      // then publishes ids EQUAL to the mapping ids plus the spec's
+      // `schema.name-mapping.default` property, so readers resolve
+      // the physically-named parquet columns; empty = unmapped.
+      mapping: Map[String, (Int, String)] = Map.empty)
+      : Option[Long] = {
     inSync.set(true)
-    try syncExternal0(spark, root, schema, files)
+    try syncExternal0(spark, root, schema, files, mapping)
     finally inSync.set(false)
+  }
+
+  /** The `schema.name-mapping.default` JSON for `mapping` — one
+    * `{"field-id", "names": [physical]}` entry per mapped column. */
+  private def nameMappingJson(
+      mapping: Map[String, (Int, String)]): String =
+    mapping.values.toSeq.sortBy(_._1).map { case (id, phys) =>
+      s"""{"field-id":$id,"names":[${jsonString(phys)}]}"""
+    }.mkString("[", ",", "]")
+
+  private def jsonString(s: String): String =
+    mapper.writeValueAsString(
+      com.fasterxml.jackson.databind.node.TextNode.valueOf(s))
+
+  /** Fields JSON for a MAPPED mirror schema: EXPLICIT field ids (the
+    * Delta column-mapping ids — real icebergCompatV2's id contract),
+    * flat columns only (the gate refuses nested mapped shapes).
+    * Returns (fields json, last column id). */
+  private def mappedFieldsJson(schema: StructType,
+      mapping: Map[String, (Int, String)]): (String, Int) = {
+    val json = schema.fields.map { f =>
+      val (id, _) = mapping.getOrElse(f.name,
+        throw new IllegalArgumentException(
+          s"iceberg-meta sync: column '${f.name}' has no mapping id"))
+      s"""{"id":$id,"name":${jsonString(f.name)},""" +
+        s""""required":${!f.nullable},"type":"${iceTypeOf(f.dataType)}"}"""
+    }.mkString(",")
+    (json, mapping.values.map(_._1).max)
   }
 
   /** Nullability-insensitive type shape — the mirror-schema compare
@@ -1844,15 +1925,99 @@ object IcebergMeta {
     * sync's refusal would read as "nothing happened", the exact
     * failure mode the pre-commit gate exists to prevent. No tree yet
     * = nothing to drift from. */
-  def requireMirrorSyncable(root: String, next: StructType): Unit = {
+  def requireMirrorSyncable(root: String, next: StructType,
+      mapping: Map[String, (Int, String)] = Map.empty): Unit = {
     if (!IceCatalog.forRoot(root).tableExists(root)) return
     val (_, meta) = currentMeta(root)
     val (iceSchema, _) = schemaOf(meta)
     if (normType(iceSchema) == normType(next)) return
-    mirrorDriftError(iceSchema, next).foreach(e =>
+    val err =
+      if (mapping.isEmpty) mirrorDriftError(iceSchema, next)
+      else mirrorDriftErrorMapped(meta, next, mapping)
+    err.foreach(e =>
       throw new IllegalArgumentException(
         s"delta-log uniform: the prospective schema of $root cannot " +
           s"be mirrored — $e"))
+  }
+
+  /** BY-ID drift classification for a MAPPED source (ids are the
+    * stable identity — a rename keeps its id and is expressible; a
+    * type change or a required addition is not). */
+  private def mirrorDriftErrorMapped(meta: JsonNode, next: StructType,
+      mapping: Map[String, (Int, String)]): Option[String] = {
+    val curNode =
+      if (meta.hasNonNull("schemas")) {
+        val cur = meta.get("current-schema-id").asInt()
+        meta.get("schemas").elements().asScala
+          .find(_.get("schema-id").asInt() == cur).get
+      } else meta.get("schema")
+    val oldById = curNode.get("fields").elements().asScala.toSeq
+      .map(f => f.get("id").asInt() -> f).toMap
+    next.fields.iterator.flatMap { f =>
+      mapping.get(f.name) match {
+        case None => Some(s"column '${f.name}' carries no " +
+          "column-mapping id — not a shape the id-based mirror " +
+          "evolution can follow")
+        case Some((id, _)) => oldById.get(id) match {
+          case Some(old) if normType(toSparkType(old.get("type"))) !=
+              normType(f.dataType) =>
+            Some(s"column '${f.name}' (field id $id) changed type — " +
+              "not expressible as incremental Iceberg schema " +
+              "evolution; re-run the conversion")
+          case None if !f.nullable =>
+            Some(s"new column '${f.name}' is non-nullable — every " +
+              "pre-evolution mirror file lacks it")
+          case _ => None
+        }
+      }
+    }.toSeq.headOption
+  }
+
+  /** Mapped-mirror schema evolution, BY FIELD ID: surviving ids keep
+    * their identity under the (possibly renamed) logical names,
+    * additions land with their mapping ids, dropped ids fall out —
+    * and the `schema.name-mapping.default` property restates so the
+    * physical parquet names keep resolving. One metadata-only commit
+    * (add-schema + set-current-schema + set-properties via the REST
+    * diff). */
+  private def evolveMirrorSchemaMapped(root: String, next: StructType,
+      mapping: Map[String, (Int, String)]): Unit = {
+    val (v, meta0) = currentMeta(root)
+    mirrorDriftErrorMapped(meta0, next, mapping).foreach(e =>
+      throw new IllegalArgumentException(
+        s"iceberg-meta sync: schema drift at $root not mirrorable — $e"))
+    val meta = meta0
+      .deepCopy[com.fasterxml.jackson.databind.node.ObjectNode]
+    val schemas = meta.withArray[
+      com.fasterxml.jackson.databind.node.ArrayNode]("schemas")
+    val newSchemaId = schemas.elements().asScala
+      .map(_.get("schema-id").asInt()).max + 1
+    val node = mapper.createObjectNode()
+    node.put("type", "struct")
+    node.put("schema-id", newSchemaId)
+    val arr = node.putArray("fields")
+    next.fields.foreach { f =>
+      val (id, _) = mapping(f.name)
+      val fn = mapper.createObjectNode()
+      fn.put("id", id)
+      fn.put("name", f.name)
+      fn.put("required", !f.nullable)
+      fn.put("type", iceTypeOf(f.dataType))
+      arr.add(fn)
+    }
+    schemas.add(node)
+    meta.put("current-schema-id", newSchemaId)
+    meta.put("last-column-id", math.max(
+      meta.path("last-column-id").asInt(0),
+      mapping.values.map(_._1).max))
+    val props =
+      if (meta.hasNonNull("properties"))
+        meta.get("properties")
+          .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+      else meta.putObject("properties")
+    props.put("schema.name-mapping.default", nameMappingJson(mapping))
+    meta.put("last-updated-ms", System.currentTimeMillis())
+    commitMeta(root, v, meta, meta0)
   }
 
   /** Publish the mirror's evolved schema as one metadata-only commit
@@ -1905,22 +2070,45 @@ object IcebergMeta {
   }
 
   private def syncExternal0(spark: SparkSession, root: String,
-      schema: StructType, files: Seq[(Path, String)]): Option[Long] = {
+      schema: StructType, files: Seq[(Path, String)],
+      mapping: Map[String, (Int, String)]): Option[Long] = {
     def norm(dt: DataType): DataType = normType(dt)
+    // MAPPED source: bounds are harvested from footers that carry
+    // PHYSICAL column names, keyed by the mapping ids
+    val statsSchema =
+      if (mapping.isEmpty) schema
+      else StructType(schema.fields.map(f =>
+        f.copy(name = mapping(f.name)._2, metadata =
+          org.apache.spark.sql.types.Metadata.empty)))
+    val statsIds: Map[String, Int] =
+      mapping.map { case (_, (id, phys)) => phys -> id }
     if (!IceCatalog.forRoot(root).tableExists(root)) {
-      val (_, _, topIds) = fixtureFieldsJson(schema)
-      val entries = files.map { case (abs, rel) =>
-        dataFileEntry(spark, abs, rel, schema, topIds) }
-      Some(publishSingleSnapshotTable(root, schema, entries))
+      if (mapping.isEmpty) {
+        val (_, _, topIds) = fixtureFieldsJson(schema)
+        val entries = files.map { case (abs, rel) =>
+          dataFileEntry(spark, abs, rel, schema, topIds) }
+        Some(publishSingleSnapshotTable(root, schema, entries))
+      } else {
+        val entries = files.map { case (abs, rel) =>
+          dataFileEntry(spark, abs, rel, statsSchema, statsIds) }
+        Some(publishSingleSnapshotTable(root, schema, entries,
+          fieldsOverride = Some(mappedFieldsJson(schema, mapping)),
+          properties = Map(
+            "schema.name-mapping.default" -> nameMappingJson(mapping))))
+      }
     } else {
       requireKnownVersion(currentMeta(root)._2)
       // source schema drifted from the mirror's → publish the evolved
       // schema FIRST (metadata-only commit; keeps surviving field ids,
       // mints fresh ones for additions — throws on inexpressible
-      // drift, which the Delta-side pre-commit gate already refused)
+      // drift, which the Delta-side pre-commit gate already refused).
+      // A MAPPED source evolves BY ID (a Delta RENAME keeps id and
+      // physical name — the mirror column renames with it).
       if (normType(schemaOf(currentMeta(root)._2)._1) !=
-          normType(schema))
-        evolveMirrorSchema(root, schema)
+          normType(schema)) {
+        if (mapping.isEmpty) evolveMirrorSchema(root, schema)
+        else evolveMirrorSchemaMapped(root, schema, mapping)
+      }
       val (v, meta) = currentMeta(root)
       val (iceSchema, nameById) = schemaOf(meta)
       require(norm(iceSchema) == norm(schema),
@@ -2028,7 +2216,9 @@ object IcebergMeta {
         }
         if (added.nonEmpty) {
           val entries = added.map { case (abs, rel) =>
-            dataFileEntry(spark, abs, rel, schema, idByName) }
+            if (mapping.isEmpty)
+              dataFileEntry(spark, abs, rel, schema, idByName)
+            else dataFileEntry(spark, abs, rel, statsSchema, statsIds) }
           val addedRows = entries.map(e => asLong(e.get("data_file")
             .asInstanceOf[GenericRecord].get("record_count"))).sum
           val rel = s"metadata/snap-$snapId-m$mi.avro"

@@ -1424,6 +1424,59 @@ class DeltaLogSpec extends SparkSpecBase {
       (20L until 23L))
   }
 
+  test("UniForm over a COLUMN-MAPPED Delta table: id-based mirror, rename follows") {
+    val root = tmp()
+    spark.range(0, 8).toDF("k").withColumn("v", col("k") * 10)
+      .coalesce(1).write.format("delta-log")
+      .option("delta.columnMapping.mode", "id")
+      .option("delta.enableIcebergCompatV2", "true")
+      .save(root)
+    val snap = DeltaLog.snapshot(spark, root)
+    assert(snap.columnMapping.nonEmpty)
+    def ice() = spark.read.format("iceberg-meta").load(root)
+    def delta() = spark.read.format("delta-log").load(root)
+    // the mirror reads LOGICAL names over the physically-named parquet
+    // (field ids = the Delta mapping ids + the spec's name-mapping)
+    assert(ice().columns.toSeq === Seq("k", "v"))
+    assert(ice().select("k").as[Long].collect().toSeq.sorted ===
+      (0L until 8L))
+    assert(ice().agg(sum("v")).as[Long].head() ===
+      (0 until 8).map(_ * 10L).sum)
+    // the published metadata carries the spec's name-mapping property
+    // and the mapping ids as field ids
+    val doc = Files.readString(Paths.get(root, "metadata",
+      s"v${IcebergMeta.latestMetadataVersion(root)}.metadata.json"))
+    assert(doc.contains("schema.name-mapping.default"))
+    // append and COW delete keep both formats identical
+    spark.range(8, 12).toDF("k").withColumn("v", col("k") * 10)
+      .coalesce(1).write.format("delta-log").mode("append").save(root)
+    DeltaLog.deleteWhere(spark, root, col("k") % 4 === 1)
+    val expect = (0L until 12L).filterNot(_ % 4 == 1)
+    assert(delta().select("k").as[Long].collect().toSeq.sorted === expect)
+    assert(ice().select("k").as[Long].collect().toSeq.sorted === expect)
+    // RENAME on the Delta side (legal only under mapping): the field
+    // keeps its id and physical name, and the MIRROR column renames
+    // with it in the same sync
+    DeltaLog.renameColumn(spark, root, "v", "score")
+    assert(delta().columns.toSeq === Seq("k", "score"))
+    assert(ice().columns.toSeq === Seq("k", "score"))
+    assert(ice().where(col("k") === 6).select("score")
+      .as[Long].head() === 60L)
+    assert(ice().agg(sum("score")).as[Long].head() ===
+      expect.map(_ * 10L).sum)
+    // NESTED mapped shapes still refuse pre-commit
+    val root2 = tmp()
+    val e = intercept[IllegalArgumentException] {
+      spark.range(0, 4).toDF("k")
+        .withColumn("s", struct(col("k").as("a")))
+        .coalesce(1).write.format("delta-log")
+        .option("delta.columnMapping.mode", "id")
+        .option("delta.enableIcebergCompatV2", "true")
+        .save(root2)
+    }
+    assert(e.getMessage.contains("NESTED"))
+  }
+
   test("UniForm: RESTORE to a pre-UniForm version syncs the mirror one final time") {
     val root = tmp()
     DeltaLog.commit(spark.range(0, 5).toDF("k").coalesce(1), root) // v0

@@ -4477,6 +4477,92 @@ object Lakehouse {
              |  CAST(sum(o_orderkey) AS BIGINT) AS sum_key
              |FROM orders
              |WHERE o_orderkey <= 4096 AND o_orderkey % 10 <> 3"""
+        .stripMargin)),
+
+    // SHREDDED VARIANT (round 14): what newer Iceberg/Delta writers
+    // increasingly produce — variant values stored as typed_value
+    // subcolumns per the parquet shredding spec instead of one binary
+    // pair. The entry writes an Iceberg v3 variant table SHREDDED
+    // (Spark's own shredding writer — the spec's reference
+    // implementation; a field OUTSIDE the shredding schema rides the
+    // residual `value` column, so reassembly must merge both), then
+    // reads counts and variant_get projections through the shredded
+    // column under the oracle. IcebergV3Spec pins bit-identical reads
+    // against the unshredded twin; DeltaLogSpec covers the Delta
+    // variantShredding feature acceptance.
+    QueryDef(
+      "q289_iceberg_shredded_variant",
+      (s, d) => {
+        import graft.sources.IcebergMeta
+        val root = Files.createTempDirectory("isv_").toString + "/t"
+        val src = orders(s, d)
+          .filter(col("o_orderkey") <= 4096L)
+          .selectExpr("o_orderkey AS k",
+            """parse_json(concat('{"ok":', o_orderkey,
+              |',"c":', o_custkey,
+              |CASE WHEN o_orderkey % 5 = 0
+              |  THEN ',"extra":[1,2]' ELSE '' END,
+              |'}')) AS v""".stripMargin)
+          .coalesce(1)
+        val confs = Seq(
+          "spark.sql.variant.writeShredding.enabled" -> "true",
+          "spark.sql.variant.forceShreddingSchemaForTest" ->
+            "ok bigint, c bigint")
+        confs.foreach { case (c, v) => s.conf.set(c, v) }
+        try IcebergMeta.writeFixture(src, root, formatVersion = 3)
+        finally confs.foreach { case (c, _) => s.conf.unset(c) }
+        s.read.format("iceberg-meta").load(root)
+          .agg(count(lit(1)).as("n_rows"),
+            sum(expr("variant_get(v, '$.ok', 'long')")).cast("long")
+              .as("sum_ok"),
+            sum(expr("variant_get(v, '$.c', 'long')")).cast("long")
+              .as("sum_c"),
+            sum(expr("variant_get(v, '$.extra[1]', 'long')"))
+              .cast("long").as("sum_resid"))
+      },
+      Some("""SELECT CAST(count(*) AS BIGINT) AS n_rows,
+             |  CAST(sum(o_orderkey) AS BIGINT) AS sum_ok,
+             |  CAST(sum(o_custkey) AS BIGINT) AS sum_c,
+             |  CAST(2 * count(CASE WHEN o_orderkey % 5 = 0
+             |    THEN 1 END) AS BIGINT) AS sum_resid
+             |FROM orders WHERE o_orderkey <= 4096""".stripMargin)),
+
+    // DELTA COLLATIONS (round 14): collated string columns — the
+    // writer feature delta-spark 4.x lists when a schema carries
+    // `string COLLATE ...` types. The engine reads them
+    // collation-aware through Spark's native collated StringType
+    // (filters/DML compare under the collation), never prunes files
+    // on a collated column (binary-ordered stats don't order like
+    // the collation), omits their min/max at write, and LISTS the
+    // feature when creating such a table. The entry creates a
+    // UTF8_LCASE-collated copy of o_orderstatus with mixed casing
+    // and filters case-insensitively under the oracle (DuckDB:
+    // lower() compare). DeltaLogSpec pins the foreign fixture, the
+    // no-prune proof, and the append licensing.
+    QueryDef(
+      "q290_delta_collations",
+      (s, d) => {
+        import graft.sources.DeltaLog
+        val root = Files.createTempDirectory("dcl_").toString + "/t"
+        val src = orders(s, d)
+          .filter(col("o_orderkey") <= 4096L)
+          .selectExpr("o_orderkey", "o_custkey",
+            // mixed casing, collated UTF8_LCASE: even keys lowercase,
+            // odd keys uppercase
+            """collate(CASE WHEN o_orderkey % 2 = 0
+              |  THEN lower(o_orderstatus) ELSE upper(o_orderstatus)
+              |END, 'UTF8_LCASE') AS status""".stripMargin)
+          .coalesce(1)
+        DeltaLog.commit(src, root)
+        s.read.format("delta-log").load(root)
+          .where(col("status") === "o") // matches 'o' AND 'O'
+          .agg(count(lit(1)).as("n_rows"),
+            sum(col("o_custkey")).cast("long").as("sum_cust"))
+      },
+      Some("""SELECT CAST(count(*) AS BIGINT) AS n_rows,
+             |  CAST(sum(o_custkey) AS BIGINT) AS sum_cust
+             |FROM orders
+             |WHERE o_orderkey <= 4096 AND lower(o_orderstatus) = 'o'"""
         .stripMargin))
   )
 }

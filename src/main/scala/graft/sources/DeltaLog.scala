@@ -91,7 +91,14 @@ object DeltaLog {
       // vectorized parquet reader decodes the spec's binary
       // metadata/value encoding — the exact representation the Delta
       // feature mandates (it IS Spark's)
-      "variantType")
+      "variantType",
+      // variantShredding: files storing variant values as
+      // typed_value subcolumns per the parquet shredding spec —
+      // Spark 4's parquet reader REASSEMBLES shredded variants
+      // natively (SparkShreddingUtils.assembleVariant behind its
+      // variant converters), so shredded and unshredded files read
+      // identically through the same scan
+      "variantShredding")
 
   final case class DeltaAdd(
       path: String,                        // decoded, relative or absolute
@@ -667,6 +674,12 @@ object DeltaLog {
         case Some(DateType) =>
           Some(jsonStr(java.time.LocalDate.ofEpochDay(v.toLong).toString))
         case Some(TimestampType) | Some(TimestampNTZType) => None
+        // COLLATED strings: footer min/max are BINARY-ordered, which
+        // does not order like the collation — a collation-aware
+        // reader pruning on them would skip matching files. Omit
+        // min/max (absent stats just disable skipping); nullCount is
+        // type-agnostic and stays
+        case Some(s: StringType) if s != StringType => None
         case _ => Some(typ match {
           case "long" | "double" => v
           case _ => jsonStr(v)
@@ -698,9 +711,23 @@ object DeltaLog {
     * leaf's directory chain back into `partitionValues` (Spark's own
     * path escaping, `__HIVE_DEFAULT_PARTITION__` → null). Shared by
     * [[commit]] and the copy-on-write rewrite ([[replaceFiles]]). */
+  /** TOP-LEVEL collated string columns of `schema` — the stats
+    * harvest must see the TABLE's collated types (the staged frame
+    * carries plain strings), so [[statsJsonOf]] omits their
+    * binary-ordered min/max. */
+  private def collatedTypesOf(schema: StructType): Map[String, DataType] =
+    schema.fields.collect {
+      case f if f.dataType.isInstanceOf[StringType] &&
+        f.dataType.asInstanceOf[StringType].collationId != 0 =>
+        f.name -> f.dataType
+    }.toMap
+
   private def stageAndLand(spark: SparkSession, df: DataFrame,
       root: String, partitionBy: Seq[String], nonce: String,
-      prefix: String = ""): Seq[DeltaAdd] = {
+      prefix: String = "",
+      // table-side type overrides for the stats serialization (a
+      // collated table's staged frames carry PLAIN strings)
+      typeOverrides: Map[String, DataType] = Map.empty): Seq[DeltaAdd] = {
     // subdir: createTempDirectory pre-creates the parent, and Spark's
     // errorifexists mode refuses an existing target path
     val staging = Files.createTempDirectory("delta_stage_").resolve("out")
@@ -743,9 +770,10 @@ object DeltaLog {
       // binary payloads) still records numRecords — the stat every
       // replayer needs (DV density bounds, row-id block sizing)
       DeltaAdd(rel, pv, nullCols, Files.size(dst),
-        statsJsonOf(st, dottedTypes(df.schema)).orElse(Some(
-          s"""{"numRecords":$rowCount,"minValues":{},""" +
-            """"maxValues":{},"nullCount":{}}""")))
+        statsJsonOf(st, dottedTypes(df.schema) ++ typeOverrides)
+          .orElse(Some(
+            s"""{"numRecords":$rowCount,"minValues":{},""" +
+              """"maxValues":{},"nullCount":{}}""")))
     }
   }
 
@@ -908,7 +936,46 @@ object DeltaLog {
     // spec's binary encoding — is Spark 4's own parquet writer
     // behavior for VariantType columns (the staged files ARE the
     // mandated representation)
-    "variantType")
+    "variantType",
+    // variantShredding's writer obligation: either write valid
+    // shredded files or unshredded ones (shredding is optional per
+    // file) — this writer stages variant columns unshredded through
+    // Spark's parquet writer, which is a conformant choice
+    "variantShredding",
+    // collations: collated strings surface through Spark 4's native
+    // collated StringType (DataType.fromJson reconstitutes them from
+    // the __COLLATIONS field metadata delta-spark writes), so row
+    // comparisons — filters, DML predicates, CHECKs, sorts — are
+    // collation-aware via Spark itself. The obligations this engine
+    // honors: schema restates carry the collation metadata verbatim
+    // (schemaString round-trips), file-skipping NEVER prunes on a
+    // collated column (its binary-ordered stats don't order like the
+    // collation — read side keeps such files conservatively, write
+    // side omits their min/max in [[statsJsonOf]]), and appends
+    // accept plain-string frames into collated columns (the parquet
+    // physical type is identical; collation is logical metadata)
+    "collations")
+
+  /** Does `dt` contain a COLLATED string anywhere (nested included)? */
+  private def hasCollatedType(dt: DataType): Boolean = dt match {
+    case s: StringType => s.collationId != 0
+    case st: StructType => st.fields.exists(f => hasCollatedType(f.dataType))
+    case ArrayType(e, _) => hasCollatedType(e)
+    case MapType(k, v, _) => hasCollatedType(k) || hasCollatedType(v)
+    case _ => false
+  }
+
+  /** Every collated StringType instance normalized to the default —
+    * the collation-insensitive schema-compat shape (collation is
+    * comparison semantics, not physical layout). */
+  private def decollate(dt: DataType): DataType = dt match {
+    case _: StringType => StringType
+    case st: StructType =>
+      StructType(st.fields.map(f => f.copy(dataType = decollate(f.dataType))))
+    case ArrayType(e, n) => ArrayType(decollate(e), n)
+    case MapType(k, v, n) => MapType(decollate(k), decollate(v), n)
+    case o => o
+  }
 
   /** Does `dt` contain a variant ANYWHERE (nested included)? Both
     * specs gate variant by feature/format-version on the whole
@@ -1647,10 +1714,13 @@ object DeltaLog {
           // nullable column is always sound; with mergeSchema the
           // check runs against the EVOLVED schema (added columns and
           // widened types are in)
+          // collation-insensitive: a plain-string frame appends into
+          // a collated column (identical parquet physical type — the
+          // collation is logical metadata the TABLE schema keeps)
           val tbl = evolution.map(_._1).getOrElse(s.schema).fields
-            .map(f => f.name -> nullableOf(f.dataType)).toMap
+            .map(f => f.name -> nullableOf(decollate(f.dataType))).toMap
           val bad = dfIn.schema.fields.filter(f =>
-            !tbl.get(f.name).contains(nullableOf(f.dataType)))
+            !tbl.get(f.name).contains(nullableOf(decollate(f.dataType))))
           require(bad.isEmpty,
             s"delta-log: append schema mismatch on ${bad.map(_.name).mkString(", ")}")
         } else if (s.columnMapping.nonEmpty) {
@@ -1749,15 +1819,23 @@ object DeltaLog {
         val varFeat =
           if (hasVariantType(dfIn.schema)) Set("variantType")
           else Set.empty[String]
+        // collations is WRITER-only (any reader may read collated
+        // strings under their base type) — a created table whose
+        // schema carries collated columns must LIST it so
+        // feature-aware writers keep the collation obligations
+        val collFeat =
+          if (hasCollatedType(dfIn.schema)) Set("collations")
+          else Set.empty[String]
         val p =
           if (wantsDv || v2cpFeat.nonEmpty || varFeat.nonEmpty)
             (3, 7, dvFeat ++ mapFeat ++ v2cpFeat ++ varFeat,
               dvFeat ++ mapFeat ++ v2cpFeat ++ varFeat ++ cdfFeat ++
-                rtFeat ++ ictFeat ++ uniFeat ++
+                rtFeat ++ ictFeat ++ uniFeat ++ collFeat ++
                 legacyWriterFeatures(if (mapMode == "none") 2 else 5))
-          else if (rtFeat.nonEmpty || ictFeat.nonEmpty || uniFeat.nonEmpty)
+          else if (rtFeat.nonEmpty || ictFeat.nonEmpty ||
+            uniFeat.nonEmpty || collFeat.nonEmpty)
             (if (mapMode == "none") 1 else 2, 7, Set.empty[String],
-              rtFeat ++ ictFeat ++ uniFeat ++ cdfFeat ++
+              rtFeat ++ ictFeat ++ uniFeat ++ collFeat ++ cdfFeat ++
                 legacyWriterFeatures(if (mapMode == "none") 2 else 5))
           else if (mapMode != "none") (2, 5, Set.empty[String], Set.empty[String])
           // CDF alone requires minWriterVersion >= 4 (the spec's
@@ -1804,7 +1882,8 @@ object DeltaLog {
     // globally unique names (the spec requires uniqueness, not layout;
     // Hive-style dirs keep the table browsable)
     val nonce = java.util.UUID.randomUUID().toString.take(8)
-    val adds = stageAndLand(spark, stagedDf, root, stagedPartitionBy, nonce)
+    val adds = stageAndLand(spark, stagedDf, root, stagedPartitionBy, nonce,
+      typeOverrides = collatedTypesOf(recordSchema))
     val next = latest + 1
     val lines = scala.collection.mutable.ListBuffer.empty[String]
     lines += commitInfoLine(root,
@@ -2064,7 +2143,8 @@ object DeltaLog {
     // one zero-row part, which must not land in the log)
     val extraAdds = extraRows.toSeq.filterNot(_.isEmpty).flatMap(df =>
       stageAndLand(spark, df, root, snap.partitionColumns,
-        java.util.UUID.randomUUID().toString.take(8)))
+        java.util.UUID.randomUUID().toString.take(8),
+        typeOverrides = collatedTypesOf(snap.schema)))
     if (rows.isEmpty && extraAdds.isEmpty)
       return Some(snap.version) // nothing fired: no empty commit
     val lines = scala.collection.mutable.ListBuffer.empty[String]
@@ -2157,7 +2237,8 @@ object DeltaLog {
       operation)
     val latest = latestVersion(root)
     val nonce = java.util.UUID.randomUUID().toString.take(8)
-    val adds = stageAndLand(spark, df, root, partitionBy, nonce)
+    val adds = stageAndLand(spark, df, root, partitionBy, nonce,
+      typeOverrides = collatedTypesOf(base.schema))
     val next = latest + 1
     val lines = scala.collection.mutable.ListBuffer.empty[String]
     lines += commitInfoLine(root, operation, base.configuration, latest)
@@ -2287,7 +2368,7 @@ object DeltaLog {
           snap.partitionColumns.map(col): _*) // one task (→ file) per partition
     }
     val adds = stageAndLand(spark, packed, root, snap.partitionColumns,
-      nonce)
+      nonce, typeOverrides = collatedTypesOf(snap.schema))
     val next = snap.version + 1
     val lines = scala.collection.mutable.ListBuffer.empty[String]
     lines += commitInfoLine(root, "OPTIMIZE", snap0.configuration,

@@ -315,8 +315,11 @@ class DeltaLogFileIndex(spark: SparkSession, val root: String,
   private def statTyp(dt: DataType): Option[String] = dt match {
     case ByteType | ShortType | IntegerType | LongType => Some("long")
     case FloatType | DoubleType => Some("double")
-    case StringType => Some("string")
-    case _ => None // dates/decimals/etc: conservative keep
+    // COLLATED strings (non-zero collationId) never prune: their
+    // recorded min/max are binary-ordered, which does not order like
+    // the collation — skipping on them would drop matching files
+    case s: StringType if s.collationId == 0 => Some("string")
+    case _ => None // collated/dates/decimals/etc: conservative keep
   }
 
   private def statsOf(snap: DeltaLog.DeltaSnapshot, a: DeltaLog.DeltaAdd)

@@ -437,10 +437,11 @@ object IcebergMeta {
       // LongType). Spark's own posture is the same: its parquet
       // reader maps TIMESTAMP(NANOS) to LongType (SPARK-40819).
       case "timestamp_ns" | "timestamptz_ns" => LongType
-      // v3 VARIANT maps to Spark 4's native VariantType —
-      // UNSHREDDED reads (the binary metadata/value pair); a
-      // shredded file's typed_value subcolumns fail in the parquet
-      // reader rather than silently mis-reading
+      // v3 VARIANT maps to Spark 4's native VariantType — both
+      // UNSHREDDED files (the binary metadata/value pair) and
+      // SHREDDED ones (typed_value subcolumns per the parquet
+      // shredding spec): Spark's parquet reader reassembles shredded
+      // variants natively, so both file shapes read identically
       case "variant" => VariantType
       case DecimalRe(p, s) => DecimalType(p.toInt, s.toInt)
       case FixedRe(_) => BinaryType

@@ -477,19 +477,19 @@ class DeltaLogSpec extends SparkSpecBase {
     }
     val plainSchema = """{\"type\":\"struct\",\"fields\":[{\"name\":\"k\",\"type\":\"long\",\"nullable\":true,\"metadata\":{}}]}"""
     val rt = foreign(plainSchema,
-      """{"minReaderVersion":1,"minWriterVersion":7,"writerFeatures":["collations","appendOnly","invariants"]}""")
+      """{"minReaderVersion":1,"minWriterVersion":7,"writerFeatures":["someFutureFeature","appendOnly","invariants"]}""")
     assert(DeltaLog.snapshot(spark, rt).adds.isEmpty) // read is fine
     val e4 = intercept[UnsupportedOperationException] {
       DeltaLog.commit(Seq(1L).toDF("k").coalesce(1), rt)
     }
-    assert(e4.getMessage.contains("collations"))
+    assert(e4.getMessage.contains("someFutureFeature"))
     // CHECKPOINT is log-mutating too: compacting a table whose
     // features this writer does not honor would silently drop the
     // state they maintain from the compacted view — gated alike
     val e4b = intercept[UnsupportedOperationException] {
       DeltaLog.checkpoint(spark, rt)
     }
-    assert(e4b.getMessage.contains("collations"))
+    assert(e4b.getMessage.contains("someFutureFeature"))
     // legacy writer 4 lists generatedColumns — ENFORCED since r11:
     // a plain table writes normally, and generated tables write
     // through the compute/verify path (own test below)
@@ -1500,6 +1500,147 @@ class DeltaLogSpec extends SparkSpecBase {
     DeltaLog.commit(spark.range(100, 102).toDF("k").coalesce(1), root)
     assert(IcebergMeta.latestMetadataVersion(root) === vIce)
     assert(ice() === (0L until 5L))
+  }
+
+  test("variantShredding: shredded delta files read identical; feature accepted") {
+    def frame() = spark.range(0, 6).toDF("k")
+      .withColumn("v", parse_json(concat(
+        lit("""{"a":"""), col("k"), lit(""","b":"s"""), col("k"),
+        lit("\""),
+        when(col("k") % 2 === 0, lit(""","extra":[1,2]"""))
+          .otherwise(lit("")),
+        lit("}")))).coalesce(1)
+    val rootU = tmp()
+    DeltaLog.commit(frame(), rootU)
+    val rootS = tmp()
+    val shredConfs = Seq(
+      "spark.sql.variant.writeShredding.enabled" -> "true",
+      "spark.sql.variant.forceShreddingSchemaForTest" ->
+        "a bigint, b string")
+    shredConfs.foreach { case (c, v) => spark.conf.set(c, v) }
+    try DeltaLog.commit(frame(), rootS)
+    finally shredConfs.foreach { case (c, _) => spark.conf.unset(c) }
+    // the staged file IS shredded (typed_value group in the footer)
+    import scala.jdk.CollectionConverters._
+    val dataFile = DeltaLog.snapshot(spark, rootS).adds.head.path
+    val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(
+          Paths.get(rootS, dataFile).toUri),
+        new org.apache.hadoop.conf.Configuration()))
+    val vGroup =
+      try reader.getFooter.getFileMetaData.getSchema.getFields.asScala
+        .find(_.getName == "v").get.asGroupType()
+      finally reader.close()
+    assert(vGroup.getFields.asScala.map(_.getName).toSet
+      .contains("typed_value"), s"fixture is not shredded: $vGroup")
+    // shredded and unshredded tables read IDENTICALLY — the residual
+    // (`extra`, outside the shredding schema) merges back on read
+    def rows(root: String): Map[Long, String] =
+      spark.read.format("delta-log").load(root)
+        .select(col("k"), to_json(col("v")).as("j"))
+        .as[(Long, String)].collect().toMap
+    assert(rows(rootS) === rows(rootU))
+    assert(rows(rootS)(4L).contains("\"extra\":[1,2]"))
+    // a FOREIGN table listing the variantShredding reader-writer
+    // feature reads AND stays writable (this writer's obligation —
+    // shred or write unshredded — is satisfied by unshredded stages)
+    Files.write(Paths.get(rootS, "_delta_log", f"${1L}%020d.json"),
+      ("""{"protocol":{"minReaderVersion":3,"minWriterVersion":7,""" +
+        """"readerFeatures":["variantType","variantShredding"],""" +
+        """"writerFeatures":["variantType","variantShredding"]}}""" +
+        "\n").getBytes(UTF_8))
+    assert(rows(rootS).size === 6)
+    DeltaLog.commit(frame().withColumn("k", col("k") + 100), rootS)
+    assert(spark.read.format("delta-log").load(rootS).count() === 12)
+    assert(spark.read.format("delta-log").load(rootS)
+      .selectExpr("sum(variant_get(v, '$.a', 'long'))")
+      .as[Long].head() === (0 until 6).sum * 2)
+  }
+
+  test("collations: collated columns read collation-aware, never prune, append licensed") {
+    import org.apache.spark.sql.types.{LongType, StringType, StructField,
+      StructType}
+    val root = tmp()
+    // hand-written FOREIGN fixture (delta-spark 4.x shape): the
+    // `collations` writer feature, a column collated UTF8_LCASE
+    // (schemaString serialized by Spark itself — the __COLLATIONS
+    // field-metadata form delta-spark writes), and per-file stats the
+    // foreign writer recorded under BINARY ordering
+    spark.createDataFrame(Seq((0L, "a"), (1L, "b")).toDF("k", "s").rdd,
+      StructType(Seq(StructField("k", LongType),
+        StructField("s", StringType)))).coalesce(1)
+      .write.parquet(root + "/d1")
+    spark.createDataFrame(Seq((2L, "X"), (3L, "Y")).toDF("k", "s").rdd,
+      StructType(Seq(StructField("k", LongType),
+        StructField("s", StringType)))).coalesce(1)
+      .write.parquet(root + "/d2")
+    import scala.jdk.CollectionConverters._
+    def part(dir: String): String = {
+      val s = Files.list(Paths.get(root, dir))
+      try dir + "/" + s.iterator().asScala.map(_.getFileName.toString)
+        .find(n => n.endsWith(".parquet") && !n.startsWith(".")).get
+      finally s.close()
+    }
+    val schemaJson = StructType(Seq(
+      StructField("k", LongType),
+      StructField("s", StringType("UTF8_LCASE")))).json
+    assert(schemaJson.contains("__COLLATIONS")) // the spec'd shape
+    val esc = schemaJson.replace("\\", "\\\\").replace("\"", "\\\"")
+    def statsFor(kLo: Long, kHi: Long, sLo: String, sHi: String) =
+      s"""{\\"numRecords\\":2,\\"minValues\\":{\\"k\\":$kLo,\\"s\\":\\"$sLo\\"},\\"maxValues\\":{\\"k\\":$kHi,\\"s\\":\\"$sHi\\"},\\"nullCount\\":{\\"k\\":0,\\"s\\":0}}"""
+    val log = Paths.get(root, "_delta_log")
+    Files.createDirectories(log)
+    Files.write(log.resolve(f"${0L}%020d.json"),
+      (s"""{"protocol":{"minReaderVersion":1,"minWriterVersion":7,"writerFeatures":["collations"]}}\n""" +
+        s"""{"metaData":{"id":"ct","format":{"provider":"parquet","options":{}},"schemaString":"$esc","partitionColumns":[],"configuration":{}}}\n""" +
+        s"""{"add":{"path":"${part("d1")}","partitionValues":{},"size":${Files.size(Paths.get(root, part("d1")))},"modificationTime":0,"dataChange":true,"stats":"${statsFor(0, 1, "a", "b")}"}}\n""" +
+        s"""{"add":{"path":"${part("d2")}","partitionValues":{},"size":${Files.size(Paths.get(root, part("d2")))},"modificationTime":0,"dataChange":true,"stats":"${statsFor(2, 3, "X", "Y")}"}}\n""")
+        .getBytes(UTF_8))
+    def ds() = spark.read.format("delta-log").load(root)
+    // the collation SURVIVES into the read schema (not plain string)
+    assert(ds().schema("s").dataType
+      .asInstanceOf[StringType].collationId != 0)
+    assert(ds().count() === 4)
+    // UTF8_LCASE: 'x' matches 'X'. Under BINARY ordering 'x' > max
+    // 'Y', so a binary-minded pruner would SKIP the file holding the
+    // match — the engine must not prune on collated columns
+    val hit = ds().where(col("s") === "x")
+    assert(hit.count() === 1)
+    assert(indexOf(hit).lastListing === Some((2, 2)))
+    // the PLAIN column still prunes
+    val byK = ds().where(col("k") === 0)
+    byK.collect()
+    assert(indexOf(byK).lastListing === Some((1, 2)))
+    // the feature is LICENSED: plain-string frames append into the
+    // collated column (identical parquet physical type), and the
+    // written stats OMIT the collated column's min/max
+    Seq((100L, "zz")).toDF("k", "s").coalesce(1)
+      .write.format("delta-log").mode("append").save(root)
+    assert(ds().count() === 5)
+    assert(ds().schema("s").dataType
+      .asInstanceOf[StringType].collationId != 0) // schema kept
+    val newStats = DeltaLog.snapshot(spark, root).adds
+      .flatMap(_.statsJson).filter(_.contains("100"))
+    assert(newStats.nonEmpty &&
+      newStats.forall(j => !j.contains("\"s\":\"zz\"")),
+      s"collated min/max must be omitted, got $newStats")
+    // DML predicates evaluate through Spark's collation-aware
+    // comparison: 'y' deletes the 'Y' row
+    DeltaLog.deleteWhere(spark, root, col("s") === "y")
+    assert(ds().select("s").as[String].collect().toSet ===
+      Set("a", "b", "X", "zz"))
+    // CREATING a table with a collated column LISTS the writer
+    // feature (feature-aware writers must keep the obligations)
+    val root2 = tmp()
+    DeltaLog.commit(spark.range(0, 3).toDF("k")
+      .selectExpr("k", "collate(concat('v', k), 'UTF8_LCASE') AS s")
+      .coalesce(1), root2)
+    val snap2 = DeltaLog.snapshot(spark, root2)
+    assert(snap2.minWriterVersion === 7 &&
+      snap2.writerFeatures.contains("collations"))
+    assert(spark.read.format("delta-log").load(root2)
+      .where(col("s") === "V1").count() === 1) // collation survives
   }
 
   test("metadata cleanup: expired prefix deletes, retained reconstruct, horizon refuses") {

@@ -732,6 +732,62 @@ class IcebergV3Spec extends SparkSpecBase {
     }.getMessage.contains("variant"))
   }
 
+  test("v3 SHREDDED variant reads identical to its unshredded twin") {
+    // the same frame written twice: once unshredded, once SHREDDED
+    // (typed_value subcolumns per the parquet variant shredding spec
+    // — produced by Spark's own shredding writer, the spec's
+    // reference implementation); rows 0,2,4 carry an extra field the
+    // shredding schema does not cover, so their residual rides the
+    // `value` column and reassembly must merge both
+    def frame() = spark.range(0, 6).toDF("k")
+      .withColumn("v", parse_json(concat(
+        lit("""{"a":"""), col("k"), lit(""","b":"s"""), col("k"),
+        lit("\""),
+        when(col("k") % 2 === 0, lit(""","extra":[1,2]"""))
+          .otherwise(lit("")),
+        lit("}")))).coalesce(1)
+    val rootU = tmp()
+    IcebergMeta.writeFixture(frame(), rootU, formatVersion = 3)
+    val rootS = tmp()
+    val shredConfs = Seq(
+      "spark.sql.variant.writeShredding.enabled" -> "true",
+      "spark.sql.variant.forceShreddingSchemaForTest" ->
+        "a bigint, b string")
+    shredConfs.foreach { case (c, v) => spark.conf.set(c, v) }
+    try IcebergMeta.writeFixture(frame(), rootS, formatVersion = 3)
+    finally shredConfs.foreach { case (c, _) => spark.conf.unset(c) }
+    // the staged file IS shredded: its footer carries typed_value
+    import scala.jdk.CollectionConverters._
+    val dataFile = {
+      val s = Files.list(Paths.get(rootS, "data"))
+      try s.iterator().asScala.map(_.toString)
+        .find(n => n.endsWith(".parquet")).get
+      finally s.close()
+    }
+    val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(new java.io.File(dataFile).toURI),
+        new org.apache.hadoop.conf.Configuration()))
+    val vGroup =
+      try reader.getFooter.getFileMetaData.getSchema.getFields.asScala
+        .find(_.getName == "v").get.asGroupType()
+      finally reader.close()
+    assert(vGroup.getFields.asScala.map(_.getName).toSet
+      .contains("typed_value"),
+      s"fixture is not shredded: $vGroup")
+    // both tables read IDENTICALLY — values (residual merged back),
+    // projections through the shredded column, and counts
+    def rows(root: String): Map[Long, String] =
+      spark.read.format("iceberg-meta").load(root)
+        .select(col("k"), to_json(col("v")).as("j"))
+        .as[(Long, String)].collect().toMap
+    assert(rows(rootS) === rows(rootU))
+    assert(rows(rootS)(2L).contains("\"extra\":[1,2]"))
+    assert(spark.read.format("iceberg-meta").load(rootS)
+      .selectExpr("sum(variant_get(v, '$.a', 'long'))")
+      .as[Long].head() === (0 until 6).sum)
+  }
+
   test("v3 refuses a parquet position delete file loudly") {
     // build a v2 table with a real positional delete, then flip the
     // document to v3: the reader must refuse rather than apply

@@ -32,6 +32,7 @@ object Bench {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.geospatial.enabled", "true")
       .config("spark.ui.enabled", "false")
       // graft read-path A/B: SPARK_GRAFT_READPATH=v1 benches the v1
       // fallback against the default DSv2 route

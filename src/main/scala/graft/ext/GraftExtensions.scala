@@ -121,6 +121,11 @@ object GraftExtensions {
         "adjacent-triple composition of token hashes (not deduplicated)") {
         es => TextExpressions.ShingleHashes3(es(0))
       },
+      fn("graft_st_point", "x, y",
+        "WKB POINT bytes from coordinate doubles — the constructor " +
+          "Spark 4.1's ST family lacks; lift with st_geomfromwkb") {
+        es => graft.expressions.GeoExpressions.StPointWkb(es(0), es(1))
+      },
       fn("graft_word_shingles", "ws, n",
         "n-word shingle strings of array<string> (not deduplicated)") {
         es => TextExpressions.WordShingles(es(0), litInt("graft_word_shingles", es(1)))

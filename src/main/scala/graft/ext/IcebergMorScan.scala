@@ -49,7 +49,9 @@ case class IcebergMorScan(session: SparkSession) extends Rule[LogicalPlan] {
           if r.location.isInstanceOf[IcebergMetaFileIndex] && {
             val s = r.location.asInstanceOf[IcebergMetaFileIndex].snap
             s.deletes.nonEmpty || s.eqDeletes.nonEmpty ||
-              s.dvs.nonEmpty || s.needsDefaultFill
+              s.dvs.nonEmpty || s.needsDefaultFill ||
+              s.schema.exists(f =>
+                graft.sources.IcebergMeta.isGeoType(f.dataType))
           } =>
         val idx = r.location.asInstanceOf[IcebergMetaFileIndex]
         val snap = idx.snap
@@ -71,12 +73,17 @@ case class IcebergMorScan(session: SparkSession) extends Rule[LogicalPlan] {
             },
             resolvedPlan)
         }
-        if (snap.eqDeletes.nonEmpty || snap.needsDefaultFill) {
+        if (snap.eqDeletes.nonEmpty || snap.needsDefaultFill ||
+            snap.schema.exists(f =>
+              graft.sources.IcebergMeta.isGeoType(f.dataType))) {
           // v3 DEFAULT VALUES route through morRead too: its scan
           // branches apply the per-file-group default coalesce (and
           // compose with every delete kind); the positional-only
           // fast path below keeps a RAW clean-majority relation,
-          // which would null-fill where the default must read
+          // which would null-fill where the default must read.
+          // GEO columns likewise: the raw relation claims GEOMETRY/
+          // GEOGRAPHY output but the files store WKB — the computed
+          // read lifts them above the scan
           align(IcebergMetaRead.morRead(session, snap), keepIds = true)
         } else {
           val (cleanSnap, touched) =

@@ -4563,6 +4563,49 @@ object Lakehouse {
              |  CAST(sum(o_custkey) AS BIGINT) AS sum_cust
              |FROM orders
              |WHERE o_orderkey <= 4096 AND lower(o_orderstatus) = 'o'"""
+        .stripMargin)),
+
+    // ICEBERG V3 GEOMETRY (round 14): the last v3 type family this
+    // engine refused. Geo columns surface through Spark 4.1's NATIVE
+    // GEOMETRY/GEOGRAPHY types (flag-gated; the scan stores/reads the
+    // spec's WKB parquet encoding and lifts above the scan), with
+    // `graft_st_point` supplying the WKB constructor Spark's ST
+    // family lacks. The entry builds per-row points from orders
+    // coordinates, writes a v3 geometry table, DV-deletes a residue
+    // class (restaging geometry through the WKB seam), and pins the
+    // BYTE-EXACT round-trip plus srid under the oracle — n_roundtrip
+    // counts rows whose st_asbinary(g) equals the pre-write WKB, so
+    // the oracle's count(*) only matches if the lift is lossless.
+    // IcebergV3Spec covers compaction/lineage survival and the gates
+    // (v2, flag-off, nested geo, unknown CRS, eq-delete, partition).
+    QueryDef(
+      "q291_iceberg_geometry",
+      (s, d) => {
+        import graft.sources.IcebergMeta
+        val root = Files.createTempDirectory("igeo_").toString + "/t"
+        val src = orders(s, d)
+          .filter(col("o_orderkey") <= 4096L)
+          .selectExpr("o_orderkey AS k",
+            """graft_st_point(
+              |  CAST(o_orderkey % 360 - 180 AS DOUBLE),
+              |  CAST(o_custkey % 180 - 90 AS DOUBLE)) AS wkb"""
+              .stripMargin)
+          .coalesce(1)
+        IcebergMeta.writeFixture(src.selectExpr("k", "wkb",
+          "st_setsrid(st_geomfromwkb(wkb), 4326) AS g"), root,
+          formatVersion = 3)
+        IcebergMeta.delete(s, root, col("k") % 10 === 3)
+        s.read.format("iceberg-meta").load(root)
+          .agg(count(lit(1)).as("n_rows"),
+            sum(when(expr("st_asbinary(g) = wkb AND st_srid(g) = 4326"),
+              1L).otherwise(0L)).cast("long").as("n_roundtrip"),
+            sum(col("k")).cast("long").as("sum_key"))
+      },
+      Some("""SELECT CAST(count(*) AS BIGINT) AS n_rows,
+             |  CAST(count(*) AS BIGINT) AS n_roundtrip,
+             |  CAST(sum(o_orderkey) AS BIGINT) AS sum_key
+             |FROM orders
+             |WHERE o_orderkey <= 4096 AND o_orderkey % 10 <> 3"""
         .stripMargin))
   )
 }

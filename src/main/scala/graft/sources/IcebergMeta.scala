@@ -416,7 +416,37 @@ object IcebergMeta {
   private val DecimalRe = """decimal\(\s*(\d+)\s*,\s*(\d+)\s*\)""".r
   private val FixedRe = """fixed\[(\d+)\]""".r
 
-  private def toSparkType(t: JsonNode): DataType =
+  /** v3 `geometry(C)` / `geography(C, A)` → Spark 4.1's native
+    * GEOMETRY/GEOGRAPHY types. CRS strings supported: the spec default
+    * `OGC:CRS84` (⇔ Spark srid 4326 — the identical datum, axis order
+    * lon/lat, Spark's own default) and `EPSG:nnnn`; geography edge
+    * algorithm must be the spec default `spherical` (the only one
+    * Spark's GeographyType models). Anything else refuses with the
+    * value named — mis-mapping a CRS would silently re-interpret every
+    * coordinate. NESTED geo refuses: the scan-level WKB↔geometry
+    * conversion ([[IcebergMetaRead]]) rewrites top-level columns only. */
+  private val GeometryRe = """geometry(?:\(\s*([^)]*?)\s*\))?""".r
+  private val GeographyRe = """geography(?:\(\s*([^)]*?)\s*\))?""".r
+  private def sridOfCrs(crs: String, spelled: String): Int = crs match {
+    case null | "" | "OGC:CRS84" => 4326
+    case s if s.toUpperCase.startsWith("EPSG:") &&
+        s.drop(5).forall(_.isDigit) && s.length > 5 => s.drop(5).toInt
+    case other => throw new UnsupportedOperationException(
+      s"iceberg-meta: CRS '$other' of type '$spelled' is not " +
+        "supported (OGC:CRS84 or EPSG:nnnn)")
+  }
+  private[graft] def isGeoType(dt: DataType): Boolean = dt match {
+    case _: GeometryType | _: GeographyType => true
+    case _ => false
+  }
+  /** Scan-space schema: top-level geometry/geography → BINARY (the WKB
+    * bytes the parquet files physically store, per the v3 spec's
+    * parquet appendix). */
+  private[graft] def geoErase(st: StructType): StructType =
+    StructType(st.fields.map(f =>
+      if (isGeoType(f.dataType)) f.copy(dataType = BinaryType) else f))
+
+  private def toSparkType(t: JsonNode, nested: Boolean = false): DataType =
     if (t.isTextual) t.asText() match {
       case "boolean" => BooleanType
       case "int" => IntegerType
@@ -445,6 +475,27 @@ object IcebergMeta {
       case "variant" => VariantType
       case DecimalRe(p, s) => DecimalType(p.toInt, s.toInt)
       case FixedRe(_) => BinaryType
+      case spelled @ GeometryRe(crs) =>
+        require(!nested, s"iceberg-meta: nested '$spelled' column is " +
+          "not supported (top-level geometry/geography only)")
+        GeometryType(sridOfCrs(crs, spelled))
+      case spelled @ GeographyRe(args) =>
+        require(!nested, s"iceberg-meta: nested '$spelled' column is " +
+          "not supported (top-level geometry/geography only)")
+        val parts = Option(args).map(_.split(",").map(_.trim).toSeq)
+          .getOrElse(Nil)
+        val algorithm = parts.drop(1).headOption.getOrElse("spherical")
+        require(algorithm.equalsIgnoreCase("spherical"),
+          s"iceberg-meta: geography edge algorithm '$algorithm' is " +
+            "not supported (spherical only)")
+        val srid = sridOfCrs(parts.headOption.orNull, spelled)
+        // geography is pinned to the spec default CRS: Spark's
+        // st_geogfromwkb constructs only the default (OGC:CRS84 /
+        // 4326) and no setsrid leg exists for geography values
+        require(srid == 4326,
+          s"iceberg-meta: geography CRS of '$spelled' is not " +
+            "supported (OGC:CRS84 / EPSG:4326 only)")
+        GeographyType(srid)
       case other => throw new UnsupportedOperationException(
         s"iceberg-meta: type '$other' not supported")
     } else if (t.isObject && t.get("type").asText() == "struct") {
@@ -454,12 +505,13 @@ object IcebergMeta {
         // physical member, the scan null-fills it, and the withField
         // fill restores totality ABOVE the scan (same posture as the
         // top-level rule in [[schemaOf]])
-        StructField(f.get("name").asText(), toSparkType(f.get("type")),
+        StructField(f.get("name").asText(),
+          toSparkType(f.get("type"), nested = true),
           !f.get("required").asBoolean() ||
             f.hasNonNull("initial-default"))
       }.toSeq)
     } else if (t.isObject && t.get("type").asText() == "list") {
-      ArrayType(toSparkType(t.get("element")),
+      ArrayType(toSparkType(t.get("element"), nested = true),
         !t.get("element-required").asBoolean())
     } else throw new UnsupportedOperationException(
       s"iceberg-meta: type node $t not supported")
@@ -870,8 +922,8 @@ object IcebergMeta {
     * Row-lineage metadata (`next-row-id`, snapshot `first-row-id`,
     * manifest/file `first_row_id`) is fine to IGNORE on read: it only
     * assigns the hidden `_row_id` column, which this reader does not
-    * project. Unsupported v3 types (`geometry`, shredded `variant`…)
-    * refuse inside [[toSparkType]] like any unknown type. */
+    * project. Remaining-unsupported v3 type shapes (nested geo,
+    * non-default CRS…) refuse inside [[toSparkType]]. */
   private def gateV3Read(meta: JsonNode, root: String): Unit = {
     val enc = meta.get("encryption-keys")
     require(enc == null || enc.isNull || !enc.elements().hasNext,
@@ -1524,11 +1576,21 @@ object IcebergMeta {
   private def stageParquet(df: org.apache.spark.sql.DataFrame,
       path: String, partitionCols: Seq[String] = Nil): Unit = {
     val spark = df.sparkSession
+    // geometry/geography columns stage as their WKB bytes — the v3
+    // spec's parquet encoding, and the only one Spark's parquet
+    // writer can produce (its native geo types have no parquet writer
+    // leg in 4.1). The read side lifts them back above the scan
+    // ([[IcebergMetaRead]]), so every rewrite path (append, COW
+    // delete/update, compaction) round-trips through this one seam.
+    val staged = df.schema.fields
+      .filter(f => isGeoType(f.dataType)).foldLeft(df)((cur, f) =>
+        cur.withColumn(f.name, org.apache.spark.sql.functions
+          .expr(s"st_asbinary(`${f.name}`)")))
     val key = "spark.sql.parquet.outputTimestampType"
     val old = spark.conf.getOption(key)
     spark.conf.set(key, "TIMESTAMP_MICROS")
     try {
-      val w = df.write.mode("errorifexists")
+      val w = staged.write.mode("errorifexists")
       (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*)
        else w).parquet(path)
     } finally old match {
@@ -1550,6 +1612,12 @@ object IcebergMeta {
     case BinaryType => "binary"
     // v3 only — [[writeFixture]] gates the format version
     case VariantType => "variant"
+    // v3 only, like variant; bare spellings carry the spec defaults
+    // (CRS OGC:CRS84 ⇔ Spark srid 4326, geography edges spherical)
+    case g: GeometryType =>
+      if (g.srid == 4326) "geometry" else s"geometry(EPSG:${g.srid})"
+    case g: GeographyType =>
+      if (g.srid == 4326) "geography" else s"geography(EPSG:${g.srid})"
     case d: DecimalType => s"decimal(${d.precision},${d.scale})"
     case other => throw new UnsupportedOperationException(
       s"iceberg-meta fixture: type $other not supported")
@@ -1599,6 +1667,10 @@ object IcebergMeta {
     require(formatVersion == 3 ||
       !df.schema.fields.exists(_.dataType == VariantType),
       "iceberg-meta fixture: variant columns require format-version 3")
+    require(formatVersion == 3 ||
+      !df.schema.fields.exists(f => isGeoType(f.dataType)),
+      "iceberg-meta fixture: geometry/geography columns require " +
+        "format-version 3")
     require(!IceCatalog.forRoot(root).tableExists(root),
       s"iceberg-meta fixture: $root already exists")
     gateMirrorWrite(root, "CREATE")
@@ -1619,6 +1691,11 @@ object IcebergMeta {
       }
       require(df.columns.contains(src),
         s"iceberg-meta fixture: partition source '$src' is not a column")
+      // the spec defines no partition transform over geo types, and an
+      // identity tuple of WKB bytes would be meaningless to pruning
+      require(!isGeoType(typeOf(src)),
+        s"iceberg-meta fixture: partition source '$src' is a " +
+          "geometry/geography column — no spec transform exists")
       SpecField(src + t.suffix, 1000 + i, src, t)
     }
     val eSchema = manifestSchemaFor(specFields.map(f =>
@@ -3820,6 +3897,11 @@ object IcebergMeta {
         s"name and type — mismatched: ${bad.map(_.name).mkString(", ")}")
     val eqCols = values.columns.toSeq
     require(eqCols.nonEmpty, "iceberg-meta: no equality columns")
+    // geo values have no defined equality (coordinate bytes vs shape);
+    // the read-side anti-join could not compare them either
+    require(!eqCols.exists(c => tbl.get(c).exists(isGeoType)),
+      "iceberg-meta: equality delete on a geometry/geography column " +
+        "is not supported")
     val eqIds = eqCols.map(idByName)
     val nonce = java.util.UUID.randomUUID().toString.take(8)
     val staging = Files.createTempDirectory("ice_eqdel_").resolve("out")

@@ -138,6 +138,18 @@ class IcebergMetaDataSource extends RelationProvider
       .orElse(parameters.get("timestampAsOf")
         .map(ts => IcebergMeta.snapshotIdAtTimestamp(root, ts.toLong)))
     val snap = IcebergMeta.snapshot(root, snapId)
+    // geo tables need the session's geospatial feature for the
+    // WKB→GEOMETRY lift; refuse HERE with the conf named — without
+    // this, Spark's own analysis gate fires first with a generic
+    // "feature is disabled" that never names the remedy
+    val geoCols = snap.schema.fields
+      .filter(f => IcebergMeta.isGeoType(f.dataType))
+    require(geoCols.isEmpty ||
+      spark.conf.get("spark.sql.geospatial.enabled", "false")
+        .equalsIgnoreCase("true"),
+      s"iceberg-meta: $root carries geometry/geography columns " +
+        s"(${geoCols.map(_.name).mkString(", ")}) — set " +
+        "spark.sql.geospatial.enabled=true to read them")
     val idx = new IcebergMetaFileIndex(spark, snap,
       pinned = snapId.isDefined)
     HadoopFsRelation(
@@ -301,10 +313,43 @@ object IcebergMetaRead {
       fileFormat = new ParquetFileFormat,
       options = Map.empty)(spark)
 
+  /** Scan-space frame: geo columns stay their stored WKB BINARY here
+    * (the parquet reader knows no geometry); [[filledDf]] lifts them
+    * to the native types at its single exit. */
   private def plainDf(spark: SparkSession,
       snap: IcebergMeta.IceSnapshot): DataFrame =
     GraftColumnBridge.ofRows(spark,
-      LogicalRelation(relation(spark, snap), isStreaming = false))
+      LogicalRelation(relation(spark,
+        snap.copy(schema = IcebergMeta.geoErase(snap.schema))),
+        isStreaming = false))
+
+  /** Lift stored WKB back to Spark's native GEOMETRY/GEOGRAPHY —
+    * applied ONCE at [[filledDf]]'s exit, after the metadata-column
+    * projection (hidden `_metadata` refs must resolve before any
+    * added Project) and after the default-fill union. Reading a geo
+    * table requires the session's geospatial feature: every ST
+    * expression is analysis-gated on it, so refuse up front with the
+    * exact conf named instead of surfacing Spark's generic error. */
+  private def geoRestore(spark: SparkSession,
+      snap: IcebergMeta.IceSnapshot, d: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.expr
+    import org.apache.spark.sql.types.{GeographyType, GeometryType}
+    val geos = snap.schema.fields.filter(f =>
+      IcebergMeta.isGeoType(f.dataType))
+    if (geos.isEmpty) return d
+    require(spark.conf.get("spark.sql.geospatial.enabled", "false")
+        .equalsIgnoreCase("true"),
+      s"iceberg-meta: ${snap.root} carries geometry/geography " +
+        s"columns (${geos.map(_.name).mkString(", ")}) — set " +
+        "spark.sql.geospatial.enabled=true to read them")
+    geos.foldLeft(d)((cur, f) => f.dataType match {
+      case g: GeometryType => cur.withColumn(f.name,
+        expr(s"st_setsrid(st_geomfromwkb(`${f.name}`), ${g.srid})"))
+      case _: GeographyType => cur.withColumn(f.name,
+        expr(s"st_geogfromwkb(`${f.name}`)"))
+      case other => throw new IllegalStateException(s"not geo: $other")
+    })
+  }
 
   /** Scan of `snap` with v3 DEFAULT VALUES applied: files are grouped
     * by WHICH defaults apply to them (file.seq < default.firstSeq —
@@ -323,36 +368,37 @@ object IcebergMetaRead {
       if (!withMeta) d
       else d.withColumn(FpCol, col("_metadata.file_path"))
         .withColumn(PosCol, col("_metadata.row_index"))
-    if (!snap.needsDefaultFill) project(plainDf(spark, snap))
-    else {
-      val groups = snap.files
-        .groupBy(f => snap.defaults
-          .filter(d => IcebergMeta.defaultApplies(f, d)))
-        .toSeq.sortBy { case (_, fs) => fs.map(_.path).min }
-      groups.map { case (ds, fs) =>
-        // defaults cleared on the branch snapshot: the fill happens
-        // HERE, and the branch's pinned index must not re-gate
-        val base = project(plainDf(spark,
-          snap.copy(files = fs, defaults = Nil)))
-        ds.foldLeft(base) { case (cur, d) =>
-          d.segments match {
-            case Seq(top) =>
-              cur.withColumn(top, coalesce(col(s"`$top`"),
-                lit(d.value).cast(d.dataType)))
-            case top +: rest =>
-              // STRUCT-NESTED default: the pre-evolution file's
-              // struct lacks the member entirely, so every row of
-              // this branch reads the default — withField fills it
-              // while rows whose PARENT struct is null stay null
-              // (a null struct cannot carry a member value, the
-              // spec's own shape)
-              cur.withColumn(top, col(s"`$top`").withField(
-                rest.map(s => s"`$s`").mkString("."),
-                lit(d.value).cast(d.dataType)))
+    geoRestore(spark, snap,
+      if (!snap.needsDefaultFill) project(plainDf(spark, snap))
+      else {
+        val groups = snap.files
+          .groupBy(f => snap.defaults
+            .filter(d => IcebergMeta.defaultApplies(f, d)))
+          .toSeq.sortBy { case (_, fs) => fs.map(_.path).min }
+        groups.map { case (ds, fs) =>
+          // defaults cleared on the branch snapshot: the fill happens
+          // HERE, and the branch's pinned index must not re-gate
+          val base = project(plainDf(spark,
+            snap.copy(files = fs, defaults = Nil)))
+          ds.foldLeft(base) { case (cur, d) =>
+            d.segments match {
+              case Seq(top) =>
+                cur.withColumn(top, coalesce(col(s"`$top`"),
+                  lit(d.value).cast(d.dataType)))
+              case top +: rest =>
+                // STRUCT-NESTED default: the pre-evolution file's
+                // struct lacks the member entirely, so every row of
+                // this branch reads the default — withField fills it
+                // while rows whose PARENT struct is null stay null
+                // (a null struct cannot carry a member value, the
+                // spec's own shape)
+                cur.withColumn(top, col(s"`$top`").withField(
+                  rest.map(s => s"`$s`").mkString("."),
+                  lit(d.value).cast(d.dataType)))
+            }
           }
-        }
-      }.reduce(_ unionByName _)
-    }
+        }.reduce(_ unionByName _)
+      })
   }
 
   private def df(spark: SparkSession,
@@ -469,9 +515,27 @@ object IcebergMetaRead {
     * FILE's data sequence number (unlike [[morRead]]'s file-set
     * branching, the gate rides the already-joined per-file seq
     * column) — so upserted v3 tables read, update and compact. */
+  /** A FOREIGN writer may have keyed equality deletes on a geo column
+    * — the spec forbids nothing, but geo values have no defined
+    * equality and the anti-join could not compare them. Refuse loudly
+    * rather than resurrecting or over-hiding rows. (This engine's own
+    * [[IcebergMeta.deleteEquality]] refuses at write time.) */
+  private def requireEqDeletesComparable(
+      snap: IcebergMeta.IceSnapshot): Unit = {
+    val geoNames = snap.schema.fields
+      .filter(f => IcebergMeta.isGeoType(f.dataType)).map(_.name).toSet
+    val bad = snap.eqDeletes.flatMap(_.eqCols).distinct
+      .filter(geoNames.contains)
+    require(bad.isEmpty,
+      s"iceberg-meta: ${snap.root} carries equality deletes keyed on " +
+        s"geometry/geography columns (${bad.mkString(", ")}) — no " +
+        "defined equality to apply them under")
+  }
+
   private[sources] def rowIdFrame(spark: SparkSession,
       snap: IcebergMeta.IceSnapshot): DataFrame = {
     import org.apache.spark.sql.functions.{coalesce, lit, raise_error, when}
+    requireEqDeletesComparable(snap)
     val lineageNames = Seq("_row_id", "_last_updated_sequence_number")
     require(!snap.schema.fieldNames.exists(lineageNames.contains),
       s"iceberg-meta: table schema of ${snap.root} claims the " +
@@ -567,6 +631,7 @@ object IcebergMetaRead {
   def morRead(spark: SparkSession,
       snap: IcebergMeta.IceSnapshot): DataFrame = {
     import org.apache.spark.sql.functions.{broadcast, col}
+    requireEqDeletesComparable(snap)
     if (snap.files.isEmpty)
       return df(spark, snap.copy(deletes = Nil, eqDeletes = Nil,
         dvs = Nil))

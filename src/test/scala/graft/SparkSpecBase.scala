@@ -29,6 +29,7 @@ object SparkSpecBase {
       java.nio.file.Files.createTempDirectory("spark-wh").toString)
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    .config("spark.sql.geospatial.enabled", "true")
     .config("spark.ui.enabled", "false")
     .getOrCreate()
   // keep test output readable — Spark's INFO firehose drowns scalatest

@@ -1075,4 +1075,125 @@ class IcebergV3Spec extends SparkSpecBase {
     assert(post(200L) === 13L && post(201L) === 14L)
     assert(post.filterNot(kv => kv._1 >= 200) === pre)
   }
+
+  /** Deterministic (k, WKB point) source: graft_st_point builds the
+    * 21-byte LE WKB from coordinate doubles — the constructor Spark
+    * 4.1's ST family lacks. */
+  private def geoSource(lo: Long, hi: Long) =
+    spark.range(lo, hi).selectExpr(
+      "id AS k",
+      "graft_st_point(CAST(id % 360 - 180 AS DOUBLE), " +
+        "CAST(id % 180 - 90 AS DOUBLE)) AS wkb")
+
+  test("v3 geometry/geography: create, native types, exact WKB round-trip") {
+    val root = tmp() + "/t"
+    val geo = geoSource(1, 21).selectExpr("k", "wkb",
+      "st_setsrid(st_geomfromwkb(wkb), 4326) AS g",
+      "st_geogfromwkb(wkb) AS geog").coalesce(1)
+    IcebergMeta.writeFixture(geo, root, formatVersion = 3)
+    // the metadata document spells the spec types (bare = default
+    // CRS OGC:CRS84 / spherical edges)
+    assert(metaJson(root).contains("\"type\":\"geometry\""))
+    assert(metaJson(root).contains("\"type\":\"geography\""))
+
+    val back = spark.read.format("iceberg-meta").load(root)
+    assert(back.schema.catalogString ===
+      "struct<k:bigint,wkb:binary,g:geometry(4326),geog:geography(4326)>")
+    // parquet physically stores WKB BINARY (foreign readers see the
+    // spec encoding, not some engine-private geometry blob)
+    val dataFile = IcebergMeta.snapshot(root).files.head.path
+    assert(spark.read.parquet(dataFile).schema("g").dataType ===
+      org.apache.spark.sql.types.BinaryType)
+    // byte-exact round-trip through the native types, srid stamped
+    assert(back.filter(
+      "st_asbinary(g) = wkb AND st_asbinary(geog) = wkb AND " +
+        "st_srid(g) = 4326").count() === 20)
+
+    // append + DV delete + COMPACT: every rewrite path restages
+    // geometry through the same WKB seam
+    IcebergMeta.append(geoSource(21, 31).selectExpr("k", "wkb",
+      "st_setsrid(st_geomfromwkb(wkb), 4326) AS g",
+      "st_geogfromwkb(wkb) AS geog").coalesce(1), root)
+    IcebergMeta.delete(spark, root, col("k") % 5 === 0)
+    val afterDelete = spark.read.format("iceberg-meta").load(root)
+    assert(afterDelete.count() === 24)
+    assert(afterDelete.filter("st_asbinary(g) = wkb").count() === 24)
+    IcebergMeta.compact(spark, root)
+    val compacted = spark.read.format("iceberg-meta").load(root)
+    assert(compacted.filter("st_asbinary(g) = wkb AND " +
+      "st_asbinary(geog) = wkb").count() === 24)
+    // row lineage survives the geo restage
+    assert(IcebergMetaRead.readWithRowIds(spark, root)
+      .select("_row_id").distinct().count() === 24)
+    // time travel to the creating snapshot still reads 20 geo rows
+    val snap0 = IcebergMeta.snapshotLog(root).head.snapshotId
+    assert(spark.read.format("iceberg-meta")
+      .option("snapshotId", snap0).load(root)
+      .filter("st_asbinary(g) = wkb").count() === 20)
+  }
+
+  test("geometry gates: v2, flag-off, nested, bad CRS, eq-delete, partition") {
+    val root = tmp() + "/t"
+    val geo = geoSource(1, 6).selectExpr("k",
+      "st_setsrid(st_geomfromwkb(wkb), 4326) AS g").coalesce(1)
+    // v2 cannot carry geo (spec: geometry/geography are v3 types)
+    val e1 = intercept[IllegalArgumentException] {
+      IcebergMeta.writeFixture(geo, root + "_v2", formatVersion = 2)
+    }
+    assert(e1.getMessage.contains("format-version 3"))
+    // no spec partition transform exists over geo
+    val e2 = intercept[IllegalArgumentException] {
+      IcebergMeta.writeFixture(geo, root + "_p",
+        partitionBy = Seq("g"), formatVersion = 3)
+    }
+    assert(e2.getMessage.contains("geometry/geography"))
+
+    IcebergMeta.writeFixture(geo, root, formatVersion = 3)
+    // reading without the session feature refuses NAMING the conf
+    spark.conf.set("spark.sql.geospatial.enabled", "false")
+    try {
+      val e3 = intercept[IllegalArgumentException] {
+        spark.read.format("iceberg-meta").load(root).count()
+      }
+      assert(e3.getMessage.contains("spark.sql.geospatial.enabled"))
+    } finally spark.conf.set("spark.sql.geospatial.enabled", "true")
+
+    // equality delete keyed on a geo column refuses (write side)
+    val e4 = intercept[IllegalArgumentException] {
+      IcebergMeta.deleteEquality(spark, root,
+        spark.read.format("iceberg-meta").load(root)
+          .select("g").limit(1))
+    }
+    assert(e4.getMessage.contains("equality delete"))
+
+    // foreign documents: NESTED geometry and an unknown CRS refuse
+    // with the shape named (mis-mapping a CRS would silently
+    // re-interpret every coordinate)
+    val nroot = tmp() + "/n"
+    IcebergMeta.writeFixture(spark.range(0, 3)
+      .selectExpr("id AS k", "named_struct('gnest', id) AS s")
+      .coalesce(1), nroot, formatVersion = 3)
+    val mp = Paths.get(nroot, s"metadata/v${
+      IcebergMeta.latestMetadataVersion(nroot)}.metadata.json")
+    val doc = new String(Files.readAllBytes(mp), UTF_8)
+    Files.write(mp, doc.replaceAll(
+      """("name":"gnest","required":(?:true|false),"type":)"long"""",
+      "$1\"geometry\"").getBytes(UTF_8))
+    val e5 = intercept[Exception] {
+      spark.read.format("iceberg-meta").load(nroot).count()
+    }
+    assert(e5.getMessage.contains("nested"))
+
+    val croot = tmp() + "/c"
+    IcebergMeta.writeFixture(geo, croot, formatVersion = 3)
+    val cp = Paths.get(croot, s"metadata/v${
+      IcebergMeta.latestMetadataVersion(croot)}.metadata.json")
+    Files.write(cp, new String(Files.readAllBytes(cp), UTF_8)
+      .replace("\"type\":\"geometry\"",
+        "\"type\":\"geometry(FOO:1)\"").getBytes(UTF_8))
+    val e6 = intercept[Exception] {
+      spark.read.format("iceberg-meta").load(croot).count()
+    }
+    assert(e6.getMessage.contains("FOO:1"))
+  }
 }

@@ -58,7 +58,8 @@ case class GraftDmlRewrite(session: SparkSession) extends Rule[LogicalPlan] {
       case _ => None
     }
 
-  /** The Delta interop table a DML target names: (root, pinned). */
+  /** The Delta interop table a DML target names: (root, pinned) —
+    * both the path-load shape and a named-catalog [[InteropTable]]. */
   private def deltaTarget(plan: LogicalPlan): Option[(String, Boolean)] =
     EliminateSubqueryAliases(plan) match {
       case l: LogicalRelation => l.relation match {
@@ -68,10 +69,17 @@ case class GraftDmlRewrite(session: SparkSession) extends Rule[LogicalPlan] {
           Some((i.root, i.pinned))
         case _ => None
       }
+      case r: org.apache.spark.sql.execution.datasources.v2
+          .DataSourceV2Relation
+          if r.table.isInstanceOf[InteropTable] &&
+            r.table.asInstanceOf[InteropTable].format == "delta-log" =>
+        val t = r.table.asInstanceOf[InteropTable]
+        Some((t.root, t.pinned))
       case _ => None
     }
 
-  /** The Iceberg interop table a DML target names: (root, pinned). */
+  /** The Iceberg interop table a DML target names: (root, pinned) —
+    * both the path-load shape and a named-catalog [[InteropTable]]. */
   private def icebergTarget(plan: LogicalPlan): Option[(String, Boolean)] =
     EliminateSubqueryAliases(plan) match {
       case l: LogicalRelation => l.relation match {
@@ -81,6 +89,12 @@ case class GraftDmlRewrite(session: SparkSession) extends Rule[LogicalPlan] {
           Some((i.snap.root, i.pinned))
         case _ => None
       }
+      case r: org.apache.spark.sql.execution.datasources.v2
+          .DataSourceV2Relation
+          if r.table.isInstanceOf[InteropTable] &&
+            r.table.asInstanceOf[InteropTable].format == "iceberg-meta" =>
+        val t = r.table.asInstanceOf[InteropTable]
+        Some((t.root, t.pinned))
       case _ => None
     }
 

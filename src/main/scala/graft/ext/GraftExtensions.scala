@@ -51,6 +51,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // column-mapped Delta table) re-plan in physical space with a
     // logical-restoring Project — see [[IcebergNameMappingScan]].
     ext.injectPostHocResolutionRule(IcebergNameMappingScan)
+    // Delta/Iceberg tables resolved through a NAMED graft catalog
+    // (`lake.db.t`) swap to the format's own replay read — AFTER
+    // GraftDmlRewrite so DML targets lower first — see
+    // [[InteropCatalogScan]].
+    ext.injectPostHocResolutionRule(InteropCatalogScan)
     // Puffin NDV statistics feed the CBO (rowCount + distinctCount on
     // iceberg-meta relations) — AFTER the MOR rewrite so it stamps
     // the relations that survive as stock scans — see

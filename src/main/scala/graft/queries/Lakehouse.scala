@@ -4606,6 +4606,87 @@ object Lakehouse {
              |  CAST(sum(o_orderkey) AS BIGINT) AS sum_key
              |FROM orders
              |WHERE o_orderkey <= 4096 AND o_orderkey % 10 <> 3"""
-        .stripMargin))
+        .stripMargin)),
+
+    // INTEROP NAMED CATALOG (round 14): one graft catalog fronts ALL
+    // THREE formats — a `_delta_log` root resolves as a Delta table
+    // and an Iceberg `metadata/` root as an Iceberg table under the
+    // same `lake.db.t` identifier space (reads swap to the formats'
+    // full replay, INSERT rides the V1 write fallback, DML lowers to
+    // the COW/DV command family, travel uses each format's own
+    // vocabulary). The entry CREATEs a Delta and an Iceberg v3 table
+    // through identifiers only, INSERTs from orders, DELETEs a
+    // different residue class in each (Delta COW rewrite; Iceberg
+    // deletion vectors), travels both to their pre-delete snapshots,
+    // and pins all counts/sums under the oracle. GraftCatalogSpec
+    // covers partition specs, refs, LOCATION adoption, CTAS,
+    // mixed-format SHOW TABLES and the refusal surfaces.
+    QueryDef(
+      "q292_catalog_interop",
+      (s, d) => {
+        val wh = java.nio.file.Paths.get(
+          System.getProperty("java.io.tmpdir"), "graft_cat_interop_wh")
+        java.nio.file.Files.createDirectories(wh)
+        s.conf.set("spark.sql.catalog.graftfed",
+          classOf[graft.ext.GraftCatalog].getName)
+        s.conf.set("spark.sql.catalog.graftfed.warehouse", wh.toString)
+        s.sql("CREATE NAMESPACE IF NOT EXISTS graftfed.lake")
+        s.sql("DROP TABLE IF EXISTS graftfed.lake.dord")
+        s.sql("DROP TABLE IF EXISTS graftfed.lake.iord")
+        s.sql("""CREATE TABLE graftfed.lake.dord
+               |  (o_orderkey BIGINT, o_custkey BIGINT) USING delta"""
+          .stripMargin)
+        s.sql("""CREATE TABLE graftfed.lake.iord
+               |  (o_orderkey BIGINT, o_custkey BIGINT) USING iceberg
+               |  TBLPROPERTIES ('format-version' = '3')""".stripMargin)
+        orders(s, d)
+          .select(col("o_orderkey"), col("o_custkey"))
+          .filter(col("o_orderkey") <= 4096L).coalesce(1)
+          .createOrReplaceTempView("q292_src")
+        s.sql("INSERT INTO graftfed.lake.dord SELECT * FROM q292_src")
+        s.sql("INSERT INTO graftfed.lake.iord SELECT * FROM q292_src")
+        // Delta: COW file rewrite; Iceberg v3: a deletion vector
+        s.sql("DELETE FROM graftfed.lake.dord WHERE o_orderkey % 10 = 3")
+        s.sql("DELETE FROM graftfed.lake.iord WHERE o_orderkey % 10 = 7")
+        // pre-delete travel, each format's own vocabulary: Delta
+        // version number; Iceberg snapshot id
+        val dBefore = s.sql(
+          "SELECT count(*) FROM graftfed.lake.dord VERSION AS OF 1")
+          .head().getLong(0)
+        val iSnap = graft.sources.IcebergMeta.snapshotLog(
+          wh.resolve("lake").resolve("iord").toString)(1).snapshotId
+        val iBefore = s.sql(
+          s"SELECT count(*) FROM graftfed.lake.iord VERSION AS OF $iSnap")
+          .head().getLong(0)
+        s.sql(
+          s"""SELECT
+             |  (SELECT CAST(count(*) AS BIGINT)
+             |     FROM graftfed.lake.dord) AS d_rows,
+             |  (SELECT CAST(sum(o_custkey) AS BIGINT)
+             |     FROM graftfed.lake.dord) AS d_sum,
+             |  (SELECT CAST(count(*) AS BIGINT)
+             |     FROM graftfed.lake.iord) AS i_rows,
+             |  (SELECT CAST(sum(o_custkey) AS BIGINT)
+             |     FROM graftfed.lake.iord) AS i_sum,
+             |  CAST($dBefore AS BIGINT) AS d_before,
+             |  CAST($iBefore AS BIGINT) AS i_before""".stripMargin)
+      },
+      Some("""SELECT
+             |  (SELECT CAST(count(*) AS BIGINT) FROM orders
+             |     WHERE o_orderkey <= 4096 AND o_orderkey % 10 <> 3)
+             |    AS d_rows,
+             |  (SELECT CAST(sum(o_custkey) AS BIGINT) FROM orders
+             |     WHERE o_orderkey <= 4096 AND o_orderkey % 10 <> 3)
+             |    AS d_sum,
+             |  (SELECT CAST(count(*) AS BIGINT) FROM orders
+             |     WHERE o_orderkey <= 4096 AND o_orderkey % 10 <> 7)
+             |    AS i_rows,
+             |  (SELECT CAST(sum(o_custkey) AS BIGINT) FROM orders
+             |     WHERE o_orderkey <= 4096 AND o_orderkey % 10 <> 7)
+             |    AS i_sum,
+             |  (SELECT CAST(count(*) AS BIGINT) FROM orders
+             |     WHERE o_orderkey <= 4096) AS d_before,
+             |  (SELECT CAST(count(*) AS BIGINT) FROM orders
+             |     WHERE o_orderkey <= 4096) AS i_before""".stripMargin))
   )
 }

@@ -132,4 +132,108 @@ class GraftCatalogSpec extends SparkSpecBase {
     spark.sql(s"DROP NAMESPACE $cat.ns1 CASCADE")
     assert(!Files.exists(Paths.get(wh, "ns1")))
   }
+
+  test("DELTA through identifiers: create, insert, DML, travel, overwrite") {
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.lake")
+    spark.sql(s"CREATE TABLE $cat.lake.d (k BIGINT, v STRING) USING delta")
+    val root = Paths.get(wh, "lake", "d").toString
+    // the root is a REAL Delta table — the path reader serves it too
+    assert(Files.isDirectory(Paths.get(root, "_delta_log")))
+    assert(spark.table(s"$cat.lake.d").count() === 0)
+    spark.sql(s"INSERT INTO $cat.lake.d SELECT id, concat('v', id) " +
+      "FROM range(10)")
+    assert(spark.table(s"$cat.lake.d").count() === 10)
+    assert(spark.read.format("delta-log").load(root).count() === 10)
+    // DML lowers to the Delta COW commands
+    spark.sql(s"DELETE FROM $cat.lake.d WHERE k % 2 = 0")
+    spark.sql(s"UPDATE $cat.lake.d SET v = 'odd' WHERE k = 3")
+    assert(spark.table(s"$cat.lake.d").count() === 5)
+    assert(spark.sql(s"SELECT v FROM $cat.lake.d WHERE k = 3")
+      .as[String].head() === "odd")
+    // travel by DELTA VERSION NUMBER on the identifier (v0 = empty
+    // create, v1 = insert, v2 = delete)
+    assert(spark.sql(s"SELECT * FROM $cat.lake.d VERSION AS OF 0")
+      .count() === 0)
+    assert(spark.sql(s"SELECT * FROM $cat.lake.d VERSION AS OF 1")
+      .count() === 10)
+    assert(spark.sql(
+      s"SELECT * FROM $cat.lake.d TIMESTAMP AS OF current_timestamp()")
+      .count() === 5)
+    // a pinned identifier refuses writes
+    val ep = intercept[Exception] {
+      spark.sql(s"DELETE FROM $cat.lake.d VERSION AS OF 1 WHERE k = 1")
+    }
+    // INSERT OVERWRITE replaces through the Delta overwrite commit
+    spark.sql(s"INSERT OVERWRITE $cat.lake.d VALUES (99, 'z')")
+    assert(spark.table(s"$cat.lake.d").as[(Long, String)]
+      .collect().toSeq === Seq((99L, "z")))
+    // ALTER refuses with the format's own surface named
+    val ea = intercept[Exception] {
+      spark.sql(s"ALTER TABLE $cat.lake.d ADD COLUMNS (x DOUBLE)")
+    }
+    assert(ea.getMessage.contains("evolution"))
+    spark.sql(s"DROP TABLE $cat.lake.d")
+    assert(!Files.exists(Paths.get(root)))
+  }
+
+  test("ICEBERG through identifiers: create, partition spec, refs, DML") {
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.lake")
+    spark.sql(s"CREATE TABLE $cat.lake.i (k BIGINT, v STRING) " +
+      "USING iceberg PARTITIONED BY (bucket(4, k)) " +
+      "TBLPROPERTIES ('format-version' = '3')")
+    val root = Paths.get(wh, "lake", "i").toString
+    assert(graft.sources.IcebergMeta.formatVersion(root) === 3)
+    spark.sql(s"INSERT INTO $cat.lake.i SELECT id, concat('v', id) " +
+      "FROM range(20)")
+    assert(spark.table(s"$cat.lake.i").count() === 20)
+    assert(spark.read.format("iceberg-meta").load(root).count() === 20)
+    // the declared spec really partitioned the append
+    assert(graft.sources.IcebergMeta.snapshot(root).files.size > 1)
+    // DML: v3 delete → deletion vectors, still 1 manifest family
+    spark.sql(s"DELETE FROM $cat.lake.i WHERE k % 4 = 1")
+    assert(spark.table(s"$cat.lake.i").count() === 15)
+    // travel by SNAPSHOT ID and by REF NAME on the identifier
+    val snaps = graft.sources.IcebergMeta.snapshotLog(root)
+    assert(spark.sql(
+      s"SELECT * FROM $cat.lake.i VERSION AS OF ${snaps(1).snapshotId}")
+      .count() === 20)
+    graft.sources.IcebergMeta.setRef(root, "before_delete",
+      snapshotId = Some(snaps(1).snapshotId))
+    assert(spark.sql(
+      s"SELECT * FROM $cat.lake.i VERSION AS OF 'before_delete'")
+      .count() === 20)
+    // RENAME refuses for iceberg (metadata may embed absolute paths)
+    val er = intercept[Exception] {
+      spark.sql(s"ALTER TABLE $cat.lake.i RENAME TO $cat.lake.i2")
+    }
+    assert(er.getMessage.contains("RENAME"))
+    spark.sql(s"DROP TABLE $cat.lake.i")
+    assert(!Files.exists(Paths.get(root)))
+  }
+
+  test("interop LOCATION adoption + mixed-format SHOW TABLES + CTAS") {
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.mix")
+    // an EXISTING path-written Delta table registers under an
+    // identifier via LOCATION — adopted as-is, DROP keeps the data
+    val ext = Files.createTempDirectory("cat_ext_delta_").toString + "/t"
+    graft.sources.DeltaLog.commit(
+      spark.range(0, 7).toDF("k").coalesce(1), ext)
+    spark.sql(s"CREATE TABLE $cat.mix.adopted LOCATION '$ext'")
+    assert(spark.table(s"$cat.mix.adopted").count() === 7)
+    spark.sql(s"INSERT INTO $cat.mix.adopted VALUES (100)")
+    assert(spark.read.format("delta-log").load(ext).count() === 8)
+    // CTAS through saveAsTable with an interop provider
+    spark.range(0, 5).toDF("k").write.format("iceberg-meta")
+      .saveAsTable(s"$cat.mix.ice_ctas")
+    assert(spark.table(s"$cat.mix.ice_ctas").count() === 5)
+    assert(Files.isDirectory(
+      Paths.get(wh, "mix", "ice_ctas", "metadata")))
+    // graft, delta and iceberg tables list side by side
+    spark.sql(s"CREATE TABLE $cat.mix.g (k BIGINT)")
+    val shown = spark.sql(s"SHOW TABLES IN $cat.mix")
+      .select("tableName").as[String].collect().toSet
+    assert(shown === Set("adopted", "ice_ctas", "g"))
+    spark.sql(s"DROP TABLE $cat.mix.adopted")
+    assert(spark.read.format("delta-log").load(ext).count() === 8)
+  }
 }

@@ -191,6 +191,8 @@ object GraftSqlParser {
     """(?is)\s*GRAFT\s+REFS\s+ICEBERG\s+'([^']+)'\s*;?\s*""".r
   private val FfIce =
     """(?is)\s*GRAFT\s+FAST\s+FORWARD\s+ICEBERG\s+'([^']+)'\s+(\S+)\s+TO\s+(\S+)\s*;?\s*""".r
+  private val SortOrderIce =
+    """(?is)\s*GRAFT\s+WRITE\s+ORDERED\s+BY\s+ICEBERG\s+'([^']+)'\s+(.+?)\s*;?\s*""".r
   private val EvolveIceTo =
     """(?is)\s*GRAFT\s+EVOLVE\s+SPEC\s+ICEBERG\s+'([^']+)'\s+PARTITION\s+BY\s+(.+?)\s*;?\s*""".r
   private val EvolveIceUnpart =
@@ -250,6 +252,21 @@ object GraftSqlParser {
       case RewriteManifestsIce(p, target) =>
         Some(GraftIcebergRewriteManifestsCommand(p,
           Option(target).map(_.toInt).getOrElse(1)))
+      case SortOrderIce(p, fieldList) =>
+        val fields = fieldList.split(",").map(_.trim).filter(_.nonEmpty)
+          .map { f =>
+            f.split("\\s+").toSeq match {
+              case Seq(c) => (c, "asc")
+              case Seq(c, dir)
+                  if dir.equalsIgnoreCase("asc") ||
+                    dir.equalsIgnoreCase("desc") =>
+                (c, dir.toLowerCase)
+              case _ => throw new IllegalArgumentException(
+                s"GRAFT WRITE ORDERED BY: cannot parse field '$f' " +
+                  "(expected: col [ASC|DESC])")
+            }
+          }.toSeq
+        Some(GraftIcebergSortOrderCommand(p, fields))
       case AnalyzeIce(p, cols, exact) =>
         Some(GraftIcebergAnalyzeCommand(p,
           Option(cols).map(_.split(",").map(_.trim)
@@ -460,6 +477,20 @@ object GraftSqlParser {
     override val output: Seq[Attribute] = Seq(attr("snapshot_id", LongType))
     override def run(s: SparkSession): Seq[Row] =
       Seq(Row(graft.sources.IcebergMeta.rewriteManifests(root, target)))
+  }
+
+  /** `GRAFT WRITE ORDERED BY ICEBERG 'root' col [ASC|DESC], ...` —
+    * Iceberg's `ALTER TABLE ... WRITE ORDERED BY`: declares the
+    * table's default sort order (one metadata-only commit); a plain
+    * `GRAFT OPTIMIZE ICEBERG` then re-clusters by it
+    * ([[graft.sources.IcebergMeta.setSortOrder]]). */
+  case class GraftIcebergSortOrderCommand(root: String,
+      fields: Seq[(String, String)]) extends LeafRunnableCommand {
+    override val output: Seq[Attribute] =
+      Seq(attr("order_id", LongType))
+    override def run(s: SparkSession): Seq[Row] =
+      Seq(Row(graft.sources.IcebergMeta.setSortOrder(root, fields)
+        .toLong))
   }
 
   /** `GRAFT REMOVE ORPHAN FILES ICEBERG 'root' [OLDER THAN ts]

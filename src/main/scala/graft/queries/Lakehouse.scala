@@ -4687,6 +4687,105 @@ object Lakehouse {
              |  (SELECT CAST(count(*) AS BIGINT) FROM orders
              |     WHERE o_orderkey <= 4096) AS d_before,
              |  (SELECT CAST(count(*) AS BIGINT) FROM orders
-             |     WHERE o_orderkey <= 4096) AS i_before""".stripMargin))
+             |     WHERE o_orderkey <= 4096) AS i_before""".stripMargin)),
+
+    // DELTA LIQUID CLUSTERING (round 14): delta-spark's CLUSTER BY —
+    // the domain-declared layout policy that replaced static
+    // partitioning/zorder for new tables. The entry CREATEs a
+    // clustered table (delta.clustering domain + clusteredTable
+    // feature listed), appends a second interleaved batch (domain
+    // preserved — the feature's core obligation), then runs a plain
+    // OPTIMIZE with NO layout arguments: the clustering columns come
+    // from the DOMAIN, the rewrite range-clusters on them, and the
+    // entry pins per-file min/max DISJOINTNESS from the committed
+    // stats (ranges_disjoint must be true for the oracle row to
+    // match) plus the row-level aggregate. DeltaLogSpec covers the
+    // refusal matrix and the catalog CLUSTER BY SQL surface.
+    QueryDef(
+      "q293_delta_liquid_clustering",
+      (s, d) => {
+        import graft.sources.DeltaLog
+        val root = Files.createTempDirectory("dlc_").toString + "/t"
+        val src = lineitem(s, d)
+          .select(col("l_orderkey"), col("l_partkey"), col("l_quantity"))
+        DeltaLog.commit(src.filter(col("l_orderkey") % 2 === 0)
+          .repartition(4), root, clusterBy = Seq("l_partkey"))
+        DeltaLog.commit(src.filter(col("l_orderkey") % 2 === 1)
+          .repartition(4), root)
+        s.sql(s"GRAFT OPTIMIZE DELTA '$root' FILES 8")
+        val snap = DeltaLog.snapshot(s, root)
+        // disjointness straight from the committed per-file stats
+        val ranges = snap.adds.flatMap(_.statsJson).map { j =>
+          val n = new com.fasterxml.jackson.databind.ObjectMapper()
+            .readTree(j)
+          (n.get("minValues").get("l_partkey").asLong(),
+            n.get("maxValues").get("l_partkey").asLong())
+        }.sortBy(_._1)
+        val disjoint = snap.adds.size == 8 && ranges.size == 8 &&
+          ranges.sliding(2).forall {
+            case Seq((_, hi), (lo2, _)) => hi < lo2
+            case _ => true
+          }
+        s.read.format("delta-log").load(root)
+          .filter(col("l_partkey") <= 100L)
+          .agg(count(lit(1)).as("n_rows"),
+            sum(col("l_quantity").cast("long")).as("sum_qty"),
+            sum(col("l_orderkey")).cast("long").as("sum_key"))
+          .withColumn("ranges_disjoint", lit(disjoint))
+      },
+      Some("""SELECT CAST(count(*) AS BIGINT) AS n_rows,
+             |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+             |  CAST(sum(l_orderkey) AS BIGINT) AS sum_key,
+             |  TRUE AS ranges_disjoint
+             |FROM lineitem WHERE l_partkey <= 100""".stripMargin)),
+
+    // ICEBERG SORT ORDER (round 14, the Iceberg analog of q293's
+    // liquid clustering): new metadata documents now carry the
+    // v2-REQUIRED `sort-orders`/`default-sort-order-id` (previously
+    // omitted), `setSortOrder` declares a real order through one
+    // metadata-only conditional-put commit (REST: add-sort-order +
+    // set-default-sort-order with the matching assertion), and a
+    // PLAIN compaction honors the declared order —
+    // rewrite_data_files(strategy='sort')'s default. The entry pins
+    // per-file bound DISJOINTNESS from the committed MANIFEST bounds
+    // (not the parquet footers — proving the manifests carry the
+    // clustered layout pruning reads) plus the row aggregate.
+    // IcebergMetaSpec covers descending order, in-file sortedness,
+    // the refusal matrix and the foreign non-identity transform gate.
+    QueryDef(
+      "q294_iceberg_sort_order",
+      (s, d) => {
+        import graft.sources.IcebergMeta
+        val root = Files.createTempDirectory("iso_").toString + "/t"
+        val src = lineitem(s, d)
+          .select(col("l_orderkey"), col("l_partkey"), col("l_quantity"))
+        IcebergMeta.writeFixture(src.filter(col("l_orderkey") % 2 === 0)
+          .repartition(4), root)
+        IcebergMeta.append(src.filter(col("l_orderkey") % 2 === 1)
+          .repartition(4), root)
+        IcebergMeta.setSortOrder(root, Seq("l_partkey" -> "asc"))
+        IcebergMeta.compact(s, root, numFiles = 8)
+        // disjointness from the MANIFEST bounds the pruner reads
+        val files = IcebergMeta.snapshot(root).files
+        val ranges = files.flatMap(f => f.stats.get("l_partkey")
+            .flatMap(cs => for { mn <- cs.min; mx <- cs.max }
+              yield (mn.toLong, mx.toLong)))
+          .sortBy(_._1)
+        val disjoint = ranges.size == 8 && ranges.sliding(2).forall {
+          case Seq((_, hi), (lo2, _)) => hi < lo2
+          case _ => true
+        }
+        s.read.format("iceberg-meta").load(root)
+          .filter(col("l_partkey") <= 100L)
+          .agg(count(lit(1)).as("n_rows"),
+            sum(col("l_quantity").cast("long")).as("sum_qty"),
+            sum(col("l_orderkey")).cast("long").as("sum_key"))
+          .withColumn("ranges_disjoint", lit(disjoint))
+      },
+      Some("""SELECT CAST(count(*) AS BIGINT) AS n_rows,
+             |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+             |  CAST(sum(l_orderkey) AS BIGINT) AS sum_key,
+             |  TRUE AS ranges_disjoint
+             |FROM lineitem WHERE l_partkey <= 100""".stripMargin))
   )
 }

@@ -899,10 +899,14 @@ object DeltaLog {
     // the log, [[checkpoint]] compacts the live domains into the
     // checkpoint, RESTORE reconciles to the target's domains, and the
     // putIfAbsent commit protocol makes ANY concurrent commit —
-    // same-domain ones included — conflict. clustering's writer
-    // obligation is exactly "preserve the delta.clustering domain",
-    // which the above provides — real clustered tables stay writable
-    "domainMetadata", "clustering",
+    // same-domain ones included — conflict. The clustered-table
+    // writer obligation is "preserve the delta.clustering domain"
+    // (which the above provides — real clustered tables stay
+    // writable) plus best-effort layout maintenance, which
+    // [[compact]] honors by re-clustering on the domain's columns.
+    // Both protocol spellings: delta-spark lists `clusteredTable`;
+    // `clustering` is the earlier preview spelling.
+    "domainMetadata", "clustering", "clusteredTable",
     // row tracking: every path that lands new adds assigns fresh
     // id blocks past the high-water mark and restates the
     // delta.rowTracking domain in the same commit ([[assignRowIds]],
@@ -1651,7 +1655,12 @@ object DeltaLog {
       partitionBy: Seq[String] = Nil,
       txn: Option[(String, Long)] = None,
       properties: Map[String, String] = Map.empty,
-      mergeSchema: Boolean = false): Long = {
+      mergeSchema: Boolean = false,
+      // LIQUID CLUSTERING at creation (delta-spark's CLUSTER BY): the
+      // first commit records the `delta.clustering` domain and lists
+      // the clusteredTable + domainMetadata writer features; OPTIMIZE
+      // then re-clusters by these columns ([[compact]])
+      clusterBy: Seq[String] = Nil): Long = {
     require(mode == "append" || mode == "overwrite",
       s"delta-log: mode must be append|overwrite, got $mode")
     val spark = df.sparkSession
@@ -1661,6 +1670,19 @@ object DeltaLog {
     require(existing.isEmpty || properties.isEmpty,
       "delta-log: table properties are set at CREATION (or via " +
         "setConfiguration) — not on writes to an existing table")
+    if (clusterBy.nonEmpty) {
+      require(existing.isEmpty,
+        "delta-log: CLUSTER BY is set at table CREATION — an existing " +
+          "table keeps its own clustering domain")
+      // the protocol's clusteredTable contract: clustered tables are
+      // never Hive-partitioned (clustering IS the layout policy)
+      require(partitionBy.isEmpty,
+        "delta-log: CLUSTER BY and PARTITIONED BY are mutually " +
+          "exclusive")
+      val missing = clusterBy.filterNot(df.schema.fieldNames.contains)
+      require(missing.isEmpty,
+        s"delta-log: CLUSTER BY names non-columns ${missing.mkString(", ")}")
+    }
     val opName = if (mode == "append") "WRITE" else "OVERWRITE"
     // writer features with METADATA-anchored obligations, honored
     // BEFORE the shape checks so the enriched frame is what validates
@@ -1826,16 +1848,23 @@ object DeltaLog {
         val collFeat =
           if (hasCollatedType(dfIn.schema)) Set("collations")
           else Set.empty[String]
+        // liquid clustering: WRITER-only clusteredTable, whose
+        // obligation ("preserve the delta.clustering domain") rides
+        // the domainMetadata feature's replay machinery — both listed
+        val cluFeat =
+          if (clusterBy.nonEmpty) Set("clusteredTable", "domainMetadata")
+          else Set.empty[String]
         val p =
           if (wantsDv || v2cpFeat.nonEmpty || varFeat.nonEmpty)
             (3, 7, dvFeat ++ mapFeat ++ v2cpFeat ++ varFeat,
               dvFeat ++ mapFeat ++ v2cpFeat ++ varFeat ++ cdfFeat ++
-                rtFeat ++ ictFeat ++ uniFeat ++ collFeat ++
+                rtFeat ++ ictFeat ++ uniFeat ++ collFeat ++ cluFeat ++
                 legacyWriterFeatures(if (mapMode == "none") 2 else 5))
           else if (rtFeat.nonEmpty || ictFeat.nonEmpty ||
-            uniFeat.nonEmpty || collFeat.nonEmpty)
+            uniFeat.nonEmpty || collFeat.nonEmpty || cluFeat.nonEmpty)
             (if (mapMode == "none") 1 else 2, 7, Set.empty[String],
-              rtFeat ++ ictFeat ++ uniFeat ++ collFeat ++ cdfFeat ++
+              rtFeat ++ ictFeat ++ uniFeat ++ collFeat ++ cluFeat ++
+                cdfFeat ++
                 legacyWriterFeatures(if (mapMode == "none") 2 else 5))
           else if (mapMode != "none") (2, 5, Set.empty[String], Set.empty[String])
           // CDF alone requires minWriterVersion >= 4 (the spec's
@@ -1892,6 +1921,16 @@ object DeltaLog {
     if (latest < 0 || mode == "overwrite") {
       lines += protocolLine(proto._1, proto._2, proto._3, proto._4)
       lines += metaDataLine(recordSchema.json, partitionBy, configuration)
+      if (clusterBy.nonEmpty) {
+        // the domain stores PHYSICAL names (delta-spark's contract —
+        // clustering survives RENAME COLUMN under mapping because the
+        // physical name is the stable one)
+        val cols = clusterBy.map(c => mapping.getOrElse(c, c))
+          .map(c => s"""[${jsonStr(c)}]""").mkString(",")
+        lines += s"""{"domainMetadata":{"domain":"delta.clustering",""" +
+          s""""configuration":${jsonStr(
+            s"""{"clusteringColumns":[$cols]}""")},"removed":false}}"""
+      }
     } else if (identitySchema.isDefined || evolution.isDefined) {
       // restated in the SAME commit: an identity allocation's moved
       // mark, and/or a mergeSchema evolution's new schema (plus the
@@ -2315,10 +2354,36 @@ object DeltaLog {
       Seq(x, y).foreach(c => require(snap0.schema.fieldNames.contains(c),
         s"delta-log: ZORDER BY names non-column '$c'"))
     }
+    // LIQUID CLUSTERING maintenance: with no explicit ZORDER request,
+    // a table carrying the `delta.clustering` domain re-clusters by
+    // its declared columns — OPTIMIZE on a clustered table IS the
+    // re-layout job (delta-spark's behavior). Columns arrive in
+    // PHYSICAL space (the domain's contract), matching the rewrite
+    // frame. Stated divergence: the layout is a multi-column
+    // lexicographic range-cluster (tight leading-column file bounds,
+    // locality on the rest), not delta-spark's Hilbert curve — any
+    // clustering is spec-legal, the domain only names the columns.
+    val clusterCols: Seq[String] =
+      if (zorderBy.nonEmpty) Nil
+      else snap0.domains.get("delta.clustering")
+        .collect { case (cfg, false) => cfg }.toSeq.flatMap { cfg =>
+          val node = mapper.readTree(cfg)
+          Option(node.get("clusteringColumns")).toSeq.flatMap(
+            _.elements().asScala.map { arr =>
+              require(arr.isArray && arr.size() == 1,
+                "delta-log: nested clustering column " +
+                  s"${arr.toString} is not supported by this OPTIMIZE")
+              arr.get(0).asText()
+            }.toSeq)
+        }
+    require(clusterCols.isEmpty || snap.partitionColumns.isEmpty,
+      "delta-log: a clustered table must not be Hive-partitioned " +
+        "(clusteredTable contract)")
     val partitions = snap.adds.map(a =>
       (a.partitionValues, a.nullPartitionCols)).distinct.size.max(1)
-    // a ZORDER request always rewrites — same file COUNT, new LAYOUT
-    if (zorderBy.isEmpty &&
+    // a ZORDER request always rewrites — same file COUNT, new LAYOUT;
+    // so does clustered-table maintenance
+    if (zorderBy.isEmpty && clusterCols.isEmpty &&
       snap.adds.size <= partitions.toLong * filesPerPartition &&
       !snap.adds.exists(_.deletionVector.isDefined))
       return snap.version // already compact, nothing to purge
@@ -2362,6 +2427,16 @@ object DeltaLog {
           .repartitionByRange(filesPerPartition, col("__zorder"))
           .sortWithinPartitions(col("__zorder"))
           .drop("__zorder")
+      case None if clusterCols.nonEmpty =>
+        // the frame is physical space and so are the domain's names;
+        // a foreign domain naming unknown columns refuses rather than
+        // silently skipping the layout obligation
+        clusterCols.foreach(c => require(vis.columns.contains(c),
+          s"delta-log: clustering column '$c' of the delta.clustering " +
+            "domain is not a column of the table"))
+        vis.repartitionByRange(filesPerPartition,
+            clusterCols.map(c => col(s"`$c`")): _*)
+          .sortWithinPartitions(clusterCols.map(c => col(s"`$c`")): _*)
       case None =>
         if (snap.partitionColumns.isEmpty) vis.coalesce(filesPerPartition)
         else vis.repartition(

@@ -197,10 +197,16 @@ class DeltaLogDataSource extends RelationProvider
     val mergeSchema = parameters
       .find(_._1.equalsIgnoreCase("mergeSchema"))
       .exists(_._2.equalsIgnoreCase("true"))
+    // LIQUID CLUSTERING at creation: clusterBy=c1,c2 records the
+    // delta.clustering domain + clusteredTable feature
+    val clusterBy = parameters.find(_._1.equalsIgnoreCase("clusterBy"))
+      .map(_._2.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      .filter(_ => !exists).getOrElse(Nil)
     mode match {
       case SaveMode.Append =>
         DeltaLog.commit(data, root, "append", partitionBy,
-          properties = properties, mergeSchema = mergeSchema)
+          properties = properties, mergeSchema = mergeSchema,
+          clusterBy = clusterBy)
       case SaveMode.Overwrite =>
         DeltaLog.commit(data, root, "overwrite", partitionBy,
           properties = properties)

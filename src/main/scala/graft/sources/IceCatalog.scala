@@ -296,6 +296,12 @@ final class RestIceCatalog(val baseUri: String,
       r.put("type", "assert-default-spec-id")
       r.put("default-spec-id", oldDoc.path("default-spec-id").asInt())
     }
+    if (actions("add-sort-order") || actions("set-default-sort-order")) {
+      val r = reqs.addObject()
+      r.put("type", "assert-default-sort-order-id")
+      r.put("default-sort-order-id",
+        oldDoc.path("default-sort-order-id").asInt())
+    }
     body.set[JsonNode]("updates", updates)
     post(tableUri(root), mapper.writeValueAsBytes(body),
       expectedVersion + 1)
@@ -396,6 +402,29 @@ final class RestIceCatalog(val baseUri: String,
       val u = updates.addObject()
       u.put("action", "set-default-spec")
       u.put("spec-id", newDoc.get("default-spec-id").asInt())
+    }
+    // sort orders — same add/point/never-remove shape as specs
+    // (OpenAPI: add-sort-order + set-default-sort-order)
+    handled ++= Seq("sort-orders", "default-sort-order-id")
+    val oldOrders = byKey(oldDoc, "sort-orders", "order-id").keySet
+    val prunedOrders =
+      oldOrders -- byKey(newDoc, "sort-orders", "order-id").keySet
+    if (prunedOrders.nonEmpty) throw new IllegalArgumentException(
+      "ice-catalog: no update representation for removed sort-order " +
+        s"ids ${prunedOrders.toSeq.sorted.mkString(",")} — the REST " +
+        "vocabulary cannot express sort-order removal")
+    elems(newDoc, "sort-orders")
+      .filterNot(s => oldOrders(s.get("order-id").asLong()))
+      .foreach { s =>
+        val u = updates.addObject()
+        u.put("action", "add-sort-order")
+        u.set[JsonNode]("sort-order", s)
+      }
+    if (oldDoc.path("default-sort-order-id").asInt(-1) !=
+        newDoc.path("default-sort-order-id").asInt(-1)) {
+      val u = updates.addObject()
+      u.put("action", "set-default-sort-order")
+      u.put("sort-order-id", newDoc.get("default-sort-order-id").asInt())
     }
     // snapshots: additions in sequence order, removals as one batch
     handled += "snapshots"

@@ -1251,6 +1251,89 @@ object IcebergMeta {
     v + 1
   }
 
+  /** Declare the table's SORT ORDER (`ALTER TABLE ... WRITE ORDERED
+    * BY` — Iceberg's layout policy, the analog of the Delta side's
+    * liquid clustering): appends a new entry to `sort-orders` (fresh
+    * order-id) and points `default-sort-order-id` at it — one
+    * metadata-only conditional-put commit. Fields are IDENTITY
+    * transforms over top-level columns with the conventional null
+    * placement (asc → nulls-first, desc → nulls-last). The order is
+    * advisory for writes (the spec's posture) and HONORED by
+    * [[compact]], which re-clusters on it. */
+  def setSortOrder(root: String,
+      fields: Seq[(String, String)]): Int = {
+    require(fields.nonEmpty, "iceberg-meta: empty sort order — " +
+      "sort-order 0 (unsorted) is the default already")
+    gateMirrorWrite(root, "SET SORT ORDER")
+    val (v, meta0) = currentMeta(root)
+    requireKnownVersion(meta0)
+    val (schema, nameById) = schemaOf(meta0)
+    val idByName = nameById.map(_.swap)
+    val typeOf = schema.fields.map(f => f.name -> f.dataType).toMap
+    fields.foreach { case (c, dir) =>
+      require(idByName.contains(c),
+        s"iceberg-meta: sort column '$c' is not a column of $root")
+      require(dir == "asc" || dir == "desc",
+        s"iceberg-meta: sort direction '$dir' must be asc|desc")
+      require(!isGeoType(typeOf(c)),
+        s"iceberg-meta: sort column '$c' is a geometry/geography " +
+          "column — geo values have no defined order")
+    }
+    val meta = meta0
+      .deepCopy[com.fasterxml.jackson.databind.node.ObjectNode]
+    val orders =
+      if (meta.hasNonNull("sort-orders"))
+        meta.get("sort-orders")
+          .asInstanceOf[com.fasterxml.jackson.databind.node.ArrayNode]
+      else meta.putArray("sort-orders")
+    val nextId = orders.elements().asScala
+      .map(_.get("order-id").asInt()).maxOption.getOrElse(0) + 1
+    val entry = orders.addObject()
+    entry.put("order-id", nextId)
+    val fa = entry.putArray("fields")
+    fields.foreach { case (c, dir) =>
+      val f = fa.addObject()
+      f.put("transform", "identity")
+      f.put("source-id", idByName(c))
+      f.put("direction", dir)
+      f.put("null-order",
+        if (dir == "asc") "nulls-first" else "nulls-last")
+    }
+    meta.put("default-sort-order-id", nextId)
+    meta.put("last-updated-ms", System.currentTimeMillis())
+    commitMeta(root, v, meta, meta0)
+    nextId
+  }
+
+  /** The DEFAULT sort order's (column, ascending) list, resolved
+    * through the current schema's field ids — Nil for order 0 /
+    * absent. Honoring callers ([[compact]]) refuse orders this
+    * writer cannot reproduce (non-identity transforms, unknown
+    * source ids) rather than silently writing an unsorted layout
+    * under a declared order. */
+  private def sortOrderOf(meta: JsonNode,
+      nameById: Map[Int, String]): Seq[(String, Boolean)] = {
+    val id = if (meta.hasNonNull("default-sort-order-id"))
+      meta.get("default-sort-order-id").asInt() else 0
+    if (id == 0 || !meta.hasNonNull("sort-orders")) return Nil
+    val order = meta.get("sort-orders").elements().asScala
+      .find(_.get("order-id").asInt() == id)
+      .getOrElse(throw new IllegalStateException(
+        s"iceberg-meta: default-sort-order-id $id not in sort-orders"))
+    order.get("fields").elements().asScala.map { f =>
+      require(f.get("transform").asText() == "identity",
+        s"iceberg-meta: sort transform '${f.get("transform").asText()}'" +
+          " is not supported by this writer's compaction (identity " +
+          "only) — rewrite with an Iceberg runtime or reset the order")
+      val src = f.get("source-id").asInt()
+      val name = nameById.getOrElse(src,
+        throw new IllegalStateException(
+          s"iceberg-meta: sort order $id references unknown field id " +
+            s"$src"))
+      (name, f.get("direction").asText() != "desc")
+    }.toSeq
+  }
+
   /** Version gate for every write entry point; returns the parsed
     * format-version so v3-specific obligations can branch. */
   private def requireKnownVersion(meta: JsonNode): Int = {
@@ -1763,6 +1846,9 @@ object IcebergMeta {
          |"schemas":[{"type":"struct","schema-id":0,"fields":[$fields]}],
          |"default-spec-id":0,
          |"partition-specs":[{"spec-id":0,"fields":[$specJson]}],
+         |"last-partition-id":${999 + specFields.size},
+         |"default-sort-order-id":0,
+         |"sort-orders":[{"order-id":0,"fields":[]}],
          |"current-snapshot-id":$snapId,
          |"refs":{"main":{"snapshot-id":$snapId,"type":"branch"}},
          |"snapshot-log":[{"timestamp-ms":$nowMs,"snapshot-id":$snapId}],
@@ -1876,6 +1962,9 @@ object IcebergMeta {
          |"schemas":[{"type":"struct","schema-id":0,"fields":[$fields]}],
          |"default-spec-id":0,
          |"partition-specs":[{"spec-id":0,"fields":[]}],
+         |"last-partition-id":999,
+         |"default-sort-order-id":0,
+         |"sort-orders":[{"order-id":0,"fields":[]}],
          |"current-snapshot-id":$snapId,
          |"refs":{"main":{"snapshot-id":$snapId,"type":"branch"}},
          |"snapshot-log":[{"timestamp-ms":$nowMs,"snapshot-id":$snapId}],
@@ -3273,7 +3362,23 @@ object IcebergMeta {
             org.apache.spark.sql.functions.col("__zorder"))
           .drop("__zorder")
       case None =>
-        if (specFields.isEmpty) visible0.coalesce(numFiles)
+        // the table's declared SORT ORDER drives the rewrite (the
+        // rewrite_data_files(strategy='sort') default — same shape as
+        // the Delta side's liquid-clustering OPTIMIZE): range-split
+        // on the order's columns, fully sorted within each file, so
+        // per-file bounds turn disjoint on the leading column.
+        // Partitioned specs keep their tuple layout (the spec sorts
+        // WITHIN partitions; this writer's one-file-per-tuple output
+        // is already the finest grain, so the in-file sort is moot).
+        val order = sortOrderOf(meta, nameById)
+        if (specFields.isEmpty && order.nonEmpty) {
+          import org.apache.spark.sql.functions.col
+          val exprs = order.map { case (c, asc) =>
+            if (asc) col(s"`$c`").asc else col(s"`$c`").desc }
+          visible0.repartitionByRange(numFiles, exprs: _*)
+            .sortWithinPartitions(exprs: _*)
+        }
+        else if (specFields.isEmpty) visible0.coalesce(numFiles)
         else visible0
     }
     val nonce = java.util.UUID.randomUUID().toString.take(8)

@@ -211,6 +211,58 @@ class GraftCatalogSpec extends SparkSpecBase {
     assert(!Files.exists(Paths.get(root)))
   }
 
+  test("CLUSTER BY through the catalog creates a liquid-clustered Delta table") {
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.lake")
+    spark.sql(s"CREATE TABLE $cat.lake.dc (k BIGINT, v BIGINT) " +
+      "USING delta CLUSTER BY (k)")
+    val root = Paths.get(wh, "lake", "dc").toString
+    val s0 = graft.sources.DeltaLog.snapshot(spark, root)
+    assert(s0.writerFeatures.contains("clusteredTable"))
+    assert(s0.domains("delta.clustering")._1
+      === """{"clusteringColumns":[["k"]]}""")
+    spark.sql(s"INSERT INTO $cat.lake.dc SELECT id, id % 5 FROM range(100)")
+    // OPTIMIZE via the DDL re-clusters by the domain's columns
+    spark.sql(s"GRAFT OPTIMIZE DELTA '$root' FILES 2")
+    val s1 = graft.sources.DeltaLog.snapshot(spark, root)
+    assert(s1.adds.size === 2 &&
+      s1.domains.contains("delta.clustering"))
+    assert(spark.table(s"$cat.lake.dc").count() === 100)
+    spark.sql(s"DROP TABLE $cat.lake.dc")
+  }
+
+  test("atomic CTAS/RTAS: staged write, one-move publish, old table survives failure") {
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.stg")
+    // CTAS lands atomically (staging dir → one move); all three
+    // formats stage the same way
+    spark.sql(s"CREATE TABLE $cat.stg.c USING delta AS " +
+      "SELECT id AS k FROM range(10)")
+    assert(spark.table(s"$cat.stg.c").count() === 10)
+    assert(Files.isDirectory(Paths.get(wh, "stg", "c", "_delta_log")))
+    // CREATE OR REPLACE ... AS SELECT: the old table serves until the
+    // new one is COMPLETE; a mid-query failure leaves it untouched
+    val e = intercept[Exception] {
+      spark.sql(s"CREATE OR REPLACE TABLE $cat.stg.c USING delta AS " +
+        "SELECT CASE WHEN id < 5 THEN id ELSE " +
+        "raise_error('boom') END AS k FROM range(10)")
+    }
+    assert(spark.table(s"$cat.stg.c").count() === 10) // old intact
+    // ...and no staging debris outlives the abort
+    val stagingDir = Paths.get(wh, ".staging")
+    assert(!Files.exists(stagingDir) ||
+      !Files.list(stagingDir).iterator().hasNext)
+    // a successful replace swaps wholesale (fresh history: v0+v1)
+    spark.sql(s"CREATE OR REPLACE TABLE $cat.stg.c AS " +
+      "SELECT id AS k FROM range(3)") // default provider → graft
+    assert(spark.table(s"$cat.stg.c").count() === 3)
+    assert(Files.isDirectory(Paths.get(wh, "stg", "c", "_graft_log")))
+    // REPLACE of a missing table refuses without OR CREATE
+    val e2 = intercept[Exception] {
+      spark.sql(s"REPLACE TABLE $cat.stg.missing AS " +
+        "SELECT id FROM range(1)")
+    }
+    spark.sql(s"DROP TABLE $cat.stg.c")
+  }
+
   test("interop LOCATION adoption + mixed-format SHOW TABLES + CTAS") {
     spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.mix")
     // an EXISTING path-written Delta table registers under an

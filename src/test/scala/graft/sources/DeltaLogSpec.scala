@@ -777,6 +777,53 @@ class DeltaLogSpec extends SparkSpecBase {
       .collect().toSeq === Seq(5L))
   }
 
+  test("liquid clustering: CLUSTER BY creation, OPTIMIZE re-clusters by domain") {
+    val root = tmp()
+    // two appends of interleaved k-ranges → before OPTIMIZE no file
+    // has tight k-bounds
+    DeltaLog.commit(spark.range(0, 400).toDF("k")
+      .withColumn("v", col("k") % 7).repartition(4), root,
+      clusterBy = Seq("k"))
+    val s0 = DeltaLog.snapshot(spark, root)
+    assert(s0.writerFeatures.contains("clusteredTable"))
+    assert(s0.writerFeatures.contains("domainMetadata"))
+    assert(s0.domains("delta.clustering")._1
+      === """{"clusteringColumns":[["k"]]}""")
+    DeltaLog.commit(spark.range(400, 800).toDF("k")
+      .withColumn("v", col("k") % 7).repartition(4), root)
+    // OPTIMIZE with NO explicit ZORDER: the delta.clustering domain
+    // drives the rewrite — disjoint per-file ranges on k
+    DeltaLog.compact(spark, root, filesPerPartition = 4)
+    val s1 = DeltaLog.snapshot(spark, root)
+    assert(s1.adds.size === 4)
+    assert(s1.domains.contains("delta.clustering")) // preserved
+    val ranges = s1.adds.map { a =>
+      val r = spark.read.parquet(Paths.get(root, a.path).toString)
+        .agg(min(col("k")), max(col("k"))).head()
+      (r.getLong(0), r.getLong(1))
+    }.sortBy(_._1)
+    assert(ranges.sliding(2).forall {
+      case Seq((_, hi), (lo2, _)) => hi < lo2
+      case _ => true
+    }, s"file k-ranges overlap after clustered OPTIMIZE: $ranges")
+    assert(spark.read.format("delta-log").load(root)
+      .select("k").as[Long].collect().sorted.toSeq === (0L until 800L))
+    // refusals: clustered+partitioned, CLUSTER BY on existing,
+    // non-column
+    intercept[IllegalArgumentException] {
+      DeltaLog.commit(Seq((1L, "a")).toDF("k", "p").coalesce(1), tmp(),
+        partitionBy = Seq("p"), clusterBy = Seq("k"))
+    }
+    intercept[IllegalArgumentException] {
+      DeltaLog.commit(Seq(9L).toDF("k").coalesce(1), root,
+        clusterBy = Seq("k"))
+    }
+    intercept[IllegalArgumentException] {
+      DeltaLog.commit(Seq(9L).toDF("k").coalesce(1), tmp(),
+        clusterBy = Seq("nope"))
+    }
+  }
+
   test("null partition values survive the round trip") {
     val root = tmp()
     val df = Seq((1L, Some("a")), (2L, None), (3L, Some("a")))

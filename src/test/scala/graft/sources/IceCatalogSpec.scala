@@ -157,6 +157,9 @@ class IceCatalogSpec extends SparkSpecBase {
           case "assert-default-spec-id" =>
             doc.path("default-spec-id").asInt() ==
               r.get("default-spec-id").asInt()
+          case "assert-default-sort-order-id" =>
+            doc.path("default-sort-order-id").asInt() ==
+              r.get("default-sort-order-id").asInt()
           case other =>
             throw new IllegalArgumentException(
               s"stub: unknown requirement type $other")
@@ -186,6 +189,12 @@ class IceCatalogSpec extends SparkSpecBase {
               doc.put("last-partition-id", maxField)
           case "set-default-spec" =>
             doc.put("default-spec-id", u.get("spec-id").asInt())
+          case "add-sort-order" =>
+            doc.withArray[ArrayNode]("sort-orders")
+              .add(u.get("sort-order"))
+          case "set-default-sort-order" =>
+            doc.put("default-sort-order-id",
+              u.get("sort-order-id").asInt())
           case "add-snapshot" =>
             val s = u.get("snapshot")
             doc.withArray[ArrayNode]("snapshots").add(s)
@@ -405,6 +414,9 @@ class IceCatalogSpec extends SparkSpecBase {
         org.apache.spark.sql.types.StringType, "x")
       assert(spark.read.format("iceberg-meta").load(root)
         .filter(col("tag") === "x").count() === 16)
+      // SORT ORDER declaration expresses as add-sort-order +
+      // set-default-sort-order (with assert-default-sort-order-id)
+      assert(IcebergMeta.setSortOrder(root, Seq("k" -> "asc")) === 1)
       // SPEC evolution expresses as add-spec/set-default-spec; the
       // server derives last-partition-id — a post-evolution
       // partitioned append must still work against the REST document

@@ -1007,4 +1007,75 @@ class IcebergMetaSpec extends SparkSpecBase {
     }
     assert(e.getMessage.contains("VACUUM"))
   }
+
+  test("SORT ORDER: declared via metadata commit, honored by compaction") {
+    import scala.jdk.CollectionConverters._
+    val root = tmp()
+    // two interleaved appends → no file has tight k-bounds
+    IcebergMeta.writeFixture(spark.range(0, 400).toDF("k")
+      .withColumn("v", col("k") % 7).repartition(4), root)
+    IcebergMeta.append(spark.range(400, 800).toDF("k")
+      .withColumn("v", col("k") % 7).repartition(4), root)
+    // new documents carry the v2-required sort-order fields
+    val doc0 = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(root, "metadata",
+        s"v${IcebergMeta.latestMetadataVersion(root)}.metadata.json")),
+      java.nio.charset.StandardCharsets.UTF_8)
+    assert(doc0.contains("\"default-sort-order-id\""))
+    assert(doc0.contains("\"sort-orders\""))
+    // declare DESC order on k: order-id 1, default pointer moves
+    assert(IcebergMeta.setSortOrder(root, Seq("k" -> "desc")) === 1)
+    val doc1 = new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(root, "metadata",
+          s"v${IcebergMeta.latestMetadataVersion(root)}.metadata.json")))
+    assert(doc1.get("default-sort-order-id").asInt() === 1)
+    val o1 = doc1.get("sort-orders").elements().asScala
+      .find(_.get("order-id").asInt() == 1).get
+    val f1 = o1.get("fields").elements().asScala.next()
+    assert(f1.get("direction").asText() === "desc")
+    assert(f1.get("null-order").asText() === "nulls-last")
+    assert(f1.get("transform").asText() === "identity")
+    // a PLAIN compaction honors the declared order: 4 files with
+    // DISJOINT k-ranges, each internally sorted descending
+    IcebergMeta.compact(spark, root, numFiles = 4)
+    val files = IcebergMeta.snapshot(root).files
+    assert(files.size === 4)
+    val ranges = files.map { f =>
+      val r = spark.read.parquet(f.path)
+        .agg(min(col("k")), max(col("k")), count(lit(1))).head()
+      // descending within the file: first physical row is the max
+      val first = spark.read.parquet(f.path).limit(1)
+        .select("k").as[Long].head()
+      assert(first === r.getLong(1),
+        s"file ${f.path} not sorted desc (first=$first max=${r.getLong(1)})")
+      (r.getLong(0), r.getLong(1))
+    }.sortBy(_._1)
+    assert(ranges.sliding(2).forall {
+      case Seq((_, hi), (lo2, _)) => hi < lo2
+      case _ => true
+    }, s"file k-ranges overlap after sorted compaction: $ranges")
+    assert(spark.read.format("iceberg-meta").load(root)
+      .select("k").as[Long].collect().sorted.toSeq === (0L until 800L))
+    // refusals: unknown column, bad direction, geometry column,
+    // non-identity foreign transform at HONOR time
+    intercept[IllegalArgumentException] {
+      IcebergMeta.setSortOrder(root, Seq("nope" -> "asc")) }
+    intercept[IllegalArgumentException] {
+      IcebergMeta.setSortOrder(root, Seq("k" -> "sideways")) }
+    val mp = java.nio.file.Paths.get(root, "metadata",
+      s"v${IcebergMeta.latestMetadataVersion(root)}.metadata.json")
+    val patched = new String(
+      java.nio.file.Files.readAllBytes(mp),
+      java.nio.charset.StandardCharsets.UTF_8)
+      .replaceAll("\"transform\"\\s*:\\s*\"identity\"",
+        "\"transform\":\"bucket[4]\"")
+    assert(patched.contains("bucket[4]")) // the patch really landed
+    java.nio.file.Files.write(mp,
+      patched.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val e2 = intercept[IllegalArgumentException] {
+      IcebergMeta.compact(spark, root, numFiles = 2)
+    }
+    assert(e2.getMessage.contains("bucket[4]"))
+  }
 }

@@ -30,6 +30,29 @@ import org.apache.spark.sql.types.StructType
   *    then serve it — deleted rows are resolved, never silently
   *    included, and never a refusal the v1 path would have served.
   */
+/** Re-anchor a freshly-resolved v1 read under a replaced relation's
+  * ORIGINAL output ids — the one idiom behind every "swap this
+  * relation for a computed read" rule ([[Graft2Refresh]]'s two
+  * fallbacks, [[InteropCatalogScan]]): resolver-matched by name,
+  * aliased under the original exprId/qualifier so parent references
+  * re-bind for free, loud on a missing column. */
+private[ext] object RealignToOriginalOutput {
+  def apply(session: SparkSession,
+      resolved: LogicalPlan,
+      out: Seq[org.apache.spark.sql.catalyst.expressions.Attribute],
+      what: String): LogicalPlan = {
+    val resolver = session.sessionState.analyzer.resolver
+    Project(
+      out.map { a =>
+        val src = resolved.output.find(o => resolver(o.name, a.name))
+          .getOrElse(throw new IllegalStateException(
+            s"$what lacks column ${a.name}"))
+        Alias(src, a.name)(exprId = a.exprId, qualifier = a.qualifier)
+      },
+      resolved)
+  }
+}
+
 case class Graft2Refresh(session: SparkSession) extends Rule[LogicalPlan] {
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
@@ -65,17 +88,10 @@ case class Graft2Refresh(session: SparkSession) extends Rule[LogicalPlan] {
         // full nested re-resolution, so the MOR/mapping rewrites have
         // ALREADY shaped the subtree (deleted rows resolved, renamed
         // columns restored) by the time it lands here
-        val resolved = session.read.format("graft").load(root)
-          .queryExecution.analyzed
-        val resolver = session.sessionState.analyzer.resolver
-        Project(
-          out.map { a =>
-            val src = resolved.output.find(o => resolver(o.name, a.name))
-              .getOrElse(throw new IllegalStateException(
-                s"graft: re-resolved read of $root lacks column ${a.name}"))
-            Alias(src, a.name)(exprId = a.exprId, qualifier = a.qualifier)
-          },
-          resolved)
+        RealignToOriginalOutput(session,
+          session.read.format("graft").load(root)
+            .queryExecution.analyzed,
+          out, s"graft: re-resolved read of $root")
       }
 
     // a TRAVEL-pinned catalog relation (`lake.db.t VERSION AS OF v`)
@@ -88,18 +104,10 @@ case class Graft2Refresh(session: SparkSession) extends Rule[LogicalPlan] {
         if t.travelPinned &&
           (VersionedTable.hasTombstones(t.root, t.snapshotVersion) ||
             VersionedTable.hasColumnMapping(t.root, t.snapshotVersion)) =>
-      val resolved = session.read.format("graft")
-        .option("versionAsOf", t.snapshotVersion).load(t.root)
-        .queryExecution.analyzed
-      val resolver = session.sessionState.analyzer.resolver
-      Project(
-        out.map { a =>
-          val src = resolved.output.find(o => resolver(o.name, a.name))
-            .getOrElse(throw new IllegalStateException(
-              s"graft: re-resolved read of ${t.root} lacks column " +
-                s"${a.name}"))
-          Alias(src, a.name)(exprId = a.exprId, qualifier = a.qualifier)
-        },
-        resolved)
+      RealignToOriginalOutput(session,
+        session.read.format("graft")
+          .option("versionAsOf", t.snapshotVersion).load(t.root)
+          .queryExecution.analyzed,
+        out, s"graft: re-resolved read of ${t.root}")
   }
 }

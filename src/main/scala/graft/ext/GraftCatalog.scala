@@ -98,9 +98,11 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
 
   /** Identifier segments become path segments — anything that could
     * escape or alias the warehouse tree refuses before touching the
-    * filesystem. */
+    * filesystem. Dot-PREFIXED names are reserved for catalog
+    * internals (`.staging`) and refuse too: an addressable `.x`
+    * identifier could alias (and CASCADE-drop) the staging tree. */
   private def seg(s: String): String = {
-    require(s.nonEmpty && s != "." && s != ".." &&
+    require(s.nonEmpty && !s.startsWith(".") &&
       !s.contains('/') && !s.contains('\\') && !s.contains(0.toChar),
       s"graft catalog: illegal identifier segment '$s'")
     s
@@ -130,11 +132,13 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
 
   private def isTable(p: Path): Boolean = tableKind(p).isDefined
 
-  /** A namespace is a real directory that is NOT a table root and not
+  /** A namespace is a real directory that is NOT a table root, not
     * inside one (a table's internal `data/` dir must never resolve as
-    * a namespace). */
+    * a namespace), and not a dot-prefixed catalog-internal dir
+    * (`.staging`). */
   private def isNamespace(p: Path): Boolean =
     p == warehouse || (Files.isDirectory(p) && !isTable(p) &&
+      !p.getFileName.toString.startsWith(".") &&
       p.startsWith(warehouse) && {
         var q = p.getParent
         var inside = false
@@ -215,7 +219,13 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   /** Resolve an interop identifier: schema comes from the format's
     * own reader (travel options applied — the exact frame the scan
     * rewrite will serve), so the catalog surface can never disagree
-    * with the read. */
+    * with the read. Known cost: this replays the log once for the
+    * schema and [[InteropCatalogScan]] replays again for the data
+    * plan — identifier reads pay ~2x a path read's resolution I/O.
+    * Accepted for freshness (both legs always see the current head);
+    * a snapshot carried on the table would serve a STALE plan after
+    * an external commit, the bug [[Graft2Refresh]] exists to fix on
+    * the graft side. */
   private def interop(ident: Identifier, dir: Path, format: String,
       travel: Map[String, String]): Table = {
     val reader = travel.foldLeft(
@@ -571,7 +581,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       namespace: Array[String]): Array[Array[String]] = {
     val dir = nsDir(namespace)
     if (!isNamespace(dir)) throw new NoSuchNamespaceException(namespace)
-    listDir(dir).filter(p => Files.isDirectory(p) && !isTable(p))
+    listDir(dir).filter(p => Files.isDirectory(p) && !isTable(p) &&
+        !p.getFileName.toString.startsWith("."))
       .map(p => namespace :+ p.getFileName.toString)
       .toArray
   }
@@ -590,6 +601,11 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     val dir = nsDir(namespace)
     if (Files.exists(dir))
       throw new NamespaceAlreadyExistsException(namespace)
+    // the parent must BE a namespace — creating one under a table
+    // identifier would pollute the table root with an unreachable dir
+    // (invisible to listNamespaces, undroppable through the catalog)
+    if (!isNamespace(dir.getParent))
+      throw new NoSuchNamespaceException(namespace.dropRight(1))
     Files.createDirectories(dir)
     ()
   }

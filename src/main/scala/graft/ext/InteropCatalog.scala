@@ -4,8 +4,7 @@ import java.util.{Set => JSet}
 import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.catalyst.expressions.Alias
-import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability}
 import org.apache.spark.sql.connector.read.ScanBuilder
@@ -85,8 +84,14 @@ class InteropTable(
               val over = truncating || overwrite
               format match {
                 case "delta-log" =>
+                  // the table's own partitioning must restate on every
+                  // commit (DeltaLog.commit's append check) — without
+                  // this a catalog-created PARTITIONED BY table would
+                  // be un-insertable through its identifier
                   DeltaLog.commit(data, root,
-                    mode = if (over) "overwrite" else "append")
+                    mode = if (over) "overwrite" else "append",
+                    partitionBy = DeltaLog.snapshot(
+                      data.sparkSession, root).partitionColumns)
                 case "iceberg-meta" =>
                   if (over) IcebergMeta.overwrite(
                     data.sparkSession, root, data)
@@ -128,18 +133,9 @@ case class InteropCatalogScan(session: SparkSession)
         val reader = t.travel.foldLeft(session.read.format(t.format)) {
           case (r, (k, v)) => r.option(k, v)
         }
-        val resolved = reader.load(t.root).queryExecution.analyzed
-        val resolver = session.sessionState.analyzer.resolver
-        Project(
-          out.map { a =>
-            val src = resolved.output
-              .find(o => resolver(o.name, a.name))
-              .getOrElse(throw new IllegalStateException(
-                s"graft catalog: re-resolved ${t.format} read of " +
-                  s"${t.root} lacks column ${a.name}"))
-            Alias(src, a.name)(exprId = a.exprId, qualifier = a.qualifier)
-          },
-          resolved)
+        RealignToOriginalOutput(session,
+          reader.load(t.root).queryExecution.analyzed, out,
+          s"graft catalog: re-resolved ${t.format} read of ${t.root}")
     }
   }
 }

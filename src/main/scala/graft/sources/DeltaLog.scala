@@ -715,12 +715,23 @@ object DeltaLog {
     * harvest must see the TABLE's collated types (the staged frame
     * carries plain strings), so [[statsJsonOf]] omits their
     * binary-ordered min/max. */
-  private def collatedTypesOf(schema: StructType): Map[String, DataType] =
-    schema.fields.collect {
-      case f if f.dataType.isInstanceOf[StringType] &&
-        f.dataType.asInstanceOf[StringType].collationId != 0 =>
-        f.name -> f.dataType
-    }.toMap
+  /** Dotted paths of every collated string column, NESTED members
+    * included — the stats-serialization overrides keying into
+    * [[dottedTypes]]'s namespace, so a plain-string staged frame
+    * never records binary-ordered min/max for a collated column at
+    * any depth. */
+  private def collatedTypesOf(schema: StructType): Map[String, DataType] = {
+    def walk(prefix: String, st: StructType): Seq[(String, DataType)] =
+      st.fields.toSeq.flatMap { f =>
+        val p = if (prefix.isEmpty) f.name else s"$prefix.${f.name}"
+        f.dataType match {
+          case s: StringType if s.collationId != 0 => Seq(p -> f.dataType)
+          case s: StructType => walk(p, s)
+          case _ => Nil
+        }
+      }
+    walk("", schema).toMap
+  }
 
   private def stageAndLand(spark: SparkSession, df: DataFrame,
       root: String, partitionBy: Seq[String], nonce: String,
@@ -1073,6 +1084,14 @@ object DeltaLog {
       s"delta-log $operation: partitioned tables cannot enable " +
         "icebergCompatV2 (Hive layout keeps partition columns OUT of " +
         "the data files, which Iceberg requires IN them)")
+    // collated strings have no Iceberg type — without this PRE-commit
+    // refusal the Delta commit would land durably and then fail in
+    // the post-commit sync (the exact stranded-commit mode this gate
+    // exists to prevent, same posture as the variant refusal below)
+    require(!hasCollatedType(schema),
+      s"delta-log $operation: tables with collated string columns " +
+        "cannot enable icebergCompatV2 (Iceberg has no collated " +
+        "string type for the mirror schema)")
     require(!carriesDv,
       s"delta-log $operation: deletion vectors cannot be mirrored " +
         "zero-copy into the Iceberg tree — REORG PURGE the table " +

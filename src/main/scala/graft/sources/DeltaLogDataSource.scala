@@ -198,7 +198,11 @@ class DeltaLogDataSource extends RelationProvider
       .find(_._1.equalsIgnoreCase("mergeSchema"))
       .exists(_._2.equalsIgnoreCase("true"))
     // LIQUID CLUSTERING at creation: clusterBy=c1,c2 records the
-    // delta.clustering domain + clusteredTable feature
+    // delta.clustering domain + clusteredTable feature on EVERY
+    // creation mode. On an existing table the option is DROPPED like
+    // the delta.* creation properties above (a re-used writer config
+    // must not make routine appends refuse) — the table keeps its own
+    // clustering domain.
     val clusterBy = parameters.find(_._1.equalsIgnoreCase("clusterBy"))
       .map(_._2.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
       .filter(_ => !exists).getOrElse(Nil)
@@ -209,15 +213,15 @@ class DeltaLogDataSource extends RelationProvider
           clusterBy = clusterBy)
       case SaveMode.Overwrite =>
         DeltaLog.commit(data, root, "overwrite", partitionBy,
-          properties = properties)
+          properties = properties, clusterBy = clusterBy)
       case SaveMode.ErrorIfExists =>
         if (exists) throw new IllegalStateException(
           s"$root already is a Delta table (SaveMode.ErrorIfExists)")
         DeltaLog.commit(data, root, "append", partitionBy,
-          properties = properties)
+          properties = properties, clusterBy = clusterBy)
       case SaveMode.Ignore =>
         if (!exists) DeltaLog.commit(data, root, "append", partitionBy,
-          properties = properties)
+          properties = properties, clusterBy = clusterBy)
     }
     createRelation(sqlContext, parameters)
   }

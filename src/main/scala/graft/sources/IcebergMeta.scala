@@ -3816,6 +3816,14 @@ object IcebergMeta {
       meta.get("statistics").elements().asScala.foreach(e =>
         referenced += norm(resolvePath(root,
           e.get("statistics-path").asText())))
+    // partition statistics (spec: `partition-statistics`, one file
+    // per snapshot) — this writer never produces them, but a FOREIGN
+    // tree's must never sweep as orphans: the current document names
+    // them
+    if (meta.hasNonNull("partition-statistics"))
+      meta.get("partition-statistics").elements().asScala.foreach(e =>
+        referenced += norm(resolvePath(root,
+          e.get("statistics-path").asText())))
     val store = VersionedTable.dataIO(root)
     val rootP = Paths.get(root).toAbsolutePath.normalize
     val MetaDoc = """v\d+\.metadata\.json""".r

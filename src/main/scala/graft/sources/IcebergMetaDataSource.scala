@@ -266,14 +266,17 @@ class IcebergMetaFileIndex(spark: SparkSession,
     // WITHOUT the graft extensions fails loudly, never wrong.
     val s = snap
     if (s.deletes.nonEmpty || s.eqDeletes.nonEmpty || s.dvs.nonEmpty ||
-        s.needsDefaultFill || s.physicalByName.nonEmpty)
+        s.needsDefaultFill || s.physicalByName.nonEmpty ||
+        s.schema.exists(f => IcebergMeta.isGeoType(f.dataType)))
       throw new IllegalStateException(
         s"iceberg-meta: snapshot ${s.snapshotId} of ${s.root} " +
           "carries row-level delete files (v2 position/equality or " +
           "v3 deletion vectors), v3 default-valued columns over " +
-          "pre-evolution files, or a name mapping over differently-" +
-          "named parquet columns — readable only with GraftExtensions " +
-          "enabled (the delete/default/name-mapping scan rewrites)")
+          "pre-evolution files, a name mapping over differently-" +
+          "named parquet columns, or geometry/geography columns " +
+          "(physically WKB BINARY) — readable only with " +
+          "GraftExtensions enabled (the delete/default/name-mapping/" +
+          "geo scan rewrites)")
     val listed = s.files.map { f =>
       f -> new FileStatus(f.sizeBytes, false, 1, 128L * 1024 * 1024, 0L,
         new HPath(new java.io.File(f.path).toURI))

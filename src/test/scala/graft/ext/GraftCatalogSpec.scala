@@ -211,6 +211,37 @@ class GraftCatalogSpec extends SparkSpecBase {
     assert(!Files.exists(Paths.get(root)))
   }
 
+  test("partitioned Delta through identifiers: create + insert restate the partitioning") {
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.lake")
+    spark.sql(s"CREATE TABLE $cat.lake.dp (k BIGINT, d STRING) " +
+      "USING delta PARTITIONED BY (d)")
+    val root = Paths.get(wh, "lake", "dp").toString
+    assert(graft.sources.DeltaLog.snapshot(spark, root)
+      .partitionColumns === Seq("d"))
+    // the identifier INSERT must restate the table's partitioning
+    // (the commit-side check would refuse a bare append)
+    spark.sql(s"INSERT INTO $cat.lake.dp " +
+      "SELECT id, concat('d', id % 3) FROM range(9)")
+    assert(spark.table(s"$cat.lake.dp").count() === 9)
+    assert(spark.sql(
+      s"SELECT count(*) FROM $cat.lake.dp WHERE d = 'd1'")
+      .head().getLong(0) === 3)
+    spark.sql(s"INSERT OVERWRITE $cat.lake.dp VALUES (1, 'x')")
+    assert(spark.table(s"$cat.lake.dp").count() === 1)
+    spark.sql(s"DROP TABLE $cat.lake.dp")
+    // catalog-internal dirs and table-parented namespaces stay out of
+    // the namespace tree
+    intercept[Exception] {
+      spark.sql(s"CREATE NAMESPACE $cat.lake.`.hidden`")
+    }
+    spark.sql(s"CREATE TABLE $cat.lake.nst (k BIGINT)")
+    intercept[Exception] {
+      spark.sql(s"CREATE NAMESPACE $cat.lake.nst.sub")
+    }
+    assert(!Files.exists(Paths.get(wh, "lake", "nst", "sub")))
+    spark.sql(s"DROP TABLE $cat.lake.nst")
+  }
+
   test("CLUSTER BY through the catalog creates a liquid-clustered Delta table") {
     spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.lake")
     spark.sql(s"CREATE TABLE $cat.lake.dc (k BIGINT, v BIGINT) " +
@@ -250,6 +281,9 @@ class GraftCatalogSpec extends SparkSpecBase {
     val stagingDir = Paths.get(wh, ".staging")
     assert(!Files.exists(stagingDir) ||
       !Files.list(stagingDir).iterator().hasNext)
+    // the catalog-internal .staging dir never lists as a namespace
+    assert(!spark.sql(s"SHOW NAMESPACES IN $cat")
+      .select("namespace").as[String].collect().exists(_.contains("stag")))
     // a successful replace swaps wholesale (fresh history: v0+v1)
     spark.sql(s"CREATE OR REPLACE TABLE $cat.stg.c AS " +
       "SELECT id AS k FROM range(3)") // default provider → graft

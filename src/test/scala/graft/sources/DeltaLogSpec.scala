@@ -777,6 +777,39 @@ class DeltaLogSpec extends SparkSpecBase {
       .collect().toSeq === Seq(5L))
   }
 
+  test("UniForm on a collated table refuses PRE-commit; writer-option clusterBy works on default mode") {
+    // a collated column has no Iceberg type — without the pre-commit
+    // gate the Delta commit would land durably and every later sync
+    // would fail (the stranded-commit mode the gate exists to prevent)
+    val e = intercept[IllegalArgumentException] {
+      DeltaLog.commit(
+        spark.range(0, 3).selectExpr("id AS k",
+          "collate(concat('v', id), 'UTF8_LCASE') AS s").coalesce(1),
+        tmp(), properties = Map("delta.enableIcebergCompatV2" -> "true"))
+    }
+    assert(e.getMessage.contains("collated"))
+    // the DSv1 writer's clusterBy option is honored on the DEFAULT
+    // (ErrorIfExists) creation mode, not only explicit Append
+    val root = tmp()
+    spark.range(0, 10).toDF("k").coalesce(1).write
+      .format("delta-log").option("clusterBy", "k").save(root)
+    val s0 = DeltaLog.snapshot(spark, root)
+    assert(s0.writerFeatures.contains("clusteredTable"))
+    assert(s0.domains.contains("delta.clustering"))
+    // NESTED collated columns: the stats overrides cover any depth —
+    // a plain-string append into struct<inner: collated> must omit
+    // the nested member's min/max (binary order lies under collation)
+    val nroot = tmp()
+    DeltaLog.commit(spark.range(0, 4).selectExpr("id AS k",
+      "named_struct('inner', collate(concat('v', id), 'UTF8_LCASE')) AS s")
+      .coalesce(1), nroot)
+    val add = DeltaLog.snapshot(spark, nroot).adds.head
+    val statsNode = new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree(add.statsJson.get)
+    assert(!statsNode.path("minValues").path("s").has("inner"),
+      s"nested collated member recorded min/max: ${add.statsJson.get}")
+  }
+
   test("liquid clustering: CLUSTER BY creation, OPTIMIZE re-clusters by domain") {
     val root = tmp()
     // two appends of interleaved k-ranges → before OPTIMIZE no file

@@ -972,6 +972,21 @@ class IcebergMetaSpec extends SparkSpecBase {
     // 3-day age guard
     val young = Paths.get(root, "data", "orphan-young.parquet")
     Files.write(young, Array[Byte](7))
+    // a FOREIGN tree's partition-statistics file is REFERENCED by the
+    // current document — never an orphan, however old
+    val pstats = Paths.get(root, "metadata", "pstats-1.parquet")
+    Files.write(pstats, Array[Byte](8, 9))
+    Files.setLastModifiedTime(pstats, oldTime)
+    locally {
+      val mp = Paths.get(root, "metadata",
+        s"v${IcebergMeta.latestMetadataVersion(root)}.metadata.json")
+      val doc = new String(Files.readAllBytes(mp), UTF_8)
+      val snapId = IcebergMeta.snapshotLog(root).last.snapshotId
+      Files.write(mp, doc.replaceFirst("\\{",
+        s"""{"partition-statistics":[{"snapshot-id":$snapId,""" +
+          s""""statistics-path":"metadata/pstats-1.parquet",""" +
+          """"file-size-in-bytes":2}],""").getBytes(UTF_8))
+    }
     // DRY RUN reports, deletes nothing
     val dry = IcebergMeta.removeOrphanFiles(root, dryRun = true)
     assert(dry.orphans.toSet ===
@@ -998,6 +1013,7 @@ class IcebergMetaSpec extends SparkSpecBase {
       olderThanMs = System.currentTimeMillis + 60000)
     assert(all.orphans === Seq(young.toString))
     assert(rows() === expect)
+    assert(Files.exists(pstats)) // referenced partition-statistics kept
     // a UniForm mirror refuses — the Delta log governs its files
     val mirror = tmp()
     DeltaLog.commit(spark.range(0, 4).toDF("k").coalesce(1), mirror,

@@ -2676,15 +2676,16 @@ object Lakehouse {
           catch { case e: UnsupportedOperationException =>
             e.getMessage.contains("append-only") }
         // foreign table listing an unenforced writer feature: the
-        // READ replays (collations is writer-only), the WRITE
-        // refuses (icebergCompatV2 retired from this probe in round
-        // 13 — its obligation is ENFORCED now, q283; rowTracking
-        // retired in round 11, q266)
+        // READ replays (allowColumnDefaults is writer-only), the
+        // WRITE refuses (icebergCompatV2 retired from this probe in
+        // round 13 — its obligation is ENFORCED now, q283;
+        // rowTracking retired in round 11, q266; collations retired
+        // in round 14, q290)
         val ft = base + "/foreign"
         val log = java.nio.file.Paths.get(ft, "_delta_log")
         Files.createDirectories(log)
         java.nio.file.Files.write(log.resolve(f"${0L}%020d.json"),
-          ("""{"protocol":{"minReaderVersion":1,"minWriterVersion":7,"writerFeatures":["collations","appendOnly"]}}""" + "\n" +
+          ("""{"protocol":{"minReaderVersion":1,"minWriterVersion":7,"writerFeatures":["allowColumnDefaults","appendOnly"]}}""" + "\n" +
             """{"metaData":{"id":"x","format":{"provider":"parquet","options":{}},"schemaString":"{\"type\":\"struct\",\"fields\":[{\"name\":\"k\",\"type\":\"long\",\"nullable\":true,\"metadata\":{}}]}","partitionColumns":[],"configuration":{}}}""" + "\n")
             .getBytes(java.nio.charset.StandardCharsets.UTF_8))
         val foreignReadOk = DeltaLog.snapshot(s, ft).adds.isEmpty
@@ -2694,7 +2695,7 @@ object Lakehouse {
               .coalesce(1), ft)
             false
           } catch { case e: UnsupportedOperationException =>
-            e.getMessage.contains("collations") }
+            e.getMessage.contains("allowColumnDefaults") }
         val gatesOk = if (violationNamed && nothingCommitted && protoOk &&
           aoRefused && foreignReadOk && foreignWriteRefused) 1L else 0L
         s.read.format("delta-log").load(root)

@@ -119,13 +119,24 @@ object Graphs {
     QueryDef(
       "q114_triangle_count",
       (s, d) => {
-        val pairs = lineitem(s, d)
+        // Edge generation via the q111 shape (collect_set + narrow
+        // array expansion) instead of distinct + basket self-join:
+        // baskets are tiny, so each order's item SET expands its a<b
+        // pairs without the distinct exchange or the self-join
+        // build/probe over the whole fact table (r14 optimization:
+        // 2 Exchange + 1 join fewer; warm time 2.76 -> ~2.0 s at
+        // sf0.1). Per-order multiplicity is 1 either way (set
+        // semantics), so w = #orders containing the pair — identical
+        // to the oracle's DISTINCT + self-join + HAVING.
+        val e = lineitem(s, d)
           .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-          .distinct()
-        val e = pairs.as("x")
-          .join(pairs.as("y"),
-            col("x.ok") === col("y.ok") && col("x.pk") < col("y.pk"))
-          .groupBy(col("x.pk").as("a"), col("y.pk").as("b"))
+          .groupBy(col("ok")).agg(collect_set(col("pk")).as("pks"))
+          .select(explode(flatten(transform(col("pks"), x =>
+            transform(col("pks"), y => struct(x.as("a"), y.as("b"))))))
+            .as("e"))
+          .select(col("e.a"), col("e.b"))
+          .filter(col("a") < col("b"))
+          .groupBy(col("a"), col("b"))
           .agg(count(lit(1)).as("w"))
           .filter(col("w") >= 2)
           .select(col("a"), col("b"))

@@ -26,6 +26,17 @@ import org.apache.spark.sql.functions._
   */
 object Multimodal {
 
+  // ImageIO's default ImageInputStream/ImageOutputStream is DISK-
+  // cached: every read()/write() call spools the stream through a
+  // fresh temp FILE, so a 5000-image partition pays 10k file
+  // create/delete syscalls for payloads that are already in-memory
+  // byte arrays (q124/q126 benched 1.3-6 s at sf0.1 purely on FS
+  // contention). Memory-cached streams are strictly better here —
+  // payloads are bounded per batch and never larger than the heap
+  // already holds them. JVM-global, set once when the object loads
+  // (executors load it with the task closure).
+  javax.imageio.ImageIO.setUseCache(false)
+
   case class MediaRecord(
       media_id: Long, kind: String, payload: Array[Byte],
       width: Int, height: Int, sample_rate: Int)

@@ -594,8 +594,14 @@ object Sketches {
         val w = Window.partitionBy(col("source")).orderBy(col("h"))
         val sk = h.withColumn("rn", row_number().over(w))
           .filter(col("rn") <= k).drop("rn")
-        val pairs = h.select(col("source").as("sa")).distinct()
-          .join(h.select(col("source").as("sb")).distinct(),
+        // per-source set sizes double as the SOURCE LIST: deriving the
+        // pair table from this 20-row aggregate (persisted) instead of
+        // two h.distinct() passes drops two full-corpus exchanges
+        // (r14 optimization; the exact-audit joins below reuse it).
+        val sizes = h.groupBy(col("source")).agg(count(lit(1)).as("n"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val pairs = sizes.select(col("source").as("sa"))
+          .join(sizes.select(col("source").as("sb")),
             col("sa") < col("sb"))
         // union the two sketches per pair, rank, keep the union's
         // bottom-k, count members present in both input sketches
@@ -616,7 +622,6 @@ object Sketches {
         // sizes from one groupBy, pairwise intersections from a
         // self-equi-join ON THE HASH (shuffle key = h, never a
         // pair x corpus nested loop), union by inclusion-exclusion.
-        val sizes = h.groupBy(col("source")).agg(count(lit(1)).as("n"))
         val inter = h.select(col("source").as("sa"), col("h"))
           .join(h.select(col("source").as("sb"), col("h")), Seq("h"))
           .filter(col("sa") < col("sb"))

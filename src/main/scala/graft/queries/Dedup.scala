@@ -568,22 +568,27 @@ object Dedup {
     QueryDef(
       "q118_source_overlap",
       (s, d) => {
-        // Persisted: both self-join sides otherwise re-derive the full
-        // shingle pipeline (ReuseExchange does not fire across the
-        // join; shingle derivation is THE dominant CPU cost of this
-        // suite — the lshVerifiedPairs lesson).
-        val pairs = documents(s, d)
+        // r14 rewrite (q114/q77 shape): per-hash source SET + narrow
+        // a<b expansion instead of distinct + bucket self-join — the
+        // distinct exchange AND both self-join shuffles collapse into
+        // one groupBy(h) with map-side-combined collect_set (dedup
+        // falls out of set semantics). Per-shingle fanout stays
+        // bounded by C(n_sources, 2) exactly as before; the same
+        // df-rank exclusion applies at domain scale.
+        documents(s, d)
           .repartition(s.sparkContext.defaultParallelism)
           .filter(size(TextOps.tokens(col("text"))) >= 3)
           .select(col("source"),
             explode(TextOps.shingleHashes3(TextOps.tokens(col("text"))))
               .as("h"))
-          .distinct()
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        pairs.as("x")
-          .join(pairs.as("y"),
-            col("x.h") === col("y.h") && col("x.source") < col("y.source"))
-          .groupBy(col("x.source").as("src_a"), col("y.source").as("src_b"))
+          .groupBy(col("h")).agg(collect_set(col("source")).as("srcs"))
+          .select(explode(flatten(transform(col("srcs"), x =>
+            transform(col("srcs"), y =>
+              struct(x.as("src_a"), y.as("src_b"))))))
+            .as("e"))
+          .select(col("e.src_a"), col("e.src_b"))
+          .filter(col("src_a") < col("src_b"))
+          .groupBy(col("src_a"), col("src_b"))
           .agg(count(lit(1)).as("n_shared_shingles"))
           .orderBy(col("n_shared_shingles").desc, col("src_a"), col("src_b"))
           .limit(20)

@@ -524,13 +524,20 @@ object Windowed {
     QueryDef(
       "q77_cooccurrence",
       (s, d) => {
-        val items = lineitem(s, d)
+        // Same r14 rewrite as q114's edge build: collect each order's
+        // item SET once and expand a<b pairs narrowly from the array —
+        // no distinct exchange, no basket self-join; per-order pair
+        // multiplicity is 1 either way, so n_orders is unchanged.
+        lineitem(s, d)
           .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-          .distinct()
-        items.as("x")
-          .join(items.as("y"),
-            col("x.ok") === col("y.ok") && col("x.pk") < col("y.pk"))
-          .groupBy(col("x.pk").as("part_a"), col("y.pk").as("part_b"))
+          .groupBy(col("ok")).agg(collect_set(col("pk")).as("pks"))
+          .select(explode(flatten(transform(col("pks"), x =>
+            transform(col("pks"), y =>
+              struct(x.as("part_a"), y.as("part_b"))))))
+            .as("e"))
+          .select(col("e.part_a"), col("e.part_b"))
+          .filter(col("part_a") < col("part_b"))
+          .groupBy(col("part_a"), col("part_b"))
           .agg(count(lit(1)).as("n_orders"))
           .orderBy(col("n_orders").desc, col("part_a"), col("part_b"))
           .limit(20)

@@ -1111,15 +1111,24 @@ object Dedup {
           .select(col("doc_id"), col("fps"))
           .persist()
           .select(col("doc_id"), explode(col("fps")).as("fp"))
-        val dfc = fp.groupBy(col("fp")).agg(count(lit(1)).as("dfreq"))
-        val rare = fp.join(dfc.filter(col("dfreq") <= 50), Seq("fp"))
         val perDoc = fp.groupBy(col("doc_id"))
           .agg(count(lit(1)).as("n_fp"))
-        rare.as("x")
-          .join(rare.as("y"),
-            col("x.fp") === col("y.fp") &&
-              col("x.doc_id") < col("y.doc_id"))
-          .groupBy(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+        // r14 rewrite (q114/q77/q118 shape): one groupBy(fp) with
+        // map-side-combined collect_set replaces the doc-frequency
+        // count + stop-fingerprint join + inverted-index SELF-JOIN —
+        // per-doc fps are already distinct, so set size IS the doc
+        // frequency, and the stop rail (> 50) bounds every expanded
+        // array before the a<b pair expansion exactly as it bounded
+        // every join bucket.
+        fp.groupBy(col("fp"))
+          .agg(collect_set(col("doc_id")).as("ds"))
+          .filter(size(col("ds")) <= 50)
+          .select(explode(flatten(transform(col("ds"), x =>
+            transform(col("ds"), y => struct(x.as("a"), y.as("b"))))))
+            .as("e"))
+          .select(col("e.a"), col("e.b"))
+          .filter(col("a") < col("b"))
+          .groupBy(col("a"), col("b"))
           .agg(count(lit(1)).as("n_shared"))
           .join(broadcast(perDoc)
             .select(col("doc_id").as("a"), col("n_fp").as("n_a")), Seq("a"))

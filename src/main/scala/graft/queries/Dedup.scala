@@ -93,15 +93,23 @@ object Dedup {
       : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
     val base = hashed(s, d)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val bands = base
+    // r14 rewrite (q114/q77/q118/q211 shape): per-bucket doc SET +
+    // narrow a<b expansion instead of the band self-join — one
+    // map-side-combined groupBy(bucket) where the join paid two
+    // bucket shuffles and a build/probe. Pair fanout per bucket is
+    // C(bucket size, 2) either way; the distinct dedups across bands
+    // exactly as before.
+    val cand = base
       .select(col("doc_id"),
         explode(TextOps.lshBands(TextOps.minhashSig(col("hs"), 12), 4, 3))
           .as("bucket"))
-    val cand = bands.as("x")
-      .join(bands.as("y"),
-        col("x.bucket") === col("y.bucket") &&
-          col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+      .groupBy(col("bucket"))
+      .agg(collect_set(col("doc_id")).as("ds"))
+      .select(explode(flatten(transform(col("ds"), x =>
+        transform(col("ds"), y => struct(x.as("a"), y.as("b"))))))
+        .as("e"))
+      .select(col("e.a"), col("e.b"))
+      .filter(col("a") < col("b"))
       .distinct()
     // The candidate set is tiny relative to the corpus: broadcast it
     // so the verify step streams `base` without shuffling it.

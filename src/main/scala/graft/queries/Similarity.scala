@@ -853,26 +853,14 @@ object Similarity {
             transform(col("c.sums"), s0 => centroidMicro(s0, col("c.n")))
               .as("cent"))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        // r14: the argmin shuffle carries only (vec_id, d2, cent_id) —
-        // the k-way cross-join expansion used to replicate the 64-dim
-        // payload k times through the exchange (guide §8: decide on
-        // metadata, re-attach the payload once, here by vec_id). The
-        // same rewrite was TRIED and REVERTED on q59/q123, where the
-        // un-persisted quantize lineage makes the re-attach join cost
-        // more than the narrowed shuffle saves (benched 1.22 -> 1.61 s
-        // there; here inputs re-derive cheaply from the committed
-        // table and it benched 2.92 -> 2.71 s steady).
-        def assign(df: org.apache.spark.sql.DataFrame) = {
-          val best = df.select(col("vec_id"), col("qv"))
-            .join(broadcast(cents), lit(true))
-            .select(col("vec_id"), col("cent_id"),
+        def assign(df: org.apache.spark.sql.DataFrame) =
+          df.join(broadcast(cents), lit(true))
+            .select(col("vec_id"), col("v"), col("cent_id"),
               l2DistSq(col("qv"), col("cent")).as("d2"))
             .groupBy(col("vec_id"))
-            .agg(min(struct(col("d2"), col("cent_id"))).as("m"))
-            .select(col("vec_id"), col("m.cent_id").as("cell"))
-          df.select(col("vec_id"), col("v")).join(best, Seq("vec_id"))
-            .select(col("vec_id"), col("cell"), col("v"))
-        }
+            .agg(min(struct(col("d2"), col("cent_id"))).as("m"),
+              first(col("v")).as("v"))
+            .select(col("vec_id"), col("m.cent_id").as("cell"), col("v"))
         val idx0 = assign(base)
         // v1: the drifted batch MERGEs in (sign flip moves a vector to
         // the opposite side of every hyperplane through the origin —

@@ -44,7 +44,15 @@ object Bookstore {
     // joins + heavy string projection) collapses into a 1-task stage.
     // On a real cluster the source has many splits and this exchange
     // is unnecessary — it guards the degenerate-split case.
-    val li = Tables.lineitem(s, dir).repartition(s.sparkContext.defaultParallelism)
+    // HASH-repartition on the row key rather than round-robin: a
+    // keyless repartition(n) pays a LOCAL SORT of its input first
+    // (spark.sql.execution.sortBeforeRepartition, needed so retried
+    // tasks reproduce the same row placement) — on this one-split
+    // scan that sort is single-core over the whole table. Hash
+    // placement is deterministic by value, so no sort; l_orderkey's
+    // cardinality (orders >> partitions) spreads evenly (guide §2.5).
+    val li = Tables.lineitem(s, dir)
+      .repartition(s.sparkContext.defaultParallelism, col("l_orderkey"))
     val o = Tables.orders(s, dir)
     val isbn = col("l_partkey").cast("string")
     li.join(o, col("l_orderkey") === col("o_orderkey"))

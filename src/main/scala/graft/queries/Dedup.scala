@@ -53,7 +53,7 @@ object Dedup {
     * to project). */
   private def shingled(s: org.apache.spark.sql.SparkSession, d: String) =
     documents(s, d)
-      .repartition(s.sparkContext.defaultParallelism)
+      .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
       .filter(size(TextOps.tokens(col("text"))) >= 3)
       .select(col("doc_id"),
         array_sort(TextOps.wordShingles(TextOps.tokens(col("text")), 3))
@@ -65,7 +65,7 @@ object Dedup {
     * are CPU-bound — without the spread they run on a single core. */
   private def hashed(s: org.apache.spark.sql.SparkSession, d: String) =
     documents(s, d)
-      .repartition(s.sparkContext.defaultParallelism)
+      .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
       .filter(size(TextOps.tokens(col("text"))) >= 3)
       .select(col("doc_id"),
         array_sort(TextOps.wordShingles(TextOps.tokens(col("text")), 3))
@@ -171,7 +171,7 @@ object Dedup {
         // row group = one input split; the regex normalization is
         // CPU-bound and would otherwise run on a single core.
         val base = documents(s, d)
-          .repartition(s.sparkContext.defaultParallelism)
+          .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
           .withColumn("norm",
             regexp_replace(lower(trim(col("text"))), "\\s+", " "))
           .withColumn("h", xxhash64(col("norm")))
@@ -369,7 +369,7 @@ object Dedup {
         // shingle strings exist for Jaccard verification and simhash
         // never reads (they were ~half the derivation cost here).
         val sim = documents(s, d)
-          .repartition(s.sparkContext.defaultParallelism)
+          .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
           .filter(size(TextOps.tokens(col("text"))) >= 3)
           .select(col("doc_id"),
             TextOps.shingleHashes3(TextOps.tokens(col("text"))).as("hs"))
@@ -431,7 +431,7 @@ object Dedup {
         // merge-pass jaccard kernel (one corpus-side sort amortized
         // over ~100 probe comparisons per doc).
         val base = documents(s, d)
-          .repartition(s.sparkContext.defaultParallelism)
+          .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
           .select(col("doc_id"),
             array_sort(array_distinct(TextOps.tokens(col("text")))).as("wset"),
             array_sort(TextOps.wordShingles(TextOps.tokens(col("text")), 3))
@@ -477,7 +477,7 @@ object Dedup {
         // sqrt(Σx²) out of the pair expression leaves the arithmetic
         // bit-identical — same values, same order.
         val e = embeddings(s, d)
-          .repartition(s.sparkContext.defaultParallelism)
+          .repartition(s.sparkContext.defaultParallelism, col("vec_id"))
           .select(col("vec_id"), col("label"), toDouble(col("embedding")).as("v"))
           .withColumn("nrm", l2norm(col("v")))
         e.as("x").join(e.as("y"),
@@ -520,7 +520,7 @@ object Dedup {
       "q99_decontamination",
       (s, d) => {
         val base = documents(s, d)
-          .repartition(s.sparkContext.defaultParallelism)
+          .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
           .select(col("doc_id"), col("source"),
             TextOps.wordShingles(TextOps.tokens(col("text")), 4).as("sh"))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -584,7 +584,7 @@ object Dedup {
         // bounded by C(n_sources, 2) exactly as before; the same
         // df-rank exclusion applies at domain scale.
         documents(s, d)
-          .repartition(s.sparkContext.defaultParallelism)
+          .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
           .filter(size(TextOps.tokens(col("text"))) >= 3)
           .select(col("source"),
             explode(TextOps.shingleHashes3(TextOps.tokens(col("text"))))
@@ -641,7 +641,7 @@ object Dedup {
         import org.apache.spark.sql.expressions.Window
         val k = 8
         val grams = documents(s, d)
-          .repartition(s.sparkContext.defaultParallelism)
+          .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
           .select(col("doc_id"), TextOps.tokens(col("text")).as("ws"))
           .filter(size(col("ws")) >= k)
           .withColumn("n_tokens", size(col("ws")).cast("long"))
@@ -734,7 +734,7 @@ object Dedup {
       "q154_canonical_selection",
       (s, d) => {
         val base = documents(s, d)
-          .repartition(s.sparkContext.defaultParallelism)
+          .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
           .withColumn("norm",
             regexp_replace(lower(trim(col("text"))), "\\s+", " "))
           .select(col("doc_id"), col("source"), col("n_chars"),
@@ -854,7 +854,7 @@ object Dedup {
         import org.apache.spark.sql.expressions.Window
         val byPos = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
         documents(s, d)
-          .repartition(s.sparkContext.defaultParallelism)
+          .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
           .select(col("doc_id"), col("source"),
             posexplode(TextOps.tokens(col("text"))).as(Seq("pos", "w")))
           .withColumn("brk",
@@ -924,7 +924,7 @@ object Dedup {
       "q198_containment_dedup",
       (s, d) => {
         val base = documents(s, d)
-          .repartition(s.sparkContext.defaultParallelism)
+          .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
           .filter(size(TextOps.tokens(col("text"))) >= 3)
           .select(col("doc_id"),
             array_distinct(array_sort(
@@ -1096,7 +1096,7 @@ object Dedup {
       (s, d) => {
         val w = 4
         val fp = documents(s, d)
-          .repartition(s.sparkContext.defaultParallelism)
+          .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
           .select(col("doc_id"), TextOps.tokens(col("text")).as("ws"))
           .filter(size(col("ws")) >= 3 + w - 1)
           .withColumn("th", TextOps.tokenHashes(col("ws")))

@@ -43,7 +43,7 @@ object Similarity {
         // repartition: the single-row-group scan would otherwise pin
         // the per-pair fold arithmetic to one task.
         val e = embeddings(s, d)
-          .repartition(s.sparkContext.defaultParallelism)
+          .repartition(s.sparkContext.defaultParallelism, col("vec_id"))
           .select(col("vec_id"), toDouble(col("embedding")).as("v"))
         val probes = e.filter(col("vec_id") < 8)
           .select(col("vec_id").as("probe"), col("v").as("pv"))
@@ -77,7 +77,7 @@ object Similarity {
       "q33_ann_lsh",
       (s, d) => {
         val e = embeddings(s, d)
-          .repartition(s.sparkContext.defaultParallelism)
+          .repartition(s.sparkContext.defaultParallelism, col("vec_id"))
           .select(col("vec_id"), toDouble(col("embedding")).as("v"))
           .withColumn("bucket", hyperplaneBucket(col("v"), 8))
         val probes = e.filter(col("vec_id") < 8)
@@ -135,7 +135,7 @@ object Similarity {
         // repartition: single-row-group testdata parquet = one input
         // split; the quantize + 10-way distance stage is CPU-bound.
         val q = embeddings(s, d)
-          .repartition(s.sparkContext.defaultParallelism)
+          .repartition(s.sparkContext.defaultParallelism, col("vec_id"))
           .select(col("vec_id"), col("label"),
             toDouble(col("embedding")).as("v"),
             microQuantize(col("embedding")).as("qv"))
@@ -225,7 +225,7 @@ object Similarity {
       (s, d) => {
         val cAgg = udaf(new graft.ops.VectorAggregates.CentroidAgg(64))
         val q = embeddings(s, d)
-          .repartition(s.sparkContext.defaultParallelism)
+          .repartition(s.sparkContext.defaultParallelism, col("vec_id"))
           .select(col("vec_id"), col("label"),
             toDouble(col("embedding")).as("v"),
             microQuantize(col("embedding")).as("qv"))
@@ -391,7 +391,7 @@ object Similarity {
       "q73_ann_quantized",
       (s, d) => {
         val e = embeddings(s, d)
-          .repartition(s.sparkContext.defaultParallelism)
+          .repartition(s.sparkContext.defaultParallelism, col("vec_id"))
           .select(col("vec_id"), toDouble(col("embedding")).as("v"))
           .withColumn("mx", expr("array_max(transform(v, x -> abs(x)))"))
           .filter(col("mx") > 0)
@@ -466,7 +466,7 @@ object Similarity {
       (s, d) => {
         val cAgg = udaf(new graft.ops.VectorAggregates.CentroidAgg(32))
         val q = embeddings(s, d)
-          .repartition(s.sparkContext.defaultParallelism)
+          .repartition(s.sparkContext.defaultParallelism, col("vec_id"))
           .select(col("vec_id"), col("label"),
             microQuantize(col("embedding")).as("qv"))
           .withColumn("q1", slice(col("qv"), 1, 32))
@@ -726,7 +726,7 @@ object Similarity {
       (s, d) => {
         val signs = rpSigns
         val e = embeddings(s, d)
-          .repartition(s.sparkContext.defaultParallelism)
+          .repartition(s.sparkContext.defaultParallelism, col("vec_id"))
           .select(col("vec_id"), toDouble(col("embedding")).as("v"))
           .withColumn("pv", array((0 until 8).map(i =>
             projectDim(col("v"), signs(i))): _*))

@@ -39,7 +39,7 @@ object Sketches {
       "q65_cms_heavy_hitters",
       (s, d) => {
         val tok = documents(s, d)
-          .repartition(s.sparkContext.defaultParallelism)
+          .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
           .select(explode(TextOps.tokens(col("text"))).as("tok"))
         val exact = tok.groupBy(col("tok"))
           .agg(count(lit(1)).as("n_exact"))
@@ -585,7 +585,7 @@ object Sketches {
       (s, d) => {
         val k = 16
         val h = documents(s, d)
-          .repartition(s.sparkContext.defaultParallelism)
+          .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
           .select(col("source"),
             explode(TextOps.shingleHashes3(TextOps.tokens(col("text"))))
               .as("h"))

@@ -192,7 +192,7 @@ object TextAnalysis {
       "q63_tfidf",
       (s, d) => {
         val tf = documents(s, d)
-          .repartition(s.sparkContext.defaultParallelism)
+          .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
           .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("term"))
           .groupBy(col("doc_id"), col("term"))
           .agg(count(lit(1)).as("tf"))
@@ -339,7 +339,7 @@ object TextAnalysis {
       (s, d) => {
         val ws = TextOps.tokens(col("text"))
         val wordStats = documents(s, d)
-          .repartition(s.sparkContext.defaultParallelism)
+          .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
           .select(col("doc_id"), explode(ws).as("tok"))
           .groupBy(col("doc_id"), col("tok"))
           .agg(count(lit(1)).as("cnt"))
@@ -403,7 +403,7 @@ object TextAnalysis {
       (s, d) => {
         val ws = TextOps.tokens(col("text"))
         val staged = documents(s, d)
-          .repartition(s.sparkContext.defaultParallelism)
+          .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
           .withColumn("n_tokens", size(ws).cast("long"))
           .withColumn("pass_len", col("n_tokens") >= 20)
           .withColumn("pass_stop",
@@ -507,7 +507,7 @@ object TextAnalysis {
       "q109_multimodal_pipeline",
       (s, d) => {
         val media = graft.ops.Multimodal.fromDocuments(
-          documents(s, d).repartition(s.sparkContext.defaultParallelism))
+          documents(s, d).repartition(s.sparkContext.defaultParallelism, col("doc_id")))
         val feats = graft.ops.Multimodal.extractFeatures(media)
         graft.ops.Multimodal.sampleFrames(feats)
           .select(col("media_id"), col("kind"),
@@ -548,7 +548,7 @@ object TextAnalysis {
       (s, d) => {
         import s.implicits._
         val media = documents(s, d)
-          .repartition(s.sparkContext.defaultParallelism)
+          .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
           .select(col("doc_id")).as[Long]
           .map { id =>
             val w = (id % 8 + 1).toInt
@@ -590,7 +590,7 @@ object TextAnalysis {
       (s, d) => {
         import s.implicits._
         val media = documents(s, d)
-          .repartition(s.sparkContext.defaultParallelism)
+          .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
           .select(col("doc_id")).as[Long]
           .map { id =>
             val w = (id % 8 + 1).toInt
@@ -640,7 +640,7 @@ object TextAnalysis {
       (s, d) => {
         import s.implicits._
         val media = documents(s, d)
-          .repartition(s.sparkContext.defaultParallelism)
+          .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
           .select(col("doc_id")).as[Long]
           .map { id =>
             val n = (id % 50 + 10).toInt
@@ -690,7 +690,7 @@ object TextAnalysis {
       (s, d) => {
         import s.implicits._
         val media = documents(s, d)
-          .repartition(s.sparkContext.defaultParallelism)
+          .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
           .select(col("doc_id")).as[Long]
           .map { id =>
             val n = (id % 17 + 4).toInt
@@ -816,7 +816,7 @@ object TextAnalysis {
       "q187_repetition_filter",
       (s, d) => {
         val sh = documents(s, d)
-          .repartition(s.sparkContext.defaultParallelism)
+          .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
           .select(col("doc_id"), col("source"),
             explode(TextOps.wordShinglesAll(TextOps.tokens(col("text")), 3))
               .as("sh"))
@@ -871,7 +871,7 @@ object TextAnalysis {
       "q110_inverted_index",
       (s, d) => {
         val pairs = documents(s, d)
-          .repartition(s.sparkContext.defaultParallelism)
+          .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
           .select(col("doc_id"),
             explode(array_distinct(TextOps.tokens(col("text")))).as("term"))
         val w = org.apache.spark.sql.expressions.Window
@@ -939,7 +939,7 @@ object TextAnalysis {
         // both read the tokenization; unpersisted, every run scans and
         // regex-splits the full text twice (the q29 lesson).
         val docs = documents(s, d)
-          .repartition(s.sparkContext.defaultParallelism)
+          .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
           .select(col("doc_id"), TextOps.tokens(col("text")).as("ws"))
           .persist()
         val tf = docs
@@ -1009,7 +1009,7 @@ object TextAnalysis {
         val w = org.apache.spark.sql.expressions.Window
           .partitionBy(col("unit")).orderBy(col("doc_id"), col("pos"))
         documents(s, d)
-          .repartition(s.sparkContext.defaultParallelism)
+          .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
           .select(col("doc_id"), col("source"),
             posexplode(expr(
               """transform(sequence(0, cast(ceil(size(split(text, ' ')) / 8.0)
@@ -1067,7 +1067,7 @@ object TextAnalysis {
       "q119_collocations",
       (s, d) => {
         val toks = documents(s, d)
-          .repartition(s.sparkContext.defaultParallelism)
+          .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
           .select(TextOps.tokens(col("text")).as("ws"))
           .persist()
         val unigrams = toks.select(explode(col("ws")).as("w"))
@@ -1284,7 +1284,7 @@ object TextAnalysis {
       (s, d) => {
         import org.apache.spark.sql.expressions.Window
         val lw = documents(s, d)
-          .repartition(s.sparkContext.defaultParallelism)
+          .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
           .select(col("lang"), explode(TextOps.tokens(col("text"))).as("w"))
           .groupBy(col("lang"), col("w"))
           .agg(count(lit(1)).as("n"))
@@ -1340,7 +1340,7 @@ object TextAnalysis {
         import org.apache.spark.sql.expressions.Window
         val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
         val bigrams = documents(s, d)
-          .repartition(s.sparkContext.defaultParallelism)
+          .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
           .select(col("doc_id"),
             posexplode(TextOps.tokens(col("text"))).as(Seq("pos", "w")))
           .withColumn("w2", lead(col("w"), 1).over(byDoc))
@@ -1397,7 +1397,7 @@ object TextAnalysis {
       "q201_phrase_search",
       (s, d) => {
         val post = documents(s, d)
-          .repartition(s.sparkContext.defaultParallelism)
+          .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
           .select(col("doc_id"),
             posexplode(TextOps.tokens(col("text"))).as(Seq("pos", "w")))
           .persist()
@@ -1472,7 +1472,7 @@ object TextAnalysis {
       "q209_kn_perplexity",
       (s, d) => {
         val bi = documents(s, d)
-          .repartition(s.sparkContext.defaultParallelism)
+          .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
           .select(col("doc_id"),
             explode(TextOps.wordShinglesAll(
               TextOps.tokens(col("text")), 2)).as("bigram"))

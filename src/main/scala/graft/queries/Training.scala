@@ -253,7 +253,7 @@ object Training {
       "q104_kmeans_embeddings",
       (s, d) => {
         val vecs = Kmeans.quantize(
-          embeddings(s, d).repartition(s.sparkContext.defaultParallelism))
+          embeddings(s, d).repartition(s.sparkContext.defaultParallelism, col("vec_id")))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val (a2, c1) = Kmeans.lloyd(vecs, k = 8, rounds = 1, dim = 64)
         val l1 = c1.select(col("cid"),
@@ -290,7 +290,7 @@ object Training {
       "q105_hard_negatives",
       (s, d) => {
         val e = embeddings(s, d)
-          .repartition(s.sparkContext.defaultParallelism)
+          .repartition(s.sparkContext.defaultParallelism, col("vec_id"))
           .select(col("vec_id"), col("label"),
             VectorOps.microQuantize(col("embedding")).as("q"))
         val probes = e.filter(col("vec_id") % 40 === 0)
@@ -353,7 +353,7 @@ object Training {
       "q106_cluster_balanced_sample",
       (s, d) => {
         val vecs = Kmeans.quantize(
-          embeddings(s, d).repartition(s.sparkContext.defaultParallelism))
+          embeddings(s, d).repartition(s.sparkContext.defaultParallelism, col("vec_id")))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val (a2, _) = Kmeans.lloyd(vecs, k = 8, rounds = 1, dim = 64)
         val take = a2.groupBy(col("cid")).agg(count(lit(1)).as("n"))
@@ -401,7 +401,7 @@ object Training {
       "q107_incremental_dedup",
       (s, d) => {
         val base = documents(s, d)
-          .repartition(s.sparkContext.defaultParallelism)
+          .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
           .select(col("doc_id"),
             regexp_replace(lower(trim(col("text"))), "\\s+", " ").as("norm"),
             TextOps.wordShingles(TextOps.tokens(col("text")), 3).as("sh"),
@@ -1019,7 +1019,7 @@ object Training {
       "q182_model_store_reuse",
       (s, d) => {
         val vecs = Kmeans.quantize(
-          embeddings(s, d).repartition(s.sparkContext.defaultParallelism))
+          embeddings(s, d).repartition(s.sparkContext.defaultParallelism, col("vec_id")))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val (_, trained) = Kmeans.lloyd(vecs, k = 8, rounds = 1, dim = 64)
         val root = java.nio.file.Files
@@ -1086,7 +1086,7 @@ object Training {
       (s, d) => {
         val tau = 1200000000000L
         val vecs = Kmeans.quantize(
-          embeddings(s, d).repartition(s.sparkContext.defaultParallelism))
+          embeddings(s, d).repartition(s.sparkContext.defaultParallelism, col("vec_id")))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val (a2, _) = Kmeans.lloyd(vecs, k = 8, rounds = 1, dim = 64)
         val w = Window.partitionBy(col("cid")).orderBy(col("d"), col("vec_id"))
@@ -1170,7 +1170,7 @@ object Training {
       "q191_dsir_importance",
       (s, d) => {
         val feats = documents(s, d)
-          .repartition(s.sparkContext.defaultParallelism)
+          .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
           .select(col("doc_id"), col("lang"),
             explode(TextOps.tokens(col("text"))).as("w"))
           .withColumn("b", TextOps.polyHash(col("w")) % 64)
@@ -1246,7 +1246,7 @@ object Training {
       (s, d) => {
         import org.apache.spark.sql.expressions.Window
         val docs = documents(s, d)
-          .repartition(s.sparkContext.defaultParallelism)
+          .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
           .select(col("doc_id"), col("source"), col("n_chars"),
             regexp_replace(lower(trim(col("text"))), "\\s+", " ")
               .as("norm"),
@@ -1399,7 +1399,7 @@ object Training {
       (s, d) => {
         import graft.ops.VectorOps._
         val vecs = Kmeans.quantize(
-          embeddings(s, d).repartition(s.sparkContext.defaultParallelism))
+          embeddings(s, d).repartition(s.sparkContext.defaultParallelism, col("vec_id")))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val (a2, _) = Kmeans.lloyd(vecs, k = 8, rounds = 1, dim = 64)
         val e = embeddings(s, d)
